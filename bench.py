@@ -1,0 +1,98 @@
+#!/usr/bin/env python3
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+"sf": ...}.
+
+Headline set mirrors BASELINE.md's measurement plan (BENCH-B1..B4, S1).
+Timing = median of N runs (default 3) of full query execution including
+collect of the (small) result.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+from pathlib import Path
+
+_REPO = str(Path(__file__).resolve().parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+RUNS = int(os.environ.get("NIBBLER_BENCH_RUNS", "3"))
+
+# Registry names of the headline queries (BASELINE.md plan). Missing names
+# are skipped so the bench degrades gracefully mid-build.
+HEADLINE = [
+    "q1_pricing_summary",  # BENCH-B1
+    "c01_join_3way_agg",  # BENCH-B2
+    "e01_row_number_topk",  # BENCH-B3 (window rank per group)
+    "k06_cosine_topk",  # BENCH-B4
+]
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    name = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    from nibbler_spark.queries import load_all
+    from nibbler_spark.session import get_spark
+
+    specs = load_all()
+    spark = get_spark(app_name="nibbler-spark-bench")
+    # Warm the JVM + parquet footers once.
+    from nibbler_spark.sources import load_table
+
+    load_table(spark, SF_DIR, "lineitem").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = specs.get(name)
+        if spec is None:
+            continue
+        samples = []
+        for _ in range(RUNS):
+            t0 = time.monotonic()
+            df = spec.spark(spark, SF_DIR)
+            df.collect()
+            samples.append(time.monotonic() - t0)
+        timings[name] = round(statistics.median(samples), 4)
+
+    # Streaming re-batcher throughput (BENCH-S1): items/s through the
+    # size-OR-time core at Size=100.
+    try:
+        from nibbler_spark.streaming.rebatcher import bench_rebatcher_throughput
+
+        timings["s1_rebatcher_items_per_sec"] = round(
+            bench_rebatcher_throughput(n_items=20000, size=100), 1
+        )
+    except ImportError:
+        pass
+
+    total = round(
+        sum(v for k, v in timings.items() if not k.startswith("s1_")), 4
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_from_dir(SF_DIR),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

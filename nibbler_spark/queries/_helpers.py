@@ -1,0 +1,50 @@
+"""Shared helpers for declared queries.
+
+The exact-arithmetic discipline: double sums accumulate in engine- and
+order-dependent ways, so any aggregate a hash oracle checks is computed
+over exact DECIMAL casts on BOTH sides — the pre-aggregation cast loses
+the same information in both engines, the aggregation itself is exact,
+and the final cast back to double is deterministic. Division happens in
+double on identical operands. This makes hash-mode queries bit-identical
+between Spark and DuckDB without any tolerance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Canonical decimal type for money/quantity arithmetic. Wide enough for
+# sums over ~1e8 rows of ~1e5-magnitude values; at 100 TB Spark widens
+# sum(decimal(18,4)) to decimal(28,4) automatically.
+DEC = "decimal(18,4)"
+# DuckDB spelling of the same.
+DEC_SQL = "DECIMAL(18,4)"
+
+
+def dec(c: str | Column) -> Column:
+    """Exact decimal view of a double column (Spark side)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast(DEC)
+
+
+def dsum(c: str | Column) -> Column:
+    """Deterministic double sum: exact decimal sum, then cast to double."""
+    return F.sum(dec(c)).cast("double")
+
+
+def davg(c: str | Column) -> Column:
+    """Deterministic double average: exact decimal sum / count, divided in
+    double (both engines divide identical doubles)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.sum(dec(col)).cast("double") / F.count(col)
+
+
+def sql_dsum(expr: str) -> str:
+    """DuckDB spelling of :func:`dsum`."""
+    return f"CAST(SUM(CAST({expr} AS {DEC_SQL})) AS DOUBLE)"
+
+
+def sql_davg(expr: str) -> str:
+    """DuckDB spelling of :func:`davg`."""
+    return f"CAST(SUM(CAST({expr} AS {DEC_SQL})) AS DOUBLE) / COUNT({expr})"

@@ -1,0 +1,358 @@
+"""Projection / filter / predicate queries (SURVEY §2.3 B1–B13) plus the
+flagship TPC-H-Q1-style pricing summary (SURVEY §7 M1).
+
+All row-level double expressions are engine-deterministic (single IEEE
+ops on identical operands); aggregates use the exact-decimal discipline
+from ``_helpers``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nibbler_spark.queries import register
+from nibbler_spark.queries._helpers import davg, dsum, sql_davg, sql_dsum
+from nibbler_spark.sources import load_table
+
+# ---------------------------------------------------------------------------
+# Flagship: TPC-H Q1-style pricing summary over lineitem.
+# Exercises A1 (parquet scan w/ predicate pushdown), B6 (filter), D1
+# (partial+final hash agg), F1 (sort). At 100 TB: the filter and the
+# 11-column→7-column pruning reach the parquet scan; the groupBy has 4
+# distinct keys so partial aggregation collapses nearly all rows map-side
+# before the (tiny) shuffle.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    survey_id="M1",
+    category="flagship",
+    oracle=f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  {sql_dsum('l_quantity')} AS sum_qty,
+  {sql_dsum('l_extendedprice')} AS sum_base_price,
+  {sql_dsum('CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))')} AS sum_disc_price,
+  {sql_davg('l_quantity')} AS avg_qty,
+  {sql_davg('l_discount')} AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,4)")
+    )
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_discount").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# B. Projection / filter / predicates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "b01_projection",
+    survey_id="B1",
+    category="projection",
+    oracle="SELECT c_custkey, c_name, c_mktsegment FROM customer ORDER BY c_custkey",
+)
+def b01_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column projection — prunes to 3 columns at the scan."""
+    return (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "b02_computed_projection",
+    survey_id="B2",
+    category="projection",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1 - l_discount) AS disc_price,
+       l_quantity + 1 AS qty_plus_one
+FROM lineitem
+ORDER BY l_orderkey, l_linenumber
+""",
+)
+def b02_computed_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Computed projection + alias (row-level double ops are IEEE-identical
+    across engines)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).alias(
+            "disc_price"
+        ),
+        (F.col("l_quantity") + F.lit(1)).alias("qty_plus_one"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@register(
+    "b03_with_column",
+    survey_id="B3",
+    category="projection",
+    oracle="""
+SELECT o_orderkey, o_totalprice, o_totalprice * 0.1 AS tax_estimate
+FROM orders ORDER BY o_orderkey
+""",
+)
+def b03_with_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Add a column via withColumn."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .withColumn("tax_estimate", F.col("o_totalprice") * F.lit(0.1))
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "b04_drop_column",
+    survey_id="B4",
+    category="projection",
+    oracle="""
+SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey
+""",
+)
+def b04_drop_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop a column."""
+    return (
+        load_table(spark, sf_dir, "nation")
+        .drop("n_regionkey")
+        .orderBy("n_nationkey")
+    )
+
+
+@register(
+    "b05_cast",
+    survey_id="B5",
+    category="projection",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       CAST(l_quantity AS INTEGER) AS qty_int,
+       CAST(l_orderkey AS VARCHAR) AS key_str,
+       CAST(l_shipdate AS DATE) AS ship_day,
+       CAST(l_extendedprice AS DECIMAL(18,4)) AS price_dec
+FROM lineitem ORDER BY l_orderkey, l_linenumber
+""",
+)
+def b05_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Casts across int/string/date/decimal."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("int").alias("qty_int"),
+        F.col("l_orderkey").cast("string").alias("key_str"),
+        F.col("l_shipdate").cast("date").alias("ship_day"),
+        F.col("l_extendedprice").cast("decimal(18,4)").alias("price_dec"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@register(
+    "b06_filter_boolean_algebra",
+    survey_id="B6",
+    category="filter",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag
+FROM lineitem
+WHERE (l_quantity > 30 AND l_discount >= 0.05) OR NOT (l_returnflag = 'N')
+ORDER BY l_orderkey, l_linenumber
+""",
+)
+def b06_filter_boolean_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Comparison + AND/OR/NOT filter, pushed to the scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cond = ((F.col("l_quantity") > 30) & (F.col("l_discount") >= 0.05)) | (
+        ~(F.col("l_returnflag") == "N")
+    )
+    return li.where(cond).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_returnflag"
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@register(
+    "b07_isin",
+    survey_id="B7",
+    category="filter",
+    oracle="""
+SELECT event_id, event_type FROM events
+WHERE event_type IN ('click', 'purchase')
+ORDER BY event_id
+""",
+)
+def b07_isin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-list predicate."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("click", "purchase"))
+        .select("event_id", "event_type")
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "b08_between",
+    survey_id="B8",
+    category="filter",
+    oracle="""
+SELECT o_orderkey, o_orderdate FROM orders
+WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
+ORDER BY o_orderkey
+""",
+)
+def b08_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BETWEEN over timestamps."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .where(
+            F.col("o_orderdate").between(
+                F.lit("1996-01-01").cast("timestamp"),
+                F.lit("1996-12-31").cast("timestamp"),
+            )
+        )
+        .select("o_orderkey", "o_orderdate")
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "b09_like_ilike",
+    survey_id="B9",
+    category="filter",
+    oracle="""
+SELECT p_partkey, p_name, p_type FROM part
+WHERE p_name LIKE '%widget%' OR p_type ILIKE '%eConOmy%'
+ORDER BY p_partkey
+""",
+)
+def b09_like_ilike(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE / ILIKE patterns."""
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.where(
+            F.col("p_name").like("%widget%") | F.col("p_type").ilike("%eConOmy%")
+        )
+        .select("p_partkey", "p_name", "p_type")
+        .orderBy("p_partkey")
+    )
+
+
+@register(
+    "b10_null_predicates",
+    survey_id="B10",
+    category="filter",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       NULLIF(l_discount, 0) AS disc_or_null,
+       NULLIF(l_discount, 0) IS NULL AS disc_is_null,
+       NULLIF(l_discount, 0) IS NOT NULL AS disc_is_not_null
+FROM lineitem
+ORDER BY l_orderkey, l_linenumber
+""",
+)
+def b10_null_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IS [NOT] NULL over a synthesized nullable column (source data has no
+    NULLs; NULLIF introduces them identically in both engines)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_or_null = F.nullif(F.col("l_discount"), F.lit(0.0))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        disc_or_null.alias("disc_or_null"),
+        disc_or_null.isNull().alias("disc_is_null"),
+        disc_or_null.isNotNull().alias("disc_is_not_null"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@register(
+    "b11_case_when",
+    survey_id="B11",
+    category="filter",
+    oracle="""
+SELECT o_orderkey,
+       CASE WHEN o_totalprice >= 300000 THEN 'high'
+            WHEN o_totalprice >= 100000 THEN 'mid'
+            ELSE 'low' END AS price_band
+FROM orders ORDER BY o_orderkey
+""",
+)
+def b11_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN ladder."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") >= 300000, "high")
+        .when(F.col("o_totalprice") >= 100000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "b12_distinct",
+    survey_id="B12",
+    category="filter",
+    oracle="""
+SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+ORDER BY l_returnflag, l_linestatus
+""",
+)
+def b12_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT rows (hash-agg shuffle on the pair; partial distinct
+    collapses map-side)."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_linestatus")
+        .distinct()
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "b13_sample_bounded",
+    survey_id="B13",
+    category="filter",
+    mode="bounded",
+    oracle="SELECT TRUE AS frac_in_range, TRUE AS deterministic_with_seed",
+)
+def b13_sample_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded row sampling — engines' RNGs differ, so the declared check is
+    the assertion itself: sampled fraction within ±30% of target, and the
+    same seed yields the same rows twice (SURVEY B13 ⚠)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber"
+    )
+    total = li.count()
+    s1 = li.sample(fraction=0.1, seed=42)
+    s2 = li.sample(fraction=0.1, seed=42)
+    n1 = s1.count()
+    frac_ok = bool(0.07 * total <= n1 <= 0.13 * total)
+    det_ok = s1.exceptAll(s2).count() == 0 and s2.exceptAll(s1).count() == 0
+    return spark.createDataFrame(
+        [(frac_ok, det_ok)], "frac_in_range boolean, deterministic_with_seed boolean"
+    )

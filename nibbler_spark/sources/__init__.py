@@ -1,0 +1,8 @@
+from nibbler_spark.sources.tables import (
+    TABLES,
+    load_table,
+    register_temp_views,
+    table_path,
+)
+
+__all__ = ["TABLES", "load_table", "register_temp_views", "table_path"]

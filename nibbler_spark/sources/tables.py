@@ -1,0 +1,63 @@
+"""Batch table sources over the driver-generated parquet testdata.
+
+Tables and schemas per FIXTURES.md §1 (TPC-H-ish star schema + events /
+documents / embeddings). At 100 TB these would be partitioned/bucketed
+tables in a metastore; the loader stays a thin seam so the path→catalog
+swap is one function.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimension tables that are always broadcast-joinable. At 100 TB the
+# fact tables (lineitem/orders/events/documents/embeddings) scale with the
+# data; these stay dimension-sized.
+DIM_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Parquet batch scan (SURVEY §2.3 A1). Declarative read — Catalyst
+    handles predicate pushdown / column pruning into the scan.
+
+    ``events.ts`` is TIMESTAMP(NANOS) in the parquet footer, which Spark 4
+    rejects outright; it is read via the legacy nanos-as-long conf and
+    floor-truncated to microseconds — exactly what DuckDB does when it
+    reads the same file, so oracle comparisons agree at µs.
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(table_path(sf_dir, name))
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        ).select("event_id", "ts", "user_id", "event_type", "value", "props")
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for spark.sql() queries."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
