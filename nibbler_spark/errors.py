@@ -26,6 +26,28 @@ class NibblerStoppedError(NibblerError, RuntimeError):
     """
 
 
+class NibblerFatalError(NibblerError):
+    """A processor failure with resume_after_err=False — the micro-batcher
+    stops (reference: break + queue close, nibbler.go:131-135,142-144).
+
+    Carries the original processor error as ``__cause__``/``error``.
+    """
+
+    def __init__(self, error: BaseException):
+        self.error = error
+        super().__init__(f"nibbler stopped: {error!r}")
+
+
+class Panic(BaseException):
+    """Python analogue of a Go panic with an arbitrary (non-error) value
+    (reference: nibbler.go:90-93 wraps non-error panic values). Raise
+    ``Panic(value)`` from a processor to exercise the conversion path."""
+
+    def __init__(self, value: object):
+        self.value = value
+        super().__init__(value)
+
+
 class BatchPanicError(NibblerError):
     """A non-Exception raise (e.g. KeyboardInterrupt-like BaseException or a
     plain object thrown via ``raise``) converted to an error, mirroring the

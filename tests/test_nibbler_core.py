@@ -1,0 +1,275 @@
+"""Ports of the reference test suite (/root/reference/nibbler_test.go) to
+the Python embedded API, plus deterministic fake-clock goldens and
+property tests for the re-batcher invariants (SURVEY §5.1/§5.2)."""
+
+from __future__ import annotations
+
+import threading
+import time
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from nibbler_spark.config import Config, Trigger
+from nibbler_spark.core import Nibbler, start
+from nibbler_spark.errors import (
+    BatchPanicError,
+    NibblerStoppedError,
+    NibblerValidationError,
+    Panic,
+)
+from nibbler_spark.streaming.rebatcher import FakeClock, ReBatcher
+
+# ---------------------------------------------------------------------------
+# Golden batching — deterministic fake-clock version of TestNibbler
+# (nibbler_test.go:15-83): 18 items, size 6, 1 s ticker, pauses before
+# items 0, 7, 14 ⇒ batches [6,1,6,1,4].
+# ---------------------------------------------------------------------------
+
+GOLDEN_EXPECTED = [
+    (["i:0", "i:1", "i:2", "i:3", "i:4", "i:5"], Trigger.BATCH_FULL),
+    (["i:6"], Trigger.TICKER),
+    (["i:7", "i:8", "i:9", "i:10", "i:11", "i:12"], Trigger.BATCH_FULL),
+    (["i:13"], Trigger.TICKER),
+    (["i:14", "i:15", "i:16", "i:17"], Trigger.TICKER),
+]
+
+
+def run_golden_rebatcher():
+    """The reference scenario on a fake clock — fully deterministic."""
+    got: list[tuple[list, Trigger]] = []
+    clock = FakeClock()
+    rb = ReBatcher(
+        Config(
+            processor=lambda _dl, trig, batch: got.append((list(batch), trig)),
+            size=6,
+            ticker_s=1.0,
+            processing_timeout_s=0.001,
+        ),
+        clock=clock.monotonic,
+    )
+    for i in range(18):
+        if i % 7 == 0:  # nibbler_test.go:56-59 — sleep(batchFreq + 100ms)
+            clock.advance(1.1)
+            rb.poll()
+        rb.push(f"i:{i}")
+    clock.advance(1.1)
+    rb.poll()
+    return got
+
+
+def test_golden_batching_deterministic():
+    assert run_golden_rebatcher() == GOLDEN_EXPECTED
+
+
+def test_golden_batching_threaded_real_clock():
+    """The same scenario end-to-end through the threaded embedded API with
+    a real 1 s ticker — the faithful port of TestNibbler."""
+    got: list[list] = []
+    done = threading.Event()
+
+    def processor(_dl, _trig, batch):
+        got.append(list(batch))
+        if batch[-1] == "i:17":
+            done.set()
+
+    nib = start(
+        Config(processor=processor, size=6, ticker_s=1.0,
+               processing_timeout_s=0.001)
+    )
+    receiver = nib.receiver()
+    for i in range(18):
+        if i % 7 == 0:
+            time.sleep(1.1)
+        receiver.send(f"i:{i}")
+    assert done.wait(timeout=5.0)
+    assert got == [exp for exp, _ in GOLDEN_EXPECTED]
+    nib.close()
+
+
+# ---------------------------------------------------------------------------
+# Error machinery — TestProcessorErr (nibbler_test.go:85-213)
+# ---------------------------------------------------------------------------
+
+
+class _ErrScenario:
+    def __init__(self, raiser, resume: bool):
+        self.received_err = threading.Event()
+        self.failed_batch = None
+        self.err = None
+        self.raiser = raiser
+        self.config = Config(
+            processor=self._processor,
+            ticker_s=1.0,
+            resume_after_err=resume,
+            processor_err=self._processor_err,
+        )
+
+    def _processor(self, _dl, _trig, batch):
+        self.raiser()
+
+    def _processor_err(self, failed_batch, err):
+        self.failed_batch = list(failed_batch)
+        self.err = err
+        self.received_err.set()
+
+
+def _drive(scenario: _ErrScenario) -> Nibbler:
+    nib = start(scenario.config)
+    nib.receiver().send("hello")
+    assert scenario.received_err.wait(timeout=5.0)
+    assert scenario.failed_batch == ["hello"]
+    return nib
+
+
+def test_err_processor_without_resume():
+    """Error ⇒ processor_err(failed_batch, err); subsequent send raises
+    (reference: send on closed channel panics, nibbler_test.go:89-117)."""
+    boom = RuntimeError("failed processing")
+    sc = _ErrScenario(lambda: (_ for _ in ()).throw(boom), resume=False)
+    nib = _drive(sc)
+    assert sc.err is boom
+    # the listener thread exits after the fatal flush; wait for the flag
+    for _ in range(100):
+        if nib.fatal_error is not None:
+            break
+        time.sleep(0.05)
+    with pytest.raises(NibblerStoppedError):
+        nib.receiver().send("again")
+
+
+def test_err_processor_with_resume():
+    """With resume: failed batch dropped, next send succeeds and fails
+    independently (nibbler_test.go:119-148)."""
+    boom = RuntimeError("failed processing")
+    sc = _ErrScenario(lambda: (_ for _ in ()).throw(boom), resume=True)
+    nib = _drive(sc)
+    assert sc.err is boom
+    sc.received_err.clear()
+    nib.receiver().send("again")  # must NOT raise
+    assert sc.received_err.wait(timeout=5.0)
+    assert sc.failed_batch == ["again"]
+    nib.close(flush=False)
+
+
+def test_panic_recovery_without_resume():
+    """panic(error) ⇒ converted to that error, callback fires, fatal stop
+    (nibbler_test.go:150-179)."""
+    boom = RuntimeError("failed processing")
+    sc = _ErrScenario(lambda: (_ for _ in ()).throw(Panic(boom)), resume=False)
+    nib = _drive(sc)
+    assert sc.err is boom
+    for _ in range(100):
+        if nib.fatal_error is not None:
+            break
+        time.sleep(0.05)
+    with pytest.raises(NibblerStoppedError):
+        nib.receiver().send("again")
+
+
+def test_panic_recovery_with_resume_non_error_value():
+    """panic(non-error) wrapped (reference: fmt.Errorf("%+v"), nibbler.go:90-93);
+    resume keeps the stream alive (nibbler_test.go:181-212)."""
+    sc = _ErrScenario(
+        lambda: (_ for _ in ()).throw(Panic("processor panic")), resume=True
+    )
+    nib = _drive(sc)
+    assert isinstance(sc.err, BatchPanicError)
+    assert "processor panic" in str(sc.err)
+    sc.received_err.clear()
+    nib.receiver().send("again")  # must NOT raise
+    assert sc.received_err.wait(timeout=5.0)
+    assert sc.failed_batch == ["again"]
+    nib.close(flush=False)
+
+
+# ---------------------------------------------------------------------------
+# Config sanitize/validate — TestSanitizeValidate (nibbler_test.go:215-267)
+# ---------------------------------------------------------------------------
+
+
+def test_sanitize_all_valid_untouched():
+    cfg = Config(
+        processor=lambda *_: None,
+        size=10,
+        ticker_s=1.0,
+        processing_timeout_s=60.0,
+        resume_after_err=False,
+        processor_err=lambda *_: None,
+    )
+    Nibbler(cfg)
+    assert cfg.processing_timeout_s == 60.0
+    assert cfg.ticker_s == 1.0
+    assert cfg.size == 10
+    assert cfg.resume_after_err is False
+
+
+def test_sanitize_defaults():
+    """Defaults: timeout 1 s, ticker 60 s (code wins over the stale doc
+    comment — nibbler.go:54 vs :30), size 100."""
+    cfg = Config(
+        processor=lambda *_: None,
+        size=0,
+        ticker_s=1e-9,
+        processing_timeout_s=1e-9,
+    )
+    Nibbler(cfg)
+    assert cfg.processing_timeout_s == 1.0
+    assert cfg.ticker_s == 60.0
+    assert cfg.size == 100
+    assert cfg.processor_err is None
+
+
+def test_validate_missing_processor():
+    with pytest.raises(NibblerValidationError):
+        start(Config(processor=None))
+
+
+# ---------------------------------------------------------------------------
+# Property tests — re-batcher invariants under random arrival/timing
+# (SURVEY §5.2.6)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    size=st.integers(min_value=1, max_value=10),
+    steps=st.lists(
+        st.one_of(
+            st.integers(min_value=1, max_value=15),  # push N items
+            st.floats(min_value=0.1, max_value=5.0),  # advance clock
+        ),
+        max_size=30,
+    ),
+)
+def test_rebatcher_invariants(size, steps):
+    flushed: list[tuple[list, Trigger]] = []
+    clock = FakeClock()
+    rb = ReBatcher(
+        Config(
+            processor=lambda _dl, t, b: flushed.append((list(b), t)),
+            size=size,
+            ticker_s=1.0,
+        ),
+        clock=clock.monotonic,
+    )
+    pushed = []
+    counter = 0
+    for step in steps:
+        if isinstance(step, int):
+            for _ in range(step):
+                item = counter
+                counter += 1
+                pushed.append(item)
+                rb.push(item)
+        else:
+            clock.advance(step)
+            rb.poll()
+    # Invariants (R1/R16/R17/§2.2.3):
+    for batch, trig in flushed:
+        assert 0 < len(batch) <= size  # no empty flushes; bounded
+        if trig is Trigger.BATCH_FULL:
+            assert len(batch) == size  # full flushes are exactly size
+    flat = [x for batch, _ in flushed for x in batch]
+    assert flat == pushed[: len(flat)]  # FIFO order, no loss before tail
