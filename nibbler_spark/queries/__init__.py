@@ -52,6 +52,7 @@ _QUERY_MODULES = [
     "nibbler_spark.queries.aggregates",
     "nibbler_spark.queries.joins",
     "nibbler_spark.queries.windows",
+    "nibbler_spark.queries.sort_limit",
     "nibbler_spark.queries.setops",
     "nibbler_spark.queries.scalar_functions",
     "nibbler_spark.queries.sources_sinks",

@@ -1,1 +1,589 @@
-"""Placeholder — queries registered incrementally (see SURVEY.md §7 build plan)."""
+"""Aggregation queries (SURVEY §2.3 D1–D21).
+
+Engine-determinism rules: double sums/avgs go through exact decimal
+(``_helpers``); integer-valued doubles (l_quantity) have exact raw-moment
+sums in both engines; only builtin higher-order stats (stddev/corr/
+skewness/percentile) legitimately diverge in accumulation order, so they
+— and only they — are rounded to 4 dp on both sides (FIXTURES.md §4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nibbler_spark.queries import register
+from nibbler_spark.queries._helpers import davg, dec, dsum, sql_davg, sql_dsum
+from nibbler_spark.sources import load_table
+
+
+@register(
+    "d01_grouped_agg",
+    survey_id="D1",
+    category="aggregation",
+    oracle=f"""
+SELECT o_orderpriority,
+       {sql_dsum('o_totalprice')} AS total,
+       {sql_davg('o_totalprice')} AS avg_price,
+       MIN(o_totalprice) AS min_price,
+       MAX(o_totalprice) AS max_price,
+       COUNT(*) AS n
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+)
+def d01_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped sum/avg/min/max/count — Spark's partial+final hash agg
+    collapses map-side before the 5-key shuffle."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            dsum("o_totalprice").alias("total"),
+            davg("o_totalprice").alias("avg_price"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "d02_global_agg",
+    survey_id="D2",
+    category="aggregation",
+    oracle=f"""
+SELECT COUNT(*) AS n_rows,
+       {sql_dsum('l_extendedprice')} AS total_price,
+       MIN(l_shipdate) AS first_ship,
+       MAX(l_shipdate) AS last_ship
+FROM lineitem
+""",
+)
+def d02_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global aggregate, no grouping."""
+    return load_table(spark, sf_dir, "lineitem").agg(
+        F.count("*").alias("n_rows"),
+        dsum("l_extendedprice").alias("total_price"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+    )
+
+
+@register(
+    "d03_count_null_semantics",
+    survey_id="D3",
+    category="aggregation",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(*) AS n_all,
+       COUNT(NULLIF(l_discount, 0)) AS n_discounted
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+)
+def d03_count_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count(*) counts rows; count(col) skips NULLs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_all"),
+            F.count(F.nullif(F.col("l_discount"), F.lit(0.0))).alias(
+                "n_discounted"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "d04_count_distinct",
+    survey_id="D4",
+    category="aggregation",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(DISTINCT o_custkey) AS n_customers,
+       COUNT(DISTINCT (o_orderstatus, o_orderdate)) AS n_status_dates
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+)
+def d04_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT DISTINCT, single- and multi-arg (expand + two-phase
+    agg under the hood)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.countDistinct("o_orderstatus", "o_orderdate").alias(
+                "n_status_dates"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "d05_sum_avg_distinct",
+    survey_id="D5",
+    category="aggregation",
+    oracle="""
+SELECT l_returnflag,
+       CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_uq_qty,
+       CAST(AVG(DISTINCT CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS avg_uq_qty
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+)
+def d05_sum_avg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUM/AVG DISTINCT over exact decimals (distinct sets are identical,
+    so the aggregates are too)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.sum_distinct(dec("l_quantity")).cast("double").alias("sum_uq_qty"),
+            F.expr(
+                "cast(avg(DISTINCT cast(l_quantity as decimal(18,4))) as double)"
+            ).alias("avg_uq_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "d06_approx_count_distinct",
+    survey_id="D6",
+    category="aggregation",
+    mode="bounded",
+    oracle="SELECT COUNT(DISTINCT l_orderkey) AS n_exact, TRUE AS within_bound FROM lineitem",
+)
+def d06_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++). HLL implementations differ across
+    engines, so the declared check is the bound itself:
+    |approx − exact| / exact ≤ 3·rsd (SURVEY D6)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.agg(
+        F.countDistinct("l_orderkey").alias("n_exact"),
+        F.approx_count_distinct("l_orderkey", rsd=0.05).alias("n_approx"),
+    )
+    return agg.select(
+        "n_exact",
+        (
+            F.abs(F.col("n_approx") - F.col("n_exact"))
+            / F.col("n_exact")
+            <= 3 * 0.05
+        ).alias("within_bound"),
+    )
+
+
+@register(
+    "d07_having",
+    survey_id="D7",
+    category="aggregation",
+    oracle="""
+SELECT o_custkey, COUNT(*) AS n_orders
+FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 12
+ORDER BY o_custkey
+""",
+)
+def d07_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING = post-aggregation filter."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+        .where(F.col("n_orders") >= 12)
+        .orderBy("o_custkey")
+    )
+
+
+_GSETS_ORACLE = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
+       {sql_dsum('l_quantity')} AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+ORDER BY g_flag, g_status, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+"""
+
+
+@register(
+    "d08_grouping_sets",
+    survey_id="D8",
+    category="aggregation",
+    oracle=_GSETS_ORACLE,
+)
+def d08_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS with per-column GROUPING() flags (bit-order-free,
+    SURVEY D8 ⚠)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            dsum("l_quantity").alias("sum_qty"),
+        )
+        .orderBy(
+            "g_flag",
+            "g_status",
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+@register(
+    "d09_rollup",
+    survey_id="D9",
+    category="aggregation",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY g_flag, g_status, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+""",
+)
+def d09_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            F.count("*").alias("n"),
+        )
+        .orderBy(
+            "g_flag",
+            "g_status",
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+@register(
+    "d10_cube",
+    survey_id="D10",
+    category="aggregation",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY g_flag, g_status, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+""",
+)
+def d10_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE — all grouping combinations."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            F.count("*").alias("n"),
+        )
+        .orderBy(
+            "g_flag",
+            "g_status",
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+@register(
+    "d11_min_by_max_by",
+    survey_id="D11",
+    category="aggregation",
+    oracle="""
+SELECT o_custkey,
+       ARG_MIN(o_orderstatus, o_orderkey) AS first_status,
+       ARG_MAX(o_orderstatus, o_orderkey) AS last_status,
+       MIN(o_orderkey) AS first_key,
+       MAX(o_orderkey) AS last_key
+FROM orders GROUP BY o_custkey ORDER BY o_custkey
+""",
+)
+def d11_min_by_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min_by/max_by (argmin/argmax) over the unique o_orderkey ordering —
+    the deterministic replacement for first()/last() (SURVEY D11 ⚠)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.min_by("o_orderstatus", "o_orderkey").alias("first_status"),
+            F.max_by("o_orderstatus", "o_orderkey").alias("last_status"),
+            F.min("o_orderkey").alias("first_key"),
+            F.max("o_orderkey").alias("last_key"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+@register(
+    "d12_collect_list",
+    survey_id="D12",
+    category="aggregation",
+    oracle="""
+SELECT l_orderkey, LIST_SORT(LIST(l_linenumber)) AS line_numbers
+FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey
+""",
+)
+def d12_collect_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list, order-canonicalized via array_sort (collection order
+    is nondeterministic in any distributed engine)."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_list("l_linenumber")).alias("line_numbers"))
+        .orderBy("l_orderkey")
+    )
+
+
+@register(
+    "d13_collect_set",
+    survey_id="D13",
+    category="aggregation",
+    oracle="""
+SELECT l_orderkey, LIST_SORT(LIST(DISTINCT l_returnflag)) AS flags
+FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey
+""",
+)
+def d13_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set, sorted for canonical comparison."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_returnflag")).alias("flags"))
+        .orderBy("l_orderkey")
+    )
+
+
+@register(
+    "d14_stddev_variance",
+    survey_id="D14",
+    category="aggregation",
+    oracle="""
+SELECT l_returnflag,
+       ROUND(STDDEV_SAMP(l_quantity), 4) AS sd_samp,
+       ROUND(STDDEV_POP(l_quantity), 4) AS sd_pop,
+       ROUND(VAR_SAMP(l_quantity), 4) AS var_samp,
+       ROUND(VAR_POP(l_quantity), 4) AS var_pop
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+)
+def d14_stddev_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stddev/variance (sample & population) — builtin accumulation
+    differs across engines, hence 4 dp rounding on both sides."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_quantity"), 4).alias("sd_samp"),
+            F.round(F.stddev_pop("l_quantity"), 4).alias("sd_pop"),
+            F.round(F.var_samp("l_quantity"), 4).alias("var_samp"),
+            F.round(F.var_pop("l_quantity"), 4).alias("var_pop"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "d15_corr_covar",
+    survey_id="D15",
+    category="aggregation",
+    oracle="""
+SELECT l_returnflag,
+       ROUND(CORR(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+       ROUND(COVAR_SAMP(l_quantity, l_discount), 4) AS qty_disc_covs,
+       ROUND(COVAR_POP(l_quantity, l_discount), 4) AS qty_disc_covp
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+)
+def d15_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corr / covar_samp / covar_pop."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias(
+                "qty_price_corr"
+            ),
+            F.round(F.covar_samp("l_quantity", "l_discount"), 4).alias(
+                "qty_disc_covs"
+            ),
+            F.round(F.covar_pop("l_quantity", "l_discount"), 4).alias(
+                "qty_disc_covp"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "d16_skewness_kurtosis",
+    survey_id="D16",
+    category="aggregation",
+    oracle="""
+WITH m AS (
+  SELECT l_returnflag,
+         AVG(l_quantity) AS mu,
+         AVG(l_quantity * l_quantity) AS m2r,
+         AVG(l_quantity * l_quantity * l_quantity) AS m3r,
+         AVG(l_quantity * l_quantity * l_quantity * l_quantity) AS m4r
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       ROUND((m3r - 3 * mu * m2r + 2 * mu * mu * mu)
+             / POWER(m2r - mu * mu, 1.5), 4) + 0 AS skew,
+       ROUND((m4r - 4 * mu * m3r + 6 * mu * mu * m2r - 3 * mu * mu * mu * mu)
+             / POWER(m2r - mu * mu, 2) - 3, 4) + 0 AS kurt
+FROM m ORDER BY l_returnflag
+""",
+)
+def d16_skewness_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's skewness/kurtosis are POPULATION moments (g1, excess g2);
+    DuckDB's builtins apply sample corrections — the oracle recomputes
+    Spark's formula from raw moments (SURVEY D16 ⚠). l_quantity is
+    integer-valued so the raw moment sums are exact in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            (F.round(F.skewness("l_quantity"), 4) + F.lit(0.0)).alias("skew"),
+            (F.round(F.kurtosis("l_quantity"), 4) + F.lit(0.0)).alias("kurt"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "d17_percentile_median",
+    survey_id="D17",
+    category="aggregation",
+    oracle="""
+SELECT l_returnflag,
+       ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 4) AS p50,
+       ROUND(QUANTILE_CONT(l_extendedprice, 0.9), 4) AS p90,
+       ROUND(MEDIAN(l_extendedprice), 4) AS med
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+)
+def d17_percentile_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentile / median — both engines interpolate linearly."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_extendedprice", 0.5), 4).alias("p50"),
+            F.round(F.percentile("l_extendedprice", 0.9), 4).alias("p90"),
+            F.round(F.median("l_extendedprice"), 4).alias("med"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "d18_approx_percentile",
+    survey_id="D18",
+    category="aggregation",
+    mode="bounded",
+    oracle="SELECT TRUE AS within_bound",
+)
+def d18_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile — sketch-based; declared check: the approximate
+    median lies between the exact p45 and p55 (rank-error bound)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.agg(
+        F.approx_percentile("l_extendedprice", 0.5, 1000).alias("ap50"),
+        F.percentile("l_extendedprice", 0.45).alias("p45"),
+        F.percentile("l_extendedprice", 0.55).alias("p55"),
+    )
+    return agg.select(
+        (
+            (F.col("ap50") >= F.col("p45")) & (F.col("ap50") <= F.col("p55"))
+        ).alias("within_bound")
+    )
+
+
+@register(
+    "d19_mode",
+    survey_id="D19",
+    category="aggregation",
+    oracle="SELECT MODE(event_type) AS modal_type FROM events",
+)
+def d19_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mode — event_type has a unique modal value at every scale factor
+    (verified in the data; ties would be nondeterministic in both
+    engines, SURVEY D19 ⚠)."""
+    return load_table(spark, sf_dir, "events").agg(
+        F.mode("event_type").alias("modal_type")
+    )
+
+
+@register(
+    "d20_pivot",
+    survey_id="D20",
+    category="aggregation",
+    oracle=f"""
+SELECT l_returnflag,
+       {sql_dsum("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS qty_f,
+       {sql_dsum("CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS qty_o
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+)
+def d20_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot on explicit values (explicit value lists avoid a discovery
+    pass — mandatory at scale)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pivoted = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum(dec("l_quantity")).cast("double"))
+    )
+    return pivoted.select(
+        "l_returnflag",
+        F.col("F").alias("qty_f"),
+        F.col("O").alias("qty_o"),
+    ).orderBy("l_returnflag")
+
+
+@register(
+    "d21_time_bucket_agg",
+    survey_id="D21",
+    category="aggregation",
+    oracle=f"""
+SELECT TIME_BUCKET(INTERVAL '1 hour', ts) AS bucket_start,
+       COUNT(*) AS n_events,
+       {sql_dsum('value')} AS total_value
+FROM events GROUP BY 1 ORDER BY 1
+""",
+)
+def d21_time_bucket_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch windowed-time aggregation: groupBy(window(ts, 1h)) ≡
+    time_bucket. Epoch-aligned hour buckets agree across engines."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("bucket_start"), "n_events", "total_value"
+        )
+        .orderBy("bucket_start")
+    )

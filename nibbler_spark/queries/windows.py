@@ -1,1 +1,264 @@
-"""Placeholder — queries registered incrementally (see SURVEY.md §7 build plan)."""
+"""Window function queries (SURVEY §2.3 E1–E10).
+
+Every frame orders by a unique tiebreaker (event_id) unless tie semantics
+are the point (rank family). Window sums go through exact decimal so
+segment-tree vs sequential accumulation differences can't surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nibbler_spark.queries import register
+from nibbler_spark.queries._helpers import dec
+from nibbler_spark.sources import load_table
+
+# Canonical per-user event ordering: unique by (ts, event_id).
+_W = "PARTITION BY user_id ORDER BY ts, event_id"
+
+
+def _w():
+    return Window.partitionBy("user_id").orderBy("ts", "event_id")
+
+
+@register(
+    "e01_row_number_topk",
+    survey_id="E1",
+    category="window",
+    oracle=f"""
+SELECT event_id, user_id, ts,
+       ROW_NUMBER() OVER ({_W}) AS rn
+FROM events
+ORDER BY event_id
+""",
+)
+def e01_row_number_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number per user in event-time order (BENCH-B3 headline). One
+    shuffle on user_id; per-partition sort only."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id", "user_id", "ts", F.row_number().over(_w()).alias("rn")
+    ).orderBy("event_id")
+
+
+@register(
+    "e02_rank_dense_rank",
+    survey_id="E2",
+    category="window",
+    oracle="""
+SELECT event_id, user_id, event_type,
+       RANK() OVER (PARTITION BY user_id ORDER BY event_type) AS rnk,
+       DENSE_RANK() OVER (PARTITION BY user_id ORDER BY event_type) AS drnk
+FROM events
+ORDER BY event_id
+""",
+)
+def e02_rank_dense_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank over a tied ordering (event_type) — both are
+    deterministic under ties, unlike row_number."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_type")
+    return e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    ).orderBy("event_id")
+
+
+@register(
+    "e03_percent_rank_cume_dist",
+    survey_id="E3",
+    category="window",
+    oracle="""
+SELECT event_id, user_id,
+       ROUND(PERCENT_RANK() OVER (PARTITION BY user_id ORDER BY event_type), 4) AS pr,
+       ROUND(CUME_DIST() OVER (PARTITION BY user_id ORDER BY event_type), 4) AS cd
+FROM events
+ORDER BY event_id
+""",
+)
+def e03_percent_rank_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist (rounded — rank ratios are simple division
+    but 4 dp keeps the convention uniform for ratio outputs)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_type")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.percent_rank().over(w), 4).alias("pr"),
+        F.round(F.cume_dist().over(w), 4).alias("cd"),
+    ).orderBy("event_id")
+
+
+@register(
+    "e04_ntile",
+    survey_id="E4",
+    category="window",
+    oracle=f"""
+SELECT event_id, user_id, NTILE(4) OVER ({_W}) AS quartile
+FROM events ORDER BY event_id
+""",
+)
+def e04_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(4) over a total per-user order."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id", "user_id", F.ntile(4).over(_w()).alias("quartile")
+    ).orderBy("event_id")
+
+
+@register(
+    "e05_lag_lead",
+    survey_id="E5",
+    category="window",
+    oracle=f"""
+SELECT event_id, user_id, value,
+       LAG(value, 1, -1.0) OVER ({_W}) AS prev_value,
+       LEAD(value, 2) OVER ({_W}) AS next2_value
+FROM events ORDER BY event_id
+""",
+)
+def e05_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag with default, lead with offset (NULL default)."""
+    e = load_table(spark, sf_dir, "events")
+    w = _w()
+    return e.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.lag("value", 1, -1.0).over(w).alias("prev_value"),
+        F.lead("value", 2).over(w).alias("next2_value"),
+    ).orderBy("event_id")
+
+
+@register(
+    "e06_first_last_value",
+    survey_id="E6",
+    category="window",
+    oracle=f"""
+SELECT event_id, user_id,
+       FIRST_VALUE(event_type) OVER
+         ({_W} ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_type,
+       LAST_VALUE(event_type) OVER
+         ({_W} ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_type
+FROM events ORDER BY event_id
+""",
+)
+def e06_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last value with an explicit full-partition frame (the default
+    frame would make last_value ≡ current row)."""
+    e = load_table(spark, sf_dir, "events")
+    w = _w().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(w).alias("last_type"),
+    ).orderBy("event_id")
+
+
+@register(
+    "e07_running_total",
+    survey_id="E7",
+    category="window",
+    oracle=f"""
+SELECT event_id, user_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER
+         ({_W} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS running_value
+FROM events ORDER BY event_id
+""",
+)
+def e07_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total per user (exact decimal accumulation)."""
+    e = load_table(spark, sf_dir, "events")
+    w = _w().rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.sum(dec("value")).over(w).cast("double").alias("running_value"),
+    ).orderBy("event_id")
+
+
+@register(
+    "e08_moving_average",
+    survey_id="E8",
+    category="window",
+    oracle=f"""
+SELECT event_id, user_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER
+         ({_W} ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+       / COUNT(value) OVER
+         ({_W} ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov_avg
+FROM events ORDER BY event_id
+""",
+)
+def e08_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-row moving average = exact decimal sum / frame count."""
+    e = load_table(spark, sf_dir, "events")
+    w = _w().rowsBetween(-2, Window.currentRow)
+    return e.select(
+        "event_id",
+        "user_id",
+        (
+            F.sum(dec("value")).over(w).cast("double")
+            / F.count("value").over(w)
+        ).alias("mov_avg"),
+    ).orderBy("event_id")
+
+
+@register(
+    "e09_range_frame",
+    survey_id="E9",
+    category="window",
+    oracle="""
+SELECT event_id, user_id,
+       COUNT(*) OVER (
+         PARTITION BY user_id
+         ORDER BY CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+         RANGE BETWEEN 600 PRECEDING AND CURRENT ROW
+       ) AS n_last_10min
+FROM events ORDER BY event_id
+""",
+)
+def e09_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over time: events per user in the trailing 10 minutes.
+    Spark's rangeBetween needs a numeric order key, so both sides order by
+    floor(epoch seconds) (SURVEY E9 ⚠)."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-600, Window.currentRow)
+    )
+    return e.select(
+        "event_id", "user_id", F.count("*").over(w).alias("n_last_10min")
+    ).orderBy("event_id")
+
+
+@register(
+    "e10_unframed_partition_agg",
+    survey_id="E10",
+    category="window",
+    oracle="""
+SELECT event_id, user_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (PARTITION BY user_id) AS DOUBLE)
+         AS user_total,
+       COUNT(*) OVER (PARTITION BY user_id) AS user_events
+FROM events ORDER BY event_id
+""",
+)
+def e10_unframed_partition_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-wide aggregate attached to every row (no ORDER BY ⇒
+    whole-partition frame)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.sum(dec("value")).over(w).cast("double").alias("user_total"),
+        F.count("*").over(w).alias("user_events"),
+    ).orderBy("event_id")
