@@ -1,1 +1,599 @@
-"""Placeholder — queries registered incrementally (see SURVEY.md §7 build plan)."""
+"""Scalar function queries (SURVEY §2.3 H1–H17; H18 vector math lives in
+llm_vectors). One declared query per function family; oracle-side dialect
+rewrites follow FIXTURES.md §4.5 (dayofweek +1, date_diff arg order,
+strftime token pairs, pmod expansion, posexplode index −1, list_sort
+wrappers)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nibbler_spark.queries import register
+from nibbler_spark.sources import load_table
+
+
+@register(
+    "h01_string_basic",
+    survey_id="H1",
+    category="scalar",
+    oracle="""
+SELECT p_partkey,
+       CONCAT(p_brand, ':', p_type) AS brand_type,
+       CONCAT_WS('|', p_name, p_brand) AS joined,
+       UPPER(p_name) AS up,
+       LOWER(p_type) AS lo,
+       LENGTH(p_name) AS name_len,
+       SUBSTRING(p_name, 2, 3) AS sub,
+       TRIM('  x  ') AS trimmed,
+       LTRIM('  x') AS ltrimmed,
+       RTRIM('x  ') AS rtrimmed,
+       LPAD(p_brand, 12, '*') AS lpadded,
+       RPAD(p_brand, 12, '*') AS rpadded,
+       REPLACE(p_name, ' ', '_') AS replaced,
+       REVERSE(p_brand) AS rev,
+       REPEAT(p_brand, 2) AS doubled,
+       STRPOS(p_name, 'widget') AS widget_pos,
+       p_name LIKE 'cold%' AS startswith_cold,
+       p_name LIKE '%bolt' AS endswith_bolt,
+       CONTAINS(p_name, 'small') AS has_small,
+       STRING_SPLIT(p_name, ' ') AS name_tokens
+FROM part ORDER BY p_partkey
+""",
+)
+def h01_string_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Basic string functions (split keeps token order — deterministic)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias(
+            "brand_type"
+        ),
+        F.concat_ws("|", "p_name", "p_brand").alias("joined"),
+        F.upper("p_name").alias("up"),
+        F.lower("p_type").alias("lo"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 2, 3).alias("sub"),
+        F.trim(F.lit("  x  ")).alias("trimmed"),
+        F.ltrim(F.lit("  x")).alias("ltrimmed"),
+        F.rtrim(F.lit("x  ")).alias("rtrimmed"),
+        F.lpad("p_brand", 12, "*").alias("lpadded"),
+        F.rpad("p_brand", 12, "*").alias("rpadded"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("replaced"),
+        F.reverse("p_brand").alias("rev"),
+        F.repeat("p_brand", 2).alias("doubled"),
+        F.instr("p_name", "widget").alias("widget_pos"),
+        F.startswith("p_name", F.lit("cold")).alias("startswith_cold"),
+        F.endswith("p_name", F.lit("bolt")).alias("endswith_bolt"),
+        F.contains("p_name", F.lit("small")).alias("has_small"),
+        F.split("p_name", " ").alias("name_tokens"),
+    ).orderBy("p_partkey")
+
+
+@register(
+    "h02_string_regex",
+    survey_id="H2",
+    category="scalar",
+    oracle="""
+SELECT event_id,
+       REGEXP_EXTRACT(props, '"k": ([0-9]+)', 1) AS k_digits,
+       REGEXP_REPLACE(props, '[0-9]+', '#') AS masked,
+       REGEXP_MATCHES(event_type, '^(click|view)$') AS is_clickview
+FROM events ORDER BY event_id
+""",
+)
+def h02_string_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex extract/replace/match — patterns restricted to the Java∩RE2
+    common subset (SURVEY H2 ⚠: no lookbehind)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.regexp_extract("props", '"k": ([0-9]+)', 1).alias("k_digits"),
+        F.regexp_replace("props", "[0-9]+", "#").alias("masked"),
+        F.col("event_type").rlike("^(click|view)$").alias("is_clickview"),
+    ).orderBy("event_id")
+
+
+@register(
+    "h03_levenshtein",
+    survey_id="H3",
+    category="scalar",
+    oracle="""
+SELECT p_partkey, LEVENSHTEIN(p_name, p_type) AS name_type_dist
+FROM part ORDER BY p_partkey
+""",
+)
+def h03_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit distance."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.levenshtein("p_name", "p_type").alias("name_type_dist"),
+    ).orderBy("p_partkey")
+
+
+@register(
+    "h04_hashing",
+    survey_id="H4",
+    category="scalar",
+    oracle="""
+SELECT doc_id, MD5(text) AS text_md5, SHA256(text) AS text_sha256
+FROM documents ORDER BY doc_id
+""",
+)
+def h04_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5 / sha2-256 — lowercase hex in both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.sha2("text", 256).alias("text_sha256"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "h05_date_extract",
+    survey_id="H5",
+    category="scalar",
+    oracle="""
+SELECT o_orderkey,
+       YEAR(o_orderdate) AS y, MONTH(o_orderdate) AS mo, DAY(o_orderdate) AS d,
+       HOUR(o_orderdate) AS h, MINUTE(o_orderdate) AS mi, SECOND(o_orderdate) AS s,
+       DAYOFWEEK(o_orderdate) + 1 AS dow,
+       DAYOFYEAR(o_orderdate) AS doy,
+       WEEKOFYEAR(o_orderdate) AS woy
+FROM orders ORDER BY o_orderkey
+""",
+)
+def h05_date_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date part extraction. Spark dayofweek is 1=Sunday..7=Saturday vs
+    DuckDB 0=Sunday..6 — oracle adds 1 (SURVEY H5 ⚠); weekofyear is ISO in
+    both."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("mo"),
+        F.day("o_orderdate").alias("d"),
+        F.hour("o_orderdate").alias("h"),
+        F.minute("o_orderdate").alias("mi"),
+        F.second("o_orderdate").alias("s"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.dayofyear("o_orderdate").alias("doy"),
+        F.weekofyear("o_orderdate").alias("woy"),
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "h06_date_arith",
+    survey_id="H6",
+    category="scalar",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       CAST(DATE_TRUNC('day', l_shipdate) AS TIMESTAMP) AS ship_day,
+       CAST(DATE_TRUNC('month', l_shipdate) AS TIMESTAMP) AS ship_month,
+       CAST(DATE_TRUNC('week', l_shipdate) AS TIMESTAMP) AS ship_week,
+       CAST(l_shipdate AS DATE) + 5 AS plus5,
+       CAST(l_shipdate AS DATE) - 5 AS minus5,
+       DATE_DIFF('day', CAST(l_shipdate AS DATE), DATE '2002-01-01') AS days_to_2002,
+       CAST(CAST(l_shipdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3mo,
+       LAST_DAY(CAST(l_shipdate AS DATE)) AS month_end,
+       MAKE_DATE(2024, 2, 29) AS leap_day
+FROM lineitem ORDER BY l_orderkey, l_linenumber
+""",
+)
+def h06_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic. DuckDB's date_diff takes (unit, start, end) —
+    argument order flipped vs Spark's datediff(end, start) (SURVEY H6 ⚠);
+    add_months clamps month-ends in both."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d = F.col("l_shipdate").cast("date")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.date_trunc("day", "l_shipdate").alias("ship_day"),
+        F.date_trunc("month", "l_shipdate").alias("ship_month"),
+        F.date_trunc("week", "l_shipdate").alias("ship_week"),
+        F.date_add(d, 5).alias("plus5"),
+        F.date_sub(d, 5).alias("minus5"),
+        F.datediff(F.lit("2002-01-01").cast("date"), d).alias("days_to_2002"),
+        F.add_months(d, 3).alias("plus3mo"),
+        F.last_day(d).alias("month_end"),
+        F.make_date(F.lit(2024), F.lit(2), F.lit(29)).alias("leap_day"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@register(
+    "h07_epoch_conversion",
+    survey_id="H7",
+    category="scalar",
+    oracle="""
+SELECT event_id,
+       CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS unix_s,
+       STRFTIME(TO_TIMESTAMP(CAST(FLOOR(EPOCH(ts)) AS BIGINT)), '%Y-%m-%d %H:%M:%S') AS from_unix,
+       CAST(ts AS DATE) AS d,
+       STRPTIME('2024-03-05 10:30:00', '%Y-%m-%d %H:%M:%S') AS parsed_ts
+FROM events ORDER BY event_id
+""",
+)
+def h07_epoch_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unix_timestamp / from_unixtime / to_date / to_timestamp with the
+    session timezone pinned UTC on both sides."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.unix_timestamp("ts").alias("unix_s"),
+        F.from_unixtime(F.unix_timestamp("ts")).alias("from_unix"),
+        F.to_date("ts").alias("d"),
+        F.to_timestamp(
+            F.lit("2024-03-05 10:30:00"), "yyyy-MM-dd HH:mm:ss"
+        ).alias("parsed_ts"),
+    ).orderBy("event_id")
+
+
+@register(
+    "h08_date_format",
+    survey_id="H8",
+    category="scalar",
+    oracle="""
+SELECT event_id,
+       STRFTIME(ts, '%Y-%m-%d %H:%M') AS fmt_minute,
+       STRFTIME(ts, '%d/%m/%Y') AS fmt_dmy
+FROM events ORDER BY event_id
+""",
+)
+def h08_date_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_format — Java pattern ↔ strftime pairs: yyyy-MM-dd HH:mm ↔
+    %Y-%m-%d %H:%M and dd/MM/yyyy ↔ %d/%m/%Y (SURVEY H8 ⚠)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm").alias("fmt_minute"),
+        F.date_format("ts", "dd/MM/yyyy").alias("fmt_dmy"),
+    ).orderBy("event_id")
+
+
+@register(
+    "h09_math",
+    survey_id="H9",
+    category="scalar",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       ABS(l_quantity - 25) AS absdev,
+       CAST(FLOOR(l_extendedprice / 1000) AS BIGINT) AS price_k_floor,
+       CAST(CEIL(l_extendedprice / 1000) AS BIGINT) AS price_k_ceil,
+       ROUND(l_extendedprice / 7, 2) AS rounded,
+       ROUND(POWER(l_quantity, 2), 4) AS qty_sq,
+       ROUND(SQRT(l_extendedprice), 4) AS price_sqrt,
+       ROUND(EXP(l_discount), 4) AS disc_exp,
+       ROUND(LN(l_extendedprice), 4) AS price_ln,
+       ROUND(LOG10(l_extendedprice), 4) AS price_log10,
+       CAST(SIGN(l_quantity - 25) AS INTEGER) AS dev_sign,
+       GREATEST(l_quantity, l_discount * 100) AS biggest,
+       LEAST(l_quantity, l_discount * 100) AS smallest,
+       l_orderkey % 7 AS mod7,
+       ((CAST(l_quantity AS BIGINT) - 25) % 7 + 7) % 7 AS pmod7
+FROM lineitem ORDER BY l_orderkey, l_linenumber
+""",
+)
+def h09_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math functions. pmod expands to ((a%b)+b)%b in the oracle (H9 ⚠);
+    floor/ceil cast to BIGINT on both sides; transcendentals rounded to
+    4 dp (libm vs java.lang.Math may differ in the last ulp)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_quantity") - 25).alias("absdev"),
+        F.floor(F.col("l_extendedprice") / 1000).alias("price_k_floor"),
+        F.ceil(F.col("l_extendedprice") / 1000).alias("price_k_ceil"),
+        # /7 keeps results off exact .xx5 midpoints, where the two engines'
+        # double-rounding methods legitimately disagree (SURVEY H9 ⚠).
+        F.round(F.col("l_extendedprice") / 7, 2).alias("rounded"),
+        F.round(F.pow("l_quantity", F.lit(2)), 4).alias("qty_sq"),
+        F.round(F.sqrt("l_extendedprice"), 4).alias("price_sqrt"),
+        F.round(F.exp("l_discount"), 4).alias("disc_exp"),
+        F.round(F.log("l_extendedprice"), 4).alias("price_ln"),
+        F.round(F.log10("l_extendedprice"), 4).alias("price_log10"),
+        F.signum(F.col("l_quantity") - 25).cast("int").alias("dev_sign"),
+        F.greatest(F.col("l_quantity"), F.col("l_discount") * 100).alias(
+            "biggest"
+        ),
+        F.least(F.col("l_quantity"), F.col("l_discount") * 100).alias(
+            "smallest"
+        ),
+        (F.col("l_orderkey") % 7).alias("mod7"),
+        F.pmod(F.col("l_quantity").cast("bigint") - 25, F.lit(7)).alias(
+            "pmod7"
+        ),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@register(
+    "h10_null_ops",
+    survey_id="H10",
+    category="scalar",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       COALESCE(NULLIF(l_discount, 0), -1) AS disc_or_neg1,
+       NULLIF(l_returnflag, 'N') AS flag_or_null,
+       IFNULL(NULLIF(l_returnflag, 'N'), 'none') AS flag_nvl,
+       NULLIF(l_discount, 0) IS NULL AS no_discount,
+       NULLIF(l_discount, 0) IS NOT NULL AS has_discount
+FROM lineitem ORDER BY l_orderkey, l_linenumber
+""",
+)
+def h10_null_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """coalesce / nullif / nvl / isnull / isnotnull."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_null = F.nullif(F.col("l_discount"), F.lit(0.0))
+    flag_null = F.nullif(F.col("l_returnflag"), F.lit("N"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.coalesce(disc_null, F.lit(-1.0)).alias("disc_or_neg1"),
+        flag_null.alias("flag_or_null"),
+        F.nvl(flag_null, F.lit("none")).alias("flag_nvl"),
+        F.isnull(disc_null).alias("no_discount"),
+        F.isnotnull(disc_null).alias("has_discount"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@register(
+    "h11_array_ops",
+    survey_id="H11",
+    category="scalar",
+    oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id,
+       len(toks) AS n_toks,
+       toks[1] AS first_tok,
+       toks[len(toks)] AS last_tok,
+       list_contains(toks, 'spark') AS has_spark,
+       COALESCE(list_position(toks, 'spark'), 0) AS spark_pos,
+       list_sort(list_distinct(toks)) AS uniq_sorted,
+       list_aggregate(toks, 'max') AS max_tok,
+       list_aggregate(toks, 'min') AS min_tok,
+       toks[2:4] AS middle,
+       flatten([toks[1:2], toks[2:3]]) AS flat2,
+       list_concat(toks[1:1], ['zzz']) AS plus_tail,
+       array_to_string(toks[1:3], '-') AS joined3,
+       generate_series(1, 5) AS seq5
+FROM t ORDER BY doc_id
+""",
+)
+def h11_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array functions over tokenized text. 1-based indexing in both
+    engines; array_position missing ⇒ Spark 0 vs DuckDB NULL (oracle
+    COALESCEs); Spark slice(arr, start, length) vs DuckDB arr[a:b]
+    (inclusive end); sequence ⇒ generate_series (SURVEY H11 ⚠)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    t = d.select("doc_id", toks.alias("toks"))
+    return t.select(
+        "doc_id",
+        F.size("toks").alias("n_toks"),
+        F.element_at("toks", 1).alias("first_tok"),
+        F.element_at("toks", F.size("toks")).alias("last_tok"),
+        F.array_contains("toks", "spark").alias("has_spark"),
+        F.array_position("toks", "spark").alias("spark_pos"),
+        F.sort_array(F.array_distinct("toks")).alias("uniq_sorted"),
+        F.array_max("toks").alias("max_tok"),
+        F.array_min("toks").alias("min_tok"),
+        F.slice("toks", 2, 3).alias("middle"),
+        F.flatten(
+            F.array(F.slice("toks", 1, 2), F.slice("toks", 2, 2))
+        ).alias("flat2"),
+        F.concat(F.slice("toks", 1, 1), F.array(F.lit("zzz"))).alias(
+            "plus_tail"
+        ),
+        F.array_join(F.slice("toks", 1, 3), "-").alias("joined3"),
+        F.sequence(F.lit(1), F.lit(5)).alias("seq5"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "h12_array_lambdas",
+    survey_id="H12",
+    category="scalar",
+    oracle="""
+WITH t AS (SELECT l_orderkey, l_linenumber,
+                  [CAST(l_quantity AS BIGINT), CAST(l_linenumber AS BIGINT),
+                   l_orderkey % 10] AS nums
+           FROM lineitem)
+SELECT l_orderkey, l_linenumber,
+       list_transform(nums, x -> x * 2) AS doubled,
+       list_filter(nums, x -> x % 2 = 0) AS evens,
+       len(list_filter(nums, x -> x > 5)) > 0 AS any_gt5,
+       len(list_filter(nums, x -> NOT (x >= 0))) = 0 AS all_nonneg,
+       100 + list_sum(nums) AS agg_sum,
+       list_transform(generate_series(1, len(nums)),
+                      i -> nums[i] + 10 * i) AS zipped
+FROM t ORDER BY l_orderkey, l_linenumber
+""",
+)
+def h12_array_lambdas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions: transform/filter/exists/forall/
+    aggregate/zip_with. DuckDB 1.0 lacks exists/forall/reduce/zip_with —
+    oracle rewrites via list_filter length checks, list_sum, and an
+    index-transform (SURVEY H12 ⚠). Integer elements keep sums exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    nums = F.array(
+        F.col("l_quantity").cast("bigint"),
+        F.col("l_linenumber").cast("bigint"),
+        F.col("l_orderkey") % 10,
+    )
+    t = li.select("l_orderkey", "l_linenumber", nums.alias("nums"))
+    idx = F.sequence(F.lit(1), F.size("nums"))
+    return t.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.transform("nums", lambda x: x * 2).alias("doubled"),
+        F.filter("nums", lambda x: x % 2 == 0).alias("evens"),
+        F.exists("nums", lambda x: x > 5).alias("any_gt5"),
+        F.forall("nums", lambda x: x >= 0).alias("all_nonneg"),
+        F.aggregate(
+            "nums", F.lit(100).cast("bigint"), lambda acc, x: acc + x
+        ).alias("agg_sum"),
+        F.zip_with(
+            idx,
+            F.col("nums"),
+            lambda i, x: x + 10 * i,
+        ).alias("zipped"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@register(
+    "h13_explode_family",
+    survey_id="H13",
+    category="scalar",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN n_chars < 150 THEN NULL
+              ELSE string_split(text, ' ') END AS toks
+  FROM documents
+),
+exploded AS (
+  SELECT doc_id,
+         UNNEST(list_transform(
+           generate_series(1, len(COALESCE(toks, [NULL]))),
+           i -> struct_pack(pos := CASE WHEN toks IS NULL THEN NULL ELSE i - 1 END,
+                            tok := toks[i]))) AS u
+  FROM t
+)
+SELECT doc_id, u.pos AS pos, u.tok AS tok
+FROM exploded
+ORDER BY doc_id, pos NULLS FIRST, tok NULLS FIRST
+""",
+)
+def h13_explode_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode_outer over tokens (NULL array for short docs). Spark's
+    posexplode is 0-based; DuckDB's rewrite subtracts 1 and emulates
+    OUTER by unnesting [NULL] for NULL arrays (SURVEY H13 ⚠)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.when(F.col("n_chars") >= 150, F.split("text", " "))
+    t = d.select("doc_id", toks.alias("toks"))
+    return t.select(
+        "doc_id", F.posexplode_outer("toks").alias("pos", "tok")
+    ).orderBy(
+        "doc_id", F.col("pos").asc_nulls_first(), F.col("tok").asc_nulls_first()
+    )
+
+
+@register(
+    "h14_map_ops",
+    survey_id="H14",
+    category="scalar",
+    oracle="""
+SELECT event_id,
+       list_sort(map_keys(MAP {'type': event_type, 'user': CAST(user_id AS VARCHAR)})) AS ks,
+       MAP {'type': event_type, 'user': CAST(user_id AS VARCHAR)}['type'][1] AS type_val
+FROM events ORDER BY event_id
+""",
+)
+def h14_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map construction / keys / element access. Key order is
+    insertion-defined in both engines but sorted anyway (SURVEY H14);
+    DuckDB map extraction returns a list — oracle unwraps [1]."""
+    e = load_table(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"),
+        F.lit("user"), F.col("user_id").cast("string"),
+    )
+    return e.select(
+        "event_id",
+        F.sort_array(F.map_keys(m)).alias("ks"),
+        F.element_at(m, "type").alias("type_val"),
+    ).orderBy("event_id")
+
+
+@register(
+    "h15_json_ops",
+    survey_id="H15",
+    category="scalar",
+    oracle="""
+SELECT event_id,
+       json_extract_string(props, '$.k') AS k_str,
+       CAST(json_extract(props, '$.k') AS INTEGER) AS k_int,
+       to_json(struct_pack(id := event_id, k := CAST(json_extract(props, '$.k') AS INTEGER))) AS as_json
+FROM events ORDER BY event_id
+""",
+)
+def h15_json_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction (get_json_object / from_json) and generation
+    (to_json) over the events.props JSON strings."""
+    e = load_table(spark, sf_dir, "events")
+    k_int = F.from_json("props", "k INT")["k"]
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        k_int.alias("k_int"),
+        F.to_json(
+            F.struct(F.col("event_id").alias("id"), k_int.alias("k"))
+        ).alias("as_json"),
+    ).orderBy("event_id")
+
+
+@register(
+    "h16_struct_ops",
+    survey_id="H16",
+    category="scalar",
+    oracle="""
+WITH t AS (SELECT o_orderkey,
+                  struct_pack(status := o_orderstatus, price := o_totalprice) AS s
+           FROM orders)
+SELECT o_orderkey,
+       s.status AS status_field,
+       s.price AS price_field,
+       to_json(s) AS s_json
+FROM t ORDER BY o_orderkey
+""",
+)
+def h16_struct_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct build, dot access, to_json round-trip (scalars projected out
+    so renderers never compare raw structs)."""
+    o = load_table(spark, sf_dir, "orders")
+    s = F.struct(
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+    )
+    t = o.select("o_orderkey", s.alias("s"))
+    return t.select(
+        "o_orderkey",
+        F.col("s.status").alias("status_field"),
+        F.col("s.price").alias("price_field"),
+        F.to_json("s").alias("s_json"),
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "h17_conditional",
+    survey_id="H17",
+    category="scalar",
+    oracle="""
+SELECT event_id,
+       IF(value > 100, 'big', 'small') AS size_class,
+       CASE WHEN event_type = 'purchase' THEN value ELSE 0 END AS purchase_value,
+       GREATEST(value, 50.0) AS at_least_50,
+       LEAST(CAST(user_id AS DOUBLE), value) AS min_mixed
+FROM events ORDER BY event_id
+""",
+)
+def h17_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional expressions incl. greatest/least over mixed types
+    (explicitly cast — implicit promotion rules differ across engines)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.when(F.col("value") > 100, "big").otherwise("small").alias(
+            "size_class"
+        ),
+        F.when(F.col("event_type") == "purchase", F.col("value"))
+        .otherwise(F.lit(0.0))
+        .alias("purchase_value"),
+        F.greatest(F.col("value"), F.lit(50.0)).alias("at_least_50"),
+        F.least(F.col("user_id").cast("double"), F.col("value")).alias(
+            "min_mixed"
+        ),
+    ).orderBy("event_id")

@@ -1,1 +1,146 @@
-"""Placeholder — queries registered incrementally (see SURVEY.md §7 build plan)."""
+"""Source/sink queries (SURVEY §2.3 A1–A4, A9, A11 — batch-checkable).
+
+Streaming sources/sinks (A5/A6/A8/A10) are exercised in streaming_q.py;
+Kafka (A7) is declared in nibbler_spark.sources.streams behind a flag
+(no broker in the test env).
+
+Roundtrip pattern: the Spark callable writes a derived file (CSV/JSON/
+parquet) under a deterministic temp path and reads it back; the oracle is
+the equivalent query over the original table — so the check validates the
+write+read path without the oracle needing to see the temp file.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nibbler_spark.queries import register
+from nibbler_spark.sources import load_table
+
+
+def _tmp(sf_dir: str, name: str) -> str:
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    return os.path.join(tempfile.gettempdir(), f"nibbler-{tag}-{name}")
+
+
+@register(
+    "a01_parquet_scan",
+    survey_id="A1",
+    category="source",
+    oracle="SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+)
+def a01_parquet_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain parquet batch scan."""
+    return load_table(spark, sf_dir, "region").orderBy("r_regionkey")
+
+
+@register(
+    "a02_csv_roundtrip",
+    survey_id="A2",
+    category="source",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+)
+def a02_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink + scan with header and explicit schema."""
+    path = _tmp(sf_dir, "nation-csv")
+    n = load_table(spark, sf_dir, "nation")
+    n.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+    return (
+        spark.read.schema("n_nationkey int, n_name string, n_regionkey int")
+        .option("header", "true")
+        .csv(path)
+        .orderBy("n_nationkey")
+    )
+
+
+@register(
+    "a03_jsonl_roundtrip",
+    survey_id="A3",
+    category="source",
+    oracle="SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier ORDER BY s_suppkey",
+)
+def a03_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink + scan with explicit schema (schema declared, not
+    inferred — the contract for production reads)."""
+    path = _tmp(sf_dir, "supplier-json")
+    s = load_table(spark, sf_dir, "supplier")
+    s.coalesce(1).write.mode("overwrite").json(path)
+    return (
+        spark.read.schema(
+            "s_suppkey long, s_name string, s_nationkey int, s_acctbal double"
+        )
+        .json(path)
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "a04_in_memory_rows",
+    survey_id="A4",
+    category="source",
+    oracle="""
+SELECT id, name, CAST(score AS DOUBLE) AS score FROM (VALUES
+  (1, 'alpha', 1.5), (2, 'beta', -2.25), (3, NULL, 0.0)
+) AS t(id, name, score) ORDER BY id
+""",
+)
+def a04_in_memory_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """createDataFrame from driver-side rows with an explicit schema."""
+    return spark.createDataFrame(
+        [(1, "alpha", 1.5), (2, "beta", -2.25), (3, None, 0.0)],
+        "id int, name string, score double",
+    ).orderBy("id")
+
+
+@register(
+    "a09_parquet_sink_roundtrip",
+    survey_id="A9",
+    category="sink",
+    oracle="""
+SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+WHERE o_orderstatus = 'F' ORDER BY o_orderkey
+""",
+)
+def a09_parquet_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet batch sink + re-read (values and types survive the
+    roundtrip bit-exactly)."""
+    path = _tmp(sf_dir, "orders-f-parquet")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    o.select("o_orderkey", "o_orderstatus", "o_totalprice").write.mode(
+        "overwrite"
+    ).parquet(path)
+    return spark.read.parquet(path).orderBy("o_orderkey")
+
+
+@register(
+    "a11_push_receiver_spool",
+    survey_id="A11",
+    category="source",
+    mode="golden",
+    oracle="""
+SELECT * FROM (VALUES (1, 'one'), (2, 'two'), (3, 'three'))
+AS t(seq, value) ORDER BY seq
+""",
+)
+def a11_push_receiver_spool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The push receiver's spool format (R15/A11): items written by
+    FileDropReceiver are readable as schema'd JSON with their sequence
+    numbers intact."""
+    import tempfile as _tf
+
+    from nibbler_spark.streaming.transport import FileDropReceiver
+
+    d = _tf.mkdtemp(prefix="nibbler-a11-")
+    rx = FileDropReceiver(d)
+    rx.send("one")
+    rx.send_many(["two", "three"])
+    return (
+        spark.read.schema("__seq long, value string")
+        .json(d)
+        .select(F.col("__seq").alias("seq"), "value")
+        .orderBy("seq")
+    )
