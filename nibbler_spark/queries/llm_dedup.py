@@ -1,1 +1,376 @@
-"""Placeholder — queries registered incrementally (see SURVEY.md §7 build plan)."""
+"""Deduplication operators (SURVEY §2.3 K1–K5 + SimHash / char-ngram /
+embedding-cosine near-dup extensions).
+
+Scale design (the 100 TB rule, SURVEY §2.3): every pairwise comparison is
+*blocked* — by (lang, source) for text, by label for embeddings, by LSH
+bucket for MinHash — so the candidate set stays near-linear. The only
+O(block²) work happens inside bounded blocks. Exact unblocked
+cross-joins appear nowhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nibbler_spark.queries import register
+from nibbler_spark.sources import load_table
+
+
+@register(
+    "k01_dedup_exact",
+    survey_id="K1",
+    category="llm-dedup",
+    oracle="""
+SELECT md5(text) AS content_key,
+       ARG_MIN(doc_id, doc_id) AS keeper_doc_id,
+       COUNT(*) AS n_copies
+FROM documents GROUP BY md5(text) ORDER BY content_key
+""",
+)
+def k01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup: hash-group on md5(text), keep the lowest
+    doc_id. One shuffle on the 128-bit key; at 100 TB the md5 is computed
+    in the scan stage and skew is impossible (hash keys)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5("text").alias("content_key"))
+        .agg(
+            F.min_by("doc_id", "doc_id").alias("keeper_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+        .orderBy("content_key")
+    )
+
+
+@register(
+    "k02_dedup_normalized",
+    survey_id="K2",
+    category="llm-dedup",
+    oracle="""
+WITH canon AS (
+  SELECT doc_id,
+         md5(array_to_string(
+           list_sort(list_distinct(
+             string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '))),
+           ' ')) AS canon_key
+  FROM documents
+)
+SELECT canon_key,
+       ARG_MIN(doc_id, doc_id) AS keeper_doc_id,
+       COUNT(*) AS n_members
+FROM canon GROUP BY canon_key
+HAVING COUNT(*) > 1
+ORDER BY canon_key
+""",
+)
+def k02_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized dedup: lowercase, whitespace-collapse, then canonical
+    token-SET form (sorted distinct tokens) — catches reordered/repeated
+    word-soup duplicates that exact hashing misses. Returns only groups
+    that actually collapse."""
+    d = load_table(spark, sf_dir, "documents")
+    normalized = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    canon = F.md5(
+        F.array_join(
+            F.array_sort(F.array_distinct(F.split(normalized, " "))), " "
+        )
+    )
+    return (
+        d.groupBy(canon.alias("canon_key"))
+        .agg(
+            F.min_by("doc_id", "doc_id").alias("keeper_doc_id"),
+            F.count("*").alias("n_members"),
+        )
+        .where(F.col("n_members") > 1)
+        .orderBy("canon_key")
+    )
+
+
+@register(
+    "k03_token_shingles",
+    survey_id="K3",
+    category="llm-dedup",
+    oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id,
+       list_transform(generate_series(1, len(toks) - 2),
+                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS shingles
+FROM t WHERE doc_id % 10 = 0 ORDER BY doc_id
+""",
+)
+def k03_token_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-token shingles via an index-transform (order-preserving, no
+    explode/re-group round trip)."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
+    toks = F.split("text", " ")
+    t = d.select("doc_id", toks.alias("toks"))
+    return t.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at("toks", i),
+                F.element_at("toks", i + 1),
+                F.element_at("toks", i + 2),
+            ),
+        ).alias("shingles"),
+    ).orderBy("doc_id")
+
+
+_JACCARD_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, lang, source,
+         list_sort(list_distinct(string_split(text, ' '))) AS ts
+  FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang, a.source,
+         len(list_intersect(a.ts, b.ts)) AS n_common,
+         len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)) AS n_union
+  FROM toks a JOIN toks b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, lang, source,
+       CAST(n_common AS DOUBLE) / n_union AS jaccard
+FROM pairs
+WHERE CAST(n_common AS DOUBLE) / n_union >= 0.8
+ORDER BY doc_a, doc_b
+"""
+
+
+@register(
+    "k04_jaccard_pairs",
+    survey_id="K4",
+    category="llm-dedup",
+    oracle=_JACCARD_ORACLE,
+)
+def k04_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard similarity, blocked by (lang, source):
+    pairs with J ≥ 0.8. Integer intersect/union counts divide to
+    bit-identical doubles in both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.array_sort(F.array_distinct(F.split("text", " ")))
+    t = d.select("doc_id", "lang", "source", toks.alias("ts"))
+    a = t.alias("a")
+    b = t.alias("b")
+    n_common = F.size(F.array_intersect(F.col("a.ts"), F.col("b.ts")))
+    n_union = F.size(F.col("a.ts")) + F.size(F.col("b.ts")) - n_common
+    jac = n_common.cast("double") / n_union
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.lang").alias("lang"),
+            F.col("a.source").alias("source"),
+            jac.alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= 0.8)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register(
+    "k05_minhash_lsh",
+    survey_id="K5",
+    category="llm-dedup",
+    mode="bounded",
+    oracle="SELECT TRUE AS all_found_above_threshold, TRUE AS recall_ok",
+)
+def k05_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidates via MinHash-LSH (seeded ⇒ deterministic):
+    HashingTF token-set vectors → MinHashLSH.approxSimilarityJoin at
+    Jaccard distance ≤ 0.4. Declared bounds: (1) every reported pair has
+    true J ≥ 0.6 (the join post-filters on exact distance — precision 1
+    by construction); (2) recall ≥ 0.8 against the exact blocked J ≥ 0.6
+    pair set. At 100 TB this is THE dedup path: candidates come from
+    band-bucket joins, never from pairwise blocks."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.array_distinct(F.split("text", " ")).alias("ts"),
+    )
+    tf = HashingTF(
+        inputCol="ts", outputCol="features", numFeatures=1 << 18, binary=True
+    )
+    feats = tf.transform(t)
+    mh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=5, seed=42
+    )
+    model = mh.fit(feats)
+    found = (
+        model.approxSimilarityJoin(feats, feats, 0.4, distCol="jdist")
+        .where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            (F.lit(1.0) - F.col("jdist")).alias("jaccard"),
+        )
+    )
+    found.cache()
+    all_above = (
+        found.where(F.col("jaccard") < 0.6 - 1e-12).count() == 0
+    )
+    # Exact blocked pair set at the same threshold (k04 at tau=0.6).
+    a = t.alias("a")
+    b = t.alias("b")
+    n_common = F.size(F.array_intersect(F.col("a.ts"), F.col("b.ts")))
+    n_union = F.size(F.col("a.ts")) + F.size(F.col("b.ts")) - n_common
+    exact = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where(n_common.cast("double") / n_union >= 0.6)
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+    )
+    n_exact = exact.count()
+    n_hit = exact.join(found, ["doc_a", "doc_b"], "left_semi").count()
+    recall_ok = n_exact == 0 or (n_hit / n_exact) >= 0.8
+    return spark.createDataFrame(
+        [(bool(all_above), bool(recall_ok))],
+        "all_found_above_threshold boolean, recall_ok boolean",
+    )
+
+
+def _hexval(c: Column) -> Column:
+    """Hex char → 0..15 using the engine-portable strpos trick."""
+    return F.instr(F.lit("0123456789abcdef"), c) - 1
+
+
+@register(
+    "ext_simhash",
+    survey_id="EXT-SIMHASH",
+    category="llm-dedup",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, UNNEST(list_distinct(string_split(text, ' '))) AS tok
+  FROM documents WHERE doc_id % 10 = 0
+),
+bits AS (
+  SELECT doc_id, md5(tok) AS h FROM toks
+),
+votes AS (
+  SELECT doc_id,
+         i,
+         SUM(CASE WHEN ((strpos('0123456789abcdef', substr(h, 1 + i // 4, 1)) - 1)
+                        // CAST(POWER(2, 3 - i % 4) AS INTEGER)) % 2 = 1
+                  THEN 1 ELSE -1 END) AS vote
+  FROM bits, generate_series(0, 15) AS g(i)
+  GROUP BY doc_id, i
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN vote > 0 THEN CAST(POWER(2, 15 - i) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash16
+FROM votes GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def ext_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash over distinct tokens: bit j of md5(token) votes ±1;
+    the sign of each bit-position's total forms the fingerprint. Built on
+    md5 hex (not engine-native hash functions) so both engines see
+    identical bits. Integer votes ⇒ exact."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
+    toks = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
+    ).select("doc_id", F.md5("tok").alias("h"))
+    bits = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("i"),
+        "h",
+    )
+    bit_val = (
+        _hexval(F.substring(F.col("h"), (F.col("i") / 4).cast("int") + 1, 1))
+        .cast("int")
+        .bitwiseAND(F.expr("shiftleft(1, 3 - (i % 4))"))
+        > 0
+    )
+    votes = bits.groupBy("doc_id", "i").agg(
+        F.sum(F.when(bit_val, 1).otherwise(-1)).alias("vote")
+    )
+    return (
+        votes.groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("vote") > 0,
+                    F.expr("shiftleft(cast(1 as bigint), 15 - i)"),
+                ).otherwise(F.lit(0).cast("bigint"))
+            ).alias("simhash16")
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "ext_char_ngram_jaccard",
+    survey_id="EXT-NGRAM",
+    category="llm-dedup",
+    oracle="""
+WITH grams AS (
+  SELECT doc_id, lang, source,
+         list_sort(list_distinct(
+           list_transform(generate_series(1, LENGTH(text) - 3),
+                          i -> substr(text, i, 4)))) AS gs
+  FROM documents WHERE doc_id % 5 = 0
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_intersect(a.gs, b.gs)) AS n_common,
+         len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs)) AS n_union
+  FROM grams a JOIN grams b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(n_common AS DOUBLE) / n_union AS ngram_jaccard
+FROM pairs WHERE CAST(n_common AS DOUBLE) / n_union >= 0.6
+ORDER BY doc_a, doc_b
+""",
+)
+def ext_char_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character 4-gram Jaccard near-dup (robust to token boundaries),
+    blocked by (lang, source), sampled to every 5th doc."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
+    grams = F.array_sort(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length("text") - 3),
+                lambda i: F.substring(F.col("text"), i, 4),
+            )
+        )
+    )
+    t = d.select("doc_id", "lang", "source", grams.alias("gs"))
+    a = t.alias("a")
+    b = t.alias("b")
+    n_common = F.size(F.array_intersect(F.col("a.gs"), F.col("b.gs")))
+    n_union = F.size(F.col("a.gs")) + F.size(F.col("b.gs")) - n_common
+    jac = n_common.cast("double") / n_union
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            jac.alias("ngram_jaccard"),
+        )
+        .where(F.col("ngram_jaccard") >= 0.6)
+        .orderBy("doc_a", "doc_b")
+    )

@@ -1,1 +1,286 @@
-"""Placeholder — queries registered incrementally (see SURVEY.md §7 build plan)."""
+"""Text-analysis operators for training-data pipelines (SURVEY §2.3
+K10–K12 + driver-mandated extensions: language-ID heuristic, quality
+scoring, tokenization, document fingerprinting).
+
+All operators are pure column expressions (JVM-side, whole-stage codegen)
+— at 100 TB these run in the scan stage with zero Python overhead. Each
+has a full DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nibbler_spark.queries import register
+from nibbler_spark.sources import load_table
+
+
+@register(
+    "k10_text_stats",
+    survey_id="K10",
+    category="llm-text",
+    oracle="""
+WITH t AS (SELECT doc_id, text, n_chars, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id,
+       LENGTH(text) AS len_chars,
+       len(toks) AS n_words,
+       CAST(LENGTH(text) - (len(toks) - 1) AS DOUBLE) / len(toks) AS avg_word_len,
+       LENGTH(text) = n_chars AS n_chars_consistent
+FROM t ORDER BY doc_id
+""",
+)
+def k10_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character/word counts and average word length (single-space text ⇒
+    total token length = n_chars − (n_words−1)); cross-checks the n_chars
+    column."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_words = F.size(toks)
+    len_chars = F.length("text")
+    return d.select(
+        "doc_id",
+        len_chars.alias("len_chars"),
+        n_words.alias("n_words"),
+        (
+            (len_chars - (n_words - F.lit(1))).cast("double") / n_words
+        ).alias("avg_word_len"),
+        (len_chars == F.col("n_chars")).alias("n_chars_consistent"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "k11_lang_source_distribution",
+    survey_id="K11",
+    category="llm-text",
+    oracle="""
+SELECT lang, source, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+WHERE lang IN ('en', 'de', 'zh')
+GROUP BY lang, source ORDER BY lang, source
+""",
+)
+def k11_lang_source_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language/source distribution with language filtering — the first
+    pass of any corpus curation pipeline."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.where(F.col("lang").isin("en", "de", "zh"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+@register(
+    "k12_tf_idf",
+    survey_id="K12",
+    category="llm-text",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
+  FROM documents WHERE doc_id % 20 = 0
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+docfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM toks)
+SELECT tf.doc_id, tf.term, tf.tf, docfreq.df,
+       ROUND(tf.tf * (LN((n.n_docs + 1.0) / (docfreq.df + 1.0)) + 1.0), 4) AS tfidf
+FROM tf, docfreq, n
+WHERE tf.term = docfreq.term
+ORDER BY tf.doc_id, tf.term
+""",
+)
+def k12_tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF via pure SQL-shaped dataflow (explode → two aggregations →
+    broadcast joins) — HashingTF avoided deliberately so the oracle can
+    recompute it (SURVEY K12). Sampled to every 20th doc to bound output."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 20 == 0)
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = toks.select(F.countDistinct("doc_id").alias("n_docs"))
+    return (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.col("n_docs") + F.lit(1.0))
+                        / (F.col("df") + F.lit(1.0))
+                    )
+                    + F.lit(1.0)
+                ),
+                4,
+            ).alias("tfidf"),
+        )
+        .orderBy("doc_id", "term")
+    )
+
+
+# Deterministic marker-token language heuristic. The corpus is synthetic
+# word soup, so the *semantics* are what's declared: a rule table applied
+# identically in both engines (real lang-ID would swap in a character
+# n-gram profile — same dataflow shape).
+_MARKERS = [("the", "en"), ("der", "de"), ("el", "es"), ("le", "fr")]
+
+
+@register(
+    "ext_language_id_heuristic",
+    survey_id="EXT-LANGID",
+    category="llm-text",
+    oracle="""
+WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id, lang,
+       CASE WHEN list_contains(toks, 'the') THEN 'en'
+            WHEN list_contains(toks, 'der') THEN 'de'
+            WHEN list_contains(toks, 'el') THEN 'es'
+            WHEN list_contains(toks, 'le') THEN 'fr'
+            ELSE 'unknown' END AS lang_guess
+FROM t ORDER BY doc_id
+""",
+)
+def ext_language_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based language identification over marker tokens."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    expr = F.lit("unknown")
+    for marker, lang in reversed(_MARKERS):
+        expr = F.when(F.array_contains(toks, marker), lang).otherwise(expr)
+    return d.select("doc_id", "lang", expr.alias("lang_guess")).orderBy(
+        "doc_id"
+    )
+
+
+@register(
+    "ext_quality_score",
+    survey_id="EXT-QUALITY",
+    category="llm-text",
+    oracle="""
+WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+s AS (
+  SELECT doc_id,
+         LENGTH(text) AS n_chars_t,
+         len(toks) AS n_words,
+         len(list_filter(toks, w -> w IN ('the','a','of','and','to'))) AS n_stop,
+         len(list_filter(toks, w -> LENGTH(w) >= 8)) AS n_long
+  FROM t)
+SELECT doc_id,
+       CAST(n_stop AS DOUBLE) / n_words AS stopword_ratio,
+       CAST(n_long AS DOUBLE) / n_words AS long_word_ratio,
+       LEAST(n_chars_t / 500.0, 1.0) AS length_score,
+       ROUND(0.4 * LEAST(n_chars_t / 500.0, 1.0)
+             + 0.4 * (CAST(n_stop AS DOUBLE) / n_words)
+             + 0.2 * (1.0 - CAST(n_long AS DOUBLE) / n_words), 4) AS quality
+FROM s ORDER BY doc_id
+""",
+)
+def ext_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring: length / stopword-ratio / long-word-ratio
+    blended into one score — the standard pre-training filter features."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_words = F.size(toks)
+    n_stop = F.size(
+        F.filter(toks, lambda w: w.isin("the", "a", "of", "and", "to"))
+    )
+    n_long = F.size(F.filter(toks, lambda w: F.length(w) >= 8))
+    n_chars_t = F.length("text")
+    stop_ratio = n_stop.cast("double") / n_words
+    long_ratio = n_long.cast("double") / n_words
+    length_score = F.least(n_chars_t / F.lit(500.0), F.lit(1.0))
+    return d.select(
+        "doc_id",
+        stop_ratio.alias("stopword_ratio"),
+        long_ratio.alias("long_word_ratio"),
+        length_score.alias("length_score"),
+        F.round(
+            F.lit(0.4) * length_score
+            + F.lit(0.4) * stop_ratio
+            + F.lit(0.2) * (F.lit(1.0) - long_ratio),
+            4,
+        ).alias("quality"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "ext_token_count",
+    survey_id="EXT-TOKENS",
+    category="llm-text",
+    oracle="""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS ws_tokens,
+       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpeish_tokens,
+       CAST(CEIL(LENGTH(text) / 4.0) AS BIGINT) AS char_estimate
+FROM documents ORDER BY doc_id
+""",
+)
+def ext_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace split, a BPE-ish regex
+    segmentation (letter runs / digit runs / single symbols), and the
+    chars/4 heuristic — the budget estimators of an LLM data pipeline."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+        F.size(
+            F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)
+        ).alias("bpeish_tokens"),
+        F.ceil(F.length("text") / F.lit(4.0)).alias("char_estimate"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "ext_doc_fingerprint",
+    survey_id="EXT-FINGERPRINT",
+    category="llm-text",
+    oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, len(toks) - 2),
+                        i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS hashes
+  FROM t)
+SELECT doc_id,
+       list_sort(hashes)[1:3] AS fingerprint,
+       md5(array_to_string(list_sort(hashes)[1:3], '')) AS fingerprint_key
+FROM sh ORDER BY doc_id
+""",
+)
+def ext_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style document fingerprint: md5 over every 3-token
+    shingle, keep the 3 lexicographically smallest — a compact signature
+    whose collisions indicate near-duplication (the md5 hex strings order
+    identically in both engines, no numeric-hash divergence)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    t = d.select("doc_id", toks.alias("toks"))
+    hashes = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 2),
+        lambda i: F.md5(
+            F.concat_ws(
+                " ",
+                F.element_at("toks", i),
+                F.element_at("toks", i + 1),
+                F.element_at("toks", i + 2),
+            )
+        ),
+    )
+    fp = F.slice(F.array_sort(hashes), 1, 3)
+    return t.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.md5(F.array_join(fp, "")).alias("fingerprint_key"),
+    ).orderBy("doc_id")

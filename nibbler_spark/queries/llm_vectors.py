@@ -1,1 +1,320 @@
-"""Placeholder — queries registered incrementally (see SURVEY.md §7 build plan)."""
+"""Vector math & similarity search operators (SURVEY §2.3 H18, K6–K9 +
+ANN and embedding near-dup extensions).
+
+Engine-exact vector arithmetic: per-element products are single IEEE
+double ops (identical everywhere); sums run on an integer 1e-10 grid via
+floor() — tie-free by construction, unlike double→decimal casts whose
+tie rounding measurably differs between Spark and DuckDB on float32
+inputs (terminating decimal expansions land exactly on .5 ties) — so
+thresholds and top-k ranks are bit-stable between the engines. At 100 TB the embedding
+table is the fact side: brute-force top-k broadcasts the (tiny) query
+set and reduces per-partition (K6); the scale path is LSH bucketing (K7)
+— candidates from bucket joins, never all-pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nibbler_spark.queries import register
+from nibbler_spark.sources import load_table
+
+_DIM = 64  # embeddings are fixed 64-d (FIXTURES.md)
+
+
+def dec_dot(a: Column, b: Column) -> Column:
+    """Engine-exact dot product: per-element double products are floored
+    to integer 1e-10 grid points (floor has NO tie-rounding rule, unlike
+    double→decimal casts whose tie handling differs between Spark and
+    DuckDB — and float32 inputs have terminating decimal expansions, so
+    exact ties actually occur), summed exactly as int64, then scaled
+    back. Deterministic across engines by construction."""
+    prods = F.zip_with(
+        a,
+        b,
+        lambda x, y: F.floor(
+            x.cast("double") * y.cast("double") * F.lit(1e10)
+        ),
+    )
+    return (
+        F.aggregate(
+            prods,
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).cast("double")
+        / F.lit(1e10)
+    )
+
+
+def sql_dec_dot(a: str, b: str, dim: int = _DIM) -> str:
+    """DuckDB spelling of :func:`dec_dot`."""
+    return (
+        f"(CAST(list_sum(list_transform(generate_series(1, {dim}), "
+        f"i -> CAST(FLOOR(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) "
+        f"* 1e10) AS BIGINT))) AS DOUBLE) / 1e10)"
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dec_dot(a, b) / (F.sqrt(dec_dot(a, a)) * F.sqrt(dec_dot(b, b)))
+
+
+def sql_cosine(a: str, b: str) -> str:
+    return (
+        f"{sql_dec_dot(a, b)} / "
+        f"(SQRT({sql_dec_dot(a, a)}) * SQRT({sql_dec_dot(b, b)}))"
+    )
+
+
+def l2_distance(a: Column, b: Column) -> Column:
+    diffs = F.zip_with(
+        a,
+        b,
+        lambda x, y: F.floor(
+            (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double"))
+            * F.lit(1e10)
+        ),
+    )
+    return F.sqrt(
+        F.aggregate(
+            diffs, F.lit(0).cast("bigint"), lambda acc, x: acc + x
+        ).cast("double")
+        / F.lit(1e10)
+    )
+
+
+def sql_l2_distance(a: str, b: str, dim: int = _DIM) -> str:
+    return (
+        f"SQRT(CAST(list_sum(list_transform(generate_series(1, {dim}), "
+        f"i -> CAST(FLOOR((CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) * "
+        f"(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) "
+        f"* 1e10) AS BIGINT))) AS DOUBLE) / 1e10)"
+    )
+
+
+@register(
+    "h18_vector_math",
+    survey_id="H18",
+    category="llm-vector",
+    oracle=f"""
+WITH a AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
+     b AS (SELECT vec_id, embedding FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       {sql_dec_dot('a.embedding', 'b.embedding')} AS dot,
+       {sql_cosine('a.embedding', 'b.embedding')} AS cos_sim,
+       {sql_l2_distance('a.embedding', 'b.embedding')} AS l2_dist
+FROM a JOIN b ON b.vec_id = a.vec_id + 7
+ORDER BY vec_a
+""",
+)
+def h18_vector_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine / dot / L2 as native column expressions (zip_with +
+    aggregate — no UDF, fully JVM-side)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.where(F.col("vec_id") % 10 == 0).alias("a")
+    b = e.alias("b")
+    ea, eb = F.col("a.embedding"), F.col("b.embedding")
+    return (
+        a.join(b, F.col("b.vec_id") == F.col("a.vec_id") + 7)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            dec_dot(ea, eb).alias("dot"),
+            cosine(ea, eb).alias("cos_sim"),
+            l2_distance(ea, eb).alias("l2_dist"),
+        )
+        .orderBy("vec_a")
+    )
+
+
+@register(
+    "k06_cosine_topk",
+    survey_id="K6",
+    category="llm-vector",
+    oracle=f"""
+WITH qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, label,
+       {sql_cosine('embedding', 'q')} AS cos_sim
+FROM embeddings, qv
+WHERE vec_id <> 0
+ORDER BY cos_sim DESC, vec_id LIMIT 10
+""",
+)
+def k06_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 cosine search for a query vector (BENCH-B4): the
+    single-row query side broadcasts; the scan computes similarity
+    map-side and TakeOrdered reduces — no shuffle of the embedding table."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    return (
+        e.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            "label",
+            cosine(F.col("embedding"), F.col("q")).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+
+
+@register(
+    "k07_ann_topk",
+    survey_id="K7",
+    category="llm-vector",
+    mode="bounded",
+    oracle="SELECT TRUE AS recall_ok",
+)
+def k07_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-10 via random-hyperplane bucketed LSH (seeded) vs the exact
+    L2 top-10; declared bound: recall@10 ≥ 0.3. The LSH path is the
+    100 TB strategy — buckets prune the scan; brute force is the
+    correctness baseline."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", array_to_vector("embedding").alias("vec")
+    )
+    e.cache()
+    key_arr = e.where(F.col("vec_id") == 0)
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="vec", outputCol="hashes", bucketLength=2.0,
+        numHashTables=3, seed=42,
+    )
+    model = lsh.fit(e)
+    key_vec = key_arr.select("vec").head()[0]
+    ann = model.approxNearestNeighbors(
+        e.where(F.col("vec_id") != 0), key_vec, 10
+    ).select("vec_id")
+    ann_ids = {r["vec_id"] for r in ann.collect()}
+    q = key_arr.select(F.col("embedding").alias("q"))
+    exact = (
+        e.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id", l2_distance(F.col("embedding"), F.col("q")).alias("d")
+        )
+        .orderBy(F.col("d").asc(), F.col("vec_id"))
+        .limit(10)
+    )
+    exact_ids = {r["vec_id"] for r in exact.collect()}
+    recall = len(ann_ids & exact_ids) / max(1, len(exact_ids))
+    return spark.createDataFrame([(recall >= 0.3,)], "recall_ok boolean")
+
+
+@register(
+    "k08_label_centroids",
+    survey_id="K8",
+    category="llm-vector",
+    oracle="""
+WITH ex AS (
+  SELECT label, i AS pos,
+         CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1e10) AS BIGINT) AS v
+  FROM embeddings, generate_series(1, 64) AS g(i)
+),
+avgs AS (
+  SELECT label, pos, (CAST(SUM(v) AS DOUBLE) / 1e10) / COUNT(v) AS c
+  FROM ex GROUP BY label, pos
+)
+SELECT label, LIST(c ORDER BY pos) AS centroid
+FROM avgs GROUP BY label ORDER BY label
+""",
+)
+def k08_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid: posexplode → exact decimal mean per dimension →
+    re-assemble position-ordered. Two shuffles total (label×pos, then
+    label) regardless of table size."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "label", F.posexplode("embedding").alias("pos", "val")
+    ).select(
+        "label",
+        "pos",
+        F.floor(F.col("val").cast("double") * F.lit(1e10)).alias("v"),
+    )
+    avgs = ex.groupBy("label", "pos").agg(
+        ((F.sum("v").cast("double") / F.lit(1e10)) / F.count("v")).alias("c")
+    )
+    return (
+        avgs.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s["c"],
+            ).alias("centroid")
+        )
+        .orderBy("label")
+    )
+
+
+@register(
+    "k09_vector_normalize",
+    survey_id="K9",
+    category="llm-vector",
+    oracle=f"""
+WITH n AS (
+  SELECT vec_id, embedding,
+         SQRT({sql_dec_dot('embedding', 'embedding')}) AS nrm
+  FROM embeddings WHERE vec_id % 10 = 0
+)
+SELECT vec_id,
+       list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS unit_vec,
+       ROUND(nrm, 4) AS norm
+FROM n ORDER BY vec_id
+""",
+)
+def k09_vector_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 normalization: exact-decimal norm, per-element double division
+    (identical in both engines)."""
+    e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") % 10 == 0)
+    nrm = F.sqrt(dec_dot(F.col("embedding"), F.col("embedding")))
+    t = e.select("vec_id", "embedding", nrm.alias("nrm"))
+    return t.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: x.cast("double") / F.col("nrm")
+        ).alias("unit_vec"),
+        F.round("nrm", 4).alias("norm"),
+    ).orderBy("vec_id")
+
+
+@register(
+    "ext_embedding_neardup",
+    survey_id="EXT-EMB-NEARDUP",
+    category="llm-dedup",
+    oracle=f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+       {sql_cosine('a.embedding', 'b.embedding')} AS cos_sim
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {sql_cosine('a.embedding', 'b.embedding')} >= 0.3
+ORDER BY vec_a, vec_b
+""",
+)
+def ext_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked by label (the
+    cluster prior); exact-decimal cosine makes the 0.3 threshold
+    engine-stable."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.alias("a")
+    b = e.alias("b")
+    cs = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.label").alias("label"),
+            cs.alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= 0.3)
+        .orderBy("vec_a", "vec_b")
+    )

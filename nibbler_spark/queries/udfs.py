@@ -1,1 +1,170 @@
-"""Placeholder — queries registered incrementally (see SURVEY.md §7 build plan)."""
+"""UDF / UDAF / UDTF queries (SURVEY §2.3 J1–J6; J7 stateful is I8 in
+streaming_q).
+
+Every declared UDF body is SQL-expressible so the oracle can recompute it
+natively (SURVEY J design). Performance discipline: J1 is the slow path
+(row-at-a-time Python, kept for API parity); J2–J5 are Arrow-batched
+pandas UDFs — the only Python execution style this engine uses in hot
+paths.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
+
+from nibbler_spark.queries import register
+from nibbler_spark.sources import load_table
+
+
+@register(
+    "j01_scalar_python_udf",
+    survey_id="J1",
+    category="udf",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity * 2 + 1 AS qty_udf
+FROM lineitem ORDER BY l_orderkey, l_linenumber
+""",
+)
+def j01_scalar_python_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF (the declared body x*2+1 is pure double
+    arithmetic — engine-identical)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    f = F.udf(lambda x: x * 2 + 1, DoubleType())
+    return li.select(
+        "l_orderkey", "l_linenumber", f("l_quantity").alias("qty_udf")
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@register(
+    "j02_pandas_scalar_udf",
+    survey_id="J2",
+    category="udf",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1 - l_discount) AS disc_price_udf
+FROM lineitem ORDER BY l_orderkey, l_linenumber
+""",
+)
+def j02_pandas_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized (Arrow) scalar pandas UDF — same IEEE ops as the SQL
+    expression, ~10-100x the row-at-a-time UDF throughput."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    @F.pandas_udf("double")
+    def disc_price(price: pd.Series, disc: pd.Series) -> pd.Series:
+        return price * (1.0 - disc)
+
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        disc_price("l_extendedprice", "l_discount").alias("disc_price_udf"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@register(
+    "j03_grouped_agg_pandas_udf",
+    survey_id="J3",
+    category="udf",
+    oracle="""
+SELECT l_returnflag,
+       ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 4) AS wavg_price
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+)
+def j03_grouped_agg_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF (UDAF): quantity-weighted mean price.
+    Accumulation order differs from the oracle's ⇒ 4 dp rounding."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    @F.pandas_udf("double")
+    def wavg(price: pd.Series, qty: pd.Series) -> float:
+        return float((price * qty).sum() / qty.sum())
+
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.round(wavg("l_extendedprice", "l_quantity"), 4).alias("wavg_price"))
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "j04_apply_in_pandas_zscore",
+    survey_id="J4",
+    category="udf",
+    oracle="""
+SELECT event_id, user_id,
+       ROUND((value - AVG(value) OVER (PARTITION BY user_id))
+             / STDDEV_SAMP(value) OVER (PARTITION BY user_id), 4) AS zscore
+FROM events ORDER BY event_id
+""",
+)
+def j04_apply_in_pandas_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map (applyInPandas): per-user z-score — the classic
+    'window rewrite as grouped pandas' pattern."""
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"]
+        pdf = pdf.assign(zscore=((v - v.mean()) / v.std(ddof=1)).round(4))
+        return pdf[["event_id", "user_id", "zscore"]]
+
+    return (
+        e.groupBy("user_id")
+        .applyInPandas(zscore, "event_id long, user_id long, zscore double")
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "j05_map_in_pandas",
+    survey_id="J5",
+    category="udf",
+    oracle="""
+SELECT event_id, value * 0.1 + LENGTH(event_type) AS fee
+FROM events ORDER BY event_id
+""",
+)
+def j05_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-wise map (mapInPandas) — streams Arrow batches through
+    Python without grouping."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "value", "event_type"
+    )
+
+    def add_fee(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "event_id": pdf["event_id"],
+                    "fee": pdf["value"] * 0.1 + pdf["event_type"].str.len(),
+                }
+            )
+
+    return e.mapInPandas(add_fee, "event_id long, fee double").orderBy(
+        "event_id"
+    )
+
+
+@register(
+    "j06_python_udtf",
+    survey_id="J6",
+    category="udf",
+    oracle="""
+SELECT i, i * i AS sq FROM generate_series(1, 10) AS t(i) ORDER BY i
+""",
+)
+def j06_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function, Spark ≥3.5): emits (i, i²) rows."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="i bigint, sq bigint")
+    class GenSquares:
+        def eval(self, start: int, end: int):
+            for i in range(start, end + 1):
+                yield (i, i * i)
+
+    spark.udtf.register("gen_squares", GenSquares)
+    return spark.sql("SELECT * FROM gen_squares(1, 10) ORDER BY i")
