@@ -1,1 +1,579 @@
-"""Placeholder — queries registered incrementally (see SURVEY.md §7 build plan)."""
+"""Streaming queries (SURVEY §2.3 I1–I13, C12/C13, A5/A6/A10).
+
+Parity pattern (SURVEY §5.2.3): materialize the events table into a
+file-drop dir, drain it with ``trigger(availableNow=True)``, and compare
+the final streaming result to the equivalent batch query — which the
+DuckDB oracle then checks. Batch-boundary-sensitive behaviors (watermark
+late-drop, within-watermark dedup, checkpoint restart) run scripted
+two-phase scenarios against literal rows with PINNED expected outputs as
+VALUES oracles.
+
+Scale notes: all stateful ops are keyed (user_id / window / event_id) so
+state partitions horizontally; watermarks bound state size; the memory
+sink is test-only (production sinks: parquet/Kafka/foreachBatch)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nibbler_spark.queries import register
+from nibbler_spark.queries._helpers import dsum, sql_dsum
+from nibbler_spark.sources import load_table
+
+_EVENT_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _events_dir(spark: SparkSession, sf_dir: str, copies: int = 1) -> str:
+    """Materialize events as a parquet file-drop dir (cached per sf/copies)."""
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    d = os.path.join(tempfile.gettempdir(), f"nibbler-stream-{tag}-x{copies}")
+    marker = os.path.join(d, "_READY")
+    if not os.path.exists(marker):
+        e = load_table(spark, sf_dir, "events")
+        for i in range(copies):
+            e.coalesce(1).write.mode("append").parquet(d)
+        open(marker, "w").close()
+    return d
+
+
+def _read_stream(spark: SparkSession, d: str) -> DataFrame:
+    return spark.readStream.schema(_EVENT_SCHEMA).parquet(d)
+
+
+def _drain_to_memory(df_writer_source: DataFrame, mode: str) -> DataFrame:
+    """Run an availableNow pass into a memory sink; return the final table."""
+    name = "mem_" + uuid.uuid4().hex[:12]
+    q = (
+        df_writer_source.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="nibbler-ck-"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = df_writer_source.sparkSession
+    return spark.table(name)
+
+
+@register(
+    "i01_tumbling_window_parity",
+    survey_id="I1",
+    category="streaming",
+    mode="parity",
+    oracle=f"""
+SELECT TIME_BUCKET(INTERVAL '10 minutes', ts) AS bucket_start,
+       COUNT(*) AS n_events,
+       {sql_dsum('value')} AS total_value
+FROM events GROUP BY 1 ORDER BY 1
+""",
+)
+def i01_tumbling_window_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 10-minute window aggregation, drained with availableNow in
+    complete mode — the final state equals the batch time_bucket query."""
+    src = _read_stream(spark, _events_dir(spark, sf_dir))
+    agg = src.groupBy(F.window("ts", "10 minutes").alias("w")).agg(
+        F.count("*").alias("n_events"), dsum("value").alias("total_value")
+    )
+    out = _drain_to_memory(agg, "complete")
+    return out.select(
+        F.col("w.start").alias("bucket_start"), "n_events", "total_value"
+    ).orderBy("bucket_start")
+
+
+@register(
+    "i02_sliding_window_parity",
+    survey_id="I2",
+    category="streaming",
+    mode="parity",
+    oracle="""
+WITH starts AS (
+  SELECT UNNEST([TIME_BUCKET(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes',
+                 TIME_BUCKET(INTERVAL '5 minutes', ts)]) AS ws,
+         event_id
+  FROM events
+)
+SELECT ws AS window_start, COUNT(*) AS n_events
+FROM starts GROUP BY ws ORDER BY ws
+""",
+)
+def i02_sliding_window_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (10 min length, 5 min slide): each event lands in
+    exactly 2 windows — the oracle unnests both candidate starts."""
+    src = _read_stream(spark, _events_dir(spark, sf_dir))
+    agg = src.groupBy(
+        F.window("ts", "10 minutes", "5 minutes").alias("w")
+    ).agg(F.count("*").alias("n_events"))
+    out = _drain_to_memory(agg, "complete")
+    return out.select(
+        F.col("w.start").alias("window_start"), "n_events"
+    ).orderBy("window_start")
+
+
+@register(
+    "i03_session_window_parity",
+    survey_id="I3",
+    category="streaming",
+    mode="parity",
+    oracle="""
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL '5 minutes'
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+s AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM o
+)
+SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+FROM s GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+""",
+)
+def i03_session_window_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (5 min gap) per user vs the gaps-and-islands batch
+    rewrite. Append mode only emits sessions the watermark has closed, so
+    a far-future sentinel event per user flushes the tail sessions (and
+    is filtered back out of the result)."""
+    d = _events_dir(spark, sf_dir)
+    tag = os.path.basename(d)
+    sentinel_dir = d + "-sessions"
+    marker = os.path.join(sentinel_dir, "_READY")
+    if not os.path.exists(marker):
+        e = load_table(spark, sf_dir, "events")
+        e.coalesce(1).write.mode("append").parquet(sentinel_dir)
+        # Sentinel must be past the GLOBAL max (a per-user max + 2 days can
+        # still precede another user's last event, leaking a sentinel
+        # session below the cutoff filter).
+        gmax = e.agg(F.max("ts")).head()[0]
+        sentinels = e.select("user_id").distinct().select(
+            F.lit(-1).cast("long").alias("event_id"),
+            (F.lit(gmax) + F.expr("INTERVAL 2 DAYS")).alias("ts"),
+            "user_id",
+            F.lit("sentinel").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+        sentinels.coalesce(1).write.mode("append").parquet(sentinel_dir)
+        open(marker, "w").close()
+    src = _read_stream(spark, sentinel_dir).withWatermark("ts", "0 seconds")
+    agg = src.groupBy(
+        F.session_window("ts", "5 minutes").alias("w"), "user_id"
+    ).agg(F.count("*").alias("n_events"))
+    out = _drain_to_memory(agg, "append")
+    cutoff = load_table(spark, sf_dir, "events").agg(F.max("ts")).head()[0]
+    return (
+        out.select(
+            "user_id", F.col("w.start").alias("session_start"), "n_events"
+        )
+        .where(F.col("session_start") <= F.lit(cutoff))
+        .orderBy("user_id", "session_start")
+    )
+
+
+@register(
+    "i05_update_mode_final_state",
+    survey_id="I5",
+    category="streaming",
+    mode="parity",
+    oracle="""
+SELECT user_id, COUNT(*) AS n_events FROM events
+GROUP BY user_id ORDER BY user_id
+""",
+)
+def i05_update_mode_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Update output mode: the memory sink accumulates one row per key per
+    changed batch; counts are monotone so max(n) per key is the final
+    state — which must equal the batch aggregate."""
+    src = _read_stream(spark, _events_dir(spark, sf_dir))
+    agg = src.groupBy("user_id").agg(F.count("*").alias("n"))
+    out = _drain_to_memory(agg, "update")
+    return (
+        out.groupBy("user_id")
+        .agg(F.max("n").alias("n_events"))
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "i06_streaming_dedup",
+    survey_id="I6",
+    category="streaming",
+    mode="parity",
+    oracle="""
+SELECT event_id, event_type, value FROM events ORDER BY event_id
+""",
+)
+def i06_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dropDuplicates on event_id over a doubled stream (every
+    event delivered twice) — each event must be emitted exactly once."""
+    src = _read_stream(spark, _events_dir(spark, sf_dir, copies=2))
+    dedup = src.dropDuplicates(["event_id"]).select(
+        "event_id", "event_type", "value"
+    )
+    out = _drain_to_memory(dedup, "append")
+    return out.orderBy("event_id")
+
+
+@register(
+    "i08_stateful_running_agg",
+    survey_id="I8",
+    category="streaming",
+    mode="parity",
+    oracle="""
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events GROUP BY user_id ORDER BY user_id
+""",
+)
+def i08_stateful_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful per-key processing (applyInPandasWithState):
+    running (count, integer-cents sum) per user, emitted every batch; the
+    final emission per user equals the batch aggregate (J7/I8)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    src = _read_stream(spark, _events_dir(spark, sf_dir))
+
+    def running(key, pdfs, state: GroupState):
+        (user_id,) = key
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += int(pdf["value"].map(lambda v: int(v * 100 // 1)).sum())
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [n], "value_cents": [cents]}
+        )
+
+    out_schema = "user_id long, n_events long, value_cents long"
+    state_schema = "n long, cents long"
+    result = src.groupBy("user_id").applyInPandasWithState(
+        running,
+        out_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+    out = _drain_to_memory(result, "update")
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("value_cents").alias("value_cents"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "c12_stream_static_join",
+    survey_id="C12",
+    category="streaming",
+    mode="parity",
+    oracle="""
+SELECT event_id, c_custkey, c_name, c_mktsegment
+FROM events JOIN customer ON user_id = c_custkey
+ORDER BY event_id
+""",
+)
+def c12_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream–static join: streaming events against the (broadcast)
+    customer dimension."""
+    src = _read_stream(spark, _events_dir(spark, sf_dir))
+    c = load_table(spark, sf_dir, "customer")
+    joined = src.join(
+        F.broadcast(c), src.user_id == c.c_custkey, "inner"
+    ).select("event_id", "c_custkey", "c_name", "c_mktsegment")
+    out = _drain_to_memory(joined, "append")
+    return out.orderBy("event_id")
+
+
+@register(
+    "c13_stream_stream_join",
+    survey_id="C13",
+    category="streaming",
+    mode="parity",
+    oracle="""
+SELECT a.event_id AS eid_a, b.event_id AS eid_b, a.user_id
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_id <> b.event_id
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL '2 minutes'
+ORDER BY eid_a, eid_b
+""",
+)
+def c13_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream–stream inner join with event-time bounds and watermarks on
+    both sides: pairs of same-user events within a 2-minute forward
+    window."""
+    d = _events_dir(spark, sf_dir)
+    a = _read_stream(spark, d).withWatermark("ts", "10 minutes").alias("a")
+    b = (
+        _read_stream(spark, d)
+        .withColumnRenamed("ts", "ts_b")
+        .withColumnRenamed("event_id", "event_id_b")
+        .withColumnRenamed("user_id", "user_id_b")
+        .withWatermark("ts_b", "10 minutes")
+        .alias("b")
+    )
+    joined = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id_b"))
+        & (F.col("a.event_id") != F.col("b.event_id_b"))
+        & (F.col("b.ts_b") >= F.col("a.ts"))
+        & (F.col("b.ts_b") <= F.col("a.ts") + F.expr("INTERVAL 2 MINUTES")),
+        "inner",
+    ).select(
+        F.col("a.event_id").alias("eid_a"),
+        F.col("b.event_id_b").alias("eid_b"),
+        F.col("a.user_id").alias("user_id"),
+    )
+    out = _drain_to_memory(joined, "append")
+    return out.orderBy("eid_a", "eid_b")
+
+
+@register(
+    "i10_available_now_drain",
+    survey_id="I10",
+    category="streaming",
+    mode="parity",
+    oracle="SELECT COUNT(*) AS n_rows FROM events",
+)
+def i10_available_now_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """availableNow trigger drains the source completely: the streaming
+    global count equals the batch count (A5/A10/I10 in one check)."""
+    src = _read_stream(spark, _events_dir(spark, sf_dir))
+    agg = src.agg(F.count("*").alias("n_rows"))
+    out = _drain_to_memory(agg, "complete")
+    return out
+
+
+@register(
+    "a06_rate_source",
+    survey_id="A6",
+    category="streaming",
+    mode="bounded",
+    oracle="SELECT TRUE AS produced_rows",
+)
+def a06_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate source smoke: a short processing-time run produces > 0 rows
+    with the declared (timestamp, value) schema."""
+    import time as _time
+
+    name = "mem_rate_" + uuid.uuid4().hex[:8]
+    q = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 500)
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    deadline = _time.monotonic() + 15
+    n = 0
+    while _time.monotonic() < deadline:
+        n = spark.table(name).count()
+        if n > 0:
+            break
+        _time.sleep(0.2)
+    q.stop()
+    cols = spark.table(name).columns
+    ok = n > 0 and cols == ["timestamp", "value"]
+    return spark.createDataFrame([(bool(ok),)], "produced_rows boolean")
+
+
+# ---------------------------------------------------------------------------
+# Scripted two-phase goldens (I4 / I7 / I13)
+# ---------------------------------------------------------------------------
+
+_GOLDEN_ROWS_A = [
+    (1, "2024-01-01 10:00:00", 1),
+    (2, "2024-01-01 10:05:00", 1),
+    (3, "2024-01-01 10:12:00", 1),
+    (4, "2024-01-01 10:31:00", 1),
+]
+_GOLDEN_ROWS_B = [
+    (5, "2024-01-01 10:03:00", 1),  # LATE: behind the checkpointed watermark
+    (6, "2024-01-01 10:52:00", 1),  # advances watermark past 10:40, closing
+    # the 10:30 window; its own 10:50 window never finalizes
+]
+
+
+def _write_golden_file(spark: SparkSession, d: str, rows, name: str) -> None:
+    df = spark.createDataFrame(
+        [(i, ts, u) for i, ts, u in rows],
+        "event_id long, ts_s string, user_id long",
+    ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"), "user_id")
+    df.coalesce(1).write.mode("overwrite").parquet(os.path.join(d, name))
+
+
+@register(
+    "i04_watermark_late_drop_golden",
+    survey_id="I4",
+    category="streaming",
+    mode="golden",
+    oracle="""
+SELECT * FROM (VALUES
+  (TIMESTAMP '2024-01-01 10:00:00', 2),
+  (TIMESTAMP '2024-01-01 10:10:00', 1),
+  (TIMESTAMP '2024-01-01 10:30:00', 1)
+) AS t(window_start, n) ORDER BY window_start
+""",
+)
+def i04_watermark_late_drop_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark + append-mode late-data drop, scripted: run 1 processes
+    events through 10:31 (watermark 10:21 → windows 10:00 and 10:10
+    finalize); run 2 delivers a 10:03 row — behind the checkpointed
+    watermark, DROPPED — plus 10:52 (closing the 10:30 window). The
+    pinned output has exactly 3 windows; the 10:40 window never
+    finalizes and the late row never appears."""
+    base = tempfile.mkdtemp(prefix="nibbler-i04-")
+    src_dir = os.path.join(base, "src")
+    out_dir = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(src_dir, exist_ok=True)
+    schema = "event_id long, ts timestamp, user_id long"
+
+    def run_pass():
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir + "/*/")
+            .withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "10 minutes").alias("w"))
+            .agg(F.count("*").alias("n"))
+            .select(F.col("w.start").alias("window_start"), "n")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    _write_golden_file(spark, src_dir, _GOLDEN_ROWS_A, "step-a")
+    run_pass()
+    _write_golden_file(spark, src_dir, _GOLDEN_ROWS_B, "step-b")
+    run_pass()
+    return spark.read.parquet(out_dir).orderBy("window_start")
+
+
+@register(
+    "i07_dedup_within_watermark_golden",
+    survey_id="I7",
+    category="streaming",
+    mode="golden",
+    oracle="""
+SELECT * FROM (VALUES
+  (1, TIMESTAMP '2024-01-01 10:00:00'),
+  (2, TIMESTAMP '2024-01-01 10:30:00'),
+  (1, TIMESTAMP '2024-01-01 10:40:00')
+) AS t(dedup_key, ts) ORDER BY ts, dedup_key
+""",
+)
+def i07_dedup_within_watermark_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark: a duplicate key arriving within the
+    10-minute window is dropped; after the watermark evicts its state the
+    key is emitted again (run 2's 10:40 re-emission of key 1)."""
+    base = tempfile.mkdtemp(prefix="nibbler-i07-")
+    src_dir = os.path.join(base, "src")
+    out_dir = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(src_dir, exist_ok=True)
+    schema = "event_id long, ts timestamp, user_id long"
+
+    def run_pass():
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir + "/*/")
+            .withWatermark("ts", "10 minutes")
+            .select(F.col("event_id").alias("dedup_key"), "ts", "user_id")
+            .dropDuplicatesWithinWatermark(["dedup_key"])
+            .select("dedup_key", "ts")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    rows_a = [
+        (1, "2024-01-01 10:00:00", 1),
+        (1, "2024-01-01 10:02:00", 1),  # dup within watermark → dropped
+        (2, "2024-01-01 10:30:00", 1),
+    ]
+    rows_b = [
+        (1, "2024-01-01 10:40:00", 1),  # state evicted → re-emitted
+        (2, "2024-01-01 10:31:00", 1),  # dup within watermark → dropped
+    ]
+    _write_golden_file(spark, src_dir, rows_a, "step-a")
+    run_pass()
+    _write_golden_file(spark, src_dir, rows_b, "step-b")
+    run_pass()
+    return spark.read.parquet(out_dir).orderBy("ts", "dedup_key")
+
+
+@register(
+    "i13_checkpoint_restart",
+    survey_id="I13",
+    category="streaming",
+    mode="parity",
+    oracle="""
+SELECT event_id, value FROM events ORDER BY event_id
+""",
+)
+def i13_checkpoint_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpointed restart (Spark-native extension beyond the reference's
+    at-most-once — SURVEY §2.2.1): half the files, stop, rest of the
+    files, restart with the same checkpoint — the file sink shows every
+    event exactly once."""
+    base = tempfile.mkdtemp(prefix="nibbler-i13-")
+    src_dir = os.path.join(base, "src")
+    out_dir = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(src_dir, exist_ok=True)
+    e = load_table(spark, sf_dir, "events").select("event_id", "value")
+    mid = e.agg(F.expr("percentile(event_id, 0.5)")).head()[0]
+
+    def run_pass():
+        q = (
+            spark.readStream.schema("event_id long, value double")
+            .parquet(src_dir + "/*/")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    e.where(F.col("event_id") <= mid).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(src_dir, "half1"))
+    run_pass()
+    e.where(F.col("event_id") > mid).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(src_dir, "half2"))
+    run_pass()
+    return spark.read.parquet(out_dir).orderBy("event_id")
