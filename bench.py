@@ -32,6 +32,7 @@ HEADLINE = [
     "c01_join_3way_agg",  # BENCH-B2
     "e01_row_number_topk",  # BENCH-B3 (window rank per group)
     "k06_cosine_topk",  # BENCH-B4
+    "i01_tumbling_window_parity",  # BENCH-S2 (streaming drain end-to-end)
 ]
 
 

@@ -1,0 +1,81 @@
+"""Physical-plan assertions (SURVEY §4.2): the scale-critical properties
+Catalyst must deliver for the declared queries — verified via explain()
+so a regression (lost pushdown, surprise cartesian, missed broadcast)
+fails loudly long before it costs anything at 100 TB."""
+
+from __future__ import annotations
+
+import pytest
+
+from nibbler_spark.queries import load_all
+
+SPECS = load_all()
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = SPECS[name].spark(spark, sf_dir)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_q1_filter_pushdown_and_column_pruning(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # 11-column table pruned to exactly the 6 referenced columns
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_quantity" in read and "l_partkey" not in read and "l_tax" not in read
+
+
+def test_c07_broadcast_hash_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "c07_broadcast_join")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_c01_3way_no_sort_merge_at_test_scale(spark, sf_dir):
+    """Dimensions broadcast; partial aggregation present before the final
+    group-by exchange."""
+    plan = _plan(spark, sf_dir, "c01_join_3way_agg")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_f02_take_ordered_no_global_sort(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "f02_order_limit")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_k06_broadcast_query_and_take_ordered(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "k06_cosine_topk")
+    assert "BroadcastExchange" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_k04_blocked_join_is_hash_not_cartesian(spark, sf_dir):
+    """The Jaccard pair query must hash-join on the (lang, source) block
+    keys — a CartesianProduct here would be the O(n²) scale killer."""
+    plan = _plan(spark, sf_dir, "k04_jaccard_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_e01_single_window_exchange(spark, sf_dir):
+    """The window computation itself needs exactly one hash exchange on
+    user_id (the trailing range exchange is the deterministic output
+    sort)."""
+    plan = _plan(spark, sf_dir, "e01_row_number_topk")
+    assert plan.count("hashpartitioning") == 1
+
+
+def test_q1_whole_stage_codegen(spark, sf_dir):
+    df = SPECS["q1_pricing_summary"].spark(spark, sf_dir)
+    code_plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "codegen"
+        )
+    )
+    assert "WholeStageCodegen" in code_plan
