@@ -407,9 +407,9 @@ def d14_stddev_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="aggregation",
     oracle="""
 SELECT l_returnflag,
-       ROUND(CORR(l_quantity, l_extendedprice), 4) AS qty_price_corr,
-       ROUND(COVAR_SAMP(l_quantity, l_discount), 4) AS qty_disc_covs,
-       ROUND(COVAR_POP(l_quantity, l_discount), 4) AS qty_disc_covp
+       ROUND(CORR(l_quantity, l_extendedprice), 4) + 0 AS qty_price_corr,
+       ROUND(COVAR_SAMP(l_quantity, l_discount), 4) + 0 AS qty_disc_covs,
+       ROUND(COVAR_POP(l_quantity, l_discount), 4) + 0 AS qty_disc_covp
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """,
 )
@@ -419,13 +419,13 @@ def d15_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias(
+            (F.round(F.corr("l_quantity", "l_extendedprice"), 4) + F.lit(0.0)).alias(
                 "qty_price_corr"
             ),
-            F.round(F.covar_samp("l_quantity", "l_discount"), 4).alias(
+            (F.round(F.covar_samp("l_quantity", "l_discount"), 4) + F.lit(0.0)).alias(
                 "qty_disc_covs"
             ),
-            F.round(F.covar_pop("l_quantity", "l_discount"), 4).alias(
+            (F.round(F.covar_pop("l_quantity", "l_discount"), 4) + F.lit(0.0)).alias(
                 "qty_disc_covp"
             ),
         )

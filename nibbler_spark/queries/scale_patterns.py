@@ -1,0 +1,140 @@
+"""Scale-pattern operators (EXT): the three techniques that decide
+whether a 100 TB job runs or dies — bucketed co-located joins (no
+shuffle of either fact side), salting for skewed aggregations, and
+partition-pruned scans. Each is a declared, oracle-checked query plus a
+plan assertion in tests/test_plans.py proving the physical property.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nibbler_spark.queries import register
+from nibbler_spark.queries._helpers import dsum, sql_dsum
+from nibbler_spark.sources import load_table
+
+
+def bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Create (once per session/sf) bucketed copies of orders+lineitem,
+    bucketed and sorted by orderkey into 8 buckets each — the layout a
+    100 TB deployment would maintain so order-grained joins never
+    shuffle."""
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_") or "sf"
+    t_orders = f"nb_orders_b8_{tag}"
+    t_lineitem = f"nb_lineitem_b8_{tag}"
+    if not spark.catalog.tableExists(t_orders):
+        load_table(spark, sf_dir, "orders").write.bucketBy(
+            8, "o_orderkey"
+        ).sortBy("o_orderkey").mode("overwrite").saveAsTable(t_orders)
+    if not spark.catalog.tableExists(t_lineitem):
+        load_table(spark, sf_dir, "lineitem").write.bucketBy(
+            8, "l_orderkey"
+        ).sortBy("l_orderkey").mode("overwrite").saveAsTable(t_lineitem)
+    return t_orders, t_lineitem
+
+
+@register(
+    "ext_bucketed_join",
+    survey_id="EXT-BUCKET",
+    category="scale-pattern",
+    oracle=f"""
+SELECT o_orderpriority,
+       {sql_dsum('l_extendedprice')} AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+)
+def ext_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located fact-fact join on pre-bucketed tables: both sides are
+    bucketed+sorted by orderkey, so the sort-merge join consumes buckets
+    directly — zero exchanges on either fact side (asserted in
+    tests/test_plans.py). The batch-layout analogue of co-partitioned
+    stream state."""
+    t_orders, t_lineitem = bucketed_tables(spark, sf_dir)
+    # Disable auto-broadcast so the plan demonstrates the bucketed SMJ
+    # path (at 100 TB neither side would broadcast anyway).
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        o = spark.table(t_orders)
+        li = spark.table(t_lineitem)
+        return (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(
+                dsum("l_extendedprice").alias("revenue"),
+                F.count("*").alias("n_lines"),
+            )
+            .orderBy("o_orderpriority")
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+@register(
+    "ext_salted_aggregation",
+    survey_id="EXT-SALT",
+    category="scale-pattern",
+    oracle=f"""
+SELECT event_type,
+       COUNT(*) AS n,
+       {sql_dsum('value')} AS total_value
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+)
+def ext_salted_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation for skewed keys: stage 1 aggregates
+    on (key, salt) spreading one hot key over 16 reducers; stage 2
+    combines the partials. Decimal partial sums keep the result exactly
+    equal to the direct aggregation. (With only 5 event types, EVERY key
+    is a hot key — the degenerate case salting exists for.)"""
+    e = load_table(spark, sf_dir, "events")
+    salted = e.withColumn(
+        "salt", F.pmod(F.xxhash64("event_id"), F.lit(16))
+    )
+    partial = salted.groupBy("event_type", "salt").agg(
+        F.count("*").alias("pn"),
+        F.sum(F.col("value").cast("decimal(18,4)")).alias("pv"),
+    )
+    return (
+        partial.groupBy("event_type")
+        .agg(
+            F.sum("pn").alias("n"),
+            F.sum("pv").cast("double").alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "ext_partition_pruning",
+    survey_id="EXT-PRUNE",
+    category="scale-pattern",
+    oracle="""
+SELECT event_id, event_type, value FROM events
+WHERE event_type = 'click' ORDER BY event_id
+""",
+)
+def ext_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned layout + partition-pruned scan: events
+    written partitioned by event_type; the filter prunes to one
+    directory before any IO (PartitionFilters asserted in
+    tests/test_plans.py). At 100 TB this is the difference between
+    reading 20 TB and 100 TB."""
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    d = os.path.join(tempfile.gettempdir(), f"nibbler-part-{tag}-events")
+    marker = os.path.join(d, "_SUCCESS")
+    if not os.path.exists(marker):
+        load_table(spark, sf_dir, "events").write.mode(
+            "overwrite"
+        ).partitionBy("event_type").parquet(d)
+    return (
+        spark.read.parquet(d)
+        .where(F.col("event_type") == "click")
+        .select("event_id", "event_type", "value")
+        .orderBy("event_id")
+    )

@@ -97,7 +97,7 @@ def j03_grouped_agg_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_id, user_id,
        ROUND((value - AVG(value) OVER (PARTITION BY user_id))
-             / STDDEV_SAMP(value) OVER (PARTITION BY user_id), 4) AS zscore
+             / STDDEV_SAMP(value) OVER (PARTITION BY user_id), 4) + 0 AS zscore
 FROM events ORDER BY event_id
 """,
 )
@@ -108,7 +108,9 @@ def j04_apply_in_pandas_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
         v = pdf["value"]
-        pdf = pdf.assign(zscore=((v - v.mean()) / v.std(ddof=1)).round(4))
+        # +0.0 normalizes -0.0 (engines disagree on the sign of a
+        # rounded near-zero zscore)
+        pdf = pdf.assign(zscore=((v - v.mean()) / v.std(ddof=1)).round(4) + 0.0)
         return pdf[["event_id", "user_id", "zscore"]]
 
     return (

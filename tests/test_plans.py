@@ -79,3 +79,41 @@ def test_q1_whole_stage_codegen(spark, sf_dir):
         )
     )
     assert "WholeStageCodegen" in code_plan
+
+
+def test_bucketed_join_no_fact_shuffle(spark, sf_dir):
+    """Both sides bucketed by the join key: the SMJ reads buckets
+    directly — no hashpartitioning exchange before the join (the only
+    exchange is the post-aggregation one)."""
+    from nibbler_spark.queries.scale_patterns import bucketed_tables
+
+    t_orders, t_lineitem = bucketed_tables(spark, sf_dir)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        o = spark.table(t_orders)
+        li = spark.table(t_lineitem)
+        joined = li.join(o, li.l_orderkey == o.o_orderkey).select(
+            "l_extendedprice", "o_orderpriority"
+        )
+        plan = joined._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "SortMergeJoin" in plan
+        assert "hashpartitioning" not in plan  # bucket co-location holds
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_partition_pruning_reaches_scan(spark, sf_dir):
+    from nibbler_spark.queries import load_all
+
+    df = load_all()["ext_partition_pruning"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "event_type" in pf[0]
