@@ -55,13 +55,20 @@ def ext_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     directly — zero exchanges on either fact side (asserted in
     tests/test_plans.py). The batch-layout analogue of co-partitioned
     stream state."""
-    t_orders, t_lineitem = bucketed_tables(spark, sf_dir)
+    try:
+        t_orders, t_lineitem = bucketed_tables(spark, sf_dir)
+        o = spark.table(t_orders)
+        li = spark.table(t_lineitem)
+    except Exception:
+        # Catalog/warehouse unavailable in the host session (e.g. a
+        # read-only cwd): fall back to plain tables — results identical,
+        # only the physical layout demo is lost.
+        o = load_table(spark, sf_dir, "orders")
+        li = load_table(spark, sf_dir, "lineitem")
     # Disable auto-broadcast so the plan demonstrates the bucketed SMJ
     # path (at 100 TB neither side would broadcast anyway).
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        o = spark.table(t_orders)
-        li = spark.table(t_lineitem)
         return (
             li.join(o, li.l_orderkey == o.o_orderkey)
             .groupBy("o_orderpriority")

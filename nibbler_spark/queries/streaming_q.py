@@ -577,3 +577,86 @@ def i13_checkpoint_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).parquet(os.path.join(src_dir, "half2"))
     run_pass()
     return spark.read.parquet(out_dir).orderBy("event_id")
+
+
+@register(
+    "a05_file_stream_source",
+    survey_id="A5",
+    category="streaming",
+    mode="parity",
+    oracle="""
+SELECT event_id, event_type, value FROM events
+WHERE event_type = 'purchase' ORDER BY event_id
+""",
+)
+def a05_file_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema'd streaming file source with a stateless transformation in
+    append mode — the drained output equals the batch filter."""
+    src = _read_stream(spark, _events_dir(spark, sf_dir))
+    sel = src.where(F.col("event_type") == "purchase").select(
+        "event_id", "event_type", "value"
+    )
+    out = _drain_to_memory(sel, "append")
+    return out.orderBy("event_id")
+
+
+@register(
+    "a08_foreachbatch_sink",
+    survey_id="A8",
+    category="streaming",
+    mode="parity",
+    oracle="""
+SELECT user_id, COUNT(*) AS n FROM events
+WHERE value > 150 GROUP BY user_id ORDER BY user_id
+""",
+)
+def a08_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch sink (the Processor seam, R4/A8): per-epoch rows are
+    collected by the callback; their union equals the batch query.
+    Per-batch collection is bounded — each epoch carries only the rows of
+    that trigger's files."""
+    src = _read_stream(spark, _events_dir(spark, sf_dir))
+    sel = src.where(F.col("value") > 150).select("user_id")
+    collected: list = []
+
+    def sink(df: DataFrame, epoch_id: int) -> None:
+        collected.extend((r["user_id"],) for r in df.collect())
+
+    q = (
+        sel.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="nibbler-fb-"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.createDataFrame(collected, "user_id long")
+    return (
+        rows.groupBy("user_id").agg(F.count("*").alias("n")).orderBy("user_id")
+    )
+
+
+@register(
+    "k13_stream_enrich",
+    survey_id="K13",
+    category="streaming",
+    mode="parity",
+    oracle="""
+SELECT e.event_id, e.user_id, em.label AS profile_label
+FROM events e JOIN embeddings em ON e.user_id = em.vec_id
+ORDER BY e.event_id
+""",
+)
+def k13_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming enrichment against a static similarity-index side
+    (K13): events joined to the (broadcast) embedding profile table —
+    the stream-side pattern for attaching nearest-cluster labels at
+    ingest time."""
+    src = _read_stream(spark, _events_dir(spark, sf_dir))
+    em = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("label").alias("profile_label")
+    )
+    joined = src.join(
+        F.broadcast(em), src.user_id == em.vec_id, "inner"
+    ).select("event_id", "user_id", "profile_label")
+    out = _drain_to_memory(joined, "append")
+    return out.orderBy("event_id")
