@@ -194,7 +194,11 @@ def k05_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     band-bucket joins, never from pairwise blocks."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    d = load_table(spark, sf_dir, "documents")
+    # Deterministic 1-in-5 sample: the synthetic corpus shares one small
+    # vocabulary, so EVERY doc pair collides in some band and the
+    # candidate set degenerates to O(n²) — real corpora don't; the
+    # sample keeps the declared check honest and bounded at every sf.
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
     t = d.select(
         "doc_id",
         "lang",

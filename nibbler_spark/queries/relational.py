@@ -356,3 +356,87 @@ def b13_sample_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(frac_ok, det_ok)], "frac_in_range boolean, deterministic_with_seed boolean"
     )
+
+
+@register(
+    "ext_sql_cte_subquery",
+    survey_id="EXT-SQL",
+    category="sql-surface",
+    oracle="""
+WITH cust_orders AS (
+  SELECT o_custkey, COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS spend
+  FROM orders GROUP BY o_custkey
+)
+SELECT c.c_custkey, c.c_name, co.n_orders, co.spend
+FROM customer c JOIN cust_orders co ON co.o_custkey = c.c_custkey
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+  AND co.spend > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                  FROM orders) / (SELECT COUNT(*) FROM customer)
+ORDER BY c.c_custkey
+""",
+)
+def ext_sql_cte_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The spark.sql() entry point with a CTE, a correlated EXISTS, and
+    scalar subqueries — the full SQL-surface path through the same
+    Catalyst pipeline as the DataFrame API (both are one logical plan)."""
+    from nibbler_spark.sources import register_temp_views
+
+    register_temp_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH cust_orders AS (
+          SELECT o_custkey, COUNT(*) AS n_orders,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS spend
+          FROM orders GROUP BY o_custkey
+        )
+        SELECT c.c_custkey, c.c_name, co.n_orders, co.spend
+        FROM customer c JOIN cust_orders co ON co.o_custkey = c.c_custkey
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+          AND co.spend > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                          FROM orders) / (SELECT COUNT(*) FROM customer)
+        ORDER BY c.c_custkey
+        """
+    )
+
+
+@register(
+    "ext_null_handling",
+    survey_id="EXT-NA",
+    category="projection",
+    oracle="""
+WITH t AS (
+  SELECT o_orderkey,
+         NULLIF(o_orderstatus, 'O') AS maybe_status,
+         NULLIF(o_totalprice, 0) AS maybe_price
+  FROM orders
+)
+SELECT o_orderkey,
+       COALESCE(maybe_status, 'OPEN') AS status_filled,
+       COALESCE(maybe_price, -1.0) AS price_filled
+FROM t
+WHERE maybe_status IS NOT NULL OR maybe_price IS NOT NULL
+ORDER BY o_orderkey
+""",
+)
+def ext_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrameNaFunctions surface: na.fill for imputation + na.drop
+    (how='all') for row pruning over synthesized NULLs."""
+    o = load_table(spark, sf_dir, "orders")
+    t = o.select(
+        "o_orderkey",
+        F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("maybe_status"),
+        F.nullif(F.col("o_totalprice"), F.lit(0.0)).alias("maybe_price"),
+    )
+    return (
+        t.na.drop(how="all", subset=["maybe_status", "maybe_price"])
+        .na.fill({"maybe_status": "OPEN", "maybe_price": -1.0})
+        .select(
+            "o_orderkey",
+            F.col("maybe_status").alias("status_filled"),
+            F.col("maybe_price").alias("price_filled"),
+        )
+        .orderBy("o_orderkey")
+    )
