@@ -26,14 +26,26 @@ def bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_") or "sf"
     t_orders = f"nb_orders_b8_{tag}"
     t_lineitem = f"nb_lineitem_b8_{tag}"
-    if not spark.catalog.tableExists(t_orders):
-        load_table(spark, sf_dir, "orders").write.bucketBy(
-            8, "o_orderkey"
-        ).sortBy("o_orderkey").mode("overwrite").saveAsTable(t_orders)
-    if not spark.catalog.tableExists(t_lineitem):
-        load_table(spark, sf_dir, "lineitem").write.bucketBy(
-            8, "l_orderkey"
-        ).sortBy("l_orderkey").mode("overwrite").saveAsTable(t_lineitem)
+
+    def ensure(table: str, src: str, key: str) -> None:
+        if spark.catalog.tableExists(table):
+            return
+        # A previous session's managed-table directory may linger on disk
+        # while this session's in-memory catalog has no such table —
+        # clear the orphan location first.
+        import shutil
+        from urllib.parse import urlparse
+
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        leftover = os.path.join(wh, table.lower())
+        if os.path.exists(leftover):
+            shutil.rmtree(leftover, ignore_errors=True)
+        load_table(spark, sf_dir, src).write.bucketBy(8, key).sortBy(
+            key
+        ).mode("overwrite").saveAsTable(table)
+
+    ensure(t_orders, "orders", "o_orderkey")
+    ensure(t_lineitem, "lineitem", "l_orderkey")
     return t_orders, t_lineitem
 
 
