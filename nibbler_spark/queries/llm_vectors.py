@@ -318,3 +318,79 @@ def ext_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("cos_sim") >= 0.3)
         .orderBy("vec_a", "vec_b")
     )
+
+
+@register(
+    "ext_ivf_ann",
+    survey_id="EXT-IVF",
+    category="llm-vector",
+    oracle=f"""
+WITH ex AS (
+  SELECT label, i AS pos,
+         CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1e10) AS BIGINT) AS v
+  FROM embeddings, generate_series(1, 64) AS g(i)
+),
+centroids AS (
+  SELECT label, LIST(c ORDER BY pos) AS centroid FROM (
+    SELECT label, pos, (CAST(SUM(v) AS DOUBLE) / 1e10) / COUNT(v) AS c
+    FROM ex GROUP BY label, pos
+  ) GROUP BY label
+),
+qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+coarse AS (
+  SELECT label, {sql_cosine('centroid', 'q')} AS csim
+  FROM centroids, qv
+  ORDER BY csim DESC, label LIMIT 2
+)
+SELECT e.vec_id, e.label, {sql_cosine('e.embedding', 'qv.q')} AS cos_sim
+FROM embeddings e, qv
+WHERE e.label IN (SELECT label FROM coarse) AND e.vec_id <> 0
+ORDER BY cos_sim DESC, e.vec_id LIMIT 10
+""",
+)
+def ext_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: labels act as the coarse quantizer's cells (an
+    externally-trained IVF list assignment); the query probes only the
+    nprobe=2 nearest cells by centroid cosine, then brute-forces inside
+    them. At 100 TB the probed cells are partition-pruned before IO.
+    Exact floor-grid arithmetic end-to-end makes even the ANN result
+    hash-checkable — the oracle replicates the same quantize→probe→
+    search pipeline in SQL."""
+    e = load_table(spark, sf_dir, "embeddings")
+    # centroids per label (the coarse codebook) — exact grid means
+    ex = e.select(
+        "label", F.posexplode("embedding").alias("pos", "val")
+    ).select(
+        "label", "pos",
+        F.floor(F.col("val").cast("double") * F.lit(1e10)).alias("v"),
+    )
+    cent = (
+        ex.groupBy("label", "pos")
+        .agg(((F.sum("v").cast("double") / F.lit(1e10)) / F.count("v")).alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s["c"],
+            ).alias("centroid")
+        )
+    )
+    qv = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    coarse = (
+        cent.crossJoin(F.broadcast(qv))
+        .select("label", cosine(F.col("centroid"), F.col("q")).alias("csim"))
+        .orderBy(F.col("csim").desc(), F.col("label"))
+        .limit(2)
+        .select("label")
+    )
+    return (
+        e.join(F.broadcast(coarse), "label")
+        .where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id", "label",
+            cosine(F.col("embedding"), F.col("q")).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(10)
+    )

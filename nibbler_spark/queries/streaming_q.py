@@ -660,3 +660,90 @@ def k13_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "profile_label")
     out = _drain_to_memory(joined, "append")
     return out.orderBy("event_id")
+
+
+@register(
+    "ext_incremental_rollup",
+    survey_id="EXT-ROLLUP",
+    category="streaming",
+    mode="parity",
+    oracle="""
+SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d-%H') AS hour_key,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events GROUP BY 1 ORDER BY 1
+""",
+)
+def ext_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: foreachBatch maintains an
+    hour-partitioned rollup store, merging each micro-batch's partial
+    aggregates into only the affected partitions (dynamic partition
+    overwrite). After draining a multi-batch stream the store equals the
+    batch rollup. At 100 TB this is the materialized-view pattern: per
+    epoch the merge touches O(hours-in-batch) partitions, never the
+    whole store. Integer-cents sums keep the merge exact."""
+    base = tempfile.mkdtemp(prefix="nibbler-rollup-")
+    src_dir = os.path.join(base, "src")
+    store = os.path.join(base, "store")
+    os.makedirs(src_dir, exist_ok=True)
+    # Multi-file source so the rollup really merges across epochs.
+    e = load_table(spark, sf_dir, "events")
+    for i in range(4):
+        e.where(F.col("event_id") % 4 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(src_dir, f"slice-{i}"))
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    rollup_schema = "hour_key string, n long, value_cents long"
+
+    def upsert(batch_df: DataFrame, epoch_id: int) -> None:
+        part = (
+            batch_df.groupBy(
+                F.date_format(
+                    F.date_trunc("hour", "ts"), "yyyy-MM-dd-HH"
+                ).alias("hour_key")
+            )
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias(
+                    "value_cents"
+                ),
+            )
+        )
+        sess = batch_df.sparkSession
+        try:
+            existing = sess.read.parquet(store).select(
+                "hour_key", "n", "value_cents"
+            )
+        except Exception:
+            existing = sess.createDataFrame([], rollup_schema)
+        hours = [r["hour_key"] for r in part.select("hour_key").collect()]
+        merged = (
+            existing.where(F.col("hour_key").isin(hours))
+            .unionByName(part)
+            .groupBy("hour_key")
+            .agg(
+                F.sum("n").alias("n"),
+                F.sum("value_cents").alias("value_cents"),
+            )
+        )
+        # Overwrite ONLY the affected hour partitions (hour_key becomes
+        # the partition directory; its values return on read via
+        # partition discovery).
+        merged.write.mode("overwrite").partitionBy("hour_key").parquet(store)
+
+    q = (
+        spark.readStream.schema(_EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir + "/*/")
+        .writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(store)
+        .select("hour_key", "n", "value_cents")
+        .orderBy("hour_key")
+    )
