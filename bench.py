@@ -33,6 +33,9 @@ HEADLINE = [
     "e01_row_number_topk",  # BENCH-B3 (window rank per group)
     "k06_cosine_topk",  # BENCH-B4
     "i01_tumbling_window_parity",  # BENCH-S2 (streaming drain end-to-end)
+    "tq05_regional_revenue",  # BENCH-B5 (6-table join, broadcast dims)
+    "tq06_revenue_forecast",  # BENCH-B6 (scan-bound, full pushdown)
+    "tq18_large_orders",  # BENCH-B7 (agg-then-join)
 ]
 
 

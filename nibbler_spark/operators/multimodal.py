@@ -78,6 +78,84 @@ def decode_batches(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     return df.mapInPandas(run, DECODED_SCHEMA)
 
 
+RESIZED_SCHEMA = "doc_id long, width int, height int, out_w int, out_h int"
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_md5 string"
+FEATURE_SCHEMA = "doc_id long, features array<float>"
+
+_BOX = 64  # resize target box (longest edge)
+
+
+def resize_batches(decoded: DataFrame) -> DataFrame:
+    """mapInPandas 'resize': aspect-preserving fit into a 64×64 box,
+    integer arithmetic only (deterministic, oracle-recomputable). A real
+    implementation would call the codec's resampler on the pixel buffer;
+    the geometry math — the part Spark sees — is identical."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            w = pdf["width"].astype("int64")
+            h = pdf["height"].astype("int64")
+            m = w.combine(h, max).clip(lower=1)
+            scale_needed = m > _BOX
+            out_w = w.where(~scale_needed, (w * _BOX) // m)
+            out_h = h.where(~scale_needed, (h * _BOX) // m)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": w.astype("int32"),
+                    "height": h.astype("int32"),
+                    "out_w": out_w.astype("int32"),
+                    "out_h": out_h.astype("int32"),
+                }
+            )
+
+    return decoded.mapInPandas(run, RESIZED_SCHEMA)
+
+
+def frame_sample_batches(df: DataFrame, stride: int = 4) -> DataFrame:
+    """mapInPandas frame sampler: treats the payload as a 16-'frame'
+    container and emits every ``stride``-th frame with a deterministic
+    per-frame fingerprint (md5 of payload-hex + ':' + index). One input
+    row fans out to several output rows — the Arrow path supports
+    1→N row expansion without an explode stage."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, digests = [], [], []
+            for doc_id, payload in zip(
+                pdf["doc_id"], pdf["payload"], strict=True
+            ):
+                hx = bytes(payload).hex()
+                for i in range(0, len(payload), stride):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    digests.append(
+                        hashlib.md5(f"{hx}:{i}".encode()).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_md5": digests}
+            )
+
+    return df.mapInPandas(run, FRAME_SCHEMA)
+
+
+def feature_extract_batches(df: DataFrame, n: int = 8) -> DataFrame:
+    """mapInPandas feature extraction: first ``n`` payload bytes scaled to
+    [0,1] as a float vector — the stand-in for a real CNN/CLAP embedding
+    head. Output is ArrayType(Float), joinable against the embeddings
+    table's similarity operators (K6/K7)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                [round(b / 255.0, 4) for b in bytes(p)[:n]]
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
+
+    return df.mapInPandas(run, FEATURE_SCHEMA)
+
+
 def attach_synthetic_payload(docs: DataFrame) -> DataFrame:
     """Derive a deterministic binary payload + metadata struct from the
     documents table (the container has no real media files): payload =

@@ -49,6 +49,7 @@ REGISTRY: dict[str, QuerySpec] = {}
 # Submodules that register queries on import.
 _QUERY_MODULES = [
     "nibbler_spark.queries.relational",
+    "nibbler_spark.queries.tpch_suite",
     "nibbler_spark.queries.aggregates",
     "nibbler_spark.queries.joins",
     "nibbler_spark.queries.windows",
@@ -96,8 +97,11 @@ def register(
     def deco(fn: QueryFn) -> QueryFn:
         @functools.wraps(fn)
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            from nibbler_spark.session import ship_package
+
             spark.conf.set("spark.sql.session.timeZone", "UTC")
             spark.conf.set("spark.sql.adaptive.enabled", "true")
+            ship_package(spark)  # workers must import our Python operators
             return fn(spark, sf_dir)
 
         if name in REGISTRY:

@@ -1,0 +1,245 @@
+"""Composite TPC-H-style analytical queries (EXT — SURVEY §2.3 scale rule).
+
+The reference (`/root/reference/nibbler.go`) has no relational surface at
+all; these rows exist per the driver mandate to design every operator for
+100 TB. Each query composes several declared operators (scan pushdown,
+multi-way join, partial aggregation, top-k) the way a real workload does,
+so the bench exercises join *ordering* and broadcast *selection*, not just
+single operators.
+
+Scale notes (100 TB):
+- Dimension chains (region→nation) are broadcast explicitly; customer /
+  orders / lineitem join on their keys via shuffle hash/SMJ chosen by AQE.
+- Every aggregate uses the exact-decimal discipline from ``_helpers`` so
+  the DuckDB hash oracle is bit-identical (no float-order nondeterminism).
+- Top-k endings compile to TakeOrderedAndProject — no global sort at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nibbler_spark.queries import register
+from nibbler_spark.queries._helpers import dec, dsum, sql_dsum
+from nibbler_spark.sources import load_table
+
+# Exact-decimal revenue term used by every pricing query below.
+_SQL_REVENUE = sql_dsum(
+    "CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))"
+)
+
+
+def _revenue() -> F.Column:
+    return F.sum(
+        dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    ).cast("double")
+
+
+@register(
+    "tq03_shipping_priority",
+    survey_id="EXT-TPCH",
+    category="composite",
+    oracle=f"""
+SELECT l_orderkey, {_SQL_REVENUE} AS revenue, o_orderdate, o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1999-01-01'
+  AND l_shipdate > TIMESTAMP '1999-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+)
+def tq03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 analogue: segment filter → 3-way join → grouped revenue →
+    top-10. Filters reach both scans; the customer side shrinks before the
+    join so AQE can broadcast it at moderate SFs."""
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1999-01-01").cast("timestamp")
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_revenue().alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "tq05_regional_revenue",
+    survey_id="EXT-TPCH",
+    category="composite",
+    oracle=f"""
+SELECT n_name, {_SQL_REVENUE} AS revenue
+FROM region
+JOIN nation ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+""",
+)
+def tq05_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 analogue: 6-table join with a broadcast dimension chain
+    (region→nation are tiny at every SF) and the local-supplier predicate
+    s_nationkey = c_nationkey applied as a join condition, not a
+    post-filter."""
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    dims = F.broadcast(
+        nation.join(region, nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        cust.join(dims, cust.c_nationkey == dims.n_nationkey)
+        .join(orders, orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (supp.s_nationkey == cust.c_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(_revenue().alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+@register(
+    "tq06_revenue_forecast",
+    survey_id="EXT-TPCH",
+    category="composite",
+    oracle=f"""
+SELECT {sql_dsum(
+    "CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))"
+)} AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def tq06_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 analogue: pure scan-side query — every predicate pushes to
+    the parquet reader, the global agg is one partial+final pair with a
+    single-row shuffle. The 100 TB plan is scan-bound, as it should be."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.03, 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.sum(dec("l_extendedprice") * dec("l_discount"))
+        .cast("double")
+        .alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+@register(
+    "tq10_returned_items",
+    survey_id="EXT-TPCH",
+    category="composite",
+    oracle=f"""
+SELECT c_custkey, c_name, {_SQL_REVENUE} AS revenue, c_acctbal, n_name
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1997-07-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+)
+def tq10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 analogue: returned-item revenue per customer. nation is
+    broadcast; the orders date filter halves the fact side before the
+    join; top-20 ending avoids a global sort."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag") == "R"
+    )
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(orders, orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(_revenue().alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "tq18_large_orders",
+    survey_id="EXT-TPCH",
+    category="composite",
+    oracle=f"""
+WITH big AS (
+  SELECT l_orderkey, {sql_dsum('l_quantity')} AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING {sql_dsum('l_quantity')} > 180
+)
+SELECT c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+FROM big
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+""",
+)
+def tq18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 analogue: aggregate-then-join. The HAVING shrinks the
+    fact side to the handful of large orders *before* joining orders and
+    customer — at 100 TB this ordering (agg → semi-sized join) is the
+    difference between a broadcastable probe and a fact×fact shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity").alias("sum_qty"))
+        .where(F.col("sum_qty") > 180)
+    )
+    return (
+        big.join(orders, orders.o_orderkey == big.l_orderkey)
+        .join(cust, cust.c_custkey == orders.o_custkey)
+        .select("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )

@@ -23,7 +23,37 @@ def apply_session_conf(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    ship_package(spark)
     return spark
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Ship ``nibbler_spark`` to executors via ``addPyFile``.
+
+    Python-side operators (mapInPandas/pandas UDF closures) reference
+    module-level helpers, so every Python *worker* must be able to import
+    the package. On a real cluster that means shipping the code with the
+    job; in local mode it covers a driver process whose cwd is outside
+    the repo (the external harness). Zipped once per SparkContext.
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_nibbler_pkg_shipped", False):
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    root = os.path.dirname(pkg_dir)
+    fd, zpath = tempfile.mkstemp(suffix=".zip", prefix="nibbler_spark_pkg_")
+    os.close(fd)
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for dirpath, _, files in os.walk(pkg_dir):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(dirpath, f)
+                    zf.write(full, os.path.relpath(full, root))
+    sc.addPyFile(zpath)
+    sc._nibbler_pkg_shipped = True
 
 
 def get_spark(

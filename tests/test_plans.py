@@ -106,6 +106,35 @@ def test_bucketed_join_no_fact_shuffle(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
 
 
+def test_tq06_all_predicates_pushed(spark, sf_dir):
+    """The scan-bound Q6 analogue: every predicate reaches the parquet
+    reader and only the 3 referenced columns are read."""
+    plan = _plan(spark, sf_dir, "tq06_revenue_forecast")
+    pushed = next(l for l in plan.splitlines() if "PushedFilters" in l)
+    for frag in ("l_shipdate", "l_discount", "l_quantity"):
+        assert frag in pushed
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_extendedprice" in read and "l_orderkey" not in read
+
+
+def test_tq05_dimension_chain_broadcast(spark, sf_dir):
+    """region→nation and supplier broadcast; no cartesian anywhere in the
+    6-table join."""
+    plan = _plan(spark, sf_dir, "tq05_regional_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tq18_aggregates_before_join(spark, sf_dir):
+    """Agg-then-join shape: the lineitem aggregate (partial+final pair)
+    feeds the joins, the plan ends in TakeOrderedAndProject, and nothing
+    degrades to a cartesian."""
+    plan = _plan(spark, sf_dir, "tq18_large_orders")
+    assert plan.count("HashAggregate") >= 2  # partial + final on l_orderkey
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_partition_pruning_reaches_scan(spark, sf_dir):
     from nibbler_spark.queries import load_all
 
