@@ -50,6 +50,7 @@ REGISTRY: dict[str, QuerySpec] = {}
 _QUERY_MODULES = [
     "nibbler_spark.queries.relational",
     "nibbler_spark.queries.tpch_suite",
+    "nibbler_spark.queries.sql_surface",
     "nibbler_spark.queries.aggregates",
     "nibbler_spark.queries.joins",
     "nibbler_spark.queries.windows",
