@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nibbler_spark.queries import register
+from nibbler_spark.queries._helpers import davg
 from nibbler_spark.sources import load_table
 
 
@@ -284,3 +285,69 @@ def ext_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         fp.alias("fingerprint"),
         F.md5(F.array_join(fp, "")).alias("fingerprint_key"),
     ).orderBy("doc_id")
+
+
+@register(
+    "ext_curation_pipeline",
+    survey_id="EXT-CURATE",
+    category="llm-text",
+    oracle="""
+WITH norm AS (
+  SELECT doc_id, lang, n_chars,
+         lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm_text
+  FROM documents
+),
+quality AS (
+  SELECT *, len(string_split(norm_text, ' ')) AS n_tokens
+  FROM norm
+  WHERE n_chars >= 100 AND len(string_split(norm_text, ' ')) BETWEEN 15 AND 90
+),
+dedup AS (
+  SELECT md5(norm_text) AS content_key,
+         ARG_MIN(doc_id, doc_id) AS doc_id,
+         ARG_MIN(lang, doc_id) AS lang,
+         ARG_MIN(n_tokens, doc_id) AS n_tokens,
+         ARG_MIN(n_chars, doc_id) AS n_chars
+  FROM quality GROUP BY md5(norm_text)
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(CAST(n_chars AS DECIMAL(18,4))) AS DOUBLE) / COUNT(n_chars)
+         AS avg_chars
+FROM dedup GROUP BY lang ORDER BY lang
+""",
+)
+def ext_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation chain — normalize → quality
+    filter (length + token-count band) → exact dedup (keep lowest
+    doc_id) → per-language corpus stats. One declared query composing
+    K2/K10/K1/D1 the way a production pipeline chains them; every stage
+    stays in whole-stage codegen (no UDFs), and the only shuffles are
+    the dedup groupBy and the final tiny per-lang aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    staged = d.select("doc_id", "lang", "n_chars", norm.alias("norm_text"))
+    quality = staged.select(
+        "*", F.size(F.split("norm_text", " ")).alias("n_tokens")
+    ).where(
+        (F.col("n_chars") >= 100) & F.col("n_tokens").between(15, 90)
+    )
+    dedup = (
+        quality.groupBy(F.md5("norm_text").alias("content_key"))
+        .agg(
+            F.min_by("doc_id", "doc_id").alias("doc_id"),
+            F.min_by("lang", "doc_id").alias("lang"),
+            F.min_by("n_tokens", "doc_id").alias("n_tokens"),
+            F.min_by("n_chars", "doc_id").alias("n_chars"),
+        )
+    )
+    return (
+        dedup.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            davg("n_chars").alias("avg_chars"),
+        )
+        .orderBy("lang")
+    )

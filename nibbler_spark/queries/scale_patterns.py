@@ -157,3 +157,41 @@ def ext_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "event_type", "value")
         .orderBy("event_id")
     )
+
+
+@register(
+    "ext_sorted_layout_skipping",
+    survey_id="EXT-LAYOUT",
+    category="scale-pattern",
+    oracle="""
+SELECT event_id, ts, user_id, value FROM events
+WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-11'
+ORDER BY event_id
+""",
+)
+def ext_sorted_layout_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-clustered data layout: repartitionByRange(ts) +
+    sortWithinPartitions(ts) before the write gives every file/row-group
+    a narrow ts min-max band, so a time-window read skips all but the
+    overlapping files via parquet statistics. The 100 TB equivalent of an
+    index — pure layout, no auxiliary structure. The rewritten copy is
+    value-identical to the source (oracle reads the original)."""
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    d = os.path.join(tempfile.gettempdir(), f"nibbler-sorted-{tag}-events")
+    marker = os.path.join(d, "_SUCCESS")
+    if not os.path.exists(marker):
+        (
+            load_table(spark, sf_dir, "events")
+            .repartitionByRange(8, "ts")
+            .sortWithinPartitions("ts")
+            .write.mode("overwrite")
+            .parquet(d)
+        )
+    lo = F.lit("2024-01-10").cast("timestamp")
+    hi = F.lit("2024-01-11").cast("timestamp")
+    return (
+        spark.read.parquet(d)
+        .where((F.col("ts") >= lo) & (F.col("ts") < hi))
+        .select("event_id", "ts", "user_id", "value")
+        .orderBy("event_id")
+    )

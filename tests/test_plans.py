@@ -135,6 +135,15 @@ def test_tq18_aggregates_before_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_sorted_layout_filter_reaches_scan(spark, sf_dir):
+    """The range-clustered rewrite must expose the ts band to the parquet
+    reader (PushedFilters), which is what activates row-group min-max
+    skipping over the sorted files."""
+    plan = _plan(spark, sf_dir, "ext_sorted_layout_skipping")
+    pushed = next(l for l in plan.splitlines() if "PushedFilters" in l)
+    assert "GreaterThanOrEqual(ts" in pushed and "LessThan(ts" in pushed
+
+
 def test_partition_pruning_reaches_scan(spark, sf_dir):
     from nibbler_spark.queries import load_all
 
