@@ -747,3 +747,77 @@ def ext_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("hour_key", "n", "value_cents")
         .orderBy("hour_key")
     )
+
+
+_DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def _documents_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize documents as a multi-file drop dir (cached per sf)."""
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    d = os.path.join(tempfile.gettempdir(), f"nibbler-docstream-{tag}")
+    marker = os.path.join(d, "_READY")
+    if not os.path.exists(marker):
+        load_table(spark, sf_dir, "documents").repartition(4).write.mode(
+            "append"
+        ).parquet(d)
+        open(marker, "w").close()
+    return d
+
+
+@register(
+    "k15_streaming_curation",
+    survey_id="EXT-CURATE-S",
+    category="streaming",
+    mode="parity",
+    oracle="""
+WITH norm AS (
+  SELECT doc_id, lang, n_chars,
+         lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm_text
+  FROM documents
+),
+quality AS (
+  SELECT *, len(string_split(norm_text, ' ')) AS n_tokens
+  FROM norm
+  WHERE n_chars >= 100 AND len(string_split(norm_text, ' ')) BETWEEN 15 AND 90
+),
+dedup AS (
+  SELECT md5(norm_text) AS content_key,
+         ARG_MIN(doc_id, doc_id) AS keeper_doc_id,
+         ARG_MIN(lang, doc_id) AS lang,
+         COUNT(*) AS n_members
+  FROM quality GROUP BY md5(norm_text)
+)
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_members) AS BIGINT) AS n_raw_docs
+FROM dedup GROUP BY lang ORDER BY lang
+""",
+)
+def k15_streaming_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline at ingest time: a documents stream is
+    normalized, quality-filtered, and exact-deduped by a keyed streaming
+    aggregate (min_by keeps the lowest doc_id, matching the batch
+    ARG_MIN), then rolled up per language after the drain. Complete mode
+    is the test harness; at scale the same keyed state runs in update
+    mode behind a foreachBatch upsert, partitioned by content_key."""
+    src = spark.readStream.schema(_DOC_SCHEMA).parquet(
+        _documents_dir(spark, sf_dir)
+    )
+    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    staged = src.select("doc_id", "lang", "n_chars", norm.alias("norm_text"))
+    quality = staged.select(
+        "*", F.size(F.split("norm_text", " ")).alias("n_tokens")
+    ).where((F.col("n_chars") >= 100) & F.col("n_tokens").between(15, 90))
+    dedup = quality.groupBy(F.md5("norm_text").alias("content_key")).agg(
+        F.min_by("doc_id", "doc_id").alias("keeper_doc_id"),
+        F.min_by("lang", "doc_id").alias("lang"),
+        F.count("*").alias("n_members"),
+    )
+    out = _drain_to_memory(dedup, "complete")
+    return (
+        out.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_members").cast("bigint").alias("n_raw_docs"),
+        )
+        .orderBy("lang")
+    )

@@ -76,3 +76,28 @@ def test_aqe_coalesces_small_shuffle_partitions(spark, sf_dir):
         assert "AQEShuffleRead" in plan and "coalesced" in plan, plan[:2000]
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_aqe_flips_smj_to_broadcast_at_runtime(spark, sf_dir):
+    """Static stats see the whole orders file (SMJ planned); the
+    non-pushable filter leaves a tiny runtime side, and AQE re-plans the
+    exchange into a broadcast. At 100 TB this is what saves a full fact
+    shuffle when a predicate turns out selective."""
+    old_static = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1KB")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "1MB")
+    try:
+        orders = load_table(spark, sf_dir, "orders").where(
+            F.md5("o_orderstatus") == F.md5(F.lit("P"))
+        )
+        cust = load_table(spark, sf_dir, "customer")
+        j = cust.join(orders, cust.c_custkey == orders.o_custkey).select(
+            "c_custkey", "o_orderkey"
+        )
+        plan = _final_plan(j)
+        final, _, initial = plan.partition("== Initial Plan ==")
+        assert "BroadcastHashJoin" in final, final[:1500]
+        assert "SortMergeJoin" in initial, initial[:1500]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_static)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
