@@ -440,3 +440,92 @@ def ext_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "ext_stratified_sample",
+    survey_id="EXT-STRAT",
+    category="projection",
+    mode="bounded",
+    oracle="SELECT true AS fractions_ok, true AS deterministic_with_seed",
+)
+def ext_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling (sampleBy): per-stratum fractions over
+    o_orderstatus with a fixed seed. Engine RNGs differ, so the declared
+    check is the bound (each stratum within ±50% relative of its target
+    fraction; exact repeat with the same seed) — the same discipline as
+    B13. At scale sampleBy is a map-only pass, no shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    fractions = {"O": 0.2, "F": 0.1, "P": 0.5}
+    s1 = o.sampleBy("o_orderstatus", fractions, seed=42)
+    s2 = o.sampleBy("o_orderstatus", fractions, seed=42)
+    totals = {r["o_orderstatus"]: r["n"] for r in
+              o.groupBy("o_orderstatus").agg(F.count("*").alias("n")).collect()}
+    got = {r["o_orderstatus"]: r["n"] for r in
+           s1.groupBy("o_orderstatus").agg(F.count("*").alias("n")).collect()}
+    ok = all(
+        0.5 * fractions[k] * totals[k] <= got.get(k, 0) <= 1.5 * fractions[k] * totals[k]
+        for k in fractions
+    )
+    det = s1.exceptAll(s2).count() == 0 and s2.exceptAll(s1).count() == 0
+    return spark.createDataFrame(
+        [(bool(ok), bool(det))],
+        "fractions_ok boolean, deterministic_with_seed boolean",
+    )
+
+
+@register(
+    "ext_crosstab",
+    survey_id="EXT-XTAB",
+    category="aggregation",
+    oracle="""
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+       CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+)
+def ext_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contingency table via DataFrameStatFunctions.crosstab — the
+    two-column frequency matrix (a pivot specialization)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ct = li.stat.crosstab("l_returnflag", "l_linestatus")
+    return ct.select(
+        F.col("l_returnflag_l_linestatus").alias("l_returnflag"),
+        F.col("F").cast("bigint").alias("F"),
+        F.col("O").cast("bigint").alias("O"),
+    ).orderBy("l_returnflag")
+
+
+@register(
+    "ext_monotonic_id",
+    survey_id="EXT-MONOID",
+    category="projection",
+    mode="bounded",
+    oracle="SELECT true AS ids_unique, true AS order_preserved_within_partition",
+)
+def ext_monotonic_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """monotonically_increasing_id: shuffle-free distributed row ids
+    (partition-id in the high bits). Ids are partition-layout-dependent,
+    so the declared check is the invariant pair: global uniqueness and
+    monotonicity within each partition — exactly what the operator
+    guarantees at any scale."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.monotonically_increasing_id().alias("rid"),
+        F.spark_partition_id().alias("pid"),
+    )
+    n = li.count()
+    uniq = li.select("rid").distinct().count() == n
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("pid").orderBy("rid")
+    mono = (
+        li.withColumn("prev", F.lag("rid").over(w))
+        .where(F.col("prev").isNotNull() & (F.col("prev") >= F.col("rid")))
+        .count()
+        == 0
+    )
+    return spark.createDataFrame(
+        [(bool(uniq), bool(mono))],
+        "ids_unique boolean, order_preserved_within_partition boolean",
+    )
