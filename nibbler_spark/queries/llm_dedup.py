@@ -378,3 +378,120 @@ def ext_char_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("ngram_jaccard") >= 0.6)
         .orderBy("doc_a", "doc_b")
     )
+
+
+_CLUSTER_ORACLE = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, lang, source,
+         list_sort(list_distinct(string_split(text, ' '))) AS ts
+  FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM toks a JOIN toks b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+        / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) >= 0.8
+),
+edges AS (
+  SELECT src, dst FROM pairs
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM pairs
+),
+reach(node, anc) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst AS node, r.anc FROM reach r JOIN edges e ON e.src = r.node
+),
+lbl AS (SELECT node, MIN(anc) AS cluster_id FROM reach GROUP BY node),
+sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lbl GROUP BY cluster_id)
+SELECT l.node AS doc_id,
+       l.cluster_id,
+       l.node = l.cluster_id AS is_keeper,
+       s.cluster_size
+FROM lbl l JOIN sizes s USING (cluster_id)
+ORDER BY doc_id
+"""
+
+
+@register(
+    "ext_dedup_clusters",
+    survey_id="EXT-CC",
+    category="llm-dedup",
+    oracle=_CLUSTER_ORACLE,
+)
+def ext_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over the exact
+    blocked J >= 0.8 pair graph (K4's edges), so each near-dup group gets
+    ONE keeper (the min doc_id of its component) instead of a bag of
+    pairs. Iterative min-label propagation: each round joins labels to
+    the symmetrized edge list and takes the per-vertex min of self and
+    neighbor labels, until a fixpoint. Rounds = graph diameter; near-dup
+    clusters are dense and shallow, so this converges in a handful of
+    shuffles keyed by doc_id. localCheckpoint truncates the growing plan
+    lineage each round (the standard iterative-algorithm discipline; at
+    100 TB swap in the large-star/small-star variant, which contracts
+    high-degree vertices in O(log n) rounds). Oracle: DuckDB recursive
+    CTE computing min reachable id per vertex.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.array_sort(F.array_distinct(F.split("text", " ")))
+    t = d.select("doc_id", "lang", "source", toks.alias("ts"))
+    a = t.alias("a")
+    b = t.alias("b")
+    n_common = F.size(F.array_intersect(F.col("a.ts"), F.col("b.ts")))
+    n_union = F.size(F.col("a.ts")) + F.size(F.col("b.ts")) - n_common
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where(n_common.cast("double") / n_union >= 0.8)
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+    )
+    edges = pairs.union(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    labels = d.select(
+        F.col("doc_id").alias("node"), F.col("doc_id").alias("label")
+    ).localCheckpoint()
+    while True:
+        prop = (
+            edges.join(labels, edges["src"] == labels["node"])
+            .groupBy(F.col("dst").alias("pnode"))
+            .agg(F.min("label").alias("plabel"))
+        )
+        new_labels = (
+            labels.join(prop, labels["node"] == prop["pnode"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("plabel", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy(F.col("label").alias("slabel")).agg(
+        F.count("*").alias("cluster_size")
+    )
+    return (
+        labels.join(sizes, labels["label"] == sizes["slabel"])
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("label").alias("cluster_id"),
+            (F.col("node") == F.col("label")).alias("is_keeper"),
+            "cluster_size",
+        )
+        .orderBy("doc_id")
+    )

@@ -351,3 +351,117 @@ def ext_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "ext_repetition_ratio",
+    survey_id="EXT-REP",
+    category="llm-text",
+    oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+ex AS (SELECT doc_id, unnest(tk) AS tok FROM toks),
+tf AS (SELECT doc_id, tok, COUNT(*) AS c FROM ex GROUP BY doc_id, tok),
+top AS (SELECT doc_id, MAX(c) AS top_c, SUM(c) AS n_all FROM tf GROUP BY doc_id)
+SELECT t.doc_id,
+       len(t.tk) AS n_tokens,
+       len(list_distinct(t.tk)) AS n_distinct,
+       1.0 - CAST(len(list_distinct(t.tk)) AS DOUBLE) / len(t.tk)
+         AS repetition_ratio,
+       CAST(p.top_c AS DOUBLE) / len(t.tk) AS top_token_frac
+FROM toks t JOIN top p USING (doc_id)
+ORDER BY t.doc_id
+""",
+)
+def ext_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signals per document: token repetition ratio
+    (1 - distinct/total) straight off the token array — a narrow
+    projection, no shuffle — plus the most-frequent-token fraction via
+    explode -> (doc_id, tok) count -> per-doc max, two shuffles both
+    keyed by doc_id so they partition with the corpus. High repetition
+    flags boilerplate/spam for curation filtering. All divisions are
+    int/int in double — bit-identical across engines."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    base = d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+    )
+    tf = (
+        d.select("doc_id", F.explode(toks).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"))
+    )
+    return (
+        base.join(tf, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_distinct",
+            (
+                F.lit(1.0)
+                - F.col("n_distinct").cast("double") / F.col("n_tokens")
+            ).alias("repetition_ratio"),
+            (F.col("top_c").cast("double") / F.col("n_tokens")).alias(
+                "top_token_frac"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "ext_pii_redaction",
+    survey_id="EXT-PII",
+    category="llm-text",
+    oracle="""
+WITH payloads AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or call 555-01'
+              || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS payload
+  FROM documents WHERE doc_id % 7 = 0
+)
+SELECT doc_id,
+       md5(regexp_replace(
+             regexp_replace(payload, '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+             '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS redacted_md5,
+       len(regexp_extract_all(payload, '[a-z0-9.]+@[a-z0-9.]+')) AS n_emails,
+       len(regexp_extract_all(payload, '[0-9]{3}-[0-9]{4}')) AS n_phones
+FROM payloads ORDER BY doc_id
+""",
+)
+def ext_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style scrubbing for curation: regex-redact email and phone
+    patterns, counting hits per document. The synthetic corpus has no
+    PII, so each doc gets a deterministic doc_id-derived contact suffix
+    appended first — making the redaction observable and oracle-checked
+    end to end (md5 of redacted text + match counts). Patterns stay in
+    the Java/RE2 common dialect subset (SURVEY H2 discipline). Pure
+    map-side column expressions: at 100 TB this runs in the scan stage,
+    zero shuffles."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 7 == 0)
+    payload = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or call 555-01"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+    )
+    email = r"[a-z0-9.]+@[a-z0-9.]+"
+    phone = r"[0-9]{3}-[0-9]{4}"
+    redacted = F.regexp_replace(
+        F.regexp_replace(payload, email, "<EMAIL>"), phone, "<PHONE>"
+    )
+    return d.select(
+        "doc_id",
+        F.md5(redacted).alias("redacted_md5"),
+        F.size(F.regexp_extract_all(payload, F.lit(email), F.lit(0))).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all(payload, F.lit(phone), F.lit(0))).alias(
+            "n_phones"
+        ),
+    ).orderBy("doc_id")
