@@ -587,3 +587,33 @@ def d21_time_bucket_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket_start")
     )
+
+
+@register(
+    "ext_freq_items",
+    survey_id="EXT-FREQ",
+    category="aggregation",
+    mode="bounded",
+    oracle="SELECT true AS all_heavy_hitters_found",
+)
+def ext_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via DataFrameStatFunctions.freqItems (a single-pass
+    Karp/Misra-Gries-style sketch — map-side summaries merged on the
+    driver, no shuffle of the raw column). The sketch guarantees a
+    SUPERSET of the items with true frequency >= support, so the declared
+    bound is containment: every o_orderstatus value with exact frequency
+    >= 0.25 (all three, by construction of the testdata) appears in the
+    sketch result. Exact frequencies come from a plain groupBy."""
+    o = load_table(spark, sf_dir, "orders")
+    found = set(
+        o.stat.freqItems(["o_orderstatus"], support=0.25).collect()[0][0]
+    )
+    n = o.count()
+    heavy = {
+        r["o_orderstatus"]
+        for r in o.groupBy("o_orderstatus").count().collect()
+        if r["count"] >= 0.25 * n
+    }
+    return spark.createDataFrame(
+        [(bool(heavy <= found),)], "all_heavy_hitters_found boolean"
+    )

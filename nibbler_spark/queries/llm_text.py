@@ -465,3 +465,58 @@ def ext_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_phones"
         ),
     ).orderBy("doc_id")
+
+
+@register(
+    "ext_token_entropy",
+    survey_id="EXT-ENTROPY",
+    category="llm-text",
+    oracle="""
+WITH tf AS (
+  SELECT doc_id, tok, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY doc_id, tok
+),
+agg AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(SUM(CAST(c * log2(c) AS DECIMAL(28,10))) AS DOUBLE) AS s
+  FROM tf GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+       CAST(log2(CAST(n_tokens AS DOUBLE)) - s / n_tokens AS DECIMAL(18,6))
+         AS token_entropy_bits
+FROM agg ORDER BY doc_id
+""",
+)
+def ext_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon token entropy per document (bits) — low entropy flags
+    repetitive/templated text for curation. Algebraic form
+    H = log2(n) - sum(c*log2(c))/n keeps the inner sum over the
+    per-term products, which are cast to DECIMAL(28,10) before summing so
+    accumulation order (Spark partial aggs vs DuckDB) cannot perturb the
+    result; the final value is rounded through DECIMAL(18,6) because the
+    engines' log2 implementations differ by 1 ulp on some inputs. Two
+    shuffles, both keyed by doc_id."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    agg = tf.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.sum((F.col("c") * F.log2("c")).cast("decimal(28,10)"))
+        .cast("double")
+        .alias("s"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        (
+            F.log2(F.col("n_tokens").cast("double"))
+            - F.col("s") / F.col("n_tokens")
+        )
+        .cast("decimal(18,6)")
+        .alias("token_entropy_bits"),
+    ).orderBy("doc_id")
