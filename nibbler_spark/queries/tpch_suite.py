@@ -243,3 +243,168 @@ def tq18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(100)
     )
+
+
+@register(
+    "tq04_priority_check",
+    survey_id="EXT-TPCH",
+    category="composite",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def tq04_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 analogue: orders with at least one lineitem shipped after
+    the order date (the reduced schema has no commit/receipt dates), by
+    priority. The EXISTS becomes a left-semi join with a non-equi
+    residual — the date filter prunes the probe side at the scan, and the
+    semi join never duplicates orders, so the aggregate input stays
+    |orders|-bounded at any scale."""
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1997-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (o["o_orderkey"] == li["l_orderkey"])
+            & (li["l_shipdate"] > o["o_orderdate"]),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "tq12_priority_lines",
+    survey_id="EXT-TPCH",
+    category="composite",
+    oracle="""
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def tq12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 analogue (shipmode → returnflag in the reduced schema):
+    conditional counts split by order priority over a year of shipments.
+    The lineitem date filter is pushed to the scan; the join keys are the
+    natural o/l orderkeys so AQE picks the strategy from post-filter
+    sizes."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias(
+                "low_line_count"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "tq14_promo_revenue",
+    survey_id="EXT-TPCH",
+    category="composite",
+    oracle=f"""
+SELECT 100.0 * {sql_dsum("CASE WHEN p_type = 'PROMO' THEN CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) ELSE CAST(0 AS DECIMAL(18,4)) END")}
+       / {_SQL_REVENUE} AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+  AND l_shipdate < TIMESTAMP '1997-10-01'
+""",
+)
+def tq14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: promo share of one month's revenue. part is the
+    dimension side — broadcast explicitly, so the month of lineitem never
+    shuffles; both decimal sums ride one partial-agg pass and the final
+    double division runs on identical operands in both engines."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-09-01")
+        & (F.col("l_shipdate") < "1997-10-01")
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    zero = F.lit(0).cast("decimal(18,4)")
+    return li.join(
+        F.broadcast(p), li["l_partkey"] == p["p_partkey"]
+    ).agg(
+        (
+            F.lit(100.0)
+            * F.sum(
+                F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)
+            ).cast("double")
+            / F.sum(rev).cast("double")
+        ).alias("promo_revenue_pct")
+    )
+
+
+@register(
+    "tq19_disjunctive_revenue",
+    survey_id="EXT-TPCH",
+    category="composite",
+    oracle=f"""
+SELECT {_SQL_REVENUE} AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+""",
+)
+def tq19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 analogue: revenue under an OR-of-ANDs predicate mixing
+    both join sides. Catalyst extracts the common join key and pushes the
+    per-side conjuncts below the join (p_brand/p_size reach the part
+    scan; l_quantity reaches lineitem via the derived OR of ranges), so
+    the disjunction does not force a full cross-match."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    case = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#14")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.where(case).agg(_revenue().alias("revenue"))
