@@ -1,0 +1,203 @@
+"""Event-analytics composites over the events table (EXT — SURVEY §2.3
+scale rule; the reference has no relational surface).
+
+Sessionization, funnel, and cohort retention — the workhorse queries of
+behavioral analytics. All three shuffle exclusively on user_id (or on
+nothing), so they co-partition with any user-keyed layout and scale
+linearly: no query here ever materializes cross-user state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nibbler_spark.queries import register
+from nibbler_spark.sources import load_table
+
+
+@register(
+    "ext_sessionize_batch",
+    survey_id="EXT-SESSION",
+    category="event-analytics",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS session_seq
+  FROM flagged
+)
+SELECT user_id,
+       CAST(session_seq AS BIGINT) AS session_seq,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end,
+       COUNT(*) AS n_events
+FROM sess
+GROUP BY user_id, session_seq
+ORDER BY user_id, session_seq
+""",
+)
+def ext_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gaps-and-islands, 30-minute inactivity gap):
+    lag over (user_id, ts) flags session starts, a running sum numbers
+    the sessions, then a per-(user, session) aggregate. The batch dual of
+    I3's streaming session_window, with identical close-after-gap
+    semantics. Both windows and the final groupBy hash on user_id, so one
+    exchange serves all three steps at any scale; event_id is the
+    total-order tiebreaker (SURVEY §2.3 E discipline)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0).alias("is_new"),
+    )
+    sess = flagged.withColumn("session_seq", F.sum("is_new").over(w))
+    return (
+        sess.groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            "user_id",
+            F.col("session_seq").cast("bigint").alias("session_seq"),
+            "session_start",
+            "session_end",
+            "n_events",
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+@register(
+    "ext_funnel",
+    survey_id="EXT-FUNNEL",
+    category="event-analytics",
+    oracle="""
+WITH s AS (
+  SELECT user_id, MIN(ts) AS st FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+v AS (
+  SELECT e.user_id, MIN(e.ts) AS vt
+  FROM events e JOIN s ON e.user_id = s.user_id
+  WHERE e.event_type = 'view' AND e.ts > s.st GROUP BY e.user_id
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS ct
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.vt GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS pt
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.ct GROUP BY e.user_id
+)
+SELECT (SELECT COUNT(*) FROM s) AS n_signup,
+       (SELECT COUNT(*) FROM v) AS n_view,
+       (SELECT COUNT(*) FROM c) AS n_click,
+       (SELECT COUNT(*) FROM p) AS n_purchase
+""",
+)
+def ext_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel signup → view → click → purchase: each
+    stage is the earliest qualifying event strictly after the previous
+    stage's timestamp, per user. Four chained filter-join-aggregate
+    stages, every one keyed by user_id — the chain reuses one hash
+    partitioning end to end, and each stage's output is ≤ |users| rows,
+    so the funnel costs four co-partitioned passes over events at any
+    scale (never a per-user sort of the whole history)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type"
+    )
+
+    def stage(prev: DataFrame, etype: str, prev_col: str, out: str) -> DataFrame:
+        return (
+            e.where(F.col("event_type") == etype)
+            .join(prev, "user_id")
+            .where(F.col("ts") > F.col(prev_col))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out))
+        )
+
+    s = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("st"))
+    )
+    v = stage(s, "view", "st", "vt")
+    c = stage(v, "click", "vt", "ct")
+    p = stage(c, "purchase", "ct", "pt")
+    return (
+        s.agg(F.count("*").alias("n_signup"))
+        .crossJoin(v.agg(F.count("*").alias("n_view")))
+        .crossJoin(c.agg(F.count("*").alias("n_click")))
+        .crossJoin(p.agg(F.count("*").alias("n_purchase")))
+    )
+
+
+@register(
+    "ext_cohort_retention",
+    survey_id="EXT-RETAIN",
+    category="event-analytics",
+    oracle="""
+WITH first AS (
+  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP) AS cohort_week
+  FROM events GROUP BY user_id
+),
+act AS (
+  SELECT DISTINCT user_id,
+         CAST(date_trunc('week', ts) AS TIMESTAMP) AS active_week
+  FROM events
+)
+SELECT f.cohort_week,
+       CAST((epoch(a.active_week) - epoch(f.cohort_week)) / 604800 AS BIGINT)
+         AS week_offset,
+       COUNT(DISTINCT a.user_id) AS n_users
+FROM first f JOIN act a ON f.user_id = a.user_id
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def ext_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users bucketed by the ISO week of their
+    first event; n_users counts how many of each cohort are active k
+    weeks later. Both CTEs aggregate on user_id, the join is
+    user_id-equi, and the final rollup groups on (cohort, offset) whose
+    cardinality is weeks² — tiny at any scale. Week arithmetic is done on
+    epoch seconds of week-truncated timestamps (exact multiples of 7
+    days; session TZ pinned UTC) so both engines bucket identically.
+    Divergence note (SURVEY H6 discipline): DuckDB date_trunc('week')
+    yields DATE where Spark yields TIMESTAMP — the oracle casts back."""
+    e = load_table(spark, sf_dir, "events")
+    first = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    act = e.select(
+        "user_id", F.date_trunc("week", "ts").alias("active_week")
+    ).distinct()
+    off = (
+        (
+            F.col("active_week").cast("long")
+            - F.col("cohort_week").cast("long")
+        )
+        / 604800
+    ).cast("bigint")
+    return (
+        first.join(act, "user_id")
+        .groupBy("cohort_week", off.alias("week_offset"))
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
