@@ -617,3 +617,85 @@ def ext_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(bool(heavy <= found),)], "all_heavy_hitters_found boolean"
     )
+
+
+@register(
+    "ext_histogram_bins",
+    survey_id="EXT-HIST",
+    category="aggregation",
+    oracle="""
+WITH b AS (
+  SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders
+),
+binned AS (
+  SELECT CAST(LEAST(FLOOR((o_totalprice - lo) / ((hi - lo) / 20)), 19)
+              AS BIGINT) AS bin,
+         o_totalprice
+  FROM orders CROSS JOIN b
+)
+SELECT bin, COUNT(*) AS n,
+       MIN(o_totalprice) AS bin_min, MAX(o_totalprice) AS bin_max
+FROM binned GROUP BY bin ORDER BY bin
+""",
+)
+def ext_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width 20-bin histogram with data-dependent bounds: the
+    1-row min/max aggregate is broadcast back over the table (the
+    two-pass pattern — at 100 TB the bounds pass is a cheap
+    column-pruned scan and the broadcast is one row), then binning is a
+    codegen'd floor expression and the final rollup has 20 groups.
+    All arithmetic is double on identical operands in both engines."""
+    o = load_table(spark, sf_dir, "orders").select("o_totalprice")
+    b = o.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    binned = o.crossJoin(F.broadcast(b)).select(
+        F.least(
+            F.floor(
+                (F.col("o_totalprice") - F.col("lo"))
+                / ((F.col("hi") - F.col("lo")) / 20)
+            ),
+            F.lit(19),
+        )
+        .cast("bigint")
+        .alias("bin"),
+        "o_totalprice",
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("o_totalprice").alias("bin_min"),
+            F.max("o_totalprice").alias("bin_max"),
+        )
+        .orderBy("bin")
+    )
+
+
+@register(
+    "ext_hll_sketch_union",
+    survey_id="EXT-HLL-MERGE",
+    category="aggregation",
+    mode="bounded",
+    oracle="SELECT true AS union_estimate_within_5pct",
+)
+def ext_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch pattern: per-group HLL sketches of o_custkey
+    (hll_sketch_agg, Apache DataSketches), then hll_union_agg collapses
+    the group sketches into one global estimate WITHOUT rescanning the
+    data — the exact mechanism that lets 1000 executors each summarize
+    their partitions and ship kilobytes to a final reducer at 100 TB.
+    Declared bound: the unioned estimate is within 5% of the exact
+    distinct count (HLL default accuracy is ~2.5% at lgK=12)."""
+    o = load_table(spark, sf_dir, "orders")
+    sk = o.groupBy("o_orderstatus").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk")
+    )
+    est = sk.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    ).collect()[0]["est"]
+    exact = o.select("o_custkey").distinct().count()
+    ok = exact > 0 and abs(est - exact) / exact <= 0.05
+    return spark.createDataFrame(
+        [(bool(ok),)], "union_estimate_within_5pct boolean"
+    )

@@ -597,3 +597,38 @@ def h17_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_mixed"
         ),
     ).orderBy("event_id")
+
+
+@register(
+    "h19_bitwise",
+    survey_id="H19",
+    category="scalar",
+    oracle="""
+SELECT o_orderkey,
+       o_orderkey & 255 AS k_and,
+       o_orderkey | 4096 AS k_or,
+       xor(o_orderkey, o_custkey) AS k_xor,
+       CAST(bit_count(CAST(o_orderkey AS BIGINT)) AS INT) AS k_popcount,
+       (o_orderkey & 15) << 2 AS k_shl,
+       o_orderkey >> 3 AS k_shr
+FROM orders WHERE o_orderkey % 97 = 0 ORDER BY o_orderkey
+""",
+)
+def h19_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar family: AND/OR/XOR, popcount, shifts — the
+    building blocks of bitmap/bloom-style encodings (the SimHash and
+    fingerprint ops use exactly these). Pure codegen'd column
+    expressions, map-side only."""
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderkey") % 97 == 0
+    )
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("k_and"),
+        k.bitwiseOR(F.lit(4096)).alias("k_or"),
+        k.bitwiseXOR(F.col("o_custkey")).alias("k_xor"),
+        F.bit_count(k).alias("k_popcount"),
+        F.shiftleft(k.bitwiseAND(F.lit(15)), 2).alias("k_shl"),
+        F.shiftright(k, 3).alias("k_shr"),
+    ).orderBy("o_orderkey")
