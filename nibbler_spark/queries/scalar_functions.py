@@ -632,3 +632,31 @@ def h19_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftleft(k.bitwiseAND(F.lit(15)), 2).alias("k_shl"),
         F.shiftright(k, 3).alias("k_shr"),
     ).orderBy("o_orderkey")
+
+
+@register(
+    "h20_variant",
+    survey_id="H20",
+    category="scalar",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+       json_extract_string(props, '$.missing') IS NULL AS missing_is_null
+FROM events WHERE event_id % 11 = 0 ORDER BY event_id
+""",
+)
+def h20_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT semi-structured type (Spark 4): parse_json once into the
+    binary variant encoding, then typed path extraction via variant_get
+    and null-safe try_variant_get — the shredded, codegen-friendly
+    successor to repeated get_json_object string parsing. Oracle maps to
+    DuckDB JSON path extraction on the same props strings."""
+    e = load_table(spark, sf_dir, "events").where(F.col("event_id") % 11 == 0)
+    v = F.parse_json("props")
+    return e.select(
+        "event_id",
+        F.variant_get(v, "$.k", "bigint").alias("k_val"),
+        F.try_variant_get(v, "$.missing", "bigint").isNull().alias(
+            "missing_is_null"
+        ),
+    ).orderBy("event_id")

@@ -144,3 +144,33 @@ def a11_push_receiver_spool(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("__seq").alias("seq"), "value")
         .orderBy("seq")
     )
+
+
+@register(
+    "a12_python_datasource",
+    survey_id="A12",
+    category="source-sink",
+    oracle="""
+SELECT k AS id, k * 2 + 1 AS doubled, 'row' || CAST(k AS VARCHAR) AS tag
+FROM generate_series(0, 999) AS t(k)
+ORDER BY id
+""",
+)
+def a12_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python Data Source (Spark 4 pyspark.sql.datasource): the
+    engine's batch-side "bring your own source" hook, mirroring the
+    reference's bring-your-own-channel ingestion
+    (/root/reference/nibbler.go:120-122) in idiomatic Spark. The reader
+    declares 8 input partitions, so generation executes in parallel on
+    executors with zero driver materialization — the scale path for any
+    API-backed or generated ingest."""
+    from nibbler_spark.sources.pydatasource import register_synth_source
+
+    register_synth_source(spark)
+    return (
+        spark.read.format("nibbler_synth")
+        .option("rows", "1000")
+        .option("partitions", "8")
+        .load()
+        .orderBy("id")
+    )
