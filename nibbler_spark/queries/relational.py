@@ -529,3 +529,35 @@ def ext_monotonic_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(bool(uniq), bool(mono))],
         "ids_unique boolean, order_preserved_within_partition boolean",
     )
+
+
+@register(
+    "ext_random_split",
+    survey_id="EXT-SPLIT",
+    category="projection",
+    mode="bounded",
+    oracle="""
+SELECT true AS disjoint_and_complete, true AS fractions_ok,
+       true AS deterministic_with_seed
+""",
+)
+def ext_random_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test split via randomSplit(0.8/0.2, seed): the declared
+    checks are the operator's exact invariants — the two sides PARTITION
+    the input (disjoint, union-complete: exact row-count identity on
+    unique event_ids), fractions land within ±10% relative, and the same
+    seed reproduces the same split. Sampling is a map-only pass; the
+    invariant checks are count aggregates."""
+    e = load_table(spark, sf_dir, "events").select("event_id")
+    tr, te = e.randomSplit([0.8, 0.2], seed=42)
+    tr2, _ = e.randomSplit([0.8, 0.2], seed=42)
+    n, ntr, nte = e.count(), tr.count(), te.count()
+    overlap = tr.join(te, "event_id", "inner").count()
+    disjoint_complete = overlap == 0 and ntr + nte == n
+    fractions_ok = abs(ntr - 0.8 * n) <= 0.1 * 0.8 * n
+    det = tr.exceptAll(tr2).count() == 0 and tr2.exceptAll(tr).count() == 0
+    return spark.createDataFrame(
+        [(bool(disjoint_complete), bool(fractions_ok), bool(det))],
+        "disjoint_and_complete boolean, fractions_ok boolean, "
+        "deterministic_with_seed boolean",
+    )

@@ -155,3 +155,45 @@ def test_partition_pruning_reaches_scan(spark, sf_dir):
     )
     pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert pf and "event_type" in pf[0]
+
+
+def test_tq19_disjunction_pushed_to_both_scans(spark, sf_dir):
+    """The OR-of-ANDs mixes columns from both join sides; Catalyst must
+    derive per-side disjunctions and push them below the join so each
+    scan prunes independently (the residual stays on the join)."""
+    plan = _plan(spark, sf_dir, "tq19_disjunctive_revenue")
+    assert "BroadcastHashJoin" in plan
+    # lineitem scan receives the OR of quantity ranges
+    li_scan = next(
+        l for l in plan.splitlines()
+        if "PushedFilters" in l and "l_quantity" in l
+    )
+    assert "Or(" in li_scan
+    # part scan receives the brand/size disjunction
+    p_scan = next(
+        l for l in plan.splitlines()
+        if "PushedFilters" in l and "p_brand" in l
+    )
+    assert "Or(" in p_scan
+
+
+def test_histogram_bounds_broadcast_not_shuffled(spark, sf_dir):
+    """The 1-row min/max aggregate must come back as a broadcast nested
+    loop (one row against the table) — never a shuffle of the fact
+    side."""
+    plan = _plan(spark, sf_dir, "ext_histogram_bins")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tq04_semi_join_no_duplication(spark, sf_dir):
+    """EXISTS compiles to a semi join (orders never duplicated by
+    multiple matching lineitems) with the date filter pushed to the
+    orders scan."""
+    plan = _plan(spark, sf_dir, "tq04_priority_check")
+    assert "LeftSemi" in plan
+    o_scan = next(
+        l for l in plan.splitlines()
+        if "PushedFilters" in l and "o_orderdate" in l
+    )
+    assert "GreaterThanOrEqual(o_orderdate" in o_scan
