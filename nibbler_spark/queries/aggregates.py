@@ -699,3 +699,43 @@ def ext_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(bool(ok),)], "union_estimate_within_5pct boolean"
     )
+
+
+@register(
+    "d22_unpivot",
+    survey_id="D22",
+    category="aggregation",
+    oracle="""
+SELECT l_orderkey, l_linenumber, metric, amount
+FROM (
+  SELECT l_orderkey, l_linenumber,
+         CAST(l_extendedprice AS DOUBLE) AS extendedprice,
+         CAST(l_discount AS DOUBLE) AS discount,
+         CAST(l_tax AS DOUBLE) AS tax
+  FROM lineitem WHERE l_orderkey % 500 = 0
+)
+UNPIVOT (amount FOR metric IN (extendedprice, discount, tax))
+ORDER BY l_orderkey, l_linenumber, metric
+""",
+)
+def d22_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) — the inverse of D20's pivot: three measure
+    columns rotate into (metric, amount) rows. A zero-shuffle narrow
+    transformation (each input row expands to three output rows in
+    place); at 100 TB it triples row count but never exchanges."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_orderkey") % 500 == 0
+    )
+    wide = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_extendedprice").cast("double").alias("extendedprice"),
+        F.col("l_discount").cast("double").alias("discount"),
+        F.col("l_tax").cast("double").alias("tax"),
+    )
+    return wide.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["extendedprice", "discount", "tax"],
+        variableColumnName="metric",
+        valueColumnName="amount",
+    ).orderBy("l_orderkey", "l_linenumber", "metric")

@@ -660,3 +660,36 @@ def h20_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
             "missing_is_null"
         ),
     ).orderBy("event_id")
+
+
+@register(
+    "h21_try_arithmetic",
+    survey_id="H21",
+    category="scalar",
+    oracle="""
+SELECT o_orderkey,
+       o_totalprice / nullif(CAST(o_orderkey % 3 AS DOUBLE), 0) AS safe_div,
+       TRY_CAST(o_orderpriority AS INT) AS bad_cast,
+       TRY_CAST(substr(o_orderpriority, 1, 1) AS INT) AS good_cast
+FROM orders WHERE o_orderkey % 101 = 0 ORDER BY o_orderkey
+""",
+)
+def h21_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe evaluation family: try_divide yields NULL on /0 and
+    try_cast yields NULL on malformed input instead of failing the whole
+    100 TB job on one bad row — the ingestion-hardening surface. Oracle
+    maps try_divide to x / nullif(y, 0) (DuckDB returns NULL for
+    double /0 only via nullif) and try_cast to TRY_CAST."""
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderkey") % 101 == 0
+    )
+    return o.select(
+        "o_orderkey",
+        F.try_divide(
+            F.col("o_totalprice"), (F.col("o_orderkey") % 3).cast("double")
+        ).alias("safe_div"),
+        F.col("o_orderpriority").try_cast("int").alias("bad_cast"),
+        F.substring("o_orderpriority", 1, 1).try_cast("int").alias(
+            "good_cast"
+        ),
+    ).orderBy("o_orderkey")
