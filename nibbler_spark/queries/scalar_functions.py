@@ -693,3 +693,40 @@ def h21_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
             "good_cast"
         ),
     ).orderBy("o_orderkey")
+
+
+@register(
+    "h22_parse_url",
+    survey_id="H22",
+    category="scalar",
+    oracle="""
+SELECT doc_id,
+       source || '.example.com' AS host,
+       '/docs/' || CAST(doc_id AS VARCHAR) AS path,
+       lang AS lang_param
+FROM documents WHERE doc_id % 13 = 0 ORDER BY doc_id
+""",
+)
+def h22_parse_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing (parse_url): HOST / PATH / QUERY-parameter extraction
+    from URLs constructed out of document fields. The Spark side
+    genuinely parses; the oracle recomputes the expected components from
+    the same source columns, so the check pins parser semantics without
+    needing a DuckDB URL parser. Map-side codegen'd expressions."""
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 13 == 0
+    )
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+    )
+    return d.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+    ).orderBy("doc_id")

@@ -174,3 +174,41 @@ def a12_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load()
         .orderBy("id")
     )
+
+
+@register(
+    "a13_observed_metrics",
+    survey_id="A13",
+    category="source-sink",
+    oracle="""
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+FROM orders WHERE o_orderstatus = 'O'
+""",
+)
+def a13_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observed metrics (df.observe + Observation): named aggregates
+    piggy-back on a query's execution and surface on the driver without
+    a second scan — the operational telemetry hook (row counts, quality
+    gauges) a 100 TB pipeline attaches to every stage. The declared
+    result returns the observed values themselves, checked against the
+    straightforward aggregate."""
+    from pyspark.sql import Observation
+
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "O"
+    )
+    obs = Observation("orders_metrics")
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    row = obs.get
+    return spark.createDataFrame(
+        [(row["n_rows"], row["sum_price"])],
+        "n_rows bigint, sum_price double",
+    )
