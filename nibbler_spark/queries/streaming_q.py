@@ -821,3 +821,102 @@ def k15_streaming_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "i14_stream_stream_left_outer_golden",
+    survey_id="I14",
+    category="streaming",
+    mode="golden",
+    oracle="""
+SELECT * FROM (VALUES
+  (1, TIMESTAMP '2024-01-01 10:00:00', TIMESTAMP '2024-01-01 10:04:00'),
+  (2, TIMESTAMP '2024-01-01 10:05:00', CAST(NULL AS TIMESTAMP)),
+  (3, TIMESTAMP '2024-01-01 10:10:00', TIMESTAMP '2024-01-01 10:15:00')
+) AS t(user_id, click_ts, purchase_ts) ORDER BY user_id
+""",
+)
+def i14_stream_stream_left_outer_golden(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-stream LEFT OUTER join with watermarks + time bound:
+    clicks left-joined to purchases within [click_ts, click_ts+10m] per
+    user. Outer (null-extended) rows emit only when the right watermark
+    proves no match can still arrive, so pass 2 drops a far-future
+    sentinel row on both sides to advance the watermark past all real
+    state — the scripted equivalent of a stream that keeps flowing. The
+    pinned golden has the matched pairs AND user 2's null-extended row;
+    state is bounded by the watermark on both sides (SCALE.md §streaming).
+    """
+    base = tempfile.mkdtemp(prefix="nibbler-i14-")
+    l_dir = os.path.join(base, "left")
+    r_dir = os.path.join(base, "right")
+    out_dir = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(l_dir, exist_ok=True)
+    os.makedirs(r_dir, exist_ok=True)
+
+    def write_side(d: str, rows, name: str, col: str) -> None:
+        df = spark.createDataFrame(
+            rows, f"user_id long, ts_s string"
+        ).select(
+            "user_id", F.col("ts_s").cast("timestamp").alias(col)
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(os.path.join(d, name))
+
+    def run_pass() -> None:
+        clicks = (
+            spark.readStream.schema("user_id long, click_ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(l_dir + "/*/")
+            .withWatermark("click_ts", "10 minutes")
+        )
+        purchases = (
+            spark.readStream.schema("user_id long, purchase_ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(r_dir + "/*/")
+            .withWatermark("purchase_ts", "10 minutes")
+        )
+        joined = clicks.alias("c").join(
+            purchases.alias("p"),
+            F.expr(
+                "c.user_id = p.user_id AND "
+                "p.purchase_ts BETWEEN c.click_ts AND "
+                "c.click_ts + INTERVAL 10 MINUTES"
+            ),
+            "leftOuter",
+        ).select("c.user_id", "c.click_ts", "p.purchase_ts")
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    write_side(
+        l_dir,
+        [(1, "2024-01-01 10:00:00"), (2, "2024-01-01 10:05:00"),
+         (3, "2024-01-01 10:10:00")],
+        "step-a",
+        "click_ts",
+    )
+    write_side(
+        r_dir,
+        [(1, "2024-01-01 10:04:00"), (3, "2024-01-01 10:15:00")],
+        "step-a",
+        "purchase_ts",
+    )
+    run_pass()
+    # Sentinel far in the future on BOTH sides: watermark sweeps past all
+    # real state, flushing user 2's unmatched row with nulls.
+    write_side(l_dir, [(99, "2024-01-01 12:00:00")], "step-b", "click_ts")
+    write_side(r_dir, [(99, "2024-01-01 12:00:00")], "step-b", "purchase_ts")
+    run_pass()
+    return (
+        spark.read.parquet(out_dir)
+        .where(F.col("user_id") != 99)
+        .orderBy("user_id")
+    )
