@@ -10,6 +10,8 @@ paths.
 
 from __future__ import annotations
 
+from typing import Iterator
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -170,3 +172,58 @@ def j06_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.udtf.register("gen_squares", GenSquares)
     return spark.sql("SELECT * FROM gen_squares(1, 10) ORDER BY i")
+
+
+@register(
+    "j07_pandas_udf_iterator",
+    survey_id="EXT-UDF-ITER",
+    category="udf",
+    oracle="""
+SELECT o_orderkey, o_totalprice * 1.1 AS price_with_markup
+FROM orders WHERE o_orderkey % 23 = 0 ORDER BY o_orderkey
+""",
+)
+def j07_pandas_udf_iterator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCALAR_ITER pandas UDF: the iterator-of-batches flavor that lets
+    expensive per-executor initialization (model load, dictionary mmap)
+    happen ONCE per partition instead of once per batch — the standard
+    shape for ML-inference UDFs at scale. The body stays SQL-expressible
+    for the oracle."""
+
+    @F.pandas_udf(DoubleType())
+    def markup(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        factor = 1.1  # stands in for once-per-partition heavy init
+        for s in batches:
+            yield s * factor
+
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderkey") % 23 == 0
+    )
+    return o.select(
+        "o_orderkey", markup("o_totalprice").alias("price_with_markup")
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "j08_arrow_python_udf",
+    survey_id="EXT-UDF-ARROW",
+    category="udf",
+    oracle="""
+SELECT o_orderkey,
+       CAST(o_orderkey % 7 AS BIGINT) * 3 AS keyed
+FROM orders WHERE o_orderkey % 29 = 0 ORDER BY o_orderkey
+""",
+)
+def j08_arrow_python_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized Python UDF (useArrow=True, Spark 3.5+): same
+    row-level programming model as J1 but serialized over Arrow batches
+    instead of pickled rows — the migration path that removes most of
+    the classic Python-UDF tax without rewriting the function as a
+    pandas UDF."""
+    f = F.udf(lambda k: (k % 7) * 3, "long", useArrow=True)
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderkey") % 29 == 0
+    )
+    return o.select("o_orderkey", f("o_orderkey").alias("keyed")).orderBy(
+        "o_orderkey"
+    )
