@@ -495,3 +495,123 @@ def ext_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_PAGERANK_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, lang, source,
+         list_sort(list_distinct(string_split(text, ' '))) AS ts
+  FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM toks a JOIN toks b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+        / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) >= 0.8
+),
+edges AS (
+  SELECT src, dst FROM pairs
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM pairs
+),
+deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+r0 AS (
+  SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS r FROM nodes
+),
+r1 AS (
+  SELECT e.dst AS node,
+         CAST(0.15 AS DOUBLE) / (SELECT n FROM nn)
+         + CAST(0.85 AS DOUBLE)
+           * CAST(SUM(CAST(r.r / deg.d AS DECIMAL(28,18))) AS DOUBLE) AS r
+  FROM edges e JOIN r0 r ON e.src = r.node JOIN deg ON deg.src = e.src
+  GROUP BY e.dst
+),
+r2 AS (
+  SELECT e.dst AS node,
+         CAST(0.15 AS DOUBLE) / (SELECT n FROM nn)
+         + CAST(0.85 AS DOUBLE)
+           * CAST(SUM(CAST(r.r / deg.d AS DECIMAL(28,18))) AS DOUBLE) AS r
+  FROM edges e JOIN r1 r ON e.src = r.node JOIN deg ON deg.src = e.src
+  GROUP BY e.dst
+),
+r3 AS (
+  SELECT e.dst AS node,
+         CAST(0.15 AS DOUBLE) / (SELECT n FROM nn)
+         + CAST(0.85 AS DOUBLE)
+           * CAST(SUM(CAST(r.r / deg.d AS DECIMAL(28,18))) AS DOUBLE) AS r
+  FROM edges e JOIN r2 r ON e.src = r.node JOIN deg ON deg.src = e.src
+  GROUP BY e.dst
+)
+SELECT node AS doc_id, CAST(r AS DECIMAL(18,12)) AS pagerank
+FROM r3 ORDER BY doc_id
+"""
+
+
+@register(
+    "ext_pagerank",
+    survey_id="EXT-PAGERANK",
+    category="llm-dedup",
+    oracle=_PAGERANK_ORACLE,
+)
+def ext_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 fixed power iterations, damping 0.85) over the
+    symmetrized near-dup graph — ranks the most-connected documents
+    inside duplicate neighborhoods (a centrality-based keeper choice,
+    complementing EXT-CC's min-id choice). Each iteration is one
+    edges⋈ranks join + a dst-keyed partial-aggregated sum; lineage is cut
+    per round with localCheckpoint. Determinism discipline: per-edge
+    contributions are computed in double on identical operands, cast to
+    DECIMAL(28,18) so the SUM is order-independent, and the damping
+    arithmetic stays in double — making three full iterations
+    bit-reproducible in both engines (final value rounded through
+    DECIMAL(18,12)). At 100 TB this is the standard O(E/p)-per-round
+    pattern; the oracle unrolls the same three iterations as CTEs."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.array_sort(F.array_distinct(F.split("text", " ")))
+    t = d.select("doc_id", "lang", "source", toks.alias("ts"))
+    a, b = t.alias("a"), t.alias("b")
+    n_common = F.size(F.array_intersect(F.col("a.ts"), F.col("b.ts")))
+    n_union = F.size(F.col("a.ts")) + F.size(F.col("b.ts")) - n_common
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where(n_common.cast("double") / n_union >= 0.8)
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+    )
+    edges = pairs.union(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    n = nodes.count()
+    ranks = nodes.withColumn("r", F.lit(1.0 / n)).localCheckpoint()
+    for _ in range(3):
+        contrib = (
+            edges.join(ranks, edges["src"] == ranks["node"])
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("cnode"),
+                (F.col("r") / F.col("d")).cast("decimal(28,18)").alias("c"),
+            )
+        )
+        ranks = (
+            contrib.groupBy(F.col("cnode").alias("node"))
+            .agg(
+                (
+                    F.lit(0.15 / n)
+                    + F.lit(0.85) * F.sum("c").cast("double")
+                ).alias("r")
+            )
+            .localCheckpoint()
+        )
+    return ranks.select(
+        F.col("node").alias("doc_id"),
+        F.col("r").cast("decimal(18,12)").alias("pagerank"),
+    ).orderBy("doc_id")
