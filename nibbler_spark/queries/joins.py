@@ -382,3 +382,61 @@ def c11_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("last_orderkey"),
         F.col("o_orderdate").alias("last_orderdate"),
     ).orderBy("event_id")
+
+
+@register(
+    "c14_interval_join_bucketed",
+    survey_id="C14",
+    category="join",
+    oracle="""
+SELECT a.event_id AS eid_a, b.event_id AS eid_b, a.user_id,
+       a.ts AS ts_a, b.ts AS ts_b
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_id < b.event_id
+ AND b.ts BETWEEN a.ts - INTERVAL 5 MINUTE AND a.ts + INTERVAL 5 MINUTE
+ORDER BY eid_a, eid_b
+""",
+)
+def c14_interval_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of C10's band join: time is bucketed into 5-minute
+    bins and each probe row explodes to its bin ±1, so the band join
+    becomes an EQUI-join on (user_id, bin) with the exact band as a
+    residual filter. Identical output to C10 (same oracle), different
+    physics: the shuffle key now includes time, so a hot user's history
+    spreads across many tasks instead of one, and each task enumerates
+    only adjacent-bin candidates instead of the user's whole timeline.
+    |bin diff| <= 1 is implied by |ts diff| <= 300 s, so no pair is lost;
+    bin uniqueness per right row means no pair is duplicated."""
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    bin_col = F.floor(F.unix_micros(F.col("ts")) / F.lit(300_000_000))
+    binned = e.withColumn("bin", bin_col)
+    probe = binned.withColumn(
+        "pbin",
+        F.explode(
+            F.array(F.col("bin") - 1, F.col("bin"), F.col("bin") + 1)
+        ),
+    )
+    five_min = F.expr("INTERVAL 5 MINUTES")
+    return (
+        probe.alias("a")
+        .join(
+            binned.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.pbin") == F.col("b.bin")),
+        )
+        .where(
+            (F.col("a.event_id") < F.col("b.event_id"))
+            & F.col("b.ts").between(
+                F.col("a.ts") - five_min, F.col("a.ts") + five_min
+            )
+        )
+        .select(
+            F.col("a.event_id").alias("eid_a"),
+            F.col("b.event_id").alias("eid_b"),
+            F.col("a.user_id").alias("user_id"),
+            F.col("a.ts").alias("ts_a"),
+            F.col("b.ts").alias("ts_b"),
+        )
+        .orderBy("eid_a", "eid_b")
+    )

@@ -197,3 +197,12 @@ def test_tq04_semi_join_no_duplication(spark, sf_dir):
         if "PushedFilters" in l and "o_orderdate" in l
     )
     assert "GreaterThanOrEqual(o_orderdate" in o_scan
+
+
+def test_c14_bucketed_band_join_is_equi_on_time_bin(spark, sf_dir):
+    """The bucketed rewrite must join on (user_id, bin) as real equi
+    keys — time in the shuffle key — with no nested-loop fallback."""
+    plan = _plan(spark, sf_dir, "c14_interval_join_bucketed")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "pbin" in plan  # the exploded bin participates in the join keys
