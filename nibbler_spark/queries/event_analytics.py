@@ -201,3 +201,41 @@ def ext_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("user_id").alias("n_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@register(
+    "ext_event_transitions",
+    survey_id="EXT-TRANSITIONS",
+    category="event-analytics",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+FROM seq WHERE prev_type IS NOT NULL
+GROUP BY prev_type, next_type
+ORDER BY prev_type, next_type
+""",
+)
+def ext_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition matrix (bigram counts over each user's
+    timeline): lag window keyed by user_id, then a 25-cell rollup — the
+    input to Markov-chain behavior models. One user-keyed exchange for
+    the window; the transition aggregate is partial-combined."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    return (
+        seq.where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("prev_type", "next_type")
+    )

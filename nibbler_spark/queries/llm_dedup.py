@@ -615,3 +615,85 @@ def ext_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("doc_id"),
         F.col("r").cast("decimal(18,12)").alias("pagerank"),
     ).orderBy("doc_id")
+
+
+@register(
+    "ext_simhash_banded_pairs",
+    survey_id="EXT-SIMHASH-PAIRS",
+    category="llm-dedup",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, UNNEST(list_distinct(string_split(text, ' '))) AS tok
+  FROM documents WHERE doc_id % 10 = 0
+),
+bits AS (
+  SELECT doc_id, md5(tok) AS h FROM toks
+),
+votes AS (
+  SELECT doc_id,
+         i,
+         SUM(CASE WHEN ((strpos('0123456789abcdef', substr(h, 1 + i // 4, 1)) - 1)
+                        // CAST(POWER(2, 3 - i % 4) AS INTEGER)) % 2 = 1
+                  THEN 1 ELSE -1 END) AS vote
+  FROM bits, generate_series(0, 15) AS g(i)
+  GROUP BY doc_id, i
+),
+sims AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN vote > 0 THEN CAST(POWER(2, 15 - i) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS simhash16
+  FROM votes GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash16, b.simhash16)) AS INT) AS hamming
+FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash16, b.simhash16)) <= 3
+ORDER BY doc_a, doc_b
+""",
+)
+def ext_simhash_banded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at hamming distance <= 3 via 4-band
+    pigeonhole blocking: the 16-bit fingerprint splits into four 4-bit
+    bands; 3 bit-flips can touch at most 3 bands, so every qualifying
+    pair shares at least one intact band — candidates come from an
+    EQUI-join on (band_id, band_value) with recall exactly 1 (which is
+    why this gets a hash oracle against the exact pairwise set, unlike
+    probabilistic LSH's bounded check). At 100 TB the band join is the
+    whole point: candidates ~ bucket collisions, never n^2."""
+    sims = ext_simhash(spark, sf_dir)
+    bands = sims.select(
+        "doc_id",
+        "simhash16",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash16"), b * 4).bitwiseAND(
+                        F.lit(15)
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("band_id", "band_val"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash16").alias("sim_a"),
+            F.col("b.simhash16").alias("sim_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        cand.where(hamming <= 3)
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .orderBy("doc_a", "doc_b")
+    )
