@@ -239,3 +239,76 @@ def ext_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("prev_type", "next_type")
     )
+
+
+@register(
+    "ext_resample_ffill",
+    survey_id="EXT-RESAMPLE",
+    category="event-analytics",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, ts, ARG_MAX(value, event_id) AS value
+  FROM events WHERE user_id % 10 = 0 GROUP BY user_id, ts
+),
+bounds AS (
+  SELECT user_id,
+         date_trunc('hour', MIN(ts)) AS t0,
+         date_trunc('hour', MAX(ts)) AS t1
+  FROM ev GROUP BY user_id
+),
+grid AS (
+  SELECT user_id, UNNEST(generate_series(t0, t1, INTERVAL 1 HOUR)) AS grid_ts
+  FROM bounds
+)
+SELECT g.user_id, g.grid_ts, e.value AS last_value
+FROM grid g ASOF LEFT JOIN ev e
+  ON g.user_id = e.user_id AND g.grid_ts >= e.ts
+ORDER BY g.user_id, g.grid_ts
+""",
+)
+def ext_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling: each user's irregular event stream
+    regularized onto an hourly grid with forward-fill (last value at or
+    before each grid point) — the gap-filling operator every
+    metrics/feature pipeline needs. Spark idiom: per-user grid from
+    sequence(), unioned with the (deduped) events, then
+    last(value, ignoreNulls) over a user-keyed window; grid rows sort
+    after events at equal timestamps so an exactly-on-grid event is
+    included. One user-keyed exchange; grid size is bounded by time
+    range, not event count. Oracle: DuckDB native ASOF LEFT JOIN — two
+    independent formulations of the same semantics."""
+    e = load_table(spark, sf_dir, "events").where(F.col("user_id") % 10 == 0)
+    ev = e.groupBy("user_id", "ts").agg(
+        F.max_by("value", "event_id").alias("value")
+    )
+    bounds = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("t0", "t1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("grid_ts"),
+    )
+    stacked = grid.select(
+        "user_id",
+        F.col("grid_ts").alias("ts"),
+        F.lit(None).cast("double").alias("value"),
+        F.lit(1).alias("is_grid"),
+    ).unionByName(
+        ev.select("user_id", "ts", "value", F.lit(0).alias("is_grid"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_grid")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = stacked.withColumn(
+        "last_value", F.last("value", ignorenulls=True).over(w)
+    )
+    return (
+        filled.where(F.col("is_grid") == 1)
+        .select("user_id", F.col("ts").alias("grid_ts"), "last_value")
+        .orderBy("user_id", "grid_ts")
+    )
