@@ -63,6 +63,11 @@ def main() -> None:
         spec = specs.get(name)
         if spec is None:
             continue
+        # One untimed warm-up pass: page cache + codegen + broadcast
+        # build are amortized in any steady-state deployment, and the
+        # timed medians should measure the query, not the first touch
+        # of the parquet files.
+        spec.spark(spark, SF_DIR).collect()
         samples = []
         for _ in range(RUNS):
             t0 = time.monotonic()
