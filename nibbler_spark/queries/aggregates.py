@@ -739,3 +739,51 @@ def d22_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="amount",
     ).orderBy("l_orderkey", "l_linenumber", "metric")
+
+
+@register(
+    "ext_iqr_outliers",
+    survey_id="EXT-IQR",
+    category="aggregation",
+    oracle="""
+WITH q AS (
+  SELECT quantile_cont(o_totalprice, 0.25) AS q1,
+         quantile_cont(o_totalprice, 0.75) AS q3
+  FROM orders
+)
+SELECT o_orderstatus,
+       COUNT(*) AS n_total,
+       CAST(SUM(CASE WHEN o_totalprice > q3 + 1.5 * (q3 - q1)
+                       OR o_totalprice < q1 - 1.5 * (q3 - q1)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM orders CROSS JOIN q
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+)
+def ext_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IQR (Tukey-fence) outlier detection: exact quartiles from one
+    aggregate, broadcast back as a single row, and a conditional count
+    per group — the histogram-bounds pattern applied to data quality.
+    Both engines use linear-interpolation percentiles (D17 precedent)
+    and the fence arithmetic runs in double on identical operands."""
+    o = load_table(spark, sf_dir, "orders")
+    q = o.agg(
+        F.percentile("o_totalprice", 0.25).alias("q1"),
+        F.percentile("o_totalprice", 0.75).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    is_out = (F.col("o_totalprice") > F.col("q3") + 1.5 * iqr) | (
+        F.col("o_totalprice") < F.col("q1") - 1.5 * iqr
+    )
+    return (
+        o.crossJoin(F.broadcast(q))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum(F.when(is_out, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -520,3 +520,72 @@ def ext_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(18,6)")
         .alias("token_entropy_bits"),
     ).orderBy("doc_id")
+
+
+@register(
+    "ext_bigram_lm",
+    survey_id="EXT-BIGRAM-LM",
+    category="llm-text",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk
+  FROM documents WHERE doc_id % 5 = 0
+),
+bigrams AS (
+  SELECT UNNEST(list_transform(generate_series(1, len(tk) - 1),
+                               i -> tk[i] || ' ' || tk[i+1])) AS bg
+  FROM toks
+),
+bg_counts AS (
+  SELECT string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2,
+         COUNT(*) AS c2
+  FROM bigrams GROUP BY 1, 2
+),
+uni AS (SELECT w1, SUM(c2) AS c1 FROM bg_counts GROUP BY w1)
+SELECT b.w1, b.w2, b.c2, CAST(b.c2 AS DOUBLE) / u.c1 AS p_cond
+FROM bg_counts b JOIN uni u ON b.w1 = u.w1
+WHERE b.c2 >= 5
+ORDER BY b.w1, b.w2
+""",
+)
+def ext_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram language-model counts with conditional probability
+    P(w2 | w1) = c(w1,w2) / c(w1·) — the statistic behind n-gram LM
+    scoring and domain-shift detection in curation. Bigrams come from an
+    index-transform over the token array (order-preserving, no
+    explode-regroup round trip); both aggregations key on the leading
+    token. Integer counts divide to bit-identical doubles."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
+    toks = F.split("text", " ")
+    bigrams = d.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+                ),
+            )
+        ).alias("bg")
+    )
+    parts = F.split("bg", " ")
+    bg_counts = (
+        bigrams.select(
+            parts.getItem(0).alias("w1"), parts.getItem(1).alias("w2")
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c2"))
+    )
+    uni = bg_counts.groupBy(F.col("w1").alias("u_w1")).agg(
+        F.sum("c2").alias("c1")
+    )
+    return (
+        bg_counts.join(uni, bg_counts["w1"] == uni["u_w1"])
+        .where(F.col("c2") >= 5)
+        .select(
+            "w1",
+            "w2",
+            "c2",
+            (F.col("c2").cast("double") / F.col("c1")).alias("p_cond"),
+        )
+        .orderBy("w1", "w2")
+    )

@@ -195,3 +195,61 @@ def ext_sorted_layout_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "ts", "user_id", "value")
         .orderBy("event_id")
     )
+
+
+@register(
+    "ext_zorder_key",
+    survey_id="EXT-ZORDER",
+    category="scale-pattern",
+    oracle="""
+WITH xy AS (
+  SELECT p_partkey,
+         p_size AS x,
+         CAST(FLOOR((p_retailprice - 900.0) / 1.5625) AS INTEGER) AS y
+  FROM part
+)
+SELECT p_partkey, x, y,
+       CAST((
+         ((x >> 0) & 1) * 1 + ((y >> 0) & 1) * 2 +
+         ((x >> 1) & 1) * 4 + ((y >> 1) & 1) * 8 +
+         ((x >> 2) & 1) * 16 + ((y >> 2) & 1) * 32 +
+         ((x >> 3) & 1) * 64 + ((y >> 3) & 1) * 128 +
+         ((x >> 4) & 1) * 256 + ((y >> 4) & 1) * 512 +
+         ((x >> 5) & 1) * 1024 + ((y >> 5) & 1) * 2048
+       ) AS BIGINT) AS zval
+FROM xy ORDER BY p_partkey
+""",
+)
+def ext_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key: bit-interleaving of two
+    dimensions (p_size, a 64-bucket price bin — the 1.5625 bucket width
+    is an exact binary fraction so FLOOR agrees across engines) into one
+    sort key. Writing data ordered by zval gives min-max row-group
+    skipping on BOTH dimensions at once — the multi-dimensional upgrade
+    of EXT-LAYOUT's single-column range clustering. The interleave is 12
+    unrolled bit ops, all codegen'd map-side."""
+    p = load_table(spark, sf_dir, "part")
+    x = F.col("x")
+    y = F.col("y")
+    zval = sum(
+        [
+            (F.shiftright(x, i).bitwiseAND(F.lit(1)) * (1 << (2 * i)))
+            for i in range(6)
+        ]
+        + [
+            (F.shiftright(y, i).bitwiseAND(F.lit(1)) * (1 << (2 * i + 1)))
+            for i in range(6)
+        ],
+        start=F.lit(0),
+    )
+    return (
+        p.select(
+            "p_partkey",
+            F.col("p_size").alias("x"),
+            F.floor((F.col("p_retailprice") - 900.0) / 1.5625)
+            .cast("int")
+            .alias("y"),
+        )
+        .select("p_partkey", "x", "y", zval.cast("bigint").alias("zval"))
+        .orderBy("p_partkey")
+    )
