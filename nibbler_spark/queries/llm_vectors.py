@@ -394,3 +394,106 @@ def ext_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
         .limit(10)
     )
+
+
+_PCA_ORACLE = """
+WITH ex AS (
+  SELECT vec_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, generate_series(1, 64) AS g(i)
+),
+v0 AS (
+  SELECT i AS pos, CAST(0.125 AS DOUBLE) AS v
+  FROM generate_series(1, 64) AS g(i)
+),
+d1 AS (
+  SELECT vec_id, CAST(SUM(CAST(x * v AS DECIMAL(38,20))) AS DOUBLE) AS dot
+  FROM ex JOIN v0 USING (pos) GROUP BY vec_id
+),
+w1 AS (
+  SELECT pos, CAST(SUM(CAST(x * dot AS DECIMAL(38,18))) AS DOUBLE) AS w
+  FROM ex JOIN d1 USING (vec_id) GROUP BY pos
+),
+n1 AS (
+  SELECT SQRT(CAST(SUM(CAST(w * w AS DECIMAL(38,18))) AS DOUBLE)) AS nrm
+  FROM w1
+),
+v1 AS (SELECT pos, w / (SELECT nrm FROM n1) AS v FROM w1),
+d2 AS (
+  SELECT vec_id, CAST(SUM(CAST(x * v AS DECIMAL(38,20))) AS DOUBLE) AS dot
+  FROM ex JOIN v1 USING (pos) GROUP BY vec_id
+),
+w2 AS (
+  SELECT pos, CAST(SUM(CAST(x * dot AS DECIMAL(38,18))) AS DOUBLE) AS w
+  FROM ex JOIN d2 USING (vec_id) GROUP BY pos
+),
+n2 AS (
+  SELECT SQRT(CAST(SUM(CAST(w * w AS DECIMAL(38,18))) AS DOUBLE)) AS nrm
+  FROM w2
+),
+v2 AS (SELECT pos, w / (SELECT nrm FROM n2) AS v FROM w2)
+SELECT pos, CAST(v AS DECIMAL(18,12)) AS weight FROM v2 ORDER BY pos
+"""
+
+
+@register(
+    "ext_power_iteration_pca",
+    survey_id="EXT-PCA",
+    category="llm-vector",
+    oracle=_PCA_ORACLE,
+)
+def ext_power_iteration_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding matrix by distributed
+    power iteration (2 rounds): dot = Xv per row, w = X^T dot per
+    dimension, v' = w/||w|| — each round is two keyed aggregations over
+    the exploded (vec_id, pos, x) view, with the 64-row v broadcast back.
+    Nothing driver-side except the 64-dim vector itself; at 100 TB each
+    round is two partial-aggregated passes, the shape of every
+    Krylov-style distributed solver. Determinism discipline (as
+    EXT-PAGERANK): every sum accumulates exact decimals of
+    double-identical products, norms included, so two full iterations
+    hash-match the unrolled oracle bit-for-bit."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id", F.posexplode("embedding").alias("pos0", "xf")
+    ).select(
+        "vec_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("xf").cast("double").alias("x"),
+    )
+    vdf = spark.createDataFrame(
+        [(i, 0.125) for i in range(1, 65)], "pos int, v double"
+    )
+    for _ in range(2):
+        dots = (
+            ex.join(F.broadcast(vdf), "pos")
+            .groupBy("vec_id")
+            .agg(
+                F.sum((F.col("x") * F.col("v")).cast("decimal(38,20)"))
+                .cast("double")
+                .alias("dot")
+            )
+        )
+        w = (
+            ex.join(dots, "vec_id")
+            .groupBy("pos")
+            .agg(
+                F.sum((F.col("x") * F.col("dot")).cast("decimal(38,18)"))
+                .cast("double")
+                .alias("w")
+            )
+        )
+        norm = w.agg(
+            F.sqrt(
+                F.sum((F.col("w") * F.col("w")).cast("decimal(38,18)")).cast(
+                    "double"
+                )
+            ).alias("nrm")
+        )
+        vdf = (
+            w.crossJoin(F.broadcast(norm))
+            .select("pos", (F.col("w") / F.col("nrm")).alias("v"))
+            .localCheckpoint()
+        )
+    return vdf.select(
+        "pos", F.col("v").cast("decimal(18,12)").alias("weight")
+    ).orderBy("pos")
