@@ -14,7 +14,7 @@ set and reduces per-partition (K6); the scale path is LSH bucketing (K7)
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nibbler_spark.queries import register
@@ -497,3 +497,133 @@ def ext_power_iteration_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vdf.select(
         "pos", F.col("v").cast("decimal(18,12)").alias("weight")
     ).orderBy("pos")
+
+
+_KMEANS_ORACLE = """
+WITH ex AS (
+  SELECT vec_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, generate_series(1, 64) AS g(i)
+),
+c0 AS (SELECT vec_id AS cid, pos, x AS c FROM ex WHERE vec_id < 4),
+a1 AS (
+  SELECT vec_id, cid, dist FROM (
+    SELECT vec_id, cid, dist,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM (
+      SELECT e.vec_id, c.cid,
+             CAST(SUM(CAST((e.x - c.c) * (e.x - c.c) AS DECIMAL(38,18)))
+                  AS DOUBLE) AS dist
+      FROM ex e JOIN c0 c ON e.pos = c.pos
+      GROUP BY e.vec_id, c.cid
+    )
+  ) WHERE rn = 1
+),
+c1 AS (
+  SELECT cid, pos,
+         CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS c
+  FROM ex JOIN a1 USING (vec_id) GROUP BY cid, pos
+),
+a2 AS (
+  SELECT vec_id, cid, dist FROM (
+    SELECT vec_id, cid, dist,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM (
+      SELECT e.vec_id, c.cid,
+             CAST(SUM(CAST((e.x - c.c) * (e.x - c.c) AS DECIMAL(38,18)))
+                  AS DOUBLE) AS dist
+      FROM ex e JOIN c1 c ON e.pos = c.pos
+      GROUP BY e.vec_id, c.cid
+    )
+  ) WHERE rn = 1
+),
+c2 AS (
+  SELECT cid, pos,
+         CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS c
+  FROM ex JOIN a2 USING (vec_id) GROUP BY cid, pos
+),
+a3 AS (
+  SELECT vec_id, cid, dist FROM (
+    SELECT vec_id, cid, dist,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM (
+      SELECT e.vec_id, c.cid,
+             CAST(SUM(CAST((e.x - c.c) * (e.x - c.c) AS DECIMAL(38,18)))
+                  AS DOUBLE) AS dist
+      FROM ex e JOIN c2 c ON e.pos = c.pos
+      GROUP BY e.vec_id, c.cid
+    )
+  ) WHERE rn = 1
+)
+SELECT vec_id, cid AS cluster, CAST(dist AS DECIMAL(18,10)) AS dist2
+FROM a3 ORDER BY vec_id
+"""
+
+
+@register(
+    "ext_kmeans_lloyd",
+    survey_id="EXT-KMEANS",
+    category="llm-vector",
+    oracle=_KMEANS_ORACLE,
+)
+def ext_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means (k=4, two assign/update rounds, deterministic
+    init from the first four vectors — no RNG). Assignment is a
+    broadcast of the k×64 codebook against the exploded matrix with an
+    exact-decimal squared-distance sum and a (dist, cid)-ordered
+    row_number argmin; the update is an exact per-(cluster, dim) mean.
+    Complements EXT-IVF (which consumes a trained codebook) with the
+    TRAINING side. At 100 TB: per round, one broadcast join + two keyed
+    partial aggregations — centroids are the only state, and they are
+    k×64 doubles. Every accumulation is decimal-exact, so two full
+    Lloyd rounds plus the final assignment hash-match the unrolled
+    oracle."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id", F.posexplode("embedding").alias("pos0", "xf")
+    ).select(
+        "vec_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("xf").cast("double").alias("x"),
+    )
+    cent = ex.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cid"), "pos", F.col("x").alias("c")
+    )
+
+    def assign(cent_df):
+        diff = F.col("x") - F.col("c")
+        dists = (
+            ex.join(F.broadcast(cent_df), "pos")
+            .select(
+                "vec_id",
+                "cid",
+                (diff * diff).cast("decimal(38,18)").alias("sq"),
+            )
+            .groupBy("vec_id", "cid")
+            .agg(F.sum("sq").cast("double").alias("dist"))
+        )
+        w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+        return (
+            dists.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("vec_id", "cid", "dist")
+        )
+
+    for _ in range(2):
+        a = assign(cent)
+        cent = (
+            ex.join(a, "vec_id")
+            .groupBy("cid", "pos")
+            .agg(
+                (
+                    F.sum(F.col("x").cast("decimal(38,18)")).cast("double")
+                    / F.count("*")
+                ).alias("c")
+            )
+            .localCheckpoint()
+        )
+    final = assign(cent)
+    return final.select(
+        "vec_id",
+        F.col("cid").alias("cluster"),
+        F.col("dist").cast("decimal(18,10)").alias("dist2"),
+    ).orderBy("vec_id")
