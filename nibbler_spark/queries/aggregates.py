@@ -787,3 +787,61 @@ def ext_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "ext_ols_by_group",
+    survey_id="EXT-OLS",
+    category="aggregation",
+    oracle="""
+WITH m AS (
+  SELECT o_orderstatus,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(epoch(o_orderdate) / 86400 AS DECIMAL(28,10)))
+              AS DOUBLE) AS sx,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST((epoch(o_orderdate) / 86400) * o_totalprice
+                       AS DECIMAL(28,10))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST((epoch(o_orderdate) / 86400)
+                       * (epoch(o_orderdate) / 86400)
+                       AS DECIMAL(28,10))) AS DOUBLE) AS sxx
+  FROM orders GROUP BY o_orderstatus
+)
+SELECT o_orderstatus, n,
+       CAST((n * sxy - sx * sy) / (n * sxx - sx * sx) AS DECIMAL(18,8))
+         AS slope,
+       CAST((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+            AS DECIMAL(18,6)) AS intercept
+FROM m ORDER BY o_orderstatus
+""",
+)
+def ext_ols_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group linear regression (price vs order day) by the closed
+    form slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²): the four moments are
+    ONE partial-aggregated pass with exact-decimal sums, and the formula
+    runs in double on identical operands — unlike the engines' native
+    regr_slope (streaming covariance accumulation, order-dependent),
+    this is bit-reproducible at any parallelism; final values rounded
+    through decimals to absorb the one division/multiplication chain.
+    The grouped-sufficient-statistics shape is exactly how distributed
+    ML fits millions of small per-entity models in one pass."""
+    o = load_table(spark, sf_dir, "orders")
+    x = F.unix_timestamp("o_orderdate") / 86400
+    y = F.col("o_totalprice")
+    m = o.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum(x.cast("decimal(28,10)")).cast("double").alias("sx"),
+        F.sum(y.cast("decimal(28,10)")).cast("double").alias("sy"),
+        F.sum((x * y).cast("decimal(28,10)")).cast("double").alias("sxy"),
+        F.sum((x * x).cast("decimal(28,10)")).cast("double").alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    return m.select(
+        "o_orderstatus",
+        "n",
+        slope.cast("decimal(18,8)").alias("slope"),
+        intercept.cast("decimal(18,6)").alias("intercept"),
+    ).orderBy("o_orderstatus")
