@@ -212,3 +212,94 @@ def a13_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(row["n_rows"], row["sum_price"])],
         "n_rows bigint, sum_price double",
     )
+
+
+@register(
+    "a14_schema_evolution_merge",
+    survey_id="A14",
+    category="source-sink",
+    oracle="""
+SELECT r_regionkey, r_name, tier FROM (
+  SELECT r_regionkey, r_name, NULL AS tier FROM region
+  UNION ALL
+  SELECT r_regionkey, r_name,
+         CASE WHEN r_regionkey % 2 = 0 THEN 'gold' ELSE 'silver' END AS tier
+  FROM region
+) ORDER BY r_regionkey, tier NULLS FIRST
+""",
+)
+def a14_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: two parquet generations — the second
+    adds a `tier` column — merged with mergeSchema=true; old-generation
+    rows surface NULL for the new column. The everyday reality of a
+    long-lived 100 TB lake where writers evolve independently; schema
+    merge happens at footer-reconciliation time, not via rewrite."""
+    import tempfile as _tf
+
+    base = _tf.mkdtemp(prefix="nibbler-a14-")
+    r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    r.write.mode("overwrite").parquet(base + "/gen=1")
+    r.withColumn(
+        "tier",
+        F.when(F.col("r_regionkey") % 2 == 0, "gold").otherwise("silver"),
+    ).write.mode("overwrite").parquet(base + "/gen=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        base + "/gen=1", base + "/gen=2"
+    )
+    return merged.select("r_regionkey", "r_name", "tier").orderBy(
+        "r_regionkey", F.col("tier").asc_nulls_first()
+    )
+
+
+@register(
+    "a15_cached_relation_reuse",
+    survey_id="A15",
+    category="source-sink",
+    oracle="""
+WITH agg AS (
+  SELECT o_orderstatus, COUNT(*) AS n,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+  FROM orders GROUP BY o_orderstatus
+)
+SELECT a.o_orderstatus, a.n, a.total,
+       CAST(a.total / b.grand AS DECIMAL(18,10)) AS share
+FROM agg a CROSS JOIN (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                                   AS DOUBLE) AS grand FROM orders) b
+ORDER BY a.o_orderstatus
+""",
+)
+def a15_cached_relation_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar caching: an aggregate consumed twice (per-group rows +
+    grand total for shares) is persisted once — the second consumer
+    reads the in-memory columnar relation instead of rescanning parquet.
+    At 100 TB cache() is the difference between one scan and N for
+    multi-consumer DAGs (use MEMORY_AND_DISK; partitions spill). The
+    grand total is derived FROM the cached aggregate (sum of identical
+    doubles, deterministic order via sort inside the reduce — here via a
+    second exact-decimal pass to stay order-free)."""
+    o = load_table(spark, sf_dir, "orders")
+    from nibbler_spark.queries._helpers import dec
+
+    agg = (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(dec("o_totalprice")).cast("double").alias("total"),
+        )
+        .cache()
+    )
+    grand = o.agg(
+        F.sum(dec("o_totalprice")).cast("double").alias("grand")
+    )
+    return (
+        agg.crossJoin(F.broadcast(grand))
+        .select(
+            "o_orderstatus",
+            "n",
+            "total",
+            (F.col("total") / F.col("grand")).cast("decimal(18,10)").alias(
+                "share"
+            ),
+        )
+        .orderBy("o_orderstatus")
+    )
