@@ -697,3 +697,90 @@ def ext_simhash_banded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", hamming.alias("hamming"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+@register(
+    "ext_dedup_keep_best",
+    survey_id="EXT-KEEP-BEST",
+    category="llm-dedup",
+    oracle="""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, lang, source,
+         list_sort(list_distinct(string_split(text, ' '))) AS ts
+  FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM toks a JOIN toks b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+        / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) >= 0.8
+),
+edges AS (
+  SELECT src, dst FROM pairs
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM pairs
+),
+reach(node, anc) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst AS node, r.anc FROM reach r JOIN edges e ON e.src = r.node
+),
+lbl AS (SELECT node AS doc_id, MIN(anc) AS cluster_id FROM reach GROUP BY node),
+qual AS (
+  SELECT doc_id,
+         ROUND(0.4 * LEAST(LENGTH(text) / 500.0, 1.0)
+               + 0.4 * (CAST(len(list_filter(string_split(text, ' '),
+                             w -> w IN ('the','a','of','and','to'))) AS DOUBLE)
+                        / len(string_split(text, ' ')))
+               + 0.2 * (1.0 - CAST(len(list_filter(string_split(text, ' '),
+                             w -> LENGTH(w) >= 8)) AS DOUBLE)
+                        / len(string_split(text, ' '))), 4) AS quality
+  FROM documents
+),
+ranked AS (
+  SELECT l.cluster_id, l.doc_id, q.quality,
+         ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+                            ORDER BY q.quality DESC, l.doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY l.cluster_id) AS cluster_size
+  FROM lbl l JOIN qual q USING (doc_id)
+)
+SELECT cluster_id, doc_id AS keeper_doc_id, quality AS keeper_quality,
+       cluster_size
+FROM ranked WHERE rn = 1
+ORDER BY cluster_id
+""",
+)
+def ext_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation dedup semantic: duplicate clusters from
+    connected components (EXT-CC), then ONE keeper per cluster — the
+    highest-QUALITY member (EXT-QUALITY's blended score; ties to the
+    lowest doc_id) instead of the arbitrary min-id. This is what
+    production pipelines actually ship: near-dup groups collapse to
+    their best representative. Composes the two registered queries
+    directly; the extra cost over EXT-CC is one quality projection and
+    one cluster-keyed window."""
+    from nibbler_spark.queries.llm_text import ext_quality_score
+    from pyspark.sql import Window
+
+    clusters = ext_dedup_clusters(spark, sf_dir).select(
+        "doc_id", "cluster_id"
+    )
+    qual = ext_quality_score(spark, sf_dir).select("doc_id", "quality")
+    joined = clusters.join(qual, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    ws = Window.partitionBy("cluster_id")
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .withColumn("cluster_size", F.count("*").over(ws))
+        .where(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("keeper_doc_id"),
+            F.col("quality").alias("keeper_quality"),
+            "cluster_size",
+        )
+        .orderBy("cluster_id")
+    )
