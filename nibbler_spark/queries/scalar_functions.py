@@ -730,3 +730,30 @@ def h22_parse_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url(url, F.lit("PATH")).alias("path"),
         F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
     ).orderBy("doc_id")
+
+
+@register(
+    "h23_base_conversion",
+    survey_id="H23",
+    category="scalar",
+    oracle="""
+SELECT o_orderkey,
+       lower(to_hex(o_orderkey)) AS k_hex,
+       bin(o_orderkey) AS k_bin,
+       unhex(to_hex(o_orderkey + 256)) AS roundtrip_bytes
+FROM orders WHERE o_orderkey % 151 = 0 ORDER BY o_orderkey
+""",
+)
+def h23_base_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Base conversion family: hex / binary rendering and the
+    unhex round trip (hex digits lowercased — Spark renders lower,
+    DuckDB upper). Codegen'd map-side string ops."""
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderkey") % 151 == 0
+    )
+    return o.select(
+        "o_orderkey",
+        F.lower(F.hex("o_orderkey")).alias("k_hex"),
+        F.bin("o_orderkey").alias("k_bin"),
+        F.unhex(F.hex(F.col("o_orderkey") + 256)).alias("roundtrip_bytes"),
+    ).orderBy("o_orderkey")

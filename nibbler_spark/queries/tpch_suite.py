@@ -408,3 +408,74 @@ def tq19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return j.where(case).agg(_revenue().alias("revenue"))
+
+
+@register(
+    "tq07_nation_volume",
+    survey_id="EXT-TPCH",
+    category="composite",
+    oracle=f"""
+SELECT supp_nation, cust_nation, l_year, {_SQL_REVENUE} AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         year(l.l_shipdate) AS l_year,
+         l.l_extendedprice, l.l_discount
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+  JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l.l_shipdate BETWEEN TIMESTAMP '1996-01-01'
+                         AND TIMESTAMP '1997-12-31'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+""",
+)
+def tq07_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: bilateral trade volume between two nations by year —
+    a 6-table join where the nation dimension joins TWICE under
+    different roles (supplier side, customer side). Both nation dims and
+    supplier broadcast; the disjunctive nation-pair predicate prunes
+    after the cheap dimension joins while the shipdate range reaches the
+    lineitem scan."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate").between("1996-01-01", "1997-12-31")
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1")
+        & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2")
+        & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n1), s["s_nationkey"] == F.col("n1_key"))
+        .join(F.broadcast(n2), c["c_nationkey"] == F.col("n2_key"))
+        .where(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(_revenue().alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
