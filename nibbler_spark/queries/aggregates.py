@@ -845,3 +845,34 @@ def ext_ols_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         slope.cast("decimal(18,8)").alias("slope"),
         intercept.cast("decimal(18,6)").alias("intercept"),
     ).orderBy("o_orderstatus")
+
+
+@register(
+    "d24_boolean_aggregates",
+    survey_id="D24",
+    category="aggregation",
+    oracle="""
+SELECT l_returnflag,
+       CAST(count_if(l_discount > 0.05) AS BIGINT) AS n_discounted,
+       bool_or(l_quantity >= 49) AS any_bulk,
+       bool_and(l_extendedprice > 0) AS all_positive
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+)
+def d24_boolean_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregate family: count_if / bool_or (ANY) / bool_and
+    (EVERY). All three partial-aggregate to one bit or count per
+    partition before the exchange — constant shuffle volume per group
+    at any scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count_if(F.col("l_discount") > 0.05)
+            .cast("bigint")
+            .alias("n_discounted"),
+            F.bool_or(F.col("l_quantity") >= 49).alias("any_bulk"),
+            F.bool_and(F.col("l_extendedprice") > 0).alias("all_positive"),
+        )
+        .orderBy("l_returnflag")
+    )
