@@ -440,3 +440,49 @@ def c14_interval_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("eid_a", "eid_b")
     )
+
+
+@register(
+    "c15_null_safe_join",
+    survey_id="C15",
+    category="join",
+    oracle="""
+WITH l AS (
+  SELECT o_orderkey, NULLIF(o_orderkey % 5, 0) AS k, o_totalprice
+  FROM orders WHERE o_orderkey % 97 = 0
+),
+r AS (
+  SELECT NULLIF(v % 5, 0) AS k, v AS tag
+  FROM generate_series(0, 9) AS t(v)
+)
+SELECT l.o_orderkey, l.k, r.tag
+FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+ORDER BY l.o_orderkey, r.tag
+""",
+)
+def c15_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi join (<=> / IS NOT DISTINCT FROM): NULL keys match
+    each other instead of vanishing — required for joining on nullable
+    dimension keys without a COALESCE-sentinel rewrite. Still compiles
+    to a hash join (the null bucket is a regular key), so the plan is
+    identical to C1's; only the key comparison changes. Note the skew
+    caveat at 100 TB: a large NULL population becomes one hot key —
+    exactly what AQE skew splitting or an explicit null-fanout salt
+    addresses."""
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderkey") % 97 == 0
+    )
+    left = o.select(
+        "o_orderkey",
+        F.nullif(F.col("o_orderkey") % 5, F.lit(0)).alias("k"),
+        "o_totalprice",
+    )
+    right = spark.range(0, 10).select(
+        F.nullif(F.col("id") % 5, F.lit(0)).alias("rk"),
+        F.col("id").alias("tag"),
+    )
+    return (
+        left.join(right, left["k"].eqNullSafe(right["rk"]))
+        .select("o_orderkey", "k", "tag")
+        .orderBy("o_orderkey", "tag")
+    )

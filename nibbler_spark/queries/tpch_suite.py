@@ -479,3 +479,81 @@ def tq07_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(_revenue().alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
+
+
+@register(
+    "tq08_market_share",
+    survey_id="EXT-TPCH",
+    category="composite",
+    oracle="""
+WITH all_sales AS (
+  SELECT year(o.o_orderdate) AS o_year,
+         CAST(l.l_extendedprice AS DECIMAL(18,4))
+           * (1 - CAST(l.l_discount AS DECIMAL(18,4))) AS rev,
+         n2.n_name AS supp_nation
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n1.n_regionkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+  WHERE r.r_name = 'ASIA'
+    AND o.o_orderdate BETWEEN TIMESTAMP '1996-01-01'
+                          AND TIMESTAMP '1997-12-31'
+)
+SELECT o_year,
+       CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_1' THEN rev
+                          ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+            / CAST(SUM(rev) AS DOUBLE) AS DECIMAL(18,10)) AS mkt_share
+FROM all_sales GROUP BY o_year ORDER BY o_year
+""",
+)
+def tq08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: NATION_1 suppliers' share of the ASIA customer market
+    by year — a 7-table join with both a geography chain on the customer
+    side (nation→region, broadcast) and a role-reversed nation join on
+    the supplier side, ending in a conditional-share aggregate whose
+    numerator and denominator ride one partial-agg pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate").between("1996-01-01", "1997-12-31")
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n1 = n.join(
+        F.broadcast(r), n["n_regionkey"] == r["r_regionkey"]
+    ).select(F.col("n_nationkey").alias("n1_key"))
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    rev = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    zero = F.lit(0).cast("decimal(18,4)")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n1), c["c_nationkey"] == F.col("n1_key"))
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n2), s["s_nationkey"] == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_1", rev).otherwise(
+                        zero
+                    )
+                ).cast("double")
+                / F.sum(rev).cast("double")
+            )
+            .cast("decimal(18,10)")
+            .alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
