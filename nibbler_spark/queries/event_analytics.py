@@ -312,3 +312,51 @@ def ext_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", F.col("ts").alias("grid_ts"), "last_value")
         .orderBy("user_id", "grid_ts")
     )
+
+
+@register(
+    "ext_session_window_native",
+    survey_id="EXT-SESSION-NATIVE",
+    category="event-analytics",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts) AS seq
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       COUNT(*) AS n_events
+FROM sess GROUP BY user_id, seq
+ORDER BY user_id, session_start
+""",
+)
+def ext_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window in BATCH mode (the same operator
+    I3 exercises in streaming), hash-checked against the
+    first-principles gaps-and-islands rewrite — two independent
+    formulations of 30-minute-gap sessionization must agree exactly.
+    The native form is one groupBy(session_window, user): Spark sorts
+    within the user partition and merges adjacent sessions — no window
+    function pass needed."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.session_window("ts", "30 minutes").alias("sw"), "user_id"
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )

@@ -262,3 +262,37 @@ def e10_unframed_partition_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dec("value")).over(w).cast("double").alias("user_total"),
         F.count("*").over(w).alias("user_events"),
     ).orderBy("event_id")
+
+
+@register(
+    "e11_nth_value",
+    survey_id="E11",
+    category="window",
+    oracle="""
+SELECT user_id, event_id, ts,
+       nth_value(value, 2) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS second_value
+FROM events WHERE user_id % 25 = 0
+ORDER BY user_id, ts, event_id
+""",
+)
+def e11_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value with an explicit running frame: the second value seen so
+    far per user (NULL until two rows have arrived). Same single
+    user-keyed exchange as every E-series window."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").where(F.col("user_id") % 25 == 0)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.nth_value("value", 2).over(w).alias("second_value"),
+    ).orderBy("user_id", "ts", "event_id")
