@@ -876,3 +876,85 @@ def d24_boolean_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "ext_auc",
+    survey_id="EXT-AUC",
+    category="aggregation",
+    oracle="""
+WITH scored AS (
+  SELECT n_chars AS score,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+  FROM documents
+),
+per_score AS (
+  SELECT score,
+         CAST(SUM(pos) AS BIGINT) AS p_s,
+         CAST(SUM(1 - pos) AS BIGINT) AS n_s
+  FROM scored GROUP BY score
+),
+cum AS (
+  SELECT score, p_s, n_s,
+         COALESCE(SUM(p_s) OVER (ORDER BY score
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_p
+  FROM per_score
+),
+tot AS (
+  SELECT CAST(SUM(p_s) AS BIGINT) AS p_tot, CAST(SUM(n_s) AS BIGINT) AS n_tot
+  FROM per_score
+)
+SELECT p_tot, n_tot,
+       CAST(CAST(SUM(2 * n_s * cum_p + p_s * n_s) AS DOUBLE)
+            / (2.0 * p_tot * n_tot) AS DECIMAL(18,12)) AS auc
+FROM cum CROSS JOIN tot
+GROUP BY p_tot, n_tot
+""",
+)
+def ext_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC of a score (n_chars) against a binary label (lang='en'),
+    in the exact tie-averaged integral form: group by distinct score,
+    cumulative positives below each score, AUC = Σ(2·N_s·cumP +
+    P_s·N_s) / (2·P·N). All arithmetic stays in integers until one
+    final division of identical operands — deterministic at any
+    parallelism, unlike rank-based formulations that need a global
+    row_number. The window runs over DISTINCT SCORES (bounded domain),
+    not rows — the scale-sane shape for metric computation on billions
+    of examples."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        F.col("n_chars").alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+    )
+    per_score = scored.groupBy("score").agg(
+        F.sum("pos").cast("bigint").alias("p_s"),
+        F.sum(1 - F.col("pos")).cast("bigint").alias("n_s"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = per_score.withColumn(
+        "cum_p", F.coalesce(F.sum("p_s").over(w), F.lit(0))
+    )
+    tot = per_score.agg(
+        F.sum("p_s").cast("bigint").alias("p_tot"),
+        F.sum("n_s").cast("bigint").alias("n_tot"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("p_tot", "n_tot")
+        .agg(
+            (
+                F.sum(
+                    2 * F.col("n_s") * F.col("cum_p")
+                    + F.col("p_s") * F.col("n_s")
+                ).cast("double")
+                / (2.0 * F.col("p_tot") * F.col("n_tot"))
+            )
+            .cast("decimal(18,12)")
+            .alias("auc")
+        )
+    )

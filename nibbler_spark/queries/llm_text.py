@@ -589,3 +589,36 @@ def ext_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("w1", "w2")
     )
+
+
+@register(
+    "ext_stopword_removal",
+    survey_id="EXT-STOPWORDS",
+    category="llm-text",
+    oracle="""
+SELECT doc_id,
+       md5(array_to_string(
+         list_filter(string_split(text, ' '),
+                     w -> w NOT IN ('the','a','of','and','to')), ' '))
+         AS cleaned_md5,
+       len(string_split(text, ' '))
+         - len(list_filter(string_split(text, ' '),
+                           w -> w NOT IN ('the','a','of','and','to')))
+         AS n_removed
+FROM documents WHERE doc_id % 9 = 0 ORDER BY doc_id
+""",
+)
+def ext_stopword_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword removal as a transformation (not just a ratio): filter
+    the token array with a HOF, re-join, fingerprint the cleaned text.
+    Order-preserving, purely map-side — the first rewrite stage of a
+    normalization pipeline."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 9 == 0)
+    toks = F.split("text", " ")
+    stop = ("the", "a", "of", "and", "to")
+    kept = F.filter(toks, lambda w: ~w.isin(*stop))
+    return d.select(
+        "doc_id",
+        F.md5(F.array_join(kept, " ")).alias("cleaned_md5"),
+        (F.size(toks) - F.size(kept)).alias("n_removed"),
+    ).orderBy("doc_id")

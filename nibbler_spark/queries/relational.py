@@ -561,3 +561,59 @@ def ext_random_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "disjoint_and_complete boolean, fractions_ok boolean, "
         "deterministic_with_seed boolean",
     )
+
+
+@register(
+    "ext_fk_integrity_audit",
+    survey_id="EXT-FK-AUDIT",
+    category="projection",
+    oracle="""
+SELECT 'lineitem->orders' AS fk, COUNT(*) AS n_orphans FROM (
+  SELECT l_orderkey FROM lineitem
+  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+)
+UNION ALL
+SELECT 'orders->customer' AS fk, COUNT(*) AS n_orphans FROM (
+  SELECT o_custkey FROM orders
+  WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+)
+UNION ALL
+SELECT 'customer->nation' AS fk, COUNT(*) AS n_orphans FROM (
+  SELECT c_nationkey FROM customer
+  WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)
+)
+ORDER BY fk
+""",
+)
+def ext_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan counts for three FK edges via
+    left-anti joins — the standing data-quality gate every pipeline runs
+    after ingest. Anti joins never duplicate the probe side, and each
+    audit's shuffle is keyed by its FK; the three audits are independent
+    and run as one union job. (Keys here are non-null, so anti-join and
+    NOT IN agree; C5 documents the NULL divergence.)"""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey")
+
+    def audit(probe, build, pk, fk, name):
+        return (
+            probe.join(build, probe[pk] == build[fk], "left_anti")
+            .agg(F.count("*").alias("n_orphans"))
+            .select(F.lit(name).alias("fk"), "n_orphans")
+        )
+
+    return (
+        audit(li, o.select("o_orderkey"), "l_orderkey", "o_orderkey",
+              "lineitem->orders")
+        .unionByName(
+            audit(o.select("o_custkey"), c.select("c_custkey"),
+                  "o_custkey", "c_custkey", "orders->customer")
+        )
+        .unionByName(
+            audit(c.select("c_nationkey"), n, "c_nationkey", "n_nationkey",
+                  "customer->nation")
+        )
+        .orderBy("fk")
+    )
