@@ -627,3 +627,60 @@ def ext_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cid").alias("cluster"),
         F.col("dist").cast("decimal(18,10)").alias("dist2"),
     ).orderBy("vec_id")
+
+
+@register(
+    "ext_knn_join",
+    survey_id="EXT-KNN-JOIN",
+    category="llm-vector",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+),
+scored AS (
+  SELECT q.q_id, e.vec_id AS nn_id,
+         {sql_cosine('e.embedding', 'q.qv')} AS cos_sim,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.q_id
+           ORDER BY {sql_cosine('e.embedding', 'q.qv')} DESC, e.vec_id
+         ) AS rn
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id >= 5
+)
+SELECT q_id, nn_id, cos_sim, CAST(rn AS INTEGER) AS rank
+FROM scored WHERE rn <= 5 ORDER BY q_id, rank
+""",
+)
+def ext_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched kNN join: top-5 cosine neighbors for EACH of 5 query
+    vectors in one job — the serving shape for batch retrieval
+    (dedup-against-index, RAG corpus lookup). The whole query set
+    broadcasts (Q×d floats), the corpus partitions freely, similarity is
+    computed map-side, and the per-query top-k comes from a window over
+    the q_id key — total work O(|corpus|·Q/p) per task with no corpus
+    shuffle. Grid-exact cosine (K6's discipline) keeps the oracle
+    hash-strict."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    from pyspark.sql import Window
+
+    scored = (
+        e.where(F.col("vec_id") >= 5)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("nn_id"),
+            cosine(F.col("embedding"), F.col("qv")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("nn_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("q_id", "nn_id", "cos_sim", "rank")
+        .orderBy("q_id", "rank")
+    )

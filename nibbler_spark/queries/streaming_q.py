@@ -920,3 +920,59 @@ def i14_stream_stream_left_outer_golden(
         .where(F.col("user_id") != 99)
         .orderBy("user_id")
     )
+
+
+@register(
+    "a16_foreachbatch_multi_sink",
+    survey_id="A16",
+    category="streaming",
+    mode="parity",
+    oracle="""
+SELECT event_type, COUNT(*) AS n
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+)
+def a16_foreachbatch_multi_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch fan-out to TWO sinks from one stream: each
+    micro-batch is persisted once, written raw to an archive sink AND
+    aggregated into a counts sink — the standard pattern when one
+    ingest feeds both a lake archive and a metrics table (persist
+    prevents recomputing the batch per sink; epoch-tagged paths make
+    retries idempotent). Parity: the counts sink, summed across
+    epochs, must equal the batch aggregate; the archive must hold
+    every row."""
+    d = _events_dir(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="nibbler-a16-")
+    archive = os.path.join(base, "archive")
+    counts = os.path.join(base, "counts")
+
+    def fan_out(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.persist()
+        batch_df.write.mode("append").parquet(
+            os.path.join(archive, f"epoch={epoch_id}")
+        )
+        (
+            batch_df.groupBy("event_type")
+            .agg(F.count("*").alias("n"))
+            .write.mode("append")
+            .parquet(os.path.join(counts, f"epoch={epoch_id}"))
+        )
+        batch_df.unpersist()
+
+    q = (
+        _read_stream(spark, d)
+        .writeStream.foreachBatch(fan_out)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="nibbler-ck-"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    archived = spark.read.parquet(archive + "/epoch=*").count()
+    expected = spark.read.parquet(d).count()
+    assert archived == expected, f"archive {archived} != source {expected}"
+    return (
+        spark.read.parquet(counts + "/epoch=*")
+        .groupBy("event_type")
+        .agg(F.sum("n").cast("bigint").alias("n"))
+        .orderBy("event_type")
+    )
