@@ -958,3 +958,53 @@ def ext_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("auc")
         )
     )
+
+
+@register(
+    "d25_weighted_avg",
+    survey_id="D25",
+    category="aggregation",
+    oracle="""
+SELECT l_returnflag,
+       CAST(CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,8)))
+                 AS DOUBLE)
+            / CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+            AS DECIMAL(18,6)) AS wavg_price,
+       CAST(SUM(CAST(l_quantity * (1 - l_discount) AS DECIMAL(28,8)))
+            AS DOUBLE) AS effective_qty
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+)
+def d25_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted average (quantity-weighted price) and weighted sum —
+    the two-sufficient-statistics pattern: both decimal-exact sums ride
+    one partial-agg pass. The numerator sum carries ~19 significant
+    digits — beyond double — and the engines' decimal-to-double
+    conversions round the excess differently, so the final average is
+    rounded through DECIMAL(18,6) (the entropy-query discipline)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            (
+                F.sum(
+                    (F.col("l_quantity") * F.col("l_extendedprice")).cast(
+                        "decimal(28,8)"
+                    )
+                ).cast("double")
+                / F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast(
+                    "double"
+                )
+            )
+            .cast("decimal(18,6)")
+            .alias("wavg_price"),
+            F.sum(
+                (F.col("l_quantity") * (1 - F.col("l_discount"))).cast(
+                    "decimal(28,8)"
+                )
+            )
+            .cast("double")
+            .alias("effective_qty"),
+        )
+        .orderBy("l_returnflag")
+    )

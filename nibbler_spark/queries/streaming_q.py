@@ -976,3 +976,81 @@ def a16_foreachbatch_multi_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("n").cast("bigint").alias("n"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "k16_incremental_dedup_store",
+    survey_id="EXT-DEDUP-STORE",
+    category="streaming",
+    mode="parity",
+    oracle="""
+WITH even_keys AS (
+  SELECT md5(text) AS k, MIN(doc_id) AS keeper
+  FROM documents WHERE doc_id % 2 = 0 GROUP BY 1
+),
+odd_new AS (
+  SELECT md5(text) AS k, MIN(doc_id) AS keeper
+  FROM documents
+  WHERE doc_id % 2 = 1
+    AND md5(text) NOT IN (SELECT k FROM even_keys)
+  GROUP BY 1
+)
+SELECT k AS content_key, keeper AS keeper_doc_id FROM even_keys
+UNION ALL
+SELECT k AS content_key, keeper AS keeper_doc_id FROM odd_new
+ORDER BY content_key
+""",
+)
+def k16_incremental_dedup_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup against HISTORY: each arriving batch is
+    anti-joined on content hash against a persistent dedup store, then
+    deduped within itself, and only first-seen keys append to the store
+    — the cross-restart production shape (dropDuplicates state dies with
+    the query; a store survives). Scripted: pass 1 ingests the even
+    docs (seeding the store), pass 2 ingests the full corpus — every
+    even doc and every odd duplicate of a seen key is dropped.
+    First-writer-wins is the declared semantic. At 100 TB the store is
+    a bucketed table on content_key so the anti-join is exchange-free
+    on the store side."""
+    base = tempfile.mkdtemp(prefix="nibbler-k16-")
+    src = os.path.join(base, "src")
+    store = os.path.join(base, "store")
+    os.makedirs(src, exist_ok=True)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    schema = "content_key string, keeper_doc_id long"
+    spark.createDataFrame([], schema).write.mode("overwrite").parquet(store)
+
+    def ingest(batch_df: DataFrame, epoch_id: int) -> None:
+        seen = batch_df.sparkSession.read.parquet(store)
+        fresh = (
+            batch_df.select(
+                F.md5("text").alias("content_key"), "doc_id"
+            )
+            .join(seen, "content_key", "left_anti")
+            .groupBy("content_key")
+            .agg(F.min("doc_id").alias("keeper_doc_id"))
+        )
+        fresh.write.mode("append").parquet(store)
+
+    def run_pass() -> None:
+        q = (
+            spark.readStream.schema("doc_id long, text string")
+            .parquet(src + "/*/")
+            .writeStream.foreachBatch(ingest)
+            .option(
+                "checkpointLocation", os.path.join(base, "ckpt")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    d.where(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(src, "step-a"))
+    run_pass()
+    d.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(src, "step-b")
+    )
+    run_pass()
+    return spark.read.parquet(store).orderBy("content_key")

@@ -557,3 +557,59 @@ def tq08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_year")
     )
+
+
+@register(
+    "tq17_small_quantity_revenue",
+    survey_id="EXT-TPCH",
+    category="composite",
+    oracle="""
+SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+            / 7.0 AS DECIMAL(18,6)) AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#3'
+  AND l.l_quantity < (
+    SELECT 0.2 * AVG(l2.l_quantity)
+    FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+  )
+""",
+)
+def tq17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: revenue lost to small orders — a correlated scalar
+    subquery (per-part average quantity) DECORRELATED by hand into a
+    grouped aggregate + equi-join, the rewrite Catalyst itself applies:
+    the per-part thresholds are |parts|-bounded and join back
+    broadcast-style. avg(l_quantity) is exact here (quantities are
+    integer-valued doubles), so the 0.2x threshold compares identically
+    in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(
+        F.col("p_brand") == "Brand#3"
+    ).select("p_partkey")
+    thresholds = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (
+            F.lit(0.2)
+            * (
+                F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast(
+                    "double"
+                )
+                / F.count("l_quantity")
+            )
+        ).alias("qty_threshold")
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(thresholds, li["l_partkey"] == F.col("t_partkey"))
+        .where(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast(
+                    "double"
+                )
+                / 7.0
+            )
+            .cast("decimal(18,6)")
+            .alias("avg_yearly")
+        )
+    )
