@@ -617,3 +617,54 @@ def ext_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fk")
     )
+
+
+@register(
+    "ext_table_profile",
+    survey_id="EXT-PROFILE",
+    category="projection",
+    oracle="""
+SELECT 'o_custkey' AS col, COUNT(*) AS n,
+       COUNT(*) - COUNT(o_custkey) AS n_null,
+       COUNT(DISTINCT o_custkey) AS n_distinct,
+       CAST(MIN(o_custkey) AS VARCHAR) AS min_v,
+       CAST(MAX(o_custkey) AS VARCHAR) AS max_v
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+       COUNT(DISTINCT o_orderstatus),
+       MIN(o_orderstatus), MAX(o_orderstatus)
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority),
+       COUNT(DISTINCT o_orderpriority),
+       MIN(o_orderpriority), MAX(o_orderpriority)
+FROM orders
+ORDER BY col
+""",
+)
+def ext_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass-per-column table profiling (count / nulls / distinct /
+    min / max in long format) — the ingest-time data-profile step that
+    feeds layout decisions (which columns to cluster, where skew lives).
+    Values stringified so heterogeneous columns stack in one result. At
+    scale this runs as one job; distinct counts can downgrade to HLL
+    (D6/EXT-HLL-MERGE) when exactness isn't needed."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def prof(col: str):
+        return o.agg(
+            F.lit(col).alias("col"),
+            F.count("*").alias("n"),
+            (F.count("*") - F.count(col)).alias("n_null"),
+            F.countDistinct(col).alias("n_distinct"),
+            F.min(col).cast("string").alias("min_v"),
+            F.max(col).cast("string").alias("max_v"),
+        )
+
+    return (
+        prof("o_custkey")
+        .unionByName(prof("o_orderstatus"))
+        .unionByName(prof("o_orderpriority"))
+        .orderBy("col")
+    )

@@ -757,3 +757,33 @@ def h23_base_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bin("o_orderkey").alias("k_bin"),
         F.unhex(F.hex(F.col("o_orderkey") + 256)).alias("roundtrip_bytes"),
     ).orderBy("o_orderkey")
+
+
+@register(
+    "h24_string_parts",
+    survey_id="H24",
+    category="scalar",
+    oracle="""
+SELECT o_orderkey,
+       split_part(o_orderpriority, '-', 1) AS prio_code,
+       split_part(o_orderpriority, '-', 2) AS prio_name,
+       left(o_orderpriority, 3) AS l3,
+       right(o_orderpriority, 3) AS r3
+FROM orders WHERE o_orderkey % 113 = 0 ORDER BY o_orderkey
+""",
+)
+def h24_string_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delimited-field extraction: split_part plus left/right slices —
+    the everyday parsing trio, identical names in both engines.
+    Map-side codegen."""
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderkey") % 113 == 0
+    )
+    p = F.col("o_orderpriority")
+    return o.select(
+        "o_orderkey",
+        F.split_part(p, F.lit("-"), F.lit(1)).alias("prio_code"),
+        F.split_part(p, F.lit("-"), F.lit(2)).alias("prio_name"),
+        F.left(p, F.lit(3)).alias("l3"),
+        F.right(p, F.lit(3)).alias("r3"),
+    ).orderBy("o_orderkey")

@@ -613,3 +613,53 @@ def tq17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("avg_yearly")
         )
     )
+
+
+@register(
+    "tq22_sales_opportunity",
+    survey_id="EXT-TPCH",
+    category="composite",
+    oracle="""
+WITH avg_bal AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+         / COUNT(c_acctbal) AS ab
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c_nationkey,
+       COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+FROM customer, avg_bal
+WHERE c_acctbal > ab
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+""",
+)
+def tq22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 analogue: customers with above-average positive balance
+    and NO orders, grouped by nation. Composes a global scalar aggregate
+    (broadcast back as one row — exact here because c_acctbal is
+    2-decimal data whose sum stays within double), an anti join against
+    orders, and a grouped rollup. The anti join probes customer (small
+    side) against orders keyed on custkey."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    avg_bal = c.where(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double")
+            / F.count("c_acctbal")
+        ).alias("ab")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("ab"))
+        .join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
