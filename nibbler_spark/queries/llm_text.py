@@ -622,3 +622,100 @@ def ext_stopword_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.array_join(kept, " ")).alias("cleaned_md5"),
         (F.size(toks) - F.size(kept)).alias("n_removed"),
     ).orderBy("doc_id")
+
+
+@register(
+    "ext_lm_doc_score",
+    survey_id="EXT-LM-SCORE",
+    category="llm-text",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+),
+bigrams AS (
+  SELECT doc_id,
+         UNNEST(list_transform(generate_series(1, len(tk) - 1),
+                               i -> tk[i] || ' ' || tk[i+1])) AS bg
+  FROM toks
+),
+split_bg AS (
+  SELECT doc_id, string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2
+  FROM bigrams
+),
+bg_counts AS (
+  SELECT w1, w2, COUNT(*) AS c2 FROM split_bg GROUP BY w1, w2
+),
+uni AS (SELECT w1, SUM(c2) AS c1 FROM bg_counts GROUP BY w1),
+vocab AS (SELECT COUNT(DISTINCT w2) AS v FROM bg_counts),
+scored AS (
+  SELECT s.doc_id,
+         CAST(log2((b.c2 + 1.0) / (u.c1 + v.v)) AS DECIMAL(28,10)) AS lp
+  FROM split_bg s
+  JOIN bg_counts b ON s.w1 = b.w1 AND s.w2 = b.w2
+  JOIN uni u ON s.w1 = u.w1
+  CROSS JOIN vocab v
+)
+SELECT doc_id,
+       COUNT(*) AS n_bigrams,
+       CAST(CAST(SUM(lp) AS DOUBLE) / COUNT(*) AS DECIMAL(18,6))
+         AS avg_log2_prob
+FROM scored GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def ext_lm_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model document scoring: every doc scored under the
+    corpus's own add-one-smoothed bigram model (avg log2 P(w2|w1)) —
+    the LM-perplexity filter used to rank corpus fit in curation
+    pipelines. Counts aggregate once corpus-wide, broadcast back onto
+    the per-doc bigram stream; per-bigram log-probs are decimal-cast
+    before the per-doc sum (entropy-query discipline) so the score is
+    order-independent, with a final DECIMAL(18,6) rounding for the
+    engines' log2 ulp differences."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    bg = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+                ),
+            )
+        ).alias("bg"),
+    )
+    parts = F.split("bg", " ")
+    split_bg = bg.select(
+        "doc_id",
+        parts.getItem(0).alias("w1"),
+        parts.getItem(1).alias("w2"),
+    )
+    bg_counts = split_bg.groupBy(
+        F.col("w1").alias("b_w1"), F.col("w2").alias("b_w2")
+    ).agg(F.count("*").alias("c2"))
+    uni = bg_counts.groupBy(F.col("b_w1").alias("u_w1")).agg(
+        F.sum("c2").alias("c1")
+    )
+    vocab = bg_counts.agg(F.countDistinct("b_w2").alias("v"))
+    lp = F.log2((F.col("c2") + 1.0) / (F.col("c1") + F.col("v"))).cast(
+        "decimal(28,10)"
+    )
+    scored = (
+        split_bg.join(
+            F.broadcast(bg_counts),
+            (F.col("w1") == F.col("b_w1")) & (F.col("w2") == F.col("b_w2")),
+        )
+        .join(F.broadcast(uni), F.col("w1") == F.col("u_w1"))
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", lp.alias("lp"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            (F.sum("lp").cast("double") / F.count("*"))
+            .cast("decimal(18,6)")
+            .alias("avg_log2_prob"),
+        )
+        .orderBy("doc_id")
+    )

@@ -668,3 +668,40 @@ def ext_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(prof("o_orderpriority"))
         .orderBy("col")
     )
+
+
+@register(
+    "ext_hash_priority_sample",
+    survey_id="EXT-HASH-SAMPLE",
+    category="projection",
+    oracle="""
+SELECT lang, doc_id, priority FROM (
+  SELECT lang, doc_id, md5(CAST(doc_id AS VARCHAR)) AS priority,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rn
+  FROM documents
+) WHERE rn <= 3
+ORDER BY lang, priority
+""",
+)
+def ext_hash_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-group sampling via hash priority: rank rows
+    inside each group by md5(key) and keep the top 3 — statistically
+    uniform (the hash is effectively random) yet exactly reproducible
+    across engines, runs, and cluster sizes, unlike RNG-based sampling
+    (B13/EXT-STRAT are bounded checks for that reason; this one earns a
+    hash oracle). The distributed form of reservoir sampling: one
+    group-keyed window, no global state."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    pri = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("lang").orderBy(pri, F.col("doc_id"))
+    return (
+        d.select("lang", "doc_id", pri.alias("priority"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("lang", "doc_id", "priority")
+        .orderBy("lang", "priority")
+    )
