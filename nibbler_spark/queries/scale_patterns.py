@@ -253,3 +253,117 @@ def ext_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "x", "y", zval.cast("bigint").alias("zval"))
         .orderBy("p_partkey")
     )
+
+
+@register(
+    "ext_scd2_history",
+    survey_id="EXT-SCD2",
+    category="scale-pattern",
+    oracle="""
+WITH changes AS (
+  SELECT o_orderkey, o_totalprice * 1.10 AS new_price
+  FROM orders WHERE o_orderkey % 10 = 0
+),
+closed AS (
+  SELECT o.o_orderkey,
+         CAST(o.o_totalprice AS DECIMAL(18,4)) AS price,
+         0 AS version, false AS is_current
+  FROM orders o JOIN changes c ON c.o_orderkey = o.o_orderkey
+),
+unchanged AS (
+  SELECT o.o_orderkey,
+         CAST(o.o_totalprice AS DECIMAL(18,4)) AS price,
+         0 AS version, true AS is_current
+  FROM orders o WHERE o.o_orderkey NOT IN (SELECT o_orderkey FROM changes)
+),
+opened AS (
+  SELECT o_orderkey, CAST(new_price AS DECIMAL(18,4)) AS price,
+         1 AS version, true AS is_current
+  FROM changes
+)
+SELECT * FROM closed
+UNION ALL SELECT * FROM unchanged
+UNION ALL SELECT * FROM opened
+ORDER BY o_orderkey, version
+""",
+)
+def ext_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type 2: applying a change batch yields
+    three row classes — prior versions of changed keys (closed,
+    is_current=false), untouched keys (still current), and new versions
+    (opened). Built from one left join against the broadcast change set
+    + a union; versioned history accumulates append-only, the layout
+    CDC lakes use so point-in-time queries are a version filter, not a
+    rebuild. Complements EXT-MERGE's overwrite-in-place Type 1."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    changes = o.where(F.col("o_orderkey") % 10 == 0).select(
+        F.col("o_orderkey").alias("c_key"),
+        (F.col("o_totalprice") * 1.10).alias("new_price"),
+    )
+    j = o.join(
+        F.broadcast(changes), o["o_orderkey"] == changes["c_key"], "left"
+    )
+    price = F.col("o_totalprice").cast("decimal(18,4)")
+    changed = F.col("c_key").isNotNull()
+    old_rows = j.select(
+        "o_orderkey",
+        price.alias("price"),
+        F.lit(0).alias("version"),
+        (~changed).alias("is_current"),
+    )
+    new_rows = changes.select(
+        F.col("c_key").alias("o_orderkey"),
+        F.col("new_price").cast("decimal(18,4)").alias("price"),
+        F.lit(1).alias("version"),
+        F.lit(True).alias("is_current"),
+    )
+    return old_rows.unionByName(new_rows).orderBy("o_orderkey", "version")
+
+
+@register(
+    "ext_small_file_compaction",
+    survey_id="EXT-COMPACT",
+    category="scale-pattern",
+    mode="bounded",
+    oracle="""
+SELECT true AS rows_preserved, true AS files_reduced,
+       true AS content_identical
+""",
+)
+def ext_small_file_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction: a table fragmented into 40 files is
+    rewritten into 2 via repartition — the maintenance job every
+    streaming-append lake needs (thousands of small files destroy scan
+    throughput: per-file open cost, tiny row groups, starved
+    vectorization). Declared invariants: row count preserved, file
+    count strictly reduced, content identical (exceptAll both ways).
+    At 100 TB compaction runs per partition with target sizes from
+    spark.sql.files.maxPartitionBytes."""
+    import tempfile as _tf
+
+    base = _tf.mkdtemp(prefix="nibbler-compact-")
+    frag, compact = base + "/frag", base + "/compact"
+    o = load_table(spark, sf_dir, "orders")
+    o.repartition(40).write.mode("overwrite").parquet(frag)
+    fragmented = spark.read.parquet(frag)
+    fragmented.repartition(2).write.mode("overwrite").parquet(compact)
+    compacted = spark.read.parquet(compact)
+
+    def n_files(d: str) -> int:
+        return len(
+            [f for f in os.listdir(d) if f.endswith(".parquet")]
+        )
+
+    rows_ok = fragmented.count() == compacted.count() == o.count()
+    files_ok = n_files(compact) < n_files(frag)
+    same = (
+        fragmented.exceptAll(compacted).count() == 0
+        and compacted.exceptAll(fragmented).count() == 0
+    )
+    return spark.createDataFrame(
+        [(bool(rows_ok), bool(files_ok), bool(same))],
+        "rows_preserved boolean, files_reduced boolean, "
+        "content_identical boolean",
+    )

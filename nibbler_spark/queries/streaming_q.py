@@ -1054,3 +1054,33 @@ def k16_incremental_dedup_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_pass()
     return spark.read.parquet(store).orderBy("content_key")
+
+
+@register(
+    "i15_complete_mode_topk",
+    survey_id="I15",
+    category="streaming",
+    mode="parity",
+    oracle=f"""
+SELECT user_id, {sql_dsum('value')} AS total_value
+FROM events GROUP BY user_id
+ORDER BY total_value DESC, user_id LIMIT 5
+""",
+)
+def i15_complete_mode_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming top-k: complete output mode re-emits the full aggregate
+    each trigger, which is what makes sorting+limit legal in a stream
+    (append mode cannot retract a previously-emitted rank). The memory
+    sink holds the final standings after the availableNow drain. State
+    is per-user totals — k does not bound state, the user-key domain
+    does; at 100 TB you'd pre-aggregate per partition before the global
+    top-k."""
+    d = _events_dir(spark, sf_dir)
+    agg = (
+        _read_stream(spark, d)
+        .groupBy("user_id")
+        .agg(dsum("value").alias("total_value"))
+        .orderBy(F.col("total_value").desc(), "user_id")
+        .limit(5)
+    )
+    return _drain_to_memory(agg, "complete")
