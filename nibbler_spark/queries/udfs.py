@@ -227,3 +227,92 @@ def j08_arrow_python_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select("o_orderkey", f("o_orderkey").alias("keyed")).orderBy(
         "o_orderkey"
     )
+
+
+@register(
+    "j09_cogrouped_apply_in_pandas",
+    survey_id="EXT-UDF-COGROUP",
+    category="udf",
+    oracle="""
+WITH o AS (
+  SELECT o_custkey AS user_id, COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS spend
+  FROM orders GROUP BY o_custkey
+),
+e AS (
+  SELECT user_id, COUNT(*) AS n_events
+  FROM events GROUP BY user_id
+)
+SELECT COALESCE(o.user_id, e.user_id) AS user_id,
+       COALESCE(o.n_orders, 0) AS n_orders,
+       COALESCE(o.spend, 0.0) AS spend,
+       COALESCE(e.n_events, 0) AS n_events
+FROM o FULL OUTER JOIN e ON o.user_id = e.user_id
+WHERE COALESCE(o.user_id, e.user_id) % 20 = 0
+ORDER BY user_id
+""",
+)
+def j09_cogrouped_apply_in_pandas(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cogrouped applyInPandas: TWO tables grouped on the same key are
+    delivered to one pandas function as paired frames — the API for
+    per-entity reconciliation (orders vs events here) where each side
+    may be empty. Both sides arrive pre-aggregated, so each cogroup is
+    at most one row per side and executor memory is bounded. The merge
+    logic is SQL-expressible (full outer join with COALESCE defaults),
+    which is what the oracle checks."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_custkey") % 20 == 0)
+        .groupBy(F.col("o_custkey").alias("user_id"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("spend"),
+        )
+    )
+    e = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id") % 20 == 0)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+    def reconcile(orders_pdf: pd.DataFrame, events_pdf: pd.DataFrame):
+        uid = (
+            orders_pdf["user_id"].iloc[0]
+            if len(orders_pdf)
+            else events_pdf["user_id"].iloc[0]
+        )
+        return pd.DataFrame(
+            {
+                "user_id": [uid],
+                "n_orders": [
+                    int(orders_pdf["n_orders"].iloc[0])
+                    if len(orders_pdf)
+                    else 0
+                ],
+                "spend": [
+                    float(orders_pdf["spend"].iloc[0])
+                    if len(orders_pdf)
+                    else 0.0
+                ],
+                "n_events": [
+                    int(events_pdf["n_events"].iloc[0])
+                    if len(events_pdf)
+                    else 0
+                ],
+            }
+        )
+
+    return (
+        o.groupBy("user_id")
+        .cogroup(e.groupBy("user_id"))
+        .applyInPandas(
+            reconcile,
+            "user_id long, n_orders long, spend double, n_events long",
+        )
+        .orderBy("user_id")
+    )
