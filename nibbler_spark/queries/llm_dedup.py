@@ -784,3 +784,82 @@ def ext_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+@register(
+    "ext_two_hop_neighbors",
+    survey_id="EXT-2HOP",
+    category="llm-dedup",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, lang, source,
+         list_sort(list_distinct(string_split(text, ' '))) AS ts
+  FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM toks a JOIN toks b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+        / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) >= 0.8
+),
+edges AS (
+  SELECT src, dst FROM pairs
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM pairs
+),
+two_hop AS (
+  SELECT e1.src AS node, e2.dst AS nbr
+  FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
+  WHERE e2.dst <> e1.src
+)
+SELECT node AS doc_id,
+       COUNT(DISTINCT nbr) AS n_two_hop,
+       (SELECT COUNT(*) FROM edges e WHERE e.src = t.node) AS degree
+FROM two_hop t GROUP BY node ORDER BY doc_id
+""",
+)
+def ext_two_hop_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-hop neighborhood size per node of the near-dup graph (friends
+    of friends, excluding self) next to direct degree — the expansion
+    statistic that distinguishes tight duplicate cliques (2-hop ≈
+    degree) from chain-like clusters (2-hop >> degree), guiding whether
+    transitive dedup (EXT-CC) is safe or over-merges. One self-join of
+    the edge list keyed on the middle vertex — at scale, exactly the
+    triangle/path-enumeration shape, bounded by Σ deg²."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.array_sort(F.array_distinct(F.split("text", " ")))
+    t = d.select("doc_id", "lang", "source", toks.alias("ts"))
+    a, b = t.alias("a"), t.alias("b")
+    n_common = F.size(F.array_intersect(F.col("a.ts"), F.col("b.ts")))
+    n_union = F.size(F.col("a.ts")) + F.size(F.col("b.ts")) - n_common
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where(n_common.cast("double") / n_union >= 0.8)
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+    )
+    edges = pairs.union(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    two_hop = (
+        e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
+        .where(F.col("e2.dst") != F.col("e1.src"))
+        .select(F.col("e1.src").alias("node"), F.col("e2.dst").alias("nbr"))
+    )
+    deg = edges.groupBy(F.col("src").alias("d_node")).agg(
+        F.count("*").alias("degree")
+    )
+    return (
+        two_hop.groupBy("node")
+        .agg(F.count_distinct("nbr").alias("n_two_hop"))
+        .join(deg, F.col("node") == F.col("d_node"))
+        .select(F.col("node").alias("doc_id"), "n_two_hop", "degree")
+        .orderBy("doc_id")
+    )

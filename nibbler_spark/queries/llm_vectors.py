@@ -684,3 +684,89 @@ def ext_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "nn_id", "cos_sim", "rank")
         .orderBy("q_id", "rank")
     )
+
+
+@register(
+    "ext_knn_classify",
+    survey_id="EXT-KNN-CLASSIFY",
+    category="llm-vector",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS q_id, embedding AS qv, label AS true_label
+  FROM embeddings WHERE vec_id < 20
+),
+scored AS (
+  SELECT q.q_id, q.true_label, e.label AS nn_label,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.q_id
+           ORDER BY {sql_cosine('e.embedding', 'q.qv')} DESC, e.vec_id
+         ) AS rn
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id >= 20
+),
+votes AS (
+  SELECT q_id, true_label, nn_label, COUNT(*) AS v
+  FROM scored WHERE rn <= 5 GROUP BY q_id, true_label, nn_label
+),
+pred AS (
+  SELECT q_id, true_label, nn_label AS pred_label FROM (
+    SELECT q_id, true_label, nn_label, v,
+           ROW_NUMBER() OVER (
+             PARTITION BY q_id ORDER BY v DESC, nn_label
+           ) AS rn
+    FROM votes
+  ) WHERE rn = 1
+)
+SELECT q_id, true_label, pred_label, true_label = pred_label AS correct
+FROM pred ORDER BY q_id
+""",
+)
+def ext_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN classification: each of 20 held-out vectors gets the majority
+    label of its 5 nearest corpus neighbors (ties break to the lowest
+    label — fully deterministic, so the whole classifier output is
+    hash-checked, not bounded). The retrieval is EXT-KNN-JOIN's
+    broadcast shape; the vote adds two tiny keyed aggregations. This is
+    the eval loop for embedding-space label quality at corpus scale."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("true_label"),
+    )
+    scored = (
+        e.where(F.col("vec_id") >= 20)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "q_id",
+            "true_label",
+            F.col("label").alias("nn_label"),
+            cosine(F.col("embedding"), F.col("qv")).alias("cos_sim"),
+            "vec_id",
+        )
+    )
+    wk = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    votes = (
+        scored.withColumn("rn", F.row_number().over(wk))
+        .where(F.col("rn") <= 5)
+        .groupBy("q_id", "true_label", "nn_label")
+        .agg(F.count("*").alias("v"))
+    )
+    wv = Window.partitionBy("q_id").orderBy(
+        F.col("v").desc(), F.col("nn_label")
+    )
+    return (
+        votes.withColumn("rn", F.row_number().over(wv))
+        .where(F.col("rn") == 1)
+        .select(
+            "q_id",
+            "true_label",
+            F.col("nn_label").alias("pred_label"),
+            (F.col("true_label") == F.col("nn_label")).alias("correct"),
+        )
+        .orderBy("q_id")
+    )

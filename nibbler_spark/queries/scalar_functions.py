@@ -787,3 +787,35 @@ def h24_string_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.left(p, F.lit(3)).alias("l3"),
         F.right(p, F.lit(3)).alias("r3"),
     ).orderBy("o_orderkey")
+
+
+@register(
+    "h25_trig_math",
+    survey_id="H25",
+    category="scalar",
+    oracle="""
+SELECT p_partkey,
+       CAST(sin(radians(p_size * 7)) AS DECIMAL(18,6)) AS s,
+       CAST(cos(radians(p_size * 7)) AS DECIMAL(18,6)) AS c,
+       CAST(atan2(p_size, 10.0) AS DECIMAL(18,6)) AS a2,
+       CAST(degrees(atan(p_size / 50.0)) AS DECIMAL(18,6)) AS deg
+FROM part WHERE p_partkey % 37 = 0 ORDER BY p_partkey
+""",
+)
+def h25_trig_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigonometric family (sin/cos/atan2/atan, radians/degrees).
+    libm implementations differ by ulps between engines, so outputs
+    round through DECIMAL(18,6) — the H-family discipline for
+    transcendentals (same as log2 in the entropy query)."""
+    p = load_table(spark, sf_dir, "part").where(F.col("p_partkey") % 37 == 0)
+    return p.select(
+        "p_partkey",
+        F.sin(F.radians(F.col("p_size") * 7)).cast("decimal(18,6)").alias("s"),
+        F.cos(F.radians(F.col("p_size") * 7)).cast("decimal(18,6)").alias("c"),
+        F.atan2(F.col("p_size").cast("double"), F.lit(10.0))
+        .cast("decimal(18,6)")
+        .alias("a2"),
+        F.degrees(F.atan(F.col("p_size") / 50.0))
+        .cast("decimal(18,6)")
+        .alias("deg"),
+    ).orderBy("p_partkey")
