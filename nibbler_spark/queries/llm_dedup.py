@@ -863,3 +863,54 @@ def ext_two_hop_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("node").alias("doc_id"), "n_two_hop", "degree")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "ext_dedup_audit_report",
+    survey_id="EXT-DEDUP-AUDIT",
+    category="llm-dedup",
+    oracle="""
+SELECT lang, source,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT md5(text)) AS n_exact_unique,
+       CAST(1.0 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*)
+            AS DECIMAL(18,10)) AS exact_dup_rate,
+       COUNT(DISTINCT md5(array_to_string(
+         list_sort(list_distinct(string_split(lower(trim(text)), ' '))), ' ')))
+         AS n_norm_unique
+FROM documents
+GROUP BY lang, source
+ORDER BY lang, source
+""",
+)
+def ext_dedup_audit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus dedup audit: per (lang, source) stratum, exact and
+    normalized unique counts with the exact-duplicate rate — the
+    dashboard rollup a curation run publishes before and after dedup.
+    One grouped pass; the distinct counts are the only expansion, and
+    both key on the already-grouped stratum."""
+    d = load_table(spark, sf_dir, "documents")
+    norm_key = F.md5(
+        F.array_join(
+            F.array_sort(
+                F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), " "))
+            ),
+            " ",
+        )
+    )
+    return (
+        d.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct(F.md5("text")).alias("n_exact_unique"),
+            (
+                F.lit(1.0)
+                - F.countDistinct(F.md5("text")).cast("double")
+                / F.count("*")
+            )
+            .cast("decimal(18,10)")
+            .alias("exact_dup_rate"),
+            F.countDistinct(norm_key).alias("n_norm_unique"),
+        )
+        .orderBy("lang", "source")
+    )

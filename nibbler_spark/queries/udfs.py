@@ -316,3 +316,40 @@ def j09_cogrouped_apply_in_pandas(
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "j10_udtf_analyze",
+    survey_id="EXT-UDTF-ANALYZE",
+    category="udf",
+    oracle="""
+SELECT i AS n, i * 2 AS c0, i * 2 + 1 AS c1
+FROM generate_series(1, 6) AS t(i) ORDER BY n
+""",
+)
+def j10_udtf_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF with a static analyze() (Spark 4): the OUTPUT SCHEMA
+    is computed at plan time from the call's literal arguments — here
+    the column count comes from the `width` argument, so the same UDTF
+    compiles to different shapes per call site. The polymorphic
+    table-function hook user pipelines use for schema-driven
+    generators/parsers."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    @udtf
+    class WideRange:
+        @staticmethod
+        def analyze(end: AnalyzeArgument, width: AnalyzeArgument):
+            fields = [StructField("n", LongType())] + [
+                StructField(f"c{i}", LongType()) for i in range(width.value)
+            ]
+            return AnalyzeResult(StructType(fields))
+
+        def eval(self, end: int, width: int):
+            for i in range(1, end + 1):
+                yield tuple([i] + [i * 2 + j for j in range(width)])
+
+    spark.udtf.register("wide_range", WideRange)
+    return spark.sql("SELECT * FROM wide_range(6, 2) ORDER BY n")
