@@ -1084,3 +1084,130 @@ def i15_complete_mode_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(5)
     )
     return _drain_to_memory(agg, "complete")
+
+
+@register(
+    "i16_stateful_session_timeout_golden",
+    survey_id="I16",
+    category="streaming",
+    mode="golden",
+    oracle="""
+SELECT * FROM (VALUES
+  (1, TIMESTAMP '2024-01-01 10:00:00', 3),
+  (2, TIMESTAMP '2024-01-01 10:00:00', 1),
+  (2, TIMESTAMP '2024-01-01 11:00:00', 1)
+) AS t(user_id, session_start, n_events)
+ORDER BY user_id, session_start
+""",
+)
+def i16_stateful_session_timeout_golden(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Custom stateful sessionization with EVENT-TIME TIMEOUTS
+    (applyInPandasWithState + GroupStateTimeout.EventTimeTimeout): open
+    sessions live in keyed state and close either by an intra-batch gap
+    or when the watermark passes last_event + 30 min — the state-expiry
+    mechanism that bounds memory for keys that simply stop arriving
+    (dropDuplicates/session_window get this for free; custom state must
+    set timeouts). Scripted three-pass drain: real events, then two
+    far-future sentinels so the advancing watermark fires the timeouts
+    deterministically. Pinned golden: one 3-event session for user 1,
+    two 1-event sessions for user 2 (split by a 60-min gap)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    base = tempfile.mkdtemp(prefix="nibbler-i16-")
+    src = os.path.join(base, "src")
+    out_dir = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    def sessionize(key, pdfs, state):
+        if state.hasTimedOut:
+            start, last, cnt = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start": [pd.to_datetime(start, unit="s")],
+                    "n_events": [cnt],
+                }
+            )
+            return
+        ts_list = []
+        for pdf in pdfs:
+            ts_list.extend(
+                int(t.timestamp()) for t in pdf["ts"].tolist()
+            )
+        ts_list.sort()
+        cur = list(state.get) if state.exists else None
+        closed = []
+        for t in ts_list:
+            if cur is None:
+                cur = [t, t, 1]
+            elif t - cur[1] > 1800:
+                closed.append(cur)
+                cur = [t, t, 1]
+            else:
+                cur[1] = t
+                cur[2] += 1
+        if cur is not None:
+            state.update(tuple(cur))
+            state.setTimeoutTimestamp((cur[1] + 1800) * 1000)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(closed),
+                    "session_start": [
+                        pd.to_datetime(c[0], unit="s") for c in closed
+                    ],
+                    "n_events": [c[2] for c in closed],
+                }
+            )
+
+    def run_pass() -> None:
+        q = (
+            spark.readStream.schema("user_id long, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/*/")
+            .withWatermark("ts", "10 minutes")
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                sessionize,
+                "user_id long, session_start timestamp, n_events long",
+                "start long, last long, cnt long",
+                "append",
+                GroupStateTimeout.EventTimeTimeout,
+            )
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def drop(rows, name):
+        spark.createDataFrame(rows, "user_id long, ts_s string").select(
+            "user_id", F.col("ts_s").cast("timestamp").alias("ts")
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(src, name)
+        )
+
+    drop(
+        [(1, "2024-01-01 10:00:00"), (1, "2024-01-01 10:05:00"),
+         (1, "2024-01-01 10:10:00"), (2, "2024-01-01 10:00:00"),
+         (2, "2024-01-01 11:00:00")],
+        "step-a",
+    )
+    run_pass()
+    drop([(99, "2024-01-01 12:00:00")], "step-b")
+    run_pass()
+    drop([(99, "2024-01-01 13:00:00")], "step-c")
+    run_pass()
+    return (
+        spark.read.parquet(out_dir)
+        .where(F.col("user_id") != 99)
+        .orderBy("user_id", "session_start")
+    )
