@@ -206,3 +206,23 @@ def test_c14_bucketed_band_join_is_equi_on_time_bin(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "pbin" in plan  # the exploded bin participates in the join keys
+
+
+def test_sessionize_single_hash_exchange(spark, sf_dir):
+    """Both windows and the groupBy hash on user_id — exactly one hash
+    exchange; the only other exchange is the presentation sort."""
+    plan = _plan(spark, sf_dir, "ext_sessionize_batch")
+    hashes = [
+        l for l in plan.splitlines()
+        if "hashpartitioning" in l and "user_id" in l
+    ]
+    assert len(hashes) >= 1
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_knn_join_broadcasts_queries_not_corpus(spark, sf_dir):
+    """The query set broadcasts (nested-loop against the corpus); the
+    corpus is never shuffled before the similarity computation."""
+    plan = _plan(spark, sf_dir, "ext_knn_join")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
