@@ -770,3 +770,176 @@ def ext_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_id")
     )
+
+
+_PQ_ORACLE = """
+WITH ex AS (
+  SELECT vec_id, i AS pos, (i - 1) // 8 AS sub,
+         CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, generate_series(1, 64) AS g(i)
+),
+c0 AS (
+  SELECT sub, vec_id AS cid, pos, x AS c FROM ex WHERE vec_id < 4
+),
+a1 AS (
+  SELECT vec_id, sub, cid FROM (
+    SELECT e.vec_id, e.sub, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id, e.sub
+             ORDER BY CAST(SUM(CAST((e.x - c.c) * (e.x - c.c)
+                                    AS DECIMAL(38,18))) AS DOUBLE), c.cid
+           ) AS rn
+    FROM ex e JOIN c0 c ON c.sub = e.sub AND c.pos = e.pos
+    GROUP BY e.vec_id, e.sub, c.cid
+  ) WHERE rn = 1
+),
+c1 AS (
+  SELECT a.sub, a.cid, e.pos,
+         CAST(SUM(CAST(e.x AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS c
+  FROM ex e JOIN a1 a ON a.vec_id = e.vec_id AND a.sub = e.sub
+  GROUP BY a.sub, a.cid, e.pos
+),
+codes AS (
+  SELECT vec_id, sub, cid AS code FROM (
+    SELECT e.vec_id, e.sub, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id, e.sub
+             ORDER BY CAST(SUM(CAST((e.x - c.c) * (e.x - c.c)
+                                    AS DECIMAL(38,18))) AS DOUBLE), c.cid
+           ) AS rn
+    FROM ex e JOIN c1 c ON c.sub = e.sub AND c.pos = e.pos
+    WHERE e.vec_id >= 4
+    GROUP BY e.vec_id, e.sub, c.cid
+  ) WHERE rn = 1
+),
+qd AS (
+  SELECT c.sub, c.cid,
+         CAST(SUM(CAST((e.x - c.c) * (e.x - c.c) AS DECIMAL(38,18)))
+              AS DOUBLE) AS d
+  FROM ex e JOIN c1 c ON c.sub = e.sub AND c.pos = e.pos
+  WHERE e.vec_id = 0
+  GROUP BY c.sub, c.cid
+)
+SELECT k.vec_id,
+       CAST(CAST(SUM(CAST(q.d AS DECIMAL(38,18))) AS DOUBLE)
+            AS DECIMAL(18,10)) AS est_dist2
+FROM codes k JOIN qd q ON q.sub = k.sub AND q.cid = k.code
+GROUP BY k.vec_id
+ORDER BY est_dist2, vec_id
+LIMIT 10
+"""
+
+
+@register(
+    "ext_product_quantization",
+    survey_id="EXT-PQ",
+    category="llm-vector",
+    oracle=_PQ_ORACLE,
+)
+def ext_product_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization ANN: 64 dims split into 8 subspaces, a
+    4-entry codebook per subspace trained with one deterministic Lloyd
+    round (init = vectors 0–3), every corpus vector encoded to 8
+    one-byte codes, and the query answered by ASYMMETRIC DISTANCE — 32
+    query-to-centroid distances computed once, then each vector's
+    estimate is a sum of 8 table lookups instead of 64 float ops. The
+    compression story IVF lacks: at 100 TB the encoded corpus is ~8
+    bytes/vector (64x smaller), codes and lookup tables broadcast, and
+    the scan never touches raw floats. Every distance and mean is
+    decimal-exact (EXT-KMEANS discipline), so training + encoding +
+    lookup all hash-match the oracle's CTE chain."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id", F.posexplode("embedding").alias("pos0", "xf")
+    ).select(
+        "vec_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.floor(F.col("pos0") / 8).cast("int").alias("sub"),
+        F.col("xf").cast("double").alias("x"),
+    ).localCheckpoint()
+    c0 = ex.where(F.col("vec_id") < 4).select(
+        "sub", F.col("vec_id").alias("cid"), "pos", F.col("x").alias("c")
+    )
+
+    def assign(cent, source):
+        diff = F.col("x") - F.col("c")
+        dists = (
+            source.alias("e")
+            .join(
+                F.broadcast(cent).alias("cc"),
+                (F.col("cc.sub") == F.col("e.sub"))
+                & (F.col("cc.pos") == F.col("e.pos")),
+            )
+            .groupBy("e.vec_id", "e.sub", "cc.cid")
+            .agg(
+                F.sum(
+                    (diff * diff).cast("decimal(38,18)")
+                ).cast("double").alias("dist")
+            )
+        )
+        w = Window.partitionBy("vec_id", "sub").orderBy("dist", "cid")
+        return (
+            dists.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("vec_id", "sub", "cid", "dist")
+        )
+
+    a1 = assign(c0, ex)
+    c1 = (
+        ex.alias("e")
+        .join(
+            a1.alias("a"),
+            (F.col("a.vec_id") == F.col("e.vec_id"))
+            & (F.col("a.sub") == F.col("e.sub")),
+        )
+        .groupBy("a.sub", "a.cid", "e.pos")
+        .agg(
+            (
+                F.sum(F.col("x").cast("decimal(38,18)")).cast("double")
+                / F.count("*")
+            ).alias("c")
+        )
+        .localCheckpoint()
+    )
+    codes = assign(c1, ex.where(F.col("vec_id") >= 4)).select(
+        "vec_id", "sub", F.col("cid").alias("code")
+    )
+    # The lookup table needs ALL 32 query-centroid distances (assign()
+    # would keep only the argmin row).
+    diff = F.col("x") - F.col("c")
+    qd = (
+        ex.where(F.col("vec_id") == 0)
+        .alias("e")
+        .join(
+            F.broadcast(c1).alias("cc"),
+            (F.col("cc.sub") == F.col("e.sub"))
+            & (F.col("cc.pos") == F.col("e.pos")),
+        )
+        .groupBy("e.sub", "cc.cid")
+        .agg(
+            F.sum((diff * diff).cast("decimal(38,18)"))
+            .cast("double")
+            .alias("d")
+        )
+        .select(
+            F.col("sub").alias("q_sub"), F.col("cid").alias("q_cid"), "d"
+        )
+    )
+    return (
+        codes.join(
+            F.broadcast(qd),
+            (F.col("q_sub") == F.col("sub"))
+            & (F.col("q_cid") == F.col("code")),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.sum(F.col("d").cast("decimal(38,18)"))
+            .cast("double")
+            .cast("decimal(18,10)")
+            .alias("est_dist2")
+        )
+        .orderBy("est_dist2", "vec_id")
+        .limit(10)
+    )
