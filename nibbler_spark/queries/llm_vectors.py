@@ -943,3 +943,38 @@ def ext_product_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("est_dist2", "vec_id")
         .limit(10)
     )
+
+
+@register(
+    "ext_pq_recall",
+    survey_id="EXT-PQ-RECALL",
+    category="llm-vector",
+    mode="bounded",
+    oracle="SELECT true AS recall_at_10_ok",
+)
+def ext_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@10 of the PQ pipeline against the exact L2
+    top-10 (same query vector, same corpus) — the quantified-quality
+    check every ANN deployment needs next to its speed claim. Declared
+    bound: recall >= 0.3 with the tiny 4-entry codebooks (PQ at this
+    code size is a coarse filter; production re-ranks PQ candidates
+    with exact distances — compose with K6)."""
+    pq_top = ext_product_quantization(spark, sf_dir).select("vec_id")
+    pq_ids = {r["vec_id"] for r in pq_top.collect()}
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    exact = (
+        e.where(F.col("vec_id") >= 4)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            l2_distance(F.col("embedding"), F.col("q")).alias("d"),
+        )
+        .orderBy(F.col("d").asc(), F.col("vec_id"))
+        .limit(10)
+    )
+    exact_ids = {r["vec_id"] for r in exact.collect()}
+    recall = len(pq_ids & exact_ids) / max(1, len(exact_ids))
+    return spark.createDataFrame(
+        [(recall >= 0.3,)], "recall_at_10_ok boolean"
+    )
