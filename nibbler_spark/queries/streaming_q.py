@@ -1211,3 +1211,99 @@ def i16_stateful_session_timeout_golden(
         .where(F.col("user_id") != 99)
         .orderBy("user_id", "session_start")
     )
+
+
+@register(
+    "i17_stream_stream_full_outer_golden",
+    survey_id="I17",
+    category="streaming",
+    mode="golden",
+    oracle="""
+SELECT * FROM (VALUES
+  (1, TIMESTAMP '2024-01-01 10:00:00', TIMESTAMP '2024-01-01 10:04:00'),
+  (2, TIMESTAMP '2024-01-01 10:05:00', CAST(NULL AS TIMESTAMP)),
+  (4, CAST(NULL AS TIMESTAMP), TIMESTAMP '2024-01-01 10:20:00')
+) AS t(user_id, click_ts, purchase_ts)
+ORDER BY user_id
+""",
+)
+def i17_stream_stream_full_outer_golden(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-stream FULL OUTER join: completes the i14 scaffold with
+    unmatched rows surviving from BOTH sides — user 2's click never
+    purchased AND user 4's purchase with no click both emit
+    null-extended once the watermark clears their join windows.
+    Same sentinel-advance discipline as i14."""
+    base = tempfile.mkdtemp(prefix="nibbler-i17-")
+    l_dir = os.path.join(base, "left")
+    r_dir = os.path.join(base, "right")
+    out_dir = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(l_dir, exist_ok=True)
+    os.makedirs(r_dir, exist_ok=True)
+
+    def write_side(d, rows, name, col):
+        spark.createDataFrame(rows, "user_id long, ts_s string").select(
+            "user_id", F.col("ts_s").cast("timestamp").alias(col)
+        ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, name))
+
+    def run_pass():
+        clicks = (
+            spark.readStream.schema("user_id long, click_ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(l_dir + "/*/")
+            .withWatermark("click_ts", "10 minutes")
+        )
+        purchases = (
+            spark.readStream.schema("user_id long, purchase_ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(r_dir + "/*/")
+            .withWatermark("purchase_ts", "10 minutes")
+        )
+        joined = clicks.alias("c").join(
+            purchases.alias("p"),
+            F.expr(
+                "c.user_id = p.user_id AND "
+                "p.purchase_ts BETWEEN c.click_ts AND "
+                "c.click_ts + INTERVAL 10 MINUTES"
+            ),
+            "fullOuter",
+        ).select(
+            F.coalesce(F.col("c.user_id"), F.col("p.user_id")).alias(
+                "user_id"
+            ),
+            "c.click_ts",
+            "p.purchase_ts",
+        )
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    write_side(
+        l_dir,
+        [(1, "2024-01-01 10:00:00"), (2, "2024-01-01 10:05:00")],
+        "step-a",
+        "click_ts",
+    )
+    write_side(
+        r_dir,
+        [(1, "2024-01-01 10:04:00"), (4, "2024-01-01 10:20:00")],
+        "step-a",
+        "purchase_ts",
+    )
+    run_pass()
+    write_side(l_dir, [(99, "2024-01-01 12:00:00")], "step-b", "click_ts")
+    write_side(r_dir, [(99, "2024-01-01 12:00:00")], "step-b", "purchase_ts")
+    run_pass()
+    return (
+        spark.read.parquet(out_dir)
+        .where(F.col("user_id") != 99)
+        .orderBy("user_id")
+    )
