@@ -719,3 +719,112 @@ def ext_lm_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "ext_rag_corpus_prep",
+    survey_id="EXT-RAG-PREP",
+    category="llm-text",
+    oracle="""
+WITH canon AS (
+  SELECT doc_id, lang, source, text,
+         md5(array_to_string(
+           list_sort(list_distinct(
+             string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '))),
+           ' ')) AS canon_key
+  FROM documents
+),
+keepers AS (
+  SELECT canon_key, MIN(doc_id) AS doc_id FROM canon GROUP BY canon_key
+),
+deduped AS (
+  SELECT c.doc_id, c.lang, c.source, c.text
+  FROM canon c JOIN keepers k
+    ON k.canon_key = c.canon_key AND k.doc_id = c.doc_id
+),
+scored AS (
+  SELECT doc_id, lang, source,
+         len(string_split(text, ' ')) AS n_tokens,
+         ROUND(0.4 * LEAST(LENGTH(text) / 500.0, 1.0)
+               + 0.4 * (CAST(len(list_filter(string_split(text, ' '),
+                             w -> w IN ('the','a','of','and','to'))) AS DOUBLE)
+                        / len(string_split(text, ' ')))
+               + 0.2 * (1.0 - CAST(len(list_filter(string_split(text, ' '),
+                             w -> LENGTH(w) >= 8)) AS DOUBLE)
+                        / len(string_split(text, ' '))), 4) AS quality
+  FROM deduped
+)
+SELECT s.doc_id, s.lang, s.source, s.n_tokens, s.quality,
+       e.vec_id IS NOT NULL AS has_embedding
+FROM scored s LEFT JOIN embeddings e ON e.vec_id = s.doc_id
+WHERE s.quality >= 0.5 AND s.n_tokens BETWEEN 10 AND 200
+ORDER BY s.doc_id
+""",
+)
+def ext_rag_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus-prep pipeline as ONE declarative query:
+    normalized dedup (keep lowest doc_id per canonical key) → quality
+    scoring → quality + token-budget filters → left join to the
+    embedding index for retrievability — producing the curated corpus
+    manifest a RAG/pretraining run consumes. Each stage is an
+    already-declared operator (K2, EXT-QUALITY, EXT-TOKENS, C2);
+    composing them in one plan lets Catalyst pipeline the map-side
+    stages into the scan and share the single doc_id-keyed exchange —
+    the point of a declarative engine over a step-by-step script."""
+    d = load_table(spark, sf_dir, "documents")
+    canon_key = F.md5(
+        F.array_join(
+            F.array_sort(
+                F.array_distinct(
+                    F.split(
+                        F.lower(
+                            F.trim(F.regexp_replace("text", r"\s+", " "))
+                        ),
+                        " ",
+                    )
+                )
+            ),
+            " ",
+        )
+    )
+    canon = d.select("doc_id", "lang", "source", "text", canon_key.alias("ck"))
+    keepers = canon.groupBy("ck").agg(F.min("doc_id").alias("k_doc"))
+    deduped = canon.join(
+        keepers,
+        (canon["ck"] == keepers["ck"]) & (canon["doc_id"] == keepers["k_doc"]),
+    ).select("doc_id", "lang", "source", "text")
+    toks = F.split("text", " ")
+    n_words = F.size(toks)
+    n_stop = F.size(
+        F.filter(toks, lambda w: w.isin("the", "a", "of", "and", "to"))
+    )
+    n_long = F.size(F.filter(toks, lambda w: F.length(w) >= 8))
+    quality = F.round(
+        0.4 * F.least(F.length("text") / F.lit(500.0), F.lit(1.0))
+        + 0.4 * (n_stop.cast("double") / n_words)
+        + 0.2 * (F.lit(1.0) - n_long.cast("double") / n_words),
+        4,
+    )
+    scored = deduped.select(
+        "doc_id",
+        "lang",
+        "source",
+        n_words.alias("n_tokens"),
+        quality.alias("quality"),
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    return (
+        scored.join(emb, scored["doc_id"] == emb["vec_id"], "left")
+        .where(
+            (F.col("quality") >= 0.5) & F.col("n_tokens").between(10, 200)
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_tokens",
+            "quality",
+            F.col("vec_id").isNotNull().alias("has_embedding"),
+        )
+        .orderBy("doc_id")
+    )
