@@ -705,3 +705,40 @@ def ext_hash_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "doc_id", "priority")
         .orderBy("lang", "priority")
     )
+
+
+@register(
+    "ext_sequence_gap_check",
+    survey_id="EXT-SEQ-GAP",
+    category="projection",
+    oracle="""
+SELECT user_id,
+       COUNT(*) AS n_events,
+       MIN(event_id) AS first_id,
+       MAX(event_id) AS last_id,
+       MAX(event_id) - MIN(event_id) + 1 - COUNT(*) AS n_missing
+FROM events GROUP BY user_id
+HAVING MAX(event_id) - MIN(event_id) + 1 - COUNT(*) > 0
+ORDER BY user_id
+""",
+)
+def ext_sequence_gap_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-gap detection per key: compares the observed count to
+    the id-range span, reporting keys with missing ids — the cheap
+    completeness check for monotonically-assigned ingest ids (event_id
+    is globally sequential here, so per-user gaps are expected and
+    nonzero — what matters is that both engines compute the identical
+    gap arithmetic). One grouped pass, four aggregates."""
+    e = load_table(spark, sf_dir, "events")
+    span = F.max("event_id") - F.min("event_id") + 1
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("event_id").alias("first_id"),
+            F.max("event_id").alias("last_id"),
+            (span - F.count("*")).alias("n_missing"),
+        )
+        .where(F.col("n_missing") > 0)
+        .orderBy("user_id")
+    )
