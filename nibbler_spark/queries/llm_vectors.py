@@ -978,3 +978,264 @@ def ext_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(recall >= 0.3,)], "recall_at_10_ok boolean"
     )
+
+
+_IVFADC_ORACLE = """
+WITH ex AS (
+  SELECT e.vec_id, e.label, i AS pos, (i - 1) // 8 AS sub,
+         CAST(e.embedding[i] AS DOUBLE) AS x
+  FROM embeddings e, generate_series(1, 64) AS g(i)
+),
+cells AS (
+  SELECT label, pos,
+         (CAST(SUM(CAST(FLOOR(x * 1e10) AS BIGINT)) AS DOUBLE) / 1e10)
+           / COUNT(*) AS c
+  FROM ex GROUP BY label, pos
+),
+resid AS (
+  SELECT e.vec_id, e.label, e.pos, e.sub, e.x - c.c AS r
+  FROM ex e JOIN cells c ON c.label = e.label AND c.pos = e.pos
+),
+rc0 AS (
+  SELECT sub, vec_id AS cid, pos, r AS c FROM resid WHERE vec_id < 4
+),
+ra1 AS (
+  SELECT vec_id, sub, cid FROM (
+    SELECT v.vec_id, v.sub, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id, v.sub
+             ORDER BY CAST(SUM(CAST((v.r - c.c) * (v.r - c.c)
+                                    AS DECIMAL(38,18))) AS DOUBLE), c.cid
+           ) AS rn
+    FROM resid v JOIN rc0 c ON c.sub = v.sub AND c.pos = v.pos
+    GROUP BY v.vec_id, v.sub, c.cid
+  ) WHERE rn = 1
+),
+rc1 AS (
+  SELECT a.sub, a.cid, v.pos,
+         CAST(SUM(CAST(v.r AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS c
+  FROM resid v JOIN ra1 a ON a.vec_id = v.vec_id AND a.sub = v.sub
+  GROUP BY a.sub, a.cid, v.pos
+),
+codes AS (
+  SELECT vec_id, label, sub, cid AS code FROM (
+    SELECT v.vec_id, v.label, v.sub, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id, v.sub
+             ORDER BY CAST(SUM(CAST((v.r - c.c) * (v.r - c.c)
+                                    AS DECIMAL(38,18))) AS DOUBLE), c.cid
+           ) AS rn
+    FROM resid v JOIN rc1 c ON c.sub = v.sub AND c.pos = v.pos
+    WHERE v.vec_id <> 0
+    GROUP BY v.vec_id, v.label, v.sub, c.cid
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT label FROM (
+    SELECT c.label,
+           CAST(SUM(CAST((e.x - c.c) * (e.x - c.c) AS DECIMAL(38,18)))
+                AS DOUBLE) AS d
+    FROM ex e JOIN cells c ON c.pos = e.pos
+    WHERE e.vec_id = 0
+    GROUP BY c.label
+  ) ORDER BY d, label LIMIT 2
+),
+qres AS (
+  SELECT c.label, e.pos, e.sub, e.x - c.c AS qr
+  FROM ex e
+  JOIN cells c ON c.pos = e.pos
+  WHERE e.vec_id = 0 AND c.label IN (SELECT label FROM probes)
+),
+qd AS (
+  SELECT q.label, r.sub, r.cid,
+         CAST(SUM(CAST((q.qr - r.c) * (q.qr - r.c) AS DECIMAL(38,18)))
+              AS DOUBLE) AS d
+  FROM qres q JOIN rc1 r ON r.sub = q.sub AND r.pos = q.pos
+  GROUP BY q.label, r.sub, r.cid
+)
+SELECT k.vec_id,
+       CAST(CAST(SUM(CAST(q.d AS DECIMAL(38,18))) AS DOUBLE)
+            AS DECIMAL(18,10)) AS est_dist2
+FROM codes k
+JOIN qd q ON q.label = k.label AND q.sub = k.sub AND q.cid = k.code
+WHERE k.label IN (SELECT label FROM probes)
+GROUP BY k.vec_id
+ORDER BY est_dist2, vec_id
+LIMIT 10
+"""
+
+
+@register(
+    "ext_ivfadc",
+    survey_id="EXT-IVFADC",
+    category="llm-vector",
+    oracle=_IVFADC_ORACLE,
+)
+def ext_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC — the canonical composed ANN index (Jégou et al.'s
+    IVF + PQ-on-residuals): coarse cells are the per-label centroids,
+    every vector stores only its cell id + 8 residual codes, and a
+    query (1) probes its 2 nearest cells, (2) builds one per-cell
+    lookup table from the CELL-RELATIVE query residual, (3) scores
+    candidates by table lookups alone. Residual quantization beats raw
+    PQ because residuals are smaller and better-centered than raw
+    vectors. At 100 TB: cells are partition keys (probe = partition
+    pruning, as ext_ivf_ann), codes are ~9 bytes/vector, and the two
+    probed partitions are the only data touched. Same decimal-exact
+    discipline as EXT-PQ/EXT-KMEANS throughout, so coarse means,
+    codebook training, encoding, probing, and lookup all hash-match the
+    oracle's CTE chain."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos0", "xf")
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.floor(F.col("pos0") / 8).cast("int").alias("sub"),
+        F.col("xf").cast("double").alias("x"),
+    ).localCheckpoint()
+    cells = (
+        ex.groupBy(F.col("label").alias("c_label"), F.col("pos").alias("c_pos"))
+        .agg(
+            (
+                (
+                    F.sum(F.floor(F.col("x") * 1e10).cast("bigint")).cast(
+                        "double"
+                    )
+                    / F.lit(1e10)
+                )
+                / F.count("*")
+            ).alias("c")
+        )
+        .localCheckpoint()
+    )
+    resid = (
+        ex.join(
+            cells,
+            (F.col("c_label") == F.col("label"))
+            & (F.col("c_pos") == F.col("pos")),
+        )
+        .select(
+            "vec_id",
+            "label",
+            "pos",
+            "sub",
+            (F.col("x") - F.col("c")).alias("r"),
+        )
+        .localCheckpoint()
+    )
+    rc0 = resid.where(F.col("vec_id") < 4).select(
+        "sub", F.col("vec_id").alias("cid"), "pos", F.col("r").alias("c")
+    )
+
+    def assign_res(cent, source):
+        diff = F.col("r") - F.col("c")
+        dists = (
+            source.alias("v")
+            .join(
+                F.broadcast(cent).alias("cc"),
+                (F.col("cc.sub") == F.col("v.sub"))
+                & (F.col("cc.pos") == F.col("v.pos")),
+            )
+            .groupBy("v.vec_id", "v.label", "v.sub", "cc.cid")
+            .agg(
+                F.sum((diff * diff).cast("decimal(38,18)"))
+                .cast("double")
+                .alias("dist")
+            )
+        )
+        w = Window.partitionBy("vec_id", "sub").orderBy("dist", "cid")
+        return (
+            dists.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("vec_id", "label", "sub", "cid")
+        )
+
+    ra1 = assign_res(rc0, resid)
+    rc1 = (
+        resid.alias("v")
+        .join(
+            ra1.alias("a"),
+            (F.col("a.vec_id") == F.col("v.vec_id"))
+            & (F.col("a.sub") == F.col("v.sub")),
+        )
+        .groupBy("a.sub", "a.cid", "v.pos")
+        .agg(
+            (
+                F.sum(F.col("r").cast("decimal(38,18)")).cast("double")
+                / F.count("*")
+            ).alias("c")
+        )
+        .localCheckpoint()
+    )
+    codes = assign_res(rc1, resid.where(F.col("vec_id") != 0)).select(
+        "vec_id", "label", "sub", F.col("cid").alias("code")
+    )
+    qx = ex.where(F.col("vec_id") == 0)
+    probes = (
+        qx.join(cells, F.col("c_pos") == F.col("pos"))
+        .groupBy("c_label")
+        .agg(
+            F.sum(
+                ((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).cast(
+                    "decimal(38,18)"
+                )
+            )
+            .cast("double")
+            .alias("d")
+        )
+        .orderBy("d", "c_label")
+        .limit(2)
+        .select(F.col("c_label").alias("p_label"))
+        .localCheckpoint()
+    )
+    qres = (
+        qx.join(cells, F.col("c_pos") == F.col("pos"))
+        .join(
+            F.broadcast(probes), F.col("c_label") == F.col("p_label")
+        )
+        .select(
+            F.col("c_label").alias("q_label"),
+            "pos",
+            "sub",
+            (F.col("x") - F.col("c")).alias("qr"),
+        )
+    )
+    qd = (
+        qres.alias("q")
+        .join(
+            F.broadcast(rc1).alias("r"),
+            (F.col("r.sub") == F.col("q.sub"))
+            & (F.col("r.pos") == F.col("q.pos")),
+        )
+        .groupBy("q.q_label", "q.sub", "r.cid")
+        .agg(
+            F.sum(
+                (
+                    (F.col("qr") - F.col("c")) * (F.col("qr") - F.col("c"))
+                ).cast("decimal(38,18)")
+            )
+            .cast("double")
+            .alias("d")
+        )
+    )
+    return (
+        codes.join(
+            F.broadcast(qd),
+            (F.col("q_label") == F.col("label"))
+            & (qd["sub"] == codes["sub"])
+            & (qd["cid"] == codes["code"]),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.sum(F.col("d").cast("decimal(38,18)"))
+            .cast("double")
+            .cast("decimal(18,10)")
+            .alias("est_dist2")
+        )
+        .orderBy("est_dist2", "vec_id")
+        .limit(10)
+    )
