@@ -1239,3 +1239,59 @@ def ext_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("est_dist2", "vec_id")
         .limit(10)
     )
+
+
+@register(
+    "ext_ivfadc_recall",
+    survey_id="EXT-IVFADC-RECALL",
+    category="llm-vector",
+    mode="bounded",
+    oracle="SELECT true AS adc_recall_within_cells_ok, true AS end_to_end_ok",
+)
+def ext_ivfadc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@10 of IVFADC, split into its two loss sources.
+    (1) ADC loss: IVFADC's top-10 vs the EXACT top-10 within the probed
+    cells — what the 4-entry residual codebooks blur (measured 0.4 at
+    sf0.01; bound >= 0.3). (2) End-to-end vs the global exact top-10 —
+    dominated here by the coarse probe, because the synthetic labels
+    are orthogonal to geometry so any label-cell quantizer probes
+    poorly (measured 0.1; bound >= 0.05 as a regression floor, not a
+    quality claim — with k-means-trained cells, more probes, 256-entry
+    codebooks and exact re-ranking this climbs toward 1)."""
+    ivf_ids = {
+        r["vec_id"]
+        for r in ext_ivfadc(spark, sf_dir).select("vec_id").collect()
+    }
+    e = load_table(spark, sf_dir, "embeddings")
+    probed = {
+        r["label"]
+        for r in e.where(F.col("vec_id").isin(*ivf_ids))
+        .select("label")
+        .distinct()
+        .collect()
+    }
+    q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+
+    def exact_top10(source):
+        return {
+            r["vec_id"]
+            for r in source.crossJoin(F.broadcast(q))
+            .select(
+                "vec_id",
+                l2_distance(F.col("embedding"), F.col("q")).alias("d"),
+            )
+            .orderBy(F.col("d").asc(), F.col("vec_id"))
+            .limit(10)
+            .collect()
+        }
+
+    within_ids = exact_top10(
+        e.where((F.col("vec_id") != 0) & F.col("label").isin(*probed))
+    )
+    global_ids = exact_top10(e.where(F.col("vec_id") != 0))
+    adc_recall = len(ivf_ids & within_ids) / max(1, len(within_ids))
+    e2e_recall = len(ivf_ids & global_ids) / max(1, len(global_ids))
+    return spark.createDataFrame(
+        [(adc_recall >= 0.3, e2e_recall >= 0.05)],
+        "adc_recall_within_cells_ok boolean, end_to_end_ok boolean",
+    )
