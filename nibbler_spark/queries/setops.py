@@ -142,3 +142,58 @@ def g07_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _a(spark, sf_dir).exceptAll(_b(spark, sf_dir)).orderBy("flag", "qty")
     )
+
+
+@register(
+    "ext_snapshot_diff",
+    survey_id="EXT-SNAPSHOT-DIFF",
+    category="setops",
+    oracle="""
+WITH new_snap AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 50 = 0
+              THEN CAST(o_totalprice AS DECIMAL(18,4)) * 2
+              ELSE CAST(o_totalprice AS DECIMAL(18,4)) END AS o_totalprice
+  FROM orders
+),
+old_snap AS (
+  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,4)) AS o_totalprice
+  FROM orders
+)
+SELECT 'old_only' AS side, o_orderkey, o_totalprice FROM (
+  SELECT * FROM old_snap EXCEPT SELECT * FROM new_snap
+)
+UNION ALL
+SELECT 'new_only' AS side, o_orderkey, o_totalprice FROM (
+  SELECT * FROM new_snap EXCEPT SELECT * FROM old_snap
+)
+ORDER BY o_orderkey, side
+""",
+)
+def ext_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff: symmetric difference between two table versions
+    with side tags — the CDC-validation / reconciliation primitive
+    ("what changed between yesterday's and today's extract"). Each
+    EXCEPT is one hash-aggregate over the full row; changed keys
+    surface twice (old_only + new_only), inserts/deletes once. The
+    changed rows here are a deterministic 2% price rewrite."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").cast("decimal(18,4)").alias(
+            "o_totalprice"
+        )
+    )
+    new_snap = o.select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 50 == 0, F.col("o_totalprice") * 2
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    old_only = o.exceptAll(new_snap).select(
+        F.lit("old_only").alias("side"), "o_orderkey", "o_totalprice"
+    )
+    new_only = new_snap.exceptAll(o).select(
+        F.lit("new_only").alias("side"), "o_orderkey", "o_totalprice"
+    )
+    return old_only.unionByName(new_only).orderBy("o_orderkey", "side")
