@@ -819,3 +819,31 @@ def h25_trig_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(18,6)")
         .alias("deg"),
     ).orderBy("p_partkey")
+
+
+@register(
+    "h26_base64_codec",
+    survey_id="H26",
+    category="scalar",
+    oracle="""
+SELECT doc_id,
+       to_base64(CAST(substr(text, 1, 24) AS BLOB)) AS b64,
+       decode(from_base64(to_base64(CAST(substr(text, 1, 24) AS BLOB))))
+         AS roundtrip
+FROM documents WHERE doc_id % 17 = 0 ORDER BY doc_id
+""",
+)
+def h26_base64_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Base64 encode/decode round trip over text prefixes — the wire
+    encoding for binary payloads in JSON/text channels (multimodal
+    metadata sidecars use exactly this). Map-side codegen."""
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 17 == 0
+    )
+    prefix = F.substring("text", 1, 24)
+    b64 = F.base64(prefix.cast("binary"))
+    return d.select(
+        "doc_id",
+        b64.alias("b64"),
+        F.decode(F.unbase64(b64), "UTF-8").alias("roundtrip"),
+    ).orderBy("doc_id")
