@@ -367,3 +367,55 @@ def ext_small_file_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rows_preserved boolean, files_reduced boolean, "
         "content_identical boolean",
     )
+
+
+@register(
+    "ext_salted_join",
+    survey_id="EXT-SALT-JOIN",
+    category="scale-pattern",
+    oracle="""
+SELECT e.event_id, e.user_id, e.event_type, m.boost
+FROM (SELECT event_id,
+             CASE WHEN event_id % 10 < 9 THEN 1 ELSE user_id END AS user_id,
+             event_type
+      FROM events) e
+JOIN (VALUES (1, CAST(10.0 AS DOUBLE)), (2, CAST(20.0 AS DOUBLE)),
+             (3, CAST(30.0 AS DOUBLE))) AS m(user_id, boost)
+  ON m.user_id = e.user_id
+ORDER BY e.event_id
+""",
+)
+def ext_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join for skewed keys: 90% of the fact rows are forced onto
+    user_id 1, then the fact side salts its key with a DETERMINISTIC
+    event_id%8 component and the small side fans out 8x so the hot key's
+    rows spread across 8 tasks instead of one. Output is provably
+    identical to the unsalted join (the oracle IS the plain join) —
+    salting changes physics, not semantics. Complements EXT-SALT's
+    two-phase salted aggregation; AQE skew-join handles this
+    automatically for sort-merge joins, but salting remains the manual
+    tool for hash joins and for engines mid-migration."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("event_id") % 10 < 9, F.lit(1))
+        .otherwise(F.col("user_id"))
+        .alias("user_id"),
+        "event_type",
+    )
+    m = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "user_id long, boost double"
+    )
+    n_salt = 8
+    salted_e = e.withColumn("salt", (F.col("event_id") % n_salt).cast("int"))
+    fanned_m = m.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+    ).withColumnRenamed("user_id", "m_user_id")
+    return (
+        salted_e.join(
+            fanned_m,
+            (F.col("user_id") == F.col("m_user_id"))
+            & (salted_e["salt"] == fanned_m["salt"]),
+        )
+        .select("event_id", "user_id", "event_type", "boost")
+        .orderBy("event_id")
+    )
