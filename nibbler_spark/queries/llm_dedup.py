@@ -914,3 +914,63 @@ def ext_dedup_audit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+@register(
+    "ext_minhash_signatures",
+    survey_id="EXT-MINHASH-EXACT",
+    category="llm-dedup",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, UNNEST(list_distinct(string_split(text, ' '))) AS tok
+  FROM documents WHERE doc_id % 4 = 0
+),
+hashes AS (
+  SELECT t.doc_id, s.seed,
+         MIN(md5(CAST(s.seed AS VARCHAR) || ':' || t.tok)) AS mh
+  FROM toks t, generate_series(0, 7) AS s(seed)
+  GROUP BY t.doc_id, s.seed
+)
+SELECT doc_id,
+       MAX(CASE WHEN seed = 0 THEN mh END) AS mh0,
+       MAX(CASE WHEN seed = 1 THEN mh END) AS mh1,
+       MAX(CASE WHEN seed = 2 THEN mh END) AS mh2,
+       MAX(CASE WHEN seed = 3 THEN mh END) AS mh3,
+       MAX(CASE WHEN seed = 4 THEN mh END) AS mh4,
+       MAX(CASE WHEN seed = 5 THEN mh END) AS mh5,
+       MAX(CASE WHEN seed = 6 THEN mh END) AS mh6,
+       MAX(CASE WHEN seed = 7 THEN mh END) AS mh7
+FROM hashes GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def ext_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash from first principles: 8 hash functions realized as
+    md5(seed:token), signature component = min hash per seed. Built on
+    md5 (engine-identical bits) instead of library hash functions, so —
+    unlike K5's seeded MLlib MinHashLSH, which gets a bounded check —
+    the entire signature matrix is hash-oracle-checked exactly. The
+    signature computation is one explode + one (doc, seed)-keyed min
+    aggregate; P[mh_a = mh_b] = Jaccard(a, b) is the estimator LSH
+    banding then exploits."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 4 == 0)
+    toks = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
+    )
+    seeds = toks.crossJoin(
+        spark.range(0, 8).select(F.col("id").alias("seed"))
+    )
+    hashes = seeds.groupBy("doc_id", "seed").agg(
+        F.min(
+            F.md5(
+                F.concat(
+                    F.col("seed").cast("string"), F.lit(":"), F.col("tok")
+                )
+            )
+        ).alias("mh")
+    )
+    aggs = [
+        F.max(F.when(F.col("seed") == i, F.col("mh"))).alias(f"mh{i}")
+        for i in range(8)
+    ]
+    return hashes.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
