@@ -828,3 +828,50 @@ def ext_rag_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "ext_feature_hashing",
+    survey_id="EXT-FEATHASH",
+    category="llm-text",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+  FROM documents WHERE doc_id % 25 = 0
+),
+bucketed AS (
+  SELECT doc_id,
+         ((strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 4096
+          + (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) * 256
+          + (strpos('0123456789abcdef', substr(md5(tok), 3, 1)) - 1) * 16
+          + (strpos('0123456789abcdef', substr(md5(tok), 4, 1)) - 1)) % 64
+           AS bucket
+  FROM toks
+)
+SELECT doc_id, CAST(bucket AS INT) AS bucket, COUNT(*) AS n
+FROM bucketed GROUP BY doc_id, bucket
+ORDER BY doc_id, bucket
+""",
+)
+def ext_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick: tokens map to a fixed 64-bucket feature space
+    via md5 (engine-identical — the reason over library hash functions,
+    as EXT-MINHASH-EXACT), giving bounded-width sparse count vectors
+    with no vocabulary build — the streaming-friendly featurizer
+    (HashingTF's semantics, oracle-checkable). One explode + one
+    (doc, bucket) aggregate."""
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 25 == 0
+    )
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("int") % 64
+    )
+    return (
+        toks.select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("n"))
+        .orderBy("doc_id", "bucket")
+    )
