@@ -1008,3 +1008,32 @@ def d25_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "d26_string_agg",
+    survey_id="D26",
+    category="aggregation",
+    oracle="""
+SELECT o_orderpriority,
+       string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+         AS statuses
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+)
+def d26_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (listagg/string_agg, Spark 4): the
+    report-friendly sibling of collect_list. Determinism requires the
+    explicit ORDER BY inside the aggregate (D12 discipline) — here via
+    sorted distinct collection re-joined, matching DuckDB's
+    string_agg(DISTINCT ... ORDER BY)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_set("o_orderstatus")), ","
+            ).alias("statuses")
+        )
+        .orderBy("o_orderpriority")
+    )

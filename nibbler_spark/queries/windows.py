@@ -296,3 +296,33 @@ def e11_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.nth_value("value", 2).over(w).alias("second_value"),
     ).orderBy("user_id", "ts", "event_id")
+
+
+@register(
+    "e12_quantile_normalize",
+    survey_id="E12",
+    category="window",
+    oracle="""
+SELECT doc_id, lang, n_chars,
+       percent_rank() OVER (PARTITION BY lang ORDER BY n_chars)
+         AS len_quantile
+FROM documents ORDER BY doc_id
+""",
+)
+def e12_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of a feature within groups: percent_rank
+    of document length per language — the rank-based rescaling that
+    makes a feature comparable across differently-distributed strata
+    (an ML-preprocessing staple). Ties share a rank in both engines, so
+    no tiebreaker is needed inside the frame; (n-1) denominators divide
+    identical integers."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars")
+    return d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.percent_rank().over(w).alias("len_quantile"),
+    ).orderBy("doc_id")
