@@ -1037,3 +1037,69 @@ def d26_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "ext_robust_zscore",
+    survey_id="EXT-ROBUST-Z",
+    category="aggregation",
+    oracle="""
+WITH med AS (
+  SELECT o_orderstatus AS m_status, MEDIAN(o_totalprice) AS med
+  FROM orders GROUP BY o_orderstatus
+),
+mad AS (
+  SELECT o.o_orderstatus AS d_status,
+         MEDIAN(ABS(o.o_totalprice - m.med)) AS mad
+  FROM orders o JOIN med m ON m.m_status = o.o_orderstatus
+  GROUP BY o.o_orderstatus
+)
+SELECT o.o_orderstatus,
+       COUNT(*) AS n,
+       CAST(SUM(CASE WHEN ABS(o.o_totalprice - m.med) > 3.0 * d.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM orders o
+JOIN med m ON m.m_status = o.o_orderstatus
+JOIN mad d ON d.d_status = o.o_orderstatus
+GROUP BY o.o_orderstatus
+ORDER BY o.o_orderstatus
+""",
+)
+def ext_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via median/MAD (median absolute
+    deviation): immune to the outliers it hunts, unlike mean/stddev
+    z-scores, and the IQR fences' heavier-duty sibling. Two grouped
+    median passes (the MAD needs the median first) + one conditional
+    count, all joined broadcast-style on the tiny group key. Medians
+    interpolate identically in both engines (D17)."""
+    o = load_table(spark, sf_dir, "orders")
+    med = o.groupBy(F.col("o_orderstatus").alias("m_status")).agg(
+        F.median("o_totalprice").alias("med")
+    )
+    mad = (
+        o.join(F.broadcast(med), o["o_orderstatus"] == F.col("m_status"))
+        .groupBy(F.col("o_orderstatus").alias("d_status"))
+        .agg(
+            F.median(F.abs(F.col("o_totalprice") - F.col("med"))).alias(
+                "mad"
+            )
+        )
+    )
+    return (
+        o.join(F.broadcast(med), o["o_orderstatus"] == F.col("m_status"))
+        .join(F.broadcast(mad), o["o_orderstatus"] == F.col("d_status"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("o_totalprice") - F.col("med"))
+                    > 3.0 * F.col("mad"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .orderBy("o_orderstatus")
+    )

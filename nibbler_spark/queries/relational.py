@@ -742,3 +742,55 @@ def ext_sequence_gap_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_missing") > 0)
         .orderBy("user_id")
     )
+
+
+@register(
+    "ext_date_spine",
+    survey_id="EXT-DATE-SPINE",
+    category="projection",
+    oracle="""
+WITH spine AS (
+  SELECT CAST(UNNEST(generate_series(DATE '2024-01-01', DATE '2024-01-31',
+                                     INTERVAL 1 DAY)) AS DATE) AS d
+)
+SELECT s.d AS cal_date,
+       CAST(dayofweek(s.d) + 1 AS INT) AS dow,
+       dayofweek(s.d) + 1 IN (1, 7) AS is_weekend,
+       COUNT(e.event_id) AS n_events
+FROM spine s
+LEFT JOIN events e ON CAST(date_trunc('day', e.ts) AS DATE) = s.d
+GROUP BY s.d ORDER BY s.d
+""",
+)
+def ext_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-spine dimension: a generated continuous calendar (no gaps,
+    unlike anything derived from fact data) left-joined to the facts so
+    zero-activity days appear with 0 — the reporting-correctness pattern
+    every calendar chart needs. The spine generates from sequence(), is
+    31 rows, and broadcasts; dayofweek uses the H5 +1 oracle rewrite."""
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01").cast("date"),
+                F.lit("2024-01-31").cast("date"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("cal_date")
+    )
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    )
+    dow = F.dayofweek("cal_date")
+    return (
+        F.broadcast(spine)
+        .join(e, F.col("day") == F.col("cal_date"), "left")
+        .groupBy("cal_date")
+        .agg(F.count("event_id").alias("n_events"))
+        .select(
+            "cal_date",
+            dow.alias("dow"),
+            dow.isin(1, 7).alias("is_weekend"),
+            "n_events",
+        )
+        .orderBy("cal_date")
+    )
