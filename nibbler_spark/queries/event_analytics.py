@@ -360,3 +360,103 @@ def ext_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start")
     )
+
+
+@register(
+    "ext_cumulative_distinct_users",
+    survey_id="EXT-GROWTH",
+    category="event-analytics",
+    oracle="""
+WITH first_seen AS (
+  SELECT user_id, CAST(MIN(date_trunc('day', ts)) AS DATE) AS first_day
+  FROM events GROUP BY user_id
+),
+daily AS (
+  SELECT first_day, COUNT(*) AS new_users
+  FROM first_seen GROUP BY first_day
+)
+SELECT first_day AS day, new_users,
+       CAST(SUM(new_users) OVER (ORDER BY first_day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cumulative_users
+FROM daily ORDER BY day
+""",
+)
+def ext_cumulative_distinct_users(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """User growth curve: cumulative distinct users by day WITHOUT a
+    per-day distinct scan — each user reduces to their first-seen day
+    (one user-keyed aggregate), daily new-user counts roll up, and a
+    running sum yields the cumulative curve. The running window is over
+    DAYS (bounded domain), so the O(users) work happens in the
+    partial-aggregated first pass — the scale-correct rewrite of
+    'COUNT(DISTINCT) per day so far', which would rescan history."""
+    e = load_table(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).cast("date").alias("first_day")
+    )
+    daily = first_seen.groupBy("first_day").agg(
+        F.count("*").alias("new_users")
+    )
+    w = (
+        Window.orderBy("first_day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily.select(
+        F.col("first_day").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).cast("bigint").alias("cumulative_users"),
+    ).orderBy("day")
+
+
+@register(
+    "ext_time_to_convert",
+    survey_id="EXT-TTC",
+    category="event-analytics",
+    oracle="""
+WITH s AS (
+  SELECT user_id, MIN(ts) AS st FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS pt
+  FROM events e JOIN s ON e.user_id = s.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s.st GROUP BY e.user_id
+)
+SELECT COUNT(*) AS n_converted,
+       CAST(MEDIAN(epoch_us(pt) - epoch_us(st)) AS DECIMAL(28,4))
+         AS median_micros_to_convert,
+       CAST(MIN(epoch_us(pt) - epoch_us(st)) AS BIGINT) AS fastest_micros
+FROM s JOIN p ON p.user_id = s.user_id
+""",
+)
+def ext_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert: for every user with a purchase after their first
+    signup, the conversion lag — reported as count, median, and fastest.
+    Two user-keyed min-aggregates (the funnel's first and last stages)
+    and one tiny global rollup. Lags are computed in exact integer
+    MICROSECONDS (unix_micros / epoch_us — Spark's unix_timestamp
+    truncates to seconds where DuckDB's epoch keeps fractions); the
+    median interpolates per D17 and rounds through decimal."""
+    e = load_table(spark, sf_dir, "events")
+    s = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("st"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .where(F.col("ts") > F.col("st"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pt"))
+    )
+    lag_us = F.unix_micros("pt") - F.unix_micros("st")
+    return s.join(p, "user_id").agg(
+        F.count("*").alias("n_converted"),
+        F.median(lag_us).cast("decimal(28,4)").alias(
+            "median_micros_to_convert"
+        ),
+        F.min(lag_us).cast("bigint").alias("fastest_micros"),
+    )
