@@ -1103,3 +1103,68 @@ def ext_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "ext_pareto_share",
+    survey_id="EXT-PARETO",
+    category="aggregation",
+    oracle="""
+WITH cust AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS spend
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT o_custkey, spend,
+         ROW_NUMBER() OVER (ORDER BY spend DESC, o_custkey) AS rn,
+         COUNT(*) OVER () AS n_cust
+  FROM cust
+)
+SELECT CAST(CAST(SUM(CASE WHEN rn <= CAST(CEIL(n_cust / 10.0) AS BIGINT)
+                          THEN CAST(spend AS DECIMAL(28,8))
+                          ELSE CAST(0 AS DECIMAL(28,8)) END) AS DOUBLE)
+            / CAST(SUM(CAST(spend AS DECIMAL(28,8))) AS DOUBLE)
+            AS DECIMAL(18,10)) AS top_decile_share,
+       CAST(MAX(n_cust) AS BIGINT) AS n_customers
+FROM ranked
+""",
+)
+def ext_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (the 80/20 check): the spend share of the
+    top decile of customers. Per-customer spend is one keyed aggregate;
+    the global rank runs over CUSTOMERS (already reduced — at 100 TB
+    rank the aggregate, never the facts); numerator and denominator are
+    decimal-exact sums dividing as identical doubles, rounded through
+    decimal because per-customer spends are themselves derived doubles."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("spend")
+    )
+    w = Window.orderBy(F.col("spend").desc(), F.col("o_custkey"))
+    ranked = cust.select(
+        "o_custkey",
+        "spend",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("n_cust"),
+    )
+    top_n = F.ceil(F.col("n_cust") / 10.0).cast("bigint")
+    zero = F.lit(0).cast("decimal(28,8)")
+    return ranked.agg(
+        (
+            F.sum(
+                F.when(
+                    F.col("rn") <= top_n,
+                    F.col("spend").cast("decimal(28,8)"),
+                ).otherwise(zero)
+            ).cast("double")
+            / F.sum(F.col("spend").cast("decimal(28,8)")).cast("double")
+        )
+        .cast("decimal(18,10)")
+        .alias("top_decile_share"),
+        F.max("n_cust").cast("bigint").alias("n_customers"),
+    )
