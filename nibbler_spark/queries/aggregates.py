@@ -1168,3 +1168,89 @@ def ext_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("top_decile_share"),
         F.max("n_cust").cast("bigint").alias("n_customers"),
     )
+
+
+@register(
+    "ext_abtest_proportions",
+    survey_id="EXT-ABTEST",
+    category="aggregation",
+    oracle="""
+WITH counts AS (
+  SELECT user_id, user_id % 2 AS arm,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS n_purch
+  FROM events GROUP BY user_id
+),
+med AS (SELECT MEDIAN(n_purch) AS m FROM counts),
+assigned AS (
+  SELECT arm, CASE WHEN n_purch > (SELECT m FROM med) THEN 1 ELSE 0 END
+           AS converted
+  FROM counts
+),
+arms AS (
+  SELECT arm, COUNT(*) AS n, CAST(SUM(converted) AS BIGINT) AS conv
+  FROM assigned GROUP BY arm
+)
+SELECT a.n AS n_a, a.conv AS conv_a, b.n AS n_b, b.conv AS conv_b,
+       CAST(
+         (CAST(a.conv AS DOUBLE) / a.n - CAST(b.conv AS DOUBLE) / b.n)
+         / SQRT(
+             (CAST(a.conv + b.conv AS DOUBLE) / (a.n + b.n))
+             * (1 - CAST(a.conv + b.conv AS DOUBLE) / (a.n + b.n))
+             * (CAST(1 AS DOUBLE) / a.n + CAST(1 AS DOUBLE) / b.n)
+           )
+         AS DECIMAL(18,6)) AS z_stat
+FROM (SELECT * FROM arms WHERE arm = 0) a
+CROSS JOIN (SELECT * FROM arms WHERE arm = 1) b
+""",
+)
+def ext_abtest_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test for an A/B split (arms by user_id parity,
+    conversion = above-median purchase count — a median split keeps both
+    outcome classes populated at every scale, so the pooled variance is
+    never zero): the experimentation-readout primitive. Per-user counts
+    reduce in one keyed pass, arms in a 2-group rollup, and the pooled
+    z-statistic is pure arithmetic on identical integers — rounded
+    through decimal only for the final SQRT (transcendental
+    discipline)."""
+    e = load_table(spark, sf_dir, "events")
+    counts = e.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("n_purch")
+    )
+    med = counts.agg(F.median("n_purch").alias("m"))
+    assigned = counts.crossJoin(F.broadcast(med)).select(
+        (F.col("user_id") % 2).alias("arm"),
+        F.when(F.col("n_purch") > F.col("m"), 1).otherwise(0).alias(
+            "converted"
+        ),
+    )
+    arms = assigned.groupBy("arm").agg(
+        F.count("*").alias("n"),
+        F.sum("converted").cast("bigint").alias("conv"),
+    )
+    a = arms.where(F.col("arm") == 0).select(
+        F.col("n").alias("n_a"), F.col("conv").alias("conv_a")
+    )
+    b = arms.where(F.col("arm") == 1).select(
+        F.col("n").alias("n_b"), F.col("conv").alias("conv_b")
+    )
+    j = a.crossJoin(b)
+    p_a = F.col("conv_a").cast("double") / F.col("n_a")
+    p_b = F.col("conv_b").cast("double") / F.col("n_b")
+    p_pool = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    z = (p_a - p_b) / F.sqrt(
+        p_pool
+        * (1 - p_pool)
+        * (
+            F.lit(1).cast("double") / F.col("n_a")
+            + F.lit(1).cast("double") / F.col("n_b")
+        )
+    )
+    return j.select(
+        "n_a", "conv_a", "n_b", "conv_b",
+        z.cast("decimal(18,6)").alias("z_stat"),
+    )
