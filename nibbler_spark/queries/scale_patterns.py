@@ -419,3 +419,52 @@ def ext_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "event_type", "boost")
         .orderBy("event_id")
     )
+
+
+@register(
+    "ext_dynamic_partition_pruning",
+    survey_id="EXT-DPP",
+    category="scale-pattern",
+    oracle="""
+SELECT event_type, COUNT(*) AS n
+FROM events WHERE event_type = 'click'
+GROUP BY event_type ORDER BY event_type
+""",
+)
+def ext_dynamic_partition_pruning(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dynamic partition pruning: the fact's partition filter is not
+    known until runtime — it comes from a FILTERED DIMENSION (documents
+    with lang='en', mapped to the 'click' event type), so Catalyst
+    injects a dynamicpruning subquery that broadcasts the dim's keys
+    into the fact scan's PartitionFilters before IO. The star-schema
+    complement to EXT-PRUNE's static pruning: at 100 TB, 'this
+    quarter's keys' usually live in a dim table, not in the query text.
+    Plan-asserted in tests/test_plans.py."""
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    d = os.path.join(tempfile.gettempdir(), f"nibbler-part-{tag}-events")
+    marker = os.path.join(d, "_SUCCESS")
+    if not os.path.exists(marker):
+        load_table(spark, sf_dir, "events").write.mode(
+            "overwrite"
+        ).partitionBy("event_type").parquet(d)
+    fact = spark.read.parquet(d)
+    dim = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            F.when(F.col("lang") == "en", "click")
+            .otherwise("view")
+            .alias("event_type"),
+            "lang",
+        )
+        .where(F.col("lang") == "en")
+        .select("event_type")
+        .distinct()
+    )
+    return (
+        fact.join(dim, "event_type")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .orderBy("event_type")
+    )

@@ -226,3 +226,10 @@ def test_knn_join_broadcasts_queries_not_corpus(spark, sf_dir):
     plan = _plan(spark, sf_dir, "ext_knn_join")
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dynamic_partition_pruning_subquery(spark, sf_dir):
+    """The fact scan's partition filter must come from a runtime
+    dynamicpruning subquery fed by the filtered dimension."""
+    plan = _plan(spark, sf_dir, "ext_dynamic_partition_pruning")
+    assert "dynamicpruning" in plan.lower()
