@@ -460,3 +460,72 @@ def ext_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.min(lag_us).cast("bigint").alias("fastest_micros"),
     )
+
+
+@register(
+    "ext_lag1_autocorrelation",
+    survey_id="EXT-AUTOCORR",
+    category="event-analytics",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS d, COUNT(*) AS n
+  FROM events GROUP BY 1
+),
+pairs AS (
+  SELECT a.n AS x, b.n AS y
+  FROM daily a JOIN daily b ON b.d = a.d + INTERVAL 1 DAY
+),
+m AS (
+  SELECT COUNT(*) AS k,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM pairs
+)
+SELECT k AS n_pairs,
+       CAST(CAST(k * sxy - sx * sy AS DOUBLE)
+            / SQRT(CAST(k * sxx - sx * sx AS DOUBLE)
+                   * CAST(k * syy - sy * sy AS DOUBLE))
+            AS DECIMAL(18,6)) AS lag1_autocorr
+FROM m
+""",
+)
+def ext_lag1_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of the daily event-count series — the
+    first check for momentum/seasonality in any metric. Counts are
+    integers, so every Pearson moment is EXACT integer arithmetic; the
+    only float op is the final sqrt, rounded through decimal. The
+    series is O(days) regardless of event volume — all heavy work is
+    the one day-keyed count."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("d")
+    ).agg(F.count("*").alias("n"))
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(
+        b, F.col("b.d") == F.date_add(F.col("a.d"), 1)
+    ).select(F.col("a.n").alias("x"), F.col("b.n").alias("y"))
+    m = pairs.agg(
+        F.count("*").alias("k"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    num = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den = F.sqrt(
+        (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+            "double"
+        )
+        * (F.col("k") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+            "double"
+        )
+    )
+    return m.select(
+        F.col("k").alias("n_pairs"),
+        (num / den).cast("decimal(18,6)").alias("lag1_autocorr"),
+    )
