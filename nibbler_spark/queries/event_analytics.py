@@ -529,3 +529,98 @@ def ext_lag1_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("k").alias("n_pairs"),
         (num / den).cast("decimal(18,6)").alias("lag1_autocorr"),
     )
+
+
+@register(
+    "ext_dow_seasonality",
+    survey_id="EXT-SEASONALITY",
+    category="event-analytics",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS d, COUNT(*) AS n
+  FROM events GROUP BY 1
+),
+by_dow AS (
+  SELECT dayofweek(d) + 1 AS dow,
+         CAST(SUM(n) AS BIGINT) AS total, COUNT(*) AS n_days
+  FROM daily GROUP BY 1
+),
+overall AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS g_total, COUNT(*) AS g_days FROM daily
+)
+SELECT dow, total, n_days,
+       CAST((CAST(total AS DOUBLE) / n_days)
+            / (CAST(g_total AS DOUBLE) / g_days) AS DECIMAL(18,8))
+         AS seasonality_index
+FROM by_dow CROSS JOIN overall
+ORDER BY dow
+""",
+)
+def ext_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality index: mean daily volume per weekday
+    relative to the overall mean (1.0 = flat) — the decomposition step
+    before any anomaly threshold is set. Integer counts make every
+    ratio input exact; the index divides identical doubles and rounds
+    through decimal. Work is O(days) past the one day-keyed count."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("d")
+    ).agg(F.count("*").alias("n"))
+    by_dow = daily.groupBy(F.dayofweek("d").alias("dow")).agg(
+        F.sum("n").cast("bigint").alias("total"),
+        F.count("*").alias("n_days"),
+    )
+    overall = daily.agg(
+        F.sum("n").cast("bigint").alias("g_total"),
+        F.count("*").alias("g_days"),
+    )
+    idx = (F.col("total").cast("double") / F.col("n_days")) / (
+        F.col("g_total").cast("double") / F.col("g_days")
+    )
+    return (
+        by_dow.crossJoin(F.broadcast(overall))
+        .select(
+            "dow",
+            "total",
+            "n_days",
+            idx.cast("decimal(18,8)").alias("seasonality_index"),
+        )
+        .orderBy("dow")
+    )
+
+
+@register(
+    "ext_engagement_distribution",
+    survey_id="EXT-ENGAGEMENT",
+    category="event-analytics",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+)
+SELECT COUNT(*) AS n_users,
+       CAST(MIN(n) AS BIGINT) AS min_events,
+       ROUND(QUANTILE_CONT(n, 0.25), 4) AS p25,
+       ROUND(MEDIAN(n), 4) AS p50,
+       ROUND(QUANTILE_CONT(n, 0.75), 4) AS p75,
+       CAST(MAX(n) AS BIGINT) AS max_events
+FROM per_user
+""",
+)
+def ext_engagement_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Engagement distribution: the five-number summary of events per
+    user — the shape check (heavy head? long tail?) that decides
+    whether per-user operators need skew handling at all. One keyed
+    count, then percentiles over the O(users) aggregate (D17
+    interpolation)."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(F.count("*").alias("n"))
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.min("n").cast("bigint").alias("min_events"),
+        F.round(F.percentile("n", 0.25), 4).alias("p25"),
+        F.round(F.median("n"), 4).alias("p50"),
+        F.round(F.percentile("n", 0.75), 4).alias("p75"),
+        F.max("n").cast("bigint").alias("max_events"),
+    )
