@@ -624,3 +624,87 @@ def ext_engagement_distribution(
         F.round(F.percentile("n", 0.75), 4).alias("p75"),
         F.max("n").cast("bigint").alias("max_events"),
     )
+
+
+@register(
+    "ext_error_rate_monitor",
+    survey_id="EXT-ERRMON",
+    category="event-analytics",
+    oracle="""
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+       COUNT(*) AS n,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_errors,
+       CAST(CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                 AS DOUBLE) / COUNT(*) AS DECIMAL(18,8)) AS error_rate,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+            AS DOUBLE) / COUNT(*) > 0.25 AS breached
+FROM events
+GROUP BY 1 HAVING COUNT(*) >= 10
+ORDER BY hour
+""",
+)
+def ext_error_rate_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly error-rate monitoring with a breach flag — the operational
+    rollup a pipeline alerts on (min-volume HAVING guard avoids
+    low-traffic false alarms). Integer conditional counts divide to
+    identical doubles; the same query runs unchanged as a streaming
+    tumbling-window aggregate (I1's shape)."""
+    e = load_table(spark, sf_dir, "events")
+    n_err = F.sum(
+        F.when(F.col("event_type") == "error", 1).otherwise(0)
+    )
+    rate = n_err.cast("double") / F.count("*")
+    return (
+        e.groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        .agg(
+            F.count("*").alias("n"),
+            n_err.cast("bigint").alias("n_errors"),
+            rate.cast("decimal(18,8)").alias("error_rate"),
+            (rate > 0.25).alias("breached"),
+        )
+        .where(F.col("n") >= 10)
+        .orderBy("hour")
+    )
+
+
+@register(
+    "ext_inter_event_gaps",
+    survey_id="EXT-GAPS",
+    category="event-analytics",
+    oracle="""
+WITH seq AS (
+  SELECT user_id,
+         epoch_us(ts) - epoch_us(LAG(ts) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+  FROM events
+)
+SELECT user_id,
+       COUNT(gap_us) AS n_gaps,
+       CAST(MEDIAN(gap_us) AS DECIMAL(28,4)) AS median_gap_us,
+       CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+FROM seq WHERE gap_us IS NOT NULL AND user_id % 30 = 0
+GROUP BY user_id ORDER BY user_id
+""",
+)
+def ext_inter_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival gap distribution per user (median and max, exact
+    integer microseconds — the time_to_convert unit discipline): the
+    statistic that calibrates sessionization gap thresholds and
+    watermark delays, instead of guessing them. One user-keyed window +
+    one keyed aggregate."""
+    e = load_table(spark, sf_dir, "events").where(F.col("user_id") % 30 == 0)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    seq = e.select("user_id", gap.alias("gap_us")).where(
+        F.col("gap_us").isNotNull()
+    )
+    return (
+        seq.groupBy("user_id")
+        .agg(
+            F.count("gap_us").alias("n_gaps"),
+            F.median("gap_us").cast("decimal(28,4)").alias("median_gap_us"),
+            F.max("gap_us").cast("bigint").alias("max_gap_us"),
+        )
+        .orderBy("user_id")
+    )
