@@ -1254,3 +1254,66 @@ def ext_abtest_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_a", "conv_a", "n_b", "conv_b",
         z.cast("decimal(18,6)").alias("z_stat"),
     )
+
+
+@register(
+    "ext_gini_coefficient",
+    survey_id="EXT-GINI",
+    category="aggregation",
+    oracle="""
+WITH cust AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS spend
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT spend,
+         ROW_NUMBER() OVER (ORDER BY spend, o_custkey) AS i,
+         COUNT(*) OVER () AS n
+  FROM cust
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
+       CAST(
+         2.0 * CAST(SUM(CAST(i * spend AS DECIMAL(38,8))) AS DOUBLE)
+           / (MAX(n) * CAST(SUM(CAST(spend AS DECIMAL(38,8))) AS DOUBLE))
+         - CAST(MAX(n) + 1 AS DOUBLE) / MAX(n)
+         AS DECIMAL(18,10)) AS gini
+FROM ranked
+""",
+)
+def ext_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend — the single-number
+    inequality measure completing the Pareto share: G = 2·Σ(i·x_i) /
+    (n·Σx) − (n+1)/n over ascending-ranked spends. Ranks run over the
+    per-customer AGGREGATE (EXT-PARETO discipline), both sums are
+    decimal-exact, and the closing arithmetic divides identical
+    doubles, rounded through decimal."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("spend")
+    )
+    w = Window.orderBy("spend", "o_custkey")
+    ranked = cust.select(
+        "spend",
+        F.row_number().over(w).alias("i"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    gini = (
+        F.lit(2.0)
+        * F.sum((F.col("i") * F.col("spend")).cast("decimal(38,8)")).cast(
+            "double"
+        )
+        / (
+            F.max("n")
+            * F.sum(F.col("spend").cast("decimal(38,8)")).cast("double")
+        )
+        - (F.max("n") + 1).cast("double") / F.max("n")
+    )
+    return ranked.agg(
+        F.max("n").cast("bigint").alias("n_customers"),
+        gini.cast("decimal(18,10)").alias("gini"),
+    )
