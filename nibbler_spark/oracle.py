@@ -26,8 +26,14 @@ def render_value(v) -> str:
             return "NaN"
         return repr(v)
     if isinstance(v, Decimal):
-        # normalize: render as plain string without trailing zeros beyond scale
-        return format(v.normalize(), "f")
+        # STRICT (round 2): render with the value's own scale, trailing zeros
+        # kept — this mirrors the external driver's hasher, which renders
+        # Decimal('43683.0600') and Decimal('43683.06') differently even
+        # though they are numerically equal (the r1 b05/tq08 failures).
+        # Declared queries must therefore never emit DecimalType in their
+        # final schema; decimals are internal exact-arithmetic carriers only
+        # (_helpers.py discipline: quantize in decimal, emit double).
+        return format(v, "f")
     if isinstance(v, _dt.datetime):
         if v.tzinfo is not None:
             v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
@@ -97,7 +103,28 @@ class CompareReport:
         return s
 
 
+def decimal_output_columns(df: DataFrame) -> list[str]:
+    """Final-schema DecimalType columns — a driver hash hazard (see r1
+    VERDICT: the external hasher's float canonicalization does not apply to
+    Decimal values, so numerically-equal results hash differently)."""
+    from pyspark.sql.types import ArrayType, DecimalType, MapType, StructType
+
+    def has_dec(dt) -> bool:
+        if isinstance(dt, DecimalType):
+            return True
+        if isinstance(dt, ArrayType):
+            return has_dec(dt.elementType)
+        if isinstance(dt, MapType):
+            return has_dec(dt.keyType) or has_dec(dt.valueType)
+        if isinstance(dt, StructType):
+            return any(has_dec(f.dataType) for f in dt.fields)
+        return False
+
+    return [f.name for f in df.schema.fields if has_dec(f.dataType)]
+
+
 def compare(name: str, df: DataFrame, con, sql: str, max_diffs: int = 5) -> CompareReport:
+    dec_cols = decimal_output_columns(df)
     s_cols, s_rows = spark_result(df)
     o_cols, o_rows = duckdb_result(con, sql)
     cols_match = sorted(s_cols) == sorted(o_cols)
@@ -119,7 +146,12 @@ def compare(name: str, df: DataFrame, con, sql: str, max_diffs: int = 5) -> Comp
             diffs.append(f"spark-only: {r}")
         for r in only_oracle[:max_diffs]:
             diffs.append(f"oracle-only: {r}")
-    ok = cols_match and s_canon == o_canon
+    if dec_cols:
+        diffs.append(
+            f"decimal-typed output columns {dec_cols}: driver hash hazard "
+            "(emit rounded DOUBLE instead; decimals are internal carriers only)"
+        )
+    ok = cols_match and s_canon == o_canon and not dec_cols
     return CompareReport(
         name=name,
         ok=ok,
