@@ -808,10 +808,10 @@ WITH m AS (
   FROM orders GROUP BY o_orderstatus
 )
 SELECT o_orderstatus, n,
-       CAST((n * sxy - sx * sy) / (n * sxx - sx * sx) AS DECIMAL(18,8))
-         AS slope,
-       CAST((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
-            AS DECIMAL(18,6)) AS intercept
+       CAST(CAST((n * sxy - sx * sy) / (n * sxx - sx * sx) AS DECIMAL(18,8))
+            AS DOUBLE) AS slope,
+       CAST(CAST((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+            AS DECIMAL(18,6)) AS DOUBLE) AS intercept
 FROM m ORDER BY o_orderstatus
 """,
 )
@@ -842,8 +842,8 @@ def ext_ols_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "o_orderstatus",
         "n",
-        slope.cast("decimal(18,8)").alias("slope"),
-        intercept.cast("decimal(18,6)").alias("intercept"),
+        slope.cast("decimal(18,8)").cast("double").alias("slope"),
+        intercept.cast("decimal(18,6)").cast("double").alias("intercept"),
     ).orderBy("o_orderstatus")
 
 
@@ -905,8 +905,8 @@ tot AS (
   FROM per_score
 )
 SELECT p_tot, n_tot,
-       CAST(CAST(SUM(2 * n_s * cum_p + p_s * n_s) AS DOUBLE)
-            / (2.0 * p_tot * n_tot) AS DECIMAL(18,12)) AS auc
+       CAST(CAST(CAST(SUM(2 * n_s * cum_p + p_s * n_s) AS DOUBLE)
+            / (2.0 * p_tot * n_tot) AS DECIMAL(18,12)) AS DOUBLE) AS auc
 FROM cum CROSS JOIN tot
 GROUP BY p_tot, n_tot
 """,
@@ -955,6 +955,7 @@ def ext_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (2.0 * F.col("p_tot") * F.col("n_tot"))
             )
             .cast("decimal(18,12)")
+            .cast("double")
             .alias("auc")
         )
     )
@@ -966,10 +967,10 @@ def ext_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="aggregation",
     oracle="""
 SELECT l_returnflag,
-       CAST(CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,8)))
+       CAST(CAST(CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,8)))
                  AS DOUBLE)
             / CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
-            AS DECIMAL(18,6)) AS wavg_price,
+            AS DECIMAL(18,6)) AS DOUBLE) AS wavg_price,
        CAST(SUM(CAST(l_quantity * (1 - l_discount) AS DECIMAL(28,8)))
             AS DOUBLE) AS effective_qty
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
@@ -997,6 +998,7 @@ def d25_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
             .cast("decimal(18,6)")
+            .cast("double")
             .alias("wavg_price"),
             F.sum(
                 (F.col("l_quantity") * (1 - F.col("l_discount"))).cast(
@@ -1121,11 +1123,11 @@ ranked AS (
          COUNT(*) OVER () AS n_cust
   FROM cust
 )
-SELECT CAST(CAST(SUM(CASE WHEN rn <= CAST(CEIL(n_cust / 10.0) AS BIGINT)
+SELECT CAST(CAST(CAST(SUM(CASE WHEN rn <= CAST(CEIL(n_cust / 10.0) AS BIGINT)
                           THEN CAST(spend AS DECIMAL(28,8))
                           ELSE CAST(0 AS DECIMAL(28,8)) END) AS DOUBLE)
             / CAST(SUM(CAST(spend AS DECIMAL(28,8))) AS DOUBLE)
-            AS DECIMAL(18,10)) AS top_decile_share,
+            AS DECIMAL(18,10)) AS DOUBLE) AS top_decile_share,
        CAST(MAX(n_cust) AS BIGINT) AS n_customers
 FROM ranked
 """,
@@ -1165,6 +1167,7 @@ def ext_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum(F.col("spend").cast("decimal(28,8)")).cast("double")
         )
         .cast("decimal(18,10)")
+        .cast("double")
         .alias("top_decile_share"),
         F.max("n_cust").cast("bigint").alias("n_customers"),
     )
@@ -1192,14 +1195,14 @@ arms AS (
   FROM assigned GROUP BY arm
 )
 SELECT a.n AS n_a, a.conv AS conv_a, b.n AS n_b, b.conv AS conv_b,
-       CAST(
+       CAST(CAST(
          (CAST(a.conv AS DOUBLE) / a.n - CAST(b.conv AS DOUBLE) / b.n)
          / SQRT(
              (CAST(a.conv + b.conv AS DOUBLE) / (a.n + b.n))
              * (1 - CAST(a.conv + b.conv AS DOUBLE) / (a.n + b.n))
              * (CAST(1 AS DOUBLE) / a.n + CAST(1 AS DOUBLE) / b.n)
            )
-         AS DECIMAL(18,6)) AS z_stat
+         AS DECIMAL(18,6)) AS DOUBLE) AS z_stat
 FROM (SELECT * FROM arms WHERE arm = 0) a
 CROSS JOIN (SELECT * FROM arms WHERE arm = 1) b
 """,
@@ -1252,7 +1255,7 @@ def ext_abtest_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return j.select(
         "n_a", "conv_a", "n_b", "conv_b",
-        z.cast("decimal(18,6)").alias("z_stat"),
+        z.cast("decimal(18,6)").cast("double").alias("z_stat"),
     )
 
 
@@ -1273,11 +1276,11 @@ ranked AS (
   FROM cust
 )
 SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
-       CAST(
+       CAST(CAST(
          2.0 * CAST(SUM(CAST(i * spend AS DECIMAL(38,8))) AS DOUBLE)
            / (MAX(n) * CAST(SUM(CAST(spend AS DECIMAL(38,8))) AS DOUBLE))
          - CAST(MAX(n) + 1 AS DOUBLE) / MAX(n)
-         AS DECIMAL(18,10)) AS gini
+         AS DECIMAL(18,10)) AS DOUBLE) AS gini
 FROM ranked
 """,
 )
@@ -1315,5 +1318,5 @@ def ext_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ranked.agg(
         F.max("n").cast("bigint").alias("n_customers"),
-        gini.cast("decimal(18,10)").alias("gini"),
+        gini.cast("decimal(18,10)").cast("double").alias("gini"),
     )

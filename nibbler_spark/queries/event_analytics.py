@@ -320,16 +320,20 @@ def ext_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="event-analytics",
     oracle="""
 WITH flagged AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
+         -- Spark's session_window closes at last_ts + gap END-EXCLUSIVE:
+         -- an event exactly 30 min after the previous one starts a NEW
+         -- session, so the rewrite must use >= (not >) to agree.
          CASE WHEN LAG(ts) OVER w IS NULL
-                   OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                   OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
               THEN 1 ELSE 0 END AS is_new
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 sess AS (
   SELECT user_id, ts,
-         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts) AS seq
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS seq
   FROM flagged
 )
 SELECT user_id,
@@ -425,8 +429,8 @@ p AS (
   WHERE e.event_type = 'purchase' AND e.ts > s.st GROUP BY e.user_id
 )
 SELECT COUNT(*) AS n_converted,
-       CAST(MEDIAN(epoch_us(pt) - epoch_us(st)) AS DECIMAL(28,4))
-         AS median_micros_to_convert,
+       CAST(CAST(MEDIAN(epoch_us(pt) - epoch_us(st)) AS DECIMAL(28,4))
+            AS DOUBLE) AS median_micros_to_convert,
        CAST(MIN(epoch_us(pt) - epoch_us(st)) AS BIGINT) AS fastest_micros
 FROM s JOIN p ON p.user_id = s.user_id
 """,
@@ -455,7 +459,7 @@ def ext_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     lag_us = F.unix_micros("pt") - F.unix_micros("st")
     return s.join(p, "user_id").agg(
         F.count("*").alias("n_converted"),
-        F.median(lag_us).cast("decimal(28,4)").alias(
+        F.median(lag_us).cast("decimal(28,4)").cast("double").alias(
             "median_micros_to_convert"
         ),
         F.min(lag_us).cast("bigint").alias("fastest_micros"),
@@ -484,10 +488,10 @@ m AS (
   FROM pairs
 )
 SELECT k AS n_pairs,
-       CAST(CAST(k * sxy - sx * sy AS DOUBLE)
+       CAST(CAST(CAST(k * sxy - sx * sy AS DOUBLE)
             / SQRT(CAST(k * sxx - sx * sx AS DOUBLE)
                    * CAST(k * syy - sy * sy AS DOUBLE))
-            AS DECIMAL(18,6)) AS lag1_autocorr
+            AS DECIMAL(18,6)) AS DOUBLE) AS lag1_autocorr
 FROM m
 """,
 )
@@ -527,7 +531,9 @@ def ext_lag1_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return m.select(
         F.col("k").alias("n_pairs"),
-        (num / den).cast("decimal(18,6)").alias("lag1_autocorr"),
+        (num / den).cast("decimal(18,6)").cast("double").alias(
+            "lag1_autocorr"
+        ),
     )
 
 
@@ -549,9 +555,9 @@ overall AS (
   SELECT CAST(SUM(n) AS BIGINT) AS g_total, COUNT(*) AS g_days FROM daily
 )
 SELECT dow, total, n_days,
-       CAST((CAST(total AS DOUBLE) / n_days)
+       CAST(CAST((CAST(total AS DOUBLE) / n_days)
             / (CAST(g_total AS DOUBLE) / g_days) AS DECIMAL(18,8))
-         AS seasonality_index
+            AS DOUBLE) AS seasonality_index
 FROM by_dow CROSS JOIN overall
 ORDER BY dow
 """,
@@ -583,7 +589,9 @@ def ext_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dow",
             "total",
             "n_days",
-            idx.cast("decimal(18,8)").alias("seasonality_index"),
+            idx.cast("decimal(18,8)").cast("double").alias(
+                "seasonality_index"
+            ),
         )
         .orderBy("dow")
     )
@@ -635,8 +643,9 @@ SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
        COUNT(*) AS n,
        CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
             AS BIGINT) AS n_errors,
-       CAST(CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
-                 AS DOUBLE) / COUNT(*) AS DECIMAL(18,8)) AS error_rate,
+       CAST(CAST(CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                 AS DOUBLE) / COUNT(*) AS DECIMAL(18,8)) AS DOUBLE)
+         AS error_rate,
        CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
             AS DOUBLE) / COUNT(*) > 0.25 AS breached
 FROM events
@@ -660,7 +669,7 @@ def ext_error_rate_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n"),
             n_err.cast("bigint").alias("n_errors"),
-            rate.cast("decimal(18,8)").alias("error_rate"),
+            rate.cast("decimal(18,8)").cast("double").alias("error_rate"),
             (rate > 0.25).alias("breached"),
         )
         .where(F.col("n") >= 10)
@@ -681,7 +690,8 @@ WITH seq AS (
 )
 SELECT user_id,
        COUNT(gap_us) AS n_gaps,
-       CAST(MEDIAN(gap_us) AS DECIMAL(28,4)) AS median_gap_us,
+       CAST(CAST(MEDIAN(gap_us) AS DECIMAL(28,4)) AS DOUBLE)
+         AS median_gap_us,
        CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
 FROM seq WHERE gap_us IS NOT NULL AND user_id % 30 = 0
 GROUP BY user_id ORDER BY user_id
@@ -703,7 +713,9 @@ def ext_inter_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         seq.groupBy("user_id")
         .agg(
             F.count("gap_us").alias("n_gaps"),
-            F.median("gap_us").cast("decimal(28,4)").alias("median_gap_us"),
+            F.median("gap_us").cast("decimal(28,4)").cast("double").alias(
+                "median_gap_us"
+            ),
             F.max("gap_us").cast("bigint").alias("max_gap_us"),
         )
         .orderBy("user_id")

