@@ -545,7 +545,7 @@ r3 AS (
   FROM edges e JOIN r2 r ON e.src = r.node JOIN deg ON deg.src = e.src
   GROUP BY e.dst
 )
-SELECT node AS doc_id, CAST(r AS DECIMAL(18,12)) AS pagerank
+SELECT node AS doc_id, CAST(CAST(r AS DECIMAL(18,12)) AS DOUBLE) AS pagerank
 FROM r3 ORDER BY doc_id
 """
 
@@ -613,7 +613,7 @@ def ext_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     return ranks.select(
         F.col("node").alias("doc_id"),
-        F.col("r").cast("decimal(18,12)").alias("pagerank"),
+        F.col("r").cast("decimal(18,12)").cast("double").alias("pagerank"),
     ).orderBy("doc_id")
 
 
@@ -873,8 +873,8 @@ def ext_two_hop_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT lang, source,
        COUNT(*) AS n_docs,
        COUNT(DISTINCT md5(text)) AS n_exact_unique,
-       CAST(1.0 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*)
-            AS DECIMAL(18,10)) AS exact_dup_rate,
+       CAST(CAST(1.0 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*)
+            AS DECIMAL(18,10)) AS DOUBLE) AS exact_dup_rate,
        COUNT(DISTINCT md5(array_to_string(
          list_sort(list_distinct(string_split(lower(trim(text)), ' '))), ' ')))
          AS n_norm_unique
@@ -909,6 +909,7 @@ def ext_dedup_audit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.count("*")
             )
             .cast("decimal(18,10)")
+            .cast("double")
             .alias("exact_dup_rate"),
             F.countDistinct(norm_key).alias("n_norm_unique"),
         )

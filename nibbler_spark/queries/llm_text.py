@@ -484,8 +484,8 @@ agg AS (
   FROM tf GROUP BY doc_id
 )
 SELECT doc_id, n_tokens,
-       CAST(log2(CAST(n_tokens AS DOUBLE)) - s / n_tokens AS DECIMAL(18,6))
-         AS token_entropy_bits
+       CAST(CAST(log2(CAST(n_tokens AS DOUBLE)) - s / n_tokens
+            AS DECIMAL(18,6)) AS DOUBLE) AS token_entropy_bits
 FROM agg ORDER BY doc_id
 """,
 )
@@ -518,6 +518,7 @@ def ext_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.col("s") / F.col("n_tokens")
         )
         .cast("decimal(18,6)")
+        .cast("double")
         .alias("token_entropy_bits"),
     ).orderBy("doc_id")
 
@@ -657,8 +658,8 @@ scored AS (
 )
 SELECT doc_id,
        COUNT(*) AS n_bigrams,
-       CAST(CAST(SUM(lp) AS DOUBLE) / COUNT(*) AS DECIMAL(18,6))
-         AS avg_log2_prob
+       CAST(CAST(CAST(SUM(lp) AS DOUBLE) / COUNT(*) AS DECIMAL(18,6))
+            AS DOUBLE) AS avg_log2_prob
 FROM scored GROUP BY doc_id ORDER BY doc_id
 """,
 )
@@ -715,6 +716,7 @@ def ext_lm_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_bigrams"),
             (F.sum("lp").cast("double") / F.count("*"))
             .cast("decimal(18,6)")
+            .cast("double")
             .alias("avg_log2_prob"),
         )
         .orderBy("doc_id")

@@ -431,7 +431,8 @@ n2 AS (
   FROM w2
 ),
 v2 AS (SELECT pos, w / (SELECT nrm FROM n2) AS v FROM w2)
-SELECT pos, CAST(v AS DECIMAL(18,12)) AS weight FROM v2 ORDER BY pos
+SELECT pos, CAST(CAST(v AS DECIMAL(18,12)) AS DOUBLE) AS weight
+FROM v2 ORDER BY pos
 """
 
 
@@ -495,7 +496,7 @@ def ext_power_iteration_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
     return vdf.select(
-        "pos", F.col("v").cast("decimal(18,12)").alias("weight")
+        "pos", F.col("v").cast("decimal(18,12)").cast("double").alias("weight")
     ).orderBy("pos")
 
 
@@ -554,7 +555,8 @@ a3 AS (
     )
   ) WHERE rn = 1
 )
-SELECT vec_id, cid AS cluster, CAST(dist AS DECIMAL(18,10)) AS dist2
+SELECT vec_id, cid AS cluster,
+       CAST(CAST(dist AS DECIMAL(18,10)) AS DOUBLE) AS dist2
 FROM a3 ORDER BY vec_id
 """
 
@@ -625,7 +627,7 @@ def ext_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.select(
         "vec_id",
         F.col("cid").alias("cluster"),
-        F.col("dist").cast("decimal(18,10)").alias("dist2"),
+        F.col("dist").cast("decimal(18,10)").cast("double").alias("dist2"),
     ).orderBy("vec_id")
 
 
@@ -821,8 +823,8 @@ qd AS (
   GROUP BY c.sub, c.cid
 )
 SELECT k.vec_id,
-       CAST(CAST(SUM(CAST(q.d AS DECIMAL(38,18))) AS DOUBLE)
-            AS DECIMAL(18,10)) AS est_dist2
+       CAST(CAST(CAST(SUM(CAST(q.d AS DECIMAL(38,18))) AS DOUBLE)
+            AS DECIMAL(18,10)) AS DOUBLE) AS est_dist2
 FROM codes k JOIN qd q ON q.sub = k.sub AND q.cid = k.code
 GROUP BY k.vec_id
 ORDER BY est_dist2, vec_id
@@ -938,6 +940,7 @@ def ext_product_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("d").cast("decimal(38,18)"))
             .cast("double")
             .cast("decimal(18,10)")
+            .cast("double")
             .alias("est_dist2")
         )
         .orderBy("est_dist2", "vec_id")
@@ -1056,8 +1059,8 @@ qd AS (
   GROUP BY q.label, r.sub, r.cid
 )
 SELECT k.vec_id,
-       CAST(CAST(SUM(CAST(q.d AS DECIMAL(38,18))) AS DOUBLE)
-            AS DECIMAL(18,10)) AS est_dist2
+       CAST(CAST(CAST(SUM(CAST(q.d AS DECIMAL(38,18))) AS DOUBLE)
+            AS DECIMAL(18,10)) AS DOUBLE) AS est_dist2
 FROM codes k
 JOIN qd q ON q.label = k.label AND q.sub = k.sub AND q.cid = k.code
 WHERE k.label IN (SELECT label FROM probes)
@@ -1236,6 +1239,7 @@ def ext_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("d").cast("decimal(38,18)"))
             .cast("double")
             .cast("decimal(18,10)")
+            .cast("double")
             .alias("est_dist2")
         )
         .orderBy("est_dist2", "vec_id")

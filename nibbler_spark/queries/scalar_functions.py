@@ -795,10 +795,11 @@ def h24_string_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="scalar",
     oracle="""
 SELECT p_partkey,
-       CAST(sin(radians(p_size * 7)) AS DECIMAL(18,6)) AS s,
-       CAST(cos(radians(p_size * 7)) AS DECIMAL(18,6)) AS c,
-       CAST(atan2(p_size, 10.0) AS DECIMAL(18,6)) AS a2,
-       CAST(degrees(atan(p_size / 50.0)) AS DECIMAL(18,6)) AS deg
+       CAST(CAST(sin(radians(p_size * 7)) AS DECIMAL(18,6)) AS DOUBLE) AS s,
+       CAST(CAST(cos(radians(p_size * 7)) AS DECIMAL(18,6)) AS DOUBLE) AS c,
+       CAST(CAST(atan2(p_size, 10.0) AS DECIMAL(18,6)) AS DOUBLE) AS a2,
+       CAST(CAST(degrees(atan(p_size / 50.0)) AS DECIMAL(18,6)) AS DOUBLE)
+         AS deg
 FROM part WHERE p_partkey % 37 = 0 ORDER BY p_partkey
 """,
 )
@@ -810,13 +811,21 @@ def h25_trig_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part").where(F.col("p_partkey") % 37 == 0)
     return p.select(
         "p_partkey",
-        F.sin(F.radians(F.col("p_size") * 7)).cast("decimal(18,6)").alias("s"),
-        F.cos(F.radians(F.col("p_size") * 7)).cast("decimal(18,6)").alias("c"),
+        F.sin(F.radians(F.col("p_size") * 7))
+        .cast("decimal(18,6)")
+        .cast("double")
+        .alias("s"),
+        F.cos(F.radians(F.col("p_size") * 7))
+        .cast("decimal(18,6)")
+        .cast("double")
+        .alias("c"),
         F.atan2(F.col("p_size").cast("double"), F.lit(10.0))
         .cast("decimal(18,6)")
+        .cast("double")
         .alias("a2"),
         F.degrees(F.atan(F.col("p_size") / 50.0))
         .cast("decimal(18,6)")
+        .cast("double")
         .alias("deg"),
     ).orderBy("p_partkey")
 

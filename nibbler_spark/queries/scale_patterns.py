@@ -266,18 +266,19 @@ WITH changes AS (
 ),
 closed AS (
   SELECT o.o_orderkey,
-         CAST(o.o_totalprice AS DECIMAL(18,4)) AS price,
+         CAST(CAST(o.o_totalprice AS DECIMAL(18,4)) AS DOUBLE) AS price,
          0 AS version, false AS is_current
   FROM orders o JOIN changes c ON c.o_orderkey = o.o_orderkey
 ),
 unchanged AS (
   SELECT o.o_orderkey,
-         CAST(o.o_totalprice AS DECIMAL(18,4)) AS price,
+         CAST(CAST(o.o_totalprice AS DECIMAL(18,4)) AS DOUBLE) AS price,
          0 AS version, true AS is_current
   FROM orders o WHERE o.o_orderkey NOT IN (SELECT o_orderkey FROM changes)
 ),
 opened AS (
-  SELECT o_orderkey, CAST(new_price AS DECIMAL(18,4)) AS price,
+  SELECT o_orderkey,
+         CAST(CAST(new_price AS DECIMAL(18,4)) AS DOUBLE) AS price,
          1 AS version, true AS is_current
   FROM changes
 )
@@ -305,7 +306,7 @@ def ext_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = o.join(
         F.broadcast(changes), o["o_orderkey"] == changes["c_key"], "left"
     )
-    price = F.col("o_totalprice").cast("decimal(18,4)")
+    price = F.col("o_totalprice").cast("decimal(18,4)").cast("double")
     changed = F.col("c_key").isNotNull()
     old_rows = j.select(
         "o_orderkey",
@@ -315,7 +316,9 @@ def ext_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     new_rows = changes.select(
         F.col("c_key").alias("o_orderkey"),
-        F.col("new_price").cast("decimal(18,4)").alias("price"),
+        F.col("new_price").cast("decimal(18,4)").cast("double").alias(
+            "price"
+        ),
         F.lit(1).alias("version"),
         F.lit(True).alias("is_current"),
     )

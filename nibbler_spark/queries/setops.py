@@ -160,11 +160,13 @@ old_snap AS (
   SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,4)) AS o_totalprice
   FROM orders
 )
-SELECT 'old_only' AS side, o_orderkey, o_totalprice FROM (
+SELECT 'old_only' AS side, o_orderkey,
+       CAST(o_totalprice AS DOUBLE) AS o_totalprice FROM (
   SELECT * FROM old_snap EXCEPT SELECT * FROM new_snap
 )
 UNION ALL
-SELECT 'new_only' AS side, o_orderkey, o_totalprice FROM (
+SELECT 'new_only' AS side, o_orderkey,
+       CAST(o_totalprice AS DOUBLE) AS o_totalprice FROM (
   SELECT * FROM new_snap EXCEPT SELECT * FROM old_snap
 )
 ORDER BY o_orderkey, side
@@ -190,10 +192,13 @@ def ext_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("o_totalprice"))
         .alias("o_totalprice"),
     )
+    # the diff itself compares exact decimals; the emitted column is
+    # double (DecimalType output is a driver hash hazard)
+    dbl = F.col("o_totalprice").cast("double").alias("o_totalprice")
     old_only = o.exceptAll(new_snap).select(
-        F.lit("old_only").alias("side"), "o_orderkey", "o_totalprice"
+        F.lit("old_only").alias("side"), "o_orderkey", dbl
     )
     new_only = new_snap.exceptAll(o).select(
-        F.lit("new_only").alias("side"), "o_orderkey", "o_totalprice"
+        F.lit("new_only").alias("side"), "o_orderkey", dbl
     )
     return old_only.unionByName(new_only).orderBy("o_orderkey", "side")

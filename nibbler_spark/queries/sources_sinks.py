@@ -262,7 +262,7 @@ WITH agg AS (
   FROM orders GROUP BY o_orderstatus
 )
 SELECT a.o_orderstatus, a.n, a.total,
-       CAST(a.total / b.grand AS DECIMAL(18,10)) AS share
+       CAST(CAST(a.total / b.grand AS DECIMAL(18,10)) AS DOUBLE) AS share
 FROM agg a CROSS JOIN (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
                                    AS DOUBLE) AS grand FROM orders) b
 ORDER BY a.o_orderstatus
@@ -297,9 +297,10 @@ def a15_cached_relation_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderstatus",
             "n",
             "total",
-            (F.col("total") / F.col("grand")).cast("decimal(18,10)").alias(
-                "share"
-            ),
+            (F.col("total") / F.col("grand"))
+            .cast("decimal(18,10)")
+            .cast("double")
+            .alias("share"),
         )
         .orderBy("o_orderstatus")
     )
