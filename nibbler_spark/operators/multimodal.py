@@ -4,17 +4,22 @@ Design: image/audio/video payloads ride as opaque ``binary`` columns next
 to a typed metadata struct; every transformation is an Arrow-batched
 ``mapInPandas`` over (payload, metadata) so a 100 TB corpus streams
 through Python workers batch-by-batch without ever materializing rows on
-the driver. The decode step itself is STUBBED — the real codecs (PIL,
-ffmpeg, torchaudio) are not in this container — but the Spark-side
-plumbing (schema, batch iteration, UDF signature, partition flow) is the
-production shape: swap `_decode_stub` for a real decoder and nothing
-else changes.
+the driver.
+
+Decoding: real, dependency-free codecs for two uncompressed container
+formats — BMP (24-bit BITMAPINFOHEADER, bottom-up rows, 4-byte row
+padding) and binary PPM (P6) — parse header AND pixel data.
+``decode_batches`` dispatches on container magic; payloads that are not
+a known container fall back to a deterministic synthetic decode so the
+carriage queries over fake payloads keep working. Heavier codecs (JPEG,
+PNG, audio, video) plug in at the same dispatch point.
 """
 
 from __future__ import annotations
 
 import hashlib
-from collections.abc import Iterator
+import struct
+from collections.abc import Callable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -36,16 +41,109 @@ def _decode_stub(payload: bytes, mime: str) -> dict:
     }
 
 
-def decode_image_real(payload: bytes, mime: str):  # pragma: no cover
-    """The real decode hook — requires an image codec, absent here."""
-    try:
-        import PIL.Image  # noqa: F401
-    except ImportError as exc:
-        raise NotImplementedError(
-            "real image decode requires PIL/pillow, which is not installed "
-            "in this environment; use the deterministic stub path"
-        ) from exc
-    raise NotImplementedError("wire PIL decode here when the codec ships")
+class ImageFormatError(ValueError):
+    """Raised when a payload claims a container format it doesn't parse as."""
+
+
+def encode_bmp(width: int, height: int, pixel: Callable[[int, int], tuple[int, int, int]]) -> bytes:
+    """Write a real 24-bit uncompressed BMP (BITMAPFILEHEADER +
+    BITMAPINFOHEADER): bottom-up row order, each row padded to a 4-byte
+    boundary. ``pixel(x, y)`` returns (b, g, r) for the TOP-DOWN logical
+    coordinate (x, y)."""
+    row_len = (3 * width + 3) & ~3
+    data_size = row_len * height
+    header = struct.pack(
+        "<2sIHHI" "IiiHHIIiiII",
+        b"BM", 54 + data_size, 0, 0, 54,
+        40, width, height, 1, 24, 0, data_size, 2835, 2835, 0, 0,
+    )
+    rows = bytearray()
+    for y in range(height - 1, -1, -1):  # bottom-up storage
+        for x in range(width):
+            rows += bytes(pixel(x, y))
+        rows += b"\x00" * (row_len - 3 * width)
+    return header + bytes(rows)
+
+
+def parse_bmp(payload: bytes) -> dict:
+    """Parse a 24-bit uncompressed BMP: header fields + full pixel
+    traversal (padding skipped, bottom-up rows normalized). Returns
+    width/height plus pixel statistics proving real pixel access."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ImageFormatError("not a BMP payload")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size, width, height = struct.unpack_from("<Iii", payload, 14)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if hdr_size < 40 or planes != 1 or bpp != 24 or compression != 0:
+        raise ImageFormatError(
+            f"unsupported BMP variant (hdr={hdr_size} bpp={bpp} "
+            f"compression={compression})"
+        )
+    bottom_up = height > 0
+    height = abs(height)
+    row_len = (3 * width + 3) & ~3
+    if len(payload) < data_offset + row_len * height:
+        raise ImageFormatError("truncated BMP pixel data")
+    total = 0
+    for row in range(height):
+        base = data_offset + row * row_len
+        total += sum(payload[base : base + 3 * width])
+    return {
+        "fmt": "bmp",
+        "width": width,
+        "height": height,
+        "bottom_up": bottom_up,
+        "n_pixels": width * height,
+        "pixel_sum": total,
+    }
+
+
+def parse_ppm(payload: bytes) -> dict:
+    """Parse a binary PPM (P6): whitespace-delimited ASCII header
+    (magic, width, height, maxval) then raw RGB triples."""
+    if payload[:2] != b"P6":
+        raise ImageFormatError("not a P6 PPM payload")
+    # Header tokens may be separated by any whitespace and '#' comments.
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ImageFormatError("truncated PPM header")
+        tokens.append(payload[start:pos])
+    pos += 1  # single whitespace after maxval, then raw data
+    width, height, maxval = (int(t) for t in tokens)
+    if maxval > 255:
+        raise ImageFormatError("16-bit PPM not supported")
+    n = 3 * width * height
+    if len(payload) < pos + n:
+        raise ImageFormatError("truncated PPM pixel data")
+    data = payload[pos : pos + n]
+    return {
+        "fmt": "ppm",
+        "width": width,
+        "height": height,
+        "bottom_up": False,
+        "n_pixels": width * height,
+        "pixel_sum": sum(data),
+    }
+
+
+def decode_image(payload: bytes) -> dict:
+    """Dispatch on container magic to a real parser."""
+    if payload[:2] == b"BM":
+        return parse_bmp(payload)
+    if payload[:2] == b"P6":
+        return parse_ppm(payload)
+    raise ImageFormatError("unknown container format")
 
 
 def decode_batches(df: DataFrame, payload_col: str = "payload") -> DataFrame:
@@ -55,11 +153,16 @@ def decode_batches(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     output schema is fixed so downstream relational ops keep codegen.
     """
 
+    def decode_one(p: bytes, m: str) -> dict:
+        if bytes(p)[:2] in (b"BM", b"P6"):
+            return decode_image(bytes(p))
+        return _decode_stub(p, m)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf[payload_col]
             decoded = [
-                _decode_stub(p, m)
+                decode_one(p, m)
                 for p, m in zip(payloads, pdf["mime"], strict=True)
             ]
             yield pd.DataFrame(
@@ -76,6 +179,35 @@ def decode_batches(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             )
 
     return df.mapInPandas(run, DECODED_SCHEMA)
+
+
+IMAGE_SCHEMA = (
+    "doc_id long, fmt string, width int, height int, n_pixels long, "
+    "pixel_sum long"
+)
+
+
+def decode_image_batches(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """mapInPandas over REAL encoded containers (BMP/PPM): parses header
+    and traverses actual pixel bytes (padding-aware), emitting dimensions
+    and pixel statistics. Unknown containers raise — this path is for
+    genuinely encoded payloads, not the synthetic-carriage stub."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [decode_image(bytes(p)) for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "fmt": [d["fmt"] for d in decoded],
+                    "width": [d["width"] for d in decoded],
+                    "height": [d["height"] for d in decoded],
+                    "n_pixels": [d["n_pixels"] for d in decoded],
+                    "pixel_sum": [d["pixel_sum"] for d in decoded],
+                }
+            )
+
+    return df.mapInPandas(run, IMAGE_SCHEMA)
 
 
 RESIZED_SCHEMA = "doc_id long, width int, height int, out_w int, out_h int"
@@ -113,11 +245,13 @@ def resize_batches(decoded: DataFrame) -> DataFrame:
 
 
 def frame_sample_batches(df: DataFrame, stride: int = 4) -> DataFrame:
-    """mapInPandas frame sampler: treats the payload as a 16-'frame'
-    container and emits every ``stride``-th frame with a deterministic
-    per-frame fingerprint (md5 of payload-hex + ':' + index). One input
-    row fans out to several output rows — the Arrow path supports
-    1→N row expansion without an explode stage."""
+    """mapInPandas frame sampler: treats each payload BYTE OFFSET as a
+    frame boundary and emits one sampled frame per ``stride`` bytes
+    (frame_idx = byte offset, so a payload of n bytes yields
+    ceil(n/stride) frames), each with a deterministic fingerprint
+    (md5 of payload-hex + ':' + offset). One input row fans out to
+    several output rows — the Arrow path supports 1→N row expansion
+    without an explode stage."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -1,11 +1,11 @@
 """Multimodal column queries (SURVEY §2.3 K14 + decode-pipeline EXT).
 
-The payloads are synthetic (md5-digest bytes of the text — no media
-codecs in this container) but typed as real ``binary`` columns, so the
-carriage semantics (filter/join/agg over binary + struct metadata) and
-the mapInPandas decode plumbing are exercised for real and hash-checked:
-the stub decoder's outputs are recomputable in SQL from the hex digest.
-"""
+Two payload classes: synthetic carriage payloads (md5-digest bytes of
+the text) exercising binary/struct-metadata semantics with digests
+recomputable in SQL, and REAL encoded containers — ext_image_decode_bmp
+writes genuine 24-bit BMPs and parses them back pixel-by-pixel with the
+dependency-free codec in ``operators/multimodal.py`` (no stub on that
+path)."""
 
 from __future__ import annotations
 
@@ -15,6 +15,8 @@ from pyspark.sql import functions as F
 from nibbler_spark.operators.multimodal import (
     attach_synthetic_payload,
     decode_batches,
+    decode_image_batches,
+    encode_bmp,
     feature_extract_batches,
     frame_sample_batches,
     resize_batches,
@@ -99,6 +101,73 @@ def ext_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("width").cast("int").alias("width"),
         F.col("height").cast("int").alias("height"),
     ).orderBy("doc_id")
+
+
+@register(
+    "ext_image_decode_bmp",
+    survey_id="EXT-MM-BMP",
+    category="multimodal",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, 1 + doc_id % 13 AS w, 1 + doc_id % 7 AS h
+  FROM documents WHERE doc_id % 17 = 0
+),
+px AS (
+  SELECT d.doc_id, d.w, d.h,
+         ((d.doc_id + 3 * x.x + 7 * y.y) % 256
+          + (d.doc_id + 5 * x.x + 11 * y.y) % 256
+          + (d.doc_id + 13 * x.x + 17 * y.y) % 256) AS s
+  FROM d
+  CROSS JOIN generate_series(0, 12) AS x(x)
+  CROSS JOIN generate_series(0, 6) AS y(y)
+  WHERE x.x < d.w AND y.y < d.h
+)
+SELECT doc_id, 'bmp' AS fmt,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(w * h AS BIGINT) AS n_pixels,
+       CAST(SUM(s) AS BIGINT) AS pixel_sum
+FROM px GROUP BY doc_id, w, h ORDER BY doc_id
+""",
+)
+def ext_image_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end: each sampled document becomes an
+    actual 24-bit BMP container (encoded in one Arrow stage — header,
+    bottom-up rows, 4-byte row padding) whose pixels follow a
+    deterministic per-(doc,x,y) formula; a second Arrow stage parses the
+    container back (header validation + padding-aware pixel traversal)
+    and emits dimensions and the exact pixel-byte sum, which the oracle
+    recomputes in closed form. No codec library involved — the parser is
+    `operators/multimodal.py:parse_bmp`. At 100 TB both stages are
+    partition-local mapInPandas with zero shuffles."""
+    import pandas as _pd
+
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 17 == 0
+    ).select("doc_id")
+
+    def encode(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                w, h = 1 + did % 13, 1 + did % 7
+                payloads.append(
+                    encode_bmp(
+                        w,
+                        h,
+                        lambda x, y, did=did: (
+                            (did + 3 * x + 7 * y) % 256,
+                            (did + 5 * x + 11 * y) % 256,
+                            (did + 13 * x + 17 * y) % 256,
+                        ),
+                    )
+                )
+            yield _pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    encoded = d.mapInPandas(encode, "doc_id long, payload binary")
+    return decode_image_batches(encoded).orderBy("doc_id")
 
 
 @register(

@@ -693,7 +693,6 @@ def ext_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "overwrite"
         ).parquet(os.path.join(src_dir, f"slice-{i}"))
 
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     rollup_schema = "hour_key string, n long, value_cents long"
 
     def upsert(batch_df: DataFrame, epoch_id: int) -> None:
@@ -732,16 +731,29 @@ def ext_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # partition discovery).
         merged.write.mode("overwrite").partitionBy("hour_key").parquet(store)
 
-    q = (
-        spark.readStream.schema(_EVENT_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src_dir + "/*/")
-        .writeStream.foreachBatch(upsert)
-        .option("checkpointLocation", os.path.join(base, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # partitionOverwriteMode=dynamic only for the drain: restore the prior
+    # value so the shared session's behavior doesn't leak into later
+    # queries (same pattern as test_aqe_scale.py's conf overrides).
+    prior = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        q = (
+            spark.readStream.schema(_EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir + "/*/")
+            .writeStream.foreachBatch(upsert)
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prior is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prior
+            )
     return (
         spark.read.parquet(store)
         .select("hour_key", "n", "value_cents")

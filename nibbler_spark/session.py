@@ -53,6 +53,12 @@ def ship_package(spark: SparkSession) -> None:
                     full = os.path.join(dirpath, f)
                     zf.write(full, os.path.relpath(full, root))
     sc.addPyFile(zpath)
+    # Local-mode executors re-fetch from the original path on dependency
+    # updates, so the zip must outlive the SparkContext — clean it up at
+    # interpreter exit rather than leaking it on disk.
+    import atexit
+
+    atexit.register(lambda p=zpath: os.path.exists(p) and os.unlink(p))
     sc._nibbler_pkg_shipped = True
 
 

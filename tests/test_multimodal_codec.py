@@ -1,0 +1,124 @@
+"""Real-codec tests for operators/multimodal.py (VERDICT r1 gap #3).
+
+The BMP/PPM parsers are dependency-free and must handle real container
+bytes: header fields, bottom-up rows, 4-byte row padding, comments in
+PPM headers, and malformed input. Pure-Python tests (no Spark) plus one
+Arrow-path test through decode_image_batches.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from nibbler_spark.operators.multimodal import (
+    ImageFormatError,
+    decode_image,
+    encode_bmp,
+    parse_bmp,
+    parse_ppm,
+)
+
+
+def _solid(b: int, g: int, r: int):
+    return lambda x, y: (b, g, r)
+
+
+class TestBmp:
+    def test_roundtrip_dims(self):
+        for w, h in [(1, 1), (3, 2), (13, 7), (64, 1), (5, 31)]:
+            payload = encode_bmp(w, h, _solid(1, 2, 3))
+            d = parse_bmp(payload)
+            assert (d["width"], d["height"]) == (w, h)
+            assert d["n_pixels"] == w * h
+            assert d["pixel_sum"] == 6 * w * h
+
+    def test_row_padding_excluded_from_sum(self):
+        # width 3 → row is 9 bytes padded to 12; the 3 pad bytes/row must
+        # not contribute (encode writes zero pads, so corrupt them and
+        # re-check).
+        payload = bytearray(encode_bmp(3, 4, _solid(10, 10, 10)))
+        row_len = 12
+        for row in range(4):
+            base = 54 + row * row_len
+            payload[base + 9 : base + 12] = b"\xff\xff\xff"
+        d = parse_bmp(bytes(payload))
+        assert d["pixel_sum"] == 30 * 12  # 30/pixel * 12 pixels, pads ignored
+
+    def test_positional_pixels(self):
+        payload = encode_bmp(4, 3, lambda x, y: (x, y, 0))
+        d = parse_bmp(payload)
+        # sum of x over grid = 3*(0+1+2+3), sum of y = 4*(0+1+2)
+        assert d["pixel_sum"] == 3 * 6 + 4 * 3
+
+    def test_file_size_field(self):
+        payload = encode_bmp(13, 7, _solid(0, 0, 0))
+        import struct
+
+        assert struct.unpack_from("<I", payload, 2)[0] == len(payload)
+
+    def test_rejects_non_bmp(self):
+        with pytest.raises(ImageFormatError):
+            parse_bmp(b"NOPE" + b"\x00" * 64)
+
+    def test_rejects_truncated(self):
+        payload = encode_bmp(8, 8, _solid(1, 1, 1))
+        with pytest.raises(ImageFormatError):
+            parse_bmp(payload[: len(payload) // 2])
+
+    def test_rejects_unsupported_bpp(self):
+        payload = bytearray(encode_bmp(2, 2, _solid(1, 1, 1)))
+        payload[28] = 32  # claim 32bpp
+        with pytest.raises(ImageFormatError):
+            parse_bmp(bytes(payload))
+
+
+class TestPpm:
+    def test_roundtrip(self):
+        data = bytes(range(2 * 3)) * 3  # 2x3 RGB
+        payload = b"P6\n2 3\n255\n" + data
+        d = parse_ppm(payload)
+        assert (d["width"], d["height"]) == (2, 3)
+        assert d["pixel_sum"] == sum(data)
+
+    def test_header_comment(self):
+        payload = b"P6\n# a comment line\n2 1 255\n" + bytes(6)
+        d = parse_ppm(payload)
+        assert (d["width"], d["height"]) == (2, 1)
+
+    def test_rejects_16bit(self):
+        with pytest.raises(ImageFormatError):
+            parse_ppm(b"P6\n1 1\n65535\n" + bytes(6))
+
+    def test_rejects_truncated(self):
+        with pytest.raises(ImageFormatError):
+            parse_ppm(b"P6\n4 4\n255\n" + bytes(5))
+
+
+class TestDispatch:
+    def test_magic_dispatch(self):
+        assert decode_image(encode_bmp(2, 2, _solid(0, 0, 0)))["fmt"] == "bmp"
+        assert decode_image(b"P6\n1 1\n255\n\x00\x00\x00")["fmt"] == "ppm"
+        with pytest.raises(ImageFormatError):
+            decode_image(b"\x89PNG....")
+
+
+def test_decode_image_batches_arrow_path(spark):
+    """The mapInPandas path decodes real BMPs partition-locally."""
+    import pandas as pd
+
+    from nibbler_spark.operators.multimodal import decode_image_batches
+
+    rows = [
+        (i, encode_bmp(1 + i % 5, 1 + i % 3, lambda x, y, i=i: (i % 256, x, y)))
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in decode_image_batches(df).collect()}
+    assert len(out) == 20
+    for i in range(20):
+        w, h = 1 + i % 5, 1 + i % 3
+        assert out[i]["width"] == w and out[i]["height"] == h
+        expect = sum(
+            (i % 256) + x + y for x in range(w) for y in range(h)
+        )
+        assert out[i]["pixel_sum"] == expect
