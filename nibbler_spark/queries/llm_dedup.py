@@ -147,14 +147,47 @@ ORDER BY doc_a, doc_b
     oracle=_JACCARD_ORACLE,
 )
 def k04_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact token-set Jaccard similarity, blocked by (lang, source):
-    pairs with J ≥ 0.8. Integer intersect/union counts divide to
-    bit-identical doubles in both engines."""
+    """Exact token-set Jaccard similarity with J ≥ 0.8, blocked by
+    (lang, source, SIZE BAND). The size band is the exactness-preserving
+    second blocking key: J(A,B) ≥ τ forces |A|/|B| ∈ [τ, 1/τ] (J ≤
+    min/max), so with τ = 4/5 each doc can only pair with docs whose
+    distinct-token count lies in the INTEGER interval
+    [ceil(4·sz/5), floor(5·sz/4)] — computed with integer arithmetic so
+    no float rounding can exclude a boundary pair (e.g. sizes 12 vs 15
+    give exactly J = 0.8 when nested). Docs are keyed by
+    band = floor(log_{1.25} sz); the probe side explodes to every band
+    its partner interval can occupy (bands are monotone in sz, so the
+    band range of the interval endpoints covers all partners — usually
+    2-3 bands). The join is a pure equi-join on (lang, source, band):
+    at 100 TB the shuffle key now separates short docs from long ones
+    inside every (lang, source) block, cutting candidate pairs by the
+    corpus's length spread instead of relying on low-cardinality labels
+    alone. Result set is IDENTICAL to plain (lang, source) blocking —
+    the oracle keeps the simple formulation. Integer intersect/union
+    counts divide to bit-identical doubles in both engines."""
     d = load_table(spark, sf_dir, "documents")
     toks = F.array_sort(F.array_distinct(F.split("text", " ")))
-    t = d.select("doc_id", "lang", "source", toks.alias("ts"))
-    a = t.alias("a")
-    b = t.alias("b")
+
+    def band_of(c):
+        # floor(log_1.25(sz)): same monotone fp expression on both sides,
+        # so band(x) <= band(y) whenever x <= y — the probe range below
+        # stays exact under any ulp placement.
+        return F.floor(
+            F.log(c.cast("double")) / F.log(F.lit(1.25))
+        ).cast("int")
+
+    t = d.select(
+        "doc_id", "lang", "source", toks.alias("ts"), F.size(toks).alias("sz")
+    )
+    build = t.withColumn("band", band_of(F.col("sz")))
+    # Integer-exact partner-size interval for tau = 4/5.
+    lo = F.floor((4 * F.col("sz") + 4) / 5).cast("int")  # ceil(4*sz/5)
+    hi = F.floor(5 * F.col("sz") / 4).cast("int")
+    probe = t.withColumn(
+        "pband", F.explode(F.sequence(band_of(lo), band_of(hi)))
+    )
+    a = probe.alias("a")
+    b = build.alias("b")
     n_common = F.size(F.array_intersect(F.col("a.ts"), F.col("b.ts")))
     n_union = F.size(F.col("a.ts")) + F.size(F.col("b.ts")) - n_common
     jac = n_common.cast("double") / n_union
@@ -163,6 +196,7 @@ def k04_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             b,
             (F.col("a.lang") == F.col("b.lang"))
             & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.pband") == F.col("b.band"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(

@@ -56,11 +56,25 @@ def test_k06_broadcast_query_and_take_ordered(spark, sf_dir):
 
 
 def test_k04_blocked_join_is_hash_not_cartesian(spark, sf_dir):
-    """The Jaccard pair query must hash-join on the (lang, source) block
-    keys — a CartesianProduct here would be the O(n²) scale killer."""
+    """The Jaccard pair query must hash-join on the (lang, source, size
+    band) block keys — a CartesianProduct here would be the O(n²) scale
+    killer, and the band must land in the equi-join keys (not a post
+    filter) so the shuffle itself separates short from long docs."""
     plan = _plan(spark, sf_dir, "k04_jaccard_pairs")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    key_lines = [
+        ln for ln in plan.splitlines()
+        if ln.startswith(("Left keys", "Right keys"))
+    ]
+    assert key_lines, f"no equi-join key section found:\n{plan}"
+    assert any("lang" in ln and "pband" in ln for ln in key_lines), (
+        f"size band not in the left equi-join keys:\n{key_lines}"
+    )
+    assert any("lang" in ln and "band" in ln and "pband" not in ln
+               for ln in key_lines), (
+        f"size band not in the right equi-join keys:\n{key_lines}"
+    )
 
 
 def test_e01_single_window_exchange(spark, sf_dir):
