@@ -273,3 +273,62 @@ def test_rebatcher_invariants(size, steps):
             assert len(batch) == size  # full flushes are exactly size
     flat = [x for batch, _ in flushed for x in batch]
     assert flat == pushed[: len(flat)]  # FIFO order, no loss before tail
+
+
+@settings(max_examples=1000, deadline=None)
+@given(
+    size=st.integers(min_value=1, max_value=12),
+    ticker_q=st.integers(min_value=1, max_value=16),  # ticker = q * 0.25 s
+    steps=st.lists(
+        st.one_of(
+            st.integers(min_value=1, max_value=20),  # push N items
+            st.integers(min_value=-20, max_value=-1),  # advance clock N*0.25s
+        ),
+        max_size=40,
+    ),
+)
+def test_rebatcher_random_schedules_exhaustive(size, ticker_q, steps):
+    """SURVEY §5.2.6 hardened (VERDICT r1 item 8): ≥1000 random
+    arrival/timing schedules asserting, after a final drain —
+    (1) every flush non-empty and ≤ size, BATCH_FULL flushes exactly
+        size (a full batch flushes inline on the arriving item);
+    (2) concatenation of all flushed batches == the full input sequence
+        (nothing lost, nothing duplicated, FIFO preserved);
+    (3) the ticker phase is FIXED at construction: the next-tick time
+        always sits on construction_phase + k·ticker, regardless of how
+        many BATCH_FULL flushes intervened (the reference never resets
+        its ticker, nibbler.go:127 + §2.1 R17)."""
+    ticker_s = ticker_q * 0.25
+    flushed: list[tuple[list, Trigger]] = []
+    clock = FakeClock()
+    rb = ReBatcher(
+        Config(
+            processor=lambda _dl, t, b: flushed.append((list(b), t)),
+            size=size,
+            ticker_s=ticker_s,
+        ),
+        clock=clock.monotonic,
+    )
+    phase0 = rb._next_tick
+    pushed = []
+    counter = 0
+    for step in steps:
+        if step > 0:
+            for _ in range(step):
+                pushed.append(counter)
+                rb.push(counter)
+                counter += 1
+        else:
+            clock.advance(-step * 0.25)
+            rb.poll()
+        # (3) fixed phase after every step
+        k = round((rb._next_tick - phase0) / ticker_s)
+        assert abs(rb._next_tick - (phase0 + k * ticker_s)) < 1e-9
+    if rb.buffered:
+        rb.flush()  # drain the tail
+    for batch, trig in flushed:
+        assert 0 < len(batch) <= size
+        if trig is Trigger.BATCH_FULL:
+            assert len(batch) == size
+    flat = [x for batch, _ in flushed for x in batch]
+    assert flat == pushed  # (2) exact concatenation after drain
