@@ -36,6 +36,12 @@ HEADLINE = [
     "tq05_regional_revenue",  # BENCH-B5 (6-table join, broadcast dims)
     "tq06_revenue_forecast",  # BENCH-B6 (scan-bound, full pushdown)
     "tq18_large_orders",  # BENCH-B7 (agg-then-join)
+    # Scale-pattern additions (r2): dedup + sessionization regressions
+    # should show up in the bench, not just scan/join/window ones.
+    "k05_minhash_lsh",  # BENCH-K1 (MinHash-LSH near-dup end-to-end)
+    "ext_sessionize_batch",  # BENCH-K2 (gaps-and-islands sessionization)
+    "ext_simhash_banded_pairs",  # BENCH-K3 (simhash banding + pair gen)
+    "k04_jaccard_pairs",  # BENCH-K4 (banded exact-Jaccard oracle path)
 ]
 
 
