@@ -247,8 +247,13 @@ def k05_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         inputCol="features", outputCol="hashes", numHashTables=5, seed=42
     )
     model = mh.fit(feats)
+    # Slim the join inputs to (doc_id, features): the token arrays and
+    # label columns would otherwise ride through the band-explode shuffle
+    # twice — at 100 TB that's the difference between shuffling ids +
+    # sparse vectors and shuffling the whole corpus.
+    slim = feats.select("doc_id", "features")
     found = (
-        model.approxSimilarityJoin(feats, feats, 0.4, distCol="jdist")
+        model.approxSimilarityJoin(slim, slim, 0.4, distCol="jdist")
         .where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
         .select(
             F.col("datasetA.doc_id").alias("doc_a"),
@@ -260,9 +265,26 @@ def k05_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     all_above = (
         found.where(F.col("jaccard") < 0.6 - 1e-12).count() == 0
     )
-    # Exact blocked pair set at the same threshold (k04 at tau=0.6).
-    a = t.alias("a")
-    b = t.alias("b")
+    # Exact blocked pair set at the same threshold (k04's discipline at
+    # tau=0.6): size-banded second block key — J >= 3/5 bounds the
+    # partner's token count to the integer interval
+    # [ceil(3*sz/5), floor(5*sz/3)], so probing the band range of those
+    # endpoints is exact (bands monotone in sz) while the equi-join key
+    # separates short from long docs.
+    def band_of(c):
+        return F.floor(
+            F.log(c.cast("double")) / F.log(F.lit(1.25))
+        ).cast("int")
+
+    sz = F.size("ts")
+    build = t.withColumn("band", band_of(sz))
+    lo = F.floor((3 * sz + 4) / 5).cast("int")  # ceil(3*sz/5)
+    hi = F.floor(5 * sz / 3).cast("int")
+    probe = t.withColumn(
+        "pband", F.explode(F.sequence(band_of(lo), band_of(hi)))
+    )
+    a = probe.alias("a")
+    b = build.alias("b")
     n_common = F.size(F.array_intersect(F.col("a.ts"), F.col("b.ts")))
     n_union = F.size(F.col("a.ts")) + F.size(F.col("b.ts")) - n_common
     exact = (
@@ -270,6 +292,7 @@ def k05_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             b,
             (F.col("a.lang") == F.col("b.lang"))
             & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.pband") == F.col("b.band"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .where(n_common.cast("double") / n_union >= 0.6)
