@@ -77,6 +77,21 @@ def test_k04_blocked_join_is_hash_not_cartesian(spark, sf_dir):
     )
 
 
+def test_bmp_pipeline_chained_map_no_shuffle(spark, sf_dir):
+    """The encode→decode image pipeline must be two CHAINED MapInPandas
+    stages with no exchange between them (partition-local Arrow flow;
+    the only exchange is the final output sort) and a scan pruned to
+    doc_id alone."""
+    plan = _plan(spark, sf_dir, "ext_image_decode_bmp")
+    assert plan.count("MapInPandas") >= 2
+    tree = plan.split("(1) Scan")[0]
+    map_block = tree[tree.index("MapInPandas") :]
+    assert "Exchange" not in map_block  # nothing below the first map
+    assert tree.count("Exchange") == 1  # the output sort only (tree view)
+    read = next(ln for ln in plan.splitlines() if "ReadSchema" in ln)
+    assert "doc_id" in read and "text" not in read
+
+
 def test_e01_single_window_exchange(spark, sf_dir):
     """The window computation itself needs exactly one hash exchange on
     user_id (the trailing range exchange is the deterministic output
