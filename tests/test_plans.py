@@ -92,6 +92,15 @@ def test_bmp_pipeline_chained_map_no_shuffle(spark, sf_dir):
     assert "doc_id" in read and "text" not in read
 
 
+def test_simhash_banded_pairs_hash_join(spark, sf_dir):
+    """Simhash candidate generation joins on band buckets — must stay an
+    equi hash join (bench BENCH-K3 watches its runtime; this watches
+    its shape)."""
+    plan = _plan(spark, sf_dir, "ext_simhash_banded_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_e01_single_window_exchange(spark, sf_dir):
     """The window computation itself needs exactly one hash exchange on
     user_id (the trailing range exchange is the deterministic output
