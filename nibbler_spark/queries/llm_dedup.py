@@ -648,14 +648,25 @@ def ext_cc_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
         root_edges = m.select("hi", F.col("m").alias("lo"))
         return rewired.union(root_edges).distinct()
 
+    def edge_signature(e: DataFrame) -> tuple:
+        # One aggregate pass: (count, sum of per-edge hashes). Cheap
+        # fixpoint screen — only when signatures match do we pay the
+        # exact set-equality check (hash collisions can't cause a false
+        # stop because exceptAll confirms).
+        row = e.agg(
+            F.count("*").alias("n"),
+            # decimal(38,0) sum: exact and overflow-free under ANSI mode
+            F.sum(F.xxhash64("hi", "lo").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
     edges = pairs.localCheckpoint()
+    sig = edge_signature(edges)
     while True:
         nxt = small_star(large_star(edges)).localCheckpoint()
-        same = (
-            nxt.exceptAll(edges).isEmpty()
-            and edges.exceptAll(nxt).isEmpty()
-        )
-        prev, edges = edges, nxt
+        nsig = edge_signature(nxt)
+        same = sig == nsig and nxt.exceptAll(edges).isEmpty()
+        edges, sig = nxt, nsig
         if same:
             break
     # Fixpoint edge set is a union of stars: label(hi) = min(lo), others self.
