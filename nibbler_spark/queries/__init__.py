@@ -92,8 +92,9 @@ def register(
     """Decorator registering a declared query.
 
     Wraps the callable to pin runtime session conf the oracle contract
-    depends on (UTC timezone, AQE, ANSI off for Spark-classic semantics)
-    regardless of how the caller built the SparkSession.
+    depends on (UTC timezone, AQE) regardless of how the caller built
+    the SparkSession. ANSI mode stays at the engine default (on in
+    Spark 4) — the whole declared suite is validated under it.
     """
 
     def deco(fn: QueryFn) -> QueryFn:
