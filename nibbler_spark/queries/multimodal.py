@@ -171,6 +171,58 @@ def ext_image_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_image_decode_ppm",
+    survey_id="EXT-MM-PPM",
+    category="multimodal",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, 1 + doc_id % 11 AS w, 1 + doc_id % 5 AS h
+  FROM documents WHERE doc_id % 23 = 0
+),
+px AS (
+  SELECT d.doc_id, d.w, d.h, (d.doc_id * 7 + i.i) % 256 AS v
+  FROM d CROSS JOIN generate_series(0, 3 * 11 * 5 - 1) AS i(i)
+  WHERE i.i < 3 * d.w * d.h
+)
+SELECT doc_id, 'ppm' AS fmt,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(w * h AS BIGINT) AS n_pixels,
+       CAST(SUM(v) AS BIGINT) AS pixel_sum
+FROM px GROUP BY doc_id, w, h ORDER BY doc_id
+""",
+)
+def ext_image_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-PPM (P6) decode end-to-end, the second real container
+    format: payloads carry a comment-bearing ASCII header (exercising
+    the tokenizer, not just the happy path) and raw RGB bytes following
+    a per-(doc, byte-index) formula; the parser
+    (`operators/multimodal.py:parse_ppm`) recovers dimensions and the
+    exact pixel-byte sum, recomputed in closed form by the oracle. Same
+    two-Arrow-stage shuffle-free shape as EXT-MM-BMP."""
+    import pandas as _pd
+
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 23 == 0
+    ).select("doc_id")
+
+    def encode(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                w, h = 1 + did % 11, 1 + did % 5
+                header = f"P6\n# doc {did}\n{w} {h}\n255\n".encode()
+                data = bytes((did * 7 + i) % 256 for i in range(3 * w * h))
+                payloads.append(header + data)
+            yield _pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    encoded = d.mapInPandas(encode, "doc_id long, payload binary")
+    return decode_image_batches(encoded).orderBy("doc_id")
+
+
+@register(
     "ext_multimodal_resize",
     survey_id="EXT-MM-RESIZE",
     category="multimodal",

@@ -102,6 +102,46 @@ class TestDispatch:
             decode_image(b"\x89PNG....")
 
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=25),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_bmp_roundtrip_property(w, h, seed):
+    """encode→parse is lossless on dims and pixel sum for arbitrary
+    geometry (every padding case) and pixel content."""
+    pix = lambda x, y: (
+        (seed + x) % 256,
+        (seed * 3 + y) % 256,
+        (seed + x * y) % 256,
+    )
+    d = parse_bmp(encode_bmp(w, h, pix))
+    assert (d["width"], d["height"], d["n_pixels"]) == (w, h, w * h)
+    expect = sum(sum(pix(x, y)) for x in range(w) for y in range(h))
+    assert d["pixel_sum"] == expect
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=30),
+    h=st.integers(min_value=1, max_value=20),
+    data=st.binary(min_size=0, max_size=64),
+    comment=st.booleans(),
+)
+def test_ppm_roundtrip_property(w, h, data, comment):
+    n = 3 * w * h
+    body = (data * (n // max(1, len(data)) + 1))[:n] if data else bytes(n)
+    hdr = b"P6\n" + (b"# c\n" if comment else b"") + f"{w} {h}\n255\n".encode()
+    d = parse_ppm(hdr + body)
+    assert (d["width"], d["height"]) == (w, h)
+    assert d["pixel_sum"] == sum(body)
+
+
 def test_decode_image_batches_arrow_path(spark):
     """The mapInPandas path decodes real BMPs partition-locally."""
     import pandas as pd
