@@ -576,11 +576,12 @@ def ext_cc_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
         rewire the smaller neighbors and hi itself to m.
     The edge set is a fixpoint exactly when it is a union of stars
     rooted at component minima; labels then read off one hash join.
-    Fixpoint detection compares successive edge sets (exceptAll both
-    ways at test scale; count+checksum is the cluster-size variant).
-    Semantics validated against union-find on 300 random graphs
-    (prototype) and against the same DuckDB recursive-CTE oracle as
-    EXT-CC — identical output contract, different algorithm.
+    The algorithm lives in `operators/graph.py:connected_components`
+    (fixpoint screened by a one-pass count+hash signature, confirmed by
+    an exact set comparison). Semantics validated against union-find on
+    random graphs (tests/test_graph_cc.py, Spark-level) and against the
+    same DuckDB recursive-CTE oracle as EXT-CC — identical output
+    contract, different algorithm.
 
     Edges: k04's size-banded exact-Jaccard pairs at J >= 0.8 (the
     oracle's edge definition is identical — banding changes candidate
@@ -619,65 +620,15 @@ def ext_cc_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    def large_star(e: DataFrame) -> DataFrame:
-        sym = e.select(
-            F.col("hi").alias("u"), F.col("lo").alias("v")
-        ).union(e.select(F.col("lo").alias("u"), F.col("hi").alias("v")))
-        m = sym.groupBy("u").agg(F.min("v").alias("mn")).select(
-            "u", F.least("u", "mn").alias("m")
-        )
-        return (
-            sym.join(m, "u")
-            .where(F.col("v") > F.col("u"))
-            .select(
-                F.greatest("v", "m").alias("hi"),
-                F.least("v", "m").alias("lo"),
-            )
-            .where(F.col("hi") != F.col("lo"))
-            .distinct()
-        )
+    from nibbler_spark.operators.graph import connected_components
 
-    def small_star(e: DataFrame) -> DataFrame:
-        # canonical (hi, lo) with lo < hi, so min(N(hi) ∪ {hi}) = min(lo)
-        m = e.groupBy("hi").agg(F.min("lo").alias("m"))
-        rewired = (
-            e.join(m, "hi")
-            .where(F.col("lo") != F.col("m"))
-            .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
-        )
-        root_edges = m.select("hi", F.col("m").alias("lo"))
-        return rewired.union(root_edges).distinct()
-
-    def edge_signature(e: DataFrame) -> tuple:
-        # One aggregate pass: (count, sum of per-edge hashes). Cheap
-        # fixpoint screen — only when signatures match do we pay the
-        # exact set-equality check (hash collisions can't cause a false
-        # stop because exceptAll confirms).
-        row = e.agg(
-            F.count("*").alias("n"),
-            # decimal(38,0) sum: exact and overflow-free under ANSI mode
-            F.sum(F.xxhash64("hi", "lo").cast("decimal(38,0)")).alias("h"),
-        ).collect()[0]
-        return (row["n"], row["h"])
-
-    edges = pairs.localCheckpoint()
-    sig = edge_signature(edges)
-    while True:
-        nxt = small_star(large_star(edges)).localCheckpoint()
-        nsig = edge_signature(nxt)
-        same = sig == nsig and nxt.exceptAll(edges).isEmpty()
-        edges, sig = nxt, nsig
-        if same:
-            break
-    # Fixpoint edge set is a union of stars: label(hi) = min(lo), others self.
-    lbl = edges.groupBy(F.col("hi").alias("node")).agg(
-        F.min("lo").alias("root")
-    )
+    comp = connected_components(pairs)
     labels = (
         d.select(F.col("doc_id").alias("node"))
-        .join(lbl, "node", "left")
+        .join(comp, "node", "left")
         .select(
-            "node", F.coalesce("root", F.col("node")).alias("cluster_id")
+            "node",
+            F.coalesce("component", F.col("node")).alias("cluster_id"),
         )
     )
     sizes = labels.groupBy(F.col("cluster_id").alias("sid")).agg(
