@@ -60,6 +60,7 @@ _QUERY_MODULES = [
     "nibbler_spark.queries.sources_sinks",
     "nibbler_spark.queries.udfs",
     "nibbler_spark.queries.llm_text",
+    "nibbler_spark.queries.retrieval",
     "nibbler_spark.queries.llm_dedup",
     "nibbler_spark.queries.llm_vectors",
     "nibbler_spark.queries.multimodal",

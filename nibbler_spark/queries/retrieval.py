@@ -1,0 +1,300 @@
+"""Text-retrieval operators for RAG / training-data pipelines: BM25
+scoring, inverted-index construction, reciprocal-rank fusion, and
+fixed-size overlapping chunking.
+
+These extend the reference's processing surface (nibbler.go is the
+micro-batch transport; SURVEY §2.3 K10-K12 declared the text-analysis
+family) with the retrieval side of an LLM data platform. All four are
+pure DataFrame dataflows — explode → aggregate → broadcast join — so at
+100 TB they inherit Catalyst's pushdown/pruning and stay JVM-side; the
+only shuffles are the term-keyed aggregations, which carry (term,
+counts) pairs orders of magnitude smaller than the corpus itself.
+
+Determinism notes (NOTES.md playbook): BM25's idf is transcendental →
+per-term scores are floored to the integer 1e-10 grid before the
+order-independent exact sum (llm_vectors.dec_dot pattern) and the final
+score is rounded; ranks are taken over the ROUNDED score with doc_id
+tie-breaks so top-k membership is bit-stable across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nibbler_spark.queries import register
+from nibbler_spark.sources import load_table
+
+# Fixed retrieval query for BM25 — terms from the synthetic vocabulary.
+_BM25_TERMS = ("vector", "hash", "merge")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@register(
+    "ext_bm25_topk",
+    survey_id="EXT-BM25",
+    category="llm-retrieval",
+    oracle=f"""
+WITH docs AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+dl AS (SELECT doc_id, len(toks) AS dl FROM docs),
+stats AS (
+  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM dl
+),
+toks AS (
+  SELECT doc_id, UNNEST(toks) AS term FROM docs
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks
+  WHERE term IN ('vector', 'hash', 'merge')
+  GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks
+  WHERE term IN ('vector', 'hash', 'merge')
+  GROUP BY term
+),
+scored AS (
+  SELECT tf.doc_id,
+         SUM(CAST(FLOOR(
+           LN((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           * (tf.tf * ({_BM25_K1} + 1.0))
+           / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl.dl / stats.avgdl))
+           * 1e10) AS BIGINT)) AS grid
+  FROM tf
+  JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN df ON tf.term = df.term
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, bm25, n_query_terms FROM (
+  SELECT doc_id,
+         ROUND(CAST(grid AS DOUBLE) / 1e10, 4) AS bm25,
+         (SELECT COUNT(*) FROM tf t2 WHERE t2.doc_id = scored.doc_id)
+           AS n_query_terms,
+         ROW_NUMBER() OVER (
+           ORDER BY ROUND(CAST(grid AS DOUBLE) / 1e10, 4) DESC, doc_id
+         ) AS rn
+  FROM scored
+) WHERE rn <= 20 ORDER BY bm25 DESC, doc_id
+""",
+)
+def ext_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 for a fixed 3-term query (k1=1.2, b=0.75).
+
+    Dataflow: explode → per-doc tf (shuffle on doc_id), per-term df
+    (3-row broadcast), corpus stats (1-row broadcast) → score → top-k.
+    At 100 TB only the tf aggregation shuffles document-volume data —
+    df and avgdl reduce to bytes and broadcast back, and the final
+    top-k is a TakeOrderedAndProject, not a global sort. Per-term
+    scores are floored to the 1e-10 grid and summed exactly so the
+    3-term total is order-independent; ranking uses the rounded score
+    with doc_id tie-break (engine-exact top-k membership).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks_arr = F.split("text", " ")
+    docs = d.select("doc_id", toks_arr.alias("toks"))
+    dl = docs.select("doc_id", F.size("toks").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    toks = docs.select(
+        "doc_id", F.explode("toks").alias("term")
+    ).where(F.col("term").isin(*_BM25_TERMS))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = toks.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    term_score = (
+        idf
+        * (F.col("tf") * (_BM25_K1 + 1.0))
+        / (
+            F.col("tf")
+            + _BM25_K1
+            * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.floor(term_score * F.lit(1e10)).cast("bigint")
+            ).alias("grid"),
+            F.count("*").alias("n_query_terms"),
+        )
+        .select(
+            "doc_id",
+            F.round(F.col("grid").cast("double") / F.lit(1e10), 4).alias(
+                "bm25"
+            ),
+            "n_query_terms",
+        )
+    )
+    w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 20)
+        .select("doc_id", "bm25", "n_query_terms")
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+    )
+
+
+@register(
+    "ext_inverted_index",
+    survey_id="EXT-INVIDX",
+    category="llm-retrieval",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
+  FROM documents
+),
+tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM toks GROUP BY term, doc_id)
+SELECT term,
+       COUNT(*) AS df,
+       CAST(SUM(tf) AS BIGINT) AS cf,
+       list_sort(list(doc_id))[1:8] AS postings_head
+FROM tf
+GROUP BY term
+HAVING COUNT(*) >= 5
+ORDER BY term
+""",
+)
+def ext_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction: term → (document frequency, corpus
+    frequency, head of the sorted postings list). The classic two-level
+    aggregation — (term, doc) partial counts combine map-side, then the
+    term-level rollup sees one row per (term, doc), never the raw token
+    stream. Postings are sorted and truncated to 8 entries so the output
+    is bounded no matter the corpus size; at 100 TB full postings would
+    go to a parquet sink bucketed by term instead of a driver result."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    tf = toks.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+    return (
+        tf.groupBy("term")
+        .agg(
+            F.count("*").alias("df"),
+            F.sum("tf").alias("cf"),
+            F.slice(F.array_sort(F.collect_list("doc_id")), 1, 8).alias(
+                "postings_head"
+            ),
+        )
+        .where(F.col("df") >= 5)
+        .orderBy("term")
+    )
+
+
+@register(
+    "ext_rrf_fusion",
+    survey_id="EXT-RRF",
+    category="llm-retrieval",
+    oracle="""
+WITH ranked AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS r_len,
+         ROW_NUMBER() OVER (
+           ORDER BY len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+             DESC, doc_id
+         ) AS r_tok
+  FROM documents
+)
+SELECT doc_id, r_len, r_tok,
+       1.0 / (60 + r_len) + 1.0 / (60 + r_tok) AS rrf
+FROM ranked
+ORDER BY rrf DESC, doc_id
+LIMIT 20
+""",
+)
+def ext_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two retrieval rankings (RRF, k=60):
+    rank-by-length and rank-by-token-count stand in for lexical and
+    vector retrieval legs. The fused score 1/(60+r1) + 1/(60+r2) is a
+    fixed-order two-term expression on integer ranks — bit-identical
+    across engines with no quantization needed. At scale each leg's
+    rank comes from its own top-k (TakeOrderedAndProject), and the
+    fusion join is on doc_id over two k-row sides — broadcast both."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(
+        F.regexp_extract_all(
+            "text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0
+        )
+    )
+    ranked = d.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("n_chars"), F.asc("doc_id")))
+        .alias("r_len"),
+        F.row_number()
+        .over(Window.orderBy(n_tok.desc(), F.asc("doc_id")))
+        .alias("r_tok"),
+    )
+    rrf = 1.0 / (60 + F.col("r_len")) + 1.0 / (60 + F.col("r_tok"))
+    return (
+        ranked.select("doc_id", "r_len", "r_tok", rrf.alias("rrf"))
+        .orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+@register(
+    "ext_rag_chunking",
+    survey_id="EXT-CHUNK",
+    category="llm-retrieval",
+    oracle="""
+WITH sel AS (
+  SELECT doc_id, text, LENGTH(text) AS len
+  FROM documents WHERE doc_id % 7 = 0
+),
+starts AS (
+  SELECT doc_id, len, UNNEST(generate_series(1, len, 100)) AS start
+  FROM sel
+)
+SELECT s.doc_id,
+       CAST((s.start - 1) / 100 AS BIGINT) AS chunk_idx,
+       s.start AS chunk_start,
+       LENGTH(substr(sel.text, CAST(s.start AS INT), 120)) AS chunk_len,
+       md5(substr(sel.text, CAST(s.start AS INT), 120)) AS chunk_md5
+FROM starts s JOIN sel ON s.doc_id = sel.doc_id
+ORDER BY s.doc_id, chunk_idx
+""",
+)
+def ext_rag_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size overlapping chunking for RAG ingestion: 120-char
+    windows with a 100-char stride (20-char overlap), 1-based offsets.
+    Chunk starts come from sequence() + explode — pure codegen, no UDF —
+    and chunks are emitted as (offset, length, md5) so output stays
+    bounded; the chunk text itself would flow to the embedding stage at
+    scale. Every 7th document, to bound the declared-query output."""
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 7 == 0
+    )
+    sel = d.select("doc_id", "text", F.length("text").alias("len"))
+    starts = sel.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.sequence(F.lit(1), F.col("len"), F.lit(100))
+        ).alias("start"),
+    )
+    chunk = F.substring(
+        F.col("text"), F.col("start").cast("int"), 120
+    )
+    return starts.select(
+        "doc_id",
+        ((F.col("start") - 1) / 100).cast("bigint").alias("chunk_idx"),
+        F.col("start").alias("chunk_start"),
+        F.length(chunk).alias("chunk_len"),
+        F.md5(chunk).alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_idx")
