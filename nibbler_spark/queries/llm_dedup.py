@@ -1124,3 +1124,64 @@ def ext_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in range(8)
     ]
     return hashes.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
+
+
+@register(
+    "ext_record_linkage",
+    survey_id="EXT-LINKAGE",
+    category="llm-dedup",
+    oracle="""
+WITH c AS (
+  SELECT c_custkey, c_name, c_nationkey,
+         substr(c_name, 10, 5) AS blk
+  FROM customer
+)
+SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+       a.c_nationkey AS nationkey,
+       levenshtein(a.c_name, b.c_name) AS name_dist
+FROM c a JOIN c b
+  ON a.c_nationkey = b.c_nationkey AND a.blk = b.blk
+ AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+ORDER BY custkey_a, custkey_b
+""",
+)
+def ext_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage with blocking: candidate pairs come from an
+    equi-join on (nation, name-prefix block) — never a full cross join —
+    then survive an edit-distance <= 1 match rule. The standard
+    entity-resolution shape (blocking key recall vs candidate volume):
+    at 100 TB the block key bounds every block, the self-join shuffles
+    on the composite key, and levenshtein runs only inside blocks.
+    Prefix blocking deliberately trades recall (a pair differing inside
+    the blocked prefix is missed) for a hard candidate bound — the
+    documented, tunable tradeoff of every linkage pipeline. Integer
+    distances, no floats anywhere."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_nationkey",
+            F.substring("c_name", 10, 5).alias("blk"),
+        )
+    )
+    a = c.alias("a")
+    b = c.alias("b")
+    dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .where(dist <= 1)
+        .select(
+            F.col("a.c_custkey").alias("custkey_a"),
+            F.col("b.c_custkey").alias("custkey_b"),
+            F.col("a.c_nationkey").alias("nationkey"),
+            dist.alias("name_dist"),
+        )
+        .orderBy("custkey_a", "custkey_b")
+    )

@@ -877,3 +877,144 @@ def ext_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("doc_id", "bucket")
     )
+
+
+@register(
+    "ext_gopher_rules",
+    survey_id="EXT-GOPHER",
+    category="llm-text",
+    oracle="""
+WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+s AS (
+  SELECT doc_id,
+         len(toks) AS n_words,
+         CAST(LENGTH(text) - (len(toks) - 1) AS DOUBLE) / len(toks)
+           AS mean_word_len,
+         len(list_distinct(list_filter(toks,
+           w -> w IN ('the','a','of','and','to')))) AS n_stop_distinct,
+         len(list_filter(toks, w -> regexp_matches(w, '[a-z]')))
+           AS n_alpha_words
+  FROM t)
+SELECT doc_id, n_words, mean_word_len,
+       n_words BETWEEN 35 AND 100000 AS ok_word_count,
+       mean_word_len BETWEEN 3.0 AND 10.0 AS ok_mean_word_len,
+       n_stop_distinct >= 2 AS ok_stopwords,
+       CAST(n_alpha_words AS DOUBLE) / n_words >= 0.8 AS ok_alpha,
+       (n_words BETWEEN 35 AND 100000)
+         AND (mean_word_len BETWEEN 3.0 AND 10.0)
+         AND n_stop_distinct >= 2
+         AND CAST(n_alpha_words AS DOUBLE) / n_words >= 0.8 AS keep
+FROM s ORDER BY doc_id
+""",
+)
+def ext_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style hard quality gates (Rae et al. 2021 §A1.1, public
+    paper): word-count window, mean-word-length window, >=2 distinct
+    stopwords, >=80% words containing a letter — each emitted as a flag
+    plus the conjunctive keep decision. Unlike ext_quality_score's soft
+    blend these are the REJECTION rules a curation pipeline applies
+    first; all arithmetic is int/int division in double, so the flags
+    are engine-exact with no rounding. Pure per-row projection — at
+    100 TB this runs in the scan stage and the keep flag drives
+    partition-pruned writes of the surviving corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_words = F.size(toks)
+    mean_wl = (F.length("text") - (n_words - F.lit(1))).cast(
+        "double"
+    ) / n_words
+    n_stop_distinct = F.size(
+        F.array_distinct(
+            F.filter(toks, lambda w: w.isin("the", "a", "of", "and", "to"))
+        )
+    )
+    n_alpha = F.size(F.filter(toks, lambda w: w.rlike("[a-z]")))
+    ok_wc = n_words.between(35, 100000)
+    ok_mwl = mean_wl.between(3.0, 10.0)
+    ok_stop = n_stop_distinct >= 2
+    ok_alpha = n_alpha.cast("double") / n_words >= 0.8
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        ok_wc.alias("ok_word_count"),
+        ok_mwl.alias("ok_mean_word_len"),
+        ok_stop.alias("ok_stopwords"),
+        ok_alpha.alias("ok_alpha"),
+        (ok_wc & ok_mwl & ok_stop & ok_alpha).alias("keep"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "ext_block_dedup",
+    survey_id="EXT-BLOCK-DEDUP",
+    category="llm-text",
+    oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+blocks AS (
+  SELECT doc_id, i AS block_idx,
+         md5(array_to_string(toks[(i-1)*3+1 : i*3], ' ')) AS block_h
+  FROM t, UNNEST(generate_series(1, CAST(FLOOR(len(toks) / 3) AS BIGINT))) AS u(i)
+),
+freq AS (SELECT block_h, COUNT(*) AS n_occ FROM blocks GROUP BY block_h)
+SELECT b.doc_id,
+       COUNT(*) AS n_blocks,
+       CAST(SUM(CASE WHEN f.n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_blocks,
+       CAST(SUM(CASE WHEN f.n_occ > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS dup_block_ratio
+FROM blocks b JOIN freq f USING (block_h)
+GROUP BY b.doc_id
+ORDER BY b.doc_id
+""",
+)
+def ext_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph/block-level dedup signal (the within-corpus granularity
+    below document near-dup, cf. C4's three-sentence span dedup): text
+    splits into non-overlapping 3-token blocks, each block is hashed,
+    corpus-wide occurrence counts mark duplicated blocks, and each doc
+    reports its duplicated-block ratio. Two shuffles, both on bounded
+    keys: (block_h) for the frequency count — partial map-side combine
+    shrinks it to one row per distinct block per partition — and
+    (doc_id) for the per-doc rollup. At 100 TB the freq side stays
+    proportional to DISTINCT blocks, not corpus size, and docs above a
+    ratio threshold are dropped or span-cleaned."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.split("text", " ").alias("toks"))
+    blocks = t.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.floor(F.size("toks") / 3).cast("bigint"),
+            )
+        ).alias("block_idx"),
+        F.col("toks"),
+    ).select(
+        "doc_id",
+        "block_idx",
+        F.md5(
+            F.array_join(
+                F.slice(
+                    F.col("toks"),
+                    ((F.col("block_idx") - 1) * 3 + 1).cast("int"),
+                    3,
+                ),
+                " ",
+            )
+        ).alias("block_h"),
+    )
+    freq = blocks.groupBy("block_h").agg(F.count("*").alias("n_occ"))
+    dup = F.when(F.col("n_occ") > 1, 1).otherwise(0)
+    return (
+        blocks.join(freq, "block_h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_blocks"),
+            F.sum(dup).cast("bigint").alias("n_dup_blocks"),
+            (F.sum(dup).cast("double") / F.count("*")).alias(
+                "dup_block_ratio"
+            ),
+        )
+        .orderBy("doc_id")
+    )
