@@ -1,0 +1,231 @@
+"""Probabilistic-sketch operators: count-min heavy-hitter estimation
+and a Bloom-filter semi-join — the two sketch primitives every
+large-scale pipeline leans on (frequency estimation without a full
+groupBy result, and join pre-filtering without shipping the probe side).
+
+Both use the md5-nibble portable hash (llm_text.ext_feature_hashing
+precedent): engine-identical on Spark and DuckDB, so the sketches —
+normally "approximate" — are bit-reproducible here and earn full hash
+oracles rather than bounded checks. Spark itself applies the same idea
+natively (spark.sql.optimizer.runtime.bloomFilter.enabled injects bloom
+runtime filters into shuffle joins); these queries make the mechanism
+an explicit, oracle-checkable dataflow.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nibbler_spark.queries import register
+from nibbler_spark.sources import load_table
+
+_HEX = "0123456789abcdef"
+
+
+def _nib_hash(expr: Column, mod: int) -> Column:
+    """First 4 hex nibbles of md5(expr) as an int in [0, mod) —
+    Spark side of the portable hash."""
+    h = F.md5(expr)
+    v = (
+        (F.locate(F.substring(h, 1, 1), F.lit(_HEX)) - 1) * 4096
+        + (F.locate(F.substring(h, 2, 1), F.lit(_HEX)) - 1) * 256
+        + (F.locate(F.substring(h, 3, 1), F.lit(_HEX)) - 1) * 16
+        + (F.locate(F.substring(h, 4, 1), F.lit(_HEX)) - 1)
+    )
+    return (v % mod).cast("int")
+
+
+def _sql_nib_hash(expr: str, mod: int) -> str:
+    """DuckDB spelling of :func:`_nib_hash`."""
+    return (
+        f"CAST(((strpos('{_HEX}', substr(md5({expr}), 1, 1)) - 1) * 4096"
+        f" + (strpos('{_HEX}', substr(md5({expr}), 2, 1)) - 1) * 256"
+        f" + (strpos('{_HEX}', substr(md5({expr}), 3, 1)) - 1) * 16"
+        f" + (strpos('{_HEX}', substr(md5({expr}), 4, 1)) - 1)) % {mod}"
+        f" AS INT)"
+    )
+
+
+_CMS_W = 64  # buckets per row
+_CMS_D = 4  # hash rows (seeds 0..3)
+
+
+@register(
+    "ext_countmin_heavy_hitters",
+    survey_id="EXT-CMS",
+    category="sketch",
+    oracle=f"""
+WITH seeds AS (SELECT UNNEST(generate_series(0, {_CMS_D - 1})) AS seed),
+cells AS (
+  SELECT s.seed,
+         {_sql_nib_hash("CONCAT(CAST(s.seed AS VARCHAR), ':', CAST(e.user_id AS VARCHAR))", _CMS_W)}
+           AS bucket,
+         COUNT(*) AS cell
+  FROM events e CROSS JOIN seeds s
+  GROUP BY 1, 2
+),
+exact AS (SELECT user_id, COUNT(*) AS exact_n FROM events GROUP BY user_id),
+est AS (
+  SELECT x.user_id, MIN(c.cell) AS cms_est
+  FROM exact x CROSS JOIN seeds s
+  JOIN cells c
+    ON c.seed = s.seed
+   AND c.bucket = {_sql_nib_hash("CONCAT(CAST(s.seed AS VARCHAR), ':', CAST(x.user_id AS VARCHAR))", _CMS_W)}
+  GROUP BY x.user_id
+)
+SELECT user_id, exact_n, cms_est,
+       cms_est - exact_n AS overcount,
+       cms_est >= exact_n AS never_undercounts
+FROM exact JOIN est USING (user_id)
+ORDER BY exact_n DESC, user_id
+LIMIT 15
+""",
+)
+def ext_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) heavy-hitter
+    readout: a d={_CMS_D} x w={_CMS_W} counter grid built in ONE grouped
+    aggregation over (seed, bucket) — the event stream is replicated d
+    times, but the shuffle output is at most d*w = 256 cells regardless
+    of input size, the whole point of sketching at 100 TB. Estimates
+    (min over rows) are joined against exact counts for the top-15
+    users; the one-sided error guarantee (est >= exact, overshoot from
+    bucket collisions at 150 users into 64 buckets) is visible in the
+    emitted overcount column. Portable md5-nibble hashing makes the
+    sketch bit-identical across engines — a sketch with a hash oracle,
+    not a bounded check."""
+    e = load_table(spark, sf_dir, "events")
+    seeds = spark.range(_CMS_D).select(
+        F.col("id").cast("int").alias("seed")
+    )
+    keyed = e.crossJoin(F.broadcast(seeds)).select(
+        "seed",
+        _nib_hash(
+            F.concat_ws(":", F.col("seed"), F.col("user_id")), _CMS_W
+        ).alias("bucket"),
+    )
+    cells = keyed.groupBy("seed", "bucket").agg(
+        F.count("*").alias("cell")
+    )
+    exact = e.groupBy("user_id").agg(F.count("*").alias("exact_n"))
+    probe = exact.crossJoin(F.broadcast(seeds)).select(
+        "user_id",
+        "exact_n",
+        "seed",
+        _nib_hash(
+            F.concat_ws(":", F.col("seed"), F.col("user_id")), _CMS_W
+        ).alias("bucket"),
+    )
+    est = (
+        probe.join(F.broadcast(cells), ["seed", "bucket"])
+        .groupBy("user_id")
+        .agg(F.min("cell").alias("cms_est"))
+    )
+    return (
+        exact.join(est, "user_id")
+        .select(
+            "user_id",
+            "exact_n",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_n")).alias("overcount"),
+            (F.col("cms_est") >= F.col("exact_n")).alias(
+                "never_undercounts"
+            ),
+        )
+        .orderBy(F.desc("exact_n"), F.asc("user_id"))
+        .limit(15)
+    )
+
+
+_BLOOM_M = 1024  # bits
+_BLOOM_K = 3  # hash functions
+
+
+@register(
+    "ext_bloom_semijoin",
+    survey_id="EXT-BLOOM",
+    category="sketch",
+    oracle=f"""
+WITH ks AS (SELECT UNNEST(generate_series(0, {_BLOOM_K - 1})) AS k),
+build AS (SELECT c_custkey FROM customer WHERE c_acctbal < 0),
+bits AS (
+  SELECT DISTINCT
+         {_sql_nib_hash("CONCAT(CAST(ks.k AS VARCHAR), ':', CAST(build.c_custkey AS VARCHAR))", _BLOOM_M)}
+           AS bit
+  FROM build CROSS JOIN ks
+),
+probe AS (SELECT DISTINCT o_custkey FROM orders),
+hits AS (
+  SELECT p.o_custkey, COUNT(*) AS n_hit
+  FROM probe p CROSS JOIN ks
+  JOIN bits b
+    ON b.bit = {_sql_nib_hash("CONCAT(CAST(ks.k AS VARCHAR), ':', CAST(p.o_custkey AS VARCHAR))", _BLOOM_M)}
+  GROUP BY p.o_custkey
+)
+SELECT h.o_custkey AS custkey,
+       TRUE AS bloom_pass,
+       build.c_custkey IS NOT NULL AS exact_member,
+       build.c_custkey IS NULL AS false_positive
+FROM hits h LEFT JOIN build ON build.c_custkey = h.o_custkey
+WHERE h.n_hit = {_BLOOM_K}
+ORDER BY custkey
+""",
+)
+def ext_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join: an m={_BLOOM_M}-bit / k={_BLOOM_K}-hash
+    filter built from the dim-side key set (negative-balance customers)
+    pre-screens the fact side's keys before any exact join. The bit set
+    is DISTINCT positions — a few hundred ints — broadcast to the probe;
+    a probe key passes iff all k of its positions are set. Emits every
+    bloom-passing probe key with its exact-membership verdict, making
+    the false-positive rate (~(fill)^k, deliberately non-trivial at
+    this fill factor) directly observable while proving zero false
+    negatives. This is exactly the runtime filter Spark injects with
+    spark.sql.optimizer.runtime.bloomFilter.enabled — expressed as an
+    auditable dataflow: at 100 TB the bloom build reads only the dim
+    side, and the fact scan drops non-members before the shuffle."""
+    ks = spark.range(_BLOOM_K).select(F.col("id").cast("int").alias("k"))
+    build = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") < 0)
+        .select("c_custkey")
+    )
+    bits = (
+        build.crossJoin(F.broadcast(ks))
+        .select(
+            _nib_hash(
+                F.concat_ws(":", F.col("k"), F.col("c_custkey")),
+                _BLOOM_M,
+            ).alias("bit")
+        )
+        .distinct()
+    )
+    probe = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.col("o_custkey"))
+        .distinct()
+    )
+    hits = (
+        probe.crossJoin(F.broadcast(ks))
+        .select(
+            "o_custkey",
+            _nib_hash(
+                F.concat_ws(":", F.col("k"), F.col("o_custkey")),
+                _BLOOM_M,
+            ).alias("bit"),
+        )
+        .join(F.broadcast(bits), "bit")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_hit"))
+        .where(F.col("n_hit") == _BLOOM_K)
+    )
+    return (
+        hits.join(build, hits["o_custkey"] == build["c_custkey"], "left")
+        .select(
+            hits["o_custkey"].alias("custkey"),
+            F.lit(True).alias("bloom_pass"),
+            build["c_custkey"].isNotNull().alias("exact_member"),
+            build["c_custkey"].isNull().alias("false_positive"),
+        )
+        .orderBy("custkey")
+    )
