@@ -62,6 +62,7 @@ _QUERY_MODULES = [
     "nibbler_spark.queries.llm_text",
     "nibbler_spark.queries.retrieval",
     "nibbler_spark.queries.llm_dedup",
+    "nibbler_spark.queries.training_prep",
     "nibbler_spark.queries.llm_vectors",
     "nibbler_spark.queries.multimodal",
     "nibbler_spark.queries.scale_patterns",

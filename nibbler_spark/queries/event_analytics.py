@@ -720,3 +720,92 @@ def ext_inter_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "ext_ewma_anomaly",
+    survey_id="EXT-EWMA",
+    category="event-analytics",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+j AS (
+  SELECT d.event_type, d.day, d.n,
+         SUM(CAST(FLOOR(POWER(0.8, date_diff('day', p.day, d.day))
+                        * p.n * 1e6) AS BIGINT)) AS swx,
+         SUM(CAST(FLOOR(POWER(0.8, date_diff('day', p.day, d.day))
+                        * 1e6) AS BIGINT)) AS sw
+  FROM daily d JOIN daily p
+    ON d.event_type = p.event_type
+   AND p.day >= d.day - 14 AND p.day <= d.day - 1
+  GROUP BY d.event_type, d.day, d.n
+),
+scored AS (
+  SELECT event_type, day, n,
+         ROUND(CAST(swx AS DOUBLE) / sw, 4) AS ewma,
+         ROUND((n - CAST(swx AS DOUBLE) / sw)
+               / (CAST(swx AS DOUBLE) / sw), 4) AS dev
+  FROM j
+)
+SELECT event_type, day, n, ewma, dev FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    ORDER BY ABS(dev) DESC, event_type, day) AS rn
+  FROM scored
+) WHERE rn <= 20 ORDER BY ABS(dev) DESC, event_type, day
+""",
+)
+def ext_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving-average anomaly detection on the
+    per-type daily event series: each day's count is compared against
+    the decay-weighted mean of its previous 14 days (decay 0.8/day) and
+    the 20 largest relative deviations surface.
+
+    The corpus reduces to (event_type, day) counts first — map-side
+    combined, kilobytes per year per type — so the 14-day
+    band self-join runs on the aggregate, never on raw events: an
+    equi-join on event_type with a bounded date-range predicate, the
+    c10_interval_join shape. Decay weights are transcendental →
+    each term is floored to a 1e-6 grid and summed as integers
+    (playbook #3), so both engines divide identical sums; ranking uses
+    the rounded deviation with (type, day) tie-breaks.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").alias("n"))
+    d = daily.alias("d")
+    p = daily.alias("p")
+    k = F.datediff(F.col("d.day"), F.col("p.day"))
+    decay = F.pow(F.lit(0.8), k)
+    j = (
+        d.join(
+            p,
+            (F.col("d.event_type") == F.col("p.event_type"))
+            & (F.col("p.day") >= F.date_sub(F.col("d.day"), 14))
+            & (F.col("p.day") <= F.date_sub(F.col("d.day"), 1)),
+        )
+        .groupBy("d.event_type", "d.day", "d.n")
+        .agg(
+            F.sum(
+                F.floor(decay * F.col("p.n") * 1e6).cast("bigint")
+            ).alias("swx"),
+            F.sum(F.floor(decay * 1e6).cast("bigint")).alias("sw"),
+        )
+    )
+    ewma = F.col("swx").cast("double") / F.col("sw").cast("double")
+    scored = j.select(
+        F.col("event_type"),
+        F.col("day"),
+        F.col("n"),
+        F.round(ewma, 4).alias("ewma"),
+        F.round((F.col("n") - ewma) / ewma, 4).alias("dev"),
+    )
+    w = Window.orderBy(F.abs(F.col("dev")).desc(), "event_type", "day")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 20)
+        .select("event_type", "day", "n", "ewma", "dev")
+        .orderBy(F.abs(F.col("dev")).desc(), "event_type", "day")
+    )

@@ -1,0 +1,548 @@
+"""Training-set preparation operators: eval-set decontamination,
+concat-and-chunk sequence packing, temperature-scaled domain mixing,
+deterministic weighted sampling, int8 scalar quantization, and
+activity-streak analysis.
+
+These extend the LLM-pipeline surface (SURVEY §2.3 K family + EXT
+mandate) with the steps that sit between "deduplicated corpus" and
+"training batches" in a real pretraining pipeline. All are pure
+DataFrame dataflows; the only corpus-volume shuffles are keyed
+aggregations, and every small side (eval n-gram set, per-dimension
+quantizer stats, per-bucket prefix offsets) broadcasts.
+
+Determinism notes (NOTES.md playbook): transcendental priorities
+(ln, sqrt) are floored to a fixed grid before comparison/summation;
+integer counts divide to bit-identical doubles; md5 is the
+engine-portable randomness source.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nibbler_spark.queries import register
+from nibbler_spark.sources import load_table
+
+# Context length for sequence packing (tokens per training sequence).
+_PACK_CTX = 256
+# Coarse bucket width for the two-phase distributed prefix sum.
+_PACK_BUCKET = 64
+# Contamination n-gram order.
+_NGRAM_N = 5
+# Temperature for domain mixture reweighting (alpha < 1 upweights
+# small domains, the standard multilingual-sampling trick).
+_MIX_ALPHA = 0.5
+
+
+def _token_ngrams(toks_col, n: int):
+    """n-token shingles as strings via index transform (k03 pattern),
+    guarded for docs shorter than n tokens. NB: Spark's sequence(1, 0)
+    yields a DESCENDING [1, 0] (DuckDB's generate_series is empty), so
+    the short-doc case needs an explicit empty array, not a clamp."""
+    return F.when(
+        F.size(toks_col) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks_col) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks_col, i + j) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+@register(
+    "ext_decontaminate_ngram",
+    survey_id="EXT-DECONTAM",
+    category="llm-training-prep",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         list_transform(
+           generate_series(1, GREATEST(len(t) - {_NGRAM_N - 1}, 0)),
+           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                || ' ' || t[i+4]) AS gs
+  FROM toks
+),
+eval_grams AS (
+  SELECT DISTINCT g FROM (
+    SELECT UNNEST(gs) AS g FROM grams WHERE doc_id % 97 = 0
+  )
+),
+train_grams AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id, UNNEST(gs) AS g FROM grams WHERE doc_id % 97 <> 0
+  )
+),
+totals AS (
+  SELECT doc_id, COUNT(*) AS n_grams FROM train_grams GROUP BY doc_id
+),
+matched AS (
+  SELECT tg.doc_id, COUNT(*) AS n_matched
+  FROM train_grams tg JOIN eval_grams e ON tg.g = e.g
+  GROUP BY tg.doc_id
+)
+SELECT m.doc_id, m.n_matched, t.n_grams,
+       CAST(m.n_matched AS DOUBLE) / t.n_grams AS contamination
+FROM matched m JOIN totals t ON m.doc_id = t.doc_id
+ORDER BY m.doc_id
+""",
+)
+def ext_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: flag training documents sharing any
+    {n}-gram with the held-out eval split (doc_id % 97 == 0), the
+    n-gram-overlap check used to scrub benchmark leakage from
+    pretraining corpora.
+
+    Dataflow: shingle both splits → distinct eval n-gram set (tiny:
+    eval benchmarks are KBs against a 100 TB corpus) is BROADCAST →
+    train (doc_id, gram) pairs hash-join against it with no corpus
+    shuffle beyond the per-doc distinct. Each train gram meets at most
+    one eval-set row, so the join output is bounded by the train gram
+    count — no quadratic blowup. Integer match counts divide to
+    bit-identical doubles.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    grams = d.select(
+        "doc_id", _token_ngrams(toks, _NGRAM_N).alias("gs")
+    )
+    is_eval = F.col("doc_id") % 97 == 0
+    eval_grams = (
+        grams.where(is_eval)
+        .select(F.explode("gs").alias("g"))
+        .distinct()
+    )
+    train_grams = (
+        grams.where(~is_eval)
+        .select("doc_id", F.explode("gs").alias("g"))
+        .distinct()
+    )
+    totals = train_grams.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams")
+    )
+    matched = (
+        train_grams.join(F.broadcast(eval_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_matched"))
+    )
+    return (
+        matched.join(totals, "doc_id")
+        .select(
+            "doc_id",
+            "n_matched",
+            "n_grams",
+            (F.col("n_matched").cast("double") / F.col("n_grams")).alias(
+                "contamination"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "ext_sequence_packing",
+    survey_id="EXT-PACK",
+    category="llm-training-prep",
+    oracle=f"""
+WITH sized AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+),
+cum AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY doc_id) AS cum_tokens
+  FROM sized
+)
+SELECT doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens,
+       CAST((cum_tokens - n_tokens) // {_PACK_CTX} AS BIGINT) AS first_seq,
+       CAST((cum_tokens - 1) // {_PACK_CTX} AS BIGINT) AS last_seq,
+       CAST((cum_tokens - 1) // {_PACK_CTX} AS BIGINT)
+         - CAST((cum_tokens - n_tokens) // {_PACK_CTX} AS BIGINT) + 1
+         AS n_seqs
+FROM cum ORDER BY doc_id
+""",
+)
+def ext_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing: documents in a
+    deterministic order are concatenated into one token stream and cut
+    into fixed {ctx}-token training sequences; each document maps to the
+    [first_seq, last_seq] range it lands in.
+
+    The global prefix sum is computed in TWO PHASES so no stage ever
+    sees an unpartitioned window over the corpus: (1) per-doc token
+    counts aggregate into coarse doc_id buckets, and the bucket totals
+    (tiny — corpus_size / bucket_width rows) take a driver-scale
+    cumulative sum that BROADCASTS back as each bucket's starting
+    offset; (2) a window partitioned BY BUCKET adds the within-bucket
+    running sum. At 100 TB phase 1 moves kilobytes and phase 2 is an
+    ordinary partitioned window — the textbook distributed scan
+    (Blelloch two-pass). Integer arithmetic throughout ⇒ exact.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        (F.col("doc_id") / _PACK_BUCKET).cast("bigint").alias("bucket"),
+    )
+    bucket_tot = sized.groupBy("bucket").agg(
+        F.sum("n_tokens").alias("btok")
+    )
+    w_b = Window.orderBy("bucket")
+    offsets = bucket_tot.select(
+        "bucket",
+        (F.sum("btok").over(w_b) - F.col("btok")).alias("offset"),
+    )
+    w_in = Window.partitionBy("bucket").orderBy("doc_id")
+    cum = (
+        sized.join(F.broadcast(offsets), "bucket")
+        .withColumn(
+            "cum_tokens", F.col("offset") + F.sum("n_tokens").over(w_in)
+        )
+    )
+    first_seq = ((F.col("cum_tokens") - F.col("n_tokens")) / _PACK_CTX).cast(
+        "bigint"
+    )
+    last_seq = ((F.col("cum_tokens") - 1) / _PACK_CTX).cast("bigint")
+    return cum.select(
+        "doc_id",
+        "n_tokens",
+        "cum_tokens",
+        first_seq.alias("first_seq"),
+        last_seq.alias("last_seq"),
+        (last_seq - first_seq + 1).alias("n_seqs"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "ext_domain_mixture",
+    survey_id="EXT-MIXTURE",
+    category="llm-training-prep",
+    oracle=f"""
+WITH dom AS (
+  SELECT lang, source, COUNT(*) AS n_docs,
+         SUM(len(string_split(text, ' '))) AS n_tokens
+  FROM documents GROUP BY lang, source
+),
+g AS (
+  SELECT lang, source, n_docs, n_tokens,
+         CAST(FLOOR(POWER(CAST(n_tokens AS DOUBLE), {_MIX_ALPHA}) * 1e6)
+              AS BIGINT) AS grid
+  FROM dom
+)
+SELECT lang, source, n_docs, n_tokens,
+       CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER () AS natural_share,
+       CAST(grid AS DOUBLE) / SUM(grid) OVER () AS mixture_weight
+FROM g ORDER BY lang, source
+""",
+)
+def ext_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain mixing: per-(lang, source) sampling
+    weights w_d = tokens_d^alpha / sum(tokens^alpha) with alpha=0.5 —
+    the standard trick for upweighting low-resource domains when
+    drawing a training mixture.
+
+    Per-domain token totals reduce the corpus to one row per domain
+    (map-side combine does the heavy lifting), then the unpartitioned
+    windows run over that dozen-row aggregate — driver-scale by
+    construction, never over the corpus. tokens^alpha is transcendental
+    → floored to a 1e-6 grid before the ratio so both engines divide
+    identical integers (playbook #3).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    dom = d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+    )
+    grid = F.floor(
+        F.pow(F.col("n_tokens").cast("double"), F.lit(_MIX_ALPHA)) * 1e6
+    ).cast("bigint")
+    w = Window.partitionBy()
+    g = dom.withColumn("grid", grid)
+    return g.select(
+        "lang",
+        "source",
+        "n_docs",
+        "n_tokens",
+        (
+            F.col("n_tokens").cast("double") / F.sum("n_tokens").over(w)
+        ).alias("natural_share"),
+        (F.col("grid").cast("double") / F.sum("grid").over(w)).alias(
+            "mixture_weight"
+        ),
+    ).orderBy("lang", "source")
+
+
+@register(
+    "ext_weighted_sample",
+    survey_id="EXT-WSAMPLE",
+    category="llm-training-prep",
+    oracle="""
+WITH keyed AS (
+  SELECT doc_id, n_chars,
+         CAST(FLOOR(
+           -LN((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+                AS BIGINT) + 0.5) / 281474976710656.0)
+           / n_chars * 1e10) AS BIGINT) AS ekey
+  FROM documents
+)
+SELECT doc_id, n_chars, ekey FROM (
+  SELECT doc_id, n_chars, ekey,
+         ROW_NUMBER() OVER (ORDER BY ekey, doc_id) AS rn
+  FROM keyed
+) WHERE rn <= 25 ORDER BY ekey, doc_id
+""",
+)
+def ext_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement via exponential races
+    (Efraimidis–Spirakis): each doc draws u ~ U(0,1) from md5(doc_id)
+    and competes with key -ln(u)/weight; the k smallest keys win, so
+    inclusion probability is proportional to weight (n_chars here).
+
+    md5 replaces RNG so the draw is reproducible across engines, runs,
+    and cluster sizes (the ext_hash_priority_sample discipline, plus
+    weights); keys are floored to a 1e-10 grid before ranking since ln
+    is transcendental, with doc_id tie-breaks. Top-k by key is a
+    TakeOrderedAndProject — no global sort, no shuffle of the corpus.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10)
+        .cast("double")
+        + 0.5
+    ) / F.lit(float(16**12))
+    ekey = F.floor(-F.log(u) / F.col("n_chars") * 1e10).cast("bigint")
+    keyed = d.select("doc_id", "n_chars", ekey.alias("ekey"))
+    w = Window.orderBy("ekey", "doc_id")
+    return (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 25)
+        .select("doc_id", "n_chars", "ekey")
+        .orderBy("ekey", "doc_id")
+    )
+
+
+@register(
+    "ext_sq8_quantization",
+    survey_id="EXT-SQ8",
+    category="llm-vectors",
+    oracle="""
+WITH ex AS (
+  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, generate_series(1, 64) AS g(i)
+),
+st AS (
+  SELECT i, MIN(x) AS mn, MAX(x) AS mx FROM ex GROUP BY i
+),
+coded AS (
+  SELECT ex.vec_id, ex.i, ex.x, st.mn, st.mx,
+         LEAST(CAST(FLOOR((ex.x - st.mn) / (st.mx - st.mn) * 255.0)
+                    AS INTEGER), 255) AS code
+  FROM ex JOIN st ON ex.i = st.i
+),
+recon AS (
+  SELECT vec_id, i, code,
+         x - (mn + code * ((mx - mn) / 255.0)) AS err
+  FROM coded
+)
+SELECT vec_id,
+       list(code ORDER BY i) AS codes,
+       CAST(SUM(CAST(FLOOR(err * err * 1e10) AS BIGINT)) AS DOUBLE) / 1e10
+         AS sq_err
+FROM recon
+WHERE vec_id % 5 = 0
+GROUP BY vec_id ORDER BY vec_id
+""",
+)
+def ext_sq8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 scalar quantization (SQ8) of the embedding corpus — the
+    compression step production vector stores apply before ANN: per
+    dimension, min/max over the corpus define a 255-step grid and each
+    float becomes its floor-bucket code; reconstruction error is
+    reported per vector.
+
+    Per-dimension stats are a 64-row aggregate (map-side combined) that
+    BROADCASTS back; codes are computed row-local with no further
+    shuffle — at 100 TB this is one scan + one 64-row exchange. All
+    arithmetic is basic IEEE double ops (sub/div/mul are correctly
+    rounded, float→double exact), so codes hash-match across engines
+    with no grid tricks; only the squared-error SUM is grid-floored
+    (order independence, playbook #1).
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id", F.posexplode("embedding").alias("i0", "xf")
+    ).select(
+        "vec_id",
+        (F.col("i0") + 1).alias("i"),
+        F.col("xf").cast("double").alias("x"),
+    )
+    st = ex.groupBy("i").agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx")
+    )
+    coded = ex.join(F.broadcast(st), "i").select(
+        "vec_id",
+        "i",
+        "x",
+        "mn",
+        "mx",
+        F.least(
+            F.floor(
+                (F.col("x") - F.col("mn"))
+                / (F.col("mx") - F.col("mn"))
+                * 255.0
+            ).cast("int"),
+            F.lit(255),
+        ).alias("code"),
+    )
+    err = F.col("x") - (
+        F.col("mn") + F.col("code") * ((F.col("mx") - F.col("mn")) / 255.0)
+    )
+    recon = coded.withColumn("err", err)
+    return (
+        recon.where(F.col("vec_id") % 5 == 0)
+        .groupBy("vec_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("i", "code"))
+            ).getField("code").alias("codes"),
+            (
+                F.sum(
+                    F.floor(F.col("err") * F.col("err") * 1e10).cast(
+                        "bigint"
+                    )
+                ).cast("double")
+                / 1e10
+            ).alias("sq_err"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@register(
+    "ext_streak_lengths",
+    survey_id="EXT-STREAK",
+    category="event-analytics",
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+islands AS (
+  SELECT user_id, day,
+         day - CAST(ROW_NUMBER() OVER (
+           PARTITION BY user_id ORDER BY day) AS INTEGER) AS island
+  FROM days
+),
+streaks AS (
+  SELECT user_id, island, COUNT(*) AS streak_len,
+         MIN(day) AS streak_start
+  FROM islands GROUP BY user_id, island
+),
+best AS (
+  SELECT user_id,
+         MAX(streak_len) AS max_streak,
+         COUNT(*) AS n_streaks,
+         SUM(streak_len) AS n_active_days
+  FROM streaks GROUP BY user_id
+)
+SELECT user_id, max_streak, n_streaks, n_active_days FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    ORDER BY max_streak DESC, user_id) AS rn FROM best
+) WHERE rn <= 50 ORDER BY max_streak DESC, user_id
+""",
+)
+def ext_streak_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the classic
+    gaps-and-islands reduction: distinct active days, rank within user,
+    day minus rank is constant within a consecutive run, group on that
+    island key and count.
+
+    Everything is keyed by user_id: one shuffle partitions users, and
+    the window + both aggregations run within that partitioning (no
+    re-shuffle — same single-exchange shape ext_sessionize_batch
+    plan-asserts). Top-50 is a TakeOrderedAndProject.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    w_u = Window.partitionBy("user_id").orderBy("day")
+    islands = days.withColumn(
+        "island", F.date_sub("day", F.row_number().over(w_u))
+    )
+    streaks = islands.groupBy("user_id", "island").agg(
+        F.count("*").alias("streak_len"), F.min("day").alias("streak_start")
+    )
+    best = streaks.groupBy("user_id").agg(
+        F.max("streak_len").alias("max_streak"),
+        F.count("*").alias("n_streaks"),
+        F.sum("streak_len").alias("n_active_days"),
+    )
+    w_top = Window.orderBy(F.col("max_streak").desc(), "user_id")
+    return (
+        best.withColumn("rn", F.row_number().over(w_top))
+        .where(F.col("rn") <= 50)
+        .select("user_id", "max_streak", "n_streaks", "n_active_days")
+        .orderBy(F.col("max_streak").desc(), "user_id")
+    )
+
+
+@register(
+    "ext_bpe_pair_stats",
+    survey_id="EXT-BPE",
+    category="llm-training-prep",
+    oracle="""
+WITH words AS (
+  SELECT tok, COUNT(*) AS c FROM (
+    SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents
+  ) GROUP BY tok
+),
+pairs AS (
+  SELECT UNNEST(list_transform(generate_series(1, length(tok) - 1),
+                               i -> substr(tok, i, 2))) AS pair,
+         c
+  FROM words
+),
+agg AS (SELECT pair, CAST(SUM(c) AS BIGINT) AS w FROM pairs GROUP BY pair)
+SELECT pair, w FROM (
+  SELECT pair, w, ROW_NUMBER() OVER (ORDER BY w DESC, pair) AS rn FROM agg
+) WHERE rn <= 20 ORDER BY w DESC, pair
+""",
+)
+def ext_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inner loop of BPE tokenizer training: corpus-weighted
+    adjacent-character pair frequencies, whose argmax is the next merge
+    rule. Counting runs on the WORD-FREQUENCY table, not raw text —
+    the classic BPE optimization: the corpus collapses to (token,
+    count) first (one shuffle, map-side combined), then each distinct
+    token contributes its |token|-1 pairs weighted by count. A 100 TB
+    corpus has a ~memory-sized distinct-token table, so per merge
+    iteration this is aggregate → explode → aggregate over kilobyte
+    keys; the driver loop applies the merge and re-runs. Integer
+    weights ⇒ exact; top-20 is a TakeOrderedAndProject.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    pairs = words.where(F.length("tok") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("tok") - 1),
+                lambda i: F.substring("tok", i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "c",
+    )
+    agg = pairs.groupBy("pair").agg(F.sum("c").cast("bigint").alias("w"))
+    w_rank = Window.orderBy(F.col("w").desc(), "pair")
+    return (
+        agg.withColumn("rn", F.row_number().over(w_rank))
+        .where(F.col("rn") <= 20)
+        .select("pair", "w")
+        .orderBy(F.col("w").desc(), "pair")
+    )

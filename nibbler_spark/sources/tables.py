@@ -39,21 +39,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet batch scan (SURVEY §2.3 A1). Declarative read — Catalyst
     handles predicate pushdown / column pruning into the scan.
 
-    ``events.ts`` is TIMESTAMP(NANOS) in the parquet footer, which Spark 4
-    rejects outright; it is read via the legacy nanos-as-long conf and
-    floor-truncated to microseconds — exactly what DuckDB does when it
-    reads the same file, so oracle comparisons agree at µs.
+    ``events.ts`` has shipped both as TIMESTAMP(NANOS) (which Spark 4
+    rejects outright — read via the legacy nanos-as-long conf and
+    floor-truncated to microseconds, matching DuckDB's truncation) and as
+    a native µs timestamp; the shim keys off the actual column type so
+    either vintage of the testdata loads to the same µs-timestamp schema.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        ).select("event_id", "ts", "user_id", "event_type", "value", "props")
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # Newer testdata writes µs TIMESTAMP_NTZ; everything downstream
+        # (window ranges, unix_timestamp, session windows) expects plain
+        # TIMESTAMP. Session tz is UTC, so the cast is numerically a no-op.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df.select(
+            "event_id", "ts", "user_id", "event_type", "value", "props"
+        )
     return spark.read.parquet(table_path(sf_dir, name))
 
 

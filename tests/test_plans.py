@@ -271,3 +271,69 @@ def test_dynamic_partition_pruning_subquery(spark, sf_dir):
     dynamicpruning subquery fed by the filtered dimension."""
     plan = _plan(spark, sf_dir, "ext_dynamic_partition_pruning")
     assert "dynamicpruning" in plan.lower()
+
+
+def test_decontaminate_broadcasts_eval_grams(spark, sf_dir):
+    """The eval n-gram set must broadcast (it is benchmark-sized against
+    a 100 TB train corpus); the gram match must stay an equi hash join —
+    a cartesian/NLJ here would be corpus × eval-set."""
+    plan = _plan(spark, sf_dir, "ext_decontaminate_ngram")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_sq8_stats_broadcast_no_corpus_reshuffle(spark, sf_dir):
+    """Per-dimension quantizer stats are a 64-row aggregate joined back
+    with a broadcast — the embedding corpus itself must not shuffle for
+    the code assignment."""
+    plan = _plan(spark, sf_dir, "ext_sq8_quantization")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_sequence_packing_two_phase_prefix_sum(spark, sf_dir):
+    """Concat-and-chunk packing must run the Blelloch two-pass: the
+    corpus-sized window is PARTITIONED by bucket (never a single global
+    window over documents) and the bucket offsets broadcast back."""
+    plan = _plan(spark, sf_dir, "ext_sequence_packing")
+    import re
+
+    n_windows = len(re.findall(r"^\(\d+\) Window", plan, re.M))
+    assert n_windows == 2, f"expected 2 Window nodes, got {n_windows}"
+    assert "BroadcastHashJoin" in plan
+    # the big-table window must carry a partition spec (the bucket)
+    win_args = [
+        ln for ln in plan.splitlines()
+        if "windowspecdefinition" in ln and "bucket" in ln
+    ]
+    assert win_args, f"no bucket-partitioned window found:\n{plan}"
+
+
+def test_skyline_two_phase_carry_broadcast(spark, sf_dir):
+    """The skyline's strictly-cheaper running max must come from the
+    bucketed two-pass (carry-in broadcast + in-bucket RANGE frame), not
+    a global single-partition window over part."""
+    plan = _plan(spark, sf_dir, "ext_skyline_2d")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    win_args = [
+        ln for ln in plan.splitlines()
+        if "windowspecdefinition" in ln and "bucket" in ln
+    ]
+    assert win_args, f"no bucket-partitioned window found:\n{plan}"
+
+
+def test_ewma_band_join_is_equi_on_type(spark, sf_dir):
+    """The 14-day EWMA self-join runs on the daily AGGREGATE with
+    event_type as an equi key — never a nested loop over raw events."""
+    plan = _plan(spark, sf_dir, "ext_ewma_anomaly")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    key_lines = [
+        ln for ln in plan.splitlines()
+        if ln.startswith(("Left keys", "Right keys"))
+    ]
+    assert any("event_type" in ln for ln in key_lines), (
+        f"event_type not an equi-join key:\n{key_lines}"
+    )
