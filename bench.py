@@ -42,6 +42,11 @@ HEADLINE = [
     "ext_sessionize_batch",  # BENCH-K2 (gaps-and-islands sessionization)
     "ext_simhash_banded_pairs",  # BENCH-K3 (simhash banding + pair gen)
     "k04_jaccard_pairs",  # BENCH-K4 (banded exact-Jaccard oracle path)
+    # Training-prep additions (r4): decontamination joins the corpus
+    # against a broadcast eval-gram set; packing is the two-phase
+    # distributed prefix sum — both shapes the scale story leans on.
+    "ext_decontaminate_ngram",  # BENCH-K5 (eval n-gram decontamination)
+    "ext_sequence_packing",  # BENCH-K6 (concat-and-chunk packing)
 ]
 
 

@@ -1185,3 +1185,134 @@ def ext_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("custkey_a", "custkey_b")
     )
+
+
+@register(
+    "ext_triangle_count",
+    survey_id="EXT-TRIANGLES",
+    category="llm-dedup",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, lang, source,
+         list_sort(list_distinct(string_split(text, ' '))) AS ts
+  FROM documents
+),
+e AS (
+  SELECT a.doc_id AS u, b.doc_id AS v
+  FROM toks a JOIN toks b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+        / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)))
+        >= 0.8
+),
+tri AS (
+  SELECT COUNT(*) AS n_triangles
+  FROM e ab JOIN e bc ON ab.v = bc.u
+            JOIN e ac ON ac.u = ab.u AND ac.v = bc.v
+),
+deg AS (
+  SELECT node, COUNT(*) AS d FROM (
+    SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e
+  ) GROUP BY node
+)
+SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+       (SELECT COUNT(*) FROM e) AS n_edges,
+       (SELECT n_triangles FROM tri) AS n_triangles,
+       (SELECT CAST(SUM(d * (d - 1)) // 2 AS BIGINT) FROM deg) AS n_wedges,
+       CASE WHEN (SELECT SUM(d * (d - 1)) // 2 FROM deg) > 0
+            THEN 3.0 * (SELECT n_triangles FROM tri)
+                 / ((SELECT SUM(d * (d - 1)) // 2 FROM deg))
+            ELSE 0.0 END AS global_clustering
+""",
+)
+def ext_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient of the near-dup
+    graph (Jaccard ≥ 0.8, (lang, source)-blocked edges — the
+    ext_two_hop_neighbors graph), the density statistic that tells a
+    dedup pipeline whether near-dup clusters are cliques (safe to
+    transitively merge) or sparse chains (over-merge risk).
+
+    Counting uses the DEGREE-ORDERED orientation: every edge points
+    from its lower-(degree, id) endpoint to the higher, so each
+    triangle is enumerated exactly once from its lowest-ranked vertex
+    and the wedge join fans out by out-degree — bounded by O(m^1.5)
+    instead of Σdeg² (the hub problem). The oracle states the same
+    count from the u<v edge list; both must agree exactly. Integer
+    counts divide to bit-identical doubles for the coefficient.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.array_sort(F.array_distinct(F.split("text", " ")))
+    t = d.select("doc_id", "lang", "source", toks.alias("ts"))
+    a, b = t.alias("a"), t.alias("b")
+    n_common = F.size(F.array_intersect(F.col("a.ts"), F.col("b.ts")))
+    n_union = F.size(F.col("a.ts")) + F.size(F.col("b.ts")) - n_common
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where(n_common.cast("double") / n_union >= 0.8)
+        .select(F.col("a.doc_id").alias("u"), F.col("b.doc_id").alias("v"))
+        .localCheckpoint()
+    )
+    und = pairs.union(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = und.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").alias("d")
+    )
+    # Orient each edge from the lower-(degree, id) endpoint.
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    oriented = (
+        und.join(du, "u")
+        .join(dv, "v")
+        .where(
+            (F.col("du") < F.col("dv"))
+            | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+        )
+        .select("u", "v", "dv")
+    )
+    o1 = oriented.alias("o1")
+    o2 = oriented.alias("o2")
+    wedges = (
+        o1.join(o2, F.col("o1.u") == F.col("o2.u"))
+        .where(
+            (F.col("o1.dv") < F.col("o2.dv"))
+            | (
+                (F.col("o1.dv") == F.col("o2.dv"))
+                & (F.col("o1.v") < F.col("o2.v"))
+            )
+        )
+        .select(F.col("o1.v").alias("x"), F.col("o2.v").alias("y"))
+    )
+    closure = oriented.select(
+        F.col("u").alias("x"), F.col("v").alias("y")
+    ).union(
+        oriented.select(F.col("v").alias("x"), F.col("u").alias("y"))
+    )
+    n_tri = wedges.join(closure, ["x", "y"], "left_semi").count()
+    stats = deg.agg(
+        F.count("*").alias("n_nodes"),
+        (F.sum(F.col("d") * (F.col("d") - 1)) / 2)
+        .cast("bigint")
+        .alias("n_wedges"),
+    ).collect()[0]
+    n_edges = pairs.count()
+    n_wedges = stats["n_wedges"]
+    clustering = (3.0 * n_tri / n_wedges) if n_wedges else 0.0
+    return spark.createDataFrame(
+        [
+            (
+                stats["n_nodes"],
+                n_edges,
+                n_tri,
+                n_wedges,
+                float(clustering),
+            )
+        ],
+        "n_nodes bigint, n_edges bigint, n_triangles bigint, "
+        "n_wedges bigint, global_clustering double",
+    )

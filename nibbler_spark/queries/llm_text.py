@@ -9,7 +9,7 @@ has a full DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nibbler_spark.queries import register
@@ -1018,3 +1018,80 @@ def ext_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "ext_vocab_coverage",
+    survey_id="EXT-VOCAB",
+    category="llm-text",
+    oracle="""
+WITH toks AS (
+  SELECT lang, tok FROM (
+    SELECT lang, UNNEST(string_split(text, ' ')) AS tok FROM documents
+  )
+),
+global_counts AS (
+  SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+),
+vocab AS (
+  SELECT tok FROM (
+    SELECT tok, ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS rn
+    FROM global_counts
+  ) WHERE rn <= 1000
+),
+per_lang AS (
+  SELECT t.lang,
+         COUNT(*) AS n_tokens,
+         SUM(CASE WHEN v.tok IS NOT NULL THEN 1 ELSE 0 END) AS n_covered
+  FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+  GROUP BY t.lang
+)
+SELECT lang, n_tokens, n_covered,
+       CAST(n_covered AS DOUBLE) / n_tokens AS coverage
+FROM per_lang ORDER BY lang
+""",
+)
+def ext_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage per language for a top-1000 global vocab —
+    the out-of-vocabulary statistic that decides tokenizer vocab size
+    and flags languages a shared vocab underserves.
+
+    Token counting shuffles once on the token key (map-side combined);
+    the ranked vocab is VOCABULARY-sized, not corpus-sized, so its
+    unpartitioned top-k window and the coverage probe both run against
+    a broadcast-scale table. Integer counts divide to bit-identical
+    doubles.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang", F.explode(F.split("text", " ")).alias("tok")
+    )
+    global_counts = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    w = Window.orderBy(F.col("c").desc(), "tok")
+    vocab = (
+        global_counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 1000)
+        .select("tok")
+    )
+    per_lang = (
+        toks.join(
+            F.broadcast(vocab.withColumn("in_vocab", F.lit(1))),
+            "tok",
+            "left",
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("in_vocab").isNotNull(), 1).otherwise(0)
+            ).alias("n_covered"),
+        )
+    )
+    return per_lang.select(
+        "lang",
+        "n_tokens",
+        "n_covered",
+        (F.col("n_covered").cast("double") / F.col("n_tokens")).alias(
+            "coverage"
+        ),
+    ).orderBy("lang")

@@ -1301,3 +1301,80 @@ def ext_ivfadc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(adc_recall >= 0.3, e2e_recall >= 0.05)],
         "adc_recall_within_cells_ok boolean, end_to_end_ok boolean",
     )
+
+
+@register(
+    "ext_sq8_recall",
+    survey_id="EXT-SQ8-RECALL",
+    category="llm-vector",
+    mode="bounded",
+    oracle="SELECT true AS recall_at_10_ok",
+)
+def ext_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@10 of int8 scalar-quantized (SQ8) search against
+    exact L2 top-10 for query vector 0 — the quality check that belongs
+    next to EXT-SQ8's compression claim. Unlike the deliberately coarse
+    2-bit PQ demo (recall floor 0.05), 8-bit-per-dimension quantization
+    preserves ranking almost perfectly, so the declared regression
+    floor is 0.7.
+
+    Same scale shape as the quantizer itself: 64-row per-dim stats
+    broadcast, codes assigned scan-local, distances accumulated by
+    vec_id — the only corpus shuffle is the top-k reduction, and the
+    collect()s touch just the two 10-id lists (bounded by construction).
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id", F.posexplode("embedding").alias("i0", "xf")
+    ).select(
+        "vec_id",
+        F.col("i0").alias("i"),
+        F.col("xf").cast("double").alias("x"),
+    )
+    st = ex.groupBy("i").agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx")
+    )
+    scale = (F.col("mx") - F.col("mn")) / 255.0
+    recon = (
+        ex.join(F.broadcast(st), "i")
+        .withColumn(
+            "code",
+            F.least(
+                F.floor((F.col("x") - F.col("mn")) / scale).cast("int"),
+                F.lit(255),
+            ),
+        )
+        .withColumn("rx", F.col("mn") + F.col("code") * scale)
+    )
+    q = ex.where(F.col("vec_id") == 0).select(
+        F.col("i").alias("qi"), F.col("x").alias("qx")
+    )
+    approx = (
+        recon.where(F.col("vec_id") != 0)
+        .join(F.broadcast(q), F.col("i") == F.col("qi"))
+        .groupBy("vec_id")
+        .agg(
+            F.sum((F.col("rx") - F.col("qx")) * (F.col("rx") - F.col("qx"))).alias("d")
+        )
+        .orderBy(F.col("d").asc(), F.col("vec_id"))
+        .limit(10)
+    )
+    approx_ids = {r["vec_id"] for r in approx.collect()}
+    qvec = e.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q")
+    )
+    exact = (
+        e.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qvec))
+        .select(
+            "vec_id",
+            l2_distance(F.col("embedding"), F.col("q")).alias("d"),
+        )
+        .orderBy(F.col("d").asc(), F.col("vec_id"))
+        .limit(10)
+    )
+    exact_ids = {r["vec_id"] for r in exact.collect()}
+    recall = len(approx_ids & exact_ids) / max(1, len(exact_ids))
+    return spark.createDataFrame(
+        [(recall >= 0.7,)], "recall_at_10_ok boolean"
+    )

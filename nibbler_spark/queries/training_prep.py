@@ -97,40 +97,56 @@ def ext_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     n-gram-overlap check used to scrub benchmark leakage from
     pretraining corpora.
 
-    Dataflow: shingle both splits → distinct eval n-gram set (tiny:
-    eval benchmarks are KBs against a 100 TB corpus) is BROADCAST →
-    train (doc_id, gram) pairs hash-join against it with no corpus
-    shuffle beyond the per-doc distinct. Each train gram meets at most
-    one eval-set row, so the join output is bounded by the train gram
-    count — no quadratic blowup. Integer match counts divide to
-    bit-identical doubles.
+    Dataflow: per-doc gram dedup is row-local (array_distinct on the
+    shingle array — no corpus-wide DISTINCT exchange); the distinct
+    eval n-gram set (tiny: eval benchmarks are KBs against a 100 TB
+    corpus) BROADCASTS, and each exploded train gram probes it in a
+    whole-stage-codegen BroadcastHashJoin; one groupBy(doc_id) of
+    skinny (id, count) rows folds matches and totals in the same
+    aggregate. The corpus-volume exchanges are the one fan-out
+    repartition and that single keyed aggregation. (A row-local
+    array_intersect against the broadcast set was tried and is ~4×
+    slower: the set rebuilds per row instead of once per stage.)
+    Integer match counts divide to bit-identical doubles.
     """
-    d = load_table(spark, sf_dir, "documents")
+    # The sf0.1 documents table is a single parquet split; shingle
+    # construction is the CPU-heavy row-local stage, so spread it over
+    # the executors up front. At real scale the scan already has
+    # thousands of splits and this round-robin fan-out is a no-op
+    # cost-wise (it moves raw rows once, before any expansion).
+    d = load_table(spark, sf_dir, "documents").repartition(32)
     toks = F.split("text", " ")
     grams = d.select(
-        "doc_id", _token_ngrams(toks, _NGRAM_N).alias("gs")
+        "doc_id",
+        F.array_distinct(_token_ngrams(toks, _NGRAM_N)).alias("gs"),
     )
     is_eval = F.col("doc_id") % 97 == 0
     eval_grams = (
         grams.where(is_eval)
         .select(F.explode("gs").alias("g"))
         .distinct()
+        .withColumn("hit", F.lit(1))
     )
-    train_grams = (
+    # explode_outer, not explode: plain explode plants an implicit
+    # `size(gs) > 0` predicate that Catalyst pushes below the
+    # repartition exchange WITH the whole shingle expression inlined —
+    # recomputing every gram in the narrow pre-exchange scan stage.
+    # The outer variant generates no pushable predicate; the null row
+    # from empty gram arrays is dropped above the Generate instead.
+    exploded = (
         grams.where(~is_eval)
-        .select("doc_id", F.explode("gs").alias("g"))
-        .distinct()
-    )
-    totals = train_grams.groupBy("doc_id").agg(
-        F.count("*").alias("n_grams")
-    )
-    matched = (
-        train_grams.join(F.broadcast(eval_grams), "g")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_matched"))
+        .select(
+            "doc_id",
+            F.size("gs").alias("n_grams"),
+            F.explode_outer("gs").alias("g"),
+        )
+        .where(F.col("g").isNotNull())
     )
     return (
-        matched.join(totals, "doc_id")
+        exploded.join(F.broadcast(eval_grams), "g", "left")
+        .groupBy("doc_id", "n_grams")
+        .agg(F.sum(F.coalesce("hit", F.lit(0))).alias("n_matched"))
+        .where(F.col("n_matched") >= 1)
         .select(
             "doc_id",
             "n_matched",

@@ -274,13 +274,18 @@ def test_dynamic_partition_pruning_subquery(spark, sf_dir):
 
 
 def test_decontaminate_broadcasts_eval_grams(spark, sf_dir):
-    """The eval n-gram set must broadcast (it is benchmark-sized against
-    a 100 TB train corpus); the gram match must stay an equi hash join —
-    a cartesian/NLJ here would be corpus × eval-set."""
+    """The distinct eval n-gram set must broadcast (it is
+    benchmark-sized against a 100 TB train corpus) and the probe must
+    be a codegen BroadcastHashJoin; the corpus side may shuffle only
+    for its single (doc_id) aggregation — per-doc gram dedup must stay
+    row-local (array_distinct), never a corpus-wide DISTINCT."""
     plan = _plan(spark, sf_dir, "ext_decontaminate_ngram")
-    assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # eval-side distinct + the one corpus groupBy(doc_id) — no third
+    # corpus-keyed exchange (a gram-keyed DISTINCT would add one).
+    assert plan.count("Exchange hashpartitioning") <= 2
 
 
 def test_sq8_stats_broadcast_no_corpus_reshuffle(spark, sf_dir):
