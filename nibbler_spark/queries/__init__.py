@@ -66,6 +66,7 @@ _QUERY_MODULES = [
     "nibbler_spark.queries.llm_vectors",
     "nibbler_spark.queries.multimodal",
     "nibbler_spark.queries.scale_patterns",
+    "nibbler_spark.queries.sketches",
     "nibbler_spark.queries.event_analytics",
     "nibbler_spark.queries.streaming_q",
     "nibbler_spark.queries.nibbler_core_q",

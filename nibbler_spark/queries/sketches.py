@@ -28,10 +28,10 @@ def _nib_hash(expr: Column, mod: int) -> Column:
     Spark side of the portable hash."""
     h = F.md5(expr)
     v = (
-        (F.locate(F.substring(h, 1, 1), F.lit(_HEX)) - 1) * 4096
-        + (F.locate(F.substring(h, 2, 1), F.lit(_HEX)) - 1) * 256
-        + (F.locate(F.substring(h, 3, 1), F.lit(_HEX)) - 1) * 16
-        + (F.locate(F.substring(h, 4, 1), F.lit(_HEX)) - 1)
+        (F.instr(F.lit(_HEX), F.substring(h, 1, 1)) - 1) * 4096
+        + (F.instr(F.lit(_HEX), F.substring(h, 2, 1)) - 1) * 256
+        + (F.instr(F.lit(_HEX), F.substring(h, 3, 1)) - 1) * 16
+        + (F.instr(F.lit(_HEX), F.substring(h, 4, 1)) - 1)
     )
     return (v % mod).cast("int")
 
@@ -219,13 +219,19 @@ def ext_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_hit"))
         .where(F.col("n_hit") == _BLOOM_K)
     )
+    # Fresh projection for the exact-membership probe: `hits` already
+    # derives from `build` (via the bit set), so joining `build` itself
+    # back would be an ambiguous self-join.
+    members = build.select(F.col("c_custkey").alias("b_custkey"))
     return (
-        hits.join(build, hits["o_custkey"] == build["c_custkey"], "left")
+        hits.join(
+            members, F.col("o_custkey") == F.col("b_custkey"), "left"
+        )
         .select(
-            hits["o_custkey"].alias("custkey"),
+            F.col("o_custkey").alias("custkey"),
             F.lit(True).alias("bloom_pass"),
-            build["c_custkey"].isNotNull().alias("exact_member"),
-            build["c_custkey"].isNull().alias("false_positive"),
+            F.col("b_custkey").isNotNull().alias("exact_member"),
+            F.col("b_custkey").isNull().alias("false_positive"),
         )
         .orderBy("custkey")
     )

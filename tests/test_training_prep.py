@@ -1,0 +1,105 @@
+"""Semantic invariants for the training-prep operator family — the
+properties the DuckDB hash oracles can't state directly (cross-row
+consistency, closed-form recomputation, value bounds)."""
+
+from __future__ import annotations
+
+from nibbler_spark.queries import load_all
+from nibbler_spark.queries.training_prep import _NGRAM_N, _PACK_CTX
+
+SPECS = load_all()
+
+
+def test_sequence_packing_is_a_consistent_concat_stream(spark, sf_dir):
+    """The packed layout must describe one contiguous token stream:
+    cumulative sums chain exactly, and every doc's [first_seq, last_seq]
+    matches the closed form recomputed from scratch."""
+    rows = (
+        SPECS["ext_sequence_packing"]
+        .spark(spark, sf_dir)
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert rows
+    prev_cum = 0
+    for r in rows:
+        assert r["n_tokens"] > 0
+        assert r["cum_tokens"] == prev_cum + r["n_tokens"]
+        assert r["first_seq"] == prev_cum // _PACK_CTX
+        assert r["last_seq"] == (r["cum_tokens"] - 1) // _PACK_CTX
+        assert r["n_seqs"] == r["last_seq"] - r["first_seq"] + 1
+        prev_cum = r["cum_tokens"]
+    # the stream covers sequences 0..last with no gaps
+    assert rows[0]["first_seq"] == 0
+    for a, b in zip(rows, rows[1:]):
+        assert b["first_seq"] in (a["last_seq"], a["last_seq"] + 1)
+
+
+def test_decontaminate_never_flags_eval_docs_and_bounds_ratio(spark, sf_dir):
+    rows = SPECS["ext_decontaminate_ngram"].spark(spark, sf_dir).collect()
+    assert rows  # synthetic corpus shares vocabulary: matches exist
+    for r in rows:
+        assert r["doc_id"] % 97 != 0  # train split only
+        assert 1 <= r["n_matched"] <= r["n_grams"]
+        assert 0.0 < r["contamination"] <= 1.0
+
+
+def test_domain_mixture_weights_sum_to_one_and_flatten(spark, sf_dir):
+    rows = SPECS["ext_domain_mixture"].spark(spark, sf_dir).collect()
+    assert abs(sum(r["mixture_weight"] for r in rows) - 1.0) < 1e-9
+    assert abs(sum(r["natural_share"] for r in rows) - 1.0) < 1e-9
+    # alpha < 1 compresses the distribution: the largest domain's share
+    # shrinks, the smallest domain's share grows.
+    big = max(rows, key=lambda r: r["n_tokens"])
+    small = min(rows, key=lambda r: r["n_tokens"])
+    assert big["mixture_weight"] < big["natural_share"]
+    assert small["mixture_weight"] > small["natural_share"]
+
+
+def test_sq8_codes_in_range_and_error_bounded(spark, sf_dir):
+    rows = SPECS["ext_sq8_quantization"].spark(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert len(r["codes"]) == 64
+        assert all(0 <= c <= 255 for c in r["codes"])
+        assert r["sq_err"] >= 0.0
+
+
+def test_weighted_sample_prefers_heavy_docs(spark, sf_dir):
+    """Not a distributional test (the draw is a fixed hash), but the
+    mechanism must at least correlate with weight: the selected sample's
+    mean n_chars should exceed the corpus mean (inclusion probability
+    is proportional to n_chars)."""
+    import duckdb
+
+    sample = SPECS["ext_weighted_sample"].spark(spark, sf_dir).collect()
+    assert len(sample) == 25
+    con = duckdb.connect()
+    corpus_mean = con.execute(
+        f"SELECT AVG(n_chars) FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchone()[0]
+    sample_mean = sum(r["n_chars"] for r in sample) / len(sample)
+    assert sample_mean > corpus_mean * 0.95
+
+
+def test_bpe_pairs_are_two_chars_and_sorted(spark, sf_dir):
+    rows = SPECS["ext_bpe_pair_stats"].spark(spark, sf_dir).collect()
+    assert len(rows) == 20
+    assert all(len(r["pair"]) == 2 for r in rows)
+    ws = [r["w"] for r in rows]
+    assert ws == sorted(ws, reverse=True)
+
+
+def test_ngram_helper_short_doc_yields_empty(spark):
+    """Spark's sequence(1, 0) is DESCENDING [1, 0] — the helper must
+    special-case docs shorter than n (regression for the bpe/gram bug)."""
+    from pyspark.sql import functions as F
+
+    from nibbler_spark.queries.training_prep import _token_ngrams
+
+    df = spark.createDataFrame(
+        [("a b",), ("a b c d e f",)], "text string"
+    ).select(_token_ngrams(F.split("text", " "), _NGRAM_N).alias("gs"))
+    out = [r["gs"] for r in df.collect()]
+    assert out[0] == []
+    assert out[1] == ["a b c d e", "b c d e f"]
