@@ -562,3 +562,102 @@ def ext_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("pair", "w")
         .orderBy(F.col("w").desc(), "pair")
     )
+
+
+@register(
+    "ext_boilerplate_ngrams",
+    survey_id="EXT-BOILERPLATE",
+    category="llm-training-prep",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, g FROM (
+    SELECT doc_id,
+           UNNEST(list_distinct(list_transform(
+             generate_series(1, GREATEST(len(t) - {_NGRAM_N - 1}, 0)),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                  || ' ' || t[i+4]))) AS g
+    FROM toks
+  )
+),
+boiler AS (
+  SELECT g FROM (
+    SELECT g, COUNT(*) AS n_docs FROM grams GROUP BY g
+  ) WHERE n_docs >= 5
+),
+per_doc AS (
+  SELECT gr.doc_id,
+         COUNT(*) AS n_grams,
+         SUM(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS n_boiler
+  FROM grams gr LEFT JOIN boiler b ON gr.g = b.g
+  GROUP BY gr.doc_id
+)
+SELECT doc_id, n_grams, n_boiler,
+       CAST(n_boiler AS DOUBLE) / n_grams AS boiler_frac
+FROM per_doc
+WHERE n_boiler > 0
+ORDER BY boiler_frac DESC, doc_id
+LIMIT 50
+""",
+)
+def ext_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate detection (the C4-style cleanup rule):
+    a 5-gram appearing in >= 5 distinct documents is boilerplate
+    (headers, footers, license blurbs); each document reports the
+    fraction of its distinct grams that are boilerplate, surfacing the
+    50 most template-like documents.
+
+    Per-doc gram dedup is row-local (array_distinct before the
+    explode), so the one corpus-volume shuffle is the gram-keyed
+    document-frequency count — map-side combined, output bounded by
+    the distinct-gram vocabulary. The boilerplate set (high-DF grams
+    only) is far smaller still and BROADCASTS back for the per-doc
+    probe, the ext_decontaminate_ngram shape with a corpus-derived
+    (rather than eval-derived) reference set. Integer counts divide to
+    bit-identical doubles.
+    """
+    d = load_table(spark, sf_dir, "documents").repartition(32)
+    toks = F.split("text", " ")
+    grams = (
+        d.select(
+            "doc_id",
+            F.array_distinct(_token_ngrams(toks, _NGRAM_N)).alias("gs"),
+        )
+        .select("doc_id", F.explode_outer("gs").alias("g"))
+        .where(F.col("g").isNotNull())
+    )
+    boiler = (
+        grams.groupBy("g")
+        .agg(F.count("*").alias("n_docs"))
+        .where(F.col("n_docs") >= 5)
+        .select("g")
+        .withColumn("hit", F.lit(1))
+    )
+    per_doc = (
+        grams.join(F.broadcast(boiler), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.coalesce("hit", F.lit(0))).alias("n_boiler"),
+        )
+        .where(F.col("n_boiler") > 0)
+    )
+    w = Window.orderBy(
+        (F.col("n_boiler").cast("double") / F.col("n_grams")).desc(),
+        "doc_id",
+    )
+    return (
+        per_doc.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 50)
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_boiler",
+            (F.col("n_boiler").cast("double") / F.col("n_grams")).alias(
+                "boiler_frac"
+            ),
+        )
+        .orderBy(F.col("boiler_frac").desc(), "doc_id")
+    )
