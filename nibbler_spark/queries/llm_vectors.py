@@ -1378,3 +1378,155 @@ def ext_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(recall >= 0.7,)], "recall_at_10_ok boolean"
     )
+
+
+_LOGREG_ORACLE = """
+WITH ex AS (
+  SELECT vec_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, generate_series(1, 4) AS g(i)
+  UNION ALL
+  SELECT vec_id, 0 AS pos, 1.0 AS x FROM embeddings
+),
+y AS (
+  SELECT vec_id, CASE WHEN label = 0 THEN 1 ELSE 0 END AS y
+  FROM embeddings
+),
+n AS (SELECT COUNT(*) AS n FROM embeddings),
+r1 AS (
+  SELECT vec_id, CAST(FLOOR((0.5 - y) * 1e10) AS BIGINT) AS rg FROM y
+),
+g1 AS (
+  SELECT ex.pos,
+         CAST(SUM(CAST(r1.rg * ex.x AS DECIMAL(38,18))) AS DOUBLE)
+           / 1e10 / ANY_VALUE(n.n) AS grad
+  FROM ex JOIN r1 USING (vec_id) CROSS JOIN n
+  GROUP BY ex.pos
+),
+w1 AS (SELECT pos, 0.0 - 1.0 * grad AS w FROM g1),
+m2 AS (
+  SELECT ex.vec_id,
+         CAST(SUM(CAST(ex.x * w1.w AS DECIMAL(38,18))) AS DOUBLE) AS margin
+  FROM ex JOIN w1 USING (pos) GROUP BY ex.vec_id
+),
+r2 AS (
+  SELECT m2.vec_id,
+         CAST(FLOOR((1.0 / (1.0 + EXP(-m2.margin)) - y.y) * 1e10)
+              AS BIGINT) AS rg
+  FROM m2 JOIN y USING (vec_id)
+),
+g2 AS (
+  SELECT ex.pos,
+         CAST(SUM(CAST(r2.rg * ex.x AS DECIMAL(38,18))) AS DOUBLE)
+           / 1e10 / ANY_VALUE(n.n) AS grad
+  FROM ex JOIN r2 USING (vec_id) CROSS JOIN n
+  GROUP BY ex.pos
+),
+w2 AS (SELECT pos, w - 1.0 * grad AS w FROM w1 JOIN g2 USING (pos))
+SELECT pos, CAST(CAST(w AS DECIMAL(18,10)) AS DOUBLE) AS weight
+FROM w2 ORDER BY pos
+"""
+
+
+@register(
+    "ext_logreg_gd",
+    survey_id="EXT-LOGREG",
+    category="llm-vector",
+    oracle=_LOGREG_ORACLE,
+)
+def ext_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic regression by full-batch gradient descent (two rounds,
+    lr=1.0, w0=0): predict label==0 from the first 4 embedding
+    dimensions + intercept — the distributed-iterative-ML template next
+    to k-means/PCA/PageRank.
+
+    Each round is one broadcast of the 5-weight vector against the
+    exploded feature matrix and one feature-keyed reduction of the
+    corpus — weights are the only state, so at 100 TB a round costs a
+    scan + a 5-row shuffle, and rounds chain through localCheckpoint
+    like the other iterative ops. Determinism across engines: round 1's
+    sigmoid is EXACTLY 0.5 (w=0 ⇒ margin 0 — no transcendental), round
+    2's sigmoid residual is floored to the 1e-10 grid before the
+    decimal-exact per-feature sum (playbook #3), margins accumulate in
+    decimal, and the final weights round through DECIMAL(18,10). The
+    oracle unrolls both rounds as CTEs (EXT-KMEANS discipline).
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.count()
+    ex = (
+        e.select(
+            "vec_id", F.posexplode(F.slice("embedding", 1, 4)).alias("p0", "xf")
+        )
+        .select(
+            "vec_id",
+            (F.col("p0") + 1).alias("pos"),
+            F.col("xf").cast("double").alias("x"),
+        )
+        .union(
+            e.select(
+                "vec_id",
+                F.lit(0).alias("pos"),
+                F.lit(1.0).alias("x"),
+            )
+        )
+    )
+    yd = e.select(
+        "vec_id",
+        F.when(F.col("label") == 0, 1).otherwise(0).alias("y"),
+    )
+
+    def grad_of(resid):
+        """resid: (vec_id, rg bigint) — per-feature mean gradient."""
+        return (
+            ex.join(resid, "vec_id")
+            .select(
+                "pos",
+                (F.col("rg") * F.col("x"))
+                .cast("decimal(38,18)")
+                .alias("t"),
+            )
+            .groupBy("pos")
+            .agg(
+                (
+                    F.sum("t").cast("double") / F.lit(1e10) / F.lit(n)
+                ).alias("grad")
+            )
+        )
+
+    # Round 1: w = 0 ⇒ sigmoid(0) = 0.5 exactly.
+    r1 = yd.select(
+        "vec_id",
+        F.floor((F.lit(0.5) - F.col("y")) * 1e10).cast("bigint").alias("rg"),
+    )
+    w1 = grad_of(r1).select(
+        "pos", (F.lit(0.0) - F.lit(1.0) * F.col("grad")).alias("w")
+    ).localCheckpoint()
+    # Round 2: margin under w1, gridded sigmoid residual.
+    m2 = (
+        ex.join(F.broadcast(w1), "pos")
+        .select(
+            "vec_id",
+            (F.col("x") * F.col("w")).cast("decimal(38,18)").alias("t"),
+        )
+        .groupBy("vec_id")
+        .agg(F.sum("t").cast("double").alias("margin"))
+    )
+    r2 = m2.join(yd, "vec_id").select(
+        "vec_id",
+        F.floor(
+            (
+                F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("margin")))
+                - F.col("y")
+            )
+            * 1e10
+        )
+        .cast("bigint")
+        .alias("rg"),
+    )
+    w2 = (
+        w1.join(grad_of(r2), "pos")
+        .select("pos", (F.col("w") - F.lit(1.0) * F.col("grad")).alias("w"))
+    )
+    return w2.select(
+        "pos",
+        F.col("w").cast("decimal(18,10)").cast("double").alias("weight"),
+    ).orderBy("pos")
