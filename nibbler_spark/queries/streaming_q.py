@@ -1319,3 +1319,88 @@ def i17_stream_stream_full_outer_golden(
         .where(F.col("user_id") != 99)
         .orderBy("user_id")
     )
+
+
+@register(
+    "ext_streaming_cms",
+    survey_id="EXT-CMS-S",
+    category="streaming",
+    mode="parity",
+    oracle="""
+WITH seeds AS (SELECT UNNEST(generate_series(0, 3)) AS seed),
+cells AS (
+  SELECT s.seed,
+         CAST(((strpos('0123456789abcdef', substr(md5(CONCAT(CAST(s.seed AS VARCHAR), ':', CAST(e.user_id AS VARCHAR))), 1, 1)) - 1) * 4096
+             + (strpos('0123456789abcdef', substr(md5(CONCAT(CAST(s.seed AS VARCHAR), ':', CAST(e.user_id AS VARCHAR))), 2, 1)) - 1) * 256
+             + (strpos('0123456789abcdef', substr(md5(CONCAT(CAST(s.seed AS VARCHAR), ':', CAST(e.user_id AS VARCHAR))), 3, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(md5(CONCAT(CAST(s.seed AS VARCHAR), ':', CAST(e.user_id AS VARCHAR))), 4, 1)) - 1)) % 64
+           AS INT) AS bucket,
+         COUNT(*) * 2 AS cell
+  FROM events e CROSS JOIN seeds s
+  GROUP BY 1, 2
+)
+SELECT seed, bucket, CAST(cell AS BIGINT) AS cell
+FROM cells ORDER BY seed, bucket
+""",
+)
+def ext_streaming_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch maintained ACROSS micro-batches: each
+    foreachBatch epoch reduces its slice of the stream to d×w = 256
+    counter cells and merges them (cellwise add) into a running store —
+    sketch mergeability is the whole reason CMS works in a distributed
+    pipeline, and this query proves it end-to-end: the stream is the
+    events table twice (two files, maxFilesPerTrigger=1 forces two
+    epochs), and the merged sketch must equal the batch sketch over the
+    doubled stream bit-for-bit (portable md5-nibble hash, integer
+    cells).
+
+    Per epoch only the 256-cell aggregate crosses to the store — the
+    driver-side dict stands in for any mergeable-state sink (parquet
+    upsert, Redis, an accumulator service); epoch traffic is O(sketch),
+    never O(stream).
+    """
+    from nibbler_spark.queries.sketches import _CMS_D, _CMS_W, _nib_hash
+
+    d = _events_dir(spark, sf_dir, copies=2)
+    seeds = spark.range(_CMS_D).select(
+        F.col("id").cast("int").alias("seed")
+    )
+    store: dict[tuple[int, int], int] = {}
+
+    def merge_epoch(batch_df, epoch_id):
+        cells = (
+            batch_df.crossJoin(F.broadcast(seeds))
+            .select(
+                "seed",
+                _nib_hash(
+                    F.concat_ws(":", F.col("seed"), F.col("user_id")),
+                    _CMS_W,
+                ).alias("bucket"),
+            )
+            .groupBy("seed", "bucket")
+            .agg(F.count("*").alias("cell"))
+            .collect()
+        )
+        for r in cells:
+            key = (r["seed"], r["bucket"])
+            store[key] = store.get(key, 0) + r["cell"]
+
+    q = (
+        spark.readStream.schema(_EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+        .writeStream.foreachBatch(merge_epoch)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="nibbler-cms-")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = [
+        (seed, bucket, int(cell))
+        for (seed, bucket), cell in sorted(store.items())
+    ]
+    return spark.createDataFrame(
+        rows, "seed int, bucket int, cell bigint"
+    ).orderBy("seed", "bucket")
