@@ -809,3 +809,96 @@ def ext_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "day", "n", "ewma", "dev")
         .orderBy(F.abs(F.col("dev")).desc(), "event_type", "day")
     )
+
+
+@register(
+    "ext_session_stats",
+    survey_id="EXT-SESSION-STATS",
+    category="event-analytics",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS session_seq
+  FROM flagged
+),
+per_session AS (
+  SELECT user_id, session_seq,
+         date_diff('second', MIN(ts), MAX(ts)) AS dur_s,
+         COUNT(*) AS n_events
+  FROM sess GROUP BY user_id, session_seq
+),
+buckets AS (
+  SELECT CASE WHEN dur_s = 0 THEN 'bounce'
+              WHEN dur_s < 600 THEN 'lt_10m'
+              WHEN dur_s < 3600 THEN 'lt_1h'
+              ELSE 'ge_1h' END AS dur_bucket,
+         dur_s, n_events
+  FROM per_session
+)
+SELECT dur_bucket,
+       COUNT(*) AS n_sessions,
+       CAST(SUM(dur_s) AS BIGINT) AS total_dur_s,
+       CAST(SUM(n_events) AS BIGINT) AS total_events,
+       CAST(SUM(n_events) AS DOUBLE) / COUNT(*) AS events_per_session
+FROM buckets
+GROUP BY dur_bucket
+ORDER BY dur_bucket
+""",
+)
+def ext_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-duration distribution on top of the gaps-and-islands
+    sessionization: sessions bucket into bounce / <10 min / <1 h / ≥1 h
+    with per-bucket volume and events-per-session — the engagement
+    panel a behavioral pipeline derives right after sessionizing.
+
+    Same single user_id exchange as ext_sessionize_batch feeding both
+    windows and the per-session aggregate; the bucket rollup then
+    reduces sessions to four rows. Durations are integer seconds and
+    counts are integers, so every emitted ratio divides bit-identically.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0).alias("is_new"),
+    )
+    sess = flagged.withColumn("session_seq", F.sum("is_new").over(w))
+    per_session = sess.groupBy("user_id", "session_seq").agg(
+        (
+            F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))
+        ).alias("dur_s"),
+        F.count("*").alias("n_events"),
+    )
+    bucket = (
+        F.when(F.col("dur_s") == 0, "bounce")
+        .when(F.col("dur_s") < 600, "lt_10m")
+        .when(F.col("dur_s") < 3600, "lt_1h")
+        .otherwise("ge_1h")
+    )
+    return (
+        per_session.select(
+            bucket.alias("dur_bucket"), "dur_s", "n_events"
+        )
+        .groupBy("dur_bucket")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("dur_s").cast("bigint").alias("total_dur_s"),
+            F.sum("n_events").cast("bigint").alias("total_events"),
+            (
+                F.sum("n_events").cast("double") / F.count("*")
+            ).alias("events_per_session"),
+        )
+        .orderBy("dur_bucket")
+    )
