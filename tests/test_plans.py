@@ -342,3 +342,22 @@ def test_ewma_band_join_is_equi_on_type(spark, sf_dir):
     assert any("event_type" in ln for ln in key_lines), (
         f"event_type not an equi-join key:\n{key_lines}"
     )
+
+
+def test_logreg_weight_broadcast(spark, sf_dir):
+    """Each GD round must broadcast the 5-weight vector against the
+    exploded feature matrix — a corpus-side shuffle for the weight join
+    would be the scale killer."""
+    plan = _plan(spark, sf_dir, "ext_logreg_gd")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_boilerplate_reference_set_broadcast(spark, sf_dir):
+    """The high-DF boilerplate gram set must broadcast back for the
+    per-doc probe (decontamination shape with a corpus-derived
+    reference set)."""
+    plan = _plan(spark, sf_dir, "ext_boilerplate_ngrams")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
