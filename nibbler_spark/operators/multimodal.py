@@ -304,3 +304,99 @@ def attach_synthetic_payload(docs: DataFrame) -> DataFrame:
             F.octet_length(payload).alias("size"),
         ).alias("meta"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio: real dependency-free WAV (RIFF/PCM) codec — the audio analogue of
+# the BMP/PPM image path. Compressed codecs (MP3/FLAC/Opus) plug into the
+# same magic-dispatch seam.
+
+AUDIO_SCHEMA = (
+    "doc_id long, fmt string, sample_rate int, n_channels int, "
+    "n_samples long, duration_ms long, sample_sum long, peak int"
+)
+
+
+class AudioFormatError(ValueError):
+    """Raised when a payload claims an audio container it doesn't parse as."""
+
+
+def encode_wav(
+    n_samples: int, sample_rate: int, sample: Callable[[int], int]
+) -> bytes:
+    """Write a real mono 16-bit PCM WAV: RIFF header, fmt subchunk
+    (PCM, 1 channel), data subchunk of little-endian int16 samples.
+    ``sample(i)`` must return a value in [-32768, 32767]."""
+    data = struct.pack(f"<{n_samples}h", *(sample(i) for i in range(n_samples)))
+    byte_rate = sample_rate * 2
+    hdr = struct.pack(
+        "<4sI4s" "4sIHHIIHH" "4sI",
+        b"RIFF", 36 + len(data), b"WAVE",
+        b"fmt ", 16, 1, 1, sample_rate, byte_rate, 2, 16,
+        b"data", len(data),
+    )
+    return hdr + data
+
+
+def parse_wav(payload: bytes) -> dict:
+    """Parse a PCM WAV: validate RIFF/WAVE magic, WALK the subchunk list
+    (fmt may be followed by LIST/fact chunks before data — real files
+    do this), then traverse every int16 sample. Returns rate/channel
+    metadata plus exact sample statistics proving real sample access."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise AudioFormatError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            if size < 16:
+                raise AudioFormatError("short fmt chunk")
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise AudioFormatError("missing fmt or data chunk")
+    audio_fmt, n_channels, sample_rate, _byte_rate, _align, bits = fmt
+    if audio_fmt != 1 or bits != 16:
+        raise AudioFormatError(
+            f"unsupported WAV variant (fmt={audio_fmt} bits={bits})"
+        )
+    if len(data) % (2 * n_channels):
+        raise AudioFormatError("truncated sample data")
+    samples = struct.unpack(f"<{len(data) // 2}h", data)
+    n_frames = len(samples) // n_channels
+    return {
+        "fmt": "wav",
+        "sample_rate": sample_rate,
+        "n_channels": n_channels,
+        "n_samples": n_frames,
+        "duration_ms": n_frames * 1000 // sample_rate,
+        "sample_sum": sum(samples),
+        "peak": max((abs(s) for s in samples), default=0),
+    }
+
+
+def decode_audio_batches(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """mapInPandas over REAL WAV containers: header walk + full sample
+    traversal, emitting rate/duration and exact sample statistics. Same
+    partition-local zero-shuffle shape as decode_image_batches."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [parse_wav(bytes(p)) for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "fmt": [d["fmt"] for d in decoded],
+                    "sample_rate": [d["sample_rate"] for d in decoded],
+                    "n_channels": [d["n_channels"] for d in decoded],
+                    "n_samples": [d["n_samples"] for d in decoded],
+                    "duration_ms": [d["duration_ms"] for d in decoded],
+                    "sample_sum": [d["sample_sum"] for d in decoded],
+                    "peak": [d["peak"] for d in decoded],
+                }
+            )
+
+    return df.mapInPandas(run, AUDIO_SCHEMA)

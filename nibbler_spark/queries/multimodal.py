@@ -298,3 +298,71 @@ def ext_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "features", lambda e: F.round(e.cast("double"), 4)
         ).alias("features"),
     ).orderBy("doc_id")
+
+
+@register(
+    "ext_audio_decode_wav",
+    survey_id="EXT-MM-WAV",
+    category="multimodal",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, 8 + doc_id % 25 AS n
+  FROM documents WHERE doc_id % 19 = 0
+),
+s AS (
+  SELECT d.doc_id, d.n, ((d.doc_id * 31 + 7 * i.i) % 4096) - 2048 AS v
+  FROM d CROSS JOIN generate_series(0, 32) AS i(i)
+  WHERE i.i < d.n
+)
+SELECT doc_id, 'wav' AS fmt,
+       CAST(8000 AS INT) AS sample_rate,
+       CAST(1 AS INT) AS n_channels,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
+       CAST(SUM(v) AS BIGINT) AS sample_sum,
+       CAST(MAX(ABS(v)) AS INT) AS peak
+FROM s GROUP BY doc_id, n ORDER BY doc_id
+""",
+)
+def ext_audio_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end, the WAV analogue of EXT-MM-BMP:
+    each sampled document becomes an actual mono 16-bit PCM WAV (RIFF
+    header + fmt/data subchunks, samples from a deterministic
+    per-(doc, i) formula) in one Arrow stage; a second Arrow stage
+    walks the RIFF chunk list back (`operators/multimodal.py:parse_wav`
+    — subchunk traversal, not fixed offsets, since real files carry
+    LIST/fact chunks) and emits rate, duration, and exact sample
+    statistics, recomputed in closed form by the oracle. No codec
+    library involved; both stages are partition-local mapInPandas with
+    zero shuffles at any corpus size."""
+    import pandas as _pd
+
+    from nibbler_spark.operators.multimodal import (
+        decode_audio_batches,
+        encode_wav,
+    )
+
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 19 == 0
+    ).select("doc_id")
+
+    def encode(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                n = 8 + did % 25
+                payloads.append(
+                    encode_wav(
+                        n,
+                        8000,
+                        lambda i, did=did: ((did * 31 + 7 * i) % 4096)
+                        - 2048,
+                    )
+                )
+            yield _pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    encoded = d.mapInPandas(encode, "doc_id long, payload binary")
+    return decode_audio_batches(encoded).orderBy("doc_id")

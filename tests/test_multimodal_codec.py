@@ -162,3 +162,68 @@ def test_decode_image_batches_arrow_path(spark):
             (i % 256) + x + y for x in range(w) for y in range(h)
         )
         assert out[i]["pixel_sum"] == expect
+
+
+class TestWavCodec:
+    def test_roundtrip_stats(self):
+        import random
+
+        from nibbler_spark.operators.multimodal import encode_wav, parse_wav
+
+        rng = random.Random(42)
+        for _ in range(50):
+            n = rng.randint(1, 200)
+            rate = rng.choice([8000, 16000, 44100])
+            samples = [rng.randint(-32768, 32767) for _ in range(n)]
+            d = parse_wav(encode_wav(n, rate, lambda i, s=samples: s[i]))
+            assert d["fmt"] == "wav"
+            assert d["sample_rate"] == rate
+            assert d["n_channels"] == 1
+            assert d["n_samples"] == n
+            assert d["duration_ms"] == n * 1000 // rate
+            assert d["sample_sum"] == sum(samples)
+            assert d["peak"] == max(abs(s) for s in samples)
+
+    def test_chunk_walk_skips_unknown_chunks(self):
+        """Real WAV files interleave LIST/fact chunks before data — the
+        parser must walk the chunk list, not assume fixed offsets."""
+        import struct
+
+        from nibbler_spark.operators.multimodal import encode_wav, parse_wav
+
+        plain = encode_wav(4, 8000, lambda i: i * 100)
+        fmt_chunk = plain[12:36]
+        data_chunk = plain[36:]
+        junk = struct.pack("<4sI", b"LIST", 6) + b"INFOxx"
+        body = fmt_chunk + junk + data_chunk
+        riff = struct.pack("<4sI4s", b"RIFF", 4 + len(body), b"WAVE") + body
+        d = parse_wav(riff)
+        assert d["n_samples"] == 4
+        assert d["sample_sum"] == 0 + 100 + 200 + 300
+
+    def test_rejects_non_wav(self):
+        import pytest as _pytest
+
+        from nibbler_spark.operators.multimodal import (
+            AudioFormatError,
+            parse_wav,
+        )
+
+        with _pytest.raises(AudioFormatError):
+            parse_wav(b"OggS" + b"\x00" * 40)
+
+    def test_rejects_non_pcm(self):
+        import struct
+
+        import pytest as _pytest
+
+        from nibbler_spark.operators.multimodal import (
+            AudioFormatError,
+            encode_wav,
+            parse_wav,
+        )
+
+        payload = bytearray(encode_wav(4, 8000, lambda i: 0))
+        struct.pack_into("<H", payload, 20, 3)  # IEEE float fmt tag
+        with _pytest.raises(AudioFormatError):
+            parse_wav(bytes(payload))
