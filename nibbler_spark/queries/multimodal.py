@@ -366,3 +366,72 @@ def ext_audio_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     encoded = d.mapInPandas(encode, "doc_id long, payload binary")
     return decode_audio_batches(encoded).orderBy("doc_id")
+
+
+@register(
+    "ext_video_decode_avi",
+    survey_id="EXT-MM-AVI",
+    category="multimodal",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, 2 + doc_id % 4 AS nf
+  FROM documents WHERE doc_id % 29 = 0
+),
+b AS (
+  SELECT d.doc_id, d.nf,
+         (d.doc_id * 13 + f.f * 5 + j.j * 3) % 256 AS v
+  FROM d
+  CROSS JOIN generate_series(0, 5) AS f(f)
+  CROSS JOIN generate_series(0, 11) AS j(j)
+  WHERE f.f < d.nf
+)
+SELECT doc_id, 'avi' AS fmt,
+       CAST(2 AS INT) AS width, CAST(2 AS INT) AS height,
+       CAST(nf AS INT) AS n_frames,
+       CAST(33333 AS INT) AS us_per_frame,
+       CAST(nf * 12 AS BIGINT) AS frame_bytes,
+       CAST(SUM(v) AS BIGINT) AS frame_sum
+FROM b GROUP BY doc_id, nf ORDER BY doc_id
+""",
+)
+def ext_video_decode_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-container decode, completing the image/audio/video
+    triad: each sampled document becomes an actual AVI (RIFF chunk tree
+    — hdrl with a truthful avih + strl, movi with one '00db' chunk per
+    uncompressed 2x2 DIB frame) whose frame bytes follow a
+    deterministic per-(doc, frame, byte) formula; the parser
+    (`operators/multimodal.py:parse_avi`) walks the nested LIST
+    structure, cross-checks the declared frame count against the movi
+    chunks, and traverses every frame byte. The oracle recomputes the
+    statistics in closed form. Same two-Arrow-stage zero-shuffle shape
+    as EXT-MM-BMP/EXT-MM-WAV."""
+    import pandas as _pd
+
+    from nibbler_spark.operators.multimodal import (
+        decode_video_batches,
+        encode_avi,
+    )
+
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 29 == 0
+    ).select("doc_id")
+
+    def encode(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                nf = 2 + did % 4
+                frames = [
+                    bytes(
+                        (did * 13 + f * 5 + j * 3) % 256 for j in range(12)
+                    )
+                    for f in range(nf)
+                ]
+                payloads.append(encode_avi(frames, 2, 2, 33333))
+            yield _pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    encoded = d.mapInPandas(encode, "doc_id long, payload binary")
+    return decode_video_batches(encoded).orderBy("doc_id")

@@ -227,3 +227,65 @@ class TestWavCodec:
         struct.pack_into("<H", payload, 20, 3)  # IEEE float fmt tag
         with _pytest.raises(AudioFormatError):
             parse_wav(bytes(payload))
+
+
+class TestAviCodec:
+    def test_roundtrip_stats(self):
+        import random
+
+        from nibbler_spark.operators.multimodal import encode_avi, parse_avi
+
+        rng = random.Random(7)
+        for _ in range(30):
+            w, h = rng.randint(1, 4), rng.randint(1, 4)
+            nf = rng.randint(1, 6)
+            frames = [
+                bytes(rng.randrange(256) for _ in range(3 * w * h))
+                for _ in range(nf)
+            ]
+            d = parse_avi(encode_avi(frames, w, h, 40000))
+            assert d["fmt"] == "avi"
+            assert (d["width"], d["height"]) == (w, h)
+            assert d["n_frames"] == nf
+            assert d["frame_bytes"] == nf * 3 * w * h
+            assert d["frame_sum"] == sum(sum(f) for f in frames)
+
+    def test_odd_length_frames_word_aligned(self):
+        """RIFF chunks pad odd sizes to word boundaries — the padding
+        byte must not leak into frame statistics."""
+        from nibbler_spark.operators.multimodal import encode_avi, parse_avi
+
+        frames = [b"\xff" * 3, b"\x01" * 3]  # odd chunk bodies
+        d = parse_avi(encode_avi(frames, 1, 1, 1000))
+        assert d["frame_bytes"] == 6
+        assert d["frame_sum"] == 3 * 255 + 3 * 1
+
+    def test_rejects_non_avi(self):
+        import pytest as _pytest
+
+        from nibbler_spark.operators.multimodal import (
+            VideoFormatError,
+            parse_avi,
+        )
+
+        with _pytest.raises(VideoFormatError):
+            parse_avi(b"RIFF\x04\x00\x00\x00WAVE")
+
+    def test_rejects_frame_count_mismatch(self):
+        import struct
+
+        import pytest as _pytest
+
+        from nibbler_spark.operators.multimodal import (
+            VideoFormatError,
+            encode_avi,
+            parse_avi,
+        )
+
+        payload = bytearray(encode_avi([b"\x00" * 12], 2, 2, 1000))
+        # avih dwTotalFrames sits 16 bytes into the avih body; find it
+        # via the chunk id to stay robust to layout changes.
+        at = payload.index(b"avih") + 8 + 16
+        struct.pack_into("<I", payload, at, 5)
+        with _pytest.raises(VideoFormatError):
+            parse_avi(bytes(payload))
