@@ -661,3 +661,144 @@ def ext_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("boiler_frac").desc(), "doc_id")
     )
+
+
+@register(
+    "ext_training_data_pipeline",
+    survey_id="EXT-PIPELINE",
+    category="llm-training-prep",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, text, n_chars,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+),
+input_stage AS (
+  SELECT COUNT(*) AS n_units, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+  FROM base
+),
+quality AS (
+  SELECT * FROM base WHERE n_chars >= 100 AND n_tokens >= 20
+),
+dedup AS (
+  SELECT * FROM quality
+  WHERE doc_id IN (
+    SELECT MIN(doc_id) FROM quality GROUP BY md5(text)
+  )
+),
+grams AS (
+  SELECT doc_id,
+         list_transform(
+           generate_series(1, GREATEST(len(string_split(text, ' ')) - {_NGRAM_N - 1}, 0)),
+           i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+                || ' ' || string_split(text, ' ')[i+2] || ' ' || string_split(text, ' ')[i+3]
+                || ' ' || string_split(text, ' ')[i+4]) AS gs
+  FROM base
+),
+eval_grams AS (
+  SELECT DISTINCT g FROM (
+    SELECT UNNEST(gs) AS g FROM grams WHERE doc_id % 97 = 0
+  )
+),
+contaminated AS (
+  SELECT DISTINCT gr.doc_id
+  FROM (SELECT doc_id, UNNEST(gs) AS g FROM grams WHERE doc_id % 97 <> 0) gr
+  JOIN eval_grams e ON gr.g = e.g
+),
+clean AS (
+  SELECT * FROM dedup
+  WHERE doc_id % 97 <> 0
+    AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+)
+SELECT stage, n_units, n_tokens FROM (
+  SELECT '0_input' AS stage, n_units, n_tokens FROM input_stage
+  UNION ALL
+  SELECT '1_quality', COUNT(*), CAST(SUM(n_tokens) AS BIGINT) FROM quality
+  UNION ALL
+  SELECT '2_dedup', COUNT(*), CAST(SUM(n_tokens) AS BIGINT) FROM dedup
+  UNION ALL
+  SELECT '3_decontam', COUNT(*), CAST(SUM(n_tokens) AS BIGINT) FROM clean
+  UNION ALL
+  SELECT '4_packed',
+         CAST(CEIL(CAST(SUM(n_tokens) AS DOUBLE) / {_PACK_CTX}) AS BIGINT),
+         CAST(SUM(n_tokens) AS BIGINT)
+  FROM clean
+) ORDER BY stage
+""",
+)
+def ext_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end pretraining-data funnel as ONE declarative DAG:
+    quality gate (length floors) → exact dedup (min-doc_id per content
+    hash) → eval-split decontamination (drop docs sharing any 5-gram
+    with the held-out split) → concat-and-chunk packing, reported as a
+    per-stage funnel of surviving documents and tokens ('4_packed'
+    counts 256-token training sequences instead of documents).
+
+    Composes the family's individual operators in their production
+    order; Catalyst sees the whole chain, so the quality filter prunes
+    before the dedup shuffle and the gram explode runs only on
+    survivors of neither. Each stage's corpus-volume cost is one keyed
+    aggregation (content hash, gram, none); the eval gram set
+    broadcasts exactly as in EXT-DECONTAM. All counts integer ⇒ exact.
+    """
+    d = load_table(spark, sf_dir, "documents").repartition(32)
+    toks = F.split("text", " ")
+    base = d.select(
+        "doc_id",
+        "text",
+        "n_chars",
+        F.size(toks).alias("n_tokens"),
+    )
+    quality = base.where(
+        (F.col("n_chars") >= 100) & (F.col("n_tokens") >= 20)
+    )
+    keep = quality.groupBy(F.md5("text").alias("k")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    dedup = quality.join(keep.select("doc_id"), "doc_id", "left_semi")
+    grams = base.select(
+        "doc_id",
+        F.array_distinct(
+            _token_ngrams(F.split("text", " "), _NGRAM_N)
+        ).alias("gs"),
+    )
+    is_eval = F.col("doc_id") % 97 == 0
+    eval_grams = (
+        grams.where(is_eval)
+        .select(F.explode("gs").alias("g"))
+        .distinct()
+    )
+    contaminated = (
+        grams.where(~is_eval)
+        .select("doc_id", F.explode_outer("gs").alias("g"))
+        .where(F.col("g").isNotNull())
+        .join(F.broadcast(eval_grams), "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = dedup.where(~is_eval).join(
+        contaminated, "doc_id", "left_anti"
+    )
+
+    def stage(name, df_):
+        return df_.agg(
+            F.lit(name).alias("stage"),
+            F.count("*").alias("n_units"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+
+    packed = clean.agg(
+        F.lit("4_packed").alias("stage"),
+        F.ceil(
+            F.sum("n_tokens").cast("double") / F.lit(_PACK_CTX)
+        ).cast("bigint").alias("n_units"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+    )
+    return (
+        stage("0_input", base)
+        .unionByName(stage("1_quality", quality))
+        .unionByName(stage("2_dedup", dedup))
+        .unionByName(stage("3_decontam", clean))
+        .unionByName(packed)
+        .orderBy("stage")
+    )
