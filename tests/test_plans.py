@@ -361,3 +361,16 @@ def test_boilerplate_reference_set_broadcast(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_training_pipeline_filter_pushdown_and_broadcasts(spark, sf_dir):
+    """The funnel composite must push the quality floor into the scan
+    (pruning before the dedup shuffle), broadcast the eval gram set,
+    and never degrade to a cartesian."""
+    plan = _plan(spark, sf_dir, "ext_training_data_pipeline")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("n_chars" in ln for ln in pushed), (
+        f"quality floor not pushed to scan:\n{pushed}"
+    )
