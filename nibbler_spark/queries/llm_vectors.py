@@ -1530,3 +1530,112 @@ def ext_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pos",
         F.col("w").cast("decimal(18,10)").cast("double").alias("weight"),
     ).orderBy("pos")
+
+
+@register(
+    "ext_ivf_persisted",
+    survey_id="EXT-IVF-PERSIST",
+    category="llm-vector",
+    oracle=f"""
+WITH ex AS (
+  SELECT label, i AS pos,
+         CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1e10) AS BIGINT) AS v
+  FROM embeddings, generate_series(1, 64) AS g(i)
+),
+centroids AS (
+  SELECT label, LIST(c ORDER BY pos) AS centroid FROM (
+    SELECT label, pos, (CAST(SUM(v) AS DOUBLE) / 1e10) / COUNT(v) AS c
+    FROM ex GROUP BY label, pos
+  ) GROUP BY label
+),
+qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+coarse AS (
+  SELECT label, {sql_cosine('centroid', 'q')} AS csim
+  FROM centroids, qv
+  ORDER BY csim DESC, label LIMIT 2
+)
+SELECT e.vec_id, e.label, {sql_cosine('e.embedding', 'qv.q')} AS cos_sim
+FROM embeddings e, qv
+WHERE e.label IN (SELECT label FROM coarse) AND e.vec_id <> 0
+ORDER BY cos_sim DESC, e.vec_id LIMIT 10
+""",
+)
+def ext_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF index LIFECYCLE, not just the math: the build phase
+    writes the corpus as label-PARTITIONED parquet (each coarse cell =
+    one partition directory — the on-disk inverted lists) plus a
+    centroid side table; the query phase reads ONLY the nprobe=2
+    probed cells back via static partition pruning (the scan never
+    touches other cells' files) and brute-forces inside them. Must
+    return exactly what the inline EXT-IVF computes — same oracle —
+    proving the persistence roundtrip is lossless (float arrays are
+    bit-exact through parquet).
+
+    The two probe labels cross the driver as a 2-element list — that is
+    the real access pattern of a vector store issuing cell reads, and
+    it is what makes the pruning STATIC (visible as PartitionFilters in
+    the scan, asserted by the plan test) rather than a runtime filter.
+    """
+    import os as _os
+    import tempfile as _tempfile
+
+    e = load_table(spark, sf_dir, "embeddings")
+    tag = _os.path.basename(sf_dir.rstrip("/")) or "sf"
+    root = _os.path.join(_tempfile.gettempdir(), f"nibbler-ivf-{tag}")
+    corpus_dir = _os.path.join(root, "cells")
+    cent_dir = _os.path.join(root, "centroids")
+    marker = _os.path.join(root, "_READY")
+    if not _os.path.exists(marker):
+        ex = e.select(
+            "label", F.posexplode("embedding").alias("pos", "val")
+        ).select(
+            "label",
+            "pos",
+            F.floor(F.col("val").cast("double") * F.lit(1e10)).alias("v"),
+        )
+        cent = (
+            ex.groupBy("label", "pos")
+            .agg(
+                (
+                    (F.sum("v").cast("double") / F.lit(1e10)) / F.count("v")
+                ).alias("c")
+            )
+            .groupBy("label")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                    lambda s: s["c"],
+                ).alias("centroid")
+            )
+        )
+        e.write.mode("overwrite").partitionBy("label").parquet(corpus_dir)
+        cent.write.mode("overwrite").parquet(cent_dir)
+        open(marker, "w").close()
+    qv = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    cent_t = spark.read.parquet(cent_dir)
+    probes = [
+        r["label"]
+        for r in (
+            cent_t.crossJoin(F.broadcast(qv))
+            .select(
+                "label", cosine(F.col("centroid"), F.col("q")).alias("csim")
+            )
+            .orderBy(F.col("csim").desc(), F.col("label"))
+            .limit(2)
+            .collect()
+        )
+    ]
+    cells = spark.read.parquet(corpus_dir).where(
+        F.col("label").isin(probes)
+    )
+    return (
+        cells.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            F.col("label").cast("int").alias("label"),
+            cosine(F.col("embedding"), F.col("q")).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(10)
+    )

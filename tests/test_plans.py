@@ -374,3 +374,14 @@ def test_training_pipeline_filter_pushdown_and_broadcasts(spark, sf_dir):
     assert any("n_chars" in ln for ln in pushed), (
         f"quality floor not pushed to scan:\n{pushed}"
     )
+
+
+def test_ivf_persisted_partition_pruning(spark, sf_dir):
+    """The persisted-IVF probe must read only the probed cells: the
+    corpus scan carries a PartitionFilters entry on label (static
+    pruning — other cells' files are never opened)."""
+    plan = _plan(spark, sf_dir, "ext_ivf_persisted")
+    part = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any("label" in ln and "IN" in ln.upper() for ln in part), (
+        f"no label partition filter on the cell scan:\n{part}"
+    )
