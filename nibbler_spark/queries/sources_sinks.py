@@ -304,3 +304,29 @@ def a15_cached_relation_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "a17_orc_roundtrip",
+    survey_id="A17",
+    category="sink",
+    oracle="""
+SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate FROM orders
+WHERE o_orderstatus = 'O' ORDER BY o_orderkey
+""",
+)
+def a17_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC batch sink + re-read — the third columnar container after
+    parquet and the text formats. ORC keeps its own type system
+    (DATE/TIMESTAMP/DECIMAL encodings differ from parquet), so the
+    roundtrip proving values and types survive bit-exactly is a real
+    check, not a copy of A9; the oracle reads the original parquet
+    through DuckDB, so any ORC encode/decode drift hash-fails."""
+    path = _tmp(sf_dir, "orders-o-orc")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "O"
+    )
+    o.select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    ).write.mode("overwrite").orc(path)
+    return spark.read.orc(path).orderBy("o_orderkey")
