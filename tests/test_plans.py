@@ -385,3 +385,13 @@ def test_ivf_persisted_partition_pruning(spark, sf_dir):
     assert any("label" in ln and "IN" in ln.upper() for ln in part), (
         f"no label partition filter on the cell scan:\n{part}"
     )
+
+
+def test_triangle_count_all_joins_equi(spark, sf_dir):
+    """Triangle enumeration must stay equi-join end-to-end (edge build
+    on block keys, wedge join on the shared vertex, closure semi-join
+    on the (x, y) pair) — any nested-loop here is the Σdeg² hub
+    blowup the degree-ordered orientation exists to avoid."""
+    plan = _plan(spark, sf_dir, "ext_triangle_count")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
