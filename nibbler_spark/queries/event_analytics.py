@@ -802,12 +802,11 @@ def ext_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ewma, 4).alias("ewma"),
         F.round((F.col("n") - ewma) / ewma, 4).alias("dev"),
     )
-    w = Window.orderBy(F.abs(F.col("dev")).desc(), "event_type", "day")
+    # orderBy+limit = TakeOrderedAndProject over the daily aggregate.
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= 20)
-        .select("event_type", "day", "n", "ewma", "dev")
+        scored.select("event_type", "day", "n", "ewma", "dev")
         .orderBy(F.abs(F.col("dev")).desc(), "event_type", "day")
+        .limit(20)
     )
 
 

@@ -1067,10 +1067,12 @@ def ext_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", F.explode(F.split("text", " ")).alias("tok")
     )
     global_counts = toks.groupBy("tok").agg(F.count("*").alias("c"))
-    w = Window.orderBy(F.col("c").desc(), "tok")
+    # orderBy+limit = TakeOrderedAndProject; the token vocabulary is
+    # corpus-derived, so an unpartitioned rank window over it would
+    # single-partition a potentially huge aggregate.
     vocab = (
-        global_counts.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= 1000)
+        global_counts.orderBy(F.col("c").desc(), "tok")
+        .limit(1000)
         .select("tok")
     )
     per_lang = (

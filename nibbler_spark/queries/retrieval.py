@@ -140,12 +140,13 @@ def ext_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_query_terms",
         )
     )
-    w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    # orderBy+limit plans as TakeOrderedAndProject (per-partition top-k,
+    # driver-side merge of 20 rows) — a row_number over an unpartitioned
+    # window here would single-partition every scored document.
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= 20)
-        .select("doc_id", "bm25", "n_query_terms")
+        scored.select("doc_id", "bm25", "n_query_terms")
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(20)
     )
 
 

@@ -331,13 +331,8 @@ def ext_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) / F.lit(float(16**12))
     ekey = F.floor(-F.log(u) / F.col("n_chars") * 1e10).cast("bigint")
     keyed = d.select("doc_id", "n_chars", ekey.alias("ekey"))
-    w = Window.orderBy("ekey", "doc_id")
-    return (
-        keyed.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= 25)
-        .select("doc_id", "n_chars", "ekey")
-        .orderBy("ekey", "doc_id")
-    )
+    # orderBy+limit = TakeOrderedAndProject — no unpartitioned window.
+    return keyed.orderBy("ekey", "doc_id").limit(25)
 
 
 @register(
@@ -496,12 +491,12 @@ def ext_streak_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_streaks"),
         F.sum("streak_len").alias("n_active_days"),
     )
-    w_top = Window.orderBy(F.col("max_streak").desc(), "user_id")
+    # orderBy+limit = TakeOrderedAndProject — no unpartitioned window
+    # over the (user-scale) best table.
     return (
-        best.withColumn("rn", F.row_number().over(w_top))
-        .where(F.col("rn") <= 50)
-        .select("user_id", "max_streak", "n_streaks", "n_active_days")
+        best.select("user_id", "max_streak", "n_streaks", "n_active_days")
         .orderBy(F.col("max_streak").desc(), "user_id")
+        .limit(50)
     )
 
 
@@ -555,13 +550,8 @@ def ext_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c",
     )
     agg = pairs.groupBy("pair").agg(F.sum("c").cast("bigint").alias("w"))
-    w_rank = Window.orderBy(F.col("w").desc(), "pair")
-    return (
-        agg.withColumn("rn", F.row_number().over(w_rank))
-        .where(F.col("rn") <= 20)
-        .select("pair", "w")
-        .orderBy(F.col("w").desc(), "pair")
-    )
+    # orderBy+limit = TakeOrderedAndProject over the pair vocabulary.
+    return agg.orderBy(F.col("w").desc(), "pair").limit(20)
 
 
 @register(
@@ -644,14 +634,10 @@ def ext_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_boiler") > 0)
     )
-    w = Window.orderBy(
-        (F.col("n_boiler").cast("double") / F.col("n_grams")).desc(),
-        "doc_id",
-    )
+    # orderBy+limit = TakeOrderedAndProject — no unpartitioned window
+    # over the (corpus-sized) per-doc table.
     return (
-        per_doc.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= 50)
-        .select(
+        per_doc.select(
             "doc_id",
             "n_grams",
             "n_boiler",
@@ -660,6 +646,7 @@ def ext_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy(F.col("boiler_frac").desc(), "doc_id")
+        .limit(50)
     )
 
 

@@ -395,3 +395,34 @@ def test_triangle_count_all_joins_equi(spark, sf_dir):
     plan = _plan(spark, sf_dir, "ext_triangle_count")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+@pytest.mark.parametrize(
+    ("qname", "windows_allowed"),
+    [
+        ("ext_bm25_topk", False),
+        ("ext_weighted_sample", False),
+        ("ext_boilerplate_ngrams", False),
+        ("ext_streak_lengths", True),  # keyed gaps-and-islands window ok
+        ("ext_vocab_coverage", False),
+    ],
+)
+def test_topk_plans_take_ordered_not_global_window(
+    spark, sf_dir, qname, windows_allowed
+):
+    """Corpus-scale top-k must plan as TakeOrderedAndProject
+    (per-partition top-k + driver merge of k rows) — a row_number over
+    an unpartitioned window would single-partition the scored table.
+    Queries may keep windows PARTITIONED by a key; none may carry an
+    unpartitioned one."""
+    plan = _plan(spark, sf_dir, qname)
+    assert "TakeOrderedAndProject" in plan
+    if windows_allowed:
+        # every window spec must carry a partition column before the
+        # ordering spec (windowspecdefinition(key..., ord ASC ...))
+        specs = [
+            ln for ln in plan.splitlines() if "windowspecdefinition" in ln
+        ]
+        assert all("user_id" in ln for ln in specs), specs
+    else:
+        assert "Window" not in plan
