@@ -48,3 +48,36 @@ def sql_dsum(expr: str) -> str:
 def sql_davg(expr: str) -> str:
     """DuckDB spelling of :func:`davg`."""
     return f"CAST(SUM(CAST({expr} AS {DEC_SQL})) AS DOUBLE) / COUNT({expr})"
+
+
+def two_phase_rank(df, bucket: Column, order_cols: list[Column], out: str):
+    """Global dense row-number WITHOUT an unpartitioned window — the
+    Blelloch two-pass applied to ranking: (1) per-bucket row counts
+    (tiny aggregate) take a cumulative sum over the bucket ordering and
+    broadcast back as each bucket's rank offset; (2) a row_number
+    PARTITIONED by bucket adds the within-bucket position.
+
+    ``bucket`` must be coarse-monotone in ``order_cols`` — every row of
+    an earlier bucket sorts strictly before every row of a later one
+    (e.g. bucket = value // width when ordering by value asc, or
+    -(value // width) for desc). Result is identical to
+    ``row_number() OVER (ORDER BY order_cols)`` at any partition count.
+    """
+    from pyspark.sql import Window
+
+    tagged = df.withColumn("_rk_bucket", bucket)
+    counts = tagged.groupBy("_rk_bucket").agg(F.count("*").alias("_rk_n"))
+    w_b = (
+        Window.orderBy("_rk_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "_rk_bucket",
+        F.coalesce(F.sum("_rk_n").over(w_b), F.lit(0)).alias("_rk_off"),
+    )
+    w_in = Window.partitionBy("_rk_bucket").orderBy(*order_cols)
+    return (
+        tagged.join(F.broadcast(offsets), "_rk_bucket")
+        .withColumn(out, F.col("_rk_off") + F.row_number().over(w_in))
+        .drop("_rk_bucket", "_rk_off")
+    )

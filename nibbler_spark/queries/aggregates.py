@@ -1147,13 +1147,15 @@ def ext_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("spend")
     )
-    w = Window.orderBy(F.col("spend").desc(), F.col("o_custkey"))
-    ranked = cust.select(
-        "o_custkey",
-        "spend",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(Window.partitionBy()).alias("n_cust"),
-    )
+    from nibbler_spark.queries._helpers import two_phase_rank
+
+    n_cust_row = cust.agg(F.count("*").alias("n_cust"))
+    ranked = two_phase_rank(
+        cust,
+        -(F.col("spend") / 10000).cast("bigint"),
+        [F.col("spend").desc(), F.col("o_custkey")],
+        "rn",
+    ).crossJoin(F.broadcast(n_cust_row))
     top_n = F.ceil(F.col("n_cust") / 10.0).cast("bigint")
     zero = F.lit(0).cast("decimal(28,8)")
     return ranked.agg(
@@ -1299,11 +1301,18 @@ def ext_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("spend")
     )
-    w = Window.orderBy("spend", "o_custkey")
-    ranked = cust.select(
-        "spend",
-        F.row_number().over(w).alias("i"),
-        F.count("*").over(Window.partitionBy()).alias("n"),
+    from nibbler_spark.queries._helpers import two_phase_rank
+
+    n_row = cust.agg(F.count("*").alias("n"))
+    ranked = (
+        two_phase_rank(
+            cust,
+            (F.col("spend") / 10000).cast("bigint"),
+            [F.col("spend"), F.col("o_custkey")],
+            "i",
+        )
+        .crossJoin(F.broadcast(n_row))
+        .select("spend", "i", "n")
     )
     gini = (
         F.lit(2.0)

@@ -226,20 +226,29 @@ def ext_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     across engines with no quantization needed. At scale each leg's
     rank comes from its own top-k (TakeOrderedAndProject), and the
     fusion join is on doc_id over two k-row sides — broadcast both."""
+    from nibbler_spark.queries._helpers import two_phase_rank
+
     d = load_table(spark, sf_dir, "documents")
     n_tok = F.size(
         F.regexp_extract_all(
             "text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0
         )
     )
-    ranked = d.select(
-        "doc_id",
-        F.row_number()
-        .over(Window.orderBy(F.desc("n_chars"), F.asc("doc_id")))
-        .alias("r_len"),
-        F.row_number()
-        .over(Window.orderBy(n_tok.desc(), F.asc("doc_id")))
-        .alias("r_tok"),
+    base = d.select("doc_id", "n_chars", n_tok.alias("n_tok"))
+    # Each leg's full-corpus rank runs as the two-phase bucketed
+    # row_number (value-range buckets, coarse-monotone in the ordering)
+    # — never an unpartitioned window over the corpus.
+    ranked = two_phase_rank(
+        base,
+        -(F.col("n_chars") / 64).cast("bigint"),
+        [F.desc("n_chars"), F.asc("doc_id")],
+        "r_len",
+    )
+    ranked = two_phase_rank(
+        ranked,
+        -(F.col("n_tok") / 8).cast("bigint"),
+        [F.desc("n_tok"), F.asc("doc_id")],
+        "r_tok",
     )
     rrf = 1.0 / (60 + F.col("r_len")) + 1.0 / (60 + F.col("r_tok"))
     return (

@@ -426,3 +426,20 @@ def test_topk_plans_take_ordered_not_global_window(
         assert all("user_id" in ln for ln in specs), specs
     else:
         assert "Window" not in plan
+
+
+@pytest.mark.parametrize(
+    "qname", ["ext_rrf_fusion", "ext_pareto_share", "ext_gini_coefficient"]
+)
+def test_full_rank_queries_use_bucketed_windows(spark, sf_dir, qname):
+    """Full-corpus ranks (not top-k) must come from the two-phase
+    bucketed row_number: every window spec in the plan either carries
+    the _rk_bucket partition or is the tiny bucket-level prefix sum —
+    no row_number over an unpartitioned corpus-scale window."""
+    plan = _plan(spark, sf_dir, qname)
+    specs = [
+        ln for ln in plan.splitlines() if "windowspecdefinition" in ln
+    ]
+    assert specs
+    for ln in specs:
+        assert "_rk_bucket" in ln, f"unbucketed window spec: {ln}"
