@@ -1108,7 +1108,7 @@ def ext_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
     )
     seeds = toks.crossJoin(
-        spark.range(0, 8).select(F.col("id").alias("seed"))
+        F.broadcast(spark.range(0, 8).select(F.col("id").alias("seed")))
     )
     hashes = seeds.groupBy("doc_id", "seed").agg(
         F.min(
