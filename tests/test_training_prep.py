@@ -103,3 +103,56 @@ def test_ngram_helper_short_doc_yields_empty(spark):
     out = [r["gs"] for r in df.collect()]
     assert out[0] == []
     assert out[1] == ["a b c d e", "b c d e f"]
+
+
+def test_two_phase_rank_equals_global_row_number(spark):
+    """Property: for random (value, id) rows and any coarse-monotone
+    bucket width, the two-phase bucketed rank must equal row_number()
+    over the single global ordering — ascending and descending."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from nibbler_spark.queries._helpers import two_phase_rank
+
+    rng = random.Random(123)
+    for trial in range(5):
+        rows = [
+            (i, rng.randint(0, 500)) for i in range(rng.randint(5, 120))
+        ]
+        df = spark.createDataFrame(rows, "id long, v long")
+        width = rng.choice([1, 7, 64, 1000])
+        # ascending
+        got = {
+            r["id"]: r["rk"]
+            for r in two_phase_rank(
+                df,
+                (F.col("v") / width).cast("bigint"),
+                [F.col("v"), F.col("id")],
+                "rk",
+            ).collect()
+        }
+        expect = {
+            rid: i + 1
+            for i, (rid, _) in enumerate(
+                sorted(rows, key=lambda t: (t[1], t[0]))
+            )
+        }
+        assert got == expect, f"asc trial {trial} width {width}"
+        # descending
+        got = {
+            r["id"]: r["rk"]
+            for r in two_phase_rank(
+                df,
+                -(F.col("v") / width).cast("bigint"),
+                [F.col("v").desc(), F.col("id")],
+                "rk",
+            ).collect()
+        }
+        expect = {
+            rid: i + 1
+            for i, (rid, _) in enumerate(
+                sorted(rows, key=lambda t: (-t[1], t[0]))
+            )
+        }
+        assert got == expect, f"desc trial {trial} width {width}"
