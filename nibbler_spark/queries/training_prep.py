@@ -789,3 +789,62 @@ def ext_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(packed)
         .orderBy("stage")
     )
+
+
+@register(
+    "ext_grouped_packing",
+    survey_id="EXT-PACK-GROUPED",
+    category="llm-training-prep",
+    oracle=f"""
+WITH sized AS (
+  SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+),
+cum AS (
+  SELECT lang, doc_id, n_tokens,
+         SUM(n_tokens) OVER (
+           PARTITION BY lang ORDER BY doc_id) AS cum_tokens
+  FROM sized
+)
+SELECT lang, doc_id, n_tokens,
+       CAST((cum_tokens - n_tokens) // {_PACK_CTX} AS BIGINT) AS first_seq,
+       CAST((cum_tokens - 1) // {_PACK_CTX} AS BIGINT) AS last_seq
+FROM cum
+WHERE doc_id % 10 = 0
+ORDER BY lang, doc_id
+""",
+)
+def ext_grouped_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language concat-and-chunk packing: each language packs into
+    its OWN sequence stream (language-homogeneous training batches, the
+    standard multilingual setup) — and unlike the global variant this
+    needs no two-phase trick at any scale, because the prefix sum is
+    already PARTITIONED by the grouping key: one hash exchange on lang,
+    then an ordinary keyed window. The contrast with EXT-PACK is the
+    point: group-local order ⇒ plain window; global order ⇒ Blelloch
+    two-pass. Integer arithmetic ⇒ exact; output sampled to every 10th
+    doc to bound rows.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sized = d.select(
+        "lang",
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    cum = sized.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    first_seq = (
+        (F.col("cum_tokens") - F.col("n_tokens")) / _PACK_CTX
+    ).cast("bigint")
+    last_seq = ((F.col("cum_tokens") - 1) / _PACK_CTX).cast("bigint")
+    return (
+        cum.where(F.col("doc_id") % 10 == 0)
+        .select(
+            "lang",
+            "doc_id",
+            "n_tokens",
+            first_seq.alias("first_seq"),
+            last_seq.alias("last_seq"),
+        )
+        .orderBy("lang", "doc_id")
+    )
