@@ -1404,3 +1404,97 @@ def ext_streaming_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "seed int, bucket int, cell bigint"
     ).orderBy("seed", "bucket")
+
+
+_DOC_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+
+def _docs_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize documents as a parquet file-drop dir (cached per sf)."""
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    d = os.path.join(tempfile.gettempdir(), f"nibbler-docstream-{tag}")
+    marker = os.path.join(d, "_READY")
+    if not os.path.exists(marker):
+        load_table(spark, sf_dir, "documents").coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+        open(marker, "w").close()
+    return d
+
+
+from nibbler_spark.queries.training_prep import DECONTAM_ORACLE  # noqa: E402
+
+
+@register(
+    "ext_stream_decontaminate",
+    survey_id="EXT-DECONTAM-S",
+    category="streaming",
+    mode="parity",
+    oracle=DECONTAM_ORACLE,  # the streamed result must match the batch operator verbatim
+)
+def ext_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time decontamination: the batch eval-split n-gram check
+    (EXT-DECONTAM) applied to documents AS THEY ARRIVE. The eval gram
+    set is computed once batch-side (static, benchmark-sized) and rides
+    a stream-static broadcast hash join as ONE row holding the gram
+    array; every incoming document shingle-izes row-locally and counts
+    matches with a stateless array_intersect — no streaming state, no
+    watermark, so the operator composes with any ingest topology.
+    After an availableNow drain the result must equal the batch
+    operator exactly (same oracle).
+
+    Row-local intersect is the right shape HERE even though the batch
+    path prefers the exploded hash probe: a stream map stage cannot
+    re-aggregate per doc without state, and per-row set probes are the
+    price of statelessness at ingest (bounded by eval-set size).
+    """
+    from nibbler_spark.queries.training_prep import (
+        _NGRAM_N,
+        _token_ngrams,
+    )
+
+    d_static = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    is_eval = F.col("doc_id") % 97 == 0
+    eval_arr = (
+        d_static.where(is_eval)
+        .select(
+            F.explode(
+                F.array_distinct(_token_ngrams(toks, _NGRAM_N))
+            ).alias("g")
+        )
+        .distinct()
+        .agg(F.array_sort(F.collect_list("g")).alias("earr"))
+        .withColumn("k", F.lit(1))
+    )
+    src = spark.readStream.schema(_DOC_SCHEMA).parquet(
+        _docs_dir(spark, sf_dir)
+    )
+    stream = (
+        src.where(~is_eval)
+        .select(
+            "doc_id",
+            F.array_distinct(_token_ngrams(toks, _NGRAM_N)).alias("gs"),
+        )
+        .withColumn("k", F.lit(1))
+        .join(F.broadcast(eval_arr), "k")
+        .select(
+            "doc_id",
+            F.size(F.array_intersect("gs", "earr")).alias("n_matched"),
+            F.size("gs").alias("n_grams"),
+        )
+        .where(F.col("n_matched") >= 1)
+        .select(
+            "doc_id",
+            "n_matched",
+            "n_grams",
+            (F.col("n_matched").cast("double") / F.col("n_grams")).alias(
+                "contamination"
+            ),
+        )
+    )
+    out = _drain_to_memory(stream, "append")
+    return out.orderBy("doc_id")
+

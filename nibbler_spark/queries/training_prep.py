@@ -51,11 +51,7 @@ def _token_ngrams(toks_col, n: int):
     ).otherwise(F.array().cast("array<string>"))
 
 
-@register(
-    "ext_decontaminate_ngram",
-    survey_id="EXT-DECONTAM",
-    category="llm-training-prep",
-    oracle=f"""
+DECONTAM_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents
 ),
@@ -89,7 +85,14 @@ SELECT m.doc_id, m.n_matched, t.n_grams,
        CAST(m.n_matched AS DOUBLE) / t.n_grams AS contamination
 FROM matched m JOIN totals t ON m.doc_id = t.doc_id
 ORDER BY m.doc_id
-""",
+"""
+
+
+@register(
+    "ext_decontaminate_ngram",
+    survey_id="EXT-DECONTAM",
+    category="llm-training-prep",
+    oracle=DECONTAM_ORACLE,
 )
 def ext_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval-set decontamination: flag training documents sharing any
