@@ -851,3 +851,125 @@ def ext_grouped_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "doc_id")
     )
+
+
+@register(
+    "ext_bpe_merge_round",
+    survey_id="EXT-BPE-ROUND",
+    category="llm-training-prep",
+    oracle="""
+WITH words AS (
+  SELECT tok, COUNT(*) AS c FROM (
+    SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents
+  ) GROUP BY tok
+),
+pairs1 AS (
+  SELECT UNNEST(list_transform(generate_series(1, length(tok) - 1),
+                               i -> substr(tok, i, 2))) AS pair, c
+  FROM words WHERE length(tok) >= 2
+),
+top1 AS (
+  SELECT pair, substr(pair, 1, 1) AS a, substr(pair, 2, 1) AS b
+  FROM (
+    SELECT pair, SUM(c) AS w FROM pairs1 GROUP BY pair
+    ORDER BY w DESC, pair LIMIT 1
+  )
+),
+seqs AS (
+  SELECT array_to_string(string_split(tok, ''), ' ') AS seq, c
+  FROM words WHERE length(tok) >= 2
+),
+merged AS (
+  SELECT string_split(REPLACE(seq, a || ' ' || b, a || b), ' ') AS ms,
+         c, top1.pair AS applied
+  FROM seqs CROSS JOIN top1
+),
+pairs2 AS (
+  SELECT applied,
+         UNNEST(list_transform(generate_series(1, len(ms) - 1),
+                               i -> ms[i] || '+' || ms[i+1])) AS pair,
+         c
+  FROM merged WHERE len(ms) >= 2
+)
+SELECT applied AS merge_rule, pair, CAST(SUM(c) AS BIGINT) AS w
+FROM pairs2 GROUP BY applied, pair
+ORDER BY w DESC, pair LIMIT 20
+""",
+)
+def ext_bpe_merge_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One FULL BPE training round, exactly: take the argmax pair from
+    the corpus-weighted adjacent-pair counts (EXT-BPE's output), APPLY
+    that merge to every word's symbol sequence, and recount pairs over
+    the merged sequences — the next round's statistics, with merged
+    symbols now composing with their neighbours.
+
+    The merge application is declarative string algebra: symbol
+    sequences are space-joined, and REPLACE's left-to-right
+    non-overlapping semantics (identical in Spark and DuckDB, verified)
+    are exactly BPE's greedy merge order — no UDF, no fold. Still runs
+    on the word-frequency table (the BPE trick), so a round is two
+    vocabulary-scale aggregates + a 1-row broadcast of the chosen rule;
+    a driver loop extends to k merges. Integer weights ⇒ exact.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .where(F.length("tok") >= 2)
+        .localCheckpoint()
+    )
+    pairs1 = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("tok") - 1),
+                lambda i: F.substring("tok", i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "c",
+    )
+    top1 = (
+        pairs1.groupBy("pair")
+        .agg(F.sum("c").alias("w"))
+        .orderBy(F.col("w").desc(), "pair")
+        .limit(1)
+        .select(
+            "pair",
+            F.substring("pair", 1, 1).alias("a"),
+            F.substring("pair", 2, 1).alias("b"),
+        )
+    )
+    seqs = words.select(
+        F.concat_ws(" ", F.split("tok", "")).alias("seq"), "c"
+    )
+    merged = seqs.crossJoin(F.broadcast(top1)).select(
+        F.split(
+            F.replace(
+                F.col("seq"),
+                F.concat(F.col("a"), F.lit(" "), F.col("b")),
+                F.concat(F.col("a"), F.col("b")),
+            ),
+            " ",
+        ).alias("ms"),
+        "c",
+        F.col("pair").alias("applied"),
+    )
+    pairs2 = merged.where(F.size("ms") >= 2).select(
+        "applied",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ms") - 1),
+                lambda i: F.concat_ws(
+                    "+", F.element_at("ms", i), F.element_at("ms", i + 1)
+                ),
+            )
+        ).alias("pair"),
+        "c",
+    )
+    return (
+        pairs2.groupBy("applied", "pair")
+        .agg(F.sum("c").cast("bigint").alias("w"))
+        .select(F.col("applied").alias("merge_rule"), "pair", "w")
+        .orderBy(F.col("w").desc(), "pair")
+        .limit(20)
+    )
