@@ -668,3 +668,182 @@ def tq22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+@register(
+    "tq13_customer_distribution",
+    survey_id="EXT-TPCH",
+    category="tpch",
+    oracle="""
+WITH c_orders AS (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey
+   AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+SELECT c_count, COUNT(*) AS custdist
+FROM c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+)
+def tq13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 analogue (customer order-count distribution): LEFT
+    join so zero-order customers land in the c_count=0 bucket, with the
+    order-side predicate in the JOIN CONDITION (not a post-filter —
+    the Q13 trap: filtering after the left join would drop the
+    zero-order customers). The reduced schema has no o_comment, so the
+    excluded class is '1-URGENT' orders instead of the comment regex;
+    the double aggregation (per customer, then per count) is the query's
+    point. Both aggregations are integer counts ⇒ exact; both shuffle
+    on keys that shrink at each step (custkey → c_count)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    c_orders = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        c_orders.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@register(
+    "tq15_top_supplier",
+    survey_id="EXT-TPCH",
+    category="tpch",
+    oracle=f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no, {_SQL_REVENUE} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01'
+    AND l_shipdate < DATE '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s.s_suppkey
+""",
+)
+def tq15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): quarterly revenue per supplier, then
+    the supplier(s) achieving the maximum. The revenue CTE is one keyed
+    aggregate over the date-pruned scan; the max is a 1-row broadcast
+    compared by EQUALITY — safe only because the revenue values are
+    exact-decimal sums cast to double, so both engines (and any
+    partitioning) produce bit-identical doubles (the _helpers
+    discipline is what makes Q15's equality predicate deterministic at
+    all). Supplier join broadcasts the dimension."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-04-01")
+    )
+    revenue = li.groupBy(
+        F.col("l_suppkey").alias("supplier_no")
+    ).agg(_revenue().alias("total_revenue"))
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("mx"))
+        .join(
+            F.broadcast(s),
+            F.col("supplier_no") == F.col("s_suppkey"),
+        )
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "tq21_suppliers_who_kept_waiting",
+    survey_id="EXT-TPCH",
+    category="tpch",
+    oracle="""
+WITH late AS (
+  SELECT l.l_orderkey, l.l_suppkey
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderstatus = 'F'
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+  GROUP BY l.l_orderkey, l.l_suppkey
+),
+order_supp AS (
+  SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS n_supp
+  FROM lineitem GROUP BY l_orderkey
+),
+late_supp AS (
+  SELECT l_orderkey, COUNT(*) AS n_late
+  FROM late GROUP BY l_orderkey
+),
+blamed AS (
+  SELECT late.l_suppkey, late.l_orderkey
+  FROM late
+  JOIN order_supp USING (l_orderkey)
+  JOIN late_supp USING (l_orderkey)
+  WHERE order_supp.n_supp > 1 AND late_supp.n_late = 1
+)
+SELECT s.s_name, n.n_name, COUNT(*) AS numwait
+FROM blamed b
+JOIN supplier s ON b.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY s.s_name, n.n_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 20
+""",
+)
+def tq21_suppliers_who_kept_waiting(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q21 analogue (suppliers who kept orders waiting): for
+    finalized orders with MULTIPLE suppliers, find the supplier who was
+    the ONLY late one — the classic exists/not-exists pair, rewritten
+    as two keyed aggregates (suppliers per order, late suppliers per
+    order) joined back: the aggregate form shuffles each table once on
+    l_orderkey instead of running two correlated subqueries per row,
+    which is how the exists pair should execute at 100 TB anyway. The
+    reduced schema has no commit/receipt dates, so "late" is
+    l_shipdate > o_orderdate + 90 days. Integer counts ⇒ exact;
+    top-20 is a TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    )
+    late = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .where(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    order_supp = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp")
+    )
+    late_supp = late.groupBy(
+        F.col("l_orderkey").alias("ls_orderkey")
+    ).agg(F.count("*").alias("n_late"))
+    blamed = (
+        late.join(order_supp, "l_orderkey")
+        .join(
+            late_supp, F.col("l_orderkey") == F.col("ls_orderkey")
+        )
+        .where((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .select("l_suppkey", "l_orderkey")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        blamed.join(
+            F.broadcast(s), blamed.l_suppkey == s.s_suppkey
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("s_name", "n_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
