@@ -471,3 +471,70 @@ def ext_dynamic_partition_pruning(
         .agg(F.count("*").alias("n"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "ext_join_skew_report",
+    survey_id="EXT-SKEW-REPORT",
+    category="scale",
+    oracle="""
+WITH per_key AS (
+  SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey
+),
+stats AS (
+  SELECT COUNT(*) AS n_keys,
+         CAST(SUM(n) AS BIGINT) AS n_rows,
+         CAST(MAX(n) AS BIGINT) AS max_key_rows
+  FROM per_key
+),
+heavy AS (
+  SELECT o_custkey, n FROM per_key
+  ORDER BY n DESC, o_custkey LIMIT 5
+)
+SELECT h.o_custkey AS heavy_key,
+       CAST(h.n AS BIGINT) AS key_rows,
+       s.n_keys, s.n_rows, s.max_key_rows,
+       CAST(s.max_key_rows AS DOUBLE)
+         / (CAST(s.n_rows AS DOUBLE) / s.n_keys) AS skew_ratio,
+       CAST(CEIL(CAST(s.max_key_rows AS DOUBLE)
+            / (CAST(s.n_rows AS DOUBLE) / s.n_keys)) AS BIGINT)
+         AS suggested_salt
+FROM heavy h CROSS JOIN stats s
+ORDER BY key_rows DESC, heavy_key
+""",
+)
+def ext_join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic: per-key row counts for a prospective
+    join key (o_custkey), the five heaviest keys, and the skew ratio
+    max/mean — whose ceiling is the salting factor EXT-SALT-JOIN would
+    apply. The report a pipeline runs BEFORE choosing between plain
+    shuffle, AQE skew-join, and explicit salting.
+
+    One keyed aggregate (map-side combined) reduces the table to its
+    key histogram; global stats reduce that to one broadcast row, and
+    the top-5 is a TakeOrderedAndProject. Integer counts divide to
+    bit-identical doubles.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    per_key = o.groupBy("o_custkey").agg(F.count("*").alias("n"))
+    stats = per_key.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.max("n").cast("bigint").alias("max_key_rows"),
+    )
+    heavy = per_key.orderBy(F.col("n").desc(), "o_custkey").limit(5)
+    mean = F.col("n_rows").cast("double") / F.col("n_keys")
+    ratio = F.col("max_key_rows").cast("double") / mean
+    return (
+        heavy.crossJoin(F.broadcast(stats))
+        .select(
+            F.col("o_custkey").alias("heavy_key"),
+            F.col("n").cast("bigint").alias("key_rows"),
+            "n_keys",
+            "n_rows",
+            "max_key_rows",
+            ratio.alias("skew_ratio"),
+            F.ceil(ratio).cast("bigint").alias("suggested_salt"),
+        )
+        .orderBy(F.col("key_rows").desc(), "heavy_key")
+    )
