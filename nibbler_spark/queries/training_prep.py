@@ -973,3 +973,79 @@ def ext_bpe_merge_round(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("w").desc(), "pair")
         .limit(20)
     )
+
+
+@register(
+    "ext_curriculum_packing",
+    survey_id="EXT-CURRICULUM",
+    category="llm-training-prep",
+    oracle=f"""
+WITH sized AS (
+  SELECT doc_id, n_chars // 100 AS band,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, band, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY band, doc_id) AS cum_tokens
+  FROM sized
+)
+SELECT doc_id, CAST(band AS BIGINT) AS band, n_tokens,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens,
+       CAST((cum_tokens - n_tokens) // {_PACK_CTX} AS BIGINT) AS first_seq,
+       CAST((cum_tokens - 1) // {_PACK_CTX} AS BIGINT) AS last_seq
+FROM cum
+WHERE doc_id % 10 = 0
+ORDER BY band, doc_id
+""",
+)
+def ext_curriculum_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-ordered packing: documents stream into training
+    sequences ordered by a difficulty band FIRST (shorter docs early —
+    the easy-to-hard curriculum), doc_id second. Shows the two-phase
+    prefix sum under a COMPOSITE global ordering: the coarse bucket is
+    band * 4096 + doc_id // 64, monotone in (band, doc_id) as long as
+    the per-band id-bucket count stays under the 4096 stride (holds
+    through sf1; the stride is a constant to widen with the id range).
+    Same shape as EXT-PACK otherwise: bucket totals → kilobyte prefix →
+    broadcast offsets → bucket-partitioned window. Output sampled to
+    every 10th doc to bound rows; integer arithmetic ⇒ exact.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    band = (F.col("n_chars") / 100).cast("bigint")
+    sized = d.select(
+        "doc_id",
+        band.alias("band"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        (band * 4096 + (F.col("doc_id") / 64).cast("bigint")).alias(
+            "bucket"
+        ),
+    )
+    bucket_tot = sized.groupBy("bucket").agg(
+        F.sum("n_tokens").alias("btok")
+    )
+    w_b = Window.orderBy("bucket")
+    offsets = bucket_tot.select(
+        "bucket",
+        (F.sum("btok").over(w_b) - F.col("btok")).alias("offset"),
+    )
+    w_in = Window.partitionBy("bucket").orderBy("band", "doc_id")
+    cum = sized.join(F.broadcast(offsets), "bucket").withColumn(
+        "cum_tokens", F.col("offset") + F.sum("n_tokens").over(w_in)
+    )
+    first_seq = (
+        (F.col("cum_tokens") - F.col("n_tokens")) / _PACK_CTX
+    ).cast("bigint")
+    last_seq = ((F.col("cum_tokens") - 1) / _PACK_CTX).cast("bigint")
+    return (
+        cum.where(F.col("doc_id") % 10 == 0)
+        .select(
+            "doc_id",
+            "band",
+            "n_tokens",
+            "cum_tokens",
+            first_seq.alias("first_seq"),
+            last_seq.alias("last_seq"),
+        )
+        .orderBy("band", "doc_id")
+    )
