@@ -387,6 +387,20 @@ def test_ivf_persisted_partition_pruning(spark, sf_dir):
     )
 
 
+def test_embedding_neardup_lsh_candidates_not_allpairs(spark, sf_dir):
+    """The r2 verdict's one scale-killer: near-dup pairs must come from
+    the banded-LSH candidate equi-join on (band_id, band_val) — never a
+    label-only (or unconditioned) self-join of the embedding table. The
+    exact-cosine verify then runs on candidates alone."""
+    plan = _plan(spark, sf_dir, "ext_embedding_neardup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # band keys participate in the candidate join
+    assert "band_id" in plan and "band_val" in plan
+    # no join keyed on label at all (the old all-pairs block)
+    assert "label" not in plan
+
+
 def test_triangle_count_all_joins_equi(spark, sf_dir):
     """Triangle enumeration must stay equi-join end-to-end (edge build
     on block keys, wedge join on the shared vertex, closure semi-join
