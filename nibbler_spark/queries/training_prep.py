@@ -975,6 +975,133 @@ def ext_bpe_merge_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_train_oracle(rounds: int) -> str:
+    """Unrolled-CTE oracle for multi-round BPE training: each round
+    re-counts symbol pairs, takes the (w DESC, a, b) argmax, and applies
+    the merge with the unit-separator-delimited REPLACE — identical
+    left-to-right non-overlapping semantics in both engines."""
+    sep = "chr(31)"
+    parts = [
+        """
+WITH words AS (
+  SELECT tok, COUNT(*) AS c FROM (
+    SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents
+  ) GROUP BY tok
+),
+s0 AS (SELECT string_split(tok, '') AS ms, c FROM words WHERE length(tok) >= 2)"""
+    ]
+    for r in range(1, rounds + 1):
+        prev = f"s{r - 1}"
+        parts.append(
+            f""",
+p{r} AS (
+  SELECT UNNEST(list_transform(generate_series(1, len(ms) - 1),
+                i -> {{'a': ms[i], 'b': ms[i + 1]}})) AS p, c
+  FROM {prev} WHERE len(ms) >= 2
+),
+t{r} AS (
+  SELECT a, b, w FROM (
+    SELECT p.a AS a, p.b AS b, CAST(SUM(c) AS BIGINT) AS w
+    FROM p{r} GROUP BY 1, 2
+  ) ORDER BY w DESC, a, b LIMIT 1
+),
+s{r} AS (
+  SELECT string_split(
+           TRIM(REPLACE({sep} || array_to_string(ms, {sep} || {sep}) || {sep},
+                        {sep} || t{r}.a || {sep} || {sep} || t{r}.b || {sep},
+                        {sep} || t{r}.a || t{r}.b || {sep}),
+                {sep}),
+           {sep} || {sep}) AS ms, c
+  FROM {prev} CROSS JOIN t{r}
+)"""
+        )
+    unions = "\n  UNION ALL ".join(
+        f"SELECT {r} AS round, a, b, a || b AS merged, w FROM t{r}"
+        for r in range(1, rounds + 1)
+    )
+    parts.append(f"\nSELECT * FROM (\n  {unions}\n) ORDER BY round")
+    return "".join(parts)
+
+
+_BPE_SEP = "\x1f"  # unit separator: never occurs in document text
+
+
+@register(
+    "ext_bpe_train_8rounds",
+    survey_id="EXT-BPE-TRAIN",
+    category="llm-training-prep",
+    oracle=_bpe_train_oracle(8),
+)
+def ext_bpe_train_8rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-round BPE tokenizer training (r2 verdict next-round #3):
+    eight full merge rounds — round 6 merges 'm'+'er', a multi-char
+    symbol, so the run genuinely exercises the case the delimiters
+    exist for. Each round is boundary-safe for MULTI-character
+    symbols — the r2 single-round REPLACE was only safe while symbols
+    were single chars. Every symbol is wrapped in unit separators
+    (sep+sym+sep, joined so interior boundaries are sep+sep), so the
+    pair pattern sep+a+sep+sep+b+sep can only match whole symbols;
+    REPLACE's left-to-right non-overlapping pass is exactly the
+    classic BPE merge application, identically in Spark and DuckDB.
+
+    Scale shape: the corpus collapses to the word-frequency table ONCE
+    (the only corpus-scale shuffle); each round is then a
+    vocabulary-scale explode→aggregate, a 1-row argmax collect (the
+    bounded convergence-check pattern), and a broadcast-literal merge
+    application with localCheckpoint to keep the lineage flat. A real
+    run iterates this loop to vocab size; weights are integer-exact so
+    the merge list hash-matches the unrolled-CTE oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .where(F.length("tok") >= 2)
+        .localCheckpoint()
+    )
+    cur = words.select(F.split("tok", "").alias("ms"), "c")
+    sep2 = _BPE_SEP + _BPE_SEP
+    rules = []
+    for rnd in range(1, 9):
+        pairs = cur.where(F.size("ms") >= 2).select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ms") - 1),
+                    lambda i: F.struct(
+                        F.element_at(F.col("ms"), i).alias("a"),
+                        F.element_at(F.col("ms"), i + 1).alias("b"),
+                    ),
+                )
+            ).alias("p"),
+            "c",
+        )
+        top = (
+            pairs.groupBy(
+                F.col("p.a").alias("a"), F.col("p.b").alias("b")
+            )
+            .agg(F.sum("c").cast("bigint").alias("w"))
+            .orderBy(F.col("w").desc(), "a", "b")
+            .limit(1)
+            .collect()[0]
+        )
+        a, b, w = top["a"], top["b"], top["w"]
+        rules.append((rnd, a, b, a + b, w))
+        wrapped = F.concat(
+            F.lit(_BPE_SEP), F.concat_ws(sep2, "ms"), F.lit(_BPE_SEP)
+        )
+        merged = F.replace(
+            wrapped,
+            F.lit(_BPE_SEP + a + _BPE_SEP + _BPE_SEP + b + _BPE_SEP),
+            F.lit(_BPE_SEP + a + b + _BPE_SEP),
+        )
+        cur = cur.select(
+            F.split(F.btrim(merged, F.lit(_BPE_SEP)), sep2).alias("ms"), "c"
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        rules, "round int, a string, b string, merged string, w bigint"
+    )
+
+
 @register(
     "ext_curriculum_packing",
     survey_id="EXT-CURRICULUM",
