@@ -1465,9 +1465,13 @@ def ext_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ex.join(F.broadcast(st), "i")
         .withColumn(
             "code",
-            F.least(
-                F.floor((F.col("x") - F.col("mn")) / scale).cast("int"),
-                F.lit(255),
+            # Constant-dimension guard: code 0 (reconstruction mn) when
+            # the per-dim range collapses, matching EXT-SQ8's CASE.
+            F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
+                F.least(
+                    F.floor((F.col("x") - F.col("mn")) / scale).cast("int"),
+                    F.lit(255),
+                )
             ),
         )
         .withColumn("rx", F.col("mn") + F.col("code") * scale)
@@ -1703,15 +1707,12 @@ def ext_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scan, asserted by the plan test) rather than a runtime filter.
     """
     import os as _os
-    import tempfile as _tempfile
+
+    from nibbler_spark.sources.tables import cached_dir
 
     e = load_table(spark, sf_dir, "embeddings")
-    tag = _os.path.basename(sf_dir.rstrip("/")) or "sf"
-    root = _os.path.join(_tempfile.gettempdir(), f"nibbler-ivf-{tag}")
-    corpus_dir = _os.path.join(root, "cells")
-    cent_dir = _os.path.join(root, "centroids")
-    marker = _os.path.join(root, "_READY")
-    if not _os.path.exists(marker):
+
+    def build(tmp: str) -> None:
         ex = e.select(
             "label", F.posexplode("embedding").alias("pos", "val")
         ).select(
@@ -1734,9 +1735,14 @@ def ext_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("centroid")
             )
         )
-        e.write.mode("overwrite").partitionBy("label").parquet(corpus_dir)
-        cent.write.mode("overwrite").parquet(cent_dir)
-        open(marker, "w").close()
+        e.write.mode("overwrite").partitionBy("label").parquet(
+            _os.path.join(tmp, "cells")
+        )
+        cent.write.mode("overwrite").parquet(_os.path.join(tmp, "centroids"))
+
+    root = cached_dir(sf_dir, "embeddings", "ivf", build)
+    corpus_dir = _os.path.join(root, "cells")
+    cent_dir = _os.path.join(root, "centroids")
     qv = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
     cent_t = spark.read.parquet(cent_dir)
     probes = [

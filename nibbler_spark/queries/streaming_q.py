@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from nibbler_spark.queries import register
 from nibbler_spark.queries._helpers import dsum, sql_dsum
 from nibbler_spark.sources import load_table
+from nibbler_spark.sources.tables import cached_dir
 
 _EVENT_SCHEMA = (
     "event_id long, ts timestamp, user_id long, event_type string, "
@@ -32,16 +33,15 @@ _EVENT_SCHEMA = (
 
 
 def _events_dir(spark: SparkSession, sf_dir: str, copies: int = 1) -> str:
-    """Materialize events as a parquet file-drop dir (cached per sf/copies)."""
-    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
-    d = os.path.join(tempfile.gettempdir(), f"nibbler-stream-{tag}-x{copies}")
-    marker = os.path.join(d, "_READY")
-    if not os.path.exists(marker):
+    """Materialize events as a parquet file-drop dir (cached per
+    sf/copies, crash-safe via build-then-rename)."""
+
+    def build(tmp: str) -> None:
         e = load_table(spark, sf_dir, "events")
-        for i in range(copies):
-            e.coalesce(1).write.mode("append").parquet(d)
-        open(marker, "w").close()
-    return d
+        for _ in range(copies):
+            e.coalesce(1).write.mode("append").parquet(tmp)
+
+    return cached_dir(sf_dir, "events", f"stream-x{copies}", build)
 
 
 def _read_stream(spark: SparkSession, d: str) -> DataFrame:
@@ -797,16 +797,15 @@ _DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars lon
 
 
 def _documents_dir(spark: SparkSession, sf_dir: str) -> str:
-    """Materialize documents as a multi-file drop dir (cached per sf)."""
-    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
-    d = os.path.join(tempfile.gettempdir(), f"nibbler-docstream-{tag}")
-    marker = os.path.join(d, "_READY")
-    if not os.path.exists(marker):
+    """Materialize documents as a multi-file drop dir (cached per sf,
+    crash-safe via build-then-rename)."""
+
+    def build(tmp: str) -> None:
         load_table(spark, sf_dir, "documents").repartition(4).write.mode(
             "append"
-        ).parquet(d)
-        open(marker, "w").close()
-    return d
+        ).parquet(tmp)
+
+    return cached_dir(sf_dir, "documents", "docstream", build)
 
 
 @register(
@@ -1438,24 +1437,6 @@ def ext_streaming_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("seed", "bucket")
 
 
-_DOC_SCHEMA = (
-    "doc_id long, text string, lang string, source string, n_chars long"
-)
-
-
-def _docs_dir(spark: SparkSession, sf_dir: str) -> str:
-    """Materialize documents as a parquet file-drop dir (cached per sf)."""
-    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
-    d = os.path.join(tempfile.gettempdir(), f"nibbler-docstream-{tag}")
-    marker = os.path.join(d, "_READY")
-    if not os.path.exists(marker):
-        load_table(spark, sf_dir, "documents").coalesce(1).write.mode(
-            "append"
-        ).parquet(d)
-        open(marker, "w").close()
-    return d
-
-
 from nibbler_spark.queries.training_prep import DECONTAM_ORACLE  # noqa: E402
 
 
@@ -1502,7 +1483,7 @@ def ext_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("k", F.lit(1))
     )
     src = spark.readStream.schema(_DOC_SCHEMA).parquet(
-        _docs_dir(spark, sf_dir)
+        _documents_dir(spark, sf_dir)
     )
     stream = (
         src.where(~is_eval)

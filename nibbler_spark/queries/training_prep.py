@@ -352,8 +352,9 @@ st AS (
 ),
 coded AS (
   SELECT ex.vec_id, ex.i, ex.x, st.mn, st.mx,
-         LEAST(CAST(FLOOR((ex.x - st.mn) / (st.mx - st.mn) * 255.0)
-                    AS INTEGER), 255) AS code
+         CASE WHEN st.mx = st.mn THEN 0
+              ELSE LEAST(CAST(FLOOR((ex.x - st.mn) / (st.mx - st.mn) * 255.0)
+                              AS INTEGER), 255) END AS code
   FROM ex JOIN st ON ex.i = st.i
 ),
 recon AS (
@@ -402,14 +403,21 @@ def ext_sq8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         "x",
         "mn",
         "mx",
-        F.least(
-            F.floor(
-                (F.col("x") - F.col("mn"))
-                / (F.col("mx") - F.col("mn"))
-                * 255.0
-            ).cast("int"),
-            F.lit(255),
-        ).alias("code"),
+        # Constant-dimension guard (mx == mn): code 0, reconstruction mn
+        # — mirrored by the same CASE in the oracle. Without it the 0/0
+        # scale yields NaN codes on any corpus with a degenerate dim.
+        F.when(F.col("mx") == F.col("mn"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor(
+                    (F.col("x") - F.col("mn"))
+                    / (F.col("mx") - F.col("mn"))
+                    * 255.0
+                ).cast("int"),
+                F.lit(255),
+            )
+        )
+        .alias("code"),
     )
     err = F.col("x") - (
         F.col("mn") + F.col("code") * ((F.col("mx") - F.col("mn")) / 255.0)
@@ -1131,20 +1139,24 @@ def ext_curriculum_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequences ordered by a difficulty band FIRST (shorter docs early —
     the easy-to-hard curriculum), doc_id second. Shows the two-phase
     prefix sum under a COMPOSITE global ordering: the coarse bucket is
-    band * 4096 + doc_id // 64, monotone in (band, doc_id) as long as
-    the per-band id-bucket count stays under the 4096 stride (holds
-    through sf1; the stride is a constant to widen with the id range).
-    Same shape as EXT-PACK otherwise: bucket totals → kilobyte prefix →
-    broadcast offsets → bucket-partitioned window. Output sampled to
-    every 10th doc to bound rows; integer arithmetic ⇒ exact.
+    band * stride + doc_id // 64, where the stride is derived at runtime
+    from the table's max doc_id (one 1-row aggregate) so the id-buckets
+    of different bands can never collide at ANY corpus size — the r2
+    advisory flagged the old constant 4096 stride as silently wrong past
+    doc_id 262144. Same shape as EXT-PACK otherwise: bucket totals →
+    kilobyte prefix → broadcast offsets → bucket-partitioned window.
+    Output sampled to every 10th doc to bound rows; integer arithmetic
+    ⇒ exact.
     """
     d = load_table(spark, sf_dir, "documents")
+    max_id = d.agg(F.max("doc_id")).collect()[0][0] or 0
+    stride = max_id // 64 + 1  # id-bucket count: injective for all ids
     band = (F.col("n_chars") / 100).cast("bigint")
     sized = d.select(
         "doc_id",
         band.alias("band"),
         F.size(F.split("text", " ")).alias("n_tokens"),
-        (band * 4096 + (F.col("doc_id") / 64).cast("bigint")).alias(
+        (band * stride + (F.col("doc_id") / 64).cast("bigint")).alias(
             "bucket"
         ),
     )

@@ -35,6 +35,43 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def cached_dir(sf_dir: str, table: str, kind: str, build) -> str:
+    """Crash-safe cached materialization of a derived on-disk layout
+    (file-drop streaming dirs, persisted index cells).
+
+    The r2 advisory flagged the old ``_READY``-marker pattern: a crash
+    between the parquet write and the marker left a partial dir that a
+    rerun APPENDED a second full copy into, and regenerated testdata
+    under the same basename silently served stale caches. Here ``build``
+    writes into a private temp dir that is atomically ``os.rename``d
+    into place (same tmpfs ⇒ atomic; a lost race discards the loser's
+    tmp), and the cache key includes the source table's mtime+size so
+    new testdata can never alias an old cache."""
+    import shutil
+    import tempfile
+    import uuid
+
+    try:
+        st = os.stat(table_path(sf_dir, table))
+        stamp = f"{int(st.st_mtime)}-{st.st_size}"
+    except OSError:
+        stamp = "nosrc"
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    final = os.path.join(
+        tempfile.gettempdir(), f"nibbler-{kind}-{tag}-{stamp}"
+    )
+    if os.path.isdir(final):
+        return final
+    tmp = f"{final}.tmp.{uuid.uuid4().hex[:8]}"
+    build(tmp)
+    try:
+        os.rename(tmp, final)
+    except OSError:
+        # Lost a concurrent race — the winner's dir is complete.
+        shutil.rmtree(tmp, ignore_errors=True)
+    return final
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet batch scan (SURVEY §2.3 A1). Declarative read — Catalyst
     handles predicate pushdown / column pruning into the scan.
