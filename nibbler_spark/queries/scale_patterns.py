@@ -473,6 +473,137 @@ def ext_dynamic_partition_pruning(
     )
 
 
+def _adaptive_scenario(
+    spark: SparkSession, sf_dir: str, skewed: bool
+) -> tuple[DataFrame, str]:
+    """One adaptive-join scenario: measure the fact side's join-key skew
+    (EXT-SKEW-REPORT's statistic), then CONSUME the measurement to pick
+    the physical strategy — broadcast if the dim is policy-small, salted
+    with the suggested factor if the skew ratio crosses the threshold,
+    plain shuffle otherwise. Returns (joined DataFrame, strategy name).
+
+    The decision stats cross the driver as one row (the bounded
+    convergence-check pattern); the salt factor is min(ceil(ratio), 32).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    if skewed:
+        fact = ev.select(
+            "event_id",
+            F.when(F.col("event_id") % 10 < 9, F.lit(1))
+            .otherwise(F.col("user_id"))
+            .alias("user_id"),
+        )
+    else:
+        fact = ev.select("event_id", "user_id")
+    dim = (
+        ev.select("user_id")
+        .distinct()
+        .withColumn(
+            "boost", (F.col("user_id") % 7 + 1).cast("bigint")
+        )
+    )
+    # Policy: dims above this don't broadcast. 10 keeps every fixture
+    # (15/150/1500 distinct users) in the MEASURED branches; the
+    # broadcast arm is the trivial fast path for genuinely tiny dims.
+    broadcast_row_limit = 10
+    stats = (
+        fact.groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .agg(
+            F.count("*").alias("n_keys"),
+            F.sum("n").alias("n_rows"),
+            F.max("n").alias("max_n"),
+        )
+        .collect()[0]
+    )
+    ratio = stats["max_n"] / (stats["n_rows"] / stats["n_keys"])
+    n_dim = dim.count()
+    if n_dim <= broadcast_row_limit:
+        return fact.join(F.broadcast(dim), "user_id"), "broadcast"
+    if ratio < 4.0:
+        return fact.join(dim, "user_id"), "shuffle"
+    n_salt = min(int(-(-ratio // 1)), 32)  # ceil, capped
+    salted = fact.withColumn(
+        "salt", (F.col("event_id") % n_salt).cast("int")
+    )
+    fanned = dim.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+    ).withColumnRenamed("user_id", "d_user_id")
+    joined = salted.join(
+        fanned,
+        (F.col("user_id") == F.col("d_user_id"))
+        & (salted["salt"] == fanned["salt"]),
+    ).select("event_id", "user_id", "boost")
+    return joined, "salted"
+
+
+@register(
+    "ext_adaptive_join_strategy",
+    survey_id="EXT-ADAPTIVE-JOIN",
+    category="scale-pattern",
+    oracle="""
+WITH dim AS (
+  SELECT user_id, CAST(user_id % 7 + 1 AS BIGINT) AS boost
+  FROM (SELECT DISTINCT user_id FROM events)
+),
+fact_skew AS (
+  SELECT event_id,
+         CASE WHEN event_id % 10 < 9 THEN 1 ELSE user_id END AS user_id
+  FROM events
+),
+fact_unif AS (SELECT event_id, user_id FROM events),
+decide_skew AS (
+  SELECT CASE WHEN MAX(n) / (CAST(SUM(n) AS DOUBLE) / COUNT(*)) >= 4.0
+              THEN 'salted' ELSE 'shuffle' END AS strategy
+  FROM (SELECT user_id, COUNT(*) AS n FROM fact_skew GROUP BY user_id)
+),
+decide_unif AS (
+  SELECT CASE WHEN MAX(n) / (CAST(SUM(n) AS DOUBLE) / COUNT(*)) >= 4.0
+              THEN 'salted' ELSE 'shuffle' END AS strategy
+  FROM (SELECT user_id, COUNT(*) AS n FROM fact_unif GROUP BY user_id)
+)
+SELECT * FROM (
+  SELECT 'skewed' AS scenario, d.strategy,
+         COUNT(*) AS n_rows, CAST(SUM(m.boost) AS BIGINT) AS boost_total
+  FROM fact_skew f JOIN dim m ON f.user_id = m.user_id
+  CROSS JOIN decide_skew d GROUP BY d.strategy
+  UNION ALL
+  SELECT 'uniform' AS scenario, d.strategy,
+         COUNT(*) AS n_rows, CAST(SUM(m.boost) AS BIGINT) AS boost_total
+  FROM fact_unif f JOIN dim m ON f.user_id = m.user_id
+  CROSS JOIN decide_unif d GROUP BY d.strategy
+) ORDER BY scenario
+""",
+)
+def ext_adaptive_join_strategy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Skew report → ACTION (r2 verdict next-round #8): the strategy
+    chooser measures the fact key histogram and picks plain shuffle,
+    broadcast, or an N-way salted join with EXT-SKEW-REPORT's suggested
+    factor. Run on both a forced-skew fact (90% of rows on one key →
+    ratio ≈ 0.9·n_keys → salted) and the natural distribution (ratio
+    ~1.3-1.5 → shuffle); both joins' RESULTS are strategy-invariant, so
+    the oracle is the plain join plus the same decision CASE. The plan
+    test asserts salt keys appear in the skewed branch's join and not
+    in the uniform branch's."""
+    out = []
+    for name, skewed in (("skewed", True), ("uniform", False)):
+        joined, strategy = _adaptive_scenario(spark, sf_dir, skewed)
+        out.append(
+            joined.agg(
+                F.count("*").alias("n_rows"),
+                F.sum("boost").cast("bigint").alias("boost_total"),
+            ).select(
+                F.lit(name).alias("scenario"),
+                F.lit(strategy).alias("strategy"),
+                "n_rows",
+                "boost_total",
+            )
+        )
+    return out[0].unionAll(out[1]).orderBy("scenario")
+
+
 @register(
     "ext_join_skew_report",
     survey_id="EXT-SKEW-REPORT",
