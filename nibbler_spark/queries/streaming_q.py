@@ -612,6 +612,121 @@ def i13_checkpoint_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "i17_stateful_kill_restart",
+    survey_id="I17",
+    category="streaming",
+    mode="parity",
+    oracle="""
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events GROUP BY user_id ORDER BY user_id
+""",
+)
+def i17_stateful_kill_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kill-mid-epoch restart of a STATEFUL query (r2 verdict next-round
+    #7, extending i13's stateless restart): the i08 running
+    (count, cents) per-user applyInPandasWithState pipeline is started
+    over one-file-per-trigger epochs, STOPPED as soon as at least one
+    epoch has committed — q.stop() lands wherever it lands, possibly
+    with an epoch in flight between state commit and sink commit — then
+    restarted on the SAME checkpoint with more source files. Exactly-
+    once state recovery means the final per-user state equals the batch
+    aggregate: a lost epoch would leave it short, a double-applied one
+    (state restored from the wrong epoch) would overshoot. The
+    foreachBatch parquet sink may legitimately contain replayed
+    EMISSIONS of an uncommitted epoch; the per-user max collapses those
+    because the recovered state transition is deterministic — max is
+    the right fold for monotone running aggregates, and it converts
+    sink-side at-least-once into an end-to-end exactly-once check."""
+    import time as _time
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    base = tempfile.mkdtemp(prefix="nibbler-i17-")
+    src_dir = os.path.join(base, "src")
+    out_dir = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(src_dir, exist_ok=True)
+    e = load_table(spark, sf_dir, "events")
+
+    def running(key, pdfs, state: GroupState):
+        (user_id,) = key
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += int(pdf["value"].map(lambda v: int(v * 100 // 1)).sum())
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [n], "value_cents": [cents]}
+        )
+
+    def stateful(src):
+        return src.groupBy("user_id").applyInPandasWithState(
+            running,
+            "user_id long, n_events long, value_cents long",
+            "n long, cents long",
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+
+    def sink(batch_df, epoch_id):
+        batch_df.write.mode("append").parquet(out_dir)
+
+    def reader():
+        return (
+            spark.readStream.schema(_EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir + "/*/")
+        )
+
+    # Phase 1: two source files, one epoch each; kill after >= 1 commit.
+    for part in range(2):
+        e.where(F.col("event_id") % 4 == part).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(src_dir, f"part{part}"))
+    q = (
+        stateful(reader())
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    deadline = _time.monotonic() + 60
+    while _time.monotonic() < deadline:
+        if any(p["numInputRows"] > 0 for p in q.recentProgress):
+            break
+        _time.sleep(0.2)
+    q.stop()  # mid-epoch wherever execution happens to be
+    q.awaitTermination()
+
+    # Phase 2: rest of the data, same checkpoint, drain to completion.
+    for part in range(2, 4):
+        e.where(F.col("event_id") % 4 == part).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(src_dir, f"part{part}"))
+    q2 = (
+        stateful(reader())
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("value_cents").alias("value_cents"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
     "a05_file_stream_source",
     survey_id="A5",
     category="streaming",
