@@ -612,6 +612,53 @@ def i13_checkpoint_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a07_kafka_loopback_roundtrip",
+    survey_id="A7",
+    category="streaming",
+    mode="parity",
+    oracle="""
+SELECT event_id, user_id, event_type, value
+FROM events ORDER BY event_id
+""",
+)
+def a07_kafka_loopback_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Kafka pipeline minus the broker (r2 verdict next-round #6): the
+    producer serde JSON-encodes events into the exact
+    (key, value, topic, partition, offset, timestamp, timestampType)
+    record schema, hash-partitioned on the key with per-partition
+    contiguous offsets; the loopback transport streams those records
+    from a file-drop dir with the same columns/types format("kafka")
+    would serve; the subscriber serde (verbatim production code —
+    decode_kafka_json) parses them back. The drained result must equal
+    the original events table, proving encode→transport→decode is
+    lossless. Narrows the A7 gap to broker TRANSPORT only; where the
+    package+broker exist, kafka_source/kafka_sink swap in unchanged."""
+    from nibbler_spark.sources.streams import (
+        decode_kafka_json,
+        kafka_loopback_stream,
+        to_kafka_records,
+    )
+
+    def build(tmp: str) -> None:
+        e = load_table(spark, sf_dir, "events")
+        to_kafka_records(
+            e, topic="events-loop", key_col="event_id", ts_col="ts"
+        ).repartition(4).write.mode("append").parquet(tmp)
+
+    d = cached_dir(sf_dir, "events", "kafka-loop", build)
+    records = kafka_loopback_stream(spark, d, max_files_per_trigger=2)
+    decoded = decode_kafka_json(
+        records,
+        "event_id long, user_id long, event_type string, "
+        "value double, props string",
+    ).select("event_id", "user_id", "event_type", "value")
+    out = _drain_to_memory(decoded, "append")
+    return out.orderBy("event_id")
+
+
+@register(
     "i17_stateful_kill_restart",
     survey_id="I17",
     category="streaming",

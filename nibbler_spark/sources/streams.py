@@ -81,3 +81,92 @@ def kafka_sink(
         .option("topic", topic)
         .option("checkpointLocation", checkpoint_dir)
     )
+
+
+# ---------------------------------------------------------------------------
+# Kafka serde + loopback harness (A7 without a broker)
+# ---------------------------------------------------------------------------
+# The env ships no broker and no spark-sql-kafka package, so transport is
+# the ONLY untestable layer. Everything around it is real code exercised
+# by the loopback: the encode path produces the exact record schema a
+# Kafka sink consumes, the decode path is verbatim what a subscriber runs
+# on `spark.readStream.format("kafka")...load()`, and the loopback
+# transport materializes encoded records to a file-drop dir with the same
+# (key, value, topic, partition, offset, timestamp, timestampType)
+# columns and types the broker would serve.
+
+KAFKA_RECORD_SCHEMA = (
+    "key binary, value binary, topic string, partition int, offset long, "
+    "timestamp timestamp, timestampType int"
+)
+
+
+def to_kafka_records(
+    df: DataFrame,
+    topic: str,
+    key_col: str,
+    ts_col: str,
+    n_partitions: int = 4,
+) -> DataFrame:
+    """Producer-side serde (A7 encode): JSON-encode every column into
+    ``value``, hash-partition on the key like Kafka's default
+    partitioner, and assign per-partition contiguous offsets. On a real
+    broker the offset column is assigned server-side; the loopback
+    assigns it deterministically so the subscriber contract (offsets
+    contiguous per partition from 0) is testable."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    part = F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(n_partitions)).cast(
+        "int"
+    )
+    payload = F.to_json(F.struct(*[c for c in df.columns if c != ts_col]))
+    keyed = df.select(
+        F.col(key_col).cast("string").cast("binary").alias("key"),
+        payload.cast("binary").alias("value"),
+        F.lit(topic).alias("topic"),
+        part.alias("partition"),
+        F.col(ts_col).alias("timestamp"),
+        F.lit(0).alias("timestampType"),
+        F.col(key_col).alias("_ord"),
+    )
+    w = Window.partitionBy("partition").orderBy("timestamp", "_ord")
+    return keyed.withColumn(
+        "offset", (F.row_number().over(w) - 1).cast("long")
+    ).select(
+        "key", "value", "topic", "partition", "offset",
+        "timestamp", "timestampType",
+    )
+
+
+def decode_kafka_json(records: DataFrame, value_schema: str) -> DataFrame:
+    """Subscriber-side serde (A7 decode): exactly what production runs on
+    a Kafka source — CAST the binary value to string, parse the JSON
+    payload against the declared schema, and surface the record
+    metadata. Works identically on a real Kafka load() and on the
+    loopback transport."""
+    from pyspark.sql import functions as F
+
+    return records.select(
+        F.col("key").cast("string").alias("record_key"),
+        F.from_json(F.col("value").cast("string"), value_schema).alias("v"),
+        "topic",
+        "partition",
+        "offset",
+        "timestamp",
+    ).select("record_key", "v.*", "topic", "partition", "offset", "timestamp")
+
+
+def kafka_loopback_stream(
+    spark: SparkSession, records_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """Loopback transport: stream previously-materialized Kafka-schema
+    records from a file-drop dir. The returned DataFrame has the same
+    columns and types as ``format("kafka").load()`` — downstream code
+    cannot tell the difference, which is the point: swap this for
+    :func:`kafka_source` and the pipeline is production."""
+    return (
+        spark.readStream.schema(KAFKA_RECORD_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(records_dir)
+    )

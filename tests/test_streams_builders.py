@@ -61,3 +61,61 @@ def test_kafka_sink_builder_constructs_writer(spark):
     from pyspark.sql.streaming.readwriter import DataStreamWriter
 
     assert isinstance(writer, DataStreamWriter)
+
+
+def test_kafka_serde_roundtrip_batch(spark, sf_dir):
+    """Encode→decode is lossless in batch mode (the loopback query does
+    the streaming version): every business column survives the JSON
+    serde and the record schema matches the Kafka contract exactly."""
+    from nibbler_spark.sources import load_table
+    from nibbler_spark.sources.streams import (
+        decode_kafka_json,
+        to_kafka_records,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    rec = to_kafka_records(e, "t", key_col="event_id", ts_col="ts")
+    assert [f"{f.name}:{f.dataType.simpleString()}" for f in rec.schema] == [
+        "key:binary", "value:binary", "topic:string", "partition:int",
+        "offset:bigint", "timestamp:timestamp", "timestampType:int",
+    ]
+    dec = decode_kafka_json(
+        rec,
+        "event_id long, user_id long, event_type string, "
+        "value double, props string",
+    )
+    back = dec.select("event_id", "user_id", "event_type", "value", "props")
+    orig = e.select("event_id", "user_id", "event_type", "value", "props")
+    assert back.exceptAll(orig).count() == 0
+    assert orig.exceptAll(back).count() == 0
+
+
+def test_kafka_loopback_offsets_contiguous_per_partition(spark, sf_dir):
+    """The loopback honours the subscriber contract a real broker
+    provides: within each partition, offsets run 0..n-1 without gaps,
+    and partitioning is a pure function of the key."""
+    from pyspark.sql import functions as F
+
+    from nibbler_spark.sources import load_table
+    from nibbler_spark.sources.streams import to_kafka_records
+
+    e = load_table(spark, sf_dir, "events")
+    rec = to_kafka_records(e, "t", key_col="event_id", ts_col="ts")
+    per_part = rec.groupBy("partition").agg(
+        F.count("*").alias("n"),
+        F.min("offset").alias("mn"),
+        F.max("offset").alias("mx"),
+        F.count_distinct("offset").alias("nd"),
+    )
+    for r in per_part.collect():
+        assert r["mn"] == 0
+        assert r["mx"] == r["n"] - 1
+        assert r["nd"] == r["n"]
+    # key→partition is deterministic: same key never maps to 2 partitions
+    assert (
+        rec.groupBy("key")
+        .agg(F.count_distinct("partition").alias("np"))
+        .where(F.col("np") > 1)
+        .count()
+        == 0
+    )
