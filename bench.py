@@ -23,7 +23,9 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-RUNS = int(os.environ.get("NIBBLER_BENCH_RUNS", "3"))
+# Median of 5 (r3, was 3): the r2 verdict flagged tq18's +18% drift as
+# likely sf0.1 sampling noise — the wider sample settles per-query drift.
+RUNS = int(os.environ.get("NIBBLER_BENCH_RUNS", "5"))
 
 # Registry names of the headline queries (BASELINE.md plan). Missing names
 # are skipped so the bench degrades gracefully mid-build.
@@ -47,6 +49,11 @@ HEADLINE = [
     # distributed prefix sum — both shapes the scale story leans on.
     "ext_decontaminate_ngram",  # BENCH-K5 (eval n-gram decontamination)
     "ext_sequence_packing",  # BENCH-K6 (concat-and-chunk packing)
+    # r3 additions (verdict next-round #5): the end-to-end curation
+    # funnel and a three-way exists/not-exists rewrite guard the two
+    # composite shapes the per-operator rows don't cover.
+    "ext_training_data_pipeline",  # BENCH-K7 (end-to-end curation funnel)
+    "tq21_suppliers_who_kept_waiting",  # BENCH-B8 (exists/not-exists)
 ]
 
 

@@ -156,3 +156,63 @@ def test_two_phase_rank_equals_global_row_number(spark):
             )
         }
         assert got == expect, f"desc trial {trial} width {width}"
+
+
+def test_bpe_train_matches_classic_sennrich_reference(spark, sf_dir):
+    """Independent validation of the multi-round trainer: a pure-Python
+    classic BPE (Sennrich-style — count adjacent symbol pairs weighted
+    by word frequency, merge the argmax everywhere left-to-right,
+    repeat) must produce the identical 8-round merge list. Unlike the
+    DuckDB oracle, this reference shares NO code or string-REPLACE
+    machinery with the Spark side, so it would catch a delimiter bug
+    that both engines made symmetrically."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from nibbler_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = Counter()
+    for r in (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .where(F.length("tok") >= 2)
+        .collect()
+    ):
+        words[tuple(r["tok"])] = r["c"]
+
+    def merge_word(syms, a, b):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return tuple(out)
+
+    expected = []
+    for rnd in range(1, 9):
+        pairs = Counter()
+        for syms, c in words.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += c
+        (a, b), w = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        expected.append((rnd, a, b, a + b, w))
+        words = Counter(
+            {merge_word(s, a, b): c for s, c in words.items()}
+        )
+
+    got = [
+        (r["round"], r["a"], r["b"], r["merged"], r["w"])
+        for r in load_all()["ext_bpe_train_8rounds"]
+        .spark(spark, sf_dir)
+        .orderBy("round")
+        .collect()
+    ]
+    assert got == expected
