@@ -983,11 +983,13 @@ def ext_bpe_merge_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_train_oracle(rounds: int) -> str:
+def _bpe_train_oracle(rounds: int, final_select: str | None = None) -> str:
     """Unrolled-CTE oracle for multi-round BPE training: each round
     re-counts symbol pairs, takes the (w DESC, a, b) argmax, and applies
     the merge with the unit-separator-delimited REPLACE — identical
-    left-to-right non-overlapping semantics in both engines."""
+    left-to-right non-overlapping semantics in both engines. With
+    ``final_select`` the merge-list union is replaced by a query over
+    the final symbol table s{rounds} (the encode-step oracle)."""
     sep = "chr(31)"
     parts = [
         """
@@ -1023,6 +1025,9 @@ s{r} AS (
   FROM {prev} CROSS JOIN t{r}
 )"""
         )
+    if final_select is not None:
+        parts.append("\n" + final_select.format(final=f"s{rounds}"))
+        return "".join(parts)
     unions = "\n  UNION ALL ".join(
         f"SELECT {r} AS round, a, b, a || b AS merged, w FROM t{r}"
         for r in range(1, rounds + 1)
@@ -1059,6 +1064,15 @@ def ext_bpe_train_8rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     application with localCheckpoint to keep the lineage flat. A real
     run iterates this loop to vocab size; weights are integer-exact so
     the merge list hash-matches the unrolled-CTE oracle."""
+    rules, _ = _bpe_train(spark, sf_dir, rounds=8)
+    return spark.createDataFrame(
+        rules, "round int, a string, b string, merged string, w bigint"
+    )
+
+
+def _bpe_train(spark: SparkSession, sf_dir: str, rounds: int):
+    """Shared BPE training loop: returns (merge rules, final symbol
+    table). See ext_bpe_train_8rounds for the algorithm notes."""
     docs = load_table(spark, sf_dir, "documents")
     words = (
         docs.select(F.explode(F.split("text", " ")).alias("tok"))
@@ -1070,7 +1084,7 @@ def ext_bpe_train_8rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     cur = words.select(F.split("tok", "").alias("ms"), "c")
     sep2 = _BPE_SEP + _BPE_SEP
     rules = []
-    for rnd in range(1, 9):
+    for rnd in range(1, rounds + 1):
         pairs = cur.where(F.size("ms") >= 2).select(
             F.explode(
                 F.transform(
@@ -1105,8 +1119,42 @@ def ext_bpe_train_8rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         cur = cur.select(
             F.split(F.btrim(merged, F.lit(_BPE_SEP)), sep2).alias("ms"), "c"
         ).localCheckpoint()
-    return spark.createDataFrame(
-        rules, "round int, a string, b string, merged string, w bigint"
+    return rules, cur
+
+
+_BPE_ENCODE_FINAL = """
+SELECT symbol, CAST(SUM(c) AS BIGINT) AS w, length(symbol) AS sym_len
+FROM (SELECT UNNEST(ms) AS symbol, c FROM {final})
+GROUP BY symbol ORDER BY w DESC, symbol LIMIT 20
+"""
+
+
+@register(
+    "ext_bpe_encode_corpus",
+    survey_id="EXT-BPE-ENCODE",
+    category="llm-training-prep",
+    oracle=_bpe_train_oracle(8, final_select=_BPE_ENCODE_FINAL),
+)
+def ext_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer's ENCODE step — the other half of BPE that
+    ext_bpe_train_8rounds learns: apply the 8 trained merges in order
+    to every word's symbol sequence and report the corpus-weighted
+    top-20 symbol vocabulary (merged symbols like 'er'/'mer' overtake
+    their constituent characters — the compression the merges buy).
+    Same scale shape as training: the corpus collapses to the word
+    table once; encode is 8 broadcast-literal REPLACE passes over the
+    vocabulary-scale table, never touching the corpus again. Oracle:
+    the unrolled training CTE extended with the final symbol unnest."""
+    _, final = _bpe_train(spark, sf_dir, rounds=8)
+    return (
+        final.select(F.explode("ms").alias("symbol"), "c")
+        .groupBy("symbol")
+        .agg(F.sum("c").cast("bigint").alias("w"))
+        .select(
+            "symbol", "w", F.length("symbol").cast("bigint").alias("sym_len")
+        )
+        .orderBy(F.col("w").desc(), "symbol")
+        .limit(20)
     )
 
 
