@@ -338,6 +338,161 @@ def k05_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Engine-portable MinHash-LSH parameters: 12 md5-derived minhashes in
+# 6 bands of 2. At J = 0.6 a band agrees w.p. 0.36 (expected recall
+# ~93%) — but recall does NOT gate correctness here: the oracle
+# replicates the identical md5 minhashes and banding, so Spark and
+# DuckDB compute the SAME candidate set and the query is hash-checkable
+# end-to-end (unlike k05's MLlib MinHash, whose internal seeds are not
+# SQL-replicable and which therefore declares bounds).
+_PMH_SEEDS = 12
+_PMH_BAND = 2
+
+
+@register(
+    "ext_minhash_lsh_portable",
+    survey_id="EXT-MINHASH-PORT",
+    category="llm-dedup",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, GREATEST(len(s) - 2, 0)),
+           i -> s[i] || ' ' || s[i+1] || ' ' || s[i+2])) AS ts
+  FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents)
+),
+hashed AS (
+  SELECT doc_id, g.seed,
+         CAST(('0x' || substr(md5(g.seed || ':' || tok), 1, 12)) AS BIGINT)
+           AS h
+  FROM (SELECT doc_id, UNNEST(ts) AS tok FROM t)
+  CROSS JOIN generate_series(0, {_PMH_SEEDS - 1}) AS g(seed)
+),
+mins AS (
+  SELECT doc_id, seed, MIN(h) AS mh FROM hashed GROUP BY doc_id, seed
+),
+bands AS (
+  SELECT doc_id, seed // {_PMH_BAND} AS band_id,
+         MIN(CASE WHEN seed % {_PMH_BAND} = 0 THEN mh END) AS v1,
+         MIN(CASE WHEN seed % {_PMH_BAND} = 1 THEN mh END) AS v2
+  FROM mins GROUP BY doc_id, seed // {_PMH_BAND}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.v1 = b.v1 AND a.v2 = b.v2
+   AND a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT doc_a, doc_b,
+         CAST(len(list_intersect(ta.ts, tb.ts)) AS DOUBLE)
+           / (len(ta.ts) + len(tb.ts) - len(list_intersect(ta.ts, tb.ts)))
+           AS jaccard
+  FROM cand JOIN t ta ON cand.doc_a = ta.doc_id
+            JOIN t tb ON cand.doc_b = tb.doc_id
+)
+SELECT doc_a, doc_b, jaccard FROM verified
+WHERE jaccard >= 0.6 ORDER BY doc_a, doc_b
+""",
+)
+def ext_minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """From-scratch engine-portable MinHash-LSH near-dup pipeline,
+    HASH-CHECKABLE end to end: minhash_j(doc) = min over 3-token
+    shingles of an md5-derived 48-bit integer keyed by seed j; 6 bands
+    of 2 minhashes are the LSH keys; candidate pairs sharing any band
+    are verified with exact integer-arithmetic Jaccard at tau = 0.6.
+    Because the hash is md5 (bit-identical in both engines), the oracle
+    reproduces the ENTIRE pipeline — candidates included — so this
+    query hash-matches rather than bounds-checks; the ~93% per-pair
+    band recall at the threshold is a property of the declared
+    semantics, identical on both sides.
+
+    Scale shape: shingle explode → (doc, seed) min-combine (map-side
+    combined, the corpus's one fan-out shuffle), band rows are 6 skinny
+    rows per doc, the candidate join is an equi-join on
+    (band_id, v1, v2), and only candidate pairs ever touch the shingle
+    arrays again (two id-keyed joins)."""
+    d = load_table(spark, sf_dir, "documents").repartition(32)
+    toks = F.split("text", " ")
+    shingles = F.array_distinct(
+        F.when(
+            F.size(toks) >= 3,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(toks, i),
+                    F.element_at(toks, i + 1),
+                    F.element_at(toks, i + 2),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    )
+    t = d.select("doc_id", shingles.alias("ts")).localCheckpoint()
+    hashed = (
+        t.select("doc_id", F.explode("ts").alias("tok"))
+        .crossJoin(
+            spark.range(_PMH_SEEDS).select(F.col("id").cast("int").alias("seed"))
+        )
+        .select(
+            "doc_id",
+            "seed",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("seed").cast("string"),
+                            F.lit(":"),
+                            F.col("tok"),
+                        )
+                    ),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            )
+            .cast("bigint")
+            .alias("h"),
+        )
+    )
+    mins = hashed.groupBy("doc_id", "seed").agg(F.min("h").alias("mh"))
+    bands = mins.groupBy(
+        "doc_id", (F.col("seed") / _PMH_BAND).cast("int").alias("band_id")
+    ).agg(
+        F.min(F.when(F.col("seed") % _PMH_BAND == 0, F.col("mh"))).alias("v1"),
+        F.min(F.when(F.col("seed") % _PMH_BAND == 1, F.col("mh"))).alias("v2"),
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.v1") == F.col("b.v1"))
+            & (F.col("a.v2") == F.col("b.v2"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    n_common = F.size(F.array_intersect(F.col("ta.ts"), F.col("tb.ts")))
+    n_union = F.size(F.col("ta.ts")) + F.size(F.col("tb.ts")) - n_common
+    return (
+        cand.join(t.alias("ta"), F.col("doc_a") == F.col("ta.doc_id"))
+        .join(t.alias("tb"), F.col("doc_b") == F.col("tb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (n_common.cast("double") / n_union).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= 0.6)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 def _hexval(c: Column) -> Column:
     """Hex char → 0..15 using the engine-portable strpos trick."""
     return F.instr(F.lit("0123456789abcdef"), c) - 1
