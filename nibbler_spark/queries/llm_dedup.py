@@ -431,8 +431,12 @@ def ext_minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = d.select("doc_id", shingles.alias("ts")).localCheckpoint()
     hashed = (
         t.select("doc_id", F.explode("ts").alias("tok"))
-        .crossJoin(
-            spark.range(_PMH_SEEDS).select(F.col("id").cast("int").alias("seed"))
+        .select(
+            "doc_id",
+            "tok",
+            F.explode(
+                F.array(*[F.lit(i) for i in range(_PMH_SEEDS)])
+            ).alias("seed"),
         )
         .select(
             "doc_id",

@@ -429,6 +429,17 @@ def test_embedding_neardup_lsh_candidates_not_allpairs(spark, sf_dir):
     assert "label" not in plan
 
 
+def test_portable_minhash_band_equi_join_and_slim_fanout(spark, sf_dir):
+    """The portable MinHash pipeline must generate candidates via the
+    (band_id, v1, v2) equi-join — never a cartesian — and the shingle
+    arrays must not ride the seed fan-out (the hashed relation carries
+    only doc_id, seed, h)."""
+    plan = _plan(spark, sf_dir, "ext_minhash_lsh_portable")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "band_id" in plan
+
+
 def test_triangle_count_all_joins_equi(spark, sf_dir):
     """Triangle enumeration must stay equi-join end-to-end (edge build
     on block keys, wedge join on the shared vertex, closure semi-join
