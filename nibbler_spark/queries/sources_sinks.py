@@ -330,3 +330,81 @@ def a17_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
     ).write.mode("overwrite").orc(path)
     return spark.read.orc(path).orderBy("o_orderkey")
+
+
+def _a18_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared body of a18 (kept separate so tests can reuse it)."""
+    import pandas as pd
+
+    from nibbler_spark.operators.avro_codec import (
+        decode_container,
+        encode_container,
+    )
+
+    fields = [
+        ("event_id", "long"),
+        ("user_id", "long"),
+        ("event_type", "string"),
+        ("value", "double"),
+    ]
+
+    def encode(batches):
+        for pdf in batches:
+            rows = list(
+                zip(
+                    pdf["event_id"],
+                    pdf["user_id"],
+                    pdf["event_type"],
+                    pdf["value"],
+                )
+            )
+            yield pd.DataFrame(
+                {"avro": [encode_container(rows, fields, name="Event")]}
+            )
+
+    def decode(batches):
+        for pdf in batches:
+            for buf in pdf["avro"]:
+                got_fields, rows = decode_container(bytes(buf))
+                assert [n for n, _ in got_fields] == [n for n, _ in fields]
+                yield pd.DataFrame(
+                    rows, columns=[n for n, _ in fields]
+                ).astype(
+                    {"event_id": "int64", "user_id": "int64"}
+                )
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+        .repartition(8)
+    )
+    encoded = e.mapInPandas(encode, "avro binary")
+    return encoded.mapInPandas(
+        decode,
+        "event_id long, user_id long, event_type string, value double",
+    ).orderBy("event_id")
+
+
+@register(
+    "a18_avro_roundtrip",
+    survey_id="A18",
+    category="sink",
+    oracle="""
+SELECT event_id, user_id, event_type, value FROM events ORDER BY event_id
+""",
+)
+def a18_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro interchange without spark-avro: a dependency-free Object
+    Container File codec written from the public Avro spec (the
+    multimodal-parser discipline applied to the remaining format gap —
+    zigzag varints, length-prefixed UTF-8, little-endian doubles, sync-
+    marked blocks, schema carried in the metadata map). Each partition
+    encodes its rows into one complete OCF payload in an Arrow
+    mapInPandas stage; a second stage parses the payloads back using
+    only the embedded schema. The roundtrip must reproduce the events
+    table bit-exactly (hash oracle over the original parquet), so any
+    encode/decode drift — varint, zigzag, double endianness, block
+    framing — hash-fails. Both stages are narrow (no shuffle); at
+    100 TB this is the binary-carriage pattern: bytes stream through
+    Python workers batch-by-batch, never via the driver."""
+    return _a18_impl(spark, sf_dir)

@@ -1,0 +1,79 @@
+"""Unit tests for the dependency-free Avro OCF codec (spec-derived)."""
+
+from __future__ import annotations
+
+import pytest
+
+from nibbler_spark.operators.avro_codec import (
+    MAGIC,
+    decode_container,
+    encode_container,
+    zigzag_decode,
+    zigzag_encode,
+)
+
+# Avro spec's published zigzag/varint vectors.
+SPEC_VECTORS = [
+    (0, b"\x00"),
+    (-1, b"\x01"),
+    (1, b"\x02"),
+    (-2, b"\x03"),
+    (2, b"\x04"),
+    (-64, b"\x7f"),
+    (64, b"\x80\x01"),
+]
+
+
+def test_zigzag_matches_spec_vectors():
+    for n, b in SPEC_VECTORS:
+        assert zigzag_encode(n) == b
+        assert zigzag_decode(b, 0) == (n, len(b))
+
+
+def test_zigzag_roundtrip_extremes():
+    for n in [2**62, -(2**62), 2**40 + 7, -12345678901234]:
+        assert zigzag_decode(zigzag_encode(n), 0)[0] == n
+
+
+FIELDS = [
+    ("id", "long"),
+    ("name", "string"),
+    ("score", "double"),
+    ("ok", "boolean"),
+]
+
+
+def test_container_roundtrip_unicode_negatives_empty_string():
+    rows = [
+        (1, "héllo wörld", 12.31, True),
+        (-99, "", -0.0, False),
+        (2**40, "x" * 300, 3.141592653589793, True),
+    ]
+    fields, back = decode_container(encode_container(rows, FIELDS))
+    assert fields == FIELDS
+    assert back == rows
+
+
+def test_container_empty_rowset_has_header_only():
+    buf = encode_container([], FIELDS)
+    assert buf.startswith(MAGIC)
+    fields, rows = decode_container(buf)
+    assert fields == FIELDS and rows == []
+
+
+def test_decode_rejects_bad_magic():
+    with pytest.raises(ValueError, match="magic"):
+        decode_container(b"PAR1" + b"\x00" * 64)
+
+
+def test_decode_rejects_unknown_codec():
+    buf = bytearray(encode_container([(1, "a", 1.0, True)], FIELDS))
+    buf = bytes(buf).replace(b"null", b"zstd", 1)
+    # keep the metadata value length consistent: both are 4 bytes
+    with pytest.raises(ValueError, match="codec"):
+        decode_container(buf)
+
+
+def test_unsupported_type_raises_on_encode():
+    with pytest.raises(ValueError, match="unsupported"):
+        encode_container([(b"x",)], [("payload", "bytes")])
