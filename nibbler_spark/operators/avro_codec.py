@@ -101,14 +101,23 @@ def record_schema(name: str, fields: list[tuple[str, str]]) -> str:
 
 
 def encode_container(
-    rows: Iterable[tuple], fields: list[tuple[str, str]], name: str = "Row"
+    rows: Iterable[tuple],
+    fields: list[tuple[str, str]],
+    name: str = "Row",
+    codec: str = "null",
 ) -> bytes:
-    """Encode rows into a complete single-block OCF byte string."""
+    """Encode rows into a complete single-block OCF byte string.
+    ``codec='deflate'`` compresses the block with raw DEFLATE
+    (RFC 1951, no zlib wrapper — per the Avro spec)."""
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"unsupported Avro codec: {codec}")
     schema = record_schema(name, fields).encode("utf-8")
-    codec = b"null"
     meta = bytearray()
     meta += zigzag_encode(2)  # map block: 2 entries
-    for k, v in ((b"avro.schema", schema), (b"avro.codec", codec)):
+    for k, v in (
+        (b"avro.schema", schema),
+        (b"avro.codec", codec.encode()),
+    ):
         meta += zigzag_encode(len(k)) + k
         meta += zigzag_encode(len(v)) + v
     meta += zigzag_encode(0)  # map terminator
@@ -118,14 +127,20 @@ def encode_container(
         for v, (_, typ) in zip(row, fields):
             body += _encode_value(v, typ)
         n += 1
+    payload = bytes(body)
+    if codec == "deflate":
+        import zlib
+
+        co = zlib.compressobj(wbits=-15)  # raw DEFLATE, no header
+        payload = co.compress(payload) + co.flush()
     out = bytearray()
     out += MAGIC
     out += meta
     out += SYNC
     if n:
         out += zigzag_encode(n)
-        out += zigzag_encode(len(body))
-        out += body
+        out += zigzag_encode(len(payload))
+        out += payload
         out += SYNC
     return bytes(out)
 
@@ -154,7 +169,7 @@ def decode_container(buf: bytes) -> tuple[list[tuple[str, str]], list[tuple]]:
             meta[key] = buf[pos : pos + vlen]
             pos += vlen
     codec = meta.get("avro.codec", b"null")
-    if codec != b"null":
+    if codec not in (b"null", b"deflate"):
         raise ValueError(f"unsupported Avro codec: {codec!r}")
     schema = json.loads(meta["avro.schema"].decode("utf-8"))
     if schema.get("type") != "record":
@@ -169,14 +184,20 @@ def decode_container(buf: bytes) -> tuple[list[tuple[str, str]], list[tuple]]:
     while pos < len(buf):
         n, pos = zigzag_decode(buf, pos)
         blen, pos = zigzag_decode(buf, pos)
-        end = pos + blen
+        block = buf[pos : pos + blen]
+        pos += blen
+        if codec == b"deflate":
+            import zlib
+
+            block = zlib.decompress(block, wbits=-15)
+        bpos = 0
         for _ in range(n):
             vals = []
             for _, typ in fields:
-                v, pos = _decode_value(buf, pos, typ)
+                v, bpos = _decode_value(block, bpos, typ)
                 vals.append(v)
             rows.append(tuple(vals))
-        if pos != end:
+        if bpos != len(block):
             raise ValueError("Avro block length mismatch")
         if buf[pos : pos + 16] != sync:
             raise ValueError("Avro sync marker mismatch")

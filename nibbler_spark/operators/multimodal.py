@@ -137,12 +137,155 @@ def parse_ppm(payload: bytes) -> dict:
     }
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def encode_png(
+    width: int, height: int, pixel: Callable[[int, int], tuple[int, int, int]]
+) -> bytes:
+    """Write a REAL compressed PNG (RGB8, non-interlaced): IHDR/IDAT/
+    IEND chunks with correct CRC32s, scanlines DEFLATE-compressed via
+    stdlib zlib. Each row y uses filter type y % 5, so a decoder must
+    implement ALL five spec filters (None/Sub/Up/Average/Paeth) to
+    reconstruct the pixels — the encode side computes the true filtered
+    residuals, not just filter 0. ``pixel(x, y)`` returns (r, g, b)."""
+    import zlib
+
+    bpp = 3
+    raw_rows = []
+    for y in range(height):
+        row = bytearray()
+        for x in range(width):
+            row += bytes(pixel(x, y))
+        raw_rows.append(bytes(row))
+    out = bytearray()
+    prior = b"\x00" * (width * bpp)
+    for y, row in enumerate(raw_rows):
+        f = y % 5
+        out.append(f)
+        for i in range(len(row)):
+            left = row[i - bpp] if i >= bpp else 0
+            up = prior[i]
+            ul = prior[i - bpp] if i >= bpp else 0
+            if f == 0:
+                v = row[i]
+            elif f == 1:
+                v = row[i] - left
+            elif f == 2:
+                v = row[i] - up
+            elif f == 3:
+                v = row[i] - (left + up) // 2
+            else:
+                v = row[i] - _paeth(left, up, ul)
+            out.append(v & 0xFF)
+        prior = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def parse_png(payload: bytes) -> dict:
+    """Parse a compressed PNG (RGB8, non-interlaced): chunk walk with
+    CRC32 verification, IDAT concatenation + zlib inflate, then full
+    scanline reconstruction through all five spec filters. The
+    pixel_sum proves real decompressed-pixel access."""
+    import zlib
+
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ImageFormatError("not a PNG payload")
+    pos = len(_PNG_SIG)
+    width = height = None
+    idat = bytearray()
+    while pos < len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ImageFormatError(f"PNG chunk CRC mismatch in {typ!r}")
+        pos += 12 + length
+        if typ == b"IHDR":
+            width, height, depth, ctype, comp, filt, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+            if depth != 8 or ctype != 2 or comp != 0 or interlace != 0:
+                raise ImageFormatError(
+                    f"unsupported PNG variant (depth={depth} color={ctype} "
+                    f"interlace={interlace})"
+                )
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+    if width is None:
+        raise ImageFormatError("PNG missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    bpp = 3
+    stride = width * bpp
+    if len(raw) != height * (stride + 1):
+        raise ImageFormatError("PNG scanline data length mismatch")
+    total = 0
+    prior = bytearray(stride)
+    for y in range(height):
+        f = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        if f > 4:
+            raise ImageFormatError(f"invalid PNG filter type {f}")
+        for i in range(stride):
+            left = line[i - bpp] if i >= bpp else 0
+            up = prior[i]
+            ul = prior[i - bpp] if i >= bpp else 0
+            if f == 1:
+                line[i] = (line[i] + left) & 0xFF
+            elif f == 2:
+                line[i] = (line[i] + up) & 0xFF
+            elif f == 3:
+                line[i] = (line[i] + (left + up) // 2) & 0xFF
+            elif f == 4:
+                line[i] = (line[i] + _paeth(left, up, ul)) & 0xFF
+        total += sum(line)
+        prior = line
+    return {
+        "fmt": "png",
+        "width": width,
+        "height": height,
+        "bottom_up": False,
+        "n_pixels": width * height,
+        "pixel_sum": total,
+    }
+
+
 def decode_image(payload: bytes) -> dict:
     """Dispatch on container magic to a real parser."""
     if payload[:2] == b"BM":
         return parse_bmp(payload)
     if payload[:2] == b"P6":
         return parse_ppm(payload)
+    if payload[: len(_PNG_SIG)] == _PNG_SIG:
+        return parse_png(payload)
     raise ImageFormatError("unknown container format")
 
 

@@ -359,7 +359,13 @@ def _a18_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
             yield pd.DataFrame(
-                {"avro": [encode_container(rows, fields, name="Event")]}
+                {
+                    "avro": [
+                        encode_container(
+                            rows, fields, name="Event", codec="deflate"
+                        )
+                    ]
+                }
             )
 
     def decode(batches):

@@ -77,3 +77,11 @@ def test_decode_rejects_unknown_codec():
 def test_unsupported_type_raises_on_encode():
     with pytest.raises(ValueError, match="unsupported"):
         encode_container([(b"x",)], [("payload", "bytes")])
+
+
+def test_container_deflate_codec_roundtrip():
+    rows = [(i, f"name-{i}" * 5, i * 0.5, i % 2 == 0) for i in range(200)]
+    null_buf = encode_container(rows, FIELDS, codec="null")
+    defl_buf = encode_container(rows, FIELDS, codec="deflate")
+    assert len(defl_buf) < len(null_buf)  # compression actually happened
+    assert decode_container(defl_buf) == (FIELDS, rows)

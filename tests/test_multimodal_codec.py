@@ -289,3 +289,77 @@ class TestAviCodec:
         struct.pack_into("<I", payload, at, 5)
         with _pytest.raises(VideoFormatError):
             parse_avi(bytes(payload))
+
+
+# ---------------------------------------------------------------------------
+# PNG (compressed codec, stdlib zlib only)
+# ---------------------------------------------------------------------------
+
+
+def test_png_roundtrip_exercises_all_five_filters():
+    """Encoder assigns filter y % 5, so any image with height >= 5 runs
+    None/Sub/Up/Average/Paeth on both sides; pixel_sum must equal the
+    closed form."""
+    from nibbler_spark.operators.multimodal import (
+        decode_image,
+        encode_png,
+        parse_png,
+    )
+
+    for w, h in [(1, 1), (13, 7), (2, 6), (31, 5)]:
+        def px(x, y):
+            return (
+                (3 * x + 7 * y + 1) % 256,
+                (5 * x + 11 * y + 2) % 256,
+                (13 * x + 17 * y + 3) % 256,
+            )
+
+        buf = encode_png(w, h, px)
+        d = parse_png(buf)
+        expect = sum(
+            sum(px(x, y)) for x in range(w) for y in range(h)
+        )
+        assert (d["width"], d["height"], d["pixel_sum"]) == (w, h, expect)
+        assert decode_image(buf)["fmt"] == "png"
+
+
+def test_png_crc_is_the_published_constant():
+    """The empty IEND chunk's CRC is a spec-published constant — pins
+    our CRC implementation to the standard without an external lib."""
+    from nibbler_spark.operators.multimodal import encode_png
+
+    buf = encode_png(1, 1, lambda x, y: (0, 0, 0))
+    assert buf.endswith(
+        b"IEND" + (0xAE426082).to_bytes(4, "big")
+    )
+
+
+def test_png_chunk_corruption_detected():
+    from nibbler_spark.operators.multimodal import (
+        ImageFormatError,
+        encode_png,
+        parse_png,
+    )
+    import pytest
+
+    buf = bytearray(encode_png(4, 4, lambda x, y: (x, y, 7)))
+    buf[20] ^= 0xFF  # flip a bit inside IHDR data
+    with pytest.raises(ImageFormatError, match="CRC"):
+        parse_png(bytes(buf))
+
+
+def test_png_rejects_interlaced_and_non_rgb():
+    from nibbler_spark.operators.multimodal import (
+        ImageFormatError,
+        _png_chunk,
+        _PNG_SIG,
+        parse_png,
+    )
+    import struct
+
+    import pytest
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 6, 0, 0, 0)  # RGBA
+    buf = _PNG_SIG + _png_chunk(b"IHDR", ihdr)
+    with pytest.raises(ImageFormatError, match="unsupported"):
+        parse_png(buf)
