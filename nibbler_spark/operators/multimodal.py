@@ -278,6 +278,211 @@ def parse_png(payload: bytes) -> dict:
     }
 
 
+class _BitWriter:
+    """LSB-first bit packer (GIF's LZW code stream order)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, width: int) -> None:
+        self.acc |= code << self.nbits
+        self.nbits += width
+        while self.nbits >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def finish(self) -> bytes:
+        if self.nbits:
+            self.out.append(self.acc & 0xFF)
+        return bytes(self.out)
+
+
+def _lzw_encode(data: bytes, min_code_size: int) -> bytes:
+    """GIF-flavoured LZW: variable-width codes (LSB-first), CLEAR/END
+    control codes, 12-bit table cap with explicit reset."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    bw = _BitWriter()
+
+    def reset():
+        return {bytes([i]): i for i in range(clear)}, end + 1, min_code_size + 1
+
+    table, next_code, width = reset()
+    bw.write(clear, width)
+    w = b""
+    for byte in data:
+        wk = w + bytes([byte])
+        if wk in table:
+            w = wk
+            continue
+        bw.write(table[w], width)
+        table[wk] = next_code
+        next_code += 1
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+        if next_code > 4095:
+            bw.write(clear, width)
+            table, next_code, width = reset()
+        w = bytes([byte])
+    if w:
+        bw.write(table[w], width)
+    bw.write(end, width)
+    return bw.finish()
+
+
+def _lzw_decode(buf: bytes, min_code_size: int, n_expected: int) -> bytes:
+    """Inverse of :func:`_lzw_encode`, per the GIF spec's decoder rules
+    (including the KwKwK self-referencing case)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    pos_bits = 0
+    total_bits = len(buf) * 8
+
+    def read(width: int) -> int:
+        nonlocal pos_bits
+        if pos_bits + width > total_bits:
+            raise ImageFormatError("truncated LZW stream")
+        byte_pos = pos_bits // 8
+        acc = int.from_bytes(
+            buf[byte_pos : byte_pos + 4], "little"
+        ) >> (pos_bits % 8)
+        pos_bits += width
+        return acc & ((1 << width) - 1)
+
+    out = bytearray()
+    table: list[bytes] = []
+    width = min_code_size + 1
+    next_code = end + 1
+    prev: bytes | None = None
+    while True:
+        code = read(width)
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            next_code = end + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < next_code:
+            entry = table[code]
+        elif code == next_code:
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            raise ImageFormatError("corrupt LZW code stream")
+        out += entry
+        if prev is not None:
+            table.append(prev + entry[:1])
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+        if len(out) > n_expected:
+            raise ImageFormatError("LZW output exceeds pixel count")
+    return bytes(out)
+
+
+def _gif_palette(i: int) -> tuple[int, int, int]:
+    """Deterministic 256-entry palette (closed-form for the oracle)."""
+    return ((2 * i + 1) % 256, (3 * i + 5) % 256, (5 * i + 7) % 256)
+
+
+def encode_gif(
+    width: int, height: int, index: Callable[[int, int], int]
+) -> bytes:
+    """Write a REAL compressed GIF89a: logical screen descriptor, a
+    256-entry global color table (deterministic formula palette), one
+    image block whose pixel indices are genuinely LZW-compressed with
+    variable-width codes. ``index(x, y)`` returns the palette index."""
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HHBBB", width, height, 0xF7, 0, 0)  # GCT, 256
+    for i in range(256):
+        out += bytes(_gif_palette(i))
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    data = bytes(
+        index(x, y) & 0xFF for y in range(height) for x in range(width)
+    )
+    out.append(8)  # LZW minimum code size
+    stream = _lzw_encode(data, 8)
+    for i in range(0, len(stream), 255):
+        chunk = stream[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)  # sub-block terminator
+    out += b"\x3b"  # trailer
+    return bytes(out)
+
+
+def parse_gif(payload: bytes) -> dict:
+    """Parse a GIF87a/89a: screen descriptor, global color table,
+    extension skipping, image descriptor, then FULL LZW decompression
+    of the pixel indices; pixel_sum maps every decoded index through
+    the color table, proving real decompressed-pixel access."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ImageFormatError("not a GIF payload")
+    sw, sh, packed, _bg, _aspect = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    palette: list[tuple[int, int, int]] = []
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        for i in range(n):
+            palette.append(tuple(payload[pos + 3 * i : pos + 3 * i + 3]))
+        pos += 3 * n
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif block == 0x2C:
+            left, top, w, h, ipacked = struct.unpack_from("<HHHHB", payload, pos)
+            pos += 9
+            if ipacked & 0x80:  # local color table
+                n = 2 << (ipacked & 0x07)
+                palette = [
+                    tuple(payload[pos + 3 * i : pos + 3 * i + 3])
+                    for i in range(n)
+                ]
+                pos += 3 * n
+            if ipacked & 0x40:
+                raise ImageFormatError("interlaced GIF not supported")
+            min_code = payload[pos]
+            pos += 1
+            stream = bytearray()
+            while payload[pos]:
+                ln = payload[pos]
+                stream += payload[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            indices = _lzw_decode(bytes(stream), min_code, w * h)
+            if len(indices) != w * h:
+                raise ImageFormatError(
+                    f"GIF pixel count mismatch: {len(indices)} != {w * h}"
+                )
+            total = sum(sum(palette[i]) for i in indices)
+            return {
+                "fmt": "gif",
+                "width": w,
+                "height": h,
+                "bottom_up": False,
+                "n_pixels": w * h,
+                "pixel_sum": total,
+            }
+        elif block == 0x3B:
+            break
+        else:
+            raise ImageFormatError(f"unknown GIF block 0x{block:02x}")
+    raise ImageFormatError("GIF contained no image block")
+
+
 def decode_image(payload: bytes) -> dict:
     """Dispatch on container magic to a real parser."""
     if payload[:2] == b"BM":
@@ -286,6 +491,8 @@ def decode_image(payload: bytes) -> dict:
         return parse_ppm(payload)
     if payload[: len(_PNG_SIG)] == _PNG_SIG:
         return parse_png(payload)
+    if payload[:3] == b"GIF":
+        return parse_gif(payload)
     raise ImageFormatError("unknown container format")
 
 

@@ -17,6 +17,7 @@ from nibbler_spark.operators.multimodal import (
     decode_batches,
     decode_image_batches,
     encode_bmp,
+    encode_gif,
     encode_png,
     feature_extract_batches,
     frame_sample_batches,
@@ -229,6 +230,67 @@ def ext_image_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
                             (did + 5 * x + 11 * y) % 256,
                             (did + 13 * x + 17 * y) % 256,
                         ),
+                    )
+                )
+            yield _pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    encoded = d.mapInPandas(encode, "doc_id long, payload binary")
+    return decode_image_batches(encoded).orderBy("doc_id")
+
+
+@register(
+    "ext_image_decode_gif",
+    survey_id="EXT-MM-GIF",
+    category="multimodal",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, 1 + doc_id % 15 AS w, 2 + doc_id % 11 AS h
+  FROM documents WHERE doc_id % 29 = 0
+),
+px AS (
+  SELECT d.doc_id, d.w, d.h,
+         ((2 * ((d.doc_id + 3 * x.x + 7 * y.y) % 256) + 1) % 256
+          + (3 * ((d.doc_id + 3 * x.x + 7 * y.y) % 256) + 5) % 256
+          + (5 * ((d.doc_id + 3 * x.x + 7 * y.y) % 256) + 7) % 256) AS s
+  FROM d
+  CROSS JOIN generate_series(0, 14) AS x(x)
+  CROSS JOIN generate_series(0, 12) AS y(y)
+  WHERE x.x < d.w AND y.y < d.h
+)
+SELECT doc_id, 'gif' AS fmt,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(w * h AS BIGINT) AS n_pixels,
+       CAST(SUM(s) AS BIGINT) AS pixel_sum
+FROM px GROUP BY doc_id, w, h ORDER BY doc_id
+""",
+)
+def ext_image_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second REAL compressed codec (after PNG): each sampled document
+    becomes an actual GIF89a — 256-entry formula palette, pixel indices
+    genuinely LZW-compressed with variable-width codes, sub-block
+    framing; the decode stage walks blocks, LZW-decompresses (including
+    the KwKwK case and 12-bit table resets), maps every index through
+    the color table, and emits the exact pixel sum the oracle
+    recomputes in closed form. Parser:
+    `operators/multimodal.py:parse_gif`. Partition-local mapInPandas,
+    zero shuffles."""
+    import pandas as _pd
+
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 29 == 0
+    ).select("doc_id")
+
+    def encode(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                w, h = 1 + did % 15, 2 + did % 11
+                payloads.append(
+                    encode_gif(
+                        w, h, lambda x, y, did=did: (did + 3 * x + 7 * y) % 256
                     )
                 )
             yield _pd.DataFrame(

@@ -363,3 +363,63 @@ def test_png_rejects_interlaced_and_non_rgb():
     buf = _PNG_SIG + _png_chunk(b"IHDR", ihdr)
     with pytest.raises(ImageFormatError, match="unsupported"):
         parse_png(buf)
+
+
+def test_gif_lzw_roundtrip_adversarial():
+    """Raw LZW: random streams, dictionary-heavy repetitive data (hits
+    variable-width growth and the 12-bit table reset), KwKwK cases."""
+    import random
+
+    from nibbler_spark.operators.multimodal import _lzw_decode, _lzw_encode
+
+    rnd = random.Random(7)
+    for n in [1, 5, 300, 5000, 9000]:
+        data = bytes(rnd.randrange(256) for _ in range(n))
+        assert _lzw_decode(_lzw_encode(data, 8), 8, n) == data
+    data = b"abcabcabd" * 1500
+    assert _lzw_decode(_lzw_encode(data, 8), 8, len(data)) == data
+
+
+def test_gif_container_roundtrip_and_dispatch():
+    from nibbler_spark.operators.multimodal import (
+        _gif_palette,
+        decode_image,
+        encode_gif,
+        parse_gif,
+    )
+
+    for w, h in [(1, 1), (13, 7), (64, 48)]:
+        def idx(x, y):
+            return (x * 7 + y * 13 + 5) % 256
+
+        buf = encode_gif(w, h, idx)
+        assert buf[:6] == b"GIF89a"
+        d = parse_gif(buf)
+        expect = sum(
+            sum(_gif_palette(idx(x, y)))
+            for x in range(w)
+            for y in range(h)
+        )
+        assert (d["width"], d["height"], d["pixel_sum"]) == (w, h, expect)
+        assert decode_image(buf)["fmt"] == "gif"
+
+
+def test_gif_rejects_interlace_and_truncation():
+    import pytest
+
+    from nibbler_spark.operators.multimodal import (
+        ImageFormatError,
+        encode_gif,
+        parse_gif,
+    )
+
+    buf = bytearray(encode_gif(8, 8, lambda x, y: x ^ y))
+    # image descriptor sits right after header(13) + 256-entry GCT(768);
+    # (searching for 0x2c would false-hit palette bytes)
+    desc = 13 + 768
+    assert buf[desc] == 0x2C
+    buf[desc + 9] |= 0x40  # interlace flag in the packed byte
+    with pytest.raises(ImageFormatError, match="interlaced"):
+        parse_gif(bytes(buf))
+    with pytest.raises(ImageFormatError):
+        parse_gif(bytes(encode_gif(8, 8, lambda x, y: 0))[:-30])
