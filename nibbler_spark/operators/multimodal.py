@@ -493,6 +493,10 @@ def decode_image(payload: bytes) -> dict:
         return parse_png(payload)
     if payload[:3] == b"GIF":
         return parse_gif(payload)
+    if payload[:2] == b"\xff\xd8":
+        from nibbler_spark.operators.jpeg_codec import decode_jpeg_gray
+
+        return decode_jpeg_gray(payload)
     raise ImageFormatError("unknown container format")
 
 
