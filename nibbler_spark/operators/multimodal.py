@@ -692,11 +692,56 @@ def encode_wav(
     return hdr + data
 
 
+_ULAW_BIAS = 0x84
+_ULAW_CLIP = 32635
+
+
+def mulaw_encode_sample(s: int) -> int:
+    """G.711 μ-law compress one int16 sample to an 8-bit code (CCITT
+    reference algorithm: bias, segment search, complemented output)."""
+    sign = 0x80 if s < 0 else 0x00
+    mag = min(abs(s), _ULAW_CLIP) + _ULAW_BIAS
+    exponent = 7
+    mask = 0x4000
+    while not (mag & mask) and exponent > 0:
+        mask >>= 1
+        exponent -= 1
+    mantissa = (mag >> (exponent + 3)) & 0x0F
+    return ~(sign | (exponent << 4) | mantissa) & 0xFF
+
+
+def mulaw_decode_sample(code: int) -> int:
+    """G.711 μ-law expand an 8-bit code back to int16."""
+    u = ~code & 0xFF
+    t = (((u & 0x0F) << 3) + _ULAW_BIAS) << ((u >> 4) & 0x07)
+    return _ULAW_BIAS - t if u & 0x80 else t - _ULAW_BIAS
+
+
+def encode_wav_mulaw(
+    n_samples: int, sample_rate: int, sample: Callable[[int], int]
+) -> bytes:
+    """Write a real mono G.711 μ-law WAV (format tag 7, 8 bits/sample)
+    — an actual COMPRESSED audio variant (2:1 logarithmic PCM), not a
+    container relabel. ``sample(i)`` returns int16 values."""
+    data = bytes(
+        mulaw_encode_sample(int(sample(i))) for i in range(n_samples)
+    )
+    hdr = struct.pack(
+        "<4sI4s" "4sIHHIIHH" "4sI",
+        b"RIFF", 36 + len(data), b"WAVE",
+        b"fmt ", 16, 7, 1, sample_rate, sample_rate, 1, 8,
+        b"data", len(data),
+    )
+    return hdr + data
+
+
 def parse_wav(payload: bytes) -> dict:
-    """Parse a PCM WAV: validate RIFF/WAVE magic, WALK the subchunk list
-    (fmt may be followed by LIST/fact chunks before data — real files
-    do this), then traverse every int16 sample. Returns rate/channel
-    metadata plus exact sample statistics proving real sample access."""
+    """Parse a PCM or μ-law WAV: validate RIFF/WAVE magic, WALK the
+    subchunk list (fmt may be followed by LIST/fact chunks before data —
+    real files do this), then traverse every sample; μ-law data (format
+    tag 7) is expanded through the G.711 table math before the stats.
+    Returns rate/channel metadata plus exact sample statistics proving
+    real sample access."""
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise AudioFormatError("not a RIFF/WAVE payload")
     pos, fmt, data = 12, None, None
@@ -713,6 +758,18 @@ def parse_wav(payload: bytes) -> dict:
     if fmt is None or data is None:
         raise AudioFormatError("missing fmt or data chunk")
     audio_fmt, n_channels, sample_rate, _byte_rate, _align, bits = fmt
+    if audio_fmt == 7 and bits == 8:
+        samples = tuple(mulaw_decode_sample(b) for b in data)
+        n_frames = len(samples) // n_channels
+        return {
+            "fmt": "wav-mulaw",
+            "sample_rate": sample_rate,
+            "n_channels": n_channels,
+            "n_samples": n_frames,
+            "duration_ms": n_frames * 1000 // sample_rate,
+            "sample_sum": sum(samples),
+            "peak": max((abs(s) for s in samples), default=0),
+        }
     if audio_fmt != 1 or bits != 16:
         raise AudioFormatError(
             f"unsupported WAV variant (fmt={audio_fmt} bits={bits})"

@@ -501,6 +501,95 @@ def ext_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_audio_decode_mulaw",
+    survey_id="EXT-MM-ULAW",
+    category="multimodal",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, 64 + doc_id % 100 AS n
+  FROM documents WHERE doc_id % 37 = 0
+),
+raw AS (
+  SELECT d.doc_id, d.n,
+         ((d.doc_id * 13 + 97 * i.i) % 65536) - 32768 AS s
+  FROM d CROSS JOIN generate_series(0, 163) AS i(i)
+  WHERE i.i < d.n
+),
+enc AS (
+  SELECT doc_id, n, s,
+         CASE WHEN s < 0 THEN -1 ELSE 1 END AS sgn,
+         LEAST(ABS(s), 32635) + 132 AS mag
+  FROM raw
+),
+seg AS (
+  SELECT doc_id, n, sgn, mag,
+         CASE WHEN mag >= 16384 THEN 7 WHEN mag >= 8192 THEN 6
+              WHEN mag >= 4096 THEN 5 WHEN mag >= 2048 THEN 4
+              WHEN mag >= 1024 THEN 3 WHEN mag >= 512 THEN 2
+              WHEN mag >= 256 THEN 1 ELSE 0 END AS e
+  FROM enc
+),
+dec AS (
+  SELECT doc_id, n,
+         sgn * ((((mag // CAST(POWER(2, e + 3) AS BIGINT)) % 16) * 8 + 132)
+                * CAST(POWER(2, e) AS BIGINT) - 132) AS v
+  FROM seg
+)
+SELECT doc_id, 'wav-mulaw' AS fmt,
+       CAST(8000 AS INT) AS sample_rate,
+       CAST(1 AS INT) AS n_channels,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
+       CAST(SUM(v) AS BIGINT) AS sample_sum,
+       CAST(MAX(ABS(v)) AS INT) AS peak
+FROM dec GROUP BY doc_id, n ORDER BY doc_id
+""",
+)
+def ext_audio_decode_mulaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESSED audio end-to-end: G.711 μ-law (WAV format tag 7) is a
+    real 2:1 logarithmic PCM codec, and — being stateless per sample —
+    the one compressed audio format whose encode∘decode pipeline the
+    SQL oracle can replicate exactly in integer arithmetic (segment
+    thresholds as a CASE ladder, mantissa via integer division,
+    expansion as the closed-form t = ((m*8)+132)·2^e − 132). The Spark
+    side encodes formula samples into actual RIFF μ-law containers and
+    the parser expands them through the same CCITT math; sample sums
+    and peaks must hash-match. Partition-local mapInPandas, zero
+    shuffles."""
+    import pandas as _pd
+
+    from nibbler_spark.operators.multimodal import (
+        decode_audio_batches,
+        encode_wav_mulaw,
+    )
+
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 37 == 0
+    ).select("doc_id")
+
+    def encode(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                n = 64 + did % 100
+                payloads.append(
+                    encode_wav_mulaw(
+                        n,
+                        8000,
+                        lambda i, did=did: ((did * 13 + 97 * i) % 65536)
+                        - 32768,
+                    )
+                )
+            yield _pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    encoded = d.mapInPandas(encode, "doc_id long, payload binary")
+    return decode_audio_batches(encoded).orderBy("doc_id")
+
+
+@register(
     "ext_audio_decode_wav",
     survey_id="EXT-MM-WAV",
     category="multimodal",

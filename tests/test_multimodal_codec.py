@@ -423,3 +423,48 @@ def test_gif_rejects_interlace_and_truncation():
         parse_gif(bytes(buf))
     with pytest.raises(ImageFormatError):
         parse_gif(bytes(encode_gif(8, 8, lambda x, y: 0))[:-30])
+
+
+def test_mulaw_codec_canonical_properties():
+    """G.711 sanity: zero is a fixed point; encode(decode(code)) is the
+    identity for all codes except the negative-zero alias 0x7F; the
+    quantization error never exceeds half the top-segment step (512)."""
+    from nibbler_spark.operators.multimodal import (
+        mulaw_decode_sample,
+        mulaw_encode_sample,
+    )
+
+    assert mulaw_decode_sample(mulaw_encode_sample(0)) == 0
+    bad = [
+        c
+        for c in range(256)
+        if mulaw_encode_sample(mulaw_decode_sample(c)) != c
+    ]
+    assert bad == [0x7F]  # negative zero maps to positive zero's code
+    worst = 0
+    for s in range(-32768, 32768, 7):
+        r = mulaw_decode_sample(mulaw_encode_sample(s))
+        clipped = min(max(s, -32635), 32635)
+        worst = max(worst, abs(r - clipped))
+    assert worst <= 512
+
+
+def test_mulaw_wav_container_roundtrip():
+    from nibbler_spark.operators.multimodal import (
+        encode_wav_mulaw,
+        mulaw_decode_sample,
+        mulaw_encode_sample,
+        parse_wav,
+    )
+
+    def sample(i):
+        return (i * 997 - 50000) % 65536 - 32768
+
+    n = 100
+    d = parse_wav(encode_wav_mulaw(n, 8000, sample))
+    expect = sum(
+        mulaw_decode_sample(mulaw_encode_sample(sample(i)))
+        for i in range(n)
+    )
+    assert d["fmt"] == "wav-mulaw"
+    assert (d["n_samples"], d["sample_sum"]) == (n, expect)
