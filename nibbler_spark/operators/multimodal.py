@@ -829,12 +829,18 @@ class VideoFormatError(ValueError):
 
 
 def encode_avi(
-    frames: list[bytes], width: int, height: int, us_per_frame: int
+    frames: list[bytes],
+    width: int,
+    height: int,
+    us_per_frame: int,
+    codec: bytes = b"DIB ",
 ) -> bytes:
     """Write a real minimal AVI: RIFF('AVI ') → LIST(hdrl: avih +
-    LIST(strl: strh + strf)) → LIST(movi: one '00db' chunk per
-    uncompressed frame). Header fields (dwMicroSecPerFrame, frame count,
-    dimensions, suggested buffer size) are filled truthfully."""
+    LIST(strl: strh + strf)) → LIST(movi: one frame chunk per frame).
+    Header fields (dwMicroSecPerFrame, frame count, dimensions,
+    suggested buffer size) are filled truthfully. ``codec=b"MJPG"``
+    writes a Motion-JPEG stream: fourcc in strh, biCompression in
+    strf, and '00dc' (compressed) frame chunks instead of '00db'."""
 
     def chunk(cid: bytes, body: bytes) -> bytes:
         return (
@@ -854,18 +860,23 @@ def encode_avi(
     )
     strh = struct.pack(
         "<4s4sIHHIIIIIIIIhhhh",
-        b"vids", b"DIB ", 0, 0, 0, 0, 1, 1_000_000 // us_per_frame,
+        b"vids", codec, 0, 0, 0, 0, 1, 1_000_000 // us_per_frame,
         0, len(frames), frame_size, 0, 0, 0, 0, int(width), int(height),
+    )
+    bi_compression = (
+        0 if codec == b"DIB " else int.from_bytes(codec, "little")
     )
     strf = struct.pack(
         "<IiiHHIIiiII",
-        40, width, height, 1, 24, 0, frame_size, 2835, 2835, 0, 0,
+        40, width, height, 1, 24, bi_compression, frame_size,
+        2835, 2835, 0, 0,
     )
     hdrl = lst(
         b"hdrl",
         chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
     )
-    movi = lst(b"movi", b"".join(chunk(b"00db", f) for f in frames))
+    fid = b"00db" if codec == b"DIB " else b"00dc"
+    movi = lst(b"movi", b"".join(chunk(fid, f) for f in frames))
     body = b"AVI " + hdrl + movi
     return struct.pack("<4sI", b"RIFF", len(body)) + body
 
@@ -909,6 +920,25 @@ def parse_avi(payload: bytes) -> dict:
         raise VideoFormatError(
             f"header declares {n_frames} frames, found {len(frames)}"
         )
+    if frames and frames[0][:2] == b"\xff\xd8":
+        # Motion-JPEG stream: every frame is a complete baseline JPEG —
+        # decode each through the real JPEG pipeline; frame_sum is the
+        # sum of DECODED pixel sums (not compressed bytes).
+        from nibbler_spark.operators.jpeg_codec import decode_jpeg_gray
+
+        decoded = [decode_jpeg_gray(f) for f in frames]
+        for d in decoded:
+            if (d["width"], d["height"]) != (width, height):
+                raise VideoFormatError("MJPEG frame dims disagree with avih")
+        return {
+            "fmt": "avi-mjpeg",
+            "width": width,
+            "height": height,
+            "n_frames": len(frames),
+            "us_per_frame": us_per_frame,
+            "frame_bytes": sum(len(f) for f in frames),
+            "frame_sum": sum(d["pixel_sum"] for d in decoded),
+        }
     return {
         "fmt": "avi",
         "width": width,

@@ -501,6 +501,91 @@ def ext_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_video_decode_mjpeg",
+    survey_id="EXT-MM-MJPEG",
+    category="multimodal",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, 8 + 8 * (doc_id % 2) AS w, 8 AS h, 2 + doc_id % 4 AS nf
+  FROM documents WHERE doc_id % 41 = 0
+),
+px AS (
+  SELECT d.doc_id, d.w, d.h, d.nf,
+         (d.doc_id + 37 * (x.x // 8) + 11 * f.f) % 256 AS s
+  FROM d
+  CROSS JOIN generate_series(0, 15) AS x(x)
+  CROSS JOIN generate_series(0, 7) AS y(y)
+  CROSS JOIN generate_series(0, 5) AS f(f)
+  WHERE x.x < d.w AND y.y < d.h AND f.f < d.nf
+)
+SELECT doc_id, 'avi-mjpeg' AS fmt,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(nf AS INT) AS n_frames,
+       CAST(40000 AS INT) AS us_per_frame,
+       CAST(SUM(s) AS BIGINT) AS frame_sum
+FROM px GROUP BY doc_id, w, h, nf ORDER BY doc_id
+""",
+)
+def ext_video_decode_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESSED video end-to-end: Motion-JPEG is a real production
+    codec (every frame an independent baseline JPEG inside the AVI
+    movi list), and it composes two of this repo's from-scratch codecs
+    — the RIFF/AVI container walk and the ITU-T.81 JPEG decoder. Each
+    sampled document becomes an MJPG AVI whose frames are
+    piecewise-constant-block JPEGs (unit quant table → exactly lossless
+    DCT round trip), so the sum of DECODED pixel values across frames
+    is closed-form for the oracle. frame_bytes (compressed size) is
+    deliberately not in the output — it depends on entropy-coder
+    details the oracle shouldn't pin. Partition-local mapInPandas."""
+    import pandas as _pd
+
+    from nibbler_spark.operators.jpeg_codec import encode_jpeg_gray
+    from nibbler_spark.operators.multimodal import (
+        decode_video_batches,
+        encode_avi,
+    )
+
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 41 == 0
+    ).select("doc_id")
+
+    def encode(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                w, h = 8 + 8 * (did % 2), 8
+                nf = 2 + did % 4
+                frames = [
+                    encode_jpeg_gray(
+                        w,
+                        h,
+                        lambda x, y, did=did, f=f: (
+                            did + 37 * (x // 8) + 11 * f
+                        )
+                        % 256,
+                    )
+                    for f in range(nf)
+                ]
+                payloads.append(
+                    encode_avi(frames, w, h, 40000, codec=b"MJPG")
+                )
+            yield _pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    encoded = d.mapInPandas(encode, "doc_id long, payload binary")
+    return (
+        decode_video_batches(encoded)
+        .select(
+            "doc_id", "fmt", "width", "height", "n_frames",
+            "us_per_frame", "frame_sum",
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "ext_audio_decode_mulaw",
     survey_id="EXT-MM-ULAW",
     category="multimodal",

@@ -468,3 +468,25 @@ def test_mulaw_wav_container_roundtrip():
     )
     assert d["fmt"] == "wav-mulaw"
     assert (d["n_samples"], d["sample_sum"]) == (n, expect)
+
+
+def test_mjpeg_avi_composes_container_and_jpeg_decoder():
+    from nibbler_spark.operators.jpeg_codec import encode_jpeg_gray
+    from nibbler_spark.operators.multimodal import encode_avi, parse_avi
+
+    w, h, nf = 16, 8, 3
+
+    def px(f):
+        return lambda x, y: ((x // 8) * 37 + 11 * f + 5) % 256
+
+    frames = [encode_jpeg_gray(w, h, px(f)) for f in range(nf)]
+    d = parse_avi(encode_avi(frames, w, h, 40000, codec=b"MJPG"))
+    assert d["fmt"] == "avi-mjpeg"
+    assert (d["width"], d["height"], d["n_frames"]) == (w, h, nf)
+    expect = sum(
+        px(f)(x, y) for f in range(nf) for x in range(w) for y in range(h)
+    )
+    assert d["frame_sum"] == expect
+    # plain DIB path still intact
+    d2 = parse_avi(encode_avi([b"\x01\x02"] * 2, 1, 1, 40000))
+    assert d2["fmt"] == "avi" and d2["frame_sum"] == 6
