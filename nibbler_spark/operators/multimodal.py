@@ -6,13 +6,17 @@ to a typed metadata struct; every transformation is an Arrow-batched
 through Python workers batch-by-batch without ever materializing rows on
 the driver.
 
-Decoding: real, dependency-free codecs for two uncompressed container
-formats — BMP (24-bit BITMAPINFOHEADER, bottom-up rows, 4-byte row
-padding) and binary PPM (P6) — parse header AND pixel data.
-``decode_batches`` dispatches on container magic; payloads that are not
-a known container fall back to a deterministic synthetic decode so the
-carriage queries over fake payloads keep working. Heavier codecs (JPEG,
-PNG, audio, video) plug in at the same dispatch point.
+Decoding: real, dependency-free codecs — uncompressed containers (BMP
+24-bit with bottom-up rows and 4-byte padding; binary PPM; WAV/PCM;
+DIB-frame AVI) AND compressed formats built from their public specs:
+PNG (stdlib-zlib DEFLATE, chunk CRCs, all five scanline filters), GIF
+(from-scratch variable-width LZW), baseline JPEG (see
+``operators/jpeg_codec.py``), G.711 μ-law WAV, and Motion-JPEG AVI
+(container walk composed with the JPEG decoder). ``decode_batches``
+dispatches on container magic; payloads that are not a known container
+fall back to a deterministic synthetic decode so the carriage queries
+over fake payloads keep working. Remaining formats (color JPEG, MP3,
+H.264) plug in at the same dispatch point.
 """
 
 from __future__ import annotations
