@@ -392,6 +392,48 @@ def _a18_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a19_avro_datasource",
+    survey_id="A19",
+    category="source-sink",
+    oracle="""
+SELECT event_id, user_id, event_type, value FROM events
+WHERE event_type IN ('click', 'purchase') ORDER BY event_id
+""",
+)
+def a19_avro_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro as a FIRST-CLASS Spark source/sink: `format("nibbler_avro")`
+    is a registered Spark 4 Python DataSource whose reader and writer
+    delegate to the spec-derived OCF codec — closing even the
+    DataSource-registration sliver of the Avro gap (`spark-avro` is
+    absent from the env). The writer encodes each task partition into
+    its own deflate-compressed container file and commits via the
+    two-phase write/commit/abort protocol; the reader declares one
+    input partition per file, so decode parallelism tracks the layout
+    and payload bytes never pass through the driver. The roundtrip
+    through the plain `df.write.format(...)` / `spark.read.format(...)`
+    surface must hash-match the original parquet."""
+    from nibbler_spark.sources.avro_datasource import register_avro_source
+
+    register_avro_source(spark)
+    path = _tmp(sf_dir, "events-avro-ds")
+    e = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("click", "purchase"))
+        .select("event_id", "user_id", "event_type", "value")
+        .repartition(4)
+    )
+    e.write.format("nibbler_avro").mode("overwrite").option(
+        "path", path
+    ).save()
+    return (
+        spark.read.format("nibbler_avro")
+        .option("path", path)
+        .load()
+        .orderBy("event_id")
+    )
+
+
+@register(
     "a18_avro_roundtrip",
     survey_id="A18",
     category="sink",

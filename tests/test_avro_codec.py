@@ -85,3 +85,26 @@ def test_container_deflate_codec_roundtrip():
     defl_buf = encode_container(rows, FIELDS, codec="deflate")
     assert len(defl_buf) < len(null_buf)  # compression actually happened
     assert decode_container(defl_buf) == (FIELDS, rows)
+
+
+def test_avro_datasource_schema_from_embedded_header(tmp_path):
+    """The DataSource infers its Spark schema from the first file's
+    embedded Avro JSON schema — no user-supplied schema needed."""
+    from nibbler_spark.sources.avro_datasource import AvroDataSource
+
+    buf = encode_container([(1, "a", 1.5, True)], FIELDS)
+    f = tmp_path / "x.avro"
+    f.write_bytes(buf)
+    ds = AvroDataSource(options={"path": str(tmp_path)})
+    assert ds.schema() == "id long, name string, score double, ok boolean"
+
+
+def test_avro_datasource_partitions_track_files(tmp_path):
+    from nibbler_spark.sources.avro_datasource import AvroReader
+
+    for i in range(3):
+        (tmp_path / f"p{i}.avro").write_bytes(
+            encode_container([(i, "r", 0.0, False)], FIELDS)
+        )
+    parts = AvroReader({"path": str(tmp_path)}).partitions()
+    assert len(parts) == 3
