@@ -659,6 +659,56 @@ def a07_kafka_loopback_roundtrip(
 
 
 @register(
+    "a20_avro_stream_source",
+    survey_id="A20",
+    category="streaming",
+    mode="parity",
+    oracle="""
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM events WHERE event_type = 'purchase'
+GROUP BY user_id ORDER BY user_id
+""",
+)
+def a20_avro_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming over the engine's own Avro DataSource: the
+    simpleStreamReader tracks a sorted-file offset (each micro-batch
+    decodes exactly the newly-arrived containers, with
+    readBetweenOffsets replay on checkpoint recovery), and the drained
+    keyed aggregate must equal the batch query over the same rows.
+    Completes the `nibbler_avro` surface: batch read, batch write,
+    AND readStream."""
+    from nibbler_spark.sources.avro_datasource import register_avro_source
+
+    register_avro_source(spark)
+
+    def build(tmp: str) -> None:
+        register_avro_source(spark)
+        (
+            load_table(spark, sf_dir, "events")
+            .where(F.col("event_type") == "purchase")
+            .select("event_id", "user_id", "value")
+            .repartition(4)
+            .write.format("nibbler_avro")
+            .mode("append")
+            .option("path", tmp)
+            .save()
+        )
+
+    d = cached_dir(sf_dir, "events", "avro-stream", build)
+    src = spark.readStream.format("nibbler_avro").option("path", d).load()
+    agg = src.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.floor(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("value_cents"),
+    )
+    out = _drain_to_memory(agg, "complete")
+    return out.orderBy("user_id")
+
+
+@register(
     "i17_stateful_kill_restart",
     survey_id="I17",
     category="streaming",
