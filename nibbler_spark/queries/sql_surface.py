@@ -171,3 +171,96 @@ def ext_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         o, changes, key="o_orderkey", value_cols=["o_custkey", "o_totalprice"]
     )
     return merged.orderBy("o_orderkey")
+
+
+@register(
+    "ext_time_travel_snapshots",
+    survey_id="EXT-TIMETRAVEL",
+    category="sql-surface",
+    oracle="""
+WITH o AS (
+  SELECT CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents, o_orderstatus
+  FROM orders
+),
+s0 AS (SELECT 0 AS snapshot_id, COUNT(*) AS n_rows,
+              CAST(SUM(cents) AS BIGINT) AS total_cents
+       FROM o WHERE o_orderstatus = 'O'),
+s1 AS (SELECT 1, COUNT(*),
+              CAST(SUM(cents) AS BIGINT)
+       FROM o WHERE o_orderstatus IN ('O', 'F')),
+s2 AS (SELECT 2, COUNT(*),
+              CAST(SUM(CASE WHEN o_orderstatus = 'O'
+                            THEN CAST(FLOOR(o_totalprice * 2 * 100) AS BIGINT)
+                            ELSE cents END) AS BIGINT)
+       FROM (SELECT o_totalprice, o_orderstatus,
+                    CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+             FROM orders)
+       WHERE o_orderstatus IN ('O', 'F'))
+SELECT * FROM s0 UNION ALL SELECT * FROM s1 UNION ALL SELECT * FROM s2
+ORDER BY snapshot_id
+""",
+)
+def ext_time_travel_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-based time travel over plain parquet (the miniature
+    lakehouse format in ``operators/snapshots.py``): snapshot 0 writes
+    the open orders; snapshot 1 APPENDS the finished orders by
+    carrying snapshot 0's files over in the new manifest (no rewrite);
+    snapshot 2 is a COPY-ON-WRITE UPDATE — the open-order files are
+    replaced by doubled-price versions while the finished-order files
+    carry over untouched. The query then time-travel-reads ALL THREE
+    snapshots and returns each one's (row count, cents total): proving
+    snapshots 0 and 1 remain exactly readable AFTER the rewrite is the
+    whole point of immutable-file + manifest commits. Every write
+    commits via write-temp-then-rename, so a crash can never expose a
+    partial snapshot. At 100 TB: manifests are O(files) driver-side
+    metadata; data moves only through ordinary parallel parquet scans
+    and writes of the CHANGED files."""
+    import os
+    import shutil
+    import tempfile
+
+    from nibbler_spark.operators.snapshots import (
+        read_snapshot,
+        snapshot_files,
+        write_snapshot,
+    )
+
+    table = tempfile.mkdtemp(prefix="nibbler-ttt-")
+    shutil.rmtree(table)
+    os.makedirs(table)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    open_orders = o.where(F.col("o_orderstatus") == "O")
+    finished = o.where(F.col("o_orderstatus") == "F")
+
+    s0 = write_snapshot(open_orders.repartition(2), table)
+    f0 = snapshot_files(table, s0)
+    s1 = write_snapshot(finished.repartition(2), table, carry_over=f0)
+    f1 = snapshot_files(table, s1)
+    # COW update: rewrite ONLY the open-order files (doubled price),
+    # carry the finished-order files untouched.
+    carried = [f for f in f1 if f not in f0]
+    s2 = write_snapshot(
+        open_orders.withColumn(
+            "o_totalprice", F.col("o_totalprice") * 2
+        ).repartition(2),
+        table,
+        carry_over=carried,
+    )
+
+    cents = F.sum(
+        F.floor(F.col("o_totalprice") * 100).cast("bigint")
+    ).cast("bigint")
+    parts = []
+    for sid in (s0, s1, s2):
+        parts.append(
+            read_snapshot(spark, table, sid).agg(
+                F.count("*").alias("n_rows"), cents.alias("total_cents")
+            ).select(
+                F.lit(sid).alias("snapshot_id"), "n_rows", "total_cents"
+            )
+        )
+    return parts[0].unionAll(parts[1]).unionAll(parts[2]).orderBy(
+        "snapshot_id"
+    )
