@@ -264,3 +264,72 @@ def ext_time_travel_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parts[0].unionAll(parts[1]).unionAll(parts[2]).orderBy(
         "snapshot_id"
     )
+
+
+@register(
+    "ext_snapshot_incremental_read",
+    survey_id="EXT-CDC-READ",
+    category="sql-surface",
+    oracle="""
+SELECT 'append' AS change_kind, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders WHERE o_orderstatus = 'F'
+UNION ALL
+SELECT 'rewrite', COUNT(*),
+       CAST(SUM(CAST(FLOOR(o_totalprice * 2 * 100) AS BIGINT)) AS BIGINT)
+FROM orders WHERE o_orderstatus = 'O'
+ORDER BY change_kind
+""",
+)
+def ext_snapshot_incremental_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CDC-style incremental consumption of the snapshot log: a
+    downstream pipeline reads only the files ADDED between two
+    snapshots instead of re-scanning the table. Replays the
+    EXT-TIMETRAVEL history (append of finished orders, then a
+    copy-on-write doubling of open orders) and checks both change
+    feeds: s0→s1 yields exactly the appended rows, s1→s2 exactly the
+    post-image of the rewritten files. File-granularity change feeds
+    are how incremental ETL scales — work is proportional to the
+    delta, never the table."""
+    import os
+    import shutil
+    import tempfile
+
+    from nibbler_spark.operators.snapshots import (
+        read_changes,
+        snapshot_files,
+        write_snapshot,
+    )
+
+    table = tempfile.mkdtemp(prefix="nibbler-cdc-")
+    shutil.rmtree(table)
+    os.makedirs(table)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    open_orders = o.where(F.col("o_orderstatus") == "O")
+    finished = o.where(F.col("o_orderstatus") == "F")
+    s0 = write_snapshot(open_orders.repartition(2), table)
+    f0 = snapshot_files(table, s0)
+    s1 = write_snapshot(finished.repartition(2), table, carry_over=f0)
+    carried = [f for f in snapshot_files(table, s1) if f not in f0]
+    s2 = write_snapshot(
+        open_orders.withColumn(
+            "o_totalprice", F.col("o_totalprice") * 2
+        ).repartition(2),
+        table,
+        carry_over=carried,
+    )
+    cents = F.sum(
+        F.floor(F.col("o_totalprice") * 100).cast("bigint")
+    ).cast("bigint")
+    append_feed = read_changes(spark, table, s0, s1).agg(
+        F.count("*").alias("n_rows"), cents.alias("total_cents")
+    ).select(F.lit("append").alias("change_kind"), "n_rows", "total_cents")
+    rewrite_feed = read_changes(spark, table, s1, s2).agg(
+        F.count("*").alias("n_rows"), cents.alias("total_cents")
+    ).select(F.lit("rewrite").alias("change_kind"), "n_rows", "total_cents")
+    return append_feed.unionAll(rewrite_feed).orderBy("change_kind")
