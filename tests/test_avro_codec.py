@@ -108,3 +108,29 @@ def test_avro_datasource_partitions_track_files(tmp_path):
         )
     parts = AvroReader({"path": str(tmp_path)}).partitions()
     assert len(parts) == 3
+
+
+def test_avro_stream_reader_offsets_and_replay(tmp_path):
+    """Offset = count of sorted files served: each read() batch covers
+    exactly the newly-arrived files, and readBetweenOffsets replays a
+    recovered batch identically."""
+    from nibbler_spark.sources.avro_datasource import AvroStreamReader
+
+    def drop(name, rows):
+        (tmp_path / name).write_bytes(encode_container(rows, FIELDS))
+
+    r = AvroStreamReader({"path": str(tmp_path)})
+    o0 = r.initialOffset()
+    drop("a.avro", [(1, "x", 0.5, True)])
+    drop("b.avro", [(2, "y", 1.5, False)])
+    rows1, o1 = r.read(o0)
+    assert [t[0] for t in rows1] == [1, 2]
+    assert o1 == {"n_files": 2}
+    rows_empty, o2 = r.read(o1)
+    assert list(rows_empty) == [] and o2 == o1  # no new files, no rows
+    drop("c.avro", [(3, "z", 2.5, True)])
+    rows2, o3 = r.read(o2)
+    assert [t[0] for t in rows2] == [3] and o3 == {"n_files": 3}
+    # checkpoint-recovery replay must reproduce the same batches
+    assert list(r.readBetweenOffsets(o0, o1)) == list(rows1)
+    assert list(r.readBetweenOffsets(o1, o3)) == list(rows2)
