@@ -2,29 +2,53 @@
 
 A miniature lakehouse table format in the spirit of Delta/Iceberg,
 built from first principles on the two primitives every object store
-offers — immutable files and an atomic rename:
+offers — immutable files and an atomic create:
 
 - a table is a directory of immutable parquet data files plus a
-  ``_manifests/`` log; manifest N is a JSON list of the data files that
-  make up snapshot N;
+  ``_manifests/`` log; manifest N describes the data files that make up
+  snapshot N;
+- manifest entries carry per-file, per-column MIN/MAX/NULL-COUNT stats
+  harvested from the parquet footers at commit time, so a filtered read
+  can PRUNE the file list driver-side before the scan ever starts —
+  the same data-skipping contract Iceberg manifests / Delta
+  ``stats`` provide. At 100 TB this is the difference between
+  scanning a snapshot and scanning the 2% of its files a predicate
+  can touch;
 - writes are COPY-ON-WRITE at file granularity: a new snapshot writes
   only new files and a new manifest that mixes carried-over and new
   files — old snapshots stay readable forever (time travel) because
   their files are never mutated;
-- manifest commits are write-temp-then-rename, so readers always see a
-  complete snapshot (the cached_dir discipline applied to a commit log);
-- reads resolve a snapshot id (or latest) to its file list and load
-  exactly those files — at 100 TB this read path is O(files-in-snapshot)
-  driver-side metadata plus a normal parallel parquet scan.
+- manifest commits are write-temp-then-PUT-IF-ABSENT (``os.link`` onto
+  the final name, which fails if it exists): readers always see a
+  complete snapshot AND two concurrent writers can never silently
+  clobber each other — the loser's commit retries under the next
+  snapshot id, exactly the optimistic-concurrency loop Delta/Iceberg
+  run against object-store conditional puts;
+- reads resolve a snapshot id (or latest) to its file list, prune it
+  against the caller's predicates using the manifest stats, and load
+  exactly the surviving files — O(files-in-snapshot) driver-side
+  metadata plus a normal parallel parquet scan;
+- :func:`merge_into_snapshot` is row-level MERGE INTO on top of the
+  format: stats-prune candidate files by the change set's key
+  envelope, detect the exact touched files with one key-column
+  semi-join, rewrite ONLY those files, and commit rewritten + inserted
+  rows as the new snapshot's added files — which makes the
+  :func:`read_changes` feed of a merge commit exactly the post-image
+  of the rewritten files plus the inserted rows.
 """
 
 from __future__ import annotations
 
+import datetime
 import json
 import os
 import uuid
+from decimal import Decimal
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MANIFEST_VERSION = 2
 
 
 def _manifest_dir(table_dir: str) -> str:
@@ -44,18 +68,140 @@ def latest_snapshot(table_dir: str) -> int:
     return max(ids, default=-1)
 
 
-def _commit(table_dir: str, snapshot_id: int, files: list[str]) -> None:
+def _json_safe(v):
+    """Parquet footer stats → JSON-storable bound values. Types we can't
+    compare faithfully after a JSON roundtrip are dropped (the file is
+    then simply never pruned on that column — always safe)."""
+    if isinstance(v, bool) or v is None:
+        return v
+    if isinstance(v, (int, float, str)):
+        return v
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return v.isoformat()
+    if isinstance(v, Decimal):
+        return str(v)
+    if isinstance(v, bytes):
+        return None
+    return None
+
+
+def file_stats(abs_path: str) -> dict:
+    """Harvest per-column min/max/null-count from a parquet footer.
+
+    Pure metadata read (no data pages) — the commit-time cost is
+    O(files) footer reads, the same work any engine's manifest writer
+    does. Columns whose stats are absent or not JSON-faithful are
+    omitted; pruning treats a missing column as "cannot skip"."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(abs_path).metadata
+    rows = md.num_rows
+    stats: dict[str, dict] = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if "." in name:  # nested leaves: skip, prune on top-level only
+                continue
+            s = col.statistics
+            if s is None:
+                stats[name] = {"ok": False}
+                continue
+            cur = stats.setdefault(
+                name, {"ok": True, "min": None, "max": None, "nulls": 0}
+            )
+            if not cur.get("ok", False):
+                continue
+            nulls = s.null_count if s.has_null_count else None
+            if nulls is None:
+                cur["ok"] = False
+                continue
+            cur["nulls"] += nulls
+            if s.has_min_max:
+                mn, mx = _json_safe(s.min), _json_safe(s.max)
+                if mn is None or mx is None:
+                    # non-representable bound type: unusable unless the
+                    # row group holds no values for this column at all
+                    if s.num_values > 0:
+                        cur["ok"] = False
+                    continue
+                cur["min"] = mn if cur["min"] is None else min(cur["min"], mn)
+                cur["max"] = mx if cur["max"] is None else max(cur["max"], mx)
+            elif nulls < g.num_rows:
+                cur["ok"] = False  # values exist but no bounds → can't skip
+    out = {}
+    for name, cur in stats.items():
+        if cur.get("ok"):
+            out[name] = {
+                "min": cur["min"],
+                "max": cur["max"],
+                "nulls": cur["nulls"],
+            }
+    return {"rows": rows, "columns": out}
+
+
+def _entry(table_dir: str, rel_path: str) -> dict:
+    st = file_stats(os.path.join(table_dir, rel_path))
+    return {"path": rel_path, **st}
+
+
+def _commit(table_dir: str, snapshot_id: int, entries: list[dict]) -> None:
+    """Atomic PUT-IF-ABSENT commit of one manifest.
+
+    ``os.link(tmp, final)`` fails with FileExistsError when the target
+    manifest already exists — unlike ``os.rename``, which on POSIX
+    silently replaces it and would let two concurrent writers both
+    "win" snapshot N with one commit lost. Raises FileExistsError to
+    the caller, who retries under the next id (optimistic concurrency).
+    """
     mdir = _manifest_dir(table_dir)
     os.makedirs(mdir, exist_ok=True)
     tmp = os.path.join(mdir, f".{snapshot_id}.{uuid.uuid4().hex[:8]}.tmp")
     with open(tmp, "w") as fh:
-        json.dump(sorted(files), fh)
-    os.rename(tmp, os.path.join(mdir, f"{snapshot_id}.json"))
+        json.dump(
+            {
+                "version": MANIFEST_VERSION,
+                "files": sorted(entries, key=lambda e: e["path"]),
+            },
+            fh,
+        )
+    try:
+        os.link(tmp, os.path.join(mdir, f"{snapshot_id}.json"))
+    finally:
+        os.unlink(tmp)
+
+
+def commit_snapshot(table_dir: str, entries: list[dict]) -> int:
+    """Commit ``entries`` as the next snapshot, retrying on collision:
+    if another writer claims snapshot N first, this commit lands at
+    N+1 (or later) — no commit is ever silently lost."""
+    while True:
+        sid = latest_snapshot(table_dir) + 1
+        try:
+            _commit(table_dir, sid, entries)
+            return sid
+        except FileExistsError:
+            continue
+
+
+def _load_manifest(table_dir: str, snapshot_id: int) -> list[dict]:
+    with open(
+        os.path.join(_manifest_dir(table_dir), f"{snapshot_id}.json")
+    ) as fh:
+        doc = json.load(fh)
+    if isinstance(doc, list):  # v1 manifests: bare path list, no stats
+        return [{"path": p, "rows": None, "columns": {}} for p in doc]
+    return doc["files"]
+
+
+def snapshot_entries(table_dir: str, snapshot_id: int) -> list[dict]:
+    """Manifest entries (path + rows + per-column stats) of a snapshot."""
+    return _load_manifest(table_dir, snapshot_id)
 
 
 def snapshot_files(table_dir: str, snapshot_id: int) -> list[str]:
-    with open(os.path.join(_manifest_dir(table_dir), f"{snapshot_id}.json")) as fh:
-        return json.load(fh)
+    return [e["path"] for e in _load_manifest(table_dir, snapshot_id)]
 
 
 def write_snapshot(
@@ -73,24 +219,112 @@ def write_snapshot(
         for f in os.listdir(data_dir)
         if f.endswith(".parquet")
     ]
-    files = sorted((carry_over or []) + new_files)
-    sid = latest_snapshot(table_dir) + 1
-    _commit(table_dir, sid, files)
-    return sid
+    entries = [_entry(table_dir, p) for p in sorted((carry_over or []) + new_files)]
+    return commit_snapshot(table_dir, entries)
+
+
+# --- stats-based data skipping -------------------------------------------
+
+_OPS = ("=", "==", "<", "<=", ">", ">=")
+
+
+def _may_match(entry: dict, col: str, op: str, value) -> bool:
+    """Can any row of this file satisfy ``col op value``? Conservative:
+    missing/incomparable stats → True (never skip incorrectly). The
+    predicates are null-rejecting, so an all-null column can be skipped."""
+    st = entry.get("columns", {}).get(col)
+    if st is None:
+        return True
+    rows = entry.get("rows")
+    if rows is not None and st.get("nulls") == rows:
+        return False  # every value null: no null-rejecting predicate matches
+    mn, mx = st.get("min"), st.get("max")
+    if mn is None or mx is None:
+        return True
+    num = lambda v: isinstance(v, (int, float)) and not isinstance(v, bool)
+    if not (
+        (num(value) and num(mn) and num(mx))
+        or (isinstance(value, str) and isinstance(mn, str) and isinstance(mx, str))
+    ):
+        return True  # type mismatch after JSON roundtrip: don't skip
+    if op in ("=", "=="):
+        return mn <= value <= mx
+    if op == "<":
+        return mn < value
+    if op == "<=":
+        return mn <= value
+    if op == ">":
+        return mx > value
+    if op == ">=":
+        return mx >= value
+    raise ValueError(f"unsupported op {op!r} (use one of {_OPS})")
+
+
+def prune_entries(
+    entries: list[dict], filters: list[tuple[str, str, object]]
+) -> list[dict]:
+    """Drop entries whose stats PROVE no row can satisfy ALL filters
+    (filters are AND-ed, each ``(column, op, value)``)."""
+    return [
+        e
+        for e in entries
+        if all(_may_match(e, c, op, v) for (c, op, v) in filters)
+    ]
 
 
 def read_snapshot(
-    spark: SparkSession, table_dir: str, snapshot_id: int | None = None
+    spark: SparkSession,
+    table_dir: str,
+    snapshot_id: int | None = None,
+    filters: list[tuple[str, str, object]] | None = None,
 ) -> DataFrame:
     """Time-travel read: load exactly the files of ``snapshot_id``
-    (default: latest)."""
-    sid = (
-        latest_snapshot(table_dir) if snapshot_id is None else snapshot_id
+    (default: latest). With ``filters``, the file list is first pruned
+    against the manifest stats (data skipping) and the filters are then
+    applied to the scan as ordinary predicates — pruning is an IO
+    optimization, never a semantics change."""
+    df, _, _ = read_snapshot_pruned(spark, table_dir, snapshot_id, filters)
+    return df
+
+
+def read_snapshot_pruned(
+    spark: SparkSession,
+    table_dir: str,
+    snapshot_id: int | None = None,
+    filters: list[tuple[str, str, object]] | None = None,
+) -> tuple[DataFrame, int, int]:
+    """Like :func:`read_snapshot` but also reports
+    ``(df, files_scanned, files_total)`` so callers (and tests) can
+    assert that skipping actually happened."""
+    sid = latest_snapshot(table_dir) if snapshot_id is None else snapshot_id
+    entries = snapshot_entries(table_dir, sid)
+    total = len(entries)
+    if filters:
+        entries = prune_entries(entries, filters)
+    if not entries:
+        # all files pruned: empty frame with the snapshot's schema
+        all_files = [
+            os.path.join(table_dir, e["path"])
+            for e in snapshot_entries(table_dir, sid)
+        ]
+        df = spark.read.parquet(*all_files).limit(0)
+        return df, 0, total
+    df = spark.read.parquet(
+        *[os.path.join(table_dir, e["path"]) for e in entries]
     )
-    files = [
-        os.path.join(table_dir, f) for f in snapshot_files(table_dir, sid)
-    ]
-    return spark.read.parquet(*files)
+    for c, op, v in filters or []:
+        column = F.col(c)
+        df = df.where(
+            {
+                "=": column == v,
+                "==": column == v,
+                "<": column < v,
+                "<=": column <= v,
+                ">": column > v,
+                ">=": column >= v,
+            }[op]
+        )
+    return df, len(entries), total
 
 
 def read_changes(
@@ -98,9 +332,10 @@ def read_changes(
 ) -> DataFrame:
     """Incremental (CDC-style) read: rows in the files ADDED between two
     snapshots. For append commits this is exactly the appended rows; for
-    copy-on-write commits it is the post-image of every rewritten file —
-    the standard file-granularity change feed a downstream incremental
-    pipeline consumes instead of re-scanning the table."""
+    copy-on-write commits (including MERGE) it is the post-image of
+    every rewritten file plus any inserted rows — the standard
+    file-granularity change feed a downstream incremental pipeline
+    consumes instead of re-scanning the table."""
     before = set(snapshot_files(table_dir, from_snapshot))
     added = [
         os.path.join(table_dir, f)
@@ -113,3 +348,122 @@ def read_changes(
             f"{to_snapshot}"
         )
     return spark.read.parquet(*added)
+
+
+# --- MERGE INTO -----------------------------------------------------------
+
+
+def merge_into_snapshot(
+    spark: SparkSession,
+    table_dir: str,
+    changes: DataFrame,
+    key: str,
+    value_cols: list[str],
+    op_col: str = "op",
+) -> int:
+    """Row-level MERGE INTO the latest snapshot (copy-on-write).
+
+    ``changes`` carries ``key``, ``value_cols`` and ``op_col``:
+    - ``'U'``: WHEN MATCHED THEN UPDATE (no-op for an absent key);
+    - ``'D'``: WHEN MATCHED THEN DELETE (no-op for an absent key);
+    - ``'I'``: WHEN NOT MATCHED THEN INSERT (no-op for a present key).
+
+    Plan, in 100 TB order of importance:
+    1. stats-prune: only files whose ``key`` min/max range intersects
+       the change set's key envelope can contain a matched row — the
+       manifest answers this driver-side before any scan;
+    2. exact touch detection: scan ONLY the candidate files' key
+       column, left-semi join against the U/D keys, collect the
+       distinct file names (O(files) driver data, never O(rows));
+    3. rewrite ONLY the touched files (update/delete applied via a
+       single keyed left join), union the insert rows (anti join
+       against the table's key column — a column-pruned scan), write
+       the result as the commit's new files, carry every untouched
+       file over by reference.
+
+    Returns the new snapshot id. :func:`read_changes` over
+    (previous, new) yields the post-image of rewritten files plus the
+    inserted rows.
+    """
+    base_sid = latest_snapshot(table_dir)
+    if base_sid < 0:
+        raise ValueError(f"no snapshot to merge into at {table_dir}")
+    entries = snapshot_entries(table_dir, base_sid)
+    all_paths = [e["path"] for e in entries]
+    abs_path = lambda p: os.path.join(table_dir, p)
+
+    ud_keys = (
+        changes.where(F.col(op_col).isin("U", "D")).select(key).distinct()
+    )
+    env = ud_keys.agg(
+        F.min(key).alias("lo"), F.max(key).alias("hi")
+    ).first()
+    if env["lo"] is None:
+        candidates = []
+    else:
+        candidates = [
+            e["path"]
+            for e in prune_entries(
+                entries,
+                [(key, ">=", env["lo"]), (key, "<=", env["hi"])],
+            )
+        ]
+
+    touched: list[str] = []
+    if candidates:
+        cand_scan = (
+            spark.read.parquet(*[abs_path(p) for p in candidates])
+            .select(key)
+            .withColumn("_file", F.input_file_name())
+        )
+        touched_uris = [
+            r["_file"]
+            for r in cand_scan.join(ud_keys, key, "left_semi")
+            .select("_file")
+            .distinct()
+            .collect()  # bounded: one row per touched FILE
+        ]
+        # input_file_name returns URIs; map back to manifest paths
+        touched = [
+            p
+            for p in candidates
+            if any(u.endswith("/" + os.path.basename(p)) for u in touched_uris)
+        ]
+
+    cols = [key, *value_cols]
+    if touched:
+        base_touched = spark.read.parquet(
+            *[abs_path(p) for p in touched]
+        ).select(*cols)
+        ch = changes.where(F.col(op_col).isin("U", "D")).select(
+            F.col(key).alias("_k"),
+            F.col(op_col).alias("_op"),
+            *[F.col(v).alias(f"_c_{v}") for v in value_cols],
+        )
+        joined = base_touched.join(
+            ch, base_touched[key] == ch["_k"], "left"
+        )
+        rewritten = joined.where(
+            F.col("_op").isNull() | (F.col("_op") != "D")
+        ).select(
+            F.col(key),
+            *[
+                F.when(F.col("_op") == "U", F.col(f"_c_{v}"))
+                .otherwise(F.col(v))
+                .alias(v)
+                for v in value_cols
+            ],
+        )
+    else:
+        rewritten = None
+
+    inserts = changes.where(F.col(op_col) == "I").select(*cols)
+    # WHEN NOT MATCHED guard: a key-column-pruned scan of the table
+    table_keys = spark.read.parquet(
+        *[abs_path(p) for p in all_paths]
+    ).select(key)
+    inserts = inserts.join(table_keys, key, "left_anti")
+
+    new_rows = inserts if rewritten is None else rewritten.unionByName(inserts)
+    carried = [p for p in all_paths if p not in set(touched)]
+    return write_snapshot(new_rows, table_dir, carry_over=carried)

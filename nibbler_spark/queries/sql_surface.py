@@ -333,3 +333,249 @@ def ext_snapshot_incremental_read(
         F.count("*").alias("n_rows"), cents.alias("total_cents")
     ).select(F.lit("rewrite").alias("change_kind"), "n_rows", "total_cents")
     return append_feed.unionAll(rewrite_feed).orderBy("change_kind")
+
+
+@register(
+    "ext_snapshot_skipping",
+    survey_id="EXT-SKIPPING",
+    category="sql-surface",
+    mode="bounded",
+    oracle="""
+WITH b AS (SELECT MIN(o_orderkey) AS kmin, MAX(o_orderkey) AS kmax
+           FROM orders),
+f AS (SELECT o.o_totalprice
+      FROM orders o, b
+      WHERE o.o_orderkey >= b.kmin + (b.kmax - b.kmin) // 4
+        AND o.o_orderkey <= b.kmin + (b.kmax - b.kmin) // 2)
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents,
+       TRUE AS pruned
+FROM f
+""",
+)
+def ext_snapshot_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data skipping against manifest column stats: commit orders into
+    the snapshot format range-partitioned on ``o_orderkey`` (8 files,
+    disjoint key ranges), then time-travel-read the middle quarter of
+    the key space with filters. The manifest's per-file MIN/MAX stats
+    (harvested from the parquet footers at commit time) prune the file
+    list DRIVER-SIDE before the scan starts; the query returns the
+    filtered aggregate plus a ``pruned`` boolean asserting that
+    files_scanned < files_total — i.e. that skipping physically
+    happened, not just that the answer is right. At 100 TB this is the
+    manifest-level analogue of partition pruning: a predicate touching
+    2% of the key space reads 2% of the files, and the pruning cost is
+    O(files) driver metadata, zero executor work."""
+    import os
+    import shutil
+    import tempfile
+
+    from nibbler_spark.operators.snapshots import (
+        read_snapshot_pruned,
+        write_snapshot,
+    )
+
+    table = tempfile.mkdtemp(prefix="nibbler-skip-")
+    shutil.rmtree(table)
+    os.makedirs(table)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    sid = write_snapshot(o.repartitionByRange(8, "o_orderkey"), table)
+    b = o.agg(
+        F.min("o_orderkey").alias("kmin"), F.max("o_orderkey").alias("kmax")
+    ).first()
+    lo = b["kmin"] + (b["kmax"] - b["kmin"]) // 4
+    hi = b["kmin"] + (b["kmax"] - b["kmin"]) // 2
+    got, scanned, total = read_snapshot_pruned(
+        spark,
+        table,
+        sid,
+        filters=[("o_orderkey", ">=", lo), ("o_orderkey", "<=", hi)],
+    )
+    return got.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("total_cents"),
+    ).select(
+        "n_rows",
+        "total_cents",
+        F.lit(bool(0 < scanned < total)).alias("pruned"),
+    )
+
+
+@register(
+    "ext_snapshot_merge_into",
+    survey_id="EXT-MERGE-SNAP",
+    category="sql-surface",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 8 = 0
+              THEN o_totalprice * CAST(1.1 AS DOUBLE)
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 8 <> 1
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_custkey, CAST(100.0 AS DOUBLE)
+  FROM orders WHERE o_orderkey % 8 = 2
+)
+ORDER BY o_orderkey
+""",
+)
+def ext_snapshot_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level MERGE INTO the snapshot format (copy-on-write): orders
+    is committed as FOUR bucket files (o_orderkey % 4, one file each —
+    deterministic so the oracle can reason about file contents); the
+    change set updates keys ≡0 (mod 8), deletes keys ≡1 (mod 8), and
+    inserts fresh keys +10M. Buckets 0 and 1 contain matched keys and
+    are rewritten; buckets 2 and 3 carry over BY REFERENCE — the merge
+    writes only the changed fraction of the table. The query returns
+    the full post-merge table, hash-checked against a DuckDB
+    formulation of the same MERGE. Scale shape: stats-prune candidate
+    files by key envelope → one key-column semi-join to find touched
+    files → rewrite only those (single keyed left join) → commit."""
+    import os
+    import shutil
+    import tempfile
+
+    from nibbler_spark.operators.snapshots import (
+        merge_into_snapshot,
+        read_snapshot,
+        snapshot_files,
+        write_snapshot,
+    )
+
+    table = tempfile.mkdtemp(prefix="nibbler-msnap-")
+    shutil.rmtree(table)
+    os.makedirs(table)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    carry: list[str] = []
+    for b in range(4):
+        sid = write_snapshot(
+            o.where(F.col("o_orderkey") % 4 == b).coalesce(1),
+            table,
+            carry_over=carry,
+        )
+        carry = snapshot_files(table, sid)
+
+    updates = o.where(F.col("o_orderkey") % 8 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("op"),
+        "o_custkey",
+        (F.col("o_totalprice") * F.lit(1.1)).alias("o_totalprice"),
+    )
+    deletes = o.where(F.col("o_orderkey") % 8 == 1).select(
+        "o_orderkey",
+        F.lit("D").alias("op"),
+        F.lit(None).cast("bigint").alias("o_custkey"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+    )
+    inserts = o.where(F.col("o_orderkey") % 8 == 2).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        F.lit("I").alias("op"),
+        "o_custkey",
+        F.lit(100.0).alias("o_totalprice"),
+    )
+    changes = updates.unionByName(deletes).unionByName(inserts)
+    sid = merge_into_snapshot(
+        spark,
+        table,
+        changes,
+        key="o_orderkey",
+        value_cols=["o_custkey", "o_totalprice"],
+    )
+    return read_snapshot(spark, table, sid).orderBy("o_orderkey")
+
+
+@register(
+    "ext_snapshot_merge_cdc",
+    survey_id="EXT-MERGE-CDC",
+    category="sql-surface",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 8 = 0
+              THEN o_totalprice * CAST(1.1 AS DOUBLE)
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders
+  WHERE o_orderkey % 4 IN (0, 1) AND o_orderkey % 8 <> 1
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_custkey, CAST(100.0 AS DOUBLE)
+  FROM orders WHERE o_orderkey % 8 = 2
+)
+ORDER BY o_orderkey
+""",
+)
+def ext_snapshot_merge_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC feed of a MERGE commit: replays EXT-MERGE-SNAP (four
+    deterministic bucket files, update ≡0 / delete ≡1 mod 8, inserts
+    +10M) and then reads ONLY the files the merge ADDED via the
+    incremental change feed. Because the merge rewrites exactly the
+    bucket-0 and bucket-1 files, the feed is provably the post-image
+    of those two buckets plus the inserted rows — which is what the
+    DuckDB oracle computes from first principles. This is the
+    contract a downstream incremental pipeline depends on: consuming
+    the delta of a merge is work proportional to the rewritten
+    fraction, never the table."""
+    import os
+    import shutil
+    import tempfile
+
+    from nibbler_spark.operators.snapshots import (
+        merge_into_snapshot,
+        read_changes,
+        snapshot_files,
+        write_snapshot,
+    )
+
+    table = tempfile.mkdtemp(prefix="nibbler-mcdc-")
+    shutil.rmtree(table)
+    os.makedirs(table)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    carry: list[str] = []
+    for b in range(4):
+        sid = write_snapshot(
+            o.where(F.col("o_orderkey") % 4 == b).coalesce(1),
+            table,
+            carry_over=carry,
+        )
+        carry = snapshot_files(table, sid)
+    base_sid = sid
+
+    updates = o.where(F.col("o_orderkey") % 8 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("op"),
+        "o_custkey",
+        (F.col("o_totalprice") * F.lit(1.1)).alias("o_totalprice"),
+    )
+    deletes = o.where(F.col("o_orderkey") % 8 == 1).select(
+        "o_orderkey",
+        F.lit("D").alias("op"),
+        F.lit(None).cast("bigint").alias("o_custkey"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+    )
+    inserts = o.where(F.col("o_orderkey") % 8 == 2).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        F.lit("I").alias("op"),
+        "o_custkey",
+        F.lit(100.0).alias("o_totalprice"),
+    )
+    changes = updates.unionByName(deletes).unionByName(inserts)
+    merged_sid = merge_into_snapshot(
+        spark,
+        table,
+        changes,
+        key="o_orderkey",
+        value_cols=["o_custkey", "o_totalprice"],
+    )
+    return read_changes(spark, table, base_sid, merged_sid).orderBy(
+        "o_orderkey"
+    )

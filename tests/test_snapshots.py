@@ -2,11 +2,22 @@
 
 from __future__ import annotations
 
+import json
 import os
+import threading
+
+import pytest
 
 from nibbler_spark.operators.snapshots import (
+    _commit,
+    commit_snapshot,
     latest_snapshot,
+    merge_into_snapshot,
+    prune_entries,
+    read_changes,
     read_snapshot,
+    read_snapshot_pruned,
+    snapshot_entries,
     snapshot_files,
     write_snapshot,
 )
@@ -54,3 +65,173 @@ def test_manifest_commit_is_atomic_rename(spark, tmp_path):
     # simulate a crashed commit: orphan tmp must not affect resolution
     open(os.path.join(mdir, ".1.deadbeef.tmp"), "w").write("[]")
     assert latest_snapshot(table) == 0
+
+
+def test_manifest_entries_carry_column_stats(spark, tmp_path):
+    table = str(tmp_path / "t3")
+    os.makedirs(table)
+    df = spark.createDataFrame(
+        [(1, 10.0, "a"), (5, None, "m"), (9, 30.0, "z")],
+        "k long, v double, s string",
+    )
+    sid = write_snapshot(df.coalesce(1), table)
+    entries = snapshot_entries(table, sid)
+    assert len(entries) == 1
+    e = entries[0]
+    assert e["rows"] == 3
+    assert e["columns"]["k"] == {"min": 1, "max": 9, "nulls": 0}
+    assert e["columns"]["v"] == {"min": 10.0, "max": 30.0, "nulls": 1}
+    assert e["columns"]["s"]["min"] == "a" and e["columns"]["s"]["max"] == "z"
+
+
+def test_prune_entries_matches_brute_force():
+    entries = [
+        {"path": "f1", "rows": 10, "columns": {"k": {"min": 0, "max": 9, "nulls": 0}}},
+        {"path": "f2", "rows": 10, "columns": {"k": {"min": 10, "max": 19, "nulls": 2}}},
+        {"path": "f3", "rows": 10, "columns": {"k": {"min": 20, "max": 29, "nulls": 0}}},
+        {"path": "f4", "rows": 5, "columns": {"k": {"min": None, "max": None, "nulls": 5}}},
+        {"path": "f5", "rows": 5, "columns": {}},  # no stats: never pruned
+    ]
+
+    def surviving(filters):
+        return [e["path"] for e in prune_entries(entries, filters)]
+
+    assert surviving([("k", ">=", 15)]) == ["f2", "f3", "f5"]
+    assert surviving([("k", "<", 10)]) == ["f1", "f5"]
+    assert surviving([("k", "=", 10)]) == ["f2", "f5"]
+    assert surviving([("k", ">", 9), ("k", "<=", 19)]) == ["f2", "f5"]
+    assert surviving([("k", ">=", 30)]) == ["f5"]
+    # boundary inclusivity
+    assert surviving([("k", ">", 29)]) == ["f5"]
+    assert surviving([("k", ">=", 29)]) == ["f3", "f5"]
+    assert surviving([("k", "<", 0)]) == ["f5"]
+    assert surviving([("k", "<=", 0)]) == ["f1", "f5"]
+    # unknown column: nothing pruned
+    assert surviving([("z", ">=", 1)]) == ["f1", "f2", "f3", "f4", "f5"]
+
+
+def test_read_snapshot_pruned_skips_files_and_keeps_results(spark, tmp_path):
+    table = str(tmp_path / "t4")
+    os.makedirs(table)
+    df = spark.range(0, 1000).selectExpr("id AS k", "id * 2 AS v")
+    sid = write_snapshot(df.repartitionByRange(8, "k"), table)
+    got, scanned, total = read_snapshot_pruned(
+        spark, table, sid, filters=[("k", ">=", 100), ("k", "<", 200)]
+    )
+    assert total == 8
+    assert scanned < total  # data skipping actually happened
+    rows = sorted(r["k"] for r in got.collect())
+    assert rows == list(range(100, 200))
+    # empty-result pruning keeps schema
+    got2, scanned2, _ = read_snapshot_pruned(
+        spark, table, sid, filters=[("k", ">=", 10_000)]
+    )
+    assert got2.columns == ["k", "v"] and got2.count() == 0
+    assert scanned2 == 0
+
+
+def test_commit_is_put_if_absent(tmp_path):
+    table = str(tmp_path / "t5")
+    _commit(table, 0, [{"path": "a", "rows": 1, "columns": {}}])
+    with pytest.raises(FileExistsError):
+        _commit(table, 0, [{"path": "b", "rows": 1, "columns": {}}])
+    # the loser did NOT clobber the winner
+    assert snapshot_files(table, 0) == ["a"]
+    # and no tmp files linger from either attempt
+    mdir = os.path.join(table, "_manifests")
+    assert [f for f in os.listdir(mdir) if f.endswith(".tmp")] == []
+
+
+def test_concurrent_commits_never_lose_an_update(tmp_path):
+    table = str(tmp_path / "t6")
+    n = 8
+    barrier = threading.Barrier(n)
+    ids = [None] * n
+
+    def committer(i):
+        barrier.wait()
+        ids[i] = commit_snapshot(
+            table, [{"path": f"file-{i}", "rows": 1, "columns": {}}]
+        )
+
+    threads = [threading.Thread(target=committer, args=(i,)) for i in range(n)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    # every writer won a distinct snapshot id; every manifest survives
+    assert sorted(ids) == list(range(n))
+    committed = {snapshot_files(table, s)[0] for s in range(n)}
+    assert committed == {f"file-{i}" for i in range(n)}
+
+
+def test_v1_manifest_list_still_readable(spark, tmp_path):
+    table = str(tmp_path / "t7")
+    os.makedirs(table)
+    df = spark.createDataFrame([(1, 10.0)], "k long, v double")
+    sid = write_snapshot(df.coalesce(1), table)
+    # rewrite the manifest in the round-3 v1 format (bare path list)
+    mpath = os.path.join(table, "_manifests", f"{sid}.json")
+    files = snapshot_files(table, sid)
+    os.unlink(mpath)
+    with open(mpath, "w") as fh:
+        json.dump(files, fh)
+    assert snapshot_files(table, sid) == files
+    assert [e["columns"] for e in snapshot_entries(table, sid)] == [{}]
+    assert read_snapshot(spark, table, sid).collect()[0]["v"] == 10.0
+    # filters still correct (no stats → no skipping, predicate applied)
+    got, scanned, total = read_snapshot_pruned(
+        spark, table, sid, filters=[("k", ">=", 2)]
+    )
+    assert (scanned, total) == (1, 1) and got.count() == 0
+
+
+def test_merge_into_snapshot_cow(spark, tmp_path):
+    table = str(tmp_path / "t8")
+    os.makedirs(table)
+    # two deterministic files: keys 0-4 and 5-9
+    lo = spark.createDataFrame([(k, float(k)) for k in range(5)], "k long, v double")
+    hi = spark.createDataFrame([(k, float(k)) for k in range(5, 10)], "k long, v double")
+    s0 = write_snapshot(lo.coalesce(1), table)
+    s1 = write_snapshot(hi.coalesce(1), table, carry_over=snapshot_files(table, s0))
+    # changes touch ONLY the low file: update k=1, delete k=3,
+    # insert k=100; U on absent key 42 and I on present key 7 are no-ops
+    changes = spark.createDataFrame(
+        [(1, "U", 111.0), (3, "D", None), (100, "I", 100.0),
+         (42, "U", 420.0), (7, "I", 777.0)],
+        "k long, op string, v double",
+    )
+    s2 = merge_into_snapshot(spark, table, changes, key="k", value_cols=["v"])
+    got = sorted((r["k"], r["v"]) for r in read_snapshot(spark, table, s2).collect())
+    expect = [(0, 0.0), (1, 111.0), (2, 2.0), (4, 4.0)] + [
+        (k, float(k)) for k in range(5, 10)
+    ] + [(100, 100.0)]
+    assert got == sorted(expect)
+    # copy-on-write: the hi file was carried over untouched
+    f1, f2 = set(snapshot_files(table, s1)), set(snapshot_files(table, s2))
+    carried = f1 & f2
+    assert len(carried) == 1
+    hi_rows = sorted(
+        r["k"] for r in spark.read.parquet(
+            os.path.join(table, next(iter(carried)))
+        ).collect()
+    )
+    assert hi_rows == list(range(5, 10))
+    # CDC feed of the merge = post-image of rewritten file + inserts
+    feed = sorted((r["k"], r["v"]) for r in read_changes(spark, table, s1, s2).collect())
+    assert feed == [(0, 0.0), (1, 111.0), (2, 2.0), (4, 4.0), (100, 100.0)]
+    # old snapshots still time-travel readable
+    assert sorted(r["k"] for r in read_snapshot(spark, table, s1).collect()) == list(range(10))
+
+
+def test_merge_into_snapshot_no_touched_files(spark, tmp_path):
+    """Insert-only merge: no file rewritten, base file carried over."""
+    table = str(tmp_path / "t9")
+    os.makedirs(table)
+    base = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    s0 = write_snapshot(base.coalesce(1), table)
+    changes = spark.createDataFrame([(9, "I", 9.0)], "k long, op string, v double")
+    s1 = merge_into_snapshot(spark, table, changes, key="k", value_cols=["v"])
+    assert set(snapshot_files(table, s0)) < set(snapshot_files(table, s1))
+    got = sorted((r["k"], r["v"]) for r in read_snapshot(spark, table, s1).collect())
+    assert got == [(1, 1.0), (9, 9.0)]
