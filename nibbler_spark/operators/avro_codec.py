@@ -11,9 +11,11 @@ sync)``. Scalars use the spec's encodings: zigzag-varint longs, UTF-8
 strings with a long length prefix, IEEE-754 little-endian doubles,
 booleans as a single byte.
 
-Scope: null codec, flat record schemas over {long, int, double, string,
-boolean} — the shape analytics interchange actually uses. Anything else
-raises rather than mis-parsing.
+Scope: null or deflate codec, flat record schemas over {long, int,
+double, string, boolean} — the shape analytics interchange actually
+uses — plus the spec's schema-resolution rules between writer and
+reader schema versions (field reordering, defaults, promotions).
+Anything else raises rather than mis-parsing.
 """
 
 from __future__ import annotations
@@ -145,11 +147,78 @@ def encode_container(
     return bytes(out)
 
 
-def decode_container(buf: bytes) -> tuple[list[tuple[str, str]], list[tuple]]:
+# Legal writer→reader type promotions (Avro spec, Schema Resolution):
+# of the types this codec supports, int→long, int→double, long→double.
+_PROMOTIONS = {
+    ("int", "long"),
+    ("int", "double"),
+    ("long", "double"),
+}
+
+
+def resolve_fields(
+    writer_fields: list[tuple[str, str]],
+    reader_fields: list[dict],
+) -> list[tuple]:
+    """Schema-resolution plan (Avro spec §Schema Resolution) from a
+    writer's record fields to a reader's.
+
+    ``reader_fields`` entries are ``{"name", "type", "default"?}``.
+    Rules implemented, matched BY NAME (so field reordering between
+    schema versions is transparent):
+
+    - same type → value passed through;
+    - promotion int→long, int→double, long→double → value converted;
+    - reader field missing from the writer → the reader's ``default``
+      is used (error if none declared — per spec);
+    - writer field missing from the reader → decoded and discarded;
+    - any other type pair (including demotions like long→int) → error.
+
+    Returns a per-reader-field plan of ``("copy", writer_idx, convert)``
+    or ``("default", value, None)`` steps.
+    """
+    widx = {n: (i, t) for i, (n, t) in enumerate(writer_fields)}
+    plan: list[tuple] = []
+    for rf in reader_fields:
+        name, rtyp = rf["name"], rf["type"]
+        if rtyp not in _SUPPORTED:
+            raise ValueError(f"unsupported Avro type: {rtyp}")
+        if name in widx:
+            i, wtyp = widx[name]
+            if wtyp == rtyp:
+                plan.append(("copy", i, None))
+            elif (wtyp, rtyp) in _PROMOTIONS:
+                conv = float if rtyp == "double" else int
+                plan.append(("copy", i, conv))
+            else:
+                raise ValueError(
+                    f"cannot resolve field {name!r}: writer {wtyp} -> "
+                    f"reader {rtyp} is not a legal promotion"
+                )
+        else:
+            if "default" not in rf:
+                raise ValueError(
+                    f"reader field {name!r} absent from writer schema "
+                    "and declares no default"
+                )
+            plan.append(("default", rf["default"], None))
+    return plan
+
+
+def decode_container(
+    buf: bytes, reader_fields: list[dict] | None = None
+) -> tuple[list[tuple[str, str]], list[tuple]]:
     """Parse an OCF byte string → (fields, rows). Validates the magic,
-    walks the metadata map, requires the null codec, derives field order
-    and types from the embedded JSON schema, then reads every block,
-    checking record counts, byte lengths, and sync markers."""
+    walks the metadata map, accepts the null or deflate codec, derives
+    field order and types from the embedded JSON schema, then reads
+    every block, checking record counts, byte lengths, and sync markers.
+
+    With ``reader_fields`` (a list of ``{"name", "type", "default"?}``),
+    rows are resolved from the WRITER's embedded schema to the READER's
+    via :func:`resolve_fields` — field reordering, added fields with
+    defaults, dropped fields, and int→long/int→double/long→double
+    promotions across schema versions all decode under one reader
+    schema. Returned ``fields`` are then the reader's."""
     if buf[:4] != MAGIC:
         raise ValueError("not an Avro object container file (bad magic)")
     pos = 4
@@ -178,6 +247,9 @@ def decode_container(buf: bytes) -> tuple[list[tuple[str, str]], list[tuple]]:
     for _, typ in fields:
         if typ not in _SUPPORTED:
             raise ValueError(f"unsupported Avro type: {typ}")
+    plan = None
+    if reader_fields is not None:
+        plan = resolve_fields(fields, reader_fields)
     sync = buf[pos : pos + 16]
     pos += 16
     rows: list[tuple] = []
@@ -196,10 +268,22 @@ def decode_container(buf: bytes) -> tuple[list[tuple[str, str]], list[tuple]]:
             for _, typ in fields:
                 v, bpos = _decode_value(block, bpos, typ)
                 vals.append(v)
-            rows.append(tuple(vals))
+            if plan is None:
+                rows.append(tuple(vals))
+            else:
+                rows.append(
+                    tuple(
+                        (conv(vals[arg]) if conv else vals[arg])
+                        if kind == "copy"
+                        else arg
+                        for kind, arg, conv in plan
+                    )
+                )
         if bpos != len(block):
             raise ValueError("Avro block length mismatch")
         if buf[pos : pos + 16] != sync:
             raise ValueError("Avro sync marker mismatch")
         pos += 16
+    if reader_fields is not None:
+        return [(rf["name"], rf["type"]) for rf in reader_fields], rows
     return fields, rows

@@ -456,3 +456,115 @@ def a18_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB this is the binary-carriage pattern: bytes stream through
     Python workers batch-by-batch, never via the driver."""
     return _a18_impl(spark, sf_dir)
+
+
+@register(
+    "a21_avro_schema_evolution",
+    survey_id="A21",
+    category="source-sink",
+    oracle="""
+SELECT event_id, user_id, value,
+       CASE WHEN event_id % 2 = 0 THEN 'unknown' ELSE event_type END
+         AS event_type
+FROM events ORDER BY event_id
+""",
+)
+def a21_avro_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro SCHEMA EVOLUTION (spec §Schema Resolution) through the OCF
+    codec: the same corpus is written under TWO writer schema versions —
+    v1 (even event_ids) stores (event_id int, user_id int, value
+    double) with no event_type; v2 (odd event_ids) reorders fields,
+    widens the ids to long, carries event_type, and adds an extra
+    writer-only field — and ONE reader schema decodes both:
+    int→long promotion, by-name field matching across the reorder,
+    the v1 rows filling event_type from the reader default 'unknown',
+    and v2's extra field skipped. The merged result hash-matches the
+    oracle's CASE reconstruction, so every resolution rule is value-
+    checked, not just exercised (mirrors a14_schema_evolution_merge
+    for the parquet surface). Both stages are narrow mapInPandas
+    (Arrow batches, no shuffle, no driver bytes)."""
+    import pandas as pd
+
+    from nibbler_spark.operators.avro_codec import (
+        decode_container,
+        encode_container,
+    )
+
+    v1_fields = [
+        ("event_id", "int"),
+        ("user_id", "int"),
+        ("value", "double"),
+    ]
+    v2_fields = [
+        ("event_type", "string"),
+        ("value", "double"),
+        ("schema_rev", "int"),  # writer-only: reader must skip it
+        ("event_id", "long"),
+        ("user_id", "long"),
+    ]
+    reader = [
+        {"name": "event_id", "type": "long"},
+        {"name": "user_id", "type": "long"},
+        {"name": "value", "type": "double"},
+        {"name": "event_type", "type": "string", "default": "unknown"},
+    ]
+
+    def encode(batches):
+        for pdf in batches:
+            even = pdf[pdf.event_id % 2 == 0]
+            odd = pdf[pdf.event_id % 2 == 1]
+            payloads = []
+            if len(even):
+                payloads.append(
+                    encode_container(
+                        list(
+                            zip(
+                                even.event_id.astype(int),
+                                even.user_id.astype(int),
+                                even.value,
+                            )
+                        ),
+                        v1_fields,
+                    )
+                )
+            if len(odd):
+                payloads.append(
+                    encode_container(
+                        list(
+                            zip(
+                                odd.event_type,
+                                odd.value,
+                                [2] * len(odd),
+                                odd.event_id.astype(int),
+                                odd.user_id.astype(int),
+                            )
+                        ),
+                        v2_fields,
+                        codec="deflate",
+                    )
+                )
+            if payloads:
+                yield pd.DataFrame({"avro": payloads})
+
+    def decode(batches):
+        names = [rf["name"] for rf in reader]
+        for pdf in batches:
+            for buf in pdf["avro"]:
+                fields, rows = decode_container(
+                    bytes(buf), reader_fields=reader
+                )
+                assert [n for n, _ in fields] == names
+                yield pd.DataFrame(rows, columns=names).astype(
+                    {"event_id": "int64", "user_id": "int64"}
+                )
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "value", "event_type")
+        .repartition(8)
+    )
+    encoded = e.mapInPandas(encode, "avro binary")
+    return encoded.mapInPandas(
+        decode,
+        "event_id long, user_id long, value double, event_type string",
+    ).orderBy("event_id")

@@ -110,39 +110,48 @@ class AvroReader(DataSourceReader):
 
 class AvroStreamReader(SimpleDataSourceStreamReader):
     """File-drop streaming over `.avro` containers: the offset is the
-    sorted list position of the last file already served, so each
-    micro-batch decodes exactly the newly-arrived files — the same
-    exactly-once contract as Spark's built-in file stream source, with
-    replay via readBetweenOffsets when a batch is recovered from the
-    checkpoint log."""
+    SET of file names already served (stored sorted), so each
+    micro-batch decodes exactly the newly-arrived files REGARDLESS of
+    how their names sort relative to files served earlier — the same
+    seen-file tracking Spark's built-in file stream source keeps in
+    its checkpoint metadata log. (A positional offset into the sorted
+    listing would mis-serve any late file whose name sorts before an
+    already-served one.) Replay via readBetweenOffsets decodes the
+    set difference end − start, so a batch recovered from the
+    checkpoint log reproduces byte-identical rows. Offset size is
+    O(files seen), the same as the built-in source's metadata log —
+    acceptable for this modest-rate convenience path; the batch reader
+    above is the partition-parallel scale path."""
 
     def __init__(self, options) -> None:
         self.path = options.get("path")
 
     def initialOffset(self) -> dict:
-        return {"n_files": 0}
+        return {"files": []}
 
-    def _rows_between(self, start_n: int, end_n: int) -> list[tuple]:
+    def _decode(self, names: list[str]) -> list[tuple]:
         from nibbler_spark.operators.avro_codec import decode_container
 
         out: list[tuple] = []
-        for f in _avro_files(self.path)[start_n:end_n]:
-            with open(f, "rb") as fh:
+        for name in sorted(names):
+            with open(os.path.join(self.path, name), "rb") as fh:
                 _, rows = decode_container(fh.read())
             out.extend(rows)
         # A concrete list, not a generator: the simple-reader API pickles
-        # the batch for its driver-side prefetch cache (this API is the
-        # modest-rate convenience path; the batch reader above is the
-        # partition-parallel scale path).
+        # the batch for its driver-side prefetch cache.
         return out
 
     def read(self, start: dict):
-        files = _avro_files(self.path)
-        end = {"n_files": len(files)}
-        return self._rows_between(start["n_files"], len(files)), end
+        seen = set(start["files"])
+        current = [os.path.basename(f) for f in _avro_files(self.path)]
+        new = [n for n in current if n not in seen]
+        end = {"files": sorted(seen | set(new))}
+        return self._decode(new), end
 
     def readBetweenOffsets(self, start: dict, end: dict):
-        return self._rows_between(start["n_files"], end["n_files"])
+        return self._decode(
+            [n for n in end["files"] if n not in set(start["files"])]
+        )
 
 
 class AvroCommit(WriterCommitMessage):

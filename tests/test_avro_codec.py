@@ -111,7 +111,7 @@ def test_avro_datasource_partitions_track_files(tmp_path):
 
 
 def test_avro_stream_reader_offsets_and_replay(tmp_path):
-    """Offset = count of sorted files served: each read() batch covers
+    """Offset = set of served file names: each read() batch covers
     exactly the newly-arrived files, and readBetweenOffsets replays a
     recovered batch identically."""
     from nibbler_spark.sources.avro_datasource import AvroStreamReader
@@ -121,16 +121,105 @@ def test_avro_stream_reader_offsets_and_replay(tmp_path):
 
     r = AvroStreamReader({"path": str(tmp_path)})
     o0 = r.initialOffset()
-    drop("a.avro", [(1, "x", 0.5, True)])
-    drop("b.avro", [(2, "y", 1.5, False)])
+    drop("b.avro", [(1, "x", 0.5, True)])
+    drop("c.avro", [(2, "y", 1.5, False)])
     rows1, o1 = r.read(o0)
     assert [t[0] for t in rows1] == [1, 2]
-    assert o1 == {"n_files": 2}
+    assert o1 == {"files": ["b.avro", "c.avro"]}
     rows_empty, o2 = r.read(o1)
     assert list(rows_empty) == [] and o2 == o1  # no new files, no rows
-    drop("c.avro", [(3, "z", 2.5, True)])
+    drop("d.avro", [(3, "z", 2.5, True)])
     rows2, o3 = r.read(o2)
-    assert [t[0] for t in rows2] == [3] and o3 == {"n_files": 3}
+    assert [t[0] for t in rows2] == [3]
+    assert o3 == {"files": ["b.avro", "c.avro", "d.avro"]}
     # checkpoint-recovery replay must reproduce the same batches
     assert list(r.readBetweenOffsets(o0, o1)) == list(rows1)
     assert list(r.readBetweenOffsets(o1, o3)) == list(rows2)
+
+
+def test_avro_stream_reader_serves_late_lexicographic_arrivals(tmp_path):
+    """A file whose name sorts BEFORE already-served files (the shape
+    uuid-named writer output produces) must still be served exactly
+    once — the failure mode of a positional offset into the sorted
+    listing."""
+    from nibbler_spark.sources.avro_datasource import AvroStreamReader
+
+    def drop(name, rows):
+        (tmp_path / name).write_bytes(encode_container(rows, FIELDS))
+
+    r = AvroStreamReader({"path": str(tmp_path)})
+    o0 = r.initialOffset()
+    drop("z.avro", [(1, "x", 0.5, True)])
+    rows1, o1 = r.read(o0)
+    assert [t[0] for t in rows1] == [1]
+    # late arrival sorting before z.avro
+    drop("a.avro", [(2, "y", 1.5, False)])
+    rows2, o2 = r.read(o1)
+    assert [t[0] for t in rows2] == [2]  # served, not skipped
+    rows3, o3 = r.read(o2)
+    assert list(rows3) == []  # and nothing re-served
+    # replay of the recovered second batch is exactly the late file
+    assert [t[0] for t in r.readBetweenOffsets(o1, o2)] == [2]
+
+
+def test_schema_resolution_reorder_default_promote_drop():
+    """One reader schema decodes two writer versions: reordered fields,
+    int->long promotion, a reader-only field filled from its default,
+    and a writer-only field skipped."""
+    from nibbler_spark.operators.avro_codec import decode_container
+
+    reader = [
+        {"name": "id", "type": "long"},
+        {"name": "score", "type": "double"},
+        {"name": "tag", "type": "string", "default": "legacy"},
+    ]
+    # writer v1: id is int, no tag
+    v1 = encode_container(
+        [(7, 1.5)], [("id", "int"), ("score", "double")]
+    )
+    fields, rows = decode_container(v1, reader_fields=reader)
+    assert fields == [("id", "long"), ("score", "double"), ("tag", "string")]
+    assert rows == [(7, 1.5, "legacy")]
+    # writer v2: reordered, long id, has tag, extra field dropped
+    v2 = encode_container(
+        [("new", 2.5, True, 9)],
+        [("tag", "string"), ("score", "double"),
+         ("extra", "boolean"), ("id", "long")],
+    )
+    _, rows2 = decode_container(v2, reader_fields=reader)
+    assert rows2 == [(9, 2.5, "new")]
+
+
+def test_schema_resolution_promotions():
+    from nibbler_spark.operators.avro_codec import decode_container
+
+    buf = encode_container([(5, 6)], [("a", "int"), ("b", "long")])
+    _, rows = decode_container(
+        buf,
+        reader_fields=[
+            {"name": "a", "type": "double"},
+            {"name": "b", "type": "double"},
+        ],
+    )
+    assert rows == [(5.0, 6.0)]
+    assert all(isinstance(v, float) for v in rows[0])
+
+
+def test_schema_resolution_errors():
+    import pytest
+
+    from nibbler_spark.operators.avro_codec import decode_container
+
+    buf = encode_container([(5,)], [("a", "long")])
+    # demotion long->int is not a legal promotion
+    with pytest.raises(ValueError, match="not a legal promotion"):
+        decode_container(buf, reader_fields=[{"name": "a", "type": "int"}])
+    # reader-only field without a default
+    with pytest.raises(ValueError, match="declares no default"):
+        decode_container(
+            buf,
+            reader_fields=[
+                {"name": "a", "type": "long"},
+                {"name": "missing", "type": "string"},
+            ],
+        )
