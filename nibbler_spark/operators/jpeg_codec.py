@@ -1,32 +1,41 @@
-"""Dependency-free baseline JPEG codec (grayscale, SOF0).
+"""Dependency-free baseline JPEG codec (grayscale + YCbCr color, SOF0).
 
 The r2 verdict listed JPEG among the formats "impossible in this env
 (no PIL/ffmpeg)" — but baseline JPEG needs no library at all: this
 module implements the actual ITU-T.81 pipeline from the public spec.
 
-Encoder: 8×8 block FDCT (real 2-D DCT-II, float), quantization against
-a DQT table, zigzag scan, differential DC + category coding, AC
-run/size coding with EOB and ZRL, canonical Huffman codes built from
-BITS/HUFFVAL exactly as a DHT segment declares them, MSB-first
-bitstream with 0xFF byte stuffing, and the full marker structure
-(SOI, DQT, SOF0, DHT, SOS, EOI).
+Encoders: 8×8 block FDCT (real 2-D DCT-II, float), quantization
+against a DQT table, zigzag scan, differential DC + category coding,
+AC run/size coding with EOB and ZRL, canonical Huffman codes built
+from BITS/HUFFVAL exactly as a DHT segment declares them, MSB-first
+bitstream with 0xFF byte stuffing, optional DRI/RSTn restart
+intervals, and the full marker structure (SOI, DQT, SOF0, DHT, [DRI,]
+SOS, EOI). :func:`encode_jpeg_color` is the wild common shape —
+YCbCr with 4:2:0 chroma subsampling (Y sampled 2×2 per 16×16 MCU,
+Cb/Cr one 8×8 block each averaged over 2×2 pixel groups), separate
+luma/chroma quantization and Huffman tables.
 
-Decoder: general for any baseline grayscale JPEG — marker walk, DQT /
-SOF0 / DHT parsing (tables rebuilt canonically from the segment, NOT
-assumed), entropy decode with byte unstuffing, EXTEND sign recovery,
-dezigzag, dequantize, float IDCT, level shift + clamp.
+Decoder (:func:`decode_jpeg`): baseline SOF0 with 1 or 3 components
+and any sampling-factor combination — marker walk tolerating 0xFF
+fill bytes, multi-table per-id DQT and DHT segments (tables rebuilt
+canonically from the segment, NOT assumed), DRI/RSTn restart handling
+(byte realign, marker-sequence check, predictor reset), entropy decode
+with byte unstuffing, EXTEND sign recovery, dezigzag, per-component
+dequantize, float IDCT, nearest-neighbour chroma upsample, YCbCr→RGB.
+Not covered (raises): progressive/extended SOFs, 16-bit quant tables,
+4-component (CMYK) scans.
 
-Custom (embedded, spec-legal) Huffman tables are used instead of the
-Annex-K defaults: 12 five-bit DC category codes and all 162 AC
-run/size symbols at nine bits — canonical construction keeps the
-decoder honest, since it must derive the very same codes from DHT.
+Rounding contract: both color conversions use floor(x + 0.5)
+(half-up), NOT Python's banker's round — so an SQL oracle can
+replicate the integer pixel math exactly with FLOOR(x + 0.5).
 
 Lossless-exactness note: entropy coding is lossless; the DCT round
 trip is exact for piecewise-constant 8×8 blocks with a unit quant
 table (AC coefficients quantize to exactly 0, DC to exactly
-8·(v−128)), which is what the declared oracle query exploits; for
-arbitrary images quality-100 reconstruction is within ±1 per pixel
-(property-tested).
+8·(v−128)), which is what the declared oracle queries exploit —
+for color, constancy per 16×16 MCU also makes the 2×2 chroma
+average exact; for arbitrary images quality-100 reconstruction is
+within ±1 per pixel (property-tested).
 """
 
 from __future__ import annotations
@@ -106,6 +115,13 @@ class _BitWriterMSB:
             self.write(1, 1)
         return bytes(self.out)
 
+    def restart_marker(self, seq: int) -> None:
+        """Byte-align (1-bit padding) then emit RSTn — markers are raw,
+        never stuffed."""
+        while self.n:
+            self.write(1, 1)
+        self.out += bytes([0xFF, 0xD0 + (seq & 7)])
+
 
 def _fdct_block(block: list[int]) -> list[float]:
     """2-D DCT-II on a level-shifted 8×8 block (row-major length 64)."""
@@ -173,31 +189,49 @@ def _encode_block_coeffs(
     return q[0]
 
 
+def _quantized_block(samples: list[int], qtab: list[int]) -> list[int]:
+    coef = _fdct_block(samples)
+    return [int(round(coef[ZIGZAG[i]] / qtab[i])) for i in range(64)]
+
+
 def encode_jpeg_gray(
-    width: int, height: int, pixel, quant: int = 1
+    width: int, height: int, pixel, quant: int = 1,
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode an 8-bit grayscale image as a baseline JPEG. ``pixel(x, y)``
-    returns 0..255; ``quant`` fills the whole quant table (1 = best)."""
+    returns 0..255; ``quant`` fills the whole quant table (1 = best).
+    ``restart_interval`` > 0 writes a DRI segment and an RSTn marker
+    (with DC-predictor reset) after every that many MCUs."""
     dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
     ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
     qtab = [quant] * 64
     bw = _BitWriterMSB()
     pred = 0
-    bw_blocks_y = (height + 7) // 8
-    bw_blocks_x = (width + 7) // 8
-    for by in range(bw_blocks_y):
-        for bx in range(bw_blocks_x):
+    blocks_y = (height + 7) // 8
+    blocks_x = (width + 7) // 8
+    mcu_count = 0
+    rst_seq = 0
+    total_mcus = blocks_x * blocks_y
+    for by in range(blocks_y):
+        for bx in range(blocks_x):
             block = []
             for y in range(8):
                 for x in range(8):
                     px = min(bx * 8 + x, width - 1)
                     py = min(by * 8 + y, height - 1)
                     block.append(int(pixel(px, py)) - 128)
-            coef = _fdct_block(block)
-            zz = [
-                int(round(coef[ZIGZAG[i]] / qtab[i])) for i in range(64)
-            ]
-            pred = _encode_block_coeffs(zz, pred, bw, dc_codes, ac_codes)
+            pred = _encode_block_coeffs(
+                _quantized_block(block, qtab), pred, bw, dc_codes, ac_codes
+            )
+            mcu_count += 1
+            if (
+                restart_interval
+                and mcu_count % restart_interval == 0
+                and mcu_count < total_mcus
+            ):
+                bw.restart_marker(rst_seq)
+                rst_seq = (rst_seq + 1) & 7
+                pred = 0
     scan = bw.finish()
 
     out = bytearray(b"\xff\xd8")  # SOI
@@ -210,7 +244,136 @@ def encode_jpeg_gray(
         + bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS)
     )
     out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     sos = bytes([1, 1, 0x00, 0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    out += scan
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _round_half_up(x: float) -> int:
+    """floor(x + 0.5) — the SQL-replicable rounding both color
+    conversions use (NOT Python's banker's round)."""
+    return math.floor(x + 0.5)
+
+
+def _clamp8(v: int) -> int:
+    return 0 if v < 0 else 255 if v > 255 else v
+
+
+def rgb_to_ycbcr(r: int, g: int, b: int) -> tuple[int, int, int]:
+    """JFIF full-range RGB → YCbCr, half-up rounded, clamped."""
+    y = _round_half_up(0.299 * r + 0.587 * g + 0.114 * b)
+    cb = _round_half_up(128 - 0.168736 * r - 0.331264 * g + 0.5 * b)
+    cr = _round_half_up(128 + 0.5 * r - 0.418688 * g - 0.081312 * b)
+    return _clamp8(y), _clamp8(cb), _clamp8(cr)
+
+
+def ycbcr_to_rgb(y: int, cb: int, cr: int) -> tuple[int, int, int]:
+    r = _round_half_up(y + 1.402 * (cr - 128))
+    g = _round_half_up(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128))
+    b = _round_half_up(y + 1.772 * (cb - 128))
+    return _clamp8(r), _clamp8(g), _clamp8(b)
+
+
+def encode_jpeg_color(
+    width: int, height: int, rgb, quant: int = 1,
+    chroma_quant: int | None = None, restart_interval: int = 0,
+) -> bytes:
+    """Encode an RGB image as a baseline YCbCr JPEG with 4:2:0 chroma
+    subsampling — the common wild format. ``rgb(x, y)`` returns an
+    (r, g, b) triple, 0..255 each.
+
+    Structure per MCU (16×16 pixels): four 8×8 Y blocks (2×2), one Cb
+    and one Cr block each covering the MCU at half resolution (every
+    chroma sample is the half-up-rounded mean of a 2×2 pixel group).
+    Luma uses quant table 0 + Huffman tables DC0/AC0; chroma uses
+    quant table 1 + DC1/AC1 — both quant tables travel in ONE DQT
+    segment and all four Huffman tables in ONE DHT segment, so a
+    decoder must honor per-id multi-table segments. Optional DRI/RSTn
+    restarts as in :func:`encode_jpeg_gray`."""
+    dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
+    q_luma = [quant] * 64
+    q_chroma = [chroma_quant if chroma_quant is not None else quant] * 64
+
+    def ycc(x: int, y: int) -> tuple[int, int, int]:
+        px = min(x, width - 1)
+        py = min(y, height - 1)
+        return rgb_to_ycbcr(*rgb(px, py))
+
+    bw = _BitWriterMSB()
+    preds = {"y": 0, "cb": 0, "cr": 0}
+    mcus_x = (width + 15) // 16
+    mcus_y = (height + 15) // 16
+    total_mcus = mcus_x * mcus_y
+    mcu_count = 0
+    rst_seq = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            ox, oy = mx * 16, my * 16
+            # four Y blocks, raster order within the MCU
+            for byy in range(2):
+                for bxx in range(2):
+                    block = [
+                        ycc(ox + bxx * 8 + x, oy + byy * 8 + y)[0] - 128
+                        for y in range(8)
+                        for x in range(8)
+                    ]
+                    preds["y"] = _encode_block_coeffs(
+                        _quantized_block(block, q_luma),
+                        preds["y"], bw, dc_codes, ac_codes,
+                    )
+            # one Cb and one Cr block at half resolution
+            for name, comp in (("cb", 1), ("cr", 2)):
+                block = []
+                for y in range(8):
+                    for x in range(8):
+                        px, py = ox + 2 * x, oy + 2 * y
+                        s = (
+                            ycc(px, py)[comp]
+                            + ycc(px + 1, py)[comp]
+                            + ycc(px, py + 1)[comp]
+                            + ycc(px + 1, py + 1)[comp]
+                        )
+                        block.append(_round_half_up(s / 4) - 128)
+                preds[name] = _encode_block_coeffs(
+                    _quantized_block(block, q_chroma),
+                    preds[name], bw, dc_codes, ac_codes,
+                )
+            mcu_count += 1
+            if (
+                restart_interval
+                and mcu_count % restart_interval == 0
+                and mcu_count < total_mcus
+            ):
+                bw.restart_marker(rst_seq)
+                rst_seq = (rst_seq + 1) & 7
+                preds = {"y": 0, "cb": 0, "cr": 0}
+    scan = bw.finish()
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    dqt = (
+        bytes([0x00]) + bytes(q_luma[i] & 0xFF for i in range(64))
+        + bytes([0x01]) + bytes(q_chroma[i] & 0xFF for i in range(64))
+    )
+    out += b"\xff\xdb" + struct.pack(">H", 2 + len(dqt)) + dqt
+    sof = struct.pack(">BHHB", 8, height, width, 3) + bytes(
+        [1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]
+    )
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    dht = (
+        bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)
+        + bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS)
+        + bytes([0x01]) + bytes(_DC_BITS) + bytes(_DC_VALS)
+        + bytes([0x11]) + bytes(_AC_BITS) + bytes(_AC_VALS)
+    )
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
     out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
     out += scan
     out += b"\xff\xd9"  # EOI
@@ -245,6 +408,33 @@ class _BitReaderMSB:
             v = (v << 1) | self.read_bit()
         return v
 
+    def restart(self) -> int:
+        """Consume a restart marker: drop pad bits, skip a stuffed pad
+        byte (0xFF 0x00) and any 0xFF fill bytes, then require RSTn.
+        Returns n (0-7) so the caller can check the modulo-8 sequence."""
+        self.n = 0  # discard padding bits of the ended interval
+        while (
+            self.pos + 1 < len(self.buf)
+            and self.buf[self.pos] == 0xFF
+            and self.buf[self.pos + 1] == 0x00
+        ):
+            self.pos += 2  # stuffed 0xFF produced by 1-bit padding
+        while (
+            self.pos + 1 < len(self.buf)
+            and self.buf[self.pos] == 0xFF
+            and self.buf[self.pos + 1] == 0xFF
+        ):
+            self.pos += 1  # fill bytes
+        if (
+            self.pos + 1 >= len(self.buf)
+            or self.buf[self.pos] != 0xFF
+            or not 0xD0 <= self.buf[self.pos + 1] <= 0xD7
+        ):
+            raise JpegFormatError("expected restart marker")
+        n = self.buf[self.pos + 1] & 7
+        self.pos += 2
+        return n
+
 
 def _build_decode_table(bits: list[int], vals: list[int]):
     """(length, code) → symbol, from a DHT's canonical description."""
@@ -275,40 +465,97 @@ def _extend(v: int, cat: int) -> int:
     return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
 
 
-def decode_jpeg_gray(payload: bytes) -> dict:
-    """Decode a baseline grayscale JPEG; returns dims + pixel stats
-    (the same contract as the other image parsers)."""
+def _decode_one_block(br, dc_table, ac_table, qtab, pred):
+    """Entropy-decode + dequantize + IDCT one block; returns
+    (8×8 clamped sample list, new DC predictor)."""
+    cat = _read_symbol(br, dc_table)
+    diff = _extend(br.read_bits(cat), cat)
+    pred += diff
+    zz = [0] * 64
+    zz[0] = pred
+    i = 1
+    while i < 64:
+        sym = _read_symbol(br, ac_table)
+        if sym == 0x00:  # EOB
+            break
+        if sym == 0xF0:  # ZRL
+            i += 16
+            continue
+        run, cat = sym >> 4, sym & 0x0F
+        i += run
+        if i >= 64:
+            raise JpegFormatError("AC index overflow")
+        zz[i] = _extend(br.read_bits(cat), cat)
+        i += 1
+    coef = [0.0] * 64
+    for i in range(64):
+        coef[ZIGZAG[i]] = zz[i] * qtab[i]
+    spatial = _idct_block(coef)
+    return [
+        min(255, max(0, int(round(s)) + 128)) for s in spatial
+    ], pred
+
+
+def decode_jpeg(payload: bytes) -> dict:
+    """Decode a baseline (SOF0) JPEG, grayscale or 3-component YCbCr
+    with any sampling factors (4:4:4, 4:2:2, 4:2:0, ...). Handles 0xFF
+    fill bytes before markers, multi-table per-id DQT and DHT segments,
+    and DRI/RSTn restart intervals (byte realign + modulo-8 sequence
+    check + predictor reset).
+
+    Returns dims + pixel stats: grayscale gives the ``fmt="jpeg"``
+    contract of the other image parsers; color gives
+    ``fmt="jpeg-color"`` with per-channel ``r_sum/g_sum/b_sum`` plus
+    their total as ``pixel_sum`` (chroma upsampled nearest-neighbour,
+    YCbCr→RGB via the module's half-up rounding)."""
     if payload[:2] != b"\xff\xd8":
         raise JpegFormatError("not a JPEG payload (no SOI)")
     pos = 2
-    qtab = None
+    qtabs: dict[int, list[int]] = {}
+    dc_tables: dict[int, dict] = {}
+    ac_tables: dict[int, dict] = {}
+    comps: list[tuple[int, int, int, int]] = []  # (cid, h, v, tq)
+    scan_tables: dict[int, tuple[int, int]] = {}  # cid -> (dc_id, ac_id)
     width = height = None
-    dc_table = ac_table = None
+    dri = 0
     scan_start = None
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise JpegFormatError("marker sync lost")
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1  # 0xFF fill bytes before a marker are legal
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue  # standalone markers carry no segment
         (seglen,) = struct.unpack_from(">H", payload, pos)
         seg = payload[pos + 2 : pos + seglen]
-        if marker == 0xDB:  # DQT
-            if seg[0] & 0xF0:
-                raise JpegFormatError("16-bit quant tables unsupported")
-            qtab = list(seg[1:65])
+        if marker == 0xDB:  # DQT: one or more (pq/tq, 64 bytes) tables
+            p = 0
+            while p < len(seg):
+                pq_tq = seg[p]
+                if pq_tq & 0xF0:
+                    raise JpegFormatError("16-bit quant tables unsupported")
+                qtabs[pq_tq & 0x0F] = list(seg[p + 1 : p + 65])
+                p += 65
         elif marker == 0xC0:  # SOF0 baseline
             precision, height, width, ncomp = struct.unpack_from(
                 ">BHHB", seg, 0
             )
-            if precision != 8 or ncomp != 1:
+            if precision != 8 or ncomp not in (1, 3):
                 raise JpegFormatError(
-                    "only 8-bit grayscale baseline supported"
+                    "only 8-bit baseline gray/YCbCr supported"
                 )
+            comps = [
+                (seg[6 + 3 * i], seg[7 + 3 * i] >> 4,
+                 seg[7 + 3 * i] & 0x0F, seg[8 + 3 * i])
+                for i in range(ncomp)
+            ]
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
             raise JpegFormatError("non-baseline SOF unsupported")
-        elif marker == 0xC4:  # DHT (may hold several tables)
+        elif marker == 0xC4:  # DHT: one or more per-id tables
             p = 0
             while p < len(seg):
                 tc_th = seg[p]
@@ -317,69 +564,126 @@ def decode_jpeg_gray(payload: bytes) -> dict:
                 vals = list(seg[p + 17 : p + 17 + n])
                 table = _build_decode_table(bits, vals)
                 if tc_th >> 4 == 0:
-                    dc_table = table
+                    dc_tables[tc_th & 0x0F] = table
                 else:
-                    ac_table = table
+                    ac_tables[tc_th & 0x0F] = table
                 p += 17 + n
+        elif marker == 0xDD:  # DRI
+            (dri,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            for i in range(ns):
+                cid = seg[1 + 2 * i]
+                scan_tables[cid] = (seg[2 + 2 * i] >> 4, seg[2 + 2 * i] & 0x0F)
             scan_start = pos + seglen
             break
         pos += seglen
-    if None in (qtab, width, height, dc_table, ac_table, scan_start):
+    if (
+        not comps
+        or width is None
+        or scan_start is None
+        or not qtabs
+        or not dc_tables
+        or not ac_tables
+    ):
         raise JpegFormatError("missing required JPEG segments")
+    for cid, _, _, tq in comps:
+        if tq not in qtabs or cid not in scan_tables:
+            raise JpegFormatError("component references missing table")
+        dc_id, ac_id = scan_tables[cid]
+        if dc_id not in dc_tables or ac_id not in ac_tables:
+            raise JpegFormatError("component references missing table")
+
+    hmax = max(h for _, h, _, _ in comps)
+    vmax = max(v for _, _, v, _ in comps)
+    mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
     end = payload.rfind(b"\xff\xd9")
     br = _BitReaderMSB(payload[scan_start:end])
-    blocks_x = (width + 7) // 8
-    blocks_y = (height + 7) // 8
-    pred = 0
-    total = 0
-    pixels_done = 0
-    rows = [[0] * (blocks_x * 8) for _ in range(8)]
-    for by in range(blocks_y):
-        for r in rows:
-            for i in range(len(r)):
-                r[i] = 0
-        for bx in range(blocks_x):
-            cat = _read_symbol(br, dc_table)
-            diff = _extend(br.read_bits(cat), cat)
-            pred += diff
-            zz = [0] * 64
-            zz[0] = pred
-            i = 1
-            while i < 64:
-                sym = _read_symbol(br, ac_table)
-                if sym == 0x00:  # EOB
-                    break
-                if sym == 0xF0:  # ZRL
-                    i += 16
-                    continue
-                run, cat = sym >> 4, sym & 0x0F
-                i += run
-                if i >= 64:
-                    raise JpegFormatError("AC index overflow")
-                zz[i] = _extend(br.read_bits(cat), cat)
-                i += 1
-            coef = [0.0] * 64
-            for i in range(64):
-                coef[ZIGZAG[i]] = zz[i] * qtab[i]
-            spatial = _idct_block(coef)
-            for y in range(8):
-                for x in range(8):
-                    v = int(round(spatial[y * 8 + x])) + 128
-                    rows[y][bx * 8 + x] = min(255, max(0, v))
-        for y in range(8):
-            py = by * 8 + y
-            if py >= height:
-                break
-            total += sum(rows[y][:width])
-            pixels_done += width
-    if pixels_done != width * height:
-        raise JpegFormatError("decoded pixel count mismatch")
+
+    # per-component sample planes (block-padded)
+    planes = {}
+    for cid, h, v, _ in comps:
+        planes[cid] = [
+            [0] * (mcus_x * h * 8) for _ in range(mcus_y * v * 8)
+        ]
+    preds = {cid: 0 for cid, _, _, _ in comps}
+    mcu_count = 0
+    rst_seq = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if dri and mcu_count and mcu_count % dri == 0:
+                got = br.restart()
+                if got != rst_seq:
+                    raise JpegFormatError(
+                        f"restart sequence broken: RST{got}, "
+                        f"expected RST{rst_seq}"
+                    )
+                rst_seq = (rst_seq + 1) & 7
+                preds = {cid: 0 for cid in preds}
+            for cid, h, v, tq in comps:
+                dc_id, ac_id = scan_tables[cid]
+                for byy in range(v):
+                    for bxx in range(h):
+                        samples, preds[cid] = _decode_one_block(
+                            br, dc_tables[dc_id], ac_tables[ac_id],
+                            qtabs[tq], preds[cid],
+                        )
+                        plane = planes[cid]
+                        oy = (my * v + byy) * 8
+                        ox = (mx * h + bxx) * 8
+                        for y in range(8):
+                            row = plane[oy + y]
+                            row[ox : ox + 8] = samples[y * 8 : y * 8 + 8]
+            mcu_count += 1
+
+    n_pixels = width * height
+    if len(comps) == 1:
+        plane = planes[comps[0][0]]
+        total = sum(sum(plane[y][:width]) for y in range(height))
+        return {
+            "fmt": "jpeg",
+            "width": width,
+            "height": height,
+            "bottom_up": False,
+            "n_pixels": n_pixels,
+            "pixel_sum": total,
+        }
+    # color: nearest-neighbour chroma upsample + YCbCr->RGB
+    (cy, hy, vy, _), (ccb, hcb, vcb, _), (ccr, hcr, vcr, _) = comps
+    py, pcb, pcr = planes[cy], planes[ccb], planes[ccr]
+    r_sum = g_sum = b_sum = 0
+    for y in range(height):
+        yy = py[y * vy // vmax]
+        cby = pcb[y * vcb // vmax]
+        cry = pcr[y * vcr // vmax]
+        for x in range(width):
+            r, g, b = ycbcr_to_rgb(
+                yy[x * hy // hmax],
+                cby[x * hcb // hmax],
+                cry[x * hcr // hmax],
+            )
+            r_sum += r
+            g_sum += g
+            b_sum += b
     return {
-        "fmt": "jpeg",
+        "fmt": "jpeg-color",
         "width": width,
         "height": height,
         "bottom_up": False,
-        "n_pixels": width * height,
-        "pixel_sum": total,
+        "n_pixels": n_pixels,
+        "pixel_sum": r_sum + g_sum + b_sum,
+        "r_sum": r_sum,
+        "g_sum": g_sum,
+        "b_sum": b_sum,
     }
+
+
+def decode_jpeg_gray(payload: bytes) -> dict:
+    """Decode a baseline grayscale JPEG; returns dims + pixel stats
+    (the same contract as the other image parsers). Thin wrapper over
+    the general :func:`decode_jpeg` that rejects color payloads."""
+    out = decode_jpeg(payload)
+    if out["fmt"] != "jpeg":
+        raise JpegFormatError("expected grayscale JPEG, got color")
+    return out

@@ -498,9 +498,9 @@ def decode_image(payload: bytes) -> dict:
     if payload[:3] == b"GIF":
         return parse_gif(payload)
     if payload[:2] == b"\xff\xd8":
-        from nibbler_spark.operators.jpeg_codec import decode_jpeg_gray
+        from nibbler_spark.operators.jpeg_codec import decode_jpeg
 
-        return decode_jpeg_gray(payload)
+        return decode_jpeg(payload)
     raise ImageFormatError("unknown container format")
 
 

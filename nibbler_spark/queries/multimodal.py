@@ -809,3 +809,129 @@ def ext_video_decode_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     encoded = d.mapInPandas(encode, "doc_id long, payload binary")
     return decode_video_batches(encoded).orderBy("doc_id")
+
+
+@register(
+    "ext_image_decode_jpeg_color",
+    survey_id="EXT-MM-JPEG-C",
+    category="multimodal",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, 1 + doc_id % 37 AS w, 2 + doc_id % 21 AS h
+  FROM documents WHERE doc_id % 41 = 0
+),
+px AS (
+  SELECT d.doc_id, d.w, d.h,
+         (d.doc_id + 53 * (x.x // 16) + 101 * (y.y // 16)) % 256 AS r,
+         (2 * d.doc_id + 71 * (x.x // 16) + 29 * (y.y // 16)) % 256 AS g,
+         (3 * d.doc_id + 13 * (x.x // 16) + 59 * (y.y // 16)) % 256 AS b
+  FROM d
+  CROSS JOIN generate_series(0, 36) AS x(x)
+  CROSS JOIN generate_series(0, 22) AS y(y)
+  WHERE x.x < d.w AND y.y < d.h
+),
+ycc AS (
+  SELECT doc_id, w, h,
+    LEAST(255, GREATEST(0, CAST(FLOOR(
+      0.299e0 * r + 0.587e0 * g + 0.114e0 * b + 0.5e0) AS BIGINT))) AS yv,
+    LEAST(255, GREATEST(0, CAST(FLOOR(
+      128 - 0.168736e0 * r - 0.331264e0 * g + 0.5e0 * b + 0.5e0) AS BIGINT))) AS cb,
+    LEAST(255, GREATEST(0, CAST(FLOOR(
+      128 + 0.5e0 * r - 0.418688e0 * g - 0.081312e0 * b + 0.5e0) AS BIGINT))) AS cr
+  FROM px
+),
+rgb2 AS (
+  SELECT doc_id, w, h,
+    LEAST(255, GREATEST(0, CAST(FLOOR(
+      yv + 1.402e0 * (cr - 128) + 0.5e0) AS BIGINT))) AS r2,
+    LEAST(255, GREATEST(0, CAST(FLOOR(
+      yv - 0.344136e0 * (cb - 128) - 0.714136e0 * (cr - 128) + 0.5e0) AS BIGINT))) AS g2,
+    LEAST(255, GREATEST(0, CAST(FLOOR(
+      yv + 1.772e0 * (cb - 128) + 0.5e0) AS BIGINT))) AS b2
+  FROM ycc
+)
+SELECT doc_id, 'jpeg-color' AS fmt,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(w * h AS BIGINT) AS n_pixels,
+       CAST(SUM(r2) AS BIGINT) AS r_sum,
+       CAST(SUM(g2) AS BIGINT) AS g_sum,
+       CAST(SUM(b2) AS BIGINT) AS b_sum,
+       CAST(SUM(r2 + g2 + b2) AS BIGINT) AS pixel_sum
+FROM rgb2 GROUP BY doc_id, w, h ORDER BY doc_id
+""",
+)
+def ext_image_decode_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLOR baseline JPEG — YCbCr with 4:2:0 chroma subsampling, the
+    actual common wild format (r3 verdict next-round #5). Each sampled
+    document becomes a 3-component JPEG whose color is constant per
+    16×16 MCU: four Y blocks (2×2 sampling) + one Cb + one Cr per MCU,
+    separate luma/chroma quant tables and Huffman tables carried in
+    single multi-table DQT/DHT segments, and a DRI/RST restart interval
+    of 2 MCUs — so the decoder must honor per-id tables, interleaved
+    sampling, restart re-sync, and predictor resets, not just the gray
+    happy path. MCU-constancy makes the 2×2 chroma average and the DCT
+    both exact, and both color conversions use floor(x+0.5) half-up
+    rounding over IEEE doubles, so the oracle replicates the per-pixel
+    integer math EXACTLY in SQL (literals forced to DOUBLE with e0 —
+    DuckDB's default decimal arithmetic would differ at .5 boundaries).
+    Per-channel sums are checked separately. Partition-local
+    mapInPandas both ways, zero shuffles, zero driver bytes."""
+    import pandas as _pd
+
+    from nibbler_spark.operators.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg_color,
+    )
+
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 41 == 0
+    ).select("doc_id")
+
+    def encode(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                w, h = 1 + did % 37, 2 + did % 21
+
+                def rgb(x, y, did=did):
+                    mx, my = x // 16, y // 16
+                    return (
+                        (did + 53 * mx + 101 * my) % 256,
+                        (2 * did + 71 * mx + 29 * my) % 256,
+                        (3 * did + 13 * mx + 59 * my) % 256,
+                    )
+
+                payloads.append(
+                    encode_jpeg_color(w, h, rgb, restart_interval=2)
+                )
+            yield _pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    def decode(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                out = decode_jpeg(bytes(payload))
+                rows.append(
+                    (
+                        int(doc_id), out["fmt"], out["width"],
+                        out["height"], out["n_pixels"], out["r_sum"],
+                        out["g_sum"], out["b_sum"], out["pixel_sum"],
+                    )
+                )
+            yield _pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "fmt", "width", "height", "n_pixels",
+                    "r_sum", "g_sum", "b_sum", "pixel_sum",
+                ],
+            )
+
+    encoded = d.mapInPandas(encode, "doc_id long, payload binary")
+    return encoded.mapInPandas(
+        decode,
+        "doc_id long, fmt string, width int, height int, n_pixels long, "
+        "r_sum long, g_sum long, b_sum long, pixel_sum long",
+    ).orderBy("doc_id")
