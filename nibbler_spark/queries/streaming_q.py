@@ -1723,3 +1723,101 @@ def ext_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _drain_to_memory(stream, "append")
     return out.orderBy("doc_id")
 
+
+
+@register(
+    "ext_stream_progress_listener",
+    survey_id="EXT-OBS-STREAM",
+    category="streaming",
+    mode="parity",
+    oracle="""
+SELECT CAST(COUNT(*) * 3 AS BIGINT) AS total_input_rows,
+       TRUE AS epochs_ge_3, TRUE AS watermark_advanced,
+       TRUE AS terminated_seen
+FROM events
+""",
+)
+def ext_stream_progress_listener(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming OBSERVABILITY: a StreamingQueryListener (the lifecycle
+    hook a production pipeline feeds its metrics system from) attached
+    for the duration of a watermarked windowed aggregation over a
+    3-file drop directory paced to one file per micro-batch. The
+    listener accumulates per-epoch progress — numInputRows and the
+    event-time watermark — plus the termination event; the query
+    returns (a) the SUM of numInputRows across epochs, hash-checked
+    against 3x the events rowcount (every input row is accounted for
+    exactly once by the telemetry), (b) that at least 3 epochs
+    reported, (c) that the watermark ADVANCED past the 1970 epoch as
+    batches flowed (watermark lag is the #1 streaming health metric),
+    and (d) that the terminated event arrived. Listener delivery is
+    async on the listener bus, so the drain waits for the termination
+    event with a bounded poll, then detaches the listener."""
+    import time
+
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    class _Collect(StreamingQueryListener):
+        def __init__(self) -> None:
+            self.progress: list[tuple[int, str | None]] = []
+            self.terminated = False
+
+        def onQueryStarted(self, event) -> None:
+            pass
+
+        def onQueryProgress(self, event) -> None:
+            p = event.progress
+            wm = None
+            try:
+                wm = p.eventTime.get("watermark")
+            except Exception:  # noqa: BLE001 - eventTime shape varies
+                wm = None
+            self.progress.append((p.numInputRows, wm))
+
+        def onQueryIdle(self, event) -> None:
+            pass
+
+        def onQueryTerminated(self, event) -> None:
+            self.terminated = True
+
+    listener = _Collect()
+    spark.streams.addListener(listener)
+    try:
+        d = _events_dir(spark, sf_dir, copies=3)
+        src = (
+            spark.readStream.schema(_EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        agg = (
+            src.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "10 minutes").alias("w"))
+            .agg(F.count("*").alias("n_events"))
+        )
+        _drain_to_memory(agg, "append")
+        # listener bus is async: wait (bounded) for the terminate event
+        deadline = time.monotonic() + 30
+        while not listener.terminated and time.monotonic() < deadline:
+            time.sleep(0.1)
+    finally:
+        spark.streams.removeListener(listener)
+
+    total = sum(n for n, _ in listener.progress)
+    data_epochs = sum(1 for n, _ in listener.progress if n > 0)
+    advanced = any(
+        wm is not None and not wm.startswith("1970-")
+        for _, wm in listener.progress
+    )
+    return spark.createDataFrame(
+        [
+            (
+                total,
+                bool(data_epochs >= 3),
+                bool(advanced),
+                bool(listener.terminated),
+            )
+        ],
+        "total_input_rows bigint, epochs_ge_3 boolean, "
+        "watermark_advanced boolean, terminated_seen boolean",
+    )
