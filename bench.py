@@ -54,6 +54,11 @@ HEADLINE = [
     # composite shapes the per-operator rows don't cover.
     "ext_training_data_pipeline",  # BENCH-K7 (end-to-end curation funnel)
     "tq21_suppliers_who_kept_waiting",  # BENCH-B8 (exists/not-exists)
+    # r4 additions (verdict next-round #7): the two most plan-heavy
+    # near-dup pipelines — sign-bit-LSH embedding near-dup and the
+    # engine-portable MinHash+banding — get regression coverage.
+    "ext_embedding_neardup",  # BENCH-K8 (12-band sign-LSH + exact verify)
+    "ext_minhash_lsh_portable",  # BENCH-K9 (md5 MinHash, 6x2 banding)
 ]
 
 

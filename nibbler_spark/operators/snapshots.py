@@ -146,7 +146,12 @@ def _entry(table_dir: str, rel_path: str) -> dict:
     return {"path": rel_path, **st}
 
 
-def _commit(table_dir: str, snapshot_id: int, entries: list[dict]) -> None:
+def _commit(
+    table_dir: str,
+    snapshot_id: int,
+    entries: list[dict],
+    meta: dict | None = None,
+) -> None:
     """Atomic PUT-IF-ABSENT commit of one manifest.
 
     ``os.link(tmp, final)`` fails with FileExistsError when the target
@@ -154,6 +159,10 @@ def _commit(table_dir: str, snapshot_id: int, entries: list[dict]) -> None:
     silently replaces it and would let two concurrent writers both
     "win" snapshot N with one commit lost. Raises FileExistsError to
     the caller, who retries under the next id (optimistic concurrency).
+
+    ``meta`` is application metadata stored in the manifest (e.g. a
+    transaction id for idempotent streaming commits — the Delta
+    ``txn appId/version`` pattern).
     """
     mdir = _manifest_dir(table_dir)
     os.makedirs(mdir, exist_ok=True)
@@ -162,6 +171,7 @@ def _commit(table_dir: str, snapshot_id: int, entries: list[dict]) -> None:
         json.dump(
             {
                 "version": MANIFEST_VERSION,
+                "meta": meta or {},
                 "files": sorted(entries, key=lambda e: e["path"]),
             },
             fh,
@@ -172,17 +182,31 @@ def _commit(table_dir: str, snapshot_id: int, entries: list[dict]) -> None:
         os.unlink(tmp)
 
 
-def commit_snapshot(table_dir: str, entries: list[dict]) -> int:
+def commit_snapshot(
+    table_dir: str, entries: list[dict], meta: dict | None = None
+) -> int:
     """Commit ``entries`` as the next snapshot, retrying on collision:
     if another writer claims snapshot N first, this commit lands at
     N+1 (or later) — no commit is ever silently lost."""
     while True:
         sid = latest_snapshot(table_dir) + 1
         try:
-            _commit(table_dir, sid, entries)
+            _commit(table_dir, sid, entries, meta)
             return sid
         except FileExistsError:
             continue
+
+
+def snapshot_meta(table_dir: str, snapshot_id: int) -> dict:
+    """Application metadata stored with a snapshot's commit (empty for
+    v1 manifests)."""
+    with open(
+        os.path.join(_manifest_dir(table_dir), f"{snapshot_id}.json")
+    ) as fh:
+        doc = json.load(fh)
+    if isinstance(doc, list):
+        return {}
+    return doc.get("meta", {})
 
 
 def _load_manifest(table_dir: str, snapshot_id: int) -> list[dict]:
@@ -205,7 +229,10 @@ def snapshot_files(table_dir: str, snapshot_id: int) -> list[str]:
 
 
 def write_snapshot(
-    df: DataFrame, table_dir: str, carry_over: list[str] | None = None
+    df: DataFrame,
+    table_dir: str,
+    carry_over: list[str] | None = None,
+    meta: dict | None = None,
 ) -> int:
     """Commit a new snapshot: ``df`` becomes new immutable data files;
     ``carry_over`` names files from prior snapshots that remain part of
@@ -220,7 +247,81 @@ def write_snapshot(
         if f.endswith(".parquet")
     ]
     entries = [_entry(table_dir, p) for p in sorted((carry_over or []) + new_files)]
-    return commit_snapshot(table_dir, entries)
+    return commit_snapshot(table_dir, entries, meta)
+
+
+def idempotent_append(
+    spark: SparkSession, table_dir: str, df: DataFrame, txn_id: str
+) -> tuple[int, bool]:
+    """Exactly-once APPEND under retries: if any committed snapshot
+    already carries ``txn_id``, the append is a no-op (the retry of an
+    epoch whose commit DID land must not duplicate rows). Returns
+    ``(snapshot_id, committed)`` — the existing snapshot id with
+    ``committed=False`` on replay. This is the Delta ``txn`` /
+    Iceberg snapshot-summary dedup pattern a streaming foreachBatch
+    sink needs: the sink keys ``txn_id`` on the epoch id, so a batch
+    replayed after a crash between commit and checkpoint advances the
+    stream without double-appending. Scan cost is O(snapshots)
+    driver-side manifest metadata."""
+    for sid in range(latest_snapshot(table_dir), -1, -1):
+        if snapshot_meta(table_dir, sid).get("txn_id") == txn_id:
+            return sid, False
+    carry = (
+        snapshot_files(table_dir, latest_snapshot(table_dir))
+        if latest_snapshot(table_dir) >= 0
+        else []
+    )
+    sid = write_snapshot(
+        df, table_dir, carry_over=carry, meta={"txn_id": txn_id}
+    )
+    return sid, True
+
+
+def compact_snapshot(
+    spark: SparkSession, table_dir: str, target_files: int
+) -> int:
+    """OPTIMIZE-style compaction: rewrite the LATEST snapshot's data
+    into ``target_files`` files and commit the result as a new
+    snapshot (no carry-over — every small file is replaced). Contents
+    are bit-identical; only the layout changes. Old snapshots remain
+    time-travel readable until :func:`vacuum_snapshots` reclaims them.
+    At 100 TB compaction batches by size; here the repartition count
+    stands in for the size-based bin packing."""
+    sid = latest_snapshot(table_dir)
+    df = read_snapshot(spark, table_dir, sid)
+    return write_snapshot(df.repartition(target_files), table_dir)
+
+
+def vacuum_snapshots(table_dir: str, keep_from: int) -> list[str]:
+    """Reclaim storage: delete data files referenced ONLY by snapshots
+    older than ``keep_from``, then drop those snapshots' manifests.
+    Returns the deleted data file paths. Snapshots >= ``keep_from``
+    are untouched and stay exactly readable — the retention contract
+    every lakehouse VACUUM documents (time travel works within the
+    retention window, never past it)."""
+    last = latest_snapshot(table_dir)
+    if not 0 <= keep_from <= last:
+        raise ValueError(f"keep_from {keep_from} outside [0, {last}]")
+    keep: set[str] = set()
+    for sid in range(keep_from, last + 1):
+        keep.update(snapshot_files(table_dir, sid))
+    doomed: set[str] = set()
+    expired = [
+        sid
+        for sid in range(keep_from)
+        if os.path.exists(
+            os.path.join(_manifest_dir(table_dir), f"{sid}.json")
+        )
+    ]
+    for sid in expired:
+        doomed.update(
+            p for p in snapshot_files(table_dir, sid) if p not in keep
+        )
+    for p in sorted(doomed):
+        os.unlink(os.path.join(table_dir, p))
+    for sid in expired:
+        os.unlink(os.path.join(_manifest_dir(table_dir), f"{sid}.json"))
+    return sorted(doomed)
 
 
 # --- stats-based data skipping -------------------------------------------

@@ -140,11 +140,13 @@ def ext_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = stage(s, "view", "st", "vt")
     c = stage(v, "click", "vt", "ct")
     p = stage(c, "purchase", "ct", "pt")
+    # 1-row sides: Spark would pick BroadcastNestedLoopJoin anyway, but
+    # the hint pins the plan intent like every other broadcast site.
     return (
         s.agg(F.count("*").alias("n_signup"))
-        .crossJoin(v.agg(F.count("*").alias("n_view")))
-        .crossJoin(c.agg(F.count("*").alias("n_click")))
-        .crossJoin(p.agg(F.count("*").alias("n_purchase")))
+        .crossJoin(F.broadcast(v.agg(F.count("*").alias("n_view"))))
+        .crossJoin(F.broadcast(c.agg(F.count("*").alias("n_click"))))
+        .crossJoin(F.broadcast(p.agg(F.count("*").alias("n_purchase"))))
     )
 
 

@@ -579,3 +579,138 @@ def ext_snapshot_merge_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_changes(spark, table, base_sid, merged_sid).orderBy(
         "o_orderkey"
     )
+
+
+@register(
+    "ext_snapshot_compaction",
+    survey_id="EXT-COMPACT",
+    category="sql-surface",
+    mode="bounded",
+    oracle="""
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents,
+       TRUE AS compacted, TRUE AS history_readable
+FROM orders
+""",
+)
+def ext_snapshot_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE-style small-file compaction on the snapshot format:
+    orders lands as 12 small files (the classic streaming-ingest
+    pathology — at 100 TB, millions of tiny files turn every scan into
+    a metadata storm), then ``compact_snapshot`` rewrites the latest
+    snapshot into 2 files as a NEW commit. The query proves the three
+    contract points: contents bit-identical (hash on rows+cents),
+    layout actually shrank (files_after < files_before), and the
+    pre-compaction snapshot remains time-travel readable (compaction
+    is a logical no-op, not a destructive rewrite)."""
+    import os
+    import shutil
+    import tempfile
+
+    from nibbler_spark.operators.snapshots import (
+        compact_snapshot,
+        read_snapshot,
+        snapshot_files,
+        write_snapshot,
+    )
+
+    table = tempfile.mkdtemp(prefix="nibbler-compact-")
+    shutil.rmtree(table)
+    os.makedirs(table)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    s0 = write_snapshot(o.repartition(12), table)
+    n_before = len(snapshot_files(table, s0))
+    s1 = compact_snapshot(spark, table, target_files=2)
+    n_after = len(snapshot_files(table, s1))
+    history_ok = read_snapshot(spark, table, s0).count() == o.count()
+    return read_snapshot(spark, table, s1).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("total_cents"),
+    ).select(
+        "n_rows",
+        "total_cents",
+        F.lit(bool(n_after < n_before)).alias("compacted"),
+        F.lit(bool(history_ok)).alias("history_readable"),
+    )
+
+
+@register(
+    "ext_snapshot_vacuum",
+    survey_id="EXT-VACUUM",
+    category="sql-surface",
+    mode="bounded",
+    oracle="""
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O'
+                     THEN CAST(FLOOR(o_totalprice * 2 * 100) AS BIGINT)
+                     ELSE CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+                END) AS BIGINT) AS total_cents,
+       TRUE AS reclaimed_some, TRUE AS expired_unreadable
+FROM orders WHERE o_orderstatus IN ('O', 'F')
+""",
+)
+def ext_snapshot_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM with a retention boundary: replays the EXT-TIMETRAVEL
+    history (append, then copy-on-write doubling of the open orders)
+    and reclaims everything before the final snapshot. The rewritten-
+    away open-order files are physically deleted and their manifests
+    dropped; the retained snapshot's aggregate still hash-matches the
+    oracle (reclaim must never touch referenced files — files shared
+    with retained snapshots survive), and resolving an expired
+    snapshot now fails, which is the documented lakehouse retention
+    contract: time travel works within the window, never past it."""
+    import os
+    import shutil
+    import tempfile
+
+    from nibbler_spark.operators.snapshots import (
+        read_snapshot,
+        snapshot_files,
+        vacuum_snapshots,
+        write_snapshot,
+    )
+
+    table = tempfile.mkdtemp(prefix="nibbler-vacuum-")
+    shutil.rmtree(table)
+    os.makedirs(table)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    open_orders = o.where(F.col("o_orderstatus") == "O")
+    finished = o.where(F.col("o_orderstatus") == "F")
+    s0 = write_snapshot(open_orders.repartition(2), table)
+    f0 = snapshot_files(table, s0)
+    s1 = write_snapshot(finished.repartition(2), table, carry_over=f0)
+    carried = [f for f in snapshot_files(table, s1) if f not in f0]
+    s2 = write_snapshot(
+        open_orders.withColumn(
+            "o_totalprice", F.col("o_totalprice") * 2
+        ).repartition(2),
+        table,
+        carry_over=carried,
+    )
+    deleted = vacuum_snapshots(table, keep_from=s2)
+    reclaimed = len(deleted) > 0 and all(
+        not os.path.exists(os.path.join(table, p)) for p in deleted
+    )
+    try:
+        snapshot_files(table, s0)
+        expired_unreadable = False
+    except FileNotFoundError:
+        expired_unreadable = True
+    return read_snapshot(spark, table, s2).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("total_cents"),
+    ).select(
+        "n_rows",
+        "total_cents",
+        F.lit(bool(reclaimed)).alias("reclaimed_some"),
+        F.lit(bool(expired_unreadable)).alias("expired_unreadable"),
+    )

@@ -1821,3 +1821,82 @@ def ext_stream_progress_listener(
         "total_input_rows bigint, epochs_ge_3 boolean, "
         "watermark_advanced boolean, terminated_seen boolean",
     )
+
+
+@register(
+    "ext_stream_snapshot_sink",
+    survey_id="EXT-SNAP-SINK",
+    category="streaming",
+    mode="parity",
+    oracle="""
+SELECT CAST(COUNT(*) * 3 AS BIGINT) AS n_rows,
+       CAST(SUM(event_id) * 3 AS BIGINT) AS sum_event_id,
+       TRUE AS replay_was_noop
+FROM events
+""",
+)
+def ext_stream_snapshot_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-ONCE streaming sink into the snapshot table format:
+    foreachBatch appends each micro-batch via ``idempotent_append``
+    keyed on the epoch id (the Delta ``txn appId/version`` pattern).
+    The stream is paced to one file per trigger over a 3-copy drop
+    dir, so three epochs commit three snapshots; afterwards the query
+    REPLAYS the last epoch's append with the same txn id — the crash
+    window every foreachBatch sink has is 'commit landed, checkpoint
+    didn't' — and proves the replay was a no-op. The final table then
+    hash-matches 3x the events rowcount and event_id sum: exactly
+    once, not at-least-once. Scale: commits are O(files) manifest
+    metadata; the txn scan is O(snapshots) driver-side."""
+    import tempfile
+
+    from nibbler_spark.operators.snapshots import (
+        idempotent_append,
+        read_snapshot,
+    )
+
+    table = tempfile.mkdtemp(prefix="nibbler-snapsink-")
+    import shutil
+
+    shutil.rmtree(table)
+    os.makedirs(table)
+    d = _events_dir(spark, sf_dir, copies=3)
+    src = (
+        spark.readStream.schema(_EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+        .select("event_id", "user_id", "value")
+    )
+    seen_epochs: list[int] = []
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        idempotent_append(
+            batch_df.sparkSession, table, batch_df, f"evsink-{batch_id}"
+        )
+        seen_epochs.append(batch_id)
+
+    q = (
+        src.writeStream.foreachBatch(sink)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="nibbler-ck-")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # simulate the epoch-replay crash window: re-append the final
+    # epoch's data under its already-committed txn id
+    last_epoch = max(seen_epochs)
+    replay_df = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    _, committed = idempotent_append(
+        spark, table, replay_df, f"evsink-{last_epoch}"
+    )
+    return read_snapshot(spark, table).agg(
+        F.count("*").alias("n_rows"),
+        F.sum("event_id").cast("bigint").alias("sum_event_id"),
+    ).select(
+        "n_rows",
+        "sum_event_id",
+        F.lit(bool(not committed)).alias("replay_was_noop"),
+    )

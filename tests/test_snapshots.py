@@ -235,3 +235,78 @@ def test_merge_into_snapshot_no_touched_files(spark, tmp_path):
     assert set(snapshot_files(table, s0)) < set(snapshot_files(table, s1))
     got = sorted((r["k"], r["v"]) for r in read_snapshot(spark, table, s1).collect())
     assert got == [(1, 1.0), (9, 9.0)]
+
+
+def test_compaction_preserves_contents_and_shrinks_files(spark, tmp_path):
+    from nibbler_spark.operators.snapshots import compact_snapshot
+
+    table = str(tmp_path / "t10")
+    os.makedirs(table)
+    df = spark.range(0, 100).selectExpr("id AS k", "id * 1.5 AS v")
+    s0 = write_snapshot(df.repartition(8), table)
+    assert len(snapshot_files(table, s0)) == 8
+    s1 = compact_snapshot(spark, table, target_files=2)
+    assert len(snapshot_files(table, s1)) == 2
+    pre = sorted(r["k"] for r in read_snapshot(spark, table, s0).collect())
+    post = sorted(r["k"] for r in read_snapshot(spark, table, s1).collect())
+    assert pre == post == list(range(100))
+    # pre-compaction snapshot still time-travel readable
+    assert read_snapshot(spark, table, s0).count() == 100
+
+
+def test_vacuum_reclaims_only_unreferenced_files(spark, tmp_path):
+    from nibbler_spark.operators.snapshots import vacuum_snapshots
+
+    table = str(tmp_path / "t11")
+    os.makedirs(table)
+    df0 = spark.createDataFrame([(1, 1.0), (2, 2.0)], "k long, v double")
+    s0 = write_snapshot(df0.coalesce(1), table)
+    # COW rewrite: replace the file entirely
+    from pyspark.sql import functions as F
+
+    s1 = write_snapshot(df0.withColumn("v", F.col("v") * 10).coalesce(1), table)
+    old_files = snapshot_files(table, s0)
+    deleted = vacuum_snapshots(table, keep_from=s1)
+    assert deleted == old_files  # the rewritten-away file is reclaimed
+    for p in deleted:
+        assert not os.path.exists(os.path.join(table, p))
+    # retained snapshot unaffected
+    got = sorted((r["k"], r["v"]) for r in read_snapshot(spark, table, s1).collect())
+    assert got == [(1, 10.0), (2, 20.0)]
+    # expired snapshot no longer resolvable
+    with pytest.raises(FileNotFoundError):
+        snapshot_files(table, s0)
+
+
+def test_vacuum_keeps_files_shared_with_retained_snapshots(spark, tmp_path):
+    from nibbler_spark.operators.snapshots import vacuum_snapshots
+
+    table = str(tmp_path / "t12")
+    os.makedirs(table)
+    base = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    s0 = write_snapshot(base.coalesce(1), table)
+    shared = snapshot_files(table, s0)
+    extra = spark.createDataFrame([(2, 2.0)], "k long, v double")
+    s1 = write_snapshot(extra.coalesce(1), table, carry_over=shared)
+    deleted = vacuum_snapshots(table, keep_from=s1)
+    assert deleted == []  # s0's file is still referenced by s1
+    assert read_snapshot(spark, table, s1).count() == 2
+
+
+def test_idempotent_append_dedupes_by_txn_id(spark, tmp_path):
+    from nibbler_spark.operators.snapshots import idempotent_append
+
+    table = str(tmp_path / "t13")
+    os.makedirs(table)
+    df = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    s0, c0 = idempotent_append(spark, table, df, "epoch-0")
+    assert c0 is True
+    # retry of the SAME epoch (crash between commit and checkpoint)
+    s0b, c0b = idempotent_append(spark, table, df, "epoch-0")
+    assert (s0b, c0b) == (s0, False)
+    assert read_snapshot(spark, table).count() == 1  # no duplicate rows
+    # next epoch appends on top
+    df2 = spark.createDataFrame([(2, 2.0)], "k long, v double")
+    s1, c1 = idempotent_append(spark, table, df2, "epoch-1")
+    assert c1 is True and s1 == s0 + 1
+    assert read_snapshot(spark, table).count() == 2
