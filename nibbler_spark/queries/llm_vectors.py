@@ -1945,3 +1945,167 @@ def ext_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
         .limit(10)
     )
+
+
+# SemDeDup parameters: 64 centroid blocks, near-dup threshold 0.9.
+_SD_K = 64
+_SD_TAU = 0.9
+
+
+@register(
+    "ext_semantic_dedup",
+    survey_id="EXT-SEMDEDUP",
+    category="llm-dedup",
+    oracle=f"""
+WITH base AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+aug AS (
+  SELECT vec_id, e FROM base
+  UNION ALL
+  SELECT vec_id + 1000000,
+         list_transform(e, x -> x + CAST(0.002 AS DOUBLE) * (1 + vec_id % 3))
+  FROM base WHERE vec_id % 7 = 3
+),
+cent AS (
+  SELECT vec_id AS cid, e AS c,
+         SQRT({sql_dec_dot('e', 'e')}) AS cnorm
+  FROM base WHERE vec_id < {_SD_K}
+),
+scored AS (
+  SELECT a.vec_id, cent.cid,
+         {sql_dec_dot('a.e', 'cent.c')} / cent.cnorm AS score
+  FROM aug a CROSS JOIN cent
+),
+pick AS (
+  SELECT vec_id, cid,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY score DESC, cid ASC) AS rn
+  FROM scored
+),
+assigned AS (
+  SELECT p.vec_id, CAST(p.cid AS BIGINT) AS cluster_id, aug.e,
+         SQRT({sql_dec_dot('aug.e', 'aug.e')}) AS vnorm
+  FROM pick p JOIN aug ON p.vec_id = aug.vec_id
+  WHERE p.rn = 1
+),
+dropped AS (
+  SELECT DISTINCT b.cluster_id, b.vec_id
+  FROM assigned a JOIN assigned b
+    ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+  WHERE {sql_dec_dot('a.e', 'b.e')} / (a.vnorm * b.vnorm)
+        >= CAST({_SD_TAU} AS DOUBLE)
+)
+SELECT a.cluster_id, COUNT(*) AS n_vectors,
+       CAST(COUNT(d.vec_id) AS BIGINT) AS n_dropped
+FROM assigned a
+LEFT JOIN dropped d
+  ON a.cluster_id = d.cluster_id AND a.vec_id = d.vec_id
+GROUP BY a.cluster_id ORDER BY a.cluster_id
+""",
+)
+def ext_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style SEMANTIC dedup — the standard production recipe
+    for pruning paraphrase-level duplicates a hash can't catch:
+    (1) block the corpus into K=64 centroid clusters (centroids are
+    the first 64 base vectors — deterministic, so both engines build
+    the identical blocking); (2) ONLY within a cluster, compare pairs
+    and drop every vector that has a lower-id neighbour at cosine >=
+    0.9 (the one-step parallel relaxation of SemDeDup's greedy
+    keep-first, applied identically in the oracle). Near-dups are
+    planted (every 7th≡3 vector, +0.002·(1+id%3) shift) so the drop
+    rule actually fires. Returns per-cluster (n_vectors, n_dropped),
+    hash-exact: assignment argmax and pair cosines both ride the
+    floor-grid dec_dot, with centroid and vector norms PRECOMPUTED
+    once (one fold per vector-centroid score and per candidate pair,
+    not three).
+
+    Scale shape: assignment is a broadcast cross-join against K rows
+    (map-side, no shuffle of the corpus); the quadratic stays inside
+    clusters — cost Σ_cluster |c|², the knob production tunes via K —
+    and the corpus NEVER self-joins unblocked."""
+    base = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    planted = (
+        base.where(F.col("vec_id") % 7 == 3)
+        .select(
+            "vec_id",
+            F.transform(
+                "e",
+                lambda x: x
+                + F.lit(0.002)
+                * (F.lit(1) + F.col("vec_id") % 3).cast("double"),
+            ).alias("e"),
+        )
+        .select((F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"), "e")
+    )
+    aug = base.unionAll(planted).localCheckpoint()
+
+    cent = base.where(F.col("vec_id") < _SD_K).select(
+        F.col("vec_id").alias("cid"),
+        F.col("e").alias("c"),
+        F.sqrt(dec_dot(F.col("e"), F.col("e"))).alias("cnorm"),
+    )
+    from pyspark.sql.window import Window
+
+    scored = aug.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "cid",
+        (dec_dot(F.col("e"), F.col("c")) / F.col("cnorm")).alias("score"),
+    )
+    pick = (
+        scored.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    F.col("score").desc(), F.col("cid").asc()
+                )
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select("vec_id", F.col("cid").cast("bigint").alias("cluster_id"))
+    )
+    assigned = (
+        pick.join(aug, "vec_id")
+        .select(
+            "vec_id",
+            "cluster_id",
+            "e",
+            F.sqrt(dec_dot(F.col("e"), F.col("e"))).alias("vnorm"),
+        )
+        .localCheckpoint()
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cluster_id") == F.col("b.cluster_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .where(
+            dec_dot(F.col("a.e"), F.col("b.e"))
+            / (F.col("a.vnorm") * F.col("b.vnorm"))
+            >= F.lit(_SD_TAU)
+        )
+        .select(
+            F.col("b.cluster_id").alias("cluster_id"),
+            F.col("b.vec_id").alias("vec_id"),
+        )
+        .distinct()
+    )
+    return (
+        assigned.join(dropped.withColumn("hit", F.lit(1)),
+                      ["cluster_id", "vec_id"], "left")
+        .groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.sum(F.coalesce("hit", F.lit(0)))
+            .cast("bigint")
+            .alias("n_dropped"),
+        )
+        .orderBy("cluster_id")
+    )
