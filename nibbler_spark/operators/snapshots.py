@@ -378,13 +378,18 @@ def read_snapshot(
     table_dir: str,
     snapshot_id: int | None = None,
     filters: list[tuple[str, str, object]] | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Time-travel read: load exactly the files of ``snapshot_id``
     (default: latest). With ``filters``, the file list is first pruned
     against the manifest stats (data skipping) and the filters are then
     applied to the scan as ordinary predicates — pruning is an IO
-    optimization, never a semantics change."""
-    df, _, _ = read_snapshot_pruned(spark, table_dir, snapshot_id, filters)
+    optimization, never a semantics change. ``merge_schema`` unions the
+    file schemas across commit generations (schema evolution: rows from
+    files lacking a later-added column surface NULL for it)."""
+    df, _, _ = read_snapshot_pruned(
+        spark, table_dir, snapshot_id, filters, merge_schema
+    )
     return df
 
 
@@ -393,6 +398,7 @@ def read_snapshot_pruned(
     table_dir: str,
     snapshot_id: int | None = None,
     filters: list[tuple[str, str, object]] | None = None,
+    merge_schema: bool = False,
 ) -> tuple[DataFrame, int, int]:
     """Like :func:`read_snapshot` but also reports
     ``(df, files_scanned, files_total)`` so callers (and tests) can
@@ -402,15 +408,16 @@ def read_snapshot_pruned(
     total = len(entries)
     if filters:
         entries = prune_entries(entries, filters)
+    reader = spark.read.option("mergeSchema", str(merge_schema).lower())
     if not entries:
         # all files pruned: empty frame with the snapshot's schema
         all_files = [
             os.path.join(table_dir, e["path"])
             for e in snapshot_entries(table_dir, sid)
         ]
-        df = spark.read.parquet(*all_files).limit(0)
+        df = reader.parquet(*all_files).limit(0)
         return df, 0, total
-    df = spark.read.parquet(
+    df = reader.parquet(
         *[os.path.join(table_dir, e["path"]) for e in entries]
     )
     for c, op, v in filters or []:

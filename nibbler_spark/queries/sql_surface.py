@@ -714,3 +714,193 @@ def ext_snapshot_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(bool(reclaimed)).alias("reclaimed_some"),
         F.lit(bool(expired_unreadable)).alias("expired_unreadable"),
     )
+
+
+@register(
+    "sql04_sql_udf",
+    survey_id="EXT-SQL-UDF",
+    category="sql-surface",
+    oracle="""
+SELECT l_returnflag,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents,
+       COUNT(*) AS n_items
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+)
+def sql04_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-language UDF (Spark 4 `CREATE FUNCTION ... RETURNS ...
+    RETURN <expr>`): the discounted-price formula is declared ONCE as a
+    catalog function and reused in the aggregate. Unlike Python UDFs,
+    a SQL UDF is inlined by the analyzer into the calling plan — the
+    aggregate below runs entirely inside whole-stage codegen with zero
+    serialization boundary, which is why it is the right tool for
+    shared business formulas at 100 TB. The oracle inlines the same
+    expression by hand; cents-floor keeps the large-group double sum
+    engine-exact."""
+    register_temp_views(spark, sf_dir)
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION nbl_disc_price(
+          p DOUBLE, d DOUBLE
+        ) RETURNS DOUBLE RETURN p * (1 - d)
+        """
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(SUM(CAST(FLOOR(
+                 nbl_disc_price(l_extendedprice, l_discount) * 100
+               ) AS BIGINT)) AS BIGINT) AS revenue_cents,
+               COUNT(*) AS n_items
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """
+    )
+
+
+@register(
+    "sql05_session_variables",
+    survey_id="EXT-SQL-VAR",
+    category="sql-surface",
+    oracle="""
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders
+WHERE o_totalprice > (SELECT MAX(o_totalprice) FROM orders) / 2
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+""",
+)
+def sql05_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session variables (Spark 4 `DECLARE VARIABLE` / `SET VAR`):
+    a threshold is computed INTO a variable from a scalar subquery and
+    then parameterizes the main query — the SQL-native way to stage
+    driver-side scalars between statements without string
+    interpolation (and the variable is constant-folded into the plan,
+    so the filter still pushes down to the scan). MAX/2 keeps the
+    threshold engine-exact where an AVG over doubles would not be."""
+    register_temp_views(spark, sf_dir)
+    spark.sql(
+        "DECLARE OR REPLACE VARIABLE nbl_price_floor DOUBLE DEFAULT 0.0"
+    )
+    spark.sql(
+        "SET VAR nbl_price_floor = "
+        "(SELECT MAX(o_totalprice) FROM orders) / 2"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderstatus, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS total_cents
+        FROM orders
+        WHERE o_totalprice > nbl_price_floor
+        GROUP BY o_orderstatus ORDER BY o_orderstatus
+        """
+    )
+
+
+@register(
+    "sql06_pipe_syntax",
+    survey_id="EXT-SQL-PIPE",
+    category="sql-surface",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+)
+def sql06_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4 `|>` operators): the same logical plan
+    as the classic formulation, written as a linear FROM → WHERE →
+    EXTEND → AGGREGATE → ORDER BY pipeline. Pipe stages are pure
+    syntax — Catalyst sees identical operators, so pushdown/codegen
+    are unchanged — but the staged form is how analysts compose long
+    transformations; declaring it pins that the engine's SQL surface
+    accepts it. Hash-checked against the classic spelling."""
+    register_temp_views(spark, sf_dir)
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_shipdate >= DATE '1996-01-01'
+               AND l_shipdate < DATE '1997-01-01'
+        |> EXTEND CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100)
+                       AS BIGINT) AS disc_cents
+        |> AGGREGATE COUNT(*) AS n_items,
+                     CAST(SUM(disc_cents) AS BIGINT) AS revenue_cents
+           GROUP BY l_returnflag, l_linestatus
+        |> SELECT l_returnflag, l_linestatus, n_items, revenue_cents
+        |> ORDER BY l_returnflag, l_linestatus
+        """
+    )
+
+
+@register(
+    "ext_snapshot_schema_evolution",
+    survey_id="EXT-SNAP-EVOLVE",
+    category="sql-surface",
+    oracle="""
+SELECT o_orderkey, total_cents, priority FROM (
+  SELECT o_orderkey, CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+           AS total_cents,
+         CAST(NULL AS STRING) AS priority
+  FROM orders WHERE o_orderstatus = 'O'
+  UNION ALL
+  SELECT o_orderkey, CAST(FLOOR(o_totalprice * 100) AS BIGINT),
+         o_orderpriority
+  FROM orders WHERE o_orderstatus = 'F'
+) ORDER BY o_orderkey
+""",
+)
+def ext_snapshot_schema_evolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Schema evolution WITHIN the snapshot table format: commit 0
+    writes (o_orderkey, total_cents); commit 1 appends files that ADD
+    a `priority` column while carrying commit-0's files by reference.
+    Reading the latest snapshot with merge_schema unions the file
+    schemas — old-generation rows surface NULL priority, new rows
+    carry theirs — without rewriting a single old file. This is the
+    a14 mergeSchema contract lifted onto versioned commits: at 100 TB
+    a column add is a metadata-only operation, and time-traveling to
+    commit 0 still yields the pre-evolution schema."""
+    import os
+    import shutil
+    import tempfile
+
+    from nibbler_spark.operators.snapshots import (
+        read_snapshot,
+        snapshot_files,
+        write_snapshot,
+    )
+
+    table = tempfile.mkdtemp(prefix="nibbler-evolve-")
+    shutil.rmtree(table)
+    os.makedirs(table)
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("bigint")
+    v1 = o.where(F.col("o_orderstatus") == "O").select(
+        "o_orderkey", cents.alias("total_cents")
+    )
+    v2 = o.where(F.col("o_orderstatus") == "F").select(
+        "o_orderkey",
+        cents.alias("total_cents"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    s0 = write_snapshot(v1.repartition(2), table)
+    write_snapshot(
+        v2.repartition(2), table, carry_over=snapshot_files(table, s0)
+    )
+    merged = read_snapshot(spark, table, merge_schema=True)
+    # time travel to the pre-evolution commit keeps the old schema
+    assert read_snapshot(spark, table, s0).columns == [
+        "o_orderkey",
+        "total_cents",
+    ]
+    return merged.select("o_orderkey", "total_cents", "priority").orderBy(
+        "o_orderkey"
+    )
