@@ -1900,3 +1900,107 @@ def ext_stream_snapshot_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_event_id",
         F.lit(bool(not committed)).alias("replay_was_noop"),
     )
+
+
+@register(
+    "a22_avro_stream_sink",
+    survey_id="A22",
+    category="streaming",
+    mode="parity",
+    oracle="""
+SELECT event_id, user_id, value FROM (
+  SELECT event_id, user_id, value FROM events
+  UNION ALL SELECT event_id, user_id, value FROM events
+  UNION ALL SELECT event_id, user_id, value FROM events
+) ORDER BY event_id, user_id
+""",
+)
+def a22_avro_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming WRITE through the registered Avro DataSource — the
+    last quadrant of the `nibbler_avro` surface (batch read/write and
+    stream read shipped in r3/r4a): `writeStream.format("nibbler_avro")`
+    drives the Python DataSourceStreamWriter, whose per-epoch commit
+    renames task temp files under an `epoch-{batchId}-` prefix only if
+    that epoch hasn't committed before — so an epoch replayed after a
+    crash between sink commit and checkpoint advance drops its
+    duplicate files instead of double-publishing (file-level
+    idempotence; the snapshot-format sink EXT-SNAP-SINK carries the
+    manifest-grade version of the same contract). Three paced epochs
+    write a 3-copy corpus; reading the directory back through the
+    batch reader must reproduce it exactly."""
+    import shutil
+    import tempfile
+
+    from nibbler_spark.sources.avro_datasource import register_avro_source
+
+    register_avro_source(spark)
+    out = tempfile.mkdtemp(prefix="nibbler-avrosink-")
+    shutil.rmtree(out)
+    os.makedirs(out)
+    d = _events_dir(spark, sf_dir, copies=3)
+    src = (
+        spark.readStream.schema(_EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+        .select("event_id", "user_id", "value")
+    )
+    q = (
+        src.writeStream.format("nibbler_avro")
+        .option("path", out)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="nibbler-ck-")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.format("nibbler_avro")
+        .option("path", out)
+        .load()
+        .orderBy("event_id", "user_id")
+    )
+
+
+@register(
+    "ext_rocksdb_state_store",
+    survey_id="EXT-ROCKSDB",
+    category="streaming",
+    mode="parity",
+    oracle="""
+SELECT TIME_BUCKET(INTERVAL '10 minutes', ts) AS bucket_start,
+       COUNT(*) AS n_events
+FROM events GROUP BY 1 ORDER BY 1
+""",
+)
+def ext_rocksdb_state_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RocksDB state store provider — THE 100 TB streaming knob:
+    the default HDFS-backed store keeps every key in executor heap, so
+    state size is bounded by memory; RocksDB spills to local SSD and
+    scales state to billions of keys with changelog checkpointing.
+    Runs the I1 tumbling-window aggregation with the provider switched
+    to RocksDBStateStoreProvider and requires the IDENTICAL result —
+    the provider is a physical swap with zero semantic drift, which is
+    exactly what makes it safe to flip in production. The conf is
+    restored afterwards so sibling queries keep the default."""
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        src = _read_stream(spark, _events_dir(spark, sf_dir))
+        agg = src.groupBy(F.window("ts", "10 minutes").alias("w")).agg(
+            F.count("*").alias("n_events")
+        )
+        out = _drain_to_memory(agg, "complete")
+        return out.select(
+            F.col("w.start").alias("bucket_start"), "n_events"
+        ).orderBy("bucket_start")
+    finally:
+        if old is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old)

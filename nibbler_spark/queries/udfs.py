@@ -353,3 +353,42 @@ def j10_udtf_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.udtf.register("wide_range", WideRange)
     return spark.sql("SELECT * FROM wide_range(6, 2) ORDER BY n")
+
+
+@register(
+    "j10_python_udtf_analyze",
+    survey_id="EXT-UDTF-ANALYZE",
+    category="udf",
+    oracle="""
+SELECT i AS base, i AS p1, i * i AS p2, i * i * i AS p3
+FROM generate_series(1, 12) AS t(i) ORDER BY base
+""",
+)
+def j10_python_udtf_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polymorphic Python UDTF: the static ``analyze`` hook computes the
+    OUTPUT SCHEMA from the call's literal arguments at plan time —
+    ``gen_powers(3)`` returns (base, p1..p3), ``gen_powers(5)`` would
+    return five power columns — the Spark 4 API for table functions
+    whose shape depends on their parameters (pivot-like expanders,
+    configurable feature generators). The declared call uses n=3 and
+    must hash-match a static SQL spelling, proving the dynamic schema
+    binds correctly end to end."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import LongType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf
+    class GenPowers:
+        @staticmethod
+        def analyze(n: AnalyzeArgument) -> AnalyzeResult:
+            schema = StructType().add("base", LongType())
+            for j in range(1, n.value + 1):
+                schema = schema.add(f"p{j}", LongType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, n: int):
+            for base in range(1, 13):
+                yield (base, *[base**j for j in range(1, n + 1)])
+
+    spark.udtf.register("gen_powers", GenPowers)
+    return spark.sql("SELECT * FROM gen_powers(3) ORDER BY base")

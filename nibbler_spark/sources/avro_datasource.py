@@ -27,6 +27,7 @@ import uuid
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
@@ -89,6 +90,9 @@ class AvroDataSource(DataSource):
 
     def simpleStreamReader(self, schema) -> "AvroStreamReader":
         return AvroStreamReader(self.options)
+
+    def streamWriter(self, schema, overwrite: bool) -> "AvroStreamWriter":
+        return AvroStreamWriter(self.options, schema)
 
 
 class AvroReader(DataSourceReader):
@@ -199,6 +203,63 @@ class AvroWriter(DataSourceWriter):
             )
 
     def abort(self, messages) -> None:
+        for m in messages:
+            try:
+                os.remove(os.path.join(self.path, m.tmp_name))
+            except OSError:
+                pass
+
+
+class AvroStreamWriter(DataSourceStreamWriter):
+    """Streaming sink: each micro-batch's task partitions encode into
+    temp container files; the driver-side ``commit(messages, batchId)``
+    renames them under an ``epoch-{batchId}-`` prefix IF AND ONLY IF
+    that epoch has not already committed — a replayed epoch (crash
+    between sink commit and checkpoint advance) finds its prefix
+    already present and drops the duplicate files instead of renaming,
+    which upgrades the sink from at-least-once to exactly-once at
+    file granularity."""
+
+    def __init__(self, options, schema) -> None:
+        self.path = options.get("path")
+        self.codec = options.get("codec", "deflate")
+        self.fields = [
+            (f.name, _TYPE_TO_AVRO[f.dataType.simpleString()])
+            for f in schema.fields
+        ]
+        os.makedirs(self.path, exist_ok=True)
+
+    def write(self, iterator) -> AvroCommit:
+        from nibbler_spark.operators.avro_codec import encode_container
+
+        names = [n for n, _ in self.fields]
+        buf = encode_container(
+            (tuple(row[n] for n in names) for row in iterator),
+            self.fields,
+            codec=self.codec,
+        )
+        part = uuid.uuid4().hex[:12]
+        tmp = os.path.join(self.path, f".part-{part}.avro.tmp")
+        with open(tmp, "wb") as fh:
+            fh.write(buf)
+        return AvroCommit(f"part-{part}.avro", os.path.basename(tmp))
+
+    def commit(self, messages, batchId: int) -> None:
+        prefix = f"epoch-{batchId}-"
+        already = any(
+            f.startswith(prefix) and f.endswith(".avro")
+            for f in os.listdir(self.path)
+        )
+        for m in messages:
+            tmp = os.path.join(self.path, m.tmp_name)
+            if already:
+                os.remove(tmp)  # epoch replay: files already visible
+            else:
+                os.rename(
+                    tmp, os.path.join(self.path, prefix + m.final_name)
+                )
+
+    def abort(self, messages, batchId: int) -> None:
         for m in messages:
             try:
                 os.remove(os.path.join(self.path, m.tmp_name))

@@ -223,3 +223,41 @@ def test_schema_resolution_errors():
                 {"name": "missing", "type": "string"},
             ],
         )
+
+
+def test_avro_stream_writer_commit_is_epoch_idempotent(tmp_path):
+    """A replayed epoch (same batchId) must drop its temp files instead
+    of publishing duplicates — crash-between-commit-and-checkpoint."""
+    import os
+
+    from nibbler_spark.sources.avro_datasource import (
+        AvroCommit,
+        AvroStreamWriter,
+    )
+
+    w = AvroStreamWriter.__new__(AvroStreamWriter)
+    w.path = str(tmp_path)
+    w.codec = "null"
+    w.fields = [("id", "long")]
+
+    def fake_task(payload: bytes, part: str) -> AvroCommit:
+        tmp = tmp_path / f".part-{part}.avro.tmp"
+        tmp.write_bytes(payload)
+        return AvroCommit(f"part-{part}.avro", tmp.name)
+
+    buf = encode_container([(1,)], [("id", "long")])
+    m1 = fake_task(buf, "aaa")
+    w.commit([m1], batchId=7)
+    visible = sorted(f for f in os.listdir(tmp_path) if f.endswith(".avro"))
+    assert visible == ["epoch-7-part-aaa.avro"]
+    # replay of epoch 7 with a NEW task attempt
+    m2 = fake_task(buf, "bbb")
+    w.commit([m2], batchId=7)
+    visible2 = sorted(f for f in os.listdir(tmp_path) if f.endswith(".avro"))
+    assert visible2 == ["epoch-7-part-aaa.avro"]  # no duplicate published
+    assert not (tmp_path / ".part-bbb.avro.tmp").exists()  # tmp cleaned
+    # a different epoch commits normally
+    m3 = fake_task(buf, "ccc")
+    w.commit([m3], batchId=8)
+    visible3 = sorted(f for f in os.listdir(tmp_path) if f.endswith(".avro"))
+    assert visible3 == ["epoch-7-part-aaa.avro", "epoch-8-part-ccc.avro"]
