@@ -669,3 +669,182 @@ def ext_join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("key_rows").desc(), "heavy_key")
     )
+
+
+@register(
+    "ext_snapshot_zorder_skipping",
+    survey_id="EXT-Z-SKIP",
+    category="scale-pattern",
+    mode="bounded",
+    oracle="""
+WITH b AS (
+  SELECT MIN(o_custkey) AS clo, MAX(o_custkey) AS chi,
+         MIN(o_totalprice) AS plo, MAX(o_totalprice) AS phi
+  FROM orders
+)
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(FLOOR(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents,
+       TRUE AS pruned, TRUE AS tighter_than_1d
+FROM orders o, b
+WHERE o.o_custkey >= b.clo + (b.chi - b.clo + 1 + 3) // 4
+  AND o.o_custkey <= b.clo + (b.chi - b.clo + 1 + 1) // 2 - 1
+  AND o.o_totalprice >= b.plo + (b.phi - b.plo + 1e-9) / 4
+  AND o.o_totalprice < b.plo + (b.phi - b.plo + 1e-9) / 2
+""",
+)
+def ext_snapshot_zorder_skipping(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Z-ORDER layout composed with manifest data skipping — the
+    EXT-ZORDER key put to work on the snapshot format: orders is
+    committed twice across 64 files, once range-partitioned on the
+    Morton interleave of (custkey bucket, price bucket) and once
+    linearly on custkey, then BOTH snapshots serve the same 2-D box
+    filter. The box is the ALIGNED quarter tile (buckets 16..31 on
+    each of the 64-bucket axes — the natural-column thresholds are
+    derived so they map EXACTLY onto those buckets), and an aligned
+    2^j x 2^j tile is one CONTIGUOUS Morton range, so the z-layout
+    concentrates the box into a handful of adjacent files: the
+    manifest prunes it at least as tightly as the linear layout
+    (tighter_than_1d) — which can only skip on custkey and must scan
+    every price — while the filtered aggregate hash-matches the
+    oracle regardless of layout. The zval column is internal to the
+    writer: clustering changes IO, never answers. This is OPTIMIZE
+    ZORDER BY in miniature — the knob that lets multi-dimensional
+    dashboards skip the files a 1-D sort cannot."""
+    import os
+    import shutil
+    import tempfile
+
+    from nibbler_spark.operators.snapshots import (
+        read_snapshot_pruned,
+        write_snapshot,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    env = o.agg(
+        F.min("o_custkey").alias("clo"),
+        F.max("o_custkey").alias("chi"),
+        F.min("o_totalprice").alias("plo"),
+        F.max("o_totalprice").alias("phi"),
+    ).first()
+    clo, chi, plo, phi = env["clo"], env["chi"], env["plo"], env["phi"]
+    crange = chi - clo + 1
+    prange = phi - plo + 1e-9
+
+    x = F.least(
+        F.lit(63),
+        F.floor((F.col("o_custkey") - F.lit(clo)) * 64 / F.lit(crange)),
+    ).cast("int")
+    y = F.least(
+        F.lit(63),
+        F.floor((F.col("o_totalprice") - F.lit(plo)) * 64 / F.lit(prange)),
+    ).cast("int")
+    zx, zy = F.col("zx"), F.col("zy")
+    zval = sum(
+        [
+            (F.shiftright(zx, i).bitwiseAND(F.lit(1)) * (1 << (2 * i)))
+            for i in range(6)
+        ]
+        + [
+            (F.shiftright(zy, i).bitwiseAND(F.lit(1)) * (1 << (2 * i + 1)))
+            for i in range(6)
+        ],
+        start=F.lit(0),
+    )
+    zdf = (
+        o.withColumn("zx", x)
+        .withColumn("zy", y)
+        .withColumn("zval", zval.cast("bigint"))
+        .drop("zx", "zy")
+    )
+
+    tz = tempfile.mkdtemp(prefix="nibbler-zskip-")
+    tl = tempfile.mkdtemp(prefix="nibbler-lskip-")
+    for t in (tz, tl):
+        shutil.rmtree(t)
+        os.makedirs(t)
+    write_snapshot(zdf.repartitionByRange(64, "zval"), tz)
+    write_snapshot(o.repartitionByRange(64, "o_custkey"), tl)
+
+    # bucket(v) = floor((v - lo) * 64 / range); these thresholds are the
+    # EXACT natural-column images of buckets 16..31 on both axes, so the
+    # filter box equals the aligned quarter z-tile.
+    filters = [
+        ("o_custkey", ">=", clo + (crange + 3) // 4),
+        ("o_custkey", "<=", clo + (crange + 1) // 2 - 1),
+        ("o_totalprice", ">=", plo + prange / 4),
+        ("o_totalprice", "<", plo + prange / 2),
+    ]
+    dfz, sz, ntz = read_snapshot_pruned(spark, tz, filters=filters)
+    _, sl, _ = read_snapshot_pruned(spark, tl, filters=filters)
+    return dfz.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("total_cents"),
+    ).select(
+        "n_rows",
+        "total_cents",
+        F.lit(bool(0 < sz < ntz)).alias("pruned"),
+        F.lit(bool(sz <= sl)).alias("tighter_than_1d"),
+    )
+
+
+@register(
+    "ext_fuzzy_join_levenshtein",
+    survey_id="EXT-FUZZY-JOIN",
+    category="scale-pattern",
+    oracle="""
+WITH names AS (SELECT DISTINCT p_name FROM part)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+FROM names a JOIN names b
+  ON a.p_name < b.p_name
+ AND ABS(LENGTH(a.p_name) - LENGTH(b.p_name)) <= 2
+WHERE levenshtein(a.p_name, b.p_name) <= 2
+ORDER BY name_a, name_b
+""",
+)
+def ext_fuzzy_join_levenshtein(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Blocked FUZZY JOIN (entity resolution): find name pairs within
+    edit distance 2. Two scale moves production record linkage always
+    makes, both here: (1) match on the DISTINCT-value dictionary, not
+    the row stream — the corpus collapses to its term dictionary
+    before any pairing; (2) candidate pairs come from an EQUI-join on
+    a length band (each name explodes to lengths L-2..L+2 and joins on
+    the bucket) — ||a|-|b|| <= 2 is a NECESSARY condition for
+    lev <= 2, so the blocking is recall-lossless by construction, and
+    the quadratic collapses to Σ per-length-bucket products. The
+    Levenshtein filter then runs only on candidates. Hash-exact: both
+    engines implement classic unit-cost edit distance."""
+    names = (
+        load_table(spark, sf_dir, "part").select("p_name").distinct()
+    )
+    a = names.select(
+        F.col("p_name").alias("name_a"),
+        F.explode(
+            F.sequence(
+                F.length("p_name") - 2, F.length("p_name") + 2
+            )
+        ).alias("lb"),
+    )
+    b = names.select(
+        F.col("p_name").alias("name_b"), F.length("p_name").alias("lb")
+    )
+    cand = a.join(b, "lb").where(F.col("name_a") < F.col("name_b")).select(
+        "name_a", "name_b"
+    ).distinct()
+    return (
+        cand.withColumn(
+            "dist",
+            F.levenshtein("name_a", "name_b").cast("bigint"),
+        )
+        .where(F.col("dist") <= 2)
+        .orderBy("name_a", "name_b")
+    )
