@@ -1329,3 +1329,76 @@ def ext_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").cast("bigint").alias("n_customers"),
         gini.cast("decimal(18,10)").cast("double").alias("gini"),
     )
+
+
+@register(
+    "d27_linear_regression_agg",
+    survey_id="EXT-REGR",
+    category="aggregation",
+    oracle="""
+WITH q AS (
+  SELECT l_returnflag,
+         CAST(l_quantity AS BIGINT) AS x,
+         CAST(FLOOR(l_extendedprice) AS BIGINT) AS y
+  FROM lineitem
+),
+s AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(x * y) AS DOUBLE) AS sxy,
+         CAST(SUM(x * x) AS DOUBLE) AS sxx,
+         CAST(SUM(y * y) AS DOUBLE) AS syy
+  FROM q GROUP BY l_returnflag
+)
+SELECT l_returnflag, CAST(n AS BIGINT) AS regr_n,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+         AS intercept,
+       ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+FROM s ORDER BY l_returnflag
+""",
+)
+def d27_linear_regression_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregate family (the regr_slope / regr_
+    intercept / regr_r2 surface) computed ENGINE-EXACTLY: quantity and
+    floored price are integers, so the five sufficient statistics
+    (Σx, Σy, Σxy, Σx², Σy²) accumulate as exact BIGINTs — no summation-
+    order sensitivity at any partition count — and the closed-form
+    slope/intercept/R² then run in double on identical operands in both
+    engines. This is also the 100 TB shape: one map-side-combined
+    groupBy carrying five integers per group, with the regression math
+    on the tiny aggregate. (Spark's builtin regr_* aggregates compute
+    the same statistics in pure double, whose accumulation order is
+    partition-dependent — fine numerically, but not hash-checkable;
+    tests/test_new_surface.py pins the builtin against this form within
+    tolerance.)"""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.floor("l_extendedprice").cast("bigint").alias("y"),
+    )
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        "l_returnflag",
+        n.cast("bigint").alias("regr_n"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round(
+            (n * sxy - sx * sy)
+            * (n * sxy - sx * sy)
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("r2"),
+    ).orderBy("l_returnflag")

@@ -856,3 +856,43 @@ def h26_base64_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
         b64.alias("b64"),
         F.decode(F.unbase64(b64), "UTF-8").alias("roundtrip"),
     ).orderBy("doc_id")
+
+
+@register(
+    "h27_xml_roundtrip",
+    survey_id="EXT-XML",
+    category="scalar",
+    oracle="""
+SELECT c_custkey, c_name,
+       CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+FROM customer ORDER BY c_custkey
+""",
+)
+def h27_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML as a first-class serde (Spark 4 `to_xml`/`from_xml`): every
+    customer row is rendered to an XML document string and parsed back
+    through an explicit schema; the output is the ROUNDTRIPPED fields,
+    hash-checked against the source values read directly. This pins the
+    lossless to_xml→from_xml contract — bigint and string survive
+    textually, and the double survives because Java's shortest-roundtrip
+    double formatting parses back to the identical bit pattern. Scale:
+    both directions are JVM expression-tree functions (no UDF boundary),
+    per-row and shuffle-free."""
+    c = load_table(spark, sf_dir, "customer")
+    xml = c.select(
+        F.to_xml(
+            F.struct("c_custkey", "c_name", "c_acctbal")
+        ).alias("doc")
+    )
+    parsed = xml.select(
+        F.from_xml(
+            "doc", "c_custkey BIGINT, c_name STRING, c_acctbal DOUBLE"
+        ).alias("r")
+    )
+    return parsed.select(
+        F.col("r.c_custkey").alias("c_custkey"),
+        F.col("r.c_name").alias("c_name"),
+        F.floor(F.col("r.c_acctbal") * 100)
+        .cast("bigint")
+        .alias("acctbal_cents"),
+    ).orderBy("c_custkey")

@@ -904,3 +904,108 @@ def ext_snapshot_schema_evolution(
     return merged.select("o_orderkey", "total_cents", "priority").orderBy(
         "o_orderkey"
     )
+
+
+_RECURSIVE_CHAIN_SQL = """
+WITH RECURSIVE seq AS (
+  SELECT o_custkey,
+         CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents,
+         row_number() OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ) AS rn
+  FROM orders WHERE o_custkey % 97 = 0
+),
+walk(o_custkey, rn, running_cents) AS (
+  SELECT o_custkey, rn, cents FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.o_custkey, s.rn, w.running_cents + s.cents
+  FROM walk w JOIN seq s
+    ON s.o_custkey = w.o_custkey AND s.rn = w.rn + 1
+  WHERE w.rn < 80
+)
+SELECT o_custkey, rn, running_cents FROM walk
+ORDER BY o_custkey, rn
+"""
+
+
+@register(
+    "sql07_recursive_cte",
+    survey_id="EXT-SQL-REC",
+    category="sql-surface",
+    oracle=_RECURSIVE_CHAIN_SQL,
+)
+def sql07_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 `WITH RECURSIVE`): per-customer order
+    chains walked step by step — the anchor picks each customer's first
+    order, every recursive step joins the next order in date sequence
+    and extends a running total. The chain graph is acyclic by
+    construction (rn strictly increases) and the `w.rn < 80` guard
+    bounds the recursion depth independent of data skew, so the
+    iterative union Spark executes under the hood terminates after at
+    most 80 joined micro-plans. Cents arithmetic keeps the accumulation
+    integer-exact; the oracle is the IDENTICAL SQL text on DuckDB —
+    recursive-CTE semantics are pinned engine-to-engine, not
+    approximated. Scale: each step is an equi-join on (custkey, rn)
+    over only the still-growing frontier, the shape Spark's recursion
+    executes as per-step shuffles over frontier-sized inputs."""
+    register_temp_views(spark, sf_dir)
+    return spark.sql(_RECURSIVE_CHAIN_SQL)
+
+
+@register(
+    "sql08_sql_scripting",
+    survey_id="EXT-SQL-SCRIPT",
+    category="sql-surface",
+    oracle="""
+WITH t1 AS (
+  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+           / COUNT(*) AS thr
+  FROM orders WHERE o_totalprice > CAST(0.0 AS DOUBLE)
+),
+t2 AS (
+  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+           / COUNT(*) AS thr
+  FROM orders, t1 WHERE o_totalprice > t1.thr
+),
+t3 AS (
+  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+           / COUNT(*) AS thr
+  FROM orders, t2 WHERE o_totalprice > t2.thr
+)
+SELECT COUNT(*) AS n_above,
+       CAST(FLOOR(MAX(t3.thr) * 100) AS BIGINT) AS thr_cents
+FROM orders, t3 WHERE o_totalprice > t3.thr
+""",
+)
+def sql08_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting (Spark 4 compound statements): a BEGIN…END block
+    with DECLAREd variables and a WHILE loop computes an iterated
+    trimmed mean — each pass re-averages only the orders above the
+    previous threshold, a control-flow shape plain SQL can only express
+    by manually unrolling. The script runs 3 refinement passes and
+    returns the survivors above the final threshold. Every per-pass
+    average is the decimal-exact `davg` form, so the threshold doubles
+    are bit-identical to the oracle's hand-unrolled CTE ladder. Scale:
+    each loop iteration is one full declarative aggregate (scan +
+    partial/final agg) — the loop stages O(iterations) Spark jobs, it
+    never row-iterates on the driver."""
+    register_temp_views(spark, sf_dir)
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE i INT = 0;
+          DECLARE thr DOUBLE = 0.0;
+          WHILE i < 3 DO
+            SET thr = (
+              SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                          AS DOUBLE) / COUNT(*)
+              FROM orders WHERE o_totalprice > thr
+            );
+            SET i = i + 1;
+          END WHILE;
+          SELECT COUNT(*) AS n_above,
+                 CAST(FLOOR(thr * 100) AS BIGINT) AS thr_cents
+          FROM orders WHERE o_totalprice > thr;
+        END
+        """
+    )

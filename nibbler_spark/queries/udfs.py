@@ -392,3 +392,57 @@ def j10_python_udtf_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.udtf.register("gen_powers", GenPowers)
     return spark.sql("SELECT * FROM gen_powers(3) ORDER BY base")
+
+
+@register(
+    "j11_map_in_arrow",
+    survey_id="EXT-ARROW-MAP",
+    category="udf",
+    oracle="""
+SELECT l_returnflag,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents,
+       COUNT(*) AS n_items
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+)
+def j11_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`mapInArrow`: the lowest-overhead Python boundary — batches cross
+    as Arrow RecordBatches with NO pandas materialization, and the
+    transform itself runs in vectorized Arrow compute kernels
+    (multiply/floor/cast on whole columns). The discounted-price cents
+    are IEEE-double ops identical to the JVM/DuckDB formulations, so the
+    post-UDF keyed aggregate hash-matches the pure-SQL oracle. Use this
+    boundary when a Python library speaks Arrow natively (tokenizers,
+    Lance, DataFusion interop) — it skips the pandas conversion tax
+    j05-style mapInPandas pays. Partial aggregation still happens
+    map-side above the UDF, so the shuffle carries one row per
+    (partition, flag)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_discount"
+    )
+
+    def cents_batches(batches):
+        for b in batches:
+            rev = pc.multiply(
+                b.column(1), pc.subtract(pa.scalar(1.0), b.column(2))
+            )
+            cents = pc.cast(
+                pc.floor(pc.multiply(rev, pa.scalar(100.0))), pa.int64()
+            )
+            yield pa.RecordBatch.from_arrays(
+                [b.column(0), cents], ["l_returnflag", "cents"]
+            )
+
+    out = li.mapInArrow(cents_batches, "l_returnflag string, cents long")
+    return (
+        out.groupBy("l_returnflag")
+        .agg(
+            F.sum("cents").cast("bigint").alias("revenue_cents"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("l_returnflag")
+    )
