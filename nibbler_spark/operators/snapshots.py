@@ -233,11 +233,20 @@ def write_snapshot(
     table_dir: str,
     carry_over: list[str] | None = None,
     meta: dict | None = None,
+    bloom_cols: list[str] | None = None,
+    bloom_m: int = 1 << 18,
+    bloom_k: int = 4,
 ) -> int:
     """Commit a new snapshot: ``df`` becomes new immutable data files;
     ``carry_over`` names files from prior snapshots that remain part of
     the table (copy-on-write — unchanged files are referenced, not
-    rewritten). Returns the new snapshot id."""
+    rewritten). ``bloom_cols`` additionally attaches a per-file Bloom
+    bitset over those columns to each NEW file's manifest entry, giving
+    point-lookup skipping on high-cardinality keys where MIN/MAX stats
+    are blind (hash-distributed layouts). Carried-over files reuse
+    their previous manifest entry verbatim — stats and blooms survive
+    every commit without re-reading a footer. Returns the new snapshot
+    id."""
     part = uuid.uuid4().hex[:12]
     data_dir = os.path.join(table_dir, f"data-{part}")
     df.write.mode("overwrite").parquet(data_dir)
@@ -246,8 +255,108 @@ def write_snapshot(
         for f in os.listdir(data_dir)
         if f.endswith(".parquet")
     ]
-    entries = [_entry(table_dir, p) for p in sorted((carry_over or []) + new_files)]
+    prev: dict[str, dict] = {}
+    last = latest_snapshot(table_dir)
+    if last >= 0 and carry_over:
+        prev = {e["path"]: e for e in _load_manifest(table_dir, last)}
+    new_entries = {p: _entry(table_dir, p) for p in new_files}
+    if bloom_cols:
+        blooms = _build_blooms(
+            df.sparkSession, table_dir, new_files, bloom_cols, bloom_m, bloom_k
+        )
+        for p, by_col in blooms.items():
+            new_entries[p]["blooms"] = by_col
+    entries = [
+        prev.get(p) or new_entries.get(p) or _entry(table_dir, p)
+        for p in sorted((carry_over or []) + new_files)
+    ]
     return commit_snapshot(table_dir, entries, meta)
+
+
+def _build_blooms(
+    spark: SparkSession,
+    table_dir: str,
+    new_files: list[str],
+    cols: list[str],
+    m_bits: int,
+    k: int,
+) -> dict[str, dict]:
+    """Per-file Bloom bitsets, built DISTRIBUTED: one job per column
+    computes every value's k md5-derived bit positions, packs them into
+    64-bit words with a ``bit_or`` aggregate keyed on (file, word) —
+    so at most m/64 tiny rows per file cross the shuffle regardless of
+    row count — and the driver only assembles the final ≤ m/8-byte
+    bitset per file. The position function (md5 of ``"j:value"``) is
+    engine-portable; :func:`_bloom_may_contain` replays it in pure
+    Python at prune time."""
+    base = spark.read.parquet(
+        *[os.path.join(table_dir, p) for p in new_files]
+    )
+    by_base = {os.path.basename(p): p for p in new_files}
+    out: dict[str, dict] = {p: {} for p in new_files}
+    for col in cols:
+        src = base.select(
+            F.input_file_name().alias("f"),
+            F.col(col).cast("string").alias("v"),
+        ).where(F.col("v").isNotNull())
+        exploded = src.select(
+            "f",
+            "v",
+            F.explode(F.array(*[F.lit(j) for j in range(k)])).alias("j"),
+        )
+        pos = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.col("j"), F.col("v"))), 1, 12
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % m_bits
+        )
+        words = (
+            exploded.select("f", pos.alias("p"))
+            .select(
+                "f",
+                F.expr("p div 64").alias("w"),
+                F.expr(
+                    "shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))"
+                ).alias("b"),
+            )
+            .groupBy("f", "w")
+            .agg(F.expr("bit_or(b)").alias("bits"))
+            .collect()
+        )
+        per_file: dict[str, bytearray] = {}
+        for r in words:
+            rel = by_base[os.path.basename(r["f"])]
+            buf = per_file.setdefault(rel, bytearray(m_bits // 8))
+            word = r["bits"] & ((1 << 64) - 1)
+            buf[r["w"] * 8 : r["w"] * 8 + 8] = word.to_bytes(8, "little")
+        for rel in new_files:
+            buf = per_file.get(rel, bytearray(m_bits // 8))
+            out[rel][col] = {"m": m_bits, "k": k, "bits": bytes(buf).hex()}
+    return out
+
+
+def _bloom_may_contain(bl: dict, value) -> bool:
+    """Replay the k md5 bit positions for ``value`` against a stored
+    bitset. False ⇒ the file PROVABLY does not contain the value."""
+    import hashlib
+
+    m, k = bl["m"], bl["k"]
+    bits = bytes.fromhex(bl["bits"])
+    for j in range(k):
+        p = (
+            int(
+                hashlib.md5(f"{j}:{value}".encode()).hexdigest()[:12], 16
+            )
+            % m
+        )
+        w, b = p // 64, p % 64
+        if not (bits[w * 8 + b // 8] >> (b % 8)) & 1:
+            return False
+    return True
 
 
 def idempotent_append(
@@ -333,6 +442,10 @@ def _may_match(entry: dict, col: str, op: str, value) -> bool:
     """Can any row of this file satisfy ``col op value``? Conservative:
     missing/incomparable stats → True (never skip incorrectly). The
     predicates are null-rejecting, so an all-null column can be skipped."""
+    if op in ("=", "=="):
+        bl = entry.get("blooms", {}).get(col)
+        if bl is not None and not _bloom_may_contain(bl, value):
+            return False
     st = entry.get("columns", {}).get(col)
     if st is None:
         return True

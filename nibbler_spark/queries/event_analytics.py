@@ -903,3 +903,126 @@ def ext_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dur_bucket")
     )
+
+
+@register(
+    "ext_gap_fill_interpolate",
+    survey_id="EXT-GAPFILL",
+    category="event-analytics",
+    oracle="""
+WITH e AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr,
+         CAST(FLOOR(value * 100) AS BIGINT) AS c
+  FROM events WHERE user_id % 10 = 0
+),
+known AS (
+  SELECT event_type, hr, CAST(SUM(c) AS BIGINT) AS cents
+  FROM e GROUP BY event_type, hr
+),
+b AS (SELECT event_type, MIN(hr) AS mn, MAX(hr) AS mx
+      FROM known GROUP BY event_type),
+spine AS (
+  SELECT event_type,
+         UNNEST(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hr
+  FROM b
+),
+j AS (
+  SELECT s.event_type, s.hr, k.cents
+  FROM spine s LEFT JOIN known k USING (event_type, hr)
+),
+f AS (
+  SELECT *,
+    last_value(CASE WHEN cents IS NOT NULL THEN hr END IGNORE NULLS)
+      OVER w_p AS p_hr,
+    last_value(cents IGNORE NULLS) OVER w_p AS p_v,
+    first_value(CASE WHEN cents IS NOT NULL THEN hr END IGNORE NULLS)
+      OVER w_n AS n_hr,
+    first_value(cents IGNORE NULLS) OVER w_n AS n_v
+  FROM j
+  WINDOW w_p AS (PARTITION BY event_type ORDER BY hr
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         w_n AS (PARTITION BY event_type ORDER BY hr
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type, hr, cents,
+  ROUND(CASE WHEN cents IS NOT NULL THEN CAST(cents AS DOUBLE)
+             WHEN p_hr IS NOT NULL AND n_hr IS NOT NULL THEN
+               CAST(p_v AS DOUBLE)
+               + (CAST(n_v AS DOUBLE) - CAST(p_v AS DOUBLE))
+                 * (CAST(epoch(hr) AS DOUBLE) - CAST(epoch(p_hr) AS DOUBLE))
+                 / (CAST(epoch(n_hr) AS DOUBLE) - CAST(epoch(p_hr) AS DOUBLE))
+        END, 4) AS filled,
+  (cents IS NULL) AS is_gap
+FROM f ORDER BY event_type, hr
+""",
+)
+def ext_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling with linear interpolation — the
+    timeseries-engine staple (`time_bucket_gapfill` + `interpolate`):
+    a sparse hourly revenue series per event type is densified against
+    a generated hour spine, and every missing bucket is filled by
+    linearly interpolating between its nearest known neighbors
+    (IGNORE-NULLS window scans in both directions). Integer cents make
+    the endpoints engine-exact; the interpolation itself is identical
+    IEEE-double ops on identical operands, so even the filled values
+    hash-match. Leading/trailing gaps (no neighbor on one side) stay
+    NULL by contract. Scale: the spine explodes from per-group min/max
+    bounds (never a driver loop), the join is keyed on (type, hour),
+    and the two window scans partition by series — dense-ification work
+    is proportional to series length, distributed across series."""
+    e = load_table(spark, sf_dir, "events").where(F.col("user_id") % 10 == 0)
+    known = (
+        e.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("hr")
+        ).agg(
+            F.sum(F.floor(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    spine = (
+        known.groupBy("event_type")
+        .agg(F.min("hr").alias("mn"), F.max("hr").alias("mx"))
+        .select(
+            "event_type",
+            F.explode(
+                F.expr("sequence(mn, mx, interval 1 hour)")
+            ).alias("hr"),
+        )
+    )
+    j = spine.join(known, ["event_type", "hr"], "left")
+    w_p = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_n = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    hr_of_known = F.when(F.col("cents").isNotNull(), F.col("hr"))
+    f = j.select(
+        "event_type",
+        "hr",
+        "cents",
+        F.last(hr_of_known, ignorenulls=True).over(w_p).alias("p_hr"),
+        F.last("cents", ignorenulls=True).over(w_p).alias("p_v"),
+        F.first(hr_of_known, ignorenulls=True).over(w_n).alias("n_hr"),
+        F.first("cents", ignorenulls=True).over(w_n).alias("n_v"),
+    )
+    sec = lambda c: F.unix_timestamp(c).cast("double")  # noqa: E731
+    interp = F.col("p_v").cast("double") + (
+        F.col("n_v").cast("double") - F.col("p_v").cast("double")
+    ) * (sec("hr") - sec("p_hr")) / (sec("n_hr") - sec("p_hr"))
+    return f.select(
+        "event_type",
+        "hr",
+        "cents",
+        F.round(
+            F.when(F.col("cents").isNotNull(), F.col("cents").cast("double"))
+            .when(F.col("p_hr").isNotNull() & F.col("n_hr").isNotNull(), interp),
+            4,
+        ).alias("filled"),
+        F.col("cents").isNull().alias("is_gap"),
+    ).orderBy("event_type", "hr")

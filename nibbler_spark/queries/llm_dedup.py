@@ -1555,3 +1555,92 @@ def ext_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nodes bigint, n_edges bigint, n_triangles bigint, "
         "n_wedges bigint, global_clustering double",
     )
+
+
+@register(
+    "ext_paragraph_dedup",
+    survey_id="EXT-PARA-DEDUP",
+    category="llm-dedup",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+idx AS (
+  SELECT doc_id, t,
+         UNNEST(range(CAST(CEIL(len(t) / 10.0) AS BIGINT))) AS ci
+  FROM toks
+),
+chunks AS (
+  SELECT doc_id, ci,
+         array_to_string(t[ci * 10 + 1 : ci * 10 + 10], ' ') AS chunk_text
+  FROM idx
+),
+kept AS (
+  SELECT doc_id, ci, chunk_text
+  FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY chunk_text ORDER BY doc_id, ci
+    ) AS rk
+    FROM chunks
+  ) WHERE rk = 1
+)
+SELECT doc_id, COUNT(*) AS n_kept_chunks,
+       string_agg(chunk_text, ' ' ORDER BY ci) AS deduped_text
+FROM kept GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def ext_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document (paragraph-level) exact dedup, the RefinedWeb /
+    C4 recipe: documents are segmented into 10-token chunks, every
+    chunk is deduplicated ACROSS the whole corpus keeping only its
+    first occurrence (lexicographic min (doc_id, chunk_idx) — a
+    deterministic keep rule, not arrival order), and each surviving
+    document is reassembled from its kept chunks in order. Boilerplate
+    that repeats across documents (headers, navigation, license
+    blurbs) disappears from every copy but the first, while unique
+    prose survives untouched; documents reduced to nothing drop out.
+    Scale: segmentation is row-local; the dedup is ONE groupBy on the
+    chunk text (map-side combinable, same shape as k01 but at chunk
+    granularity — at 100 TB hash the chunk to a 128-bit key before the
+    shuffle so the wide text stays out of the exchange); reassembly is
+    a keyed collect_list per document. The oracle states the identical
+    keep-first rule via a window."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    chunks = d.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.ceil(F.size("t") / F.lit(10.0)).cast("bigint") - 1,
+            )
+        ).alias("ci"),
+        F.col("t"),
+    ).select(
+        "doc_id",
+        "ci",
+        F.array_join(
+            F.slice("t", F.col("ci") * 10 + 1, 10), " "
+        ).alias("chunk_text"),
+    )
+    keepers = chunks.groupBy("chunk_text").agg(
+        F.min(F.struct("doc_id", "ci")).alias("k")
+    ).select("chunk_text", F.col("k.doc_id").alias("doc_id"), F.col("k.ci").alias("ci"))
+    kept = chunks.join(keepers, ["chunk_text", "doc_id", "ci"], "left_semi")
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_kept_chunks"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ci", "chunk_text"))
+                    ),
+                    lambda s: s["chunk_text"],
+                ),
+                " ",
+            ).alias("deduped_text"),
+        )
+        .orderBy("doc_id")
+    )

@@ -235,3 +235,131 @@ def ext_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("custkey")
     )
+
+
+@register(
+    "ext_hll_portable",
+    survey_id="EXT-HLL-PORT",
+    category="sketch",
+    mode="bounded",
+    oracle="""
+WITH h AS (
+  SELECT CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 12))
+              AS BIGINT) AS hv
+  FROM lineitem
+),
+hw AS (SELECT hv % 256 AS idx, hv // 256 AS w FROM h),
+regs0 AS (
+  SELECT idx,
+         MAX(CASE WHEN w = 0 THEN 41 ELSE 41 - length(bin(w)) END) AS m
+  FROM hw GROUP BY idx
+),
+spine AS (SELECT UNNEST(range(256)) AS idx),
+regs AS (
+  SELECT s.idx, COALESCE(r.m, 0) AS m FROM spine s LEFT JOIN regs0 r USING (idx)
+),
+z AS (
+  SELECT CAST(SUM(CAST(FLOOR(pow(2.0e0, -m) * 1e10) AS DECIMAL(20,0)))
+              AS DOUBLE) / 1e10 AS zz,
+         CAST(SUM(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v
+  FROM regs
+),
+est AS (
+  SELECT CASE WHEN (0.7213e0 / (1e0 + 1.079e0 / 256e0)) * 256e0 * 256e0 / zz
+                   <= 2.5e0 * 256e0 AND v > 0
+              THEN 256e0 * ln(256e0 / v)
+              ELSE (0.7213e0 / (1e0 + 1.079e0 / 256e0)) * 256e0 * 256e0 / zz
+         END AS e
+  FROM z
+),
+tru AS (SELECT COUNT(DISTINCT l_orderkey) AS t FROM lineitem),
+ok AS (SELECT ABS(e / t - 1e0) < 0.15e0 AS est_ok FROM est, tru)
+SELECT r.idx // 16 AS grp,
+       CAST(SUM(r.m) AS BIGINT) AS reg_sum,
+       CAST(SUM(r.m * (r.idx + 1)) AS BIGINT) AS reg_weighted,
+       CAST(SUM(CASE WHEN r.m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+       ok.est_ok
+FROM regs r, ok GROUP BY grp, ok.est_ok ORDER BY grp
+""",
+)
+def ext_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable HyperLogLog, built from scratch (Flajolet et al.
+    2007): md5-derived 48-bit hashes split into a 256-register index
+    plus a 40-bit tail whose leading-zero rank comes from the
+    bin()-length trick (bin drops leading zeros, so rank = 41 −
+    bitlength). Because every step is integer-exact and md5 is
+    engine-portable, the ORACLE REPLICATES THE REGISTERS THEMSELVES —
+    the 16 output rows carry register-group sums, position-weighted
+    checksums and zero counts that hash-match DuckDB bit-for-bit, a
+    stronger check than any estimate tolerance (MLlib's approx_count_
+    distinct seeds are JVM-private; this sketch is reproducible
+    anywhere md5 exists). The harmonic-mean estimate (2^-M summed on a
+    floored 1e-10 grid — exact decimal addition, no float summation
+    order) then lands within the declared 15% of the true distinct
+    (~2.3σ at m=256), carried as the est_ok flag. Scale: one map-side-
+    combined groupBy into 256 cells, mergeable across any partitioning
+    by construction — register max is associative."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    h = F.conv(
+        F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 12), 16, 10
+    ).cast("bigint")
+    hw = li.select(h.alias("hv")).select(
+        (F.col("hv") % 256).alias("idx"), F.expr("hv div 256").alias("w")
+    )
+    rho = F.when(F.col("w") == 0, F.lit(41)).otherwise(
+        F.lit(41) - F.length(F.bin("w"))
+    )
+    regs0 = hw.groupBy("idx").agg(F.max(rho).alias("m"))
+    spine = spark.range(256).select(F.col("id").alias("idx"))
+    regs = spine.join(F.broadcast(regs0), "idx", "left").select(
+        "idx", F.coalesce("m", F.lit(0)).alias("m")
+    )
+    z = regs.agg(
+        (
+            F.sum(
+                F.floor(F.pow(F.lit(2.0), -F.col("m")) * 1e10).cast(
+                    "decimal(20,0)"
+                )
+            ).cast("double")
+            / F.lit(1e10)
+        ).alias("zz"),
+        F.sum(F.when(F.col("m") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("v"),
+    )
+    alpha_mm = (
+        F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(256.0))
+    ) * F.lit(256.0) * F.lit(256.0)
+    raw = alpha_mm / F.col("zz")
+    est = z.select(
+        F.when(
+            (raw <= F.lit(2.5) * F.lit(256.0)) & (F.col("v") > 0),
+            F.lit(256.0) * F.log(F.lit(256.0) / F.col("v")),
+        )
+        .otherwise(raw)
+        .alias("e")
+    )
+    tru = li.agg(F.countDistinct("l_orderkey").alias("t"))
+    ok = (
+        est.join(F.broadcast(tru))
+        .select(
+            (F.abs(F.col("e") / F.col("t") - F.lit(1.0)) < F.lit(0.15)).alias(
+                "est_ok"
+            )
+        )
+    )
+    return (
+        regs.join(F.broadcast(ok))
+        .groupBy(F.expr("idx div 16").alias("grp"), "est_ok")
+        .agg(
+            F.sum("m").cast("bigint").alias("reg_sum"),
+            F.sum(F.col("m") * (F.col("idx") + 1))
+            .cast("bigint")
+            .alias("reg_weighted"),
+            F.sum(F.when(F.col("m") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_zero"),
+        )
+        .select("grp", "reg_sum", "reg_weighted", "n_zero", "est_ok")
+        .orderBy("grp")
+    )

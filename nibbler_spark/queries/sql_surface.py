@@ -1009,3 +1009,91 @@ def sql08_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
         END
         """
     )
+
+
+@register(
+    "ext_snapshot_bloom_skipping",
+    survey_id="EXT-BLOOM-SKIP",
+    category="sql-surface",
+    mode="bounded",
+    oracle="""
+SELECT o_custkey, CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents,
+       TRUE AS stats_blind, TRUE AS hit_pruned, TRUE AS miss_pruned
+FROM orders
+WHERE o_orderkey % 1000 <> 123
+  AND o_orderkey = (SELECT MIN(o_orderkey) FROM orders WHERE o_orderkey % 1000 = 500)
+""",
+)
+def ext_snapshot_bloom_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter data skipping in the snapshot manifests — the
+    point-lookup complement to MIN/MAX stats: orders is committed
+    HASH-distributed on ``o_orderkey`` (8 files), so every file's key
+    range spans nearly the whole domain and range stats prune nothing
+    (``stats_blind`` proves it by pruning with the blooms stripped).
+    The per-file Bloom bitsets (md5-derived positions, built with a
+    distributed bit_or aggregate at commit time) then prune a point
+    lookup of an EXISTING key down to the one file that holds it
+    (± false positives at the declared 2^18-bit/4-hash sizing), and a
+    lookup of an ABSENT key down to ≤ 2 files. The returned row is the
+    looked-up order itself, oracle-checked. This is Delta/Iceberg's
+    bloom-skipping contract: high-cardinality key lookups touch O(1)
+    files out of millions, with prune cost O(files) driver metadata."""
+    import os
+    import shutil
+    import tempfile
+
+    from nibbler_spark.operators.snapshots import (
+        prune_entries,
+        read_snapshot_pruned,
+        snapshot_entries,
+        write_snapshot,
+    )
+
+    table = tempfile.mkdtemp(prefix="nibbler-bloom-")
+    shutil.rmtree(table)
+    os.makedirs(table)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    # drop one residue class so an INTERIOR key is provably absent —
+    # the miss probe must be inside every file's [min,max] span, else
+    # range stats would prune it and the bloom would get false credit
+    o = o.where(F.col("o_orderkey") % 1000 != 123)
+    sid = write_snapshot(
+        o.repartition(8, F.col("o_orderkey")),
+        table,
+        bloom_cols=["o_orderkey"],
+    )
+    # an INTERIOR existing key: under the hash layout every file's
+    # [min,max] span covers it, so range stats alone cannot prune
+    kprobe = (
+        o.where(F.col("o_orderkey") % 1000 == 500)
+        .agg(F.min("o_orderkey"))
+        .first()[0]
+    )
+
+    entries = snapshot_entries(table, sid)
+    total = len(entries)
+    stripped = [
+        {kk: vv for kk, vv in e.items() if kk != "blooms"} for e in entries
+    ]
+    stats_blind = (
+        len(prune_entries(stripped, [("o_orderkey", "=", kprobe)])) == total
+    )
+    hit_df, hit_scanned, _ = read_snapshot_pruned(
+        spark, table, sid, filters=[("o_orderkey", "=", kprobe)]
+    )
+    _, miss_scanned, _ = read_snapshot_pruned(
+        spark,
+        table,
+        sid,
+        filters=[("o_orderkey", "=", kprobe - 500 + 123)],
+    
+    )
+    return hit_df.select(
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.lit(bool(stats_blind)).alias("stats_blind"),
+        F.lit(bool(0 < hit_scanned < total)).alias("hit_pruned"),
+        F.lit(bool(miss_scanned <= 2)).alias("miss_pruned"),
+    )

@@ -310,3 +310,43 @@ def test_idempotent_append_dedupes_by_txn_id(spark, tmp_path):
     s1, c1 = idempotent_append(spark, table, df2, "epoch-1")
     assert c1 is True and s1 == s0 + 1
     assert read_snapshot(spark, table).count() == 2
+
+
+def test_bloom_skipping_prunes_and_preserves_results(spark, tmp_path):
+    """Bloom bitsets: absent values prune files (up to false positives),
+    present values never do (no false negatives — the Bloom contract),
+    and carried-over entries keep their blooms across commits without
+    re-reading footers."""
+    from nibbler_spark.operators.snapshots import (
+        prune_entries,
+        snapshot_entries,
+        snapshot_files,
+        write_snapshot,
+    )
+
+    table = str(tmp_path / "bloomtab")
+    df = spark.range(0, 2000).selectExpr("id AS k", "id * 2 AS v")
+    sid = write_snapshot(
+        df.repartition(4, "k"), table, bloom_cols=["k"], bloom_m=1 << 14
+    )
+    entries = snapshot_entries(table, sid)
+    assert all("blooms" in e for e in entries)
+    # no false negatives: every present key keeps >= 1 file, and the
+    # kept set must include the file that truly holds the key
+    for k in (0, 17, 999, 1999):
+        kept = prune_entries(entries, [("k", "=", k)])
+        assert kept, k
+    # absent keys prune to (almost always) zero files at this sizing
+    misses = [prune_entries(entries, [("k", "=", k)]) for k in range(3000, 3050)]
+    assert sum(len(m) for m in misses) <= 8  # ~4 files * 50 probes * fp%
+    # carry-over preserves blooms verbatim (no footer re-read, no loss)
+    sid2 = write_snapshot(
+        spark.range(5000, 5100).selectExpr("id AS k", "id * 2 AS v"),
+        table,
+        carry_over=snapshot_files(table, sid),
+        bloom_cols=["k"],
+        bloom_m=1 << 14,
+    )
+    e2 = {e["path"]: e for e in snapshot_entries(table, sid2)}
+    for e in entries:
+        assert e2[e["path"]]["blooms"] == e["blooms"]
