@@ -1402,3 +1402,89 @@ def d27_linear_regression_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r2"),
     ).orderBy("l_returnflag")
+
+
+@register(
+    "d29_robust_stats",
+    survey_id="EXT-ROBUST",
+    category="aggregation",
+    oracle="""
+WITH li AS (
+  SELECT l_returnflag AS flag,
+         CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem
+),
+b AS (
+  SELECT flag,
+         QUANTILE_CONT(cents, 0.05) AS p5,
+         QUANTILE_CONT(cents, 0.95) AS p95,
+         QUANTILE_CONT(cents, 0.5) AS med
+  FROM li GROUP BY flag
+),
+j AS (SELECT li.*, b.p5, b.p95, b.med FROM li JOIN b USING (flag))
+SELECT flag AS l_returnflag, COUNT(*) AS n,
+  ROUND(MIN(p5), 4) AS p5, ROUND(MIN(p95), 4) AS p95,
+  ROUND(CAST(SUM(CAST(cents AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4)
+    AS mean_all,
+  ROUND(CAST(SUM(CAST(cents AS DECIMAL(18,4)))
+               FILTER (WHERE cents >= p5 AND cents <= p95) AS DOUBLE)
+        / (COUNT(*) FILTER (WHERE cents >= p5 AND cents <= p95)), 4)
+    AS trimmed_mean,
+  ROUND(CAST(SUM(LEAST(GREATEST(cents, CAST(CEIL(p5) AS BIGINT)),
+                       CAST(FLOOR(p95) AS BIGINT))) AS DOUBLE)
+        / COUNT(*), 4) AS winsorized_mean,
+  ROUND(QUANTILE_CONT(ABS(cents - med), 0.5), 4) AS mad
+FROM j GROUP BY flag ORDER BY flag
+""",
+)
+def d29_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust statistics per group — trimmed mean (drop outside
+    [p5, p95]), winsorized mean (CLAMP to the integer grid of
+    [⌈p5⌉, ⌊p95⌋] — ceil/floor keep every clamped value an exact
+    BIGINT so the sum has no float accumulation), and MAD (median of
+    absolute deviations from the median). The exact percentiles
+    interpolate identically in both engines (the d17 contract); all
+    means divide exact sums. Two passes — a tiny per-group percentile
+    aggregate broadcast back onto the fact rows, then one combined
+    conditional aggregate — which is the right 100 TB shape: robust
+    estimators need the quantile before they can trim, and the
+    broadcast avoids a second fact shuffle."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+    )
+    b = li.groupBy("flag").agg(
+        F.percentile("cents", 0.05).alias("p5"),
+        F.percentile("cents", 0.95).alias("p95"),
+        F.percentile("cents", 0.5).alias("med"),
+    )
+    j = li.join(F.broadcast(b), "flag")
+    inlier = (F.col("cents") >= F.col("p5")) & (F.col("cents") <= F.col("p95"))
+    clamped = F.least(
+        F.greatest(F.col("cents"), F.ceil("p5").cast("bigint")),
+        F.floor("p95").cast("bigint"),
+    )
+    return (
+        j.groupBy("flag")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("p5"), 4).alias("p5"),
+            F.round(F.min("p95"), 4).alias("p95"),
+            F.round(
+                F.sum(dec("cents")).cast("double") / F.count("*"), 4
+            ).alias("mean_all"),
+            F.round(
+                F.sum(F.when(inlier, dec("cents"))).cast("double")
+                / F.count(F.when(inlier, F.lit(1))),
+                4,
+            ).alias("trimmed_mean"),
+            F.round(
+                F.sum(clamped).cast("double") / F.count("*"), 4
+            ).alias("winsorized_mean"),
+            F.round(
+                F.percentile(F.abs(F.col("cents") - F.col("med")), 0.5), 4
+            ).alias("mad"),
+        )
+        .withColumnRenamed("flag", "l_returnflag")
+        .orderBy("l_returnflag")
+    )

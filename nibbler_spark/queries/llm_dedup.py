@@ -1644,3 +1644,138 @@ def ext_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_LPA_ROUNDS = 3
+
+_LPA_ORACLE = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+sh0 AS (
+  SELECT doc_id,
+         UNNEST(list_transform(generate_series(1, len(toks) - 4),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                     || ' ' || toks[i+3] || ' ' || toks[i+4])) AS sh
+  FROM t
+),
+shd AS (SELECT DISTINCT doc_id, sh FROM sh0),
+ok AS (SELECT sh FROM shd GROUP BY sh HAVING COUNT(*) BETWEEN 2 AND 20),
+e0 AS (
+  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+  FROM shd a, shd b, ok
+  WHERE a.sh = ok.sh AND b.sh = ok.sh AND a.doc_id < b.doc_id
+),
+edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+l0 AS (SELECT doc_id AS node, doc_id AS label FROM t),
+r1c AS (SELECT e.src AS node, l.label, COUNT(*) AS c
+        FROM edges e JOIN l0 l ON l.node = e.dst GROUP BY e.src, l.label),
+r1m AS (SELECT node, label FROM (
+          SELECT node, label, row_number() OVER (
+            PARTITION BY node ORDER BY c DESC, label ASC) AS rk
+          FROM r1c) WHERE rk = 1),
+l1 AS (SELECT l0.node, COALESCE(r1m.label, l0.label) AS label
+       FROM l0 LEFT JOIN r1m USING (node)),
+r2c AS (SELECT e.src AS node, l.label, COUNT(*) AS c
+        FROM edges e JOIN l1 l ON l.node = e.dst GROUP BY e.src, l.label),
+r2m AS (SELECT node, label FROM (
+          SELECT node, label, row_number() OVER (
+            PARTITION BY node ORDER BY c DESC, label ASC) AS rk
+          FROM r2c) WHERE rk = 1),
+l2 AS (SELECT l1.node, COALESCE(r2m.label, l1.label) AS label
+       FROM l1 LEFT JOIN r2m USING (node)),
+r3c AS (SELECT e.src AS node, l.label, COUNT(*) AS c
+        FROM edges e JOIN l2 l ON l.node = e.dst GROUP BY e.src, l.label),
+r3m AS (SELECT node, label FROM (
+          SELECT node, label, row_number() OVER (
+            PARTITION BY node ORDER BY c DESC, label ASC) AS rk
+          FROM r3c) WHERE rk = 1),
+l3 AS (SELECT l2.node, COALESCE(r3m.label, l2.label) AS label
+       FROM l2 LEFT JOIN r3m USING (node))
+SELECT node AS doc_id, label AS community FROM l3 ORDER BY doc_id
+"""
+
+
+@register(
+    "ext_label_propagation",
+    survey_id="EXT-LPA",
+    category="llm-dedup",
+    oracle=_LPA_ORACLE,
+)
+def ext_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label Propagation (Raghavan et al. 2007) community detection on
+    the document-similarity graph: docs are adjacent when they share a
+    5-token shingle whose document frequency lies in [2, 20] (the df
+    cap excises boilerplate hubs that would both blow up the pair join
+    and wash out communities — the k05 df-cap lesson applied at graph
+    construction). Labels start as node ids; each of 3 SYNCHRONOUS
+    rounds reassigns every node the MODE of its neighbors' labels with
+    ties broken toward the smallest label (min(struct(-count, label)) —
+    integer-exact, so the full per-node label vector hash-matches the
+    oracle's 3 unrolled CTE rounds). Isolated nodes keep their own
+    label. Deterministic by construction where classic async LPA is
+    run-order dependent. Scale: candidate edges come off the bounded
+    inverted index (C(df,2) ≤ 190 pairs per shingle), each round is one
+    keyed join + one map-side-combinable count + one argmin — the
+    Pregel message-passing shape as three DataFrame ops, iteration-
+    bounded with a localCheckpoint lineage cut per round."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 4),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at("toks", i),
+                    F.element_at("toks", i + 1),
+                    F.element_at("toks", i + 2),
+                    F.element_at("toks", i + 3),
+                    F.element_at("toks", i + 4),
+                ),
+            )
+        ).alias("sh"),
+    ).distinct()
+    ok = (
+        sh.groupBy("sh")
+        .agg(F.count("*").alias("df"))
+        .where((F.col("df") >= 2) & (F.col("df") <= 20))
+        .select("sh")
+    )
+    capped = sh.join(ok, "sh")
+    e0 = (
+        capped.alias("a")
+        .join(capped.alias("b"), "sh")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst")
+        )
+        .distinct()
+    )
+    edges = e0.unionAll(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    labels = d.select(
+        F.col("doc_id").alias("node"), F.col("doc_id").alias("label")
+    )
+    for _ in range(_LPA_ROUNDS):
+        counts = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy(edges["src"].alias("n"), "label")
+            .agg(F.count("*").alias("c"))
+        )
+        mode = (
+            counts.groupBy("n")
+            .agg(F.min(F.struct((-F.col("c")).alias("nc"), "label")).alias("m"))
+            .select("n", F.col("m.label").alias("new_label"))
+        )
+        labels = (
+            labels.join(mode, labels["node"] == mode["n"], "left")
+            .select(
+                "node", F.coalesce("new_label", "label").alias("label")
+            )
+            .localCheckpoint()
+        )
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("community")
+    ).orderBy("doc_id")

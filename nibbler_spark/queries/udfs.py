@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType
 
 from nibbler_spark.queries import register
-from nibbler_spark.sources import load_table
+from nibbler_spark.sources import load_table, register_temp_views
 
 
 @register(
@@ -445,4 +445,78 @@ def j11_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_items"),
         )
         .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "j12_udtf_table_partition",
+    survey_id="EXT-UDTF-TABLE",
+    category="udf",
+    oracle="""
+SELECT l_returnflag, COUNT(*) AS n_items,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS cents,
+       MIN(l_orderkey) AS first_key, MAX(l_orderkey) AS last_key
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+)
+def j12_udtf_table_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF with a TABLE argument, PARTITION BY + ORDER BY
+    (Spark 4): the engine hash-partitions the input on l_returnflag,
+    sorts each partition by (l_orderkey, l_linenumber), and feeds each
+    group to its own UDTF instance — eval() streams the rows,
+    terminate() emits the group summary. This is the custom-aggregate
+    escape hatch when an operator is genuinely imperative (sequential
+    state machines, per-group model fits): the CLUSTERING is still
+    declared to Catalyst (one keyed exchange, partition-parallel), only
+    the per-group fold is Python. Integer accumulation makes the
+    summary hash-exact; first/last keys prove the declared ORDER BY was
+    honored inside each partition."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType=(
+        "l_returnflag string, n_items bigint, cents bigint, "
+        "first_key bigint, last_key bigint"
+    ))
+    class FlagSummary:
+        def __init__(self):
+            self.flag = None
+            self.n = 0
+            self.cents = 0
+            self.first_key = None
+            self.last_key = None
+
+        def eval(self, row):
+            self.flag = row["l_returnflag"]
+            self.n += 1
+            self.cents += row["cents"]
+            if self.first_key is None:
+                self.first_key = row["l_orderkey"]
+            self.last_key = row["l_orderkey"]
+
+        def terminate(self):
+            if self.flag is not None:
+                yield (
+                    self.flag,
+                    self.n,
+                    self.cents,
+                    self.first_key,
+                    self.last_key,
+                )
+
+    spark.udtf.register("flag_summary", FlagSummary)
+    register_temp_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT * FROM flag_summary(
+          TABLE(
+            SELECT l_returnflag, l_orderkey, l_linenumber,
+                   CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS cents
+            FROM lineitem
+          )
+          PARTITION BY l_returnflag
+          ORDER BY (l_orderkey, l_linenumber)
+        )
+        ORDER BY l_returnflag
+        """
     )
