@@ -386,6 +386,46 @@ def idempotent_append(
     return sid, True
 
 
+def delete_from_snapshot(spark: SparkSession, table_dir: str, predicate) -> int:
+    """Merge-on-read DELETE via deletion vectors (the Delta/Iceberg v2
+    positional-delete design): instead of rewriting every data file that
+    contains a matching row (copy-on-write — write amplification
+    proportional to FILE size for a row-level delete), the matching
+    positions are recorded as (file, row_index) pairs in a deletion-
+    vector parquet written alongside the data, and the commit carries
+    the SAME data files plus the accumulated DV list in its manifest
+    meta. Readers anti-join the DV on Spark's stable per-file
+    ``_metadata.row_index``. Deletes are O(matched rows) IO; the debt
+    is repaid at :func:`compact_snapshot`, which materializes the
+    DV-applied rows and commits DV-free files. ``predicate`` is a
+    pyspark Column over the table schema. Returns the new snapshot id."""
+    sid = latest_snapshot(table_dir)
+    entries = snapshot_entries(table_dir, sid)
+    meta = snapshot_meta(table_dir, sid)
+    raw = spark.read.parquet(
+        *[os.path.join(table_dir, e["path"]) for e in entries]
+    )
+    hits = (
+        raw.select(
+            F.element_at(
+                F.split(F.col("_metadata.file_path"), "/"), -1
+            ).alias("_f"),
+            F.col("_metadata.row_index").alias("_pos"),
+            "*",
+        )
+        .where(predicate)
+        .select("_f", "_pos")
+    )
+    dv_rel = f"dv-{uuid.uuid4().hex[:12]}"
+    hits.write.parquet(os.path.join(table_dir, dv_rel))
+    new_meta = {
+        **meta,
+        "deletion_vectors": list(meta.get("deletion_vectors", []))
+        + [dv_rel],
+    }
+    return commit_snapshot(table_dir, entries, new_meta)
+
+
 def compact_snapshot(
     spark: SparkSession, table_dir: str, target_files: int
 ) -> int:
@@ -533,6 +573,25 @@ def read_snapshot_pruned(
     df = reader.parquet(
         *[os.path.join(table_dir, e["path"]) for e in entries]
     )
+    dvs = snapshot_meta(table_dir, sid).get("deletion_vectors") or []
+    if dvs:
+        # merge-on-read: anti-join the accumulated deletion vectors on
+        # (file basename, stable row position). DVs are bounded by rows
+        # deleted since the last compaction — broadcast the small side.
+        dvf = spark.read.parquet(
+            *[os.path.join(table_dir, p) for p in dvs]
+        ).select("_f", "_pos")
+        df = (
+            df.select(
+                F.element_at(
+                    F.split(F.col("_metadata.file_path"), "/"), -1
+                ).alias("_f"),
+                F.col("_metadata.row_index").alias("_pos"),
+                "*",
+            )
+            .join(F.broadcast(dvf), ["_f", "_pos"], "left_anti")
+            .drop("_f", "_pos")
+        )
     for c, op, v in filters or []:
         column = F.col(c)
         df = df.where(

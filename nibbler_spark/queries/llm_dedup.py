@@ -1720,22 +1720,30 @@ def ext_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("toks")
     )
+    # hash each shingle to 64 bits BEFORE the distinct/df shuffles — the
+    # inverted index and pair join then move slim (doc_id, bigint) rows
+    # instead of ~30-char strings (xxhash64 collisions across ~10^5
+    # shingles are ~1e-9 — and deterministic). Materialized ONCE: four
+    # downstream consumers (df count, both join sides) must not each
+    # recompute the explode.
     sh = d.select(
         "doc_id",
         F.explode(
             F.transform(
                 F.sequence(F.lit(1), F.size("toks") - 4),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at("toks", i),
-                    F.element_at("toks", i + 1),
-                    F.element_at("toks", i + 2),
-                    F.element_at("toks", i + 3),
-                    F.element_at("toks", i + 4),
+                lambda i: F.xxhash64(
+                    F.concat_ws(
+                        " ",
+                        F.element_at("toks", i),
+                        F.element_at("toks", i + 1),
+                        F.element_at("toks", i + 2),
+                        F.element_at("toks", i + 3),
+                        F.element_at("toks", i + 4),
+                    )
                 ),
             )
         ).alias("sh"),
-    ).distinct()
+    ).distinct().localCheckpoint()
     ok = (
         sh.groupBy("sh")
         .agg(F.count("*").alias("df"))

@@ -1097,3 +1097,72 @@ def ext_snapshot_bloom_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(bool(0 < hit_scanned < total)).alias("hit_pruned"),
         F.lit(bool(miss_scanned <= 2)).alias("miss_pruned"),
     )
+
+
+@register(
+    "ext_snapshot_delete_vectors",
+    survey_id="EXT-DV-DELETE",
+    category="sql-surface",
+    mode="bounded",
+    oracle="""
+SELECT o_orderkey, CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents,
+       TRUE AS no_rewrite, TRUE AS history_ok, TRUE AS dv_purged
+FROM orders
+WHERE o_orderkey % 7 <> 3 AND o_custkey % 11 <> 5
+ORDER BY o_orderkey
+""",
+)
+def ext_snapshot_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DELETE as merge-on-read deletion vectors: two
+    successive DELETEs (keys ≡3 mod 7, then customers ≡5 mod 11) each
+    commit in O(matched rows) — ``no_rewrite`` proves BOTH delete
+    commits reference the exact same data files as the base snapshot
+    (zero write amplification, the whole point of DVs over
+    copy-on-write). Reads anti-join the accumulated vectors on Spark's
+    stable ``_metadata.row_index``; the surviving rows hash-match the
+    double-predicate oracle. The base snapshot stays time-travel
+    readable at full row count (``history_ok``), and OPTIMIZE-style
+    compaction then materializes the surviving rows into DV-free files
+    (``dv_purged``) whose contents still hash-match — the standard
+    DV lifecycle: cheap deletes now, reconciled at maintenance time."""
+    import os
+    import shutil
+    import tempfile
+
+    from nibbler_spark.operators.snapshots import (
+        compact_snapshot,
+        delete_from_snapshot,
+        read_snapshot,
+        snapshot_files,
+        snapshot_meta,
+        write_snapshot,
+    )
+
+    table = tempfile.mkdtemp(prefix="nibbler-dv-")
+    shutil.rmtree(table)
+    os.makedirs(table)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    s0 = write_snapshot(o.repartition(4), table)
+    base_files = set(snapshot_files(table, s0))
+    n_all = o.count()
+
+    s1 = delete_from_snapshot(spark, table, F.col("o_orderkey") % 7 == 3)
+    s2 = delete_from_snapshot(spark, table, F.col("o_custkey") % 11 == 5)
+    no_rewrite = (
+        set(snapshot_files(table, s1)) == base_files
+        and set(snapshot_files(table, s2)) == base_files
+        and len(snapshot_meta(table, s2)["deletion_vectors"]) == 2
+    )
+    history_ok = read_snapshot(spark, table, s0).count() == n_all
+
+    s3 = compact_snapshot(spark, table, target_files=2)
+    dv_purged = not snapshot_meta(table, s3).get("deletion_vectors")
+    return read_snapshot(spark, table, s3).select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.lit(bool(no_rewrite)).alias("no_rewrite"),
+        F.lit(bool(history_ok)).alias("history_ok"),
+        F.lit(bool(dv_purged)).alias("dv_purged"),
+    ).orderBy("o_orderkey")

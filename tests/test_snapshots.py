@@ -350,3 +350,34 @@ def test_bloom_skipping_prunes_and_preserves_results(spark, tmp_path):
     e2 = {e["path"]: e for e in snapshot_entries(table, sid2)}
     for e in entries:
         assert e2[e["path"]]["blooms"] == e["blooms"]
+
+
+def test_deletion_vectors_lifecycle(spark, tmp_path):
+    """DV semantics the query flags can't fully state: deleting an
+    already-deleted row is a no-op on the result, DV application
+    composes with stats pruning + filters, and time travel BETWEEN the
+    two deletes sees exactly the first delete."""
+    from pyspark.sql import functions as F
+
+    from nibbler_spark.operators.snapshots import (
+        delete_from_snapshot,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    table = str(tmp_path / "dvtab")
+    df = spark.range(0, 1000).selectExpr("id AS k", "id % 10 AS grp")
+    write_snapshot(df.repartitionByRange(4, "k"), table)
+    s1 = delete_from_snapshot(spark, table, F.col("grp") == 3)
+    assert read_snapshot(spark, table, s1).count() == 900
+    # overlapping re-delete: grp 3 already gone, grp 4 newly gone
+    s2 = delete_from_snapshot(spark, table, F.col("grp").isin(3, 4))
+    assert read_snapshot(spark, table, s2).count() == 800
+    # time travel between deletes
+    assert read_snapshot(spark, table, s1).count() == 900
+    # DV + stats pruning + residual filter compose
+    got = read_snapshot(
+        spark, table, s2, filters=[("k", ">=", 500), ("k", "<", 600)]
+    )
+    ks = sorted(r["k"] for r in got.collect())
+    assert ks == [k for k in range(500, 600) if k % 10 not in (3, 4)]
