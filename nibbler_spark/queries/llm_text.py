@@ -9,7 +9,7 @@ has a full DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nibbler_spark.queries import register
@@ -1097,3 +1097,105 @@ def ext_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "coverage"
         ),
     ).orderBy("lang")
+
+
+@register(
+    "ext_winnowing",
+    survey_id="EXT-WINNOW",
+    category="llm-text",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+  WHERE doc_id % 5 = 0
+),
+grams AS (
+  SELECT doc_id, i AS pos,
+         md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS h
+  FROM t, UNNEST(generate_series(1, len(toks) - 2)) AS u(i)
+),
+wins AS (
+  SELECT g.doc_id, w.pos AS win_start, g.pos, g.h,
+         row_number() OVER (
+           PARTITION BY g.doc_id, w.pos ORDER BY g.h ASC, g.pos DESC
+         ) AS rk
+  FROM grams g
+  JOIN grams w
+    ON w.doc_id = g.doc_id AND g.pos BETWEEN w.pos AND w.pos + 3
+),
+fps AS (
+  SELECT DISTINCT doc_id, pos, h FROM wins WHERE rk = 1
+)
+SELECT doc_id, COUNT(*) AS n_fingerprints,
+       MIN(h) AS min_fp, MAX(h) AS max_fp,
+       md5(string_agg(h, ',' ORDER BY pos)) AS fp_digest
+FROM fps GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def ext_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the
+    MOSS algorithm): md5 each 3-token k-gram, slide a window of 4
+    consecutive gram hashes over every document, and select each
+    window's RIGHTMOST MINIMUM — one `min(struct(hash, -pos))` window
+    aggregate per start position, deduplicated. The guarantee this buys
+    over min-k signatures (ext_doc_fingerprint): any shared substring
+    of ≥ 6 tokens yields at least one COMMON selected fingerprint, with
+    density ~2/(w+1) — positional coverage no global-min sketch gives.
+    md5 hex strings order identically in both engines, and the
+    tie-break toward the larger position is pinned in the oracle's
+    (h ASC, pos DESC) ranking, so the per-document fingerprint DIGEST
+    (ordered md5 chain) hash-matches exactly. Scale: everything is
+    row-local per document — the window frame runs inside a
+    doc-partitioned sort, no cross-document data movement at all; the
+    oracle's O(n·w) self-join is the spec, the frame is the plan."""
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 5 == 0
+    ).select("doc_id", F.split("text", " ").alias("toks"))
+    grams = d.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 2),
+                lambda i: F.md5(
+                    F.concat_ws(
+                        " ",
+                        F.element_at("toks", i),
+                        F.element_at("toks", i + 1),
+                        F.element_at("toks", i + 2),
+                    )
+                ),
+            )
+        ).alias("p0", "h"),
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "h")
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(0, 3)
+    )
+    sel = grams.select(
+        "doc_id",
+        F.min(F.struct("h", (-F.col("pos")).alias("np"))).over(w).alias("m"),
+    ).select(
+        "doc_id",
+        (-F.col("m.np")).alias("pos"),
+        F.col("m.h").alias("h"),
+    ).distinct()
+    return (
+        sel.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_fingerprints"),
+            F.min("h").alias("min_fp"),
+            F.max("h").alias("max_fp"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "h"))
+                        ),
+                        lambda s: s["h"],
+                    ),
+                    ",",
+                )
+            ).alias("fp_digest"),
+        )
+        .orderBy("doc_id")
+    )

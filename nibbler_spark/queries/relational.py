@@ -796,3 +796,111 @@ def ext_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cal_date")
     )
+
+
+@register(
+    "ext_dq_expectations",
+    survey_id="EXT-DQ",
+    category="relational",
+    oracle="""
+SELECT 'customer_key_unique' AS check_name,
+       (SELECT COUNT(*) - COUNT(DISTINCT c_custkey) FROM customer)
+         AS violations
+UNION ALL
+SELECT 'discount_in_range',
+       (SELECT COUNT(*) FROM lineitem
+        WHERE l_discount < 0 OR l_discount > 1)
+UNION ALL
+SELECT 'lineitem_orderkey_fk',
+       (SELECT COUNT(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey))
+UNION ALL
+SELECT 'orderkey_unique',
+       (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders)
+UNION ALL
+SELECT 'orders_custkey_fk',
+       (SELECT COUNT(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey))
+UNION ALL
+SELECT 'status_in_domain',
+       (SELECT COUNT(*) FROM orders
+        WHERE o_orderstatus NOT IN ('O', 'F', 'P'))
+UNION ALL
+SELECT 'totalprice_not_null',
+       (SELECT COUNT(*) FROM orders WHERE o_totalprice IS NULL)
+ORDER BY check_name
+""",
+)
+def ext_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation suite (the Delta CHECK-constraint /
+    Great-Expectations pattern): uniqueness, null-rate, value-domain
+    and referential-integrity checks each reduce to a VIOLATION COUNT —
+    zero means the expectation holds — evaluated as ordinary aggregates
+    so the whole audit is one declarative job per table pair, never a
+    row-by-row validator. FK checks are left-anti joins (the scalable
+    spelling of NOT EXISTS); uniqueness is COUNT(*) − COUNT(DISTINCT).
+    At 100 TB each check is a scan + partial aggregate, FK probes
+    broadcast the dimension side, and the per-check outputs union into
+    a single audit artifact a pipeline can gate a publish step on."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def row(name: str, df_count) -> DataFrame:
+        return df_count.select(
+            F.lit(name).alias("check_name"),
+            F.col("v").cast("bigint").alias("violations"),
+        )
+
+    checks = [
+        row(
+            "customer_key_unique",
+            c.agg((F.count("*") - F.countDistinct("c_custkey")).alias("v")),
+        ),
+        row(
+            "discount_in_range",
+            li.where(
+                (F.col("l_discount") < 0) | (F.col("l_discount") > 1)
+            ).agg(F.count("*").alias("v")),
+        ),
+        row(
+            "lineitem_orderkey_fk",
+            li.join(
+                o.select(F.col("o_orderkey").alias("l_orderkey")),
+                "l_orderkey",
+                "left_anti",
+            ).agg(F.count("*").alias("v")),
+        ),
+        row(
+            "orderkey_unique",
+            o.agg((F.count("*") - F.countDistinct("o_orderkey")).alias("v")),
+        ),
+        row(
+            "orders_custkey_fk",
+            o.join(
+                F.broadcast(
+                    c.select(F.col("c_custkey").alias("o_custkey"))
+                ),
+                "o_custkey",
+                "left_anti",
+            ).agg(F.count("*").alias("v")),
+        ),
+        row(
+            "status_in_domain",
+            o.where(
+                ~F.col("o_orderstatus").isin("O", "F", "P")
+            ).agg(F.count("*").alias("v")),
+        ),
+        row(
+            "totalprice_not_null",
+            o.where(F.col("o_totalprice").isNull()).agg(
+                F.count("*").alias("v")
+            ),
+        ),
+    ]
+    out = checks[0]
+    for chk in checks[1:]:
+        out = out.unionAll(chk)
+    return out.orderBy("check_name")
