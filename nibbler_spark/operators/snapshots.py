@@ -228,6 +228,11 @@ def snapshot_files(table_dir: str, snapshot_id: int) -> list[str]:
     return [e["path"] for e in _load_manifest(table_dir, snapshot_id)]
 
 
+class SnapshotConstraintError(ValueError):
+    """A CHECK constraint failed at commit time; the snapshot was NOT
+    committed and the staged data files were removed."""
+
+
 def write_snapshot(
     df: DataFrame,
     table_dir: str,
@@ -236,6 +241,7 @@ def write_snapshot(
     bloom_cols: list[str] | None = None,
     bloom_m: int = 1 << 18,
     bloom_k: int = 4,
+    constraints: list[tuple[str, str]] | None = None,
 ) -> int:
     """Commit a new snapshot: ``df`` becomes new immutable data files;
     ``carry_over`` names files from prior snapshots that remain part of
@@ -250,6 +256,35 @@ def write_snapshot(
     part = uuid.uuid4().hex[:12]
     data_dir = os.path.join(table_dir, f"data-{part}")
     df.write.mode("overwrite").parquet(data_dir)
+    if constraints:
+        # CHECK constraints gate the COMMIT, not the write: validate the
+        # files as they actually landed (one distributed aggregate over
+        # the staged data — NULL passes, per SQL CHECK semantics), and on
+        # any violation remove the staged files and raise BEFORE a
+        # manifest exists. Readers can never observe a constraint-
+        # violating snapshot; the table's prior state is untouched.
+        import shutil
+
+        staged = df.sparkSession.read.parquet(data_dir)
+        counts = staged.agg(
+            *[
+                F.sum(
+                    F.when(~F.coalesce(F.expr(cond), F.lit(True)), 1)
+                    .otherwise(0)
+                ).alias(f"c{i}")
+                for i, (_, cond) in enumerate(constraints)
+            ]
+        ).first()
+        bad = {
+            name: int(counts[f"c{i}"])
+            for i, (name, _) in enumerate(constraints)
+            if counts[f"c{i}"]
+        }
+        if bad:
+            shutil.rmtree(data_dir)
+            raise SnapshotConstraintError(
+                f"constraint violations, commit aborted: {bad}"
+            )
     new_files = [
         os.path.join(f"data-{part}", f)
         for f in os.listdir(data_dir)

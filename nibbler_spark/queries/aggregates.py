@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from nibbler_spark.queries import register
 from nibbler_spark.queries._helpers import davg, dec, dsum, sql_davg, sql_dsum
-from nibbler_spark.sources import load_table
+from nibbler_spark.sources import load_table, register_temp_views
 
 
 @register(
@@ -1487,4 +1487,90 @@ def d29_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumnRenamed("flag", "l_returnflag")
         .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "d30_bitmap_distinct",
+    survey_id="EXT-BITMAP",
+    category="aggregation",
+    oracle="""
+SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS nd_parts,
+       COUNT(DISTINCT l_suppkey) AS nd_supps
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+)
+def d30_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via bitmap aggregates (Spark 3.5
+    bitmap_bit_position / bitmap_construct_agg / bitmap_or_agg /
+    bitmap_count): values land as bits in 32k-bit buckets, per-bucket
+    bitmaps OR together, and the popcount sum is the exact NDV. Unlike
+    COUNT(DISTINCT) — whose distinct-expand shuffle carries every
+    (group, value) pair — the bitmap form shuffles at most
+    ceil(domain / 262144) fixed-size binary blobs per group, and the
+    bitmaps themselves are MERGEABLE state (the same shape as the
+    incremental-rollup pattern: store per-partition bitmaps, OR them at
+    query time). Two distinct dimensions aggregated in one pass;
+    hash-checked against plain COUNT(DISTINCT)."""
+    register_temp_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH buckets AS (
+          SELECT l_returnflag,
+                 bitmap_bucket_number(l_partkey) AS pb,
+                 bitmap_construct_agg(bitmap_bit_position(l_partkey))
+                   AS pbm,
+                 bitmap_bucket_number(l_suppkey) AS sb,
+                 bitmap_construct_agg(bitmap_bit_position(l_suppkey))
+                   AS sbm
+          FROM lineitem
+          GROUP BY l_returnflag, bitmap_bucket_number(l_partkey),
+                   bitmap_bucket_number(l_suppkey)
+        )
+        SELECT l_returnflag,
+               CAST(SUM(p_cnt) AS BIGINT) AS nd_parts,
+               CAST(SUM(s_cnt) AS BIGINT) AS nd_supps
+        FROM (
+          SELECT l_returnflag, pb,
+                 bitmap_count(bitmap_or_agg(pbm)) AS p_cnt, 0 AS s_cnt
+          FROM buckets GROUP BY l_returnflag, pb
+          UNION ALL
+          SELECT l_returnflag, sb, 0, bitmap_count(bitmap_or_agg(sbm))
+          FROM buckets GROUP BY l_returnflag, sb
+        )
+        GROUP BY l_returnflag ORDER BY l_returnflag
+        """
+    )
+
+
+@register(
+    "d31_approx_top_k",
+    survey_id="EXT-TOPK-SKETCH",
+    category="aggregation",
+    oracle="""
+SELECT o_orderpriority AS item, COUNT(*) AS cnt
+FROM orders GROUP BY o_orderpriority
+ORDER BY cnt DESC, item LIMIT 3
+""",
+)
+def d31_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`approx_top_k` (Spark 4): sketch-based heavy hitters in ONE
+    aggregate — the engine tracks up to maxItemsTracked items map-side
+    and merges the sketches, so no (group, value) distinct-expand
+    shuffle ever happens. Here the tracked capacity (10k) exceeds the
+    column's domain, so every count is EXACT and the exploded, re-ranked
+    output hash-matches the plain GROUP BY oracle — the same
+    exact-when-small / approximate-when-huge contract as
+    approx_count_distinct. Ties re-ranked by (count DESC, item) on both
+    sides for a pinned order."""
+    register_temp_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT s.item, s.count AS cnt
+        FROM (
+          SELECT explode(approx_top_k(o_orderpriority, 3, 10000)) AS s
+          FROM orders
+        )
+        ORDER BY cnt DESC, s.item LIMIT 3
+        """
     )

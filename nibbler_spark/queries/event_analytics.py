@@ -1026,3 +1026,70 @@ def ext_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("filled"),
         F.col("cents").isNull().alias("is_gap"),
     ).orderBy("event_type", "hr")
+
+
+@register(
+    "ext_session_dynamic_gap",
+    survey_id="EXT-SESS-DYNGAP",
+    category="event-analytics",
+    oracle="""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS t,
+         CASE WHEN event_type = 'purchase'
+              THEN 1800000000 ELSE 600000000 END AS gap_us
+  FROM events
+),
+m AS (
+  SELECT *, MAX(t + gap_us) OVER (
+    PARTITION BY user_id ORDER BY t
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+  ) AS prev_end
+  FROM e
+),
+flg AS (
+  SELECT *, CASE WHEN prev_end IS NULL OR t >= prev_end
+                 THEN 1 ELSE 0 END AS brk
+  FROM m
+),
+sid AS (
+  SELECT *, SUM(brk) OVER (
+    PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING
+  ) AS s
+  FROM flg
+)
+SELECT user_id, make_timestamp(MIN(t)) AS s_start,
+       make_timestamp(MAX(t + gap_us)) AS s_end,
+       COUNT(*) AS n_events
+FROM sid GROUP BY user_id, s
+ORDER BY user_id, s_start
+""",
+)
+def ext_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a PER-EVENT dynamic gap (Spark
+    `session_window(ts, expr)`): purchases hold a session open for 30
+    minutes, everything else 10 — the adaptive-timeout semantics real
+    engagement analytics want, which a fixed-gap sessionizer can't
+    express. Spark merges the per-event intervals [ts, ts+gap) into
+    end-exclusive unions; the oracle restates that as gaps-and-islands
+    over a running MAX of interval ends — in INTEGER MICROSECONDS
+    (epoch_us), so every comparison and boundary is engine-exact with
+    no float-epoch rounding. Tie-robust: events sharing a timestamp
+    always co-session regardless of intra-tie order (any tied event's
+    end strictly exceeds the shared instant). One user-keyed exchange,
+    session merge inside the engine's window state — the same shape
+    Structured Streaming runs incrementally (i03's streaming parity)."""
+    e = load_table(spark, sf_dir, "events")
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("30 minutes")
+    ).otherwise(F.lit("10 minutes"))
+    return (
+        e.groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("s_start"),
+            F.col("w.end").alias("s_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "s_start")
+    )

@@ -1166,3 +1166,84 @@ def ext_snapshot_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(bool(history_ok)).alias("history_ok"),
         F.lit(bool(dv_purged)).alias("dv_purged"),
     ).orderBy("o_orderkey")
+
+
+@register(
+    "ext_snapshot_check_constraints",
+    survey_id="EXT-CHECK",
+    category="sql-surface",
+    mode="bounded",
+    oracle="""
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents,
+       TRUE AS accepted_ok, TRUE AS rejected_raises, TRUE AS state_unchanged
+FROM orders
+""",
+)
+def ext_snapshot_check_constraints(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CHECK constraints enforced at COMMIT time (the Delta
+    `ALTER TABLE ADD CONSTRAINT` contract): a commit whose staged files
+    satisfy every declared predicate lands normally; a commit with any
+    violating row is ABORTED — staged files removed, no manifest
+    written, SnapshotConstraintError raised — so readers can never
+    time-travel into invalid data and the table's last good snapshot
+    stays latest. NULL predicate results pass, per SQL CHECK semantics.
+    Validation is one distributed aggregate over the staged files (all
+    constraints folded into a single pass), which at 100 TB is the
+    cheapest possible gate: the write already paid the scan, the check
+    adds a map-side fold."""
+    import os
+    import shutil
+    import tempfile
+
+    from nibbler_spark.operators.snapshots import (
+        SnapshotConstraintError,
+        latest_snapshot,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    table = tempfile.mkdtemp(prefix="nibbler-check-")
+    shutil.rmtree(table)
+    os.makedirs(table)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    s0 = write_snapshot(
+        o.repartition(2),
+        table,
+        constraints=[
+            ("price_positive", "o_totalprice > 0"),
+            ("status_domain", "o_orderstatus IN ('O', 'F', 'P')"),
+        ],
+    )
+    accepted_ok = latest_snapshot(table) == s0
+
+    rejected_raises = False
+    try:
+        write_snapshot(
+            o.withColumn("o_totalprice", -F.col("o_totalprice")),
+            table,
+            constraints=[("price_positive", "o_totalprice > 0")],
+        )
+    except SnapshotConstraintError:
+        rejected_raises = True
+    # exactly one data dir (s0's): the rejected commit's staging is gone
+    state_unchanged = latest_snapshot(table) == s0 and 1 == len(
+        [d for d in os.listdir(table) if d.startswith("data-")]
+    )
+    return read_snapshot(spark, table, s0).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("total_cents"),
+    ).select(
+        "n_rows",
+        "total_cents",
+        F.lit(bool(accepted_ok)).alias("accepted_ok"),
+        F.lit(bool(rejected_raises)).alias("rejected_raises"),
+        F.lit(bool(state_unchanged)).alias("state_unchanged"),
+    )
