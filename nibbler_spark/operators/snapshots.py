@@ -294,6 +294,12 @@ def write_snapshot(
     last = latest_snapshot(table_dir)
     if last >= 0 and carry_over:
         prev = {e["path"]: e for e in _load_manifest(table_dir, last)}
+        # carrying files forward must also carry the deletion vectors
+        # that mask rows inside them — DVs key on (file, position), so
+        # they can never touch the newly appended files
+        inherited = snapshot_meta(table_dir, last).get("deletion_vectors")
+        if inherited and "deletion_vectors" not in (meta or {}):
+            meta = {**(meta or {}), "deletion_vectors": inherited}
     new_entries = {p: _entry(table_dir, p) for p in new_files}
     if bloom_cols:
         blooms = _build_blooms(
@@ -459,6 +465,26 @@ def delete_from_snapshot(spark: SparkSession, table_dir: str, predicate) -> int:
         + [dv_rel],
     }
     return commit_snapshot(table_dir, entries, new_meta)
+
+
+def update_snapshot_mor(
+    spark: SparkSession, table_dir: str, predicate, assignments: dict
+) -> int:
+    """Merge-on-read UPDATE, composed from the two MoR primitives: the
+    matched rows' CURRENT versions (deletion vectors applied) are
+    rewritten with ``assignments`` and APPENDED as new files, while the
+    old versions are masked by a new deletion vector — no existing data
+    file is rewritten, total IO is O(matched rows). The updated-rows
+    frame is built against the pre-update snapshot's immutable file and
+    DV lists, so the late evaluation during the append still reads the
+    pre-delete view. Returns the final snapshot id (one DV commit plus
+    one append commit — atomicity is per-commit; a crash between them
+    leaves a pure delete, never a duplicate)."""
+    cur = read_snapshot(spark, table_dir)
+    updated = cur.where(predicate).withColumns(assignments)
+    delete_from_snapshot(spark, table_dir, predicate)
+    carry = snapshot_files(table_dir, latest_snapshot(table_dir))
+    return write_snapshot(updated, table_dir, carry_over=carry)
 
 
 def compact_snapshot(

@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nibbler_spark.queries import register
-from nibbler_spark.sources import load_table
+from nibbler_spark.sources import load_table, register_temp_views
 
 
 @register(
@@ -896,3 +896,100 @@ def h27_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("acctbal_cents"),
     ).orderBy("c_custkey")
+
+
+@register(
+    "h28_try_functions",
+    survey_id="EXT-TRY",
+    category="scalar",
+    oracle="""
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 3 = 0 THEN NULL
+            ELSE o_totalprice / (o_orderkey % 3) END AS safe_div,
+       TRY_CAST(o_orderpriority AS INT) AS safe_cast,
+       CASE WHEN o_orderkey > 7 THEN NULL
+            ELSE o_orderkey + 9223372036854775800 END AS safe_add,
+       CASE WHEN o_orderkey % 5 = 0
+            THEN 'x' ELSE CAST(NULL AS VARCHAR) END AS safe_elem
+FROM orders WHERE o_orderkey % 97 = 0 ORDER BY o_orderkey
+""",
+)
+def h28_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANSI-mode safe-expression family (`try_divide` / `try_cast`
+    / `try_add` / `try_element_at`): under Spark 4's default ANSI mode,
+    division by zero, numeric overflow, malformed casts and
+    out-of-bounds subscripts all RAISE — the try_ variants return NULL
+    instead, which is the contract batch pipelines over dirty data
+    need (one bad row must not kill a 100 TB job). Each NULL-producing
+    condition here is data-driven (zero divisors from a modulus,
+    bigint overflow past MAX-7, an unparseable priority string, an
+    out-of-range array index), and the oracle restates the NULL
+    semantics as explicit CASE guards."""
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderkey") % 97 == 0
+    )
+    arr = F.array(F.lit("x"))
+    return o.select(
+        "o_orderkey",
+        F.try_divide("o_totalprice", F.col("o_orderkey") % 3).alias(
+            "safe_div"
+        ),
+        F.expr("try_cast(o_orderpriority AS INT)").alias("safe_cast"),
+        F.try_add(
+            "o_orderkey", F.lit(9223372036854775800).cast("bigint")
+        ).alias("safe_add"),
+        F.try_element_at(
+            arr, (F.col("o_orderkey") % 5 + 1).cast("int")
+        ).alias("safe_elem"),
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "h29_collation",
+    survey_id="EXT-COLLATE",
+    category="scalar",
+    oracle="""
+WITH v AS (
+  SELECT c_custkey, lower(c_mktsegment) AS seg,
+         CASE c_custkey % 3
+           WHEN 0 THEN upper(c_mktsegment)
+           WHEN 1 THEN lower(c_mktsegment)
+           ELSE upper(substr(c_mktsegment, 1, 1))
+                || lower(substr(c_mktsegment, 2))
+         END AS mixed
+  FROM customer
+)
+SELECT seg, COUNT(DISTINCT mixed) AS nd_binary,
+       COUNT(DISTINCT lower(mixed)) AS nd_lcase,
+       COUNT(*) AS n_rows
+FROM v GROUP BY seg ORDER BY seg
+""",
+)
+def h29_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String collations (Spark 4): the same segment rendered in three
+    case styles counts as THREE distinct values under binary collation
+    but ONE under `COLLATE UTF8_LCASE` — collation-aware equality wired
+    into the aggregate itself, not a lower() rewrite at every call site
+    (and unlike the rewrite, collated comparisons keep the original
+    strings for output and can use collation-aware sort orders). The
+    oracle models UTF8_LCASE with lower() — equivalent for ASCII
+    segment names. Distinct counts are exact integers; hash mode."""
+    register_temp_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH v AS (
+          SELECT c_custkey, lower(c_mktsegment) AS seg,
+                 CASE pmod(c_custkey, 3)
+                   WHEN 0 THEN upper(c_mktsegment)
+                   WHEN 1 THEN lower(c_mktsegment)
+                   ELSE concat(upper(substr(c_mktsegment, 1, 1)),
+                               lower(substr(c_mktsegment, 2)))
+                 END AS mixed
+          FROM customer
+        )
+        SELECT seg, COUNT(DISTINCT mixed) AS nd_binary,
+               COUNT(DISTINCT (mixed COLLATE UTF8_LCASE)) AS nd_lcase,
+               COUNT(*) AS n_rows
+        FROM v GROUP BY seg ORDER BY seg
+        """
+    )

@@ -1247,3 +1247,66 @@ def ext_snapshot_check_constraints(
         F.lit(bool(rejected_raises)).alias("rejected_raises"),
         F.lit(bool(state_unchanged)).alias("state_unchanged"),
     )
+
+
+@register(
+    "ext_snapshot_update_mor",
+    survey_id="EXT-DV-UPDATE",
+    category="sql-surface",
+    mode="bounded",
+    oracle="""
+SELECT o_orderkey,
+       CAST(FLOOR(CASE WHEN o_orderkey % 9 = 2
+                       THEN o_totalprice * CAST(1.2 AS DOUBLE)
+                       ELSE o_totalprice END * 100) AS BIGINT) AS cents,
+       TRUE AS no_rewrite, TRUE AS dv_carried
+FROM orders ORDER BY o_orderkey
+""",
+)
+def ext_snapshot_update_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read UPDATE: rows with keys ≡2 (mod 9) get a 20% price
+    raise by masking their old versions with a deletion vector and
+    appending ONLY the updated rows as new files — ``no_rewrite``
+    proves every base data file is still referenced untouched by the
+    final snapshot (IO proportional to the matched 11%, not the
+    table), and ``dv_carried`` proves the append commit inherited the
+    delete's vectors (an append that silently dropped DVs would
+    resurrect the old row versions — the classic MoR footgun, guarded
+    in write_snapshot). The final table hash-matches a CASE-expression
+    oracle row-for-row."""
+    import os
+    import shutil
+    import tempfile
+
+    from nibbler_spark.operators.snapshots import (
+        read_snapshot,
+        snapshot_files,
+        snapshot_meta,
+        update_snapshot_mor,
+        write_snapshot,
+    )
+
+    table = tempfile.mkdtemp(prefix="nibbler-morupd-")
+    shutil.rmtree(table)
+    os.makedirs(table)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    s0 = write_snapshot(o.repartition(4), table)
+    base_files = set(snapshot_files(table, s0))
+
+    s1 = update_snapshot_mor(
+        spark,
+        table,
+        F.col("o_orderkey") % 9 == 2,
+        {"o_totalprice": F.col("o_totalprice") * 1.2},
+    )
+    final_files = set(snapshot_files(table, s1))
+    no_rewrite = base_files <= final_files
+    dv_carried = bool(snapshot_meta(table, s1).get("deletion_vectors"))
+    return read_snapshot(spark, table, s1).select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.lit(bool(no_rewrite)).alias("no_rewrite"),
+        F.lit(bool(dv_carried)).alias("dv_carried"),
+    ).orderBy("o_orderkey")
