@@ -59,6 +59,11 @@ HEADLINE = [
     # engine-portable MinHash+banding — get regression coverage.
     "ext_embedding_neardup",  # BENCH-K8 (12-band sign-LSH + exact verify)
     "ext_minhash_lsh_portable",  # BENCH-K9 (md5 MinHash, 6x2 banding)
+    # r4 second-half additions: the iterative message-passing shape
+    # (3 LPA rounds over the shingle graph) and sub-document dedup with
+    # ordered reassembly — both new composite heavies this round.
+    "ext_label_propagation",  # BENCH-K10 (LPA on df-capped shingle graph)
+    "ext_paragraph_dedup",  # BENCH-K11 (chunk dedup + doc reassembly)
 ]
 
 

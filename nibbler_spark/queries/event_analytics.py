@@ -1093,3 +1093,161 @@ def ext_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "s_start")
     )
+
+
+@register(
+    "ext_autocorrelation",
+    survey_id="EXT-ACF",
+    category="event-analytics",
+    oracle="""
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS d,
+         CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM events GROUP BY 1
+),
+lagged AS (
+  SELECT l.lag_k, a.c AS x, b.c AS y
+  FROM daily a
+  JOIN (SELECT UNNEST([1, 2, 3, 7]) AS lag_k) l ON TRUE
+  JOIN daily b ON b.d = a.d + (l.lag_k * INTERVAL '1 day')
+),
+s AS (
+  SELECT lag_k, CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(x * y) AS DOUBLE) AS sxy,
+         CAST(SUM(x * x) AS DOUBLE) AS sxx,
+         CAST(SUM(y * y) AS DOUBLE) AS syy
+  FROM lagged GROUP BY lag_k
+)
+SELECT lag_k, CAST(n AS BIGINT) AS n_pairs,
+       ROUND((n * sxy - sx * sy)
+             / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)), 6)
+         AS acf
+FROM s ORDER BY lag_k
+""",
+)
+def ext_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the daily revenue series at lags
+    {1, 2, 3, 7} — the first diagnostic any forecasting pipeline runs
+    (lag-7 exposes weekly seasonality). Each lag's pairs come from a
+    date-shifted self-join of the tiny daily aggregate; the Pearson
+    correlation then runs on integer-exact sufficient statistics
+    (BIGINT sums of integer cents — no float accumulation at any
+    partition count), with sqrt/divide on identical doubles in both
+    engines. Scale: the fact shuffle happens once (the daily rollup);
+    everything after operates on O(days) rows — lag analysis is free
+    no matter how large the event log."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.sum(F.floor(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("c")
+    )
+    lags = spark.createDataFrame([(1,), (2,), (3,), (7,)], "lag_k INT")
+    a = daily.alias("a").join(F.broadcast(lags))
+    lagged = a.join(
+        daily.alias("b"),
+        F.col("b.d")
+        == F.col("a.d") + F.col("lag_k") * F.expr("INTERVAL 1 DAY"),
+    ).select(
+        "lag_k", F.col("a.c").alias("x"), F.col("b.c").alias("y")
+    )
+    s = lagged.groupBy("lag_k").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    return s.select(
+        "lag_k",
+        n.cast("bigint").alias("n_pairs"),
+        F.round(
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+            6,
+        ).alias("acf"),
+    ).orderBy("lag_k")
+
+
+@register(
+    "ext_chi_square",
+    survey_id="EXT-CHI2",
+    category="event-analytics",
+    oracle="""
+WITH obs AS (
+  SELECT event_type, dayofweek(CAST(ts AS DATE)) AS dow,
+         COUNT(*) AS o
+  FROM events GROUP BY 1, 2
+),
+tot AS (
+  SELECT event_type, dow, o,
+         SUM(o) OVER (PARTITION BY event_type) AS row_tot,
+         SUM(o) OVER (PARTITION BY dow) AS col_tot,
+         SUM(o) OVER () AS grand
+  FROM obs
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(MIN(grand) AS BIGINT) AS n_total,
+       ROUND(CAST(SUM(CAST(FLOOR(
+         (CAST(o AS DOUBLE)
+          - CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+            / CAST(grand AS DOUBLE))
+         * (CAST(o AS DOUBLE)
+            - CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+              / CAST(grand AS DOUBLE))
+         / (CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+            / CAST(grand AS DOUBLE))
+         * 1e6) AS DECIMAL(24,0))) AS DOUBLE) / 1e6, 4) AS chi2
+FROM tot
+""",
+)
+def ext_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence statistic over the (event_type ×
+    day-of-week) contingency table: observed cell counts vs the
+    expected outer-product under independence, Σ(O−E)²/E. Counts are
+    exact integers; each cell's contribution is the same IEEE-double
+    expression in both engines, and the 35-term sum is over the TINY
+    contingency table — summed in DuckDB's single-threaded order and
+    in Spark over ≤35 rows where the decimal trick is unnecessary
+    because the sum is reassociation-free at this size? No — order is
+    pinned the honest way: the cell terms are floored to a 1e-6 grid
+    and summed as exact decimals, so any partitioning gives the same
+    bits. Scale: one fact shuffle to the contingency cells, window
+    margins over ≤ |types|×7 rows."""
+    e = load_table(spark, sf_dir, "events")
+    obs = e.groupBy(
+        "event_type",
+        F.dayofweek(F.col("ts").cast("date")).alias("dow"),
+    ).agg(F.count("*").alias("o"))
+    w_r = Window.partitionBy("event_type")
+    w_c = Window.partitionBy("dow")
+    w_g = Window.partitionBy()
+    tot = obs.select(
+        "o",
+        F.sum("o").over(w_r).alias("row_tot"),
+        F.sum("o").over(w_c).alias("col_tot"),
+        F.sum("o").over(w_g).alias("grand"),
+    )
+    exp = (
+        F.col("row_tot").cast("double")
+        * F.col("col_tot").cast("double")
+        / F.col("grand").cast("double")
+    )
+    term = (F.col("o").cast("double") - exp) * (
+        F.col("o").cast("double") - exp
+    ) / exp
+    return tot.agg(
+        F.count("*").cast("bigint").alias("n_cells"),
+        F.min("grand").cast("bigint").alias("n_total"),
+        F.round(
+            F.sum(
+                F.floor(term * 1e6).cast("decimal(24,0)")
+            ).cast("double")
+            / F.lit(1e6),
+            4,
+        ).alias("chi2"),
+    )

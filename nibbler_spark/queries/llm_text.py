@@ -1199,3 +1199,55 @@ def ext_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "ext_k_anonymity",
+    survey_id="EXT-KANON",
+    category="llm-text",
+    oracle="""
+WITH q AS (
+  SELECT lang, source,
+         CAST(FLOOR(n_chars / 100) AS BIGINT) AS len_bucket,
+         COUNT(*) AS grp_n
+  FROM documents GROUP BY lang, source, FLOOR(n_chars / 100)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(MIN(grp_n) AS BIGINT) AS min_class_size,
+       CAST(SUM(CASE WHEN grp_n < 5 THEN grp_n ELSE 0 END) AS BIGINT)
+         AS rows_violating_k5,
+       CAST(SUM(CASE WHEN grp_n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS classes_violating_k5,
+       (MIN(grp_n) >= 5) AS is_k5_anonymous
+FROM q
+""",
+)
+def ext_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over quasi-identifiers — the privacy gate a
+    training-data release pipeline runs after PII redaction
+    (ext_pii_redaction removes direct identifiers; this measures
+    whether the INDIRECT ones still single people out): every
+    (lang, source, length-bucket) equivalence class is counted, and
+    the audit reports the smallest class, the rows and classes below
+    k=5, and the overall verdict. One map-side-combinable groupBy over
+    the quasi-identifier tuple, then an O(classes) rollup — the same
+    two-tier shape at any corpus size. A failing audit's remediation
+    (generalize buckets, suppress small classes) re-runs the identical
+    query with coarser keys."""
+    d = load_table(spark, sf_dir, "documents")
+    q = d.groupBy(
+        "lang",
+        "source",
+        F.floor(F.col("n_chars") / 100).cast("bigint").alias("len_bucket"),
+    ).agg(F.count("*").alias("grp_n"))
+    return q.agg(
+        F.count("*").cast("bigint").alias("n_classes"),
+        F.min("grp_n").cast("bigint").alias("min_class_size"),
+        F.sum(F.when(F.col("grp_n") < 5, F.col("grp_n")).otherwise(0))
+        .cast("bigint")
+        .alias("rows_violating_k5"),
+        F.sum(F.when(F.col("grp_n") < 5, 1).otherwise(0))
+        .cast("bigint")
+        .alias("classes_violating_k5"),
+        (F.min("grp_n") >= 5).alias("is_k5_anonymous"),
+    )

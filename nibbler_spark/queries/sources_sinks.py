@@ -568,3 +568,94 @@ def a21_avro_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode,
         "event_id long, user_id long, value double, event_type string",
     ).orderBy("event_id")
+
+
+@register(
+    "a23_csv_malformed_modes",
+    survey_id="EXT-CSV-MODES",
+    category="sources-sinks",
+    mode="bounded",
+    oracle="""
+SELECT (SELECT COUNT(*) FROM orders) AS n_permissive,
+       (SELECT COUNT(*) FROM orders WHERE o_orderkey % 13 = 7)
+         AS n_corrupt,
+       (SELECT COUNT(*) FROM orders WHERE o_orderkey % 13 <> 7)
+         AS n_dropmalformed,
+       (SELECT CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT)
+        FROM orders WHERE o_orderkey % 13 <> 7) AS good_cents,
+       TRUE AS failfast_raises
+""",
+)
+def a23_csv_malformed_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three CSV malformed-row policies, exercised on a corpus
+    where every 13th order's price is replaced by unparseable garbage:
+    PERMISSIVE keeps every line and captures the raw text of bad ones
+    in `_corrupt_record` (nulls for the unparseable fields) — the
+    quarantine-and-continue mode a 100 TB ingest wants; DROPMALFORMED
+    silently keeps only the clean rows (their cents sum hash-matches
+    the oracle's modulus filter — proving exactly the right rows
+    survived); FAILFAST raises on the first bad record (asserted via a
+    caught action). Parsing policy is per-task and row-local — no mode
+    changes the scan's distribution."""
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="nibbler-csvmodes-")
+    shutil.rmtree(tmp)
+    o = load_table(spark, sf_dir, "orders")
+    lines = o.select(
+        F.concat_ws(
+            ",",
+            F.col("o_orderkey"),
+            F.when(
+                F.col("o_orderkey") % 13 == 7, F.lit("NOT_A_PRICE")
+            ).otherwise(F.col("o_totalprice").cast("string")),
+        ).alias("value")
+    )
+    lines.write.mode("overwrite").text(tmp)
+
+    schema = "o_orderkey BIGINT, o_totalprice DOUBLE, _corrupt_record STRING"
+    permissive = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(tmp)
+        .cache()
+    )
+    n_permissive = permissive.count()
+    n_corrupt = permissive.where(
+        F.col("_corrupt_record").isNotNull()
+    ).count()
+    dropped = (
+        spark.read.schema("o_orderkey BIGINT, o_totalprice DOUBLE")
+        .option("mode", "DROPMALFORMED")
+        .csv(tmp)
+    )
+    agg = dropped.agg(
+        F.count("*").alias("n"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents"),
+    ).first()
+    failfast_raises = False
+    try:
+        spark.read.schema(
+            "o_orderkey BIGINT, o_totalprice DOUBLE"
+        ).option("mode", "FAILFAST").csv(tmp).collect()
+    except Exception:
+        failfast_raises = True
+    permissive.unpersist()
+    return spark.createDataFrame(
+        [
+            (
+                n_permissive,
+                n_corrupt,
+                agg["n"],
+                agg["cents"],
+                bool(failfast_raises),
+            )
+        ],
+        "n_permissive BIGINT, n_corrupt BIGINT, n_dropmalformed BIGINT, "
+        "good_cents BIGINT, failfast_raises BOOLEAN",
+    )

@@ -2004,3 +2004,65 @@ def ext_rocksdb_state_store(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.unset(provider_key)
         else:
             spark.conf.set(provider_key, old)
+
+
+@register(
+    "i19_chained_window_rollup",
+    survey_id="EXT-CHAINED-WIN",
+    category="streaming",
+    mode="parity",
+    oracle="""
+WITH b AS (
+  SELECT TIME_BUCKET(INTERVAL '15 minutes', ts) AS bucket_start,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+  FROM events GROUP BY 1
+)
+SELECT bucket_start, n_events, total_value
+FROM b
+WHERE bucket_start + INTERVAL '15 minutes' <= (SELECT MAX(ts) FROM events)
+ORDER BY bucket_start
+""",
+)
+def i19_chained_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED streaming window aggregations (Spark ≥3.4 multiple
+    stateful operators): a 5-minute pre-aggregate feeds a second
+    window aggregation over its own window column, rolling up into
+    15-minute buckets — the streaming form of the classic two-tier
+    rollup (fine-grain state small and early, coarse grain derived
+    from it, shuffle volume divided by the pre-aggregation factor).
+    Chained stateful ops require append mode + a watermark; the final
+    flush batch closes every window whose end the terminal watermark
+    passed, so windows ending ≤ max(ts) are complete and parity-
+    comparable (the trailing partial window is excluded on BOTH
+    sides). The inner sum stays DECIMAL between the two stages —
+    casting to double early would make the outer re-sum order-
+    dependent."""
+    src = _read_stream(spark, _events_dir(spark, sf_dir))
+    m1 = (
+        src.withWatermark("ts", "0 seconds")
+        .groupBy(F.window("ts", "5 minutes").alias("w1"))
+        .agg(
+            F.count("*").alias("n1"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("v1"),
+        )
+    )
+    m2 = m1.groupBy(F.window("w1", "15 minutes").alias("w2")).agg(
+        F.sum("n1").alias("n_events"),
+        F.sum("v1").cast("double").alias("total_value"),
+    )
+    out = _drain_to_memory(m2, "append")
+    max_ts = (
+        spark.read.parquet(_events_dir(spark, sf_dir))
+        .agg(F.max("ts"))
+        .first()[0]
+    )
+    return (
+        out.where(F.col("w2.end") <= F.lit(max_ts))
+        .select(
+            F.col("w2.start").alias("bucket_start"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("bucket_start")
+    )
