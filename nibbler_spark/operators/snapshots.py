@@ -733,6 +733,38 @@ def merge_into_snapshot(
     all_paths = [e["path"] for e in entries]
     abs_path = lambda p: os.path.join(table_dir, p)
 
+    # deletion-vector-aware scans: every read the merge takes (touch
+    # detection, the rewrite base, the not-matched guard) must see the
+    # MoR view, not the raw files — rewriting a file from its raw bytes
+    # would resurrect rows a DV masks, and a DV-deleted key must not
+    # block a fresh insert of the same key.
+    dv_paths = snapshot_meta(table_dir, base_sid).get(
+        "deletion_vectors"
+    ) or []
+    dvf = (
+        spark.read.parquet(*[abs_path(p) for p in dv_paths]).select(
+            "_f", "_pos"
+        )
+        if dv_paths
+        else None
+    )
+
+    def scan(paths: list[str], cols: list):
+        raw = spark.read.parquet(*[abs_path(p) for p in paths])
+        if dvf is None:
+            return raw.select(*cols)
+        return (
+            raw.select(
+                F.element_at(
+                    F.split(F.col("_metadata.file_path"), "/"), -1
+                ).alias("_f"),
+                F.col("_metadata.row_index").alias("_pos"),
+                *cols,
+            )
+            .join(F.broadcast(dvf), ["_f", "_pos"], "left_anti")
+            .drop("_f", "_pos")
+        )
+
     ud_keys = (
         changes.where(F.col(op_col).isin("U", "D")).select(key).distinct()
     )
@@ -752,10 +784,8 @@ def merge_into_snapshot(
 
     touched: list[str] = []
     if candidates:
-        cand_scan = (
-            spark.read.parquet(*[abs_path(p) for p in candidates])
-            .select(key)
-            .withColumn("_file", F.input_file_name())
+        cand_scan = scan(
+            candidates, [F.col(key), F.input_file_name().alias("_file")]
         )
         touched_uris = [
             r["_file"]
@@ -773,9 +803,7 @@ def merge_into_snapshot(
 
     cols = [key, *value_cols]
     if touched:
-        base_touched = spark.read.parquet(
-            *[abs_path(p) for p in touched]
-        ).select(*cols)
+        base_touched = scan(touched, [F.col(c) for c in cols])
         ch = changes.where(F.col(op_col).isin("U", "D")).select(
             F.col(key).alias("_k"),
             F.col(op_col).alias("_op"),
@@ -800,9 +828,7 @@ def merge_into_snapshot(
 
     inserts = changes.where(F.col(op_col) == "I").select(*cols)
     # WHEN NOT MATCHED guard: a key-column-pruned scan of the table
-    table_keys = spark.read.parquet(
-        *[abs_path(p) for p in all_paths]
-    ).select(key)
+    table_keys = scan(all_paths, [F.col(key)])
     inserts = inserts.join(table_keys, key, "left_anti")
 
     new_rows = inserts if rewritten is None else rewritten.unionByName(inserts)

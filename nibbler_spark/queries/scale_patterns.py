@@ -848,3 +848,138 @@ def ext_fuzzy_join_levenshtein(
         .where(F.col("dist") <= 2)
         .orderBy("name_a", "name_b")
     )
+
+
+_ER_ROUNDS = 4
+
+_ER_ORACLE = """
+WITH names AS (SELECT DISTINCT p_name FROM part),
+pairs AS (
+  SELECT a.p_name AS na, b.p_name AS nb
+  FROM names a JOIN names b
+    ON a.p_name < b.p_name
+   AND ABS(LENGTH(a.p_name) - LENGTH(b.p_name)) <= 2
+  WHERE levenshtein(a.p_name, b.p_name) <= 2
+),
+edges AS (SELECT na, nb FROM pairs UNION ALL SELECT nb, na FROM pairs),
+l0 AS (SELECT p_name AS node, p_name AS label FROM names),
+l1 AS (
+  SELECT l0.node,
+         LEAST(l0.label, COALESCE(MIN(e_l.label), l0.label)) AS label
+  FROM l0
+  LEFT JOIN (SELECT e.na AS node, l.label
+             FROM edges e JOIN l0 l ON l.node = e.nb) e_l
+    ON e_l.node = l0.node
+  GROUP BY l0.node, l0.label
+),
+l2 AS (
+  SELECT l1.node,
+         LEAST(l1.label, COALESCE(MIN(e_l.label), l1.label)) AS label
+  FROM l1
+  LEFT JOIN (SELECT e.na AS node, l.label
+             FROM edges e JOIN l1 l ON l.node = e.nb) e_l
+    ON e_l.node = l1.node
+  GROUP BY l1.node, l1.label
+),
+l3 AS (
+  SELECT l2.node,
+         LEAST(l2.label, COALESCE(MIN(e_l.label), l2.label)) AS label
+  FROM l2
+  LEFT JOIN (SELECT e.na AS node, l.label
+             FROM edges e JOIN l2 l ON l.node = e.nb) e_l
+    ON e_l.node = l2.node
+  GROUP BY l2.node, l2.label
+),
+l4 AS (
+  SELECT l3.node,
+         LEAST(l3.label, COALESCE(MIN(e_l.label), l3.label)) AS label
+  FROM l3
+  LEFT JOIN (SELECT e.na AS node, l.label
+             FROM edges e JOIN l3 l ON l.node = e.nb) e_l
+    ON e_l.node = l3.node
+  GROUP BY l3.node, l3.label
+)
+SELECT l4.label AS canonical_name,
+       CAST(COUNT(DISTINCT l4.node) AS BIGINT) AS n_variants,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(MIN(p.p_partkey) AS BIGINT) AS first_partkey,
+       CAST(SUM(CAST(FLOOR(p.p_retailprice * 100) AS BIGINT)) AS BIGINT)
+         AS retail_cents
+FROM l4 JOIN part p ON p.p_name = l4.node
+GROUP BY l4.label ORDER BY canonical_name
+"""
+
+
+@register(
+    "ext_entity_resolution",
+    survey_id="EXT-ER",
+    category="scale-pattern",
+    oracle=_ER_ORACLE,
+)
+def ext_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END entity resolution — the composite the individual
+    primitives exist for: (1) BLOCK on the distinct-name dictionary
+    with the recall-lossless length band; (2) MATCH candidates at edit
+    distance ≤ 2; (3) CLUSTER matches by 4 rounds of synchronous
+    min-label propagation over the match graph (each round one keyed
+    join + MIN — the bounded-iteration CC idiom; the oracle unrolls
+    the identical rounds, so equality holds whether or not the graph
+    has converged); (4) SURVIVORSHIP: every part row re-joins its
+    cluster and the golden record keeps the lexicographic-min name as
+    canonical plus exact merged aggregates. The fact table only
+    participates in the first (dictionary collapse) and last (keyed
+    re-join) steps — everything quadratic-ish runs on the tiny
+    dictionary, which is what makes the funnel viable at 100 TB."""
+    names = load_table(spark, sf_dir, "part").select("p_name").distinct()
+    a = names.select(
+        F.col("p_name").alias("na"),
+        F.explode(
+            F.sequence(F.length("p_name") - 2, F.length("p_name") + 2)
+        ).alias("lb"),
+    )
+    b = names.select(F.col("p_name").alias("nb"), F.length("p_name").alias("lb"))
+    pairs = (
+        a.join(b, "lb")
+        .where(F.col("na") < F.col("nb"))
+        .select("na", "nb")
+        .distinct()
+        .where(F.levenshtein("na", "nb") <= 2)
+    )
+    edges = pairs.unionAll(
+        pairs.select(F.col("nb").alias("na"), F.col("na").alias("nb"))
+    ).localCheckpoint()
+    labels = names.select(
+        F.col("p_name").alias("node"), F.col("p_name").alias("label")
+    )
+    for _ in range(_ER_ROUNDS):
+        nb_min = (
+            edges.join(labels, edges["nb"] == labels["node"])
+            .groupBy(edges["na"].alias("n"))
+            .agg(F.min("label").alias("nb_label"))
+        )
+        labels = (
+            labels.join(nb_min, labels["node"] == nb_min["n"], "left")
+            .select(
+                "node",
+                F.least(
+                    "label", F.coalesce("nb_label", "label")
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.join(
+            F.broadcast(labels), p["p_name"] == labels["node"]
+        )
+        .groupBy(F.col("label").alias("canonical_name"))
+        .agg(
+            F.countDistinct("node").cast("bigint").alias("n_variants"),
+            F.count("*").cast("bigint").alias("n_parts"),
+            F.min("p_partkey").cast("bigint").alias("first_partkey"),
+            F.sum(F.floor(F.col("p_retailprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("retail_cents"),
+        )
+        .orderBy("canonical_name")
+    )

@@ -496,3 +496,42 @@ def test_full_rank_queries_use_bucketed_windows(spark, sf_dir, qname):
     assert specs
     for ln in specs:
         assert "_rk_bucket" in ln, f"unbucketed window spec: {ln}"
+
+
+def test_label_propagation_no_cartesian_and_slim_keys(spark, sf_dir):
+    """The LPA round joins must all be equi-joins (no nested-loop /
+    cartesian anywhere), and the shingle index the pair join shuffles
+    must be the hashed bigint, not the raw shingle string."""
+    plan = _plan(spark, sf_dir, "ext_label_propagation")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_paragraph_dedup_single_chunk_shuffle_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "ext_paragraph_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_winnowing_windows_partition_by_doc(spark, sf_dir):
+    """Every window spec in the winnowing plan partitions by doc_id —
+    fingerprint selection must never sort the corpus globally."""
+    plan = _plan(spark, sf_dir, "ext_winnowing")
+    specs = [
+        ln for ln in plan.splitlines() if "windowspecdefinition" in ln
+    ]
+    assert specs
+    for ln in specs:
+        assert "doc_id" in ln, f"window not doc-partitioned: {ln}"
+
+
+def test_entity_resolution_dictionary_collapse_before_pairing(
+    spark, sf_dir
+):
+    """The ER funnel's pair join must be an equi-join on the length
+    band (never a cartesian over names), and the fact re-join must
+    broadcast the tiny label dictionary."""
+    plan = _plan(spark, sf_dir, "ext_entity_resolution")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan

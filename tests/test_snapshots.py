@@ -381,3 +381,37 @@ def test_deletion_vectors_lifecycle(spark, tmp_path):
     )
     ks = sorted(r["k"] for r in got.collect())
     assert ks == [k for k in range(500, 600) if k % 10 not in (3, 4)]
+
+
+def test_merge_into_respects_deletion_vectors(spark, tmp_path):
+    """A MERGE on a DV-carrying table must not resurrect masked rows
+    when it rewrites a touched file, and a DV-deleted key must be
+    insertable again (it is NOT MATCHED in the MoR view)."""
+    from pyspark.sql import functions as F
+
+    from nibbler_spark.operators.snapshots import (
+        delete_from_snapshot,
+        merge_into_snapshot,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    table = str(tmp_path / "dvmerge")
+    df = spark.range(0, 100).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    write_snapshot(df.repartitionByRange(2, "k"), table)
+    # mask k in [10, 20)
+    delete_from_snapshot(
+        spark, table, (F.col("k") >= 10) & (F.col("k") < 20)
+    )
+    changes = spark.createDataFrame(
+        [(5, "U", 500.0), (15, "I", 150.0), (60, "D", None)],
+        "k LONG, op STRING, v DOUBLE",
+    )
+    sid = merge_into_snapshot(spark, table, changes, key="k", value_cols=["v"])
+    got = {r["k"]: r["v"] for r in read_snapshot(spark, table, sid).collect()}
+    # masked rows stay gone even though their file was rewritten for k=5
+    assert all(k not in got for k in range(10, 20) if k != 15)
+    assert got[5] == 500.0  # update applied
+    assert got[15] == 150.0  # re-insert of a DV-deleted key works
+    assert 60 not in got  # merge delete
+    assert len(got) == 100 - 10 - 1 + 1
