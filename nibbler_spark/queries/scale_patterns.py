@@ -10,7 +10,7 @@ from __future__ import annotations
 import os
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nibbler_spark.queries import register
@@ -982,4 +982,82 @@ def ext_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("retail_cents"),
         )
         .orderBy("canonical_name")
+    )
+
+
+@register(
+    "ext_scd2_pointintime_join",
+    survey_id="EXT-SCD2-PIT",
+    category="scale-pattern",
+    oracle="""
+WITH dim AS (
+  SELECT user_id, ts AS eff_ts, CAST(FLOOR(value) AS BIGINT) AS tier
+  FROM events WHERE event_type = 'signup'
+),
+facts AS (
+  SELECT event_id, user_id, ts,
+         CAST(FLOOR(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT f.event_id, f.user_id, f.cents, d.tier, d.eff_ts
+FROM facts f ASOF LEFT JOIN dim d
+  ON f.user_id = d.user_id AND f.ts >= d.eff_ts
+ORDER BY f.event_id
+""",
+)
+def ext_scd2_pointintime_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) join against an effective-dated
+    dimension — the consumer side of SCD2: every purchase picks up the
+    attribute version that was current AT ITS OWN TIMESTAMP (latest
+    signup with eff_ts ≤ ts, per user), never a later one — the
+    look-ahead-free semantics feature stores call a point-in-time
+    lookup. The oracle states it with DuckDB's native ASOF JOIN; the
+    Spark plan is the scalable spelling: union-tag dimension and fact
+    rows, one user-partitioned sort, and a last-non-null
+    (ignore-nulls) window carries the current version forward onto
+    each fact — a single keyed exchange instead of a per-fact range
+    probe, the same idiom as c11's as-of join. Dimension rows at the
+    exact fact timestamp sort first (kind 0 < 1), pinning the
+    inclusive boundary."""
+    e = load_table(spark, sf_dir, "events")
+    dim = e.where(F.col("event_type") == "signup").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("kind"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.lit(None).cast("bigint").alias("cents"),
+        F.floor("value").cast("bigint").alias("tier"),
+    )
+    facts = e.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("kind"),
+        "event_id",
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+        F.lit(None).cast("bigint").alias("tier"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tagged = dim.unionByName(facts).select(
+        "*",
+        F.last("tier", ignorenulls=True).over(w).alias("cur_tier"),
+        F.last(
+            F.when(F.col("kind") == 0, F.col("ts")), ignorenulls=True
+        )
+        .over(w)
+        .alias("cur_eff_ts"),
+    )
+    return (
+        tagged.where(F.col("kind") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "cents",
+            F.col("cur_tier").alias("tier"),
+            F.col("cur_eff_ts").alias("eff_ts"),
+        )
+        .orderBy("event_id")
     )

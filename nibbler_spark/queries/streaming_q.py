@@ -2066,3 +2066,102 @@ def i19_chained_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket_start")
     )
+
+
+@register(
+    "a24_snapshot_stream_source",
+    survey_id="EXT-SNAP-STREAM-SRC",
+    category="streaming",
+    mode="parity",
+    oracle="""
+SELECT (SELECT COUNT(*) FROM orders WHERE o_orderkey % 3 IN (0, 1))
+         AS n_run1,
+       (SELECT COUNT(*) FROM orders) AS n_total,
+       (SELECT CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) FROM orders) AS total_cents,
+       TRUE AS incremental
+""",
+)
+def a24_snapshot_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The snapshot table as a STREAMING SOURCE (the Delta streaming-
+    source analogue): `format("nibbler_snapshot")` serves each
+    commit's ADDED files exactly once, offset = last snapshot id —
+    the immutable-manifest set difference, no listing heuristics.
+    Proven incrementally: two append commits land, an availableNow
+    drain into a parquet sink consumes them; a THIRD commit lands and
+    a second drain FROM THE SAME CHECKPOINT consumes only it — the
+    sink then holds every order exactly once (n_run1 < n_total pins
+    that run 2 started from the checkpointed offset instead of
+    replaying). This is the bridge that turns the lakehouse format
+    into a live feed for downstream streaming pipelines."""
+    import os
+    import shutil
+    import tempfile
+
+    from nibbler_spark.operators.snapshots import (
+        snapshot_files,
+        write_snapshot,
+    )
+    from nibbler_spark.sources.snapshot_stream import (
+        register_snapshot_stream_source,
+    )
+
+    register_snapshot_stream_source(spark)
+    table = tempfile.mkdtemp(prefix="nibbler-snapsrc-")
+    shutil.rmtree(table)
+    os.makedirs(table)
+    sink = tempfile.mkdtemp(prefix="nibbler-snapsink-")
+    ck = tempfile.mkdtemp(prefix="nibbler-snapck-")
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+
+    def drain() -> None:
+        q = (
+            spark.readStream.format("nibbler_snapshot")
+            .option("path", table)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    s0 = write_snapshot(o.where(F.col("o_orderkey") % 3 == 0), table)
+    write_snapshot(
+        o.where(F.col("o_orderkey") % 3 == 1),
+        table,
+        carry_over=snapshot_files(table, s0),
+    )
+    drain()
+    sink_schema = "o_orderkey BIGINT, o_totalprice DOUBLE"
+    n_run1 = spark.read.schema(sink_schema).parquet(sink).count()
+
+    write_snapshot(
+        o.where(F.col("o_orderkey") % 3 == 2),
+        table,
+        carry_over=snapshot_files(table, 1),
+    )
+    drain()
+    final = spark.read.schema(sink_schema).parquet(sink)
+    agg = final.agg(
+        F.count("*").alias("n_total"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("total_cents"),
+    ).first()
+    return spark.createDataFrame(
+        [
+            (
+                n_run1,
+                agg["n_total"],
+                agg["total_cents"],
+                bool(0 < n_run1 < agg["n_total"]),
+            )
+        ],
+        "n_run1 BIGINT, n_total BIGINT, total_cents BIGINT, "
+        "incremental BOOLEAN",
+    )
