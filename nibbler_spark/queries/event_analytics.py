@@ -1251,3 +1251,61 @@ def ext_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("chi2"),
     )
+
+
+@register(
+    "ext_ohlc_bars",
+    survey_id="EXT-OHLC",
+    category="event-analytics",
+    oracle="""
+WITH t AS (
+  SELECT event_type, date_trunc('hour', ts) AS bar_start, ts, event_id,
+         CAST(FLOOR(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+r AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY event_type, bar_start
+                       ORDER BY ts, event_id) AS rk_a,
+    row_number() OVER (PARTITION BY event_type, bar_start
+                       ORDER BY ts DESC, event_id DESC) AS rk_d
+  FROM t
+)
+SELECT event_type, bar_start,
+       CAST(COUNT(*) AS BIGINT) AS n_ticks,
+       CAST(MIN(CASE WHEN rk_a = 1 THEN cents END) AS BIGINT)
+         AS open_cents,
+       CAST(MAX(cents) AS BIGINT) AS high_cents,
+       CAST(MIN(cents) AS BIGINT) AS low_cents,
+       CAST(MIN(CASE WHEN rk_d = 1 THEN cents END) AS BIGINT)
+         AS close_cents
+FROM r GROUP BY event_type, bar_start
+ORDER BY event_type, bar_start
+""",
+)
+def ext_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick bars — the canonical timeseries downsampling:
+    per (series, hour) the first/highest/lowest/last tick values.
+    Open/close are time-ordered picks expressed as min_by/max_by on
+    the (ts, event_id) tuple — ORDER-FREE aggregates that partial-
+    combine map-side (each partition keeps its own earliest/latest
+    candidate, merge picks the winner), unlike a sort-then-first
+    window which would shuffle every tick to its series partition and
+    sort. The event_id tie-break makes same-microsecond ticks
+    deterministic. Integer cents throughout; hash-exact."""
+    e = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100).cast("bigint")
+    tsk = F.struct("ts", "event_id")
+    return (
+        e.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("bar_start")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_ticks"),
+            F.min_by(cents, tsk).alias("open_cents"),
+            F.max(cents).cast("bigint").alias("high_cents"),
+            F.min(cents).cast("bigint").alias("low_cents"),
+            F.max_by(cents, tsk).alias("close_cents"),
+        )
+        .orderBy("event_type", "bar_start")
+    )

@@ -1787,3 +1787,149 @@ def ext_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("community")
     ).orderBy("doc_id")
+
+
+_GFP_ORACLE = """
+WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS toks
+           FROM documents),
+sh0 AS (
+  SELECT doc_id,
+         UNNEST(list_transform(generate_series(1, len(toks) - 4),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                     || ' ' || toks[i+3] || ' ' || toks[i+4])) AS sh
+  FROM t
+),
+shd AS (SELECT DISTINCT doc_id, sh FROM sh0),
+ok AS (SELECT sh FROM shd GROUP BY sh HAVING COUNT(*) BETWEEN 2 AND 20),
+e0 AS (
+  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+  FROM shd a, shd b, ok
+  WHERE a.sh = ok.sh AND b.sh = ok.sh AND a.doc_id < b.doc_id
+),
+edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+f0 AS (SELECT doc_id AS node, CAST(n_chars AS BIGINT) AS f FROM t),
+a1 AS (SELECT e.src AS node, CAST(SUM(l.f) AS BIGINT) AS nb_sum,
+              COUNT(*) AS deg
+       FROM edges e JOIN f0 l ON l.node = e.dst GROUP BY e.src),
+f1 AS (SELECT f0.node,
+              CAST(FLOOR(CAST(f0.f + COALESCE(a1.nb_sum, 0) AS DOUBLE)
+                         / (1 + COALESCE(a1.deg, 0))) AS BIGINT) AS f
+       FROM f0 LEFT JOIN a1 USING (node)),
+a2 AS (SELECT e.src AS node, CAST(SUM(l.f) AS BIGINT) AS nb_sum,
+              COUNT(*) AS deg
+       FROM edges e JOIN f1 l ON l.node = e.dst GROUP BY e.src),
+f2 AS (SELECT f1.node,
+              CAST(FLOOR(CAST(f1.f + COALESCE(a2.nb_sum, 0) AS DOUBLE)
+                         / (1 + COALESCE(a2.deg, 0))) AS BIGINT) AS f
+       FROM f1 LEFT JOIN a2 USING (node))
+SELECT f0.node AS doc_id, f0.f AS f_raw, f1.f AS f_layer1,
+       f2.f AS f_layer2
+FROM f0 JOIN f1 ON f1.node = f0.node JOIN f2 ON f2.node = f0.node
+ORDER BY doc_id
+"""
+
+
+@register(
+    "ext_graph_feature_propagation",
+    survey_id="EXT-GNN-PROP",
+    category="llm-dedup",
+    oracle=_GFP_ORACLE,
+)
+def ext_graph_feature_propagation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """GNN-style feature propagation (the GraphSAGE-mean forward pass,
+    weights = identity): two message-passing layers over the document-
+    similarity graph, each computing every node's mean over {self} ∪
+    neighbors — floored to the integer grid so the per-node feature
+    vector is hash-exact through both layers. This is the
+    label/feature-smoothing primitive behind "propagate quality
+    scores to near-duplicates" in curation pipelines: a doc whose
+    neighbors are high-quality inherits credit without any model. The
+    graph is the same df-capped shingle construction as EXT-LPA; each
+    layer is one keyed join + one map-side-combinable (sum, count) +
+    one broadcast-free arithmetic projection — the Pregel superstep
+    as three DataFrame ops, linear in edges."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", F.split("text", " ").alias("toks")
+    )
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 4),
+                lambda i: F.xxhash64(
+                    F.concat_ws(
+                        " ",
+                        F.element_at("toks", i),
+                        F.element_at("toks", i + 1),
+                        F.element_at("toks", i + 2),
+                        F.element_at("toks", i + 3),
+                        F.element_at("toks", i + 4),
+                    )
+                ),
+            )
+        ).alias("sh"),
+    ).distinct().localCheckpoint()
+    ok = (
+        sh.groupBy("sh")
+        .agg(F.count("*").alias("df"))
+        .where((F.col("df") >= 2) & (F.col("df") <= 20))
+        .select("sh")
+    )
+    capped = sh.join(ok, "sh")
+    e0 = (
+        capped.alias("a")
+        .join(capped.alias("b"), "sh")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+        .distinct()
+    )
+    edges = e0.unionAll(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+
+    feats = d.select(
+        F.col("doc_id").alias("node"),
+        F.col("n_chars").cast("bigint").alias("f"),
+    )
+    layers = [feats]
+    for _ in range(2):
+        cur = layers[-1]
+        agg = (
+            edges.join(cur, edges["dst"] == cur["node"])
+            .groupBy(edges["src"].alias("n"))
+            .agg(
+                F.sum("f").cast("bigint").alias("nb_sum"),
+                F.count("*").alias("deg"),
+            )
+        )
+        nxt = (
+            cur.join(agg, cur["node"] == agg["n"], "left")
+            .select(
+                "node",
+                F.floor(
+                    (
+                        F.col("f") + F.coalesce("nb_sum", F.lit(0))
+                    ).cast("double")
+                    / (F.lit(1) + F.coalesce("deg", F.lit(0)))
+                )
+                .cast("bigint")
+                .alias("f"),
+            )
+            .localCheckpoint()
+        )
+        layers.append(nxt)
+    out = (
+        layers[0]
+        .select("node", F.col("f").alias("f_raw"))
+        .join(
+            layers[1].select("node", F.col("f").alias("f_layer1")), "node"
+        )
+        .join(
+            layers[2].select("node", F.col("f").alias("f_layer2")), "node"
+        )
+    )
+    return out.select(
+        F.col("node").alias("doc_id"), "f_raw", "f_layer1", "f_layer2"
+    ).orderBy("doc_id")

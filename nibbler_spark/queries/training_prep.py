@@ -1236,3 +1236,67 @@ def ext_curriculum_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band", "doc_id")
     )
+
+
+@register(
+    "ext_target_encoding",
+    survey_id="EXT-TARGET-ENC",
+    category="training-prep",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey, o_orderpriority AS cat,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+  FROM orders
+),
+stats AS (
+  SELECT cat, CAST(SUM(y) AS BIGINT) AS s, COUNT(*) AS n
+  FROM base GROUP BY cat
+)
+SELECT b.o_orderkey, b.cat, b.y,
+       CASE WHEN st.n > 1
+            THEN ROUND(CAST(st.s - b.y AS DOUBLE)
+                       / CAST(st.n - 1 AS DOUBLE), 6)
+       END AS loo_enc
+FROM base b JOIN stats st USING (cat)
+WHERE b.o_orderkey % 37 = 0
+ORDER BY b.o_orderkey
+""",
+)
+def ext_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding — the categorical-feature staple
+    whose naive form LEAKS the label: each row's encoding is the
+    category's target mean EXCLUDING the row itself,
+    (Σy − y_own)/(n − 1), so the feature never contains its own
+    label. One integer-exact per-category aggregate broadcast back
+    onto the rows — no per-row re-aggregation, the LOO correction is
+    pure arithmetic on the row — which is why this scales to any
+    cardinality: cost is one keyed agg + one broadcast join.
+    Singleton categories yield NULL (a real pipeline would back off
+    to the global prior). Division of identical doubles; hash-exact."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("cat"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    stats = base.groupBy("cat").agg(
+        F.sum("y").cast("bigint").alias("s"), F.count("*").alias("n")
+    )
+    j = base.join(F.broadcast(stats), "cat")
+    return (
+        j.where(F.col("o_orderkey") % 37 == 0)
+        .select(
+            "o_orderkey",
+            "cat",
+            "y",
+            F.when(
+                F.col("n") > 1,
+                F.round(
+                    (F.col("s") - F.col("y")).cast("double")
+                    / (F.col("n") - 1).cast("double"),
+                    6,
+                ),
+            ).alias("loo_enc"),
+        )
+        .orderBy("o_orderkey")
+    )
