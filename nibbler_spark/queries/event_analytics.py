@@ -1309,3 +1309,133 @@ def ext_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bar_start")
     )
+
+
+@register(
+    "ext_time_weighted_avg",
+    survey_id="EXT-TWAP",
+    category="event-analytics",
+    oracle="""
+WITH t AS (
+  SELECT event_type, ts, epoch_us(ts) AS tu,
+         CAST(FLOOR(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+seg AS (
+  SELECT event_type, cents,
+         LEAD(tu) OVER (PARTITION BY event_type ORDER BY tu, cents)
+           - tu AS dur_us
+  FROM t
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_segments,
+       CAST(SUM(dur_us) AS BIGINT) AS span_us,
+       ROUND(CAST(SUM(cents * dur_us) AS DOUBLE)
+             / CAST(SUM(dur_us) AS DOUBLE), 6) AS twap_cents
+FROM seg WHERE dur_us IS NOT NULL
+GROUP BY event_type ORDER BY event_type
+""",
+)
+def ext_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP) — the correct mean for irregularly
+    sampled series, where a plain AVG over-weights bursts: each
+    observation holds its value until the next one, so its weight is
+    its holding DURATION. Durations come from one LEAD over the
+    series-partitioned order in integer microseconds; weight × value
+    products stay in exact BIGINT (cents × µs ≤ ~1e17 per segment,
+    summed — Spark widens, DuckDB uses int128; both cast the exact sum
+    to double identically), so the quotient is engine-exact. Same-µs
+    ties ordered by (ts, cents) deterministically. One series-keyed
+    exchange; the trailing open-ended observation is excluded on both
+    sides."""
+    e = load_table(spark, sf_dir, "events")
+    t = e.select(
+        "event_type",
+        F.unix_micros("ts").alias("tu"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    w = Window.partitionBy("event_type").orderBy("tu", "cents")
+    seg = t.select(
+        "event_type",
+        "cents",
+        (F.lead("tu").over(w) - F.col("tu")).alias("dur_us"),
+    ).where(F.col("dur_us").isNotNull())
+    return (
+        seg.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_segments"),
+            F.sum("dur_us").cast("bigint").alias("span_us"),
+            F.round(
+                F.sum(F.col("cents") * F.col("dur_us")).cast("double")
+                / F.sum("dur_us").cast("double"),
+                6,
+            ).alias("twap_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "ext_attribution_last_touch",
+    survey_id="EXT-ATTRIB",
+    category="event-analytics",
+    oracle="""
+WITH tagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN event_type = 'purchase'
+              THEN CAST(FLOOR(value * 100) AS BIGINT) END AS cents,
+         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                    IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS touch
+  FROM events
+)
+SELECT COALESCE(touch, '(none)') AS touch_channel,
+       CAST(COUNT(*) AS BIGINT) AS n_conversions,
+       CAST(SUM(cents) AS BIGINT) AS revenue_cents
+FROM tagged WHERE event_type = 'purchase'
+GROUP BY COALESCE(touch, '(none)') ORDER BY touch_channel
+""",
+)
+def ext_attribution_last_touch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Last-touch conversion attribution: every purchase credits the
+    most recent PRECEDING non-purchase event in the same user's
+    timeline (strictly earlier — the 1-PRECEDING frame excludes the
+    conversion itself and same-instant rows deterministically via the
+    event_id tie-break); purchases with no prior touch fall into
+    '(none)'. One ignore-nulls window over the user-partitioned
+    timeline — the same single-exchange shape as sessionization — then
+    a tiny channel rollup. The multi-touch variants (linear,
+    time-decay) are the same window with a collected list instead of
+    last_value."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tagged = e.select(
+        "event_type",
+        F.when(
+            F.col("event_type") == "purchase",
+            F.floor(F.col("value") * 100).cast("bigint"),
+        ).alias("cents"),
+        F.last(
+            F.when(F.col("event_type") != "purchase", F.col("event_type")),
+            ignorenulls=True,
+        )
+        .over(w)
+        .alias("touch"),
+    )
+    return (
+        tagged.where(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("touch", F.lit("(none)")).alias("touch_channel"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_conversions"),
+            F.sum("cents").cast("bigint").alias("revenue_cents"),
+        )
+        .orderBy("touch_channel")
+    )
