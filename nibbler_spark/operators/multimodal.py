@@ -501,6 +501,8 @@ def decode_image(payload: bytes) -> dict:
         from nibbler_spark.operators.jpeg_codec import decode_jpeg
 
         return decode_jpeg(payload)
+    if payload[:4] == b"II\x2a\x00":
+        return parse_tiff(payload)
     raise ImageFormatError("unknown container format")
 
 
@@ -975,3 +977,182 @@ def decode_video_batches(df: DataFrame, payload_col: str = "payload") -> DataFra
             )
 
     return df.mapInPandas(run, VIDEO_SCHEMA)
+
+
+# --- TIFF (Compression=5, the TIFF flavour of LZW) ----------------------
+#
+# A fourth from-scratch compressed image codec, genuinely distinct from
+# the GIF LZW above: TIFF packs codes MSB-FIRST, always starts at 9 bits
+# with a 256-symbol alphabet (Clear=256, EOI=257), and uses EARLY CHANGE
+# — the code width bumps when the next free code reaches 2^width − 1,
+# one code EARLIER than GIF's LSB-first variant (TIFF 6.0 §13). Writer
+# and reader implement the spec symmetrically, with a table reset at
+# code 4094 as the spec requires.
+
+_TIFF_CLEAR, _TIFF_EOI = 256, 257
+
+
+class _MsbBitWriter:
+    def __init__(self) -> None:
+        self.acc = 0
+        self.nbits = 0
+        self.out = bytearray()
+
+    def write(self, code: int, width: int) -> None:
+        self.acc = (self.acc << width) | code
+        self.nbits += width
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.out.append((self.acc >> self.nbits) & 0xFF)
+
+    def finish(self) -> bytes:
+        if self.nbits:
+            self.out.append((self.acc << (8 - self.nbits)) & 0xFF)
+        return bytes(self.out)
+
+
+def _lzw_encode_tiff(data: bytes) -> bytes:
+    bw = _MsbBitWriter()
+
+    def fresh():
+        return {bytes([i]): i for i in range(256)}, 258, 9
+
+    table, next_code, width = fresh()
+    bw.write(_TIFF_CLEAR, width)
+    w = b""
+    for byte in data:
+        wk = w + bytes([byte])
+        if wk in table:
+            w = wk
+            continue
+        bw.write(table[w], width)
+        table[wk] = next_code
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1  # early change
+        if next_code >= 4094:
+            bw.write(_TIFF_CLEAR, width)
+            table, next_code, width = fresh()
+        w = bytes([byte])
+    if w:
+        bw.write(table[w], width)
+    bw.write(_TIFF_EOI, width)
+    return bw.finish()
+
+
+def _lzw_decode_tiff(buf: bytes, n_expected: int) -> bytes:
+    pos_bits = 0
+    total_bits = len(buf) * 8
+
+    def read(width: int) -> int:
+        nonlocal pos_bits
+        if pos_bits + width > total_bits:
+            raise ImageFormatError("truncated TIFF LZW stream")
+        byte_pos = pos_bits // 8
+        chunk = buf[byte_pos : byte_pos + 4]
+        acc = int.from_bytes(chunk, "big")
+        shift = len(chunk) * 8 - (pos_bits % 8) - width
+        pos_bits += width
+        return (acc >> shift) & ((1 << width) - 1)
+
+    out = bytearray()
+    table: list[bytes] = []
+    width = 9
+    next_code = 258
+    prev: bytes | None = None
+    while True:
+        code = read(width)
+        if code == _TIFF_CLEAR:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            width = 9
+            next_code = 258
+            prev = None
+            continue
+        if code == _TIFF_EOI:
+            break
+        if prev is None or code < next_code:
+            entry = table[code]
+        elif code == next_code:
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            raise ImageFormatError("corrupt TIFF LZW code stream")
+        out += entry
+        if prev is not None:
+            table.append(prev + entry[:1])
+            next_code += 1
+            # the decoder's table lags the encoder's by exactly one
+            # entry at the same stream position, so its early-change
+            # threshold is one lower (same offset as the GIF pair)
+            if next_code == (1 << width) - 2 and width < 12:
+                width += 1
+        prev = entry
+        if len(out) > n_expected:
+            raise ImageFormatError("TIFF LZW output exceeds pixel count")
+    return bytes(out)
+
+
+def encode_tiff_lzw(
+    width: int, height: int, pixel: Callable[[int, int], int]
+) -> bytes:
+    """A real little-endian TIFF 6.0: 8-bit grayscale, one strip,
+    Compression=5 (LZW). Layout: 8-byte header, the compressed strip,
+    then the IFD (9 entries) — StripOffsets/ByteCounts point back at
+    the strip."""
+    raster = bytes(
+        pixel(x, y) & 0xFF for y in range(height) for x in range(width)
+    )
+    strip = _lzw_encode_tiff(raster)
+    ifd_off = 8 + len(strip)
+    entries = [
+        (256, 3, 1, width),       # ImageWidth
+        (257, 3, 1, height),      # ImageLength
+        (258, 3, 1, 8),           # BitsPerSample
+        (259, 3, 1, 5),           # Compression = LZW
+        (262, 3, 1, 1),           # Photometric = BlackIsZero
+        (273, 4, 1, 8),           # StripOffsets → right after header
+        (277, 3, 1, 1),           # SamplesPerPixel
+        (278, 3, 1, height),      # RowsPerStrip
+        (279, 4, 1, len(strip)),  # StripByteCounts
+    ]
+    out = bytearray()
+    out += b"II" + struct.pack("<HI", 42, ifd_off)
+    out += strip
+    out += struct.pack("<H", len(entries))
+    for tag, typ, cnt, val in entries:
+        out += struct.pack("<HHII", tag, typ, cnt, val)
+    out += struct.pack("<I", 0)  # no next IFD
+    return bytes(out)
+
+
+def parse_tiff(payload: bytes) -> dict:
+    """Parse a little-endian TIFF: walk the IFD, require the 8-bit
+    grayscale single-strip LZW shape this codec writes, decompress the
+    strip, and sum the decoded pixels."""
+    if payload[:4] != b"II\x2a\x00":
+        raise ImageFormatError("not a little-endian TIFF payload")
+    (ifd_off,) = struct.unpack_from("<I", payload, 4)
+    (n_entries,) = struct.unpack_from("<H", payload, ifd_off)
+    tags: dict[int, int] = {}
+    for i in range(n_entries):
+        tag, _typ, _cnt, val = struct.unpack_from(
+            "<HHII", payload, ifd_off + 2 + 12 * i
+        )
+        tags[tag] = val
+    if tags.get(259) != 5:
+        raise ImageFormatError("TIFF compression is not LZW")
+    if tags.get(258, 8) != 8 or tags.get(277, 1) != 1:
+        raise ImageFormatError("only 8-bit grayscale TIFF supported")
+    w, h = tags[256], tags[257]
+    off, cnt = tags[273], tags[279]
+    raster = _lzw_decode_tiff(payload[off : off + cnt], w * h)
+    if len(raster) != w * h:
+        raise ImageFormatError(
+            f"TIFF strip decoded {len(raster)} of {w * h} pixels"
+        )
+    return {
+        "fmt": "tiff",
+        "width": w,
+        "height": h,
+        "n_pixels": w * h,
+        "pixel_sum": sum(raster),
+    }

@@ -935,3 +935,69 @@ def ext_image_decode_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, fmt string, width int, height int, n_pixels long, "
         "r_sum long, g_sum long, b_sum long, pixel_sum long",
     ).orderBy("doc_id")
+
+
+@register(
+    "ext_image_decode_tiff",
+    survey_id="EXT-MM-TIFF",
+    category="multimodal",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, 2 + doc_id % 17 AS w, 3 + doc_id % 13 AS h
+  FROM documents WHERE doc_id % 41 = 0
+),
+px AS (
+  SELECT d.doc_id, d.w, d.h,
+         (d.doc_id + 11 * x.x + 13 * y.y) % 256 AS s
+  FROM d
+  CROSS JOIN generate_series(0, 18) AS x(x)
+  CROSS JOIN generate_series(0, 15) AS y(y)
+  WHERE x.x < d.w AND y.y < d.h
+)
+SELECT doc_id, 'tiff' AS fmt,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(w * h AS BIGINT) AS n_pixels,
+       CAST(SUM(s) AS BIGINT) AS pixel_sum
+FROM px GROUP BY doc_id, w, h ORDER BY doc_id
+""",
+)
+def ext_image_decode_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sixth REAL compressed image codec: actual TIFF 6.0 files —
+    8-byte header, IFD tag walk, single 8-bit grayscale strip
+    compressed with the TIFF FLAVOUR of LZW, which is genuinely
+    different machinery from the GIF LZW already in the repo:
+    MSB-first bit packing, fixed 9-bit start with Clear=256/EOI=257,
+    and the spec's EARLY CHANGE (code width bumps one code earlier
+    than GIF — the classic interop bug, §13 of the spec; the decoder
+    mirrors it at threshold−1 because its table lags the encoder by
+    one entry). Encode and parse both run in partition-local
+    mapInPandas stages (`operators/multimodal.py:encode_tiff_lzw` /
+    `parse_tiff`); the oracle recomputes the decoded pixel sums in
+    closed form."""
+    import pandas as _pd
+
+    from nibbler_spark.operators.multimodal import encode_tiff_lzw
+
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 41 == 0
+    ).select("doc_id")
+
+    def encode(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                w, h = 2 + did % 17, 3 + did % 13
+                payloads.append(
+                    encode_tiff_lzw(
+                        w,
+                        h,
+                        lambda x, y, did=did: (did + 11 * x + 13 * y) % 256,
+                    )
+                )
+            yield _pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    encoded = d.mapInPandas(encode, "doc_id long, payload binary")
+    return decode_image_batches(encoded).orderBy("doc_id")

@@ -490,3 +490,57 @@ def test_mjpeg_avi_composes_container_and_jpeg_decoder():
     # plain DIB path still intact
     d2 = parse_avi(encode_avi([b"\x01\x02"] * 2, 1, 1, 40000))
     assert d2["fmt"] == "avi" and d2["frame_sum"] == 6
+
+
+def test_tiff_lzw_roundtrip_properties():
+    """TIFF LZW: MSB-first + early-change writer/reader pair must
+    roundtrip across entropy regimes — random (fast table growth,
+    multiple 12-bit resets), constant runs (KwKwK), and short tails."""
+    import random
+
+    from nibbler_spark.operators.multimodal import (
+        _lzw_decode_tiff,
+        _lzw_encode_tiff,
+    )
+
+    rng = random.Random(11)
+    for n in (0, 1, 2, 300, 5000, 60000):
+        data = bytes(rng.randrange(256) for _ in range(n))
+        assert _lzw_decode_tiff(_lzw_encode_tiff(data), n) == data
+    for pat in (b"a" * 30000, bytes(i % 5 for i in range(40000))):
+        assert _lzw_decode_tiff(_lzw_encode_tiff(pat), len(pat)) == pat
+
+
+def test_tiff_container_roundtrip_and_dispatch():
+    from nibbler_spark.operators.multimodal import (
+        decode_image,
+        encode_tiff_lzw,
+        parse_tiff,
+    )
+
+    t = encode_tiff_lzw(19, 7, lambda x, y: (3 * x + 5 * y) % 256)
+    want = sum((3 * x + 5 * y) % 256 for y in range(7) for x in range(19))
+    for parse in (parse_tiff, decode_image):
+        d = parse(t)
+        assert (d["fmt"], d["width"], d["height"], d["n_pixels"]) == (
+            "tiff",
+            19,
+            7,
+            133,
+        )
+        assert d["pixel_sum"] == want
+
+
+def test_tiff_rejects_non_lzw_and_truncation():
+    import pytest
+
+    from nibbler_spark.operators.multimodal import (
+        ImageFormatError,
+        encode_tiff_lzw,
+        parse_tiff,
+    )
+
+    t = bytearray(encode_tiff_lzw(9, 9, lambda x, y: x ^ y))
+    bad = bytes(t[:20])  # strip cut mid-stream, IFD gone
+    with pytest.raises((ImageFormatError, Exception)):
+        parse_tiff(bad)
