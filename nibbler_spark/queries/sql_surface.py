@@ -1310,3 +1310,141 @@ def ext_snapshot_update_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(bool(no_rewrite)).alias("no_rewrite"),
         F.lit(bool(dv_carried)).alias("dv_carried"),
     ).orderBy("o_orderkey")
+
+
+@register(
+    "ext_incremental_mv_maintenance",
+    survey_id="EXT-IVM",
+    category="sql-surface",
+    mode="bounded",
+    oracle="""
+WITH merged AS (
+  SELECT o_orderstatus,
+         CASE WHEN o_orderkey % 8 = 0
+              THEN o_totalprice * CAST(1.1 AS DOUBLE)
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 8 <> 1
+  UNION ALL
+  SELECT 'O', CAST(100.0 AS DOUBLE)
+  FROM orders WHERE o_orderkey % 8 = 2
+)
+SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS cents,
+       TRUE AS incremental
+FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
+""",
+)
+def ext_incremental_mv_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental materialized-view maintenance from the snapshot
+    format's file-level diff: the per-status rollup MV is maintained
+    across a MERGE commit WITHOUT rescanning the table — removed files
+    (base − new manifest) retract their partial aggregates, added
+    files (new − base) inject theirs, and the MV combines three tiny
+    aggregate tables. Sound for self-inverse aggregates (SUM/COUNT —
+    the retractable class streaming engines call them); MIN/MAX would
+    need the full-group recompute path. The merge rewrites only the
+    matched buckets, so maintenance IO is proportional to the delta
+    (``incremental`` pins removed ⊂ base), and the maintained MV
+    hash-matches the from-scratch oracle over the post-merge table —
+    the equivalence that makes the shortcut trustworthy."""
+    import os
+    import shutil
+    import tempfile
+
+    from nibbler_spark.operators.snapshots import (
+        merge_into_snapshot,
+        snapshot_files,
+        write_snapshot,
+    )
+
+    table = tempfile.mkdtemp(prefix="nibbler-ivm-")
+    shutil.rmtree(table)
+    os.makedirs(table)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    carry: list[str] = []
+    for b in range(4):
+        sid = write_snapshot(
+            o.where(F.col("o_orderkey") % 4 == b).coalesce(1),
+            table,
+            carry_over=carry,
+        )
+        carry = snapshot_files(table, sid)
+    base_sid = sid
+    base_files = set(snapshot_files(table, base_sid))
+
+    cents = F.floor(F.col("o_totalprice") * 100).cast("bigint")
+
+    def rollup(df):
+        return df.groupBy("o_orderstatus").agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(cents).cast("bigint").alias("cents"),
+        )
+
+    mv0 = rollup(
+        spark.read.parquet(*[os.path.join(table, p) for p in base_files])
+    ).localCheckpoint()
+
+    updates = o.where(F.col("o_orderkey") % 8 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("op"),
+        "o_orderstatus",
+        (F.col("o_totalprice") * F.lit(1.1)).alias("o_totalprice"),
+    )
+    deletes = o.where(F.col("o_orderkey") % 8 == 1).select(
+        "o_orderkey",
+        F.lit("D").alias("op"),
+        F.lit(None).cast("string").alias("o_orderstatus"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+    )
+    inserts = o.where(F.col("o_orderkey") % 8 == 2).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        F.lit("I").alias("op"),
+        F.lit("O").alias("o_orderstatus"),
+        F.lit(100.0).alias("o_totalprice"),
+    )
+    merged_sid = merge_into_snapshot(
+        spark,
+        table,
+        updates.unionByName(deletes).unionByName(inserts),
+        key="o_orderkey",
+        value_cols=["o_orderstatus", "o_totalprice"],
+    )
+    new_files = set(snapshot_files(table, merged_sid))
+    removed = sorted(base_files - new_files)
+    added = sorted(new_files - base_files)
+    incremental = bool(removed) and set(removed) < base_files
+
+    d_minus = rollup(
+        spark.read.parquet(*[os.path.join(table, p) for p in removed])
+    )
+    d_plus = rollup(
+        spark.read.parquet(*[os.path.join(table, p) for p in added])
+    )
+    combined = (
+        mv0.select("o_orderstatus", "n_orders", "cents")
+        .unionByName(
+            d_minus.select(
+                "o_orderstatus",
+                (-F.col("n_orders")).alias("n_orders"),
+                (-F.col("cents")).alias("cents"),
+            )
+        )
+        .unionByName(d_plus.select("o_orderstatus", "n_orders", "cents"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum("n_orders").cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("cents"),
+        )
+        .where(F.col("n_orders") > 0)
+    )
+    return combined.select(
+        "o_orderstatus",
+        "n_orders",
+        "cents",
+        F.lit(bool(incremental)).alias("incremental"),
+    ).orderBy("o_orderstatus")

@@ -520,3 +520,62 @@ def j12_udtf_table_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY l_returnflag
         """
     )
+
+
+@register(
+    "j13_apply_in_arrow",
+    survey_id="EXT-ARROW-GROUPED",
+    category="udf",
+    oracle="""
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS cents,
+       CAST(MAX(CAST(FLOOR(l_extendedprice * 100) AS BIGINT))
+            - MIN(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS cents_range
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+)
+def j13_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map `applyInArrow` (Spark 4): each group arrives as ONE
+    pyarrow Table and the fold runs in Arrow compute kernels — the
+    grouped counterpart of j11's mapInArrow, completing the Arrow-
+    native UDF matrix (scalar j08, map j11, grouped-map here) next to
+    the pandas matrix (j02/j04/j05/j09). Same engine-declared
+    clustering as applyInPandas, but without the pandas conversion on
+    either side — the boundary a group-level native-library fold
+    (tokenizer vocab builds, Arrow-native stats) should use. Integer
+    cents make the per-group summary hash-exact."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+
+    def fold(table: "pa.Table") -> "pa.Table":
+        cents = table["cents"]
+        return pa.table(
+            {
+                "l_returnflag": [table["l_returnflag"][0].as_py()],
+                "n_items": [table.num_rows],
+                "cents": [pc.sum(cents).as_py()],
+                "cents_range": [
+                    pc.max(cents).as_py() - pc.min(cents).as_py()
+                ],
+            }
+        )
+
+    return (
+        li.groupBy("l_returnflag")
+        .applyInArrow(
+            fold,
+            "l_returnflag string, n_items bigint, cents bigint, "
+            "cents_range bigint",
+        )
+        .orderBy("l_returnflag")
+    )
