@@ -750,7 +750,7 @@ def parse_wav(payload: bytes) -> dict:
     real sample access."""
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise AudioFormatError("not a RIFF/WAVE payload")
-    pos, fmt, data = 12, None, None
+    pos, fmt, data, fact_frames = 12, None, None, None
     while pos + 8 <= len(payload):
         cid, size = struct.unpack_from("<4sI", payload, pos)
         body = payload[pos + 8 : pos + 8 + size]
@@ -758,12 +758,27 @@ def parse_wav(payload: bytes) -> dict:
             if size < 16:
                 raise AudioFormatError("short fmt chunk")
             fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"fact" and size >= 4:
+            (fact_frames,) = struct.unpack_from("<I", body, 0)
         elif cid == b"data":
             data = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise AudioFormatError("missing fmt or data chunk")
     audio_fmt, n_channels, sample_rate, _byte_rate, _align, bits = fmt
+    if audio_fmt == 0x11 and bits == 4:
+        if n_channels != 1 or fact_frames is None:
+            raise AudioFormatError("only mono ADPCM with a fact chunk")
+        samples = adpcm_decode(data, fact_frames)
+        return {
+            "fmt": "wav-adpcm",
+            "sample_rate": sample_rate,
+            "n_channels": 1,
+            "n_samples": fact_frames,
+            "duration_ms": fact_frames * 1000 // sample_rate,
+            "sample_sum": sum(samples),
+            "peak": max((abs(x) for x in samples), default=0),
+        }
     if audio_fmt == 7 and bits == 8:
         samples = tuple(mulaw_decode_sample(b) for b in data)
         n_frames = len(samples) // n_channels
@@ -1156,3 +1171,114 @@ def parse_tiff(payload: bytes) -> dict:
         "n_pixels": w * h,
         "pixel_sum": sum(raster),
     }
+
+
+# --- IMA ADPCM (WAV format tag 0x11) ------------------------------------
+#
+# Second compressed audio codec, genuinely adaptive unlike stateless
+# G.711: 4-bit codes whose quantization step WALKS an 89-entry table
+# driven by the code stream itself (IMA ADPCM reference algorithm).
+# 4:1 compression vs 16-bit PCM. Encoder and decoder share the exact
+# reconstruction arithmetic, so the decoder's predictor replays the
+# encoder's — the property the error-bound query leans on.
+
+_IMA_INDEX = (-1, -1, -1, -1, 2, 4, 6, 8)
+_IMA_STEPS = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+
+
+def _ima_step(code: int, predictor: int, index: int) -> tuple[int, int]:
+    """Shared reconstruction: apply one 4-bit code to (predictor,
+    index)."""
+    step = _IMA_STEPS[index]
+    vpdiff = step >> 3
+    if code & 4:
+        vpdiff += step
+    if code & 2:
+        vpdiff += step >> 1
+    if code & 1:
+        vpdiff += step >> 2
+    predictor += -vpdiff if code & 8 else vpdiff
+    predictor = max(-32768, min(32767, predictor))
+    index = max(0, min(88, index + _IMA_INDEX[code & 7]))
+    return predictor, index
+
+
+def adpcm_encode(samples: list[int]) -> bytes:
+    """Encode int16 samples: 4-byte block header (initial predictor +
+    step index) then one 4-bit code per remaining sample, low nibble
+    first (the WAV IMA convention)."""
+    if not samples:
+        raise AudioFormatError("empty sample stream")
+    predictor = samples[0]
+    index = 0
+    out = bytearray(struct.pack("<hBB", predictor, index, 0))
+    nibbles: list[int] = []
+    for s in samples[1:]:
+        diff = s - predictor
+        code = 8 if diff < 0 else 0
+        d = -diff if diff < 0 else diff
+        step = _IMA_STEPS[index]
+        if d >= step:
+            code |= 4
+            d -= step
+        if d >= step >> 1:
+            code |= 2
+            d -= step >> 1
+        if d >= step >> 2:
+            code |= 1
+        predictor, index = _ima_step(code, predictor, index)
+        nibbles.append(code)
+    for i in range(0, len(nibbles), 2):
+        lo = nibbles[i]
+        hi = nibbles[i + 1] if i + 1 < len(nibbles) else 0
+        out.append(lo | (hi << 4))
+    return bytes(out)
+
+
+def adpcm_decode(block: bytes, n_samples: int) -> list[int]:
+    """Inverse of :func:`adpcm_encode`."""
+    if len(block) < 4:
+        raise AudioFormatError("short ADPCM block")
+    predictor, index, _ = struct.unpack_from("<hBB", block, 0)
+    out = [predictor]
+    need = n_samples - 1
+    for byte in block[4:]:
+        for code in (byte & 0xF, byte >> 4):
+            if len(out) - 1 >= need:
+                break
+            predictor, index = _ima_step(code, predictor, index)
+            out.append(predictor)
+    if len(out) != n_samples:
+        raise AudioFormatError(
+            f"ADPCM decoded {len(out)} of {n_samples} samples"
+        )
+    return out
+
+
+def encode_wav_adpcm(samples: list[int], sample_rate: int = 8000) -> bytes:
+    """A real single-block IMA-ADPCM WAV: fmt tag 0x11, 4 bits/sample,
+    a fact chunk carrying the true frame count (required for
+    compressed WAV), then the data block."""
+    block = adpcm_encode(samples)
+    fmt = struct.pack(
+        "<HHIIHHHH",
+        0x11, 1, sample_rate, (sample_rate * 4) // 8 + 4,
+        len(block), 4, 2, len(samples),
+    )
+    fact = struct.pack("<I", len(samples))
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<I", len(fact)) + fact
+        + b"data" + struct.pack("<I", len(block)) + block
+        + (b"\x00" if len(block) & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body

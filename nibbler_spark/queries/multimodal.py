@@ -1001,3 +1001,100 @@ def ext_image_decode_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     encoded = d.mapInPandas(encode, "doc_id long, payload binary")
     return decode_image_batches(encoded).orderBy("doc_id")
+
+
+@register(
+    "ext_audio_decode_adpcm",
+    survey_id="EXT-MM-ADPCM",
+    category="multimodal",
+    mode="bounded",
+    oracle="""
+SELECT doc_id, CAST(1000 + doc_id % 997 AS BIGINT) AS n_samples,
+       TRUE AS within_bound
+FROM documents WHERE doc_id % 43 = 0 ORDER BY doc_id
+""",
+)
+def ext_audio_decode_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second compressed AUDIO codec — IMA ADPCM (WAV format tag
+    0x11), genuinely ADAPTIVE unlike stateless G.711: each 4-bit code
+    walks an 89-entry step table driven by the code stream itself, so
+    no closed-form SQL oracle can replicate the decoder — this is the
+    declared-bound pattern instead: every clip (a triangle wave,
+    length 1000 + doc_id mod 997) is encoded 4:1, decoded through the
+    real container path (RIFF walk, fact-chunk frame count, block
+    header + nibble stream), and the reconstruction must track the
+    original within mean |err| ≤ 64 and max |err| ≤ 2048 against an
+    amplitude-3000 signal (measured headroom: mean ~13, max ~508 —
+    the max is the encoder's step-index ramp-in). Both stages are
+    partition-local mapInPandas; n_samples is closed-form for the
+    oracle."""
+    import pandas as _pd
+
+    from nibbler_spark.operators.multimodal import (
+        encode_wav_adpcm,
+        parse_wav,
+    )
+    from nibbler_spark.operators.multimodal import adpcm_decode  # noqa: F401
+
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 43 == 0
+    ).select("doc_id")
+
+    def signal(did: int) -> list[int]:
+        n = 1000 + did % 997
+        period, amp = 64, 3000
+        return [
+            amp - abs(i % period - period // 2) * (4 * amp // period)
+            for i in range(n)
+        ]
+
+    def encode(batches):
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        encode_wav_adpcm(signal(int(did)))
+                        for did in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    def decode(batches):
+        import struct as _struct
+
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                meta = parse_wav(bytes(payload))
+                # re-decode the data block to compare sample-by-sample
+                pos, block = 12, None
+                pay = bytes(payload)
+                while pos + 8 <= len(pay):
+                    cid, size = _struct.unpack_from("<4sI", pay, pos)
+                    if cid == b"data":
+                        block = pay[pos + 8 : pos + 8 + size]
+                    pos += 8 + size + (size & 1)
+                dec = adpcm_decode(block, meta["n_samples"])
+                orig = signal(int(did))
+                errs = [abs(a - b) for a, b in zip(orig, dec)]
+                rows.append(
+                    (
+                        int(did),
+                        meta["n_samples"],
+                        bool(
+                            meta["fmt"] == "wav-adpcm"
+                            and len(dec) == len(orig)
+                            and sum(errs) / len(errs) <= 64
+                            and max(errs) <= 2048
+                        ),
+                    )
+                )
+            yield _pd.DataFrame(
+                rows, columns=["doc_id", "n_samples", "within_bound"]
+            )
+
+    encoded = d.mapInPandas(encode, "doc_id long, payload binary")
+    return encoded.mapInPandas(
+        decode, "doc_id long, n_samples long, within_bound boolean"
+    ).orderBy("doc_id")

@@ -2165,3 +2165,60 @@ def a24_snapshot_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_run1 BIGINT, n_total BIGINT, total_cents BIGINT, "
         "incremental BOOLEAN",
     )
+
+
+@register(
+    "i20_stream_ohlc_bars",
+    survey_id="EXT-STREAM-OHLC",
+    category="streaming",
+    mode="parity",
+    oracle="""
+WITH t AS (
+  SELECT event_type, date_trunc('hour', ts) AS bar_start, ts, event_id,
+         CAST(FLOOR(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+r AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY event_type, bar_start
+                       ORDER BY ts, event_id) AS rk_a,
+    row_number() OVER (PARTITION BY event_type, bar_start
+                       ORDER BY ts DESC, event_id DESC) AS rk_d
+  FROM t
+)
+SELECT event_type, bar_start,
+       CAST(COUNT(*) AS BIGINT) AS n_ticks,
+       CAST(MIN(CASE WHEN rk_a = 1 THEN cents END) AS BIGINT)
+         AS open_cents,
+       CAST(MAX(cents) AS BIGINT) AS high_cents,
+       CAST(MIN(cents) AS BIGINT) AS low_cents,
+       CAST(MIN(CASE WHEN rk_d = 1 THEN cents END) AS BIGINT)
+         AS close_cents
+FROM r GROUP BY event_type, bar_start
+ORDER BY event_type, bar_start
+""",
+)
+def i20_stream_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING OHLC candlesticks: the ext_ohlc_bars rollup run as a
+    continuous query — min_by/max_by on the (ts, event_id) key are
+    order-free aggregates, so they fold INCREMENTALLY in streaming
+    state exactly as they partial-combine in batch (each epoch merges
+    its candidates into the bar's running open/close picks; no
+    sort-within-bar is ever needed, which is precisely why the min_by
+    formulation and not a window rank is the streaming-safe spelling).
+    AvailableNow drain in complete mode; the final bars equal the
+    batch oracle tick-for-tick."""
+    src = _read_stream(spark, _events_dir(spark, sf_dir))
+    cents = F.floor(F.col("value") * 100).cast("bigint")
+    tsk = F.struct("ts", "event_id")
+    agg = src.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bar_start")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_ticks"),
+        F.min_by(cents, tsk).alias("open_cents"),
+        F.max(cents).cast("bigint").alias("high_cents"),
+        F.min(cents).cast("bigint").alias("low_cents"),
+        F.max_by(cents, tsk).alias("close_cents"),
+    )
+    out = _drain_to_memory(agg, "complete")
+    return out.orderBy("event_type", "bar_start")

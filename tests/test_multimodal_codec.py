@@ -544,3 +544,32 @@ def test_tiff_rejects_non_lzw_and_truncation():
     bad = bytes(t[:20])  # strip cut mid-stream, IFD gone
     with pytest.raises((ImageFormatError, Exception)):
         parse_tiff(bad)
+
+
+def test_adpcm_roundtrip_and_container():
+    """IMA ADPCM: smooth signals reconstruct within tight bounds, the
+    WAV container (fmt 0x11 + fact chunk) parses through the generic
+    dispatch, and arbitrary int16 data decodes to the exact count."""
+    import random
+
+    from nibbler_spark.operators.multimodal import (
+        adpcm_decode,
+        adpcm_encode,
+        encode_wav_adpcm,
+        parse_wav,
+    )
+
+    def tri(i, period=64, amp=3000):
+        return amp - abs(i % period - period // 2) * (4 * amp // period)
+
+    sig = [tri(i) for i in range(4001)]
+    dec = adpcm_decode(adpcm_encode(sig), len(sig))
+    errs = [abs(a - b) for a, b in zip(sig, dec)]
+    assert sum(errs) / len(errs) <= 64 and max(errs) <= 2048
+    meta = parse_wav(encode_wav_adpcm(sig))
+    assert meta["fmt"] == "wav-adpcm"
+    assert meta["n_samples"] == len(sig)
+    assert meta["sample_sum"] == sum(dec)
+    rng = random.Random(5)
+    noisy = [rng.randrange(-32768, 32768) for _ in range(777)]
+    assert len(adpcm_decode(adpcm_encode(noisy), 777)) == 777
