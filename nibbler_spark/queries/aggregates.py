@@ -1574,3 +1574,88 @@ def d31_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY cnt DESC, s.item LIMIT 3
         """
     )
+
+
+@register(
+    "d32_unpivot_melt",
+    survey_id="EXT-UNPIVOT",
+    category="aggregation",
+    oracle="""
+WITH wide AS (
+  SELECT l_returnflag,
+         CAST(SUM(CASE WHEN l_linestatus = 'F'
+                       THEN CAST(FLOOR(l_extendedprice * 100) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS cents_f,
+         CAST(SUM(CASE WHEN l_linestatus = 'O'
+                       THEN CAST(FLOOR(l_extendedprice * 100) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS cents_o
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, status, cents
+FROM wide UNPIVOT (cents FOR status IN (cents_f AS 'F', cents_o AS 'O'))
+ORDER BY l_returnflag, status
+""",
+)
+def d32_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt) — the inverse of d20's pivot: a wide per-flag
+    aggregate with one column per line status folds back into long
+    (flag, status, value) rows. Spark's `unpivot` is a zero-shuffle
+    row-local expansion (each input row emits one output row per value
+    column — an Expand node, no exchange), which is why melt is free
+    at any scale while the pivot that produced the wide form cost a
+    shuffle. Round-tripping both directions pins the pair. DuckDB's
+    UNPIVOT states the same fold natively."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100).cast("bigint")
+    wide = li.groupBy("l_returnflag").agg(
+        F.sum(F.when(F.col("l_linestatus") == "F", cents).otherwise(0))
+        .cast("bigint")
+        .alias("cents_f"),
+        F.sum(F.when(F.col("l_linestatus") == "O", cents).otherwise(0))
+        .cast("bigint")
+        .alias("cents_o"),
+    )
+    return (
+        wide.unpivot(
+            ids=["l_returnflag"],
+            values=["cents_f", "cents_o"],
+            variableColumnName="status",
+            valueColumnName="cents",
+        )
+        .withColumn(
+            "status",
+            F.when(F.col("status") == "cents_f", "F").otherwise("O"),
+        )
+        .orderBy("l_returnflag", "status")
+    )
+
+
+@register(
+    "d33_crosstab",
+    survey_id="EXT-CROSSTAB",
+    category="aggregation",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+            AS BIGINT) AS urgent,
+       CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END)
+            AS BIGINT) AS high,
+       CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END)
+            AS BIGINT) AS low
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+""",
+)
+def d33_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contingency crosstab via `df.stat.crosstab` — the DataFrame
+    statistics API's pairwise frequency table (one pass, same
+    pivot-aggregate plan as d20 under the hood). Columns re-selected
+    and renamed to a pinned subset so the output is schema-stable
+    across scales; exact integer counts, hash mode."""
+    o = load_table(spark, sf_dir, "orders")
+    ct = o.stat.crosstab("o_orderstatus", "o_orderpriority")
+    return ct.select(
+        F.col("o_orderstatus_o_orderpriority").alias("o_orderstatus"),
+        F.col("1-URGENT").cast("bigint").alias("urgent"),
+        F.col("2-HIGH").cast("bigint").alias("high"),
+        F.col("5-LOW").cast("bigint").alias("low"),
+    ).orderBy("o_orderstatus")
