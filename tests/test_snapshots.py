@@ -415,3 +415,100 @@ def test_merge_into_respects_deletion_vectors(spark, tmp_path):
     assert got[15] == 150.0  # re-insert of a DV-deleted key works
     assert 60 not in got  # merge delete
     assert len(got) == 100 - 10 - 1 + 1
+
+
+def test_snapshot_format_model_based_random_ops(spark, tmp_path):
+    """Model-based check of the whole table-format surface: a random
+    (seeded) sequence of append / DV-delete / MoR-update / merge /
+    compact operations runs against BOTH the real format and a plain
+    in-memory dict model; after every op the snapshot read must equal
+    the model exactly, and at the end every historical snapshot id
+    must still resolve."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from nibbler_spark.operators.snapshots import (
+        delete_from_snapshot,
+        latest_snapshot,
+        merge_into_snapshot,
+        read_snapshot,
+        snapshot_files,
+        update_snapshot_mor,
+        write_snapshot,
+    )
+
+    rng = random.Random(20260814)
+    table = str(tmp_path / "modeltab")
+    model: dict[int, int] = {}
+
+    def commit_append(lo: int, hi: int) -> None:
+        rows = [(k, k * 10) for k in range(lo, hi)]
+        df = spark.createDataFrame(rows, "k LONG, v LONG")
+        last = latest_snapshot(table)
+        carry = snapshot_files(table, last) if last >= 0 else []
+        write_snapshot(df.repartition(2), table, carry_over=carry)
+        model.update(dict(rows))
+
+    def check() -> None:
+        got = {
+            r["k"]: r["v"] for r in read_snapshot(spark, table).collect()
+        }
+        assert got == model, (
+            f"divergence: {len(got)} real vs {len(model)} model rows; "
+            f"sample diff {dict(list((got.items() ^ model.items()))[:5])}"
+        )
+
+    commit_append(0, 200)
+    check()
+    for step in range(6):
+        op = rng.choice(["append", "delete", "update", "merge", "compact"])
+        if op == "append":
+            base = 1000 * (step + 1)
+            commit_append(base, base + rng.randrange(20, 60))
+        elif op == "delete":
+            m = rng.randrange(3, 9)
+            r = rng.randrange(m)
+            delete_from_snapshot(spark, table, F.col("k") % m == r)
+            model = {k: v for k, v in model.items() if k % m != r}
+        elif op == "update":
+            m = rng.randrange(3, 9)
+            r = rng.randrange(m)
+            update_snapshot_mor(
+                spark,
+                table,
+                F.col("k") % m == r,
+                {"v": F.col("v") + 7},
+            )
+            model = {
+                k: (v + 7 if k % m == r else v) for k, v in model.items()
+            }
+        elif op == "merge":
+            keys = sorted(model)
+            upd = [k for k in keys if k % 5 == 1][:10]
+            dels = [k for k in keys if k % 5 == 2][:10]
+            ins_base = 50_000 + step * 100
+            ins = list(range(ins_base, ins_base + 5))
+            changes = spark.createDataFrame(
+                [(k, "U", k * 10 + 1) for k in upd]
+                + [(k, "D", None) for k in dels]
+                + [(k, "I", k * 10) for k in ins],
+                "k LONG, op STRING, v LONG",
+            )
+            merge_into_snapshot(
+                spark, table, changes, key="k", value_cols=["v"]
+            )
+            for k in upd:
+                model[k] = k * 10 + 1
+            for k in dels:
+                model.pop(k, None)
+            for k in ins:
+                model[k] = k * 10
+        else:
+            from nibbler_spark.operators.snapshots import compact_snapshot
+
+            compact_snapshot(spark, table, target_files=2)
+        check()
+    # every historical snapshot still resolves (nothing vacuumed here)
+    for sid in range(latest_snapshot(table) + 1):
+        assert snapshot_files(table, sid) is not None
