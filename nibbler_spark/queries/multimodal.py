@@ -1098,3 +1098,106 @@ def ext_audio_decode_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return encoded.mapInPandas(
         decode, "doc_id long, n_samples long, within_bound boolean"
     ).orderBy("doc_id")
+
+
+@register(
+    "ext_image_neardup",
+    survey_id="EXT-MM-NEARDUP",
+    category="multimodal",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, doc_id // 19 AS img_group
+  FROM documents WHERE doc_id % 19 IN (0, 1)
+)
+SELECT img_group,
+       CAST(COUNT(*) AS BIGINT) AS n_copies,
+       CAST(MIN(doc_id) AS BIGINT) AS keeper
+FROM d GROUP BY img_group HAVING COUNT(*) > 1
+ORDER BY img_group
+""",
+)
+def ext_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-MODAL composite: duplicate detection over DECODED image
+    content — the multimodal half of the dedup story. Sampled ids
+    19k and 19k+1 render real BMPs whose pixel formula depends only on
+    doc_id // 19, planting one duplicate pair per group. The pipeline
+    fingerprints the DECODED RASTER — the padding-stripped pixel
+    bytes themselves, not container bytes and not summary statistics
+    (channel sums collide across groups at sf0.1: 2632 groups in a
+    mod-256 space; the raster digest cannot) — then hash-groupBys the
+    16-byte digests with the k01 min-keeper rule. The oracle knows the
+    planted group structure in closed form — a group survives iff both
+    of its ids exist in the corpus. At 100 TB: encode, decode and
+    fingerprint are partition-local mapInPandas; only digests enter
+    the dedup shuffle."""
+    import hashlib as _hashlib
+
+    import pandas as _pd
+
+    from nibbler_spark.operators.multimodal import encode_bmp, parse_bmp
+
+    d = load_table(spark, sf_dir, "documents").where(
+        (F.col("doc_id") % 19).isin(0, 1)
+    ).select("doc_id")
+
+    def encode(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                g = int(doc_id) // 19
+                # the three channels carry disjoint bytes of g, so the
+                # raster is injective in the group id up to 2^24 — groups
+                # g and g+256 must NOT render identical images
+                payloads.append(
+                    encode_bmp(
+                        8,
+                        6,
+                        lambda x, y, g=g: (
+                            (g % 256 + x) % 256,
+                            (g // 256 + 2 * y) % 256,
+                            (g // 65536 + x + y) % 256,
+                        ),
+                    )
+                )
+            yield _pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    def raster(payload: bytes) -> bytes:
+        # decode our 24bpp bottom-up BMP to padding-free pixel rows
+        off = int.from_bytes(payload[10:14], "little")
+        w = int.from_bytes(payload[18:22], "little", signed=True)
+        h = int.from_bytes(payload[22:26], "little", signed=True)
+        stride = (3 * w + 3) // 4 * 4
+        rows = [
+            payload[off + (h - 1 - y) * stride :][: 3 * w]
+            for y in range(h)
+        ]
+        return f"{w}x{h}:".encode() + b"".join(rows)
+
+    def fingerprint(batches):
+        for pdf in batches:
+            fps = []
+            for p in pdf["payload"]:
+                parse_bmp(bytes(p))  # validate through the real parser
+                fps.append(
+                    _hashlib.md5(raster(bytes(p))).hexdigest()
+                )
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "fp": fps})
+
+    encoded = d.mapInPandas(encode, "doc_id long, payload binary")
+    fps = encoded.mapInPandas(fingerprint, "doc_id long, fp string")
+    return (
+        fps.groupBy("fp")
+        .agg(
+            F.count("*").cast("bigint").alias("n_copies"),
+            F.min("doc_id").cast("bigint").alias("keeper"),
+        )
+        .where(F.col("n_copies") > 1)
+        .select(
+            F.expr("keeper div 19").alias("img_group"),
+            "n_copies",
+            "keeper",
+        )
+        .orderBy("img_group")
+    )
