@@ -67,6 +67,7 @@ _QUERY_MODULES = [
     "nibbler_spark.queries.multimodal",
     "nibbler_spark.queries.scale_patterns",
     "nibbler_spark.queries.sketches",
+    "nibbler_spark.queries.ml_exact",
     "nibbler_spark.queries.event_analytics",
     "nibbler_spark.queries.streaming_q",
     "nibbler_spark.queries.nibbler_core_q",

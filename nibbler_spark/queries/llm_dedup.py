@@ -1933,3 +1933,134 @@ def ext_graph_feature_propagation(
     return out.select(
         F.col("node").alias("doc_id"), "f_raw", "f_layer1", "f_layer2"
     ).orderBy("doc_id")
+
+
+@register(
+    "ext_substring_span_dedup",
+    survey_id="EXT-SPAN-DEDUP",
+    category="llm-dedup",
+    oracle="""
+WITH tt AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+gi AS (
+  SELECT doc_id, t, len(t) AS n_tokens,
+         UNNEST(generate_series(1, len(t) - 7)) AS i
+  FROM tt WHERE len(t) >= 8
+),
+g AS (
+  SELECT doc_id, n_tokens, i,
+         array_to_string(t[i : i + 7], ' ') AS gram
+  FROM gi
+),
+dupg AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+ds AS (SELECT g.doc_id, g.i FROM g JOIN dupg USING (gram)),
+isl AS (
+  SELECT doc_id, i,
+         CASE WHEN lag(i) OVER w IS NULL OR i - lag(i) OVER w > 8
+              THEN 1 ELSE 0 END AS is_new
+  FROM ds WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+),
+isl2 AS (
+  SELECT doc_id, i,
+         SUM(is_new) OVER (PARTITION BY doc_id ORDER BY i) AS island
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, island, MAX(i) - MIN(i) + 8 AS span_len
+  FROM isl2 GROUP BY doc_id, island
+),
+per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+         CAST(SUM(span_len) AS BIGINT) AS dup_tokens,
+         CAST(MAX(span_len) AS BIGINT) AS longest_span
+  FROM spans GROUP BY doc_id
+)
+SELECT tt.doc_id, CAST(len(tt.t) AS BIGINT) AS n_tokens,
+       COALESCE(p.n_dup_spans, 0) AS n_dup_spans,
+       COALESCE(p.dup_tokens, 0) AS dup_tokens,
+       COALESCE(p.longest_span, 0) AS longest_span,
+       CAST(COALESCE(p.dup_tokens, 0) AS DOUBLE) / len(tt.t) AS dup_frac
+FROM tt LEFT JOIN per_doc p USING (doc_id)
+ORDER BY tt.doc_id
+""",
+)
+def ext_substring_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring span detection at 8-token-gram
+    granularity — the distributed form of Lee et al.'s ExactSubstr
+    dedup ("Deduplicating Training Data Makes Language Models Better"):
+    a token position is duplicated iff it lies inside an 8-gram whose
+    text occurs >= 2 times anywhere in the corpus (any alignment, unlike
+    ext_paragraph_dedup's chunk-aligned grid), and overlapping /
+    adjacent duplicated grams merge into maximal spans. The suffix-array
+    step of the paper collapses to a gram-count groupBy because span
+    granularity is fixed at the gram width. Per doc: span count,
+    duplicated-token total, longest span, duplicated fraction — the
+    audit report a removal pass would anti-join against.
+
+    Span merge needs no k-x position explode: duplicated STARTS sorted
+    per doc form an island whenever the next start is within gram width
+    (all intervals share length 8, so running-max-end == lag(start)+7),
+    giving spans via one lag + running-sum window on the doc key.
+
+    Scale: gram formation is row-local; the duplicate test is ONE
+    map-side-combinable groupBy on the gram (at 100 TB hash the gram to
+    xxhash64 before the exchange so 8-token strings stay out of the
+    shuffle); island windows partition by doc_id. Nothing all-pairs."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    g = (
+        d.select(
+            "doc_id",
+            "t",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(t) >= 8 THEN sequence(1, size(t) - 7) "
+                    "ELSE CAST(array() AS ARRAY<INT>) END"
+                )
+            ).alias("i"),
+        )
+        .select(
+            "doc_id",
+            "i",
+            F.array_join(F.slice("t", F.col("i"), 8), " ").alias("gram"),
+        )
+    )
+    dupg = g.groupBy("gram").agg(F.count("*").alias("cnt")).where(
+        F.col("cnt") >= 2
+    )
+    ds = g.join(dupg, "gram", "left_semi").select("doc_id", "i")
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("doc_id").orderBy("i")
+    isl = ds.withColumn(
+        "is_new",
+        F.when(
+            F.lag("i").over(w).isNull()
+            | (F.col("i") - F.lag("i").over(w) > 8),
+            1,
+        ).otherwise(0),
+    ).withColumn("island", F.sum("is_new").over(w))
+    spans = isl.groupBy("doc_id", "island").agg(
+        (F.max("i") - F.min("i") + 8).alias("span_len")
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_dup_spans"),
+        F.sum("span_len").cast("bigint").alias("dup_tokens"),
+        F.max("span_len").cast("bigint").alias("longest_span"),
+    )
+    return (
+        d.select("doc_id", F.size("t").cast("bigint").alias("n_tokens"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+            F.coalesce("longest_span", F.lit(0)).alias("longest_span"),
+            (
+                F.coalesce("dup_tokens", F.lit(0)).cast("double")
+                / F.col("n_tokens")
+            ).alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )

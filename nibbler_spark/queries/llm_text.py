@@ -1251,3 +1251,74 @@ def ext_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("classes_violating_k5"),
         (F.min("grp_n") >= 5).alias("is_k5_anonymous"),
     )
+
+
+@register(
+    "ext_data_card_report",
+    survey_id="EXT-DATACARD",
+    category="llm-text",
+    oracle="""
+WITH base AS (
+  SELECT source, lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+         n_chars
+  FROM documents
+)
+SELECT COALESCE(source, 'ALL') AS source,
+       COALESCE(lang, 'ALL') AS lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(CAST(n_toks AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+         AS avg_tokens,
+       ROUND(quantile_cont(n_toks, 0.5), 4) AS p50_tokens,
+       MIN(n_toks) AS min_tokens,
+       MAX(n_toks) AS max_tokens
+FROM base
+GROUP BY ROLLUP (source, lang)
+ORDER BY source, lang
+""",
+)
+def ext_data_card_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset datasheet ("data card") generator — the per-(source,
+    lang) corpus profile with subtotal and grand-total rows that
+    accompanies a training-data release: document counts, token and
+    character volume, mean / median / extreme document lengths, at
+    every ROLLUP level (source x lang, per-source, corpus-wide). Token
+    counts are integers so every sum is exact; the mean is the
+    decimal-exact davg form; the interpolated median rounds to 4
+    (d17 precedent). Scale: one pass — ROLLUP computes all three
+    grouping levels inside a single partial/final aggregate (no
+    re-scan per level), keyed on a few dozen composite values; the
+    exact per-group percentile is the only sort, swap in
+    approx_percentile at 100 TB under the same plan."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "source",
+        "lang",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_toks"),
+        "n_chars",
+    )
+    return (
+        d.rollup("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("total_tokens"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            davg("n_toks").alias("avg_tokens"),
+            F.round(F.percentile("n_toks", 0.5), 4).alias("p50_tokens"),
+            F.min("n_toks").alias("min_tokens"),
+            F.max("n_toks").alias("max_tokens"),
+        )
+        .select(
+            F.coalesce("source", F.lit("ALL")).alias("source"),
+            F.coalesce("lang", F.lit("ALL")).alias("lang"),
+            "n_docs",
+            "total_tokens",
+            "total_chars",
+            "avg_tokens",
+            "p50_tokens",
+            "min_tokens",
+            "max_tokens",
+        )
+        .orderBy("source", "lang")
+    )

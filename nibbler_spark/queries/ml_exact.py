@@ -1,0 +1,515 @@
+"""Hash-exact classical-ML training operators (EXT — SURVEY §2.3 scale
+rule; the reference has no relational surface).
+
+Four ML primitives a training-data platform runs in-engine rather than
+exporting to a modeling stack: a decision-stump (one-level CART) fit, a
+multinomial Naive Bayes classifier, equi-depth feature bucketing, and
+token↔label mutual information for feature selection. Each is written in
+the determinism discipline (NOTES.md playbook): all statistics reduce to
+INTEGER counts first (exact at any partitioning), impurity/probability
+arithmetic is a fixed IEEE-double expression tree over those integers
+(deterministic — only *order-dependent sums* and *transcendentals* vary
+between engines), and every ln() is evaluated on integers then floored
+to a 1e-9 grid and summed as BIGINT so the scores are bit-exact.
+
+Scale shape (shared by all four): one keyed aggregation from the fact
+table down to a counts table that is tiny (|distinct feature values| ×
+|classes|), then all model math happens on the tiny table with windows /
+broadcast joins. Nothing here ever shuffles model math over fact rows —
+the 100 TB cost is exactly one map-side-combinable groupBy per operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nibbler_spark.queries import register
+from nibbler_spark.queries._helpers import dsum, sql_dsum
+from nibbler_spark.sources import load_table
+
+
+def _gridln(c: Column) -> Column:
+    """floor(ln(x) * 1e9) as BIGINT — the portable log: ln() of an
+    integer-valued double differs between libm and the JVM by ulps, but
+    flooring to a 1e-9 grid absorbs that (boundary flips need the true
+    value within ~1e-16 of a grid line — negligible for the small set of
+    distinct integer arguments these queries evaluate)."""
+    return F.floor(F.log(c) * F.lit(1000000000.0)).cast("bigint")
+
+
+_SQL_GRIDLN = "CAST(FLOOR(LN({x}) * 1e9) AS BIGINT)"
+
+
+@register(
+    "ext_decision_stump",
+    survey_id="EXT-STUMP",
+    category="ml",
+    oracle="""
+WITH rows_f AS (
+  SELECT CAST(l_quantity AS INTEGER) AS qty,
+         CAST(ROUND(l_discount * 100) AS INTEGER) AS disc_cents,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS pos
+  FROM lineitem
+),
+hist AS (
+  SELECT 'qty' AS feature, qty AS v,
+         COUNT(*) AS n, SUM(pos) AS npos
+  FROM rows_f GROUP BY qty
+  UNION ALL
+  SELECT 'disc_cents' AS feature, disc_cents AS v,
+         COUNT(*) AS n, SUM(pos) AS npos
+  FROM rows_f GROUP BY disc_cents
+),
+cum AS (
+  SELECT feature, v,
+         CAST(SUM(n) OVER w AS BIGINT) AS nl,
+         CAST(SUM(npos) OVER w AS BIGINT) AS pl,
+         CAST(SUM(n) OVER f AS BIGINT) AS nt,
+         CAST(SUM(npos) OVER f AS BIGINT) AS pt,
+         MAX(v) OVER f AS vmax
+  FROM hist
+  WINDOW w AS (PARTITION BY feature ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         f AS (PARTITION BY feature)
+),
+split AS (
+  SELECT feature, v AS threshold, nl, nt - nl AS nr,
+         (CAST(nl AS DOUBLE)
+            - (CAST(pl AS DOUBLE) * CAST(pl AS DOUBLE)
+               + CAST(nl - pl AS DOUBLE) * CAST(nl - pl AS DOUBLE))
+              / CAST(nl AS DOUBLE)
+          + CAST(nt - nl AS DOUBLE)
+            - (CAST(pt - pl AS DOUBLE) * CAST(pt - pl AS DOUBLE)
+               + CAST((nt - nl) - (pt - pl) AS DOUBLE)
+                 * CAST((nt - nl) - (pt - pl) AS DOUBLE))
+              / CAST(nt - nl AS DOUBLE))
+         / CAST(nt AS DOUBLE) AS gini,
+         CASE WHEN 2 * pl >= nl THEN 'R' ELSE 'other' END AS left_label,
+         CASE WHEN 2 * (pt - pl) >= (nt - nl) THEN 'R' ELSE 'other' END
+           AS right_label
+  FROM cum WHERE v < vmax
+)
+SELECT feature, threshold, gini, nl AS n_left, nr AS n_right,
+       left_label, right_label
+FROM split ORDER BY gini, feature, threshold LIMIT 1
+""",
+)
+def ext_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-level CART fit (decision stump) predicting returns
+    (l_returnflag = 'R') from quantity and discount: the exact
+    weighted-Gini-minimizing (feature, threshold) split. The classic
+    distributed tree algorithm: ONE map-side-combinable groupBy builds a
+    per-feature-value class histogram (≤ ~60 rows total), cumulative
+    sums over the histogram give every candidate split's left/right
+    class counts, and the Gini of each split is a fixed double
+    expression over those integers — bit-identical across engines with
+    no rounding, because IEEE +,-,*,/ on identical operands are
+    deterministic (only transcendentals and reduction order aren't).
+    At 100 TB this is exactly how Spark MLlib's tree fit works
+    (candidate-bin statistics, not per-row sorting): the fact scan is
+    the only big stage, the split search runs on kilobytes."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rows_f = li.select(
+        F.col("l_quantity").cast("int").alias("qty"),
+        F.round(F.col("l_discount") * 100).cast("int").alias("disc_cents"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("pos"),
+    )
+    hists = []
+    for feat in ("qty", "disc_cents"):
+        hists.append(
+            rows_f.groupBy(F.col(feat).alias("v"))
+            .agg(F.count("*").alias("n"), F.sum("pos").alias("npos"))
+            .select(F.lit(feat).alias("feature"), "v", "n", "npos")
+        )
+    hist = hists[0].unionAll(hists[1])
+    w = (
+        Window.partitionBy("feature")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    f_all = Window.partitionBy("feature")
+    cum = hist.select(
+        "feature",
+        "v",
+        F.sum("n").over(w).cast("bigint").alias("nl"),
+        F.sum("npos").over(w).cast("bigint").alias("pl"),
+        F.sum("n").over(f_all).cast("bigint").alias("nt"),
+        F.sum("npos").over(f_all).cast("bigint").alias("pt"),
+        F.max("v").over(f_all).alias("vmax"),
+    ).where(F.col("v") < F.col("vmax"))
+    nl_d = F.col("nl").cast("double")
+    pl_d = F.col("pl").cast("double")
+    ql_d = (F.col("nl") - F.col("pl")).cast("double")
+    nr_d = (F.col("nt") - F.col("nl")).cast("double")
+    pr_d = (F.col("pt") - F.col("pl")).cast("double")
+    qr_d = ((F.col("nt") - F.col("nl")) - (F.col("pt") - F.col("pl"))).cast(
+        "double"
+    )
+    gini = (
+        nl_d
+        - (pl_d * pl_d + ql_d * ql_d) / nl_d
+        + nr_d
+        - (pr_d * pr_d + qr_d * qr_d) / nr_d
+    ) / F.col("nt").cast("double")
+    return (
+        cum.select(
+            "feature",
+            F.col("v").alias("threshold"),
+            gini.alias("gini"),
+            F.col("nl").alias("n_left"),
+            (F.col("nt") - F.col("nl")).alias("n_right"),
+            F.when(2 * F.col("pl") >= F.col("nl"), "R")
+            .otherwise("other")
+            .alias("left_label"),
+            F.when(
+                2 * (F.col("pt") - F.col("pl"))
+                >= (F.col("nt") - F.col("nl")),
+                "R",
+            )
+            .otherwise("other")
+            .alias("right_label"),
+        )
+        .orderBy("gini", "feature", "threshold")
+        .limit(1)
+    )
+
+
+_NB_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS w
+  FROM documents
+),
+tokc AS (
+  SELECT lang AS l, w, COUNT(*) AS c FROM toks GROUP BY lang, w
+),
+nl AS (
+  SELECT l, CAST(SUM(c) AS BIGINT) AS n_l FROM tokc GROUP BY l
+),
+vocab AS (SELECT COUNT(DISTINCT w) AS v FROM toks),
+dl AS (SELECT lang AS l, COUNT(*) AS d_l FROM documents GROUP BY lang),
+dtot AS (SELECT COUNT(*) AS d FROM documents),
+m AS (
+  SELECT doc_id, lang AS actual, w, COUNT(*) AS mw
+  FROM toks GROUP BY doc_id, lang, w
+),
+docsum AS (
+  SELECT doc_id, actual, CAST(SUM(mw) AS BIGINT) AS t_doc
+  FROM m GROUP BY doc_id, actual
+),
+terms AS (
+  SELECT m.doc_id, tokc.l,
+         CAST(SUM(m.mw * {_SQL_GRIDLN.format(x='tokc.c + 1')}) AS BIGINT)
+           AS term_sum
+  FROM m JOIN tokc ON m.w = tokc.w
+  GROUP BY m.doc_id, tokc.l
+),
+scored AS (
+  SELECT ds.doc_id, ds.actual, nl.l,
+         ({_SQL_GRIDLN.format(x='dl.d_l')}
+          - {_SQL_GRIDLN.format(x='dtot.d')}
+          + COALESCE(t.term_sum, 0)
+          - ds.t_doc * {_SQL_GRIDLN.format(x='nl.n_l + vocab.v')})
+           AS score_e9
+  FROM docsum ds
+  CROSS JOIN nl
+  CROSS JOIN vocab
+  CROSS JOIN dtot
+  JOIN dl ON dl.l = nl.l
+  LEFT JOIN terms t ON t.doc_id = ds.doc_id AND t.l = nl.l
+),
+pred AS (
+  SELECT doc_id, actual, l AS pred_lang,
+         row_number() OVER (
+           PARTITION BY doc_id ORDER BY score_e9 DESC, l ASC) AS rk
+  FROM scored
+)
+SELECT actual AS actual_lang, pred_lang, COUNT(*) AS n_docs
+FROM pred WHERE rk = 1
+GROUP BY actual, pred_lang
+ORDER BY actual_lang, pred_lang
+"""
+
+
+@register(
+    "ext_naive_bayes",
+    survey_id="EXT-NBAYES",
+    category="ml",
+    oracle=_NB_ORACLE,
+)
+def ext_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier, trained and
+    evaluated in-engine on the documents table (training-set confusion
+    matrix — the standard in-pipeline smoke evaluation). Laplace-1
+    smoothing; score(doc, l) = ln P(l) + Σ_w m_w·ln((c_wl+1)/(N_l+V)).
+    Determinism: every ln() argument is an INTEGER (count+1, class token
+    totals, doc counts), evaluated once per distinct integer and floored
+    to a 1e-9 grid (bigint), so per-doc scores are exact BIGINT sums —
+    no order-dependent double accumulation anywhere. Unseen (w,l) pairs
+    contribute ln(0+1)=0, so the per-class term sum needs only an INNER
+    join against the observed count table (no |classes|× fanout of the
+    token stream); the |classes| fanout happens on the per-doc summary.
+    Scale: token counts are one map-side-combinable groupBy; the scoring
+    join shuffles on the token key; priors/class totals broadcast.
+    argmax via a doc_id-partitioned row_number (score desc, lang asc)."""
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
+    )
+    tokc = toks.groupBy(F.col("lang").alias("l"), "w").agg(
+        F.count("*").alias("c")
+    )
+    n_l = tokc.groupBy("l").agg(F.sum("c").cast("bigint").alias("n_l"))
+    vocab = toks.agg(F.countDistinct("w").alias("v"))
+    d_l = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy(F.col("lang").alias("l"))
+        .agg(F.count("*").alias("d_l"))
+    )
+    dtot = load_table(spark, sf_dir, "documents").agg(
+        F.count("*").alias("d")
+    )
+    m = toks.groupBy("doc_id", F.col("lang").alias("actual"), "w").agg(
+        F.count("*").alias("mw")
+    )
+    docsum = m.groupBy("doc_id", "actual").agg(
+        F.sum("mw").cast("bigint").alias("t_doc")
+    )
+    terms = (
+        m.join(tokc, "w")
+        .groupBy("doc_id", "l")
+        .agg(
+            F.sum(F.col("mw") * _gridln(F.col("c") + 1))
+            .cast("bigint")
+            .alias("term_sum")
+        )
+    )
+    class_const = (
+        n_l.join(d_l, "l")
+        .crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(dtot))
+        .select(
+            "l",
+            (
+                _gridln(F.col("d_l"))
+                - _gridln(F.col("d"))
+            ).alias("prior_g"),
+            _gridln(F.col("n_l") + F.col("v")).alias("denom_g"),
+        )
+    )
+    scored = (
+        docsum.crossJoin(F.broadcast(class_const))
+        .join(terms, ["doc_id", "l"], "left")
+        .select(
+            "doc_id",
+            "actual",
+            "l",
+            (
+                F.col("prior_g")
+                + F.coalesce(F.col("term_sum"), F.lit(0))
+                - F.col("t_doc") * F.col("denom_g")
+            ).alias("score_e9"),
+        )
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy(
+        F.col("score_e9").desc(), F.col("l").asc()
+    )
+    pred = scored.withColumn("rk", F.row_number().over(w_doc)).where(
+        F.col("rk") == 1
+    )
+    return (
+        pred.groupBy(
+            F.col("actual").alias("actual_lang"),
+            F.col("l").alias("pred_lang"),
+        )
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("actual_lang", "pred_lang")
+    )
+
+
+@register(
+    "ext_equidepth_bucketing",
+    survey_id="EXT-EQUIDEPTH",
+    category="ml",
+    oracle=f"""
+WITH cuts AS (
+  SELECT quantile_cont(o_totalprice,
+           [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS q
+  FROM orders
+),
+b AS (
+  SELECT CAST(
+           (CASE WHEN o_totalprice > q[1] THEN 1 ELSE 0 END)
+         + (CASE WHEN o_totalprice > q[2] THEN 1 ELSE 0 END)
+         + (CASE WHEN o_totalprice > q[3] THEN 1 ELSE 0 END)
+         + (CASE WHEN o_totalprice > q[4] THEN 1 ELSE 0 END)
+         + (CASE WHEN o_totalprice > q[5] THEN 1 ELSE 0 END)
+         + (CASE WHEN o_totalprice > q[6] THEN 1 ELSE 0 END)
+         + (CASE WHEN o_totalprice > q[7] THEN 1 ELSE 0 END)
+         + (CASE WHEN o_totalprice > q[8] THEN 1 ELSE 0 END)
+         + (CASE WHEN o_totalprice > q[9] THEN 1 ELSE 0 END)
+         AS INTEGER) AS bucket,
+         o_totalprice
+  FROM orders CROSS JOIN cuts
+)
+SELECT bucket, COUNT(*) AS n,
+       MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi,
+       {sql_dsum('o_totalprice')} AS total
+FROM b GROUP BY bucket ORDER BY bucket
+""",
+)
+def ext_equidepth_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (decile) feature discretization of o_totalprice — the
+    quantile-binning step of feature pipelines (Spark MLlib
+    QuantileDiscretizer semantics, exact cuts). Cut points come from the
+    exact interpolated percentile (both engines interpolate linearly on
+    identical doubles — d17 precedent); each row's bucket is the count
+    of cuts strictly below it, written as a fixed 9-term expression so
+    the comparison set is identical in both engines. Scale: the cuts
+    are one aggregate (at 100 TB swap in approx_percentile and the
+    same plan holds — the discretization join is a 1-row broadcast
+    either way); bucket assignment is row-local; the profile is one
+    map-side-combinable groupBy on a 10-value key."""
+    o = load_table(spark, sf_dir, "orders")
+    cuts = o.agg(
+        F.percentile(
+            "o_totalprice",
+            F.array(*[F.lit(x / 10.0) for x in range(1, 10)]),
+        ).alias("q")
+    )
+    bucket = sum(
+        F.when(F.col("o_totalprice") > F.col("q")[i], 1).otherwise(0)
+        for i in range(9)
+    ).cast("int")
+    b = o.crossJoin(F.broadcast(cuts)).select(
+        bucket.alias("bucket"), "o_totalprice"
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+            dsum("o_totalprice").alias("total"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "ext_mutual_information",
+    survey_id="EXT-MI",
+    category="ml",
+    oracle="""
+WITH pres AS (
+  SELECT DISTINCT doc_id, lang, UNNEST(string_split(text, ' ')) AS w
+  FROM documents
+),
+df AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS n1
+  FROM pres GROUP BY w
+  HAVING COUNT(*) BETWEEN 10 AND 200
+),
+dl AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS d_l
+       FROM documents GROUP BY lang),
+dtot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+cells AS (
+  SELECT p.w, p.lang, CAST(COUNT(*) AS BIGINT) AS n11,
+         ANY_VALUE(df.n1) AS n1
+  FROM pres p JOIN df ON p.w = df.w
+  GROUP BY p.w, p.lang
+),
+mi AS (
+  SELECT c.w, c.lang,
+         CASE WHEN c.n11 = 0 THEN 0.0 ELSE
+           (CAST(c.n11 AS DOUBLE) / n)
+           * LN(CAST(n AS DOUBLE) * c.n11
+                / (CAST(c.n1 AS DOUBLE) * dl.d_l)) END
+       + CASE WHEN c.n1 - c.n11 = 0 THEN 0.0 ELSE
+           (CAST(c.n1 - c.n11 AS DOUBLE) / n)
+           * LN(CAST(n AS DOUBLE) * (c.n1 - c.n11)
+                / (CAST(c.n1 AS DOUBLE) * (n - dl.d_l))) END
+       + CASE WHEN dl.d_l - c.n11 = 0 THEN 0.0 ELSE
+           (CAST(dl.d_l - c.n11 AS DOUBLE) / n)
+           * LN(CAST(n AS DOUBLE) * (dl.d_l - c.n11)
+                / (CAST(n - c.n1 AS DOUBLE) * dl.d_l)) END
+       + CASE WHEN (n - c.n1) - (dl.d_l - c.n11) = 0 THEN 0.0 ELSE
+           (CAST((n - c.n1) - (dl.d_l - c.n11) AS DOUBLE) / n)
+           * LN(CAST(n AS DOUBLE) * ((n - c.n1) - (dl.d_l - c.n11))
+                / (CAST(n - c.n1 AS DOUBLE) * (n - dl.d_l))) END
+         AS mi_raw
+  FROM cells c JOIN dl ON c.lang = dl.lang CROSS JOIN dtot
+)
+SELECT lang, w AS token, ROUND(mi_raw, 6) + 0 AS mi
+FROM mi
+ORDER BY ROUND(mi_raw, 6) DESC, lang, token
+LIMIT 20
+""",
+)
+def ext_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise-complete mutual information I(token-presence; lang) for
+    feature selection — the top-20 most lang-informative mid-frequency
+    tokens (document frequency 10..200). The 2×2 presence table per
+    (token, lang) comes from integer counts only (n11 observed; the
+    other three cells derived from df, class doc counts, and N), the MI
+    sum is a fixed 4-term expression with 0·ln0 = 0 guards, and the
+    transcendental ln is absorbed by rounding the FINAL value to 1e-6
+    (playbook rule 3) — ranking uses the rounded value with (lang,
+    token) tie-breaks so ulp drift cannot reorder. Scale: presence is
+    a distinct over (doc, token) — map-side combinable; every later
+    join is on the token key or broadcast (class counts, N); top-20 is
+    TakeOrderedAndProject."""
+    docs = load_table(spark, sf_dir, "documents")
+    pres = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
+    ).distinct()
+    df_t = (
+        pres.groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("n1"))
+        .where(F.col("n1").between(10, 200))
+    )
+    d_l = docs.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("d_l")
+    )
+    dtot = docs.agg(F.count("*").cast("bigint").alias("n"))
+    cells = (
+        pres.join(df_t, "w")
+        .groupBy("w", "lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n11"),
+            F.any_value("n1").alias("n1"),
+        )
+    )
+    n = F.col("n").cast("double")
+    n11 = F.col("n11").cast("double")
+    n1 = F.col("n1").cast("double")
+    dl = F.col("d_l").cast("double")
+
+    def term(num: Column, lognum: Column, logden: Column) -> Column:
+        return F.when(num == 0, F.lit(0.0)).otherwise(
+            (num / n) * F.log(lognum / logden)
+        )
+
+    mi_raw = (
+        term(n11, n * n11, n1 * dl)
+        + term(n1 - n11, n * (n1 - n11), n1 * (n - dl))
+        + term(dl - n11, n * (dl - n11), (n - n1) * dl)
+        + term(
+            (n - n1) - (dl - n11),
+            n * ((n - n1) - (dl - n11)),
+            (n - n1) * (n - dl),
+        )
+    )
+    mi = (
+        cells.join(F.broadcast(d_l), "lang")
+        .crossJoin(F.broadcast(dtot))
+        .select("lang", "w", mi_raw.alias("mi_raw"))
+    )
+    return (
+        mi.select(
+            "lang",
+            F.col("w").alias("token"),
+            (F.round("mi_raw", 6) + F.lit(0.0)).alias("mi"),
+        )
+        .orderBy(F.col("mi").desc(), "lang", "token")
+        .limit(20)
+    )

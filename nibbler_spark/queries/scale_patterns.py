@@ -1061,3 +1061,104 @@ def ext_scd2_pointintime_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "ext_grid_spatial_join",
+    survey_id="EXT-GRID-JOIN",
+    category="scale-pattern",
+    oracle="""
+WITH pts AS (
+  SELECT event_id,
+         ((event_id % 100000) * 1103515245 + 12345) % 100000 AS xi,
+         ((event_id % 100000) * 69069 + 1) % 100000 AS yi
+  FROM events
+),
+cells AS (
+  SELECT event_id, xi, yi, xi // 500 AS cx, yi // 500 AS cy FROM pts
+),
+offs AS (
+  SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),
+                        (1,-1),(1,0),(1,1)) AS o(dx, dy)
+),
+pairs AS (
+  SELECT a.event_id AS a_id, b.event_id AS b_id,
+         (a.xi - b.xi) * (a.xi - b.xi)
+           + (a.yi - b.yi) * (a.yi - b.yi) AS d2
+  FROM cells a CROSS JOIN offs
+  JOIN cells b
+    ON b.cx = a.cx + offs.dx AND b.cy = a.cy + offs.dy
+  WHERE a.event_id < b.event_id
+    AND (a.xi - b.xi) * (a.xi - b.xi)
+          + (a.yi - b.yi) * (a.yi - b.yi) <= 250000
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs_total FROM pairs)
+SELECT a_id, b_id, d2, n_pairs_total
+FROM pairs CROSS JOIN tot
+ORDER BY d2, a_id, b_id LIMIT 10
+""",
+)
+def ext_grid_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-cell spatial radius join — the canonical distributed
+    nearest-neighbor pattern (geohash / S2-cell bucketing): points land
+    in cells the size of the query radius, candidate pairs come from a
+    3x3 neighbor-cell stencil (probe side explodes its 9 neighbor keys,
+    one equi-join on the cell key), and the exact radius test runs only
+    inside candidates. Coordinates derive deterministically from
+    event_id via integer LCG mixing (mod-reduced BEFORE the multiply so
+    the product stays in bigint at any id magnitude), distances are
+    integer-squared — no trig, no doubles, bit-exact everywhere. Output
+    is the 10 closest pairs plus the total pair count. Scale: 9x probe
+    fanout + one keyed shuffle replaces the all-pairs cross join (the
+    same plan indexes Earth-scale point sets; skewed cells respond to
+    AQE or a finer grid), top-10 is TakeOrderedAndProject."""
+    e = load_table(spark, sf_dir, "events")
+    pts = e.select(
+        "event_id",
+        (((F.col("event_id") % 100000) * 1103515245 + 12345) % 100000)
+        .alias("xi"),
+        (((F.col("event_id") % 100000) * 69069 + 1) % 100000).alias("yi"),
+    )
+    cells = pts.select(
+        "event_id", "xi", "yi",
+        F.expr("xi div 500").alias("cx"),
+        F.expr("yi div 500").alias("cy"),
+    )
+    offs = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    probe = (
+        cells.withColumn("o", F.explode(offs))
+        .select(
+            F.col("event_id").alias("a_id"),
+            F.col("xi").alias("ax"),
+            F.col("yi").alias("ay"),
+            (F.col("cx") + F.col("o.dx")).alias("jx"),
+            (F.col("cy") + F.col("o.dy")).alias("jy"),
+        )
+    )
+    build = cells.select(
+        F.col("event_id").alias("b_id"),
+        F.col("xi").alias("bx"),
+        F.col("yi").alias("by"),
+        F.col("cx").alias("jx"),
+        F.col("cy").alias("jy"),
+    )
+    d2 = (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx")) + (
+        F.col("ay") - F.col("by")
+    ) * (F.col("ay") - F.col("by"))
+    pairs = (
+        probe.join(build, ["jx", "jy"])
+        .where((F.col("a_id") < F.col("b_id")) & (d2 <= 250000))
+        .select("a_id", "b_id", d2.alias("d2"))
+    )
+    tot = pairs.agg(F.count("*").cast("bigint").alias("n_pairs_total"))
+    return (
+        pairs.crossJoin(F.broadcast(tot))
+        .orderBy("d2", "a_id", "b_id")
+        .limit(10)
+    )

@@ -1448,3 +1448,66 @@ def ext_incremental_mv_maintenance(
         "cents",
         F.lit(bool(incremental)).alias("incremental"),
     ).orderBy("o_orderstatus")
+
+
+_GROUP_BY_ALL_SQL = """
+SELECT o_orderpriority, o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+GROUP BY ALL
+ORDER BY ALL
+"""
+
+
+@register(
+    "sql09_group_by_all",
+    survey_id="EXT-SQL-GBALL",
+    category="sql-surface",
+    oracle=_GROUP_BY_ALL_SQL,
+)
+def sql09_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL / ORDER BY ALL — the analyst-ergonomics syntax both
+    engines resolve the same way (non-aggregate select items become the
+    group keys; the sort covers the full output column list left to
+    right). The IDENTICAL SQL text runs on both engines, pinning the
+    resolution semantics rather than approximating them; revenue is the
+    decimal-exact sum so the hash survives any partitioning. Scale: a
+    plain partial/final aggregate on a 6-value composite key."""
+    register_temp_views(spark, sf_dir)
+    return spark.sql(_GROUP_BY_ALL_SQL)
+
+
+_EXISTS_SQL = """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+)
+AND NOT EXISTS (
+  SELECT 1 FROM orders o2
+  WHERE o2.o_custkey = c.c_custkey AND o2.o_orderpriority = '1-URGENT'
+)
+ORDER BY c_custkey
+"""
+
+
+@register(
+    "sql10_exists_subquery",
+    survey_id="EXT-SQL-EXISTS",
+    category="sql-surface",
+    oracle=_EXISTS_SQL,
+)
+def sql10_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS subqueries (sql01 covers the
+    IN/NOT IN flavor): customers with at least one 300k+ order and no
+    urgent orders — IDENTICAL SQL text on both engines. Catalyst
+    rewrites the pair into a left-semi plus a left-anti join on
+    custkey (visible in the plan; same decorrelation DuckDB performs),
+    so despite the correlated-subquery surface the physical shape is
+    two keyed joins, no per-row re-execution — the property that makes
+    the syntax safe at 100 TB."""
+    register_temp_views(spark, sf_dir)
+    return spark.sql(_EXISTS_SQL)
