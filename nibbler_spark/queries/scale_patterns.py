@@ -1070,8 +1070,10 @@ def ext_scd2_pointintime_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH pts AS (
   SELECT event_id,
-         ((event_id % 100000) * 1103515245 + 12345) % 100000 AS xi,
-         ((event_id % 100000) * 69069 + 1) % 100000 AS yi
+         CAST(('0x' || substr(md5('x:' || event_id), 1, 12)) AS BIGINT)
+           % 100000 AS xi,
+         CAST(('0x' || substr(md5('y:' || event_id), 1, 12)) AS BIGINT)
+           % 100000 AS yi
   FROM events
 ),
 cells AS (
@@ -1105,19 +1107,20 @@ def ext_grid_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     3x3 neighbor-cell stencil (probe side explodes its 9 neighbor keys,
     one equi-join on the cell key), and the exact radius test runs only
     inside candidates. Coordinates derive deterministically from
-    event_id via integer LCG mixing (mod-reduced BEFORE the multiply so
-    the product stays in bigint at any id magnitude), distances are
-    integer-squared — no trig, no doubles, bit-exact everywhere. Output
+    event_id via the portable md5-nibble hash (48 hash bits mod 1e5 per
+    axis — genuinely scattered, unlike an LCG whose lattice structure
+    starves the radius of pairs), distances are integer-squared — no trig, no doubles, bit-exact everywhere. Output
     is the 10 closest pairs plus the total pair count. Scale: 9x probe
     fanout + one keyed shuffle replaces the all-pairs cross join (the
     same plan indexes Earth-scale point sets; skewed cells respond to
     AQE or a finer grid), top-10 is TakeOrderedAndProject."""
     e = load_table(spark, sf_dir, "events")
+    def coord(prefix: str):
+        h = F.md5(F.concat(F.lit(prefix + ":"), F.col("event_id").cast("string")))
+        return (F.conv(F.substring(h, 1, 12), 16, 10).cast("bigint")) % 100000
+
     pts = e.select(
-        "event_id",
-        (((F.col("event_id") % 100000) * 1103515245 + 12345) % 100000)
-        .alias("xi"),
-        (((F.col("event_id") % 100000) * 69069 + 1) % 100000).alias("yi"),
+        "event_id", coord("x").alias("xi"), coord("y").alias("yi")
     )
     cells = pts.select(
         "event_id", "xi", "yi",

@@ -2222,3 +2222,83 @@ def i20_stream_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _drain_to_memory(agg, "complete")
     return out.orderBy("event_type", "bar_start")
+
+
+@register(
+    "i21_stream_topk_state",
+    survey_id="EXT-STREAM-TOPK",
+    category="streaming",
+    mode="parity",
+    oracle="""
+SELECT event_type, rk AS rank, event_id, value_cents FROM (
+  SELECT event_type,
+         CAST(FLOOR(value * 100) AS BIGINT) AS value_cents, event_id,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY CAST(FLOOR(value * 100) AS BIGINT) DESC, event_id
+         ) AS rk
+  FROM events
+) WHERE rk <= 5
+ORDER BY event_type, rank
+""",
+)
+def i21_stream_topk_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-key top-k (applyInPandasWithState): each
+    event_type's state is its running top-5 (value_cents desc,
+    event_id asc) — a bounded, mergeable summary, the streaming
+    analogue of F4's batch top-k-per-group. Every micro-batch merges
+    its rows into the 5-element state and re-emits the current top-5
+    tagged with a monotone seen-count; the final emission per key (max
+    seen-count) must equal the batch window top-5 — the parity check.
+    Cents are integer so ordering is exact; (cents, event_id) is a
+    total order. Scale: state is O(k) per key regardless of stream
+    length (the property that makes streaming top-k viable at all);
+    the batch-side recovery of the final emission partitions by
+    event_type only."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    src = _read_stream(spark, _events_dir(spark, sf_dir))
+
+    def topk(key, pdfs, state: GroupState):
+        (event_type,) = key
+        if state.exists:
+            vals, ids, n_seen = state.get
+            pairs = list(zip(list(vals), list(ids)))
+        else:
+            pairs, n_seen = [], 0
+        for pdf in pdfs:
+            n_seen += len(pdf)
+            for v, eid in zip(pdf["value"], pdf["event_id"]):
+                pairs.append((int(v * 100 // 1), int(eid)))
+        pairs.sort(key=lambda p: (-p[0], p[1]))
+        pairs = pairs[:5]
+        state.update(([p[0] for p in pairs], [p[1] for p in pairs], n_seen))
+        yield pd.DataFrame(
+            {
+                "event_type": [event_type] * len(pairs),
+                "rank": list(range(1, len(pairs) + 1)),
+                "event_id": [p[1] for p in pairs],
+                "value_cents": [p[0] for p in pairs],
+                "n_seen": [n_seen] * len(pairs),
+            }
+        )
+
+    result = src.groupBy("event_type").applyInPandasWithState(
+        topk,
+        "event_type string, rank long, event_id long, "
+        "value_cents long, n_seen long",
+        "vals array<long>, ids array<long>, n long",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+    out = _drain_to_memory(result, "update")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type")
+    return (
+        out.withColumn("max_seen", F.max("n_seen").over(w))
+        .where(F.col("n_seen") == F.col("max_seen"))
+        .select("event_type", "rank", "event_id", "value_cents")
+        .orderBy("event_type", "rank")
+    )
