@@ -1439,3 +1439,235 @@ def ext_attribution_last_touch(
         )
         .orderBy("touch_channel")
     )
+
+
+@register(
+    "ext_rfm_segmentation",
+    survey_id="EXT-RFM",
+    category="event-analytics",
+    oracle="""
+WITH cust AS (
+  SELECT o_custkey,
+         date_diff('day', MAX(o_orderdate),
+                   (SELECT MAX(o_orderdate) FROM orders)) AS recency_days,
+         COUNT(*) AS frequency,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+           AS monetary
+  FROM orders GROUP BY o_custkey
+),
+cuts AS (
+  SELECT quantile_cont(recency_days, [0.2, 0.4, 0.6, 0.8]) AS rq,
+         quantile_cont(CAST(frequency AS DOUBLE),
+                       [0.2, 0.4, 0.6, 0.8]) AS fq,
+         quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]) AS mq
+  FROM cust
+),
+scored AS (
+  SELECT o_custkey, monetary,
+         5 - ((CASE WHEN recency_days > rq[1] THEN 1 ELSE 0 END)
+            + (CASE WHEN recency_days > rq[2] THEN 1 ELSE 0 END)
+            + (CASE WHEN recency_days > rq[3] THEN 1 ELSE 0 END)
+            + (CASE WHEN recency_days > rq[4] THEN 1 ELSE 0 END))
+           AS r_score,
+         1 + (CASE WHEN frequency > fq[1] THEN 1 ELSE 0 END)
+           + (CASE WHEN frequency > fq[2] THEN 1 ELSE 0 END)
+           + (CASE WHEN frequency > fq[3] THEN 1 ELSE 0 END)
+           + (CASE WHEN frequency > fq[4] THEN 1 ELSE 0 END)
+           AS f_score,
+         1 + (CASE WHEN monetary > mq[1] THEN 1 ELSE 0 END)
+           + (CASE WHEN monetary > mq[2] THEN 1 ELSE 0 END)
+           + (CASE WHEN monetary > mq[3] THEN 1 ELSE 0 END)
+           + (CASE WHEN monetary > mq[4] THEN 1 ELSE 0 END)
+           AS m_score
+  FROM cust CROSS JOIN cuts
+)
+SELECT r_score, f_score, m_score,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CAST(monetary AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+         AS avg_monetary
+FROM scored
+GROUP BY r_score, f_score, m_score
+ORDER BY r_score, f_score, m_score
+""",
+)
+def ext_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — the classic CRM scoring: per
+    customer recency (days since last order, against the corpus max
+    date), frequency (order count), monetary (decimal-exact lifetime
+    revenue), each quintile-scored 1–5 (5 best; recency inverts —
+    recent = high). Scores come from exact 20/40/60/80th-percentile
+    cuts broadcast to every row — NO global ranking window (the
+    unpartitioned-ntile trap); each score is a fixed 4-comparison
+    expression against identical cut doubles, so it is deterministic
+    and the whole query is two keyed aggregates plus a 1-row
+    broadcast. At 100 TB swap the exact percentile for
+    approx_percentile and the plan is unchanged. Output: the segment
+    histogram with decimal-exact average spend."""
+    o = load_table(spark, sf_dir, "orders")
+    from nibbler_spark.queries._helpers import davg, dec
+
+    maxd = o.agg(F.max("o_orderdate").alias("maxd"))
+    cust = (
+        o.crossJoin(F.broadcast(maxd))
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(F.any_value("maxd"), F.max("o_orderdate")).alias(
+                "recency_days"
+            ),
+            F.count("*").alias("frequency"),
+            F.sum(dec("o_totalprice")).cast("double").alias("monetary"),
+        )
+    )
+    cuts = cust.agg(
+        F.percentile(
+            "recency_days", F.array(*[F.lit(x) for x in (0.2, 0.4, 0.6, 0.8)])
+        ).alias("rq"),
+        F.percentile(
+            F.col("frequency").cast("double"),
+            F.array(*[F.lit(x) for x in (0.2, 0.4, 0.6, 0.8)]),
+        ).alias("fq"),
+        F.percentile(
+            "monetary", F.array(*[F.lit(x) for x in (0.2, 0.4, 0.6, 0.8)])
+        ).alias("mq"),
+    )
+
+    def score(col: str, q: str) -> F.Column:
+        return sum(
+            F.when(F.col(col) > F.col(q)[i], 1).otherwise(0)
+            for i in range(4)
+        )
+
+    scored = cust.crossJoin(F.broadcast(cuts)).select(
+        "o_custkey",
+        "monetary",
+        (5 - score("recency_days", "rq")).alias("r_score"),
+        (1 + score("frequency", "fq")).alias("f_score"),
+        (1 + score("monetary", "mq")).alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count("*").alias("n_customers"),
+            davg("monetary").alias("avg_monetary"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+@register(
+    "ext_market_basket",
+    survey_id="EXT-BASKET",
+    category="event-analytics",
+    oracle="""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+n_orders AS (
+  SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM lineitem
+),
+supp AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS s FROM items
+  GROUP BY l_partkey
+),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         CAST(COUNT(*) AS BIGINT) AS n_both
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING COUNT(*) >= 3
+),
+rules AS (
+  SELECT part_a, part_b, n_both, sa.s AS n_a, sb.s AS n_b,
+         CAST(n_both AS DOUBLE) / sa.s AS confidence,
+         CAST(n AS DOUBLE) * n_both
+           / (CAST(sa.s AS DOUBLE) * sb.s) AS lift
+  FROM pairs
+  JOIN supp sa ON sa.l_partkey = part_a
+  JOIN supp sb ON sb.l_partkey = part_b
+  CROSS JOIN n_orders
+)
+SELECT part_a, part_b, n_both, n_a, n_b,
+       ROUND(confidence, 6) + 0 AS confidence,
+       ROUND(lift, 6) + 0 AS lift
+FROM rules
+ORDER BY ROUND(lift, 6) DESC, part_a, part_b
+LIMIT 20
+""",
+)
+def ext_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules (the Apriori pair stage): for
+    part pairs co-purchased in >= 3 orders, support, confidence
+    P(b|a), and lift N*supp(ab)/(supp(a)*supp(b)); top-20 by lift.
+    All statistics are integer counts; confidence/lift are single
+    divisions of exact integers (deterministic IEEE), rounded to 1e-6
+    only for rank stability with (part_a, part_b) tie-breaks. Scale:
+    the pair generation self-joins the distinct (order, part) table on
+    the ORDER key — fanout bounded by per-basket size squared, never by
+    catalog size (the same reason FP-growth shards by transaction);
+    support joins are keyed on part; the order count broadcasts; top-20
+    is TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = li.agg(
+        F.countDistinct("l_orderkey").cast("bigint").alias("n")
+    )
+    supp = items.groupBy("l_partkey").agg(
+        F.count("*").cast("bigint").alias("s")
+    )
+    a = items.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = items.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        a.join(b, "ok")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").cast("bigint").alias("n_both"))
+        .where(F.col("n_both") >= 3)
+    )
+    rules = (
+        pairs.join(
+            supp.select(
+                F.col("l_partkey").alias("part_a"), F.col("s").alias("n_a")
+            ),
+            "part_a",
+        )
+        .join(
+            supp.select(
+                F.col("l_partkey").alias("part_b"), F.col("s").alias("n_b")
+            ),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            (F.col("n_both").cast("double") / F.col("n_a")).alias(
+                "confidence"
+            ),
+            (
+                F.col("n").cast("double")
+                * F.col("n_both")
+                / (F.col("n_a").cast("double") * F.col("n_b"))
+            ).alias("lift"),
+        )
+    )
+    return (
+        rules.select(
+            "part_a",
+            "part_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            (F.round("confidence", 6) + F.lit(0.0)).alias("confidence"),
+            (F.round("lift", 6) + F.lit(0.0)).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "part_a", "part_b")
+        .limit(20)
+    )
