@@ -503,6 +503,8 @@ def decode_image(payload: bytes) -> dict:
         return decode_jpeg(payload)
     if payload[:4] == b"II\x2a\x00":
         return parse_tiff(payload)
+    if payload[:4] == b"qoif":
+        return parse_qoi(payload)
     raise ImageFormatError("unknown container format")
 
 
@@ -1282,3 +1284,140 @@ def encode_wav_adpcm(samples: list[int], sample_rate: int = 8000) -> bytes:
         + (b"\x00" if len(block) & 1 else b"")
     )
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def encode_qoi(
+    width: int, height: int, pixel: Callable[[int, int], tuple[int, int, int]]
+) -> bytes:
+    """From-scratch QOI encoder (qoiformat.org spec, public domain):
+    14-byte header, then the five op chunks — RUN (pixel repeats),
+    INDEX (64-slot seen-pixel hash array), DIFF (2-bit channel deltas),
+    LUMA (6-bit green delta + 4-bit red/blue deltas relative to it),
+    and the literal RGB op — closed by the 7x00+01 end marker. Priority
+    order matches the reference encoder: run, index, diff, luma, rgb;
+    every emitted pixel is inserted into the index array."""
+    out = bytearray(b"qoif")
+    out += width.to_bytes(4, "big") + height.to_bytes(4, "big")
+    out += bytes([3, 0])  # RGB channels, sRGB colorspace
+    index = [(0, 0, 0, 0)] * 64
+    prev = (0, 0, 0, 255)
+    run = 0
+    for y in range(height):
+        for x in range(width):
+            r, g, b = pixel(x, y)
+            px = (r & 255, g & 255, b & 255, 255)
+            if px == prev:
+                # reference encoder indexes run pixels too (usually a
+                # no-op, but the very first pixels may equal the
+                # implicit (0,0,0,255) start pixel that was never
+                # emitted — decoders must agree on the slot)
+                index[(px[0] * 3 + px[1] * 5 + px[2] * 7 + px[3] * 11) % 64] = px
+                run += 1
+                if run == 62:
+                    out.append(0b11000000 | (run - 1))
+                    run = 0
+                continue
+            if run:
+                out.append(0b11000000 | (run - 1))
+                run = 0
+            h = (px[0] * 3 + px[1] * 5 + px[2] * 7 + px[3] * 11) % 64
+            if index[h] == px:
+                out.append(h)
+            else:
+                index[h] = px
+                dr = (px[0] - prev[0]) & 255
+                dg = (px[1] - prev[1]) & 255
+                db = (px[2] - prev[2]) & 255
+                # interpret as signed wraparound deltas
+                sdr = dr - 256 if dr > 127 else dr
+                sdg = dg - 256 if dg > 127 else dg
+                sdb = db - 256 if db > 127 else db
+                if -2 <= sdr <= 1 and -2 <= sdg <= 1 and -2 <= sdb <= 1:
+                    out.append(
+                        0b01000000
+                        | ((sdr + 2) << 4)
+                        | ((sdg + 2) << 2)
+                        | (sdb + 2)
+                    )
+                elif (
+                    -32 <= sdg <= 31
+                    and -8 <= sdr - sdg <= 7
+                    and -8 <= sdb - sdg <= 7
+                ):
+                    out.append(0b10000000 | (sdg + 32))
+                    out.append(((sdr - sdg + 8) << 4) | (sdb - sdg + 8))
+                else:
+                    out += bytes([0xFE, px[0], px[1], px[2]])
+            prev = px
+    if run:
+        out.append(0b11000000 | (run - 1))
+    out += b"\x00" * 7 + b"\x01"
+    return bytes(out)
+
+
+def parse_qoi(payload: bytes) -> dict:
+    """QOI decoder mirroring :func:`encode_qoi` (full spec: all five
+    ops plus RGBA literals), returning the standard image-stat dict.
+    pixel_sum covers RGB only (alpha excluded) to match the other
+    image parsers."""
+    if payload[:4] != b"qoif":
+        raise ImageFormatError("bad QOI magic")
+    width = int.from_bytes(payload[4:8], "big")
+    height = int.from_bytes(payload[8:12], "big")
+    channels, _cs = payload[12], payload[13]
+    if channels not in (3, 4):
+        raise ImageFormatError("bad QOI channels")
+    pos = 14
+    index = [(0, 0, 0, 0)] * 64
+    px = (0, 0, 0, 255)
+    n_expected = width * height
+    n = 0
+    pixel_sum = 0
+    while n < n_expected:
+        b0 = payload[pos]
+        pos += 1
+        if b0 == 0xFE:  # RGB
+            px = (payload[pos], payload[pos + 1], payload[pos + 2], px[3])
+            pos += 3
+        elif b0 == 0xFF:  # RGBA
+            px = tuple(payload[pos : pos + 4])
+            pos += 4
+        elif b0 >> 6 == 0b00:  # INDEX
+            px = index[b0 & 0x3F]
+        elif b0 >> 6 == 0b01:  # DIFF
+            px = (
+                (px[0] + ((b0 >> 4) & 3) - 2) & 255,
+                (px[1] + ((b0 >> 2) & 3) - 2) & 255,
+                (px[2] + (b0 & 3) - 2) & 255,
+                px[3],
+            )
+        elif b0 >> 6 == 0b10:  # LUMA
+            dg = (b0 & 0x3F) - 32
+            b1 = payload[pos]
+            pos += 1
+            px = (
+                (px[0] + dg + ((b1 >> 4) & 0xF) - 8) & 255,
+                (px[1] + dg) & 255,
+                (px[2] + dg + (b1 & 0xF) - 8) & 255,
+                px[3],
+            )
+        else:  # RUN
+            run = (b0 & 0x3F) + 1
+            index[(px[0] * 3 + px[1] * 5 + px[2] * 7 + px[3] * 11) % 64] = px
+            pixel_sum += (px[0] + px[1] + px[2]) * run
+            n += run
+            continue
+        index[(px[0] * 3 + px[1] * 5 + px[2] * 7 + px[3] * 11) % 64] = px
+        pixel_sum += px[0] + px[1] + px[2]
+        n += 1
+    if n != n_expected:
+        raise ImageFormatError("QOI pixel count overrun")
+    if payload[pos : pos + 8] != b"\x00" * 7 + b"\x01":
+        raise ImageFormatError("missing QOI end marker")
+    return {
+        "fmt": "qoi",
+        "width": width,
+        "height": height,
+        "n_pixels": n_expected,
+        "pixel_sum": pixel_sum,
+    }

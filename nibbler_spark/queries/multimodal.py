@@ -19,6 +19,7 @@ from nibbler_spark.operators.multimodal import (
     encode_bmp,
     encode_gif,
     encode_png,
+    encode_qoi,
     feature_extract_batches,
     frame_sample_batches,
     resize_batches,
@@ -1201,3 +1202,72 @@ def ext_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("img_group")
     )
+
+
+@register(
+    "ext_image_decode_qoi",
+    survey_id="EXT-MM-QOI",
+    category="multimodal",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, 2 + doc_id % 14 AS w, 1 + doc_id % 11 AS h
+  FROM documents WHERE doc_id % 23 = 0
+),
+px AS (
+  SELECT d.doc_id, d.w, d.h,
+         ((d.doc_id + 2 * (x.x // 3) + 5 * y.y) % 256
+          + (d.doc_id + 2 * (x.x // 3) + 5 * y.y + 1) % 256
+          + (d.doc_id + 7 * (x.x // 5) + 9 * y.y) % 256) AS s
+  FROM d
+  CROSS JOIN generate_series(0, 15) AS x(x)
+  CROSS JOIN generate_series(0, 11) AS y(y)
+  WHERE x.x < d.w AND y.y < d.h
+)
+SELECT doc_id, 'qoi' AS fmt,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(w * h AS BIGINT) AS n_pixels,
+       CAST(SUM(s) AS BIGINT) AS pixel_sum
+FROM px GROUP BY doc_id, w, h ORDER BY doc_id
+""",
+)
+def ext_image_decode_qoi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL QOI decode end-to-end — the seventh from-scratch image
+    container (qoiformat.org, the modern lossless format built entirely
+    from run/index/delta ops): each sampled document becomes an actual
+    QOI stream whose integer-division pixel plateaus exercise RUN
+    chunks, small per-step color deltas exercise DIFF/LUMA, and row
+    starts fall back to RGB literals + INDEX hits; the decode stage
+    replays all five ops (64-slot hash array, wraparound deltas, end
+    marker check) and emits the exact pixel sum the oracle recomputes
+    in closed form. Codec: `operators/multimodal.py:encode_qoi/
+    parse_qoi`. Both stages are partition-local mapInPandas — zero
+    shuffles, zero driver bytes."""
+    import pandas as _pd
+
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 23 == 0
+    ).select("doc_id")
+
+    def encode(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                w, h = 2 + did % 14, 1 + did % 11
+                payloads.append(
+                    encode_qoi(
+                        w,
+                        h,
+                        lambda x, y, did=did: (
+                            (did + 2 * (x // 3) + 5 * y) % 256,
+                            (did + 2 * (x // 3) + 5 * y + 1) % 256,
+                            (did + 7 * (x // 5) + 9 * y) % 256,
+                        ),
+                    )
+                )
+            yield _pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    encoded = d.mapInPandas(encode, "doc_id long, payload binary")
+    return decode_image_batches(encoded).orderBy("doc_id")

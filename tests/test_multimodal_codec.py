@@ -573,3 +573,90 @@ def test_adpcm_roundtrip_and_container():
     rng = random.Random(5)
     noisy = [rng.randrange(-32768, 32768) for _ in range(777)]
     assert len(adpcm_decode(adpcm_encode(noisy), 777)) == 777
+
+
+# ---------------------------------------------------------------- QOI
+
+
+def test_qoi_roundtrip_property():
+    """Roundtrip across pixel regimes chosen to force every chunk type:
+    constant (RUN), gradient (DIFF/LUMA), small palette (INDEX), and
+    high-entropy (RGB literals)."""
+    import random
+
+    from nibbler_spark.operators.multimodal import encode_qoi, parse_qoi
+
+    for trial in range(40):
+        rnd = random.Random(trial)
+        w, h = rnd.randint(1, 24), rnd.randint(1, 16)
+        mode = trial % 4
+        pal = rnd.randint(2, 6)
+
+        def pix(x, y, mode=mode, pal=pal, trial=trial):
+            if mode == 0:
+                return (10, 20, 30)
+            if mode == 1:
+                return ((x + y) % 256, (x + y + 1) % 256, (x + y + 2) % 256)
+            if mode == 2:
+                r = random.Random((x * 31 + y) % pal)
+                return tuple(r.randrange(256) for _ in range(3))
+            r = random.Random(x * 1000003 + y * 101 + trial)
+            return tuple(r.randrange(256) for _ in range(3))
+
+        d = parse_qoi(encode_qoi(w, h, pix))
+        expect = sum(
+            sum(pix(x, y)) for y in range(h) for x in range(w)
+        )
+        assert (d["width"], d["height"], d["n_pixels"]) == (w, h, w * h)
+        assert d["pixel_sum"] == expect, trial
+
+
+def test_qoi_leading_run_of_implicit_start_pixel_is_indexed():
+    """The implicit (0,0,0,255) start pixel covered only by a leading
+    RUN must still land in the index array (reference-codec parity) so
+    later INDEX ops can reference it."""
+    from nibbler_spark.operators.multimodal import encode_qoi, parse_qoi
+
+    def pix(x, y):
+        if y == 0:
+            return (0, 0, 0)
+        if y == 1:
+            return (9, 9, 9)
+        return (0, 0, 0)
+
+    d = parse_qoi(encode_qoi(4, 3, pix))
+    assert d["pixel_sum"] == 4 * 27
+
+
+def test_qoi_run_chunk_splits_at_62():
+    from nibbler_spark.operators.multimodal import encode_qoi, parse_qoi
+
+    d = parse_qoi(encode_qoi(130, 1, lambda x, y: (1, 2, 3)))
+    assert d["n_pixels"] == 130 and d["pixel_sum"] == 130 * 6
+
+
+def test_qoi_dispatch_and_bad_magic():
+    from nibbler_spark.operators.multimodal import (
+        ImageFormatError,
+        decode_image,
+        encode_qoi,
+    )
+
+    payload = encode_qoi(3, 2, lambda x, y: (x, y, 7))
+    assert decode_image(payload)["fmt"] == "qoi"
+    with pytest.raises(ImageFormatError):
+        from nibbler_spark.operators.multimodal import parse_qoi
+
+        parse_qoi(b"qoix" + payload[4:])
+
+
+def test_qoi_truncated_stream_detected():
+    from nibbler_spark.operators.multimodal import (
+        ImageFormatError,
+        encode_qoi,
+        parse_qoi,
+    )
+
+    payload = encode_qoi(5, 5, lambda x, y: ((x * 37 + y * 91) % 256, x, y))
+    with pytest.raises((ImageFormatError, IndexError)):
+        parse_qoi(payload[:-9])
