@@ -834,3 +834,51 @@ def merge_into_snapshot(
     new_rows = inserts if rewritten is None else rewritten.unionByName(inserts)
     carried = [p for p in all_paths if p not in set(touched)]
     return write_snapshot(new_rows, table_dir, carry_over=carried)
+
+
+def rollback_snapshot(table_dir: str, to_snapshot_id: int) -> int:
+    """Iceberg-style rollback: commit a NEW snapshot whose file set is
+    exactly the target snapshot's. History is preserved — the bad
+    snapshot remains readable for forensics, the rollback is itself an
+    auditable commit (meta records the target), and concurrent-writer
+    safety comes from the same put-if-absent commit path."""
+    entries = snapshot_entries(table_dir, to_snapshot_id)
+    return commit_snapshot(
+        table_dir,
+        entries,
+        meta={"operation": "rollback", "rolled_back_to": to_snapshot_id},
+    )
+
+
+def _refs_dir(table_dir: str) -> str:
+    return os.path.join(table_dir, "_refs")
+
+
+def set_ref(table_dir: str, name: str, snapshot_id: int) -> None:
+    """Atomically move a named branch pointer (write-temp-then-rename;
+    unlike manifest commits a ref MOVE is the intended operation, so
+    rename's replace semantics are correct here)."""
+    rd = _refs_dir(table_dir)
+    os.makedirs(rd, exist_ok=True)
+    tmp = os.path.join(rd, f".{name}.{uuid.uuid4().hex[:8]}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"snapshot_id": snapshot_id}, fh)
+    os.rename(tmp, os.path.join(rd, f"{name}.json"))
+
+
+def get_ref(table_dir: str, name: str) -> int | None:
+    """Snapshot id a branch points at, or None if the ref doesn't
+    exist."""
+    p = os.path.join(_refs_dir(table_dir), f"{name}.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        return json.load(fh)["snapshot_id"]
+
+
+def read_ref(spark: SparkSession, table_dir: str, name: str) -> DataFrame:
+    """Read the snapshot a branch ref points at."""
+    sid = get_ref(table_dir, name)
+    if sid is None:
+        raise FileNotFoundError(f"no ref {name!r} in {table_dir}")
+    return read_snapshot(spark, table_dir, sid)

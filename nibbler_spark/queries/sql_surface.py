@@ -1511,3 +1511,194 @@ def sql10_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     the syntax safe at 100 TB."""
     register_temp_views(spark, sf_dir)
     return spark.sql(_EXISTS_SQL)
+
+
+@register(
+    "ext_snapshot_rollback",
+    survey_id="EXT-SNAP-ROLLBACK",
+    category="lakehouse",
+    oracle="""
+WITH o AS (
+  SELECT CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents, o_orderkey
+  FROM orders
+),
+full_t AS (SELECT COUNT(*) AS n_rows,
+                  CAST(SUM(cents) AS BIGINT) AS total_cents FROM o),
+bad_t AS (SELECT COUNT(*) AS n_rows,
+                 CAST(SUM(cents) AS BIGINT) AS total_cents
+          FROM o WHERE o_orderkey % 2 = 0)
+SELECT 0 AS stage, n_rows, total_cents FROM full_t
+UNION ALL SELECT 1, n_rows, total_cents FROM bad_t
+UNION ALL SELECT 2, n_rows, total_cents FROM full_t
+ORDER BY stage
+""",
+)
+def ext_snapshot_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLBACK on the snapshot table format: snapshot A holds the full
+    orders table; snapshot B is a bad overwrite that silently loses the
+    odd order keys; `rollback_snapshot` then commits snapshot C whose
+    manifest is byte-for-byte A's file set — an auditable forward
+    commit (Iceberg rollback semantics), NOT a history rewrite: B stays
+    readable for forensics, and the rollback survives the same
+    put-if-absent concurrency protocol as any commit. The query reads
+    all three snapshots and returns each one's (rows, cents) profile;
+    the restored stage must exactly equal the original. Zero data files
+    move during rollback — it is a manifest-only operation, O(files)
+    driver metadata at any table size."""
+    import shutil
+    import tempfile
+
+    from nibbler_spark.operators.snapshots import (
+        read_snapshot,
+        rollback_snapshot,
+        snapshot_files,
+        snapshot_meta,
+        write_snapshot,
+    )
+
+    table = tempfile.mkdtemp(prefix="nibbler-rb-")
+    shutil.rmtree(table)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    s_good = write_snapshot(o.repartition(2), table)
+    s_bad = write_snapshot(
+        o.where(F.col("o_orderkey") % 2 == 0).repartition(2), table
+    )
+    s_restored = rollback_snapshot(table, s_good)
+    assert s_restored > s_bad > s_good
+    assert snapshot_files(table, s_restored) == snapshot_files(
+        table, s_good
+    )
+    assert snapshot_meta(table, s_restored)["rolled_back_to"] == s_good
+
+    cents = F.sum(
+        F.floor(F.col("o_totalprice") * 100).cast("bigint")
+    ).cast("bigint")
+    parts = []
+    for stage, sid in enumerate((s_good, s_bad, s_restored)):
+        parts.append(
+            read_snapshot(spark, table, sid)
+            .agg(F.count("*").alias("n_rows"), cents.alias("total_cents"))
+            .select(
+                F.lit(stage).alias("stage"), "n_rows", "total_cents"
+            )
+        )
+    out = parts[0].unionAll(parts[1]).unionAll(parts[2]).orderBy("stage")
+    return out
+
+
+@register(
+    "ext_snapshot_wap",
+    survey_id="EXT-SNAP-WAP",
+    category="lakehouse",
+    oracle="""
+WITH o AS (
+  SELECT o_orderstatus,
+         CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+open_t AS (SELECT COUNT(*) AS n_rows,
+                  CAST(SUM(cents) AS BIGINT) AS total_cents
+           FROM o WHERE o_orderstatus = 'O'),
+both_t AS (SELECT COUNT(*) AS n_rows,
+                  CAST(SUM(cents) AS BIGINT) AS total_cents
+           FROM o WHERE o_orderstatus IN ('O', 'F'))
+SELECT 'pre' AS phase, n_rows, total_cents, FALSE AS audit_passed
+FROM open_t
+UNION ALL
+SELECT 'staged_rejected', n_rows, total_cents, FALSE FROM open_t
+UNION ALL
+SELECT 'published', n_rows, total_cents, TRUE FROM both_t
+ORDER BY phase
+""",
+)
+def ext_snapshot_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-Audit-Publish on branch refs — the Iceberg WAP release
+    gate: writers commit snapshots freely (immutable manifests), but
+    READERS follow the `main` branch pointer, which only an audit
+    moves. Phase 1: main points at the open-orders snapshot. Phase 2: a
+    batch of finished orders with POISONED (negated) prices is staged
+    as a new snapshot; the audit (negative-price count) fails, main
+    does not move — a read through main still sees the clean table,
+    proving the bad data was never visible. Phase 3: the corrected
+    batch stages, the audit passes, and `set_ref` publishes
+    atomically (write-temp-then-rename pointer move). The query
+    returns what a main-branch reader saw at each phase plus the audit
+    verdicts. The staged-but-never-published snapshot remains for
+    debugging — exactly the WAP contract. Refs are O(1) metadata; at
+    100 TB publish cost is independent of table size."""
+    import shutil
+    import tempfile
+
+    from nibbler_spark.operators.snapshots import (
+        read_ref,
+        set_ref,
+        snapshot_files,
+        write_snapshot,
+    )
+
+    table = tempfile.mkdtemp(prefix="nibbler-wap-")
+    shutil.rmtree(table)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    open_orders = o.where(F.col("o_orderstatus") == "O")
+    finished = o.where(F.col("o_orderstatus") == "F")
+
+    s_base = write_snapshot(open_orders.repartition(2), table)
+    set_ref(table, "main", s_base)
+    base_files = snapshot_files(table, s_base)
+
+    cents = F.sum(
+        F.floor(F.col("o_totalprice") * 100).cast("bigint")
+    ).cast("bigint")
+
+    def main_view(phase: str, audit_passed: bool) -> DataFrame:
+        return (
+            read_ref(spark, table, "main")
+            .agg(F.count("*").alias("n_rows"), cents.alias("total_cents"))
+            .select(
+                F.lit(phase).alias("phase"),
+                "n_rows",
+                "total_cents",
+                F.lit(audit_passed).alias("audit_passed"),
+            )
+        )
+
+    phases = [main_view("pre", False)]
+
+    def audit(sid: int) -> bool:
+        from nibbler_spark.operators.snapshots import read_snapshot
+
+        bad = (
+            read_snapshot(spark, table, sid)
+            .where(F.col("o_totalprice") < 0)
+            .count()
+        )
+        return bad == 0
+
+    # stage 1: poisoned batch — audit must fail, main must not move
+    s_poison = write_snapshot(
+        finished.withColumn(
+            "o_totalprice", -F.col("o_totalprice")
+        ).repartition(2),
+        table,
+        carry_over=base_files,
+    )
+    if audit(s_poison):  # pragma: no cover - would be a real bug
+        set_ref(table, "main", s_poison)
+    phases.append(main_view("staged_rejected", False))
+
+    # stage 2: corrected batch — audit passes, publish
+    s_good = write_snapshot(
+        finished.repartition(2), table, carry_over=base_files
+    )
+    passed = audit(s_good)
+    if passed:
+        set_ref(table, "main", s_good)
+    phases.append(main_view("published", passed))
+
+    return phases[0].unionAll(phases[1]).unionAll(phases[2]).orderBy(
+        "phase"
+    )

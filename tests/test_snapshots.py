@@ -512,3 +512,49 @@ def test_snapshot_format_model_based_random_ops(spark, tmp_path):
     # every historical snapshot still resolves (nothing vacuumed here)
     for sid in range(latest_snapshot(table) + 1):
         assert snapshot_files(table, sid) is not None
+
+
+def test_rollback_preserves_history_and_refs_move_atomically(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from nibbler_spark.operators.snapshots import (
+        get_ref,
+        read_ref,
+        read_snapshot,
+        rollback_snapshot,
+        set_ref,
+        snapshot_files,
+        snapshot_meta,
+        write_snapshot,
+    )
+    from nibbler_spark.sources import load_table
+
+    table = tempfile.mkdtemp(prefix="nibbler-rbt-")
+    shutil.rmtree(table)
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    s1 = write_snapshot(o, table)
+    s2 = write_snapshot(o.where(F.col("o_orderkey") % 3 == 0), table)
+    s3 = rollback_snapshot(table, s1)
+    assert snapshot_files(table, s3) == snapshot_files(table, s1)
+    assert snapshot_meta(table, s3) == {
+        "operation": "rollback",
+        "rolled_back_to": s1,
+    }
+    # the bad snapshot remains readable for forensics
+    n_full = read_snapshot(spark, table, s1).count()
+    assert read_snapshot(spark, table, s2).count() < n_full
+    assert read_snapshot(spark, table, s3).count() == n_full
+
+    assert get_ref(table, "main") is None
+    set_ref(table, "main", s1)
+    assert get_ref(table, "main") == s1
+    set_ref(table, "main", s3)
+    assert get_ref(table, "main") == s3
+    assert read_ref(spark, table, "main").count() == n_full
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        read_ref(spark, table, "nope")
