@@ -1671,3 +1671,187 @@ def ext_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift").desc(), "part_a", "part_b")
         .limit(20)
     )
+
+
+@register(
+    "ext_cusum_changepoint",
+    survey_id="EXT-CUSUM",
+    category="event-analytics",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS x
+  FROM orders GROUP BY 1
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS s FROM daily),
+cum AS (
+  SELECT d, x,
+         CAST(SUM(x) OVER w AS BIGINT) AS cx,
+         CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS rn
+  FROM daily
+  WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)
+),
+scored AS (
+  SELECT d, ABS(n * cx - rn * s) AS stat FROM cum CROSS JOIN tot
+),
+cp AS (
+  SELECT d AS cp_day, stat AS scaled_stat FROM scored
+  ORDER BY stat DESC, d LIMIT 1
+)
+SELECT cp.cp_day, t.n AS n_days, cp.scaled_stat,
+       CAST(SUM(CASE WHEN daily.d <= cp.cp_day THEN daily.x END)
+            AS DOUBLE)
+         / COUNT(CASE WHEN daily.d <= cp.cp_day THEN 1 END)
+         AS mean_pre_cents,
+       CAST(SUM(CASE WHEN daily.d > cp.cp_day THEN daily.x END)
+            AS DOUBLE)
+         / COUNT(CASE WHEN daily.d > cp.cp_day THEN 1 END)
+         AS mean_post_cents
+FROM daily CROSS JOIN cp CROSS JOIN tot t
+GROUP BY cp.cp_day, t.n, cp.scaled_stat
+""",
+)
+def ext_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection on the daily-revenue series — the
+    classic single-changepoint estimator: the day t maximizing
+    |S_t| where S_t = cumsum(x) - t·mean. Multiplying through by n
+    makes the statistic n·cumsum_t − t·total, a pure BIGINT expression
+    — no double accumulation, no mean division until the final
+    reporting columns (integer/count divisions of identical operands).
+    Ties break to the earliest day. Output: the changepoint, the
+    scaled statistic, and pre/post mean daily revenue. Scale: the only
+    fact-table stage is the daily aggregate (map-side combinable);
+    cumulative sums ride an unpartitioned window over ~2.4k daily rows
+    — a kilobyte aggregate, the documented exception to the
+    no-unpartitioned-window rule (two_phase_rank applies if the series
+    ever outgrows one partition)."""
+    from pyspark.sql import Window as _W
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.to_date("o_orderdate").alias("d")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("x")
+    )
+    tot = daily.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+    )
+    w = _W.orderBy("d").rowsBetween(_W.unboundedPreceding, _W.currentRow)
+    cum = daily.select(
+        "d",
+        "x",
+        F.sum("x").over(w).cast("bigint").alias("cx"),
+        F.row_number().over(_W.orderBy("d")).cast("bigint").alias("rn"),
+    )
+    scored = cum.crossJoin(F.broadcast(tot)).select(
+        "d", F.abs(F.col("n") * F.col("cx") - F.col("rn") * F.col("s")).alias("stat")
+    )
+    cp = (
+        scored.orderBy(F.col("stat").desc(), "d")
+        .limit(1)
+        .select(F.col("d").alias("cp_day"), F.col("stat").alias("scaled_stat"))
+    )
+    pre = F.when(F.col("d") <= F.col("cp_day"), F.col("x"))
+    post = F.when(F.col("d") > F.col("cp_day"), F.col("x"))
+    return (
+        daily.crossJoin(F.broadcast(cp))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("cp_day", F.col("n").alias("n_days"), "scaled_stat")
+        .agg(
+            (
+                F.sum(pre).cast("double") / F.count(pre)
+            ).alias("mean_pre_cents"),
+            (
+                F.sum(post).cast("double") / F.count(post)
+            ).alias("mean_post_cents"),
+        )
+    )
+
+
+@register(
+    "ext_seasonal_decompose",
+    survey_id="EXT-SEASONAL",
+    category="event-analytics",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS x
+  FROM orders GROUP BY 1
+),
+tagged AS (
+  SELECT d, x,
+         date_diff('day', DATE '1970-01-01', d) % 7 AS dow
+  FROM daily
+),
+per_dow AS (
+  SELECT dow, CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(x) AS BIGINT) AS sum_x
+  FROM tagged GROUP BY dow
+)
+SELECT t.dow, p.n_days,
+       CAST(p.sum_x AS BIGINT) AS total_cents,
+       CAST(p.sum_x AS DOUBLE) / p.n_days AS mean_cents,
+       CAST(SUM(ABS(p.n_days * t.x - p.sum_x)) AS BIGINT)
+         AS abs_scaled_residual
+FROM tagged t JOIN per_dow p USING (dow)
+GROUP BY t.dow, p.n_days, p.sum_x
+ORDER BY t.dow
+""",
+)
+def ext_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday seasonal decomposition of daily revenue — the
+    seasonal-means model (trend-free STL step): each day's seasonal
+    component is its weekday mean, the residual is the departure from
+    it. Weekday comes from a PORTABLE epoch-day % 7 (engines disagree
+    on dayofweek origins); residuals are kept in the scaled-integer
+    domain (n_w·x_t − sum_w — the exact residual times n_w) so the
+    per-weekday absolute-residual energy is BIGINT-exact with no
+    double accumulation anywhere. Scale: one map-side-combinable
+    daily aggregate off the fact table, then all decomposition math
+    on the ~2.4k-row series via one keyed join against the 7-row
+    weekday table."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.to_date("o_orderdate").alias("d")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("x")
+    )
+    tagged = daily.select(
+        "d",
+        "x",
+        (F.datediff("d", F.lit("1970-01-01")) % 7).alias("dow"),
+    )
+    per_dow = tagged.groupBy("dow").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sum("x").cast("bigint").alias("sum_x"),
+    )
+    return (
+        tagged.join(F.broadcast(per_dow), "dow")
+        .groupBy("dow", "n_days", "sum_x")
+        .agg(
+            F.sum(
+                F.abs(F.col("n_days") * F.col("x") - F.col("sum_x"))
+            )
+            .cast("bigint")
+            .alias("abs_scaled_residual")
+        )
+        .select(
+            "dow",
+            "n_days",
+            F.col("sum_x").cast("bigint").alias("total_cents"),
+            (F.col("sum_x").cast("double") / F.col("n_days")).alias(
+                "mean_cents"
+            ),
+            "abs_scaled_residual",
+        )
+        .orderBy("dow")
+    )

@@ -2064,3 +2064,150 @@ def ext_substring_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_BFS_ORACLE = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+sh0 AS (
+  SELECT doc_id,
+         UNNEST(list_transform(generate_series(1, len(toks) - 4),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                     || ' ' || toks[i+3] || ' ' || toks[i+4])) AS sh
+  FROM t
+),
+shd AS (SELECT DISTINCT doc_id, sh FROM sh0),
+ok AS (SELECT sh FROM shd GROUP BY sh HAVING COUNT(*) BETWEEN 2 AND 20),
+e0 AS (
+  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+  FROM shd a, shd b, ok
+  WHERE a.sh = ok.sh AND b.sh = ok.sh AND a.doc_id < b.doc_id
+),
+edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+d0 AS (SELECT doc_id AS node,
+              CASE WHEN doc_id % 50 = 0 THEN 0 END AS dist FROM t),
+r1 AS (SELECT e.src AS node, MIN(d.dist) + 1 AS nd
+       FROM edges e JOIN d0 d ON d.node = e.dst
+       WHERE d.dist IS NOT NULL GROUP BY e.src),
+d1 AS (SELECT d0.node,
+              NULLIF(LEAST(COALESCE(d0.dist, 999), COALESCE(r1.nd, 999)),
+                     999) AS dist
+       FROM d0 LEFT JOIN r1 USING (node)),
+r2 AS (SELECT e.src AS node, MIN(d.dist) + 1 AS nd
+       FROM edges e JOIN d1 d ON d.node = e.dst
+       WHERE d.dist IS NOT NULL GROUP BY e.src),
+d2 AS (SELECT d1.node,
+              NULLIF(LEAST(COALESCE(d1.dist, 999), COALESCE(r2.nd, 999)),
+                     999) AS dist
+       FROM d1 LEFT JOIN r2 USING (node)),
+r3 AS (SELECT e.src AS node, MIN(d.dist) + 1 AS nd
+       FROM edges e JOIN d2 d ON d.node = e.dst
+       WHERE d.dist IS NOT NULL GROUP BY e.src),
+d3 AS (SELECT d2.node,
+              NULLIF(LEAST(COALESCE(d2.dist, 999), COALESCE(r3.nd, 999)),
+                     999) AS dist
+       FROM d2 LEFT JOIN r3 USING (node))
+SELECT CAST(COALESCE(dist, -1) AS BIGINT) AS dist,
+       COUNT(*) AS n_docs,
+       CAST(SUM(node) AS BIGINT) AS sum_doc_id
+FROM d3 GROUP BY 1 ORDER BY 1
+"""
+
+
+@register(
+    "ext_bfs_shortest_paths",
+    survey_id="EXT-BFS",
+    category="llm-dedup",
+    oracle=_BFS_ORACLE,
+)
+def ext_bfs_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS shortest paths on the document-similarity graph
+    (same df-capped 5-shingle edge construction as
+    ext_label_propagation): every doc_id % 50 == 0 is a distance-0
+    seed, and 3 synchronous min-plus relaxation rounds propagate
+    hop distances — the Pregel SSSP recipe as DataFrame ops (each
+    round: one keyed join edge⨝frontier, one min-combine, one LEAST
+    merge, localCheckpoint lineage cut). Distances are small integers
+    so the full per-node vector is exact; the output histograms nodes
+    by final distance (-1 = unreached within 3 hops) with a doc_id
+    checksum per level. The oracle unrolls the identical 3 rounds as
+    CTEs. Scale: identical shape to LPA — bounded inverted-index edge
+    generation, per-round shuffles proportional to frontier size, no
+    all-pairs anywhere."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 4),
+                lambda i: F.xxhash64(
+                    F.concat_ws(
+                        " ",
+                        F.element_at("toks", i),
+                        F.element_at("toks", i + 1),
+                        F.element_at("toks", i + 2),
+                        F.element_at("toks", i + 3),
+                        F.element_at("toks", i + 4),
+                    )
+                ),
+            )
+        ).alias("sh"),
+    ).distinct().localCheckpoint()
+    ok = (
+        sh.groupBy("sh")
+        .agg(F.count("*").alias("df"))
+        .where((F.col("df") >= 2) & (F.col("df") <= 20))
+        .select("sh")
+    )
+    capped = sh.join(ok, "sh")
+    e0 = (
+        capped.alias("a")
+        .join(capped.alias("b"), "sh")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst")
+        )
+        .distinct()
+    )
+    edges = e0.unionAll(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    cur = d.select(
+        F.col("doc_id").alias("node"),
+        F.when(F.col("doc_id") % 50 == 0, F.lit(0)).alias("dist"),
+    ).localCheckpoint()
+    for _ in range(3):
+        frontier = cur.where(F.col("dist").isNotNull()).select(
+            F.col("node").alias("fnode"), "dist"
+        )
+        relaxed = (
+            edges.join(frontier, edges["dst"] == F.col("fnode"))
+            .groupBy("src")
+            .agg((F.min("dist") + 1).alias("nd"))
+            .select(F.col("src").alias("node"), "nd")
+        )
+        cur = (
+            cur.join(relaxed, "node", "left")
+            .select(
+                "node",
+                F.nullif(
+                    F.least(
+                        F.coalesce("dist", F.lit(999)),
+                        F.coalesce("nd", F.lit(999)),
+                    ),
+                    F.lit(999),
+                ).alias("dist"),
+            )
+            .localCheckpoint()
+        )
+    return (
+        cur.groupBy(
+            F.coalesce("dist", F.lit(-1)).cast("bigint").alias("dist")
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("node").cast("bigint").alias("sum_doc_id"),
+        )
+        .orderBy("dist")
+    )

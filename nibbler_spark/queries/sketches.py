@@ -363,3 +363,125 @@ def ext_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("grp", "reg_sum", "reg_weighted", "n_zero", "est_ok")
         .orderBy("grp")
     )
+
+
+_JCE_W = 2048  # inner-product sketch width
+
+
+@register(
+    "ext_join_cardinality_estimate",
+    survey_id="EXT-JOINCARD",
+    category="sketch",
+    oracle=f"""
+WITH fa AS (
+  SELECT user_id AS key, CAST(COUNT(*) AS BIGINT) AS f
+  FROM events GROUP BY user_id
+),
+fb AS (
+  SELECT o_custkey AS key, CAST(COUNT(*) AS BIGINT) AS f
+  FROM orders GROUP BY o_custkey
+),
+exact AS (
+  SELECT CAST(SUM(fa.f * fb.f) AS BIGINT) AS exact_size
+  FROM fa JOIN fb USING (key)
+),
+seeds AS (SELECT UNNEST(generate_series(0, 3)) AS seed),
+ska AS (
+  SELECT seed,
+         {_sql_nib_hash("seed || ':' || key", _JCE_W)} AS bucket,
+         CAST(SUM(f) AS BIGINT) AS af
+  FROM fa CROSS JOIN seeds GROUP BY 1, 2
+),
+skb AS (
+  SELECT seed,
+         {_sql_nib_hash("seed || ':' || key", _JCE_W)} AS bucket,
+         CAST(SUM(f) AS BIGINT) AS bf
+  FROM fb CROSS JOIN seeds GROUP BY 1, 2
+),
+ip AS (
+  SELECT ska.seed, CAST(SUM(af * bf) AS BIGINT) AS prod
+  FROM ska JOIN skb ON ska.seed = skb.seed AND ska.bucket = skb.bucket
+  GROUP BY ska.seed
+),
+est AS (SELECT CAST(MIN(prod) AS BIGINT) AS estimate FROM ip)
+SELECT exact_size, estimate,
+       ROUND(CAST(estimate AS DOUBLE) / exact_size, 6) + 0
+         AS overestimate_ratio,
+       estimate >= exact_size AS is_upper_bound
+FROM exact CROSS JOIN est
+""",
+)
+def ext_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation from count-min sketch inner products — the
+    optimizer trick (AGMS/CMS estimators) for sizing a join WITHOUT
+    running it: |A ⋈ B| = Σ_k f_A(k)·f_B(k), and the inner product of
+    the two sketches' rows overestimates it by only hash-collision
+    mass; taking the MIN across 4 independent hash rows tightens the
+    bound. The md5-nibble portable hash makes the sketches — and
+    therefore the estimate itself — bit-identical on both engines, so
+    even the 'approximate' number earns a full hash oracle, alongside
+    the structural guarantee (estimate >= exact, by construction).
+    Estimated here: events.user_id ⋈ orders.o_custkey. Scale: each
+    sketch is one map-side-combinable groupBy into depth x width
+    (4 x 2048) cells — constant-size state however large the input;
+    the comparison's exact join is only the oracle-side check."""
+    e = load_table(spark, sf_dir, "events")
+    o = load_table(spark, sf_dir, "orders")
+    fa = e.groupBy(F.col("user_id").alias("key")).agg(
+        F.count("*").cast("bigint").alias("f")
+    )
+    fb = o.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count("*").cast("bigint").alias("f")
+    )
+    exact = (
+        fa.join(fb, "key")
+        .agg(
+            F.sum(fa["f"] * fb["f"]).cast("bigint").alias("exact_size")
+        )
+    )
+    seeds = F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("seed")
+
+    def sketch(df, out):
+        return (
+            df.select("key", "f", seeds)
+            .select(
+                "seed",
+                _nib_hash(
+                    F.concat(
+                        F.col("seed").cast("string"),
+                        F.lit(":"),
+                        F.col("key").cast("string"),
+                    ),
+                    _JCE_W,
+                ).alias("bucket"),
+                "f",
+            )
+            .groupBy("seed", "bucket")
+            .agg(F.sum("f").cast("bigint").alias(out))
+        )
+
+    ska = sketch(fa, "af")
+    skb = sketch(fb, "bf")
+    ip = (
+        ska.join(skb, ["seed", "bucket"])
+        .groupBy("seed")
+        .agg(F.sum(F.col("af") * F.col("bf")).cast("bigint").alias("prod"))
+    )
+    est = ip.agg(F.min("prod").cast("bigint").alias("estimate"))
+    return (
+        exact.crossJoin(F.broadcast(est))
+        .select(
+            "exact_size",
+            "estimate",
+            (
+                F.round(
+                    F.col("estimate").cast("double") / F.col("exact_size"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("overestimate_ratio"),
+            (F.col("estimate") >= F.col("exact_size")).alias(
+                "is_upper_bound"
+            ),
+        )
+    )
