@@ -1702,3 +1702,120 @@ def ext_snapshot_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phases[0].unionAll(phases[1]).unionAll(phases[2]).orderBy(
         "phase"
     )
+
+
+@register(
+    "ext_partition_evolution",
+    survey_id="EXT-PART-EVOLVE",
+    category="lakehouse",
+    oracle="""
+WITH o AS (
+  SELECT o_orderstatus, o_orderdate,
+         CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT 'by_date' AS phase, COUNT(*) AS n_rows,
+       CAST(SUM(cents) AS BIGINT) AS total_cents, TRUE AS pruned
+FROM o WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+UNION ALL
+SELECT 'by_status', COUNT(*), CAST(SUM(cents) AS BIGINT), TRUE
+FROM o WHERE o_orderstatus = 'F'
+ORDER BY phase
+""",
+)
+def ext_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition evolution — the Iceberg flagship: a table whose OLD
+    files are laid out by one key (order status) and whose NEW files
+    by another (order year), readable and pruneable through both
+    generations at once. This format gets it for free because
+    partition pruning is just file pruning against manifest stat
+    envelopes: a value-pure file has min == max on its layout key, so
+    a status filter prunes the status-partitioned generation, a date
+    filter prunes BOTH the year-partitioned generation AND the old
+    generation (whose date envelopes predate the cutoff) — no
+    partition spec to migrate, no table rewrite when the layout
+    changes. The query builds the two generations as successive
+    commits (pre-1996 rows one file per status; 1996+ one file per
+    year), runs one filtered read per layout key, asserts real file
+    skipping happened (files_scanned < files_total), and returns
+    oracle-checked results. At 100 TB: pruning is O(files) driver
+    metadata; repartitioning a petabyte table becomes 'write new files
+    with the new layout' instead of a migration."""
+    import shutil
+    import tempfile
+
+    from nibbler_spark.operators.snapshots import (
+        read_snapshot_pruned,
+        snapshot_files,
+        write_snapshot,
+    )
+
+    table = tempfile.mkdtemp(prefix="nibbler-pe-")
+    shutil.rmtree(table)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderdate", "o_totalprice"
+    )
+    old_gen = o.where(F.col("o_orderdate") < "1996-01-01")
+    new_gen = o.where(F.col("o_orderdate") >= "1996-01-01")
+
+    # generation 1: one value-pure file per status
+    files: list[str] = []
+    statuses = [
+        r["o_orderstatus"]
+        for r in old_gen.select("o_orderstatus").distinct().collect()
+    ]
+    for st in sorted(statuses):
+        sid = write_snapshot(
+            old_gen.where(F.col("o_orderstatus") == st).coalesce(1),
+            table,
+            carry_over=files,
+        )
+        files = snapshot_files(table, sid)
+    # generation 2 (layout change): one value-pure file per year
+    years = [
+        r["y"]
+        for r in new_gen.select(
+            F.year("o_orderdate").alias("y")
+        ).distinct().collect()
+    ]
+    for y in sorted(years):
+        sid = write_snapshot(
+            new_gen.where(F.year("o_orderdate") == y).coalesce(1),
+            table,
+            carry_over=files,
+        )
+        files = snapshot_files(table, sid)
+
+    cents = F.sum(
+        F.floor(F.col("o_totalprice") * 100).cast("bigint")
+    ).cast("bigint")
+
+    df_d, scanned_d, total_d = read_snapshot_pruned(
+        spark, table, filters=[("o_orderdate", ">=", "1997-01-01")]
+    )
+    df_s, scanned_s, total_s = read_snapshot_pruned(
+        spark, table, filters=[("o_orderstatus", "=", "F")]
+    )
+    assert total_d == total_s == len(files)
+    # date filter prunes pre-1997 year-files AND the whole old
+    # generation; status filter prunes the other status files
+    assert scanned_d < total_d, (scanned_d, total_d)
+    assert scanned_s < total_s, (scanned_s, total_s)
+
+    by_date = df_d.agg(
+        F.count("*").alias("n_rows"), cents.alias("total_cents")
+    ).select(
+        F.lit("by_date").alias("phase"),
+        "n_rows",
+        "total_cents",
+        F.lit(scanned_d < total_d).alias("pruned"),
+    )
+    by_status = df_s.agg(
+        F.count("*").alias("n_rows"), cents.alias("total_cents")
+    ).select(
+        F.lit("by_status").alias("phase"),
+        "n_rows",
+        "total_cents",
+        F.lit(scanned_s < total_s).alias("pruned"),
+    )
+    return by_date.unionAll(by_status).orderBy("phase")
