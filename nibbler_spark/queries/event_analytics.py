@@ -1855,3 +1855,90 @@ def ext_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow")
     )
+
+
+@register(
+    "ext_windowed_funnel",
+    survey_id="EXT-WFUNNEL",
+    category="event-analytics",
+    oracle="""
+WITH s AS (
+  SELECT user_id, MIN(ts) AS st FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+v AS (
+  SELECT e.user_id, MIN(e.ts) AS vt
+  FROM events e JOIN s ON e.user_id = s.user_id
+  WHERE e.event_type = 'view' AND e.ts > s.st
+    AND e.ts <= s.st + INTERVAL 60 MINUTE
+  GROUP BY e.user_id
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS ct
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.vt
+    AND e.ts <= v.vt + INTERVAL 60 MINUTE
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS pt
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.ct
+    AND e.ts <= c.ct + INTERVAL 60 MINUTE
+  GROUP BY e.user_id
+)
+SELECT (SELECT COUNT(*) FROM s) AS n_signup,
+       (SELECT COUNT(*) FROM v) AS n_view_60m,
+       (SELECT COUNT(*) FROM c) AS n_click_60m,
+       (SELECT COUNT(*) FROM p) AS n_purchase_60m
+""",
+)
+def ext_windowed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded ordered funnel — ext_funnel with a 60-minute
+    conversion window per step (the product-analytics default: a view
+    only counts if it happens within an hour of signup, and so on down
+    the funnel). Each stage is a keyed min-aggregate joined to the
+    previous stage's earliest-qualifying timestamp; the interval bound
+    rides the join predicate, so the plan stays three user_id-keyed
+    equi-joins (the range condition is a post-join filter, not a range
+    join). All counts integer-exact. Scale: every stage shuffles on
+    user_id only — co-partitioned with the sessionizer family."""
+    e = load_table(spark, sf_dir, "events")
+
+    def stage(prev: DataFrame, ev: str, tcol: str, prev_t: str) -> DataFrame:
+        return (
+            e.where(F.col("event_type") == ev)
+            .join(prev, "user_id")
+            .where(
+                (F.col("ts") > F.col(prev_t))
+                & (
+                    F.col("ts")
+                    <= F.col(prev_t) + F.expr("INTERVAL 60 MINUTES")
+                )
+            )
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(tcol))
+        )
+
+    s = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("st"))
+    )
+    v = stage(s, "view", "vt", "st")
+    c = stage(v, "click", "ct", "vt")
+    p = stage(c, "purchase", "pt", "ct")
+    counts = [
+        df.agg(F.count("*").alias(name))
+        for df, name in (
+            (s, "n_signup"),
+            (v, "n_view_60m"),
+            (c, "n_click_60m"),
+            (p, "n_purchase_60m"),
+        )
+    ]
+    out = counts[0]
+    for c_df in counts[1:]:
+        out = out.crossJoin(F.broadcast(c_df))
+    return out
+

@@ -2066,6 +2066,56 @@ def ext_substring_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dfcap_shingle_digraph(spark, sf_dir):
+    """Shared document-similarity edge builder (LPA / BFS / HITS): docs
+    are adjacent when they share a 5-token shingle with document
+    frequency in [2, 20]. Shingles are xxhash64-slimmed before the
+    distinct/df shuffles; returns the DIRECTED edge set (src < dst),
+    localCheckpointed — callers symmetrize if they need it."""
+    from nibbler_spark.sources import load_table as _lt
+
+    d = _lt(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 4),
+                lambda i: F.xxhash64(
+                    F.concat_ws(
+                        " ",
+                        F.element_at("toks", i),
+                        F.element_at("toks", i + 1),
+                        F.element_at("toks", i + 2),
+                        F.element_at("toks", i + 3),
+                        F.element_at("toks", i + 4),
+                    )
+                ),
+            )
+        ).alias("sh"),
+    ).distinct().localCheckpoint()
+    ok = (
+        sh.groupBy("sh")
+        .agg(F.count("*").alias("df"))
+        .where((F.col("df") >= 2) & (F.col("df") <= 20))
+        .select("sh")
+    )
+    capped = sh.join(ok, "sh")
+    e0 = (
+        capped.alias("a")
+        .join(capped.alias("b"), "sh")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    return d.select("doc_id"), e0
+
+
+
 _BFS_ORACLE = """
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
 sh0 AS (
@@ -2133,43 +2183,8 @@ def ext_bfs_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     CTEs. Scale: identical shape to LPA — bounded inverted-index edge
     generation, per-round shuffles proportional to frontier size, no
     all-pairs anywhere."""
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.split("text", " ").alias("toks")
-    )
-    sh = d.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("toks") - 4),
-                lambda i: F.xxhash64(
-                    F.concat_ws(
-                        " ",
-                        F.element_at("toks", i),
-                        F.element_at("toks", i + 1),
-                        F.element_at("toks", i + 2),
-                        F.element_at("toks", i + 3),
-                        F.element_at("toks", i + 4),
-                    )
-                ),
-            )
-        ).alias("sh"),
-    ).distinct().localCheckpoint()
-    ok = (
-        sh.groupBy("sh")
-        .agg(F.count("*").alias("df"))
-        .where((F.col("df") >= 2) & (F.col("df") <= 20))
-        .select("sh")
-    )
-    capped = sh.join(ok, "sh")
-    e0 = (
-        capped.alias("a")
-        .join(capped.alias("b"), "sh")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst")
-        )
-        .distinct()
-    )
+    nodes, e0 = _dfcap_shingle_digraph(spark, sf_dir)
+    d = nodes
     edges = e0.unionAll(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint()
@@ -2210,4 +2225,80 @@ def ext_bfs_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("node").cast("bigint").alias("sum_doc_id"),
         )
         .orderBy("dist")
+    )
+
+
+@register(
+    "ext_hits_hubs_authorities",
+    survey_id="EXT-HITS",
+    category="llm-dedup",
+    oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+sh0 AS (
+  SELECT doc_id,
+         UNNEST(list_transform(generate_series(1, len(toks) - 4),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                     || ' ' || toks[i+3] || ' ' || toks[i+4])) AS sh
+  FROM t
+),
+shd AS (SELECT DISTINCT doc_id, sh FROM sh0),
+ok AS (SELECT sh FROM shd GROUP BY sh HAVING COUNT(*) BETWEEN 2 AND 20),
+e0 AS (
+  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+  FROM shd a, shd b, ok
+  WHERE a.sh = ok.sh AND b.sh = ok.sh AND a.doc_id < b.doc_id
+),
+a1 AS (SELECT dst AS node, CAST(COUNT(*) AS BIGINT) AS a
+       FROM e0 GROUP BY dst),
+h1 AS (SELECT e0.src AS node, CAST(SUM(a1.a) AS BIGINT) AS h
+       FROM e0 JOIN a1 ON a1.node = e0.dst GROUP BY e0.src),
+a2 AS (SELECT e0.dst AS node, CAST(SUM(h1.h) AS BIGINT) AS a
+       FROM e0 JOIN h1 ON h1.node = e0.src GROUP BY e0.dst),
+h2 AS (SELECT e0.src AS node, CAST(SUM(a2.a) AS BIGINT) AS h
+       FROM e0 JOIN a2 ON a2.node = e0.dst GROUP BY e0.src)
+SELECT a2.node AS doc_id, a2.a AS authority,
+       COALESCE(h2.h, 0) AS hub
+FROM a2 LEFT JOIN h2 ON h2.node = a2.node
+ORDER BY a2.a DESC, a2.node LIMIT 15
+""",
+)
+def ext_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg) hubs-and-authorities, two unnormalized power-
+    iteration rounds on the doc-similarity digraph (shared df-capped
+    shingle edge builder; direction = ascending doc_id, a
+    citation-style orientation): a¹ = indegree, h¹ = AΣa¹,
+    a² = AᵀΣh¹, h² = AΣa² — every score an exact BIGINT (the
+    normalization HITS usually applies only rescales rankings, so
+    dropping it keeps the order and buys bit-exactness). Top-15
+    authorities with their hub scores. Scale: each half-round is one
+    keyed join + map-side-combinable sum on the edge key — the same
+    Pregel shape as BFS/LPA, iteration-bounded, never all-pairs."""
+    _, e0 = _dfcap_shingle_digraph(spark, sf_dir)
+    a1 = e0.groupBy(F.col("dst").alias("node")).agg(
+        F.count("*").cast("bigint").alias("a")
+    )
+    h1 = (
+        e0.join(a1, e0["dst"] == a1["node"])
+        .groupBy(F.col("src").alias("hnode"))
+        .agg(F.sum("a").cast("bigint").alias("h"))
+    )
+    a2 = (
+        e0.join(h1, e0["src"] == h1["hnode"])
+        .groupBy(F.col("dst").alias("node"))
+        .agg(F.sum("h").cast("bigint").alias("a"))
+    )
+    h2 = (
+        e0.join(a2, e0["dst"] == a2["node"])
+        .groupBy(F.col("src").alias("hnode"))
+        .agg(F.sum("a").cast("bigint").alias("h"))
+    )
+    return (
+        a2.join(h2, a2["node"] == h2["hnode"], "left")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("a").alias("authority"),
+            F.coalesce("h", F.lit(0)).cast("bigint").alias("hub"),
+        )
+        .orderBy(F.col("authority").desc(), "doc_id")
+        .limit(15)
     )
