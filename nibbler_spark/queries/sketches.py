@@ -485,3 +485,137 @@ def ext_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame
             ),
         )
     )
+
+
+_HQ_W = 10000  # histogram bucket width, in cents
+
+
+@register(
+    "ext_histogram_quantile",
+    survey_id="EXT-HISTQ",
+    category="sketch",
+    oracle=f"""
+WITH c AS (
+  SELECT CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+),
+hist AS (
+  SELECT cents // {_HQ_W} AS b, CAST(COUNT(*) AS BIGINT) AS n
+  FROM c GROUP BY 1
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM c),
+cum AS (
+  SELECT b, n,
+         CAST(SUM(n) OVER (ORDER BY b
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS cn
+  FROM hist
+),
+qb AS (
+  SELECT q.q, MIN(cum.b) AS qb
+  FROM (VALUES (0.5), (0.9), (0.99)) AS q(q), cum, tot
+  WHERE cum.cn >= CAST(CEIL(q.q * tot.n_rows) AS BIGINT)
+  GROUP BY q.q
+),
+exact AS (
+  SELECT q.q,
+         MIN(c2.cents) AS lo
+  FROM (VALUES (0.5), (0.9), (0.99)) AS q(q), tot,
+       (SELECT cents, row_number() OVER (ORDER BY cents) AS rk FROM c) c2
+  WHERE c2.rk >= CAST(CEIL(q.q * tot.n_rows) AS BIGINT)
+  GROUP BY q.q
+)
+SELECT CAST(qb.q AS DOUBLE) AS q,
+       qb.qb * {_HQ_W} AS est_lo_cents,
+       (qb.qb + 1) * {_HQ_W} - 1 AS est_hi_cents,
+       exact.lo AS exact_cents,
+       exact.lo BETWEEN qb.qb * {_HQ_W}
+                    AND (qb.qb + 1) * {_HQ_W} - 1 AS within_bucket
+FROM qb JOIN exact ON qb.q = exact.q
+ORDER BY qb.q
+""",
+)
+def ext_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-histogram quantiles — the two-phase distributed
+    percentile that actually runs at 100 TB: phase 1 is one map-side-
+    combinable groupBy into fixed-width buckets (mergeable across any
+    partitioning, like the portable HLL/CMS family), phase 2 walks the
+    tiny cumulative histogram to the bucket containing each target
+    rank. The estimate is an INTERVAL (bucket bounds) with the error
+    bound = bucket width BY CONSTRUCTION; the query also computes the
+    exact rank-order statistic and PROVES it falls inside the declared
+    bucket — so this 'approximate' sketch carries a full hash oracle.
+    Quantile rank convention: smallest value with rank >= ceil(q*n)
+    (the discrete lower quantile), identical in both engines as pure
+    integer logic. Scale: the exact side is the oracle-only check; the
+    product path never sorts."""
+    from pyspark.sql import Window as _W
+
+    o = load_table(spark, sf_dir, "orders")
+    c = o.select(
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents")
+    )
+    hist = c.groupBy(
+        F.expr(f"cents div {_HQ_W}").alias("b")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    tot = c.agg(F.count("*").cast("bigint").alias("n_rows"))
+    w = _W.orderBy("b").rowsBetween(_W.unboundedPreceding, _W.currentRow)
+    cum = hist.select(
+        "b", F.sum("n").over(w).cast("bigint").alias("cn")
+    )
+    qs = F.explode(
+        F.array(*[F.lit(x) for x in (0.5, 0.9, 0.99)])
+    ).alias("q")
+    qb = (
+        cum.crossJoin(F.broadcast(tot))
+        .select("b", "cn", "n_rows", qs)
+        .where(
+            F.col("cn")
+            >= F.ceil(F.col("q") * F.col("n_rows")).cast("bigint")
+        )
+        .groupBy("q")
+        .agg(F.min("b").alias("qb"))
+    )
+    # exact rank statistic (oracle-side verification only): the
+    # smallest value whose rank reaches ceil(q*n). Computed with a
+    # bucket-partitioned window + the cumulative histogram offsets —
+    # no unpartitioned sort (two_phase_rank pattern inline).
+    wb = _W.partitionBy("bk").orderBy("cents")
+    ranked = (
+        c.withColumn("bk", F.expr(f"cents div {_HQ_W}"))
+        .join(
+            F.broadcast(
+                cum.select(
+                    F.col("b").alias("bk"),
+                    (F.col("cn")).alias("cum_hi"),
+                )
+            ),
+            "bk",
+        )
+        .join(F.broadcast(hist.select(F.col("b").alias("bk"), "n")), "bk")
+        .withColumn(
+            "rk", F.col("cum_hi") - F.col("n") + F.row_number().over(wb)
+        )
+    )
+    exact = (
+        ranked.crossJoin(F.broadcast(tot))
+        .select("cents", "rk", "n_rows", qs)
+        .where(
+            F.col("rk")
+            >= F.ceil(F.col("q") * F.col("n_rows")).cast("bigint")
+        )
+        .groupBy("q")
+        .agg(F.min("cents").alias("exact_cents"))
+    )
+    return (
+        qb.join(exact, "q")
+        .select(
+            "q",
+            (F.col("qb") * _HQ_W).alias("est_lo_cents"),
+            ((F.col("qb") + 1) * _HQ_W - 1).alias("est_hi_cents"),
+            "exact_cents",
+            F.col("exact_cents")
+            .between(F.col("qb") * _HQ_W, (F.col("qb") + 1) * _HQ_W - 1)
+            .alias("within_bucket"),
+        )
+        .orderBy("q")
+    )
