@@ -2109,3 +2109,141 @@ def ext_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+_HNM_SIG = "".join(
+    f" + (CASE WHEN {{t}}.embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+    for i in range(8)
+)
+
+
+@register(
+    "ext_hard_negative_mining",
+    survey_id="EXT-HARDNEG",
+    category="llm-vectors",
+    oracle=f"""
+WITH base AS (
+  SELECT vec_id, label, embedding,
+         CAST(SQRT({sql_dec_dot('embedding', 'embedding')}) AS DOUBLE)
+           AS nrm,
+         0{_HNM_SIG.format(t='embeddings')} AS bucket
+  FROM embeddings
+),
+q AS (SELECT * FROM base WHERE vec_id % 10 = 0),
+pairs AS (
+  SELECT q.vec_id AS q_id, q.label AS q_label,
+         c.vec_id AS c_id, c.label AS c_label,
+         {sql_dec_dot('q.embedding', 'c.embedding')}
+           / (q.nrm * c.nrm) AS cos
+  FROM q JOIN base c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+),
+pos AS (
+  SELECT q_id, c_id AS pos_id, cos AS pos_cos FROM (
+    SELECT q_id, c_id, cos, row_number() OVER (
+      PARTITION BY q_id ORDER BY cos DESC, c_id) AS rk
+    FROM pairs WHERE c_label = q_label
+  ) WHERE rk = 1
+),
+neg AS (
+  SELECT q_id, c_id AS neg_id, cos AS neg_cos FROM (
+    SELECT q_id, c_id, cos, row_number() OVER (
+      PARTITION BY q_id ORDER BY cos DESC, c_id) AS rk
+    FROM pairs WHERE c_label <> q_label
+  ) WHERE rk = 1
+)
+SELECT pos.q_id, pos.pos_id, pos.pos_cos, neg.neg_id, neg.neg_cos,
+       neg.neg_cos > pos.pos_cos AS is_confusable
+FROM pos JOIN neg ON pos.q_id = neg.q_id
+ORDER BY pos.q_id
+""",
+)
+def ext_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training — for every query
+    vector (10% sample), the most similar SAME-label candidate (the
+    positive) and the most similar OTHER-label candidate (the hard
+    negative) among vectors sharing its 8-dim sign-prefix bucket, plus
+    the confusability flag (negative outranks positive) that flags
+    label noise. Candidates come from ONE equi-join on the sign bucket
+    — the LSH-style blocking that keeps this sub-quadratic (an
+    expected 1/256 of the corpus per query; at 100 TB widen the prefix
+    or band multiple prefixes exactly like ext_embedding_neardup).
+    Cosines are engine-exact: grid-floored integer dot products and
+    IEEE sqrt (correctly rounded by spec — the one 'transcendental'
+    that is deterministic), so the full ranking hash-matches with raw
+    doubles, no rounding. Per-query argmax is a q_id-partitioned
+    row_number."""
+    base = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.sqrt(dec_dot(F.col("embedding"), F.col("embedding"))).alias(
+            "nrm"
+        ),
+        sum(
+            F.when(F.col("embedding")[i] >= 0, F.lit(1 << i)).otherwise(0)
+            for i in range(8)
+        ).alias("bucket"),
+    ).localCheckpoint()
+    q = base.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        "bucket",
+    )
+    c = base.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("label").alias("c_label"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+        "bucket",
+    )
+    pairs = (
+        q.join(c, "bucket")
+        .where(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id",
+            "q_label",
+            "c_id",
+            "c_label",
+            (
+                dec_dot(F.col("q_emb"), F.col("c_emb"))
+                / (F.col("q_nrm") * F.col("c_nrm"))
+            ).alias("cos"),
+        )
+    )
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("q_id").orderBy(F.col("cos").desc(), "c_id")
+    pos = (
+        pairs.where(F.col("c_label") == F.col("q_label"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "q_id",
+            F.col("c_id").alias("pos_id"),
+            F.col("cos").alias("pos_cos"),
+        )
+    )
+    neg = (
+        pairs.where(F.col("c_label") != F.col("q_label"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "q_id",
+            F.col("c_id").alias("neg_id"),
+            F.col("cos").alias("neg_cos"),
+        )
+    )
+    return (
+        pos.join(neg, "q_id")
+        .select(
+            "q_id",
+            "pos_id",
+            "pos_cos",
+            "neg_id",
+            "neg_cos",
+            (F.col("neg_cos") > F.col("pos_cos")).alias("is_confusable"),
+        )
+        .orderBy("q_id")
+    )

@@ -2302,3 +2302,56 @@ def i21_stream_topk_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "rank", "event_id", "value_cents")
         .orderBy("event_type", "rank")
     )
+
+
+@register(
+    "i22_stream_union_watermarks",
+    survey_id="EXT-STREAM-UNION",
+    category="streaming",
+    mode="parity",
+    oracle="""
+SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS win_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM (SELECT ts FROM events UNION ALL SELECT ts FROM events)
+GROUP BY 1
+HAVING time_bucket(INTERVAL 5 MINUTE, MIN(ts)) + INTERVAL 5 MINUTE
+         <= (SELECT MAX(ts) - INTERVAL 10 MINUTE FROM events)
+ORDER BY 1
+""",
+)
+def i22_stream_union_watermarks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union of two independently-watermarked streams: each input
+    carries its own 10-minute watermark BEFORE the union, so the
+    engine's global watermark is the MIN across inputs (the
+    multi-input policy that governs when windows close once one source
+    lags). The unioned stream feeds a 5-minute tumbling count in
+    append mode; after the availableNow drain the emitted windows must
+    equal the batch double-counted bucketing — the parity check that
+    the min-watermark still released every window. Scale: per-window
+    state only, bounded by the watermark horizon as usual; union adds
+    no shuffle (it is a bag concat of sources)."""
+    d = _events_dir(spark, sf_dir)
+    a = _read_stream(spark, d).withWatermark("ts", "10 minutes")
+    b = _read_stream(spark, d).withWatermark("ts", "10 minutes")
+    u = a.unionByName(b)
+    agg = (
+        u.groupBy(F.window("ts", "5 minutes").alias("w"))
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+        .select(F.col("w.start").alias("win_start"), "n_events")
+    )
+    out = _drain_to_memory(agg, "append")
+    # trailing windows past the final watermark (max ts - 10 min) never
+    # close during the drain — exclude them on both sides (NOTES.md
+    # round-4 rule); the bound comes from the batch table, broadcast.
+    bound = load_table(spark, sf_dir, "events").agg(
+        (F.max("ts") - F.expr("INTERVAL 10 MINUTES")).alias("bound")
+    )
+    return (
+        out.crossJoin(F.broadcast(bound))
+        .where(
+            F.col("win_start") + F.expr("INTERVAL 5 MINUTES")
+            <= F.col("bound")
+        )
+        .select("win_start", "n_events")
+        .orderBy("win_start")
+    )
