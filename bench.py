@@ -64,6 +64,11 @@ HEADLINE = [
     # ordered reassembly — both new composite heavies this round.
     "ext_label_propagation",  # BENCH-K10 (LPA on df-capped shingle graph)
     "ext_paragraph_dedup",  # BENCH-K11 (chunk dedup + doc reassembly)
+    # r4 continuation: any-alignment duplicated-span detection (the
+    # Lee-et-al ExactSubstr audit shape) and the NB scoring join (the
+    # |classes|-fanout candidate-scoring shape the ML family leans on).
+    "ext_substring_span_dedup",  # BENCH-K12 (8-gram span-merge dedup)
+    "ext_naive_bayes",  # BENCH-K13 (gridded-ln NB train + score)
 ]
 
 

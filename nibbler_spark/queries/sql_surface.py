@@ -1819,3 +1819,100 @@ def ext_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(scanned_s < total_s).alias("pruned"),
     )
     return by_date.unionAll(by_status).orderBy("phase")
+
+
+@register(
+    "ext_tablesample_bounded",
+    survey_id="EXT-TABLESAMPLE",
+    category="sql-surface",
+    mode="bounded",
+    oracle="SELECT TRUE AS within_bound, TRUE AS all_rows_valid",
+)
+def ext_tablesample_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TABLESAMPLE (10 PERCENT) REPEATABLE(42) — the SQL sampling
+    clause (b13 covers the DataFrame .sample API). Sampling is
+    engine-local randomness, so the declared check is the bounded
+    contract: the Bernoulli sample size lands within ±5σ of the
+    binomial expectation, and every sampled row actually belongs to
+    the base table (left-anti count 0 — guards against sample()
+    fabricating or duplicating rows). Scale: Bernoulli sampling is a
+    row-local filter — no shuffle, full pushdown-compatible."""
+    register_temp_views(spark, sf_dir)
+    base = load_table(spark, sf_dir, "orders")
+    n = base.count()
+    s = spark.sql(
+        "SELECT o_orderkey FROM orders TABLESAMPLE (10 PERCENT) REPEATABLE(42)"
+    )
+    k = s.count()
+    import math
+
+    sigma = math.sqrt(n * 0.1 * 0.9)
+    within = abs(k - 0.1 * n) <= 5 * sigma
+    invalid = s.join(
+        base.select("o_orderkey"), "o_orderkey", "left_anti"
+    ).count()
+    return spark.createDataFrame(
+        [(bool(within), invalid == 0)],
+        "within_bound boolean, all_rows_valid boolean",
+    )
+
+
+@register(
+    "sql11_insert_into",
+    survey_id="EXT-SQL-INSERT",
+    category="sql-surface",
+    oracle="""
+SELECT COUNT(*) + 1 AS n_rows,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) + 12345
+            AS BIGINT) AS total_cents
+FROM orders WHERE o_orderpriority = '1-URGENT'
+""",
+)
+def sql11_insert_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL DDL + DML surface: CREATE TABLE (catalog parquet table),
+    INSERT INTO ... SELECT (bulk append from a query), and INSERT INTO
+    ... VALUES (literal row append) — then an aggregate over the
+    resulting table proves both inserts landed exactly once. The
+    catalog path degrades gracefully to a temp-view simulation when
+    the host session has no writable warehouse (ext_bucketed_join
+    precedent). Scale: INSERT INTO...SELECT is a plain distributed
+    write — each executor appends its partition's files; the aggregate
+    is one map-side-combinable scan."""
+    register_temp_views(spark, sf_dir)
+    tbl = "nibbler_insert_demo"
+    try:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.sql(
+            f"CREATE TABLE {tbl} (okey BIGINT, cents BIGINT) USING parquet"
+        )
+        spark.sql(
+            f"""INSERT INTO {tbl}
+            SELECT o_orderkey, CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+            FROM orders WHERE o_orderpriority = '1-URGENT'"""
+        )
+        spark.sql(f"INSERT INTO {tbl} VALUES (-1, 12345)")
+        out = spark.sql(
+            f"""SELECT COUNT(*) AS n_rows,
+                   CAST(SUM(cents) AS BIGINT) AS total_cents
+            FROM {tbl}"""
+        )
+        # materialize before the cleanup below can race the lazy scan
+        rows = out.collect()
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        return spark.createDataFrame(
+            rows, "n_rows bigint, total_cents bigint"
+        )
+    except Exception:
+        # read-only warehouse: same semantics through a temp view
+        sel = spark.sql(
+            """SELECT o_orderkey AS okey,
+                      CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+               FROM orders WHERE o_orderpriority = '1-URGENT'"""
+        )
+        one = spark.createDataFrame(
+            [(-1, 12345)], "okey bigint, cents bigint"
+        )
+        return sel.unionAll(one).agg(
+            F.count("*").alias("n_rows"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+        )

@@ -2355,3 +2355,117 @@ def i22_stream_union_watermarks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("win_start", "n_events")
         .orderBy("win_start")
     )
+
+
+@register(
+    "i23_stream_dynamic_gap_state",
+    survey_id="EXT-STREAM-DYNGAP",
+    category="streaming",
+    mode="parity",
+    oracle="""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS t,
+         CASE WHEN event_type = 'purchase'
+              THEN 1800000000 ELSE 600000000 END AS gap_us
+  FROM events
+),
+m AS (
+  SELECT *, MAX(t + gap_us) OVER (
+    PARTITION BY user_id ORDER BY t
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+  ) AS prev_end
+  FROM e
+),
+flg AS (
+  SELECT *, CASE WHEN prev_end IS NULL OR t >= prev_end
+                 THEN 1 ELSE 0 END AS brk
+  FROM m
+),
+sid AS (
+  SELECT *, SUM(brk) OVER (
+    PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING
+  ) AS s
+  FROM flg
+),
+sess AS (
+  SELECT user_id, s, CAST(MIN(t) AS BIGINT) AS start_us,
+         CAST(MAX(t + gap_us) AS BIGINT) AS end_us,
+         COUNT(*) AS n_events,
+         MAX(s) OVER (PARTITION BY user_id) AS last_s
+  FROM sid GROUP BY user_id, s
+)
+SELECT user_id, start_us, end_us, n_events
+FROM sess WHERE s < last_s
+ORDER BY user_id, start_us
+""",
+)
+def i23_stream_dynamic_gap_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dynamic-gap sessionization as a CUSTOM stateful
+    operator (applyInPandasWithState) — the streaming dual of
+    ext_session_dynamic_gap, with the same per-event gap rule
+    (purchase holds 30 min, else 10) and the same integer-microsecond
+    boundary semantics. Per user the state is the single OPEN session
+    (start, end, count); each micro-batch sorts its rows by event
+    time, merges them into the carried session, EMITS every session
+    that closes (a later event starts at or after the open end), and
+    carries the still-open tail forward. The session left open when
+    the drain ends never closes — so the parity oracle excludes each
+    user's final session, which is exactly the at-rest vs in-flight
+    split a production pipeline reconciles. Scale: state is O(1) per
+    user (one open session), emissions are append-only — unbounded
+    streams never grow state."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    src = _read_stream(spark, _events_dir(spark, sf_dir))
+
+    def sessions(key, pdfs, state: GroupState):
+        (user_id,) = key
+        if state.exists:
+            cur_start, cur_end, cur_n = state.get
+        else:
+            cur_start = None
+        rows = []
+        for pdf in pdfs:
+            t_us = pdf["ts"].astype("int64") // 1000  # ns -> us
+            gaps = pd.Series(
+                [
+                    1800000000 if et == "purchase" else 600000000
+                    for et in pdf["event_type"]
+                ],
+                index=pdf.index,
+            )
+            rows.extend(zip(t_us, gaps))
+        rows.sort(key=lambda r: r[0])
+        closed = []
+        for t, gap in rows:
+            t = int(t)
+            end = t + int(gap)
+            if cur_start is None:
+                cur_start, cur_end, cur_n = t, end, 1
+            elif t >= cur_end:
+                closed.append((cur_start, cur_end, cur_n))
+                cur_start, cur_end, cur_n = t, end, 1
+            else:
+                cur_end = max(cur_end, end)
+                cur_n += 1
+        if cur_start is not None:
+            state.update((cur_start, cur_end, cur_n))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(closed),
+                "start_us": [c[0] for c in closed],
+                "end_us": [c[1] for c in closed],
+                "n_events": [c[2] for c in closed],
+            }
+        )
+
+    result = src.groupBy("user_id").applyInPandasWithState(
+        sessions,
+        "user_id long, start_us long, end_us long, n_events long",
+        "s long, e long, n long",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+    out = _drain_to_memory(result, "append")
+    return out.orderBy("user_id", "start_us")

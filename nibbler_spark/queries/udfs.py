@@ -579,3 +579,43 @@ def j13_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "j14_pandas_iter_udf",
+    survey_id="EXT-UDF-ITER",
+    category="udf",
+    oracle="""
+SELECT o_orderkey,
+       CAST(FLOOR(o_totalprice * 100) AS BIGINT) % 97 AS price_mod
+FROM orders WHERE o_custkey % 25 = 0 ORDER BY o_orderkey
+""",
+)
+def j14_pandas_iter_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator-of-Series Pandas UDF (SCALAR_ITER) — the third scalar
+    UDF evaluation mode after row-at-a-time (j01) and Series→Series
+    (j02): the function receives an ITERATOR of Arrow batches, letting
+    expensive per-worker initialization (model load, dictionary build)
+    happen once per task instead of once per batch — the shape that
+    matters when a UDF wraps a tokenizer or an ONNX session. Here the
+    'initialization' is a small modulus table; the math (integer cents
+    mod 97) is SQL-replicable so the result is hash-checked. Scale:
+    same Arrow pipeline as j02 — per-partition streaming, no driver
+    bytes, init cost amortized across all of a task's batches."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("bigint")
+    def price_mod(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        modulus = 97  # stands in for per-task heavyweight init
+        for s in it:
+            yield (s * 100).apply(lambda v: int(v // 1)) % modulus
+
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_custkey") % 25 == 0
+    )
+    return (
+        o.select(
+            "o_orderkey", price_mod(F.col("o_totalprice")).alias("price_mod")
+        )
+        .orderBy("o_orderkey")
+    )

@@ -660,3 +660,35 @@ def test_qoi_truncated_stream_detected():
     payload = encode_qoi(5, 5, lambda x, y: ((x * 37 + y * 91) % 256, x, y))
     with pytest.raises((ImageFormatError, IndexError)):
         parse_qoi(payload[:-9])
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(1, 32),
+    h=st.integers(1, 24),
+    seed=st.integers(0, 2**31),
+    regime=st.integers(0, 3),
+)
+def test_qoi_roundtrip_hypothesis(w, h, seed, regime):
+    """Hypothesis sweep over sizes and pixel regimes (constant /
+    gradient / small-palette / high-entropy)."""
+    import random
+
+    from nibbler_spark.operators.multimodal import encode_qoi, parse_qoi
+
+    def pix(x, y):
+        if regime == 0:
+            return (seed % 256, (seed >> 8) % 256, (seed >> 16) % 256)
+        if regime == 1:
+            return ((x + seed) % 256, (y + seed) % 256, (x + y) % 256)
+        if regime == 2:
+            r = random.Random((x * 31 + y) % 5 + seed)
+            return tuple(r.randrange(256) for _ in range(3))
+        r = random.Random(x * 1000003 + y * 101 + seed)
+        return tuple(r.randrange(256) for _ in range(3))
+
+    d = parse_qoi(encode_qoi(w, h, pix))
+    assert (d["width"], d["height"]) == (w, h)
+    assert d["pixel_sum"] == sum(
+        sum(pix(x, y)) for y in range(h) for x in range(w)
+    )
