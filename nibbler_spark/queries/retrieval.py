@@ -308,3 +308,111 @@ def ext_rag_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(chunk).alias("chunk_len"),
         F.md5(chunk).alias("chunk_md5"),
     ).orderBy("doc_id", "chunk_idx")
+
+
+@register(
+    "ext_ndcg_eval",
+    survey_id="EXT-NDCG",
+    category="llm-retrieval",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents
+),
+hits AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS score,
+         CAST(COUNT(DISTINCT term) AS BIGINT) AS rel
+  FROM toks WHERE term IN ('vector', 'hash', 'merge')
+  GROUP BY doc_id
+),
+ranked AS (
+  SELECT doc_id, rel,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+  FROM hits
+),
+ideal AS (
+  SELECT rel, row_number() OVER (ORDER BY rel DESC, doc_id) AS rk
+  FROM hits
+),
+dcg AS (
+  SELECT CAST(SUM(CAST(FLOOR(
+           (POWER(2, rel) - 1) * 1e9 / LOG2(rk + 1)) AS BIGINT))
+         AS BIGINT) AS dcg_e9
+  FROM ranked WHERE rk <= 10
+),
+idcg AS (
+  SELECT CAST(SUM(CAST(FLOOR(
+           (POWER(2, rel) - 1) * 1e9 / LOG2(rk + 1)) AS BIGINT))
+         AS BIGINT) AS idcg_e9
+  FROM ideal WHERE rk <= 10
+)
+SELECT dcg_e9, idcg_e9,
+       ROUND(CAST(dcg_e9 AS DOUBLE) / idcg_e9, 6) + 0 AS ndcg_at_10
+FROM dcg CROSS JOIN idcg
+""",
+)
+def ext_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 ranking-quality evaluation — the metric the retrieval
+    family (BM25 / RRF / inverted index) was missing: rank documents
+    by total query-term frequency for the fixed 3-term query, grade
+    them against graded relevance labels (distinct query terms
+    present, 0–3), and compare the achieved DCG against the ideal
+    ordering. Each DCG term (2^rel − 1)/log2(rank+1) is evaluated on
+    small integers and floored to a 1e-9 grid, so both DCG sums are
+    exact BIGINTs (the playbook ln-grid trick applied to log2) and
+    NDCG is one deterministic division. Scale: scoring is the same
+    explode → doc-keyed aggregate as BM25; both rankings are top-10
+    TakeOrderedAndProject over the scored docs; the metric itself
+    reduces to two 10-row sums."""
+    from pyspark.sql import Window as _W
+
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    hits = (
+        toks.where(F.col("term").isin("vector", "hash", "merge"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("score"),
+            F.countDistinct("term").cast("bigint").alias("rel"),
+        )
+    )
+    term_grid = F.floor(
+        (F.pow(F.lit(2.0), F.col("rel")) - 1)
+        * F.lit(1e9)
+        / F.log2(F.col("rk") + 1)
+    ).cast("bigint")
+    # top-10 FIRST (TakeOrderedAndProject), window only over the 10
+    # survivors — never an unpartitioned window over the scored corpus
+    ranked = (
+        hits.orderBy(F.col("score").desc(), "doc_id")
+        .limit(10)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                _W.orderBy(F.col("score").desc(), "doc_id")
+            ),
+        )
+    )
+    ideal = (
+        hits.orderBy(F.col("rel").desc(), "doc_id")
+        .limit(10)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                _W.orderBy(F.col("rel").desc(), "doc_id")
+            ),
+        )
+    )
+    dcg = ranked.agg(F.sum(term_grid).cast("bigint").alias("dcg_e9"))
+    idcg = ideal.agg(F.sum(term_grid).cast("bigint").alias("idcg_e9"))
+    return dcg.crossJoin(F.broadcast(idcg)).select(
+        "dcg_e9",
+        "idcg_e9",
+        (
+            F.round(
+                F.col("dcg_e9").cast("double") / F.col("idcg_e9"), 6
+            )
+            + F.lit(0.0)
+        ).alias("ndcg_at_10"),
+    )

@@ -1916,3 +1916,88 @@ def sql11_insert_into(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_rows"),
             F.sum("cents").cast("bigint").alias("total_cents"),
         )
+
+
+@register(
+    "ext_snapshot_metadata_tables",
+    survey_id="EXT-SNAP-META",
+    category="lakehouse",
+    oracle="""
+WITH o AS (
+  SELECT o_orderstatus,
+         CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+counts AS (
+  SELECT COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+         COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+         COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+  FROM o
+)
+SELECT 0 AS snapshot_seq, 'append' AS operation,
+       CAST(2 AS BIGINT) AS n_files, CAST(n_o AS BIGINT) AS n_rows,
+       CAST(0 AS BIGINT) AS n_carried FROM counts
+UNION ALL
+SELECT 1, 'append', 4, n_o + n_f, 2 FROM counts
+UNION ALL
+SELECT 2, 'append', 6, n_o + n_f + n_p, 4 FROM counts
+ORDER BY snapshot_seq
+""",
+)
+def ext_snapshot_metadata_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata tables for the snapshot format — the Iceberg
+    `table.snapshots` / `table.files` introspection surface: the
+    commit history materialized as a queryable DataFrame straight from
+    the manifests (snapshot sequence, operation kind, file count,
+    MANIFEST-summed row count, carried-over vs new files) with no data
+    files read at all — row counts come from the per-file stats
+    harvested at commit time. Three append commits (one status each,
+    2 files per commit) make every history row's numbers closed-form
+    predictable. Scale: manifests are O(files) driver-side JSON; the
+    history table never touches data bytes — the whole query is
+    metadata, which is exactly what makes `SELECT * FROM
+    t.snapshots` instant on petabyte tables."""
+    import shutil
+    import tempfile
+
+    from nibbler_spark.operators.snapshots import (
+        snapshot_entries,
+        snapshot_files,
+        snapshot_meta,
+        write_snapshot,
+    )
+
+    table = tempfile.mkdtemp(prefix="nibbler-meta-")
+    shutil.rmtree(table)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_totalprice"
+    )
+    files: list[str] = []
+    sids = []
+    for st in ("O", "F", "P"):
+        sid = write_snapshot(
+            o.where(F.col("o_orderstatus") == st).repartition(2),
+            table,
+            carry_over=files,
+            meta={"operation": "append"},
+        )
+        prev_n = len(files)
+        files = snapshot_files(table, sid)
+        sids.append((sid, prev_n))
+    rows = []
+    for seq, (sid, n_carried) in enumerate(sids):
+        entries = snapshot_entries(table, sid)
+        rows.append(
+            (
+                seq,
+                snapshot_meta(table, sid).get("operation", "append"),
+                len(entries),
+                sum(e["rows"] or 0 for e in entries),
+                n_carried,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "snapshot_seq int, operation string, n_files bigint, "
+        "n_rows bigint, n_carried bigint",
+    ).orderBy("snapshot_seq")
