@@ -993,3 +993,38 @@ def h29_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM v GROUP BY seg ORDER BY seg
         """
     )
+
+
+@register(
+    "h31_variant_type",
+    survey_id="EXT-VARIANT",
+    category="scalar-functions",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
+       CAST(json_extract(props, '$.k') AS BIGINT) % 7 = 0 AS k_div7,
+       json_extract(props, '$.missing') IS NULL AS missing_is_null
+FROM events WHERE user_id % 40 = 0 ORDER BY event_id
+""",
+)
+def h31_variant_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark 4 VARIANT type — the engine's native semi-structured
+    column: parse_json lifts the props JSON string into a binary
+    variant, variant_get extracts typed paths without re-parsing per
+    access, and absent paths surface NULL (try-semantics on the typed
+    cast). DuckDB's JSON type plays the oracle role. Scale: VARIANT's
+    point is columnar shredded storage + lazy path access — per-row
+    JSON parse happens ONCE at ingest instead of per expression; all
+    ops here are row-local, no shuffle."""
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("user_id") % 40 == 0
+    )
+    v = e.select("event_id", F.parse_json("props").alias("v"))
+    return v.select(
+        "event_id",
+        F.variant_get("v", "$.k", "bigint").alias("k_val"),
+        (F.variant_get("v", "$.k", "bigint") % 7 == 0).alias("k_div7"),
+        F.variant_get("v", "$.missing", "string")
+        .isNull()
+        .alias("missing_is_null"),
+    ).orderBy("event_id")

@@ -619,3 +619,43 @@ def j14_pandas_iter_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "j15_script_transform",
+    survey_id="EXT-SCRIPT-TRANSFORM",
+    category="udf",
+    oracle="""
+SELECT o_orderkey,
+       CAST(FLOOR(o_totalprice) AS BIGINT) AS floor_price
+FROM orders WHERE o_custkey % 50 = 0 ORDER BY o_orderkey
+""",
+)
+def j15_script_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style script transform (`SELECT TRANSFORM ... USING`) — the
+    pipe-through-an-external-process escape hatch, Spark's oldest UDF
+    mechanism and still the only one that can wrap an arbitrary binary:
+    rows stream to `awk` over stdin as tab-separated text and come
+    back the same way (here: integer floor of the price — awk's %d of
+    a positive number truncates, matching FLOOR). Runs on Spark's
+    native script transform (no Hive metastore needed). Scale: the
+    child process is per-task and stream-oriented — rows never buffer
+    beyond pipe capacity; it IS the slow path (fork + text serde per
+    partition) and the docstring of choice for 'prefer Pandas UDFs
+    unless you need a binary'."""
+    register_temp_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT CAST(t.k AS BIGINT) AS o_orderkey,
+               CAST(t.fp AS BIGINT) AS floor_price
+        FROM (
+          SELECT TRANSFORM (o_orderkey, o_totalprice)
+            ROW FORMAT DELIMITED FIELDS TERMINATED BY '\\t'
+            USING "awk '{ print int($1) \\"\\t\\" int($2) }'"
+            AS (k STRING, fp STRING)
+            ROW FORMAT DELIMITED FIELDS TERMINATED BY '\\t'
+          FROM orders WHERE o_custkey % 50 = 0
+        ) t
+        ORDER BY o_orderkey
+        """
+    )
