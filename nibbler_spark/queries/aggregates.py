@@ -1659,3 +1659,38 @@ def d33_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("2-HIGH").cast("bigint").alias("high"),
         F.col("5-LOW").cast("bigint").alias("low"),
     ).orderBy("o_orderstatus")
+
+
+@register(
+    "d36_histogram_numeric",
+    survey_id="EXT-HIST-NUMERIC",
+    category="aggregation",
+    mode="bounded",
+    oracle="SELECT TRUE AS bins_ok, TRUE AS mass_ok, TRUE AS range_ok",
+)
+def d36_histogram_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """histogram_numeric — Spark's streaming adaptive-bin histogram
+    aggregate (Ben-Haim/Tom-Tov sketch, the one Hive popularized). Bin
+    centroids depend on merge order, so no hash oracle can exist; the
+    declared bounded contract instead: exactly the requested number of
+    bins come back, the bin masses sum to the row count (the sketch
+    never drops mass), and every centroid lies inside the data's
+    [min, max]. Scale: O(bins) state per partition, merged
+    associatively — the same mergeable-sketch family as the portable
+    HLL/CMS rows."""
+    o = load_table(spark, sf_dir, "orders")
+    row = o.agg(
+        F.expr("histogram_numeric(o_totalprice, 12)").alias("h"),
+        F.count("*").alias("n"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+    ).collect()[0]
+    bins = row["h"]
+    mass = sum(b["y"] for b in bins)
+    bins_ok = len(bins) == 12
+    mass_ok = abs(mass - row["n"]) < 1e-6
+    range_ok = all(row["lo"] <= b["x"] <= row["hi"] for b in bins)
+    return o.sparkSession.createDataFrame(
+        [(bool(bins_ok), bool(mass_ok), bool(range_ok))],
+        "bins_ok boolean, mass_ok boolean, range_ok boolean",
+    )

@@ -1942,3 +1942,92 @@ def ext_windowed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = out.crossJoin(F.broadcast(c_df))
     return out
 
+
+
+@register(
+    "ext_theil_sen_trend",
+    survey_id="EXT-THEILSEN",
+    category="event-analytics",
+    oracle="""
+WITH daily AS (
+  SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) // 7
+           AS di,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS x
+  FROM orders GROUP BY 1
+),
+pairs AS (
+  SELECT a.di AS d1, b.di AS d2,
+         CAST(b.x - a.x AS DOUBLE) / (b.di - a.di) AS slope
+  FROM daily a JOIN daily b ON b.di > a.di
+),
+sl AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         quantile_cont(slope, 0.5) AS slope_med
+  FROM pairs
+),
+ic AS (
+  SELECT quantile_cont(daily.x - sl.slope_med * daily.di, 0.5)
+           AS intercept_med,
+         CAST(COUNT(*) AS BIGINT) AS n_days
+  FROM daily CROSS JOIN sl
+)
+SELECT ic.n_days, sl.n_pairs,
+       ROUND(sl.slope_med, 6) + 0 AS slope_cents_per_week,
+       ROUND(ic.intercept_med, 4) + 0 AS intercept_cents
+FROM sl CROSS JOIN ic
+""",
+)
+def ext_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend estimation on the weekly-revenue series —
+    the median of all pairwise slopes (breakdown point 29%, immune to
+    the outlier weeks that wreck OLS — contrast tq06's OLS). Slopes are
+    single divisions of exact integers (deterministic IEEE), the
+    medians are interpolated percentiles over identical doubles (d17
+    precedent), intercept = median(x − slope·d). The pairwise join is
+    quadratic ONLY in the series length: the fact table collapses to
+    ~350 weekly rows first, so the pair count (~60k) is CONSTANT in
+    corpus size — at 100 TB this query costs the same as at sf0.01
+    plus one map-side-combinable daily aggregate. The tiny side
+    broadcasts; no corpus-sized shuffle exists."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.expr(
+            "datediff(to_date(o_orderdate), date '1970-01-01') div 7"
+        ).alias("di")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("x")
+    )
+    a = daily.select(F.col("di").alias("d1"), F.col("x").alias("x1"))
+    b = daily.select(F.col("di").alias("d2"), F.col("x").alias("x2"))
+    pairs = a.join(F.broadcast(b), F.col("d2") > F.col("d1")).select(
+        (
+            (F.col("x2") - F.col("x1")).cast("double")
+            / (F.col("d2") - F.col("d1"))
+        ).alias("slope")
+    )
+    sl = pairs.agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.percentile("slope", 0.5).alias("slope_med"),
+    )
+    ic = (
+        daily.crossJoin(F.broadcast(sl))
+        .agg(
+            F.percentile(
+                F.col("x") - F.col("slope_med") * F.col("di"), 0.5
+            ).alias("intercept_med"),
+            F.count("*").cast("bigint").alias("n_days"),
+        )
+    )
+    return sl.crossJoin(F.broadcast(ic)).select(
+        "n_days",
+        "n_pairs",
+        (F.round("slope_med", 6) + F.lit(0.0)).alias(
+            "slope_cents_per_week"
+        ),
+        (F.round("intercept_med", 4) + F.lit(0.0)).alias(
+            "intercept_cents"
+        ),
+    )
