@@ -92,3 +92,35 @@ def test_scripting_thresholds_strictly_increase(spark, sf_dir):
     one_pass_n = o.where(F.col("o_totalprice") > one_pass_thr).count()
     assert 0 < row["n_above"] < one_pass_n < total
     assert row["thr_cents"] > int(one_pass_thr * 100) - 1
+
+
+def test_concurrent_queries_share_one_session(spark, sf_dir):
+    """Durability: six registry queries running CONCURRENTLY on one
+    SparkSession (the scheduler-fairness / thread-safety contract a
+    multi-tenant driver relies on) must produce exactly the rows they
+    produce sequentially."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from nibbler_spark.queries import load_all
+
+    specs = load_all()
+    names = [
+        "b01_projection",
+        "d01_grouped_agg",
+        "c07_broadcast_join",
+        "e05_lag_lead",
+        "g04_intersect",
+        "ext_seasonal_decompose",
+    ]
+    sequential = {
+        n: [tuple(r) for r in specs[n].spark(spark, sf_dir).collect()]
+        for n in names
+    }
+
+    def run(n):
+        return n, [tuple(r) for r in specs[n].spark(spark, sf_dir).collect()]
+
+    with ThreadPoolExecutor(max_workers=6) as ex:
+        concurrent = dict(ex.map(run, names))
+    for n in names:
+        assert concurrent[n] == sequential[n], n
