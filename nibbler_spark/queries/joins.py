@@ -486,3 +486,70 @@ def c15_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "k", "tag")
         .orderBy("o_orderkey", "tag")
     )
+
+
+@register(
+    "ext_bucketed_band_join",
+    survey_id="EXT-BAND-BUCKET",
+    category="join",
+    oracle="""
+SELECT a.event_id AS eid_a, b.event_id AS eid_b, a.user_id,
+       a.ts AS ts_a, b.ts AS ts_b
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_id < b.event_id
+ AND b.ts BETWEEN a.ts - INTERVAL 5 MINUTE AND a.ts + INTERVAL 5 MINUTE
+ORDER BY eid_a, eid_b
+""",
+)
+def ext_bucketed_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100-TB form of c10's band join — the time-bucket refinement
+    its docstring promises: events land in 5-minute epoch buckets
+    (= the band width), the probe side additionally explodes to its
+    neighbor buckets {b−1, b, b+1}, and the join key becomes
+    (user_id, bucket) — so a user with a year of history no longer
+    produces a year² per-key product, only the pairs within adjacent
+    buckets (the 1-D version of ext_grid_spatial_join's cell stencil).
+    The exact band predicate then filters candidates. Output is
+    IDENTICAL to c10 (same oracle text): bucketing is a pure candidate
+    -set optimization — proving that is the point of this query. Each
+    true pair is found exactly once: the probe's 3-bucket fan-out hits
+    the build row's single home bucket exactly once per (a,b)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.expr("CAST(unix_micros(ts) AS BIGINT) div 300000000").alias(
+            "bk"
+        ),
+    )
+    probe = e.select(
+        F.col("event_id").alias("eid_a"),
+        F.col("user_id"),
+        F.col("ts").alias("ts_a"),
+        F.explode(
+            F.array(F.col("bk") - 1, F.col("bk"), F.col("bk") + 1)
+        ).alias("jb"),
+    )
+    build = e.select(
+        F.col("event_id").alias("eid_b"),
+        F.col("user_id").alias("user_b"),
+        F.col("ts").alias("ts_b"),
+        F.col("bk").alias("jb"),
+    )
+    five_min = F.expr("INTERVAL 5 MINUTES")
+    return (
+        probe.join(
+            build,
+            (probe["user_id"] == build["user_b"])
+            & (probe["jb"] == build["jb"]),
+        )
+        .where(
+            (F.col("eid_a") < F.col("eid_b"))
+            & F.col("ts_b").between(
+                F.col("ts_a") - five_min, F.col("ts_a") + five_min
+            )
+        )
+        .select("eid_a", "eid_b", "user_id", "ts_a", "ts_b")
+        .orderBy("eid_a", "eid_b")
+    )

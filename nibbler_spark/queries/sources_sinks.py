@@ -659,3 +659,57 @@ def a23_csv_malformed_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_permissive BIGINT, n_corrupt BIGINT, n_dropmalformed BIGINT, "
         "good_cents BIGINT, failfast_raises BOOLEAN",
     )
+
+
+@register(
+    "a26_xml_datasource",
+    survey_id="EXT-XML-DS",
+    category="source-sink",
+    oracle="""
+SELECT o_orderkey, o_orderpriority, o_totalprice,
+       o_totalprice > 200000 AS is_large
+FROM orders WHERE o_custkey % 20 = 0 ORDER BY o_orderkey
+""",
+)
+def a26_xml_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML as a FIRST-CLASS Spark source/sink: `format("nibbler_xml")`
+    is a registered Spark 4 Python DataSource over stdlib xml.etree —
+    closing the spark-xml env gap exactly the way `nibbler_avro`
+    closed spark-avro's (a19). Flat <rows><row><col>… documents; NULL
+    = absent element; doubles serialize via repr (shortest exact
+    decimal) so the roundtrip is bit-lossless; typed reads come from
+    the `ddl` option. Writer: one document per task partition,
+    two-phase commit (temp file → driver-side rename). Reader: one
+    input partition per file — parse parallelism tracks layout,
+    payload bytes never cross the driver. The full write→read
+    roundtrip through the ordinary format() surface must hash-match
+    the source parquet, booleans and all."""
+    from nibbler_spark.sources.xml_datasource import register_xml_source
+
+    register_xml_source(spark)
+    path = _tmp(sf_dir, "orders-xml-ds")
+    ddl = (
+        "o_orderkey bigint, o_orderpriority string, "
+        "o_totalprice double, is_large boolean"
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_custkey") % 20 == 0)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            "o_totalprice",
+            (F.col("o_totalprice") > 200000).alias("is_large"),
+        )
+        .repartition(4)
+    )
+    o.write.format("nibbler_xml").mode("overwrite").option(
+        "path", path
+    ).save()
+    return (
+        spark.read.format("nibbler_xml")
+        .option("path", path)
+        .option("ddl", ddl)
+        .load()
+        .orderBy("o_orderkey")
+    )
