@@ -2001,3 +2001,65 @@ def ext_snapshot_metadata_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
         "snapshot_seq int, operation string, n_files bigint, "
         "n_rows bigint, n_carried bigint",
     ).orderBy("snapshot_seq")
+
+
+@register(
+    "sql12_execute_immediate",
+    survey_id="EXT-SQL-EXECIMM",
+    category="sql-surface",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders WHERE o_totalprice > CAST(250000.0 AS DOUBLE)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+)
+def sql12_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTE IMMEDIATE (Spark 4 dynamic SQL): the query text lives in
+    a session variable and executes with a USING clause binding a
+    named parameter — the stored-procedure-style indirection layer,
+    pinned here to the same result as the equivalent static SQL. The
+    threshold binds as a typed parameter (DOUBLE), not string
+    splicing, so the parameterization is injection-safe by
+    construction. Scale: the executed plan is identical to the static
+    query's — dynamic SQL costs one extra parse, nothing at runtime."""
+    register_temp_views(spark, sf_dir)
+    spark.sql("DECLARE OR REPLACE VARIABLE sqltext STRING")
+    spark.sql(
+        """SET VAR sqltext =
+        'SELECT o_orderpriority, COUNT(*) AS n_orders
+         FROM orders WHERE o_totalprice > :thr
+         GROUP BY o_orderpriority ORDER BY o_orderpriority'"""
+    )
+    return spark.sql(
+        "EXECUTE IMMEDIATE sqltext USING CAST(250000.0 AS DOUBLE) AS thr"
+    )
+
+
+@register(
+    "sql13_parameterized_query",
+    survey_id="EXT-SQL-PARAM",
+    category="sql-surface",
+    oracle="""
+SELECT event_type, COUNT(*) AS n
+FROM events
+WHERE user_id % 10 = 3 AND event_type IN ('click', 'view')
+GROUP BY event_type ORDER BY event_type
+""",
+)
+def sql13_parameterized_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named parameter markers (`:name`) through the spark.sql(query,
+    args=...) API — the programmatic parameterized-SQL surface
+    (injection-safe binding, plan-cache-friendly literals). Two
+    parameters of different types (int modulus target, array for the
+    IN list via array_contains). Scale: parameters fold to literals at
+    analysis time — pushdown and pruning see them exactly as if
+    hand-inlined."""
+    register_temp_views(spark, sf_dir)
+    return spark.sql(
+        """SELECT event_type, COUNT(*) AS n
+           FROM events
+           WHERE user_id % 10 = :target
+             AND array_contains(:types, event_type)
+           GROUP BY event_type ORDER BY event_type""",
+        args={"target": 3, "types": ["click", "view"]},
+    )

@@ -2469,3 +2469,64 @@ def i23_stream_dynamic_gap_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _drain_to_memory(result, "append")
     return out.orderBy("user_id", "start_us")
+
+
+@register(
+    "ext_stream_dropped_rows_metric",
+    survey_id="EXT-STREAM-DROPMETRIC",
+    category="streaming",
+    mode="golden",
+    oracle="""
+SELECT CAST(1 AS BIGINT) AS n_dropped_metric,
+       TRUE AS metric_matches_golden
+""",
+)
+def ext_stream_dropped_rows_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-drop OBSERVABILITY: the engine's own
+    `stateOperators[].numRowsDroppedByWatermark` progress metric must
+    account for exactly the rows the i04 scenario drops (one 10:03
+    straggler arriving behind the checkpointed 10:42 watermark). The
+    monitoring story for late data — a pipeline that silently discards
+    stragglers is only operable if the drop count is observable — and
+    a golden cross-check that the metric agrees with the scripted
+    ground truth. Scale: progress metrics are O(1) driver-side
+    bookkeeping per epoch."""
+    base = tempfile.mkdtemp(prefix="nibbler-dropm-")
+    src_dir = os.path.join(base, "src")
+    out_dir = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(src_dir, exist_ok=True)
+    schema = "event_id long, ts timestamp, user_id long"
+
+    def run_pass():
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir + "/*/")
+            .withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "10 minutes").alias("w"))
+            .agg(F.count("*").alias("n"))
+            .select(F.col("w.start").alias("window_start"), "n")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sum(
+            op["numRowsDroppedByWatermark"]
+            for p in q.recentProgress
+            for op in p["stateOperators"]
+        )
+
+    _write_golden_file(spark, src_dir, _GOLDEN_ROWS_A, "step-a")
+    d1 = run_pass()
+    _write_golden_file(spark, src_dir, _GOLDEN_ROWS_B, "step-b")
+    d2 = run_pass()
+    total = d1 + d2
+    return spark.createDataFrame(
+        [(total, total == 1 and d1 == 0)],
+        "n_dropped_metric bigint, metric_matches_golden boolean",
+    )

@@ -124,3 +124,42 @@ def test_concurrent_queries_share_one_session(spark, sf_dir):
         concurrent = dict(ex.map(run, names))
     for n in names:
         assert concurrent[n] == sequential[n], n
+
+
+def test_xml_datasource_nulls_inference_and_commit(spark, tmp_path):
+    """nibbler_xml: NULL = absent element, string-typed inference
+    without ddl, and temp files never leak past commit."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from nibbler_spark.sources.xml_datasource import register_xml_source
+
+    register_xml_source(spark)
+    d = str(tmp_path / "xmlds")
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, None, None), (3, "c", -0.25)],
+        "k bigint, s string, v double",
+    )
+    df.write.format("nibbler_xml").mode("overwrite").option(
+        "path", d
+    ).save()
+    assert not [f for f in os.listdir(d) if f.endswith(".tmp")]
+    back = (
+        spark.read.format("nibbler_xml")
+        .option("path", d)
+        .option("ddl", "k bigint, s string, v double")
+        .load()
+        .orderBy("k")
+        .collect()
+    )
+    assert [tuple(r) for r in back] == [
+        (1, "a", 1.5),
+        (2, None, None),
+        (3, "c", -0.25),
+    ]
+    # inference fallback: all columns arrive as strings
+    inferred = (
+        spark.read.format("nibbler_xml").option("path", d).load()
+    )
+    assert all(f.dataType.simpleString() == "string" for f in inferred.schema.fields)
