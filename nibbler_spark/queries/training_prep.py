@@ -1300,3 +1300,60 @@ def ext_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "ext_epoch_shuffle_order",
+    survey_id="EXT-EPOCH-SHUFFLE",
+    category="llm-training-prep",
+    oracle="""
+WITH keyed AS (
+  SELECT e.epoch, d.doc_id,
+         md5(e.epoch || ':' || d.doc_id) AS ok
+  FROM documents d
+  CROSS JOIN (SELECT UNNEST([0, 1]) AS epoch) e
+),
+top10 AS (
+  SELECT epoch, doc_id, ok,
+         row_number() OVER (PARTITION BY epoch ORDER BY ok) AS rk
+  FROM keyed
+)
+SELECT epoch, rk AS rank, doc_id
+FROM top10 WHERE rk <= 10
+ORDER BY epoch, rank
+""",
+)
+def ext_epoch_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch training shuffle — the reproducibility
+    primitive a training pipeline needs: each epoch's data order is
+    md5(epoch:doc_id), so (a) the order is a pseudorandom permutation,
+    (b) epochs see DIFFERENT permutations, and (c) any worker on any
+    cluster reproduces the exact same order with no shared RNG state —
+    the Spark-native answer to 'seeded shuffle' (engine sort on a
+    portable hash key, not an RNG whose stream depends on
+    partitioning). Output: the first 10 docs of epochs 0 and 1. Scale:
+    each epoch's head is a TakeOrderedAndProject (no global sort
+    materialized); a full-epoch iterator would be one range-partitioned
+    sort on the same key — still deterministic at any partition
+    count."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    parts = []
+    for epoch in (0, 1):
+        keyed = d.select(
+            F.lit(epoch).alias("epoch"),
+            "doc_id",
+            F.md5(
+                F.concat(
+                    F.lit(str(epoch)), F.lit(":"), F.col("doc_id").cast("string")
+                )
+            ).alias("ok"),
+        )
+        top = keyed.orderBy("ok").limit(10)
+        from pyspark.sql import Window as _W
+
+        parts.append(
+            top.withColumn(
+                "rank", F.row_number().over(_W.orderBy("ok"))
+            ).select("epoch", "rank", "doc_id")
+        )
+    return parts[0].unionAll(parts[1]).orderBy("epoch", "rank")
