@@ -713,3 +713,57 @@ def a26_xml_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load()
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "a27_text_log_parsing",
+    survey_id="EXT-TEXT-SOURCE",
+    category="source-sink",
+    oracle="""
+SELECT event_type AS method,
+       COUNT(*) AS n_requests,
+       CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+         AS total_bytes
+FROM events WHERE user_id % 30 = 0
+GROUP BY event_type ORDER BY method
+""",
+)
+def a27_text_log_parsing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The log-ingestion shape: unstructured text lines →
+    `spark.read.text` → regexp_extract into typed columns → aggregate.
+    Access-log-style lines are first WRITTEN via the text sink (one
+    string column per line — the write side of the format), then
+    parsed back with anchored regex groups; the grouped result must
+    hash-match the structured source the lines were rendered from.
+    Scale: text scan + regex extraction are row-local (whole-stage
+    codegen, no Python); this is the standard first stage in front of
+    every curation pipeline when upstream data arrives as raw lines."""
+    path = _tmp(sf_dir, "events-textlog")
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("user_id") % 30 == 0
+    )
+    lines = e.select(
+        F.concat(
+            F.lit("evt id="),
+            F.col("event_id").cast("string"),
+            F.lit(" method="),
+            F.col("event_type"),
+            F.lit(" bytes="),
+            F.floor(F.col("value") * 100).cast("bigint").cast("string"),
+        ).alias("value")
+    )
+    lines.coalesce(2).write.mode("overwrite").text(path)
+    parsed = spark.read.text(path).select(
+        F.regexp_extract("value", r"method=(\w+)", 1).alias("method"),
+        F.regexp_extract("value", r"bytes=(\d+)", 1)
+        .cast("bigint")
+        .alias("bytes"),
+    )
+    return (
+        parsed.groupBy("method")
+        .agg(
+            F.count("*").alias("n_requests"),
+            F.sum("bytes").cast("bigint").alias("total_bytes"),
+        )
+        .orderBy("method")
+    )

@@ -2530,3 +2530,73 @@ def ext_stream_dropped_rows_metric(spark: SparkSession, sf_dir: str) -> DataFram
         [(total, total == 1 and d1 == 0)],
         "n_dropped_metric bigint, metric_matches_golden boolean",
     )
+
+
+@register(
+    "i24_rate_micro_batch",
+    survey_id="EXT-RATE-MB",
+    category="streaming",
+    mode="parity",
+    oracle="""
+SELECT CAST(150 AS BIGINT) AS n_rows,
+       CAST(0 AS BIGINT) AS min_value,
+       CAST(149 AS BIGINT) AS max_value,
+       CAST(11175 AS BIGINT) AS value_sum
+""",
+)
+def i24_rate_micro_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `rate-micro-batch` source — the DETERMINISTIC cousin of a06's
+    rate source: every micro-batch carries exactly rowsPerBatch rows
+    with consecutive values and fixed timestamps derived from
+    startTimestamp (wall-clock independent), which makes it the
+    reproducible load generator for streaming tests and benchmarks.
+    Three 50-row batches drained with availableNow must produce exactly
+    values 0..149 — counts, extremes, and sum all pinned. Scale: the
+    source synthesizes rows executor-side with numPartitions
+    parallelism; no external system, no driver bytes."""
+    src = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", 50)
+        .option("numPartitions", 2)
+        .option("startTimestamp", 0)
+        .load()
+    )
+    bounded = src.where(F.col("value") < 150)
+    agg = bounded.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.min("value").cast("bigint").alias("min_value"),
+        F.max("value").cast("bigint").alias("max_value"),
+        F.sum("value").cast("bigint").alias("value_sum"),
+    )
+    name = "mem_" + uuid.uuid4().hex[:12]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="nibbler-ck-")
+        )
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    import time as _time
+
+    # drain exactly 3 micro-batches (150 rows), then stop
+    deadline = _time.time() + 60
+    while _time.time() < deadline:
+        if any(
+            p["numInputRows"] and p["batchId"] >= 2
+            for p in q.recentProgress
+        ):
+            break
+        _time.sleep(0.2)
+    q.stop()
+    q.awaitTermination()
+    out = spark.table(name).where(F.col("n_rows") >= 150)
+    rows = out.collect()
+    # the last complete-mode emission with all 150 rows
+    last = rows[-1] if rows else None
+    return spark.createDataFrame(
+        [tuple(last)] if last else [],
+        "n_rows bigint, min_value bigint, max_value bigint, value_sum bigint",
+    )
