@@ -535,3 +535,35 @@ def test_entity_resolution_dictionary_collapse_before_pairing(
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_analyze_table_stats_enable_broadcast(spark, sf_dir):
+    """Cost-based optimization wiring: after ANALYZE TABLE COMPUTE
+    STATISTICS, the catalog carries row/size stats and a join against
+    the small analyzed table plans as a broadcast join WITHOUT an
+    explicit hint — the statistics path a 100 TB deployment relies on
+    for automatic join-strategy choices."""
+    import uuid as _uuid
+
+    from nibbler_spark.sources import load_table
+
+    tbl = f"nibbler_cbo_{_uuid.uuid4().hex[:8]}"
+    try:
+        load_table(spark, sf_dir, "nation").write.saveAsTable(tbl)
+    except Exception:
+        import pytest as _pytest
+
+        _pytest.skip("no writable warehouse in this session")
+    try:
+        spark.sql(f"ANALYZE TABLE {tbl} COMPUTE STATISTICS")
+        stats = spark.sql(f"DESCRIBE EXTENDED {tbl}").collect()
+        rows = {r["col_name"]: r["data_type"] for r in stats}
+        assert "Statistics" in rows  # sizeInBytes (+ rowCount) recorded
+        cust = load_table(spark, sf_dir, "customer")
+        joined = cust.join(
+            spark.table(tbl), cust["c_nationkey"] == spark.table(tbl)["n_nationkey"]
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
