@@ -1357,3 +1357,135 @@ def ext_epoch_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).select("epoch", "rank", "doc_id")
         )
     return parts[0].unionAll(parts[1]).orderBy("epoch", "rank")
+
+
+@register(
+    "ext_stratified_split",
+    survey_id="EXT-SPLIT",
+    category="llm-training-prep",
+    oracle="""
+WITH tagged AS (
+  SELECT lang,
+         CASE
+           WHEN CAST(('0x' || substr(md5('split:' || doc_id), 1, 12))
+                     AS BIGINT) % 10 < 8 THEN 'train'
+           WHEN CAST(('0x' || substr(md5('split:' || doc_id), 1, 12))
+                     AS BIGINT) % 10 = 8 THEN 'val'
+           ELSE 'test'
+         END AS split
+  FROM documents
+)
+SELECT lang, split, COUNT(*) AS n_docs
+FROM tagged GROUP BY lang, split ORDER BY lang, split
+""",
+)
+def ext_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split — md5-bucketed on
+    doc_id, so membership is a pure function of the document (stable
+    across reruns, partitionings, and engines — never an RNG whose
+    stream depends on task layout; the property that makes a split
+    REPRODUCIBLE and leak-free, since a doc can never migrate between
+    splits when data is re-ingested). Output: the per-language split
+    histogram — the stratification report that catches a split
+    accidentally starving a low-resource language. Disjointness and
+    coverage are structural (the bucket expression partitions [0,10)).
+    Scale: row-local hash + one map-side-combinable groupBy."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("split:"), F.col("doc_id").cast("string")
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 10
+    )
+    split = (
+        F.when(bucket < 8, "train")
+        .when(bucket == 8, "val")
+        .otherwise("test")
+    )
+    return (
+        d.select("lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang", "split")
+    )
+
+
+@register(
+    "ext_length_bucket_batching",
+    survey_id="EXT-LENBUCKET",
+    category="llm-training-prep",
+    oracle="""
+WITH lens AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_toks FROM documents
+),
+bucketed AS (
+  SELECT n_toks // 64 AS bucket, n_toks FROM lens
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       COUNT(*) AS n_docs,
+       CAST(MIN(n_toks) AS BIGINT) AS min_toks,
+       CAST(MAX(n_toks) AS BIGINT) AS max_toks,
+       CAST(SUM(n_toks) AS BIGINT) AS payload_tokens,
+       CAST(COUNT(*) * MAX(n_toks) - SUM(n_toks) AS BIGINT)
+         AS padding_waste,
+       CAST((SELECT COUNT(*) * MAX(n_toks) - SUM(n_toks) FROM lens)
+            AS BIGINT) AS unbucketed_waste
+FROM bucketed GROUP BY bucket ORDER BY bucket
+""",
+)
+def ext_length_bucket_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching — the dynamic-batching efficiency
+    report: documents grouped into 64-token length buckets, with each
+    bucket's padding waste (docs padded to the bucket max) against the
+    corpus-wide waste of naive one-batch padding. The padding-
+    efficiency argument for bucketing, stated as exact integers — at
+    training time this is the difference between wasting ~half the
+    batch FLOPs on pad tokens and wasting almost none. Scale: token
+    counts are row-local; the report is one map-side-combinable
+    groupBy on the bucket key; the corpus-wide reference is a 1-row
+    broadcast."""
+    lens = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_toks")
+    )
+    unb = lens.agg(
+        (F.count("*") * F.max("n_toks") - F.sum("n_toks"))
+        .cast("bigint")
+        .alias("unbucketed_waste")
+    )
+    return (
+        lens.select(
+            F.expr("n_toks div 64").cast("bigint").alias("bucket"),
+            "n_toks",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_toks").cast("bigint").alias("min_toks"),
+            F.max("n_toks").cast("bigint").alias("max_toks"),
+            F.sum("n_toks").cast("bigint").alias("payload_tokens"),
+            (F.count("*") * F.max("n_toks") - F.sum("n_toks"))
+            .cast("bigint")
+            .alias("padding_waste"),
+        )
+        .crossJoin(F.broadcast(unb))
+        .select(
+            "bucket",
+            "n_docs",
+            "min_toks",
+            "max_toks",
+            "payload_tokens",
+            "padding_waste",
+            "unbucketed_waste",
+        )
+        .orderBy("bucket")
+    )
