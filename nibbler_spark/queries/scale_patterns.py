@@ -1165,3 +1165,114 @@ def ext_grid_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("d2", "a_id", "b_id")
         .limit(10)
     )
+
+
+@register(
+    "ext_parquet_agg_pushdown",
+    survey_id="EXT-AGG-PUSHDOWN",
+    category="scale-pattern",
+    oracle="""
+SELECT COUNT(*) AS n_rows,
+       MIN(l_quantity) AS min_qty,
+       MAX(l_quantity) AS max_qty,
+       CAST(MIN(l_partkey) AS BIGINT) AS min_part,
+       CAST(MAX(l_partkey) AS BIGINT) AS max_part
+FROM lineitem
+""",
+)
+def ext_parquet_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate pushdown INTO the parquet footers
+    (spark.sql.parquet.aggregatePushdown): COUNT/MIN/MAX over the bare
+    table are answered from row-group statistics — zero data pages
+    read, the same trick the snapshot manifests exploit at commit
+    time, here done by the scan itself. The plan is asserted to carry
+    `PushedAggregation` (the query fails loudly if the rewrite ever
+    stops applying — e.g. a nullable-type edge). At 100 TB this is
+    the difference between a metadata read and a full scan for the
+    table-profile class of queries."""
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    prev_v1 = spark.conf.get("spark.sql.sources.useV1SourceList")
+    # aggregate pushdown lives in the DSv2 parquet reader only
+    spark.conf.set(
+        "spark.sql.sources.useV1SourceList", "avro,csv,json,kafka,orc,text"
+    )
+    try:
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        out = li.agg(
+            F.count("*").alias("n_rows"),
+            F.min("l_quantity").alias("min_qty"),
+            F.max("l_quantity").alias("max_qty"),
+            F.min("l_partkey").cast("bigint").alias("min_part"),
+            F.max("l_partkey").cast("bigint").alias("max_part"),
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # numeric/count aggregates only: a timestamp MIN/MAX silently
+        # disables the rewrite (PushedAggregation: []) — asserted so a
+        # regression is loud
+        assert "PushedAggregation: [COUNT(*)" in plan, plan[:2000]
+        return out
+    finally:
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", "false")
+        spark.conf.set("spark.sql.sources.useV1SourceList", prev_v1)
+
+
+@register(
+    "ext_runtime_bloom_filter_join",
+    survey_id="EXT-RUNTIME-BLOOM",
+    category="scale-pattern",
+    oracle=f"""
+SELECT o_orderpriority,
+       COUNT(*) AS n_lines,
+       {sql_dsum('l_extendedprice')} AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_totalprice > 400000
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+)
+def ext_runtime_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom-filter injection
+    (spark.sql.optimizer.runtime.bloomFilter) — Spark's automatic
+    version of the ext_bloom_semi_join pattern: a selective filter on
+    the orders side makes the optimizer build a Bloom filter over the
+    surviving join keys and push `might_contain` into the LINEITEM
+    scan, so most fact rows die before the shuffle instead of after
+    it. Thresholds are lowered so the rewrite triggers at test scale;
+    the plan is asserted to carry the bloom probe. At 100 TB this is
+    the shuffle-volume lever for every selective fact-fact join that
+    broadcast can't serve."""
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled", "true"
+    )
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        "100MB",
+    )
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0",
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").where(
+            F.col("o_totalprice") > 400000
+        )
+        out = (
+            li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n_lines"),
+                dsum("l_extendedprice").alias("revenue"),
+            )
+            .orderBy("o_orderpriority")
+        )
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter" in plan or "might_contain" in plan, (
+            plan[:2000]
+        )
+        return out
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled", "false"
+        )
