@@ -2600,3 +2600,82 @@ def i24_rate_micro_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         [tuple(last)] if last else [],
         "n_rows bigint, min_value bigint, max_value bigint, value_sum bigint",
     )
+
+
+@register(
+    "i25_stream_stream_left_outer",
+    survey_id="EXT-STREAM-LOUTER",
+    category="streaming",
+    mode="parity",
+    oracle="""
+WITH p AS (
+  SELECT event_id AS eid_b, user_id, ts AS ts_b FROM events
+  WHERE event_type = 'purchase'
+),
+bound AS (SELECT MAX(ts) - INTERVAL 13 MINUTE AS b FROM events
+           WHERE event_type = 'purchase')
+SELECT a.event_id AS eid_a, p.eid_b, a.user_id
+FROM events a
+LEFT JOIN p ON a.user_id = p.user_id
+           AND p.ts_b >= a.ts
+           AND p.ts_b <= a.ts + INTERVAL 2 MINUTE
+CROSS JOIN bound
+WHERE a.ts <= bound.b
+ORDER BY eid_a, eid_b
+""",
+)
+def i25_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join with watermarks on both sides —
+    the subtle half of the c13 surface: matched pairs emit as they
+    join, but a NULL-extended row may only emit once the watermark
+    proves no match can still arrive (state eviction), which is what
+    makes outer streaming joins correct rather than eventually-wrong.
+    Every event left-joins the purchases of the same user in its
+    2-minute forward window; the availableNow drain's final flush
+    evicts and emits the unmatched rows. Rows within the trailing
+    horizon of the GLOBAL watermark are excluded on BOTH sides — and
+    because the global watermark is the min across inputs, the horizon
+    anchors on the purchase side's last event (the lagging input), the
+    exact multi-input semantics i22 pins for union. Their outer verdict
+    is legitimately still pending at stream end. Scale: state is
+    bounded by the watermark horizon on both inputs; the join shuffles
+    on user_id."""
+    d = _events_dir(spark, sf_dir)
+    a = _read_stream(spark, d).withWatermark("ts", "10 minutes").alias("a")
+    b = (
+        _read_stream(spark, d)
+        .where(F.col("event_type") == "purchase")
+        .withColumnRenamed("ts", "ts_b")
+        .withColumnRenamed("event_id", "event_id_b")
+        .withColumnRenamed("user_id", "user_id_b")
+        .withWatermark("ts_b", "10 minutes")
+        .alias("b")
+    )
+    joined = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id_b"))
+        & (F.col("b.ts_b") >= F.col("a.ts"))
+        & (F.col("b.ts_b") <= F.col("a.ts") + F.expr("INTERVAL 2 MINUTES")),
+        "left_outer",
+    ).select(
+        F.col("a.event_id").alias("eid_a"),
+        F.col("b.event_id_b").alias("eid_b"),
+        F.col("a.user_id").alias("user_id"),
+        F.col("a.ts").alias("ts_a"),
+    )
+    out = _drain_to_memory(joined, "append")
+    # The global watermark is the MIN across inputs, and the b side only
+    # sees purchases — so the horizon anchors on the LAST PURCHASE, not
+    # the last event: 13 min = delay (10) + join window (2) + 1 min
+    # slack for the ms-truncated, strictly-compared state watermark.
+    bound = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .agg((F.max("ts") - F.expr("INTERVAL 13 MINUTES")).alias("b"))
+    )
+    return (
+        out.crossJoin(F.broadcast(bound))
+        .where(F.col("ts_a") <= F.col("b"))
+        .select("eid_a", "eid_b", "user_id")
+        .orderBy("eid_a", "eid_b")
+    )
