@@ -2247,3 +2247,132 @@ def ext_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_id")
     )
+
+
+@register(
+    "ext_ivf_incremental_append",
+    survey_id="EXT-IVF-INCR",
+    category="llm-vector",
+    oracle=f"""
+WITH ex AS (
+  SELECT label, i AS pos,
+         CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1e10) AS BIGINT) AS v
+  FROM embeddings, generate_series(1, 64) AS g(i)
+),
+centroids AS (
+  SELECT label, LIST(c ORDER BY pos) AS centroid FROM (
+    SELECT label, pos, (CAST(SUM(v) AS DOUBLE) / 1e10) / COUNT(v) AS c
+    FROM ex GROUP BY label, pos
+  ) GROUP BY label
+),
+qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+coarse AS (
+  SELECT label, {sql_cosine('centroid', 'q')} AS csim
+  FROM centroids, qv
+  ORDER BY csim DESC, label LIMIT 2
+)
+SELECT e.vec_id, e.label, {sql_cosine('e.embedding', 'qv.q')} AS cos_sim
+FROM embeddings e, qv
+WHERE e.label IN (SELECT label FROM coarse) AND e.vec_id <> 0
+ORDER BY cos_sim DESC, e.vec_id LIMIT 10
+""",
+)
+def ext_ivf_incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL vector-index maintenance — the lakehouse x vector
+    composite: the IVF inverted lists live as a SNAPSHOT TABLE with
+    one value-pure file per cell (label), a later batch of vectors
+    appends NEW per-cell files via carry-over commits (no list
+    rewrite — list assignment is per-vector, so append IS the whole
+    maintenance operation), the tiny centroid codebook refreshes from
+    the updated table, and probes read only the 2 probed cells via
+    manifest stat pruning (asserted). The query result must equal the
+    from-scratch inline IVF over the full corpus — SAME oracle as
+    EXT-IVF — proving incremental maintenance loses nothing. At
+    100 TB: index updates are append-only commits + an O(cells)
+    codebook refresh; a full rebuild never happens."""
+    import shutil
+    import tempfile
+
+    from nibbler_spark.operators.snapshots import (
+        read_snapshot,
+        read_snapshot_pruned,
+        snapshot_files,
+        write_snapshot,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.where(F.col("vec_id") % 5 != 0)
+    new = e.where(F.col("vec_id") % 5 == 0)
+    table = tempfile.mkdtemp(prefix="nibbler-ivfi-")
+    shutil.rmtree(table)
+    files: list[str] = []
+    for batch in (base, new):
+        labels = sorted(
+            r["label"]
+            for r in batch.select("label").distinct().collect()
+        )
+        for lab in labels:
+            sid = write_snapshot(
+                batch.where(F.col("label") == lab).coalesce(1),
+                table,
+                carry_over=files,
+            )
+            files = snapshot_files(table, sid)
+
+    cur = read_snapshot(spark, table)
+    ex = cur.select(
+        "label", F.posexplode("embedding").alias("pos", "val")
+    ).select(
+        "label",
+        "pos",
+        F.floor(F.col("val").cast("double") * F.lit(1e10)).alias("v"),
+    )
+    cent = (
+        ex.groupBy("label", "pos")
+        .agg(
+            (
+                (F.sum("v").cast("double") / F.lit(1e10)) / F.count("v")
+            ).alias("c")
+        )
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s["c"],
+            ).alias("centroid")
+        )
+    )
+    qv = cur.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q")
+    )
+    probes = [
+        int(r["label"])
+        for r in (
+            cent.crossJoin(F.broadcast(qv))
+            .select(
+                "label",
+                cosine(F.col("centroid"), F.col("q")).alias("csim"),
+            )
+            .orderBy(F.col("csim").desc(), F.col("label"))
+            .limit(2)
+            .collect()
+        )
+    ]
+    cells = None
+    for lab in probes:
+        df, scanned, total = read_snapshot_pruned(
+            spark, table, filters=[("label", "=", lab)]
+        )
+        assert scanned < total, (scanned, total)
+        cells = df if cells is None else cells.unionAll(df)
+    return (
+        cells.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            "label",
+            cosine(F.col("embedding"), F.col("q")).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(10)
+    )

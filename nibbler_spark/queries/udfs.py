@@ -659,3 +659,46 @@ def j15_script_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_orderkey
         """
     )
+
+
+@register(
+    "j16_arrow_python_udf",
+    survey_id="EXT-UDF-ARROW",
+    category="udf",
+    oracle="""
+SELECT event_id,
+       CAST(FLOOR(value * 100) AS BIGINT) * 3 + 1 AS chained
+FROM events WHERE user_id % 35 = 0 ORDER BY event_id
+""",
+)
+def j16_arrow_python_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized plain Python UDF
+    (spark.sql.execution.pythonUDF.arrow.enabled, Spark 4): the same
+    row-at-a-time @udf source code j01 uses, but the exchange with the
+    Python worker runs over Arrow batches instead of pickled rows —
+    the config-flip that buys most of a Pandas UDF's serde win without
+    touching UDF code. Semantics pinned identical to the unfused SQL
+    expression. Scale: the serialization layer is the dominant cost of
+    Python UDFs; this is the migration path for codebases full of
+    legacy @udf functions."""
+    from pyspark.sql.functions import udf
+
+    spark.conf.set("spark.sql.execution.pythonUDF.arrow.enabled", "true")
+    try:
+
+        @udf("bigint")
+        def chain(v: float) -> int:
+            return int(v * 100 // 1) * 3 + 1
+
+        e = load_table(spark, sf_dir, "events").where(
+            F.col("user_id") % 35 == 0
+        )
+        out = e.select(
+            "event_id", chain(F.col("value")).alias("chained")
+        ).orderBy("event_id")
+        out.count()  # materialize under the arrow flag
+        return out
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.pythonUDF.arrow.enabled", "false"
+        )
