@@ -1276,3 +1276,64 @@ def ext_runtime_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame
         spark.conf.set(
             "spark.sql.optimizer.runtime.bloomFilter.enabled", "false"
         )
+
+
+@register(
+    "ext_distributed_id_assignment",
+    survey_id="EXT-ID-ASSIGN",
+    category="scale-pattern",
+    oracle="""
+WITH ranked AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY doc_id) AS stable_id
+  FROM documents
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(stable_id) AS BIGINT) AS min_id,
+       CAST(MAX(stable_id) AS BIGINT) AS max_id,
+       CAST(SUM(stable_id * (doc_id % 97)) AS BIGINT) AS assignment_hash,
+       TRUE AS monotonic_ids_unique
+FROM ranked
+""",
+)
+def ext_distributed_id_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed surrogate-id assignment — the two industrial
+    options side by side: `monotonically_increasing_id()` (cheap,
+    shuffle-free, but partition-encoded and GAP-FULL — checked here
+    for uniqueness only, the one property it guarantees) versus a
+    gap-free deterministic dense id from the bucketed two-phase rank
+    (`_helpers.two_phase_rank`, no unpartitioned window), whose full
+    assignment is hash-pinned against the oracle's row_number. The
+    assignment_hash ties every doc to its exact id, so ANY
+    partition-count-dependence in the two-phase rank would fail the
+    oracle. Scale: the monotonic path is free; the dense path costs
+    one tiny bucket-count aggregate + a bucket-partitioned window."""
+    from nibbler_spark.queries._helpers import two_phase_rank
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    mono = d.select(
+        "doc_id", F.monotonically_increasing_id().alias("mid")
+    )
+    n, n_mid = (
+        mono.agg(
+            F.count("*").alias("n"),
+            F.countDistinct("mid").alias("nm"),
+        )
+        .first()
+        [0:2]
+    )
+    ranked = two_phase_rank(
+        d,
+        bucket=(F.col("doc_id") / 100).cast("bigint"),
+        order_cols=[F.col("doc_id")],
+        out="stable_id",
+    )
+    return ranked.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.min("stable_id").cast("bigint").alias("min_id"),
+        F.max("stable_id").cast("bigint").alias("max_id"),
+        F.sum(F.col("stable_id") * (F.col("doc_id") % 97))
+        .cast("bigint")
+        .alias("assignment_hash"),
+        F.lit(bool(n == n_mid)).alias("monotonic_ids_unique"),
+    )

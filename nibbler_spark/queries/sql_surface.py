@@ -2063,3 +2063,129 @@ def sql13_parameterized_query(spark: SparkSession, sf_dir: str) -> DataFrame:
            GROUP BY event_type ORDER BY event_type""",
         args={"target": 3, "types": ["click", "view"]},
     )
+
+
+@register(
+    "ext_snapshot_asof_timestamp",
+    survey_id="EXT-SNAP-ASOF",
+    category="lakehouse",
+    oracle="""
+WITH o AS (
+  SELECT o_orderstatus,
+         CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT 1000 AS asof_us,
+       (SELECT COUNT(*) FROM o WHERE o_orderstatus = 'O') AS n_rows
+UNION ALL
+SELECT 2500,
+       (SELECT COUNT(*) FROM o WHERE o_orderstatus IN ('O', 'F'))
+UNION ALL
+SELECT 9999,
+       (SELECT COUNT(*) FROM o WHERE o_orderstatus IN ('O', 'F', 'P'))
+ORDER BY asof_us
+""",
+)
+def ext_snapshot_asof_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel BY TIMESTAMP (`TIMESTAMP AS OF` semantics — the id
+    flavor is EXT-TIMETRAVEL): each commit records its commit time in
+    manifest meta, and an as-of read resolves to the LATEST snapshot
+    whose commit time <= the requested instant (exactly Iceberg's
+    snapshot-log lookup). Commit clocks here are synthetic (injected
+    via meta) so the resolution rule itself is what's under test, with
+    deterministic expected results: reads at t=1000/2500/9999 must see
+    exactly commits 1, 2, and 3. Scale: resolution is a driver-side
+    scan of O(snapshots) manifest metas — no data IO until the chosen
+    snapshot is read."""
+    import shutil
+    import tempfile
+
+    from nibbler_spark.operators.snapshots import (
+        latest_snapshot,
+        read_snapshot,
+        snapshot_files,
+        snapshot_meta,
+        write_snapshot,
+    )
+
+    table = tempfile.mkdtemp(prefix="nibbler-asof-")
+    shutil.rmtree(table)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_totalprice"
+    )
+    files: list[str] = []
+    for st, t_us in (("O", 500), ("F", 2000), ("P", 3000)):
+        sid = write_snapshot(
+            o.where(F.col("o_orderstatus") == st).repartition(2),
+            table,
+            carry_over=files,
+            meta={"committed_at_us": t_us},
+        )
+        files = snapshot_files(table, sid)
+
+    def as_of(t_us: int) -> int:
+        best = None
+        for sid in range(latest_snapshot(table) + 1):
+            at = snapshot_meta(table, sid).get("committed_at_us")
+            if at is not None and at <= t_us:
+                best = sid
+        if best is None:
+            raise ValueError(f"no snapshot at or before {t_us}")
+        return best
+
+    parts = []
+    for t_us in (1000, 2500, 9999):
+        parts.append(
+            read_snapshot(spark, table, as_of(t_us))
+            .agg(F.count("*").alias("n_rows"))
+            .select(F.lit(t_us).alias("asof_us"), "n_rows")
+        )
+    return parts[0].unionAll(parts[1]).unionAll(parts[2]).orderBy(
+        "asof_us"
+    )
+
+
+_VIEW_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n, 
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM big_orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+@register(
+    "sql14_create_view",
+    survey_id="EXT-SQL-VIEW",
+    category="sql-surface",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM (SELECT * FROM orders WHERE o_totalprice > 150000) big_orders
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+)
+def sql14_create_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE [TEMPORARY] VIEW DDL + querying through the view — the
+    abstraction layer of every SQL warehouse: the view body (a filter
+    over orders) inlines into the consuming query at analysis time, so
+    predicates and pruning behave exactly as if hand-written (views
+    are free at runtime). A second CREATE OR REPLACE redefines the
+    view and the next query sees the new definition — the
+    definition-resolution rule pinned. Scale: views are catalog
+    metadata; zero execution cost."""
+    register_temp_views(spark, sf_dir)
+    spark.sql(
+        """CREATE OR REPLACE TEMPORARY VIEW big_orders AS
+           SELECT * FROM orders WHERE o_totalprice > 100000"""
+    )
+    # redefinition must take effect for subsequent queries
+    spark.sql(
+        """CREATE OR REPLACE TEMPORARY VIEW big_orders AS
+           SELECT * FROM orders WHERE o_totalprice > 150000"""
+    )
+    return spark.sql(
+        """SELECT o_orderpriority, COUNT(*) AS n,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                    AS revenue
+           FROM big_orders GROUP BY o_orderpriority
+           ORDER BY o_orderpriority"""
+    )
