@@ -553,3 +553,55 @@ def ext_bucketed_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("eid_a", "eid_b", "user_id", "ts_a", "ts_b")
         .orderBy("eid_a", "eid_b")
     )
+
+
+@register(
+    "ext_join_strategy_hints",
+    survey_id="EXT-JOIN-HINTS",
+    category="join",
+    oracle=f"""
+SELECT o_orderstatus, COUNT(*) AS n,
+       {sql_dsum('l_extendedprice')} AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+""",
+)
+def ext_join_strategy_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-strategy hints (SHUFFLE_MERGE / SHUFFLE_HASH) — the manual
+    override lane when the optimizer's cost pick is wrong for a
+    workload: the SAME join runs under both hints, each plan is
+    asserted to carry the hinted operator (SortMergeJoin vs
+    ShuffledHashJoin), and both results must agree with the oracle —
+    strategy choice can never change semantics. ShuffledHashJoin skips
+    both sort phases and wins when the build side fits per-partition
+    memory; SortMergeJoin spills gracefully — the 100 TB trade this
+    query pins. (BROADCAST is c07's row.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+
+        def run(hint: str):
+            return (
+                li.join(o.hint(hint), li["l_orderkey"] == o["o_orderkey"])
+                .groupBy("o_orderstatus")
+                .agg(
+                    F.count("*").alias("n"),
+                    dsum("l_extendedprice").alias("revenue"),
+                )
+                .orderBy("o_orderstatus")
+            )
+
+        smj = run("SHUFFLE_MERGE")
+        shj = run("SHUFFLE_HASH")
+        p_smj = smj._jdf.queryExecution().executedPlan().toString()
+        p_shj = shj._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in p_smj, p_smj[:800]
+        assert "ShuffledHashJoin" in p_shj, p_shj[:800]
+        # both strategies must produce identical rows; return the SHJ one
+        assert [tuple(r) for r in smj.collect()] == [
+            tuple(r) for r in shj.collect()
+        ]
+        return shj
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")

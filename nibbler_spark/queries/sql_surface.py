@@ -2189,3 +2189,29 @@ def sql14_create_view(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM big_orders GROUP BY o_orderpriority
            ORDER BY o_orderpriority"""
     )
+
+
+@register(
+    "sql15_identifier_clause",
+    survey_id="EXT-SQL-IDENT",
+    category="sql-surface",
+    oracle="""
+SELECT event_type, COUNT(*) AS n FROM events
+GROUP BY event_type ORDER BY event_type
+""",
+)
+def sql15_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IDENTIFIER() clause — SQL-injection-safe DYNAMIC table and
+    column names (Spark 3.4+): the table name and the grouping column
+    arrive as string PARAMETERS, not spliced text, and IDENTIFIER()
+    promotes them to catalog references at analysis time. The
+    template-query pattern every multi-tenant SQL layer needs without
+    string concatenation. Scale: zero runtime cost — resolution
+    happens at analysis."""
+    register_temp_views(spark, sf_dir)
+    return spark.sql(
+        """SELECT IDENTIFIER(:col) AS event_type, COUNT(*) AS n
+           FROM IDENTIFIER(:tab)
+           GROUP BY IDENTIFIER(:col) ORDER BY IDENTIFIER(:col)""",
+        args={"col": "event_type", "tab": "events"},
+    )
