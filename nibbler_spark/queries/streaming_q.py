@@ -2582,7 +2582,7 @@ def i24_rate_micro_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     import time as _time
 
     # drain exactly 3 micro-batches (150 rows), then stop
-    deadline = _time.time() + 60
+    deadline = _time.time() + 120
     while _time.time() < deadline:
         if any(
             p["numInputRows"] and p["batchId"] >= 2
