@@ -2031,3 +2031,195 @@ def ext_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             "intercept_cents"
         ),
     )
+
+
+@register(
+    "ext_ab_test_ztest",
+    survey_id="EXT-ABTEST",
+    category="event-analytics",
+    oracle="""
+WITH assigned AS (
+  SELECT user_id,
+         CAST(('0x' || substr(md5('ab:' || user_id), 1, 12)) AS BIGINT)
+           % 2 AS arm,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              % 2 AS INTEGER) AS converted
+  FROM events GROUP BY user_id
+),
+arms AS (
+  SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(converted) AS BIGINT) AS conv
+  FROM assigned GROUP BY arm
+),
+w AS (
+  SELECT a.n AS n_a, a.conv AS conv_a, b.n AS n_b, b.conv AS conv_b
+  FROM arms a JOIN arms b ON a.arm = 0 AND b.arm = 1
+)
+SELECT n_a, conv_a, n_b, conv_b,
+       ROUND(CAST(conv_a AS DOUBLE) / n_a, 6) + 0 AS rate_a,
+       ROUND(CAST(conv_b AS DOUBLE) / n_b, 6) + 0 AS rate_b,
+       ROUND(
+         (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+         / SQRT(
+             (CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+             * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+             * (1.0 / n_a + 1.0 / n_b)
+           ), 6) + 0 AS z_score
+FROM w
+""",
+)
+def ext_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment analysis — the two-proportion pooled z-test on a
+    deterministic md5 arm assignment (the same no-shared-RNG split
+    discipline as ext_stratified_split: a user's arm is a pure function
+    of their id, so assignment is stable under re-ingestion and across
+    engines). Outcome = purchase-count parity — deliberately synthetic because the
+    dense fixture converts EVERY user on any ever-purchased definition
+    (pooled variance would be zero); parity is ~50% at every sf, which
+    is exactly the regime a z-test exists for. Counts are integer-exact;
+    rates and the z statistic are fixed expression trees over them
+    (IEEE sqrt is correctly rounded), rounded at 1e-6 for the output.
+    No p-value column: erf is a true transcendental with no cross-
+    engine contract — the z-score is the portable statistic. Scale:
+    one user-keyed aggregate + a 2-row arm table."""
+    e = load_table(spark, sf_dir, "events")
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("ab:"), F.col("user_id").cast("string")
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    )
+    assigned = e.groupBy("user_id").agg(
+        (
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            % 2
+        )
+        .cast("int")
+        .alias("converted")
+    ).select(arm.alias("arm"), "converted")
+    arms = assigned.groupBy("arm").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("converted").cast("bigint").alias("conv"),
+    )
+    a = arms.where(F.col("arm") == 0).select(
+        F.col("n").alias("n_a"), F.col("conv").alias("conv_a")
+    )
+    b = arms.where(F.col("arm") == 1).select(
+        F.col("n").alias("n_b"), F.col("conv").alias("conv_b")
+    )
+    w = a.crossJoin(F.broadcast(b))
+    ra = F.col("conv_a").cast("double") / F.col("n_a")
+    rb = F.col("conv_b").cast("double") / F.col("n_b")
+    pool = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    z = (ra - rb) / F.sqrt(
+        pool
+        * (F.lit(1.0) - pool)
+        * (
+            F.lit(1.0) / F.col("n_a")
+            + F.lit(1.0) / F.col("n_b")
+        )
+    )
+    return w.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        (F.round(ra, 6) + F.lit(0.0)).alias("rate_a"),
+        (F.round(rb, 6) + F.lit(0.0)).alias("rate_b"),
+        (F.round(z, 6) + F.lit(0.0)).alias("z_score"),
+    )
+
+
+@register(
+    "ext_metric_decomposition",
+    survey_id="EXT-METRIC-DECOMP",
+    category="event-analytics",
+    oracle="""
+WITH tagged AS (
+  SELECT o_orderpriority AS segment,
+         CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+              THEN 'before' ELSE 'after' END AS period,
+         CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+seg AS (
+  SELECT segment,
+         CAST(SUM(CASE WHEN period = 'before' THEN cents ELSE 0 END)
+              AS BIGINT) AS cents_before,
+         CAST(SUM(CASE WHEN period = 'after' THEN cents ELSE 0 END)
+              AS BIGINT) AS cents_after
+  FROM tagged GROUP BY segment
+),
+tot AS (
+  SELECT CAST(SUM(cents_after - cents_before) AS BIGINT) AS total_delta
+  FROM seg
+)
+SELECT seg.segment, seg.cents_before, seg.cents_after,
+       seg.cents_after - seg.cents_before AS delta_cents,
+       ROUND(CAST(seg.cents_after - seg.cents_before AS DOUBLE)
+             / tot.total_delta, 6) + 0 AS share_of_move
+FROM seg CROSS JOIN tot
+ORDER BY seg.segment
+""",
+)
+def ext_metric_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topline-movement decomposition — the 'why did revenue move'
+    query every BI layer runs: revenue change between two periods
+    broken down by segment, with each segment's exact share of the
+    total move (the contributions sum to 1 by construction — an
+    additive decomposition, integer cents end-to-end, one division
+    per output row). Scale: one map-side-combinable conditional
+    aggregate on the segment key; the total is a 1-row broadcast."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("bigint")
+    before = F.when(F.col("o_orderdate") < "1998-01-01", cents).otherwise(
+        0
+    )
+    after = F.when(F.col("o_orderdate") >= "1998-01-01", cents).otherwise(
+        0
+    )
+    seg = o.groupBy(F.col("o_orderpriority").alias("segment")).agg(
+        F.sum(before).cast("bigint").alias("cents_before"),
+        F.sum(after).cast("bigint").alias("cents_after"),
+    )
+    tot = seg.agg(
+        F.sum(F.col("cents_after") - F.col("cents_before"))
+        .cast("bigint")
+        .alias("total_delta")
+    )
+    return (
+        seg.crossJoin(F.broadcast(tot))
+        .select(
+            "segment",
+            "cents_before",
+            "cents_after",
+            (F.col("cents_after") - F.col("cents_before")).alias(
+                "delta_cents"
+            ),
+            (
+                F.round(
+                    (F.col("cents_after") - F.col("cents_before")).cast(
+                        "double"
+                    )
+                    / F.col("total_delta"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("share_of_move"),
+        )
+        .orderBy("segment")
+    )
