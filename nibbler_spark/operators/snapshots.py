@@ -242,6 +242,7 @@ def write_snapshot(
     bloom_m: int = 1 << 18,
     bloom_k: int = 4,
     constraints: list[tuple[str, str]] | None = None,
+    schema_contract: dict[str, str] | None = None,
 ) -> int:
     """Commit a new snapshot: ``df`` becomes new immutable data files;
     ``carry_over`` names files from prior snapshots that remain part of
@@ -253,6 +254,22 @@ def write_snapshot(
     their previous manifest entry verbatim — stats and blooms survive
     every commit without re-reading a footer. Returns the new snapshot
     id."""
+    if schema_contract:
+        # schema contracts gate BEFORE any write: every required column
+        # must exist with the exact declared type (a dropped or retyped
+        # column silently breaks every downstream reader — fail the
+        # producer instead). Pure metadata check, zero execution.
+        actual = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        bad = {
+            c: f"missing (want {t})" if c not in actual
+            else f"{actual[c]} (want {t})"
+            for c, t in schema_contract.items()
+            if actual.get(c) != t
+        }
+        if bad:
+            raise SnapshotConstraintError(
+                f"schema contract violations, commit aborted: {bad}"
+            )
     part = uuid.uuid4().hex[:12]
     data_dir = os.path.join(table_dir, f"data-{part}")
     df.write.mode("overwrite").parquet(data_dir)
@@ -882,3 +899,34 @@ def read_ref(spark: SparkSession, table_dir: str, name: str) -> DataFrame:
     if sid is None:
         raise FileNotFoundError(f"no ref {name!r} in {table_dir}")
     return read_snapshot(spark, table_dir, sid)
+
+
+def remove_orphan_files(table_dir: str) -> list[str]:
+    """Delete data files not referenced by ANY snapshot manifest —
+    Iceberg's remove_orphan_files: failed/aborted writers leave data
+    files that no manifest ever adopted; they are invisible to readers
+    but cost storage forever. Safe by construction: the referenced set
+    is the union over ALL manifests (time travel keeps working), and
+    only files under data-* directories are candidates (manifests,
+    refs, DV sidecars are never touched). Returns the removed paths."""
+    referenced: set[str] = set()
+    last = latest_snapshot(table_dir)
+    for sid in range(last + 1):
+        referenced.update(snapshot_files(table_dir, sid))
+        for dv in snapshot_meta(table_dir, sid).get(
+            "deletion_vectors"
+        ) or []:
+            referenced.add(dv)
+    removed = []
+    for root, _dirs, files in os.walk(table_dir):
+        rel_root = os.path.relpath(root, table_dir)
+        if not rel_root.startswith("data-"):
+            continue
+        for f in files:
+            rel = os.path.join(rel_root, f)
+            # data files only — _SUCCESS markers and .crc sidecars
+            # are write artifacts, not table content
+            if rel not in referenced and f.endswith(".parquet"):
+                os.remove(os.path.join(root, f))
+                removed.append(rel)
+    return sorted(removed)

@@ -2215,3 +2215,161 @@ def sql15_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
            GROUP BY IDENTIFIER(:col) ORDER BY IDENTIFIER(:col)""",
         args={"col": "event_type", "tab": "events"},
     )
+
+
+@register(
+    "ext_snapshot_orphan_cleanup",
+    survey_id="EXT-SNAP-ORPHAN",
+    category="lakehouse",
+    oracle="""
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents,
+       TRUE AS orphans_removed,
+       TRUE AS reads_unaffected
+FROM orders WHERE o_orderstatus = 'F'
+""",
+)
+def ext_snapshot_orphan_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphan-file cleanup (Iceberg remove_orphan_files): a crashed
+    writer stages data files that no manifest ever adopts — readers
+    never see them, storage pays for them forever. The query commits a
+    real snapshot, plants an uncommitted data directory (simulating
+    the crash between write and commit), runs the cleanup, and proves
+    (a) every orphan is gone, (b) every committed file survived, and
+    (c) the table reads byte-identically after cleanup. The referenced
+    set unions ALL manifests, so time travel is never broken by
+    cleanup. Scale: O(files) driver-side set difference — no data
+    IO."""
+    import os
+    import shutil
+    import tempfile
+
+    from nibbler_spark.operators.snapshots import (
+        read_snapshot,
+        remove_orphan_files,
+        snapshot_files,
+        write_snapshot,
+    )
+
+    table = tempfile.mkdtemp(prefix="nibbler-orph-")
+    shutil.rmtree(table)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_totalprice"
+    )
+    write_snapshot(
+        o.where(F.col("o_orderstatus") == "F").repartition(2), table
+    )
+    committed = set(snapshot_files(table, 0))
+    # simulate a writer that crashed between staging and commit
+    orphan_dir = os.path.join(table, "data-deadbeef0000")
+    o.where(F.col("o_orderstatus") == "P").limit(10).write.mode(
+        "overwrite"
+    ).parquet(orphan_dir)
+    removed = remove_orphan_files(table)
+    assert removed and all(r.startswith("data-deadbeef") for r in removed)
+    assert not [
+        f
+        for f in os.listdir(orphan_dir)
+        if f.endswith(".parquet")
+    ]
+    assert set(snapshot_files(table, 0)) == committed
+    for rel in committed:
+        assert os.path.exists(os.path.join(table, rel))
+    cents = F.sum(
+        F.floor(F.col("o_totalprice") * 100).cast("bigint")
+    ).cast("bigint")
+    return (
+        read_snapshot(spark, table, 0)
+        .agg(F.count("*").alias("n_rows"), cents.alias("total_cents"))
+        .select(
+            "n_rows",
+            "total_cents",
+            F.lit(True).alias("orphans_removed"),
+            F.lit(True).alias("reads_unaffected"),
+        )
+    )
+
+
+@register(
+    "ext_snapshot_schema_contract",
+    survey_id="EXT-SNAP-CONTRACT",
+    category="lakehouse",
+    oracle="""
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents,
+       TRUE AS missing_col_rejected,
+       TRUE AS retyped_col_rejected,
+       CAST(1 AS BIGINT) AS n_snapshots
+FROM orders WHERE o_orderstatus = 'O'
+""",
+)
+def ext_snapshot_schema_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema contracts at commit time — the producer-side data
+    contract: a table declares its required columns AND exact types,
+    and any commit missing a column or silently retyping one (the
+    classic double→string drift that breaks every downstream reader)
+    aborts BEFORE a single byte is written. Three commits attempted:
+    a conforming one (lands), one dropping a column (rejected), one
+    retyping the price to string (rejected) — the table must end with
+    exactly ONE snapshot and the conforming content. The check is
+    pure schema metadata: zero execution, zero IO on the failure
+    path — which is what lets it run on every commit at any scale."""
+    import shutil
+    import tempfile
+
+    from nibbler_spark.operators.snapshots import (
+        SnapshotConstraintError,
+        latest_snapshot,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    table = tempfile.mkdtemp(prefix="nibbler-contract-")
+    shutil.rmtree(table)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    contract = {
+        "o_orderkey": "bigint",
+        "o_orderstatus": "string",
+        "o_totalprice": "double",
+    }
+    good = o.where(F.col("o_orderstatus") == "O")
+    write_snapshot(
+        good.repartition(2), table, schema_contract=contract
+    )
+    missing_rejected = False
+    try:
+        write_snapshot(
+            good.drop("o_orderstatus"), table, schema_contract=contract
+        )
+    except SnapshotConstraintError:
+        missing_rejected = True
+    retyped_rejected = False
+    try:
+        write_snapshot(
+            good.withColumn(
+                "o_totalprice", F.col("o_totalprice").cast("string")
+            ),
+            table,
+            schema_contract=contract,
+        )
+    except SnapshotConstraintError:
+        retyped_rejected = True
+    n_snaps = latest_snapshot(table) + 1
+    cents = F.sum(
+        F.floor(F.col("o_totalprice") * 100).cast("bigint")
+    ).cast("bigint")
+    return (
+        read_snapshot(spark, table)
+        .agg(F.count("*").alias("n_rows"), cents.alias("total_cents"))
+        .select(
+            "n_rows",
+            "total_cents",
+            F.lit(missing_rejected).alias("missing_col_rejected"),
+            F.lit(retyped_rejected).alias("retyped_col_rejected"),
+            F.lit(n_snaps).cast("bigint").alias("n_snapshots"),
+        )
+    )
