@@ -567,3 +567,28 @@ def test_analyze_table_stats_enable_broadcast(spark, sf_dir):
         assert "BroadcastHashJoin" in plan
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_hot_queries_run_inside_wholestage_codegen(spark, sf_dir):
+    """The relational hot path must stay JVM-side: executed plans of
+    the headline scan/join/window/agg queries all carry
+    WholeStageCodegen spans, and none of them contain a Python
+    evaluation operator (BatchEvalPython/ArrowEvalPython) — Python is
+    reserved for the declared UDF/multimodal surfaces."""
+    from nibbler_spark.queries import load_all
+
+    specs = load_all()
+    for name in (
+        "q1_pricing_summary",
+        "c01_join_3way_agg",
+        "e01_row_number_topk",
+        "tq05_regional_revenue",
+        "ext_sessionize_batch",
+        "ext_decontaminate_ngram",
+    ):
+        df = specs[name].spark(spark, sf_dir)
+        df.collect()  # AQE finalizes (and annotates codegen) on execution
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # codegen stages render as "*(n)" operator prefixes
+        assert "*(" in plan or "WholeStageCodegen" in plan, name
+        assert "EvalPython" not in plan, name
