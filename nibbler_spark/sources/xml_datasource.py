@@ -82,11 +82,13 @@ class XmlDataSource(DataSource):
         files = _xml_files(self.options.get("path"))
         if not files:
             raise ValueError("nibbler_xml: empty path and no ddl option")
-        root = ET.parse(files[0]).getroot()
-        first = next(iter(root), None)
-        if first is None:
-            raise ValueError("nibbler_xml: no rows to infer from")
-        return ", ".join(f"{child.tag} string" for child in first)
+        # empty task partitions legitimately write row-less documents —
+        # scan until a file with a row is found
+        for f in files:
+            first = next(iter(ET.parse(f).getroot()), None)
+            if first is not None:
+                return ", ".join(f"{child.tag} string" for child in first)
+        raise ValueError("nibbler_xml: no rows to infer from")
 
     def reader(self, schema) -> "XmlReader":
         return XmlReader(self.options, schema)
