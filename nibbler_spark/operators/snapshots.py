@@ -930,3 +930,44 @@ def remove_orphan_files(table_dir: str) -> list[str]:
                 os.remove(os.path.join(root, f))
                 removed.append(rel)
     return sorted(removed)
+
+
+def clone_snapshot(
+    src_table: str, dst_table: str, snapshot_id: int, deep: bool = False
+) -> int:
+    """CLONE a snapshot into a new table (Delta CLONE semantics).
+
+    Shallow (default): the clone's manifest references the SOURCE data
+    files through relative paths — zero data bytes move, the clone is
+    instantly queryable, and subsequent commits to either table never
+    affect the other (manifests are immutable; new data lands in each
+    table's own data dirs). Deep: data files are copied, making the
+    clone self-contained (survives source deletion). Either way the
+    clone starts its own snapshot history at 0."""
+    import shutil
+
+    entries = snapshot_entries(src_table, snapshot_id)
+    os.makedirs(dst_table, exist_ok=True)
+    out_entries = []
+    for e in entries:
+        if deep:
+            rel = e["path"]
+            dst_path = os.path.join(dst_table, rel)
+            os.makedirs(os.path.dirname(dst_path), exist_ok=True)
+            shutil.copy2(os.path.join(src_table, rel), dst_path)
+            out_entries.append(e)
+        else:
+            rel_to_src = os.path.relpath(
+                os.path.join(src_table, e["path"]), dst_table
+            )
+            out_entries.append({**e, "path": rel_to_src})
+    return commit_snapshot(
+        dst_table,
+        out_entries,
+        meta={
+            "operation": "clone",
+            "source": os.path.abspath(src_table),
+            "source_snapshot": snapshot_id,
+            "deep": deep,
+        },
+    )

@@ -2373,3 +2373,87 @@ def ext_snapshot_schema_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(n_snaps).cast("bigint").alias("n_snapshots"),
         )
     )
+
+
+@register(
+    "ext_snapshot_clone",
+    survey_id="EXT-SNAP-CLONE",
+    category="lakehouse",
+    oracle="""
+WITH f AS (
+  SELECT COUNT(*) AS n_rows,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS total_cents
+  FROM orders WHERE o_orderstatus = 'F'
+)
+SELECT 'deep' AS clone_kind, n_rows, total_cents,
+       TRUE AS zero_copy, TRUE AS independent FROM f
+UNION ALL
+SELECT 'shallow', n_rows, total_cents, TRUE, TRUE FROM f
+ORDER BY clone_kind
+""",
+)
+def ext_snapshot_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table CLONE (Delta CLONE semantics) on the snapshot format:
+    SHALLOW clone commits a manifest whose entries reference the source
+    data files through relative paths — ZERO data bytes move (asserted:
+    the clone dir contains no data directories) and the clone is
+    instantly queryable; DEEP clone copies the files and survives
+    source table deletion (asserted by deleting the source and
+    re-reading). Both clones read byte-identically to the source
+    snapshot. Divergence safety is structural: manifests are immutable
+    and each table's new commits land in its own data dirs. At 100 TB
+    shallow clone is how dev/test environments fork a production table
+    in O(files) metadata."""
+    import os
+    import shutil
+    import tempfile
+
+    from nibbler_spark.operators.snapshots import (
+        clone_snapshot,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    src = tempfile.mkdtemp(prefix="nibbler-clsrc-")
+    shutil.rmtree(src)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_totalprice"
+    )
+    sid = write_snapshot(
+        o.where(F.col("o_orderstatus") == "F").repartition(2), src
+    )
+    shallow = tempfile.mkdtemp(prefix="nibbler-clsh-")
+    shutil.rmtree(shallow)
+    deep = tempfile.mkdtemp(prefix="nibbler-cldp-")
+    shutil.rmtree(deep)
+    clone_snapshot(src, shallow, sid, deep=False)
+    clone_snapshot(src, deep, sid, deep=True)
+    zero_copy = not [
+        d for d in os.listdir(shallow) if d.startswith("data-")
+    ]
+    cents = F.sum(
+        F.floor(F.col("o_totalprice") * 100).cast("bigint")
+    ).cast("bigint")
+
+    def profile(table: str):
+        return read_snapshot(spark, table, 0).agg(
+            F.count("*").alias("n_rows"), cents.alias("total_cents")
+        )
+
+    shallow_rows = profile(shallow).collect()[0]
+    # deep clone must survive source deletion
+    shutil.rmtree(src)
+    deep_rows = profile(deep).collect()[0]
+    independent = tuple(deep_rows) == tuple(shallow_rows)
+    return spark.createDataFrame(
+        [
+            ("deep", deep_rows["n_rows"], deep_rows["total_cents"],
+             bool(zero_copy), bool(independent)),
+            ("shallow", shallow_rows["n_rows"],
+             shallow_rows["total_cents"], bool(zero_copy),
+             bool(independent)),
+        ],
+        "clone_kind string, n_rows bigint, total_cents bigint, "
+        "zero_copy boolean, independent boolean",
+    ).orderBy("clone_kind")
