@@ -619,3 +619,88 @@ def ext_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q")
     )
+
+
+@register(
+    "ext_aqp_sampled_agg",
+    survey_id="EXT-AQP",
+    category="sketch",
+    oracle="""
+WITH s AS (
+  SELECT CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS cents,
+         CAST(('0x' || substr(md5('aqp:' || l_orderkey || ':'
+                                  || l_linenumber), 1, 12)) AS BIGINT)
+           % 10 = 0 AS in_sample
+  FROM lineitem
+),
+est AS (
+  SELECT CAST(SUM(CASE WHEN in_sample THEN cents END) * 10 AS BIGINT)
+           AS est_cents,
+         CAST(COUNT(CASE WHEN in_sample THEN 1 END) AS BIGINT)
+           AS n_sampled
+  FROM s
+),
+ex AS (SELECT CAST(SUM(cents) AS BIGINT) AS exact_cents FROM s)
+SELECT est_cents, n_sampled, exact_cents,
+       ROUND(ABS(CAST(est_cents - exact_cents AS DOUBLE))
+             / exact_cents, 6) + 0 AS rel_error,
+       ABS(CAST(est_cents - exact_cents AS DOUBLE)) / exact_cents < 0.05
+         AS within_5pct
+FROM est CROSS JOIN ex
+""",
+)
+def ext_aqp_sampled_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate query processing by deterministic sampling — the
+    sample-and-scale estimator interactive BI layers use when a 2%
+    answer in 1% of the time beats an exact one: a 10% md5-hash sample
+    of lineitem (membership is a pure function of the row key — the
+    SAME rows sample on both engines and on every run, so even the
+    'approximate' estimate earns a full hash oracle), summed and
+    scaled by 1/rate. The CLT relative error at n≈6k line items is
+    well under the declared 5% check. Scale: the sample predicate is
+    row-local and pushes into the scan; at 100 TB pair it with a
+    SAMPLE-laid-out table or the b13/tablesample row for IO-level
+    (not just CPU-level) savings."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100).cast("bigint")
+    in_sample = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("aqp:"),
+                        F.col("l_orderkey").cast("string"),
+                        F.lit(":"),
+                        F.col("l_linenumber").cast("string"),
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 10
+        == 0
+    )
+    s = li.select(cents.alias("cents"), in_sample.alias("in_sample"))
+    agg = s.agg(
+        (F.sum(F.when(F.col("in_sample"), F.col("cents"))) * 10)
+        .cast("bigint")
+        .alias("est_cents"),
+        F.count(F.when(F.col("in_sample"), 1))
+        .cast("bigint")
+        .alias("n_sampled"),
+        F.sum("cents").cast("bigint").alias("exact_cents"),
+    )
+    rel = (
+        F.abs((F.col("est_cents") - F.col("exact_cents")).cast("double"))
+        / F.col("exact_cents")
+    )
+    return agg.select(
+        "est_cents",
+        "n_sampled",
+        "exact_cents",
+        (F.round(rel, 6) + F.lit(0.0)).alias("rel_error"),
+        (rel < 0.05).alias("within_5pct"),
+    )
