@@ -860,11 +860,13 @@ def rollback_snapshot(table_dir: str, to_snapshot_id: int) -> int:
     auditable commit (meta records the target), and concurrent-writer
     safety comes from the same put-if-absent commit path."""
     entries = snapshot_entries(table_dir, to_snapshot_id)
-    return commit_snapshot(
-        table_dir,
-        entries,
-        meta={"operation": "rollback", "rolled_back_to": to_snapshot_id},
-    )
+    meta = {"operation": "rollback", "rolled_back_to": to_snapshot_id}
+    # the restored state includes the target's deletion vectors — a
+    # rollback that dropped them would resurrect every MoR-deleted row
+    dvs = snapshot_meta(table_dir, to_snapshot_id).get("deletion_vectors")
+    if dvs:
+        meta["deletion_vectors"] = dvs
+    return commit_snapshot(table_dir, entries, meta)
 
 
 def _refs_dir(table_dir: str) -> str:

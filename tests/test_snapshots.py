@@ -459,10 +459,22 @@ def test_snapshot_format_model_based_random_ops(spark, tmp_path):
             f"sample diff {dict(list((got.items() ^ model.items()))[:5])}"
         )
 
+    # some ops commit >1 snapshot (MoR update = DV-delete + append), so
+    # the model history maps REAL snapshot ids -> state, and rollback
+    # only ever targets a recorded id
+    history: dict[int, dict[int, int]] = {}
+
+    def snap() -> None:
+        history[latest_snapshot(table)] = dict(model)
+
     commit_append(0, 200)
+    snap()
     check()
-    for step in range(6):
-        op = rng.choice(["append", "delete", "update", "merge", "compact"])
+    for step in range(9):
+        op = rng.choice(
+            ["append", "delete", "update", "merge", "compact",
+             "rollback", "orphans"]
+        )
         if op == "append":
             base = 1000 * (step + 1)
             commit_append(base, base + rng.randrange(20, 60))
@@ -504,10 +516,30 @@ def test_snapshot_format_model_based_random_ops(spark, tmp_path):
                 model.pop(k, None)
             for k in ins:
                 model[k] = k * 10
-        else:
+        elif op == "compact":
             from nibbler_spark.operators.snapshots import compact_snapshot
 
             compact_snapshot(spark, table, target_files=2)
+        elif op == "rollback":
+            from nibbler_spark.operators.snapshots import rollback_snapshot
+
+            target = rng.choice(sorted(history))
+            rollback_snapshot(table, target)
+            model = dict(history[target])
+        else:  # orphans: plant an uncommitted dir, clean it, no-op on state
+            import os as _os
+
+            from nibbler_spark.operators.snapshots import (
+                remove_orphan_files,
+            )
+
+            orphan = _os.path.join(table, "data-orphan%04d" % step)
+            spark.createDataFrame(
+                [(1, 1)], "k LONG, v LONG"
+            ).write.mode("overwrite").parquet(orphan)
+            removed = remove_orphan_files(table)
+            assert any(r.startswith("data-orphan") for r in removed)
+        snap()
         check()
     # every historical snapshot still resolves (nothing vacuumed here)
     for sid in range(latest_snapshot(table) + 1):
