@@ -2457,3 +2457,108 @@ def ext_snapshot_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
         "clone_kind string, n_rows bigint, total_cents bigint, "
         "zero_copy boolean, independent boolean",
     ).orderBy("clone_kind")
+
+
+@register(
+    "sql16_pivot_syntax",
+    survey_id="EXT-SQL-PIVOT",
+    category="sql-surface",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F'
+            THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE)
+         AS F_rev,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O'
+            THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE)
+         AS O_rev,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P'
+            THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE)
+         AS P_rev
+FROM orders
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+)
+def sql16_pivot_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL PIVOT clause (d20 is the DataFrame .pivot API): status
+    columns spread from rows with an explicit IN list — the explicit
+    list is what keeps the output schema static and the plan a single
+    pass (pivot without a list needs a distinct-values pre-query). The
+    oracle states the equivalent conditional aggregation — which is
+    also exactly how Catalyst lowers PIVOT, so the equivalence IS the
+    semantics. Decimal-exact sums under each branch."""
+    register_temp_views(spark, sf_dir)
+    return spark.sql(
+        """SELECT o_orderpriority,
+                  CAST(F AS DOUBLE) AS F_rev,
+                  CAST(O AS DOUBLE) AS O_rev,
+                  CAST(P AS DOUBLE) AS P_rev
+           FROM (
+             SELECT o_orderpriority, o_orderstatus,
+                    CAST(o_totalprice AS DECIMAL(18,4)) AS price
+             FROM orders
+           )
+           PIVOT (SUM(price) FOR o_orderstatus IN ('F' AS F, 'O' AS O,
+                                                   'P' AS P))
+           ORDER BY o_orderpriority"""
+    )
+
+
+@register(
+    "ext_cached_reuse",
+    survey_id="EXT-CACHE",
+    category="scale-pattern",
+    oracle="""
+WITH agg AS (
+  SELECT o_orderpriority, COUNT(*) AS n,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS rev
+  FROM orders WHERE o_totalprice > 100000
+  GROUP BY o_orderpriority
+)
+SELECT CAST((SELECT COUNT(*) FROM agg) AS BIGINT) AS n_groups,
+       (SELECT CAST(SUM(CAST(rev AS DECIMAL(18,4))) AS DOUBLE)
+        FROM agg) AS total_rev,
+       (SELECT MAX(n) FROM agg) AS max_group_n,
+       TRUE AS cache_was_used
+""",
+)
+def ext_cached_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar caching for interactive reuse: an intermediate
+    aggregate is .cache()d and consumed by THREE downstream queries;
+    the second consumer's plan must show InMemoryTableScan (the cache
+    actually served, asserted) and the results must equal the
+    recompute-from-scratch oracle. unpersist() runs before returning —
+    caches are a leak if unbounded. Scale: caching trades executor
+    memory for repeated scans; the right unit is exactly this — a
+    SMALL shared intermediate, never the raw fact table."""
+    o = load_table(spark, sf_dir, "orders")
+    from nibbler_spark.queries._helpers import dec
+
+    agg = (
+        o.where(F.col("o_totalprice") > 100000)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(dec("o_totalprice")).cast("double").alias("rev"),
+        )
+        .cache()
+    )
+    try:
+        n_groups = agg.count()  # materializes the cache
+        plan = (
+            agg.agg(F.max("n"))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        cache_used = "InMemoryTableScan" in plan
+        total_rev = agg.agg(
+            F.sum(dec("rev")).cast("double").alias("t")
+        ).collect()[0]["t"]
+        max_n = agg.agg(F.max("n").alias("m")).collect()[0]["m"]
+        return spark.createDataFrame(
+            [(n_groups, total_rev, max_n, bool(cache_used))],
+            "n_groups bigint, total_rev double, max_group_n bigint, "
+            "cache_was_used boolean",
+        )
+    finally:
+        agg.unpersist()
