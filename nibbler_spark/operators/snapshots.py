@@ -544,6 +544,10 @@ def vacuum_snapshots(table_dir: str, keep_from: int) -> list[str]:
         doomed.update(
             p for p in snapshot_files(table_dir, sid) if p not in keep
         )
+    # shallow-clone guard: entries reaching OUTSIDE the table dir
+    # (relative ``..`` paths from clone_snapshot) belong to the source
+    # table — vacuuming a clone must never delete them
+    doomed = {p for p in doomed if not p.startswith("..")}
     for p in sorted(doomed):
         os.unlink(os.path.join(table_dir, p))
     for sid in expired:
@@ -945,7 +949,13 @@ def clone_snapshot(
     affect the other (manifests are immutable; new data lands in each
     table's own data dirs). Deep: data files are copied, making the
     clone self-contained (survives source deletion). Either way the
-    clone starts its own snapshot history at 0."""
+    clone starts its own snapshot history at 0.
+
+    Caveats (the same ones Delta documents for shallow clones):
+    VACUUM on the SOURCE can delete files a shallow clone still
+    references (deep-clone before reclaiming the source); vacuum
+    on the CLONE skips source-owned files by construction (guard
+    in :func:`vacuum_snapshots`)."""
     import shutil
 
     entries = snapshot_entries(src_table, snapshot_id)

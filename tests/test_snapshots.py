@@ -590,3 +590,35 @@ def test_rollback_preserves_history_and_refs_move_atomically(spark, sf_dir):
 
     with _pytest.raises(FileNotFoundError):
         read_ref(spark, table, "nope")
+
+
+def test_vacuum_on_shallow_clone_never_touches_source(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from nibbler_spark.operators.snapshots import (
+        clone_snapshot,
+        read_snapshot,
+        snapshot_files,
+        vacuum_snapshots,
+        write_snapshot,
+    )
+
+    src = str(tmp_path / "src")
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    write_snapshot(df.repartition(2), src)
+    clone = str(tmp_path / "clone")
+    clone_snapshot(src, clone, 0, deep=False)
+    # advance the clone so snapshot 0 becomes vacuum-eligible
+    write_snapshot(spark.range(5).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    ), clone)
+    removed = vacuum_snapshots(clone, keep_from=1)
+    assert removed == []  # all candidates were source-owned
+    # the SOURCE table must be fully intact
+    assert read_snapshot(spark, src, 0).count() == 100
+    import os
+
+    for rel in snapshot_files(src, 0):
+        assert os.path.exists(os.path.join(src, rel))
