@@ -592,3 +592,21 @@ def test_hot_queries_run_inside_wholestage_codegen(spark, sf_dir):
         # codegen stages render as "*(n)" operator prefixes
         assert "*(" in plan or "WholeStageCodegen" in plan, name
         assert "EvalPython" not in plan, name
+
+
+def test_topk_per_group_uses_window_group_limit(spark, sf_dir):
+    """Catalyst's rank-filter pushdown (WindowGroupLimit, Spark 3.5+)
+    must fire for the top-k-per-group shape: each partition keeps only
+    k rows per group BEFORE the full window sort — at 100 TB the
+    difference between sorting every group and a bounded per-group
+    heap."""
+    from nibbler_spark.queries import load_all
+
+    plan = (
+        load_all()["f04_topk_per_group"]
+        .spark(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan
