@@ -1421,3 +1421,62 @@ def parse_qoi(payload: bytes) -> dict:
         "n_pixels": n_expected,
         "pixel_sum": pixel_sum,
     }
+
+
+def encode_warc(records: list[tuple[str, str]]) -> bytes:
+    """Minimal ISO 28500 WARC/1.0 writer: each (target_uri, http_body)
+    becomes a ``response`` record with correct Content-Length framing
+    (the property every WARC reader depends on — bodies are opaque
+    bytes located purely by length, never by delimiters)."""
+    out = bytearray()
+    for i, (uri, body) in enumerate(records):
+        payload = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"
+            + body.encode("utf-8")
+        )
+        headers = (
+            b"WARC/1.0\r\n"
+            b"WARC-Type: response\r\n"
+            + f"WARC-Record-ID: <urn:uuid:{i:08d}>\r\n".encode()
+            + f"WARC-Target-URI: {uri}\r\n".encode()
+            + b"Content-Type: application/http; msgtype=response\r\n"
+            + f"Content-Length: {len(payload)}\r\n".encode()
+            + b"\r\n"
+        )
+        out += headers + payload + b"\r\n\r\n"
+    return bytes(out)
+
+
+def parse_warc(payload: bytes) -> list[dict]:
+    """WARC/1.0 reader mirroring :func:`encode_warc`: walks records by
+    Content-Length framing, parses the WARC header block and the
+    embedded HTTP response, and returns per-record dicts (uri, http
+    status, body text). Raises on bad magic or broken framing — a
+    truncated WARC must fail loudly, not yield half a corpus."""
+    pos = 0
+    records = []
+    while pos < len(payload):
+        if payload[pos : pos + 9] != b"WARC/1.0\r":
+            raise ValueError(f"bad WARC magic at offset {pos}")
+        hdr_end = payload.index(b"\r\n\r\n", pos)
+        headers = {}
+        for line in payload[pos:hdr_end].decode("utf-8").split("\r\n")[1:]:
+            k, _, v = line.partition(": ")
+            headers[k] = v
+        length = int(headers["Content-Length"])
+        body_start = hdr_end + 4
+        body = payload[body_start : body_start + length]
+        if payload[body_start + length : body_start + length + 4] != b"\r\n\r\n":
+            raise ValueError("broken WARC record framing")
+        http_hdr_end = body.index(b"\r\n\r\n")
+        status = int(body.split(b"\r\n", 1)[0].split(b" ")[1])
+        records.append(
+            {
+                "uri": headers.get("WARC-Target-URI", ""),
+                "warc_type": headers.get("WARC-Type", ""),
+                "http_status": status,
+                "text": body[http_hdr_end + 4 :].decode("utf-8"),
+            }
+        )
+        pos = body_start + length + 4
+    return records

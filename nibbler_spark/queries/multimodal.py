@@ -1271,3 +1271,157 @@ def ext_image_decode_qoi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     encoded = d.mapInPandas(encode, "doc_id long, payload binary")
     return decode_image_batches(encoded).orderBy("doc_id")
+
+
+@register(
+    "ext_warc_ingest",
+    survey_id="EXT-WARC",
+    category="multimodal",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_records,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_uris,
+       CAST(SUM(len(text)) AS BIGINT) AS total_text_chars,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       TRUE AS all_status_200
+FROM documents
+""",
+)
+def ext_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC ingestion — the container web corpora actually arrive in
+    (Common Crawl et al., ISO 28500): documents are packed into real
+    WARC/1.0 blobs (one per 50-doc bucket, response records with
+    embedded HTTP messages and Content-Length framing) in one
+    grouped-Arrow stage, then a second mapInPandas stage walks the
+    records by length framing, parses WARC + HTTP headers, extracts
+    the bodies, and the recovered corpus must aggregate exactly to the
+    source documents — record counts, distinct URIs, character and
+    token volume. Codec: `operators/multimodal.py:encode_warc/
+    parse_warc` (from the public spec; bad magic / broken framing
+    raise). Scale: both stages are partition-local Arrow; at 100 TB
+    this is stage one of every web-corpus pipeline — one WARC file per
+    task, records never cross the driver."""
+    import pandas as _pd
+
+    from nibbler_spark.operators.multimodal import encode_warc, parse_warc
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", (F.col("doc_id") % 50).alias("bucket")
+    )
+
+    def build(key, pdf: "_pd.DataFrame") -> "_pd.DataFrame":
+        pdf = pdf.sort_values("doc_id")
+        blob = encode_warc(
+            [
+                (f"http://corpus.example/doc/{did}", txt)
+                for did, txt in zip(pdf["doc_id"], pdf["text"])
+            ]
+        )
+        return _pd.DataFrame({"bucket": [key[0]], "warc": [blob]})
+
+    blobs = d.groupBy("bucket").applyInPandas(
+        build, "bucket long, warc binary"
+    )
+
+    def extract(batches):
+        for pdf in batches:
+            rows = []
+            for blob in pdf["warc"]:
+                for r in parse_warc(bytes(blob)):
+                    rows.append(
+                        (
+                            int(r["uri"].rsplit("/", 1)[1]),
+                            r["http_status"],
+                            r["text"],
+                        )
+                    )
+            yield _pd.DataFrame(
+                rows, columns=["doc_id", "http_status", "text"]
+            )
+
+    recovered = blobs.mapInPandas(
+        extract, "doc_id long, http_status int, text string"
+    )
+    return recovered.agg(
+        F.count("*").cast("bigint").alias("n_records"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_uris"),
+        F.sum(F.length("text")).cast("bigint").alias("total_text_chars"),
+        F.sum(F.size(F.split("text", " ")))
+        .cast("bigint")
+        .alias("total_tokens"),
+        F.bool_and(F.col("http_status") == 200).alias("all_status_200"),
+    )
+
+
+@register(
+    "ext_archive_ingest",
+    survey_id="EXT-ZIP",
+    category="multimodal",
+    oracle="""
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(len(text)) AS BIGINT) AS total_chars,
+       CAST(SUM(CASE WHEN len(text) > 200 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_long_docs,
+       TRUE AS names_roundtrip
+FROM d
+""",
+)
+def ext_archive_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIP archive ingestion — the other container raw corpora arrive
+    in: sampled documents are packed into REAL deflate-compressed zip
+    archives (stdlib zipfile, one archive per 20-doc bucket, member
+    name = doc id) in one grouped-Arrow stage; a second stage opens
+    each archive from bytes, walks the central directory, decompresses
+    every member, and the recovered corpus must aggregate exactly to
+    the source slice (member count, character volume, long-doc count,
+    member-name fidelity). Scale: archives decompress partition-local
+    — the standard cold-storage → engine bridge; at 100 TB each task
+    streams its own archives, nothing crosses the driver."""
+    import io
+    import zipfile
+
+    import pandas as _pd
+
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 7 == 0
+    ).select("doc_id", "text", (F.col("doc_id") % 20).alias("bucket"))
+
+    def build(key, pdf: "_pd.DataFrame") -> "_pd.DataFrame":
+        pdf = pdf.sort_values("doc_id")
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+            for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                zf.writestr(f"doc-{did}.txt", txt)
+        return _pd.DataFrame({"bucket": [key[0]], "archive": [buf.getvalue()]})
+
+    blobs = d.groupBy("bucket").applyInPandas(
+        build, "bucket long, archive binary"
+    )
+
+    def extract(batches):
+        for pdf in batches:
+            rows = []
+            for blob in pdf["archive"]:
+                with zipfile.ZipFile(io.BytesIO(bytes(blob))) as zf:
+                    for name in zf.namelist():
+                        txt = zf.read(name).decode("utf-8")
+                        did = int(name[4:-4])
+                        rows.append((did, name, txt))
+            yield _pd.DataFrame(
+                rows, columns=["doc_id", "member", "text"]
+            )
+
+    rec = blobs.mapInPandas(
+        extract, "doc_id long, member string, text string"
+    )
+    return rec.agg(
+        F.count("*").cast("bigint").alias("n_members"),
+        F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+        F.sum(F.when(F.length("text") > 200, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_long_docs"),
+        F.bool_and(
+            F.col("member")
+            == F.concat(F.lit("doc-"), F.col("doc_id"), F.lit(".txt"))
+        ).alias("names_roundtrip"),
+    )

@@ -692,3 +692,25 @@ def test_qoi_roundtrip_hypothesis(w, h, seed, regime):
     assert d["pixel_sum"] == sum(
         sum(pix(x, y)) for y in range(h) for x in range(w)
     )
+
+
+# ---------------------------------------------------------------- WARC
+
+
+def test_warc_roundtrip_and_framing_errors():
+    from nibbler_spark.operators.multimodal import encode_warc, parse_warc
+
+    recs = [
+        ("http://a/1", "plain"),
+        ("http://a/2", "body with\r\nCRLF and WARC/1.0 lookalike text"),
+        ("http://a/3", ""),
+        ("http://a/4", "unicode tëxt ✓"),
+    ]
+    back = parse_warc(encode_warc(recs))
+    assert [(r["uri"], r["text"]) for r in back] == recs
+    assert all(r["http_status"] == 200 for r in back)
+    blob = encode_warc(recs)
+    with pytest.raises(ValueError):
+        parse_warc(blob[:-3])  # broken trailing framing
+    with pytest.raises(ValueError):
+        parse_warc(b"GZIP" + blob)  # bad magic
