@@ -2302,3 +2302,104 @@ def ext_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("authority").desc(), "doc_id")
         .limit(15)
     )
+
+
+@register(
+    "ext_url_canonical_dedup",
+    survey_id="EXT-URL-DEDUP",
+    category="llm-dedup",
+    oracle="""
+WITH urls AS (
+  SELECT doc_id,
+         'HTTP://Site' || (doc_id % 5) || '.Example.COM/page/'
+           || (doc_id % 40)
+           || CASE WHEN doc_id % 3 = 0
+                   THEN '?utm_source=feed&id=' || (doc_id % 40)
+                   WHEN doc_id % 3 = 1 THEN '?id=' || (doc_id % 40)
+                   ELSE '' END AS url
+  FROM documents
+),
+canon AS (
+  SELECT doc_id,
+         lower('site' || (doc_id % 5) || '.example.com')
+           || '/page/' || (doc_id % 40)
+           || CASE WHEN doc_id % 3 IN (0, 1)
+                   THEN '?id=' || (doc_id % 40) ELSE '' END AS curl
+  FROM urls
+),
+kept AS (
+  SELECT curl, MIN(doc_id) AS keeper, COUNT(*) AS n_dups
+  FROM canon GROUP BY curl
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_canonical,
+       CAST(SUM(n_dups) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN n_dups > 1 THEN n_dups - 1 ELSE 0 END)
+            AS BIGINT) AS n_removed,
+       CAST(SUM(keeper) AS BIGINT) AS keeper_checksum
+FROM kept
+""",
+)
+def ext_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + dedup — the crawl-side dedup that runs
+    BEFORE any content hashing: lowercase the host (hosts are
+    case-insensitive, paths are not), strip tracking parameters
+    (utm_*), and keep the lexicographically-first doc per canonical
+    URL. The synthetic URLs exercise exactly the real-world variance
+    (mixed-case scheme+host, utm noise, bare/parameterized duplicates
+    of the same page). Canonicalization is built from parse_url +
+    string primitives (h22's machinery) — all row-local; the dedup is
+    ONE keyed aggregate on the canonical key with a min-doc_id keep
+    rule (k01's shape). The checksum over keepers pins the exact keep
+    decisions, not just the counts."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    url = F.concat(
+        F.lit("HTTP://Site"),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit(".Example.COM/page/"),
+        (F.col("doc_id") % 40).cast("string"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("?utm_source=feed&id="),
+                (F.col("doc_id") % 40).cast("string"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.lit("?id="), (F.col("doc_id") % 40).cast("string")),
+        )
+        .otherwise(F.lit("")),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    host = F.lower(F.parse_url("url", F.lit("HOST")))
+    path = F.parse_url("url", F.lit("PATH"))
+    query = F.parse_url("url", F.lit("QUERY"))
+    # strip utm_* params, keep the rest in original order
+    clean_q = F.array_join(
+        F.filter(
+            F.split(F.coalesce(query, F.lit("")), "&"),
+            lambda p: (p != "") & ~p.startswith("utm_"),
+        ),
+        "&",
+    )
+    curl = F.concat(
+        host,
+        path,
+        F.when(clean_q != "", F.concat(F.lit("?"), clean_q)).otherwise(
+            F.lit("")
+        ),
+    )
+    canon = u.select("doc_id", curl.alias("curl"))
+    kept = canon.groupBy("curl").agg(
+        F.min("doc_id").alias("keeper"), F.count("*").alias("n_dups")
+    )
+    return kept.agg(
+        F.count("*").cast("bigint").alias("n_canonical"),
+        F.sum("n_dups").cast("bigint").alias("n_total"),
+        F.sum(
+            F.when(F.col("n_dups") > 1, F.col("n_dups") - 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_removed"),
+        F.sum("keeper").cast("bigint").alias("keeper_checksum"),
+    )
