@@ -2403,3 +2403,122 @@ def ext_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_removed"),
         F.sum("keeper").cast("bigint").alias("keeper_checksum"),
     )
+
+
+@register(
+    "ext_robots_txt_filter",
+    survey_id="EXT-ROBOTS",
+    category="llm-dedup",
+    oracle="""
+WITH urls AS (
+  SELECT doc_id,
+         'site' || (doc_id % 5) || '.example.com' AS domain,
+         CASE WHEN doc_id % 4 = 0 THEN '/private/p' || (doc_id % 30)
+              WHEN doc_id % 4 = 1 THEN '/private/archive/a' || (doc_id % 30)
+              WHEN doc_id % 4 = 2 THEN '/public/q' || (doc_id % 30)
+              ELSE '/' END AS path
+  FROM documents
+),
+rules AS (
+  SELECT ('site' || s.s || '.example.com') AS domain, r.prefix, r.allow,
+         len(r.prefix) AS plen
+  FROM (SELECT UNNEST([0, 1, 2, 3, 4]) AS s) s
+  CROSS JOIN (VALUES ('/', TRUE),
+                     ('/private/', FALSE),
+                     ('/private/archive/', TRUE)) AS r(prefix, allow)
+),
+matched AS (
+  SELECT u.doc_id, u.domain, u.path, r.allow,
+         row_number() OVER (
+           PARTITION BY u.doc_id ORDER BY r.plen DESC, r.prefix
+         ) AS rk
+  FROM urls u JOIN rules r
+    ON u.domain = r.domain AND starts_with(u.path, r.prefix)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_urls,
+       CAST(SUM(CASE WHEN allow THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_allowed,
+       CAST(SUM(CASE WHEN NOT allow THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_blocked,
+       CAST(SUM(CASE WHEN allow THEN doc_id END) AS BIGINT)
+         AS allowed_checksum
+FROM matched WHERE rk = 1
+""",
+)
+def ext_robots_txt_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt compliance filtering — the longest-match rule
+    (Google's documented semantics: among all matching Allow/Disallow
+    prefixes, the LONGEST wins, so `/private/` blocks while the more
+    specific `/private/archive/` re-allows). The per-domain rule table
+    is tiny and broadcasts; each URL joins its domain's rules, keeps
+    matches via starts_with, and a doc-keyed argmax by prefix length
+    picks the verdict. The allowed-set checksum pins every individual
+    verdict — including the re-allow override the naive
+    first-match/any-match implementations get wrong. Scale: rules
+    broadcast (robots corpora are MBs, not TBs); the match fan-out is
+    bounded by rules-per-domain; verdict argmax partitions by url."""
+    from pyspark.sql import Window as _W
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    urls = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("site"),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit(".example.com"),
+        ).alias("domain"),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit("/private/p"), (F.col("doc_id") % 30).cast("string")
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.lit("/private/archive/a"),
+                (F.col("doc_id") % 30).cast("string"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(
+                F.lit("/public/q"), (F.col("doc_id") % 30).cast("string")
+            ),
+        )
+        .otherwise(F.lit("/"))
+        .alias("path"),
+    )
+    rules = spark.createDataFrame(
+        [
+            (f"site{s}.example.com", prefix, allow)
+            for s in range(5)
+            for prefix, allow in (
+                ("/", True),
+                ("/private/", False),
+                ("/private/archive/", True),
+            )
+        ],
+        "domain string, prefix string, allow boolean",
+    ).withColumn("plen", F.length("prefix"))
+    matched = urls.join(F.broadcast(rules), "domain").where(
+        F.col("path").startswith(F.col("prefix"))
+    )
+    w = _W.partitionBy("doc_id").orderBy(
+        F.col("plen").desc(), F.col("prefix")
+    )
+    verdicts = matched.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") == 1
+    )
+    return verdicts.agg(
+        F.count("*").cast("bigint").alias("n_urls"),
+        F.sum(F.when(F.col("allow"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_allowed"),
+        F.sum(F.when(~F.col("allow"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_blocked"),
+        F.sum(F.when(F.col("allow"), F.col("doc_id")))
+        .cast("bigint")
+        .alias("allowed_checksum"),
+    )
