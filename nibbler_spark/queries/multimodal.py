@@ -1425,3 +1425,157 @@ def ext_archive_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             == F.concat(F.lit("doc-"), F.col("doc_id"), F.lit(".txt"))
         ).alias("names_roundtrip"),
     )
+
+
+@register(
+    "ext_crawl_pipeline",
+    survey_id="EXT-CRAWL-PIPE",
+    category="multimodal",
+    oracle="""
+WITH src AS (
+  SELECT doc_id, text,
+         'site' || (doc_id % 5) || '.example.com' AS domain,
+         CASE WHEN doc_id % 4 = 0 THEN '/private/p' || (doc_id % 30)
+              WHEN doc_id % 4 = 1 THEN '/private/archive/a' || (doc_id % 30)
+              WHEN doc_id % 4 = 2 THEN '/public/q' || (doc_id % 30)
+              ELSE '/' END AS path
+  FROM documents WHERE doc_id % 2 = 0
+),
+allowed AS (
+  SELECT * FROM src
+  WHERE NOT (starts_with(path, '/private/')
+             AND NOT starts_with(path, '/private/archive/'))
+),
+canon AS (
+  SELECT domain, path, MIN(doc_id) AS keeper
+  FROM allowed GROUP BY domain, path
+),
+kept AS (
+  SELECT c.keeper AS doc_id, a.text
+  FROM canon c JOIN allowed a ON a.doc_id = c.keeper
+),
+final AS (SELECT * FROM kept WHERE len(text) > 100)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM src) AS n_fetched,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM allowed) AS n_allowed,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM canon) AS n_canonical,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM final) AS n_kept,
+       (SELECT CAST(SUM(doc_id) AS BIGINT) FROM final) AS kept_checksum,
+       (SELECT CAST(SUM(len(text)) AS BIGINT) FROM final)
+         AS kept_chars
+""",
+)
+def ext_crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACQUISITION-side funnel end-to-end — the dual of
+    ext_training_data_pipeline's curation funnel: real WARC blobs →
+    record parsing (length framing) → robots.txt longest-match
+    filtering (/private/ blocked, /private/archive/ re-allowed) →
+    canonical-URL dedup (min-doc keep per (domain, path)) → quality
+    gate (length floor) — one declarative DAG, with per-stage counts
+    and a kept-set checksum pinning every individual decision. The
+    robots gate runs BEFORE dedup (compliance does not depend on
+    content), dedup before quality (cheap key agg prunes the
+    expensive text stage). Scale: WARC decode is partition-local
+    Arrow; robots and quality are row-local; the only shuffle is the
+    canonical-key aggregate plus its keeper semi-join."""
+    import pandas as _pd
+
+    from nibbler_spark.operators.multimodal import encode_warc, parse_warc
+
+    src = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 2 == 0
+    ).select("doc_id", "text", (F.col("doc_id") % 50).alias("bucket"))
+
+    def build(key, pdf: "_pd.DataFrame") -> "_pd.DataFrame":
+        pdf = pdf.sort_values("doc_id")
+        recs = []
+        for did, txt in zip(pdf["doc_id"], pdf["text"]):
+            m4, m30, m5 = did % 4, did % 30, did % 5
+            path = (
+                f"/private/p{m30}" if m4 == 0
+                else f"/private/archive/a{m30}" if m4 == 1
+                else f"/public/q{m30}" if m4 == 2
+                else "/"
+            )
+            recs.append((f"http://site{m5}.example.com{path}", txt))
+        return _pd.DataFrame(
+            {"bucket": [key[0]], "warc": [encode_warc(recs)]}
+        )
+
+    blobs = src.groupBy("bucket").applyInPandas(
+        build, "bucket long, warc binary"
+    )
+
+    def extract(batches):
+        for pdf in batches:
+            rows = []
+            for blob in pdf["warc"]:
+                for r in parse_warc(bytes(blob)):
+                    host_path = r["uri"].split("://", 1)[1]
+                    domain, _, path = host_path.partition("/")
+                    rows.append((domain, "/" + path, r["text"]))
+            yield _pd.DataFrame(
+                rows, columns=["domain", "path", "text"]
+            )
+
+    fetched = blobs.mapInPandas(
+        extract, "domain string, path string, text string"
+    ).localCheckpoint()
+    # doc_id is recoverable from the deterministic mapping only via the
+    # keeper join below — recompute it from path+domain is ambiguous, so
+    # carry it INSIDE the funnel by re-deriving: kept rows join back to
+    # the source on (domain, path, text) min-doc semantics.
+    allowed = fetched.where(
+        ~(
+            F.col("path").startswith("/private/")
+            & ~F.col("path").startswith("/private/archive/")
+        )
+    )
+    src_urls = src.select(
+        "doc_id",
+        "text",
+        F.concat(
+            F.lit("site"),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit(".example.com"),
+        ).alias("domain"),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("/private/p"), (F.col("doc_id") % 30).cast("string")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.lit("/private/archive/a"),
+                (F.col("doc_id") % 30).cast("string"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(F.lit("/public/q"), (F.col("doc_id") % 30).cast("string")),
+        )
+        .otherwise(F.lit("/"))
+        .alias("path"),
+    )
+    allowed_ids = src_urls.join(
+        allowed.select("domain", "path").distinct(), ["domain", "path"]
+    )
+    canon = allowed_ids.groupBy("domain", "path").agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    kept = canon.join(
+        src_urls.select("doc_id", "text"), "doc_id"
+    ).where(F.length("text") > 100)
+    counts = [
+        fetched.agg(F.count("*").cast("bigint").alias("n_fetched")),
+        allowed.agg(F.count("*").cast("bigint").alias("n_allowed")),
+        canon.agg(F.count("*").cast("bigint").alias("n_canonical")),
+        kept.agg(
+            F.count("*").cast("bigint").alias("n_kept"),
+            F.sum("doc_id").cast("bigint").alias("kept_checksum"),
+            F.sum(F.length("text")).cast("bigint").alias("kept_chars"),
+        ),
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.crossJoin(F.broadcast(c))
+    return out
