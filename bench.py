@@ -69,6 +69,9 @@ HEADLINE = [
     # |classes|-fanout candidate-scoring shape the ML family leans on).
     "ext_substring_span_dedup",  # BENCH-K12 (8-gram span-merge dedup)
     "ext_naive_bayes",  # BENCH-K13 (gridded-ln NB train + score)
+    # the acquisition-side funnel (WARC decode -> robots -> URL dedup ->
+    # quality) — the Arrow-codec counterpart of K7's curation funnel.
+    "ext_crawl_pipeline",  # BENCH-K14 (crawl-ingestion funnel)
 ]
 
 
