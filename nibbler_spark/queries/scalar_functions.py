@@ -1028,3 +1028,45 @@ def h31_variant_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .isNull()
         .alias("missing_is_null"),
     ).orderBy("event_id")
+
+
+@register(
+    "h32_mask_pii",
+    survey_id="EXT-MASK",
+    category="scalar-functions",
+    oracle="""
+SELECT c_custkey,
+       regexp_replace(regexp_replace(regexp_replace(
+         c_name, '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n',
+         'g') AS masked_default,
+       regexp_replace(regexp_replace(
+         c_name, '[A-Za-z]', '*', 'g'), '[0-9]', '#', 'g')
+         AS masked_custom,
+       len(c_name) AS n_chars
+FROM customer WHERE c_custkey % 50 = 0 ORDER BY c_custkey
+""",
+)
+def h32_mask_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mask() column-masking function (Spark 3.4+) — the built-in
+    for PII-safe display layers (ext_pii_redaction handles detection;
+    this is the formatting half): default masking maps upper→X,
+    lower→x, digit→n preserving length and punctuation, and the
+    custom-character form collapses letters/digits to fixed symbols.
+    The oracle restates both as regexp_replace chains — which IS the
+    documented semantics. Row-local, codegen-friendly; at 100 TB
+    masking belongs in the view layer so raw columns never leave the
+    table."""
+    c = load_table(spark, sf_dir, "customer").where(
+        F.col("c_custkey") % 50 == 0
+    )
+    return c.select(
+        "c_custkey",
+        F.mask("c_name").alias("masked_default"),
+        F.mask(
+            "c_name",
+            upperChar=F.lit("*"),
+            lowerChar=F.lit("*"),
+            digitChar=F.lit("#"),
+        ).alias("masked_custom"),
+        F.length("c_name").cast("bigint").alias("n_chars"),
+    ).orderBy("c_custkey")

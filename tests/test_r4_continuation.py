@@ -174,3 +174,48 @@ def test_ivf_incremental_equals_inline(spark, sf_dir):
         .collect()
     ]
     assert inline == incr and inline
+
+
+def test_robots_filter_matches_bruteforce(spark, sf_dir):
+    """Longest-match verdicts equal a from-scratch Python resolver,
+    including the /private/archive/ re-allow override."""
+    ids = [
+        r["doc_id"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .collect()
+    ]
+    rules = [("/", True), ("/private/", False), ("/private/archive/", True)]
+    n_allowed = n_blocked = 0
+    allowed_sum = 0
+    for did in ids:
+        m4, m30 = did % 4, did % 30
+        path = (
+            f"/private/p{m30}" if m4 == 0
+            else f"/private/archive/a{m30}" if m4 == 1
+            else f"/public/q{m30}" if m4 == 2
+            else "/"
+        )
+        best = max(
+            (r for r in rules if path.startswith(r[0])),
+            key=lambda r: (len(r[0]), r[0]),
+        )
+        if best[1]:
+            n_allowed += 1
+            allowed_sum += did
+        else:
+            n_blocked += 1
+    out = SPECS["ext_robots_txt_filter"].spark(spark, sf_dir).collect()[0]
+    assert (out["n_allowed"], out["n_blocked"]) == (n_allowed, n_blocked)
+    assert out["allowed_checksum"] == allowed_sum
+
+
+def test_crawl_pipeline_funnel_is_monotone(spark, sf_dir):
+    out = SPECS["ext_crawl_pipeline"].spark(spark, sf_dir).collect()[0]
+    assert (
+        out["n_fetched"]
+        >= out["n_allowed"]
+        >= out["n_canonical"]
+        >= out["n_kept"]
+        > 0
+    )
