@@ -1308,7 +1308,7 @@ def ext_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text", (F.col("doc_id") % 50).alias("bucket")
     )
 
-    def build(key, pdf: "_pd.DataFrame") -> "_pd.DataFrame":
+    def build(key, pdf):
         pdf = pdf.sort_values("doc_id")
         blob = encode_warc(
             [
@@ -1386,7 +1386,7 @@ def ext_archive_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") % 7 == 0
     ).select("doc_id", "text", (F.col("doc_id") % 20).alias("bucket"))
 
-    def build(key, pdf: "_pd.DataFrame") -> "_pd.DataFrame":
+    def build(key, pdf):
         pdf = pdf.sort_values("doc_id")
         buf = io.BytesIO()
         with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
@@ -1485,7 +1485,7 @@ def ext_crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") % 2 == 0
     ).select("doc_id", "text", (F.col("doc_id") % 50).alias("bucket"))
 
-    def build(key, pdf: "_pd.DataFrame") -> "_pd.DataFrame":
+    def build(key, pdf):
         pdf = pdf.sort_values("doc_id")
         recs = []
         for did, txt in zip(pdf["doc_id"], pdf["text"]):
@@ -1579,3 +1579,114 @@ def ext_crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in counts[1:]:
         out = out.crossJoin(F.broadcast(c))
     return out
+
+
+@register(
+    "ext_mixed_format_sniffing",
+    survey_id="EXT-SNIFF",
+    category="multimodal",
+    oracle="""
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 13 = 0)
+SELECT
+  CAST(SUM(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_bmp,
+  CAST(SUM(CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_png,
+  CAST(SUM(CASE WHEN doc_id % 4 = 2 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_qoi,
+  CAST(SUM(CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_gif,
+  CAST(SUM(doc_id * (doc_id % 4)) AS BIGINT) AS fmt_checksum,
+  TRUE AS all_decoded
+FROM d
+""",
+)
+def ext_mixed_format_sniffing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Magic-byte format sniffing over a MIXED binary corpus — real
+    ingestion never gets one format: each sampled doc becomes a real
+    container in one of four formats (BMP / PNG / QOI / GIF, chosen by
+    doc_id), a single Arrow stage dispatches every payload through
+    `decode_image`'s magic-byte router, and the per-format counts (plus
+    a per-document doc_id-weighted format checksum and an
+    every-payload-decoded flag) must match
+    the closed-form assignment. This is the production property of the
+    dispatch seam: unknown inputs raise rather than pass through, and
+    one decode pipeline serves a heterogeneous lake. Scale: encode and
+    sniff+decode are both partition-local mapInPandas."""
+    import pandas as _pd
+
+    from nibbler_spark.operators.multimodal import (
+        decode_image,
+        encode_bmp,
+        encode_gif,
+        encode_png,
+        encode_qoi,
+    )
+
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 13 == 0
+    ).select("doc_id")
+
+    def encode(batches):
+        encoders = [encode_bmp, encode_png, encode_qoi, encode_gif]
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                w, h = 2 + did % 9, 1 + did % 6
+                if did % 4 == 3:  # GIF: palette-indexed pixel fn
+                    payloads.append(
+                        encode_gif(
+                            w, h, lambda x, y, did=did: (did + x + y) % 16
+                        )
+                    )
+                else:
+                    payloads.append(
+                        encoders[did % 4](
+                            w,
+                            h,
+                            lambda x, y, did=did: (
+                                (did + x) % 256,
+                                (did + y) % 256,
+                                (did + x + y) % 256,
+                            ),
+                        )
+                    )
+            yield _pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    encoded = d.mapInPandas(encode, "doc_id long, payload binary")
+
+    def sniff(batches):
+        for pdf in batches:
+            fmts = [
+                decode_image(bytes(p))["fmt"] for p in pdf["payload"]
+            ]
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "fmt": fmts})
+
+    sniffed = encoded.mapInPandas(sniff, "doc_id long, fmt string")
+    fmt_code = (
+        F.when(F.col("fmt") == "bmp", 0)
+        .when(F.col("fmt") == "png", 1)
+        .when(F.col("fmt") == "qoi", 2)
+        .when(F.col("fmt") == "gif", 3)
+    )
+    return sniffed.agg(
+        F.sum(F.when(F.col("fmt") == "bmp", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_bmp"),
+        F.sum(F.when(F.col("fmt") == "png", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_png"),
+        F.sum(F.when(F.col("fmt") == "qoi", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_qoi"),
+        F.sum(F.when(F.col("fmt") == "gif", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_gif"),
+        F.sum(F.col("doc_id") * fmt_code)
+        .cast("bigint")
+        .alias("fmt_checksum"),
+        F.bool_and(fmt_code.isNotNull()).alias("all_decoded"),
+    )

@@ -767,3 +767,63 @@ def a27_text_log_parsing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("method")
     )
+
+
+@register(
+    "a28_csv_multiline_quoted",
+    survey_id="EXT-CSV-MULTILINE",
+    category="source-sink",
+    oracle="""
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 11 = 0)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(len(text)) AS BIGINT) AS total_chars,
+       CAST(SUM(CASE WHEN text LIKE '%\n%' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_multiline,
+       TRUE AS roundtrip_exact
+FROM (SELECT doc_id, replace(text, '. ', '.' || chr(10)) AS text FROM d)
+""",
+)
+def a28_csv_multiline_quoted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiline quoted CSV — the edge that silently corrupts naive
+    ingestion: fields containing EMBEDDED NEWLINES are legal CSV when
+    quoted, but the default line-splitting reader shreds them into
+    garbage rows; `multiLine=true` switches to a record-aware parser.
+    Documents get newlines injected, round-trip through quoted CSV,
+    and must come back byte-exact (count, char volume, per-row
+    equality folded into the boolean). Scale: multiLine costs file-
+    level (not line-level) split granularity — the documented
+    trade-off; keep multiline payloads in parquet at 100 TB, but the
+    ingestion path must still read them correctly when they arrive."""
+    path = _tmp(sf_dir, "docs-multiline-csv")
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 11 == 0)
+        .select(
+            "doc_id",
+            F.regexp_replace("text", r"\. ", ".\n").alias("text"),
+        )
+    )
+    d.coalesce(2).write.mode("overwrite").option("header", True).option(
+        "quoteAll", True
+    ).csv(path)
+    back = (
+        spark.read.option("header", True)
+        .option("multiLine", True)
+        .schema("doc_id long, text string")
+        .csv(path)
+    )
+    joined = d.alias("a").join(
+        back.alias("b"), "doc_id", "full_outer"
+    )
+    return joined.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(F.length("a.text")).cast("bigint").alias("total_chars"),
+        F.sum(
+            F.when(F.col("a.text").contains("\n"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_multiline"),
+        F.bool_and(
+            F.col("a.text").eqNullSafe(F.col("b.text"))
+        ).alias("roundtrip_exact"),
+    )
