@@ -1694,3 +1694,37 @@ def d36_histogram_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(bool(bins_ok), bool(mass_ok), bool(range_ok))],
         "bins_ok boolean, mass_ok boolean, range_ok boolean",
     )
+
+
+@register(
+    "d37_listagg",
+    survey_id="EXT-LISTAGG",
+    category="aggregation",
+    oracle="""
+SELECT o_orderpriority,
+       string_agg(o_orderstatus, ',' ORDER BY o_orderstatus, o_orderkey)
+         AS statuses,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders WHERE o_custkey % 150 = 0
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+)
+def d37_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """listagg WITHIN GROUP (Spark 4 / ISO SQL:2023) — ordered string
+    concatenation per group, the aggregate ad-hoc reporting leans on.
+    The WITHIN GROUP ordering clause is what makes it deterministic
+    (unordered listagg is partition-order-dependent and would never
+    hash-match); (status, orderkey) is a total order. DuckDB's
+    string_agg with ORDER BY is the oracle spelling. Scale: result
+    size grows with group size — keep listagg to bounded groups (the
+    d12 collect_list caveat applies verbatim)."""
+    register_temp_views(spark, sf_dir)
+    return spark.sql(
+        """SELECT o_orderpriority,
+                  listagg(o_orderstatus, ',')
+                    WITHIN GROUP (ORDER BY o_orderstatus, o_orderkey)
+                    AS statuses,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM orders WHERE o_custkey % 150 = 0
+           GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+    )

@@ -2679,3 +2679,59 @@ def i25_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("eid_a", "eid_b", "user_id")
         .orderBy("eid_a", "eid_b")
     )
+
+
+@register(
+    "a29_stream_partitioned_sink",
+    survey_id="EXT-STREAM-PARTSINK",
+    category="streaming",
+    mode="parity",
+    oracle="""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+)
+def a29_stream_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming file sink with PARTITIONED layout
+    (writeStream.partitionBy): each micro-batch lands its rows under
+    hive-style event_type= directories, so downstream batch readers
+    get partition pruning on day one — the standard streaming→lake
+    handoff layout. The drain must produce (a) a real hive dir per
+    event type (asserted) and (b) per-type aggregates identical to
+    the batch table. Scale: partitionBy on a low-cardinality column
+    only — a high-cardinality partition key fragments the sink into
+    millions of tiny files (the a-family compaction row exists for
+    exactly that accident)."""
+    import os
+
+    out_dir = tempfile.mkdtemp(prefix="nibbler-psink-")
+    src = _read_stream(spark, _events_dir(spark, sf_dir))
+    q = (
+        src.writeStream.format("parquet")
+        .partitionBy("event_type")
+        .option("path", out_dir)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="nibbler-ck-")
+        )
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dirs = sorted(
+        d for d in os.listdir(out_dir) if d.startswith("event_type=")
+    )
+    assert len(dirs) == 5, dirs
+    back = spark.read.parquet(out_dir)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.floor(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("total_cents"),
+        )
+        .orderBy("event_type")
+    )
