@@ -827,3 +827,77 @@ def a28_csv_multiline_quoted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.text").eqNullSafe(F.col("b.text"))
         ).alias("roundtrip_exact"),
     )
+
+
+@register(
+    "a30_parquet_compression_codecs",
+    survey_id="EXT-PARQUET-CODECS",
+    category="source-sink",
+    oracle="""
+WITH d AS (
+  SELECT event_id, event_type, value FROM events WHERE user_id % 20 = 0
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+           AS total_cents
+  FROM d
+)
+SELECT 'gzip' AS codec, n_rows, total_cents, TRUE AS smaller_than_none
+FROM agg
+UNION ALL SELECT 'snappy', n_rows, total_cents, TRUE FROM agg
+UNION ALL SELECT 'zstd', n_rows, total_cents, TRUE FROM agg
+ORDER BY codec
+""",
+)
+def a30_parquet_compression_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet compression-codec matrix — the storage knob that moves
+    real money at 100 TB: the same slice writes under snappy
+    (decode-speed default), gzip, and zstd (the modern
+    ratio/speed sweet spot), every variant must read back
+    value-identical, and every compressed variant must be smaller on
+    disk than an uncompressed write (asserted per codec). Codec choice
+    is a pure storage-layer property — plans, stats, and pruning are
+    unaffected, which is exactly why it is safe to tune per table."""
+    import os
+
+    d = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id") % 20 == 0)
+        .select("event_id", "event_type", "value")
+    )
+
+    def write_size(codec: str) -> tuple[str, int]:
+        path = _tmp(sf_dir, f"events-codec-{codec}")
+        d.coalesce(1).write.mode("overwrite").option(
+            "compression", codec
+        ).parquet(path)
+        size = sum(
+            os.path.getsize(os.path.join(path, f))
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+        return path, size
+
+    _, none_size = write_size("none")
+    parts = []
+    for codec in ("gzip", "snappy", "zstd"):
+        path, size = write_size(codec)
+        back = spark.read.parquet(path)
+        parts.append(
+            back.agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.sum(F.floor(F.col("value") * 100).cast("bigint"))
+                .cast("bigint")
+                .alias("total_cents"),
+            ).select(
+                F.lit(codec).alias("codec"),
+                "n_rows",
+                "total_cents",
+                F.lit(bool(size < none_size)).alias("smaller_than_none"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("codec")

@@ -702,3 +702,62 @@ def j16_arrow_python_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set(
             "spark.sql.execution.pythonUDF.arrow.enabled", "false"
         )
+
+
+@register(
+    "j17_pandas_udaf_window",
+    survey_id="EXT-UDAF-WINDOW",
+    category="udf",
+    oracle="""
+SELECT event_id, user_id,
+       CAST(AVG(CAST(FLOOR(value * 100) AS BIGINT)) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS rolling_avg_cents
+FROM events WHERE user_id % 45 = 0
+ORDER BY event_id
+""",
+)
+def j17_pandas_udaf_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A grouped-agg pandas UDF evaluated OVER A WINDOW FRAME — the
+    third UDAF context after groupBy (j03) and full-partition windows:
+    Spark re-evaluates the vectorized aggregate per sliding frame
+    (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), so custom Python
+    aggregations get rolling-window semantics without a stateful UDF.
+    Integer-cents mean over ≤3 rows is exact in double, so the result
+    hash-matches the builtin AVG the oracle states. Scale: frames
+    evaluate inside the window exchange — same shuffle as a builtin
+    rolling mean, plus the Arrow hop per frame (the documented cost;
+    prefer builtins unless the aggregate genuinely needs Python)."""
+    from pyspark.sql import Window as _W
+    from pyspark.sql.functions import pandas_udf
+
+    # NB: module-level `pd` — under `from __future__ import annotations`
+    # the type hints are strings resolved against module globals, so a
+    # function-local pandas alias breaks pandas_udf's signature check
+    @pandas_udf("double")
+    def cents_mean(v: pd.Series) -> float:
+        return float(v.mean())
+
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("user_id") % 45 == 0
+    )
+    w = (
+        _W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, _W.currentRow)
+    )
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+            "ts",
+        )
+        .select(
+            "event_id",
+            "user_id",
+            cents_mean(F.col("cents")).over(w).alias("rolling_avg_cents"),
+        )
+        .orderBy("event_id")
+    )
