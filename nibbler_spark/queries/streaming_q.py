@@ -2550,8 +2550,10 @@ def i24_rate_micro_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     with consecutive values and fixed timestamps derived from
     startTimestamp (wall-clock independent), which makes it the
     reproducible load generator for streaming tests and benchmarks.
-    Three 50-row batches drained with availableNow must produce exactly
-    values 0..149 — counts, extremes, and sum all pinned. Scale: the
+    The query runs under a continuous processingTime trigger and stops
+    after at least three 50-row batches; the value < 150 bound makes
+    the aggregate exactly values 0..149 regardless of how many extra
+    batches fire before the stop — counts, extremes, and sum pinned. Scale: the
     source synthesizes rows executor-side with numPartitions
     parallelism; no external system, no driver bytes."""
     src = (
