@@ -847,3 +847,400 @@ def tq21_suppliers_who_kept_waiting(
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Derived partsupp: the reduced testdata schema has no partsupp table, so the
+# five TPC-H queries that need one (Q2/Q9/Q11/Q16/Q20) were previously
+# inexpressible. dbgen's partsupp is itself a pure function of (partkey,
+# suppkey) — 4 suppliers per part at stride S/4 — so both engines derive the
+# SAME table from part x supplier counts with integer-only arithmetic:
+# ps_suppkey   = (p_partkey + i * floor(S/4)) % S            for i in 0..3
+# ps_supplycost = ((p_partkey*7 + ps_suppkey*13) % 100000 + 100) cents
+# ps_availqty   = (p_partkey*31 + ps_suppkey*17) % 100 + 1
+# Everything stays BIGINT (exact) until a final deterministic /100 in double,
+# so the hash oracle is bit-identical. At 100 TB the derivation is a
+# broadcast-free narrow map over part (supplier count is a 1-row broadcast);
+# the derived table is 4x part — still the small side of every join below.
+# ---------------------------------------------------------------------------
+
+_SQL_PARTSUPP = """
+s_cnt AS (SELECT COUNT(*) AS s FROM supplier),
+partsupp AS (
+  SELECT p_partkey AS ps_partkey,
+         (p_partkey + i.i * CAST(FLOOR(s_cnt.s / 4.0) AS BIGINT)) % s_cnt.s
+           AS ps_suppkey,
+         (p_partkey * 7
+          + ((p_partkey + i.i * CAST(FLOOR(s_cnt.s / 4.0) AS BIGINT))
+             % s_cnt.s) * 13) % 100000 + 100 AS ps_supplycost_cents,
+         (p_partkey * 31
+          + ((p_partkey + i.i * CAST(FLOOR(s_cnt.s / 4.0) AS BIGINT))
+             % s_cnt.s) * 17) % 100 + 1 AS ps_availqty
+  FROM part, s_cnt, (SELECT UNNEST([0, 1, 2, 3]) AS i) AS i
+)"""
+
+
+def _derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of ``_SQL_PARTSUPP`` (see block comment above)."""
+    part = load_table(spark, sf_dir, "part")
+    s_cnt = (
+        load_table(spark, sf_dir, "supplier").agg(F.count("*").alias("s"))
+    )
+    quarters = spark.range(4).select(F.col("id").alias("i"))
+    stride = F.floor(F.col("s") / F.lit(4.0)).cast("bigint")
+    suppkey = (F.col("p_partkey") + F.col("i") * stride) % F.col("s")
+    return (
+        part.crossJoin(F.broadcast(s_cnt))
+        .crossJoin(F.broadcast(quarters))
+        .select(
+            F.col("p_partkey").alias("ps_partkey"),
+            suppkey.alias("ps_suppkey"),
+            (
+                (F.col("p_partkey") * 7 + suppkey * 13) % 100000 + 100
+            ).alias("ps_supplycost_cents"),
+            (
+                (F.col("p_partkey") * 31 + suppkey * 17) % 100 + 1
+            ).alias("ps_availqty"),
+        )
+    )
+
+
+@register(
+    "tq02_min_cost_supplier",
+    survey_id="EXT-TPCH",
+    category="tpch",
+    oracle=f"""
+WITH {_SQL_PARTSUPP},
+eu AS (
+  SELECT s_suppkey, s_acctbal, s_name, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+),
+costs AS (
+  SELECT p_partkey, p_brand, s_acctbal, s_name, n_name,
+         ps_supplycost_cents,
+         MIN(ps_supplycost_cents) OVER (PARTITION BY p_partkey) AS min_cents
+  FROM part
+  JOIN partsupp ON p_partkey = ps_partkey
+  JOIN eu ON ps_suppkey = s_suppkey
+  WHERE p_size BETWEEN 10 AND 20 AND p_type = 'STANDARD'
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+       CAST(ps_supplycost_cents AS DOUBLE) / 100 AS supply_cost
+FROM costs
+WHERE ps_supplycost_cents = min_cents
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+""",
+)
+def tq02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 analogue (min-cost supplier): the correlated
+    min-supplycost subquery becomes a window MIN partitioned by
+    p_partkey — one keyed shuffle instead of a per-part probe. The
+    supplier->nation->region chain is broadcast (dimension-sized at
+    every SF); cost ties compare exactly in integer cents. Top-100 is
+    TakeOrderedAndProject."""
+    ps = _derived_partsupp(spark, sf_dir)
+    part = load_table(spark, sf_dir, "part").where(
+        F.col("p_size").between(10, 20) & (F.col("p_type") == "STANDARD")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(
+        F.col("r_name") == "EUROPE"
+    )
+    eu = F.broadcast(
+        supp.join(nation, supp.s_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("p_partkey")
+    costs = (
+        part.join(ps, part.p_partkey == ps.ps_partkey)
+        .join(eu, ps.ps_suppkey == F.col("s_suppkey"))
+        .withColumn(
+            "min_cents", F.min("ps_supplycost_cents").over(w)
+        )
+    )
+    return (
+        costs.where(F.col("ps_supplycost_cents") == F.col("min_cents"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_brand",
+            (
+                F.col("ps_supplycost_cents").cast("double") / 100
+            ).alias("supply_cost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "tq09_product_type_profit",
+    survey_id="EXT-TPCH",
+    category="tpch",
+    oracle=f"""
+WITH {_SQL_PARTSUPP}
+SELECT n_name AS nation,
+       CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+       {sql_dsum(
+           "CAST(l_extendedprice AS DECIMAL(18,4))"
+           " * (1 - CAST(l_discount AS DECIMAL(18,4)))"
+       )}
+       - {sql_dsum(
+           "CAST(l_quantity AS DECIMAL(18,4))"
+           " * CAST(ps_supplycost_cents AS DECIMAL(10,0))"
+       )} / 100 AS profit
+FROM lineitem
+JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+JOIN part ON p_partkey = l_partkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+WHERE p_name LIKE '%bolt%'
+GROUP BY n_name, CAST(EXTRACT(year FROM o_orderdate) AS INTEGER)
+ORDER BY nation, o_year DESC
+""",
+)
+def tq09_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 analogue (product-type profit): revenue minus supply
+    cost per (supplier nation, order year) over parts matching a name
+    pattern. The derived partsupp joins lineitem on BOTH keys
+    (partkey, suppkey) exactly like real partsupp; part / partsupp /
+    supplier / nation are all broadcast-sized relative to the
+    lineitem-orders shuffle, so the big join runs once on l_orderkey.
+    Profit subtracts two exact-decimal sums, divided in double only at
+    the end — hash-identical across engines."""
+    ps = _derived_partsupp(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(
+        F.col("p_name").like("%bolt%")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    revenue = F.sum(
+        dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    ).cast("double")
+    cost = F.sum(
+        dec("l_quantity")
+        * F.col("ps_supplycost_cents").cast("decimal(10,0)")
+    ).cast("double")
+    return (
+        li.join(
+            F.broadcast(ps),
+            (ps.ps_partkey == li.l_partkey)
+            & (ps.ps_suppkey == li.l_suppkey),
+        )
+        .join(F.broadcast(part), part.p_partkey == li.l_partkey)
+        .join(orders, orders.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(supp), supp.s_suppkey == li.l_suppkey)
+        .join(F.broadcast(nation), nation.n_nationkey == supp.s_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg((revenue - cost / 100).alias("profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@register(
+    "tq11_important_stock",
+    survey_id="EXT-TPCH",
+    category="tpch",
+    oracle=f"""
+WITH {_SQL_PARTSUPP},
+natsupp AS (
+  SELECT s_suppkey FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_7'
+),
+val AS (
+  SELECT ps_partkey,
+         CAST(SUM(ps_supplycost_cents * ps_availqty) AS BIGINT)
+           AS value_cents
+  FROM partsupp JOIN natsupp ON ps_suppkey = s_suppkey
+  GROUP BY ps_partkey
+),
+tot AS (SELECT CAST(SUM(value_cents) AS BIGINT) AS total_cents FROM val)
+SELECT ps_partkey, CAST(value_cents AS DOUBLE) / 100 AS stock_value
+FROM val, tot
+WHERE CAST(value_cents AS DOUBLE) > CAST(total_cents AS DOUBLE) * 0.003
+ORDER BY stock_value DESC, ps_partkey
+""",
+)
+def tq11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 analogue (important stock): per-part stock value for
+    one nation's suppliers, kept only when above a fraction of the
+    GLOBAL total — the scalar subquery becomes a 1-row aggregate
+    cross-joined back as a broadcast, so the plan is two keyed
+    aggregates plus a map-side filter (no recompute, no correlated
+    probe). Value stays integer cents (exact) until the final double
+    cast; the threshold comparison runs on identical doubles in both
+    engines."""
+    ps = _derived_partsupp(spark, sf_dir)
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").where(
+        F.col("n_name") == "NATION_7"
+    )
+    natsupp = F.broadcast(
+        supp.join(nation, supp.s_nationkey == nation.n_nationkey).select(
+            "s_suppkey"
+        )
+    )
+    val = (
+        ps.join(natsupp, ps.ps_suppkey == F.col("s_suppkey"))
+        .groupBy("ps_partkey")
+        .agg(
+            F.sum(
+                F.col("ps_supplycost_cents") * F.col("ps_availqty")
+            ).alias("value_cents")
+        )
+    )
+    tot = val.agg(F.sum("value_cents").alias("total_cents"))
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .where(
+            F.col("value_cents").cast("double")
+            > F.col("total_cents").cast("double") * 0.003
+        )
+        .select(
+            "ps_partkey",
+            (F.col("value_cents").cast("double") / 100).alias(
+                "stock_value"
+            ),
+        )
+        .orderBy(F.col("stock_value").desc(), "ps_partkey")
+    )
+
+
+@register(
+    "tq16_supplier_part_counts",
+    survey_id="EXT-TPCH",
+    category="tpch",
+    oracle=f"""
+WITH {_SQL_PARTSUPP}
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+FROM partsupp
+JOIN part ON p_partkey = ps_partkey
+WHERE p_brand <> 'Brand#5'
+  AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22, 25)
+  AND ps_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+""",
+)
+def tq16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 analogue (parts/supplier relationship): distinct
+    supplier counts per (brand, type, size) bucket, excluding
+    complained-about suppliers — the NOT IN subquery becomes a
+    broadcast LEFT ANTI join (the excluded set is tiny at every SF;
+    NOT IN with no NULLs is exactly anti-join). The reduced schema has
+    no s_comment, so 'complaints' = negative account balance."""
+    ps = _derived_partsupp(spark, sf_dir)
+    part = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22, 25)
+    )
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        ps.join(part, ps.ps_partkey == part.p_partkey)
+        .join(
+            F.broadcast(bad),
+            ps.ps_suppkey == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+@register(
+    "tq20_part_promotion",
+    survey_id="EXT-TPCH",
+    category="tpch",
+    oracle=f"""
+WITH {_SQL_PARTSUPP},
+shipped AS (
+  SELECT l_partkey, l_suppkey, {sql_dsum("l_quantity")} AS qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY l_partkey, l_suppkey
+),
+cand AS (
+  SELECT DISTINCT ps_suppkey
+  FROM partsupp
+  JOIN part ON ps_partkey = p_partkey
+  JOIN shipped ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+  WHERE p_name LIKE 'small%'
+    AND CAST(ps_availqty AS DOUBLE) > 0.5 * qty
+)
+SELECT s_name, n_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN cand ON s_suppkey = ps_suppkey
+ORDER BY s_name
+""",
+)
+def tq20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 analogue (potential part promotion): suppliers whose
+    stock of promo-named parts exceeds half of what they actually
+    shipped in 1997. The nested IN subqueries become a keyed aggregate
+    (shipped qty per (part, supplier) — one lineitem shuffle) joined
+    to the derived partsupp, then a DISTINCT supplier set semi-joined
+    into supplier. The year filter pushes to the lineitem scan; the
+    qty comparison runs on a deterministic decimal-sum double."""
+    ps = _derived_partsupp(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(
+        F.col("p_name").like("small%")
+    )
+    shipped = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(dsum("l_quantity").alias("qty"))
+    )
+    cand = (
+        ps.join(F.broadcast(part), ps.ps_partkey == part.p_partkey)
+        .join(
+            shipped,
+            (ps.ps_partkey == F.col("l_partkey"))
+            & (ps.ps_suppkey == F.col("l_suppkey")),
+        )
+        .where(F.col("ps_availqty").cast("double") > 0.5 * F.col("qty"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        supp.join(F.broadcast(cand), supp.s_suppkey == F.col("ps_suppkey"))
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
