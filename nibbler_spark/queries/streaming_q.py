@@ -2737,3 +2737,141 @@ def a29_stream_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "ext_stream_cdc_apply",
+    survey_id="EXT-CDC-APPLY",
+    category="streaming",
+    mode="parity",
+    oracle="""
+SELECT k AS c_custkey, cents, seg FROM (
+  SELECT c_custkey AS k,
+         CASE WHEN c_custkey % 3 = 0 THEN c_custkey * 150
+              ELSE CAST(FLOOR(c_acctbal * 100) AS BIGINT) END AS cents,
+         CASE WHEN c_custkey % 3 = 0 THEN 'UPD'
+              ELSE c_mktsegment END AS seg
+  FROM customer
+  WHERE NOT (c_custkey % 7 = 0 AND c_custkey % 3 <> 0)
+  UNION ALL
+  SELECT c_custkey + 1000000, c_custkey * 25, 'NEW'
+  FROM customer WHERE c_custkey % 11 = 0
+)
+ORDER BY c_custkey
+""",
+)
+def ext_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply: a change-data-capture log streams into a
+    snapshot table through foreachBatch + MERGE — the composition that
+    turns the lakehouse format into a continuously-upserted mirror of
+    an upstream OLTP table (the Delta `MERGE in foreachBatch` CDC
+    recipe). The base table is customer committed as four bucket
+    files; the CDC drop dir carries three change files (updates for
+    keys ≡0 mod 3 — shipped as TWO versions per key with a seq column,
+    so the sink must dedupe latest-per-key inside the batch before
+    merging; deletes for keys ≡0 mod 7 not already updated; inserts of
+    fresh +1M keys), paced one file per micro-batch. Each epoch runs
+    `merge_into_snapshot`: stats-prune by key envelope, rewrite only
+    touched bucket files, carry the rest by reference. The change
+    design is IDEMPOTENT (absolute-value updates, disjoint key sets
+    across files) so a crash-replayed epoch re-merges to the same
+    state — at-least-once merge delivery composes to exactly-once
+    table state; within-batch ordering is still exercised by the seq
+    dedup. Final table contents hash-match a DuckDB formulation of the
+    applied log. Scale: merge cost is O(touched files + change set)
+    per epoch, never O(table); the manifest answers file pruning
+    driver-side."""
+    import shutil
+
+    from nibbler_spark.operators.snapshots import (
+        merge_into_snapshot,
+        read_snapshot,
+        snapshot_files,
+        write_snapshot,
+    )
+
+    table = tempfile.mkdtemp(prefix="nibbler-cdcsnap-")
+    shutil.rmtree(table)
+    os.makedirs(table)
+    base = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.floor(F.col("c_acctbal") * 100).cast("bigint").alias("cents"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    carry: list[str] = []
+    for b in range(4):
+        sid = write_snapshot(
+            base.where(F.col("k") % 4 == b).coalesce(1),
+            table,
+            carry_over=carry,
+        )
+        carry = snapshot_files(table, sid)
+
+    # stage the CDC log: three change files in one drop dir
+    drop = tempfile.mkdtemp(prefix="nibbler-cdclog-")
+    k = F.col("k")
+    upd_v1 = base.where(k % 3 == 0).select(
+        "k", F.lit("U").alias("op"), (k * 100).cast("bigint").alias("cents"),
+        F.lit("STALE").alias("seg"), F.lit(1).cast("bigint").alias("seq"),
+    )
+    upd_v2 = base.where(k % 3 == 0).select(
+        "k", F.lit("U").alias("op"), (k * 150).cast("bigint").alias("cents"),
+        F.lit("UPD").alias("seg"), F.lit(2).cast("bigint").alias("seq"),
+    )
+    dels = base.where((k % 7 == 0) & (k % 3 != 0)).select(
+        "k", F.lit("D").alias("op"),
+        F.lit(None).cast("bigint").alias("cents"),
+        F.lit(None).cast("string").alias("seg"),
+        F.lit(1).cast("bigint").alias("seq"),
+    )
+    ins = base.where(k % 11 == 0).select(
+        (k + 1_000_000).alias("k"), F.lit("I").alias("op"),
+        (k * 25).cast("bigint").alias("cents"), F.lit("NEW").alias("seg"),
+        F.lit(1).cast("bigint").alias("seq"),
+    )
+    upd_v1.unionByName(upd_v2).coalesce(1).write.mode("append").parquet(drop)
+    dels.coalesce(1).write.mode("append").parquet(drop)
+    ins.coalesce(1).write.mode("append").parquet(drop)
+
+    src = (
+        spark.readStream.schema(
+            "k bigint, op string, cents bigint, seg string, seq bigint"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        latest = (
+            batch_df.groupBy("k")
+            .agg(
+                F.max_by(
+                    F.struct("op", "cents", "seg"), F.col("seq")
+                ).alias("s")
+            )
+            .select("k", "s.op", "s.cents", "s.seg")
+        )
+        merge_into_snapshot(
+            batch_df.sparkSession,
+            table,
+            latest,
+            key="k",
+            value_cols=["cents", "seg"],
+        )
+
+    q = (
+        src.writeStream.foreachBatch(sink)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="nibbler-ck-")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        read_snapshot(spark, table)
+        .select(F.col("k").alias("c_custkey"), "cents", "seg")
+        .orderBy("c_custkey")
+    )
