@@ -704,3 +704,171 @@ def ext_aqp_sampled_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(rel, 6) + F.lit(0.0)).alias("rel_error"),
         (rel < 0.05).alias("within_5pct"),
     )
+
+
+_KMV_K = 256
+_KMV_SPACE = 1 << 48  # md5 48-bit hash space
+
+
+@register(
+    "ext_kmv_theta_setops",
+    survey_id="EXT-KMV-THETA",
+    category="sketch",
+    mode="bounded",
+    oracle="""
+WITH a_keys AS (
+  SELECT DISTINCT l_orderkey AS key FROM lineitem WHERE l_returnflag = 'R'
+),
+b_keys AS (
+  SELECT DISTINCT l_orderkey AS key FROM lineitem WHERE l_linenumber >= 4
+),
+ah AS (
+  SELECT DISTINCT CAST(('0x' || substr(md5(CAST(key AS VARCHAR)), 1, 12))
+                       AS BIGINT) AS hv
+  FROM a_keys
+),
+bh AS (
+  SELECT DISTINCT CAST(('0x' || substr(md5(CAST(key AS VARCHAR)), 1, 12))
+                       AS BIGINT) AS hv
+  FROM b_keys
+),
+ska AS (SELECT hv FROM ah ORDER BY hv LIMIT 256),
+skb AS (SELECT hv FROM bh ORDER BY hv LIMIT 256),
+sku AS (
+  SELECT hv FROM (SELECT hv FROM ska UNION SELECT hv FROM skb) u
+  ORDER BY hv LIMIT 256
+),
+sa AS (SELECT COUNT(*) AS n, MAX(hv) AS kth,
+              CAST(SUM(hv) AS BIGINT) AS chk FROM ska),
+sb AS (SELECT COUNT(*) AS n, MAX(hv) AS kth,
+              CAST(SUM(hv) AS BIGINT) AS chk FROM skb),
+su AS (SELECT COUNT(*) AS n, MAX(hv) AS kth,
+              CAST(SUM(hv) AS BIGINT) AS chk FROM sku),
+theta AS (
+  SELECT LEAST(CASE WHEN sa.n = 256 THEN sa.kth ELSE 281474976710656 END,
+               CASE WHEN sb.n = 256 THEN sb.kth ELSE 281474976710656 END)
+           AS th
+  FROM sa, sb
+),
+inter AS (
+  SELECT COUNT(*) AS n, COALESCE(CAST(SUM(a.hv) AS BIGINT), 0) AS chk
+  FROM ska a JOIN skb b ON a.hv = b.hv, theta t
+  WHERE a.hv < t.th
+),
+ta AS (SELECT COUNT(*) AS t FROM a_keys),
+tb AS (SELECT COUNT(*) AS t FROM b_keys),
+ti AS (SELECT COUNT(*) AS t FROM a_keys JOIN b_keys USING (key)),
+tu AS (SELECT COUNT(*) AS t
+       FROM (SELECT key FROM a_keys UNION SELECT key FROM b_keys) u),
+est AS (
+  SELECT 'a' AS measure,
+         CASE WHEN sa.n < 256 THEN sa.n
+              ELSE (255 * 281474976710656) // sa.kth END AS est,
+         ta.t AS true_n, sa.chk AS sketch_checksum, 0.2e0 AS bound
+  FROM sa, ta
+  UNION ALL
+  SELECT 'b',
+         CASE WHEN sb.n < 256 THEN sb.n
+              ELSE (255 * 281474976710656) // sb.kth END,
+         tb.t, sb.chk, 0.2e0
+  FROM sb, tb
+  UNION ALL
+  SELECT 'union',
+         CASE WHEN su.n < 256 THEN su.n
+              ELSE (255 * 281474976710656) // su.kth END,
+         tu.t, su.chk, 0.2e0
+  FROM su, tu
+  UNION ALL
+  SELECT 'intersect', (inter.n * 281474976710656) // t.th,
+         ti.t, inter.chk, 0.3e0
+  FROM inter, theta t, ti
+)
+SELECT measure, CAST(est AS BIGINT) AS est, CAST(true_n AS BIGINT) AS true_n,
+       sketch_checksum,
+       ABS(CAST(est AS DOUBLE) / CAST(true_n AS DOUBLE) - 1e0) < bound
+         AS within_bound
+FROM est ORDER BY measure
+""",
+)
+def ext_kmv_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV / theta-sketch SET OPERATIONS (Beyer et al. 2007; the
+    Apache DataSketches theta family): distinct-count estimates for
+    two sets AND their union/intersection from two k=256 sketches —
+    the mergeable-summary answer to "how many distinct users do these
+    two sources share?" that never joins the raw sets. Each sketch is
+    the k SMALLEST md5-derived 48-bit hashes of the set (a distributed
+    distinct + TakeOrderedAndProject — no full sort); sketches are
+    O(k) driver-mergeable, exactly how production systems union
+    sketches across days/partitions. Union = k smallest of the merged
+    sketch; intersection follows the theta rule: count common hashes
+    below theta = min(theta_a, theta_b), estimate = count / (theta /
+    2^48). Every estimate here is INTEGER math ((k-1)*2^48 div kth) on
+    an engine-portable hash, so the oracle replicates the sketches,
+    checksums and estimates bit-for-bit — plus declared error bounds
+    vs the exact counts (RSE ~ 1/sqrt(k-2) ~ 6.3%; 0.2 declared for
+    a/b/union, 0.3 for the harder intersection). Small-set edge: a
+    sketch holding fewer than k hashes IS its set and the estimate
+    collapses to the exact count (theta = 2^48). Scale: sketch build
+    is one distinct + top-k per set; everything after is O(k)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_linenumber"
+    )
+    hv = F.conv(
+        F.substring(F.md5(F.col("key").cast("string")), 1, 12), 16, 10
+    ).cast("bigint")
+
+    def sketch(keys: DataFrame) -> list[int]:
+        sk = (
+            keys.select(hv.alias("hv"))
+            .distinct()
+            .orderBy("hv")
+            .limit(_KMV_K)
+            .collect()
+        )
+        return sorted(r["hv"] for r in sk)
+
+    a_keys = (
+        li.where(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("key"))
+        .distinct()
+    )
+    b_keys = (
+        li.where(F.col("l_linenumber") >= 4)
+        .select(F.col("l_orderkey").alias("key"))
+        .distinct()
+    )
+    ska, skb = sketch(a_keys), sketch(b_keys)
+    sku = sorted(set(ska) | set(skb))[:_KMV_K]
+
+    # exact counts (the check side): one distributed aggregate each
+    ta = a_keys.count()
+    tb = b_keys.count()
+    ti = a_keys.join(b_keys, "key").count()
+    tu = a_keys.union(b_keys).distinct().count()
+
+    def est_of(sk: list[int]) -> int:
+        if len(sk) < _KMV_K:
+            return len(sk)
+        return (_KMV_K - 1) * _KMV_SPACE // sk[-1]
+
+    th_a = ska[-1] if len(ska) == _KMV_K else _KMV_SPACE
+    th_b = skb[-1] if len(skb) == _KMV_K else _KMV_SPACE
+    theta = min(th_a, th_b)
+    common = [h for h in set(ska) & set(skb) if h < theta]
+    est_i = len(common) * _KMV_SPACE // theta
+
+    rows = []
+    for measure, est, true_n, chk, bound in [
+        ("a", est_of(ska), ta, sum(ska), 0.2),
+        ("b", est_of(skb), tb, sum(skb), 0.2),
+        ("union", est_of(sku), tu, sum(sku), 0.2),
+        ("intersect", est_i, ti, sum(common), 0.3),
+    ]:
+        rows.append(
+            (measure, est, true_n, chk, abs(est / true_n - 1.0) < bound)
+        )
+    return spark.createDataFrame(
+        sorted(rows),
+        "measure string, est bigint, true_n bigint, "
+        "sketch_checksum bigint, within_bound boolean",
+    )

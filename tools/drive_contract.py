@@ -1,6 +1,7 @@
 """Simulate the external driver: plain SparkSession (no UTC/AQE pinning),
 __spark_entry__ contract, full oracle sweep at sf0.01."""
 
+import os
 import sys
 import time
 
@@ -8,7 +9,7 @@ sys.path.insert(0, "/root/repo")
 
 from pyspark.sql import SparkSession
 
-SF = "/root/testdata/sf0.01"
+SF = os.environ.get("NIBBLER_SF_DIR", "/root/testdata/sf0.01")
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
