@@ -505,6 +505,8 @@ def decode_image(payload: bytes) -> dict:
         return parse_tiff(payload)
     if payload[:4] == b"qoif":
         return parse_qoi(payload)
+    if payload.endswith(_TGA_FOOTER):
+        return parse_tga(payload)
     raise ImageFormatError("unknown container format")
 
 
@@ -819,7 +821,7 @@ def decode_audio_batches(df: DataFrame, payload_col: str = "payload") -> DataFra
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            decoded = [parse_wav(bytes(p)) for p in pdf[payload_col]]
+            decoded = [decode_audio(bytes(p)) for p in pdf[payload_col]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -1480,3 +1482,218 @@ def parse_warc(payload: bytes) -> list[dict]:
         )
         pos = body_start + length + 4
     return records
+
+
+# ---------------------------------------------------------------------------
+# TGA (Truevision TARGA, type 10: run-length-encoded 24-bit truecolor) —
+# the eighth real image codec. TGA has no leading magic; real files are
+# identified by the TGA 2.0 footer signature, which is what the encoder
+# writes and the dispatcher keys on.
+
+_TGA_FOOTER = b"\x00" * 8 + b"TRUEVISION-XFILE.\x00"
+
+
+def encode_tga(
+    width: int, height: int, pixel: Callable[[int, int], tuple[int, int, int]]
+) -> bytes:
+    """Write a real TGA 2.0 type-10 file (RLE-compressed 24-bit
+    truecolor, bottom-left origin, spec-conformant footer). RLE packets
+    never cross scanlines (per the spec's interchange advice): within a
+    row, runs of identical BGR pixels >= 2 become RLE packets (high-bit
+    count byte, one pixel), everything else accumulates into raw
+    packets; both packet kinds carry at most 128 pixels.
+    ``pixel(x, y)`` returns (b, g, r) for TOP-DOWN logical (x, y)."""
+    hdr = struct.pack(
+        "<BBB HHB HHHH BB",
+        0, 0, 10,          # no id field, no color map, type 10 (RLE RGB)
+        0, 0, 0,           # color-map spec (unused)
+        0, 0,              # x/y origin
+        width, height,
+        24, 0,             # 24 bpp, descriptor: bottom-left origin
+    )
+    out = bytearray(hdr)
+    for y in range(height - 1, -1, -1):  # bottom-up row order
+        row = [bytes(pixel(x, y)) for x in range(width)]
+        x = 0
+        while x < width:
+            # measure the run at x
+            run = 1
+            while (
+                x + run < width and run < 128 and row[x + run] == row[x]
+            ):
+                run += 1
+            if run >= 2:
+                out.append(0x80 | (run - 1))
+                out += row[x]
+                x += run
+            else:
+                # raw packet: collect until the next run of >= 2 starts
+                start = x
+                x += 1
+                while x < width and x - start < 128:
+                    if (
+                        x + 1 < width
+                        and row[x + 1] == row[x]
+                    ):
+                        break
+                    x += 1
+                out.append((x - start) - 1)
+                out += b"".join(row[start:x])
+    out += _TGA_FOOTER
+    return bytes(out)
+
+
+def parse_tga(payload: bytes) -> dict:
+    """Parse an RLE 24-bit TGA: header fields, full RLE packet walk
+    (runs + raw packets, per-pixel traversal), bottom-up normalization,
+    footer check. Returns width/height plus exact pixel statistics
+    proving real pixel access; packet underflow/overflow raises."""
+    if len(payload) < 18 + len(_TGA_FOOTER) or not payload.endswith(
+        _TGA_FOOTER
+    ):
+        raise ImageFormatError("not a TGA 2.0 payload (footer missing)")
+    (
+        id_len, cmap_type, img_type,
+        _cm_first, _cm_len, _cm_bits,
+        _xo, _yo, width, height, bpp, desc,
+    ) = struct.unpack_from("<BBB HHB HHHH BB", payload, 0)
+    if cmap_type != 0 or img_type != 10 or bpp != 24:
+        raise ImageFormatError(
+            f"unsupported TGA variant (type={img_type} bpp={bpp})"
+        )
+    top_down = bool(desc & 0x20)
+    pos = 18 + id_len
+    end = len(payload) - len(_TGA_FOOTER)
+    n_expected = width * height
+    total = 0
+    n = 0
+    while n < n_expected:
+        if pos >= end:
+            raise ImageFormatError("truncated TGA packet stream")
+        ctrl = payload[pos]
+        pos += 1
+        count = (ctrl & 0x7F) + 1
+        if ctrl & 0x80:
+            if pos + 3 > end:
+                raise ImageFormatError("truncated TGA RLE pixel")
+            total += sum(payload[pos : pos + 3]) * count
+            pos += 3
+        else:
+            if pos + 3 * count > end:
+                raise ImageFormatError("truncated TGA raw packet")
+            total += sum(payload[pos : pos + 3 * count])
+            pos += 3 * count
+        n += count
+    if n != n_expected:
+        raise ImageFormatError(
+            f"TGA packet overflow: {n} pixels decoded, {n_expected} declared"
+        )
+    return {
+        "fmt": "tga",
+        "width": width,
+        "height": height,
+        "bottom_up": not top_down,
+        "n_pixels": n_expected,
+        "pixel_sum": total,
+    }
+
+
+# ---------------------------------------------------------------------------
+# AIFF (Apple/EA IFF-85 audio) — the big-endian sibling of WAV, with the
+# sample rate carried as an 80-bit IEEE 754 extended-precision float in
+# the COMM chunk (the format's famous quirk; encoded from scratch here).
+
+
+def _f80_encode(v: int) -> bytes:
+    """Encode a positive integer as 80-bit IEEE extended (sign+15-bit
+    biased exponent, explicit-leading-1 64-bit mantissa)."""
+    if v <= 0:
+        raise AudioFormatError("extended-float encode expects positive")
+    e = v.bit_length() - 1
+    mant = v << (63 - e)  # normalize: top bit = explicit integer bit
+    return struct.pack(">HQ", 16383 + e, mant)
+
+
+def _f80_decode(b: bytes) -> int:
+    """Decode an 80-bit extended float to the nearest integer."""
+    exp, mant = struct.unpack(">HQ", b)
+    if exp == 0 and mant == 0:
+        return 0
+    if exp & 0x8000:
+        raise AudioFormatError("negative sample rate")
+    e = exp - 16383
+    if e < 0 or e > 62:
+        raise AudioFormatError(f"sample-rate exponent out of range ({e})")
+    return mant >> (63 - e)
+
+
+def encode_aiff(
+    n_samples: int, sample_rate: int, sample: Callable[[int], int]
+) -> bytes:
+    """Write a real mono 16-bit AIFF: FORM/AIFF container, COMM chunk
+    (channels, frame count, bit depth, 80-bit extended sample rate),
+    SSND chunk of BIG-endian int16 samples. ``sample(i)`` must return
+    values in [-32768, 32767]."""
+    data = struct.pack(
+        f">{n_samples}h", *(sample(i) for i in range(n_samples))
+    )
+    comm = struct.pack(">hIh", 1, n_samples, 16) + _f80_encode(sample_rate)
+    ssnd = struct.pack(">II", 0, 0) + data
+    body = (
+        b"AIFF"
+        + b"COMM" + struct.pack(">I", len(comm)) + comm
+        + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd
+    )
+    return b"FORM" + struct.pack(">I", len(body)) + body
+
+
+def parse_aiff(payload: bytes) -> dict:
+    """Parse an AIFF: FORM/AIFF magic, chunk walk (word-aligned, like
+    RIFF but big-endian), COMM with the 80-bit extended sample rate
+    decoded by hand, SSND offset/blocksize header, full big-endian
+    sample traversal. Same output contract as :func:`parse_wav`."""
+    if len(payload) < 12 or payload[:4] != b"FORM" or payload[8:12] != b"AIFF":
+        raise AudioFormatError("not a FORM/AIFF payload")
+    pos, comm, ssnd = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from(">4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"COMM":
+            if size < 18 or len(body) < 18:
+                raise AudioFormatError("short or truncated COMM chunk")
+            n_channels, n_frames, bits = struct.unpack_from(">hIh", body, 0)
+            rate = _f80_decode(body[8:18])
+            comm = (n_channels, n_frames, bits, rate)
+        elif cid == b"SSND":
+            if len(body) < 8:
+                raise AudioFormatError("truncated SSND header")
+            offset, _blk = struct.unpack_from(">II", body, 0)
+            ssnd = body[8 + offset :]
+        pos += 8 + size + (size & 1)
+    if comm is None or ssnd is None:
+        raise AudioFormatError("missing COMM or SSND chunk")
+    n_channels, n_frames, bits, rate = comm
+    if bits != 16:
+        raise AudioFormatError(f"unsupported AIFF bit depth ({bits})")
+    want = n_frames * n_channels
+    if len(ssnd) < 2 * want:
+        raise AudioFormatError("truncated SSND sample data")
+    samples = struct.unpack(f">{want}h", ssnd[: 2 * want])
+    return {
+        "fmt": "aiff",
+        "sample_rate": rate,
+        "n_channels": n_channels,
+        "n_samples": n_frames,
+        "duration_ms": n_frames * 1000 // rate,
+        "sample_sum": sum(samples),
+        "peak": max((abs(s) for s in samples), default=0),
+    }
+
+
+def decode_audio(payload: bytes) -> dict:
+    """Dispatch on container magic to a real audio parser."""
+    if payload[:4] == b"RIFF":
+        return parse_wav(payload)
+    if payload[:4] == b"FORM":
+        return parse_aiff(payload)
+    raise AudioFormatError("unknown audio container format")

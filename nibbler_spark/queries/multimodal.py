@@ -18,6 +18,7 @@ from nibbler_spark.operators.multimodal import (
     decode_image_batches,
     encode_bmp,
     encode_gif,
+    encode_tga,
     encode_png,
     encode_qoi,
     feature_extract_batches,
@@ -1690,3 +1691,143 @@ def ext_mixed_format_sniffing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("fmt_checksum"),
         F.bool_and(fmt_code.isNotNull()).alias("all_decoded"),
     )
+
+
+@register(
+    "ext_image_decode_tga",
+    survey_id="EXT-MM-TGA",
+    category="multimodal",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, 3 + doc_id % 17 AS w, 1 + doc_id % 9 AS h
+  FROM documents WHERE doc_id % 31 = 0
+),
+px AS (
+  SELECT d.doc_id, d.w, d.h,
+         ((d.doc_id + 2 * (x.x // 3) + 5 * y.y) % 256
+          + (d.doc_id + 2 * (x.x // 3) + 5 * y.y + 1) % 256
+          + (d.doc_id + 7 * (x.x // 5) + 9 * y.y) % 256) AS s
+  FROM d
+  CROSS JOIN generate_series(0, 19) AS x(x)
+  CROSS JOIN generate_series(0, 9) AS y(y)
+  WHERE x.x < d.w AND y.y < d.h
+)
+SELECT doc_id, 'tga' AS fmt,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(w * h AS BIGINT) AS n_pixels,
+       CAST(SUM(s) AS BIGINT) AS pixel_sum
+FROM px GROUP BY doc_id, w, h ORDER BY doc_id
+""",
+)
+def ext_image_decode_tga(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL TGA decode end-to-end — the eighth from-scratch image
+    codec (Truevision TARGA type 10, the classic RLE truecolor format;
+    no leading magic, so files are identified by the TGA 2.0
+    `TRUEVISION-XFILE.` footer the encoder writes). The integer-
+    division pixel plateaus produce genuine RLE packets where the //3
+    and //5 plateaus align and raw literal packets elsewhere, so both
+    packet kinds and the bottom-up row order are exercised; the decode
+    stage walks every packet (128-pixel caps, no scanline crossing)
+    and emits the exact pixel sum the oracle recomputes in closed
+    form. Codec: `operators/multimodal.py:encode_tga/parse_tga`. Both
+    stages are partition-local mapInPandas — zero shuffles, zero
+    driver bytes."""
+    import pandas as _pd
+
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 31 == 0
+    ).select("doc_id")
+
+    def encode(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                w, h = 3 + did % 17, 1 + did % 9
+                payloads.append(
+                    encode_tga(
+                        w,
+                        h,
+                        lambda x, y, did=did: (
+                            (did + 2 * (x // 3) + 5 * y) % 256,
+                            (did + 2 * (x // 3) + 5 * y + 1) % 256,
+                            (did + 7 * (x // 5) + 9 * y) % 256,
+                        ),
+                    )
+                )
+            yield _pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    encoded = d.mapInPandas(encode, "doc_id long, payload binary")
+    return decode_image_batches(encoded).orderBy("doc_id")
+
+
+@register(
+    "ext_audio_decode_aiff",
+    survey_id="EXT-MM-AIFF",
+    category="multimodal",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, 6 + doc_id % 21 AS n
+  FROM documents WHERE doc_id % 37 = 0
+),
+s AS (
+  SELECT d.doc_id, d.n, ((d.doc_id * 37 + 11 * i.i) % 8192) - 4096 AS v
+  FROM d CROSS JOIN generate_series(0, 26) AS i(i)
+  WHERE i.i < d.n
+)
+SELECT doc_id, 'aiff' AS fmt,
+       CAST(44100 AS INT) AS sample_rate,
+       CAST(1 AS INT) AS n_channels,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(n * 1000 // 44100 AS BIGINT) AS duration_ms,
+       CAST(SUM(v) AS BIGINT) AS sample_sum,
+       CAST(MAX(ABS(v)) AS INT) AS peak
+FROM s GROUP BY doc_id, n ORDER BY doc_id
+""",
+)
+def ext_audio_decode_aiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL AIFF decode end-to-end — the big-endian sibling of
+    EXT-MM-WAV (Apple/EA IFF-85): each sampled document becomes an
+    actual mono 16-bit AIFF whose COMM chunk carries the sample rate
+    as an 80-BIT IEEE EXTENDED float (the format's famous quirk,
+    encoded and decoded from scratch — `operators/multimodal.py:
+    _f80_encode/_f80_decode`); the decode stage walks the IFF chunk
+    list, decodes the extended-precision rate, honours the SSND
+    offset header, and traverses every big-endian sample. The audio
+    batch decoder now DISPATCHES on container magic (RIFF → WAV
+    family, FORM → AIFF), mirroring the image-side seam. Exact sample
+    statistics recomputed in closed form by the oracle; both stages
+    partition-local mapInPandas."""
+    import pandas as _pd
+
+    from nibbler_spark.operators.multimodal import (
+        decode_audio_batches,
+        encode_aiff,
+    )
+
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 37 == 0
+    ).select("doc_id")
+
+    def encode(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                n = 6 + did % 21
+                payloads.append(
+                    encode_aiff(
+                        n,
+                        44100,
+                        lambda i, did=did: ((did * 37 + 11 * i) % 8192)
+                        - 4096,
+                    )
+                )
+            yield _pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    encoded = d.mapInPandas(encode, "doc_id long, payload binary")
+    return decode_audio_batches(encoded).orderBy("doc_id")

@@ -8,6 +8,8 @@ Arrow-path test through decode_image_batches.
 
 from __future__ import annotations
 
+import random
+
 import pytest
 
 from nibbler_spark.operators.multimodal import (
@@ -714,3 +716,118 @@ def test_warc_roundtrip_and_framing_errors():
         parse_warc(blob[:-3])  # broken trailing framing
     with pytest.raises(ValueError):
         parse_warc(b"GZIP" + blob)  # bad magic
+
+
+# ---------------------------------------------------------------- TGA
+
+
+@pytest.mark.parametrize("regime", range(4))
+def test_tga_roundtrip_matches_bmp(regime):
+    from nibbler_spark.operators.multimodal import (
+        encode_bmp,
+        encode_tga,
+        parse_bmp,
+        parse_tga,
+    )
+
+    rng = random.Random(regime * 991)
+    for _ in range(30):
+        w, h = rng.randint(1, 40), rng.randint(1, 16)
+        cache = {}
+
+        def pix(x, y):
+            if (x, y) not in cache:
+                if regime == 0:  # single run per row
+                    cache[(x, y)] = (5, 6, 7)
+                elif regime == 1:  # all literals
+                    cache[(x, y)] = (x % 256, (3 * x) % 256, y % 256)
+                elif regime == 2:  # mixed plateaus
+                    cache[(x, y)] = (
+                        (x // 4) % 256,
+                        (x // 4 + 1) % 256,
+                        y % 256,
+                    )
+                else:  # random
+                    cache[(x, y)] = tuple(
+                        rng.randrange(256) for _ in range(3)
+                    )
+            return cache[(x, y)]
+
+        t = parse_tga(encode_tga(w, h, pix))
+        b = parse_bmp(encode_bmp(w, h, pix))
+        assert t["fmt"] == "tga"
+        assert (t["width"], t["height"], t["n_pixels"], t["pixel_sum"]) == (
+            b["width"],
+            b["height"],
+            b["n_pixels"],
+            b["pixel_sum"],
+        )
+
+
+def test_tga_long_run_splits_at_128():
+    from nibbler_spark.operators.multimodal import encode_tga, parse_tga
+
+    # a 300-pixel constant row must split into 128+128+44 RLE packets
+    blob = encode_tga(300, 1, lambda x, y: (9, 9, 9))
+    d = parse_tga(blob)
+    assert d["n_pixels"] == 300 and d["pixel_sum"] == 300 * 27
+
+
+def test_tga_dispatch_and_errors():
+    from nibbler_spark.operators.multimodal import (
+        ImageFormatError,
+        decode_image,
+        encode_tga,
+    )
+
+    blob = encode_tga(6, 3, lambda x, y: (x % 256, y % 256, 1))
+    assert decode_image(blob)["fmt"] == "tga"
+    with pytest.raises(ImageFormatError):
+        decode_image(blob[:-1])  # footer destroyed -> unknown container
+    # truncated packet stream with an intact footer
+    broken = blob[:20] + blob[-26:]
+    with pytest.raises(ImageFormatError):
+        decode_image(broken)
+
+
+# ---------------------------------------------------------------- AIFF
+
+
+def test_f80_extended_float_roundtrip():
+    from nibbler_spark.operators.multimodal import _f80_decode, _f80_encode
+
+    for v in [1, 2, 3, 8000, 11025, 22050, 44100, 48000, 96000, 192000,
+              (1 << 62) - 1]:
+        assert _f80_decode(_f80_encode(v)) == v
+    # the canonical 44100 encoding (sign 0, exp 0x400E, mantissa
+    # 0xAC44000000000000) — pinned from the AIFF-C spec examples
+    import struct as _struct
+
+    from nibbler_spark.operators.multimodal import _f80_encode as enc
+
+    exp, mant = _struct.unpack(">HQ", enc(44100))
+    assert exp == 0x400E and mant == 0xAC44 << 48
+
+
+def test_aiff_roundtrip_and_dispatch():
+    from nibbler_spark.operators.multimodal import (
+        AudioFormatError,
+        decode_audio,
+        encode_aiff,
+    )
+
+    rng = random.Random(4242)
+    for _ in range(20):
+        n = rng.randint(1, 400)
+        rate = rng.choice([8000, 11025, 44100, 48000])
+        vals = [rng.randint(-32768, 32767) for _ in range(n)]
+        d = decode_audio(encode_aiff(n, rate, lambda i: vals[i]))
+        assert d["fmt"] == "aiff"
+        assert d["sample_rate"] == rate and d["n_samples"] == n
+        assert d["sample_sum"] == sum(vals)
+        assert d["peak"] == max(abs(v) for v in vals)
+    blob = encode_aiff(10, 8000, lambda i: i)
+    with pytest.raises(AudioFormatError):
+        decode_audio(blob[:30])  # SSND truncated away
+    with pytest.raises(AudioFormatError):
+        decode_audio(b"XXXX" + blob[4:])  # unknown magic
