@@ -901,3 +901,86 @@ def a30_parquet_compression_codecs(spark: SparkSession, sf_dir: str) -> DataFram
     for p in parts[1:]:
         out = out.unionAll(p)
     return out.orderBy("codec")
+
+
+@register(
+    "a31_msgpack_roundtrip",
+    survey_id="A31",
+    category="source-sink",
+    oracle="""
+SELECT o_orderkey,
+       o_orderpriority,
+       o_totalprice,
+       o_orderkey % 2 = 0 AS even_key,
+       CASE WHEN o_orderkey % 5 = 0 THEN NULL
+            ELSE o_orderkey % 97 END AS opt_val,
+       string_split(o_orderpriority, '-')[1] AS pri_code,
+       CAST(o_orderkey % 7 AS BIGINT) AS meta_m
+FROM orders ORDER BY o_orderkey
+""",
+)
+def a31_msgpack_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MessagePack serde roundtrip — the wire format event buses and
+    RPC payloads actually arrive in, via a dependency-free from-spec
+    codec (`operators/msgpack_codec.py`; spec vectors pinned in
+    tests). Stage 1 packs each order row into a msgpack MAP exercising
+    every family the spec defines — ints (fixint through uint64
+    widths chosen canonically), str, float64, bool, nil, a nested
+    array and a nested map; stage 2 unpacks the blobs back into typed
+    columns that must reproduce the source table bit-for-bit
+    (float64 is lossless through the codec). Both stages are
+    partition-local mapInPandas — the 100 TB shape for serde: blobs
+    never cross the driver, and a real deployment would point the
+    same unpack stage at Kafka value bytes."""
+    import pandas as _pd
+
+    from nibbler_spark.operators.msgpack_codec import pack, unpack
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+
+    def enc(batches):
+        for pdf in batches:
+            blobs = []
+            for k, pri, price in zip(
+                pdf["o_orderkey"], pdf["o_orderpriority"], pdf["o_totalprice"]
+            ):
+                k = int(k)
+                blobs.append(
+                    pack(
+                        {
+                            "k": k,
+                            "pri": str(pri),
+                            "price": float(price),
+                            "even": k % 2 == 0,
+                            "opt": None if k % 5 == 0 else k % 97,
+                            "tags": str(pri).split("-"),
+                            "meta": {"m": k % 7},
+                        }
+                    )
+                )
+            yield _pd.DataFrame({"blob": blobs})
+
+    packed = o.mapInPandas(enc, "blob binary")
+
+    def dec(batches):
+        for pdf in batches:
+            rows = [unpack(bytes(b)) for b in pdf["blob"]]
+            yield _pd.DataFrame(
+                {
+                    "o_orderkey": [r["k"] for r in rows],
+                    "o_orderpriority": [r["pri"] for r in rows],
+                    "o_totalprice": [r["price"] for r in rows],
+                    "even_key": [r["even"] for r in rows],
+                    "opt_val": [r["opt"] for r in rows],
+                    "pri_code": [r["tags"][0] for r in rows],
+                    "meta_m": [r["meta"]["m"] for r in rows],
+                }
+            )
+
+    return packed.mapInPandas(
+        dec,
+        "o_orderkey long, o_orderpriority string, o_totalprice double, "
+        "even_key boolean, opt_val bigint, pri_code string, meta_m long",
+    ).orderBy("o_orderkey")
