@@ -1322,3 +1322,60 @@ def ext_data_card_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "lang")
     )
+
+
+@register(
+    "ext_encoding_repair",
+    survey_id="EXT-MOJIBAKE",
+    category="llm-text",
+    oracle="""
+WITH moji AS (
+  SELECT chr(195) || chr(169) || chr(194) || chr(167)
+         || chr(195) || chr(188) AS bad,
+         chr(233) || chr(167) || chr(252) AS good
+),
+c AS (
+  SELECT d.doc_id,
+         CASE WHEN d.doc_id % 3 = 0 THEN d.text || ' ' || m.bad
+              ELSE d.text END AS corrupted,
+         CASE WHEN d.doc_id % 3 = 0 THEN d.text || ' ' || m.good
+              ELSE d.text END AS repaired
+  FROM documents d, moji m
+)
+SELECT doc_id,
+       length(repaired) AS repaired_len,
+       md5(repaired) AS repaired_md5,
+       corrupted <> repaired AS was_mojibake
+FROM c ORDER BY doc_id
+""",
+)
+def ext_encoding_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake repair — the ftfy-style encoding fix every web-crawl
+    pipeline needs: text that was UTF-8 on the wire but got decoded as
+    Latin-1 somewhere upstream reads as 'Ã©' where 'é' was meant. The
+    repair is the exact inverse — re-encode the corrupted text as
+    ISO-8859-1 (recovering the original UTF-8 bytes byte-for-byte,
+    since Latin-1 maps codepoints U+00-U+FF to themselves) and decode
+    those bytes as UTF-8 — done entirely JVM-side with the built-in
+    encode/decode pair, no UDF. A third of the corpus is corrupted
+    with a multi-char mojibake suffix (Ã©Â§Ã¼ ← é§ü); clean ASCII
+    documents pass through the same repair unchanged, which is the
+    detection signal (repaired <> input). The oracle rebuilds the
+    repaired text closed-form and the md5 of every repaired document
+    must match — a byte-exact check that the recovered text is right,
+    not just its length. Scale: one codegen'd projection, no shuffle
+    beyond the final presentation sort."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    good = "".join(chr(c) for c in (233, 167, 252))  # é§ü
+    bad = good.encode("utf-8").decode("latin-1")  # Ã©Â§Ã¼
+    corrupted = F.when(
+        F.col("doc_id") % 3 == 0, F.concat("text", F.lit(" " + bad))
+    ).otherwise(F.col("text"))
+    c = d.select("doc_id", corrupted.alias("corrupted"))
+    repaired = F.decode(F.encode("corrupted", "ISO-8859-1"), "UTF-8")
+    return c.select(
+        "doc_id",
+        F.length(repaired).alias("repaired_len"),
+        F.md5(repaired).alias("repaired_md5"),
+        (F.col("corrupted") != repaired).alias("was_mojibake"),
+    ).orderBy("doc_id")
