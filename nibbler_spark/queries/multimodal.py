@@ -1831,3 +1831,104 @@ def ext_audio_decode_aiff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     encoded = d.mapInPandas(encode, "doc_id long, payload binary")
     return decode_audio_batches(encoded).orderBy("doc_id")
+
+
+@register(
+    "ext_multimodal_sample_assembly",
+    survey_id="EXT-MM-ASSEMBLY",
+    category="multimodal",
+    oracle="""
+WITH s AS (
+  SELECT d.doc_id,
+         CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))
+              AS INT) % 16 AS shard,
+         length(d.text) AS text_chars,
+         54 + (1 + d.doc_id % 5)
+              * ((3 * (2 + d.doc_id % 7) + 3) // 4 * 4) AS img_bytes,
+         CAST(FLOOR(CAST(e.embedding[1] AS DOUBLE) * 1e4) AS BIGINT)
+           AS emb_q
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+)
+SELECT shard,
+       CAST(COUNT(*) AS BIGINT) AS n_samples,
+       CAST(SUM(text_chars) AS BIGINT) AS total_text_chars,
+       CAST(SUM(img_bytes) AS BIGINT) AS total_image_bytes,
+       CAST(SUM(emb_q) AS BIGINT) AS emb_checksum
+FROM s GROUP BY shard ORDER BY shard
+""",
+)
+def ext_multimodal_sample_assembly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Multimodal training-sample assembly — the WebDataset-shard step
+    of a vision-language pipeline: text (documents), embedding
+    (embeddings, joined on id), and an ACTUAL image payload (real BMP
+    bytes encoded per sample in a partition-local Arrow stage) are
+    assembled into samples, assigned to 16 shards by a portable
+    md5 hash of the sample id (the hash-sharding that keeps shards
+    balanced regardless of id clustering), and summarized as a shard
+    MANIFEST — sample counts, text volume, exact image byte volume
+    (the oracle recomputes BMP size closed-form: 54-byte header +
+    4-byte-aligned rows), and a quantized embedding checksum proving
+    the vector column rode along. Scale: one equi-join on the id, one
+    mapInPandas encode, one 16-cell aggregate — at 100 TB the same
+    plan writes shard-partitioned tar members instead of counting
+    them; nothing here is driver-bound."""
+    import pandas as _pd
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    e = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    joined = d.join(e, "doc_id")
+
+    def assemble(batches):
+        for pdf in batches:
+            img_bytes, emb_q, shards = [], [], []
+            for doc_id, emb in zip(pdf["doc_id"], pdf["embedding"]):
+                did = int(doc_id)
+                w, h = 2 + did % 7, 1 + did % 5
+                payload = encode_bmp(
+                    w,
+                    h,
+                    lambda x, y, did=did: (
+                        (did + x) % 256,
+                        (did + y) % 256,
+                        (did + x + y) % 256,
+                    ),
+                )
+                img_bytes.append(len(payload))
+                import math
+
+                emb_q.append(math.floor(float(emb[0]) * 1e4))
+                import hashlib
+
+                shards.append(
+                    int(
+                        hashlib.md5(str(did).encode()).hexdigest()[:4], 16
+                    )
+                    % 16
+                )
+            yield _pd.DataFrame(
+                {
+                    "shard": shards,
+                    "text_chars": [len(t) for t in pdf["text"]],
+                    "img_bytes": img_bytes,
+                    "emb_q": emb_q,
+                }
+            )
+
+    samples = joined.mapInPandas(
+        assemble,
+        "shard int, text_chars long, img_bytes long, emb_q long",
+    )
+    return (
+        samples.groupBy("shard")
+        .agg(
+            F.count("*").cast("bigint").alias("n_samples"),
+            F.sum("text_chars").cast("bigint").alias("total_text_chars"),
+            F.sum("img_bytes").cast("bigint").alias("total_image_bytes"),
+            F.sum("emb_q").cast("bigint").alias("emb_checksum"),
+        )
+        .orderBy("shard")
+    )
