@@ -2522,3 +2522,123 @@ def ext_robots_txt_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("allowed_checksum"),
     )
+
+
+_KCORE_ORACLE = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+sh0 AS (
+  SELECT doc_id,
+         UNNEST(list_transform(generate_series(1, len(toks) - 4),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                     || ' ' || toks[i+3] || ' ' || toks[i+4])) AS sh
+  FROM t
+),
+shd AS (SELECT DISTINCT doc_id, sh FROM sh0),
+ok AS (SELECT sh FROM shd GROUP BY sh HAVING COUNT(*) BETWEEN 2 AND 20),
+e0 AS (
+  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+  FROM shd a, shd b, ok
+  WHERE a.sh = ok.sh AND b.sh = ok.sh AND a.doc_id < b.doc_id
+),
+edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+n0 AS (SELECT doc_id AS node FROM t),
+deg1 AS (SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY src),
+a1 AS (SELECT n0.node FROM n0 JOIN deg1 USING (node) WHERE deg1.d >= 2),
+deg2 AS (
+  SELECT e.src AS node, COUNT(*) AS d
+  FROM edges e JOIN a1 x ON e.src = x.node JOIN a1 y ON e.dst = y.node
+  GROUP BY e.src
+),
+a2 AS (SELECT a1.node FROM a1 JOIN deg2 USING (node) WHERE deg2.d >= 2),
+deg3 AS (
+  SELECT e.src AS node, COUNT(*) AS d
+  FROM edges e JOIN a2 x ON e.src = x.node JOIN a2 y ON e.dst = y.node
+  GROUP BY e.src
+),
+a3 AS (SELECT a2.node FROM a2 JOIN deg3 USING (node) WHERE deg3.d >= 2),
+res AS (
+  SELECT n0.node,
+         CASE WHEN a1.node IS NULL THEN 1
+              WHEN a2.node IS NULL THEN 2
+              WHEN a3.node IS NULL THEN 3
+              ELSE -1 END AS removed_round
+  FROM n0
+  LEFT JOIN a1 ON n0.node = a1.node
+  LEFT JOIN a2 ON n0.node = a2.node
+  LEFT JOIN a3 ON n0.node = a3.node
+)
+SELECT CAST(removed_round AS BIGINT) AS removed_round,
+       COUNT(*) AS n_docs,
+       CAST(SUM(node) AS BIGINT) AS sum_doc_id
+FROM res GROUP BY 1 ORDER BY 1
+"""
+
+
+@register(
+    "ext_kcore_decomposition",
+    survey_id="EXT-KCORE",
+    category="llm-dedup",
+    oracle=_KCORE_ORACLE,
+)
+def ext_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (k=2, 3 peel rounds) on the document-
+    similarity graph — the degeneracy peel that separates densely
+    interlinked near-duplicate clusters from hair (used to find
+    template farms / boilerplate hubs in crawl corpora): each round
+    computes the degree of every still-alive node over the alive-
+    induced subgraph and removes nodes with degree < k; nodes are
+    labeled with the round that removed them (-1 = survives all three
+    rounds, a superset of the true 2-core that three rounds provably
+    shrink toward). Same df-capped 5-shingle edge construction as
+    LPA/BFS/HITS (`_dfcap_shingle_digraph`). Every round is one
+    alive⨝edges⨝alive semi-join pair plus a keyed count — frontier-
+    proportional shuffles, localCheckpoint lineage cuts, no all-pairs.
+    The oracle unrolls the identical 3 rounds as CTEs; counts and
+    doc_id checksums are integer-exact."""
+    nodes, e0 = _dfcap_shingle_digraph(spark, sf_dir)
+    edges = e0.unionAll(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    alive = None  # None = all nodes alive (round 1 shortcut)
+    removed = nodes.select(
+        F.col("doc_id").alias("node"), F.lit(None).cast("int").alias("rr")
+    )
+    for rnd in range(1, 4):
+        e = edges
+        if alive is not None:
+            ax = alive.select(F.col("node").alias("src"))
+            ay = alive.select(F.col("node").alias("dst"))
+            e = e.join(ax, "src", "left_semi").join(ay, "dst", "left_semi")
+        deg = e.groupBy("src").agg(F.count("*").alias("d"))
+        new_alive = (
+            (alive if alive is not None else removed.select("node"))
+            .join(
+                deg.where(F.col("d") >= 2).select(
+                    F.col("src").alias("node")
+                ),
+                "node",
+                "left_semi",
+            )
+            .localCheckpoint()
+        )
+        peeled_now = (
+            (alive if alive is not None else removed.select("node"))
+            .join(new_alive, "node", "left_anti")
+            .select("node", F.lit(rnd).alias("nr"))
+        )
+        removed = (
+            removed.join(peeled_now, "node", "left")
+            .select("node", F.coalesce("rr", "nr").alias("rr"))
+            .localCheckpoint()
+        )
+        alive = new_alive
+    return (
+        removed.groupBy(
+            F.coalesce("rr", F.lit(-1)).cast("bigint").alias("removed_round")
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("node").cast("bigint").alias("sum_doc_id"),
+        )
+        .orderBy("removed_round")
+    )
