@@ -513,3 +513,144 @@ def ext_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("mi").desc(), "lang", "token")
         .limit(20)
     )
+
+
+# Poisson(1) inverse-CDF thresholds on the 48-bit hash grid:
+# T[k] = floor(P(X <= k) * 2^48); a uniform u in [0, 2^48) maps to the
+# weight w = #{k : u >= T[k]} (so w = 0 with prob ~e^-1, etc., max 8).
+_POIS_T = [
+    103548857136060, 207097714272121, 258872142840152, 276130285696162,
+    280444821410164, 281307728552965, 281451546410098, 281472091818260,
+]
+
+
+@register(
+    "ext_poisson_bootstrap_ci",
+    survey_id="EXT-BOOTSTRAP",
+    category="ml-exact",
+    mode="bounded",
+    oracle=f"""
+WITH reps AS (SELECT UNNEST(generate_series(0, 31)) AS rep),
+w AS (
+  SELECT r.rep,
+         CAST(FLOOR(o.o_totalprice * 100) AS BIGINT) AS cents,
+         CAST(('0x' || substr(md5(CAST(o.o_orderkey AS VARCHAR) || ':'
+                              || CAST(r.rep AS VARCHAR)), 1, 12))
+              AS BIGINT) AS u
+  FROM orders o CROSS JOIN reps r
+),
+wt AS (
+  SELECT rep, cents,
+         CASE WHEN u < {_POIS_T[0]} THEN 0
+              WHEN u < {_POIS_T[1]} THEN 1
+              WHEN u < {_POIS_T[2]} THEN 2
+              WHEN u < {_POIS_T[3]} THEN 3
+              WHEN u < {_POIS_T[4]} THEN 4
+              WHEN u < {_POIS_T[5]} THEN 5
+              WHEN u < {_POIS_T[6]} THEN 6
+              WHEN u < {_POIS_T[7]} THEN 7
+              ELSE 8 END AS wgt
+  FROM w
+),
+rm AS (
+  SELECT rep, CAST(SUM(wgt * cents) AS BIGINT) AS swc,
+         CAST(SUM(wgt) AS BIGINT) AS sw
+  FROM wt GROUP BY rep
+),
+means AS (
+  SELECT rep, CAST(swc AS DOUBLE) / CAST(sw AS DOUBLE) AS m FROM rm
+),
+ranked AS (
+  SELECT m, ROW_NUMBER() OVER (ORDER BY m, rep) AS r FROM means
+),
+pt AS (
+  SELECT CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+         / COUNT(*) AS pm
+  FROM orders
+)
+SELECT CAST(32 AS BIGINT) AS n_replicates,
+       pt.pm AS point_mean_cents,
+       lo.m AS ci_lo_cents,
+       hi.m AS ci_hi_cents,
+       pt.pm >= lo.m AND pt.pm <= hi.m AS point_in_ci
+FROM pt,
+     (SELECT m FROM ranked WHERE r = 2) lo,
+     (SELECT m FROM ranked WHERE r = 31) hi
+""",
+)
+def ext_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap confidence interval — THE distributed
+    bootstrap (Chamandy et al., Google 2012): instead of resampling n
+    rows with replacement (impossible to coordinate across
+    partitions), every row independently draws a Poisson(1) weight
+    per replicate, turning each of the 32 bootstrap replicates into
+    one weighted aggregate that needs no global coordination at all.
+    The Poisson draw here is DETERMINISTIC and engine-portable: u =
+    md5-derived 48-bit integer per (row, replicate), mapped through
+    the Poisson(1) inverse CDF as PRE-COMPUTED INTEGER thresholds on
+    the 2^48 grid — so there is no float math anywhere before each
+    replicate's single bigint/bigint division, and the oracle
+    reproduces every replicate mean bit-for-bit (hash-checked), not
+    just the interval. The 95%-ish CI is the 2nd/31st of the 32
+    ranked replicate means (rep-tie-broken); the declared bound is
+    that the full-sample mean lies inside it. Scale: one map-side
+    projection expands 32 weights per row; everything downstream is a
+    32-cell keyed aggregate — no resampled copies of the data ever
+    materialize."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    w = o.select(
+        "o_orderkey",
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("rep"),
+    ).select(
+        "rep",
+        "cents",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("o_orderkey").cast("string"),
+                        F.col("rep").cast("string"),
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("u"),
+    )
+    wgt = F.lit(8)
+    for k in range(7, -1, -1):
+        wgt = F.when(F.col("u") < _POIS_T[k], F.lit(k)).otherwise(wgt)
+    rm = (
+        w.select("rep", "cents", wgt.alias("wgt"))
+        .groupBy("rep")
+        .agg(
+            F.sum(F.col("wgt") * F.col("cents"))
+            .cast("bigint")
+            .alias("swc"),
+            F.sum("wgt").cast("bigint").alias("sw"),
+        )
+    )
+    means = rm.select(
+        "rep", (F.col("swc").cast("double") / F.col("sw").cast("double"))
+        .alias("m")
+    )
+    # 32 replicate means: a driver-side sort of a 32-row result
+    vals = sorted((r["m"], r["rep"]) for r in means.collect())
+    lo, hi = vals[1][0], vals[30][0]
+    pt = o.agg(
+        (F.sum("cents").cast("double") / F.count("*")).alias("pm")
+    ).first()["pm"]
+    return spark.createDataFrame(
+        [(32, pt, lo, hi, bool(lo <= pt <= hi))],
+        "n_replicates bigint, point_mean_cents double, "
+        "ci_lo_cents double, ci_hi_cents double, point_in_ci boolean",
+    )
