@@ -1489,3 +1489,172 @@ def ext_length_bucket_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "ext_ipf_raking",
+    survey_id="EXT-IPF",
+    category="training-prep",
+    mode="bounded",
+    oracle="""
+WITH full_cells AS (
+  SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY lang, source
+),
+tl AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS t FROM full_cells GROUP BY lang),
+ts AS (SELECT source, CAST(SUM(n) AS BIGINT) AS t
+       FROM full_cells GROUP BY source),
+sub AS (
+  SELECT lang, source, COUNT(*) AS n
+  FROM documents
+  WHERE NOT (lang = 'en' AND doc_id % 2 = 0)
+  GROUP BY lang, source
+),
+nl AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS n FROM sub GROUP BY lang),
+w1 AS (
+  SELECT s.lang, s.source, s.n,
+         CAST(FLOOR((CAST(s.n AS DOUBLE)
+               * (CAST(tl.t AS DOUBLE) / CAST(nl.n AS DOUBLE)))
+               * 1000000e0) AS BIGINT) AS w1q
+  FROM sub s JOIN tl USING (lang) JOIN nl USING (lang)
+),
+w1s AS (SELECT source, CAST(SUM(w1q) AS BIGINT) AS sw FROM w1
+        GROUP BY source),
+w2 AS (
+  SELECT w1.lang, w1.source, w1.n,
+         CAST(FLOOR(CAST(w1.w1q AS DOUBLE)
+               * (CAST(ts.t * 1000000 AS DOUBLE) / CAST(w1s.sw AS DOUBLE)))
+              AS BIGINT) AS w2q
+  FROM w1 JOIN ts USING (source) JOIN w1s USING (source)
+),
+colchk AS (
+  SELECT BOOL_AND(ABS(cs - tgt) <= 1000) AS ok
+  FROM (SELECT w2.source, CAST(SUM(w2.w2q) AS BIGINT) AS cs,
+               MIN(ts.t) * 1000000 AS tgt
+        FROM w2 JOIN ts USING (source) GROUP BY w2.source)
+),
+rowchk AS (
+  SELECT BOOL_AND(ABS(CAST(rs AS DOUBLE) / CAST(tgt AS DOUBLE) - 1e0)
+                  < 0.05e0) AS ok
+  FROM (SELECT w2.lang, CAST(SUM(w2.w2q) AS BIGINT) AS rs,
+               MIN(tl.t) * 1000000 AS tgt
+        FROM w2 JOIN tl USING (lang) GROUP BY w2.lang)
+)
+SELECT w2.lang, w2.source, CAST(w2.n AS BIGINT) AS n_subset, w2.w2q
+         AS weight_q,
+       colchk.ok AS cols_matched, rowchk.ok AS rows_within_5pct
+FROM w2, colchk, rowchk
+ORDER BY lang, source
+""",
+)
+def ext_ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative proportional fitting (raking) — the survey-statistics
+    reweighting every dataset-rebalance job reinvents: a biased subset
+    (half the English corpus removed) gets per-(lang, source) cell
+    weights adjusted so its marginals match the FULL corpus targets.
+    Round 1 scales every cell by target-row/current-row, round 2 by
+    target-col/current-col — after which column marginals match
+    exactly by construction (asserted on the integer grid) and row
+    marginals land within the declared 5%. Weights live on a 1e6
+    integer grid between rounds (the dsum trick), so every marginal
+    sum is exact decimal addition and the oracle reproduces each cell
+    weight bit-for-bit — an IPF whose whole trajectory is
+    hash-checked, not just its convergence claim. Scale: cells are
+    keyed aggregates of the corpus (two shuffles); the cell table
+    itself is tiny (|langs| x |sources|) and every join here rides
+    broadcast."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source"
+    )
+    full_cells = d.groupBy("lang", "source").agg(F.count("*").alias("n"))
+    tl = full_cells.groupBy("lang").agg(
+        F.sum("n").cast("bigint").alias("t_l")
+    )
+    ts = full_cells.groupBy("source").agg(
+        F.sum("n").cast("bigint").alias("t_s")
+    )
+    sub = (
+        d.where(~((F.col("lang") == "en") & (F.col("doc_id") % 2 == 0)))
+        .groupBy("lang", "source")
+        .agg(F.count("*").alias("n"))
+    )
+    nl = sub.groupBy("lang").agg(F.sum("n").cast("bigint").alias("n_l"))
+    w1 = (
+        sub.join(F.broadcast(tl), "lang")
+        .join(F.broadcast(nl), "lang")
+        .select(
+            "lang",
+            "source",
+            "n",
+            F.floor(
+                (
+                    F.col("n").cast("double")
+                    * (
+                        F.col("t_l").cast("double")
+                        / F.col("n_l").cast("double")
+                    )
+                )
+                * F.lit(1e6)
+            )
+            .cast("bigint")
+            .alias("w1q"),
+        )
+    )
+    w1s = w1.groupBy("source").agg(
+        F.sum("w1q").cast("bigint").alias("sw")
+    )
+    w2 = (
+        w1.join(F.broadcast(ts), "source")
+        .join(F.broadcast(w1s), "source")
+        .select(
+            "lang",
+            "source",
+            "n",
+            F.floor(
+                F.col("w1q").cast("double")
+                * (
+                    (F.col("t_s") * 1_000_000).cast("double")
+                    / F.col("sw").cast("double")
+                )
+            )
+            .cast("bigint")
+            .alias("w2q"),
+        )
+    )
+    colchk = (
+        w2.join(F.broadcast(ts), "source")
+        .groupBy("source")
+        .agg(
+            F.sum("w2q").cast("bigint").alias("cs"),
+            (F.min("t_s") * 1_000_000).alias("tgt"),
+        )
+        .agg(
+            F.expr("bool_and(abs(cs - tgt) <= 1000)").alias("cols_matched")
+        )
+    )
+    rowchk = (
+        w2.join(F.broadcast(tl), "lang")
+        .groupBy("lang")
+        .agg(
+            F.sum("w2q").cast("bigint").alias("rs"),
+            (F.min("t_l") * 1_000_000).alias("tgt"),
+        )
+        .agg(
+            F.expr(
+                "bool_and(abs(cast(rs as double) / cast(tgt as double)"
+                " - 1.0d) < 0.05d)"
+            ).alias("rows_within_5pct")
+        )
+    )
+    return (
+        w2.crossJoin(F.broadcast(colchk))
+        .crossJoin(F.broadcast(rowchk))
+        .select(
+            "lang",
+            "source",
+            F.col("n").cast("bigint").alias("n_subset"),
+            F.col("w2q").alias("weight_q"),
+            "cols_matched",
+            "rows_within_5pct",
+        )
+        .orderBy("lang", "source")
+    )
