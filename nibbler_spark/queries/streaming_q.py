@@ -2875,3 +2875,109 @@ def ext_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("k").alias("c_custkey"), "cents", "seg")
         .orderBy("c_custkey")
     )
+
+
+@register(
+    "i26_stream_msgpack_decode",
+    survey_id="I26",
+    category="streaming",
+    mode="parity",
+    oracle="""
+SELECT user_id,
+       CAST(COUNT(*) * 2 AS BIGINT) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) * 2 AS BIGINT)
+         AS total_cents
+FROM events GROUP BY user_id ORDER BY user_id
+""",
+)
+def i26_stream_msgpack_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deserialization of a MessagePack event bus — the shape
+    a real `format("kafka")` consumer has (value bytes → decode →
+    relational columns), with the wire format handled by the from-spec
+    codec (`operators/msgpack_codec.py`). Events are packed into one
+    msgpack map blob per record and staged as a 2-copy parquet drop
+    dir; the stream paces one file per micro-batch, a partition-local
+    mapInPandas stage unpacks every blob back into typed columns
+    WHILE STREAMING (Arrow batches inside micro-batches — the decode
+    is stateless, so it rides append mode), and a file sink persists
+    the decoded stream. Reading the sink back must aggregate to
+    exactly 2x the source events per user — serde through the
+    streaming engine is lossless and exactly-once. Scale: decode
+    parallelism = source partitions; no state, no shuffle before the
+    final check aggregate."""
+    import pandas as _pd
+
+    from nibbler_spark.operators.msgpack_codec import pack, unpack
+
+    def build(tmp: str) -> None:
+        e = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "value"
+        )
+
+        def enc(batches):
+            for pdf in batches:
+                yield _pd.DataFrame(
+                    {
+                        "blob": [
+                            pack(
+                                {
+                                    "e": int(e_),
+                                    "u": int(u),
+                                    "v": float(v),
+                                }
+                            )
+                            for e_, u, v in zip(
+                                pdf["event_id"], pdf["user_id"], pdf["value"]
+                            )
+                        ]
+                    }
+                )
+
+        packed = e.mapInPandas(enc, "blob binary")
+        for _ in range(2):
+            packed.coalesce(1).write.mode("append").parquet(tmp)
+
+    d = cached_dir(sf_dir, "events", "msgpack-x2", build)
+    src = (
+        spark.readStream.schema("blob binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+
+    def dec(batches):
+        for pdf in batches:
+            rows = [unpack(bytes(b)) for b in pdf["blob"]]
+            yield _pd.DataFrame(
+                {
+                    "event_id": [r["e"] for r in rows],
+                    "user_id": [r["u"] for r in rows],
+                    "value": [r["v"] for r in rows],
+                }
+            )
+
+    decoded = src.mapInPandas(
+        dec, "event_id long, user_id long, value double"
+    )
+    out = tempfile.mkdtemp(prefix="nibbler-msgpack-sink-")
+    q = (
+        decoded.writeStream.format("parquet")
+        .option("path", out)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="nibbler-ck-")
+        )
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("total_cents"),
+        )
+        .orderBy("user_id")
+    )
