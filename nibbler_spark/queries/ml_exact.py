@@ -654,3 +654,129 @@ def ext_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_replicates bigint, point_mean_cents double, "
         "ci_lo_cents double, ci_hi_cents double, point_in_ci boolean",
     )
+
+
+@register(
+    "ext_ks_two_sample",
+    survey_id="EXT-KSTEST",
+    category="ml-exact",
+    oracle="""
+WITH t AS (
+  SELECT CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g1,
+         CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END AS g2
+  FROM orders
+  WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+),
+n AS (SELECT CAST(SUM(g1) AS BIGINT) AS n1, CAST(SUM(g2) AS BIGINT) AS n2
+      FROM t),
+v AS (
+  SELECT cents, CAST(SUM(g1) AS BIGINT) AS a, CAST(SUM(g2) AS BIGINT) AS b
+  FROM t GROUP BY cents
+),
+c AS (
+  SELECT cents,
+         SUM(a) OVER (ORDER BY cents) AS c1,
+         SUM(b) OVER (ORDER BY cents) AS c2
+  FROM v
+),
+d AS (
+  SELECT CAST(MAX(ABS(c1 * n.n2 - c2 * n.n1)) AS BIGINT) AS d_num
+  FROM c, n
+)
+SELECT n.n1, n.n2, d.d_num,
+       CAST(d.d_num AS DOUBLE) / CAST(n.n1 * n.n2 AS DOUBLE) AS d_stat,
+       CAST(d.d_num AS DOUBLE) / CAST(n.n1 * n.n2 AS DOUBLE)
+         > 1.358e0 * sqrt(CAST(n.n1 + n.n2 AS DOUBLE)
+                          / CAST(n.n1 * n.n2 AS DOUBLE)) AS reject_h0
+FROM n, d
+""",
+)
+def ext_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov test, INTEGER-EXACT: D =
+    max|F1(v) − F2(v)| is computed as max|c1·n2 − c2·n1| over the
+    pooled distinct values (the cross-multiplied form keeps the whole
+    statistic in BIGINT — no float ECDFs to drift), comparing the
+    price distributions of URGENT vs LOW orders. The cumulative
+    counts use the repo's bucketed two-phase prefix-sum (per-bucket
+    totals → broadcast offsets → bucket-partitioned window), so no
+    unpartitioned window touches the full distinct-value table — the
+    same pattern that carries EXT-SKYLINE/two_phase_rank at 100 TB.
+    Decision at α=0.05 via the asymptotic critical value 1.358·
+    √((n1+n2)/(n1·n2)) (IEEE sqrt is correctly rounded, so the
+    boolean is engine-stable). The oracle uses one global window —
+    the reference formulation the distributed plan must equal."""
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    )
+    t = o.select(
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .alias("g1"),
+        F.when(F.col("o_orderpriority") == "5-LOW", 1)
+        .otherwise(0)
+        .alias("g2"),
+    )
+    n = t.agg(
+        F.sum("g1").cast("bigint").alias("n1"),
+        F.sum("g2").cast("bigint").alias("n2"),
+    )
+    v = t.groupBy("cents").agg(
+        F.sum("g1").cast("bigint").alias("a"),
+        F.sum("g2").cast("bigint").alias("b"),
+    )
+    # two-phase prefix sum: bucket by value range, tiny offset table
+    v = v.withColumn("bkt", F.expr("cents div 1000000"))
+    btot = (
+        v.groupBy("bkt")
+        .agg(
+            F.sum("a").alias("ba"),
+            F.sum("b").alias("bb"),
+        )
+    )
+    wb = Window.orderBy("bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # offsets table is O(price range / 1e6) rows — tiny by construction
+    offs = btot.select(
+        "bkt",
+        F.coalesce(F.sum("ba").over(wb), F.lit(0)).alias("oa"),
+        F.coalesce(F.sum("bb").over(wb), F.lit(0)).alias("ob"),
+    )
+    win = (
+        Window.partitionBy("bkt")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = v.join(F.broadcast(offs), "bkt").select(
+        "cents",
+        (F.col("oa") + F.sum("a").over(win)).alias("c1"),
+        (F.col("ob") + F.sum("b").over(win)).alias("c2"),
+    )
+    d = (
+        c.crossJoin(F.broadcast(n))
+        .agg(
+            F.max(
+                F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1"))
+            )
+            .cast("bigint")
+            .alias("d_num")
+        )
+    )
+    d_stat = F.col("d_num").cast("double") / (
+        F.col("n1") * F.col("n2")
+    ).cast("double")
+    crit = F.lit(1.358) * F.sqrt(
+        (F.col("n1") + F.col("n2")).cast("double")
+        / (F.col("n1") * F.col("n2")).cast("double")
+    )
+    return (
+        n.crossJoin(F.broadcast(d))
+        .select(
+            "n1",
+            "n2",
+            "d_num",
+            d_stat.alias("d_stat"),
+            (d_stat > crit).alias("reject_h0"),
+        )
+    )

@@ -2981,3 +2981,122 @@ def i26_stream_msgpack_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "i27_stream_kmv_union",
+    survey_id="I27",
+    category="streaming",
+    mode="parity",
+    oracle="""
+WITH h AS (
+  SELECT DISTINCT CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 12))
+                       AS BIGINT) AS hv
+  FROM events
+),
+sk AS (SELECT hv FROM h ORDER BY hv LIMIT 256),
+s AS (SELECT COUNT(*) AS n, MAX(hv) AS kth,
+             CAST(SUM(hv) AS BIGINT) AS chk FROM sk),
+tru AS (SELECT COUNT(DISTINCT event_id) AS t FROM events)
+SELECT CAST(256 AS BIGINT) AS k,
+       s.kth AS kth_min, s.chk AS sketch_checksum,
+       CAST(CASE WHEN s.n < 256 THEN s.n
+                 ELSE (255 * 281474976710656) // s.kth END AS BIGINT) AS est,
+       CAST(tru.t AS BIGINT) AS true_n,
+       TRUE AS merged_equals_batch,
+       ABS(CAST(CASE WHEN s.n < 256 THEN s.n
+                     ELSE (255 * 281474976710656) // s.kth END AS DOUBLE)
+           / CAST(tru.t AS DOUBLE) - 1e0) < 0.2e0 AS within_bound
+FROM s, tru
+""",
+)
+def i27_stream_kmv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distinct-count via KMV sketch UNION — the mergeability
+    that makes theta sketches the production answer to streaming
+    COUNT(DISTINCT): each micro-batch (three disjoint event slices
+    paced one file per trigger) computes its own k=256 KMV sketch
+    DISTRIBUTED (distinct md5-48 hashes → TakeOrderedAndProject), and
+    foreachBatch merges O(k) integers into the running union sketch —
+    driver state is 256 bigints regardless of stream volume, the
+    exact contract a production listener keeps in a state store. The
+    final check is the strongest mergeability proof available: the
+    union-of-epoch-sketches must equal the batch sketch of the whole
+    table REGISTER FOR REGISTER (k-th min + checksum hash-matched via
+    the oracle), not merely estimate-close; the distinct estimate
+    additionally lands within the declared 20% of truth. Scale: per
+    epoch one distinct + top-k; merge cost O(k log k)."""
+    import pandas as _pd  # noqa: F401
+
+    def build(tmp: str) -> None:
+        e = load_table(spark, sf_dir, "events").select("event_id")
+        for s in range(3):
+            e.where(F.col("event_id") % 3 == s).coalesce(1).write.mode(
+                "append"
+            ).parquet(tmp)
+
+    d = cached_dir(sf_dir, "events", "kmv-slices-x3", build)
+    src = (
+        spark.readStream.schema("event_id bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    merged: list[int] = []
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        hv = F.conv(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 12),
+            16,
+            10,
+        ).cast("bigint")
+        sk = (
+            batch_df.select(hv.alias("hv"))
+            .distinct()
+            .orderBy("hv")
+            .limit(256)
+            .collect()
+        )
+        nonlocal_merged = set(merged) | {r["hv"] for r in sk}
+        merged[:] = sorted(nonlocal_merged)[:256]
+
+    q = (
+        src.writeStream.foreachBatch(sink)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="nibbler-ck-")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # batch-global sketch over the full table — must equal the merge
+    e = load_table(spark, sf_dir, "events").select("event_id")
+    hv = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 12), 16, 10
+    ).cast("bigint")
+    batch_sk = sorted(
+        r["hv"]
+        for r in e.select(hv.alias("hv"))
+        .distinct()
+        .orderBy("hv")
+        .limit(256)
+        .collect()
+    )
+    true_n = e.distinct().count()
+    n_reg = len(merged)
+    kth = merged[-1]
+    est = n_reg if n_reg < 256 else (255 * (1 << 48)) // kth
+    return spark.createDataFrame(
+        [
+            (
+                256,
+                kth,
+                sum(merged),
+                est,
+                true_n,
+                bool(merged == batch_sk),
+                bool(abs(est / true_n - 1.0) < 0.2),
+            )
+        ],
+        "k bigint, kth_min bigint, sketch_checksum bigint, est bigint, "
+        "true_n bigint, merged_equals_batch boolean, within_bound boolean",
+    )
