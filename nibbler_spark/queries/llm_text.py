@@ -1379,3 +1379,120 @@ def ext_encoding_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(repaired).alias("repaired_md5"),
         (F.col("corrupted") != repaired).alias("was_mojibake"),
     ).orderBy("doc_id")
+
+
+@register(
+    "ext_corpus_statistics",
+    survey_id="EXT-CORPUS-STATS",
+    category="llm-text",
+    oracle="""
+WITH tok AS (
+  SELECT lang, UNNEST(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (SELECT lang, token, COUNT(*) AS n FROM tok GROUP BY lang, token),
+lg AS (
+  SELECT lang, CAST(SUM(n) AS BIGINT) AS big_n,
+         CAST(COUNT(*) AS BIGINT) AS vocab,
+         CAST(SUM(n * (n - 1)) AS BIGINT) AS simpson_num
+  FROM tf GROUP BY lang
+),
+top AS (
+  SELECT lang, n,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY n DESC, token) AS rnk
+  FROM tf QUALIFY rnk <= 50
+),
+grid AS (
+  SELECT lang,
+         CAST(FLOOR(ln(CAST(rnk AS DOUBLE)) * 1000000e0) AS BIGINT) AS x,
+         CAST(FLOOR(ln(CAST(n AS DOUBLE)) * 1000000e0) AS BIGINT) AS y
+  FROM top
+),
+ols AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS m,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM grid GROUP BY lang
+)
+SELECT lg.lang,
+       lg.big_n AS n_tokens,
+       lg.vocab,
+       CAST(lg.vocab AS DOUBLE) / CAST(lg.big_n AS DOUBLE)
+         AS type_token_ratio,
+       CAST(lg.simpson_num AS DOUBLE)
+         / CAST(lg.big_n * (lg.big_n - 1) AS DOUBLE) AS simpson_index,
+       CAST(ols.m * ols.sxy - ols.sx * ols.sy AS DOUBLE)
+         / CAST(ols.m * ols.sxx - ols.sx * ols.sx AS DOUBLE) AS zipf_slope
+FROM lg JOIN ols USING (lang)
+ORDER BY lg.lang
+""",
+)
+def ext_corpus_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus statistics — the profile sheet a training
+    corpus ships with: token volume, vocabulary size, type-token
+    ratio, Simpson concentration index (the probability two random
+    tokens coincide — integer-exact numerator Σn·(n−1)), and the
+    ZIPF SLOPE: an OLS fit of ln(freq) on ln(rank) over each
+    language's top-50 tokens (natural corpora land near −1; a corpus
+    whose slope drifts is the classic boilerplate/duplication smell).
+    The fit uses the gridded-transcendental recipe (ln values floored
+    to a 1e-6 grid → ALL sufficient statistics are exact BIGINTs →
+    slope is one division of exact integers), so even the regression
+    hash-matches. Rank assignment is top-k-per-group (WindowGroupLimit
+    — never a corpus-wide window). Scale: one explode + keyed count,
+    one 50-row-per-lang rank, one 5-row aggregate."""
+    tok = load_table(spark, sf_dir, "documents").select(
+        "lang", F.explode(F.split("text", " ")).alias("token")
+    )
+    tf = tok.groupBy("lang", "token").agg(F.count("*").alias("n"))
+    lg = tf.groupBy("lang").agg(
+        F.sum("n").cast("bigint").alias("big_n"),
+        F.count("*").cast("bigint").alias("vocab"),
+        F.sum(F.col("n") * (F.col("n") - 1))
+        .cast("bigint")
+        .alias("simpson_num"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), "token")
+    top = tf.withColumn("rnk", F.row_number().over(w)).where(
+        F.col("rnk") <= 50
+    )
+    grid = top.select(
+        "lang",
+        F.floor(F.log(F.col("rnk").cast("double")) * 1e6)
+        .cast("bigint")
+        .alias("x"),
+        F.floor(F.log(F.col("n").cast("double")) * 1e6)
+        .cast("bigint")
+        .alias("y"),
+    )
+    ols = grid.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("m"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    return (
+        lg.join(ols, "lang")
+        .select(
+            "lang",
+            F.col("big_n").alias("n_tokens"),
+            "vocab",
+            (F.col("vocab").cast("double") / F.col("big_n").cast("double"))
+            .alias("type_token_ratio"),
+            (
+                F.col("simpson_num").cast("double")
+                / (F.col("big_n") * (F.col("big_n") - 1)).cast("double")
+            ).alias("simpson_index"),
+            (
+                (
+                    F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")
+                ).cast("double")
+                / (
+                    F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
+                ).cast("double")
+            ).alias("zipf_slope"),
+        )
+        .orderBy("lang")
+    )
