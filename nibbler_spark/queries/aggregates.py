@@ -1728,3 +1728,46 @@ def d37_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM orders WHERE o_custkey % 150 = 0
            GROUP BY o_orderpriority ORDER BY o_orderpriority"""
     )
+
+
+@register(
+    "d38_grouping_id",
+    survey_id="D38",
+    category="aggregation",
+    oracle="""
+SELECT COALESCE(l_returnflag, '<all>') AS flag,
+       COALESCE(l_linestatus, '<all>') AS status,
+       GROUPING(l_returnflag) AS g_flag,
+       GROUPING(l_linestatus) AS g_status,
+       GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+ORDER BY gid, flag, status
+""",
+)
+def d38_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING() / grouping-id disambiguation — the piece that makes
+    GROUPING SETS results machine-consumable: a NULL group key is
+    ambiguous (real NULL data vs subtotal row) until GROUPING(col)
+    tags which columns are aggregated away in each output row; the
+    composed grouping id (here g_flag*2 + g_status, matching Spark's
+    bit order) keys downstream routing. Same one-pass Expand+Aggregate
+    plan as D8 — grouping flags are free metadata, not extra passes."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("li_d38")
+    return spark.sql(
+        """
+        SELECT COALESCE(l_returnflag, '<all>') AS flag,
+               COALESCE(l_linestatus, '<all>') AS status,
+               CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+               CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+               CAST(GROUPING(l_returnflag) * 2
+                    + GROUPING(l_linestatus) AS INT) AS gid,
+               COUNT(*) AS n
+        FROM li_d38
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), ())
+        ORDER BY gid, flag, status
+        """
+    )

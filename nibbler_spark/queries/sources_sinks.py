@@ -984,3 +984,52 @@ def a31_msgpack_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey long, o_orderpriority string, o_totalprice double, "
         "even_key boolean, opt_val bigint, pri_code string, meta_m long",
     ).orderBy("o_orderkey")
+
+
+@register(
+    "a32_fixed_width_roundtrip",
+    survey_id="A32",
+    category="source-sink",
+    oracle="""
+SELECT o_orderkey, o_orderstatus, o_orderpriority,
+       CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+FROM orders ORDER BY o_orderkey
+""",
+)
+def a32_fixed_width_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width text files — the mainframe/COBOL layout financial
+    feeds still arrive in: each order becomes one 40-byte record
+    (12-char zero-padded key, 1-char status, 15-char right-padded
+    priority, 12-char zero-padded cents), written via a pure-SQL
+    lpad/rpad/concat projection to a text sink; the read path is
+    `spark.read.text` plus SUBSTRING column carving and casts — both
+    directions entirely JVM-side codegen, no UDF, which is what makes
+    fixed-width viable at 100 TB (the scan parallelizes like any text
+    source, the carve is a map-side projection). The recovered table
+    must hash-match the source columns including the exact cents."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    rec = o.select(
+        F.concat(
+            F.lpad(F.col("o_orderkey").cast("string"), 12, "0"),
+            F.col("o_orderstatus"),
+            F.rpad(F.col("o_orderpriority"), 15, " "),
+            F.lpad(
+                F.floor(F.col("o_totalprice") * 100)
+                .cast("bigint")
+                .cast("string"),
+                12,
+                "0",
+            ),
+        ).alias("value")
+    )
+    out = _tmp(sf_dir, "fixed-width")
+    rec.write.mode("overwrite").text(out)
+    back = spark.read.text(out)
+    return back.select(
+        F.substring("value", 1, 12).cast("bigint").alias("o_orderkey"),
+        F.substring("value", 13, 1).alias("o_orderstatus"),
+        F.rtrim(F.substring("value", 14, 15)).alias("o_orderpriority"),
+        F.substring("value", 29, 12).cast("bigint").alias("cents"),
+    ).orderBy("o_orderkey")
