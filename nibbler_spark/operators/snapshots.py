@@ -983,3 +983,61 @@ def clone_snapshot(
             "deep": deep,
         },
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-table catalog transactions: one versioned pointer file pinning a
+# consistent set of (table, snapshot_id) pairs. Single-table formats
+# (Delta, Iceberg) stop at per-table atomicity; cross-table consistency
+# (fact + its materialized view, paired shards) needs this extra level —
+# the same put-if-absent manifest trick, one directory up.
+
+
+def catalog_latest(catalog_dir: str) -> int:
+    """Latest committed catalog version, -1 when empty."""
+    if not os.path.isdir(catalog_dir):
+        return -1
+    best = -1
+    for name in os.listdir(catalog_dir):
+        if name.endswith(".json") and not name.startswith("."):
+            try:
+                best = max(best, int(name[:-5].split("-")[-1]))
+            except ValueError:
+                continue
+    return best
+
+
+def catalog_commit(catalog_dir: str, versions: dict[str, dict]) -> int:
+    """Atomically commit a catalog version pinning
+    ``{table_name: {"dir": table_dir, "snapshot_id": sid}}``.
+
+    The pinned snapshots must already be durable in their tables
+    (stage-then-publish): a crash BEFORE this commit leaves every
+    reader on the previous catalog version — no torn cross-table
+    state is ever observable. Same put-if-absent os.link protocol as
+    single-table commits; collisions retry at the next version."""
+    os.makedirs(catalog_dir, exist_ok=True)
+    while True:
+        ver = catalog_latest(catalog_dir) + 1
+        tmp = os.path.join(
+            catalog_dir, f".txn-{ver}.{uuid.uuid4().hex[:8]}.tmp"
+        )
+        with open(tmp, "w") as fh:
+            json.dump({"version": ver, "tables": versions}, fh)
+        try:
+            os.link(tmp, os.path.join(catalog_dir, f"txn-{ver}.json"))
+            os.unlink(tmp)
+            return ver
+        except FileExistsError:
+            os.unlink(tmp)
+            continue
+
+
+def catalog_read(catalog_dir: str, version: int | None = None) -> dict:
+    """Resolve the table→snapshot pin map at a catalog version
+    (default: latest)."""
+    ver = catalog_latest(catalog_dir) if version is None else version
+    if ver < 0:
+        raise ValueError(f"empty catalog at {catalog_dir}")
+    with open(os.path.join(catalog_dir, f"txn-{ver}.json")) as fh:
+        return json.load(fh)["tables"]

@@ -2562,3 +2562,142 @@ def ext_cached_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         agg.unpersist()
+
+
+@register(
+    "ext_multi_table_txn",
+    survey_id="EXT-CATALOG-TXN",
+    category="sql-surface",
+    mode="parity",
+    oracle="""
+WITH fact AS (
+  SELECT o_orderstatus AS status,
+         CASE WHEN o_orderkey % 10 = 0
+              THEN CAST(FLOOR(o_totalprice * 100) AS BIGINT) + 1000
+              ELSE CAST(FLOOR(o_totalprice * 100) AS BIGINT) END AS cents
+  FROM orders
+)
+SELECT status,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(cents) AS BIGINT) AS total_cents,
+       TRUE AS mv_matches_fact,
+       TRUE AS v1_consistent_during_stage,
+       TRUE AS raw_table_saw_staged
+FROM fact GROUP BY status ORDER BY status
+""",
+)
+def ext_multi_table_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-TABLE atomic commit — the consistency level single-table
+    formats don't give you: a fact table and its materialized rollup
+    live in two snapshot tables, and a versioned CATALOG pointer
+    (operators/snapshots.py:catalog_commit — the same put-if-absent
+    manifest protocol, one directory up) pins a consistent
+    (fact_snapshot, mv_snapshot) pair per transaction. The query
+    commits v0 of both, then runs an update transaction in
+    stage-then-publish order: the new fact snapshot AND the new MV
+    snapshot are both durable in their tables while the catalog still
+    points at v0 — a catalog reader mid-crash sees the OLD fact with
+    the OLD MV (consistent; asserted), even though a raw
+    latest-snapshot reader of the fact table would already see the
+    staged update (the torn read the catalog prevents; also
+    asserted). After catalog publish, the MV read through the catalog
+    must equal the rollup recomputed from the fact read through the
+    same catalog version — checked cell-exact, and hash-checked
+    against the oracle's direct formulation. Scale: the catalog adds
+    one O(tables) JSON pointer per txn on top of O(files) manifests;
+    reads cost one extra driver-side resolve."""
+    import os
+    import shutil
+    import tempfile
+
+    from nibbler_spark.operators.snapshots import (
+        catalog_commit,
+        catalog_read,
+        latest_snapshot,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    root = tempfile.mkdtemp(prefix="nibbler-cattxn-")
+    shutil.rmtree(root)
+    fact_dir = os.path.join(root, "fact")
+    mv_dir = os.path.join(root, "mv")
+    cat = os.path.join(root, "_catalog")
+    os.makedirs(fact_dir)
+    os.makedirs(mv_dir)
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy("status").agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+        )
+
+    # txn 0: publish fact v0 + mv v0 atomically
+    f0 = write_snapshot(o, fact_dir)
+    m0 = write_snapshot(rollup(o), mv_dir)
+    catalog_commit(
+        cat,
+        {
+            "fact": {"dir": fact_dir, "snapshot_id": f0},
+            "mv": {"dir": mv_dir, "snapshot_id": m0},
+        },
+    )
+
+    # txn 1: stage updated fact + recomputed mv, DON'T publish yet
+    o2 = o.select(
+        "o_orderkey",
+        "status",
+        F.when(F.col("o_orderkey") % 10 == 0, F.col("cents") + 1000)
+        .otherwise(F.col("cents"))
+        .alias("cents"),
+    )
+    f1 = write_snapshot(o2, fact_dir)
+    m1 = write_snapshot(rollup(o2), mv_dir)
+
+    # crash-window reads: catalog still serves the consistent v0 pair,
+    # while a raw latest-snapshot read already sees the staged fact
+    pins = catalog_read(cat)
+    v0_fact = read_snapshot(
+        spark, fact_dir, pins["fact"]["snapshot_id"]
+    )
+    v0_mv = read_snapshot(spark, mv_dir, pins["mv"]["snapshot_id"])
+    v0_consistent = (
+        rollup(v0_fact)
+        .exceptAll(v0_mv.select("status", "n_orders", "total_cents"))
+        .isEmpty()
+    )
+    raw_saw_staged = latest_snapshot(fact_dir) == f1 and f1 != pins[
+        "fact"
+    ]["snapshot_id"]
+
+    # publish txn 1
+    catalog_commit(
+        cat,
+        {
+            "fact": {"dir": fact_dir, "snapshot_id": f1},
+            "mv": {"dir": mv_dir, "snapshot_id": m1},
+        },
+    )
+    pins = catalog_read(cat)
+    fact_now = read_snapshot(spark, fact_dir, pins["fact"]["snapshot_id"])
+    mv_now = read_snapshot(spark, mv_dir, pins["mv"]["snapshot_id"]).select(
+        "status", "n_orders", "total_cents"
+    )
+    mv_matches = (
+        rollup(fact_now).exceptAll(mv_now).isEmpty()
+        and mv_now.exceptAll(rollup(fact_now)).isEmpty()
+    )
+    return mv_now.select(
+        "status",
+        "n_orders",
+        "total_cents",
+        F.lit(bool(mv_matches)).alias("mv_matches_fact"),
+        F.lit(bool(v0_consistent)).alias("v1_consistent_during_stage"),
+        F.lit(bool(raw_saw_staged)).alias("raw_table_saw_staged"),
+    ).orderBy("status")
