@@ -2376,3 +2376,80 @@ def ext_ivf_incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
         .limit(10)
     )
+
+@register(
+    "ext_embedding_column_profile",
+    survey_id="EXT-EMB-PROFILE",
+    category="llm-vectors",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, UNNEST(embedding) AS v,
+         UNNEST(generate_series(1, len(embedding))) AS dim
+  FROM embeddings
+),
+g AS (
+  SELECT dim - 1 AS dim,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1e7) AS BIGINT)) AS sx,
+         SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1e7) AS BIGINT)
+             * CAST(FLOOR(CAST(v AS DOUBLE) * 1e7) AS BIGINT)) AS sxx,
+         MIN(CAST(v AS DOUBLE)) AS vmin,
+         MAX(CAST(v AS DOUBLE)) AS vmax
+  FROM e GROUP BY 1
+)
+SELECT dim, n,
+       CAST(sx AS DOUBLE) / (CAST(n AS DOUBLE) * 1e7) AS mean,
+       CAST(n * sxx - sx * sx AS DOUBLE)
+         / ((CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) * 1e14)
+         AS variance,
+       vmin, vmax
+FROM g ORDER BY dim
+""",
+)
+def ext_embedding_column_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-dimension profile of the embedding column — the feature-
+    store health check run before any vector workload (dead dims,
+    scale drift, outlier ranges): posexplode unpacks the
+    array<float> into (dim, value) pairs and each of the 64
+    dimensions aggregates n/mean/variance/min/max. Exactness AND
+    overflow discipline: values quantize to a 1e-7 grid (float32 →
+    double exact, floor engine-identical); the sufficient statistics
+    are summed as DECIMAL(38,0) — at 100 TB a bigint Σx² times n
+    blows through 2^63 (it already reaches 74% at sf0.1), while
+    decimal38/HUGEINT never does — and the 64-row stats table is
+    finished DRIVER-SIDE in arbitrary-precision Python integers, so
+    n·Σx² − (Σx)² is exact at any corpus size and the only float ops
+    are the final correctly-rounded int→double casts and one
+    division, mirrored exactly by DuckDB's HUGEINT arithmetic.
+    Scale: explode is map-side; the aggregate has 64 cells with full
+    map-side combine; the driver touches 64 rows."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        F.posexplode("embedding").alias("dim", "v")
+    )
+    q = F.floor(F.col("v").cast("double") * 1e7).cast("bigint")
+    g = (
+        e.groupBy("dim")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(q.cast("decimal(38,0)")).alias("sx"),
+            F.sum((q * q).cast("decimal(38,0)")).alias("sxx"),
+            F.min(F.col("v").cast("double")).alias("vmin"),
+            F.max(F.col("v").cast("double")).alias("vmax"),
+        )
+        .collect()
+    )
+    rows = []
+    for r in g:
+        n, sx, sxx = int(r["n"]), int(r["sx"]), int(r["sxx"])
+        mean = float(sx) / (float(n) * 1e7)
+        var = float(n * sxx - sx * sx) / (
+            (float(n) * float(n - 1)) * 1e14
+        )
+        rows.append((r["dim"], n, mean, var, r["vmin"], r["vmax"]))
+    return spark.createDataFrame(
+        sorted(rows),
+        "dim int, n bigint, mean double, variance double, "
+        "vmin double, vmax double",
+    )
