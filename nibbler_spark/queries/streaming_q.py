@@ -3100,3 +3100,186 @@ def i27_stream_kmv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k bigint, kth_min bigint, sketch_checksum bigint, est bigint, "
         "true_n bigint, merged_equals_batch boolean, within_bound boolean",
     )
+
+
+@register(
+    "i28_stream_catalog_txn",
+    survey_id="I28",
+    category="streaming",
+    mode="parity",
+    oracle="""
+WITH fin AS (
+  SELECT CASE WHEN c_custkey % 3 = 0 THEN 'UPD' ELSE c_mktsegment END
+           AS seg,
+         CASE WHEN c_custkey % 3 = 0 THEN c_custkey * 150
+              ELSE CAST(FLOOR(c_acctbal * 100) AS BIGINT) END AS cents
+  FROM customer
+  WHERE NOT (c_custkey % 7 = 0 AND c_custkey % 3 <> 0)
+  UNION ALL
+  SELECT 'NEW', c_custkey * 25 FROM customer WHERE c_custkey % 11 = 0
+)
+SELECT seg,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(cents) AS BIGINT) AS total_cents,
+       TRUE AS all_versions_consistent
+FROM fin GROUP BY seg ORDER BY seg
+""",
+)
+def i28_stream_catalog_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MULTI-TABLE transactions — every micro-batch upserts
+    the CDC log into the fact snapshot table AND refreshes its
+    materialized rollup AND publishes both under one atomic catalog
+    version (stage-then-publish, operators/snapshots.py:
+    catalog_commit): the medallion pattern with cross-table
+    consistency, where a dashboard reading (fact, mv) through the
+    catalog can NEVER see a fact update whose rollup hasn't landed.
+    Same idempotent CDC design as EXT-CDC-APPLY (disjoint key sets,
+    absolute updates, within-batch seq dedup). After the drain the
+    query REPLAYS EVERY catalog version and verifies the pinned MV
+    equals the rollup recomputed from the pinned fact — consistency
+    at every observable point in history, not just the end. Scale:
+    per epoch one merge (O(touched files)), one rollup over the fact
+    (swap in the incremental-MV maintenance of EXT-MV-INC to make it
+    O(changed files)), one O(tables) catalog pointer."""
+    import shutil
+
+    from nibbler_spark.operators.snapshots import (
+        catalog_commit,
+        catalog_latest,
+        catalog_read,
+        merge_into_snapshot,
+        read_snapshot,
+        snapshot_files,
+        write_snapshot,
+    )
+
+    root = tempfile.mkdtemp(prefix="nibbler-strcat-")
+    shutil.rmtree(root)
+    fact_dir = os.path.join(root, "fact")
+    mv_dir = os.path.join(root, "mv")
+    cat = os.path.join(root, "_catalog")
+    os.makedirs(fact_dir)
+    os.makedirs(mv_dir)
+
+    base = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.floor(F.col("c_acctbal") * 100).cast("bigint").alias("cents"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy("seg").agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+        )
+
+    carry: list[str] = []
+    for b in range(4):
+        sid = write_snapshot(
+            base.where(F.col("k") % 4 == b).coalesce(1),
+            fact_dir,
+            carry_over=carry,
+        )
+        carry = snapshot_files(fact_dir, sid)
+    m0 = write_snapshot(rollup(base), mv_dir)
+    catalog_commit(
+        cat,
+        {
+            "fact": {"dir": fact_dir, "snapshot_id": sid},
+            "mv": {"dir": mv_dir, "snapshot_id": m0},
+        },
+    )
+
+    drop = tempfile.mkdtemp(prefix="nibbler-strcat-log-")
+    k = F.col("k")
+    upd_v1 = base.where(k % 3 == 0).select(
+        "k", F.lit("U").alias("op"), (k * 100).cast("bigint").alias("cents"),
+        F.lit("STALE").alias("seg"), F.lit(1).cast("bigint").alias("seq"),
+    )
+    upd_v2 = base.where(k % 3 == 0).select(
+        "k", F.lit("U").alias("op"), (k * 150).cast("bigint").alias("cents"),
+        F.lit("UPD").alias("seg"), F.lit(2).cast("bigint").alias("seq"),
+    )
+    dels = base.where((k % 7 == 0) & (k % 3 != 0)).select(
+        "k", F.lit("D").alias("op"),
+        F.lit(None).cast("bigint").alias("cents"),
+        F.lit(None).cast("string").alias("seg"),
+        F.lit(1).cast("bigint").alias("seq"),
+    )
+    ins = base.where(k % 11 == 0).select(
+        (k + 1_000_000).alias("k"), F.lit("I").alias("op"),
+        (k * 25).cast("bigint").alias("cents"), F.lit("NEW").alias("seg"),
+        F.lit(1).cast("bigint").alias("seq"),
+    )
+    upd_v1.unionByName(upd_v2).coalesce(1).write.mode("append").parquet(drop)
+    dels.coalesce(1).write.mode("append").parquet(drop)
+    ins.coalesce(1).write.mode("append").parquet(drop)
+
+    src = (
+        spark.readStream.schema(
+            "k bigint, op string, cents bigint, seg string, seq bigint"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        ss = batch_df.sparkSession
+        latest = (
+            batch_df.groupBy("k")
+            .agg(
+                F.max_by(
+                    F.struct("op", "cents", "seg"), F.col("seq")
+                ).alias("s")
+            )
+            .select("k", "s.op", "s.cents", "s.seg")
+        )
+        fsid = merge_into_snapshot(
+            ss, fact_dir, latest, key="k", value_cols=["cents", "seg"]
+        )
+        msid = write_snapshot(
+            rollup(read_snapshot(ss, fact_dir, fsid)), mv_dir
+        )
+        catalog_commit(
+            cat,
+            {
+                "fact": {"dir": fact_dir, "snapshot_id": fsid},
+                "mv": {"dir": mv_dir, "snapshot_id": msid},
+            },
+        )
+
+    q = (
+        src.writeStream.foreachBatch(sink)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="nibbler-ck-")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # history audit: every published catalog version must be internally
+    # consistent — the MV it pins equals the rollup of the fact it pins
+    consistent = True
+    for ver in range(catalog_latest(cat) + 1):
+        pins = catalog_read(cat, ver)
+        f = read_snapshot(spark, fact_dir, pins["fact"]["snapshot_id"])
+        m = read_snapshot(spark, mv_dir, pins["mv"]["snapshot_id"]).select(
+            "seg", "n_rows", "total_cents"
+        )
+        r = rollup(f)
+        if not (r.exceptAll(m).isEmpty() and m.exceptAll(r).isEmpty()):
+            consistent = False
+    pins = catalog_read(cat)
+    return (
+        read_snapshot(spark, mv_dir, pins["mv"]["snapshot_id"])
+        .select(
+            "seg",
+            "n_rows",
+            "total_cents",
+            F.lit(bool(consistent)).alias("all_versions_consistent"),
+        )
+        .orderBy("seg")
+    )
