@@ -1070,3 +1070,56 @@ def h32_mask_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("masked_custom"),
         F.length("c_name").cast("bigint").alias("n_chars"),
     ).orderBy("c_custkey")
+
+
+@register(
+    "h33_interval_arith",
+    survey_id="H33",
+    category="scalar-functions",
+    oracle="""
+SELECT o_orderkey,
+       CAST(o_orderdate AS DATE) AS d,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE)
+         AS plus_month,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE)
+         AS plus_quarter,
+       CAST(CAST(o_orderdate AS DATE) + 90 AS DATE) AS plus_90d,
+       last_day(CAST(o_orderdate AS DATE)) AS month_end,
+       CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE)
+         AS month_start,
+       CAST(date_trunc('quarter', CAST(o_orderdate AS DATE)) AS DATE)
+         AS quarter_start,
+       CAST(DATE '1998-01-01' - CAST(o_orderdate AS DATE) AS BIGINT)
+         AS days_to_98
+FROM orders
+WHERE o_orderkey % 13 = 0
+ORDER BY o_orderkey
+""",
+)
+def h33_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar interval arithmetic — the month/day duality every date
+    dimension needs handled correctly: month addition CLAMPS to the
+    end of shorter months (Jan 31 + 1 month = Feb 29 in a leap year —
+    add_months and DuckDB's INTERVAL agree on the clamp, which is
+    exactly what this query pins), day addition is plain linear
+    date_add, last_day/trunc give month and quarter boundaries, and
+    date subtraction yields exact day counts. All JVM-side codegen
+    date kernels (no timezone sensitivity: inputs are cast to DATE
+    first, session is UTC-pinned by the registry wrapper)."""
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderkey") % 13 == 0
+    )
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        d.alias("d"),
+        F.add_months(d, 1).alias("plus_month"),
+        F.add_months(d, 3).alias("plus_quarter"),
+        F.date_add(d, 90).alias("plus_90d"),
+        F.last_day(d).alias("month_end"),
+        F.trunc(d, "month").alias("month_start"),
+        F.trunc(d, "quarter").alias("quarter_start"),
+        F.datediff(F.lit("1998-01-01").cast("date"), d)
+        .cast("bigint")
+        .alias("days_to_98"),
+    ).orderBy("o_orderkey")

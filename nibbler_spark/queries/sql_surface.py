@@ -2701,3 +2701,53 @@ def ext_multi_table_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(bool(v0_consistent)).alias("v1_consistent_during_stage"),
         F.lit(bool(raw_saw_staged)).alias("raw_table_saw_staged"),
     ).orderBy("status")
+
+
+@register(
+    "sql17_named_window",
+    survey_id="SQL17",
+    category="sql-surface",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       ROW_NUMBER() OVER w AS rn,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) OVER w
+            AS BIGINT) AS running_cents,
+       CAST(FLOOR(AVG(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+            OVER w3) AS BIGINT) AS ma3_cents
+FROM orders
+WHERE o_custkey % 50 = 0
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey),
+       w3 AS (PARTITION BY o_custkey ORDER BY o_orderkey
+              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+ORDER BY o_custkey, o_orderkey
+""",
+)
+def sql17_named_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL WINDOW clause — one named window definition shared by
+    several window functions (plus a second framed definition — Spark
+    accepts multiple named windows but not inline extension), the
+    spelling analysts
+    actually use once a query has three ranked columns. Runs as
+    IDENTICAL SQL text on both engines; Spark resolves the named
+    window at analysis time into the same single-exchange Window plan
+    the E-family queries pin (one partition-by-custkey shuffle
+    serving all three functions). The running sum and moving average
+    ride exact integer cents; the moving average floors its single
+    division."""
+    register_temp_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_custkey, o_orderkey,
+               ROW_NUMBER() OVER w AS rn,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) OVER w
+                    AS BIGINT) AS running_cents,
+               CAST(FLOOR(AVG(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+                    OVER w3) AS BIGINT) AS ma3_cents
+        FROM orders
+        WHERE o_custkey % 50 = 0
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey),
+               w3 AS (PARTITION BY o_custkey ORDER BY o_orderkey
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        ORDER BY o_custkey, o_orderkey
+        """
+    )
