@@ -72,6 +72,12 @@ HEADLINE = [
     # the acquisition-side funnel (WARC decode -> robots -> URL dedup ->
     # quality) — the Arrow-codec counterpart of K7's curation funnel.
     "ext_crawl_pipeline",  # BENCH-K14 (crawl-ingestion funnel)
+    # r4 continuation (second session): the degeneracy-peel iterative
+    # shape (3 k-core rounds: alive-induced degree -> filter, per round)
+    # and the streaming-CDC-into-lakehouse composite (paced merges into
+    # the snapshot format) — the two heaviest new plan families.
+    "ext_kcore_decomposition",  # BENCH-K15 (k-core peel on shingle graph)
+    "ext_stream_cdc_apply",  # BENCH-K16 (streaming MERGE into snapshots)
 ]
 
 

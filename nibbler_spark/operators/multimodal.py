@@ -906,11 +906,10 @@ def encode_avi(
     return struct.pack("<4sI", b"RIFF", len(body)) + body
 
 
-def parse_avi(payload: bytes) -> dict:
-    """Parse a DIB-frame AVI: validate RIFF/'AVI ' magic, walk the
-    top-level chunk list, read avih out of the hdrl LIST, and traverse
-    every '00db'/'00dc' frame chunk inside the movi LIST. Returns header
-    metadata plus exact frame-byte statistics proving real frame access."""
+def _avi_chunks(payload: bytes) -> tuple[tuple, list[bytes]]:
+    """Shared AVI chunk walk: validate RIFF/'AVI ' magic, recurse the
+    LIST tree, return (avih fields, raw frame chunk bodies) with the
+    declared-vs-found frame count cross-checked."""
     if (
         len(payload) < 12
         or payload[:4] != b"RIFF"
@@ -939,12 +938,28 @@ def parse_avi(payload: bytes) -> dict:
     walk(payload[12:])
     if avih is None:
         raise VideoFormatError("missing avih header")
+    if avih[4] != len(frames):
+        raise VideoFormatError(
+            f"header declares {avih[4]} frames, found {len(frames)}"
+        )
+    return avih, frames
+
+
+def avi_frames(payload: bytes) -> tuple[int, int, list[bytes]]:
+    """Frame-level access to an AVI: (width, height, raw frame bodies)
+    — the seam frame-sampling / frame-dedup pipelines consume."""
+    avih, frames = _avi_chunks(payload)
+    return avih[8], avih[9], frames
+
+
+def parse_avi(payload: bytes) -> dict:
+    """Parse a DIB-frame AVI: validate RIFF/'AVI ' magic, walk the
+    top-level chunk list, read avih out of the hdrl LIST, and traverse
+    every '00db'/'00dc' frame chunk inside the movi LIST. Returns header
+    metadata plus exact frame-byte statistics proving real frame access."""
+    avih, frames = _avi_chunks(payload)
     us_per_frame, _max_rate, _pad, _flags, n_frames = avih[:5]
     width, height = avih[8], avih[9]
-    if n_frames != len(frames):
-        raise VideoFormatError(
-            f"header declares {n_frames} frames, found {len(frames)}"
-        )
     if frames and frames[0][:2] == b"\xff\xd8":
         # Motion-JPEG stream: every frame is a complete baseline JPEG —
         # decode each through the real JPEG pipeline; frame_sum is the

@@ -1932,3 +1932,105 @@ def ext_multimodal_sample_assembly(
         )
         .orderBy("shard")
     )
+
+
+@register(
+    "ext_video_frame_dedup",
+    survey_id="EXT-MM-FRAMEDEDUP",
+    category="multimodal",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, 2 + doc_id % 4 AS nf
+  FROM documents WHERE doc_id % 29 = 0
+),
+fr AS (
+  SELECT d.doc_id, f.f, (d.doc_id * 13 + f.f * 5) % 256 AS a
+  FROM d CROSS JOIN generate_series(0, 5) AS f(f)
+  WHERE f.f < d.nf
+),
+cls AS (
+  SELECT a, COUNT(*) AS n,
+         MIN(doc_id * 8 + f) AS first_key
+  FROM fr GROUP BY a
+)
+SELECT CAST(n AS BIGINT) AS class_size,
+       CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(SUM(first_key) AS BIGINT) AS keep_checksum
+FROM cls GROUP BY n ORDER BY class_size
+""",
+)
+def ext_video_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-level video dedup — the multimodal cousin of document
+    dedup (dataset curation drops repeated keyframes before feature
+    extraction): every sampled document becomes a real AVI (same
+    deterministic fixture as EXT-MM-AVI), a partition-local Arrow
+    stage walks the container (`operators/multimodal.py:avi_frames`)
+    and emits ONE ROW PER FRAME carrying the md5 of the frame's raw
+    DIB bytes; exact dedup is then a hash-keyed groupBy — identical
+    frames collide across documents wherever the byte formula
+    coincides (the fixture plants genuine cross-document duplicates),
+    each class keeps its first (doc, frame) occurrence, and the
+    output histograms class sizes with a keep-decision checksum. The
+    oracle never sees the md5: it derives the SAME equivalence
+    classes from the generating parameters ((doc*13 + frame*5) mod
+    256 at fixed dims), so the check proves the md5 grouping matched
+    true byte equality. Scale: decode and hash are partition-local;
+    the dedup shuffle is keyed on the frame hash — bucketed by
+    construction, never all-pairs."""
+    import hashlib
+
+    import pandas as _pd
+
+    from nibbler_spark.operators.multimodal import avi_frames, encode_avi
+
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 29 == 0
+    ).select("doc_id")
+
+    def encode(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                nf = 2 + did % 4
+                frames = [
+                    bytes(
+                        (did * 13 + f * 5 + j * 3) % 256 for j in range(12)
+                    )
+                    for f in range(nf)
+                ]
+                payloads.append(encode_avi(frames, 2, 2, 33333))
+            yield _pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    encoded = d.mapInPandas(encode, "doc_id long, payload binary")
+
+    def frame_rows(batches):
+        for pdf in batches:
+            doc_ids, idxs, hashes = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _w, _h, frames = avi_frames(bytes(payload))
+                for i, fr in enumerate(frames):
+                    doc_ids.append(int(doc_id))
+                    idxs.append(i)
+                    hashes.append(hashlib.md5(fr).hexdigest())
+            yield _pd.DataFrame(
+                {"doc_id": doc_ids, "frame_idx": idxs, "fhash": hashes}
+            )
+
+    fr = encoded.mapInPandas(
+        frame_rows, "doc_id long, frame_idx int, fhash string"
+    )
+    cls = fr.groupBy("fhash").agg(
+        F.count("*").alias("n"),
+        F.min(F.col("doc_id") * 8 + F.col("frame_idx")).alias("first_key"),
+    )
+    return (
+        cls.groupBy(F.col("n").cast("bigint").alias("class_size"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_classes"),
+            F.sum("first_key").cast("bigint").alias("keep_checksum"),
+        )
+        .orderBy("class_size")
+    )
