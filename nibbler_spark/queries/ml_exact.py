@@ -780,3 +780,89 @@ def ext_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             (d_stat > crit).alias("reject_h0"),
         )
     )
+
+
+_RR_FLIP_T = 1 << 46  # p = 1/4 on the 48-bit hash grid
+
+
+@register(
+    "ext_randomized_response",
+    survey_id="EXT-LDP-RR",
+    category="ml-exact",
+    mode="bounded",
+    oracle=f"""
+WITH t AS (
+  SELECT o_orderpriority AS pri,
+         o_totalprice > 150000e0 AS truth,
+         CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 12))
+              AS BIGINT) < {_RR_FLIP_T} AS flip
+  FROM orders
+),
+g AS (
+  SELECT pri,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN truth THEN 1 ELSE 0 END) AS BIGINT)
+           AS true_yes,
+         CAST(SUM(CASE WHEN truth <> flip THEN 1 ELSE 0 END) AS BIGINT)
+           AS reported_yes
+  FROM t GROUP BY pri
+)
+SELECT pri, n, reported_yes, true_yes,
+       4 * reported_yes - n AS est_yes_x2,
+       ABS(4 * reported_yes - n - 2 * true_yes)
+         < 6e0 * sqrt(0.75e0 * CAST(n AS DOUBLE)) + 2e0 AS within_bound
+FROM g ORDER BY pri
+""",
+)
+def ext_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local differential privacy via randomized response (Warner
+    1965; the RAPPOR primitive): each order's private bit ("is this a
+    high-value order?") is reported TRUTHFULLY with probability 3/4
+    and FLIPPED with probability 1/4 — the analyst sees only noisy
+    bits (ε = ln 3 per report), yet the population share debiases
+    exactly: E[reported] = (1−p)·π + p·(1−π), so est = (reported −
+    n·p)/(1−2p), carried here as the integer 4·reported − n (= 2×
+    the estimate — no division, no float until the bound check). The
+    flip coin is the md5-48 hash against an integer threshold, so the
+    whole mechanism is deterministic and engine-replicated: the
+    oracle reproduces every noisy count bit-for-bit, and the declared
+    bound is the 3σ envelope of the mechanism's true variance
+    n·p(1−p)/(1−2p)², evaluated per priority class. Scale: one
+    map-side projection + one keyed aggregate; the privacy transform
+    never leaves the row it protects."""
+    o = load_table(spark, sf_dir, "orders")
+    flip = (
+        F.conv(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 12),
+            16,
+            10,
+        ).cast("bigint")
+        < F.lit(_RR_FLIP_T)
+    )
+    t = o.select(
+        F.col("o_orderpriority").alias("pri"),
+        (F.col("o_totalprice") > F.lit(150000.0)).alias("truth"),
+        flip.alias("flip"),
+    )
+    g = t.groupBy("pri").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("truth"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("true_yes"),
+        F.sum(F.when(F.col("truth") != F.col("flip"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("reported_yes"),
+    )
+    est2 = 4 * F.col("reported_yes") - F.col("n")
+    return g.select(
+        "pri",
+        "n",
+        "reported_yes",
+        "true_yes",
+        est2.alias("est_yes_x2"),
+        (
+            F.abs(est2 - 2 * F.col("true_yes")).cast("double")
+            < F.lit(6.0) * F.sqrt(F.lit(0.75) * F.col("n").cast("double"))
+            + F.lit(2.0)
+        ).alias("within_bound"),
+    ).orderBy("pri")

@@ -1123,3 +1123,53 @@ def h33_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("days_to_98"),
     ).orderBy("o_orderkey")
+
+
+@register(
+    "h34_timezone_conversion",
+    survey_id="H34",
+    category="scalar-functions",
+    oracle="""
+SELECT o_orderkey,
+       o_orderdate AS utc_ts,
+       timezone('America/New_York', timezone('UTC', o_orderdate))
+         AS ny_local,
+       timezone('Asia/Tokyo', timezone('UTC', o_orderdate))
+         AS tokyo_local,
+       timezone('UTC', timezone('Europe/Paris', o_orderdate))
+         AS if_paris_to_utc,
+       CAST(EXTRACT(hour FROM timezone('America/New_York',
+                    timezone('UTC', o_orderdate))) AS INT) AS ny_hour,
+       timezone('America/New_York', timezone('UTC', o_orderdate))
+         <> o_orderdate - INTERVAL 5 HOUR AS ny_was_dst
+FROM orders
+WHERE o_orderkey % 17 = 0
+ORDER BY o_orderkey
+""",
+)
+def h34_timezone_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IANA timezone conversion — from_utc_timestamp / to_utc_timestamp
+    across three zones, with the orders table's multi-year date span
+    deliberately crossing DST transitions (midnight UTC lands at 19:00
+    OR 20:00 New York wall time depending on the season; the ny_was_dst
+    flag pins the offset actually applied per row, so a tz database
+    regression fails loudly, not silently). The oracle composes
+    DuckDB's session-independent double-timezone form (timezone(tz,
+    timezone('UTC', ts)) ≡ from_utc_timestamp; the inverse order ≡
+    to_utc_timestamp) — both engines resolve the SAME IANA rules for
+    1995-1998. JVM-side codegen; no UDF, no session-timezone
+    dependence in either engine."""
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderkey") % 17 == 0
+    )
+    ts = F.col("o_orderdate")
+    ny = F.from_utc_timestamp(ts, "America/New_York")
+    return o.select(
+        "o_orderkey",
+        ts.alias("utc_ts"),
+        ny.alias("ny_local"),
+        F.from_utc_timestamp(ts, "Asia/Tokyo").alias("tokyo_local"),
+        F.to_utc_timestamp(ts, "Europe/Paris").alias("if_paris_to_utc"),
+        F.hour(ny).cast("int").alias("ny_hour"),
+        (ny != ts - F.expr("INTERVAL 5 HOURS")).alias("ny_was_dst"),
+    ).orderBy("o_orderkey")
