@@ -228,3 +228,28 @@ def test_corpus_statistics_ranges(spark, sf_dir):
         assert 0 <= r["simpson_index"] < 1
         # Zipf slope of a natural-ish corpus is negative
         assert r["zipf_slope"] < 0
+
+
+# ----------------------------------------------- KMV mergeability property
+
+
+def test_kmv_merge_property_pure_python():
+    """k-smallest-of-union == k-smallest of (k-smallest(A) ∪
+    k-smallest(B)) — the identity both ext_kmv_theta_setops and the
+    streaming union (i27) lean on, checked over random splits."""
+    import hashlib
+    import random
+
+    rng = random.Random(1234)
+    k = 64
+    for _ in range(50):
+        universe = [
+            int(hashlib.md5(str(x).encode()).hexdigest()[:12], 16)
+            for x in rng.sample(range(100000), rng.randint(10, 800))
+        ]
+        cut = rng.randint(0, len(universe))
+        a, b = set(universe[:cut]), set(universe[cut:])
+        sk = lambda s: sorted(s)[:k]
+        merged = sorted(set(sk(a)) | set(sk(b)))[:k]
+        direct = sk(a | b)
+        assert merged == direct
