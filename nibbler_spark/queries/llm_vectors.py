@@ -2453,3 +2453,171 @@ def ext_embedding_column_profile(
         "dim int, n bigint, mean double, variance double, "
         "vmin double, vmax double",
     )
+
+
+def _ivf_sweep_oracle() -> str:
+    cos_e = sql_cosine("e.embedding", "qv.q")
+    blocks = []
+    for n in (1, 2, 4, 10):
+        blocks.append(f"""cand{n} AS (
+  SELECT e.vec_id, {cos_e} AS cs
+  FROM embeddings e, qv
+  WHERE e.vec_id <> 0 AND e.label IN
+        (SELECT label FROM ranked WHERE rk <= {n})
+),
+top{n} AS (SELECT vec_id FROM cand{n} ORDER BY cs DESC, vec_id LIMIT 10),
+row{n} AS (
+  SELECT CAST({n} AS BIGINT) AS nprobe,
+         (SELECT COUNT(*) FROM cand{n}) AS n_candidates,
+         (SELECT COUNT(*) FROM top{n} t JOIN exact10 x USING (vec_id))
+           AS hits
+)""")
+    body = ",\n".join(blocks)
+    union = "\nUNION ALL\n".join(
+        f"SELECT * FROM row{n}" for n in (1, 2, 4, 10)
+    )
+    return f"""
+WITH ex AS (
+  SELECT label, i AS pos,
+         CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1e10) AS BIGINT) AS v
+  FROM embeddings, generate_series(1, 64) AS g(i)
+),
+centroids AS (
+  SELECT label, LIST(c ORDER BY pos) AS centroid FROM (
+    SELECT label, pos, (CAST(SUM(v) AS DOUBLE) / 1e10) / COUNT(v) AS c
+    FROM ex GROUP BY label, pos
+  ) GROUP BY label
+),
+qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+ranked AS (
+  SELECT label, ROW_NUMBER() OVER (
+    ORDER BY {sql_cosine('centroid', 'q')} DESC, label) AS rk
+  FROM centroids, qv
+),
+exact10 AS (
+  SELECT e.vec_id FROM embeddings e, qv WHERE e.vec_id <> 0
+  ORDER BY {cos_e} DESC, e.vec_id LIMIT 10
+),
+{body},
+rows_all AS ({union}),
+mono AS (
+  SELECT BOOL_AND(ok) AS monotone_ok FROM (
+    SELECT hits >= LAG(hits, 1, CAST(0 AS BIGINT))
+                   OVER (ORDER BY nprobe) AS ok
+    FROM rows_all
+  )
+),
+full_ok AS (
+  SELECT hits = 10 AS full_probe_exact FROM rows_all WHERE nprobe = 10
+)
+SELECT r.nprobe, r.n_candidates, r.hits,
+       CAST(r.hits AS DOUBLE) / 10e0 AS recall_at_10,
+       mono.monotone_ok, full_ok.full_probe_exact
+FROM rows_all r, mono, full_ok
+ORDER BY r.nprobe
+"""
+
+
+@register(
+    "ext_ivf_nprobe_sweep",
+    survey_id="EXT-IVF-SWEEP",
+    category="llm-vector",
+    mode="bounded",
+    oracle=_ivf_sweep_oracle(),
+)
+def ext_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF recall/cost TRADE-OFF CURVE — the tuning sweep every
+    vector-search deployment runs before picking nprobe: probe the
+    top-1/2/4/10 coarse cells (10 = every cell, i.e. exact search)
+    and report candidate volume and recall@10 against the exact
+    brute-force top-10 at each depth. Two structural invariants are
+    asserted rather than tolerance-checked: recall is MONOTONE in
+    nprobe (probing a superset of cells can only add candidates), and
+    the full-probe row recovers the exact result (hits = 10) — the
+    consistency proof that the IVF path degrades gracefully to exact
+    search. Same grid-exact centroid/cosine arithmetic as EXT-IVF, so
+    every hit count (and therefore the whole curve) hash-matches the
+    SQL replica. Scale: each probe depth scans only its cells
+    (partition-pruned at 100 TB); the sweep shares one centroid table
+    and one coarse ranking."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "label", F.posexplode("embedding").alias("pos", "val")
+    ).select(
+        "label",
+        "pos",
+        F.floor(F.col("val").cast("double") * F.lit(1e10)).alias("v"),
+    )
+    cent = (
+        ex.groupBy("label", "pos")
+        .agg(
+            (
+                (F.sum("v").cast("double") / F.lit(1e10)) / F.count("v")
+            ).alias("c")
+        )
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s["c"],
+            ).alias("centroid")
+        )
+    )
+    qv = e.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q")
+    )
+    ranked = [
+        r["label"]
+        for r in cent.crossJoin(F.broadcast(qv))
+        .select(
+            "label", cosine(F.col("centroid"), F.col("q")).alias("csim")
+        )
+        .orderBy(F.col("csim").desc(), "label")
+        .collect()
+    ]
+    scored = (
+        e.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            "label",
+            cosine(F.col("embedding"), F.col("q")).alias("cs"),
+        )
+    )
+    exact10 = {
+        r["vec_id"]
+        for r in scored.orderBy(F.col("cs").desc(), "vec_id")
+        .limit(10)
+        .collect()
+    }
+    rows = []
+    for n in (1, 2, 4, 10):
+        cand = scored.where(F.col("label").isin(ranked[:n]))
+        n_cand = cand.count()
+        top = {
+            r["vec_id"]
+            for r in cand.orderBy(F.col("cs").desc(), "vec_id")
+            .limit(10)
+            .collect()
+        }
+        rows.append((n, n_cand, len(top & exact10)))
+    monotone = all(
+        rows[i][2] >= rows[i - 1][2] for i in range(1, len(rows))
+    )
+    full_exact = rows[-1][2] == 10
+    return spark.createDataFrame(
+        [
+            (
+                n,
+                c,
+                h,
+                h / 10.0,
+                bool(monotone),
+                bool(full_exact),
+            )
+            for n, c, h in rows
+        ],
+        "nprobe bigint, n_candidates bigint, hits bigint, "
+        "recall_at_10 double, monotone_ok boolean, "
+        "full_probe_exact boolean",
+    )
