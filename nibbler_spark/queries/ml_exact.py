@@ -866,3 +866,114 @@ def ext_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(2.0)
         ).alias("within_bound"),
     ).orderBy("pri")
+
+
+@register(
+    "ext_psi_drift",
+    survey_id="EXT-PSI",
+    category="ml-exact",
+    oracle="""
+WITH t AS (
+  SELECT LEAST(CAST(FLOOR(value / 50e0) AS BIGINT), 9) AS bucket,
+         CASE WHEN EXTRACT(day FROM ts) <= 15 THEN 1 ELSE 0 END AS in_a
+  FROM events
+),
+n AS (SELECT CAST(SUM(in_a) AS BIGINT) AS n1,
+             CAST(SUM(1 - in_a) AS BIGINT) AS n2 FROM t),
+spine AS (SELECT UNNEST(range(10)) AS bucket),
+b AS (
+  SELECT s.bucket,
+         COALESCE(CAST(SUM(t.in_a) AS BIGINT), 0) + 1 AS a1,
+         COALESCE(CAST(SUM(1 - t.in_a) AS BIGINT), 0) + 1 AS a2
+  FROM spine s LEFT JOIN t ON t.bucket = s.bucket
+  GROUP BY s.bucket
+),
+terms AS (
+  SELECT b.bucket, b.a1 - 1 AS n1_b, b.a2 - 1 AS n2_b,
+         CAST(FLOOR(
+           (CAST(b.a2 AS DOUBLE) / CAST(n.n2 + 10 AS DOUBLE)
+            - CAST(b.a1 AS DOUBLE) / CAST(n.n1 + 10 AS DOUBLE))
+           * ln((CAST(b.a2 AS DOUBLE) * CAST(n.n1 + 10 AS DOUBLE))
+                / (CAST(b.a1 AS DOUBLE) * CAST(n.n2 + 10 AS DOUBLE)))
+           * 1e9) AS BIGINT) AS term_q
+  FROM b, n
+),
+tot AS (SELECT CAST(SUM(term_q) AS BIGINT) AS psi_q FROM terms)
+SELECT t.bucket, t.n1_b, t.n2_b, t.term_q,
+       CAST(tot.psi_q AS DOUBLE) / 1e9 AS psi_total,
+       tot.psi_q > 100000000 AS drift_detected
+FROM terms t, tot ORDER BY t.bucket
+""",
+)
+def ext_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index — the drift monitor every deployed
+    model's feature pipeline runs between a reference window and the
+    current one: events are split into first-half vs second-half of
+    the month, the value column is binned into 10 fixed-width buckets
+    (Laplace +1 smoothing keeps empty buckets finite, the production
+    convention), and PSI = Σ (p2−p1)·ln(p2/p1). The transcendental
+    rides the gridded-ln recipe: every per-bucket term is floored to
+    a 1e-9 grid BEFORE the sum, so the total is an exact BIGINT
+    addition (float summation order can never flip the drift verdict)
+    and the whole report hash-matches. The 0.1 decision threshold is
+    the standard industry cut, compared in integer grid units.
+    Scale: one map-side bucket projection + one 10-cell aggregate per
+    period; the spine join is broadcast."""
+    t = load_table(spark, sf_dir, "events").select(
+        F.least(
+            F.floor(F.col("value") / F.lit(50.0)).cast("bigint"), F.lit(9)
+        ).alias("bucket"),
+        F.when(F.dayofmonth("ts") <= 15, 1).otherwise(0).alias("in_a"),
+    )
+    n = t.agg(
+        F.sum("in_a").cast("bigint").alias("n1"),
+        F.sum(1 - F.col("in_a")).cast("bigint").alias("n2"),
+    )
+    spine = spark.range(10).select(F.col("id").alias("bucket"))
+    b = (
+        spine.join(t, "bucket", "left")
+        .groupBy("bucket")
+        .agg(
+            (F.coalesce(F.sum("in_a"), F.lit(0)).cast("bigint") + 1)
+            .alias("a1"),
+            (
+                F.coalesce(F.sum(1 - F.col("in_a")), F.lit(0)).cast(
+                    "bigint"
+                )
+                + 1
+            ).alias("a2"),
+        )
+    )
+    terms = b.crossJoin(F.broadcast(n)).select(
+        "bucket",
+        (F.col("a1") - 1).alias("n1_b"),
+        (F.col("a2") - 1).alias("n2_b"),
+        F.floor(
+            (
+                F.col("a2").cast("double")
+                / (F.col("n2") + 10).cast("double")
+                - F.col("a1").cast("double")
+                / (F.col("n1") + 10).cast("double")
+            )
+            * F.log(
+                (F.col("a2").cast("double") * (F.col("n1") + 10).cast("double"))
+                / (F.col("a1").cast("double") * (F.col("n2") + 10).cast("double"))
+            )
+            * F.lit(1e9)
+        )
+        .cast("bigint")
+        .alias("term_q"),
+    )
+    tot = terms.agg(F.sum("term_q").cast("bigint").alias("psi_q"))
+    return (
+        terms.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            "n1_b",
+            "n2_b",
+            "term_q",
+            (F.col("psi_q").cast("double") / F.lit(1e9)).alias("psi_total"),
+            (F.col("psi_q") > 100_000_000).alias("drift_detected"),
+        )
+        .orderBy("bucket")
+    )
