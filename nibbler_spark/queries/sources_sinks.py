@@ -1033,3 +1033,51 @@ def a32_fixed_width_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.rtrim(F.substring("value", 14, 15)).alias("o_orderpriority"),
         F.substring("value", 29, 12).cast("bigint").alias("cents"),
     ).orderBy("o_orderkey")
+
+
+@register(
+    "a33_gzip_text_roundtrip",
+    survey_id="A33",
+    category="source-sink",
+    oracle="""
+SELECT o_orderkey, o_orderpriority
+FROM orders ORDER BY o_orderkey
+""",
+)
+def a33_gzip_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gzip-compressed text ingestion — the format crawl dumps and
+    legacy log archives actually arrive in: the write path emits
+    `.txt.gz` part files (Hadoop gzip codec), the read path
+    decompresses transparently off the file extension. The important
+    SCALE caveat this query documents: gzip is NOT splittable — each
+    .gz file becomes exactly one input partition regardless of size
+    (asserted below: partitions == files), which is why 100 TB
+    pipelines shard gzip inputs into many files (or re-encode to a
+    splittable codec) before heavy processing. Line format is
+    key|priority; the carve is JVM-side split()."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    rec = o.select(
+        F.concat_ws(
+            "|", F.col("o_orderkey").cast("string"), "o_orderpriority"
+        ).alias("value")
+    )
+    out = _tmp(sf_dir, "gzip-text")
+    rec.repartition(4).write.mode("overwrite").option(
+        "compression", "gzip"
+    ).text(out)
+    n_gz = len(
+        [f for f in os.listdir(out) if f.endswith(".txt.gz")]
+    )
+    back = spark.read.text(out)
+    # gzip is unsplittable: one partition per .gz file, never more
+    assert back.rdd.getNumPartitions() == n_gz, (
+        back.rdd.getNumPartitions(),
+        n_gz,
+    )
+    parts = F.split("value", "\\|")
+    return back.select(
+        parts.getItem(0).cast("bigint").alias("o_orderkey"),
+        parts.getItem(1).alias("o_orderpriority"),
+    ).orderBy("o_orderkey")
