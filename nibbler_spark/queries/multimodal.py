@@ -1944,7 +1944,7 @@ WITH d AS (
   FROM documents WHERE doc_id % 29 = 0
 ),
 fr AS (
-  SELECT d.doc_id, f.f, (d.doc_id * 13 + f.f * 5) % 256 AS a
+  SELECT d.doc_id, f.f, (d.doc_id * 13 + f.f * 5) % 16 AS a
   FROM d CROSS JOIN generate_series(0, 5) AS f(f)
   WHERE f.f < d.nf
 ),
@@ -1973,7 +1973,8 @@ def ext_video_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     output histograms class sizes with a keep-decision checksum. The
     oracle never sees the md5: it derives the SAME equivalence
     classes from the generating parameters ((doc*13 + frame*5) mod
-    256 at fixed dims), so the check proves the md5 grouping matched
+    16 at fixed dims — 16 classes guarantee cross-document
+    collisions by pigeonhole at every scale factor), so the check proves the md5 grouping matched
     true byte equality. Scale: decode and hash are partition-local;
     the dedup shuffle is keyed on the frame hash — bucketed by
     construction, never all-pairs."""
@@ -1995,7 +1996,8 @@ def ext_video_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 nf = 2 + did % 4
                 frames = [
                     bytes(
-                        (did * 13 + f * 5 + j * 3) % 256 for j in range(12)
+                        ((did * 13 + f * 5) % 16 + j * 3) % 256
+                        for j in range(12)
                     )
                     for f in range(nf)
                 ]

@@ -253,3 +253,34 @@ def test_kmv_merge_property_pure_python():
         merged = sorted(set(sk(a)) | set(sk(b)))[:k]
         direct = sk(a | b)
         assert merged == direct
+
+
+# --------------------------------------------- IVF sweep / PSI / frame dedup
+
+
+def test_ivf_sweep_invariants(spark, sf_dir):
+    rows = sorted(
+        _run(spark, sf_dir, "ext_ivf_nprobe_sweep").collect(),
+        key=lambda r: r["nprobe"],
+    )
+    assert [r["nprobe"] for r in rows] == [1, 2, 4, 10]
+    assert all(r["monotone_ok"] and r["full_probe_exact"] for r in rows)
+    # candidate volume grows with probe depth; full probe sees all
+    cands = [r["n_candidates"] for r in rows]
+    assert cands == sorted(cands)
+    assert rows[-1]["hits"] == 10 and rows[-1]["recall_at_10"] == 1.0
+
+
+def test_psi_symmetric_split_shows_no_drift(spark, sf_dir):
+    rows = _run(spark, sf_dir, "ext_psi_drift").collect()
+    assert len(rows) == 10
+    # the two halves of a homogeneous synthetic month must not drift
+    assert all(not r["drift_detected"] for r in rows)
+    assert abs(rows[0]["psi_total"]) < 0.1
+
+
+def test_video_frame_dedup_finds_cross_doc_duplicates(spark, sf_dir):
+    rows = _run(spark, sf_dir, "ext_video_frame_dedup").collect()
+    total = sum(r["class_size"] * r["n_classes"] for r in rows)
+    uniq = sum(r["n_classes"] for r in rows)
+    assert total > uniq  # the fixture plants genuine duplicate frames
