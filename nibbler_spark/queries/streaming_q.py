@@ -3025,7 +3025,6 @@ def i27_stream_kmv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle), not merely estimate-close; the distinct estimate
     additionally lands within the declared 20% of truth. Scale: per
     epoch one distinct + top-k; merge cost O(k log k)."""
-    import pandas as _pd  # noqa: F401
 
     def build(tmp: str) -> None:
         e = load_table(spark, sf_dir, "events").select("event_id")
