@@ -977,3 +977,122 @@ def ext_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "ext_conformal_prediction",
+    survey_id="EXT-CONFORMAL",
+    category="ml-exact",
+    mode="bounded",
+    oracle="""
+WITH t AS (
+  SELECT o_orderpriority AS pri,
+         CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents,
+         CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 12))
+              AS BIGINT) % 4 AS split
+  FROM orders
+),
+model AS (
+  SELECT pri, CAST(SUM(cents) // COUNT(*) AS BIGINT) AS pred
+  FROM t WHERE split IN (0, 1) GROUP BY pri
+),
+cal AS (
+  SELECT ABS(t.cents - m.pred) AS resid
+  FROM t JOIN model m USING (pri) WHERE t.split = 2
+),
+nc AS (SELECT COUNT(*) AS n FROM cal),
+k AS (SELECT CAST((9 * (n + 1) + 9) // 10 AS BIGINT) AS k FROM nc),
+qhat AS (
+  SELECT MAX(resid) AS q FROM (
+    SELECT resid FROM cal ORDER BY resid LIMIT (SELECT k FROM k)
+  )
+),
+test AS (
+  SELECT ABS(t.cents - m.pred) <= q.q AS covered
+  FROM t JOIN model m USING (pri), qhat q WHERE t.split = 3
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+         CAST(SUM(CASE WHEN covered THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_covered
+  FROM test
+)
+SELECT nc.n AS n_cal, k.k AS k_rank, qhat.q AS q_hat_cents,
+       agg.n_test, agg.n_covered,
+       CAST(agg.n_covered AS DOUBLE) / CAST(agg.n_test AS DOUBLE)
+         AS coverage,
+       CAST(agg.n_covered AS DOUBLE) / CAST(agg.n_test AS DOUBLE)
+         >= 0.9e0 - 2e0 / sqrt(CAST(agg.n_test AS DOUBLE)) AS coverage_ok
+FROM nc, k, qhat, agg
+""",
+)
+def ext_conformal_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction (Vovk; the distribution-free
+    uncertainty wrapper production ML actually deploys): the corpus
+    hash-splits into train/calibration/test, a per-priority mean
+    model fits on train (integer floor-division — exact), the
+    calibration set's ⌈0.9·(n+1)⌉-th smallest absolute residual
+    becomes the interval half-width q̂ (a distributed ORDER BY +
+    LIMIT k — TakeOrderedAndProject, never a full sort), and the
+    guarantee under test is that prediction intervals ±q̂ cover at
+    least 90% of held-out points (finite-sample slack 2/√n declared
+    for the fixed split). Everything before the final coverage
+    division is BIGINT — the order statistic, residuals and counts
+    hash-match the oracle exactly; the conformal guarantee is checked
+    as data, not assumed. Scale: model and q̂ are tiny aggregates;
+    the scoring pass is one broadcast join per split."""
+    o = load_table(spark, sf_dir, "orders")
+    t = o.select(
+        F.col("o_orderpriority").alias("pri"),
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.col("o_orderkey").cast("string")), 1, 12
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 4
+        ).alias("split"),
+    )
+    model = (
+        t.where(F.col("split").isin(0, 1))
+        .groupBy("pri")
+        .agg(
+            F.expr("sum(cents) div count(*)").cast("bigint").alias("pred")
+        )
+    )
+    cal = (
+        t.where(F.col("split") == 2)
+        .join(F.broadcast(model), "pri")
+        .select(F.abs(F.col("cents") - F.col("pred")).alias("resid"))
+    )
+    n_cal = cal.count()
+    k = -(-9 * (n_cal + 1) // 10)  # ceil(0.9 * (n_cal + 1)) exactly
+    q_hat = (
+        cal.orderBy("resid").limit(k).agg(F.max("resid")).first()[0]
+    )
+    test = (
+        t.where(F.col("split") == 3)
+        .join(F.broadcast(model), "pri")
+        .select(
+            (F.abs(F.col("cents") - F.col("pred")) <= F.lit(q_hat)).alias(
+                "covered"
+            )
+        )
+    )
+    agg = test.agg(
+        F.count("*").cast("bigint").alias("n_test"),
+        F.sum(F.when(F.col("covered"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_covered"),
+    ).first()
+    n_test, n_covered = int(agg["n_test"]), int(agg["n_covered"])
+    coverage = n_covered / n_test
+    ok = coverage >= 0.9 - 2.0 / (n_test ** 0.5)
+    return spark.createDataFrame(
+        [(n_cal, k, q_hat, n_test, n_covered, coverage, bool(ok))],
+        "n_cal bigint, k_rank bigint, q_hat_cents bigint, n_test bigint, "
+        "n_covered bigint, coverage double, coverage_ok boolean",
+    )

@@ -1173,3 +1173,39 @@ def h34_timezone_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hour(ny).cast("int").alias("ny_hour"),
         (ny != ts - F.expr("INTERVAL 5 HOURS")).alias("ny_was_dst"),
     ).orderBy("o_orderkey")
+
+
+@register(
+    "h36_printf_formatting",
+    survey_id="H36",
+    category="scalar-functions",
+    oracle="""
+SELECT o_orderkey,
+       printf('%08d', o_orderkey) AS padded_key,
+       printf('%s:%d', o_orderstatus, o_orderkey % 100) AS tagged,
+       printf('%.2f', o_totalprice) AS price_2dp,
+       printf('%x', o_orderkey) AS hex_key
+FROM orders WHERE o_orderkey % 19 = 0
+ORDER BY o_orderkey
+""",
+)
+def h36_printf_formatting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """printf-style string formatting — report/export rendering
+    without UDFs: zero-padded integers, mixed-type templates, fixed
+    2-decimal rendering of doubles (both engines round-half-up the
+    same IEEE double, so even the decimal string agrees), and hex
+    rendering. Spark's format_string and DuckDB's printf share the C
+    printf dialect, making the surface directly oracle-checkable.
+    JVM-side codegen, map-side only."""
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderkey") % 19 == 0
+    )
+    return o.select(
+        "o_orderkey",
+        F.format_string("%08d", "o_orderkey").alias("padded_key"),
+        F.format_string(
+            "%s:%d", F.col("o_orderstatus"), F.col("o_orderkey") % 100
+        ).alias("tagged"),
+        F.format_string("%.2f", "o_totalprice").alias("price_2dp"),
+        F.format_string("%x", "o_orderkey").alias("hex_key"),
+    ).orderBy("o_orderkey")
