@@ -1081,3 +1081,57 @@ def a33_gzip_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         parts.getItem(0).cast("bigint").alias("o_orderkey"),
         parts.getItem(1).alias("o_orderpriority"),
     ).orderBy("o_orderkey")
+
+
+@register(
+    "a34_msgpack_datasource",
+    survey_id="A34",
+    category="source-sink",
+    oracle="""
+SELECT o_orderkey, o_orderstatus, o_totalprice,
+       CASE WHEN o_orderkey % 5 = 0 THEN NULL
+            ELSE o_orderkey % 97 END AS opt_val
+FROM orders ORDER BY o_orderkey
+""",
+)
+def a34_msgpack_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MessagePack as a REGISTERED Spark DataSource —
+    `format("nibbler_msgpack")` write and read through the Spark 4
+    Python DataSource API (the avro/xml pattern, third instance):
+    the writer encodes each task partition as a concatenated stream
+    of msgpack maps under two-phase commit (temp files publish only
+    at driver commit), the reader lists file names driver-side and
+    declares ONE INPUT PARTITION PER FILE — executor-side decoding
+    through the from-spec codec, zero payload bytes on the driver.
+    NULLs travel as absent map keys; float64 is lossless. The
+    recovered table hash-matches the source."""
+    from nibbler_spark.sources.msgpack_datasource import (
+        register_msgpack_source,
+    )
+
+    register_msgpack_source(spark)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit(None))
+        .otherwise(F.col("o_orderkey") % 97)
+        .cast("bigint")
+        .alias("opt_val"),
+    )
+    out = _tmp(sf_dir, "msgpack-ds")
+    o.repartition(4).write.format("nibbler_msgpack").mode(
+        "overwrite"
+    ).option("path", out).save()
+    ddl = (
+        "o_orderkey bigint, o_orderstatus string, "
+        "o_totalprice double, opt_val bigint"
+    )
+    back = (
+        spark.read.format("nibbler_msgpack")
+        .option("path", out)
+        .option("ddl", ddl)
+        .load()
+    )
+    assert back.rdd.getNumPartitions() == 4  # one partition per file
+    return back.orderBy("o_orderkey")
