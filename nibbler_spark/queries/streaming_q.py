@@ -3282,3 +3282,165 @@ def i28_stream_catalog_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seg")
     )
+
+
+@register(
+    "i29_stream_psi_drift",
+    survey_id="I29",
+    category="streaming",
+    mode="parity",
+    oracle="""
+WITH t AS (
+  SELECT LEAST(CAST(FLOOR(value / 50e0) AS BIGINT), 9) AS bucket,
+         CASE WHEN EXTRACT(day FROM ts) <= 15 THEN 1 ELSE 0 END AS in_a
+  FROM events
+),
+n AS (SELECT CAST(SUM(in_a) AS BIGINT) AS n1,
+             CAST(SUM(1 - in_a) AS BIGINT) AS n2 FROM t),
+spine AS (SELECT UNNEST(range(10)) AS bucket),
+b AS (
+  SELECT s.bucket,
+         COALESCE(CAST(SUM(t.in_a) AS BIGINT), 0) + 1 AS a1,
+         COALESCE(CAST(SUM(1 - t.in_a) AS BIGINT), 0) + 1 AS a2
+  FROM spine s LEFT JOIN t ON t.bucket = s.bucket
+  GROUP BY s.bucket
+),
+terms AS (
+  SELECT b.bucket, b.a2 - 1 AS n2_b,
+         CAST(FLOOR(
+           (CAST(b.a2 AS DOUBLE) / CAST(n.n2 + 10 AS DOUBLE)
+            - CAST(b.a1 AS DOUBLE) / CAST(n.n1 + 10 AS DOUBLE))
+           * ln((CAST(b.a2 AS DOUBLE) * CAST(n.n1 + 10 AS DOUBLE))
+                / (CAST(b.a1 AS DOUBLE) * CAST(n.n2 + 10 AS DOUBLE)))
+           * 1e9) AS BIGINT) AS term_q
+  FROM b, n
+)
+SELECT CAST(SUM(term_q) AS BIGINT) AS psi_q,
+       CAST(SUM(term_q) AS DOUBLE) / 1e9 AS psi_total,
+       (SELECT n2 FROM n) AS n_stream,
+       CAST(SUM(n2_b * (bucket + 1)) AS BIGINT) AS counts_checksum,
+       TRUE AS matches_batch,
+       CAST(SUM(term_q) AS BIGINT) > 100000000 AS drift_detected
+FROM terms
+""",
+)
+def i29_stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING drift monitoring — PSI maintained while data arrives:
+    the first half of the month is the batch-computed reference
+    histogram; the second half streams in two paced micro-batches
+    whose per-epoch bucket counts fold into O(buckets) driver state
+    (10 integers — the same bounded-state discipline as the KMV
+    union, and exactly what a production StreamingQueryListener would
+    persist). After the drain, PSI computed from the ACCUMULATED
+    stream histogram must equal the batch formulation bit-for-bit
+    (same Laplace smoothing, same 1e-9 gridded-ln terms as EXT-PSI —
+    asserted via matches_batch AND the hash oracle), proving the
+    incremental fold loses nothing relative to recomputation. Scale:
+    per epoch one 10-cell aggregate; the monitor's state never grows
+    with stream volume."""
+    import math
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "value"
+    )
+    ref = {
+        r["bucket"]: r["n"]
+        for r in ev.where(F.dayofmonth("ts") <= 15)
+        .select(
+            F.least(
+                F.floor(F.col("value") / F.lit(50.0)).cast("bigint"),
+                F.lit(9),
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .collect()
+    }
+
+    def build(tmp: str) -> None:
+        half2 = ev.where(F.dayofmonth("ts") > 15)
+        for s in range(2):
+            half2.where(F.col("event_id") % 2 == s).coalesce(1).write.mode(
+                "append"
+            ).parquet(tmp)
+
+    d = cached_dir(sf_dir, "events", "psi-half2-x2", build)
+    src = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    stream_counts: dict[int, int] = {}
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        rows = (
+            batch_df.select(
+                F.least(
+                    F.floor(F.col("value") / F.lit(50.0)).cast("bigint"),
+                    F.lit(9),
+                ).alias("bucket")
+            )
+            .groupBy("bucket")
+            .agg(F.count("*").cast("bigint").alias("n"))
+            .collect()
+        )
+        for r in rows:
+            stream_counts[r["bucket"]] = (
+                stream_counts.get(r["bucket"], 0) + r["n"]
+            )
+
+    q = (
+        src.writeStream.foreachBatch(sink)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="nibbler-ck-")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # batch recomputation of the second-half histogram — the fold must
+    # equal it exactly
+    batch_counts = {
+        r["bucket"]: r["n"]
+        for r in ev.where(F.dayofmonth("ts") > 15)
+        .select(
+            F.least(
+                F.floor(F.col("value") / F.lit(50.0)).cast("bigint"),
+                F.lit(9),
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .collect()
+    }
+    matches = stream_counts == batch_counts
+    n1 = sum(ref.values())
+    n2 = sum(stream_counts.values())
+    psi_q = 0
+    checksum = 0
+    for bucket in range(10):
+        a1 = ref.get(bucket, 0) + 1
+        a2 = stream_counts.get(bucket, 0) + 1
+        term = (
+            a2 / (n2 + 10) - a1 / (n1 + 10)
+        ) * math.log((a2 * (n1 + 10)) / (a1 * (n2 + 10)))
+        psi_q += math.floor(term * 1e9)
+        checksum += (a2 - 1) * (bucket + 1)
+    return spark.createDataFrame(
+        [
+            (
+                psi_q,
+                psi_q / 1e9,
+                n2,
+                checksum,
+                bool(matches),
+                psi_q > 100_000_000,
+            )
+        ],
+        "psi_q bigint, psi_total double, n_stream bigint, "
+        "counts_checksum bigint, matches_batch boolean, "
+        "drift_detected boolean",
+    )
