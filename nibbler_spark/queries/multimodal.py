@@ -2036,3 +2036,134 @@ def ext_video_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("class_size")
     )
+
+
+@register(
+    "ext_webdataset_shards",
+    survey_id="EXT-MM-WDS",
+    category="multimodal",
+    oracle="""
+WITH s AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+              AS INT) % 8 AS shard,
+         length(text) AS text_chars,
+         54 + (1 + doc_id % 5)
+              * ((3 * (2 + doc_id % 7) + 3) // 4 * 4) AS img_bytes
+  FROM documents
+)
+SELECT shard,
+       CAST(COUNT(*) AS BIGINT) AS n_samples,
+       CAST(SUM(text_chars) AS BIGINT) AS total_text_chars,
+       CAST(SUM(img_bytes) AS BIGINT) AS total_image_bytes,
+       TRUE AS all_pairs_complete
+FROM s GROUP BY shard ORDER BY shard
+""",
+)
+def ext_webdataset_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset shards — the tar-of-samples layout large vision-
+    language training jobs stream from: samples are hash-assigned to
+    8 shards, each shard group becomes ONE REAL tar archive (stdlib
+    tarfile over an in-memory buffer) whose members follow the
+    WebDataset convention — `{key}.txt` text + `{key}.bmp` actual BMP
+    bytes, adjacent members sharing the key form one sample. A second
+    Arrow stage opens every tar, re-pairs members by key, decodes the
+    BMP header to prove the image survived, and the per-shard
+    manifest (sample counts, text volume, exact image bytes,
+    pair-completeness) must hash-match the closed-form oracle. The
+    grouped-map stage is the write shape a 100 TB job uses: one tar
+    per (shard, task), sequential-read-friendly for the dataloader,
+    no driver bytes."""
+    import hashlib
+    import io
+    import tarfile
+
+    import pandas as _pd
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    withshard = d.withColumn(
+        "shard",
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
+            16,
+            10,
+        ).cast("int")
+        % 8,
+    )
+
+    def to_tar(pdf: _pd.DataFrame) -> _pd.DataFrame:
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w") as tar:
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(doc_id)
+                key = f"{did:012d}"
+                tbytes = str(text).encode("utf-8")
+                w, h = 2 + did % 7, 1 + did % 5
+                img = encode_bmp(
+                    w,
+                    h,
+                    lambda x, y, did=did: (
+                        (did + x) % 256,
+                        (did + y) % 256,
+                        (did + x + y) % 256,
+                    ),
+                )
+                for name, data in ((f"{key}.txt", tbytes), (f"{key}.bmp", img)):
+                    info = tarfile.TarInfo(name=name)
+                    info.size = len(data)
+                    tar.addfile(info, io.BytesIO(data))
+        return _pd.DataFrame(
+            {"shard": [int(pdf["shard"].iloc[0])], "tar": [buf.getvalue()]}
+        )
+
+    tars = withshard.groupBy("shard").applyInPandas(
+        to_tar, "shard int, tar binary"
+    )
+
+    def from_tar(batches):
+        for pdf in batches:
+            shards, keys, tchars, ibytes, complete = [], [], [], [], []
+            for shard, blob in zip(pdf["shard"], pdf["tar"]):
+                samples: dict[str, dict] = {}
+                with tarfile.open(
+                    fileobj=io.BytesIO(bytes(blob)), mode="r"
+                ) as tar:
+                    for m in tar.getmembers():
+                        key, ext = m.name.rsplit(".", 1)
+                        samples.setdefault(key, {})[ext] = tar.extractfile(
+                            m
+                        ).read()
+                for key, parts in samples.items():
+                    img = parts.get("bmp", b"")
+                    # header sanity: it really is a BMP
+                    ok = img[:2] == b"BM" and "txt" in parts
+                    shards.append(int(shard))
+                    keys.append(key)
+                    tchars.append(len(parts.get("txt", b"").decode("utf-8")))
+                    ibytes.append(len(img))
+                    complete.append(ok)
+            yield _pd.DataFrame(
+                {
+                    "shard": shards,
+                    "key": keys,
+                    "text_chars": tchars,
+                    "img_bytes": ibytes,
+                    "complete": complete,
+                }
+            )
+
+    samples = tars.mapInPandas(
+        from_tar,
+        "shard int, key string, text_chars long, img_bytes long, "
+        "complete boolean",
+    )
+    return (
+        samples.groupBy("shard")
+        .agg(
+            F.count("*").cast("bigint").alias("n_samples"),
+            F.sum("text_chars").cast("bigint").alias("total_text_chars"),
+            F.sum("img_bytes").cast("bigint").alias("total_image_bytes"),
+            F.expr("bool_and(complete)").alias("all_pairs_complete"),
+        )
+        .orderBy("shard")
+    )

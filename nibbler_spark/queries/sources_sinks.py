@@ -1135,3 +1135,67 @@ def a34_msgpack_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assert back.rdd.getNumPartitions() == 4  # one partition per file
     return back.orderBy("o_orderkey")
+
+
+@register(
+    "a35_tfrecord_roundtrip",
+    survey_id="A35",
+    category="source-sink",
+    oracle="""
+SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id
+""",
+)
+def a35_tfrecord_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TFRecord shards — THE classic training-data shard format
+    (TensorFlow's record framing: per-record length + MASKED CRC32C
+    over both length and payload, implemented from the public spec in
+    `operators/tfrecord_codec.py` with the Castagnoli table built
+    from scratch; RFC 3720 check values pinned in tests). Each task
+    partition packs its documents as msgpack maps inside ONE TFRecord
+    blob (the shard), a second Arrow stage walks the framing back —
+    verifying every checksum — and the recovered corpus must
+    hash-match the source. Corrupt-byte and truncation detection are
+    what the double CRC buys at 100 TB: a flipped bit in a shard
+    fails loudly at read time instead of training on garbage. Both
+    stages partition-local; shards never cross the driver."""
+    import pandas as _pd
+
+    from nibbler_spark.operators.msgpack_codec import pack, unpack
+    from nibbler_spark.operators.tfrecord_codec import (
+        read_tfrecords,
+        write_tfrecords,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+    def enc(batches):
+        for pdf in batches:
+            recs = [
+                pack({"d": int(i), "l": str(lg), "n": int(nc)})
+                for i, lg, nc in zip(
+                    pdf["doc_id"], pdf["lang"], pdf["n_chars"]
+                )
+            ]
+            yield _pd.DataFrame({"shard": [write_tfrecords(recs)]})
+
+    shards = d.mapInPandas(enc, "shard binary")
+
+    def dec(batches):
+        for pdf in batches:
+            rows = []
+            for blob in pdf["shard"]:
+                for rec in read_tfrecords(bytes(blob)):
+                    rows.append(unpack(rec))
+            yield _pd.DataFrame(
+                {
+                    "doc_id": [r["d"] for r in rows],
+                    "lang": [r["l"] for r in rows],
+                    "n_chars": [r["n"] for r in rows],
+                }
+            )
+
+    return shards.mapInPandas(
+        dec, "doc_id long, lang string, n_chars bigint"
+    ).orderBy("doc_id")
