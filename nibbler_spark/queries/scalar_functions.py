@@ -1209,3 +1209,70 @@ def h36_printf_formatting(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.format_string("%.2f", "o_totalprice").alias("price_2dp"),
         F.format_string("%x", "o_orderkey").alias("hex_key"),
     ).orderBy("o_orderkey")
+
+
+@register(
+    "h37_map_higher_order",
+    survey_id="H37",
+    category="scalar-functions",
+    oracle="""
+WITH pre AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem WHERE l_orderkey % 31 = 0
+  GROUP BY l_orderkey, l_linenumber
+)
+SELECT l_orderkey,
+       l_linenumber + 100 AS shifted_line,
+       cents * 2 + qty AS combined
+FROM pre
+WHERE cents * 2 + qty > 4000000
+ORDER BY l_orderkey, shifted_line
+""",
+)
+def h37_map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order functions over MAP columns — the lambda surface
+    H12 gives arrays, completed for maps: each order's lineitems
+    collapse into two maps (linenumber → cents, linenumber →
+    quantity) via map_from_entries, then map_zip_with combines them
+    key-wise (2·cents + qty), map_filter prunes small entries, and
+    transform_keys shifts the key space — all lambdas running inside
+    codegen, no explode-regroup round trip (the naive spelling would
+    shuffle twice; the map pipeline shuffles once to build the maps
+    and never again). The oracle states the same computation
+    relationally over the raw rows — proving the map algebra equals
+    its relational semantics. Final explode is presentation only."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_orderkey") % 31 == 0
+    )
+    # this testdata reuses l_linenumber within an order — pre-aggregate
+    # to a unique map key (duplicate map keys are an error in Spark 4)
+    pre = li.groupBy("l_orderkey", "l_linenumber").agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents"),
+        F.sum(F.col("l_quantity").cast("bigint"))
+        .cast("bigint")
+        .alias("qty"),
+    )
+    m = pre.groupBy("l_orderkey").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("l_linenumber", "cents"))
+        ).alias("cents_map"),
+        F.map_from_entries(
+            F.collect_list(F.struct("l_linenumber", "qty"))
+        ).alias("qty_map"),
+    )
+    combined = F.map_zip_with(
+        "cents_map", "qty_map", lambda k, a, b: a * 2 + b
+    )
+    filtered = F.map_filter(combined, lambda k, v: v > 4_000_000)
+    shifted = F.transform_keys(filtered, lambda k, v: k + 100)
+    return (
+        m.select(
+            "l_orderkey", F.explode(shifted).alias("shifted_line", "combined")
+        )
+        .orderBy("l_orderkey", "shifted_line")
+    )
