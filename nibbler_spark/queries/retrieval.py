@@ -416,3 +416,135 @@ def ext_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("ndcg_at_10"),
     )
+
+
+def _mmr_oracle() -> str:
+    from nibbler_spark.queries.llm_vectors import sql_cosine
+
+    cos_eq = sql_cosine("e.embedding", "qv.q")
+    cos_ab = sql_cosine("a.embedding", "b.embedding")
+    return f"""
+WITH qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+cand AS (
+  SELECT e.vec_id, e.embedding, {cos_eq} AS rel
+  FROM embeddings e, qv WHERE e.vec_id <> 0
+  ORDER BY rel DESC, e.vec_id LIMIT 8
+),
+sims AS (
+  SELECT a.vec_id AS u, b.vec_id AS v, {cos_ab} AS s
+  FROM cand a, cand b WHERE a.vec_id <> b.vec_id
+),
+s1 AS (SELECT vec_id, rel FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
+r2 AS (
+  SELECT c.vec_id, c.rel,
+         0.7e0 * c.rel - 0.3e0 * s.s AS score
+  FROM cand c JOIN sims s
+    ON s.u = c.vec_id AND s.v = (SELECT vec_id FROM s1)
+  WHERE c.vec_id <> (SELECT vec_id FROM s1)
+),
+s2 AS (SELECT vec_id, rel, score FROM r2 ORDER BY score DESC, vec_id
+       LIMIT 1),
+r3 AS (
+  SELECT c.vec_id, c.rel,
+         0.7e0 * c.rel - 0.3e0 * MAX(s.s) AS score
+  FROM cand c JOIN sims s ON s.u = c.vec_id
+  WHERE s.v IN ((SELECT vec_id FROM s1), (SELECT vec_id FROM s2))
+    AND c.vec_id NOT IN
+        ((SELECT vec_id FROM s1), (SELECT vec_id FROM s2))
+  GROUP BY c.vec_id, c.rel
+),
+s3 AS (SELECT vec_id, rel, score FROM r3 ORDER BY score DESC, vec_id
+       LIMIT 1)
+SELECT CAST(1 AS BIGINT) AS rank, vec_id, rel,
+       rel AS mmr_score FROM s1
+UNION ALL
+SELECT 2, vec_id, rel, score FROM s2
+UNION ALL
+SELECT 3, vec_id, rel, score FROM s3
+ORDER BY rank
+"""
+
+
+@register(
+    "ext_mmr_rerank",
+    survey_id="EXT-MMR",
+    category="retrieval",
+    oracle=_mmr_oracle(),
+)
+def ext_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998) — the diversified-retrieval step RAG stacks bolt onto
+    similarity search so the context window isn't five near-copies:
+    from the top-8 cosine candidates, select 3 results greedily, each
+    round maximizing λ·relevance − (1−λ)·max-similarity-to-already-
+    selected (λ=0.7). The candidate fetch is the distributed part
+    (broadcast query vector + TakeOrderedAndProject top-8); the
+    greedy selection runs driver-side over the collected 8×8 grid —
+    O(k²) on k=8, exactly how production rerankers work. Grid-exact
+    cosines make every score deterministic, so the oracle UNROLLS the
+    three greedy rounds as CTEs and the whole trajectory
+    hash-matches, ties broken by vec_id both sides."""
+    from nibbler_spark.queries.llm_vectors import cosine
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = e.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q")
+    )
+    cand = (
+        e.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            "embedding",
+            cosine(F.col("embedding"), F.col("q")).alias("rel"),
+        )
+        .orderBy(F.col("rel").desc(), "vec_id")
+        .limit(8)
+        .collect()
+    )
+    import math  # noqa: F401  (parity with oracle float ops)
+
+    def cos_py(a, b):
+        # mirror the grid-exact dec_dot: floor each product to the
+        # 1e-10 grid, exact-sum, one division — identical to the SQL
+        num = sum(
+            math.floor(float(x) * float(y) * 1e10) for x, y in zip(a, b)
+        ) / 1e10
+        na = sum(
+            math.floor(float(x) * float(x) * 1e10) for x in a
+        ) / 1e10
+        nb = sum(
+            math.floor(float(y) * float(y) * 1e10) for y in b
+        ) / 1e10
+        return num / (math.sqrt(na) * math.sqrt(nb))
+
+    sims = {
+        (a["vec_id"], b["vec_id"]): cos_py(a["embedding"], b["embedding"])
+        for a in cand
+        for b in cand
+        if a["vec_id"] != b["vec_id"]
+    }
+    selected = []
+    remaining = {r["vec_id"]: r["rel"] for r in cand}
+    rows = []
+    for rank in range(1, 4):
+        if rank == 1:
+            best = max(remaining.items(), key=lambda kv: (kv[1], -kv[0]))
+            score = best[1]
+        else:
+            scored = {
+                vid: 0.7 * rel
+                - 0.3 * max(sims[(vid, s)] for s in selected)
+                for vid, rel in remaining.items()
+            }
+            best_vid = max(
+                scored.items(), key=lambda kv: (kv[1], -kv[0])
+            )[0]
+            best = (best_vid, remaining[best_vid])
+            score = scored[best_vid]
+        rows.append((rank, best[0], best[1], score))
+        selected.append(best[0])
+        del remaining[best[0]]
+    return spark.createDataFrame(
+        rows, "rank bigint, vec_id bigint, rel double, mmr_score double"
+    )
