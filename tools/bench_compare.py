@@ -1,0 +1,82 @@
+"""Compare a bench JSON line against the recorded per-row baselines.
+
+Usage:
+    python tools/bench_compare.py BENCH_r03.json        # driver capture
+    python bench.py | tail -1 | python tools/bench_compare.py -
+
+Prints per-row ratio vs the baseline table below (the measured values
+BASELINE.md records) and the summed ratio. Exit code 1 if any row
+breaches the 2x acceptance gate.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+# Baseline seconds per query, as recorded in BASELINE.md (bench.py
+# medians on local[32], sf0.1). s1_rebatcher_items_per_sec is a
+# throughput band, checked separately.
+BASELINE_SEC = {
+    "q1_pricing_summary": 1.55,
+    "c01_join_3way_agg": 1.70,
+    "e01_row_number_topk": 1.38,
+    "k06_cosine_topk": 0.58,
+    "i01_tumbling_window_parity": 2.08,
+    "tq05_regional_revenue": 1.66,
+    "tq06_revenue_forecast": 0.40,
+    "tq18_large_orders": 2.03,
+    "k05_minhash_lsh": 3.60,
+    "ext_sessionize_batch": 1.30,
+    "ext_simhash_banded_pairs": 0.70,
+    "k04_jaccard_pairs": 1.00,
+    "ext_decontaminate_ngram": 2.10,
+    "ext_sequence_packing": 0.62,
+    "ext_training_data_pipeline": 1.90,
+    "tq21_suppliers_who_kept_waiting": 1.26,
+    "ext_embedding_neardup": 1.20,
+    "ext_minhash_lsh_portable": 1.00,
+    "ext_label_propagation": 1.80,
+    "ext_paragraph_dedup": 0.70,
+    "ext_substring_span_dedup": 1.80,
+    "ext_naive_bayes": 1.50,
+    "ext_crawl_pipeline": 1.24,
+    "ext_kcore_decomposition": 1.80,
+    "ext_stream_cdc_apply": 3.50,
+}
+REBATCHER_MIN = 1.4e6  # items/s floor of the recorded band
+
+
+def main() -> int:
+    src = sys.argv[1] if len(sys.argv) > 1 else "-"
+    raw = sys.stdin.read() if src == "-" else open(src).read()
+    data = json.loads(raw)
+    queries = data.get("parsed", data).get("queries") or data["queries"]
+    bad = 0
+    total_run = total_base = 0.0
+    for name, sec in sorted(queries.items()):
+        if name == "s1_rebatcher_items_per_sec":
+            ok = sec >= REBATCHER_MIN
+            print(f"{name:42s} {sec:>12.0f} items/s "
+                  f"{'OK' if ok else 'BREACH (< band floor)'}")
+            bad += 0 if ok else 1
+            continue
+        base = BASELINE_SEC.get(name)
+        if base is None:
+            print(f"{name:42s} {sec:>8.3f}s  (no baseline row)")
+            continue
+        ratio = sec / base
+        total_run += sec
+        total_base += base
+        flag = "" if ratio <= 2.0 else "  << BREACHES 2x GATE"
+        print(f"{name:42s} {sec:>8.3f}s / {base:>5.2f}s = {ratio:4.2f}x{flag}")
+        bad += 0 if ratio <= 2.0 else 1
+    if total_base:
+        print(f"{'SUM (rows with baselines)':42s} {total_run:>8.2f}s / "
+              f"{total_base:>5.2f}s = {total_run / total_base:4.2f}x")
+    print(f"gate breaches: {bad}")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
