@@ -761,3 +761,42 @@ def j17_pandas_udaf_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "j18_pandas_on_spark",
+    survey_id="J18",
+    category="udf",
+    oracle="""
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars
+FROM documents GROUP BY lang ORDER BY lang
+""",
+)
+def j18_pandas_on_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pandas-on-Spark API (`pyspark.pandas`) — the pandas dialect
+    compiled onto Catalyst plans, the migration path for teams with
+    pandas codebases: `df.pandas_api()` wraps the distributed frame,
+    a pandas-style groupby/agg chain runs WITHOUT collecting anything
+    (each step builds the same logical plan the DataFrame API would),
+    and `.to_spark()` hands the plan back for the declared result.
+    The oracle is the plain relational statement of the same
+    aggregate — proving the pandas dialect's semantics, not just its
+    API shape. Scale: identical plan to D1; the pandas layer adds an
+    index column and nothing else."""
+    d = load_table(spark, sf_dir, "documents").select("lang", "n_chars")
+    psdf = d.pandas_api()
+    agg = psdf.groupby("lang").agg(
+        n_docs=("n_chars", "count"),
+        total_chars=("n_chars", "sum"),
+        max_chars=("n_chars", "max"),
+    )
+    out = agg.reset_index().to_spark()
+    return out.select(
+        "lang",
+        F.col("n_docs").cast("bigint"),
+        F.col("total_chars").cast("bigint"),
+        F.col("max_chars").cast("bigint"),
+    ).orderBy("lang")
