@@ -2642,3 +2642,144 @@ def ext_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("removed_round")
     )
+
+
+@register(
+    "ext_dedup_threshold_sweep",
+    survey_id="EXT-DEDUP-SWEEP",
+    category="llm-dedup",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+sh0 AS (
+  SELECT doc_id,
+         UNNEST(list_transform(generate_series(1, len(toks) - 2),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+           AS sh
+  FROM t
+),
+shd AS (SELECT DISTINCT doc_id, sh FROM sh0),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM shd
+          GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM shd a JOIN shd b
+    ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT common.doc_a, common.doc_b, common.c, sa.n AS na, sb.n AS nb
+  FROM common
+  JOIN sizes sa ON sa.doc_id = common.doc_a
+  JOIN sizes sb ON sb.doc_id = common.doc_b
+),
+sweep AS (
+  SELECT tau10,
+         CAST(SUM(CASE WHEN 10 * c >= tau10 * (na + nb - c)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs,
+         CAST(COUNT(DISTINCT CASE WHEN 10 * c >= tau10 * (na + nb - c)
+                                  THEN doc_b END) AS BIGINT)
+           AS n_docs_dropped
+  FROM pairs CROSS JOIN (SELECT UNNEST([5, 7, 9]) AS tau10)
+  GROUP BY tau10
+),
+mono AS (
+  SELECT BOOL_AND(ok_p) AND BOOL_AND(ok_d) AS monotone_ok FROM (
+    SELECT n_pairs <= LAG(n_pairs, 1, n_pairs + 1)
+             OVER (ORDER BY tau10) AS ok_p,
+           n_docs_dropped <= LAG(n_docs_dropped, 1, n_docs_dropped + 1)
+             OVER (ORDER BY tau10) AS ok_d
+    FROM sweep
+  )
+)
+SELECT CAST(s.tau10 AS DOUBLE) / 10e0 AS threshold,
+       s.n_pairs, s.n_docs_dropped, mono.monotone_ok
+FROM sweep s, mono ORDER BY threshold
+""",
+)
+def ext_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup THRESHOLD SWEEP — the sensitivity analysis run before
+    committing a near-dup threshold to a 100 TB curation job: exact
+    Jaccard pairs over 3-token shingles are computed ONCE (one
+    inverted-index self-join — the expensive part is shared across
+    the whole sweep), then evaluated at τ = 0.5 / 0.7 / 0.9 using
+    INTEGER cross-multiplied comparisons (10·common ≥ τ₁₀·(union)),
+    reporting pair volume and keep-first drop counts per threshold.
+    The structural invariant — both curves are MONOTONE NONINCREASING
+    in τ — is asserted in-result; choosing τ is then reading this
+    table against a budget, not re-running the join three times.
+    Scale: identical join shape to K4's banded exact pairs; the sweep
+    itself is O(pairs)."""
+    t = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    sh = t.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at("toks", i),
+                    F.element_at("toks", i + 1),
+                    F.element_at("toks", i + 2),
+                ),
+            )
+        ).alias("sh"),
+    ).distinct().localCheckpoint()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n"))
+    common = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    pairs = (
+        common.join(
+            F.broadcast(sizes.withColumnRenamed("n", "na")),
+            F.col("doc_a") == F.col("doc_id"),
+        )
+        .drop("doc_id")
+        .join(
+            F.broadcast(sizes.withColumnRenamed("n", "nb")),
+            F.col("doc_b") == F.col("doc_id"),
+        )
+        .drop("doc_id")
+        .localCheckpoint()
+    )
+    taus = spark.createDataFrame([(5,), (7,), (9,)], "tau10 int")
+    hit = 10 * F.col("c") >= F.col("tau10") * (
+        F.col("na") + F.col("nb") - F.col("c")
+    )
+    sweep = (
+        pairs.crossJoin(F.broadcast(taus))
+        .groupBy("tau10")
+        .agg(
+            F.sum(F.when(hit, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_pairs"),
+            F.countDistinct(F.when(hit, F.col("doc_b")))
+            .cast("bigint")
+            .alias("n_docs_dropped"),
+        )
+        .collect()
+    )
+    rows = sorted((r["tau10"], r["n_pairs"], r["n_docs_dropped"]) for r in sweep)
+    monotone = all(
+        rows[i][1] <= rows[i - 1][1] and rows[i][2] <= rows[i - 1][2]
+        for i in range(1, len(rows))
+    )
+    return spark.createDataFrame(
+        [(t10 / 10.0, p, d, bool(monotone)) for t10, p, d in rows],
+        "threshold double, n_pairs bigint, n_docs_dropped bigint, "
+        "monotone_ok boolean",
+    )

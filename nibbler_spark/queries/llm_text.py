@@ -1496,3 +1496,182 @@ def ext_corpus_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "ext_l_diversity",
+    survey_id="EXT-LDIV",
+    category="llm-text",
+    oracle="""
+WITH q AS (
+  SELECT source,
+         CAST(FLOOR(n_chars / 200) AS BIGINT) AS len_bucket,
+         lang
+  FROM documents
+),
+g AS (
+  SELECT source, len_bucket,
+         CAST(SUM(cnt) AS BIGINT) AS grp_n,
+         CAST(COUNT(DISTINCT lang) AS BIGINT) AS l_distinct,
+         CAST(MAX(cnt) AS BIGINT) AS max_sensitive
+  FROM (
+    SELECT source, len_bucket, lang, COUNT(*) AS cnt
+    FROM q GROUP BY source, len_bucket, lang
+  ) GROUP BY source, len_bucket
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(MIN(l_distinct) AS BIGINT) AS min_l,
+       CAST(SUM(CASE WHEN l_distinct < 2 THEN grp_n ELSE 0 END)
+            AS BIGINT) AS rows_below_l2,
+       CAST(SUM(CASE WHEN max_sensitive * 2 > grp_n THEN 1 ELSE 0 END)
+            AS BIGINT) AS classes_majority_dominated,
+       MIN(l_distinct) >= 2 AS is_2_diverse
+FROM g
+""",
+)
+def ext_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al.) — the attack
+    k-anonymity misses: a class of 50 identical-quasi-identifier rows
+    is useless to an attacker ONLY if the sensitive attribute varies
+    within it; here each (source, length-bucket) class is scored by
+    how many distinct sensitive values (lang as the stand-in) it
+    carries and whether one value dominates (homogeneity attack
+    surface = classes where the top value exceeds half the class).
+    Two keyed aggregations — sensitive-value counts, then class
+    rollup — both map-side combinable; the audit row is O(classes).
+    Complements EXT-KANON in the release-gate trio."""
+    d = load_table(spark, sf_dir, "documents")
+    q = d.select(
+        "source",
+        F.floor(F.col("n_chars") / 200).cast("bigint").alias("len_bucket"),
+        "lang",
+    )
+    cnt = q.groupBy("source", "len_bucket", "lang").agg(
+        F.count("*").alias("cnt")
+    )
+    g = cnt.groupBy("source", "len_bucket").agg(
+        F.sum("cnt").cast("bigint").alias("grp_n"),
+        F.count("*").cast("bigint").alias("l_distinct"),
+        F.max("cnt").cast("bigint").alias("max_sensitive"),
+    )
+    return g.agg(
+        F.count("*").cast("bigint").alias("n_classes"),
+        F.min("l_distinct").cast("bigint").alias("min_l"),
+        F.sum(
+            F.when(F.col("l_distinct") < 2, F.col("grp_n")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("rows_below_l2"),
+        F.sum(
+            F.when(F.col("max_sensitive") * 2 > F.col("grp_n"), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("classes_majority_dominated"),
+        (F.min("l_distinct") >= 2).alias("is_2_diverse"),
+    )
+
+
+@register(
+    "ext_t_closeness",
+    survey_id="EXT-TCLOSE",
+    category="llm-text",
+    oracle="""
+WITH q AS (
+  SELECT source,
+         CAST(FLOOR(n_chars / 200) AS BIGINT) AS len_bucket,
+         lang
+  FROM documents
+),
+gl AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS g FROM q GROUP BY lang),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS big_n FROM q),
+cls AS (
+  SELECT source, len_bucket, lang, CAST(COUNT(*) AS BIGINT) AS c
+  FROM q GROUP BY source, len_bucket, lang
+),
+cn AS (
+  SELECT source, len_bucket, CAST(SUM(c) AS BIGINT) AS n
+  FROM cls GROUP BY source, len_bucket
+),
+terms AS (
+  SELECT cn.source, cn.len_bucket, cn.n,
+         CAST(SUM(ABS(COALESCE(cls.c, 0) * tot.big_n - gl.g * cn.n))
+              AS BIGINT) AS tv_num
+  FROM cn CROSS JOIN gl CROSS JOIN tot
+  LEFT JOIN cls ON cls.source = cn.source
+               AND cls.len_bucket = cn.len_bucket
+               AND cls.lang = gl.lang
+  GROUP BY cn.source, cn.len_bucket, cn.n, tot.big_n
+),
+vals AS (
+  SELECT tv_num, n,
+         CAST(tv_num AS DOUBLE)
+           / (2e0 * CAST(n AS DOUBLE)
+              * CAST((SELECT big_n FROM tot) AS DOUBLE)) AS tv
+  FROM terms
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+       MAX(tv) AS max_tv,
+       CAST(SUM(CASE WHEN tv > 0.3e0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS classes_exceeding_t,
+       MAX(tv) <= 0.3e0 AS is_t_close_03
+FROM vals
+""",
+)
+def ext_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li et al.) — the third rung of the release
+    gate after k-anonymity and l-diversity: even a diverse class leaks
+    if its sensitive-value DISTRIBUTION differs sharply from the
+    corpus-wide one (skewness attack), so every (source, length-
+    bucket) class is scored by the total-variation distance between
+    its lang distribution and the global distribution. The distance
+    is computed integer-exactly in cross-multiplied form — Σ|c_i·N −
+    g_i·n| over the GLOBAL value spine (absent values contribute
+    their full global mass) with one double division per class at the
+    end — so the audit hash-matches. Scale: class×values spine join
+    rides a broadcast of the tiny (value, global-count) table; the
+    per-class aggregate is map-side combinable."""
+    d = load_table(spark, sf_dir, "documents")
+    q = d.select(
+        "source",
+        F.floor(F.col("n_chars") / 200).cast("bigint").alias("len_bucket"),
+        "lang",
+    )
+    gl = q.groupBy("lang").agg(F.count("*").cast("bigint").alias("g"))
+    big_n = q.count()
+    cls = q.groupBy("source", "len_bucket", "lang").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    cn = cls.groupBy("source", "len_bucket").agg(
+        F.sum("c").cast("bigint").alias("n")
+    )
+    spine = cn.crossJoin(F.broadcast(gl))
+    terms = (
+        spine.join(cls, ["source", "len_bucket", "lang"], "left")
+        .groupBy("source", "len_bucket", "n")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.coalesce(F.col("c"), F.lit(0)) * F.lit(big_n)
+                    - F.col("g") * F.col("n")
+                )
+            )
+            .cast("bigint")
+            .alias("tv_num")
+        )
+    )
+    vals = terms.select(
+        "tv_num",
+        (
+            F.col("tv_num").cast("double")
+            / (F.lit(2.0) * F.col("n").cast("double") * F.lit(float(big_n)))
+        ).alias("tv"),
+    )
+    return vals.agg(
+        F.count("*").cast("bigint").alias("n_classes"),
+        F.max("tv").alias("max_tv"),
+        F.sum(F.when(F.col("tv") > 0.3, 1).otherwise(0))
+        .cast("bigint")
+        .alias("classes_exceeding_t"),
+        (F.max("tv") <= 0.3).alias("is_t_close_03"),
+    )
