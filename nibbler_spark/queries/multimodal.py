@@ -2167,3 +2167,165 @@ def ext_webdataset_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+@register(
+    "ext_multimodal_curation_pipeline",
+    survey_id="EXT-MM-PIPELINE",
+    category="multimodal",
+    oracle="""
+WITH moji AS (
+  SELECT chr(195) || chr(169) || chr(194) || chr(167)
+         || chr(195) || chr(188) AS bad,
+         chr(233) || chr(167) || chr(252) AS good
+),
+repaired AS (
+  SELECT d.doc_id,
+         CASE WHEN d.doc_id % 3 = 0 THEN d.text || ' ' || m.good
+              ELSE d.text END AS text
+  FROM documents d, moji m
+),
+quality AS (
+  SELECT doc_id, text FROM repaired
+  WHERE length(text) BETWEEN 50 AND 2000
+    AND len(string_split(text, ' ')) >= 8
+),
+dedup AS (
+  SELECT MIN(doc_id) AS doc_id, text
+  FROM quality GROUP BY md5(text), text
+),
+assembled AS (
+  SELECT dd.doc_id,
+         CAST(('0x' || substr(md5(CAST(dd.doc_id AS VARCHAR)), 1, 4))
+              AS INT) % 8 AS shard,
+         length(dd.text) AS text_chars,
+         54 + (1 + dd.doc_id % 5)
+              * ((3 * (2 + dd.doc_id % 7) + 3) // 4 * 4) AS img_bytes,
+         CAST(FLOOR(CAST(e.embedding[1] AS DOUBLE) * 1e4) AS BIGINT)
+           AS emb_q
+  FROM dedup dd JOIN embeddings e ON dd.doc_id = e.vec_id
+),
+stages AS (
+  SELECT (SELECT COUNT(*) FROM documents) AS n_input,
+         (SELECT COUNT(*) FROM quality) AS n_after_quality,
+         (SELECT COUNT(*) FROM dedup) AS n_after_dedup
+)
+SELECT a.shard,
+       CAST(COUNT(*) AS BIGINT) AS n_samples,
+       CAST(SUM(a.text_chars) AS BIGINT) AS total_text_chars,
+       CAST(SUM(a.img_bytes) AS BIGINT) AS total_image_bytes,
+       CAST(SUM(a.emb_q) AS BIGINT) AS emb_checksum,
+       CAST(s.n_input AS BIGINT) AS n_input,
+       CAST(s.n_after_quality AS BIGINT) AS n_after_quality,
+       CAST(s.n_after_dedup AS BIGINT) AS n_after_dedup
+FROM assembled a, stages s
+GROUP BY a.shard, s.n_input, s.n_after_quality, s.n_after_dedup
+ORDER BY a.shard
+""",
+)
+def ext_multimodal_curation_pipeline(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The MULTIMODAL curation capstone — EXT-PIPE's text funnel
+    extended to vision-language sample production, one declarative
+    DAG: (1) mojibake repair (JVM-side Latin-1/UTF-8 round-decode on
+    the corrupted third of the corpus), (2) quality gate
+    (length/token floors — Catalyst pushes it below everything),
+    (3) exact content dedup (md5 groupBy, keep-min), (4) sample
+    assembly — join the surviving docs to their embeddings, encode a
+    REAL BMP per sample in a partition-local Arrow stage, and
+    hash-assign to 8 WebDataset-style shards. The output is the shard
+    manifest PLUS the per-stage survivor accounting (input → quality
+    → dedup) every production funnel reports — all hash-checked
+    closed-form. Scale: filters prune before the dedup shuffle; the
+    embedding join is the only other exchange; image encode never
+    leaves its partition; no stage collects."""
+    import hashlib
+
+    import pandas as _pd
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    good = "".join(chr(c) for c in (233, 167, 252))
+    bad = good.encode("utf-8").decode("latin-1")
+    corrupted = F.when(
+        F.col("doc_id") % 3 == 0, F.concat("text", F.lit(" " + bad))
+    ).otherwise(F.col("text"))
+    repaired = d.select(
+        "doc_id",
+        F.decode(F.encode(corrupted, "ISO-8859-1"), "UTF-8").alias("text"),
+    )
+    n_input = d.count()
+    quality = repaired.where(
+        F.length("text").between(50, 2000)
+        & (F.size(F.split("text", " ")) >= 8)
+    )
+    n_quality = quality.count()
+    dedup = (
+        quality.groupBy(F.md5("text").alias("h"), "text")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", "text")
+    )
+    n_dedup = dedup.count()
+    e = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    joined = dedup.join(e, "doc_id")
+
+    def assemble(batches):
+        import math
+
+        for pdf in batches:
+            shards, tchars, ibytes, embq = [], [], [], []
+            for doc_id, text, emb in zip(
+                pdf["doc_id"], pdf["text"], pdf["embedding"]
+            ):
+                did = int(doc_id)
+                w, h = 2 + did % 7, 1 + did % 5
+                payload = encode_bmp(
+                    w,
+                    h,
+                    lambda x, y, did=did: (
+                        (did + x) % 256,
+                        (did + y) % 256,
+                        (did + x + y) % 256,
+                    ),
+                )
+                shards.append(
+                    int(hashlib.md5(str(did).encode()).hexdigest()[:4], 16)
+                    % 8
+                )
+                tchars.append(len(text))
+                ibytes.append(len(payload))
+                embq.append(math.floor(float(emb[0]) * 1e4))
+            yield _pd.DataFrame(
+                {
+                    "shard": shards,
+                    "text_chars": tchars,
+                    "img_bytes": ibytes,
+                    "emb_q": embq,
+                }
+            )
+
+    samples = joined.mapInPandas(
+        assemble, "shard int, text_chars long, img_bytes long, emb_q long"
+    )
+    return (
+        samples.groupBy("shard")
+        .agg(
+            F.count("*").cast("bigint").alias("n_samples"),
+            F.sum("text_chars").cast("bigint").alias("total_text_chars"),
+            F.sum("img_bytes").cast("bigint").alias("total_image_bytes"),
+            F.sum("emb_q").cast("bigint").alias("emb_checksum"),
+        )
+        .select(
+            "shard",
+            "n_samples",
+            "total_text_chars",
+            "total_image_bytes",
+            "emb_checksum",
+            F.lit(n_input).cast("bigint").alias("n_input"),
+            F.lit(n_quality).cast("bigint").alias("n_after_quality"),
+            F.lit(n_dedup).cast("bigint").alias("n_after_dedup"),
+        )
+        .orderBy("shard")
+    )
