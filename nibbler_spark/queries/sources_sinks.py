@@ -1199,3 +1199,89 @@ def a35_tfrecord_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shards.mapInPandas(
         dec, "doc_id long, lang string, n_chars bigint"
     ).orderBy("doc_id")
+
+
+@register(
+    "a36_protobuf_wire_roundtrip",
+    survey_id="A36",
+    category="source-sink",
+    oracle="""
+SELECT o_orderkey,
+       o_orderstatus,
+       o_totalprice,
+       -(o_orderkey % 50) AS signed_val,
+       o_orderkey % 2 = 0 AS flag
+FROM orders ORDER BY o_orderkey
+""",
+)
+def a36_protobuf_wire_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Protocol Buffers WIRE FORMAT roundtrip — `from_protobuf`/
+    `to_protobuf` need google.protobuf, which this environment lacks
+    (verified ImportError), so the gap closes the Avro way: a
+    dependency-free codec written from the public encoding spec
+    (`operators/protobuf_wire.py` — tag/wire-type bytes, base-128
+    varints incl. the 10-byte two's-complement negative int64, ZigZag
+    sint64, fixed64 doubles, length-delimited strings; spec vectors
+    `08 96 01` / `12 07 "testing"` pinned in tests). Each order row
+    encodes as one message in an Arrow stage; the decode stage reads
+    it back through a FIELD-NUMBER SCHEMA while the writer also emits
+    an extra field the reader doesn't know — exercised here because
+    unknown-field skip is protobuf's forward-compatibility contract.
+    Recovered table hash-matches the source. Partition-local both
+    directions."""
+    import pandas as _pd
+
+    from nibbler_spark.operators.protobuf_wire import (
+        decode_message,
+        encode_message,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+    def enc(batches):
+        for pdf in batches:
+            blobs = []
+            for k, st, price in zip(
+                pdf["o_orderkey"], pdf["o_orderstatus"], pdf["o_totalprice"]
+            ):
+                k = int(k)
+                blobs.append(
+                    encode_message(
+                        [
+                            (1, "int64", k),
+                            (2, "string", str(st)),
+                            (3, "double", float(price)),
+                            (4, "sint64", -(k % 50)),
+                            (5, "bool", k % 2 == 0),
+                            # a field this reader's schema won't know:
+                            (99, "string", "from-a-newer-writer"),
+                        ]
+                    )
+                )
+            yield _pd.DataFrame({"blob": blobs})
+
+    packed = o.mapInPandas(enc, "blob binary")
+    schema = {1: "int64", 2: "string", 3: "double", 4: "sint64", 5: "bool"}
+
+    def dec(batches):
+        for pdf in batches:
+            rows = [decode_message(bytes(b), schema) for b in pdf["blob"]]
+            yield _pd.DataFrame(
+                {
+                    "o_orderkey": [r[1] for r in rows],
+                    "o_orderstatus": [r[2] for r in rows],
+                    "o_totalprice": [r[3] for r in rows],
+                    "signed_val": [r[4] for r in rows],
+                    "flag": [r[5] for r in rows],
+                }
+            )
+
+    return packed.mapInPandas(
+        dec,
+        "o_orderkey long, o_orderstatus string, o_totalprice double, "
+        "signed_val long, flag boolean",
+    ).orderBy("o_orderkey")
