@@ -1,0 +1,164 @@
+"""Differential query fuzzer — SQLancer-style cross-engine testing.
+
+Generates random-but-deterministic queries from a grammar restricted to
+the engine-exact subset (integer-exact aggregates, closed predicates,
+tie-broken ordering), runs the IDENTICAL SQL text on Spark and DuckDB
+over the driver's tables, and compares full results through the same
+canonicalizing comparator the driver contract uses. Every seed that
+ever disagrees becomes a pinned regression.
+
+The grammar deliberately spans the surfaces where engines diverge:
+predicate pushdown + three-valued NULL logic, GROUP BY with mixed
+aggregate shapes, HAVING, DISTINCT, integer division/modulo, CASE
+expressions, IN lists, BETWEEN, string prefixes, and ORDER BY/LIMIT.
+
+Usage:
+    python tools/fuzz_differential.py [n_queries] [sf_dir]
+"""
+
+from __future__ import annotations
+
+import random
+import sys
+
+TABLES = {
+    "orders": {
+        "int_cols": ["o_orderkey", "o_custkey"],
+        "num_cols": ["o_totalprice"],
+        "str_cols": ["o_orderstatus", "o_orderpriority"],
+        "group_cols": ["o_orderstatus", "o_orderpriority"],
+    },
+    "lineitem": {
+        "int_cols": ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"],
+        "num_cols": ["l_extendedprice", "l_discount", "l_quantity"],
+        "str_cols": ["l_returnflag", "l_linestatus"],
+        "group_cols": ["l_returnflag", "l_linestatus"],
+    },
+    "customer": {
+        "int_cols": ["c_custkey", "c_nationkey"],
+        "num_cols": ["c_acctbal"],
+        "str_cols": ["c_mktsegment"],
+        "group_cols": ["c_mktsegment", "c_nationkey"],
+    },
+}
+STR_LITS = {
+    "o_orderstatus": ["'O'", "'F'", "'P'"],
+    "o_orderpriority": ["'1-URGENT'", "'3-MEDIUM'", "'5-LOW'"],
+    "l_returnflag": ["'A'", "'N'", "'R'"],
+    "l_linestatus": ["'O'", "'F'"],
+    "c_mktsegment": ["'BUILDING'", "'MACHINERY'", "'HOUSEHOLD'"],
+}
+
+
+def _pred(rng: random.Random, spec: dict) -> str:
+    kind = rng.randrange(6)
+    if kind == 0:
+        c = rng.choice(spec["int_cols"])
+        return f"{c} % {rng.randint(2, 13)} {rng.choice(['=', '<>', '<'])} {rng.randint(0, 5)}"
+    if kind == 1:
+        c = rng.choice(spec["num_cols"])
+        return (
+            f"CAST(FLOOR({c} * 100) AS BIGINT) "
+            f"{rng.choice(['>', '<=', '>='])} {rng.randint(100, 900000)}"
+        )
+    if kind == 2:
+        c = rng.choice(spec["str_cols"])
+        lits = STR_LITS[c]
+        chosen = rng.sample(lits, rng.randint(1, len(lits)))
+        return f"{c} {rng.choice(['IN', 'NOT IN'])} ({', '.join(chosen)})"
+    if kind == 3:
+        c = rng.choice(spec["int_cols"])
+        lo = rng.randint(0, 5000)
+        return f"{c} BETWEEN {lo} AND {lo + rng.randint(1, 8000)}"
+    if kind == 4:
+        c = rng.choice(spec["str_cols"])
+        return f"{c} {rng.choice(['=', '<>'])} {rng.choice(STR_LITS[c])}"
+    c = rng.choice(spec["int_cols"])
+    return f"NOT ({c} % {rng.randint(2, 7)} = 0)"
+
+
+def gen_query(rng: random.Random) -> str:
+    table = rng.choice(sorted(TABLES))
+    spec = TABLES[table]
+    preds = [_pred(rng, spec) for _ in range(rng.randint(1, 3))]
+    where = f" {rng.choice(['AND', 'OR'])} ".join(f"({p})" for p in preds)
+    if rng.random() < 0.5:
+        # grouped aggregate
+        gcols = rng.sample(
+            spec["group_cols"], rng.randint(1, len(spec["group_cols"]))
+        )
+        ic = rng.choice(spec["int_cols"])
+        nc = rng.choice(spec["num_cols"])
+        aggs = [
+            "CAST(COUNT(*) AS BIGINT) AS n",
+            f"CAST(SUM(CAST(FLOOR({nc} * 100) AS BIGINT)) AS BIGINT) AS s_cents",
+            f"CAST(MIN({ic}) AS BIGINT) AS mn",
+            f"CAST(MAX({ic}) AS BIGINT) AS mx",
+            f"CAST(COUNT(DISTINCT {ic} % {rng.randint(5, 50)}) AS BIGINT) AS nd",
+        ]
+        rng.shuffle(aggs)
+        aggs = aggs[: rng.randint(2, 5)]
+        having = ""
+        if rng.random() < 0.4:
+            having = f"\nHAVING COUNT(*) > {rng.randint(0, 20)}"
+        gc = ", ".join(gcols)
+        return (
+            f"SELECT {gc}, {', '.join(sorted(aggs))}\n"
+            f"FROM {table}\nWHERE {where}\nGROUP BY {gc}{having}\n"
+            f"ORDER BY {gc}"
+        )
+    # row query, possibly DISTINCT, with CASE projection
+    ic = rng.choice(spec["int_cols"])
+    sc = rng.choice(spec["str_cols"])
+    distinct = "DISTINCT " if rng.random() < 0.3 else ""
+    case = (
+        f"CASE WHEN {ic} % {rng.randint(2, 9)} = 0 THEN 'even-ish' "
+        f"ELSE {sc} END AS tag"
+    )
+    lim = f"\nLIMIT {rng.randint(5, 200)}" if not distinct and rng.random() < 0.4 else ""
+    return (
+        f"SELECT {distinct}{ic} AS k, {sc} AS s, {ic} % 10 AS m, {case}\n"
+        f"FROM {table}\nWHERE {where}\n"
+        f"ORDER BY k, s, m, tag{lim}"
+    )
+
+
+def run(n: int, sf_dir: str) -> int:
+    import os
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    from pyspark.sql import SparkSession
+
+    from nibbler_spark.oracle import compare, make_duckdb
+    from nibbler_spark.sources import register_temp_views
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    register_temp_views(spark, sf_dir)
+    con = make_duckdb(sf_dir)
+    bad = []
+    for seed in range(n):
+        rng = random.Random(97_000 + seed)
+        sql = gen_query(rng)
+        try:
+            rep = compare(f"fuzz-{seed}", spark.sql(sql), con, sql)
+            ok = rep.ok
+        except Exception as e:  # engine-level failure = a finding too
+            print(f"fuzz-{seed}: EXC {type(e).__name__}: {e}\n{sql}\n")
+            bad.append(seed)
+            continue
+        if not ok:
+            print(f"fuzz-{seed}: MISMATCH\n{sql}\n{rep.first_diffs[:3]}\n")
+            bad.append(seed)
+    print(f"FUZZ: {n - len(bad)}/{n} agree  MISMATCHES: {len(bad)} {bad}")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 60
+    sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+    sys.exit(run(n, sf))
