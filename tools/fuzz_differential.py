@@ -77,7 +77,79 @@ def _pred(rng: random.Random, spec: dict) -> str:
     return f"NOT ({c} % {rng.randint(2, 7)} = 0)"
 
 
+def _join_query(rng: random.Random) -> str:
+    # orders ⋈ customer (FK join) with filters on both sides and a
+    # grouped integer-exact aggregate — the shape optimizers reorder
+    po = _pred(rng, TABLES["orders"])
+    pc = _pred(rng, TABLES["customer"])
+    jt = rng.choice(["JOIN", "LEFT JOIN"])
+    if jt == "LEFT JOIN":
+        # keep the probe-side filter in ON for left joins — a WHERE on
+        # the right side would silently convert it to inner
+        return (
+            f"SELECT c_mktsegment, o_orderstatus,\n"
+            f"       CAST(COUNT(*) AS BIGINT) AS n,\n"
+            f"       CAST(COUNT(o_orderkey) AS BIGINT) AS n_matched,\n"
+            f"       CAST(SUM(CAST(FLOOR(COALESCE(o_totalprice, 0e0) * 100)"
+            f" AS BIGINT)) AS BIGINT) AS s_cents\n"
+            f"FROM customer LEFT JOIN orders\n"
+            f"  ON o_custkey = c_custkey AND ({po})\n"
+            f"WHERE ({pc})\n"
+            f"GROUP BY c_mktsegment, o_orderstatus\n"
+            f"ORDER BY c_mktsegment, o_orderstatus"
+        )
+    return (
+        f"SELECT c_mktsegment, o_orderpriority,\n"
+        f"       CAST(COUNT(*) AS BIGINT) AS n,\n"
+        f"       CAST(MIN(o_orderkey) AS BIGINT) AS mn,\n"
+        f"       CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))"
+        f" AS BIGINT) AS s_cents\n"
+        f"FROM orders JOIN customer ON o_custkey = c_custkey\n"
+        f"WHERE ({po}) AND ({pc})\n"
+        f"GROUP BY c_mktsegment, o_orderpriority\n"
+        f"ORDER BY c_mktsegment, o_orderpriority"
+    )
+
+
+def _window_query(rng: random.Random) -> str:
+    spec = TABLES["orders"]
+    p = _pred(rng, spec)
+    frame = rng.choice(
+        ["ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+         "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW"]
+    )
+    return (
+        f"SELECT o_orderkey,\n"
+        f"       ROW_NUMBER() OVER (PARTITION BY o_orderstatus"
+        f" ORDER BY o_orderkey) AS rn,\n"
+        f"       CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))"
+        f" OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey"
+        f" {frame}) AS BIGINT) AS running\n"
+        f"FROM orders WHERE ({p})\n"
+        f"ORDER BY o_orderkey"
+    )
+
+
+def _setop_query(rng: random.Random) -> str:
+    spec = TABLES["orders"]
+    p1, p2 = _pred(rng, spec), _pred(rng, spec)
+    op = rng.choice(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"])
+    return (
+        f"SELECT o_orderkey AS k, o_orderstatus AS s FROM orders"
+        f" WHERE ({p1})\n{op}\n"
+        f"SELECT o_orderkey, o_orderstatus FROM orders WHERE ({p2})\n"
+        f"ORDER BY k, s"
+    )
+
+
 def gen_query(rng: random.Random) -> str:
+    shape = rng.random()
+    if shape < 0.15:
+        return _join_query(rng)
+    if shape < 0.25:
+        return _window_query(rng)
+    if shape < 0.35:
+        return _setop_query(rng)
     table = rng.choice(sorted(TABLES))
     spec = TABLES[table]
     preds = [_pred(rng, spec) for _ in range(rng.randint(1, 3))]
