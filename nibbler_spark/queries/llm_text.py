@@ -1675,3 +1675,136 @@ def ext_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("classes_exceeding_t"),
         (F.max("tv") <= 0.3).alias("is_t_close_03"),
     )
+
+
+@register(
+    "ext_rake_keywords",
+    survey_id="EXT-RAKE",
+    category="llm-text",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, pos, tk[pos] AS w FROM (
+    SELECT doc_id, tk, UNNEST(generate_series(1, len(tk))) AS pos
+    FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
+  )
+),
+flagged AS (
+  SELECT doc_id, pos, w,
+         CASE WHEN w IN ('the','a','of','and','to') THEN 1 ELSE 0 END
+           AS is_stop
+  FROM toks
+),
+islands AS (
+  SELECT doc_id, pos, w, is_stop,
+         SUM(is_stop) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM flagged
+),
+phrases AS (
+  SELECT doc_id, island,
+         string_agg(w, ' ' ORDER BY pos) AS phrase,
+         CAST(COUNT(*) AS BIGINT) AS n_words
+  FROM islands WHERE is_stop = 0
+  GROUP BY doc_id, island
+  HAVING COUNT(*) BETWEEN 2 AND 4
+),
+members AS (
+  SELECT p.doc_id, p.island, p.n_words, i.w
+  FROM phrases p JOIN islands i
+    ON i.doc_id = p.doc_id AND i.island = p.island AND i.is_stop = 0
+),
+wstats AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq,
+         CAST(SUM(n_words) AS BIGINT) AS deg
+  FROM members GROUP BY w
+),
+wscore AS (SELECT w, deg * 1000000 // freq AS score_q FROM wstats),
+pscore AS (
+  SELECT m.doc_id, m.island,
+         CAST(SUM(ws.score_q) AS BIGINT) AS score_q
+  FROM members m JOIN wscore ws ON ws.w = m.w
+  GROUP BY m.doc_id, m.island
+),
+ranked AS (
+  SELECT p.phrase, p.n_words, s.score_q,
+         CAST(COUNT(*) AS BIGINT) AS n_occurrences
+  FROM phrases p JOIN pscore s
+    ON s.doc_id = p.doc_id AND s.island = p.island
+  GROUP BY p.phrase, p.n_words, s.score_q
+)
+SELECT phrase, n_words, score_q, n_occurrences
+FROM ranked ORDER BY score_q DESC, phrase LIMIT 10
+""",
+)
+def ext_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010) — the classic
+    unsupervised keyphrase method, stated relationally: stopwords
+    split each document into candidate phrases (a gaps-and-islands
+    pass: the running stopword count IS the island id), every
+    candidate word scores degree/frequency (degree = summed length of
+    phrases containing it — co-occurrence credit; frequency penalizes
+    boilerplate words), and a phrase scores the sum of its member
+    word scores. Scores ride a 1e6 integer grid (deg·1e6 div freq),
+    so the whole ranking is exact; top-10 via
+    TakeOrderedAndProject. Scale: one explode, per-document windows,
+    two keyed aggregates over corpus-bounded phrase tables — the
+    textbook RAKE loop with no driver involvement."""
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    stop = ("the", "a", "of", "and", "to")
+    flagged = toks.select(
+        "doc_id",
+        "pos",
+        "w",
+        F.when(F.col("w").isin(*stop), 1).otherwise(0).alias("is_stop"),
+    )
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = flagged.withColumn("island", F.sum("is_stop").over(win))
+    nonstop = islands.where(F.col("is_stop") == 0).localCheckpoint()
+    phrases = (
+        nonstop.groupBy("doc_id", "island")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda s: s["w"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count("*").cast("bigint").alias("n_words"),
+        )
+        .where(F.col("n_words").between(2, 4))
+    )
+    members = nonstop.join(
+        phrases.select("doc_id", "island", "n_words"),
+        ["doc_id", "island"],
+    )
+    wscore = (
+        members.groupBy("w")
+        .agg(
+            F.count("*").cast("bigint").alias("freq"),
+            F.sum("n_words").cast("bigint").alias("deg"),
+        )
+        .select(
+            "w", F.expr("deg * 1000000 div freq").alias("score_q")
+        )
+    )
+    pscore = (
+        members.join(wscore, "w")
+        .groupBy("doc_id", "island")
+        .agg(F.sum("score_q").cast("bigint").alias("score_q"))
+    )
+    ranked = (
+        phrases.join(pscore, ["doc_id", "island"])
+        .groupBy("phrase", "n_words", "score_q")
+        .agg(F.count("*").cast("bigint").alias("n_occurrences"))
+    )
+    return (
+        ranked.orderBy(F.col("score_q").desc(), "phrase")
+        .limit(10)
+        .select("phrase", "n_words", "score_q", "n_occurrences")
+    )
