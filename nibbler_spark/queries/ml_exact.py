@@ -1096,3 +1096,119 @@ def ext_conformal_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_cal bigint, k_rank bigint, q_hat_cents bigint, n_test bigint, "
         "n_covered bigint, coverage double, coverage_ok boolean",
     )
+
+
+# SPRT design constants on the 1e6 grid: H0 p=0.02 vs H1 p=0.08,
+# alpha = beta = 0.05. t1 = floor(ln(p1/p0)*1e6) for a conversion,
+# t0 = floor(ln((1-p1)/(1-p0))*1e6) for a non-conversion,
+# A = floor(ln((1-beta)/alpha)*1e6) (accept H1), B = -A (accept H0).
+_SPRT_T1, _SPRT_T0, _SPRT_A = 1386294, -63179, 2944438
+
+
+@register(
+    "ext_sprt_sequential_test",
+    survey_id="EXT-SPRT",
+    category="ml-exact",
+    oracle=f"""
+WITH u AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'purchase' AND value > 250e0
+                  THEN 1 ELSE 0 END) AS x
+  FROM events GROUP BY user_id
+),
+walk AS (
+  SELECT user_id, x,
+         ROW_NUMBER() OVER (ORDER BY user_id) AS rn,
+         SUM(CASE WHEN x = 1 THEN {_SPRT_T1}
+                  ELSE {_SPRT_T0} END)
+           OVER (ORDER BY user_id) AS llr_q
+  FROM u
+),
+crossing AS (
+  SELECT MIN(rn) AS stop_rn FROM walk
+  WHERE llr_q >= {_SPRT_A} OR llr_q <= -{_SPRT_A}
+),
+verdict AS (
+  SELECT w.rn AS stop_rn, w.llr_q,
+         CASE WHEN w.llr_q >= {_SPRT_A} THEN 'accept_h1'
+              ELSE 'accept_h0' END AS decision
+  FROM walk w JOIN crossing c ON w.rn = c.stop_rn
+),
+fallback AS (
+  SELECT MAX(rn) AS stop_rn, MAX(llr_q) AS final_llr,
+         CAST(SUM(x) AS BIGINT) AS conversions
+  FROM walk
+)
+SELECT COALESCE(v.decision, 'continue') AS decision,
+       CAST(COALESCE(v.stop_rn, f.stop_rn) AS BIGINT) AS n_observed,
+       CAST(COALESCE(v.llr_q,
+              (SELECT llr_q FROM walk ORDER BY rn DESC LIMIT 1))
+            AS BIGINT) AS llr_q_at_stop,
+       f.conversions AS total_conversions,
+       CAST(f.stop_rn AS BIGINT) AS n_available
+FROM fallback f LEFT JOIN verdict v ON TRUE
+""",
+)
+def ext_sprt_sequential_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's sequential probability ratio test — the always-valid
+    alternative to the fixed-horizon z-test (EXT-ABTEST) that lets an
+    experimenter PEEK after every observation: users arrive in id
+    order, each contributes a log-likelihood-ratio increment for
+    H1: p=0.08 vs H0: p=0.02 (constants pre-gridded to 1e6 integers,
+    so the entire LLR walk is exact BIGINT arithmetic), and the test
+    stops at the FIRST crossing of ±ln((1−β)/α) — or reports
+    'continue' when the stream ends inside the corridor (which the
+    smallest scale factor genuinely does; the decision column is
+    data, not an assertion). The cumulative walk + first-crossing
+    lookup is one window pass and one min — at 100 TB the walk
+    buckets through the two-phase prefix-sum like EXT-KSTEST. The
+    oracle replays the identical walk."""
+    u = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") > 250.0),
+                    1,
+                ).otherwise(0)
+            ).alias("x")
+        )
+    )
+    w = Window.orderBy("user_id")
+    walk = u.select(
+        "user_id",
+        "x",
+        F.row_number().over(w).alias("rn"),
+        F.sum(
+            F.when(F.col("x") == 1, F.lit(_SPRT_T1)).otherwise(
+                F.lit(_SPRT_T0)
+            )
+        )
+        .over(w)
+        .alias("llr_q"),
+    ).localCheckpoint()  # the per-user table is corpus-bounded and tiny
+    crossed = (
+        walk.where(
+            (F.col("llr_q") >= _SPRT_A) | (F.col("llr_q") <= -_SPRT_A)
+        )
+        .orderBy("rn")
+        .limit(1)
+        .collect()
+    )
+    tail = walk.orderBy(F.col("rn").desc()).limit(1).collect()[0]
+    total_conv = walk.agg(F.sum("x").cast("bigint")).collect()[0][0]
+    if crossed:
+        row = crossed[0]
+        decision = (
+            "accept_h1" if row["llr_q"] >= _SPRT_A else "accept_h0"
+        )
+        stop_rn, llr = row["rn"], row["llr_q"]
+    else:
+        decision, stop_rn, llr = "continue", tail["rn"], tail["llr_q"]
+    return spark.createDataFrame(
+        [(decision, stop_rn, llr, total_conv, tail["rn"])],
+        "decision string, n_observed bigint, llr_q_at_stop bigint, "
+        "total_conversions bigint, n_available bigint",
+    )
