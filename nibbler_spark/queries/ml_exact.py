@@ -1160,9 +1160,10 @@ def ext_sprt_sequential_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     'continue' when the stream ends inside the corridor (which the
     smallest scale factor genuinely does; the decision column is
     data, not an assertion). The cumulative walk + first-crossing
-    lookup is one window pass and one min — at 100 TB the walk
-    buckets through the two-phase prefix-sum like EXT-KSTEST. The
-    oracle replays the identical walk."""
+    lookup rides the bucketed two-phase prefix-sum (per-bucket
+    totals -> broadcast offsets -> bucket-partitioned windows — the
+    EXT-KSTEST discipline; no unpartitioned window anywhere). The
+    oracle replays the identical walk with one global window."""
     u = (
         load_table(spark, sf_dir, "events")
         .groupBy("user_id")
@@ -1176,19 +1177,42 @@ def ext_sprt_sequential_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("x")
         )
     )
-    w = Window.orderBy("user_id")
-    walk = u.select(
-        "user_id",
-        "x",
-        F.row_number().over(w).alias("rn"),
-        F.sum(
-            F.when(F.col("x") == 1, F.lit(_SPRT_T1)).otherwise(
-                F.lit(_SPRT_T0)
-            )
+    # two-phase walk (the EXT-KSTEST pattern): per-bucket totals ->
+    # broadcast offsets -> bucket-partitioned window. No unpartitioned
+    # window ever touches the per-user table.
+    term = F.when(F.col("x") == 1, F.lit(_SPRT_T1)).otherwise(
+        F.lit(_SPRT_T0)
+    )
+    t = u.select(
+        "user_id", "x", F.expr("user_id div 100").alias("bkt"),
+        term.alias("t"),
+    )
+    btot = t.groupBy("bkt").agg(
+        F.count("*").alias("bn"), F.sum("t").alias("bs")
+    )
+    wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offs = btot.select(
+        "bkt",
+        F.coalesce(F.sum("bn").over(wb), F.lit(0)).alias("orn"),
+        F.coalesce(F.sum("bs").over(wb), F.lit(0)).alias("ollr"),
+    )
+    win = (
+        Window.partitionBy("bkt")
+        .orderBy("user_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    walk = (
+        t.join(F.broadcast(offs), "bkt")
+        .select(
+            "user_id",
+            "x",
+            (F.col("orn") + F.row_number().over(
+                Window.partitionBy("bkt").orderBy("user_id")
+            )).alias("rn"),
+            (F.col("ollr") + F.sum("t").over(win)).alias("llr_q"),
         )
-        .over(w)
-        .alias("llr_q"),
-    ).localCheckpoint()  # the per-user table is corpus-bounded and tiny
+        .localCheckpoint()
+    )
     crossed = (
         walk.where(
             (F.col("llr_q") >= _SPRT_A) | (F.col("llr_q") <= -_SPRT_A)
