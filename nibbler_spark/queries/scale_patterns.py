@@ -1388,3 +1388,69 @@ def ext_bucket_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(dec("l_extendedprice")).cast("double").alias("revenue"),
             )
         )
+
+
+@register(
+    "ext_null_skew_join",
+    survey_id="EXT-NULLSKEW",
+    category="scale-pattern",
+    oracle="""
+WITH f AS (
+  SELECT event_id,
+         CASE WHEN event_id % 3 = 0 THEN NULL
+              ELSE user_id % 1500 END AS k,
+         CAST(FLOOR(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+d AS (SELECT c_custkey AS k, c_mktsegment AS seg FROM customer)
+SELECT COALESCE(d.seg, '<null-key>') AS seg,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(f.cents) AS BIGINT) AS total_cents
+FROM f LEFT JOIN d ON f.k = d.k
+GROUP BY COALESCE(d.seg, '<null-key>')
+ORDER BY seg
+""",
+)
+def ext_null_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-key skew handling — the production outer-join pitfall: a
+    third of the fact rows carry NULL join keys, and unlike an inner
+    join (where Catalyst injects IsNotNull and drops them before the
+    exchange) a LEFT join must PRESERVE them — the naive plan ships
+    every NULL to one hash partition and that straggler owns 33% of
+    the table. The fix is the null-split: route NULL-key rows AROUND
+    the join entirely (they can never match — emit them with null dim
+    columns directly) and join only the non-null slice, then union.
+    Identical results to the plain LEFT JOIN (the oracle states that
+    plain join), with the skew mass never entering the shuffle; the
+    same split is what AQE's skew handling cannot do for you, because
+    NULLs are one value, not a splittable range. Dim side broadcasts
+    here; the pattern matters when it can't."""
+    f = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(
+            F.col("event_id") % 3 == 0, F.lit(None).cast("bigint")
+        )
+        .otherwise(F.col("user_id") % 1500)
+        .alias("k"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    d = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), F.col("c_mktsegment").alias("seg")
+    )
+    nn = f.where(F.col("k").isNotNull()).join(d, "k", "left")
+    nulls = f.where(F.col("k").isNull()).select(
+        "k", "event_id", "cents", F.lit(None).cast("string").alias("seg")
+    )
+    unioned = nn.select("k", "event_id", "cents", "seg").unionByName(
+        nulls
+    )
+    return (
+        unioned.groupBy(
+            F.coalesce("seg", F.lit("<null-key>")).alias("seg")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+        )
+        .orderBy("seg")
+    )

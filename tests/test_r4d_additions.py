@@ -284,3 +284,11 @@ def test_video_frame_dedup_finds_cross_doc_duplicates(spark, sf_dir):
     total = sum(r["class_size"] * r["n_classes"] for r in rows)
     uniq = sum(r["n_classes"] for r in rows)
     assert total > uniq  # the fixture plants genuine duplicate frames
+
+
+def test_null_skew_join_nulls_never_enter_the_join(spark, sf_dir):
+    df = _run(spark, sf_dir, "ext_null_skew_join")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    # the join's fact side must carry an isnotnull(k) filter — the
+    # null mass is routed around the join, not through it
+    assert "isnotnull(k" in plan
