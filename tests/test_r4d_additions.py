@@ -289,6 +289,8 @@ def test_video_frame_dedup_finds_cross_doc_duplicates(spark, sf_dir):
 def test_null_skew_join_nulls_never_enter_the_join(spark, sf_dir):
     df = _run(spark, sf_dir, "ext_null_skew_join")
     plan = df._jdf.queryExecution().optimizedPlan().toString()
-    # the join's fact side must carry an isnotnull(k) filter — the
-    # null mass is routed around the join, not through it
-    assert "isnotnull(k" in plan
+    # the join's fact side must exclude null keys before the exchange
+    # (Catalyst pushes the isNotNull through the CASE that creates k),
+    # and the union branch must be the isnull complement
+    assert "ELSE isnotnull(" in plan
+    assert "ELSE isnull(" in plan
