@@ -1808,3 +1808,123 @@ def ext_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("phrase", "n_words", "score_q", "n_occurrences")
     )
+
+
+_TEXTRANK_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, pos, tk[pos] AS w FROM (
+    SELECT doc_id, tk, UNNEST(generate_series(1, len(tk))) AS pos
+    FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
+  )
+),
+ns AS (
+  SELECT doc_id, pos, w FROM toks
+  WHERE w NOT IN ('the','a','of','and','to')
+),
+e0 AS (
+  SELECT LEAST(a.w, b.w) AS u, GREATEST(a.w, b.w) AS v,
+         CAST(COUNT(*) AS BIGINT) AS wt
+  FROM ns a JOIN ns b
+    ON a.doc_id = b.doc_id
+   AND b.pos - a.pos BETWEEN 1 AND 2
+   AND a.w <> b.w
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT u AS src, v AS dst, wt FROM e0
+  UNION ALL SELECT v, u, wt FROM e0
+),
+wdeg AS (SELECT src, CAST(SUM(wt) AS BIGINT) AS d FROM edges GROUP BY src),
+s0 AS (SELECT src AS w, CAST(1000000 AS BIGINT) AS s FROM wdeg),
+r1 AS (
+  SELECT e.dst AS w,
+         150000 + CAST(SUM(85 * (e.wt * s0.s // wd.d) // 100) AS BIGINT)
+           AS s
+  FROM edges e JOIN s0 ON s0.w = e.src JOIN wdeg wd ON wd.src = e.src
+  GROUP BY e.dst
+),
+r2 AS (
+  SELECT e.dst AS w,
+         150000 + CAST(SUM(85 * (e.wt * r1.s // wd.d) // 100) AS BIGINT)
+           AS s
+  FROM edges e JOIN r1 ON r1.w = e.src JOIN wdeg wd ON wd.src = e.src
+  GROUP BY e.dst
+)
+SELECT w AS word, s AS score_q FROM r2
+ORDER BY score_q DESC, word LIMIT 10
+"""
+
+
+@register(
+    "ext_textrank_keywords",
+    survey_id="EXT-TEXTRANK",
+    category="llm-text",
+    oracle=_TEXTRANK_ORACLE,
+)
+def ext_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword scoring (Mihalcea & Tarau 2004) — PageRank on
+    the word co-occurrence graph, the graph-centrality complement of
+    RAKE's degree/frequency heuristic: non-stopword tokens within
+    distance 2 of each other become weighted undirected edges, and
+    two damped power-iteration rounds (d=0.85, uniform start)
+    redistribute mass along edge weights. Every step is INTEGER
+    arithmetic on a 1e6 grid — the per-neighbor contribution is
+    wt·s(u) div wdeg(u), the damping is 85·x div 100 — so both rounds
+    hash-match the oracle's unrolled CTEs exactly (same recipe as
+    LPA/BFS/HITS, which share this graph discipline). Top-10 via
+    TakeOrderedAndProject. Scale: edge build is a position-band
+    self-join within documents (never cross-document); each round is
+    one keyed join + combine, localCheckpoint lineage cuts."""
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    stop = ("the", "a", "of", "and", "to")
+    ns = toks.where(~F.col("w").isin(*stop)).localCheckpoint()
+    a, b = ns.alias("a"), ns.alias("b")
+    e0 = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("b.pos") - F.col("a.pos")).between(1, 2)
+            & (F.col("a.w") != F.col("b.w")),
+        )
+        .groupBy(
+            F.least("a.w", "b.w").alias("u"),
+            F.greatest("a.w", "b.w").alias("v"),
+        )
+        .agg(F.count("*").cast("bigint").alias("wt"))
+    )
+    edges = (
+        e0.select(F.col("u").alias("src"), F.col("v").alias("dst"), "wt")
+        .unionAll(
+            e0.select(
+                F.col("v").alias("src"), F.col("u").alias("dst"), "wt"
+            )
+        )
+        .localCheckpoint()
+    )
+    wdeg = edges.groupBy("src").agg(F.sum("wt").cast("bigint").alias("d"))
+    scores = wdeg.select(
+        F.col("src").alias("w"), F.lit(1_000_000).cast("bigint").alias("s")
+    )
+    for _ in range(2):
+        contrib = (
+            edges.join(scores.withColumnRenamed("w", "src"), "src")
+            .join(wdeg, "src")
+            .select(
+                F.col("dst").alias("w"),
+                F.expr("85 * (wt * s div d) div 100").alias("c"),
+            )
+        )
+        scores = (
+            contrib.groupBy("w")
+            .agg(
+                (F.lit(150_000) + F.sum("c").cast("bigint")).alias("s")
+            )
+            .localCheckpoint()
+        )
+    return (
+        scores.orderBy(F.col("s").desc(), "w")
+        .limit(10)
+        .select(F.col("w").alias("word"), F.col("s").alias("score_q"))
+    )
