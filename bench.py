@@ -118,6 +118,23 @@ def main() -> None:
             samples.append(time.monotonic() - t0)
         timings[name] = round(statistics.median(samples), 4)
 
+    # TPC-H power run (BENCH-B9): all 22 reduced-schema analogues
+    # executed sequentially as ONE timed metric — the classic composite
+    # the per-row bench entries don't capture (optimizer consistency
+    # across the whole suite, not per-query peaks). Median of RUNS
+    # passes after one warm-up sweep.
+    tq_names = sorted(n for n in specs if n.startswith("tq"))
+    if len(tq_names) >= 20:
+        for n in tq_names:
+            specs[n].spark(spark, SF_DIR).collect()  # warm-up
+        samples = []
+        for _ in range(RUNS):
+            t0 = time.monotonic()
+            for n in tq_names:
+                specs[n].spark(spark, SF_DIR).collect()
+            samples.append(time.monotonic() - t0)
+        timings["tq_power_22"] = round(statistics.median(samples), 4)
+
     # Streaming re-batcher throughput (BENCH-S1): items/s through the
     # size-OR-time core at Size=100.
     try:
@@ -130,7 +147,12 @@ def main() -> None:
         pass
 
     total = round(
-        sum(v for k, v in timings.items() if not k.startswith("s1_")), 4
+        sum(
+            v
+            for k, v in timings.items()
+            if not k.startswith("s1_") and k != "tq_power_22"
+        ),
+        4,
     )
     print(
         json.dumps(
