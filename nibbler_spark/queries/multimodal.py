@@ -2329,3 +2329,262 @@ def ext_multimodal_curation_pipeline(
         )
         .orderBy("shard")
     )
+
+
+@register(
+    "ext_image_ahash_neardup",
+    survey_id="EXT-MM-AHASH",
+    category="multimodal",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, (doc_id // 23) % 2147483648 AS gc, doc_id % 23 AS r
+  FROM documents WHERE doc_id % 23 IN (0, 1)
+),
+hv AS (
+  SELECT doc_id,
+         CASE WHEN r = 1 THEN (gc * 2654435761) | 546
+              ELSE gc * 2654435761 END AS h
+  FROM d
+),
+bands AS (
+  SELECT doc_id, h, b.b AS band, (h >> (16 * b.b)) & 65535 AS bv
+  FROM hv CROSS JOIN generate_series(0, 3) AS b(b)
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         x.h AS ha, y.h AS hb
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id
+)
+SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+       CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= 4
+ORDER BY doc_a, doc_b
+""",
+)
+def ext_image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCEPTUAL image near-dup — the lossy counterpart of
+    EXT-MM-NEARDUP's byte-exact raster dedup. Sampled ids 23k render a
+    16x16 grayscale BMP whose 8x8 grid of 2x2 blocks encodes the 64
+    bits of a Knuth multiplicative hash of the group id (dark block =
+    0, bright block = 1, plus per-pixel texture); ids 23k+1 render a
+    PERTURBED copy — +3 global brightness (every byte differs) and up
+    to three low-band blocks brightened (bit flips 1..3 bits). Exact
+    dedup finds nothing; the perceptual pipeline must:
+
+    1. decode the real BMP bytes and compute the aHash partition-local
+       (mapInPandas): 2x2 block means vs the global mean, integer
+       cross-multiplied (64*block_sum > total_sum) so the decision grid
+       is engine-exact;
+    2. band the 64-bit hash into 4x16-bit keys and equi-join on
+       (band, value) — LSH for Hamming space: a pair at distance <= 4
+       shares >= 1 intact band by pigeonhole, so recall at the planted
+       distances is 1 BY CONSTRUCTION while comparisons stay near-
+       linear (candidate groups are band-value buckets, never n^2);
+    3. verify candidates exactly with bit_count(xor) <= 4.
+
+    The oracle replays hash construction, banding, and verify in
+    closed form from the generating parameters — the full pipeline is
+    hash-checked, not spot-checked. At 100 TB: decode+hash never
+    shuffles; only (doc_id, 64-bit hash) enters the 4-row-per-doc band
+    exchange; the verify join carries two bigints per row."""
+    import numpy as _np
+    import pandas as _pd
+
+    from nibbler_spark.operators.multimodal import encode_bmp
+
+    K = 2654435761
+    SMASK = 546  # blocks {1, 5, 9}: low-band bit flips on the copy
+
+    d = load_table(spark, sf_dir, "documents").where(
+        (F.col("doc_id") % 23).isin(0, 1)
+    ).select("doc_id")
+
+    def encode_and_hash(batches):
+        for pdf in batches:
+            hashes = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                g = (did // 23) % 2147483648
+                h = g * K
+                copy = did % 23 == 1
+
+                def px(x, y, h=h, copy=copy):
+                    j = (y // 2) * 8 + (x // 2)
+                    bit = (h >> j) & 1
+                    v = 200 * bit + 10 + (x % 2)
+                    if copy:
+                        v += 3
+                        if (SMASK >> j) & 1 and bit == 0:
+                            v += 200
+                    return (v, v, v)
+
+                payload = encode_bmp(16, 16, px)
+                # decode the real container back: strip the 54-byte
+                # header, un-pad rows (stride 48 -> no padding at w=16),
+                # rebuild the raster, then the integer aHash
+                off = int.from_bytes(payload[10:14], "little")
+                w = int.from_bytes(payload[18:22], "little", signed=True)
+                hh = int.from_bytes(payload[22:26], "little", signed=True)
+                stride = (3 * w + 3) // 4 * 4
+                rows = [
+                    payload[off + (hh - 1 - y) * stride :][: 3 * w : 3]
+                    for y in range(hh)
+                ]
+                gray = _np.frombuffer(
+                    b"".join(rows), dtype=_np.uint8
+                ).reshape(hh, w).astype(_np.int64)
+                blocks = gray.reshape(8, 2, 8, 2).sum(axis=(1, 3))
+                total = int(gray.sum())
+                bits = (64 * blocks > total).astype(_np.int64)
+                ah = 0
+                for j in range(64):
+                    ah |= int(bits[j // 8, j % 8]) << j
+                hashes.append(ah)
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "h": hashes})
+
+    hashed = d.mapInPandas(encode_and_hash, "doc_id long, h long")
+    bands = hashed.select(
+        "doc_id",
+        "h",
+        F.explode(F.array(*[F.lit(b) for b in range(4)])).alias("band"),
+    ).withColumn("bv", F.expr("shiftright(h, band * 16) & 65535"))
+    x = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("h").alias("ha"),
+        "band",
+        "bv",
+    )
+    y = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("h").alias("hb"),
+        "band",
+        "bv",
+    )
+    cand = (
+        x.join(y, ["band", "bv"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ha", "hb")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int"),
+        )
+        .where(F.col("hamming") <= 4)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register(
+    "ext_audio_frame_features",
+    survey_id="EXT-MM-AUDIO-FEAT",
+    category="multimodal",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, 128 + doc_id % 64 AS n
+  FROM documents WHERE doc_id % 41 = 0
+),
+s AS (
+  SELECT d.doc_id, i.i AS i, i.i // 32 AS frame,
+         ((d.doc_id * 37 + 11 * i.i) % 4096) - 2048 AS v
+  FROM d CROSS JOIN generate_series(0, 191) AS i(i)
+  WHERE i.i < (d.n // 32) * 32
+),
+lagged AS (
+  SELECT doc_id, i, frame, v,
+         lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+  FROM s
+),
+fr AS (
+  SELECT doc_id, frame,
+         SUM(v * v) AS energy,
+         SUM(CASE WHEN i % 32 > 0 AND ((v < 0) <> (prev < 0))
+                  THEN 1 ELSE 0 END) AS zc
+  FROM lagged GROUP BY doc_id, frame
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(COUNT(*) AS INT) AS n_frames,
+       CAST(SUM(energy) AS BIGINT) AS total_energy,
+       CAST(MAX(energy) AS BIGINT) AS max_frame_energy,
+       CAST(SUM(zc) AS BIGINT) AS zero_crossings
+FROM fr GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def ext_audio_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio FEATURE EXTRACTION over real containers — the stage after
+    EXT-MM-WAV's decode: each sampled document becomes a genuine PCM
+    WAV, and a partition-local Arrow stage parses the RIFF chunks back
+    and computes frame-level features (32-sample frames, trailing
+    partial frame dropped): per-frame energy (sum of squared samples —
+    exact int64, 32*2048^2 per frame) and within-frame zero-crossing
+    counts (sign transitions between consecutive samples). The oracle
+    regenerates the sample stream in closed form and recomputes the
+    identical integers. This is the speech-pipeline front end (VAD
+    energy gating, silence trimming) expressed Spark-first: encode,
+    parse, and featurize all live inside one mapInPandas chain with
+    zero shuffles — at 100 TB only (doc_id, 4 feature ints) leave the
+    scan."""
+    import pandas as _pd
+
+    from nibbler_spark.operators.multimodal import encode_wav, parse_wav
+
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 41 == 0
+    ).select("doc_id")
+
+    def run(batches):
+        import struct as _struct
+
+        for pdf in batches:
+            out = {
+                "doc_id": [],
+                "n_frames": [],
+                "total_energy": [],
+                "max_frame_energy": [],
+                "zero_crossings": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                n = 128 + did % 64
+                payload = encode_wav(
+                    n,
+                    8000,
+                    lambda i, did=did: ((did * 37 + 11 * i) % 4096) - 2048,
+                )
+                meta = parse_wav(payload)  # full chunk walk re-parse
+                assert meta["n_samples"] == n
+                # raw samples back out of the container's data chunk
+                pos, data = 12, None
+                while pos + 8 <= len(payload):
+                    cid, size = _struct.unpack_from("<4sI", payload, pos)
+                    if cid == b"data":
+                        data = payload[pos + 8 : pos + 8 + size]
+                    pos += 8 + size + (size & 1)
+                samples = _struct.unpack(f"<{len(data) // 2}h", data)
+                nf = n // 32
+                energies, zcs = [], []
+                for f0 in range(nf):
+                    fr = samples[f0 * 32 : (f0 + 1) * 32]
+                    energies.append(sum(s * s for s in fr))
+                    zcs.append(
+                        sum(
+                            1
+                            for a, b in zip(fr, fr[1:])
+                            if (a < 0) != (b < 0)
+                        )
+                    )
+                out["doc_id"].append(did)
+                out["n_frames"].append(nf)
+                out["total_energy"].append(sum(energies))
+                out["max_frame_energy"].append(max(energies))
+                out["zero_crossings"].append(sum(zcs))
+            yield _pd.DataFrame(out)
+
+    return d.mapInPandas(
+        run,
+        "doc_id long, n_frames int, total_energy long, "
+        "max_frame_energy long, zero_crossings long",
+    ).orderBy("doc_id")
