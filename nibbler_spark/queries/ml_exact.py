@@ -1236,3 +1236,187 @@ def ext_sprt_sequential_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decision string, n_observed bigint, llr_q_at_stop bigint, "
         "total_conversions bigint, n_available bigint",
     )
+
+
+@register(
+    "ext_mann_whitney_u",
+    survey_id="EXT-STAT-MWU",
+    category="ml-exact",
+    oracle="""
+WITH t AS (
+  SELECT CAST(l_quantity AS BIGINT) AS v,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS g1,
+         CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END AS g2
+  FROM lineitem WHERE l_returnflag IN ('R', 'A')
+),
+n AS (SELECT SUM(g1) AS n1, SUM(g2) AS n2 FROM t),
+v AS (
+  SELECT v, SUM(g1) AS a, SUM(g2) AS b, COUNT(*) AS nv
+  FROM t GROUP BY v
+),
+c AS (
+  SELECT v, a, b, nv,
+         COALESCE(SUM(nv) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM v
+),
+r AS (
+  SELECT SUM(a * (2 * cum + nv + 1)) AS two_r1,
+         SUM(nv * nv * nv - nv) AS tie_term
+  FROM c
+)
+SELECT CAST(n.n1 AS BIGINT) AS n1, CAST(n.n2 AS BIGINT) AS n2,
+       CAST(r.two_r1 AS BIGINT) AS two_r1,
+       CAST(r.two_r1 - n.n1 * (n.n1 + 1) AS BIGINT) AS two_u1,
+       CAST(2 * n.n1 * n.n2 - (r.two_r1 - n.n1 * (n.n1 + 1))
+            AS BIGINT) AS two_u2,
+       ROUND(
+         (CAST(r.two_r1 - n.n1 * (n.n1 + 1) AS DOUBLE) / 2e0
+            - CAST(n.n1 AS DOUBLE) * CAST(n.n2 AS DOUBLE) / 2e0)
+         / sqrt(
+             CAST(n.n1 AS DOUBLE) * CAST(n.n2 AS DOUBLE) / 12e0
+             * (CAST(n.n1 + n.n2 + 1 AS DOUBLE)
+                - CAST(r.tie_term AS DOUBLE)
+                  / (CAST(n.n1 + n.n2 AS DOUBLE)
+                     * CAST(n.n1 + n.n2 - 1 AS DOUBLE)))
+           ), 6) AS z_approx
+FROM n, r
+""",
+)
+def ext_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) test, INTEGER-EXACT — the
+    nonparametric two-sample location test a metrics platform runs when
+    distributions are skewed and t-tests lie. Compares l_quantity
+    between returned ('R') and accepted ('A') lineitems. The classic
+    formulation ranks ALL n rows (an unpartitioned sort at 100 TB);
+    this plan never ranks a row: quantities collapse to a ≤50-row
+    (value, count_1, count_2) table via one map-side-combinable
+    groupBy, and DOUBLED midranks (2·midrank = 2·cum_before + n_v + 1
+    — integers, no .5 ties) come from a prefix sum over that tiny
+    table (the unpartitioned window rides ~50 rows — the documented
+    tiny-aggregate exception). 2R1, 2U1, 2U2 are exact BIGINTs with
+    the invariant 2U1 + 2U2 = 2·n1·n2; the tie-corrected normal
+    approximation z is one fixed IEEE expression over those integers
+    (correctly-rounded sqrt/div ⇒ engine-identical), rounded to 1e-6.
+    The oracle mirrors every step with one global window."""
+    t = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag").isin("R", "A")
+    ).select(
+        F.col("l_quantity").cast("bigint").alias("v"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("g1"),
+        F.when(F.col("l_returnflag") == "A", 1).otherwise(0).alias("g2"),
+    )
+    n = t.agg(
+        F.sum("g1").cast("bigint").alias("n1"),
+        F.sum("g2").cast("bigint").alias("n2"),
+    )
+    v = t.groupBy("v").agg(
+        F.sum("g1").cast("bigint").alias("a"),
+        F.sum("g2").cast("bigint").alias("b"),
+        F.count("*").cast("bigint").alias("nv"),
+    )
+    # ≤ 50 distinct quantities: the prefix window is a tiny aggregate
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    c = v.select(
+        "a",
+        "nv",
+        F.coalesce(F.sum("nv").over(wv), F.lit(0)).alias("cum"),
+    )
+    r = c.agg(
+        F.sum(F.col("a") * (2 * F.col("cum") + F.col("nv") + 1))
+        .cast("bigint")
+        .alias("two_r1"),
+        F.sum(F.col("nv") * F.col("nv") * F.col("nv") - F.col("nv"))
+        .cast("bigint")
+        .alias("tie_term"),
+    )
+    j = n.crossJoin(F.broadcast(r))
+    two_u1 = F.col("two_r1") - F.col("n1") * (F.col("n1") + 1)
+    nn1 = F.col("n1").cast("double")
+    nn2 = F.col("n2").cast("double")
+    ntot = (F.col("n1") + F.col("n2")).cast("double")
+    z = (
+        two_u1.cast("double") / F.lit(2.0) - nn1 * nn2 / F.lit(2.0)
+    ) / F.sqrt(
+        nn1
+        * nn2
+        / F.lit(12.0)
+        * (
+            (F.col("n1") + F.col("n2") + 1).cast("double")
+            - F.col("tie_term").cast("double")
+            / (ntot * (F.col("n1") + F.col("n2") - 1).cast("double"))
+        )
+    )
+    return j.select(
+        "n1",
+        "n2",
+        "two_r1",
+        two_u1.cast("bigint").alias("two_u1"),
+        (2 * F.col("n1") * F.col("n2") - two_u1)
+        .cast("bigint")
+        .alias("two_u2"),
+        F.round(z, 6).alias("z_approx"),
+    )
+
+
+@register(
+    "ext_calibration_ece",
+    survey_id="EXT-ML-ECE",
+    category="ml-exact",
+    oracle="""
+WITH t AS (
+  SELECT CASE WHEN o_totalprice > 150000e0 THEN 1 ELSE 0 END AS y,
+         CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 12))
+              AS BIGINT) % 500000
+           + CASE WHEN o_totalprice > 150000e0
+                  THEN 400000 ELSE 100000 END AS p_scaled
+  FROM orders
+)
+SELECT CAST(p_scaled // 100000 AS INT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(p_scaled) AS BIGINT) AS sum_p_scaled,
+       CAST(SUM(y) AS BIGINT) AS n_pos,
+       CAST(ABS(SUM(p_scaled) - 1000000 * SUM(y)) AS BIGINT)
+         AS gap_scaled
+FROM t GROUP BY 1 ORDER BY bin
+""",
+)
+def ext_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-calibration audit (reliability table / expected calibration
+    error) — the eval-side counterpart of EXT-ML-AUC: scores live on an
+    integer 1e-6 grid (md5-derived, shifted by the true label so the
+    model is informative but miscalibrated), bucketed into 10
+    equal-width confidence bins; each bin reports its exact integer
+    confidence mass, positive count, and |sum(p) − n_pos| gap — the
+    numerator of the bin's ECE term (ECE = Σ gap / (1e6·N), a division
+    the consumer does on exact integers). One map-side-combinable
+    groupBy over the fact table into a 10-row result: the same
+    counts-first scale shape as every operator in this module."""
+    t = load_table(spark, sf_dir, "orders").select(
+        F.when(F.col("o_totalprice") > 150000.0, 1).otherwise(0).alias("y"),
+        (
+            F.conv(
+                F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 12),
+                16,
+                10,
+            ).cast("bigint")
+            % 500000
+            + F.when(F.col("o_totalprice") > 150000.0, 400000).otherwise(
+                100000
+            )
+        ).alias("p_scaled"),
+    )
+    return (
+        t.groupBy(F.expr("p_scaled div 100000").cast("int").alias("bin"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("p_scaled").cast("bigint").alias("sum_p_scaled"),
+            F.sum("y").cast("bigint").alias("n_pos"),
+            F.abs(
+                F.sum("p_scaled") - F.lit(1000000) * F.sum("y")
+            )
+            .cast("bigint")
+            .alias("gap_scaled"),
+        )
+        .orderBy("bin")
+    )
