@@ -2783,3 +2783,96 @@ def ext_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "threshold double, n_pairs bigint, n_docs_dropped bigint, "
         "monotone_ok boolean",
     )
+
+
+_LINKPRED_ORACLE = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+sh0 AS (
+  SELECT doc_id,
+         UNNEST(list_transform(generate_series(1, len(toks) - 4),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                     || ' ' || toks[i+3] || ' ' || toks[i+4])) AS sh
+  FROM t
+),
+shd AS (SELECT DISTINCT doc_id, sh FROM sh0),
+ok AS (SELECT sh FROM shd GROUP BY sh HAVING COUNT(*) BETWEEN 2 AND 20),
+e0 AS (
+  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+  FROM shd a, shd b, ok
+  WHERE a.sh = ok.sh AND b.sh = ok.sh AND a.doc_id < b.doc_id
+),
+edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+deg AS (SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY src),
+pairs AS (
+  SELECT a.dst AS u, b.dst AS w, a.src AS z
+  FROM edges a JOIN edges b ON a.src = b.src AND a.dst < b.dst
+),
+scored AS (
+  SELECT p.u, p.w,
+         COUNT(*) AS cn,
+         SUM(1000000000000 // CAST(floor(ln(deg.d) * 1000000)
+                                   AS BIGINT)) AS aa_scaled
+  FROM pairs p JOIN deg ON deg.node = p.z
+  GROUP BY p.u, p.w
+),
+nonedge AS (
+  SELECT s.* FROM scored s
+  LEFT JOIN e0 ON e0.src = s.u AND e0.dst = s.w
+  WHERE e0.src IS NULL
+)
+SELECT CAST(u AS BIGINT) AS u, CAST(w AS BIGINT) AS w,
+       CAST(cn AS BIGINT) AS cn, CAST(aa_scaled AS BIGINT) AS aa_scaled
+FROM nonedge
+ORDER BY cn DESC, aa_scaled DESC, u, w
+LIMIT 20
+"""
+
+
+@register(
+    "ext_link_prediction",
+    survey_id="EXT-LINKPRED",
+    category="llm-dedup",
+    oracle=_LINKPRED_ORACLE,
+)
+def ext_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the document-similarity graph — the classic
+    common-neighbors + Adamic–Adar recipe over the same df-capped
+    5-shingle edges that feed LPA/BFS/HITS: for every non-adjacent
+    pair (u, w) at distance 2, count shared neighbors and score
+    Σ_z 1/ln(deg(z)) with the portable gridded-ln (each term is
+    10^12 div floor(ln(deg)·10^6) — exact BIGINT in both engines;
+    deg(z) ≥ 2 whenever z is a common neighbor, so ln never hits 0).
+    Top-20 predicted links by (cn, aa, pair) through
+    orderBy+limit — TakeOrderedAndProject, no corpus-wide rank
+    window. Scale: the wedge join (adjacency ⨝ adjacency on the
+    middle node) is the standard triangle/wedge shape whose fan-out
+    the df-cap bounds; candidates carry three bigints; existing
+    edges drop via one anti-join."""
+    _, e0 = _dfcap_shingle_digraph(spark, sf_dir)
+    edges = e0.unionAll(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    lngrid = F.floor(F.log(F.col("d")) * F.lit(1000000.0)).cast("bigint")
+    degs = deg.select(F.col("src").alias("z"), lngrid.alias("lg"))
+    a = edges.select(F.col("src").alias("z"), F.col("dst").alias("u"))
+    b = edges.select(F.col("src").alias("z"), F.col("dst").alias("w"))
+    pairs = a.join(b, "z").where(F.col("u") < F.col("w"))
+    scored = (
+        pairs.join(degs, "z")
+        .groupBy("u", "w")
+        .agg(
+            F.count("*").cast("bigint").alias("cn"),
+            F.sum(F.expr("1000000000000 div lg"))
+            .cast("bigint")
+            .alias("aa_scaled"),
+        )
+    )
+    nonedge = scored.join(
+        e0.select(F.col("src").alias("u"), F.col("dst").alias("w")),
+        ["u", "w"],
+        "left_anti",
+    )
+    return nonedge.orderBy(
+        F.desc("cn"), F.desc("aa_scaled"), "u", "w"
+    ).limit(20)
