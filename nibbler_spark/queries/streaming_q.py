@@ -3444,3 +3444,115 @@ def i29_stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "counts_checksum bigint, matches_batch boolean, "
         "drift_detected boolean",
     )
+
+
+@register(
+    "i30_stream_dead_letter",
+    survey_id="EXT-STREAM-DLQ",
+    category="streaming",
+    mode="parity",
+    oracle="""
+WITH src AS (
+  SELECT doc_id, doc_id % 13 AS r FROM documents
+  WHERE doc_id % 13 IN (0, 1)
+)
+SELECT CAST(SUM(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+       CAST(SUM(CASE WHEN r = 0 THEN doc_id % 97 ELSE 0 END) AS BIGINT)
+         AS sum_v,
+       CAST(SUM(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dlq,
+       CAST(SUM(CASE WHEN r = 1 THEN doc_id ELSE 0 END) AS BIGINT)
+         AS dlq_id_sum
+FROM src
+""",
+)
+def i30_stream_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming DEAD-LETTER QUEUE — the ingest-robustness pattern a23
+    covers for batch, applied to a live stream: a text stream of JSON
+    lines (one malformed line per 13-id stripe, truncated mid-object)
+    is parsed with from_json (PERMISSIVE + columnNameOfCorruptRecord —
+    Spark 4 never nulls the struct itself, so corruption is detected
+    via the populated corrupt column); each micro-batch routes parsed
+    rows to the main table and UNPARSEABLE RAW LINES — payload preserved
+    byte-for-byte for replay — to a DLQ sink, from one persisted
+    foreachBatch pass (two sinks, one evaluation; epoch-tagged paths
+    keep retries idempotent). Nothing is dropped silently: good-count,
+    value-sum, DLQ-count, and a DLQ payload checksum (ids re-extracted
+    from the RAW quarantined lines) must all match the closed-form
+    oracle. Two source files + maxFilesPerTrigger=1 force >= 2 epochs,
+    so the sinks accumulate across micro-batches. At 100 TB: parse and
+    route are stateless row-local ops; the DLQ write is append-only
+    parquet."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id").where(
+        (F.col("doc_id") % 13).isin(0, 1)
+    )
+    base = tempfile.mkdtemp(prefix="nibbler-i30-")
+    src = os.path.join(base, "src")
+    main = os.path.join(base, "main")
+    dlq = os.path.join(base, "dlq")
+    os.makedirs(src, exist_ok=True)
+    lines = d.select(
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(
+                F.lit('{"id": '),
+                F.col("doc_id"),
+                F.lit(', "v": '),
+                F.col("doc_id") % 97,
+                F.lit("}"),
+            ),
+        )
+        .otherwise(
+            # truncated mid-object: unparseable, id still greppable
+            F.concat(F.lit('{"id": '), F.col("doc_id"), F.lit(","))
+        )
+        .alias("value"),
+        (F.col("doc_id") % 2).alias("half"),
+    )
+    for half in (0, 1):
+        lines.where(F.col("half") == half).select("value").coalesce(
+            1
+        ).write.mode("overwrite").text(os.path.join(src, f"half={half}"))
+
+    stream = spark.readStream.text(src + "/half=*/")
+    parsed = stream.select(
+        "value",
+        F.from_json(
+            "value",
+            "id long, v long, _corrupt string",
+            {"columnNameOfCorruptRecord": "_corrupt"},
+        ).alias("j"),
+    )
+
+    def route(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.persist()
+        batch_df.where(F.col("j._corrupt").isNull()).select(
+            F.col("j.id").alias("id"), F.col("j.v").alias("v")
+        ).write.mode("append").parquet(os.path.join(main, f"epoch={epoch_id}"))
+        batch_df.where(F.col("j._corrupt").isNotNull()).select("value").write.mode(
+            "append"
+        ).parquet(os.path.join(dlq, f"epoch={epoch_id}"))
+        batch_df.unpersist()
+
+    q = (
+        parsed.writeStream.foreachBatch(route)
+        .option("maxFilesPerTrigger", 1)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="nibbler-ck-")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    good = spark.read.parquet(main + "/epoch=*").agg(
+        F.count("*").cast("bigint").alias("n_good"),
+        F.sum("v").cast("bigint").alias("sum_v"),
+    )
+    bad = spark.read.parquet(dlq + "/epoch=*").agg(
+        F.count("*").cast("bigint").alias("n_dlq"),
+        F.sum(
+            F.regexp_extract("value", r'\{"id": (\d+),', 1).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("dlq_id_sum"),
+    )
+    return good.crossJoin(F.broadcast(bad))
