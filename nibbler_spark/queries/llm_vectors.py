@@ -2621,3 +2621,134 @@ def ext_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "recall_at_10 double, monotone_ok boolean, "
         "full_probe_exact boolean",
     )
+
+
+def _trunc_sweep_oracle() -> str:
+    """Oracle for ext_dim_truncation_sweep: per-prefix-dim top-10 vs the
+    full-dim top-10, recall aggregated over the query set."""
+    legs = []
+    for d in (8, 16, 32, 64):
+        legs.append(
+            f"""
+SELECT q_id, cand_id, {d} AS d FROM (
+  SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY {sql_cosine('c.embedding', 'q.embedding').replace('generate_series(1, 64)', f'generate_series(1, {d})')} DESC,
+                    c.vec_id
+         ) AS rk
+  FROM qs q, embeddings c WHERE c.vec_id % 200 <> 0
+) WHERE rk <= 10"""
+        )
+    union = "\nUNION ALL\n".join(legs)
+    return f"""
+WITH qs AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 200 = 0),
+topk AS ({union}),
+truth AS (SELECT q_id, cand_id FROM topk WHERE d = 64),
+hits AS (
+  SELECT t.d, COUNT(*) AS sum_overlap
+  FROM topk t JOIN truth USING (q_id, cand_id)
+  GROUP BY t.d
+),
+nq AS (SELECT COUNT(*) AS n_queries FROM qs)
+SELECT CAST(h.d AS INT) AS d,
+       CAST(h.sum_overlap AS BIGINT) AS sum_overlap,
+       CAST(nq.n_queries AS BIGINT) AS n_queries,
+       ROUND(CAST(h.sum_overlap AS DOUBLE)
+             / (10e0 * nq.n_queries), 6) AS recall_at_10
+FROM hits h, nq ORDER BY d
+"""
+
+
+@register(
+    "ext_dim_truncation_sweep",
+    survey_id="EXT-VEC-MRL",
+    category="llm-vector",
+    oracle=_trunc_sweep_oracle(),
+)
+def ext_dim_truncation_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style dimension-truncation evaluation — the
+    retrieval-quality / cost curve a platform measures before serving
+    truncated embeddings: for prefix dimensions d ∈ {8, 16, 32, 64},
+    rank all candidates per query by prefix-d cosine (grid-exact
+    dec_dot over F.slice — one scan computes all four similarities,
+    exploded, so the fact table is read once) and report recall@10
+    against the full-dimension ranking. d=64 IS the ground truth, so
+    its recall is 1.0 by construction — the exact-at-full anchor the
+    nprobe sweep also pins; smaller d trades recall for a 2-8x dot
+    product saving. Scale: the query set (vec_id % 200 = 0) is
+    broadcast; per-query top-10 uses a window partitioned BY QUERY
+    (never corpus-global); only (query, candidate, d, cos) tuples
+    reach the rank exchange."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qs = e.where(F.col("vec_id") % 200 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q")
+    )
+    cands = e.where(F.col("vec_id") % 200 != 0).select(
+        F.col("vec_id").alias("cand_id"), "embedding"
+    )
+    pairs = cands.crossJoin(F.broadcast(qs))
+    per_d = pairs.select(
+        "q_id",
+        "cand_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        (
+                            dec_dot(
+                                F.slice("embedding", 1, d),
+                                F.slice("q", 1, d),
+                            )
+                            / (
+                                F.sqrt(
+                                    dec_dot(
+                                        F.slice("embedding", 1, d),
+                                        F.slice("embedding", 1, d),
+                                    )
+                                )
+                                * F.sqrt(
+                                    dec_dot(
+                                        F.slice("q", 1, d),
+                                        F.slice("q", 1, d),
+                                    )
+                                )
+                            )
+                        ).alias("cos"),
+                    )
+                    for d in (8, 16, 32, 64)
+                ]
+            )
+        ).alias("s"),
+    ).select("q_id", "cand_id", "s.d", "s.cos")
+    w = Window.partitionBy("q_id", "d").orderBy(
+        F.desc("cos"), F.col("cand_id")
+    )
+    topk = (
+        per_d.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 10)
+        .select("q_id", "cand_id", "d")
+        .localCheckpoint()
+    )
+    truth = topk.where(F.col("d") == 64).select("q_id", "cand_id")
+    hits = (
+        topk.join(truth, ["q_id", "cand_id"])
+        .groupBy(topk["d"])
+        .agg(F.count("*").cast("bigint").alias("sum_overlap"))
+    )
+    nq = qs.agg(F.count("*").cast("bigint").alias("n_queries"))
+    return (
+        hits.crossJoin(F.broadcast(nq))
+        .select(
+            F.col("d").cast("int").alias("d"),
+            "sum_overlap",
+            "n_queries",
+            F.round(
+                F.col("sum_overlap").cast("double")
+                / (F.lit(10.0) * F.col("n_queries")),
+                6,
+            ).alias("recall_at_10"),
+        )
+        .orderBy("d")
+    )
