@@ -1420,3 +1420,186 @@ def ext_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+_GBDT_ORACLE = """
+WITH rows_f AS (
+  SELECT CAST(l_quantity AS INT) AS qty,
+         CAST(round(l_discount * 100) AS INT) AS disc_cents,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+  FROM lineitem
+),
+h1 AS (
+  SELECT qty AS v, COUNT(*) AS n, SUM(y) AS p
+  FROM rows_f GROUP BY qty
+),
+c1 AS (
+  SELECT v,
+         SUM(n) OVER (ORDER BY v) AS nl,
+         SUM(p) OVER (ORDER BY v) AS pl,
+         SUM(n) OVER () AS nt, SUM(p) OVER () AS pt,
+         MAX(v) OVER () AS vmax
+  FROM h1
+),
+s1 AS (
+  SELECT v, nl, pl, nt - nl AS nr, pt - pl AS pr,
+         CAST(pl AS DOUBLE) * CAST(pl AS DOUBLE) / CAST(nl AS DOUBLE)
+         + CAST(pt - pl AS DOUBLE) * CAST(pt - pl AS DOUBLE)
+           / CAST(nt - nl AS DOUBLE) AS score
+  FROM c1 WHERE v < vmax
+),
+b1 AS (SELECT * FROM s1 ORDER BY score DESC, v LIMIT 1),
+resid AS (
+  SELECT r.disc_cents,
+         CASE WHEN r.qty <= b1.v
+              THEN r.y * b1.nl * b1.nr - b1.pl * b1.nr
+              ELSE r.y * b1.nr * b1.nl - b1.pr * b1.nl
+         END AS rs
+  FROM rows_f r, b1
+),
+h2 AS (
+  SELECT disc_cents AS v, COUNT(*) AS n, SUM(rs) AS t
+  FROM resid GROUP BY disc_cents
+),
+c2 AS (
+  SELECT v,
+         SUM(n) OVER (ORDER BY v) AS nl,
+         SUM(t) OVER (ORDER BY v) AS tl,
+         SUM(n) OVER () AS nt, SUM(t) OVER () AS tt,
+         MAX(v) OVER () AS vmax
+  FROM h2
+),
+s2 AS (
+  SELECT v, nl, nt - nl AS nr, tl, tt - tl AS tr,
+         CAST(tl AS DOUBLE) * CAST(tl AS DOUBLE) / CAST(nl AS DOUBLE)
+         + CAST(tt - tl AS DOUBLE) * CAST(tt - tl AS DOUBLE)
+           / CAST(nt - nl AS DOUBLE) AS score2
+  FROM c2 WHERE v < vmax
+),
+b2 AS (SELECT * FROM s2 ORDER BY score2 DESC, v LIMIT 1)
+SELECT CAST(b1.v AS INT) AS qty_threshold,
+       CAST(b1.nl AS BIGINT) AS n_left, CAST(b1.pl AS BIGINT) AS pos_left,
+       CAST(b1.nr AS BIGINT) AS n_right, CAST(b1.pr AS BIGINT) AS pos_right,
+       b1.score AS score1,
+       CAST(b2.v AS INT) AS disc_threshold,
+       CAST(b2.nl AS BIGINT) AS n2_left,
+       CAST(b2.tl AS BIGINT) AS resid_sum_left,
+       CAST(b2.tr AS BIGINT) AS resid_sum_right,
+       b2.score2 AS score2
+FROM b1, b2
+"""
+
+
+@register(
+    "ext_gbdt_round",
+    survey_id="EXT-ML-GBDT",
+    category="ml-exact",
+    oracle=_GBDT_ORACLE,
+)
+def ext_gbdt_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full GRADIENT-BOOSTING round on top of a fitted stump (L2
+    loss): stage 1 fits the SSE-optimal quantity stump to the binary
+    return label (maximizing S_l²/n_l + S_r²/n_r — algebraically the
+    variance-reduction argmax); stage 2 computes per-row RESIDUALS
+    against the stage-1 leaf means and fits the discount stump to
+    them — the boosting inner loop. Exactness: leaf means are
+    rationals P_l/n_l, so residuals are scaled by the common
+    denominator n_l·n_r into exact BIGINTs (y·n_leaf·n_other −
+    P_leaf·n_other); all split statistics are integer sums whose
+    magnitudes stay below 2^53, so the double score expressions are
+    evaluated on exactly-representable operands — bit-identical in
+    both engines, no rounding anywhere. Scale shape: two map-side-
+    combinable histograms (≤50-row and ≤11-row), split search on
+    kilobytes, the stage-1 winner joins back as a broadcast 1-row
+    plan — the distributed XGBoost recipe (histogram aggregation,
+    never per-row sorting) with zero collects."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rows_f = li.select(
+        F.col("l_quantity").cast("int").alias("qty"),
+        F.round(F.col("l_discount") * 100).cast("int").alias("disc_cents"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    )
+    h1 = rows_f.groupBy(F.col("qty").alias("v")).agg(
+        F.count("*").alias("n"), F.sum("y").alias("p")
+    )
+    # ≤ 50 distinct quantities: tiny-aggregate windows
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    c1 = h1.select(
+        "v",
+        F.sum("n").over(wv).cast("bigint").alias("nl"),
+        F.sum("p").over(wv).cast("bigint").alias("pl"),
+        F.sum("n").over(wall).cast("bigint").alias("nt"),
+        F.sum("p").over(wall).cast("bigint").alias("pt"),
+        F.max("v").over(wall).alias("vmax"),
+    ).where(F.col("v") < F.col("vmax"))
+    score1 = F.col("pl").cast("double") * F.col("pl").cast("double") / F.col(
+        "nl"
+    ).cast("double") + (F.col("pt") - F.col("pl")).cast("double") * (
+        F.col("pt") - F.col("pl")
+    ).cast("double") / (F.col("nt") - F.col("nl")).cast("double")
+    b1 = (
+        c1.select(
+            "v",
+            "nl",
+            "pl",
+            (F.col("nt") - F.col("nl")).alias("nr"),
+            (F.col("pt") - F.col("pl")).alias("pr"),
+            score1.alias("score"),
+        )
+        .orderBy(F.desc("score"), "v")
+        .limit(1)
+    )
+    resid = rows_f.crossJoin(F.broadcast(b1)).select(
+        "disc_cents",
+        F.when(
+            F.col("qty") <= F.col("v"),
+            F.col("y") * F.col("nl") * F.col("nr")
+            - F.col("pl") * F.col("nr"),
+        )
+        .otherwise(
+            F.col("y") * F.col("nr") * F.col("nl")
+            - F.col("pr") * F.col("nl")
+        )
+        .alias("rs"),
+    )
+    h2 = resid.groupBy(F.col("disc_cents").alias("v")).agg(
+        F.count("*").alias("n"), F.sum("rs").alias("t")
+    )
+    c2 = h2.select(
+        "v",
+        F.sum("n").over(wv).cast("bigint").alias("nl"),
+        F.sum("t").over(wv).cast("bigint").alias("tl"),
+        F.sum("n").over(wall).cast("bigint").alias("nt"),
+        F.sum("t").over(wall).cast("bigint").alias("tt"),
+        F.max("v").over(wall).alias("vmax"),
+    ).where(F.col("v") < F.col("vmax"))
+    score2 = F.col("tl").cast("double") * F.col("tl").cast("double") / F.col(
+        "nl"
+    ).cast("double") + (F.col("tt") - F.col("tl")).cast("double") * (
+        F.col("tt") - F.col("tl")
+    ).cast("double") / (F.col("nt") - F.col("nl")).cast("double")
+    b2 = (
+        c2.select(
+            F.col("v").alias("v2"),
+            F.col("nl").alias("n2l"),
+            F.col("tl"),
+            (F.col("tt") - F.col("tl")).alias("tr"),
+            score2.alias("score2"),
+        )
+        .orderBy(F.desc("score2"), "v2")
+        .limit(1)
+    )
+    return b1.crossJoin(F.broadcast(b2)).select(
+        F.col("v").cast("int").alias("qty_threshold"),
+        F.col("nl").alias("n_left"),
+        F.col("pl").alias("pos_left"),
+        F.col("nr").alias("n_right"),
+        F.col("pr").alias("pos_right"),
+        F.col("score").alias("score1"),
+        F.col("v2").cast("int").alias("disc_threshold"),
+        F.col("n2l").alias("n2_left"),
+        F.col("tl").alias("resid_sum_left"),
+        F.col("tr").alias("resid_sum_right"),
+        "score2",
+    )
