@@ -2876,3 +2876,135 @@ def ext_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nonedge.orderBy(
         F.desc("cn"), F.desc("aa_scaled"), "u", "w"
     ).limit(20)
+
+
+_CONTAIN_ORACLE = """
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+exc AS (
+  SELECT doc_id + 1000000000 AS doc_id,
+         list_append(toks[1 : CAST(floor(0.6 * len(toks)) AS INT)],
+                     'zz' || CAST(doc_id % 7 AS VARCHAR)) AS toks
+  FROM base WHERE len(toks) >= 20 AND doc_id % 31 = 0
+),
+corpus AS (
+  SELECT doc_id, toks FROM base UNION ALL SELECT doc_id, toks FROM exc
+),
+sh0 AS (
+  SELECT doc_id,
+         UNNEST(list_transform(generate_series(1, len(toks) - 4),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                     || ' ' || toks[i+3] || ' ' || toks[i+4])) AS sh
+  FROM corpus
+),
+shd AS (SELECT DISTINCT doc_id, sh FROM sh0),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM shd GROUP BY doc_id),
+ok AS (SELECT sh FROM shd GROUP BY sh HAVING COUNT(*) <= 1000),
+idx AS (SELECT s.doc_id, s.sh FROM shd s JOIN ok USING (sh)),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM idx a JOIN idx b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT CAST(i.doc_a AS BIGINT) AS doc_a, CAST(i.doc_b AS BIGINT) AS doc_b,
+       CAST(i.n_inter AS BIGINT) AS n_inter,
+       CAST(sa.sz AS BIGINT) AS sz_a,
+       CAST(i.n_inter AS DOUBLE) / sa.sz AS containment
+FROM inter i JOIN sz sa ON sa.doc_id = i.doc_a
+WHERE 10 * i.n_inter >= 7 * sa.sz
+ORDER BY doc_a, doc_b
+"""
+
+
+@register(
+    "ext_containment_dedup",
+    survey_id="EXT-CONTAIN",
+    category="llm-dedup",
+    oracle=_CONTAIN_ORACLE,
+)
+def ext_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-duplicate detection by shingle-set CONTAINMENT
+    C(A→B) = |S(A)∩S(B)| / |S(A)| ≥ 0.7 — the curation case Jaccard
+    misses: an excerpt quoted inside a much larger document has tiny J
+    but containment ≈ 1. The fixture plants the realistic scenario
+    (the oracle replicates it): every 31st long document spawns an
+    excerpt pseudo-doc — its first 60% of tokens plus one appended
+    token, so the excerpt's 5-shingle set is the base's contiguous
+    prefix plus exactly one novel shingle (C = (m−4)/(m−3) on
+    multiplicity-free streams — near 1, never exactly 1). Exact
+    candidate generation via the inverted shingle index: C ≥ τ > 0
+    forces ≥ 1 shared shingle, so the equi-join on shingle misses
+    nothing; the df ≤ 1000 cap is the k05-style production relief
+    valve (provably inactive here — max shingle df is far below it).
+    The threshold is integer cross-multiplied (10·inter ≥ 7·sz_a) —
+    no float boundary; the reported ratio divides identical integers.
+    Scale: shingles are xxhash64-slimmed before the distinct/df/join
+    shuffles; candidates are pairs that actually share content, never
+    all-pairs; both directions of every pair emit independently
+    (containment is not symmetric — that is the point)."""
+    d = load_table(spark, sf_dir, "documents").repartition(32).select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    exc = d.where(
+        (F.size("toks") >= 20) & (F.col("doc_id") % 31 == 0)
+    ).select(
+        (F.col("doc_id") + 1000000000).alias("doc_id"),
+        F.concat(
+            F.slice(
+                "toks", 1, F.floor(0.6 * F.size("toks")).cast("int")
+            ),
+            F.array(F.concat(F.lit("zz"), (F.col("doc_id") % 7))),
+        ).alias("toks"),
+    )
+    corpus = d.unionByName(exc)
+    sh = corpus.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 4),
+                lambda i: F.xxhash64(
+                    F.concat_ws(
+                        " ",
+                        F.element_at("toks", i),
+                        F.element_at("toks", i + 1),
+                        F.element_at("toks", i + 2),
+                        F.element_at("toks", i + 3),
+                        F.element_at("toks", i + 4),
+                    )
+                ),
+            )
+        ).alias("sh"),
+    ).distinct().localCheckpoint()
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    ok = (
+        sh.groupBy("sh")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") <= 1000)
+        .select("sh")
+    )
+    idx = sh.join(ok, "sh")
+    a = idx.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = idx.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .where(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("bigint").alias("n_inter"))
+    )
+    return (
+        inter.join(
+            sz.select(F.col("doc_id").alias("doc_a"), "sz"), "doc_a"
+        )
+        .where(10 * F.col("n_inter") >= 7 * F.col("sz"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            F.col("sz").cast("bigint").alias("sz_a"),
+            (F.col("n_inter").cast("double") / F.col("sz")).alias(
+                "containment"
+            ),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
