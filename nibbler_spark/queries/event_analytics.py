@@ -2223,3 +2223,106 @@ def ext_metric_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+_EB_ORACLE = """
+WITH it AS (
+  SELECT user_id % 200 AS item,
+         COUNT(*) AS n,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS s
+  FROM events GROUP BY 1
+),
+g AS (
+  SELECT COUNT(*) AS m,
+         SUM(CAST(FLOOR(CAST(s AS DOUBLE) / n * 1e12) AS BIGINT)) AS sp,
+         SUM(CAST(FLOOR(CAST(s AS DOUBLE) / n * CAST(s AS DOUBLE) / n
+                        * 1e12) AS BIGINT)) AS sp2
+  FROM it
+),
+prior AS (
+  SELECT m,
+         CAST(sp AS DOUBLE) / 1e12 / m AS mu,
+         CAST(sp2 AS DOUBLE) / 1e12 / m
+           - (CAST(sp AS DOUBLE) / 1e12 / m)
+             * (CAST(sp AS DOUBLE) / 1e12 / m) AS v
+  FROM g
+),
+ab AS (
+  SELECT ROUND(mu * (mu * (1e0 - mu) / v - 1e0), 6) AS alpha,
+         ROUND((1e0 - mu) * (mu * (1e0 - mu) / v - 1e0), 6) AS beta
+  FROM prior
+)
+SELECT CAST(it.item AS BIGINT) AS item,
+       CAST(it.n AS BIGINT) AS n, CAST(it.s AS BIGINT) AS s,
+       ab.alpha, ab.beta,
+       ROUND((it.s + ab.alpha) / (it.n + ab.alpha + ab.beta), 6)
+         AS shrunk_rate
+FROM it, ab
+ORDER BY shrunk_rate DESC, item
+LIMIT 20
+"""
+
+
+@register(
+    "ext_empirical_bayes_ctr",
+    survey_id="EXT-EB-SHRINK",
+    category="event-analytics",
+    oracle=_EB_ORACLE,
+)
+def ext_empirical_bayes_ctr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes rate smoothing (beta-binomial shrinkage) — the
+    standard fix for ranking items by conversion rate when trial
+    counts vary wildly (a 1/1 item must not outrank a 95/100 one):
+    fit a Beta(α, β) prior to the observed per-item rates by method
+    of moments, then rank by the posterior mean (s+α)/(n+α+β).
+    Determinism: the only order-dependent reduction — summing the
+    per-item rate rationals — runs on the 1e-12 floor grid as exact
+    BIGINTs (the gridded-sum playbook rule; per-item rates are single
+    IEEE divisions of small integers); μ, variance, α, β and every
+    posterior mean are then fixed double expression trees over those
+    exact sums, rounded at 1e-6 for the output contract. Scale: one
+    map-side-combinable groupBy to the 200-row item table; the prior
+    fit and shrinkage all happen on kilobytes; top-20 is
+    TakeOrderedAndProject."""
+    it = (
+        load_table(spark, sf_dir, "events")
+        .groupBy((F.col("user_id") % 200).alias("item"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("s"),
+        )
+    )
+    rate = F.col("s").cast("double") / F.col("n")
+    g = it.agg(
+        F.count("*").alias("m"),
+        F.sum(F.floor(rate * F.lit(1e12)).cast("bigint")).alias("sp"),
+        F.sum(F.floor(rate * rate * F.lit(1e12)).cast("bigint")).alias(
+            "sp2"
+        ),
+    )
+    mu = F.col("sp").cast("double") / F.lit(1e12) / F.col("m")
+    v = F.col("sp2").cast("double") / F.lit(1e12) / F.col("m") - mu * mu
+    k = mu * (F.lit(1.0) - mu) / v - F.lit(1.0)
+    ab = g.select(
+        F.round(mu * k, 6).alias("alpha"),
+        F.round((F.lit(1.0) - mu) * k, 6).alias("beta"),
+    )
+    return (
+        it.crossJoin(F.broadcast(ab))
+        .select(
+            F.col("item").cast("bigint").alias("item"),
+            F.col("n").cast("bigint").alias("n"),
+            F.col("s").cast("bigint").alias("s"),
+            "alpha",
+            "beta",
+            F.round(
+                (F.col("s") + F.col("alpha"))
+                / (F.col("n") + F.col("alpha") + F.col("beta")),
+                6,
+            ).alias("shrunk_rate"),
+        )
+        .orderBy(F.desc("shrunk_rate"), "item")
+        .limit(20)
+    )
