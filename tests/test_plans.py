@@ -610,3 +610,51 @@ def test_topk_per_group_uses_window_group_limit(spark, sf_dir):
         .toString()
     )
     assert "WindowGroupLimit" in plan
+
+
+def test_ahash_band_join_no_cartesian(spark, sf_dir):
+    """ext_image_ahash_neardup candidates come from the (band, value)
+    equi-join — a cartesian would be the all-pairs anti-pattern the
+    banding exists to avoid."""
+    plan = _plan(spark, sf_dir, "ext_image_ahash_neardup")
+    assert "CartesianProduct" not in plan
+    assert "bv" in plan and "band" in plan
+
+
+def test_link_prediction_wedge_join_and_anti(spark, sf_dir):
+    """The wedge join keys on the middle node z and existing edges drop
+    via a left-anti join — never a cartesian."""
+    plan = _plan(spark, sf_dir, "ext_link_prediction")
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan
+
+
+def test_containment_inverted_index_no_cartesian(spark, sf_dir):
+    """Containment candidates must come from the shingle inverted-index
+    equi-join (pairs that actually share content)."""
+    plan = _plan(spark, sf_dir, "ext_containment_dedup")
+    assert "CartesianProduct" not in plan
+
+
+def test_trunc_sweep_window_partitioned_by_query(spark, sf_dir):
+    """Every rank window in the sweep partitions BY QUERY (q_id, d) —
+    a corpus-global window would single-partition the ranking."""
+    plan = _plan(spark, sf_dir, "ext_dim_truncation_sweep")
+    for line in plan.splitlines():
+        if "row_number()" in line:
+            assert "q_id" in line and "d#" in line
+
+
+def test_geohash_stays_jvm_side(spark, sf_dir):
+    """The Morton interleave + base32 render is pure column expressions:
+    no Python evaluation anywhere in the plan."""
+    plan = _plan(spark, sf_dir, "ext_geohash_encode")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_gbdt_stage1_winner_broadcast(spark, sf_dir):
+    """The stage-1 best split joins back to the fact rows as a broadcast
+    1-row side (never a shuffle of the fact table against it)."""
+    plan = _plan(spark, sf_dir, "ext_gbdt_round")
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
