@@ -78,6 +78,12 @@ HEADLINE = [
     # the snapshot format) — the two heaviest new plan families.
     "ext_kcore_decomposition",  # BENCH-K15 (k-core peel on shingle graph)
     "ext_stream_cdc_apply",  # BENCH-K16 (streaming MERGE into snapshots)
+    # r4 fourth session: perceptual-hash image near-dup (mapInPandas
+    # decode+hash, 4x16-bit Hamming banding) and asymmetric containment
+    # dedup over the shingle inverted index — the two new dedup
+    # modalities (lossy image, sub-document superset) join the bench.
+    "ext_image_ahash_neardup",  # BENCH-K17 (aHash + Hamming-band LSH)
+    "ext_containment_dedup",  # BENCH-K18 (inverted-index containment)
 ]
 
 
