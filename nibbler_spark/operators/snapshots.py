@@ -641,6 +641,12 @@ def read_snapshot_pruned(
     sid = latest_snapshot(table_dir) if snapshot_id is None else snapshot_id
     entries = snapshot_entries(table_dir, sid)
     total = len(entries)
+    # column mapping: filters arrive in LOGICAL names; stats and data
+    # files carry PHYSICAL names — translate before pruning/scanning,
+    # rename after.
+    mapping = snapshot_meta(table_dir, sid).get("column_mapping") or {}
+    phys = lambda c: mapping.get(c, c)
+    filters = [(phys(c), op, v) for (c, op, v) in filters or []]
     if filters:
         entries = prune_entries(entries, filters)
     reader = spark.read.option("mergeSchema", str(merge_schema).lower())
@@ -651,6 +657,10 @@ def read_snapshot_pruned(
             for e in snapshot_entries(table_dir, sid)
         ]
         df = reader.parquet(*all_files).limit(0)
+        if mapping:
+            df = df.withColumnsRenamed(
+                {p: logical for logical, p in mapping.items()}
+            )
         return df, 0, total
     df = reader.parquet(
         *[os.path.join(table_dir, e["path"]) for e in entries]
@@ -685,6 +695,10 @@ def read_snapshot_pruned(
                 ">": column > v,
                 ">=": column >= v,
             }[op]
+        )
+    if mapping:
+        df = df.withColumnsRenamed(
+            {p: logical for logical, p in mapping.items()}
         )
     return df, len(entries), total
 
@@ -855,6 +869,28 @@ def merge_into_snapshot(
     new_rows = inserts if rewritten is None else rewritten.unionByName(inserts)
     carried = [p for p in all_paths if p not in set(touched)]
     return write_snapshot(new_rows, table_dir, carry_over=carried)
+
+
+def rename_columns(table_dir: str, renames: dict[str, str]) -> int:
+    """METADATA-ONLY column rename (the Delta column-mapping design):
+    data files keep their physical column names forever; the commit
+    stores a logical→physical mapping in the manifest meta and the
+    read path renames at scan time. Zero data IO at any table size —
+    the manifest commit is the entire cost. Renames compose across
+    commits (renaming an already-renamed column re-points the logical
+    name at the original physical name). Appends AFTER a rename must
+    write the PHYSICAL schema (as Delta's writers do); time travel to
+    pre-rename snapshots naturally yields the old logical names since
+    the mapping lives in each snapshot's own meta."""
+    sid = latest_snapshot(table_dir)
+    entries = snapshot_entries(table_dir, sid)
+    meta = snapshot_meta(table_dir, sid)
+    mapping = dict(meta.get("column_mapping", {}))
+    for old, new in renames.items():
+        mapping[new] = mapping.pop(old, old)
+    return commit_snapshot(
+        table_dir, entries, {**meta, "column_mapping": mapping}
+    )
 
 
 def rollback_snapshot(table_dir: str, to_snapshot_id: int) -> int:

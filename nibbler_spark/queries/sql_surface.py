@@ -2864,3 +2864,71 @@ def ext_gdpr_forget_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bytes_physically_erased"),
         F.lit(bool(old_unreadable)).alias("old_snapshots_unreadable"),
     )
+
+
+@register(
+    "ext_snapshot_column_mapping",
+    survey_id="EXT-SNAP-RENAME",
+    category="sql-surface",
+    oracle="""
+SELECT o_orderstatus AS status,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_amount_cents
+FROM orders
+WHERE FLOOR(o_totalprice * 100) > 5000000
+GROUP BY o_orderstatus ORDER BY status
+""",
+)
+def ext_snapshot_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column RENAME as a metadata-only commit (the Delta column-mapping
+    design): commit 0 writes (o_orderkey, total_cents, status); the
+    rename commit re-points the logical name `amount_cents` at the
+    physical column WITHOUT touching a data file — asserted by
+    comparing the two manifests' file lists byte-for-byte. The read
+    path translates logical filters to physical names BEFORE stats
+    pruning and scan predicates, then renames at the end, so data
+    skipping keeps working across renames; time travel to commit 0
+    still serves the old name from its own meta. At 100 TB a rename
+    is O(1) metadata — the copy-on-write alternative rewrites the
+    entire table."""
+    import os
+    import shutil
+    import tempfile
+
+    from nibbler_spark.operators.snapshots import (
+        read_snapshot,
+        rename_columns,
+        snapshot_files,
+        write_snapshot,
+    )
+
+    table = tempfile.mkdtemp(prefix="nibbler-colmap-")
+    shutil.rmtree(table)
+    os.makedirs(table)
+    o = load_table(spark, sf_dir, "orders")
+    v0 = o.select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias(
+            "total_cents"
+        ),
+        F.col("o_orderstatus").alias("status"),
+    )
+    s0 = write_snapshot(v0.repartition(2), table)
+    s1 = rename_columns(table, {"total_cents": "amount_cents"})
+    # metadata-only: identical data file lists, no bytes rewritten
+    assert snapshot_files(table, s0) == snapshot_files(table, s1)
+    # time travel to the pre-rename commit serves the old logical name
+    assert "total_cents" in read_snapshot(spark, table, s0).columns
+    cur = read_snapshot(
+        spark, table, filters=[("amount_cents", ">", 5000000)]
+    )
+    assert "amount_cents" in cur.columns
+    return (
+        cur.groupBy("status")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("amount_cents").cast("bigint").alias("sum_amount_cents"),
+        )
+        .orderBy("status")
+    )
