@@ -24,3 +24,30 @@ def test_forty_random_queries_agree(spark, sf_dir, duck):
         if not rep.ok:
             bad.append((seed, sql, rep.first_diffs[:2]))
     assert not bad, bad
+
+
+def test_rollup_empty_divergence(spark, sf_dir):
+    """Pinned fuzzer FINDING (r4, seeds 8/9): GROUP BY ROLLUP over an
+    EMPTY input diverges between the engines — DuckDB emits the
+    grand-total row (COUNT 0) for the () grouping set per the SQL
+    standard's global-aggregate semantics; Spark's Expand-based plan
+    emits no rows at all. The fuzzer grammar guards the shape with
+    HAVING COUNT(*) > 0; this test documents the divergence so a
+    future Spark behavior change is noticed."""
+    import duckdb
+
+    sql = (
+        "SELECT COALESCE(CAST(o_orderstatus AS STRING), 'ALL') AS k1, "
+        "COUNT(*) AS n FROM orders WHERE 1=0 "
+        "GROUP BY ROLLUP(o_orderstatus) ORDER BY k1"
+    )
+    from nibbler_spark.sources import register_temp_views
+
+    register_temp_views(spark, sf_dir)
+    assert spark.sql(sql).collect() == []
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/orders.parquet')"
+    )
+    assert con.execute(sql).fetchall() == [("ALL", 0)]

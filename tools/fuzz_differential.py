@@ -10,7 +10,11 @@ ever disagrees becomes a pinned regression.
 The grammar deliberately spans the surfaces where engines diverge:
 predicate pushdown + three-valued NULL logic, GROUP BY with mixed
 aggregate shapes, HAVING, DISTINCT, integer division/modulo, CASE
-expressions, IN lists, BETWEEN, string prefixes, and ORDER BY/LIMIT.
+expressions, IN lists, BETWEEN, string prefixes, ORDER BY/LIMIT,
+correlated EXISTS/NOT EXISTS (decorrelation), GROUP BY ROLLUP
+(grouping-set expansion), scalar string functions, ALL-variant set
+ops, and aggregates over ordered-LIMIT derived tables (limit
+pushdown vs ordering).
 
 Usage:
     python tools/fuzz_differential.py [n_queries] [sf_dir]
@@ -130,10 +134,90 @@ def _window_query(rng: random.Random) -> str:
     )
 
 
+def _exists_query(rng: random.Random) -> str:
+    # correlated (NOT) EXISTS — the decorrelation surface: Spark
+    # rewrites to semi/anti joins, DuckDB to its own unnesting
+    po = _pred(rng, TABLES["orders"])
+    pl = _pred(rng, TABLES["lineitem"])
+    neg = rng.choice(["EXISTS", "NOT EXISTS"])
+    return (
+        f"SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,\n"
+        f"       CAST(MIN(o_orderkey) AS BIGINT) AS mn\n"
+        f"FROM orders\n"
+        f"WHERE ({po}) AND {neg} (\n"
+        f"  SELECT 1 FROM lineitem\n"
+        f"  WHERE l_orderkey = o_orderkey AND ({pl}))\n"
+        f"GROUP BY o_orderstatus ORDER BY o_orderstatus"
+    )
+
+
+def _rollup_query(rng: random.Random) -> str:
+    # GROUP BY ROLLUP: grouping-set expansion; subtotal rows carry NULL
+    # keys, COALESCEd away so default NULL-ordering differences between
+    # the engines cannot touch the comparison. HAVING COUNT(*) > 0
+    # guards a REAL divergence this fuzzer found (seeds 8/9, r4): on
+    # EMPTY input DuckDB emits the grand-total row (n=0) for the ()
+    # grouping set per the SQL standard, Spark emits no rows (its
+    # Expand+group-by-grouping-id plan has nothing to expand) — pinned
+    # in tests/test_differential_fuzz.py::test_rollup_empty_divergence
+    table = rng.choice(["orders", "lineitem"])
+    spec = TABLES[table]
+    a, b = spec["group_cols"][0], spec["group_cols"][-1]
+    nc = rng.choice(spec["num_cols"])
+    p = _pred(rng, spec)
+    return (
+        f"SELECT COALESCE(CAST({a} AS STRING), 'ALL') AS k1,\n"
+        f"       COALESCE(CAST({b} AS STRING), 'ALL') AS k2,\n"
+        f"       CAST(COUNT(*) AS BIGINT) AS n,\n"
+        f"       CAST(SUM(CAST(FLOOR({nc} * 100) AS BIGINT)) AS BIGINT)"
+        f" AS s_cents\n"
+        f"FROM {table} WHERE ({p})\n"
+        f"GROUP BY ROLLUP({a}, {b})\n"
+        f"HAVING COUNT(*) > 0\nORDER BY k1, k2"
+    )
+
+
+def _string_func_query(rng: random.Random) -> str:
+    table = rng.choice(sorted(TABLES))
+    spec = TABLES[table]
+    sc = rng.choice(spec["str_cols"])
+    p = _pred(rng, spec)
+    n = rng.randint(1, 3)
+    return (
+        f"SELECT upper({sc}) AS u, substr({sc}, 1, {n}) AS pfx,\n"
+        f"       CAST(length({sc}) AS INT) AS ln,\n"
+        f"       concat({sc}, '_', CAST(length({sc}) AS STRING)) AS tag,\n"
+        f"       CAST(COUNT(*) AS BIGINT) AS n\n"
+        f"FROM {table} WHERE ({p})\n"
+        f"GROUP BY 1, 2, 3, 4 ORDER BY u, pfx, ln, tag"
+    )
+
+
+def _nested_limit_query(rng: random.Random) -> str:
+    # aggregate over an ordered-LIMIT derived table: the inner total
+    # order (unique key tie-break) pins exactly which rows survive
+    spec = TABLES["orders"]
+    p = _pred(rng, spec)
+    lim = rng.randint(50, 500)
+    return (
+        f"SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,\n"
+        f"       CAST(SUM(cents) AS BIGINT) AS s_cents\n"
+        f"FROM (\n"
+        f"  SELECT o_orderstatus,\n"
+        f"         CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents\n"
+        f"  FROM orders WHERE ({p})\n"
+        f"  ORDER BY cents DESC, o_orderkey LIMIT {lim}\n"
+        f") t GROUP BY o_orderstatus ORDER BY o_orderstatus"
+    )
+
+
 def _setop_query(rng: random.Random) -> str:
     spec = TABLES["orders"]
     p1, p2 = _pred(rng, spec), _pred(rng, spec)
-    op = rng.choice(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"])
+    op = rng.choice(
+        ["UNION", "UNION ALL", "INTERSECT", "EXCEPT",
+         "INTERSECT ALL", "EXCEPT ALL"]
+    )
     return (
         f"SELECT o_orderkey AS k, o_orderstatus AS s FROM orders"
         f" WHERE ({p1})\n{op}\n"
@@ -144,12 +228,20 @@ def _setop_query(rng: random.Random) -> str:
 
 def gen_query(rng: random.Random) -> str:
     shape = rng.random()
-    if shape < 0.15:
+    if shape < 0.13:
         return _join_query(rng)
-    if shape < 0.25:
+    if shape < 0.22:
         return _window_query(rng)
-    if shape < 0.35:
+    if shape < 0.31:
         return _setop_query(rng)
+    if shape < 0.38:
+        return _exists_query(rng)
+    if shape < 0.45:
+        return _rollup_query(rng)
+    if shape < 0.51:
+        return _string_func_query(rng)
+    if shape < 0.57:
+        return _nested_limit_query(rng)
     table = rng.choice(sorted(TABLES))
     spec = TABLES[table]
     preds = [_pred(rng, spec) for _ in range(rng.randint(1, 3))]
