@@ -736,6 +736,7 @@ def merge_into_snapshot(
     key: str,
     value_cols: list[str],
     op_col: str = "op",
+    cdc: bool = False,
 ) -> int:
     """Row-level MERGE INTO the latest snapshot (copy-on-write).
 
@@ -866,9 +867,67 @@ def merge_into_snapshot(
     table_keys = scan(all_paths, [F.col(key)])
     inserts = inserts.join(table_keys, key, "left_anti")
 
+    meta = None
+    if cdc:
+        # row-level CHANGE DATA FEED (the Delta CDF contract): the merge
+        # already evaluates every changed row — update pre/post images
+        # from the rewrite join, delete pre-images, guarded inserts — so
+        # emitting them costs one extra sidecar write, not a second
+        # table diff. Readers get exact row deltas; the file-granularity
+        # read_changes feed stays available for consumers that only
+        # need post-images.
+        ct = lambda t: F.lit(t).alias("_change_type")
+        parts = [
+            inserts.select(F.col(key), *value_cols, ct("insert"))
+        ]
+        if touched:
+            upd = joined.where(F.col("_op") == "U")
+            parts.append(
+                upd.select(
+                    F.col(key),
+                    *[F.col(v) for v in value_cols],
+                    ct("update_preimage"),
+                )
+            )
+            parts.append(
+                upd.select(
+                    F.col(key),
+                    *[F.col(f"_c_{v}").alias(v) for v in value_cols],
+                    ct("update_postimage"),
+                )
+            )
+            parts.append(
+                joined.where(F.col("_op") == "D").select(
+                    F.col(key),
+                    *[F.col(v) for v in value_cols],
+                    ct("delete"),
+                )
+            )
+        cdc_df = parts[0]
+        for p in parts[1:]:
+            cdc_df = cdc_df.unionByName(p)
+        cdc_rel = f"cdc-{uuid.uuid4().hex[:12]}"
+        cdc_df.write.parquet(os.path.join(table_dir, cdc_rel))
+        meta = {"row_cdc": cdc_rel}
     new_rows = inserts if rewritten is None else rewritten.unionByName(inserts)
     carried = [p for p in all_paths if p not in set(touched)]
-    return write_snapshot(new_rows, table_dir, carry_over=carried)
+    return write_snapshot(new_rows, table_dir, carry_over=carried, meta=meta)
+
+
+def read_row_changes(
+    spark: SparkSession, table_dir: str, snapshot_id: int
+) -> DataFrame:
+    """Row-level change feed of a MERGE commit made with ``cdc=True``:
+    every changed row tagged ``_change_type`` ∈ {insert, delete,
+    update_preimage, update_postimage} — the Delta CDF read contract.
+    O(changed rows) IO regardless of table size."""
+    rel = snapshot_meta(table_dir, snapshot_id).get("row_cdc")
+    if not rel:
+        raise ValueError(
+            f"snapshot {snapshot_id} of {table_dir} has no row-level "
+            "change feed (merge was not run with cdc=True)"
+        )
+    return spark.read.parquet(os.path.join(table_dir, rel))
 
 
 def rename_columns(table_dir: str, renames: dict[str, str]) -> int:

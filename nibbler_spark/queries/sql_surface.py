@@ -2932,3 +2932,97 @@ def ext_snapshot_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+@register(
+    "ext_snapshot_row_cdc",
+    survey_id="EXT-ROW-CDF",
+    category="sql-surface",
+    oracle="""
+SELECT _change_type, o_orderkey, o_custkey, o_totalprice FROM (
+  SELECT 'insert' AS _change_type, o_orderkey + 10000000 AS o_orderkey,
+         o_custkey, CAST(100.0 AS DOUBLE) AS o_totalprice
+  FROM orders WHERE o_orderkey % 8 = 2
+  UNION ALL
+  SELECT 'delete', o_orderkey, o_custkey, o_totalprice
+  FROM orders WHERE o_orderkey % 8 = 1
+  UNION ALL
+  SELECT 'update_preimage', o_orderkey, o_custkey, o_totalprice
+  FROM orders WHERE o_orderkey % 8 = 0
+  UNION ALL
+  SELECT 'update_postimage', o_orderkey, o_custkey,
+         o_totalprice * CAST(1.1 AS DOUBLE)
+  FROM orders WHERE o_orderkey % 8 = 0
+)
+ORDER BY _change_type, o_orderkey
+""",
+)
+def ext_snapshot_row_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW-LEVEL change data feed from a MERGE commit (the Delta CDF
+    contract, completing EXT-MERGE-CDC's file-granularity feed): the
+    same 4-bucket orders table and U/D/I change set as
+    ext_snapshot_merge_into, merged with cdc=True — the merge's own
+    rewrite join emits exact row deltas tagged insert / delete /
+    update_preimage / update_postimage into a sidecar, so the feed
+    costs one extra write of O(changed rows), never a second table
+    diff. A downstream incremental consumer can reconstruct the merge
+    (retract pre-images, apply post-images) without scanning either
+    table version. Hash-checked against the closed-form change set."""
+    import os
+    import shutil
+    import tempfile
+
+    from nibbler_spark.operators.snapshots import (
+        merge_into_snapshot,
+        read_row_changes,
+        snapshot_files,
+        write_snapshot,
+    )
+
+    table = tempfile.mkdtemp(prefix="nibbler-rowcdc-")
+    shutil.rmtree(table)
+    os.makedirs(table)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    carry: list[str] = []
+    for b in range(4):
+        sid = write_snapshot(
+            o.where(F.col("o_orderkey") % 4 == b).coalesce(1),
+            table,
+            carry_over=carry,
+        )
+        carry = snapshot_files(table, sid)
+
+    updates = o.where(F.col("o_orderkey") % 8 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("op"),
+        "o_custkey",
+        (F.col("o_totalprice") * F.lit(1.1)).alias("o_totalprice"),
+    )
+    deletes = o.where(F.col("o_orderkey") % 8 == 1).select(
+        "o_orderkey",
+        F.lit("D").alias("op"),
+        F.lit(None).cast("bigint").alias("o_custkey"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+    )
+    inserts = o.where(F.col("o_orderkey") % 8 == 2).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        F.lit("I").alias("op"),
+        "o_custkey",
+        F.lit(100.0).alias("o_totalprice"),
+    )
+    changes = updates.unionByName(deletes).unionByName(inserts)
+    sid = merge_into_snapshot(
+        spark,
+        table,
+        changes,
+        key="o_orderkey",
+        value_cols=["o_custkey", "o_totalprice"],
+        cdc=True,
+    )
+    return (
+        read_row_changes(spark, table, sid)
+        .select("_change_type", "o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("_change_type", "o_orderkey")
+    )
