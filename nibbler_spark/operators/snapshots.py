@@ -930,6 +930,23 @@ def read_row_changes(
     return spark.read.parquet(os.path.join(table_dir, rel))
 
 
+def file_lineage(table_dir: str) -> list[dict]:
+    """Provenance of the LATEST snapshot's data files: for each live
+    file, the earliest snapshot whose manifest lists it (``added_in``)
+    plus its manifest row count — the Iceberg `files`-table lineage
+    view. Pure driver-side manifest metadata, zero data IO: the scan
+    is O(snapshots × files-per-manifest) JSON entries."""
+    last = latest_snapshot(table_dir)
+    added: dict[str, int] = {}
+    for sid in range(last + 1):
+        for p in snapshot_files(table_dir, sid):
+            added.setdefault(p, sid)
+    return [
+        {"path": e["path"], "added_in": added[e["path"]], "rows": e["rows"]}
+        for e in snapshot_entries(table_dir, last)
+    ]
+
+
 def rename_columns(table_dir: str, renames: dict[str, str]) -> int:
     """METADATA-ONLY column rename (the Delta column-mapping design):
     data files keep their physical column names forever; the commit

@@ -3026,3 +3026,95 @@ def ext_snapshot_row_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("_change_type", "o_orderkey", "o_custkey", "o_totalprice")
         .orderBy("_change_type", "o_orderkey")
     )
+
+
+@register(
+    "ext_snapshot_file_lineage",
+    survey_id="EXT-SNAP-LINEAGE",
+    category="lakehouse",
+    oracle="""
+SELECT added_in, n_rows FROM (
+  SELECT 1 AS added_in,
+         CAST(COUNT(CASE WHEN o_orderkey % 4 = 1 THEN 1 END) AS BIGINT)
+           AS n_rows FROM orders
+  UNION ALL
+  SELECT 2, CAST(COUNT(CASE WHEN o_orderkey % 4 = 2 THEN 1 END) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 3, CAST(COUNT(CASE WHEN o_orderkey % 4 = 3 THEN 1 END) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 4, CAST(COUNT(CASE WHEN o_orderkey % 4 = 0 THEN 1 END)
+                 + COUNT(CASE WHEN o_orderkey % 8 = 2 THEN 1 END)
+                 AS BIGINT)
+  FROM orders
+) ORDER BY added_in
+""",
+)
+def ext_snapshot_file_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILE PROVENANCE for the live table state — the Iceberg
+    files-table lineage view: for every data file of the latest
+    snapshot, which commit first added it, summed here to (commit,
+    rows) pairs from manifest stats alone (zero data IO). The fixture
+    makes lineage closed-form: four per-bucket append commits (0..3,
+    one file each), then a MERGE updating keys ≡0 (mod 8) and
+    inserting fresh keys — the touched-file semi-join rewrites
+    EXACTLY bucket 0's file (all matched keys live there), so the
+    post-merge table must trace bucket-1/2/3 files to their original
+    commits (1, 2, 3) and bucket-0's replacement plus the inserts to
+    the merge commit (4), with commit 0 contributing nothing. This is
+    the audit a platform runs for retention and incident forensics
+    ('which commit produced these rows') — at 100 TB it stays a
+    driver-side manifest walk."""
+    import shutil
+    import tempfile
+
+    from nibbler_spark.operators.snapshots import (
+        file_lineage,
+        merge_into_snapshot,
+        snapshot_files,
+        write_snapshot,
+    )
+
+    table = tempfile.mkdtemp(prefix="nibbler-lineage-")
+    shutil.rmtree(table)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    carry: list[str] = []
+    for b in range(4):
+        sid = write_snapshot(
+            o.where(F.col("o_orderkey") % 4 == b).coalesce(1),
+            table,
+            carry_over=carry,
+        )
+        carry = snapshot_files(table, sid)
+    updates = o.where(F.col("o_orderkey") % 8 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("op"),
+        "o_custkey",
+        (F.col("o_totalprice") * F.lit(1.1)).alias("o_totalprice"),
+    )
+    inserts = o.where(F.col("o_orderkey") % 8 == 2).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        F.lit("I").alias("op"),
+        "o_custkey",
+        F.lit(100.0).alias("o_totalprice"),
+    )
+    merge_into_snapshot(
+        spark,
+        table,
+        updates.unionByName(inserts),
+        key="o_orderkey",
+        value_cols=["o_custkey", "o_totalprice"],
+    )
+    lin = file_lineage(table)
+    return (
+        spark.createDataFrame(
+            [(e["added_in"], e["rows"]) for e in lin],
+            "added_in int, rows long",
+        )
+        .groupBy("added_in")
+        .agg(F.sum("rows").cast("bigint").alias("n_rows"))
+        .orderBy("added_in")
+    )
