@@ -3556,3 +3556,79 @@ def i30_stream_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("dlq_id_sum"),
     )
     return good.crossJoin(F.broadcast(bad))
+
+
+@register(
+    "i31_stream_backfill_seam",
+    survey_id="EXT-STREAM-BACKFILL",
+    category="streaming",
+    mode="parity",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+)
+def i31_stream_backfill_seam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BACKFILL-THEN-GO-LIVE with an overlapping seam — the production
+    cutover every streaming pipeline runs once: a batch backfill
+    covers days 1–20, the live stream starts from day 15 (overlap
+    15–20, because starting exactly at the backfill boundary risks
+    losing in-flight data), and the seam must not double-count. Each
+    live micro-batch anti-joins on event_id against the backfill's
+    key range BEFORE appending — idempotent by construction, so the
+    at-least-once overlap becomes exactly-once output. Parity: backfill
+    ∪ deduped live must equal the one-shot batch aggregate over ALL
+    events — the lambda-architecture consistency contract. At 100 TB
+    the anti-join probes only the overlap window's keys (broadcast or
+    bucketed store), not the full history."""
+    base = tempfile.mkdtemp(prefix="nibbler-i31-")
+    hist_dir = os.path.join(base, "hist")
+    live_src = os.path.join(base, "live_src")
+    live_out = os.path.join(base, "live_out")
+    os.makedirs(live_src, exist_ok=True)
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    day = F.dayofmonth("ts")
+    e.where(day <= 20).write.mode("overwrite").parquet(hist_dir)
+    live = e.where(day >= 15)
+    for half in (0, 1):
+        live.where(F.col("event_id") % 2 == half).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(live_src, f"half={half}"))
+
+    hist_keys = spark.read.parquet(hist_dir).select("event_id")
+
+    def seam(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.join(hist_keys, "event_id", "left_anti").write.mode(
+            "append"
+        ).parquet(os.path.join(live_out, f"epoch={epoch_id}"))
+
+    q = (
+        spark.readStream.schema(live.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(live_src + "/half=*/")
+        .writeStream.foreachBatch(seam)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="nibbler-ck-")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    merged = spark.read.parquet(hist_dir).unionByName(
+        spark.read.parquet(live_out + "/epoch=*")
+    )
+    return (
+        merged.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.floor(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("sum_cents"),
+        )
+        .orderBy("event_type")
+    )
