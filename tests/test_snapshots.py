@@ -622,3 +622,96 @@ def test_vacuum_on_shallow_clone_never_touches_source(spark, tmp_path):
 
     for rel in snapshot_files(src, 0):
         assert os.path.exists(os.path.join(src, rel))
+
+
+def test_rename_columns_is_metadata_only_and_composes(spark, tmp_path):
+    """Two successive renames compose to one logical→ORIGINAL-physical
+    mapping; no commit rewrites a data file; filters keep pruning
+    through the rename."""
+    from nibbler_spark.operators.snapshots import (
+        read_snapshot,
+        read_snapshot_pruned,
+        rename_columns,
+        snapshot_files,
+        snapshot_meta,
+        write_snapshot,
+    )
+
+    table = str(tmp_path / "t")
+    df = spark.range(100).selectExpr("id AS k", "id * 2 AS v")
+    # two files with disjoint k ranges so pruning has something to skip
+    s0 = write_snapshot(df.where("k < 50").coalesce(1), table)
+    s0b = write_snapshot(
+        df.where("k >= 50").coalesce(1),
+        table,
+        carry_over=snapshot_files(table, s0),
+    )
+    s1 = rename_columns(table, {"v": "val"})
+    s2 = rename_columns(table, {"val": "amount"})
+    assert snapshot_files(table, s0b) == snapshot_files(table, s2)
+    assert snapshot_meta(table, s2)["column_mapping"] == {"amount": "v"}
+    cur = read_snapshot(spark, table, s2)
+    assert set(cur.columns) == {"k", "amount"}
+    # pruning on the ORIGINAL physical stats still works via logical k
+    _, scanned, total = read_snapshot_pruned(
+        spark, table, filters=[("k", "<", 10)]
+    )
+    assert total == 2 and scanned == 1
+    # time travel before the rename serves the old logical name
+    assert set(read_snapshot(spark, table, s1).columns) == {"k", "val"}
+    assert set(read_snapshot(spark, table, s0b).columns) == {"k", "v"}
+
+
+def test_read_row_changes_requires_cdc_commit(spark, tmp_path):
+    """The row-level feed is per-commit opt-in: reading it from a plain
+    commit raises instead of silently returning nothing."""
+    import pytest as _pytest
+
+    from nibbler_spark.operators.snapshots import (
+        read_row_changes,
+        write_snapshot,
+    )
+
+    table = str(tmp_path / "t")
+    write_snapshot(spark.range(10).selectExpr("id AS k", "id AS v"), table)
+    with _pytest.raises(ValueError, match="no row-level"):
+        read_row_changes(spark, table, 0)
+
+
+def test_merge_cdc_feed_reconstructs_merge(spark, tmp_path):
+    """Applying the row-level CDF to the pre-merge table reproduces the
+    post-merge table exactly — the incremental-consumer contract."""
+    from pyspark.sql import functions as F
+
+    from nibbler_spark.operators.snapshots import (
+        merge_into_snapshot,
+        read_row_changes,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    table = str(tmp_path / "t")
+    base = spark.range(40).selectExpr("id AS k", "id * 10 AS v")
+    write_snapshot(base.repartition(2), table)
+    changes = spark.createDataFrame(
+        [(1, "U", 111), (2, "D", None), (100, "I", 1000)],
+        "k long, op string, v long",
+    )
+    sid = merge_into_snapshot(
+        spark, table, changes, key="k", value_cols=["v"], cdc=True
+    )
+    feed = read_row_changes(spark, table, sid)
+    pre = read_snapshot(spark, table, sid - 1)
+    retract = feed.where(
+        F.col("_change_type").isin("delete", "update_preimage")
+    ).select("k")
+    apply_rows = feed.where(
+        F.col("_change_type").isin("insert", "update_postimage")
+    ).select("k", "v")
+    reconstructed = (
+        pre.join(retract, "k", "left_anti").unionByName(apply_rows)
+    )
+    post = read_snapshot(spark, table, sid)
+    assert sorted(map(tuple, reconstructed.collect())) == sorted(
+        map(tuple, post.collect())
+    )
