@@ -216,6 +216,17 @@ def _load_manifest(table_dir: str, snapshot_id: int) -> list[dict]:
         doc = json.load(fh)
     if isinstance(doc, list):  # v1 manifests: bare path list, no stats
         return [{"path": p, "rows": None, "columns": {}} for p in doc]
+    if doc.get("shards"):
+        # two-level manifest: flatten shard entry lists so every
+        # single-level reader (time travel, vacuum, lineage) keeps
+        # working; shard-pruned access goes through read_sharded_pruned
+        entries: list[dict] = []
+        for s in doc["shards"]:
+            with open(
+                os.path.join(_manifest_dir(table_dir), s["shard"])
+            ) as fh:
+                entries.extend(json.load(fh)["files"])
+        return entries
     return doc["files"]
 
 
@@ -928,6 +939,137 @@ def read_row_changes(
             "change feed (merge was not run with cdc=True)"
         )
     return spark.read.parquet(os.path.join(table_dir, rel))
+
+
+def commit_snapshot_sharded(
+    table_dir: str,
+    entries: list[dict],
+    shard_key: str,
+    files_per_shard: int,
+) -> int:
+    """TWO-LEVEL manifest commit (the Iceberg manifest-list design):
+    file entries sort by their ``shard_key`` MIN stat and chunk into
+    shard manifests of ``files_per_shard`` entries; the top-level
+    manifest stores only one row per shard — its path, file count and
+    the shard-wide [min, max] envelope of ``shard_key``. A filtered
+    read prunes SHARDS before it ever parses a file entry, so
+    metadata cost scales as O(shards + surviving-shard entries), not
+    O(all files) — the difference between a 10 ms and a 10 s planning
+    step on a million-file table. Data files themselves are untouched;
+    this is purely a metadata layout."""
+    import math
+
+    mdir = os.path.join(_manifest_dir(table_dir), "shards")
+    os.makedirs(mdir, exist_ok=True)
+    key = lambda e: e["columns"].get(shard_key, {}).get("min")
+    entries = sorted(entries, key=lambda e: (key(e) is None, key(e)))
+    shard_rows = []
+    part = uuid.uuid4().hex[:8]
+    n_shards = math.ceil(len(entries) / files_per_shard)
+    for i in range(n_shards):
+        chunk = entries[i * files_per_shard : (i + 1) * files_per_shard]
+        rel = f"shards/{part}-{i}.json"
+        with open(os.path.join(_manifest_dir(table_dir), rel), "w") as fh:
+            json.dump({"files": chunk}, fh)
+        mins = [key(e) for e in chunk if key(e) is not None]
+        maxs = [
+            e["columns"].get(shard_key, {}).get("max")
+            for e in chunk
+            if e["columns"].get(shard_key, {}).get("max") is not None
+        ]
+        shard_rows.append(
+            {
+                "shard": rel,
+                "n_files": len(chunk),
+                "min": min(mins) if mins else None,
+                "max": max(maxs) if maxs else None,
+            }
+        )
+    while True:
+        sid = latest_snapshot(table_dir) + 1
+        tmp = os.path.join(
+            _manifest_dir(table_dir), f".{sid}.{uuid.uuid4().hex[:8]}.tmp"
+        )
+        with open(tmp, "w") as fh:
+            json.dump(
+                {
+                    "version": MANIFEST_VERSION,
+                    "meta": {"sharded_on": shard_key},
+                    "shards": shard_rows,
+                    "files": [],
+                },
+                fh,
+            )
+        try:
+            os.link(
+                tmp, os.path.join(_manifest_dir(table_dir), f"{sid}.json")
+            )
+            os.unlink(tmp)
+            return sid
+        except FileExistsError:
+            os.unlink(tmp)
+            continue
+
+
+def read_sharded_pruned(
+    spark: SparkSession,
+    table_dir: str,
+    snapshot_id: int,
+    filters: list[tuple[str, str, object]] | None = None,
+) -> tuple[DataFrame, int, int, int, int]:
+    """Read a two-level snapshot with shard-then-file pruning. Returns
+    ``(df, shards_loaded, shards_total, files_scanned, files_total)``.
+    Shards prune on the top-level [min, max] envelope of the shard
+    key; only surviving shards' entry lists are even PARSED, then the
+    usual per-file stats pruning applies within them."""
+    with open(
+        os.path.join(_manifest_dir(table_dir), f"{snapshot_id}.json")
+    ) as fh:
+        doc = json.load(fh)
+    shard_key = doc["meta"]["sharded_on"]
+    shards = doc["shards"]
+    total_shards = len(shards)
+    total_files = sum(s["n_files"] for s in shards)
+    keep = []
+    for s in shards:
+        pseudo = {
+            "rows": None,
+            "columns": {
+                shard_key: {"min": s["min"], "max": s["max"], "nulls": 0}
+            },
+        }
+        if all(
+            _may_match(pseudo, c, op, v)
+            for (c, op, v) in (filters or [])
+            if c == shard_key
+        ):
+            keep.append(s)
+    entries: list[dict] = []
+    for s in keep:
+        with open(
+            os.path.join(_manifest_dir(table_dir), s["shard"])
+        ) as fh:
+            entries.extend(json.load(fh)["files"])
+    if filters:
+        entries = prune_entries(entries, filters)
+    if not entries:
+        raise ValueError("all files pruned; no schema source")
+    df = spark.read.parquet(
+        *[os.path.join(table_dir, e["path"]) for e in entries]
+    )
+    for c, op, v in filters or []:
+        column = F.col(c)
+        df = df.where(
+            {
+                "=": column == v,
+                "==": column == v,
+                "<": column < v,
+                "<=": column <= v,
+                ">": column > v,
+                ">=": column >= v,
+            }[op]
+        )
+    return df, len(keep), total_shards, len(entries), total_files
 
 
 def file_lineage(table_dir: str) -> list[dict]:

@@ -3118,3 +3118,100 @@ def ext_snapshot_file_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("rows").cast("bigint").alias("n_rows"))
         .orderBy("added_in")
     )
+
+
+@register(
+    "ext_manifest_list_pruning",
+    survey_id="EXT-MANIFEST-LIST",
+    category="lakehouse",
+    oracle="""
+SELECT o_orderstatus AS status,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM orders
+WHERE o_orderkey > (SELECT MAX(o_orderkey) FROM orders) * 3 // 4
+GROUP BY o_orderstatus ORDER BY status
+""",
+)
+def ext_manifest_list_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-LEVEL manifest metadata (the Iceberg manifest-list design) —
+    what keeps PLANNING fast when the table has a million files: 16
+    range-disjoint data files (o_orderkey quantile ranges, one file
+    each) commit under 4 shard manifests of 4 entries, and the
+    top-level manifest carries only per-shard [min, max] envelopes. A
+    filter on the top quarter of the key space must (a) prune at the
+    SHARD level — at most 2 of 4 shard entry lists are even parsed —
+    then (b) prune files within survivors, and (c) return exactly the
+    plain-scan answer (both pruning levels asserted in-query, with
+    the single-level flatten reader cross-checked for interop). At
+    100 TB: metadata IO scales with surviving shards, not table
+    files; data IO scales with surviving files — each level cuts an
+    order of magnitude before the scan starts."""
+    import os
+    import shutil
+    import tempfile
+
+    from nibbler_spark.operators.snapshots import (
+        commit_snapshot_sharded,
+        file_stats,
+        read_sharded_pruned,
+        read_snapshot,
+        read_snapshot_pruned,
+    )
+
+    table = tempfile.mkdtemp(prefix="nibbler-mlist-")
+    shutil.rmtree(table)
+    os.makedirs(table)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    kmax = o.agg(F.max("o_orderkey")).first()[0]
+    entries = []
+    for i in range(16):
+        lo, hi = kmax * i // 16, kmax * (i + 1) // 16
+        part = (
+            o.where(
+                (F.col("o_orderkey") > lo) & (F.col("o_orderkey") <= hi)
+            )
+            if i
+            else o.where(F.col("o_orderkey") <= hi)
+        )
+        ddir = f"data-r{i:02d}"
+        part.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(table, ddir)
+        )
+        for f in os.listdir(os.path.join(table, ddir)):
+            if f.endswith(".parquet"):
+                rel = os.path.join(ddir, f)
+                entries.append(
+                    {
+                        "path": rel,
+                        **file_stats(os.path.join(table, rel)),
+                    }
+                )
+    sid = commit_snapshot_sharded(
+        table, entries, shard_key="o_orderkey", files_per_shard=4
+    )
+    cut = kmax * 3 // 4
+    df, sh_kept, sh_total, f_kept, f_total = read_sharded_pruned(
+        spark, table, sid, filters=[("o_orderkey", ">", cut)]
+    )
+    assert sh_total == 4 and sh_kept <= 2, (sh_kept, sh_total)
+    assert f_kept < f_total == 16, (f_kept, f_total)
+    # interop: the single-level flatten reader sees the same snapshot
+    flat, f2, t2 = read_snapshot_pruned(
+        spark, table, sid, filters=[("o_orderkey", ">", cut)]
+    )
+    assert t2 == 16 and f2 == f_kept
+    assert read_snapshot(spark, table, sid).count() == o.count()
+    return (
+        df.groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("sum_cents"),
+        )
+        .orderBy("status")
+    )
