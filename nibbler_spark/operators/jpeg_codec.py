@@ -553,7 +553,9 @@ def decode_jpeg(payload: bytes) -> dict:
                  seg[7 + 3 * i] & 0x0F, seg[8 + 3 * i])
                 for i in range(ncomp)
             ]
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
+        elif marker == 0xC2:  # progressive: dedicated multi-scan path
+            return decode_jpeg_progressive_gray(payload)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7):
             raise JpegFormatError("non-baseline SOF unsupported")
         elif marker == 0xC4:  # DHT: one or more per-id tables
             p = 0
@@ -687,3 +689,276 @@ def decode_jpeg_gray(payload: bytes) -> dict:
     if out["fmt"] != "jpeg":
         raise JpegFormatError("expected grayscale JPEG, got color")
     return out
+
+
+# --- Progressive JPEG (SOF2, spectral selection) --------------------------
+#
+# ITU-T T.81 Annex G, restricted to the spectral-selection dimension
+# (Ah = Al = 0 in every scan): the DC coefficients ship first as their
+# own scan, then the AC spectrum arrives in zigzag BANDS, each an
+# independent entropy-coded scan with the progressive EOBRUN code
+# (EOBn = symbol (n<<4)|0 + n extra bits encodes a run of 2^n .. 2^(n+1)-1
+# all-zero-band blocks). Successive approximation (Al > 0) is out of
+# scope and rejected loudly. Grayscale only — one component per scan.
+#
+# The AC scans use a from-scratch spec-legal Huffman table that ASSIGNS
+# CODES to the EOBn symbols (the standard baseline AC table has none):
+# all 176 symbols at code length 9 — canonical, Kraft-incomplete
+# (176/512), exactly the kind of table a DHT segment may declare.
+
+_PROG_AC_VALS = (
+    [r << 4 for r in range(15)]
+    + [0xF0]
+    + [(r << 4) | c for r in range(16) for c in range(1, 11)]
+)
+_PROG_AC_BITS = [0] * 8 + [len(_PROG_AC_VALS)] + [0] * 7
+
+
+def encode_jpeg_gray_progressive(
+    width: int,
+    height: int,
+    pixel,
+    quant: int = 1,
+    bands: tuple = ((1, 5), (6, 63)),
+) -> bytes:
+    """Encode an 8-bit grayscale image as a PROGRESSIVE (SOF2) JPEG
+    with spectral selection: one DC scan followed by one AC scan per
+    ``bands`` entry. All quantized coefficients are computed once;
+    each scan entropy-codes only its zigzag band, accumulating EOBRUN
+    across blocks whose band is entirely zero (flushed as a single
+    EOBn code — the progressive-only symbol family)."""
+    dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _canonical_codes(_PROG_AC_BITS, _PROG_AC_VALS)
+    qtab = [quant] * 64
+    blocks_y = (height + 7) // 8
+    blocks_x = (width + 7) // 8
+    blocks = []
+    for by in range(blocks_y):
+        for bx in range(blocks_x):
+            block = []
+            for y in range(8):
+                for x in range(8):
+                    px = min(bx * 8 + x, width - 1)
+                    py = min(by * 8 + y, height - 1)
+                    block.append(int(pixel(px, py)) - 128)
+            blocks.append(_quantized_block(block, qtab))
+
+    out = bytearray(b"\xff\xd8")
+    dqt = bytes([0x00]) + bytes(qtab[i] & 0xFF for i in range(64))
+    out += b"\xff\xdb" + struct.pack(">H", 2 + len(dqt)) + dqt
+    sof = struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+    dht = (
+        bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)
+        + bytes([0x10]) + bytes(_PROG_AC_BITS) + bytes(_PROG_AC_VALS)
+    )
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+
+    def sos_header(ss: int, se: int) -> bytes:
+        body = bytes([1, 1, 0x00, ss, se, 0x00])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body
+
+    # scan 1: DC coefficients, coded exactly like baseline DC
+    bw = _BitWriterMSB()
+    pred = 0
+    for q in blocks:
+        diff = q[0] - pred
+        pred = q[0]
+        cat = _category(diff)
+        code, length = dc_codes[cat]
+        bw.write(code, length)
+        if cat:
+            bw.write(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+    out += sos_header(0, 0) + bw.finish()
+
+    for ss, se in bands:
+        bw = _BitWriterMSB()
+        eobrun = 0
+
+        def flush_eob():
+            nonlocal eobrun
+            while eobrun:
+                n = min(14, eobrun.bit_length() - 1)
+                take = min(eobrun, (1 << n) + ((1 << n) - 1))
+                code, length = ac_codes[n << 4]
+                bw.write(code, length)
+                if n:
+                    bw.write(take - (1 << n), n)
+                eobrun -= take
+
+        for q in blocks:
+            band = q[ss : se + 1]
+            if not any(band):
+                eobrun += 1
+                continue
+            flush_eob()
+            last_nz = max(i for i, v in enumerate(band) if v)
+            run = 0
+            for i in range(last_nz + 1):
+                v = band[i]
+                if v == 0:
+                    run += 1
+                    continue
+                while run >= 16:
+                    zc, zl = ac_codes[0xF0]
+                    bw.write(zc, zl)
+                    run -= 16
+                cat = _category(v)
+                code, length = ac_codes[(run << 4) | cat]
+                bw.write(code, length)
+                bw.write(v if v >= 0 else v + (1 << cat) - 1, cat)
+                run = 0
+            if last_nz < len(band) - 1:
+                eobrun += 1  # trailing zero tail = EOB for this block
+        flush_eob()
+        out += sos_header(ss, se) + bw.finish()
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def decode_jpeg_progressive_gray(payload: bytes) -> dict:
+    """Decode a progressive (SOF2) spectral-selection grayscale JPEG:
+    walk every scan, accumulate each block's zigzag coefficients
+    across scans (DC scan = baseline DC coding; AC scans = band
+    run-length coding with EOBRUN), then dequantize + IDCT once at
+    EOI. Successive approximation (Ah or Al nonzero) raises — the
+    declared scope is the spectral dimension."""
+    if payload[:2] != b"\xff\xd8":
+        raise JpegFormatError("not a JPEG payload (no SOI)")
+    pos = 2
+    qtabs: dict[int, list[int]] = {}
+    dc_tables: dict[int, dict] = {}
+    ac_tables: dict[int, dict] = {}
+    width = height = None
+    tq_id = 0
+    coefz: list[list[int]] | None = None
+    pred = 0
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise JpegFormatError("marker sync lost")
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue
+        (seglen,) = struct.unpack_from(">H", payload, pos)
+        seg = payload[pos + 2 : pos + seglen]
+        if marker == 0xDB:
+            p = 0
+            while p < len(seg):
+                pq_tq = seg[p]
+                if pq_tq & 0xF0:
+                    raise JpegFormatError("16-bit quant tables unsupported")
+                qtabs[pq_tq & 0x0F] = list(seg[p + 1 : p + 65])
+                p += 65
+        elif marker == 0xC2:
+            precision, height, width, ncomp = struct.unpack_from(
+                ">BHHB", seg, 0
+            )
+            if precision != 8 or ncomp != 1:
+                raise JpegFormatError(
+                    "progressive path supports 8-bit grayscale only"
+                )
+            tq_id = seg[8]
+            n_blocks = ((height + 7) // 8) * ((width + 7) // 8)
+            coefz = [[0] * 64 for _ in range(n_blocks)]
+        elif marker == 0xC4:
+            p = 0
+            while p < len(seg):
+                tc_th = seg[p]
+                bits = list(seg[p + 1 : p + 17])
+                n = sum(bits)
+                vals = list(seg[p + 17 : p + 17 + n])
+                table = _build_decode_table(bits, vals)
+                if tc_th >> 4 == 0:
+                    dc_tables[tc_th & 0x0F] = table
+                else:
+                    ac_tables[tc_th & 0x0F] = table
+                p += 17 + n
+        elif marker == 0xDA:
+            if coefz is None:
+                raise JpegFormatError("SOS before SOF2")
+            ns = seg[0]
+            if ns != 1:
+                raise JpegFormatError("one component per scan only")
+            dc_id, ac_id = seg[2] >> 4, seg[2] & 0x0F
+            ss, se = seg[3], seg[4]
+            if seg[5] != 0:
+                raise JpegFormatError(
+                    "successive approximation unsupported "
+                    "(spectral selection only)"
+                )
+            scan_start = pos + seglen
+            i = scan_start
+            while True:  # locate the next true marker (skip stuffing)
+                j = payload.index(b"\xff", i)
+                if j + 1 < len(payload) and payload[j + 1] == 0x00:
+                    i = j + 2
+                    continue
+                end = j
+                break
+            br = _BitReaderMSB(payload[scan_start:end])
+            if ss == 0:
+                if se != 0:
+                    raise JpegFormatError(
+                        "DC and AC may not share a progressive scan"
+                    )
+                for b in range(len(coefz)):
+                    cat = _read_symbol(br, dc_tables[dc_id])
+                    pred += _extend(br.read_bits(cat), cat)
+                    coefz[b][0] = pred
+            else:
+                eobrun = 0
+                for b in range(len(coefz)):
+                    if eobrun:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        sym = _read_symbol(br, ac_tables[ac_id])
+                        r, cat = sym >> 4, sym & 0x0F
+                        if cat == 0:
+                            if r == 15:
+                                k += 16
+                                continue
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += br.read_bits(r)
+                            break
+                        k += r
+                        if k > se:
+                            raise JpegFormatError("AC band overflow")
+                        coefz[b][k] = _extend(br.read_bits(cat), cat)
+                        k += 1
+            pos = end
+            continue
+        pos += seglen
+    if coefz is None or width is None or tq_id not in qtabs:
+        raise JpegFormatError("missing required JPEG segments")
+    qtab = qtabs[tq_id]
+    blocks_x = (width + 7) // 8
+    plane = [[0] * (blocks_x * 8) for _ in range(((height + 7) // 8) * 8)]
+    for b, zz in enumerate(coefz):
+        coef = [0.0] * 64
+        for i in range(64):
+            coef[ZIGZAG[i]] = zz[i] * qtab[i]
+        spatial = _idct_block(coef)
+        oy, ox = (b // blocks_x) * 8, (b % blocks_x) * 8
+        for y in range(8):
+            for x in range(8):
+                plane[oy + y][ox + x] = min(
+                    255, max(0, int(round(spatial[y * 8 + x])) + 128)
+                )
+    total = sum(sum(plane[y][:width]) for y in range(height))
+    return {
+        "fmt": "jpeg-progressive",
+        "width": width,
+        "height": height,
+        "bottom_up": False,
+        "n_pixels": width * height,
+        "pixel_sum": total,
+    }

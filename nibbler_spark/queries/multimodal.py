@@ -2588,3 +2588,79 @@ def ext_audio_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, n_frames int, total_energy long, "
         "max_frame_energy long, zero_crossings long",
     ).orderBy("doc_id")
+
+
+@register(
+    "ext_image_decode_jpeg_progressive",
+    survey_id="EXT-MM-JPEG-PROG",
+    category="multimodal",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, 9 + doc_id % 24 AS w, 10 + doc_id % 15 AS h
+  FROM documents WHERE doc_id % 43 = 0
+),
+px AS (
+  SELECT d.doc_id, d.w, d.h,
+         (d.doc_id + 53 * (x.x // 8) + 29 * (y.y // 8)) % 256 AS s
+  FROM d
+  CROSS JOIN generate_series(0, 32) AS x(x)
+  CROSS JOIN generate_series(0, 24) AS y(y)
+  WHERE x.x < d.w AND y.y < d.h
+)
+SELECT doc_id, 'jpeg-progressive' AS fmt,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(w * h AS BIGINT) AS n_pixels,
+       CAST(SUM(s) AS BIGINT) AS pixel_sum
+FROM px GROUP BY doc_id, w, h ORDER BY doc_id
+""",
+)
+def ext_image_decode_jpeg_progressive(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PROGRESSIVE JPEG (SOF2, spectral selection) end-to-end — striking
+    another format off the 'out of reach' list: each sampled document
+    becomes a genuine multi-scan progressive JPEG (DC scan first, then
+    the AC spectrum in zigzag bands 1–5 and 6–63, EOBRUN-coded with
+    the progressive-only EOBn symbol family declared via a from-scratch
+    canonical Huffman table); the decoder walks every scan,
+    accumulates per-block coefficients across scans, and runs the
+    IDCT once at EOI (operators/jpeg_codec.py:
+    decode_jpeg_progressive_gray, reached through the magic-dispatch
+    seam — SOF2 routes away from the baseline path automatically).
+    Images are piecewise-constant per 8x8 block (multi-block, so the
+    all-zero AC bands genuinely exercise EOBRUN ACCUMULATION across
+    blocks), making the decompressed pixel sum closed-form for the
+    oracle while the codec stays fully general. Partition-local
+    mapInPandas, zero shuffles."""
+    import pandas as _pd
+
+    from nibbler_spark.operators.jpeg_codec import (
+        encode_jpeg_gray_progressive,
+    )
+
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 43 == 0
+    ).select("doc_id")
+
+    def encode(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                w, h = 9 + did % 24, 10 + did % 15
+                payloads.append(
+                    encode_jpeg_gray_progressive(
+                        w,
+                        h,
+                        lambda x, y, did=did: (
+                            did + 53 * (x // 8) + 29 * (y // 8)
+                        )
+                        % 256,
+                    )
+                )
+            yield _pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    encoded = d.mapInPandas(encode, "doc_id long, payload binary")
+    return decode_image_batches(encoded).orderBy("doc_id")

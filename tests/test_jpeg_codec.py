@@ -53,10 +53,17 @@ def test_random_images_roundtrip_within_one_gray_level_per_pixel():
         assert abs(d["pixel_sum"] - expect) <= w * h
 
 
-def test_decoder_rejects_progressive_and_truncation():
+def test_decoder_rejects_malformed_sof_and_truncation():
+    # a baseline stream whose SOF marker is forged to SOF2 now routes
+    # to the progressive decoder (r4), which rejects the ill-formed
+    # combined DC+AC scan a baseline stream carries
     buf = bytearray(encode_jpeg_gray(8, 8, lambda x, y: 100))
     sof = buf.index(b"\xff\xc0")
-    buf[sof + 1] = 0xC2  # pretend progressive
+    buf[sof + 1] = 0xC2
+    with pytest.raises(JpegFormatError, match="share a progressive scan"):
+        decode_jpeg_gray(bytes(buf))
+    # genuinely unsupported SOF flavors still reject loudly
+    buf[sof + 1] = 0xC3  # lossless sequential
     with pytest.raises(JpegFormatError, match="non-baseline"):
         decode_jpeg_gray(bytes(buf))
     with pytest.raises(JpegFormatError):
@@ -225,3 +232,92 @@ def test_color_444_all_unit_sampling():
     assert (got["r_sum"], got["g_sum"], got["b_sum"]) == (
         r2 * 64, g2 * 64, b2 * 64
     )
+
+
+# --- progressive (SOF2, spectral selection) -------------------------------
+
+
+def test_progressive_exact_on_piecewise_constant_blocks():
+    from nibbler_spark.operators.jpeg_codec import (
+        decode_jpeg,
+        decode_jpeg_progressive_gray,
+        encode_jpeg_gray_progressive,
+    )
+
+    for w, h in [(8, 8), (16, 24), (13, 9), (33, 25)]:
+        f = lambda x, y: ((x // 8) * 37 + (y // 8) * 91 + 5) % 256
+        p = encode_jpeg_gray_progressive(w, h, f)
+        d = decode_jpeg_progressive_gray(p)
+        assert (d["width"], d["height"]) == (w, h)
+        assert d["pixel_sum"] == sum(
+            f(x, y) for x in range(w) for y in range(h)
+        )
+        # the general decoder dispatches SOF2 to the progressive path
+        assert decode_jpeg(p)["pixel_sum"] == d["pixel_sum"]
+        assert decode_jpeg(p)["fmt"] == "jpeg-progressive"
+
+
+def test_progressive_matches_baseline_on_random_images():
+    import random
+
+    from nibbler_spark.operators.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg_gray,
+        encode_jpeg_gray_progressive,
+    )
+
+    rnd = random.Random(13)
+    for _ in range(5):
+        w, h = rnd.randint(4, 40), rnd.randint(4, 40)
+        img = [[rnd.randrange(256) for _ in range(w)] for _ in range(h)]
+        f = lambda x, y: img[y][x]
+        prog = decode_jpeg(encode_jpeg_gray_progressive(w, h, f))
+        base = decode_jpeg(encode_jpeg_gray(w, h, f))
+        # identical coefficients -> identical reconstruction, any image
+        assert prog["pixel_sum"] == base["pixel_sum"]
+
+
+def test_progressive_eobrun_spans_many_blocks():
+    """A constant image quantizes every AC band to zero, so each AC
+    scan is ONE EOBn code covering all blocks — the progressive-only
+    symbol family. The scan must still decode exactly."""
+    from nibbler_spark.operators.jpeg_codec import (
+        decode_jpeg_progressive_gray,
+        encode_jpeg_gray_progressive,
+    )
+
+    w = h = 64  # 64 blocks -> EOBRUN 64 = EOB6 + 6 extra bits
+    p = encode_jpeg_gray_progressive(w, h, lambda x, y: 200)
+    d = decode_jpeg_progressive_gray(p)
+    assert d["pixel_sum"] == 200 * w * h
+
+
+def test_progressive_band_split_variants():
+    from nibbler_spark.operators.jpeg_codec import (
+        decode_jpeg_progressive_gray,
+        encode_jpeg_gray_progressive,
+    )
+
+    f = lambda x, y: (x * 7 + y * 3) % 256
+    sums = set()
+    for bands in (((1, 63),), ((1, 5), (6, 63)), ((1, 2), (3, 20), (21, 63))):
+        p = encode_jpeg_gray_progressive(24, 16, f, bands=bands)
+        sums.add(decode_jpeg_progressive_gray(p)["pixel_sum"])
+    assert len(sums) == 1  # band partitioning never changes the image
+
+
+def test_progressive_rejects_successive_approximation():
+    import pytest
+
+    from nibbler_spark.operators.jpeg_codec import (
+        JpegFormatError,
+        decode_jpeg_progressive_gray,
+        encode_jpeg_gray_progressive,
+    )
+
+    p = bytearray(encode_jpeg_gray_progressive(8, 8, lambda x, y: 1))
+    # flip the first SOS's Ah/Al byte (last byte of the 6-byte SOS body)
+    i = p.find(b"\xff\xda")
+    p[i + 2 + 2 + 6 - 1] = 0x01
+    with pytest.raises(JpegFormatError, match="successive approximation"):
+        decode_jpeg_progressive_gray(bytes(p))
