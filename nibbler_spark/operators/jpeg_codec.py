@@ -443,6 +443,8 @@ def _build_decode_table(bits: list[int], vals: list[int]):
     k = 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
+            if k >= len(vals):
+                raise JpegFormatError("truncated Huffman table")
             table[(length, code)] = vals[k]
             code += 1
             k += 1
@@ -887,11 +889,7 @@ def decode_jpeg_progressive_gray(payload: bytes) -> dict:
                 raise JpegFormatError("one component per scan only")
             dc_id, ac_id = seg[2] >> 4, seg[2] & 0x0F
             ss, se = seg[3], seg[4]
-            if seg[5] != 0:
-                raise JpegFormatError(
-                    "successive approximation unsupported "
-                    "(spectral selection only)"
-                )
+            ah, a_l = seg[5] >> 4, seg[5] & 0x0F
             scan_start = pos + seglen
             i = scan_start
             while True:  # locate the next true marker (skip stuffing)
@@ -902,7 +900,9 @@ def decode_jpeg_progressive_gray(payload: bytes) -> dict:
                 end = j
                 break
             br = _BitReaderMSB(payload[scan_start:end])
-            if ss == 0:
+            if ss == 0 and ah == 0:
+                # DC first scan (any Al): baseline diff coding of the
+                # arithmetically-shifted values (G.1.2.1)
                 if se != 0:
                     raise JpegFormatError(
                         "DC and AC may not share a progressive scan"
@@ -910,8 +910,14 @@ def decode_jpeg_progressive_gray(payload: bytes) -> dict:
                 for b in range(len(coefz)):
                     cat = _read_symbol(br, dc_tables[dc_id])
                     pred += _extend(br.read_bits(cat), cat)
-                    coefz[b][0] = pred
-            else:
+                    coefz[b][0] = pred << a_l
+            elif ss == 0:
+                # DC refinement: one raw magnitude bit per block
+                for b in range(len(coefz)):
+                    coefz[b][0] += br.read_bit() << a_l
+            elif ah == 0:
+                # AC first scan (any Al): spectral coding of the
+                # magnitude-truncated values (G.1.2.2)
                 eobrun = 0
                 for b in range(len(coefz)):
                     if eobrun:
@@ -932,8 +938,77 @@ def decode_jpeg_progressive_gray(payload: bytes) -> dict:
                         k += r
                         if k > se:
                             raise JpegFormatError("AC band overflow")
-                        coefz[b][k] = _extend(br.read_bits(cat), cat)
+                        t = _extend(br.read_bits(cat), cat)
+                        coefz[b][k] = (
+                            (t << a_l) if t >= 0 else -((-t) << a_l)
+                        )
                         k += 1
+            else:
+                # AC refinement (G.1.2.3): newly-significant coefficients
+                # Huffman-coded over zero-history runs; every
+                # nonzero-history position passed yields one correction
+                # bit, applied toward larger magnitude
+                def corr(b: int, k: int) -> None:
+                    if br.read_bit():
+                        coefz[b][k] += (
+                            (1 << a_l) if coefz[b][k] > 0 else -(1 << a_l)
+                        )
+
+                eobrun = 0
+                for b in range(len(coefz)):
+                    if eobrun:
+                        for k in range(ss, se + 1):
+                            if coefz[b][k]:
+                                corr(b, k)
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        sym = _read_symbol(br, ac_tables[ac_id])
+                        r, cat = sym >> 4, sym & 0x0F
+                        if cat == 0 and r != 15:
+                            eobrun = (1 << r)
+                            if r:
+                                eobrun += br.read_bits(r)
+                            # current block's tail: correction bits only
+                            while k <= se:
+                                if coefz[b][k]:
+                                    corr(b, k)
+                                k += 1
+                            eobrun -= 1
+                            break
+                        if cat == 0:  # ZRL: 16 zero-history positions
+                            skip = 16
+                            while skip:
+                                if k > se:
+                                    raise JpegFormatError(
+                                        "refinement ZRL overflow"
+                                    )
+                                if coefz[b][k]:
+                                    corr(b, k)
+                                else:
+                                    skip -= 1
+                                k += 1
+                            continue
+                        if cat != 1:
+                            raise JpegFormatError(
+                                "refinement magnitude must be 1"
+                            )
+                        sign = 1 if br.read_bit() else -1
+                        while True:
+                            if k > se:
+                                raise JpegFormatError(
+                                    "refinement run overflow"
+                                )
+                            if coefz[b][k]:
+                                corr(b, k)
+                            elif r == 0:
+                                coefz[b][k] = sign << a_l
+                                k += 1
+                                break
+                            else:
+                                r -= 1
+                            k += 1
             pos = end
             continue
         pos += seglen
@@ -962,3 +1037,205 @@ def decode_jpeg_progressive_gray(payload: bytes) -> dict:
         "n_pixels": width * height,
         "pixel_sum": total,
     }
+
+
+# --- Progressive successive approximation (T.81 G.1.2) --------------------
+#
+# The second progressive dimension: coefficients arrive at reduced
+# precision first (point transform by Al) and gain one magnitude bit
+# per refinement scan. DC uses an arithmetic shift (G.1.2.1); AC uses
+# sign-magnitude truncation toward zero (G.1.2.2); AC refinement scans
+# (G.1.2.3) interleave Huffman-coded newly-significant coefficients
+# with raw correction bits for already-nonzero ones — including the
+# buffered correction bits of EOBRUN blocks, appended after the EOBn
+# code. Encoder and decoder below implement all four scan kinds.
+
+
+def _sa_mag(v: int) -> int:
+    return v if v >= 0 else -v
+
+
+def encode_jpeg_gray_progressive_sa(
+    width: int, height: int, pixel, quant: int = 1, al: int = 1
+) -> bytes:
+    """Encode a grayscale image as a SUCCESSIVE-APPROXIMATION
+    progressive JPEG: DC first at precision ``al`` + one DC refinement
+    per bit, AC band 1–63 first at precision ``al`` + one AC
+    refinement per bit. With ``al=1`` this is the classic 4-scan
+    script real encoders emit."""
+    dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _canonical_codes(_PROG_AC_BITS, _PROG_AC_VALS)
+    qtab = [quant] * 64
+    blocks_y = (height + 7) // 8
+    blocks_x = (width + 7) // 8
+    blocks = []
+    for by in range(blocks_y):
+        for bx in range(blocks_x):
+            block = []
+            for y in range(8):
+                for x in range(8):
+                    px = min(bx * 8 + x, width - 1)
+                    py = min(by * 8 + y, height - 1)
+                    block.append(int(pixel(px, py)) - 128)
+            blocks.append(_quantized_block(block, qtab))
+
+    out = bytearray(b"\xff\xd8")
+    dqt = bytes([0x00]) + bytes(qtab[i] & 0xFF for i in range(64))
+    out += b"\xff\xdb" + struct.pack(">H", 2 + len(dqt)) + dqt
+    sof = struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+    dht = (
+        bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)
+        + bytes([0x10]) + bytes(_PROG_AC_BITS) + bytes(_PROG_AC_VALS)
+    )
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+
+    def sos(ss: int, se: int, ah: int, a_l: int, body: bytes) -> None:
+        hdr = bytes([1, 1, 0x00, ss, se, (ah << 4) | a_l])
+        out.extend(b"\xff\xda" + struct.pack(">H", 2 + len(hdr)) + hdr)
+        out.extend(body)
+
+    # DC first scan at precision al (arithmetic shift, diff-coded)
+    bw = _BitWriterMSB()
+    pred = 0
+    for q in blocks:
+        v = q[0] >> al
+        diff = v - pred
+        pred = v
+        cat = _category(diff)
+        code, length = dc_codes[cat]
+        bw.write(code, length)
+        if cat:
+            bw.write(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+    sos(0, 0, 0, al, bw.finish())
+
+    # AC first scan at precision al (sign-magnitude truncation)
+    bw = _BitWriterMSB()
+    eobrun = 0
+
+    def flush_eob_first():
+        nonlocal eobrun
+        while eobrun:
+            n = min(14, eobrun.bit_length() - 1)
+            take = min(eobrun, (1 << n) + ((1 << n) - 1))
+            code, length = ac_codes[n << 4]
+            bw.write(code, length)
+            if n:
+                bw.write(take - (1 << n), n)
+            eobrun -= take
+
+    for q in blocks:
+        band = [
+            (1 if q[k] >= 0 else -1) * (_sa_mag(q[k]) >> al)
+            for k in range(1, 64)
+        ]
+        if not any(band):
+            eobrun += 1
+            continue
+        flush_eob_first()
+        last_nz = max(i for i, v in enumerate(band) if v)
+        run = 0
+        for i in range(last_nz + 1):
+            v = band[i]
+            if v == 0:
+                run += 1
+                continue
+            while run >= 16:
+                zc, zl = ac_codes[0xF0]
+                bw.write(zc, zl)
+                run -= 16
+            cat = _category(v)
+            code, length = ac_codes[(run << 4) | cat]
+            bw.write(code, length)
+            bw.write(v if v >= 0 else v + (1 << cat) - 1, cat)
+            run = 0
+        if last_nz < 62:
+            eobrun += 1
+    flush_eob_first()
+    sos(1, 63, 0, al, bw.finish())
+
+    # refinement ladders down to full precision
+    for a in range(al, 0, -1):
+        a_l = a - 1
+        # DC refinement: one raw bit per block
+        bw = _BitWriterMSB()
+        for q in blocks:
+            bw.write((q[0] >> a_l) & 1, 1)
+        sos(0, 0, a, a_l, bw.finish())
+
+        # AC refinement (G.1.2.3)
+        bw = _BitWriterMSB()
+        eobrun = 0
+        eob_bits: list[int] = []
+
+        def flush_eob_refine():
+            nonlocal eobrun, eob_bits
+            while eobrun:
+                n = min(14, eobrun.bit_length() - 1)
+                take = min(eobrun, (1 << n) + ((1 << n) - 1))
+                code, length = ac_codes[n << 4]
+                bw.write(code, length)
+                if n:
+                    bw.write(take - (1 << n), n)
+                eobrun -= take
+            for b in eob_bits:
+                bw.write(b, 1)
+            eob_bits = []
+
+        for q in blocks:
+            mags = [_sa_mag(q[k]) for k in range(1, 64)]
+            newly = [
+                i
+                for i in range(63)
+                if (mags[i] >> a) == 0 and (mags[i] >> a_l) == 1
+            ]
+            if not newly:
+                # EOB block: buffer correction bits of its nonzero history
+                eobrun += 1
+                for i in range(63):
+                    if mags[i] >> a:
+                        eob_bits.append((mags[i] >> a_l) & 1)
+                if eobrun == 32767:
+                    flush_eob_refine()
+                continue
+            flush_eob_refine()
+            # walk the band symbol by symbol: each Huffman code (ZRL or
+            # run/1) is followed by exactly the correction bits of the
+            # nonzero-history positions passed while decoding it —
+            # eager per-segment emission, never batched across symbols
+            run = 0
+            pending: list[int] = []
+            last_new = newly[-1]
+            for i in range(last_new + 1):
+                if mags[i] >> a:  # already nonzero: correction bit
+                    pending.append((mags[i] >> a_l) & 1)
+                    continue
+                if (mags[i] >> a_l) == 1:  # newly significant
+                    code, length = ac_codes[(run << 4) | 1]
+                    bw.write(code, length)
+                    bw.write(1 if q[i + 1] >= 0 else 0, 1)
+                    for b in pending:
+                        bw.write(b, 1)
+                    pending = []
+                    run = 0
+                else:
+                    run += 1  # zero-history position staying zero
+                    if run == 16:
+                        zc, zl = ac_codes[0xF0]
+                        bw.write(zc, zl)
+                        for b in pending:
+                            bw.write(b, 1)
+                        pending = []
+                        run = 0
+            if last_new < 62:
+                eobrun += 1
+                for i in range(last_new + 1, 63):
+                    if mags[i] >> a:
+                        eob_bits.append((mags[i] >> a_l) & 1)
+            else:
+                assert not pending
+        flush_eob_refine()
+        sos(1, 63, a, a_l, bw.finish())
+
+    out += b"\xff\xd9"
+    return bytes(out)

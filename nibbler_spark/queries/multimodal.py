@@ -2664,3 +2664,74 @@ def ext_image_decode_jpeg_progressive(
 
     encoded = d.mapInPandas(encode, "doc_id long, payload binary")
     return decode_image_batches(encoded).orderBy("doc_id")
+
+
+@register(
+    "ext_image_decode_jpeg_sa",
+    survey_id="EXT-MM-JPEG-SA",
+    category="multimodal",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, 9 + doc_id % 20 AS w, 9 + doc_id % 12 AS h
+  FROM documents WHERE doc_id % 47 = 0
+),
+px AS (
+  SELECT d.doc_id, d.w, d.h,
+         (d.doc_id * 3 + 41 * (x.x // 8) + 67 * (y.y // 8)) % 256 AS s
+  FROM d
+  CROSS JOIN generate_series(0, 28) AS x(x)
+  CROSS JOIN generate_series(0, 20) AS y(y)
+  WHERE x.x < d.w AND y.y < d.h
+)
+SELECT doc_id, 'jpeg-progressive' AS fmt,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(w * h AS BIGINT) AS n_pixels,
+       CAST(SUM(s) AS BIGINT) AS pixel_sum
+FROM px GROUP BY doc_id, w, h ORDER BY doc_id
+""",
+)
+def ext_image_decode_jpeg_sa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUCCESSIVE-APPROXIMATION progressive JPEG end-to-end — the last
+    Huffman-coded JPEG dimension (T.81 G.1.2): every sampled document
+    becomes a genuine 4-scan file (DC first at 1-bit-reduced
+    precision, AC band 1–63 first, then one DC and one AC REFINEMENT
+    scan — the refinement interleaving Huffman-coded newly-significant
+    coefficients with raw correction bits, including the buffered
+    correction bits of EOBRUN blocks). The decoder accumulates
+    magnitude bits across scans and reconstructs the EXACT baseline
+    coefficients, so piecewise-constant fixtures stay closed-form for
+    the oracle while arbitrary images reconstruct identically to the
+    baseline codec (property-tested). Partition-local mapInPandas,
+    zero shuffles."""
+    import pandas as _pd
+
+    from nibbler_spark.operators.jpeg_codec import (
+        encode_jpeg_gray_progressive_sa,
+    )
+
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 47 == 0
+    ).select("doc_id")
+
+    def encode(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                w, h = 9 + did % 20, 9 + did % 12
+                payloads.append(
+                    encode_jpeg_gray_progressive_sa(
+                        w,
+                        h,
+                        lambda x, y, did=did: (
+                            did * 3 + 41 * (x // 8) + 67 * (y // 8)
+                        )
+                        % 256,
+                    )
+                )
+            yield _pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    encoded = d.mapInPandas(encode, "doc_id long, payload binary")
+    return decode_image_batches(encoded).orderBy("doc_id")

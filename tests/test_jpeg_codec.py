@@ -306,7 +306,7 @@ def test_progressive_band_split_variants():
     assert len(sums) == 1  # band partitioning never changes the image
 
 
-def test_progressive_rejects_successive_approximation():
+def test_progressive_rejects_color_and_structural_errors():
     import pytest
 
     from nibbler_spark.operators.jpeg_codec import (
@@ -316,8 +316,54 @@ def test_progressive_rejects_successive_approximation():
     )
 
     p = bytearray(encode_jpeg_gray_progressive(8, 8, lambda x, y: 1))
-    # flip the first SOS's Ah/Al byte (last byte of the 6-byte SOS body)
-    i = p.find(b"\xff\xda")
-    p[i + 2 + 2 + 6 - 1] = 0x01
-    with pytest.raises(JpegFormatError, match="successive approximation"):
+    # forge a 3-component SOF2: progressive path is grayscale-only
+    i = p.find(b"\xff\xc2")
+    p[i + 2 + 2 + 5] = 3  # ncomp byte of the SOF payload
+    with pytest.raises(JpegFormatError, match="grayscale only"):
         decode_jpeg_progressive_gray(bytes(p))
+    # refinement scans may only carry magnitude-1 symbols
+    q = bytearray(encode_jpeg_gray_progressive(8, 8, lambda x, y: 1))
+    with pytest.raises(JpegFormatError):
+        decode_jpeg_progressive_gray(bytes(q[: len(q) // 2]))  # truncated
+
+
+def test_successive_approximation_reconstructs_exactly():
+    """The SA scan ladder (first scans at reduced precision + one
+    refinement per bit) must reproduce the EXACT baseline quantized
+    coefficients — pixel sums equal the baseline decode on arbitrary
+    images, at every Al depth."""
+    import random
+
+    from nibbler_spark.operators.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg_gray,
+        encode_jpeg_gray_progressive_sa,
+    )
+
+    rnd = random.Random(31)
+    for al in (1, 2, 3):
+        for _ in range(3):
+            w, h = rnd.randint(4, 40), rnd.randint(4, 40)
+            img = [[rnd.randrange(256) for _ in range(w)] for _ in range(h)]
+            f = lambda x, y: img[y][x]
+            sa = decode_jpeg(encode_jpeg_gray_progressive_sa(w, h, f, al=al))
+            base = decode_jpeg(encode_jpeg_gray(w, h, f))
+            assert sa["pixel_sum"] == base["pixel_sum"]
+
+
+def test_sa_eobrun_correction_bits_buffering():
+    """Blocks whose refinement scan has no newly-significant
+    coefficient but DOES carry correction bits exercise the EOBRUN
+    bit-buffering rule (bits appended after the EOBn code)."""
+    from nibbler_spark.operators.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg_gray,
+        encode_jpeg_gray_progressive_sa,
+    )
+
+    # smooth gradient: large low-frequency AC coefficients (nonzero
+    # history at every precision), many zero tails
+    f = lambda x, y: min(255, 4 * x + 2 * y)
+    sa = decode_jpeg(encode_jpeg_gray_progressive_sa(48, 32, f, al=2))
+    base = decode_jpeg(encode_jpeg_gray(48, 32, f))
+    assert sa["pixel_sum"] == base["pixel_sum"]
