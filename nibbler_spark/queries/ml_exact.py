@@ -1603,3 +1603,94 @@ def ext_gbdt_round(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tr").alias("resid_sum_right"),
         "score2",
     )
+
+
+_DP_ORACLE = """
+WITH counts AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type
+),
+noise AS (
+  SELECT event_type, n,
+         CAST(('0x' || substr(md5('dp:' || event_type), 1, 12))
+              AS BIGINT) AS u
+  FROM counts
+),
+terms AS (
+  SELECT event_type, n,
+         CASE WHEN u >= 140737488355328 THEN 1 ELSE -1 END AS sgn,
+         GREATEST(ABS(2 * u - 281474976710656), 1) AS v
+  FROM noise
+),
+lap AS (
+  SELECT event_type, n, sgn,
+         CAST(FLOOR(ln(281474976710656e0) * 1e6) AS BIGINT)
+           - CAST(FLOOR(ln(CAST(v AS DOUBLE)) * 1e6) AS BIGINT) AS g
+  FROM terms
+)
+SELECT event_type, n,
+       CAST(sgn * ((2000000 * g) // 1000000000000) AS BIGINT)
+         AS noise_int,
+       CAST(n + sgn * ((2000000 * g) // 1000000000000) AS BIGINT)
+         AS noisy_n
+FROM lap ORDER BY event_type
+"""
+
+
+@register(
+    "ext_dp_laplace_histogram",
+    survey_id="EXT-DP-LAPLACE",
+    category="ml-exact",
+    oracle=_DP_ORACLE,
+)
+def ext_dp_laplace_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CENTRAL differential privacy — the trusted-curator counterpart of
+    EXT-LDP-RR's local mechanism: per-group counts released with
+    Laplace(b = 2 = Δ/ε at ε = 0.5) noise, the noise drawn by inverse
+    CDF from an md5-derived uniform on the 2^48 grid (x = −b·sign(u−½)
+    ·ln(1−2|u−½|)). Engine-exactness: the uniform is an exact integer,
+    the ln terms ride the 1e-6 floor grid, and the final noise is one
+    integer expression — so both engines simulate the IDENTICAL
+    mechanism draw and the release hash-matches (a seeded mechanism
+    SIMULATION, which is how DP pipelines are unit-tested; production
+    swaps the md5 seed for a real entropy source, changing nothing
+    structural). |noise| ≤ b·ln(2^47) ≈ 65 bounds the utility loss.
+    One map-side-combinable groupBy; the mechanism runs on the 5-row
+    histogram."""
+    t = load_table(spark, sf_dir, "events")
+    counts = t.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("dp:"), F.col("event_type"))), 1, 12
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    half = 140737488355328  # 2^47
+    full = 281474976710656  # 2^48
+    sgn = F.when(u >= half, F.lit(1)).otherwise(F.lit(-1))
+    v = F.greatest(F.abs(2 * u - F.lit(full)), F.lit(1))
+    g = (
+        F.floor(F.log(F.lit(float(full))) * F.lit(1e6)).cast("bigint")
+        - F.floor(F.log(v.cast("double")) * F.lit(1e6)).cast("bigint")
+    )
+    out = counts.select(
+        "event_type",
+        "n",
+        sgn.alias("sgn"),
+        g.alias("g"),
+    ).select(
+        "event_type",
+        "n",
+        (F.col("sgn") * F.expr("(2000000 * g) div 1000000000000"))
+        .cast("bigint")
+        .alias("noise_int"),
+    )
+    return out.select(
+        "event_type",
+        "n",
+        "noise_int",
+        (F.col("n") + F.col("noise_int")).cast("bigint").alias("noisy_n"),
+    ).orderBy("event_type")
