@@ -84,6 +84,10 @@ HEADLINE = [
     # modalities (lossy image, sub-document superset) join the bench.
     "ext_image_ahash_neardup",  # BENCH-K17 (aHash + Hamming-band LSH)
     "ext_containment_dedup",  # BENCH-K18 (inverted-index containment)
+    # the full lakehouse write path under load: 4 bucket commits, a
+    # U/D/I MERGE with touched-file detection, the row-level CDF
+    # sidecar, and the change-feed read back.
+    "ext_snapshot_row_cdc",  # BENCH-K19 (MERGE + row-level CDF)
 ]
 
 
