@@ -328,6 +328,15 @@ def write_snapshot(
         inherited = snapshot_meta(table_dir, last).get("deletion_vectors")
         if inherited and "deletion_vectors" not in (meta or {}):
             meta = {**(meta or {}), "deletion_vectors": inherited}
+    if last >= 0:
+        # the column mapping is TABLE state, not a commit's quirk — it
+        # survives every commit (even a full rewrite with no carry-over,
+        # e.g. a merge that touches all files): writers emit the
+        # PHYSICAL schema, so dropping the mapping would silently
+        # revert every logical name
+        cmap = snapshot_meta(table_dir, last).get("column_mapping")
+        if cmap and "column_mapping" not in (meta or {}):
+            meta = {**(meta or {}), "column_mapping": cmap}
     new_entries = {p: _entry(table_dir, p) for p in new_files}
     if bloom_cols:
         blooms = _build_blooms(
@@ -780,6 +789,21 @@ def merge_into_snapshot(
     all_paths = [e["path"] for e in entries]
     abs_path = lambda p: os.path.join(table_dir, p)
 
+    # column mapping: callers speak LOGICAL names, data files carry
+    # PHYSICAL ones — translate the change set and all key/value refs
+    # up front; the rewritten files are committed in the physical
+    # schema (the same contract appends follow), and write_snapshot's
+    # meta inheritance keeps the mapping alive on the merge commit.
+    cmap = snapshot_meta(table_dir, base_sid).get("column_mapping") or {}
+    if cmap:
+        changes = changes.select(
+            F.col(key).alias(cmap.get(key, key)),
+            F.col(op_col).alias(op_col),
+            *[F.col(v).alias(cmap.get(v, v)) for v in value_cols],
+        )
+        key = cmap.get(key, key)
+        value_cols = [cmap.get(v, v) for v in value_cols]
+
     # deletion-vector-aware scans: every read the merge takes (touch
     # detection, the rewrite base, the not-matched guard) must see the
     # MoR view, not the raw files — rewriting a file from its raw bytes
@@ -932,13 +956,20 @@ def read_row_changes(
     every changed row tagged ``_change_type`` ∈ {insert, delete,
     update_preimage, update_postimage} — the Delta CDF read contract.
     O(changed rows) IO regardless of table size."""
-    rel = snapshot_meta(table_dir, snapshot_id).get("row_cdc")
+    meta = snapshot_meta(table_dir, snapshot_id)
+    rel = meta.get("row_cdc")
     if not rel:
         raise ValueError(
             f"snapshot {snapshot_id} of {table_dir} has no row-level "
             "change feed (merge was not run with cdc=True)"
         )
-    return spark.read.parquet(os.path.join(table_dir, rel))
+    df = spark.read.parquet(os.path.join(table_dir, rel))
+    cmap = meta.get("column_mapping") or {}
+    if cmap:  # feed is stored physical; consumers speak logical
+        df = df.withColumnsRenamed(
+            {p: logical for logical, p in cmap.items()}
+        )
+    return df
 
 
 def commit_snapshot_sharded(

@@ -715,3 +715,54 @@ def test_merge_cdc_feed_reconstructs_merge(spark, tmp_path):
     assert sorted(map(tuple, reconstructed.collect())) == sorted(
         map(tuple, post.collect())
     )
+
+
+def test_merge_and_append_survive_column_rename(spark, tmp_path):
+    """The full interplay the mapping must survive: rename → append
+    (mapping inherited, physical schema written) → MERGE with LOGICAL
+    names (translated to physical, CDC feed rendered back logical) →
+    reads keep serving logical names with pruning intact."""
+    from pyspark.sql import functions as F
+
+    from nibbler_spark.operators.snapshots import (
+        merge_into_snapshot,
+        read_row_changes,
+        read_snapshot,
+        rename_columns,
+        snapshot_files,
+        write_snapshot,
+    )
+
+    table = str(tmp_path / "t")
+    base = spark.range(20).selectExpr("id AS k", "id * 10 AS v")
+    s0 = write_snapshot(base.coalesce(1), table)
+    rename_columns(table, {"v": "amount"})
+    # append AFTER the rename: physical schema on disk, logical on read
+    extra = spark.range(20, 30).selectExpr("id AS k", "id * 10 AS v")
+    s2 = write_snapshot(
+        extra.coalesce(1),
+        table,
+        carry_over=snapshot_files(table, s0),
+    )
+    cur = read_snapshot(spark, table, s2)
+    assert set(cur.columns) == {"k", "amount"}
+    assert cur.count() == 30
+    # MERGE speaks the logical name end-to-end
+    changes = spark.createDataFrame(
+        [(5, "U", 999), (25, "D", None), (100, "I", 1)],
+        "k long, op string, amount long",
+    )
+    sid = merge_into_snapshot(
+        spark, table, changes, key="k", value_cols=["amount"], cdc=True
+    )
+    post = read_snapshot(spark, table, sid)
+    assert set(post.columns) == {"k", "amount"}
+    got = {r["k"]: r["amount"] for r in post.collect()}
+    assert got[5] == 999 and 25 not in got and got[100] == 1
+    feed = read_row_changes(spark, table, sid)
+    assert set(feed.columns) == {"k", "amount", "_change_type"}
+    kinds = {
+        (r["_change_type"], r["k"]) for r in feed.collect()
+    }
+    assert ("update_postimage", 5) in kinds
+    assert ("delete", 25) in kinds and ("insert", 100) in kinds
