@@ -464,6 +464,17 @@ def idempotent_append(
     return sid, True
 
 
+def _to_physical(df: DataFrame, table_dir: str) -> DataFrame:
+    """Rename a LOGICAL-schema frame (as served by read_snapshot) back
+    to the table's PHYSICAL column names before writing — every writer
+    must emit the physical schema or a later mapped read would look
+    for physical columns that no longer exist in the new files."""
+    cmap = snapshot_meta(table_dir, latest_snapshot(table_dir)).get(
+        "column_mapping"
+    ) or {}
+    return df.withColumnsRenamed(cmap) if cmap else df
+
+
 def delete_from_snapshot(spark: SparkSession, table_dir: str, predicate) -> int:
     """Merge-on-read DELETE via deletion vectors (the Delta/Iceberg v2
     positional-delete design): instead of rewriting every data file that
@@ -518,7 +529,9 @@ def update_snapshot_mor(
     one append commit — atomicity is per-commit; a crash between them
     leaves a pure delete, never a duplicate)."""
     cur = read_snapshot(spark, table_dir)
-    updated = cur.where(predicate).withColumns(assignments)
+    updated = _to_physical(
+        cur.where(predicate).withColumns(assignments), table_dir
+    )
     delete_from_snapshot(spark, table_dir, predicate)
     carry = snapshot_files(table_dir, latest_snapshot(table_dir))
     return write_snapshot(updated, table_dir, carry_over=carry)
@@ -535,7 +548,7 @@ def compact_snapshot(
     At 100 TB compaction batches by size; here the repartition count
     stands in for the size-based bin packing."""
     sid = latest_snapshot(table_dir)
-    df = read_snapshot(spark, table_dir, sid)
+    df = _to_physical(read_snapshot(spark, table_dir, sid), table_dir)
     return write_snapshot(df.repartition(target_files), table_dir)
 
 

@@ -766,3 +766,40 @@ def test_merge_and_append_survive_column_rename(spark, tmp_path):
     }
     assert ("update_postimage", 5) in kinds
     assert ("delete", 25) in kinds and ("insert", 100) in kinds
+
+
+def test_compact_and_mor_update_write_physical_schema_after_rename(
+    spark, tmp_path
+):
+    """Compaction and MoR update read the LOGICAL view but must write
+    PHYSICAL column names — otherwise post-rename files lack the
+    physical column every mapped read and stats filter targets."""
+    from pyspark.sql import functions as F
+
+    from nibbler_spark.operators.snapshots import (
+        compact_snapshot,
+        read_snapshot,
+        read_snapshot_pruned,
+        rename_columns,
+        update_snapshot_mor,
+        write_snapshot,
+    )
+
+    table = str(tmp_path / "t")
+    base = spark.range(100).selectExpr("id AS k", "id * 2 AS v")
+    write_snapshot(base.repartition(4), table)
+    rename_columns(table, {"v": "amount"})
+    update_snapshot_mor(
+        spark, table, F.col("k") == 7, {"amount": F.lit(777).cast("long")}
+    )
+    compact_snapshot(spark, table, target_files=2)
+    cur = read_snapshot(spark, table)
+    assert set(cur.columns) == {"k", "amount"}
+    got = {r["k"]: r["amount"] for r in cur.collect()}
+    assert got[7] == 777 and got[3] == 6 and len(got) == 100
+    # stats filters on the logical name still resolve (physical col
+    # exists in the compacted files, so the translated filter applies)
+    df, scanned, total = read_snapshot_pruned(
+        spark, table, filters=[("amount", ">", 150)]
+    )
+    assert df.count() == sum(1 for k in got if got[k] > 150)
