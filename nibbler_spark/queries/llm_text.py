@@ -1928,3 +1928,72 @@ def ext_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select(F.col("w").alias("word"), F.col("s").alias("score_q"))
     )
+
+
+@register(
+    "ext_html_text_extraction",
+    survey_id="EXT-HTML-EXTRACT",
+    category="llm-text",
+    oracle="""
+SELECT doc_id,
+       'Doc ' || CAST(doc_id AS VARCHAR) || ' '
+         || replace(text, ' the ', ' & ') AS extracted,
+       CAST(length('Doc ' || CAST(doc_id AS VARCHAR) || ' '
+         || replace(text, ' the ', ' & ')) AS BIGINT) AS n_chars
+FROM documents WHERE doc_id % 3 = 0
+ORDER BY doc_id
+""",
+)
+def ext_html_text_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → text extraction — the first stage of every web-corpus
+    pipeline (the C4/CommonCrawl recipe): each sampled document is
+    wrapped into a realistic HTML page (title, <style> block, <nav>
+    boilerplate, entity-escaped body), and the extraction pipeline
+    must drop style/script CONTENT (not just the tags), strip markup,
+    remove navigation boilerplate, unescape entities, and normalize
+    whitespace — all as JVM-side regexp/replace column expressions,
+    no UDF. The oracle is the GROUND TRUTH reconstruction computed
+    directly from the source text (never a replica of the regexps),
+    so the check proves the pipeline recovers exactly the content
+    that went in. At 100 TB this is a stateless row-local map —
+    whole-stage codegen over the scan, zero shuffles."""
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 3 == 0
+    )
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id"),
+        F.lit("</title><style>body { margin: 0; }</style></head>"),
+        F.lit('<body><nav class="top">home | about | contact</nav><p>'),
+        F.regexp_replace(F.col("text"), F.lit(" the "), F.lit(" &amp; ")),
+        F.lit("</p><script>track();</script></body></html>"),
+    )
+    t = d.select("doc_id", html.alias("html"))
+    no_blocks = F.regexp_replace(
+        F.regexp_replace(
+            F.col("html"), F.lit("<style>.*?</style>"), F.lit(" ")
+        ),
+        F.lit("<script>.*?</script>"),
+        F.lit(" "),
+    )
+    no_tags = F.regexp_replace(no_blocks, F.lit("<[^>]*>"), F.lit(" "))
+    no_nav = F.regexp_replace(
+        no_tags, F.lit("home \\| about \\| contact"), F.lit(" ")
+    )
+    unescaped = F.replace(
+        F.replace(
+            F.replace(no_nav, F.lit("&amp;"), F.lit("&")),
+            F.lit("&lt;"),
+            F.lit("<"),
+        ),
+        F.lit("&gt;"),
+        F.lit(">"),
+    )
+    clean = F.trim(
+        F.regexp_replace(unescaped, F.lit("\\s+"), F.lit(" "))
+    )
+    return t.select(
+        "doc_id",
+        clean.alias("extracted"),
+        F.length(clean).cast("bigint").alias("n_chars"),
+    ).orderBy("doc_id")
