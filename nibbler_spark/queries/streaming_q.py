@@ -3632,3 +3632,115 @@ def i31_stream_backfill_seam(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "i32_kappa_reprocess",
+    survey_id="EXT-KAPPA",
+    category="streaming",
+    mode="parity",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM events
+WHERE event_type IN ('purchase', 'click')
+GROUP BY event_type ORDER BY event_type
+""",
+)
+def i32_kappa_reprocess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KAPPA-architecture reprocessing — the logic-change drill every
+    streaming platform must support: pipeline v1 streams the source
+    into metrics table A (all event types — the 'bug'); the fix (v2:
+    only purchase/click) REPLAYS the full retained source from offset
+    zero into a SEPARATE table B with a fresh checkpoint, while A
+    keeps serving; the cutover is one atomic catalog-pointer commit
+    from A to B. Readers resolving through the catalog see v1 until
+    the instant of the commit and v2 after — never a mix — and A
+    remains intact for rollback (asserted). Parity: the post-cutover
+    resolved table equals the v2 batch aggregate. At 100 TB this is
+    why the source must be a replayable log and the metrics tables
+    cheap to rebuild: reprocessing is a second streaming job plus one
+    metadata commit, not an in-place migration."""
+    from nibbler_spark.operators.snapshots import (
+        catalog_commit,
+        catalog_read,
+        idempotent_append,
+        latest_snapshot,
+        read_snapshot,
+    )
+
+    base = tempfile.mkdtemp(prefix="nibbler-i32-")
+    src = os.path.join(base, "src")
+    tbl_a = os.path.join(base, "metrics_a")
+    tbl_b = os.path.join(base, "metrics_b")
+    catalog = os.path.join(base, "catalog")
+    os.makedirs(src, exist_ok=True)
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    for half in (0, 1):
+        e.where(F.col("event_id") % 2 == half).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(src, f"half={half}"))
+
+    def run_pipeline(out_table: str, version: str, transform) -> None:
+        def sink(batch_df: DataFrame, epoch_id: int) -> None:
+            rows = transform(batch_df)
+            idempotent_append(
+                batch_df.sparkSession,
+                out_table,
+                rows,
+                txn_id=f"{version}-{epoch_id}",
+            )
+
+        q = (
+            spark.readStream.schema(e.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/half=*/")
+            .writeStream.foreachBatch(sink)
+            .option(
+                "checkpointLocation",
+                tempfile.mkdtemp(prefix=f"nibbler-ck-{version}-"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    cents = F.floor(F.col("value") * 100).cast("bigint")
+    # v1 (the bug): counts every event type
+    run_pipeline(
+        tbl_a, "v1", lambda df: df.select("event_type", cents.alias("c"))
+    )
+    catalog_commit(
+        catalog,
+        {"metrics": {"dir": tbl_a, "snapshot_id": latest_snapshot(tbl_a)}},
+    )
+    a_rows_before = read_snapshot(spark, tbl_a).count()
+    # v2 (the fix): replay the FULL source with corrected logic into B
+    run_pipeline(
+        tbl_b,
+        "v2",
+        lambda df: df.where(
+            F.col("event_type").isin("purchase", "click")
+        ).select("event_type", cents.alias("c")),
+    )
+    # atomic cutover: one catalog commit flips every reader to v2
+    catalog_commit(
+        catalog,
+        {"metrics": {"dir": tbl_b, "snapshot_id": latest_snapshot(tbl_b)}},
+    )
+    # v1 stays intact for rollback
+    assert read_snapshot(spark, tbl_a).count() == a_rows_before
+    pin = catalog_read(catalog)["metrics"]
+    resolved = read_snapshot(spark, pin["dir"], pin["snapshot_id"])
+    return (
+        resolved.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("c").cast("bigint").alias("sum_cents"),
+        )
+        .orderBy("event_type")
+    )
