@@ -1,0 +1,275 @@
+"""From-spec compression codecs: LZ4 block format and Parquet's
+DELTA_BINARY_PACKED integer encoding.
+
+Both are written from their public format specifications (the LZ4 block
+format description and the Parquet encodings spec), dependency-free, and
+used distributed via mapInPandas — the same discipline as the image /
+audio / archive codecs in ``operators/multimodal.py``. The encoders
+favor clarity over ratio (a greedy 4-byte hash matcher for LZ4, fixed
+block geometry for delta packing); the decoders are general for the
+formats' core profiles and raise loudly on malformed input.
+
+Reference parity note: the reference (nibbler.go) has no compression
+surface; these extend the SURVEY §2.3 EXT codec family.
+"""
+
+from __future__ import annotations
+
+MINMATCH = 4
+
+
+class Lz4FormatError(ValueError):
+    pass
+
+
+def lz4_compress(data: bytes) -> bytes:
+    """LZ4 block-format compressor: greedy matcher over a 4-byte hash
+    table. Honors the format's end conditions (the block ends with a
+    literal-only sequence; the last 5 bytes are always literals; no
+    match starts within the last 12 bytes)."""
+    n = len(data)
+    out = bytearray()
+    if n == 0:
+        return bytes(out)
+
+    def write_len(base: int) -> bytes:
+        # extended length bytes after a nibble of 15
+        rest = bytearray()
+        while base >= 255:
+            rest.append(255)
+            base -= 255
+        rest.append(base)
+        return bytes(rest)
+
+    table: dict[bytes, int] = {}
+    anchor = 0  # start of pending literals
+    i = 0
+    limit = n - 12  # spec: matches must not start in the last 12 bytes
+    while i <= limit and i + MINMATCH <= n:
+        key = data[i : i + MINMATCH]
+        cand = table.get(key)
+        table[key] = i
+        if (
+            cand is not None
+            and i - cand <= 65535
+            and data[cand : cand + MINMATCH] == key
+        ):
+            # extend the match forward (not into the last 5 bytes)
+            mlen = MINMATCH
+            while (
+                i + mlen < n - 5
+                and data[cand + mlen] == data[i + mlen]
+            ):
+                mlen += 1
+            lit = data[anchor:i]
+            ll, ml = len(lit), mlen - MINMATCH
+            token = (min(ll, 15) << 4) | min(ml, 15)
+            out.append(token)
+            if ll >= 15:
+                out += write_len(ll - 15)
+            out += lit
+            off = i - cand
+            out += off.to_bytes(2, "little")
+            if ml >= 15:
+                out += write_len(ml - 15)
+            i += mlen
+            anchor = i
+        else:
+            i += 1
+    # final literal-only sequence
+    lit = data[anchor:]
+    ll = len(lit)
+    out.append(min(ll, 15) << 4)
+    if ll >= 15:
+        out += write_len(ll - 15)
+    out += lit
+    return bytes(out)
+
+
+def lz4_decompress(buf: bytes, expected_size: int | None = None) -> bytes:
+    """LZ4 block-format decompressor: token walk with overlap-safe
+    match copies (offset < length copies repeat the window — the
+    format's run-generation trick)."""
+    out = bytearray()
+    i = 0
+    n = len(buf)
+    if n == 0:
+        return b""
+    while i < n:
+        token = buf[i]
+        i += 1
+        ll = token >> 4
+        if ll == 15:
+            while True:
+                if i >= n:
+                    raise Lz4FormatError("truncated literal length")
+                b = buf[i]
+                i += 1
+                ll += b
+                if b != 255:
+                    break
+        if i + ll > n:
+            raise Lz4FormatError("truncated literals")
+        out += buf[i : i + ll]
+        i += ll
+        if i == n:
+            break  # last sequence carries no match
+        if i + 2 > n:
+            raise Lz4FormatError("truncated match offset")
+        off = int.from_bytes(buf[i : i + 2], "little")
+        i += 2
+        if off == 0 or off > len(out):
+            raise Lz4FormatError(f"invalid match offset {off}")
+        ml = token & 0x0F
+        if ml == 15:
+            while True:
+                if i >= n:
+                    raise Lz4FormatError("truncated match length")
+                b = buf[i]
+                i += 1
+                ml += b
+                if b != 255:
+                    break
+        ml += MINMATCH
+        start = len(out) - off
+        for k in range(ml):  # byte-wise: overlap-correct by definition
+            out.append(out[start + k])
+    if expected_size is not None and len(out) != expected_size:
+        raise Lz4FormatError(
+            f"size mismatch: got {len(out)}, want {expected_size}"
+        )
+    return bytes(out)
+
+
+# --- Parquet DELTA_BINARY_PACKED (int64) ----------------------------------
+
+
+class DeltaPackFormatError(ValueError):
+    pass
+
+
+def _zigzag(v: int) -> int:
+    return (v << 1) ^ (v >> 63) if v < 0 else v << 1
+
+
+def _unzigzag(u: int) -> int:
+    return (u >> 1) ^ -(u & 1)
+
+
+def _uvarint(v: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _read_uvarint(buf: bytes, pos: int) -> tuple[int, int]:
+    v = 0
+    shift = 0
+    while True:
+        if pos >= len(buf):
+            raise DeltaPackFormatError("truncated varint")
+        b = buf[pos]
+        pos += 1
+        v |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return v, pos
+        shift += 7
+
+
+BLOCK = 128
+MINIBLOCKS = 4
+MINI = BLOCK // MINIBLOCKS  # 32 values per miniblock
+
+
+def delta_pack(values: list[int]) -> bytes:
+    """Parquet DELTA_BINARY_PACKED for int64: header (block size,
+    miniblock count, total count, zigzag first value), then per block
+    a zigzag min-delta varint, 4 per-miniblock bit widths, and
+    LSB-first bit-packed (delta − min_delta) runs."""
+    out = bytearray()
+    out += _uvarint(BLOCK)
+    out += _uvarint(MINIBLOCKS)
+    out += _uvarint(len(values))
+    out += _uvarint(_zigzag(values[0] if values else 0))
+    if len(values) <= 1:
+        return bytes(out)
+    deltas = [
+        values[i + 1] - values[i] for i in range(len(values) - 1)
+    ]
+    for bstart in range(0, len(deltas), BLOCK):
+        block = deltas[bstart : bstart + BLOCK]
+        mind = min(block)
+        out += _uvarint(_zigzag(mind))
+        adj = [d - mind for d in block]
+        adj += [0] * (BLOCK - len(adj))  # pad the trailing block
+        widths = []
+        for m in range(MINIBLOCKS):
+            mb = adj[m * MINI : (m + 1) * MINI]
+            widths.append(max(v.bit_length() for v in mb) if any(mb) else 0)
+        out += bytes(widths)
+        for m in range(MINIBLOCKS):
+            w = widths[m]
+            if w == 0:
+                continue
+            mb = adj[m * MINI : (m + 1) * MINI]
+            acc = 0
+            nbits = 0
+            for v in mb:  # LSB-first packing per the spec
+                acc |= v << nbits
+                nbits += w
+                while nbits >= 8:
+                    out.append(acc & 0xFF)
+                    acc >>= 8
+                    nbits -= 8
+            if nbits:
+                out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def delta_unpack(buf: bytes) -> list[int]:
+    pos = 0
+    block, pos = _read_uvarint(buf, pos)
+    minis, pos = _read_uvarint(buf, pos)
+    if block != BLOCK or minis != MINIBLOCKS:
+        raise DeltaPackFormatError(
+            f"unsupported geometry {block}/{minis}"
+        )
+    count, pos = _read_uvarint(buf, pos)
+    zz, pos = _read_uvarint(buf, pos)
+    if count == 0:
+        return []
+    values = [_unzigzag(zz)]
+    need = count - 1
+    while need > 0:
+        zz, pos = _read_uvarint(buf, pos)
+        mind = _unzigzag(zz)
+        if pos + MINIBLOCKS > len(buf):
+            raise DeltaPackFormatError("truncated width list")
+        widths = list(buf[pos : pos + MINIBLOCKS])
+        pos += MINIBLOCKS
+        deltas: list[int] = []
+        for m in range(MINIBLOCKS):
+            w = widths[m]
+            if w == 0:
+                deltas += [0] * MINI
+                continue
+            nbytes = (MINI * w + 7) // 8
+            if pos + nbytes > len(buf):
+                raise DeltaPackFormatError("truncated miniblock")
+            acc = int.from_bytes(buf[pos : pos + nbytes], "little")
+            pos += nbytes
+            mask = (1 << w) - 1
+            for k in range(MINI):
+                deltas.append((acc >> (k * w)) & mask)
+        for d in deltas[:need] if need < BLOCK else deltas[:BLOCK]:
+            values.append(values[-1] + mind + d)
+        need -= BLOCK
+    if len(values) != count:
+        raise DeltaPackFormatError("value count mismatch")
+    return values

@@ -1285,3 +1285,129 @@ def a36_protobuf_wire_roundtrip(
         "o_orderkey long, o_orderstatus string, o_totalprice double, "
         "signed_val long, flag boolean",
     ).orderBy("o_orderkey")
+
+
+@register(
+    "a37_lz4_block_roundtrip",
+    survey_id="A37",
+    category="source-sink",
+    oracle="""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       md5(text) AS payload_md5,
+       TRUE AS roundtrip_ok,
+       TRUE AS bounded_ok
+FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id
+""",
+)
+def a37_lz4_block_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LZ4 BLOCK-FORMAT codec from the public spec
+    (operators/compression.py: greedy 4-byte-hash matcher, token /
+    extended-length / offset sequences, overlap-safe match copies,
+    spec end conditions) — the fourth from-scratch compression family
+    after DEFLATE-zlib, LZW, and RLE. Each even document's text
+    compresses and decompresses inside one Arrow stage; the query
+    emits the DECOMPRESSED payload's md5 (closed-form for the oracle)
+    plus two in-stage proofs: byte-exact roundtrip and the format's
+    worst-case expansion bound (≤ n + n/255 + 16). Partition-local,
+    zero shuffles — the shape a 100 TB block-compression pass has."""
+    import hashlib as _hashlib
+
+    import pandas as _pd
+
+    from nibbler_spark.operators.compression import (
+        lz4_compress,
+        lz4_decompress,
+    )
+
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 2 == 0
+    ).select("doc_id", "text")
+
+    def run(batches):
+        for pdf in batches:
+            out = {
+                "doc_id": [],
+                "n_chars": [],
+                "payload_md5": [],
+                "roundtrip_ok": [],
+                "bounded_ok": [],
+            }
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = text.encode("utf-8")
+                z = lz4_compress(raw)
+                back = lz4_decompress(z, len(raw))
+                out["doc_id"].append(int(doc_id))
+                out["n_chars"].append(len(raw))
+                out["payload_md5"].append(
+                    _hashlib.md5(back).hexdigest()
+                )
+                out["roundtrip_ok"].append(back == raw)
+                out["bounded_ok"].append(
+                    len(z) <= len(raw) + len(raw) // 255 + 16
+                )
+            yield _pd.DataFrame(out)
+
+    return d.mapInPandas(
+        run,
+        "doc_id long, n_chars long, payload_md5 string, "
+        "roundtrip_ok boolean, bounded_ok boolean",
+    ).orderBy("doc_id")
+
+
+@register(
+    "a38_delta_binary_packed",
+    survey_id="A38",
+    category="source-sink",
+    oracle="""
+SELECT CAST(o_orderkey // 4096 AS BIGINT) AS bucket,
+       CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n,
+       CAST(SUM(DISTINCT o_orderkey) AS BIGINT) AS key_sum,
+       TRUE AS packed_smaller
+FROM orders GROUP BY 1 ORDER BY bucket
+""",
+)
+def a38_delta_binary_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet's DELTA_BINARY_PACKED integer encoding from the public
+    encodings spec (operators/compression.py: zigzag varint header,
+    per-block min-delta, 4 per-miniblock bit widths, LSB-first
+    bit-packed adjusted deltas) — the encoding that makes sorted key
+    columns nearly free on disk. Per 4096-key bucket the distinct
+    sorted orderkeys pack, unpack, and must roundtrip exactly; the
+    emitted key count and sum are closed-form for the oracle, and
+    `packed_smaller` asserts in-stage that the packed bytes undercut
+    raw int64 (sorted runs pack to a few bits per value). The
+    encode/verify runs per group via applyInPandas — the partition-
+    local shape of a columnar writer's encoding stage."""
+    import pandas as _pd
+
+    from nibbler_spark.operators.compression import (
+        delta_pack,
+        delta_unpack,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.expr("o_orderkey div 4096").alias("bucket"), "o_orderkey"
+    )
+
+    def pack_group(pdf: _pd.DataFrame) -> _pd.DataFrame:
+        keys = sorted(set(int(k) for k in pdf["o_orderkey"]))
+        z = delta_pack(keys)
+        assert delta_unpack(z) == keys
+        return _pd.DataFrame(
+            {
+                "bucket": [int(pdf["bucket"].iloc[0])],
+                "n": [len(keys)],
+                "key_sum": [sum(keys)],
+                "packed_smaller": [len(z) < 8 * len(keys)],
+            }
+        )
+
+    return (
+        o.groupBy("bucket")
+        .applyInPandas(
+            pack_group,
+            "bucket long, n long, key_sum long, packed_smaller boolean",
+        )
+        .orderBy("bucket")
+    )
