@@ -1,8 +1,8 @@
-"""From-spec compression codecs: LZ4 block format and Parquet's
-DELTA_BINARY_PACKED integer encoding.
+"""From-spec compression codecs: LZ4 block format, Snappy raw format,
+and Parquet's DELTA_BINARY_PACKED + RLE/bit-packed-hybrid encodings.
 
-Both are written from their public format specifications (the LZ4 block
-format description and the Parquet encodings spec), dependency-free, and
+All are written from their public format specifications (the LZ4/Snappy
+format descriptions and the Parquet encodings spec), dependency-free, and
 used distributed via mapInPandas — the same discipline as the image /
 audio / archive codecs in ``operators/multimodal.py``. The encoders
 favor clarity over ratio (a greedy 4-byte hash matcher for LZ4, fixed
@@ -273,3 +273,237 @@ def delta_unpack(buf: bytes) -> list[int]:
     if len(values) != count:
         raise DeltaPackFormatError("value count mismatch")
     return values
+
+
+# --- Snappy (raw/block format) --------------------------------------------
+
+
+class SnappyFormatError(ValueError):
+    pass
+
+
+def snappy_compress(data: bytes) -> bytes:
+    """Snappy raw-format compressor from the public format description:
+    uvarint uncompressed length, then literal elements (tag 0, with
+    1/2-byte extended lengths) and copy elements (tag 1: 4–11 byte
+    matches with 11-bit offsets; tag 2: 16-bit offsets). Greedy 4-byte
+    hash matcher like the LZ4 encoder."""
+    n = len(data)
+    out = bytearray(_uvarint(n))
+
+    def emit_literal(lit: bytes) -> None:
+        ll = len(lit)
+        if ll == 0:
+            return
+        if ll <= 60:
+            out.append((ll - 1) << 2)
+        elif ll <= 256:
+            out.append(60 << 2)
+            out.append(ll - 1)
+        else:
+            out.append(61 << 2)
+            out.extend((ll - 1).to_bytes(2, "little"))
+        out.extend(lit)
+
+    def emit_copy(off: int, mlen: int) -> None:
+        # split long matches into <=64-byte copies
+        while mlen > 0:
+            take = min(mlen, 64)
+            if take < 4:
+                # tag-2 copies allow 1..64; tag-1 needs 4..11 — always
+                # use tag 2 for the tail to keep lengths legal
+                take = mlen
+            if 4 <= take <= 11 and off < 2048:
+                out.append(
+                    1 | ((take - 4) << 2) | ((off >> 8) << 5)
+                )
+                out.append(off & 0xFF)
+            else:
+                out.append(2 | ((take - 1) << 2))
+                out.extend(off.to_bytes(2, "little"))
+            mlen -= take
+
+    table: dict[bytes, int] = {}
+    anchor = 0
+    i = 0
+    while i + MINMATCH <= n:
+        key = data[i : i + MINMATCH]
+        cand = table.get(key)
+        table[key] = i
+        if (
+            cand is not None
+            and i - cand <= 65535
+            and data[cand : cand + MINMATCH] == key
+        ):
+            mlen = MINMATCH
+            while i + mlen < n and data[cand + mlen] == data[i + mlen]:
+                mlen += 1
+            emit_literal(data[anchor:i])
+            emit_copy(i - cand, mlen)
+            i += mlen
+            anchor = i
+        else:
+            i += 1
+    emit_literal(data[anchor:])
+    return bytes(out)
+
+
+def snappy_decompress(buf: bytes) -> bytes:
+    """Snappy raw-format decompressor: element walk over the four tag
+    kinds, overlap-safe copies, declared-length check."""
+    want, pos = _read_uvarint(buf, 0)
+    out = bytearray()
+    n = len(buf)
+    while pos < n:
+        tag = buf[pos]
+        pos += 1
+        kind = tag & 3
+        if kind == 0:  # literal
+            ll = tag >> 2
+            if ll < 60:
+                ll += 1
+            else:
+                extra = ll - 59
+                if pos + extra > n:
+                    raise SnappyFormatError("truncated literal length")
+                ll = int.from_bytes(buf[pos : pos + extra], "little") + 1
+                pos += extra
+            if pos + ll > n:
+                raise SnappyFormatError("truncated literal")
+            out += buf[pos : pos + ll]
+            pos += ll
+            continue
+        if kind == 1:
+            mlen = ((tag >> 2) & 7) + 4
+            if pos >= n:
+                raise SnappyFormatError("truncated copy-1")
+            off = ((tag >> 5) << 8) | buf[pos]
+            pos += 1
+        elif kind == 2:
+            mlen = (tag >> 2) + 1
+            if pos + 2 > n:
+                raise SnappyFormatError("truncated copy-2")
+            off = int.from_bytes(buf[pos : pos + 2], "little")
+            pos += 2
+        else:
+            mlen = (tag >> 2) + 1
+            if pos + 4 > n:
+                raise SnappyFormatError("truncated copy-4")
+            off = int.from_bytes(buf[pos : pos + 4], "little")
+            pos += 4
+        if off == 0 or off > len(out):
+            raise SnappyFormatError(f"invalid copy offset {off}")
+        start = len(out) - off
+        for k in range(mlen):
+            out.append(out[start + k])
+    if len(out) != want:
+        raise SnappyFormatError(
+            f"size mismatch: got {len(out)}, want {want}"
+        )
+    return bytes(out)
+
+
+# --- Parquet RLE / bit-packed hybrid --------------------------------------
+
+
+class RleHybridFormatError(ValueError):
+    pass
+
+
+def rle_hybrid_encode(values: list[int], bit_width: int) -> bytes:
+    """Parquet's RLE/bit-packed hybrid (the levels + dictionary-index
+    encoding): runs of ≥ 8 equal values emit an RLE run
+    (uvarint run_len << 1, value in ceil(w/8) LE bytes); other spans
+    emit bit-packed groups of 8 (uvarint (groups << 1) | 1, LSB-first
+    packed)."""
+    out = bytearray()
+    i = 0
+    n = len(values)
+    vbytes = (bit_width + 7) // 8
+    while i < n:
+        run = 1
+        while i + run < n and values[i + run] == values[i]:
+            run += 1
+        if run >= 8:
+            out += _uvarint(run << 1)
+            out += values[i].to_bytes(vbytes, "little")
+            i += run
+            continue
+        # bit-packed span: gather until the next long run (or end)
+        start = i
+        while i < n:
+            run = 1
+            while i + run < n and values[i + run] == values[i]:
+                run += 1
+            if run >= 8:
+                break
+            i += run
+        span = values[start:i]
+
+        def emit_packed(vals: list[int]) -> None:
+            groups = (len(vals) + 7) // 8
+            out.extend(_uvarint((groups << 1) | 1))
+            padded = vals + [0] * (groups * 8 - len(vals))
+            acc = 0
+            nbits = 0
+            for v in padded:
+                acc |= v << nbits
+                nbits += bit_width
+                while nbits >= 8:
+                    out.append(acc & 0xFF)
+                    acc >>= 8
+                    nbits -= 8
+            if nbits:
+                out.append(acc & 0xFF)
+
+        if i >= n:
+            # final span: group padding is legal — the reader stops at
+            # the declared value count
+            emit_packed(span)
+        else:
+            # mid-stream: bit-packed runs must cover EXACTLY 8k values
+            # (the reader cannot see span boundaries); leftovers emit
+            # as short RLE runs, which the format allows at any length
+            full = len(span) // 8 * 8
+            if full:
+                emit_packed(span[:full])
+            j = full
+            while j < len(span):
+                r = 1
+                while (
+                    j + r < len(span) and span[j + r] == span[j]
+                ):
+                    r += 1
+                out.extend(_uvarint(r << 1))
+                out.extend(span[j].to_bytes(vbytes, "little"))
+                j += r
+    return bytes(out)
+
+
+def rle_hybrid_decode(buf: bytes, bit_width: int, count: int) -> list[int]:
+    out: list[int] = []
+    pos = 0
+    vbytes = (bit_width + 7) // 8
+    mask = (1 << bit_width) - 1
+    while len(out) < count:
+        header, pos = _read_uvarint(buf, pos)
+        if header & 1:  # bit-packed groups
+            groups = header >> 1
+            nbytes = groups * bit_width  # groups * 8 values * w / 8
+            if pos + nbytes > len(buf):
+                raise RleHybridFormatError("truncated bit-packed run")
+            acc = int.from_bytes(buf[pos : pos + nbytes], "little")
+            pos += nbytes
+            for k in range(groups * 8):
+                if len(out) < count:
+                    out.append((acc >> (k * bit_width)) & mask)
+        else:  # RLE run
+            run = header >> 1
+            if pos + vbytes > len(buf):
+                raise RleHybridFormatError("truncated RLE value")
+            v = int.from_bytes(buf[pos : pos + vbytes], "little")
+            pos += vbytes
+            out += [v] * run
+    if len(out) != count:
+        raise RleHybridFormatError("value count overshoot")
+    return out

@@ -1411,3 +1411,134 @@ def a38_delta_binary_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "a39_snappy_roundtrip",
+    survey_id="A39",
+    category="source-sink",
+    oracle="""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       md5(text) AS payload_md5,
+       TRUE AS roundtrip_ok
+FROM documents WHERE doc_id % 2 = 1 ORDER BY doc_id
+""",
+)
+def a39_snappy_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNAPPY raw-format codec from the public format description
+    (operators/compression.py: uvarint preamble, literal elements with
+    extended lengths, tag-1 copies with 11-bit offsets and tag-2
+    16-bit copies, 64-byte copy splitting) — the Parquet default
+    codec, joining LZ4/DEFLATE/LZW/RLE in the from-scratch compression
+    family. Odd documents compress + decompress inside one Arrow
+    stage; the decompressed md5 is closed-form for the oracle and the
+    declared-length check runs in the decoder itself. Partition-local,
+    zero shuffles."""
+    import hashlib as _hashlib
+
+    import pandas as _pd
+
+    from nibbler_spark.operators.compression import (
+        snappy_compress,
+        snappy_decompress,
+    )
+
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 2 == 1
+    ).select("doc_id", "text")
+
+    def run(batches):
+        for pdf in batches:
+            out = {
+                "doc_id": [],
+                "n_chars": [],
+                "payload_md5": [],
+                "roundtrip_ok": [],
+            }
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = text.encode("utf-8")
+                back = snappy_decompress(snappy_compress(raw))
+                out["doc_id"].append(int(doc_id))
+                out["n_chars"].append(len(raw))
+                out["payload_md5"].append(_hashlib.md5(back).hexdigest())
+                out["roundtrip_ok"].append(back == raw)
+            yield _pd.DataFrame(out)
+
+    return d.mapInPandas(
+        run,
+        "doc_id long, n_chars long, payload_md5 string, "
+        "roundtrip_ok boolean",
+    ).orderBy("doc_id")
+
+
+@register(
+    "a40_rle_hybrid_levels",
+    survey_id="A40",
+    category="source-sink",
+    oracle="""
+SELECT CAST(date_part('day', ts) AS INT) AS day,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE event_type
+                WHEN 'click' THEN 0 WHEN 'error' THEN 1
+                WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3
+                ELSE 4 END) AS BIGINT) AS index_sum,
+       TRUE AS roundtrip_ok,
+       TRUE AS rle_smaller
+FROM events GROUP BY 1 ORDER BY day
+""",
+)
+def a40_rle_hybrid_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet's RLE / BIT-PACKED HYBRID encoding from the encodings
+    spec (operators/compression.py) — the encoding behind definition /
+    repetition levels and dictionary indexes: per day, the event-type
+    dictionary indexes (width 3) sort into runs and encode as RLE runs
+    (≥ 8 equal values) interleaved with exact-8k bit-packed groups
+    (mid-stream groups may not pad — the reader can't see span
+    boundaries; only the final group pads, which is precisely the
+    subtle rule this implementation had to get right). Decode must
+    reproduce the sequence exactly, and the encoding must undercut
+    one-byte-per-value; index counts and sums are closed-form for the
+    oracle. applyInPandas per day — the per-page shape of a columnar
+    writer."""
+    import pandas as _pd
+
+    from nibbler_spark.operators.compression import (
+        rle_hybrid_decode,
+        rle_hybrid_encode,
+    )
+
+    idx = (
+        F.when(F.col("event_type") == "click", 0)
+        .when(F.col("event_type") == "error", 1)
+        .when(F.col("event_type") == "purchase", 2)
+        .when(F.col("event_type") == "signup", 3)
+        .otherwise(4)
+    )
+    e = load_table(spark, sf_dir, "events").select(
+        F.dayofmonth("ts").alias("day"), idx.alias("ix")
+    )
+
+    def encode_day(pdf: _pd.DataFrame) -> _pd.DataFrame:
+        vals = sorted(int(v) for v in pdf["ix"])
+        z = rle_hybrid_encode(vals, 3)
+        back = rle_hybrid_decode(z, 3, len(vals))
+        return _pd.DataFrame(
+            {
+                "day": [int(pdf["day"].iloc[0])],
+                "n": [len(vals)],
+                "index_sum": [sum(vals)],
+                "roundtrip_ok": [back == vals],
+                "rle_smaller": [len(z) < max(1, len(vals))],
+            }
+        )
+
+    return (
+        e.groupBy("day")
+        .applyInPandas(
+            encode_day,
+            "day int, n long, index_sum long, roundtrip_ok boolean, "
+            "rle_smaller boolean",
+        )
+        .orderBy("day")
+    )

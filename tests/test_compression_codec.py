@@ -85,3 +85,66 @@ def test_delta_pack_rejects_malformed():
     z = delta_pack(list(range(300)))
     with pytest.raises(DeltaPackFormatError):
         delta_unpack(z[: len(z) // 2])
+
+
+def test_snappy_roundtrip_and_tags():
+    from nibbler_spark.operators.compression import (
+        SnappyFormatError,
+        snappy_compress,
+        snappy_decompress,
+    )
+
+    rnd = random.Random(17)
+    cases = [
+        b"",
+        b"z",
+        b"hello hello hello hello!",
+        bytes(rnd.randrange(256) for _ in range(9000)),
+        b"ab" * 5000,  # long matches -> 64-byte copy splitting
+        b"Q" * 120000,  # overlap copies + long-literal tags
+        b"lorem ipsum dolor " * 600,
+    ]
+    for c in cases:
+        z = snappy_compress(c)
+        assert snappy_decompress(z) == c
+    with pytest.raises(SnappyFormatError):
+        snappy_decompress(snappy_compress(b"abcdabcdabcdabcd")[:-2])
+
+
+def test_rle_hybrid_midstream_groups_never_pad():
+    """The regression the format demands: a bit-packed span mid-stream
+    must cover exactly 8k values (the reader can't see span
+    boundaries) — leftovers become short RLE runs."""
+    from nibbler_spark.operators.compression import (
+        rle_hybrid_decode,
+        rle_hybrid_encode,
+    )
+
+    # 5 mixed values, then a long run, then 3 more: forces a
+    # mid-stream leftover before the run
+    vals = [1, 2, 3, 2, 1] + [7] * 20 + [4, 5, 4]
+    z = rle_hybrid_encode(vals, 3)
+    assert rle_hybrid_decode(z, 3, len(vals)) == vals
+
+
+def test_rle_hybrid_fuzz():
+    from nibbler_spark.operators.compression import (
+        rle_hybrid_decode,
+        rle_hybrid_encode,
+    )
+
+    rnd = random.Random(23)
+    for _ in range(150):
+        w = rnd.randrange(1, 21)
+        n = rnd.randrange(0, 600)
+        vals = []
+        while len(vals) < n:
+            if rnd.random() < 0.5:
+                vals += [rnd.randrange(1 << w)] * rnd.randrange(1, 40)
+            else:
+                vals += [
+                    rnd.randrange(1 << w)
+                    for _ in range(rnd.randrange(1, 15))
+                ]
+        vals = vals[:n]
+        assert rle_hybrid_decode(rle_hybrid_encode(vals, w), w, n) == vals
