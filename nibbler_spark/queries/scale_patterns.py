@@ -1574,3 +1574,80 @@ def ext_geohash_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prefix2")
     )
+
+
+@register(
+    "ext_roaring_bitmap_index",
+    survey_id="EXT-ROARING",
+    category="scale-pattern",
+    oracle="""
+SELECT o_orderpriority AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(COUNT(DISTINCT o_orderkey // 65536) AS BIGINT)
+         AS n_containers,
+       TRUE AS roundtrip_ok,
+       CAST(SUM(CASE WHEN o_orderkey < 40000 THEN 1 ELSE 0 END)
+            AS BIGINT) AS inter_dense,
+       CAST(COUNT(*) + 40000
+            - SUM(CASE WHEN o_orderkey < 40000 THEN 1 ELSE 0 END)
+            AS BIGINT) AS union_dense
+FROM orders
+WHERE o_orderpriority IN ('1-URGENT', '3-MEDIUM', '5-LOW')
+GROUP BY o_orderpriority ORDER BY priority
+""",
+)
+def ext_roaring_bitmap_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROARING BITMAP indexes from the public portable format — the
+    bitmap-index interchange format OLAP engines share (array / 8 KiB
+    bitmap / run containers under the 12346/12347 cookies, the spec's
+    size rule choosing per-container encodings). Per order priority,
+    the orderkey set becomes a roaring bitmap INSIDE its group
+    (applyInPandas — the per-partition shape of real index builders),
+    serializes, deserializes byte-faithfully, and intersects/unions
+    CONTAINER-WISE with a dense [0, 40000) range (run-encoded: 65536
+    consecutive values cost 25 bytes) — the whole point of the format:
+    AND of a bitmap and an array container touches the array's
+    entries, never 65536 bits. Cardinalities, container counts, and
+    both set-algebra results are closed-form for the oracle. At
+    100 TB bitmap indexes build per partition and OR-merge by
+    container key — exactly this code's shape."""
+    import pandas as _pd
+
+    from nibbler_spark.operators.roaring import (
+        roaring_deserialize,
+        roaring_serialize,
+    )
+
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority").isin("1-URGENT", "3-MEDIUM", "5-LOW")
+    ).select(F.col("o_orderpriority").alias("priority"), "o_orderkey")
+
+    def build(pdf: _pd.DataFrame) -> _pd.DataFrame:
+        keys = set(int(k) for k in pdf["o_orderkey"])
+        z = roaring_serialize(keys)
+        back = roaring_deserialize(z)
+        dense = set(range(40000))
+        zd = roaring_serialize(dense)
+        dense_back = roaring_deserialize(zd)
+        inter = len(back & dense_back)
+        union = len(back | dense_back)
+        return _pd.DataFrame(
+            {
+                "priority": [str(pdf["priority"].iloc[0])],
+                "n_keys": [len(keys)],
+                "n_containers": [len({k >> 16 for k in keys})],
+                "roundtrip_ok": [back == keys and dense_back == dense],
+                "inter_dense": [inter],
+                "union_dense": [union],
+            }
+        )
+
+    return (
+        o.groupBy("priority")
+        .applyInPandas(
+            build,
+            "priority string, n_keys long, n_containers long, "
+            "roundtrip_ok boolean, inter_dense long, union_dense long",
+        )
+        .orderBy("priority")
+    )
