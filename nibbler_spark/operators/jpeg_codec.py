@@ -22,8 +22,10 @@ canonically from the segment, NOT assumed), DRI/RSTn restart handling
 (byte realign, marker-sequence check, predictor reset), entropy decode
 with byte unstuffing, EXTEND sign recovery, dezigzag, per-component
 dequantize, float IDCT, nearest-neighbour chroma upsample, YCbCr→RGB.
-Not covered (raises): progressive/extended SOFs, 16-bit quant tables,
-4-component (CMYK) scans.
+SOF2 progressive streams dispatch to the dedicated multi-scan path
+(spectral selection AND successive approximation — see the module
+tail). Not covered (raises): lossless/extended SOFs, arithmetic
+coding, 16-bit quant tables, 4-component (CMYK) scans.
 
 Rounding contract: both color conversions use floor(x + 0.5)
 (half-up), NOT Python's banker's round — so an SQL oracle can
@@ -689,7 +691,9 @@ def decode_jpeg_gray(payload: bytes) -> dict:
     the general :func:`decode_jpeg` that rejects color payloads."""
     out = decode_jpeg(payload)
     if out["fmt"] != "jpeg":
-        raise JpegFormatError("expected grayscale JPEG, got color")
+        raise JpegFormatError(
+            f"expected baseline grayscale JPEG, got {out['fmt']}"
+        )
     return out
 
 
