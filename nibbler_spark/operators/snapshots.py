@@ -1165,9 +1165,13 @@ def rollback_snapshot(table_dir: str, to_snapshot_id: int) -> int:
     meta = {"operation": "rollback", "rolled_back_to": to_snapshot_id}
     # the restored state includes the target's deletion vectors — a
     # rollback that dropped them would resurrect every MoR-deleted row
-    dvs = snapshot_meta(table_dir, to_snapshot_id).get("deletion_vectors")
-    if dvs:
-        meta["deletion_vectors"] = dvs
+    # — and its column mapping: rolling back to a post-rename snapshot
+    # must keep serving the renamed logical schema (found by extending
+    # the rename interplay audit, same bug class as the r4 DV one)
+    tmeta = snapshot_meta(table_dir, to_snapshot_id)
+    for inherited in ("deletion_vectors", "column_mapping"):
+        if tmeta.get(inherited):
+            meta[inherited] = tmeta[inherited]
     return commit_snapshot(table_dir, entries, meta)
 
 
@@ -1258,6 +1262,10 @@ def clone_snapshot(
 
     entries = snapshot_entries(src_table, snapshot_id)
     os.makedirs(dst_table, exist_ok=True)
+
+    def relocate(rel: str) -> str:
+        return os.path.relpath(os.path.join(src_table, rel), dst_table)
+
     out_entries = []
     for e in entries:
         if deep:
@@ -1267,20 +1275,36 @@ def clone_snapshot(
             shutil.copy2(os.path.join(src_table, rel), dst_path)
             out_entries.append(e)
         else:
-            rel_to_src = os.path.relpath(
-                os.path.join(src_table, e["path"]), dst_table
-            )
-            out_entries.append({**e, "path": rel_to_src})
-    return commit_snapshot(
-        dst_table,
-        out_entries,
-        meta={
-            "operation": "clone",
-            "source": os.path.abspath(src_table),
-            "source_snapshot": snapshot_id,
-            "deep": deep,
-        },
-    )
+            out_entries.append({**e, "path": relocate(e["path"])})
+    meta = {
+        "operation": "clone",
+        "source": os.path.abspath(src_table),
+        "source_snapshot": snapshot_id,
+        "deep": deep,
+    }
+    # a clone is the TABLE STATE, not just its file list: deletion
+    # vectors must come along (a clone that dropped them would
+    # resurrect every MoR-deleted row — the same bug class the r4
+    # rollback audit caught) and so must the column mapping. Shallow
+    # clones reference the source's DV sidecars through the same
+    # relative paths as data files; deep clones copy the DV parquet
+    # directories so the clone survives source deletion.
+    smeta = snapshot_meta(src_table, snapshot_id)
+    dvs = smeta.get("deletion_vectors") or []
+    if dvs:
+        if deep:
+            for dv in dvs:
+                shutil.copytree(
+                    os.path.join(src_table, dv),
+                    os.path.join(dst_table, dv),
+                    dirs_exist_ok=True,
+                )
+            meta["deletion_vectors"] = dvs
+        else:
+            meta["deletion_vectors"] = [relocate(dv) for dv in dvs]
+    if smeta.get("column_mapping"):
+        meta["column_mapping"] = smeta["column_mapping"]
+    return commit_snapshot(dst_table, out_entries, meta)
 
 
 # ---------------------------------------------------------------------------

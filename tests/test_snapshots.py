@@ -803,3 +803,66 @@ def test_compact_and_mor_update_write_physical_schema_after_rename(
         spark, table, filters=[("amount", ">", 150)]
     )
     assert df.count() == sum(1 for k in got if got[k] > 150)
+
+
+def test_rollback_preserves_column_mapping(spark, tmp_path):
+    """Rolling back to a post-rename snapshot keeps the renamed
+    logical schema (the mapping is table state, like DVs)."""
+    from nibbler_spark.operators.snapshots import (
+        read_snapshot,
+        rename_columns,
+        rollback_snapshot,
+        snapshot_files,
+        write_snapshot,
+    )
+
+    table = str(tmp_path / "t")
+    write_snapshot(
+        spark.range(10).selectExpr("id AS k", "id AS v"), table
+    )  # s0
+    s1 = rename_columns(table, {"v": "amount"})
+    write_snapshot(
+        spark.range(10, 20).selectExpr("id AS k", "id AS v"),
+        table,
+        carry_over=snapshot_files(table, s1),
+    )  # s2 (appends physical, inherits mapping)
+    rollback_snapshot(table, s1)  # back to the 10-row renamed state
+    cur = read_snapshot(spark, table)
+    assert set(cur.columns) == {"k", "amount"}
+    assert cur.count() == 10
+
+
+def test_clone_preserves_deletion_vectors_and_mapping(spark, tmp_path):
+    """A clone (shallow AND deep) of a table with MoR deletes and a
+    rename must not resurrect deleted rows nor revert logical names."""
+    from pyspark.sql import functions as F
+
+    from nibbler_spark.operators.snapshots import (
+        clone_snapshot,
+        delete_from_snapshot,
+        latest_snapshot,
+        read_snapshot,
+        rename_columns,
+        write_snapshot,
+    )
+
+    import shutil
+
+    src = str(tmp_path / "src")
+    write_snapshot(
+        spark.range(30).selectExpr("id AS k", "id * 2 AS v"), src
+    )
+    delete_from_snapshot(spark, src, F.col("k") < 10)
+    rename_columns(src, {"v": "amount"})
+    sid = latest_snapshot(src)
+    for deep, name in ((False, "shallow"), (True, "deep")):
+        dst = str(tmp_path / f"clone_{name}")
+        clone_snapshot(src, dst, sid, deep=deep)
+        got = read_snapshot(spark, dst)
+        assert set(got.columns) == {"k", "amount"}, name
+        keys = {r["k"] for r in got.collect()}
+        assert keys == set(range(10, 30)), (name, sorted(keys)[:5])
+    # deep clone survives source deletion
+    shutil.rmtree(src)
+    survivors = read_snapshot(spark, str(tmp_path / "clone_deep"))
+    assert survivors.count() == 20
