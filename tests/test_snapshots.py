@@ -417,12 +417,14 @@ def test_merge_into_respects_deletion_vectors(spark, tmp_path):
     assert len(got) == 100 - 10 - 1 + 1
 
 
-def test_snapshot_format_model_based_random_ops(spark, tmp_path):
+@pytest.mark.parametrize("seed", [20260814, 7, 99991])
+def test_snapshot_format_model_based_random_ops(spark, tmp_path, seed):
     """Model-based check of the whole table-format surface: a random
     (seeded) sequence of append / DV-delete / MoR-update / merge /
-    compact operations runs against BOTH the real format and a plain
-    in-memory dict model; after every op the snapshot read must equal
-    the model exactly, and at the end every historical snapshot id
+    compact / rollback / orphan-clean / RENAME operations runs against
+    BOTH the real format and a plain in-memory dict model; after every
+    op the snapshot read must equal the model exactly (including the
+    logical column name), and at the end every historical snapshot id
     must still resolve."""
     import random
 
@@ -438,9 +440,12 @@ def test_snapshot_format_model_based_random_ops(spark, tmp_path):
         write_snapshot,
     )
 
-    rng = random.Random(20260814)
+    rng = random.Random(seed)
     table = str(tmp_path / "modeltab")
     model: dict[int, int] = {}
+    # the value column's LOGICAL name — renames re-point it; the
+    # physical on-disk name stays "v" forever (writers emit physical)
+    vcol = "v"
 
     def commit_append(lo: int, hi: int) -> None:
         rows = [(k, k * 10) for k in range(lo, hi)]
@@ -451,21 +456,21 @@ def test_snapshot_format_model_based_random_ops(spark, tmp_path):
         model.update(dict(rows))
 
     def check() -> None:
-        got = {
-            r["k"]: r["v"] for r in read_snapshot(spark, table).collect()
-        }
+        cur = read_snapshot(spark, table)
+        assert set(cur.columns) == {"k", vcol}, (cur.columns, vcol)
+        got = {r["k"]: r[vcol] for r in cur.collect()}
         assert got == model, (
             f"divergence: {len(got)} real vs {len(model)} model rows; "
             f"sample diff {dict(list((got.items() ^ model.items()))[:5])}"
         )
 
     # some ops commit >1 snapshot (MoR update = DV-delete + append), so
-    # the model history maps REAL snapshot ids -> state, and rollback
-    # only ever targets a recorded id
-    history: dict[int, dict[int, int]] = {}
+    # the model history maps REAL snapshot ids -> (state, logical name),
+    # and rollback only ever targets a recorded id
+    history: dict[int, tuple[dict[int, int], str]] = {}
 
     def snap() -> None:
-        history[latest_snapshot(table)] = dict(model)
+        history[latest_snapshot(table)] = (dict(model), vcol)
 
     commit_append(0, 200)
     snap()
@@ -473,7 +478,7 @@ def test_snapshot_format_model_based_random_ops(spark, tmp_path):
     for step in range(9):
         op = rng.choice(
             ["append", "delete", "update", "merge", "compact",
-             "rollback", "orphans"]
+             "rollback", "orphans", "rename"]
         )
         if op == "append":
             base = 1000 * (step + 1)
@@ -490,7 +495,7 @@ def test_snapshot_format_model_based_random_ops(spark, tmp_path):
                 spark,
                 table,
                 F.col("k") % m == r,
-                {"v": F.col("v") + 7},
+                {vcol: F.col(vcol) + 7},
             )
             model = {
                 k: (v + 7 if k % m == r else v) for k, v in model.items()
@@ -505,10 +510,10 @@ def test_snapshot_format_model_based_random_ops(spark, tmp_path):
                 [(k, "U", k * 10 + 1) for k in upd]
                 + [(k, "D", None) for k in dels]
                 + [(k, "I", k * 10) for k in ins],
-                "k LONG, op STRING, v LONG",
+                f"k LONG, op STRING, {vcol} LONG",
             )
             merge_into_snapshot(
-                spark, table, changes, key="k", value_cols=["v"]
+                spark, table, changes, key="k", value_cols=[vcol]
             )
             for k in upd:
                 model[k] = k * 10 + 1
@@ -525,7 +530,13 @@ def test_snapshot_format_model_based_random_ops(spark, tmp_path):
 
             target = rng.choice(sorted(history))
             rollback_snapshot(table, target)
-            model = dict(history[target])
+            model, vcol = dict(history[target][0]), history[target][1]
+        elif op == "rename":
+            from nibbler_spark.operators.snapshots import rename_columns
+
+            new = f"v_{step}"
+            rename_columns(table, {vcol: new})
+            vcol = new  # values unchanged; only the logical name moves
         else:  # orphans: plant an uncommitted dir, clean it, no-op on state
             import os as _os
 
