@@ -1000,7 +1000,10 @@ def commit_snapshot_sharded(
     metadata cost scales as O(shards + surviving-shard entries), not
     O(all files) — the difference between a 10 ms and a 10 s planning
     step on a million-file table. Data files themselves are untouched;
-    this is purely a metadata layout."""
+    this is purely a metadata layout. Scope: sharded commits carry no
+    deletion-vector or column-mapping state — they serve append-only
+    range-partitioned tables (the single-level commit path owns the
+    full state machine)."""
     import math
 
     mdir = os.path.join(_manifest_dir(table_dir), "shards")

@@ -1694,3 +1694,117 @@ def ext_dp_laplace_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "noise_int",
         (F.col("n") + F.col("noise_int")).cast("bigint").alias("noisy_n"),
     ).orderBy("event_type")
+
+
+_ISO_ORACLE = """
+WITH pts AS (
+  SELECT CAST(round(l_discount * 100) AS INT) AS x,
+         COUNT(*) AS n, SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS s
+  FROM lineitem GROUP BY 1
+),
+ord AS (
+  SELECT x, n, s,
+         SUM(n) OVER (ORDER BY x) AS cn,
+         SUM(s) OVER (ORDER BY x) AS cs
+  FROM pts
+),
+pre AS (
+  SELECT x, n, s, cn, cs,
+         cn - n AS pn, cs - s AS ps
+  FROM ord
+),
+triple AS (
+  SELECT i.x AS xi,
+         j.x AS xj, k.x AS xk,
+         CAST(k.cs - j.ps AS DOUBLE) / CAST(k.cn - j.pn AS DOUBLE)
+           AS seg_mean
+  FROM pre i JOIN pre j ON j.x <= i.x JOIN pre k ON k.x >= i.x
+),
+inner_min AS (
+  SELECT xi, xj, MIN(seg_mean) AS m FROM triple GROUP BY xi, xj
+)
+SELECT p.x AS disc_cents,
+       CAST(p.n AS BIGINT) AS n,
+       CAST(p.s AS BIGINT) AS n_returned,
+       ROUND(MAX(im.m), 6) AS fitted_rate
+FROM pre p JOIN inner_min im ON im.xi = p.x
+GROUP BY p.x, p.n, p.s
+ORDER BY disc_cents
+"""
+
+
+@register(
+    "ext_isotonic_regression",
+    survey_id="EXT-ML-ISOTONIC",
+    category="ml-exact",
+    oracle=_ISO_ORACLE,
+)
+def ext_isotonic_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISOTONIC REGRESSION (pool-adjacent-violators) — the standard
+    monotone calibrator — computed NOT by the sequential PAV sweep
+    (hostile to both engines' exactness and to distribution) but by
+    the exact MINIMAX IDENTITY: fitted(i) = max_{j≤i} min_{k≥i}
+    mean(y[j..k]), evaluated over the ≤11-point discount grid with
+    weighted segment means from prefix sums. The fact table collapses
+    to 11 (x, count, positives) rows in one map-side-combinable
+    groupBy; the triple enumeration (≤ 11³ combinations) runs on
+    kilobytes, every segment mean is one IEEE division of exact
+    integers, and the max-min lattice is order-free — bit-identical in
+    both engines, rounded at 1e-6 for the output contract. The fitted
+    curve is the provably optimal monotone fit of return rate vs
+    discount. At 100 TB: same story as every operator here — the only
+    big stage is the counts groupBy."""
+    pts = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.round(F.col("l_discount") * 100).cast("int").alias("x")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            ).alias("s"),
+        )
+    )
+    # ≤ 11 distinct discounts: tiny-aggregate windows
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    pre = pts.select(
+        "x",
+        "n",
+        "s",
+        (F.sum("n").over(w) - F.col("n")).alias("pn"),
+        (F.sum("s").over(w) - F.col("s")).alias("ps"),
+        F.sum("n").over(w).alias("cn"),
+        F.sum("s").over(w).alias("cs"),
+    ).localCheckpoint()
+    i = pre.select(F.col("x").alias("xi"), "n", "s")
+    j = pre.select(F.col("x").alias("xj"), F.col("pn").alias("jpn"), F.col("ps").alias("jps"))
+    k = pre.select(F.col("x").alias("xk"), F.col("cn").alias("kcn"), F.col("cs").alias("kcs"))
+    triple = (
+        i.join(j, F.col("xj") <= F.col("xi"))
+        .join(k, F.col("xk") >= F.col("xi"))
+        .select(
+            "xi",
+            "xj",
+            "n",
+            "s",
+            (
+                (F.col("kcs") - F.col("jps")).cast("double")
+                / (F.col("kcn") - F.col("jpn")).cast("double")
+            ).alias("seg_mean"),
+        )
+    )
+    inner_min = triple.groupBy("xi", "xj", "n", "s").agg(
+        F.min("seg_mean").alias("m")
+    )
+    return (
+        inner_min.groupBy("xi", "n", "s")
+        .agg(F.round(F.max("m"), 6).alias("fitted_rate"))
+        .select(
+            F.col("xi").alias("disc_cents"),
+            F.col("n").cast("bigint").alias("n"),
+            F.col("s").cast("bigint").alias("n_returned"),
+            "fitted_rate",
+        )
+        .orderBy("disc_cents")
+    )

@@ -219,3 +219,58 @@ def test_span_dedup_plan_has_no_cartesian(spark, sf_dir):
     )._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_isotonic_minimax_equals_classic_pav(spark, sf_dir):
+    """The minimax identity must equal the textbook sequential
+    pool-adjacent-violators sweep (independent implementation sharing
+    no machinery with either engine)."""
+    from nibbler_spark.queries import load_all
+
+    rows = (
+        load_all()["ext_isotonic_regression"].spark(spark, sf_dir).collect()
+    )
+    pts = [(r["disc_cents"], r["n"], r["n_returned"]) for r in rows]
+
+    # classic weighted PAV
+    blocks = [[n, s] for (_, n, s) in pts]  # [weight, sum]
+    merged: list[list[int]] = []
+    for b in blocks:
+        merged.append(list(b))
+        while len(merged) >= 2 and (
+            merged[-2][1] * merged[-1][0]
+            > merged[-1][1] * merged[-2][0]
+        ):  # prev mean > cur mean (cross-multiplied): pool
+            w2, s2 = merged.pop()
+            merged[-1][0] += w2
+            merged[-1][1] += s2
+    fitted = []
+    for w, s in merged:
+        fitted += [s / w] * 0  # placeholder; expand below by weight
+    # expand back to points: walk blocks by accumulated weight
+    expanded = []
+    for w, s in merged:
+        acc = 0
+        # blocks pooled contiguous points; re-walk the original list
+        expanded.append((w, s / w))
+    # map each original point to its block mean
+    means = []
+    bi, remaining = 0, merged[0][0]
+    for _, n, _ in pts:
+        while remaining < n:
+            # a block boundary can't split an original point: PAV pools
+            # whole points, so weights always align
+            raise AssertionError("block misalignment")
+        means.append(merged[bi][1] / merged[bi][0])
+        remaining -= n
+        if remaining == 0 and bi + 1 < len(merged):
+            bi += 1
+            remaining = merged[bi][0]
+    assert len(means) == len(pts)
+    for r, m in zip(rows, means):
+        assert abs(r["fitted_rate"] - m) <= 1e-6
+    # and monotonicity, the whole point
+    assert all(
+        rows[i]["fitted_rate"] <= rows[i + 1]["fitted_rate"] + 1e-12
+        for i in range(len(rows) - 1)
+    )
