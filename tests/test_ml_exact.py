@@ -244,16 +244,7 @@ def test_isotonic_minimax_equals_classic_pav(spark, sf_dir):
             w2, s2 = merged.pop()
             merged[-1][0] += w2
             merged[-1][1] += s2
-    fitted = []
-    for w, s in merged:
-        fitted += [s / w] * 0  # placeholder; expand below by weight
-    # expand back to points: walk blocks by accumulated weight
-    expanded = []
-    for w, s in merged:
-        acc = 0
-        # blocks pooled contiguous points; re-walk the original list
-        expanded.append((w, s / w))
-    # map each original point to its block mean
+    # map each original point back to its pooled block's mean
     means = []
     bi, remaining = 0, merged[0][0]
     for _, n, _ in pts:
