@@ -2501,3 +2501,144 @@ def ext_incremental_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+_KM_ORACLE = """
+WITH su AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS s
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+pu AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS p
+  FROM events e JOIN su ON su.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > su.s
+  GROUP BY e.user_id
+),
+horizon AS (SELECT MAX(epoch_us(ts)) AS h FROM events),
+durs AS (
+  SELECT su.user_id,
+         CASE WHEN pu.p IS NOT NULL
+              THEN (pu.p - su.s) // 86400000000
+              ELSE (horizon.h - su.s) // 86400000000 END AS t,
+         CASE WHEN pu.p IS NOT NULL THEN 1 ELSE 0 END AS ev
+  FROM su LEFT JOIN pu ON pu.user_id = su.user_id, horizon
+),
+tot AS (SELECT COUNT(*) AS n_total FROM durs),
+byt AS (
+  SELECT t, SUM(ev) AS d, COUNT(*) AS c FROM durs GROUP BY t
+),
+cum AS (
+  SELECT t, d,
+         tot.n_total
+           - COALESCE(SUM(c) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS n_risk
+  FROM byt, tot
+),
+terms AS (
+  SELECT t, d, n_risk,
+         CAST(FLOOR(ln(CAST(n_risk - d AS DOUBLE) / n_risk) * 1e9)
+              AS BIGINT) AS term
+  FROM cum WHERE d > 0 AND d < n_risk
+)
+SELECT CAST(t AS BIGINT) AS t_days,
+       CAST(n_risk AS BIGINT) AS n_risk,
+       CAST(d AS BIGINT) AS d_events,
+       CAST(SUM(term) OVER (ORDER BY t) AS BIGINT) AS ln_s_scaled
+FROM terms ORDER BY t_days
+"""
+
+
+@register(
+    "ext_kaplan_meier",
+    survey_id="EXT-SURV-KM",
+    category="event-analytics",
+    oracle=_KM_ORACLE,
+)
+def ext_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KAPLAN–MEIER survival curve with RIGHT CENSORING — the
+    time-to-event estimator conversion analytics actually needs (naive
+    'average days to purchase' over converters only is biased; users
+    who never converted carry information until their censoring time):
+    per user, duration = days from first signup to first subsequent
+    purchase, censored at the observation horizon otherwise. The
+    product-limit estimate S(t) = Π(1 − d_i/n_i) is carried in LOG
+    space as exact BIGINTs (each factor's ln on the 1e-9 floor grid —
+    products of many rationals overflow any fixed precision, gridded-ln
+    sums never do), with the standard tie convention (censored at t
+    remain at risk at t). Scale: durations reduce per user in one
+    keyed aggregate; the risk-set arithmetic runs on the ≤31-row
+    distinct-duration table (tiny-aggregate window); nothing else
+    shuffles. The oracle replicates every step over integer
+    microseconds."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("tu"), "event_type"
+    )
+    su = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("tu").alias("s"))
+    )
+    pu = (
+        e.where(F.col("event_type") == "purchase")
+        .join(su, "user_id")
+        .where(F.col("tu") > F.col("s"))
+        .groupBy("user_id")
+        .agg(F.min("tu").alias("p"))
+    )
+    horizon = e.agg(F.max("tu").alias("h"))
+    durs = (
+        su.join(pu, "user_id", "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.when(
+                F.col("p").isNotNull(),
+                F.expr("(p - s) div 86400000000"),
+            )
+            .otherwise(F.expr("(h - s) div 86400000000"))
+            .alias("t"),
+            F.when(F.col("p").isNotNull(), 1).otherwise(0).alias("ev"),
+        )
+    )
+    tot = durs.agg(F.count("*").alias("n_total"))
+    byt = durs.groupBy("t").agg(
+        F.sum("ev").alias("d"), F.count("*").alias("c")
+    )
+    # ≤ horizon-days distinct durations: tiny-aggregate windows
+    wc = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    cum = byt.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "d",
+        (
+            F.col("n_total")
+            - F.coalesce(F.sum("c").over(wc), F.lit(0))
+        ).alias("n_risk"),
+    )
+    # d == n_risk at the terminal time means S(t) hits exactly 0 —
+    # ln undefined; the curve is reported up to the last time with
+    # survivors (the standard presentation)
+    terms = cum.where(
+        (F.col("d") > 0) & (F.col("d") < F.col("n_risk"))
+    ).select(
+        "t",
+        "d",
+        "n_risk",
+        F.floor(
+            F.log(
+                (F.col("n_risk") - F.col("d")).cast("double")
+                / F.col("n_risk")
+            )
+            * F.lit(1e9)
+        )
+        .cast("bigint")
+        .alias("term"),
+    )
+    ws = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return terms.select(
+        F.col("t").cast("bigint").alias("t_days"),
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        F.col("d").cast("bigint").alias("d_events"),
+        F.sum("term").over(ws).cast("bigint").alias("ln_s_scaled"),
+    ).orderBy("t_days")
