@@ -2642,3 +2642,82 @@ def ext_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").cast("bigint").alias("d_events"),
         F.sum("term").over(ws).cast("bigint").alias("ln_s_scaled"),
     ).orderBy("t_days")
+
+
+_MARKOV2_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         LAG(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS prev
+  FROM events
+),
+c AS (
+  SELECT prev AS i, event_type AS j, COUNT(*) AS n
+  FROM ordered WHERE prev IS NOT NULL GROUP BY prev, event_type
+),
+r AS (SELECT i, SUM(n) AS rt FROM c GROUP BY i),
+p AS (
+  SELECT c.i, c.j, CAST(c.n AS DOUBLE) / r.rt AS p
+  FROM c JOIN r USING (i)
+),
+two AS (
+  SELECT a.i, b.j,
+         SUM(CAST(FLOOR(a.p * b.p * 1e15) AS BIGINT)) AS p2_scaled
+  FROM p a JOIN p b ON a.j = b.i
+  GROUP BY a.i, b.j
+)
+SELECT i AS from_type, j AS to_type, CAST(p2_scaled AS BIGINT) AS p2_scaled
+FROM two ORDER BY from_type, to_type
+"""
+
+
+@register(
+    "ext_markov_two_step",
+    survey_id="EXT-MARKOV2",
+    category="event-analytics",
+    oracle=_MARKOV2_ORACLE,
+)
+def ext_markov_two_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-step Markov transition probabilities over user journeys —
+    the squared transition matrix behind 'where do users end up two
+    actions from here': per-user event sequences (ts, event_id total
+    order) yield first-order transition counts, row-normalize to P,
+    and P² computes as the keyed self-join Σ_k P[i,k]·P[k,j]. Each
+    product is two exact integer divisions and one multiply (IEEE
+    deterministic); the ORDER-DEPENDENT part — summing over k — rides
+    the 1e-15 floor grid as exact BIGINTs, so the result hashes
+    despite 5 unordered addends. Scale: one lag window + one keyed
+    count on user_id; all matrix math happens on the 25-row
+    transition table."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = e.select(
+        F.lag("event_type").over(w).alias("i"),
+        F.col("event_type").alias("j"),
+    ).where(F.col("i").isNotNull())
+    c = pairs.groupBy("i", "j").agg(F.count("*").alias("n"))
+    r = c.groupBy("i").agg(F.sum("n").alias("rt"))
+    p = c.join(r, "i").select(
+        "i", "j", (F.col("n").cast("double") / F.col("rt")).alias("p")
+    )
+    a = p.select(
+        F.col("i").alias("ai"), F.col("j").alias("k"), F.col("p").alias("pa")
+    )
+    b = p.select(
+        F.col("i").alias("k"), F.col("j").alias("bj"), F.col("p").alias("pb")
+    )
+    return (
+        a.join(b, "k")
+        .groupBy(F.col("ai").alias("from_type"), F.col("bj").alias("to_type"))
+        .agg(
+            F.sum(
+                F.floor(F.col("pa") * F.col("pb") * F.lit(1e15)).cast(
+                    "bigint"
+                )
+            )
+            .cast("bigint")
+            .alias("p2_scaled")
+        )
+        .orderBy("from_type", "to_type")
+    )
