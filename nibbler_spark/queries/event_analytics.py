@@ -2721,3 +2721,146 @@ def ext_markov_two_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("from_type", "to_type")
     )
+
+
+_CUPED_ORACLE = """
+WITH per_user AS (
+  SELECT user_id,
+         SUM(CASE WHEN date_part('day', ts) <= 15
+                  THEN CAST(FLOOR(value) AS BIGINT) ELSE 0 END) AS x,
+         SUM(CASE WHEN date_part('day', ts) >= 16
+                       AND event_type = 'purchase'
+                  THEN CAST(FLOOR(value) AS BIGINT) ELSE 0 END) AS y
+  FROM events GROUP BY user_id
+),
+armed AS (
+  SELECT CASE WHEN CAST(('0x' || substr(md5('arm:' ||
+              CAST(user_id AS VARCHAR)), 1, 12)) AS BIGINT)
+              >= 140737488355328 THEN 'B' ELSE 'A' END AS arm,
+         x, y
+  FROM per_user
+),
+g AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(x * y) AS DOUBLE) AS sxy,
+         CAST(SUM(x * x) AS DOUBLE) AS sxx,
+         CAST(SUM(y * y) AS DOUBLE) AS syy
+  FROM armed
+),
+th AS (
+  SELECT n, sx, sy,
+         (n * sxy - sx * sy) / (n * sxx - sx * sx) AS theta,
+         (n * sxy - sx * sy) * (n * sxy - sx * sy)
+           / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS rho2
+  FROM g
+),
+per_arm AS (
+  SELECT arm, CAST(COUNT(*) AS DOUBLE) AS an,
+         CAST(SUM(x) AS DOUBLE) AS asx, CAST(SUM(y) AS DOUBLE) AS asy
+  FROM armed GROUP BY arm
+)
+SELECT arm,
+       CAST(an AS BIGINT) AS n_users,
+       ROUND(asy / an, 6) AS y_mean_raw,
+       ROUND(asy / an - th.theta * (asx / an - th.sx / th.n), 6)
+         AS y_mean_cuped,
+       ROUND(th.theta, 6) AS theta,
+       ROUND(th.rho2, 6) AS rho2
+FROM per_arm, th ORDER BY arm
+"""
+
+
+@register(
+    "ext_cuped_adjustment",
+    survey_id="EXT-CUPED",
+    category="event-analytics",
+    oracle=_CUPED_ORACLE,
+)
+def ext_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction — the experimentation-platform workhorse
+    (Deng et al.): adjust each arm's post-period revenue by the
+    pre-period covariate, Y_adj = Y − θ(X − X̄), with θ = cov(X,Y)/
+    var(X) fit on the pooled pre-experiment data. All five sufficient
+    statistics accumulate as EXACT BIGINTs (the d27 discipline:
+    bigint→double casts round identically, unlike wide decimals), so
+    θ, ρ² (the variance-reduction factor 1−ρ² follows), and both raw
+    and adjusted arm means are fixed double expressions over identical
+    operands — hash-exact with only the 1e-6 output rounding. Arms
+    are md5-derived; at 100 TB this is one per-user keyed aggregate
+    plus arithmetic on a 2-row table."""
+    half = 140737488355328  # 2^47
+    day = F.dayofmonth("ts")
+    per_user = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(day <= 15, F.floor("value").cast("bigint")).otherwise(
+                    0
+                )
+            ).alias("x"),
+            F.sum(
+                F.when(
+                    (day >= 16) & (F.col("event_type") == "purchase"),
+                    F.floor("value").cast("bigint"),
+                ).otherwise(0)
+            ).alias("y"),
+        )
+    )
+    arm = F.when(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("arm:"), F.col("user_id").cast("string"))),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        >= half,
+        "B",
+    ).otherwise("A")
+    armed = per_user.select(arm.alias("arm"), "x", "y").localCheckpoint()
+    g = armed.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    th = g.select(
+        "n",
+        "sx",
+        ((n * sxy - sx * sy) / (n * sxx - sx * sx)).alias("theta"),
+        (
+            (n * sxy - sx * sy)
+            * (n * sxy - sx * sy)
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+        ).alias("rho2"),
+    )
+    per_arm = armed.groupBy("arm").agg(
+        F.count("*").cast("double").alias("an"),
+        F.sum("x").cast("double").alias("asx"),
+        F.sum("y").cast("double").alias("asy"),
+    )
+    return (
+        per_arm.crossJoin(F.broadcast(th))
+        .select(
+            "arm",
+            F.col("an").cast("bigint").alias("n_users"),
+            F.round(F.col("asy") / F.col("an"), 6).alias("y_mean_raw"),
+            F.round(
+                F.col("asy") / F.col("an")
+                - F.col("theta")
+                * (F.col("asx") / F.col("an") - F.col("sx") / F.col("n")),
+                6,
+            ).alias("y_mean_cuped"),
+            F.round("theta", 6).alias("theta"),
+            F.round("rho2", 6).alias("rho2"),
+        )
+        .orderBy("arm")
+    )
