@@ -2864,3 +2864,106 @@ def ext_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("arm")
     )
+
+
+_DID_ORACLE = """
+WITH cells AS (
+  SELECT CASE WHEN CAST(('0x' || substr(md5('did:' ||
+              CAST(user_id AS VARCHAR)), 1, 12)) AS BIGINT)
+              >= 140737488355328 THEN 'T' ELSE 'C' END AS arm,
+         CASE WHEN date_part('day', ts) >= 16 THEN 'post'
+              ELSE 'pre' END AS period,
+         CAST(FLOOR(value) AS BIGINT) AS v
+  FROM events
+),
+m AS (
+  SELECT arm, period,
+         CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean_v,
+         COUNT(*) AS n
+  FROM cells GROUP BY arm, period
+)
+SELECT
+  CAST((SELECT n FROM m WHERE arm='T' AND period='post') AS BIGINT)
+    AS n_t_post,
+  ROUND((SELECT mean_v FROM m WHERE arm='T' AND period='pre'), 6)
+    AS t_pre,
+  ROUND((SELECT mean_v FROM m WHERE arm='T' AND period='post'), 6)
+    AS t_post,
+  ROUND((SELECT mean_v FROM m WHERE arm='C' AND period='pre'), 6)
+    AS c_pre,
+  ROUND((SELECT mean_v FROM m WHERE arm='C' AND period='post'), 6)
+    AS c_post,
+  ROUND(((SELECT mean_v FROM m WHERE arm='T' AND period='post')
+         - (SELECT mean_v FROM m WHERE arm='T' AND period='pre'))
+        - ((SELECT mean_v FROM m WHERE arm='C' AND period='post')
+           - (SELECT mean_v FROM m WHERE arm='C' AND period='pre')), 6)
+    AS did_estimate
+"""
+
+
+@register(
+    "ext_difference_in_differences",
+    survey_id="EXT-DID",
+    category="event-analytics",
+    oracle=_DID_ORACLE,
+)
+def ext_difference_in_differences(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Difference-in-differences — the observational causal estimator
+    completing the experimentation family (z-test → CUPED → DiD): the
+    treatment effect is (T_post − T_pre) − (C_post − C_pre), which
+    nets out both the group-level baseline difference and the common
+    time trend under parallel trends. Cell means come from exact
+    BIGINT sums over the 2×2 (md5-arm × period) grid; the estimate is
+    one fixed double expression, rounded at 1e-6. One map-side-
+    combinable groupBy to four rows; everything else is arithmetic on
+    the driver-sized result."""
+    half = 140737488355328
+    arm = F.when(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("did:"), F.col("user_id").cast("string"))
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        >= half,
+        "T",
+    ).otherwise("C")
+    period = F.when(F.dayofmonth("ts") >= 16, "post").otherwise("pre")
+    m = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(arm.alias("arm"), period.alias("period"))
+        .agg(
+            F.sum(F.floor("value").cast("bigint"))
+            .cast("double")
+            .alias("sv"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "arm",
+            "period",
+            (F.col("sv") / F.col("n")).alias("mean_v"),
+            "n",
+        )
+    )
+    cell = lambda a, p, col: F.max(
+        F.when((F.col("arm") == a) & (F.col("period") == p), F.col(col))
+    )
+    return m.agg(
+        cell("T", "post", "n").cast("bigint").alias("n_t_post"),
+        F.round(cell("T", "pre", "mean_v"), 6).alias("t_pre"),
+        F.round(cell("T", "post", "mean_v"), 6).alias("t_post"),
+        F.round(cell("C", "pre", "mean_v"), 6).alias("c_pre"),
+        F.round(cell("C", "post", "mean_v"), 6).alias("c_post"),
+        F.round(
+            (cell("T", "post", "mean_v") - cell("T", "pre", "mean_v"))
+            - (cell("C", "post", "mean_v") - cell("C", "pre", "mean_v")),
+            6,
+        ).alias("did_estimate"),
+    )
