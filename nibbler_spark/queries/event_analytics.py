@@ -2967,3 +2967,127 @@ def ext_difference_in_differences(
             6,
         ).alias("did_estimate"),
     )
+
+
+_ITEMCF_ORACLE = """
+WITH inter AS (
+  SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS i
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+cnt AS (SELECT i, COUNT(*) AS n FROM inter GROUP BY i),
+co AS (
+  SELECT a.i AS ia, b.i AS ib, COUNT(*) AS c
+  FROM inter a JOIN inter b ON a.u = b.u AND a.i < b.i
+  GROUP BY a.i, b.i
+),
+sim AS (
+  SELECT co.ia, co.ib, co.c,
+         co.c / (sqrt(CAST(na.n AS DOUBLE)) * sqrt(CAST(nb.n AS DOUBLE)))
+           AS cosine
+  FROM co
+  JOIN cnt na ON na.i = co.ia
+  JOIN cnt nb ON nb.i = co.ib
+),
+both_dirs AS (
+  SELECT ia AS i, ib AS j, c, cosine FROM sim
+  UNION ALL
+  SELECT ib, ia, c, cosine FROM sim
+),
+probe AS (
+  SELECT * FROM both_dirs WHERE i % 97 = 0
+),
+ranked AS (
+  SELECT i, j, c, ROUND(cosine, 6) AS cosine,
+         ROW_NUMBER() OVER (
+           PARTITION BY i ORDER BY ROUND(cosine, 6) DESC, j
+         ) AS rk
+  FROM probe
+)
+SELECT CAST(i AS BIGINT) AS item, CAST(j AS BIGINT) AS neighbor,
+       CAST(c AS BIGINT) AS co_count, cosine
+FROM ranked WHERE rk <= 5
+ORDER BY item, cosine DESC, neighbor
+"""
+
+
+@register(
+    "ext_item_item_cf",
+    survey_id="EXT-ITEM-CF",
+    category="event-analytics",
+    oracle=_ITEMCF_ORACLE,
+)
+def ext_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item COLLABORATIVE FILTERING — the recommender-system
+    workload family (Amazon's classic item-to-item recipe): binary
+    customer-part interactions from orders⨝lineitem, co-occurrence
+    counts via the per-user basket self-join (the wedge shape whose
+    fan-out is bounded by basket size, never user count), and cosine
+    similarity co / √(n_a)·√(n_b) — one IEEE expression over exact
+    integer counts, rounded at 1e-6 BEFORE ranking so top-k membership
+    is engine-stable (the BM25 discipline). Top-5 neighbors for every
+    97th item through a window PARTITIONED BY ITEM. At 100 TB:
+    baskets self-join inside user partitions, similarities aggregate
+    on (item, item) keys carrying three integers, and serving probes
+    broadcast — the exact shape production item-CF pipelines run
+    nightly."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    inter = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    cnt = inter.groupBy("i").agg(F.count("*").alias("n"))
+    a = inter.select("u", F.col("i").alias("ia"))
+    b = inter.select("u", F.col("i").alias("ib"))
+    co = (
+        a.join(b, "u")
+        .where(F.col("ia") < F.col("ib"))
+        .groupBy("ia", "ib")
+        .agg(F.count("*").alias("c"))
+    )
+    sim = (
+        co.join(cnt.select(F.col("i").alias("ia"), F.col("n").alias("na")), "ia")
+        .join(cnt.select(F.col("i").alias("ib"), F.col("n").alias("nb")), "ib")
+        .select(
+            "ia",
+            "ib",
+            "c",
+            (
+                F.col("c")
+                / (
+                    F.sqrt(F.col("na").cast("double"))
+                    * F.sqrt(F.col("nb").cast("double"))
+                )
+            ).alias("cosine"),
+        )
+    )
+    both = sim.select(
+        F.col("ia").alias("i"), F.col("ib").alias("j"), "c", "cosine"
+    ).unionByName(
+        sim.select(
+            F.col("ib").alias("i"), F.col("ia").alias("j"), "c", "cosine"
+        )
+    )
+    probe = both.where(F.col("i") % 97 == 0).withColumn(
+        "cos_r", F.round("cosine", 6)
+    )
+    w = Window.partitionBy("i").orderBy(F.desc("cos_r"), F.col("j"))
+    return (
+        probe.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 5)
+        .select(
+            F.col("i").cast("bigint").alias("item"),
+            F.col("j").cast("bigint").alias("neighbor"),
+            F.col("c").cast("bigint").alias("co_count"),
+            F.col("cos_r").alias("cosine"),
+        )
+        .orderBy("item", F.desc("cosine"), "neighbor")
+    )
