@@ -3091,3 +3091,142 @@ def ext_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("item", F.desc("cosine"), "neighbor")
     )
+
+
+def _shapley_oracle() -> str:
+    """Shapley over the 4-channel lattice, fully enumerated in SQL:
+    per-user exposure masks -> per-mask conversion rates -> exact
+    factorial-weighted marginal sums on the 1e12 grid."""
+    # weights scaled by 4! = 24: w(s) = s!(4-1-s)! for s = |S| (0..3)
+    w = {0: 6, 1: 2, 2: 2, 3: 6}
+    legs = []
+    for ch_bit, ch_name in enumerate(["click", "view", "signup", "error"]):
+        terms = []
+        for mask in range(16):
+            if mask & (1 << ch_bit):
+                continue
+            s = bin(mask).count("1")
+            terms.append(
+                f"{w[s]} * (v.v{mask | (1 << ch_bit)} - v.v{mask})"
+            )
+        legs.append(
+            f"SELECT '{ch_name}' AS channel,\n"
+            f"       CAST({' + '.join(terms)} AS BIGINT) AS phi_scaled_24\n"
+            f"FROM v"
+        )
+    vcols = ",\n".join(
+        f"  COALESCE(MAX(CASE WHEN mask = {m} THEN "
+        f"CAST(FLOOR(CAST(c AS DOUBLE) / n * 1e12) AS BIGINT) END), 0)"
+        f" AS v{m}"
+        for m in range(16)
+    )
+    return f"""
+WITH per_user AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+           + 2 * MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+           + 4 * MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+           + 8 * MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+           AS mask,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS converted
+  FROM events GROUP BY user_id
+),
+cells AS (
+  SELECT mask, COUNT(*) AS n, SUM(converted) AS c
+  FROM per_user GROUP BY mask
+),
+v AS (
+  SELECT
+{vcols}
+  FROM cells
+)
+SELECT channel, phi_scaled_24,
+       ROUND(CAST(phi_scaled_24 AS DOUBLE) / 24e0 / 1e12, 6) AS phi
+FROM ({' UNION ALL '.join(legs)})
+ORDER BY channel
+"""
+
+
+@register(
+    "ext_shapley_attribution",
+    survey_id="EXT-SHAPLEY",
+    category="event-analytics",
+    oracle=_shapley_oracle(),
+)
+def ext_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHAPLEY-VALUE channel attribution — the game-theoretic
+    alternative to last-touch: each non-purchase channel's credit is
+    its factorial-weighted average marginal contribution to the
+    conversion rate across every coalition of the other channels.
+    With 4 channels the 16-cell lattice enumerates EXACTLY (no
+    sampling): per-user exposure masks reduce in one groupBy, cell
+    conversion rates land on the 1e12 floor grid, and each φ is a
+    FIXED 8-term integer expression (weights s!(4−1−s)! scaled by
+    4! = 24) — no order-dependent reduction anywhere. Empty cells
+    contribute v = 0 (the observed-lattice convention). Scale: the
+    fact scan reduces to ≤16 rows; the game theory runs on
+    kilobytes."""
+    e = load_table(spark, sf_dir, "events")
+    has = lambda t: F.max(
+        F.when(F.col("event_type") == t, 1).otherwise(0)
+    )
+    per_user = e.groupBy("user_id").agg(
+        (
+            has("click")
+            + 2 * has("view")
+            + 4 * has("signup")
+            + 8 * has("error")
+        ).alias("mask"),
+        has("purchase").alias("converted"),
+    )
+    cells = per_user.groupBy("mask").agg(
+        F.count("*").alias("n"), F.sum("converted").alias("c")
+    )
+    v = cells.agg(
+        *[
+            F.coalesce(
+                F.max(
+                    F.when(
+                        F.col("mask") == m,
+                        F.floor(
+                            F.col("c").cast("double")
+                            / F.col("n")
+                            * F.lit(1e12)
+                        ).cast("bigint"),
+                    )
+                ),
+                F.lit(0),
+            ).alias(f"v{m}")
+            for m in range(16)
+        ]
+    )
+    w = {0: 6, 1: 2, 2: 2, 3: 6}
+    rows = []
+    for ch_bit, ch_name in enumerate(["click", "view", "signup", "error"]):
+        phi = None
+        for mask in range(16):
+            if mask & (1 << ch_bit):
+                continue
+            s = bin(mask).count("1")
+            term = F.lit(w[s]) * (
+                F.col(f"v{mask | (1 << ch_bit)}") - F.col(f"v{mask}")
+            )
+            phi = term if phi is None else phi + term
+        rows.append(
+            v.select(
+                F.lit(ch_name).alias("channel"),
+                phi.cast("bigint").alias("phi_scaled_24"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.select(
+        "channel",
+        "phi_scaled_24",
+        F.round(
+            F.col("phi_scaled_24").cast("double") / F.lit(24.0) / F.lit(1e12),
+            6,
+        ).alias("phi"),
+    ).orderBy("channel")

@@ -1808,3 +1808,104 @@ def ext_isotonic_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("disc_cents")
     )
+
+
+_ALS_ORACLE = """
+WITH inter AS (
+  SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS i
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_partkey % 3 = 0
+),
+q AS (
+  SELECT i,
+         (i * 2654435761) % 1000 AS q0m,
+         (i * 40503) % 1000 AS q1m
+  FROM (SELECT DISTINCT i FROM inter)
+),
+ne AS (
+  SELECT inter.u,
+         SUM(q.q0m * q.q0m) AS a, SUM(q.q0m * q.q1m) AS b,
+         SUM(q.q1m * q.q1m) AS d,
+         SUM(q.q0m) * 1000 AS b0, SUM(q.q1m) * 1000 AS b1,
+         COUNT(*) AS n_items
+  FROM inter JOIN q ON q.i = inter.i
+  GROUP BY inter.u
+),
+solved AS (
+  SELECT u, n_items,
+         CAST(a + 100000 AS DOUBLE) AS aa, CAST(b AS DOUBLE) AS bb,
+         CAST(d + 100000 AS DOUBLE) AS dd,
+         CAST(b0 AS DOUBLE) AS v0, CAST(b1 AS DOUBLE) AS v1
+  FROM ne
+)
+SELECT CAST(u AS BIGINT) AS user_id, CAST(n_items AS BIGINT) AS n_items,
+       ROUND((dd * v0 - bb * v1) / (aa * dd - bb * bb), 6) AS p0,
+       ROUND((aa * v1 - bb * v0) / (aa * dd - bb * bb), 6) AS p1
+FROM solved WHERE u % 199 = 0
+ORDER BY user_id
+"""
+
+
+@register(
+    "ext_als_round",
+    survey_id="EXT-ML-ALS",
+    category="ml-exact",
+    oracle=_ALS_ORACLE,
+)
+def ext_als_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One ALTERNATING-LEAST-SQUARES round (rank 2, ridge λ) — the
+    matrix-factorization training step behind collaborative filtering,
+    made hash-exact: item factors initialize on an INTEGER MILLI grid
+    (q ∈ {0..999}/1000 from a multiplicative hash), so every user's
+    normal equations Σ qqᵀ + λI and Σ q·r accumulate as EXACT BIGINTs
+    (products of millis are exact micro-units — no float sum order
+    anywhere), and the closed-form 2×2 solve (adjugate over
+    determinant) is one fixed double expression per user, rounded at
+    1e-6. This is the distributed ALS shape verbatim: item factors
+    join interactions (broadcast-sized here; block-partitioned at
+    scale), the ONLY big shuffle is the per-user groupBy of 5 integer
+    sufficient statistics, and the solve runs rowwise on the
+    aggregate. λ = 0.1 in milli² units (100000)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_partkey") % 3 == 0
+    ).select("l_orderkey", "l_partkey")
+    inter = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i")
+        )
+        .distinct()
+    )
+    q0m = (F.col("i") * 2654435761) % 1000
+    q1m = (F.col("i") * 40503) % 1000
+    ne = (
+        inter.select("u", q0m.alias("q0m"), q1m.alias("q1m"))
+        .groupBy("u")
+        .agg(
+            F.sum(F.col("q0m") * F.col("q0m")).alias("a"),
+            F.sum(F.col("q0m") * F.col("q1m")).alias("b"),
+            F.sum(F.col("q1m") * F.col("q1m")).alias("d"),
+            (F.sum("q0m") * 1000).alias("b0"),
+            (F.sum("q1m") * 1000).alias("b1"),
+            F.count("*").alias("n_items"),
+        )
+    )
+    aa = (F.col("a") + 100000).cast("double")
+    bb = F.col("b").cast("double")
+    dd = (F.col("d") + 100000).cast("double")
+    v0 = F.col("b0").cast("double")
+    v1 = F.col("b1").cast("double")
+    det = aa * dd - bb * bb
+    return (
+        ne.where(F.col("u") % 199 == 0)
+        .select(
+            F.col("u").cast("bigint").alias("user_id"),
+            F.col("n_items").cast("bigint").alias("n_items"),
+            F.round((dd * v0 - bb * v1) / det, 6).alias("p0"),
+            F.round((aa * v1 - bb * v0) / det, 6).alias("p1"),
+        )
+        .orderBy("user_id")
+    )
