@@ -1712,3 +1712,119 @@ def decode_audio(payload: bytes) -> dict:
     if payload[:4] == b"FORM":
         return parse_aiff(payload)
     raise AudioFormatError("unknown audio container format")
+
+
+# --- MP4 / ISOBMFF: box-tree container with real sample tables ------------
+
+
+class Mp4FormatError(ValueError):
+    pass
+
+
+def encode_mp4(frames: list[bytes], timescale: int = 30) -> bytes:
+    """Minimal structurally-correct ISOBMFF file: ftyp, mdat carrying
+    the raw frame bytes, and a moov box tree whose stbl sample tables
+    (stsd/stts/stsz/stco) truthfully describe them — the part real
+    players actually navigate by. Chunk offsets in stco are ABSOLUTE
+    file offsets, so the layout pass runs before moov is emitted."""
+
+    def box(typ: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isomiso2")
+    mdat_payload = b"".join(frames)
+    mdat = box(b"mdat", mdat_payload)
+    first_sample_off = len(ftyp) + 8  # mdat header precedes samples
+
+    n = len(frames)
+    stsd = box(
+        b"stsd",
+        struct.pack(">II", 0, 1)
+        + box(b"raw ", struct.pack(">6xH", 1) + b"\x00" * 8),
+    )
+    stts = box(b"stts", struct.pack(">IIII", 0, 1, n, 1))
+    stsz = box(
+        b"stsz",
+        struct.pack(">III", 0, 0, n)
+        + b"".join(struct.pack(">I", len(f)) for f in frames),
+    )
+    # one chunk per sample: stsc maps every chunk to 1 sample
+    stsc = box(b"stsc", struct.pack(">II", 0, 1) + struct.pack(">III", 1, 1, 1))
+    offs, pos = [], first_sample_off
+    for f in frames:
+        offs.append(pos)
+        pos += len(f)
+    stco = box(
+        b"stco",
+        struct.pack(">II", 0, n)
+        + b"".join(struct.pack(">I", o) for o in offs),
+    )
+    stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = box(b"minf", stbl)
+    mdhd = box(
+        b"mdhd", struct.pack(">IIIIIHH", 0, 0, 0, timescale, n, 0x55C4, 0)
+    )
+    hdlr = box(b"hdlr", struct.pack(">II4s8x", 0, 0, b"vide") + b"\x00")
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    tkhd = box(b"tkhd", struct.pack(">I", 7) + b"\x00" * 80)
+    trak = box(b"trak", tkhd + mdia)
+    mvhd = box(b"mvhd", struct.pack(">IIIII", 0, 0, 0, timescale, n) + b"\x00" * 80)
+    moov = box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+def parse_mp4(payload: bytes) -> dict:
+    """Walk the ISOBMFF box tree (size/type headers, container
+    recursion), locate the sample tables, and extract every sample's
+    bytes through stco + stsz ABSOLUTE offsets — cross-checking the
+    stts sample count. Returns frame stats proving real sample
+    access."""
+    CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+    tables: dict[bytes, bytes] = {}
+
+    def walk(buf: bytes, base: int, end: int) -> None:
+        pos = base
+        while pos + 8 <= end:
+            (size,) = struct.unpack_from(">I", buf, pos)
+            typ = buf[pos + 4 : pos + 8]
+            if size < 8 or pos + size > end:
+                raise Mp4FormatError(f"bad box size {size} at {pos}")
+            if typ in CONTAINERS:
+                walk(buf, pos + 8, pos + size)
+            elif typ in (b"stsz", b"stco", b"stts"):
+                tables[typ] = buf[pos + 8 : pos + size]
+            pos += size
+
+    walk(payload, 0, len(payload))
+    for need in (b"stsz", b"stco", b"stts"):
+        if need not in tables:
+            raise Mp4FormatError(f"missing {need.decode()} table")
+    stsz = tables[b"stsz"]
+    _, fixed, n = struct.unpack_from(">III", stsz, 0)
+    sizes = (
+        [fixed] * n
+        if fixed
+        else list(struct.unpack_from(f">{n}I", stsz, 12))
+    )
+    stco = tables[b"stco"]
+    (_, n_chunks) = struct.unpack_from(">II", stco, 0)
+    offs = list(struct.unpack_from(f">{n_chunks}I", stco, 8))
+    if n_chunks != n:
+        raise Mp4FormatError("chunk/sample count mismatch (need stsc)")
+    _, n_ent, cnt, _delta = struct.unpack_from(">IIII", tables[b"stts"], 0)
+    if n_ent != 1 or cnt != n:
+        raise Mp4FormatError("stts disagrees with sample count")
+    total = 0
+    ssum = 0
+    for off, sz in zip(offs, sizes):
+        chunk = payload[off : off + sz]
+        if len(chunk) != sz:
+            raise Mp4FormatError("sample extends past file end")
+        total += sz
+        ssum += sum(chunk)
+    return {
+        "fmt": "mp4",
+        "n_frames": n,
+        "frame_bytes": total,
+        "frame_sum": ssum,
+    }

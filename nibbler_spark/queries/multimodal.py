@@ -2735,3 +2735,82 @@ def ext_image_decode_jpeg_sa(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     encoded = d.mapInPandas(encode, "doc_id long, payload binary")
     return decode_image_batches(encoded).orderBy("doc_id")
+
+
+@register(
+    "ext_video_decode_mp4",
+    survey_id="EXT-MM-MP4",
+    category="multimodal",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, 2 + doc_id % 5 AS nf
+  FROM documents WHERE doc_id % 53 = 0
+),
+b AS (
+  SELECT d.doc_id, d.nf,
+         (d.doc_id * 11 + f.f * 3 + j.j * 7) % 256 AS v,
+         16 + f.f AS fsize
+  FROM d
+  CROSS JOIN generate_series(0, 6) AS f(f)
+  CROSS JOIN generate_series(0, 22) AS j(j)
+  WHERE f.f < d.nf AND j.j < 16 + f.f
+)
+SELECT doc_id, 'mp4' AS fmt,
+       CAST(nf AS INT) AS n_frames,
+       CAST(SUM(CASE WHEN TRUE THEN 1 ELSE 0 END) AS BIGINT)
+         AS frame_bytes,
+       CAST(SUM(v) AS BIGINT) AS frame_sum
+FROM b GROUP BY doc_id, nf ORDER BY doc_id
+""",
+)
+def ext_video_decode_mp4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP4 / ISOBMFF container decode — the box-tree dual of the AVI
+    RIFF walk: each sampled document becomes a structurally-correct
+    MP4 (ftyp, mdat carrying raw variable-size frames, moov tree with
+    TRUTHFUL stsd/stts/stsc/stsz/stco sample tables); the parser
+    recurses the box tree, reads the sample tables, and extracts every
+    frame's bytes through the ABSOLUTE stco offsets with an stts
+    count cross-check — the navigation path real players use. Frame
+    sizes vary (16 + frame index) so the stsz variable-size branch is
+    the one exercised. Closed-form oracle; partition-local
+    mapInPandas, zero shuffles."""
+    import pandas as _pd
+
+    from nibbler_spark.operators.multimodal import encode_mp4, parse_mp4
+
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 53 == 0
+    ).select("doc_id")
+
+    def run(batches):
+        for pdf in batches:
+            out = {
+                "doc_id": [],
+                "fmt": [],
+                "n_frames": [],
+                "frame_bytes": [],
+                "frame_sum": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                nf = 2 + did % 5
+                frames = [
+                    bytes(
+                        (did * 11 + f * 3 + j * 7) % 256
+                        for j in range(16 + f)
+                    )
+                    for f in range(nf)
+                ]
+                meta = parse_mp4(encode_mp4(frames))
+                out["doc_id"].append(did)
+                out["fmt"].append(meta["fmt"])
+                out["n_frames"].append(meta["n_frames"])
+                out["frame_bytes"].append(meta["frame_bytes"])
+                out["frame_sum"].append(meta["frame_sum"])
+            yield _pd.DataFrame(out)
+
+    return d.mapInPandas(
+        run,
+        "doc_id long, fmt string, n_frames int, frame_bytes long, "
+        "frame_sum long",
+    ).orderBy("doc_id")

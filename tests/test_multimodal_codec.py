@@ -831,3 +831,29 @@ def test_aiff_roundtrip_and_dispatch():
         decode_audio(blob[:30])  # SSND truncated away
     with pytest.raises(AudioFormatError):
         decode_audio(b"XXXX" + blob[4:])  # unknown magic
+
+
+def test_mp4_box_walk_and_sample_tables():
+    from nibbler_spark.operators.multimodal import (
+        Mp4FormatError,
+        encode_mp4,
+        parse_mp4,
+    )
+    import pytest
+    import struct
+
+    frames = [bytes((i * 3 + j) % 256 for j in range(10 + 2 * i)) for i in range(4)]
+    d = parse_mp4(encode_mp4(frames))
+    assert d["n_frames"] == 4
+    assert d["frame_bytes"] == sum(len(f) for f in frames)
+    assert d["frame_sum"] == sum(sum(f) for f in frames)
+    # corrupting a box size must fail loudly, not mis-walk
+    buf = bytearray(encode_mp4(frames))
+    i = buf.find(b"moov") - 4
+    struct.pack_into(">I", buf, i, 4)  # size < 8
+    with pytest.raises(Mp4FormatError):
+        parse_mp4(bytes(buf))
+    # truncating mdat makes a sample extend past EOF
+    whole = encode_mp4(frames)
+    with pytest.raises(Mp4FormatError):
+        parse_mp4(whole[: len(whole) - len(frames[-1]) - 200] + whole[-200:])
