@@ -3230,3 +3230,88 @@ def ext_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("phi"),
     ).orderBy("channel")
+
+
+_TDECAY_ORACLE = """
+WITH purch AS (
+  SELECT user_id, epoch_us(ts) AS pt, event_id AS pid
+  FROM events WHERE event_type = 'purchase'
+),
+touch AS (
+  SELECT user_id, event_type, epoch_us(ts) AS tt
+  FROM events WHERE event_type IN ('click', 'view', 'signup')
+),
+credits AS (
+  SELECT t.event_type,
+         64 >> CAST((p.pt - t.tt) // 86400000000 AS INT) AS w
+  FROM purch p JOIN touch t
+    ON t.user_id = p.user_id
+   AND t.tt < p.pt
+   AND p.pt - t.tt < 7 * 86400000000
+)
+SELECT event_type AS channel,
+       CAST(SUM(w) AS BIGINT) AS credit,
+       ROUND(CAST(SUM(w) AS DOUBLE)
+             / (SELECT SUM(w) FROM credits), 6) AS share
+FROM credits GROUP BY event_type ORDER BY channel
+"""
+
+
+@register(
+    "ext_attribution_time_decay",
+    survey_id="EXT-ATTR-DECAY",
+    category="event-analytics",
+    oracle=_TDECAY_ORACLE,
+)
+def ext_attribution_time_decay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TIME-DECAY attribution — the third member of the attribution
+    family (last-touch / Shapley / decay): every touch in the 7 days
+    before a purchase earns weight 2^(6−days_before)... expressed as
+    the INTEGER 64 >> days, so credits are exact BIGINTs at any scale
+    (exponential-decay weights are the classic float trap; a
+    power-of-two half-life makes them shifts). The purchase×touch
+    pairing is a per-user INTERVAL JOIN (equi on user + time band —
+    the c10 shape, never a cross join); channel shares divide exact
+    integers. Integer microseconds end-to-end."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("tu"),
+        "event_type",
+    )
+    purch = e.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("tu").alias("pt")
+    )
+    touch = e.where(
+        F.col("event_type").isin("click", "view", "signup")
+    ).select("user_id", F.col("tu").alias("tt"), "event_type")
+    day_us = 86400000000
+    credits = (
+        purch.join(touch, "user_id")
+        .where(
+            (F.col("tt") < F.col("pt"))
+            & (F.col("pt") - F.col("tt") < 7 * day_us)
+        )
+        .select(
+            "event_type",
+            F.expr(
+                f"shiftright(64, CAST((pt - tt) div {day_us} AS INT))"
+            ).alias("w"),
+        )
+        .localCheckpoint()
+    )
+    total = credits.agg(F.sum("w").alias("tw"))
+    return (
+        credits.groupBy(F.col("event_type").alias("channel"))
+        .agg(F.sum("w").cast("bigint").alias("credit"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "channel",
+            "credit",
+            F.round(
+                F.col("credit").cast("double") / F.col("tw"), 6
+            ).alias("share"),
+        )
+        .orderBy("channel")
+    )

@@ -3008,3 +3008,130 @@ def ext_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+_MODULARITY_ORACLE = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+sh0 AS (
+  SELECT doc_id,
+         UNNEST(list_transform(generate_series(1, len(toks) - 4),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                     || ' ' || toks[i+3] || ' ' || toks[i+4])) AS sh
+  FROM t
+),
+shd AS (SELECT DISTINCT doc_id, sh FROM sh0),
+ok AS (SELECT sh FROM shd GROUP BY sh HAVING COUNT(*) BETWEEN 2 AND 20),
+e0 AS (
+  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+  FROM shd a, shd b, ok
+  WHERE a.sh = ok.sh AND b.sh = ok.sh AND a.doc_id < b.doc_id
+),
+edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+l0 AS (SELECT doc_id AS node, doc_id AS label FROM t),
+r1c AS (SELECT e.src AS node, l.label, COUNT(*) AS c
+        FROM edges e JOIN l0 l ON l.node = e.dst GROUP BY e.src, l.label),
+r1m AS (SELECT node, label FROM (
+          SELECT node, label, row_number() OVER (
+            PARTITION BY node ORDER BY c DESC, label ASC) AS rk
+          FROM r1c) WHERE rk = 1),
+l1 AS (SELECT l0.node, COALESCE(r1m.label, l0.label) AS label
+       FROM l0 LEFT JOIN r1m USING (node)),
+m AS (SELECT COUNT(*) AS m FROM e0),
+deg AS (SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY src),
+comm AS (
+  SELECT l1.label,
+         SUM(deg.d) AS dtot
+  FROM l1 JOIN deg ON deg.node = l1.node
+  GROUP BY l1.label
+),
+e_in AS (
+  SELECT la.label, COUNT(*) AS ec
+  FROM e0
+  JOIN l1 la ON la.node = e0.src
+  JOIN l1 lb ON lb.node = e0.dst
+  WHERE la.label = lb.label
+  GROUP BY la.label
+),
+q AS (
+  SELECT SUM(4 * m.m * COALESCE(e_in.ec, 0) - comm.dtot * comm.dtot)
+           AS q_num,
+         MAX(m.m) AS m
+  FROM comm LEFT JOIN e_in USING (label), m
+)
+SELECT CAST(m AS BIGINT) AS m_edges,
+       CAST(q_num AS BIGINT) AS q_scaled_4m2,
+       ROUND(CAST(q_num AS DOUBLE) / (4e0 * m * m), 6) AS modularity
+FROM q
+"""
+
+
+@register(
+    "ext_graph_modularity",
+    survey_id="EXT-MODULARITY",
+    category="llm-dedup",
+    oracle=_MODULARITY_ORACLE,
+)
+def ext_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman MODULARITY of a one-round LPA partition on the document
+    graph — the community-QUALITY metric the LPA/CC family was missing:
+    Q = Σ_c (e_c/m − (D_c/2m)²), computed INTEGER-EXACTLY in the
+    scaled form Q·4m² = Σ_c (4m·e_c − D_c²) so the order-free BIGINT
+    sum hashes; the double rendering divides two exact integers at
+    the end. Within-community edge counts come from one edges⨝labels
+    ⨝labels equi-join; degree masses from one keyed aggregate —
+    everything after graph construction runs on the ≤|communities|-row
+    table. The oracle unrolls the identical LPA round and the same
+    scaled sum."""
+    nodes, e0 = _dfcap_shingle_digraph(spark, sf_dir)
+    edges = e0.unionAll(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    l0 = nodes.select(
+        F.col("doc_id").alias("node"), F.col("doc_id").alias("label")
+    )
+    r1c = (
+        edges.join(l0, edges["dst"] == l0["node"])
+        .groupBy(edges["src"], "label")
+        .agg(F.count("*").alias("c"))
+    )
+    r1m = (
+        r1c.groupBy("src")
+        .agg(
+            F.min(F.struct(-F.col("c"), F.col("label"))).alias("best")
+        )
+        .select(F.col("src").alias("node"), F.col("best.label").alias("nl"))
+    )
+    l1 = l0.join(r1m, "node", "left").select(
+        "node", F.coalesce("nl", "label").alias("label")
+    ).localCheckpoint()
+    m = e0.count()  # bounded: one scalar
+    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    comm = (
+        l1.join(deg, l1["node"] == deg["src"])
+        .groupBy("label")
+        .agg(F.sum("d").alias("dtot"))
+    )
+    la = l1.select(F.col("node").alias("src"), F.col("label").alias("lab_a"))
+    lb = l1.select(F.col("node").alias("dst"), F.col("label").alias("lab_b"))
+    e_in = (
+        e0.join(la, "src")
+        .join(lb, "dst")
+        .where(F.col("lab_a") == F.col("lab_b"))
+        .groupBy(F.col("lab_a").alias("label"))
+        .agg(F.count("*").alias("ec"))
+    )
+    q = comm.join(e_in, "label", "left").agg(
+        F.sum(
+            F.lit(4 * m) * F.coalesce(F.col("ec"), F.lit(0))
+            - F.col("dtot") * F.col("dtot")
+        )
+        .cast("bigint")
+        .alias("q_num")
+    )
+    return q.select(
+        F.lit(m).cast("bigint").alias("m_edges"),
+        F.col("q_num").alias("q_scaled_4m2"),
+        F.round(
+            F.col("q_num").cast("double") / (F.lit(4.0) * m * m), 6
+        ).alias("modularity"),
+    )
