@@ -3315,3 +3315,82 @@ def ext_attribution_time_decay(
         )
         .orderBy("channel")
     )
+
+
+_CHURN_ORACLE = """
+WITH feat AS (
+  SELECT user_id,
+         SUM(CASE WHEN date_part('day', ts) <= 15 THEN 1 ELSE 0 END)
+           AS n_pre,
+         SUM(CASE WHEN date_part('day', ts) <= 15
+                  THEN CAST(FLOOR(value) AS BIGINT) ELSE 0 END) AS v_pre,
+         SUM(CASE WHEN date_part('day', ts) >= 16 THEN 1 ELSE 0 END)
+           AS n_post
+  FROM events GROUP BY user_id
+),
+labeled AS (
+  SELECT user_id, n_pre, v_pre,
+         CASE WHEN n_post = 0 THEN 1 ELSE 0 END AS churned
+  FROM feat WHERE n_pre > 0
+)
+SELECT churned,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(n_pre) AS BIGINT) AS total_pre_events,
+       CAST(SUM(v_pre) AS BIGINT) AS total_pre_value,
+       ROUND(CAST(SUM(n_pre) AS DOUBLE) / COUNT(*), 6)
+         AS avg_pre_events
+FROM labeled GROUP BY churned ORDER BY churned
+"""
+
+
+@register(
+    "ext_churn_label_generation",
+    survey_id="EXT-CHURN-LABEL",
+    category="event-analytics",
+    oracle=_CHURN_ORACLE,
+)
+def ext_churn_label_generation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-SAFE churn label engineering — the supervised-dataset
+    construction step every retention model needs done correctly:
+    features come STRICTLY from the observation window (days ≤ 15),
+    the label (churned = zero activity) strictly from the disjoint
+    outcome window (days ≥ 16), and only users active in the
+    observation window are labelable (a user first seen in the outcome
+    window has no feature vector — including them is the classic
+    leakage/selection bug). One per-user keyed aggregate computes both
+    windows in a single pass (conditional sums, not two scans); the
+    output profiles the two label classes with exact integers. At
+    100 TB this runs daily with a sliding cutoff — same single-scan
+    shape."""
+    day = F.dayofmonth("ts")
+    feat = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(day <= 15, 1).otherwise(0)).alias("n_pre"),
+            F.sum(
+                F.when(day <= 15, F.floor("value").cast("bigint")).otherwise(
+                    0
+                )
+            ).alias("v_pre"),
+            F.sum(F.when(day >= 16, 1).otherwise(0)).alias("n_post"),
+        )
+        .where(F.col("n_pre") > 0)
+    )
+    labeled = feat.select(
+        "n_pre",
+        "v_pre",
+        F.when(F.col("n_post") == 0, 1).otherwise(0).alias("churned"),
+    )
+    return (
+        labeled.groupBy("churned")
+        .agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.sum("n_pre").cast("bigint").alias("total_pre_events"),
+            F.sum("v_pre").cast("bigint").alias("total_pre_value"),
+            F.round(
+                F.sum("n_pre").cast("double") / F.count("*"), 6
+            ).alias("avg_pre_events"),
+        )
+        .orderBy("churned")
+    )
