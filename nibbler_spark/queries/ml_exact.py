@@ -1909,3 +1909,200 @@ def ext_als_round(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+_LIFT_ORACLE = """
+WITH scored AS (
+  SELECT CASE WHEN o_totalprice > 150000e0 THEN 1 ELSE 0 END AS y,
+         CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 12))
+              AS BIGINT) % 500000
+           + CASE WHEN o_totalprice > 150000e0
+                  THEN 400000 ELSE 100000 END AS p_scaled,
+         o_orderkey
+  FROM orders
+),
+n AS (SELECT COUNT(*) AS nt, SUM(y) AS pt FROM scored),
+ranked AS (
+  SELECT y,
+         NTILE(10) OVER (ORDER BY p_scaled DESC, o_orderkey) AS decile
+  FROM scored
+),
+d AS (
+  SELECT decile, COUNT(*) AS n, SUM(y) AS pos
+  FROM ranked GROUP BY decile
+),
+c AS (
+  SELECT decile, n, pos,
+         SUM(n) OVER (ORDER BY decile) AS cn,
+         SUM(pos) OVER (ORDER BY decile) AS cpos
+  FROM d
+)
+SELECT CAST(decile AS INT) AS decile,
+       CAST(n AS BIGINT) AS n, CAST(pos AS BIGINT) AS pos,
+       ROUND(CAST(cpos AS DOUBLE) / nt.pt, 6) AS cum_gain,
+       ROUND((CAST(cpos AS DOUBLE) / nt.pt)
+             / (CAST(cn AS DOUBLE) / nt.nt), 6) AS cum_lift
+FROM c, n nt ORDER BY decile
+"""
+
+
+@register(
+    "ext_lift_gain_curves",
+    survey_id="EXT-ML-LIFT",
+    category="ml-exact",
+    oracle=_LIFT_ORACLE,
+)
+def ext_lift_gain_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative GAINS and LIFT by score decile — the campaign-
+    targeting evaluation artifact (how much of the positives do the
+    top-k% scored rows capture, and at what multiple of random):
+    scores on the integer 1e-6 grid (same informative-but-
+    miscalibrated construction as EXT-ML-ECE), deciles via NTILE over
+    the UNIQUE (score, orderkey) order — tie-broken so decile
+    membership is engine-stable — then cumulative positive counts as
+    exact integers; gain and lift divide exact counts, rounded 1e-6.
+    Note the NTILE window: decile assignment is a global sort at this
+    formulation's heart, acceptable because the output contract is
+    decile-granular — at 100 TB the same curve computes from the
+    equidepth-cut + broadcast pattern (EXT-BUCKET-EQ) without the
+    global window; this query pins the semantics."""
+    t = load_table(spark, sf_dir, "orders").select(
+        F.when(F.col("o_totalprice") > 150000.0, 1).otherwise(0).alias("y"),
+        (
+            F.conv(
+                F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 12),
+                16,
+                10,
+            ).cast("bigint")
+            % 500000
+            + F.when(F.col("o_totalprice") > 150000.0, 400000).otherwise(
+                100000
+            )
+        ).alias("p_scaled"),
+        "o_orderkey",
+    )
+    n = t.agg(
+        F.count("*").alias("nt"), F.sum("y").alias("pt")
+    )
+    w = Window.orderBy(F.desc("p_scaled"), F.col("o_orderkey"))
+    ranked = t.select("y", F.ntile(10).over(w).alias("decile"))
+    d = ranked.groupBy("decile").agg(
+        F.count("*").alias("n"), F.sum("y").alias("pos")
+    )
+    wc = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    c = d.select(
+        "decile",
+        "n",
+        "pos",
+        F.sum("n").over(wc).alias("cn"),
+        F.sum("pos").over(wc).alias("cpos"),
+    )
+    return (
+        c.crossJoin(F.broadcast(n))
+        .select(
+            F.col("decile").cast("int").alias("decile"),
+            F.col("n").cast("bigint").alias("n"),
+            F.col("pos").cast("bigint").alias("pos"),
+            F.round(
+                F.col("cpos").cast("double") / F.col("pt"), 6
+            ).alias("cum_gain"),
+            F.round(
+                (F.col("cpos").cast("double") / F.col("pt"))
+                / (F.col("cn").cast("double") / F.col("nt")),
+                6,
+            ).alias("cum_lift"),
+        )
+        .orderBy("decile")
+    )
+
+
+_WOE_ORACLE = """
+WITH t AS (
+  SELECT CAST(l_quantity AS INT) AS bin_x,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS bad
+  FROM lineitem
+),
+b AS (
+  SELECT bin_x // 10 AS bin, COUNT(*) AS n,
+         SUM(bad) AS nbad, COUNT(*) - SUM(bad) AS ngood
+  FROM t GROUP BY 1
+),
+tot AS (SELECT SUM(nbad) AS tb, SUM(ngood) AS tg FROM b),
+woe AS (
+  SELECT bin, n, nbad, ngood,
+         CAST(FLOOR((ln(CAST(ngood AS DOUBLE) / tg)
+                     - ln(CAST(nbad AS DOUBLE) / tb)) * 1e9) AS BIGINT)
+           AS woe_scaled
+  FROM b, tot WHERE nbad > 0 AND ngood > 0
+)
+SELECT CAST(bin AS INT) AS bin,
+       CAST(n AS BIGINT) AS n,
+       CAST(nbad AS BIGINT) AS n_bad,
+       woe_scaled,
+       CAST(SUM((ngood * tot.tb - nbad * tot.tg) * woe_scaled)
+            OVER () // (tot.tg * tot.tb) AS BIGINT) AS iv_scaled
+FROM woe, tot ORDER BY bin
+"""
+
+
+@register(
+    "ext_woe_binning",
+    survey_id="EXT-ML-WOE",
+    category="ml-exact",
+    oracle=_WOE_ORACLE,
+)
+def ext_woe_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHT-OF-EVIDENCE binning + INFORMATION VALUE — credit-scoring
+    feature engineering (the interpretable cousin of target encoding):
+    quantity bins of width 10 get WOE = ln(good%/bad%) on the 1e-9
+    floor grid (exact BIGINTs — the gridded-ln playbook), and the
+    feature's IV sums (good% − bad%)·WOE across bins — here as one
+    fixed expression over the ≤6-row bin table, emitted scaled. Bins
+    with zero goods or bads are excluded (WOE undefined; production
+    systems merge them — the exclusion is the declared rule). One
+    map-side-combinable groupBy; everything else is kilobytes."""
+    t = load_table(spark, sf_dir, "lineitem").select(
+        F.expr("CAST(l_quantity AS INT) div 10").alias("bin"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("bad"),
+    )
+    b = t.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.sum("bad").alias("nbad"),
+        (F.count("*") - F.sum("bad")).alias("ngood"),
+    )
+    tot = b.agg(
+        F.sum("nbad").alias("tb"), F.sum("ngood").alias("tg")
+    )
+    woe = (
+        b.crossJoin(F.broadcast(tot))
+        .where((F.col("nbad") > 0) & (F.col("ngood") > 0))
+        .select(
+            "bin",
+            "n",
+            "nbad",
+            "ngood",
+            "tb",
+            "tg",
+            F.floor(
+                (
+                    F.log(F.col("ngood").cast("double") / F.col("tg"))
+                    - F.log(F.col("nbad").cast("double") / F.col("tb"))
+                )
+                * F.lit(1e9)
+            )
+            .cast("bigint")
+            .alias("woe_scaled"),
+        )
+    )
+    return woe.select(
+        F.col("bin").cast("int").alias("bin"),
+        F.col("n").cast("bigint").alias("n"),
+        F.col("nbad").cast("bigint").alias("n_bad"),
+        "woe_scaled",
+        F.expr(
+            "CAST(SUM((ngood * tb - nbad * tg) * woe_scaled) "
+            "OVER () div (tg * tb) AS BIGINT)"
+        ).alias("iv_scaled"),
+    ).orderBy("bin")
