@@ -2106,3 +2106,169 @@ def ext_woe_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
             "OVER () div (tg * tb) AS BIGINT)"
         ).alias("iv_scaled"),
     ).orderBy("bin")
+
+
+_HT_ORACLE = """
+WITH t AS (
+  SELECT CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents,
+         CAST(('0x' || substr(md5('ht:' || CAST(o_orderkey AS VARCHAR)),
+               1, 12)) AS BIGINT) % 16 = 0 AS sampled
+  FROM orders
+),
+truth AS (SELECT SUM(cents) AS total, COUNT(*) AS n FROM t),
+est AS (
+  SELECT SUM(CASE WHEN sampled THEN cents ELSE 0 END) * 16 AS ht_total,
+         SUM(CASE WHEN sampled THEN 1 ELSE 0 END) * 16 AS ht_count
+  FROM t
+)
+SELECT CAST(truth.total AS BIGINT) AS true_total,
+       CAST(est.ht_total AS BIGINT) AS ht_total,
+       CAST(truth.n AS BIGINT) AS true_count,
+       CAST(est.ht_count AS BIGINT) AS ht_count,
+       ABS(CAST(est.ht_total - truth.total AS DOUBLE)) / truth.total
+         < 0.15 AS within_bound
+FROM truth, est
+"""
+
+
+@register(
+    "ext_horvitz_thompson",
+    survey_id="EXT-HT-EST",
+    category="ml-exact",
+    mode="bounded",
+    oracle=_HT_ORACLE,
+)
+def ext_horvitz_thompson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HORVITZ–THOMPSON estimation from a deterministic hash sample —
+    the unbiased-total machinery behind every 'estimate from the 1/16
+    sample' shortcut: inclusion via md5 (p = 1/16 exactly on the hash
+    grid), estimator Σ v/p = 16·Σ_sampled v — ALL INTEGER, so the
+    estimate itself hashes; the declared 15% relative-error bound
+    holds with huge margin at these sizes (CV ~ √((1−p)/(p·n))). The
+    design scales because the sample is a PUSHED-DOWN predicate on the
+    hash — the full table is never materialized to sample it."""
+    t = load_table(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("ht:"), F.col("o_orderkey").cast("string")
+                        )
+                    ),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 16
+            == 0
+        ).alias("sampled"),
+    )
+    agg = t.agg(
+        F.sum("cents").alias("total"),
+        F.count("*").alias("n"),
+        (F.sum(F.when(F.col("sampled"), F.col("cents")).otherwise(0)) * 16)
+        .alias("ht_total"),
+        (F.sum(F.when(F.col("sampled"), 1).otherwise(0)) * 16).alias(
+            "ht_count"
+        ),
+    )
+    return agg.select(
+        F.col("total").cast("bigint").alias("true_total"),
+        F.col("ht_total").cast("bigint").alias("ht_total"),
+        F.col("n").cast("bigint").alias("true_count"),
+        F.col("ht_count").cast("bigint").alias("ht_count"),
+        (
+            F.abs((F.col("ht_total") - F.col("total")).cast("double"))
+            / F.col("total")
+            < 0.15
+        ).alias("within_bound"),
+    )
+
+
+_BENFORD_ORACLE = """
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR),
+              1, 1) AS INT) AS digit
+  FROM orders WHERE o_totalprice >= 1
+),
+obs AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+tot AS (SELECT SUM(n) AS nt FROM obs),
+exp AS (
+  SELECT g.d AS digit,
+         CAST(FLOOR((ln(CAST(g.d + 1 AS DOUBLE)) - ln(CAST(g.d AS DOUBLE)))
+              / ln(10e0) * 1e9) AS BIGINT) AS p_scaled
+  FROM generate_series(1, 9) AS g(d)
+)
+SELECT e.digit,
+       CAST(COALESCE(obs.n, 0) AS BIGINT) AS observed,
+       e.p_scaled,
+       CAST(FLOOR(CAST(COALESCE(obs.n, 0) AS DOUBLE) / tot.nt * 1e9)
+            AS BIGINT) AS obs_frac_scaled
+FROM exp e LEFT JOIN obs ON obs.digit = e.digit, tot
+ORDER BY e.digit
+"""
+
+
+@register(
+    "ext_benford_audit",
+    survey_id="EXT-BENFORD",
+    category="ml-exact",
+    oracle=_BENFORD_ORACLE,
+)
+def ext_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENFORD'S-LAW first-digit audit — the classic fraud/data-quality
+    screen: observed leading-digit frequencies of order totals against
+    the log10((d+1)/d) expectation, both rendered on the 1e-9 floor
+    grid so the comparison table is exact in both engines (the
+    expected probabilities are transcendental — gridded like every ln
+    in this repo; the observed fractions divide exact counts). Whether
+    the data 'fails Benford' is the analyst's call from the emitted
+    table — synthetic uniform prices won't follow it, which is itself
+    the point of an audit. One groupBy to 9 rows."""
+    d = load_table(spark, sf_dir, "orders").where(
+        F.col("o_totalprice") >= 1
+    ).select(
+        F.substring(
+            F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    obs = d.groupBy("digit").agg(F.count("*").alias("n"))
+    tot = obs.agg(F.sum("n").alias("nt"))
+    exp = spark.range(1, 10).select(
+        F.col("id").cast("int").alias("digit"),
+        F.floor(
+            (
+                F.log((F.col("id") + 1).cast("double"))
+                - F.log(F.col("id").cast("double"))
+            )
+            / F.log(F.lit(10.0))
+            * F.lit(1e9)
+        )
+        .cast("bigint")
+        .alias("p_scaled"),
+    )
+    return (
+        exp.join(obs, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce(F.col("n"), F.lit(0))
+            .cast("bigint")
+            .alias("observed"),
+            "p_scaled",
+            F.floor(
+                F.coalesce(F.col("n"), F.lit(0)).cast("double")
+                / F.col("nt")
+                * F.lit(1e9)
+            )
+            .cast("bigint")
+            .alias("obs_frac_scaled"),
+        )
+        .orderBy("digit")
+    )
