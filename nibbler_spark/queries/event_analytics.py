@@ -3394,3 +3394,77 @@ def ext_churn_label_generation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("churned")
     )
+
+
+_SPC_ORACLE = """
+WITH daily AS (
+  SELECT CAST(date_part('day', ts) AS INT) AS day, COUNT(*) AS n
+  FROM events GROUP BY 1
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS k,
+         CAST(SUM(n) AS DOUBLE) AS s,
+         CAST(SUM(n * n) AS DOUBLE) AS s2
+  FROM daily
+),
+lims AS (
+  SELECT s / k AS mu,
+         sqrt((s2 - s * s / k) / (k - 1e0)) AS sd
+  FROM stats
+)
+SELECT d.day, CAST(d.n AS BIGINT) AS n,
+       ROUND(l.mu, 6) AS center,
+       ROUND(l.mu - 3e0 * l.sd, 6) AS lcl,
+       ROUND(l.mu + 3e0 * l.sd, 6) AS ucl,
+       d.n < l.mu - 3e0 * l.sd OR d.n > l.mu + 3e0 * l.sd
+         AS out_of_control
+FROM daily d, lims l ORDER BY d.day
+"""
+
+
+@register(
+    "ext_spc_control_chart",
+    survey_id="EXT-SPC",
+    category="event-analytics",
+    oracle=_SPC_ORACLE,
+)
+def ext_spc_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shewhart CONTROL CHART over daily event volumes — the
+    operations-monitoring classic (3σ limits, out-of-control
+    flagging): daily counts are exact integers, the center line and
+    limits are fixed double expressions over exact Σn / Σn² (the
+    sample-variance identity on integers — no order-dependent float
+    reduction), and each day's breach flag compares an integer to
+    those limits. Complements the EWMA/CUSUM anomaly pair with the
+    memoryless chart. One groupBy to ≤31 rows."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.dayofmonth("ts").alias("day"))
+        .agg(F.count("*").alias("n"))
+    )
+    stats = daily.agg(
+        F.count("*").cast("double").alias("k"),
+        F.sum("n").cast("double").alias("s"),
+        F.sum(F.col("n") * F.col("n")).cast("double").alias("s2"),
+    )
+    mu = F.col("s") / F.col("k")
+    sd = F.sqrt(
+        (F.col("s2") - F.col("s") * F.col("s") / F.col("k"))
+        / (F.col("k") - F.lit(1.0))
+    )
+    lims = stats.select(mu.alias("mu"), sd.alias("sd"))
+    return (
+        daily.crossJoin(F.broadcast(lims))
+        .select(
+            F.col("day").cast("int").alias("day"),
+            F.col("n").cast("bigint").alias("n"),
+            F.round("mu", 6).alias("center"),
+            F.round(F.col("mu") - 3 * F.col("sd"), 6).alias("lcl"),
+            F.round(F.col("mu") + 3 * F.col("sd"), 6).alias("ucl"),
+            (
+                (F.col("n") < F.col("mu") - 3 * F.col("sd"))
+                | (F.col("n") > F.col("mu") + 3 * F.col("sd"))
+            ).alias("out_of_control"),
+        )
+        .orderBy("day")
+    )

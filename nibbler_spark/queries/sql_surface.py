@@ -3215,3 +3215,82 @@ def ext_manifest_list_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+_BITEMPORAL_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey AS k,
+         CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents,
+         CAST(date_part('day', o_orderdate) AS INT) % 20 + 1 AS vf
+  FROM orders WHERE o_orderkey % 7 = 0
+),
+versions AS (
+  -- tx 1..10: original belief, valid [vf, 31)
+  SELECT k, cents, vf AS valid_from, 31 AS valid_to,
+         1 AS tx_from,
+         CASE WHEN k % 3 = 0 THEN 11 ELSE 99 END AS tx_to
+  FROM base
+  UNION ALL
+  -- tx 11+: every 3rd order restated (+5% and valid period split)
+  SELECT k, cents + cents // 20, vf, 31, 11, 99
+  FROM base WHERE k % 3 = 0
+)
+SELECT CAST(SUM(cents) AS BIGINT) AS believed_total,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM versions
+WHERE tx_from <= 10 AND 10 < tx_to      -- as known at tx time 10
+  AND valid_from <= 15 AND 15 < valid_to  -- about valid time day 15
+"""
+
+
+@register(
+    "ext_bitemporal_asof",
+    survey_id="EXT-BITEMPORAL",
+    category="sql-surface",
+    oracle=_BITEMPORAL_ORACLE,
+)
+def ext_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BITEMPORAL as-of query — 'what did we BELIEVE at transaction
+    time T about VALID time V': rows carry both a validity interval
+    (business reality) and a transaction interval (when the warehouse
+    believed it); a restatement CLOSES the old row's tx interval and
+    opens a corrected one with the same validity. The two-axis as-of
+    is then two half-open interval predicates — the audit query every
+    regulated warehouse must answer (the restated +5% rows are
+    invisible at tx 10, visible at tx 11+). Built here as a derived
+    frame (the oracle mirrors it row-for-row); at scale the pattern
+    rides the SCD2 machinery with a second interval pair, and both
+    predicates push down to the scan."""
+    base = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderkey") % 7 == 0
+    ).select(
+        F.col("o_orderkey").alias("k"),
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        (F.dayofmonth("o_orderdate") % 20 + 1).alias("vf"),
+    )
+    original = base.select(
+        "k",
+        "cents",
+        F.col("vf").alias("valid_from"),
+        F.lit(31).alias("valid_to"),
+        F.lit(1).alias("tx_from"),
+        F.when(F.col("k") % 3 == 0, 11).otherwise(99).alias("tx_to"),
+    )
+    restated = base.where(F.col("k") % 3 == 0).select(
+        "k",
+        (F.col("cents") + F.expr("cents div 20")).alias("cents"),
+        F.col("vf").alias("valid_from"),
+        F.lit(31).alias("valid_to"),
+        F.lit(11).alias("tx_from"),
+        F.lit(99).alias("tx_to"),
+    )
+    versions = original.unionByName(restated)
+    return versions.where(
+        (F.col("tx_from") <= 10)
+        & (F.lit(10) < F.col("tx_to"))
+        & (F.col("valid_from") <= 15)
+        & (F.lit(15) < F.col("valid_to"))
+    ).agg(
+        F.sum("cents").cast("bigint").alias("believed_total"),
+        F.count("*").cast("bigint").alias("n_rows"),
+    )
