@@ -3231,7 +3231,7 @@ versions AS (
          CASE WHEN k % 3 = 0 THEN 11 ELSE 99 END AS tx_to
   FROM base
   UNION ALL
-  -- tx 11+: every 3rd order restated (+5% and valid period split)
+  -- tx 11+: every 3rd order restated (+5%, same validity)
   SELECT k, cents + cents // 20, vf, 31, 11, 99
   FROM base WHERE k % 3 = 0
 )
