@@ -3468,3 +3468,107 @@ def ext_spc_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "ext_match_recognize_lite",
+    survey_id="EXT-MATCH",
+    category="event-analytics",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+),
+views AS (
+  SELECT user_id, event_id, rn,
+         rn - row_number() OVER (PARTITION BY user_id
+                                 ORDER BY rn) AS grp
+  FROM seq WHERE event_type = 'view'
+),
+islands AS (
+  SELECT user_id, grp,
+         CAST(COUNT(*) AS BIGINT) AS n_views,
+         MIN(rn) AS start_rn, MAX(rn) AS end_rn,
+         MIN(event_id) AS first_view_id
+  FROM views GROUP BY user_id, grp
+),
+matches AS (
+  SELECT i.user_id, i.n_views, i.first_view_id,
+         s.event_id AS purchase_id
+  FROM islands i
+  JOIN seq s ON s.user_id = i.user_id AND s.rn = i.end_rn + 1
+  WHERE s.event_type = 'purchase'
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_matches,
+       MAX(n_views) AS max_view_run,
+       CAST(SUM(n_views) AS BIGINT) AS views_in_matches,
+       CAST(SUM(purchase_id) AS BIGINT) AS purchase_checksum,
+       CAST(SUM(first_view_id) AS BIGINT) AS start_checksum
+FROM matches GROUP BY user_id ORDER BY user_id
+""",
+)
+def ext_match_recognize_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-lite: the row-pattern query `PATTERN (V+ P)`
+    (one or more consecutive 'view' events immediately followed by a
+    'purchase', per user in event-time order) compiled to the
+    distributed plan Spark lacks native MATCH_RECOGNIZE for — the
+    classic gaps-and-islands reduction: a per-user sequence number,
+    islands of consecutive same-type rows via the rn - rn_by_type
+    constant-difference trick, then a keyed self-join of each view
+    island's end position to the next row to test the P suffix. This
+    expresses greedy V+ semantics exactly: islands are MAXIMAL view
+    runs, so every match reported is the longest-possible V+ for its
+    position (SQL:2016 AFTER MATCH SKIP PAST LAST ROW + greedy
+    quantifier). Per-user match counts, longest matched run, and
+    event-id checksums pin the full match set. Scale: every window and
+    join keys on user_id — one co-partitioned shuffle, no cross-user
+    state, the same shape as ext_sessionize_batch; at 100 TB the
+    sequence numbers ride the session layout and the island join is
+    co-partitioned with them."""
+    e = load_table(spark, sf_dir, "events")
+    w_seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.row_number().over(w_seq).alias("rn"),
+    )
+    w_v = Window.partitionBy("user_id").orderBy("rn")
+    views = seq.where(F.col("event_type") == "view").select(
+        "user_id",
+        "event_id",
+        "rn",
+        (F.col("rn") - F.row_number().over(w_v)).alias("grp"),
+    )
+    islands = views.groupBy("user_id", "grp").agg(
+        F.count("*").cast("bigint").alias("n_views"),
+        F.min("rn").alias("start_rn"),
+        F.max("rn").alias("end_rn"),
+        F.min("event_id").alias("first_view_id"),
+    )
+    nxt = seq.select(
+        F.col("user_id").alias("u2"),
+        F.col("rn").alias("rn2"),
+        F.col("event_type").alias("t2"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    matches = islands.join(
+        nxt,
+        (F.col("user_id") == F.col("u2"))
+        & (F.col("rn2") == F.col("end_rn") + 1)
+        & (F.col("t2") == "purchase"),
+    )
+    return (
+        matches.groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_matches"),
+            F.max("n_views").alias("max_view_run"),
+            F.sum("n_views").cast("bigint").alias("views_in_matches"),
+            F.sum("purchase_id").cast("bigint").alias("purchase_checksum"),
+            F.sum("first_view_id").cast("bigint").alias("start_checksum"),
+        )
+        .orderBy("user_id")
+    )

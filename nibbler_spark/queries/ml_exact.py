@@ -2272,3 +2272,117 @@ def ext_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+@register(
+    "ext_batch_perceptron",
+    survey_id="EXT-PERCEPTRON",
+    category="ml",
+    oracle="""
+WITH d AS (
+  SELECT CAST(n_chars AS BIGINT) AS x1,
+         CAST(length(text) - length(replace(text, ' ', '')) + 1
+              AS BIGINT) AS x2,
+         CAST(CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS BIGINT) AS y
+  FROM documents
+),
+r1 AS (
+  SELECT CAST(SUM(y) AS BIGINT) AS w0,
+         CAST(SUM(y * x1) AS BIGINT) AS w1,
+         CAST(SUM(y * x2) AS BIGINT) AS w2,
+         CAST(COUNT(*) AS BIGINT) AS n_updates
+  FROM d
+),
+r2 AS (
+  SELECT r1.w0 + CAST(SUM(CASE WHEN y * (r1.w0 + r1.w1 * x1 + r1.w2 * x2)
+                                    <= 0 THEN y ELSE 0 END) AS BIGINT) AS w0,
+         r1.w1 + CAST(SUM(CASE WHEN y * (r1.w0 + r1.w1 * x1 + r1.w2 * x2)
+                                    <= 0 THEN y * x1 ELSE 0 END)
+                      AS BIGINT) AS w1,
+         r1.w2 + CAST(SUM(CASE WHEN y * (r1.w0 + r1.w1 * x1 + r1.w2 * x2)
+                                    <= 0 THEN y * x2 ELSE 0 END)
+                      AS BIGINT) AS w2,
+         CAST(SUM(CASE WHEN y * (r1.w0 + r1.w1 * x1 + r1.w2 * x2) <= 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_updates
+  FROM d, r1 GROUP BY r1.w0, r1.w1, r1.w2
+),
+r3 AS (
+  SELECT r2.w0 + CAST(SUM(CASE WHEN y * (r2.w0 + r2.w1 * x1 + r2.w2 * x2)
+                                    <= 0 THEN y ELSE 0 END) AS BIGINT) AS w0,
+         r2.w1 + CAST(SUM(CASE WHEN y * (r2.w0 + r2.w1 * x1 + r2.w2 * x2)
+                                    <= 0 THEN y * x1 ELSE 0 END)
+                      AS BIGINT) AS w1,
+         r2.w2 + CAST(SUM(CASE WHEN y * (r2.w0 + r2.w1 * x1 + r2.w2 * x2)
+                                    <= 0 THEN y * x2 ELSE 0 END)
+                      AS BIGINT) AS w2,
+         CAST(SUM(CASE WHEN y * (r2.w0 + r2.w1 * x1 + r2.w2 * x2) <= 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_updates
+  FROM d, r2 GROUP BY r2.w0, r2.w1, r2.w2
+)
+SELECT * FROM (
+  SELECT 1 AS round, w0, w1, w2, n_updates FROM r1
+  UNION ALL SELECT 2, w0, w1, w2, n_updates FROM r2
+  UNION ALL SELECT 3, w0, w1, w2, n_updates FROM r3
+) ORDER BY round
+""",
+)
+def ext_batch_perceptron(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch (parallel) perceptron — three unrolled rounds of the
+    all-integer update w += sum over misclassified of y*x (the batch
+    subgradient form that distributes: unlike the sequential online
+    perceptron, each round is ONE map-side-combinable aggregation with
+    the current weights broadcast, so the algorithm is embarrassingly
+    parallel and the result is independent of partitioning). Features
+    are integers (doc length in chars, whitespace token count, bias),
+    labels +/-1 on lang='en', weights start at 0 — every margin
+    y*(w.x) is exact BIGINT arithmetic, so the weight trajectory and
+    per-round update counts hash-match the oracle's unrolled CTE
+    ladder with zero rounding anywhere (the determinism discipline's
+    ideal case: there IS no float). Round 1 updates on every row
+    (margin 0 counts as misclassified, the <= 0 convention). Scale:
+    per round, one broadcast of a 3-number weight vector + one
+    aggregation over the fact table; rounds are a driver-side loop of
+    tiny jobs exactly like ext_logreg_gd/ext_kmeans_lloyd."""
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("n_chars").cast("bigint").alias("x1"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", " ", ""))
+            + 1
+        )
+        .cast("bigint")
+        .alias("x2"),
+        F.when(F.col("lang") == "en", 1)
+        .otherwise(-1)
+        .cast("bigint")
+        .alias("y"),
+    )
+    rows = []
+    w0 = w1 = w2 = 0
+    for rnd in (1, 2, 3):
+        margin = (
+            F.lit(w0) + F.lit(w1) * F.col("x1") + F.lit(w2) * F.col("x2")
+        ) * F.col("y")
+        mis = margin <= 0
+        upd = d.agg(
+            F.sum(F.when(mis, F.col("y")).otherwise(0))
+            .cast("bigint")
+            .alias("dw0"),
+            F.sum(F.when(mis, F.col("y") * F.col("x1")).otherwise(0))
+            .cast("bigint")
+            .alias("dw1"),
+            F.sum(F.when(mis, F.col("y") * F.col("x2")).otherwise(0))
+            .cast("bigint")
+            .alias("dw2"),
+            F.sum(F.when(mis, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_updates"),
+        ).collect()[0]
+        w0 += upd["dw0"]
+        w1 += upd["dw1"]
+        w2 += upd["dw2"]
+        rows.append((rnd, w0, w1, w2, upd["n_updates"]))
+    return spark.createDataFrame(
+        rows,
+        "round int, w0 bigint, w1 bigint, w2 bigint, n_updates bigint",
+    )

@@ -1731,3 +1731,136 @@ def ext_roaring_distributed_union(
         F.count("*").cast("bigint").alias("n_containers"),
         F.min("ok").alias("roundtrip_ok"),
     )
+
+
+_PIP_POLYS = [
+    # polygon_id, vertices (counter-clockwise, integer grid coordinates
+    # on the same 0..99999 lattice the md5 point scatter uses)
+    (1, [(10000, 10000), (60000, 10000), (60000, 30000), (30000, 30000),
+         (30000, 60000), (10000, 60000)]),               # L-shape (concave)
+    (2, [(70000, 50000), (90000, 70000), (70000, 90000),
+         (50000, 70000)]),                               # diamond
+    (3, [(20000, 70000), (45000, 95000), (5000, 95000)]),  # triangle
+]
+
+
+def _pip_edges() -> list[tuple[int, int, int, int, int, int]]:
+    rows = []
+    for pid, verts in _PIP_POLYS:
+        for k in range(len(verts)):
+            x1, y1 = verts[k]
+            x2, y2 = verts[(k + 1) % len(verts)]
+            rows.append((pid, k, x1, y1, x2, y2))
+    return rows
+
+
+def _pip_edges_sql() -> str:
+    vals = ", ".join(
+        f"({pid}, {k}, {x1}, {y1}, {x2}, {y2})"
+        for pid, k, x1, y1, x2, y2 in _pip_edges()
+    )
+    return f"(VALUES {vals}) AS e(pid, k, x1, y1, x2, y2)"
+
+
+@register(
+    "ext_point_in_polygon",
+    survey_id="EXT-PIP",
+    category="scale-pattern",
+    oracle=f"""
+WITH pts AS (
+  SELECT event_id,
+         CAST(('0x' || substr(md5('x:' || event_id), 1, 12)) AS BIGINT)
+           % 100000 AS xi,
+         CAST(('0x' || substr(md5('y:' || event_id), 1, 12)) AS BIGINT)
+           % 100000 AS yi
+  FROM events
+),
+edges AS (SELECT * FROM {_pip_edges_sql()}),
+crossings AS (
+  SELECT p.event_id, p.xi, p.yi, e.pid,
+         CASE WHEN (e.y1 > p.yi) <> (e.y2 > p.yi)
+               AND (CASE WHEN e.y2 - e.y1 > 0
+                         THEN (p.xi - e.x1) * (e.y2 - e.y1)
+                              < (p.yi - e.y1) * (e.x2 - e.x1)
+                         ELSE (p.xi - e.x1) * (e.y2 - e.y1)
+                              > (p.yi - e.y1) * (e.x2 - e.x1) END)
+              THEN 1 ELSE 0 END AS c
+  FROM pts p CROSS JOIN edges e
+),
+inside AS (
+  SELECT event_id, xi, yi, pid, SUM(c) % 2 AS par
+  FROM crossings GROUP BY event_id, xi, yi, pid
+)
+SELECT pid AS polygon_id,
+       CAST(SUM(par) AS BIGINT) AS n_inside,
+       CAST(SUM(CASE WHEN par = 1 THEN event_id ELSE 0 END) AS BIGINT)
+         AS id_checksum,
+       CAST(SUM(CASE WHEN par = 1 THEN xi + yi ELSE 0 END) AS BIGINT)
+         AS coord_checksum
+FROM inside GROUP BY pid ORDER BY pid
+""",
+)
+def ext_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-polygon spatial join by integer ray casting — the
+    even-odd crossing rule evaluated entirely in BIGINT cross-multiplied
+    form (a horizontal ray from the point crosses edge (p1,p2) iff the
+    endpoints straddle the ray's y — half-open rule `>` on both ends so
+    shared vertices count once — and the point lies left of the edge at
+    that y; the x-intersection comparison px < x1 + (py-y1)(x2-x1)/
+    (y2-y1) is cross-multiplied by (y2-y1) with the inequality flipped
+    on its sign, so there is NO division and NO doubles anywhere —
+    bit-exact in any engine, degenerate on-edge/on-vertex cases
+    included, because both engines run the identical integer
+    predicate). Point coordinates are the md5-nibble scatter shared
+    with ext_grid_spatial_join; the polygon set (a concave L, a
+    diamond, a triangle) is a broadcast VALUES table. Scale: points x
+    edges is a broadcast nested-loop against a kilobyte edge table (13
+    edges) — one map-side pass, the parity groupBy keys on
+    (event_id, polygon) and combines map-side; for polygon sets too big
+    to broadcast you'd grid-partition edges by cell exactly as
+    ext_grid_spatial_join buckets points."""
+    e = load_table(spark, sf_dir, "events")
+
+    def coord(prefix: str):
+        h = F.md5(
+            F.concat(F.lit(prefix + ":"), F.col("event_id").cast("string"))
+        )
+        return (F.conv(F.substring(h, 1, 12), 16, 10).cast("bigint")) % 100000
+
+    pts = e.select(
+        "event_id", coord("x").alias("xi"), coord("y").alias("yi")
+    )
+    edges = spark.createDataFrame(
+        _pip_edges(),
+        "pid int, k int, x1 bigint, y1 bigint, x2 bigint, y2 bigint",
+    )
+    straddle = (F.col("y1") > F.col("yi")) != (F.col("y2") > F.col("yi"))
+    lhs = (F.col("xi") - F.col("x1")) * (F.col("y2") - F.col("y1"))
+    rhs = (F.col("yi") - F.col("y1")) * (F.col("x2") - F.col("x1"))
+    left_of = F.when(F.col("y2") - F.col("y1") > 0, lhs < rhs).otherwise(
+        lhs > rhs
+    )
+    c = F.when(straddle & left_of, 1).otherwise(0)
+    inside = (
+        pts.crossJoin(F.broadcast(edges))
+        .select("event_id", "xi", "yi", "pid", c.alias("c"))
+        .groupBy("event_id", "xi", "yi", "pid")
+        .agg((F.sum("c") % 2).alias("par"))
+    )
+    return (
+        inside.groupBy(F.col("pid").alias("polygon_id"))
+        .agg(
+            F.sum("par").cast("bigint").alias("n_inside"),
+            F.sum(F.when(F.col("par") == 1, F.col("event_id")).otherwise(0))
+            .cast("bigint")
+            .alias("id_checksum"),
+            F.sum(
+                F.when(F.col("par") == 1, F.col("xi") + F.col("yi")).otherwise(
+                    0
+                )
+            )
+            .cast("bigint")
+            .alias("coord_checksum"),
+        )
+        .orderBy("polygon_id")
+    )

@@ -872,3 +872,192 @@ def ext_kmv_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         "measure string, est bigint, true_n bigint, "
         "sketch_checksum bigint, within_bound boolean",
     )
+
+
+@register(
+    "ext_ddsketch_quantile",
+    survey_id="EXT-DDSKETCH",
+    category="sketch",
+    mode="bounded",
+    oracle="""
+WITH c AS (
+  SELECT CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem
+),
+ix AS (
+  SELECT v,
+         CASE WHEN v < 32 THEN v
+              ELSE 32 + (length(bin(v)) - 6) * 16
+                   + v // CAST(pow(2e0, length(bin(v)) - 5) AS BIGINT) - 16
+         END AS i
+  FROM c
+),
+regs AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS n FROM ix GROUP BY i),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM regs) AS n_buckets
+        FROM c),
+cum AS (
+  SELECT i, n,
+         CAST(SUM(n) OVER (ORDER BY i
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS cn
+  FROM regs
+),
+qt AS (
+  SELECT q_pct, (q_pct * n_rows + 99) // 100 AS target, n_rows, n_buckets
+  FROM (VALUES (25), (50), (90), (99)) AS q(q_pct), tot
+),
+qb AS (
+  SELECT qt.q_pct, qt.target, qt.n_rows, qt.n_buckets, MIN(cum.i) AS qi
+  FROM qt, cum WHERE cum.cn >= qt.target
+  GROUP BY qt.q_pct, qt.target, qt.n_rows, qt.n_buckets
+),
+dec AS (
+  SELECT q_pct, target, n_rows, n_buckets, qi,
+         CASE WHEN qi < 32 THEN qi
+              ELSE (16 + qi % 16)
+                   * CAST(pow(2e0, (qi - 32) // 16 + 1) AS BIGINT)
+         END AS lo,
+         CASE WHEN qi < 32 THEN CAST(1 AS BIGINT)
+              ELSE CAST(pow(2e0, (qi - 32) // 16 + 1) AS BIGINT)
+         END AS wdt
+  FROM qb
+),
+ranked AS (
+  SELECT i, v, row_number() OVER (PARTITION BY i ORDER BY v) AS rn FROM ix
+),
+exact AS (
+  SELECT d.q_pct, MIN(r.v) AS exact_v
+  FROM dec d
+  JOIN cum ON cum.i = d.qi
+  JOIN regs ON regs.i = d.qi
+  JOIN ranked r ON r.i = d.qi
+  WHERE cum.cn - regs.n + r.rn >= d.target
+  GROUP BY d.q_pct
+)
+SELECT d.q_pct, d.qi AS bucket_idx,
+       2 * d.lo + d.wdt - 1 AS est_x2,
+       2 * e.exact_v AS exact_x2,
+       e.exact_v BETWEEN d.lo AND d.lo + d.wdt - 1 AS within_bucket,
+       32 * ABS((2 * d.lo + d.wdt - 1) - 2 * e.exact_v) <= 2 * e.exact_v
+         AS within_bound,
+       d.n_rows, d.n_buckets
+FROM dec d JOIN exact e USING (q_pct)
+ORDER BY d.q_pct
+""",
+)
+def ext_ddsketch_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDSketch-style relative-error quantile sketch (Masson et al.,
+    VLDB 2019) with the log-bucket index computed EXACTLY through
+    integer bit tricks — no logs, no doubles, no boundary ulps: for
+    integer cents v >= 32 the bucket is (bitlength, top-4-mantissa-bits)
+    = the HDR-histogram realization of gamma-indexed buckets, giving
+    hi/lo <= 17/16 per bucket and a guaranteed relative error <= 1/32
+    for the bucket-midpoint estimate (|mid - x| <= (w-1)/2, x >= lo =
+    m*w >= 16w); v < 32 gets exact singleton buckets. Because the index
+    is pure integer arithmetic (length(bin(v)) + shifts), the oracle
+    replicates the REGISTERS bit-for-bit — unlike float log_gamma
+    indexing whose ceil can flip between libm and the JVM. Per target
+    rank (discrete lower quantile, ceil(q*n) in integer form) the query
+    walks the tiny cumulative register table, decodes the bucket back
+    to [lo, lo+w), and PROVES both guarantees against the exact order
+    statistic: the exact value lands in the bucket AND the midpoint is
+    within 1/32 relative. Scale: phase 1 is one map-side-combinable
+    groupBy into <= ~350 buckets for the full BIGINT range (registers
+    merge across partitions/streams by +); the unpartitioned cumsum
+    window rides the kilobyte register table only; the exact side
+    reuses the sketch buckets as rank buckets (bucket-partitioned
+    row_number — the two_phase_rank pattern with the sketch itself as
+    the bucket function)."""
+    from pyspark.sql import Window as _W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    c = li.select(
+        F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias("v")
+    )
+    blen = F.length(F.bin(F.col("v")))
+    p2 = F.pow(F.lit(2.0), blen - 5).cast("bigint")
+    ix = c.select(
+        "v",
+        F.when(F.col("v") < 32, F.col("v"))
+        .otherwise(
+            F.lit(32)
+            + (blen - 6) * 16
+            + F.expr("v div cast(pow(2.0, length(bin(v)) - 5) as bigint)")
+            - 16
+        )
+        .alias("i"),
+    )
+    regs = ix.groupBy("i").agg(F.count("*").cast("bigint").alias("n"))
+    n_buckets = regs.agg(F.count("*").cast("bigint").alias("n_buckets"))
+    tot = (
+        c.agg(F.count("*").cast("bigint").alias("n_rows"))
+        .crossJoin(F.broadcast(n_buckets))
+    )
+    w = _W.orderBy("i").rowsBetween(_W.unboundedPreceding, _W.currentRow)
+    cum = regs.select("i", "n", F.sum("n").over(w).cast("bigint").alias("cn"))
+    qvals = F.explode(
+        F.array(*[F.lit(x) for x in (25, 50, 90, 99)])
+    ).alias("q_pct")
+    qt = tot.select(qvals, "n_rows", "n_buckets").select(
+        "q_pct",
+        F.expr("(q_pct * n_rows + 99) div 100").alias("target"),
+        "n_rows",
+        "n_buckets",
+    )
+    qb = (
+        cum.crossJoin(F.broadcast(qt))
+        .where(F.col("cn") >= F.col("target"))
+        .groupBy("q_pct", "target", "n_rows", "n_buckets")
+        .agg(F.min("i").alias("qi"))
+    )
+    p2q = F.pow(F.lit(2.0), F.expr("(qi - 32) div 16") + 1).cast("bigint")
+    dec_ = qb.select(
+        "q_pct",
+        "target",
+        "n_rows",
+        "n_buckets",
+        "qi",
+        F.when(F.col("qi") < 32, F.col("qi"))
+        .otherwise((F.lit(16) + F.col("qi") % 16) * p2q)
+        .alias("lo"),
+        F.when(F.col("qi") < 32, F.lit(1).cast("bigint"))
+        .otherwise(p2q)
+        .alias("wdt"),
+    )
+    wb = _W.partitionBy("i").orderBy("v")
+    ranked = ix.withColumn("rn", F.row_number().over(wb))
+    exact = (
+        ranked.join(
+            F.broadcast(
+                dec_.join(cum.select(F.col("i").alias("qi"), "cn"), "qi")
+                .join(
+                    regs.select(F.col("i").alias("qi"), F.col("n")), "qi"
+                )
+                .select("q_pct", "qi", "target", "cn", "n")
+            ),
+            ranked.i == F.col("qi"),
+        )
+        .where(F.col("cn") - F.col("n") + F.col("rn") >= F.col("target"))
+        .groupBy("q_pct")
+        .agg(F.min("v").alias("exact_v"))
+    )
+    est_x2 = 2 * F.col("lo") + F.col("wdt") - 1
+    return (
+        dec_.join(exact, "q_pct")
+        .select(
+            "q_pct",
+            F.col("qi").alias("bucket_idx"),
+            est_x2.alias("est_x2"),
+            (2 * F.col("exact_v")).alias("exact_x2"),
+            F.col("exact_v")
+            .between(F.col("lo"), F.col("lo") + F.col("wdt") - 1)
+            .alias("within_bucket"),
+            (
+                32 * F.abs(est_x2 - 2 * F.col("exact_v"))
+                <= 2 * F.col("exact_v")
+            ).alias("within_bound"),
+            "n_rows",
+            "n_buckets",
+        )
+        .orderBy("q_pct")
+    )

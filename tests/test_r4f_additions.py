@@ -1,0 +1,209 @@
+"""Cross-row invariants for the round-4 final-session additions:
+DDSketch-style quantiles, integer ray-casting point-in-polygon,
+MATCH_RECOGNIZE-lite, and the batch perceptron — brute-force references
+and guarantees the per-row hash oracles can't state."""
+
+from __future__ import annotations
+
+import random
+import re
+from collections import defaultdict
+
+from nibbler_spark.queries import load_all
+from nibbler_spark.sources import load_table
+
+SPECS = load_all()
+
+
+# ---------------------------------------------------------------- DDSketch
+
+
+def _dds_index(v: int) -> int:
+    if v < 32:
+        return v
+    b = v.bit_length()
+    m = v >> (b - 5)
+    return 32 + (b - 6) * 16 + (m - 16)
+
+
+def _dds_decode(i: int) -> tuple[int, int]:
+    if i < 32:
+        return i, 1
+    g = i - 32
+    s = g // 16 + 1
+    m = 16 + g % 16
+    return m << s, 1 << s
+
+
+def test_ddsketch_bucket_guarantee_exhaustive_small():
+    """Every v in [1, 4096]: v lands in its decoded bucket and the
+    midpoint is within 1/32 relative error."""
+    for v in range(1, 4097):
+        i = _dds_index(v)
+        lo, w = _dds_decode(i)
+        assert lo <= v < lo + w, (v, i, lo, w)
+        mid2 = 2 * lo + w - 1  # 2x midpoint of the integer range
+        assert 32 * abs(mid2 - 2 * v) <= 2 * v, (v, i, lo, w)
+
+
+def test_ddsketch_bucket_guarantee_random_large():
+    rng = random.Random(7)
+    for _ in range(20000):
+        v = rng.randrange(1, 1 << 52)
+        i = _dds_index(v)
+        lo, w = _dds_decode(i)
+        assert lo <= v < lo + w
+        assert 32 * abs((2 * lo + w - 1) - 2 * v) <= 2 * v
+
+
+def test_ddsketch_index_monotone():
+    """Bucket index is monotone in v — required for rank walking."""
+    rng = random.Random(11)
+    vals = sorted(rng.randrange(1, 1 << 40) for _ in range(5000))
+    idxs = [_dds_index(v) for v in vals]
+    assert idxs == sorted(idxs)
+
+
+def test_ddsketch_query_guarantees_hold(spark, sf_dir):
+    rows = SPECS["ext_ddsketch_quantile"].spark(spark, sf_dir).collect()
+    assert {r["q_pct"] for r in rows} == {25, 50, 90, 99}
+    for r in rows:
+        assert r["within_bucket"] and r["within_bound"]
+        # the guarantee the flags assert, recomputed here
+        assert 32 * abs(r["est_x2"] - r["exact_x2"]) <= r["exact_x2"]
+
+
+# ------------------------------------------------------ point-in-polygon
+
+
+def _pip_float(px, py, verts):
+    """Reference ray cast using FLOAT division (a structurally different
+    formulation from the query's cross-multiplied integer predicate)."""
+    inside = False
+    n = len(verts)
+    for k in range(n):
+        x1, y1 = verts[k]
+        x2, y2 = verts[(k + 1) % n]
+        if (y1 > py) != (y2 > py):
+            xint = x1 + (py - y1) * (x2 - x1) / (y2 - y1)
+            if px < xint:
+                inside = not inside
+    return inside
+
+
+def _pip_int(px, py, verts):
+    """The query's integer predicate, mirrored."""
+    par = 0
+    n = len(verts)
+    for k in range(n):
+        x1, y1 = verts[k]
+        x2, y2 = verts[(k + 1) % n]
+        if (y1 > py) != (y2 > py):
+            lhs = (px - x1) * (y2 - y1)
+            rhs = (py - y1) * (x2 - x1)
+            if (lhs < rhs) if (y2 - y1) > 0 else (lhs > rhs):
+                par ^= 1
+    return par == 1
+
+
+def test_pip_integer_predicate_matches_float_raycast():
+    rng = random.Random(3)
+    for _ in range(200):
+        nv = rng.randrange(3, 9)
+        # random simple-ish polygon: random star-shaped around a center
+        cx, cy = rng.randrange(200, 800), rng.randrange(200, 800)
+        import math
+
+        angs = sorted(rng.uniform(0, 2 * math.pi) for _ in range(nv))
+        verts = [
+            (
+                cx + int(rng.randrange(50, 180) * math.cos(a)),
+                cy + int(rng.randrange(50, 180) * math.sin(a)),
+            )
+            for a in angs
+        ]
+        if len({v for v in verts}) < 3:
+            continue
+        for _ in range(50):
+            px, py = rng.randrange(0, 1000), rng.randrange(0, 1000)
+            # skip exact vertex-y ties where float and half-open integer
+            # conventions could legitimately differ at boundaries
+            if any(py == y for _, y in verts):
+                continue
+            assert _pip_int(px, py, verts) == _pip_float(px, py, verts)
+
+
+def test_pip_query_nonvacuous(spark, sf_dir):
+    rows = SPECS["ext_point_in_polygon"].spark(spark, sf_dir).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r["n_inside"] > 0  # every polygon actually fires
+        assert r["coord_checksum"] > 0
+
+
+# ------------------------------------------------- MATCH_RECOGNIZE-lite
+
+
+def test_match_recognize_matches_regex_bruteforce(spark, sf_dir):
+    """Per-user greedy V+P match counts equal a regex over the user's
+    event-type string in (ts, event_id) order."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    per_user = defaultdict(list)
+    for r in ev:
+        per_user[r["user_id"]].append((r["ts"], r["event_id"], r["event_type"]))
+    want = {}
+    for u, rows in per_user.items():
+        rows.sort()
+        s = "".join(
+            {"view": "v", "purchase": "p"}.get(t, "x") for _, _, t in rows
+        )
+        ms = re.findall(r"v+p", s)
+        if ms:
+            want[u] = (len(ms), max(len(m) - 1 for m in ms))
+    got = {
+        r["user_id"]: (r["n_matches"], r["max_view_run"])
+        for r in SPECS["ext_match_recognize_lite"].spark(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert want  # non-vacuous
+
+
+# ------------------------------------------------------ batch perceptron
+
+
+def test_batch_perceptron_matches_pure_python(spark, sf_dir):
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("text", "lang", "n_chars")
+        .collect()
+    )
+    data = [
+        (
+            r["n_chars"],
+            len(r["text"]) - len(r["text"].replace(" ", "")) + 1,
+            1 if r["lang"] == "en" else -1,
+        )
+        for r in docs
+    ]
+    w0 = w1 = w2 = 0
+    want = []
+    for rnd in (1, 2, 3):
+        d0 = d1 = d2 = nerr = 0
+        for x1, x2, y in data:
+            if y * (w0 + w1 * x1 + w2 * x2) <= 0:
+                d0 += y
+                d1 += y * x1
+                d2 += y * x2
+                nerr += 1
+        w0, w1, w2 = w0 + d0, w1 + d1, w2 + d2
+        want.append((rnd, w0, w1, w2, nerr))
+    got = [
+        (r["round"], r["w0"], r["w1"], r["w2"], r["n_updates"])
+        for r in SPECS["ext_batch_perceptron"].spark(spark, sf_dir).collect()
+    ]
+    assert got == want
+    assert want[0][4] > 0
