@@ -1711,6 +1711,8 @@ def decode_audio(payload: bytes) -> dict:
         return parse_wav(payload)
     if payload[:4] == b"FORM":
         return parse_aiff(payload)
+    if payload[:4] == b"fLaC":
+        return parse_flac(payload)
     raise AudioFormatError("unknown audio container format")
 
 
@@ -1828,3 +1830,458 @@ def parse_mp4(payload: bytes) -> dict:
         "frame_bytes": total,
         "frame_sum": ssum,
     }
+
+
+# --- FLAC (fixed-predictor subset) — from the public spec (RFC 9639) ------
+#
+# Real frame/subframe bitstream: fLaC magic + STREAMINFO metadata block,
+# frames with the 14-bit sync code, UTF-8-style coded frame numbers,
+# CRC-8-protected headers and CRC-16-protected frames; subframes CONSTANT /
+# VERBATIM / FIXED(0..4) with Rice-coded residuals (4-bit parameters,
+# any partition order, raw-bits escape), and the STREAMINFO MD5 of the
+# unencoded samples verified on decode. The encoder emits mono 16-bit with
+# per-block predictor-order and per-partition Rice-parameter selection the
+# way real encoders do; the decoder accepts the full fixed-predictor
+# subset (all five orders, any partition order, escapes, multi-frame
+# streams, final short frame). LPC subframes are out of scope and raise.
+
+
+_FLAC_CRC8_POLY = 0x07
+_FLAC_CRC16_POLY = 0x8005
+
+
+def _flac_crc8(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ _FLAC_CRC8_POLY) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _flac_crc16(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ _FLAC_CRC16_POLY) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+    return crc
+
+
+def _flac_utf8_encode(n: int) -> bytes:
+    """The frame-number coding: standard UTF-8 byte patterns extended to
+    carry arbitrary 31-bit integers (RFC 9639 §9.1.5)."""
+    if n < 0x80:
+        return bytes([n])
+    for nbytes, cap in ((2, 11), (3, 16), (4, 21), (5, 26), (6, 31)):
+        if n < (1 << cap):
+            lead = (0xFF << (8 - nbytes)) & 0xFF
+            out = [0] * nbytes
+            for k in range(nbytes - 1, 0, -1):
+                out[k] = 0x80 | (n & 0x3F)
+                n >>= 6
+            out[0] = lead | n
+            return bytes(out)
+    raise AudioFormatError("frame number too large")
+
+
+class _FlacBitReader:
+    def __init__(self, data: bytes, pos: int = 0) -> None:
+        self.data = data
+        self.bytepos = pos
+        self.bitpos = 0
+
+    def read(self, width: int) -> int:
+        v = 0
+        for _ in range(width):
+            if self.bytepos >= len(self.data):
+                raise AudioFormatError("truncated FLAC bitstream")
+            bit = (self.data[self.bytepos] >> (7 - self.bitpos)) & 1
+            v = (v << 1) | bit
+            self.bitpos += 1
+            if self.bitpos == 8:
+                self.bitpos = 0
+                self.bytepos += 1
+        return v
+
+    def read_unary(self) -> int:
+        n = 0
+        while self.read(1) == 0:
+            n += 1
+        return n
+
+    def align(self) -> None:
+        if self.bitpos:
+            self.bitpos = 0
+            self.bytepos += 1
+
+
+def _flac_utf8_decode(br: _FlacBitReader) -> int:
+    b0 = br.read(8)
+    if b0 < 0x80:
+        return b0
+    nbytes = 0
+    mask = 0x80
+    while b0 & mask:
+        nbytes += 1
+        mask >>= 1
+    if nbytes < 2 or nbytes > 6:
+        raise AudioFormatError("bad coded frame number")
+    v = b0 & (0x7F >> nbytes)
+    for _ in range(nbytes - 1):
+        b = br.read(8)
+        if b & 0xC0 != 0x80:
+            raise AudioFormatError("bad coded frame number continuation")
+        v = (v << 6) | (b & 0x3F)
+    return v
+
+
+_FLAC_FIXED_COEFFS = {
+    0: [],
+    1: [1],
+    2: [2, -1],
+    3: [3, -3, 1],
+    4: [4, -6, 4, -1],
+}
+
+
+def _flac_zigzag(r: int) -> int:
+    return (r << 1) if r >= 0 else (-(r << 1) - 1)
+
+
+def _flac_unzigzag(u: int) -> int:
+    return (u >> 1) if (u & 1) == 0 else -((u + 1) >> 1)
+
+
+def _flac_residuals(samples: list[int], order: int) -> list[int]:
+    coeffs = _FLAC_FIXED_COEFFS[order]
+    return [
+        samples[i] - sum(c * samples[i - 1 - k] for k, c in enumerate(coeffs))
+        for i in range(order, len(samples))
+    ]
+
+
+def _flac_rice_cost(res: list[int], k: int) -> int:
+    return sum((_flac_zigzag(r) >> k) + 1 + k for r in res)
+
+
+def _flac_best_k(res: list[int]) -> tuple[int, int]:
+    """(k, cost_bits); k = 15 means the raw-bits escape."""
+    best_k, best_cost = 0, _flac_rice_cost(res, 0)
+    for k in range(1, 15):
+        c = _flac_rice_cost(res, k)
+        if c < best_cost:
+            best_k, best_cost = k, c
+    if res:
+        width = max(_flac_zigzag(r).bit_length() + 1 for r in res)
+        raw_cost = 5 + width * len(res)
+        if raw_cost < best_cost:
+            return 15, raw_cost
+    return best_k, best_cost
+
+
+def encode_flac(
+    n_samples: int,
+    sample_rate: int,
+    sample: Callable[[int], int],
+    block_size: int = 256,
+    partition_order: int = 0,
+) -> bytes:
+    """Encode a real mono 16-bit FLAC stream: STREAMINFO with the true
+    sample MD5, then frames of ``block_size`` samples (final frame
+    short, signalled through the 16-bit end-of-header block-size code)
+    each carrying one subframe — CONSTANT when the block is flat, else
+    the best of FIXED orders 0..2 by residual cost, Rice parameters
+    chosen per partition (2^partition_order partitions per frame when
+    the frame divides evenly, else order 0 for that frame)."""
+    import hashlib
+    import struct as _st
+
+    samples = [int(sample(i)) for i in range(n_samples)]
+    for s in samples:
+        if not -32768 <= s <= 32767:
+            raise AudioFormatError("sample out of 16-bit range")
+    raw = b"".join(_st.pack("<h", s) for s in samples)
+    md5 = hashlib.md5(raw).digest()
+
+    # STREAMINFO (34 bytes), marked as the last metadata block.
+    si = _MsbBitWriter()
+    si.write(block_size, 16)  # min block size
+    si.write(block_size, 16)  # max block size
+    si.write(0, 24)  # min frame size (unknown)
+    si.write(0, 24)  # max frame size (unknown)
+    si.write(sample_rate, 20)
+    si.write(0, 3)  # channels - 1 (mono)
+    si.write(15, 5)  # bits per sample - 1
+    si.write(n_samples, 36)
+    streaminfo = si.finish() + md5
+    out = bytearray(b"fLaC")
+    out += bytes([0x80]) + len(streaminfo).to_bytes(3, "big") + streaminfo
+
+    frame_no = 0
+    pos = 0
+    while pos < n_samples or (n_samples == 0 and frame_no == 0):
+        blk = samples[pos : pos + block_size]
+        bs = len(blk)
+        if bs == 0:
+            break
+        hdr = _MsbBitWriter()
+        hdr.write(0b11111111111110, 14)  # sync
+        hdr.write(0, 1)  # reserved
+        hdr.write(0, 1)  # fixed-size blocking
+        full = bs == block_size
+        hdr.write(0b1000 if (full and block_size == 256) else 0b0111, 4)
+        hdr.write(0b0000, 4)  # sample rate: from STREAMINFO
+        hdr.write(0b0000, 4)  # channel assignment: mono
+        hdr.write(0b100, 3)  # sample size: 16 bit
+        hdr.write(0, 1)  # reserved
+        header = hdr.finish() + _flac_utf8_encode(frame_no)
+        if not (full and block_size == 256):
+            header += _st.pack(">H", bs - 1)
+        header += bytes([_flac_crc8(header)])
+
+        bw = _MsbBitWriter()
+        # subframe header
+        if bs > 0 and all(s == blk[0] for s in blk):
+            bw.write(0, 1)
+            bw.write(0b000000, 6)  # CONSTANT
+            bw.write(0, 1)
+            bw.write(blk[0] & 0xFFFF, 16)
+        else:
+            order, best = 0, None
+            for o in range(0, 3):
+                if bs <= o:
+                    continue
+                cost = sum(
+                    abs(r) for r in _flac_residuals(blk, o)
+                )
+                if best is None or cost < best:
+                    order, best = o, cost
+            res = _flac_residuals(blk, order)
+            bw.write(0, 1)
+            bw.write(0b001000 | order, 6)  # FIXED(order)
+            bw.write(0, 1)
+            for s in blk[:order]:
+                bw.write(s & 0xFFFF, 16)
+            po = partition_order
+            if po and (bs % (1 << po) != 0 or (bs >> po) <= order):
+                po = 0
+            bw.write(0b00, 2)  # rice method: 4-bit parameters
+            bw.write(po, 4)
+            nparts = 1 << po
+            part_len = bs >> po
+            start = 0
+            for p in range(nparts):
+                cnt = part_len - order if p == 0 else part_len
+                part = res[start : start + cnt]
+                start += cnt
+                k, _ = _flac_best_k(part)
+                bw.write(k, 4)
+                if k == 15:
+                    width = max(
+                        (_flac_zigzag(r).bit_length() + 1 for r in part),
+                        default=1,
+                    )
+                    bw.write(width, 5)
+                    for r in part:
+                        bw.write(_flac_zigzag(r), width)
+                else:
+                    for r in part:
+                        u = _flac_zigzag(r)
+                        q = u >> k
+                        for _ in range(q):
+                            bw.write(0, 1)
+                        bw.write(1, 1)
+                        bw.write(u & ((1 << k) - 1), k)
+        frame = header + bw.finish()
+        frame += _st.pack(">H", _flac_crc16(frame))
+        out += frame
+        pos += bs
+        frame_no += 1
+    return bytes(out)
+
+
+def _flac_decode_samples(payload: bytes) -> tuple[list[int], int]:
+    """Single decode path for the FLAC subset — returns (samples,
+    sample_rate) after validating magic, both CRCs and the STREAMINFO
+    MD5. parse_flac/flac_samples are thin views over this."""
+    import hashlib
+    import struct as _st
+
+    if len(payload) < 8 or payload[:4] != b"fLaC":
+        raise AudioFormatError("not a FLAC payload")
+    pos = 4
+    streaminfo = None
+    while True:
+        if pos + 4 > len(payload):
+            raise AudioFormatError("truncated metadata block header")
+        hdr = payload[pos]
+        last = bool(hdr & 0x80)
+        btype = hdr & 0x7F
+        size = int.from_bytes(payload[pos + 1 : pos + 4], "big")
+        body = payload[pos + 4 : pos + 4 + size]
+        if len(body) < size:
+            raise AudioFormatError("truncated metadata block")
+        if btype == 0:
+            if size != 34:
+                raise AudioFormatError("bad STREAMINFO size")
+            br0 = _FlacBitReader(body)
+            br0.read(16)
+            br0.read(16)
+            br0.read(24)
+            br0.read(24)
+            sample_rate = br0.read(20)
+            n_channels = br0.read(3) + 1
+            bits = br0.read(5) + 1
+            total = br0.read(36)
+            md5_expect = body[18:34]
+            streaminfo = (sample_rate, n_channels, bits, total, md5_expect)
+        pos += 4 + size
+        if last:
+            break
+    if streaminfo is None:
+        raise AudioFormatError("missing STREAMINFO")
+    sample_rate, n_channels, bits, total, md5_expect = streaminfo
+    if n_channels != 1 or bits != 16:
+        raise AudioFormatError("only mono 16-bit FLAC supported")
+
+    samples: list[int] = []
+    while pos < len(payload) and len(samples) < total:
+        frame_start = pos
+        br = _FlacBitReader(payload, pos)
+        if br.read(14) != 0b11111111111110:
+            raise AudioFormatError("lost frame sync")
+        br.read(1)  # reserved
+        br.read(1)  # blocking strategy
+        bs_code = br.read(4)
+        sr_code = br.read(4)
+        ch_code = br.read(4)
+        ss_code = br.read(3)
+        br.read(1)  # reserved
+        if ch_code != 0:
+            raise AudioFormatError("only mono frames supported")
+        if ss_code != 0b100:
+            raise AudioFormatError("only 16-bit frames supported")
+        _flac_utf8_decode(br)
+        if bs_code == 0b0110:
+            bs = br.read(8) + 1
+        elif bs_code == 0b0111:
+            bs = br.read(16) + 1
+        elif bs_code == 0b0001:
+            bs = 192
+        elif 0b0010 <= bs_code <= 0b0101:
+            bs = 576 << (bs_code - 2)
+        elif bs_code >= 0b1000:
+            bs = 256 << (bs_code - 8)
+        else:
+            raise AudioFormatError("reserved block size code")
+        if sr_code == 0b1100:
+            br.read(8)
+        elif sr_code in (0b1101, 0b1110):
+            br.read(16)
+        elif sr_code == 0b1111:
+            raise AudioFormatError("invalid sample rate code")
+        hdr_end = br.bytepos
+        if br.bitpos:
+            raise AudioFormatError("misaligned frame header")
+        if _flac_crc8(payload[frame_start:hdr_end]) != payload[hdr_end]:
+            raise AudioFormatError("frame header CRC-8 mismatch")
+        br = _FlacBitReader(payload, hdr_end + 1)
+
+        # one subframe (mono)
+        if br.read(1) != 0:
+            raise AudioFormatError("bad subframe padding bit")
+        stype = br.read(6)
+        wasted = br.read(1)
+        if wasted:
+            raise AudioFormatError("wasted bits unsupported")
+
+        def s16(v: int) -> int:
+            return v - 0x10000 if v & 0x8000 else v
+
+        if stype == 0b000000:  # CONSTANT
+            blk = [s16(br.read(16))] * bs
+        elif stype == 0b000001:  # VERBATIM
+            blk = [s16(br.read(16)) for _ in range(bs)]
+        elif 0b001000 <= stype <= 0b001100:  # FIXED(order)
+            order = stype & 0x07
+            if order > 4:
+                raise AudioFormatError("bad fixed order")
+            blk = [s16(br.read(16)) for _ in range(order)]
+            method = br.read(2)
+            if method not in (0, 1):
+                raise AudioFormatError("reserved residual method")
+            pbits = 4 if method == 0 else 5
+            esc = (1 << pbits) - 1
+            po = br.read(4)
+            nparts = 1 << po
+            if bs % nparts != 0 or (bs >> po) <= order:
+                raise AudioFormatError("bad partition order")
+            part_len = bs >> po
+            res: list[int] = []
+            for p in range(nparts):
+                cnt = part_len - order if p == 0 else part_len
+                k = br.read(pbits)
+                if k == esc:
+                    width = br.read(5)
+                    for _ in range(cnt):
+                        res.append(_flac_unzigzag(br.read(width)))
+                else:
+                    for _ in range(cnt):
+                        q = br.read_unary()
+                        u = (q << k) | br.read(k)
+                        res.append(_flac_unzigzag(u))
+            coeffs = _FLAC_FIXED_COEFFS[order]
+            for r in res:
+                pred = sum(
+                    c * blk[len(blk) - 1 - kk] for kk, c in enumerate(coeffs)
+                )
+                blk.append(r + pred)
+        elif stype >= 0b100000:
+            raise AudioFormatError("LPC subframes not supported")
+        else:
+            raise AudioFormatError("reserved subframe type")
+
+        br.align()
+        if br.bytepos + 2 > len(payload):
+            raise AudioFormatError("truncated frame footer")
+        crc_read = _st.unpack_from(">H", payload, br.bytepos)[0]
+        if _flac_crc16(payload[frame_start : br.bytepos]) != crc_read:
+            raise AudioFormatError("frame CRC-16 mismatch")
+        pos = br.bytepos + 2
+        samples.extend(blk)
+
+    if len(samples) != total:
+        raise AudioFormatError("sample count mismatch")
+    raw = b"".join(_st.pack("<h", s) for s in samples)
+    if hashlib.md5(raw).digest() != md5_expect:
+        raise AudioFormatError("decoded-audio MD5 mismatch")
+    return samples, sample_rate
+
+
+def parse_flac(payload: bytes) -> dict:
+    """Decode a fixed-predictor FLAC stream: fLaC magic, metadata-block
+    walk (STREAMINFO required, others skipped), then every frame — sync
+    + header with end-of-header block-size/sample-rate values, CRC-8
+    check, subframes CONSTANT / VERBATIM / FIXED(0..4) with any Rice
+    partition order including the raw-bits escape, fixed-predictor
+    reconstruction, byte alignment, CRC-16 check — and finally the
+    STREAMINFO MD5 verified against the decoded samples. Returns the
+    same stats dict as the other audio parsers."""
+    samples, sample_rate = _flac_decode_samples(payload)
+    return {
+        "fmt": "flac",
+        "sample_rate": sample_rate,
+        "n_channels": 1,
+        "n_samples": len(samples),
+        "duration_ms": len(samples) * 1000 // sample_rate
+        if sample_rate
+        else 0,
+        "sample_sum": sum(samples),
+        "peak": max((abs(s) for s in samples), default=0),
+    }
+
+
+def flac_samples(payload: bytes) -> list[int]:
+    """Full decoded sample vector (verification helper)."""
+    return _flac_decode_samples(payload)[0]
