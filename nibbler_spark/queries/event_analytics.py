@@ -3572,3 +3572,90 @@ def ext_match_recognize_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "ext_sequential_patterns",
+    survey_id="EXT-SEQPAT",
+    category="event-analytics",
+    oracle="""
+WITH k AS (
+  SELECT user_id, event_type,
+         (epoch_us(ts) - 1704067200000000) * 1048576 + event_id AS ord_key
+  FROM events
+),
+firsts AS (
+  SELECT user_id, event_type,
+         MIN(ord_key) AS first_k, MAX(ord_key) AS last_k
+  FROM k GROUP BY user_id, event_type
+),
+pairs AS (
+  SELECT a.event_type AS a_type, b.event_type AS b_type,
+         COUNT(*) AS support_users
+  FROM firsts a JOIN firsts b ON a.user_id = b.user_id
+  WHERE a.first_k < b.last_k
+  GROUP BY a.event_type, b.event_type
+),
+tot AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM k)
+SELECT p.a_type, p.b_type,
+       CAST(p.support_users AS BIGINT) AS support_users,
+       t.n_users
+FROM pairs p CROSS JOIN tot t
+ORDER BY a_type, b_type
+""",
+)
+def ext_sequential_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern mining (SPADE/PrefixSpan's 2-sequence core):
+    support counts for every ordered event-type pair <a -> b> — the
+    number of users with SOME occurrence of a strictly before some
+    occurrence of b. The existential check collapses to per-(user,
+    type) first/last occurrence keys — exists(a before b) iff
+    first(a) < last(b) — so the fact table reduces to a 5-row-per-user
+    summary BEFORE any pair logic, and the 'pattern join' is a
+    co-partitioned self-join of that summary on user_id (contrast
+    ext_market_basket, which mines unordered co-occurrence; this adds
+    the temporal order dimension). Event order is the single integer
+    key (epoch-micros since 2024-01-01) * 2^20 + event_id — exact,
+    tie-broken, overflow-safe for this testdata's one-month span and
+    sub-million event ids. Scale: one keyed aggregation + one keyed
+    self-join of a 5x-compressed table, output 25 pattern rows; the
+    same shape mines k-sequences by iterating on the survivor
+    prefixes (PrefixSpan's projection step)."""
+    e = load_table(spark, sf_dir, "events")
+    k = e.select(
+        "user_id",
+        "event_type",
+        (
+            (F.unix_micros("ts") - F.lit(1704067200000000))
+            * F.lit(1048576)
+            + F.col("event_id")
+        ).alias("ord_key"),
+    )
+    firsts = k.groupBy("user_id", "event_type").agg(
+        F.min("ord_key").alias("first_k"),
+        F.max("ord_key").alias("last_k"),
+    )
+    a = firsts.select(
+        "user_id",
+        F.col("event_type").alias("a_type"),
+        "first_k",
+    )
+    b = firsts.select(
+        F.col("user_id").alias("u2"),
+        F.col("event_type").alias("b_type"),
+        "last_k",
+    )
+    pairs = (
+        a.join(b, (F.col("user_id") == F.col("u2")))
+        .where(F.col("first_k") < F.col("last_k"))
+        .groupBy("a_type", "b_type")
+        .agg(F.count("*").cast("bigint").alias("support_users"))
+    )
+    tot = k.agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_users")
+    )
+    return (
+        pairs.crossJoin(F.broadcast(tot))
+        .select("a_type", "b_type", "support_users", "n_users")
+        .orderBy("a_type", "b_type")
+    )

@@ -2752,3 +2752,185 @@ def ext_dim_truncation_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+@register(
+    "ext_filtered_ann",
+    survey_id="EXT-FILTERED-ANN",
+    category="llm-vector",
+    mode="bounded",
+    oracle=f"""
+WITH ex AS (
+  SELECT label, i AS pos,
+         CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1e10) AS BIGINT) AS v
+  FROM embeddings, generate_series(1, 64) AS g(i)
+),
+centroids AS (
+  SELECT label, LIST(c ORDER BY pos) AS centroid FROM (
+    SELECT label, pos, (CAST(SUM(v) AS DOUBLE) / 1e10) / COUNT(v) AS c
+    FROM ex GROUP BY label, pos
+  ) GROUP BY label
+),
+qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+filt AS (
+  SELECT e.vec_id, e.label, e.embedding
+  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+  WHERE d.lang = 'en' AND e.vec_id <> 0
+),
+exact AS (
+  SELECT f.vec_id, {sql_cosine('f.embedding', 'qv.q')} AS cs
+  FROM filt f, qv
+  ORDER BY cs DESC, f.vec_id LIMIT 10
+),
+coarse AS (
+  SELECT label, {sql_cosine('centroid', 'q')} AS csim
+  FROM centroids, qv
+  ORDER BY csim DESC, label LIMIT 4
+),
+ivf AS (
+  SELECT f.vec_id, {sql_cosine('f.embedding', 'qv.q')} AS cs
+  FROM filt f, qv
+  WHERE f.label IN (SELECT label FROM coarse)
+  ORDER BY cs DESC, f.vec_id LIMIT 10
+),
+rec AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS hits
+  FROM ivf JOIN exact USING (vec_id)
+)
+SELECT * FROM (
+  SELECT 'exact' AS strategy,
+         CAST(COUNT(*) AS BIGINT) AS n_results,
+         CAST(SUM(vec_id) AS BIGINT) AS id_checksum,
+         CAST(SUM(CAST(FLOOR(cs * 1e6) AS BIGINT)) AS BIGINT) AS sim_grid_sum,
+         CAST(100 AS BIGINT) AS recall_pct
+  FROM exact
+  UNION ALL
+  SELECT 'ivf_probe4',
+         CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(vec_id) AS BIGINT),
+         CAST(SUM(CAST(FLOOR(cs * 1e6) AS BIGINT)) AS BIGINT),
+         (SELECT hits * 100 // 10 FROM rec)
+  FROM ivf
+) ORDER BY strategy
+""",
+)
+def ext_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search — the production ANN pattern every vector
+    store wrestles with (metadata predicate + similarity top-k): the
+    filter (documents.lang = 'en', joined on vec_id) is applied INSIDE
+    the probed IVF lists (single-stage filtered search), not as a
+    post-filter that silently returns < k results when the filter is
+    selective. The query runs BOTH the filtered exact brute-force
+    (ground truth) and the filtered IVF probe (nprobe=4 of 10
+    label-cells over an index built on the UNFILTERED corpus — indexes
+    are shared across predicates in real systems), and reports each
+    strategy's result-set checksum plus the IVF recall against exact.
+    Because all similarity math rides the 1e-10 floor grid, even the
+    recall percentage is engine-exact — the whole filtered-ANN
+    pipeline carries a full hash oracle (recall lands wherever the
+    data puts it; the declared invariant is n_results = k for both
+    strategies, i.e. in-list filtering never under-fills). On this
+    fixture's isotropic random embeddings the label cells carry no
+    locality, so IVF recall is expected ~= nprobe/ncells = 40% — the
+    measured 20-40% across sfs is the honest behavior of a coarse
+    quantizer on structureless data, and the point of the query is
+    the filtered-search PLUMBING being hash-exact, not a recall
+    claim (ext_ivf_nprobe_sweep carries the recall-curve invariants). Scale: the
+    metadata filter is a co-partitioned equi-join on the vector id
+    (bucketable), probed cells are partition-prunable as in
+    ext_ivf_persisted, and both top-10s are TakeOrderedAndProject —
+    no global sort, no all-pairs."""
+    e = load_table(spark, sf_dir, "embeddings")
+    d = load_table(spark, sf_dir, "documents")
+    ex = e.select(
+        "label", F.posexplode("embedding").alias("pos", "val")
+    ).select(
+        "label",
+        "pos",
+        F.floor(F.col("val").cast("double") * F.lit(1e10)).alias("v"),
+    )
+    cent = (
+        ex.groupBy("label", "pos")
+        .agg(
+            ((F.sum("v").cast("double") / F.lit(1e10)) / F.count("v")).alias(
+                "c"
+            )
+        )
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s["c"],
+            ).alias("centroid")
+        )
+    )
+    qv = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    filt = (
+        e.join(
+            d.where(F.col("lang") == "en").select(
+                F.col("doc_id").alias("vec_id")
+            ),
+            "vec_id",
+        )
+        .where(F.col("vec_id") != 0)
+        .select("vec_id", "label", "embedding")
+    )
+    cs = cosine(F.col("embedding"), F.col("q"))
+    exact = (
+        filt.crossJoin(F.broadcast(qv))
+        .select("vec_id", cs.alias("cs"))
+        .orderBy(F.col("cs").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+    coarse = (
+        cent.crossJoin(F.broadcast(qv))
+        .select("label", cosine(F.col("centroid"), F.col("q")).alias("csim"))
+        .orderBy(F.col("csim").desc(), F.col("label"))
+        .limit(4)
+        .select("label")
+    )
+    ivf = (
+        filt.join(F.broadcast(coarse), "label")
+        .crossJoin(F.broadcast(qv))
+        .select("vec_id", cs.alias("cs"))
+        .orderBy(F.col("cs").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+    rec = ivf.join(exact.select("vec_id"), "vec_id").agg(
+        F.count("*").cast("bigint").alias("hits")
+    )
+
+    out_exact = exact.agg(
+        F.count("*").cast("bigint").alias("n_results"),
+        F.sum("vec_id").cast("bigint").alias("id_checksum"),
+        F.sum(F.floor(F.col("cs") * F.lit(1e6)).cast("bigint"))
+        .cast("bigint")
+        .alias("sim_grid_sum"),
+    ).select(
+        F.lit("exact").alias("strategy"),
+        "n_results",
+        "id_checksum",
+        "sim_grid_sum",
+        F.lit(100).cast("bigint").alias("recall_pct"),
+    )
+    out_ivf = (
+        ivf.crossJoin(F.broadcast(rec))
+        .agg(
+            F.count("*").cast("bigint").alias("n_results"),
+            F.sum("vec_id").cast("bigint").alias("id_checksum"),
+            F.sum(F.floor(F.col("cs") * F.lit(1e6)).cast("bigint"))
+            .cast("bigint")
+            .alias("sim_grid_sum"),
+            F.expr("max(hits) * 100 div 10").cast("bigint").alias(
+                "recall_pct"
+            ),
+        )
+        .select(
+            F.lit("ivf_probe4").alias("strategy"),
+            "n_results",
+            "id_checksum",
+            "sim_grid_sum",
+            "recall_pct",
+        )
+    )
+    return out_exact.unionByName(out_ivf).orderBy("strategy")

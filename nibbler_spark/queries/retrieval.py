@@ -548,3 +548,163 @@ def ext_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "rank bigint, vec_id bigint, rel double, mmr_score double"
     )
+
+
+@register(
+    "ext_map_mrr_eval",
+    survey_id="EXT-MAP-MRR",
+    category="retrieval",
+    oracle="""
+WITH q AS (
+  SELECT vec_id AS q_id, embedding AS qv, label AS q_label
+  FROM embeddings WHERE vec_id BETWEEN 1 AND 5
+),
+scored AS (
+  SELECT q.q_id, q.q_label, e.vec_id, e.label,
+         (CAST(list_sum(list_transform(generate_series(1, 64),
+            i -> CAST(FLOOR(CAST(e.embedding[i] AS DOUBLE)
+                 * CAST(q.qv[i] AS DOUBLE) * 1e10) AS BIGINT)))
+           AS DOUBLE) / 1e10) AS dot
+  FROM q JOIN embeddings e ON e.vec_id <> q.q_id
+),
+ranked AS (
+  SELECT q_id, q_label, vec_id, label,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY dot DESC, vec_id) AS rk
+  FROM scored
+),
+top10 AS (
+  SELECT q_id, rk, CASE WHEN label = q_label THEN 1 ELSE 0 END AS hit
+  FROM ranked WHERE rk <= 10
+),
+cum AS (
+  SELECT q_id, rk, hit,
+         CAST(SUM(hit) OVER (PARTITION BY q_id ORDER BY rk
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS h_r
+  FROM top10
+),
+rel AS (
+  SELECT q.q_id, CAST(COUNT(*) AS BIGINT) AS n_rel_corpus
+  FROM q JOIN embeddings e
+    ON e.vec_id <> q.q_id AND e.label = q.q_label
+  GROUP BY q.q_id
+)
+SELECT c.q_id,
+       r.n_rel_corpus,
+       CAST(SUM(c.hit) AS BIGINT) AS hits_at_10,
+       CAST(COALESCE(MIN(CASE WHEN c.hit = 1 THEN c.rk END), 0)
+            AS BIGINT) AS first_hit_rank,
+       CAST(COALESCE(2520 // MIN(CASE WHEN c.hit = 1 THEN c.rk END), 0)
+            AS BIGINT) AS mrr_x2520,
+       CAST(SUM(CASE WHEN c.hit = 1 THEN 2520 * c.h_r // c.rk ELSE 0 END)
+            AS BIGINT) AS ap_x2520
+FROM cum c JOIN rel r USING (q_id)
+GROUP BY c.q_id, r.n_rel_corpus
+ORDER BY c.q_id
+""",
+)
+def ext_map_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP@10 / MRR retrieval evaluation in EXACT integer arithmetic —
+    the rational-metric trick: every precision@r with r <= 10 becomes
+    an exact integer once scaled by 2520 = lcm(1..10), so AP sums
+    (sum over hit ranks of 2520 * hits_so_far / r) and reciprocal
+    ranks (2520 // r) are BIGINTs with zero rounding, and the whole
+    ranking-quality report hash-matches the oracle (the same reason
+    ext_ndcg_eval grids its log2 terms — but here no grid is even
+    needed; the arithmetic is exact by construction). Retrieval task:
+    5 query vectors, corpus ranked by the grid-exact cosine dot,
+    relevant = same label as the query. Scale: scoring is a broadcast
+    of 5 query vectors over the fact side; per-query top-10 is a
+    rank-within-partition window that compiles to WindowGroupLimit
+    (pushed partial top-k per partition), cumulative hits ride the 50
+    surviving rows."""
+    from nibbler_spark.queries.llm_vectors import dec_dot
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = (
+        e.where(F.col("vec_id").between(1, 5))
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("qv"),
+            F.col("label").alias("q_label"),
+        )
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "q_label",
+            "vec_id",
+            "label",
+            dec_dot(F.col("embedding"), F.col("qv")).alias("dot"),
+        )
+    )
+    w_rk = Window.partitionBy("q_id").orderBy(
+        F.col("dot").desc(), F.col("vec_id")
+    )
+    top10 = (
+        scored.withColumn("rk", F.row_number().over(w_rk))
+        .where(F.col("rk") <= 10)
+        .select(
+            "q_id",
+            "rk",
+            F.when(F.col("label") == F.col("q_label"), 1)
+            .otherwise(0)
+            .alias("hit"),
+        )
+    )
+    w_cum = (
+        Window.partitionBy("q_id")
+        .orderBy("rk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = top10.withColumn(
+        "h_r", F.sum("hit").over(w_cum).cast("bigint")
+    )
+    rel = (
+        e.crossJoin(F.broadcast(q))
+        .where(
+            (F.col("vec_id") != F.col("q_id"))
+            & (F.col("label") == F.col("q_label"))
+        )
+        .groupBy("q_id")
+        .agg(F.count("*").cast("bigint").alias("n_rel_corpus"))
+    )
+    first_hit = F.min(F.when(F.col("hit") == 1, F.col("rk")))
+    return (
+        cum.groupBy("q_id")
+        .agg(
+            F.sum("hit").cast("bigint").alias("hits_at_10"),
+            F.coalesce(first_hit, F.lit(0)).cast("bigint").alias(
+                "first_hit_rank"
+            ),
+            F.coalesce(
+                F.expr(
+                    "2520 div min(case when hit = 1 then rk end)"
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("mrr_x2520"),
+            F.sum(
+                F.when(
+                    F.col("hit") == 1,
+                    F.expr("2520 * h_r div rk"),
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("ap_x2520"),
+        )
+        .join(F.broadcast(rel), "q_id")
+        .select(
+            "q_id",
+            "n_rel_corpus",
+            "hits_at_10",
+            "first_hit_rank",
+            "mrr_x2520",
+            "ap_x2520",
+        )
+        .orderBy("q_id")
+    )

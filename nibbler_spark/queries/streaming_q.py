@@ -3744,3 +3744,82 @@ def i32_kappa_reprocess(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "ext_stream_ddsketch",
+    survey_id="EXT-DDSKETCH-S",
+    category="streaming",
+    mode="parity",
+    oracle="""
+WITH c AS (
+  SELECT CAST(FLOOR(value * 100) AS BIGINT) AS v FROM events
+),
+ix AS (
+  SELECT CASE WHEN v < 32 THEN v
+              ELSE 32 + (length(bin(v)) - 6) * 16
+                   + v // CAST(pow(2e0, length(bin(v)) - 5) AS BIGINT) - 16
+         END AS i
+  FROM c
+)
+SELECT i, CAST(COUNT(*) * 2 AS BIGINT) AS n
+FROM ix GROUP BY i ORDER BY i
+""",
+)
+def ext_stream_ddsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDSketch registers maintained ACROSS micro-batches — the
+    streaming half of ext_ddsketch_quantile: each foreachBatch epoch
+    reduces its slice to the tiny (bucket, count) register table via
+    the same exact integer bit-length indexing, and merges it into a
+    running store by plain addition (log-bucket sketches are mergeable
+    by construction — the register map is a counter vector). The
+    stream is the events table twice (maxFilesPerTrigger=1 forces two
+    epochs); the merged store must equal the batch sketch over the
+    doubled stream REGISTER-FOR-REGISTER, proving the per-epoch
+    fold == the global fold with no error accumulation (the quantile
+    walk of ext_ddsketch_quantile then applies unchanged to the merged
+    registers, so a streaming pipeline gets the same 1/32
+    relative-error quantiles as batch). Per epoch only the O(350)-cell
+    register table crosses to the store — O(sketch), never O(stream)."""
+    d = _events_dir(spark, sf_dir, copies=2)
+    store: dict[int, int] = {}
+
+    def merge_epoch(batch_df, epoch_id):
+        regs = (
+            batch_df.select(
+                F.floor(F.col("value") * 100).cast("bigint").alias("v")
+            )
+            .select(
+                F.when(F.col("v") < 32, F.col("v"))
+                .otherwise(
+                    F.lit(32)
+                    + (F.length(F.bin(F.col("v"))) - 6) * 16
+                    + F.expr(
+                        "v div cast(pow(2.0, length(bin(v)) - 5) as bigint)"
+                    )
+                    - 16
+                )
+                .alias("i")
+            )
+            .groupBy("i")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+        for r in regs:
+            store[r["i"]] = store.get(r["i"], 0) + r["n"]
+
+    q = (
+        spark.readStream.schema(_EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+        .writeStream.foreachBatch(merge_epoch)
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix="nibbler-dds-"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = [(i, int(n)) for i, n in sorted(store.items())]
+    return spark.createDataFrame(rows, "i bigint, n bigint").orderBy("i")

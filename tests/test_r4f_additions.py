@@ -308,3 +308,98 @@ def test_flac_compresses_smooth_signals():
 def test_flac_audio_dispatch(spark, sf_dir):
     rows = SPECS["ext_audio_decode_flac"].spark(spark, sf_dir).collect()
     assert rows and all(r["fmt"] == "flac" for r in rows)
+
+
+# ------------------------------------------- filtered ANN / MAP / seqpat
+
+
+def test_filtered_ann_fills_k(spark, sf_dir):
+    rows = {
+        r["strategy"]: r
+        for r in SPECS["ext_filtered_ann"].spark(spark, sf_dir).collect()
+    }
+    assert rows["exact"]["n_results"] == 10
+    assert rows["ivf_probe4"]["n_results"] == 10  # in-list filter never under-fills
+    assert rows["exact"]["recall_pct"] == 100
+    assert 0 <= rows["ivf_probe4"]["recall_pct"] <= 100
+
+
+def test_map_mrr_matches_bruteforce(spark, sf_dir):
+    import math
+
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding", "label")
+        .collect()
+    )
+    vecs = {r["vec_id"]: (list(r["embedding"]), r["label"]) for r in e}
+
+    def grid_dot(a, b):
+        return sum(
+            math.floor(float(x) * float(y) * 1e10) for x, y in zip(a, b)
+        )
+
+    want = {}
+    for qid in (1, 2, 3, 4, 5):
+        qv, ql = vecs[qid]
+        scored = sorted(
+            (
+                (-grid_dot(v, qv), vid)
+                for vid, (v, lbl) in vecs.items()
+                if vid != qid
+            ),
+        )[:10]
+        hits, ap, first = 0, 0, 0
+        for rk, (_, vid) in enumerate(scored, 1):
+            if vecs[vid][1] == ql:
+                hits += 1
+                ap += 2520 * hits // rk
+                if first == 0:
+                    first = rk
+        want[qid] = (hits, first, 2520 // first if first else 0, ap)
+    got = {
+        r["q_id"]: (
+            r["hits_at_10"],
+            r["first_hit_rank"],
+            r["mrr_x2520"],
+            r["ap_x2520"],
+        )
+        for r in SPECS["ext_map_mrr_eval"].spark(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert any(v[0] > 0 for v in want.values())  # some query has hits
+
+
+def test_sequential_patterns_existential_semantics(spark, sf_dir):
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    per_user = defaultdict(list)
+    for r in ev:
+        per_user[r["user_id"]].append((r["ts"], r["event_id"], r["event_type"]))
+    types = sorted({t for rows in per_user.values() for _, _, t in rows})
+    want = {}
+    for a in types:
+        for b in types:
+            n = 0
+            for rows in per_user.values():
+                rows.sort()
+                seen_a = False
+                ok = False
+                for _, _, t in rows:
+                    if seen_a and t == b:
+                        ok = True
+                        break
+                    if t == a:
+                        seen_a = True
+                if ok:
+                    n += 1
+            if n:
+                want[(a, b)] = n
+    got = {
+        (r["a_type"], r["b_type"]): r["support_users"]
+        for r in SPECS["ext_sequential_patterns"].spark(spark, sf_dir).collect()
+    }
+    assert got == want
