@@ -3659,3 +3659,117 @@ def ext_sequential_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_type", "b_type", "support_users", "n_users")
         .orderBy("a_type", "b_type")
     )
+
+
+@register(
+    "ext_interval_sweepline",
+    survey_id="EXT-SWEEPLINE",
+    category="event-analytics",
+    oracle="""
+WITH w AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+),
+sess AS (
+  SELECT user_id,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq,
+         epoch_us(ts) AS t
+  FROM w
+),
+iv AS (
+  SELECT user_id, seq, MIN(t) AS s, MAX(t) AS e
+  FROM sess GROUP BY user_id, seq
+),
+deltas AS (
+  SELECT s AS t, 1 AS delta FROM iv
+  UNION ALL
+  SELECT e + 1 AS t, -1 AS delta FROM iv
+),
+cum AS (
+  SELECT t, delta,
+         CAST(SUM(delta) OVER (ORDER BY t, delta
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS active
+  FROM deltas
+)
+SELECT t // 86400000000 AS day,
+       CAST(MAX(active) AS BIGINT) AS max_concurrency,
+       CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_session_starts
+FROM cum GROUP BY day ORDER BY day
+""",
+)
+def ext_interval_sweepline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line interval concurrency — peak simultaneous sessions per
+    day, computed WITHOUT any interval join: every session (the
+    EXT-SESSION 30-minute-gap definition) emits a +1 delta at its
+    start and a -1 at end+1μs (closed interval in integer
+    microseconds), and the concurrency curve is the running sum of
+    deltas in global (t, delta) order — the -1-before-+1 tie rule
+    makes adjacent sessions count as 1, not 2. The global cumulative
+    sum runs as the bucketed TWO-PHASE prefix sum (per-day delta
+    totals -> tiny day-ordered prefix -> broadcast offsets -> in-day
+    window partitioned by day), the same Blelloch pattern as
+    ext_sequence_packing — no unpartitioned window ever touches the
+    delta stream, so the plan holds at any scale (contrast the naive
+    session x session overlap join, which is quadratic in peak
+    concurrency). Output: per-day peak concurrency + session starts,
+    the capacity-planning curve."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t_us = F.unix_micros("ts")
+    gap = t_us - F.lag(t_us).over(w)
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(gap.isNull() | (gap > 1800000000), 1)
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    sess = flagged.withColumn("seq", F.sum("is_new").over(w))
+    iv = sess.groupBy("user_id", "seq").agg(
+        F.min(t_us).alias("s"), F.max(t_us).alias("e")
+    )
+    deltas = iv.select(
+        F.col("s").alias("t"), F.lit(1).alias("delta")
+    ).unionByName(
+        iv.select((F.col("e") + 1).alias("t"), F.lit(-1).alias("delta"))
+    ).withColumn("day", F.expr("t div 86400000000"))
+    # two-phase global prefix sum: day-bucket offsets, then in-day cumsum
+    per_day = deltas.groupBy("day").agg(F.sum("delta").alias("dsum"))
+    w_days = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = per_day.select(
+        "day",
+        F.coalesce(F.sum("dsum").over(w_days), F.lit(0)).alias("off"),
+    )
+    w_in = (
+        Window.partitionBy("day")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = deltas.join(F.broadcast(offsets), "day").select(
+        "day",
+        "delta",
+        (F.col("off") + F.sum("delta").over(w_in))
+        .cast("bigint")
+        .alias("active"),
+    )
+    return (
+        cum.groupBy("day")
+        .agg(
+            F.max("active").cast("bigint").alias("max_concurrency"),
+            F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_session_starts"),
+        )
+        .orderBy("day")
+    )

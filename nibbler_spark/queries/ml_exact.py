@@ -2386,3 +2386,120 @@ def ext_batch_perceptron(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         "round int, w0 bigint, w1 bigint, w2 bigint, n_updates bigint",
     )
+
+
+@register(
+    "ext_knn_classifier_eval",
+    survey_id="EXT-KNN-EVAL",
+    category="ml",
+    oracle="""
+WITH q AS (
+  SELECT vec_id AS q_id, embedding AS qv, label AS true_label
+  FROM embeddings WHERE vec_id % 23 = 0
+),
+scored AS (
+  SELECT q.q_id, q.true_label, e.vec_id, e.label,
+         CAST(list_sum(list_transform(generate_series(1, 64),
+           i -> CAST(FLOOR(CAST(e.embedding[i] AS DOUBLE)
+                * CAST(q.qv[i] AS DOUBLE) * 1e10) AS BIGINT))) AS BIGINT)
+           AS dot_grid
+  FROM q JOIN embeddings e ON e.vec_id <> q.q_id
+),
+top5 AS (
+  SELECT q_id, true_label, label FROM (
+    SELECT q_id, true_label, label,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY dot_grid DESC, vec_id) AS rk
+    FROM scored
+  ) WHERE rk <= 5
+),
+votes AS (
+  SELECT q_id, true_label, label AS cand,
+         COUNT(*) AS n_votes
+  FROM top5 GROUP BY q_id, true_label, label
+),
+pred AS (
+  SELECT q_id, true_label,
+         MIN(cand) FILTER (WHERE rnk = 1) AS pred_label
+  FROM (
+    SELECT q_id, true_label, cand,
+           rank() OVER (PARTITION BY q_id
+                        ORDER BY n_votes DESC) AS rnk
+    FROM votes
+  ) GROUP BY q_id, true_label
+)
+SELECT true_label, pred_label,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM pred GROUP BY true_label, pred_label
+ORDER BY true_label, pred_label
+""",
+)
+def ext_knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out k-NN classification eval (k=5) over the embedding
+    corpus — the standard embedding-quality probe a data platform runs
+    before/after retraining: every 23rd vector is a held-out query, its
+    5 nearest neighbors (grid-exact integer dot products, self
+    excluded) vote, majority label wins with min-label tie-break
+    (rank over vote counts + MIN over the rank-1 candidates — both
+    engines resolve ties identically because the tie set itself is
+    deterministic), and the output is the confusion matrix. On this
+    fixture's isotropic embeddings accuracy hovers near chance — the
+    matrix being hash-exact is the point (the eval HARNESS is the
+    operator; plug in trained embeddings and the same query grades
+    them). Scale: the eval subset broadcasts over the corpus fact
+    side, per-query top-5 compiles to WindowGroupLimit (per-partition
+    partial top-k), vote/argmax ride the 5-rows-per-query table."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") % 23 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("true_label"),
+    )
+    dot_grid = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("qv"),
+            lambda a, b: F.floor(
+                a.cast("double") * b.cast("double") * F.lit(1e10)
+            ),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "true_label",
+            "vec_id",
+            "label",
+            dot_grid.alias("dot_grid"),
+        )
+    )
+    w_rk = Window.partitionBy("q_id").orderBy(
+        F.col("dot_grid").desc(), F.col("vec_id")
+    )
+    top5 = (
+        scored.withColumn("rk", F.row_number().over(w_rk))
+        .where(F.col("rk") <= 5)
+        .select("q_id", "true_label", "label")
+    )
+    votes = top5.groupBy("q_id", "true_label", "label").agg(
+        F.count("*").alias("n_votes")
+    )
+    w_v = Window.partitionBy("q_id").orderBy(F.col("n_votes").desc())
+    pred = (
+        votes.withColumn("rnk", F.rank().over(w_v))
+        .groupBy("q_id", "true_label")
+        .agg(
+            F.min(F.when(F.col("rnk") == 1, F.col("label"))).alias(
+                "pred_label"
+            )
+        )
+    )
+    return (
+        pred.groupBy("true_label", "pred_label")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy("true_label", "pred_label")
+    )

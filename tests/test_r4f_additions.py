@@ -403,3 +403,146 @@ def test_sequential_patterns_existential_semantics(spark, sf_dir):
         for r in SPECS["ext_sequential_patterns"].spark(spark, sf_dir).collect()
     }
     assert got == want
+
+
+# ------------------------------------------- hilbert / sweepline / knn
+
+
+def _xy2d(n, x, y):
+    d = 0
+    s = n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = n - 1 - x, n - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_query_matches_reference(spark, sf_dir):
+    row = SPECS["ext_hilbert_clustering"].spark(spark, sf_dir).collect()[0]
+    assert row["n_cells"] == 1024 and row["n_distinct_d"] == 1024
+    assert row["adjacent_steps"] == 1023  # the Hilbert property
+    assert row["hilbert_runs"] == 22 and row["morton_runs"] == 46
+    assert row["hilbert_tighter"]
+    # occupied-cell runs: recompute from the same mapping
+    rows = (
+        load_table(spark, sf_dir, "part")
+        .select("p_size", "p_retailprice")
+        .collect()
+    )
+    import math
+
+    occ = {
+        (
+            r["p_size"] % 32,
+            int(math.floor((r["p_retailprice"] - 900.0) / 34.0)) % 32,
+        )
+        for r in rows
+    }
+    box = [
+        (x, y) for (x, y) in occ if 5 <= x <= 20 and 9 <= y <= 24
+    ]
+
+    def runs(keys):
+        ks = sorted(keys)
+        return (
+            1 + sum(1 for i in range(1, len(ks)) if ks[i] - ks[i - 1] > 1)
+            if ks
+            else 0
+        )
+
+    def morton(x, y):
+        z = 0
+        for i in range(5):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    assert row["occ_box_cells"] == len(box)
+    assert row["occ_hilbert_runs"] == runs([_xy2d(32, x, y) for x, y in box])
+    assert row["occ_morton_runs"] == runs([morton(x, y) for x, y in box])
+
+
+def test_sweepline_matches_bruteforce(spark, sf_dir):
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id")
+        .collect()
+    )
+    per_user = defaultdict(list)
+    for r in ev:
+        us = int(r["ts"].timestamp() * 1_000_000)
+        per_user[r["user_id"]].append((us, r["event_id"]))
+    intervals = []
+    for rows in per_user.values():
+        rows.sort()
+        start = prev = rows[0][0]
+        for us, _ in rows[1:]:
+            if us - prev > 1800000000:
+                intervals.append((start, prev))
+                start = us
+            prev = us
+        intervals.append((start, prev))
+    deltas = []
+    for s, e in intervals:
+        deltas.append((s, 1))
+        deltas.append((e + 1, -1))
+    deltas.sort()
+    active = 0
+    day_max = {}
+    day_starts = defaultdict(int)
+    for t, d in deltas:
+        active += d
+        day = t // 86400000000
+        day_max[day] = max(day_max.get(day, -(10**9)), active)
+        if d == 1:
+            day_starts[day] += 1
+    got = {
+        r["day"]: (r["max_concurrency"], r["n_session_starts"])
+        for r in SPECS["ext_interval_sweepline"].spark(spark, sf_dir).collect()
+    }
+    want = {d: (day_max[d], day_starts.get(d, 0)) for d in day_max}
+    assert got == want
+    assert max(v[0] for v in want.values()) > 1  # overlap actually occurs
+
+
+def test_knn_confusion_matches_bruteforce(spark, sf_dir):
+    import math
+
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding", "label")
+        .collect()
+    )
+    vecs = {r["vec_id"]: (list(r["embedding"]), r["label"]) for r in e}
+    conf = defaultdict(int)
+    for qid, (qv, ql) in vecs.items():
+        if qid % 23 != 0:
+            continue
+        scored = sorted(
+            (
+                -sum(
+                    math.floor(float(a) * float(b) * 1e10)
+                    for a, b in zip(v, qv)
+                ),
+                vid,
+            )
+            for vid, (v, _) in vecs.items()
+            if vid != qid
+        )[:5]
+        votes = defaultdict(int)
+        for _, vid in scored:
+            votes[vecs[vid][1]] += 1
+        best = max(votes.values())
+        pred = min(lbl for lbl, n in votes.items() if n == best)
+        conf[(ql, pred)] += 1
+    got = {
+        (r["true_label"], r["pred_label"]): r["n"]
+        for r in SPECS["ext_knn_classifier_eval"].spark(spark, sf_dir).collect()
+    }
+    assert got == dict(conf)
