@@ -2503,3 +2503,269 @@ def ext_knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n"))
         .orderBy("true_label", "pred_label")
     )
+
+
+@register(
+    "ext_random_forest_vote",
+    survey_id="EXT-RF",
+    category="ml",
+    oracle="""
+WITH rows_f AS (
+  SELECT l_orderkey AS okey, l_partkey AS pkey, l_suppkey AS skey,
+         l_linenumber AS ln,
+         CAST(l_quantity AS INTEGER) AS qty,
+         CAST(ROUND(l_discount * 100) AS INTEGER) AS disc,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS pos
+  FROM lineitem
+),
+trees AS (SELECT UNNEST(range(4)) AS t),
+bag AS (
+  SELECT t.t, r.qty, r.disc, r.pos
+  FROM rows_f r CROSS JOIN trees t
+  WHERE CAST(('0x' || substr(md5(CONCAT(CAST(t.t AS VARCHAR), ':',
+          CAST(r.okey AS VARCHAR), ':', CAST(r.pkey AS VARCHAR), ':',
+          CAST(r.skey AS VARCHAR), ':', CAST(r.ln AS VARCHAR))), 1, 12))
+        AS BIGINT) % 4 <> 0
+),
+hist AS (
+  SELECT t, CASE WHEN t % 2 = 0 THEN qty ELSE disc END AS v,
+         COUNT(*) AS n, SUM(pos) AS npos
+  FROM bag GROUP BY 1, 2
+),
+cum AS (
+  SELECT t, v,
+         CAST(SUM(n) OVER w AS BIGINT) AS nl,
+         CAST(SUM(npos) OVER w AS BIGINT) AS pl,
+         CAST(SUM(n) OVER f AS BIGINT) AS nt,
+         CAST(SUM(npos) OVER f AS BIGINT) AS pt,
+         MAX(v) OVER f AS vmax
+  FROM hist
+  WINDOW w AS (PARTITION BY t ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         f AS (PARTITION BY t)
+),
+split AS (
+  SELECT t, v AS threshold,
+         (CAST(nl AS DOUBLE)
+            - (CAST(pl AS DOUBLE) * CAST(pl AS DOUBLE)
+               + CAST(nl - pl AS DOUBLE) * CAST(nl - pl AS DOUBLE))
+              / CAST(nl AS DOUBLE)
+          + CAST(nt - nl AS DOUBLE)
+            - (CAST(pt - pl AS DOUBLE) * CAST(pt - pl AS DOUBLE)
+               + CAST((nt - nl) - (pt - pl) AS DOUBLE)
+                 * CAST((nt - nl) - (pt - pl) AS DOUBLE))
+              / CAST(nt - nl AS DOUBLE))
+         / CAST(nt AS DOUBLE) AS gini,
+         CASE WHEN 2 * pl > nl THEN 1 ELSE 0 END AS left_pred,
+         CASE WHEN 2 * (pt - pl) > (nt - nl) THEN 1 ELSE 0 END
+           AS right_pred
+  FROM cum WHERE v < vmax
+),
+best AS (
+  SELECT t, threshold, gini, left_pred, right_pred FROM (
+    SELECT *, row_number() OVER (PARTITION BY t
+                                 ORDER BY gini, threshold) AS rk
+    FROM split
+  ) WHERE rk = 1
+),
+cells AS (
+  SELECT qty, disc, pos, COUNT(*) AS n FROM rows_f GROUP BY 1, 2, 3
+),
+voted AS (
+  SELECT c.qty, c.disc, c.pos, c.n,
+         SUM(CASE WHEN (CASE WHEN b.t % 2 = 0 THEN c.qty ELSE c.disc END)
+                       <= b.threshold
+                  THEN b.left_pred ELSE b.right_pred END) AS votes
+  FROM cells c CROSS JOIN best b
+  GROUP BY c.qty, c.disc, c.pos, c.n
+),
+conf AS (
+  SELECT CAST(SUM(CASE WHEN pos = 1 AND votes >= 3 THEN n ELSE 0 END)
+              AS BIGINT) AS tp,
+         CAST(SUM(CASE WHEN pos = 0 AND votes >= 3 THEN n ELSE 0 END)
+              AS BIGINT) AS fp,
+         CAST(SUM(CASE WHEN pos = 0 AND votes < 3 THEN n ELSE 0 END)
+              AS BIGINT) AS tn,
+         CAST(SUM(CASE WHEN pos = 1 AND votes < 3 THEN n ELSE 0 END)
+              AS BIGINT) AS fn
+  FROM voted
+)
+SELECT b.t AS tree,
+       CASE WHEN b.t % 2 = 0 THEN 'qty' ELSE 'disc' END AS feature,
+       CAST(b.threshold AS BIGINT) AS threshold,
+       b.gini,
+       CAST(b.left_pred AS BIGINT) AS left_pred,
+       CAST(b.right_pred AS BIGINT) AS right_pred,
+       c.tp, c.fp, c.tn, c.fn
+FROM best b CROSS JOIN conf c ORDER BY tree
+""",
+)
+def ext_random_forest_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-forest ensemble (4 bagged stumps + majority vote) — the
+    bagging layer over EXT-STUMP, fully distributed and hash-exact:
+    each tree draws a deterministic 75% bootstrap-ish bag (portable
+    md5 coin keyed on tree x row identity), fits the exact
+    Gini-minimizing stump on its assigned feature (trees alternate
+    qty / discount — the feature-subset half of the random-forest
+    recipe), and the ensemble predicts by strict majority (>= 3 of 4;
+    2-2 ties vote negative). All four histograms build in ONE
+    map-side-combinable groupBy (the tree id is just another key — a
+    4x explode, not 4 scans), the split search runs on the kilobyte
+    (tree, value) histogram exactly like MLlib's candidate-bin tree
+    fit, and voting collapses to the ~550 distinct (qty, disc) cells
+    x 4 broadcast stumps — the fact table is touched twice total at
+    any scale. Per-tree split rows carry the shared ensemble
+    confusion matrix; Gini doubles are fixed IEEE expressions over
+    exact integers (bit-identical across engines, the EXT-STUMP
+    discipline)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rows_f = li.select(
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_partkey").alias("pkey"),
+        F.col("l_suppkey").alias("skey"),
+        F.col("l_linenumber").alias("ln"),
+        F.col("l_quantity").cast("int").alias("qty"),
+        F.round(F.col("l_discount") * 100).cast("int").alias("disc"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("pos"),
+    )
+    t_col = F.explode(F.array(*[F.lit(t) for t in range(4)])).alias("t")
+    coin = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("t"),
+                        F.col("okey"),
+                        F.col("pkey"),
+                        F.col("skey"),
+                        F.col("ln"),
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 4
+    )
+    bag = (
+        rows_f.select("okey", "pkey", "skey", "ln", "qty", "disc", "pos", t_col)
+        .where(coin != 0)
+        .select(
+            "t",
+            F.when(F.col("t") % 2 == 0, F.col("qty"))
+            .otherwise(F.col("disc"))
+            .alias("v"),
+            "pos",
+        )
+    )
+    hist = bag.groupBy("t", "v").agg(
+        F.count("*").alias("n"), F.sum("pos").alias("npos")
+    )
+    w = (
+        Window.partitionBy("t")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    f_all = Window.partitionBy("t")
+    cum = hist.select(
+        "t",
+        "v",
+        F.sum("n").over(w).cast("bigint").alias("nl"),
+        F.sum("npos").over(w).cast("bigint").alias("pl"),
+        F.sum("n").over(f_all).cast("bigint").alias("nt"),
+        F.sum("npos").over(f_all).cast("bigint").alias("pt"),
+        F.max("v").over(f_all).alias("vmax"),
+    ).where(F.col("v") < F.col("vmax"))
+    nl_d = F.col("nl").cast("double")
+    pl_d = F.col("pl").cast("double")
+    ql_d = (F.col("nl") - F.col("pl")).cast("double")
+    nr_d = (F.col("nt") - F.col("nl")).cast("double")
+    pr_d = (F.col("pt") - F.col("pl")).cast("double")
+    qr_d = ((F.col("nt") - F.col("nl")) - (F.col("pt") - F.col("pl"))).cast(
+        "double"
+    )
+    gini = (
+        nl_d
+        - (pl_d * pl_d + ql_d * ql_d) / nl_d
+        + nr_d
+        - (pr_d * pr_d + qr_d * qr_d) / nr_d
+    ) / F.col("nt").cast("double")
+    split = cum.select(
+        "t",
+        F.col("v").alias("threshold"),
+        gini.alias("gini"),
+        F.when(2 * F.col("pl") > F.col("nl"), 1).otherwise(0).alias(
+            "left_pred"
+        ),
+        F.when(
+            2 * (F.col("pt") - F.col("pl")) > (F.col("nt") - F.col("nl")), 1
+        )
+        .otherwise(0)
+        .alias("right_pred"),
+    )
+    w_best = Window.partitionBy("t").orderBy("gini", "threshold")
+    best = (
+        split.withColumn("rk", F.row_number().over(w_best))
+        .where(F.col("rk") == 1)
+        .drop("rk")
+    )
+    cells = rows_f.groupBy("qty", "disc", "pos").agg(
+        F.count("*").alias("n")
+    )
+    pred = F.when(
+        F.when(F.col("t") % 2 == 0, F.col("qty")).otherwise(F.col("disc"))
+        <= F.col("threshold"),
+        F.col("left_pred"),
+    ).otherwise(F.col("right_pred"))
+    voted = (
+        cells.crossJoin(F.broadcast(best))
+        .groupBy("qty", "disc", "pos", "n")
+        .agg(F.sum(pred).alias("votes"))
+    )
+    conf = voted.agg(
+        F.sum(
+            F.when((F.col("pos") == 1) & (F.col("votes") >= 3), F.col("n"))
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("tp"),
+        F.sum(
+            F.when((F.col("pos") == 0) & (F.col("votes") >= 3), F.col("n"))
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("fp"),
+        F.sum(
+            F.when((F.col("pos") == 0) & (F.col("votes") < 3), F.col("n"))
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("tn"),
+        F.sum(
+            F.when((F.col("pos") == 1) & (F.col("votes") < 3), F.col("n"))
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("fn"),
+    )
+    return (
+        best.crossJoin(F.broadcast(conf))
+        .select(
+            F.col("t").cast("bigint").alias("tree"),
+            F.when(F.col("t") % 2 == 0, "qty")
+            .otherwise("disc")
+            .alias("feature"),
+            F.col("threshold").cast("bigint").alias("threshold"),
+            "gini",
+            F.col("left_pred").cast("bigint").alias("left_pred"),
+            F.col("right_pred").cast("bigint").alias("right_pred"),
+            "tp",
+            "fp",
+            "tn",
+            "fn",
+        )
+        .orderBy("tree")
+    )

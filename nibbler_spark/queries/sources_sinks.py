@@ -1542,3 +1542,123 @@ def a40_rle_hybrid_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "a41_parquet_raw_reader",
+    survey_id="A41",
+    category="source-sink",
+    oracle="""
+WITH agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(l_orderkey) AS BIGINT) AS key_checksum,
+         CAST(SUM(CAST(FLOOR(l_quantity * 100) AS BIGINT)) AS BIGINT)
+           AS qty_cents,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS price_cents,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_returns
+  FROM lineitem
+)
+SELECT codec, CAST(4 AS BIGINT) AS n_files,
+       n_rows, key_checksum, qty_cents, price_cents, n_returns
+FROM (VALUES ('snappy'), ('uncompressed')) AS c(codec), agg
+ORDER BY codec
+""",
+)
+def a41_parquet_raw_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet read WITHOUT Parquet libraries — the from-scratch reader
+    (operators/parquet_codec.py) built on the a38/a40 Snappy and
+    RLE/bit-packed-hybrid codecs plus a Thrift-compact-protocol parser
+    for the footer and page headers. Lineitem is rewritten by Spark's
+    own writer into 4-file layouts twice (snappy and uncompressed),
+    then a one-file-per-partition mapInPandas opens each file raw:
+    PAR1 magic -> footer FileMetaData -> row groups -> dictionary +
+    data pages (v1) -> PLAIN / RLE_DICTIONARY values — i.e. the real
+    files Spark produces, including dictionary-encoded and
+    null-bearing columns, decoded by hand and reduced per-file to
+    exact integer statistics (quantity/price floored to cents as
+    Python bigints — no float summation order anywhere). Both codec
+    variants must agree with the table aggregate computed by the
+    oracle straight from lineitem. Scale: the reader is
+    partition-local (one file per task, zero driver bytes, zero
+    shuffles before the 8-row reduce) — the same topology Spark's own
+    DataSource uses, demonstrated from first principles."""
+    import glob as _glob
+    import os as _os
+
+    import pandas as _pd
+
+    from nibbler_spark.sources.tables import cached_dir
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag"
+    )
+
+    def write_layout(codec: str):
+        def build(tmp: str) -> None:
+            li.repartition(4, "l_orderkey").write.option(
+                "compression", codec
+            ).mode("overwrite").parquet(tmp)
+
+        return cached_dir(sf_dir, "lineitem", f"rawpq-{codec}", build)
+
+    dirs = {"snappy": write_layout("snappy"), "uncompressed": write_layout("none")}
+    files = [
+        (codec, f)
+        for codec, d in sorted(dirs.items())
+        for f in sorted(_glob.glob(_os.path.join(d, "*.parquet")))
+    ]
+    fdf = spark.createDataFrame(
+        files, "codec string, path string"
+    ).repartition(len(files))
+
+    def read_files(batches):
+        from nibbler_spark.operators.parquet_codec import parquet_read_all
+
+        for pdf in batches:
+            for codec, path in zip(pdf["codec"], pdf["path"]):
+                with open(path, "rb") as fh:
+                    data = parquet_read_all(fh.read())
+                qty = sum(
+                    int(__import__("math").floor(v * 100))
+                    for v in data["l_quantity"]
+                )
+                price = sum(
+                    int(__import__("math").floor(v * 100))
+                    for v in data["l_extendedprice"]
+                )
+                yield _pd.DataFrame(
+                    {
+                        "codec": [codec],
+                        "n_rows": [len(data["l_orderkey"])],
+                        "key_checksum": [sum(data["l_orderkey"])],
+                        "qty_cents": [qty],
+                        "price_cents": [price],
+                        "n_returns": [
+                            sum(
+                                1
+                                for b in data["l_returnflag"]
+                                if b == b"R"
+                            )
+                        ],
+                    }
+                )
+
+    per_file = fdf.mapInPandas(
+        read_files,
+        "codec string, n_rows long, key_checksum long, qty_cents long, "
+        "price_cents long, n_returns long",
+    )
+    return (
+        per_file.groupBy("codec")
+        .agg(
+            F.count("*").cast("bigint").alias("n_files"),
+            F.sum("n_rows").cast("bigint").alias("n_rows"),
+            F.sum("key_checksum").cast("bigint").alias("key_checksum"),
+            F.sum("qty_cents").cast("bigint").alias("qty_cents"),
+            F.sum("price_cents").cast("bigint").alias("price_cents"),
+            F.sum("n_returns").cast("bigint").alias("n_returns"),
+        )
+        .orderBy("codec")
+    )
