@@ -297,3 +297,235 @@ def parquet_read_all(payload: bytes) -> dict[str, list]:
         if len(vals) != n:
             raise ParquetFormatError(f"row count mismatch in {name}")
     return data
+
+
+# ---------------------------------------------------------------- writer
+# The dual: WRITE a flat Parquet file from first principles that real
+# engines (DuckDB, Spark) read back value-exact. Data page v1, PLAIN
+# values, RLE/bit-packed definition levels, UNCOMPRESSED or SNAPPY,
+# Thrift-compact-protocol page headers and footer.
+
+
+def _tc_zigzag(v: int) -> int:
+    return (v << 1) ^ (v >> 63) if v < 0 else v << 1
+
+
+def _tc_uvarint(v: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+class _TcWriter:
+    """Minimal Thrift compact protocol struct writer. Fields must be
+    appended in ascending id order (delta encoding, 1-15 per hop)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.last_fid = 0
+
+    def _hdr(self, fid: int, ftype: int) -> None:
+        delta = fid - self.last_fid
+        if 1 <= delta <= 15:
+            self.out.append((delta << 4) | ftype)
+        else:
+            self.out.append(ftype)
+            self.out += _tc_uvarint(_tc_zigzag(fid))
+        self.last_fid = fid
+
+    def i32(self, fid: int, v: int) -> None:
+        self._hdr(fid, 5)
+        self.out += _tc_uvarint(_tc_zigzag(v))
+
+    def i64(self, fid: int, v: int) -> None:
+        self._hdr(fid, 6)
+        self.out += _tc_uvarint(_tc_zigzag(v))
+
+    def binary(self, fid: int, v: bytes) -> None:
+        self._hdr(fid, 8)
+        self.out += _tc_uvarint(len(v)) + v
+
+    def list_i32(self, fid: int, vals: list[int]) -> None:
+        self._hdr(fid, 9)
+        n = len(vals)
+        if n < 15:
+            self.out.append((n << 4) | 5)
+        else:
+            self.out.append((15 << 4) | 5)
+            self.out += _tc_uvarint(n)
+        for v in vals:
+            self.out += _tc_uvarint(_tc_zigzag(v))
+
+    def list_binary(self, fid: int, vals: list[bytes]) -> None:
+        self._hdr(fid, 9)
+        n = len(vals)
+        if n < 15:
+            self.out.append((n << 4) | 8)
+        else:
+            self.out.append((15 << 4) | 8)
+            self.out += _tc_uvarint(n)
+        for v in vals:
+            self.out += _tc_uvarint(len(v)) + v
+
+    def list_struct(self, fid: int, vals: list[bytes]) -> None:
+        self._hdr(fid, 9)
+        n = len(vals)
+        if n < 15:
+            self.out.append((n << 4) | 12)
+        else:
+            self.out.append((15 << 4) | 12)
+            self.out += _tc_uvarint(n)
+        for v in vals:
+            self.out += v
+
+    def struct(self, fid: int, v: bytes) -> None:
+        self._hdr(fid, 12)
+        self.out += v
+
+    def stop(self) -> bytes:
+        self.out.append(0)
+        return bytes(self.out)
+
+
+_PHYS_IDS = {
+    "boolean": 0,
+    "int32": 1,
+    "int64": 2,
+    "float": 4,
+    "double": 5,
+    "byte_array": 6,
+}
+
+
+def _plain_encode(ptype: str, vals: list) -> bytes:
+    if ptype == "int32":
+        return struct.pack(f"<{len(vals)}i", *vals)
+    if ptype == "int64":
+        return struct.pack(f"<{len(vals)}q", *vals)
+    if ptype == "float":
+        return struct.pack(f"<{len(vals)}f", *vals)
+    if ptype == "double":
+        return struct.pack(f"<{len(vals)}d", *vals)
+    if ptype == "byte_array":
+        out = bytearray()
+        for v in vals:
+            out += struct.pack("<I", len(v)) + v
+        return bytes(out)
+    if ptype == "boolean":
+        out = bytearray((len(vals) + 7) // 8)
+        for k, v in enumerate(vals):
+            if v:
+                out[k // 8] |= 1 << (k % 8)
+        return bytes(out)
+    raise ParquetFormatError(f"PLAIN encode unsupported for {ptype}")
+
+
+def parquet_write(
+    columns: list[tuple[str, str, list]],
+    codec: str = "uncompressed",
+    row_group_size: int | None = None,
+) -> bytes:
+    """Encode a flat table as a real Parquet file: ``columns`` is a
+    list of (name, physical_type, values) with None marking nulls
+    (column becomes OPTIONAL with RLE def-levels). One data page v1
+    per column per row group, PLAIN values, footer in Thrift compact.
+    Output verified readable by DuckDB and Spark (tests)."""
+    from nibbler_spark.operators.compression import (
+        rle_hybrid_encode,
+        snappy_compress,
+    )
+
+    if codec not in ("uncompressed", "snappy"):
+        raise ParquetFormatError("codec must be uncompressed or snappy")
+    if not columns:
+        raise ParquetFormatError("at least one column required")
+    n_rows = len(columns[0][2])
+    for name, _, vals in columns:
+        if len(vals) != n_rows:
+            raise ParquetFormatError(f"ragged column {name}")
+
+    out = bytearray(b"PAR1")
+    rg_size = row_group_size or max(n_rows, 1)
+    rg_structs: list[bytes] = []
+    for start in range(0, max(n_rows, 1), rg_size):
+        stop_row = min(start + rg_size, n_rows)
+        chunk_structs: list[bytes] = []
+        rg_bytes = 0
+        for name, ptype, vals in columns:
+            sl = vals[start:stop_row]
+            optional = any(v is None for v in vals)
+            body = bytearray()
+            if optional:
+                defs = [0 if v is None else 1 for v in sl]
+                enc = rle_hybrid_encode(defs, 1)
+                body += struct.pack("<I", len(enc)) + enc
+                present = [v for v in sl if v is not None]
+            else:
+                present = sl
+            body += _plain_encode(ptype, present)
+            raw = bytes(body)
+            comp = snappy_compress(raw) if codec == "snappy" else raw
+            dph = _TcWriter()
+            dph.i32(1, len(sl))  # num_values
+            dph.i32(2, _ENC_PLAIN)  # encoding
+            dph.i32(3, 3)  # definition_level_encoding: RLE
+            dph.i32(4, 3)  # repetition_level_encoding: RLE
+            ph = _TcWriter()
+            ph.i32(1, 0)  # page type: DATA_PAGE
+            ph.i32(2, len(raw))
+            ph.i32(3, len(comp))
+            ph.struct(5, dph.stop())
+            page = ph.stop() + comp
+            data_off = len(out)
+            out += page
+            cmd = _TcWriter()
+            cmd.i32(1, _PHYS_IDS[ptype])
+            cmd.list_i32(2, [_ENC_PLAIN, 3])  # encodings used
+            cmd.list_binary(3, [name.encode()])  # path_in_schema
+            cmd.i32(4, 0 if codec == "uncompressed" else 1)
+            cmd.i64(5, len(sl))  # num_values
+            cmd.i64(6, len(page) - len(comp) + len(raw))
+            cmd.i64(7, len(page))
+            cmd.i64(9, data_off)  # data_page_offset
+            cc = _TcWriter()
+            cc.i64(2, data_off)  # file_offset
+            cc.struct(3, cmd.stop())
+            chunk_structs.append(cc.stop())
+            rg_bytes += len(page)
+        rg = _TcWriter()
+        rg.list_struct(1, chunk_structs)
+        rg.i64(2, rg_bytes)
+        rg.i64(3, stop_row - start)
+        rg_structs.append(rg.stop())
+        if n_rows == 0:
+            break
+
+    root = _TcWriter()
+    root.binary(4, b"schema")
+    root.i32(5, len(columns))
+    schema_elems = [root.stop()]
+    for name, ptype, vals in columns:
+        el = _TcWriter()
+        el.i32(1, _PHYS_IDS[ptype])
+        el.i32(3, 1 if any(v is None for v in vals) else 0)
+        el.binary(4, name.encode())
+        if ptype == "byte_array":
+            el.i32(6, 0)  # ConvertedType UTF8 -> engines read VARCHAR
+        schema_elems.append(el.stop())
+    fm = _TcWriter()
+    fm.i32(1, 1)  # version
+    fm.list_struct(2, schema_elems)
+    fm.i64(3, n_rows)
+    fm.list_struct(4, rg_structs)
+    fm.binary(6, b"nibbler-spark parquet_codec")
+    meta = fm.stop()
+    out += meta
+    out += struct.pack("<I", len(meta))
+    out += b"PAR1"
+    return bytes(out)

@@ -3773,3 +3773,241 @@ def ext_interval_sweepline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+_MKV_GRID = 1000000000  # 1e9 probability grid (1e9^2 = 1e18 < 2^63 - products stay in BIGINT)
+_MKV_CHANNELS = ("click", "error", "signup", "view")
+
+
+def _markov_oracle() -> str:
+    rounds = []
+    prev = "v0"
+    for k in range(6):
+        cur = f"v{k + 1}"
+        rounds.append(f"""
+{cur} AS (
+  SELECT v.variant, t.to_s AS state,
+         CAST(SUM(v.p * t.p // {_MKV_GRID}) AS BIGINT) AS p
+  FROM {prev} v JOIN trans_v t
+    ON v.variant = t.variant AND v.state = t.from_s
+  GROUP BY v.variant, t.to_s)""")
+        prev = cur
+    removed_cases = ", ".join(f"('{c}')" for c in _MKV_CHANNELS)
+    return f"""
+WITH seq AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+),
+firstp AS (
+  SELECT user_id, MIN(rn) AS prn FROM seq
+  WHERE event_type = 'purchase' GROUP BY user_id
+),
+journey AS (
+  SELECT s.user_id, s.rn,
+         CASE WHEN s.event_type = 'purchase' THEN 'conv'
+              ELSE s.event_type END AS state
+  FROM seq s LEFT JOIN firstp f USING (user_id)
+  WHERE f.prn IS NULL OR s.rn <= f.prn
+),
+hops AS (
+  SELECT user_id, state AS from_s,
+         lead(state) OVER (PARTITION BY user_id ORDER BY rn) AS to_s,
+         rn, MAX(rn) OVER (PARTITION BY user_id) AS maxrn
+  FROM journey
+),
+pairs AS (
+  SELECT 'start' AS from_s, state AS to_s FROM journey WHERE rn = 1
+  UNION ALL
+  SELECT from_s, COALESCE(to_s, 'null') AS to_s
+  FROM hops WHERE NOT (rn = maxrn AND from_s = 'conv')
+),
+counts AS (
+  SELECT from_s, to_s, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pairs GROUP BY from_s, to_s
+),
+variants AS (SELECT 'none' AS variant UNION ALL
+             SELECT removed FROM (VALUES {removed_cases}) r(removed)),
+redirected AS (
+  SELECT v.variant, c.from_s,
+         CASE WHEN c.to_s = v.variant THEN 'null' ELSE c.to_s END AS to_s,
+         SUM(c.n) AS n
+  FROM counts c CROSS JOIN variants v
+  WHERE c.from_s <> v.variant
+  GROUP BY v.variant, c.from_s, 3
+),
+trans_v AS (
+  SELECT variant, from_s, to_s,
+         CAST(n * {_MKV_GRID} // SUM(n) OVER (PARTITION BY variant, from_s)
+              AS BIGINT) AS p
+  FROM redirected
+  UNION ALL
+  SELECT variant, s, s, CAST({_MKV_GRID} AS BIGINT)
+  FROM variants, (VALUES ('conv'), ('null')) a(s)
+),
+v0 AS (
+  SELECT variant, 'start' AS state, CAST({_MKV_GRID} AS BIGINT) AS p
+  FROM variants
+),{",".join(rounds)},
+conv AS (
+  SELECT variant, p AS conv_grid FROM v6 WHERE state = 'conv'
+),
+base AS (SELECT conv_grid AS b FROM conv WHERE variant = 'none')
+SELECT c.variant, c.conv_grid, base.b AS baseline_grid,
+       CASE WHEN c.variant = 'none' THEN 0
+            ELSE (base.b - c.conv_grid) * 1000000 // base.b END
+         AS removal_effect_x1e6
+FROM conv c CROSS JOIN base ORDER BY c.variant
+"""
+
+
+@register(
+    "ext_markov_attribution",
+    survey_id="EXT-MARKOV-ATTR",
+    category="event-analytics",
+    oracle=_markov_oracle(),
+)
+def ext_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-chain removal-effect attribution — the data-driven
+    attribution model that completes the suite (last-touch /
+    time-decay / Shapley): user journeys (event-time order, truncated
+    at first purchase = the 'conv' absorber, channel states
+    click/error/signup/view, non-converting journeys absorb in
+    'null') define a first-order transition matrix; each channel's
+    credit is its REMOVAL EFFECT — how much 6-step-truncated
+    conversion probability disappears when every transition into that
+    channel is redirected to 'null' (Anderl et al.'s graph-surgery
+    formulation). All probability arithmetic lives on an integer 1e9
+    grid (n_ij * GRID // n_i transition cells, per-round mass
+    propagation as SUM(v*p // GRID) — floor-division keeps every
+    round exact BIGINT and order-free), so five chains x 6 unrolled
+    rounds hash-match the oracle's generated CTE ladder exactly.
+    Scale: the fact table reduces to a <=50-cell transition-count
+    table in one user-keyed window + aggregation; all chain math
+    rides that kilobyte table x 5 variants."""
+    e = load_table(spark, sf_dir, "events")
+    w_seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(w_seq).alias("rn"),
+    )
+    firstp = (
+        seq.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("rn").alias("prn"))
+    )
+    journey = (
+        seq.join(firstp, "user_id", "left")
+        .where(F.col("prn").isNull() | (F.col("rn") <= F.col("prn")))
+        .select(
+            "user_id",
+            "rn",
+            F.when(F.col("event_type") == "purchase", "conv")
+            .otherwise(F.col("event_type"))
+            .alias("state"),
+        )
+    )
+    w_j = Window.partitionBy("user_id").orderBy("rn")
+    w_u = Window.partitionBy("user_id")
+    hops = journey.select(
+        "user_id",
+        "rn",
+        F.col("state").alias("from_s"),
+        F.lead("state").over(w_j).alias("to_s"),
+        F.max("rn").over(w_u).alias("maxrn"),
+    )
+    pairs = (
+        journey.where(F.col("rn") == 1)
+        .select(F.lit("start").alias("from_s"), F.col("state").alias("to_s"))
+        .unionByName(
+            hops.where(
+                ~((F.col("rn") == F.col("maxrn")) & (F.col("from_s") == "conv"))
+            ).select(
+                "from_s",
+                F.coalesce("to_s", F.lit("null")).alias("to_s"),
+            )
+        )
+    )
+    counts = pairs.groupBy("from_s", "to_s").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    variants = spark.createDataFrame(
+        [("none",)] + [(c,) for c in _MKV_CHANNELS], "variant string"
+    )
+    redirected = (
+        counts.crossJoin(F.broadcast(variants))
+        .where(F.col("from_s") != F.col("variant"))
+        .groupBy(
+            "variant",
+            "from_s",
+            F.when(F.col("to_s") == F.col("variant"), "null")
+            .otherwise(F.col("to_s"))
+            .alias("to_s"),
+        )
+        .agg(F.sum("n").alias("n"))
+    )
+    w_row = Window.partitionBy("variant", "from_s")
+    trans = redirected.withColumn(
+        "rowsum", F.sum("n").over(w_row)
+    ).select(
+        "variant",
+        "from_s",
+        "to_s",
+        F.expr(f"n * {_MKV_GRID} div rowsum").cast("bigint").alias("p"),
+    )
+    absorb = variants.crossJoin(
+        spark.createDataFrame([("conv",), ("null",)], "s string")
+    ).select(
+        "variant",
+        F.col("s").alias("from_s"),
+        F.col("s").alias("to_s"),
+        F.lit(_MKV_GRID).cast("bigint").alias("p"),
+    )
+    trans_v = trans.unionByName(absorb).localCheckpoint()
+    v = variants.select(
+        "variant",
+        F.lit("start").alias("state"),
+        F.lit(_MKV_GRID).cast("bigint").alias("p"),
+    )
+    for _ in range(6):
+        va, ta = v.alias("v"), trans_v.alias("t")
+        v = (
+            va.join(
+                ta,
+                (F.col("v.variant") == F.col("t.variant"))
+                & (F.col("v.state") == F.col("t.from_s")),
+            )
+            .select(
+                F.col("t.variant").alias("variant"),
+                F.col("t.to_s").alias("state"),
+                (F.col("v.p") * F.col("t.p")).alias("prod"),
+            )
+            .groupBy("variant", "state")
+            .agg(
+                F.sum(F.expr(f"prod div {_MKV_GRID}"))
+                .cast("bigint")
+                .alias("p")
+            )
+        )
+    conv = v.where(F.col("state") == "conv").select(
+        "variant", F.col("p").alias("conv_grid")
+    )
+    base = conv.where(F.col("variant") == "none").select(
+        F.col("conv_grid").alias("b")
+    )
+    return (
+        conv.crossJoin(F.broadcast(base))
+        .select(
+            "variant",
+            "conv_grid",
+            F.col("b").alias("baseline_grid"),
+            F.when(F.col("variant") == "none", F.lit(0).cast("bigint"))
+            .otherwise(
+                F.expr("(b - conv_grid) * 1000000 div b").cast("bigint")
+            )
+            .alias("removal_effect_x1e6"),
+        )
+        .orderBy("variant")
+    )

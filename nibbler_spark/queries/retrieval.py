@@ -708,3 +708,117 @@ def ext_map_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_id")
     )
+
+
+@register(
+    "ext_phrase_search",
+    survey_id="EXT-PHRASE",
+    category="retrieval",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, t.term, t.pos FROM documents,
+       LATERAL (SELECT UNNEST(string_split(text, ' ')) AS term,
+                       generate_subscripts(string_split(text, ' '), 1)
+                         AS pos) t
+),
+p2 AS (
+  SELECT a.doc_id, COUNT(*) AS n_occ
+  FROM toks a JOIN toks b
+    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = 'table' AND b.term = 'hash'
+  GROUP BY a.doc_id
+),
+p3 AS (
+  SELECT a.doc_id, COUNT(*) AS n_occ
+  FROM toks a
+  JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+  WHERE a.term = 'a' AND b.term = 'agg' AND c.term = 'batch'
+  GROUP BY a.doc_id
+)
+SELECT * FROM (
+  SELECT 'table hash' AS phrase,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_occ) AS BIGINT) AS n_occurrences,
+         CAST(SUM(doc_id * n_occ) AS BIGINT) AS doc_checksum
+  FROM p2
+  UNION ALL
+  SELECT 'a agg batch',
+         CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(n_occ) AS BIGINT),
+         CAST(SUM(doc_id * n_occ) AS BIGINT)
+  FROM p3
+) ORDER BY phrase
+""",
+)
+def ext_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase query over a POSITIONAL inverted index — the operator
+    that separates a search engine from a bag-of-words ranker (BM25 /
+    the term-level inverted index can't distinguish "table hash" from
+    "hash table"): tokenize with positions (posexplode), keep only
+    postings for the phrase's terms (the index-lookup step — at scale
+    this is a keyed fetch of 2-3 posting lists, not a corpus scan),
+    and intersect posting lists on (doc_id, adjacent positions) — one
+    equi-join per phrase gap, the classic positional-intersection
+    plan. Both a bigram and a trigram phrase run (the trigram chains
+    two position joins); per-phrase doc counts, total occurrences and
+    a doc-weighted checksum pin the full match set. Scale: joins key
+    on doc_id + position arithmetic — co-partitioned by doc, no
+    cross-doc state; posting lists for rare terms are exactly the
+    df-capped index shape of ext_inverted_index."""
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos0", "term"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "term")
+
+    def posting(term: str, alias: str) -> DataFrame:
+        return toks.where(F.col("term") == term).select(
+            F.col("doc_id").alias(f"d_{alias}"),
+            F.col("pos").alias(f"p_{alias}"),
+        )
+
+    p2 = (
+        posting("table", "a")
+        .join(
+            posting("hash", "b"),
+            (F.col("d_a") == F.col("d_b"))
+            & (F.col("p_b") == F.col("p_a") + 1),
+        )
+        .groupBy(F.col("d_a").alias("doc_id"))
+        .agg(F.count("*").alias("n_occ"))
+    )
+    p3 = (
+        posting("a", "a")
+        .join(
+            posting("agg", "b"),
+            (F.col("d_a") == F.col("d_b"))
+            & (F.col("p_b") == F.col("p_a") + 1),
+        )
+        .join(
+            posting("batch", "c"),
+            (F.col("d_a") == F.col("d_c"))
+            & (F.col("p_c") == F.col("p_a") + 2),
+        )
+        .groupBy(F.col("d_a").alias("doc_id"))
+        .agg(F.count("*").alias("n_occ"))
+    )
+
+    def summarize(df: DataFrame, phrase: str) -> DataFrame:
+        return df.agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_occ").cast("bigint").alias("n_occurrences"),
+            F.sum(F.col("doc_id") * F.col("n_occ"))
+            .cast("bigint")
+            .alias("doc_checksum"),
+        ).select(
+            F.lit(phrase).alias("phrase"),
+            "n_docs",
+            "n_occurrences",
+            "doc_checksum",
+        )
+
+    return (
+        summarize(p2, "table hash")
+        .unionByName(summarize(p3, "a agg batch"))
+        .orderBy("phrase")
+    )

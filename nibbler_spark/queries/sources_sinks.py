@@ -1662,3 +1662,130 @@ def a41_parquet_raw_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("codec")
     )
+
+
+@register(
+    "a42_parquet_raw_writer",
+    survey_id="A42",
+    category="source-sink",
+    oracle="""
+WITH agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS price_cents,
+         CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_urgent,
+         CAST(SUM(CASE WHEN o_orderkey % 7 = 0 THEN 0 ELSE o_custkey END)
+              AS BIGINT) AS cust_checksum
+  FROM orders
+)
+SELECT codec, CAST(4 AS BIGINT) AS n_files,
+       n_rows, key_checksum, price_cents, n_urgent, cust_checksum
+FROM (VALUES ('snappy'), ('uncompressed')) AS c(codec), agg
+ORDER BY codec
+""",
+)
+def a42_parquet_raw_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet WRITE without Parquet libraries — the dual of A41: each
+    of 4 partitions encodes its slice of orders into a real Parquet
+    file from first principles (operators/parquet_codec.parquet_write:
+    PLAIN data pages v1, RLE/bit-packed definition levels for the
+    null-bearing column, from-scratch Snappy compression, Thrift
+    compact page headers + footer), and the verification reader is
+    SPARK'S OWN parquet DataSource: the files are read back with
+    spark.read.parquet and must reproduce the table's exact integer
+    aggregates (cents floored per row before summation — no float
+    reduction order). A null-bearing column (custkey masked on every
+    7th order) exercises the OPTIONAL/def-level write path; both
+    codec variants are checked. Scale: encoding is partition-local
+    mapInPandas with zero shuffles and zero driver bytes — exactly a
+    DataSource writer's task topology, demonstrated from the spec
+    up."""
+    import os as _os
+    import tempfile as _tf
+    import uuid as _uuid
+
+    import pandas as _pd
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        "o_orderpriority",
+    )
+    outs = []
+    for codec in ("snappy", "uncompressed"):
+        out_dir = _tf.mkdtemp(prefix=f"nibbler-rawpqw-{codec}-")
+
+        def write_files(batches, codec=codec, out_dir=out_dir):
+            from nibbler_spark.operators.parquet_codec import parquet_write
+
+            keys, custs, prices, prios = [], [], [], []
+            for pdf in batches:
+                keys.extend(int(v) for v in pdf["o_orderkey"])
+                custs.extend(
+                    None if int(k) % 7 == 0 else int(c)
+                    for k, c in zip(pdf["o_orderkey"], pdf["o_custkey"])
+                )
+                prices.extend(float(v) for v in pdf["o_totalprice"])
+                prios.extend(
+                    s.encode() for s in pdf["o_orderpriority"]
+                )
+            payload = parquet_write(
+                [
+                    ("o_orderkey", "int64", keys),
+                    ("o_custkey", "int64", custs),
+                    ("o_totalprice", "double", prices),
+                    ("o_orderpriority", "byte_array", prios),
+                ],
+                codec=codec,
+            )
+            path = _os.path.join(
+                out_dir, f"part-{_uuid.uuid4().hex}.parquet"
+            )
+            with open(path, "wb") as fh:
+                fh.write(payload)
+            yield _pd.DataFrame({"path": [path], "n": [len(keys)]})
+
+        o.repartition(4).mapInPandas(
+            write_files, "path string, n long"
+        ).collect()
+        back = spark.read.parquet(out_dir)
+        agg = back.agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("o_orderkey").cast("bigint").alias("key_checksum"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("price_cents"),
+            F.sum(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(
+                    0
+                )
+            )
+            .cast("bigint")
+            .alias("n_urgent"),
+            F.sum(F.coalesce(F.col("o_custkey"), F.lit(0)))
+            .cast("bigint")
+            .alias("cust_checksum"),
+        ).select(
+            F.lit(codec).alias("codec"),
+            F.lit(
+                len(
+                    [
+                        f
+                        for f in _os.listdir(out_dir)
+                        if f.endswith(".parquet")
+                    ]
+                )
+            )
+            .cast("bigint")
+            .alias("n_files"),
+            "n_rows",
+            "key_checksum",
+            "price_cents",
+            "n_urgent",
+            "cust_checksum",
+        )
+        outs.append(agg)
+    return outs[0].unionByName(outs[1]).orderBy("codec")

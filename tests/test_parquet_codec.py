@@ -140,3 +140,70 @@ def test_rejects_nested_schema(tmp_path):
     )
     with pytest.raises(ParquetFormatError):
         parquet_read_all(open(path, "rb").read())
+
+
+# ----------------------------------------------------------------- writer
+
+
+def _cols(n=1000):
+    return [
+        ("id", "int64", list(range(n))),
+        ("score", "double", [i * 0.5 for i in range(n)]),
+        ("name", "byte_array", [f"row{i}".encode() for i in range(n)]),
+        ("maybe", "int32", [None if i % 3 == 0 else i for i in range(n)]),
+        ("flag", "boolean", [i % 2 == 0 for i in range(n)]),
+    ]
+
+
+def test_writer_output_read_by_duckdb(tmp_path):
+    from nibbler_spark.operators.parquet_codec import parquet_write
+
+    for codec in ("uncompressed", "snappy"):
+        for rgs in (None, 300):
+            pl = parquet_write(_cols(), codec=codec, row_group_size=rgs)
+            path = os.path.join(str(tmp_path), f"w_{codec}_{rgs}.parquet")
+            open(path, "wb").write(pl)
+            ref = duckdb.sql(
+                f"SELECT * FROM read_parquet('{path}') ORDER BY id"
+            ).fetchall()
+            assert len(ref) == 1000
+            assert ref[1] == (1, 0.5, "row1", 1, False)
+            assert ref[0][3] is None
+            assert ref[999][2] == "row999"
+
+
+def test_writer_output_read_by_spark(spark, tmp_path):
+    from nibbler_spark.operators.parquet_codec import parquet_write
+
+    pl = parquet_write(_cols(), codec="snappy", row_group_size=250)
+    path = os.path.join(str(tmp_path), "w.parquet")
+    open(path, "wb").write(pl)
+    rows = spark.read.parquet(path).orderBy("id").collect()
+    assert len(rows) == 1000
+    assert rows[1]["name"] == "row1" and rows[1]["score"] == 0.5
+    assert rows[0]["maybe"] is None and rows[3]["maybe"] is None
+
+
+def test_writer_self_roundtrip_exact():
+    from nibbler_spark.operators.parquet_codec import parquet_write
+
+    cols = _cols(777)
+    pl = parquet_write(cols, codec="snappy", row_group_size=100)
+    data = parquet_read_all(pl)
+    for name, _, vals in cols:
+        got = data[name]
+        assert got == vals, name
+
+
+def test_writer_empty_and_edge_cases():
+    from nibbler_spark.operators.parquet_codec import parquet_write
+
+    pl = parquet_write([("x", "int64", [])])
+    data = parquet_read_all(pl)
+    assert data["x"] == []
+    pl = parquet_write([("x", "int64", [None])])
+    assert parquet_read_all(pl)["x"] == [None]
+    with pytest.raises(ParquetFormatError):
+        parquet_write([("x", "int64", [1]), ("y", "int64", [1, 2])])
+    with pytest.raises(ParquetFormatError):
+        parquet_write([("x", "int64", [1])], codec="zstd")

@@ -546,3 +546,67 @@ def test_knn_confusion_matches_bruteforce(spark, sf_dir):
         for r in SPECS["ext_knn_classifier_eval"].spark(spark, sf_dir).collect()
     }
     assert got == dict(conf)
+
+
+# ---------------------------------------- phrase / markov / forest
+
+
+def test_phrase_search_matches_bruteforce(spark, sf_dir):
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    )
+    want = {}
+    for phrase in ("table hash", "a agg batch"):
+        pt = phrase.split(" ")
+        nd = no = chk = 0
+        for r in docs:
+            toks = r["text"].split(" ")
+            c = sum(
+                1
+                for i in range(len(toks) - len(pt) + 1)
+                if toks[i : i + len(pt)] == pt
+            )
+            if c:
+                nd += 1
+                no += c
+                chk += r["doc_id"] * c
+        want[phrase] = (nd, no, chk)
+    got = {
+        r["phrase"]: (r["n_docs"], r["n_occurrences"], r["doc_checksum"])
+        for r in SPECS["ext_phrase_search"].spark(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert all(v[0] > 0 for v in want.values())  # both phrases occur
+
+
+def test_markov_attribution_invariants(spark, sf_dir):
+    rows = SPECS["ext_markov_attribution"].spark(spark, sf_dir).collect()
+    by_var = {r["variant"]: r for r in rows}
+    assert set(by_var) == {"none", "click", "error", "signup", "view"}
+    base = by_var["none"]["conv_grid"]
+    assert 0 < base <= 1000000000
+    for v, r in by_var.items():
+        # graph surgery only removes conversion paths -> monotone
+        assert r["conv_grid"] <= base
+        assert r["removal_effect_x1e6"] >= 0
+        assert r["baseline_grid"] == base
+    # at least one channel actually carries conversions
+    assert any(
+        r["removal_effect_x1e6"] > 0 for v, r in by_var.items() if v != "none"
+    )
+
+
+def test_random_forest_confusion_partitions_table(spark, sf_dir):
+    rows = SPECS["ext_random_forest_vote"].spark(spark, sf_dir).collect()
+    assert len(rows) == 4
+    n_rows = (
+        load_table(spark, sf_dir, "lineitem").count()
+    )
+    for r in rows:
+        assert r["tp"] + r["fp"] + r["tn"] + r["fn"] == n_rows
+        assert r["left_pred"] in (0, 1) and r["right_pred"] in (0, 1)
+        assert r["gini"] > 0
+    feats = [r["feature"] for r in sorted(rows, key=lambda x: x["tree"])]
+    assert feats == ["qty", "disc", "qty", "disc"]
