@@ -4011,3 +4011,184 @@ def ext_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("variant")
     )
+
+
+@register(
+    "ext_conversion_latency_histogram",
+    survey_id="EXT-TTC-HIST",
+    category="event-analytics",
+    oracle="""
+WITH su AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS s_us
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+pu AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS p_us
+  FROM events e JOIN su ON su.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= su.s_us
+  GROUP BY e.user_id
+),
+lat AS (
+  SELECT su.user_id, (pu.p_us - su.s_us) // 1000000 AS dur_s
+  FROM su JOIN pu USING (user_id)
+),
+buckets AS (
+  SELECT dur_s // 3600 AS hours_bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_users
+  FROM lat GROUP BY 1
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_conv FROM lat)
+SELECT b.hours_bucket, b.n_users,
+       CAST(SUM(b.n_users) OVER (ORDER BY b.hours_bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            * 1000000 // t.n_conv AS BIGINT) AS cum_share_x1e6,
+       t.n_conv
+FROM buckets b CROSS JOIN tot t ORDER BY b.hours_bucket
+""",
+)
+def ext_conversion_latency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup-to-purchase conversion-latency distribution: per user,
+    first signup and first purchase AT-OR-AFTER it (integer
+    microseconds — the NOTES epoch_us discipline, no float time
+    anywhere), bucketed into hours with an exact cumulative share on
+    the 1e6 grid. The classic growth-analytics curve ('how long until
+    users convert'), computed as two user-keyed aggregates + one
+    co-partitioned join — the latency table is 1 row per converted
+    user, the output histogram is tiny, and the cumulative window
+    rides the bucket table only (≤ ~700 rows for this fixture's
+    one-month span). At 100 TB everything shuffles on user_id once."""
+    e = load_table(spark, sf_dir, "events")
+    t_us = F.unix_micros("ts")
+    su = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(t_us).alias("s_us"))
+    )
+    pu = (
+        e.select("user_id", "event_type", t_us.alias("p_us"))
+        .join(su, "user_id")
+        .where(
+            (F.col("event_type") == "purchase")
+            & (F.col("p_us") >= F.col("s_us"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("p_us").alias("p_us"))
+    )
+    lat = su.join(pu, "user_id").select(
+        F.expr("(p_us - s_us) div 1000000").alias("dur_s")
+    )
+    buckets = lat.groupBy(
+        F.expr("dur_s div 3600").alias("hours_bucket")
+    ).agg(F.count("*").cast("bigint").alias("n_users"))
+    tot = lat.agg(F.count("*").cast("bigint").alias("n_conv"))
+    w = Window.orderBy("hours_bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        buckets.crossJoin(F.broadcast(tot))
+        .select(
+            "hours_bucket",
+            "n_users",
+            F.expr(
+                "sum(n_users) over (order by hours_bucket "
+                "rows between unbounded preceding and current row) "
+                "* 1000000 div n_conv"
+            )
+            .cast("bigint")
+            .alias("cum_share_x1e6"),
+            "n_conv",
+        )
+        .orderBy("hours_bucket")
+    )
+
+
+@register(
+    "ext_cohort_ltv",
+    survey_id="EXT-LTV",
+    category="event-analytics",
+    oracle="""
+WITH first_day AS (
+  SELECT user_id, MIN(epoch_us(ts)) // 86400000000 AS cohort_day
+  FROM events GROUP BY user_id
+),
+rev AS (
+  SELECT f.cohort_day,
+         epoch_us(e.ts) // 86400000000 - f.cohort_day AS age_day,
+         CAST(FLOOR(e.value * 100) AS BIGINT) AS cents
+  FROM events e JOIN first_day f USING (user_id)
+  WHERE e.event_type = 'purchase'
+),
+cohort_sizes AS (
+  SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS n_users
+  FROM first_day GROUP BY cohort_day
+),
+daily AS (
+  SELECT cohort_day, age_day, CAST(SUM(cents) AS BIGINT) AS day_cents
+  FROM rev WHERE age_day BETWEEN 0 AND 6
+  GROUP BY cohort_day, age_day
+)
+SELECT d.cohort_day, d.age_day, s.n_users, d.day_cents,
+       CAST(SUM(d.day_cents) OVER (PARTITION BY d.cohort_day
+            ORDER BY d.age_day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS cum_cents
+FROM daily d JOIN cohort_sizes s USING (cohort_day)
+ORDER BY d.cohort_day, d.age_day
+""",
+)
+def ext_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curve — cumulative purchase revenue per acquisition
+    cohort over its first week: users cohort by first-seen day, every
+    purchase lands in a (cohort_day, age_day) cell as exact cents, and
+    the running LTV is a cumulative window PARTITIONED by cohort (the
+    partitioned prefix sum scales — contrast the global sweepline,
+    which needed the two-phase treatment). The other half of the
+    retention pair: ext_cohort_retention counts who comes back,
+    this prices what they spend. One user-keyed join + one keyed
+    aggregate at any scale; integer day arithmetic throughout."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.expr("epoch_us_c div 86400000000")
+    first_day = (
+        e.select("user_id", F.unix_micros("ts").alias("epoch_us_c"))
+        .groupBy("user_id")
+        .agg(F.min(F.expr("epoch_us_c div 86400000000")).alias("cohort_day"))
+    )
+    rev = (
+        e.select(
+            "user_id",
+            "event_type",
+            F.unix_micros("ts").alias("epoch_us_c"),
+            F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .join(first_day, "user_id")
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "cohort_day",
+            (day - F.col("cohort_day")).alias("age_day"),
+            "cents",
+        )
+    )
+    sizes = first_day.groupBy("cohort_day").agg(
+        F.count("*").cast("bigint").alias("n_users")
+    )
+    daily = (
+        rev.where(F.col("age_day").between(0, 6))
+        .groupBy("cohort_day", "age_day")
+        .agg(F.sum("cents").cast("bigint").alias("day_cents"))
+    )
+    w = (
+        Window.partitionBy("cohort_day")
+        .orderBy("age_day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        daily.join(F.broadcast(sizes), "cohort_day")
+        .select(
+            "cohort_day",
+            "age_day",
+            "n_users",
+            "day_cents",
+            F.sum("day_cents").over(w).cast("bigint").alias("cum_cents"),
+        )
+        .orderBy("cohort_day", "age_day")
+    )

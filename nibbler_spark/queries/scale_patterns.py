@@ -2130,3 +2130,284 @@ def ext_hilbert_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(ohruns))
         .crossJoin(F.broadcast(ozruns))
     )
+
+
+def _dbscan_oracle() -> str:
+    rounds = []
+    prev = "l0"
+    for k in range(3):
+        cur = f"l{k + 1}"
+        rounds.append(f"""
+{cur} AS (
+  SELECT l.node, LEAST(l.label, COALESCE(MIN(n.label), l.label)) AS label
+  FROM {prev} l
+  LEFT JOIN core_edges e ON e.dst = l.node
+  LEFT JOIN {prev} n ON n.node = e.src
+  GROUP BY l.node, l.label)""")
+        prev = cur
+    return f"""
+WITH pts AS (
+  SELECT event_id,
+         CASE WHEN event_id % 67 < 2 THEN
+           (CASE event_id % 5 WHEN 0 THEN 10000 WHEN 1 THEN 30000
+                 WHEN 2 THEN 50000 WHEN 3 THEN 70000 ELSE 90000 END)
+           + CAST(('0x' || substr(md5('x:' || event_id), 1, 12)) AS BIGINT)
+             % 300
+         ELSE CAST(('0x' || substr(md5('x:' || event_id), 1, 12)) AS BIGINT)
+              % 100000 END AS xi,
+         CASE WHEN event_id % 67 < 2 THEN
+           (CASE event_id % 5 WHEN 0 THEN 10000 WHEN 1 THEN 70000
+                 WHEN 2 THEN 20000 WHEN 3 THEN 80000 ELSE 30000 END)
+           + CAST(('0x' || substr(md5('y:' || event_id), 1, 12)) AS BIGINT)
+             % 300
+         ELSE CAST(('0x' || substr(md5('y:' || event_id), 1, 12)) AS BIGINT)
+              % 100000 END AS yi
+  FROM events
+  WHERE event_id % 67 < 2 OR event_id % 31 = 0
+),
+cells AS (SELECT event_id, xi, yi, xi // 500 AS cx, yi // 500 AS cy FROM pts),
+offs AS (SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),
+                               (1,-1),(1,0),(1,1)) o(dx, dy)),
+nbr AS (
+  SELECT a.event_id AS a_id, b.event_id AS b_id
+  FROM cells a CROSS JOIN offs
+  JOIN cells b ON b.cx = a.cx + offs.dx AND b.cy = a.cy + offs.dy
+  WHERE (a.xi - b.xi) * (a.xi - b.xi)
+        + (a.yi - b.yi) * (a.yi - b.yi) <= 250000
+),
+deg AS (SELECT a_id AS event_id, COUNT(*) AS n_nbr FROM nbr GROUP BY a_id),
+core AS (SELECT event_id FROM deg WHERE n_nbr >= 4),
+core_edges AS (
+  SELECT n.a_id AS src, n.b_id AS dst FROM nbr n
+  JOIN core c1 ON c1.event_id = n.a_id
+  JOIN core c2 ON c2.event_id = n.b_id
+  WHERE n.a_id <> n.b_id
+),
+l0 AS (SELECT event_id AS node, event_id AS label FROM core),{",".join(rounds)},
+border AS (
+  SELECT n.a_id AS node, MIN(l.label) AS label
+  FROM nbr n
+  JOIN l3 l ON l.node = n.b_id
+  WHERE n.a_id NOT IN (SELECT event_id FROM core)
+  GROUP BY n.a_id
+),
+stats AS (
+  SELECT label AS cluster_label,
+         CAST(COUNT(*) AS BIGINT) AS n_core,
+         CAST(0 AS BIGINT) AS n_border
+  FROM l3 GROUP BY label
+),
+bstats AS (
+  SELECT label AS cluster_label, CAST(COUNT(*) AS BIGINT) AS n_border
+  FROM border GROUP BY label
+),
+clusters AS (
+  SELECT s.cluster_label, s.n_core,
+         COALESCE(b.n_border, 0) AS n_border,
+         s.n_core + COALESCE(b.n_border, 0) AS cluster_total
+  FROM stats s LEFT JOIN bstats b USING (cluster_label)
+),
+tot AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM pts) AS n_points,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM pts) -
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM l3) -
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM border) AS n_noise
+)
+SELECT c.cluster_label, c.n_core, c.n_border, c.cluster_total,
+       t.n_noise, t.n_points
+FROM clusters c CROSS JOIN tot t
+ORDER BY c.cluster_total DESC, c.cluster_label LIMIT 10
+"""
+
+
+@register(
+    "ext_dbscan_grid",
+    survey_id="EXT-DBSCAN",
+    category="scale-pattern",
+    oracle=_dbscan_oracle(),
+)
+def ext_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-accelerated DBSCAN (eps=500, minPts=4): the density
+    clustering recipe every spatial/embedding pipeline reaches for,
+    built entirely from the repo's scale primitives — neighbor counts
+    via the ext_grid_spatial_join 3x3 cell stencil (never all-pairs),
+    core points by degree, core-graph clusters via BOUNDED (3-round)
+    min-label propagation with the per-round LEAST/neighbor-min join
+    (the ext_dedup_clusters step, unrolled so the oracle can mirror it
+    — planted clusters sit in 300x300 boxes whose diameter 424 < eps,
+    making them cliques that provably converge in round 1; sparse
+    background cores chain at most 3 hops), border points adopt the
+    min neighboring core's label, the rest is noise. The fixture
+    plants 5 well-separated dense clusters (every 67th/68th event)
+    over a thin md5 background scatter (every 31st of the rest), so
+    the output's top clusters are the planted ones at every sf while
+    the noise count exercises the density threshold. Integer-squared
+    distances, md5 coordinates — bit-exact everywhere. Scale: one
+    stencil shuffle for the neighbor join, per-round keyed joins on
+    the core edge list, top-10 TakeOrderedAndProject."""
+    e = load_table(spark, sf_dir, "events").where(
+        (F.col("event_id") % 67 < 2) | (F.col("event_id") % 31 == 0)
+    )
+
+    def h(prefix: str):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(prefix + ":"),
+                            F.col("event_id").cast("string"),
+                        )
+                    ),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+        )
+
+    cx_centers = [10000, 30000, 50000, 70000, 90000]
+    cy_centers = [10000, 70000, 20000, 80000, 30000]
+
+    def center(values):
+        expr = F.lit(values[-1])
+        for k in range(3, -1, -1):
+            expr = F.when(F.col("event_id") % 5 == k, values[k]).otherwise(
+                expr
+            )
+        return expr
+
+    planted = F.col("event_id") % 67 < 2
+    pts = e.select(
+        "event_id",
+        F.when(planted, center(cx_centers) + h("x") % 300)
+        .otherwise(h("x") % 100000)
+        .alias("xi"),
+        F.when(planted, center(cy_centers) + h("y") % 300)
+        .otherwise(h("y") % 100000)
+        .alias("yi"),
+    ).localCheckpoint()
+    cells = pts.select(
+        "event_id",
+        "xi",
+        "yi",
+        F.expr("xi div 500").alias("cx"),
+        F.expr("yi div 500").alias("cy"),
+    )
+    offs = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    probe = cells.withColumn("o", F.explode(offs)).select(
+        F.col("event_id").alias("a_id"),
+        F.col("xi").alias("ax"),
+        F.col("yi").alias("ay"),
+        (F.col("cx") + F.col("o.dx")).alias("jx"),
+        (F.col("cy") + F.col("o.dy")).alias("jy"),
+    )
+    build = cells.select(
+        F.col("event_id").alias("b_id"),
+        F.col("xi").alias("bx"),
+        F.col("yi").alias("by"),
+        F.col("cx").alias("jx"),
+        F.col("cy").alias("jy"),
+    )
+    d2 = (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx")) + (
+        F.col("ay") - F.col("by")
+    ) * (F.col("ay") - F.col("by"))
+    nbr = (
+        probe.join(build, ["jx", "jy"])
+        .where(d2 <= 250000)
+        .select("a_id", "b_id")
+        .localCheckpoint()
+    )
+    deg = nbr.groupBy(F.col("a_id").alias("event_id")).agg(
+        F.count("*").alias("n_nbr")
+    )
+    core = deg.where(F.col("n_nbr") >= 4).select("event_id")
+    core_edges = (
+        nbr.join(
+            core.select(F.col("event_id").alias("a_id")), "a_id"
+        )
+        .join(core.select(F.col("event_id").alias("b_id")), "b_id")
+        .where(F.col("a_id") != F.col("b_id"))
+        .select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+        .localCheckpoint()
+    )
+    labels = core.select(
+        F.col("event_id").alias("node"), F.col("event_id").alias("label")
+    )
+    for _ in range(3):
+        la = labels.alias("l")
+        prop = (
+            core_edges.alias("e")
+            .join(labels.alias("n"), F.col("n.node") == F.col("e.src"))
+            .groupBy(F.col("e.dst").alias("pnode"))
+            .agg(F.min("n.label").alias("plabel"))
+        )
+        labels = (
+            la.join(prop, F.col("l.node") == F.col("pnode"), "left")
+            .select(
+                F.col("l.node").alias("node"),
+                F.least(
+                    F.col("l.label"),
+                    F.coalesce(F.col("plabel"), F.col("l.label")),
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+    border = (
+        nbr.join(core.select(F.col("event_id").alias("a_id")), "a_id", "left_anti")
+        .join(
+            labels.select(
+                F.col("node").alias("b_id"), F.col("label")
+            ),
+            "b_id",
+        )
+        .groupBy(F.col("a_id").alias("node"))
+        .agg(F.min("label").alias("label"))
+    )
+    stats = labels.groupBy(F.col("label").alias("cluster_label")).agg(
+        F.count("*").cast("bigint").alias("n_core")
+    )
+    bstats = border.groupBy(F.col("label").alias("cluster_label")).agg(
+        F.count("*").cast("bigint").alias("n_border")
+    )
+    clusters = stats.join(bstats, "cluster_label", "left").select(
+        "cluster_label",
+        "n_core",
+        F.coalesce("n_border", F.lit(0)).cast("bigint").alias("n_border"),
+        (F.col("n_core") + F.coalesce("n_border", F.lit(0)))
+        .cast("bigint")
+        .alias("cluster_total"),
+    )
+    n_points = pts.agg(F.count("*").cast("bigint").alias("n_points"))
+    n_core_t = labels.agg(F.count("*").cast("bigint").alias("nc"))
+    n_border_t = border.agg(F.count("*").cast("bigint").alias("nb"))
+    tot = (
+        n_points.crossJoin(F.broadcast(n_core_t))
+        .crossJoin(F.broadcast(n_border_t))
+        .select(
+            "n_points",
+            (F.col("n_points") - F.col("nc") - F.col("nb"))
+            .cast("bigint")
+            .alias("n_noise"),
+        )
+    )
+    return (
+        clusters.crossJoin(F.broadcast(tot))
+        .select(
+            "cluster_label",
+            "n_core",
+            "n_border",
+            "cluster_total",
+            "n_noise",
+            "n_points",
+        )
+        .orderBy(F.col("cluster_total").desc(), "cluster_label")
+        .limit(10)
+    )

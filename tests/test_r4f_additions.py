@@ -610,3 +610,49 @@ def test_random_forest_confusion_partitions_table(spark, sf_dir):
         assert r["gini"] > 0
     feats = [r["feature"] for r in sorted(rows, key=lambda x: x["tree"])]
     assert feats == ["qty", "disc", "qty", "disc"]
+
+
+# --------------------------------------- latency hist / LTV / DBSCAN
+
+
+def test_conversion_latency_histogram_invariants(spark, sf_dir):
+    rows = (
+        SPECS["ext_conversion_latency_histogram"]
+        .spark(spark, sf_dir)
+        .collect()
+    )
+    assert rows
+    total = rows[0]["n_conv"]
+    assert sum(r["n_users"] for r in rows) == total
+    shares = [r["cum_share_x1e6"] for r in rows]
+    assert shares == sorted(shares)  # cumulative is monotone
+    assert shares[-1] == 1000000  # last bucket closes the distribution
+
+
+def test_cohort_ltv_cumulative_consistent(spark, sf_dir):
+    rows = SPECS["ext_cohort_ltv"].spark(spark, sf_dir).collect()
+    assert rows
+    by_cohort = defaultdict(list)
+    for r in rows:
+        by_cohort[r["cohort_day"]].append(r)
+    for cohort, rs in by_cohort.items():
+        rs.sort(key=lambda r: r["age_day"])
+        run = 0
+        for r in rs:
+            run += r["day_cents"]
+            assert r["cum_cents"] == run
+
+
+def test_dbscan_recovers_planted_clusters(spark, sf_dir):
+    rows = SPECS["ext_dbscan_grid"].spark(spark, sf_dir).collect()
+    assert rows
+    # top-5 clusters are the planted ones: similar sizes, all-core
+    top5 = rows[:5]
+    sizes = [r["cluster_total"] for r in top5]
+    assert min(sizes) >= 4  # each planted box is dense enough to core
+    # planted points = event ids with id % 67 < 2 among the sampled set
+    n_points = rows[0]["n_points"]
+    planted_total = sum(r["cluster_total"] for r in top5)
+    # the 5 planted clusters carry the bulk of clustered mass
+    assert planted_total > n_points // 4
+    assert rows[0]["n_noise"] > 0  # background scatter produces noise
