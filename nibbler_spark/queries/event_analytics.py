@@ -4192,3 +4192,174 @@ def ext_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_day", "age_day")
     )
+
+
+@register(
+    "ext_rolling_regression",
+    survey_id="EXT-ROLLREG",
+    category="event-analytics",
+    oracle="""
+WITH daily AS (
+  SELECT epoch_us(ts) // 86400000000 AS day,
+         CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+f AS (
+  SELECT day, cents,
+         CAST(COUNT(*) OVER w AS BIGINT) AS n,
+         CAST(SUM(day) OVER w AS BIGINT) AS sx,
+         CAST(SUM(cents) OVER w AS BIGINT) AS sy,
+         CAST(SUM(day * cents) OVER w AS BIGINT) AS sxy,
+         CAST(SUM(day * day) OVER w AS BIGINT) AS sxx
+  FROM daily
+  WINDOW w AS (ORDER BY day RANGE BETWEEN 13 PRECEDING AND CURRENT ROW)
+)
+SELECT day, cents, n,
+       n * sxy - sx * sy AS slope_num,
+       n * sxx - sx * sx AS slope_den,
+       CASE WHEN n * sxx - sx * sx = 0 THEN 0e0
+            ELSE ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                       / CAST(n * sxx - sx * sx AS DOUBLE), 6) END
+         AS slope_cents_per_day
+FROM f ORDER BY day
+""",
+)
+def ext_rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 14-day OLS trend — the time-series operator dashboards
+    build 'trend arrows' from: daily purchase revenue (exact cents),
+    then per day a RANGE-framed window collects the five sufficient
+    statistics (n, Σx, Σy, Σxy, Σx²) over the trailing 14 calendar
+    days — all BIGINT, so the slope's numerator and denominator are
+    exact integers (the d27 regr_* discipline inside a moving frame)
+    and the reported slope is one deterministic division rounded on
+    both engines. RANGE (not ROWS) framing makes missing days count
+    as absent rather than stretching the window — the correct
+    calendar semantics. Scale: the fact table collapses to one row
+    per day before any window; the frame rides the tiny daily
+    series."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy(
+            F.expr("unix_micros(ts) div 86400000000").alias("day")
+        )
+        .agg(
+            F.sum(F.floor(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    w = Window.orderBy("day").rangeBetween(-13, 0)
+    f = daily.select(
+        "day",
+        "cents",
+        F.count("*").over(w).cast("bigint").alias("n"),
+        F.sum("day").over(w).cast("bigint").alias("sx"),
+        F.sum("cents").over(w).cast("bigint").alias("sy"),
+        F.sum(F.col("day") * F.col("cents")).over(w).cast("bigint").alias(
+            "sxy"
+        ),
+        F.sum(F.col("day") * F.col("day")).over(w).cast("bigint").alias(
+            "sxx"
+        ),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return f.select(
+        "day",
+        "cents",
+        "n",
+        num.alias("slope_num"),
+        den.alias("slope_den"),
+        F.when(den == 0, F.lit(0.0))
+        .otherwise(F.round(num.cast("double") / den.cast("double"), 6))
+        .alias("slope_cents_per_day"),
+    ).orderBy("day")
+
+
+@register(
+    "ext_user_path_sankey",
+    survey_id="EXT-SANKEY",
+    category="event-analytics",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+),
+tri AS (
+  SELECT a.event_type AS s1, b.event_type AS s2, c.event_type AS s3
+  FROM seq a
+  JOIN seq b ON b.user_id = a.user_id AND b.rn = a.rn + 1
+  JOIN seq c ON c.user_id = a.user_id AND c.rn = a.rn + 2
+),
+counts AS (
+  SELECT s1, s2, s3, CAST(COUNT(*) AS BIGINT) AS n
+  FROM tri GROUP BY s1, s2, s3
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_paths FROM counts)
+SELECT c.s1, c.s2, c.s3, c.n,
+       CAST(c.n * 1000000 // t.n_paths AS BIGINT) AS share_x1e6
+FROM counts c CROSS JOIN tot t
+ORDER BY c.n DESC, c.s1, c.s2, c.s3 LIMIT 15
+""",
+)
+def ext_user_path_sankey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user paths (3-step event-type trigrams) — the Sankey/flow
+    diagram feed: per-user event sequences yield every consecutive
+    3-step path, counted and ranked with an exact 1e6-grid share of
+    all paths. Complements ext_sequential_patterns (existential
+    a-then-b support) and ext_markov_attribution (1-step transition
+    chain) with the actual multi-step traffic routes. Plan: the
+    sequence number is one user-keyed window; the trigram join is two
+    self-joins co-partitioned on user_id (position arithmetic, the
+    phrase-search plan applied to behavior); top-15 is
+    TakeOrderedAndProject."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(w).alias("rn"),
+    )
+
+    def s(alias):
+        return seq.select(
+            F.col("user_id").alias(f"u_{alias}"),
+            F.col("event_type").alias(f"s{alias}"),
+            F.col("rn").alias(f"r_{alias}"),
+        )
+
+    tri = (
+        s(1)
+        .join(
+            s(2),
+            (F.col("u_1") == F.col("u_2"))
+            & (F.col("r_2") == F.col("r_1") + 1),
+        )
+        .join(
+            s(3),
+            (F.col("u_1") == F.col("u_3"))
+            & (F.col("r_3") == F.col("r_1") + 2),
+        )
+        .select("s1", "s2", "s3")
+    )
+    counts = tri.groupBy("s1", "s2", "s3").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    tot = counts.agg(F.sum("n").cast("bigint").alias("n_paths"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "s1",
+            "s2",
+            "s3",
+            "n",
+            F.expr("n * 1000000 div n_paths").cast("bigint").alias(
+                "share_x1e6"
+            ),
+        )
+        .orderBy(F.col("n").desc(), "s1", "s2", "s3")
+        .limit(15)
+    )

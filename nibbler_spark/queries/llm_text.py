@@ -1997,3 +1997,92 @@ def ext_html_text_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         clean.alias("extracted"),
         F.length(clean).cast("bigint").alias("n_chars"),
     ).orderBy("doc_id")
+
+
+@register(
+    "ext_hash_collision_audit",
+    survey_id="EXT-HASH-AUDIT",
+    category="llm-text",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents
+),
+hashed AS (
+  SELECT doc_id, term,
+         CAST(('0x' || substr(md5(term), 1, 12)) AS BIGINT) % 1024
+           AS bucket
+  FROM toks
+),
+cells AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(COUNT(DISTINCT term) AS BIGINT) AS n_terms
+  FROM hashed GROUP BY bucket
+),
+summary AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_used_buckets,
+         CAST(SUM(CASE WHEN n_terms > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_collision_buckets,
+         CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         CAST(MAX(n_tokens) AS BIGINT) AS max_bucket_load
+  FROM cells
+)
+SELECT c.bucket, c.n_tokens, c.n_terms,
+       s.n_used_buckets, s.n_collision_buckets, s.total_tokens,
+       s.max_bucket_load
+FROM cells c CROSS JOIN summary s
+ORDER BY c.n_tokens DESC, c.bucket LIMIT 20
+""",
+)
+def ext_hash_collision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick (feature hashing / HashingTF) with a PORTABLE
+    hash: tokens land in 1024 md5-derived buckets — the fixed-width
+    featurization that needs no vocabulary broadcast, no fitting pass,
+    and no OOV handling, which is why it's the default first
+    featurizer at corpus scale (MLlib's HashingTF uses JVM-private
+    murmur seeds; the md5-nibble hash makes the SAME features
+    computable in any engine, so the bucket loads, per-bucket distinct
+    -term counts and the collision summary are all hash-oracled).
+    Output: top-20 heaviest buckets + global collision statistics —
+    the diagnostic that tells you whether 1024 dims is enough for
+    this vocabulary. Scale: one explode → one map-side-combinable
+    groupBy into a fixed 1024-cell table; the summary rides the cell
+    table."""
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("term")), 1, 12), 16, 10).cast(
+            "bigint"
+        )
+        % 1024
+    )
+    cells = (
+        toks.select(bucket.alias("bucket"), "term")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.countDistinct("term").cast("bigint").alias("n_terms"),
+        )
+    )
+    summary = cells.agg(
+        F.count("*").cast("bigint").alias("n_used_buckets"),
+        F.sum(F.when(F.col("n_terms") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_collision_buckets"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.max("n_tokens").cast("bigint").alias("max_bucket_load"),
+    )
+    return (
+        cells.crossJoin(F.broadcast(summary))
+        .select(
+            "bucket",
+            "n_tokens",
+            "n_terms",
+            "n_used_buckets",
+            "n_collision_buckets",
+            "total_tokens",
+            "max_bucket_load",
+        )
+        .orderBy(F.col("n_tokens").desc(), "bucket")
+        .limit(20)
+    )

@@ -3294,3 +3294,36 @@ def ext_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").cast("bigint").alias("believed_total"),
         F.count("*").cast("bigint").alias("n_rows"),
     )
+
+
+_LATERAL_SQL = """
+SELECT c.c_custkey, c.c_name, t.n_orders, t.total_cents
+FROM customer c,
+LATERAL (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(FLOOR(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS total_cents
+  FROM orders o WHERE o.o_custkey = c.c_custkey
+) t
+WHERE t.n_orders >= 3
+ORDER BY c.c_custkey
+"""
+
+
+@register(
+    "sql18_lateral_join",
+    survey_id="EXT-SQL-LATERAL",
+    category="sql-surface",
+    oracle=_LATERAL_SQL,
+)
+def sql18_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated derived table (SQL:1999 lateral subquery,
+    Spark 4 / DuckDB both support the comma-LATERAL form): each
+    customer row drives a correlated aggregate over their orders — the
+    row-at-a-time mental model that both optimizers DECORRELATE into a
+    keyed aggregate + join (Spark: DecorrelateInnerQuery; DuckDB:
+    flatten-dependent-join), which is why it scales. The IDENTICAL SQL
+    text runs on both engines; exact cents keep the hash stable.
+    Customers with >= 3 orders + their order count and exact spend."""
+    register_temp_views(spark, sf_dir)
+    return spark.sql(_LATERAL_SQL)

@@ -656,3 +656,42 @@ def test_dbscan_recovers_planted_clusters(spark, sf_dir):
     # the 5 planted clusters carry the bulk of clustered mass
     assert planted_total > n_points // 4
     assert rows[0]["n_noise"] > 0  # background scatter produces noise
+
+
+# ---------------------------------------------- batch-8 invariants
+
+
+def test_rolling_regression_exact_stats(spark, sf_dir):
+    rows = SPECS["ext_rolling_regression"].spark(spark, sf_dir).collect()
+    assert rows
+    days = [r["day"] for r in rows]
+    series = {r["day"]: r["cents"] for r in rows}
+    for r in rows:
+        window = [
+            (d, series[d]) for d in days if r["day"] - 13 <= d <= r["day"]
+        ]
+        n = len(window)
+        sx = sum(d for d, _ in window)
+        sy = sum(c for _, c in window)
+        sxy = sum(d * c for d, c in window)
+        sxx = sum(d * d for d, _ in window)
+        assert r["n"] == n
+        assert r["slope_num"] == n * sxy - sx * sy
+        assert r["slope_den"] == n * sxx - sx * sx
+
+
+def test_user_path_sankey_shares(spark, sf_dir):
+    rows = SPECS["ext_user_path_sankey"].spark(spark, sf_dir).collect()
+    assert len(rows) == 15
+    ns = [r["n"] for r in rows]
+    assert ns == sorted(ns, reverse=True)
+    assert all(0 < r["share_x1e6"] <= 1000000 for r in rows)
+
+
+def test_hash_collision_audit_consistent(spark, sf_dir):
+    rows = SPECS["ext_hash_collision_audit"].spark(spark, sf_dir).collect()
+    assert len(rows) == 20
+    s = rows[0]
+    assert s["n_used_buckets"] <= 1024
+    assert s["n_collision_buckets"] <= s["n_used_buckets"]
+    assert rows[0]["n_tokens"] == s["max_bucket_load"]
