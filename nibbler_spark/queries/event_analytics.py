@@ -4363,3 +4363,107 @@ def ext_user_path_sankey(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "s1", "s2", "s3")
         .limit(15)
     )
+
+
+@register(
+    "ext_queue_backlog_lindley",
+    survey_id="EXT-LINDLEY",
+    category="event-analytics",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, epoch_us(ts) AS t,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+),
+d AS (
+  SELECT user_id, t, rn,
+         60000000 * rn AS s_i,
+         60000000 * (rn - 1) - t AS d_j
+  FROM seq
+),
+q AS (
+  SELECT user_id, rn,
+         (s_i - t) - MIN(d_j) OVER (PARTITION BY user_id ORDER BY rn
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS backlog_us
+  FROM d
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MAX(backlog_us) AS BIGINT) AS max_backlog_us,
+       CAST(MAX(CASE WHEN rn = (SELECT MAX(rn) FROM q q2
+                                WHERE q2.user_id = q.user_id)
+                     THEN backlog_us END) AS BIGINT) AS final_backlog_us,
+       CAST(SUM(CASE WHEN backlog_us = 60000000 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_busy_periods
+FROM q GROUP BY user_id ORDER BY user_id
+""",
+)
+def ext_queue_backlog_lindley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Queue-backlog analysis WITHOUT sequential recursion — the
+    Lindley recursion W_i = max(W_{i-1} - Δt, 0) + c looks
+    row-at-a-time-sequential (the classic 'can't do this in SQL' op:
+    rate limiters, queue simulators, leaky buckets), but its closed
+    form is a PREFIX EXTREMUM: W_i = (S_i - t_i) - min_{j<=i}
+    (S_{j-1} - t_j) where S is the cumulative work — so one
+    user-partitioned window min computes the exact backlog trajectory
+    in a single pass, embarrassingly parallel across users. Model:
+    each event enqueues 60 s of work, the per-user server drains in
+    real time; all arithmetic in integer microseconds. Busy-period
+    starts are exactly the rows where the backlog equals one job
+    (the prefix-min is attained at j = i <=> the queue was empty on
+    arrival) — so the busy-period count falls out of the same
+    window. Per-user max/final backlog + busy periods, verified by a
+    brute-force sequential replay in tests. Scale: one window + one
+    aggregate, both keyed on user_id."""
+    e = load_table(spark, sf_dir, "events")
+    w_seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        F.unix_micros("ts").alias("t"),
+        F.row_number().over(w_seq).alias("rn"),
+    )
+    d = seq.select(
+        "user_id",
+        "t",
+        "rn",
+        (F.lit(60000000).cast("bigint") * F.col("rn")).alias("s_i"),
+        (
+            F.lit(60000000).cast("bigint") * (F.col("rn") - 1) - F.col("t")
+        ).alias("d_j"),
+    )
+    w_min = (
+        Window.partitionBy("user_id")
+        .orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    q = d.select(
+        "user_id",
+        "rn",
+        ((F.col("s_i") - F.col("t")) - F.min("d_j").over(w_min)).alias(
+            "backlog_us"
+        ),
+    )
+    w_u = Window.partitionBy("user_id")
+    q2 = q.withColumn("max_rn", F.max("rn").over(w_u))
+    return (
+        q2.groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.max("backlog_us").cast("bigint").alias("max_backlog_us"),
+            F.max(
+                F.when(
+                    F.col("rn") == F.col("max_rn"), F.col("backlog_us")
+                )
+            )
+            .cast("bigint")
+            .alias("final_backlog_us"),
+            F.sum(
+                F.when(F.col("backlog_us") == 60000000, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_busy_periods"),
+        )
+        .orderBy("user_id")
+    )

@@ -3327,3 +3327,108 @@ def sql18_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Customers with >= 3 orders + their order count and exact spend."""
     register_temp_views(spark, sf_dir)
     return spark.sql(_LATERAL_SQL)
+
+
+@register(
+    "ext_mv_query_rewrite",
+    survey_id="EXT-MV-REWRITE",
+    category="sql-surface",
+    oracle="""
+WITH q1 AS (
+  SELECT o_orderpriority AS grp,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY o_orderpriority
+),
+q2 AS (
+  SELECT CAST(o_custkey % 10 AS VARCHAR) AS grp,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY o_custkey % 10
+)
+SELECT * FROM (
+  SELECT 'q1_by_priority' AS query, 'mv' AS served_from, grp, n_orders,
+         cents
+  FROM q1
+  UNION ALL
+  SELECT 'q2_by_custmod', 'fact', grp, n_orders, cents FROM q2
+) ORDER BY query, grp
+""",
+)
+def ext_mv_query_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view QUERY REWRITE — the optimizer feature that
+    makes MVs worth maintaining (Oracle/Calcite/BigQuery-style
+    aggregate subsumption): a (status, priority) rollup MV with
+    RETRACTABLE partials (count + exact cents sum) is materialized
+    once; an incoming aggregate query is matched by the rewriter —
+    requested grouping keys must be a SUBSET of the MV's keys and
+    every requested aggregate derivable from the partials (COUNT ->
+    SUM of partial counts, SUM -> SUM of partial sums) — and served
+    by RE-AGGREGATING THE KILOBYTE MV instead of the fact table. Two
+    probe queries run: by-priority (subsumed -> served_from='mv' —
+    and its fact scan provably never happens: the MV path touches
+    only the materialized rollup) and by-custkey-mod (not derivable
+    from the MV keys -> falls back to the fact scan). Results
+    hash-match the oracle computed from the base table either way —
+    rewrite changes IO, never answers. Scale: this is the 100 TB
+    dashboard pattern — a 20-cell MV absorbs the scan for every
+    query it subsumes."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_orderpriority", "o_custkey", "o_totalprice"
+    )
+    mv = (
+        o.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("p_count"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("p_cents"),
+        )
+        .localCheckpoint()  # materialized: the fact scan happened ONCE here
+    )
+    mv_keys = {"o_orderstatus", "o_orderpriority"}
+
+    def try_rewrite(requested_keys: set[str]):
+        """The subsumption matcher: grouping keys ⊆ MV keys ⇒ the MV
+        partials re-aggregate to the exact answer."""
+        return requested_keys <= mv_keys
+
+    # q1: GROUP BY o_orderpriority — subsumed, serve from the MV
+    assert try_rewrite({"o_orderpriority"})
+    q1 = (
+        mv.groupBy(F.col("o_orderpriority").alias("grp"))
+        .agg(
+            F.sum("p_count").cast("bigint").alias("n_orders"),
+            F.sum("p_cents").cast("bigint").alias("cents"),
+        )
+        .select(
+            F.lit("q1_by_priority").alias("query"),
+            F.lit("mv").alias("served_from"),
+            "grp",
+            "n_orders",
+            "cents",
+        )
+    )
+    # q2: GROUP BY o_custkey % 10 — not derivable from the MV keys
+    assert not try_rewrite({"o_custkey"})
+    q2 = (
+        o.groupBy(
+            (F.col("o_custkey") % 10).cast("string").alias("grp")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .select(
+            F.lit("q2_by_custmod").alias("query"),
+            F.lit("fact").alias("served_from"),
+            "grp",
+            "n_orders",
+            "cents",
+        )
+    )
+    return q1.unionByName(q2).orderBy("query", "grp")

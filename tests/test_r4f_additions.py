@@ -695,3 +695,70 @@ def test_hash_collision_audit_consistent(spark, sf_dir):
     assert s["n_used_buckets"] <= 1024
     assert s["n_collision_buckets"] <= s["n_used_buckets"]
     assert rows[0]["n_tokens"] == s["max_bucket_load"]
+
+
+# ------------------------------------------- Lindley / MV rewrite
+
+
+def test_lindley_matches_sequential_replay(spark, sf_dir):
+    """The closed-form prefix-min backlog must equal the sequential
+    Lindley recursion W_i = max(W_prev - dt, 0) + c replayed per user."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id")
+        .collect()
+    )
+    per_user = defaultdict(list)
+    for r in ev:
+        per_user[r["user_id"]].append(
+            (int(r["ts"].timestamp() * 1_000_000), r["event_id"])
+        )
+    C = 60000000
+    want = {}
+    for u, rows in per_user.items():
+        rows.sort()
+        w = 0
+        prev_t = None
+        max_w = 0
+        busy = 0
+        for t, _ in rows:
+            if prev_t is not None:
+                w = max(w - (t - prev_t), 0)
+            if w == 0:
+                busy += 1
+            w += C
+            prev_t = t
+            max_w = max(max_w, w)
+        want[u] = (len(rows), max_w, w, busy)
+    got = {
+        r["user_id"]: (
+            r["n_events"],
+            r["max_backlog_us"],
+            r["final_backlog_us"],
+            r["n_busy_periods"],
+        )
+        for r in SPECS["ext_queue_backlog_lindley"].spark(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert any(v[3] > 1 for v in want.values())  # queues actually drain
+
+
+def test_mv_rewrite_equals_fact_answers(spark, sf_dir):
+    rows = SPECS["ext_mv_query_rewrite"].spark(spark, sf_dir).collect()
+    mv_rows = [r for r in rows if r["served_from"] == "mv"]
+    fact_rows = [r for r in rows if r["served_from"] == "fact"]
+    assert mv_rows and fact_rows
+    # re-derive q1 from the fact table and compare against the MV path
+    o = load_table(spark, sf_dir, "orders").collect()
+    import math
+    from collections import Counter
+
+    n = Counter()
+    cents = Counter()
+    for r in o:
+        n[r["o_orderpriority"]] += 1
+        cents[r["o_orderpriority"]] += int(
+            math.floor(r["o_totalprice"] * 100)
+        )
+    got = {r["grp"]: (r["n_orders"], r["cents"]) for r in mv_rows}
+    assert got == {k: (n[k], cents[k]) for k in n}
