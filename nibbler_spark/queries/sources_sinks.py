@@ -1789,3 +1789,137 @@ def a42_parquet_raw_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         outs.append(agg)
     return outs[0].unionByName(outs[1]).orderBy("codec")
+
+
+@register(
+    "a43_arrow_ipc_raw_reader",
+    survey_id="A43",
+    category="source-sink",
+    oracle="""
+SELECT CAST(4 AS BIGINT) AS n_files,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(c_custkey) AS BIGINT) AS key_checksum,
+       CAST(SUM(CAST(FLOOR(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+         AS bal_cents,
+       CAST(SUM(length(c_mktsegment)) AS BIGINT) AS seg_chars,
+       CAST(SUM(CASE WHEN c_custkey % 3 = 0 THEN 0 ELSE c_nationkey END)
+            AS BIGINT) AS nation_checksum,
+       CAST(SUM(CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_positive
+FROM customer
+""",
+)
+def a43_arrow_ipc_raw_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow IPC read WITHOUT Arrow libraries: pyarrow (the reference
+    implementation) writes 4 Feather-V2 shards of customer — including
+    a null-bearing int column, strings, and a bool — and each file is
+    decoded back by the from-scratch reader
+    (operators/arrow_ipc.py): the flatbuffers wire format parsed by
+    hand (root offset -> vtable -> field slots), Message/Schema/
+    RecordBatch framing, validity bitmaps, primitive and varbinary
+    buffer layouts, multi-batch files. Per-file exact integer
+    statistics reduce to the table aggregate the oracle computes from
+    customer directly. With A41/A42 (Parquet) this closes the loop on
+    the two interchange formats a Spark deployment actually speaks,
+    both re-derived from their published specs. Scale: both stages
+    are partition-local mapInPandas — zero shuffles before the 4-row
+    reduce."""
+    import math as _math
+    import os as _os
+    import tempfile as _tf
+    import uuid as _uuid
+
+    import pandas as _pd
+
+    c = load_table(spark, sf_dir, "customer")
+    out_dir = _tf.mkdtemp(prefix="nibbler-arrowipc-")
+
+    def write_files(batches):
+        import pyarrow as _pa
+        import pyarrow.ipc as _ipc
+
+        keys, bals, segs, nations, pos = [], [], [], [], []
+        for pdf in batches:
+            for k, b, s, n in zip(
+                pdf["c_custkey"],
+                pdf["c_acctbal"],
+                pdf["c_mktsegment"],
+                pdf["c_nationkey"],
+            ):
+                keys.append(int(k))
+                bals.append(float(b))
+                segs.append(str(s))
+                nations.append(None if int(k) % 3 == 0 else int(n))
+                pos.append(float(b) > 0)
+        t = _pa.table(
+            {
+                "c_custkey": _pa.array(keys, _pa.int64()),
+                "c_acctbal": _pa.array(bals, _pa.float64()),
+                "c_mktsegment": _pa.array(segs, _pa.utf8()),
+                "maybe_nation": _pa.array(nations, _pa.int32()),
+                "positive": _pa.array(pos, _pa.bool_()),
+            }
+        )
+        path = _os.path.join(out_dir, f"shard-{_uuid.uuid4().hex}.arrow")
+        with _ipc.new_file(path, t.schema) as w:
+            for b in t.to_batches(max_chunksize=500):
+                w.write_batch(b)
+        yield _pd.DataFrame({"path": [path], "n": [len(keys)]})
+
+    paths = [
+        r["path"]
+        for r in c.repartition(4)
+        .mapInPandas(write_files, "path string, n long")
+        .collect()
+    ]
+    fdf = spark.createDataFrame(
+        [(p,) for p in sorted(paths)], "path string"
+    ).repartition(len(paths))
+
+    def read_files(batches):
+        from nibbler_spark.operators.arrow_ipc import arrow_ipc_read
+
+        for pdf in batches:
+            for path in pdf["path"]:
+                with open(path, "rb") as fh:
+                    data = arrow_ipc_read(fh.read())
+                yield _pd.DataFrame(
+                    {
+                        "n_rows": [len(data["c_custkey"])],
+                        "key_checksum": [sum(data["c_custkey"])],
+                        "bal_cents": [
+                            sum(
+                                int(_math.floor(v * 100))
+                                for v in data["c_acctbal"]
+                            )
+                        ],
+                        "seg_chars": [
+                            sum(len(s) for s in data["c_mktsegment"])
+                        ],
+                        "nation_checksum": [
+                            sum(
+                                v
+                                for v in data["maybe_nation"]
+                                if v is not None
+                            )
+                        ],
+                        "n_positive": [
+                            sum(1 for b in data["positive"] if b)
+                        ],
+                    }
+                )
+
+    per_file = fdf.mapInPandas(
+        read_files,
+        "n_rows long, key_checksum long, bal_cents long, seg_chars long, "
+        "nation_checksum long, n_positive long",
+    )
+    return per_file.agg(
+        F.count("*").cast("bigint").alias("n_files"),
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+        F.sum("key_checksum").cast("bigint").alias("key_checksum"),
+        F.sum("bal_cents").cast("bigint").alias("bal_cents"),
+        F.sum("seg_chars").cast("bigint").alias("seg_chars"),
+        F.sum("nation_checksum").cast("bigint").alias("nation_checksum"),
+        F.sum("n_positive").cast("bigint").alias("n_positive"),
+    )
