@@ -88,6 +88,9 @@ HEADLINE = [
     # U/D/I MERGE with touched-file detection, the row-level CDF
     # sidecar, and the change-feed read back.
     "ext_snapshot_row_cdc",  # BENCH-K19 (MERGE + row-level CDF)
+    # r4 final session: from-scratch format decode + chain analytics
+    "a41_parquet_raw_reader",  # BENCH-K20 (raw Parquet decode, 8 files)
+    "ext_markov_attribution",  # BENCH-K21 (5-variant absorbing chains)
 ]
 
 

@@ -3933,84 +3933,50 @@ def ext_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = pairs.groupBy("from_s", "to_s").agg(
         F.count("*").cast("bigint").alias("n")
     )
-    variants = spark.createDataFrame(
-        [("none",)] + [(c,) for c in _MKV_CHANNELS], "variant string"
-    )
-    redirected = (
-        counts.crossJoin(F.broadcast(variants))
-        .where(F.col("from_s") != F.col("variant"))
-        .groupBy(
-            "variant",
-            "from_s",
-            F.when(F.col("to_s") == F.col("variant"), "null")
-            .otherwise(F.col("to_s"))
-            .alias("to_s"),
-        )
-        .agg(F.sum("n").alias("n"))
-    )
-    w_row = Window.partitionBy("variant", "from_s")
-    trans = redirected.withColumn(
-        "rowsum", F.sum("n").over(w_row)
-    ).select(
-        "variant",
-        "from_s",
-        "to_s",
-        F.expr(f"n * {_MKV_GRID} div rowsum").cast("bigint").alias("p"),
-    )
-    absorb = variants.crossJoin(
-        spark.createDataFrame([("conv",), ("null",)], "s string")
-    ).select(
-        "variant",
-        F.col("s").alias("from_s"),
-        F.col("s").alias("to_s"),
-        F.lit(_MKV_GRID).cast("bigint").alias("p"),
-    )
-    trans_v = trans.unionByName(absorb).localCheckpoint()
-    v = variants.select(
-        "variant",
-        F.lit("start").alias("state"),
-        F.lit(_MKV_GRID).cast("bigint").alias("p"),
-    )
-    for _ in range(6):
-        va, ta = v.alias("v"), trans_v.alias("t")
-        v = (
-            va.join(
-                ta,
-                (F.col("v.variant") == F.col("t.variant"))
-                & (F.col("v.state") == F.col("t.from_s")),
-            )
-            .select(
-                F.col("t.variant").alias("variant"),
-                F.col("t.to_s").alias("state"),
-                (F.col("v.p") * F.col("t.p")).alias("prod"),
-            )
-            .groupBy("variant", "state")
-            .agg(
-                F.sum(F.expr(f"prod div {_MKV_GRID}"))
-                .cast("bigint")
-                .alias("p")
-            )
-        )
-    conv = v.where(F.col("state") == "conv").select(
-        "variant", F.col("p").alias("conv_grid")
-    )
-    base = conv.where(F.col("variant") == "none").select(
-        F.col("conv_grid").alias("b")
-    )
-    return (
-        conv.crossJoin(F.broadcast(base))
-        .select(
-            "variant",
-            "conv_grid",
-            F.col("b").alias("baseline_grid"),
-            F.when(F.col("variant") == "none", F.lit(0).cast("bigint"))
-            .otherwise(
-                F.expr("(b - conv_grid) * 1000000 div b").cast("bigint")
-            )
-            .alias("removal_effect_x1e6"),
-        )
-        .orderBy("variant")
-    )
+    count_rows = counts.collect()  # <= ~50 transition cells
+    # Everything downstream rides the kilobyte transition-count table:
+    # redirect, normalize to the integer grid, and fold 6 exact rounds
+    # per variant driver-side (the bounded-collect pattern of the
+    # KMV/CMS sketches — the fact table never leaves the cluster, only
+    # the <= ~50 transition counts do).
+    from collections import defaultdict as _dd
+
+    tmat: dict[str, dict[str, list[tuple[str, int]]]] = _dd(lambda: _dd(list))
+    for variant in ["none", *_MKV_CHANNELS]:
+        red: dict[tuple[str, str], int] = _dd(int)
+        for r in count_rows:
+            if r["from_s"] == variant:
+                continue
+            to_s = "null" if r["to_s"] == variant else r["to_s"]
+            red[(r["from_s"], to_s)] += r["n"]
+        rowsums: dict[str, int] = _dd(int)
+        for (f, _), n in red.items():
+            rowsums[f] += n
+        for (f, t), n in red.items():
+            tmat[variant][f].append((t, n * _MKV_GRID // rowsums[f]))
+        for s in ("conv", "null"):
+            tmat[variant][s].append((s, _MKV_GRID))
+    out_rows = []
+    convs: dict[str, int] = {}
+    for variant in ["none", *_MKV_CHANNELS]:
+        vec = {"start": _MKV_GRID}
+        for _ in range(6):
+            nxt: dict[str, int] = _dd(int)
+            for state, mass in vec.items():
+                for to_s, pgrid in tmat[variant].get(state, ()):
+                    nxt[to_s] += mass * pgrid // _MKV_GRID
+            vec = dict(nxt)
+        convs[variant] = vec.get("conv", 0)
+    base = convs["none"]
+    for variant in sorted(convs):
+        cg = convs[variant]
+        eff = 0 if variant == "none" else (base - cg) * 1000000 // base
+        out_rows.append((variant, cg, base, eff))
+    return spark.createDataFrame(
+        out_rows,
+        "variant string, conv_grid bigint, baseline_grid bigint, "
+        "removal_effect_x1e6 bigint",
+    ).orderBy("variant")
 
 
 @register(
