@@ -1366,3 +1366,99 @@ def catalog_read(catalog_dir: str, version: int | None = None) -> dict:
         raise ValueError(f"empty catalog at {catalog_dir}")
     with open(os.path.join(catalog_dir, f"txn-{ver}.json")) as fh:
         return json.load(fh)["tables"]
+
+
+_RW_OPS = {
+    "=": lambda c, v: c == v,
+    "<": lambda c, v: c < v,
+    "<=": lambda c, v: c <= v,
+    ">": lambda c, v: c > v,
+    ">=": lambda c, v: c >= v,
+}
+
+
+def replace_where_snapshot(
+    spark: SparkSession,
+    table_dir: str,
+    col: str,
+    op: str,
+    value,
+    new_df: DataFrame,
+) -> int:
+    """Atomic partial overwrite (Delta's ``replaceWhere``): one commit
+    in which every row matching ``col op value`` is replaced by
+    ``new_df`` — the idempotent backfill primitive (recompute one
+    partition/day/segment and swap it in without touching the rest).
+
+    Contract and plan:
+    1. ``new_df`` must itself satisfy the predicate — otherwise the
+       commit would smuggle rows outside the declared replacement
+       region; violations abort BEFORE any manifest exists
+       (SnapshotConstraintError, Delta's replaceWhere check);
+    2. stats-prune: only files whose min/max envelope intersects the
+       predicate can hold matching rows — everything else is carried
+       over by reference, zero IO;
+    3. candidate files are read through the MoR view (deletion-vector
+       aware — rewriting raw bytes would resurrect masked rows),
+       their NON-matching rows survive into rewritten files (NULL
+       predicate rows are kept, per SQL semantics), and the new data
+       lands alongside;
+    4. one commit publishes carried + rewritten + new files.
+
+    Speaks LOGICAL column names over renamed tables (the column-
+    mapping contract: writers physical, readers logical)."""
+    if op not in _RW_OPS:
+        raise ValueError(f"unsupported replaceWhere op {op!r}")
+    base_sid = latest_snapshot(table_dir)
+    if base_sid < 0:
+        raise ValueError(f"no snapshot to replace into at {table_dir}")
+    entries = snapshot_entries(table_dir, base_sid)
+    meta = snapshot_meta(table_dir, base_sid)
+    cmap = meta.get("column_mapping") or {}
+    pcol = cmap.get(col, col)
+    if cmap:
+        new_df = new_df.select(
+            *[F.col(c).alias(cmap.get(c, c)) for c in new_df.columns]
+        )
+    pred = _RW_OPS[op](F.col(pcol), value)
+    n_bad = (
+        new_df.where(~F.coalesce(pred, F.lit(False))).limit(1).count()
+    )
+    if n_bad:
+        raise SnapshotConstraintError(
+            f"replaceWhere: new data contains rows outside "
+            f"{col} {op} {value!r}; commit aborted"
+        )
+    abs_path = lambda p: os.path.join(table_dir, p)
+    cand_entries = prune_entries(entries, [(pcol, op, value)])
+    candidates = [e["path"] for e in cand_entries]
+    carried = [
+        e["path"] for e in entries if e["path"] not in set(candidates)
+    ]
+    dv_paths = meta.get("deletion_vectors") or []
+    dvf = (
+        spark.read.parquet(*[abs_path(p) for p in dv_paths]).select(
+            "_f", "_pos"
+        )
+        if dv_paths
+        else None
+    )
+    if candidates:
+        raw = spark.read.parquet(*[abs_path(p) for p in candidates])
+        if dvf is not None:
+            raw = (
+                raw.select(
+                    F.element_at(
+                        F.split(F.col("_metadata.file_path"), "/"), -1
+                    ).alias("_f"),
+                    F.col("_metadata.row_index").alias("_pos"),
+                    *[F.col(c) for c in raw.columns],
+                )
+                .join(F.broadcast(dvf), ["_f", "_pos"], "left_anti")
+                .drop("_f", "_pos")
+            )
+        keep = raw.where(~F.coalesce(pred, F.lit(False)))
+        new_rows = keep.unionByName(new_df.select(*raw.columns))
+    else:
+        new_rows = new_df
+    return write_snapshot(new_rows, table_dir, carry_over=carried)

@@ -3432,3 +3432,115 @@ def ext_mv_query_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return q1.unionByName(q2).orderBy("query", "grp")
+
+
+@register(
+    "ext_snapshot_replace_where",
+    survey_id="EXT-REPLACE-WHERE",
+    category="sql-surface",
+    oracle="""
+WITH adjusted AS (
+  SELECT o_orderstatus,
+         CASE WHEN o_orderstatus = 'F'
+              THEN o_totalprice + 100000.0e0 ELSE o_totalprice END AS p
+  FROM orders
+)
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(FLOOR(p * 100) AS BIGINT)) AS BIGINT) AS cents,
+       CAST(3 AS BIGINT) AS files_before,
+       CAST(1 AS BIGINT) AS files_candidate,
+       CAST(2 AS BIGINT) AS files_carried
+FROM adjusted GROUP BY o_orderstatus ORDER BY o_orderstatus
+""",
+)
+def ext_snapshot_replace_where(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """replaceWhere — the atomic partial-overwrite commit (Delta's
+    idempotent backfill primitive): orders is committed as one file
+    per order status (3 files whose min/max status stats make the
+    predicate region file-resolvable), then
+    ``replace_where_snapshot(status = 'F', recomputed F rows)`` swaps
+    the F partition in ONE commit: the operator stats-prunes to the
+    single candidate file (files_candidate = 1 of 3 — asserted
+    in-query from the manifest; the O and P files are carried by
+    reference with zero IO), rewrites nothing of them, validates that
+    every replacement row satisfies the predicate (the constraint
+    that makes replaceWhere safe — violations abort pre-manifest,
+    covered in tests), and publishes. The replacement recomputes F
+    prices (+100k, an exact IEEE add replicated by the oracle), and
+    the post-commit table must hash-match the oracle's adjusted
+    orders. This is the missing lifecycle piece between append-only
+    commits and full MERGE: backfills touch exactly the declared
+    region, atomically."""
+    import shutil
+    import tempfile
+
+    from nibbler_spark.operators.snapshots import (
+        latest_snapshot,
+        prune_entries,
+        read_snapshot,
+        replace_where_snapshot,
+        snapshot_entries,
+        write_snapshot,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    table = tempfile.mkdtemp(prefix="nibbler-rw-")
+    shutil.rmtree(table)
+    statuses = [
+        r["o_orderstatus"]
+        for r in o.select("o_orderstatus").distinct().collect()
+    ]
+    carry: list[str] = []
+    for st in sorted(statuses):
+        sid = write_snapshot(
+            o.where(F.col("o_orderstatus") == st).coalesce(1),
+            table,
+            carry_over=carry,
+        )
+        from nibbler_spark.operators.snapshots import snapshot_files
+
+        carry = snapshot_files(table, sid)
+    base_sid = latest_snapshot(table)
+    entries = snapshot_entries(table, base_sid)
+    files_before = len(entries)
+    files_candidate = len(
+        prune_entries(entries, [("o_orderstatus", "=", "F")])
+    )
+    new_f = o.where(F.col("o_orderstatus") == "F").select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.col("o_totalprice") + F.lit(100000.0)).alias("o_totalprice"),
+    )
+    replace_where_snapshot(
+        spark, table, "o_orderstatus", "=", "F", new_f
+    )
+    back = read_snapshot(spark, table)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .select(
+            "o_orderstatus",
+            "n_rows",
+            "cents",
+            F.lit(files_before).cast("bigint").alias("files_before"),
+            F.lit(files_candidate).cast("bigint").alias(
+                "files_candidate"
+            ),
+            F.lit(files_before - files_candidate)
+            .cast("bigint")
+            .alias("files_carried"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -877,3 +877,78 @@ def test_clone_preserves_deletion_vectors_and_mapping(spark, tmp_path):
     shutil.rmtree(src)
     survivors = read_snapshot(spark, str(tmp_path / "clone_deep"))
     assert survivors.count() == 20
+
+
+def test_replace_where_constraint_aborts_and_dv_interplay(spark, tmp_path):
+    """replaceWhere: (1) replacement rows outside the predicate abort
+    pre-manifest; (2) replacing over a deletion-vector table must not
+    resurrect MoR-deleted rows in the rewritten region."""
+    from pyspark.sql import functions as F
+
+    from nibbler_spark.operators.snapshots import (
+        SnapshotConstraintError,
+        delete_from_snapshot,
+        latest_snapshot,
+        read_snapshot,
+        replace_where_snapshot,
+        write_snapshot,
+    )
+
+    table = os.path.join(str(tmp_path), "rw")
+    df = spark.createDataFrame(
+        [(i, "A" if i < 50 else "B", i * 10) for i in range(100)],
+        "id long, seg string, v long",
+    )
+    write_snapshot(df.coalesce(1), table)
+
+    # (1) constraint: new rows must satisfy the predicate
+    bad = spark.createDataFrame(
+        [(999, "B", 1)], "id long, seg string, v long"
+    )
+    before = latest_snapshot(table)
+    with pytest.raises(SnapshotConstraintError):
+        replace_where_snapshot(spark, table, "seg", "=", "A", bad)
+    assert latest_snapshot(table) == before  # no manifest appeared
+
+    # (2) MoR delete id=10 (an A row), then replace the A segment —
+    # the rewrite must go through the DV view
+    delete_from_snapshot(spark, table, F.col("id") == 10)
+    new_a = spark.createDataFrame(
+        [(i, "A", i * 1000) for i in range(5)],
+        "id long, seg string, v long",
+    )
+    replace_where_snapshot(spark, table, "seg", "=", "A", new_a)
+    back = read_snapshot(spark, table)
+    rows = {r["id"]: (r["seg"], r["v"]) for r in back.collect()}
+    assert len([k for k, (s, _) in rows.items() if s == "A"]) == 5
+    assert rows[3] == ("A", 3000)
+    assert 10 not in rows  # the DV-deleted row did not resurrect
+    assert rows[60] == ("B", 600)  # B region untouched
+
+
+def test_replace_where_prunes_untouched_files(spark, tmp_path):
+    from nibbler_spark.operators.snapshots import (
+        latest_snapshot,
+        replace_where_snapshot,
+        snapshot_entries,
+        snapshot_files,
+        write_snapshot,
+    )
+
+    table = os.path.join(str(tmp_path), "rwp")
+    carry = []
+    for seg in ("A", "B", "C"):
+        df = spark.createDataFrame(
+            [(i, seg, i) for i in range(20)], "id long, seg string, v long"
+        )
+        sid = write_snapshot(df.coalesce(1), table, carry_over=carry)
+        carry = snapshot_files(table, sid)
+    base_files = set(snapshot_files(table, latest_snapshot(table)))
+    new_b = spark.createDataFrame(
+        [(0, "B", 123)], "id long, seg string, v long"
+    )
+    sid = replace_where_snapshot(spark, table, "seg", "=", "B", new_b)
+    after = snapshot_entries(table, sid)
+    carried = [e["path"] for e in after if e["path"] in base_files]
+    # A and C files carried untouched; only B was rewritten
+    assert len(carried) == 2
