@@ -4433,3 +4433,114 @@ def ext_queue_backlog_lindley(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "ext_forecast_eval_smape",
+    survey_id="EXT-SMAPE",
+    category="event-analytics",
+    oracle="""
+WITH daily AS (
+  SELECT epoch_us(ts) // 86400000000 AS day,
+         CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+bounds AS (SELECT MIN(day) AS d0 FROM daily),
+train AS (
+  SELECT (day - d0) % 7 AS wd,
+         CAST(SUM(cents) AS BIGINT) AS num,
+         CAST(COUNT(*) AS BIGINT) AS den
+  FROM daily, bounds WHERE day - d0 < 21 GROUP BY 1
+),
+test AS (
+  SELECT day, (day - d0) % 7 AS wd, cents
+  FROM daily, bounds WHERE day - d0 >= 21
+),
+terms AS (
+  SELECT t.day, t.cents AS actual_cents, tr.num AS f_num, tr.den AS f_den,
+         1000000 * ABS(tr.num - t.cents * tr.den)
+           // (tr.num + t.cents * tr.den) AS term_x1e6
+  FROM test t JOIN train tr USING (wd)
+),
+summary AS (
+  SELECT CAST(SUM(term_x1e6) // COUNT(*) AS BIGINT) AS smape_x1e6,
+         CAST(COUNT(*) AS BIGINT) AS n_test_days
+  FROM terms
+)
+SELECT t.day, t.actual_cents, t.f_num, t.f_den,
+       CAST(t.term_x1e6 AS BIGINT) AS term_x1e6,
+       s.smape_x1e6, s.n_test_days
+FROM terms t CROSS JOIN summary s ORDER BY t.day
+""",
+)
+def ext_forecast_eval_smape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast backtesting with an EXACT error metric: a seasonal-naive
+    forecaster (per-weekday mean of the 21-day train window) predicts
+    the holdout days, and SMAPE — normally a float-summation hazard —
+    is computed entirely in integers: the weekday-mean forecast stays
+    a RATIONAL (num/den of exact cents), each term |f-a|/(f+a)
+    cross-multiplies to |num - a*den| / (num + a*den), floors onto the
+    1e6 grid, and sums as BIGINT (the WOE/IV lesson: order-sensitive
+    double sums have no minimum row count — keep the reduction
+    integral). Per-day terms + the aggregate SMAPE hash-match the
+    oracle exactly. The missing half of tq06's forecast: the EVAL
+    harness that scores any forecaster against any holdout. Scale:
+    one keyed daily rollup, a 7-row broadcast of weekday means, and a
+    tiny join."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy(F.expr("unix_micros(ts) div 86400000000").alias("day"))
+        .agg(
+            F.sum(F.floor(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    d0 = daily.agg(F.min("day").alias("d0"))
+    dd = daily.crossJoin(F.broadcast(d0)).select(
+        "day",
+        "cents",
+        ((F.col("day") - F.col("d0")) % 7).alias("wd"),
+        (F.col("day") - F.col("d0")).alias("age"),
+    )
+    train = (
+        dd.where(F.col("age") < 21)
+        .groupBy("wd")
+        .agg(
+            F.sum("cents").cast("bigint").alias("f_num"),
+            F.count("*").cast("bigint").alias("f_den"),
+        )
+    )
+    test = dd.where(F.col("age") >= 21)
+    terms = test.join(F.broadcast(train), "wd").select(
+        "day",
+        F.col("cents").alias("actual_cents"),
+        "f_num",
+        "f_den",
+        F.expr(
+            "1000000 * abs(f_num - cents * f_den) "
+            "div (f_num + cents * f_den)"
+        )
+        .cast("bigint")
+        .alias("term_x1e6"),
+    )
+    summary = terms.agg(
+        F.expr("sum(term_x1e6) div count(*)")
+        .cast("bigint")
+        .alias("smape_x1e6"),
+        F.count("*").cast("bigint").alias("n_test_days"),
+    )
+    return (
+        terms.crossJoin(F.broadcast(summary))
+        .select(
+            "day",
+            "actual_cents",
+            "f_num",
+            "f_den",
+            "term_x1e6",
+            "smape_x1e6",
+            "n_test_days",
+        )
+        .orderBy("day")
+    )
