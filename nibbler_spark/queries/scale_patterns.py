@@ -2411,3 +2411,159 @@ def ext_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cluster_total").desc(), "cluster_label")
         .limit(10)
     )
+
+
+def _critpath_oracle() -> str:
+    rounds = []
+    prev = "l0"
+    for k in range(1, 6):
+        rounds.append(f"""
+d{k} AS (
+  SELECT e.v AS node, MAX(p.dist + e.w) AS dist
+  FROM {prev} p JOIN edges e ON e.u = p.node GROUP BY e.v
+),
+l{k} AS (
+  SELECT d.node, d.dist, CAST(SUM(p.paths) AS BIGINT) AS paths
+  FROM d{k} d
+  JOIN edges e ON e.v = d.node
+  JOIN {prev} p ON p.node = e.u
+  WHERE p.dist + e.w = d.dist
+  GROUP BY d.node, d.dist)""")
+        prev = f"l{k}"
+    return f"""
+WITH nodes AS (SELECT UNNEST(range(150)) AS n),
+edges AS (
+  SELECT u.n AS u, v.n AS v,
+         1 + CAST(('0x' || substr(md5('w:' || u.n || ':' || v.n), 1, 12))
+                  AS BIGINT) % 100 AS w
+  FROM nodes u JOIN nodes v ON v.n // 25 = u.n // 25 + 1
+  WHERE CAST(('0x' || substr(md5(u.n || ':' || v.n), 1, 12)) AS BIGINT)
+        % 7 = 0
+),
+l0 AS (
+  SELECT n AS node, CAST(0 AS BIGINT) AS dist, CAST(1 AS BIGINT) AS paths
+  FROM nodes WHERE n < 25
+),{",".join(rounds)},
+all_l AS (
+  SELECT * FROM l0 UNION ALL SELECT * FROM l1 UNION ALL
+  SELECT * FROM l2 UNION ALL SELECT * FROM l3 UNION ALL
+  SELECT * FROM l4 UNION ALL SELECT * FROM l5
+),
+final AS (
+  SELECT node // 25 AS layer, dist, paths,
+         MAX(dist) OVER (PARTITION BY node // 25) AS layer_max
+  FROM all_l
+)
+SELECT layer,
+       CAST(COUNT(*) AS BIGINT) AS n_reached,
+       CAST(MAX(dist) AS BIGINT) AS max_dist,
+       CAST(SUM(CASE WHEN dist = layer_max THEN paths ELSE 0 END)
+            AS BIGINT) AS n_paths_at_max,
+       CAST(SUM(dist) AS BIGINT) AS dist_checksum
+FROM final GROUP BY layer ORDER BY layer
+"""
+
+
+@register(
+    "ext_critical_path",
+    survey_id="EXT-CRITPATH",
+    category="scale-pattern",
+    oracle=_critpath_oracle(),
+)
+def ext_critical_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Critical-path analysis on a layered task DAG — longest path AND
+    the count of distinct critical paths, by max-plus label propagation
+    (the scheduling dual of ext_bfs_shortest_paths' min-plus): a 6-layer
+    150-node DAG with md5-gated edges and md5 integer weights (the same
+    portable-hash spine the graph family shares) propagates
+    (distance, path-count) labels layer by layer — dist(v) = max over
+    in-edges of dist(u)+w, paths(v) = sum of paths(u) over the argmax
+    edges — and because the DAG is LAYERED, exactly depth rounds reach
+    the fixpoint: the bounded iteration is provably the exact answer,
+    not a truncation (contrast LPA's declared-rounds semantics). All
+    integer; path counts are exact BIGINTs. Per-layer reach counts,
+    critical length, number of optimal paths, and a distance checksum.
+    Scale: each round is one keyed join + two keyed aggregates over the
+    edge list — O(E) per round, E rounds = depth, the PERT/critical-
+    path shape at any graph size."""
+    nodes = spark.range(150).select(F.col("id").cast("int").alias("n"))
+    u = nodes.select(F.col("n").alias("u"))
+    v = nodes.select(F.col("n").alias("v"))
+    gate = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("u"), F.col("v"))), 1, 12
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 7
+        == 0
+    )
+    w = 1 + F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("w:"), F.concat_ws(":", F.col("u"), F.col("v"))
+                )
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("bigint") % 100
+    edges = (
+        u.join(v, F.expr("v div 25") == F.expr("u div 25") + 1)
+        .where(gate)
+        .select("u", "v", w.alias("w"))
+        .localCheckpoint()
+    )
+    labels = nodes.where(F.col("n") < 25).select(
+        F.col("n").alias("node"),
+        F.lit(0).cast("bigint").alias("dist"),
+        F.lit(1).cast("bigint").alias("paths"),
+    )
+    labels = labels.localCheckpoint()
+    all_l = labels
+    for _ in range(5):
+        prev = labels.select(
+            F.col("node").alias("p_node"),
+            F.col("dist").alias("p_dist"),
+            F.col("paths").alias("p_paths"),
+        )
+        dk = (
+            prev.join(edges, F.col("p_node") == F.col("u"))
+            .groupBy(F.col("v").alias("d_node"))
+            .agg(F.max(F.col("p_dist") + F.col("w")).alias("d_dist"))
+        )
+        labels = (
+            dk.join(edges, F.col("v") == F.col("d_node"))
+            .join(prev, F.col("p_node") == F.col("u"))
+            .where(F.col("p_dist") + F.col("w") == F.col("d_dist"))
+            .groupBy(
+                F.col("d_node").alias("node"),
+                F.col("d_dist").alias("dist"),
+            )
+            .agg(F.sum("p_paths").cast("bigint").alias("paths"))
+            .localCheckpoint()
+        )
+        all_l = all_l.unionByName(labels)
+    w_layer = Window.partitionBy(F.expr("node div 25"))
+    return (
+        all_l.withColumn("layer_max", F.max("dist").over(w_layer))
+        .groupBy(F.expr("node div 25").alias("layer"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_reached"),
+            F.max("dist").cast("bigint").alias("max_dist"),
+            F.sum(
+                F.when(
+                    F.col("dist") == F.col("layer_max"), F.col("paths")
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_paths_at_max"),
+            F.sum("dist").cast("bigint").alias("dist_checksum"),
+        )
+        .orderBy("layer")
+    )

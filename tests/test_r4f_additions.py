@@ -762,3 +762,67 @@ def test_mv_rewrite_equals_fact_answers(spark, sf_dir):
         )
     got = {r["grp"]: (r["n_orders"], r["cents"]) for r in mv_rows}
     assert got == {k: (n[k], cents[k]) for k in n}
+
+
+# -------------------------------------------- smape / critical path
+
+
+def test_smape_terms_exact(spark, sf_dir):
+    rows = SPECS["ext_forecast_eval_smape"].spark(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        num, den, a = r["f_num"], r["f_den"], r["actual_cents"]
+        assert r["term_x1e6"] == 1000000 * abs(num - a * den) // (
+            num + a * den
+        )
+        assert 0 <= r["term_x1e6"] <= 1000000
+    assert rows[0]["smape_x1e6"] == sum(r["term_x1e6"] for r in rows) // len(
+        rows
+    )
+
+
+def test_critical_path_matches_bruteforce(spark, sf_dir):
+    import hashlib
+
+    def h48(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+    edges = defaultdict(list)
+    for u in range(150):
+        for v in range(150):
+            if v // 25 == u // 25 + 1 and h48(f"{u}:{v}") % 7 == 0:
+                edges[u].append((v, 1 + h48(f"w:{u}:{v}") % 100))
+    dist = {n: 0 for n in range(25)}
+    paths = {n: 1 for n in range(25)}
+    for layer in range(5):
+        for u in [n for n in dist if n // 25 == layer]:
+            for v, w in edges[u]:
+                cand = dist[u] + w
+                if v not in dist or cand > dist[v]:
+                    dist[v] = cand
+                    paths[v] = 0
+        for u in [n for n in dist if n // 25 == layer]:
+            for v, w in edges[u]:
+                if dist[u] + w == dist[v]:
+                    paths[v] += paths[u]
+    want = {}
+    for layer in range(6):
+        nodes = [n for n in dist if n // 25 == layer]
+        mx = max(dist[n] for n in nodes)
+        want[layer] = (
+            len(nodes),
+            mx,
+            sum(paths[n] for n in nodes if dist[n] == mx),
+            sum(dist[n] for n in nodes),
+        )
+    got = {
+        r["layer"]: (
+            r["n_reached"],
+            r["max_dist"],
+            r["n_paths_at_max"],
+            r["dist_checksum"],
+        )
+        for r in SPECS["ext_critical_path"].spark(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert want[5][1] > want[1][1]  # path actually grows through layers
