@@ -2769,3 +2769,136 @@ def ext_random_forest_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tree")
     )
+
+
+@register(
+    "ext_classification_report",
+    survey_id="EXT-CLSREPORT",
+    category="ml",
+    oracle=f"""
+WITH conf AS ({_NB_ORACLE}),
+classes AS (
+  SELECT DISTINCT actual_lang AS c FROM conf
+  UNION SELECT DISTINCT pred_lang FROM conf
+),
+stats AS (
+  SELECT cls.c,
+         CAST(COALESCE(SUM(CASE WHEN conf.actual_lang = cls.c
+                                 AND conf.pred_lang = cls.c
+                                THEN conf.n_docs END), 0) AS BIGINT) AS tp,
+         CAST(COALESCE(SUM(CASE WHEN conf.pred_lang = cls.c
+                                THEN conf.n_docs END), 0) AS BIGINT)
+           AS pred_n,
+         CAST(COALESCE(SUM(CASE WHEN conf.actual_lang = cls.c
+                                THEN conf.n_docs END), 0) AS BIGINT)
+           AS actual_n
+  FROM classes cls CROSS JOIN conf
+  GROUP BY cls.c
+),
+tot AS (
+  SELECT CAST(SUM(tp) AS BIGINT) AS tp_all,
+         CAST(SUM(actual_n) AS BIGINT) AS n_all
+  FROM stats
+)
+SELECT s.c AS class,
+       s.tp, s.pred_n - s.tp AS fp, s.actual_n - s.tp AS fn,
+       CASE WHEN s.pred_n = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(1000000 * s.tp // s.pred_n AS BIGINT) END
+         AS precision_x1e6,
+       CASE WHEN s.actual_n = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(1000000 * s.tp // s.actual_n AS BIGINT) END
+         AS recall_x1e6,
+       CASE WHEN s.pred_n + s.actual_n = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(2000000 * s.tp // (s.pred_n + s.actual_n)
+                      AS BIGINT) END AS f1_x1e6,
+       CAST(1000000 * t.tp_all // t.n_all AS BIGINT) AS accuracy_x1e6
+FROM stats s CROSS JOIN tot t ORDER BY class
+""",
+)
+def ext_classification_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-class precision / recall / F1 + micro accuracy from the
+    Naive Bayes confusion matrix (EXT-NBAYES reused as the upstream
+    stage — the report is the standard sklearn-style
+    classification_report, computed with ZERO floats: every metric is
+    a rational with a known small denominator, floored onto the 1e6
+    grid, and F1 collapses to the exact integer identity
+    2*tp // (pred_n + actual_n) — no harmonic-mean division chain.
+    Scale: the confusion matrix is |classes|^2 rows; the report is
+    arithmetic on that kilobyte table — the expensive part (scoring)
+    is EXT-NBAYES's one inner-join aggregate, unchanged."""
+    conf = ext_naive_bayes(spark, sf_dir)
+    classes = (
+        conf.select(F.col("actual_lang").alias("c"))
+        .unionByName(conf.select(F.col("pred_lang").alias("c")))
+        .distinct()
+    )
+    stats = (
+        classes.crossJoin(conf)
+        .groupBy("c")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("actual_lang") == F.col("c"))
+                        & (F.col("pred_lang") == F.col("c")),
+                        F.col("n_docs"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("tp"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("pred_lang") == F.col("c"), F.col("n_docs")
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("pred_n"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("actual_lang") == F.col("c"),
+                        F.col("n_docs"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("actual_n"),
+        )
+    )
+    tot = stats.agg(
+        F.sum("tp").cast("bigint").alias("tp_all"),
+        F.sum("actual_n").cast("bigint").alias("n_all"),
+    )
+    return (
+        stats.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("c").alias("class"),
+            "tp",
+            (F.col("pred_n") - F.col("tp")).alias("fp"),
+            (F.col("actual_n") - F.col("tp")).alias("fn"),
+            F.when(F.col("pred_n") == 0, F.lit(0))
+            .otherwise(F.expr("1000000 * tp div pred_n"))
+            .cast("bigint")
+            .alias("precision_x1e6"),
+            F.when(F.col("actual_n") == 0, F.lit(0))
+            .otherwise(F.expr("1000000 * tp div actual_n"))
+            .cast("bigint")
+            .alias("recall_x1e6"),
+            F.when(F.col("pred_n") + F.col("actual_n") == 0, F.lit(0))
+            .otherwise(F.expr("2000000 * tp div (pred_n + actual_n)"))
+            .cast("bigint")
+            .alias("f1_x1e6"),
+            F.expr("1000000 * tp_all div n_all")
+            .cast("bigint")
+            .alias("accuracy_x1e6"),
+        )
+        .orderBy("class")
+    )

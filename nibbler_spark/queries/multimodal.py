@@ -9,7 +9,7 @@ path)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nibbler_spark.operators.multimodal import (
@@ -2896,3 +2896,201 @@ def ext_audio_decode_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     encoded = d.mapInPandas(encode, "doc_id long, payload binary")
     return decode_audio_batches(encoded).orderBy("doc_id")
+
+
+@register(
+    "ext_video_scene_detection",
+    survey_id="EXT-MM-SCENE",
+    category="multimodal",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, 12 AS nf FROM documents WHERE doc_id % 43 = 0
+),
+cuts AS (
+  SELECT d.doc_id, f.f,
+         CASE WHEN f.f = 0 THEN 0
+              WHEN (d.doc_id * 7 + f.f) % 5 = 0 THEN 1 ELSE 0 END AS is_cut
+  FROM d CROSS JOIN generate_series(0, 11) AS f(f)
+),
+scenes AS (
+  SELECT doc_id, f, is_cut,
+         CAST(SUM(is_cut) OVER (PARTITION BY doc_id ORDER BY f
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS scene_id
+  FROM cuts
+),
+px AS (
+  SELECT s.doc_id, s.f, s.is_cut, s.scene_id, j.j,
+         30 + (s.doc_id * 31 + s.scene_id * 17 + j.j * 3) % 180
+           + s.f % 2 AS b
+  FROM scenes s CROSS JOIN generate_series(0, 11) AS j(j)
+),
+deltas AS (
+  SELECT a.doc_id, a.f, a.is_cut,
+         CAST(SUM(ABS(a.b - p.b)) AS BIGINT) AS l1
+  FROM px a JOIN px p
+    ON p.doc_id = a.doc_id AND p.f = a.f - 1 AND p.j = a.j
+  GROUP BY a.doc_id, a.f, a.is_cut
+),
+det AS (
+  SELECT doc_id, f, CASE WHEN l1 > 100 THEN 1 ELSE 0 END AS det_cut, l1
+  FROM deltas
+),
+runs AS (
+  SELECT doc_id, scene_len, row_number() OVER
+         (PARTITION BY doc_id ORDER BY scene_len DESC, scene_id) AS rk
+  FROM (
+    SELECT s.doc_id, s.scene_id, CAST(COUNT(*) AS BIGINT) AS scene_len
+    FROM (
+      SELECT doc_id, f,
+             CAST(SUM(CASE WHEN f > 0 AND l1_flag = 1 THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY doc_id ORDER BY f
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS scene_id
+      FROM (
+        SELECT c.doc_id, c.f,
+               COALESCE((SELECT CASE WHEN d2.l1 > 100 THEN 1 ELSE 0 END
+                         FROM det d2
+                         WHERE d2.doc_id = c.doc_id AND d2.f = c.f), 0)
+                 AS l1_flag
+        FROM cuts c
+      )
+    ) s GROUP BY s.doc_id, s.scene_id
+  )
+),
+agg AS (
+  SELECT doc_id,
+         CAST(SUM(det_cut) AS BIGINT) AS n_cuts,
+         CAST(MAX(l1) AS BIGINT) AS max_delta,
+         CAST(SUM(l1) AS BIGINT) AS delta_checksum
+  FROM det GROUP BY doc_id
+)
+SELECT a.doc_id, CAST(12 AS BIGINT) AS n_frames, a.n_cuts,
+       a.n_cuts + 1 AS n_scenes,
+       r.scene_len AS longest_scene,
+       a.max_delta, a.delta_checksum
+FROM agg a JOIN runs r ON r.doc_id = a.doc_id AND r.rk = 1
+ORDER BY a.doc_id
+""",
+)
+def ext_video_scene_detection(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Shot/scene-boundary detection over REAL video containers — the
+    standard frame-differencing detector every video-curation pipeline
+    starts with: each sampled document becomes an actual AVI (12
+    2x2-RGB frames with PLANTED scene structure — cuts at
+    (doc*7+f)%5=0 shift the palette by 17 per channel byte on a
+    wrap-free [30,211] range (a mod-256 formula lets the 1-intensity
+    flicker wrap 255->0 and fake a cut — found by the planted-cuts
+    test), within-scene jitter is a 1-intensity flicker), a partition-local Arrow
+    stage walks the container (avi_frames) and computes each frame's
+    exact L1 pixel delta against its predecessor, and the relational
+    layer thresholds deltas into cuts (L1 > 100 — planted cuts sit
+    ~an order of magnitude above the jitter floor), numbers scenes by
+    a per-doc cumulative cut count, and reports cut counts, scene
+    counts, the longest scene, and delta checksums. The oracle
+    re-derives every pixel from the generating formula, so the
+    detected boundaries are proven equal to the PLANTED ones — the
+    detector's recall/precision is exactly 1 on this fixture by
+    construction, making the whole detection pipeline hash-checkable.
+    Scale: decode + delta are partition-local (frames of a doc stay
+    together); scene numbering is a doc-keyed window."""
+    import pandas as _pd
+
+    from nibbler_spark.operators.multimodal import avi_frames, encode_avi
+
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 43 == 0
+    ).select("doc_id")
+
+    def encode(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                scene = 0
+                frames = []
+                for f in range(12):
+                    if f > 0 and (did * 7 + f) % 5 == 0:
+                        scene += 1
+                    frames.append(
+                        bytes(
+                            30
+                            + (did * 31 + scene * 17 + j * 3) % 180
+                            + f % 2
+                            for j in range(12)
+                        )
+                    )
+                payloads.append(encode_avi(frames, 2, 2, 33333))
+            yield _pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    encoded = d.mapInPandas(encode, "doc_id long, payload binary")
+
+    def deltas(batches):
+        for pdf in batches:
+            doc_ids, fidx, l1s = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _w, _h, frames = avi_frames(bytes(payload))
+                for i in range(1, len(frames)):
+                    doc_ids.append(int(doc_id))
+                    fidx.append(i)
+                    l1s.append(
+                        sum(
+                            abs(a - b)
+                            for a, b in zip(frames[i], frames[i - 1])
+                        )
+                    )
+            yield _pd.DataFrame(
+                {"doc_id": doc_ids, "f": fidx, "l1": l1s}
+            )
+
+    dl = encoded.mapInPandas(deltas, "doc_id long, f int, l1 long")
+    cut = F.when(F.col("l1") > 100, 1).otherwise(0)
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("f")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flags = dl.select("doc_id", "f", "l1", cut.alias("det_cut"))
+    # scene id per frame (frame 0 implicit, scene 0)
+    scen = flags.select(
+        "doc_id",
+        "f",
+        F.sum("det_cut").over(w).cast("bigint").alias("scene_id"),
+    ).unionByName(
+        dl.select("doc_id").distinct().select(
+            "doc_id", F.lit(0).alias("f"), F.lit(0).cast("bigint").alias("scene_id")
+        )
+    )
+    scene_lens = scen.groupBy("doc_id", "scene_id").agg(
+        F.count("*").cast("bigint").alias("scene_len")
+    )
+    w_rk = Window.partitionBy("doc_id").orderBy(
+        F.col("scene_len").desc(), F.col("scene_id")
+    )
+    longest = (
+        scene_lens.withColumn("rk", F.row_number().over(w_rk))
+        .where(F.col("rk") == 1)
+        .select("doc_id", F.col("scene_len").alias("longest_scene"))
+    )
+    agg = flags.groupBy("doc_id").agg(
+        F.sum("det_cut").cast("bigint").alias("n_cuts"),
+        F.max("l1").cast("bigint").alias("max_delta"),
+        F.sum("l1").cast("bigint").alias("delta_checksum"),
+    )
+    return (
+        agg.join(longest, "doc_id")
+        .select(
+            "doc_id",
+            F.lit(12).cast("bigint").alias("n_frames"),
+            "n_cuts",
+            (F.col("n_cuts") + 1).alias("n_scenes"),
+            "longest_scene",
+            "max_delta",
+            "delta_checksum",
+        )
+        .orderBy("doc_id")
+    )

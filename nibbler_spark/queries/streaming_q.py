@@ -3823,3 +3823,129 @@ def ext_stream_ddsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     rows = [(i, int(n)) for i, n in sorted(store.items())]
     return spark.createDataFrame(rows, "i bigint, n bigint").orderBy("i")
+
+
+@register(
+    "i33_stream_replace_where",
+    survey_id="I33",
+    category="streaming",
+    mode="parity",
+    oracle="""
+SELECT epoch_us(ts) // 86400000000 AS day,
+       epoch_us(ts) // 86400000000 % 6 AS grp,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM events GROUP BY 1, 2 ORDER BY day
+""",
+)
+def i33_stream_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming BACKFILL via replaceWhere — the idempotent-recompute
+    topology (Kappa-style partition refresh): a daily-rollup snapshot
+    table is seeded with deliberately WRONG placeholder rows (zeros),
+    then the event stream drains in micro-batches and each epoch
+    RECOMPUTES the day-groups it carries and swaps them in with
+    ``replace_where_snapshot`` — an atomic partial overwrite per
+    group, so (a) re-delivering a group's data is harmless (the
+    replace is idempotent for identical recomputes — re-proven by
+    re-running one group's replace after the drain and hashing the
+    same table) and (b) readers never see a half-replaced group. The
+    final table must equal the batch rollup — which also proves every
+    placeholder was actually replaced (seed != truth everywhere).
+    foreachBatch + maxFilesPerTrigger paces 3 epochs of 2 file-groups
+    each; per-epoch IO is O(changed groups), the carried files move
+    by reference."""
+    import os
+    import shutil
+    import tempfile
+
+    from nibbler_spark.operators.snapshots import (
+        replace_where_snapshot,
+        read_snapshot,
+        write_snapshot,
+    )
+    from nibbler_spark.sources.tables import cached_dir
+
+    day = F.expr("unix_micros(ts) div 86400000000")
+
+    def build(tmp: str) -> None:
+        e = load_table(spark, sf_dir, "events").withColumn("grp", day % 6)
+        for g in range(6):
+            e.where(F.col("grp") == g).drop("grp").coalesce(1).write.mode(
+                "append"
+            ).parquet(tmp)
+
+    d = cached_dir(sf_dir, "events", "stream-bygrp6", build)
+    table = tempfile.mkdtemp(prefix="nibbler-srw-")
+    shutil.rmtree(table)
+    # seed: one placeholder row per (day, grp) with zeroed measures —
+    # wrong on purpose; the stream must replace every group
+    seed = (
+        load_table(spark, sf_dir, "events")
+        .select(day.alias("day"))
+        .distinct()
+        .select(
+            "day",
+            (F.col("day") % 6).alias("grp"),
+            F.lit(0).cast("bigint").alias("n_events"),
+            F.lit(0).cast("bigint").alias("cents"),
+        )
+    )
+    write_snapshot(seed.coalesce(1), table)
+
+    def backfill(batch_df, epoch_id):
+        rollup = (
+            batch_df.select(
+                F.expr("unix_micros(ts) div 86400000000").alias("day"),
+                F.floor(F.col("value") * 100).cast("bigint").alias("c"),
+            )
+            .groupBy("day", (F.col("day") % 6).alias("grp"))
+            .agg(
+                F.count("*").cast("bigint").alias("n_events"),
+                F.sum("c").cast("bigint").alias("cents"),
+            )
+        )
+        rollup = rollup.localCheckpoint()
+        for g in [
+            r["grp"] for r in rollup.select("grp").distinct().collect()
+        ]:
+            replace_where_snapshot(
+                spark,
+                table,
+                "grp",
+                "=",
+                int(g),
+                rollup.where(F.col("grp") == g),
+            )
+
+    q = (
+        spark.readStream.schema(_EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(d)
+        .writeStream.foreachBatch(backfill)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="nibbler-srw-ck-")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # idempotence re-proof: replaying one group's recompute changes nothing
+    e_all = load_table(spark, sf_dir, "events")
+    g0 = (
+        e_all.select(
+            day.alias("day"),
+            F.floor(F.col("value") * 100).cast("bigint").alias("c"),
+        )
+        .groupBy("day", (F.col("day") % 6).alias("grp"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum("c").cast("bigint").alias("cents"),
+        )
+        .where(F.col("grp") == 0)
+    )
+    replace_where_snapshot(spark, table, "grp", "=", 0, g0)
+    return (
+        read_snapshot(spark, table)
+        .select("day", "grp", "n_events", "cents")
+        .orderBy("day")
+    )

@@ -826,3 +826,39 @@ def test_critical_path_matches_bruteforce(spark, sf_dir):
     }
     assert got == want
     assert want[5][1] > want[1][1]  # path actually grows through layers
+
+
+# ------------------------------- classification report / scenes / i33
+
+
+def test_classification_report_internally_consistent(spark, sf_dir):
+    rows = SPECS["ext_classification_report"].spark(spark, sf_dir).collect()
+    assert rows
+    total = sum(r["tp"] + r["fn"] for r in rows)
+    assert sum(r["tp"] for r in rows) * 1000000 // total == rows[0][
+        "accuracy_x1e6"
+    ]
+    for r in rows:
+        if r["tp"] + r["fp"]:
+            assert (
+                r["precision_x1e6"]
+                == 1000000 * r["tp"] // (r["tp"] + r["fp"])
+            )
+        assert (
+            r["f1_x1e6"]
+            == 2000000 * r["tp"] // (2 * r["tp"] + r["fp"] + r["fn"])
+            if (r["tp"] + r["fp"] + r["fn"])
+            else True
+        )
+
+
+def test_scene_detection_recovers_planted_cuts(spark, sf_dir):
+    rows = SPECS["ext_video_scene_detection"].spark(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        did = r["doc_id"]
+        planted = sum(1 for f in range(1, 12) if (did * 7 + f) % 5 == 0)
+        assert r["n_cuts"] == planted  # precision & recall 1 by design
+        assert r["n_scenes"] == planted + 1
+        assert r["n_frames"] == 12
+    assert any(r["n_cuts"] > 0 for r in rows)
