@@ -2902,3 +2902,193 @@ def ext_classification_report(
         )
         .orderBy("class")
     )
+
+
+def _nb_fold_sql(fold: int) -> str:
+    """One CV fold of the EXT-NBAYES pipeline as SQL: train on
+    doc_id % 3 != fold, score the held-out fold."""
+    g = _SQL_GRIDLN.format
+    return f"""
+  WITH toks_tr AS (
+    SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS w
+    FROM documents WHERE doc_id % 3 <> {fold}
+  ),
+  tokc AS (SELECT lang AS l, w, COUNT(*) AS c FROM toks_tr GROUP BY 1, 2),
+  nl AS (SELECT l, CAST(SUM(c) AS BIGINT) AS n_l FROM tokc GROUP BY l),
+  vocab AS (SELECT COUNT(DISTINCT w) AS v FROM toks_tr),
+  dl AS (SELECT lang AS l, COUNT(*) AS d_l FROM documents
+         WHERE doc_id % 3 <> {fold} GROUP BY lang),
+  dtot AS (SELECT COUNT(*) AS d FROM documents WHERE doc_id % 3 <> {fold}),
+  m AS (
+    SELECT doc_id, lang AS actual, t.w, COUNT(*) AS mw
+    FROM documents,
+         LATERAL (SELECT UNNEST(string_split(text, ' ')) AS w) t
+    WHERE doc_id % 3 = {fold}
+    GROUP BY doc_id, lang, t.w
+  ),
+  docsum AS (
+    SELECT doc_id, actual, CAST(SUM(mw) AS BIGINT) AS t_doc
+    FROM m GROUP BY doc_id, actual
+  ),
+  terms AS (
+    SELECT m.doc_id, tokc.l,
+           CAST(SUM(m.mw * {g(x='tokc.c + 1')}) AS BIGINT) AS term_sum
+    FROM m JOIN tokc ON m.w = tokc.w
+    GROUP BY m.doc_id, tokc.l
+  ),
+  scored AS (
+    SELECT ds.doc_id, ds.actual, nl.l,
+           ({g(x='dl.d_l')} - {g(x='dtot.d')}
+            + COALESCE(t.term_sum, 0)
+            - ds.t_doc * {g(x='nl.n_l + vocab.v')}) AS score_e9
+    FROM docsum ds
+    CROSS JOIN nl CROSS JOIN vocab CROSS JOIN dtot
+    JOIN dl ON dl.l = nl.l
+    LEFT JOIN terms t ON t.doc_id = ds.doc_id AND t.l = nl.l
+  ),
+  pred AS (
+    SELECT doc_id, actual, l AS p,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY score_e9 DESC, l ASC) AS rk
+    FROM scored
+  )
+  SELECT {fold} AS fold,
+         CAST(COUNT(*) AS BIGINT) AS n_test,
+         CAST(SUM(CASE WHEN p = actual THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_correct
+  FROM pred WHERE rk = 1"""
+
+
+@register(
+    "ext_cross_validation",
+    survey_id="EXT-CROSSVAL",
+    category="ml",
+    oracle=f"""
+WITH folds AS (
+  ({_nb_fold_sql(0)})
+  UNION ALL ({_nb_fold_sql(1)})
+  UNION ALL ({_nb_fold_sql(2)})
+),
+cv AS (
+  SELECT CAST(SUM(n_correct) AS BIGINT) AS c_all,
+         CAST(SUM(n_test) AS BIGINT) AS n_all
+  FROM folds
+)
+SELECT f.fold, f.n_test, f.n_correct,
+       CAST(1000000 * f.n_correct // f.n_test AS BIGINT)
+         AS fold_accuracy_x1e6,
+       CAST(1000000 * cv.c_all // cv.n_all AS BIGINT) AS cv_accuracy_x1e6
+FROM folds f CROSS JOIN cv ORDER BY f.fold
+""",
+)
+def ext_cross_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-fold cross-validation of the Naive Bayes classifier — the
+    model-selection harness done RIGHT in-engine: each fold trains on
+    2/3 of documents (deterministic doc_id % 3 splits — reproducible
+    membership, no RNG) and scores the HELD-OUT third (contrast
+    EXT-NBAYES's training-set confusion: this is the honest
+    generalization estimate), with the same gridded-ln BIGINT scoring
+    so per-fold correct counts and the pooled CV accuracy are
+    hash-exact. Per-fold smoothing vocabularies and priors are
+    recomputed from that fold's training split only — no leakage
+    (unseen test tokens drop out of the inner join, contributing
+    ln(1)=0 exactly as in training-time scoring of rare words).
+    Scale: 3x the NBAYES plan — each fold is one explode + two keyed
+    aggregates + the tiny score join; folds are independent and
+    pipeline freely."""
+    outs = []
+    for fold in range(3):
+        d = load_table(spark, sf_dir, "documents")
+        train = d.where(F.col("doc_id") % 3 != fold)
+        test = d.where(F.col("doc_id") % 3 == fold)
+        toks_tr = train.select(
+            "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
+        )
+        tokc = toks_tr.groupBy(
+            F.col("lang").alias("l"), "w"
+        ).agg(F.count("*").alias("c"))
+        nl = tokc.groupBy("l").agg(F.sum("c").cast("bigint").alias("n_l"))
+        vocab = toks_tr.agg(F.countDistinct("w").alias("v"))
+        dl = train.groupBy(F.col("lang").alias("l")).agg(
+            F.count("*").alias("d_l")
+        )
+        dtot = train.agg(F.count("*").alias("d"))
+        m = (
+            test.select(
+                "doc_id",
+                F.col("lang").alias("actual"),
+                F.explode(F.split("text", " ")).alias("w"),
+            )
+            .groupBy("doc_id", "actual", "w")
+            .agg(F.count("*").alias("mw"))
+        )
+        docsum = m.groupBy("doc_id", "actual").agg(
+            F.sum("mw").cast("bigint").alias("t_doc")
+        )
+        terms = (
+            m.join(tokc, "w")
+            .groupBy("doc_id", "l")
+            .agg(
+                F.sum(F.col("mw") * _gridln(F.col("c") + 1))
+                .cast("bigint")
+                .alias("term_sum")
+            )
+        )
+        scored = (
+            docsum.crossJoin(F.broadcast(nl))
+            .crossJoin(F.broadcast(vocab))
+            .crossJoin(F.broadcast(dtot))
+            .join(F.broadcast(dl), "l")
+            .join(terms, ["doc_id", "l"], "left")
+            .select(
+                "doc_id",
+                "actual",
+                "l",
+                (
+                    _gridln(F.col("d_l"))
+                    - _gridln(F.col("d"))
+                    + F.coalesce(F.col("term_sum"), F.lit(0))
+                    - F.col("t_doc")
+                    * _gridln(F.col("n_l") + F.col("v"))
+                ).alias("score_e9"),
+            )
+        )
+        w_rk = Window.partitionBy("doc_id").orderBy(
+            F.col("score_e9").desc(), F.col("l").asc()
+        )
+        pred = (
+            scored.withColumn("rk", F.row_number().over(w_rk))
+            .where(F.col("rk") == 1)
+        )
+        outs.append(
+            pred.agg(
+                F.count("*").cast("bigint").alias("n_test"),
+                F.sum(
+                    F.when(F.col("l") == F.col("actual"), 1).otherwise(0)
+                )
+                .cast("bigint")
+                .alias("n_correct"),
+            ).select(
+                F.lit(fold).alias("fold"), "n_test", "n_correct"
+            )
+        )
+    folds = outs[0].unionByName(outs[1]).unionByName(outs[2])
+    cv = folds.agg(
+        F.sum("n_correct").cast("bigint").alias("c_all"),
+        F.sum("n_test").cast("bigint").alias("n_all"),
+    )
+    return (
+        folds.crossJoin(F.broadcast(cv))
+        .select(
+            "fold",
+            "n_test",
+            "n_correct",
+            F.expr("1000000 * n_correct div n_test")
+            .cast("bigint")
+            .alias("fold_accuracy_x1e6"),
+            F.expr("1000000 * c_all div n_all")
+            .cast("bigint")
+            .alias("cv_accuracy_x1e6"),
+        )
+        .orderBy("fold")
+    )

@@ -3544,3 +3544,136 @@ def ext_snapshot_replace_where(
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "ext_bloom_fp_calibration",
+    survey_id="EXT-BLOOM-FP",
+    category="sql-surface",
+    mode="bounded",
+    oracle="""
+WITH keys AS (
+  SELECT c_custkey AS v, c_custkey % 4 AS fid FROM customer
+),
+ins_pos AS (
+  SELECT DISTINCT fid,
+         CAST(('0x' || substr(md5(j.j || ':' || CAST(v AS VARCHAR)), 1, 12))
+              AS BIGINT) % 4096 AS p
+  FROM keys CROSS JOIN generate_series(0, 3) AS j(j)
+),
+ones AS (
+  SELECT fid, CAST(COUNT(*) AS BIGINT) AS n_ones
+  FROM ins_pos GROUP BY fid
+),
+nk AS (SELECT fid, CAST(COUNT(*) AS BIGINT) AS n_keys FROM keys GROUP BY fid),
+probes AS (
+  SELECT 10000000 + i.i AS v FROM generate_series(0, 999) AS i(i)
+),
+probe_pos AS (
+  SELECT p.v,
+         j.j,
+         CAST(('0x' || substr(md5(j.j || ':' || CAST(p.v AS VARCHAR)), 1, 12))
+              AS BIGINT) % 4096 AS p
+  FROM probes p CROSS JOIN generate_series(0, 3) AS j(j)
+),
+hits AS (
+  SELECT f.fid, pp.v,
+         CAST(COUNT(*) AS BIGINT) AS n_set
+  FROM (SELECT DISTINCT fid FROM keys) f
+  CROSS JOIN probe_pos pp
+  JOIN ins_pos ip ON ip.fid = f.fid AND ip.p = pp.p
+  GROUP BY f.fid, pp.v
+),
+measured AS (
+  SELECT fid, CAST(COUNT(*) AS BIGINT) AS measured_fp
+  FROM hits WHERE n_set = 4 GROUP BY fid
+)
+SELECT o.fid, nk.n_keys, o.n_ones,
+       COALESCE(m.measured_fp, 0) AS measured_fp,
+       CAST(1000 * o.n_ones * o.n_ones * o.n_ones * o.n_ones
+            // 281474976710656 AS BIGINT) AS expected_fp,
+       COALESCE(m.measured_fp, 0)
+         <= 3 * (1000 * o.n_ones * o.n_ones * o.n_ones * o.n_ones
+                 // 281474976710656) + 10
+       AND (1000 * o.n_ones * o.n_ones * o.n_ones * o.n_ones
+            // 281474976710656)
+         <= 3 * COALESCE(m.measured_fp, 0) + 10 AS calibrated
+FROM ones o
+JOIN nk USING (fid)
+LEFT JOIN measured m USING (fid)
+ORDER BY o.fid
+""",
+)
+def ext_bloom_fp_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bloom-filter false-positive CALIBRATION — the check that makes
+    manifest blooms trustworthy as a skipping primitive: customer is
+    committed as 4 key-partitioned files with per-file md5 blooms
+    (m=4096, k=4 — deliberately small so FPs actually occur), 1000
+    provably-absent keys probe every file through the real prune-time
+    replay (_bloom_may_contain), and the measured FP count per file
+    is compared against the exact-occupancy expectation
+    1000*(ones/m)^k (computed from each bitset's true popcount, not
+    the asymptotic formula). Because the bloom hash is portable md5,
+    the ORACLE RECONSTRUCTS THE BITSETS THEMSELVES — inserted
+    positions, popcounts, probe hits — so even the measured FP
+    counts are hash-checked; the calibrated flag (each side within
+    3x + 10 of the other) is then a deterministic assertion, not a
+    statistical hope. Scale: bloom build is the distributed bit_or
+    aggregate of write_snapshot; probing is driver-side against the
+    kilobyte manifests — exactly what pruning does."""
+    import shutil
+    import tempfile
+
+    from nibbler_spark.operators.snapshots import (
+        _bloom_may_contain,
+        latest_snapshot,
+        snapshot_entries,
+        snapshot_files,
+        write_snapshot,
+    )
+
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    table = tempfile.mkdtemp(prefix="nibbler-bloomfp-")
+    shutil.rmtree(table)
+    carry: list[str] = []
+    fid_of: dict[str, int] = {}
+    for fid in range(4):
+        sid = write_snapshot(
+            c.where(F.col("c_custkey") % 4 == fid).coalesce(1),
+            table,
+            carry_over=carry,
+            bloom_cols=["c_custkey"],
+            bloom_m=4096,
+            bloom_k=4,
+        )
+        files = snapshot_files(table, sid)
+        for p in files:
+            if p not in carry:
+                fid_of[p] = fid
+        carry = files
+    entries = snapshot_entries(table, latest_snapshot(table))
+    rows = []
+    for e in entries:
+        fid = fid_of[e["path"]]
+        bl = e["blooms"]["c_custkey"]
+        bits = bytes.fromhex(bl["bits"])
+        n_ones = sum(bin(b).count("1") for b in bits)
+        measured = sum(
+            1
+            for i in range(1000)
+            if _bloom_may_contain(bl, 10000000 + i)
+        )
+        expected = 1000 * n_ones**4 // 4096**4
+        n_keys = c.where(F.col("c_custkey") % 4 == fid).count()
+        calibrated = (
+            measured <= 3 * expected + 10
+            and expected <= 3 * measured + 10
+        )
+        rows.append((fid, n_keys, n_ones, measured, expected, calibrated))
+    return spark.createDataFrame(
+        sorted(rows),
+        "fid bigint, n_keys bigint, n_ones bigint, measured_fp bigint, "
+        "expected_fp bigint, calibrated boolean",
+    )

@@ -862,3 +862,29 @@ def test_scene_detection_recovers_planted_cuts(spark, sf_dir):
         assert r["n_scenes"] == planted + 1
         assert r["n_frames"] == 12
     assert any(r["n_cuts"] > 0 for r in rows)
+
+
+# ----------------------------------------- bloom FP / cross-validation
+
+
+def test_bloom_fp_calibration_flags(spark, sf_dir):
+    rows = SPECS["ext_bloom_fp_calibration"].spark(spark, sf_dir).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert r["calibrated"]
+        assert 0 < r["n_ones"] < 4096
+        assert r["expected_fp"] == 1000 * r["n_ones"] ** 4 // 4096**4
+    # FPs actually occur somewhere (the small bloom is doing its job)
+    assert sum(r["measured_fp"] for r in rows) > 0
+
+
+def test_cross_validation_no_leakage_and_pooling(spark, sf_dir):
+    rows = SPECS["ext_cross_validation"].spark(spark, sf_dir).collect()
+    assert [r["fold"] for r in rows] == [0, 1, 2]
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["n_test"] for r in rows) == n_docs  # folds partition
+    c_all = sum(r["n_correct"] for r in rows)
+    n_all = sum(r["n_test"] for r in rows)
+    for r in rows:
+        assert r["cv_accuracy_x1e6"] == 1000000 * c_all // n_all
+        assert 0 <= r["n_correct"] <= r["n_test"]
