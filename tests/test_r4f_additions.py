@@ -874,8 +874,11 @@ def test_bloom_fp_calibration_flags(spark, sf_dir):
         assert r["calibrated"]
         assert 0 < r["n_ones"] < 4096
         assert r["expected_fp"] == 1000 * r["n_ones"] ** 4 // 4096**4
-    # FPs actually occur somewhere (the small bloom is doing its job)
-    assert sum(r["measured_fp"] for r in rows) > 0
+    # when occupancy predicts FPs, they actually occur (at the tiny
+    # sf0.001 occupancy the exact expectation is 0 and measured must
+    # agree — the calibrated flag already pins that)
+    if sum(r["expected_fp"] for r in rows) >= 4:
+        assert sum(r["measured_fp"] for r in rows) > 0
 
 
 def test_cross_validation_no_leakage_and_pooling(spark, sf_dir):
