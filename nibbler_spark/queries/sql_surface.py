@@ -3677,3 +3677,148 @@ def ext_bloom_fp_calibration(
         "fid bigint, n_keys bigint, n_ones bigint, measured_fp bigint, "
         "expected_fp bigint, calibrated boolean",
     )
+
+
+@register(
+    "ext_table_profile_onepass",
+    survey_id="EXT-PROFILE-1PASS",
+    category="sql-surface",
+    oracle="""
+SELECT * FROM (
+  SELECT 'o_custkey' AS column_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT) AS n_nulls,
+         CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+         CAST(MIN(o_custkey) AS VARCHAR) AS min_val,
+         CAST(MAX(o_custkey) AS VARCHAR) AS max_val,
+         CAST(SUM(o_custkey) AS BIGINT) AS checksum
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderdate', COUNT(*), COUNT(*) - COUNT(o_orderdate),
+         COUNT(DISTINCT o_orderdate),
+         CAST(CAST(MIN(o_orderdate) AS DATE) AS VARCHAR),
+         CAST(CAST(MAX(o_orderdate) AS DATE) AS VARCHAR),
+         CAST(SUM(epoch_us(o_orderdate) // 86400000000) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderkey', COUNT(*), COUNT(*) - COUNT(o_orderkey),
+         COUNT(DISTINCT o_orderkey),
+         CAST(MIN(o_orderkey) AS VARCHAR), CAST(MAX(o_orderkey) AS VARCHAR),
+         CAST(SUM(o_orderkey) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority),
+         COUNT(DISTINCT o_orderpriority),
+         MIN(o_orderpriority), MAX(o_orderpriority),
+         CAST(SUM(length(o_orderpriority)) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+         COUNT(DISTINCT o_orderstatus),
+         MIN(o_orderstatus), MAX(o_orderstatus),
+         CAST(SUM(length(o_orderstatus)) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
+         COUNT(DISTINCT o_totalprice),
+         CAST(CAST(FLOOR(MIN(o_totalprice) * 100) AS BIGINT) AS VARCHAR),
+         CAST(CAST(FLOOR(MAX(o_totalprice) * 100) AS BIGINT) AS VARCHAR),
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+  FROM orders
+) ORDER BY column_name
+""",
+)
+def ext_table_profile_onepass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level table profiler, SINGLE-SCAN edition (EXT-PROFILE
+    unions one aggregate per column — fine for 3 columns, linear scans
+    at 30): per column, row/null/distinct
+    counts, min/max (rendered canonically per type: integer cents for
+    doubles, ISO dates for timestamps — string rendering of raw
+    doubles is NOT engine-portable, the cents grid is), and a
+    type-appropriate exact checksum (value sum / length sum / epoch-
+    day sum). Computed in ONE pass over the table: all 6 x 5 metrics
+    ride a single aggregate (count/countDistinct/min/max/sum per
+    column in the same Aggregate node — Catalyst plans one scan), then
+    unpivot to the per-column report via stack(). At 100 TB this is
+    the profile job you schedule nightly; the single-scan shape is the
+    whole game. Scale note: exact countDistinct on 6 columns in one
+    agg expands per-column distinct state; swap approx_count_distinct
+    at petabyte NDV (the profiler's standard trade, kept exact here
+    for the oracle)."""
+    o = load_table(spark, sf_dir, "orders")
+    day = F.expr(
+        "unix_micros(cast(o_orderdate as timestamp)) div 86400000000"
+    )  # NTZ -> µs under the pinned UTC session
+    ag = o.agg(
+        F.count("*").alias("nr"),
+        # o_custkey
+        F.count("o_custkey").alias("c_ck"),
+        F.countDistinct("o_custkey").alias("d_ck"),
+        F.min("o_custkey").cast("string").alias("mn_ck"),
+        F.max("o_custkey").cast("string").alias("mx_ck"),
+        F.sum("o_custkey").cast("bigint").alias("s_ck"),
+        # o_orderdate
+        F.count("o_orderdate").alias("c_od"),
+        F.countDistinct("o_orderdate").alias("d_od"),
+        F.min(F.col("o_orderdate").cast("date"))
+        .cast("string")
+        .alias("mn_od"),
+        F.max(F.col("o_orderdate").cast("date"))
+        .cast("string")
+        .alias("mx_od"),
+        F.sum(day).cast("bigint").alias("s_od"),
+        # o_orderkey
+        F.count("o_orderkey").alias("c_ok"),
+        F.countDistinct("o_orderkey").alias("d_ok"),
+        F.min("o_orderkey").cast("string").alias("mn_ok"),
+        F.max("o_orderkey").cast("string").alias("mx_ok"),
+        F.sum("o_orderkey").cast("bigint").alias("s_ok"),
+        # o_orderpriority
+        F.count("o_orderpriority").alias("c_op"),
+        F.countDistinct("o_orderpriority").alias("d_op"),
+        F.min("o_orderpriority").alias("mn_op"),
+        F.max("o_orderpriority").alias("mx_op"),
+        F.sum(F.length("o_orderpriority")).cast("bigint").alias("s_op"),
+        # o_orderstatus
+        F.count("o_orderstatus").alias("c_os"),
+        F.countDistinct("o_orderstatus").alias("d_os"),
+        F.min("o_orderstatus").alias("mn_os"),
+        F.max("o_orderstatus").alias("mx_os"),
+        F.sum(F.length("o_orderstatus")).cast("bigint").alias("s_os"),
+        # o_totalprice
+        F.count("o_totalprice").alias("c_tp"),
+        F.countDistinct("o_totalprice").alias("d_tp"),
+        F.floor(F.min("o_totalprice") * 100)
+        .cast("bigint")
+        .cast("string")
+        .alias("mn_tp"),
+        F.floor(F.max("o_totalprice") * 100)
+        .cast("bigint")
+        .cast("string")
+        .alias("mx_tp"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("s_tp"),
+    )
+    stack = F.expr(
+        "stack(6, "
+        "'o_custkey', nr - c_ck, d_ck, mn_ck, mx_ck, s_ck, "
+        "'o_orderdate', nr - c_od, d_od, mn_od, mx_od, s_od, "
+        "'o_orderkey', nr - c_ok, d_ok, mn_ok, mx_ok, s_ok, "
+        "'o_orderpriority', nr - c_op, d_op, mn_op, mx_op, s_op, "
+        "'o_orderstatus', nr - c_os, d_os, mn_os, mx_os, s_os, "
+        "'o_totalprice', nr - c_tp, d_tp, mn_tp, mx_tp, s_tp) "
+        "as (column_name, n_nulls, n_distinct, min_val, max_val, checksum)"
+    )
+    return (
+        ag.select(F.col("nr"), stack)
+        .select(
+            "column_name",
+            F.col("nr").cast("bigint").alias("n_rows"),
+            F.col("n_nulls").cast("bigint").alias("n_nulls"),
+            F.col("n_distinct").cast("bigint").alias("n_distinct"),
+            "min_val",
+            "max_val",
+            F.col("checksum").cast("bigint").alias("checksum"),
+        )
+        .orderBy("column_name")
+    )

@@ -3949,3 +3949,94 @@ def i33_stream_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("day", "grp", "n_events", "cents")
         .orderBy("day")
     )
+
+
+@register(
+    "i34_stream_dynamic_gap_session",
+    survey_id="I34",
+    category="streaming",
+    mode="parity",
+    oracle="""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS t,
+         CASE WHEN event_type = 'purchase'
+              THEN 1800000000 ELSE 600000000 END AS gap_us
+  FROM events
+),
+m AS (
+  SELECT *, MAX(t + gap_us) OVER (
+    PARTITION BY user_id ORDER BY t
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+  ) AS prev_end
+  FROM e
+),
+flg AS (
+  SELECT *, CASE WHEN prev_end IS NULL OR t >= prev_end
+                 THEN 1 ELSE 0 END AS brk
+  FROM m
+),
+sid AS (
+  SELECT *, SUM(brk) OVER (
+    PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING
+  ) AS s
+  FROM flg
+)
+SELECT user_id, make_timestamp(MIN(t)) AS s_start,
+       make_timestamp(MAX(t + gap_us)) AS s_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM sid GROUP BY user_id, s
+ORDER BY user_id, s_start
+""",
+)
+def i34_stream_dynamic_gap_session(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING session windows with a per-event DYNAMIC gap —
+    `session_window(ts, expr)` where purchases hold the session open
+    30 minutes and everything else 10 (the batch semantics of
+    EXT-SESS-DYNGAP, now maintained incrementally in streaming state):
+    Spark merges each event's [ts, ts+gap) interval into the keyed
+    session state as epochs arrive, append mode emits a session once
+    the watermark passes its end, and the far-future sentinel trick
+    (I3) flushes the tails. The drained result must equal the batch
+    gaps-and-islands oracle over running interval-end maxima — the
+    same integer-microsecond boundary logic, proving the incremental
+    merge implements the declared dynamic-gap semantics exactly.
+    Scale: session state is per-user and watermark-bounded; the gap
+    expression evaluates row-locally at ingest."""
+    d = _events_dir(spark, sf_dir)
+    sentinel_dir = d + "-dynsessions"
+    marker = os.path.join(sentinel_dir, "_READY")
+    if not os.path.exists(marker):
+        e = load_table(spark, sf_dir, "events")
+        e.coalesce(1).write.mode("append").parquet(sentinel_dir)
+        gmax = e.agg(F.max("ts")).head()[0]
+        sentinels = e.select("user_id").distinct().select(
+            F.lit(-1).cast("long").alias("event_id"),
+            (F.lit(gmax) + F.expr("INTERVAL 2 DAYS")).alias("ts"),
+            "user_id",
+            F.lit("sentinel").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+        sentinels.coalesce(1).write.mode("append").parquet(sentinel_dir)
+        open(marker, "w").close()
+    src = _read_stream(spark, sentinel_dir).withWatermark("ts", "0 seconds")
+    gap = F.when(
+        F.col("event_type") == "purchase", "30 minutes"
+    ).otherwise("10 minutes")
+    agg = src.groupBy(
+        F.session_window("ts", gap).alias("w"), "user_id"
+    ).agg(F.count("*").cast("bigint").alias("n_events"))
+    out = _drain_to_memory(agg, "append")
+    cutoff = load_table(spark, sf_dir, "events").agg(F.max("ts")).head()[0]
+    return (
+        out.select(
+            "user_id",
+            F.col("w.start").alias("s_start"),
+            F.col("w.end").alias("s_end"),
+            "n_events",
+        )
+        .where(F.col("s_start") <= F.lit(cutoff))
+        .orderBy("user_id", "s_start")
+    )

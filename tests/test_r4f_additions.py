@@ -891,3 +891,45 @@ def test_cross_validation_no_leakage_and_pooling(spark, sf_dir):
     for r in rows:
         assert r["cv_accuracy_x1e6"] == 1000000 * c_all // n_all
         assert 0 <= r["n_correct"] <= r["n_test"]
+
+
+# --------------------------------- dyn session / one-pass profile
+
+
+def test_dynamic_session_stream_nonvacuous(spark, sf_dir):
+    rows = (
+        SPECS["i34_stream_dynamic_gap_session"].spark(spark, sf_dir).collect()
+    )
+    assert rows
+    # dynamic gap visible: purchase-extended sessions exist (end - last
+    # event >= 30 min for some session) — weak proxy: session spans vary
+    spans = {(r["s_end"] - r["s_start"]).total_seconds() for r in rows}
+    assert len(spans) > 1
+
+
+def test_one_pass_profile_single_scan(spark, sf_dir):
+    rows = SPECS["ext_table_profile_onepass"].spark(spark, sf_dir).collect()
+    assert [r["column_name"] for r in rows] == sorted(
+        [
+            "o_custkey",
+            "o_orderdate",
+            "o_orderkey",
+            "o_orderpriority",
+            "o_orderstatus",
+            "o_totalprice",
+        ]
+    )
+    n = rows[0]["n_rows"]
+    assert all(r["n_rows"] == n for r in rows)
+    ok = {r["column_name"]: r for r in rows}
+    assert ok["o_orderkey"]["n_distinct"] == n  # primary key
+    assert ok["o_orderstatus"]["n_distinct"] <= 3
+    # single-scan plan: exactly one relation appears
+    plan = (
+        SPECS["ext_table_profile_onepass"]
+        .spark(spark, sf_dir)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert plan.count("Relation") == 1
