@@ -2567,3 +2567,137 @@ def ext_critical_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("layer")
     )
+
+
+@register(
+    "ext_polygon_measures",
+    survey_id="EXT-SHOELACE",
+    category="scale-pattern",
+    oracle=f"""
+WITH edges AS (SELECT * FROM {_pip_edges_sql()}),
+sh AS (
+  SELECT pid,
+         CAST(SUM(CAST(x1 AS BIGINT) * y2 - CAST(x2 AS BIGINT) * y1)
+              AS BIGINT) AS shoelace_2a,
+         CAST(COUNT(*) AS BIGINT) AS n_edges,
+         CAST(SUM(CAST(x2 - x1 AS BIGINT) * (x2 - x1)
+                  + CAST(y2 - y1 AS BIGINT) * (y2 - y1))
+              AS BIGINT) AS perim_sq_sum
+  FROM edges GROUP BY pid
+),
+pts AS (
+  SELECT event_id,
+         CAST(('0x' || substr(md5('x:' || event_id), 1, 12)) AS BIGINT)
+           % 100000 AS xi,
+         CAST(('0x' || substr(md5('y:' || event_id), 1, 12)) AS BIGINT)
+           % 100000 AS yi
+  FROM events
+),
+crossings AS (
+  SELECT p.event_id, e.pid,
+         CASE WHEN (e.y1 > p.yi) <> (e.y2 > p.yi)
+               AND (CASE WHEN e.y2 - e.y1 > 0
+                         THEN (p.xi - e.x1) * (e.y2 - e.y1)
+                              < (p.yi - e.y1) * (e.x2 - e.x1)
+                         ELSE (p.xi - e.x1) * (e.y2 - e.y1)
+                              > (p.yi - e.y1) * (e.x2 - e.x1) END)
+              THEN 1 ELSE 0 END AS c
+  FROM pts p CROSS JOIN edges e
+),
+inside AS (
+  SELECT pid, CAST(COUNT(*) AS BIGINT) AS n_inside FROM (
+    SELECT event_id, pid, SUM(c) % 2 AS par
+    FROM crossings GROUP BY event_id, pid
+  ) WHERE par = 1 GROUP BY pid
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pts FROM pts)
+SELECT s.pid AS polygon_id, s.n_edges,
+       ABS(s.shoelace_2a) AS area_x2,
+       s.perim_sq_sum,
+       COALESCE(i.n_inside, 0) AS n_inside,
+       CAST(COALESCE(i.n_inside, 0) * 20000000000
+            // ABS(s.shoelace_2a) AS BIGINT) AS density_x1e10_per_unit,
+       t.n_pts
+FROM sh s LEFT JOIN inside i ON i.pid = s.pid CROSS JOIN tot t
+ORDER BY s.pid
+""",
+)
+def ext_polygon_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon geometry measures, all-integer: the SHOELACE formula
+    gives 2x the signed area as an exact BIGINT cross-product sum
+    (|sum of x1*y2 - x2*y1| — zero floats, any vertex order), edge
+    squared-length sums stand in for perimeter without a sqrt, and
+    joining the EXT-PIP point-in-polygon counts yields exact point
+    DENSITY per polygon (points * 2e10 // area_x2 = points per unit
+    area on a 1e10 grid — the spatial-statistics quantity behind
+    choropleths and hotspot maps). Shares EXT-PIP's broadcast edge
+    table and md5 point scatter; the polygon measures reduce on the
+    13-edge table, the density join broadcasts 3 rows. A correctness
+    cross-check falls out for free: the L-shape's area_x2 must equal
+    2x its rectangle decomposition (tested)."""
+    e = load_table(spark, sf_dir, "events")
+    edges = spark.createDataFrame(
+        _pip_edges(),
+        "pid int, k int, x1 bigint, y1 bigint, x2 bigint, y2 bigint",
+    )
+    sh = edges.groupBy("pid").agg(
+        F.sum(
+            F.col("x1") * F.col("y2") - F.col("x2") * F.col("y1")
+        )
+        .cast("bigint")
+        .alias("shoelace_2a"),
+        F.count("*").cast("bigint").alias("n_edges"),
+        F.sum(
+            (F.col("x2") - F.col("x1")) * (F.col("x2") - F.col("x1"))
+            + (F.col("y2") - F.col("y1")) * (F.col("y2") - F.col("y1"))
+        )
+        .cast("bigint")
+        .alias("perim_sq_sum"),
+    )
+
+    def coord(prefix: str):
+        h = F.md5(
+            F.concat(F.lit(prefix + ":"), F.col("event_id").cast("string"))
+        )
+        return (F.conv(F.substring(h, 1, 12), 16, 10).cast("bigint")) % 100000
+
+    pts = e.select(
+        "event_id", coord("x").alias("xi"), coord("y").alias("yi")
+    )
+    straddle = (F.col("y1") > F.col("yi")) != (F.col("y2") > F.col("yi"))
+    lhs = (F.col("xi") - F.col("x1")) * (F.col("y2") - F.col("y1"))
+    rhs = (F.col("yi") - F.col("y1")) * (F.col("x2") - F.col("x1"))
+    left_of = F.when(F.col("y2") - F.col("y1") > 0, lhs < rhs).otherwise(
+        lhs > rhs
+    )
+    c = F.when(straddle & left_of, 1).otherwise(0)
+    inside = (
+        pts.crossJoin(F.broadcast(edges))
+        .select("event_id", "pid", c.alias("c"))
+        .groupBy("event_id", "pid")
+        .agg((F.sum("c") % 2).alias("par"))
+        .where(F.col("par") == 1)
+        .groupBy("pid")
+        .agg(F.count("*").cast("bigint").alias("n_inside"))
+    )
+    tot = pts.agg(F.count("*").cast("bigint").alias("n_pts"))
+    return (
+        sh.join(inside, "pid", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("pid").alias("polygon_id"),
+            "n_edges",
+            F.abs(F.col("shoelace_2a")).alias("area_x2"),
+            "perim_sq_sum",
+            F.coalesce("n_inside", F.lit(0))
+            .cast("bigint")
+            .alias("n_inside"),
+            F.expr(
+                "coalesce(n_inside, 0) * 20000000000 div abs(shoelace_2a)"
+            )
+            .cast("bigint")
+            .alias("density_x1e10_per_unit"),
+            "n_pts",
+        )
+        .orderBy("polygon_id")
+    )

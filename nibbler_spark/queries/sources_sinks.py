@@ -1923,3 +1923,172 @@ def a43_arrow_ipc_raw_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("nation_checksum").cast("bigint").alias("nation_checksum"),
         F.sum("n_positive").cast("bigint").alias("n_positive"),
     )
+
+
+_CSV_DIALECTS = [("comma", ","), ("semicolon", ";"), ("tab", "\t")]
+
+
+def _csv_render(fields: list[str], delim: str) -> str:
+    out = []
+    for f in fields:
+        if delim in f or '"' in f or "\n" in f:
+            out.append('"' + f.replace('"', '""') + '"')
+        else:
+            out.append(f)
+    return delim.join(out)
+
+
+def _csv_split(line: str, delim: str) -> list[str]:
+    """Quote-aware split (RFC 4180 state machine)."""
+    fields, cur, in_q, i = [], [], False, 0
+    while i < len(line):
+        ch = line[i]
+        if in_q:
+            if ch == '"':
+                if i + 1 < len(line) and line[i + 1] == '"':
+                    cur.append('"')
+                    i += 1
+                else:
+                    in_q = False
+            else:
+                cur.append(ch)
+        elif ch == '"':
+            in_q = True
+        elif ch == delim:
+            fields.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+        i += 1
+    fields.append("".join(cur))
+    return fields
+
+
+def sniff_csv_dialect(text: str) -> str:
+    """Detect the delimiter: for each candidate, every line must parse
+    (quote-aware) to the SAME field count > 1; among consistent
+    candidates pick the one with the most fields (a wrong delimiter
+    collapses to 1 field per line or inconsistent counts)."""
+    lines = [ln for ln in text.split("\n") if ln][:50]
+    best, best_n = None, 1
+    for _, d in _CSV_DIALECTS + [("pipe", "|")]:
+        counts = {len(_csv_split(ln, d)) for ln in lines}
+        if len(counts) == 1:
+            (n,) = counts
+            if n > best_n:
+                best, best_n = d, n
+    if best is None:
+        raise ValueError("no consistent delimiter found")
+    return best
+
+
+@register(
+    "a44_csv_dialect_sniffing",
+    survey_id="A44",
+    category="source-sink",
+    oracle="""
+SELECT d.dialect,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(3 AS BIGINT) AS n_fields,
+       CAST(SUM(CAST(FLOOR(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+         AS bal_cents,
+       CAST(SUM(length(c_name) + 1 + length(c_mktsegment)
+                + CASE WHEN c_custkey % 13 = 0 THEN 3 ELSE 0 END)
+            AS BIGINT) AS name_chars
+FROM customer CROSS JOIN
+     (VALUES ('comma'), ('semicolon'), ('tab')) AS d(dialect)
+GROUP BY d.dialect ORDER BY d.dialect
+""",
+)
+def a44_csv_dialect_sniffing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV dialect SNIFFING + quote-aware parsing from scratch — the
+    messy-ingestion reality a platform meets before any schema: the
+    same customer data is rendered into three dialects (comma /
+    semicolon / tab), with adversarial content — every name embeds a
+    comma (name,segment) so the comma dialect MUST quote, and every
+    13th row embeds a doubled double-quote — then each file is
+    sniffed (consistent quote-aware field counts across candidate
+    delimiters; a wrong delimiter collapses or wobbles) and parsed by
+    the RFC 4180 state machine. All three dialects must recover
+    IDENTICAL content: exact cents and name-length checksums per
+    dialect hash-match the oracle's single closed form. Encode, sniff
+    and parse are all partition-local mapInPandas stages — the a41/
+    a42 raw-format topology applied to the oldest format there is."""
+    import os as _os
+    import tempfile as _tf
+
+    import pandas as _pd
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") * 100).cast("bigint").alias("bal_cents"),
+    )
+    out_dir = _tf.mkdtemp(prefix="nibbler-csvdialect-")
+
+    def encode(batches):
+        rows = []
+        for pdf in batches:
+            for k, n, s, b in zip(
+                pdf["c_custkey"],
+                pdf["c_name"],
+                pdf["c_mktsegment"],
+                pdf["bal_cents"],
+            ):
+                name = f"{n},{s}"
+                if int(k) % 13 == 0:
+                    name += '"x"'
+                rows.append((name, str(int(k)), str(int(b))))
+        for dname, d in _CSV_DIALECTS:
+            path = _os.path.join(out_dir, f"{dname}.csv")
+            with open(path, "w") as fh:
+                for name, k, b in rows:
+                    fh.write(_csv_render([name, k, b], d) + "\n")
+        yield _pd.DataFrame({"written": [len(rows)]})
+
+    c.coalesce(1).mapInPandas(encode, "written long").collect()
+    files = spark.createDataFrame(
+        [
+            (dname, _os.path.join(out_dir, f"{dname}.csv"))
+            for dname, _ in _CSV_DIALECTS
+        ],
+        "dialect string, path string",
+    ).repartition(3)
+
+    def parse(batches):
+        for pdf in batches:
+            for dialect, path in zip(pdf["dialect"], pdf["path"]):
+                with open(path) as fh:
+                    text = fh.read()
+                d = sniff_csv_dialect(text)
+                expected = dict(_CSV_DIALECTS)[dialect]
+                assert d == expected, (dialect, d)
+                n_rows = bal = chars = 0
+                n_fields = None
+                for ln in text.split("\n"):
+                    if not ln:
+                        continue
+                    fs = _csv_split(ln, d)
+                    n_fields = len(fs)
+                    n_rows += 1
+                    chars += len(fs[0])
+                    bal += int(fs[2])
+                yield _pd.DataFrame(
+                    {
+                        "dialect": [dialect],
+                        "n_rows": [n_rows],
+                        "n_fields": [n_fields],
+                        "bal_cents": [bal],
+                        "name_chars": [chars],
+                    }
+                )
+
+    return (
+        files.mapInPandas(
+            parse,
+            "dialect string, n_rows long, n_fields long, bal_cents long, "
+            "name_chars long",
+        )
+        .orderBy("dialect")
+    )

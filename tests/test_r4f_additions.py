@@ -933,3 +933,43 @@ def test_one_pass_profile_single_scan(spark, sf_dir):
         .toString()
     )
     assert plan.count("Relation") == 1
+
+
+# ------------------------------------- shoelace / CSV dialect sniffing
+
+
+def test_shoelace_matches_rectangle_decomposition(spark, sf_dir):
+    rows = {
+        r["polygon_id"]: r
+        for r in SPECS["ext_polygon_measures"].spark(spark, sf_dir).collect()
+    }
+    # L-shape = 50000x20000 + 20000x30000 rectangles
+    assert rows[1]["area_x2"] == 2 * (50000 * 20000 + 20000 * 30000)
+    # diamond with diagonals 40000x40000: area = d1*d2/2
+    assert rows[2]["area_x2"] == 40000 * 40000
+    # triangle base 40000, height 25000
+    assert rows[3]["area_x2"] == 40000 * 25000
+    for r in rows.values():
+        assert r["n_inside"] > 0 and r["density_x1e10_per_unit"] > 0
+
+
+def test_csv_sniffer_and_splitter():
+    from nibbler_spark.queries.sources_sinks import (
+        _csv_render,
+        _csv_split,
+        sniff_csv_dialect,
+    )
+
+    fields = ['He said "hi", twice', "42", "-370"]
+    for d in (",", ";", "\t"):
+        line = _csv_render(fields, d)
+        assert _csv_split(line, d) == fields, d
+    text = "\n".join(
+        _csv_render([f'a,b"{i}"', str(i), str(i * 2)], ";")
+        for i in range(20)
+    )
+    assert sniff_csv_dialect(text) == ";"
+    import pytest
+
+    with pytest.raises(ValueError):
+        sniff_csv_dialect("singlefieldonly\nanother\n")
