@@ -2092,3 +2092,105 @@ def a44_csv_dialect_sniffing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dialect")
     )
+
+
+@register(
+    "a45_bz2_ingestion",
+    survey_id="A45",
+    category="source-sink",
+    oracle="""
+SELECT CAST(4 AS BIGINT) AS n_shards,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+       CAST(SUM(length(text)) AS BIGINT) AS text_chars,
+       CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_en
+FROM documents
+""",
+)
+def a45_bz2_ingestion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingesting .bz2 corpus dumps WITHOUT a bzip2 library in the read
+    path: documents are sharded to 4 bz2-compressed
+    tab-separated-record files by the REFERENCE implementation
+    (stdlib libbzip2 — the writer side real dumps come from), then
+    each shard is decoded by the from-scratch decoder
+    (operators/bzip2_codec.py: RLE1 + inverse BWT + MTF + RUNA/RUNB
+    zero runs + multi-table canonical Huffman with 50-symbol group
+    selectors, block AND stream CRCs verified) inside a
+    one-file-per-task mapInPandas, and the recovered records
+    aggregate to exact corpus statistics the oracle computes from
+    the documents table directly. bz2 is the classic unsplittable
+    codec: the shard is the parallelism unit (the a33 gzip contract),
+    which is exactly why dumps ship pre-sharded. Completes the
+    compression family with the one general-purpose format the repo
+    could only decode, not write — verified against the reference
+    encoder end-to-end."""
+    import bz2 as _bz2
+    import os as _os
+    import tempfile as _tf
+    import uuid as _uuid
+
+    import pandas as _pd
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    out_dir = _tf.mkdtemp(prefix="nibbler-bz2-")
+
+    def encode(batches):
+        lines = []
+        for pdf in batches:
+            for k, t, lg in zip(pdf["doc_id"], pdf["text"], pdf["lang"]):
+                lines.append(f"{int(k)}\t{lg}\t{t}")
+        payload = _bz2.compress("\n".join(lines).encode(), 5)
+        path = _os.path.join(out_dir, f"shard-{_uuid.uuid4().hex}.bz2")
+        with open(path, "wb") as fh:
+            fh.write(payload)
+        yield _pd.DataFrame({"path": [path], "n": [len(lines)]})
+
+    d.repartition(4).mapInPandas(encode, "path string, n long").collect()
+    files = sorted(
+        _os.path.join(out_dir, f)
+        for f in _os.listdir(out_dir)
+        if f.endswith(".bz2")
+    )
+    fdf = spark.createDataFrame(
+        [(p,) for p in files], "path string"
+    ).repartition(len(files))
+
+    def decode(batches):
+        from nibbler_spark.operators.bzip2_codec import bzip2_decompress
+
+        for pdf in batches:
+            for path in pdf["path"]:
+                with open(path, "rb") as fh:
+                    raw = bzip2_decompress(fh.read())
+                n = chk = chars = n_en = 0
+                text = raw.decode()
+                if text:
+                    for ln in text.split("\n"):
+                        k, lg, t = ln.split("\t", 2)
+                        n += 1
+                        chk += int(k)
+                        chars += len(t)
+                        n_en += lg == "en"
+                yield _pd.DataFrame(
+                    {
+                        "n_docs": [n],
+                        "id_checksum": [chk],
+                        "text_chars": [chars],
+                        "n_en": [n_en],
+                    }
+                )
+
+    per = fdf.mapInPandas(
+        decode,
+        "n_docs long, id_checksum long, text_chars long, n_en long",
+    )
+    return per.agg(
+        F.count("*").cast("bigint").alias("n_shards"),
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum("id_checksum").cast("bigint").alias("id_checksum"),
+        F.sum("text_chars").cast("bigint").alias("text_chars"),
+        F.sum("n_en").cast("bigint").alias("n_en"),
+    )
