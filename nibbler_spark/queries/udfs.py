@@ -800,3 +800,106 @@ def j18_pandas_on_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total_chars").cast("bigint"),
         F.col("max_chars").cast("bigint"),
     ).orderBy("lang")
+
+
+@register(
+    "ext_rate_limiter_admission",
+    survey_id="EXT-RATELIMIT",
+    category="udf",
+    oracle="""
+WITH RECURSIVE seq AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+),
+walk(user_id, rn, t, event_id, tokens_milli_after, admitted) AS (
+  SELECT user_id, rn, t, event_id,
+         CAST(2000 - 1000 AS BIGINT), TRUE
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.user_id, s.rn, s.t, s.event_id,
+         CASE WHEN LEAST(2000, w.tokens_milli_after
+                               + (s.t - w.t) // 3600000) >= 1000
+              THEN LEAST(2000, w.tokens_milli_after
+                               + (s.t - w.t) // 3600000) - 1000
+              ELSE LEAST(2000, w.tokens_milli_after
+                               + (s.t - w.t) // 3600000) END,
+         LEAST(2000, w.tokens_milli_after
+                     + (s.t - w.t) // 3600000) >= 1000
+  FROM seq s JOIN walk w
+    ON w.user_id = s.user_id AND s.rn = w.rn + 1
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN admitted THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_admitted,
+       CAST(SUM(CASE WHEN admitted THEN event_id ELSE 0 END) AS BIGINT)
+         AS admitted_checksum,
+       CAST(MIN(tokens_milli_after) AS BIGINT) AS min_tokens_milli
+FROM walk GROUP BY user_id ORDER BY user_id
+""",
+)
+def ext_rate_limiter_admission(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Token-bucket rate limiting with DROPS — the feedback-coupled
+    sequential recurrence the Lindley closed form can't express
+    (admission consumes tokens, so each decision changes the next
+    state): capacity 3 tokens, refill 1 per 10 minutes (integer
+    MILLItokens on integer microseconds — exact), an event is
+    admitted iff a full token is available. The per-key sequential
+    scan runs where Spark puts per-key sequential logic:
+    applyInPandas — each user's events arrive as one ordered group
+    and the bucket replays in-group (embarrassingly parallel ACROSS
+    users, exactly how a keyed rate limiter shards in production).
+    The oracle replays the identical recurrence as a RECURSIVE CTE
+    stepping rn -> rn+1 per user — sequential semantics, declaratively
+    stated — and per-user admission counts, admitted-id checksums and
+    the minimum token level must hash-match. Scale: one user-keyed
+    exchange; group iteration is O(events per user)."""
+    import pandas as _pd
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("t"),
+    )
+
+    def bucket(pdf: _pd.DataFrame) -> _pd.DataFrame:
+        pdf = pdf.sort_values(["t", "event_id"])
+        tokens = 2000
+        prev_t = None
+        n = n_adm = chk = 0
+        min_tok = None
+        for _, row in pdf.iterrows():
+            t = int(row["t"])
+            if prev_t is not None:
+                tokens = min(2000, tokens + (t - prev_t) // 3600000)
+            admitted = tokens >= 1000
+            if admitted:
+                tokens -= 1000
+                n_adm += 1
+                chk += int(row["event_id"])
+            n += 1
+            prev_t = t
+            min_tok = tokens if min_tok is None else min(min_tok, tokens)
+        return _pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_events": [n],
+                "n_admitted": [n_adm],
+                "admitted_checksum": [chk],
+                "min_tokens_milli": [min_tok],
+            }
+        )
+
+    return (
+        e.groupBy("user_id")
+        .applyInPandas(
+            bucket,
+            "user_id long, n_events long, n_admitted long, "
+            "admitted_checksum long, min_tokens_milli long",
+        )
+        .orderBy("user_id")
+    )

@@ -326,3 +326,46 @@ def e12_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         F.percent_rank().over(w).alias("len_quantile"),
     ).orderBy("doc_id")
+
+
+@register(
+    "e13_time_range_frame",
+    survey_id="E13",
+    category="window",
+    oracle="""
+SELECT event_id, user_id, ts,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_events_1h,
+       CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) OVER w AS BIGINT)
+         AS cents_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+ORDER BY user_id, ts, event_id
+""",
+)
+def e13_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval RANGE frames — the window surface E9's numeric
+    range frame doesn't cover: a trailing ONE-HOUR event-time frame
+    per user (RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT
+    ROW), the rolling-window shape feature stores and fraud rules are
+    built from. RANGE (not ROWS) semantics matter twice: ties on ts
+    share a frame, and gaps shrink it — both engines implement the
+    SQL-standard definition and must agree row-for-row. Counts and
+    exact cents sums per frame; the identical windowed aggregation is
+    expressed through Spark's INTERVAL range frame (via the SQL
+    window clause — the DataFrame API spells it rangeBetween over a
+    cast) and DuckDB's. One user-keyed exchange."""
+    register = load_table(spark, sf_dir, "events")
+    register.createOrReplaceTempView("nb_events_rangeframe")
+    return spark.sql(
+        """
+SELECT event_id, user_id, ts,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_events_1h,
+       CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) OVER w AS BIGINT)
+         AS cents_1h
+FROM nb_events_rangeframe
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+ORDER BY user_id, ts, event_id
+"""
+    )

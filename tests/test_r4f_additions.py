@@ -973,3 +973,62 @@ def test_csv_sniffer_and_splitter():
 
     with pytest.raises(ValueError):
         sniff_csv_dialect("singlefieldonly\nanother\n")
+
+
+# ------------------------------------ time range frame / rate limiter
+
+
+def test_time_range_frame_trailing_hour(spark, sf_dir):
+    rows = SPECS["e13_time_range_frame"].spark(spark, sf_dir).collect()
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r["user_id"]].append(r)
+    import math
+
+    for u, rs in list(by_user.items())[:10]:
+        rs.sort(key=lambda r: (r["ts"], r["event_id"]))
+        for r in rs:
+            lo = r["ts"].timestamp() - 3600
+            in_frame = [
+                x for x in rs if lo <= x["ts"].timestamp() <= r["ts"].timestamp()
+            ]
+            assert r["n_events_1h"] == len(in_frame)
+
+
+def test_rate_limiter_matches_sequential_replay(spark, sf_dir):
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id")
+        .collect()
+    )
+    per_user = defaultdict(list)
+    for r in ev:
+        per_user[r["user_id"]].append(
+            (int(r["ts"].timestamp() * 1_000_000), r["event_id"])
+        )
+    want = {}
+    for u, rows in per_user.items():
+        rows.sort()
+        tokens, prev, n_adm, chk, mn = 2000, None, 0, 0, None
+        for t, eid in rows:
+            if prev is not None:
+                tokens = min(2000, tokens + (t - prev) // 3600000)
+            if tokens >= 1000:
+                tokens -= 1000
+                n_adm += 1
+                chk += eid
+            prev = t
+            mn = tokens if mn is None else min(mn, tokens)
+        want[u] = (len(rows), n_adm, chk, mn)
+    got = {
+        r["user_id"]: (
+            r["n_events"],
+            r["n_admitted"],
+            r["admitted_checksum"],
+            r["min_tokens_milli"],
+        )
+        for r in SPECS["ext_rate_limiter_admission"].spark(spark, sf_dir).collect()
+    }
+    assert got == want
+    # the limiter actually drops something somewhere
+    assert any(w[1] < w[0] for w in want.values())
