@@ -369,3 +369,45 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
 ORDER BY user_id, ts, event_id
 """
     )
+
+
+@register(
+    "e14_frame_distinct_count",
+    survey_id="E14",
+    category="window",
+    oracle="""
+SELECT event_id, user_id,
+       CAST(COUNT(DISTINCT event_type) OVER w AS BIGINT)
+         AS distinct_types_5
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+ORDER BY user_id, event_id
+""",
+)
+def e14_frame_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT aggregation inside a moving window frame — the
+    behavioral-variety signal (how many distinct actions in the last 5
+    events) that Spark's window functions famously reject
+    (COUNT(DISTINCT) OVER is unsupported): the standard rewrite is
+    size(collect_set(...)) over the same frame — set semantics inside
+    the frame buffer, identical to DuckDB's native windowed
+    COUNT(DISTINCT), proven row-for-row here. The (ts, event_id)
+    tie-broken ordering keeps frames deterministic. One user-keyed
+    exchange; the frame state is a bounded 5-element set per row."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            F.size(F.collect_set("event_type").over(w))
+            .cast("bigint")
+            .alias("distinct_types_5"),
+        )
+        .orderBy("user_id", "event_id")
+    )

@@ -658,3 +658,62 @@ def test_gbdt_stage1_winner_broadcast(spark, sf_dir):
     1-row side (never a shuffle of the fact table against it)."""
     plan = _plan(spark, sf_dir, "ext_gbdt_round")
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_pip_edges_broadcast_no_shuffle_of_points(spark, sf_dir):
+    """Point-in-polygon: the 13-edge table must be the broadcast side of
+    a nested-loop join; the parity groupBy is the only exchange of the
+    point stream."""
+    plan = _plan(spark, sf_dir, "ext_point_in_polygon")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dbscan_neighbor_join_no_cartesian(spark, sf_dir):
+    """DBSCAN candidates come from the 3x3 stencil equi-join, never an
+    all-pairs product."""
+    plan = _plan(spark, sf_dir, "ext_dbscan_grid")
+    assert "CartesianProduct" not in plan
+
+
+def test_filtered_ann_broadcasts_probe_sides(spark, sf_dir):
+    """Filtered ANN: query vector and probed-cell list ride broadcasts;
+    the embedding fact side is never broadcast."""
+    plan = _plan(spark, sf_dir, "ext_filtered_ann")
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_phrase_search_posting_joins_keyed(spark, sf_dir):
+    """Phrase search: position intersections are equi-joins (hash or
+    sort-merge on doc), not theta products."""
+    plan = _plan(spark, sf_dir, "ext_phrase_search")
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan
+
+
+def test_sweepline_windows_ride_day_buckets(spark, sf_dir):
+    """The sweepline's cumulative sums are day-partitioned (two-phase);
+    no unpartitioned window over the delta stream."""
+    import re
+
+    plan = _plan(spark, sf_dir, "ext_interval_sweepline")
+    # every Window spec either partitions by user_id (session build) or
+    # by day (two-phase cumsum), except the tiny per-day offset prefix
+    specs = re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan)
+    unpartitioned = [s for s in specs if s.strip() == ""]
+    assert len(unpartitioned) <= 1  # only the kilobyte day-offset table
+
+
+def test_one_pass_profile_is_one_aggregate(spark, sf_dir):
+    import re
+
+    plan = _plan(spark, sf_dir, "ext_table_profile_onepass")
+    # single scan feeds all 6x5 metrics (formatted plans number nodes)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_rolling_regression_single_window_node(spark, sf_dir):
+    """All five sufficient statistics share ONE window frame pass."""
+    plan = _plan(spark, sf_dir, "ext_rolling_regression")
+    assert plan.count("Window ") <= 1 or plan.count("Window\n") <= 1
