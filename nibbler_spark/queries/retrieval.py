@@ -822,3 +822,128 @@ def ext_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(summarize(p3, "a agg batch"))
         .orderBy("phrase")
     )
+
+
+@register(
+    "ext_kendall_tau",
+    survey_id="EXT-KENDALL",
+    category="retrieval",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents
+),
+hits AS (
+  SELECT t.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS score_tf,
+         CAST(COUNT(DISTINCT t.term) AS BIGINT) AS score_cov
+  FROM toks t
+  WHERE t.term IN ('vector', 'hash', 'merge')
+  GROUP BY t.doc_id
+),
+top AS (
+  SELECT h.doc_id, h.score_tf,
+         h.score_cov * 1000000 + d.n_chars AS score_alt
+  FROM hits h JOIN documents d USING (doc_id)
+  ORDER BY h.score_tf DESC, h.doc_id LIMIT 50
+),
+pairs AS (
+  SELECT a.doc_id AS i, b.doc_id AS j,
+         CASE WHEN (a.score_tf - b.score_tf) * (a.score_alt - b.score_alt)
+                   > 0 THEN 1 ELSE 0 END AS conc,
+         CASE WHEN (a.score_tf - b.score_tf) * (a.score_alt - b.score_alt)
+                   < 0 THEN 1 ELSE 0 END AS disc,
+         CASE WHEN a.score_tf = b.score_tf THEN 1 ELSE 0 END AS tie_x,
+         CASE WHEN a.score_alt = b.score_alt THEN 1 ELSE 0 END AS tie_y
+  FROM top a JOIN top b ON a.doc_id < b.doc_id
+),
+s AS (
+  SELECT CAST(SUM(conc) AS BIGINT) AS c,
+         CAST(SUM(disc) AS BIGINT) AS d,
+         CAST(SUM(tie_x) AS BIGINT) AS t1,
+         CAST(SUM(tie_y) AS BIGINT) AS t2,
+         CAST(COUNT(*) AS BIGINT) AS n0
+  FROM pairs
+)
+SELECT c, d, t1, t2, n0,
+       CAST(c - d AS DOUBLE)
+         / SQRT(CAST((n0 - t1) AS DOUBLE) * CAST((n0 - t2) AS DOUBLE))
+         AS tau_b
+FROM s
+""",
+)
+def ext_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b rank correlation between two retrieval rankings —
+    the ranking-agreement metric (are the cheap score and the
+    expensive score ordering documents the same way?) that complements
+    NDCG (absolute quality) and MAP/MRR (relevance hits): the top-50
+    docs by term frequency for the fixed query are re-scored by a
+    coverage+length alternative, and every pair is classified
+    concordant / discordant / tied in EXACT integers; tau-b's tie
+    correction divides C-D by sqrt((n0-t1)(n0-t2)) — IEEE sqrt of
+    exact integers is correctly rounded, so even the final double
+    hash-matches with no grid. Scale: pair enumeration runs on the
+    top-50 table only (TakeOrderedAndProject first — the
+    ext_ndcg_eval discipline), never the corpus."""
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    hits = (
+        toks.where(F.col("term").isin("vector", "hash", "merge"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("score_tf"),
+            F.countDistinct("term").cast("bigint").alias("score_cov"),
+        )
+    )
+    top = (
+        hits.join(d, "doc_id")
+        .select(
+            "doc_id",
+            "score_tf",
+            (F.col("score_cov") * 1000000 + F.col("n_chars")).alias(
+                "score_alt"
+            ),
+        )
+        .orderBy(F.col("score_tf").desc(), "doc_id")
+        .limit(50)
+        .localCheckpoint()
+    )
+    a = top.select(
+        F.col("doc_id").alias("i"),
+        F.col("score_tf").alias("x1"),
+        F.col("score_alt").alias("y1"),
+    )
+    b = top.select(
+        F.col("doc_id").alias("j"),
+        F.col("score_tf").alias("x2"),
+        F.col("score_alt").alias("y2"),
+    )
+    prod = (F.col("x1") - F.col("x2")) * (F.col("y1") - F.col("y2"))
+    pairs = a.join(b, F.col("i") < F.col("j")).select(
+        F.when(prod > 0, 1).otherwise(0).alias("conc"),
+        F.when(prod < 0, 1).otherwise(0).alias("disc"),
+        F.when(F.col("x1") == F.col("x2"), 1).otherwise(0).alias("tie_x"),
+        F.when(F.col("y1") == F.col("y2"), 1).otherwise(0).alias("tie_y"),
+    )
+    s = pairs.agg(
+        F.sum("conc").cast("bigint").alias("c"),
+        F.sum("disc").cast("bigint").alias("d"),
+        F.sum("tie_x").cast("bigint").alias("t1"),
+        F.sum("tie_y").cast("bigint").alias("t2"),
+        F.count("*").cast("bigint").alias("n0"),
+    )
+    return s.select(
+        "c",
+        "d",
+        "t1",
+        "t2",
+        "n0",
+        (
+            (F.col("c") - F.col("d")).cast("double")
+            / F.sqrt(
+                (F.col("n0") - F.col("t1")).cast("double")
+                * (F.col("n0") - F.col("t2")).cast("double")
+            )
+        ).alias("tau_b"),
+    )
