@@ -4040,3 +4040,140 @@ def i34_stream_dynamic_gap_session(
         .where(F.col("s_start") <= F.lit(cutoff))
         .orderBy("user_id", "s_start")
     )
+
+
+@register(
+    "i35_stream_incremental_profile",
+    survey_id="I35",
+    category="streaming",
+    mode="parity",
+    oracle="""
+WITH h AS (
+  SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))
+              AS BIGINT) AS hv
+  FROM events
+),
+hw AS (SELECT hv % 256 AS idx, hv // 256 AS w FROM h),
+regs AS (
+  SELECT idx,
+         MAX(CASE WHEN w = 0 THEN 41 ELSE 41 - length(bin(w)) END) AS m
+  FROM hw GROUP BY idx
+),
+base AS (
+  SELECT CAST(2 * COUNT(*) AS BIGINT) AS n_rows,
+         CAST(2 * SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+           AS cents,
+         CAST(MIN(user_id) AS BIGINT) AS min_user,
+         CAST(MAX(user_id) AS BIGINT) AS max_user
+  FROM events
+),
+rsum AS (
+  SELECT CAST(SUM(m) AS BIGINT) AS reg_sum,
+         CAST(SUM(m * (idx + 1)) AS BIGINT) AS reg_weighted
+  FROM regs
+)
+SELECT * FROM (
+  SELECT 'cents' AS metric, cents AS value FROM base
+  UNION ALL SELECT 'max_user', max_user FROM base
+  UNION ALL SELECT 'min_user', min_user FROM base
+  UNION ALL SELECT 'n_rows', n_rows FROM base
+  UNION ALL SELECT 'reg_sum', reg_sum FROM rsum
+  UNION ALL SELECT 'reg_weighted', reg_weighted FROM rsum
+) ORDER BY metric
+""",
+)
+def i35_stream_incremental_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Table statistics maintained ACROSS micro-batches — the streaming
+    dual of ext_table_profile_onepass: each epoch reduces its slice to
+    a constant-size statistics bundle (row/cents totals, min/max, and
+    256 portable-HLL registers for user NDV — every piece MERGEABLE:
+    counts add, extrema take extrema, registers take elementwise max),
+    and the driver store folds them. The stream is events twice
+    (2 epochs); totals must be exactly 2x the batch table, extrema and
+    the HLL REGISTERS must be bit-identical to the single-copy batch
+    sketch (duplicated values cannot move a register — the
+    idempotence that makes sketch-based NDV safe under at-least-once
+    delivery). Per epoch only O(stats) crosses to the store; this is
+    how a streaming catalog keeps ANALYZE-fresh statistics without
+    rescans."""
+    d = _events_dir(spark, sf_dir, copies=2)
+    store = {
+        "n_rows": 0,
+        "cents": 0,
+        "min_user": None,
+        "max_user": None,
+        "regs": [0] * 256,
+    }
+
+    def fold(batch_df, epoch_id):
+        hv = F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 12),
+            16,
+            10,
+        ).cast("bigint")
+        rho = F.when(F.expr("hv div 256") == 0, F.lit(41)).otherwise(
+            F.lit(41) - F.length(F.bin(F.expr("hv div 256")))
+        )
+        stats = batch_df.select(
+            hv.alias("hv"),
+            F.floor(F.col("value") * 100).cast("bigint").alias("c"),
+            "user_id",
+        )
+        agg = stats.agg(
+            F.count("*").alias("n"),
+            F.sum("c").alias("cents"),
+            F.min("user_id").alias("mn"),
+            F.max("user_id").alias("mx"),
+        ).collect()[0]
+        regs = (
+            stats.select((F.col("hv") % 256).alias("idx"), "hv")
+            .select("idx", rho.alias("m"))
+            .groupBy("idx")
+            .agg(F.max("m").alias("m"))
+            .collect()
+        )
+        store["n_rows"] += agg["n"]
+        store["cents"] += agg["cents"]
+        store["min_user"] = (
+            agg["mn"]
+            if store["min_user"] is None
+            else min(store["min_user"], agg["mn"])
+        )
+        store["max_user"] = (
+            agg["mx"]
+            if store["max_user"] is None
+            else max(store["max_user"], agg["mx"])
+        )
+        for r in regs:
+            i = r["idx"]
+            store["regs"][i] = max(store["regs"][i], r["m"])
+
+    q = (
+        spark.readStream.schema(_EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+        .writeStream.foreachBatch(fold)
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix="nibbler-prof-"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = [
+        ("cents", store["cents"]),
+        ("max_user", store["max_user"]),
+        ("min_user", store["min_user"]),
+        ("n_rows", store["n_rows"]),
+        ("reg_sum", sum(store["regs"])),
+        (
+            "reg_weighted",
+            sum(m * (i + 1) for i, m in enumerate(store["regs"])),
+        ),
+    ]
+    return spark.createDataFrame(
+        rows, "metric string, value bigint"
+    ).orderBy("metric")
