@@ -4544,3 +4544,77 @@ def ext_forecast_eval_smape(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "ext_srm_check",
+    survey_id="EXT-SRM",
+    category="event-analytics",
+    oracle="""
+WITH arms AS (
+  SELECT DISTINCT user_id,
+         CAST(('0x' || substr(md5('srm:' || user_id), 1, 12)) AS BIGINT)
+           % 2 AS arm
+  FROM events
+),
+counts AS (
+  SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS o0,
+         CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS o1,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM arms
+)
+SELECT o0, o1, n,
+       CAST(1000000 * (2 * o0 - n) * (2 * o0 - n) // n AS BIGINT)
+         AS chi2_x1e6,
+       1000000 * (2 * o0 - n) * (2 * o0 - n) // n > 3841459 AS srm_flag
+FROM counts
+""",
+)
+def ext_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail — the first check every
+    experimentation platform runs before reading ANY metric (a biased
+    assignment invalidates the whole experiment): users assign to two
+    arms by the portable md5 coin, and the 1-df chi-square against the
+    declared 50/50 split collapses to the exact integer form
+    (2*o0 - n)^2 / n (both arms' deviations are the same number
+    squared), scaled to the 1e6 grid and compared against the 95%
+    critical value 3.841459. With an unbiased md5 coin the flag
+    should stay quiet — and because both engines compute the same
+    integers, the chi-square statistic itself is hash-checked, not
+    just the verdict. One distinct-users aggregate; the statistic
+    rides two counters."""
+    e = load_table(spark, sf_dir, "events")
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("srm:"), F.col("user_id").cast("string")
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    )
+    arms = e.select("user_id").distinct().select(arm.alias("arm"))
+    counts = arms.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("o0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("o1"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    chi2 = F.expr("1000000 * (2 * o0 - n) * (2 * o0 - n) div n")
+    return counts.select(
+        "o0",
+        "o1",
+        "n",
+        chi2.cast("bigint").alias("chi2_x1e6"),
+        (chi2 > 3841459).alias("srm_flag"),
+    )

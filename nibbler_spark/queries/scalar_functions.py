@@ -1276,3 +1276,95 @@ def h37_map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_orderkey", "shifted_line")
     )
+
+
+@register(
+    "h38_luhn_check",
+    survey_id="H38",
+    category="scalar",
+    oracle="""
+WITH acct AS (
+  SELECT c_custkey, 400000000000 + c_custkey * 37 AS body
+  FROM customer
+),
+digits AS (
+  SELECT c_custkey, body, d.i,
+         (body // CAST(pow(10e0, d.i) AS BIGINT)) % 10 AS dig
+  FROM acct CROSS JOIN generate_series(0, 11) AS d(i)
+),
+weighted AS (
+  SELECT c_custkey, body,
+         SUM(CASE WHEN i % 2 = 0
+                  THEN CASE WHEN dig * 2 > 9 THEN dig * 2 - 9
+                            ELSE dig * 2 END
+                  ELSE dig END) AS s
+  FROM digits GROUP BY c_custkey, body
+),
+checked AS (
+  SELECT c_custkey, body, (10 - s % 10) % 10 AS check_digit,
+         body * 10 + (10 - s % 10) % 10 AS full_number
+  FROM weighted
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_accounts,
+       CAST(SUM(check_digit) AS BIGINT) AS check_digit_sum,
+       CAST(SUM(full_number % 97) AS BIGINT) AS number_checksum,
+       CAST(SUM(CASE WHEN check_digit = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_zero_checks
+FROM checked
+""",
+)
+def h38_luhn_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn check-digit computation (ISO/IEC 7812 — card/IMEI/account
+    validation) as pure integer SQL: 12-digit account bodies derive
+    from custkey, each digit extracts arithmetically (no string ops —
+    body div 10^i mod 10 stays in codegen), even positions double
+    with the casting-out-nines fold (2d-9 when 2d>9), and the check
+    digit closes the sum to a multiple of 10. The data-quality gate
+    that catches corrupted identifiers at ingest, here computed and
+    checksummed over every customer in one map-side pass + one
+    aggregate. Digit extraction via a 12-element explode keeps both
+    engines on the identical integer expression."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    acct = c.select(
+        "c_custkey",
+        (F.lit(400000000000) + F.col("c_custkey") * 37).alias("body"),
+    )
+    digits = acct.select(
+        "c_custkey",
+        "body",
+        F.explode(F.array(*[F.lit(i) for i in range(12)])).alias("i"),
+    ).select(
+        "c_custkey",
+        "body",
+        "i",
+        F.expr("(body div cast(pow(10.0, i) as bigint)) % 10").alias(
+            "dig"
+        ),
+    )
+    weighted = digits.groupBy("c_custkey", "body").agg(
+        F.sum(
+            F.when(
+                F.col("i") % 2 == 0,
+                F.when(
+                    F.col("dig") * 2 > 9, F.col("dig") * 2 - 9
+                ).otherwise(F.col("dig") * 2),
+            ).otherwise(F.col("dig"))
+        ).alias("s")
+    )
+    checked = weighted.select(
+        "c_custkey",
+        "body",
+        ((10 - F.col("s") % 10) % 10).alias("check_digit"),
+    ).withColumn(
+        "full_number", F.col("body") * 10 + F.col("check_digit")
+    )
+    return checked.agg(
+        F.count("*").cast("bigint").alias("n_accounts"),
+        F.sum("check_digit").cast("bigint").alias("check_digit_sum"),
+        F.sum(F.col("full_number") % 97)
+        .cast("bigint")
+        .alias("number_checksum"),
+        F.sum(F.when(F.col("check_digit") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_zero_checks"),
+    )

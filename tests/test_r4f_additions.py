@@ -1032,3 +1032,56 @@ def test_rate_limiter_matches_sequential_replay(spark, sf_dir):
     assert got == want
     # the limiter actually drops something somewhere
     assert any(w[1] < w[0] for w in want.values())
+
+
+# --------------------------------------- luhn / SRM / stream profile
+
+
+def test_luhn_check_digits_validate():
+    """The computed check digit must make the full number Luhn-valid
+    under an independent textbook implementation."""
+
+    def luhn_valid(num: int) -> bool:
+        digits = [int(c) for c in str(num)][::-1]
+        total = 0
+        for i, d in enumerate(digits):
+            if i % 2 == 1:
+                d *= 2
+                if d > 9:
+                    d -= 9
+            total += d
+        return total % 10 == 0
+
+    for ck in (1, 7, 42, 1499):
+        body = 400000000000 + ck * 37
+        digs = [(body // 10**i) % 10 for i in range(12)]
+        s = sum(
+            (d * 2 - 9 if d * 2 > 9 else d * 2) if i % 2 == 0 else d
+            for i, d in enumerate(digs)
+        )
+        check = (10 - s % 10) % 10
+        assert luhn_valid(body * 10 + check), ck
+
+
+def test_srm_unbiased_coin_stays_quiet(spark, sf_dir):
+    row = SPECS["ext_srm_check"].spark(spark, sf_dir).collect()[0]
+    assert row["o0"] + row["o1"] == row["n"]
+    assert not row["srm_flag"]  # md5 is a fair coin at these n
+    assert row["chi2_x1e6"] == 1000000 * (2 * row["o0"] - row["n"]) ** 2 // row["n"]
+
+
+def test_stream_profile_matches_batch(spark, sf_dir):
+    rows = {
+        r["metric"]: r["value"]
+        for r in SPECS["i35_stream_incremental_profile"].spark(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    import math
+
+    base = ev.collect()
+    assert rows["n_rows"] == 2 * len(base)
+    assert rows["min_user"] == min(r["user_id"] for r in base)
+    assert rows["max_user"] == max(r["user_id"] for r in base)
+    assert rows["cents"] == 2 * sum(
+        int(math.floor(r["value"] * 100)) for r in base
+    )
