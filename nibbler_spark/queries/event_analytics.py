@@ -4618,3 +4618,203 @@ def ext_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         chi2.cast("bigint").alias("chi2_x1e6"),
         (chi2 > 3841459).alias("srm_flag"),
     )
+
+
+@register(
+    "ext_behavioral_analytics_pipeline",
+    survey_id="EXT-BEHAVIOR-PIPE",
+    category="event-analytics",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id)
+                   > 1800000000
+              OR lag(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+),
+sess AS (
+  SELECT user_id, CAST(SUM(is_new) AS BIGINT) AS n_sessions
+  FROM flagged GROUP BY user_id
+),
+stage_sessions AS (
+  SELECT CAST(SUM(n_sessions) AS BIGINT) AS v1,
+         CAST(COUNT(*) AS BIGINT) AS v2
+  FROM sess
+),
+su AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS s FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+pu AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS p
+  FROM events e JOIN su ON su.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= su.s
+  GROUP BY e.user_id
+),
+stage_funnel AS (
+  SELECT CAST((SELECT COUNT(*) FROM su) AS BIGINT) AS v1,
+         CAST((SELECT COUNT(*) FROM pu) AS BIGINT) AS v2
+),
+lt AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rk
+  FROM events WHERE event_type <> 'purchase'
+),
+purchases AS (
+  SELECT user_id,
+         CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+),
+stage_attr AS (
+  SELECT CAST(SUM(CASE WHEN lt.event_type = 'view'
+                       THEN p.cents ELSE 0 END) AS BIGINT) AS v1,
+         CAST(SUM(p.cents) AS BIGINT) AS v2
+  FROM purchases p JOIN lt ON lt.user_id = p.user_id AND lt.rk = 1
+),
+fd AS (
+  SELECT user_id, MIN(epoch_us(ts)) // 86400000000 AS c_day
+  FROM events GROUP BY user_id
+),
+stage_ltv AS (
+  SELECT CAST(SUM(CASE WHEN epoch_us(e.ts) // 86400000000 - fd.c_day
+                            BETWEEN 0 AND 6
+                       THEN CAST(FLOOR(e.value * 100) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS v1,
+         CAST(COUNT(DISTINCT fd.user_id) AS BIGINT) AS v2
+  FROM events e JOIN fd ON fd.user_id = e.user_id
+  WHERE e.event_type = 'purchase'
+)
+SELECT * FROM (
+  SELECT 'attribution' AS stage, v1 AS metric_a, v2 AS metric_b
+  FROM stage_attr
+  UNION ALL SELECT 'funnel', v1, v2 FROM stage_funnel
+  UNION ALL SELECT 'ltv_week1', v1, v2 FROM stage_ltv
+  UNION ALL SELECT 'sessions', v1, v2 FROM stage_sessions
+) ORDER BY stage
+""",
+)
+def ext_behavioral_analytics_pipeline(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The behavioral-analytics CAPSTONE — the fourth end-to-end
+    composite alongside curation / crawl / training-data: ONE
+    declarative DAG computes the four reports a growth team reads
+    daily — sessionization totals (30-min gaps), the signup→purchase
+    funnel, last-non-purchase-touch revenue attribution (view-credited
+    cents vs total), and week-1 cohort LTV — sharing scans and the
+    single user_id exchange wherever the stages overlap. Every number
+    is an exact integer (cents, counts, epoch-µs boundaries), so the
+    whole four-stage report hash-matches the oracle. Scale: each
+    stage is a user-keyed window or aggregate; nothing leaves the
+    user partitioning until the final 4-row rollup — the same
+    one-pass shape the per-stage queries declare individually
+    (EXT-SESSION / EXT-TTC / EXT-ATTR-LAST / EXT-LTV)."""
+    e = load_table(spark, sf_dir, "events")
+    t_us = F.unix_micros("ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.select(
+        "user_id",
+        F.when(
+            (t_us - F.lag(t_us).over(w) > 1800000000)
+            | F.lag("ts").over(w).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    sess = flagged.groupBy("user_id").agg(
+        F.sum("is_new").cast("bigint").alias("n_sessions")
+    )
+    stage_sessions = sess.agg(
+        F.sum("n_sessions").cast("bigint").alias("metric_a"),
+        F.count("*").cast("bigint").alias("metric_b"),
+    ).select(F.lit("sessions").alias("stage"), "metric_a", "metric_b")
+
+    su = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(t_us).alias("s"))
+    )
+    pu = (
+        e.select("user_id", "event_type", t_us.alias("p"))
+        .join(su, "user_id")
+        .where(
+            (F.col("event_type") == "purchase") & (F.col("p") >= F.col("s"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("p").alias("p"))
+    )
+    stage_funnel = (
+        su.agg(F.count("*").cast("bigint").alias("metric_a"))
+        .crossJoin(
+            F.broadcast(
+                pu.agg(F.count("*").cast("bigint").alias("metric_b"))
+            )
+        )
+        .select(F.lit("funnel").alias("stage"), "metric_a", "metric_b")
+    )
+
+    w_lt = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    lt = (
+        e.where(F.col("event_type") != "purchase")
+        .withColumn("rk", F.row_number().over(w_lt))
+        .where(F.col("rk") == 1)
+        .select("user_id", F.col("event_type").alias("last_touch"))
+    )
+    purchases = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.floor(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    stage_attr = (
+        purchases.join(lt, "user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("last_touch") == "view", F.col("cents"))
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("metric_a"),
+            F.sum("cents").cast("bigint").alias("metric_b"),
+        )
+        .select(F.lit("attribution").alias("stage"), "metric_a", "metric_b")
+    )
+
+    fd = e.groupBy("user_id").agg(
+        F.min(F.expr("unix_micros(ts) div 86400000000")).alias("c_day")
+    )
+    stage_ltv = (
+        e.where(F.col("event_type") == "purchase")
+        .join(fd, "user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    (
+                        F.expr("unix_micros(ts) div 86400000000")
+                        - F.col("c_day")
+                    ).between(0, 6),
+                    F.floor(F.col("value") * 100).cast("bigint"),
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("metric_a"),
+            F.countDistinct("user_id").cast("bigint").alias("metric_b"),
+        )
+        .select(F.lit("ltv_week1").alias("stage"), "metric_a", "metric_b")
+    )
+    return (
+        stage_attr.unionByName(stage_funnel)
+        .unionByName(stage_ltv)
+        .unionByName(stage_sessions)
+        .orderBy("stage")
+    )
