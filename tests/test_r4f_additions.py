@@ -1085,3 +1085,20 @@ def test_stream_profile_matches_batch(spark, sf_dir):
     assert rows["cents"] == 2 * sum(
         int(math.floor(r["value"] * 100)) for r in base
     )
+
+
+def test_behavioral_pipeline_stages_consistent(spark, sf_dir):
+    rows = {
+        r["stage"]: (r["metric_a"], r["metric_b"])
+        for r in SPECS["ext_behavioral_analytics_pipeline"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    assert set(rows) == {"sessions", "funnel", "attribution", "ltv_week1"}
+    # funnel: converters <= signups; sessions >= users
+    assert rows["funnel"][1] <= rows["funnel"][0]
+    assert rows["sessions"][0] >= rows["sessions"][1]
+    # attribution: view-credited cents <= total purchase cents
+    assert 0 <= rows["attribution"][0] <= rows["attribution"][1]
+    # LTV week-1 revenue is positive and bounded by total purchases
+    assert 0 < rows["ltv_week1"][0] <= rows["attribution"][1]
