@@ -4818,3 +4818,167 @@ def ext_behavioral_analytics_pipeline(
         .unionByName(stage_sessions)
         .orderBy("stage")
     )
+
+
+@register(
+    "ext_forecast_model_selection",
+    survey_id="EXT-FCAST-SELECT",
+    category="event-analytics",
+    oracle="""
+WITH daily AS (
+  SELECT epoch_us(ts) // 86400000000 AS day,
+         CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+bounds AS (SELECT MIN(day) AS d0 FROM daily),
+train AS (SELECT day, cents FROM daily, bounds WHERE day - d0 < 21),
+test AS (
+  SELECT day, (day - d0) % 7 AS wd, cents
+  FROM daily, bounds WHERE day - d0 >= 21
+),
+snaive AS (
+  SELECT (day - d0) % 7 AS wd,
+         CAST(SUM(cents) AS BIGINT) AS num, CAST(COUNT(*) AS BIGINT) AS den
+  FROM train, bounds GROUP BY 1
+),
+drift AS (
+  SELECT f.cents AS f_c, l.cents AS l_c, f.day AS f_day, l.day AS l_day,
+         l.day - f.day AS den
+  FROM (SELECT day, cents FROM train ORDER BY day LIMIT 1) f,
+       (SELECT day, cents FROM train ORDER BY day DESC LIMIT 1) l
+),
+t_sn AS (
+  SELECT t.day,
+         CASE WHEN s.num + t.cents * s.den = 0 THEN 0
+              ELSE 1000000 * ABS(s.num - t.cents * s.den)
+                   // (s.num + t.cents * s.den) END AS term
+  FROM test t JOIN snaive s USING (wd)
+),
+t_dr AS (
+  SELECT t.day,
+         CASE WHEN GREATEST(d.l_c * d.den
+                            + (t.day - d.l_day) * (d.l_c - d.f_c), 0)
+                   + t.cents * d.den = 0 THEN 0
+              ELSE 1000000 * ABS(GREATEST(d.l_c * d.den
+                       + (t.day - d.l_day) * (d.l_c - d.f_c), 0)
+                       - t.cents * d.den)
+                   // (GREATEST(d.l_c * d.den
+                       + (t.day - d.l_day) * (d.l_c - d.f_c), 0)
+                       + t.cents * d.den) END AS term
+  FROM test t CROSS JOIN drift d
+),
+scores AS (
+  SELECT 'drift' AS model,
+         CAST(SUM(term) // COUNT(*) AS BIGINT) AS smape_x1e6,
+         CAST(COUNT(*) AS BIGINT) AS n_test
+  FROM t_dr
+  UNION ALL
+  SELECT 'seasonal_naive',
+         CAST(SUM(term) // COUNT(*) AS BIGINT), CAST(COUNT(*) AS BIGINT)
+  FROM t_sn
+),
+best AS (
+  SELECT model AS winner FROM scores
+  ORDER BY smape_x1e6, model LIMIT 1
+)
+SELECT s.model, s.smape_x1e6, s.n_test, s.model = b.winner AS is_winner
+FROM scores s CROSS JOIN best b ORDER BY s.model
+""",
+)
+def ext_forecast_model_selection(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Forecast MODEL SELECTION on the EXT-SMAPE harness: two
+    forecasters — seasonal-naive (per-weekday train mean, a rational)
+    and the drift model (first-to-last linear extrapolation, clamped
+    at zero, also a rational with denominator = the train span) —
+    backtest on the same holdout with cross-multiplied integer SMAPE,
+    and the winner is the argmin (tie -> name order). The selection
+    loop every forecasting pipeline runs, with every score an exact
+    BIGINT so even the model choice is hash-checked. Scale: both
+    models reduce to O(1)/O(7) broadcast parameters from one daily
+    rollup; scoring is a tiny join."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy(F.expr("unix_micros(ts) div 86400000000").alias("day"))
+        .agg(
+            F.sum(F.floor(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    d0 = daily.agg(F.min("day").alias("d0"))
+    dd = daily.crossJoin(F.broadcast(d0)).select(
+        "day",
+        "cents",
+        ((F.col("day") - F.col("d0")) % 7).alias("wd"),
+        (F.col("day") - F.col("d0")).alias("age"),
+    )
+    train = dd.where(F.col("age") < 21)
+    test = dd.where(F.col("age") >= 21)
+    snaive = train.groupBy("wd").agg(
+        F.sum("cents").cast("bigint").alias("num"),
+        F.count("*").cast("bigint").alias("den"),
+    )
+    f_row = train.orderBy("day").limit(1).select(
+        F.col("day").alias("f_day"), F.col("cents").alias("f_c")
+    )
+    l_row = train.orderBy(F.col("day").desc()).limit(1).select(
+        F.col("day").alias("l_day"), F.col("cents").alias("l_c")
+    )
+    drift = f_row.crossJoin(l_row).select(
+        "f_day", "f_c", "l_day", "l_c",
+        (F.col("l_day") - F.col("f_day")).alias("den"),
+    )
+    t_sn = test.join(F.broadcast(snaive), "wd").select(
+        F.when(F.col("num") + F.col("cents") * F.col("den") == 0, 0)
+        .otherwise(
+            F.expr(
+                "1000000 * abs(num - cents * den) div (num + cents * den)"
+            )
+        )
+        .alias("term")
+    )
+    dnum = F.greatest(
+        F.col("l_c") * F.col("den")
+        + (F.col("day") - F.col("l_day")) * (F.col("l_c") - F.col("f_c")),
+        F.lit(0),
+    )
+    t_dr = test.crossJoin(F.broadcast(drift)).select(
+        dnum.alias("dnum"), "cents", "den"
+    ).select(
+        F.when(F.col("dnum") + F.col("cents") * F.col("den") == 0, 0)
+        .otherwise(
+            F.expr(
+                "1000000 * abs(dnum - cents * den) "
+                "div (dnum + cents * den)"
+            )
+        )
+        .alias("term")
+    )
+
+    def score(df: DataFrame, model: str) -> DataFrame:
+        return df.agg(
+            F.expr("sum(term) div count(*)")
+            .cast("bigint")
+            .alias("smape_x1e6"),
+            F.count("*").cast("bigint").alias("n_test"),
+        ).select(F.lit(model).alias("model"), "smape_x1e6", "n_test")
+
+    scores = score(t_dr, "drift").unionByName(
+        score(t_sn, "seasonal_naive")
+    )
+    best = scores.orderBy("smape_x1e6", "model").limit(1).select(
+        F.col("model").alias("winner")
+    )
+    return (
+        scores.crossJoin(F.broadcast(best))
+        .select(
+            "model",
+            "smape_x1e6",
+            "n_test",
+            (F.col("model") == F.col("winner")).alias("is_winner"),
+        )
+        .orderBy("model")
+    )
