@@ -4982,3 +4982,90 @@ def ext_forecast_model_selection(
         )
         .orderBy("model")
     )
+
+
+@register(
+    "ext_bounce_rate",
+    survey_id="EXT-BOUNCE",
+    category="event-analytics",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id)
+                   > 1800000000
+              OR lag(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+),
+sid AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS s
+  FROM flagged
+),
+sess AS (
+  SELECT user_id, s,
+         MIN(epoch_us(ts)) // 86400000000 AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM sid GROUP BY user_id, s
+)
+SELECT day,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bounces,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS bounce_rate_x1e6
+FROM sess GROUP BY day ORDER BY day
+""",
+)
+def ext_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate — single-event sessions over total sessions,
+    the web-analytics quality metric the sessionizer family was
+    missing: sessions come from the EXT-SESSION 30-minute-gap
+    definition, attribute to the day of their FIRST event (integer
+    epoch days), and the rate rides the exact 1e6 grid. One
+    user-keyed window + two keyed aggregates; the daily report is
+    tiny at any scale."""
+    e = load_table(spark, sf_dir, "events")
+    t_us = F.unix_micros("ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            (t_us - F.lag(t_us).over(w) > 1800000000)
+            | F.lag("ts").over(w).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sid = flagged.select(
+        "user_id",
+        "ts",
+        F.sum("is_new").over(w_run).alias("s"),
+    )
+    sess = sid.groupBy("user_id", "s").agg(
+        F.min(F.expr("unix_micros(ts) div 86400000000")).alias("day"),
+        F.count("*").cast("bigint").alias("n_events"),
+    )
+    return (
+        sess.groupBy("day")
+        .agg(
+            F.count("*").cast("bigint").alias("n_sessions"),
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_bounces"),
+            F.expr(
+                "sum(case when n_events = 1 then 1 else 0 end) "
+                "* 1000000 div count(*)"
+            )
+            .cast("bigint")
+            .alias("bounce_rate_x1e6"),
+        )
+        .orderBy("day")
+    )
