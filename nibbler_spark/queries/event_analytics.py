@@ -5069,3 +5069,84 @@ def ext_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "ext_dau_wau_mau",
+    survey_id="EXT-DAU",
+    category="event-analytics",
+    oracle="""
+WITH ud AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+),
+spine AS (SELECT DISTINCT day FROM ud),
+dau AS (
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY day
+),
+wau AS (
+  SELECT s.day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS wau
+  FROM spine s JOIN ud u ON u.day BETWEEN s.day - 6 AND s.day
+  GROUP BY s.day
+),
+mau AS (
+  SELECT s.day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS mau
+  FROM spine s JOIN ud u ON u.day BETWEEN s.day - 27 AND s.day
+  GROUP BY s.day
+)
+SELECT d.day, d.dau, w.wau, m.mau,
+       CAST(d.dau * 1000000 // m.mau AS BIGINT) AS stickiness_x1e6
+FROM dau d JOIN wau w USING (day) JOIN mau m USING (day)
+ORDER BY d.day
+""",
+)
+def ext_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling active-user counts — DAU / WAU / MAU plus the DAU/MAU
+    stickiness ratio, the product-health dashboard header: activity
+    first collapses to the DISTINCT (user, day) table (the 100 TB
+    trick — everything downstream touches user-days, never raw
+    events), daily actives are a keyed count, and the trailing 7/28-
+    day distinct counts come from a bounded range join of the day
+    spine against user-days (fanout <= window length, keyed on day —
+    contrast recomputing distinct-over-window per event). Exact
+    integers throughout; stickiness rides the 1e6 grid. The windowed
+    complement of ext_cumulative_distinct_users."""
+    e = load_table(spark, sf_dir, "events")
+    ud = (
+        e.select(
+            "user_id",
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    spine = ud.select("day").distinct()
+    dau = ud.groupBy("day").agg(F.count("*").cast("bigint").alias("dau"))
+
+    def rolling(width: int, out: str) -> DataFrame:
+        s = spine.select(F.col("day").alias("s_day"))
+        return (
+            s.join(
+                ud,
+                (F.col("day") >= F.col("s_day") - (width - 1))
+                & (F.col("day") <= F.col("s_day")),
+            )
+            .groupBy(F.col("s_day").alias("day"))
+            .agg(F.countDistinct("user_id").cast("bigint").alias(out))
+        )
+
+    wau = rolling(7, "wau")
+    mau = rolling(28, "mau")
+    return (
+        dau.join(wau, "day")
+        .join(mau, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            "mau",
+            F.expr("dau * 1000000 div mau")
+            .cast("bigint")
+            .alias("stickiness_x1e6"),
+        )
+        .orderBy("day")
+    )

@@ -1102,3 +1102,15 @@ def test_behavioral_pipeline_stages_consistent(spark, sf_dir):
     assert 0 <= rows["attribution"][0] <= rows["attribution"][1]
     # LTV week-1 revenue is positive and bounded by total purchases
     assert 0 < rows["ltv_week1"][0] <= rows["attribution"][1]
+
+
+def test_bounce_and_dau_consistency(spark, sf_dir):
+    b = SPECS["ext_bounce_rate"].spark(spark, sf_dir).collect()
+    assert b and all(0 <= r["n_bounces"] <= r["n_sessions"] for r in b)
+    d = SPECS["ext_dau_wau_mau"].spark(spark, sf_dir).collect()
+    assert d
+    for r in d:
+        assert r["dau"] <= r["wau"] <= r["mau"]  # nesting of windows
+        assert 0 < r["stickiness_x1e6"] <= 1000000
+    days = [r["day"] for r in d]
+    assert days == sorted(days)
