@@ -332,3 +332,58 @@ def test_rebatcher_random_schedules_exhaustive(size, ticker_q, steps):
             assert len(batch) == size
     flat = [x for batch, _ in flushed for x in batch]
     assert flat == pushed  # (2) exact concatenation after drain
+
+
+def test_at_most_once_under_task_retry():
+    """R8 at-most-once delivery survives Spark TASK retries (r4 verdict
+    #2): with master local[4,2] every executor task gets two attempts,
+    and an injected UDF fails every FIRST attempt
+    (TaskContext.attemptNumber() == 0).  Task retries happen below the
+    foreachBatch collect() boundary, so the driver-side re-batcher must
+    see each micro-batch exactly once — the processor side-effect log
+    equals the no-failure golden with zero duplicated or partial
+    batches.  Runs in a subprocess because local-mode task-retry count
+    is baked into the master string (the shared test session is
+    local[4] = single attempt).  The marker census proves the failures
+    and retries genuinely happened."""
+    import json
+    import os
+    import subprocess
+    import sys
+    import tempfile
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    marker_dir = tempfile.mkdtemp(prefix="nibbler-retry-markers-")
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(repo, "tests", "retry_golden_harness.py"),
+            marker_dir,
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd=repo,
+    )
+    line = next(
+        (
+            ln
+            for ln in proc.stdout.splitlines()
+            if ln.startswith("RESULT:")
+        ),
+        None,
+    )
+    assert line is not None, (
+        f"harness produced no RESULT line\nstdout:\n{proc.stdout[-2000:]}"
+        f"\nstderr:\n{proc.stderr[-2000:]}"
+    )
+    res = json.loads(line[len("RESULT:"):])
+    # exactly-once at the re-batcher layer: the no-failure golden
+    assert res["batches"] == [
+        ["x:0", "x:1", "x:2", "x:3"],
+        ["x:4", "x:5", "x:6", "x:7"],
+        ["x:8", "x:9"],
+    ]
+    # and the retries were real: first attempts failed, seconds ran
+    assert res["attempt0_markers"] >= 1
+    assert res["attempt1_markers"] >= 1

@@ -1,0 +1,127 @@
+"""Growth-exponent pins for the dedup/graph flagships (r4 verdict #1).
+
+BENCH_SF1.json records the wall-time ladder (generated sf0.1 → sf1 via
+tools/gen_scale_data.py; measured 3.1x–5.6x for 10x docs, gate 12x).
+Wall time is environment-dependent, so CI pins the machine-independent
+quantity instead: the CARDINALITY growth of the intermediates that
+dominate each flagship's cost.  For a corpus whose shingle space scales
+with n (the generator's density-matched vocab — the 100 TB regime; see
+gen_scale_data.py's module docstring for why a fixed fixture vocab
+makes ANY exact pair set quadratic), these must grow near-linearly:
+
+- df-capped 5-shingle graph EDGES (ext_label_propagation /
+  ext_kcore_decomposition cost driver),
+- exact 3-shingle J >= 0.6 PAIRS (k05_minhash_lsh's recall baseline and
+  the true near-dup output size),
+- duplicated 8-gram GROUPS (ext_substring_span_dedup's shuffle volume).
+
+Rungs: n=2,000 vs n=8,000 (4x).  Pin: exponent = log4(c2/c1) <= 1.35
+(near-linear with room for the planted-pair second-order term), plus
+strict growth (the proxy is not degenerate/constant).  Sub-linear
+exponents are expected and fine: the random-collision component of the
+5-shingle graph scales as n·(instances/space) = n^(1/3) once the vocab
+density-matches — cost growing *slower* than data is exactly the 100 TB
+property being pinned.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from tools.gen_scale_data import write_sf
+
+N_SMALL, N_BIG = 2_000, 8_000
+EXP_MAX = 1.35
+
+
+@pytest.fixture(scope="module")
+def rungs():
+    base = tempfile.mkdtemp(prefix="nibbler-ladder-")
+    small = os.path.join(base, "small")
+    big = os.path.join(base, "big")
+    write_sf(N_SMALL / 50_000, small)
+    write_sf(N_BIG / 50_000, big)
+    return small, big
+
+
+def _exponent(c_small: int, c_big: int) -> float:
+    assert c_small > 0 and c_big > 0
+    return math.log(c_big / c_small) / math.log(N_BIG / N_SMALL)
+
+
+def _assert_near_linear(c_small: int, c_big: int, what: str) -> None:
+    e = _exponent(c_small, c_big)
+    assert c_big > c_small, f"{what}: proxy did not grow ({c_small} -> {c_big})"
+    assert e <= EXP_MAX, (
+        f"{what}: counts {c_small} -> {c_big}, growth exponent {e:.2f} "
+        f"> {EXP_MAX} (superlinear)"
+    )
+
+
+def test_dfcap_graph_edges_near_linear(spark, rungs):
+    from nibbler_spark.queries.llm_dedup import _dfcap_shingle_digraph
+
+    small, big = rungs
+    counts = [
+        _dfcap_shingle_digraph(spark, d)[1].count() for d in (small, big)
+    ]
+    _assert_near_linear(counts[0], counts[1], "df-capped 5-shingle edges")
+
+
+def test_exact_jaccard_pairs_near_linear(spark, rungs):
+    from nibbler_spark.queries.llm_dedup import exact_jaccard_pairs
+
+    small, big = rungs
+    counts = []
+    for d in (small, big):
+        doc = spark.read.parquet(os.path.join(d, "documents.parquet"))
+        toks = F.split("text", " ")
+        sh = F.array_distinct(
+            F.when(
+                F.size(toks) >= 3,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - 2),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(toks, i),
+                        F.element_at(toks, i + 1),
+                        F.element_at(toks, i + 2),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        )
+        t = doc.select("doc_id", sh.alias("ts"))
+        counts.append(
+            exact_jaccard_pairs(t, threshold=0.6, df_cap=1000).count()
+        )
+    _assert_near_linear(counts[0], counts[1], "exact J>=0.6 pairs")
+
+
+def test_duplicated_8gram_groups_near_linear(spark, rungs):
+    small, big = rungs
+    counts = []
+    for d in (small, big):
+        doc = spark.read.parquet(os.path.join(d, "documents.parquet"))
+        t = doc.select("doc_id", F.split("text", " ").alias("t"))
+        g = t.select(
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(t) >= 8 THEN "
+                    "transform(sequence(1, size(t) - 7), "
+                    "i -> xxhash64(array_join(slice(t, i, 8), ' '))) "
+                    "ELSE CAST(array() AS ARRAY<BIGINT>) END"
+                )
+            ).alias("gh")
+        )
+        counts.append(
+            g.groupBy("gh")
+            .agg(F.count("*").alias("c"))
+            .where(F.col("c") >= 2)
+            .count()
+        )
+    _assert_near_linear(counts[0], counts[1], "duplicated 8-gram groups")

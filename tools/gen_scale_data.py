@@ -1,0 +1,149 @@
+"""Deterministic scale-ladder corpus generator (round-5 verdict item #1).
+
+The driver ships `documents.parquet` only up to sf0.1 (5,000 docs).  The
+100 TB design claims for the dedup/graph flagships (k05_minhash_lsh,
+ext_label_propagation, ext_kcore_decomposition, ext_containment_dedup,
+ext_substring_span_dedup) were plan-asserted but never *measured* beyond
+sf0.1 — this module closes that gap by generating statistically-matched
+corpora at any size, seeded, with the same generative shape as the
+driver's seed-42 generator (measured from the real sf0.1 table):
+
+- vocabulary: the exact 30 uniform tokens of the driver corpus (the
+  31st token, ``dup``, is the planted near-duplicate marker);
+- token count per doc: uniform 10..100 (measured min/max/mean
+  10/100/54.1);
+- lang mix: en ~41%, de/es/fr/zh ~14.7% each (measured 2059/702/748/
+  752/753 at sf0.1);
+- source: uniform src0..src19;
+- planted near-dups: ~5% of docs are a copy of a uniformly-random
+  earlier doc with `` dup`` appended (measured 250 dup-marked docs per
+  5,000, 243 of them exact `replace(text,' dup','')` matches of another
+  doc) — this is what gives the corpus its linear-in-n true-pair count,
+  the property the scale ladder pins.
+
+Vocabulary scaling above the anchor: a FIXED 30-token vocab saturates
+the 3-token-shingle space (27,000 combos) as n grows — per-shingle df
+rises ∝ n and any exact J >= 0.6 pair set becomes a quadratic OUTPUT no
+algorithm can make sub-quadratic (the r3 k05 lesson, NOTES.md).  Real
+crawl corpora do the opposite: their shingle space grows with the
+corpus, holding per-pair shingle-collision density roughly constant.
+The generator therefore scales the vocab as ``round(30 * (n/5000)**(1/3))``
+(3-shingle space then grows ∝ n, pinning expected df constant) — at the
+5,000-doc anchor this is exactly the driver's 30 tokens, so generated
+sf0.1 matches the real sf0.1 distributionally, and larger rungs model
+the 100 TB density regime rather than the fixture's degeneracy.  Extra
+tokens are ``w000``..; pass ``vocab_size`` explicitly to override.
+
+NOT bit-identical to the driver data (the driver's RNG stream is not
+public); identical *distributions*, which is what wall-time scaling
+measurements need.  Correctness at sf1 is still checked: every flagship
+returns either bounded-mode booleans or integer-exact aggregates, and
+the ladder asserts the bounded checks hold at every rung.
+
+Usage:
+    python tools/gen_scale_data.py 1.0          # -> .scale_data/sf1/
+    python tools/gen_scale_data.py 0.3 --out /tmp/sf0.3
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+# The 30 real-corpus tokens (alphabetical), measured uniform at sf0.1.
+VOCAB = [
+    "a", "agg", "batch", "big", "column", "customer", "data", "fast",
+    "filter", "group", "hash", "join", "key", "line", "merge", "order",
+    "part", "query", "row", "scan", "slow", "small", "sort", "spark",
+    "stream", "table", "the", "value", "vector", "window",
+]
+LANGS = ["en", "de", "es", "fr", "zh"]
+LANG_P = [0.41, 0.1475, 0.1475, 0.1475, 0.1475]
+SOURCES = [f"src{i}" for i in range(20)]
+DOCS_PER_SF = 50_000  # sf0.1 == 5,000 docs
+DUP_RATE = 0.05
+
+
+def auto_vocab_size(n_docs: int) -> int:
+    """Density-matched vocab size: 30 at the 5,000-doc anchor, growing
+    as n^(1/3) so the 3-shingle space grows ~linearly in n (see module
+    docstring).  Floor of 8 keeps tiny rungs non-degenerate."""
+    return max(8, int(round(30.0 * (n_docs / 5000.0) ** (1.0 / 3.0))))
+
+
+def _vocab(vocab_size: int) -> list[str]:
+    if vocab_size <= len(VOCAB):
+        return VOCAB[:vocab_size]
+    extra = [f"w{i:03d}" for i in range(vocab_size - len(VOCAB))]
+    return VOCAB + extra
+
+
+def generate_documents(
+    n_docs: int, seed: int = 42, vocab_size: int | None = None
+) -> pa.Table:
+    """n_docs documents with the driver corpus's measured distributions."""
+    rng = np.random.default_rng(seed)
+    words = _vocab(auto_vocab_size(n_docs) if vocab_size is None else vocab_size)
+    lengths = rng.integers(10, 101, size=n_docs)
+    total = int(lengths.sum())
+    tok_idx = rng.integers(0, len(words), size=total)
+    offs = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offs[1:])
+    vocab = np.asarray(words)
+    texts = [
+        " ".join(vocab[tok_idx[offs[i]: offs[i + 1]]])
+        for i in range(n_docs)
+    ]
+    # Plant near-dups: ~DUP_RATE of docs (never doc 0) become a copy of
+    # a uniformly-random earlier doc with " dup" appended.
+    is_dup = rng.random(n_docs) < DUP_RATE
+    is_dup[0] = False
+    for i in np.flatnonzero(is_dup):
+        j = int(rng.integers(0, i))
+        texts[i] = texts[j] + " dup"
+    langs = rng.choice(LANGS, size=n_docs, p=LANG_P)
+    sources = rng.choice(SOURCES, size=n_docs)
+    return pa.table(
+        {
+            "doc_id": pa.array(np.arange(n_docs, dtype=np.int64)),
+            "text": pa.array(texts, type=pa.string()),
+            "lang": pa.array(langs.tolist(), type=pa.string()),
+            "source": pa.array(sources.tolist(), type=pa.string()),
+            "n_chars": pa.array(
+                np.asarray([len(t) for t in texts], dtype=np.int64)
+            ),
+        }
+    )
+
+
+def write_sf(sf: float, out_dir: str, seed: int = 42) -> str:
+    n = int(round(sf * DOCS_PER_SF))
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "documents.parquet")
+    tmp = path + ".tmp"
+    pq.write_table(generate_documents(n, seed=seed), tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("sf", type=float, help="scale factor (sf1 = 50k docs)")
+    ap.add_argument("--out", default=None, help="output dir")
+    ap.add_argument("--seed", type=int, default=42)
+    args = ap.parse_args()
+    out = args.out or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".scale_data",
+        f"sf{args.sf:g}",
+    )
+    path = write_sf(args.sf, out, seed=args.seed)
+    print(path)
+
+
+if __name__ == "__main__":
+    main()
