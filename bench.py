@@ -91,6 +91,9 @@ HEADLINE = [
     # r4 final session: from-scratch format decode + chain analytics
     "a41_parquet_raw_reader",  # BENCH-K20 (raw Parquet decode, 8 files)
     "ext_markov_attribution",  # BENCH-K21 (5-variant absorbing chains)
+    # r5 (verdict #4): the salted zipf(1.5) skew join; its unsalted twin
+    # is timed separately below as k22_skew_join_unsalted (BENCH-K22).
+    "ext_zipf_skew_join",  # BENCH-K22 (salted zipf skew join)
 ]
 
 
@@ -130,6 +133,27 @@ def main() -> None:
             df.collect()
             samples.append(time.monotonic() - t0)
         timings[name] = round(statistics.median(samples), 4)
+
+    # BENCH-K22 companion row: the UNSALTED zipf(1.5) skew join, timed
+    # against the salted registered variant above (same builder, same
+    # merge-hinted SMJ).  Recorded so the salted/unsalted delta under
+    # a power-law key is a measured number, not an argument; the AQE
+    # skew-split engagement on this plan is asserted from executed-plan
+    # SQLMetrics in tests/test_aqe_scale.py.
+    try:
+        from nibbler_spark.queries.scale_patterns import zipf_skew_join_frames
+
+        zipf_skew_join_frames(spark, SF_DIR, salted=False).collect()
+        samples = []
+        for _ in range(RUNS):
+            t0 = time.monotonic()
+            zipf_skew_join_frames(spark, SF_DIR, salted=False).collect()
+            samples.append(time.monotonic() - t0)
+        timings["k22_skew_join_unsalted"] = round(
+            statistics.median(samples), 4
+        )
+    except ImportError:
+        pass
 
     # TPC-H power run (BENCH-B9): all 22 reduced-schema analogues
     # executed sequentially as ONE timed metric — the classic composite
@@ -171,7 +195,12 @@ def main() -> None:
         sum(
             v
             for k, v in timings.items()
-            if not k.startswith("s1_") and k != "tq_power_22"
+            if not k.startswith("s1_")
+            # composite / diagnostic rows stay out of the headline sum:
+            # tq_power_22 re-times queries already summed individually,
+            # and the unsalted k22 twin is the measured contrast for
+            # ext_zipf_skew_join, not a second operator.
+            and k not in ("tq_power_22", "k22_skew_join_unsalted")
         ),
         4,
     )

@@ -2701,3 +2701,127 @@ def ext_polygon_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("polygon_id")
     )
+
+
+def zipf_skew_join_frames(
+    spark: SparkSession, sf_dir: str, salted: bool
+) -> DataFrame:
+    """Shared builder for EXT-ZIPF-SKEW (query + BENCH-K22): a
+    zipf(1.5)-keyed fact-dim join, optionally salted.
+
+    Key synthesis (engine-portable, md5-seeded like EXT-WSAMPLE):
+    u ~ U(0,1) from md5(l_orderkey||'-'||l_linenumber), then
+    zk = least(ceil(1/(u*u)), 1000) — the inverse-CDF draw for a
+    P(K=k) ∝ k^-1.5 power law (P(K>=k) = k^-0.5), capped at 1000.
+    The hot key holds ~29% of all fact rows — the canonical skew that
+    sinks an unsalted shuffle join at 100 TB.  1/(u*u) is pure IEEE
+    divide/multiply (no pow/log), so DuckDB reproduces zk bit-exactly.
+
+    The salted variant salts the fact with l_linenumber % 8 and fans
+    the dim 8x, splitting the hot key across 8 reduce tasks; output is
+    provably identical to the plain join (salting changes physics, not
+    semantics — the oracle IS the unsalted join).  Both sides are
+    merge-hinted: fact-dim joins this shape would broadcast at test
+    scale, but BENCH-K22 measures the fact-fact SHUFFLE-join regime
+    where skew actually bites (and where AQE's skew split engages —
+    asserted from executed-plan metrics in tests/test_aqe_scale.py)."""
+    # repartition: locally lineitem is one parquet split = ONE map
+    # output, and AQE's skew split works at map-output granularity so a
+    # single mapper is unsplittable (no-op at real scale, where the
+    # scan's thousands of tasks provide the map outputs for free).
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber")
+        .repartition(16)
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "-",
+                        F.col("l_orderkey").cast("string"),
+                        F.col("l_linenumber").cast("string"),
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + 0.5
+    ) / F.lit(float(16**12))
+    zk = F.least(
+        F.ceil(F.lit(1.0) / (u * u)).cast("bigint"), F.lit(1000)
+    )
+    fact = li.select(
+        zk.alias("zk"), "l_orderkey", "l_linenumber"
+    )
+    dim = spark.range(1, 1001).select(
+        F.col("id").alias("zk"), ((F.col("id") * 7) % 100).alias("w")
+    )
+    if salted:
+        n_salt = 8
+        f2 = fact.withColumn(
+            "salt", (F.col("l_linenumber") % n_salt).cast("int")
+        )
+        d2 = dim.withColumn(
+            "salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+        ).withColumnRenamed("zk", "d_zk")
+        joined = f2.hint("merge").join(
+            d2.hint("merge"),
+            (F.col("zk") == F.col("d_zk")) & (f2["salt"] == d2["salt"]),
+        )
+    else:
+        joined = fact.hint("merge").join(dim.hint("merge"), "zk")
+    bucket = F.when(F.col("zk") <= 8, F.col("zk")).otherwise(F.lit(9))
+    return (
+        joined.groupBy(bucket.alias("zk_bucket"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("l_orderkey") + F.col("w"))
+            .cast("bigint")
+            .alias("sum_keyed"),
+        )
+        .orderBy("zk_bucket")
+    )
+
+
+@register(
+    "ext_zipf_skew_join",
+    survey_id="EXT-ZIPF-SKEW",
+    category="scale-pattern",
+    oracle="""
+WITH fact AS (
+  SELECT LEAST(CAST(CEIL(1.0 / (u * u)) AS BIGINT), 1000) AS zk,
+         l_orderkey
+  FROM (
+    SELECT l_orderkey, l_linenumber,
+           (CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '-' ||
+                                 CAST(l_linenumber AS VARCHAR)), 1, 12))
+                 AS BIGINT) + 0.5) / 281474976710656.0 AS u
+    FROM lineitem
+  )
+),
+dim AS (
+  SELECT g.k AS zk, (g.k * 7) % 100 AS w
+  FROM generate_series(1, 1000) AS g(k)
+)
+SELECT CASE WHEN f.zk <= 8 THEN f.zk ELSE 9 END AS zk_bucket,
+       COUNT(*) AS n_rows,
+       CAST(SUM(f.l_orderkey + d.w) AS BIGINT) AS sum_keyed
+FROM fact f JOIN dim d ON f.zk = d.zk
+GROUP BY 1 ORDER BY 1
+""",
+)
+def ext_zipf_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted zipf(1.5) skew join (r4 verdict #4) — see
+    :func:`zipf_skew_join_frames`.  The registered query runs the
+    SALTED plan; the oracle is the plain unsalted join, so the oracle
+    gate itself proves salting preserves semantics exactly.  BENCH-K22
+    records salted-vs-unsalted wall times at sf0.1;
+    tests/test_aqe_scale.py asserts AQE's skew-split metrics
+    (numSkewedPartitions / numSkewedSplits) fire on the unsalted plan
+    under production-shaped thresholds."""
+    return zipf_skew_join_frames(spark, sf_dir, salted=True)

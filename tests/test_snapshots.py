@@ -952,3 +952,78 @@ def test_replace_where_prunes_untouched_files(spark, tmp_path):
     carried = [e["path"] for e in after if e["path"] in base_files]
     # A and C files carried untouched; only B was rewritten
     assert len(carried) == 2
+
+
+def _race_committer(table: str, worker: int, rounds: int, out_path: str, barrier):
+    """Module-level worker for the multi-process commit race (spawn-
+    picklable).  Records (latest-before, won-id) per round so the parent
+    can count OBSERVED collisions (won > latest+1 means another process
+    claimed an id first and this writer retried onto a later one).  The
+    barrier aligns the two processes past their interpreter start-up so
+    the commit loops genuinely overlap."""
+    import json as _json
+
+    from nibbler_spark.operators.snapshots import (
+        commit_snapshot as _cs,
+        latest_snapshot as _ls,
+    )
+
+    barrier.wait(timeout=120)
+    results = []
+    for r in range(rounds):
+        before = _ls(table)
+        won = _cs(
+            table,
+            [{"path": f"w{worker}-r{r}", "rows": 1, "columns": {}}],
+            meta={"worker": worker, "round": r},
+        )
+        results.append((before, won))
+    with open(out_path, "w") as fh:
+        _json.dump(results, fh)
+
+
+def test_multiprocess_commit_race_no_lost_updates(tmp_path):
+    """r4 verdict #3: the put-if-absent commit under TRUE filesystem
+    concurrency — two separate OS processes hammer one table with 50
+    commits each (no GIL serialization, unlike the thread test above).
+    Invariants: all 100 commits survive (no lost updates), snapshot ids
+    are exactly 0..99 (contiguous, each won by exactly one writer), and
+    at least one genuine collision-retry was observed (a writer's won
+    id exceeded latest+1 at its read — the loser landing on N+1)."""
+    import multiprocessing as mp
+
+    table = str(tmp_path / "race")
+    rounds = 50
+    outs = [str(tmp_path / f"out-{w}.json") for w in range(2)]
+    ctx = mp.get_context("spawn")
+    barrier = ctx.Barrier(2)
+    procs = [
+        ctx.Process(
+            target=_race_committer,
+            args=(table, w, rounds, outs[w], barrier),
+        )
+        for w in range(2)
+    ]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join(timeout=300)
+        assert p.exitcode == 0
+    per_worker = [json.load(open(o)) for o in outs]
+    all_won = [won for res in per_worker for (_b, won) in res]
+    # no lost updates: 100 distinct contiguous ids
+    assert sorted(all_won) == list(range(2 * rounds))
+    # every manifest readable, carrying its writer's file entry
+    from nibbler_spark.operators.snapshots import snapshot_meta
+
+    for w, res in enumerate(per_worker):
+        for r, (_b, won) in enumerate(res):
+            assert snapshot_files(table, won) == [f"w{w}-r{r}"]
+            assert snapshot_meta(table, won)["worker"] == w
+    # the race was real: somebody lost an id claim and retried onto a
+    # later one (overwhelmingly likely with 2x50 interleaved commits;
+    # if this ever flakes the processes never truly overlapped)
+    collisions = sum(
+        won > before + 1 for res in per_worker for (before, won) in res
+    )
+    assert collisions >= 1
