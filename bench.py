@@ -173,22 +173,37 @@ def main() -> None:
         timings["tq_power_22"] = round(statistics.median(samples), 4)
 
     # Streaming re-batcher throughput (BENCH-S1): items/s through the
-    # size-OR-time core at Size=100.
+    # size-OR-time core at Size=100.  Measured in a FRESH SUBPROCESS
+    # (r4 verdict #7): the in-process reading swung 3.06M -> 2.39M
+    # across rounds under identical code because the shared interpreter
+    # carries the query suite's py4j callback threads and GC debt; a
+    # clean interpreter with no JVM attached removes the interference
+    # at the source (max-of-3 within the subprocess still guards
+    # scheduler blips).
     try:
-        from nibbler_spark.streaming.rebatcher import bench_rebatcher_throughput
+        import subprocess
 
-        # best-of-3: the single-shot reading is GIL/GC-sensitive right
-        # after the query suite (a 1.35M outlier vs 2.4-2.5M isolated,
-        # r4) — max strips the interference, as throughput micro-
-        # benches conventionally do
-        timings["s1_rebatcher_items_per_sec"] = round(
-            max(
-                bench_rebatcher_throughput(n_items=20000, size=100)
-                for _ in range(3)
-            ),
-            1,
+        snippet = (
+            # 200k items widens each timing window to ~100 ms (20k = ~8 ms
+            # was inside CPU-frequency-ramp noise); max-of-5 then reads
+            # the unthrottled steady state.
+            "import sys; sys.path.insert(0, %r); "
+            "from nibbler_spark.streaming.rebatcher import "
+            "bench_rebatcher_throughput as b; "
+            "print(max(b(n_items=200000, size=100) for _ in range(5)))"
+            % _REPO
         )
-    except ImportError:
+        out = subprocess.run(
+            [sys.executable, "-c", snippet],
+            capture_output=True,
+            text=True,
+            timeout=120,
+        )
+        if out.returncode == 0:
+            timings["s1_rebatcher_items_per_sec"] = round(
+                float(out.stdout.strip().splitlines()[-1]), 1
+            )
+    except (subprocess.TimeoutExpired, ValueError, IndexError):
         pass
 
     total = round(

@@ -119,3 +119,49 @@ def test_kafka_loopback_offsets_contiguous_per_partition(spark, sf_dir):
         .count()
         == 0
     )
+
+
+def test_stateful_api_probe_matches_environment():
+    """i37's API auto-selection (r4 verdict #6): the probe must track
+    the actual availability of transformWithStateInPandas's protobuf
+    dependency — in this container google.protobuf is absent, so the
+    probe selects the applyInPandasWithState fallback; in an
+    environment with protobuf it flips to 'tws' with no code change.
+    The assertion is written against the REAL import result (not a
+    hardcoded 'apply') so the test stays green on both kinds of
+    machines."""
+    from nibbler_spark.queries.streaming_q import (
+        select_stateful_api,
+        tws_available,
+    )
+
+    try:
+        import google.protobuf  # noqa: F401
+
+        have_pb = True
+    except ImportError:
+        have_pb = False
+    assert tws_available() == have_pb
+    assert select_stateful_api() == ("tws" if have_pb else "apply")
+
+
+def test_i37_tws_formulation_constructs_when_available(spark):
+    """The TWS code path itself: when the env lacks protobuf the
+    StatefulProcessor formulation cannot run, but it must IMPORT and
+    fail only on the protobuf seam (not on our code).  When protobuf is
+    present this test instead proves the plan constructs."""
+    from nibbler_spark.queries.streaming_q import (
+        _i37_tws_result,
+        tws_available,
+    )
+
+    if not tws_available():
+        import pytest as _pytest
+
+        _pytest.skip("google.protobuf absent — TWS path env-blocked")
+    src = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).parquet("/root/testdata/sf0.001")
+    df = _i37_tws_result(src)
+    assert df.schema.simpleString().startswith("struct<user_id:bigint")
