@@ -2120,7 +2120,7 @@ _HNM_SIG = "".join(
 @register(
     "ext_hard_negative_mining",
     survey_id="EXT-HARDNEG",
-    category="llm-vectors",
+    category="llm-vector",
     oracle=f"""
 WITH base AS (
   SELECT vec_id, label, embedding,
@@ -2380,7 +2380,7 @@ def ext_ivf_incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ext_embedding_column_profile",
     survey_id="EXT-EMB-PROFILE",
-    category="llm-vectors",
+    category="llm-vector",
     oracle="""
 WITH e AS (
   SELECT vec_id, UNNEST(embedding) AS v,

@@ -44,7 +44,7 @@ _SQL_GRIDLN = "CAST(FLOOR(LN({x}) * 1e9) AS BIGINT)"
 @register(
     "ext_decision_stump",
     survey_id="EXT-STUMP",
-    category="ml",
+    category="ml-exact",
     oracle="""
 WITH rows_f AS (
   SELECT CAST(l_quantity AS INTEGER) AS qty,
@@ -234,7 +234,7 @@ ORDER BY actual_lang, pred_lang
 @register(
     "ext_naive_bayes",
     survey_id="EXT-NBAYES",
-    category="ml",
+    category="ml-exact",
     oracle=_NB_ORACLE,
 )
 def ext_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -329,7 +329,7 @@ def ext_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ext_equidepth_bucketing",
     survey_id="EXT-EQUIDEPTH",
-    category="ml",
+    category="ml-exact",
     oracle=f"""
 WITH cuts AS (
   SELECT quantile_cont(o_totalprice,
@@ -398,7 +398,7 @@ def ext_equidepth_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ext_mutual_information",
     survey_id="EXT-MI",
-    category="ml",
+    category="ml-exact",
     oracle="""
 WITH pres AS (
   SELECT DISTINCT doc_id, lang, UNNEST(string_split(text, ' ')) AS w
@@ -2277,7 +2277,7 @@ def ext_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ext_batch_perceptron",
     survey_id="EXT-PERCEPTRON",
-    category="ml",
+    category="ml-exact",
     oracle="""
 WITH d AS (
   SELECT CAST(n_chars AS BIGINT) AS x1,
@@ -2391,7 +2391,7 @@ def ext_batch_perceptron(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ext_knn_classifier_eval",
     survey_id="EXT-KNN-EVAL",
-    category="ml",
+    category="ml-exact",
     oracle="""
 WITH q AS (
   SELECT vec_id AS q_id, embedding AS qv, label AS true_label
@@ -2508,7 +2508,7 @@ def ext_knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ext_random_forest_vote",
     survey_id="EXT-RF",
-    category="ml",
+    category="ml-exact",
     oracle="""
 WITH rows_f AS (
   SELECT l_orderkey AS okey, l_partkey AS pkey, l_suppkey AS skey,
@@ -2774,7 +2774,7 @@ def ext_random_forest_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ext_classification_report",
     survey_id="EXT-CLSREPORT",
-    category="ml",
+    category="ml-exact",
     oracle=f"""
 WITH conf AS ({_NB_ORACLE}),
 classes AS (
@@ -2962,7 +2962,7 @@ def _nb_fold_sql(fold: int) -> str:
 @register(
     "ext_cross_validation",
     survey_id="EXT-CROSSVAL",
-    category="ml",
+    category="ml-exact",
     oracle=f"""
 WITH folds AS (
   ({_nb_fold_sql(0)})

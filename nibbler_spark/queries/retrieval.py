@@ -468,7 +468,7 @@ ORDER BY rank
 @register(
     "ext_mmr_rerank",
     survey_id="EXT-MMR",
-    category="retrieval",
+    category="llm-retrieval",
     oracle=_mmr_oracle(),
 )
 def ext_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -553,7 +553,7 @@ def ext_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ext_map_mrr_eval",
     survey_id="EXT-MAP-MRR",
-    category="retrieval",
+    category="llm-retrieval",
     oracle="""
 WITH q AS (
   SELECT vec_id AS q_id, embedding AS qv, label AS q_label
@@ -713,7 +713,7 @@ def ext_map_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ext_phrase_search",
     survey_id="EXT-PHRASE",
-    category="retrieval",
+    category="llm-retrieval",
     oracle="""
 WITH toks AS (
   SELECT doc_id, t.term, t.pos FROM documents,
@@ -827,7 +827,7 @@ def ext_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ext_kendall_tau",
     survey_id="EXT-KENDALL",
-    category="retrieval",
+    category="llm-retrieval",
     oracle="""
 WITH toks AS (
   SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents

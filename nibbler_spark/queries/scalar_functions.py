@@ -998,7 +998,7 @@ def h29_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "h31_variant_type",
     survey_id="EXT-VARIANT",
-    category="scalar-functions",
+    category="scalar",
     oracle="""
 SELECT event_id,
        CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
@@ -1033,7 +1033,7 @@ def h31_variant_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "h32_mask_pii",
     survey_id="EXT-MASK",
-    category="scalar-functions",
+    category="scalar",
     oracle="""
 SELECT c_custkey,
        regexp_replace(regexp_replace(regexp_replace(
@@ -1075,7 +1075,7 @@ def h32_mask_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "h33_interval_arith",
     survey_id="H33",
-    category="scalar-functions",
+    category="scalar",
     oracle="""
 SELECT o_orderkey,
        CAST(o_orderdate AS DATE) AS d,
@@ -1128,7 +1128,7 @@ def h33_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "h34_timezone_conversion",
     survey_id="H34",
-    category="scalar-functions",
+    category="scalar",
     oracle="""
 SELECT o_orderkey,
        o_orderdate AS utc_ts,
@@ -1178,7 +1178,7 @@ def h34_timezone_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "h36_printf_formatting",
     survey_id="H36",
-    category="scalar-functions",
+    category="scalar",
     oracle="""
 SELECT o_orderkey,
        printf('%08d', o_orderkey) AS padded_key,
@@ -1214,7 +1214,7 @@ def h36_printf_formatting(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "h37_map_higher_order",
     survey_id="H37",
-    category="scalar-functions",
+    category="scalar",
     oracle="""
 WITH pre AS (
   SELECT l_orderkey, l_linenumber,

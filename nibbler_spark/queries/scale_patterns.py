@@ -607,7 +607,7 @@ def ext_adaptive_join_strategy(
 @register(
     "ext_join_skew_report",
     survey_id="EXT-SKEW-REPORT",
-    category="scale",
+    category="scale-pattern",
     oracle="""
 WITH per_key AS (
   SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey

@@ -147,7 +147,7 @@ def g07_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ext_snapshot_diff",
     survey_id="EXT-SNAPSHOT-DIFF",
-    category="setops",
+    category="setop",
     oracle="""
 WITH new_snap AS (
   SELECT o_orderkey,

@@ -30,7 +30,7 @@ def _tmp(sf_dir: str, name: str) -> str:
 @register(
     "a01_parquet_scan",
     survey_id="A1",
-    category="source",
+    category="source-sink",
     oracle="SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
 )
 def a01_parquet_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -41,7 +41,7 @@ def a01_parquet_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "a02_csv_roundtrip",
     survey_id="A2",
-    category="source",
+    category="source-sink",
     oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
 )
 def a02_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -60,7 +60,7 @@ def a02_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "a03_jsonl_roundtrip",
     survey_id="A3",
-    category="source",
+    category="source-sink",
     oracle="SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier ORDER BY s_suppkey",
 )
 def a03_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -81,7 +81,7 @@ def a03_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "a04_in_memory_rows",
     survey_id="A4",
-    category="source",
+    category="source-sink",
     oracle="""
 SELECT id, name, CAST(score AS DOUBLE) AS score FROM (VALUES
   (1, 'alpha', 1.5), (2, 'beta', -2.25), (3, NULL, 0.0)
@@ -99,7 +99,7 @@ def a04_in_memory_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "a09_parquet_sink_roundtrip",
     survey_id="A9",
-    category="sink",
+    category="source-sink",
     oracle="""
 SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
 WHERE o_orderstatus = 'F' ORDER BY o_orderkey
@@ -119,7 +119,7 @@ def a09_parquet_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "a11_push_receiver_spool",
     survey_id="A11",
-    category="source",
+    category="source-sink",
     mode="golden",
     oracle="""
 SELECT * FROM (VALUES (1, 'one'), (2, 'two'), (3, 'three'))
@@ -309,7 +309,7 @@ def a15_cached_relation_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "a17_orc_roundtrip",
     survey_id="A17",
-    category="sink",
+    category="source-sink",
     oracle="""
 SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate FROM orders
 WHERE o_orderstatus = 'O' ORDER BY o_orderkey
@@ -436,7 +436,7 @@ def a19_avro_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "a18_avro_roundtrip",
     survey_id="A18",
-    category="sink",
+    category="source-sink",
     oracle="""
 SELECT event_id, user_id, event_type, value FROM events ORDER BY event_id
 """,
@@ -573,7 +573,7 @@ def a21_avro_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "a23_csv_malformed_modes",
     survey_id="EXT-CSV-MODES",
-    category="sources-sinks",
+    category="source-sink",
     mode="bounded",
     oracle="""
 SELECT (SELECT COUNT(*) FROM orders) AS n_permissive,

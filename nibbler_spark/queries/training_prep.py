@@ -341,7 +341,7 @@ def ext_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ext_sq8_quantization",
     survey_id="EXT-SQ8",
-    category="llm-vectors",
+    category="llm-vector",
     oracle="""
 WITH ex AS (
   SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
@@ -1241,7 +1241,7 @@ def ext_curriculum_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ext_target_encoding",
     survey_id="EXT-TARGET-ENC",
-    category="training-prep",
+    category="llm-training-prep",
     oracle="""
 WITH base AS (
   SELECT o_orderkey, o_orderpriority AS cat,
@@ -1493,7 +1493,7 @@ def ext_length_bucket_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ext_ipf_raking",
     survey_id="EXT-IPF",
-    category="training-prep",
+    category="llm-training-prep",
     mode="bounded",
     oracle="""
 WITH full_cells AS (
