@@ -120,6 +120,68 @@ def generate_documents(
     )
 
 
+EVENTS_PER_SF = 1_000_000  # sf0.1 == 100,000 rows (measured)
+USERS_PER_SF = 15_000  # user_id uniform over 15,000*sf users
+VECS_PER_SF = 20_000  # sf0.1 == 2,000 vectors
+EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+_TS0 = np.datetime64("2024-01-01T00:00:00.000000")
+_TS_SPAN_US = 30 * 86_400 * 1_000_000  # 30 days (measured Jan 1-30)
+
+
+def generate_events(n_events: int, sf: float, seed: int = 43) -> pa.Table:
+    """Events matched to the driver table's measured distributions:
+    uniform event types (5), uniform users over 15,000*sf ids, uniform
+    timestamps across 30 days of Jan-2024, exponential(mean 50) values
+    rounded to cents (measured quantiles 5.4/14.6/34.8/68.9/114/228 ==
+    Exp(50)'s), props = {"k": uniform 0..99}."""
+    rng = np.random.default_rng(seed)
+    n_users = max(1, int(round(USERS_PER_SF * sf)))
+    ts = _TS0 + rng.integers(0, _TS_SPAN_US, size=n_events).astype(
+        "timedelta64[us]"
+    )
+    value = np.round(rng.exponential(50.0, size=n_events), 2)
+    k = rng.integers(0, 100, size=n_events)
+    return pa.table(
+        {
+            "event_id": pa.array(np.arange(n_events, dtype=np.int64)),
+            "ts": pa.array(ts, type=pa.timestamp("us")),
+            "user_id": pa.array(
+                rng.integers(0, n_users, size=n_events).astype(np.int64)
+            ),
+            "event_type": pa.array(
+                np.asarray(EVENT_TYPES)[
+                    rng.integers(0, len(EVENT_TYPES), size=n_events)
+                ].tolist(),
+                type=pa.string(),
+            ),
+            "value": pa.array(value, type=pa.float64()),
+            "props": pa.array(
+                [f'{{"k": {int(x)}}}' for x in k], type=pa.string()
+            ),
+        }
+    )
+
+
+def generate_embeddings(n_vecs: int, seed: int = 44) -> pa.Table:
+    """Embeddings matched to the driver table: unit-norm float32[64]
+    gaussian directions (measured: norm 1.0, per-dim std 1/sqrt(64),
+    label geometrically uncorrelated), label uniform 0..9."""
+    rng = np.random.default_rng(seed)
+    v = rng.standard_normal((n_vecs, 64)).astype(np.float32)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    return pa.table(
+        {
+            "vec_id": pa.array(np.arange(n_vecs, dtype=np.int64)),
+            "embedding": pa.array(
+                [row for row in v], type=pa.list_(pa.float32())
+            ),
+            "label": pa.array(
+                rng.integers(0, 10, size=n_vecs).astype(np.int32)
+            ),
+        }
+    )
+
+
 def write_sf(sf: float, out_dir: str, seed: int = 42) -> str:
     n = int(round(sf * DOCS_PER_SF))
     os.makedirs(out_dir, exist_ok=True)
@@ -127,6 +189,16 @@ def write_sf(sf: float, out_dir: str, seed: int = 42) -> str:
     tmp = path + ".tmp"
     pq.write_table(generate_documents(n, seed=seed), tmp)
     os.replace(tmp, path)
+    for name, tbl in (
+        (
+            "events",
+            generate_events(int(round(sf * EVENTS_PER_SF)), sf, seed + 1),
+        ),
+        ("embeddings", generate_embeddings(int(round(sf * VECS_PER_SF)), seed + 2)),
+    ):
+        p = os.path.join(out_dir, f"{name}.parquet")
+        pq.write_table(tbl, p + ".tmp")
+        os.replace(p + ".tmp", p)
     return path
 
 

@@ -29,11 +29,25 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 FLAGSHIPS = [
+    # the five the r4 verdict named
     "k05_minhash_lsh",
     "ext_label_propagation",
     "ext_kcore_decomposition",
     "ext_containment_dedup",
     "ext_substring_span_dedup",
+    # r5 extension: every other documents-only dedup/training flagship
+    "k04_jaccard_pairs",
+    "ext_simhash_banded_pairs",
+    "ext_paragraph_dedup",
+    "ext_minhash_lsh_portable",
+    "ext_decontaminate_ngram",
+    "ext_sequence_packing",
+    "ext_training_data_pipeline",
+    # events- and embeddings-based flagships (generator r5 additions)
+    "ext_sessionize_batch",
+    "ext_behavioral_analytics_pipeline",
+    "ext_embedding_neardup",
+    "k06_cosine_topk",
 ]
 GATE_RATIO = 12.0  # 10x data -> <= 12x wall (near-linear)
 
