@@ -4420,3 +4420,142 @@ def i37_transform_with_state_auto(
         )
         .orderBy("user_id")
     )
+
+
+def _outer_join_sentinel_dir(spark: SparkSession, sf_dir: str) -> str:
+    """events + one far-future sentinel row (user_id -1) — outer
+    stream-stream joins only emit their unmatched rows once the
+    watermark passes the join window's end, so the sentinel advances
+    both sides' watermarks beyond every real event (the i03/i36
+    sentinel trick; the sentinel never joins anything — no real row has
+    user_id -1, and event_id inequality blocks sentinel-sentinel — and
+    is filtered from the result).  The sentinel's event_type is
+    'purchase' ON PURPOSE: Catalyst pushes the right side's
+    deterministic purchase filter BELOW the EventTimeWatermark node, so
+    a sentinel that doesn't survive the filter never reaches the right
+    watermark and the joint watermark stalls at last-purchase − delay
+    (observed: a 43-minute unmatched-row hole at sf0.01)."""
+
+    def build(tmp: str) -> None:
+        e = load_table(spark, sf_dir, "events")
+        e.coalesce(1).write.mode("append").parquet(tmp)
+        gmax = e.agg(F.max("ts")).head()[0]
+        spark.createDataFrame(
+            [
+                (
+                    -1,
+                    gmax + datetime.timedelta(days=2),
+                    -1,
+                    "purchase",
+                    0.0,
+                    "{}",
+                )
+            ],
+            _EVENT_SCHEMA,
+        ).coalesce(1).write.mode("append").parquet(tmp)
+
+    return cached_dir(sf_dir, "events", "stream-outer-sentinel2", build)
+
+
+def _stream_purchase_pairs(
+    spark: SparkSession, sf_dir: str, how: str
+) -> DataFrame:
+    """Shared builder for the outer stream-stream joins (i38/i39):
+    every event (left) against same-user PURCHASES within a 2-minute
+    forward window (right), both sides watermarked 10 minutes.  Outer
+    emission semantics are the subtle part — an unmatched row may only
+    emit after the watermark proves no partner can still arrive, which
+    is why correctness needs the checkpointed-watermark machinery and
+    not just the join condition.  State is bounded by the watermark +
+    interval on BOTH sides (Spark evicts rows older than
+    watermark − 2 min); at 100 TB the state store holds minutes of
+    data, never history."""
+    d = _outer_join_sentinel_dir(spark, sf_dir)
+    a = _read_stream(spark, d).withWatermark("ts", "10 minutes").alias("a")
+    # watermark BEFORE the purchase filter: the sentinel is not a
+    # purchase, so filtering first would strand the right-side
+    # watermark at the last real purchase and the joint watermark
+    # (min of both sides) could never finalize the tail's unmatched
+    # verdicts.
+    b = (
+        _read_stream(spark, d)
+        .withColumnRenamed("ts", "ts_b")
+        .withColumnRenamed("event_id", "event_id_b")
+        .withColumnRenamed("user_id", "user_id_b")
+        .withWatermark("ts_b", "10 minutes")
+        .where(F.col("event_type") == "purchase")
+        .alias("b")
+    )
+    joined = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id_b"))
+        & (F.col("b.ts_b") >= F.col("a.ts"))
+        & (F.col("b.ts_b") <= F.col("a.ts") + F.expr("INTERVAL 2 MINUTES"))
+        & (F.col("a.event_id") != F.col("b.event_id_b")),
+        how,
+    ).select(
+        F.col("a.event_id").alias("eid_a"),
+        F.col("b.event_id_b").alias("eid_b"),
+        F.coalesce(F.col("a.user_id"), F.col("b.user_id_b")).alias(
+            "user_id"
+        ),
+    )
+    out = _drain_to_memory(joined, "append")
+    # the sentinel (user_id -1) never matches; drop its unmatched row
+    return out.where(F.col("user_id") >= 0).orderBy(
+        "eid_a", "eid_b", "user_id"
+    )
+
+
+@register(
+    "i38_stream_stream_left_outer",
+    survey_id="C13",
+    category="streaming",
+    mode="parity",
+    oracle="""
+SELECT a.event_id AS eid_a, b.event_id AS eid_b, a.user_id AS user_id
+FROM events a LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+  ON a.user_id = b.user_id
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL '2 minutes'
+ AND a.event_id <> b.event_id
+ORDER BY eid_a, eid_b, user_id
+""",
+)
+def i38_stream_stream_left_outer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LEFT OUTER stream-stream join with event-time bounds (the outer
+    sibling of c13's inner join): events with no same-user purchase in
+    their 2-minute forward window must still emit — with null right
+    columns — and may do so only after the watermark proves no partner
+    can arrive.  Drained availableNow with a far-future sentinel so
+    every real row's verdict is final; parity against the batch LEFT
+    JOIN is exact."""
+    return _stream_purchase_pairs(spark, sf_dir, "leftOuter")
+
+
+@register(
+    "i39_stream_stream_full_outer",
+    survey_id="C13",
+    category="streaming",
+    mode="parity",
+    oracle="""
+SELECT a.event_id AS eid_a, b.event_id AS eid_b,
+       COALESCE(a.user_id, b.user_id) AS user_id
+FROM events a FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+  ON a.user_id = b.user_id
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL '2 minutes'
+ AND a.event_id <> b.event_id
+ORDER BY eid_a, eid_b, user_id
+""",
+)
+def i39_stream_stream_full_outer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FULL OUTER stream-stream join: both unmatched sides emit after
+    watermark eviction — left events with no purchase partner AND
+    purchases no event preceded within 2 minutes (impossible for
+    non-self rows here only when the purchase is the user's first
+    event of a quiet window, so both null-directions genuinely occur).
+    Parity against the batch FULL JOIN."""
+    return _stream_purchase_pairs(spark, sf_dir, "fullOuter")
