@@ -553,6 +553,87 @@ def _hexval(c: Column) -> Column:
     return F.instr(F.lit("0123456789abcdef"), c) - 1
 
 
+def simhash_fingerprints(
+    spark: SparkSession, sf_dir: str, nbits: int, colname: str
+) -> DataFrame:
+    """(doc_id, <colname>) SimHash fingerprints of width `nbits` over
+    distinct tokens of the doc_id%10==0 document slice: bit j of
+    md5(token) votes ±1; the sign of each bit-position's total forms the
+    fingerprint (bit 0 = MSB). Built on md5 hex so any engine sees
+    identical bits; integer votes ⇒ exact. Shared by `ext_simhash`
+    (nbits=16) and `ext_simhash64_banded_pairs` (nbits=64) and the
+    scale-ladder band-candidate counters."""
+    assert 1 <= nbits <= 64
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
+    toks = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
+    ).select("doc_id", F.md5("tok").alias("h"))
+    bits = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(nbits - 1))).alias("i"),
+        "h",
+    )
+    bit_val = (
+        _hexval(F.substring(F.col("h"), (F.col("i") / 4).cast("int") + 1, 1))
+        .cast("int")
+        .bitwiseAND(F.expr("shiftleft(1, 3 - (i % 4))"))
+        > 0
+    )
+    votes = bits.groupBy("doc_id", "i").agg(
+        F.sum(F.when(bit_val, 1).otherwise(-1)).alias("vote")
+    )
+    # For nbits=64, bit 0 set means shiftleft(1L, 63) = Long.MIN_VALUE in
+    # two's complement — well-defined in the JVM; fingerprints are only
+    # ever XOR'd, banded, and popcounted, never ordered or summed.
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                F.col("vote") > 0,
+                F.expr(f"shiftleft(cast(1 as bigint), {nbits - 1} - i)"),
+            ).otherwise(F.lit(0).cast("bigint"))
+        ).alias(colname)
+    )
+
+
+def simhash_band_pairs(sims: DataFrame, col: str, nbands: int, band_bits: int):
+    """(bands, candidate_pairs) of the pigeonhole band join over SimHash
+    fingerprints: `bands` is the posexploded (doc_id, fingerprint,
+    band_id, band_val) table; `candidate_pairs` the distinct candidate
+    set from the equi-join on (band_id, band_val). Recall is exactly 1
+    for hamming <= nbands - 1 (that many flips leave >= 1 band intact)."""
+    bands = sims.select(
+        "doc_id",
+        col,
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col(col), b * band_bits)
+                    .bitwiseAND(F.lit((1 << band_bits) - 1))
+                    for b in range(nbands)
+                ]
+            )
+        ).alias("band_id", "band_val"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col(f"a.{col}").alias("sim_a"),
+            F.col(f"b.{col}").alias("sim_b"),
+        )
+        .distinct()
+    )
+    return bands, cand
+
+
 @register(
     "ext_simhash",
     survey_id="EXT-SIMHASH",
@@ -584,36 +665,8 @@ def ext_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sign of each bit-position's total forms the fingerprint. Built on
     md5 hex (not engine-native hash functions) so both engines see
     identical bits. Integer votes ⇒ exact."""
-    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
-    toks = d.select(
-        "doc_id",
-        F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
-    ).select("doc_id", F.md5("tok").alias("h"))
-    bits = toks.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("i"),
-        "h",
-    )
-    bit_val = (
-        _hexval(F.substring(F.col("h"), (F.col("i") / 4).cast("int") + 1, 1))
-        .cast("int")
-        .bitwiseAND(F.expr("shiftleft(1, 3 - (i % 4))"))
-        > 0
-    )
-    votes = bits.groupBy("doc_id", "i").agg(
-        F.sum(F.when(bit_val, 1).otherwise(-1)).alias("vote")
-    )
-    return (
-        votes.groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(
-                    F.col("vote") > 0,
-                    F.expr("shiftleft(cast(1 as bigint), 15 - i)"),
-                ).otherwise(F.lit(0).cast("bigint"))
-            ).alias("simhash16")
-        )
-        .orderBy("doc_id")
+    return simhash_fingerprints(spark, sf_dir, 16, "simhash16").orderBy(
+        "doc_id"
     )
 
 
@@ -1047,42 +1100,73 @@ def ext_simhash_banded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     EQUI-join on (band_id, band_value) with recall exactly 1 (which is
     why this gets a hash oracle against the exact pairwise set, unlike
     probabilistic LSH's bounded check). At 100 TB the band join is the
-    whole point: candidates ~ bucket collisions, never n^2."""
+    whole point: candidates ~ bucket collisions, never n^2 — BUT the
+    16-bit fingerprint space (pinned by this oracle) saturates at large
+    corpora, making the hamming<=3 OUTPUT itself quadratic; the scale
+    path is `ext_simhash64_banded_pairs` (measured on the r5 ladder)."""
     sims = ext_simhash(spark, sf_dir)
-    bands = sims.select(
-        "doc_id",
-        "simhash16",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright(F.col("simhash16"), b * 4).bitwiseAND(
-                        F.lit(15)
-                    )
-                    for b in range(4)
-                ]
-            )
-        ).alias("band_id", "band_val"),
-    )
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash16").alias("sim_a"),
-            F.col("b.simhash16").alias("sim_b"),
-        )
-        .distinct()
-    )
+    _, cand = simhash_band_pairs(sims, "simhash16", nbands=4, band_bits=4)
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     return (
         cand.where(hamming <= 3)
         .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register(
+    "ext_simhash64_banded_pairs",
+    survey_id="EXT-SIMHASH64-PAIRS",
+    category="llm-dedup",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, UNNEST(list_distinct(string_split(text, ' '))) AS tok
+  FROM documents WHERE doc_id % 10 = 0
+),
+bits AS (
+  SELECT doc_id, md5(tok) AS h FROM toks
+),
+votes AS (
+  SELECT doc_id,
+         i,
+         SUM(CASE WHEN ((strpos('0123456789abcdef', substr(h, 1 + i // 4, 1)) - 1)
+                        // CAST(POWER(2, 3 - i % 4) AS INTEGER)) % 2 = 1
+                  THEN 1 ELSE -1 END) > 0 AS bit
+  FROM bits, generate_series(0, 63) AS g(i)
+  GROUP BY doc_id, i
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS INT) AS hamming
+FROM votes a JOIN votes b ON a.i = b.i AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) <= 3
+ORDER BY doc_a, doc_b
+""",
+)
+def ext_simhash64_banded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash near-dup pairs at hamming <= 3 — the SCALE PATH for
+    `ext_simhash_banded_pairs`. The 16-bit variant is pinned by its
+    oracle to a 65,536-value fingerprint space, which a 50k-doc corpus
+    saturates: candidate pairs (and true hamming<=3 pairs) grow ~n^2 —
+    measured super-linear on the r5 scale ladder, intrinsically. This
+    variant takes the first 16 hex chars of md5(token) (64 vote bits),
+    so fingerprint collisions among non-near-dups are ~0 at any corpus
+    size that fits on a cluster: expected bucket occupancy per 16-bit
+    band is n/65536 per band value, and hamming<=3 survivors are the
+    genuine near-dups — output ~ n, candidates ~ n + n^2/65536 per
+    band. Banding is 4 x 16 bits: 3 bit flips touch at most 3 bands, so
+    every qualifying pair shares an intact band — recall exactly 1,
+    equi-join on (band_id, band_val), never all-pairs. The oracle
+    avoids 64-bit integer portability entirely by joining per-bit vote
+    signs (a.i = b.i) and counting sign disagreements; Spark computes
+    the same hamming JVM-side via XOR + bit_count on one BIGINT.
+    Integer votes => exact, both engines see identical md5 bits."""
+    sims = simhash_fingerprints(spark, sf_dir, 64, "simhash64")
+    _, cand = simhash_band_pairs(sims, "simhash64", nbands=4, band_bits=16)
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        cand.where(hamming <= 3)
+        .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
         .orderBy("doc_a", "doc_b")
     )
 

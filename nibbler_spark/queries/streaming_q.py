@@ -4559,3 +4559,58 @@ def i39_stream_stream_full_outer(
     event of a quiet window, so both null-directions genuinely occur).
     Parity against the batch FULL JOIN."""
     return _stream_purchase_pairs(spark, sf_dir, "fullOuter")
+
+
+@register(
+    "i40_stream_stream_left_semi",
+    survey_id="C13",
+    category="streaming",
+    mode="parity",
+    oracle="""
+SELECT a.event_id AS eid_a, a.user_id AS user_id
+FROM events a
+WHERE EXISTS (
+  SELECT 1 FROM events b
+  WHERE b.event_type = 'purchase'
+    AND a.user_id = b.user_id
+    AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL '2 minutes'
+    AND a.event_id <> b.event_id
+)
+ORDER BY eid_a
+""",
+)
+def i40_stream_stream_left_semi(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LEFT SEMI stream-stream join — completes the streaming join-type
+    family (inner c13, left/full outer i38/i39): events that DO have a
+    same-user purchase in their 2-minute forward window, emitted once
+    (no right columns, no duplication however many purchases match —
+    the EXISTS contract).  Semi joins emit as soon as a match arrives
+    but each left row at most once, with state evicted by the same
+    watermark bound as the outer variants; parity against the batch
+    EXISTS rewrite."""
+    d = _outer_join_sentinel_dir(spark, sf_dir)
+    a = _read_stream(spark, d).withWatermark("ts", "10 minutes").alias("a")
+    b = (
+        _read_stream(spark, d)
+        .withColumnRenamed("ts", "ts_b")
+        .withColumnRenamed("event_id", "event_id_b")
+        .withColumnRenamed("user_id", "user_id_b")
+        .withWatermark("ts_b", "10 minutes")
+        .where(F.col("event_type") == "purchase")
+        .alias("b")
+    )
+    joined = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id_b"))
+        & (F.col("b.ts_b") >= F.col("a.ts"))
+        & (F.col("b.ts_b") <= F.col("a.ts") + F.expr("INTERVAL 2 MINUTES"))
+        & (F.col("a.event_id") != F.col("b.event_id_b")),
+        "leftSemi",
+    ).select(
+        F.col("event_id").alias("eid_a"),
+        F.col("user_id").alias("user_id"),
+    )
+    out = _drain_to_memory(joined, "append")
+    return out.where(F.col("user_id") >= 0).orderBy("eid_a")

