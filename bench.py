@@ -94,6 +94,9 @@ HEADLINE = [
     # r5 (verdict #4): the salted zipf(1.5) skew join; its unsalted twin
     # is timed separately below as k22_skew_join_unsalted (BENCH-K22).
     "ext_zipf_skew_join",  # BENCH-K22 (salted zipf skew join)
+    # r5 session 2: the 64-bit simhash scale path (ladder-measured
+    # near-linear where the 16-bit BENCH-K3 row is candidate-bound).
+    "ext_simhash64_banded_pairs",  # BENCH-K23 (64-bit simhash banding)
 ]
 
 

@@ -283,13 +283,21 @@ def k09_vector_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Banded random-hyperplane LSH parameters for ext_embedding_neardup.
-# 12 bands x 12 bits: a pair at cosine >= 0.999 (the near-dup regime this
-# query targets) agrees on a given band w.p. 0.984^12 ~ 0.83, so the
-# chance of missing ALL 12 bands is < 1e-9; a random orthogonal pair
-# collides w.p. 0.5^12 * 12 ~ 0.3%, so candidates are ~1% of all-pairs on
-# the fixtures (measured: 1.9k vs 180k at sf0.01, recall 1.0 at every sf).
+# 12 bands x 20 bits: a pair at cosine >= 0.9988 (the planted near-dup
+# regime) agrees on one sign bit w.p. 1 - arccos(0.9988)/pi ~ 0.984, so
+# a whole band matches w.p. 0.984^20 ~ 0.73 and the chance of missing
+# ALL 12 bands is ~(0.27)^12 < 2e-7 — recall is 1 in practice, and the
+# exact-all-pairs DuckDB oracle hash-checks it at every sf.  Band WIDTH
+# is the scale lever: random (orthogonal) pairs collide on a band w.p.
+# 0.5^20, so the random-collision candidate term is n^2 * bands / 2^21 —
+# the r5 ladder's whole-query shuffle accounting caught the previous
+# 12-bit setting saturating its 4096-value bucket space at 50k vectors
+# (4.4M quadratic candidates, a 256 MB shuffle); at 20 bits the same
+# corpus yields ~17k.  At even larger n, widen further (bits ~ 2 log2 n
+# keeps random candidates ~ n) — recall per band falls only
+# geometrically in bits while collisions fall by 2^-bits.
 _ND_BANDS = 12
-_ND_BITS = 12
+_ND_BITS = 20
 _ND_SEED = 20240813
 _ND_TAU = 0.9
 

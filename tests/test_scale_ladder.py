@@ -161,3 +161,32 @@ def test_simhash64_band_candidates_near_linear_16bit_saturates(spark, rungs):
         "64-bit banding should produce strictly fewer candidates than "
         f"16-bit at the big rung ({counts[64][1]} vs {counts[16][1]})"
     )
+
+
+@pytest.mark.parametrize(
+    "qname",
+    ["k05_minhash_lsh", "ext_label_propagation", "ext_substring_span_dedup"],
+)
+def test_flagship_shuffle_volume_near_linear_no_disk_spill(
+    spark, rungs, qname
+):
+    """Machine-independent companion to BENCH_SF1's wall-time ladder:
+    whole-query SHUFFLE WRITE volume (every job, incl. localCheckpoint
+    rounds — nibbler_spark/stage_metrics.py) must grow near-linearly
+    with the corpus, and nothing may spill to disk.  Shuffle volume is
+    the 100 TB cost driver; wall time is the environment-dependent
+    shadow of it.  Compressed shuffle sizes wobble slightly run-to-run,
+    so the pin allows the same 1.35 exponent as the cardinality pins."""
+    from nibbler_spark.queries import load_all
+    from nibbler_spark.stage_metrics import measure_stages
+
+    spec = load_all()[qname]
+    small, big = rungs
+    vols = []
+    for d in (small, big):
+        _, m = measure_stages(spark, lambda: spec.spark(spark, d).collect())
+        assert m["disk_spill_bytes"] == 0, (
+            f"{qname} spilled {m['disk_spill_bytes']}B to disk at {d}"
+        )
+        vols.append(m["shuffle_write_bytes"])
+    _assert_near_linear(vols[0], vols[1], f"{qname} shuffle write bytes")

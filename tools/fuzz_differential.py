@@ -226,6 +226,52 @@ def _setop_query(rng: random.Random) -> str:
     )
 
 
+def _date_query(rng: random.Random) -> str:
+    # calendar surface: date_trunc granularities + EXTRACT fields over
+    # the orders timestamp, grouped by the truncated bucket.  Stays in
+    # the portable subset: ISO string of the DATE cast (identical text
+    # in both engines), EXTRACT results cast to INT (DuckDB yields
+    # BIGINT natively), integer-exact cents sum.  Deliberately avoids
+    # dayofweek/datediff whose numbering/signatures diverge.
+    gran = rng.choice(["year", "quarter", "month", "week"])
+    fld = rng.choice(["YEAR", "MONTH", "DAY"])
+    spec = TABLES["orders"]
+    p = _pred(rng, spec)
+    return (
+        f"SELECT CAST(CAST(date_trunc('{gran}', o_orderdate) AS DATE)"
+        f" AS STRING) AS bucket,\n"
+        f"       CAST(EXTRACT({fld} FROM o_orderdate) AS INT) AS f,\n"
+        f"       CAST(COUNT(*) AS BIGINT) AS n,\n"
+        f"       CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))"
+        f" AS BIGINT) AS s_cents\n"
+        f"FROM orders WHERE ({p})\n"
+        f"GROUP BY 1, 2 ORDER BY bucket, f"
+    )
+
+
+def _filter_agg_query(rng: random.Random) -> str:
+    # aggregate FILTER clause: per-aggregate predicates evaluated after
+    # the WHERE — exercises each engine's filtered-aggregate rewrite
+    # (Spark turns these into CASE-fed aggregates).  COUNT never yields
+    # NULL; the filtered SUM can, so COALESCE pins the empty-filter
+    # case to 0 in both engines.
+    table = rng.choice(sorted(TABLES))
+    spec = TABLES[table]
+    g = rng.choice(spec["group_cols"])
+    nc = rng.choice(spec["num_cols"])
+    p = _pred(rng, spec)
+    fp1, fp2 = _pred(rng, spec), _pred(rng, spec)
+    return (
+        f"SELECT {g} AS k,\n"
+        f"       CAST(COUNT(*) FILTER (WHERE ({fp1})) AS BIGINT) AS n1,\n"
+        f"       CAST(COALESCE(SUM(CAST(FLOOR({nc} * 100) AS BIGINT))"
+        f" FILTER (WHERE ({fp2})), 0) AS BIGINT) AS s2,\n"
+        f"       CAST(COUNT(*) AS BIGINT) AS n\n"
+        f"FROM {table} WHERE ({p})\n"
+        f"GROUP BY {g} ORDER BY k"
+    )
+
+
 def gen_query(rng: random.Random) -> str:
     shape = rng.random()
     if shape < 0.13:
@@ -242,6 +288,10 @@ def gen_query(rng: random.Random) -> str:
         return _string_func_query(rng)
     if shape < 0.57:
         return _nested_limit_query(rng)
+    if shape < 0.63:
+        return _date_query(rng)
+    if shape < 0.69:
+        return _filter_agg_query(rng)
     table = rng.choice(sorted(TABLES))
     spec = TABLES[table]
     preds = [_pred(rng, spec) for _ in range(rng.randint(1, 3))]

@@ -158,18 +158,27 @@ def main() -> None:
     specs = load_all()
     spark = get_spark(app_name="nibbler-scale-ladder")
 
+    from nibbler_spark.stage_metrics import measure_stages
+
     out: dict[str, dict] = {}
     for name in names:
         spec = specs[name]
         spec.spark(spark, small).collect()  # JVM/codegen warm-up, untimed
         t_small = []
-        for _ in range(3):
+        for _ in range(2):
             t0 = time.monotonic()
             rows_small = spec.spark(spark, small).collect()
             t_small.append(time.monotonic() - t0)
+        t0 = time.monotonic()
+        rows_small, m_small = measure_stages(
+            spark, lambda: spec.spark(spark, small).collect()
+        )
+        t_small.append(time.monotonic() - t0)
         ts = statistics.median(t_small)
         t0 = time.monotonic()
-        rows_big = spec.spark(spark, big).collect()
+        rows_big, m_big = measure_stages(
+            spark, lambda: spec.spark(spark, big).collect()
+        )
         tb = time.monotonic() - t0
         # bounded-mode queries return booleans — they must hold at sf1
         bools = [
@@ -179,6 +188,8 @@ def main() -> None:
             if isinstance(v, bool)
         ]
         ratio = tb / ts
+        sw_small = m_small["shuffle_write_bytes"]
+        sw_big = m_big["shuffle_write_bytes"]
         entry = {
             "t_sf0.1_sec": round(ts, 3),
             "t_sf1_sec": round(tb, 3),
@@ -186,6 +197,15 @@ def main() -> None:
             "rows_sf0.1": len(rows_small),
             "rows_sf1": len(rows_big),
             "bounded_checks_sf1": all(bools) if bools else None,
+            # whole-query stage accounting (every job incl. checkpoint
+            # rounds — nibbler_spark/stage_metrics.py): the 100 TB cost
+            # driver is shuffle volume, and it must grow with the data,
+            # not with the square of it; any DISK spill at this scale
+            # means partition sizing is wrong.
+            "shuffle_write_mb_sf0.1": round(sw_small / 1e6, 2),
+            "shuffle_write_mb_sf1": round(sw_big / 1e6, 2),
+            "shuffle_ratio": round(sw_big / sw_small, 2) if sw_small else None,
+            "disk_spill_bytes_sf1": m_big["disk_spill_bytes"],
         }
         if name in CANDIDATE_BOUND:
             scale_path, measurer = CANDIDATE_BOUND[name]
@@ -231,6 +251,9 @@ def main() -> None:
         "all_near_linear": all(e["near_linear"] for e in out.values()),
         "all_bounded_ok": all(
             e["bounded_checks_sf1"] in (True, None) for e in out.values()
+        ),
+        "all_no_disk_spill": all(
+            e.get("disk_spill_bytes_sf1", 0) == 0 for e in out.values()
         ),
     }
     with open(path, "w") as f:
