@@ -2086,3 +2086,175 @@ def ext_hash_collision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_tokens").desc(), "bucket")
         .limit(20)
     )
+
+
+@register(
+    "ext_perplexity_buckets",
+    survey_id="EXT-PPL-BUCKETS",
+    category="llm-text",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents
+),
+bigrams AS (
+  SELECT doc_id, lang,
+         UNNEST(list_transform(generate_series(1, len(tk) - 1),
+                               i -> tk[i] || ' ' || tk[i+1])) AS bg
+  FROM toks
+),
+split_bg AS (
+  SELECT doc_id, lang,
+         string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2
+  FROM bigrams
+),
+bg_counts AS (
+  SELECT w1, w2, COUNT(*) AS c2 FROM split_bg GROUP BY w1, w2
+),
+uni AS (SELECT w1, SUM(c2) AS c1 FROM bg_counts GROUP BY w1),
+vocab AS (SELECT COUNT(DISTINCT w2) AS v FROM bg_counts),
+scored AS (
+  SELECT s.doc_id, s.lang,
+         CAST(log2((b.c2 + 1.0) / (u.c1 + v.v)) AS DECIMAL(28,10)) AS lp
+  FROM split_bg s
+  JOIN bg_counts b ON s.w1 = b.w1 AND s.w2 = b.w2
+  JOIN uni u ON s.w1 = u.w1
+  CROSS JOIN vocab v
+),
+doc_scores AS (
+  SELECT doc_id, lang,
+         COUNT(*) AS n_bigrams,
+         CAST(CAST(CAST(SUM(lp) AS DOUBLE) / COUNT(*) AS DECIMAL(18,6))
+              AS DOUBLE) AS score
+  FROM scored GROUP BY doc_id, lang
+),
+ranked AS (
+  SELECT lang, n_bigrams, score,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY score DESC, doc_id) AS rk,
+         COUNT(*) OVER (PARTITION BY lang) AS cnt
+  FROM doc_scores
+)
+SELECT lang,
+       CASE (3 * (rk - 1)) // cnt
+         WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_bigrams) AS BIGINT) AS total_bigrams,
+       CAST(CAST(CAST(SUM(CAST(score AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*) AS DECIMAL(18,6)) AS DOUBLE) AS avg_score,
+       MIN(score) AS min_score,
+       MAX(score) AS max_score
+FROM ranked
+GROUP BY lang, (3 * (rk - 1)) // cnt
+ORDER BY lang, bucket
+""",
+)
+def ext_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing: score every document under the
+    corpus's own add-one-smoothed bigram LM (EXT-LM-SCORE's exact
+    discipline — per-bigram log-probs decimal-cast before the per-doc
+    mean), then split each LANGUAGE into head / middle / tail terciles
+    by LM fit — the filter CCNet uses to keep the well-modeled third of
+    a crawl. Tercile = (3*(rank-1)) div count on the per-language rank
+    (deterministic: score ties break on doc_id), so the cut is exact
+    and engine-portable, unlike quantile-valued cuts.
+
+    Scale: bigram counts are vocab^2-bounded (broadcast back onto the
+    bigram stream); the per-language rank avoids a single-partition
+    sort via the two-phase pattern — rows bucket by floor(score*100),
+    per-(lang,bucket) counts roll into per-language offsets (tiny,
+    langs x ~600 rows, broadcast), and a row_number partitioned by
+    (lang, bucket) adds the within-bucket position. The widest window
+    in the plan is over a few hundred offset rows; everything
+    corpus-sized stays hash-partitioned. Output is langs x 3 rows."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    bg = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+                ),
+            )
+        ).alias("bg"),
+    )
+    parts = F.split("bg", " ")
+    split_bg = bg.select(
+        "doc_id",
+        "lang",
+        parts.getItem(0).alias("w1"),
+        parts.getItem(1).alias("w2"),
+    )
+    bg_counts = split_bg.groupBy(
+        F.col("w1").alias("b_w1"), F.col("w2").alias("b_w2")
+    ).agg(F.count("*").alias("c2"))
+    uni = bg_counts.groupBy(F.col("b_w1").alias("u_w1")).agg(
+        F.sum("c2").alias("c1")
+    )
+    vocab = bg_counts.agg(F.countDistinct("b_w2").alias("v"))
+    lp = F.log2((F.col("c2") + 1.0) / (F.col("c1") + F.col("v"))).cast(
+        "decimal(28,10)"
+    )
+    doc_scores = (
+        split_bg.join(
+            F.broadcast(bg_counts),
+            (F.col("w1") == F.col("b_w1")) & (F.col("w2") == F.col("b_w2")),
+        )
+        .join(F.broadcast(uni), F.col("w1") == F.col("u_w1"))
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            (F.sum(lp.alias("lp")).cast("double") / F.count("*"))
+            .cast("decimal(18,6)")
+            .cast("double")
+            .alias("score"),
+        )
+    )
+    # two-phase per-language rank: coarse-monotone score bucket
+    # (descending — rank 1 is the BEST-modeled doc), tiny offset table
+    fb = F.floor(F.col("score") * 100).alias("_fb")
+    tagged = doc_scores.withColumn("_fb", fb)
+    counts = tagged.groupBy("lang", "_fb").agg(F.count("*").alias("_n"))
+    w_off = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("_fb").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "lang",
+        "_fb",
+        F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off"),
+        F.sum("_n").over(Window.partitionBy("lang")).alias("cnt"),
+    )
+    w_in = Window.partitionBy("lang", "_fb").orderBy(
+        F.col("score").desc(), "doc_id"
+    )
+    ranked = tagged.join(F.broadcast(offsets), ["lang", "_fb"]).withColumn(
+        "rk", F.col("_off") + F.row_number().over(w_in)
+    )
+    tercile = F.expr("((rk - 1) * 3) div cnt")
+    bucket = (
+        F.when(tercile == 0, "head")
+        .when(tercile == 1, "middle")
+        .otherwise("tail")
+    )
+    return (
+        ranked.groupBy("lang", bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_bigrams").cast("bigint").alias("total_bigrams"),
+            (
+                F.sum(F.col("score").cast("decimal(18,6)")).cast("double")
+                / F.count("*")
+            )
+            .cast("decimal(18,6)")
+            .cast("double")
+            .alias("avg_score"),
+            F.min("score").alias("min_score"),
+            F.max("score").alias("max_score"),
+        )
+        .orderBy("lang", "bucket")
+    )

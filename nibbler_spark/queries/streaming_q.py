@@ -4614,3 +4614,32 @@ def i40_stream_stream_left_semi(
     )
     out = _drain_to_memory(joined, "append")
     return out.where(F.col("user_id") >= 0).orderBy("eid_a")
+
+
+@register(
+    "i41_stream_stream_right_outer",
+    survey_id="C13",
+    category="streaming",
+    mode="parity",
+    oracle="""
+SELECT a.event_id AS eid_a, b.event_id AS eid_b,
+       COALESCE(a.user_id, b.user_id) AS user_id
+FROM events a RIGHT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+  ON a.user_id = b.user_id
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL '2 minutes'
+ AND a.event_id <> b.event_id
+ORDER BY eid_a, eid_b, user_id
+""",
+)
+def i41_stream_stream_right_outer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """RIGHT OUTER stream-stream join — the last member of the
+    streaming join-type family (inner c13, left i38, full i39, semi
+    i40): every purchase emits, with null left columns when no
+    same-user event preceded it within 2 minutes.  The unmatched-right
+    verdicts finalize only once the LEFT side's watermark passes the
+    purchase's backward window, exercising the opposite eviction
+    direction from i38; state on both sides stays
+    watermark-bounded.  Parity against the batch RIGHT JOIN."""
+    return _stream_purchase_pairs(spark, sf_dir, "rightOuter")

@@ -13,14 +13,20 @@ Spark UI's stage table shows.
 withSummaries=False, unsortedQuantiles=Array.empty[Double],
 taskStatus=[]).  Verified against pyspark 4.1.
 
-Deltas, not totals: the store accumulates over the app lifetime (and
-evicts beyond spark.ui.retainedStages=1000), so callers snapshot before
-and after a query.  A single query never approaches 1000 stages here.
+Attribution is by (stageId, attemptId), NOT by before/after totals: the
+store evicts beyond spark.ui.retainedStages=1000, so in a long session
+evictions between the two snapshots subtract old stages' bytes from a
+total-delta and silently understate (or negate) the measurement — the
+r5 shuffle audit produced three phantom super-linear flags exactly this
+way before the id-based rewrite.  A query's own stages all have ids
+minted after the snapshot, so summing only unseen ids is exact as long
+as the measured query itself stays within retention (hundreds of
+stages at most here).
 """
 
 from __future__ import annotations
 
-from typing import Callable, Tuple
+from typing import Callable, Dict, Tuple
 
 from pyspark.sql import SparkSession
 
@@ -34,8 +40,8 @@ FIELDS = (
 )
 
 
-def stage_totals(spark: SparkSession) -> dict:
-    """Cumulative per-app sums of the stage metrics in FIELDS."""
+def _stage_rows(spark: SparkSession) -> Dict[tuple, dict]:
+    """All retained stages keyed by (stageId, attemptId) -> FIELDS."""
     sc = spark.sparkContext
     jvm = sc._jvm
     store = sc._jsc.sc().statusStore()
@@ -46,23 +52,56 @@ def stage_totals(spark: SparkSession) -> dict:
         sc._gateway.new_array(jvm.double, 0),  # unsortedQuantiles
         jvm.java.util.ArrayList(),  # taskStatus
     )
-    tot = dict.fromkeys(FIELDS, 0)
+    rows: Dict[tuple, dict] = {}
     for i in range(stages.size()):
         s = stages.apply(i)
-        tot["shuffle_write_bytes"] += s.shuffleWriteBytes()
-        tot["shuffle_read_bytes"] += s.shuffleReadBytes()
-        tot["memory_spill_bytes"] += s.memoryBytesSpilled()
-        tot["disk_spill_bytes"] += s.diskBytesSpilled()
-        tot["input_bytes"] += s.inputBytes()
-        tot["output_bytes"] += s.outputBytes()
+        rows[(s.stageId(), s.attemptId())] = {
+            "shuffle_write_bytes": s.shuffleWriteBytes(),
+            "shuffle_read_bytes": s.shuffleReadBytes(),
+            "memory_spill_bytes": s.memoryBytesSpilled(),
+            "disk_spill_bytes": s.diskBytesSpilled(),
+            "input_bytes": s.inputBytes(),
+            "output_bytes": s.outputBytes(),
+        }
+    return rows
+
+
+def stage_totals(spark: SparkSession) -> dict:
+    """Cumulative per-app sums of the stage metrics in FIELDS (over
+    the RETAINED stages only — see module docstring on eviction)."""
+    tot = dict.fromkeys(FIELDS, 0)
+    for m in _stage_rows(spark).values():
+        for k in FIELDS:
+            tot[k] += m[k]
     return tot
 
 
 def measure_stages(spark: SparkSession, fn: Callable[[], object]) -> Tuple[object, dict]:
-    """Run `fn` and return (its result, the stage-metric deltas it
-    caused).  Negative deltas cannot occur: the store only grows within
-    retention, and a query's stages all land after the snapshot."""
-    before = stage_totals(spark)
+    """Run `fn` and return (its result, the stage metrics of exactly
+    the stages it submitted).  Stages are identified by (stageId,
+    attemptId) unseen at the pre-run snapshot, which is immune to the
+    store evicting older stages mid-measurement (total-deltas are not)."""
+    before = set(_stage_rows(spark))
     result = fn()
-    after = stage_totals(spark)
-    return result, {k: after[k] - before[k] for k in FIELDS}
+    delta = dict.fromkeys(FIELDS, 0)
+    n_new = 0
+    for key, m in _stage_rows(spark).items():
+        if key in before:
+            continue
+        n_new += 1
+        for k in FIELDS:
+            delta[k] += m[k]
+    retained = int(
+        spark.conf.get("spark.ui.retainedStages", "1000") or "1000"
+    )
+    if n_new >= 0.9 * retained:
+        import warnings
+
+        warnings.warn(
+            f"measure_stages saw {n_new} new stages with retention "
+            f"{retained}: the measured query may have evicted its own "
+            "early stages — raise spark.ui.retainedStages",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    return result, delta

@@ -1,0 +1,143 @@
+#!/usr/bin/env python3
+"""Shuffle-growth audit across the corpus-table query surface.
+
+The r5 ladder's whole-query stage accounting (stage_metrics.py) caught
+`ext_embedding_neardup`'s 12-bit LSH bands saturating at 50k vectors — a
+quadratic candidate term invisible to plan-shape tests and to wall-time
+at fixture scale.  This tool hunts for any OTHER latent quadratic the
+same way, systematically: for every registered batch query in the
+corpus-table categories (documents / events / embeddings — the tables
+`tools/gen_scale_data.py` can regenerate at any size), run it at two
+generated rungs (2,000 and 8,000 docs, a 4x corpus) and compute the
+growth exponent of the whole-query shuffle-write volume.
+
+exponent = log(bytes_big / bytes_small) / log(4)
+
+Reading: ~1 is linear, <1 sub-linear (df-caps and dedup doing their
+job), >1.5 flags a candidate-volume or output blow-up worth a docstring
+or a scale-path operator (k04 / simhash16 are the two KNOWN candidate-
+bound exact baselines — they appear here as expected hits, classified in
+BENCH_SF1.json).  Shuffle BYTES are deterministic modulo compression
+jitter, so this audit is safe to run on a busy machine (unlike wall
+time).
+
+Usage: python tools/audit_shuffle_growth.py [category ...]
+Writes SHUFFLE_AUDIT.json and prints one line per query.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+from pathlib import Path
+
+_REPO = str(Path(__file__).resolve().parent.parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+CATEGORIES = [
+    "llm-dedup",
+    "llm-vector",
+    "llm-text",
+    "llm-training-prep",
+    "llm-retrieval",
+    "event-analytics",
+    "ml-exact",
+    "sketch",
+]
+N_SMALL, N_BIG = 2_000, 8_000
+FLAG_EXP = 1.5
+
+# known candidate-bound exact baselines (classified in BENCH_SF1.json);
+# still measured, but a >FLAG_EXP exponent is expected, not a finding.
+EXPECTED_SUPERLINEAR = {"k04_jaccard_pairs", "ext_simhash_banded_pairs"}
+
+
+def main() -> None:
+    cats = sys.argv[1:] or CATEGORIES
+
+    from tools.gen_scale_data import write_sf
+
+    base = os.path.join(_REPO, ".scale_data")
+    small = os.path.join(base, f"n{N_SMALL}")
+    big = os.path.join(base, f"n{N_BIG}")
+    for n, d in ((N_SMALL, small), (N_BIG, big)):
+        if not os.path.exists(os.path.join(d, "documents.parquet")):
+            write_sf(n / 50_000, d)
+
+    from nibbler_spark.queries import load_all
+    from nibbler_spark.session import get_spark
+    from nibbler_spark.stage_metrics import measure_stages
+
+    specs = load_all()
+    spark = get_spark(app_name="nibbler-shuffle-audit")
+
+    out: dict[str, dict] = {}
+    flagged: list[str] = []
+    skipped: list[str] = []
+    for name in sorted(specs):
+        spec = specs[name]
+        if spec.category not in cats:
+            continue
+        try:
+            vols = []
+            for d in (small, big):
+                _, m = measure_stages(
+                    spark, lambda: spec.spark(spark, d).collect()
+                )
+                vols.append(m["shuffle_write_bytes"])
+            if vols[0] <= 0 or vols[1] <= 0:
+                # broadcast/scan-only at this scale — no shuffle to grow
+                out[name] = {
+                    "bytes_small": vols[0],
+                    "bytes_big": vols[1],
+                    "exponent": None,
+                    "flag": False,
+                }
+                print(f"{name}: no shuffle ({vols[0]} -> {vols[1]} B)")
+                continue
+            e = math.log(vols[1] / vols[0]) / math.log(N_BIG / N_SMALL)
+            flag = e > FLAG_EXP and name not in EXPECTED_SUPERLINEAR
+            out[name] = {
+                "bytes_small": vols[0],
+                "bytes_big": vols[1],
+                "exponent": round(e, 3),
+                "flag": flag,
+            }
+            tag = "  << FLAG" if flag else (
+                "  (expected candidate-bound)"
+                if name in EXPECTED_SUPERLINEAR and e > FLAG_EXP
+                else ""
+            )
+            print(
+                f"{name}: {vols[0]} -> {vols[1]} B  exp {e:.2f}{tag}",
+                flush=True,
+            )
+            if flag:
+                flagged.append(name)
+        except Exception as exc:
+            # queries needing TPC-H tables / streaming sinks at these
+            # rungs — out of audit scope, recorded honestly
+            skipped.append(name)
+            out[name] = {"skipped": str(exc).split("\n")[0][:160]}
+            print(f"{name}: SKIP ({type(exc).__name__})", flush=True)
+
+    result = {
+        "rungs": [N_SMALL, N_BIG],
+        "flag_exponent": FLAG_EXP,
+        "categories": cats,
+        "queries": out,
+        "flagged": flagged,
+        "skipped_count": len(skipped),
+    }
+    path = os.path.join(_REPO, "SHUFFLE_AUDIT.json")
+    with open(path, "w") as f:
+        json.dump(result, f, indent=2)
+        f.write("\n")
+    print(f"\nflagged: {flagged}\nskipped: {len(skipped)}\nwrote {path}")
+
+
+if __name__ == "__main__":
+    main()
