@@ -1,0 +1,91 @@
+"""Round-5 additions: perplexity terciles, the right-outer streaming
+join, and the eviction-proof stage-metric attribution."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nibbler_spark.queries import load_all
+
+
+def test_perplexity_tercile_balance_and_order(spark, sf_dir):
+    """Within every language the head/middle/tail doc counts differ by
+    at most 1 (the exact rank cut is balanced by construction), and the
+    buckets are ordered: every head doc scores >= every middle doc >=
+    every tail doc (min_score/max_score envelopes must not invert)."""
+    rows = (
+        load_all()["ext_perplexity_buckets"].spark(spark, sf_dir).collect()
+    )
+    by_lang: dict[str, dict[str, tuple]] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], {})[r["bucket"]] = (
+            r["n_docs"],
+            r["min_score"],
+            r["max_score"],
+        )
+    assert by_lang, "no output rows"
+    for lang, buckets in by_lang.items():
+        counts = [b[0] for b in buckets.values()]
+        assert max(counts) - min(counts) <= 1, (lang, buckets)
+        order = [b for b in ("head", "middle", "tail") if b in buckets]
+        for hi, lo in zip(order, order[1:]):
+            # ties may straddle the cut, so envelopes can touch but the
+            # better bucket's floor can't drop below the worse's ceiling
+            assert buckets[hi][1] >= buckets[lo][2] or (
+                buckets[hi][1] == buckets[lo][1]
+            ), (lang, hi, lo, buckets)
+
+
+def test_perplexity_buckets_no_corpus_wide_window(spark, sf_dir):
+    """The per-language rank must come from the two-phase pattern:
+    every window spec in the plan carries the fine score bucket (_fb)
+    in its partitioning — a window partitioned by lang alone would
+    funnel 41% of a 100 TB corpus (en) through one task."""
+    df = load_all()["ext_perplexity_buckets"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    for line in plan.splitlines():
+        if "row_number" not in line:
+            continue
+        assert "_fb" in line, f"row_number window without _fb bucket: {line}"
+
+
+def test_stream_right_outer_null_direction(spark, sf_dir):
+    """i41 must emit unmatched-right rows (purchases with no preceding
+    same-user event in 2 minutes) as NULL-left, and its matched subset
+    must agree with the inner-join core of i38's left-outer result."""
+    rows = (
+        load_all()["i41_stream_stream_right_outer"]
+        .spark(spark, sf_dir)
+        .collect()
+    )
+    unmatched = [r for r in rows if r["eid_a"] is None]
+    matched = [r for r in rows if r["eid_a"] is not None]
+    assert matched, "no matched pairs — fixture degenerate"
+    assert unmatched, "no unmatched purchases — right-outer arm vacuous"
+    assert all(r["eid_b"] is not None for r in rows)
+
+
+def test_measure_stages_immune_to_store_eviction(spark, sf_dir):
+    """The r5 audit bug pinned: with spark.ui.retainedStages at its
+    1000 default, a long session's evictions between the before/after
+    snapshots corrupt a cumulative-total delta.  The id-based
+    measure_stages must return the same shuffle volume for the same
+    query no matter how much history the store already holds, so two
+    consecutive measurements of an identical job must agree exactly
+    (bytes are deterministic at fixed partitioning)."""
+    from nibbler_spark.sources import load_table
+    from nibbler_spark.stage_metrics import measure_stages
+
+    def job():
+        return (
+            load_table(spark, sf_dir, "events")
+            .repartition(4, "user_id")
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+
+    _, m1 = measure_stages(spark, job)
+    _, m2 = measure_stages(spark, job)
+    assert m1["shuffle_write_bytes"] > 0
+    assert m1["shuffle_write_bytes"] == m2["shuffle_write_bytes"], (m1, m2)
