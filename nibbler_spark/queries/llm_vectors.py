@@ -2942,3 +2942,105 @@ def ext_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out_exact.unionByName(out_ivf).orderBy("strategy")
+
+
+@register(
+    "ext_colbert_maxsim",
+    survey_id="EXT-COLBERT-MAXSIM",
+    category="llm-retrieval",
+    oracle="""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 97 = 0
+),
+d AS (
+  SELECT vec_id AS doc_id, embedding AS de FROM embeddings WHERE vec_id % 97 <> 0
+),
+scored AS (
+  SELECT q.qid, d.doc_id,
+         CAST(list_sum(list_transform(generate_series(0, 7), i ->
+           list_max(list_transform(generate_series(0, 7), j ->
+             list_sum(list_transform(generate_series(1, 8), k ->
+               CAST(FLOOR(CAST(qe[i*8+k] AS DOUBLE)
+                          * CAST(de[j*8+k] AS DOUBLE) * 1e10) AS BIGINT)
+             ))
+           ))
+         )) AS BIGINT) AS grid
+  FROM q CROSS JOIN d
+),
+ranked AS (
+  SELECT qid, doc_id, grid,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY grid DESC, doc_id) AS rnk
+  FROM scored
+)
+SELECT qid, doc_id, rnk, CAST(grid AS DOUBLE) / 1e10 AS maxsim
+FROM ranked WHERE rnk <= 5
+ORDER BY qid, rnk
+""",
+)
+def ext_colbert_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction (ColBERT-style) retrieval: each 64-dim vector
+    is treated as 8 token vectors of 8 dims, and a query-document score
+    is MaxSim — for every query token take the best-matching document
+    token's dot product, then sum over the query's tokens.  This is the
+    reranking stage of a late-interaction pipeline: finer-grained than
+    one pooled dot, far cheaper than a cross-encoder.
+
+    Exactness: per-slice dots are summed on the dec_dot integer 1e-10
+    grid and KEPT as int64 through the max-over-j and sum-over-i
+    reductions — max and integer sums commute with any partitioning, so
+    the score is bit-identical across engines and the top-5 rank
+    (doc_id tie-break) is total.  Scale: the query side is tiny and
+    broadcast (a real system reranks an ANN candidate set, here the
+    exact all-docs sweep IS the declared baseline — the IVF family
+    provides the candidate-generation scale path); per-query ranking is
+    a row_number over the broadcast-keyed partition that Spark executes
+    as WindowGroupLimit top-k, never a global sort."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    d = e.where(F.col("vec_id") % 97 != 0).select(
+        F.col("vec_id").alias("doc_id"), F.col("embedding").alias("de")
+    )
+
+    grid = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(7)),
+            lambda i: F.array_max(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(7)),
+                    lambda j: F.aggregate(
+                        F.zip_with(
+                            F.slice(F.col("qe"), i * 8 + 1, 8),
+                            F.slice(F.col("de"), j * 8 + 1, 8),
+                            lambda x, y: F.floor(
+                                x.cast("double")
+                                * y.cast("double")
+                                * F.lit(1e10)
+                            ).cast("bigint"),
+                        ),
+                        F.lit(0).cast("bigint"),
+                        lambda acc, x: acc + x,
+                    ),
+                )
+            ),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    scored = d.crossJoin(F.broadcast(q)).select(
+        "qid", "doc_id", grid.alias("grid")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("grid").desc(), "doc_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+        .select(
+            "qid",
+            "doc_id",
+            "rnk",
+            (F.col("grid").cast("double") / F.lit(1e10)).alias("maxsim"),
+        )
+        .orderBy("qid", "rnk")
+    )
