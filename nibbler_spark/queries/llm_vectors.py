@@ -67,6 +67,51 @@ def sql_cosine(a: str, b: str) -> str:
     )
 
 
+def maxsim_grid(qe: Column, de: Column, n_tok: int = 8, tok_dim: int = 8) -> Column:
+    """Late-interaction MaxSim score on the integer 1e-10 grid: treat
+    each vector as ``n_tok`` token slices of ``tok_dim`` dims; for every
+    query token take the best document-token grid dot, sum over query
+    tokens. Stays int64 through max and sum, so it commutes with any
+    partitioning and is engine-exact (divide by 1e10 for the score)."""
+    return F.aggregate(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_tok - 1)),
+            lambda i: F.array_max(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(n_tok - 1)),
+                    lambda j: F.aggregate(
+                        F.zip_with(
+                            F.slice(qe, i * tok_dim + 1, tok_dim),
+                            F.slice(de, j * tok_dim + 1, tok_dim),
+                            lambda x, y: F.floor(
+                                x.cast("double")
+                                * y.cast("double")
+                                * F.lit(1e10)
+                            ).cast("bigint"),
+                        ),
+                        F.lit(0).cast("bigint"),
+                        lambda acc, x: acc + x,
+                    ),
+                )
+            ),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def sql_maxsim_grid(qe: str, de: str, n_tok: int = 8, tok_dim: int = 8) -> str:
+    """DuckDB spelling of :func:`maxsim_grid` (a BIGINT)."""
+    return (
+        f"CAST(list_sum(list_transform(generate_series(0, {n_tok - 1}), i -> "
+        f"list_max(list_transform(generate_series(0, {n_tok - 1}), j -> "
+        f"list_sum(list_transform(generate_series(1, {tok_dim}), k -> "
+        f"CAST(FLOOR(CAST({qe}[i*{tok_dim}+k] AS DOUBLE) "
+        f"* CAST({de}[j*{tok_dim}+k] AS DOUBLE) * 1e10) AS BIGINT)"
+        f")))))) AS BIGINT)"
+    )
+
+
 def l2_distance(a: Column, b: Column) -> Column:
     diffs = F.zip_with(
         a,
@@ -2948,7 +2993,7 @@ def ext_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ext_colbert_maxsim",
     survey_id="EXT-COLBERT-MAXSIM",
     category="llm-retrieval",
-    oracle="""
+    oracle=f"""
 WITH q AS (
   SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 97 = 0
 ),
@@ -2957,14 +3002,7 @@ d AS (
 ),
 scored AS (
   SELECT q.qid, d.doc_id,
-         CAST(list_sum(list_transform(generate_series(0, 7), i ->
-           list_max(list_transform(generate_series(0, 7), j ->
-             list_sum(list_transform(generate_series(1, 8), k ->
-               CAST(FLOOR(CAST(qe[i*8+k] AS DOUBLE)
-                          * CAST(de[j*8+k] AS DOUBLE) * 1e10) AS BIGINT)
-             ))
-           ))
-         )) AS BIGINT) AS grid
+         {sql_maxsim_grid('qe', 'de')} AS grid
   FROM q CROSS JOIN d
 ),
 ranked AS (
@@ -3004,33 +3042,10 @@ def ext_colbert_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("doc_id"), F.col("embedding").alias("de")
     )
 
-    grid = F.aggregate(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(7)),
-            lambda i: F.array_max(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(7)),
-                    lambda j: F.aggregate(
-                        F.zip_with(
-                            F.slice(F.col("qe"), i * 8 + 1, 8),
-                            F.slice(F.col("de"), j * 8 + 1, 8),
-                            lambda x, y: F.floor(
-                                x.cast("double")
-                                * y.cast("double")
-                                * F.lit(1e10)
-                            ).cast("bigint"),
-                        ),
-                        F.lit(0).cast("bigint"),
-                        lambda acc, x: acc + x,
-                    ),
-                )
-            ),
-        ),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
     scored = d.crossJoin(F.broadcast(q)).select(
-        "qid", "doc_id", grid.alias("grid")
+        "qid",
+        "doc_id",
+        maxsim_grid(F.col("qe"), F.col("de")).alias("grid"),
     )
     w = Window.partitionBy("qid").orderBy(F.col("grid").desc(), "doc_id")
     return (
@@ -3040,6 +3055,155 @@ def ext_colbert_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qid",
             "doc_id",
             "rnk",
+            (F.col("grid").cast("double") / F.lit(1e10)).alias("maxsim"),
+        )
+        .orderBy("qid", "rnk")
+    )
+
+
+@register(
+    "ext_ann_rerank_pipeline",
+    survey_id="EXT-ANN-RERANK",
+    category="llm-retrieval",
+    oracle=f"""
+WITH ex AS (
+  SELECT label, i AS pos,
+         CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1e10) AS BIGINT) AS v
+  FROM embeddings, generate_series(1, 64) AS g(i)
+),
+centroids AS (
+  SELECT label, LIST(c ORDER BY pos) AS centroid FROM (
+    SELECT label, pos, (CAST(SUM(v) AS DOUBLE) / 1e10) / COUNT(v) AS c
+    FROM ex GROUP BY label, pos
+  ) GROUP BY label
+),
+q AS (
+  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 97 = 0
+),
+probe AS (
+  SELECT qid, label FROM (
+    SELECT q.qid, c.label,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.qid
+             ORDER BY {sql_cosine('c.centroid', 'q.qe')} DESC, c.label
+           ) AS pr
+    FROM centroids c CROSS JOIN q
+  ) WHERE pr <= 2
+),
+coarse AS (
+  SELECT qid, doc_id, de, coarse_cos, coarse_rank FROM (
+    SELECT q.qid, e.vec_id AS doc_id, e.embedding AS de,
+           {sql_cosine('e.embedding', 'q.qe')} AS coarse_cos,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.qid
+             ORDER BY {sql_cosine('e.embedding', 'q.qe')} DESC, e.vec_id
+           ) AS coarse_rank
+    FROM embeddings e
+    JOIN probe p ON e.label = p.label
+    JOIN q ON q.qid = p.qid
+    WHERE e.vec_id % 97 <> 0
+  ) WHERE coarse_rank <= 20
+),
+reranked AS (
+  SELECT c.qid, c.doc_id, c.coarse_rank,
+         {sql_maxsim_grid('q.qe', 'c.de')} AS grid,
+         ROW_NUMBER() OVER (
+           PARTITION BY c.qid
+           ORDER BY {sql_maxsim_grid('q.qe', 'c.de')} DESC, c.doc_id
+         ) AS rnk
+  FROM coarse c JOIN q ON q.qid = c.qid
+)
+SELECT qid, doc_id, rnk, coarse_rank,
+       CAST(grid AS DOUBLE) / 1e10 AS maxsim
+FROM reranked WHERE rnk <= 5
+ORDER BY qid, rnk
+""",
+)
+def ext_ann_rerank_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval capstone: IVF coarse probe (nprobe=2 label
+    cells by centroid cosine, EXT-IVF's quantizer) -> pooled-cosine
+    top-20 candidates per query -> late-interaction MaxSim rerank to a
+    final top-5 — the coarse-to-fine funnel production retrieval
+    actually runs (ANN recall stage, cheap dense score, expensive
+    per-token rerank only on the shortlist).
+
+    Every stage is engine-exact (grid dots, IEEE sqrt, int64 MaxSim)
+    so the full funnel hash-matches the SQL replica, tie-broken on ids.
+    Scale: centroids and queries are tiny broadcasts; candidate
+    generation touches only probed cells (partition-prunable by label);
+    both per-query rankings execute as WindowGroupLimit top-k over
+    broadcast-keyed partitions; MaxSim cost is bounded by
+    20 x n_queries, independent of corpus size."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "label", F.posexplode("embedding").alias("pos", "val")
+    ).select(
+        "label", "pos",
+        F.floor(F.col("val").cast("double") * F.lit(1e10)).alias("v"),
+    )
+    cent = (
+        ex.groupBy("label", "pos")
+        .agg(
+            ((F.sum("v").cast("double") / F.lit(1e10)) / F.count("v")).alias(
+                "c"
+            )
+        )
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s["c"],
+            ).alias("centroid")
+        )
+    )
+    q = e.where(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    w_probe = Window.partitionBy("qid").orderBy(
+        F.col("csim").desc(), F.col("label")
+    )
+    probe = (
+        cent.crossJoin(F.broadcast(q))
+        .select(
+            "qid",
+            "label",
+            cosine(F.col("centroid"), F.col("qe")).alias("csim"),
+        )
+        .withColumn("pr", F.row_number().over(w_probe))
+        .where(F.col("pr") <= 2)
+        .select("qid", "label")
+    )
+    cand = (
+        e.where(F.col("vec_id") % 97 != 0)
+        .select(F.col("vec_id").alias("doc_id"), "label",
+                F.col("embedding").alias("de"))
+        .join(F.broadcast(probe), "label")
+        .join(F.broadcast(q), "qid")
+    )
+    w_coarse = Window.partitionBy("qid").orderBy(
+        F.col("coarse_cos").desc(), F.col("doc_id")
+    )
+    coarse = (
+        cand.withColumn(
+            "coarse_cos", cosine(F.col("de"), F.col("qe"))
+        )
+        .withColumn("coarse_rank", F.row_number().over(w_coarse))
+        .where(F.col("coarse_rank") <= 20)
+    )
+    w_rr = Window.partitionBy("qid").orderBy(
+        F.col("grid").desc(), F.col("doc_id")
+    )
+    return (
+        coarse.withColumn(
+            "grid", maxsim_grid(F.col("qe"), F.col("de"))
+        )
+        .withColumn("rnk", F.row_number().over(w_rr))
+        .where(F.col("rnk") <= 5)
+        .select(
+            "qid",
+            "doc_id",
+            "rnk",
+            "coarse_rank",
             (F.col("grid").cast("double") / F.lit(1e10)).alias("maxsim"),
         )
         .orderBy("qid", "rnk")

@@ -89,3 +89,17 @@ def test_measure_stages_immune_to_store_eviction(spark, sf_dir):
     _, m2 = measure_stages(spark, job)
     assert m1["shuffle_write_bytes"] > 0
     assert m1["shuffle_write_bytes"] == m2["shuffle_write_bytes"], (m1, m2)
+
+
+def test_ann_rerank_actually_reorders(spark, sf_dir):
+    """The MaxSim stage must be non-vacuous: if the reranked order
+    equaled the coarse pooled-cosine order, the pipeline would collapse
+    to its first stage (the fixture lesson: prove the interesting
+    branch FIRES, not just that outputs match)."""
+    rows = (
+        load_all()["ext_ann_rerank_pipeline"].spark(spark, sf_dir).collect()
+    )
+    assert rows
+    assert any(r["rnk"] != r["coarse_rank"] for r in rows)
+    # every reranked doc came from the coarse top-20
+    assert all(1 <= r["coarse_rank"] <= 20 for r in rows)
