@@ -49,6 +49,11 @@ CATEGORIES = [
 ]
 N_SMALL, N_BIG = 2_000, 8_000
 FLAG_EXP = 1.5
+# a flag must be MATERIAL: below ~1 MiB at the big rung the "growth"
+# is fixed per-stage overhead (tiny aggregates, metadata), not a
+# candidate-volume term — ext_phrase_search's 701 B -> 5.8 KiB posting
+# intersection "exp 1.53" is the canonical false positive
+MIN_BYTES_BIG = 1 << 20
 
 # known candidate-bound exact baselines (classified in BENCH_SF1.json);
 # still measured, but a >FLAG_EXP exponent is expected, not a finding.
@@ -99,7 +104,11 @@ def main() -> None:
                 print(f"{name}: no shuffle ({vols[0]} -> {vols[1]} B)")
                 continue
             e = math.log(vols[1] / vols[0]) / math.log(N_BIG / N_SMALL)
-            flag = e > FLAG_EXP and name not in EXPECTED_SUPERLINEAR
+            flag = (
+                e > FLAG_EXP
+                and vols[1] >= MIN_BYTES_BIG
+                and name not in EXPECTED_SUPERLINEAR
+            )
             out[name] = {
                 "bytes_small": vols[0],
                 "bytes_big": vols[1],
