@@ -399,12 +399,9 @@ def k05_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PMH_SEEDS = 12
 _PMH_BAND = 2
 
-
-@register(
-    "ext_minhash_lsh_portable",
-    survey_id="EXT-MINHASH-PORT",
-    category="llm-dedup",
-    oracle=f"""
+# shared by ext_minhash_lsh_portable (batch) and i42_stream_minhash_neardup
+# (streaming ingest) — the streaming result must hash-match the SAME SQL.
+_PMH_ORACLE = f"""
 WITH t AS (
   SELECT doc_id,
          list_distinct(list_transform(
@@ -444,7 +441,69 @@ verified AS (
 )
 SELECT doc_a, doc_b, jaccard FROM verified
 WHERE jaccard >= 0.6 ORDER BY doc_a, doc_b
-""",
+"""
+
+
+def pmh_shingles(text) -> "F.Column":
+    """Distinct 3-token shingles of a single-space text column — the
+    portable-MinHash feature set (empty array below 3 tokens)."""
+    toks = F.split(text, " ")
+    return F.array_distinct(
+        F.when(
+            F.size(toks) >= 3,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(toks, i),
+                    F.element_at(toks, i + 1),
+                    F.element_at(toks, i + 2),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def pmh_band_structs(ts) -> "F.Column":
+    """ROW-LOCAL portable-MinHash banding: for each seed j the minhash
+    is min over the shingle array of the md5-derived 48-bit integer —
+    an array_min over a transform, no explode, no shuffle — banded into
+    _PMH_SEEDS/_PMH_BAND structs of (band_id, v1, v2).  Identical
+    values to the batch explode->groupBy formulation (min over the same
+    set commutes); this shape is what a stateless per-row stage (e.g. a
+    streaming ingest map) needs."""
+
+    def mh(seed: int):
+        return F.array_min(
+            F.transform(
+                ts,
+                lambda tok: F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"{seed}:"), tok)), 1, 12
+                    ),
+                    16,
+                    10,
+                ).cast("bigint"),
+            )
+        )
+
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                mh(b * _PMH_BAND).alias("v1"),
+                mh(b * _PMH_BAND + 1).alias("v2"),
+            )
+            for b in range(_PMH_SEEDS // _PMH_BAND)
+        ]
+    )
+
+
+@register(
+    "ext_minhash_lsh_portable",
+    survey_id="EXT-MINHASH-PORT",
+    category="llm-dedup",
+    oracle=_PMH_ORACLE,
 )
 def ext_minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """From-scratch engine-portable MinHash-LSH near-dup pipeline,

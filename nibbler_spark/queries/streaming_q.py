@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from nibbler_spark.queries import register
 from nibbler_spark.queries._helpers import dsum, sql_dsum
+from nibbler_spark.queries.llm_dedup import _PMH_ORACLE
 from nibbler_spark.sources import load_table
 from nibbler_spark.sources.tables import cached_dir
 
@@ -4643,3 +4644,117 @@ def i41_stream_stream_right_outer(
     direction from i38; state on both sides stays
     watermark-bounded.  Parity against the batch RIGHT JOIN."""
     return _stream_purchase_pairs(spark, sf_dir, "rightOuter")
+
+
+def _stream_minhash_pair_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain the documents stream through the banded-minhash stateful
+    dedup index and return the raw emitted pair log (doc_a, doc_b,
+    xbatch) — xbatch marks pairs whose two docs arrived in DIFFERENT
+    micro-batches (the state-carry path; tests pin that it fires).
+
+    Each arriving doc computes its 6 (band_id, v1, v2) keys row-locally
+    (pmh_band_structs — no shuffle before the keyed state), then
+    applyInPandasWithState keyed on the band value emits new-vs-seen
+    pairs and appends the doc to the bucket's id list.  This is online
+    dedup-index ingestion: state per bucket is exactly the LSH
+    inverted list, so memory is the index size and every doc is probed
+    against candidates only — never all-pairs."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from nibbler_spark.queries.llm_dedup import (
+        pmh_band_structs,
+        pmh_shingles,
+    )
+
+    src = (
+        spark.readStream.schema(_DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(_documents_dir(spark, sf_dir))
+    )
+    ts = pmh_shingles(F.col("text"))
+    banded = (
+        src.select("doc_id", ts.alias("ts"))
+        .where(F.size("ts") >= 1)
+        .select("doc_id", F.explode(pmh_band_structs(F.col("ts"))).alias("b"))
+        .select(
+            "doc_id",
+            F.col("b.band_id").alias("band_id"),
+            F.col("b.v1").alias("v1"),
+            F.col("b.v2").alias("v2"),
+        )
+    )
+
+    def emit(key, pdfs, state: GroupState):
+        seen = list(state.get[0]) if state.exists else []
+        fresh = sorted(
+            {int(x) for pdf in pdfs for x in pdf["doc_id"].tolist()}
+        )
+        a, b, xb = [], [], []
+        for i, dn in enumerate(fresh):
+            for do in seen:
+                lo, hi = (do, dn) if do < dn else (dn, do)
+                a.append(lo), b.append(hi), xb.append(True)
+            for dm in fresh[:i]:
+                a.append(dm), b.append(dn), xb.append(False)
+        state.update((seen + fresh,))
+        if a:
+            yield pd.DataFrame({"doc_a": a, "doc_b": b, "xbatch": xb})
+
+    pairs = banded.groupBy("band_id", "v1", "v2").applyInPandasWithState(
+        emit,
+        "doc_a long, doc_b long, xbatch boolean",
+        "ids array<long>",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+    return _drain_to_memory(pairs, "update")
+
+
+@register(
+    "i42_stream_minhash_neardup",
+    survey_id="EXT-MINHASH-PORT",
+    category="streaming",
+    oracle=_PMH_ORACLE,
+)
+def i42_stream_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE near-duplicate detection: the portable MinHash-LSH
+    pipeline (EXT-MINHASH-PORT) run as streaming ingest — documents
+    arrive over multiple micro-batches (maxFilesPerTrigger=2), each doc
+    banded row-locally and probed against a stateful per-bucket
+    inverted list; candidate pairs stream out as they are discovered
+    and are exact-Jaccard-verified afterwards.  The union of emitted
+    pairs is independent of the epoch split, so the result HASH-MATCHES
+    the identical batch SQL oracle — online dedup equals offline dedup,
+    which is the property that lets an ingest pipeline dedup
+    incrementally instead of re-running corpus-wide jobs.
+
+    Scale: state is the LSH index itself (one id list per occupied
+    band-bucket, watermark-free because dedup state is the product, not
+    a window); per-doc work is candidate-bound exactly as in the batch
+    formulation; the verify join touches only emitted pairs."""
+    from nibbler_spark.queries.llm_dedup import pmh_shingles
+
+    cand = (
+        _stream_minhash_pair_log(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    t = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", pmh_shingles(F.col("text")).alias("ts"))
+        .localCheckpoint()
+    )
+    n_common = F.size(F.array_intersect(F.col("ta.ts"), F.col("tb.ts")))
+    n_union = F.size(F.col("ta.ts")) + F.size(F.col("tb.ts")) - n_common
+    return (
+        cand.join(t.alias("ta"), F.col("doc_a") == F.col("ta.doc_id"))
+        .join(t.alias("tb"), F.col("doc_b") == F.col("tb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (n_common.cast("double") / n_union).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= 0.6)
+        .orderBy("doc_a", "doc_b")
+    )

