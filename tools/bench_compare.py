@@ -43,6 +43,15 @@ BASELINE_SEC = {
     "ext_crawl_pipeline": 1.24,
     "ext_kcore_decomposition": 1.80,
     "ext_stream_cdc_apply": 3.50,
+    "ext_image_ahash_neardup": 0.97,
+    "ext_containment_dedup": 1.25,
+    "ext_snapshot_row_cdc": 2.77,
+    "a41_parquet_raw_reader": 1.63,
+    "ext_markov_attribution": 1.08,
+    "ext_zipf_skew_join": 1.20,
+    "k22_skew_join_unsalted": 1.06,
+    "ext_simhash64_banded_pairs": 0.63,
+    "tq_power_22": 15.1,
 }
 REBATCHER_MIN = 1.4e6  # items/s floor of the recorded band
 
