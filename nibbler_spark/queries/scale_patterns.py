@@ -2825,3 +2825,302 @@ def ext_zipf_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (numSkewedPartitions / numSkewedSplits) fire on the unsalted plan
     under production-shaped thresholds."""
     return zipf_skew_join_frames(spark, sf_dir, salted=True)
+
+
+def _dbscan_adaptive_oracle() -> str:
+    rounds = []
+    prev = "l0"
+    for k in range(3):
+        cur = f"l{k + 1}"
+        rounds.append(f"""
+{cur} AS (
+  SELECT l.node, LEAST(l.label, COALESCE(MIN(n.label), l.label)) AS label
+  FROM {prev} l
+  LEFT JOIN core_edges e ON e.dst = l.node
+  LEFT JOIN {prev} n ON n.node = e.src
+  GROUP BY l.node, l.label)""")
+        prev = cur
+    return f"""
+WITH pts AS (
+  SELECT event_id,
+         CASE WHEN event_id % 67 < 2 THEN
+           (CASE event_id % 5 WHEN 0 THEN 10000 WHEN 1 THEN 30000
+                 WHEN 2 THEN 50000 WHEN 3 THEN 70000 ELSE 90000 END)
+           + CAST(('0x' || substr(md5('x:' || event_id), 1, 12)) AS BIGINT)
+             % 300
+         ELSE CAST(('0x' || substr(md5('x:' || event_id), 1, 12)) AS BIGINT)
+              % 100000 END AS xi,
+         CASE WHEN event_id % 67 < 2 THEN
+           (CASE event_id % 5 WHEN 0 THEN 10000 WHEN 1 THEN 70000
+                 WHEN 2 THEN 20000 WHEN 3 THEN 80000 ELSE 30000 END)
+           + CAST(('0x' || substr(md5('y:' || event_id), 1, 12)) AS BIGINT)
+             % 300
+         ELSE CAST(('0x' || substr(md5('y:' || event_id), 1, 12)) AS BIGINT)
+              % 100000 END AS yi
+  FROM events
+  WHERE event_id % 67 < 2 OR event_id % 31 = 0
+),
+sc AS (
+  SELECT COUNT(*) AS n,
+         40000000000 // (8 * COUNT(*)) AS eps2,
+         CAST(FLOOR(SQRT(CAST(40000000000 // (8 * COUNT(*)) AS DOUBLE)))
+              AS BIGINT) + 1 AS w
+  FROM pts
+),
+cells AS (
+  SELECT p.event_id, p.xi, p.yi, p.xi // s.w AS cx, p.yi // s.w AS cy,
+         s.eps2
+  FROM pts p CROSS JOIN sc s
+),
+offs AS (SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),
+                               (1,-1),(1,0),(1,1)) o(dx, dy)),
+nbr AS (
+  SELECT a.event_id AS a_id, b.event_id AS b_id
+  FROM cells a CROSS JOIN offs
+  JOIN cells b ON b.cx = a.cx + offs.dx AND b.cy = a.cy + offs.dy
+  WHERE (a.xi - b.xi) * (a.xi - b.xi)
+        + (a.yi - b.yi) * (a.yi - b.yi) <= a.eps2
+),
+deg AS (SELECT a_id AS event_id, COUNT(*) AS n_nbr FROM nbr GROUP BY a_id),
+core AS (SELECT event_id FROM deg WHERE n_nbr >= 4),
+core_edges AS (
+  SELECT n.a_id AS src, n.b_id AS dst FROM nbr n
+  JOIN core c1 ON c1.event_id = n.a_id
+  JOIN core c2 ON c2.event_id = n.b_id
+  WHERE n.a_id <> n.b_id
+),
+l0 AS (SELECT event_id AS node, event_id AS label FROM core),{",".join(rounds)},
+border AS (
+  SELECT n.a_id AS node, MIN(l.label) AS label
+  FROM nbr n
+  JOIN l3 l ON l.node = n.b_id
+  WHERE n.a_id NOT IN (SELECT event_id FROM core)
+  GROUP BY n.a_id
+),
+stats AS (
+  SELECT label AS cluster_label, CAST(COUNT(*) AS BIGINT) AS n_core
+  FROM l3 GROUP BY label
+),
+bstats AS (
+  SELECT label AS cluster_label, CAST(COUNT(*) AS BIGINT) AS n_border
+  FROM border GROUP BY label
+),
+clusters AS (
+  SELECT s.cluster_label, s.n_core,
+         COALESCE(b.n_border, 0) AS n_border,
+         s.n_core + COALESCE(b.n_border, 0) AS cluster_total
+  FROM stats s LEFT JOIN bstats b USING (cluster_label)
+),
+tot AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM pts) AS n_points,
+         (SELECT eps2 FROM sc) AS eps2_used,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM pts) -
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM l3) -
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM border) AS n_noise
+)
+SELECT c.cluster_label, c.n_core, c.n_border, c.cluster_total,
+       t.n_noise, t.n_points, t.eps2_used
+FROM clusters c CROSS JOIN tot t
+ORDER BY c.cluster_total DESC, c.cluster_label LIMIT 10
+"""
+
+
+@register(
+    "ext_dbscan_adaptive_eps",
+    survey_id="EXT-DBSCAN",
+    category="scale-pattern",
+    oracle=_dbscan_adaptive_oracle(),
+)
+def ext_dbscan_adaptive_eps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DENSITY-ADAPTIVE DBSCAN — the measured scale path for
+    EXT-DBSCAN.  The r5 shuffle-growth audit caught the fixed-eps
+    variant at exponent 1.97 (10.6 MB -> 164 MB shuffle for a 4x
+    corpus): with eps pinned and the coordinate space fixed, expected
+    neighbors per point grow ~ n and the neighbor join is Theta(n^2) —
+    intrinsic to DBSCAN under densification, not a plan defect.  The
+    production lever is density-relative eps: this variant derives
+    eps^2 = minPts*AREA div (8*n) IN-QUERY from the observed point
+    count (expected background neighbors ~ pi/8 * minPts ~ 1.6 <
+    minPts), so core points are density ANOMALIES at any corpus size
+    and the stencil-join volume stays ~ n * O(1).  All arithmetic is
+    integer (eps^2 by integer division; the grid cell width
+    floor(sqrt(eps2))+1 >= eps keeps the 3x3 stencil sound; IEEE sqrt
+    is correctly rounded so both engines derive the identical width).
+    The same planted 5-cluster fixture stays detected at every sf while
+    eps shrinks as 1/sqrt(n)."""
+    e = load_table(spark, sf_dir, "events").where(
+        (F.col("event_id") % 67 < 2) | (F.col("event_id") % 31 == 0)
+    )
+
+    def h(prefix: str):
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(prefix + ":"),
+                        F.col("event_id").cast("string"),
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+
+    cx_centers = [10000, 30000, 50000, 70000, 90000]
+    cy_centers = [10000, 70000, 20000, 80000, 30000]
+
+    def center(values):
+        expr = F.lit(values[-1])
+        for k in range(3, -1, -1):
+            expr = F.when(F.col("event_id") % 5 == k, values[k]).otherwise(
+                expr
+            )
+        return expr
+
+    planted = F.col("event_id") % 67 < 2
+    pts = e.select(
+        "event_id",
+        F.when(planted, center(cx_centers) + h("x") % 300)
+        .otherwise(h("x") % 100000)
+        .alias("xi"),
+        F.when(planted, center(cy_centers) + h("y") % 300)
+        .otherwise(h("y") % 100000)
+        .alias("yi"),
+    ).localCheckpoint()
+    sc = pts.agg(F.count("*").alias("n")).select(
+        "n",
+        F.expr("40000000000 div (8 * n)").alias("eps2"),
+    ).select(
+        "n",
+        "eps2",
+        (F.floor(F.sqrt(F.col("eps2").cast("double"))).cast("bigint") + 1)
+        .alias("w"),
+    )
+    cells = pts.crossJoin(F.broadcast(sc)).select(
+        "event_id",
+        "xi",
+        "yi",
+        F.expr("xi div w").alias("cx"),
+        F.expr("yi div w").alias("cy"),
+        "eps2",
+    )
+    offs = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    probe = cells.withColumn("o", F.explode(offs)).select(
+        F.col("event_id").alias("a_id"),
+        F.col("xi").alias("ax"),
+        F.col("yi").alias("ay"),
+        (F.col("cx") + F.col("o.dx")).alias("jx"),
+        (F.col("cy") + F.col("o.dy")).alias("jy"),
+        "eps2",
+    )
+    build = cells.select(
+        F.col("event_id").alias("b_id"),
+        F.col("xi").alias("bx"),
+        F.col("yi").alias("by"),
+        F.col("cx").alias("jx"),
+        F.col("cy").alias("jy"),
+    )
+    d2 = (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx")) + (
+        F.col("ay") - F.col("by")
+    ) * (F.col("ay") - F.col("by"))
+    nbr = (
+        probe.join(build, ["jx", "jy"])
+        .where(d2 <= F.col("eps2"))
+        .select("a_id", "b_id")
+        .localCheckpoint()
+    )
+    deg = nbr.groupBy(F.col("a_id").alias("event_id")).agg(
+        F.count("*").alias("n_nbr")
+    )
+    core = deg.where(F.col("n_nbr") >= 4).select("event_id")
+    core_edges = (
+        nbr.join(core.select(F.col("event_id").alias("a_id")), "a_id")
+        .join(core.select(F.col("event_id").alias("b_id")), "b_id")
+        .where(F.col("a_id") != F.col("b_id"))
+        .select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+        .localCheckpoint()
+    )
+    labels = core.select(
+        F.col("event_id").alias("node"), F.col("event_id").alias("label")
+    )
+    for _ in range(3):
+        la = labels.alias("l")
+        prop = (
+            core_edges.alias("e")
+            .join(labels.alias("n"), F.col("n.node") == F.col("e.src"))
+            .groupBy(F.col("e.dst").alias("pnode"))
+            .agg(F.min("n.label").alias("plabel"))
+        )
+        labels = (
+            la.join(prop, F.col("l.node") == F.col("pnode"), "left")
+            .select(
+                F.col("l.node").alias("node"),
+                F.least(
+                    F.col("l.label"),
+                    F.coalesce(F.col("plabel"), F.col("l.label")),
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+    border = (
+        nbr.join(
+            core.select(F.col("event_id").alias("a_id")), "a_id", "left_anti"
+        )
+        .join(
+            labels.select(F.col("node").alias("b_id"), F.col("label")),
+            "b_id",
+        )
+        .groupBy(F.col("a_id").alias("node"))
+        .agg(F.min("label").alias("label"))
+    )
+    stats = labels.groupBy(F.col("label").alias("cluster_label")).agg(
+        F.count("*").cast("bigint").alias("n_core")
+    )
+    bstats = border.groupBy(F.col("label").alias("cluster_label")).agg(
+        F.count("*").cast("bigint").alias("n_border")
+    )
+    clusters = stats.join(bstats, "cluster_label", "left").select(
+        "cluster_label",
+        "n_core",
+        F.coalesce("n_border", F.lit(0)).cast("bigint").alias("n_border"),
+        (F.col("n_core") + F.coalesce("n_border", F.lit(0)))
+        .cast("bigint")
+        .alias("cluster_total"),
+    )
+    n_points = pts.agg(F.count("*").cast("bigint").alias("n_points"))
+    n_core_t = labels.agg(F.count("*").cast("bigint").alias("nc"))
+    n_border_t = border.agg(F.count("*").cast("bigint").alias("nb"))
+    tot = (
+        n_points.crossJoin(F.broadcast(n_core_t))
+        .crossJoin(F.broadcast(n_border_t))
+        .crossJoin(F.broadcast(sc.select("eps2")))
+        .select(
+            "n_points",
+            (F.col("n_points") - F.col("nc") - F.col("nb"))
+            .cast("bigint")
+            .alias("n_noise"),
+            F.col("eps2").alias("eps2_used"),
+        )
+    )
+    return (
+        clusters.crossJoin(F.broadcast(tot))
+        .select(
+            "cluster_label",
+            "n_core",
+            "n_border",
+            "cluster_total",
+            "n_noise",
+            "n_points",
+            "eps2_used",
+        )
+        .orderBy(F.col("cluster_total").desc(), "cluster_label")
+        .limit(10)
+    )

@@ -46,6 +46,11 @@ CATEGORIES = [
     "event-analytics",
     "ml-exact",
     "sketch",
+    # r5 extension: the remaining corpus-table-capable categories
+    # (TPC-H-only and streaming-sink queries inside them skip cleanly)
+    "scale-pattern",
+    "composite",
+    "multimodal",
 ]
 N_SMALL, N_BIG = 2_000, 8_000
 FLAG_EXP = 1.5
@@ -57,7 +62,18 @@ MIN_BYTES_BIG = 1 << 20
 
 # known candidate-bound exact baselines (classified in BENCH_SF1.json);
 # still measured, but a >FLAG_EXP exponent is expected, not a finding.
-EXPECTED_SUPERLINEAR = {"k04_jaccard_pairs", "ext_simhash_banded_pairs"}
+# The dbscan pair is CLUSTER-MASS-bound: the exact neighbor graph of a
+# dense cluster is Theta(|cluster|^2) edges, so linear cluster growth
+# is quadratic pair work for ANY exact density clusterer.  Measured at
+# the audit rungs: background pairs 6,075 -> 17,723 (sub-linear — the
+# adaptive-eps variant's densification fix) while planted-clique pairs
+# went 285,605 -> 4,565,858 (16x for 4x membership, exactly quadratic).
+EXPECTED_SUPERLINEAR = {
+    "k04_jaccard_pairs",
+    "ext_simhash_banded_pairs",
+    "ext_dbscan_grid",
+    "ext_dbscan_adaptive_eps",
+}
 
 
 def main() -> None:
