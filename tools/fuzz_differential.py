@@ -22,6 +22,7 @@ Usage:
 
 from __future__ import annotations
 
+import os
 import random
 import sys
 
@@ -355,8 +356,9 @@ def run(n: int, sf_dir: str) -> int:
     register_temp_views(spark, sf_dir)
     con = make_duckdb(sf_dir)
     bad = []
+    base = int(os.environ.get("NIBBLER_FUZZ_BASE", "97000"))
     for seed in range(n):
-        rng = random.Random(97_000 + seed)
+        rng = random.Random(base + seed)
         sql = gen_query(rng)
         try:
             rep = compare(f"fuzz-{seed}", spark.sql(sql), con, sql)
