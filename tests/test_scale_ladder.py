@@ -190,3 +190,51 @@ def test_flagship_shuffle_volume_near_linear_no_disk_spill(
         )
         vols.append(m["shuffle_write_bytes"])
     _assert_near_linear(vols[0], vols[1], f"{qname} shuffle write bytes")
+
+
+def test_dbscan_adaptive_eps_background_sublinear_cluster_mass_quadratic(
+    rungs,
+):
+    """The DBSCAN decomposition pinned machine-independently (the r5
+    audit finding): with density-relative eps² = minPts·AREA div (8n),
+    BACKGROUND neighbor pairs must stay sub-linear (the densification
+    fix), while planted-cluster clique pairs grow ~quadratically with
+    membership — the intrinsic cluster-mass term any exact density
+    clusterer pays.  Counts computed exactly in DuckDB (the query's own
+    integer fixture arithmetic)."""
+    import duckdb
+
+    small, big = rungs
+    counts = {}
+    for d in (small, big):
+        q = f"""
+WITH pts AS (
+  SELECT event_id,
+         event_id % 67 < 2 AS planted,
+         CASE WHEN event_id % 67 < 2 THEN
+           (CASE event_id % 5 WHEN 0 THEN 10000 WHEN 1 THEN 30000
+                 WHEN 2 THEN 50000 WHEN 3 THEN 70000 ELSE 90000 END)
+           + CAST(('0x' || substr(md5('x:' || event_id), 1, 12)) AS BIGINT) % 300
+         ELSE CAST(('0x' || substr(md5('x:' || event_id), 1, 12)) AS BIGINT) % 100000 END AS xi,
+         CASE WHEN event_id % 67 < 2 THEN
+           (CASE event_id % 5 WHEN 0 THEN 10000 WHEN 1 THEN 70000
+                 WHEN 2 THEN 20000 WHEN 3 THEN 80000 ELSE 30000 END)
+           + CAST(('0x' || substr(md5('y:' || event_id), 1, 12)) AS BIGINT) % 300
+         ELSE CAST(('0x' || substr(md5('y:' || event_id), 1, 12)) AS BIGINT) % 100000 END AS yi
+  FROM '{d}/events.parquet'
+  WHERE event_id % 67 < 2 OR event_id % 31 = 0
+),
+sc AS (SELECT 40000000000 // (8 * COUNT(*)) AS eps2 FROM pts)
+SELECT a.planted AND b.planted AS both_planted, COUNT(*) AS c
+FROM pts a, pts b, sc
+WHERE (a.xi-b.xi)*(a.xi-b.xi)+(a.yi-b.yi)*(a.yi-b.yi) <= sc.eps2
+GROUP BY 1
+"""
+        counts[d] = dict(duckdb.sql(q).fetchall())
+    e_bg = _exponent(counts[small][False], counts[big][False])
+    e_pl = _exponent(counts[small][True], counts[big][True])
+    assert e_bg <= 1.0, f"background pairs superlinear: exp {e_bg:.2f}"
+    assert e_pl >= 1.8, (
+        f"planted clique pairs not ~quadratic (exp {e_pl:.2f}) — the "
+        "cluster-mass classification premise would be stale"
+    )
