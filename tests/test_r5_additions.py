@@ -123,3 +123,50 @@ def test_stream_minhash_cross_batch_pairs_fire(spark, sf_dir):
             (r["doc_a"], r["doc_b"]), 0
         ) + 1
     assert max(seen.values()) <= 6, "pair emitted more often than bands"
+
+
+def test_maxsim_grid_matches_numpy_reference(spark):
+    """maxsim_grid vs an independent numpy replica of the declared
+    semantics (slice, floor-grid dot as int64, max over doc tokens, sum
+    over query tokens) on random float32 vectors — the helper feeds two
+    registered queries, so its arithmetic is pinned beyond the oracle."""
+    import math
+
+    import numpy as np
+
+    from nibbler_spark.queries.llm_vectors import maxsim_grid
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(20):
+        q = rng.standard_normal(64).astype(np.float32)
+        d = rng.standard_normal(64).astype(np.float32)
+        rows.append((i, [float(x) for x in q], [float(x) for x in d]))
+
+    def ref(qv, dv):
+        total = 0
+        for i in range(8):
+            best = None
+            for j in range(8):
+                s = 0
+                for k in range(8):
+                    s += math.floor(
+                        float(np.float32(qv[i * 8 + k]))
+                        * float(np.float32(dv[j * 8 + k]))
+                        * 1e10
+                    )
+                best = s if best is None or s > best else best
+            total += best
+        return total
+
+    df = spark.createDataFrame(
+        rows, "id long, qe array<float>, de array<float>"
+    )
+    got = {
+        r["id"]: r["g"]
+        for r in df.select(
+            "id", maxsim_grid(F.col("qe"), F.col("de")).alias("g")
+        ).collect()
+    }
+    for i, qv, dv in rows:
+        assert got[i] == ref(qv, dv), i
