@@ -97,6 +97,12 @@ HEADLINE = [
     # r5 session 2: the 64-bit simhash scale path (ladder-measured
     # near-linear where the 16-bit BENCH-K3 row is candidate-bound).
     "ext_simhash64_banded_pairs",  # BENCH-K23 (64-bit simhash banding)
+    # r5 session 3: online dedup-index ingestion (streaming LSH state
+    # whose pair union hash-matches the batch pipeline) and the
+    # coarse-to-fine retrieval funnel (IVF probe -> cosine top-20 ->
+    # MaxSim rerank).
+    "i42_stream_minhash_neardup",  # BENCH-K24 (streaming LSH dedup)
+    "ext_ann_rerank_pipeline",  # BENCH-K25 (IVF -> MaxSim rerank funnel)
 ]
 
 

@@ -52,6 +52,8 @@ BASELINE_SEC = {
     "k22_skew_join_unsalted": 1.06,
     "ext_simhash64_banded_pairs": 0.63,
     "tq_power_22": 15.1,
+    "i42_stream_minhash_neardup": 13.5,
+    "ext_ann_rerank_pipeline": 1.57,
 }
 REBATCHER_MIN = 1.4e6  # items/s floor of the recorded band
 
