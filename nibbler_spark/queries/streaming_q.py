@@ -4515,19 +4515,23 @@ def i37_transform_with_state_auto(
     )
 
 
-def _outer_join_sentinel_dir(spark: SparkSession, sf_dir: str) -> str:
+def _outer_join_sentinel_dir(
+    spark: SparkSession, sf_dir: str, sentinel_type: str = "purchase"
+) -> str:
     """events + one far-future sentinel row (user_id -1) — outer
     stream-stream joins only emit their unmatched rows once the
     watermark passes the join window's end, so the sentinel advances
     both sides' watermarks beyond every real event (the i03/i36
     sentinel trick; the sentinel never joins anything — no real row has
     user_id -1, and event_id inequality blocks sentinel-sentinel — and
-    is filtered from the result).  The sentinel's event_type is
-    'purchase' ON PURPOSE: Catalyst pushes the right side's
-    deterministic purchase filter BELOW the EventTimeWatermark node, so
-    a sentinel that doesn't survive the filter never reaches the right
-    watermark and the joint watermark stalls at last-purchase − delay
-    (observed: a 43-minute unmatched-row hole at sf0.01)."""
+    is filtered from the result).  The sentinel's event_type MUST
+    equal the right side's filtered type: Catalyst pushes the right
+    side's deterministic type filter BELOW the EventTimeWatermark node,
+    so a sentinel that doesn't survive the filter never reaches the
+    right watermark and the joint watermark stalls at
+    last-right-event − delay (observed: a 43-minute unmatched-row hole
+    at sf0.01 with a non-purchase sentinel; re-found by the r6 fuzzer's
+    randomized right_type cases the first time they ran)."""
 
     def build(tmp: str) -> None:
         e = load_table(spark, sf_dir, "events")
@@ -4539,7 +4543,7 @@ def _outer_join_sentinel_dir(spark: SparkSession, sf_dir: str) -> str:
                     -1,
                     gmax + datetime.timedelta(days=2),
                     -1,
-                    "purchase",
+                    sentinel_type,
                     0.0,
                     "{}",
                 )
@@ -4547,15 +4551,24 @@ def _outer_join_sentinel_dir(spark: SparkSession, sf_dir: str) -> str:
             _EVENT_SCHEMA,
         ).coalesce(1).write.mode("append").parquet(tmp)
 
-    return cached_dir(sf_dir, "events", "stream-outer-sentinel2", build)
+    return cached_dir(
+        sf_dir, "events", f"stream-outer-sentinel3-{sentinel_type}", build
+    )
 
 
 def _stream_purchase_pairs(
-    spark: SparkSession, sf_dir: str, how: str
+    spark: SparkSession,
+    sf_dir: str,
+    how: str,
+    interval_min: int = 2,
+    right_type: str = "purchase",
 ) -> DataFrame:
-    """Shared builder for the outer stream-stream joins (i38/i39):
-    every event (left) against same-user PURCHASES within a 2-minute
-    forward window (right), both sides watermarked 10 minutes.  Outer
+    """Shared builder for the outer stream-stream joins (i38/i39) and
+    the differential fuzzer's randomized stream-join cases
+    (tools/fuzz_differential.py — join type × window length × right
+    event type): every event (left) against same-user ``right_type``
+    events within an ``interval_min``-minute forward window (right),
+    both sides watermarked 10 minutes.  Outer
     emission semantics are the subtle part — an unmatched row may only
     emit after the watermark proves no partner can still arrive, which
     is why correctness needs the checkpointed-watermark machinery and
@@ -4563,7 +4576,7 @@ def _stream_purchase_pairs(
     interval on BOTH sides (Spark evicts rows older than
     watermark − 2 min); at 100 TB the state store holds minutes of
     data, never history."""
-    d = _outer_join_sentinel_dir(spark, sf_dir)
+    d = _outer_join_sentinel_dir(spark, sf_dir, sentinel_type=right_type)
     a = _read_stream(spark, d).withWatermark("ts", "10 minutes").alias("a")
     # watermark BEFORE the purchase filter: the sentinel is not a
     # purchase, so filtering first would strand the right-side
@@ -4576,14 +4589,17 @@ def _stream_purchase_pairs(
         .withColumnRenamed("event_id", "event_id_b")
         .withColumnRenamed("user_id", "user_id_b")
         .withWatermark("ts_b", "10 minutes")
-        .where(F.col("event_type") == "purchase")
+        .where(F.col("event_type") == right_type)
         .alias("b")
     )
     joined = a.join(
         b,
         (F.col("a.user_id") == F.col("b.user_id_b"))
         & (F.col("b.ts_b") >= F.col("a.ts"))
-        & (F.col("b.ts_b") <= F.col("a.ts") + F.expr("INTERVAL 2 MINUTES"))
+        & (
+            F.col("b.ts_b")
+            <= F.col("a.ts") + F.expr(f"INTERVAL {int(interval_min)} MINUTES")
+        )
         & (F.col("a.event_id") != F.col("b.event_id_b")),
         how,
     ).select(

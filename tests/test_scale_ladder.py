@@ -238,3 +238,62 @@ GROUP BY 1
         f"planted clique pairs not ~quadratic (exp {e_pl:.2f}) — the "
         "cluster-mass classification premise would be stale"
     )
+
+
+def test_pmh_band_candidates_near_linear(spark, rungs):
+    """i42_stream_minhash_neardup / ext_minhash_lsh_portable cost
+    driver (r6 ladder rows): the md5-minhash band join's candidate
+    volume — sum of C(n,2) over occupied (band_id, v1, v2) buckets.
+    The 48-bit minhash space never saturates, so collisions are either
+    genuine near-dups (linear: planted pairs grow with n) or vanishing
+    random ones; the streaming variant probes exactly these buckets as
+    keyed state, so this count is also its per-epoch work bound."""
+    from nibbler_spark.queries.llm_dedup import (
+        pmh_band_structs,
+        pmh_shingles,
+    )
+
+    small, big = rungs
+    counts = []
+    for d in (small, big):
+        doc = spark.read.parquet(os.path.join(d, "documents.parquet"))
+        ts = pmh_shingles(F.col("text"))
+        bands = (
+            doc.select("doc_id", ts.alias("ts"))
+            .where(F.size("ts") >= 1)
+            .select(F.explode(pmh_band_structs(F.col("ts"))).alias("b"))
+            .groupBy("b.band_id", "b.v1", "b.v2")
+            .agg(F.count("*").alias("c"))
+        )
+        row = bands.agg(
+            F.sum(F.col("c") * (F.col("c") - 1) / 2).alias("pairs")
+        ).collect()[0]
+        counts.append(int(row["pairs"] or 0))
+    _assert_near_linear(counts[0], counts[1], "pmh band candidate pairs")
+
+
+def test_ann_coarse_volume_linear_per_query(spark, rungs):
+    """ext_ann_rerank_pipeline (r6 ladder row, candidate-bound class):
+    the funnel's intrinsic work is its coarse scored-pair volume =
+    queries x docs-in-2-probed-cells.  On the ladder the query set is
+    sampled FROM the corpus (vec_id % 97), so TOTAL volume grows
+    ~n^2 by construction; the production-relevant quantity is the
+    PER-QUERY volume (probed 2/10 of the corpus), which must stay
+    near-linear in corpus size — that is what makes the IVF probe an
+    ANN index rather than a brute-force scan."""
+    from tools.scale_ladder import _ann_coarse_pairs
+
+    small, big = rungs
+    per_query = []
+    for d in (small, big):
+        emb = spark.read.parquet(os.path.join(d, "embeddings.parquet"))
+        n_q = emb.where(F.col("vec_id") % 97 == 0).count()
+        assert n_q > 0
+        per_query.append(_ann_coarse_pairs(spark, d) / n_q)
+    # corpus rung ratio is 4x (embeddings scale with sf too)
+    e = math.log(per_query[1] / per_query[0]) / math.log(N_BIG / N_SMALL)
+    assert per_query[1] > per_query[0]
+    assert e <= EXP_MAX, (
+        f"per-query coarse volume exponent {e:.2f} > {EXP_MAX}: the "
+        "probe is not pruning cells (brute-force regression)"
+    )

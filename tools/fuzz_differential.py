@@ -273,6 +273,107 @@ def _filter_agg_query(rng: random.Random) -> str:
     )
 
 
+def _stream_join_case(rng: random.Random):
+    """Randomized STREAM-STREAM event-time join (r5 families, verdict
+    r6 #7): join type x forward-window length x right-side event type,
+    run through the real watermark/state machinery (sentinel watermark
+    discipline included via _stream_purchase_pairs) and compared to the
+    identical batch join in DuckDB.  Returns (builder, oracle_sql)."""
+    how, kw = rng.choice(
+        [
+            ("inner", "JOIN"),
+            ("leftOuter", "LEFT JOIN"),
+            ("rightOuter", "RIGHT JOIN"),
+            ("fullOuter", "FULL JOIN"),
+        ]
+    )
+    m = rng.choice([1, 2, 3, 5])
+    rt = rng.choice(["click", "error", "purchase", "signup", "view"])
+
+    def build(spark, sf_dir):
+        from nibbler_spark.queries.streaming_q import _stream_purchase_pairs
+
+        return _stream_purchase_pairs(
+            spark, sf_dir, how, interval_min=m, right_type=rt
+        )
+
+    sql = (
+        f"SELECT a.event_id AS eid_a, b.event_id AS eid_b,\n"
+        f"       COALESCE(a.user_id, b.user_id) AS user_id\n"
+        f"FROM events a {kw}"
+        f" (SELECT * FROM events WHERE event_type = '{rt}') b\n"
+        f"  ON a.user_id = b.user_id\n"
+        f" AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL '{m} minutes'\n"
+        f" AND a.event_id <> b.event_id\n"
+        f"ORDER BY eid_a, eid_b, user_id"
+    )
+    return build, sql
+
+
+def _two_phase_rank_case(rng: random.Random):
+    """Randomized two-phase global rank (the scale-safe rank pattern
+    from ext_perplexity_buckets): per-bucket counts -> broadcast
+    offsets -> within-bucket row_number + offset, vs DuckDB's direct
+    single-ordering ROW_NUMBER.  No global sort on the Spark side —
+    that is the property being fuzzed."""
+    bucket = rng.choice(["lang", "source"])
+    lo = rng.randint(50, 200)
+    descending = rng.random() < 0.5
+
+    def build(spark, sf_dir):
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from nibbler_spark.sources import load_table
+
+        d = load_table(spark, sf_dir, "documents").where(
+            F.col("n_chars") >= lo
+        )
+        counts = sorted(
+            d.groupBy(bucket).agg(F.count("*").alias("cnt")).collect(),
+            key=lambda r: r[bucket],
+        )
+        off, offsets = 0, []
+        for r in counts:
+            offsets.append((r[bucket], off))
+            off += r["cnt"]
+        odf = d.sparkSession.createDataFrame(
+            offsets, f"{bucket} string, off long"
+        )
+        key = F.col("n_chars").desc() if descending else F.col("n_chars")
+        w = Window.partitionBy(bucket).orderBy(key, "doc_id")
+        return (
+            d.join(F.broadcast(odf), bucket)
+            .withColumn(
+                "rk", (F.row_number().over(w) + F.col("off")).cast("bigint")
+            )
+            .select("doc_id", "rk")
+            .orderBy("rk")
+        )
+
+    direction = "DESC" if descending else "ASC"
+    sql = (
+        f"SELECT doc_id, CAST(ROW_NUMBER() OVER (\n"
+        f"         ORDER BY {bucket}, n_chars {direction}, doc_id\n"
+        f"       ) AS BIGINT) AS rk\n"
+        f"FROM documents WHERE n_chars >= {lo}\n"
+        f"ORDER BY rk"
+    )
+    return build, sql
+
+
+def gen_case(rng: random.Random):
+    """(kind, payload): 'sql' -> identical-text SQL, 'dsl' ->
+    (builder, oracle_sql).  DSL shapes are rare (streaming cases cost
+    seconds each) but a 300-seed pass reaches every family."""
+    shape = rng.random()
+    if shape < 0.02:
+        return "dsl", _stream_join_case(rng)
+    if shape < 0.05:
+        return "dsl", _two_phase_rank_case(rng)
+    return "sql", gen_query(rng)
+
+
 def gen_query(rng: random.Random) -> str:
     shape = rng.random()
     if shape < 0.13:
@@ -357,11 +458,19 @@ def run(n: int, sf_dir: str) -> int:
     con = make_duckdb(sf_dir)
     bad = []
     base = int(os.environ.get("NIBBLER_FUZZ_BASE", "97000"))
+    n_dsl = 0
     for seed in range(n):
         rng = random.Random(base + seed)
-        sql = gen_query(rng)
+        kind, payload = gen_case(rng)
+        if kind == "dsl":
+            build, sql = payload
+            n_dsl += 1
+            mk = lambda: build(spark, sf_dir)  # noqa: E731
+        else:
+            sql = payload
+            mk = lambda: spark.sql(sql)  # noqa: E731
         try:
-            rep = compare(f"fuzz-{seed}", spark.sql(sql), con, sql)
+            rep = compare(f"fuzz-{seed}", mk(), con, sql)
             ok = rep.ok
         except Exception as e:  # engine-level failure = a finding too
             print(f"fuzz-{seed}: EXC {type(e).__name__}: {e}\n{sql}\n")
@@ -370,7 +479,10 @@ def run(n: int, sf_dir: str) -> int:
         if not ok:
             print(f"fuzz-{seed}: MISMATCH\n{sql}\n{rep.first_diffs[:3]}\n")
             bad.append(seed)
-    print(f"FUZZ: {n - len(bad)}/{n} agree  MISMATCHES: {len(bad)} {bad}")
+    print(
+        f"FUZZ: {n - len(bad)}/{n} agree ({n_dsl} DSL cases)  "
+        f"MISMATCHES: {len(bad)} {bad}"
+    )
     return 1 if bad else 0
 
 

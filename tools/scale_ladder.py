@@ -62,6 +62,10 @@ FLAGSHIPS = [
     "ext_behavioral_analytics_pipeline",
     "ext_embedding_neardup",
     "k06_cosine_topk",
+    # r6 (verdict #4): the retrieval and streaming flagships join the
+    # ladder — the two scale-with-corpus queries that had no sf1 row.
+    "i42_stream_minhash_neardup",
+    "ext_ann_rerank_pipeline",
 ]
 GATE_RATIO = 12.0  # 10x data -> <= 12x wall (near-linear)
 # candidate-bound gate: wall time may grow at most this much faster than
@@ -126,12 +130,85 @@ def _simhash16_candidate_pairs(spark, sf_dir: str) -> int:
     return int(row["pairs"] or 0)
 
 
+def _ann_coarse_pairs(spark, sf_dir: str) -> int:
+    """Coarse-stage scored-pair volume of ext_ann_rerank_pipeline:
+    sum over queries of the doc count in its 2 probed IVF cells — the
+    quantity the funnel's cost is actually proportional to.  On the
+    ladder this grows ~quadratically BY CONSTRUCTION (the query set is
+    vec_id % 97 of the corpus, so queries grow with the rung); the
+    per-QUERY volume (pairs / n_queries = probed 2/10 of the corpus)
+    is the linear claim a fixed production workload sees, and the gate
+    below normalizes by this measured volume rather than input rows."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from nibbler_spark.queries.llm_vectors import cosine
+    from nibbler_spark.sources import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "label", F.posexplode("embedding").alias("pos", "val")
+    ).select(
+        "label", "pos",
+        F.floor(F.col("val").cast("double") * F.lit(1e10)).alias("v"),
+    )
+    cent = (
+        ex.groupBy("label", "pos")
+        .agg(
+            ((F.sum("v").cast("double") / F.lit(1e10)) / F.count("v")).alias(
+                "c"
+            )
+        )
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s["c"],
+            ).alias("centroid")
+        )
+    )
+    q = e.where(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    w_probe = Window.partitionBy("qid").orderBy(
+        F.col("csim").desc(), F.col("label")
+    )
+    probe = (
+        cent.crossJoin(F.broadcast(q))
+        .select(
+            "qid",
+            "label",
+            cosine(F.col("centroid"), F.col("qe")).alias("csim"),
+        )
+        .withColumn("pr", F.row_number().over(w_probe))
+        .where(F.col("pr") <= 2)
+        .select("qid", "label")
+    )
+    return (
+        e.where(F.col("vec_id") % 97 != 0)
+        .select("label")
+        .join(F.broadcast(probe), "label")
+        .count()
+    )
+
+
 # name -> (scale-path query name, candidate-volume measurer)
 CANDIDATE_BOUND = {
     "k04_jaccard_pairs": ("k05_minhash_lsh", _k04_candidate_pairs),
     "ext_simhash_banded_pairs": (
         "ext_simhash64_banded_pairs",
         _simhash16_candidate_pairs,
+    ),
+    # The funnel's intrinsic work is (queries x probed cells); the rung
+    # workload samples queries FROM the corpus (vec_id % 97), so total
+    # volume grows ~n^2/485 while per-query volume stays linear — the
+    # wall gate normalizes by the measured volume, and the per-query
+    # linearity is CI-pinned in tests/test_scale_ladder.py.  The scale
+    # path at a fixed production workload is the same pipeline (probed
+    # cells only; MaxSim bounded by 20 x n_queries).
+    "ext_ann_rerank_pipeline": (
+        "ext_ann_rerank_pipeline",
+        _ann_coarse_pairs,
     ),
 }
 
