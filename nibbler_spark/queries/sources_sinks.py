@@ -639,12 +639,25 @@ def a23_csv_malformed_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cents"),
     ).first()
     failfast_raises = False
+    # The abort is the asserted behavior — mute the executor/taskset
+    # ERROR lines Spark logs for the intentional task failure so clean
+    # sweep logs stay signal (restored right after; the exception is
+    # still raised and caught).
+    sc = spark.sparkContext
+    prior_level = (
+        sc._jvm.org.apache.logging.log4j.LogManager.getRootLogger()
+        .getLevel()
+        .toString()
+    )
+    sc.setLogLevel("OFF")
     try:
         spark.read.schema(
             "o_orderkey BIGINT, o_totalprice DOUBLE"
         ).option("mode", "FAILFAST").csv(tmp).collect()
     except Exception:
         failfast_raises = True
+    finally:
+        sc.setLogLevel(prior_level)
     permissive.unpersist()
     return spark.createDataFrame(
         [

@@ -2837,11 +2837,14 @@ def ext_gdpr_forget_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     on_disk_target = 0
     for f in survivors:
-        try:
-            on_disk_target += spark.read.parquet(f).where(target).count()
-        except Exception:
-            # DV sidecars have a different schema — not order data
-            continue
+        # DV sidecars have a different schema ([_f, _pos]) — skip them
+        # by inspecting the footer schema instead of letting the filter
+        # fail analysis (an AnalysisException here is re-raised inside
+        # Spark's Observation listener and lands as ExecutionListenerBus
+        # ERROR noise in otherwise-clean sweep logs).
+        df = spark.read.parquet(f)
+        if "o_custkey" in df.columns:
+            on_disk_target += df.where(target).count()
     old_unreadable = False
     try:
         read_snapshot(spark, table, sid1)

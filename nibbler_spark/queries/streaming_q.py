@@ -986,8 +986,36 @@ def _incremental_rollup_drain(
     e.withColumn("slice", slice_no).repartition(4, "slice").write.mode(
         "overwrite"
     ).partitionBy("slice").parquet(src_dir)
+    _rollup_drain_pass(
+        spark, src_dir, store, os.path.join(base, "ckpt"), touched_log
+    )
+    return (
+        spark.read.schema(_ROLLUP_STORE_SCHEMA)
+        .parquet(store)
+        .select("hour_key", "n", "value_cents")
+        .orderBy("hour_key")
+    )
 
-    store_schema = "hour_key string, n long, value_cents long, day_key string"
+
+_ROLLUP_STORE_SCHEMA = (
+    "hour_key string, n long, value_cents long, day_key string"
+)
+
+
+def _rollup_drain_pass(
+    spark: SparkSession,
+    src_dir: str,
+    store: str,
+    ckpt: str,
+    touched_log: list | None = None,
+) -> None:
+    """One availableNow pass of the incremental rollup over whatever
+    source files exist and are not yet in the checkpoint's file log.
+    Calling this again after MORE slice files land resumes from the
+    same checkpoint and merges only the new epochs into the store —
+    the restart/catch-up path a continuous aggregate lives by (golden:
+    tests/test_r6_additions.py two-phase restart equals batch)."""
+    store_schema = _ROLLUP_STORE_SCHEMA
 
     def upsert(batch_df: DataFrame, epoch_id: int) -> None:
         part = (
@@ -1052,7 +1080,7 @@ def _incremental_rollup_drain(
             .option("maxFilesPerTrigger", 1)
             .parquet(src_dir + "/*/")
             .writeStream.foreachBatch(upsert)
-            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )
@@ -1065,12 +1093,6 @@ def _incremental_rollup_drain(
             spark.conf.set(
                 "spark.sql.sources.partitionOverwriteMode", prior
             )
-    return (
-        spark.read.schema(store_schema)
-        .parquet(store)
-        .select("hour_key", "n", "value_cents")
-        .orderBy("hour_key")
-    )
 
 
 @register(

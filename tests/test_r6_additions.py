@@ -131,3 +131,74 @@ class TestDrainSizedStateStore:
             .collect()
         }
         assert got == want
+
+
+class TestIncrementalRollupRestart:
+    def test_two_phase_catchup_equals_batch(self, spark, sf_dir, tmp_path):
+        """Restart golden: drain slices 0-1, then land slices 2-3 and
+        resume from the SAME checkpoint — the second pass processes
+        only the new files (the checkpoint's file log skips the old
+        ones) and the merged store equals the batch rollup.  This is
+        the catch-up path a continuous aggregate lives by: a killed
+        maintainer restarts and merges the backlog incrementally, never
+        rebuilding the store."""
+        from nibbler_spark.queries.streaming_q import _rollup_drain_pass
+
+        e = load_table(spark, sf_dir, "events")
+        lo, hi = e.select(
+            F.to_date(F.min("ts")).alias("lo"),
+            F.to_date(F.max("ts")).alias("hi"),
+        ).first()
+        n_days = (hi - lo).days + 1
+        slice_no = F.least(
+            F.lit(3),
+            F.floor(F.datediff(F.to_date("ts"), F.lit(lo)) * 4 / n_days),
+        ).cast("int")
+        sliced = e.withColumn("slice", slice_no)
+
+        src = str(tmp_path / "src")
+        store = str(tmp_path / "store")
+        ckpt = str(tmp_path / "ckpt")
+        for i in (0, 1):
+            sliced.where(F.col("slice") == i).drop("slice").coalesce(
+                1
+            ).write.parquet(os.path.join(src, f"slice={i}"))
+
+        touched: list[list[str]] = []
+        _rollup_drain_pass(spark, src, store, ckpt, touched)
+        n_epochs_phase1 = len(touched)
+        assert n_epochs_phase1 == 2
+
+        # "crash", then the backlog lands; resume from the checkpoint.
+        for i in (2, 3):
+            sliced.where(F.col("slice") == i).drop("slice").coalesce(
+                1
+            ).write.parquet(os.path.join(src, f"slice={i}"))
+        _rollup_drain_pass(spark, src, store, ckpt, touched)
+        # second pass processed ONLY the two new files
+        assert len(touched) == n_epochs_phase1 + 2
+
+        got = {
+            (r["hour_key"], r["n"], r["value_cents"])
+            for r in spark.read.schema(
+                "hour_key string, n long, value_cents long, day_key string"
+            )
+            .parquet(store)
+            .collect()
+        }
+        want = {
+            (r["hour_key"], r["n"], r["value_cents"])
+            for r in e.groupBy(
+                F.date_format(
+                    F.date_trunc("hour", "ts"), "yyyy-MM-dd-HH"
+                ).alias("hour_key")
+            )
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias(
+                    "value_cents"
+                ),
+            )
+            .collect()
+        }
+        assert got == want
