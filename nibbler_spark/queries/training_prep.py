@@ -1699,3 +1699,139 @@ def ext_ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+def _bpe_oracle(n_merges: int) -> str:
+    """Unrolled DuckDB replica of the ext_bpe_apply driver loop: stage i
+    derives pair weights from the stage-(i-1) symbolization, picks the
+    (weight DESC, pair ASC) argmax, and the next stage applies it with
+    the same two-pass padded replace the Spark side uses — identical
+    construction, so the merge TRAJECTORY hash-matches, not just the
+    final counts."""
+    parts = [
+        """
+WITH w0 AS MATERIALIZED (
+  SELECT ' ' || array_to_string(
+           list_transform(generate_series(1, length(tok)),
+                          i -> substr(tok, i, 1)), ' ') || ' ' AS sym,
+         c
+  FROM (
+    SELECT tok, COUNT(*) AS c FROM (
+      SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents
+    ) WHERE length(tok) >= 1 GROUP BY tok
+  )
+)"""
+    ]
+    for i in range(1, n_merges + 1):
+        prev = f"w{i - 1}"
+        parts.append(
+            f""",
+p{i} AS MATERIALIZED (
+  SELECT pair, CAST(SUM(c) AS BIGINT) AS w FROM (
+    SELECT UNNEST(list_transform(
+             generate_series(1, len(s) - 1),
+             j -> s[j] || ' ' || s[j + 1])) AS pair,
+           c
+    FROM (SELECT string_split(trim(sym), ' ') AS s, c FROM {prev})
+    WHERE len(s) >= 2
+  ) GROUP BY pair
+),
+m{i} AS MATERIALIZED (SELECT pair, w FROM p{i} ORDER BY w DESC, pair LIMIT 1),
+w{i} AS MATERIALIZED (
+  SELECT replace(replace(sym,
+           ' ' || (SELECT pair FROM m{i}) || ' ',
+           ' ' || (SELECT replace(pair, ' ', '') FROM m{i}) || ' '),
+           ' ' || (SELECT pair FROM m{i}) || ' ',
+           ' ' || (SELECT replace(pair, ' ', '') FROM m{i}) || ' ') AS sym,
+         c
+  FROM {prev}
+)"""
+        )
+    steps = "\nUNION ALL\n".join(
+        f"SELECT {i} AS step, pair AS merge_pair, w AS pair_weight FROM m{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return f"{''.join(parts)}\n{steps}\nORDER BY step"
+
+
+_BPE_MERGES = 6
+
+
+@register(
+    "ext_bpe_apply",
+    survey_id="EXT-BPE-APPLY",
+    category="llm-training-prep",
+    oracle=_bpe_oracle(_BPE_MERGES),
+)
+def ext_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OTHER half of BPE tokenization (EXT-BPE counts pairs once;
+    this runs the actual training loop): 6 driver-loop rounds, each
+    picking the corpus-weighted argmax adjacent-symbol pair (weight
+    DESC, pair ASC tie-break) and applying the merge to the word table
+    before the next round — returning the learned merge trajectory
+    (step, merge_pair, pair_weight), which hash-matches an identically
+    constructed 6-stage DuckDB unrolling.
+
+    Scale shape (the classic BPE optimization): all rounds run on the
+    DISTINCT-token frequency table, never the corpus — one corpus-wide
+    shuffle up front, then per round an explode→aggregate over a
+    vocabulary-sized table plus a TakeOrdered(1) argmax; the merge is
+    applied with a deterministic two-pass padded replace (pass 2
+    catches the occurrence whose leading separator pass 1 consumed —
+    both engines' replace() is non-overlapping left-to-right, so the
+    construction is engine-exact by definition, and 6 rounds × small
+    table keeps driver round-trips trivial).  localCheckpoint truncates
+    the per-round lineage exactly as the LPA/k-core loops do."""
+    docs = load_table(spark, sf_dir, "documents")
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("tok")),
+        lambda i: F.substring(F.col("tok"), i, F.lit(1)),
+    )
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.length("tok") >= 1)
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .select(
+            F.concat(
+                F.lit(" "), F.array_join(chars, " "), F.lit(" ")
+            ).alias("sym"),
+            "c",
+        )
+        .localCheckpoint()
+    )
+    trajectory = []
+    for step in range(1, _BPE_MERGES + 1):
+        s = F.split(F.trim(F.col("sym")), " ")
+        pairs = words.where(F.size(s) >= 2).select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(s) - 1),
+                    lambda j: F.concat(
+                        F.element_at(s, j),
+                        F.lit(" "),
+                        F.element_at(s, j + 1),
+                    ),
+                )
+            ).alias("pair"),
+            "c",
+        )
+        top = (
+            pairs.groupBy("pair")
+            .agg(F.sum("c").cast("bigint").alias("w"))
+            .orderBy(F.col("w").desc(), "pair")
+            .limit(1)
+            .collect()[0]
+        )
+        trajectory.append((step, top["pair"], top["w"]))
+        pat = F.lit(" " + top["pair"] + " ")
+        rep = F.lit(" " + top["pair"].replace(" ", "") + " ")
+        words = words.select(
+            F.replace(F.replace(F.col("sym"), pat, rep), pat, rep).alias(
+                "sym"
+            ),
+            "c",
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        trajectory, "step int, merge_pair string, pair_weight long"
+    ).orderBy("step")

@@ -66,6 +66,11 @@ FLAGSHIPS = [
     # ladder — the two scale-with-corpus queries that had no sf1 row.
     "i42_stream_minhash_neardup",
     "ext_ann_rerank_pipeline",
+    # r6 (verdict #1 follow-through): the reworked day-grain rollup —
+    # 10x denser events over the same 30-day span; the merge cost is
+    # per-partition aggregate state, so wall time should be far
+    # sub-linear in row count.
+    "ext_incremental_rollup",
 ]
 GATE_RATIO = 12.0  # 10x data -> <= 12x wall (near-linear)
 # candidate-bound gate: wall time may grow at most this much faster than
