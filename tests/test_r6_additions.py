@@ -202,3 +202,39 @@ class TestIncrementalRollupRestart:
             .collect()
         }
         assert got == want
+
+
+class TestRollupStorePruning:
+    def test_merge_read_partition_prunes(self, spark, tmp_path):
+        """The O(days-in-batch) merge claim is only true if the store
+        read PRUNES day partitions at the file index (PartitionFilters)
+        rather than scanning all days and filtering rows (DataFilters).
+        Pin the plan shape on a miniature store."""
+        import os
+
+        store = str(tmp_path / "store")
+        spark.createDataFrame(
+            [
+                ("2024-01-01-00", 5, 100, "2024-01-01"),
+                ("2024-01-02-00", 6, 200, "2024-01-02"),
+            ],
+            "hour_key string, n long, value_cents long, day_key string",
+        ).write.partitionBy("day_key").parquet(store)
+        assert len(
+            [d for d in os.listdir(store) if d.startswith("day_key=")]
+        ) == 2
+
+        r = (
+            spark.read.schema(
+                "hour_key string, n long, value_cents long, day_key string"
+            )
+            .parquet(store)
+            .where(F.col("day_key").isin(["2024-01-01"]))
+        )
+        plan = r._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "simple"
+            )
+        )
+        assert "PartitionFilters: [isnotnull(day_key" in plan
+        assert "DataFilters: []" in plan
