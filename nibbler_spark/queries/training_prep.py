@@ -1835,3 +1835,75 @@ def ext_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         trajectory, "step int, merge_pair string, pair_weight long"
     ).orderBy("step")
+
+
+_BPE_COMPRESSION_FINAL = """
+SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM s0) AS n_distinct_words,
+  (SELECT CAST(SUM(c * len(ms)) AS BIGINT) FROM s0) AS symbols_before,
+  (SELECT CAST(SUM(c * len(ms)) AS BIGINT) FROM {final}) AS symbols_after,
+  (SELECT CAST(COUNT(DISTINCT sym) AS BIGINT)
+     FROM (SELECT UNNEST(ms) AS sym FROM {final})) AS vocab_after,
+  CAST((1000000 * (SELECT CAST(SUM(c * len(ms)) AS BIGINT) FROM s0))
+       // (SELECT CAST(SUM(c * len(ms)) AS BIGINT) FROM {final}) AS BIGINT)
+    AS compression_micro
+"""
+
+
+@register(
+    "ext_bpe_compression_stats",
+    survey_id="EXT-BPE-ENCODE",
+    category="llm-training-prep",
+    oracle=_bpe_train_oracle(8, final_select=_BPE_COMPRESSION_FINAL),
+)
+def ext_bpe_compression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What the 8 learned merges BUY — the missing metric between
+    ext_bpe_train_8rounds (the merge table) and ext_bpe_encode_corpus
+    (the top-20 vocab): corpus-weighted symbol counts before vs after
+    encoding, the subword vocabulary size, and the exact integer
+    micro-ratio (10^6 x before DIV after, all-BIGINT floor division —
+    no float ratio to diverge between engines).  This is the number a
+    tokenizer-training pipeline actually reports: the compression /
+    fertility of the merge table over its own training corpus.
+
+    Scale shape: identical to the train/encode pair — one corpus-scale
+    shuffle into the word-frequency table, then every aggregate here
+    runs on the vocabulary-sized symbol table.  The result is built
+    from three single-row aggregates cross-joined (each side is 1 row,
+    so the joins are broadcast-trivial); nothing is collected to the
+    driver beyond _bpe_train's bounded per-round argmax.  At 100 TB the
+    BIGINT sums would move to DECIMAL(38,0) headroom per the repo
+    discipline; at any testable sf they are far from overflow."""
+    _, final = _bpe_train(spark, sf_dir, rounds=8)
+    docs = load_table(spark, sf_dir, "documents")
+    s0 = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .where(F.length("tok") >= 2)
+        .select(F.split("tok", "").alias("ms"), "c")
+    )
+    before = s0.agg(
+        F.count("*").cast("bigint").alias("n_distinct_words"),
+        F.sum(F.col("c") * F.size("ms")).cast("bigint").alias("symbols_before"),
+    )
+    after = final.agg(
+        F.sum(F.col("c") * F.size("ms")).cast("bigint").alias("symbols_after")
+    )
+    vocab = (
+        final.select(F.explode("ms").alias("sym"))
+        .agg(F.countDistinct("sym").cast("bigint").alias("vocab_after"))
+    )
+    return (
+        before.crossJoin(after)
+        .crossJoin(vocab)
+        .select(
+            "n_distinct_words",
+            "symbols_before",
+            "symbols_after",
+            "vocab_after",
+            F.expr(
+                "CAST((1000000 * symbols_before) DIV symbols_after AS BIGINT)"
+            ).alias("compression_micro"),
+        )
+    )
