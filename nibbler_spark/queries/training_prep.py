@@ -1838,15 +1838,20 @@ def ext_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _BPE_COMPRESSION_FINAL = """
-SELECT
-  (SELECT CAST(COUNT(*) AS BIGINT) FROM s0) AS n_distinct_words,
-  (SELECT CAST(SUM(c * len(ms)) AS BIGINT) FROM s0) AS symbols_before,
-  (SELECT CAST(SUM(c * len(ms)) AS BIGINT) FROM {final}) AS symbols_after,
-  (SELECT CAST(COUNT(DISTINCT sym) AS BIGINT)
-     FROM (SELECT UNNEST(ms) AS sym FROM {final})) AS vocab_after,
-  CAST((1000000 * (SELECT CAST(SUM(c * len(ms)) AS BIGINT) FROM s0))
-       // (SELECT CAST(SUM(c * len(ms)) AS BIGINT) FROM {final}) AS BIGINT)
-    AS compression_micro
+SELECT n_distinct_words, symbols_before, symbols_after, vocab_after,
+       CAST((1000000 * symbols_before) // symbols_after AS BIGINT)
+         AS compression_micro
+FROM (
+  -- single scan of the final symbol table: the unrolled 8-stage chain
+  -- is a plain (inlined) CTE, so every extra reference re-evaluates it
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s0) AS n_distinct_words,
+         (SELECT CAST(SUM(c * len(ms)) AS BIGINT) FROM s0)
+           AS symbols_before,
+         f.symbols_after, f.vocab_after
+  FROM (SELECT CAST(SUM(c) AS BIGINT) AS symbols_after,
+               CAST(COUNT(DISTINCT sym) AS BIGINT) AS vocab_after
+        FROM (SELECT UNNEST(ms) AS sym, c FROM {final})) f
+)
 """
 
 
@@ -1906,4 +1911,118 @@ def ext_bpe_compression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "CAST((1000000 * symbols_before) DIV symbols_after AS BIGINT)"
             ).alias("compression_micro"),
         )
+    )
+
+
+def _bpe_fertility_final(rounds: int) -> str:
+    """Per-language final select for _bpe_train_oracle: re-applies the
+    globally learned t1..t{rounds} merges to a per-(lang, word) table
+    as ONE nested-REPLACE chain (the delimiter invariant — every
+    boundary sep+sep, ends single sep — is conserved by each
+    replacement, so the chain needs no re-split between rounds) and
+    reports per-language fertility and compression in exact BIGINT
+    floor division."""
+    sep = "chr(31)"
+    expr = f"{sep} || array_to_string(list_transform(generate_series(1, length(tok)), i -> substr(tok, i, 1)), {sep} || {sep}) || {sep}"
+    for r in range(1, rounds + 1):
+        expr = (
+            f"REPLACE({expr},\n    {sep} || t{r}.a || {sep} || {sep} || t{r}.b || {sep},"
+            f" {sep} || t{r}.a || t{r}.b || {sep})"
+        )
+    crosses = " ".join(f"CROSS JOIN t{r}" for r in range(1, rounds + 1))
+    return f""",
+lw AS (
+  SELECT lang, tok, COUNT(*) AS c FROM (
+    SELECT lang, UNNEST(string_split(text, ' ')) AS tok FROM documents
+  ) GROUP BY 1, 2
+),
+lf AS (
+  SELECT lang, c, length(tok) AS len_before,
+         len(string_split(TRIM({expr}, {sep}), {sep} || {sep})) AS len_after
+  FROM lw {crosses}
+  WHERE length(tok) >= 2
+)
+SELECT lang,
+       CAST(SUM(c) AS BIGINT) AS word_occurrences,
+       CAST(SUM(c * len_before) AS BIGINT) AS symbols_before,
+       CAST(SUM(c * len_after) AS BIGINT) AS symbols_after,
+       CAST((1000000 * SUM(c * len_after)) // SUM(c) AS BIGINT)
+         AS fertility_micro,
+       CAST((1000000 * SUM(c * len_before)) // SUM(c * len_after) AS BIGINT)
+         AS compression_micro
+FROM lf GROUP BY lang ORDER BY lang"""
+
+
+@register(
+    "ext_multilingual_fertility",
+    survey_id="EXT-BPE-FERTILITY",
+    category="llm-training-prep",
+    oracle=_bpe_train_oracle(8, final_select=_bpe_fertility_final(8)),
+)
+def ext_multilingual_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-LANGUAGE fertility of a GLOBALLY learned merge table — the
+    multilingual-tokenizer fairness metric: a vocab trained on the
+    pooled corpus compresses dominant languages better, and
+    fertility_micro (10^6 x subword tokens per word occurrence, exact
+    BIGINT floor division) is how that skew is reported.  Words shorter
+    than 2 chars are excluded, consistent with the training loop's word
+    table.
+
+    Scale shape: training reuses _bpe_train (one corpus-scale shuffle
+    to the global word table, then vocabulary-scale rounds); the
+    per-language re-application is a SINGLE narrow projection — the 8
+    merges become one nested broadcast-literal REPLACE chain over the
+    per-(lang, word) table (the sep2-boundary invariant is conserved by
+    each replacement, so no re-split between rounds), followed by one
+    per-lang aggregate.  No corpus-scale work beyond the two word-table
+    shuffles; at 1000 executors both are plain keyed aggregations."""
+    rules, _ = _bpe_train(spark, sf_dir, rounds=8)
+    docs = load_table(spark, sf_dir, "documents")
+    sep2 = _BPE_SEP + _BPE_SEP
+    expr = F.concat(
+        F.lit(_BPE_SEP),
+        F.array_join(F.split("tok", ""), sep2),
+        F.lit(_BPE_SEP),
+    )
+    for _, a, b, _, _ in rules:
+        expr = F.replace(
+            expr,
+            F.lit(_BPE_SEP + a + _BPE_SEP + _BPE_SEP + b + _BPE_SEP),
+            F.lit(_BPE_SEP + a + b + _BPE_SEP),
+        )
+    ms_after = F.split(F.btrim(expr, F.lit(_BPE_SEP)), sep2)
+    return (
+        docs.select("lang", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count("*").alias("c"))
+        .where(F.length("tok") >= 2)
+        .select(
+            "lang",
+            "c",
+            F.length("tok").alias("len_before"),
+            F.size(ms_after).alias("len_after"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.sum("c").cast("bigint").alias("word_occurrences"),
+            F.sum(F.col("c") * F.col("len_before"))
+            .cast("bigint")
+            .alias("symbols_before"),
+            F.sum(F.col("c") * F.col("len_after"))
+            .cast("bigint")
+            .alias("symbols_after"),
+        )
+        .select(
+            "lang",
+            "word_occurrences",
+            "symbols_before",
+            "symbols_after",
+            F.expr(
+                "CAST((1000000 * symbols_after) DIV word_occurrences AS BIGINT)"
+            ).alias("fertility_micro"),
+            F.expr(
+                "CAST((1000000 * symbols_before) DIV symbols_after AS BIGINT)"
+            ).alias("compression_micro"),
+        )
+        .orderBy("lang")
     )

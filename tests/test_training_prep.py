@@ -216,3 +216,105 @@ def test_bpe_train_matches_classic_sennrich_reference(spark, sf_dir):
         .collect()
     ]
     assert got == expected
+
+
+def test_fertility_and_compression_match_pure_python_reference(
+    spark, sf_dir
+):
+    """Independent validation of ext_bpe_compression_stats and
+    ext_multilingual_fertility: a pure-Python classic BPE trains the
+    same 8 merges, applies them word-by-word with the Sennrich
+    left-to-right merge (no string-REPLACE machinery shared with either
+    engine), and re-derives every output number exactly."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from nibbler_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    lang_words = Counter()
+    for r in (
+        docs.select("lang", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count("*").alias("c"))
+        .where(F.length("tok") >= 2)
+        .collect()
+    ):
+        lang_words[(r["lang"], tuple(r["tok"]))] = r["c"]
+
+    def merge_word(syms, a, b):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return tuple(out)
+
+    # train globally (lang-pooled), exactly like _bpe_train
+    words = Counter()
+    for (_, syms), c in lang_words.items():
+        words[syms] += c
+    rules = []
+    for _ in range(8):
+        pairs = Counter()
+        for syms, c in words.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += c
+        (a, b), _w = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        rules.append((a, b))
+        words = Counter({merge_word(s, a, b): c for s, c in words.items()})
+
+    def apply_rules(syms):
+        for a, b in rules:
+            syms = merge_word(syms, a, b)
+        return syms
+
+    # --- global compression stats ---
+    n_words = len({s for (_, s) in lang_words})
+    before = after = 0
+    vocab = set()
+    glob = Counter()
+    for (_, syms), c in lang_words.items():
+        glob[syms] += c
+    for syms, c in glob.items():
+        enc = apply_rules(syms)
+        before += c * len(syms)
+        after += c * len(enc)
+        vocab.update(enc)
+    got = (
+        load_all()["ext_bpe_compression_stats"]
+        .spark(spark, sf_dir)
+        .collect()[0]
+    )
+    assert got["n_distinct_words"] == n_words
+    assert got["symbols_before"] == before
+    assert got["symbols_after"] == after
+    assert got["vocab_after"] == len(vocab)
+    assert got["compression_micro"] == (1_000_000 * before) // after
+    assert got["compression_micro"] >= 1_000_000  # merges never lengthen
+
+    # --- per-language fertility ---
+    ref = {}
+    for (lang, syms), c in lang_words.items():
+        enc = apply_rules(syms)
+        occ, b4, af = ref.get(lang, (0, 0, 0))
+        ref[lang] = (occ + c, b4 + c * len(syms), af + c * len(enc))
+    rows = (
+        load_all()["ext_multilingual_fertility"]
+        .spark(spark, sf_dir)
+        .collect()
+    )
+    assert sorted(r["lang"] for r in rows) == sorted(ref)
+    for r in rows:
+        occ, b4, af = ref[r["lang"]]
+        assert r["word_occurrences"] == occ
+        assert r["symbols_before"] == b4
+        assert r["symbols_after"] == af
+        assert r["fertility_micro"] == (1_000_000 * af) // occ
+        assert r["compression_micro"] == (1_000_000 * b4) // af
