@@ -2258,3 +2258,119 @@ def ext_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "bucket")
     )
+
+
+@register(
+    "ext_kneser_ney_bigram",
+    survey_id="EXT-KNESER-NEY",
+    category="llm-text",
+    oracle="""
+WITH toks AS (
+  SELECT string_split(text, ' ') AS tk
+  FROM documents WHERE doc_id % 5 = 0
+),
+bg_counts AS (
+  SELECT string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2,
+         CAST(COUNT(*) AS BIGINT) AS c2
+  FROM (
+    SELECT UNNEST(list_transform(generate_series(1, len(tk) - 1),
+                                 i -> tk[i] || ' ' || tk[i+1])) AS bg
+    FROM toks
+  ) GROUP BY 1, 2
+),
+lhs AS (
+  SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1,
+         CAST(COUNT(*) AS BIGINT) AS fanout
+  FROM bg_counts GROUP BY w1
+),
+rhs AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS ctn FROM bg_counts GROUP BY w2),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM bg_counts)
+SELECT w1, w2, c2, fanout, ctn, p_num, p_den,
+       CAST(p_num AS DOUBLE) / CAST(p_den AS DOUBLE) AS p_kn
+FROM (
+  SELECT b.w1, b.w2, b.c2, l.fanout, r.ctn,
+         CAST(tot.t * (4 * b.c2 - 3) + 3 * l.fanout * r.ctn AS BIGINT)
+           AS p_num,
+         CAST(4 * l.c1 * tot.t AS BIGINT) AS p_den
+  FROM bg_counts b
+  JOIN lhs l ON b.w1 = l.w1
+  JOIN rhs r ON b.w2 = r.w2
+  CROSS JOIN tot
+  WHERE b.c2 >= 5
+)
+ORDER BY w1, w2
+""",
+)
+def ext_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities — the smoothing
+    that made n-gram LMs work, and the scoring backbone of
+    perplexity-based corpus filtering (CCNet-style): P_KN(w2|w1) =
+    (c(w1,w2) - D)/c(w1.) + D*N1+(w1.)/c(w1.) * N1+(.w2)/N1+(..) with
+    absolute discount D = 3/4.  The continuation probability counts
+    the DISTINCT left-contexts of w2, not its raw frequency — the
+    "San Francisco" correction.  With D = 3/4 the whole expression is
+    one exact rational: p_num = T*(4*c2-3) + 3*fanout*ctn over
+    p_den = 4*c1*T, emitted as BIGINTs whose double quotient is
+    bit-identical on both engines (c2 >= 1, so the discount never
+    clips and max(.,0) is vacuous).
+
+    Scale shape: one corpus-scale shuffle into the distinct-bigram
+    table; every other input (left fan-outs, continuation counts, the
+    1-row type total) is a vocabulary-scale aggregate of THAT table —
+    the joins are vocab-sized on both sides and the type total rides a
+    broadcast cross join.  BIGINT headroom: 4*c1*T caps at ~4e10 at
+    bench scale; a 100 TB corpus would lift p_num/p_den to
+    DECIMAL(38,0) per the repo discipline."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
+    toks = F.split("text", " ")
+    bigrams = d.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+                ),
+            )
+        ).alias("bg")
+    )
+    parts = F.split("bg", " ")
+    bg = (
+        bigrams.select(
+            parts.getItem(0).alias("w1"), parts.getItem(1).alias("w2")
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("bigint").alias("c2"))
+    )
+    lhs = bg.groupBy(F.col("w1").alias("l_w1")).agg(
+        F.sum("c2").cast("bigint").alias("c1"),
+        F.count("*").cast("bigint").alias("fanout"),
+    )
+    rhs = bg.groupBy(F.col("w2").alias("r_w2")).agg(
+        F.count("*").cast("bigint").alias("ctn")
+    )
+    tot = bg.agg(F.count("*").cast("bigint").alias("t"))
+    return (
+        bg.where(F.col("c2") >= 5)
+        .join(lhs, F.col("w1") == F.col("l_w1"))
+        .join(rhs, F.col("w2") == F.col("r_w2"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "c2",
+            "fanout",
+            "ctn",
+            (
+                F.col("t") * (4 * F.col("c2") - 3)
+                + 3 * F.col("fanout") * F.col("ctn")
+            )
+            .cast("bigint")
+            .alias("p_num"),
+            (4 * F.col("c1") * F.col("t")).cast("bigint").alias("p_den"),
+        )
+        .withColumn(
+            "p_kn",
+            F.col("p_num").cast("double") / F.col("p_den").cast("double"),
+        )
+        .orderBy("w1", "w2")
+    )

@@ -238,3 +238,52 @@ class TestRollupStorePruning:
         )
         assert "PartitionFilters: [isnotnull(day_key" in plan
         assert "DataFilters: []" in plan
+
+
+def test_kneser_ney_distribution_sums_to_one(spark, sf_dir):
+    """The defining property of interpolated KN smoothing: for every
+    left context w1, the probabilities over the FULL vocabulary sum to
+    exactly 1.  Re-derived in pure Python (Fraction arithmetic — no
+    float error, no shared machinery) from the raw bigram counts, then
+    the query's published (c2 >= 5) rows are checked against the same
+    exact rationals."""
+    from collections import Counter
+    from fractions import Fraction
+
+    from nibbler_spark.queries import load_all
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 5 == 0
+    )
+    bg = Counter()
+    for r in docs.select("text").collect():
+        tk = r["text"].split(" ")
+        for i in range(len(tk) - 1):
+            bg[(tk[i], tk[i + 1])] += 1
+    c1 = Counter()
+    fanout = Counter()
+    ctn = Counter()
+    for (w1, w2), c in bg.items():
+        c1[w1] += c
+        fanout[w1] += 1
+        ctn[w2] += 1
+    t = len(bg)
+    d = Fraction(3, 4)
+
+    def p_kn(w1, w2):
+        disc = (Fraction(bg[(w1, w2)]) - d) / c1[w1] if bg[(w1, w2)] else 0
+        return disc + d * fanout[w1] / c1[w1] * Fraction(ctn[w2], t)
+
+    # normalization over the full vocab for the 3 hottest contexts
+    vocab = set(ctn)
+    for w1, _ in c1.most_common(3):
+        assert sum(p_kn(w1, w2) for w2 in vocab) == 1
+
+    rows = (
+        load_all()["ext_kneser_ney_bigram"].spark(spark, sf_dir).collect()
+    )
+    assert rows, "c2 >= 5 filter left no rows at this sf"
+    for r in rows:
+        exact = p_kn(r["w1"], r["w2"])
+        assert Fraction(r["p_num"], r["p_den"]) == exact
+        assert r["p_kn"] == r["p_num"] / r["p_den"]
