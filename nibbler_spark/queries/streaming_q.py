@@ -4912,3 +4912,154 @@ def i42_stream_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("jaccard") >= 0.6)
         .orderBy("doc_a", "doc_b")
     )
+
+
+def _docs_packing_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Cache the documents table as four doc_id-range slices of
+    (doc_id, lang, n_tokens) — the pre-tokenized ingest feed for the
+    online packer.  Token counts are computed once at build time so the
+    stream moves three narrow columns, not document text."""
+
+    def build(tmp: str) -> None:
+        d = load_table(spark, sf_dir, "documents").select(
+            "doc_id",
+            "lang",
+            F.size(F.split("text", " ")).cast("int").alias("n_tokens"),
+        )
+        hi = d.agg(F.max("doc_id")).first()[0]
+        for q in range(4):
+            lo_q = (hi + 1) * q // 4
+            hi_q = (hi + 1) * (q + 1) // 4
+            d.where(
+                (F.col("doc_id") >= lo_q) & (F.col("doc_id") < hi_q)
+            ).coalesce(1).write.parquet(os.path.join(tmp, f"slice{q}"))
+
+    return cached_dir(sf_dir, "documents", "pack-slices-x4", build)
+
+
+@register(
+    "i43_stream_grouped_packing",
+    survey_id="EXT-STREAM-PACK",
+    category="streaming",
+    mode="parity",
+    oracle="""
+WITH sized AS (
+  SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+),
+cum AS (
+  SELECT lang, doc_id, n_tokens,
+         SUM(n_tokens) OVER (
+           PARTITION BY lang ORDER BY doc_id) AS cum_tokens
+  FROM sized
+)
+SELECT lang, doc_id, n_tokens,
+       CAST((cum_tokens - n_tokens) // 256 AS BIGINT) AS first_seq,
+       CAST((cum_tokens - 1) // 256 AS BIGINT) AS last_seq
+FROM cum
+WHERE doc_id % 10 = 0
+ORDER BY lang, doc_id
+""",
+)
+def i43_stream_grouped_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE sequence packing at ingest — the streaming dual of
+    ext_grouped_packing, and the shape a 100 TB training pipeline
+    actually wants: documents assigned to fixed-width training
+    sequences AS THEY ARRIVE, not by corpus-wide prefix sums after the
+    fact.  State per language is a single token-count carry (O(1) —
+    the entire packer state for a 1000-language corpus is a thousand
+    longs), so unlike windowed aggregations it never grows with the
+    stream.
+
+    Arrival order is part of the operator's contract (packing is
+    order-defined), so the harness drives it the way the rollup
+    restart-catchup does: four doc_id-range slices land one at a time,
+    each followed by an availableNow pass against the SAME checkpoint —
+    the explicit restart/catch-up path, with epoch order guaranteed by
+    construction rather than by file-listing accident.  Within a batch
+    the pandas fn sorts its rows by doc_id; across batches the carry
+    makes the concatenation order equal the batch window's global
+    doc_id order per language, so the union of the four epochs'
+    emissions must equal ext_grouped_packing's window query exactly —
+    the parity check.  Emissions append to a parquet sink per epoch
+    (foreachBatch) and are read back distributed; nothing corpus-sized
+    touches the driver."""
+    import shutil
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    cache = _docs_packing_dir(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="nibbler-pack-")
+    ingest = os.path.join(base, "ingest")
+    outdir = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(ingest)
+
+    def pack(key, pdfs, state: GroupState):
+        (lang,) = key
+        cum = state.get[0] if state.exists else 0
+        rows = pd.concat(list(pdfs)).sort_values("doc_id")
+        firsts, lasts = [], []
+        for n in rows["n_tokens"]:
+            firsts.append(cum // 256)
+            cum += int(n)
+            lasts.append((cum - 1) // 256)
+        state.update((cum,))
+        yield pd.DataFrame(
+            {
+                "lang": [lang] * len(rows),
+                "doc_id": rows["doc_id"].to_numpy("int64"),
+                "n_tokens": rows["n_tokens"].to_numpy("int64"),
+                "first_seq": pd.array(firsts, dtype="int64"),
+                "last_seq": pd.array(lasts, dtype="int64"),
+            }
+        )
+
+    prior_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        for q in range(4):
+            src = os.path.join(cache, f"slice{q}")
+            for f in sorted(os.listdir(src)):
+                if f.endswith(".parquet"):
+                    shutil.copy(
+                        os.path.join(src, f),
+                        os.path.join(ingest, f"slice{q}.parquet"),
+                    )
+            packed = (
+                spark.readStream.schema(
+                    "doc_id long, lang string, n_tokens int"
+                )
+                .parquet(ingest)
+                .groupBy("lang")
+                .applyInPandasWithState(
+                    pack,
+                    "lang string, doc_id long, n_tokens long, "
+                    "first_seq long, last_seq long",
+                    "cum long",
+                    "update",
+                    GroupStateTimeout.NoTimeout,
+                )
+            )
+            sq = (
+                packed.writeStream.foreachBatch(
+                    lambda df, _eid: df.write.mode("append").parquet(outdir)
+                )
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            sq.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior_shuffle)
+    return (
+        spark.read.schema(
+            "lang string, doc_id long, n_tokens long, "
+            "first_seq long, last_seq long"
+        )
+        .parquet(outdir)
+        .where(F.col("doc_id") % 10 == 0)
+        .orderBy("lang", "doc_id")
+    )
