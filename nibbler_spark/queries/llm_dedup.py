@@ -3278,3 +3278,154 @@ def ext_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("q_num").cast("double") / (F.lit(4.0) * m * m), 6
         ).alias("modularity"),
     )
+
+
+@register(
+    "ext_louvain_sync_round",
+    survey_id="EXT-LOUVAIN",
+    category="llm-dedup",
+    oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+sh0 AS (
+  SELECT doc_id,
+         UNNEST(list_transform(generate_series(1, len(toks) - 4),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                     || ' ' || toks[i+3] || ' ' || toks[i+4])) AS sh
+  FROM t
+),
+shd AS (SELECT DISTINCT doc_id, sh FROM sh0),
+ok AS (SELECT sh FROM shd GROUP BY sh HAVING COUNT(*) BETWEEN 2 AND 20),
+ew AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst, CAST(COUNT(*) AS BIGINT) AS w
+  FROM shd a JOIN ok USING (sh) JOIN shd b USING (sh)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sym AS (SELECT src, dst, w FROM ew UNION ALL SELECT dst, src, w FROM ew),
+deg AS (SELECT src AS node, CAST(SUM(w) AS BIGINT) AS k FROM sym GROUP BY 1),
+tot AS (SELECT CAST(2 * SUM(w) AS BIGINT) AS mm2 FROM ew),
+cand AS (
+  SELECT s.src AS node, di.k AS k, s.dst AS comm,
+         CAST(tot.mm2 * s.w - di.k * dj.k AS BIGINT) AS gain_scaled,
+         ROW_NUMBER() OVER (
+           PARTITION BY s.src
+           ORDER BY tot.mm2 * s.w - di.k * dj.k DESC, s.dst
+         ) AS rn
+  FROM sym s
+  JOIN deg di ON di.node = s.src
+  JOIN deg dj ON dj.node = s.dst
+  CROSS JOIN tot
+)
+SELECT node, k, comm AS best_comm, gain_scaled,
+       CAST(CASE WHEN gain_scaled > 0 THEN 1 ELSE 0 END AS BIGINT) AS moved
+FROM cand WHERE rn = 1 ORDER BY node
+""",
+)
+def ext_louvain_sync_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One synchronous Louvain phase-1 sweep on the document-similarity
+    graph, with edges WEIGHTED by shared-shingle count (same df-capped
+    5-shingle construction as LPA/BFS/HITS, plus the weight): from the
+    all-singletons start, every node evaluates moving into each
+    neighbor's community and takes the argmax modularity gain.  With
+    singleton communities the removal term is community-independent,
+    so the candidate ordering reduces to the EXACT INTEGER
+    gain_scaled = 2m * w(i,j) - k_i * k_j  (the true gain times the
+    positive constant 2m^2) — no rationals, no floats, ties broken by
+    min community id; moved = gain > 0.  Synchronous update (all
+    decisions read the pre-sweep state) keeps the round deterministic
+    and engine-replicable where classic sequential Louvain is
+    visit-order-defined.
+
+    Scale shape: the one corpus-scale shuffle is the shingle
+    inverted-index self-join (df-capped, never all-pairs); degrees and
+    the 1-row 2m total are edge-table aggregates, 2m riding a
+    broadcast cross join; the argmax is a max_by-style partial-combine
+    aggregate, not a global sort.  Each Louvain level at 100 TB is
+    exactly this dataflow iterated, with the graph coarsening per
+    level."""
+    from nibbler_spark.sources import load_table as _lt
+
+    d = _lt(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    sh = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 4),
+                    lambda i: F.xxhash64(
+                        F.concat_ws(
+                            " ",
+                            F.element_at("toks", i),
+                            F.element_at("toks", i + 1),
+                            F.element_at("toks", i + 2),
+                            F.element_at("toks", i + 3),
+                            F.element_at("toks", i + 4),
+                        )
+                    ),
+                )
+            ).alias("sh"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    ok = (
+        sh.groupBy("sh")
+        .agg(F.count("*").alias("df"))
+        .where((F.col("df") >= 2) & (F.col("df") <= 20))
+        .select("sh")
+    )
+    capped = sh.join(ok, "sh")
+    ew = (
+        capped.alias("a")
+        .join(capped.alias("b"), "sh")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst")
+        )
+        .agg(F.count("*").cast("bigint").alias("w"))
+        .localCheckpoint()
+    )
+    sym = ew.unionByName(
+        ew.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+        )
+    )
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.sum("w").cast("bigint").alias("k")
+    )
+    tot = ew.agg((2 * F.sum("w")).cast("bigint").alias("mm2"))
+    cand = (
+        sym.join(deg.withColumnRenamed("k", "k_i"), F.col("node") == F.col("src"))
+        .drop("node")
+        .join(
+            deg.select(
+                F.col("node").alias("jnode"), F.col("k").alias("k_j")
+            ),
+            F.col("jnode") == F.col("dst"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "src",
+            F.col("k_i").alias("k"),
+            "dst",
+            (F.col("mm2") * F.col("w") - F.col("k_i") * F.col("k_j"))
+            .cast("bigint")
+            .alias("gain_scaled"),
+        )
+    )
+    best = cand.groupBy("src", "k").agg(
+        F.max(
+            F.struct(
+                F.col("gain_scaled").alias("g"), (-F.col("dst")).alias("nj")
+            )
+        ).alias("b")
+    )
+    return best.select(
+        F.col("src").alias("node"),
+        "k",
+        (-F.col("b.nj")).cast("bigint").alias("best_comm"),
+        F.col("b.g").alias("gain_scaled"),
+        (F.col("b.g") > 0).cast("bigint").alias("moved"),
+    ).orderBy("node")

@@ -287,3 +287,65 @@ def test_kneser_ney_distribution_sums_to_one(spark, sf_dir):
         exact = p_kn(r["w1"], r["w2"])
         assert Fraction(r["p_num"], r["p_den"]) == exact
         assert r["p_kn"] == r["p_num"] / r["p_den"]
+
+
+def test_louvain_gain_ordering_matches_exact_rational_modularity(
+    spark, sf_dir
+):
+    """The scaled-integer gain must order candidates exactly as the
+    true rational modularity delta dQ = w_ij/m - k_i*k_j/(2m^2):
+    rebuild the weighted shingle graph in pure Python (raw shingle
+    strings, no hashing) and re-derive every node's best move in
+    Fraction arithmetic."""
+    from collections import Counter, defaultdict
+    from fractions import Fraction
+
+    from nibbler_spark.queries import load_all
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    by_sh = defaultdict(set)
+    for r in docs.collect():
+        toks = r["text"].split(" ")
+        for i in range(len(toks) - 4):
+            by_sh[" ".join(toks[i : i + 5])].add(r["doc_id"])
+    w = Counter()
+    for ids in by_sh.values():
+        if 2 <= len(ids) <= 20:
+            ids = sorted(ids)
+            for x in range(len(ids)):
+                for y in range(x + 1, len(ids)):
+                    w[(ids[x], ids[y])] += 1
+    m = sum(w.values())
+    k = Counter()
+    nbrs = defaultdict(dict)
+    for (i, j), wij in w.items():
+        k[i] += wij
+        k[j] += wij
+        nbrs[i][j] = wij
+        nbrs[j][i] = wij
+
+    rows = {
+        r["node"]: r
+        for r in load_all()["ext_louvain_sync_round"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    assert set(rows) == set(nbrs)
+    for i, nb in nbrs.items():
+        best = max(
+            nb.items(),
+            key=lambda jw: (
+                Fraction(jw[1], m) - Fraction(k[i] * k[jw[0]], 2 * m * m),
+                -jw[0],
+            ),
+        )
+        j = best[0]
+        dq = Fraction(nb[j], m) - Fraction(k[i] * k[j], 2 * m * m)
+        r = rows[i]
+        assert r["k"] == k[i]
+        assert r["best_comm"] == j
+        # gain_scaled is dQ times the positive constant 2m^2
+        assert Fraction(r["gain_scaled"], 2 * m * m) == dq
+        assert r["moved"] == (1 if dq > 0 else 0)
