@@ -2026,3 +2026,128 @@ def ext_multilingual_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "ext_dsir_importance_weights",
+    survey_id="EXT-DSIR",
+    category="llm-training-prep",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, lang,
+         CAST(CAST(('0x' || substr(md5(tok), 1, 12)) AS BIGINT) % 1024
+              AS BIGINT) AS b
+  FROM (
+    SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS tok
+    FROM documents
+  )
+),
+raw_b AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS n_r FROM toks GROUP BY b),
+tgt_b AS (
+  SELECT b, CAST(COUNT(*) AS BIGINT) AS n_t
+  FROM toks WHERE lang = 'en' GROUP BY b
+),
+stats AS (
+  SELECT r.b,
+         CAST(FLOOR(LN(COALESCE(t.n_t, 0) + 1) * 1e9) AS BIGINT) AS g_t,
+         CAST(FLOOR(LN(r.n_r + 1) * 1e9) AS BIGINT) AS g_r
+  FROM raw_b r LEFT JOIN tgt_b t USING (b)
+),
+nn AS (
+  SELECT CAST(FLOOR(LN((SELECT SUM(n_r) FROM raw_b) + 1024) * 1e9)
+              AS BIGINT) AS g_nr,
+         CAST(FLOOR(LN((SELECT COALESCE(SUM(n_t), 0) FROM tgt_b) + 1024)
+                    * 1e9) AS BIGINT) AS g_nt
+),
+docb AS (
+  SELECT doc_id, lang, b, CAST(COUNT(*) AS BIGINT) AS c
+  FROM toks GROUP BY 1, 2, 3
+)
+SELECT d.doc_id,
+       CAST(SUM(d.c) AS BIGINT) AS n_tokens,
+       CAST(SUM(d.c * (s.g_t - s.g_r)) + SUM(d.c) * (nn.g_nr - nn.g_nt)
+            AS BIGINT) AS logw_grid,
+       CAST(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS BIGINT)
+         AS in_target
+FROM docb d JOIN stats s USING (b) CROSS JOIN nn
+WHERE d.doc_id % 7 = 0
+GROUP BY d.doc_id, d.lang, nn.g_nr, nn.g_nt
+ORDER BY d.doc_id
+""",
+)
+def ext_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (importance resampling toward a target
+    domain): per-document log importance weight
+    ln[p_target(doc)/p_raw(doc)] under add-1-smoothed HASHED unigram
+    LMs — md5-bucketed into 1024 features, the fixed-size trick that
+    makes the method corpus-size-independent.  Target = lang 'en'
+    (select-what-looks-English, the CCNet/DSIR use).  Every log rides
+    the 1e-9 gridded-ln BIGINT recipe, so the per-doc sum
+    sum_b c_b*(g(n_t+1) - g(n_r+1)) + T*(g(N_r+1024) - g(N_t+1024))
+    is integer-exact across engines.  English docs should skew
+    positive — the property test checks the separation.
+
+    Scale shape: two corpus-scale keyed aggregations (doc×bucket
+    counts, bucket totals); the per-bucket stats table is 1024 rows
+    regardless of corpus size, so the scoring join BROADCASTS it —
+    scoring 100 TB is a map-side join plus one per-doc aggregate, and
+    the two grand totals ride a broadcast cross join."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
+    ).select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(F.substring(F.md5("tok"), 1, 12), 16, 10).cast("bigint")
+            % 1024
+        ).alias("b"),
+    )
+    raw_b = toks.groupBy("b").agg(F.count("*").cast("bigint").alias("n_r"))
+    tgt_b = (
+        toks.where(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count("*").cast("bigint").alias("n_t"))
+    )
+    gridln = lambda c: F.floor(F.log(c) * F.lit(1e9)).cast("bigint")
+    stats = (
+        raw_b.join(tgt_b, "b", "left")
+        .select(
+            "b",
+            gridln(F.coalesce(F.col("n_t"), F.lit(0)) + 1).alias("g_t"),
+            gridln(F.col("n_r") + 1).alias("g_r"),
+        )
+    )
+    nn = raw_b.agg(F.sum("n_r").alias("s_r")).crossJoin(
+        tgt_b.agg(F.sum("n_t").alias("s_t"))
+    ).select(
+        gridln(F.col("s_r") + 1024).alias("g_nr"),
+        gridln(F.coalesce(F.col("s_t"), F.lit(0)) + 1024).alias("g_nt"),
+    )
+    docb = toks.groupBy("doc_id", "lang", "b").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    return (
+        docb.where(F.col("doc_id") % 7 == 0)
+        .join(F.broadcast(stats), "b")
+        .crossJoin(F.broadcast(nn))
+        .groupBy("doc_id", "lang", "g_nr", "g_nt")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("c") * (F.col("g_t") - F.col("g_r")))
+            .cast("bigint")
+            .alias("s_diff"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            (
+                F.col("s_diff")
+                + F.col("n_tokens") * (F.col("g_nr") - F.col("g_nt"))
+            )
+            .cast("bigint")
+            .alias("logw_grid"),
+            (F.col("lang") == "en").cast("bigint").alias("in_target"),
+        )
+        .orderBy("doc_id")
+    )

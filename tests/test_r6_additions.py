@@ -349,3 +349,23 @@ def test_louvain_gain_ordering_matches_exact_rational_modularity(
         # gain_scaled is dQ times the positive constant 2m^2
         assert Fraction(r["gain_scaled"], 2 * m * m) == dq
         assert r["moved"] == (1 if dq > 0 else 0)
+
+
+def test_dsir_weights_separate_target_domain(spark, sf_dir):
+    """The point of importance weighting: documents from the target
+    domain (English) must score strictly higher on average than the
+    rest.  (No absolute-sign claim: the target is a subset of raw, so
+    every per-bucket term g(n_t+1)-g(n_r+1) is <= 0 and only the
+    totals term pulls positive — add-1 smoothing over 1024 buckets
+    leaves small-corpus means negative on both sides.)"""
+    from nibbler_spark.queries import load_all
+
+    rows = (
+        load_all()["ext_dsir_importance_weights"]
+        .spark(spark, sf_dir)
+        .collect()
+    )
+    tgt = [r["logw_grid"] for r in rows if r["in_target"] == 1]
+    rest = [r["logw_grid"] for r in rows if r["in_target"] == 0]
+    assert tgt and rest
+    assert sum(tgt) / len(tgt) > sum(rest) / len(rest)
