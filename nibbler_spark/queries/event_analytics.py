@@ -5150,3 +5150,149 @@ def ext_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+def _viterbi_oracle(k: int) -> str:
+    """Unrolled max-plus Viterbi DP (k steps, 2 states) with
+    path-carrying accumulators — each step keeps the best score AND the
+    best path string ending in each state, so no backtrace pass is
+    needed.  Integer scores make every comparison exact; ties prefer
+    the from-healthy (state 0) branch in both engines."""
+    parts = [
+        """
+WITH seq AS (
+  SELECT user_id,
+         list_slice(list(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END
+                         ORDER BY ts, event_id), 1, 8) AS obs
+  FROM events GROUP BY user_id
+),
+v0 AS (
+  SELECT user_id, obs, len(obs) AS n,
+         CAST(0 AS BIGINT) AS a0, CAST(0 AS BIGINT) AS a1,
+         '' AS p0, '' AS p1
+  FROM seq
+)"""
+    ]
+    for t in range(1, k + 1):
+        prev = f"v{t - 1}"
+        # no transition into the first observation (virtual start
+        # contributes score 0 to both states)
+        stay, sw = (0, 0) if t == 1 else (1, -2)
+        parts.append(
+            f""",
+v{t} AS (
+  SELECT user_id, obs, n,
+    CASE WHEN n >= {t} THEN
+      GREATEST(a0 + {stay}, a1 + {sw})
+        + (CASE WHEN obs[{t}] = 1 THEN -4 ELSE 1 END)
+    ELSE a0 END AS a0,
+    CASE WHEN n >= {t} THEN
+      GREATEST(a0 + {sw}, a1 + {stay})
+        + (CASE WHEN obs[{t}] = 1 THEN 3 ELSE -2 END)
+    ELSE a1 END AS a1,
+    CASE WHEN n >= {t} THEN
+      (CASE WHEN a0 + {stay} >= a1 + {sw} THEN p0 ELSE p1 END) || '0'
+    ELSE p0 END AS p0,
+    CASE WHEN n >= {t} THEN
+      (CASE WHEN a0 + {sw} >= a1 + {stay} THEN p0 ELSE p1 END) || '1'
+    ELSE p1 END AS p1
+  FROM {prev}
+)"""
+        )
+    parts.append(
+        f"""
+SELECT user_id, CAST(n AS BIGINT) AS n_events,
+       CASE WHEN a1 > a0 THEN p1 ELSE p0 END AS state_path,
+       CAST(CASE WHEN a1 > a0 THEN a1 ELSE a0 END AS BIGINT) AS best_score
+FROM v{k} ORDER BY user_id"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "ext_viterbi_decode",
+    survey_id="EXT-VITERBI",
+    category="event-analytics",
+    oracle=_viterbi_oracle(8),
+)
+def ext_viterbi_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Viterbi decoding of a 2-state healthy/degraded HMM over each
+    user's first 8 events (ordered by ts, event_id; obs = error vs
+    non-error) — the classic sequence-labeling DP, here as ONE
+    higher-order F.aggregate expression: the accumulator carries the
+    best max-plus score AND the best path string ending in each state
+    (path-carrying Viterbi — O(states) strings per row, no backtrace
+    pass), so the whole decode is a codegen'd projection after the one
+    sessionize shuffle.  Integer transition/emission scores (stay +1 /
+    switch -2; healthy: non-error +1, error -4; degraded: error +3,
+    non-error -2) make every comparison exact; ties prefer the
+    from-healthy branch identically in both engines.
+
+    Scale shape: one keyed shuffle to assemble per-user sequences,
+    then per-row O(K * S^2) arithmetic inside whole-stage codegen — no
+    UDF, no driver loop, no per-step shuffle; 100 TB of sessions is
+    embarrassingly parallel.  Oracle: the identical DP unrolled as 8
+    generated CTE stages."""
+    e = load_table(spark, sf_dir, "events")
+    seq = e.groupBy("user_id").agg(
+        F.slice(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            "ts",
+                            "event_id",
+                            F.when(F.col("event_type") == "error", 1)
+                            .otherwise(0)
+                            .alias("o"),
+                        )
+                    )
+                ),
+                lambda s: s["o"],
+            ),
+            1,
+            8,
+        ).alias("obs")
+    )
+    zero = F.struct(
+        F.lit(0).cast("bigint").alias("a0"),
+        F.lit(0).cast("bigint").alias("a1"),
+        F.lit("").alias("p0"),
+        F.lit("").alias("p1"),
+        F.lit(0).cast("int").alias("t"),
+    )
+
+    def step(acc, o):
+        # no transition into the first observation (t == 0): the
+        # virtual start contributes 0 to both states
+        stay = F.when(acc["t"] == 0, 0).otherwise(1)
+        sw = F.when(acc["t"] == 0, 0).otherwise(-2)
+        c00 = acc["a0"] + stay
+        c10 = acc["a1"] + sw
+        c01 = acc["a0"] + sw
+        c11 = acc["a1"] + stay
+        e0 = F.when(o == 1, -4).otherwise(1)
+        e1 = F.when(o == 1, 3).otherwise(-2)
+        return F.struct(
+            (F.greatest(c00, c10) + e0).cast("bigint").alias("a0"),
+            (F.greatest(c01, c11) + e1).cast("bigint").alias("a1"),
+            F.concat(
+                F.when(c00 >= c10, acc["p0"]).otherwise(acc["p1"]),
+                F.lit("0"),
+            ).alias("p0"),
+            F.concat(
+                F.when(c01 >= c11, acc["p0"]).otherwise(acc["p1"]),
+                F.lit("1"),
+            ).alias("p1"),
+            (acc["t"] + 1).cast("int").alias("t"),
+        )
+
+    fin = F.aggregate(F.col("obs"), zero, step)
+    return seq.select(
+        "user_id",
+        F.size("obs").cast("bigint").alias("n_events"),
+        F.when(fin["a1"] > fin["a0"], fin["p1"])
+        .otherwise(fin["p0"])
+        .alias("state_path"),
+        F.greatest(fin["a0"], fin["a1"]).cast("bigint").alias("best_score"),
+    ).orderBy("user_id")

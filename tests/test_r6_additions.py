@@ -369,3 +369,44 @@ def test_dsir_weights_separate_target_domain(spark, sf_dir):
     rest = [r["logw_grid"] for r in rows if r["in_target"] == 0]
     assert tgt and rest
     assert sum(tgt) / len(tgt) > sum(rest) / len(rest)
+
+
+def test_viterbi_path_achieves_bruteforce_optimum(spark, sf_dir):
+    """Enumerate all 2^n state paths per user (n <= 8) in pure Python:
+    the query's best_score must equal the true optimum, and the
+    returned path must itself score exactly best_score."""
+    from nibbler_spark.queries import load_all
+
+    ev = load_table(spark, sf_dir, "events").collect()
+    by_user = {}
+    for r in ev:
+        by_user.setdefault(r["user_id"], []).append(
+            (r["ts"], r["event_id"], 1 if r["event_type"] == "error" else 0)
+        )
+
+    def score(obs, path):
+        s, prev = 0, None
+        for o, st in zip(obs, path):
+            if prev is not None:
+                s += 1 if st == prev else -2
+            if st == 0:
+                s += -4 if o == 1 else 1
+            else:
+                s += 3 if o == 1 else -2
+            prev = st
+        return s
+
+    rows = load_all()["ext_viterbi_decode"].spark(spark, sf_dir).collect()
+    assert len(rows) == len(by_user)
+    for r in rows:
+        obs = [o for _, _, o in sorted(by_user[r["user_id"]])][:8]
+        n = len(obs)
+        assert r["n_events"] == n
+        best = max(
+            score(obs, [(p >> i) & 1 for i in range(n)])
+            for p in range(1 << n)
+        )
+        path = [int(c) for c in r["state_path"]]
+        assert len(path) == n
+        assert r["best_score"] == best
+        assert score(obs, path) == best
