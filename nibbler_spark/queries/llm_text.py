@@ -2374,3 +2374,116 @@ def ext_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("w1", "w2")
     )
+
+
+@register(
+    "ext_ngram_novelty_decay",
+    survey_id="EXT-NOVELTY",
+    category="llm-text",
+    oracle="""
+WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
+dg AS (
+  SELECT DISTINCT doc_id, substr(md5(g), 1, 16) AS g
+  FROM (
+    SELECT doc_id,
+           UNNEST(list_transform(generate_series(1, len(tk) - 4),
+                  i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' '
+                       || tk[i+3] || ' ' || tk[i+4])) AS g
+    FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
+  )
+),
+dec AS (
+  SELECT dg.doc_id, dg.g,
+         CAST(LEAST(9, dg.doc_id * 10 // (mx.m + 1)) AS BIGINT) AS decile
+  FROM dg CROSS JOIN mx
+),
+totals AS (
+  SELECT decile, CAST(COUNT(*) AS BIGINT) AS total_grams
+  FROM dec GROUP BY decile
+),
+novel AS (
+  SELECT decile, CAST(COUNT(*) AS BIGINT) AS novel_grams
+  FROM (SELECT g, MIN(decile) AS decile, MIN(doc_id) FROM dec GROUP BY g)
+  GROUP BY decile
+)
+SELECT t.decile, t.total_grams, COALESCE(n.novel_grams, 0) AS novel_grams,
+       CAST((1000000 * COALESCE(n.novel_grams, 0)) // t.total_grams
+            AS BIGINT) AS novelty_micro
+FROM totals t LEFT JOIN novel n USING (decile)
+ORDER BY t.decile
+""",
+)
+def ext_ngram_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The diminishing-returns curve of corpus growth: per doc_id
+    decile, what fraction of (doc, 5-gram) observations are NOVEL —
+    i.e. the gram's first occurrence in doc_id order falls in that
+    decile.  A healthy diverse corpus decays slowly; heavy duplication
+    or templated text makes the curve crash — the diagnostic a data
+    team reads before buying more of the same crawl.  novelty_micro is
+    exact BIGINT floor division.
+
+    Scale shape: grams are md5-slimmed to 16 hex chars before the two
+    corpus-scale keyed aggregations (distinct doc-gram, then min-doc
+    per gram) — the same slim-before-shuffle discipline as the shingle
+    graph builders, and portable to the oracle (md5 is engine-shared,
+    and any collision is identical on both sides).  A gram's novelty
+    decile is derived from its MIN(doc_id) inside the same aggregate —
+    no join back against the corpus — and the final decile join is 10
+    rows."""
+    d = load_table(spark, sf_dir, "documents")
+    mx = d.agg(F.max("doc_id").alias("m"))
+    toks = F.split("text", " ")
+    dg = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - 4),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(toks, i),
+                        F.element_at(toks, i + 1),
+                        F.element_at(toks, i + 2),
+                        F.element_at(toks, i + 3),
+                        F.element_at(toks, i + 4),
+                    ),
+                )
+            ).alias("g0"),
+        )
+        .select("doc_id", F.substring(F.md5("g0"), 1, 16).alias("g"))
+        .distinct()
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "doc_id",
+            "g",
+            F.least(
+                F.lit(9), F.col("doc_id") * 10 / (F.col("m") + 1)
+            )
+            .cast("bigint")
+            .alias("decile"),
+        )
+    )
+    totals = dg.groupBy("decile").agg(
+        F.count("*").cast("bigint").alias("total_grams")
+    )
+    novel = (
+        dg.groupBy("g")
+        .agg(F.min("decile").alias("decile"))
+        .groupBy("decile")
+        .agg(F.count("*").cast("bigint").alias("novel_grams"))
+    )
+    return (
+        totals.join(novel, "decile", "left")
+        .select(
+            "decile",
+            "total_grams",
+            F.coalesce("novel_grams", F.lit(0))
+            .cast("bigint")
+            .alias("novel_grams"),
+            F.expr(
+                "CAST((1000000 * COALESCE(novel_grams, 0)) DIV total_grams "
+                "AS BIGINT)"
+            ).alias("novelty_micro"),
+        )
+        .orderBy("decile")
+    )
