@@ -103,6 +103,11 @@ HEADLINE = [
     # MaxSim rerank).
     "i42_stream_minhash_neardup",  # BENCH-K24 (streaming LSH dedup)
     "ext_ann_rerank_pipeline",  # BENCH-K25 (IVF -> MaxSim rerank funnel)
+    # r6: online training-sequence packing (4 explicit catch-up drains,
+    # O(1) state per language) and the synchronous Louvain sweep on the
+    # weighted shingle graph (exact integer modularity gains).
+    "i43_stream_grouped_packing",  # BENCH-K26 (ingest-time packing)
+    "ext_louvain_sync_round",  # BENCH-K27 (Louvain phase-1 sweep)
 ]
 
 

@@ -54,6 +54,8 @@ BASELINE_SEC = {
     "tq_power_22": 15.1,
     "i42_stream_minhash_neardup": 13.5,
     "ext_ann_rerank_pipeline": 1.57,
+    "i43_stream_grouped_packing": 3.45,
+    "ext_louvain_sync_round": 1.75,
 }
 REBATCHER_MIN = 1.4e6  # items/s floor of the recorded band
 
