@@ -77,7 +77,7 @@ EXPECTED_SUPERLINEAR = {
 
 
 def main() -> None:
-    cats = sys.argv[1:] or CATEGORIES
+    args = sys.argv[1:]
 
     from tools.gen_scale_data import write_sf
 
@@ -93,6 +93,12 @@ def main() -> None:
     from nibbler_spark.stage_metrics import measure_stages
 
     specs = load_all()
+    # args may be categories OR registry names: a name arg audits just
+    # that query and MERGES into the existing SHUFFLE_AUDIT.json (the
+    # scale_ladder subset convention) instead of clobbering the sweep.
+    names = {a for a in args if a in specs}
+    cats = [a for a in args if a not in specs] or CATEGORIES
+    subset = bool(names)
     spark = get_spark(app_name="nibbler-shuffle-audit")
 
     out: dict[str, dict] = {}
@@ -100,7 +106,10 @@ def main() -> None:
     skipped: list[str] = []
     for name in sorted(specs):
         spec = specs[name]
-        if spec.category not in cats:
+        if subset:
+            if name not in names:
+                continue
+        elif spec.category not in cats:
             continue
         try:
             vols = []
@@ -149,15 +158,23 @@ def main() -> None:
             out[name] = {"skipped": str(exc).split("\n")[0][:160]}
             print(f"{name}: SKIP ({type(exc).__name__})", flush=True)
 
-    result = {
-        "rungs": [N_SMALL, N_BIG],
-        "flag_exponent": FLAG_EXP,
-        "categories": cats,
-        "queries": out,
-        "flagged": flagged,
-        "skipped_count": len(skipped),
-    }
     path = os.path.join(_REPO, "SHUFFLE_AUDIT.json")
+    if subset and os.path.exists(path):
+        with open(path) as f:
+            result = json.load(f)
+        result["queries"].update(out)
+        result["flagged"] = sorted(
+            set(result.get("flagged", [])) | set(flagged)
+        )
+    else:
+        result = {
+            "rungs": [N_SMALL, N_BIG],
+            "flag_exponent": FLAG_EXP,
+            "categories": cats,
+            "queries": out,
+            "flagged": flagged,
+            "skipped_count": len(skipped),
+        }
     with open(path, "w") as f:
         json.dump(result, f, indent=2)
         f.write("\n")
