@@ -3280,11 +3280,9 @@ def ext_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ext_louvain_sync_round",
-    survey_id="EXT-LOUVAIN",
-    category="llm-dedup",
-    oracle="""
+# Shared SQL prefix for the Louvain pair: weighted shingle graph,
+# degrees, the 2m total, and the per-node candidate ranking.
+_LOUVAIN_SQL_PREFIX = """
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
 sh0 AS (
   SELECT doc_id,
@@ -3315,7 +3313,15 @@ cand AS (
   JOIN deg di ON di.node = s.src
   JOIN deg dj ON dj.node = s.dst
   CROSS JOIN tot
-)
+)"""
+
+
+@register(
+    "ext_louvain_sync_round",
+    survey_id="EXT-LOUVAIN",
+    category="llm-dedup",
+    oracle=_LOUVAIN_SQL_PREFIX
+    + """
 SELECT node, k, comm AS best_comm, gain_scaled,
        CAST(CASE WHEN gain_scaled > 0 THEN 1 ELSE 0 END AS BIGINT) AS moved
 FROM cand WHERE rn = 1 ORDER BY node
@@ -3343,6 +3349,21 @@ def ext_louvain_sync_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate, not a global sort.  Each Louvain level at 100 TB is
     exactly this dataflow iterated, with the graph coarsening per
     level."""
+    _, _, _, best = _louvain_frames(spark, sf_dir)
+    return best.select(
+        F.col("src").alias("node"),
+        "k",
+        (-F.col("b.nj")).cast("bigint").alias("best_comm"),
+        F.col("b.g").alias("gain_scaled"),
+        (F.col("b.g") > 0).cast("bigint").alias("moved"),
+    ).orderBy("node")
+
+
+def _louvain_frames(spark, sf_dir):
+    """Shared Louvain dataflow: weighted edges (src < dst, w =
+    shared-shingle count), weighted degrees, the 1-row 2m total, and
+    the per-node argmax move as a struct-max aggregate.  See
+    ext_louvain_sync_round for the algorithm notes."""
     from nibbler_spark.sources import load_table as _lt
 
     d = _lt(spark, sf_dir, "documents").select(
@@ -3397,7 +3418,9 @@ def ext_louvain_sync_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tot = ew.agg((2 * F.sum("w")).cast("bigint").alias("mm2"))
     cand = (
-        sym.join(deg.withColumnRenamed("k", "k_i"), F.col("node") == F.col("src"))
+        sym.join(
+            deg.withColumnRenamed("k", "k_i"), F.col("node") == F.col("src")
+        )
         .drop("node")
         .join(
             deg.select(
@@ -3422,10 +3445,135 @@ def ext_louvain_sync_round(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b")
     )
-    return best.select(
+    return ew, deg, tot, best
+
+
+@register(
+    "ext_louvain_modularity_gain",
+    survey_id="EXT-LOUVAIN-Q",
+    category="llm-dedup",
+    oracle=_LOUVAIN_SQL_PREFIX
+    + """,
+best AS (SELECT node, k, comm, gain_scaled FROM cand WHERE rn = 1),
+labels AS (
+  SELECT node, CASE WHEN gain_scaled > 0 THEN comm ELSE node END AS lbl
+  FROM best
+),
+win AS (
+  SELECT l1.lbl, CAST(SUM(e.w) AS BIGINT) AS w_in
+  FROM ew e
+  JOIN labels l1 ON l1.node = e.src
+  JOIN labels l2 ON l2.node = e.dst
+  WHERE l1.lbl = l2.lbl GROUP BY 1
+),
+st AS (
+  SELECT l.lbl, CAST(SUM(d.k) AS BIGINT) AS s
+  FROM deg d JOIN labels l ON l.node = d.node GROUP BY 1
+),
+qa AS (
+  SELECT CAST(SUM(tot.mm2 * 2 * COALESCE(w.w_in, 0) - st.s * st.s)
+              AS BIGINT) AS q_num_after
+  FROM st LEFT JOIN win w USING (lbl) CROSS JOIN tot
+),
+qb AS (SELECT CAST(-SUM(k * k) AS BIGINT) AS q_num_before FROM deg),
+mv AS (
+  SELECT CAST(SUM(CASE WHEN gain_scaled > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_moved,
+         CAST(COUNT(*) AS BIGINT) AS n_nodes
+  FROM best
+),
+nc AS (SELECT CAST(COUNT(DISTINCT lbl) AS BIGINT) AS n_communities
+       FROM labels)
+SELECT tot.mm2, CAST(tot.mm2 * tot.mm2 AS BIGINT) AS q_den,
+       qb.q_num_before, qa.q_num_after, nc.n_communities, mv.n_moved,
+       mv.n_nodes,
+       CAST(CASE WHEN qa.q_num_after > qb.q_num_before THEN 1 ELSE 0 END
+            AS BIGINT) AS improved
+FROM tot, qa, qb, mv, nc
+""",
+)
+def ext_louvain_modularity_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Did the sweep actually help?  Apply ext_louvain_sync_round's
+    synchronous moves (label = best community if gain > 0, else self)
+    and report EXACT modularity before and after as integer rationals
+    over the common denominator (2m)^2:
+    Q * (2m)^2 = sum_c [2m * Sigma_in_c - Sigma_tot_c^2], with
+    Sigma_in_c = 2 * (internal edge weight).  Before (all singletons)
+    that is just -sum_i k_i^2.  Simultaneous moves are NOT
+    theoretically monotone (two nodes can swap), so the improvement is
+    measured, not assumed — `improved` reports the comparison, and on
+    this corpus the sweep strictly improves Q at every tested sf
+    (pinned in tests).
+
+    Scale shape: everything after the shared graph build is
+    edge/degree-table joins with a community-keyed aggregate — the
+    same coarsening dataflow a full distributed Louvain iterates per
+    level; the five single-row summary frames cross-join broadcast."""
+    ew, deg, tot, best = _louvain_frames(spark, sf_dir)
+    labels = best.select(
         F.col("src").alias("node"),
-        "k",
-        (-F.col("b.nj")).cast("bigint").alias("best_comm"),
-        F.col("b.g").alias("gain_scaled"),
-        (F.col("b.g") > 0).cast("bigint").alias("moved"),
-    ).orderBy("node")
+        F.when(F.col("b.g") > 0, -F.col("b.nj"))
+        .otherwise(F.col("src"))
+        .cast("bigint")
+        .alias("lbl"),
+    )
+    win = (
+        ew.join(
+            labels.select(F.col("node").alias("src"), F.col("lbl").alias("l_s")),
+            "src",
+        )
+        .join(
+            labels.select(F.col("node").alias("dst"), F.col("lbl").alias("l_d")),
+            "dst",
+        )
+        .where(F.col("l_s") == F.col("l_d"))
+        .groupBy(F.col("l_s").alias("lbl"))
+        .agg(F.sum("w").cast("bigint").alias("w_in"))
+    )
+    st = (
+        deg.join(labels, "node")
+        .groupBy("lbl")
+        .agg(F.sum("k").cast("bigint").alias("s"))
+    )
+    qa = (
+        st.join(win, "lbl", "left")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                F.col("mm2") * 2 * F.coalesce("w_in", F.lit(0))
+                - F.col("s") * F.col("s")
+            )
+            .cast("bigint")
+            .alias("q_num_after")
+        )
+    )
+    qb = deg.agg(
+        (-F.sum(F.col("k") * F.col("k"))).cast("bigint").alias("q_num_before")
+    )
+    mv = best.agg(
+        F.sum((F.col("b.g") > 0).cast("bigint"))
+        .cast("bigint")
+        .alias("n_moved"),
+        F.count("*").cast("bigint").alias("n_nodes"),
+    )
+    nc = labels.agg(
+        F.countDistinct("lbl").cast("bigint").alias("n_communities")
+    )
+    return (
+        tot.crossJoin(qb)
+        .crossJoin(qa)
+        .crossJoin(nc)
+        .crossJoin(mv)
+        .select(
+            "mm2",
+            (F.col("mm2") * F.col("mm2")).cast("bigint").alias("q_den"),
+            "q_num_before",
+            "q_num_after",
+            "n_communities",
+            "n_moved",
+            "n_nodes",
+            (F.col("q_num_after") > F.col("q_num_before"))
+            .cast("bigint")
+            .alias("improved"),
+        )
+    )

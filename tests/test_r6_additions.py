@@ -410,3 +410,72 @@ def test_viterbi_path_achieves_bruteforce_optimum(spark, sf_dir):
         assert len(path) == n
         assert r["best_score"] == best
         assert score(obs, path) == best
+
+
+def test_louvain_modularity_gain_exact_and_improving(spark, sf_dir):
+    """Recompute both modularity rationals in Fraction arithmetic from
+    a pure-Python graph rebuild + the same sync-move rule, and pin the
+    empirical (deterministic) fact that the sweep strictly improves Q
+    on this corpus."""
+    from collections import Counter, defaultdict
+    from fractions import Fraction
+
+    from nibbler_spark.queries import load_all
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    by_sh = defaultdict(set)
+    for r in docs.collect():
+        toks = r["text"].split(" ")
+        for i in range(len(toks) - 4):
+            by_sh[" ".join(toks[i : i + 5])].add(r["doc_id"])
+    w = Counter()
+    for ids in by_sh.values():
+        if 2 <= len(ids) <= 20:
+            ids = sorted(ids)
+            for x in range(len(ids)):
+                for y in range(x + 1, len(ids)):
+                    w[(ids[x], ids[y])] += 1
+    m = sum(w.values())
+    k = Counter()
+    nbrs = defaultdict(dict)
+    for (i, j), wij in w.items():
+        k[i] += wij
+        k[j] += wij
+        nbrs[i][j] = wij
+        nbrs[j][i] = wij
+
+    # sync move rule: argmax integer gain, min-id tie-break, move if > 0
+    lbl = {}
+    for i, nb in nbrs.items():
+        best_j = max(
+            nb, key=lambda j: (2 * m * nb[j] - k[i] * k[j], -j)
+        )
+        gain = 2 * m * nb[best_j] - k[i] * k[best_j]
+        lbl[i] = best_j if gain > 0 else i
+
+    def q_of(labels):
+        win = Counter()
+        st = Counter()
+        for (i, j), wij in w.items():
+            if labels[i] == labels[j]:
+                win[labels[i]] += wij
+        for i, ki in k.items():
+            st[labels[i]] += ki
+        return sum(
+            Fraction(2 * win.get(c, 0), 2 * m) - Fraction(st[c], 2 * m) ** 2
+            for c in st
+        )
+
+    row = (
+        load_all()["ext_louvain_modularity_gain"]
+        .spark(spark, sf_dir)
+        .collect()[0]
+    )
+    assert row["mm2"] == 2 * m
+    assert row["n_nodes"] == len(nbrs)
+    assert row["n_communities"] == len(set(lbl.values()))
+    q_before = q_of({i: i for i in nbrs})
+    q_after = q_of(lbl)
+    assert Fraction(row["q_num_before"], row["q_den"]) == q_before
+    assert Fraction(row["q_num_after"], row["q_den"]) == q_after
+    assert row["improved"] == 1 and q_after > q_before
