@@ -5063,3 +5063,74 @@ def i43_stream_grouped_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("doc_id") % 10 == 0)
         .orderBy("lang", "doc_id")
     )
+
+
+from nibbler_spark.queries.training_prep import DSIR_ORACLE  # noqa: E402
+
+
+@register(
+    "i44_stream_dsir_filter",
+    survey_id="EXT-DSIR-S",
+    category="streaming",
+    mode="parity",
+    oracle=DSIR_ORACLE,  # streamed scores must match the batch operator verbatim
+)
+def i44_stream_dsir_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time DSIR scoring: the batch importance-weight model
+    (EXT-DSIR) applied to documents AS THEY ARRIVE — the way a quality
+    filter actually deploys: the model trains offline, ships to the
+    ingest nodes, and scores statelessly.  Here the whole model IS one
+    broadcast row — a 1024-entry bucket->gridded-ln-diff MAP plus the
+    two grand totals — and scoring is a row-local F.aggregate fold
+    over the document's tokens (hash -> map lookup -> integer sum).
+    No streaming state, no watermark, no shuffle in the stream: the
+    operator composes with any ingest topology and its cost per doc is
+    O(tokens), independent of corpus size.  After an availableNow
+    drain the emitted scores must equal the batch operator exactly
+    (same oracle).
+    """
+    from nibbler_spark.queries.training_prep import (
+        _dsir_stats,
+        _dsir_token_bucket,
+    )
+
+    _, stats, nn = _dsir_stats(spark, sf_dir)
+
+    model = (
+        stats.agg(
+            F.map_from_arrays(
+                F.collect_list("b"),
+                F.collect_list(F.col("g_t") - F.col("g_r")),
+            ).alias("bmap")
+        )
+        .crossJoin(nn)
+        .withColumn("k", F.lit(1))
+    )
+    src = spark.readStream.schema(_DOC_SCHEMA).parquet(
+        _documents_dir(spark, sf_dir)
+    )
+    toks = F.split("text", " ")
+    scored = (
+        src.where(F.col("doc_id") % 7 == 0)
+        .select("doc_id", "lang", toks.alias("tk"))
+        .withColumn("k", F.lit(1))
+        .join(F.broadcast(model), "k")
+        .select(
+            "doc_id",
+            F.size("tk").cast("bigint").alias("n_tokens"),
+            (
+                F.aggregate(
+                    F.col("tk"),
+                    F.lit(0).cast("bigint"),
+                    lambda acc, t: acc
+                    + F.element_at(F.col("bmap"), _dsir_token_bucket(t)),
+                )
+                + F.size("tk") * (F.col("g_nr") - F.col("g_nt"))
+            )
+            .cast("bigint")
+            .alias("logw_grid"),
+            (F.col("lang") == "en").cast("bigint").alias("in_target"),
+        )
+    )
+    out = _drain_to_memory(scored, "append")
+    return out.orderBy("doc_id")

@@ -2028,11 +2028,47 @@ def ext_multilingual_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ext_dsir_importance_weights",
-    survey_id="EXT-DSIR",
-    category="llm-training-prep",
-    oracle="""
+def _dsir_token_bucket(tok_col):
+    """md5 unigram hash into the fixed 1024-bucket DSIR feature space
+    (engine-portable; identical in the SQL oracle)."""
+    return (
+        F.conv(F.substring(F.md5(tok_col), 1, 12), 16, 10).cast("bigint")
+        % 1024
+    )
+
+
+def _dsir_stats(spark: SparkSession, sf_dir: str):
+    """Shared DSIR model build: (doc, lang, bucket) token rows, the
+    1024-row per-bucket gridded-ln stats table, and the 1-row totals
+    frame.  See ext_dsir_importance_weights for the algorithm notes."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
+    ).select("doc_id", "lang", _dsir_token_bucket(F.col("tok")).alias("b"))
+    raw_b = toks.groupBy("b").agg(F.count("*").cast("bigint").alias("n_r"))
+    tgt_b = (
+        toks.where(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count("*").cast("bigint").alias("n_t"))
+    )
+    gridln = lambda c: F.floor(F.log(c) * F.lit(1e9)).cast("bigint")
+    stats = raw_b.join(tgt_b, "b", "left").select(
+        "b",
+        gridln(F.coalesce(F.col("n_t"), F.lit(0)) + 1).alias("g_t"),
+        gridln(F.col("n_r") + 1).alias("g_r"),
+    )
+    nn = (
+        raw_b.agg(F.sum("n_r").alias("s_r"))
+        .crossJoin(tgt_b.agg(F.sum("n_t").alias("s_t")))
+        .select(
+            gridln(F.col("s_r") + 1024).alias("g_nr"),
+            gridln(F.coalesce(F.col("s_t"), F.lit(0)) + 1024).alias("g_nt"),
+        )
+    )
+    return toks, stats, nn
+
+
+DSIR_ORACLE = """
 WITH toks AS (
   SELECT doc_id, lang,
          CAST(CAST(('0x' || substr(md5(tok), 1, 12)) AS BIGINT) % 1024
@@ -2073,7 +2109,14 @@ FROM docb d JOIN stats s USING (b) CROSS JOIN nn
 WHERE d.doc_id % 7 = 0
 GROUP BY d.doc_id, d.lang, nn.g_nr, nn.g_nt
 ORDER BY d.doc_id
-""",
+"""
+
+
+@register(
+    "ext_dsir_importance_weights",
+    survey_id="EXT-DSIR",
+    category="llm-training-prep",
+    oracle=DSIR_ORACLE,
 )
 def ext_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-style data selection (importance resampling toward a target
@@ -2092,38 +2135,7 @@ def ext_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     regardless of corpus size, so the scoring join BROADCASTS it —
     scoring 100 TB is a map-side join plus one per-doc aggregate, and
     the two grand totals ride a broadcast cross join."""
-    d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
-    ).select(
-        "doc_id",
-        "lang",
-        (
-            F.conv(F.substring(F.md5("tok"), 1, 12), 16, 10).cast("bigint")
-            % 1024
-        ).alias("b"),
-    )
-    raw_b = toks.groupBy("b").agg(F.count("*").cast("bigint").alias("n_r"))
-    tgt_b = (
-        toks.where(F.col("lang") == "en")
-        .groupBy("b")
-        .agg(F.count("*").cast("bigint").alias("n_t"))
-    )
-    gridln = lambda c: F.floor(F.log(c) * F.lit(1e9)).cast("bigint")
-    stats = (
-        raw_b.join(tgt_b, "b", "left")
-        .select(
-            "b",
-            gridln(F.coalesce(F.col("n_t"), F.lit(0)) + 1).alias("g_t"),
-            gridln(F.col("n_r") + 1).alias("g_r"),
-        )
-    )
-    nn = raw_b.agg(F.sum("n_r").alias("s_r")).crossJoin(
-        tgt_b.agg(F.sum("n_t").alias("s_t"))
-    ).select(
-        gridln(F.col("s_r") + 1024).alias("g_nr"),
-        gridln(F.coalesce(F.col("s_t"), F.lit(0)) + 1024).alias("g_nt"),
-    )
+    toks, stats, nn = _dsir_stats(spark, sf_dir)
     docb = toks.groupBy("doc_id", "lang", "b").agg(
         F.count("*").cast("bigint").alias("c")
     )
