@@ -2163,3 +2163,214 @@ def ext_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_UNI_NEG = -(10**15)
+_UNI_MAXLEN = 12
+
+
+def _unigram_oracle(maxlen: int) -> str:
+    """Unrolled Viterbi-segmentation DP (pieces of length 1..3) with a
+    sliding 3-slot accumulator per step — the DuckDB replica of the
+    Spark-side F.aggregate fold.  Piece scores come from a MAP scalar
+    (m[p][1] — DuckDB 1.0 map extraction yields a 1-element list)."""
+    neg = str(_UNI_NEG)
+    parts = [
+        f"""
+WITH words AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM (
+    SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents
+  ) WHERE length(tok) BETWEEN 1 AND {maxlen} GROUP BY tok
+),
+pieces AS (
+  SELECT p, CAST(SUM(c) AS BIGINT) AS cnt FROM (
+    SELECT substr(w.tok, pos.i, ln.l) AS p, w.c
+    FROM words w,
+         LATERAL (SELECT UNNEST(generate_series(1, length(w.tok))) AS i) pos,
+         (SELECT UNNEST([1, 2, 3]) AS l) ln
+    WHERE pos.i + ln.l - 1 <= length(w.tok)
+  ) GROUP BY p
+),
+tot AS (SELECT CAST(FLOOR(LN(SUM(cnt)) * 1e9) AS BIGINT) AS gn FROM pieces),
+mp AS (
+  SELECT MAP(list(p), list(CAST(FLOOR(LN(cnt) * 1e9) AS BIGINT) - tot.gn))
+           AS m
+  FROM pieces, tot GROUP BY tot.gn
+),
+u0 AS (
+  SELECT tok, c, m, length(tok) AS nl,
+         CAST(0 AS BIGINT) AS va, CAST({neg} AS BIGINT) AS vb,
+         CAST({neg} AS BIGINT) AS vc,
+         '' AS sga, '' AS sgb, '' AS sgc
+  FROM words CROSS JOIN mp
+)"""
+    ]
+    for j in range(1, maxlen + 1):
+        prev = f"u{j - 1}"
+        c1 = f"va + m[substr(tok, {j}, 1)][1]"
+        c2 = (
+            f"vb + m[substr(tok, {j - 1}, 2)][1]"
+            if j >= 2
+            else f"CAST({neg} AS BIGINT)"
+        )
+        c3 = (
+            f"vc + m[substr(tok, {j - 2}, 3)][1]"
+            if j >= 3
+            else f"CAST({neg} AS BIGINT)"
+        )
+        s1 = f"sga || ' ' || substr(tok, {j}, 1)"
+        s2 = f"sgb || ' ' || substr(tok, {j - 1}, 2)" if j >= 2 else "''"
+        s3 = f"sgc || ' ' || substr(tok, {j - 2}, 3)" if j >= 3 else "''"
+        parts.append(
+            f""",
+u{j} AS (
+  SELECT tok, c, m, nl,
+    CASE WHEN nl >= {j} THEN GREATEST({c1}, {c2}, {c3}) ELSE va END AS va,
+    CASE WHEN nl >= {j} THEN va ELSE vb END AS vb,
+    CASE WHEN nl >= {j} THEN vb ELSE vc END AS vc,
+    CASE WHEN nl >= {j} THEN
+      CASE WHEN ({c3}) >= ({c2}) AND ({c3}) >= ({c1}) THEN {s3}
+           WHEN ({c2}) >= ({c1}) THEN {s2}
+           ELSE {s1} END
+    ELSE sga END AS sga,
+    CASE WHEN nl >= {j} THEN sga ELSE sgb END AS sgb,
+    CASE WHEN nl >= {j} THEN sgb ELSE sgc END AS sgc
+  FROM {prev}
+)"""
+        )
+    parts.append(
+        f""",
+segs AS (SELECT TRIM(sga) AS seg, c FROM u{maxlen}),
+newcnt AS (
+  SELECT p, CAST(SUM(c) AS BIGINT) AS new_count FROM (
+    SELECT UNNEST(string_split(seg, ' ')) AS p, c FROM segs
+  ) GROUP BY p
+)
+SELECT n.p AS piece, s.cnt AS seed_count, n.new_count
+FROM newcnt n JOIN pieces s ON s.p = n.p
+ORDER BY n.new_count DESC, n.p LIMIT 20"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "ext_unigram_lm_segmentation",
+    survey_id="EXT-UNIGRAM-LM",
+    category="llm-training-prep",
+    oracle=_unigram_oracle(_UNI_MAXLEN),
+)
+def ext_unigram_lm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One EM round of SentencePiece-style Unigram-LM tokenization —
+    the OTHER major subword algorithm next to the BPE family: seed a
+    piece vocabulary with every 1..3-char substring of the word table
+    (counts = corpus-weighted occurrences), score pieces with the
+    gridded-ln of their seed unigram probability, Viterbi-segment every
+    word under those scores (E-step), and recount pieces along the
+    chosen segmentations (M-step) — returning the top-20 pieces by
+    re-estimated count with their seed counts.
+
+    The E-step DP runs as ONE row-local F.aggregate fold over the
+    position sequence: the accumulator carries a sliding 3-slot window
+    of (score, segmentation) pairs — v[j] = max over piece lengths
+    1..3 of v[j-l] + s(piece) — so the expression tree is a single
+    lambda body (no 3^L blowup), every comparison is exact BIGINT, and
+    ties prefer the LONGER piece identically in both engines.  Piece
+    scores ride ONE broadcast map row (the DSIR deployment shape);
+    words are capped at {maxlen} chars, matching the oracle's unroll
+    depth.
+
+    Scale shape: one corpus-scale shuffle to the word table; the piece
+    vocab is substring-bounded (a production run prunes it to top-N,
+    which only shrinks the map); segmentation is embarrassingly
+    parallel row-local arithmetic and the M-step is a vocab-scale
+    aggregate.  Oracle: the identical DP unrolled as 12 generated CTE
+    stages.""".replace("{maxlen}", str(_UNI_MAXLEN))
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .where(F.length("tok").between(1, _UNI_MAXLEN))
+        .localCheckpoint()
+    )
+    pos = F.explode(F.sequence(F.lit(1), F.length("tok")))
+    pieces = (
+        words.select("tok", "c", pos.alias("i"))
+        .select(
+            "tok", "c", "i", F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("l")
+        )
+        .where(F.col("i") + F.col("l") - 1 <= F.length("tok"))
+        .select(
+            F.col("tok").substr(F.col("i"), F.col("l")).alias("p"), "c"
+        )
+        .groupBy("p")
+        .agg(F.sum("c").cast("bigint").alias("cnt"))
+        .localCheckpoint()
+    )
+    gridln = lambda c: F.floor(F.log(c) * F.lit(1e9)).cast("bigint")
+    gn = pieces.agg(gridln(F.sum("cnt")).alias("gn"))
+    model = (
+        pieces.crossJoin(F.broadcast(gn))
+        .select("p", (gridln(F.col("cnt")) - F.col("gn")).alias("s"))
+        .agg(
+            F.map_from_arrays(
+                F.collect_list("p"), F.collect_list("s")
+            ).alias("m")
+        )
+    )
+    neg = F.lit(_UNI_NEG).cast("bigint")
+    zero = F.struct(
+        F.lit(0).cast("bigint").alias("va"),
+        neg.alias("vb"),
+        neg.alias("vc"),
+        F.lit("").alias("sga"),
+        F.lit("").alias("sgb"),
+        F.lit("").alias("sgc"),
+    )
+
+    def step(acc, j):
+        tok = F.col("tok")
+        m = F.col("m")
+        sc = lambda start, ln: F.element_at(
+            m, tok.substr(start, F.lit(ln))
+        )
+        c1 = acc["va"] + sc(j, 1)
+        c2 = F.when(j >= 2, acc["vb"] + sc(j - 1, 2)).otherwise(neg)
+        c3 = F.when(j >= 3, acc["vc"] + sc(j - 2, 3)).otherwise(neg)
+        s1 = F.concat(acc["sga"], F.lit(" "), tok.substr(j, F.lit(1)))
+        s2 = F.concat(acc["sgb"], F.lit(" "), tok.substr(j - 1, F.lit(2)))
+        s3 = F.concat(acc["sgc"], F.lit(" "), tok.substr(j - 2, F.lit(3)))
+        new = F.struct(
+            F.greatest(c1, c2, c3).alias("va"),
+            acc["va"].alias("vb"),
+            acc["vb"].alias("vc"),
+            F.when((c3 >= c2) & (c3 >= c1), s3)
+            .when(c2 >= c1, s2)
+            .otherwise(s1)
+            .alias("sga"),
+            acc["sga"].alias("sgb"),
+            acc["sgb"].alias("sgc"),
+        )
+        return F.when(j <= F.length(tok), new).otherwise(acc)
+
+    fin = F.aggregate(
+        F.sequence(F.lit(1), F.lit(_UNI_MAXLEN)), zero, step
+    )
+    segs = words.crossJoin(F.broadcast(model)).select(
+        F.trim(fin["sga"]).alias("seg"), "c"
+    )
+    newcnt = (
+        segs.select(F.explode(F.split("seg", " ")).alias("p"), "c")
+        .groupBy("p")
+        .agg(F.sum("c").cast("bigint").alias("new_count"))
+    )
+    return (
+        newcnt.join(pieces, "p")
+        .select(
+            F.col("p").alias("piece"),
+            F.col("cnt").alias("seed_count"),
+            "new_count",
+        )
+        .orderBy(F.col("new_count").desc(), "piece")
+        .limit(20)
+    )

@@ -479,3 +479,64 @@ def test_louvain_modularity_gain_exact_and_improving(spark, sf_dir):
     assert Fraction(row["q_num_before"], row["q_den"]) == q_before
     assert Fraction(row["q_num_after"], row["q_den"]) == q_after
     assert row["improved"] == 1 and q_after > q_before
+
+
+def test_unigram_segmentation_matches_pure_python_dp(spark, sf_dir):
+    """Re-derive the whole EM round in pure Python: seed substring
+    counts, gridded-ln scores, per-word Viterbi with the
+    prefer-longer-piece tie-break, M-step recount — then compare the
+    query's top-20 exactly.  Shares no fold/CTE machinery with either
+    engine, so a symmetric off-by-one in the DP construction would
+    surface here."""
+    import math
+    from collections import Counter
+
+    from nibbler_spark.queries import load_all
+    from nibbler_spark.queries.training_prep import _UNI_MAXLEN
+
+    docs = load_table(spark, sf_dir, "documents").select("text").collect()
+    words = Counter()
+    for r in docs:
+        for t in r["text"].split(" "):
+            if 1 <= len(t) <= _UNI_MAXLEN:
+                words[t] += 1
+    seed = Counter()
+    for w, c in words.items():
+        for i in range(len(w)):
+            for l in (1, 2, 3):
+                if i + l <= len(w):
+                    seed[w[i : i + l]] += c
+    gn = math.floor(math.log(sum(seed.values())) * 1e9)
+    s = {p: math.floor(math.log(c) * 1e9) - gn for p, c in seed.items()}
+
+    def segment(w):
+        NEG = -(10**15)
+        v = [0] + [NEG] * len(w)
+        seg = [""] * (len(w) + 1)
+        for j in range(1, len(w) + 1):
+            # candidates in l order; ties prefer LONGER piece
+            best, bl = None, None
+            for l in (1, 2, 3):
+                if l <= j:
+                    cand = v[j - l] + s[w[j - l : j]]
+                    if best is None or cand > best or (cand == best and l > bl):
+                        best, bl = cand, l
+            v[j] = best
+            seg[j] = seg[j - bl] + " " + w[j - bl : j]
+        return seg[len(w)].strip()
+
+    new = Counter()
+    for w, c in words.items():
+        for p in segment(w).split(" "):
+            new[p] += c
+    want = sorted(
+        ((p, seed[p], c) for p, c in new.items()),
+        key=lambda t: (-t[2], t[0]),
+    )[:20]
+    got = [
+        (r["piece"], r["seed_count"], r["new_count"])
+        for r in load_all()["ext_unigram_lm_segmentation"]
+        .spark(spark, sf_dir)
+        .collect()
+    ]
+    assert got == want
