@@ -717,3 +717,63 @@ def test_rolling_regression_single_window_node(spark, sf_dir):
     """All five sufficient statistics share ONE window frame pass."""
     plan = _plan(spark, sf_dir, "ext_rolling_regression")
     assert plan.count("Window ") <= 1 or plan.count("Window\n") <= 1
+
+
+def test_dsir_scoring_join_broadcasts_stats(spark, sf_dir):
+    """The 1024-row bucket stats table and the 1-row totals must ride
+    broadcast joins — scoring at 100 TB is a map-side probe, never a
+    corpus-wide shuffle join."""
+    plan = _plan(spark, sf_dir, "ext_dsir_importance_weights")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row totals cross join
+    assert "SortMergeJoin" not in plan
+
+
+def test_novelty_decay_no_corpus_join_back(spark, sf_dir):
+    """Novelty deciles come from MIN inside the gram aggregate; the only
+    joins are the broadcast max-doc-id row and the 10-row decile
+    combine — never a corpus-table self-join."""
+    plan = _plan(spark, sf_dir, "ext_ngram_novelty_decay")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_louvain_no_cartesian_argmax_partial(spark, sf_dir):
+    """Candidate generation rides the keyed inverted-index join (no
+    cartesian anywhere), and the argmax is a partial-combining
+    aggregate (HashAggregate with partial_max), not a global sort."""
+    plan = _plan(spark, sf_dir, "ext_louvain_sync_round")
+    assert "CartesianProduct" not in plan
+    assert "partial_max" in plan
+
+
+def test_unigram_segmentation_model_broadcast_no_udf(spark, sf_dir):
+    """The piece-score map broadcasts as one row, and the Viterbi fold
+    stays JVM-side — no Python evaluation anywhere in the plan."""
+    plan = _plan(spark, sf_dir, "ext_unigram_lm_segmentation")
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row model cross join
+    assert "EvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_viterbi_decode_single_shuffle_no_udf(spark, sf_dir):
+    """One sessionize exchange, then codegen arithmetic: no Python eval,
+    no join at all."""
+    plan = _plan(spark, sf_dir, "ext_viterbi_decode")
+    assert "EvalPython" not in plan and "ArrowEval" not in plan
+    assert "Join" not in plan
+    # exactly two exchanges: the sessionize hash exchange (between the
+    # partial and final collect_list aggregates — map-side combine
+    # present) and the final orderBy's range exchange
+    import re
+
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_exchanges == 2, plan[:2000]
+    assert plan.count("ObjectHashAggregate") >= 2
+
+
+def test_kneser_ney_type_total_broadcast(spark, sf_dir):
+    """The 1-row bigram-type total rides a broadcast nested-loop cross
+    join; the vocab-side joins stay keyed."""
+    plan = _plan(spark, sf_dir, "ext_kneser_ney_bigram")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
