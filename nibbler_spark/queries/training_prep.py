@@ -2374,3 +2374,161 @@ def ext_unigram_lm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("new_count").desc(), "piece")
         .limit(20)
     )
+
+
+@register(
+    "ext_dsir_classifier_kappa",
+    survey_id="EXT-DSIR-KAPPA",
+    category="ml-exact",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, lang,
+         CAST(CAST(('0x' || substr(md5(tok), 1, 12)) AS BIGINT) % 1024
+              AS BIGINT) AS b
+  FROM (
+    SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS tok
+    FROM documents
+  )
+),
+raw_b AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS n_r FROM toks GROUP BY b),
+tgt_b AS (
+  SELECT b, CAST(COUNT(*) AS BIGINT) AS n_t
+  FROM toks WHERE lang = 'en' GROUP BY b
+),
+stats AS (
+  SELECT r.b,
+         CAST(FLOOR(LN(COALESCE(t.n_t, 0) + 1) * 1e9) AS BIGINT) AS g_t,
+         CAST(FLOOR(LN(r.n_r + 1) * 1e9) AS BIGINT) AS g_r
+  FROM raw_b r LEFT JOIN tgt_b t USING (b)
+),
+nn AS (
+  SELECT CAST(FLOOR(LN((SELECT SUM(n_r) FROM raw_b) + 1024) * 1e9)
+              AS BIGINT) AS g_nr,
+         CAST(FLOOR(LN((SELECT COALESCE(SUM(n_t), 0) FROM tgt_b) + 1024)
+                    * 1e9) AS BIGINT) AS g_nt
+),
+docb AS (
+  SELECT doc_id, lang, b, CAST(COUNT(*) AS BIGINT) AS c
+  FROM toks GROUP BY 1, 2, 3
+),
+weights AS (
+  SELECT d.doc_id,
+         CAST(SUM(d.c * (s.g_t - s.g_r)) + SUM(d.c) * (nn.g_nr - nn.g_nt)
+              AS BIGINT) AS logw,
+         CAST(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS y
+  FROM docb d JOIN stats s USING (b) CROSS JOIN nn
+  GROUP BY d.doc_id, d.lang, nn.g_nr, nn.g_nt
+),
+thr AS (
+  -- exact floor division (sum may be negative; both engines' % is
+  -- truncated, so the positive-mod form floors identically)
+  SELECT CAST((s - (((s % n) + n) % n)) // n AS BIGINT) AS t
+  FROM (SELECT CAST(SUM(logw) AS BIGINT) AS s,
+               CAST(COUNT(*) AS BIGINT) AS n FROM weights)
+),
+cells AS (
+  SELECT
+    CAST(SUM(CASE WHEN logw > thr.t AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+    CAST(SUM(CASE WHEN logw > thr.t AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+    CAST(SUM(CASE WHEN logw <= thr.t AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+    CAST(SUM(CASE WHEN logw <= thr.t AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+    MIN(thr.t) AS thr
+  FROM weights CROSS JOIN thr
+)
+SELECT tp, fp, fn, tn, thr,
+       CAST(tp + fp + fn + tn AS BIGINT) AS n,
+       CAST((tp + fp + fn + tn) * (tp + tn)
+            - ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn))
+            AS BIGINT) AS kappa_num,
+       CAST((tp + fp + fn + tn) * (tp + fp + fn + tn)
+            - ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn))
+            AS BIGINT) AS kappa_den,
+       CAST((tp + fp + fn + tn) * (tp + tn)
+            - ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn))
+            AS DOUBLE)
+         / CAST((tp + fp + fn + tn) * (tp + fp + fn + tn)
+                - ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn))
+                AS DOUBLE) AS kappa
+FROM cells
+""",
+)
+def ext_dsir_classifier_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evaluate the DSIR importance scorer AS A CLASSIFIER (does
+    logw above the corpus mean predict the target domain?) with
+    Cohen's kappa — chance-corrected agreement, the metric that stays
+    honest under the class imbalance a mostly-English corpus has.
+    Everything is one exact rational: kappa_num = n(tp+tn) − Σ
+    marginal products, kappa_den = n² − Σ marginal products, and the
+    threshold is the exact floored mean of the BIGINT weights (the
+    positive-mod floor-division form — both engines' % truncates, so
+    the floor is identical even for the negative sums smoothing
+    produces).
+
+    Scale shape: the DSIR scoring dataflow (fixed 1024-bucket
+    broadcast stats) plus three single-row aggregates; nothing beyond
+    the two corpus-scale keyed aggregations the scorer already does.
+    At 100 TB the n² product lifts to DECIMAL(38,0) headroom."""
+    toks, stats, nn = _dsir_stats(spark, sf_dir)
+    weights = (
+        toks.groupBy("doc_id", "lang", "b")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .join(F.broadcast(stats), "b")
+        .crossJoin(F.broadcast(nn))
+        .groupBy("doc_id", "lang", "g_nr", "g_nt")
+        .agg(
+            F.sum("c").cast("bigint").alias("tcount"),
+            F.sum(F.col("c") * (F.col("g_t") - F.col("g_r")))
+            .cast("bigint")
+            .alias("s_diff"),
+        )
+        .select(
+            (
+                F.col("s_diff")
+                + F.col("tcount") * (F.col("g_nr") - F.col("g_nt"))
+            )
+            .cast("bigint")
+            .alias("logw"),
+            (F.col("lang") == "en").cast("bigint").alias("y"),
+        )
+    )
+    thr = weights.agg(
+        F.sum("logw").cast("bigint").alias("s"),
+        F.count("*").cast("bigint").alias("n"),
+    ).select(
+        F.expr("CAST((s - pmod(s, n)) DIV n AS BIGINT)").alias("t")
+    )
+    cells = (
+        weights.crossJoin(F.broadcast(thr))
+        .agg(
+            F.sum(((F.col("logw") > F.col("t")) & (F.col("y") == 1)).cast("bigint"))
+            .cast("bigint")
+            .alias("tp"),
+            F.sum(((F.col("logw") > F.col("t")) & (F.col("y") == 0)).cast("bigint"))
+            .cast("bigint")
+            .alias("fp"),
+            F.sum(((F.col("logw") <= F.col("t")) & (F.col("y") == 1)).cast("bigint"))
+            .cast("bigint")
+            .alias("fn"),
+            F.sum(((F.col("logw") <= F.col("t")) & (F.col("y") == 0)).cast("bigint"))
+            .cast("bigint")
+            .alias("tn"),
+            F.min("t").alias("thr"),
+        )
+    )
+    n = F.col("tp") + F.col("fp") + F.col("fn") + F.col("tn")
+    pe = (F.col("tp") + F.col("fp")) * (F.col("tp") + F.col("fn")) + (
+        F.col("fn") + F.col("tn")
+    ) * (F.col("fp") + F.col("tn"))
+    num = (n * (F.col("tp") + F.col("tn")) - pe).cast("bigint")
+    den = (n * n - pe).cast("bigint")
+    return cells.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        "thr",
+        n.cast("bigint").alias("n"),
+        num.alias("kappa_num"),
+        den.alias("kappa_den"),
+        (num.cast("double") / den.cast("double")).alias("kappa"),
+    )

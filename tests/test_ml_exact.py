@@ -265,3 +265,30 @@ def test_isotonic_minimax_equals_classic_pav(spark, sf_dir):
         rows[i]["fitted_rate"] <= rows[i + 1]["fitted_rate"] + 1e-12
         for i in range(len(rows) - 1)
     )
+
+
+def test_dsir_kappa_matches_sklearn_free_reference(spark, sf_dir):
+    """Cohen's kappa re-derived from the confusion cells in Fraction
+    arithmetic; the cells themselves must describe a real partition of
+    the corpus and the published double must equal num/den exactly."""
+    from fractions import Fraction
+
+    from nibbler_spark.queries import load_all
+    from nibbler_spark.sources import load_table
+
+    r = (
+        load_all()["ext_dsir_classifier_kappa"]
+        .spark(spark, sf_dir)
+        .collect()[0]
+    )
+    tp, fp, fn, tn = r["tp"], r["fp"], r["fn"], r["tn"]
+    n = tp + fp + fn + tn
+    assert r["n"] == n
+    assert n == load_table(spark, sf_dir, "documents").count()
+    po = Fraction(tp + tn, n)
+    pe = Fraction((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn), n * n)
+    kappa = (po - pe) / (1 - pe)
+    assert Fraction(r["kappa_num"], r["kappa_den"]) == kappa
+    assert r["kappa"] == r["kappa_num"] / r["kappa_den"]
+    # the scorer must beat chance as an English detector
+    assert kappa > 0
