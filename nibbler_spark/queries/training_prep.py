@@ -2532,3 +2532,126 @@ def ext_dsir_classifier_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         den.alias("kappa_den"),
         (num.cast("double") / den.cast("double")).alias("kappa"),
     )
+
+
+@register(
+    "ext_dsir_gumbel_resample",
+    survey_id="EXT-DSIR-SAMPLE",
+    category="llm-training-prep",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, lang,
+         CAST(CAST(('0x' || substr(md5(tok), 1, 12)) AS BIGINT) % 1024
+              AS BIGINT) AS b
+  FROM (
+    SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS tok
+    FROM documents
+  )
+),
+raw_b AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS n_r FROM toks GROUP BY b),
+tgt_b AS (
+  SELECT b, CAST(COUNT(*) AS BIGINT) AS n_t
+  FROM toks WHERE lang = 'en' GROUP BY b
+),
+stats AS (
+  SELECT r.b,
+         CAST(FLOOR(LN(COALESCE(t.n_t, 0) + 1) * 1e9) AS BIGINT) AS g_t,
+         CAST(FLOOR(LN(r.n_r + 1) * 1e9) AS BIGINT) AS g_r
+  FROM raw_b r LEFT JOIN tgt_b t USING (b)
+),
+nn AS (
+  SELECT CAST(FLOOR(LN((SELECT SUM(n_r) FROM raw_b) + 1024) * 1e9)
+              AS BIGINT) AS g_nr,
+         CAST(FLOOR(LN((SELECT COALESCE(SUM(n_t), 0) FROM tgt_b) + 1024)
+                    * 1e9) AS BIGINT) AS g_nt
+),
+docb AS (
+  SELECT doc_id, lang, b, CAST(COUNT(*) AS BIGINT) AS c
+  FROM toks GROUP BY 1, 2, 3
+),
+weights AS (
+  SELECT d.doc_id,
+         CAST(SUM(d.c * (s.g_t - s.g_r)) + SUM(d.c) * (nn.g_nr - nn.g_nt)
+              AS BIGINT) AS logw
+  FROM docb d JOIN stats s USING (b) CROSS JOIN nn
+  GROUP BY d.doc_id, nn.g_nr, nn.g_nt
+),
+keyed AS (
+  SELECT doc_id, logw,
+         CAST(FLOOR(-LN(-LN(
+           (CAST(('0x' || substr(md5('gum:' || CAST(doc_id AS VARCHAR)),
+                  1, 12)) AS BIGINT) + 0.5e0) / 281474976710656e0
+         )) * 1e6) AS BIGINT) AS gumbel_grid
+  FROM weights
+)
+SELECT doc_id, logw, gumbel_grid,
+       CAST(logw + 1000 * gumbel_grid AS BIGINT) AS gumbel_key
+FROM keyed
+ORDER BY gumbel_key DESC, doc_id LIMIT 50
+""",
+)
+def ext_dsir_gumbel_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RESAMPLE half of DSIR: draw 50 documents WITHOUT replacement
+    with probability proportional to exp(importance weight) via the
+    Gumbel-top-k trick — key = logw + Gumbel noise, take the top k;
+    mathematically identical to sequential sampling from the softmax,
+    in one distributed TakeOrdered pass with zero sequential state.
+    The Gumbel draw is engine-portable: u = (md5_48('gum:'||doc_id) +
+    0.5)/2^48 (strictly inside (0,1), so -ln(-ln(u)) is always
+    finite), floored to the same 1e-9 ln grid the weights live on, so
+    key addition is exact BIGINT arithmetic and the selection is
+    deterministic across engines, runs, and partitionings.
+
+    Scale shape: the DSIR scoring dataflow plus one TakeOrdered(50) —
+    the top-k never materializes a global sort, and the noise is
+    derived per row (no RNG state, no driver round trip)."""
+    toks, stats, nn = _dsir_stats(spark, sf_dir)
+    weights = (
+        toks.groupBy("doc_id", "lang", "b")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .join(F.broadcast(stats), "b")
+        .crossJoin(F.broadcast(nn))
+        .groupBy("doc_id", "g_nr", "g_nt")
+        .agg(
+            F.sum("c").cast("bigint").alias("tcount"),
+            F.sum(F.col("c") * (F.col("g_t") - F.col("g_r")))
+            .cast("bigint")
+            .alias("s_diff"),
+        )
+        .select(
+            "doc_id",
+            (
+                F.col("s_diff")
+                + F.col("tcount") * (F.col("g_nr") - F.col("g_nt"))
+            )
+            .cast("bigint")
+            .alias("logw"),
+        )
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("gum:"), F.col("doc_id").cast("string"))),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(2**48))
+    # 1e-6 ln grid for the composed transcendental (coarser than the
+    # weights' 1e-9 grid — a double ulp near a grid line is the only
+    # cross-engine risk, and 1e-6 leaves ~3 orders of safety), rescaled
+    # by 1000 into the weights' units for the exact BIGINT key.
+    gumbel = F.floor(-F.log(-F.log(u)) * F.lit(1e6)).cast("bigint")
+    return (
+        weights.select(
+            "doc_id",
+            "logw",
+            gumbel.alias("gumbel_grid"),
+            (F.col("logw") + 1000 * gumbel).cast("bigint").alias("gumbel_key"),
+        )
+        .orderBy(F.col("gumbel_key").desc(), "doc_id")
+        .limit(50)
+    )
