@@ -71,6 +71,13 @@ FLAGSHIPS = [
     # per-partition aggregate state, so wall time should be far
     # sub-linear in row count.
     "ext_incremental_rollup",
+    # r6 session 2: the new tokenizer/selection/streaming flagships —
+    # unigram segmentation is vocab-bound after the one word-table
+    # shuffle, DSIR is fixed-feature-space scoring, and the online
+    # packer's state is one long per language.
+    "ext_unigram_lm_segmentation",
+    "ext_dsir_importance_weights",
+    "i43_stream_grouped_packing",
 ]
 GATE_RATIO = 12.0  # 10x data -> <= 12x wall (near-linear)
 # candidate-bound gate: wall time may grow at most this much faster than
