@@ -5296,3 +5296,122 @@ def ext_viterbi_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("state_path"),
         F.greatest(fin["a0"], fin["a1"]).cast("bigint").alias("best_score"),
     ).orderBy("user_id")
+
+
+_HOLT_MAX_T = 40
+
+
+def _holt_oracle(max_t: int) -> str:
+    """Unrolled Holt linear-trend recursion (alpha = beta = 1/4) over
+    the per-type daily series, all-integer: each step floors through
+    the positive-mod floor-division form, so both engines walk the
+    identical lattice with no rational blow-up and no floats."""
+    parts = [
+        """
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+         CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+ser AS (
+  SELECT event_type, list(y ORDER BY d) AS ys,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM daily GROUP BY event_type
+),
+h0 AS (
+  SELECT event_type, ys, n,
+         CAST(ys[1] AS BIGINT) AS l, CAST(0 AS BIGINT) AS b
+  FROM ser
+)"""
+    ]
+    fd = lambda a: f"(({a}) - (((({a}) % 4) + 4) % 4)) // 4"
+    for t in range(2, max_t + 1):
+        prev = f"h{t - 2}" if t == 2 else f"h{t - 1}"
+        lt = fd(f"ys[{t}] + 3 * (l + b)")
+        bt = fd(f"({lt}) - l + 3 * b")
+        parts.append(
+            f""",
+h{t} AS (
+  SELECT event_type, ys, n,
+    CASE WHEN n >= {t} THEN {lt} ELSE l END AS l,
+    CASE WHEN n >= {t} THEN {bt} ELSE b END AS b
+  FROM {prev}
+)"""
+        )
+    parts.append(
+        f"""
+SELECT event_type, n AS n_days, l AS level, b AS trend,
+       CAST(l + 7 * b AS BIGINT) AS forecast_7d
+FROM h{max_t} ORDER BY event_type"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "ext_holt_linear_forecast",
+    survey_id="EXT-HOLT",
+    category="event-analytics",
+    oracle=_holt_oracle(_HOLT_MAX_T),
+)
+def ext_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend exponential smoothing over each event
+    type's daily value series (alpha = beta = 1/4), ALL-INTEGER: the
+    recursion l_t = floor((y_t + 3(l+b))/4), b_t = floor((l_t - l +
+    3b)/4) walks an exact integer lattice — no rational blow-up (the
+    4^t denominators a Fraction-exact version would grow are floored
+    away each step, identically in both engines via the positive-mod
+    floor-division form), no transcendentals, so level/trend/7-day
+    forecast hash-match bit-for-bit.
+
+    Scale shape: the corpus collapses to the tiny per-(type, day)
+    aggregate in one keyed shuffle; the recursion is a row-local
+    F.aggregate fold over each collected series (the viterbi/unigram
+    fold pattern — one lambda body, O(T) per series), so a million
+    series cost one shuffle plus embarrassingly parallel arithmetic.
+    Oracle: the identical recursion unrolled to the 40-step cap."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("y")
+    )
+    ser = daily.groupBy("event_type").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("d", "y"))),
+            lambda s: s["y"],
+        ).alias("ys"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+
+    def fdiv4(a):
+        return (a - F.pmod(a, F.lit(4))) / 4
+
+    zero = F.struct(
+        F.lit(1).cast("bigint").alias("t"),
+        F.element_at("ys", 1).cast("bigint").alias("l"),
+        F.lit(0).cast("bigint").alias("b"),
+    )
+
+    def step(acc, y):
+        lt = fdiv4(y + 3 * (acc["l"] + acc["b"])).cast("bigint")
+        bt = fdiv4(lt - acc["l"] + 3 * acc["b"]).cast("bigint")
+        # the first observation seeds the level (zero); the fold runs
+        # over ys[2..] only, so every folded element applies
+        return F.struct(
+            (acc["t"] + 1).cast("bigint").alias("t"),
+            lt.alias("l"),
+            bt.alias("b"),
+        )
+
+    fin = F.aggregate(
+        F.slice("ys", 2, _HOLT_MAX_T - 1), zero, step
+    )
+    return ser.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        fin["l"].alias("level"),
+        fin["b"].alias("trend"),
+        (fin["l"] + 7 * fin["b"]).cast("bigint").alias("forecast_7d"),
+    ).orderBy("event_type")

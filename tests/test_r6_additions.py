@@ -540,3 +540,40 @@ def test_unigram_segmentation_matches_pure_python_dp(spark, sf_dir):
         .collect()
     ]
     assert got == want
+
+
+def test_holt_recursion_matches_pure_python(spark, sf_dir):
+    """Walk the identical integer lattice in pure Python (floor
+    division is Python's native //) and compare level/trend/forecast
+    for every series."""
+    from collections import defaultdict
+
+    from nibbler_spark.queries import load_all
+
+    ev = load_table(spark, sf_dir, "events").collect()
+    daily = defaultdict(int)
+    for r in ev:
+        daily[(r["event_type"], r["ts"].date())] += int(r["value"] * 100 // 1)
+    series = defaultdict(list)
+    for (et, d), y in sorted(daily.items()):
+        series[et].append(y)
+    rows = {
+        r["event_type"]: r
+        for r in load_all()["ext_holt_linear_forecast"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    assert set(rows) == set(series)
+    for et, ys in series.items():
+        l, b = ys[0], 0
+        for y in ys[1:40]:
+            lt = (y + 3 * (l + b)) // 4
+            b = (lt - l + 3 * b) // 4
+            l = lt
+        r = rows[et]
+        assert r["n_days"] == len(ys)
+        assert (r["level"], r["trend"], r["forecast_7d"]) == (
+            l,
+            b,
+            l + 7 * b,
+        )
