@@ -2487,3 +2487,93 @@ def ext_ngram_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@register(
+    "ext_good_turing_smoothing",
+    survey_id="EXT-GOOD-TURING",
+    category="llm-text",
+    oracle="""
+WITH tf AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (
+    SELECT UNNEST(string_split(text, ' ')) AS token FROM documents
+  ) GROUP BY token
+),
+ff AS (SELECT c AS r, CAST(COUNT(*) AS BIGINT) AS n_r FROM tf GROUP BY c),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM tf),
+spine AS (SELECT UNNEST(generate_series(0, 10)) AS r)
+SELECT s.r,
+       COALESCE(cur.n_r, 0) AS n_r,
+       COALESCE(nxt.n_r, 0) AS n_next,
+       CASE WHEN s.r >= 1 AND COALESCE(cur.n_r, 0) > 0
+            THEN CAST(((s.r + 1) * COALESCE(nxt.n_r, 0) * 1000000)
+                      // cur.n_r AS BIGINT)
+            ELSE 0 END AS r_star_micro,
+       CAST(((s.r + 1) * COALESCE(nxt.n_r, 0) * 1000000) // tot.t
+            AS BIGINT) AS mass_micro
+FROM spine s
+LEFT JOIN ff cur ON cur.r = s.r
+LEFT JOIN ff nxt ON nxt.r = s.r + 1
+CROSS JOIN tot
+ORDER BY s.r
+""",
+)
+def ext_good_turing_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing frequency smoothing over the corpus unigram counts —
+    the classical answer to "how much probability mass belongs to
+    tokens we have NOT seen yet", which for a training-data pipeline
+    doubles as a coverage diagnostic: a large unseen mass (row r=0)
+    says the crawl is still discovering vocabulary, a tiny one says
+    the corpus has saturated (compare ext_ngram_novelty_decay, which
+    reads the same signal off 5-grams over ingest order).
+
+    Per count r in 0..10: the frequency-of-frequencies N_r, the Turing
+    re-estimate r* = (r+1)*N_{r+1}/N_r, and the total smoothed mass
+    this count class keeps, (r+1)*N_{r+1}/T — one formula that at r=0
+    IS the missing-mass estimate N_1/T (N_0 conceptually infinite, so
+    r* is reported as 0 there). All derived values are exact BIGINT
+    floor-micro ratios — the two engines agree bit-for-bit.
+
+    Scale shape: one explode + one map-side-combinable token count
+    (the only corpus-scale shuffle), then a <=vocab-size frequency-of-
+    frequencies aggregate, an 11-row spine, and broadcast joins. The
+    spine joins are trivially broadcast; nothing here grows faster
+    than the vocabulary."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    ff = tf.groupBy(F.col("c").alias("r")).agg(
+        F.count("*").cast("bigint").alias("n_r")
+    )
+    tot = tf.agg(F.sum("c").cast("bigint").alias("t"))
+    spine = spark.range(0, 11).select(F.col("id").alias("r"))
+    cur = ff.select(F.col("r").alias("cr"), F.col("n_r").alias("cur_n"))
+    nxt = ff.select((F.col("r") - 1).alias("nr"), F.col("n_r").alias("nxt_n"))
+    return (
+        spine.join(F.broadcast(cur), F.col("r") == F.col("cr"), "left")
+        .join(F.broadcast(nxt), F.col("r") == F.col("nr"), "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "r",
+            F.coalesce("cur_n", F.lit(0)).cast("bigint").alias("n_r"),
+            F.coalesce("nxt_n", F.lit(0)).cast("bigint").alias("n_next"),
+            F.when(
+                (F.col("r") >= 1) & (F.coalesce("cur_n", F.lit(0)) > 0),
+                F.expr(
+                    "((r + 1) * COALESCE(nxt_n, 0) * 1000000) "
+                    "DIV cur_n"
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("r_star_micro"),
+            F.expr("((r + 1) * COALESCE(nxt_n, 0) * 1000000) DIV t")
+            .cast("bigint")
+            .alias("mass_micro"),
+        )
+        .orderBy("r")
+    )
