@@ -2577,3 +2577,151 @@ def ext_good_turing_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r")
     )
+
+
+@register(
+    "ext_ppmi_associations",
+    survey_id="EXT-PPMI",
+    category="llm-text",
+    oracle="""
+WITH toks AS (SELECT string_split(text, ' ') AS tk FROM documents),
+pairs AS (
+  SELECT string_split(p, CHR(31))[1] AS w1,
+         string_split(p, CHR(31))[2] AS w2
+  FROM (
+    SELECT UNNEST(
+      list_concat(
+        list_transform(generate_series(1, GREATEST(len(tk) - 1, 0)),
+                       i -> tk[i] || CHR(31) || tk[i+1]),
+        list_transform(generate_series(1, GREATEST(len(tk) - 2, 0)),
+                       i -> tk[i] || CHR(31) || tk[i+2]))) AS p
+    FROM toks
+  )
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM pairs),
+top50 AS (
+  SELECT w1 FROM (
+    SELECT token AS w1, COUNT(*) AS n,
+           ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token) AS rk
+    FROM (SELECT UNNEST(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token
+  ) WHERE rk <= 50
+),
+c2t AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM pairs GROUP BY w2),
+c12t AS (
+  SELECT p.w1, p.w2, CAST(COUNT(*) AS BIGINT) AS c12
+  FROM pairs p JOIN top50 USING (w1)
+  GROUP BY p.w1, p.w2
+),
+c1t AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12t GROUP BY w1),
+scored AS (
+  SELECT c12t.w1, c12t.w2, c12t.c12, c1t.c1, c2t.c2, tot.t,
+         CAST(FLOOR(ln((CAST(c12t.c12 AS DOUBLE) * CAST(tot.t AS DOUBLE))
+                       / (CAST(c1t.c1 AS DOUBLE) * CAST(c2t.c2 AS DOUBLE)))
+                    * 1000000e0) AS BIGINT) AS pmi_micro
+  FROM c12t JOIN c1t USING (w1) JOIN c2t USING (w2) CROSS JOIN tot
+)
+SELECT w1, w2, c12, c1, c2, t, pmi_micro,
+       CAST(rk AS BIGINT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY w1
+             ORDER BY pmi_micro DESC, c12 DESC, w2) AS rk
+  FROM scored
+) WHERE rk <= 5
+ORDER BY w1, rank
+""",
+)
+def ext_ppmi_associations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI word associations — the count-based precursor of word
+    embeddings (PPMI factorization IS skip-gram's implicit objective,
+    Levy & Goldberg 2014): for each of the corpus's 50 most frequent
+    tokens, the 5 co-occurring tokens with the highest pointwise
+    mutual information ln(c12*T / (c1*c2)) over a 2-token forward
+    window. A data pipeline reads this as a collocation/boilerplate
+    probe: natural corpora surface grammatical collocates, template
+    farms surface frozen phrases with near-ln(T) PMI.
+
+    Exactness: every count is an exact BIGINT; the PMI itself is the
+    gridded-transcendental recipe (identical int64 -> double casts,
+    one correctly-rounded divide, ln floored to the 1e-6 grid), and
+    the top-5 rank orders by the GRIDDED value with c12/w2
+    tie-breaks, so both engines select identical rows.
+
+    Scale shape: pair formation is row-local (two shifted zips);
+    marginal c2 is one map-side-combinable count over the pair
+    stream; c12 is counted only for pairs whose head survives the
+    broadcast top-50 semi-join (the corpus-scale shuffle is filtered
+    BEFORE the exchange); c1 folds out of c12 rather than re-scanning
+    pairs; the final scoring joins broadcast the 50-head side; the
+    top-50 itself is a TakeOrdered, never a global window. Nothing is
+    all-pairs; the only vocab-wide state is the c2 table, keyed and
+    combinable."""
+    sep = chr(31)
+    d = load_table(spark, sf_dir, "documents")
+    tk = F.split("text", " ")
+
+    def mk(k):
+        return F.when(
+            F.size(tk) >= k + 1,
+            F.transform(
+                F.sequence(F.lit(1), F.size(tk) - k),
+                lambda i: F.concat_ws(
+                    sep, F.element_at(tk, i), F.element_at(tk, i + k)
+                ),
+            ),
+        ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
+
+    pairs = d.select(F.explode(F.concat(mk(1), mk(2))).alias("p")).select(
+        F.split_part(F.col("p"), F.lit(sep), F.lit(1)).alias("w1"),
+        F.split_part(F.col("p"), F.lit(sep), F.lit(2)).alias("w2"),
+    )
+    tot = pairs.agg(F.count("*").cast("bigint").alias("t"))
+    top50 = (
+        d.select(F.explode(F.split("text", " ")).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "w1")
+        .limit(50)
+        .select("w1")
+    )
+    c2t = pairs.groupBy("w2").agg(F.count("*").cast("bigint").alias("c2"))
+    c12t = (
+        pairs.join(F.broadcast(top50), "w1", "left_semi")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("bigint").alias("c12"))
+    )
+    c1t = c12t.groupBy("w1").agg(F.sum("c12").cast("bigint").alias("c1"))
+    scored = (
+        F.broadcast(c12t)
+        .join(c2t, "w2")
+        .join(F.broadcast(c1t), "w1")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            "c1",
+            "c2",
+            "t",
+            F.floor(
+                F.log(
+                    (F.col("c12").cast("double") * F.col("t").cast("double"))
+                    / (
+                        F.col("c1").cast("double")
+                        * F.col("c2").cast("double")
+                    )
+                )
+                * 1e6
+            )
+            .cast("bigint")
+            .alias("pmi_micro"),
+        )
+    )
+    w = Window.partitionBy("w1").orderBy(
+        F.col("pmi_micro").desc(), F.col("c12").desc(), "w2"
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= 5)
+        .orderBy("w1", "rank")
+    )
