@@ -2725,3 +2725,237 @@ def ext_ppmi_associations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 5)
         .orderBy("w1", "rank")
     )
+
+
+@register(
+    "ext_bleu_self_similarity",
+    survey_id="EXT-BLEU",
+    category="llm-text",
+    oracle="""
+WITH paired AS (
+  SELECT lang, string_split(text, ' ') AS c,
+         string_split(lead(text) OVER (PARTITION BY lang ORDER BY doc_id),
+                      ' ') AS r
+  FROM documents
+),
+pp AS (SELECT * FROM paired WHERE r IS NOT NULL),
+grams AS (
+  SELECT lang, len(c) AS cand_len, len(r) AS ref_len,
+         list_transform(c, x -> substr(md5(x), 1, 16)) AS gc1,
+         list_transform(r, x -> substr(md5(x), 1, 16)) AS gr1,
+         list_transform(generate_series(1, GREATEST(len(c) - 1, 0)),
+                        i -> substr(md5(c[i] || ' ' || c[i+1]), 1, 16))
+           AS gc2,
+         list_transform(generate_series(1, GREATEST(len(r) - 1, 0)),
+                        i -> substr(md5(r[i] || ' ' || r[i+1]), 1, 16))
+           AS gr2,
+         list_transform(generate_series(1, GREATEST(len(c) - 2, 0)),
+                        i -> substr(md5(c[i] || ' ' || c[i+1] || ' '
+                                        || c[i+2]), 1, 16)) AS gc3,
+         list_transform(generate_series(1, GREATEST(len(r) - 2, 0)),
+                        i -> substr(md5(r[i] || ' ' || r[i+1] || ' '
+                                        || r[i+2]), 1, 16)) AS gr3,
+         list_transform(generate_series(1, GREATEST(len(c) - 3, 0)),
+                        i -> substr(md5(c[i] || ' ' || c[i+1] || ' '
+                                        || c[i+2] || ' ' || c[i+3]), 1, 16))
+           AS gc4,
+         list_transform(generate_series(1, GREATEST(len(r) - 3, 0)),
+                        i -> substr(md5(r[i] || ' ' || r[i+1] || ' '
+                                        || r[i+2] || ' ' || r[i+3]), 1, 16))
+           AS gr4
+  FROM pp
+),
+perpair AS (
+  SELECT lang, cand_len, ref_len,
+         COALESCE(list_sum(list_transform(list_distinct(gc1),
+           g -> LEAST(len(list_filter(gc1, x -> x = g)),
+                      len(list_filter(gr1, x -> x = g))))), 0) AS m1,
+         len(gc1) AS t1,
+         COALESCE(list_sum(list_transform(list_distinct(gc2),
+           g -> LEAST(len(list_filter(gc2, x -> x = g)),
+                      len(list_filter(gr2, x -> x = g))))), 0) AS m2,
+         len(gc2) AS t2,
+         COALESCE(list_sum(list_transform(list_distinct(gc3),
+           g -> LEAST(len(list_filter(gc3, x -> x = g)),
+                      len(list_filter(gr3, x -> x = g))))), 0) AS m3,
+         len(gc3) AS t3,
+         COALESCE(list_sum(list_transform(list_distinct(gc4),
+           g -> LEAST(len(list_filter(gc4, x -> x = g)),
+                      len(list_filter(gr4, x -> x = g))))), 0) AS m4,
+         len(gc4) AS t4
+  FROM grams
+),
+agg AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(cand_len) AS BIGINT) AS cand_tokens,
+         CAST(SUM(ref_len) AS BIGINT) AS ref_tokens,
+         CAST(SUM(m1) AS BIGINT) AS c1, CAST(SUM(t1) AS BIGINT) AS t1,
+         CAST(SUM(m2) AS BIGINT) AS c2, CAST(SUM(t2) AS BIGINT) AS t2,
+         CAST(SUM(m3) AS BIGINT) AS c3, CAST(SUM(t3) AS BIGINT) AS t3,
+         CAST(SUM(m4) AS BIGINT) AS c4, CAST(SUM(t4) AS BIGINT) AS t4
+  FROM perpair GROUP BY lang
+),
+lned AS (
+  SELECT *,
+    CASE WHEN cand_tokens <= ref_tokens
+         THEN CAST(FLOOR((1e0 - CAST(ref_tokens AS DOUBLE)
+                          / CAST(cand_tokens AS DOUBLE)) * 1000000e0)
+                   AS BIGINT)
+         ELSE 0 END AS bp_ln_micro,
+    CAST(FLOOR(ln(CAST(c1 + 1 AS DOUBLE) / CAST(t1 + 1 AS DOUBLE))
+               * 1000000e0) AS BIGINT)
+    + CAST(FLOOR(ln(CAST(c2 + 1 AS DOUBLE) / CAST(t2 + 1 AS DOUBLE))
+               * 1000000e0) AS BIGINT)
+    + CAST(FLOOR(ln(CAST(c3 + 1 AS DOUBLE) / CAST(t3 + 1 AS DOUBLE))
+               * 1000000e0) AS BIGINT)
+    + CAST(FLOOR(ln(CAST(c4 + 1 AS DOUBLE) / CAST(t4 + 1 AS DOUBLE))
+               * 1000000e0) AS BIGINT) AS lp_sum_micro
+  FROM agg
+)
+SELECT lang, n_pairs, cand_tokens, ref_tokens,
+       c1, t1, c2, t2, c3, t3, c4, t4, bp_ln_micro, lp_sum_micro,
+       CAST(FLOOR(exp(CAST(4 * bp_ln_micro + lp_sum_micro AS DOUBLE)
+                      / 4000000e0) * 1000e0) AS BIGINT) AS bleu_milli
+FROM lned
+ORDER BY lang
+""",
+)
+def ext_bleu_self_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed corpus BLEU of each document against its same-language
+    successor — BLEU+1 (Lin & Och 2004: add-one clipped n-gram
+    precisions, n=1..4, with the brevity penalty) used the way a data
+    team actually uses it: not for MT eval but as a corpus
+    SELF-SIMILARITY meter. High intra-language BLEU between unrelated
+    adjacent docs means templated/boilerplate text; natural corpora
+    sit near the unigram-overlap floor.
+
+    Exactness: clipped matches and totals are exact BIGINTs computed
+    row-locally (candidate and reference arrays sit in the same row,
+    so min(count_c, count_r) per distinct gram is a pure array fold);
+    ln precisions are gridded to 1e-6; the final exp composes exact
+    micro integers (score*4 avoids signed integer division — both
+    engines' DIV semantics differ on negatives) and floors at the
+    1e-3 grid, ~9 orders above exp's ulp spread.
+
+    Scale shape: pairing is a lead() window per language — at 100 TB
+    partition additionally by (lang, doc_id bucket) with a boundary
+    patch-join, the same pattern as ext_sessionize_batch. Everything
+    after the pairing is row-local n-gram arithmetic in whole-stage
+    codegen followed by one 5-row aggregate; no corpus-scale join,
+    no gram exchange at all (grams never leave their row)."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    pp = (
+        d.select(
+            "lang",
+            F.split("text", " ").alias("c"),
+            F.split(F.lead("text").over(w), " ").alias("r"),
+        )
+        .where(F.col("r").isNotNull())
+    )
+
+    def grams(col, n):
+        # md5-slimmed to 16 hex chars: the clip fold below compares
+        # each distinct gram against every gram occurrence, so compare
+        # width matters; any collision hashes identically in DuckDB.
+        if n == 1:
+            return F.transform(
+                F.col(col), lambda x: F.substring(F.md5(x), 1, 16)
+            )
+        return F.when(
+            F.size(col) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(col) - (n - 1)),
+                lambda i: F.substring(
+                    F.md5(F.array_join(F.slice(col, i, n), " ")), 1, 16
+                ),
+            ),
+        ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
+
+    def clipped(gc, gr):
+        return F.coalesce(
+            F.aggregate(
+                F.array_distinct(gc),
+                F.lit(0).cast("bigint"),
+                lambda acc, g: acc
+                + F.least(
+                    F.size(F.filter(gc, lambda x: x == g)),
+                    F.size(F.filter(gr, lambda x: x == g)),
+                ).cast("bigint"),
+            ),
+            F.lit(0).cast("bigint"),
+        )
+
+    # Materialize the gram arrays as real columns BEFORE folding over
+    # them: a column reference inside a higher-order-function lambda is
+    # a cheap attribute read, but an inline expression is re-evaluated
+    # per lambda call — O(distinct-grams) rebuilds of a 50-element
+    # string array per row without this select.
+    gram_cols = ["lang", F.size("c").alias("cand_len"),
+                 F.size("r").alias("ref_len")]
+    for n in range(1, 5):
+        gram_cols.append(grams("c", n).alias(f"gc{n}"))
+        gram_cols.append(grams("r", n).alias(f"gr{n}"))
+    gdf = pp.select(*gram_cols)
+    cols = ["lang", "cand_len", "ref_len"]
+    for n in range(1, 5):
+        cols.append(
+            clipped(F.col(f"gc{n}"), F.col(f"gr{n}")).alias(f"m{n}")
+        )
+        cols.append(F.size(f"gc{n}").alias(f"tt{n}"))
+    perpair = gdf.select(*cols)
+    agg = perpair.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.sum("cand_len").cast("bigint").alias("cand_tokens"),
+        F.sum("ref_len").cast("bigint").alias("ref_tokens"),
+        *[
+            c
+            for n in range(1, 5)
+            for c in (
+                F.sum(f"m{n}").cast("bigint").alias(f"c{n}"),
+                F.sum(f"tt{n}").cast("bigint").alias(f"t{n}"),
+            )
+        ],
+    )
+    lp = None
+    for n in range(1, 5):
+        term = F.floor(
+            F.log(
+                (F.col(f"c{n}") + 1).cast("double")
+                / (F.col(f"t{n}") + 1).cast("double")
+            )
+            * 1e6
+        ).cast("bigint")
+        lp = term if lp is None else lp + term
+    bp = F.when(
+        F.col("cand_tokens") <= F.col("ref_tokens"),
+        F.floor(
+            (
+                F.lit(1.0)
+                - F.col("ref_tokens").cast("double")
+                / F.col("cand_tokens").cast("double")
+            )
+            * 1e6
+        ).cast("bigint"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    lned = agg.withColumn("bp_ln_micro", bp).withColumn("lp_sum_micro", lp)
+    return lned.select(
+        "lang",
+        "n_pairs",
+        "cand_tokens",
+        "ref_tokens",
+        *[c for n in range(1, 5) for c in (f"c{n}", f"t{n}")],
+        "bp_ln_micro",
+        "lp_sum_micro",
+        F.floor(
+            F.exp(
+                (4 * F.col("bp_ln_micro") + F.col("lp_sum_micro")).cast(
+                    "double"
+                )
+                / 4e6
+            )
+            * 1e3
+        )
+        .cast("bigint")
+        .alias("bleu_milli"),
+    ).orderBy("lang")
