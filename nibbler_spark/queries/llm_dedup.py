@@ -3577,3 +3577,199 @@ def ext_louvain_modularity_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("improved"),
         )
     )
+
+
+@register(
+    "ext_suffix_array_lcp",
+    survey_id="EXT-SUFFIX-ARRAY",
+    category="llm-dedup",
+    oracle="""
+WITH tk AS (
+  SELECT doc_id, string_split(text, ' ')[1:48] AS t
+  FROM documents
+),
+suf AS (
+  SELECT doc_id, UNNEST(generate_series(1, len(t))) AS pos, t
+  FROM tk WHERE len(t) >= 1
+),
+ordered AS (
+  SELECT doc_id, pos, t[pos:] AS s,
+         array_to_string(t[pos:], ' ') AS skey
+  FROM suf
+),
+adj AS (
+  SELECT doc_id, pos, s,
+         lead(doc_id) OVER w AS other_doc,
+         lead(pos) OVER w AS other_pos,
+         lead(s) OVER w AS s2
+  FROM ordered
+  WINDOW w AS (ORDER BY skey, doc_id, pos)
+),
+lcps AS (
+  SELECT doc_id, pos, other_doc, other_pos,
+         CAST(COALESCE(
+           NULLIF(list_position(
+             list_transform(generate_series(1, LEAST(len(s), len(s2))),
+                            i -> s[i] = s2[i]),
+             false), 0),
+           LEAST(len(s), len(s2)) + 1) - 1 AS BIGINT) AS lcp,
+         s
+  FROM adj
+  WHERE other_doc IS NOT NULL AND other_doc <> doc_id
+)
+SELECT doc_id, pos, other_doc, other_pos, lcp,
+       substr(md5(array_to_string(s[1:lcp], ' ')), 1, 16) AS span_h
+FROM lcps
+ORDER BY lcp DESC, doc_id, pos, other_doc, other_pos
+LIMIT 30
+""",
+)
+def ext_suffix_array_lcp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus suffix array by DISTRIBUTED PREFIX DOUBLING, then the
+    longest cross-document repeated token spans off its LCP structure
+    — the real suffix-array half of Lee et al.'s ExactSubstr dedup
+    ("Deduplicating Training Data Makes Language Models Better",
+    2022), where ext_substring_span_dedup is the fixed-gram-width
+    relaxation. Suffixes are capped at 48 tokens (the cap bounds
+    comparison depth; dedup spans of interest are far shorter).
+
+    Algorithm (Manber-Myers doubling, shuffle-native): rank_1 = dense
+    rank of each suffix's first token; then 6 rounds of
+    rank_{2k}(d,p) = dense_rank(rank_k(d,p), rank_k(d,p+k)) where the
+    partner rank arrives by lead(r, k) OVER (PARTITION BY doc — a
+    suffix's +k neighbour lives in the SAME doc partition, so each
+    round is one per-doc window plus one dense-rank assignment, never
+    a self-join on the suffix table. Dense ranks are assigned with
+    two_phase_rank (bucketed count -> broadcast offsets -> per-bucket
+    row_number; bucket = r1 DIV 64 stays coarse-monotone), so NO
+    round sorts the corpus through a single partition. After k=32 the
+    covered prefix (64) exceeds the cap, making the order total.
+
+    Rank-adjacent suffixes (global s_idx, again two_phase_rank) from
+    DIFFERENT docs then yield LCP by direct token-array comparison
+    (token arrays re-attach once after the loop, bounded at 48 — the
+    doubling itself carries only (doc_id, pos, rank)), and the top-30
+    cross-doc repeats are the audit output. The DuckDB oracle knows
+    nothing of doubling: it sorts full suffix STRINGS (space-joined;
+    every corpus codepoint is > 32, so string order == token-sequence
+    order) — an independent re-derivation, so a hash match validates
+    the entire rank construction.
+
+    Scale: the suffix table is 48x corpus rows; each doubling round
+    is a 48-row-per-doc window + a distinct-pair aggregate + one
+    hash join back — all keyed, all combinable, no stage quadratic
+    in anything. At 100 TB the distinct-pair table is the big
+    intermediate (<= n_suffixes rows); bucketed dense-rank keeps its
+    sort partitioned."""
+    from nibbler_spark.queries._helpers import two_phase_rank
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tk = d.select(
+        "doc_id", F.slice(F.split("text", " "), 1, 48).alias("t")
+    ).where(F.size("t") >= 1)
+    suf = tk.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.size("t"))).alias("pos"),
+        "t",
+    ).select(
+        "doc_id",
+        "pos",
+        F.expr("slice(t, pos, 48)").alias("s"),
+        F.element_at("t", F.col("pos")).alias("tok0"),
+    )
+
+    # rank_1: dense rank of the first token (bucket by first char --
+    # monotone in binary string order for this >=0x20 corpus).
+    vocab = suf.select(F.col("tok0").alias("v")).distinct()
+    vr = two_phase_rank(
+        vocab, F.ascii(F.substring("v", 1, 1)), [F.col("v")], "r"
+    )
+    # The doubling loop carries ONLY (doc_id, pos, r) — the token
+    # arrays would otherwise ride through every shuffle of every
+    # round. Each round is localCheckpoint'ed: the rank table is
+    # consumed by three downstream branches (lead window, distinct
+    # pairs, join-back), and an uncut lineage re-executes the whole
+    # prefix per branch per round — exponential recompute by k=32.
+    cur = (
+        suf.join(vr, suf["tok0"] == vr["v"])
+        .select("doc_id", "pos", F.col("r").cast("bigint").alias("r"))
+        .localCheckpoint()
+    )
+
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    for k in (1, 2, 4, 8, 16, 32):
+        paired = cur.withColumn(
+            "r2",
+            F.coalesce(F.lead("r", k).over(wdoc), F.lit(0)).cast("bigint"),
+        )
+        pairs = paired.select("r", "r2").distinct()
+        ranked = two_phase_rank(
+            pairs,
+            F.expr("r DIV 64"),
+            [F.col("r"), F.col("r2")],
+            "nr",
+        ).select(
+            F.col("r").alias("pr"),
+            F.col("r2").alias("pr2"),
+            F.col("nr").cast("bigint").alias("nr"),
+        )
+        cur = (
+            paired.join(
+                ranked,
+                (paired["r"] == ranked["pr"])
+                & (paired["r2"] == ranked["pr2"]),
+            )
+            .select("doc_id", "pos", F.col("nr").alias("r"))
+            .localCheckpoint()
+        )
+
+    # Global suffix-order index, then rank-adjacent LCP across docs;
+    # token arrays re-attach here, once, from the narrow suffix table.
+    ordered = two_phase_rank(
+        cur,
+        F.expr("r DIV 64"),
+        [F.col("r"), F.col("doc_id"), F.col("pos")],
+        "s_idx",
+    ).join(suf.select("doc_id", "pos", "s"), ["doc_id", "pos"])
+    nxt = ordered.select(
+        (F.col("s_idx") - 1).alias("p_idx"),
+        F.col("doc_id").alias("other_doc"),
+        F.col("pos").alias("other_pos"),
+        F.col("s").alias("s2"),
+    )
+    adj = ordered.join(nxt, F.col("s_idx") == F.col("p_idx")).where(
+        F.col("other_doc") != F.col("doc_id")
+    )
+    least_len = F.least(F.size("s"), F.size("s2"))
+    eqs = F.zip_with(
+        F.slice("s", 1, 48), F.slice("s2", 1, 48), lambda x, y: x == y
+    )
+    first_neq = F.array_position(
+        F.slice(eqs, F.lit(1), least_len), F.lit(False)
+    )
+    lcp = F.when(first_neq == 0, least_len).otherwise(
+        first_neq - 1
+    ).cast("bigint")
+    return (
+        adj.select(
+            "doc_id",
+            "pos",
+            "other_doc",
+            "other_pos",
+            lcp.alias("lcp"),
+            F.substring(
+                F.md5(
+                    F.array_join(
+                        F.slice("s", F.lit(1), lcp), " "
+                    )
+                ),
+                1,
+                16,
+            ).alias("span_h"),
+        )
+        .orderBy(
+            F.col("lcp").desc(), "doc_id", "pos", "other_doc", "other_pos"
+        )
+        .limit(30)
+    )
