@@ -2959,3 +2959,146 @@ def ext_bleu_self_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("bleu_milli"),
     ).orderBy("lang")
+
+
+@register(
+    "ext_rouge_l_similarity",
+    survey_id="EXT-ROUGE-L",
+    category="llm-text",
+    oracle="""
+WITH paired AS (
+  SELECT lang, string_split(text, ' ')[1:24] AS c,
+         string_split(lead(text) OVER (PARTITION BY lang ORDER BY doc_id),
+                      ' ')[1:24] AS r
+  FROM documents
+),
+pp AS (SELECT lang, c, r FROM paired WHERE r IS NOT NULL),
+eqv AS (
+  SELECT lang, len(c) AS nc, len(r) AS nr, r,
+         list_transform(c, ct ->
+           list_concat([0], list_transform(r, rt ->
+             CASE WHEN rt = ct THEN 1 ELSE 0 END))) AS eqvecs
+  FROM pp
+),
+dp AS (
+  SELECT lang, nc, nr,
+         reduce(
+           list_concat(
+             [list_transform(generate_series(0, nr), x -> 0)],
+             eqvecs),
+           (acc, eq) -> list_transform(generate_series(1, nr + 1),
+             j -> CASE WHEN j = 1 THEN 0
+                  ELSE GREATEST(acc[j],
+                    COALESCE(list_max(list_transform(
+                      generate_series(2, j),
+                      i -> acc[i-1] + eq[i])), 0)) END)
+         )[nr + 1] AS lcs
+  FROM eqv
+),
+agg AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(lcs) AS BIGINT) AS lcs_sum,
+         CAST(SUM(nc) AS BIGINT) AS cand_tokens,
+         CAST(SUM(nr) AS BIGINT) AS ref_tokens
+  FROM dp GROUP BY lang
+)
+SELECT lang, n_pairs, lcs_sum, cand_tokens, ref_tokens,
+       CAST(lcs_sum * 1000000 // cand_tokens AS BIGINT) AS p_micro,
+       CAST(lcs_sum * 1000000 // ref_tokens AS BIGINT) AS r_micro,
+       CAST(2 * lcs_sum * 1000000 // (cand_tokens + ref_tokens)
+            AS BIGINT) AS f1_micro
+FROM agg
+ORDER BY lang
+""",
+)
+def ext_rouge_l_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level ROUGE-L between each document and its
+    same-language successor (24-token cap) — the LCS-based overlap
+    metric of summarization eval (Lin 2004), computed here as ONE
+    higher-order-function expression per pair: the LCS dynamic
+    program is an F.aggregate fold over candidate tokens whose
+    accumulator IS the DP row, using the prefix-max identity
+    new[j] = max(acc[j], max_{i<=j}(acc[i-1] + eq_i)) (valid because
+    LCS DP rows are non-decreasing), so no UDF, no explode, no join —
+    pure whole-stage-codegen array arithmetic, the viterbi/holt
+    pattern applied to a 2-D DP.
+
+    Corpus-level scores collapse to exact integers: with P = S/C and
+    R = S/R_tok over SUMMED statistics, F1 = 2PR/(P+R) = 2S/(C+R_tok)
+    identically, so precision, recall and F1 are all BIGINT
+    floor-micro ratios — no transcendental, no grid. The DuckDB
+    oracle runs the IDENTICAL fold via reduce() (accumulator list
+    prepended, since reduce has no init parameter) over per-token
+    equality vectors; both engines walk the same integer lattice.
+
+    Scale shape: pairing is one lead() window per language (bucket +
+    boundary-patch at 100 TB, as ext_bleu_self_similarity); the DP is
+    row-local O(n*m^2) on 24-capped arrays (~7k integer ops/pair,
+    in-scan); the reduction is a 5-row aggregate. Nothing leaves the
+    row until the final groupBy."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    pp = (
+        d.select(
+            "lang",
+            F.slice(F.split("text", " "), 1, 24).alias("c"),
+            F.slice(F.split(F.lead("text").over(w), " "), 1, 24).alias("r"),
+        )
+        .where(F.col("r").isNotNull())
+    )
+    nr = F.size("r")
+    lcs_row = F.aggregate(
+        F.col("c"),
+        F.transform(F.sequence(F.lit(0), nr), lambda x: F.lit(0).cast("bigint")),
+        lambda acc, ct: F.transform(
+            F.sequence(F.lit(1), nr + 1),
+            lambda j: F.when(j == 1, F.lit(0).cast("bigint")).otherwise(
+                F.greatest(
+                    F.element_at(acc, j),
+                    F.coalesce(
+                        F.array_max(
+                            F.transform(
+                                F.sequence(F.lit(2), j),
+                                lambda i: F.element_at(acc, i - 1)
+                                + F.when(
+                                    F.element_at(F.col("r"), i - 1) == ct,
+                                    F.lit(1),
+                                )
+                                .otherwise(F.lit(0))
+                                .cast("bigint"),
+                            )
+                        ),
+                        F.lit(0).cast("bigint"),
+                    ),
+                )
+            ),
+        ),
+    )
+    dp = pp.select(
+        "lang",
+        F.size("c").alias("nc"),
+        nr.alias("nr"),
+        F.element_at(lcs_row, nr + 1).alias("lcs"),
+    )
+    agg = dp.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.sum("lcs").cast("bigint").alias("lcs_sum"),
+        F.sum("nc").cast("bigint").alias("cand_tokens"),
+        F.sum("nr").cast("bigint").alias("ref_tokens"),
+    )
+    return agg.select(
+        "lang",
+        "n_pairs",
+        "lcs_sum",
+        "cand_tokens",
+        "ref_tokens",
+        F.expr("lcs_sum * 1000000 DIV cand_tokens")
+        .cast("bigint")
+        .alias("p_micro"),
+        F.expr("lcs_sum * 1000000 DIV ref_tokens")
+        .cast("bigint")
+        .alias("r_micro"),
+        F.expr("2 * lcs_sum * 1000000 DIV (cand_tokens + ref_tokens)")
+        .cast("bigint")
+        .alias("f1_micro"),
+    ).orderBy("lang")

@@ -1,0 +1,206 @@
+"""Round-6 session-3 additions: text-eval / LM-statistics operators
+(Good-Turing, PPMI, BLEU, ROUGE-L) and the prefix-doubling suffix
+array.
+
+Each test is an INDEPENDENT pure-Python re-derivation — not a
+construction-identical unrolling — because a DuckDB oracle built the
+same way as the query can't see semantic off-by-ones (the viterbi
+lesson: its +1 start-transition bug passed the construction oracle and
+failed only the brute force).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from nibbler_spark.sources import load_table
+
+
+def _docs(spark, sf_dir):
+    return [
+        (r["doc_id"], r["lang"], r["text"].split(" "))
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "text")
+        .collect()
+    ]
+
+
+def test_good_turing_matches_bruteforce(spark, sf_dir):
+    from nibbler_spark.queries import load_all
+
+    docs = _docs(spark, sf_dir)
+    tf = Counter(t for _, _, toks in docs for t in toks)
+    ff = Counter(tf.values())
+    total = sum(tf.values())
+    rows = (
+        load_all()["ext_good_turing_smoothing"].spark(spark, sf_dir).collect()
+    )
+    assert [r["r"] for r in rows] == list(range(11))
+    for r in rows:
+        k = r["r"]
+        assert r["n_r"] == (ff.get(k, 0) if k >= 1 else 0)
+        assert r["n_next"] == ff.get(k + 1, 0)
+        if k >= 1 and ff.get(k, 0) > 0:
+            assert r["r_star_micro"] == (
+                (k + 1) * ff.get(k + 1, 0) * 1_000_000
+            ) // ff[k]
+        else:
+            assert r["r_star_micro"] == 0
+        assert r["mass_micro"] == (
+            (k + 1) * ff.get(k + 1, 0) * 1_000_000
+        ) // total
+
+
+def test_ppmi_matches_bruteforce(spark, sf_dir):
+    import math
+
+    from nibbler_spark.queries import load_all
+
+    docs = _docs(spark, sf_dir)
+    pairs = []
+    for _, _, toks in docs:
+        for k in (1, 2):
+            pairs += list(zip(toks, toks[k:]))
+    t = len(pairs)
+    uni = Counter(tok for _, _, toks in docs for tok in toks)
+    top50 = set(
+        w for w, _ in sorted(uni.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    )
+    c2 = Counter(w2 for _, w2 in pairs)
+    c12 = Counter(p for p in pairs if p[0] in top50)
+    c1 = Counter()
+    for (w1, _), n in c12.items():
+        c1[w1] += n
+    best = {}
+    for (w1, w2), n in c12.items():
+        pmi = math.floor(
+            math.log((n * t) / (c1[w1] * c2[w2])) * 1e6
+        )
+        best.setdefault(w1, []).append((-pmi, -n, w2))
+    expect = {}
+    for w1, lst in best.items():
+        expect[w1] = [
+            (w2, -negn, -negp) for negp, negn, w2 in sorted(lst)[:5]
+        ]
+    rows = load_all()["ext_ppmi_associations"].spark(spark, sf_dir).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["w1"], []).append(
+            (r["w2"], r["c12"], r["pmi_micro"])
+        )
+        assert r["c1"] == c1[r["w1"]]
+        assert r["c2"] == c2[r["w2"]]
+        assert r["t"] == t
+    assert got == {w1: v for w1, v in expect.items()}
+
+
+def _clipped(cand, ref, n):
+    gc = Counter(tuple(cand[i : i + n]) for i in range(len(cand) - n + 1))
+    gr = Counter(tuple(ref[i : i + n]) for i in range(len(ref) - n + 1))
+    return sum(min(c, gr[g]) for g, c in gc.items()), max(
+        len(cand) - n + 1, 0
+    )
+
+
+def test_bleu_counts_match_bruteforce(spark, sf_dir):
+    from nibbler_spark.queries import load_all
+
+    docs = _docs(spark, sf_dir)
+    by_lang = {}
+    for doc_id, lang, toks in sorted(docs):
+        by_lang.setdefault(lang, []).append(toks)
+    rows = (
+        load_all()["ext_bleu_self_similarity"].spark(spark, sf_dir).collect()
+    )
+    assert len(rows) == len(by_lang)
+    for r in rows:
+        seq = by_lang[r["lang"]]
+        prs = list(zip(seq, seq[1:]))
+        assert r["n_pairs"] == len(prs)
+        assert r["cand_tokens"] == sum(len(c) for c, _ in prs)
+        assert r["ref_tokens"] == sum(len(x) for _, x in prs)
+        for n in range(1, 5):
+            m = sum(_clipped(c, x, n)[0] for c, x in prs)
+            tt = sum(_clipped(c, x, n)[1] for c, x in prs)
+            assert r[f"c{n}"] == m, (r["lang"], n)
+            assert r[f"t{n}"] == tt, (r["lang"], n)
+
+
+def _lcs(a, b):
+    prev = [0] * (len(b) + 1)
+    for ct in a:
+        cur = [0] * (len(b) + 1)
+        for j, rt in enumerate(b, start=1):
+            cur[j] = max(prev[j], cur[j - 1], prev[j - 1] + (ct == rt))
+        prev = cur
+    return prev[len(b)]
+
+
+def test_rouge_l_matches_bruteforce(spark, sf_dir):
+    from nibbler_spark.queries import load_all
+
+    docs = _docs(spark, sf_dir)
+    by_lang = {}
+    for doc_id, lang, toks in sorted(docs):
+        by_lang.setdefault(lang, []).append(toks[:24])
+    rows = (
+        load_all()["ext_rouge_l_similarity"].spark(spark, sf_dir).collect()
+    )
+    assert len(rows) == len(by_lang)
+    for r in rows:
+        seq = by_lang[r["lang"]]
+        prs = list(zip(seq, seq[1:]))
+        s = sum(_lcs(c, x) for c, x in prs)
+        c_tok = sum(len(c) for c, _ in prs)
+        r_tok = sum(len(x) for _, x in prs)
+        assert r["lcs_sum"] == s
+        assert r["cand_tokens"] == c_tok
+        assert r["ref_tokens"] == r_tok
+        assert r["p_micro"] == s * 1_000_000 // c_tok
+        assert r["r_micro"] == s * 1_000_000 // r_tok
+        assert r["f1_micro"] == 2 * s * 1_000_000 // (c_tok + r_tok)
+
+
+def test_suffix_array_lcp_matches_bruteforce(spark, sf_dir):
+    import hashlib
+
+    from nibbler_spark.queries import load_all
+
+    docs = _docs(spark, sf_dir)
+    sufs = []
+    for doc_id, _, toks in docs:
+        t = toks[:48]
+        for pos in range(1, len(t) + 1):
+            sufs.append((t[pos - 1 :], doc_id, pos))
+    sufs.sort(key=lambda s: (s[0], s[1], s[2]))
+    cand = []
+    for (s1, d1, p1), (s2, d2, p2) in zip(sufs, sufs[1:]):
+        if d1 == d2:
+            continue
+        lcp = 0
+        for x, y in zip(s1, s2):
+            if x != y:
+                break
+            lcp += 1
+        span = " ".join(s1[:lcp])
+        h = hashlib.md5(span.encode()).hexdigest()[:16]
+        cand.append((-lcp, d1, p1, d2, p2, h))
+    expect = [
+        (d1, p1, d2, p2, -neg, h)
+        for neg, d1, p1, d2, p2, h in sorted(cand)[:30]
+    ]
+    rows = (
+        load_all()["ext_suffix_array_lcp"].spark(spark, sf_dir).collect()
+    )
+    got = [
+        (
+            r["doc_id"],
+            r["pos"],
+            r["other_doc"],
+            r["other_pos"],
+            r["lcp"],
+            r["span_h"],
+        )
+        for r in rows
+    ]
+    assert got == expect
