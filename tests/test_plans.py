@@ -777,3 +777,56 @@ def test_kneser_ney_type_total_broadcast(spark, sf_dir):
     plan = _plan(spark, sf_dir, "ext_kneser_ney_bigram")
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_good_turing_spine_joins_broadcast(spark, sf_dir):
+    """The 11-row spine and scalar total ride broadcasts; the only
+    corpus-scale exchange is the token count (map-side combined)."""
+    plan = _plan(spark, sf_dir, "ext_good_turing_smoothing")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row total
+    assert "SortMergeJoin" not in plan
+
+
+def test_ppmi_head_filter_before_pair_count(spark, sf_dir):
+    """The top-50 head list semi-joins as a broadcast BEFORE the c12
+    count shuffle, and the scoring joins broadcast the small sides."""
+    plan = _plan(spark, sf_dir, "ext_ppmi_associations")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    import re
+
+    m = re.search(r"BroadcastHashJoin.*?LeftSemi", plan, re.S)
+    assert m is not None, plan[:3000]
+    assert "TakeOrderedAndProject" in plan  # the top-50 head selection
+
+
+def test_bleu_grams_never_leave_their_row(spark, sf_dir):
+    """No join at all: one lead() window per lang, then row-local gram
+    folds into a 5-row aggregate."""
+    plan = _plan(spark, sf_dir, "ext_bleu_self_similarity")
+    assert "EvalPython" not in plan
+    assert "Join" not in plan
+    assert plan.count("Window") >= 1
+
+
+def test_rouge_l_dp_is_pure_codegen(spark, sf_dir):
+    """The LCS fold is column arithmetic: no Python eval, no join, one
+    pairing window plus one aggregate."""
+    plan = _plan(spark, sf_dir, "ext_rouge_l_similarity")
+    assert "EvalPython" not in plan
+    assert "Join" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_suffix_array_no_cartesian_all_keyed(spark, sf_dir):
+    """Every doubling round joins keyed (rank-pair hash join back) with
+    broadcast offset tables from two_phase_rank; nothing cartesian, no
+    Python eval. The plan is post-checkpoint (the last round's join +
+    LCP adjacency), so also assert the adjacency join stays keyed."""
+    plan = _plan(spark, sf_dir, "ext_suffix_array_lcp")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
