@@ -78,6 +78,11 @@ FLAGSHIPS = [
     "ext_unigram_lm_segmentation",
     "ext_dsir_importance_weights",
     "i43_stream_grouped_packing",
+    # r6 session 3: the prefix-doubling suffix array — the suffix table
+    # is 48x docs and every doubling round is window + dense-rank +
+    # keyed join, so wall time should track n log-ish; the top-30 LCP
+    # output is constant-size.
+    "ext_suffix_array_lcp",
 ]
 GATE_RATIO = 12.0  # 10x data -> <= 12x wall (near-linear)
 # candidate-bound gate: wall time may grow at most this much faster than
