@@ -3102,3 +3102,228 @@ def ext_rouge_l_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("f1_micro"),
     ).orderBy("lang")
+
+
+@register(
+    "ext_lang_kl_divergence",
+    survey_id="EXT-KL-DIVERGENCE",
+    category="llm-text",
+    oracle="""
+WITH tf AS (
+  SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS c_lw
+  FROM (
+    SELECT lang, UNNEST(string_split(text, ' ')) AS token FROM documents
+  ) GROUP BY lang, token
+),
+cw AS (SELECT token, CAST(SUM(c_lw) AS BIGINT) AS c_w FROM tf GROUP BY token),
+nl AS (SELECT lang, CAST(SUM(c_lw) AS BIGINT) AS n_l,
+              CAST(COUNT(*) AS BIGINT) AS vocab_l
+       FROM tf GROUP BY lang),
+tot AS (SELECT CAST(SUM(c_lw) AS BIGINT) AS n FROM tf),
+terms AS (
+  SELECT tf.lang,
+         tf.c_lw * CAST(FLOOR(ln(
+           (CAST(tf.c_lw AS DOUBLE) * CAST(tot.n AS DOUBLE))
+           / (CAST(nl.n_l AS DOUBLE) * CAST(cw.c_w AS DOUBLE)))
+           * 1000000e0) AS BIGINT) AS contrib
+  FROM tf JOIN cw USING (token) JOIN nl USING (lang) CROSS JOIN tot
+)
+SELECT nl.lang, nl.n_l, nl.vocab_l,
+       CAST(SUM(t.contrib) AS BIGINT) AS kl_num_micro,
+       CAST(CAST(SUM(t.contrib) AS DOUBLE) / CAST(nl.n_l AS DOUBLE)
+            / 1000000e0 AS DOUBLE) AS kl_nats
+FROM terms t JOIN nl USING (lang)
+GROUP BY nl.lang, nl.n_l, nl.vocab_l
+ORDER BY nl.lang
+""",
+)
+def ext_lang_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL divergence of each language's unigram LM from the corpus
+    unigram LM, KL(P_lang || P_corpus) = sum_w p_l(w) ln(p_l(w)/p_c(w))
+    — the domain-shift score behind mixture design (how far each
+    slice sits from the blend it feeds; the same quantity DoReMi-style
+    reweighting tracks per domain). Languages that share vocabulary
+    with the blend score near 0; disjoint-vocabulary slices score near
+    ln(n/n_l).
+
+    Exactness: each term's transcendental rides the gridded-ln recipe
+    (all four counts are exact BIGINTs; products stay < 2^53 so the
+    int64->double casts are exact), and the per-language SUM is over
+    BIGINT contributions c_lw * lnGrid — exact and order-independent.
+    Only the final kl_nats divides, on identical operands.
+
+    Scale shape: one (lang, token) count (map-side combinable), one
+    token-marginal rollup OF THAT TABLE (no second corpus scan), a
+    per-lang total, and one keyed join on token between the two
+    vocab-sized tables; the lang-total and corpus-total ride
+    broadcasts. Nothing corpus-scale after the first count."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("lang", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count("*").cast("bigint").alias("c_lw"))
+    )
+    cw = tf.groupBy("token").agg(F.sum("c_lw").cast("bigint").alias("c_w"))
+    nl = tf.groupBy("lang").agg(
+        F.sum("c_lw").cast("bigint").alias("n_l"),
+        F.count("*").cast("bigint").alias("vocab_l"),
+    )
+    tot = tf.agg(F.sum("c_lw").cast("bigint").alias("n"))
+    terms = (
+        tf.join(cw, "token")
+        .join(F.broadcast(nl), "lang")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            (
+                F.col("c_lw")
+                * F.floor(
+                    F.log(
+                        (
+                            F.col("c_lw").cast("double")
+                            * F.col("n").cast("double")
+                        )
+                        / (
+                            F.col("n_l").cast("double")
+                            * F.col("c_w").cast("double")
+                        )
+                    )
+                    * 1e6
+                ).cast("bigint")
+            ).alias("contrib"),
+        )
+    )
+    return (
+        terms.groupBy("lang")
+        .agg(F.sum("contrib").cast("bigint").alias("kl_num_micro"))
+        .join(F.broadcast(nl), "lang")
+        .select(
+            "lang",
+            "n_l",
+            "vocab_l",
+            "kl_num_micro",
+            (
+                F.col("kl_num_micro").cast("double")
+                / F.col("n_l").cast("double")
+                / F.lit(1e6)
+            ).alias("kl_nats"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "ext_bigram_conditional_entropy",
+    survey_id="EXT-COND-ENTROPY",
+    category="llm-text",
+    oracle="""
+WITH toks AS (
+  SELECT lang, string_split(text, ' ') AS tk FROM documents
+),
+bg AS (
+  SELECT lang, string_split(b, CHR(31))[1] AS w1,
+         string_split(b, CHR(31))[2] AS w2,
+         CAST(COUNT(*) AS BIGINT) AS c12
+  FROM (
+    SELECT lang, UNNEST(list_transform(
+             generate_series(1, GREATEST(len(tk) - 1, 0)),
+             i -> tk[i] || CHR(31) || tk[i+1])) AS b
+    FROM toks
+  ) GROUP BY 1, 2, 3
+),
+c1t AS (SELECT lang, w1, CAST(SUM(c12) AS BIGINT) AS c1
+        FROM bg GROUP BY lang, w1),
+terms AS (
+  SELECT bg.lang,
+         bg.c12 * CAST(FLOOR(ln(CAST(bg.c12 AS DOUBLE)
+                                / CAST(c1t.c1 AS DOUBLE))
+                             * 1000000e0) AS BIGINT) AS contrib,
+         bg.c12
+  FROM bg JOIN c1t USING (lang, w1)
+)
+SELECT lang,
+       CAST(SUM(c12) AS BIGINT) AS n_bigrams,
+       CAST(-SUM(contrib) AS BIGINT) AS h_num_micro,
+       CAST(CAST(-SUM(contrib) AS DOUBLE) / CAST(SUM(c12) AS DOUBLE)
+            / 1000000e0 AS DOUBLE) AS h_cond_nats
+FROM terms GROUP BY lang
+ORDER BY lang
+""",
+)
+def ext_bigram_conditional_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional bigram entropy H(W2|W1) per language = -(1/T) *
+    sum_{w1,w2} c12 * ln(c12/c1) — the information-theoretic
+    predictability of the corpus at bigram order. Shannon's measure of
+    how much a language model can gain from one token of context:
+    near-zero means frozen templates (every next token determined),
+    values near the unigram entropy mean context-free text. The same
+    number, tracked across crawls, is a cheap templating/boilerplate
+    drift monitor that complements ext_bleu_self_similarity (surface
+    overlap) and ext_ngram_novelty_decay (corpus growth).
+
+    Exactness: the gridded-ln recipe per (w1,w2) term, summed as exact
+    BIGINT c12*lnGrid contributions; the final nats value divides
+    identical doubles. Bigram formation is row-local; the only
+    corpus-scale exchange is the (lang,w1,w2) count (map-side
+    combinable); c1 folds out of the bigram table itself (no second
+    scan); the per-lang reduce is 5 rows."""
+    sep = chr(31)
+    d = load_table(spark, sf_dir, "documents")
+    tk = F.split("text", " ")
+    bg = (
+        d.select(
+            "lang",
+            F.explode(
+                F.when(
+                    F.size(tk) >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(tk) - 1),
+                        lambda i: F.concat_ws(
+                            sep,
+                            F.element_at(tk, i),
+                            F.element_at(tk, i + 1),
+                        ),
+                    ),
+                ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
+            ).alias("b"),
+        )
+        .select(
+            "lang",
+            F.split_part(F.col("b"), F.lit(sep), F.lit(1)).alias("w1"),
+            F.split_part(F.col("b"), F.lit(sep), F.lit(2)).alias("w2"),
+        )
+        .groupBy("lang", "w1", "w2")
+        .agg(F.count("*").cast("bigint").alias("c12"))
+    )
+    c1t = bg.groupBy("lang", "w1").agg(
+        F.sum("c12").cast("bigint").alias("c1")
+    )
+    terms = bg.join(c1t, ["lang", "w1"]).select(
+        "lang",
+        "c12",
+        (
+            F.col("c12")
+            * F.floor(
+                F.log(F.col("c12").cast("double") / F.col("c1").cast("double"))
+                * 1e6
+            ).cast("bigint")
+        ).alias("contrib"),
+    )
+    return (
+        terms.groupBy("lang")
+        .agg(
+            F.sum("c12").cast("bigint").alias("n_bigrams"),
+            (-F.sum("contrib")).cast("bigint").alias("h_num_micro"),
+        )
+        .select(
+            "lang",
+            "n_bigrams",
+            "h_num_micro",
+            (
+                F.col("h_num_micro").cast("double")
+                / F.col("n_bigrams").cast("double")
+                / F.lit(1e6)
+            ).alias("h_cond_nats"),
+        )
+        .orderBy("lang")
+    )
