@@ -108,6 +108,9 @@ HEADLINE = [
     # weighted shingle graph (exact integer modularity gains).
     "i43_stream_grouped_packing",  # BENCH-K26 (ingest-time packing)
     "ext_louvain_sync_round",  # BENCH-K27 (Louvain phase-1 sweep)
+    # r6 session 3: the prefix-doubling suffix array (6 dense-rank
+    # rounds + cross-doc LCP top-30) — the ExactSubstr dedup flagship.
+    "ext_suffix_array_lcp",  # BENCH-K28 (suffix array + LCP)
 ]
 
 

@@ -3327,3 +3327,137 @@ def ext_bigram_conditional_entropy(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "ext_chrf_self_similarity",
+    survey_id="EXT-CHRF",
+    category="llm-text",
+    oracle="""
+WITH paired AS (
+  SELECT lang, replace(text, ' ', '') AS c,
+         replace(lead(text) OVER (PARTITION BY lang ORDER BY doc_id),
+                 ' ', '') AS r
+  FROM documents
+),
+pp AS (SELECT lang, c[1:120] AS c, r[1:120] AS r FROM paired
+       WHERE r IS NOT NULL),
+grams AS (
+  SELECT lang,
+         list_transform(generate_series(1, GREATEST(len(c) - 5, 0)),
+                        i -> c[i : i + 5]) AS gc,
+         list_transform(generate_series(1, GREATEST(len(r) - 5, 0)),
+                        i -> r[i : i + 5]) AS gr
+  FROM pp
+),
+perpair AS (
+  SELECT lang,
+         COALESCE(list_sum(list_transform(list_distinct(gc),
+           g -> LEAST(len(list_filter(gc, x -> x = g)),
+                      len(list_filter(gr, x -> x = g))))), 0) AS m,
+         len(gc) AS ct, len(gr) AS rt
+  FROM grams
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(m) AS BIGINT) AS matched,
+       CAST(SUM(ct) AS BIGINT) AS cand_grams,
+       CAST(SUM(rt) AS BIGINT) AS ref_grams,
+       CAST(SUM(m) * 1000000 // SUM(ct) AS BIGINT) AS p_micro,
+       CAST(SUM(m) * 1000000 // SUM(rt) AS BIGINT) AS r_micro,
+       CAST(5 * SUM(m) * 1000000 // (4 * SUM(rt) + SUM(ct)) AS BIGINT)
+         AS chrf2_micro
+FROM perpair GROUP BY lang
+ORDER BY lang
+""",
+)
+def ext_chrf_self_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """chrF2 (Popovic 2015) between each document and its
+    same-language successor — character 6-gram F-score with beta=2,
+    the third leg of the eval trio next to ext_bleu_self_similarity
+    (word n-gram precision) and ext_rouge_l_similarity (LCS): char
+    grams see sub-word overlap (morphology, templated IDs) that word
+    metrics miss, which is exactly the near-dup signal template farms
+    leave. Text is whitespace-stripped then capped at 120 chars; the
+    clipped-match count per pair is the same distinct-gram min-count
+    fold as BLEU.
+
+    Exactness: with corpus sums, P = S/C and R = S/R give
+    F_beta=2 = 5PR/(4P+R) = 5S/(4R+C) IDENTICALLY — so precision,
+    recall and chrF2 are all exact BIGINT floor-micro ratios; no
+    transcendental anywhere in this query.
+
+    Scale shape: one lead() window per language (bucket + boundary
+    patch at 100 TB), then row-local char-gram folds (grams never
+    leave their row) into a 5-row aggregate. No join, no corpus-scale
+    shuffle beyond the pairing exchange."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    strip = lambda col: F.substring(  # noqa: E731
+        F.replace(col, F.lit(" "), F.lit("")), 1, 120
+    )
+    pp = (
+        d.select(
+            "lang",
+            strip(F.col("text")).alias("c"),
+            strip(F.lead("text").over(w)).alias("r"),
+        )
+        .where(F.col("r").isNotNull())
+    )
+
+    # 6-gram arrays via expr: F.substring takes plain-int positions, so
+    # the lambda-indexed slice needs the SQL form.
+    gc = F.expr(
+        "CASE WHEN length(c) >= 6 THEN "
+        "transform(sequence(1, length(c) - 5), i -> substring(c, i, 6)) "
+        "ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+    gr = F.expr(
+        "CASE WHEN length(r) >= 6 THEN "
+        "transform(sequence(1, length(r) - 5), i -> substring(r, i, 6)) "
+        "ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+    gdf = pp.select("lang", gc.alias("gc"), gr.alias("gr"))
+    m = F.coalesce(
+        F.aggregate(
+            F.array_distinct("gc"),
+            F.lit(0).cast("bigint"),
+            lambda acc, g: acc
+            + F.least(
+                F.size(F.filter("gc", lambda x: x == g)),
+                F.size(F.filter("gr", lambda x: x == g)),
+            ).cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+    )
+    perpair = gdf.select(
+        "lang",
+        m.alias("m"),
+        F.size("gc").alias("ct"),
+        F.size("gr").alias("rt"),
+    )
+    return (
+        perpair.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.sum("m").cast("bigint").alias("matched"),
+            F.sum("ct").cast("bigint").alias("cand_grams"),
+            F.sum("rt").cast("bigint").alias("ref_grams"),
+        )
+        .select(
+            "lang",
+            "n_pairs",
+            "matched",
+            "cand_grams",
+            "ref_grams",
+            F.expr("matched * 1000000 DIV cand_grams")
+            .cast("bigint")
+            .alias("p_micro"),
+            F.expr("matched * 1000000 DIV ref_grams")
+            .cast("bigint")
+            .alias("r_micro"),
+            F.expr("5 * matched * 1000000 DIV (4 * ref_grams + cand_grams)")
+            .cast("bigint")
+            .alias("chrf2_micro"),
+        )
+        .orderBy("lang")
+    )
