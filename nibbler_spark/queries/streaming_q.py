@@ -5134,3 +5134,167 @@ def i44_stream_dsir_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _drain_to_memory(scored, "append")
     return out.orderBy("doc_id")
+
+
+def _docs_token_slices_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Cache the documents table as four doc_id-quartile slices of
+    exploded (epoch, token) rows — the ingest feed for the online
+    vocabulary monitor.  Tokenization happens once at build time; the
+    stream moves two narrow columns."""
+
+    def build(tmp: str) -> None:
+        d = load_table(spark, sf_dir, "documents")
+        hi = d.agg(F.max("doc_id")).first()[0]
+        tok = d.select(
+            F.least(
+                F.lit(3), (F.col("doc_id") * 4 / (hi + 1)).cast("int")
+            ).alias("epoch"),
+            F.explode(F.split("text", " ")).alias("token"),
+        )
+        for q in range(4):
+            tok.where(F.col("epoch") == q).coalesce(1).write.parquet(
+                os.path.join(tmp, f"slice{q}")
+            )
+
+    return cached_dir(sf_dir, "documents", "vocab-slices-x4", build)
+
+
+@register(
+    "i45_stream_vocab_growth",
+    survey_id="EXT-STREAM-VOCAB",
+    category="streaming",
+    mode="parity",
+    oracle="""
+WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
+tok AS (
+  SELECT LEAST(3, CAST(doc_id * 4 // (mx.m + 1) AS INT)) AS epoch,
+         UNNEST(string_split(text, ' ')) AS token
+  FROM documents CROSS JOIN mx
+),
+per AS (
+  SELECT epoch, CAST(COUNT(*) AS BIGINT) AS total_tokens,
+         CAST(COUNT(DISTINCT token) AS BIGINT) AS distinct_types
+  FROM tok GROUP BY epoch
+),
+firsts AS (SELECT token, MIN(epoch) AS epoch FROM tok GROUP BY token),
+nov AS (
+  SELECT epoch, CAST(COUNT(*) AS BIGINT) AS novel_types
+  FROM firsts GROUP BY epoch
+)
+SELECT p.epoch, p.total_tokens, p.distinct_types,
+       COALESCE(n.novel_types, 0) AS novel_types,
+       CAST(COALESCE(n.novel_types, 0) * 1000000 // p.distinct_types
+            AS BIGINT) AS novelty_micro
+FROM per p LEFT JOIN nov n USING (epoch)
+ORDER BY p.epoch
+""",
+)
+def i45_stream_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE vocabulary-growth monitoring — the streaming dual of
+    ext_ngram_novelty_decay and the ingest-side companion of
+    ext_good_turing_smoothing: as each corpus slice lands, report how
+    many token types the crawl has never seen before.  A collapsing
+    novelty curve tells the data team mid-INGEST (not after a batch
+    re-scan) that a source has saturated.
+
+    State is the seen-vocabulary index itself, keyed PER TOKEN
+    (applyInPandasWithState; value = one long), the i42 design rule:
+    state size equals the product being maintained, never a window of
+    the stream, and per-token keys let the state store partition
+    horizontally at 100 TB.  Four doc_id-quartile slices land one at
+    a time, each an availableNow catch-up pass against the same
+    checkpoint (epoch order by construction); each batch emits one row
+    per (token-in-batch) with its batch count and a novel flag, sunk
+    per epoch via foreachBatch to parquet; the final read aggregates
+    per epoch DISTRIBUTED — the per-token emission stream never
+    touches the driver.
+
+    Parity: the union of per-epoch emissions must reproduce the batch
+    derivation exactly — novel_types(e) = #tokens whose FIRST epoch
+    is e (min-epoch groupBy in the oracle), total/distinct per epoch
+    straight counts — so the online index provably equals the offline
+    scan at every epoch boundary."""
+    import shutil
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    cache = _docs_token_slices_dir(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="nibbler-vocab-")
+    ingest = os.path.join(base, "ingest")
+    outdir = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(ingest)
+
+    def probe(key, pdfs, state: GroupState):
+        (token,) = key
+        rows = pd.concat(list(pdfs))
+        novel = not state.exists
+        state.update((1,))
+        yield pd.DataFrame(
+            {
+                "token": [token],
+                "epoch": [int(rows["epoch"].max())],
+                "cnt": [len(rows)],
+                "novel": [novel],
+            }
+        )
+
+    prior_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        for q in range(4):
+            src = os.path.join(cache, f"slice{q}")
+            for f in sorted(os.listdir(src)):
+                if f.endswith(".parquet"):
+                    shutil.copy(
+                        os.path.join(src, f),
+                        os.path.join(ingest, f"slice{q}.parquet"),
+                    )
+            probed = (
+                spark.readStream.schema("epoch int, token string")
+                .parquet(ingest)
+                .groupBy("token")
+                .applyInPandasWithState(
+                    probe,
+                    "token string, epoch long, cnt long, novel boolean",
+                    "seen long",
+                    "update",
+                    GroupStateTimeout.NoTimeout,
+                )
+            )
+            sq = (
+                probed.writeStream.foreachBatch(
+                    lambda df, _eid: df.write.mode("append").parquet(outdir)
+                )
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            sq.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior_shuffle)
+    emitted = spark.read.schema(
+        "token string, epoch long, cnt long, novel boolean"
+    ).parquet(outdir)
+    return (
+        emitted.groupBy("epoch")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("total_tokens"),
+            F.count("*").cast("bigint").alias("distinct_types"),
+            F.sum(F.col("novel").cast("bigint"))
+            .cast("bigint")
+            .alias("novel_types"),
+        )
+        .select(
+            "epoch",
+            "total_tokens",
+            "distinct_types",
+            "novel_types",
+            F.expr("novel_types * 1000000 DIV distinct_types")
+            .cast("bigint")
+            .alias("novelty_micro"),
+        )
+        .orderBy("epoch")
+    )
