@@ -204,3 +204,95 @@ def test_suffix_array_lcp_matches_bruteforce(spark, sf_dir):
         for r in rows
     ]
     assert got == expect
+
+
+def test_kl_divergence_matches_bruteforce(spark, sf_dir):
+    import math
+
+    from nibbler_spark.queries import load_all
+
+    docs = _docs(spark, sf_dir)
+    tf = Counter()
+    for _, lang, toks in docs:
+        for t in toks:
+            tf[(lang, t)] += 1
+    cw = Counter()
+    nl = Counter()
+    vocab_l = Counter()
+    for (lang, t), c in tf.items():
+        cw[t] += c
+        nl[lang] += c
+        vocab_l[lang] += 1
+    n = sum(cw.values())
+    rows = (
+        load_all()["ext_lang_kl_divergence"].spark(spark, sf_dir).collect()
+    )
+    assert len(rows) == len(nl)
+    for r in rows:
+        lang = r["lang"]
+        assert r["n_l"] == nl[lang]
+        assert r["vocab_l"] == vocab_l[lang]
+        num = sum(
+            c * math.floor(math.log((c * n) / (nl[lang] * cw[t])) * 1e6)
+            for (lg, t), c in tf.items()
+            if lg == lang
+        )
+        assert r["kl_num_micro"] == num
+        # KL >= 0 (up to the 1e-6 grid's downward bias per term)
+        assert r["kl_nats"] > -1e-3
+
+
+def test_bigram_conditional_entropy_matches_bruteforce(spark, sf_dir):
+    import math
+
+    from nibbler_spark.queries import load_all
+
+    docs = _docs(spark, sf_dir)
+    bg = Counter()
+    for _, lang, toks in docs:
+        for a, b in zip(toks, toks[1:]):
+            bg[(lang, a, b)] += 1
+    c1 = Counter()
+    for (lang, a, _), c in bg.items():
+        c1[(lang, a)] += c
+    rows = (
+        load_all()["ext_bigram_conditional_entropy"]
+        .spark(spark, sf_dir)
+        .collect()
+    )
+    for r in rows:
+        lang = r["lang"]
+        num = -sum(
+            c * math.floor(math.log(c / c1[(lg, a)]) * 1e6)
+            for (lg, a, b), c in bg.items()
+            if lg == lang
+        )
+        tot = sum(c for (lg, _, _), c in bg.items() if lg == lang)
+        assert r["n_bigrams"] == tot
+        assert r["h_num_micro"] == num
+        assert 0 <= r["h_cond_nats"] < 12  # sane entropy range
+
+
+def test_chrf_matches_bruteforce(spark, sf_dir):
+    from nibbler_spark.queries import load_all
+
+    docs = _docs(spark, sf_dir)
+    by_lang = {}
+    for doc_id, lang, toks in sorted(docs):
+        by_lang.setdefault(lang, []).append("".join(toks)[:120])
+    rows = (
+        load_all()["ext_chrf_self_similarity"].spark(spark, sf_dir).collect()
+    )
+    for r in rows:
+        seq = by_lang[r["lang"]]
+        prs = list(zip(seq, seq[1:]))
+        m = ct = rt = 0
+        for c, x in prs:
+            gc = Counter(c[i : i + 6] for i in range(len(c) - 5))
+            gx = Counter(x[i : i + 6] for i in range(len(x) - 5))
+            m += sum(min(v, gx[g]) for g, v in gc.items())
+            ct += max(len(c) - 5, 0)
+            rt += max(len(x) - 5, 0)
+        assert r["n_pairs"] == len(prs)
+        assert (r["matched"], r["cand_grams"], r["ref_grams"]) == (m, ct, rt)
+        assert r["chrf2_micro"] == 5 * m * 1_000_000 // (4 * rt + ct)
