@@ -3158,10 +3158,16 @@ def ext_lang_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab-sized tables; the lang-total and corpus-total ride
     broadcasts. Nothing corpus-scale after the first count."""
     d = load_table(spark, sf_dir, "documents")
+    # Materialize the (lang, token) count once: Catalyst has no
+    # DAG-level subtree sharing, so without this each of the four
+    # consumers (marginal, lang totals, corpus total, terms) re-scans
+    # the corpus — 5 scans of 100 TB instead of 1 scan + 4 passes over
+    # a vocab-sized table. Plan-asserted in test_plans.py.
     tf = (
         d.select("lang", F.explode(F.split("text", " ")).alias("token"))
         .groupBy("lang", "token")
         .agg(F.count("*").cast("bigint").alias("c_lw"))
+        .localCheckpoint()
     )
     cw = tf.groupBy("token").agg(F.sum("c_lw").cast("bigint").alias("c_w"))
     nl = tf.groupBy("lang").agg(
@@ -3294,6 +3300,10 @@ def ext_bigram_conditional_entropy(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .groupBy("lang", "w1", "w2")
         .agg(F.count("*").cast("bigint").alias("c12"))
+        # materialized once: both the c1 rollup and the terms join
+        # consume it, and Catalyst would otherwise re-scan the corpus
+        # per consumer (see ext_lang_kl_divergence)
+        .localCheckpoint()
     )
     c1t = bg.groupBy("lang", "w1").agg(
         F.sum("c12").cast("bigint").alias("c1")

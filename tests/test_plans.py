@@ -830,3 +830,33 @@ def test_suffix_array_no_cartesian_all_keyed(spark, sf_dir):
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kl_divergence_single_corpus_scan(spark, sf_dir):
+    """The (lang, token) count is materialized ONCE (localCheckpoint):
+    Catalyst has no DAG-level subtree sharing, so the naive plan
+    re-scanned the corpus per consumer (5 parquet scans — caught by
+    this test's first version). The final plan must contain ZERO
+    corpus scans; everything derives from the vocab-sized rank table."""
+    plan = _plan(spark, sf_dir, "ext_lang_kl_divergence")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row corpus total
+    assert "documents.parquet" not in plan
+    assert "ExistingRDD" in plan
+
+
+def test_cond_entropy_c1_folds_out_of_bigram_table(spark, sf_dir):
+    """Same materialize-once discipline for the bigram count table."""
+    plan = _plan(spark, sf_dir, "ext_bigram_conditional_entropy")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "documents.parquet" not in plan
+    assert "ExistingRDD" in plan
+
+
+def test_chrf_grams_never_leave_their_row(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "ext_chrf_self_similarity")
+    assert "EvalPython" not in plan
+    assert "Join" not in plan
