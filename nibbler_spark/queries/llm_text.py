@@ -3471,3 +3471,208 @@ def ext_chrf_self_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "ext_kn_heldout_perplexity",
+    survey_id="EXT-KN-HELDOUT",
+    category="llm-text",
+    oracle="""
+WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
+tagged AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS tk,
+         LEAST(3, CAST(doc_id * 4 // (mx.m + 1) AS INT)) AS epoch
+  FROM documents CROSS JOIN mx
+),
+train_bg AS (
+  SELECT lang, string_split(b, CHR(31))[1] AS w1,
+         string_split(b, CHR(31))[2] AS w2,
+         CAST(COUNT(*) AS BIGINT) AS c12
+  FROM (
+    SELECT lang, UNNEST(list_transform(
+             generate_series(1, GREATEST(len(tk) - 1, 0)),
+             i -> tk[i] || CHR(31) || tk[i+1])) AS b
+    FROM tagged WHERE epoch <= 2
+  ) GROUP BY 1, 2, 3
+),
+lhs AS (SELECT lang, w1, CAST(SUM(c12) AS BIGINT) AS c1,
+               CAST(COUNT(*) AS BIGINT) AS fanout
+        FROM train_bg GROUP BY lang, w1),
+rhs AS (SELECT lang, w2, CAST(COUNT(*) AS BIGINT) AS ctn
+        FROM train_bg GROUP BY lang, w2),
+tot AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS t,
+               CAST(COUNT(DISTINCT w2) AS BIGINT) AS v
+        FROM train_bg GROUP BY lang),
+held AS (
+  SELECT doc_id, lang, string_split(b, CHR(31))[1] AS w1,
+         string_split(b, CHR(31))[2] AS w2
+  FROM (
+    SELECT doc_id, lang, UNNEST(list_transform(
+             generate_series(1, GREATEST(len(tk) - 1, 0)),
+             i -> tk[i] || CHR(31) || tk[i+1])) AS b
+    FROM tagged WHERE epoch = 3
+  )
+),
+scored AS (
+  SELECT h.doc_id, h.lang,
+         CAST(FLOOR(ln(
+           CASE WHEN l.c1 IS NOT NULL THEN
+             CAST((tot.t + tot.v)
+                  * GREATEST(4 * COALESCE(b.c12, 0) - 3, 0)
+                  + 3 * l.fanout * (COALESCE(r.ctn, 0) + 1) AS DOUBLE)
+             / CAST(4 * l.c1 * (tot.t + tot.v) AS DOUBLE)
+           ELSE
+             CAST(COALESCE(r.ctn, 0) + 1 AS DOUBLE)
+             / CAST(tot.t + tot.v AS DOUBLE)
+           END) * 1000000e0) AS BIGINT) AS lnp_micro
+  FROM held h
+  JOIN tot ON h.lang = tot.lang
+  LEFT JOIN lhs l ON h.lang = l.lang AND h.w1 = l.w1
+  LEFT JOIN rhs r ON h.lang = r.lang AND h.w2 = r.w2
+  LEFT JOIN train_bg b ON h.lang = b.lang AND h.w1 = b.w1 AND h.w2 = b.w2
+),
+per_doc AS (
+  SELECT lang, doc_id, CAST(SUM(lnp_micro) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS nb
+  FROM scored GROUP BY lang, doc_id
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(nb) AS BIGINT) AS n_bigrams,
+       CAST(SUM(s) AS BIGINT) AS sum_ln_micro,
+       CAST(exp(CAST(-SUM(s) AS DOUBLE)
+                / CAST(SUM(nb) AS DOUBLE) / 1000000e0) AS DOUBLE) AS ppl,
+       CAST(MAX((-s) // nb) AS BIGINT) AS worst_doc_nll_micro,
+       CAST(MIN((-s) // nb) AS BIGINT) AS best_doc_nll_micro
+FROM per_doc GROUP BY lang
+ORDER BY lang
+""",
+)
+def ext_kn_heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HELD-OUT Kneser-Ney perplexity — the actual CCNet filtering
+    loop, which ext_perplexity_buckets only approximates by scoring
+    the corpus under itself: train an interpolated-KN bigram LM per
+    language on the FIRST THREE doc_id quartiles, evaluate the fourth
+    quartile the model never saw.  Unseen events get principled mass:
+    an unseen (w1,w2) pair falls to the continuation term (the max(4
+    c12-3,0) numerator vanishes), an unseen w2 rides add-one
+    continuation counts (ctn+1 over T+V), an unseen w1 backs off to
+    the continuation distribution entirely.  Per language: corpus
+    perplexity of the held-out quartile plus the best/worst per-doc
+    NLL — the spread a filtering threshold would be set against.
+
+    Exactness: every probability is ONE rational of exact BIGINTs
+    (the KN numerator/denominator trick of ext_kneser_ney_bigram with
+    D=3/4 folded in), gridded through the 1e-6 ln lattice and SUMMED
+    as integers; only the final ppl exponentiates identical doubles.
+    Per-doc NLL divides negated (positive) integers, avoiding the
+    engines' signed-DIV divergence.
+
+    Scale shape: the train bigram table is built once and
+    localCheckpoint'ed (four consumers — marginals, totals, and the
+    scoring join — would otherwise each re-scan the corpus); all
+    scoring joins are KEYED on (lang, w1[, w2]) against vocab-sized
+    tables; lang totals broadcast. Two corpus scans total (train
+    explode, held explode), everything after is vocabulary-scale."""
+    sep = chr(31)
+    d = load_table(spark, sf_dir, "documents")
+    mx = d.agg(F.max("doc_id").alias("m"))
+    tk = F.split("text", " ")
+    bigrams = F.explode(
+        F.when(
+            F.size(tk) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(tk) - 1),
+                lambda i: F.concat_ws(
+                    sep, F.element_at(tk, i), F.element_at(tk, i + 1)
+                ),
+            ),
+        ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
+    )
+    tagged = d.crossJoin(F.broadcast(mx)).select(
+        "doc_id",
+        "lang",
+        "text",
+        F.least(F.lit(3), (F.col("doc_id") * 4 / (F.col("m") + 1)).cast("int"))
+        .alias("epoch"),
+    )
+    train_bg = (
+        tagged.where(F.col("epoch") <= 2)
+        .select("lang", bigrams.alias("b"))
+        .select(
+            "lang",
+            F.split_part(F.col("b"), F.lit(sep), F.lit(1)).alias("w1"),
+            F.split_part(F.col("b"), F.lit(sep), F.lit(2)).alias("w2"),
+        )
+        .groupBy("lang", "w1", "w2")
+        .agg(F.count("*").cast("bigint").alias("c12"))
+        .localCheckpoint()
+    )
+    lhs = train_bg.groupBy("lang", "w1").agg(
+        F.sum("c12").cast("bigint").alias("c1"),
+        F.count("*").cast("bigint").alias("fanout"),
+    )
+    rhs = train_bg.groupBy("lang", "w2").agg(
+        F.count("*").cast("bigint").alias("ctn")
+    )
+    tot = train_bg.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("t"),
+        F.countDistinct("w2").cast("bigint").alias("v"),
+    )
+    held = (
+        tagged.where(F.col("epoch") == 3)
+        .select("doc_id", "lang", bigrams.alias("b"))
+        .select(
+            "doc_id",
+            "lang",
+            F.split_part(F.col("b"), F.lit(sep), F.lit(1)).alias("w1"),
+            F.split_part(F.col("b"), F.lit(sep), F.lit(2)).alias("w2"),
+        )
+    )
+    tp = F.col("t") + F.col("v")
+    p = F.when(
+        F.col("c1").isNotNull(),
+        (
+            tp
+            * F.greatest(4 * F.coalesce("c12", F.lit(0)) - 3, F.lit(0))
+            + 3 * F.col("fanout") * (F.coalesce("ctn", F.lit(0)) + 1)
+        ).cast("double")
+        / (4 * F.col("c1") * tp).cast("double"),
+    ).otherwise(
+        (F.coalesce("ctn", F.lit(0)) + 1).cast("double") / tp.cast("double")
+    )
+    scored = (
+        held.join(F.broadcast(tot), "lang")
+        .join(lhs, ["lang", "w1"], "left")
+        .join(rhs, ["lang", "w2"], "left")
+        .join(train_bg, ["lang", "w1", "w2"], "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.floor(F.log(p) * 1e6).cast("bigint").alias("lnp_micro"),
+        )
+    )
+    per_doc = scored.groupBy("lang", "doc_id").agg(
+        F.sum("lnp_micro").cast("bigint").alias("s"),
+        F.count("*").cast("bigint").alias("nb"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("nb").cast("bigint").alias("n_bigrams"),
+            F.sum("s").cast("bigint").alias("sum_ln_micro"),
+            F.exp(
+                (-F.sum("s")).cast("double")
+                / F.sum("nb").cast("double")
+                / F.lit(1e6)
+            ).alias("ppl"),
+            F.max(F.expr("(-s) DIV nb")).cast("bigint").alias(
+                "worst_doc_nll_micro"
+            ),
+            F.min(F.expr("(-s) DIV nb")).cast("bigint").alias(
+                "best_doc_nll_micro"
+            ),
+        )
+        .orderBy("lang")
+    )

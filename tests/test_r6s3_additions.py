@@ -296,3 +296,71 @@ def test_chrf_matches_bruteforce(spark, sf_dir):
         assert r["n_pairs"] == len(prs)
         assert (r["matched"], r["cand_grams"], r["ref_grams"]) == (m, ct, rt)
         assert r["chrf2_micro"] == 5 * m * 1_000_000 // (4 * rt + ct)
+
+
+def test_kn_heldout_perplexity_matches_bruteforce(spark, sf_dir):
+    """Independent pure-Python re-derivation of the train/held split,
+    the KN rational with add-one continuation, and the gridded-ln doc
+    sums — plus the sanity pins a filtering threshold relies on
+    (every log-prob <= 0, perplexity > 1)."""
+    import math
+
+    from nibbler_spark.queries import load_all
+
+    docs = _docs(spark, sf_dir)
+    m = max(d for d, _, _ in docs)
+    train, held = [], []
+    for doc_id, lang, toks in docs:
+        (train if min(3, doc_id * 4 // (m + 1)) <= 2 else held).append(
+            (doc_id, lang, toks)
+        )
+    bg = Counter()
+    for _, lang, toks in train:
+        for a, b in zip(toks, toks[1:]):
+            bg[(lang, a, b)] += 1
+    c1 = Counter()
+    fanout = Counter()
+    ctn = Counter()
+    tv = {}
+    for (lang, a, b), c in bg.items():
+        c1[(lang, a)] += c
+        fanout[(lang, a)] += 1
+        ctn[(lang, b)] += 1
+    for lang in set(lg for lg, _, _ in bg):
+        t = sum(1 for k in bg if k[0] == lang)
+        v = len(set(b for (lg, _, b) in bg if lg == lang))
+        tv[lang] = (t, v)
+
+    def lnp(lang, a, b):
+        t, v = tv[lang]
+        tp = t + v
+        cnb = ctn.get((lang, b), 0) + 1
+        if (lang, a) in c1:
+            num = tp * max(4 * bg.get((lang, a, b), 0) - 3, 0) + 3 * fanout[
+                (lang, a)
+            ] * cnb
+            den = 4 * c1[(lang, a)] * tp
+        else:
+            num, den = cnb, tp
+        return math.floor(math.log(num / den) * 1e6)
+
+    sums = {}
+    for doc_id, lang, toks in held:
+        s = sum(lnp(lang, a, b) for a, b in zip(toks, toks[1:]))
+        nb = len(toks) - 1
+        if nb > 0:
+            sums.setdefault(lang, []).append((s, nb))
+    rows = (
+        load_all()["ext_kn_heldout_perplexity"].spark(spark, sf_dir).collect()
+    )
+    assert len(rows) == len(sums)
+    for r in rows:
+        per = sums[r["lang"]]
+        assert r["n_docs"] == len(per)
+        assert r["n_bigrams"] == sum(nb for _, nb in per)
+        assert r["sum_ln_micro"] == sum(s for s, _ in per)
+        assert r["sum_ln_micro"] <= 0
+        assert r["ppl"] > 1.0
+        nlls = [(-s) // nb for s, nb in per]
+        assert r["worst_doc_nll_micro"] == max(nlls)
+        assert r["best_doc_nll_micro"] == min(nlls)
