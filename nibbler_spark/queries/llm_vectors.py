@@ -3208,3 +3208,235 @@ def ext_ann_rerank_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid", "rnk")
     )
+
+
+def _sql_idot(a: str, b: str, dim: int = _DIM) -> str:
+    """Integer-lattice dot product (the dec_dot grid WITHOUT the final
+    rescale): exact BIGINT sum of per-element 1e-10-floored products."""
+    return (
+        f"CAST(list_sum(list_transform(generate_series(1, {dim}), "
+        f"i -> CAST(FLOOR(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) "
+        f"* 1e10) AS BIGINT))) AS BIGINT)"
+    )
+
+
+def _sql_d2(x: str, c: str) -> str:
+    """||x-c||^2 on the integer lattice, clamped to >= 1 for the ln."""
+    return (
+        f"GREATEST({_sql_idot(x, x)} - 2 * {_sql_idot(x, c)} "
+        f"+ {_sql_idot(c, c)}, 1)"
+    )
+
+
+def _sql_gumbel(round_no: int) -> str:
+    h = (
+        f"CAST(('0x' || substr(md5('kpp:{round_no}:' "
+        "|| CAST(e.vec_id AS VARCHAR)), 1, 12)) AS BIGINT)"
+    )
+    return (
+        f"CAST(FLOOR(-LN(-LN(({h} + 0.5e0) / 281474976710656e0)) * 1e6) "
+        "AS BIGINT)"
+    )
+
+
+def _kpp_oracle() -> str:
+    stages = ["c0 AS (SELECT vec_id, embedding FROM embeddings "
+              "WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings))"]
+    prior = ["c0"]
+    for r in (1, 2, 3):
+        d2 = " , ".join(
+            f"{_sql_d2('e.embedding', f'{c}.embedding')}" for c in prior
+        )
+        least = f"LEAST({d2})" if len(prior) > 1 else d2
+        froms = " CROSS JOIN ".join(prior)
+        stages.append(
+            f"s{r} AS (SELECT e.vec_id, {least} AS d2, "
+            f"{_sql_gumbel(r)} AS gg "
+            f"FROM embeddings e CROSS JOIN {froms})"
+        )
+        stages.append(
+            f"k{r} AS (SELECT vec_id, "
+            "CAST(FLOOR(LN(CAST(d2 AS DOUBLE)) * 1e6) AS BIGINT) + gg "
+            "AS key, gg, d2 "
+            f"FROM s{r} ORDER BY key DESC, vec_id LIMIT 1)"
+        )
+        stages.append(
+            f"c{r} AS (SELECT vec_id, embedding FROM embeddings "
+            f"WHERE vec_id = (SELECT vec_id FROM k{r}))"
+        )
+        prior.append(f"c{r}")
+    d2all = " , ".join(
+        f"{_sql_d2('e.embedding', f'{c}.embedding')}" for c in prior
+    )
+    froms = " CROSS JOIN ".join(prior)
+    stages.append(
+        f"inertia AS (SELECT CAST(SUM(LEAST({d2all})) AS BIGINT) AS v "
+        f"FROM embeddings e CROSS JOIN {froms})"
+    )
+    rows = ["SELECT CAST(0 AS BIGINT) AS round, c0.vec_id, "
+            "CAST(0 AS BIGINT) AS key FROM c0"]
+    for r in (1, 2, 3):
+        rows.append(
+            f"SELECT CAST({r} AS BIGINT) AS round, vec_id, key FROM k{r}"
+        )
+    union = " UNION ALL ".join(rows)
+    return (
+        "WITH " + ",\n".join(stages)
+        + f"\nSELECT u.round, u.vec_id, u.key, inertia.v AS inertia_int "
+        f"FROM ({union}) u CROSS JOIN inertia ORDER BY u.round"
+    )
+
+
+@register(
+    "ext_kmeanspp_seeding",
+    survey_id="EXT-KMEANSPP",
+    category="llm-vectors",
+    oracle=_kpp_oracle(),
+)
+def ext_kmeanspp_seeding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means++ (D^2-weighted) seeding made DETERMINISTIC and
+    engine-exact — the seeding step every embedding-space clustering
+    pipeline (SemDeDup-style semantic dedup, IVF coarse quantizers,
+    domain discovery) runs before Lloyd iterations, which MLlib leaves
+    RNG-dependent: center 0 is the min vec_id; each later center is
+    drawn with probability proportional to its squared distance to the
+    nearest chosen center via the GUMBEL-MAX trick — key =
+    ln(d^2)+Gumbel(hash(round, vec_id)) on the 1e-6 grid, argmax = one
+    exact sample from the D^2 distribution (the same identity
+    ext_dsir_gumbel_resample uses for top-k). Distances live on the
+    dec_dot integer lattice (||x-c||^2 = xx - 2xc + cc of 1e-10-floored
+    products, clamped >= 1: flooring can push an exact-zero
+    self-distance a few lattice units negative), so d^2, keys, argmax
+    and the final 4-center inertia are ALL exact BIGINTs.
+
+    Scale shape: each of the 3 rounds broadcasts the <=3 chosen
+    centers, computes d^2 row-locally, and reduces with ONE
+    partial-combining struct-max argmax (no sort, no window); chosen
+    centers are 1-row localCheckpoints (bounded model reads, the ALS/
+    kmeans_lloyd convention) so round r+1's lineage does not re-run
+    round r. The oracle unrolls the 3 stages with scalar-subquery
+    center references. O(n * k * dim) total work, one pass per round —
+    exactly how a 100 TB seeding job should look."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+
+    def idot(a, b):
+        return F.aggregate(
+            F.zip_with(
+                a,
+                b,
+                lambda x, y: F.floor(
+                    x.cast("double") * y.cast("double") * F.lit(1e10)
+                ).cast("bigint"),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    c0 = (
+        e.orderBy("vec_id")
+        .limit(1)
+        .select(
+            F.lit(0).cast("bigint").alias("c_round"),
+            F.col("vec_id").alias("c_id"),
+            F.col("embedding").alias("c_emb"),
+        )
+        .localCheckpoint()
+    )
+    centers = [c0]
+    picked = [
+        c0.select(
+            F.col("c_round").alias("round"),
+            F.col("c_id").alias("vec_id"),
+            F.lit(0).cast("bigint").alias("key"),
+        )
+    ]
+    for r in (1, 2, 3):
+        cents = centers[0]
+        for c in centers[1:]:
+            cents = cents.unionByName(c)
+        pc = e.crossJoin(F.broadcast(cents.select("c_id", "c_emb")))
+        d2 = F.greatest(
+            idot(F.col("embedding"), F.col("embedding"))
+            - 2 * idot(F.col("embedding"), F.col("c_emb"))
+            + idot(F.col("c_emb"), F.col("c_emb")),
+            F.lit(1).cast("bigint"),
+        )
+        near = (
+            pc.select("vec_id", d2.alias("d2"))
+            .groupBy("vec_id")
+            .agg(F.min("d2").alias("d2"))
+        )
+        u = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(f"kpp:{r}:"),
+                            F.col("vec_id").cast("string"),
+                        )
+                    ),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            + F.lit(0.5)
+        ) / F.lit(281474976710656.0)
+        keyed = near.select(
+            "vec_id",
+            (
+                F.floor(F.log(F.col("d2").cast("double")) * 1e6).cast(
+                    "bigint"
+                )
+                + F.floor(-F.log(-F.log(u)) * 1e6).cast("bigint")
+            ).alias("key"),
+        )
+        best = keyed.agg(
+            F.max(F.struct(F.col("key"), (-F.col("vec_id")).alias("nv")))
+            .alias("b")
+        ).select(
+            F.col("b.key").alias("key"),
+            (-F.col("b.nv")).alias("vec_id"),
+        )
+        cr = (
+            best.join(e, "vec_id")
+            .select(
+                F.lit(r).cast("bigint").alias("c_round"),
+                F.col("vec_id").alias("c_id"),
+                F.col("embedding").alias("c_emb"),
+            )
+            .localCheckpoint()
+        )
+        centers.append(cr)
+        picked.append(
+            cr.join(
+                best.select(F.col("vec_id").alias("c_id"), "key"), "c_id"
+            ).select(
+                F.col("c_round").alias("round"),
+                F.col("c_id").alias("vec_id"),
+                "key",
+            )
+        )
+    cents = centers[0]
+    for c in centers[1:]:
+        cents = cents.unionByName(c)
+    pc = e.crossJoin(F.broadcast(cents.select("c_emb")))
+    d2 = F.greatest(
+        idot(F.col("embedding"), F.col("embedding"))
+        - 2 * idot(F.col("embedding"), F.col("c_emb"))
+        + idot(F.col("c_emb"), F.col("c_emb")),
+        F.lit(1).cast("bigint"),
+    )
+    inertia = (
+        pc.select("vec_id", d2.alias("d2"))
+        .groupBy("vec_id")
+        .agg(F.min("d2").alias("d2"))
+        .agg(F.sum("d2").cast("bigint").alias("inertia_int"))
+    )
+    out = picked[0]
+    for p in picked[1:]:
+        out = out.unionByName(p)
+    return out.crossJoin(F.broadcast(inertia)).orderBy("round")

@@ -364,3 +364,52 @@ def test_kn_heldout_perplexity_matches_bruteforce(spark, sf_dir):
         nlls = [(-s) // nb for s, nb in per]
         assert r["worst_doc_nll_micro"] == max(nlls)
         assert r["best_doc_nll_micro"] == min(nlls)
+
+
+def test_kmeanspp_seeding_matches_bruteforce(spark, sf_dir):
+    """Walk the identical integer lattice in pure Python: grid dots,
+    clamped d^2, gridded ln + md5 Gumbel keys, argmax per round, final
+    inertia."""
+    import hashlib
+    import math
+
+    from nibbler_spark.queries import load_all
+    from nibbler_spark.sources import load_table
+
+    rows = load_table(spark, sf_dir, "embeddings").collect()
+    emb = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in rows}
+
+    def idot(a, b):
+        return sum(math.floor(x * y * 1e10) for x, y in zip(a, b))
+
+    def d2(x, c):
+        return max(idot(x, x) - 2 * idot(x, c) + idot(c, c), 1)
+
+    def gumbel(rnd, vid):
+        h = int(
+            hashlib.md5(f"kpp:{rnd}:{vid}".encode()).hexdigest()[:12], 16
+        )
+        u = (h + 0.5) / 281474976710656.0
+        return math.floor(-math.log(-math.log(u)) * 1e6)
+
+    centers = [min(emb)]
+    expect = [(0, centers[0], 0)]
+    for rnd in (1, 2, 3):
+        best = None
+        for vid, x in emb.items():
+            dd = min(d2(x, emb[c]) for c in centers)
+            key = math.floor(math.log(dd) * 1e6) + gumbel(rnd, vid)
+            cand = (key, -vid)
+            if best is None or cand > best:
+                best = cand
+        vid = -best[1]
+        centers.append(vid)
+        expect.append((rnd, vid, best[0]))
+    inertia = sum(
+        min(d2(x, emb[c]) for c in centers) for x in emb.values()
+    )
+    got = load_all()["ext_kmeanspp_seeding"].spark(spark, sf_dir).collect()
+    assert [(r["round"], r["vec_id"], r["key"]) for r in got] == expect
+    assert all(r["inertia_int"] == inertia for r in got)
+    # D^2 spread sanity: the seeded centers are distinct points
+    assert len(set(centers)) == 4
