@@ -860,3 +860,30 @@ def test_chrf_grams_never_leave_their_row(spark, sf_dir):
     plan = _plan(spark, sf_dir, "ext_chrf_self_similarity")
     assert "EvalPython" not in plan
     assert "Join" not in plan
+
+
+def test_kn_heldout_scoring_joins_keyed_totals_broadcast(spark, sf_dir):
+    """Scoring joins are keyed on (lang, w1[, w2]) against the
+    checkpointed vocab-scale LM tables; lang totals broadcast; no
+    cartesian; exactly two corpus scans (train explode + held explode
+    — the LM table itself is an ExistingRDD checkpoint)."""
+    plan = _plan(spark, sf_dir, "ext_kn_heldout_perplexity")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "ExistingRDD" in plan
+    assert plan.count("BroadcastHashJoin") >= 1
+
+
+def test_kmeanspp_rounds_broadcast_centers_argmax_partial(spark, sf_dir):
+    """Every distance pass broadcasts the <=4 chosen centers
+    (BroadcastNestedLoopJoin on the 1-to-4-row side is the cross join
+    shape); the argmax is a partial-combining struct-max (HashAggregate
+    pair), never a sort; no Python eval."""
+    plan = _plan(spark, sf_dir, "ext_kmeanspp_seeding")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "HashAggregate" in plan
+    # the argmax reduce is sortless: the only range exchange is the
+    # deterministic output orderBy
+    assert plan.count("Exchange rangepartitioning") <= 1
