@@ -413,3 +413,46 @@ def test_kmeanspp_seeding_matches_bruteforce(spark, sf_dir):
     assert all(r["inertia_int"] == inertia for r in got)
     # D^2 spread sanity: the seeded centers are distinct points
     assert len(set(centers)) == 4
+
+
+def test_haar_energy_matches_bruteforce(spark, sf_dir):
+    from collections import defaultdict
+
+    from nibbler_spark.queries import load_all
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts"
+    ).collect()
+    daily = defaultdict(int)
+    import datetime
+
+    for r in ev:
+        d = (r["ts"].date() - datetime.date(2024, 1, 1)).days
+        daily[(r["event_type"], d)] += 1
+    expect = {}
+    types = set(t for t, _ in daily)
+    for t in types:
+        for level in range(1, 6):
+            det = defaultdict(int)
+            for (tt, d), c in daily.items():
+                if tt != t:
+                    continue
+                sign = 1 - 2 * ((d >> (level - 1)) & 1)
+                det[d >> level] += c * sign
+            energy = sum(v * v for v in det.values())
+            dom = min(det.items(), key=lambda kv: (-abs(kv[1]), kv[0]))
+            expect[(t, level)] = (len(det), energy, dom[0], dom[1])
+    rows = (
+        load_all()["ext_haar_energy_decomposition"]
+        .spark(spark, sf_dir)
+        .collect()
+    )
+    assert len(rows) == len(expect)
+    for r in rows:
+        k = (r["event_type"], r["level"])
+        assert (
+            r["n_blocks"],
+            r["energy"],
+            r["dominant_block"],
+            r["dominant_detail"],
+        ) == expect[k]
