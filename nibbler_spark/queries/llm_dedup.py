@@ -3773,3 +3773,161 @@ def ext_suffix_array_lcp(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(30)
     )
+
+
+@register(
+    "ext_bwt_compressibility",
+    survey_id="EXT-BWT",
+    category="llm-dedup",
+    oracle="""
+WITH tk AS (
+  SELECT doc_id, lang, string_split(text, ' ')[1:32] AS t
+  FROM documents
+),
+rot AS (
+  SELECT doc_id, lang, len(t) AS n,
+         list_sort(list_transform(generate_series(1, len(t)),
+           i -> array_to_string(list_concat(t[i:], t[1:i-1]), ' ')
+                || CHR(31) || CAST(i AS VARCHAR))) AS rots,
+         t
+  FROM tk WHERE len(t) >= 2
+),
+bwt AS (
+  SELECT doc_id, lang, n,
+         list_transform(rots, r ->
+           t[((CAST(string_split(r, CHR(31))[2] AS BIGINT) + n - 2) % n)
+             + 1]) AS lastcol
+  FROM rot
+),
+runs AS (
+  SELECT doc_id, lang, n,
+         CAST(1 + COALESCE(list_sum(list_transform(
+           generate_series(2, len(lastcol)),
+           i -> CASE WHEN lastcol[i] <> lastcol[i-1] THEN 1 ELSE 0 END)),
+           0) AS BIGINT) AS n_runs
+  FROM bwt
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_runs) AS BIGINT) AS total_runs,
+       CAST(SUM(n_runs) * 1000000 // SUM(n) AS BIGINT) AS r_over_n_micro,
+       CAST(MIN(n_runs * 1000000 // n) AS BIGINT) AS min_doc_micro,
+       CAST(MAX(n_runs * 1000000 // n) AS BIGINT) AS max_doc_micro
+FROM runs GROUP BY lang
+ORDER BY lang
+""",
+)
+def ext_bwt_compressibility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows-Wheeler compressibility fingerprint per language — r/n,
+    the BWT run count over sequence length, the repetitiveness measure
+    underlying the r-index literature and a sharper signal than
+    gzip-ratio heuristics for TEMPLATED text: repeated contexts sort
+    adjacent rotations together, so boilerplate collapses BWT runs
+    long before surface dedup fires. Each document's BWT is computed
+    ROW-LOCALLY over its first 32 tokens: build the n cyclic
+    rotations (joined with a sub-space separator and the rotation
+    index appended — every corpus codepoint is > 32, so string sort ==
+    token-sequence rotation sort, the ext_suffix_array_lcp argument),
+    array_sort them inside the row, read the last column, count runs.
+    No UDF, no explode, no shuffle: the entire transform is one
+    whole-stage-codegen expression chain, O(32^2 log 32) per doc.
+
+    Everything emitted is an exact BIGINT micro-ratio. The oracle
+    replays the identical rotation sort in DuckDB list functions —
+    and the pure-Python reference test replays it independently.
+
+    Scale shape: scan -> row-local arrays -> 5-row aggregate. The
+    ideal 100 TB operator: zero exchanges before the final tiny
+    groupBy."""
+    sep = chr(31)
+    d = load_table(spark, sf_dir, "documents")
+    tk = d.select(
+        "doc_id",
+        "lang",
+        F.slice(F.split("text", " "), 1, 32).alias("t"),
+    ).where(F.size("t") >= 2)
+    n = F.size("t")
+    rots = F.array_sort(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.concat(
+                F.array_join(
+                    F.concat(
+                        F.slice(F.col("t"), i, 32),
+                        F.slice(F.col("t"), 1, i - 1),
+                    ),
+                    " ",
+                ),
+                F.lit(sep),
+                i.cast("string"),
+            ),
+        )
+    )
+    rot_df = tk.select("doc_id", "lang", n.alias("n"), rots.alias("rots"), "t")
+    lastcol = F.transform(
+        F.col("rots"),
+        lambda r: F.element_at(
+            F.col("t"),
+            (
+                (
+                    F.split_part(r, F.lit(sep), F.lit(2)).cast("bigint")
+                    + F.col("n")
+                    - 2
+                )
+                % F.col("n")
+            ).cast("int")
+            + 1,
+        ),
+    )
+    bwt = rot_df.select("doc_id", "lang", "n", lastcol.alias("lastcol"))
+    n_runs = (
+        F.lit(1).cast("bigint")
+        + F.coalesce(
+            F.aggregate(
+                F.sequence(F.lit(2), F.size("lastcol")),
+                F.lit(0).cast("bigint"),
+                lambda acc, i: acc
+                + F.when(
+                    F.element_at(F.col("lastcol"), i.cast("int"))
+                    != F.element_at(F.col("lastcol"), (i - 1).cast("int")),
+                    F.lit(1),
+                )
+                .otherwise(F.lit(0))
+                .cast("bigint"),
+            ),
+            F.lit(0).cast("bigint"),
+        )
+    )
+    runs = bwt.select("lang", "n", n_runs.alias("n_runs"))
+    return (
+        runs.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n").cast("bigint").alias("total_tokens"),
+            F.sum("n_runs").cast("bigint").alias("total_runs"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "total_tokens",
+            "total_runs",
+            F.expr("total_runs * 1000000 DIV total_tokens")
+            .cast("bigint")
+            .alias("r_over_n_micro"),
+            F.lit(None).alias("_drop"),
+        )
+        .drop("_drop")
+        .join(
+            runs.groupBy("lang").agg(
+                F.min(F.expr("n_runs * 1000000 DIV n"))
+                .cast("bigint")
+                .alias("min_doc_micro"),
+                F.max(F.expr("n_runs * 1000000 DIV n"))
+                .cast("bigint")
+                .alias("max_doc_micro"),
+            ),
+            "lang",
+        )
+        .orderBy("lang")
+    )

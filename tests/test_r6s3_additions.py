@@ -456,3 +456,45 @@ def test_haar_energy_matches_bruteforce(spark, sf_dir):
             r["dominant_block"],
             r["dominant_detail"],
         ) == expect[k]
+
+
+def test_bwt_compressibility_matches_bruteforce(spark, sf_dir):
+    from collections import defaultdict
+
+    from nibbler_spark.queries import load_all
+
+    docs = _docs(spark, sf_dir)
+    per_lang = defaultdict(list)
+    for doc_id, lang, toks in docs:
+        t = toks[:32]
+        n = len(t)
+        if n < 2:
+            continue
+        rots = sorted(
+            " ".join(t[i - 1 :] + t[: i - 1]) + "\x1f" + str(i)
+            for i in range(1, n + 1)
+        )
+        lastcol = [
+            t[((int(r.split("\x1f")[1]) + n - 2) % n)] for r in rots
+        ]
+        runs = 1 + sum(
+            1 for a, b in zip(lastcol, lastcol[1:]) if a != b
+        )
+        per_lang[lang].append((n, runs))
+    rows = (
+        load_all()["ext_bwt_compressibility"].spark(spark, sf_dir).collect()
+    )
+    assert len(rows) == len(per_lang)
+    for r in rows:
+        per = per_lang[r["lang"]]
+        tot_n = sum(n for n, _ in per)
+        tot_r = sum(x for _, x in per)
+        assert r["n_docs"] == len(per)
+        assert r["total_tokens"] == tot_n
+        assert r["total_runs"] == tot_r
+        assert r["r_over_n_micro"] == tot_r * 1_000_000 // tot_n
+        ratios = [x * 1_000_000 // n for n, x in per]
+        assert r["min_doc_micro"] == min(ratios)
+        assert r["max_doc_micro"] == max(ratios)
+        # a BWT never has more runs than symbols
+        assert r["total_runs"] <= r["total_tokens"]
