@@ -5298,3 +5298,191 @@ def i45_stream_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("epoch")
     )
+
+
+@register(
+    "i46_stream_kl_drift",
+    survey_id="EXT-STREAM-DRIFT",
+    category="streaming",
+    mode="parity",
+    oracle="""
+WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
+tok AS (
+  SELECT LEAST(3, CAST(doc_id * 4 // (mx.m + 1) AS INT)) AS epoch,
+         CAST(CAST(('0x' || substr(md5(tok), 1, 12)) AS BIGINT) % 1024
+              AS BIGINT) AS b
+  FROM (
+    SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+  ) CROSS JOIN mx
+),
+present AS (
+  SELECT epoch, b, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY 1, 2
+),
+prior AS (
+  SELECT p.epoch, p.b, p.cnt,
+         CAST(COALESCE((
+           SELECT SUM(q.cnt) FROM present q
+           WHERE q.b = p.b AND q.epoch < p.epoch), 0) AS BIGINT) AS prior
+  FROM present p
+),
+totals AS (
+  SELECT epoch, CAST(SUM(cnt) AS BIGINT) AS batch_tokens,
+         CAST(SUM(prior) AS BIGINT) AS prior_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_buckets
+  FROM prior GROUP BY epoch
+),
+terms AS (
+  SELECT pr.epoch,
+         (pr.cnt + 1) * CAST(FLOOR(ln(
+           (CAST(pr.cnt + 1 AS DOUBLE) * CAST(t.prior_tokens + 1024 AS DOUBLE))
+           / (CAST(pr.prior + 1 AS DOUBLE)
+              * CAST(t.batch_tokens + 1024 AS DOUBLE)))
+           * 1000000e0) AS BIGINT) AS contrib
+  FROM prior pr JOIN totals t USING (epoch)
+)
+SELECT t.epoch, t.n_buckets, t.batch_tokens, t.prior_tokens,
+       CAST(SUM(x.contrib) AS BIGINT) AS kl_num_micro,
+       CAST(CAST(SUM(x.contrib) AS DOUBLE)
+            / CAST(t.batch_tokens + 1024 AS DOUBLE) / 1000000e0
+            AS DOUBLE) AS kl_nats
+FROM terms x JOIN totals t USING (epoch)
+GROUP BY t.epoch, t.n_buckets, t.batch_tokens, t.prior_tokens
+ORDER BY t.epoch
+""",
+)
+def i46_stream_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE distribution-drift monitoring — per ingest epoch, the
+    add-one-smoothed KL divergence of the arriving batch's token-
+    bucket distribution from everything ingested BEFORE it, the
+    PSI-style alarm a 100 TB pipeline runs at the front door (a crawl
+    source that flips template or language spikes this long before
+    quality classifiers notice).  Tokens hash into the DSIR-style 1024
+    md5 buckets row-locally, so the keyed state is a FIXED 1024-key
+    table of running counts regardless of corpus size; each
+    availableNow epoch emits (bucket, batch count, prior count) and
+    folds the batch into the state.
+
+    The divergence itself is computed DISTRIBUTED from the emission
+    log: per epoch, contribution (c_b+1) * lnGrid over present
+    buckets with per-epoch totals joined back — exact BIGINT
+    numerators, identical-double division only in the final nats.
+    Parity: the batch oracle rebuilds prior counts as the sum of
+    earlier epochs per bucket — the online state must equal the
+    offline prefix sums at every epoch boundary, which the hash
+    comparison enforces bucket-for-bucket through the per-epoch sums."""
+    import shutil
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    cache = _docs_token_slices_dir(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="nibbler-drift-")
+    ingest = os.path.join(base, "ingest")
+    outdir = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(ingest)
+
+    def fold(key, pdfs, state: GroupState):
+        (b,) = key
+        rows = pd.concat(list(pdfs))
+        prior = state.get[0] if state.exists else 0
+        cnt = len(rows)
+        state.update((prior + cnt,))
+        yield pd.DataFrame(
+            {
+                "b": [b],
+                "epoch": [int(rows["epoch"].max())],
+                "cnt": [cnt],
+                "prior": [prior],
+            }
+        )
+
+    prior_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        for q in range(4):
+            src = os.path.join(cache, f"slice{q}")
+            for f in sorted(os.listdir(src)):
+                if f.endswith(".parquet"):
+                    shutil.copy(
+                        os.path.join(src, f),
+                        os.path.join(ingest, f"slice{q}.parquet"),
+                    )
+            bucketed = (
+                spark.readStream.schema("epoch int, token string")
+                .parquet(ingest)
+                .select(
+                    "epoch",
+                    (
+                        F.conv(
+                            F.substring(F.md5("token"), 1, 12), 16, 10
+                        ).cast("bigint")
+                        % 1024
+                    ).alias("b"),
+                )
+                .groupBy("b")
+                .applyInPandasWithState(
+                    fold,
+                    "b long, epoch long, cnt long, prior long",
+                    "run long",
+                    "update",
+                    GroupStateTimeout.NoTimeout,
+                )
+            )
+            sq = (
+                bucketed.writeStream.foreachBatch(
+                    lambda df, _eid: df.write.mode("append").parquet(outdir)
+                )
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            sq.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior_shuffle)
+    em = spark.read.schema(
+        "b long, epoch long, cnt long, prior long"
+    ).parquet(outdir)
+    totals = em.groupBy("epoch").agg(
+        F.count("*").cast("bigint").alias("n_buckets"),
+        F.sum("cnt").cast("bigint").alias("batch_tokens"),
+        F.sum("prior").cast("bigint").alias("prior_tokens"),
+    )
+    terms = em.join(F.broadcast(totals), "epoch").select(
+        "epoch",
+        (
+            (F.col("cnt") + 1)
+            * F.floor(
+                F.log(
+                    (
+                        (F.col("cnt") + 1).cast("double")
+                        * (F.col("prior_tokens") + 1024).cast("double")
+                    )
+                    / (
+                        (F.col("prior") + 1).cast("double")
+                        * (F.col("batch_tokens") + 1024).cast("double")
+                    )
+                )
+                * 1e6
+            ).cast("bigint")
+        ).alias("contrib"),
+    )
+    return (
+        terms.groupBy("epoch")
+        .agg(F.sum("contrib").cast("bigint").alias("kl_num_micro"))
+        .join(F.broadcast(totals), "epoch")
+        .select(
+            "epoch",
+            "n_buckets",
+            "batch_tokens",
+            "prior_tokens",
+            "kl_num_micro",
+            (
+                F.col("kl_num_micro").cast("double")
+                / (F.col("batch_tokens") + 1024).cast("double")
+                / F.lit(1e6)
+            ).alias("kl_nats"),
+        )
+        .orderBy("epoch")
+    )
