@@ -3440,3 +3440,140 @@ def ext_kmeanspp_seeding(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in picked[1:]:
         out = out.unionByName(p)
     return out.crossJoin(F.broadcast(inertia)).orderBy("round")
+
+
+@register(
+    "ext_margin_pair_mining",
+    survey_id="EXT-MARGIN-MINING",
+    category="llm-vectors",
+    oracle=f"""
+WITH a AS (SELECT vec_id, embedding FROM embeddings WHERE label = 0),
+b AS (SELECT vec_id, embedding FROM embeddings WHERE label = 1),
+xp AS (
+  SELECT a.vec_id AS src_id, b.vec_id AS tgt_id,
+         CAST(FLOOR({sql_cosine('a.embedding', 'b.embedding')} * 1e9)
+              AS BIGINT) AS cg
+  FROM a CROSS JOIN b
+),
+ka AS (
+  SELECT src_id, CAST(SUM(cg) AS BIGINT) AS sum4
+  FROM (
+    SELECT src_id, cg,
+           ROW_NUMBER() OVER (PARTITION BY src_id
+                              ORDER BY cg DESC, tgt_id) AS rk
+    FROM xp
+  ) WHERE rk <= 4 GROUP BY src_id
+),
+kb AS (
+  SELECT tgt_id, CAST(SUM(cg) AS BIGINT) AS sum4
+  FROM (
+    SELECT tgt_id, cg,
+           ROW_NUMBER() OVER (PARTITION BY tgt_id
+                              ORDER BY cg DESC, src_id) AS rk
+    FROM xp
+  ) WHERE rk <= 4 GROUP BY tgt_id
+),
+scored AS (
+  SELECT xp.src_id, xp.tgt_id, xp.cg,
+         CAST(8 * xp.cg - ka.sum4 - kb.sum4 AS BIGINT) AS margin8
+  FROM xp JOIN ka USING (src_id) JOIN kb USING (tgt_id)
+)
+SELECT src_id, tgt_id, cg, margin8, CAST(rk AS BIGINT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    ORDER BY margin8 DESC, src_id, tgt_id) AS rk
+  FROM scored
+) WHERE rk <= 20
+ORDER BY rank
+""",
+)
+def ext_margin_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based pair mining (Artetxe & Schwenk 2019, the method
+    behind LASER/CCMatrix bitext mining and every "mine aligned pairs
+    from two embedding pools" pipeline): a candidate pair scores not
+    by raw cosine but by its margin over each side's neighborhood —
+    here the DIFFERENCE margin cos(x,y) - (avg_k(x)+avg_k(y))/2 with
+    k=4, which kills hub vectors that are everyone's nearest
+    neighbor. Pools are label 0 (source) and label 1 (target); output
+    is the global top-20 mined pairs.
+
+    Exactness: cosines land on the 1e-9 grid BEFORE any sum (top-4
+    neighborhood sums of gridded BIGINTs are order-independent —
+    summing raw doubles here would diverge between engines), and the
+    difference margin x8 (8*cg - sum4_src - sum4_tgt) clears both the
+    division and the signed-DIV hazard entirely: every emitted value
+    is an exact signed BIGINT, ranked with id tie-breaks.
+
+    Scale shape: the pool cross product is blocked by construction
+    (two labels, not the corpus); neighborhood sums are top-k-per-
+    group windows (WindowGroupLimit) over the pair table; the final
+    top-20 is a TakeOrdered. At 100 TB pools you'd IVF-prune the
+    candidate cross product first (ext_ann_rerank_pipeline is that
+    funnel) and feed THIS operator the surviving candidates — margin
+    scoring itself stays per-candidate-bounded."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.where(F.col("label") == 0).select(
+        F.col("vec_id").alias("src_id"), F.col("embedding").alias("ea")
+    )
+    b = e.where(F.col("label") == 1).select(
+        F.col("vec_id").alias("tgt_id"), F.col("embedding").alias("eb")
+    )
+    xp = (
+        a.crossJoin(F.broadcast(b))
+        .select(
+            "src_id",
+            "tgt_id",
+            F.floor(cosine(F.col("ea"), F.col("eb")) * 1e9)
+            .cast("bigint")
+            .alias("cg"),
+        )
+        .localCheckpoint()
+    )
+    wa = Window.partitionBy("src_id").orderBy(
+        F.col("cg").desc(), "tgt_id"
+    )
+    ka = (
+        xp.withColumn("rk", F.row_number().over(wa))
+        .where(F.col("rk") <= 4)
+        .groupBy("src_id")
+        .agg(F.sum("cg").cast("bigint").alias("sum4a"))
+    )
+    wb = Window.partitionBy("tgt_id").orderBy(
+        F.col("cg").desc(), "src_id"
+    )
+    kb = (
+        xp.withColumn("rk", F.row_number().over(wb))
+        .where(F.col("rk") <= 4)
+        .groupBy("tgt_id")
+        .agg(F.sum("cg").cast("bigint").alias("sum4b"))
+    )
+    scored = (
+        xp.join(F.broadcast(ka), "src_id")
+        .join(F.broadcast(kb), "tgt_id")
+        .select(
+            "src_id",
+            "tgt_id",
+            "cg",
+            (8 * F.col("cg") - F.col("sum4a") - F.col("sum4b"))
+            .cast("bigint")
+            .alias("margin8"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("margin8").desc(), "src_id", "tgt_id")
+        .limit(20)
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(
+                Window.orderBy(
+                    F.col("margin8").desc(), "src_id", "tgt_id"
+                )
+            )
+            .cast("bigint"),
+        )
+        .select("src_id", "tgt_id", "cg", "margin8", "rank")
+        .orderBy("rank")
+    )

@@ -498,3 +498,71 @@ def test_bwt_compressibility_matches_bruteforce(spark, sf_dir):
         assert r["max_doc_micro"] == max(ratios)
         # a BWT never has more runs than symbols
         assert r["total_runs"] <= r["total_tokens"]
+
+
+def test_margin_pair_mining_matches_bruteforce(spark, sf_dir):
+    """Pure-Python replay of the gridded cosine + difference-margin
+    pipeline, plus the hub-suppression property the margin exists for:
+    mined pairs beat their neighborhoods (margin8 > 0 for the top)."""
+    import math
+
+    from nibbler_spark.queries import load_all
+    from nibbler_spark.sources import load_table
+
+    rows = load_table(spark, sf_dir, "embeddings").collect()
+    a = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in rows
+        if r["label"] == 0
+    }
+    b = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in rows
+        if r["label"] == 1
+    }
+
+    def idot(x, y):
+        return sum(math.floor(p * q * 1e10) for p, q in zip(x, y))
+
+    def cg(x, y):
+        c = (idot(x, y) / 1e10) / (
+            math.sqrt(idot(x, x) / 1e10) * math.sqrt(idot(y, y) / 1e10)
+        )
+        return math.floor(c * 1e9)
+
+    pairs = {
+        (sid, tid): cg(x, y)
+        for sid, x in a.items()
+        for tid, y in b.items()
+    }
+    sum4a = {}
+    for sid in a:
+        top = sorted(
+            ((pairs[(sid, tid)], tid) for tid in b),
+            key=lambda kv: (-kv[0], kv[1]),
+        )[:4]
+        sum4a[sid] = sum(c for c, _ in top)
+    sum4b = {}
+    for tid in b:
+        top = sorted(
+            ((pairs[(sid, tid)], sid) for sid in a),
+            key=lambda kv: (-kv[0], kv[1]),
+        )[:4]
+        sum4b[tid] = sum(c for c, _ in top)
+    scored = sorted(
+        (
+            (-(8 * c - sum4a[sid] - sum4b[tid]), sid, tid, c)
+            for (sid, tid), c in pairs.items()
+        )
+    )[:20]
+    expect = [
+        (sid, tid, c, -neg, i + 1)
+        for i, (neg, sid, tid, c) in enumerate(scored)
+    ]
+    got = [
+        (r["src_id"], r["tgt_id"], r["cg"], r["margin8"], r["rank"])
+        for r in load_all()["ext_margin_pair_mining"]
+        .spark(spark, sf_dir)
+        .collect()
+    ]
+    assert got == expect
