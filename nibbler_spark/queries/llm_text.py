@@ -3676,3 +3676,303 @@ def ext_kn_heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "ext_jensen_shannon_matrix",
+    survey_id="EXT-JSD-MATRIX",
+    category="llm-text",
+    oracle="""
+WITH tf AS (
+  SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (
+    SELECT lang, UNNEST(string_split(text, ' ')) AS token FROM documents
+  ) GROUP BY lang, token
+),
+nl AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n FROM tf GROUP BY lang),
+expanded AS (
+  SELECT s.lang AS src, t.lang AS tgt, s.token, s.c AS c1,
+         COALESCE(o.c, 0) AS c2, ns.n AS n1, t.n AS n2
+  FROM tf s
+  CROSS JOIN nl t
+  JOIN nl ns ON ns.lang = s.lang
+  LEFT JOIN tf o ON o.lang = t.lang AND o.token = s.token
+  WHERE t.lang <> s.lang
+),
+contrib AS (
+  SELECT src, tgt,
+         CAST(SUM(c1 * CAST(FLOOR(ln(
+           CAST(2 * c1 * n2 AS DOUBLE)
+           / CAST(c1 * n2 + c2 * n1 AS DOUBLE)) * 1000000e0) AS BIGINT))
+           AS BIGINT) AS num,
+         MAX(n1) AS n1
+  FROM expanded GROUP BY src, tgt
+)
+SELECT a.src AS lang_a, a.tgt AS lang_b,
+       a.num AS num_a, b.num AS num_b,
+       CAST((CAST(a.num AS DOUBLE) / CAST(a.n1 AS DOUBLE)
+             + CAST(b.num AS DOUBLE) / CAST(b.n1 AS DOUBLE))
+            / 2000000e0 AS DOUBLE) AS jsd_nats
+FROM contrib a JOIN contrib b ON a.src = b.tgt AND a.tgt = b.src
+WHERE a.src < a.tgt
+ORDER BY lang_a, lang_b
+""",
+)
+def ext_jensen_shannon_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between every two language
+    unigram LMs — the symmetric, bounded (<= ln 2) distance matrix a
+    mixture designer clusters domains with (near-zero JSD = mergeable
+    slices; ext_lang_kl_divergence gives each slice's distance to the
+    BLEND, this gives slice-to-slice geometry). JSD(P,Q) =
+    (KL(P||M) + KL(Q||M))/2 with M the even mixture; the M-ratio
+    collapses to the exact rational 2*c1*n2 / (c1*n2 + c2*n1), so each
+    directed numerator is an exact BIGINT sum of c1 * lnGrid terms —
+    tokens absent from the other side contribute ln 2 naturally
+    (c2=0), no smoothing needed because P's support drives each sum.
+
+    Scale shape: ONE corpus scan into the checkpointed (lang, token)
+    count table; the expansion is tf x (L-1 other languages) — vocab
+    x L rows, joined KEYED on (lang, token) back against tf; lang
+    totals broadcast (L rows). For L languages the matrix costs
+    O(vocab * L), never O(corpus)."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("lang", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .localCheckpoint()
+    )
+    nl = tf.groupBy("lang").agg(F.sum("c").cast("bigint").alias("n"))
+    src = tf.select(
+        F.col("lang").alias("src"), "token", F.col("c").alias("c1")
+    )
+    tgt_langs = nl.select(
+        F.col("lang").alias("tgt"), F.col("n").alias("n2")
+    )
+    o = tf.select(
+        F.col("lang").alias("tgt"),
+        F.col("token").alias("otoken"),
+        F.col("c").alias("c2"),
+    )
+    n1t = nl.select(F.col("lang").alias("src"), F.col("n").alias("n1"))
+    # the other-side counts carry renamed columns so the left join's
+    # key references stay unambiguous
+    expanded = (
+        src.crossJoin(F.broadcast(tgt_langs))
+        .where(F.col("src") != F.col("tgt"))
+        .join(F.broadcast(n1t), "src")
+        .join(
+            o.withColumnRenamed("tgt", "otgt"),
+            (F.col("tgt") == F.col("otgt"))
+            & (F.col("token") == F.col("otoken")),
+            "left",
+        )
+        .select(
+            "src",
+            "tgt",
+            "c1",
+            F.coalesce("c2", F.lit(0)).cast("bigint").alias("c2"),
+            "n1",
+            "n2",
+        )
+    )
+    contrib = (
+        expanded.select(
+            "src",
+            "tgt",
+            "n1",
+            (
+                F.col("c1")
+                * F.floor(
+                    F.log(
+                        (2 * F.col("c1") * F.col("n2")).cast("double")
+                        / (
+                            F.col("c1") * F.col("n2")
+                            + F.col("c2") * F.col("n1")
+                        ).cast("double")
+                    )
+                    * 1e6
+                ).cast("bigint")
+            ).alias("term"),
+        )
+        .groupBy("src", "tgt")
+        .agg(
+            F.sum("term").cast("bigint").alias("num"),
+            F.max("n1").alias("n1"),
+        )
+    )
+    a = contrib.select(
+        F.col("src").alias("lang_a"),
+        F.col("tgt").alias("lang_b"),
+        F.col("num").alias("num_a"),
+        F.col("n1").alias("na"),
+    )
+    b = contrib.select(
+        F.col("tgt").alias("lang_a"),
+        F.col("src").alias("lang_b"),
+        F.col("num").alias("num_b"),
+        F.col("n1").alias("nb"),
+    )
+    return (
+        a.join(b, ["lang_a", "lang_b"])
+        .where(F.col("lang_a") < F.col("lang_b"))
+        .select(
+            "lang_a",
+            "lang_b",
+            "num_a",
+            "num_b",
+            (
+                (
+                    F.col("num_a").cast("double") / F.col("na").cast("double")
+                    + F.col("num_b").cast("double")
+                    / F.col("nb").cast("double")
+                )
+                / F.lit(2e6)
+            ).alias("jsd_nats"),
+        )
+        .orderBy("lang_a", "lang_b")
+    )
+
+
+@register(
+    "ext_heaps_law_fit",
+    survey_id="EXT-HEAPS",
+    category="llm-text",
+    oracle="""
+WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
+tok AS (
+  SELECT LEAST(9, CAST(doc_id * 10 // (mx.m + 1) AS INT)) AS decile,
+         token
+  FROM (
+    SELECT doc_id, UNNEST(string_split(text, ' ')) AS token
+    FROM documents
+  ) CROSS JOIN mx
+),
+per AS (SELECT decile, CAST(COUNT(*) AS BIGINT) AS toks
+        FROM tok GROUP BY decile),
+firsts AS (SELECT token, MIN(decile) AS decile FROM tok GROUP BY token),
+nv AS (SELECT decile, CAST(COUNT(*) AS BIGINT) AS new_types
+       FROM firsts GROUP BY decile),
+cum AS (
+  SELECT p.decile,
+         CAST(SUM(p2.toks) AS BIGINT) AS cum_tokens,
+         CAST(SUM(COALESCE(n2.new_types, 0)) AS BIGINT) AS cum_vocab
+  FROM per p
+  JOIN per p2 ON p2.decile <= p.decile
+  LEFT JOIN nv n2 ON n2.decile = p2.decile
+  GROUP BY p.decile
+),
+grid AS (
+  SELECT decile, cum_tokens, cum_vocab,
+         CAST(FLOOR(ln(CAST(cum_tokens AS DOUBLE)) * 1000000e0)
+              AS BIGINT) AS x,
+         CAST(FLOOR(ln(CAST(cum_vocab AS DOUBLE)) * 1000000e0)
+              AS BIGINT) AS y
+  FROM cum
+),
+ols AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM grid
+)
+SELECT g.decile, g.cum_tokens, g.cum_vocab,
+       CAST(CAST(o.m * o.sxy - o.sx * o.sy AS DOUBLE)
+            / CAST(o.m * o.sxx - o.sx * o.sx AS DOUBLE)
+            AS DOUBLE) AS heaps_beta
+FROM grid g CROSS JOIN ols o
+ORDER BY g.decile
+""",
+)
+def ext_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law exponent of the corpus — vocabulary grows as
+    V = K * N^beta, fitted by OLS on the gridded ln-ln lattice over
+    the cumulative (tokens, vocab) curve at each doc_id decile.
+    Natural text sits near beta ~ 0.5-0.7; beta collapsing toward 0
+    says the crawl stopped discovering words (the integral view of
+    ext_good_turing_smoothing's missing mass and i45's per-epoch
+    novelty); beta ~ 1 says token soup / encoding damage. The same
+    gridded-transcendental OLS as ext_corpus_statistics' zipf slope:
+    ln values floored to 1e-6, every sufficient statistic an exact
+    BIGINT, one division at the end on identical doubles.
+
+    Scale shape: one corpus-scale (decile, token) dedup-count via
+    MIN(decile) inside the aggregate (no join back — the novelty-decay
+    pattern), a 10-row cumulative table (decile triangle join on 10
+    rows), a 10-point OLS. Nothing after the first count exceeds 10
+    rows."""
+    d = load_table(spark, sf_dir, "documents")
+    mx = d.agg(F.max("doc_id").alias("m"))
+    tok = (
+        d.crossJoin(F.broadcast(mx))
+        .select(
+            F.least(
+                F.lit(9), (F.col("doc_id") * 10 / (F.col("m") + 1)).cast("int")
+            ).alias("decile"),
+            F.explode(F.split("text", " ")).alias("token"),
+        )
+    )
+    per = tok.groupBy("decile").agg(
+        F.count("*").cast("bigint").alias("toks")
+    )
+    nv = (
+        tok.groupBy("token")
+        .agg(F.min("decile").alias("decile"))
+        .groupBy("decile")
+        .agg(F.count("*").cast("bigint").alias("new_types"))
+    )
+    p2 = per.select(
+        F.col("decile").alias("d2"), F.col("toks").alias("t2")
+    ).join(
+        nv.select(
+            F.col("decile").alias("d2"),
+            F.col("new_types").alias("v2"),
+        ),
+        "d2",
+        "left",
+    )
+    cum = (
+        per.select("decile")
+        .join(F.broadcast(p2), F.col("d2") <= F.col("decile"))
+        .groupBy("decile")
+        .agg(
+            F.sum("t2").cast("bigint").alias("cum_tokens"),
+            F.sum(F.coalesce("v2", F.lit(0))).cast("bigint").alias(
+                "cum_vocab"
+            ),
+        )
+    )
+    grid = cum.select(
+        "decile",
+        "cum_tokens",
+        "cum_vocab",
+        F.floor(F.log(F.col("cum_tokens").cast("double")) * 1e6)
+        .cast("bigint")
+        .alias("x"),
+        F.floor(F.log(F.col("cum_vocab").cast("double")) * 1e6)
+        .cast("bigint")
+        .alias("y"),
+    )
+    ols = grid.agg(
+        F.count("*").cast("bigint").alias("m"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    return (
+        grid.crossJoin(F.broadcast(ols))
+        .select(
+            "decile",
+            "cum_tokens",
+            "cum_vocab",
+            (
+                (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                .cast("double")
+                / (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                .cast("double")
+            ).alias("heaps_beta"),
+        )
+        .orderBy("decile")
+    )

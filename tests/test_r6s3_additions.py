@@ -566,3 +566,89 @@ def test_margin_pair_mining_matches_bruteforce(spark, sf_dir):
         .collect()
     ]
     assert got == expect
+
+
+def test_jsd_matrix_matches_bruteforce(spark, sf_dir):
+    """Independent recompute plus the JSD range pin 0 <= jsd <= ln 2
+    (up to the 1e-6 grid bias)."""
+    import math
+    from collections import defaultdict
+
+    from nibbler_spark.queries import load_all
+
+    docs = _docs(spark, sf_dir)
+    tf = defaultdict(Counter)
+    for _, lang, toks in docs:
+        tf[lang].update(toks)
+    n = {lang: sum(c.values()) for lang, c in tf.items()}
+
+    def num(a, b):
+        na, nb = n[a], n[b]
+        return sum(
+            c1
+            * math.floor(
+                math.log(
+                    (2 * c1 * nb) / (c1 * nb + tf[b].get(w, 0) * na)
+                )
+                * 1e6
+            )
+            for w, c1 in tf[a].items()
+        )
+
+    rows = (
+        load_all()["ext_jensen_shannon_matrix"].spark(spark, sf_dir).collect()
+    )
+    langs = sorted(tf)
+    assert len(rows) == len(langs) * (len(langs) - 1) // 2
+    for r in rows:
+        a, b = r["lang_a"], r["lang_b"]
+        assert a < b
+        assert r["num_a"] == num(a, b)
+        assert r["num_b"] == num(b, a)
+        assert -1e-3 <= r["jsd_nats"] <= math.log(2) + 1e-3
+
+
+def test_heaps_fit_matches_bruteforce(spark, sf_dir):
+    import math
+
+    from nibbler_spark.queries import load_all
+
+    docs = _docs(spark, sf_dir)
+    m = max(d for d, _, _ in docs)
+    per_tok = {}
+    per_cnt = Counter()
+    for doc_id, _, toks in docs:
+        dec = min(9, doc_id * 10 // (m + 1))
+        per_cnt[dec] += len(toks)
+        for t in toks:
+            per_tok[t] = min(per_tok.get(t, 9), dec)
+    new_types = Counter(per_tok.values())
+    deciles = sorted(per_cnt)
+    pts = []
+    ct = cv = 0
+    cum = {}
+    for dec in deciles:
+        ct += per_cnt[dec]
+        cv += new_types.get(dec, 0)
+        cum[dec] = (ct, cv)
+        pts.append(
+            (
+                math.floor(math.log(ct) * 1e6),
+                math.floor(math.log(cv) * 1e6),
+            )
+        )
+    mm = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    beta = (mm * sxy - sx * sy) / (mm * sxx - sx * sx)
+    rows = load_all()["ext_heaps_law_fit"].spark(spark, sf_dir).collect()
+    assert len(rows) == mm
+    for r in rows:
+        assert (r["cum_tokens"], r["cum_vocab"]) == cum[r["decile"]]
+        assert r["heaps_beta"] == beta
+    # sf0.001's fixture vocab saturates inside decile 0 (every later
+    # decile adds zero types), making the true slope exactly 0 — the
+    # degenerate-but-correct floor of the Heaps range.
+    assert 0.0 <= beta < 1.05
