@@ -3092,3 +3092,302 @@ def ext_cross_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold")
     )
+
+
+@register(
+    "ext_adaboost_two_rounds",
+    survey_id="EXT-ADABOOST",
+    category="ml-exact",
+    oracle="""
+WITH rows_f AS (
+  SELECT CAST(l_quantity AS INT) AS qty,
+         CAST(ROUND(l_discount * 100) AS INT) AS disc_cents,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS pos
+  FROM lineitem
+),
+n_tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(pos) AS BIGINT) AS p FROM rows_f),
+long1 AS (
+  SELECT 'qty' AS feature, qty AS v, 1 AS w, pos FROM rows_f
+  UNION ALL
+  SELECT 'disc_cents', disc_cents, 1, pos FROM rows_f
+),
+cand1 AS (
+  SELECT feature, v,
+         SUM(SUM(w)) OVER (PARTITION BY feature ORDER BY v) AS nl,
+         SUM(SUM(w * pos)) OVER (PARTITION BY feature ORDER BY v) AS pl,
+         SUM(SUM(w)) OVER (PARTITION BY feature) AS nt,
+         SUM(SUM(w * pos)) OVER (PARTITION BY feature) AS pt
+  FROM long1 GROUP BY feature, v
+),
+best1 AS (
+  SELECT feature, v,
+         CAST(LEAST((nl - pl) + (pt - pl),
+                    pl + ((nt - nl) - (pt - pl))) AS BIGINT) AS err_w,
+         CAST(nt AS BIGINT) AS den_w,
+         CASE WHEN (nl - pl) + (pt - pl)
+                   <= pl + ((nt - nl) - (pt - pl))
+              THEN 1 ELSE 0 END AS left_pos
+  FROM cand1 WHERE nl < nt
+  ORDER BY LEAST((nl - pl) + (pt - pl),
+                 pl + ((nt - nl) - (pt - pl))), feature, v
+  LIMIT 1
+),
+tagged AS (
+  SELECT r.*,
+         CASE WHEN ((b.feature = 'qty' AND r.qty <= b.v)
+                    OR (b.feature = 'disc_cents' AND r.disc_cents <= b.v))
+              THEN b.left_pos ELSE 1 - b.left_pos END AS h1
+  FROM rows_f r CROSS JOIN best1 b
+),
+m1 AS (SELECT CAST(SUM(CASE WHEN h1 <> pos THEN 1 ELSE 0 END) AS BIGINT)
+              AS m, CAST(COUNT(*) AS BIGINT) AS n FROM tagged),
+long2 AS (
+  SELECT 'qty' AS feature, qty AS v,
+         CASE WHEN h1 <> pos THEN (SELECT n - m FROM m1)
+              ELSE (SELECT m FROM m1) END AS w, pos
+  FROM tagged
+  UNION ALL
+  SELECT 'disc_cents', disc_cents,
+         CASE WHEN h1 <> pos THEN (SELECT n - m FROM m1)
+              ELSE (SELECT m FROM m1) END, pos
+  FROM tagged
+),
+cand2 AS (
+  SELECT feature, v,
+         SUM(SUM(w)) OVER (PARTITION BY feature ORDER BY v) AS nl,
+         SUM(SUM(w * pos)) OVER (PARTITION BY feature ORDER BY v) AS pl,
+         SUM(SUM(w)) OVER (PARTITION BY feature) AS nt,
+         SUM(SUM(w * pos)) OVER (PARTITION BY feature) AS pt
+  FROM long2 GROUP BY feature, v
+),
+best2 AS (
+  SELECT feature, v,
+         CAST(LEAST((nl - pl) + (pt - pl),
+                    pl + ((nt - nl) - (pt - pl))) AS BIGINT) AS err_w,
+         CAST(nt AS BIGINT) AS den_w,
+         CASE WHEN (nl - pl) + (pt - pl)
+                   <= pl + ((nt - nl) - (pt - pl))
+              THEN 1 ELSE 0 END AS left_pos
+  FROM cand2 WHERE nl < nt
+  ORDER BY LEAST((nl - pl) + (pt - pl),
+                 pl + ((nt - nl) - (pt - pl))), feature, v
+  LIMIT 1
+),
+alpha AS (
+  SELECT CAST(FLOOR(ln(CAST((SELECT n - m FROM m1) AS DOUBLE)
+                       / CAST((SELECT m FROM m1) AS DOUBLE)) * 500000e0)
+              AS BIGINT) AS a1,
+         CAST(FLOOR(ln(CAST(b.den_w - b.err_w AS DOUBLE)
+                       / CAST(b.err_w AS DOUBLE)) * 500000e0)
+              AS BIGINT) AS a2
+  FROM best2 b
+),
+ens AS (
+  SELECT CAST(SUM(CASE WHEN (CASE WHEN t.h1 = 1 THEN 1 ELSE -1 END)
+                            * alpha.a1
+                          + (CASE WHEN ((b2.feature = 'qty'
+                                         AND t.qty <= b2.v)
+                                        OR (b2.feature = 'disc_cents'
+                                            AND t.disc_cents <= b2.v))
+                                  THEN (CASE WHEN b2.left_pos = 1
+                                             THEN 1 ELSE -1 END)
+                                  ELSE (CASE WHEN b2.left_pos = 1
+                                             THEN -1 ELSE 1 END) END)
+                            * alpha.a2 > 0
+                       THEN (CASE WHEN t.pos = 0 THEN 1 ELSE 0 END)
+                       ELSE (CASE WHEN t.pos = 1 THEN 1 ELSE 0 END) END)
+              AS BIGINT) AS ens_err
+  FROM tagged t CROSS JOIN best2 b2 CROSS JOIN alpha
+)
+SELECT 1 AS round, b1.feature, CAST(b1.v AS BIGINT) AS threshold,
+       b1.left_pos,
+       (SELECT m FROM m1) AS err_num, (SELECT n FROM m1) AS err_den,
+       alpha.a1 AS alpha_micro, ens.ens_err, (SELECT n FROM m1) AS n
+FROM best1 b1 CROSS JOIN alpha CROSS JOIN ens
+UNION ALL
+SELECT 2, b2.feature, CAST(b2.v AS BIGINT), b2.left_pos,
+       b2.err_w, b2.den_w, alpha.a2, ens.ens_err, (SELECT n FROM m1)
+FROM best2 b2 CROSS JOIN alpha CROSS JOIN ens
+ORDER BY round
+""",
+)
+def ext_adaboost_two_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two rounds of AdaBoost over decision stumps, integer-exact end
+    to end — the boosting loop ext_decision_stump / ext_gbdt_round
+    stop short of: fit the minimum-WEIGHTED-ERROR stump (not Gini —
+    the boosting-native objective, and a pure-integer argmin), then
+    reweight with the classic exp(+-alpha) factors expressed as
+    INTEGERS: wrong rows get weight (N-m), right rows m (any positive
+    scaling of exp(alpha):exp(-alpha) = (N-m):m fits the next stump
+    identically), so round 2's weighted histogram, its argmin, and the
+    final 2-stump ensemble error are all exact BIGINT arithmetic; only
+    the reported alphas touch the ln grid (x 5e5 = the 1/2 factor
+    folded in).
+
+    Scale shape: each round is ONE map-side-combinable (feature,
+    value) histogram over the fact scan (the MLlib candidate-bin
+    design), cumulative sums over the ~60-row histogram, an integer
+    argmin; the chosen 1-row split broadcasts back for tagging. Three
+    fact passes total (round-1 hist, round-2 hist over tagged rows,
+    ensemble eval), each O(rows) with kilobyte reductions."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rows_f = li.select(
+        F.col("l_quantity").cast("int").alias("qty"),
+        F.round(F.col("l_discount") * 100).cast("int").alias("disc_cents"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("pos"),
+    ).localCheckpoint()
+
+    def fit_stump(df, wcol):
+        longs = []
+        for feat in ("qty", "disc_cents"):
+            longs.append(
+                df.select(
+                    F.lit(feat).alias("feature"),
+                    F.col(feat).alias("v"),
+                    F.col(wcol).alias("w"),
+                    "pos",
+                )
+            )
+        lng = longs[0].unionAll(longs[1])
+        hist = lng.groupBy("feature", "v").agg(
+            F.sum("w").alias("hn"),
+            F.sum(F.col("w") * F.col("pos")).alias("hp"),
+        )
+        wcum = (
+            Window.partitionBy("feature")
+            .orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wall = Window.partitionBy("feature")
+        cand = hist.select(
+            "feature",
+            "v",
+            F.sum("hn").over(wcum).cast("bigint").alias("nl"),
+            F.sum("hp").over(wcum).cast("bigint").alias("pl"),
+            F.sum("hn").over(wall).cast("bigint").alias("nt"),
+            F.sum("hp").over(wall).cast("bigint").alias("pt"),
+        ).where(F.col("nl") < F.col("nt"))
+        err_a = (F.col("nl") - F.col("pl")) + (F.col("pt") - F.col("pl"))
+        err_b = F.col("pl") + (
+            (F.col("nt") - F.col("nl")) - (F.col("pt") - F.col("pl"))
+        )
+        scored = cand.select(
+            "feature",
+            "v",
+            F.least(err_a, err_b).cast("bigint").alias("err_w"),
+            F.col("nt").alias("den_w"),
+            F.when(err_a <= err_b, 1).otherwise(0).alias("left_pos"),
+        )
+        return (
+            scored.orderBy("err_w", "feature", "v")
+            .limit(1)
+            .localCheckpoint()
+        )
+
+    one = rows_f.withColumn("w1", F.lit(1))
+    best1 = fit_stump(one, "w1")
+    tagged = rows_f.crossJoin(F.broadcast(best1)).select(
+        "qty",
+        "disc_cents",
+        "pos",
+        F.when(
+            ((F.col("feature") == "qty") & (F.col("qty") <= F.col("v")))
+            | (
+                (F.col("feature") == "disc_cents")
+                & (F.col("disc_cents") <= F.col("v"))
+            ),
+            F.col("left_pos"),
+        )
+        .otherwise(1 - F.col("left_pos"))
+        .alias("h1"),
+    ).localCheckpoint()
+    m1 = tagged.agg(
+        F.sum(F.when(F.col("h1") != F.col("pos"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("m"),
+        F.count("*").cast("bigint").alias("n"),
+    ).localCheckpoint()
+    two = tagged.crossJoin(F.broadcast(m1)).withColumn(
+        "w2",
+        F.when(F.col("h1") != F.col("pos"), F.col("n") - F.col("m"))
+        .otherwise(F.col("m")),
+    )
+    best2 = fit_stump(two, "w2")
+    a1 = F.floor(
+        F.log(
+            (F.col("n") - F.col("m")).cast("double")
+            / F.col("m").cast("double")
+        )
+        * 5e5
+    ).cast("bigint")
+    a2 = F.floor(
+        F.log(
+            (F.col("den_w") - F.col("err_w")).cast("double")
+            / F.col("err_w").cast("double")
+        )
+        * 5e5
+    ).cast("bigint")
+    alpha = (
+        m1.crossJoin(F.broadcast(best2.select("den_w", "err_w")))
+        .select(a1.alias("a1"), a2.alias("a2"))
+        .localCheckpoint()
+    )
+    b2r = best2.select(
+        F.col("feature").alias("f2"),
+        F.col("v").alias("v2"),
+        F.col("left_pos").alias("lp2"),
+    )
+    h2 = F.when(
+        ((F.col("f2") == "qty") & (F.col("qty") <= F.col("v2")))
+        | (
+            (F.col("f2") == "disc_cents")
+            & (F.col("disc_cents") <= F.col("v2"))
+        ),
+        F.col("lp2"),
+    ).otherwise(1 - F.col("lp2"))
+    vote = (2 * F.col("h1") - 1) * F.col("a1") + (2 * h2 - 1) * F.col("a2")
+    ens = (
+        tagged.crossJoin(F.broadcast(b2r))
+        .crossJoin(F.broadcast(alpha))
+        .agg(
+            F.sum(
+                F.when(vote > 0, 1 - F.col("pos")).otherwise(F.col("pos"))
+            )
+            .cast("bigint")
+            .alias("ens_err")
+        )
+    )
+    r1 = (
+        best1.crossJoin(F.broadcast(m1))
+        .crossJoin(F.broadcast(alpha))
+        .crossJoin(F.broadcast(ens))
+        .select(
+            F.lit(1).alias("round"),
+            "feature",
+            F.col("v").cast("bigint").alias("threshold"),
+            "left_pos",
+            F.col("m").alias("err_num"),
+            F.col("n").alias("err_den"),
+            F.col("a1").alias("alpha_micro"),
+            "ens_err",
+            "n",
+        )
+    )
+    r2 = (
+        best2.crossJoin(F.broadcast(m1))
+        .crossJoin(F.broadcast(alpha))
+        .crossJoin(F.broadcast(ens))
+        .select(
+            F.lit(2).alias("round"),
+            "feature",
+            F.col("v").cast("bigint").alias("threshold"),
+            "left_pos",
+            F.col("err_w").alias("err_num"),
+            F.col("den_w").alias("err_den"),
+            F.col("a2").alias("alpha_micro"),
+            "ens_err",
+            "n",
+        )
+    )
+    return r1.unionByName(r2).orderBy("round")

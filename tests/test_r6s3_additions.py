@@ -652,3 +652,90 @@ def test_heaps_fit_matches_bruteforce(spark, sf_dir):
     # decile adds zero types), making the true slope exactly 0 — the
     # degenerate-but-correct floor of the Heaps range.
     assert 0.0 <= beta < 1.05
+
+
+def test_adaboost_matches_bruteforce(spark, sf_dir):
+    """Replay both boosting rounds in pure Python (integer weighted
+    errors, integer reweighting, gridded alphas, ensemble vote) and
+    pin the boosting guarantee: each stump beats weighted chance."""
+    import math
+    from collections import defaultdict
+
+    from nibbler_spark.queries import load_all
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_discount", "l_returnflag"
+    ).collect()
+    rows = [
+        (
+            int(r["l_quantity"]),
+            int(round(r["l_discount"] * 100)),
+            1 if r["l_returnflag"] == "R" else 0,
+        )
+        for r in li
+    ]
+
+    def fit(weights):
+        best = None
+        for fi, feat in ((0, "qty"), (1, "disc_cents")):
+            hist = defaultdict(lambda: [0, 0])
+            for (q, dc, pos), w in zip(rows, weights):
+                v = (q, dc)[fi]
+                hist[v][0] += w
+                hist[v][1] += w * pos
+            nt = sum(h[0] for h in hist.values())
+            pt = sum(h[1] for h in hist.values())
+            nl = pl = 0
+            for v in sorted(hist):
+                nl += hist[v][0]
+                pl += hist[v][1]
+                if nl >= nt:
+                    continue
+                ea = (nl - pl) + (pt - pl)
+                eb = pl + ((nt - nl) - (pt - pl))
+                cand = (min(ea, eb), feat, v, 1 if ea <= eb else 0, nt)
+                if best is None or cand < best:
+                    best = cand
+        return best
+
+    n = len(rows)
+    e1, f1, v1, lp1, den1 = fit([1] * n)
+
+    def pred(feat, v, lp, row):
+        x = row[0] if feat == "qty" else row[1]
+        return lp if x <= v else 1 - lp
+
+    h1 = [pred(f1, v1, lp1, r) for r in rows]
+    m = sum(1 for h, r in zip(h1, rows) if h != r[2])
+    w2 = [n - m if h != r[2] else m for h, r in zip(h1, rows)]
+    e2, f2, v2, lp2, den2 = fit(w2)
+    a1 = math.floor(math.log((n - m) / m) * 5e5)
+    a2 = math.floor(math.log((den2 - e2) / e2) * 5e5)
+    ens = 0
+    for r, h in zip(rows, h1):
+        vote = (2 * h - 1) * a1 + (
+            2 * pred(f2, v2, lp2, r) - 1
+        ) * a2
+        ens += (1 - r[2]) if vote > 0 else r[2]
+    got = (
+        load_all()["ext_adaboost_two_rounds"].spark(spark, sf_dir).collect()
+    )
+    assert [
+        (
+            g["round"],
+            g["feature"],
+            g["threshold"],
+            g["left_pos"],
+            g["err_num"],
+            g["err_den"],
+            g["alpha_micro"],
+            g["ens_err"],
+            g["n"],
+        )
+        for g in got
+    ] == [
+        (1, f1, v1, lp1, m, n, a1, ens, n),
+        (2, f2, v2, lp2, e2, den2, a2, ens, n),
+    ]
+    # each stump beats weighted chance -> positive alphas
+    assert a1 > 0 and a2 > 0
