@@ -3391,3 +3391,84 @@ def ext_adaboost_two_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return r1.unionByName(r2).orderBy("round")
+
+
+@register(
+    "ext_dp_exponential_mechanism",
+    survey_id="EXT-DP-EXPMECH",
+    category="ml-exact",
+    oracle="""
+WITH tf AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (
+    SELECT UNNEST(string_split(text, ' ')) AS token FROM documents
+  ) GROUP BY token
+),
+keyed AS (
+  SELECT token, c,
+         250000 * c
+         + CAST(FLOOR(-LN(-LN(
+             (CAST(('0x' || substr(md5('em:' || token), 1, 12)) AS BIGINT)
+              + 0.5e0) / 281474976710656e0)) * 1000000e0) AS BIGINT)
+           AS key
+  FROM tf
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY key DESC, token) AS BIGINT)
+         AS rank,
+       token, c, key
+FROM keyed
+ORDER BY key DESC, token
+LIMIT 5
+""",
+)
+def ext_dp_exponential_mechanism(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXPONENTIAL MECHANISM (McSherry & Talwar 2007) for
+    differentially-private top-k selection — the DP release primitive
+    ext_dp_laplace_histogram's additive noise can't provide (selecting
+    an item from an unbounded domain): utility = token count,
+    sensitivity 1, epsilon = 0.5, and the k=5 release via GUMBEL
+    TOP-K, which is exactly k sequential exponential-mechanism draws
+    without replacement (the Gumbel-max identity a third time after
+    ext_dsir_gumbel_resample and ext_kmeanspp_seeding — one
+    distributed TakeOrdered instead of k sequential passes). Key =
+    eps/2 * count + Gumbel lands exactly on the integer lattice:
+    250000*c is exact, the Gumbel is the md5-derived 1e-6 grid draw.
+    The hash-seeded noise makes the mechanism REPLAYABLE for the
+    oracle and tests; a production release would swap in true
+    randomness (the privacy accounting is unchanged — noise source is
+    orthogonal to the mechanism's structure). The count column rides
+    along for verification, not release.
+
+    Scale shape: one map-side-combinable token count, row-local keys,
+    one TakeOrdered(5). Nothing else."""
+    tf = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("em:"), F.col("token"))), 1, 12),
+            16,
+            10,
+        ).cast("bigint")
+        + F.lit(0.5)
+    ) / F.lit(281474976710656.0)
+    keyed = tf.select(
+        "token",
+        "c",
+        (
+            250000 * F.col("c")
+            + F.floor(-F.log(-F.log(u)) * 1e6).cast("bigint")
+        ).alias("key"),
+    )
+    from pyspark.sql import Window
+
+    top = keyed.orderBy(F.col("key").desc(), "token").limit(5)
+    return top.withColumn(
+        "rank",
+        F.row_number()
+        .over(Window.orderBy(F.col("key").desc(), "token"))
+        .cast("bigint"),
+    ).select("rank", "token", "c", "key").orderBy("rank")
