@@ -2655,3 +2655,172 @@ def ext_dsir_gumbel_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("gumbel_key").desc(), "doc_id")
         .limit(50)
     )
+
+
+def _cov_oracle() -> str:
+    """5-stage unrolled greedy max-coverage oracle. ds is re-evaluated
+    per reference by DuckDB's CTE inlining (the BPE lesson) — cheap
+    here: one shingle scan per reference."""
+    stages = ["""ds AS (
+  SELECT DISTINCT doc_id, substr(md5(g), 1, 16) AS sh
+  FROM (
+    SELECT doc_id,
+           UNNEST(list_transform(generate_series(1, len(tk) - 4),
+                  i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' '
+                       || tk[i+3] || ' ' || tk[i+4])) AS g
+    FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
+  )
+)""", """uni AS (SELECT CAST(COUNT(DISTINCT sh) AS BIGINT) AS u FROM ds)"""]
+    prev_cov = None
+    for r in range(1, 6):
+        anti = (
+            f" WHERE ds.sh NOT IN (SELECT sh FROM {prev_cov})"
+            if prev_cov
+            else ""
+        )
+        stages.append(
+            f"s{r} AS (SELECT ds.doc_id, CAST(COUNT(*) AS BIGINT) AS gain"
+            f" FROM ds{anti} GROUP BY ds.doc_id"
+            f" ORDER BY gain DESC, ds.doc_id LIMIT 1)"
+        )
+        sel = " UNION ALL ".join(
+            f"SELECT doc_id FROM s{i}" for i in range(1, r + 1)
+        )
+        stages.append(
+            f"cov{r} AS (SELECT DISTINCT sh FROM ds"
+            f" WHERE doc_id IN ({sel}))"
+        )
+        prev_cov = f"cov{r}"
+    rows = " UNION ALL ".join(
+        f"SELECT {r} AS round, doc_id, gain FROM s{r}" for r in range(1, 6)
+    )
+    return (
+        "WITH " + ",\n".join(stages) + f"""
+SELECT q.round, q.doc_id, q.gain,
+       CAST(SUM(q.gain) OVER (ORDER BY q.round) AS BIGINT) AS cum_coverage,
+       uni.u AS universe,
+       CAST(SUM(q.gain) OVER (ORDER BY q.round) * 1000000 // uni.u
+            AS BIGINT) AS coverage_micro
+FROM ({rows}) q CROSS JOIN uni
+ORDER BY q.round"""
+    )
+
+
+@register(
+    "ext_submodular_coverage",
+    survey_id="EXT-SUBMODULAR",
+    category="llm-training-prep",
+    oracle=_cov_oracle(),
+)
+def ext_submodular_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy maximum-coverage data selection — the submodular
+    subset-selection algorithm (facility location / max-coverage,
+    Nemhauser's (1-1/e) guarantee) that picks the 5 documents whose
+    md5-slimmed 5-shingle sets jointly cover the most of the corpus's
+    shingle universe: the classic "most diverse exemplars" pass used
+    for instruction-data curation and coreset selection, and the
+    set-cover dual of the dedup family (dedup removes redundancy;
+    this SELECTS for coverage). Output per round: the chosen doc, its
+    MARGINAL gain (new shingles only — the submodular quantity),
+    cumulative coverage and its exact micro fraction of the universe.
+
+    All counts are exact BIGINTs over distinct (doc, shingle) pairs;
+    ties break to the smallest doc_id, so both engines walk the
+    identical greedy trajectory.
+
+    Scale shape: the distinct (doc, shingle) table builds once
+    (map-side-combinable distinct) and is localCheckpoint'ed; each of
+    the 5 rounds is one keyed ANTI-join against the <= |universe|
+    covered-shingle table (itself rebuilt from the <= 5-doc broadcast
+    selection), one map-side-combinable per-doc count, one
+    partial-combining struct-argmax. No round touches raw text, no
+    all-pairs anything; at 100 TB the covered table is the only
+    growing intermediate and it is bounded by the UNION of selected
+    docs' shingles (k * doc-size, not corpus-size)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    ds = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.when(
+                    F.size(toks) >= 5,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(toks) - 4),
+                        lambda i: F.substring(
+                            F.md5(
+                                F.concat_ws(
+                                    " ",
+                                    F.element_at(toks, i),
+                                    F.element_at(toks, i + 1),
+                                    F.element_at(toks, i + 2),
+                                    F.element_at(toks, i + 3),
+                                    F.element_at(toks, i + 4),
+                                )
+                            ),
+                            1,
+                            16,
+                        ),
+                    ),
+                ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
+            ).alias("sh"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    uni = ds.agg(F.countDistinct("sh").cast("bigint").alias("u"))
+    selected = []  # list of (round, 1-row DataFrame with doc_id, gain)
+    covered = None  # DataFrame of covered shingles
+    for r in range(1, 6):
+        pool = (
+            ds.join(covered, "sh", "left_anti") if covered is not None else ds
+        )
+        gains = pool.groupBy("doc_id").agg(
+            F.count("*").cast("bigint").alias("gain")
+        )
+        best = (
+            gains.agg(
+                F.max(
+                    F.struct(
+                        F.col("gain"), (-F.col("doc_id")).alias("nd")
+                    )
+                ).alias("b")
+            )
+            .select(
+                F.lit(r).alias("round"),
+                (-F.col("b.nd")).alias("doc_id"),
+                F.col("b.gain").alias("gain"),
+            )
+            .localCheckpoint()
+        )
+        selected.append(best)
+        sel_union = selected[0].select("doc_id")
+        for s in selected[1:]:
+            sel_union = sel_union.unionByName(s.select("doc_id"))
+        covered = (
+            ds.join(F.broadcast(sel_union), "doc_id", "left_semi")
+            .select("sh")
+            .distinct()
+            .localCheckpoint()
+        )
+    out = selected[0]
+    for s in selected[1:]:
+        out = out.unionByName(s)
+    w = Window.orderBy("round")
+    return (
+        out.crossJoin(F.broadcast(uni))
+        .withColumn(
+            "cum_coverage", F.sum("gain").over(w).cast("bigint")
+        )
+        .select(
+            "round",
+            "doc_id",
+            "gain",
+            "cum_coverage",
+            F.col("u").alias("universe"),
+            F.expr("cum_coverage * 1000000 DIV u")
+            .cast("bigint")
+            .alias("coverage_micro"),
+        )
+        .orderBy("round")
+    )

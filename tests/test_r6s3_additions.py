@@ -739,3 +739,56 @@ def test_adaboost_matches_bruteforce(spark, sf_dir):
     ]
     # each stump beats weighted chance -> positive alphas
     assert a1 > 0 and a2 > 0
+
+
+def test_submodular_coverage_matches_bruteforce(spark, sf_dir):
+    """Replay the greedy max-coverage trajectory in pure Python and
+    pin submodularity: marginal gains are non-increasing."""
+    import hashlib
+
+    from nibbler_spark.queries import load_all
+
+    docs = _docs(spark, sf_dir)
+    shingles = {}
+    for doc_id, _, toks in docs:
+        s = set()
+        for i in range(len(toks) - 4):
+            g = " ".join(toks[i : i + 5])
+            s.add(hashlib.md5(g.encode()).hexdigest()[:16])
+        if s:
+            shingles[doc_id] = s
+    universe = set().union(*shingles.values())
+    covered = set()
+    expect = []
+    cum = 0
+    for rnd in range(1, 6):
+        best = None
+        for doc_id, s in shingles.items():
+            gain = len(s - covered)
+            cand = (-gain, doc_id)
+            if best is None or cand < best:
+                best = cand
+        gain, doc_id = -best[0], best[1]
+        covered |= shingles[doc_id]
+        cum += gain
+        expect.append(
+            (rnd, doc_id, gain, cum, len(universe),
+             cum * 1_000_000 // len(universe))
+        )
+    rows = (
+        load_all()["ext_submodular_coverage"].spark(spark, sf_dir).collect()
+    )
+    got = [
+        (
+            r["round"],
+            r["doc_id"],
+            r["gain"],
+            r["cum_coverage"],
+            r["universe"],
+            r["coverage_micro"],
+        )
+        for r in rows
+    ]
+    assert got == expect
+    gains = [g for _, _, g, _, _, _ in expect]
+    assert gains == sorted(gains, reverse=True)  # submodularity
