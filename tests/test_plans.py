@@ -887,3 +887,58 @@ def test_kmeanspp_rounds_broadcast_centers_argmax_partial(spark, sf_dir):
     # the argmax reduce is sortless: the only range exchange is the
     # deterministic output orderBy
     assert plan.count("Exchange rangepartitioning") <= 1
+
+
+def test_haar_all_levels_one_aggregate_pair(spark, sf_dir):
+    """The closed-form sign trick: no per-level join, no recursion —
+    one daily count then one grouped detail aggregate."""
+    plan = _plan(spark, sf_dir, "ext_haar_energy_decomposition")
+    assert "EvalPython" not in plan
+    assert "Join" not in plan
+    assert "Window" not in plan  # argmax is min_by, not a window
+
+
+def test_bwt_zero_exchanges_before_final_group(spark, sf_dir):
+    """Entirely row-local: the only exchanges are the 5-row aggregate
+    and the output sort."""
+    plan = _plan(spark, sf_dir, "ext_bwt_compressibility")
+    assert "EvalPython" not in plan
+    import re
+
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_exchanges <= 4, plan[:2000]
+
+
+def test_margin_mining_pool_cross_is_broadcast(spark, sf_dir):
+    """The pool cross product broadcasts the smaller label pool; the
+    neighborhood sums are per-group window top-k, not global sorts."""
+    plan = _plan(spark, sf_dir, "ext_margin_pair_mining")
+    assert "EvalPython" not in plan
+    assert "ExistingRDD" in plan  # the gridded pair table checkpoint
+    assert "TakeOrderedAndProject" in plan  # final top-20
+
+
+def test_submodular_rounds_keyed_anti_joins(spark, sf_dir):
+    """Round joins stay keyed (anti/semi on shingle / doc_id); argmax
+    is partial-combining; the shingle table is a checkpoint."""
+    plan = _plan(spark, sf_dir, "ext_submodular_coverage")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "ExistingRDD" in plan
+
+
+def test_jsd_single_corpus_scan_keyed_vocab_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "ext_jensen_shannon_matrix")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "documents.parquet" not in plan  # tf checkpointed once
+    assert "ExistingRDD" in plan
+
+
+def test_adaboost_histograms_partial_combining(spark, sf_dir):
+    """Each round's candidate histogram must show a partial+final
+    HashAggregate pair (the MLlib bin-statistics shape)."""
+    plan = _plan(spark, sf_dir, "ext_adaboost_two_rounds")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2
