@@ -3976,3 +3976,268 @@ def ext_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@register(
+    "ext_symspell_typo_recovery",
+    survey_id="EXT-SYMSPELL",
+    category="llm-text",
+    oracle="""
+WITH obs AS (
+  SELECT CASE WHEN sel AND len(token) >= 4
+              THEN token[1 : dpos - 1] || token[dpos + 1 :]
+              ELSE token END AS tok,
+         CASE WHEN sel AND len(token) >= 4 THEN token END AS orig
+  FROM (
+    SELECT token,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                 || CAST(i AS VARCHAR) || ':' || token), 1, 12))
+                AS BIGINT) % 101 < 4 AS sel,
+           CAST(CAST(('0x' || substr(md5('p:' || CAST(doc_id AS VARCHAR)
+                 || ':' || CAST(i AS VARCHAR)), 1, 12)) AS BIGINT)
+                % len(token) + 1 AS INT) AS dpos
+    FROM (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS token,
+             UNNEST(generate_series(1, len(string_split(text, ' ')))) AS i
+      FROM documents
+    )
+  )
+),
+truth AS (
+  SELECT DISTINCT orig, tok AS variant
+  FROM obs WHERE orig IS NOT NULL AND tok <> orig
+),
+tf AS (SELECT tok AS token, CAST(COUNT(*) AS BIGINT) AS c
+       FROM obs GROUP BY tok),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM tf),
+rare AS (
+  SELECT token, c FROM tf CROSS JOIN tot
+  WHERE c < GREATEST(3, t // 1000) AND len(token) >= 3
+),
+freq AS (
+  SELECT token, c FROM tf CROSS JOIN tot
+  WHERE c >= GREATEST(3, t // 1000)
+),
+rkeys AS (
+  SELECT token, c, UNNEST(list_distinct(list_concat([token],
+           list_transform(generate_series(1, LEAST(len(token), 20)),
+             i -> token[1:i-1] || token[i+1:])))) AS k
+  FROM rare
+),
+fkeys AS (
+  SELECT token, c, UNNEST(list_distinct(list_concat([token],
+           list_transform(generate_series(1, LEAST(len(token), 20)),
+             i -> token[1:i-1] || token[i+1:])))) AS k
+  FROM freq
+),
+cand AS (
+  SELECT DISTINCT r.token AS rare_token, r.c AS rare_count,
+         f.token AS canon, f.c AS canon_count
+  FROM rkeys r JOIN fkeys f USING (k)
+  WHERE levenshtein(r.token, f.token) = 1
+),
+best AS (
+  SELECT rare_token, rare_count, canon, canon_count
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY rare_token
+               ORDER BY canon_count DESC, canon) AS rk
+    FROM cand
+  ) WHERE rk = 1
+),
+judged AS (
+  SELECT b.*,
+         CASE WHEN EXISTS (SELECT 1 FROM truth t
+                           WHERE t.variant = b.rare_token
+                             AND t.orig = b.canon)
+              THEN 1 ELSE 0 END AS is_correct
+  FROM best b
+),
+summary AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_mapped,
+         CAST(SUM(is_correct) AS BIGINT) AS n_correct,
+         (SELECT CAST(COUNT(DISTINCT variant) AS BIGINT) FROM truth)
+           AS n_injected
+  FROM judged
+)
+SELECT j.rare_token, j.rare_count, j.canon, j.canon_count,
+       CAST(j.is_correct AS BIGINT) AS is_correct,
+       s.n_mapped, s.n_correct, s.n_injected,
+       CAST(s.n_correct * 1000000 // s.n_mapped AS BIGINT)
+         AS precision_micro
+FROM judged j CROSS JOIN summary s
+ORDER BY j.canon_count DESC, j.rare_token
+LIMIT 50
+""",
+)
+def ext_symspell_typo_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SymSpell typo recovery with MEASURED precision — the
+    deletion-neighborhood spelling correction (Garbe's SymSpell) run
+    as a closed-loop benchmark, because this fixture's 31-word vocab
+    contains no natural distance-1 pairs: a deterministic md5-seeded
+    pass deletes one character from ~4% of token instances (length >=
+    4; the ext_encoding_repair precedent of deriving the corrupted
+    view in-query), the corrector then sees ONLY the corrupted stream
+    and must map each rare surface form back to a frequent canon via
+    delete-1 blocking — two strings within one edit share a delete-1
+    variant, so candidate generation is a keyed equi-join on variants,
+    never all-pairs — verified by the engines' shared integer
+    levenshtein(). Ground truth rides along (the injection is
+    replayable), so the output carries per-mapping correctness AND the
+    global precision as exact micro integers.
+
+    Frequency tiers are corpus-relative (freq: c >= max(3, T/1000)):
+    injected variants sit 1-2 orders below the threshold at every sf
+    because both scale linearly with the corpus. A variant whose
+    deletion lands ON another real word simply merges into the
+    frequent tier and is counted as unrecovered in n_injected.
+
+    Scale shape: one posexplode scan (row-local corruption), one token
+    count, row-local delete-variant explode (<= 21 per token), ONE
+    keyed variant join, a per-rare-token top-1 window, broadcast
+    summary. Candidate volume is variant-bucket-bounded."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("i0", "token"),
+    ).select("doc_id", (F.col("i0") + 1).alias("i"), "token")
+    h1 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col("doc_id").cast("string"),
+                    F.col("i").cast("string"),
+                    F.col("token"),
+                )
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    h2 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("p:"),
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    F.col("i").cast("string"),
+                )
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    sel = (h1 % 101 < 4) & (F.length("token") >= 4)
+    dpos = (h2 % F.length("token") + 1).cast("int")
+    corrupted = F.concat(
+        F.col("token").substr(F.lit(1).cast("int"), dpos - 1),
+        F.col("token").substr(dpos + 1, F.length("token")),
+    )
+    obs = toks.select(
+        F.when(sel, corrupted).otherwise(F.col("token")).alias("tok"),
+        F.when(sel, F.col("token")).alias("orig"),
+    ).localCheckpoint()
+    truth = (
+        obs.where(
+            F.col("orig").isNotNull() & (F.col("tok") != F.col("orig"))
+        )
+        .select(F.col("orig"), F.col("tok").alias("variant"))
+        .distinct()
+        .localCheckpoint()
+    )
+    tf = (
+        obs.groupBy(F.col("tok").alias("token"))
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .localCheckpoint()
+    )
+    tot = tf.agg(F.sum("c").cast("bigint").alias("t"))
+    thr = F.greatest(F.lit(3).cast("bigint"), F.expr("t DIV 1000"))
+    tiered = tf.crossJoin(F.broadcast(tot))
+    rare = tiered.where(
+        (F.col("c") < thr) & (F.length("token") >= 3)
+    ).select("token", "c")
+    freq = tiered.where(F.col("c") >= thr).select("token", "c")
+
+    def keyed(df, tname, cname):
+        dels = F.transform(
+            F.sequence(F.lit(1), F.least(F.length("token"), F.lit(20))),
+            lambda i: F.concat(
+                F.col("token").substr(
+                    F.lit(1).cast("int"), (i - 1).cast("int")
+                ),
+                F.col("token").substr(
+                    (i + 1).cast("int"), F.length("token")
+                ),
+            ),
+        )
+        return df.select(
+            F.col("token").alias(tname),
+            F.col("c").alias(cname),
+            F.explode(
+                F.array_distinct(F.concat(F.array(F.col("token")), dels))
+            ).alias("k"),
+        )
+
+    cand = (
+        keyed(rare, "rare_token", "rare_count")
+        .join(keyed(freq, "canon", "canon_count"), "k")
+        .where(F.levenshtein("rare_token", "canon") == 1)
+        .select("rare_token", "rare_count", "canon", "canon_count")
+        .distinct()
+    )
+    w = Window.partitionBy("rare_token").orderBy(
+        F.col("canon_count").desc(), "canon"
+    )
+    best = (
+        cand.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .drop("rk")
+    )
+    judged = best.join(
+        truth.select(
+            F.col("variant").alias("rare_token"),
+            F.col("orig").alias("canon"),
+            F.lit(1).alias("hit"),
+        ),
+        ["rare_token", "canon"],
+        "left",
+    ).select(
+        "rare_token",
+        "rare_count",
+        "canon",
+        "canon_count",
+        F.coalesce("hit", F.lit(0)).cast("bigint").alias("is_correct"),
+    )
+    n_injected = truth.agg(
+        F.countDistinct("variant").cast("bigint").alias("n_injected")
+    )
+    summary = (
+        judged.agg(
+            F.count("*").cast("bigint").alias("n_mapped"),
+            F.sum("is_correct").cast("bigint").alias("n_correct"),
+        )
+        .crossJoin(F.broadcast(n_injected))
+    )
+    return (
+        judged.crossJoin(F.broadcast(summary))
+        .select(
+            "rare_token",
+            "rare_count",
+            "canon",
+            "canon_count",
+            "is_correct",
+            "n_mapped",
+            "n_correct",
+            "n_injected",
+            F.expr("n_correct * 1000000 DIV n_mapped")
+            .cast("bigint")
+            .alias("precision_micro"),
+        )
+        .orderBy(F.col("canon_count").desc(), "rare_token")
+        .limit(50)
+    )

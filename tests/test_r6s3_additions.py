@@ -792,3 +792,103 @@ def test_submodular_coverage_matches_bruteforce(spark, sf_dir):
     assert got == expect
     gains = [g for _, _, g, _, _, _ in expect]
     assert gains == sorted(gains, reverse=True)  # submodularity
+
+
+def test_symspell_recovery_matches_bruteforce(spark, sf_dir):
+    """Replay the md5-seeded corruption, the corpus-relative tiers,
+    the delete-1 blocked candidate join, and the top-1 canon choice in
+    pure Python; pin that recovery precision is high (the fixture's
+    words are distance >= 2 apart, so delete-1 canons are near-unique)."""
+    import hashlib
+
+    from nibbler_spark.queries import load_all
+
+    docs = _docs(spark, sf_dir)
+    obs = []
+    truth = set()
+    for doc_id, _, toks in docs:
+        for i, tok in enumerate(toks, start=1):
+            h1 = int(
+                hashlib.md5(f"{doc_id}:{i}:{tok}".encode()).hexdigest()[:12],
+                16,
+            )
+            if h1 % 101 < 4 and len(tok) >= 4:
+                h2 = int(
+                    hashlib.md5(f"p:{doc_id}:{i}".encode()).hexdigest()[:12],
+                    16,
+                )
+                p = h2 % len(tok)  # 0-based deletion position
+                var = tok[:p] + tok[p + 1 :]
+                obs.append(var)
+                if var != tok:
+                    truth.add((tok, var))
+            else:
+                obs.append(tok)
+    tf = Counter(obs)
+    t = sum(tf.values())
+    thr = max(3, t // 1000)
+    rare = {w: c for w, c in tf.items() if c < thr and len(w) >= 3}
+    freq = {w: c for w, c in tf.items() if c >= thr}
+
+    def dels(w):
+        ks = {w}
+        for i in range(min(len(w), 20)):
+            ks.add(w[:i] + w[i + 1 :])
+        return ks
+
+    fmap = {}
+    for w, c in freq.items():
+        for k in dels(w):
+            fmap.setdefault(k, set()).add(w)
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1,
+                        prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[len(b)]
+
+    judged = []
+    for w, c in rare.items():
+        cands = set()
+        for k in dels(w):
+            cands |= fmap.get(k, set())
+        verified = [
+            (freq[f], f) for f in cands if lev(w, f) == 1
+        ]
+        if verified:
+            fc, f = sorted(verified, key=lambda kv: (-kv[0], kv[1]))[0]
+            judged.append(
+                (w, c, f, fc, 1 if (f, w) in truth else 0)
+            )
+    n_mapped = len(judged)
+    n_correct = sum(j[4] for j in judged)
+    n_injected = len(set(v for _, v in truth))
+    expect = sorted(judged, key=lambda j: (-j[3], j[0]))[:50]
+    rows = (
+        load_all()["ext_symspell_typo_recovery"].spark(spark, sf_dir).collect()
+    )
+    got = [
+        (
+            r["rare_token"],
+            r["rare_count"],
+            r["canon"],
+            r["canon_count"],
+            r["is_correct"],
+        )
+        for r in rows
+    ]
+    assert got == expect
+    for r in rows:
+        assert (r["n_mapped"], r["n_correct"], r["n_injected"]) == (
+            n_mapped,
+            n_correct,
+            n_injected,
+        )
+        assert r["precision_micro"] == n_correct * 1_000_000 // n_mapped
+    assert n_mapped > 0 and n_correct * 10 >= n_mapped * 9

@@ -83,6 +83,13 @@ FLAGSHIPS = [
     # keyed join, so wall time should track n log-ish; the top-30 LCP
     # output is constant-size.
     "ext_suffix_array_lcp",
+    # r6 session 3, second half: held-out LM scoring (two corpus scans
+    # + vocab-scale keyed joins), greedy coverage (5 anti-join rounds
+    # over the distinct-shingle table), online drift (fixed
+    # 1024-bucket state; cost is the token->bucket map per epoch).
+    "ext_kn_heldout_perplexity",
+    "ext_submodular_coverage",
+    "i46_stream_kl_drift",
 ]
 GATE_RATIO = 12.0  # 10x data -> <= 12x wall (near-linear)
 # candidate-bound gate: wall time may grow at most this much faster than
