@@ -4241,3 +4241,212 @@ def ext_symspell_typo_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("canon_count").desc(), "rare_token")
         .limit(50)
     )
+
+
+def _decode_oracle() -> str:
+    """12-step unrolled greedy decode: stage r picks argmax
+    P(w2 | w_{r-1}) with lexicographic tie-break."""
+    stages = ["""bg AS (
+  SELECT string_split(b, CHR(31))[1] AS w1,
+         string_split(b, CHR(31))[2] AS w2,
+         CAST(COUNT(*) AS BIGINT) AS c12
+  FROM (
+    SELECT UNNEST(list_transform(generate_series(1, len(tk) - 1),
+           i -> tk[i] || CHR(31) || tk[i+1])) AS b
+    FROM (SELECT string_split(text, ' ') AS tk FROM documents)
+  ) GROUP BY 1, 2
+)""", """nxt AS (
+  SELECT w1, w2, c12 FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY w1
+               ORDER BY c12 DESC, w2) AS rk FROM bg
+  ) WHERE rk = 1
+)""", """s0 AS (
+  SELECT w1 AS tok, CAST(SUM(c12) AS BIGINT) AS cnt FROM bg
+  GROUP BY w1 ORDER BY cnt DESC, tok LIMIT 1
+)"""]
+    for r in range(1, 13):
+        prev = "s0" if r == 1 else f"s{r-1}"
+        stages.append(
+            f"s{r} AS (SELECT n.w2 AS tok, n.c12 AS cnt FROM nxt n"
+            f" JOIN {prev} p ON n.w1 = p.tok)"
+        )
+    rows = " UNION ALL ".join(
+        f"SELECT {r} AS step, tok, cnt FROM s{r}" for r in range(0, 13)
+    )
+    return (
+        "WITH " + ",\n".join(stages)
+        + f"\nSELECT step, tok, cnt FROM ({rows}) ORDER BY step"
+    )
+
+
+@register(
+    "ext_bigram_greedy_decode",
+    survey_id="EXT-LM-DECODE",
+    category="llm-text",
+    oracle=_decode_oracle(),
+)
+def ext_bigram_greedy_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy (argmax) decoding from the corpus bigram LM — 12 steps
+    of w_t = argmax_c c(w_{t-1}, c), seeded at the most frequent
+    bigram head. What comes out is the corpus's PARROT PHRASE: the
+    single most-reinforced token chain, which for a crawl is the
+    boilerplate spine (cookie banners decode first on real data) —
+    the generative read-out of what ext_bleu_self_similarity and
+    ext_bigram_conditional_entropy measure statistically. Counts are
+    exact; ties break lexicographically; a chain that leaves the LM
+    support simply ends (row absent), so the output length itself is
+    a diagnostic.
+
+    Scale shape: the bigram count + per-head argmax (top-1 window
+    per w1, WindowGroupLimit) build ONCE and checkpoint — the
+    transition table. The 12 decode steps are 1-row broadcast joins
+    against that keyed table; nothing re-touches the corpus."""
+    sep = chr(31)
+    d = load_table(spark, sf_dir, "documents")
+    tk = F.split("text", " ")
+    bg = (
+        d.select(
+            F.explode(
+                F.when(
+                    F.size(tk) >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(tk) - 1),
+                        lambda i: F.concat_ws(
+                            sep,
+                            F.element_at(tk, i),
+                            F.element_at(tk, i + 1),
+                        ),
+                    ),
+                ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
+            ).alias("b")
+        )
+        .select(
+            F.split_part(F.col("b"), F.lit(sep), F.lit(1)).alias("w1"),
+            F.split_part(F.col("b"), F.lit(sep), F.lit(2)).alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("bigint").alias("c12"))
+        .localCheckpoint()
+    )
+    w = Window.partitionBy("w1").orderBy(F.col("c12").desc(), "w2")
+    nxt = (
+        bg.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("w1", "w2", "c12")
+        .localCheckpoint()
+    )
+    s = (
+        bg.groupBy("w1")
+        .agg(F.sum("c12").cast("bigint").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "w1")
+        .limit(1)
+        .select(
+            F.lit(0).cast("bigint").alias("step"),
+            F.col("w1").alias("tok"),
+            "cnt",
+        )
+        .localCheckpoint()
+    )
+    outs = [s]
+    for r in range(1, 13):
+        s = (
+            nxt.join(
+                F.broadcast(s.select(F.col("tok").alias("w1"))), "w1"
+            )
+            .select(
+                F.lit(r).cast("bigint").alias("step"),
+                F.col("w2").alias("tok"),
+                F.col("c12").alias("cnt"),
+            )
+            .localCheckpoint()
+        )
+        outs.append(s)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("step")
+
+
+@register(
+    "ext_tfidf_keywords",
+    survey_id="EXT-TFIDF",
+    category="llm-text",
+    oracle="""
+WITH tokd AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents
+),
+n_docs AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS f
+  FROM tokd GROUP BY doc_id, term
+),
+df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.f, df.df,
+         tf.f * CAST(FLOOR(ln((CAST(nd AS DOUBLE) + 1e0)
+                              / (CAST(df.df AS DOUBLE) + 1e0))
+                           * 1000000e0) AS BIGINT) AS tfidf_micro
+  FROM tf JOIN df USING (term) CROSS JOIN n_docs
+)
+SELECT doc_id, term, f, df, tfidf_micro, CAST(rk AS BIGINT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+             ORDER BY tfidf_micro DESC, term) AS rk
+  FROM scored
+) WHERE rk <= 3 AND doc_id % 50 = 0
+ORDER BY doc_id, rank
+""",
+)
+def ext_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction — the classic doc-representation next
+    to the statistical (ext_rake_keywords) and graph (ext_textrank_
+    keywords) extractors already in the family: score = tf *
+    ln((N+1)/(df+1)), top-3 terms per document (every 50th doc emitted
+    to keep the declared output bounded). The idf ln rides the 1e-6
+    grid so score = f * lnGrid is an exact BIGINT and the per-doc
+    top-3 rank is integer-deterministic with term tie-breaks.
+
+    Scale shape: one (doc, term) count (map-side combinable), a
+    vocab-sized df rollup OF that table, one keyed join back on term,
+    a top-3-per-doc window (WindowGroupLimit). The idf table is the
+    only broadcast-worthy side at 100 TB; nothing is corpus x vocab."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("term")
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("bigint").alias("f"))
+        .localCheckpoint()
+    )
+    df = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
+    nd = d.agg(F.count("*").cast("bigint").alias("nd"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "term",
+            "f",
+            "df",
+            (
+                F.col("f")
+                * F.floor(
+                    F.log(
+                        (F.col("nd").cast("double") + F.lit(1.0))
+                        / (F.col("df").cast("double") + F.lit(1.0))
+                    )
+                    * 1e6
+                ).cast("bigint")
+            ).alias("tfidf_micro"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf_micro").desc(), "term"
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where((F.col("rank") <= 3) & (F.col("doc_id") % 50 == 0))
+        .select("doc_id", "term", "f", "df", "tfidf_micro", "rank")
+        .orderBy("doc_id", "rank")
+    )
