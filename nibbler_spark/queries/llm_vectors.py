@@ -3577,3 +3577,247 @@ def ext_margin_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src_id", "tgt_id", "cg", "margin8", "rank")
         .orderBy("rank")
     )
+
+
+@register(
+    "ext_medoid_exemplars",
+    survey_id="EXT-MEDOID",
+    category="llm-vectors",
+    oracle=f"""
+WITH pairs AS (
+  SELECT a.label, a.vec_id,
+         CAST(SUM({_sql_idot('a.embedding', 'a.embedding')}
+                  - 2 * {_sql_idot('a.embedding', 'b.embedding')}
+                  + {_sql_idot('b.embedding', 'b.embedding')})
+              AS BIGINT) AS sum_d2,
+         CAST(COUNT(*) AS BIGINT) AS n_others
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id <> b.vec_id
+  GROUP BY a.label, a.vec_id
+)
+SELECT label, vec_id AS medoid_id, sum_d2, n_others,
+       CAST(sum_d2 // n_others AS BIGINT) AS mean_d2_int
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY label
+             ORDER BY sum_d2, vec_id) AS rk
+  FROM pairs
+) WHERE rk = 1
+ORDER BY label
+""",
+)
+def ext_medoid_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster MEDOID selection — the exemplar step of
+    SemDeDup-style cluster pruning ("keep the most central member,
+    drop the rest") and the robust alternative to centroids for
+    non-euclidean curation decisions: for each label, the vector
+    minimizing the SUM of squared distances to its cluster peers.
+    Distances live on the dec_dot 1e-10 integer lattice
+    (xx - 2xy + yy of floored products), so the per-point sums and
+    the argmin are exact BIGINTs with vec_id tie-breaks.
+
+    Scale shape: the pair formation is LABEL-BLOCKED (the dedup-family
+    rule: O(block^2), never O(n^2) — at 100 TB labels come from the
+    IVF/k-means partitioner, ext_kmeanspp_seeding being the seeding
+    step); the per-point sum is one map-side-combinable aggregate over
+    the blocked join; the per-label argmin a 10-group window over
+    point-count rows."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "label", "vec_id", "embedding"
+    )
+
+    def idot(a, b):
+        return F.aggregate(
+            F.zip_with(
+                a,
+                b,
+                lambda x, y: F.floor(
+                    x.cast("double") * y.cast("double") * F.lit(1e10)
+                ).cast("bigint"),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    b = e.select(
+        F.col("label").alias("lb"),
+        F.col("vec_id").alias("other_id"),
+        F.col("embedding").alias("eb"),
+    )
+    pairs = (
+        e.join(
+            b,
+            (F.col("label") == F.col("lb"))
+            & (F.col("vec_id") != F.col("other_id")),
+        )
+        .groupBy("label", "vec_id")
+        .agg(
+            F.sum(
+                idot(F.col("embedding"), F.col("embedding"))
+                - 2 * idot(F.col("embedding"), F.col("eb"))
+                + idot(F.col("eb"), F.col("eb"))
+            )
+            .cast("bigint")
+            .alias("sum_d2"),
+            F.count("*").cast("bigint").alias("n_others"),
+        )
+    )
+    w = Window.partitionBy("label").orderBy("sum_d2", "vec_id")
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "label",
+            F.col("vec_id").alias("medoid_id"),
+            "sum_d2",
+            "n_others",
+            F.expr("sum_d2 DIV n_others").cast("bigint").alias(
+                "mean_d2_int"
+            ),
+        )
+        .orderBy("label")
+    )
+
+
+@register(
+    "ext_silhouette_sampled",
+    survey_id="EXT-SILHOUETTE",
+    category="llm-vectors",
+    oracle=f"""
+WITH probes AS (
+  SELECT label, vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0
+),
+d AS (
+  SELECT p.vec_id, p.label AS plabel, b.label,
+         CAST(SUM({_sql_idot('p.embedding', 'p.embedding')}
+                  - 2 * {_sql_idot('p.embedding', 'b.embedding')}
+                  + {_sql_idot('b.embedding', 'b.embedding')})
+              AS BIGINT) AS sum_d2,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM probes p JOIN embeddings b ON p.vec_id <> b.vec_id
+  GROUP BY p.vec_id, p.label, b.label
+),
+ab AS (
+  SELECT vec_id, plabel,
+         MAX(CASE WHEN label = plabel THEN sum_d2 // n END) AS a,
+         MIN(CASE WHEN label <> plabel THEN sum_d2 // n END) AS b
+  FROM d GROUP BY vec_id, plabel
+),
+s AS (
+  SELECT vec_id, plabel AS label,
+         CAST(CASE WHEN b >= a THEN (b - a) * 1000 // GREATEST(a, b)
+              ELSE -((a - b) * 1000 // GREATEST(a, b)) END
+              AS BIGINT) AS s_milli
+  FROM ab WHERE a IS NOT NULL AND b IS NOT NULL
+)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_probes,
+       CAST(SUM(s_milli) AS BIGINT) AS sum_s_milli,
+       CAST(CAST(SUM(s_milli) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+            / 1000e0 AS DOUBLE) AS avg_silhouette
+FROM s GROUP BY label
+ORDER BY label
+""",
+)
+def ext_silhouette_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled SILHOUETTE score of the embedding labeling — the
+    standard internal clustering-quality metric, computed for every
+    10th vector against the full corpus: a = mean squared distance to
+    own-label peers, b = the smallest other-label mean, s =
+    (b-a)/max(a,b). Positive means the labels carve real structure
+    (worth medoid-pruning, ext_medoid_exemplars); near-zero means the
+    partitioner needs re-seeding (ext_kmeanspp_seeding). Distances
+    ride the dec_dot integer lattice; per-(probe, label) sums are
+    exact BIGINTs; a and b are FLOOR-divided means (identical on both
+    engines — the declared definition) so s lands on an exact milli
+    grid, and the per-label reduction emits the exact integer SUM
+    (avoiding signed-DIV divergence) beside the derived double mean.
+
+    Scale shape: probe x corpus is a 10%-sampled blocked product with
+    per-(probe,label) map-side-combinable sums — O(sample * n), the
+    textbook sampled-silhouette cost; everything after is
+    probes x labels rows. At 100 TB you'd sample harder and feed the
+    same dataflow."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "label", "vec_id", "embedding"
+    )
+    probes = e.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("pid"),
+        F.col("label").alias("plabel"),
+        F.col("embedding").alias("pe"),
+    )
+
+    def idot(a, b):
+        return F.aggregate(
+            F.zip_with(
+                a,
+                b,
+                lambda x, y: F.floor(
+                    x.cast("double") * y.cast("double") * F.lit(1e10)
+                ).cast("bigint"),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    d2 = (
+        F.broadcast(probes)
+        .join(e, F.col("pid") != F.col("vec_id"))
+        .groupBy("pid", "plabel", "label")
+        .agg(
+            F.sum(
+                idot(F.col("pe"), F.col("pe"))
+                - 2 * idot(F.col("pe"), F.col("embedding"))
+                + idot(F.col("embedding"), F.col("embedding"))
+            )
+            .cast("bigint")
+            .alias("sum_d2"),
+            F.count("*").cast("bigint").alias("n"),
+        )
+    )
+    ab = d2.groupBy("pid", "plabel").agg(
+        F.max(
+            F.when(
+                F.col("label") == F.col("plabel"),
+                F.expr("sum_d2 DIV n"),
+            )
+        ).alias("a"),
+        F.min(
+            F.when(
+                F.col("label") != F.col("plabel"),
+                F.expr("sum_d2 DIV n"),
+            )
+        ).alias("b"),
+    )
+    s = ab.where(
+        F.col("a").isNotNull() & F.col("b").isNotNull()
+    ).select(
+        F.col("plabel").alias("label"),
+        # sign-split: both engines floor-divide POSITIVE integers only
+        # (their signed integer-division semantics differ)
+        F.expr(
+            "CASE WHEN b >= a THEN (b - a) * 1000 DIV GREATEST(a, b) "
+            "ELSE -((a - b) * 1000 DIV GREATEST(a, b)) END"
+        )
+        .cast("bigint")
+        .alias("s_milli"),
+    )
+    return (
+        s.groupBy("label")
+        .agg(
+            F.count("*").cast("bigint").alias("n_probes"),
+            F.sum("s_milli").cast("bigint").alias("sum_s_milli"),
+        )
+        .select(
+            "label",
+            "n_probes",
+            "sum_s_milli",
+            (
+                F.col("sum_s_milli").cast("double")
+                / F.col("n_probes").cast("double")
+                / F.lit(1e3)
+            ).alias("avg_silhouette"),
+        )
+        .orderBy("label")
+    )
