@@ -17,9 +17,15 @@ TABLES = [
 
 only = sys.argv[1:] or None
 
+# Parallelism knobs, overridable for partition-independence sweeps:
+# the hash oracle must produce identical values at ANY partition count
+# (the exact-arithmetic discipline's core claim). Defaults match the
+# external driver's plain session.
+_CPUS = os.environ.get("NIBBLER_DRIVE_CPUS", "8")
+_SHUF = os.environ.get("NIBBLER_DRIVE_SHUFFLE", "8")
 spark = (
-    SparkSession.builder.master("local[8]")
-    .config("spark.sql.shuffle.partitions", "8")
+    SparkSession.builder.master(f"local[{_CPUS}]")
+    .config("spark.sql.shuffle.partitions", _SHUF)
     .appName("drive-driver-contract")
     .getOrCreate()
 )
