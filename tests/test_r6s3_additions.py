@@ -1,6 +1,9 @@
-"""Round-6 session-3 additions: text-eval / LM-statistics operators
-(Good-Turing, PPMI, BLEU, ROUGE-L) and the prefix-doubling suffix
-array.
+"""Round-6 session-3 additions: text-eval metrics (BLEU/ROUGE-L/
+chrF), LM statistics (Good-Turing, PPMI, KL/JSD, conditional entropy,
+held-out KN perplexity, Heaps' law), the prefix-doubling suffix array
+and BWT fingerprint, data-selection algorithms (k-means++ seeding,
+greedy max-coverage, margin mining, medoids, DP exponential mechanism,
+AdaBoost), and SymSpell typo recovery.
 
 Each test is an INDEPENDENT pure-Python re-derivation — not a
 construction-identical unrolling — because a DuckDB oracle built the
