@@ -111,6 +111,9 @@ HEADLINE = [
     # r6 session 3: the prefix-doubling suffix array (6 dense-rank
     # rounds + cross-doc LCP top-30) — the ExactSubstr dedup flagship.
     "ext_suffix_array_lcp",  # BENCH-K28 (suffix array + LCP)
+    # r6 session 3, second half: greedy max-coverage data selection
+    # (5 anti-join rounds over the checkpointed shingle table).
+    "ext_submodular_coverage",  # BENCH-K29 (greedy coverage)
 ]
 
 
