@@ -3442,18 +3442,102 @@ def ext_kmeanspp_seeding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.crossJoin(F.broadcast(inertia)).orderBy("round")
 
 
+def margin_candidate_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF-funnel candidate generator of ext_margin_pair_mining,
+    exposed for the scale ladder's candidate-volume measurer: 16
+    hash-seeded cells over the target pool, row-local argmax
+    assignment + nprobe=2 probe against the 1-row collected seed
+    array, keyed equi-join on cell. Returns (src_id, ea, cell,
+    tgt_id, eb) candidate rows."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.where(F.col("label") == 0).select(
+        F.col("vec_id").alias("src_id"), F.col("embedding").alias("ea")
+    )
+    b = e.where(F.col("label") == 1).select(
+        F.col("vec_id").alias("tgt_id"), F.col("embedding").alias("eb")
+    )
+    seeds = (
+        b.orderBy(F.md5(F.col("tgt_id").cast("string")), "tgt_id")
+        .limit(16)
+        .select(F.col("tgt_id").alias("cell"), F.col("eb").alias("se"))
+    )
+    seed_row = F.broadcast(
+        seeds.agg(F.collect_list(F.struct("cell", "se")).alias("seeds"))
+    )
+
+    def cg9(x, y):
+        return F.floor(cosine(x, y) * 1e9).cast("bigint")
+
+    def cells_ranked(emb):
+        # row-local (ncg, cell) sort over the 16-seed array: best
+        # cosine first, ties on cell id — no shuffle, no window
+        return F.array_sort(
+            F.transform(
+                F.col("seeds"),
+                lambda s: F.struct(
+                    (-cg9(emb, s["se"])).alias("ncg"),
+                    s["cell"].alias("cell"),
+                ),
+            )
+        )
+
+    assigned = b.crossJoin(seed_row).select(
+        "tgt_id",
+        "eb",
+        cells_ranked(F.col("eb"))[0]["cell"].alias("cell"),
+    )
+    probed = a.crossJoin(seed_row).select(
+        "src_id",
+        "ea",
+        F.explode(
+            F.transform(
+                F.slice(cells_ranked(F.col("ea")), 1, 2),
+                lambda t: t["cell"],
+            )
+        ).alias("cell"),
+    )
+    return probed.join(assigned, "cell")
+
+
+
+
 @register(
     "ext_margin_pair_mining",
     survey_id="EXT-MARGIN-MINING",
     category="llm-vectors",
     oracle=f"""
-WITH a AS (SELECT vec_id, embedding FROM embeddings WHERE label = 0),
-b AS (SELECT vec_id, embedding FROM embeddings WHERE label = 1),
+WITH a AS (SELECT vec_id AS src_id, embedding AS ea
+           FROM embeddings WHERE label = 0),
+b AS (SELECT vec_id AS tgt_id, embedding AS eb
+      FROM embeddings WHERE label = 1),
+seeds AS (
+  SELECT tgt_id AS cell, eb AS se FROM b
+  ORDER BY md5(CAST(tgt_id AS VARCHAR)), tgt_id LIMIT 16
+),
+assigned AS (
+  SELECT tgt_id, eb, cell FROM (
+    SELECT b.tgt_id, b.eb, s.cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY b.tgt_id
+             ORDER BY CAST(FLOOR({sql_cosine('b.eb', 's.se')} * 1e9)
+                           AS BIGINT) DESC, s.cell) AS rk
+    FROM b CROSS JOIN seeds s
+  ) WHERE rk = 1
+),
+probed AS (
+  SELECT src_id, ea, cell FROM (
+    SELECT a.src_id, a.ea, s.cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY a.src_id
+             ORDER BY CAST(FLOOR({sql_cosine('a.ea', 's.se')} * 1e9)
+                           AS BIGINT) DESC, s.cell) AS rk
+    FROM a CROSS JOIN seeds s
+  ) WHERE rk <= 2
+),
 xp AS (
-  SELECT a.vec_id AS src_id, b.vec_id AS tgt_id,
-         CAST(FLOOR({sql_cosine('a.embedding', 'b.embedding')} * 1e9)
-              AS BIGINT) AS cg
-  FROM a CROSS JOIN b
+  SELECT p.src_id, t.tgt_id,
+         CAST(FLOOR({sql_cosine('p.ea', 't.eb')} * 1e9) AS BIGINT) AS cg
+  FROM probed p JOIN assigned t USING (cell)
 ),
 ka AS (
   SELECT src_id, CAST(SUM(cg) AS BIGINT) AS sum4
@@ -3495,33 +3579,33 @@ def ext_margin_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     here the DIFFERENCE margin cos(x,y) - (avg_k(x)+avg_k(y))/2 with
     k=4, which kills hub vectors that are everyone's nearest
     neighbor. Pools are label 0 (source) and label 1 (target); output
-    is the global top-20 mined pairs.
+    is the global top-20 mined pairs over the IVF candidate set.
+
+    Candidate generation is the repo's own IVF probe funnel (the r6
+    verdict's fix: the first draft materialized the pool x pool cross
+    product with a pool-sized broadcast — the scale-killer pair):
+    16 hash-seeded cells (lowest md5(tgt_id) target vectors — a
+    deterministic uniform sample, the fixed-k seed codebook), every
+    target assigned to its argmax-cosine cell and every source probing
+    its nprobe=2 nearest cells, both ROW-LOCALLY against the 1-row
+    collected seed array (zero shuffle); candidates are then a keyed
+    equi-join on cell — nprobe-bounded per source vector, never
+    all-pairs. At 100 TB the cell count grows ~sqrt(|B|) and the same
+    dataflow holds (cells partition the target pool; the probe side
+    explodes to exactly nprobe rows per source).
 
     Exactness: cosines land on the 1e-9 grid BEFORE any sum (top-4
-    neighborhood sums of gridded BIGINTs are order-independent —
-    summing raw doubles here would diverge between engines), and the
+    neighborhood sums of gridded BIGINTs are order-independent),
+    cell argmax / probe top-2 tie-break on cell id, and the
     difference margin x8 (8*cg - sum4_src - sum4_tgt) clears both the
     division and the signed-DIV hazard entirely: every emitted value
-    is an exact signed BIGINT, ranked with id tie-breaks.
-
-    Scale shape: the pool cross product is blocked by construction
-    (two labels, not the corpus); neighborhood sums are top-k-per-
-    group windows (WindowGroupLimit) over the pair table; the final
-    top-20 is a TakeOrdered. At 100 TB pools you'd IVF-prune the
-    candidate cross product first (ext_ann_rerank_pipeline is that
-    funnel) and feed THIS operator the surviving candidates — margin
-    scoring itself stays per-candidate-bounded."""
+    is an exact signed BIGINT, ranked with id tie-breaks. The oracle
+    replicates the identical funnel (seed selection included), so the
+    full pipeline hash-matches."""
     from pyspark.sql import Window
 
-    e = load_table(spark, sf_dir, "embeddings")
-    a = e.where(F.col("label") == 0).select(
-        F.col("vec_id").alias("src_id"), F.col("embedding").alias("ea")
-    )
-    b = e.where(F.col("label") == 1).select(
-        F.col("vec_id").alias("tgt_id"), F.col("embedding").alias("eb")
-    )
     xp = (
-        a.crossJoin(F.broadcast(b))
+        margin_candidate_frame(spark, sf_dir)
         .select(
             "src_id",
             "tgt_id",
@@ -3549,9 +3633,11 @@ def ext_margin_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tgt_id")
         .agg(F.sum("cg").cast("bigint").alias("sum4b"))
     )
+    # candidate-proportional sides: plain keyed joins (no broadcast
+    # hint — AQE picks at test scale, shuffle-hash at 100 TB)
     scored = (
-        xp.join(F.broadcast(ka), "src_id")
-        .join(F.broadcast(kb), "tgt_id")
+        xp.join(ka, "src_id")
+        .join(kb, "tgt_id")
         .select(
             "src_id",
             "tgt_id",
@@ -3685,8 +3771,10 @@ def ext_medoid_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_id="EXT-SILHOUETTE",
     category="llm-vectors",
     oracle=f"""
-WITH probes AS (
-  SELECT label, vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0
+WITH nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM embeddings),
+probes AS (
+  SELECT label, vec_id, embedding FROM embeddings, nt
+  WHERE vec_id % GREATEST(1, n_total // 64) = 0
 ),
 d AS (
   SELECT p.vec_id, p.label AS plabel, b.label,
@@ -3722,8 +3810,11 @@ ORDER BY label
 )
 def ext_silhouette_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sampled SILHOUETTE score of the embedding labeling — the
-    standard internal clustering-quality metric, computed for every
-    10th vector against the full corpus: a = mean squared distance to
+    standard internal clustering-quality metric, computed for a
+    FIXED-SIZE probe set (~64 vectors: modulus n_total DIV 64, derived
+    from the corpus count — the r6 verdict's fix: the first draft
+    probed every 10th vector and broadcast a corpus-proportional
+    frame) against the full corpus: a = mean squared distance to
     own-label peers, b = the smallest other-label mean, s =
     (b-a)/max(a,b). Positive means the labels carve real structure
     (worth medoid-pruning, ext_medoid_exemplars); near-zero means the
@@ -3734,18 +3825,27 @@ def ext_silhouette_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid, and the per-label reduction emits the exact integer SUM
     (avoiding signed-DIV divergence) beside the derived double mean.
 
-    Scale shape: probe x corpus is a 10%-sampled blocked product with
-    per-(probe,label) map-side-combinable sums — O(sample * n), the
-    textbook sampled-silhouette cost; everything after is
-    probes x labels rows. At 100 TB you'd sample harder and feed the
-    same dataflow."""
+    Scale shape: probe x corpus is a fixed-k blocked product with
+    per-(probe,label) map-side-combinable sums — O(k * n) with k
+    CONSTANT in the corpus size, so the broadcast side is ~64 rows at
+    any scale (the count-derived modulus is the sampling knob: at
+    100 TB the same dataflow holds, only the modulus grows)."""
     e = load_table(spark, sf_dir, "embeddings").select(
         "label", "vec_id", "embedding"
     )
-    probes = e.where(F.col("vec_id") % 10 == 0).select(
-        F.col("vec_id").alias("pid"),
-        F.col("label").alias("plabel"),
-        F.col("embedding").alias("pe"),
+    nt = e.agg(F.count("*").cast("bigint").alias("n_total"))
+    probes = (
+        e.crossJoin(F.broadcast(nt))
+        .where(
+            F.col("vec_id")
+            % F.greatest(F.lit(1).cast("bigint"), F.expr("n_total DIV 64"))
+            == 0
+        )
+        .select(
+            F.col("vec_id").alias("pid"),
+            F.col("label").alias("plabel"),
+            F.col("embedding").alias("pe"),
+        )
     )
 
     def idot(a, b):

@@ -909,13 +909,46 @@ def test_bwt_zero_exchanges_before_final_group(spark, sf_dir):
     assert n_exchanges <= 4, plan[:2000]
 
 
-def test_margin_mining_pool_cross_is_broadcast(spark, sf_dir):
-    """The pool cross product broadcasts the smaller label pool; the
-    neighborhood sums are per-group window top-k, not global sorts."""
+def test_margin_mining_ivf_funnel_no_pool_cross(spark, sf_dir):
+    """r6 verdict #1: candidate generation must be the IVF probe
+    funnel, never a pool-scale cross product. The only nested-loop
+    joins allowed are against the 1-row collected seed array (the two
+    crossJoin(broadcast(seed_row)) map stages); candidates come from a
+    keyed equi-join on cell; no CartesianProduct anywhere."""
     plan = _plan(spark, sf_dir, "ext_margin_pair_mining")
     assert "EvalPython" not in plan
-    assert "ExistingRDD" in plan  # the gridded pair table checkpoint
+    assert "CartesianProduct" not in plan
+    # assignment + probe: each a BNLJ against the single collected
+    # seed row — a pool-scale broadcast side would be a 3rd+ BNLJ
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    assert "ExistingRDD" in plan  # the candidate table checkpoint
     assert "TakeOrderedAndProject" in plan  # final top-20
+
+
+def test_silhouette_probe_set_is_fixed_size(spark, sf_dir):
+    """r6 verdict #2: the broadcast probe side must be O(1) in the
+    corpus (count-derived modulus ~64 rows), not a fixed-percentage
+    sample. Measured at two corpus sizes: the probe count is the same
+    ~64 at both, and the join side carrying the corpus is NOT the
+    broadcast build side."""
+    from pyspark.sql import functions as F
+
+    from nibbler_spark.sources import load_table
+
+    plan = _plan(spark, sf_dir, "ext_silhouette_sampled")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    for d in (sf_dir, sf_dir.replace("sf0.01", "sf0.001")):
+        e = load_table(spark, d, "embeddings")
+        n = e.count()
+        probes = e.where(
+            F.col("vec_id") % F.lit(max(1, n // 64)) == 0
+        ).count()
+        # ceil(n / (n DIV 64)) <= 128 for every n >= 64 (approaches
+        # 64 as n grows) — a CONSTANT bound independent of corpus
+        # size, which is the broadcast-safety property; tiny corpora
+        # (n < 64) degrade to modulus 1 = probe all
+        assert probes <= 128 or n < 64, (d, n, probes)
 
 
 def test_submodular_rounds_keyed_anti_joins(spark, sf_dir):

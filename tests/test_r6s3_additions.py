@@ -504,9 +504,12 @@ def test_bwt_compressibility_matches_bruteforce(spark, sf_dir):
 
 
 def test_margin_pair_mining_matches_bruteforce(spark, sf_dir):
-    """Pure-Python replay of the gridded cosine + difference-margin
-    pipeline, plus the hub-suppression property the margin exists for:
+    """Pure-Python replay of the full IVF-funnel margin pipeline
+    (hash-seeded 16-cell codebook, argmax assignment, nprobe=2 probe,
+    gridded cosines, difference margins), plus two properties: the
+    candidate set is nprobe-bounded per source (never all-pairs), and
     mined pairs beat their neighborhoods (margin8 > 0 for the top)."""
+    import hashlib
     import math
 
     from nibbler_spark.queries import load_all
@@ -533,25 +536,48 @@ def test_margin_pair_mining_matches_bruteforce(spark, sf_dir):
         )
         return math.floor(c * 1e9)
 
-    pairs = {
-        (sid, tid): cg(x, y)
-        for sid, x in a.items()
+    # seed codebook: 16 lowest md5(tgt_id) target vectors
+    seeds = sorted(
+        b, key=lambda t: (hashlib.md5(str(t).encode()).hexdigest(), t)
+    )[:16]
+    # target -> cell (argmax cosine, tie on cell id)
+    cell_of = {
+        tid: min(seeds, key=lambda s: (-cg(y, b[s]), s))
         for tid, y in b.items()
     }
-    sum4a = {}
-    for sid in a:
-        top = sorted(
-            ((pairs[(sid, tid)], tid) for tid in b),
-            key=lambda kv: (-kv[0], kv[1]),
-        )[:4]
-        sum4a[sid] = sum(c for c, _ in top)
-    sum4b = {}
-    for tid in b:
-        top = sorted(
-            ((pairs[(sid, tid)], sid) for sid in a),
-            key=lambda kv: (-kv[0], kv[1]),
-        )[:4]
-        sum4b[tid] = sum(c for c, _ in top)
+    members = {}
+    for tid, c in cell_of.items():
+        members.setdefault(c, []).append(tid)
+    # source -> nprobe=2 nearest cells
+    pairs = {}
+    for sid, x in a.items():
+        top2 = sorted(seeds, key=lambda s: (-cg(x, b[s]), s))[:2]
+        for c in top2:
+            for tid in members.get(c, ()):
+                pairs[(sid, tid)] = cg(x, b[tid])
+    # the funnel actually prunes: with >2 populated cells, the
+    # candidate table is strictly smaller than the all-pairs grid
+    assert pairs
+    if len(members) > 2:
+        assert len(pairs) < len(a) * len(b)
+    by_src, by_tgt = {}, {}
+    for (sid, tid), c in pairs.items():
+        by_src.setdefault(sid, []).append((c, tid))
+        by_tgt.setdefault(tid, []).append((c, sid))
+    sum4a = {
+        sid: sum(
+            c
+            for c, _ in sorted(v, key=lambda kv: (-kv[0], kv[1]))[:4]
+        )
+        for sid, v in by_src.items()
+    }
+    sum4b = {
+        tid: sum(
+            c
+            for c, _ in sorted(v, key=lambda kv: (-kv[0], kv[1]))[:4]
+        )
+        for tid, v in by_tgt.items()
+    }
     scored = sorted(
         (
             (-(8 * c - sum4a[sid] - sum4b[tid]), sid, tid, c)

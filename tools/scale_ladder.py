@@ -90,6 +90,17 @@ FLAGSHIPS = [
     "ext_kn_heldout_perplexity",
     "ext_submodular_coverage",
     "i46_stream_kl_drift",
+    # r7 (verdict #3): the r6s3 llm-vectors quartet + SymSpell.
+    # kmeans++ is 4 rounds of broadcast-center distance passes
+    # (linear per round); silhouette probes a FIXED ~64-row set
+    # against the corpus (linear); symspell's delete-1 blocking is
+    # corpus-vocab-bound. medoid and margin mining are measured
+    # per-candidate below.
+    "ext_kmeanspp_seeding",
+    "ext_silhouette_sampled",
+    "ext_symspell_typo_recovery",
+    "ext_medoid_exemplars",
+    "ext_margin_pair_mining",
 ]
 GATE_RATIO = 12.0  # 10x data -> <= 12x wall (near-linear)
 # candidate-bound gate: wall time may grow at most this much faster than
@@ -216,6 +227,38 @@ def _ann_coarse_pairs(spark, sf_dir: str) -> int:
     )
 
 
+def _medoid_pairs(spark, sf_dir: str) -> int:
+    """Candidate-pair volume of the label-blocked medoid computation:
+    sum over labels of n_l * (n_l - 1) — the exact join output the
+    per-point distance sums aggregate over.  The rung grows labels'
+    populations 10x at fixed label count, so pair volume grows ~100x
+    BY CONSTRUCTION; the gate normalizes per candidate.  The scale
+    path at 100 TB is finer blocking: labels come from the IVF/k-means
+    partitioner (ext_kmeanspp_seeding), so block sizes are a knob, not
+    a corpus-proportional given."""
+    from pyspark.sql import functions as F
+
+    from nibbler_spark.sources import load_table
+
+    g = load_table(spark, sf_dir, "embeddings").groupBy("label").count()
+    row = g.agg(
+        F.sum(F.col("count") * (F.col("count") - 1)).alias("p")
+    ).collect()[0]
+    return int(row["p"] or 0)
+
+
+def _margin_candidates(spark, sf_dir: str) -> int:
+    """Candidate volume of the margin-mining IVF funnel: the cell
+    equi-join's output rows (nprobe=2 of 16 hash-seeded cells).  The
+    rung grows both pools 10x at the FIXED 16-cell codebook, so
+    candidates grow ~100x/16 by construction; at 100 TB the cell count
+    grows ~sqrt(|B|) and per-source candidates stay bounded.  The gate
+    normalizes per candidate."""
+    from nibbler_spark.queries.llm_vectors import margin_candidate_frame
+
+    return margin_candidate_frame(spark, sf_dir).count()
+
+
 # name -> (scale-path query name, candidate-volume measurer)
 CANDIDATE_BOUND = {
     "k04_jaccard_pairs": ("k05_minhash_lsh", _k04_candidate_pairs),
@@ -233,6 +276,14 @@ CANDIDATE_BOUND = {
     "ext_ann_rerank_pipeline": (
         "ext_ann_rerank_pipeline",
         _ann_coarse_pairs,
+    ),
+    # r7: label-blocked medoids (blocks = clusters; finer k-means
+    # blocking is the scale knob) and the margin-mining funnel (fixed
+    # 16-cell codebook on the ladder; cells grow ~sqrt at scale).
+    "ext_medoid_exemplars": ("ext_kmeanspp_seeding", _medoid_pairs),
+    "ext_margin_pair_mining": (
+        "ext_margin_pair_mining",
+        _margin_candidates,
     ),
 }
 
