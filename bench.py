@@ -29,92 +29,48 @@ RUNS = int(os.environ.get("NIBBLER_BENCH_RUNS", "5"))
 
 # Registry names of the headline queries (BASELINE.md plan). Missing names
 # are skipped so the bench degrades gracefully mid-build.
-HEADLINE = [
-    "q1_pricing_summary",  # BENCH-B1
-    "c01_join_3way_agg",  # BENCH-B2
+# r7 (verdict #6): the bench is split into a FROZEN 22-row anchor set
+# (never re-anchored, never retired — one row per plan family; the
+# headline regression gate) and a ROTATING section (rows new this
+# round or in their second measured round; after ~2 rounds they retire
+# to BASELINE.md's retired table — regression coverage continues via
+# the 656-query oracle sweep and the scale ladder). This caps the
+# median-of-5 run cost instead of letting it compound ~4 rows/round.
+FROZEN_ANCHORS = [
+    "q1_pricing_summary",  # BENCH-B1 (scan + agg)
+    "c01_join_3way_agg",  # BENCH-B2 (3-way join + agg)
     "e01_row_number_topk",  # BENCH-B3 (window rank per group)
-    "k06_cosine_topk",  # BENCH-B4
-    "i01_tumbling_window_parity",  # BENCH-S2 (streaming drain end-to-end)
+    "k06_cosine_topk",  # BENCH-B4 (brute-force vector top-k)
+    "i01_tumbling_window_parity",  # BENCH-S2 (streaming drain)
     "tq05_regional_revenue",  # BENCH-B5 (6-table join, broadcast dims)
-    "tq06_revenue_forecast",  # BENCH-B6 (scan-bound, full pushdown)
     "tq18_large_orders",  # BENCH-B7 (agg-then-join)
-    # Scale-pattern additions (r2): dedup + sessionization regressions
-    # should show up in the bench, not just scan/join/window ones.
+    "tq21_suppliers_who_kept_waiting",  # BENCH-B8 (exists/not-exists)
     "k05_minhash_lsh",  # BENCH-K1 (MinHash-LSH near-dup end-to-end)
     "ext_sessionize_batch",  # BENCH-K2 (gaps-and-islands sessionization)
-    "ext_simhash_banded_pairs",  # BENCH-K3 (simhash banding + pair gen)
-    "k04_jaccard_pairs",  # BENCH-K4 (banded exact-Jaccard oracle path)
-    # Training-prep additions (r4): decontamination joins the corpus
-    # against a broadcast eval-gram set; packing is the two-phase
-    # distributed prefix sum — both shapes the scale story leans on.
-    "ext_decontaminate_ngram",  # BENCH-K5 (eval n-gram decontamination)
-    "ext_sequence_packing",  # BENCH-K6 (concat-and-chunk packing)
-    # r3 additions (verdict next-round #5): the end-to-end curation
-    # funnel and a three-way exists/not-exists rewrite guard the two
-    # composite shapes the per-operator rows don't cover.
+    "k04_jaccard_pairs",  # BENCH-K4 (banded exact-Jaccard path)
+    "ext_decontaminate_ngram",  # BENCH-K5 (broadcast eval-gram probe)
     "ext_training_data_pipeline",  # BENCH-K7 (end-to-end curation funnel)
-    "tq21_suppliers_who_kept_waiting",  # BENCH-B8 (exists/not-exists)
-    # r4 additions (verdict next-round #7): the two most plan-heavy
-    # near-dup pipelines — sign-bit-LSH embedding near-dup and the
-    # engine-portable MinHash+banding — get regression coverage.
-    "ext_embedding_neardup",  # BENCH-K8 (12-band sign-LSH + exact verify)
-    "ext_minhash_lsh_portable",  # BENCH-K9 (md5 MinHash, 6x2 banding)
-    # r4 second-half additions: the iterative message-passing shape
-    # (3 LPA rounds over the shingle graph) and sub-document dedup with
-    # ordered reassembly — both new composite heavies this round.
-    "ext_label_propagation",  # BENCH-K10 (LPA on df-capped shingle graph)
-    "ext_paragraph_dedup",  # BENCH-K11 (chunk dedup + doc reassembly)
-    # r4 continuation: any-alignment duplicated-span detection (the
-    # Lee-et-al ExactSubstr audit shape) and the NB scoring join (the
-    # |classes|-fanout candidate-scoring shape the ML family leans on).
+    "ext_label_propagation",  # BENCH-K10 (iterative LPA on shingle graph)
     "ext_substring_span_dedup",  # BENCH-K12 (8-gram span-merge dedup)
     "ext_naive_bayes",  # BENCH-K13 (gridded-ln NB train + score)
-    # the acquisition-side funnel (WARC decode -> robots -> URL dedup ->
-    # quality) — the Arrow-codec counterpart of K7's curation funnel.
-    "ext_crawl_pipeline",  # BENCH-K14 (crawl-ingestion funnel)
-    # r4 continuation (second session): the degeneracy-peel iterative
-    # shape (3 k-core rounds: alive-induced degree -> filter, per round)
-    # and the streaming-CDC-into-lakehouse composite (paced merges into
-    # the snapshot format) — the two heaviest new plan families.
-    "ext_kcore_decomposition",  # BENCH-K15 (k-core peel on shingle graph)
+    "ext_crawl_pipeline",  # BENCH-K14 (crawl-ingestion codec funnel)
+    "ext_kcore_decomposition",  # BENCH-K15 (iterative k-core peel)
     "ext_stream_cdc_apply",  # BENCH-K16 (streaming MERGE into snapshots)
-    # r4 fourth session: perceptual-hash image near-dup (mapInPandas
-    # decode+hash, 4x16-bit Hamming banding) and asymmetric containment
-    # dedup over the shingle inverted index — the two new dedup
-    # modalities (lossy image, sub-document superset) join the bench.
-    "ext_image_ahash_neardup",  # BENCH-K17 (aHash + Hamming-band LSH)
-    "ext_containment_dedup",  # BENCH-K18 (inverted-index containment)
-    # the full lakehouse write path under load: 4 bucket commits, a
-    # U/D/I MERGE with touched-file detection, the row-level CDF
-    # sidecar, and the change-feed read back.
-    "ext_snapshot_row_cdc",  # BENCH-K19 (MERGE + row-level CDF)
-    # r4 final session: from-scratch format decode + chain analytics
-    "a41_parquet_raw_reader",  # BENCH-K20 (raw Parquet decode, 8 files)
-    "ext_markov_attribution",  # BENCH-K21 (5-variant absorbing chains)
-    # r5 (verdict #4): the salted zipf(1.5) skew join; its unsalted twin
-    # is timed separately below as k22_skew_join_unsalted (BENCH-K22).
-    "ext_zipf_skew_join",  # BENCH-K22 (salted zipf skew join)
-    # r5 session 2: the 64-bit simhash scale path (ladder-measured
-    # near-linear where the 16-bit BENCH-K3 row is candidate-bound).
-    "ext_simhash64_banded_pairs",  # BENCH-K23 (64-bit simhash banding)
-    # r5 session 3: online dedup-index ingestion (streaming LSH state
-    # whose pair union hash-matches the batch pipeline) and the
-    # coarse-to-fine retrieval funnel (IVF probe -> cosine top-20 ->
-    # MaxSim rerank).
-    "i42_stream_minhash_neardup",  # BENCH-K24 (streaming LSH dedup)
+    "a41_parquet_raw_reader",  # BENCH-K20 (from-scratch Parquet decode)
+    "i42_stream_minhash_neardup",  # BENCH-K24 (streaming LSH dedup state)
     "ext_ann_rerank_pipeline",  # BENCH-K25 (IVF -> MaxSim rerank funnel)
-    # r6: online training-sequence packing (4 explicit catch-up drains,
-    # O(1) state per language) and the synchronous Louvain sweep on the
-    # weighted shingle graph (exact integer modularity gains).
-    "i43_stream_grouped_packing",  # BENCH-K26 (ingest-time packing)
-    "ext_louvain_sync_round",  # BENCH-K27 (Louvain phase-1 sweep)
-    # r6 session 3: the prefix-doubling suffix array (6 dense-rank
-    # rounds + cross-doc LCP top-30) — the ExactSubstr dedup flagship.
-    "ext_suffix_array_lcp",  # BENCH-K28 (suffix array + LCP)
-    # r6 session 3, second half: greedy max-coverage data selection
-    # (5 anti-join rounds over the checkpointed shingle table).
-    "ext_submodular_coverage",  # BENCH-K29 (greedy coverage)
 ]
+
+# Rows new this round or in their second measured round. Retired rows
+# (and every frozen anchor value) are recorded in BASELINE.md.
+ROTATING = [
+    "i43_stream_grouped_packing",  # BENCH-K26 (2nd round, retires next)
+    "ext_louvain_sync_round",  # BENCH-K27 (2nd round, retires next)
+    "ext_suffix_array_lcp",  # BENCH-K28 (re-measured: r7 rank-array rework)
+    "ext_submodular_coverage",  # BENCH-K29 (re-measured: r7 broadcast anti)
+]
+
+HEADLINE = FROZEN_ANCHORS + ROTATING
 
 
 def _sf_from_dir(sf_dir: str) -> float:
@@ -154,26 +110,10 @@ def main() -> None:
             samples.append(time.monotonic() - t0)
         timings[name] = round(statistics.median(samples), 4)
 
-    # BENCH-K22 companion row: the UNSALTED zipf(1.5) skew join, timed
-    # against the salted registered variant above (same builder, same
-    # merge-hinted SMJ).  Recorded so the salted/unsalted delta under
-    # a power-law key is a measured number, not an argument; the AQE
-    # skew-split engagement on this plan is asserted from executed-plan
-    # SQLMetrics in tests/test_aqe_scale.py.
-    try:
-        from nibbler_spark.queries.scale_patterns import zipf_skew_join_frames
-
-        zipf_skew_join_frames(spark, SF_DIR, salted=False).collect()
-        samples = []
-        for _ in range(RUNS):
-            t0 = time.monotonic()
-            zipf_skew_join_frames(spark, SF_DIR, salted=False).collect()
-            samples.append(time.monotonic() - t0)
-        timings["k22_skew_join_unsalted"] = round(
-            statistics.median(samples), 4
-        )
-    except ImportError:
-        pass
+    # BENCH-K22/K22b (salted vs unsalted zipf skew join) retired with
+    # the r7 frozen-anchor split; their measured contrast and the AQE
+    # skew-split assertion live on in BASELINE.md and
+    # tests/test_aqe_scale.py.
 
     # Release session debris the headline loop accumulated before the
     # composite below is timed (r5 verdict #5 — the tq_power_22 drift).
@@ -244,24 +184,22 @@ def main() -> None:
     except (subprocess.TimeoutExpired, ValueError, IndexError):
         pass
 
-    total = round(
-        sum(
-            v
-            for k, v in timings.items()
-            if not k.startswith("s1_")
-            # composite / diagnostic rows stay out of the headline sum:
-            # tq_power_22 re-times queries already summed individually,
-            # and the unsalted k22 twin is the measured contrast for
-            # ext_zipf_skew_join, not a second operator.
-            and k not in ("tq_power_22", "k22_skew_join_unsalted")
-        ),
-        4,
-    )
+    def _sum(names):
+        return round(sum(v for k, v in timings.items() if k in names), 4)
+
+    # composite / diagnostic rows stay out of every sum: tq_power_22
+    # re-times queries already summed individually, and the unsalted
+    # k22 twin is a measured contrast, not a second operator.
+    frozen_total = _sum(set(FROZEN_ANCHORS))
+    rotating_total = _sum(set(ROTATING))
+    total = round(frozen_total + rotating_total, 4)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
                 "value": total,
+                "frozen_total": frozen_total,
+                "rotating_total": rotating_total,
                 "unit": "sec",
                 "queries": timings,
                 "sf": _sf_from_dir(SF_DIR),

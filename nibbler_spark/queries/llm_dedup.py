@@ -3633,113 +3633,216 @@ def ext_suffix_array_lcp(spark: SparkSession, sf_dir: str) -> DataFrame:
     relaxation. Suffixes are capped at 48 tokens (the cap bounds
     comparison depth; dedup spans of interest are far shorter).
 
-    Algorithm (Manber-Myers doubling, shuffle-native): rank_1 = dense
-    rank of each suffix's first token; then 6 rounds of
-    rank_{2k}(d,p) = dense_rank(rank_k(d,p), rank_k(d,p+k)) where the
-    partner rank arrives by lead(r, k) OVER (PARTITION BY doc — a
-    suffix's +k neighbour lives in the SAME doc partition, so each
-    round is one per-doc window plus one dense-rank assignment, never
-    a self-join on the suffix table. Dense ranks are assigned with
-    two_phase_rank (bucketed count -> broadcast offsets -> per-bucket
-    row_number; bucket = r1 DIV 64 stays coarse-monotone), so NO
-    round sorts the corpus through a single partition. After k=32 the
-    covered prefix (64) exceeds the cap, making the order total.
+    Algorithm (Manber-Myers generalized to prefix-MULTIPLYING,
+    shuffle-native, r7 layout): the rank table lives as ONE ARRAY ROW
+    PER DOC (ranks[pos], pos-sorted), so the stride-c partner lookup
+    rank(d, p + j*c) is element_at(ranks, p + j*c) — row-local, no
+    window, no self-join. Each round packs m = 62 DIV bits(max_rank)
+    stride-c ranks into one bigint (tuple lexicographic order ==
+    numeric order of the packed value; 0-sentinel for past-end sorts
+    first — m is data-derived, so the fixture's tiny vocab gives m=12
+    on round 1 and the cap-48 order is total in 3 rounds where classic
+    doubling needs 6; wider ranks at 100 TB degrade m gracefully
+    toward the classic pair), then densifies: explode to
+    (doc, pos, rc), dense-rank the <= n_suffixes DISTINCT packed
+    values with two_phase_rank (bucketed count -> broadcast offsets ->
+    per-bucket row_number; bucket = rc DIV (64 * W^(m-1)) stays
+    coarse-monotone), join back, re-collect per-doc arrays. The r6
+    window-per-round doubling re-executed each round's lead window up
+    to 3x through the rank/join branches; the array layout removes the
+    window entirely and halves the round count on top.
 
-    Rank-adjacent suffixes (global s_idx, again two_phase_rank) from
-    DIFFERENT docs then yield LCP by direct token-array comparison
-    (token arrays re-attach once after the loop, bounded at 48 — the
-    doubling itself carries only (doc_id, pos, rank)), and the top-30
+    Rank-adjacent suffixes (global s_idx, again two_phase_rank, over
+    the NARROW (doc,pos,r) table) from DIFFERENT docs then yield LCP
+    by direct token-array comparison — token arrays attach at the very
+    end via two keyed joins of the <= 30-row... (pre-top-k: adjacency-
+    table-sized) frame against the per-doc token table, and the top-30
     cross-doc repeats are the audit output. The DuckDB oracle knows
     nothing of doubling: it sorts full suffix STRINGS (space-joined;
     every corpus codepoint is > 32, so string order == token-sequence
     order) — an independent re-derivation, so a hash match validates
     the entire rank construction.
 
-    Scale: the suffix table is 48x corpus rows; each doubling round
-    is a 48-row-per-doc window + a distinct-pair aggregate + one
-    hash join back — all keyed, all combinable, no stage quadratic
-    in anything. At 100 TB the distinct-pair table is the big
-    intermediate (<= n_suffixes rows); bucketed dense-rank keeps its
-    sort partitioned."""
+    Scale: the per-doc array rows are corpus-doc-count rows of <= 48
+    bigints; each densify round is one explode + one distinct + one
+    bucketed rank + one keyed join + one combinable re-collect — no
+    stage quadratic in anything, no single-partition sort. At 100 TB
+    the distinct-composite table is the big intermediate
+    (<= n_suffixes rows); bucketed dense-rank keeps its sort
+    partitioned."""
     from nibbler_spark.queries._helpers import two_phase_rank
-    from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents")
-    tk = d.select(
-        "doc_id", F.slice(F.split("text", " "), 1, 48).alias("t")
-    ).where(F.size("t") >= 1)
-    suf = tk.select(
+    tk = (
+        # single-file corpus -> one input split: widen before the
+        # 48x suffix expansion and the per-doc rank maps so every
+        # downstream map stage uses the cluster (the k05/i42 lesson)
+        d.select("doc_id", "text")
+        .repartition(16)
+        .select(
+            "doc_id", F.slice(F.split("text", " "), 1, 48).alias("t")
+        )
+        .where(F.size("t") >= 1)
+        .localCheckpoint()
+    )
+    ex0 = tk.select(
         "doc_id",
-        F.explode(F.sequence(F.lit(1), F.size("t"))).alias("pos"),
-        "t",
-    ).select(
-        "doc_id",
-        "pos",
-        F.expr("slice(t, pos, 48)").alias("s"),
-        F.element_at("t", F.col("pos")).alias("tok0"),
+        F.posexplode("t").alias("pos0", "tok"),
     )
 
-    # rank_1: dense rank of the first token (bucket by first char --
-    # monotone in binary string order for this >=0x20 corpus).
-    vocab = suf.select(F.col("tok0").alias("v")).distinct()
+    # rank_1: dense rank of each token (bucket by first char --
+    # monotone in binary string order for this >=0x20 corpus). The
+    # vocab rank table is a token DICTIONARY — broadcast it as one map
+    # row and assign initial rank arrays ROW-LOCALLY (zero shuffle; a
+    # 100 TB corpus with a broadcast-hostile vocab would fall back to
+    # the keyed explode/join/re-collect the densify rounds use).
+    vocab = ex0.select(F.col("tok").alias("v")).distinct()
     vr = two_phase_rank(
         vocab, F.ascii(F.substring("v", 1, 1)), [F.col("v")], "r"
     )
-    # The doubling loop carries ONLY (doc_id, pos, r) — the token
-    # arrays would otherwise ride through every shuffle of every
-    # round. Each round is localCheckpoint'ed: the rank table is
-    # consumed by three downstream branches (lead window, distinct
-    # pairs, join-back), and an uncut lineage re-executes the whole
-    # prefix per branch per round — exponential recompute by k=32.
-    cur = (
-        suf.join(vr, suf["tok0"] == vr["v"])
-        .select("doc_id", "pos", F.col("r").cast("bigint").alias("r"))
+    vmap_row = F.broadcast(
+        vr.agg(
+            F.map_from_entries(
+                F.collect_list(
+                    F.struct("v", F.col("r").cast("bigint").alias("r"))
+                )
+            ).alias("vmap")
+        )
+    )
+    arr = (
+        tk.crossJoin(vmap_row)
+        .select(
+            "doc_id",
+            F.transform(
+                "t", lambda tok: F.try_element_at(F.col("vmap"), tok)
+            ).alias("ranks"),
+        )
         .localCheckpoint()
     )
 
-    wdoc = Window.partitionBy("doc_id").orderBy("pos")
-    for k in (1, 2, 4, 8, 16, 32):
-        paired = cur.withColumn(
-            "r2",
-            F.coalesce(F.lead("r", k).over(wdoc), F.lit(0)).cast("bigint"),
+    # prefix-MULTIPLYING loop: with current ranks covering prefix c
+    # and bounded by max_rank, pack m = 62 DIV bits(max_rank) stride-c
+    # ranks into one bigint (lexicographic tuple order == numeric
+    # order of the packed value; 0-sentinel for past-end sorts first),
+    # densify the distinct packed values, re-collect. Each round
+    # multiplies the covered prefix by m instead of doubling it: the
+    # 31-word fixture vocab gives m=12 on round 1 and the whole cap-48
+    # order is total in 3 rounds (6 in the classic doubling). The pack
+    # factor is DATA-DERIVED (1-row driver reads of bounded counts, the
+    # BPE-argmax pattern): at 100 TB ranks are wider, m degrades
+    # gracefully toward the classic m=2 pair, never below it.
+    max_rank = vocab.count()  # dense vocab ranks are 1..n_vocab
+    # post-densify ranks are bounded by the suffix count; the static
+    # 48 * n_docs bound costs one count on the tk checkpoint instead
+    # of a distinct-count job per round (same m at every realistic
+    # density: bits(n_suffixes) vs bits(n_distinct) differ by < 1)
+    suffix_bound = 48 * tk.count()
+    covered = 1
+    fin = None
+    while covered < 48:
+        w_bits = max(int(max_rank).bit_length(), 1)
+        m = max(62 // w_bits, 2)
+        W = 2**w_bits
+        c = covered
+
+        def packed_ranks():
+            return F.transform(
+                F.sequence(F.lit(1), F.size("ranks")),
+                lambda i: sum(
+                    (
+                        # try_element_at: past-end partner -> NULL -> 0
+                        # sentinel (ANSI element_at throws OOB)
+                        F.coalesce(
+                            F.try_element_at(
+                                F.col("ranks"), i + F.lit(j * c)
+                            ),
+                            F.lit(0).cast("bigint"),
+                        )
+                        * F.lit(W ** (m - 1 - j)).cast("bigint")
+                        for j in range(1, m)
+                    ),
+                    start=F.element_at(F.col("ranks"), i)
+                    * F.lit(W ** (m - 1)).cast("bigint"),
+                ),
+            ).alias("ranks")
+
+        ex = arr.select("doc_id", packed_ranks()).select(
+            "doc_id", F.posexplode("ranks").alias("pos", "rc")
         )
-        pairs = paired.select("r", "r2").distinct()
-        ranked = two_phase_rank(
-            pairs,
-            F.expr("r DIV 64"),
-            [F.col("r"), F.col("r2")],
+        dv = ex.select("rc").distinct()
+        rk = two_phase_rank(
+            dv,
+            F.expr(f"rc DIV {64 * W ** (m - 1)}"),
+            [F.col("rc")],
             "nr",
-        ).select(
-            F.col("r").alias("pr"),
-            F.col("r2").alias("pr2"),
-            F.col("nr").cast("bigint").alias("nr"),
         )
-        cur = (
-            paired.join(
-                ranked,
-                (paired["r"] == ranked["pr"])
-                & (paired["r2"] == ranked["pr2"]),
+        joined = ex.join(rk, "rc")
+        if covered * m >= 48:
+            # last round: the next consumer explodes anyway — keep the
+            # narrow (doc, pos, r) layout, skip the re-collect
+            fin = joined.select(
+                "doc_id",
+                (F.col("pos") + 1).alias("pos"),
+                F.col("nr").cast("bigint").alias("r"),
+            ).localCheckpoint()
+            covered = 48
+            break
+        arr = (
+            joined.groupBy("doc_id")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("pos").alias("p"),
+                                F.col("nr").cast("bigint").alias("r"),
+                            )
+                        )
+                    ),
+                    lambda s: s["r"],
+                ).alias("ranks")
             )
-            .select("doc_id", "pos", F.col("nr").alias("r"))
             .localCheckpoint()
         )
+        max_rank = suffix_bound  # dense output ranks <= n_suffixes
+        covered = min(covered * m, 48)
 
-    # Global suffix-order index, then rank-adjacent LCP across docs;
-    # token arrays re-attach here, once, from the narrow suffix table.
+    if fin is None:  # single-token docs only: ranks already total
+        fin = arr.select(
+            "doc_id", F.posexplode("ranks").alias("pos0", "r")
+        ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "r")
+
+    # Global suffix-order index over the narrow (doc, pos, r) rows,
+    # then rank-adjacent LCP across docs; token arrays attach last.
     ordered = two_phase_rank(
-        cur,
+        fin,
         F.expr("r DIV 64"),
         [F.col("r"), F.col("doc_id"), F.col("pos")],
         "s_idx",
-    ).join(suf.select("doc_id", "pos", "s"), ["doc_id", "pos"])
+    ).localCheckpoint()
     nxt = ordered.select(
         (F.col("s_idx") - 1).alias("p_idx"),
         F.col("doc_id").alias("other_doc"),
         F.col("pos").alias("other_pos"),
-        F.col("s").alias("s2"),
     )
-    adj = ordered.join(nxt, F.col("s_idx") == F.col("p_idx")).where(
-        F.col("other_doc") != F.col("doc_id")
+    adj = (
+        ordered.join(nxt, F.col("s_idx") == F.col("p_idx"))
+        .where(F.col("other_doc") != F.col("doc_id"))
+        .select("doc_id", "pos", "other_doc", "other_pos")
+    )
+    adj = (
+        adj.join(tk, "doc_id")
+        .withColumn("s", F.expr("slice(t, pos, 48)"))
+        .drop("t")
+        .join(
+            tk.select(
+                F.col("doc_id").alias("other_doc"),
+                F.col("t").alias("t2"),
+            ),
+            "other_doc",
+        )
+        .withColumn("s2", F.expr("slice(t2, other_pos, 48)"))
+        .drop("t2")
     )
     least_len = F.least(F.size("s"), F.size("s2"))
     eqs = F.zip_with(
@@ -3751,6 +3854,9 @@ def ext_suffix_array_lcp(spark: SparkSession, sf_dir: str) -> DataFrame:
     lcp = F.when(first_neq == 0, least_len).otherwise(
         first_neq - 1
     ).cast("bigint")
+    # top-30 FIRST (TakeOrdered on the narrow row + its s array), THEN
+    # the span digest — md5 over up-to-48-token joins runs 30 times,
+    # not once per adjacent suffix pair
     return (
         adj.select(
             "doc_id",
@@ -3758,20 +3864,22 @@ def ext_suffix_array_lcp(spark: SparkSession, sf_dir: str) -> DataFrame:
             "other_doc",
             "other_pos",
             lcp.alias("lcp"),
-            F.substring(
-                F.md5(
-                    F.array_join(
-                        F.slice("s", F.lit(1), lcp), " "
-                    )
-                ),
-                1,
-                16,
-            ).alias("span_h"),
+            F.slice("s", F.lit(1), lcp).alias("_span"),
         )
         .orderBy(
             F.col("lcp").desc(), "doc_id", "pos", "other_doc", "other_pos"
         )
         .limit(30)
+        .select(
+            "doc_id",
+            "pos",
+            "other_doc",
+            "other_pos",
+            "lcp",
+            F.substring(
+                F.md5(F.array_join("_span", " ")), 1, 16
+            ).alias("span_h"),
+        )
     )
 
 

@@ -2739,30 +2739,36 @@ def ext_submodular_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs' shingles (k * doc-size, not corpus-size)."""
     d = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
+    # the shingle key only ever feeds equality (distinct / anti-join /
+    # countDistinct), so any injective-at-this-density 64-bit digest
+    # works and both engines count the same set sizes: Spark uses the
+    # native multi-arg xxhash64 (no string concat, no hex slicing —
+    # r7: the md5-string build was ~60% of the query's wall time), the
+    # DuckDB oracle keeps md5 — an independent derivation of the same
+    # counts, and the hash gate would expose a 64-bit collision on
+    # either side
     ds = (
-        d.select(
+        # single-file corpus -> one input split: widen BEFORE the
+        # 200x shingle explode so the build uses the cluster, not one
+        # task (the k05/i42 lesson; at 100 TB the scan is already wide)
+        d.select("doc_id", "text")
+        .repartition(16)
+        .select(
             "doc_id",
             F.explode(
                 F.when(
                     F.size(toks) >= 5,
                     F.transform(
                         F.sequence(F.lit(1), F.size(toks) - 4),
-                        lambda i: F.substring(
-                            F.md5(
-                                F.concat_ws(
-                                    " ",
-                                    F.element_at(toks, i),
-                                    F.element_at(toks, i + 1),
-                                    F.element_at(toks, i + 2),
-                                    F.element_at(toks, i + 3),
-                                    F.element_at(toks, i + 4),
-                                )
-                            ),
-                            1,
-                            16,
+                        lambda i: F.xxhash64(
+                            F.element_at(toks, i),
+                            F.element_at(toks, i + 1),
+                            F.element_at(toks, i + 2),
+                            F.element_at(toks, i + 3),
+                            F.element_at(toks, i + 4),
                         ),
                     ),
-                ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
+                ).otherwise(F.expr("CAST(array() AS ARRAY<BIGINT>)"))
             ).alias("sh"),
         )
         .distinct()
@@ -2772,8 +2778,15 @@ def ext_submodular_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     selected = []  # list of (round, 1-row DataFrame with doc_id, gain)
     covered = None  # DataFrame of covered shingles
     for r in range(1, 6):
+        # covered is bounded by k * doc-size BY DESIGN (union of <= 5
+        # selected docs' shingles) — broadcast it so no round ever
+        # reshuffles the corpus-scale (doc, shingle) table (r7
+        # constant-factor pass: the unhinted anti-join was a full SMJ
+        # shuffle of ds per round, ~5 corpus shuffles per query)
         pool = (
-            ds.join(covered, "sh", "left_anti") if covered is not None else ds
+            ds.join(F.broadcast(covered), "sh", "left_anti")
+            if covered is not None
+            else ds
         )
         gains = pool.groupBy("doc_id").agg(
             F.count("*").cast("bigint").alias("gain")

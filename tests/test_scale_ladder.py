@@ -165,7 +165,24 @@ def test_simhash64_band_candidates_near_linear_16bit_saturates(spark, rungs):
 
 @pytest.mark.parametrize(
     "qname",
-    ["k05_minhash_lsh", "ext_label_propagation", "ext_substring_span_dedup"],
+    [
+        "k05_minhash_lsh",
+        "ext_label_propagation",
+        "ext_substring_span_dedup",
+        # r7 (verdict #3): the llm-vectors quartet's cost drivers are
+        # compute-side (label-blocked / probe-bounded pair volumes,
+        # measured in BENCH_SF1); their SHUFFLE volume must stay
+        # near-linear — medoid's O(block^2) distance work is map-side
+        # combined, silhouette's probe set is O(1), kmeans++ carries
+        # only (vec_id, key) reductions, symspell's delete-1 blocks
+        # are vocab-bound.
+        "ext_medoid_exemplars",
+        # silhouette is pinned separately below: its shuffle volume is
+        # FLAT in the corpus (fixed ~64-probe output), which the strict
+        # growth assertion here would reject as a degenerate proxy
+        "ext_kmeanspp_seeding",
+        "ext_symspell_typo_recovery",
+    ],
 )
 def test_flagship_shuffle_volume_near_linear_no_disk_spill(
     spark, rungs, qname
@@ -296,4 +313,52 @@ def test_ann_coarse_volume_linear_per_query(spark, rungs):
     assert e <= EXP_MAX, (
         f"per-query coarse volume exponent {e:.2f} > {EXP_MAX}: the "
         "probe is not pruning cells (brute-force regression)"
+    )
+
+
+def test_margin_funnel_candidates_prune(spark, rungs):
+    """ext_margin_pair_mining (r7 fix of the r6 verdict's scale-killer):
+    candidate generation must be the nprobe=2-of-16-cell IVF funnel,
+    never the pool cross product. Machine-independent pin: the
+    candidate table is a small fraction of |A| x |B| at BOTH rungs
+    (hash-seeded cells give ~2/16 in expectation; 0.35 allows cell
+    skew), and it grows with the pools (the funnel is not degenerate)."""
+    from nibbler_spark.queries.llm_vectors import margin_candidate_frame
+
+    small, big = rungs
+    cands = []
+    for d in (small, big):
+        emb = spark.read.parquet(os.path.join(d, "embeddings.parquet"))
+        na = emb.where(F.col("label") == 0).count()
+        nb = emb.where(F.col("label") == 1).count()
+        c = margin_candidate_frame(spark, d).count()
+        assert c > 0
+        assert c <= 0.35 * na * nb, (
+            f"{d}: {c} candidates vs {na}x{nb} pools — the funnel is "
+            "not pruning (pool-scale cross product regression)"
+        )
+        cands.append(c)
+    assert cands[1] > cands[0]
+
+
+def test_silhouette_shuffle_flat_no_spill(spark, rungs):
+    """ext_silhouette_sampled's designed scale shape is STRONGER than
+    near-linear: the probe set is O(1) in the corpus (count-derived
+    modulus, r7 fix), the probe x corpus product is map-side combined
+    to probes x labels rows, so whole-query shuffle volume is ~FLAT as
+    the corpus grows (measured ~14 KB at both rungs). Pin flatness
+    (within 2x wobble for compressed sizes) and zero spill."""
+    from nibbler_spark.queries import load_all
+    from nibbler_spark.stage_metrics import measure_stages
+
+    spec = load_all()["ext_silhouette_sampled"]
+    small, big = rungs
+    vols = []
+    for d in (small, big):
+        _, m = measure_stages(spark, lambda: spec.spark(spark, d).collect())
+        assert m["disk_spill_bytes"] == 0
+        vols.append(m["shuffle_write_bytes"])
+    assert vols[1] <= 2 * vols[0], (
+        f"silhouette shuffle grew with the corpus ({vols[0]} -> "
+        f"{vols[1]}B): the probe set is no longer O(1)"
     )

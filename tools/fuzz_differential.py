@@ -362,6 +362,297 @@ def _two_phase_rank_case(rng: random.Random):
     return build, sql
 
 
+def _pack_densify_trajectory_case(rng: random.Random):
+    """Randomized PREFIX-MULTIPLYING rank trajectory (r6 verdict #7:
+    the iterative-loop families — mid-trajectory ties are the
+    dangerous divergence). Runs the ext_suffix_array_lcp machinery
+    (pack m stride-c ranks -> densify via two_phase_rank) with an
+    rng-chosen cap and per-round pack factor, and emits at EVERY round
+    the dense-rank table's fingerprint (n_distinct + a position-keyed
+    checksum). DuckDB re-derives each trajectory point independently
+    as DENSE_RANK() over the literal prefix strings — so any
+    tie-group divergence at any intermediate round is caught, not
+    just the final order. W = 2^20 per round (valid while ranks
+    < 1,048,576 — fuzz corpora are ~24k suffixes; the builder asserts
+    the bound)."""
+    cap = rng.choice([6, 12, 24])
+    # per-round pack factors, decided at gen time so the oracle knows
+    # the trajectory: m=3 needs 60 bits at W=2^20, m=2 needs 40
+    schedule = []
+    covered = 1
+    while covered < cap:
+        m = rng.choice([2, 3])
+        schedule.append(m)
+        covered = min(covered * m, cap)
+    points = []
+    covered = 1
+    for m in schedule:
+        covered = min(covered * m, cap)
+        points.append(covered)
+
+    def build(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from nibbler_spark.queries._helpers import two_phase_rank
+        from nibbler_spark.sources import load_table
+
+        W = 2**20
+        d = load_table(spark, sf_dir, "documents")
+        tk = (
+            d.select(
+                "doc_id",
+                F.slice(F.split("text", " "), 1, cap).alias("t"),
+            )
+            .where(F.size("t") >= 1)
+            .repartition(8)
+            .localCheckpoint()
+        )
+        n_docs = tk.count()
+        assert cap * n_docs < W, "fuzz corpus exceeds the W=2^20 bound"
+        vocab = tk.select(F.explode("t").alias("v")).distinct()
+        vr = two_phase_rank(
+            vocab, F.ascii(F.substring("v", 1, 1)), [F.col("v")], "r"
+        )
+        vmap_row = F.broadcast(
+            vr.agg(
+                F.map_from_entries(
+                    F.collect_list(
+                        F.struct(
+                            "v", F.col("r").cast("bigint").alias("r")
+                        )
+                    )
+                ).alias("vmap")
+            )
+        )
+        arr = (
+            tk.crossJoin(vmap_row)
+            .select(
+                "doc_id",
+                F.transform(
+                    "t",
+                    lambda tok: F.try_element_at(F.col("vmap"), tok),
+                ).alias("ranks"),
+            )
+            .localCheckpoint()
+        )
+        covered = 1
+        traj = None
+        for m in schedule:
+            c = covered
+
+            def packed():
+                return F.transform(
+                    F.sequence(F.lit(1), F.size("ranks")),
+                    lambda i: sum(
+                        (
+                            F.coalesce(
+                                F.try_element_at(
+                                    F.col("ranks"), i + F.lit(j * c)
+                                ),
+                                F.lit(0).cast("bigint"),
+                            )
+                            * F.lit(W ** (m - 1 - j)).cast("bigint")
+                            for j in range(1, m)
+                        ),
+                        start=F.element_at(F.col("ranks"), i)
+                        * F.lit(W ** (m - 1)).cast("bigint"),
+                    ),
+                ).alias("ranks")
+
+            ex = arr.select("doc_id", packed()).select(
+                "doc_id", F.posexplode("ranks").alias("pos0", "rc")
+            )
+            dv = ex.select("rc").distinct()
+            rk = two_phase_rank(
+                dv, F.expr(f"rc DIV {64 * W ** (m - 1)}"), [F.col("rc")], "nr"
+            )
+            narrow = (
+                ex.join(rk, "rc")
+                .select(
+                    "doc_id",
+                    (F.col("pos0") + 1).alias("pos"),
+                    F.col("nr").cast("bigint").alias("r"),
+                )
+                .localCheckpoint()
+            )
+            covered = min(covered * m, cap)
+            point = narrow.agg(
+                F.lit(covered).cast("bigint").alias("covered"),
+                F.countDistinct("r").cast("bigint").alias("n_distinct"),
+                F.sum(
+                    F.col("r") * (F.col("doc_id") * 64 + F.col("pos"))
+                )
+                .cast("bigint")
+                .alias("checksum"),
+            )
+            traj = point if traj is None else traj.unionByName(point)
+            if covered < cap:
+                arr = (
+                    narrow.groupBy("doc_id")
+                    .agg(
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(
+                                    F.struct(
+                                        F.col("pos").alias("p"),
+                                        F.col("r").alias("r"),
+                                    )
+                                )
+                            ),
+                            lambda s: s["r"],
+                        ).alias("ranks")
+                    )
+                    .localCheckpoint()
+                )
+        return traj.orderBy("covered")
+
+    point_sqls = [
+        f"""SELECT CAST({c} AS BIGINT) AS covered,
+       CAST(COUNT(DISTINCT dr) AS BIGINT) AS n_distinct,
+       CAST(SUM(dr * (doc_id * 64 + pos)) AS BIGINT) AS checksum
+FROM (
+  SELECT doc_id, pos,
+         DENSE_RANK() OVER (
+           ORDER BY array_to_string(t[pos:pos+{c - 1}], ' ')) AS dr
+  FROM (
+    SELECT doc_id, UNNEST(generate_series(1, len(t))) AS pos, t
+    FROM (SELECT doc_id, string_split(text, ' ')[1:{cap}] AS t
+          FROM documents) WHERE len(t) >= 1
+  )
+)"""
+        for c in sorted(set(points))
+    ]
+    sql = "\nUNION ALL\n".join(point_sqls) + "\nORDER BY covered"
+    return build, sql
+
+
+def _greedy_coverage_case(rng: random.Random):
+    """Randomized GREEDY max-coverage trajectory (the
+    ext_submodular_coverage loop with rng-chosen shingle width, round
+    count, and doc filter). Width 2 makes marginal-gain TIES common —
+    the argmax tie-break (smallest doc_id) must hold at every round on
+    both engines or the whole downstream trajectory diverges."""
+    w = rng.choice([2, 3])
+    k = rng.randint(2, 4)
+    minlen = rng.choice([0, 120])
+
+    def build(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from nibbler_spark.sources import load_table
+
+        d = load_table(spark, sf_dir, "documents").where(
+            F.col("n_chars") >= minlen
+        )
+        toks = F.split("text", " ")
+        gram = lambda i: F.concat_ws(  # noqa: E731
+            " ",
+            *[F.element_at(toks, i + j) for j in range(w)],
+        )
+        ds = (
+            d.select("doc_id", "text")
+            .repartition(8)
+            .select(
+                "doc_id",
+                F.explode(
+                    F.when(
+                        F.size(toks) >= w,
+                        F.transform(
+                            F.sequence(F.lit(1), F.size(toks) - (w - 1)),
+                            gram,
+                        ),
+                    ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
+                ).alias("sh"),
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+        selected = []
+        covered = None
+        for r in range(1, k + 1):
+            pool = (
+                ds.join(F.broadcast(covered), "sh", "left_anti")
+                if covered is not None
+                else ds
+            )
+            gains = pool.groupBy("doc_id").agg(
+                F.count("*").cast("bigint").alias("gain")
+            )
+            best = (
+                gains.agg(
+                    F.max(
+                        F.struct(
+                            F.col("gain"), (-F.col("doc_id")).alias("nd")
+                        )
+                    ).alias("b")
+                )
+                .select(
+                    F.lit(r).cast("bigint").alias("round"),
+                    (-F.col("b.nd")).alias("doc_id"),
+                    F.col("b.gain").alias("gain"),
+                )
+                .localCheckpoint()
+            )
+            selected.append(best)
+            sel = selected[0].select("doc_id")
+            for s in selected[1:]:
+                sel = sel.unionByName(s.select("doc_id"))
+            covered = (
+                ds.join(F.broadcast(sel), "doc_id", "left_semi")
+                .select("sh")
+                .distinct()
+                .localCheckpoint()
+            )
+        out = selected[0]
+        for s in selected[1:]:
+            out = out.unionByName(s)
+        return out.orderBy("round")
+
+    grams = " || ' ' || ".join(f"tk[i+{j}]" for j in range(w))
+    stages = [
+        f"""ds AS (
+  SELECT DISTINCT doc_id, g AS sh FROM (
+    SELECT doc_id,
+           UNNEST(list_transform(generate_series(1, len(tk) - {w - 1}),
+                  i -> {grams})) AS g
+    FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+          WHERE n_chars >= {minlen})
+    WHERE len(tk) >= {w}
+  )
+)"""
+    ]
+    prev_cov = None
+    for r in range(1, k + 1):
+        anti = (
+            f" WHERE ds.sh NOT IN (SELECT sh FROM {prev_cov})"
+            if prev_cov
+            else ""
+        )
+        stages.append(
+            f"s{r} AS (SELECT ds.doc_id, CAST(COUNT(*) AS BIGINT) AS gain"
+            f" FROM ds{anti} GROUP BY ds.doc_id"
+            f" ORDER BY gain DESC, ds.doc_id LIMIT 1)"
+        )
+        sel = " UNION ALL ".join(
+            f"SELECT doc_id FROM s{i}" for i in range(1, r + 1)
+        )
+        stages.append(
+            f"cov{r} AS (SELECT DISTINCT sh FROM ds"
+            f" WHERE doc_id IN ({sel}))"
+        )
+        prev_cov = f"cov{r}"
+    rows = " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, doc_id, gain FROM s{r}"
+        for r in range(1, k + 1)
+    )
+    sql = (
+        "WITH "
+        + ",\n".join(stages)
+        + f"\nSELECT round, doc_id, gain FROM ({rows}) ORDER BY round"
+    )
+    return build, sql
+
+
 def gen_case(rng: random.Random):
     """(kind, payload): 'sql' -> identical-text SQL, 'dsl' ->
     (builder, oracle_sql).  DSL shapes are rare (streaming cases cost
@@ -371,6 +662,10 @@ def gen_case(rng: random.Random):
         return "dsl", _stream_join_case(rng)
     if shape < 0.05:
         return "dsl", _two_phase_rank_case(rng)
+    if shape < 0.08:
+        return "dsl", _pack_densify_trajectory_case(rng)
+    if shape < 0.11:
+        return "dsl", _greedy_coverage_case(rng)
     return "sql", gen_query(rng)
 
 
