@@ -4450,3 +4450,132 @@ def ext_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "term", "f", "df", "tfidf_micro", "rank")
         .orderBy("doc_id", "rank")
     )
+
+
+@register(
+    "ext_glove_cooccurrence",
+    survey_id="EXT-GLOVE-COOC",
+    category="llm-text",
+    oracle="""
+WITH toks AS (SELECT string_split(text, ' ') AS tk FROM documents),
+pairs AS (
+  SELECT string_split(p, CHR(31))[1] AS w1,
+         string_split(p, CHR(31))[2] AS w2,
+         CAST(string_split(p, CHR(31))[3] AS BIGINT) AS d
+  FROM (
+    SELECT UNNEST(
+      list_concat(
+        list_concat(
+          list_transform(generate_series(1, GREATEST(len(tk) - 1, 0)),
+                         i -> tk[i] || CHR(31) || tk[i+1] || CHR(31) || '1'),
+          list_transform(generate_series(1, GREATEST(len(tk) - 2, 0)),
+                         i -> tk[i] || CHR(31) || tk[i+2] || CHR(31) || '2')),
+        list_concat(
+          list_transform(generate_series(1, GREATEST(len(tk) - 3, 0)),
+                         i -> tk[i] || CHR(31) || tk[i+3] || CHR(31) || '3'),
+          list_transform(generate_series(1, GREATEST(len(tk) - 4, 0)),
+                         i -> tk[i] || CHR(31) || tk[i+4] || CHR(31) || '4'))
+      )) AS p
+    FROM toks
+  )
+),
+top30 AS (
+  SELECT w1 FROM (
+    SELECT token AS w1, COUNT(*) AS n,
+           ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token) AS rk
+    FROM (SELECT UNNEST(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token
+  ) WHERE rk <= 30
+),
+x AS (
+  SELECT p.w1, p.w2,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(1000000 // p.d) AS BIGINT) AS x_micro
+  FROM pairs p JOIN top30 USING (w1)
+  GROUP BY p.w1, p.w2
+)
+SELECT w1, w2, n_pairs, x_micro, CAST(rk AS BIGINT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY w1
+             ORDER BY x_micro DESC, n_pairs DESC, w2) AS rk
+  FROM x
+) WHERE rk <= 3
+ORDER BY w1, rank
+""",
+)
+def ext_glove_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GloVe-style DISTANCE-WEIGHTED co-occurrence accumulation
+    (Pennington et al. 2014: X_ij sums 1/d over every co-occurrence at
+    token distance d within the window — the entire data-side input of
+    GloVe training; the f(X)^0.75 loss weighting is training-side and
+    out of scope): forward window 4, weights as exact micro integers
+    1e6 DIV d (1000000/500000/333333/250000 — floor-div, so the sums
+    are exact BIGINTs, unlike the float 1/d a naive port would
+    accumulate order-dependently). Output: top-3 co-occurring tokens
+    per top-30 head with the exact X_ij micro mass.
+
+    Scale shape (the PPMI recipe): pair formation is row-local (four
+    shifted zips with the distance packed in-band); the corpus-scale
+    pair stream is head-filtered by a broadcast top-30 semi-join
+    BEFORE the (w1, w2) exchange; per-head top-3 is a
+    WindowGroupLimit over the 30-head aggregate. Nothing all-pairs;
+    no vocab-wide state beyond the filtered X table."""
+    sep = chr(31)
+    d = load_table(spark, sf_dir, "documents")
+    tk = F.split("text", " ")
+
+    def mk(k):
+        return F.when(
+            F.size(tk) >= k + 1,
+            F.transform(
+                F.sequence(F.lit(1), F.size(tk) - k),
+                lambda i: F.concat_ws(
+                    sep,
+                    F.element_at(tk, i),
+                    F.element_at(tk, i + k),
+                    F.lit(str(k)),
+                ),
+            ),
+        ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
+
+    pairs = (
+        d.select("text")
+        .repartition(16)
+        .select(
+            F.explode(
+                F.concat(mk(1), mk(2), mk(3), mk(4))
+            ).alias("p")
+        )
+        .select(
+            F.split_part(F.col("p"), F.lit(sep), F.lit(1)).alias("w1"),
+            F.split_part(F.col("p"), F.lit(sep), F.lit(2)).alias("w2"),
+            F.split_part(F.col("p"), F.lit(sep), F.lit(3))
+            .cast("bigint")
+            .alias("d"),
+        )
+    )
+    top30 = (
+        d.select(F.explode(F.split("text", " ")).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "w1")
+        .limit(30)
+        .select("w1")
+    )
+    x = (
+        pairs.join(F.broadcast(top30), "w1", "left_semi")
+        .groupBy("w1", "w2")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.sum(F.expr("1000000 DIV d")).cast("bigint").alias("x_micro"),
+        )
+    )
+    w = Window.partitionBy("w1").orderBy(
+        F.col("x_micro").desc(), F.col("n_pairs").desc(), "w2"
+    )
+    return (
+        x.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= 3)
+        .select("w1", "w2", "n_pairs", "x_micro", "rank")
+        .orderBy("w1", "rank")
+    )

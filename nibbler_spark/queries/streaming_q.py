@@ -5486,3 +5486,263 @@ def i46_stream_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("epoch")
     )
+
+
+def _cms_sql_nib(expr: str, mod: int) -> str:
+    """DuckDB md5-nibble hash (sketches._sql_nib_hash inlined to keep
+    the streaming module import-light)."""
+    hexd = "0123456789abcdef"
+    return (
+        f"CAST(((strpos('{hexd}', substr(md5({expr}), 1, 1)) - 1) * 4096"
+        f" + (strpos('{hexd}', substr(md5({expr}), 2, 1)) - 1) * 256"
+        f" + (strpos('{hexd}', substr(md5({expr}), 3, 1)) - 1) * 16"
+        f" + (strpos('{hexd}', substr(md5({expr}), 4, 1)) - 1)) % {mod}"
+        f" AS INT)"
+    )
+
+
+@register(
+    "i47_stream_countmin",
+    survey_id="EXT-STREAM-CMS",
+    category="streaming",
+    mode="parity",
+    oracle=f"""
+WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
+tok AS (
+  SELECT LEAST(3, CAST(doc_id * 4 // (mx.m + 1) AS INT)) AS epoch,
+         t AS token
+  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS t
+        FROM documents) CROSS JOIN mx
+),
+top10 AS (
+  SELECT token FROM (
+    SELECT token, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token) AS rk
+    FROM tok GROUP BY token
+  ) WHERE rk <= 10
+),
+seeds AS (SELECT UNNEST(generate_series(0, 3)) AS seed),
+epochs AS (SELECT UNNEST(generate_series(0, 3)) AS e),
+cells AS (
+  SELECT s.seed,
+         {_cms_sql_nib("CONCAT(CAST(s.seed AS VARCHAR), ':', tok.token)", 64)}
+           AS bucket,
+         tok.epoch, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM tok CROSS JOIN seeds s GROUP BY 1, 2, 3
+),
+probe AS (
+  SELECT t.token, s.seed, e.e AS epoch,
+         {_cms_sql_nib("CONCAT(CAST(s.seed AS VARCHAR), ':', t.token)", 64)}
+           AS bucket
+  FROM top10 t CROSS JOIN seeds s CROSS JOIN epochs e
+),
+runs AS (
+  SELECT p.token, p.epoch, p.seed,
+         CAST(COALESCE((SELECT SUM(c.cnt) FROM cells c
+            WHERE c.seed = p.seed AND c.bucket = p.bucket
+              AND c.epoch <= p.epoch), 0) AS BIGINT) AS running
+  FROM probe p
+),
+est AS (
+  SELECT token, epoch, CAST(MIN(running) AS BIGINT) AS est_cum
+  FROM runs GROUP BY token, epoch
+),
+truec AS (
+  SELECT t.token, e.e AS epoch,
+         CAST(COALESCE((SELECT COUNT(*) FROM tok
+            WHERE tok.token = t.token AND tok.epoch <= e.e), 0)
+              AS BIGINT) AS true_cum
+  FROM top10 t CROSS JOIN epochs e
+)
+SELECT CAST(t.epoch AS BIGINT) AS epoch, t.token, t.true_cum, e.est_cum,
+       CAST(e.est_cum - t.true_cum AS BIGINT) AS overcount,
+       e.est_cum >= t.true_cum AS never_undercounts
+FROM truec t JOIN est e USING (token, epoch)
+ORDER BY epoch, token
+""",
+)
+def i47_stream_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE count-min sketch maintenance — the streaming counterpart
+    of ext_countmin_heavy_hitters: the d=4 x w=64 counter grid lives
+    as KEYED STREAM STATE (one running count per (seed, bucket) cell —
+    at most 256 state keys regardless of corpus size, the whole point
+    of sketching at 100 TB ingest), folded per availableNow epoch over
+    four doc_id-quartile token slices. Every epoch the touched cells
+    emit (cell, batch count, running) — so the emission log IS the
+    state trajectory.
+
+    Parity: for the corpus's top-10 tokens the per-epoch online
+    estimate (min over the 4 seed rows of the cell's running count at
+    that epoch boundary, reconstructed from the emissions with a
+    max_by over epochs <= e) must equal the offline sketch the batch
+    oracle rebuilds from scratch per epoch prefix — and the one-sided
+    CMS guarantee (never undercounts) rides along as an output column
+    at every boundary. md5-nibble hashing keeps the sketch
+    bit-identical across engines; every value is an exact BIGINT."""
+    import shutil
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from nibbler_spark.queries.sketches import _nib_hash
+
+    cache = _docs_token_slices_dir(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="nibbler-cms-")
+    ingest = os.path.join(base, "ingest")
+    outdir = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(ingest)
+
+    def fold(key, pdfs, state: GroupState):
+        (k,) = key
+        rows = pd.concat(list(pdfs))
+        prior = state.get[0] if state.exists else 0
+        cnt = len(rows)
+        state.update((prior + cnt,))
+        yield pd.DataFrame(
+            {
+                "k": [k],
+                "epoch": [int(rows["epoch"].max())],
+                "cnt": [cnt],
+                "running": [prior + cnt],
+            }
+        )
+
+    prior_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        for q in range(4):
+            src = os.path.join(cache, f"slice{q}")
+            for f in sorted(os.listdir(src)):
+                if f.endswith(".parquet"):
+                    shutil.copy(
+                        os.path.join(src, f),
+                        os.path.join(ingest, f"slice{q}.parquet"),
+                    )
+            keyed = (
+                spark.readStream.schema("epoch int, token string")
+                .parquet(ingest)
+                .select(
+                    "epoch",
+                    F.explode(
+                        F.array(*[F.lit(i) for i in range(4)])
+                    ).alias("seed"),
+                    "token",
+                )
+                .select(
+                    "epoch",
+                    (
+                        F.col("seed").cast("bigint") * 64
+                        + _nib_hash(
+                            F.concat_ws(":", F.col("seed"), F.col("token")),
+                            64,
+                        ).cast("bigint")
+                    ).alias("k"),
+                )
+                .groupBy("k")
+                .applyInPandasWithState(
+                    fold,
+                    "k long, epoch long, cnt long, running long",
+                    "run long",
+                    "update",
+                    GroupStateTimeout.NoTimeout,
+                )
+            )
+            sq = (
+                keyed.writeStream.foreachBatch(
+                    lambda df, _eid: df.write.mode("append").parquet(outdir)
+                )
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            sq.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior_shuffle)
+
+    em = spark.read.schema(
+        "k long, epoch long, cnt long, running long"
+    ).parquet(outdir)
+    d = load_table(spark, sf_dir, "documents")
+    hi = d.agg(F.max("doc_id")).first()[0]
+    tok = d.select(
+        F.least(
+            F.lit(3), (F.col("doc_id") * 4 / (hi + 1)).cast("int")
+        )
+        .cast("bigint")
+        .alias("tep"),
+        F.explode(F.split("text", " ")).alias("token"),
+    )
+    top10 = (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(10)
+        .select("token")
+    )
+    seeds = spark.range(4).select(F.col("id").cast("int").alias("seed"))
+    epochs = spark.range(4).select(F.col("id").cast("bigint").alias("epoch"))
+    probe = (
+        top10.crossJoin(F.broadcast(seeds))
+        .crossJoin(F.broadcast(epochs))
+        .select(
+            "token",
+            "epoch",
+            (
+                F.col("seed").cast("bigint") * 64
+                + _nib_hash(
+                    F.concat_ws(":", F.col("seed"), F.col("token")), 64
+                ).cast("bigint")
+            ).alias("k"),
+        )
+    )
+    runs = (
+        probe.join(
+            em.select(
+                F.col("k").alias("ek"),
+                F.col("epoch").alias("eep"),
+                "running",
+            ),
+            (F.col("k") == F.col("ek")) & (F.col("eep") <= F.col("epoch")),
+            "left",
+        )
+        .groupBy("token", "epoch", "k")
+        .agg(
+            F.coalesce(
+                F.max_by("running", F.col("eep")), F.lit(0).cast("bigint")
+            ).alias("running")
+        )
+    )
+    est = runs.groupBy("token", "epoch").agg(
+        F.min("running").cast("bigint").alias("est_cum")
+    )
+    grid = top10.crossJoin(F.broadcast(epochs))
+    percnt = tok.join(F.broadcast(top10), "token").groupBy(
+        "token", "tep"
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    truec = (
+        grid.join(
+            percnt,
+            (grid["token"] == percnt["token"])
+            & (F.col("tep") <= F.col("epoch")),
+            "left",
+        )
+        .groupBy(grid["token"].alias("token"), "epoch")
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("bigint").alias("true_cum"))
+    )
+    return (
+        truec.join(est, ["token", "epoch"])
+        .select(
+            "epoch",
+            "token",
+            "true_cum",
+            "est_cum",
+            (F.col("est_cum") - F.col("true_cum"))
+            .cast("bigint")
+            .alias("overcount"),
+            (F.col("est_cum") >= F.col("true_cum")).alias(
+                "never_undercounts"
+            ),
+        )
+        .orderBy("epoch", "token")
+    )

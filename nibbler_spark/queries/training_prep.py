@@ -2837,3 +2837,571 @@ def ext_submodular_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("round")
     )
+
+
+def _span_sql_nib(expr: str) -> str:
+    """DuckDB spelling of the md5-nibble hash used for span starts
+    (sketches._sql_nib_hash with mod 20)."""
+    hexd = "0123456789abcdef"
+    return (
+        f"CAST(((strpos('{hexd}', substr(md5({expr}), 1, 1)) - 1) * 4096"
+        f" + (strpos('{hexd}', substr(md5({expr}), 2, 1)) - 1) * 256"
+        f" + (strpos('{hexd}', substr(md5({expr}), 3, 1)) - 1) * 16"
+        f" + (strpos('{hexd}', substr(md5({expr}), 4, 1)) - 1)) % 20"
+        f" AS INT)"
+    )
+
+
+@register(
+    "ext_span_corruption_prep",
+    survey_id="EXT-SPAN-CORRUPT",
+    category="llm-training-prep",
+    oracle=f"""
+WITH tk AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+),
+marked AS (
+  SELECT doc_id, lang, len(t) AS n,
+         list_transform(generate_series(1, len(t)), p ->
+           {_span_sql_nib("CAST(doc_id AS VARCHAR) || ':' || CAST(p AS VARCHAR)")} = 0
+         ) AS starts
+  FROM tk WHERE len(t) >= 1
+),
+msk AS (
+  SELECT doc_id, lang, n,
+         list_transform(generate_series(1, n), p ->
+           COALESCE(starts[p], false)
+           OR (p >= 2 AND COALESCE(starts[p-1], false))
+           OR (p >= 3 AND COALESCE(starts[p-2], false))) AS m
+  FROM marked
+),
+per_doc AS (
+  SELECT doc_id, lang, n,
+         CAST(COALESCE(list_sum(list_transform(m,
+              x -> CASE WHEN x THEN 1 ELSE 0 END)), 0) AS BIGINT)
+           AS masked,
+         CAST(COALESCE(list_sum(list_transform(generate_series(1, n), p ->
+              CASE WHEN m[p] AND (p = 1 OR NOT m[p-1])
+                   THEN 1 ELSE 0 END)), 0) AS BIGINT) AS islands
+  FROM msk
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n) AS BIGINT) AS total_tokens,
+       CAST(SUM(masked) AS BIGINT) AS masked_tokens,
+       CAST(SUM(islands) AS BIGINT) AS sentinels,
+       CAST(SUM(masked) * 1000000 // SUM(n) AS BIGINT) AS mask_ratio_micro,
+       CAST((SUM(n) - SUM(masked) + SUM(islands)) * 1000000 // SUM(n)
+            AS BIGINT) AS input_len_ratio_micro
+FROM per_doc GROUP BY lang ORDER BY lang
+""",
+)
+def ext_span_corruption_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style SPAN CORRUPTION preparation (Raffel et al. 2020's
+    denoising objective — the data-side transform every span-masking
+    pretraining pipeline runs): mask ~15% of tokens in spans of mean
+    length 3, replace each maximal masked span with one sentinel, emit
+    the corpus accounting (mask ratio, sentinel count, encoder-input
+    length ratio) per language.
+
+    Deterministic and engine-exact: a span STARTS at position p iff
+    the md5-nibble hash of doc_id:p lands on 0 mod 20 (5% of
+    positions x span 3 ~ 15% masked); a position is masked iff any of
+    the 3 trailing windows starts there (the overlap-merge is the
+    row-local disjunction — no sequential state, unlike a literal
+    sampler); sentinels = maximal masked islands, counted by the
+    masked-and-not-previous edge test. All counts are BIGINTs; ratios
+    are exact micro floor-divisions.
+
+    Scale shape: entirely row-local per document (one map over the
+    corpus, repartitioned off the single-file scan) followed by one
+    5-group combinable aggregate — the dataflow a 100 TB corruption
+    pass would run, minus only the actual sentinel-token rewrite."""
+    from nibbler_spark.queries.sketches import _nib_hash
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    base = (
+        d.select("doc_id", "lang", "text")
+        .repartition(16)
+        .select("doc_id", "lang", toks.alias("t"))
+        .where(F.size("t") >= 1)
+    )
+    marked = base.select(
+        "doc_id",
+        "lang",
+        F.size("t").alias("n"),
+        F.transform(
+            F.sequence(F.lit(1), F.size("t")),
+            lambda p: _nib_hash(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    p.cast("string"),
+                ),
+                20,
+            )
+            == 0,
+        ).alias("starts"),
+    )
+    msk = marked.select(
+        "doc_id",
+        "lang",
+        "n",
+        F.transform(
+            F.sequence(F.lit(1), F.col("n")),
+            # index 0 is invalid even for try_element_at — guard the
+            # lookbacks with the position test instead
+            lambda p: F.element_at(F.col("starts"), p)
+            | (
+                (p > 1)
+                & F.coalesce(
+                    F.try_element_at(
+                        F.col("starts"), F.greatest(p - 1, F.lit(1))
+                    ),
+                    F.lit(False),
+                )
+            )
+            | (
+                (p > 2)
+                & F.coalesce(
+                    F.try_element_at(
+                        F.col("starts"), F.greatest(p - 2, F.lit(1))
+                    ),
+                    F.lit(False),
+                )
+            ),
+        ).alias("m"),
+    )
+    per_doc = msk.select(
+        "lang",
+        "n",
+        F.aggregate(
+            F.transform(
+                F.col("m"), lambda x: F.when(x, 1).otherwise(0)
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("masked"),
+        F.aggregate(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n")),
+                lambda p: F.when(
+                    F.element_at(F.col("m"), p)
+                    & ~(
+                        (p > 1)
+                        & F.coalesce(
+                            F.try_element_at(
+                                F.col("m"), F.greatest(p - 1, F.lit(1))
+                            ),
+                            F.lit(False),
+                        )
+                    ),
+                    1,
+                ).otherwise(0),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("islands"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n").cast("bigint").alias("total_tokens"),
+            F.sum("masked").cast("bigint").alias("masked_tokens"),
+            F.sum("islands").cast("bigint").alias("sentinels"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "total_tokens",
+            "masked_tokens",
+            "sentinels",
+            F.expr("masked_tokens * 1000000 DIV total_tokens")
+            .cast("bigint")
+            .alias("mask_ratio_micro"),
+            F.expr(
+                "(total_tokens - masked_tokens + sentinels) * 1000000"
+                " DIV total_tokens"
+            )
+            .cast("bigint")
+            .alias("input_len_ratio_micro"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "ext_length_bucketed_batching",
+    survey_id="EXT-LENGTH-BUCKET-BATCH",
+    category="llm-training-prep",
+    oracle="""
+WITH docs AS (
+  SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_t
+  FROM documents
+),
+bucketed AS (
+  SELECT lang, n_t,
+         CAST((ROW_NUMBER() OVER (
+            PARTITION BY lang, n_t // 64
+            ORDER BY n_t DESC, doc_id) - 1) // 8 AS BIGINT) AS batch_id,
+         n_t // 64 AS bucket
+  FROM docs
+),
+bw AS (
+  SELECT lang, CAST(SUM(mx * cnt - s) AS BIGINT) AS waste FROM (
+    SELECT lang, bucket, batch_id, MAX(n_t) AS mx, COUNT(*) AS cnt,
+           SUM(n_t) AS s
+    FROM bucketed GROUP BY lang, bucket, batch_id
+  ) GROUP BY lang
+),
+naive AS (
+  SELECT lang, n_t,
+         CAST((ROW_NUMBER() OVER (
+            PARTITION BY lang ORDER BY doc_id) - 1) // 8 AS BIGINT)
+           AS batch_id
+  FROM docs
+),
+nw AS (
+  SELECT lang, CAST(SUM(mx * cnt - s) AS BIGINT) AS waste FROM (
+    SELECT lang, batch_id, MAX(n_t) AS mx, COUNT(*) AS cnt, SUM(n_t) AS s
+    FROM naive GROUP BY lang, batch_id
+  ) GROUP BY lang
+)
+SELECT d.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       bw.waste AS waste_bucketed,
+       nw.waste AS waste_naive,
+       CAST(bw.waste * 1000000 // GREATEST(nw.waste, 1) AS BIGINT)
+         AS waste_ratio_micro
+FROM docs d JOIN bw ON d.lang = bw.lang JOIN nw ON d.lang = nw.lang
+GROUP BY d.lang, bw.waste, nw.waste
+ORDER BY d.lang
+""",
+)
+def ext_length_bucketed_batching(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LENGTH-BUCKETED batch assembly — the dynamic-batching prep step
+    every padded-training pipeline runs (bucket sequences of similar
+    length, batch within buckets, pad to the batch max): compares the
+    exact PADDING WASTE (sum over batches of max_len*batch_size -
+    sum_len) of 64-token-bucketed batching vs naive arrival-order
+    batching, per language, batch size 8.
+
+    All quantities are exact BIGINTs (the waste identity needs only
+    max/count/sum per batch); the ratio is a non-negative micro
+    floor-division (bucketed/naive — both sides non-negative, so no
+    signed-DIV hazard). Ties in batch assignment break on doc_id.
+
+    Scale shape: both assignments are windows PARTITIONED by
+    (lang, bucket) / (lang) — keyed partitions, no global sort; the
+    waste reduction is a two-level combinable aggregate. At 100 TB
+    batch assembly shards by (lang, bucket) exactly like this."""
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_t"),
+    )
+    wb = Window.partitionBy("lang", F.expr("n_t DIV 64")).orderBy(
+        F.col("n_t").desc(), "doc_id"
+    )
+    bucketed = docs.select(
+        "lang",
+        "n_t",
+        F.expr("n_t DIV 64").alias("bucket"),
+        ((F.row_number().over(wb) - 1) / 8)
+        .cast("bigint")
+        .alias("batch_id"),
+    )
+    bw = (
+        bucketed.groupBy("lang", "bucket", "batch_id")
+        .agg(
+            F.max("n_t").alias("mx"),
+            F.count("*").alias("cnt"),
+            F.sum("n_t").alias("s"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.sum(F.col("mx") * F.col("cnt") - F.col("s"))
+            .cast("bigint")
+            .alias("waste_bucketed")
+        )
+    )
+    wn = Window.partitionBy("lang").orderBy("doc_id")
+    naive = docs.select(
+        "lang",
+        "n_t",
+        ((F.row_number().over(wn) - 1) / 8)
+        .cast("bigint")
+        .alias("batch_id"),
+    )
+    nw = (
+        naive.groupBy("lang", "batch_id")
+        .agg(
+            F.max("n_t").alias("mx"),
+            F.count("*").alias("cnt"),
+            F.sum("n_t").alias("s"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.sum(F.col("mx") * F.col("cnt") - F.col("s"))
+            .cast("bigint")
+            .alias("waste_naive")
+        )
+    )
+    counts = docs.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+    return (
+        counts.join(bw, "lang")
+        .join(nw, "lang")
+        .select(
+            "lang",
+            "n_docs",
+            "waste_bucketed",
+            "waste_naive",
+            F.expr(
+                "waste_bucketed * 1000000"
+                " DIV GREATEST(waste_naive, 1)"
+            )
+            .cast("bigint")
+            .alias("waste_ratio_micro"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _wp_sql_step(inv: str) -> str:
+    """One greedy longest-match step of the WordPiece fold (DuckDB):
+    acc packs cursor*1e6 + pieces*1e3 + unk; ``inv`` is the piece
+    LIST column to probe (initial or continuation inventory)."""
+    cur = "(acc // 1000000)"
+    return f"""CASE
+      WHEN len(word) >= {cur} + 2
+           AND list_contains({inv}, substr(word, CAST({cur} AS INT), 3))
+        THEN acc + 3 * 1000000 + 1000
+      WHEN len(word) >= {cur} + 1
+           AND list_contains({inv}, substr(word, CAST({cur} AS INT), 2))
+        THEN acc + 2 * 1000000 + 1000
+      WHEN list_contains({inv}, substr(word, CAST({cur} AS INT), 1))
+        THEN acc + 1000000 + 1000
+      ELSE acc + 1000000 + 1000 + 1 END"""
+
+
+@register(
+    "ext_wordpiece_apply",
+    survey_id="EXT-WORDPIECE",
+    category="llm-training-prep",
+    oracle=f"""
+WITH wt AS (
+  SELECT lang, token AS word, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT lang, UNNEST(string_split(text, ' ')) AS token
+        FROM documents)
+  GROUP BY lang, token
+),
+gw AS (SELECT word, CAST(SUM(c) AS BIGINT) AS gc FROM wt GROUP BY word),
+vocab AS (
+  SELECT word FROM (
+    SELECT word, ROW_NUMBER() OVER (ORDER BY gc DESC, word) AS rk
+    FROM gw
+  ) WHERE rk <= 12
+),
+vl AS (SELECT LIST(word) AS vs FROM vocab),
+ip AS (
+  SELECT LIST(DISTINCT p) AS ips FROM (
+    SELECT substr(word, 1, k) AS p
+    FROM vocab, generate_series(1, 3) AS g(k) WHERE k <= len(word))
+),
+cp AS (
+  SELECT LIST(DISTINCT p) AS cps FROM (
+    SELECT substr(word, CAST(j AS INT), CAST(k AS INT)) AS p
+    FROM vocab, generate_series(2, 24) AS gj(j),
+         generate_series(1, 3) AS gk(k)
+    WHERE j + k - 1 <= len(word))
+),
+seg AS (
+  SELECT lang, word, c,
+    list_reduce(
+      list_prepend(CAST(1000000 AS BIGINT),
+                   list_transform(generate_series(1, 24),
+                                  x -> CAST(x AS BIGINT))),
+      (acc, x) -> CASE
+        WHEN acc // 1000000 > len(word) THEN acc
+        WHEN acc // 1000000 = 1 AND list_contains(vl.vs, word)
+          THEN acc + len(word) * 1000000 + 1000
+        WHEN acc // 1000000 = 1 THEN {_wp_sql_step("ip.ips")}
+        ELSE {_wp_sql_step("cp.cps")} END) AS acc
+  FROM wt, vl, ip, cp
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_word_types,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(SUM(((acc % 1000000) // 1000) * c) AS BIGINT) AS total_pieces,
+       CAST(SUM((acc % 1000) * c) AS BIGINT) AS total_unk,
+       CAST(SUM(((acc % 1000000) // 1000) * c) * 1000000 // SUM(c)
+            AS BIGINT) AS fertility_micro,
+       CAST(SUM((acc % 1000) * c) * 1000000 // SUM(c) AS BIGINT)
+         AS unk_rate_micro
+FROM seg GROUP BY lang ORDER BY lang
+""",
+)
+def ext_wordpiece_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WORDPIECE inference (Wu et al. 2016's greedy longest-match-first
+    segmentation — the tokenizer BERT ships; completes the repo's
+    tokenizer family beside the BPE merge loop and the Unigram-LM EM
+    round): the top-12-by-count vocabulary (RANK-based — on this
+    31-word fixture the other 19 word types MUST segment through
+    pieces; the SymSpell non-degeneracy lesson: a frequency threshold
+    admitted every word and made fertility identically 1) plus its
+    length-<=3 initial and continuation piece inventories; every word segments by
+    whole-word match first, then greedy longest piece at the cursor
+    (3, then 2, then 1 chars; initial inventory at cursor 1,
+    continuation after), unmatched characters emit UNK. Output per
+    language: token-weighted FERTILITY (pieces per token, the
+    tokenizer-quality number multilingual pipelines monitor) and UNK
+    rate, as exact micro floor-divisions.
+
+    Engine-exactness: the greedy cursor walk is a bounded FOLD over 24
+    steps with the state packed into one BIGINT (cursor*1e6 +
+    pieces*1e3 + unk) — Spark F.aggregate and DuckDB list_reduce
+    (prepend-the-init pattern; accumulator and element types must
+    match) walk the identical integer lattice, so both engines produce
+    the same accumulator for every word.
+
+    Scale shape: segmentation runs once per DISTINCT (lang, word) —
+    vocabulary-scale, not corpus-scale; the corpus-scale work is one
+    combinable (lang, token) count; piece inventories are bounded by
+    the corpus-relative vocab threshold and broadcast as single
+    collected rows."""
+    d = load_table(spark, sf_dir, "documents")
+    wt = (
+        d.select("lang", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("lang", "word")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    gw = wt.groupBy("word").agg(F.sum("c").cast("bigint").alias("gc"))
+    vocab = (
+        gw.orderBy(F.col("gc").desc(), "word").limit(12).select("word")
+    )
+    vl = F.broadcast(vocab.agg(F.collect_set("word").alias("vs")))
+    ip = F.broadcast(
+        vocab.select(
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(1), F.least(F.lit(3), F.length("word"))
+                    ),
+                    lambda k: F.col("word").substr(F.lit(1), k),
+                )
+            ).alias("p")
+        ).agg(F.collect_set("p").alias("ips"))
+    )
+    cp = F.broadcast(
+        vocab.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.sequence(F.lit(2), F.length("word")),
+                        lambda j: F.filter(
+                            F.transform(
+                                F.sequence(F.lit(1), F.lit(3)),
+                                lambda k: F.when(
+                                    j + k - 1 <= F.length("word"),
+                                    F.col("word").substr(j, k),
+                                ),
+                            ),
+                            lambda s: s.isNotNull(),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .where(F.length("word") >= 2)
+        .agg(F.collect_set("p").alias("cps"))
+    )
+
+    def step(acc, inv):
+        cur = (acc / F.lit(1000000)).cast("bigint")
+        L = F.length("word")
+        probe = lambda k: F.col("word").substr(  # noqa: E731
+            cur.cast("int"), F.lit(k)
+        )
+        return (
+            F.when(
+                (L >= cur + 2)
+                & F.array_contains(F.col(inv), probe(3)),
+                acc + F.lit(3 * 1000000 + 1000).cast("bigint"),
+            )
+            .when(
+                (L >= cur + 1)
+                & F.array_contains(F.col(inv), probe(2)),
+                acc + F.lit(2 * 1000000 + 1000).cast("bigint"),
+            )
+            .when(
+                F.array_contains(F.col(inv), probe(1)),
+                acc + F.lit(1000000 + 1000).cast("bigint"),
+            )
+            .otherwise(acc + F.lit(1000000 + 1000 + 1).cast("bigint"))
+        )
+
+    seg = (
+        wt.crossJoin(vl)
+        .crossJoin(ip)
+        .crossJoin(cp)
+        .select(
+            "lang",
+            "word",
+            "c",
+            F.aggregate(
+                F.sequence(F.lit(1), F.lit(24)),
+                F.lit(1000000).cast("bigint"),
+                lambda acc, _x: F.when(
+                    (acc / F.lit(1000000)).cast("bigint")
+                    > F.length("word"),
+                    acc,
+                )
+                .when(
+                    ((acc / F.lit(1000000)).cast("bigint") == 1)
+                    & F.array_contains(F.col("vs"), F.col("word")),
+                    acc
+                    + F.length("word").cast("bigint") * F.lit(1000000)
+                    + F.lit(1000),
+                )
+                .when(
+                    (acc / F.lit(1000000)).cast("bigint") == 1,
+                    step(acc, "ips"),
+                )
+                .otherwise(step(acc, "cps")),
+            ).alias("acc"),
+        )
+    )
+    return (
+        seg.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_word_types"),
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.sum(F.expr("((acc % 1000000) DIV 1000) * c"))
+            .cast("bigint")
+            .alias("total_pieces"),
+            F.sum(F.expr("(acc % 1000) * c"))
+            .cast("bigint")
+            .alias("total_unk"),
+        )
+        .select(
+            "lang",
+            "n_word_types",
+            "n_tokens",
+            "total_pieces",
+            "total_unk",
+            F.expr("total_pieces * 1000000 DIV n_tokens")
+            .cast("bigint")
+            .alias("fertility_micro"),
+            F.expr("total_unk * 1000000 DIV n_tokens")
+            .cast("bigint")
+            .alias("unk_rate_micro"),
+        )
+        .orderBy("lang")
+    )

@@ -975,3 +975,47 @@ def test_adaboost_histograms_partial_combining(spark, sf_dir):
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_span_corruption_row_local_no_joins(spark, sf_dir):
+    """Span masking is ONE map over the corpus (overlap-merge is a
+    row-local disjunction, not sequential state) + one combinable
+    5-group aggregate: no join of any kind, no Python eval."""
+    plan = _plan(spark, sf_dir, "ext_span_corruption_prep")
+    assert "EvalPython" not in plan
+    assert "Join" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_length_bucketed_batching_keyed_windows(spark, sf_dir):
+    """Both batch assignments are windows over KEYED partitions
+    ((lang, bucket) / (lang)) — no single-partition window, no
+    cartesian anywhere."""
+    plan = _plan(spark, sf_dir, "ext_length_bucketed_batching")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+
+
+def test_glove_cooc_head_filtered_before_exchange(spark, sf_dir):
+    """The corpus-scale pair stream is semi-joined against the
+    broadcast top-30 heads BEFORE the (w1, w2) aggregate exchange —
+    the PPMI recipe."""
+    plan = _plan(spark, sf_dir, "ext_glove_cooccurrence")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_wordpiece_vocab_scale_segmentation(spark, sf_dir):
+    """Segmentation folds run on the DISTINCT (lang, word) table with
+    three 1-row broadcast inventories (vocab list, initial pieces,
+    continuation pieces) — at most 3 nested-loop joins, all against
+    single collected rows; the greedy cursor walk is a row-local
+    F.aggregate (no Python eval)."""
+    plan = _plan(spark, sf_dir, "ext_wordpiece_apply")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # 3 joins; formatted mode prints each operator twice (tree line +
+    # details block)
+    assert plan.count("BroadcastNestedLoopJoin") <= 6
