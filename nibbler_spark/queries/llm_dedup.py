@@ -3642,8 +3642,9 @@ def ext_suffix_array_lcp(spark: SparkSession, sf_dir: str) -> DataFrame:
     numeric order of the packed value; 0-sentinel for past-end sorts
     first — m is data-derived, so the fixture's tiny vocab gives m=12
     on round 1 and the cap-48 order is total in 3 rounds where classic
-    doubling needs 6; wider ranks at 100 TB degrade m gracefully
-    toward the classic pair), then densifies: explode to
+    doubling needs 6; wider ranks degrade m toward the classic pair,
+    which holds up to 2^31 ranks — beyond that the corpus shards
+    first, the ExactSubstr practice), then densifies: explode to
     (doc, pos, rc), dense-rank the <= n_suffixes DISTINCT packed
     values with two_phase_rank (bucketed count -> broadcast offsets ->
     per-bucket row_number; bucket = rc DIV (64 * W^(m-1)) stays
@@ -3741,6 +3742,12 @@ def ext_suffix_array_lcp(spark: SparkSession, sf_dir: str) -> DataFrame:
     fin = None
     while covered < 48:
         w_bits = max(int(max_rank).bit_length(), 1)
+        # even the classic m=2 pair needs 2*w_bits <= 62: beyond 2^31
+        # suffixes per shard the pack overflows int64 — at that size
+        # you shard the corpus first (the ExactSubstr practice; ~45M
+        # docs per shard at cap 48), which also keeps every densify
+        # table shard-local
+        assert w_bits <= 31, "shard the corpus: > 2^31 ranks per shard"
         m = max(62 // w_bits, 2)
         W = 2**w_bits
         c = covered

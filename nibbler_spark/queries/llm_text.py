@@ -4579,3 +4579,90 @@ def ext_glove_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("w1", "w2", "n_pairs", "x_micro", "rank")
         .orderBy("w1", "rank")
     )
+
+
+@register(
+    "ext_vocab_coverage_curve",
+    survey_id="EXT-VOCAB-COVERAGE",
+    category="llm-text",
+    oracle="""
+WITH tok AS (
+  SELECT UNNEST(string_split(text, ' ')) AS token FROM documents
+),
+vc AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY token),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t, CAST(COUNT(*) AS BIGINT) AS v
+        FROM vc),
+ranked AS (
+  SELECT token, c, ROW_NUMBER() OVER (ORDER BY c DESC, token) AS rk
+  FROM vc
+),
+ks AS (SELECT UNNEST([1, 2, 4, 8, 16, 32]) AS k)
+SELECT CAST(ks.k AS BIGINT) AS k,
+       CAST(COUNT(*) AS BIGINT) AS vocab_types_used,
+       CAST(SUM(r.c) AS BIGINT) AS covered_tokens,
+       tot.t AS total_tokens,
+       CAST(SUM(r.c) * 1000000 // tot.t AS BIGINT) AS coverage_micro
+FROM ks JOIN ranked r ON r.rk <= ks.k CROSS JOIN tot
+GROUP BY ks.k, tot.t
+ORDER BY k
+""",
+)
+def ext_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary COVERAGE CURVE — the tokenizer-design table every
+    vocab-size decision reads (what fraction of corpus tokens does a
+    top-k vocabulary cover, k swept over powers of two): coverage at
+    each k as an exact micro fraction, with the type count actually
+    used (k can exceed the corpus vocabulary).
+
+    Exactness: counts and cumulative coverage are BIGINTs; the top-k
+    membership ranks by (count DESC, token) — fully tie-broken, so
+    both engines pick identical vocabularies at every k.
+
+    Scale shape: one combinable token count (corpus-scale), then
+    everything operates on the VOCABULARY-scale table: the global rank
+    is a two-phase bucketed rank (bucket = -count DIV 64, never a
+    single-partition sort of the vocab), the 6-point sweep is a
+    6-row broadcast joined against rank <= k."""
+    from nibbler_spark.queries._helpers import two_phase_rank
+
+    d = load_table(spark, sf_dir, "documents")
+    vc = (
+        d.select("text")
+        .repartition(16)
+        .select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    tot = vc.agg(
+        F.sum("c").cast("bigint").alias("t"),
+        F.count("*").cast("bigint").alias("v"),
+    )
+    ranked = two_phase_rank(
+        vc,
+        F.expr("-(c DIV 64)"),
+        [F.col("c").desc(), F.col("token")],
+        "rk",
+    )
+    ks = spark.createDataFrame(
+        [(k,) for k in (1, 2, 4, 8, 16, 32)], "k long"
+    )
+    return (
+        F.broadcast(ks)
+        .join(ranked, F.col("rk") <= F.col("k"))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("k", "t")
+        .agg(
+            F.count("*").cast("bigint").alias("vocab_types_used"),
+            F.sum("c").cast("bigint").alias("covered_tokens"),
+        )
+        .select(
+            "k",
+            "vocab_types_used",
+            "covered_tokens",
+            F.col("t").alias("total_tokens"),
+            F.expr("covered_tokens * 1000000 DIV t")
+            .cast("bigint")
+            .alias("coverage_micro"),
+        )
+        .orderBy("k")
+    )

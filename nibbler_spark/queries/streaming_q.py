@@ -5746,3 +5746,169 @@ def i47_stream_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("epoch", "token")
     )
+
+
+@register(
+    "i48_stream_bottomk_kmv",
+    survey_id="EXT-STREAM-KMV",
+    category="streaming",
+    mode="parity",
+    oracle="""
+WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
+tok AS (
+  SELECT LEAST(3, CAST(doc_id * 4 // (mx.m + 1) AS INT)) AS epoch,
+         t AS token,
+         CAST(('0x' || substr(md5(t), 1, 12)) AS BIGINT) AS h
+  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS t
+        FROM documents) CROSS JOIN mx
+),
+epochs AS (SELECT UNNEST(generate_series(0, 3)) AS e),
+dist AS (
+  SELECT e.e AS epoch, tok.h % 8 AS band, tok.token, tok.h
+  FROM tok CROSS JOIN epochs e
+  WHERE tok.epoch <= e.e
+  GROUP BY 1, 2, 3, 4
+),
+ranked AS (
+  SELECT epoch, band, token, h,
+         ROW_NUMBER() OVER (PARTITION BY epoch, band
+                            ORDER BY h, token) AS rk
+  FROM dist
+)
+SELECT CAST(epoch AS BIGINT) AS epoch, CAST(band AS BIGINT) AS band,
+       CAST(rk AS BIGINT) AS rank, h, token
+FROM ranked WHERE rk <= 4
+ORDER BY epoch, band, rank
+""",
+)
+def i48_stream_bottomk_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE bottom-k (KMV) distinct sketch — k minimum md5 values
+    per hash band, maintained as keyed stream state (8 bands x 4
+    values = at most 32 state entries at ANY corpus size; the k-th
+    minimum per band is the classic KMV distinct-count estimator,
+    Bar-Yossef et al. 2002, and the bottom-k set doubles as a uniform
+    sample of the distinct tokens). Bottom-k MERGES (bottom-k of a
+    union = bottom-k of per-part bottom-k), which is exactly why the
+    per-band fold commutes with any batch slicing — the property the
+    parity oracle pins: after every availableNow epoch, the online
+    per-band bottom-4 must equal the offline bottom-4 over the epoch
+    PREFIX, value-for-value with (h, token) tie-breaks.
+
+    Emissions carry the full current bottom-4 per touched band per
+    epoch; untouched bands carry forward via a max_by over emitted
+    epochs at read-out. Every value is an exact BIGINT (48-bit md5
+    prefix) or a token string."""
+    import shutil
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    cache = _docs_token_slices_dir(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="nibbler-kmv-")
+    ingest = os.path.join(base, "ingest")
+    outdir = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(ingest)
+
+    def fold(key, pdfs, state: GroupState):
+        (band,) = key
+        rows = pd.concat(list(pdfs))
+        cur = (
+            list(zip(state.get[0], state.get[1]))
+            if state.exists
+            else []
+        )
+        batch = set(zip(rows["h"].tolist(), rows["token"].tolist()))
+        merged = sorted(set(cur) | batch)[:4]
+        state.update((
+            [h for h, _ in merged],
+            [t for _, t in merged],
+        ))
+        yield pd.DataFrame(
+            {
+                "band": [band] * len(merged),
+                "epoch": [int(rows["epoch"].max())] * len(merged),
+                "rank": list(range(1, len(merged) + 1)),
+                "h": [h for h, _ in merged],
+                "token": [t for _, t in merged],
+            }
+        )
+
+    prior_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        for q in range(4):
+            src = os.path.join(cache, f"slice{q}")
+            for f in sorted(os.listdir(src)):
+                if f.endswith(".parquet"):
+                    shutil.copy(
+                        os.path.join(src, f),
+                        os.path.join(ingest, f"slice{q}.parquet"),
+                    )
+            keyed = (
+                spark.readStream.schema("epoch int, token string")
+                .parquet(ingest)
+                .select(
+                    "epoch",
+                    "token",
+                    F.conv(F.substring(F.md5("token"), 1, 12), 16, 10)
+                    .cast("bigint")
+                    .alias("h"),
+                )
+                .withColumn("band", F.col("h") % 8)
+                .groupBy("band")
+                .applyInPandasWithState(
+                    fold,
+                    "band long, epoch long, rank long, h long,"
+                    " token string",
+                    "hs array<long>, toks array<string>",
+                    "update",
+                    GroupStateTimeout.NoTimeout,
+                )
+            )
+            sq = (
+                keyed.writeStream.foreachBatch(
+                    lambda df, _eid: df.write.mode("append").parquet(outdir)
+                )
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            sq.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior_shuffle)
+
+    em = spark.read.schema(
+        "band long, epoch long, rank long, h long, token string"
+    ).parquet(outdir)
+    bands = spark.range(8).select(F.col("id").cast("bigint").alias("band"))
+    epochs = spark.range(4).select(
+        F.col("id").cast("bigint").alias("epoch")
+    )
+    grid = bands.crossJoin(epochs)
+    return (
+        grid.join(
+            em.select(
+                F.col("band").alias("eb"),
+                F.col("epoch").alias("eep"),
+                "rank",
+                "h",
+                "token",
+            ),
+            (F.col("band") == F.col("eb"))
+            & (F.col("eep") <= F.col("epoch")),
+        )
+        .groupBy("band", "epoch", "rank")
+        .agg(
+            F.max_by(F.struct("h", "token"), F.col("eep")).alias("bt")
+        )
+        .select(
+            "epoch",
+            "band",
+            "rank",
+            F.col("bt.h").alias("h"),
+            F.col("bt.token").alias("token"),
+        )
+        .orderBy("epoch", "band", "rank")
+    )

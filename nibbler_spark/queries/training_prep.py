@@ -3405,3 +3405,235 @@ def ext_wordpiece_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "ext_skipgram_negative_sampling",
+    survey_id="EXT-SGNS",
+    category="llm-training-prep",
+    oracle="""
+WITH tk AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+),
+pairs AS (
+  SELECT doc_id, lang, i, slot, t[i] AS center, t[i + slot] AS ctx
+  FROM (
+    SELECT doc_id, lang, t, sl AS slot,
+           UNNEST(generate_series(1, len(t) - sl)) AS i
+    FROM tk, generate_series(1, 2) AS g(sl)
+    WHERE len(t) > sl
+  )
+),
+vc AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT UNNEST(string_split(text, ' ')) AS token FROM documents)
+  GROUP BY token
+),
+iv AS (
+  SELECT token, c,
+         CAST(COALESCE(SUM(c) OVER (ORDER BY token
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS s
+  FROM vc
+),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM vc),
+negs AS (
+  SELECT p.lang, p.center, p.ctx,
+         CAST(CAST(('0x' || substr(md5(
+             CAST(p.doc_id AS VARCHAR) || ':' || CAST(p.i AS VARCHAR)
+             || ':' || CAST(p.slot AS VARCHAR) || ':'
+             || CAST(j AS VARCHAR)), 1, 12)) AS BIGINT) % tot.t
+           AS BIGINT) AS u
+  FROM pairs p CROSS JOIN tot, generate_series(1, 2) AS gj(j)
+),
+drawn AS (
+  SELECT n.lang, n.ctx, iv.token AS neg
+  FROM negs n JOIN iv ON n.u >= iv.s AND n.u < iv.s + iv.c
+)
+SELECT d.lang,
+       CAST((SELECT COUNT(*) FROM pairs p WHERE p.lang = d.lang)
+            AS BIGINT) AS n_pairs,
+       CAST(COUNT(*) AS BIGINT) AS n_negatives,
+       CAST(COUNT(DISTINCT d.neg) AS BIGINT) AS distinct_neg_types,
+       CAST(SUM(CASE WHEN d.neg = d.ctx THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_false_negatives,
+       CAST(SUM(CASE WHEN d.neg = d.ctx THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS fn_rate_micro
+FROM drawn d GROUP BY d.lang ORDER BY d.lang
+""",
+)
+def ext_skipgram_negative_sampling(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Skip-gram NEGATIVE SAMPLING data prep (word2vec SGNS, Mikolov
+    et al. 2013): (center, context) positives over a forward window of
+    2, plus k=2 negatives per positive drawn from the exact unigram
+    distribution by INVERSE CDF — u = md5-48bit(doc:pos:slot:j) mod T
+    lands in the token whose cumulative-count interval [s, s+c)
+    contains it (the md5 inverse-CDF trick, zipf-skew-join precedent;
+    word2vec's ^0.75 flattening is a gridded-ln variant the exact
+    integer CDF deliberately avoids). Output per language: pair and
+    negative volumes, distinct negative types, and the FALSE-NEGATIVE
+    rate (a drawn negative equal to the true context — the collision
+    SGNS tolerates by design, now a measured number).
+
+    Exactness: the CDF is an exact integer prefix sum over
+    token-ordered counts; u is an exact 48-bit residue; interval
+    membership is integer comparison — every drawn negative is
+    identical across engines.
+
+    Scale shape: pair formation is row-local; the interval lookup is
+    the BUCKETED interval equi-join (c14 precedent): intervals explode
+    to the width-(T DIV 256) buckets they overlap (vocab + 256 rows
+    total), probes join on u DIV B then range-filter — never a
+    nested-loop range scan; the vocab CDF builds with bucketed prefix
+    sums (offsets broadcast), never a single-partition window over the
+    vocabulary."""
+    d = load_table(spark, sf_dir, "documents")
+    tk = F.split("text", " ")
+
+    def mk(slot):
+        return F.when(
+            F.size(tk) > slot,
+            F.transform(
+                F.sequence(F.lit(1), F.size(tk) - slot),
+                lambda i: F.struct(
+                    i.alias("i"),
+                    F.lit(slot).alias("slot"),
+                    F.element_at(tk, i).alias("center"),
+                    F.element_at(tk, i + slot).alias("ctx"),
+                ),
+            ),
+        ).otherwise(F.expr(
+            "CAST(array() AS ARRAY<STRUCT<i INT, slot INT,"
+            " center STRING, ctx STRING>>)"
+        ))
+
+    pairs = (
+        d.select("doc_id", "lang", "text")
+        .repartition(16)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(F.concat(mk(1), mk(2))).alias("p"),
+        )
+        .select("doc_id", "lang", "p.i", "p.slot", "p.center", "p.ctx")
+    )
+    vc = (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    # bucketed exact prefix sum over token order (vocab-scale)
+    vb = vc.withColumn("bk", F.ascii(F.substring("token", 1, 1)))
+    offs = (
+        vb.groupBy("bk")
+        .agg(F.sum("c").alias("bc"))
+        .select(
+            "bk",
+            F.coalesce(
+                F.sum("bc").over(
+                    Window.orderBy("bk").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ).alias("off"),
+        )
+    )
+    w_in = (
+        Window.partitionBy("bk")
+        .orderBy("token")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    iv = (
+        vb.join(F.broadcast(offs), "bk")
+        .select(
+            "token",
+            "c",
+            (
+                F.col("off") + F.coalesce(F.sum("c").over(w_in), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("s"),
+        )
+    )
+    tot = vc.agg(F.sum("c").cast("bigint").alias("t"))
+    negs = (
+        pairs.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "ctx",
+            "t",
+            F.explode(F.array(F.lit(1), F.lit(2))).alias("j"),
+            F.concat_ws(
+                ":", F.col("doc_id"), F.col("i"), F.col("slot")
+            ).alias("h0"),
+        )
+        .select(
+            "lang",
+            "ctx",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws(":", F.col("h0"), F.col("j"))),
+                        1,
+                        12,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % F.col("t")
+            ).alias("u"),
+            F.expr("GREATEST(1, t DIV 256)").alias("bw"),
+        )
+    )
+    # intervals explode to overlapped width-bw buckets; probes join on
+    # bucket then range-filter — the c14 bucketed interval equi-join
+    ivb = (
+        iv.crossJoin(F.broadcast(tot))
+        .withColumn("bw", F.expr("GREATEST(1, t DIV 256)"))
+        .select(
+            "token",
+            "s",
+            "c",
+            F.explode(
+                F.sequence(
+                    F.expr("s DIV bw"), F.expr("(s + c - 1) DIV bw")
+                )
+            ).alias("ub"),
+        )
+    )
+    drawn = (
+        negs.withColumn("ub", F.expr("u DIV bw"))
+        .join(F.broadcast(ivb), "ub")
+        .where((F.col("u") >= F.col("s")) & (F.col("u") < F.col("s") + F.col("c")))
+        .select("lang", "ctx", F.col("token").alias("neg"))
+    )
+    np = pairs.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_pairs")
+    )
+    return (
+        drawn.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_negatives"),
+            F.countDistinct("neg").cast("bigint").alias(
+                "distinct_neg_types"
+            ),
+            F.sum(F.when(F.col("neg") == F.col("ctx"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_false_negatives"),
+        )
+        .join(np, "lang")
+        .select(
+            "lang",
+            "n_pairs",
+            "n_negatives",
+            "distinct_neg_types",
+            "n_false_negatives",
+            F.expr("n_false_negatives * 1000000 DIV n_negatives")
+            .cast("bigint")
+            .alias("fn_rate_micro"),
+        )
+        .orderBy("lang")
+    )

@@ -1019,3 +1019,21 @@ def test_wordpiece_vocab_scale_segmentation(spark, sf_dir):
     # 3 joins; formatted mode prints each operator twice (tree line +
     # details block)
     assert plan.count("BroadcastNestedLoopJoin") <= 6
+
+
+def test_vocab_coverage_curve_vocab_scale_rank(spark, sf_dir):
+    """One corpus-scale combinable count, then vocabulary-scale work
+    only; the 6-point sweep joins a broadcast literal frame."""
+    plan = _plan(spark, sf_dir, "ext_vocab_coverage_curve")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sgns_interval_lookup_is_bucketed_equi_join(spark, sf_dir):
+    """The inverse-CDF token lookup must be the bucketed interval
+    EQUI-join (probe bucket u DIV B against exploded interval
+    buckets), never a nested-loop range scan over the vocabulary."""
+    plan = _plan(spark, sf_dir, "ext_skipgram_negative_sampling")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
