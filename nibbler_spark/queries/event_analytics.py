@@ -5531,3 +5531,155 @@ def ext_haar_energy_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("event_type", "level")
     )
+
+
+_FUNNEL_W_US = 21_600_000_000  # 6 h chain window
+
+
+@register(
+    "ext_window_funnel",
+    survey_id="EXT-WINDOW-FUNNEL",
+    category="event-analytics",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS t FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')
+),
+u AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS total_users FROM e),
+l1 AS (SELECT DISTINCT user_id FROM e WHERE event_type = 'view'),
+l2 AS (
+  SELECT DISTINCT v.user_id
+  FROM e v JOIN e c ON v.user_id = c.user_id
+  WHERE v.event_type = 'view' AND c.event_type = 'click'
+    AND v.t < c.t AND c.t - v.t <= {_FUNNEL_W_US}
+),
+l3 AS (
+  SELECT DISTINCT v.user_id
+  FROM e v
+  JOIN e c ON v.user_id = c.user_id AND c.event_type = 'click'
+          AND v.t < c.t AND c.t - v.t <= {_FUNNEL_W_US}
+  JOIN e p ON p.user_id = v.user_id AND p.event_type = 'purchase'
+          AND c.t < p.t AND p.t - v.t <= {_FUNNEL_W_US}
+  WHERE v.event_type = 'view'
+),
+lv AS (
+  SELECT 1 AS level, CAST((SELECT COUNT(*) FROM l1) AS BIGINT) AS n
+  UNION ALL
+  SELECT 2, CAST((SELECT COUNT(*) FROM l2) AS BIGINT)
+  UNION ALL
+  SELECT 3, CAST((SELECT COUNT(*) FROM l3) AS BIGINT)
+)
+SELECT CAST(lv.level AS BIGINT) AS level,
+       lv.n AS n_users_reaching,
+       u.total_users,
+       CAST(lv.n * 1000000 // u.total_users AS BIGINT) AS conv_micro
+FROM lv CROSS JOIN u ORDER BY level
+""",
+)
+def ext_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINDOW FUNNEL (the ClickHouse windowFunnel / product-analytics
+    staple): the deepest prefix of the ordered sequence
+    view -> click -> purchase each user completes with STRICTLY
+    increasing event times and the whole chain inside a 6-hour window
+    (chain end minus chain start <= W). Emits per funnel level the
+    users reaching it and the exact micro conversion rate.
+
+    Spark side is the scale design: one per-user fold — events
+    collect into three time-sorted arrays and the chain test is
+    row-local array algebra (latest-view-before-each-click via
+    filter + try_element_at(-1), then existence scans; O(clicks x
+    views) inside the row, zero joins). The DuckDB oracle derives the
+    same levels INDEPENDENTLY as quadratic EXISTS self-joins — a
+    construction-independent witness for the fold's greedy logic
+    (latest view before a click is the optimal chain anchor).
+
+    Exactness: all times are integer microseconds; comparisons are
+    strict, so ts ties never create engine-dependent chains."""
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
+    per_user = (
+        e.select(
+            "user_id",
+            "event_type",
+            F.unix_micros("ts").alias("t"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("event_type") == "view", F.col("t"))
+                )
+            ).alias("vs"),
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("event_type") == "click", F.col("t"))
+                )
+            ).alias("cs"),
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("event_type") == "purchase", F.col("t"))
+                )
+            ).alias("ps"),
+        )
+    )
+    # latest view strictly before each click (NULL when none)
+    lvs = F.transform(
+        F.col("cs"),
+        lambda c: F.try_element_at(
+            F.filter(F.col("vs"), lambda v: v < c), F.lit(-1)
+        ),
+    )
+    leveled = per_user.select(
+        "user_id",
+        (F.size("vs") > 0).alias("r1"),
+        F.exists(
+            F.zip_with(
+                F.col("cs"),
+                lvs,
+                lambda c, v: v.isNotNull()
+                & ((c - v) <= F.lit(_FUNNEL_W_US)),
+            ),
+            lambda x: x,
+        ).alias("r2"),
+        F.exists(
+            F.col("ps"),
+            lambda p: F.exists(
+                F.zip_with(
+                    F.col("cs"),
+                    lvs,
+                    lambda c, v: (c < p)
+                    & v.isNotNull()
+                    & ((p - v) <= F.lit(_FUNNEL_W_US)),
+                ),
+                lambda x: x,
+            ),
+        ).alias("r3"),
+    )
+    agg = leveled.agg(
+        F.count("*").cast("bigint").alias("total_users"),
+        F.sum(F.col("r1").cast("int")).cast("bigint").alias("n1"),
+        F.sum(F.col("r2").cast("int")).cast("bigint").alias("n2"),
+        F.sum(F.col("r3").cast("int")).cast("bigint").alias("n3"),
+    )
+    lv = spark.createDataFrame([(1,), (2,), (3,)], "level long")
+    return (
+        F.broadcast(lv)
+        .crossJoin(F.broadcast(agg))
+        .select(
+            "level",
+            F.when(F.col("level") == 1, F.col("n1"))
+            .when(F.col("level") == 2, F.col("n2"))
+            .otherwise(F.col("n3"))
+            .cast("bigint")
+            .alias("n_users_reaching"),
+            "total_users",
+        )
+        .withColumn(
+            "conv_micro",
+            F.expr("n_users_reaching * 1000000 DIV total_users").cast(
+                "bigint"
+            ),
+        )
+        .orderBy("level")
+    )

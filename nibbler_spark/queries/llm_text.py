@@ -4666,3 +4666,98 @@ def ext_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+@register(
+    "ext_token_burstiness",
+    survey_id="EXT-BURSTINESS",
+    category="llm-text",
+    oracle="""
+WITH nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+per_doc AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS x
+  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS token
+        FROM documents)
+  GROUP BY doc_id, token
+),
+stats AS (
+  SELECT token,
+         CAST(COUNT(*) AS BIGINT) AS df,
+         CAST(SUM(x) AS BIGINT) AS total,
+         CAST(SUM(x * x) AS BIGINT) AS sumsq
+  FROM per_doc GROUP BY token
+),
+ranked AS (
+  SELECT s.*, nd.n,
+         ROW_NUMBER() OVER (ORDER BY s.total DESC, s.token) AS rk
+  FROM stats s CROSS JOIN nd
+)
+SELECT token, df, total,
+       CAST((n * sumsq - total * total) * 1000000 // (n * total)
+            AS BIGINT) AS fano_micro,
+       CAST(total * 1000000 // df AS BIGINT) AS burst_micro,
+       CAST(rk AS BIGINT) AS rank
+FROM ranked WHERE rk <= 20
+ORDER BY rank
+""",
+)
+def ext_token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token BURSTINESS profile (Church & Gale adaptation: real words
+    clump — once a document uses a term it reuses it; function words
+    spread evenly): for the top-20 tokens, the FANO FACTOR of the
+    per-document count distribution (variance/mean over ALL documents,
+    zeros included — Fano 1 is Poisson, above is bursty/templated) and
+    Katz's per-document burstiness (mean occurrences in the documents
+    where the token appears at all). A curation pipeline reads high
+    Fano at the corpus level as boilerplate/template contamination
+    long before dedup confirms it.
+
+    Exactness: Fano = (N*sum(x^2) - (sum x)^2) / (N*sum x) — numerator
+    and denominator are exact BIGINTs over per-doc count sums (the
+    zero-docs contribute nothing to either sum, so scanning only
+    nonzero rows is exact), emitted as a micro floor-division;
+    burstiness = total*1e6 DIV df. Top-20 ranks on (total DESC, token).
+
+    Scale shape: one combinable (doc, token) count, one combinable
+    per-token reduction, a TakeOrdered top-20 — nothing beyond
+    aggregation ever touches corpus-scale data."""
+    d = load_table(spark, sf_dir, "documents")
+    nd = d.agg(F.count("*").cast("bigint").alias("n"))
+    per_doc = (
+        d.select("doc_id", "text")
+        .repartition(16)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").cast("bigint").alias("x"))
+    )
+    stats = per_doc.groupBy("token").agg(
+        F.count("*").cast("bigint").alias("df"),
+        F.sum("x").cast("bigint").alias("total"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sumsq"),
+    )
+    return (
+        stats.crossJoin(F.broadcast(nd))
+        .orderBy(F.col("total").desc(), "token")
+        .limit(20)
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(Window.orderBy(F.col("total").desc(), "token"))
+            .cast("bigint"),
+        )
+        .select(
+            "token",
+            "df",
+            "total",
+            F.expr(
+                "(n * sumsq - total * total) * 1000000 DIV (n * total)"
+            )
+            .cast("bigint")
+            .alias("fano_micro"),
+            F.expr("total * 1000000 DIV df").cast("bigint").alias(
+                "burst_micro"
+            ),
+            "rank",
+        )
+        .orderBy("rank")
+    )

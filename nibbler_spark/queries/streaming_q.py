@@ -5912,3 +5912,242 @@ def i48_stream_bottomk_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("epoch", "band", "rank")
     )
+
+
+_FUNNEL_W_US = 21_600_000_000  # 6 h chain window (ext_window_funnel)
+
+
+def _events_funnel_slices_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Cache the funnel-relevant events as four TS-RANGE quartile
+    slices of (epoch, user_id, event_type, t) — time-ordered epochs,
+    so the online chain walk sees events in global time order across
+    drains (equal timestamps stay in one slice by construction)."""
+
+    def build(tmp: str) -> None:
+        e = load_table(spark, sf_dir, "events").where(
+            F.col("event_type").isin("view", "click", "purchase")
+        )
+        b = e.agg(
+            F.min(F.unix_micros("ts")).alias("mn"),
+            F.max(F.unix_micros("ts")).alias("mx"),
+        )
+        t = (
+            e.crossJoin(F.broadcast(b))
+            .select(
+                F.least(
+                    F.lit(3),
+                    F.expr(
+                        "(unix_micros(ts) - mn) * 4 DIV (mx - mn + 1)"
+                    ).cast("int"),
+                ).alias("epoch"),
+                "user_id",
+                "event_type",
+                F.unix_micros("ts").alias("t"),
+            )
+        )
+        for q in range(4):
+            t.where(F.col("epoch") == q).coalesce(1).write.parquet(
+                os.path.join(tmp, f"slice{q}")
+            )
+
+    return cached_dir(sf_dir, "events", "funnel-slices-x4", build)
+
+
+@register(
+    "i49_stream_window_funnel",
+    survey_id="EXT-STREAM-FUNNEL",
+    category="streaming",
+    mode="parity",
+    oracle=f"""
+WITH b AS (SELECT MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx
+           FROM events),
+e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS t,
+         LEAST(3, CAST((epoch_us(ts) - b.mn) * 4 // (b.mx - b.mn + 1)
+                       AS INT)) AS ep
+  FROM events, b
+  WHERE event_type IN ('view', 'click', 'purchase')
+),
+u AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS total FROM e),
+epochs AS (SELECT UNNEST(generate_series(0, 3)) AS ee),
+lv AS (
+  SELECT epp.ee AS epoch, 1 AS level,
+    CAST((SELECT COUNT(DISTINCT user_id) FROM e
+          WHERE event_type = 'view' AND e.ep <= epp.ee) AS BIGINT) AS n
+  FROM epochs epp
+  UNION ALL
+  SELECT epp.ee, 2,
+    CAST((SELECT COUNT(DISTINCT v.user_id)
+          FROM e v JOIN e c ON v.user_id = c.user_id
+          WHERE v.event_type = 'view' AND c.event_type = 'click'
+            AND v.ep <= epp.ee AND c.ep <= epp.ee
+            AND v.t < c.t AND c.t - v.t <= {_FUNNEL_W_US}) AS BIGINT)
+  FROM epochs epp
+  UNION ALL
+  SELECT epp.ee, 3,
+    CAST((SELECT COUNT(DISTINCT v.user_id)
+          FROM e v
+          JOIN e c ON v.user_id = c.user_id AND c.event_type = 'click'
+                  AND v.t < c.t AND c.t - v.t <= {_FUNNEL_W_US}
+                  AND c.ep <= epp.ee
+          JOIN e p ON p.user_id = v.user_id
+                  AND p.event_type = 'purchase' AND c.t < p.t
+                  AND p.t - v.t <= {_FUNNEL_W_US} AND p.ep <= epp.ee
+          WHERE v.event_type = 'view' AND v.ep <= epp.ee) AS BIGINT)
+  FROM epochs epp
+)
+SELECT CAST(lv.epoch AS BIGINT) AS epoch, CAST(lv.level AS BIGINT) AS level,
+       lv.n AS n_users, u.total AS total_users,
+       CAST(lv.n * 1000000 // u.total AS BIGINT) AS conv_micro
+FROM lv CROSS JOIN u ORDER BY epoch, level
+""",
+)
+def i49_stream_window_funnel(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ONLINE window funnel — ext_window_funnel's chain detection as
+    keyed stream state, the real-time product-analytics shape: per
+    user THREE longs (latest view time, the latest view that already
+    has a later click = the level-3 anchor, best level reached), so
+    state is O(users) with constant width no matter how many events
+    arrive. The greedy anchors are exact, not heuristic: the latest
+    view strictly before a click is the optimal level-2 witness, and
+    the max over click-confirmed views is the optimal level-3 anchor
+    for every FUTURE purchase — the same argument the batch fold
+    uses, now incremental.
+
+    Strictness discipline: each micro-batch walks its events in time
+    order, evaluating click/purchase steps against state from STRICTLY
+    earlier timestamps before applying same-timestamp view updates
+    (ties never form chains, matching the batch operator). Epochs are
+    ts-range quartiles, so cross-batch time order holds by
+    construction.
+
+    Parity: after every availableNow epoch, per-level user counts
+    (carry-forward via max_by over emitted epochs) must equal the
+    batch EXISTS-join levels over the epoch prefix."""
+    import shutil
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    cache = _events_funnel_slices_dir(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="nibbler-funnel-")
+    ingest = os.path.join(base, "ingest")
+    outdir = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(ingest)
+
+    W = _FUNNEL_W_US
+
+    def fold(key, pdfs, state: GroupState):
+        (uid,) = key
+        rows = pd.concat(list(pdfs))
+        lv, a2, best = state.get if state.exists else (-1, -1, 0)
+        for t, grp in rows.sort_values("t").groupby("t", sort=True):
+            types = set(grp["event_type"])
+            # chain steps see only STRICTLY earlier state
+            if "click" in types and lv >= 0:
+                if t - lv <= W:
+                    best = max(best, 2)
+                a2 = max(a2, lv)
+            if "purchase" in types and a2 >= 0 and t - a2 <= W:
+                best = max(best, 3)
+            if "view" in types:
+                lv = max(lv, int(t))
+                best = max(best, 1)
+        state.update((int(lv), int(a2), int(best)))
+        yield pd.DataFrame(
+            {
+                "user_id": [uid],
+                "epoch": [int(rows["epoch"].max())],
+                "best": [int(best)],
+            }
+        )
+
+    prior_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        for q in range(4):
+            src = os.path.join(cache, f"slice{q}")
+            for f in sorted(os.listdir(src)):
+                if f.endswith(".parquet"):
+                    shutil.copy(
+                        os.path.join(src, f),
+                        os.path.join(ingest, f"slice{q}.parquet"),
+                    )
+            keyed = (
+                spark.readStream.schema(
+                    "epoch int, user_id long, event_type string, t long"
+                )
+                .parquet(ingest)
+                .groupBy("user_id")
+                .applyInPandasWithState(
+                    fold,
+                    "user_id long, epoch long, best long",
+                    "lv long, a2 long, best long",
+                    "update",
+                    GroupStateTimeout.NoTimeout,
+                )
+            )
+            sq = (
+                keyed.writeStream.foreachBatch(
+                    lambda df, _eid: df.write.mode("append").parquet(outdir)
+                )
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            sq.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior_shuffle)
+
+    em = spark.read.schema("user_id long, epoch long, best long").parquet(
+        outdir
+    )
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
+    users = e.select("user_id").distinct()
+    total = users.agg(F.count("*").cast("bigint").alias("total_users"))
+    epochs = spark.range(4).select(
+        F.col("id").cast("bigint").alias("epoch")
+    )
+    cur = (
+        users.crossJoin(F.broadcast(epochs))
+        .join(
+            em.select(
+                F.col("user_id").alias("eu"),
+                F.col("epoch").alias("eep"),
+                "best",
+            ),
+            (F.col("user_id") == F.col("eu"))
+            & (F.col("eep") <= F.col("epoch")),
+            "left",
+        )
+        .groupBy("user_id", "epoch")
+        .agg(
+            F.coalesce(
+                F.max_by("best", F.col("eep")), F.lit(0).cast("bigint")
+            ).alias("best")
+        )
+    )
+    levels = spark.createDataFrame([(1,), (2,), (3,)], "level long")
+    return (
+        cur.crossJoin(F.broadcast(levels))
+        .groupBy("epoch", "level")
+        .agg(
+            F.sum(
+                (F.col("best") >= F.col("level")).cast("int")
+            )
+            .cast("bigint")
+            .alias("n_users")
+        )
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "conv_micro",
+            F.expr("n_users * 1000000 DIV total_users").cast("bigint"),
+        )
+        .orderBy("epoch", "level")
+    )

@@ -1037,3 +1037,21 @@ def test_sgns_interval_lookup_is_bucketed_equi_join(spark, sf_dir):
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_window_funnel_row_local_chain_test(spark, sf_dir):
+    """The funnel is one per-user fold: three sorted arrays + row-local
+    array algebra — no self-join on events (the oracle's EXISTS joins
+    are the independent witness, not the scale design)."""
+    plan = _plan(spark, sf_dir, "ext_window_funnel")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # exactly one corpus-scale exchange: the per-user aggregate
+    assert plan.count("hashpartitioning") <= 1
+
+
+def test_burstiness_combinable_aggregates_takeordered(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "ext_token_burstiness")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
