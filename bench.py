@@ -68,6 +68,11 @@ ROTATING = [
     "ext_louvain_sync_round",  # BENCH-K27 (2nd round, retires next)
     "ext_suffix_array_lcp",  # BENCH-K28 (re-measured: r7 rank-array rework)
     "ext_submodular_coverage",  # BENCH-K29 (re-measured: r7 broadcast anti)
+    # r7 new rows: the head-filtered corpus pair stream, the per-user
+    # fold funnel, and the inverse-CDF negative sampler
+    "ext_glove_cooccurrence",  # BENCH-K30
+    "ext_window_funnel",  # BENCH-K31
+    "ext_skipgram_negative_sampling",  # BENCH-K32
 ]
 
 HEADLINE = FROZEN_ANCHORS + ROTATING

@@ -101,6 +101,17 @@ FLAGSHIPS = [
     "ext_symspell_typo_recovery",
     "ext_medoid_exemplars",
     "ext_margin_pair_mining",
+    # r7 additions: the corpus-scaling new operators — glove's pair
+    # stream is head-filtered before the exchange, SGNS is row-local
+    # pairs + a bucketed interval join, span corruption is one map +
+    # one aggregate, the online funnel's state is O(users), and the
+    # online CMS / bottom-k sketches hold O(1) state.
+    "ext_glove_cooccurrence",
+    "ext_skipgram_negative_sampling",
+    "ext_span_corruption_prep",
+    "ext_window_funnel",
+    "i49_stream_window_funnel",
+    "i47_stream_countmin",
 ]
 GATE_RATIO = 12.0  # 10x data -> <= 12x wall (near-linear)
 # candidate-bound gate: wall time may grow at most this much faster than
