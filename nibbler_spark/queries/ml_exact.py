@@ -3472,3 +3472,96 @@ def ext_dp_exponential_mechanism(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.orderBy(F.col("key").desc(), "token"))
         .cast("bigint"),
     ).select("rank", "token", "c", "key").orderBy("rank")
+
+
+@register(
+    "ext_neyman_allocation",
+    survey_id="EXT-NEYMAN",
+    category="ml-exact",
+    oracle="""
+WITH s AS (
+  SELECT lang, source,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(n_chars) AS BIGINT) AS sm,
+         CAST(SUM(n_chars * n_chars) AS BIGINT) AS sq
+  FROM documents GROUP BY lang, source
+),
+w AS (
+  SELECT lang, source, n_rows,
+         CAST(n_rows * sq - sm * sm AS BIGINT) AS var_num,
+         CAST(FLOOR(SQRT(CAST(n_rows * sq - sm * sm AS DOUBLE)) * 1000e0)
+              AS BIGINT) AS w_scaled
+  FROM s
+),
+tot AS (SELECT CAST(SUM(w_scaled) AS BIGINT) AS tw FROM w)
+SELECT w.lang, w.source, w.n_rows, w.var_num, w.w_scaled,
+       CAST(w.w_scaled * 1000000 // tot.tw AS BIGINT) AS share_micro,
+       CAST(w.w_scaled * 1000 // tot.tw AS BIGINT) AS alloc_of_1000
+FROM w CROSS JOIN tot
+ORDER BY lang, source
+""",
+)
+def ext_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEYMAN OPTIMAL ALLOCATION (Neyman 1934 — the survey-sampling
+    result behind every variance-aware sampling budget): when drawing
+    a fixed-budget stratified sample, allocate to stratum h in
+    proportion to N_h * S_h (population size x standard deviation).
+    Strata are (lang, source); the measured variable is n_chars; the
+    output is each stratum's exact weight, micro share, and its
+    allocation of a 1000-row budget — the table a curation pipeline
+    reads to spend its annotation/inspection budget where the length
+    distribution is widest, not just largest.
+
+    Exactness: N_h * S_h = sqrt(N_h * sum(x^2) - (sum x)^2) EXACTLY
+    (the N_h cancels), so the allocation weight is one IEEE sqrt of
+    an exact BIGINT — correctly rounded and identical across engines —
+    floored to a 1e-3 grid; shares and allocations are integer
+    floor-divisions of exact BIGINTs.
+
+    Scale shape: one combinable grouped aggregate over the corpus,
+    then O(strata) rows; the weight total is a 1-row broadcast."""
+    d = load_table(spark, sf_dir, "documents")
+    s = d.groupBy("lang", "source").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum("n_chars").cast("bigint").alias("sm"),
+        F.sum(F.col("n_chars") * F.col("n_chars"))
+        .cast("bigint")
+        .alias("sq"),
+    )
+    w = s.select(
+        "lang",
+        "source",
+        "n_rows",
+        (F.col("n_rows") * F.col("sq") - F.col("sm") * F.col("sm"))
+        .cast("bigint")
+        .alias("var_num"),
+        F.floor(
+            F.sqrt(
+                (
+                    F.col("n_rows") * F.col("sq")
+                    - F.col("sm") * F.col("sm")
+                ).cast("double")
+            )
+            * F.lit(1e3)
+        )
+        .cast("bigint")
+        .alias("w_scaled"),
+    )
+    tot = w.agg(F.sum("w_scaled").cast("bigint").alias("tw"))
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "source",
+            "n_rows",
+            "var_num",
+            "w_scaled",
+            F.expr("w_scaled * 1000000 DIV tw")
+            .cast("bigint")
+            .alias("share_micro"),
+            F.expr("w_scaled * 1000 DIV tw")
+            .cast("bigint")
+            .alias("alloc_of_1000"),
+        )
+        .orderBy("lang", "source")
+    )

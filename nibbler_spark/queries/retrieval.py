@@ -947,3 +947,125 @@ def ext_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("tau_b"),
     )
+
+
+_RBO_D = 2520 * 10**10  # common denominator: LCM(1..10) * 10^10
+
+
+@register(
+    "ext_rank_biased_overlap",
+    survey_id="EXT-RBO",
+    category="retrieval",
+    oracle=f"""
+WITH docs AS (
+  SELECT doc_id, lang,
+         CAST(n_chars AS BIGINT) AS sa,
+         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS sb
+  FROM documents
+),
+ra AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY sa DESC, doc_id) AS r
+  FROM docs
+),
+rb AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY sb DESC, doc_id) AS r
+  FROM docs
+),
+ovl AS (
+  SELECT ra.lang, GREATEST(ra.r, rb.r) AS m
+  FROM ra JOIN rb ON ra.doc_id = rb.doc_id AND ra.lang = rb.lang
+  WHERE ra.r <= 10 AND rb.r <= 10
+),
+depths AS (SELECT UNNEST(generate_series(1, 10)) AS d),
+xd AS (
+  SELECT l.lang, depths.d,
+         CAST((SELECT COUNT(*) FROM ovl b
+               WHERE b.lang = l.lang AND b.m <= depths.d) AS BIGINT) AS x
+  FROM (SELECT DISTINCT lang FROM docs) l CROSS JOIN depths
+)
+SELECT lang,
+       CAST(SUM(x * CAST(POWER(9, d - 1) AS BIGINT)
+                * ({_RBO_D} // (CAST(POWER(10, d) AS BIGINT) * d)))
+            AS BIGINT) AS rbo_scaled,
+       CAST(CAST(SUM(x * CAST(POWER(9, d - 1) AS BIGINT)
+                     * ({_RBO_D} // (CAST(POWER(10, d) AS BIGINT) * d)))
+                 AS DOUBLE) / {_RBO_D}e0 AS DOUBLE) AS rbo
+FROM xd GROUP BY lang ORDER BY lang
+""",
+)
+def ext_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANK-BIASED OVERLAP (Webber, Moffat & Zobel 2010 — the standard
+    top-weighted similarity between two rankings, built for the
+    indefinite prefix comparisons IR evaluation actually does):
+    truncated RBO@10 with persistence p = 0.9 between two per-language
+    document orderings — by length (n_chars) and by lexical richness
+    (distinct tokens) — the "do my two quality signals agree at the
+    top?" meter a curation pipeline consults before fusing them.
+
+    Exactness: RBO = (1-p) * sum_d p^(d-1) * X_d / d is a RATIONAL for
+    p = 9/10, so the whole sum is computed as an exact BIGINT over the
+    common denominator D = lcm(1..10) * 10^10 (every term multiplier
+    9^(d-1) * D/(10^d * d) is an exact integer; max term < 2^37);
+    overlap X_d counts docs whose max(rank_a, rank_b) <= d over the
+    inner join of the two top-10 lists. Both ranks tie-break on
+    doc_id. The derived double divides two exact integers once.
+
+    Scale shape: per-language rankings are keyed windows (top-10 via
+    WindowGroupLimit), the overlap join is an equi-join of two
+    10-rows-per-language frames, and the depth sweep is a 10-row
+    broadcast — everything after the two corpus scans operates on
+    O(languages) rows."""
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("bigint").alias("sa"),
+        F.size(F.array_distinct(F.split("text", " ")))
+        .cast("bigint")
+        .alias("sb"),
+    )
+    wa = Window.partitionBy("lang").orderBy(F.col("sa").desc(), "doc_id")
+    wb = Window.partitionBy("lang").orderBy(F.col("sb").desc(), "doc_id")
+    ra = docs.select(
+        "doc_id", "lang", F.row_number().over(wa).alias("r_a")
+    ).where(F.col("r_a") <= 10)
+    rb = docs.select(
+        "doc_id", "lang", F.row_number().over(wb).alias("r_b")
+    ).where(F.col("r_b") <= 10)
+    both = ra.join(rb, ["doc_id", "lang"]).select(
+        "lang", F.greatest("r_a", "r_b").alias("m")
+    )
+    depths = spark.createDataFrame([(dd,) for dd in range(1, 11)], "d long")
+    langs = docs.select("lang").distinct()
+    xd = (
+        langs.crossJoin(F.broadcast(depths))
+        .join(
+            both.withColumnRenamed("lang", "blang"),
+            (F.col("lang") == F.col("blang"))
+            & (F.col("m") <= F.col("d")),
+            "left",
+        )
+        .groupBy("lang", "d")
+        .agg(F.count("m").cast("bigint").alias("x"))
+    )
+    mult = F.expr(
+        f"CAST(x * CAST(POWER(9, d - 1) AS BIGINT)"
+        f" * ({_RBO_D} DIV (CAST(POWER(10, d) AS BIGINT) * d)) AS BIGINT)"
+    )
+    return (
+        xd.select("lang", mult.alias("term"))
+        .groupBy("lang")
+        .agg(F.sum("term").cast("bigint").alias("rbo_scaled"))
+        .select(
+            "lang",
+            "rbo_scaled",
+            (
+                F.col("rbo_scaled").cast("double") / F.lit(float(_RBO_D))
+            ).alias("rbo"),
+        )
+        .orderBy("lang")
+    )

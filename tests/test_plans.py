@@ -1055,3 +1055,20 @@ def test_burstiness_combinable_aggregates_takeordered(spark, sf_dir):
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_rbo_language_scale_after_rankings(spark, sf_dir):
+    """Per-language top-10 rankings are keyed windows; everything
+    after operates on O(languages) rows; the depth sweep is a 10-row
+    broadcast."""
+    plan = _plan(spark, sf_dir, "ext_rank_biased_overlap")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+
+
+def test_neyman_single_corpus_aggregate(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "ext_neyman_allocation")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan
