@@ -6151,3 +6151,192 @@ def i49_stream_window_funnel(
         )
         .orderBy("epoch", "level")
     )
+
+
+def _docs_lang_len_slices_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Four doc_id-quartile slices of (epoch, lang, n_chars) — the
+    ingest feed for the online moments monitor."""
+
+    def build(tmp: str) -> None:
+        d = load_table(spark, sf_dir, "documents")
+        hi = d.agg(F.max("doc_id")).first()[0]
+        t = d.select(
+            F.least(
+                F.lit(3), (F.col("doc_id") * 4 / (hi + 1)).cast("int")
+            ).alias("epoch"),
+            "lang",
+            F.col("n_chars").cast("long").alias("x"),
+        )
+        for q in range(4):
+            t.where(F.col("epoch") == q).coalesce(1).write.parquet(
+                os.path.join(tmp, f"slice{q}")
+            )
+
+    return cached_dir(sf_dir, "documents", "moments-slices-x4", build)
+
+
+@register(
+    "i50_stream_length_moments",
+    survey_id="EXT-STREAM-MOMENTS",
+    category="streaming",
+    mode="parity",
+    oracle="""
+WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
+d AS (
+  SELECT LEAST(3, CAST(doc_id * 4 // (mx.m + 1) AS INT)) AS ep,
+         lang, CAST(n_chars AS BIGINT) AS x
+  FROM documents CROSS JOIN mx
+),
+epochs AS (SELECT UNNEST(generate_series(0, 3)) AS e),
+cum AS (
+  SELECT l.lang, ep0.e AS epoch,
+         CAST(COUNT(d.x) AS BIGINT) AS n,
+         CAST(COALESCE(SUM(d.x), 0) AS BIGINT) AS sm,
+         CAST(COALESCE(SUM(d.x * d.x), 0) AS BIGINT) AS sq
+  FROM (SELECT DISTINCT lang FROM d) l
+  CROSS JOIN epochs ep0
+  LEFT JOIN d ON d.lang = l.lang AND d.ep <= ep0.e
+  GROUP BY l.lang, ep0.e
+)
+SELECT CAST(epoch AS BIGINT) AS epoch, lang, n, sm, sq,
+       CAST(sm * 1000 // n AS BIGINT) AS mean_milli,
+       CAST((n * sq - sm * sm) * 1000000 // (n * n) AS BIGINT)
+         AS var_micro
+FROM cum WHERE n > 0
+ORDER BY epoch, lang
+""",
+)
+def i50_stream_length_moments(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ONLINE length-distribution moments per language — the ingest
+    monitor that catches a source flipping document shape (truncation
+    bugs, template floods) as a MEAN/VARIANCE shift at the epoch it
+    happens: keyed stream state is THREE BIGINTs per language
+    (count, sum, sum of squares — the exact-integer form of Welford's
+    update, trivially mergeable because the sums commute), so state
+    is O(languages) at any corpus size.
+
+    Every availableNow epoch emits the running triple; the mean and
+    population variance derive EXACTLY from the integer identity
+    (n*sumsq - sum^2) / n^2 as micro floor-divisions. Parity: the
+    per-epoch online triples must equal the batch prefix sums over
+    doc_id-quartile epochs, value-for-value."""
+    import shutil
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    cache = _docs_lang_len_slices_dir(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="nibbler-moments-")
+    ingest = os.path.join(base, "ingest")
+    outdir = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(ingest)
+
+    def fold(key, pdfs, state: GroupState):
+        (lang,) = key
+        rows = pd.concat(list(pdfs))
+        n0, s0, q0 = state.get if state.exists else (0, 0, 0)
+        xs = rows["x"].tolist()
+        n = n0 + len(xs)
+        sm = s0 + int(sum(xs))
+        sq = q0 + int(sum(v * v for v in xs))
+        state.update((n, sm, sq))
+        yield pd.DataFrame(
+            {
+                "lang": [lang],
+                "epoch": [int(rows["epoch"].max())],
+                "n": [n],
+                "sm": [sm],
+                "sq": [sq],
+            }
+        )
+
+    prior_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        for q in range(4):
+            src = os.path.join(cache, f"slice{q}")
+            for f in sorted(os.listdir(src)):
+                if f.endswith(".parquet"):
+                    shutil.copy(
+                        os.path.join(src, f),
+                        os.path.join(ingest, f"slice{q}.parquet"),
+                    )
+            keyed = (
+                spark.readStream.schema(
+                    "epoch int, lang string, x long"
+                )
+                .parquet(ingest)
+                .groupBy("lang")
+                .applyInPandasWithState(
+                    fold,
+                    "lang string, epoch long, n long, sm long, sq long",
+                    "n long, sm long, sq long",
+                    "update",
+                    GroupStateTimeout.NoTimeout,
+                )
+            )
+            sq_ = (
+                keyed.writeStream.foreachBatch(
+                    lambda df, _eid: df.write.mode("append").parquet(outdir)
+                )
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            sq_.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior_shuffle)
+
+    em = spark.read.schema(
+        "lang string, epoch long, n long, sm long, sq long"
+    ).parquet(outdir)
+    langs = em.select("lang").distinct()
+    epochs = spark.range(4).select(
+        F.col("id").cast("bigint").alias("epoch")
+    )
+    cur = (
+        langs.crossJoin(F.broadcast(epochs))
+        .join(
+            em.select(
+                F.col("lang").alias("el"),
+                F.col("epoch").alias("eep"),
+                "n",
+                "sm",
+                "sq",
+            ),
+            (F.col("lang") == F.col("el"))
+            & (F.col("eep") <= F.col("epoch")),
+        )
+        .groupBy("lang", "epoch")
+        .agg(
+            F.max_by(
+                F.struct("n", "sm", "sq"), F.col("eep")
+            ).alias("t")
+        )
+        .select(
+            "epoch",
+            "lang",
+            F.col("t.n").alias("n"),
+            F.col("t.sm").alias("sm"),
+            F.col("t.sq").alias("sq"),
+        )
+    )
+    return (
+        cur.where(F.col("n") > 0)
+        .select(
+            "epoch",
+            "lang",
+            "n",
+            "sm",
+            "sq",
+            F.expr("sm * 1000 DIV n").cast("bigint").alias("mean_milli"),
+            F.expr("(n * sq - sm * sm) * 1000000 DIV (n * n)")
+            .cast("bigint")
+            .alias("var_micro"),
+        )
+        .orderBy("epoch", "lang")
+    )

@@ -3637,3 +3637,157 @@ def ext_skipgram_negative_sampling(
         )
         .orderBy("lang")
     )
+
+
+def _iqp_oracle() -> str:
+    """3-round unrolled iterative-pruning oracle (the BPE/submodular
+    CTE-unroll pattern): each round rebuilds the unigram LM over the
+    REMAINING docs, scores per-doc surprisal, keeps the most-typical
+    ceil(n/2)."""
+    stages = [
+        """tok AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents
+)""",
+        "r0 AS (SELECT DISTINCT doc_id FROM tok)",
+    ]
+    prev = "r0"
+    rows = []
+    for i in range(1, 4):
+        stages.append(f"""lm{i} AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS c,
+         CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS t
+  FROM tok JOIN {prev} USING (doc_id) GROUP BY w
+)""")
+        stages.append(f"""nll{i} AS (
+  SELECT tok.doc_id,
+         CAST(SUM(-FLOOR(ln(CAST(lm{i}.c AS DOUBLE)
+                            / CAST(lm{i}.t AS DOUBLE)) * 1000000e0))
+              AS BIGINT) AS nll
+  FROM tok JOIN {prev} USING (doc_id) JOIN lm{i} USING (w)
+  GROUP BY tok.doc_id
+)""")
+        stages.append(f"""k{i} AS (
+  SELECT doc_id, nll,
+         ROW_NUMBER() OVER (ORDER BY nll, doc_id) AS rk,
+         COUNT(*) OVER () AS n
+  FROM nll{i}
+)""")
+        stages.append(
+            f"r{i} AS (SELECT doc_id FROM k{i} WHERE rk <= (n + 1) // 2)"
+        )
+        rows.append(
+            f"SELECT CAST({i} AS BIGINT) AS round,"
+            f" CAST((SELECT MAX(n) FROM k{i}) AS BIGINT) AS n_in,"
+            f" CAST((SELECT COUNT(*) FROM r{i}) AS BIGINT) AS n_kept,"
+            f" CAST((SELECT MAX(nll) FROM k{i} WHERE rk <= (n + 1) // 2)"
+            f" AS BIGINT) AS cut_nll,"
+            f" CAST((SELECT SUM(c) FROM lm{i}) AS BIGINT)"
+            f" AS tokens_in"
+        )
+        prev = f"r{i}"
+    body = " UNION ALL ".join(rows)
+    return (
+        "WITH "
+        + ",\n".join(stages)
+        + f"\nSELECT round, n_in, n_kept, cut_nll, tokens_in"
+        f" FROM ({body}) ORDER BY round"
+    )
+
+
+@register(
+    "ext_iterative_quality_pruning",
+    survey_id="EXT-ITER-PRUNE",
+    category="llm-training-prep",
+    oracle=_iqp_oracle(),
+)
+def ext_iterative_quality_pruning(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ITERATIVE self-referential quality pruning — the data-selection
+    loop where the quality model is the remaining corpus itself
+    (perplexity-filter bootstrapping / density-based pruning): each of
+    3 rounds rebuilds the unigram LM over the REMAINING documents,
+    scores every remaining document's total surprisal under that LM,
+    and keeps the most-typical ceil(n/2). Unlike a one-shot perplexity
+    filter, the reference distribution SHIFTS as atypical documents
+    leave — the trajectory (who sets the cut, how the cut value moves)
+    is the operator's output, and a mid-trajectory tie would cascade,
+    which is exactly what the exact arithmetic forbids: surprisal
+    sums are BIGINTs over the gridded-ln recipe (identical int64 ->
+    double casts, one correctly-rounded divide, floor to the 1e-6
+    grid), and the median cut ranks with doc_id tie-breaks.
+
+    Scale shape: the token table checkpoints ONCE; each round is one
+    keyed semi-join against the (shrinking) kept-doc list, one
+    combinable vocab count, one vocab-scale keyed join back, one
+    combinable per-doc sum, and a bucketed two-phase median rank
+    (bucket = nll DIV 2^20 — never a single-partition sort of the
+    corpus). Kept-doc lists are checkpointed per round (the BPE
+    iterative-driver pattern)."""
+    from nibbler_spark.queries._helpers import two_phase_rank
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = (
+        d.select("doc_id", "text")
+        .repartition(16)
+        .select(
+            "doc_id", F.explode(F.split("text", " ")).alias("w")
+        )
+        .localCheckpoint()
+    )
+    remaining = tok.select("doc_id").distinct().localCheckpoint()
+    out_rows = []
+    for i in range(1, 4):
+        tok_r = tok.join(remaining, "doc_id", "left_semi")
+        counts = tok_r.groupBy("w").agg(
+            F.count("*").cast("bigint").alias("c")
+        )
+        tot = counts.agg(F.sum("c").cast("bigint").alias("t"))
+        lm = counts.crossJoin(F.broadcast(tot)).select(
+            "w",
+            F.floor(
+                F.log(
+                    F.col("c").cast("double") / F.col("t").cast("double")
+                )
+                * 1e6
+            )
+            .cast("bigint")
+            .alias("g"),
+            "t",
+        )
+        nll = (
+            tok_r.join(lm, "w")
+            .groupBy("doc_id")
+            .agg((-F.sum("g")).cast("bigint").alias("nll"))
+        )
+        cnt = nll.agg(F.count("*").cast("bigint").alias("n"))
+        ranked = two_phase_rank(
+            nll.crossJoin(F.broadcast(cnt)),
+            F.expr("nll DIV 1048576"),
+            [F.col("nll"), F.col("doc_id")],
+            "rk",
+        )
+        kept = ranked.where(
+            F.col("rk") <= F.expr("(n + 1) DIV 2")
+        ).localCheckpoint()
+        row = (
+            kept.agg(
+                F.max("n").alias("n_in"),
+                F.count("*").cast("bigint").alias("n_kept"),
+                F.max("nll").cast("bigint").alias("cut_nll"),
+            )
+            .crossJoin(F.broadcast(tot))
+            .select(
+                F.lit(i).cast("bigint").alias("round"),
+                F.col("n_in").cast("bigint").alias("n_in"),
+                "n_kept",
+                "cut_nll",
+                F.col("t").alias("tokens_in"),
+            )
+        )
+        out_rows.append(row)
+        remaining = kept.select("doc_id").localCheckpoint()
+    out = out_rows[0]
+    for r in out_rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("round")

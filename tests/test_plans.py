@@ -1072,3 +1072,14 @@ def test_neyman_single_corpus_aggregate(spark, sf_dir):
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "HashAggregate" in plan
+
+
+def test_iterative_pruning_keyed_rounds_no_global_sort(spark, sf_dir):
+    """Each pruning round: keyed semi-join against the kept list,
+    combinable vocab counts, vocab-scale join back, bucketed two-phase
+    median rank — no cartesian, no Python eval; kept lists are
+    checkpoints."""
+    plan = _plan(spark, sf_dir, "ext_iterative_quality_pruning")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "ExistingRDD" in plan
