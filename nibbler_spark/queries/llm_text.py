@@ -4761,3 +4761,206 @@ def ext_token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+@register(
+    "ext_interpolation_lambda_sweep",
+    survey_id="EXT-LAMBDA-SWEEP",
+    category="llm-text",
+    oracle="""
+WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
+tk AS (
+  SELECT doc_id, string_split(text, ' ') AS t,
+         CAST(doc_id * 4 // (mx.m + 1) AS INT) AS q
+  FROM documents CROSS JOIN mx
+),
+tr_uni AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS c2
+  FROM (SELECT UNNEST(t) AS w FROM tk WHERE q <= 2) GROUP BY w
+),
+tr_tot AS (
+  SELECT CAST(SUM(c2) AS BIGINT) AS t,
+         CAST(COUNT(*) AS BIGINT) AS v
+  FROM tr_uni
+),
+tr_bi AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+  FROM (
+    SELECT t[i] AS w1, t[i+1] AS w2
+    FROM tk, UNNEST(generate_series(1, len(t) - 1)) AS g(i)
+    WHERE q <= 2 AND len(t) >= 2
+  ) GROUP BY w1, w2
+),
+tr_ctx AS (
+  SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM tr_bi GROUP BY w1
+),
+te AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (
+    SELECT t[i] AS w1, t[i+1] AS w2
+    FROM tk, UNNEST(generate_series(1, len(t) - 1)) AS g(i)
+    WHERE q = 3 AND len(t) >= 2
+  ) GROUP BY w1, w2
+),
+scored AS (
+  SELECT ks.k, te.n,
+         CASE WHEN COALESCE(cx.c1, 0) > 0 THEN
+           -FLOOR(ln(
+              CAST(ks.k * COALESCE(bi.c12, 0) * (tt.t + tt.v)
+                   + (8 - ks.k) * (COALESCE(un.c2, 0) + 1) * cx.c1
+                   AS DOUBLE)
+              / CAST(8 * cx.c1 * (tt.t + tt.v) AS DOUBLE)) * 1000000e0)
+         ELSE
+           -FLOOR(ln(
+              CAST((8 - ks.k) * (COALESCE(un.c2, 0) + 1) AS DOUBLE)
+              / CAST(8 * (tt.t + tt.v) AS DOUBLE)) * 1000000e0)
+         END AS g
+  FROM te
+  CROSS JOIN (SELECT UNNEST([1, 3, 5, 7]) AS k) ks
+  CROSS JOIN tr_tot tt
+  LEFT JOIN tr_bi bi ON bi.w1 = te.w1 AND bi.w2 = te.w2
+  LEFT JOIN tr_ctx cx ON cx.w1 = te.w1
+  LEFT JOIN tr_uni un ON un.w = te.w2
+),
+nl AS (
+  SELECT k, CAST(SUM(n * g) AS BIGINT) AS nll_scaled,
+         CAST(SUM(n) AS BIGINT) AS test_bigrams
+  FROM scored GROUP BY k
+),
+best AS (SELECT MIN(nll_scaled) AS b FROM nl)
+SELECT CAST(nl.k AS BIGINT) AS lambda_eighths, nl.nll_scaled,
+       nl.test_bigrams, nl.nll_scaled = best.b AS is_best
+FROM nl CROSS JOIN best ORDER BY lambda_eighths
+""",
+)
+def ext_interpolation_lambda_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Interpolation-weight MODEL SELECTION (Jelinek-Mercer: p =
+    lambda*p_bigram + (1-lambda)*p_unigram, the classic smoothing whose
+    lambda is chosen on HELD-OUT data — the sweep this operator runs):
+    train bigram/unigram counts on doc-id quartiles 0-2, score the
+    unseen quartile 3's bigrams at lambda in {1,3,5,7}/8, emit each
+    lambda's exact scaled NLL and the argmin flag.
+
+    Exactness: with lambda = k/8 the interpolated probability is ONE
+    exact rational — (k*c12*(T+V) + (8-k)*(c2+1)*c1) / (8*c1*(T+V))
+    (add-one on the unigram backoff handles unseen test words; an
+    unseen CONTEXT drops the bigram term exactly) — so each term is
+    the gridded-ln of two exact BIGINTs and every NLL is an exact
+    BIGINT sum; is_best compares exact integers (ties impossible to
+    diverge).
+
+    Scale shape: training counts are combinable aggregates; test
+    bigrams join the three count tables on vocabulary-scale keys;
+    the lambda sweep is a 4-row broadcast over the scored stream."""
+    d = load_table(spark, sf_dir, "documents")
+    mx = d.agg(F.max("doc_id").alias("m"))
+    tk = (
+        d.crossJoin(F.broadcast(mx))
+        .select(
+            F.split("text", " ").alias("t"),
+            F.expr("doc_id * 4 DIV (m + 1)").cast("int").alias("q"),
+        )
+        .repartition(16)
+    )
+
+    def bigrams(df):
+        return df.where(F.size("t") >= 2).select(
+            "q",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 1),
+                    lambda i: F.struct(
+                        F.element_at(F.col("t"), i).alias("w1"),
+                        F.element_at(F.col("t"), i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("b"),
+        ).select("q", "b.w1", "b.w2")
+    
+    bi_all = bigrams(tk)
+    tr_uni = (
+        tk.where(F.col("q") <= 2)
+        .select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("c2"))
+    )
+    tr_tot = tr_uni.agg(
+        F.sum("c2").cast("bigint").alias("t_"),
+        F.count("*").cast("bigint").alias("v"),
+    )
+    tr_bi = (
+        bi_all.where(F.col("q") <= 2)
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("bigint").alias("c12"))
+    )
+    tr_ctx = tr_bi.groupBy("w1").agg(
+        F.sum("c12").cast("bigint").alias("c1")
+    )
+    te = (
+        bi_all.where(F.col("q") == 3)
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    ks = spark.createDataFrame([(1,), (3,), (5,), (7,)], "k long")
+    scored = (
+        te.join(tr_bi, ["w1", "w2"], "left")
+        .join(tr_ctx, "w1", "left")
+        .join(
+            tr_uni.withColumnRenamed("w", "w2"), "w2", "left"
+        )
+        .crossJoin(F.broadcast(tr_tot))
+        .crossJoin(F.broadcast(ks))
+        .select(
+            "k",
+            "n",
+            F.when(
+                F.coalesce(F.col("c1"), F.lit(0)) > 0,
+                -F.floor(
+                    F.log(
+                        (
+                            F.col("k") * F.coalesce(F.col("c12"), F.lit(0))
+                            * (F.col("t_") + F.col("v"))
+                            + (8 - F.col("k"))
+                            * (F.coalesce(F.col("c2"), F.lit(0)) + 1)
+                            * F.col("c1")
+                        ).cast("double")
+                        / (
+                            8 * F.col("c1") * (F.col("t_") + F.col("v"))
+                        ).cast("double")
+                    )
+                    * 1e6
+                ),
+            )
+            .otherwise(
+                -F.floor(
+                    F.log(
+                        (
+                            (8 - F.col("k"))
+                            * (F.coalesce(F.col("c2"), F.lit(0)) + 1)
+                        ).cast("double")
+                        / (8 * (F.col("t_") + F.col("v"))).cast("double")
+                    )
+                    * 1e6
+                )
+            )
+            .cast("bigint")
+            .alias("g"),
+        )
+    )
+    nl = scored.groupBy("k").agg(
+        F.sum(F.col("n") * F.col("g")).cast("bigint").alias("nll_scaled"),
+        F.sum("n").cast("bigint").alias("test_bigrams"),
+    )
+    best = nl.agg(F.min("nll_scaled").alias("b"))
+    return (
+        nl.crossJoin(F.broadcast(best))
+        .select(
+            F.col("k").alias("lambda_eighths"),
+            "nll_scaled",
+            "test_bigrams",
+            (F.col("nll_scaled") == F.col("b")).alias("is_best"),
+        )
+        .orderBy("lambda_eighths")
+    )

@@ -112,6 +112,12 @@ FLAGSHIPS = [
     "ext_window_funnel",
     "i49_stream_window_funnel",
     "i47_stream_countmin",
+    # r7 batch 5: the self-referential pruning loop (3 rounds of
+    # corpus-scale scoring against a shrinking kept list) and the two
+    # remaining O(1)-state online monitors.
+    "ext_iterative_quality_pruning",
+    "i48_stream_bottomk_kmv",
+    "i50_stream_length_moments",
 ]
 GATE_RATIO = 12.0  # 10x data -> <= 12x wall (near-linear)
 # candidate-bound gate: wall time may grow at most this much faster than
