@@ -3777,9 +3777,14 @@ def ext_suffix_array_lcp(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", F.posexplode("ranks").alias("pos", "rc")
         )
         dv = ex.select("rc").distinct()
+        # bucket by the first packed rank's high bits.  Composed as
+        # two DIVs: 64 * W**(m-1) itself reaches 2**63 when the vocab
+        # is tiny (w_bits<=3 gives m=20, W=8), overflowing the int64
+        # literal, while W**(m-1) <= 2**(62-w_bits) always fits and
+        # (rc DIV a) DIV b == rc DIV (a*b) for positive ints
         rk = two_phase_rank(
             dv,
-            F.expr(f"rc DIV {64 * W ** (m - 1)}"),
+            F.expr(f"rc DIV {W ** (m - 1)} DIV 64"),
             [F.col("rc")],
             "nr",
         )

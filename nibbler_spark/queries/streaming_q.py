@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import datetime
 import os
+import shutil
 import tempfile
 import uuid
 
@@ -32,6 +33,25 @@ _EVENT_SCHEMA = (
     "event_id long, ts timestamp, user_id long, event_type string, "
     "value double, props string"
 )
+
+
+def _stage_slice(src: str, ingest: str, q: int) -> None:
+    """Copy one cached epoch slice into the watched ingest dir,
+    KEEPING each part file's name distinct (``slice{q}-{part}``).  The
+    previous single-destination-name scheme silently overwrote all but
+    the last part of a multi-part slice, so correctness depended on the
+    cache builders' ``coalesce(1)``.  Multi-part epochs still reach the
+    fold as ONE micro-batch per drain — ``availableNow`` with no
+    ``maxFilesPerTrigger`` reads every new file in a single batch — so
+    the one-emission-per-epoch ``max_by(value, emitted_epoch)``
+    read-out contract holds for any part count (property-pinned by
+    tests/test_streaming_sketches.py)."""
+    parts = [f for f in sorted(os.listdir(src)) if f.endswith(".parquet")]
+    assert parts, f"empty slice dir {src}"
+    for f in parts:
+        shutil.copy(
+            os.path.join(src, f), os.path.join(ingest, f"slice{q}-{f}")
+        )
 
 
 def _events_dir(spark: SparkSession, sf_dir: str, copies: int = 1) -> str:
@@ -5020,13 +5040,7 @@ def i43_stream_grouped_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         for q in range(4):
-            src = os.path.join(cache, f"slice{q}")
-            for f in sorted(os.listdir(src)):
-                if f.endswith(".parquet"):
-                    shutil.copy(
-                        os.path.join(src, f),
-                        os.path.join(ingest, f"slice{q}.parquet"),
-                    )
+            _stage_slice(os.path.join(cache, f"slice{q}"), ingest, q)
             packed = (
                 spark.readStream.schema(
                     "doc_id long, lang string, n_tokens int"
@@ -5244,13 +5258,7 @@ def i45_stream_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         for q in range(4):
-            src = os.path.join(cache, f"slice{q}")
-            for f in sorted(os.listdir(src)):
-                if f.endswith(".parquet"):
-                    shutil.copy(
-                        os.path.join(src, f),
-                        os.path.join(ingest, f"slice{q}.parquet"),
-                    )
+            _stage_slice(os.path.join(cache, f"slice{q}"), ingest, q)
             probed = (
                 spark.readStream.schema("epoch int, token string")
                 .parquet(ingest)
@@ -5401,13 +5409,7 @@ def i46_stream_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         for q in range(4):
-            src = os.path.join(cache, f"slice{q}")
-            for f in sorted(os.listdir(src)):
-                if f.endswith(".parquet"):
-                    shutil.copy(
-                        os.path.join(src, f),
-                        os.path.join(ingest, f"slice{q}.parquet"),
-                    )
+            _stage_slice(os.path.join(cache, f"slice{q}"), ingest, q)
             bucketed = (
                 spark.readStream.schema("epoch int, token string")
                 .parquet(ingest)
@@ -5611,13 +5613,7 @@ def i47_stream_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         for q in range(4):
-            src = os.path.join(cache, f"slice{q}")
-            for f in sorted(os.listdir(src)):
-                if f.endswith(".parquet"):
-                    shutil.copy(
-                        os.path.join(src, f),
-                        os.path.join(ingest, f"slice{q}.parquet"),
-                    )
+            _stage_slice(os.path.join(cache, f"slice{q}"), ingest, q)
             keyed = (
                 spark.readStream.schema("epoch int, token string")
                 .parquet(ingest)
@@ -5838,13 +5834,7 @@ def i48_stream_bottomk_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         for q in range(4):
-            src = os.path.join(cache, f"slice{q}")
-            for f in sorted(os.listdir(src)):
-                if f.endswith(".parquet"):
-                    shutil.copy(
-                        os.path.join(src, f),
-                        os.path.join(ingest, f"slice{q}.parquet"),
-                    )
+            _stage_slice(os.path.join(cache, f"slice{q}"), ingest, q)
             keyed = (
                 spark.readStream.schema("epoch int, token string")
                 .parquet(ingest)
@@ -6046,13 +6036,18 @@ def i49_stream_window_funnel(
         lv, a2, best = state.get if state.exists else (-1, -1, 0)
         for t, grp in rows.sort_values("t").groupby("t", sort=True):
             types = set(grp["event_type"])
-            # chain steps see only STRICTLY earlier state
+            # chain steps see only STRICTLY earlier state: purchase is
+            # checked BEFORE the click branch touches the anchor, so a
+            # same-timestamp click can never confirm a level-3 anchor
+            # for a purchase at that same instant (batch requires
+            # strict c.t < p.t), and the view update runs last so a
+            # same-timestamp view never witnesses its own click
+            if "purchase" in types and a2 >= 0 and t - a2 <= W:
+                best = max(best, 3)
             if "click" in types and lv >= 0:
                 if t - lv <= W:
                     best = max(best, 2)
                 a2 = max(a2, lv)
-            if "purchase" in types and a2 >= 0 and t - a2 <= W:
-                best = max(best, 3)
             if "view" in types:
                 lv = max(lv, int(t))
                 best = max(best, 1)
@@ -6069,13 +6064,7 @@ def i49_stream_window_funnel(
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         for q in range(4):
-            src = os.path.join(cache, f"slice{q}")
-            for f in sorted(os.listdir(src)):
-                if f.endswith(".parquet"):
-                    shutil.copy(
-                        os.path.join(src, f),
-                        os.path.join(ingest, f"slice{q}.parquet"),
-                    )
+            _stage_slice(os.path.join(cache, f"slice{q}"), ingest, q)
             keyed = (
                 spark.readStream.schema(
                     "epoch int, user_id long, event_type string, t long"
@@ -6257,13 +6246,7 @@ def i50_stream_length_moments(
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         for q in range(4):
-            src = os.path.join(cache, f"slice{q}")
-            for f in sorted(os.listdir(src)):
-                if f.endswith(".parquet"):
-                    shutil.copy(
-                        os.path.join(src, f),
-                        os.path.join(ingest, f"slice{q}.parquet"),
-                    )
+            _stage_slice(os.path.join(cache, f"slice{q}"), ingest, q)
             keyed = (
                 spark.readStream.schema(
                     "epoch int, lang string, x long"

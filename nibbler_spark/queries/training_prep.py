@@ -3304,7 +3304,14 @@ def ext_wordpiece_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(
                 F.flatten(
                     F.transform(
-                        F.sequence(F.lit(2), F.length("word")),
+                        # cap start positions at 24 to mirror the
+                        # oracle's generate_series(2, 24) exactly —
+                        # a >24-char vocab word must not grow
+                        # continuation pieces only on the Spark side
+                        F.sequence(
+                            F.lit(2),
+                            F.least(F.length("word"), F.lit(24)),
+                        ),
                         lambda j: F.filter(
                             F.transform(
                                 F.sequence(F.lit(1), F.lit(3)),
