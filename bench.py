@@ -97,6 +97,30 @@ def main() -> None:
 
     load_table(spark, SF_DIR, "lineitem").count()
 
+    # Machine-state canary (r7 verdict #4): a fixed pure-compute,
+    # single-task whole-stage-codegen kernel — no I/O, no shuffle, no
+    # Python — timed median-of-5 after one warm-up.  Every anchor row
+    # drifting together with the canary is machine state (thermal /
+    # co-tenant load), not a code regression; BASELINE.md documents the
+    # canary's clean-machine band so anchor ratios can be normalized by
+    # canary_sec / canary_band_mid before reading them as regressions.
+    def _canary() -> float:
+        return (
+            spark.range(150_000_000, numPartitions=1)
+            .selectExpr(
+                "sum(((id * 2654435761) % 1000003) ^ (id >> 7)) AS s"
+            )
+            .collect()[0][0]
+        )
+
+    _canary()  # warm-up (codegen compile)
+    canary_samples = []
+    for _ in range(5):
+        t0 = time.monotonic()
+        _canary()
+        canary_samples.append(time.monotonic() - t0)
+    canary_sec = round(statistics.median(canary_samples), 4)
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         spec = specs.get(name)
@@ -205,6 +229,7 @@ def main() -> None:
                 "value": total,
                 "frozen_total": frozen_total,
                 "rotating_total": rotating_total,
+                "canary_sec": canary_sec,
                 "unit": "sec",
                 "queries": timings,
                 "sf": _sf_from_dir(SF_DIR),

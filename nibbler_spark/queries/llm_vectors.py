@@ -3444,11 +3444,15 @@ def ext_kmeanspp_seeding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def margin_candidate_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The IVF-funnel candidate generator of ext_margin_pair_mining,
-    exposed for the scale ladder's candidate-volume measurer: 16
-    hash-seeded cells over the target pool, row-local argmax
-    assignment + nprobe=2 probe against the 1-row collected seed
-    array, keyed equi-join on cell. Returns (src_id, ea, cell,
-    tgt_id, eb) candidate rows."""
+    exposed for the scale ladder's candidate-volume measurer:
+    ceil(sqrt(|B|)) hash-seeded cells over the target pool (the cell
+    count is COUNT-DERIVED, the silhouette-modulus pattern — a bounded
+    1-row driver read, so candidates grow ~n^1.5, never Theta(n^2/k)
+    for a fixed k), row-local argmax assignment + nprobe=2 probe
+    against the 1-row collected seed array, keyed equi-join on cell.
+    Returns (src_id, ea, cell, tgt_id, eb) candidate rows."""
+    import math
+
     e = load_table(spark, sf_dir, "embeddings")
     a = e.where(F.col("label") == 0).select(
         F.col("vec_id").alias("src_id"), F.col("embedding").alias("ea")
@@ -3456,9 +3460,15 @@ def margin_candidate_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = e.where(F.col("label") == 1).select(
         F.col("vec_id").alias("tgt_id"), F.col("embedding").alias("eb")
     )
+    # ceil(sqrt(nb)) via isqrt — exact for perfect squares, matching
+    # the oracle's CEIL(SQRT(n)) (IEEE sqrt of an int < 2^53 is exact
+    # on perfect squares and never rounds onto an integer otherwise)
+    nb = b.count()
+    r = math.isqrt(max(nb, 1))
+    cells = r if r * r == max(nb, 1) else r + 1
     seeds = (
         b.orderBy(F.md5(F.col("tgt_id").cast("string")), "tgt_id")
-        .limit(16)
+        .limit(cells)
         .select(F.col("tgt_id").alias("cell"), F.col("eb").alias("se"))
     )
     seed_row = F.broadcast(
@@ -3510,9 +3520,14 @@ WITH a AS (SELECT vec_id AS src_id, embedding AS ea
            FROM embeddings WHERE label = 0),
 b AS (SELECT vec_id AS tgt_id, embedding AS eb
       FROM embeddings WHERE label = 1),
+nb AS (SELECT CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) AS cells FROM b),
 seeds AS (
-  SELECT tgt_id AS cell, eb AS se FROM b
-  ORDER BY md5(CAST(tgt_id AS VARCHAR)), tgt_id LIMIT 16
+  SELECT cell, se FROM (
+    SELECT tgt_id AS cell, eb AS se,
+           ROW_NUMBER() OVER (
+             ORDER BY md5(CAST(tgt_id AS VARCHAR)), tgt_id) AS srk
+    FROM b
+  ) s, nb WHERE s.srk <= nb.cells
 ),
 assigned AS (
   SELECT tgt_id, eb, cell FROM (
@@ -3584,15 +3599,18 @@ def ext_margin_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     Candidate generation is the repo's own IVF probe funnel (the r6
     verdict's fix: the first draft materialized the pool x pool cross
     product with a pool-sized broadcast — the scale-killer pair):
-    16 hash-seeded cells (lowest md5(tgt_id) target vectors — a
-    deterministic uniform sample, the fixed-k seed codebook), every
-    target assigned to its argmax-cosine cell and every source probing
-    its nprobe=2 nearest cells, both ROW-LOCALLY against the 1-row
+    ceil(sqrt(|B|)) hash-seeded cells (lowest md5(tgt_id) target
+    vectors — a deterministic uniform sample; the cell count is
+    COUNT-DERIVED per the r7 verdict, so the codebook GROWS with the
+    target pool instead of freezing at a constant), every target
+    assigned to its argmax-cosine cell and every source probing its
+    nprobe=2 nearest cells, both ROW-LOCALLY against the 1-row
     collected seed array (zero shuffle); candidates are then a keyed
-    equi-join on cell — nprobe-bounded per source vector, never
-    all-pairs. At 100 TB the cell count grows ~sqrt(|B|) and the same
-    dataflow holds (cells partition the target pool; the probe side
-    explodes to exactly nprobe rows per source).
+    equi-join on cell — ~2|A|*sqrt(|B|) expected pairs (n^1.5, the
+    ladder-gated exponent), never all-pairs. At 100 TB the same
+    dataflow holds: cells partition the target pool, the probe side
+    explodes to exactly nprobe rows per source, and the seed codebook
+    broadcast is O(sqrt(|B|)) rows.
 
     Exactness: cosines land on the 1e-9 grid BEFORE any sum (top-4
     neighborhood sums of gridded BIGINTs are order-independent),
@@ -3670,14 +3688,23 @@ def ext_margin_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_id="EXT-MEDOID",
     category="llm-vectors",
     oracle=f"""
-WITH pairs AS (
+WITH lc AS (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS n
+  FROM embeddings GROUP BY label
+),
+probes AS (
+  SELECT e.label, e.vec_id, e.embedding
+  FROM embeddings e JOIN lc ON e.label = lc.label
+  WHERE e.vec_id % GREATEST(1, lc.n // 64) = 0
+),
+pairs AS (
   SELECT a.label, a.vec_id,
          CAST(SUM({_sql_idot('a.embedding', 'a.embedding')}
                   - 2 * {_sql_idot('a.embedding', 'b.embedding')}
                   + {_sql_idot('b.embedding', 'b.embedding')})
               AS BIGINT) AS sum_d2,
          CAST(COUNT(*) AS BIGINT) AS n_others
-  FROM embeddings a JOIN embeddings b
+  FROM embeddings a JOIN probes b
     ON a.label = b.label AND a.vec_id <> b.vec_id
   GROUP BY a.label, a.vec_id
 )
@@ -3695,20 +3722,33 @@ def ext_medoid_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cluster MEDOID selection — the exemplar step of
     SemDeDup-style cluster pruning ("keep the most central member,
     drop the rest") and the robust alternative to centroids for
-    non-euclidean curation decisions: for each label, the vector
-    minimizing the SUM of squared distances to its cluster peers.
+    non-euclidean curation decisions: for each label, the member
+    minimizing the SUM of squared distances to a FIXED-SIZE in-cluster
+    PROBE SAMPLE (~64 members via the count-derived modulus
+    vec_id % (n_label DIV 64) — the silhouette pattern), with the
+    argmin kept exact over the sampled sums.  This is the r7 verdict's
+    fix: the previous declaration scored every member against every
+    PEER, i.e. all-pairs within corpus-proportional blocks — measured
+    103.9x wall for a 10x data step on the sf1 ladder.  The sampled
+    reference set is the standard medoid estimator (CLARA's sampling
+    insight, applied to the reference side): scores are unbiased up to
+    the fixed sample, and every arithmetic step stays exact.
+
     Distances live on the dec_dot 1e-10 integer lattice
-    (xx - 2xy + yy of floored products), so the per-point sums and
-    the argmin are exact BIGINTs with vec_id tie-breaks.
+    (xx - 2xy + yy of floored products), so the per-member sums are
+    order-independent exact BIGINTs and the argmin ties break on
+    vec_id.  Members whose probe set is empty after self-exclusion
+    (only possible when the member IS the label's sole probe) are
+    excluded, matching the oracle's join semantics.
 
-    Scale shape: the pair formation is LABEL-BLOCKED (the dedup-family
-    rule: O(block^2), never O(n^2) — at 100 TB labels come from the
-    IVF/k-means partitioner, ext_kmeanspp_seeding being the seeding
-    step); the per-point sum is one map-side-combinable aggregate over
-    the blocked join; the per-label argmin a 10-group window over
-    point-count rows."""
-    from pyspark.sql import Window
-
+    Scale shape: probe sets are ~64 rows per label REGARDLESS of
+    corpus size, collected once per label and broadcast as one array
+    row (O(labels * 64 * dim) bytes); every member's sampled sum is
+    then ROW-LOCAL arithmetic against that array — no pair join, no
+    explode, no shuffle until the final per-label argmin over
+    member-count narrow rows (min of a (sum_d2, vec_id) struct, one
+    map-side-combinable aggregate).  Work is O(n * 64 * dim), linear
+    in the corpus; the ladder row gates the WALL ratio near-linear."""
     e = load_table(spark, sf_dir, "embeddings").select(
         "label", "vec_id", "embedding"
     )
@@ -3726,41 +3766,55 @@ def ext_medoid_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         )
 
-    b = e.select(
-        F.col("label").alias("lb"),
-        F.col("vec_id").alias("other_id"),
-        F.col("embedding").alias("eb"),
+    lc = e.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("n_label")
     )
-    pairs = (
-        e.join(
-            b,
-            (F.col("label") == F.col("lb"))
-            & (F.col("vec_id") != F.col("other_id")),
+    probes = (
+        e.join(F.broadcast(lc), "label")
+        .where(
+            F.col("vec_id")
+            % F.greatest(F.lit(1).cast("bigint"), F.expr("n_label DIV 64"))
+            == 0
         )
-        .groupBy("label", "vec_id")
+        .groupBy("label")
         .agg(
-            F.sum(
-                idot(F.col("embedding"), F.col("embedding"))
-                - 2 * idot(F.col("embedding"), F.col("eb"))
-                + idot(F.col("eb"), F.col("eb"))
-            )
-            .cast("bigint")
-            .alias("sum_d2"),
-            F.count("*").cast("bigint").alias("n_others"),
+            F.collect_list(
+                F.struct(
+                    F.col("vec_id").alias("pid"),
+                    F.col("embedding").alias("pe"),
+                )
+            ).alias("ps")
         )
     )
-    w = Window.partitionBy("label").orderBy("sum_d2", "vec_id")
-    return (
-        pairs.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") == 1)
+    others = F.filter(F.col("ps"), lambda p: p["pid"] != F.col("vec_id"))
+    scored = (
+        e.join(F.broadcast(probes), "label")
         .select(
             "label",
-            F.col("vec_id").alias("medoid_id"),
-            "sum_d2",
-            "n_others",
-            F.expr("sum_d2 DIV n_others").cast("bigint").alias(
-                "mean_d2_int"
-            ),
+            "vec_id",
+            F.aggregate(
+                others,
+                F.lit(0).cast("bigint"),
+                lambda acc, p: acc
+                + idot(F.col("embedding"), F.col("embedding"))
+                - 2 * idot(F.col("embedding"), p["pe"])
+                + idot(p["pe"], p["pe"]),
+            ).alias("sum_d2"),
+            F.size(others).cast("bigint").alias("n_others"),
+        )
+        .where(F.col("n_others") > 0)
+    )
+    return (
+        scored.groupBy("label")
+        .agg(F.min(F.struct("sum_d2", "vec_id", "n_others")).alias("m"))
+        .select(
+            "label",
+            F.col("m.vec_id").alias("medoid_id"),
+            F.col("m.sum_d2").alias("sum_d2"),
+            F.col("m.n_others").alias("n_others"),
+            F.expr("m.sum_d2 DIV m.n_others")
+            .cast("bigint")
+            .alias("mean_d2_int"),
         )
         .orderBy("label")
     )

@@ -505,10 +505,11 @@ def test_bwt_compressibility_matches_bruteforce(spark, sf_dir):
 
 def test_margin_pair_mining_matches_bruteforce(spark, sf_dir):
     """Pure-Python replay of the full IVF-funnel margin pipeline
-    (hash-seeded 16-cell codebook, argmax assignment, nprobe=2 probe,
-    gridded cosines, difference margins), plus two properties: the
-    candidate set is nprobe-bounded per source (never all-pairs), and
-    mined pairs beat their neighborhoods (margin8 > 0 for the top)."""
+    (hash-seeded ceil(sqrt(|B|))-cell codebook — count-derived per the
+    r7 verdict, argmax assignment, nprobe=2 probe, gridded cosines,
+    difference margins), plus two properties: the candidate set is
+    nprobe-bounded per source (never all-pairs), and mined pairs beat
+    their neighborhoods (margin8 > 0 for the top)."""
     import hashlib
     import math
 
@@ -536,10 +537,12 @@ def test_margin_pair_mining_matches_bruteforce(spark, sf_dir):
         )
         return math.floor(c * 1e9)
 
-    # seed codebook: 16 lowest md5(tgt_id) target vectors
+    # seed codebook: ceil(sqrt(|B|)) lowest md5(tgt_id) target vectors
+    r = math.isqrt(len(b))
+    n_cells = r if r * r == len(b) else r + 1
     seeds = sorted(
         b, key=lambda t: (hashlib.md5(str(t).encode()).hexdigest(), t)
-    )[:16]
+    )[:n_cells]
     # target -> cell (argmax cosine, tie on cell id)
     cell_of = {
         tid: min(seeds, key=lambda s: (-cg(y, b[s]), s))

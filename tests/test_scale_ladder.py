@@ -170,16 +170,14 @@ def test_simhash64_band_candidates_near_linear_16bit_saturates(spark, rungs):
         "ext_label_propagation",
         "ext_substring_span_dedup",
         # r7 (verdict #3): the llm-vectors quartet's cost drivers are
-        # compute-side (label-blocked / probe-bounded pair volumes,
-        # measured in BENCH_SF1); their SHUFFLE volume must stay
-        # near-linear — medoid's O(block^2) distance work is map-side
-        # combined, silhouette's probe set is O(1), kmeans++ carries
-        # only (vec_id, key) reductions, symspell's delete-1 blocks
-        # are vocab-bound.
-        "ext_medoid_exemplars",
-        # silhouette is pinned separately below: its shuffle volume is
-        # FLAT in the corpus (fixed ~64-probe output), which the strict
-        # growth assertion here would reject as a degenerate proxy
+        # compute-side (probe-bounded pair volumes, measured in
+        # BENCH_SF1); their SHUFFLE volume must stay near-linear —
+        # kmeans++ carries only (vec_id, key) reductions, symspell's
+        # delete-1 blocks are vocab-bound.
+        # silhouette AND medoid (probe-sample rework, r8) are pinned
+        # separately below: their shuffle volume is FLAT in the corpus
+        # (fixed ~64-probe broadcast), which the strict growth
+        # assertion here would reject as a degenerate proxy
         "ext_kmeanspp_seeding",
         "ext_symspell_typo_recovery",
     ],
@@ -341,17 +339,21 @@ def test_margin_funnel_candidates_prune(spark, rungs):
     assert cands[1] > cands[0]
 
 
-def test_silhouette_shuffle_flat_no_spill(spark, rungs):
-    """ext_silhouette_sampled's designed scale shape is STRONGER than
+@pytest.mark.parametrize(
+    "qname", ["ext_silhouette_sampled", "ext_medoid_exemplars"]
+)
+def test_probe_sampled_shuffle_flat_no_spill(spark, rungs, qname):
+    """The probe-sample family's designed scale shape is STRONGER than
     near-linear: the probe set is O(1) in the corpus (count-derived
-    modulus, r7 fix), the probe x corpus product is map-side combined
-    to probes x labels rows, so whole-query shuffle volume is ~FLAT as
-    the corpus grows (measured ~14 KB at both rungs). Pin flatness
-    (within 2x wobble for compressed sizes) and zero spill."""
+    modulus — silhouette's r7 fix, medoid's r8 rework per the r7
+    verdict #1), scores are computed ROW-LOCALLY against the broadcast
+    probe array, so whole-query shuffle volume is ~FLAT as the corpus
+    grows. Pin flatness (within 2x wobble for compressed sizes) and
+    zero spill."""
     from nibbler_spark.queries import load_all
     from nibbler_spark.stage_metrics import measure_stages
 
-    spec = load_all()["ext_silhouette_sampled"]
+    spec = load_all()[qname]
     small, big = rungs
     vols = []
     for d in (small, big):
@@ -359,6 +361,104 @@ def test_silhouette_shuffle_flat_no_spill(spark, rungs):
         assert m["disk_spill_bytes"] == 0
         vols.append(m["shuffle_write_bytes"])
     assert vols[1] <= 2 * vols[0], (
-        f"silhouette shuffle grew with the corpus ({vols[0]} -> "
+        f"{qname} shuffle grew with the corpus ({vols[0]} -> "
         f"{vols[1]}B): the probe set is no longer O(1)"
     )
+
+
+def test_medoid_probe_sets_are_fixed_size(spark, rungs):
+    """Machine-independent premise of medoid's near-linear ladder row
+    (r7 verdict #1 fix): the per-label probe sample stays ~64 rows at
+    BOTH rungs even though label populations grew 4x — the modulus is
+    count-derived, not a fixed percentage."""
+    from nibbler_spark.sources import load_table
+
+    small, big = rungs
+    per_rung = []
+    for d in (small, big):
+        e = load_table(spark, d, "embeddings")
+        lc = e.groupBy("label").agg(F.count("*").alias("n"))
+        probes = (
+            e.join(F.broadcast(lc), "label")
+            .where(
+                F.col("vec_id")
+                % F.greatest(F.lit(1), F.expr("n DIV 64"))
+                == 0
+            )
+            .groupBy("label")
+            .count()
+        )
+        counts = [r["count"] for r in probes.collect()]
+        per_rung.append(counts)
+    for counts in per_rung:
+        assert max(counts) <= 130, counts  # ~64, bounded wobble
+    # 4x the corpus must NOT mean 4x the probes
+    assert max(per_rung[1]) <= 2 * max(per_rung[0]) + 64, per_rung
+
+
+def test_margin_candidate_growth_sqrt_blocked(spark, rungs):
+    """Machine-independent premise of margin mining's candidate gate
+    (r7 verdict #2 fix): with the ceil(sqrt(|B|)) codebook the cell
+    equi-join's output grows ~n^1.5, never the ~n^2/k of a fixed-k
+    codebook.  Allow 1.75 at this 4x mini-rung for assignment skew."""
+    from nibbler_spark.queries.llm_vectors import margin_candidate_frame
+
+    small, big = rungs
+    counts = [
+        margin_candidate_frame(spark, d).count() for d in (small, big)
+    ]
+    e = _exponent(counts[0], counts[1])
+    assert counts[1] > counts[0], counts
+    assert e <= 1.75, (
+        f"margin candidates {counts[0]} -> {counts[1]} grew with "
+        f"exponent {e:.2f} > 1.75 — the sqrt-blocked funnel premise "
+        "does not hold"
+    )
+
+
+def test_finalize_candidate_gates_logic():
+    """The r7 verdict #3 gate itself: candidate-bound rows may not
+    absorb quadratic candidate GROWTH via a cheap per-candidate cost —
+    exponent > gate with a self-referential scale_path must fail;
+    a genuinely substitutable near-linear scale path, or a bounded
+    exponent, passes."""
+    from tools.scale_ladder import finalize_candidate_gates
+
+    rows = {
+        # quadratic growth, scale_path is itself -> must FAIL
+        "q_quad_self": {
+            "scale_class": "candidate-bound-exact",
+            "scale_path": "q_quad_self",
+            "candidate_ratio": 100.0,
+            "ratio_per_candidate": 0.1,
+        },
+        # quadratic growth but a real near-linear substitute -> pass
+        "q_quad_sub": {
+            "scale_class": "candidate-bound-exact",
+            "scale_path": "q_linear",
+            "candidate_ratio": 100.0,
+            "ratio_per_candidate": 0.1,
+        },
+        # sqrt-blocked growth (n^1.5) -> pass on its own exponent
+        "q_sqrt": {
+            "scale_class": "candidate-bound-exact",
+            "scale_path": "q_sqrt",
+            "candidate_ratio": 31.6,
+            "ratio_per_candidate": 0.5,
+        },
+        # bounded growth but per-candidate cost blew up -> must FAIL
+        "q_costly": {
+            "scale_class": "candidate-bound-exact",
+            "scale_path": "q_linear",
+            "candidate_ratio": 10.0,
+            "ratio_per_candidate": 2.0,
+        },
+        "q_linear": {"scale_class": "near-linear", "near_linear": True},
+    }
+    finalize_candidate_gates(rows)
+    assert rows["q_quad_self"]["near_linear"] is False
+    assert rows["q_quad_self"]["candidate_growth_ok"] is False
+    assert rows["q_quad_sub"]["near_linear"] is True
+    assert rows["q_sqrt"]["near_linear"] is True
+    assert rows["q_sqrt"]["candidate_exponent"] == 1.5
+    assert rows["q_costly"]["near_linear"] is False
