@@ -653,6 +653,200 @@ def _greedy_coverage_case(rng: random.Random):
     return build, sql
 
 
+def _stream_keyed_fold_case(rng: random.Random):
+    """Randomized ONLINE keyed-fold trajectory (r7 verdict #8): the
+    i47/i48 state-carry pattern — an applyInPandasWithState fold over a
+    randomized epoch slicing of the documents token stream, driven one
+    availableNow drain per epoch through the real checkpoint machinery,
+    with the per-epoch read-out reconstructed from the emission log
+    (max_by(running, emitted_epoch)) and compared against DuckDB
+    rebuilding every epoch PREFIX from scratch.  Randomized dimensions:
+    epoch count, slice rule (doc_id mod vs contiguous doc_id ranges),
+    part files per epoch (multi-part epochs must still fold as ONE
+    micro-batch — the r8 staging fix), key-space width, fold op
+    (count / sum / max / min carry), and the token-length payload
+    filter."""
+    E = rng.randint(2, 4)
+    W = rng.choice([8, 16, 32])
+    parts = rng.choice([1, 2, 3])
+    slice_mode = rng.choice(["mod", "range"])
+    op = rng.choice(["count", "sum", "max", "min"])
+    minlen = rng.choice([0, 3, 5])
+
+    def build(spark, sf_dir):
+        import os as _os
+        import tempfile
+
+        import pandas as pd
+        from pyspark.sql import functions as F
+        from pyspark.sql.streaming.state import (
+            GroupState,
+            GroupStateTimeout,
+        )
+
+        from nibbler_spark.queries.sketches import _nib_hash
+        from nibbler_spark.queries.streaming_q import _stage_slice
+        from nibbler_spark.sources import load_table
+
+        d = load_table(spark, sf_dir, "documents")
+        hi = d.agg(F.max("doc_id")).first()[0]
+        if slice_mode == "mod":
+            ep = (F.col("doc_id") % E).cast("int")
+        else:
+            ep = F.least(
+                F.lit(E - 1), (F.col("doc_id") * E / (hi + 1)).cast("int")
+            )
+        if op == "count":
+            v = F.lit(1).cast("long")
+        elif op == "sum":
+            v = F.length("token").cast("long")
+        else:
+            v = F.conv(F.substring(F.md5("token"), 1, 12), 16, 10).cast(
+                "long"
+            )
+        tok = (
+            d.select(
+                ep.alias("epoch"),
+                F.explode(F.split("text", " ")).alias("token"),
+            )
+            .where(F.length("token") >= minlen)
+            .select("epoch", "token", v.alias("v"))
+        )
+
+        base = tempfile.mkdtemp(prefix="nibbler-fuzzfold-")
+        ingest = _os.path.join(base, "ingest")
+        outdir = _os.path.join(base, "out")
+        ckpt = _os.path.join(base, "ckpt")
+        _os.makedirs(ingest)
+        for e in range(E):
+            tok.where(F.col("epoch") == e).repartition(parts).write.parquet(
+                _os.path.join(base, f"slice{e}")
+            )
+
+        def fold(key, pdfs, state: GroupState):
+            (k,) = key
+            rows = pd.concat(list(pdfs))
+            if op == "count":
+                batch = len(rows)
+            elif op == "sum":
+                batch = int(rows["v"].sum())
+            elif op == "max":
+                batch = int(rows["v"].max())
+            else:
+                batch = int(rows["v"].min())
+            if state.exists:
+                prior = state.get[0]
+                if op in ("count", "sum"):
+                    running = prior + batch
+                elif op == "max":
+                    running = max(prior, batch)
+                else:
+                    running = min(prior, batch)
+            else:
+                running = batch
+            state.update((running,))
+            yield pd.DataFrame(
+                {
+                    "k": [k],
+                    "epoch": [int(rows["epoch"].max())],
+                    "running": [running],
+                }
+            )
+
+        for e in range(E):
+            _stage_slice(_os.path.join(base, f"slice{e}"), ingest, e)
+            keyed = (
+                spark.readStream.schema("epoch int, token string, v long")
+                .parquet(ingest)
+                .select(
+                    "epoch",
+                    _nib_hash(F.col("token"), W).cast("long").alias("k"),
+                    "v",
+                )
+                .groupBy("k")
+                .applyInPandasWithState(
+                    fold,
+                    "k long, epoch long, running long",
+                    "run long",
+                    "update",
+                    GroupStateTimeout.NoTimeout,
+                )
+            )
+            sq = (
+                keyed.writeStream.foreachBatch(
+                    lambda df, _eid: df.write.mode("append").parquet(outdir)
+                )
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            sq.awaitTermination()
+
+        em = spark.read.schema("k long, epoch long, running long").parquet(
+            outdir
+        )
+        epochs = spark.range(E).select(
+            F.col("id").cast("long").alias("epoch")
+        )
+        grid = em.select("k").distinct().crossJoin(F.broadcast(epochs))
+        return (
+            grid.join(
+                em.select(
+                    F.col("k").alias("ek"),
+                    F.col("epoch").alias("eep"),
+                    "running",
+                ),
+                (grid["k"] == F.col("ek"))
+                & (F.col("eep") <= grid["epoch"]),
+                "inner",
+            )
+            .groupBy("k", "epoch")
+            .agg(F.max_by("running", "eep").alias("running"))
+            .orderBy("epoch", "k")
+        )
+
+    from nibbler_spark.queries.sketches import _sql_nib_hash
+
+    from_hex = "CAST(('0x' || substr(md5(t), 1, 12)) AS BIGINT)"
+    payload = {"count": "1", "sum": "LEN(t)", "max": from_hex, "min": from_hex}[op]
+    agg = {"count": "COUNT(*)", "sum": "SUM(v)", "max": "MAX(v)", "min": "MIN(v)"}[op]
+    if slice_mode == "mod":
+        epoch_expr = f"doc_id % {E}"
+    else:
+        epoch_expr = (
+            f"LEAST({E - 1}, CAST(doc_id * {E} // (mx.m + 1) AS INT))"
+        )
+    sql = f"""
+WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
+tok AS (
+  SELECT {epoch_expr} AS tep,
+         {_sql_nib_hash("t", W)} AS k,
+         CAST({payload} AS BIGINT) AS v
+  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS t
+        FROM documents) CROSS JOIN mx
+  WHERE LEN(t) >= {minlen}
+),
+epochs AS (SELECT UNNEST(generate_series(0, {E - 1})) AS e)
+SELECT CAST(tok.k AS BIGINT) AS k, CAST(e.e AS BIGINT) AS epoch,
+       CAST({agg} AS BIGINT) AS running
+FROM tok CROSS JOIN epochs e
+WHERE tok.tep <= e.e
+GROUP BY 1, 2
+ORDER BY epoch, k
+"""
+    return build, sql
+
+
+DSL_FAMILIES = {
+    "stream_join": _stream_join_case,
+    "two_phase_rank": _two_phase_rank_case,
+    "pack_densify": _pack_densify_trajectory_case,
+    "greedy_coverage": _greedy_coverage_case,
+    "stream_keyed_fold": _stream_keyed_fold_case,
+}
+
+
 def gen_case(rng: random.Random):
     """(kind, payload): 'sql' -> identical-text SQL, 'dsl' ->
     (builder, oracle_sql).  DSL shapes are rare (streaming cases cost
@@ -666,6 +860,8 @@ def gen_case(rng: random.Random):
         return "dsl", _pack_densify_trajectory_case(rng)
     if shape < 0.11:
         return "dsl", _greedy_coverage_case(rng)
+    if shape < 0.135:
+        return "dsl", _stream_keyed_fold_case(rng)
     return "sql", gen_query(rng)
 
 
@@ -734,7 +930,7 @@ def gen_query(rng: random.Random) -> str:
     )
 
 
-def run(n: int, sf_dir: str) -> int:
+def run(n: int, sf_dir: str, family: str | None = None) -> int:
     import os
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
@@ -756,7 +952,10 @@ def run(n: int, sf_dir: str) -> int:
     n_dsl = 0
     for seed in range(n):
         rng = random.Random(base + seed)
-        kind, payload = gen_case(rng)
+        if family is not None:
+            kind, payload = "dsl", DSL_FAMILIES[family](rng)
+        else:
+            kind, payload = gen_case(rng)
         if kind == "dsl":
             build, sql = payload
             n_dsl += 1
@@ -784,4 +983,5 @@ def run(n: int, sf_dir: str) -> int:
 if __name__ == "__main__":
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 60
     sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
-    sys.exit(run(n, sf))
+    fam = sys.argv[3] if len(sys.argv) > 3 else None
+    sys.exit(run(n, sf, fam))
