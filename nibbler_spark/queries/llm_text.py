@@ -4964,3 +4964,137 @@ def ext_interpolation_lambda_sweep(
         )
         .orderBy("lambda_eighths")
     )
+
+
+@register(
+    "ext_prefix_cache_analysis",
+    survey_id="EXT-PREFIX-CACHE",
+    category="llm-text",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, text, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n,
+         string_split(text, ' ')[1] AS tok1
+  FROM documents
+),
+adj AS (
+  SELECT t.*,
+         LAG(toks) OVER (PARTITION BY tok1 ORDER BY text, doc_id) AS prev,
+         LAG(n) OVER (PARTITION BY tok1 ORDER BY text, doc_id) AS pn
+  FROM t
+),
+lcp AS (
+  SELECT tok1, n,
+         CASE WHEN prev IS NULL THEN 0
+              ELSE COALESCE(
+                NULLIF(list_position(
+                  list_transform(generate_series(1, LEAST(n, pn)),
+                                 i -> toks[i] = prev[i]),
+                  false), 0) - 1,
+                LEAST(n, pn))
+         END AS l
+  FROM adj
+),
+per AS (
+  SELECT tok1, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(l) AS BIGINT) AS sum_lcp,
+         CAST(MAX(l) AS BIGINT) AS max_lcp
+  FROM lcp GROUP BY tok1
+),
+g AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS total_tokens,
+         CAST(SUM(l) AS BIGINT) AS shared_tokens
+  FROM lcp
+)
+SELECT per.tok1, per.n_docs, per.sum_lcp, per.max_lcp,
+       g.total_tokens, g.shared_tokens,
+       CAST(g.total_tokens - g.shared_tokens AS BIGINT) AS trie_tokens
+FROM per CROSS JOIN g
+WHERE per.sum_lcp > 0
+ORDER BY per.sum_lcp DESC, per.tok1
+LIMIT 20
+""",
+)
+def ext_prefix_cache_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PREFIX-CACHE analysis — how many prompt tokens an inference
+    server's prefix cache (or a training run's trie-packed loader)
+    would deduplicate: sort documents lexicographically, measure the
+    token-level longest common prefix (LCP) between each doc and its
+    sorted predecessor, and report per-first-token hot spots plus the
+    exact global accounting via the classic trie identity: distinct
+    prefix nodes = total tokens - sum of sorted-adjacent LCPs, so
+    `shared_tokens` IS the cache's best-case token savings.
+
+    Correct WITHOUT a global sort: windows partition by the FIRST
+    token. A cross-partition adjacent pair differs in token 1, so its
+    token LCP is 0 and contributes nothing — per-bucket adjacency
+    therefore yields the exact global adjacent-LCP sum (the first
+    token is also coarse-monotone in full-text order, the two-phase
+    bucketing argument). The LCP itself is row-local: position of the
+    first mismatch over the zipped token arrays (array_position's
+    not-found 0 maps to the full min-length — one side is a prefix of
+    the other).
+
+    Scale shape: one corpus scan, one partitioned window (Zipf-skewed
+    first-token buckets buffer in the window's spillable sorter; the
+    refinement path at extreme skew is splitting oversized buckets on
+    token 2, whose boundary pairs share exactly token 1), one bounded
+    grouped aggregate, top-20 via TakeOrdered."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    t = d.select(
+        "doc_id",
+        "text",
+        toks.alias("toks"),
+        F.size(toks).alias("n"),
+        F.element_at(toks, 1).alias("tok1"),
+    )
+    w = Window.partitionBy("tok1").orderBy("text", "doc_id")
+    adj = t.select(
+        "tok1",
+        "n",
+        "toks",
+        F.lag("toks").over(w).alias("prev"),
+        F.lag("n").over(w).alias("pn"),
+    )
+    mn = F.least("n", "pn")
+    matches = F.transform(
+        F.sequence(F.lit(1), mn),
+        lambda i: F.element_at("toks", i) == F.element_at("prev", i),
+    )
+    pos = F.array_position(matches, F.lit(False))
+    lcp = adj.select(
+        "tok1",
+        "n",
+        F.when(F.col("prev").isNull(), 0)
+        .when(pos > 0, pos - 1)
+        .otherwise(mn)
+        .cast("bigint")
+        .alias("l"),
+    )
+    per = lcp.groupBy("tok1").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("l").cast("bigint").alias("sum_lcp"),
+        F.max("l").cast("bigint").alias("max_lcp"),
+    )
+    g = lcp.agg(
+        F.sum("n").cast("bigint").alias("total_tokens"),
+        F.sum("l").cast("bigint").alias("shared_tokens"),
+    )
+    return (
+        per.where(F.col("sum_lcp") > 0)
+        .crossJoin(F.broadcast(g))
+        .select(
+            "tok1",
+            "n_docs",
+            "sum_lcp",
+            "max_lcp",
+            "total_tokens",
+            "shared_tokens",
+            (F.col("total_tokens") - F.col("shared_tokens"))
+            .cast("bigint")
+            .alias("trie_tokens"),
+        )
+        .orderBy(F.col("sum_lcp").desc(), "tok1")
+        .limit(20)
+    )

@@ -3798,3 +3798,378 @@ def ext_iterative_quality_pruning(
     for r in out_rows[1:]:
         out = out.unionByName(r)
     return out.orderBy("round")
+
+
+@register(
+    "ext_mixture_apportionment",
+    survey_id="EXT-APPORTION",
+    category="llm-training-prep",
+    oracle="""
+WITH dom AS (
+  SELECT lang, source,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang, source
+),
+w AS (
+  SELECT lang, source, n_tokens,
+         CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE)) * 1000e0) AS BIGINT)
+           AS w_scaled
+  FROM dom
+),
+tot AS (SELECT CAST(SUM(w_scaled) AS BIGINT) AS tw FROM w),
+q AS (
+  SELECT w.lang, w.source, w.n_tokens, w.w_scaled,
+         CAST(100000 * w.w_scaled // tot.tw AS BIGINT) AS base_alloc,
+         CAST((100000 * w.w_scaled) % tot.tw AS BIGINT) AS rem
+  FROM w CROSS JOIN tot
+),
+lo AS (SELECT CAST(100000 - SUM(base_alloc) AS BIGINT) AS leftover FROM q),
+rk AS (
+  SELECT q.*, lo.leftover,
+         ROW_NUMBER() OVER (ORDER BY q.rem DESC, q.lang, q.source) AS pr
+  FROM q CROSS JOIN lo
+)
+SELECT lang, source, n_tokens, w_scaled, base_alloc,
+       CAST(CASE WHEN pr <= leftover THEN 1 ELSE 0 END AS BIGINT) AS boost,
+       CAST(base_alloc + CASE WHEN pr <= leftover THEN 1 ELSE 0 END
+            AS BIGINT) AS alloc
+FROM rk ORDER BY lang, source
+""",
+)
+def ext_mixture_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAMILTON (largest-remainder) APPORTIONMENT of an integer sampling
+    budget over temperature-scaled domain weights — the step
+    ext_domain_mixture stops short of: mixture weights are REAL numbers,
+    but a training run draws an INTEGER number of sequences per domain,
+    and naive per-domain rounding can leave the batch short or over.
+    Hamilton's method (the classic quota apportionment): give every
+    stratum floor(B * w_h / W), then hand the leftover units to the
+    largest fractional remainders — the unique allocation that sums to
+    exactly B while staying within one unit of every quota.
+
+    Weights are sqrt-temperature (tau = 1/2) token shares: one IEEE
+    sqrt of the exact per-domain BIGINT token count (correctly rounded,
+    identical across engines — the ext_neyman_allocation recipe),
+    floored to a 1e-3 grid. Quotas, remainders, and the leftover count
+    are exact BIGINT floor-division arithmetic, and the remainder
+    ranking tie-breaks on (lang, source), so the full integer
+    allocation is engine-exact.
+
+    Scale shape: one map-side-combinable grouped aggregate over the
+    corpus, then O(strata) rows; the weight total is a 1-row broadcast
+    and the remainder ranking is a window over the STRATA table (tens
+    of rows at any corpus size), never the corpus."""
+    B = 100_000
+    d = load_table(spark, sf_dir, "documents")
+    dom = d.groupBy("lang", "source").agg(
+        F.sum(F.size(F.split("text", " ")))
+        .cast("bigint")
+        .alias("n_tokens")
+    )
+    w = dom.select(
+        "lang",
+        "source",
+        "n_tokens",
+        F.floor(F.sqrt(F.col("n_tokens").cast("double")) * F.lit(1e3))
+        .cast("bigint")
+        .alias("w_scaled"),
+    )
+    tot = w.agg(F.sum("w_scaled").cast("bigint").alias("tw"))
+    q = w.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "source",
+        "n_tokens",
+        "w_scaled",
+        F.expr(f"{B} * w_scaled DIV tw").cast("bigint").alias("base_alloc"),
+        ((F.lit(B) * F.col("w_scaled")) % F.col("tw"))
+        .cast("bigint")
+        .alias("rem"),
+    )
+    lo = q.agg(
+        (F.lit(B) - F.sum("base_alloc")).cast("bigint").alias("leftover")
+    )
+    pr = F.row_number().over(
+        Window.orderBy(F.col("rem").desc(), "lang", "source")
+    )
+    return (
+        q.crossJoin(F.broadcast(lo))
+        .withColumn("pr", pr)
+        .select(
+            "lang",
+            "source",
+            "n_tokens",
+            "w_scaled",
+            "base_alloc",
+            F.when(F.col("pr") <= F.col("leftover"), 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("boost"),
+            (
+                F.col("base_alloc")
+                + F.when(F.col("pr") <= F.col("leftover"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("alloc"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+@register(
+    "ext_fim_transform",
+    survey_id="EXT-FIM",
+    category="llm-training-prep",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, text, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+),
+coin AS (
+  SELECT t.*,
+         (CAST(('0x' || substr(md5('fim:' || doc_id), 1, 8)) AS BIGINT)
+            % 2 = 0 AND n >= 4) AS fim,
+         CAST(('0x' || substr(md5('mode:' || doc_id), 1, 8)) AS BIGINT)
+            % 2 AS mcoin,
+         1 + CAST(('0x' || substr(md5('cut1:' || doc_id), 1, 8)) AS BIGINT)
+            % GREATEST(n - 1, 1) AS a,
+         1 + CAST(('0x' || substr(md5('cut2:' || doc_id), 1, 8)) AS BIGINT)
+            % GREATEST(n - 1, 1) AS b
+  FROM t
+),
+cut AS (
+  SELECT doc_id, text, toks, n, fim,
+         CASE WHEN NOT fim THEN 'none'
+              WHEN mcoin = 0 THEN 'psm' ELSE 'spm' END AS mode,
+         LEAST(a, b) AS c1, GREATEST(a, b) AS c2
+  FROM coin
+),
+parts AS (
+  SELECT doc_id, fim, mode, n, c1, c2,
+         COALESCE(array_to_string(list_slice(toks, 1, c1), ' '), '') AS p,
+         COALESCE(array_to_string(list_slice(toks, c1 + 1, c2), ' '), '')
+           AS m,
+         COALESCE(array_to_string(list_slice(toks, c2 + 1, n), ' '), '')
+           AS s,
+         text
+  FROM cut
+)
+SELECT doc_id, fim, mode,
+       CAST(CASE WHEN fim THEN c1 ELSE n END AS BIGINT) AS p_len,
+       CAST(CASE WHEN fim THEN c2 - c1 ELSE 0 END AS BIGINT) AS m_len,
+       CAST(CASE WHEN fim THEN n - c2 ELSE 0 END AS BIGINT) AS s_len,
+       md5(CASE
+             WHEN NOT fim THEN text
+             WHEN mode = 'psm'
+               THEN concat_ws(' ', '<PRE>', p, '<SUF>', s, '<MID>', m)
+             ELSE concat_ws(' ', '<SUF>', s, '<PRE>', p, '<MID>', m)
+           END) AS sig
+FROM parts ORDER BY doc_id
+""",
+)
+def ext_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILL-IN-THE-MIDDLE transformation (Bavarian et al. 2022 — the
+    augmentation behind every code model's infilling ability): with
+    probability 1/2 a document is split at two random token cut points
+    into (prefix, middle, suffix) and re-serialized with the middle
+    moved to the END — PSM (<PRE> p <SUF> s <MID> m) or SPM
+    (<SUF> s <PRE> p <MID> m) chosen by a second coin — so the model
+    learns to generate the middle conditioned on both sides.
+
+    Determinism: every coin and cut point is an md5 draw keyed by
+    purpose + doc_id ('fim:'/'mode:'/'cut1:'/'cut2:'), reduced mod the
+    valid range — no RNG state, identical on both engines, and the
+    whole transformed string is fingerprinted (md5) so the oracle
+    pins the exact byte-level serialization, not just the lengths.
+    Documents under 4 tokens are never transformed (no room for a
+    non-trivial split); cut collisions (a == b) legitimately yield an
+    empty middle, teaching the <MID>-is-done case.
+
+    Scale shape: embarrassingly row-local — one projection, no
+    shuffle; the only exchange is the output ORDER BY."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+
+    def h(tag: str) -> F.Column:
+        return F.expr(
+            f"CAST(conv(substr(md5(concat('{tag}:', doc_id)), 1, 8),"
+            " 16, 10) AS BIGINT)"
+        )
+
+    a = 1 + h("cut1") % F.greatest(n - 1, F.lit(1))
+    b = 1 + h("cut2") % F.greatest(n - 1, F.lit(1))
+    t = d.select(
+        "doc_id",
+        "text",
+        toks.alias("toks"),
+        n.alias("n"),
+        ((h("fim") % 2 == 0) & (n >= 4)).alias("fim"),
+        (h("mode") % 2).alias("mcoin"),
+        F.least(a, b).alias("c1"),
+        F.greatest(a, b).alias("c2"),
+    )
+    mode = (
+        F.when(~F.col("fim"), "none")
+        .when(F.col("mcoin") == 0, "psm")
+        .otherwise("spm")
+    )
+    p = F.array_join(F.slice("toks", F.lit(1), F.col("c1")), " ")
+    m = F.array_join(
+        F.slice("toks", F.col("c1") + 1, F.col("c2") - F.col("c1")), " "
+    )
+    s = F.array_join(
+        F.slice("toks", F.col("c2") + 1, F.col("n") - F.col("c2")), " "
+    )
+    psm = F.concat_ws(
+        " ", F.lit("<PRE>"), p, F.lit("<SUF>"), s, F.lit("<MID>"), m
+    )
+    spm = F.concat_ws(
+        " ", F.lit("<SUF>"), s, F.lit("<PRE>"), p, F.lit("<MID>"), m
+    )
+    return t.select(
+        "doc_id",
+        "fim",
+        mode.alias("mode"),
+        F.when(F.col("fim"), F.col("c1"))
+        .otherwise(F.col("n"))
+        .cast("bigint")
+        .alias("p_len"),
+        F.when(F.col("fim"), F.col("c2") - F.col("c1"))
+        .otherwise(0)
+        .cast("bigint")
+        .alias("m_len"),
+        F.when(F.col("fim"), F.col("n") - F.col("c2"))
+        .otherwise(0)
+        .cast("bigint")
+        .alias("s_len"),
+        F.md5(
+            F.when(~F.col("fim"), F.col("text"))
+            .when(F.col("mcoin") == 0, psm)
+            .otherwise(spm)
+        ).alias("sig"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "ext_token_budget_threshold",
+    survey_id="EXT-TOKBUDGET",
+    category="llm-training-prep",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(n_chars * 1000 // len(string_split(text, ' ')) AS BIGINT)
+           AS score
+  FROM documents
+),
+tot AS (SELECT CAST(SUM(n_tokens) // 2 AS BIGINT) AS budget FROM t),
+rk AS (
+  SELECT t.*, tot.budget,
+         ROW_NUMBER() OVER (ORDER BY t.score DESC, t.doc_id) AS rnk
+  FROM t CROSS JOIN tot
+),
+cum AS (
+  SELECT rk.*,
+         SUM(n_tokens) OVER (ORDER BY rnk) AS cum_tokens
+  FROM rk
+),
+kept AS (SELECT * FROM cum WHERE cum_tokens <= budget),
+cut AS (
+  SELECT MAX(rnk) AS cut_rank, MIN(score) AS cut_score,
+         MAX(budget) AS budget_tokens
+  FROM kept
+)
+SELECT kept.lang,
+       CAST(COUNT(*) AS BIGINT) AS kept_docs,
+       CAST(SUM(kept.n_tokens) AS BIGINT) AS kept_tokens,
+       CAST(MAX(cut.cut_rank) AS BIGINT) AS cut_rank,
+       CAST(MAX(cut.cut_score) AS BIGINT) AS cut_score,
+       CAST(MAX(cut.budget_tokens) AS BIGINT) AS budget_tokens
+FROM kept CROSS JOIN cut
+GROUP BY kept.lang
+ORDER BY lang
+""",
+)
+def ext_token_budget_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN-BUDGET-CONSTRAINED quality filtering: keep the
+    highest-quality documents whose combined size fits a TOKEN budget
+    (half the corpus here) — the selection a pretraining run actually
+    makes ("give me the best 1B tokens"), which doc-count thresholds
+    get wrong because quality and length correlate. Quality is the
+    exact integer chars-per-token score (x1000 floor-div); the
+    threshold is found by ranking docs by (score DESC, doc_id) and
+    running an exact cumulative token sum down the ranking until the
+    budget is exhausted; the output is the per-language kept
+    breakdown plus the global cut rank / cut score.
+
+    Scale shape: NO unpartitioned corpus window — the global rank is
+    the two-phase bucketed row_number (coarse bucket -(score DIV 64),
+    broadcast offsets), and the cumulative token sum is a SECOND
+    Blelloch two-pass over rank buckets ((rnk-1) DIV 4096), exactly
+    the ext_sequence_packing prefix-sum recipe. Both phase-1 tables
+    are bucket-count-sized; corpus rows only ever see partitioned
+    windows. The oracle derives the same numbers with DuckDB's direct
+    single-ordering windows — construction-independent."""
+    from nibbler_spark.queries._helpers import two_phase_rank
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.split("text", " "))
+    t = d.select(
+        "doc_id",
+        "lang",
+        toks.cast("bigint").alias("n_tokens"),
+        F.expr(
+            "CAST(n_chars * 1000 DIV size(split(text, ' ')) AS BIGINT)"
+        ).alias("score"),
+    )
+    tot = t.agg(
+        F.expr("CAST(SUM(n_tokens) DIV 2 AS BIGINT)").alias("budget")
+    )
+    ranked = two_phase_rank(
+        t,
+        -(F.col("score") / 64).cast("bigint"),
+        [F.col("score").desc(), F.col("doc_id")],
+        "rnk",
+    )
+    # second two-phase pass: exact running token sum down the ranking
+    sized = ranked.withColumn(
+        "cbucket", ((F.col("rnk") - 1) / 4096).cast("bigint")
+    )
+    btot = sized.groupBy("cbucket").agg(F.sum("n_tokens").alias("btok"))
+    w_b = Window.orderBy("cbucket")
+    offsets = btot.select(
+        "cbucket",
+        (F.sum("btok").over(w_b) - F.col("btok")).alias("coff"),
+    )
+    w_in = Window.partitionBy("cbucket").orderBy("rnk")
+    cum = (
+        sized.join(F.broadcast(offsets), "cbucket")
+        .withColumn(
+            "cum_tokens", F.col("coff") + F.sum("n_tokens").over(w_in)
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    kept = cum.where(F.col("cum_tokens") <= F.col("budget"))
+    cut = kept.agg(
+        F.max("rnk").cast("bigint").alias("cut_rank"),
+        F.min("score").cast("bigint").alias("cut_score"),
+        F.max("budget").cast("bigint").alias("budget_tokens"),
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("kept_docs"),
+            F.sum("n_tokens").cast("bigint").alias("kept_tokens"),
+        )
+        .crossJoin(F.broadcast(cut))
+        .select(
+            "lang",
+            "kept_docs",
+            "kept_tokens",
+            "cut_rank",
+            "cut_score",
+            "budget_tokens",
+        )
+        .orderBy("lang")
+    )
