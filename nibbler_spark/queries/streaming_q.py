@@ -6323,3 +6323,519 @@ def i50_stream_length_moments(
         )
         .orderBy("epoch", "lang")
     )
+
+
+_SS_K = 3  # SpaceSaving summary capacity per shard
+_SS_SHARDS = 4
+
+
+def _spacesaving_oracle() -> str:
+    """Code-generated unrolled oracle for i51_stream_spacesaving: the
+    per-shard SpaceSaving fold replayed epoch-by-epoch as SQL CTEs —
+    state_e = top-{k} of (state_{e-1} counts + epoch-e exact counts,
+    with entering tokens charged the shard's error floor), floor_e =
+    max(floor_{e-1}, the (k+1)-th combined count).  Four epochs x
+    (counts, combine, rank, state, floor) stages, then the emission
+    union joined against exact prefix counts for the guarantee
+    columns."""
+    from nibbler_spark.queries.sketches import _sql_nib_hash
+
+    k, ns = _SS_K, _SS_SHARDS
+    parts = [
+        f"""mx AS (SELECT MAX(doc_id) AS m FROM documents),
+tok AS (
+  SELECT LEAST(3, CAST(doc_id * 4 // (mx.m + 1) AS INT)) AS tep,
+         {_sql_nib_hash('t', ns)} AS shard, t AS token
+  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS t
+        FROM documents) CROSS JOIN mx
+),
+shards AS (SELECT UNNEST(generate_series(0, {ns - 1})) AS shard),
+fl_init AS (SELECT shard, CAST(0 AS BIGINT) AS fl FROM shards),
+st_init AS (SELECT CAST(NULL AS INT) AS shard, CAST(NULL AS VARCHAR)
+              AS token, CAST(NULL AS BIGINT) AS cnt WHERE 1 = 0)"""
+    ]
+    prev_st, prev_fl = "st_init", "fl_init"
+    emits = []
+    for e in range(4):
+        parts.append(
+            f"""ec{e} AS (
+  SELECT shard, token, CAST(COUNT(*) AS BIGINT) AS c
+  FROM tok WHERE tep = {e} GROUP BY shard, token
+),
+comb{e} AS (
+  SELECT COALESCE(st.shard, ec.shard) AS shard,
+         COALESCE(st.token, ec.token) AS token,
+         COALESCE(st.cnt, fl.fl) + COALESCE(ec.c, 0) AS cnt
+  FROM {prev_st} st
+  FULL JOIN ec{e} ec ON st.shard = ec.shard AND st.token = ec.token
+  JOIN {prev_fl} fl ON fl.shard = COALESCE(st.shard, ec.shard)
+),
+rk{e} AS (
+  SELECT shard, token, cnt, ROW_NUMBER() OVER (
+    PARTITION BY shard ORDER BY cnt DESC, token) AS rk
+  FROM comb{e}
+),
+st{e} AS (SELECT shard, token, cnt FROM rk{e} WHERE rk <= {k}),
+fl{e} AS (
+  SELECT fl.shard,
+         GREATEST(fl.fl, COALESCE(MAX(CASE WHEN rk = {k + 1}
+                                      THEN cnt END), fl.fl)) AS fl
+  FROM {prev_fl} fl LEFT JOIN rk{e} ON rk{e}.shard = fl.shard
+  GROUP BY fl.shard, fl.fl
+)"""
+        )
+        emits.append(
+            f"SELECT CAST({e} AS BIGINT) AS epoch,"
+            f" CAST(r.shard AS BIGINT) AS shard,"
+            f" CAST(r.rk AS BIGINT) AS rank, r.token,"
+            f" r.cnt AS est, f.fl AS floor"
+            f" FROM rk{e} r JOIN fl{e} f ON f.shard = r.shard"
+            f" WHERE r.rk <= {k}"
+        )
+        prev_st, prev_fl = f"st{e}", f"fl{e}"
+    union = " UNION ALL ".join(emits)
+    parts.append(
+        f"""em AS ({union}),
+epochs AS (SELECT UNNEST(generate_series(0, 3)) AS e),
+truec AS (
+  SELECT e.e AS epoch, t.token, CAST(COUNT(*) AS BIGINT) AS tc
+  FROM tok t CROSS JOIN epochs e
+  WHERE t.tep <= e.e GROUP BY e.e, t.token
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+SELECT em.epoch, em.shard, em.rank, em.token, em.est, em.floor,
+       tc.tc AS true_cum,
+       em.est >= tc.tc AS never_undercounts,
+       em.est <= tc.tc + em.floor AS within_floor
+FROM em JOIN truec tc ON tc.epoch = em.epoch AND tc.token = em.token
+ORDER BY em.epoch, em.shard, em.rank
+"""
+    )
+
+
+@register(
+    "i51_stream_spacesaving",
+    survey_id="EXT-STREAM-SPACESAVE",
+    category="streaming",
+    mode="parity",
+    oracle=_spacesaving_oracle(),
+)
+def i51_stream_spacesaving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE SpaceSaving heavy hitters (Metwally et al. 2005) as
+    SHARDED keyed stream state — the deterministic mergeable-summary
+    form (Agarwal et al. 2012): tokens hash into {shards} shards, each
+    shard's state is a capacity-{k} summary (token, count) plus one
+    error floor, so TOTAL state is {shards} x ({k}+1) values at ANY
+    corpus size. Per availableNow epoch the fold combines the shard's
+    exact in-batch counts with the stored summary — entering tokens
+    are charged the floor (their maximum possible undercount) — keeps
+    the top {k} by (count DESC, token), and raises the floor to the
+    (k+1)-th combined count, which makes the whole trajectory
+    order-free and engine-replayable (the oracle unrolls the exact
+    fold as SQL CTEs; classic per-arrival SpaceSaving is
+    arrival-order dependent and could never hash-match).
+
+    The SpaceSaving guarantee rides along as output columns checked at
+    EVERY epoch boundary for EVERY reported hitter: est >= true
+    (never undercounts) and est <= true + floor (the error bound).
+    Emissions carry each touched shard's full summary per epoch;
+    untouched shards carry forward via the max_by(emitted_epoch)
+    read-out (grid x emissions, the i47/i48 pattern).
+
+    Scale: state is O(shards x k) regardless of corpus; the per-epoch
+    work is one map-side hash + the keyed stateful shuffle; sharding
+    both parallelizes the fold and caps any one task's summary —
+    global top-k at read-out is the k-way merge of shard summaries,
+    the mergeable-summaries property."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from nibbler_spark.queries.sketches import _nib_hash
+
+    k, ns = _SS_K, _SS_SHARDS
+    cache = _docs_token_slices_dir(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="nibbler-ss-")
+    ingest = os.path.join(base, "ingest")
+    outdir = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(ingest)
+
+    def fold(key, pdfs, state: GroupState):
+        (shard,) = key
+        rows = pd.concat(list(pdfs))
+        if state.exists:
+            toks, cnts, fl = state.get
+            cur = dict(zip(toks, cnts))
+        else:
+            cur, fl = {}, 0
+        ec = rows["token"].value_counts()
+        comb = {
+            t: cur.get(t, fl) + int(ec.get(t, 0))
+            for t in set(cur) | set(ec.index)
+        }
+        ranked = sorted(comb.items(), key=lambda kv: (-kv[1], kv[0]))
+        top = ranked[:k]
+        if len(ranked) > k:
+            fl = max(fl, ranked[k][1])
+        state.update((
+            [t for t, _ in top],
+            [c for _, c in top],
+            fl,
+        ))
+        ep = int(rows["epoch"].max())
+        yield pd.DataFrame(
+            {
+                "shard": [int(shard)] * len(top),
+                "epoch": [ep] * len(top),
+                "rank": list(range(1, len(top) + 1)),
+                "token": [t for t, _ in top],
+                "est": [c for _, c in top],
+                "floor": [fl] * len(top),
+            }
+        )
+
+    prior_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        for q in range(4):
+            _stage_slice(os.path.join(cache, f"slice{q}"), ingest, q)
+            keyed = (
+                spark.readStream.schema("epoch int, token string")
+                .parquet(ingest)
+                .select(
+                    "epoch",
+                    "token",
+                    _nib_hash(F.col("token"), ns)
+                    .cast("long")
+                    .alias("shard"),
+                )
+                .groupBy("shard")
+                .applyInPandasWithState(
+                    fold,
+                    "shard long, epoch long, rank long, token string,"
+                    " est long, floor long",
+                    "toks array<string>, cnts array<long>, fl long",
+                    "update",
+                    GroupStateTimeout.NoTimeout,
+                )
+            )
+            sq = (
+                keyed.writeStream.foreachBatch(
+                    lambda df, _eid: df.write.mode("append").parquet(outdir)
+                )
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            sq.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior_shuffle)
+
+    em = spark.read.schema(
+        "shard long, epoch long, rank long, token string, est long,"
+        " floor long"
+    ).parquet(outdir)
+    shards = spark.range(ns).select(
+        F.col("id").cast("bigint").alias("shard")
+    )
+    epochs = spark.range(4).select(
+        F.col("id").cast("bigint").alias("epoch")
+    )
+    grid = shards.crossJoin(epochs)
+    cur = (
+        grid.join(
+            em.select(
+                F.col("shard").alias("es"),
+                F.col("epoch").alias("eep"),
+                "rank",
+                "token",
+                "est",
+                "floor",
+            ),
+            (F.col("shard") == F.col("es"))
+            & (F.col("eep") <= F.col("epoch")),
+        )
+        .groupBy("shard", "epoch", "rank")
+        .agg(
+            F.max_by(
+                F.struct("token", "est", "floor"), F.col("eep")
+            ).alias("s")
+        )
+        .select(
+            "epoch",
+            "shard",
+            "rank",
+            F.col("s.token").alias("token"),
+            F.col("s.est").alias("est"),
+            F.col("s.floor").alias("floor"),
+        )
+    )
+    d = load_table(spark, sf_dir, "documents")
+    hi = d.agg(F.max("doc_id")).first()[0]
+    tok = d.select(
+        F.least(F.lit(3), (F.col("doc_id") * 4 / (hi + 1)).cast("int"))
+        .cast("bigint")
+        .alias("tep"),
+        F.explode(F.split("text", " ")).alias("token"),
+    )
+    need = cur.select("token").distinct()
+    percnt = tok.join(F.broadcast(need), "token").groupBy(
+        "token", "tep"
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    truec = (
+        need.crossJoin(F.broadcast(epochs))
+        .join(
+            percnt.withColumnRenamed("token", "ptoken"),
+            (F.col("token") == F.col("ptoken"))
+            & (F.col("tep") <= F.col("epoch")),
+            "left",
+        )
+        .groupBy("token", "epoch")
+        .agg(
+            F.coalesce(F.sum("c"), F.lit(0)).cast("bigint").alias("true_cum")
+        )
+    )
+    return (
+        cur.join(truec, ["token", "epoch"])
+        .select(
+            "epoch",
+            "shard",
+            "rank",
+            "token",
+            "est",
+            "floor",
+            "true_cum",
+            (F.col("est") >= F.col("true_cum")).alias("never_undercounts"),
+            (F.col("est") <= F.col("true_cum") + F.col("floor")).alias(
+                "within_floor"
+            ),
+        )
+        .orderBy("epoch", "shard", "rank")
+    )
+
+
+def _decayed_counts_oracle() -> str:
+    """Code-generated unrolled oracle for i52_stream_decayed_counts:
+    the per-cell half-life recursion v_e = v_{e-1} // 2 + c_e replayed
+    as four SQL CTE stages over exact per-epoch cell counts (integer
+    floor halving does NOT commute with summation, so the trajectory
+    must be replayed, not closed-formed)."""
+    from nibbler_spark.queries.sketches import _sql_nib_hash
+
+    parts = [
+        f"""mx AS (SELECT MAX(doc_id) AS m FROM documents),
+tok AS (
+  SELECT LEAST(3, CAST(doc_id * 4 // (mx.m + 1) AS INT)) AS tep,
+         {_sql_nib_hash('t', 64)} AS cell
+  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS t
+        FROM documents) CROSS JOIN mx
+),
+cells AS (SELECT DISTINCT cell FROM tok),
+v_init AS (SELECT cell, CAST(0 AS BIGINT) AS v FROM cells)"""
+    ]
+    prev = "v_init"
+    rows = []
+    for e in range(4):
+        parts.append(
+            f"""c{e} AS (
+  SELECT cell, CAST(COUNT(*) AS BIGINT) AS c
+  FROM tok WHERE tep = {e} GROUP BY cell
+),
+v{e} AS (
+  SELECT p.cell, p.v // 2 + COALESCE(c{e}.c, 0) AS v
+  FROM {prev} p LEFT JOIN c{e} ON c{e}.cell = p.cell
+)"""
+        )
+        rows.append(
+            f"SELECT CAST({e} AS BIGINT) AS epoch,"
+            f" CAST(cell AS BIGINT) AS cell, v AS decayed FROM v{e}"
+        )
+        prev = f"v{e}"
+    union = " UNION ALL ".join(rows)
+    parts.append(
+        f"""em AS ({union}),
+epochs AS (SELECT UNNEST(generate_series(0, 3)) AS e),
+cum AS (
+  SELECT e.e AS epoch, t.cell, CAST(COUNT(*) AS BIGINT) AS raw_cum
+  FROM tok t CROSS JOIN epochs e
+  WHERE t.tep <= e.e GROUP BY e.e, t.cell
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+SELECT em.epoch, em.cell, em.decayed, cum.raw_cum,
+       CAST(em.decayed * 1000 // GREATEST(cum.raw_cum, 1) AS BIGINT)
+         AS heat_milli
+FROM em JOIN cum ON cum.epoch = em.epoch AND cum.cell = em.cell
+ORDER BY em.epoch, em.cell
+"""
+    )
+
+
+@register(
+    "i52_stream_decayed_counts",
+    survey_id="EXT-STREAM-DECAY",
+    category="streaming",
+    mode="parity",
+    oracle=_decayed_counts_oracle(),
+)
+def i52_stream_decayed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE half-life-decayed counters — the trend/forgetting state
+    family the repo's other sketches lack: every epoch each of 64
+    hash cells halves (integer floor) and adds its exact in-epoch
+    count, v_e = v_{e-1} // 2 + c_e, so old mass fades geometrically
+    and `heat_milli` (decayed / cumulative, x1000) separates
+    still-trending cells from historically-heavy ones — the
+    production shape behind trending-topics and cache-admission
+    monitors.
+
+    LAZY DECAY, done exactly: the keyed fold only fires for cells
+    touched in an epoch (state stores the post-epoch value), and the
+    read-out applies the pending halvings row-locally —
+    stored >> (epoch - emitted_epoch) — which equals eager per-epoch
+    halving because untouched epochs add zero (floor-halving a value
+    d times is one shift). The oracle replays the eager recursion as
+    four unrolled CTE stages: integer floor halving does not commute
+    with addition, so the trajectory is replayed, never closed-formed
+    — matching hashes prove the lazy and eager forms identical.
+
+    Scale: state is one BIGINT per cell (64 cells total, corpus-
+    independent); per-epoch work is a map-side hash + the keyed
+    stateful shuffle; the read-out grid is 64 x 4."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from nibbler_spark.queries.sketches import _nib_hash
+
+    cache = _docs_token_slices_dir(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="nibbler-decay-")
+    ingest = os.path.join(base, "ingest")
+    outdir = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(ingest)
+
+    def fold(key, pdfs, state: GroupState):
+        (cell,) = key
+        rows = pd.concat(list(pdfs))
+        ep = int(rows["epoch"].max())
+        if state.exists:
+            v, last = state.get
+            # catch up the halvings of fully-skipped epochs; the
+            # current epoch's own halving is applied below
+            v = v >> min(max(ep - last - 1, 0), 63)
+        else:
+            v = 0
+        v = (v >> 1) + len(rows)
+        state.update((v, ep))
+        yield pd.DataFrame(
+            {"cell": [int(cell)], "epoch": [ep], "decayed": [v]}
+        )
+
+    prior_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        for q in range(4):
+            _stage_slice(os.path.join(cache, f"slice{q}"), ingest, q)
+            keyed = (
+                spark.readStream.schema("epoch int, token string")
+                .parquet(ingest)
+                .select(
+                    "epoch",
+                    _nib_hash(F.col("token"), 64)
+                    .cast("long")
+                    .alias("cell"),
+                )
+                .groupBy("cell")
+                .applyInPandasWithState(
+                    fold,
+                    "cell long, epoch long, decayed long",
+                    "v long, last long",
+                    "update",
+                    GroupStateTimeout.NoTimeout,
+                )
+            )
+            sq = (
+                keyed.writeStream.foreachBatch(
+                    lambda df, _eid: df.write.mode("append").parquet(outdir)
+                )
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            sq.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior_shuffle)
+
+    em = spark.read.schema("cell long, epoch long, decayed long").parquet(
+        outdir
+    )
+    epochs = spark.range(4).select(
+        F.col("id").cast("bigint").alias("epoch")
+    )
+    grid = em.select("cell").distinct().crossJoin(F.broadcast(epochs))
+    cur = (
+        grid.join(
+            em.select(
+                F.col("cell").alias("ec"),
+                F.col("epoch").alias("eep"),
+                F.col("decayed").alias("ev"),
+            ),
+            (F.col("cell") == F.col("ec"))
+            & (F.col("eep") <= F.col("epoch")),
+        )
+        .groupBy("cell", "epoch")
+        .agg(F.max_by(F.struct("ev", "eep"), F.col("eep")).alias("s"))
+        .select(
+            "epoch",
+            "cell",
+            F.expr("shiftright(s.ev, CAST(epoch - s.eep AS INT))")
+            .cast("bigint")
+            .alias("decayed"),
+        )
+    )
+    d = load_table(spark, sf_dir, "documents")
+    hi = d.agg(F.max("doc_id")).first()[0]
+    tok = d.select(
+        F.least(F.lit(3), (F.col("doc_id") * 4 / (hi + 1)).cast("int"))
+        .cast("bigint")
+        .alias("tep"),
+        F.explode(F.split("text", " ")).alias("token"),
+    )
+    percell = tok.select(
+        "tep", _nib_hash(F.col("token"), 64).cast("bigint").alias("cell")
+    ).groupBy("cell", "tep").agg(F.count("*").cast("bigint").alias("c"))
+    cum = (
+        em.select("cell")
+        .distinct()
+        .crossJoin(F.broadcast(epochs))
+        .join(
+            percell.withColumnRenamed("cell", "pc"),
+            (F.col("cell") == F.col("pc"))
+            & (F.col("tep") <= F.col("epoch")),
+            "left",
+        )
+        .groupBy("cell", "epoch")
+        .agg(
+            F.coalesce(F.sum("c"), F.lit(0)).cast("bigint").alias("raw_cum")
+        )
+    )
+    return (
+        cur.join(cum, ["cell", "epoch"])
+        .select(
+            "epoch",
+            "cell",
+            "decayed",
+            "raw_cum",
+            F.expr("CAST(decayed * 1000 DIV GREATEST(raw_cum, 1) AS BIGINT)")
+            .alias("heat_milli"),
+        )
+        .orderBy("epoch", "cell")
+    )

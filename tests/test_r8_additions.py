@@ -1,0 +1,339 @@
+"""Round-8 additions: Hamilton apportionment, fill-in-the-middle prep,
+token-budget thresholding, binary-quantization recall, embedding
+distribution JSD, prefix-cache analysis, and the two online state ops
+(sharded SpaceSaving, half-life decayed counters).
+
+Each batch test is an INDEPENDENT pure-Python re-derivation (the
+viterbi lesson: construction-identical oracles can't see semantic
+off-by-ones). The streaming tests replay the declared fold eagerly in
+Python and additionally pin the ops' own guarantee columns.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import Counter, defaultdict
+
+from nibbler_spark.sources import load_table
+
+
+def _docs(spark, sf_dir):
+    return [
+        (r["doc_id"], r["lang"], r["source"], r["n_chars"],
+         r["text"].split(" "), r["text"])
+        for r in load_table(spark, sf_dir, "documents").collect()
+    ]
+
+
+def _h32(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def _nib(s: str, mod: int) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:4], 16) % mod
+
+
+def test_mixture_apportionment_matches_hamilton_bruteforce(spark, sf_dir):
+    from nibbler_spark.queries import load_all
+
+    docs = _docs(spark, sf_dir)
+    toks = Counter()
+    for _, lang, source, _, tk, _ in docs:
+        toks[(lang, source)] += len(tk)
+    B = 100_000
+    w = {k: math.floor(math.sqrt(t) * 1e3) for k, t in toks.items()}
+    W = sum(w.values())
+    base = {k: B * v // W for k, v in w.items()}
+    rem = {k: (B * w[k]) % W for k in w}
+    leftover = B - sum(base.values())
+    order = sorted(w, key=lambda k: (-rem[k], k[0], k[1]))
+    boosted = set(order[:leftover])
+    rows = load_all()["ext_mixture_apportionment"].spark(
+        spark, sf_dir
+    ).collect()
+    assert sum(r["alloc"] for r in rows) == B
+    for r in rows:
+        k = (r["lang"], r["source"])
+        assert r["n_tokens"] == toks[k]
+        assert r["w_scaled"] == w[k]
+        assert r["base_alloc"] == base[k]
+        assert r["boost"] == (1 if k in boosted else 0)
+        assert r["alloc"] == base[k] + (1 if k in boosted else 0)
+        # Hamilton quota property: within one unit of the real quota
+        assert base[k] <= B * w[k] / W < base[k] + 1
+
+
+def test_fim_transform_matches_bruteforce(spark, sf_dir):
+    from nibbler_spark.queries import load_all
+
+    docs = {d[0]: d[4] for d in _docs(spark, sf_dir)}
+    texts = {d[0]: d[5] for d in _docs(spark, sf_dir)}
+    rows = load_all()["ext_fim_transform"].spark(spark, sf_dir).collect()
+    assert len(rows) == len(docs)
+    n_fim = 0
+    for r in rows:
+        tk = docs[r["doc_id"]]
+        n = len(tk)
+        fim = _h32(f"fim:{r['doc_id']}") % 2 == 0 and n >= 4
+        assert r["fim"] == fim
+        if not fim:
+            assert r["mode"] == "none"
+            assert (r["p_len"], r["m_len"], r["s_len"]) == (n, 0, 0)
+            exp = texts[r["doc_id"]]
+        else:
+            n_fim += 1
+            a = 1 + _h32(f"cut1:{r['doc_id']}") % max(n - 1, 1)
+            b = 1 + _h32(f"cut2:{r['doc_id']}") % max(n - 1, 1)
+            c1, c2 = min(a, b), max(a, b)
+            assert (r["p_len"], r["m_len"], r["s_len"]) == (
+                c1, c2 - c1, n - c2,
+            )
+            p = " ".join(tk[:c1])
+            m = " ".join(tk[c1:c2])
+            s = " ".join(tk[c2:])
+            if _h32(f"mode:{r['doc_id']}") % 2 == 0:
+                assert r["mode"] == "psm"
+                exp = " ".join(["<PRE>", p, "<SUF>", s, "<MID>", m])
+            else:
+                assert r["mode"] == "spm"
+                exp = " ".join(["<SUF>", s, "<PRE>", p, "<MID>", m])
+        assert r["sig"] == hashlib.md5(exp.encode()).hexdigest()
+    # the coin is fair enough on any fixture to transform some docs
+    assert 0 < n_fim < len(docs)
+
+
+def test_token_budget_threshold_maximal_and_exact(spark, sf_dir):
+    from nibbler_spark.queries import load_all
+
+    docs = _docs(spark, sf_dir)
+    scored = sorted(
+        (
+            (-(nc * 1000 // len(tk)), did, len(tk), lang)
+            for did, lang, _, nc, tk, _ in docs
+        ),
+    )
+    total = sum(x[2] for x in scored)
+    budget = total // 2
+    kept, cum = [], 0
+    for negs, did, nt, lang in scored:
+        if cum + nt <= budget:
+            cum += nt
+            kept.append((did, nt, lang, -negs))
+        else:
+            break
+    rows = load_all()["ext_token_budget_threshold"].spark(
+        spark, sf_dir
+    ).collect()
+    per = Counter()
+    ptok = Counter()
+    for did, nt, lang, _ in kept:
+        per[lang] += 1
+        ptok[lang] += nt
+    assert {r["lang"]: r["kept_docs"] for r in rows} == dict(per)
+    assert {r["lang"]: r["kept_tokens"] for r in rows} == dict(ptok)
+    for r in rows:
+        assert r["budget_tokens"] == budget
+        assert r["cut_rank"] == len(kept)
+        assert r["cut_score"] == kept[-1][3]
+    # maximality: the next-ranked doc would burst the budget
+    nxt = scored[len(kept)]
+    assert cum + nxt[2] > budget
+
+
+def test_binary_embedding_recall_matches_bruteforce(spark, sf_dir):
+    from nibbler_spark.queries import load_all
+
+    vecs = {
+        r["vec_id"]: list(r["embedding"])
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    md = max(1, len(vecs) // 16)
+
+    def pack(v, lo, hi):
+        return sum(
+            1 << (i - lo) for i in range(lo, hi + 1) if v[i - 1] >= 0.0
+        )
+
+    def gcos(a, b):
+        def dot(x, y):
+            return (
+                sum(math.floor(p * q * 1e10) for p, q in zip(x, y)) / 1e10
+            )
+
+        return math.floor(
+            dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))) * 1e9
+        )
+
+    probes = sorted(v for v in vecs if v % md == 0)
+    rows = {
+        r["probe_id"]: (r["hits"], r["recall_pct"])
+        for r in load_all()["ext_binary_embedding_recall"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    assert sorted(rows) == probes
+    for p in probes:
+        pv = vecs[p]
+        p1, p2 = pack(pv, 1, 32), pack(pv, 33, 64)
+        ham = sorted(
+            (
+                bin(p1 ^ pack(v, 1, 32)).count("1")
+                + bin(p2 ^ pack(v, 33, 64)).count("1"),
+                vid,
+            )
+            for vid, v in vecs.items()
+            if vid != p
+        )[:10]
+        exact = sorted(
+            (-gcos(pv, v), vid) for vid, v in vecs.items() if vid != p
+        )[:10]
+        hits = len({v for _, v in ham} & {v for _, v in exact})
+        assert rows[p] == (hits, hits * 10)
+
+
+def test_embedding_jsd_bounded_and_matches_bruteforce(spark, sf_dir):
+    from nibbler_spark.queries import load_all
+
+    vecs = {
+        r["vec_id"]: list(r["embedding"])
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+
+    def dot(x, y):
+        return sum(math.floor(p * q * 1e10) for p, q in zip(x, y)) / 1e10
+
+    def gcos(a, b):
+        return math.floor(
+            dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))) * 1e9
+        )
+
+    seeds = sorted(
+        vecs, key=lambda v: (hashlib.md5(str(v).encode()).hexdigest(), v)
+    )[:16]
+    hist = defaultdict(lambda: [0, 0])
+    for vid, v in vecs.items():
+        cell = min((-gcos(v, vecs[s]), s) for s in seeds)[1]
+        hist[cell][vid % 2] += 1
+    np = sum(h[0] for h in hist.values())
+    nq = sum(h[1] for h in hist.values())
+    num_p = sum(
+        cp * math.floor(math.log(2 * cp * nq / (cp * nq + cq * np)) * 1e6)
+        for cp, cq in hist.values()
+        if cp > 0
+    )
+    num_q = sum(
+        cq * math.floor(math.log(2 * cq * np / (cq * np + cp * nq)) * 1e6)
+        for cp, cq in hist.values()
+        if cq > 0
+    )
+    jsd = (num_p / np + num_q / nq) / 2e6
+    rows = load_all()["ext_embedding_distribution_divergence"].spark(
+        spark, sf_dir
+    ).collect()
+    assert {r["cell"]: (r["n_p"], r["n_q"]) for r in rows} == {
+        c: tuple(h) for c, h in hist.items()
+    }
+    for r in rows:
+        assert abs(r["jsd_nats"] - jsd) < 1e-12
+        assert -1e-6 <= r["jsd_nats"] <= math.log(2) + 1e-6
+
+
+def test_prefix_cache_trie_identity(spark, sf_dir):
+    """INDEPENDENT check via the trie itself: distinct token prefixes
+    counted directly must equal total - shared from the query, which
+    derives them through sorted-adjacent LCPs."""
+    from nibbler_spark.queries import load_all
+
+    docs = _docs(spark, sf_dir)
+    prefixes = set()
+    total = 0
+    for _, _, _, _, tk, _ in docs:
+        total += len(tk)
+        for i in range(1, len(tk) + 1):
+            prefixes.add(tuple(tk[:i]))
+    rows = load_all()["ext_prefix_cache_analysis"].spark(
+        spark, sf_dir
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r["total_tokens"] == total
+        assert r["trie_tokens"] == len(prefixes)
+        assert r["shared_tokens"] == total - len(prefixes)
+        assert 0 < r["sum_lcp"]
+        assert r["max_lcp"] <= r["sum_lcp"]
+
+
+def _epoch_tokens(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    hi = max(d[0] for d in docs)
+    out = defaultdict(list)
+    for did, _, _, _, tk, _ in docs:
+        ep = min(3, did * 4 // (hi + 1))
+        out[ep].extend(tk)
+    return out
+
+
+def test_spacesaving_matches_eager_replay_and_guarantees(spark, sf_dir):
+    from nibbler_spark.queries import load_all
+    from nibbler_spark.queries.streaming_q import _SS_K, _SS_SHARDS
+
+    eps = _epoch_tokens(spark, sf_dir)
+    state = {s: {} for s in range(_SS_SHARDS)}
+    floors = {s: 0 for s in range(_SS_SHARDS)}
+    expect = {}
+    truec = Counter()
+    for e in range(4):
+        ec = defaultdict(Counter)
+        for t in eps.get(e, []):
+            ec[_nib(t, _SS_SHARDS)][t] += 1
+            truec[t] += 1
+        for s in range(_SS_SHARDS):
+            cur, fl = state[s], floors[s]
+            comb = {
+                t: cur.get(t, fl) + ec[s].get(t, 0)
+                for t in set(cur) | set(ec[s])
+            }
+            ranked = sorted(comb.items(), key=lambda kv: (-kv[1], kv[0]))
+            state[s] = dict(ranked[:_SS_K])
+            if len(ranked) > _SS_K:
+                floors[s] = max(fl, ranked[_SS_K][1])
+            for rk, (t, c) in enumerate(ranked[:_SS_K], 1):
+                expect[(e, s, rk)] = (t, c, floors[s])
+    rows = load_all()["i51_stream_spacesaving"].spark(
+        spark, sf_dir
+    ).collect()
+    got = {
+        (r["epoch"], r["shard"], r["rank"]): (
+            r["token"], r["est"], r["floor"],
+        )
+        for r in rows
+    }
+    assert got == expect
+    for r in rows:
+        assert r["never_undercounts"] is True
+        assert r["within_floor"] is True
+
+
+def test_decayed_counts_matches_eager_replay(spark, sf_dir):
+    from nibbler_spark.queries import load_all
+
+    eps = _epoch_tokens(spark, sf_dir)
+    cells = defaultdict(int)
+    cum = Counter()
+    expect = {}
+    for e in range(4):
+        ec = Counter(_nib(t, 64) for t in eps.get(e, []))
+        for c in set(cells) | set(ec):
+            cells[c] = cells[c] // 2 + ec.get(c, 0)
+        cum.update(ec)
+        for c, v in cells.items():
+            expect[(e, c)] = (v, cum[c])
+    rows = load_all()["i52_stream_decayed_counts"].spark(
+        spark, sf_dir
+    ).collect()
+    got = {(r["epoch"], r["cell"]): (r["decayed"], r["raw_cum"]) for r in rows}
+    assert got == expect
+    for r in rows:
+        assert r["decayed"] <= r["raw_cum"]
+        assert r["heat_milli"] == r["decayed"] * 1000 // max(r["raw_cum"], 1)
