@@ -63,16 +63,20 @@ FROZEN_ANCHORS = [
 
 # Rows new this round or in their second measured round. Retired rows
 # (and every frozen anchor value) are recorded in BASELINE.md.
+# r8: K26/K27 retired after their second round; K28/K29 retired (the
+# r7 reworks were their re-measure round; regression coverage continues
+# via the oracle sweep + the BENCH_SF1 ladder rows).
 ROTATING = [
-    "i43_stream_grouped_packing",  # BENCH-K26 (2nd round, retires next)
-    "ext_louvain_sync_round",  # BENCH-K27 (2nd round, retires next)
-    "ext_suffix_array_lcp",  # BENCH-K28 (re-measured: r7 rank-array rework)
-    "ext_submodular_coverage",  # BENCH-K29 (re-measured: r7 broadcast anti)
-    # r7 new rows: the head-filtered corpus pair stream, the per-user
-    # fold funnel, and the inverse-CDF negative sampler
+    # r7 rows in their second measured round (retire next)
     "ext_glove_cooccurrence",  # BENCH-K30
     "ext_window_funnel",  # BENCH-K31
     "ext_skipgram_negative_sampling",  # BENCH-K32
+    # r8 new rows: the first-token-partitioned LCP window, the
+    # bounded-probe Hamming-vs-cosine recall scan, and the sharded
+    # SpaceSaving online fold
+    "ext_prefix_cache_analysis",  # BENCH-K33
+    "ext_binary_embedding_recall",  # BENCH-K34
+    "i51_stream_spacesaving",  # BENCH-K35
 ]
 
 HEADLINE = FROZEN_ANCHORS + ROTATING

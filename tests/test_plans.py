@@ -1083,3 +1083,57 @@ def test_iterative_pruning_keyed_rounds_no_global_sort(spark, sf_dir):
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "ExistingRDD" in plan
+
+
+def test_prefix_cache_windows_partition_by_first_token(spark, sf_dir):
+    """No unpartitioned corpus window: both lag windows must partition
+    by the first token (the cross-bucket-LCP=0 argument)."""
+    plan = _plan(spark, sf_dir, "ext_prefix_cache_analysis")
+    specs = [
+        ln for ln in plan.splitlines() if "windowspecdefinition" in ln
+    ]
+    assert specs
+    for ln in specs:
+        assert "tok1" in ln, f"window not tok1-partitioned: {ln}"
+    assert "CartesianProduct" not in plan
+
+
+def test_token_budget_windows_all_bucketed(spark, sf_dir):
+    """Both Blelloch passes: every corpus-side window partitions by a
+    coarse bucket (_rk_bucket for the rank, cbucket for the prefix
+    sum); only bucket-count-sized frames see ordering-only windows."""
+    plan = _plan(spark, sf_dir, "ext_token_budget_threshold")
+    specs = [
+        ln for ln in plan.splitlines() if "windowspecdefinition" in ln
+    ]
+    assert specs
+    for ln in specs:
+        assert "_rk_bucket" in ln or "cbucket" in ln, (
+            f"unbucketed window spec: {ln}"
+        )
+    assert "CartesianProduct" not in plan
+
+
+def test_bq_recall_broadcast_probe_no_cartesian(spark, sf_dir):
+    """The probes x corpus pass must be the bounded broadcast
+    nested-loop (probe side is O(1) by the count-derived modulus);
+    never a CartesianProduct, and the top-10s are partitioned
+    windows."""
+    plan = _plan(spark, sf_dir, "ext_binary_embedding_recall")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    specs = [
+        ln for ln in plan.splitlines() if "windowspecdefinition" in ln
+    ]
+    assert specs
+    for ln in specs:
+        assert "probe_id" in ln, f"window not probe-partitioned: {ln}"
+
+
+def test_embedding_jsd_seed_join_bounded(spark, sf_dir):
+    """Assignment is row-local against the 1-row collected seed array:
+    the only nested-loop joins are against 1-row frames (seed array,
+    totals), and there is no corpus-sized window at all."""
+    plan = _plan(spark, sf_dir, "ext_embedding_distribution_divergence")
+    assert "CartesianProduct" not in plan
+    assert "windowspecdefinition" not in plan

@@ -118,6 +118,20 @@ FLAGSHIPS = [
     "ext_iterative_quality_pruning",
     "i48_stream_bottomk_kmv",
     "i50_stream_length_moments",
+    # r8 additions: apportionment and FIM are one aggregate / one
+    # row-local map; token-budget is two Blelloch passes; prefix-cache
+    # is one first-token-partitioned window; BQ recall and the
+    # embedding JSD are bounded-probe x corpus row-local scans; the
+    # two online ops hold O(1) keyed state (16 summary entries + 64
+    # cells) regardless of corpus.
+    "ext_mixture_apportionment",
+    "ext_fim_transform",
+    "ext_token_budget_threshold",
+    "ext_prefix_cache_analysis",
+    "ext_binary_embedding_recall",
+    "ext_embedding_distribution_divergence",
+    "i51_stream_spacesaving",
+    "i52_stream_decayed_counts",
 ]
 GATE_RATIO = 12.0  # 10x data -> <= 12x wall (near-linear)
 # candidate-bound gate: wall time may grow at most this much faster than
@@ -132,6 +146,10 @@ GATE_PER_WORK = 1.5
 # Jaccard -> k05's MinHash-LSH).
 GATE_CAND_EXP = 1.6
 RUNG_FACTOR = 10.0  # sf0.1 -> sf1 corpus growth
+# Boolean OUTPUT columns that are data, not bounded-mode assertions
+# (the ladder's all-True check would read a legitimate False coin as a
+# failed bound).
+BOOL_DATA_COLS = {"ext_fim_transform": {"fim"}}
 
 
 def _k04_candidate_pairs(spark, sf_dir: str) -> int:
@@ -373,12 +391,15 @@ def main() -> None:
             spark, lambda: spec.spark(spark, big).collect()
         )
         tb = time.monotonic() - t0
-        # bounded-mode queries return booleans — they must hold at sf1
+        # bounded-mode queries return booleans — they must hold at sf1.
+        # Columns listed in BOOL_DATA_COLS are DATA (e.g. the FIM coin),
+        # not assertions, and are excluded from the all-True check.
+        skip_bools = BOOL_DATA_COLS.get(name, set())
         bools = [
             v
             for r in rows_big
-            for v in r.asDict().values()
-            if isinstance(v, bool)
+            for c, v in r.asDict().items()
+            if isinstance(v, bool) and c not in skip_bools
         ]
         ratio = tb / ts
         sw_small = m_small["shuffle_write_bytes"]
