@@ -5683,3 +5683,130 @@ def ext_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("level")
     )
+
+
+@register(
+    "ext_offpolicy_ips_eval",
+    survey_id="EXT-IPS",
+    category="event-analytics",
+    oracle="""
+WITH e AS (
+  SELECT user_id % 4 AS seg, event_type AS action,
+         CAST(FLOOR(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+a AS (SELECT CAST(COUNT(DISTINCT action) AS BIGINT) AS na FROM e),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM e),
+sa AS (
+  SELECT seg, action, CAST(COUNT(*) AS BIGINT) AS c_sa,
+         CAST(SUM(cents) AS BIGINT) AS sum_cents
+  FROM e GROUP BY seg, action
+),
+s AS (SELECT seg, CAST(SUM(c_sa) AS BIGINT) AS c_s FROM sa GROUP BY seg),
+terms AS (
+  SELECT sa.seg, sa.action, sa.c_sa, s.c_s, sa.sum_cents,
+         CAST(s.c_s * 1000000 // (a.na * sa.c_sa) AS BIGINT)
+           AS weight_micro,
+         CAST(CAST(sa.sum_cents AS HUGEINT) * s.c_s * 1000000000
+              // (CAST(a.na AS HUGEINT) * sa.c_sa * n.total) AS BIGINT)
+           AS term_nano,
+         CAST(CAST(sa.c_sa AS HUGEINT) * s.c_s * 1000000000
+              // (CAST(a.na AS HUGEINT) * sa.c_sa * n.total) AS BIGINT)
+           AS wterm_nano
+  FROM sa JOIN s ON s.seg = sa.seg CROSS JOIN a CROSS JOIN n
+),
+tot AS (
+  SELECT CAST(SUM(term_nano) AS BIGINT) AS ips_nano,
+         CAST(SUM(wterm_nano) AS BIGINT) AS wsum_nano
+  FROM terms
+)
+SELECT t.seg, t.action, t.c_sa, t.c_s, t.sum_cents, t.weight_micro,
+       t.term_nano, tot.ips_nano,
+       CAST(tot.ips_nano * 1000 // GREATEST(tot.wsum_nano, 1) AS BIGINT)
+         AS snips_milli_cents
+FROM terms t CROSS JOIN tot
+ORDER BY t.seg, t.action
+""",
+)
+def ext_offpolicy_ips_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OFF-POLICY EVALUATION via inverse propensity scoring (Horvitz-
+    Thompson applied to logged decisions — the estimator behind every
+    'what would the new policy have earned on last month's logs'
+    analysis, and the bandit-log half of RLHF data work): logged
+    events are (segment = user_id % 4, action = event_type, reward =
+    value in cents); the logging policy's propensities are the
+    empirical per-segment action frequencies c_sa / c_s; the TARGET
+    policy is uniform over the A observed actions. The IPS estimate
+    E_target[reward] = mean(reward * P_tgt / P_log) collapses per
+    (segment, action) cell to sum_cents * c_s / (A * c_sa * N) — every
+    factor an exact BIGINT. Each cell's contribution is floored to a
+    1e-9 grid BEFORE the sum (per-cell flooring is the declared
+    semantics — a distributed double sum would be order-dependent),
+    and the self-normalized (SNIPS) variant divides by the same-grid
+    weight sum, canceling the propensity-estimation bias that makes
+    plain IPS drift when A * c_sa misestimates.
+
+    Scale shape: one map-side-combinable grouped aggregate over the
+    events stream into O(segments x actions) cells; everything after
+    is cell-table arithmetic with two 1-row broadcasts."""
+    e = load_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 4).alias("seg"),
+        F.col("event_type").alias("action"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    a = e.agg(F.countDistinct("action").cast("bigint").alias("na"))
+    n = e.agg(F.count("*").cast("bigint").alias("total"))
+    sa = e.groupBy("seg", "action").agg(
+        F.count("*").cast("bigint").alias("c_sa"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+    )
+    s = sa.groupBy("seg").agg(F.sum("c_sa").cast("bigint").alias("c_s"))
+    terms = (
+        sa.join(s, "seg")
+        .crossJoin(F.broadcast(a))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "seg",
+            "action",
+            "c_sa",
+            "c_s",
+            "sum_cents",
+            F.expr("CAST(c_s * 1000000 DIV (na * c_sa) AS BIGINT)").alias(
+                "weight_micro"
+            ),
+            # DECIMAL(38)/HUGEINT intermediates: sum_cents * c_s * 1e9
+            # tops 2e22 at sf0.1 — past int64 (the overflow surfaced at
+            # the sf0.1 drive; DuckDB promotes silently, Spark must not
+            # wrap)
+            F.expr(
+                "CAST(CAST(sum_cents AS DECIMAL(38,0)) * c_s * 1000000000"
+                " DIV (na * c_sa * total) AS BIGINT)"
+            ).alias("term_nano"),
+            F.expr(
+                "CAST(CAST(c_sa AS DECIMAL(38,0)) * c_s * 1000000000"
+                " DIV (na * c_sa * total) AS BIGINT)"
+            ).alias("wterm_nano"),
+        )
+    )
+    tot = terms.agg(
+        F.sum("term_nano").cast("bigint").alias("ips_nano"),
+        F.sum("wterm_nano").cast("bigint").alias("wsum_nano"),
+    )
+    return (
+        terms.crossJoin(F.broadcast(tot))
+        .select(
+            "seg",
+            "action",
+            "c_sa",
+            "c_s",
+            "sum_cents",
+            "weight_micro",
+            "term_nano",
+            "ips_nano",
+            F.expr(
+                "CAST(ips_nano * 1000 DIV GREATEST(wsum_nano, 1)"
+                " AS BIGINT)"
+            ).alias("snips_milli_cents"),
+        )
+        .orderBy("seg", "action")
+    )

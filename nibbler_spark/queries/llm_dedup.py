@@ -4072,3 +4072,220 @@ def ext_bwt_compressibility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_LSH_SWEEP_CONFIGS = [(2, 6), (3, 4), (4, 3), (6, 2)]  # b x r = 12
+_LSH_SWEEP_TAU = 0.5
+
+
+def _lsh_sweep_theory() -> dict[tuple[int, int], int]:
+    """floor((1 - (1 - tau^r)^b) * 1e6) as EXACT rationals: tau = 1/2
+    makes every term dyadic, so the collision probability of the
+    S-curve at the threshold is computed without floats."""
+    from fractions import Fraction
+
+    out = {}
+    for b, r in _LSH_SWEEP_CONFIGS:
+        p = 1 - (1 - Fraction(1, 2**r)) ** b
+        out[(b, r)] = int(p * 10**6)
+    return out
+
+
+def _lsh_sweep_oracle() -> str:
+    """Code-generated oracle: the portable-MinHash signature table once,
+    then one banding + candidate CTE chain per (bands, rows) config,
+    each joined against the SAME exact-Jaccard truth set."""
+    theory = _lsh_sweep_theory()
+    parts = [
+        f"""t AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, GREATEST(len(s) - 2, 0)),
+           i -> s[i] || ' ' || s[i+1] || ' ' || s[i+2])) AS ts
+  FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents)
+),
+hashed AS (
+  SELECT doc_id, g.seed,
+         CAST(('0x' || substr(md5(g.seed || ':' || tok), 1, 12)) AS BIGINT)
+           AS h
+  FROM (SELECT doc_id, UNNEST(ts) AS tok FROM t)
+  CROSS JOIN generate_series(0, {_PMH_SEEDS - 1}) AS g(seed)
+),
+mins AS (
+  SELECT doc_id, seed, MIN(h) AS mh FROM hashed GROUP BY doc_id, seed
+),
+g2 AS (
+  SELECT doc_id, sh FROM (SELECT doc_id, UNNEST(ts) AS sh FROM t)
+  WHERE sh NOT IN (
+    SELECT sh FROM (SELECT doc_id, UNNEST(ts) AS sh FROM t)
+    GROUP BY sh HAVING COUNT(*) > 1000)
+),
+sizes AS (SELECT doc_id, len(ts) AS n FROM t),
+common AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS nc
+  FROM g2 a JOIN g2 b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT da, db FROM common
+  JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+  WHERE CAST(nc AS DOUBLE) / (sa.n + sb.n - nc) >= {_LSH_SWEEP_TAU}
+),
+nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM truth)"""
+    ]
+    rows = []
+    for i, (b, r) in enumerate(_LSH_SWEEP_CONFIGS):
+        parts.append(
+            f"""bands{i} AS (
+  SELECT doc_id, seed // {r} AS band_id,
+         md5(string_agg(CAST(mh AS VARCHAR), ':' ORDER BY seed)) AS bkey
+  FROM mins GROUP BY doc_id, seed // {r}
+),
+cand{i} AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM bands{i} a JOIN bands{i} b
+    ON a.band_id = b.band_id AND a.bkey = b.bkey
+   AND a.doc_id < b.doc_id
+),
+nc{i} AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM cand{i}),
+nh{i} AS (SELECT CAST(COUNT(*) AS BIGINT) AS c
+          FROM cand{i} JOIN truth
+            ON truth.da = cand{i}.da AND truth.db = cand{i}.db)"""
+        )
+        rows.append(
+            f"SELECT CAST({b} AS BIGINT) AS bands,"
+            f" CAST({r} AS BIGINT) AS rows_per_band,"
+            f" nc{i}.c AS n_candidates, nt.c AS n_true, nh{i}.c AS n_hit,"
+            f" CAST(nh{i}.c * 1000000 // GREATEST(nt.c, 1) AS BIGINT)"
+            f"   AS recall_micro,"
+            f" CAST(nh{i}.c * 1000000 // GREATEST(nc{i}.c, 1) AS BIGINT)"
+            f"   AS precision_micro,"
+            f" CAST({theory[(b, r)]} AS BIGINT) AS theory_at_tau_micro"
+            f" FROM nc{i} CROSS JOIN nh{i} CROSS JOIN nt"
+        )
+    union = " UNION ALL ".join(rows)
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT * FROM ({union}) ORDER BY bands"
+    )
+
+
+@register(
+    "ext_lsh_parameter_sweep",
+    survey_id="EXT-LSH-SWEEP",
+    category="llm-dedup",
+    oracle=_lsh_sweep_oracle(),
+)
+def ext_lsh_parameter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH PARAMETER TUNING TABLE — the design sweep every dedup
+    deployment runs before committing to a banding scheme: the SAME 12
+    portable minhashes sliced as (bands x rows) in {{2x6, 3x4, 4x3,
+    6x2}}, each configuration's candidate volume, measured recall and
+    precision against the EXACT Jaccard >= 0.5 truth set (inverted
+    index with the k04 df-cap relief valve), and the theoretical
+    S-curve collision probability at the threshold — with tau = 1/2
+    the theory column 1-(1-tau^r)^b is DYADIC, computed as an exact
+    Fraction, so even the 'analytic' column hash-matches. Few bands of
+    many rows = high precision / low recall; many bands of few rows =
+    the reverse; this table is where the crossover is read off.
+
+    Scale shape: ONE signature computation (row-local array_min per
+    seed — no per-seed shuffle), then per config an equi-join on
+    (band_id, md5-folded band key) whose output is the candidate set
+    the config WOULD produce — the quantity being measured, reported
+    as counts, never materialized beyond the count. The truth set is
+    computed once through exact_jaccard_pairs (df-capped inverted
+    index) and shared by all four configs."""
+    d = load_table(spark, sf_dir, "documents").repartition(32)
+    t = d.select("doc_id", pmh_shingles(F.col("text")).alias("ts"))
+    t = t.localCheckpoint()
+
+    def mh(seed: int):
+        return F.array_min(
+            F.transform(
+                F.col("ts"),
+                lambda tok: F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"{seed}:"), tok)), 1, 12
+                    ),
+                    16,
+                    10,
+                ).cast("bigint"),
+            )
+        )
+
+    sig = t.select(
+        "doc_id", F.array(*[mh(s) for s in range(_PMH_SEEDS)]).alias("mhs")
+    ).localCheckpoint()
+    truth = exact_jaccard_pairs(t, _LSH_SWEEP_TAU, 1000).localCheckpoint()
+    nt = truth.agg(F.count("*").cast("bigint").alias("n_true"))
+    theory = _lsh_sweep_theory()
+    out = None
+    for b, r in _LSH_SWEEP_CONFIGS:
+        bands = sig.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(band).alias("band_id"),
+                            F.md5(
+                                F.concat_ws(
+                                    ":",
+                                    *[
+                                        F.element_at(
+                                            "mhs", band * r + j + 1
+                                        )
+                                        for j in range(r)
+                                    ],
+                                )
+                            ).alias("bkey"),
+                        )
+                        for band in range(b)
+                    ]
+                )
+            ).alias("bs"),
+        ).select("doc_id", "bs.band_id", "bs.bkey")
+        cand = (
+            bands.alias("a")
+            .join(
+                bands.alias("b"),
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.bkey") == F.col("b.bkey"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("da"),
+                F.col("b.doc_id").alias("db"),
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+        nc = cand.agg(F.count("*").cast("bigint").alias("n_candidates"))
+        nh = cand.join(
+            truth,
+            (F.col("da") == F.col("doc_a")) & (F.col("db") == F.col("doc_b")),
+            "left_semi",
+        ).agg(F.count("*").cast("bigint").alias("n_hit"))
+        row = (
+            nc.crossJoin(F.broadcast(nt))
+            .crossJoin(F.broadcast(nh))
+            .select(
+                F.lit(b).cast("bigint").alias("bands"),
+                F.lit(r).cast("bigint").alias("rows_per_band"),
+                "n_candidates",
+                "n_true",
+                "n_hit",
+                F.expr("CAST(n_hit * 1000000 DIV GREATEST(n_true, 1)"
+                       " AS BIGINT)").alias("recall_micro"),
+                F.expr(
+                    "CAST(n_hit * 1000000 DIV GREATEST(n_candidates, 1)"
+                    " AS BIGINT)"
+                ).alias("precision_micro"),
+                F.lit(theory[(b, r)])
+                .cast("bigint")
+                .alias("theory_at_tau_micro"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("bands")

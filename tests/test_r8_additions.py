@@ -337,3 +337,114 @@ def test_decayed_counts_matches_eager_replay(spark, sf_dir):
     for r in rows:
         assert r["decayed"] <= r["raw_cum"]
         assert r["heat_milli"] == r["decayed"] * 1000 // max(r["raw_cum"], 1)
+
+
+def test_lsh_parameter_sweep_matches_bruteforce(spark, sf_dir):
+    from nibbler_spark.queries import load_all
+    from nibbler_spark.queries.llm_dedup import (
+        _LSH_SWEEP_CONFIGS,
+        _LSH_SWEEP_TAU,
+        _lsh_sweep_theory,
+    )
+
+    docs = _docs(spark, sf_dir)
+    sh = {
+        did: list(dict.fromkeys(
+            " ".join(tk[i:i + 3]) for i in range(len(tk) - 2)
+        ))
+        for did, _, _, _, tk, _ in docs
+        if len(tk) >= 3
+    }
+    sh.update({
+        did: [] for did, _, _, _, tk, _ in docs if len(tk) < 3
+    })
+
+    def h48(seed, tok):
+        return int(
+            hashlib.md5(f"{seed}:{tok}".encode()).hexdigest()[:12], 16
+        )
+
+    sig = {
+        did: [min((h48(s, t) for t in ts), default=None) for s in range(12)]
+        for did, ts in sh.items()
+    }
+    truth = set()
+    ids = sorted(sh)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            sa, sb = set(sh[a]), set(sh[b])
+            inter = len(sa & sb)
+            if sa | sb and inter / len(sa | sb) >= _LSH_SWEEP_TAU:
+                truth.add((a, b))
+    theory = _lsh_sweep_theory()
+    rows = {
+        (r["bands"], r["rows_per_band"]): r
+        for r in load_all()["ext_lsh_parameter_sweep"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    prev_cand = -1
+    for b, r in _LSH_SWEEP_CONFIGS:
+        cand = set()
+        for i, a in enumerate(ids):
+            for d2 in ids[i + 1:]:
+                if sig[a][0] is None or sig[d2][0] is None:
+                    continue
+                for band in range(b):
+                    if (
+                        sig[a][band * r:(band + 1) * r]
+                        == sig[d2][band * r:(band + 1) * r]
+                    ):
+                        cand.add((a, d2))
+                        break
+        row = rows[(b, r)]
+        hit = len(cand & truth)
+        assert row["n_candidates"] == len(cand)
+        assert row["n_true"] == len(truth)
+        assert row["n_hit"] == hit
+        assert row["recall_micro"] == hit * 10**6 // max(len(truth), 1)
+        assert row["precision_micro"] == hit * 10**6 // max(len(cand), 1)
+        assert row["theory_at_tau_micro"] == theory[(b, r)]
+        # more bands of fewer rows can only widen the candidate net
+        assert len(cand) >= prev_cand
+        prev_cand = len(cand)
+
+
+def test_offpolicy_ips_matches_bruteforce(spark, sf_dir):
+    from nibbler_spark.queries import load_all
+
+    ev = [
+        (r["user_id"] % 4, r["event_type"], math.floor(r["value"] * 100))
+        for r in load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type", "value")
+        .collect()
+    ]
+    acts = sorted({a for _, a, _ in ev})
+    na, total = len(acts), len(ev)
+    c_sa, sums, c_s = Counter(), Counter(), Counter()
+    for seg, a, cents in ev:
+        c_sa[(seg, a)] += 1
+        sums[(seg, a)] += cents
+        c_s[seg] += 1
+    terms = {
+        k: (
+            sums[k] * c_s[k[0]] * 10**9 // (na * c_sa[k] * total),
+            c_sa[k] * c_s[k[0]] * 10**9 // (na * c_sa[k] * total),
+        )
+        for k in c_sa
+    }
+    ips = sum(t for t, _ in terms.values())
+    wsum = sum(w for _, w in terms.values())
+    rows = load_all()["ext_offpolicy_ips_eval"].spark(
+        spark, sf_dir
+    ).collect()
+    assert len(rows) == len(c_sa)
+    for r in rows:
+        k = (r["seg"], r["action"])
+        assert r["c_sa"] == c_sa[k]
+        assert r["c_s"] == c_s[k[0]]
+        assert r["sum_cents"] == sums[k]
+        assert r["weight_micro"] == c_s[k[0]] * 10**6 // (na * c_sa[k])
+        assert r["term_nano"] == terms[k][0]
+        assert r["ips_nano"] == ips
+        assert r["snips_milli_cents"] == ips * 1000 // max(wsum, 1)

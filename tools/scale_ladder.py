@@ -132,6 +132,12 @@ FLAGSHIPS = [
     "ext_embedding_distribution_divergence",
     "i51_stream_spacesaving",
     "i52_stream_decayed_counts",
+    # r8 wave 2: the LSH tuning sweep (one signature pass + four band
+    # equi-joins whose candidate counts ARE the output) and the
+    # off-policy IPS estimator (one combinable aggregate into
+    # segments x actions cells).
+    "ext_lsh_parameter_sweep",
+    "ext_offpolicy_ips_eval",
 ]
 GATE_RATIO = 12.0  # 10x data -> <= 12x wall (near-linear)
 # candidate-bound gate: wall time may grow at most this much faster than
