@@ -5098,3 +5098,205 @@ def ext_prefix_cache_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("sum_lcp").desc(), "tok1")
         .limit(20)
     )
+
+
+@register(
+    "ext_lm_scaling_curve",
+    survey_id="EXT-SCALING-CURVE",
+    category="llm-text",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id % 16 AS m, t AS token
+  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS t
+        FROM documents)
+),
+vocab AS (SELECT CAST(COUNT(DISTINCT token) AS BIGINT) AS v FROM tok),
+ho AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS hc
+  FROM tok WHERE m >= 12 GROUP BY token
+),
+hn AS (SELECT CAST(SUM(hc) AS BIGINT) AS htok FROM ho),
+tc AS (
+  SELECT token,
+         CAST(SUM(CASE WHEN m < 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN m < 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+         CAST(SUM(CASE WHEN m < 4 THEN 1 ELSE 0 END) AS BIGINT) AS c4,
+         CAST(SUM(CASE WHEN m < 8 THEN 1 ELSE 0 END) AS BIGINT) AS c8
+  FROM tok GROUP BY token
+),
+tt AS (
+  SELECT CAST(SUM(c1) AS BIGINT) AS t1, CAST(SUM(c2) AS BIGINT) AS t2,
+         CAST(SUM(c4) AS BIGINT) AS t4, CAST(SUM(c8) AS BIGINT) AS t8
+  FROM tc
+),
+nll AS (
+  SELECT k, train_tokens,
+         CAST(SUM(ho.hc * CAST(FLOOR(LN(
+           CAST(train_tokens + vocab.v AS DOUBLE)
+           / CAST(ck + 1 AS DOUBLE)) * 1000000000e0) AS BIGINT))
+           AS BIGINT) AS nll_nano
+  FROM ho
+  LEFT JOIN tc ON tc.token = ho.token
+  CROSS JOIN tt CROSS JOIN vocab
+  CROSS JOIN (VALUES (1), (2), (4), (8)) AS ks(k)
+  CROSS JOIN LATERAL (SELECT
+    CASE ks.k WHEN 1 THEN tt.t1 WHEN 2 THEN tt.t2
+              WHEN 4 THEN tt.t4 ELSE tt.t8 END AS train_tokens,
+    CASE ks.k WHEN 1 THEN COALESCE(tc.c1, 0)
+              WHEN 2 THEN COALESCE(tc.c2, 0)
+              WHEN 4 THEN COALESCE(tc.c4, 0)
+              ELSE COALESCE(tc.c8, 0) END AS ck) d
+  GROUP BY k, train_tokens
+),
+pts AS (
+  SELECT nll.k, nll.train_tokens, hn.htok AS heldout_tokens,
+         nll.nll_nano,
+         CAST(nll.nll_nano // hn.htok AS BIGINT) AS nll_per_tok_nano,
+         CAST(FLOOR(LN(CAST(nll.train_tokens AS DOUBLE)) * 1e6)
+              AS BIGINT) AS x,
+         CAST(FLOOR(LN(CAST(nll.nll_nano // hn.htok AS DOUBLE)) * 1e6)
+              AS BIGINT) AS y
+  FROM nll CROSS JOIN hn
+),
+ols AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m, CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM pts
+)
+SELECT pts.k, pts.train_tokens, pts.heldout_tokens, pts.nll_nano,
+       pts.nll_per_tok_nano,
+       CAST(ols.m * ols.sxy - ols.sx * ols.sy AS DOUBLE)
+         / CAST(ols.m * ols.sxx - ols.sx * ols.sx AS DOUBLE)
+         AS scaling_slope
+FROM pts CROSS JOIN ols
+ORDER BY pts.k
+""",
+)
+def ext_lm_scaling_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA-SCALING CURVE of a unigram LM — the Chinchilla-style
+    measurement loop in miniature: train add-1-smoothed unigram LMs on
+    geometrically growing corpus prefixes (doc_id mod 16 < {1,2,4,8}),
+    score a DISJOINT held-out quarter (mod 16 >= 12), and fit the
+    log-log OLS slope of held-out NLL against training tokens — the
+    per-dataset exponent a curation team tracks to see whether added
+    data still buys loss. The smoothing vocabulary is the full corpus
+    vocab, so unseen held-out tokens cost ln(T_k + V) naturally.
+
+    Exactness: ALL FOUR training LMs come from ONE grouped aggregate
+    (conditional prefix counts per token — one corpus scan, not four);
+    each held-out token's NLL term is a single gridded ln of the exact
+    rational (T_k + V)/(c_k + 1) (1e-9 lattice) weighted by its exact
+    held-out count and summed as BIGINT; the OLS slope is one IEEE
+    division of exact-BIGINT moments over 1e-6-gridded ln points
+    (the heaps_law_fit recipe).
+
+    Scale shape: one token-count shuffle (map-side combinable), a
+    vocab-keyed left join of held-out counts against the count table,
+    and O(1) rows thereafter.
+
+    Fixture note: the synthetic corpus is near-IID over a ~31-word
+    vocabulary, so the unigram LM saturates quickly and the effect
+    size is small BY CONSTRUCTION of the data, not the query — the
+    declared property (held-out NLL strictly decreasing in training
+    tokens, negative log-log slope) holds at every sf and is pinned
+    by tests/test_r8_additions.py; on a natural corpus the same query
+    reads out the usual power-law decline."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        (F.col("doc_id") % 16).alias("m"),
+        F.explode(F.split("text", " ")).alias("token"),
+    )
+    vocab = tok.agg(F.countDistinct("token").cast("bigint").alias("v"))
+    ho = (
+        tok.where(F.col("m") >= 12)
+        .groupBy("token")
+        .agg(F.count("*").cast("bigint").alias("hc"))
+    )
+    hn = ho.agg(F.sum("hc").cast("bigint").alias("htok"))
+    tc = tok.groupBy("token").agg(
+        *[
+            F.sum(F.when(F.col("m") < k, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"c{k}")
+            for k in (1, 2, 4, 8)
+        ]
+    )
+    tt = tc.agg(
+        *[
+            F.sum(f"c{k}").cast("bigint").alias(f"t{k}")
+            for k in (1, 2, 4, 8)
+        ]
+    )
+    joined = (
+        ho.join(tc, "token", "left")
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(vocab))
+    )
+    pts = None
+    for k in (1, 2, 4, 8):
+        term = (
+            F.col("hc")
+            * F.floor(
+                F.log(
+                    (F.col(f"t{k}") + F.col("v")).cast("double")
+                    / (F.coalesce(F.col(f"c{k}"), F.lit(0)) + 1).cast(
+                        "double"
+                    )
+                )
+                * F.lit(1e9)
+            ).cast("bigint")
+        )
+        row = joined.agg(
+            F.lit(k).cast("bigint").alias("k"),
+            F.max(f"t{k}").cast("bigint").alias("train_tokens"),
+            F.sum(term).cast("bigint").alias("nll_nano"),
+        )
+        pts = row if pts is None else pts.unionByName(row)
+    pts = (
+        pts.crossJoin(F.broadcast(hn))
+        .select(
+            "k",
+            "train_tokens",
+            F.col("htok").alias("heldout_tokens"),
+            "nll_nano",
+            F.expr("CAST(nll_nano DIV htok AS BIGINT)").alias(
+                "nll_per_tok_nano"
+            ),
+        )
+        .withColumn(
+            "x",
+            F.floor(F.log(F.col("train_tokens").cast("double")) * 1e6)
+            .cast("bigint"),
+        )
+        .withColumn(
+            "y",
+            F.floor(F.log(F.col("nll_per_tok_nano").cast("double")) * 1e6)
+            .cast("bigint"),
+        )
+    )
+    ols = pts.agg(
+        F.count("*").cast("bigint").alias("m"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    return (
+        pts.crossJoin(F.broadcast(ols))
+        .select(
+            "k",
+            "train_tokens",
+            "heldout_tokens",
+            "nll_nano",
+            "nll_per_tok_nano",
+            (
+                (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                .cast("double")
+                / (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                .cast("double")
+            ).alias("scaling_slope"),
+        )
+        .orderBy("k")
+    )

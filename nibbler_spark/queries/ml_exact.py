@@ -3565,3 +3565,133 @@ def ext_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+_SH_BUDGETS = [64, 128, 256, 512]  # per-arm sample prefix per round
+
+
+def _successive_halving_oracle() -> str:
+    """Code-generated unrolled oracle: per round, surviving arms are
+    scored on their first n_r logged samples (deterministic (ts,
+    event_id) prefix), ranked by the exact nano-floored mean with an
+    arm tie-break, and the top ceil(k/2) survive."""
+    parts = [
+        """ranked AS (
+  SELECT event_type || ':' || CAST(user_id % 4 AS VARCHAR) AS arm,
+         CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type, user_id % 4
+           ORDER BY ts, event_id) AS rk
+  FROM events
+),
+s0 AS (SELECT DISTINCT arm FROM ranked)"""
+    ]
+    rows = []
+    for i, n in enumerate(_SH_BUDGETS, start=1):
+        parts.append(
+            f"""a{i} AS (
+  SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_used,
+         CAST(SUM(cents) AS BIGINT) AS sum_cents
+  FROM ranked WHERE rk <= {n}
+    AND arm IN (SELECT arm FROM s{i - 1})
+  GROUP BY arm
+),
+r{i} AS (
+  SELECT arm, n_used, sum_cents,
+         CAST(sum_cents * 1000000000 // n_used AS BIGINT) AS mean_nano,
+         ROW_NUMBER() OVER (
+           ORDER BY sum_cents * 1000000000 // n_used DESC, arm) AS arank,
+         COUNT(*) OVER () AS k
+  FROM a{i}
+),
+s{i} AS (SELECT arm FROM r{i} WHERE arank * 2 <= k + 1)"""
+        )
+        rows.append(
+            f"SELECT CAST({i} AS BIGINT) AS round, arm, n_used,"
+            f" sum_cents, mean_nano,"
+            f" arank * 2 <= k + 1 AS survived FROM r{i}"
+        )
+    union = " UNION ALL ".join(rows)
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT * FROM ({union}) ORDER BY round, arm"
+    )
+
+
+@register(
+    "ext_successive_halving",
+    survey_id="EXT-SUCC-HALVING",
+    category="ml-exact",
+    oracle=_successive_halving_oracle(),
+)
+def ext_successive_halving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUCCESSIVE HALVING (Karnin et al. 2013 / Jamieson-Talwalkar —
+    the best-arm identification loop inside Hyperband and every
+    eval-budget-constrained A/B screen): 20 arms (event_type x user
+    segment) are scored on geometrically growing sample budgets —
+    round r evaluates each surviving arm on its FIRST n_r logged
+    samples (64/128/256/512, a deterministic (ts, event_id) prefix,
+    capped by what the arm has) — and the bottom half is eliminated
+    each round, spending the eval budget where it discriminates.
+
+    Exactness: rewards are floored cents; means are compared as
+    nano-floored exact integers (sum_cents * 1e9 DIV n — never an
+    IEEE division) with an arm-name tie-break, so every survivor set
+    and the full trajectory are engine-exact. The keep rule
+    2*rank <= k+1 is ceil(k/2) for any arm count, so the query stays
+    total on fixtures missing arms.
+
+    Scale shape: one per-arm window rank over the events stream
+    (fixed arm count; the partition sort spills, never collects),
+    then four rounds of bounded aggregates over prefix-filtered rows;
+    every round's arm table is O(arms) rows."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type", F.col("user_id") % 4).orderBy(
+        "ts", "event_id"
+    )
+    ranked = e.select(
+        F.concat_ws(
+            ":", "event_type", (F.col("user_id") % 4).cast("string")
+        ).alias("arm"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+        F.row_number().over(w).alias("rk"),
+    ).localCheckpoint()
+    survivors = ranked.select("arm").distinct()
+    out = None
+    for i, n in enumerate(_SH_BUDGETS, start=1):
+        a = (
+            ranked.where(F.col("rk") <= n)
+            .join(F.broadcast(survivors), "arm", "left_semi")
+            .groupBy("arm")
+            .agg(
+                F.count("*").cast("bigint").alias("n_used"),
+                F.sum("cents").cast("bigint").alias("sum_cents"),
+            )
+        )
+        r = a.select(
+            "arm",
+            "n_used",
+            "sum_cents",
+            F.expr("CAST(sum_cents * 1000000000 DIV n_used AS BIGINT)")
+            .alias("mean_nano"),
+        ).withColumn(
+            "arank",
+            F.row_number().over(
+                Window.orderBy(F.col("mean_nano").desc(), "arm")
+            ),
+        ).withColumn("k", F.count("*").over(Window.partitionBy())).cache()
+        row = r.select(
+            F.lit(i).cast("bigint").alias("round"),
+            "arm",
+            "n_used",
+            "sum_cents",
+            "mean_nano",
+            (F.col("arank") * 2 <= F.col("k") + 1).alias("survived"),
+        )
+        out = row if out is None else out.unionByName(row)
+        survivors = (
+            r.where(F.col("arank") * 2 <= F.col("k") + 1)
+            .select("arm")
+            .localCheckpoint()
+        )
+    return out.orderBy("round", "arm")

@@ -448,3 +448,81 @@ def test_offpolicy_ips_matches_bruteforce(spark, sf_dir):
         assert r["term_nano"] == terms[k][0]
         assert r["ips_nano"] == ips
         assert r["snips_milli_cents"] == ips * 1000 // max(wsum, 1)
+
+
+def test_successive_halving_matches_bruteforce(spark, sf_dir):
+    from nibbler_spark.queries import load_all
+    from nibbler_spark.queries.ml_exact import _SH_BUDGETS
+
+    ev = sorted(
+        (
+            r["ts"], r["event_id"],
+            f"{r['event_type']}:{r['user_id'] % 4}",
+            math.floor(r["value"] * 100),
+        )
+        for r in load_table(spark, sf_dir, "events").collect()
+    )
+    per = defaultdict(list)
+    for ts, eid, arm, cents in ev:
+        per[arm].append(cents)
+    survivors = set(per)
+    expect = {}
+    for i, n in enumerate(_SH_BUDGETS, start=1):
+        scored = {}
+        for arm in survivors:
+            pre = per[arm][:n]
+            scored[arm] = (len(pre), sum(pre),
+                           sum(pre) * 10**9 // len(pre))
+        order = sorted(scored, key=lambda a: (-scored[a][2], a))
+        k = len(order)
+        keep = {a for r_, a in enumerate(order, 1) if r_ * 2 <= k + 1}
+        for arm in survivors:
+            expect[(i, arm)] = (*scored[arm], arm in keep)
+        survivors = keep
+    rows = load_all()["ext_successive_halving"].spark(
+        spark, sf_dir
+    ).collect()
+    got = {
+        (r["round"], r["arm"]): (
+            r["n_used"], r["sum_cents"], r["mean_nano"], r["survived"],
+        )
+        for r in rows
+    }
+    assert got == expect
+    # the field strictly shrinks round over round
+    sizes = Counter(r["round"] for r in rows)
+    assert sizes[1] > sizes[2] > sizes[3]
+
+
+def test_lm_scaling_curve_monotone_and_matches_bruteforce(spark, sf_dir):
+    from nibbler_spark.queries import load_all
+
+    docs = _docs(spark, sf_dir)
+    tok = [(did % 16, t) for did, _, _, _, tk, _ in docs for t in tk]
+    vocab = len({t for _, t in tok})
+    ho = Counter(t for m, t in tok if m >= 12)
+    htok = sum(ho.values())
+    rows = {
+        r["k"]: r
+        for r in load_all()["ext_lm_scaling_curve"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    prev = None
+    for k in (1, 2, 4, 8):
+        tc = Counter(t for m, t in tok if m < k)
+        tt = sum(tc.values())
+        nll = sum(
+            hc * math.floor(math.log((tt + vocab) / (tc.get(t, 0) + 1))
+                            * 1e9)
+            for t, hc in ho.items()
+        )
+        r = rows[k]
+        assert r["train_tokens"] == tt
+        assert r["heldout_tokens"] == htok
+        assert r["nll_nano"] == nll
+        assert r["nll_per_tok_nano"] == nll // htok
+        assert r["scaling_slope"] < 0
+        if prev is not None:
+            assert r["nll_per_tok_nano"] < prev
+        prev = r["nll_per_tok_nano"]

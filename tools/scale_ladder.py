@@ -138,6 +138,11 @@ FLAGSHIPS = [
     # segments x actions cells).
     "ext_lsh_parameter_sweep",
     "ext_offpolicy_ips_eval",
+    # r8 wave 3: successive halving is one per-arm window rank +
+    # four prefix-bounded aggregates; the scaling curve is one
+    # combinable token-count shuffle + a vocab-keyed join.
+    "ext_successive_halving",
+    "ext_lm_scaling_curve",
 ]
 GATE_RATIO = 12.0  # 10x data -> <= 12x wall (near-linear)
 # candidate-bound gate: wall time may grow at most this much faster than
@@ -155,7 +160,10 @@ RUNG_FACTOR = 10.0  # sf0.1 -> sf1 corpus growth
 # Boolean OUTPUT columns that are data, not bounded-mode assertions
 # (the ladder's all-True check would read a legitimate False coin as a
 # failed bound).
-BOOL_DATA_COLS = {"ext_fim_transform": {"fim"}}
+BOOL_DATA_COLS = {
+    "ext_fim_transform": {"fim"},
+    "ext_successive_halving": {"survived"},
+}
 
 
 def _k04_candidate_pairs(spark, sf_dir: str) -> int:
