@@ -1069,3 +1069,311 @@ def ext_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_NSW_KNN = 4  # within-cell neighbors per node
+
+
+def nsw_assignment(spark: SparkSession, sf_dir: str):
+    """The NSW graph's cell assignment, shared with the scale ladder's
+    candidate measurer: ceil(sqrt(n)) hash-seeded cells (count-derived,
+    the margin-mining recipe), row-local rank-1/rank-2 assignment
+    against the 1-row collected seed array. Returns (assigned_df with
+    (vec_id, emb, cell, cell2), n, probe_modulus)."""
+    import math
+
+    from nibbler_spark.queries.llm_vectors import cosine
+
+    def cg(a, b):
+        return F.floor(cosine(a, b) * 1e9).cast("bigint")
+
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.count()
+    r = math.isqrt(max(n, 1))
+    ncells = r if r * r == max(n, 1) else r + 1
+    md = max(1, n // 16)
+    seeds = (
+        e.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(ncells)
+        .select(
+            F.col("vec_id").alias("cell"), F.col("embedding").alias("se")
+        )
+    )
+    seed_row = F.broadcast(
+        seeds.agg(F.collect_list(F.struct("cell", "se")).alias("seeds"))
+    )
+    ranked_cells = F.array_sort(
+        F.transform(
+            F.col("seeds"),
+            lambda s: F.struct(
+                (-cg(F.col("embedding"), s["se"])).alias("ncg"),
+                s["cell"].alias("cell"),
+            ),
+        )
+    )
+    assigned = (
+        e.crossJoin(seed_row)
+        .select(
+            "vec_id",
+            F.col("embedding").alias("emb"),
+            ranked_cells[0]["cell"].alias("cell"),
+            ranked_cells[1]["cell"].alias("cell2"),
+        )
+        .localCheckpoint()
+    )
+    return assigned, n, md
+_NSW_HOPS = 3
+
+
+def _nsw_oracle() -> str:
+    """Code-generated oracle: seeds/assignment/graph CTEs, then the
+    greedy walk unrolled hop-by-hop, then the exact-top-10 quality
+    join."""
+    from nibbler_spark.queries.llm_vectors import sql_cosine
+
+    def cg(a: str, b: str) -> str:
+        return f"CAST(FLOOR({sql_cosine(a, b)} * 1e9) AS BIGINT)"
+
+    parts = [
+        f"""n AS (SELECT COUNT(*) AS c FROM embeddings),
+md AS (SELECT GREATEST(1, c // 16) AS m FROM n),
+cells AS (SELECT CAST(CEIL(SQRT(c)) AS BIGINT) AS k FROM n),
+seeds AS (
+  SELECT cell, se, srk FROM (
+    SELECT vec_id AS cell, embedding AS se,
+           ROW_NUMBER() OVER (
+             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS srk
+    FROM embeddings
+  ) s, cells WHERE s.srk <= cells.k
+),
+assigned AS (
+  SELECT vec_id, emb,
+         MAX(CASE WHEN rk = 1 THEN cell END) AS cell,
+         MAX(CASE WHEN rk = 2 THEN cell END) AS cell2
+  FROM (
+    SELECT e.vec_id, e.embedding AS emb, s.cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {cg('e.embedding', 's.se')} DESC, s.cell) AS rk
+    FROM embeddings e CROSS JOIN seeds s
+  ) WHERE rk <= 2 GROUP BY vec_id, emb
+),
+knn AS (
+  SELECT src, dst FROM (
+    SELECT a.vec_id AS src, b.vec_id AS dst,
+           ROW_NUMBER() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY {cg('a.emb', 'b.emb')} DESC, b.vec_id) AS rk
+    FROM assigned a JOIN assigned b
+      ON a.cell = b.cell AND a.vec_id <> b.vec_id
+  ) WHERE rk <= {_NSW_KNN}
+),
+edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM knn
+    UNION ALL
+    SELECT vec_id AS src, cell2 AS dst FROM assigned
+    WHERE cell2 IS NOT NULL AND cell2 <> vec_id
+  )
+),
+entry AS (SELECT cell AS node FROM seeds WHERE srk = 1),
+q AS (
+  SELECT a.vec_id AS qid, a.emb AS qe, entry.node AS cur
+  FROM assigned a CROSS JOIN md CROSS JOIN entry
+  WHERE a.vec_id % md.m = 0
+)"""
+    ]
+    prev = "q"
+    for h in range(1, _NSW_HOPS + 1):
+        parts.append(
+            f"""cand{h} AS (
+  SELECT qid, qe, cand FROM (
+    SELECT p.qid, p.qe, e.dst AS cand FROM {prev} p
+    JOIN edges e ON e.src = p.cur
+    UNION ALL
+    SELECT qid, qe, cur AS cand FROM {prev}
+  ) WHERE cand <> qid
+),
+hop{h} AS (
+  SELECT qid, qe, cand AS cur FROM (
+    SELECT c.qid, c.qe, c.cand,
+           ROW_NUMBER() OVER (
+             PARTITION BY c.qid
+             ORDER BY {cg('c.qe', 'a.emb')} DESC, c.cand) AS rk
+    FROM cand{h} c JOIN assigned a ON a.vec_id = c.cand
+  ) WHERE rk = 1
+)"""
+        )
+        prev = f"hop{h}"
+    parts.append(
+        f"""final AS (
+  SELECT h.qid, h.cur AS found,
+         {cg('h.qe', 'a.emb')} AS found_cg
+  FROM {prev} h JOIN assigned a ON a.vec_id = h.cur
+),
+exact AS (
+  SELECT qid, vec_id, cg, rk FROM (
+    SELECT qq.qid, e.vec_id, {cg('qq.qe', 'e.emb')} AS cg,
+           ROW_NUMBER() OVER (
+             PARTITION BY qq.qid
+             ORDER BY {cg('qq.qe', 'e.emb')} DESC, e.vec_id) AS rk
+    FROM (SELECT qid, qe FROM q) qq
+    JOIN assigned e ON e.vec_id <> qq.qid
+  ) WHERE rk <= 10
+)
+SELECT f.qid, f.found, f.found_cg,
+       MAX(ex.cg) AS best_cg,
+       CAST(MAX(ex.cg) - f.found_cg AS BIGINT) AS regret_nano,
+       BOOL_OR(ex.vec_id = f.found) AS found_in_top10
+FROM final f JOIN exact ex ON ex.qid = f.qid
+GROUP BY f.qid, f.found, f.found_cg
+ORDER BY f.qid"""
+    )
+    return "WITH " + ",\n".join(parts)
+
+
+@register(
+    "ext_nsw_greedy_search",
+    survey_id="EXT-NSW",
+    category="retrieval",
+    oracle=_nsw_oracle(),
+)
+def ext_nsw_greedy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRAPH-BASED ANN (navigable-small-world layer-0, the greedy-walk
+    core of HNSW) — the retrieval family the repo's quantizer ladder
+    (SQ8/PQ/RQ/BQ) and IVF funnels don't cover: build a bounded
+    neighbor graph (top-{k} exact gridded-cosine neighbors WITHIN each
+    of ceil(sqrt(n)) hash-seeded IVF cells, plus one long-range edge to
+    each node's second-closest seed for inter-cell navigability), then
+    answer each probe query by a {h}-hop GREEDY WALK from a global
+    entry point, moving to whichever neighbor-or-self best matches the
+    query. Output per probe: the landed node, its similarity, the
+    exact best attainable, the regret, and whether the walk landed in
+    the exact top-10.
+
+    Exactness: every comparison is the house 1e-9 gridded cosine with
+    node-id tie-breaks; the walk is deterministic, so the oracle
+    replays graph construction AND the three unrolled hops CTE-for-
+    hop. Self-matches are excluded from both the walk and the truth
+    (the query vectors are corpus members).
+
+    Scale shape: graph build is the margin-mining candidate bound —
+    within-cell pairs total ~n^1.5 with count-derived cells (never a
+    fixed cell count); the walk costs hops x queries x degree rows;
+    the exact side is the bounded-probe linear scan recall evals pay
+    by definition. State between hops is one row per query."""
+    e = load_table(spark, sf_dir, "embeddings")
+    assigned, n, md = nsw_assignment(spark, sf_dir)
+
+    from nibbler_spark.queries.llm_vectors import cosine
+
+    def cg(a, b):
+        return F.floor(cosine(a, b) * 1e9).cast("bigint")
+    w_knn = Window.partitionBy("src").orderBy(
+        F.col("s").desc(), "dst"
+    )
+    knn = (
+        assigned.alias("a")
+        .join(
+            assigned.alias("b"),
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("src"),
+            F.col("b.vec_id").alias("dst"),
+            cg(F.col("a.emb"), F.col("b.emb")).alias("s"),
+        )
+        .withColumn("rk", F.row_number().over(w_knn))
+        .where(F.col("rk") <= _NSW_KNN)
+        .select("src", "dst")
+    )
+    longe = assigned.where(
+        F.col("cell2").isNotNull() & (F.col("cell2") != F.col("vec_id"))
+    ).select(F.col("vec_id").alias("src"), F.col("cell2").alias("dst"))
+    edges = knn.unionByName(longe).distinct().localCheckpoint()
+    entry = (
+        e.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(1)
+        .select(F.col("vec_id").alias("cur"))
+    )
+    state = (
+        e.where(F.col("vec_id") % md == 0)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
+        .crossJoin(F.broadcast(entry))
+    )
+    embs = assigned.select(
+        F.col("vec_id").alias("cand_id"), F.col("emb").alias("cand_emb")
+    )
+    for _ in range(_NSW_HOPS):
+        cands = (
+            state.join(edges, state["cur"] == edges["src"])
+            .select("qid", "qe", F.col("dst").alias("cand"))
+            .unionByName(
+                state.select("qid", "qe", F.col("cur").alias("cand"))
+            )
+            .where(F.col("cand") != F.col("qid"))
+        )
+        state = (
+            cands.join(embs, cands["cand"] == embs["cand_id"])
+            .select(
+                "qid",
+                "qe",
+                "cand",
+                cg(F.col("qe"), F.col("cand_emb")).alias("s"),
+            )
+            .groupBy("qid")
+            .agg(
+                F.max_by(
+                    F.struct("qe", "cand"),
+                    F.struct(F.col("s"), (-F.col("cand")).alias("nc")),
+                ).alias("m")
+            )
+            .select(
+                "qid", F.col("m.qe").alias("qe"), F.col("m.cand").alias("cur")
+            )
+            .localCheckpoint()
+        )
+    final = state.join(embs, state["cur"] == embs["cand_id"]).select(
+        "qid",
+        F.col("cur").alias("found"),
+        cg(F.col("qe"), F.col("cand_emb")).alias("found_cg"),
+        "qe",
+    )
+    w_ex = Window.partitionBy("qid").orderBy(F.col("cg").desc(), "vec_id")
+    exact = (
+        embs.crossJoin(F.broadcast(state.select("qid", "qe")))
+        .where(F.col("cand_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("cand_id").alias("vec_id"),
+            cg(F.col("qe"), F.col("cand_emb")).alias("cg"),
+        )
+        .withColumn("rk", F.row_number().over(w_ex))
+        .where(F.col("rk") <= 10)
+    )
+    return (
+        final.join(exact.withColumnRenamed("qid", "eqid"),
+                   F.col("eqid") == F.col("qid"))
+        .groupBy("qid", "found", "found_cg")
+        .agg(
+            F.max("cg").alias("best_cg"),
+            (F.max("cg") - F.max("found_cg"))
+            .cast("bigint")
+            .alias("regret_nano"),
+            F.max(
+                F.when(F.col("vec_id") == F.col("found"), True).otherwise(
+                    False
+                )
+            ).alias("found_in_top10"),
+        )
+        .select(
+            "qid",
+            "found",
+            "found_cg",
+            "best_cg",
+            "regret_nano",
+            "found_in_top10",
+        )
+        .orderBy("qid")
+    )

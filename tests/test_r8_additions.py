@@ -526,3 +526,77 @@ def test_lm_scaling_curve_monotone_and_matches_bruteforce(spark, sf_dir):
         if prev is not None:
             assert r["nll_per_tok_nano"] < prev
         prev = r["nll_per_tok_nano"]
+
+
+def test_nsw_greedy_search_matches_bruteforce(spark, sf_dir):
+    from nibbler_spark.queries import load_all
+    from nibbler_spark.queries.retrieval import _NSW_HOPS, _NSW_KNN
+
+    vecs = {
+        r["vec_id"]: list(r["embedding"])
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+
+    def dot(x, y):
+        return sum(math.floor(p * q * 1e10) for p, q in zip(x, y)) / 1e10
+
+    def gcos(a, b):
+        return math.floor(
+            dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))) * 1e9
+        )
+
+    n = len(vecs)
+    ncells = math.isqrt(n)
+    if ncells * ncells != n:
+        ncells += 1
+    md = max(1, n // 16)
+    seed_order = sorted(
+        vecs, key=lambda v: (hashlib.md5(str(v).encode()).hexdigest(), v)
+    )
+    seeds = seed_order[:ncells]
+    entry = seed_order[0]
+    assign = {}
+    for vid, v in vecs.items():
+        ranked = sorted((-gcos(v, vecs[s]), s) for s in seeds)
+        assign[vid] = (ranked[0][1], ranked[1][1] if len(ranked) > 1
+                       else None)
+    members = defaultdict(list)
+    for vid, (c, _) in assign.items():
+        members[c].append(vid)
+    edges = defaultdict(set)
+    for vid in vecs:
+        cell, cell2 = assign[vid]
+        peers = sorted(
+            (-gcos(vecs[vid], vecs[w]), w)
+            for w in members[cell]
+            if w != vid
+        )[:_NSW_KNN]
+        edges[vid].update(w for _, w in peers)
+        if cell2 is not None and cell2 != vid:
+            edges[vid].add(cell2)
+    expect = {}
+    for qid in sorted(v for v in vecs if v % md == 0):
+        cur = entry
+        for _ in range(_NSW_HOPS):
+            cands = ({cur} | edges[cur]) - {qid}
+            cur = min((-gcos(vecs[qid], vecs[c]), c) for c in cands)[1]
+        exact = sorted(
+            (-gcos(vecs[qid], vecs[w]), w) for w in vecs if w != qid
+        )[:10]
+        best = -exact[0][0]
+        expect[qid] = (
+            cur,
+            gcos(vecs[qid], vecs[cur]),
+            best,
+            best - gcos(vecs[qid], vecs[cur]),
+            cur in {w for _, w in exact},
+        )
+    rows = load_all()["ext_nsw_greedy_search"].spark(spark, sf_dir).collect()
+    got = {
+        r["qid"]: (
+            r["found"], r["found_cg"], r["best_cg"],
+            r["regret_nano"], r["found_in_top10"],
+        )
+        for r in rows
+    }
+    assert got == expect

@@ -143,6 +143,8 @@ FLAGSHIPS = [
     # combinable token-count shuffle + a vocab-keyed join.
     "ext_successive_halving",
     "ext_lm_scaling_curve",
+    # r8 wave 4: graph-ANN — candidate-bound (see CANDIDATE_BOUND).
+    "ext_nsw_greedy_search",
 ]
 GATE_RATIO = 12.0  # 10x data -> <= 12x wall (near-linear)
 # candidate-bound gate: wall time may grow at most this much faster than
@@ -163,6 +165,7 @@ RUNG_FACTOR = 10.0  # sf0.1 -> sf1 corpus growth
 BOOL_DATA_COLS = {
     "ext_fim_transform": {"fim"},
     "ext_successive_halving": {"survived"},
+    "ext_nsw_greedy_search": {"found_in_top10"},
 }
 
 
@@ -290,6 +293,24 @@ def _ann_coarse_pairs(spark, sf_dir: str) -> float:
     return total / max(n_queries, 1)
 
 
+def _nsw_graph_pairs(spark, sf_dir: str) -> int:
+    """Candidate volume of the NSW graph build: the within-cell kNN
+    self-join's input pair count, sum over cells of n_c * (n_c - 1)
+    — ~n^1.5 with the count-derived ceil(sqrt(n)) cell count."""
+    from pyspark.sql import functions as F
+
+    from nibbler_spark.queries.retrieval import nsw_assignment
+
+    assigned, _, _ = nsw_assignment(spark, sf_dir)
+    row = (
+        assigned.groupBy("cell")
+        .count()
+        .agg(F.sum(F.col("count") * (F.col("count") - 1)).alias("p"))
+        .collect()[0]
+    )
+    return int(row["p"] or 0)
+
+
 def _margin_candidates(spark, sf_dir: str) -> int:
     """Candidate volume of the margin-mining IVF funnel: the cell
     equi-join's output rows (nprobe=2 of ceil(sqrt(|B|)) hash-seeded
@@ -325,6 +346,14 @@ CANDIDATE_BOUND = {
     "ext_margin_pair_mining": (
         "ext_margin_pair_mining",
         _margin_candidates,
+        "pairs",
+    ),
+    # r8 wave 4: the NSW graph build is within-cell all-pairs over
+    # count-derived sqrt(n) cells — n^1.5 by construction, gated by
+    # GATE_CAND_EXP like margin mining.
+    "ext_nsw_greedy_search": (
+        "ext_nsw_greedy_search",
+        _nsw_graph_pairs,
         "pairs",
     ),
 }
