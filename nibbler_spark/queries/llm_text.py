@@ -5300,3 +5300,216 @@ def ext_lm_scaling_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+@register(
+    "ext_tail_index_hill",
+    survey_id="EXT-HILL",
+    category="llm-text",
+    oracle="""
+WITH tf AS (
+  SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT lang, UNNEST(string_split(text, ' ')) AS t
+        FROM documents) x(lang, token)
+  GROUP BY lang, token
+),
+v AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS vocab FROM tf
+      GROUP BY lang),
+kk AS (SELECT lang, vocab, LEAST(20, vocab // 2) AS k FROM v),
+rk AS (
+  SELECT tf.lang, tf.c,
+         ROW_NUMBER() OVER (PARTITION BY tf.lang
+                            ORDER BY tf.c DESC, tf.token) AS r
+  FROM tf
+),
+ck1 AS (
+  SELECT rk.lang, rk.c AS c_k1 FROM rk JOIN kk ON kk.lang = rk.lang
+  WHERE rk.r = kk.k + 1
+),
+hsum AS (
+  SELECT rk.lang,
+         CAST(SUM(CAST(FLOOR(LN(CAST(rk.c AS DOUBLE)
+                                / CAST(ck1.c_k1 AS DOUBLE))
+                             * 1000000000e0) AS BIGINT)) AS BIGINT)
+           AS num_nano
+  FROM rk JOIN kk ON kk.lang = rk.lang
+          JOIN ck1 ON ck1.lang = rk.lang
+  WHERE rk.r <= kk.k
+  GROUP BY rk.lang
+)
+SELECT kk.lang, kk.vocab, CAST(kk.k AS BIGINT) AS k, ck1.c_k1,
+       CAST(hsum.num_nano // kk.k AS BIGINT) AS hill_nano,
+       CAST(1000000000000000 // GREATEST(hsum.num_nano // kk.k, 1)
+            AS BIGINT) AS alpha_micro
+FROM kk JOIN ck1 ON ck1.lang = kk.lang
+        JOIN hsum ON hsum.lang = kk.lang
+ORDER BY kk.lang
+""",
+)
+def ext_tail_index_hill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HILL TAIL-INDEX ESTIMATOR (Hill 1975) of each language's token
+    frequency distribution — the heavy-tail exponent alpha that tells
+    a curation team whether a slice's vocabulary is Zipf-natural
+    (alpha near 1) or boilerplate-flattened / template-spiked: over
+    the k = min(20, vocab/2) largest frequencies, H = (1/k) sum
+    ln(c_i / c_(k+1)) and alpha = 1/H. Complements
+    ext_corpus_statistics' full-spectrum Zipf OLS with the
+    order-statistics view of just the tail.
+
+    Exactness: frequencies are exact counts; each ln of the exact
+    count ratio is floored to the 1e-9 lattice and summed as BIGINT;
+    H and alpha are integer floor-divisions. The top-(k+1) ranking
+    ties on token, and k is count-derived so the query stays total on
+    tiny-vocab fixtures.
+
+    Scale shape: one map-side-combinable token count, a per-lang
+    top-21 (vocab-scale TakeOrdered per language), O(langs) rows out."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("lang", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    v = tf.groupBy("lang").agg(F.count("*").cast("bigint").alias("vocab"))
+    kk = v.select(
+        "lang",
+        "vocab",
+        F.least(F.lit(20), F.expr("vocab DIV 2")).alias("k"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("c").desc(), "token")
+    rk = tf.withColumn("r", F.row_number().over(w)).join(
+        F.broadcast(kk), "lang"
+    )
+    ck1 = rk.where(F.col("r") == F.col("k") + 1).select(
+        "lang", F.col("c").alias("c_k1")
+    )
+    hsum = (
+        rk.where(F.col("r") <= F.col("k"))
+        .join(F.broadcast(ck1), "lang")
+        .select(
+            "lang",
+            F.floor(
+                F.log(
+                    F.col("c").cast("double") / F.col("c_k1").cast("double")
+                )
+                * F.lit(1e9)
+            )
+            .cast("bigint")
+            .alias("t"),
+        )
+        .groupBy("lang")
+        .agg(F.sum("t").cast("bigint").alias("num_nano"))
+    )
+    return (
+        kk.join(ck1, "lang")
+        .join(hsum, "lang")
+        .select(
+            "lang",
+            "vocab",
+            F.col("k").cast("bigint").alias("k"),
+            "c_k1",
+            F.expr("CAST(num_nano DIV k AS BIGINT)").alias("hill_nano"),
+            F.expr(
+                "CAST(1000000000000000 DIV"
+                " GREATEST(num_nano DIV k, 1) AS BIGINT)"
+            ).alias("alpha_micro"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "ext_truncation_loss_accounting",
+    survey_id="EXT-TRUNCATION",
+    category="llm-text",
+    oracle="""
+WITH t AS (
+  SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+  FROM documents
+),
+tot AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS lang_tokens FROM t
+        GROUP BY lang),
+ctx AS (SELECT UNNEST([32, 64, 128]) AS ctx),
+acc AS (
+  SELECT ctx.ctx, t.lang,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN t.n > ctx.ctx THEN 1 ELSE 0 END) AS BIGINT)
+           AS docs_over,
+         CAST(SUM(GREATEST(t.n - ctx.ctx, 0)) AS BIGINT) AS tokens_lost,
+         CAST(SUM((t.n + ctx.ctx - 1) // ctx.ctx) AS BIGINT)
+           AS splits_needed
+  FROM t CROSS JOIN ctx GROUP BY ctx.ctx, t.lang
+)
+SELECT acc.ctx, acc.lang, acc.n_docs, acc.docs_over, acc.tokens_lost,
+       acc.splits_needed, tot.lang_tokens,
+       CAST(acc.tokens_lost * 1000000 // tot.lang_tokens AS BIGINT)
+         AS loss_micro
+FROM acc JOIN tot ON tot.lang = acc.lang
+ORDER BY acc.ctx, acc.lang
+""",
+)
+def ext_truncation_loss_accounting(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CONTEXT-WINDOW TRUNCATION accounting — the table a pipeline
+    reads before fixing its sequence length: for each candidate
+    context size (32/64/128 tokens, spanning this corpus's length
+    distribution) and language, how many documents overflow, how many
+    tokens head-only truncation would discard (and its share of the
+    language's tokens), and how many chunks a split-instead policy
+    would produce (ceil(n/ctx), the ext_sequence_packing feed). The
+    head-truncate-vs-split tradeoff read off one exact table.
+
+    Exactness: pure integer counts, max(n - ctx, 0) sums, ceil via
+    (n + ctx - 1) DIV ctx, and the loss share as exact micro
+    floor-division.
+
+    Scale shape: one corpus scan into a 3 x langs cell table (the ctx
+    explode triples per-doc rows BEFORE the combinable aggregate —
+    constant fan-out, map-side combined)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "lang", F.size(F.split("text", " ")).cast("bigint").alias("n")
+    )
+    tot = d.groupBy("lang").agg(
+        F.sum("n").cast("bigint").alias("lang_tokens")
+    )
+    acc = (
+        d.select(
+            "lang",
+            "n",
+            F.explode(F.array(F.lit(32), F.lit(64), F.lit(128))).alias(
+                "ctx"
+            ),
+        )
+        .groupBy("ctx", "lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("n") > F.col("ctx"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("docs_over"),
+            F.sum(F.greatest(F.col("n") - F.col("ctx"), F.lit(0)))
+            .cast("bigint")
+            .alias("tokens_lost"),
+            F.sum(F.expr("(n + ctx - 1) DIV ctx"))
+            .cast("bigint")
+            .alias("splits_needed"),
+        )
+    )
+    return (
+        acc.join(F.broadcast(tot), "lang")
+        .select(
+            "ctx",
+            "lang",
+            "n_docs",
+            "docs_over",
+            "tokens_lost",
+            "splits_needed",
+            "lang_tokens",
+            F.expr(
+                "CAST(tokens_lost * 1000000 DIV lang_tokens AS BIGINT)"
+            ).alias("loss_micro"),
+        )
+        .orderBy("ctx", "lang")
+    )

@@ -4173,3 +4173,151 @@ def ext_token_budget_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "ext_ul2_denoiser_mix",
+    survey_id="EXT-UL2",
+    category="llm-training-prep",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n,
+         CAST(('0x' || substr(md5('ul2:' || doc_id), 1, 8)) AS BIGINT) % 3
+           AS dcoin
+  FROM documents
+),
+d AS (
+  SELECT doc_id, toks, n,
+         CASE dcoin WHEN 0 THEN 'R' WHEN 1 THEN 'X' ELSE 'S' END
+           AS denoiser,
+         CASE dcoin WHEN 0 THEN 3 WHEN 1 THEN 8 ELSE 0 END AS blk,
+         CASE dcoin WHEN 0 THEN 15 WHEN 1 THEN 50 ELSE 0 END AS rate
+  FROM t
+),
+m AS (
+  SELECT doc_id, denoiser, n,
+         CASE WHEN denoiser = 'S'
+              THEN list_transform(generate_series(1, n),
+                                  i -> CASE WHEN i > n // 2 THEN 1
+                                            ELSE 0 END)
+              ELSE list_transform(generate_series(1, n),
+                i -> CASE WHEN
+                  CAST(('0x' || substr(md5(
+                    'blk:' || doc_id || ':' ||
+                    CAST((i - 1) // blk AS VARCHAR)), 1, 8)) AS BIGINT)
+                  % 100 < rate THEN 1 ELSE 0 END)
+         END AS mask,
+         CASE WHEN denoiser = 'S' THEN 1 ELSE blk END AS blk1
+  FROM d
+),
+acc AS (
+  SELECT doc_id, denoiser, n,
+         CAST(list_sum(mask) AS BIGINT) AS masked,
+         CAST(len(list_filter(generate_series(1, n),
+              i -> mask[i] = 1 AND (i = 1 OR mask[i - 1] = 0)))
+           AS BIGINT) AS islands,
+         md5(array_to_string(list_transform(mask,
+             x -> CAST(x AS VARCHAR)), '')) AS mask_sig
+  FROM m
+)
+SELECT doc_id, denoiser, CAST(n AS BIGINT) AS n_tokens, masked, islands,
+       CAST(masked * 1000000 // GREATEST(n, 1) AS BIGINT)
+         AS masked_ratio_micro,
+       CAST(islands * 1000000 // GREATEST(n, 1) AS BIGINT)
+         AS sentinel_density_micro,
+       mask_sig
+FROM acc ORDER BY doc_id
+""",
+)
+def ext_ul2_denoiser_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UL2 MIXTURE-OF-DENOISERS preparation (Tay et al. 2022 — the
+    R/X/S objective mix behind UL2/PaLM-2 pretraining): each document
+    draws a denoiser by an md5 coin — R (regular: 3-token spans at
+    ~15% rate), X (extreme: 8-token spans at ~50% rate), or S
+    (sequential: mask the suffix half) — and the masked-span
+    statistics a batch builder needs (masked count, sentinel islands,
+    densities) are computed exactly, with the full boolean mask
+    fingerprinted so the oracle pins the exact positions, not just
+    the counts.
+
+    Determinism: R/X spans are BLOCK-ALIGNED — position i masks iff
+    md5('blk:'||doc||':'||(i-1) DIV blk) mod 100 < rate — so spans
+    never partially overlap and no sequential merge state is needed
+    (the ext_span_corruption_prep lesson, taken one step further);
+    islands count mask starts (mask[i]=1 and mask[i-1]=0), row-local.
+
+    Scale shape: embarrassingly row-local — one projection over the
+    corpus, no shuffle but the output ORDER BY."""
+    mask = F.expr(
+        """
+        CASE WHEN dcoin = 2
+          THEN transform(sequence(1, n),
+                         i -> IF(i > n DIV 2, 1, 0))
+          ELSE transform(sequence(1, n),
+            i -> IF(CAST(conv(substr(md5(concat(
+                   'blk:', doc_id, ':',
+                   CAST((i - 1) DIV blk AS STRING))), 1, 8), 16, 10)
+                 AS BIGINT) % 100 < rate, 1, 0))
+        END
+        """
+    )
+    base = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n"),
+        F.expr(
+            "CAST(conv(substr(md5(concat('ul2:', doc_id)), 1, 8),"
+            " 16, 10) AS BIGINT) % 3"
+        ).alias("dcoin"),
+    ).select(
+        "doc_id",
+        "n",
+        "dcoin",
+        F.when(F.col("dcoin") == 0, "R")
+        .when(F.col("dcoin") == 1, "X")
+        .otherwise("S")
+        .alias("denoiser"),
+        F.when(F.col("dcoin") == 0, 3)
+        .when(F.col("dcoin") == 1, 8)
+        .otherwise(1)
+        .alias("blk"),
+        F.when(F.col("dcoin") == 0, 15)
+        .when(F.col("dcoin") == 1, 50)
+        .otherwise(0)
+        .alias("rate"),
+    )
+    m = base.select("doc_id", "denoiser", "n", mask.alias("mask"))
+    islands = F.size(
+        F.filter(
+            F.sequence(F.lit(1), F.col("n")),
+            lambda i: (F.element_at("mask", i) == 1)
+            & (
+                (i == 1)
+                | (F.element_at("mask", (i - 1).cast("int")) == 0)
+            ),
+        )
+    )
+    return m.select(
+        "doc_id",
+        "denoiser",
+        F.col("n").cast("bigint").alias("n_tokens"),
+        F.aggregate(
+            "mask", F.lit(0).cast("bigint"), lambda a, x: a + x
+        ).alias("masked"),
+        islands.cast("bigint").alias("islands"),
+        F.expr(
+            "CAST(aggregate(mask, CAST(0 AS BIGINT), (a, x) -> a + x)"
+            " * 1000000 DIV GREATEST(n, 1) AS BIGINT)"
+        ).alias("masked_ratio_micro"),
+        F.expr(
+            "CAST(size(filter(sequence(1, n),"
+            " i -> element_at(mask, i) = 1 AND (i = 1 OR"
+            " element_at(mask, CAST(i - 1 AS INT)) = 0)))"
+            " * 1000000 DIV GREATEST(n, 1) AS BIGINT)"
+        ).alias("sentinel_density_micro"),
+        F.md5(
+            F.array_join(
+                F.transform("mask", lambda x: x.cast("string")), ""
+            )
+        ).alias("mask_sig"),
+    ).orderBy("doc_id")

@@ -600,3 +600,93 @@ def test_nsw_greedy_search_matches_bruteforce(spark, sf_dir):
         for r in rows
     }
     assert got == expect
+
+
+def test_ul2_denoiser_mix_matches_bruteforce(spark, sf_dir):
+    from nibbler_spark.queries import load_all
+
+    docs = {d[0]: d[4] for d in _docs(spark, sf_dir)}
+    rows = load_all()["ext_ul2_denoiser_mix"].spark(spark, sf_dir).collect()
+    assert len(rows) == len(docs)
+    seen = Counter()
+    for r in rows:
+        n = len(docs[r["doc_id"]])
+        coin = _h32(f"ul2:{r['doc_id']}") % 3
+        den = "RXS"[coin]
+        assert r["denoiser"] == den
+        seen[den] += 1
+        if den == "S":
+            mask = [1 if i > n // 2 else 0 for i in range(1, n + 1)]
+        else:
+            blk, rate = (3, 15) if den == "R" else (8, 50)
+            mask = [
+                1
+                if _h32(f"blk:{r['doc_id']}:{(i - 1) // blk}") % 100 < rate
+                else 0
+                for i in range(1, n + 1)
+            ]
+        masked = sum(mask)
+        islands = sum(
+            1
+            for i in range(n)
+            if mask[i] == 1 and (i == 0 or mask[i - 1] == 0)
+        )
+        assert r["n_tokens"] == n
+        assert r["masked"] == masked
+        assert r["islands"] == islands
+        assert r["masked_ratio_micro"] == masked * 10**6 // max(n, 1)
+        assert r["sentinel_density_micro"] == islands * 10**6 // max(n, 1)
+        assert r["mask_sig"] == hashlib.md5(
+            "".join(map(str, mask)).encode()
+        ).hexdigest()
+    assert set(seen) == {"R", "X", "S"}  # the mix is a mix
+
+
+def test_tail_index_hill_matches_bruteforce(spark, sf_dir):
+    from nibbler_spark.queries import load_all
+
+    docs = _docs(spark, sf_dir)
+    tf = defaultdict(Counter)
+    for _, lang, _, _, tk, _ in docs:
+        tf[lang].update(tk)
+    rows = {r["lang"]: r for r in load_all()["ext_tail_index_hill"]
+            .spark(spark, sf_dir).collect()}
+    assert sorted(rows) == sorted(tf)
+    for lang, cnt in tf.items():
+        vocab = len(cnt)
+        k = min(20, vocab // 2)
+        ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        c_k1 = ranked[k][1]
+        num = sum(
+            math.floor(math.log(c / c_k1) * 1e9) for _, c in ranked[:k]
+        )
+        r = rows[lang]
+        assert (r["vocab"], r["k"], r["c_k1"]) == (vocab, k, c_k1)
+        assert r["hill_nano"] == num // k
+        assert r["alpha_micro"] == 10**15 // max(num // k, 1)
+
+
+def test_truncation_loss_matches_bruteforce(spark, sf_dir):
+    from nibbler_spark.queries import load_all
+
+    docs = _docs(spark, sf_dir)
+    rows = load_all()["ext_truncation_loss_accounting"].spark(
+        spark, sf_dir
+    ).collect()
+    langs = {d[1] for d in docs}
+    assert len(rows) == 3 * len(langs)
+    for ctx in (32, 64, 128):
+        for lang in langs:
+            ns = [len(tk) for _, lg, _, _, tk, _ in docs if lg == lang]
+            r = next(
+                x for x in rows if x["ctx"] == ctx and x["lang"] == lang
+            )
+            assert r["n_docs"] == len(ns)
+            assert r["docs_over"] == sum(1 for n in ns if n > ctx)
+            lost = sum(max(n - ctx, 0) for n in ns)
+            assert r["tokens_lost"] == lost
+            assert r["splits_needed"] == sum(
+                (n + ctx - 1) // ctx for n in ns
+            )
+            assert r["lang_tokens"] == sum(ns)
+            assert r["loss_micro"] == lost * 10**6 // sum(ns)

@@ -73,6 +73,14 @@ EXPECTED_SUPERLINEAR = {
     "ext_simhash_banded_pairs",
     "ext_dbscan_grid",
     "ext_dbscan_adaptive_eps",
+    # Candidate-bound by construction (BENCH_SF1 classifies + gates
+    # it): the NSW graph build's within-cell pair exchange is ~n^1.5
+    # — measured at THESE audit rungs: pairs 21,922 -> 181,144 = exp
+    # 1.52 (max cell 71 vs avg 56 at n8000, balanced).  The BYTE
+    # exponent reads higher (2.26) because the small rung's pair
+    # exchange sits at the compression/per-stage-overhead floor; the
+    # pair COUNT is the honest unit and is ladder-gated at 1.50.
+    "ext_nsw_greedy_search",
 }
 
 

@@ -145,6 +145,11 @@ FLAGSHIPS = [
     "ext_lm_scaling_curve",
     # r8 wave 4: graph-ANN — candidate-bound (see CANDIDATE_BOUND).
     "ext_nsw_greedy_search",
+    # r8 wave 5: UL2 masks are row-local; Hill is one token count +
+    # per-lang top-21; truncation is one combinable 3x-langs aggregate.
+    "ext_ul2_denoiser_mix",
+    "ext_tail_index_hill",
+    "ext_truncation_loss_accounting",
 ]
 GATE_RATIO = 12.0  # 10x data -> <= 12x wall (near-linear)
 # candidate-bound gate: wall time may grow at most this much faster than
