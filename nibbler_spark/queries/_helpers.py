@@ -22,6 +22,21 @@ DEC = "decimal(18,4)"
 DEC_SQL = "DECIMAL(18,4)"
 
 
+def seq1(n: Column) -> Column:
+    """Empty-safe 1..n index sequence (matches SQL generate_series).
+
+    Spark's ``sequence(1, n)`` DESCENDS when n < 1 (``sequence(1, 0)``
+    is ``[1, 0]``; ``sequence(1, -1)`` is ``[1, 0, -1]``), so shingle
+    transforms over short documents walk ``element_at`` past the array
+    end — confirmed ArrayIndexOutOfBoundsException on sub-window docs —
+    while the DuckDB oracles' ``generate_series(1, n)`` is simply empty.
+    This helper pins the oracle semantics: n < 1 -> ``[]``.
+    """
+    return F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
+
+
 def dec(c: str | Column) -> Column:
     """Exact decimal view of a double column (Spark side)."""
     col = F.col(c) if isinstance(c, str) else c

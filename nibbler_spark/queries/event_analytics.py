@@ -5780,11 +5780,13 @@ def ext_offpolicy_ips_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             # wrap)
             F.expr(
                 "CAST(CAST(sum_cents AS DECIMAL(38,0)) * c_s * 1000000000"
-                " DIV (na * c_sa * total) AS BIGINT)"
+                " DIV (CAST(na AS DECIMAL(38,0)) * c_sa * total)"
+                " AS BIGINT)"
             ).alias("term_nano"),
             F.expr(
                 "CAST(CAST(c_sa AS DECIMAL(38,0)) * c_s * 1000000000"
-                " DIV (na * c_sa * total) AS BIGINT)"
+                " DIV (CAST(na AS DECIMAL(38,0)) * c_sa * total)"
+                " AS BIGINT)"
             ).alias("wterm_nano"),
         )
     )

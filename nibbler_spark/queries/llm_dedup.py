@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from nibbler_spark.queries._helpers import seq1
+
 from nibbler_spark.queries import register
 from nibbler_spark.sources import load_table
 
@@ -108,7 +110,7 @@ def k03_token_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.select(
         "doc_id",
         F.transform(
-            F.sequence(F.lit(1), F.size("toks") - 2),
+            seq1(F.size("toks") - 2),
             lambda i: F.concat_ws(
                 " ",
                 F.element_at("toks", i),
@@ -325,7 +327,7 @@ def k05_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(
             F.size(toks) >= 3,
             F.transform(
-                F.sequence(F.lit(1), F.size(toks) - 2),
+                seq1(F.size(toks) - 2),
                 lambda i: F.concat_ws(
                     " ",
                     F.element_at(toks, i),
@@ -452,7 +454,7 @@ def pmh_shingles(text) -> "F.Column":
         F.when(
             F.size(toks) >= 3,
             F.transform(
-                F.sequence(F.lit(1), F.size(toks) - 2),
+                seq1(F.size(toks) - 2),
                 lambda i: F.concat_ws(
                     " ",
                     F.element_at(toks, i),
@@ -528,7 +530,7 @@ def ext_minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(
             F.size(toks) >= 3,
             F.transform(
-                F.sequence(F.lit(1), F.size(toks) - 2),
+                seq1(F.size(toks) - 2),
                 lambda i: F.concat_ws(
                     " ",
                     F.element_at(toks, i),
@@ -1884,7 +1886,7 @@ def ext_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.array_distinct(
                 F.transform(
-                    F.sequence(F.lit(1), F.size("toks") - 4),
+                    seq1(F.size("toks") - 4),
                     lambda i: F.xxhash64(
                         F.concat_ws(
                             " ",
@@ -2021,7 +2023,7 @@ def ext_graph_feature_propagation(
         "doc_id",
         F.explode(
             F.transform(
-                F.sequence(F.lit(1), F.size("toks") - 4),
+                seq1(F.size("toks") - 4),
                 lambda i: F.xxhash64(
                     F.concat_ws(
                         " ",
@@ -2245,7 +2247,7 @@ def _dfcap_shingle_digraph(spark, sf_dir):
         "doc_id",
         F.explode(
             F.transform(
-                F.sequence(F.lit(1), F.size("toks") - 4),
+                seq1(F.size("toks") - 4),
                 lambda i: F.xxhash64(
                     F.concat_ws(
                         " ",
@@ -2883,7 +2885,7 @@ def ext_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(
             F.transform(
-                F.sequence(F.lit(1), F.size("toks") - 2),
+                seq1(F.size("toks") - 2),
                 lambda i: F.concat_ws(
                     " ",
                     F.element_at("toks", i),
@@ -3126,7 +3128,7 @@ def ext_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(
             F.transform(
-                F.sequence(F.lit(1), F.size("toks") - 4),
+                seq1(F.size("toks") - 4),
                 lambda i: F.xxhash64(
                     F.concat_ws(
                         " ",
@@ -3395,7 +3397,7 @@ def _louvain_frames(spark, sf_dir):
             "doc_id",
             F.explode(
                 F.transform(
-                    F.sequence(F.lit(1), F.size("toks") - 4),
+                    seq1(F.size("toks") - 4),
                     lambda i: F.xxhash64(
                         F.concat_ws(
                             " ",
@@ -3775,7 +3777,7 @@ def ext_suffix_array_lcp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         def packed_ranks():
             return F.transform(
-                F.sequence(F.lit(1), F.size("ranks")),
+                seq1(F.size("ranks")),
                 lambda i: sum(
                     (
                         # try_element_at: past-end partner -> NULL -> 0
@@ -4214,9 +4216,19 @@ def ext_lsh_parameter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    sig = t.select(
-        "doc_id", F.array(*[mh(s) for s in range(_PMH_SEEDS)]).alias("mhs")
-    ).localCheckpoint()
+    # Docs with an EMPTY shingle set (under 3 tokens) have NULL minhashes;
+    # concat_ws would skip the NULLs and fold every such doc onto md5(''),
+    # equi-joining all short docs into spurious candidates. The oracle's
+    # mins CTE (UNNEST) simply produces no rows for them, so drop them
+    # here before building signatures — they can never be candidates.
+    sig = (
+        t.filter(F.size("ts") > 0)
+        .select(
+            "doc_id",
+            F.array(*[mh(s) for s in range(_PMH_SEEDS)]).alias("mhs"),
+        )
+        .localCheckpoint()
+    )
     truth = exact_jaccard_pairs(t, _LSH_SWEEP_TAU, 1000).localCheckpoint()
     nt = truth.agg(F.count("*").cast("bigint").alias("n_true"))
     theory = _lsh_sweep_theory()

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nibbler_spark.queries import register
-from nibbler_spark.queries._helpers import davg
+from nibbler_spark.queries._helpers import davg, seq1
 from nibbler_spark.sources import load_table
 
 
@@ -269,7 +269,7 @@ def ext_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split("text", " ")
     t = d.select("doc_id", toks.alias("toks"))
     hashes = F.transform(
-        F.sequence(F.lit(1), F.size("toks") - 2),
+        seq1(F.size("toks") - 2),
         lambda i: F.md5(
             F.concat_ws(
                 " ",
@@ -561,7 +561,7 @@ def ext_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigrams = d.select(
         F.explode(
             F.transform(
-                F.sequence(F.lit(1), F.size(toks) - 1),
+                seq1(F.size(toks) - 1),
                 lambda i: F.concat_ws(
                     " ", F.element_at(toks, i), F.element_at(toks, i + 1)
                 ),
@@ -678,7 +678,7 @@ def ext_lm_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(
             F.transform(
-                F.sequence(F.lit(1), F.size(toks) - 1),
+                seq1(F.size(toks) - 1),
                 lambda i: F.concat_ws(
                     " ", F.element_at(toks, i), F.element_at(toks, i + 1)
                 ),
@@ -1154,7 +1154,7 @@ def ext_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.posexplode(
             F.transform(
-                F.sequence(F.lit(1), F.size("toks") - 2),
+                seq1(F.size("toks") - 2),
                 lambda i: F.md5(
                     F.concat_ws(
                         " ",
@@ -2173,7 +2173,7 @@ def ext_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.explode(
             F.transform(
-                F.sequence(F.lit(1), F.size(toks) - 1),
+                seq1(F.size(toks) - 1),
                 lambda i: F.concat_ws(
                     " ", F.element_at(toks, i), F.element_at(toks, i + 1)
                 ),
@@ -2326,7 +2326,7 @@ def ext_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigrams = d.select(
         F.explode(
             F.transform(
-                F.sequence(F.lit(1), F.size(toks) - 1),
+                seq1(F.size(toks) - 1),
                 lambda i: F.concat_ws(
                     " ", F.element_at(toks, i), F.element_at(toks, i + 1)
                 ),
@@ -2438,7 +2438,7 @@ def ext_ngram_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.explode(
                 F.transform(
-                    F.sequence(F.lit(1), F.size(toks) - 4),
+                    seq1(F.size(toks) - 4),
                     lambda i: F.concat_ws(
                         " ",
                         F.element_at(toks, i),
@@ -2664,7 +2664,7 @@ def ext_ppmi_associations(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.when(
             F.size(tk) >= k + 1,
             F.transform(
-                F.sequence(F.lit(1), F.size(tk) - k),
+                seq1(F.size(tk) - k),
                 lambda i: F.concat_ws(
                     sep, F.element_at(tk, i), F.element_at(tk, i + k)
                 ),
@@ -2865,7 +2865,7 @@ def ext_bleu_self_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.when(
             F.size(col) >= n,
             F.transform(
-                F.sequence(F.lit(1), F.size(col) - (n - 1)),
+                seq1(F.size(col) - (n - 1)),
                 lambda i: F.substring(
                     F.md5(F.array_join(F.slice(col, i, n), " ")), 1, 16
                 ),
@@ -3283,7 +3283,7 @@ def ext_bigram_conditional_entropy(spark: SparkSession, sf_dir: str) -> DataFram
                 F.when(
                     F.size(tk) >= 2,
                     F.transform(
-                        F.sequence(F.lit(1), F.size(tk) - 1),
+                        seq1(F.size(tk) - 1),
                         lambda i: F.concat_ws(
                             sep,
                             F.element_at(tk, i),
@@ -3582,7 +3582,7 @@ def ext_kn_heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(
             F.size(tk) >= 2,
             F.transform(
-                F.sequence(F.lit(1), F.size(tk) - 1),
+                seq1(F.size(tk) - 1),
                 lambda i: F.concat_ws(
                     sep, F.element_at(tk, i), F.element_at(tk, i + 1)
                 ),
@@ -4310,7 +4310,7 @@ def ext_bigram_greedy_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(
                     F.size(tk) >= 2,
                     F.transform(
-                        F.sequence(F.lit(1), F.size(tk) - 1),
+                        seq1(F.size(tk) - 1),
                         lambda i: F.concat_ws(
                             sep,
                             F.element_at(tk, i),
@@ -4528,7 +4528,7 @@ def ext_glove_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.when(
             F.size(tk) >= k + 1,
             F.transform(
-                F.sequence(F.lit(1), F.size(tk) - k),
+                seq1(F.size(tk) - k),
                 lambda i: F.concat_ws(
                     sep,
                     F.element_at(tk, i),
@@ -4870,7 +4870,7 @@ def ext_interpolation_lambda_sweep(
             "q",
             F.explode(
                 F.transform(
-                    F.sequence(F.lit(1), F.size("t") - 1),
+                    seq1(F.size("t") - 1),
                     lambda i: F.struct(
                         F.element_at(F.col("t"), i).alias("w1"),
                         F.element_at(F.col("t"), i + 1).alias("w2"),

@@ -9,6 +9,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from nibbler_spark.queries._helpers import seq1
+
 from nibbler_spark.queries import register
 from nibbler_spark.sources import load_table, register_temp_views
 
@@ -424,7 +426,7 @@ def h12_array_lambdas(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey") % 10,
     )
     t = li.select("l_orderkey", "l_linenumber", nums.alias("nums"))
-    idx = F.sequence(F.lit(1), F.size("nums"))
+    idx = seq1(F.size("nums"))
     return t.select(
         "l_orderkey",
         "l_linenumber",

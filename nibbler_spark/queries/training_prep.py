@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from nibbler_spark.queries._helpers import seq1
+
 from nibbler_spark.queries import register
 from nibbler_spark.sources import load_table
 
@@ -43,7 +45,7 @@ def _token_ngrams(toks_col, n: int):
     return F.when(
         F.size(toks_col) >= n,
         F.transform(
-            F.sequence(F.lit(1), F.size(toks_col) - (n - 1)),
+            seq1(F.size(toks_col) - (n - 1)),
             lambda i: F.concat_ws(
                 " ", *[F.element_at(toks_col, i + j) for j in range(n)]
             ),
@@ -966,7 +968,7 @@ def ext_bpe_merge_round(spark: SparkSession, sf_dir: str) -> DataFrame:
         "applied",
         F.explode(
             F.transform(
-                F.sequence(F.lit(1), F.size("ms") - 1),
+                seq1(F.size("ms") - 1),
                 lambda i: F.concat_ws(
                     "+", F.element_at("ms", i), F.element_at("ms", i + 1)
                 ),
@@ -1088,7 +1090,7 @@ def _bpe_train(spark: SparkSession, sf_dir: str, rounds: int):
         pairs = cur.where(F.size("ms") >= 2).select(
             F.explode(
                 F.transform(
-                    F.sequence(F.lit(1), F.size("ms") - 1),
+                    seq1(F.size("ms") - 1),
                     lambda i: F.struct(
                         F.element_at(F.col("ms"), i).alias("a"),
                         F.element_at(F.col("ms"), i + 1).alias("b"),
@@ -1806,7 +1808,7 @@ def ext_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs = words.where(F.size(s) >= 2).select(
             F.explode(
                 F.transform(
-                    F.sequence(F.lit(1), F.size(s) - 1),
+                    seq1(F.size(s) - 1),
                     lambda j: F.concat(
                         F.element_at(s, j),
                         F.lit(" "),
@@ -2759,7 +2761,7 @@ def ext_submodular_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(
                     F.size(toks) >= 5,
                     F.transform(
-                        F.sequence(F.lit(1), F.size(toks) - 4),
+                        seq1(F.size(toks) - 4),
                         lambda i: F.xxhash64(
                             F.element_at(toks, i),
                             F.element_at(toks, i + 1),
@@ -2932,7 +2934,7 @@ def ext_span_corruption_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.size("t").alias("n"),
         F.transform(
-            F.sequence(F.lit(1), F.size("t")),
+            seq1(F.size("t")),
             lambda p: _nib_hash(
                 F.concat(
                     F.col("doc_id").cast("string"),
@@ -3503,7 +3505,7 @@ def ext_skipgram_negative_sampling(
         return F.when(
             F.size(tk) > slot,
             F.transform(
-                F.sequence(F.lit(1), F.size(tk) - slot),
+                seq1(F.size(tk) - slot),
                 lambda i: F.struct(
                     i.alias("i"),
                     F.lit(slot).alias("slot"),
