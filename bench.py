@@ -67,16 +67,17 @@ FROZEN_ANCHORS = [
 # r7 reworks were their re-measure round; regression coverage continues
 # via the oracle sweep + the BENCH_SF1 ladder rows).
 ROTATING = [
-    # r7 rows in their second measured round (retire next)
-    "ext_glove_cooccurrence",  # BENCH-K30
-    "ext_window_funnel",  # BENCH-K31
-    "ext_skipgram_negative_sampling",  # BENCH-K32
-    # r8 new rows: the first-token-partitioned LCP window, the
-    # bounded-probe Hamming-vs-cosine recall scan, and the sharded
-    # SpaceSaving online fold
+    # r8 rows in their second measured round (retire next): the
+    # first-token-partitioned LCP window, the bounded-probe
+    # Hamming-vs-cosine recall scan, and the sharded SpaceSaving fold.
+    # (K30-K32 retired r9 after their second round — BASELINE.md.)
     "ext_prefix_cache_analysis",  # BENCH-K33
     "ext_binary_embedding_recall",  # BENCH-K34
     "i51_stream_spacesaving",  # BENCH-K35
+    # r9 new rows appended below as they land.
+    "ext_nsw_greedy_search",  # BENCH-K36 (NN-descent graph-ANN build+walk)
+    "ext_hnsw_layered_search",  # BENCH-K37 (HNSW layered greedy descent)
+    "ext_tokenizer_roundtrip",  # BENCH-K38 (3-tokenizer decode∘encode id.)
 ]
 
 HEADLINE = FROZEN_ANCHORS + ROTATING
@@ -172,16 +173,27 @@ def main() -> None:
     # across the whole suite, not per-query peaks). Median of RUNS
     # passes after one warm-up sweep.
     tq_names = sorted(n for n in specs if n.startswith("tq"))
+    tq_power_queries: dict[str, float] = {}
     if len(tq_names) >= 20:
         for n in tq_names:
             specs[n].spark(spark, SF_DIR).collect()  # warm-up
         samples = []
+        # Per-query times inside the SAME timed passes (r8 verdict #6):
+        # the composite can hide a single query doubling, so each pass
+        # also records per-query wall and the JSON carries the
+        # per-query medians as `tq_power_queries` — no extra runs.
+        per_q: dict[str, list[float]] = {n: [] for n in tq_names}
         for _ in range(RUNS):
             t0 = time.monotonic()
             for n in tq_names:
+                q0 = time.monotonic()
                 specs[n].spark(spark, SF_DIR).collect()
+                per_q[n].append(time.monotonic() - q0)
             samples.append(time.monotonic() - t0)
         timings["tq_power_22"] = round(statistics.median(samples), 4)
+        tq_power_queries = {
+            n: round(statistics.median(v), 4) for n, v in per_q.items()
+        }
 
     # Streaming re-batcher throughput (BENCH-S1): items/s through the
     # size-OR-time core at Size=100.  Measured in a FRESH SUBPROCESS
@@ -236,6 +248,7 @@ def main() -> None:
                 "canary_sec": canary_sec,
                 "unit": "sec",
                 "queries": timings,
+                "tq_power_queries": tq_power_queries,
                 "sf": _sf_from_dir(SF_DIR),
             }
         )

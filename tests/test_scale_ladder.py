@@ -462,3 +462,58 @@ def test_finalize_candidate_gates_logic():
     assert rows["q_sqrt"]["near_linear"] is True
     assert rows["q_sqrt"]["candidate_exponent"] == 1.5
     assert rows["q_costly"]["near_linear"] is False
+
+
+def test_scale_path_waiver_self_enforcing():
+    """r8 verdict #3: a dangling waiver must FAIL the ladder.  A
+    candidate-bound row over the growth gate whose named scale_path is
+    (a) absent from the merged row set, or (b) present but itself
+    regressed to non-near-linear, may not pass — a future regression in
+    the substitute (e.g. k05) may not leave the waiving row (k04) green."""
+    from tools.scale_ladder import finalize_candidate_gates
+
+    def quad_row(path):
+        return {
+            "scale_class": "candidate-bound-exact",
+            "scale_path": path,
+            "candidate_ratio": 77.6,  # 10x data -> exponent 1.89 (k04 r8)
+            "ratio_per_candidate": 0.1,
+        }
+
+    # (a) target missing from the merged row set entirely
+    rows = {"q_waived": quad_row("q_gone")}
+    finalize_candidate_gates(rows)
+    assert rows["q_waived"]["scale_path_ok"] is False
+    assert rows["q_waived"]["near_linear"] is False
+
+    # (b) target present but itself measured NON-near-linear
+    rows = {
+        "q_waived": quad_row("q_regressed"),
+        "q_regressed": {"scale_class": "near-linear", "near_linear": False},
+    }
+    finalize_candidate_gates(rows)
+    assert rows["q_waived"]["scale_path_ok"] is False
+    assert rows["q_waived"]["near_linear"] is False
+
+    # (c) target present but itself candidate-bound (a waiver may not
+    # chain onto another waived row)
+    rows = {
+        "q_waived": quad_row("q_also_bound"),
+        "q_also_bound": {
+            "scale_class": "candidate-bound-exact",
+            "scale_path": "q_also_bound",
+            "candidate_ratio": 10.0,
+            "ratio_per_candidate": 0.1,
+        },
+    }
+    finalize_candidate_gates(rows)
+    assert rows["q_waived"]["near_linear"] is False
+
+    # healthy waiver still passes and is marked
+    rows = {
+        "q_waived": quad_row("q_ok"),
+        "q_ok": {"scale_class": "near-linear", "near_linear": True},
+    }
+    finalize_candidate_gates(rows)
+    assert rows["q_waived"]["scale_path_ok"] is True
+    assert rows["q_waived"]["near_linear"] is True

@@ -21,16 +21,16 @@ BASELINE_SEC = {
     "q1_pricing_summary": 1.55,
     "c01_join_3way_agg": 1.70,
     "e01_row_number_topk": 1.38,
-    "k06_cosine_topk": 0.58,
+    "k06_cosine_topk": 0.42,  # ratcheted r9 (was 0.58)
     "i01_tumbling_window_parity": 2.08,
     "tq05_regional_revenue": 1.66,
     "tq06_revenue_forecast": 0.40,
-    "tq18_large_orders": 2.03,
+    "tq18_large_orders": 0.94,  # ratcheted r9 (was 2.03)
     "k05_minhash_lsh": 3.60,
     "ext_sessionize_batch": 1.30,
     "ext_simhash_banded_pairs": 0.70,
     "k04_jaccard_pairs": 1.00,
-    "ext_decontaminate_ngram": 2.10,
+    "ext_decontaminate_ngram": 1.25,  # ratcheted r9 (was 2.10)
     "ext_sequence_packing": 0.62,
     "ext_training_data_pipeline": 1.90,
     "tq21_suppliers_who_kept_waiting": 1.26,
@@ -52,10 +52,16 @@ BASELINE_SEC = {
     "k22_skew_join_unsalted": 1.06,
     "ext_simhash64_banded_pairs": 0.63,
     "tq_power_22": 15.1,
-    "i42_stream_minhash_neardup": 13.5,
+    "i42_stream_minhash_neardup": 8.11,  # ratcheted r9 (was 13.5)
     "ext_ann_rerank_pipeline": 1.57,
     "i43_stream_grouped_packing": 3.45,
     "ext_louvain_sync_round": 1.75,
+    "ext_glove_cooccurrence": 1.71,
+    "ext_window_funnel": 1.30,
+    "ext_skipgram_negative_sampling": 1.85,
+    "ext_prefix_cache_analysis": 0.63,
+    "ext_binary_embedding_recall": 1.69,
+    "i51_stream_spacesaving": 4.18,
 }
 REBATCHER_MIN = 1.4e6  # items/s floor of the recorded band
 

@@ -384,10 +384,20 @@ def finalize_candidate_gates(queries: dict) -> None:
         e["candidate_exponent"] = round(exp, 2)
         sp = e.get("scale_path")
         path_row = queries.get(sp, {})
-        e["candidate_growth_ok"] = exp <= GATE_CAND_EXP or (
+        # The waiver is SELF-ENFORCING (r8 verdict #3): a row that
+        # exceeds the growth gate passes ONLY via a scale_path that is
+        # (a) a different query, (b) present in the merged row set, and
+        # (c) itself measured near-linear.  A missing or regressed
+        # target makes the waiving row FAIL the ladder — a dangling
+        # waiver cannot pass silently.  scale_path_ok records the
+        # waiver's own health for diagnosis even when not needed.
+        e["scale_path_ok"] = bool(
             sp != name
             and path_row.get("scale_class") == "near-linear"
             and path_row.get("near_linear") is True
+        )
+        e["candidate_growth_ok"] = (
+            exp <= GATE_CAND_EXP or e["scale_path_ok"]
         )
         e["near_linear"] = (
             e["ratio_per_candidate"] <= GATE_PER_WORK
