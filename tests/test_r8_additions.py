@@ -563,17 +563,64 @@ def test_nsw_greedy_search_matches_bruteforce(spark, sf_dir):
     members = defaultdict(list)
     for vid, (c, _) in assign.items():
         members[c].append(vid)
-    edges = defaultdict(set)
-    for vid in vecs:
-        cell, cell2 = assign[vid]
-        peers = sorted(
-            (-gcos(vecs[vid], vecs[w]), w)
-            for w in members[cell]
-            if w != vid
-        )[:_NSW_KNN]
-        edges[vid].update(w for _, w in peers)
+
+    # r9 NN-descent build replay: sub-bucketed + ring + long seed
+    # candidates, top-k seed graph, then capped-reverse
+    # neighbor-of-neighbor rounds (nsw_descent_edges).
+    def topk(cand_pairs):
+        by_src = defaultdict(list)
+        for u, w in cand_pairs:
+            by_src[u].append((-gcos(vecs[u], vecs[w]), w))
+        return {
+            (u, w)
+            for u, ranked in by_src.items()
+            for _, w in sorted(ranked)[:_NSW_KNN]
+        }
+
+    seed_cand = set()
+    longe = set()
+    for cell, mem in members.items():
+        order = sorted(
+            mem,
+            key=lambda v: (hashlib.md5(str(v).encode()).hexdigest(), v),
+        )
+        for i, u in enumerate(order):
+            if i + 1 < len(order):
+                seed_cand.add((u, order[i + 1]))
+                seed_cand.add((order[i + 1], u))
+        for b0 in range(0, len(order), 8):
+            bucket = order[b0:b0 + 8]
+            for u in bucket:
+                for w in bucket:
+                    if u != w:
+                        seed_cand.add((u, w))
+    for vid, (_, cell2) in assign.items():
         if cell2 is not None and cell2 != vid:
-            edges[vid].add(cell2)
+            longe.add((vid, cell2))
+    g = topk(seed_cand | longe)
+    for _ in range(2):  # _NSW_ROUNDS
+        by_dst = defaultdict(list)
+        for u, w in g:
+            by_dst[w].append((-gcos(vecs[u], vecs[w]), u))
+        rev = {
+            (w, u)
+            for w, ranked in by_dst.items()
+            for _, u in sorted(ranked)[:_NSW_KNN]
+        }
+        und = {(u, w) for u, w in g} | rev
+        adj = defaultdict(set)
+        for u, w in und:
+            adj[u].add(w)
+        cand = set(und)
+        for u, ws in adj.items():
+            for v in ws:
+                for w in adj.get(v, ()):
+                    if w != u:
+                        cand.add((u, w))
+        g = topk(cand)
+    edges = defaultdict(set)
+    for u, w in g | longe:
+        edges[u].add(w)
     expect = {}
     for qid in sorted(v for v in vecs if v % md == 0):
         cur = entry

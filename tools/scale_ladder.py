@@ -144,7 +144,10 @@ FLAGSHIPS = [
     "ext_successive_halving",
     "ext_lm_scaling_curve",
     # r8 wave 4: graph-ANN — candidate-bound (see CANDIDATE_BOUND).
+    # r9: NN-descent build rework (linear candidate volume), plus the
+    # layered HNSW descent on the same shared build.
     "ext_nsw_greedy_search",
+    "ext_hnsw_layered_search",
     # r8 wave 5: UL2 masks are row-local; Hill is one token count +
     # per-lang top-21; truncation is one combinable 3x-langs aggregate.
     "ext_ul2_denoiser_mix",
@@ -299,21 +302,13 @@ def _ann_coarse_pairs(spark, sf_dir: str) -> float:
 
 
 def _nsw_graph_pairs(spark, sf_dir: str) -> int:
-    """Candidate volume of the NSW graph build: the within-cell kNN
-    self-join's input pair count, sum over cells of n_c * (n_c - 1)
-    — ~n^1.5 with the count-derived ceil(sqrt(n)) cell count."""
-    from pyspark.sql import functions as F
+    """Candidate volume of the NSW graph build — since the r9
+    NN-descent rework (r8 verdict #2), the SEED pairs plus each
+    descent round's scored pairs, ~O(n) by construction (was the
+    within-cell all-pairs n^1.5)."""
+    from nibbler_spark.queries.retrieval import nsw_build_candidate_volume
 
-    from nibbler_spark.queries.retrieval import nsw_assignment
-
-    assigned, _, _ = nsw_assignment(spark, sf_dir)
-    row = (
-        assigned.groupBy("cell")
-        .count()
-        .agg(F.sum(F.col("count") * (F.col("count") - 1)).alias("p"))
-        .collect()[0]
-    )
-    return int(row["p"] or 0)
+    return nsw_build_candidate_volume(spark, sf_dir)
 
 
 def _margin_candidates(spark, sf_dir: str) -> int:
