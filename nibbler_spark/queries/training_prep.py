@@ -1785,16 +1785,28 @@ def ext_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     table keeps driver round-trips trivial).  localCheckpoint truncates
     the per-round lineage exactly as the LPA/k-core loops do."""
     docs = load_table(spark, sf_dir, "documents")
+    words = _bpe_symbolized_words(docs)
+    _, trajectory = _bpe_merge_loop(words, _BPE_MERGES)
+    return spark.createDataFrame(
+        trajectory, "step int, merge_pair string, pair_weight long"
+    ).orderBy("step")
+
+
+def _bpe_symbolized_words(docs: DataFrame) -> DataFrame:
+    """Distinct-token frequency table with the space-padded character
+    symbolization (' c h a r s '), keeping the original token so
+    decode-identity checks can compare against it."""
     chars = F.transform(
         F.sequence(F.lit(1), F.length("tok")),
         lambda i: F.substring(F.col("tok"), i, F.lit(1)),
     )
-    words = (
+    return (
         docs.select(F.explode(F.split("text", " ")).alias("tok"))
         .where(F.length("tok") >= 1)
         .groupBy("tok")
         .agg(F.count("*").alias("c"))
         .select(
+            "tok",
             F.concat(
                 F.lit(" "), F.array_join(chars, " "), F.lit(" ")
             ).alias("sym"),
@@ -1802,8 +1814,16 @@ def ext_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()
     )
+
+
+def _bpe_merge_loop(words: DataFrame, n_merges: int):
+    """The BPE driver loop shared by ext_bpe_apply and
+    ext_tokenizer_roundtrip: per round, corpus-weighted argmax adjacent
+    pair (weight DESC, pair ASC) applied with the deterministic
+    two-pass padded replace.  Returns (final (tok, sym, c) table,
+    trajectory [(step, pair, weight)])."""
     trajectory = []
-    for step in range(1, _BPE_MERGES + 1):
+    for step in range(1, n_merges + 1):
         s = F.split(F.trim(F.col("sym")), " ")
         pairs = words.where(F.size(s) >= 2).select(
             F.explode(
@@ -1829,14 +1849,13 @@ def ext_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         pat = F.lit(" " + top["pair"] + " ")
         rep = F.lit(" " + top["pair"].replace(" ", "") + " ")
         words = words.select(
+            "tok",
             F.replace(F.replace(F.col("sym"), pat, rep), pat, rep).alias(
                 "sym"
             ),
             "c",
         ).localCheckpoint()
-    return spark.createDataFrame(
-        trajectory, "step int, merge_pair string, pair_weight long"
-    ).orderBy("step")
+    return words, trajectory
 
 
 _BPE_COMPRESSION_FINAL = """
@@ -2295,6 +2314,31 @@ def ext_unigram_lm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.length("tok").between(1, _UNI_MAXLEN))
         .localCheckpoint()
     )
+    segs, pieces = _unigram_viterbi_segs(words)
+    newcnt = (
+        segs.select(F.explode(F.split("seg", " ")).alias("p"), "c")
+        .groupBy("p")
+        .agg(F.sum("c").cast("bigint").alias("new_count"))
+    )
+    return (
+        newcnt.join(pieces, "p")
+        .select(
+            F.col("p").alias("piece"),
+            F.col("cnt").alias("seed_count"),
+            "new_count",
+        )
+        .orderBy(F.col("new_count").desc(), "piece")
+        .limit(20)
+    )
+
+
+def _unigram_viterbi_segs(words: DataFrame):
+    """The Unigram-LM E-step shared by ext_unigram_lm_segmentation and
+    ext_tokenizer_roundtrip: seed 1..3-char piece counts, gridded-ln
+    scores on one broadcast map row, row-local Viterbi fold with a
+    sliding 3-slot (score, segmentation) accumulator (ties prefer the
+    LONGER piece).  words: (tok, c) with length(tok) <= _UNI_MAXLEN.
+    Returns (segs (tok, seg, c), pieces (p, cnt))."""
     pos = F.explode(F.sequence(F.lit(1), F.length("tok")))
     pieces = (
         words.select("tok", "c", pos.alias("i"))
@@ -2359,23 +2403,9 @@ def ext_unigram_lm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(1), F.lit(_UNI_MAXLEN)), zero, step
     )
     segs = words.crossJoin(F.broadcast(model)).select(
-        F.trim(fin["sga"]).alias("seg"), "c"
+        "tok", F.trim(fin["sga"]).alias("seg"), "c"
     )
-    newcnt = (
-        segs.select(F.explode(F.split("seg", " ")).alias("p"), "c")
-        .groupBy("p")
-        .agg(F.sum("c").cast("bigint").alias("new_count"))
-    )
-    return (
-        newcnt.join(pieces, "p")
-        .select(
-            F.col("p").alias("piece"),
-            F.col("cnt").alias("seed_count"),
-            "new_count",
-        )
-        .orderBy(F.col("new_count").desc(), "piece")
-        .limit(20)
-    )
+    return segs, pieces
 
 
 @register(
@@ -4323,3 +4353,436 @@ def ext_ul2_denoiser_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("mask_sig"),
     ).orderBy("doc_id")
+
+def _tok_roundtrip_oracle() -> str:
+    """Composed oracle for ext_tokenizer_roundtrip: the BPE merge
+    chain (tok carried through), the WordPiece greedy fold with a
+    STRING accumulator (pieces joined by spaces — cursor = consumed
+    chars + 1), and the Unigram Viterbi unroll, all over the same
+    global word table; per-language join + sorted-concat md5 identity.
+    Everything MATERIALIZED (multiply-referenced CTEs inline
+    exponentially in DuckDB otherwise)."""
+    neg = str(_UNI_NEG)
+    parts = [
+        """wt AS MATERIALIZED (
+  SELECT lang, token AS word, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT lang, UNNEST(string_split(text, ' ')) AS token
+        FROM documents)
+  WHERE len(token) >= 1
+  GROUP BY lang, token
+),
+gw AS MATERIALIZED (
+  SELECT word, CAST(SUM(c) AS BIGINT) AS gc FROM wt GROUP BY word
+),
+b0 AS MATERIALIZED (
+  SELECT word AS tok,
+         ' ' || array_to_string(
+           list_transform(generate_series(1, length(word)),
+                          i -> substr(word, i, 1)), ' ') || ' ' AS sym,
+         gc AS c
+  FROM gw
+)"""
+    ]
+    for i in range(1, _BPE_MERGES + 1):
+        prev = f"b{i - 1}"
+        parts.append(
+            f"""bp{i} AS MATERIALIZED (
+  SELECT pair, CAST(SUM(c) AS BIGINT) AS w FROM (
+    SELECT UNNEST(list_transform(
+             generate_series(1, len(s) - 1),
+             j -> s[j] || ' ' || s[j + 1])) AS pair,
+           c
+    FROM (SELECT string_split(trim(sym), ' ') AS s, c FROM {prev})
+    WHERE len(s) >= 2
+  ) GROUP BY pair
+),
+bm{i} AS MATERIALIZED (
+  SELECT pair, w FROM bp{i} ORDER BY w DESC, pair LIMIT 1),
+b{i} AS MATERIALIZED (
+  SELECT tok, replace(replace(sym,
+           ' ' || (SELECT pair FROM bm{i}) || ' ',
+           ' ' || (SELECT replace(pair, ' ', '') FROM bm{i}) || ' '),
+           ' ' || (SELECT pair FROM bm{i}) || ' ',
+           ' ' || (SELECT replace(pair, ' ', '') FROM bm{i}) || ' ') AS sym,
+         c
+  FROM {prev}
+)"""
+        )
+    cons = "length(replace(acc, ' ', ''))"
+    cur = f"CAST({cons} + 1 AS INT)"
+    inv = f"CASE WHEN {cons} = 0 THEN ip.ips ELSE cp.cps END"
+    parts.append(
+        f"""vocab AS MATERIALIZED (
+  SELECT word FROM (
+    SELECT word, ROW_NUMBER() OVER (ORDER BY gc DESC, word) AS rk
+    FROM gw
+  ) WHERE rk <= 12
+),
+vl AS MATERIALIZED (SELECT LIST(word) AS vs FROM vocab),
+ip AS MATERIALIZED (
+  SELECT LIST(DISTINCT p) AS ips FROM (
+    SELECT substr(word, 1, k) AS p
+    FROM vocab, generate_series(1, 3) AS g(k) WHERE k <= len(word))
+),
+cp AS MATERIALIZED (
+  SELECT LIST(DISTINCT p) AS cps FROM (
+    SELECT substr(word, CAST(j AS INT), CAST(k AS INT)) AS p
+    FROM vocab, generate_series(2, 24) AS gj(j),
+         generate_series(1, 3) AS gk(k)
+    WHERE j + k - 1 <= len(word))
+),
+wps AS MATERIALIZED (
+  SELECT word, list_reduce(
+    list_prepend(CAST('' AS VARCHAR),
+                 list_transform(generate_series(1, 24),
+                                x -> CAST('' AS VARCHAR))),
+    (acc, x) -> CASE
+      WHEN {cons} >= len(word) THEN acc
+      WHEN {cons} = 0 AND list_contains(vl.vs, word)
+        THEN acc || ' ' || word
+      WHEN len(word) >= {cons} + 3
+           AND list_contains({inv}, substr(word, {cur}, 3))
+        THEN acc || ' ' || substr(word, {cur}, 3)
+      WHEN len(word) >= {cons} + 2
+           AND list_contains({inv}, substr(word, {cur}, 2))
+        THEN acc || ' ' || substr(word, {cur}, 2)
+      ELSE acc || ' ' || substr(word, {cur}, 1)
+    END) AS wseg
+  FROM gw, vl, ip, cp
+),
+uw AS MATERIALIZED (
+  SELECT word AS tok, gc AS c FROM gw
+  WHERE length(word) BETWEEN 1 AND {_UNI_MAXLEN}
+),
+upieces AS MATERIALIZED (
+  SELECT p, CAST(SUM(c) AS BIGINT) AS cnt FROM (
+    SELECT substr(w.tok, pos.i, ln.l) AS p, w.c
+    FROM uw w,
+         LATERAL (SELECT UNNEST(generate_series(1, length(w.tok)))
+                  AS i) pos,
+         (SELECT UNNEST([1, 2, 3]) AS l) ln
+    WHERE pos.i + ln.l - 1 <= length(w.tok)
+  ) GROUP BY p
+),
+utot AS MATERIALIZED (
+  SELECT CAST(FLOOR(LN(SUM(cnt)) * 1e9) AS BIGINT) AS gn FROM upieces),
+ump AS MATERIALIZED (
+  SELECT MAP(list(p),
+             list(CAST(FLOOR(LN(cnt) * 1e9) AS BIGINT) - utot.gn)) AS m
+  FROM upieces, utot GROUP BY utot.gn
+),
+u0 AS MATERIALIZED (
+  SELECT tok, c, m, length(tok) AS nl,
+         CAST(0 AS BIGINT) AS va, CAST({neg} AS BIGINT) AS vb,
+         CAST({neg} AS BIGINT) AS vc,
+         '' AS sga, '' AS sgb, '' AS sgc
+  FROM uw CROSS JOIN ump
+)"""
+    )
+    for j in range(1, _UNI_MAXLEN + 1):
+        prev = f"u{j - 1}"
+        c1 = f"va + m[substr(tok, {j}, 1)][1]"
+        c2 = (
+            f"vb + m[substr(tok, {j - 1}, 2)][1]"
+            if j >= 2
+            else f"CAST({neg} AS BIGINT)"
+        )
+        c3 = (
+            f"vc + m[substr(tok, {j - 2}, 3)][1]"
+            if j >= 3
+            else f"CAST({neg} AS BIGINT)"
+        )
+        s1 = f"sga || ' ' || substr(tok, {j}, 1)"
+        s2 = f"sgb || ' ' || substr(tok, {j - 1}, 2)" if j >= 2 else "''"
+        s3 = f"sgc || ' ' || substr(tok, {j - 2}, 3)" if j >= 3 else "''"
+        parts.append(
+            f"""u{j} AS MATERIALIZED (
+  SELECT tok, c, m, nl,
+    CASE WHEN nl >= {j} THEN GREATEST({c1}, {c2}, {c3}) ELSE va END AS va,
+    CASE WHEN nl >= {j} THEN va ELSE vb END AS vb,
+    CASE WHEN nl >= {j} THEN vb ELSE vc END AS vc,
+    CASE WHEN nl >= {j} THEN
+      CASE WHEN ({c3}) >= ({c2}) AND ({c3}) >= ({c1}) THEN {s3}
+           WHEN ({c2}) >= ({c1}) THEN {s2}
+           ELSE {s1} END
+    ELSE sga END AS sga,
+    CASE WHEN nl >= {j} THEN sga ELSE sgb END AS sgb,
+    CASE WHEN nl >= {j} THEN sgb ELSE sgc END AS sgc
+  FROM {prev}
+)"""
+        )
+    parts.append(
+        f"""bpe AS MATERIALIZED (
+  SELECT tok AS word,
+         CAST(len(string_split(trim(sym), ' ')) AS BIGINT) AS bpe_pieces,
+         replace(sym, ' ', '') AS bpe_dec
+  FROM b{_BPE_MERGES}
+),
+wp AS MATERIALIZED (
+  SELECT word,
+         CAST(len(string_split(trim(wseg), ' ')) AS BIGINT) AS wp_pieces,
+         replace(wseg, ' ', '') AS wp_dec
+  FROM wps
+),
+uni AS MATERIALIZED (
+  SELECT tok AS word,
+         CAST(len(string_split(trim(sga), ' ')) AS BIGINT) AS uni_pieces,
+         replace(trim(sga), ' ', '') AS uni_dec
+  FROM u{_UNI_MAXLEN}
+  UNION ALL
+  SELECT word, CAST(1 AS BIGINT), word FROM gw
+  WHERE length(word) > {_UNI_MAXLEN}
+),
+j AS MATERIALIZED (
+  SELECT wt.lang, wt.word, wt.c,
+         bpe.bpe_pieces, bpe.bpe_dec,
+         wp.wp_pieces, wp.wp_dec,
+         uni.uni_pieces, uni.uni_dec
+  FROM wt JOIN bpe USING (word)
+          JOIN wp USING (word)
+          JOIN uni USING (word)
+)
+SELECT lang,
+  CAST(COUNT(*) AS BIGINT) AS n_word_types,
+  CAST(SUM(c) AS BIGINT) AS n_tokens,
+  CAST(SUM(bpe_pieces * c) * 1000000 // SUM(c) AS BIGINT)
+    AS bpe_fertility_micro,
+  CAST(SUM(wp_pieces * c) * 1000000 // SUM(c) AS BIGINT)
+    AS wp_fertility_micro,
+  CAST(SUM(uni_pieces * c) * 1000000 // SUM(c) AS BIGINT)
+    AS uni_fertility_micro,
+  md5(string_agg(bpe_dec, '|' ORDER BY word))
+    = md5(string_agg(word, '|' ORDER BY word)) AS bpe_roundtrip_ok,
+  md5(string_agg(wp_dec, '|' ORDER BY word))
+    = md5(string_agg(word, '|' ORDER BY word)) AS wp_roundtrip_ok,
+  md5(string_agg(uni_dec, '|' ORDER BY word))
+    = md5(string_agg(word, '|' ORDER BY word)) AS uni_roundtrip_ok
+FROM j GROUP BY lang ORDER BY lang"""
+    )
+    return "WITH " + ",\n".join(parts)
+
+
+@register(
+    "ext_tokenizer_roundtrip",
+    survey_id="EXT-TOK-ROUNDTRIP",
+    category="llm-training-prep",
+    oracle=_tok_roundtrip_oracle(),
+)
+def ext_tokenizer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """decode(encode(x)) = x, PROVED CORPUS-WIDE for all three
+    tokenizers (r8 verdict #7) — the property the trio (BPE merge
+    loop, WordPiece greedy fold, Unigram-LM Viterbi) segmented but
+    never asserted: every distinct word is segmented by each
+    tokenizer, the pieces are re-joined, and per language the md5 of
+    the word-sorted decoded concatenation must equal the md5 of the
+    word-sorted source concatenation.  Alongside, the per-language
+    token-weighted FERTILITY of each tokenizer — the comparison table
+    (BPE vs WordPiece vs Unigram pieces-per-token) a tokenizer
+    selection reads.
+
+    Segmenters (shared code with their standalone queries):
+    - BPE: the 6-merge trajectory loop (_bpe_merge_loop) — decode =
+      strip the symbol spaces; identity pins that the two-pass padded
+      replace never corrupts adjacent symbols.
+    - WordPiece: the greedy longest-match cursor walk re-folded with a
+      STRING accumulator (pieces joined by spaces, cursor = consumed
+      chars + 1) and BYTE-FALLBACK UNK (the unmatched char itself is
+      the piece, GPT-2-style) so decode is total; identity pins the
+      cursor arithmetic (a stall or double-consume truncates or
+      duplicates the decode).
+    - Unigram: the Viterbi E-step (_unigram_viterbi_segs); words over
+      the {_UNI_MAXLEN}-char DP cap pass through as single pieces
+      (none exist in the fixtures, max token is 8 chars).
+
+    Scale shape: everything runs on the DISTINCT-word table
+    (vocabulary-scale, not corpus-scale); the only corpus-wide work is
+    the one (lang, word) count shuffle; the BPE loop's 6 argmax
+    collects are 1-row reads; inventories and the piece-score map ride
+    single broadcast rows; the md5 identity aggregates vocab-scale
+    strings per language."""
+    docs = load_table(spark, sf_dir, "documents")
+    wt = (
+        docs.select("lang", F.explode(F.split("text", " ")).alias("word"))
+        .where(F.length("word") >= 1)
+        .groupBy("lang", "word")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .localCheckpoint()
+    )
+    gw = (
+        wt.groupBy("word")
+        .agg(F.sum("c").cast("bigint").alias("gc"))
+        .localCheckpoint()
+    )
+
+    # --- BPE: learn 6 merges on the global word table, decode = strip
+    words0 = gw.select(
+        F.col("word").alias("tok"),
+        F.concat(
+            F.lit(" "),
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("word")),
+                    lambda i: F.substring(F.col("word"), i, F.lit(1)),
+                ),
+                " ",
+            ),
+            F.lit(" "),
+        ).alias("sym"),
+        F.col("gc").alias("c"),
+    ).localCheckpoint()
+    bpe_final, _ = _bpe_merge_loop(words0, _BPE_MERGES)
+    bpe = bpe_final.select(
+        F.col("tok").alias("word"),
+        F.size(F.split(F.trim("sym"), " ")).cast("bigint").alias(
+            "bpe_pieces"
+        ),
+        F.replace(F.col("sym"), F.lit(" "), F.lit("")).alias("bpe_dec"),
+    )
+
+    # --- WordPiece: greedy fold with a string accumulator
+    vocab = (
+        gw.orderBy(F.col("gc").desc(), "word").limit(12).select("word")
+    )
+    vl = F.broadcast(vocab.agg(F.collect_set("word").alias("vs")))
+    ip = F.broadcast(
+        vocab.select(
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(1), F.least(F.lit(3), F.length("word"))
+                    ),
+                    lambda k: F.col("word").substr(F.lit(1), k),
+                )
+            ).alias("p")
+        ).agg(F.collect_set("p").alias("ips"))
+    )
+    cp = F.broadcast(
+        vocab.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.sequence(
+                            F.lit(2),
+                            F.least(F.length("word"), F.lit(24)),
+                        ),
+                        lambda j: F.filter(
+                            F.transform(
+                                F.sequence(F.lit(1), F.lit(3)),
+                                lambda k: F.when(
+                                    j + k - 1 <= F.length("word"),
+                                    F.col("word").substr(j, k),
+                                ),
+                            ),
+                            lambda s: s.isNotNull(),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .where(F.length("word") >= 2)
+        .agg(F.collect_set("p").alias("cps"))
+    )
+
+    def wp_step(acc, _x):
+        w = F.col("word")
+        cons = F.length(F.replace(acc, F.lit(" "), F.lit("")))
+        cur = (cons + 1).cast("int")
+        inv = F.when(cons == 0, F.col("ips")).otherwise(F.col("cps"))
+        p3 = w.substr(cur, F.lit(3))
+        p2 = w.substr(cur, F.lit(2))
+        p1 = w.substr(cur, F.lit(1))
+        return (
+            F.when(cons >= F.length(w), acc)
+            .when(
+                (cons == 0) & F.array_contains(F.col("vs"), w),
+                F.concat(acc, F.lit(" "), w),
+            )
+            .when(
+                (F.length(w) >= cons + 3) & F.array_contains(inv, p3),
+                F.concat(acc, F.lit(" "), p3),
+            )
+            .when(
+                (F.length(w) >= cons + 2) & F.array_contains(inv, p2),
+                F.concat(acc, F.lit(" "), p2),
+            )
+            .otherwise(F.concat(acc, F.lit(" "), p1))
+        )
+
+    wp = (
+        gw.crossJoin(vl)
+        .crossJoin(ip)
+        .crossJoin(cp)
+        .select(
+            "word",
+            F.aggregate(
+                F.sequence(F.lit(1), F.lit(24)), F.lit(""), wp_step
+            ).alias("wseg"),
+        )
+        .select(
+            "word",
+            F.size(F.split(F.trim("wseg"), " ")).cast("bigint").alias(
+                "wp_pieces"
+            ),
+            F.replace(F.col("wseg"), F.lit(" "), F.lit("")).alias(
+                "wp_dec"
+            ),
+        )
+    )
+
+    # --- Unigram: shared Viterbi E-step; over-cap words pass through
+    uw = gw.where(
+        F.length("word").between(1, _UNI_MAXLEN)
+    ).select(F.col("word").alias("tok"), F.col("gc").alias("c"))
+    usegs, _ = _unigram_viterbi_segs(uw.localCheckpoint())
+    uni = usegs.select(
+        F.col("tok").alias("word"),
+        F.size(F.split("seg", " ")).cast("bigint").alias("uni_pieces"),
+        F.replace(F.col("seg"), F.lit(" "), F.lit("")).alias("uni_dec"),
+    ).unionByName(
+        gw.where(F.length("word") > _UNI_MAXLEN).select(
+            "word",
+            F.lit(1).cast("bigint").alias("uni_pieces"),
+            F.col("word").alias("uni_dec"),
+        )
+    )
+
+    j = (
+        wt.join(bpe, "word")
+        .join(wp, "word")
+        .join(uni, "word")
+    )
+
+    def dec_md5(col):
+        return F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("word", F.col(col)))
+                    ),
+                    lambda x: x[col],
+                ),
+                "|",
+            )
+        )
+
+    src_md5 = F.md5(F.array_join(F.array_sort(F.collect_list("word")), "|"))
+    return (
+        j.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_word_types"),
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.expr(
+                "CAST(sum(bpe_pieces * c) * 1000000 DIV sum(c) AS BIGINT)"
+            ).alias("bpe_fertility_micro"),
+            F.expr(
+                "CAST(sum(wp_pieces * c) * 1000000 DIV sum(c) AS BIGINT)"
+            ).alias("wp_fertility_micro"),
+            F.expr(
+                "CAST(sum(uni_pieces * c) * 1000000 DIV sum(c) AS BIGINT)"
+            ).alias("uni_fertility_micro"),
+            (dec_md5("bpe_dec") == src_md5).alias("bpe_roundtrip_ok"),
+            (dec_md5("wp_dec") == src_md5).alias("wp_roundtrip_ok"),
+            (dec_md5("uni_dec") == src_md5).alias("uni_roundtrip_ok"),
+        )
+        .orderBy("lang")
+    )
