@@ -2922,26 +2922,32 @@ def ext_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nibbler_spark.operators.snapshots import (
         merge_into_snapshot,
         read_snapshot,
-        snapshot_files,
         write_snapshot,
     )
 
     table = tempfile.mkdtemp(prefix="nibbler-cdcsnap-")
     shutil.rmtree(table)
     os.makedirs(table)
-    base = load_table(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("k"),
-        F.floor(F.col("c_acctbal") * 100).cast("bigint").alias("cents"),
-        F.col("c_mktsegment").alias("seg"),
-    )
-    carry: list[str] = []
-    for b in range(4):
-        sid = write_snapshot(
-            base.where(F.col("k") % 4 == b).coalesce(1),
-            table,
-            carry_over=carry,
+    # r9 constant-factor pass (r8 verdict #5 — the decomposition showed
+    # ~1.4 s of the sf0.1 wall was SETUP, not merging): the base is
+    # localCheckpointed once (it feeds 4 derivations), the four bucket
+    # files land in ONE range-partitioned commit (one job + one
+    # manifest write instead of four sequential commit chains — same
+    # four-file layout, same stats, same pruning behavior), and the
+    # three log files are written concurrently.  The remaining wall is
+    # the per-epoch merge floor, documented in BASELINE.md.
+    base = (
+        load_table(spark, sf_dir, "customer")
+        .select(
+            F.col("c_custkey").alias("k"),
+            F.floor(F.col("c_acctbal") * 100).cast("bigint").alias("cents"),
+            F.col("c_mktsegment").alias("seg"),
         )
-        carry = snapshot_files(table, sid)
+        .localCheckpoint()
+    )
+    write_snapshot(
+        base.repartitionByRange(4, (F.col("k") % 4).asc()), table
+    )
 
     # stage the CDC log: three change files in one drop dir
     drop = tempfile.mkdtemp(prefix="nibbler-cdclog-")
@@ -2965,9 +2971,28 @@ def ext_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         (k * 25).cast("bigint").alias("cents"), F.lit("NEW").alias("seg"),
         F.lit(1).cast("bigint").alias("seq"),
     )
-    upd_v1.unionByName(upd_v2).coalesce(1).write.mode("append").parquet(drop)
-    dels.coalesce(1).write.mode("append").parquet(drop)
-    ins.coalesce(1).write.mode("append").parquet(drop)
+    from concurrent.futures import ThreadPoolExecutor
+
+    # Concurrent writers cannot share one output dir (the Hadoop
+    # committer's _temporary staging collides) — each file lands in its
+    # own dir and the part file is moved into the drop dir driver-side.
+    log_dfs = [upd_v1.unionByName(upd_v2), dels, ins]
+
+    def write_one(i_df):
+        i, df = i_df
+        d = os.path.join(drop, f"_stage{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        part = next(
+            f for f in os.listdir(d) if f.endswith(".parquet")
+        )
+        os.rename(
+            os.path.join(d, part),
+            os.path.join(drop, f"log-{i}-{part}"),
+        )
+        shutil.rmtree(d)
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        list(pool.map(write_one, enumerate(log_dfs)))
 
     src = (
         spark.readStream.schema(
