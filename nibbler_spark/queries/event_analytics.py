@@ -5812,3 +5812,126 @@ def ext_offpolicy_ips_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seg", "action")
     )
+
+def _replay_policy_map() -> dict[int, str]:
+    """The deterministic target policy for ext_policy_replay_eval:
+    context (user_id % 16) -> action, derived once from md5 and baked
+    into BOTH plans as literals (a policy must be fixed before it sees
+    the logged rewards — and a constant map keeps the oracle exact)."""
+    import hashlib
+
+    acts = ["click", "error", "purchase", "signup", "view"]
+    return {
+        c: acts[
+            int(hashlib.md5(f"policy:{c}".encode()).hexdigest()[:12], 16)
+            % 5
+        ]
+        for c in range(16)
+    }
+
+
+_REPLAY_POLICY = _replay_policy_map()
+
+
+def _replay_oracle() -> str:
+    cases = " ".join(
+        f"WHEN {c} THEN '{a}'" for c, a in _REPLAY_POLICY.items()
+    )
+    return f"""
+WITH logged AS MATERIALIZED (
+  SELECT user_id % 16 AS ctx, event_type AS action,
+         CAST(FLOOR(value * 100) AS BIGINT) AS reward_cents
+  FROM events
+),
+pol AS MATERIALIZED (
+  SELECT ctx, action, reward_cents,
+         CASE ctx {cases} END AS pi_hash
+  FROM logged
+),
+rows_out AS (
+  SELECT 'logged' AS policy,
+         CAST(COUNT(*) AS BIGINT) AS n_matched,
+         CAST(SUM(reward_cents) AS BIGINT) AS sum_cents
+  FROM pol
+  UNION ALL
+  SELECT 'pi_hash',
+         CAST(COUNT(*) AS BIGINT),
+         CAST(COALESCE(SUM(reward_cents), 0) AS BIGINT)
+  FROM pol WHERE action = pi_hash
+  UNION ALL
+  SELECT 'pi_purchase',
+         CAST(COUNT(*) AS BIGINT),
+         CAST(COALESCE(SUM(reward_cents), 0) AS BIGINT)
+  FROM pol WHERE action = 'purchase'
+)
+SELECT policy, n_matched, sum_cents,
+       CAST(sum_cents * 1000000 // GREATEST(n_matched, 1) AS BIGINT)
+         AS mean_cents_micro
+FROM rows_out ORDER BY policy"""
+
+
+@register(
+    "ext_policy_replay_eval",
+    survey_id="EXT-POLICY-REPLAY",
+    category="event-analytics",
+    oracle=_replay_oracle(),
+)
+def ext_policy_replay_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OFFLINE POLICY EVALUATION BY REPLAY (Li et al. 2011, the
+    unbiased replay method for contextual bandits) — the
+    counterfactual-evaluation rung next to ext_offpolicy_ips_eval's
+    importance weighting: instead of reweighting every logged event,
+    replay KEEPS only the events where the logged action equals the
+    target policy's action for that context and averages their rewards
+    directly — unbiased when logging is uniform over actions, and the
+    estimator every bandit deployment runs before shipping a policy.
+    Contexts are user_id % 16 buckets, actions are the event types,
+    rewards are exact cents; two target policies are evaluated against
+    the logged baseline: a fixed md5-derived context->action map
+    (baked into both plans as literals — a policy must be fixed before
+    it sees rewards) and the constant 'always purchase' policy.
+
+    Exactness: integer contexts, literal policy map, exact cent
+    rewards, and an exact micro mean (sum * 1e6 DIV n).
+
+    Scale shape: one scan, three combinable aggregates — no shuffle
+    beyond the final 3-row union; at 100 TB this is a single
+    map-side-combined pass over the event log."""
+    e = load_table(spark, sf_dir, "events")
+    pi = F.element_at(
+        F.map_from_arrays(
+            F.array(*[F.lit(c) for c in _REPLAY_POLICY]),
+            F.array(*[F.lit(a) for a in _REPLAY_POLICY.values()]),
+        ),
+        (F.col("user_id") % 16).cast("int"),
+    )
+    pol = e.select(
+        F.col("event_type").alias("action"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("reward_cents"),
+        pi.alias("pi_hash"),
+    ).localCheckpoint()
+
+    def row(policy: str, cond):
+        src = pol.where(cond) if cond is not None else pol
+        return src.agg(
+            F.lit(policy).alias("policy"),
+            F.count("*").cast("bigint").alias("n_matched"),
+            F.coalesce(F.sum("reward_cents"), F.lit(0))
+            .cast("bigint")
+            .alias("sum_cents"),
+        )
+
+    out = (
+        row("logged", None)
+        .unionByName(row("pi_hash", F.col("action") == F.col("pi_hash")))
+        .unionByName(row("pi_purchase", F.col("action") == "purchase"))
+    )
+    return out.select(
+        "policy",
+        "n_matched",
+        "sum_cents",
+        F.expr(
+            "CAST(sum_cents * 1000000 DIV GREATEST(n_matched, 1)"
+            " AS BIGINT)"
+        ).alias("mean_cents_micro"),
+    ).orderBy("policy")

@@ -5513,3 +5513,167 @@ def ext_truncation_loss_accounting(
         )
         .orderBy("ctx", "lang")
     )
+
+@register(
+    "ext_speculative_acceptance",
+    survey_id="EXT-SPEC-DECODE",
+    category="llm-text",
+    oracle="""
+WITH toks AS MATERIALIZED (
+  SELECT lang, string_split(text, ' ') AS t FROM documents
+),
+big AS MATERIALIZED (
+  SELECT lang, t[g.i] AS prev, CAST(COUNT(*) AS BIGINT) AS c
+  FROM toks,
+       LATERAL (SELECT UNNEST(generate_series(1, len(t) - 1)) AS i) g
+  WHERE len(t) >= 2
+  GROUP BY lang, t[g.i]
+),
+tgt AS MATERIALIZED (
+  SELECT lang, prev, nxt FROM (
+    SELECT lang, t[g.i] AS prev, t[g.i + 1] AS nxt,
+           ROW_NUMBER() OVER (
+             PARTITION BY lang, t[g.i]
+             ORDER BY COUNT(*) DESC, t[g.i + 1]) AS rk
+    FROM toks,
+         LATERAL (SELECT UNNEST(generate_series(1, len(t) - 1)) AS i) g
+    WHERE len(t) >= 2
+    GROUP BY lang, t[g.i], t[g.i + 1]
+  ) WHERE rk = 1
+),
+uni AS MATERIALIZED (
+  SELECT lang, tok AS draft FROM (
+    SELECT lang, tok,
+           ROW_NUMBER() OVER (
+             PARTITION BY lang ORDER BY COUNT(*) DESC, tok) AS rk
+    FROM (SELECT lang, UNNEST(string_split(text, ' ')) AS tok
+          FROM documents)
+    GROUP BY lang, tok
+  ) WHERE rk = 1
+),
+acc AS MATERIALIZED (
+  SELECT b.lang,
+         CAST(SUM(b.c) AS BIGINT) AS n_positions,
+         CAST(SUM(CASE WHEN t.nxt = u.draft THEN b.c ELSE 0 END)
+              AS BIGINT) AS n_accepted
+  FROM big b
+  JOIN tgt t ON t.lang = b.lang AND t.prev = b.prev
+  JOIN uni u ON u.lang = b.lang
+  GROUP BY b.lang
+)
+SELECT a.lang, a.n_positions, a.n_accepted,
+       CAST(a.n_accepted * 1000000 // a.n_positions AS BIGINT)
+         AS acceptance_micro,
+       u.draft AS draft_token,
+       CAST(FLOOR(
+         CASE WHEN a.n_accepted = a.n_positions THEN 5.0
+         ELSE (1.0 - (CAST(a.n_accepted * 1000000 // a.n_positions
+                           AS DOUBLE) / 1e6)
+                     * (CAST(a.n_accepted * 1000000 // a.n_positions
+                             AS DOUBLE) / 1e6)
+                     * (CAST(a.n_accepted * 1000000 // a.n_positions
+                             AS DOUBLE) / 1e6)
+                     * (CAST(a.n_accepted * 1000000 // a.n_positions
+                             AS DOUBLE) / 1e6)
+                     * (CAST(a.n_accepted * 1000000 // a.n_positions
+                             AS DOUBLE) / 1e6))
+              / (1.0 - CAST(a.n_accepted * 1000000 // a.n_positions
+                            AS DOUBLE) / 1e6) END * 1e6)
+         AS BIGINT) AS spec_tokens_per_step_micro
+FROM acc a JOIN uni u ON u.lang = a.lang
+ORDER BY a.lang
+""",
+)
+def ext_speculative_acceptance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPECULATIVE-DECODING ACCEPTANCE SIMULATION (Leviathan et al.
+    2023) — would a cheap draft model's proposals survive the target's
+    verification, measured corpus-wide from exact n-gram statistics:
+    the draft is the per-language UNIGRAM argmax (a context-free
+    guesser), the target is the per-(language, previous-token) BIGRAM
+    argmax, and a position accepts exactly when the two greedy argmaxes
+    agree.  Per language: the position-weighted acceptance rate and
+    the classic expected-tokens-per-target-step for a 4-token draft
+    window, E = (1 - a^5)/(1 - a) — the number that decides whether
+    speculative decoding pays for a corpus/domain before anyone trains
+    the draft.
+
+    Exactness: both argmaxes tie-break lexicographically; the
+    acceptance rate is an exact micro floor-division; a^5 is an
+    explicit double multiplication chain (no pow() — libm rounding
+    differs across engines) evaluated from the identical micro
+    integer in both engines.
+
+    Scale shape: two combinable n-gram count shuffles (bigram and
+    unigram tables — vocabulary-scale outputs), two windows
+    PARTITIONED by (lang[, prev]), one broadcast-sized join back.  At
+    100 TB this is the standard n-gram statistics pass with bounded
+    per-key fan-out."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    t = d.select("lang", toks.alias("t")).where(F.size("t") >= 2)
+    pairs = t.select(
+        "lang",
+        F.explode(
+            F.transform(
+                seq1(F.size("t") - 1),
+                lambda i: F.struct(
+                    F.element_at("t", i).alias("prev"),
+                    F.element_at("t", i + 1).alias("nxt"),
+                ),
+            )
+        ).alias("p"),
+    ).select("lang", "p.prev", "p.nxt").localCheckpoint()
+    big = pairs.groupBy("lang", "prev").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    w_tgt = Window.partitionBy("lang", "prev").orderBy(
+        F.col("cc").desc(), "nxt"
+    )
+    tgt = (
+        pairs.groupBy("lang", "prev", "nxt")
+        .agg(F.count("*").alias("cc"))
+        .withColumn("rk", F.row_number().over(w_tgt))
+        .where(F.col("rk") == 1)
+        .select("lang", "prev", "nxt")
+    )
+    w_uni = Window.partitionBy("lang").orderBy(F.col("uc").desc(), "tok")
+    uni = (
+        d.select("lang", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count("*").alias("uc"))
+        .withColumn("rk", F.row_number().over(w_uni))
+        .where(F.col("rk") == 1)
+        .select("lang", F.col("tok").alias("draft"))
+    )
+    acc = (
+        big.join(tgt, ["lang", "prev"])
+        .join(F.broadcast(uni), "lang")
+        .groupBy("lang", "draft")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_positions"),
+            F.sum(
+                F.when(F.col("nxt") == F.col("draft"), F.col("c")).otherwise(
+                    0
+                )
+            )
+            .cast("bigint")
+            .alias("n_accepted"),
+        )
+    )
+    a_micro = F.expr(
+        "CAST(n_accepted * 1000000 DIV n_positions AS BIGINT)"
+    )
+    ad = a_micro.cast("double") / F.lit(1e6)
+    spec = F.when(
+        F.col("n_accepted") == F.col("n_positions"), F.lit(5.0)
+    ).otherwise((F.lit(1.0) - ad * ad * ad * ad * ad) / (F.lit(1.0) - ad))
+    return acc.select(
+        "lang",
+        "n_positions",
+        "n_accepted",
+        a_micro.alias("acceptance_micro"),
+        F.col("draft").alias("draft_token"),
+        F.floor(spec * F.lit(1e6)).cast("bigint").alias(
+            "spec_tokens_per_step_micro"
+        ),
+    ).orderBy("lang")

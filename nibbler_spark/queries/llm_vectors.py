@@ -4282,3 +4282,230 @@ def ext_embedding_distribution_divergence(
         )
         .orderBy("cell")
     )
+
+def _srp_planes() -> list[list[int]]:
+    """16 Rademacher hyperplanes over 64 dims, derived once from md5
+    (sign = parity of the first hex nibble of md5('srp:i:d')) and baked
+    into BOTH the Spark plan and the oracle text as literals — the
+    projection matrix is a shared constant, not an engine computation."""
+    import hashlib
+
+    return [
+        [
+            1 - 2 * (int(hashlib.md5(f"srp:{i}:{d}".encode())
+                         .hexdigest()[0], 16) % 2)
+            for d in range(1, 65)
+        ]
+        for i in range(16)
+    ]
+
+
+_SRP_PLANES = _srp_planes()
+_SRP_BANDS = 4  # 4 bands x 4 bits
+
+
+def _srp_oracle() -> str:
+    values = ",\n    ".join(
+        f"({i}, {d}, {s})"
+        for i, row in enumerate(_SRP_PLANES)
+        for d, s in enumerate(row, start=1)
+    )
+    return f"""
+WITH fv AS MATERIALIZED (
+  SELECT vec_id, embedding,
+         list_transform(embedding,
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e10) AS BIGINT)) AS f
+  FROM embeddings
+),
+md AS (SELECT GREATEST(1, COUNT(*) // 16) AS m FROM embeddings),
+srp(i, d, s) AS (
+  VALUES
+    {values}
+),
+bits AS MATERIALIZED (
+  SELECT t.vec_id, p.i,
+         CASE WHEN SUM(t.f[g.d] * p.s) >= 0 THEN 1 ELSE 0 END AS b
+  FROM fv t,
+       LATERAL (SELECT UNNEST(generate_series(1, 64)) AS d) g
+  JOIN srp p ON p.d = g.d
+  GROUP BY t.vec_id, p.i
+),
+bands AS MATERIALIZED (
+  SELECT vec_id, i // 4 AS band_id,
+         CAST(SUM(b * (1 << (i % 4))) AS BIGINT) AS bv
+  FROM bits GROUP BY vec_id, i // 4
+),
+probes AS MATERIALIZED (
+  SELECT vec_id AS probe_id, embedding AS pe
+  FROM fv CROSS JOIN md WHERE vec_id % md.m = 0
+),
+pbands AS MATERIALIZED (
+  SELECT p.probe_id, b.band_id, b.bv
+  FROM probes p JOIN bands b ON b.vec_id = p.probe_id
+),
+cand AS MATERIALIZED (
+  SELECT DISTINCT pb.probe_id, b.vec_id
+  FROM pbands pb JOIN bands b
+    ON b.band_id = pb.band_id AND b.bv = pb.bv
+  WHERE b.vec_id <> pb.probe_id
+),
+scored AS MATERIALIZED (
+  SELECT p.probe_id, e.vec_id,
+         CAST(FLOOR({sql_cosine('p.pe', 'e.embedding')} * 1e9) AS BIGINT)
+           AS cg
+  FROM probes p JOIN fv e ON e.vec_id <> p.probe_id
+),
+exact AS MATERIALIZED (
+  SELECT probe_id, vec_id FROM (
+    SELECT probe_id, vec_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY probe_id ORDER BY cg DESC, vec_id) AS rk
+    FROM scored
+  ) WHERE rk <= 10
+),
+nc AS MATERIALIZED (
+  SELECT probe_id, CAST(COUNT(*) AS BIGINT) AS n_cand
+  FROM cand GROUP BY probe_id
+),
+hits AS MATERIALIZED (
+  SELECT e.probe_id, CAST(COUNT(*) AS BIGINT) AS hits
+  FROM exact e JOIN cand c
+    ON c.probe_id = e.probe_id AND c.vec_id = e.vec_id
+  GROUP BY e.probe_id
+)
+SELECT p.probe_id,
+       COALESCE(nc.n_cand, 0) AS n_cand,
+       COALESCE(h.hits, 0) AS hits,
+       COALESCE(h.hits, 0) * 10 AS recall_pct
+FROM probes p
+LEFT JOIN nc ON nc.probe_id = p.probe_id
+LEFT JOIN hits h ON h.probe_id = p.probe_id
+ORDER BY p.probe_id"""
+
+
+@register(
+    "ext_srp_hyperplane_lsh",
+    survey_id="EXT-SRP-LSH",
+    category="llm-vectors",
+    oracle=_srp_oracle(),
+)
+def ext_srp_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIGNED RANDOM PROJECTION LSH (Charikar 2002 hyperplane hashing)
+    over the embedding corpus — the third member of the binary family:
+    simhash hashes TOKEN sets, ext_binary_embedding_recall signs the
+    COORDINATES, and SRP signs 16 RANDOM Rademacher projections, the
+    classic cosine-LSH whose per-bit collision probability is
+    1 - angle/pi regardless of the coordinate basis.  The 16 bits band
+    as 4x4; for the count-derived probe sample each probe's candidate
+    set = vectors sharing at least one band value, and recall@10 vs
+    the exact gridded-cosine top-10 plus the candidate-set size are
+    reported per probe — bucket selectivity AND recall, the two
+    numbers that decide whether the 4-bit banding survives a scale-up.
+
+    Exactness: the projection matrix is a CONSTANT baked into both
+    plans (md5-parity signs, materialized as literals); each bit
+    compares an exact int64 sum of floor-gridded products against
+    zero; band values, candidate joins, and both top-10s tie-break on
+    vec_id.
+
+    Scale shape: fingerprints are one row-local pass (16 x 64 integer
+    mul-adds); the candidate join is banded equi-join (never
+    all-pairs); the exact side is the bounded-probe scan every recall
+    eval pays.  At 4-bit bands selectivity is ~n/16 per band — the
+    measured number this query reports before a deployment picks
+    wider bands."""
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.count()
+    md = max(1, n // 16)
+    fv = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * F.lit(1e10)).cast("bigint"),
+    )
+    t = e.select("vec_id", "embedding", fv.alias("f")).localCheckpoint()
+
+    def bit(i: int):
+        plane = F.array(*[F.lit(s) for s in _SRP_PLANES[i]])
+        dot = F.aggregate(
+            F.zip_with(F.col("f"), plane, lambda x, s: x * s),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        return F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0))
+
+    bands = t.select(
+        "vec_id",
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                sum(
+                    (bit(4 * b + j) * F.lit(1 << j)).cast("bigint")
+                    for j in range(4)
+                ).alias("bv"),
+            ).alias(f"s{b}")
+            for b in range(_SRP_BANDS)
+        ],
+    ).select(
+        "vec_id",
+        F.explode(
+            F.array(*[F.col(f"s{b}") for b in range(_SRP_BANDS)])
+        ).alias("s"),
+    ).select("vec_id", "s.band_id", "s.bv").localCheckpoint()
+    probes = t.where(F.col("vec_id") % md == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
+    )
+    pbands = bands.join(
+        probes.select("probe_id"),
+        bands["vec_id"] == F.col("probe_id"),
+    ).select("probe_id", F.col("band_id").alias("pb_id"), F.col("bv").alias("pbv"))
+    cand = (
+        pbands.join(
+            bands,
+            (F.col("band_id") == F.col("pb_id"))
+            & (F.col("bv") == F.col("pbv")),
+        )
+        .where(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "vec_id")
+        .distinct()
+        .localCheckpoint()
+    )
+    scored = (
+        t.crossJoin(F.broadcast(probes))
+        .where(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            F.floor(cosine(F.col("pe"), F.col("embedding")) * 1e9)
+            .cast("bigint")
+            .alias("cg"),
+        )
+    )
+    w_ex = Window.partitionBy("probe_id").orderBy(
+        F.col("cg").desc(), "vec_id"
+    )
+    exact = (
+        scored.withColumn("rk", F.row_number().over(w_ex))
+        .where(F.col("rk") <= 10)
+        .select("probe_id", "vec_id")
+    )
+    nc = cand.groupBy("probe_id").agg(
+        F.count("*").cast("bigint").alias("n_cand")
+    )
+    hits = (
+        exact.join(cand, ["probe_id", "vec_id"], "left_semi")
+        .groupBy("probe_id")
+        .agg(F.count("*").cast("bigint").alias("hits"))
+    )
+    return (
+        probes.select("probe_id")
+        .join(nc, "probe_id", "left")
+        .join(hits, "probe_id", "left")
+        .select(
+            "probe_id",
+            F.coalesce("n_cand", F.lit(0)).cast("bigint").alias("n_cand"),
+            F.coalesce("hits", F.lit(0)).cast("bigint").alias("hits"),
+            (F.coalesce("hits", F.lit(0)) * 10)
+            .cast("bigint")
+            .alias("recall_pct"),
+        )
+        .orderBy("probe_id")
+    )

@@ -3124,3 +3124,125 @@ def ext_dbscan_adaptive_eps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cluster_total").desc(), "cluster_label")
         .limit(10)
     )
+
+def _hrw_pick_spark(n_shards: int):
+    """Row-local HRW argmax over n_shards: fold max by (md5 hex desc,
+    first-seen wins on the impossible tie — strict > both engines)."""
+    def hs(s: int):
+        return F.struct(
+            F.md5(
+                F.concat(F.lit(f"{s}:"), F.col("doc_id").cast("string"))
+            ).alias("h"),
+            F.lit(s).cast("bigint").alias("s"),
+        )
+
+    return F.aggregate(
+        F.array(*[hs(s) for s in range(1, n_shards)]),
+        hs(0),
+        lambda a, x: F.when(x["h"] > a["h"], x).otherwise(a),
+    )["s"]
+
+
+def _hrw_sql(n_shards: int) -> str:
+    return (
+        "list_reduce("
+        + "["
+        + ", ".join(
+            f"{{'h': md5('{s}:' || doc_id), 's': CAST({s} AS BIGINT)}}"
+            for s in range(n_shards)
+        )
+        + "], (a, x) -> CASE WHEN x.h > a.h THEN x ELSE a END).s"
+    )
+
+
+@register(
+    "ext_rendezvous_sharding",
+    survey_id="EXT-HRW-SHARD",
+    category="scale-patterns",
+    oracle=f"""
+WITH assign AS MATERIALIZED (
+  SELECT doc_id,
+         {_hrw_sql(8)} AS s8,
+         {_hrw_sql(9)} AS s9
+  FROM documents
+),
+flags AS MATERIALIZED (
+  SELECT BOOL_AND(s8 = s9 OR s9 = 8) AS all_moves_to_new FROM assign
+),
+shards AS (SELECT UNNEST(generate_series(0, 8)) AS shard)
+SELECT CAST(sh.shard AS BIGINT) AS shard,
+       CAST(COALESCE(SUM(CASE WHEN a.s8 = sh.shard THEN 1 END), 0)
+            AS BIGINT) AS n8,
+       CAST(COALESCE(SUM(CASE WHEN a.s9 = sh.shard THEN 1 END), 0)
+            AS BIGINT) AS n9,
+       CAST(COALESCE(SUM(CASE WHEN a.s9 = sh.shard AND a.s8 <> a.s9
+                              THEN 1 END), 0) AS BIGINT) AS moved_in,
+       f.all_moves_to_new
+FROM shards sh CROSS JOIN flags f
+LEFT JOIN assign a ON a.s8 = sh.shard OR a.s9 = sh.shard
+GROUP BY sh.shard, f.all_moves_to_new
+ORDER BY shard
+""",
+)
+def ext_rendezvous_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RENDEZVOUS (highest-random-weight) SHARDING — how a 100 TB
+    corpus is assigned to workers so that GROWING the fleet moves the
+    theoretical minimum of data: shard(doc) = argmax over shards of
+    md5(shard:doc), computed row-locally for N=8 and N=9, with the HRW
+    guarantee PINNED IN-QUERY: every document whose shard changed
+    moved TO the new shard 9 (all_moves_to_new — consistent hashing's
+    1/(N+1) minimal-disruption property, which naive mod-N sharding
+    violates for ~8/9 of the corpus).  Output per shard: populations
+    at both fleet sizes and the inbound movement.
+
+    Exactness: md5 hex-string argmax with strict-> folds (first-seen
+    wins on the impossible tie) — identical literals both engines.
+
+    Scale shape: assignment is one row-local fold per document (no
+    shuffle); the output aggregate is a 9-row combinable count.  This
+    is the assignment step ext_webdataset_shards' layout and the
+    snapshot bucketing both assume."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    assign = d.select(
+        "doc_id",
+        _hrw_pick_spark(8).alias("s8"),
+        _hrw_pick_spark(9).alias("s9"),
+    ).localCheckpoint()
+    flags = F.broadcast(
+        assign.agg(
+            F.every(
+                (F.col("s8") == F.col("s9")) | (F.col("s9") == 8)
+            ).alias("all_moves_to_new")
+        )
+    )
+    shards = spark.range(9).select(F.col("id").cast("bigint").alias("shard"))
+    per = (
+        shards.crossJoin(flags)
+        .join(
+            assign,
+            (F.col("s8") == F.col("shard")) | (F.col("s9") == F.col("shard")),
+            "left",
+        )
+        .groupBy("shard", "all_moves_to_new")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("s8") == F.col("shard"), 1)), F.lit(0)
+            ).cast("bigint").alias("n8"),
+            F.coalesce(
+                F.sum(F.when(F.col("s9") == F.col("shard"), 1)), F.lit(0)
+            ).cast("bigint").alias("n9"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("s9") == F.col("shard"))
+                        & (F.col("s8") != F.col("s9")),
+                        1,
+                    )
+                ),
+                F.lit(0),
+            ).cast("bigint").alias("moved_in"),
+        )
+        .select("shard", "n8", "n9", "moved_in", "all_moves_to_new")
+        .orderBy("shard")
+    )
+    return per

@@ -6864,3 +6864,241 @@ def i52_stream_decayed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("epoch", "cell")
     )
+
+def _hll_stream_oracle() -> str:
+    """Per-epoch-prefix HLL register replay (m=64): the registers are
+    max-folds of the SAME md5-derived (idx, rho) pairs the stream
+    folds, so every epoch's register table — and therefore the exact
+    integer checksums — must match the online trajectory bit-for-bit
+    (register max is associative + commutative: online == offline with
+    no tolerance)."""
+    return """
+WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
+tok AS MATERIALIZED (
+  SELECT LEAST(3, CAST(doc_id * 4 // (mx.m + 1) AS INT)) AS tep,
+         UNNEST(string_split(text, ' ')) AS token
+  FROM documents CROSS JOIN mx
+),
+h AS MATERIALIZED (
+  SELECT tep,
+         CAST(('0x' || substr(md5(token), 1, 12)) AS BIGINT) AS hv
+  FROM tok
+),
+hw AS MATERIALIZED (
+  SELECT tep, hv % 64 AS idx, hv // 64 AS w FROM h
+),
+epochs AS (SELECT UNNEST(generate_series(0, 3)) AS e),
+regs0 AS MATERIALIZED (
+  SELECT e.e AS epoch, hw.idx,
+         MAX(CASE WHEN w = 0 THEN 43 ELSE 43 - length(bin(w)) END) AS m
+  FROM hw JOIN epochs e ON hw.tep <= e.e
+  GROUP BY e.e, hw.idx
+),
+spine AS (
+  SELECT e.e AS epoch, s.i AS idx
+  FROM epochs e, (SELECT UNNEST(range(64)) AS i) s
+),
+regs AS MATERIALIZED (
+  SELECT sp.epoch, sp.idx, COALESCE(r.m, 0) AS m
+  FROM spine sp LEFT JOIN regs0 r
+    ON r.epoch = sp.epoch AND r.idx = sp.idx
+),
+z AS MATERIALIZED (
+  SELECT epoch,
+         CAST(SUM(CAST(FLOOR(pow(2.0e0, -m) * 1e10) AS DECIMAL(20,0)))
+              AS DOUBLE) / 1e10 AS zz,
+         CAST(SUM(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v,
+         CAST(SUM(m) AS BIGINT) AS reg_sum,
+         CAST(SUM(m * (idx + 1)) AS BIGINT) AS reg_chk
+  FROM regs GROUP BY epoch
+),
+tru AS MATERIALIZED (
+  SELECT e.e AS epoch, CAST(COUNT(DISTINCT token) AS BIGINT) AS t
+  FROM tok JOIN epochs e ON tok.tep <= e.e GROUP BY e.e
+),
+est AS (
+  SELECT epoch, reg_sum, reg_chk, v,
+         CASE WHEN (0.709e0 * 64e0 * 64e0) / zz <= 2.5e0 * 64e0 AND v > 0
+              THEN 64e0 * ln(64e0 / v)
+              ELSE (0.709e0 * 64e0 * 64e0) / zz
+         END AS e
+  FROM z
+)
+SELECT est.epoch, est.reg_sum, est.reg_chk, est.v AS n_zero,
+       CAST(FLOOR(est.e) AS BIGINT) AS est_floor,
+       tru.t AS true_distinct,
+       ABS(est.e / tru.t - 1e0) < 0.35e0 AS est_ok
+FROM est JOIN tru ON tru.epoch = est.epoch
+ORDER BY est.epoch"""
+
+
+@register(
+    "i53_stream_hll_union",
+    survey_id="EXT-STREAM-HLL",
+    category="streaming",
+    mode="parity",
+    oracle=_hll_stream_oracle(),
+)
+def i53_stream_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE HYPERLOGLOG — the streaming rung under ext_hll_portable:
+    the distinct-token cardinality monitor every ingestion pipeline
+    runs, maintained as 64 keyed REGISTER states (key = md5-derived
+    register index, state = running max leading-zero rank) folded
+    through applyInPandasWithState across 4 availableNow epochs of the
+    token stream.  Register max is associative AND commutative, so the
+    online trajectory is EXACTLY the offline prefix sketch — the
+    oracle replays each epoch prefix's registers and the integer
+    checksums (register sum, position-weighted checksum, zero count)
+    match with no tolerance; the harmonic-mean estimate is then
+    checked against the true prefix cardinality (35% band at m=64,
+    ~2.7 sigma).  This is the union-property proof for sharded
+    deployment: at 100 TB each executor folds its own 64 registers
+    and a max-merge reconciles them — this query IS that merge,
+    arriving epoch-slice by epoch-slice.
+
+    Scale: state is 64 BIGINTs TOTAL, corpus-independent; per-epoch
+    work is one map-side hash + the 64-key stateful shuffle; the
+    read-out grid is 64 x 4."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    cache = _docs_token_slices_dir(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="nibbler-shll-")
+    ingest = os.path.join(base, "ingest")
+    outdir = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(ingest)
+
+    def fold(key, pdfs, state: GroupState):
+        (idx,) = key
+        rows = pd.concat(list(pdfs))
+        ep = int(rows["epoch"].max())
+        batch_m = int(rows["rho"].max())
+        if state.exists:
+            m = max(state.get[0], batch_m)
+        else:
+            m = batch_m
+        state.update((m,))
+        yield pd.DataFrame(
+            {"idx": [int(idx)], "epoch": [ep], "m": [m]}
+        )
+
+    hv = F.conv(F.substring(F.md5("token"), 1, 12), 16, 10).cast("bigint")
+    prior_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        for q in range(4):
+            _stage_slice(os.path.join(cache, f"slice{q}"), ingest, q)
+            keyed = (
+                spark.readStream.schema("epoch int, token string")
+                .parquet(ingest)
+                .select("epoch", hv.alias("hv"))
+                .select(
+                    "epoch",
+                    (F.col("hv") % 64).alias("idx"),
+                    F.expr("hv DIV 64").alias("w"),
+                )
+                .select(
+                    "epoch",
+                    "idx",
+                    F.when(F.col("w") == 0, F.lit(43))
+                    .otherwise(F.lit(43) - F.length(F.bin("w")))
+                    .cast("long")
+                    .alias("rho"),
+                )
+                .groupBy("idx")
+                .applyInPandasWithState(
+                    fold,
+                    "idx long, epoch long, m long",
+                    "m long",
+                    "update",
+                    GroupStateTimeout.NoTimeout,
+                )
+            )
+            sq = (
+                keyed.writeStream.foreachBatch(
+                    lambda df, _eid: df.write.mode("append").parquet(outdir)
+                )
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            sq.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior_shuffle)
+
+    em = spark.read.schema("idx long, epoch long, m long").parquet(outdir)
+    epochs = spark.range(4).select(F.col("id").cast("bigint").alias("epoch"))
+    spine = spark.range(64).select(F.col("id").cast("bigint").alias("idx"))
+    grid = spine.crossJoin(F.broadcast(epochs))
+    regs = (
+        grid.join(
+            em.select(
+                F.col("idx").alias("ei"),
+                F.col("epoch").alias("eep"),
+                F.col("m").alias("ev"),
+            ),
+            (F.col("idx") == F.col("ei")) & (F.col("eep") <= F.col("epoch")),
+            "left",
+        )
+        .groupBy("idx", "epoch")
+        .agg(
+            F.coalesce(F.max_by("ev", "eep"), F.lit(0))
+            .cast("bigint")
+            .alias("m")
+        )
+    )
+    z = regs.groupBy("epoch").agg(
+        (
+            F.sum(
+                F.floor(F.pow(F.lit(2.0), -F.col("m")) * 1e10).cast(
+                    "decimal(20,0)"
+                )
+            ).cast("double")
+            / F.lit(1e10)
+        ).alias("zz"),
+        F.sum(F.when(F.col("m") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_zero"),
+        F.sum("m").cast("bigint").alias("reg_sum"),
+        F.sum(F.col("m") * (F.col("idx") + 1))
+        .cast("bigint")
+        .alias("reg_chk"),
+    )
+    raw = (F.lit(0.709) * F.lit(64.0) * F.lit(64.0)) / F.col("zz")
+    est = F.when(
+        (raw <= F.lit(2.5) * F.lit(64.0)) & (F.col("n_zero") > 0),
+        F.lit(64.0) * F.log(F.lit(64.0) / F.col("n_zero")),
+    ).otherwise(raw)
+    d = load_table(spark, sf_dir, "documents")
+    hi = d.agg(F.max("doc_id")).first()[0]
+    tok = d.select(
+        F.least(F.lit(3), (F.col("doc_id") * 4 / (hi + 1)).cast("int"))
+        .cast("bigint")
+        .alias("tep"),
+        F.explode(F.split("text", " ")).alias("token"),
+    )
+    tru = (
+        tok.crossJoin(F.broadcast(epochs.withColumnRenamed("epoch", "e")))
+        .where(F.col("tep") <= F.col("e"))
+        .groupBy("e")
+        .agg(F.countDistinct("token").cast("bigint").alias("true_distinct"))
+    )
+    return (
+        z.select(
+            "epoch", "reg_sum", "reg_chk", "n_zero",
+            F.floor(est).cast("bigint").alias("est_floor"),
+            est.alias("_e"),
+        )
+        .join(tru, F.col("e") == F.col("epoch"))
+        .select(
+            "epoch", "reg_sum", "reg_chk", "n_zero", "est_floor",
+            "true_distinct",
+            (
+                F.abs(F.col("_e") / F.col("true_distinct") - F.lit(1.0))
+                < F.lit(0.35)
+            ).alias("est_ok"),
+        )
+        .orderBy("epoch")
+    )

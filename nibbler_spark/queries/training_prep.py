@@ -4786,3 +4786,116 @@ def ext_tokenizer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+@register(
+    "ext_preference_pair_mining",
+    survey_id="EXT-PREF-PAIRS",
+    category="llm-training-prep",
+    oracle="""
+WITH scored AS MATERIALIZED (
+  SELECT doc_id, lang, source,
+         CAST(1000000 * len(list_distinct(string_split(text, ' ')))
+              // len(string_split(text, ' '))
+              + len(string_split(text, ' ')) AS BIGINT) AS q
+  FROM documents
+),
+ranked AS MATERIALIZED (
+  SELECT doc_id, lang, source, q,
+         ROW_NUMBER() OVER (PARTITION BY lang, source
+                            ORDER BY q DESC, doc_id) AS rtop,
+         ROW_NUMBER() OVER (PARTITION BY lang, source
+                            ORDER BY q ASC, doc_id) AS rbot
+  FROM scored
+),
+pairs AS MATERIALIZED (
+  SELECT c.lang, c.source,
+         c.doc_id AS chosen_id, r.doc_id AS rejected_id,
+         c.q - r.q AS margin
+  FROM (SELECT * FROM ranked WHERE rtop <= 2) c
+  JOIN (SELECT * FROM ranked WHERE rbot <= 2) r
+    ON r.lang = c.lang AND r.source = c.source
+   AND r.doc_id <> c.doc_id
+  WHERE c.q - r.q >= 1000
+)
+SELECT lang, source,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(margin) AS BIGINT) AS sum_margin,
+       CAST(MAX(margin) AS BIGINT) AS max_margin,
+       CAST(MIN(chosen_id) AS BIGINT) AS first_chosen
+FROM pairs GROUP BY lang, source ORDER BY lang, source
+""",
+)
+def ext_preference_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PREFERENCE-PAIR CONSTRUCTION for DPO/RLHF reward modeling — the
+    training-prep step that turns a scored corpus into (chosen,
+    rejected) pairs: per (lang, source) group, the top-2 documents by
+    a deterministic quality score (type-token ratio in micro units
+    plus length — the exact-integer quality proxy) pair against the
+    bottom-2, kept only when the quality MARGIN clears a threshold
+    (1000 micro) — low-margin pairs teach a reward model nothing and
+    are the standard filter.  Output per group: pair count, total and
+    max margin, and the first chosen doc.
+
+    Exactness: the score is all-integer (1e6-scaled floor division +
+    token count), ranks tie-break on doc_id both ways, and the margin
+    filter is an integer comparison.
+
+    Scale shape: both rankings are windows PARTITIONED by (lang,
+    source) — never a global sort; the pair join is top-2 x bottom-2
+    per group (bounded fan-out 4), and groups are the natural prompt
+    shards a preference pipeline processes independently at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    q = (
+        F.expr(
+            "CAST(1000000 * size(array_distinct(split(text, ' ')))"
+            " DIV size(split(text, ' '))"
+            " + size(split(text, ' ')) AS BIGINT)"
+        )
+    ).alias("q")
+    scored = d.select("doc_id", "lang", "source", q)
+    w_top = Window.partitionBy("lang", "source").orderBy(
+        F.col("q").desc(), "doc_id"
+    )
+    w_bot = Window.partitionBy("lang", "source").orderBy(
+        F.col("q").asc(), "doc_id"
+    )
+    ranked = scored.select(
+        "doc_id",
+        "lang",
+        "source",
+        "q",
+        F.row_number().over(w_top).alias("rtop"),
+        F.row_number().over(w_bot).alias("rbot"),
+    ).localCheckpoint()
+    chosen = ranked.where(F.col("rtop") <= 2).select(
+        "lang", "source",
+        F.col("doc_id").alias("chosen_id"), F.col("q").alias("qc"),
+    )
+    rejected = ranked.where(F.col("rbot") <= 2).select(
+        F.col("lang").alias("rl"), F.col("source").alias("rs"),
+        F.col("doc_id").alias("rejected_id"), F.col("q").alias("qr"),
+    )
+    pairs = (
+        chosen.join(
+            rejected,
+            (F.col("rl") == F.col("lang"))
+            & (F.col("rs") == F.col("source"))
+            & (F.col("rejected_id") != F.col("chosen_id")),
+        )
+        .select(
+            "lang", "source", "chosen_id", "rejected_id",
+            (F.col("qc") - F.col("qr")).alias("margin"),
+        )
+        .where(F.col("margin") >= 1000)
+    )
+    return (
+        pairs.groupBy("lang", "source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.sum("margin").cast("bigint").alias("sum_margin"),
+            F.max("margin").cast("bigint").alias("max_margin"),
+            F.min("chosen_id").cast("bigint").alias("first_chosen"),
+        )
+        .orderBy("lang", "source")
+    )

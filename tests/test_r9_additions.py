@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import hashlib
 import math
-from collections import defaultdict
+from collections import Counter, defaultdict
 
 import pytest
 
@@ -142,3 +142,281 @@ def test_hnsw_layered_walk_matches_bruteforce(spark, sf_dir):
         r["layered_total_not_worse"] == (tot_lay <= tot_l0)
         for r in rows.values()
     )
+
+def _load_docs(spark, sf_dir):
+    return [
+        (r["doc_id"], r["lang"], r["source"], r["text"])
+        for r in load_table(spark, sf_dir, "documents").collect()
+    ]
+
+
+def test_srp_hyperplane_lsh_matches_bruteforce(spark, sf_dir):
+    from nibbler_spark.queries import load_all
+    from nibbler_spark.queries.llm_vectors import _SRP_PLANES
+
+    vecs = {
+        r["vec_id"]: list(r["embedding"])
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    # independent plane derivation (the md5-parity rule, not the cached
+    # module constant)
+    planes = [
+        [
+            1
+            - 2
+            * (
+                int(
+                    hashlib.md5(f"srp:{i}:{d}".encode()).hexdigest()[0],
+                    16,
+                )
+                % 2
+            )
+            for d in range(1, 65)
+        ]
+        for i in range(16)
+    ]
+    assert planes == _SRP_PLANES
+
+    def fp_bands(v):
+        f = [math.floor(x * 1e10) for x in v]
+        bits = [
+            1 if sum(fx * s for fx, s in zip(f, p)) >= 0 else 0
+            for p in planes
+        ]
+        return {
+            b: sum(bits[4 * b + j] << j for j in range(4))
+            for b in range(4)
+        }
+
+    bands = {vid: fp_bands(v) for vid, v in vecs.items()}
+    n = len(vecs)
+    md = max(1, n // 16)
+    probes = sorted(v for v in vecs if v % md == 0)
+
+    def gcos(a, b):
+        def dot(x, y):
+            return (
+                sum(math.floor(p * q * 1e10) for p, q in zip(x, y)) / 1e10
+            )
+
+        return math.floor(
+            dot(a, b)
+            / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+            * 1e9
+        )
+
+    rows = {
+        r["probe_id"]: r
+        for r in load_all()["ext_srp_hyperplane_lsh"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    assert set(rows) == set(probes)
+    for p in probes:
+        cand = {
+            w
+            for w in vecs
+            if w != p
+            and any(bands[w][b] == bands[p][b] for b in range(4))
+        }
+        top10 = [
+            w
+            for _, w in sorted(
+                (-gcos(vecs[p], vecs[w]), w) for w in vecs if w != p
+            )[:10]
+        ]
+        hits = len(cand & set(top10))
+        r = rows[p]
+        assert r["n_cand"] == len(cand)
+        assert r["hits"] == hits
+        assert r["recall_pct"] == hits * 10
+
+
+def test_preference_pair_mining_matches_bruteforce(spark, sf_dir):
+    from nibbler_spark.queries import load_all
+
+    docs = _load_docs(spark, sf_dir)
+    groups = defaultdict(list)
+    for doc_id, lang, source, text in docs:
+        toks = text.split(" ")
+        q = 1000000 * len(set(toks)) // len(toks) + len(toks)
+        groups[(lang, source)].append((doc_id, q))
+    expect = {}
+    for (lang, source), ds in groups.items():
+        top = sorted(ds, key=lambda x: (-x[1], x[0]))[:2]
+        bot = sorted(ds, key=lambda x: (x[1], x[0]))[:2]
+        pairs = [
+            (c, r, qc - qr)
+            for c, qc in top
+            for r, qr in bot
+            if r != c and qc - qr >= 1000
+        ]
+        if pairs:
+            expect[(lang, source)] = (
+                len(pairs),
+                sum(m for *_, m in pairs),
+                max(m for *_, m in pairs),
+                min(c for c, *_ in pairs),
+            )
+    rows = load_all()["ext_preference_pair_mining"].spark(
+        spark, sf_dir
+    ).collect()
+    got = {
+        (r["lang"], r["source"]): (
+            r["n_pairs"], r["sum_margin"], r["max_margin"],
+            r["first_chosen"],
+        )
+        for r in rows
+    }
+    assert got == expect
+
+
+def test_policy_replay_eval_matches_bruteforce(spark, sf_dir):
+    from nibbler_spark.queries import load_all
+    from nibbler_spark.queries.event_analytics import _REPLAY_POLICY
+
+    ev = [
+        (r["user_id"], r["event_type"], math.floor(r["value"] * 100))
+        for r in load_table(spark, sf_dir, "events").collect()
+    ]
+    acts = ["click", "error", "purchase", "signup", "view"]
+    pol = {
+        c: acts[
+            int(hashlib.md5(f"policy:{c}".encode()).hexdigest()[:12], 16)
+            % 5
+        ]
+        for c in range(16)
+    }
+    assert pol == _REPLAY_POLICY
+
+    def summarize(rows_ev):
+        n = len(rows_ev)
+        s = sum(r for *_, r in rows_ev)
+        return (n, s, s * 1000000 // max(n, 1))
+
+    expect = {
+        "logged": summarize(ev),
+        "pi_hash": summarize(
+            [e for e in ev if e[1] == pol[e[0] % 16]]
+        ),
+        "pi_purchase": summarize([e for e in ev if e[1] == "purchase"]),
+    }
+    rows = load_all()["ext_policy_replay_eval"].spark(
+        spark, sf_dir
+    ).collect()
+    got = {
+        r["policy"]: (r["n_matched"], r["sum_cents"], r["mean_cents_micro"])
+        for r in rows
+    }
+    assert got == expect
+
+
+def test_rendezvous_sharding_matches_bruteforce(spark, sf_dir):
+    from nibbler_spark.queries import load_all
+
+    doc_ids = [d[0] for d in _load_docs(spark, sf_dir)]
+
+    def hrw(doc_id, n):
+        return max(
+            range(n),
+            key=lambda s: hashlib.md5(
+                f"{s}:{doc_id}".encode()
+            ).hexdigest(),
+        )
+
+    s8 = {d: hrw(d, 8) for d in doc_ids}
+    s9 = {d: hrw(d, 9) for d in doc_ids}
+    moved = [d for d in doc_ids if s8[d] != s9[d]]
+    assert all(s9[d] == 8 for d in moved)  # the HRW guarantee itself
+    rows = {
+        r["shard"]: r
+        for r in load_all()["ext_rendezvous_sharding"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    assert set(rows) == set(range(9))
+    for sh in range(9):
+        r = rows[sh]
+        assert r["n8"] == sum(1 for d in doc_ids if s8[d] == sh)
+        assert r["n9"] == sum(1 for d in doc_ids if s9[d] == sh)
+        assert r["moved_in"] == sum(1 for d in moved if s9[d] == sh)
+        assert r["all_moves_to_new"] is True
+    # minimal-disruption sanity: a healthy HRW move fraction is ~1/9
+    assert 0 < len(moved) < len(doc_ids) // 3
+
+
+def test_speculative_acceptance_matches_bruteforce(spark, sf_dir):
+    from nibbler_spark.queries import load_all
+
+    docs = _load_docs(spark, sf_dir)
+    uni = defaultdict(Counter)
+    big = defaultdict(Counter)
+    pos = Counter()
+    for _, lang, _, text in docs:
+        toks = text.split(" ")
+        uni[lang].update(toks)
+        for a, b in zip(toks, toks[1:]):
+            big[(lang, a)][b] += 1
+            pos[lang] += 1
+    rows = {
+        r["lang"]: r
+        for r in load_all()["ext_speculative_acceptance"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    for lang in uni:
+        draft = min(uni[lang].items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        accepted = 0
+        for (lg, prev), nxts in big.items():
+            if lg != lang:
+                continue
+            tgt = min(nxts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            if tgt == draft:
+                accepted += sum(nxts.values())
+        r = rows[lang]
+        n = pos[lang]
+        assert r["n_positions"] == n
+        assert r["n_accepted"] == accepted
+        assert r["acceptance_micro"] == accepted * 1000000 // n
+        assert r["draft_token"] == draft
+        a = (accepted * 1000000 // n) / 1e6
+        spec = 5.0 if accepted == n else (1 - a**5) / (1 - a)
+        assert r["spec_tokens_per_step_micro"] == math.floor(spec * 1e6)
+
+
+def test_stream_hll_union_matches_bruteforce(spark, sf_dir):
+    from nibbler_spark.queries import load_all
+
+    docs = _load_docs(spark, sf_dir)
+    hi = max(d[0] for d in docs)
+    slices = defaultdict(list)
+    for doc_id, _, _, text in docs:
+        ep = min(3, doc_id * 4 // (hi + 1))
+        slices[ep].extend(text.split(" "))
+    rows = {
+        r["epoch"]: r
+        for r in load_all()["i53_stream_hll_union"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    assert set(rows) == {0, 1, 2, 3}
+    for e in range(4):
+        toks = [t for q in range(e + 1) for t in slices[q]]
+        regs = [0] * 64
+        for t in set(toks):
+            hv = int(hashlib.md5(t.encode()).hexdigest()[:12], 16)
+            idx, w = hv % 64, hv // 64
+            rho = 43 if w == 0 else 43 - w.bit_length()
+            regs[idx] = max(regs[idx], rho)
+        r = rows[e]
+        assert r["reg_sum"] == sum(regs)
+        assert r["reg_chk"] == sum(m * (i + 1) for i, m in enumerate(regs))
+        assert r["n_zero"] == sum(1 for m in regs if m == 0)
+        assert r["true_distinct"] == len(set(toks))
+        zz = sum(math.floor(2.0 ** -m * 1e10) for m in regs) / 1e10
+        raw = 0.709 * 64 * 64 / zz
+        v = sum(1 for m in regs if m == 0)
+        est = 64 * math.log(64 / v) if (raw <= 160 and v > 0) else raw
+        assert r["est_floor"] == math.floor(est)
+        assert r["est_ok"] == (abs(est / len(set(toks)) - 1) < 0.35)
+        assert r["est_ok"] is True

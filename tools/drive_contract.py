@@ -36,6 +36,12 @@ _ap.add_argument("names", nargs="*")
 _ap.add_argument("--sample", type=int, default=None)
 _ap.add_argument("--seed", type=int, default=0)
 _ap.add_argument("--record", default=None)
+_ap.add_argument(
+    "--prefer-unsampled",
+    action="store_true",
+    help="rank never-driver-format-sampled names first (cumulative "
+    "union over CORRECTNESS_*.json — the r8 verdict #1 coverage ramp)",
+)
 _args = _ap.parse_args()
 
 only = _args.names or None
@@ -80,12 +86,26 @@ if only:
 elif _args.sample:
     # deterministic rotating sample: rank every name by
     # md5(seed:name), take the first N — different seeds cycle
-    # through the whole declared surface over successive rounds
+    # through the whole declared surface over successive rounds.
+    # With --prefer-unsampled, names absent from the cumulative
+    # driver-format union (every CORRECTNESS_*.json) sort FIRST, so
+    # each round's samples close the never-sampled gap before
+    # re-checking already-sampled names.
+    sampled: set[str] = set()
+    if _args.prefer_unsampled:
+        import glob
+
+        for f in glob.glob("/root/repo/CORRECTNESS_*.json"):
+            try:
+                sampled.update(json.load(open(f)))
+            except (json.JSONDecodeError, TypeError):
+                pass
     names = sorted(
         names,
-        key=lambda n: hashlib.md5(
-            f"{_args.seed}:{n}".encode()
-        ).hexdigest(),
+        key=lambda n: (
+            n in sampled,
+            hashlib.md5(f"{_args.seed}:{n}".encode()).hexdigest(),
+        ),
     )[: _args.sample]
     names.sort()
 

@@ -153,6 +153,19 @@ FLAGSHIPS = [
     "ext_ul2_denoiser_mix",
     "ext_tail_index_hill",
     "ext_truncation_loss_accounting",
+    # r9 wave: tokenizer round-trip (vocabulary-scale), SRP cosine LSH
+    # (banded equi-join + bounded-probe exact side), preference pairs
+    # (per-group windows, bounded fan-out), policy replay (one
+    # combinable scan), rendezvous sharding (row-local HRW folds),
+    # speculative acceptance (two n-gram count shuffles), streaming
+    # HLL (64-key state, corpus-independent).
+    "ext_tokenizer_roundtrip",
+    "ext_srp_hyperplane_lsh",
+    "ext_preference_pair_mining",
+    "ext_policy_replay_eval",
+    "ext_rendezvous_sharding",
+    "ext_speculative_acceptance",
+    "i53_stream_hll_union",
 ]
 GATE_RATIO = 12.0  # 10x data -> <= 12x wall (near-linear)
 # candidate-bound gate: wall time may grow at most this much faster than
