@@ -4301,3 +4301,142 @@ def ext_lsh_parameter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("bands")
+
+@register(
+    "ext_cdc_chunk_dedup",
+    survey_id="EXT-CDC-CHUNK",
+    category="llm-dedup",
+    oracle="""
+WITH pos AS MATERIALIZED (
+  SELECT doc_id, lang, text, len(text) AS n, g.i,
+         CASE WHEN g.i >= 8 THEN
+           CAST(('0x' || substr(md5(substr(text, CAST(g.i - 7 AS INT), 8)),
+                               1, 12)) AS BIGINT)
+         END AS w
+  FROM documents,
+       LATERAL (SELECT UNNEST(generate_series(1, len(text))) AS i) g
+),
+bnd AS MATERIALIZED (
+  SELECT doc_id, lang, text, i
+  FROM pos
+  WHERE (i >= 8 AND w % 64 = 0) OR i = n
+),
+chunks AS MATERIALIZED (
+  SELECT doc_id, lang,
+         COALESCE(LAG(i) OVER (PARTITION BY doc_id ORDER BY i), 0) + 1
+           AS s,
+         i AS e,
+         md5(substr(text,
+                    CAST(COALESCE(LAG(i) OVER (PARTITION BY doc_id
+                                               ORDER BY i), 0) + 1
+                         AS INT),
+                    CAST(i - COALESCE(LAG(i) OVER (PARTITION BY doc_id
+                                                   ORDER BY i), 0)
+                         AS INT))) AS h
+  FROM bnd
+),
+per AS MATERIALIZED (
+  SELECT lang, h, CAST(COUNT(*) AS BIGINT) AS dup,
+         CAST(MIN(e - s + 1) AS BIGINT) AS clen
+  FROM chunks GROUP BY lang, h
+)
+SELECT lang,
+       CAST(SUM(dup) AS BIGINT) AS n_chunks,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       CAST(SUM(dup * clen) AS BIGINT) AS total_chars,
+       CAST(SUM(clen) AS BIGINT) AS distinct_chars,
+       CAST((SUM(dup * clen) - SUM(clen)) * 1000000 // SUM(dup * clen)
+            AS BIGINT) AS dedup_ratio_micro,
+       CAST(MAX(dup) AS BIGINT) AS max_dup
+FROM per GROUP BY lang ORDER BY lang
+""",
+)
+def ext_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTENT-DEFINED CHUNKING dedup (the LBFS/restic/borg storage
+    family — dedup at the BLOB level, where the repo's shingle/MinHash/
+    span operators dedup at the token level): every position whose
+    8-char window fingerprint (md5, 48-bit) is ≡ 0 mod 64 is a chunk
+    boundary (expected chunk ~64 chars; document end always closes the
+    last chunk), so chunk boundaries are defined by CONTENT — an
+    insertion shifts only the chunks it touches, never the whole
+    stream, which is the property that makes this the storage-dedup
+    standard.  Chunks hash by md5; per language the query reports
+    chunk counts, distinct-chunk bytes, the dedup ratio (bytes saved
+    by storing each distinct chunk once), and the hottest chunk's
+    duplication count.
+
+    Exactness: integer window fingerprints, LAG-based chunk spans with
+    doc-partitioned windows, and md5 chunk ids — every column integer
+    or hash.
+
+    Scale shape: the position explode is corpus-char-scale (the same
+    cost the winnowing/fingerprint family pays — one pass, row-local
+    fingerprints); chunk assembly is a LAG window PARTITIONED BY
+    doc_id; the dedup aggregate shuffles (lang, chunk-hash) pairs —
+    chunk-scale, ~1/64th of the corpus rows."""
+    d = load_table(spark, sf_dir, "documents")
+    n = F.length("text")
+    pos = d.select(
+        "doc_id",
+        "lang",
+        "text",
+        n.alias("n"),
+        F.explode(F.sequence(F.lit(1), n)).alias("i"),
+    )
+    w = F.when(
+        F.col("i") >= 8,
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.expr("substr(text, CAST(i - 7 AS INT), 8)")
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+    )
+    bnd = pos.select("doc_id", "lang", "text", "i", w.alias("w")).where(
+        ((F.col("i") >= 8) & (F.col("w") % 64 == 0))
+        | (F.col("i") == F.col("n"))
+    )
+    from pyspark.sql import Window
+
+    w_doc = Window.partitionBy("doc_id").orderBy("i")
+    chunks = bnd.select(
+        "doc_id",
+        "lang",
+        (F.coalesce(F.lag("i").over(w_doc), F.lit(0)) + 1).alias("s"),
+        F.col("i").alias("e"),
+        "text",
+    ).select(
+        "lang",
+        (F.col("e") - F.col("s") + 1).alias("clen"),
+        F.md5(
+            F.expr(
+                "substr(text, CAST(s AS INT), CAST(e - s + 1 AS INT))"
+            )
+        ).alias("h"),
+    )
+    per = chunks.groupBy("lang", "h").agg(
+        F.count("*").cast("bigint").alias("dup"),
+        F.min("clen").cast("bigint").alias("clen"),
+    )
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.sum("dup").cast("bigint").alias("n_chunks"),
+            F.count("*").cast("bigint").alias("n_distinct"),
+            F.sum(F.col("dup") * F.col("clen"))
+            .cast("bigint")
+            .alias("total_chars"),
+            F.sum("clen").cast("bigint").alias("distinct_chars"),
+            F.expr(
+                "CAST((sum(dup * clen) - sum(clen)) * 1000000"
+                " DIV sum(dup * clen) AS BIGINT)"
+            ).alias("dedup_ratio_micro"),
+            F.max("dup").cast("bigint").alias("max_dup"),
+        )
+        .orderBy("lang")
+    )

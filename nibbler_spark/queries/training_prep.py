@@ -4899,3 +4899,220 @@ def ext_preference_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+_WP_CURVE_SIZES = (4, 8, 12, 16)
+
+
+def _wp_curve_oracle() -> str:
+    """One CTE chain per vocab size, unioned — the fertility-vs-vocab
+    design table, replaying ext_wordpiece_apply's packed-int greedy
+    fold at each size."""
+    parts = [
+        """wt AS MATERIALIZED (
+  SELECT token AS word, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT UNNEST(string_split(text, ' ')) AS token FROM documents)
+  GROUP BY token
+)"""
+    ]
+    selects = []
+    for v in _WP_CURVE_SIZES:
+        parts.append(
+            f"""vocab{v} AS MATERIALIZED (
+  SELECT word FROM (
+    SELECT word, ROW_NUMBER() OVER (ORDER BY c DESC, word) AS rk
+    FROM wt
+  ) WHERE rk <= {v}
+),
+vl{v} AS MATERIALIZED (SELECT LIST(word) AS vs FROM vocab{v}),
+ip{v} AS MATERIALIZED (
+  SELECT LIST(DISTINCT p) AS ips FROM (
+    SELECT substr(word, 1, k) AS p
+    FROM vocab{v}, generate_series(1, 3) AS g(k) WHERE k <= len(word))
+),
+cp{v} AS MATERIALIZED (
+  SELECT LIST(DISTINCT p) AS cps FROM (
+    SELECT substr(word, CAST(j AS INT), CAST(k AS INT)) AS p
+    FROM vocab{v}, generate_series(2, 24) AS gj(j),
+         generate_series(1, 3) AS gk(k)
+    WHERE j + k - 1 <= len(word))
+),
+seg{v} AS MATERIALIZED (
+  SELECT word, c,
+    list_reduce(
+      list_prepend(CAST(1000000 AS BIGINT),
+                   list_transform(generate_series(1, 24),
+                                  x -> CAST(x AS BIGINT))),
+      (acc, x) -> CASE
+        WHEN acc // 1000000 > len(word) THEN acc
+        WHEN acc // 1000000 = 1 AND list_contains(vl{v}.vs, word)
+          THEN acc + len(word) * 1000000 + 1000
+        WHEN acc // 1000000 = 1 THEN {_wp_sql_step(f"ip{v}.ips")}
+        ELSE {_wp_sql_step(f"cp{v}.cps")} END) AS acc
+  FROM wt, vl{v}, ip{v}, cp{v}
+)"""
+        )
+        selects.append(
+            f"""SELECT CAST({v} AS BIGINT) AS vocab_size,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(SUM(((acc % 1000000) // 1000) * c) AS BIGINT) AS total_pieces,
+       CAST(SUM((acc % 1000) * c) AS BIGINT) AS total_unk,
+       CAST(SUM(((acc % 1000000) // 1000) * c) * 1000000 // SUM(c)
+            AS BIGINT) AS fertility_micro,
+       CAST(SUM((acc % 1000) * c) * 1000000 // SUM(c) AS BIGINT)
+         AS unk_rate_micro
+FROM seg{v}"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + "\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\nORDER BY vocab_size"
+    )
+
+
+@register(
+    "ext_wordpiece_vocab_curve",
+    survey_id="EXT-WP-CURVE",
+    category="llm-training-prep",
+    oracle=_wp_curve_oracle(),
+)
+def ext_wordpiece_vocab_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FERTILITY-vs-VOCAB-SIZE CURVE — the tokenizer-budget design
+    table (the ext_lsh_parameter_sweep pattern applied to tokenization):
+    ext_wordpiece_apply's greedy packed-int fold replayed at vocab
+    sizes {4, 8, 12, 16}, reporting token-weighted fertility and UNK
+    rate at each size.  Fertility falls and UNK falls as the vocabulary
+    grows — THIS curve is where a deployment reads off the smallest
+    vocabulary that meets its pieces-per-token budget, the trade every
+    multilingual tokenizer design starts from.
+
+    Exactness: identical fold, rank-based vocab cut (c DESC, word),
+    exact micro floor-divisions — four hash-exact rows.
+
+    Scale shape: the corpus-scale work (the word count shuffle)
+    happens ONCE; each curve point re-segments only the DISTINCT-word
+    table against broadcast inventories — vocabulary-scale per point,
+    so the curve costs 4x a segmentation, not 4x a corpus scan."""
+    d = load_table(spark, sf_dir, "documents")
+    wt = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .localCheckpoint()
+    )
+
+    def step(acc, inv):
+        cur = (acc / F.lit(1000000)).cast("bigint")
+        L = F.length("word")
+        probe = lambda k: F.col("word").substr(  # noqa: E731
+            cur.cast("int"), F.lit(k)
+        )
+        return (
+            F.when(
+                (L >= cur + 2) & F.array_contains(F.col(inv), probe(3)),
+                acc + F.lit(3 * 1000000 + 1000).cast("bigint"),
+            )
+            .when(
+                (L >= cur + 1) & F.array_contains(F.col(inv), probe(2)),
+                acc + F.lit(2 * 1000000 + 1000).cast("bigint"),
+            )
+            .when(
+                F.array_contains(F.col(inv), probe(1)),
+                acc + F.lit(1000000 + 1000).cast("bigint"),
+            )
+            .otherwise(acc + F.lit(1000000 + 1000 + 1).cast("bigint"))
+        )
+
+    out = None
+    for v in _WP_CURVE_SIZES:
+        vocab = wt.orderBy(F.col("c").desc(), "word").limit(v).select("word")
+        vl = F.broadcast(vocab.agg(F.collect_set("word").alias("vs")))
+        ip = F.broadcast(
+            vocab.select(
+                F.explode(
+                    F.transform(
+                        F.sequence(
+                            F.lit(1), F.least(F.lit(3), F.length("word"))
+                        ),
+                        lambda k: F.col("word").substr(F.lit(1), k),
+                    )
+                ).alias("p")
+            ).agg(F.collect_set("p").alias("ips"))
+        )
+        cp = F.broadcast(
+            vocab.select(
+                F.explode(
+                    F.flatten(
+                        F.transform(
+                            F.sequence(
+                                F.lit(2),
+                                F.least(F.length("word"), F.lit(24)),
+                            ),
+                            lambda j: F.filter(
+                                F.transform(
+                                    F.sequence(F.lit(1), F.lit(3)),
+                                    lambda k: F.when(
+                                        j + k - 1 <= F.length("word"),
+                                        F.col("word").substr(j, k),
+                                    ),
+                                ),
+                                lambda s: s.isNotNull(),
+                            ),
+                        )
+                    )
+                ).alias("p")
+            )
+            .where(F.length("word") >= 2)
+            .agg(F.collect_set("p").alias("cps"))
+        )
+        seg = (
+            wt.crossJoin(vl)
+            .crossJoin(ip)
+            .crossJoin(cp)
+            .select(
+                "word",
+                "c",
+                F.aggregate(
+                    F.sequence(F.lit(1), F.lit(24)),
+                    F.lit(1000000).cast("bigint"),
+                    lambda acc, _x: F.when(
+                        (acc / F.lit(1000000)).cast("bigint")
+                        > F.length("word"),
+                        acc,
+                    )
+                    .when(
+                        ((acc / F.lit(1000000)).cast("bigint") == 1)
+                        & F.array_contains(F.col("vs"), F.col("word")),
+                        acc
+                        + F.length("word").cast("bigint") * F.lit(1000000)
+                        + F.lit(1000),
+                    )
+                    .when(
+                        (acc / F.lit(1000000)).cast("bigint") == 1,
+                        step(acc, "ips"),
+                    )
+                    .otherwise(step(acc, "cps")),
+                ).alias("acc"),
+            )
+        )
+        row = seg.agg(
+            F.lit(v).cast("bigint").alias("vocab_size"),
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.sum(F.expr("((acc % 1000000) DIV 1000) * c"))
+            .cast("bigint")
+            .alias("total_pieces"),
+            F.sum(F.expr("(acc % 1000) * c"))
+            .cast("bigint")
+            .alias("total_unk"),
+            F.expr(
+                "CAST(sum(((acc % 1000000) DIV 1000) * c) * 1000000"
+                " DIV sum(c) AS BIGINT)"
+            ).alias("fertility_micro"),
+            F.expr(
+                "CAST(sum((acc % 1000) * c) * 1000000 DIV sum(c)"
+                " AS BIGINT)"
+            ).alias("unk_rate_micro"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("vocab_size")

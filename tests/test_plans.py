@@ -1137,3 +1137,35 @@ def test_embedding_jsd_seed_join_bounded(spark, sf_dir):
     plan = _plan(spark, sf_dir, "ext_embedding_distribution_divergence")
     assert "CartesianProduct" not in plan
     assert "windowspecdefinition" not in plan
+
+def test_cdc_chunk_windows_doc_partitioned_no_cartesian(spark, sf_dir):
+    """ext_cdc_chunk_dedup: the chunk-assembly LAG window must be
+    PARTITIONED BY doc_id (an unpartitioned window would serialize the
+    corpus through one task at 100 TB), and nothing may cartesian."""
+    plan = _plan(spark, sf_dir, "ext_cdc_chunk_dedup")
+    assert "hashpartitioning(doc_id" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_wordpiece_curve_broadcast_inventories_no_cartesian(spark, sf_dir):
+    """ext_wordpiece_vocab_curve: the four per-size segmentations ride
+    single-row BROADCAST inventory joins (BroadcastNestedLoopJoin on a
+    1-row build side is the intended shape), never a CartesianProduct;
+    the corpus-scale word count happens once upstream."""
+    plan = _plan(spark, sf_dir, "ext_wordpiece_vocab_curve")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_preference_pairs_group_partitioned_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "ext_preference_pair_mining")
+    assert "CartesianProduct" not in plan
+
+
+def test_speculative_acceptance_lang_partitioned_windows(spark, sf_dir):
+    """Both argmax windows must be hash-partitioned by their group keys
+    — (lang, prev) for the bigram target, lang for the unigram draft —
+    never a single-partition global window."""
+    plan = _plan(spark, sf_dir, "ext_speculative_acceptance")
+    assert "hashpartitioning(lang" in plan
+    assert "CartesianProduct" not in plan

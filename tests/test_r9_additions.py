@@ -420,3 +420,111 @@ def test_stream_hll_union_matches_bruteforce(spark, sf_dir):
         assert r["est_floor"] == math.floor(est)
         assert r["est_ok"] == (abs(est / len(set(toks)) - 1) < 0.35)
         assert r["est_ok"] is True
+
+def test_cdc_chunk_dedup_matches_bruteforce(spark, sf_dir):
+    from nibbler_spark.queries import load_all
+
+    docs = _load_docs(spark, sf_dir)
+    per = defaultdict(Counter)  # lang -> chunk_hash -> dup count
+    lens = {}
+    for _, lang, _, text in docs:
+        n = len(text)
+        bounds = []
+        for i in range(8, n + 1):
+            w = int(
+                hashlib.md5(text[i - 8:i].encode()).hexdigest()[:12], 16
+            )
+            if w % 64 == 0:
+                bounds.append(i)
+        if not bounds or bounds[-1] != n:
+            bounds.append(n)
+        prev = 0
+        for b in bounds:
+            chunk = text[prev:b]
+            h = hashlib.md5(chunk.encode()).hexdigest()
+            per[lang][h] += 1
+            lens[h] = len(chunk)
+            prev = b
+    rows = {
+        r["lang"]: r
+        for r in load_all()["ext_cdc_chunk_dedup"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    assert set(rows) == set(per)
+    for lang, cc in per.items():
+        n_chunks = sum(cc.values())
+        total = sum(d * lens[h] for h, d in cc.items())
+        distinct = sum(lens[h] for h in cc)
+        r = rows[lang]
+        assert r["n_chunks"] == n_chunks
+        assert r["n_distinct"] == len(cc)
+        assert r["total_chars"] == total
+        assert r["distinct_chars"] == distinct
+        assert r["dedup_ratio_micro"] == (total - distinct) * 10**6 // total
+        assert r["max_dup"] == max(cc.values())
+    # the dedup must be non-vacuous: SOME chunk repeats somewhere
+    assert any(max(cc.values()) > 1 for cc in per.values())
+
+
+def test_wordpiece_vocab_curve_matches_bruteforce(spark, sf_dir):
+    from nibbler_spark.queries import load_all
+
+    docs = _load_docs(spark, sf_dir)
+    wc = Counter(t for *_, text in docs for t in text.split(" "))
+
+    def segment(word, vocab):
+        vs = set(vocab)
+        ips = {w[:k] for w in vs for k in (1, 2, 3) if k <= len(w)}
+        cps = {
+            w[j:j + k]
+            for w in vs
+            for j in range(1, min(len(w), 24))
+            for k in (1, 2, 3)
+            if j + k <= len(w)
+        }
+        if word in vs:
+            return 1, 0
+        cur, pieces, unk = 0, 0, 0
+        for _ in range(24):
+            if cur >= len(word):
+                break
+            inv = ips if cur == 0 else cps
+            for k in (3, 2, 1):
+                if cur + k <= len(word) and word[cur:cur + k] in inv:
+                    cur += k
+                    pieces += 1
+                    break
+            else:
+                cur += 1
+                pieces += 1
+                unk += 1
+        return pieces, unk
+
+    rows = {
+        r["vocab_size"]: r
+        for r in load_all()["ext_wordpiece_vocab_curve"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    assert set(rows) == {4, 8, 12, 16}
+    prev_fert = None
+    for v in (4, 8, 12, 16):
+        vocab = [
+            w for w, _ in sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))
+        ][:v]
+        tot = sum(wc.values())
+        pieces = unk = 0
+        for w, c in wc.items():
+            p, u = segment(w, vocab)
+            pieces += p * c
+            unk += u * c
+        r = rows[v]
+        assert r["n_tokens"] == tot
+        assert r["total_pieces"] == pieces
+        assert r["total_unk"] == unk
+        assert r["fertility_micro"] == pieces * 10**6 // tot
+        assert r["unk_rate_micro"] == unk * 10**6 // tot
+        if prev_fert is not None:  # the curve must actually fall
+            assert r["fertility_micro"] < prev_fert
+        prev_fert = r["fertility_micro"]

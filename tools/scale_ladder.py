@@ -166,6 +166,11 @@ FLAGSHIPS = [
     "ext_rendezvous_sharding",
     "ext_speculative_acceptance",
     "i53_stream_hll_union",
+    # r9 wave 2: CDC chunking (corpus-char explode + doc-partitioned
+    # LAG + chunk-scale dedup shuffle), WP vocab curve (one corpus
+    # count, 4 vocabulary-scale segmentations).
+    "ext_cdc_chunk_dedup",
+    "ext_wordpiece_vocab_curve",
 ]
 GATE_RATIO = 12.0  # 10x data -> <= 12x wall (near-linear)
 # candidate-bound gate: wall time may grow at most this much faster than
