@@ -3695,3 +3695,224 @@ def ext_successive_halving(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
     return out.orderBy("round", "arm")
+
+@register(
+    "ext_pass_at_k",
+    survey_id="EXT-PASS-AT-K",
+    category="ml-exact",
+    oracle="""
+WITH scored AS MATERIALIZED (
+  SELECT lang, source,
+         CASE WHEN 1000000 * len(list_distinct(string_split(text, ' ')))
+                   // len(string_split(text, ' '))
+                   + len(string_split(text, ' ')) >= 700000
+              THEN 1 ELSE 0 END AS pass
+  FROM documents
+),
+grp AS MATERIALIZED (
+  SELECT lang, source,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(pass) AS BIGINT) AS c
+  FROM scored GROUP BY lang, source
+),
+ks AS (SELECT UNNEST([1, 5, 10]) AS k)
+SELECT g.lang, g.source, CAST(ks.k AS BIGINT) AS k, g.n, g.c,
+       CAST(FLOOR((1e0 - list_reduce(
+              list_prepend(1e0,
+                list_transform(generate_series(1, CAST(ks.k AS INT)),
+                  i -> CASE WHEN g.n - g.c - (i - 1) < 0 THEN 0e0
+                       ELSE CAST(g.n - g.c - (i - 1) AS DOUBLE)
+                            / CAST(g.n - (i - 1) AS DOUBLE) END)),
+              (a, x) -> a * x)) * 1e6) AS BIGINT) AS pass_at_k_micro
+FROM grp g CROSS JOIN ks
+WHERE g.n >= ks.k
+ORDER BY g.lang, g.source, k
+""",
+)
+def ext_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PASS@K, the unbiased Codex estimator (Chen et al. 2021):
+    pass@k = 1 - C(n-c, k)/C(n, k) per task group, evaluated here with
+    documents as samples grouped by (lang, source) and a deterministic
+    integer quality score as the pass predicate — the eval-harness
+    aggregation every code/agent benchmark reports.  The binomial
+    RATIO is computed as the ordered product of k factors
+    (n-c-i)/(n-i), i = 0..k-1 — never the two overflowing factorials —
+    as a deterministic double fold (identical multiply order both
+    engines), floored to micro.  k in {1, 5, 10}; groups smaller than
+    k are excluded (the estimator is undefined there).
+
+    Scale shape: one combinable (lang, source) aggregate; the k-fan-out
+    is a 3-row broadcast; the product fold is row-local over at most
+    10 factors."""
+    d = load_table(spark, sf_dir, "documents")
+    q = F.expr(
+        "1000000 * size(array_distinct(split(text, ' ')))"
+        " DIV size(split(text, ' ')) + size(split(text, ' '))"
+    )
+    grp = (
+        d.select(
+            "lang",
+            "source",
+            F.when(q >= 700000, 1).otherwise(0).alias("pass"),
+        )
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("pass").cast("bigint").alias("c"),
+        )
+    )
+    ks = spark.range(1).select(
+        F.explode(F.array(F.lit(1), F.lit(5), F.lit(10))).alias("k")
+    )
+    prod = F.aggregate(
+        F.sequence(F.lit(1), F.col("k").cast("int")),
+        F.lit(1.0),
+        lambda a, i: a
+        * F.when(F.col("n") - F.col("c") - (i - 1) < 0, F.lit(0.0)).otherwise(
+            (F.col("n") - F.col("c") - (i - 1)).cast("double")
+            / (F.col("n") - (i - 1)).cast("double")
+        ),
+    )
+    return (
+        grp.crossJoin(F.broadcast(ks))
+        .where(F.col("n") >= F.col("k"))
+        .select(
+            "lang",
+            "source",
+            F.col("k").cast("bigint").alias("k"),
+            "n",
+            "c",
+            F.floor((F.lit(1.0) - prod) * F.lit(1e6))
+            .cast("bigint")
+            .alias("pass_at_k_micro"),
+        )
+        .orderBy("lang", "source", "k")
+    )
+
+def _bon_pows_sql(p: str, n: int) -> str:
+    """p^n as an explicit multiply chain (n in {1,2,4,8}) — identical
+    double rounding in both engines, no pow()."""
+    if n == 1:
+        return p
+    if n == 2:
+        return f"({p} * {p})"
+    if n == 4:
+        return f"(({p} * {p}) * ({p} * {p}))"
+    return (
+        f"((({p} * {p}) * ({p} * {p})) * (({p} * {p}) * ({p} * {p})))"
+    )
+
+
+def _bon_oracle() -> str:
+    rows = []
+    for n in (1, 2, 4, 8):
+        pn = _bon_pows_sql("(CAST(cf AS DOUBLE) / nd)", n)
+        ppn = _bon_pows_sql("(CAST(cf - cnt AS DOUBLE) / nd)", n)
+        rows.append(
+            f"""SELECT lang, CAST({n} AS BIGINT) AS n, nd AS n_docs,
+       CAST(SUM(CAST(FLOOR(q * ({pn} - {ppn}) * 1e6) AS BIGINT))
+            AS BIGINT) AS e_max_micro
+FROM dist GROUP BY lang, nd"""
+        )
+    union = "\nUNION ALL\n".join(rows)
+    return f"""
+WITH scored AS MATERIALIZED (
+  SELECT lang,
+         CAST(1000000 * len(list_distinct(string_split(text, ' ')))
+              // len(string_split(text, ' '))
+              + len(string_split(text, ' ')) AS BIGINT) AS q
+  FROM documents
+),
+dist AS MATERIALIZED (
+  SELECT lang, q, cnt,
+         SUM(cnt) OVER (PARTITION BY lang ORDER BY q) AS cf,
+         SUM(cnt) OVER (PARTITION BY lang) AS nd
+  FROM (SELECT lang, q, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM scored GROUP BY lang, q)
+)
+SELECT * FROM ({union}) ORDER BY lang, n"""
+
+
+@register(
+    "ext_best_of_n_gain",
+    survey_id="EXT-BEST-OF-N",
+    category="ml-exact",
+    oracle=_bon_oracle(),
+)
+def ext_best_of_n_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BEST-OF-N SAMPLING GAIN — what rejection sampling buys: the
+    exact expected MAXIMUM quality of n iid draws from each language's
+    EMPIRICAL score distribution, E[max_n] = sum over distinct scores
+    q of q * (F(q)^n - F(q-)^n), for n in {1, 2, 4, 8} (n=1 is the
+    mean — the baseline the gain is read against).  This is the
+    curve an RLHF/reranking deployment consults before paying n
+    inference calls per prompt.
+
+    Exactness: F is an exact cumulative count ratio; powers are
+    explicit multiply chains (no pow()); each term floors to micro and
+    the SUM is exact int64 — order-independent, so any partitioning
+    hash-matches.
+
+    Scale shape: one (lang, score) count shuffle (score-distribution-
+    scale, not corpus-scale), cumulative windows PARTITIONED by lang,
+    and a 4-way row-local power fan-out."""
+    d = load_table(spark, sf_dir, "documents")
+    q = F.expr(
+        "CAST(1000000 * size(array_distinct(split(text, ' ')))"
+        " DIV size(split(text, ' '))"
+        " + size(split(text, ' ')) AS BIGINT)"
+    )
+    dist0 = (
+        d.select("lang", q.alias("q"))
+        .groupBy("lang", "q")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    w_cum = (
+        Window.partitionBy("lang")
+        .orderBy("q")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("lang")
+    dist = dist0.select(
+        "lang",
+        "q",
+        "cnt",
+        F.sum("cnt").over(w_cum).alias("cf"),
+        F.sum("cnt").over(w_all).alias("nd"),
+    ).localCheckpoint()
+
+    def pn(col, n):
+        p = col
+        if n == 1:
+            return p
+        p2 = p * p
+        if n == 2:
+            return p2
+        p4 = p2 * p2
+        if n == 4:
+            return p4
+        return p4 * p4
+
+    out = None
+    for n in (1, 2, 4, 8):
+        hi = pn(F.col("cf").cast("double") / F.col("nd"), n)
+        lo = pn((F.col("cf") - F.col("cnt")).cast("double") / F.col("nd"), n)
+        row = (
+            dist.select(
+                "lang",
+                "nd",
+                F.floor(F.col("q") * (hi - lo) * F.lit(1e6))
+                .cast("bigint")
+                .alias("term"),
+            )
+            .groupBy("lang", "nd")
+            .agg(F.sum("term").cast("bigint").alias("e_max_micro"))
+            .select(
+                "lang",
+                F.lit(n).cast("bigint").alias("n"),
+                F.col("nd").alias("n_docs"),
+                "e_max_micro",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("lang", "n")

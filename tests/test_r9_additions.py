@@ -528,3 +528,136 @@ def test_wordpiece_vocab_curve_matches_bruteforce(spark, sf_dir):
         if prev_fert is not None:  # the curve must actually fall
             assert r["fertility_micro"] < prev_fert
         prev_fert = r["fertility_micro"]
+
+def test_pass_at_k_matches_bruteforce(spark, sf_dir):
+    from nibbler_spark.queries import load_all
+
+    docs = _load_docs(spark, sf_dir)
+    groups = defaultdict(lambda: [0, 0])  # (lang, source) -> [n, c]
+    for _, lang, source, text in docs:
+        toks = text.split(" ")
+        q = 1000000 * len(set(toks)) // len(toks) + len(toks)
+        g = groups[(lang, source)]
+        g[0] += 1
+        g[1] += 1 if q >= 700000 else 0
+    rows = {
+        (r["lang"], r["source"], r["k"]): r
+        for r in load_all()["ext_pass_at_k"].spark(spark, sf_dir).collect()
+    }
+    expect_keys = set()
+    for (lang, source), (n, c) in groups.items():
+        for k in (1, 5, 10):
+            if n < k:
+                continue
+            expect_keys.add((lang, source, k))
+            prod = 1.0
+            for i in range(k):
+                prod *= 0.0 if n - c - i < 0 else (n - c - i) / (n - i)
+            r = rows[(lang, source, k)]
+            assert r["n"] == n and r["c"] == c
+            assert r["pass_at_k_micro"] == math.floor((1.0 - prod) * 1e6)
+    assert set(rows) == expect_keys
+    # estimator sanity: pass@k is monotone non-decreasing in k
+    for (lang, source), (n, c) in groups.items():
+        vals = [
+            rows[(lang, source, k)]["pass_at_k_micro"]
+            for k in (1, 5, 10)
+            if (lang, source, k) in rows
+        ]
+        assert vals == sorted(vals)
+
+
+def test_best_of_n_gain_matches_bruteforce(spark, sf_dir):
+    from nibbler_spark.queries import load_all
+
+    docs = _load_docs(spark, sf_dir)
+    per_lang = defaultdict(list)
+    for _, lang, _, text in docs:
+        toks = text.split(" ")
+        per_lang[lang].append(
+            1000000 * len(set(toks)) // len(toks) + len(toks)
+        )
+    rows = {
+        (r["lang"], r["n"]): r
+        for r in load_all()["ext_best_of_n_gain"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    for lang, qs in per_lang.items():
+        nd = len(qs)
+        cnt = Counter(qs)
+        prev_e = None
+        for n in (1, 2, 4, 8):
+            cf = 0
+            e = 0
+            for q in sorted(cnt):
+                lo = cf / nd
+                cf += cnt[q]
+                hi = cf / nd
+
+                def pw(p):
+                    if n == 1:
+                        return p
+                    p2 = p * p
+                    if n == 2:
+                        return p2
+                    p4 = p2 * p2
+                    return p4 if n == 4 else p4 * p4
+
+                e += math.floor(q * (pw(hi) - pw(lo)) * 1e6)
+            r = rows[(lang, n)]
+            assert r["n_docs"] == nd
+            assert r["e_max_micro"] == e
+            # monotone: best-of-more dominates (term flooring slack)
+            if prev_e is not None:
+                assert e >= prev_e - len(cnt)
+            prev_e = e
+
+
+def test_stream_join_fold_compose_matches_bruteforce(spark, sf_dir):
+    """Replay the composed trajectory in pure Python: batch interval
+    join with emission epoch = max of the two slice epochs, then
+    per-bucket prefix sums — what the two chained checkpointed
+    streaming queries must reproduce."""
+    from nibbler_spark.queries import load_all
+
+    ev = [
+        (r["event_id"], r["user_id"], r["ts"], r["event_type"])
+        for r in load_table(spark, sf_dir, "events").collect()
+    ]
+    import datetime
+
+    pairs = []
+    purchases = [e for e in ev if e[3] == "purchase"]
+    by_user = defaultdict(list)
+    for e in purchases:
+        by_user[e[1]].append(e)
+    for eid, uid, ts, _ in ev:
+        for bid, _, bts, _ in by_user.get(uid, ()):
+            if (
+                bts >= ts
+                and bts <= ts + datetime.timedelta(minutes=2)
+                and bid != eid
+            ):
+                pairs.append(
+                    (
+                        max(eid % 3, bid % 3),
+                        uid % 16,
+                        eid % 97 + bid % 89,
+                    )
+                )
+    rows = {
+        (r["k"], r["epoch"]): r["running"]
+        for r in load_all()["i54_stream_join_fold_compose"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    expect = {}
+    ks = {k for _, k, _ in pairs}
+    for k in ks:
+        for e in range(3):
+            pref = [v for pep, kk, v in pairs if kk == k and pep <= e]
+            if pref:
+                expect[(k, e)] = sum(pref)
+    assert rows == expect
+    assert len(ks) > 1  # non-vacuous key spread

@@ -171,6 +171,12 @@ FLAGSHIPS = [
     # count, 4 vocabulary-scale segmentations).
     "ext_cdc_chunk_dedup",
     "ext_wordpiece_vocab_curve",
+    # r9 wave 3: eval aggregations (combinable counts + bounded
+    # fan-outs) and the chained join->fold streaming composition
+    # (per-epoch floor dominates — 1.08x for 10x data).
+    "ext_pass_at_k",
+    "ext_best_of_n_gain",
+    "i54_stream_join_fold_compose",
 ]
 GATE_RATIO = 12.0  # 10x data -> <= 12x wall (near-linear)
 # candidate-bound gate: wall time may grow at most this much faster than
