@@ -3916,3 +3916,202 @@ def ext_best_of_n_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("lang", "n")
+
+_ELO_LN10 = "2.302585092994046"
+_ELO_EPOCHS = 4
+_ELO_K = 32
+
+
+def _elo_oracle() -> str:
+    """Unrolled 4-epoch batched-Elo replay: each stage joins the
+    epoch's matches against the previous ratings (both roles), sums
+    exact micro score/expectation deltas per player, and adds them."""
+    q = (
+        "CAST(1000000 * len(list_distinct(string_split(text, ' ')))"
+        " // len(string_split(text, ' '))"
+        " + len(string_split(text, ' ')) AS BIGINT)"
+    )
+    parts = [
+        f"""docs AS MATERIALIZED (
+  SELECT doc_id, lang, source, {q} AS q FROM documents
+),
+matches AS MATERIALIZED (
+  SELECT doc_id % {_ELO_EPOCHS} AS ep, source AS pa, ob AS pb,
+         CASE WHEN q > qb THEN 1000000
+              WHEN q < qb THEN 0 ELSE 500000 END AS sa
+  FROM (
+    SELECT doc_id, source, q,
+           LEAD(source) OVER (PARTITION BY lang ORDER BY doc_id) AS ob,
+           LEAD(q) OVER (PARTITION BY lang ORDER BY doc_id) AS qb
+    FROM docs
+  ) WHERE ob IS NOT NULL AND ob <> source
+),
+sides AS MATERIALIZED (
+  SELECT ep, pa AS p, pb AS o, sa AS s FROM matches
+  UNION ALL
+  SELECT ep, pb AS p, pa AS o, 1000000 - sa AS s FROM matches
+),
+r0 AS MATERIALIZED (
+  SELECT DISTINCT source AS p, CAST(1500000000 AS BIGINT) AS r
+  FROM documents
+)"""
+    ]
+    for e in range(_ELO_EPOCHS):
+        exp_e = (
+            f"CAST(FLOOR(1e6 / (1e0 + exp((CAST(ro.r - rp.r AS DOUBLE)"
+            f" / 1e6 / 400e0) * {_ELO_LN10}e0))) AS BIGINT)"
+        )
+        parts.append(
+            f"""d{e} AS MATERIALIZED (
+  SELECT s.p,
+         CAST({_ELO_K} * (SUM(s.s) - SUM({exp_e})) AS BIGINT) AS delta
+  FROM sides s
+  JOIN r{e} rp ON rp.p = s.p
+  JOIN r{e} ro ON ro.p = s.o
+  WHERE s.ep = {e}
+  GROUP BY s.p
+),
+r{e + 1} AS MATERIALIZED (
+  SELECT r.p, r.r + COALESCE(d.delta, 0) AS r
+  FROM r{e} r LEFT JOIN d{e} d ON d.p = r.p
+)"""
+        )
+    traj = "\nUNION ALL\n".join(
+        f"SELECT CAST({e + 1} AS BIGINT) AS epoch, p AS source, r AS"
+        f" rating_micro FROM r{e + 1}"
+        for e in range(_ELO_EPOCHS)
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT t.epoch, t.source, t.rating_micro, nm.n_matches
+FROM ({traj}) t
+JOIN (
+  SELECT p AS source, CAST(COUNT(*) AS BIGINT) AS n_matches
+  FROM sides GROUP BY p
+) nm ON nm.source = t.source
+ORDER BY t.epoch, t.source"""
+    )
+
+
+@register(
+    "ext_elo_arena_ratings",
+    survey_id="EXT-ELO-ARENA",
+    category="ml-exact",
+    oracle=_elo_oracle(),
+)
+def ext_elo_arena_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCHED ELO RATINGS — the Chatbot-Arena-style eval aggregation:
+    sources play pairwise "matches" (adjacent documents per language,
+    winner = higher deterministic quality score, draws split), and
+    ratings update in 4 EPOCH BATCHES — within an epoch every match's
+    expected score E = 1/(1 + 10^((Ro-Rp)/400)) is computed against
+    the epoch-START ratings (row-local vs a broadcast rating table),
+    deltas sum per player, and one K=32 update applies per epoch.
+    Batched (mini-batch) Elo is the standard distributed form: the
+    sequential chain is per-EPOCH, not per-match, so the update is an
+    aggregate any partitioning computes identically.  Output: the
+    4-epoch rating trajectory per source plus match counts.
+
+    Exactness: quality scores, match outcomes, and score sums are
+    exact integers; E floors to micro per match (10^x as
+    exp(x * ln10-literal) — no pow()); deltas are exact integer sums,
+    so the trajectory is bit-stable and the oracle unrolls it
+    epoch-for-epoch.
+
+    Scale shape: the match stream is one LEAD window PARTITIONED by
+    lang; each epoch is one broadcast join (ratings = one row per
+    SOURCE — bounded) + a combinable per-player aggregate; 4 epochs of
+    bounded driver collects (the rating table itself)."""
+    d = load_table(spark, sf_dir, "documents")
+    q = F.expr(
+        "CAST(1000000 * size(array_distinct(split(text, ' ')))"
+        " DIV size(split(text, ' '))"
+        " + size(split(text, ' ')) AS BIGINT)"
+    )
+    docs = d.select("doc_id", "lang", "source", q.alias("q"))
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    m = (
+        docs.select(
+            "doc_id",
+            "source",
+            "q",
+            F.lead("source").over(w).alias("ob"),
+            F.lead("q").over(w).alias("qb"),
+        )
+        .where(F.col("ob").isNotNull() & (F.col("ob") != F.col("source")))
+        .select(
+            (F.col("doc_id") % _ELO_EPOCHS).alias("ep"),
+            F.col("source").alias("pa"),
+            F.col("ob").alias("pb"),
+            F.when(F.col("q") > F.col("qb"), F.lit(1000000))
+            .when(F.col("q") < F.col("qb"), F.lit(0))
+            .otherwise(F.lit(500000))
+            .cast("bigint")
+            .alias("sa"),
+        )
+    )
+    sides = (
+        m.select("ep", F.col("pa").alias("p"), F.col("pb").alias("o"), F.col("sa").alias("s"))
+        .unionByName(
+            m.select(
+                "ep",
+                F.col("pb").alias("p"),
+                F.col("pa").alias("o"),
+                (F.lit(1000000) - F.col("sa")).cast("bigint").alias("s"),
+            )
+        )
+        .localCheckpoint()
+    )
+    ratings = {
+        r["source"]: 1_500_000_000
+        for r in docs.select("source").distinct().collect()
+    }
+    traj = []
+    for e in range(_ELO_EPOCHS):
+        rmap = F.map_from_arrays(
+            F.array(*[F.lit(s) for s in sorted(ratings)]),
+            F.array(
+                *[F.lit(ratings[s]).cast("bigint") for s in sorted(ratings)]
+            ),
+        )
+        rp = F.element_at(rmap, F.col("p"))
+        ro = F.element_at(rmap, F.col("o"))
+        exp_micro = F.floor(
+            F.lit(1e6)
+            / (
+                F.lit(1.0)
+                + F.exp(
+                    ((ro - rp).cast("double") / F.lit(1e6) / F.lit(400.0))
+                    * F.lit(float(_ELO_LN10))
+                )
+            )
+        ).cast("bigint")
+        deltas = (
+            sides.where(F.col("ep") == e)
+            .select("p", "s", exp_micro.alias("em"))
+            .groupBy("p")
+            .agg(
+                (F.lit(_ELO_K) * (F.sum("s") - F.sum("em")))
+                .cast("bigint")
+                .alias("delta_micro")
+            )
+            .collect()
+        )
+        dmap = {r["p"]: r["delta_micro"] for r in deltas}
+        for s in ratings:
+            ratings[s] += dmap.get(s, 0)
+        for s in ratings:
+            traj.append((e + 1, s, ratings[s]))
+    nm = sides.groupBy("p").agg(
+        F.count("*").cast("bigint").alias("n_matches")
+    )
+    tdf = spark.createDataFrame(
+        traj, "epoch long, source string, rating_micro long"
+    )
+    return (
+        tdf.join(nm, tdf["source"] == nm["p"])
+        .select("epoch", "source", "rating_micro", "n_matches")
+        .orderBy("epoch", "source")
+    )

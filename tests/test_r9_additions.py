@@ -661,3 +661,55 @@ def test_stream_join_fold_compose_matches_bruteforce(spark, sf_dir):
                 expect[(k, e)] = sum(pref)
     assert rows == expect
     assert len(ks) > 1  # non-vacuous key spread
+
+def test_elo_arena_ratings_matches_bruteforce(spark, sf_dir):
+    from nibbler_spark.queries import load_all
+
+    docs = sorted(_load_docs(spark, sf_dir))
+    by_lang = defaultdict(list)
+    qual = {}
+    for doc_id, lang, source, text in docs:
+        toks = text.split(" ")
+        qual[doc_id] = 1000000 * len(set(toks)) // len(toks) + len(toks)
+        by_lang[lang].append((doc_id, source))
+    sides = []  # (epoch, player, opponent, s_micro)
+    for lang, ds in by_lang.items():
+        ds.sort()
+        for (da, sa), (db, sb) in zip(ds, ds[1:]):
+            if sa == sb:
+                continue
+            qa, qb = qual[da], qual[db]
+            s = 1000000 if qa > qb else (0 if qa < qb else 500000)
+            ep = da % 4
+            sides.append((ep, sa, sb, s))
+            sides.append((ep, sb, sa, 1000000 - s))
+    ratings = {src: 1_500_000_000 for src in {d[2] for d in docs}}
+    expect = {}
+    for e in range(4):
+        deltas = defaultdict(int)
+        for ep, p, o, s in sides:
+            if ep != e:
+                continue
+            x = (ratings[o] - ratings[p]) / 1e6 / 400.0
+            em = math.floor(1e6 / (1.0 + math.exp(x * 2.302585092994046)))
+            deltas[p] += 32 * (s - em)
+        for src in ratings:
+            ratings[src] += deltas.get(src, 0)
+            expect[(e + 1, src)] = ratings[src]
+    nm = Counter(p for _, p, _, _ in sides)
+    rows = {
+        (r["epoch"], r["source"]): r
+        for r in load_all()["ext_elo_arena_ratings"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    # sources with zero matches never join the n_matches table
+    assert set(rows) == {
+        k for k in expect if nm.get(k[1], 0) > 0
+    }
+    for (e, src), r in rows.items():
+        assert r["rating_micro"] == expect[(e, src)]
+        assert r["n_matches"] == nm[src]
+    # ratings must actually move and separate
+    finals = [r["rating_micro"] for (e, _), r in rows.items() if e == 4]
+    assert len(set(finals)) > 1

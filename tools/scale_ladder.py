@@ -177,6 +177,9 @@ FLAGSHIPS = [
     "ext_pass_at_k",
     "ext_best_of_n_gain",
     "i54_stream_join_fold_compose",
+    # batched Elo: one LEAD window + 4 epochs of broadcast-rating
+    # joins and combinable per-player aggregates.
+    "ext_elo_arena_ratings",
 ]
 GATE_RATIO = 12.0  # 10x data -> <= 12x wall (near-linear)
 # candidate-bound gate: wall time may grow at most this much faster than
