@@ -5677,3 +5677,120 @@ def ext_speculative_acceptance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "spec_tokens_per_step_micro"
         ),
     ).orderBy("lang")
+
+@register(
+    "ext_text_watermark_detect",
+    survey_id="EXT-WM-DETECT",
+    category="llm-text",
+    oracle="""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+),
+per_doc AS MATERIALIZED (
+  SELECT doc_id, lang,
+         CAST(len(t) - 1 AS BIGINT) AS trials,
+         CAST(list_sum(list_transform(
+           generate_series(1, len(t) - 1),
+           i -> CASE WHEN CAST(('0x' || substr(
+                       md5('wm:' || t[i] || ':' || t[i + 1]), 1, 12))
+                       AS BIGINT) % 4 = 0
+                THEN 1 ELSE 0 END)) AS BIGINT) AS green
+  FROM toks WHERE len(t) >= 2
+),
+scored AS MATERIALIZED (
+  SELECT doc_id, lang, trials, green,
+         CAST(FLOOR(
+           (CAST(green AS DOUBLE) - 0.25e0 * trials)
+           / sqrt(CAST(trials AS DOUBLE) * 0.25e0 * 0.75e0) * 1e6)
+           AS BIGINT) AS z_micro
+  FROM per_doc
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(green) AS BIGINT) AS green_total,
+       CAST(SUM(trials) AS BIGINT) AS trials_total,
+       CAST(SUM(green) * 1000000 // SUM(trials) AS BIGINT)
+         AS green_ratio_micro,
+       CAST(SUM(CASE WHEN z_micro > 2000000 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_detected,
+       CAST(MAX(z_micro) AS BIGINT) AS max_z_micro
+FROM scored GROUP BY lang ORDER BY lang
+""",
+)
+def ext_text_watermark_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM TEXT-WATERMARK DETECTION (Kirchenbauer et al. 2023's
+    green-list scheme): each vocabulary is notionally partitioned per
+    PREVIOUS token into a gamma=1/4 green list (membership =
+    md5('wm:prev:tok') mod 4 == 0 — the hash-seeded partition the
+    generator and detector share), and every document is scored by its
+    green-token fraction and the one-proportion z statistic
+    (green - gamma*T) / sqrt(T*gamma*(1-gamma)).  On un-watermarked
+    text — this corpus — the per-language report IS the detector's
+    false-positive calibration: green ratio ~250,000 micro, detections
+    at z>2 near the expected ~2.3% tail, and the max z observed.  The
+    scan a provenance pipeline runs over ingested data before training
+    on it.
+
+    Exactness: green counts are row-local integer folds over the token
+    sequence (no explode — one pass per document); z floors to micro
+    from identical double expressions; aggregates are exact integers.
+
+    Scale shape: one corpus scan with row-local arithmetic and one
+    combinable per-language aggregate — nothing shuffles but the
+    5-row result."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    toks = d.select("doc_id", "lang", t.alias("t")).where(F.size("t") >= 2)
+    green = F.aggregate(
+        seq1(F.size("t") - 1),
+        F.lit(0).cast("bigint"),
+        lambda acc, i: acc
+        + F.when(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("wm:"),
+                            F.element_at("t", i),
+                            F.lit(":"),
+                            F.element_at("t", i + 1),
+                        )
+                    ),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 4
+            == 0,
+            1,
+        ).otherwise(0),
+    )
+    per_doc = toks.select(
+        "lang",
+        (F.size("t") - 1).cast("bigint").alias("trials"),
+        green.alias("green"),
+    )
+    z_micro = F.floor(
+        (F.col("green").cast("double") - F.lit(0.25) * F.col("trials"))
+        / F.sqrt(F.col("trials").cast("double") * F.lit(0.25) * F.lit(0.75))
+        * F.lit(1e6)
+    ).cast("bigint")
+    return (
+        per_doc.select("lang", "trials", "green", z_micro.alias("z_micro"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("green").cast("bigint").alias("green_total"),
+            F.sum("trials").cast("bigint").alias("trials_total"),
+            F.expr(
+                "CAST(sum(green) * 1000000 DIV sum(trials) AS BIGINT)"
+            ).alias("green_ratio_micro"),
+            F.sum(F.when(F.col("z_micro") > 2000000, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_detected"),
+            F.max("z_micro").cast("bigint").alias("max_z_micro"),
+        )
+        .orderBy("lang")
+    )

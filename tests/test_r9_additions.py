@@ -713,3 +713,52 @@ def test_elo_arena_ratings_matches_bruteforce(spark, sf_dir):
     # ratings must actually move and separate
     finals = [r["rating_micro"] for (e, _), r in rows.items() if e == 4]
     assert len(set(finals)) > 1
+
+def test_text_watermark_detect_matches_bruteforce(spark, sf_dir):
+    from nibbler_spark.queries import load_all
+
+    docs = _load_docs(spark, sf_dir)
+    agg = defaultdict(lambda: [0, 0, 0, 0, None])  # n, green, trials, det, maxz
+    for _, lang, _, text in docs:
+        t = text.split(" ")
+        if len(t) < 2:
+            continue
+        green = sum(
+            1
+            for a, b in zip(t, t[1:])
+            if int(hashlib.md5(f"wm:{a}:{b}".encode()).hexdigest()[:12], 16)
+            % 4
+            == 0
+        )
+        trials = len(t) - 1
+        z = math.floor(
+            (green - 0.25 * trials)
+            / math.sqrt(trials * 0.25 * 0.75)
+            * 1e6
+        )
+        a = agg[lang]
+        a[0] += 1
+        a[1] += green
+        a[2] += trials
+        a[3] += 1 if z > 2_000_000 else 0
+        a[4] = z if a[4] is None else max(a[4], z)
+    rows = {
+        r["lang"]: r
+        for r in load_all()["ext_text_watermark_detect"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    assert set(rows) == set(agg)
+    for lang, (n, g, tr, det, mz) in agg.items():
+        r = rows[lang]
+        assert r["n_docs"] == n
+        assert r["green_total"] == g
+        assert r["trials_total"] == tr
+        assert r["green_ratio_micro"] == g * 10**6 // tr
+        assert r["n_detected"] == det
+        assert r["max_z_micro"] == mz
+        # un-watermarked corpus: green ratio sits near gamma=0.25 —
+        # loosely, because the synthetic corpus repeats bigrams (the
+        # ratio weights each repeated pair by its count, so the
+        # hash-partition's per-TYPE 1/4 shifts by the duplication skew)
+        assert abs(r["green_ratio_micro"] - 250000) < 80000

@@ -180,6 +180,8 @@ FLAGSHIPS = [
     # batched Elo: one LEAD window + 4 epochs of broadcast-rating
     # joins and combinable per-player aggregates.
     "ext_elo_arena_ratings",
+    # watermark detection: one row-local scan + a 5-row aggregate.
+    "ext_text_watermark_detect",
 ]
 GATE_RATIO = 12.0  # 10x data -> <= 12x wall (near-linear)
 # candidate-bound gate: wall time may grow at most this much faster than
