@@ -5794,3 +5794,107 @@ def ext_text_watermark_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+_TEMP_CURVE = ((5, 10), (10, 10), (20, 10))  # tau as (num, den): 0.5, 1, 2
+
+
+def _temp_curve_oracle() -> str:
+    rows = []
+    for num, den in _TEMP_CURVE:
+        inv = f"({den}e0 / {num}e0)"  # 1/tau
+        rows.append(
+            f"""SELECT lang,
+       CAST({num} AS BIGINT) * 100000 // {den} AS tau_micro,
+       CAST(COUNT(*) AS BIGINT) AS vocab,
+       CAST(FLOOR(
+         (ln(CAST(SUM(CAST(FLOOR(exp((CAST(lc AS DOUBLE) / 1e9) * {inv})
+                                 * 1e6) AS DECIMAL(38,0))) AS DOUBLE) / 1e6)
+          - (CAST(SUM(CAST(FLOOR(exp((CAST(lc AS DOUBLE) / 1e9) * {inv})
+                                 * 1e6) AS DECIMAL(38,0))
+                      * lc) AS DOUBLE)
+             / CAST(SUM(CAST(FLOOR(exp((CAST(lc AS DOUBLE) / 1e9) * {inv})
+                                    * 1e6) AS DECIMAL(38,0))) AS DOUBLE)
+             / 1e9) * {inv}) * 1e6) AS BIGINT) AS entropy_micro
+FROM uni GROUP BY lang"""
+        )
+    union = "\nUNION ALL\n".join(rows)
+    return f"""
+WITH uni AS MATERIALIZED (
+  SELECT lang, tok,
+         CAST(FLOOR(LN(CAST(COUNT(*) AS DOUBLE)) * 1e9) AS BIGINT) AS lc
+  FROM (SELECT lang, UNNEST(string_split(text, ' ')) AS tok
+        FROM documents)
+  GROUP BY lang, tok
+)
+SELECT * FROM ({union}) ORDER BY lang, tau_micro"""
+
+
+@register(
+    "ext_sampling_temperature_curve",
+    survey_id="EXT-TEMP-CURVE",
+    category="llm-text",
+    oracle=_temp_curve_oracle(),
+)
+def ext_sampling_temperature_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SAMPLING-TEMPERATURE ENTROPY CURVE — how much diversity a
+    temperature buys: each language's unigram distribution is
+    temperature-scaled (q_t proportional to c_t^(1/tau)) at tau in
+    {0.5, 1, 2} and the Shannon entropy of the scaled distribution
+    reported, H = ln Z - (1/tau) * E_q[ln c] — the design table a
+    decoding configuration reads (tau down -> sharper, entropy falls;
+    tau up -> flatter, entropy approaches ln |V|).  Monotonicity in
+    tau is asserted by the brute-force test.
+
+    Exactness: ln c floors to the 1e-9 grid per token type; each
+    scaled weight floor-grids to micro and sums EXACTLY as
+    DECIMAL(38,0) (c^2-scale weights at tau=0.5 overflow int64 — the
+    offpolicy-IPS lesson); the final entropy is computed in double
+    from identical exact aggregates and floored to micro.
+
+    Scale shape: one (lang, token) count shuffle (vocabulary-scale
+    output), then three combinable aggregates over the vocab table —
+    the corpus is scanned once."""
+    d = load_table(spark, sf_dir, "documents")
+    uni = (
+        d.select("lang", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(
+            F.floor(F.log(F.count("*").cast("double")) * F.lit(1e9))
+            .cast("bigint")
+            .alias("lc")
+        )
+        .localCheckpoint()
+    )
+    out = None
+    for num, den in _TEMP_CURVE:
+        inv = F.lit(float(den) / float(num))
+        w = F.floor(
+            F.exp((F.col("lc").cast("double") / F.lit(1e9)) * inv)
+            * F.lit(1e6)
+        ).cast("decimal(38,0)")
+        agg = uni.groupBy("lang").agg(
+            F.count("*").cast("bigint").alias("vocab"),
+            F.sum(w).alias("z"),
+            F.sum(w * F.col("lc")).alias("wlc"),
+        )
+        h = (
+            F.log(F.col("z").cast("double") / F.lit(1e6))
+            - (
+                F.col("wlc").cast("double")
+                / F.col("z").cast("double")
+                / F.lit(1e9)
+            )
+            * inv
+        )
+        row = agg.select(
+            "lang",
+            (F.lit(num).cast("bigint") * 100000 / F.lit(den))
+            .cast("bigint")
+            .alias("tau_micro"),
+            "vocab",
+            F.floor(h * F.lit(1e6)).cast("bigint").alias("entropy_micro"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("lang", "tau_micro")

@@ -762,3 +762,34 @@ def test_text_watermark_detect_matches_bruteforce(spark, sf_dir):
         # ratio weights each repeated pair by its count, so the
         # hash-partition's per-TYPE 1/4 shifts by the duplication skew)
         assert abs(r["green_ratio_micro"] - 250000) < 80000
+
+def test_sampling_temperature_curve_matches_bruteforce(spark, sf_dir):
+    from nibbler_spark.queries import load_all
+
+    docs = _load_docs(spark, sf_dir)
+    uni = defaultdict(Counter)
+    for _, lang, _, text in docs:
+        uni[lang].update(text.split(" "))
+    rows = {
+        (r["lang"], r["tau_micro"]): r
+        for r in load_all()["ext_sampling_temperature_curve"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    for lang, cnt in uni.items():
+        lcs = [
+            math.floor(math.log(c) * 1e9) for c in cnt.values()
+        ]
+        prev_h = None
+        for num, den in ((5, 10), (10, 10), (20, 10)):
+            inv = den / num
+            ws = [math.floor(math.exp(lc / 1e9 * inv) * 1e6) for lc in lcs]
+            z = sum(ws)
+            wlc = sum(w * lc for w, lc in zip(ws, lcs))
+            h = math.log(z / 1e6) - (wlc / z / 1e9) * inv
+            r = rows[(lang, num * 100000 // den)]
+            assert r["vocab"] == len(cnt)
+            assert r["entropy_micro"] == math.floor(h * 1e6)
+            if prev_h is not None:  # entropy rises with temperature
+                assert r["entropy_micro"] > prev_h
+            prev_h = r["entropy_micro"]

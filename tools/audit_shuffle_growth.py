@@ -51,6 +51,8 @@ CATEGORIES = [
     "scale-pattern",
     "composite",
     "multimodal",
+    # r9: the graph-ANN pair lives under plain "retrieval"
+    "retrieval",
 ]
 N_SMALL, N_BIG = 2_000, 8_000
 FLAG_EXP = 1.5
@@ -73,14 +75,10 @@ EXPECTED_SUPERLINEAR = {
     "ext_simhash_banded_pairs",
     "ext_dbscan_grid",
     "ext_dbscan_adaptive_eps",
-    # Candidate-bound by construction (BENCH_SF1 classifies + gates
-    # it): the NSW graph build's within-cell pair exchange is ~n^1.5
-    # — measured at THESE audit rungs: pairs 21,922 -> 181,144 = exp
-    # 1.52 (max cell 71 vs avg 56 at n8000, balanced).  The BYTE
-    # exponent reads higher (2.26) because the small rung's pair
-    # exchange sits at the compression/per-stage-overhead floor; the
-    # pair COUNT is the honest unit and is ladder-gated at 1.50.
-    "ext_nsw_greedy_search",
+    # r9: the NSW build is NN-descent now (seed + capped-reverse NoN
+    # rounds — candidate exponent 1.02 at the ladder rungs), so it is
+    # NO LONGER expected superlinear; it and the layered HNSW variant
+    # are audited like every other row.
 }
 
 

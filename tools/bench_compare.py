@@ -62,6 +62,9 @@ BASELINE_SEC = {
     "ext_prefix_cache_analysis": 0.63,
     "ext_binary_embedding_recall": 1.69,
     "i51_stream_spacesaving": 4.18,
+    "ext_nsw_greedy_search": 9.98,
+    "ext_hnsw_layered_search": 12.57,
+    "ext_tokenizer_roundtrip": 2.64,
 }
 REBATCHER_MIN = 1.4e6  # items/s floor of the recorded band
 

@@ -182,6 +182,8 @@ FLAGSHIPS = [
     "ext_elo_arena_ratings",
     # watermark detection: one row-local scan + a 5-row aggregate.
     "ext_text_watermark_detect",
+    # temperature curve: one vocab count + 3 combinable aggregates.
+    "ext_sampling_temperature_curve",
 ]
 GATE_RATIO = 12.0  # 10x data -> <= 12x wall (near-linear)
 # candidate-bound gate: wall time may grow at most this much faster than
