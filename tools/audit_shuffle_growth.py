@@ -75,10 +75,17 @@ EXPECTED_SUPERLINEAR = {
     "ext_simhash_banded_pairs",
     "ext_dbscan_grid",
     "ext_dbscan_adaptive_eps",
-    # r9: the NSW build is NN-descent now (seed + capped-reverse NoN
-    # rounds — candidate exponent 1.02 at the ladder rungs), so it is
-    # NO LONGER expected superlinear; it and the layered HNSW variant
-    # are audited like every other row.
+    # r9: the NSW build is NN-descent (seed + capped-reverse NoN
+    # rounds).  Its machine-independent units are LINEAR at these very
+    # rungs — build candidates 34,894 -> 147,404 = exp 1.04, final
+    # edges 3,556 -> 13,632 = exp 0.97 (nsw_build_candidate_volume /
+    # nsw_descent_edges, measured r9) — but the BYTE exponent reads
+    # 1.58/1.67 because the 2k rung's ~1.1-1.3 MB shuffle sits at the
+    # compression/per-stage-overhead floor (the same artifact the r8
+    # audit classified for the old build at 2.26).  Expected, not a
+    # finding; the ladder gates the candidate exponent at 1.35.
+    "ext_nsw_greedy_search",
+    "ext_hnsw_layered_search",
 }
 
 
