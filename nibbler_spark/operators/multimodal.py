@@ -2285,3 +2285,30 @@ def parse_flac(payload: bytes) -> dict:
 def flac_samples(payload: bytes) -> list[int]:
     """Full decoded sample vector (verification helper)."""
     return _flac_decode_samples(payload)[0]
+
+def wav_pcm_samples(payload: bytes) -> tuple[int, tuple[int, ...]]:
+    """(sample_rate, samples) of a mono 16-bit PCM WAV — the raw sample
+    access frame-level analyses (VAD, onset detection) need; the same
+    RIFF subchunk walk as :func:`parse_wav`, returning the data instead
+    of its statistics."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise AudioFormatError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            if size < 16:
+                raise AudioFormatError("short fmt chunk")
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if fmt is None or data is None:
+        raise AudioFormatError("missing fmt or data chunk")
+    audio_fmt, n_channels, sample_rate, _br, _al, bits = fmt
+    if audio_fmt != 1 or bits != 16 or n_channels != 1:
+        raise AudioFormatError("wav_pcm_samples: mono 16-bit PCM only")
+    if len(data) % 2:
+        raise AudioFormatError("truncated sample data")
+    return sample_rate, struct.unpack(f"<{len(data) // 2}h", data)

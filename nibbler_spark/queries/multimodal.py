@@ -3094,3 +3094,169 @@ def ext_video_scene_detection(
         )
         .orderBy("doc_id")
     )
+
+@register(
+    "ext_audio_vad_segments",
+    survey_id="EXT-MM-VAD",
+    category="multimodal",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, 64 + doc_id % 64 AS n
+  FROM documents WHERE doc_id % 17 = 0
+),
+s AS (
+  SELECT d.doc_id, d.n, i.i, i.i // 8 AS frame,
+         (CASE WHEN (i.i // 16) % 2 = 0 THEN 1400 ELSE 40 END
+          + (d.doc_id * 7 + i.i) % 10)
+         * (CASE WHEN i.i % 2 = 0 THEN 1 ELSE -1 END) AS v
+  FROM d CROSS JOIN generate_series(0, 127) AS i(i)
+  WHERE i.i < (d.n // 8) * 8
+),
+fr AS (
+  SELECT doc_id, frame, CAST(SUM(v * v) AS BIGINT) AS energy,
+         CAST(SUM(v * v) AS BIGINT) >= 8 * 250000 AS active
+  FROM s GROUP BY doc_id, frame
+),
+isl AS (
+  SELECT doc_id,
+         frame - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY frame)
+           AS grp
+  FROM fr WHERE active
+),
+seg AS (
+  SELECT doc_id, grp, CAST(COUNT(*) AS BIGINT) AS seg_len
+  FROM isl GROUP BY doc_id, grp
+)
+SELECT f.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_frames,
+       CAST(SUM(CASE WHEN f.active THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_active,
+       COALESCE(sg.n_segments, 0) AS n_segments,
+       COALESCE(sg.longest, 0) AS longest_segment_frames,
+       CAST(SUM(CASE WHEN f.active THEN 1 ELSE 0 END) AS BIGINT)
+         AS speech_ms,
+       CAST(SUM(f.energy) AS BIGINT) AS total_energy
+FROM fr f
+LEFT JOIN (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segments,
+         CAST(MAX(seg_len) AS BIGINT) AS longest
+  FROM seg GROUP BY doc_id
+) sg ON sg.doc_id = f.doc_id
+GROUP BY f.doc_id, sg.n_segments, sg.longest
+ORDER BY f.doc_id
+""",
+)
+def ext_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENERGY-BASED VOICE-ACTIVITY DETECTION over real WAV payloads —
+    the multimodal ANALYSIS rung above the codec family (decode proves
+    sample access; VAD proves frame-level signal processing): each
+    sampled document becomes an actual mono 16-bit PCM WAV whose
+    samples alternate loud (speech-like, ~1400 amplitude) and quiet
+    (~40) 16-sample blocks by a deterministic formula; the decode
+    stage walks the RIFF container back to raw samples
+    (operators/multimodal.py:wav_pcm_samples), frames them at 8
+    samples (1 ms @ 8 kHz), computes exact integer frame energies, and
+    thresholds at mean-square 250,000 — between the quiet ~1,600+ and
+    the loud ~1.96M; consecutive active frames merge into SPEECH
+    SEGMENTS by the gaps-and-islands rank trick.  Per document: frame
+    and active counts, segment count, longest segment, speech
+    milliseconds, and total energy — the trimming/segmentation stats
+    an audio-ingestion pipeline attaches before ASR.
+
+    Exactness: the synthetic waveform is closed-form, so the oracle
+    recomputes frames/energies/islands without any codec; energies
+    are exact int64; only full 8-sample frames count (both engines).
+
+    Scale shape: encode and decode are partition-local mapInPandas
+    stages (binary payloads never row-at-a-time Python); the only
+    shuffle is the doc-partitioned island window + the per-doc
+    aggregate — frame rows are ~n_samples/8."""
+    import pandas as _pd
+
+    from nibbler_spark.operators.multimodal import (
+        encode_wav,
+        wav_pcm_samples,
+    )
+
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 17 == 0
+    ).select("doc_id")
+
+    def encode(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                n = 64 + did % 64
+                payloads.append(
+                    encode_wav(
+                        n,
+                        8000,
+                        lambda i, did=did: (
+                            (1400 if (i // 16) % 2 == 0 else 40)
+                            + (did * 7 + i) % 10
+                        )
+                        * (1 if i % 2 == 0 else -1),
+                    )
+                )
+            yield _pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    encoded = d.mapInPandas(encode, "doc_id long, payload binary")
+
+    def frame_energies(batches):
+        for pdf in batches:
+            rows = {"doc_id": [], "frame": [], "energy": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _, samples = wav_pcm_samples(bytes(payload))
+                nfull = len(samples) // 8
+                for f in range(nfull):
+                    e = sum(v * v for v in samples[f * 8:(f + 1) * 8])
+                    rows["doc_id"].append(int(doc_id))
+                    rows["frame"].append(f)
+                    rows["energy"].append(e)
+            yield _pd.DataFrame(rows)
+
+    fr = encoded.mapInPandas(
+        frame_energies, "doc_id long, frame long, energy long"
+    ).withColumn("active", F.col("energy") >= 8 * 250000)
+    w_doc = Window.partitionBy("doc_id").orderBy("frame")
+    isl = fr.where("active").select(
+        "doc_id",
+        (F.col("frame") - F.row_number().over(w_doc)).alias("grp"),
+    )
+    seg = (
+        isl.groupBy("doc_id", "grp")
+        .agg(F.count("*").cast("bigint").alias("seg_len"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_segments"),
+            F.max("seg_len").cast("bigint").alias("longest"),
+        )
+    )
+    return (
+        fr.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_frames"),
+            F.sum(F.when(F.col("active"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_active"),
+            F.sum("energy").cast("bigint").alias("total_energy"),
+        )
+        .join(seg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_frames",
+            "n_active",
+            F.coalesce("n_segments", F.lit(0))
+            .cast("bigint")
+            .alias("n_segments"),
+            F.coalesce("longest", F.lit(0))
+            .cast("bigint")
+            .alias("longest_segment_frames"),
+            F.col("n_active").alias("speech_ms"),
+            "total_energy",
+        )
+        .orderBy("doc_id")
+    )

@@ -793,3 +793,58 @@ def test_sampling_temperature_curve_matches_bruteforce(spark, sf_dir):
             if prev_h is not None:  # entropy rises with temperature
                 assert r["entropy_micro"] > prev_h
             prev_h = r["entropy_micro"]
+
+def test_audio_vad_segments_matches_bruteforce(spark, sf_dir):
+    """Replay encode -> RIFF parse -> framing -> threshold -> island
+    merge in pure Python through the REAL codec (encode_wav +
+    wav_pcm_samples round-trip included)."""
+    from nibbler_spark.operators.multimodal import (
+        encode_wav,
+        wav_pcm_samples,
+    )
+    from nibbler_spark.queries import load_all
+
+    doc_ids = [
+        d[0] for d in _load_docs(spark, sf_dir) if d[0] % 17 == 0
+    ]
+    rows = {
+        r["doc_id"]: r
+        for r in load_all()["ext_audio_vad_segments"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    assert set(rows) == set(doc_ids)
+    for did in doc_ids:
+        n = 64 + did % 64
+        payload = encode_wav(
+            n,
+            8000,
+            lambda i, did=did: (
+                (1400 if (i // 16) % 2 == 0 else 40) + (did * 7 + i) % 10
+            )
+            * (1 if i % 2 == 0 else -1),
+        )
+        rate, samples = wav_pcm_samples(payload)
+        assert rate == 8000 and len(samples) == n
+        frames = [
+            sum(v * v for v in samples[f * 8:(f + 1) * 8])
+            for f in range(n // 8)
+        ]
+        active = [e >= 8 * 250000 for e in frames]
+        segs = []
+        run = 0
+        for a in active + [False]:
+            if a:
+                run += 1
+            elif run:
+                segs.append(run)
+                run = 0
+        r = rows[did]
+        assert r["n_frames"] == len(frames)
+        assert r["n_active"] == sum(active)
+        assert r["n_segments"] == len(segs)
+        assert r["longest_segment_frames"] == (max(segs) if segs else 0)
+        assert r["speech_ms"] == sum(active)
+        assert r["total_energy"] == sum(frames)
+        # the alternating waveform must produce REAL segmentation
+        assert len(segs) >= 2 and 0 < sum(active) < len(frames)

@@ -184,6 +184,8 @@ FLAGSHIPS = [
     "ext_text_watermark_detect",
     # temperature curve: one vocab count + 3 combinable aggregates.
     "ext_sampling_temperature_curve",
+    # VAD: two partition-local Arrow stages + doc-partitioned islands.
+    "ext_audio_vad_segments",
 ]
 GATE_RATIO = 12.0  # 10x data -> <= 12x wall (near-linear)
 # candidate-bound gate: wall time may grow at most this much faster than
