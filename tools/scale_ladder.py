@@ -186,6 +186,8 @@ FLAGSHIPS = [
     "ext_sampling_temperature_curve",
     # VAD: two partition-local Arrow stages + doc-partitioned islands.
     "ext_audio_vad_segments",
+    # Spearman: two lang-partitioned rank windows + one moment agg.
+    "ext_spearman_rho",
 ]
 GATE_RATIO = 12.0  # 10x data -> <= 12x wall (near-linear)
 # candidate-bound gate: wall time may grow at most this much faster than
