@@ -238,6 +238,26 @@ def main() -> None:
     frozen_total = _sum(set(FROZEN_ANCHORS))
     rotating_total = _sum(set(ROTATING))
     total = round(frozen_total + rotating_total, 4)
+
+    # r9 verdict #5: emit the canary-normalization mechanically so a
+    # driver-side consumer can apply BASELINE.md's reading rule without
+    # the prose. Per-row `ratio` = sec / anchor; `ratio_canary_
+    # normalized` = ratio / (canary_sec / CANARY_MID). Band from
+    # BASELINE.md (clean idle local[32], measured r8).
+    CANARY_BAND = [0.45, 0.55]
+    CANARY_MID = 0.50
+    try:
+        from tools.bench_compare import BASELINE_SEC
+    except ImportError:
+        BASELINE_SEC = {}
+    norm = canary_sec / CANARY_MID if canary_sec > 0 else 1.0
+    ratios = {}
+    ratios_norm = {}
+    for name, sec in timings.items():
+        base = BASELINE_SEC.get(name)
+        if base and name != "s1_rebatcher_items_per_sec":
+            ratios[name] = round(sec / base, 4)
+            ratios_norm[name] = round(sec / base / norm, 4)
     print(
         json.dumps(
             {
@@ -246,8 +266,12 @@ def main() -> None:
                 "frozen_total": frozen_total,
                 "rotating_total": rotating_total,
                 "canary_sec": canary_sec,
+                "canary_band": CANARY_BAND,
+                "canary_mid": CANARY_MID,
                 "unit": "sec",
                 "queries": timings,
+                "ratios": ratios,
+                "ratios_canary_normalized": ratios_norm,
                 "tq_power_queries": tq_power_queries,
                 "sf": _sf_from_dir(SF_DIR),
             }

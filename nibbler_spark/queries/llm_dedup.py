@@ -2765,43 +2765,42 @@ def ext_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = e0.unionAll(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint()
+    all_nodes = nodes.select(F.col("doc_id").alias("node"))
+    # r9 verdict #2 variance pass: the old shape ran SEVEN eager
+    # materialize jobs per query (edges + per-round new_alive + a
+    # rebuilt `removed` frame re-checkpointed every round); the
+    # per-round label join is pure bookkeeping, so the peel frames are
+    # now accumulated LAZILY (each is one anti-join between two
+    # already-checkpointed alive frames) and unioned once at the end —
+    # 4 eager jobs, less block-store churn, same integer-exact result.
     alive = None  # None = all nodes alive (round 1 shortcut)
-    removed = nodes.select(
-        F.col("doc_id").alias("node"), F.lit(None).cast("int").alias("rr")
-    )
+    peels = []
     for rnd in range(1, 4):
+        prev = alive if alive is not None else all_nodes
         e = edges
         if alive is not None:
             ax = alive.select(F.col("node").alias("src"))
             ay = alive.select(F.col("node").alias("dst"))
             e = e.join(ax, "src", "left_semi").join(ay, "dst", "left_semi")
         deg = e.groupBy("src").agg(F.count("*").alias("d"))
-        new_alive = (
-            (alive if alive is not None else removed.select("node"))
-            .join(
-                deg.where(F.col("d") >= 2).select(
-                    F.col("src").alias("node")
-                ),
-                "node",
-                "left_semi",
+        new_alive = prev.join(
+            deg.where(F.col("d") >= 2).select(F.col("src").alias("node")),
+            "node",
+            "left_semi",
+        ).localCheckpoint()
+        peels.append(
+            prev.join(new_alive, "node", "left_anti").select(
+                "node", F.lit(rnd).cast("bigint").alias("removed_round")
             )
-            .localCheckpoint()
-        )
-        peeled_now = (
-            (alive if alive is not None else removed.select("node"))
-            .join(new_alive, "node", "left_anti")
-            .select("node", F.lit(rnd).alias("nr"))
-        )
-        removed = (
-            removed.join(peeled_now, "node", "left")
-            .select("node", F.coalesce("rr", "nr").alias("rr"))
-            .localCheckpoint()
         )
         alive = new_alive
-    return (
-        removed.groupBy(
-            F.coalesce("rr", F.lit(-1)).cast("bigint").alias("removed_round")
+    res = peels[0].unionByName(peels[1]).unionByName(peels[2]).unionByName(
+        alive.select(
+            "node", F.lit(-1).cast("bigint").alias("removed_round")
         )
+    )
+    return (
+        res.groupBy("removed_round")
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("node").cast("bigint").alias("sum_doc_id"),
@@ -4397,20 +4396,26 @@ def ext_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             10,
         ).cast("bigint"),
     )
-    bnd = pos.select("doc_id", "lang", "text", "i", w.alias("w")).where(
+    # r9 advisory fix: the boundary rows cross the doc_id window
+    # exchange as bare (doc_id, lang, i) — NOT carrying `text`, which
+    # would ship the whole document once per boundary (~L/64 times,
+    # ≈160x byte amplification for a 10 KB doc). The text crosses the
+    # wire exactly once per doc via the span→documents join below, and
+    # the substr runs post-join in the same stage.
+    bnd = pos.select("doc_id", "lang", "i", w.alias("w")).where(
         ((F.col("i") >= 8) & (F.col("w") % 64 == 0))
         | (F.col("i") == F.col("n"))
     )
     from pyspark.sql import Window
 
     w_doc = Window.partitionBy("doc_id").orderBy("i")
-    chunks = bnd.select(
+    spans = bnd.select(
         "doc_id",
         "lang",
         (F.coalesce(F.lag("i").over(w_doc), F.lit(0)) + 1).alias("s"),
         F.col("i").alias("e"),
-        "text",
-    ).select(
+    )
+    chunks = spans.join(d.select("doc_id", "text"), "doc_id").select(
         "lang",
         (F.col("e") - F.col("s") + 1).alias("clen"),
         F.md5(

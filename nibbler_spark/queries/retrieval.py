@@ -1252,10 +1252,12 @@ def nsw_round_candidates(g: DataFrame) -> DataFrame:
     return und.unionByName(non).distinct()
 
 
-def nsw_descent_edges(spark: SparkSession, sf_dir: str):
+def nsw_descent_edges_inline(spark: SparkSession, sf_dir: str):
     """Layer-0 graph build by seeded NN-descent (linear candidate
     volume — see nsw_seed_candidates / nsw_round_candidates), plus the
-    cell2 long-range edges. Returns (edges(src, dst), assigned, n, md)."""
+    cell2 long-range edges. Returns (edges(src, dst), assigned, n, md).
+    The from-scratch build path — callers wanting the shared persisted
+    graph go through :func:`nsw_descent_edges`."""
     assigned, n, md = nsw_assignment(spark, sf_dir)
     cg = _nsw_cg()
     embs = _nsw_embs(assigned)
@@ -1268,6 +1270,53 @@ def nsw_descent_edges(spark: SparkSession, sf_dir: str):
         .distinct()
         .localCheckpoint()
     )
+    return edges, assigned, n, md
+
+
+def nsw_descent_edges(spark: SparkSession, sf_dir: str):
+    """PERSISTED layer-0 NN-descent graph, shared by every graph-ANN
+    query (r9 verdict #1). The build is a separate index-lifecycle
+    phase — the ext_ivf_persisted pattern: the first caller for a
+    given (embeddings file, build params) runs the deterministic
+    NN-descent build ONCE and commits ``edges``/``assigned`` parquet
+    plus a meta sidecar into an atomically-renamed snapshot dir
+    (sources/tables.cached_dir — crash-safe, keyed on the source
+    parquet's mtime+size so regenerated testdata can never serve a
+    stale graph). Every later caller — ext_nsw_greedy_search AND
+    ext_hnsw_layered_search, which previously each re-ran the
+    identical ~6-round join+top-k descent (~23 s combined at sf0.1) —
+    reads the committed graph back.
+
+    Losslessness: the build is deterministic (1e-9 gridded cosine,
+    md5/vec_id tie-breaks everywhere) and float64/long columns are
+    bit-exact through parquet, so the persisted graph is identical to
+    a from-scratch build and the DuckDB oracles, which replay the
+    build from the raw table, still hash-match. At 100 TB this is the
+    real vector-store shape: the graph is built by an indexing job and
+    served read-only to searches."""
+    import json as _json
+    import os as _os
+
+    from nibbler_spark.sources.tables import cached_dir
+
+    def build(tmp: str) -> None:
+        edges, assigned, n, _ = nsw_descent_edges_inline(spark, sf_dir)
+        edges.write.mode("overwrite").parquet(_os.path.join(tmp, "edges"))
+        assigned.write.mode("overwrite").parquet(
+            _os.path.join(tmp, "assigned")
+        )
+        with open(_os.path.join(tmp, "meta.json"), "w") as fh:
+            _json.dump({"n": n}, fh)
+
+    kind = f"nswgraph-k{_NSW_KNN}r{_NSW_ROUNDS}b{_NSW_SEED_BUCKET}"
+    root = cached_dir(sf_dir, "embeddings", kind, build)
+    with open(_os.path.join(root, "meta.json")) as fh:
+        n = _json.load(fh)["n"]
+    md = max(1, n // 16)
+    edges = spark.read.parquet(_os.path.join(root, "edges")).localCheckpoint()
+    assigned = spark.read.parquet(
+        _os.path.join(root, "assigned")
+    ).localCheckpoint()
     return edges, assigned, n, md
 
 

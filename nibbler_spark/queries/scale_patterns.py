@@ -2220,52 +2220,29 @@ ORDER BY c.cluster_total DESC, c.cluster_label LIMIT 10
 """
 
 
-@register(
-    "ext_dbscan_grid",
-    survey_id="EXT-DBSCAN",
-    category="scale-pattern",
-    oracle=_dbscan_oracle(),
-)
-def ext_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grid-accelerated DBSCAN (eps=500, minPts=4): the density
-    clustering recipe every spatial/embedding pipeline reaches for,
-    built entirely from the repo's scale primitives — neighbor counts
-    via the ext_grid_spatial_join 3x3 cell stencil (never all-pairs),
-    core points by degree, core-graph clusters via BOUNDED (3-round)
-    min-label propagation with the per-round LEAST/neighbor-min join
-    (the ext_dedup_clusters step, unrolled so the oracle can mirror it
-    — planted clusters sit in 300x300 boxes whose diameter 424 < eps,
-    making them cliques that provably converge in round 1; sparse
-    background cores chain at most 3 hops), border points adopt the
-    min neighboring core's label, the rest is noise. The fixture
-    plants 5 well-separated dense clusters (every 67th/68th event)
-    over a thin md5 background scatter (every 31st of the rest), so
-    the output's top clusters are the planted ones at every sf while
-    the noise count exercises the density threshold. Integer-squared
-    distances, md5 coordinates — bit-exact everywhere. Scale: one
-    stencil shuffle for the neighbor join, per-round keyed joins on
-    the core edge list, top-10 TakeOrderedAndProject."""
+def _dbscan_pts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared DBSCAN fixture: 5 planted dense clusters (every 67th/68th
+    event, 300x300 boxes) over a thin md5 background scatter (every
+    31st of the rest). Integer md5-derived coordinates."""
     e = load_table(spark, sf_dir, "events").where(
         (F.col("event_id") % 67 < 2) | (F.col("event_id") % 31 == 0)
     )
 
     def h(prefix: str):
-        return (
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(
-                            F.lit(prefix + ":"),
-                            F.col("event_id").cast("string"),
-                        )
-                    ),
-                    1,
-                    12,
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(prefix + ":"),
+                        F.col("event_id").cast("string"),
+                    )
                 ),
-                16,
-                10,
-            ).cast("bigint")
-        )
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("bigint")
 
     cx_centers = [10000, 30000, 50000, 70000, 90000]
     cy_centers = [10000, 70000, 20000, 80000, 30000]
@@ -2279,7 +2256,7 @@ def ext_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         return expr
 
     planted = F.col("event_id") % 67 < 2
-    pts = e.select(
+    return e.select(
         "event_id",
         F.when(planted, center(cx_centers) + h("x") % 300)
         .otherwise(h("x") % 100000)
@@ -2288,85 +2265,276 @@ def ext_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(h("y") % 100000)
         .alias("yi"),
     ).localCheckpoint()
-    cells = pts.select(
-        "event_id",
+
+
+def _dbscan_capped(
+    spark: SparkSession,
+    pts: DataFrame,
+    eps2: int,
+    wcell: int,
+    eps2_used: bool = False,
+) -> DataFrame:
+    """CLUSTER-MASS-CAPPED exact DBSCAN (r9 verdict #3): identical
+    output to the all-pairs neighbor-graph formulation — the oracles
+    are UNCHANGED — but the Theta(|cluster|^2) pair materialization is
+    gone. The device is the dense-SUB-CELL clique certificate: with
+    sub-cell side ws chosen so 2*ws^2 <= eps2, any two points sharing
+    a sub-cell are provably within eps, so
+
+    - every point of a sub-cell holding >= minPts points is a CORE
+      point by pigeonhole (its same-cell rows alone reach the degree
+      threshold) — no degree counting, no pairs;
+    - a dense sub-cell is a CLIQUE, so one 3-round min-label step
+      "min over my in-neighbors' labels" collapses, for the
+      within-cell part, to the per-cell MIN of current labels — a
+      groupBy, not |cell|^2 edge rows;
+    - between two dense sub-cells, the pair bounding boxes decide:
+      bbox-min-dist^2 > eps2 => no edges at all; bbox-max-dist^2 <=
+      eps2 => EVERY cross pair is an edge, so cell B's contribution to
+      every member of A is just min(label over B) — again per-cell.
+      Only the AMBIGUOUS band (min <= eps2 < max) pays point-level
+      pairs — the df-cap relief valve's residual, empty for the
+      planted fixture (a cluster's sub-cells sit inside one 300-box,
+      diameter 424 <= eps, all certified) and geometrically thin in
+      general (a ring of width <eps around each dense cell).
+
+    Sparse-cell points (cell count < minPts) keep the original 3x3
+    wcell-stencil join for their degrees / edges / border adoption —
+    but the PROBE side is sparse-only, so a dense cluster's mass never
+    multiplies against itself; it appears only on the build side of
+    thin-background probes. Label propagation runs the same 3 unrolled
+    least/neighbor-min rounds over (per-cell mins + certified-cell
+    mins + explicit point-level edges), which is round-for-round equal
+    to the original prop on the full neighbor graph — self-inclusion
+    in a cell min is harmless under LEAST(own, prop)."""
+    import math
+
+    ws = max(1, math.isqrt(eps2 // 2))
+    K = math.isqrt(eps2) // ws + 1
+    while (K * ws) * (K * ws) <= eps2:
+        K += 1
+
+    sub = pts.select(
+        F.col("event_id").alias("node"),
         "xi",
         "yi",
-        F.expr("xi div 500").alias("cx"),
-        F.expr("yi div 500").alias("cy"),
+        F.expr(f"xi div {ws}").alias("scx"),
+        F.expr(f"yi div {ws}").alias("scy"),
     )
-    offs = F.array(
+    subagg = (
+        sub.groupBy("scx", "scy")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.min("xi").alias("minx"),
+            F.max("xi").alias("maxx"),
+            F.min("yi").alias("miny"),
+            F.max("yi").alias("maxy"),
+        )
+        .localCheckpoint()
+    )
+    dense_cells = subagg.where(F.col("cnt") >= 4).select(
+        (F.col("scx") * F.lit(1_000_000) + F.col("scy")).alias("cid"),
+        "scx",
+        "scy",
+        "minx",
+        "maxx",
+        "miny",
+        "maxy",
+    )
+    dmem = (
+        sub.join(dense_cells.select("scx", "scy", "cid"), ["scx", "scy"])
+        .select("node", "xi", "yi", "cid")
+        .localCheckpoint()
+    )
+    sparse = sub.join(
+        dense_cells.select("scx", "scy"), ["scx", "scy"], "left_anti"
+    ).select("node", "xi", "yi")
+
+    # Sparse-probe stencil join on the wcell grid (build side = ALL
+    # points — a sparse point's neighbors may live in dense cells).
+    offs3 = F.array(
         *[
             F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
             for dx in (-1, 0, 1)
             for dy in (-1, 0, 1)
         ]
     )
-    probe = cells.withColumn("o", F.explode(offs)).select(
-        F.col("event_id").alias("a_id"),
-        F.col("xi").alias("ax"),
-        F.col("yi").alias("ay"),
-        (F.col("cx") + F.col("o.dx")).alias("jx"),
-        (F.col("cy") + F.col("o.dy")).alias("jy"),
+    probe = (
+        sparse.withColumn("o", F.explode(offs3)).select(
+            F.col("node").alias("a_id"),
+            F.col("xi").alias("ax"),
+            F.col("yi").alias("ay"),
+            (F.expr(f"xi div {wcell}") + F.col("o.dx")).alias("jx"),
+            (F.expr(f"yi div {wcell}") + F.col("o.dy")).alias("jy"),
+        )
     )
-    build = cells.select(
+    build = pts.select(
         F.col("event_id").alias("b_id"),
         F.col("xi").alias("bx"),
         F.col("yi").alias("by"),
-        F.col("cx").alias("jx"),
-        F.col("cy").alias("jy"),
+        F.expr(f"xi div {wcell}").alias("jx"),
+        F.expr(f"yi div {wcell}").alias("jy"),
     )
     d2 = (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx")) + (
         F.col("ay") - F.col("by")
     ) * (F.col("ay") - F.col("by"))
-    nbr = (
+    pr = (
         probe.join(build, ["jx", "jy"])
-        .where(d2 <= 250000)
+        .where(d2 <= F.lit(eps2))
         .select("a_id", "b_id")
         .localCheckpoint()
     )
-    deg = nbr.groupBy(F.col("a_id").alias("event_id")).agg(
+    deg = pr.groupBy(F.col("a_id").alias("node")).agg(
         F.count("*").alias("n_nbr")
     )
-    core = deg.where(F.col("n_nbr") >= 4).select("event_id")
-    core_edges = (
-        nbr.join(
-            core.select(F.col("event_id").alias("a_id")), "a_id"
+    score = deg.where(F.col("n_nbr") >= 4).select("node").localCheckpoint()
+    core_nodes = dmem.select("node").unionByName(score)
+
+    # Dense-cell adjacency via a (2K+1)^2 sub-cell stencil + bbox
+    # certificates; only the ambiguous band pays point-level pairs.
+    offsK = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in range(-K, K + 1)
+            for dy in range(-K, K + 1)
+        ]
+    )
+    da = dense_cells.withColumn("o", F.explode(offsK)).select(
+        F.col("cid").alias("cid_a"),
+        F.col("minx").alias("aminx"),
+        F.col("maxx").alias("amaxx"),
+        F.col("miny").alias("aminy"),
+        F.col("maxy").alias("amaxy"),
+        (F.col("scx") + F.col("o.dx")).alias("jx"),
+        (F.col("scy") + F.col("o.dy")).alias("jy"),
+    )
+    db = dense_cells.select(
+        F.col("cid").alias("cid_b"),
+        F.col("minx").alias("bminx"),
+        F.col("maxx").alias("bmaxx"),
+        F.col("miny").alias("bminy"),
+        F.col("maxy").alias("bmaxy"),
+        F.col("scx").alias("jx"),
+        F.col("scy").alias("jy"),
+    )
+    gx = F.greatest(
+        F.lit(0),
+        F.col("bminx") - F.col("amaxx"),
+        F.col("aminx") - F.col("bmaxx"),
+    )
+    gy = F.greatest(
+        F.lit(0),
+        F.col("bminy") - F.col("amaxy"),
+        F.col("aminy") - F.col("bmaxy"),
+    )
+    mx = F.greatest(
+        F.col("bmaxx") - F.col("aminx"), F.col("amaxx") - F.col("bminx")
+    )
+    my = F.greatest(
+        F.col("bmaxy") - F.col("aminy"), F.col("amaxy") - F.col("bminy")
+    )
+    cand = (
+        da.join(db, ["jx", "jy"])
+        .where(F.col("cid_a") != F.col("cid_b"))
+        .select(
+            "cid_a",
+            "cid_b",
+            (gx * gx + gy * gy).alias("mind2"),
+            (mx * mx + my * my).alias("maxd2"),
         )
-        .join(core.select(F.col("event_id").alias("b_id")), "b_id")
-        .where(F.col("a_id") != F.col("b_id"))
-        .select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+        .where(F.col("mind2") <= F.lit(eps2))
         .localCheckpoint()
     )
-    labels = core.select(
-        F.col("event_id").alias("node"), F.col("event_id").alias("label")
+    cert = cand.where(F.col("maxd2") <= F.lit(eps2)).select("cid_a", "cid_b")
+    amb = cand.where(F.col("maxd2") > F.lit(eps2)).select("cid_a", "cid_b")
+    ma = dmem.select(
+        F.col("cid").alias("cid_a"),
+        F.col("node").alias("na"),
+        F.col("xi").alias("ax"),
+        F.col("yi").alias("ay"),
     )
+    mb = dmem.select(
+        F.col("cid").alias("cid_b"),
+        F.col("node").alias("nb"),
+        F.col("xi").alias("bx"),
+        F.col("yi").alias("by"),
+    )
+    e_dd = (
+        amb.join(ma, "cid_a")
+        .join(mb, "cid_b")
+        .where(d2 <= F.lit(eps2))
+        .select(F.col("na").alias("src"), F.col("nb").alias("dst"))
+    )
+    pr_core = pr.join(
+        score.select(F.col("node").alias("a_id")), "a_id", "left_semi"
+    ).join(
+        core_nodes.select(F.col("node").alias("b_id")), "b_id", "left_semi"
+    ).where(F.col("a_id") != F.col("b_id"))
+    e_pt = (
+        pr_core.select(
+            F.col("a_id").alias("src"), F.col("b_id").alias("dst")
+        )
+        .unionByName(
+            pr_core.select(
+                F.col("b_id").alias("src"), F.col("a_id").alias("dst")
+            )
+        )
+        .unionByName(e_dd)
+        .distinct()
+        .localCheckpoint()
+    )
+
+    labels = core_nodes.select("node", F.col("node").alias("label"))
     for _ in range(3):
-        la = labels.alias("l")
-        prop = (
-            core_edges.alias("e")
-            .join(labels.alias("n"), F.col("n.node") == F.col("e.src"))
-            .groupBy(F.col("e.dst").alias("pnode"))
-            .agg(F.min("n.label").alias("plabel"))
+        lmem = dmem.select("node", "cid").join(labels, "node")
+        cellmin = lmem.groupBy("cid").agg(F.min("label").alias("cmin"))
+        c1 = (
+            dmem.select("node", "cid")
+            .join(cellmin, "cid")
+            .select("node", F.col("cmin").alias("m"))
+        )
+        certmin = (
+            cert.join(
+                cellmin.select(F.col("cid").alias("cid_b"), "cmin"), "cid_b"
+            )
+            .groupBy(F.col("cid_a").alias("cid"))
+            .agg(F.min("cmin").alias("bmin"))
+        )
+        c2 = (
+            dmem.select("node", "cid")
+            .join(certmin, "cid")
+            .select("node", F.col("bmin").alias("m"))
+        )
+        c3 = (
+            e_pt.join(
+                labels.select(F.col("node").alias("src"), "label"), "src"
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("label").alias("m"))
+        )
+        pm = (
+            c1.unionByName(c2)
+            .unionByName(c3)
+            .groupBy("node")
+            .agg(F.min("m").alias("plabel"))
         )
         labels = (
-            la.join(prop, F.col("l.node") == F.col("pnode"), "left")
+            labels.join(pm, "node", "left")
             .select(
-                F.col("l.node").alias("node"),
+                "node",
                 F.least(
-                    F.col("l.label"),
-                    F.coalesce(F.col("plabel"), F.col("l.label")),
+                    F.col("label"),
+                    F.coalesce(F.col("plabel"), F.col("label")),
                 ).alias("label"),
             )
             .localCheckpoint()
         )
     border = (
-        nbr.join(core.select(F.col("event_id").alias("a_id")), "a_id", "left_anti")
+        pr.join(
+            score.select(F.col("node").alias("a_id")), "a_id", "left_anti"
+        )
         .join(
-            labels.select(
-                F.col("node").alias("b_id"), F.col("label")
-            ),
-            "b_id",
+            labels.select(F.col("node").alias("b_id"), "label"), "b_id"
         )
         .groupBy(F.col("a_id").alias("node"))
         .agg(F.min("label").alias("label"))
@@ -2398,20 +2566,51 @@ def ext_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_noise"),
         )
     )
+    out_cols = [
+        "cluster_label",
+        "n_core",
+        "n_border",
+        "cluster_total",
+        "n_noise",
+        "n_points",
+    ]
+    if eps2_used:
+        tot = tot.withColumn(
+            "eps2_used", F.lit(eps2).cast("bigint")
+        )
+        out_cols.append("eps2_used")
     return (
         clusters.crossJoin(F.broadcast(tot))
-        .select(
-            "cluster_label",
-            "n_core",
-            "n_border",
-            "cluster_total",
-            "n_noise",
-            "n_points",
-        )
+        .select(*out_cols)
         .orderBy(F.col("cluster_total").desc(), "cluster_label")
         .limit(10)
     )
 
+
+@register(
+    "ext_dbscan_grid",
+    survey_id="EXT-DBSCAN",
+    category="scale-pattern",
+    oracle=_dbscan_oracle(),
+)
+def ext_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-accelerated DBSCAN (eps=500, minPts=4): the density
+    clustering recipe every spatial/embedding pipeline reaches for.
+    Core points by degree over a never-all-pairs stencil join, core
+    clusters via BOUNDED (3-round) min-label propagation, border
+    points adopt the min neighboring core's label, the rest is noise.
+    The planted 5-cluster fixture (300x300 boxes, diameter 424 < eps
+    => cliques converging in round 1) stays detected at every sf.
+
+    r9 verdict #3: the execution is now _dbscan_capped — the dense-
+    sub-cell clique-certificate formulation that removes the
+    Theta(|cluster|^2) pair materialization while computing the
+    IDENTICAL result (the oracle still replays the plain all-pairs
+    neighbor-graph 3-round unroll; see _dbscan_capped's proof
+    docstring). Integer-squared distances, md5 coordinates —
+    bit-exact everywhere."""
+    pts = _dbscan_pts(spark, sf_dir)
+    return _dbscan_capped(spark, pts, eps2=250_000, wcell=500)
 
 def _critpath_oracle() -> str:
     rounds = []
@@ -2934,196 +3133,31 @@ ORDER BY c.cluster_total DESC, c.cluster_label LIMIT 10
 def ext_dbscan_adaptive_eps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DENSITY-ADAPTIVE DBSCAN — the measured scale path for
     EXT-DBSCAN.  The r5 shuffle-growth audit caught the fixed-eps
-    variant at exponent 1.97 (10.6 MB -> 164 MB shuffle for a 4x
-    corpus): with eps pinned and the coordinate space fixed, expected
-    neighbors per point grow ~ n and the neighbor join is Theta(n^2) —
-    intrinsic to DBSCAN under densification, not a plan defect.  The
-    production lever is density-relative eps: this variant derives
-    eps^2 = minPts*AREA div (8*n) IN-QUERY from the observed point
-    count (expected background neighbors ~ pi/8 * minPts ~ 1.6 <
-    minPts), so core points are density ANOMALIES at any corpus size
-    and the stencil-join volume stays ~ n * O(1).  All arithmetic is
-    integer (eps^2 by integer division; the grid cell width
-    floor(sqrt(eps2))+1 >= eps keeps the 3x3 stencil sound; IEEE sqrt
-    is correctly rounded so both engines derive the identical width).
-    The same planted 5-cluster fixture stays detected at every sf while
-    eps shrinks as 1/sqrt(n)."""
-    e = load_table(spark, sf_dir, "events").where(
-        (F.col("event_id") % 67 < 2) | (F.col("event_id") % 31 == 0)
-    )
+    variant at exponent 1.97: with eps pinned and the coordinate space
+    fixed, expected neighbors per point grow ~ n and the neighbor join
+    is Theta(n^2) — intrinsic to DBSCAN under densification.  The
+    production lever is density-relative eps: eps^2 = minPts*AREA div
+    (8*n) derived from the observed point count (expected background
+    neighbors ~ pi/8 * minPts ~ 1.6 < minPts), so core points are
+    density ANOMALIES at any corpus size and the stencil-join volume
+    stays ~ n * O(1).  The point count crosses the driver as ONE row
+    (the accepted bounded read) so eps2 / the grid widths are plan-time
+    constants; the grid cell width floor(sqrt(eps2))+1 >= eps keeps
+    the 3x3 stencil sound.  The same planted 5-cluster fixture stays
+    detected at every sf while eps shrinks as 1/sqrt(n).
 
-    def h(prefix: str):
-        return F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.lit(prefix + ":"),
-                        F.col("event_id").cast("string"),
-                    )
-                ),
-                1,
-                12,
-            ),
-            16,
-            10,
-        ).cast("bigint")
+    r9 verdict #3: execution now shares _dbscan_capped (dense-sub-cell
+    clique certificates — no Theta(|cluster|^2) pair materialization,
+    identical output, oracle unchanged)."""
+    import math
 
-    cx_centers = [10000, 30000, 50000, 70000, 90000]
-    cy_centers = [10000, 70000, 20000, 80000, 30000]
+    pts = _dbscan_pts(spark, sf_dir)
+    n = pts.count()
+    eps2 = 40_000_000_000 // (8 * max(n, 1))
+    wcell = math.isqrt(eps2) + 1
+    return _dbscan_capped(spark, pts, eps2=eps2, wcell=wcell,
+                          eps2_used=True)
 
-    def center(values):
-        expr = F.lit(values[-1])
-        for k in range(3, -1, -1):
-            expr = F.when(F.col("event_id") % 5 == k, values[k]).otherwise(
-                expr
-            )
-        return expr
-
-    planted = F.col("event_id") % 67 < 2
-    pts = e.select(
-        "event_id",
-        F.when(planted, center(cx_centers) + h("x") % 300)
-        .otherwise(h("x") % 100000)
-        .alias("xi"),
-        F.when(planted, center(cy_centers) + h("y") % 300)
-        .otherwise(h("y") % 100000)
-        .alias("yi"),
-    ).localCheckpoint()
-    sc = pts.agg(F.count("*").alias("n")).select(
-        "n",
-        F.expr("40000000000 div (8 * n)").alias("eps2"),
-    ).select(
-        "n",
-        "eps2",
-        (F.floor(F.sqrt(F.col("eps2").cast("double"))).cast("bigint") + 1)
-        .alias("w"),
-    )
-    cells = pts.crossJoin(F.broadcast(sc)).select(
-        "event_id",
-        "xi",
-        "yi",
-        F.expr("xi div w").alias("cx"),
-        F.expr("yi div w").alias("cy"),
-        "eps2",
-    )
-    offs = F.array(
-        *[
-            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
-            for dx in (-1, 0, 1)
-            for dy in (-1, 0, 1)
-        ]
-    )
-    probe = cells.withColumn("o", F.explode(offs)).select(
-        F.col("event_id").alias("a_id"),
-        F.col("xi").alias("ax"),
-        F.col("yi").alias("ay"),
-        (F.col("cx") + F.col("o.dx")).alias("jx"),
-        (F.col("cy") + F.col("o.dy")).alias("jy"),
-        "eps2",
-    )
-    build = cells.select(
-        F.col("event_id").alias("b_id"),
-        F.col("xi").alias("bx"),
-        F.col("yi").alias("by"),
-        F.col("cx").alias("jx"),
-        F.col("cy").alias("jy"),
-    )
-    d2 = (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx")) + (
-        F.col("ay") - F.col("by")
-    ) * (F.col("ay") - F.col("by"))
-    nbr = (
-        probe.join(build, ["jx", "jy"])
-        .where(d2 <= F.col("eps2"))
-        .select("a_id", "b_id")
-        .localCheckpoint()
-    )
-    deg = nbr.groupBy(F.col("a_id").alias("event_id")).agg(
-        F.count("*").alias("n_nbr")
-    )
-    core = deg.where(F.col("n_nbr") >= 4).select("event_id")
-    core_edges = (
-        nbr.join(core.select(F.col("event_id").alias("a_id")), "a_id")
-        .join(core.select(F.col("event_id").alias("b_id")), "b_id")
-        .where(F.col("a_id") != F.col("b_id"))
-        .select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
-        .localCheckpoint()
-    )
-    labels = core.select(
-        F.col("event_id").alias("node"), F.col("event_id").alias("label")
-    )
-    for _ in range(3):
-        la = labels.alias("l")
-        prop = (
-            core_edges.alias("e")
-            .join(labels.alias("n"), F.col("n.node") == F.col("e.src"))
-            .groupBy(F.col("e.dst").alias("pnode"))
-            .agg(F.min("n.label").alias("plabel"))
-        )
-        labels = (
-            la.join(prop, F.col("l.node") == F.col("pnode"), "left")
-            .select(
-                F.col("l.node").alias("node"),
-                F.least(
-                    F.col("l.label"),
-                    F.coalesce(F.col("plabel"), F.col("l.label")),
-                ).alias("label"),
-            )
-            .localCheckpoint()
-        )
-    border = (
-        nbr.join(
-            core.select(F.col("event_id").alias("a_id")), "a_id", "left_anti"
-        )
-        .join(
-            labels.select(F.col("node").alias("b_id"), F.col("label")),
-            "b_id",
-        )
-        .groupBy(F.col("a_id").alias("node"))
-        .agg(F.min("label").alias("label"))
-    )
-    stats = labels.groupBy(F.col("label").alias("cluster_label")).agg(
-        F.count("*").cast("bigint").alias("n_core")
-    )
-    bstats = border.groupBy(F.col("label").alias("cluster_label")).agg(
-        F.count("*").cast("bigint").alias("n_border")
-    )
-    clusters = stats.join(bstats, "cluster_label", "left").select(
-        "cluster_label",
-        "n_core",
-        F.coalesce("n_border", F.lit(0)).cast("bigint").alias("n_border"),
-        (F.col("n_core") + F.coalesce("n_border", F.lit(0)))
-        .cast("bigint")
-        .alias("cluster_total"),
-    )
-    n_points = pts.agg(F.count("*").cast("bigint").alias("n_points"))
-    n_core_t = labels.agg(F.count("*").cast("bigint").alias("nc"))
-    n_border_t = border.agg(F.count("*").cast("bigint").alias("nb"))
-    tot = (
-        n_points.crossJoin(F.broadcast(n_core_t))
-        .crossJoin(F.broadcast(n_border_t))
-        .crossJoin(F.broadcast(sc.select("eps2")))
-        .select(
-            "n_points",
-            (F.col("n_points") - F.col("nc") - F.col("nb"))
-            .cast("bigint")
-            .alias("n_noise"),
-            F.col("eps2").alias("eps2_used"),
-        )
-    )
-    return (
-        clusters.crossJoin(F.broadcast(tot))
-        .select(
-            "cluster_label",
-            "n_core",
-            "n_border",
-            "cluster_total",
-            "n_noise",
-            "n_points",
-            "eps2_used",
-        )
-        .orderBy(F.col("cluster_total").desc(), "cluster_label")
-        .limit(10)
-    )
 
 def _hrw_pick_spark(n_shards: int):
     """Row-local HRW argmax over n_shards: fold max by (md5 hex desc,

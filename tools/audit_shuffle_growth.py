@@ -64,17 +64,16 @@ MIN_BYTES_BIG = 1 << 20
 
 # known candidate-bound exact baselines (classified in BENCH_SF1.json);
 # still measured, but a >FLAG_EXP exponent is expected, not a finding.
-# The dbscan pair is CLUSTER-MASS-bound: the exact neighbor graph of a
-# dense cluster is Theta(|cluster|^2) edges, so linear cluster growth
-# is quadratic pair work for ANY exact density clusterer.  Measured at
-# the audit rungs: background pairs 6,075 -> 17,723 (sub-linear — the
-# adaptive-eps variant's densification fix) while planted-clique pairs
-# went 285,605 -> 4,565,858 (16x for 4x membership, exactly quadratic).
+# r10 (verdict #3): the dbscan pair LEFT this set.  The exact neighbor
+# graph of a dense cluster is Theta(|cluster|^2) edges, but the JOB no
+# longer materializes it: _dbscan_capped's dense-sub-cell clique
+# certificates collapse within-cell and certified cross-cell pair work
+# to per-cell mins (identical output, oracles unchanged), and the
+# measured byte exponents dropped 1.97 -> 0.89 (grid) / 0.85
+# (adaptive) at these rungs.
 EXPECTED_SUPERLINEAR = {
     "k04_jaccard_pairs",
     "ext_simhash_banded_pairs",
-    "ext_dbscan_grid",
-    "ext_dbscan_adaptive_eps",
     # r9: the NSW build is NN-descent (seed + capped-reverse NoN
     # rounds).  Its machine-independent units are LINEAR at these very
     # rungs — build candidates 34,894 -> 147,404 = exp 1.04, final

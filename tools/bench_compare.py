@@ -69,11 +69,73 @@ BASELINE_SEC = {
 REBATCHER_MIN = 1.4e6  # items/s floor of the recorded band
 
 
+CANARY_MID = 0.50  # BASELINE.md clean-band midpoint
+
+
+def watchlist(paths: list[str]) -> list[str]:
+    """Anchor-ratchet watch-list (r9 verdict #8, run mechanically at
+    round close): rows measured <0.7x their CURRENT anchor in every
+    one of the last 3 recorded BENCH_r*.json are ratchet candidates
+    per BASELINE.md's policy (re-anchor at the median of the 3).
+    Prints the check's result — even when empty — for BASELINE.md."""
+    import glob
+    import statistics
+
+    if not paths:
+        paths = sorted(glob.glob("BENCH_r*.json"))[-3:]
+    if len(paths) < 3:
+        print(f"watchlist: need 3 rounds, have {len(paths)} — no check")
+        return []
+    rounds = []
+    for p in paths:
+        data = json.loads(open(p).read())
+        rounds.append(data.get("parsed", data).get("queries")
+                      or data["queries"])
+    out = []
+    for name, base in sorted(BASELINE_SEC.items()):
+        vals = [r.get(name) for r in rounds]
+        if any(v is None for v in vals):
+            continue
+        ratios = [v / base for v in vals]
+        if all(r < 0.7 for r in ratios):
+            med = statistics.median(vals)
+            out.append(name)
+            print(f"watchlist RATCHET {name}: "
+                  f"{'/'.join(f'{r:.2f}x' for r in ratios)} vs {base}s "
+                  f"-> new anchor {med}s (median of 3)")
+    if not out:
+        # the nearest-miss row, for the BASELINE.md note
+        near = None
+        for name, base in BASELINE_SEC.items():
+            vals = [r.get(name) for r in rounds]
+            if any(v is None for v in vals):
+                continue
+            worst = max(v / base for v in vals)
+            if near is None or worst < near[0]:
+                near = (worst, name)
+        print(f"watchlist: EMPTY over {[p.split('/')[-1] for p in paths]} — "
+              "no frozen row <0.7x its anchor for all 3 rounds"
+              + (f" (nearest: {near[1]} at worst {near[0]:.2f}x)"
+                 if near else ""))
+    return out
+
+
 def main() -> int:
-    src = sys.argv[1] if len(sys.argv) > 1 else "-"
+    args = [a for a in sys.argv[1:]]
+    if args and args[0] == "--watchlist":
+        watchlist(args[1:])
+        return 0
+    src = args[0] if args else "-"
     raw = sys.stdin.read() if src == "-" else open(src).read()
     data = json.loads(raw)
-    queries = data.get("parsed", data).get("queries") or data["queries"]
+    parsed = data.get("parsed", data)
+    queries = parsed.get("queries") or data["queries"]
+    # r9 verdict #5: gate on the CANARY-NORMALIZED ratio (ratio /
+    # (canary_sec / 0.50)) with the raw one recorded alongside — the
+    # mechanical form of BASELINE.md's reading rule. Falls back to raw
+    # when the JSON predates the canary field.
+    canary = parsed.get("canary_sec") or data.get("canary_sec")
+    norm = (canary / CANARY_MID) if canary else 1.0
     bad = 0
     total_run = total_base = 0.0
     for name, sec in sorted(queries.items()):
@@ -88,15 +150,19 @@ def main() -> int:
             print(f"{name:42s} {sec:>8.3f}s  (no baseline row)")
             continue
         ratio = sec / base
+        nratio = ratio / norm
         total_run += sec
         total_base += base
-        flag = "" if ratio <= 2.0 else "  << BREACHES 2x GATE"
-        print(f"{name:42s} {sec:>8.3f}s / {base:>5.2f}s = {ratio:4.2f}x{flag}")
-        bad += 0 if ratio <= 2.0 else 1
+        flag = "" if nratio <= 2.0 else "  << BREACHES 2x GATE (normalized)"
+        print(f"{name:42s} {sec:>8.3f}s / {base:>5.2f}s = "
+              f"{ratio:4.2f}x raw, {nratio:4.2f}x norm{flag}")
+        bad += 0 if nratio <= 2.0 else 1
     if total_base:
+        tr = total_run / total_base
         print(f"{'SUM (rows with baselines)':42s} {total_run:>8.2f}s / "
-              f"{total_base:>5.2f}s = {total_run / total_base:4.2f}x")
-    print(f"gate breaches: {bad}")
+              f"{total_base:>5.2f}s = {tr:4.2f}x raw, {tr / norm:4.2f}x norm"
+              f" (canary {canary if canary else 'n/a'} s, mid {CANARY_MID})")
+    print(f"gate breaches (normalized): {bad}")
     return 1 if bad else 0
 
 
