@@ -173,3 +173,76 @@ def test_cdc_chunk_window_exchange_carries_no_text(spark, sf_dir):
     assert wins, "expected a doc_id-partitioned window in the plan"
     for seg in wins:
         assert "text" not in seg, f"text crosses the window exchange: {seg}"
+
+
+def test_unicode_fold_dedup_brute_force(spark, sf_dir):
+    """Pure-Python replay of the declared-subset NFKC fold + planted
+    homoglyph twins: every planted twin must collapse onto its ASCII
+    original (keeper = original doc_id), and the Spark output must
+    equal the replay group-for-group."""
+    import hashlib as _h
+
+    from nibbler_spark.queries import load_all
+    from nibbler_spark.queries.llm_dedup import (
+        _UF_CIRCLED,
+        _UF_FW_DST,
+        _UF_FW_SRC,
+        _UF_LIGS,
+        _UF_SUP,
+    )
+    from nibbler_spark.sources import load_table
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    fw_lower = "".join(chr(0xFF41 + i) for i in range(26))
+
+    def plant(t):
+        t = t.replace("st", "ﬆ").replace("fi", "ﬁ")
+        return t.translate(
+            str.maketrans("abcdefghijklmnopqrstuvwxyz", fw_lower)
+        )
+
+    tr = str.maketrans(
+        _UF_FW_SRC + "".join(s for s, _ in _UF_SUP + _UF_CIRCLED),
+        _UF_FW_DST + "".join(d for _, d in _UF_SUP + _UF_CIRCLED),
+    )
+
+    def fold(t):
+        t = t.translate(tr)
+        for src, dst in _UF_LIGS:
+            t = t.replace(src, dst)
+        return t
+
+    corpus = dict(docs)
+    for did, t in docs.items():
+        if did % 11 == 0:
+            corpus[did + 10_000_000] = plant(t)
+    groups = {}
+    for did, t in sorted(corpus.items()):
+        key = _h.md5(fold(t).encode()).hexdigest()
+        g = groups.setdefault(key, [0, None, 0])
+        g[0] += 1
+        g[1] = did if g[1] is None else min(g[1], did)
+        g[2] += 1 if did >= 10_000_000 else 0
+    want = {
+        k: tuple(v) for k, v in groups.items() if v[0] > 1
+    }
+    got = {
+        r["canon_key"]: (r["n_members"], r["keeper_doc_id"], r["n_planted"])
+        for r in load_all()["ext_unicode_fold_dedup"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    assert got == want
+    # the fixture really planted: every 11th doc produced a twin group
+    # whose keeper is the ASCII original
+    planted_groups = [v for v in got.values() if v[2] >= 1]
+    assert planted_groups
+    assert all(k < 10_000_000 for _, k, _ in planted_groups)
+    # and the fold round-trips: fold(plant(x)) == x for ASCII corpus
+    for did, t in list(docs.items())[:50]:
+        assert fold(plant(t)) == t
