@@ -67,17 +67,16 @@ FROZEN_ANCHORS = [
 # r7 reworks were their re-measure round; regression coverage continues
 # via the oracle sweep + the BENCH_SF1 ladder rows).
 ROTATING = [
-    # r8 rows in their second measured round (retire next): the
-    # first-token-partitioned LCP window, the bounded-probe
-    # Hamming-vs-cosine recall scan, and the sharded SpaceSaving fold.
-    # (K30-K32 retired r9 after their second round — BASELINE.md.)
-    "ext_prefix_cache_analysis",  # BENCH-K33
-    "ext_binary_embedding_recall",  # BENCH-K34
-    "i51_stream_spacesaving",  # BENCH-K35
-    # r9 new rows appended below as they land.
+    # r9 rows in their second measured round (retire next): the shared
+    # persisted NN-descent graph pair and the tokenizer round-trip.
+    # (K33-K35 retired r10 after their second round — BASELINE.md.)
     "ext_nsw_greedy_search",  # BENCH-K36 (NN-descent graph-ANN build+walk)
     "ext_hnsw_layered_search",  # BENCH-K37 (HNSW layered greedy descent)
     "ext_tokenizer_roundtrip",  # BENCH-K38 (3-tokenizer decode∘encode id.)
+    # r10 new rows.
+    "ext_unicode_fold_dedup",  # BENCH-K39 (NFKC-subset fold + arg_min dedup)
+    "i55_stream_ddsketch_union",  # BENCH-K40 (streaming mergeable quantiles)
+    "ext_self_consistency_vote",  # BENCH-K41 (9-sample plurality eval)
 ]
 
 HEADLINE = FROZEN_ANCHORS + ROTATING

@@ -4228,3 +4228,285 @@ def ext_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("rho_micro"),
     ).orderBy("lang")
+
+
+# --- r10: self-consistency majority vote ------------------------------
+
+
+@register(
+    "ext_self_consistency_vote",
+    survey_id="EXT-SELF-CONSISTENCY",
+    category="ml-exact",
+    oracle="""
+WITH samples AS MATERIALIZED (
+  SELECT d.doc_id, d.lang, d.doc_id % 5 AS truth, s.s,
+         CAST(('0x' || substr(md5(d.doc_id || ':' || s.s), 1, 12))
+              AS BIGINT) AS hs
+  FROM documents d, (SELECT UNNEST(generate_series(0, 8)) AS s) s
+),
+answered AS MATERIALIZED (
+  SELECT doc_id, lang, truth, s,
+         CASE WHEN hs % 10 < 6 THEN truth ELSE 5 + hs % 4 END AS ans
+  FROM samples
+),
+votes AS MATERIALIZED (
+  SELECT doc_id, lang, truth, ans, CAST(COUNT(*) AS BIGINT) AS c
+  FROM answered GROUP BY doc_id, lang, truth, ans
+),
+winner AS MATERIALIZED (
+  SELECT doc_id, lang, truth, ans AS vote FROM (
+    SELECT doc_id, lang, truth, ans,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY c DESC, ans) AS rk
+    FROM votes
+  ) WHERE rk = 1
+),
+greedy AS MATERIALIZED (
+  SELECT doc_id, ans AS g FROM answered WHERE s = 0
+),
+per AS MATERIALIZED (
+  SELECT w.lang,
+         CASE WHEN w.vote = w.truth THEN 1 ELSE 0 END AS vc,
+         CASE WHEN g.g = w.truth THEN 1 ELSE 0 END AS gc
+  FROM winner w JOIN greedy g ON g.doc_id = w.doc_id
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_tasks,
+       CAST(1000000 * SUM(gc) // COUNT(*) AS BIGINT) AS greedy_acc_micro,
+       CAST(1000000 * SUM(vc) // COUNT(*) AS BIGINT) AS vote_acc_micro,
+       CAST(SUM(CASE WHEN vc = 1 AND gc = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_rescued,
+       CAST(SUM(CASE WHEN vc = 0 AND gc = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_degraded,
+       SUM(vc) >= SUM(gc) AS vote_not_worse
+FROM per GROUP BY lang ORDER BY lang
+""",
+)
+def ext_self_consistency_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELF-CONSISTENCY decoding evaluation (Wang et al. 2022,
+    arXiv:2203.11171): per task, k=9 sampled answers; the final answer
+    is the PLURALITY vote (ties broken toward the smaller answer id),
+    compared against greedy = the first sample — the aggregation every
+    reasoning benchmark harness reports alongside pass@k.  The fixture
+    is deterministic: truth = doc_id % 5; sample s answers correctly
+    when md5(doc_id:s) % 10 < 6 (a 60%-accurate sampler) and otherwise
+    emits one of 4 distractors, so the vote concentrates 60% mass on
+    the truth against ~13.5% per distractor and the per-lang output
+    pins vote_not_worse — the self-consistency claim itself — as a
+    column.
+
+    Scale shape: the 9x sample fan-out is a row-local sequence
+    explode; the vote is one (doc, answer) count + a per-doc top-1
+    window; accuracy is one combinable per-lang aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    s = F.explode(F.sequence(F.lit(0), F.lit(8))).alias("s")
+    hs = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    F.col("s").cast("string"),
+                )
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    answered = (
+        d.select(
+            "doc_id", "lang", (F.col("doc_id") % 5).alias("truth"), s
+        )
+        .withColumn("hs", hs)
+        .select(
+            "doc_id",
+            "lang",
+            "truth",
+            "s",
+            F.when(F.col("hs") % 10 < 6, F.col("truth"))
+            .otherwise(F.lit(5) + F.col("hs") % 4)
+            .alias("ans"),
+        )
+    )
+    votes = answered.groupBy("doc_id", "lang", "truth", "ans").agg(
+        F.count("*").alias("c")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("c").desc(), "ans")
+    winner = (
+        votes.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("doc_id", "lang", "truth", F.col("ans").alias("vote"))
+    )
+    greedy = answered.where(F.col("s") == 0).select(
+        F.col("doc_id").alias("gdoc"), F.col("ans").alias("g")
+    )
+    per = winner.join(greedy, F.col("gdoc") == F.col("doc_id")).select(
+        "lang",
+        F.when(F.col("vote") == F.col("truth"), 1).otherwise(0).alias("vc"),
+        F.when(F.col("g") == F.col("truth"), 1).otherwise(0).alias("gc"),
+    )
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tasks"),
+            F.expr("CAST(1000000 * sum(gc) DIV count(*) AS BIGINT)").alias(
+                "greedy_acc_micro"
+            ),
+            F.expr("CAST(1000000 * sum(vc) DIV count(*) AS BIGINT)").alias(
+                "vote_acc_micro"
+            ),
+            F.sum(F.when((F.col("vc") == 1) & (F.col("gc") == 0), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_rescued"),
+            F.sum(F.when((F.col("vc") == 0) & (F.col("gc") == 1), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_degraded"),
+            (F.sum("vc") >= F.sum("gc")).alias("vote_not_worse"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --- r10: power-law scaling-law fit -----------------------------------
+
+
+@register(
+    "ext_scaling_law_fit",
+    survey_id="EXT-SCALING-LAW",
+    category="ml-exact",
+    oracle="""
+WITH langs AS MATERIALIZED (
+  SELECT DISTINCT lang,
+         CAST(('0x' || substr(md5('b:' || lang), 1, 12)) AS BIGINT) AS lh
+  FROM documents
+),
+pts AS MATERIALIZED (
+  SELECT l.lang,
+         300 + (l.lh % 5) * 100 AS b_milli,
+         i.i,
+         CAST(FLOOR(ln(1000000 * (1 << i.i)) * 1e9) AS BIGINT) AS xg
+  FROM langs l, (SELECT UNNEST(generate_series(0, 9)) AS i) i
+),
+obs AS MATERIALIZED (
+  SELECT lang, b_milli, i, xg,
+         20000000000 - b_milli * xg // 1000
+           + CAST(('0x' || substr(md5(lang || ':' || i), 1, 12)) AS BIGINT)
+             % 2001 - 1000 AS yg
+  FROM pts
+),
+fit AS MATERIALIZED (
+  SELECT lang, b_milli,
+         CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(xg) AS HUGEINT) AS sx,
+         CAST(SUM(yg) AS HUGEINT) AS sy,
+         CAST(SUM(CAST(xg AS HUGEINT) * yg) AS HUGEINT) AS sxy,
+         CAST(SUM(CAST(xg AS HUGEINT) * xg) AS HUGEINT) AS sxx
+  FROM obs GROUP BY lang, b_milli
+)
+SELECT lang,
+       CAST(b_milli AS BIGINT) AS planted_b_milli,
+       CAST((1000000 * (n * sxy - sx * sy)) // (n * sxx - sx * sx)
+            AS BIGINT) AS slope_micro,
+       CAST((sy - ((1000000 * (n * sxy - sx * sy))
+                   // (n * sxx - sx * sx)) * sx // 1000000) // n
+            AS BIGINT) AS intercept_g,
+       ABS(CAST((1000000 * (n * sxy - sx * sy)) // (n * sxx - sx * sx)
+                AS BIGINT) + b_milli * 1000) <= 2 AS recovered_ok
+FROM fit ORDER BY lang
+""",
+)
+def ext_scaling_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POWER-LAW SCALING-LAW FIT (Kaplan et al. 2020 / Chinchilla,
+    arXiv:2001.08361): loss ~ A * N^-b is linear in log-log space, so
+    the eval-harness fit is OLS over (ln N, ln L).  Everything here
+    lives ON the 1e-9 ln grid as integers: x = gridln(N_i) for the
+    10-point size ladder N_i = 1e6 * 2^i, and the observed y is
+    PLANTED directly in grid space (y = a_g - b*x + md5 jitter of
+    +/-1000 grid units = +/-1e-6 nats) per lang with b in {0.300 ..
+    0.700}.  The OLS slope/intercept are closed-form integer
+    arithmetic over DECIMAL(38) sums — n*Sxy - Sx*Sy over n*Sxx -
+    Sx^2, floored to micro — and the output pins |slope + b| <= 2
+    micro (the planted-recovery claim; jitter bounds the estimator
+    error well under 1 micro here).
+
+    Scale shape: the fact-side work is one DISTINCT lang scan; the
+    ladder fan-out and the fit run on a 10-rows-per-lang frame.  At
+    100 TB the same fold fits per-domain scaling curves off one
+    combinable aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    langs = d.select("lang").distinct().select(
+        "lang",
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("b:"), F.col("lang"))), 1, 12),
+                16,
+                10,
+            ).cast("bigint")
+            % 5
+            * 100
+            + 300
+        ).alias("b_milli"),
+    )
+    pts = langs.select(
+        "lang",
+        "b_milli",
+        F.explode(F.sequence(F.lit(0), F.lit(9))).alias("i"),
+    ).select(
+        "lang",
+        "b_milli",
+        "i",
+        _gridln(
+            F.expr("1000000 * CAST(shiftleft(1, i) AS BIGINT)")
+        ).alias("xg"),
+    )
+    jit = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("lang"), F.lit(":"), F.col("i").cast("string")
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2001
+        - 1000
+    )
+    obs = pts.select(
+        "lang",
+        "b_milli",
+        "xg",
+        (
+            F.lit(20_000_000_000)
+            - F.expr("b_milli * xg DIV 1000")
+            + jit
+        ).alias("yg"),
+    )
+    D = "decimal(38,0)"
+    fit = obs.groupBy("lang", "b_milli").agg(
+        F.count("*").cast(D).alias("n"),
+        F.sum(F.col("xg").cast(D)).alias("sx"),
+        F.sum(F.col("yg").cast(D)).alias("sy"),
+        F.sum((F.col("xg").cast(D) * F.col("yg").cast(D))).alias("sxy"),
+        F.sum((F.col("xg").cast(D) * F.col("xg").cast(D))).alias("sxx"),
+    )
+    slope = F.expr(
+        "CAST((1000000 * (n * sxy - sx * sy)) DIV (n * sxx - sx * sx)"
+        " AS BIGINT)"
+    )
+    return fit.select(
+        "lang",
+        F.col("b_milli").cast("bigint").alias("planted_b_milli"),
+        slope.alias("slope_micro"),
+        F.expr(
+            "CAST((sy - ((1000000 * (n * sxy - sx * sy))"
+            " DIV (n * sxx - sx * sx)) * sx DIV 1000000) DIV n AS BIGINT)"
+        ).alias("intercept_g"),
+        (F.abs(slope + F.col("b_milli") * 1000) <= 2).alias("recovered_ok"),
+    ).orderBy("lang")

@@ -7350,3 +7350,314 @@ def i54_stream_join_fold_compose(
     return stream_join_then_fold(
         spark, sf_dir, 3, 16, 2, "purchase", "mod", "sum", None
     )
+
+
+# --- r10: streaming DDSketch union ------------------------------------
+
+
+def _ddsketch_stream_oracle() -> str:
+    """Per-epoch-prefix replay of the gridded-log bucket sketch: the
+    bucket counts are SUM-folds of the same md5-derived values the
+    stream folds (sum is associative + commutative: online == offline
+    with no tolerance), and the quantile-bucket identity
+    gridln(true_q) // 25e6 == sketch bucket is checked exactly."""
+    return """
+WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
+tok AS MATERIALIZED (
+  SELECT LEAST(3, CAST(doc_id * 4 // (mx.m + 1) AS INT)) AS tep,
+         UNNEST(string_split(text, ' ')) AS token
+  FROM documents CROSS JOIN mx
+),
+vals AS MATERIALIZED (
+  SELECT tep,
+         1 + (CAST(('0x' || substr(md5(token), 1, 12)) AS BIGINT) // 64)
+             % 1000000 AS v
+  FROM tok
+),
+bk AS MATERIALIZED (
+  SELECT tep, v,
+         CAST(FLOOR(ln(v) * 1e9) AS BIGINT) // 25000000 AS idx
+  FROM vals
+),
+epochs AS (SELECT UNNEST(generate_series(0, 3)) AS e),
+cum AS MATERIALIZED (
+  SELECT e.e AS epoch, bk.idx, CAST(COUNT(*) AS BIGINT) AS c
+  FROM bk JOIN epochs e ON bk.tep <= e.e
+  GROUP BY e.e, bk.idx
+),
+stats AS MATERIALIZED (
+  SELECT epoch,
+         CAST(SUM(c) AS BIGINT) AS n_values,
+         CAST(COUNT(*) AS BIGINT) AS n_buckets,
+         CAST(SUM(idx * c) AS BIGINT) AS bucket_chk
+  FROM cum GROUP BY epoch
+),
+qs AS (SELECT UNNEST([50, 95, 99]) AS q),
+ranks AS (
+  SELECT s.epoch, qs.q, (qs.q * s.n_values + 99) // 100 AS r
+  FROM stats s CROSS JOIN qs
+),
+cumsum AS MATERIALIZED (
+  SELECT epoch, idx, c,
+         SUM(c) OVER (PARTITION BY epoch ORDER BY idx) AS cc
+  FROM cum
+),
+skq AS MATERIALIZED (
+  SELECT r.epoch, r.q, MIN(cs.idx) AS bucket
+  FROM ranks r JOIN cumsum cs
+    ON cs.epoch = r.epoch AND cs.cc >= r.r
+  GROUP BY r.epoch, r.q
+),
+vcnt AS MATERIALIZED (
+  SELECT e.e AS epoch, v, CAST(COUNT(*) AS BIGINT) AS c
+  FROM vals JOIN epochs e ON vals.tep <= e.e
+  GROUP BY e.e, v
+),
+vcum AS MATERIALIZED (
+  SELECT epoch, v,
+         SUM(c) OVER (PARTITION BY epoch ORDER BY v) AS cc
+  FROM vcnt
+),
+tq AS MATERIALIZED (
+  SELECT r.epoch, r.q, MIN(vc.v) AS true_v
+  FROM ranks r JOIN vcum vc ON vc.epoch = r.epoch AND vc.cc >= r.r
+  GROUP BY r.epoch, r.q
+),
+wide AS (
+  SELECT s.epoch, s.n_values, s.n_buckets, s.bucket_chk,
+         MAX(CASE WHEN k.q = 50 THEN k.bucket END) AS p50_bucket,
+         MAX(CASE WHEN k.q = 50 THEN t.true_v END) AS true_p50,
+         MAX(CASE WHEN k.q = 95 THEN k.bucket END) AS p95_bucket,
+         MAX(CASE WHEN k.q = 95 THEN t.true_v END) AS true_p95,
+         MAX(CASE WHEN k.q = 99 THEN k.bucket END) AS p99_bucket,
+         MAX(CASE WHEN k.q = 99 THEN t.true_v END) AS true_p99
+  FROM stats s
+  JOIN skq k ON k.epoch = s.epoch
+  JOIN tq t ON t.epoch = s.epoch AND t.q = k.q
+  GROUP BY s.epoch, s.n_values, s.n_buckets, s.bucket_chk
+)
+SELECT epoch, n_values, n_buckets, bucket_chk,
+       p50_bucket, true_p50,
+       CAST(FLOOR(ln(true_p50) * 1e9) AS BIGINT) // 25000000
+         = p50_bucket AS p50_ok,
+       p95_bucket, true_p95,
+       CAST(FLOOR(ln(true_p95) * 1e9) AS BIGINT) // 25000000
+         = p95_bucket AS p95_ok,
+       p99_bucket, true_p99,
+       CAST(FLOOR(ln(true_p99) * 1e9) AS BIGINT) // 25000000
+         = p99_bucket AS p99_ok
+FROM wide ORDER BY epoch"""
+
+
+@register(
+    "i55_stream_ddsketch_union",
+    survey_id="EXT-STREAM-DDSKETCH",
+    category="streaming",
+    mode="parity",
+    oracle=_ddsketch_stream_oracle(),
+)
+def i55_stream_ddsketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE MERGEABLE QUANTILE SKETCH — the streaming rung under
+    ext_ddsketch_quantile (the DDSketch recipe, Masson et al. 2019,
+    arXiv:1908.10693): values land in GEOMETRIC buckets idx =
+    gridln(v) // 25e6 (gamma = e^0.025, ~1.25% relative error), and
+    the sketch is just per-bucket COUNTS — sum-mergeable, so keyed
+    count state folded through applyInPandasWithState across 4
+    availableNow epochs is EXACTLY the offline prefix sketch (no
+    tolerance), the same union property i53 proves for HLL registers.
+    Per epoch the read-out answers p50/p95/p99 as the first bucket
+    whose cumulative count reaches ceil(q*n/100), and the output PINS
+    the DDSketch accuracy contract as an identity: the true rank-r
+    value's own bucket equals the sketch's answer bucket —
+    gridln(true_q) // 25e6 == bucket — checked as a boolean column.
+
+    The value stream is md5-derived (1 + (hv//64) % 1e6 per token), so
+    both engines fold identical integers; the true quantile side is an
+    exact distinct-value cumulative count (bounded by the 1e6 value
+    grid), not a global row sort.
+
+    Scale: state is one BIGINT per occupied bucket, bounded by the
+    ~560-bucket log grid — corpus-independent, the property that makes
+    DDSketch the production latency-quantile sketch; per-epoch work is
+    one map-side bucket hash + the bounded stateful shuffle."""
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    cache = _docs_token_slices_dir(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="nibbler-sdds-")
+    ingest = os.path.join(base, "ingest")
+    outdir = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(ingest)
+
+    def fold(key, pdfs, state: GroupState):
+        (idx,) = key
+        rows = pd.concat(list(pdfs))
+        ep = int(rows["epoch"].max())
+        c = (state.get[0] if state.exists else 0) + len(rows)
+        state.update((c,))
+        yield pd.DataFrame(
+            {"idx": [int(idx)], "epoch": [ep], "c": [c]}
+        )
+
+    hv = F.conv(F.substring(F.md5("token"), 1, 12), 16, 10).cast("bigint")
+    v = F.lit(1) + F.expr(
+        "CAST(conv(substring(md5(token), 1, 12), 16, 10) AS BIGINT)"
+        " DIV 64"
+    ) % 1_000_000
+    prior_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        for q in range(4):
+            _stage_slice(os.path.join(cache, f"slice{q}"), ingest, q)
+            keyed = (
+                spark.readStream.schema("epoch int, token string")
+                .parquet(ingest)
+                .select("epoch", v.alias("v"))
+                .select(
+                    "epoch",
+                    F.expr(
+                        "CAST(FLOOR(ln(v) * 1e9) AS BIGINT) DIV 25000000"
+                    ).alias("idx"),
+                )
+                .groupBy("idx")
+                .applyInPandasWithState(
+                    fold,
+                    "idx long, epoch long, c long",
+                    "c long",
+                    "update",
+                    GroupStateTimeout.NoTimeout,
+                )
+            )
+            sq = (
+                keyed.writeStream.foreachBatch(
+                    lambda df, _eid: df.write.mode("append").parquet(outdir)
+                )
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            sq.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior_shuffle)
+
+    em = spark.read.schema("idx long, epoch long, c long").parquet(outdir)
+    epochs = spark.range(4).select(F.col("id").cast("bigint").alias("epoch"))
+    # cumulative bucket counts at each epoch = the latest state emission
+    # at or before it (counts are cumulative in state)
+    cum = (
+        em.select(
+            F.col("idx").alias("ei"),
+            F.col("epoch").alias("eep"),
+            F.col("c").alias("ev"),
+        )
+        .crossJoin(F.broadcast(epochs))
+        .where(F.col("eep") <= F.col("epoch"))
+        .groupBy(F.col("ei").alias("idx"), "epoch")
+        .agg(F.max_by("ev", "eep").cast("bigint").alias("c"))
+        .localCheckpoint()
+    )
+    stats = cum.groupBy("epoch").agg(
+        F.sum("c").cast("bigint").alias("n_values"),
+        F.count("*").cast("bigint").alias("n_buckets"),
+        F.sum(F.col("idx") * F.col("c")).cast("bigint").alias("bucket_chk"),
+    )
+    qs = spark.range(1).select(
+        F.explode(F.array(F.lit(50), F.lit(95), F.lit(99))).alias("q")
+    )
+    ranks = stats.crossJoin(F.broadcast(qs)).select(
+        "epoch",
+        "q",
+        F.expr("(q * n_values + 99) DIV 100").alias("r"),
+    )
+    w_cum = Window.partitionBy("epoch").orderBy("idx")
+    cumsum = cum.withColumn("cc", F.sum("c").over(w_cum))
+    skq = (
+        ranks.alias("r")
+        .join(
+            cumsum.alias("cs"),
+            (F.col("cs.epoch") == F.col("r.epoch"))
+            & (F.col("cs.cc") >= F.col("r.r")),
+        )
+        .groupBy(F.col("r.epoch").alias("epoch"), F.col("r.q").alias("q"))
+        .agg(F.min("cs.idx").alias("bucket"))
+    )
+    # exact true quantiles from the prefix value distribution
+    d = load_table(spark, sf_dir, "documents")
+    hi = d.agg(F.max("doc_id")).first()[0]
+    vals = d.select(
+        F.least(F.lit(3), (F.col("doc_id") * 4 / (hi + 1)).cast("int"))
+        .cast("bigint")
+        .alias("tep"),
+        F.explode(F.split("text", " ")).alias("token"),
+    ).select("tep", v.alias("v"))
+    vcnt = (
+        vals.crossJoin(F.broadcast(epochs.withColumnRenamed("epoch", "e")))
+        .where(F.col("tep") <= F.col("e"))
+        .groupBy(F.col("e").alias("vep"), "v")
+        .agg(F.count("*").alias("vc"))
+    )
+    w_v = Window.partitionBy("vep").orderBy("v")
+    vcum = vcnt.withColumn("vcc", F.sum("vc").over(w_v))
+    tq = (
+        ranks.alias("r")
+        .join(
+            vcum.alias("vv"),
+            (F.col("vv.vep") == F.col("r.epoch"))
+            & (F.col("vv.vcc") >= F.col("r.r")),
+        )
+        .groupBy(F.col("r.epoch").alias("tep_"), F.col("r.q").alias("tq_"))
+        .agg(F.min("vv.v").alias("true_v"))
+    )
+    both = skq.join(
+        tq,
+        (F.col("tep_") == F.col("epoch")) & (F.col("tq_") == F.col("q")),
+    ).select("epoch", "q", "bucket", "true_v")
+    wide = (
+        stats.join(both, "epoch")
+        .groupBy("epoch", "n_values", "n_buckets", "bucket_chk")
+        .agg(
+            F.max(F.when(F.col("q") == 50, F.col("bucket"))).alias(
+                "p50_bucket"
+            ),
+            F.max(F.when(F.col("q") == 50, F.col("true_v"))).alias(
+                "true_p50"
+            ),
+            F.max(F.when(F.col("q") == 95, F.col("bucket"))).alias(
+                "p95_bucket"
+            ),
+            F.max(F.when(F.col("q") == 95, F.col("true_v"))).alias(
+                "true_p95"
+            ),
+            F.max(F.when(F.col("q") == 99, F.col("bucket"))).alias(
+                "p99_bucket"
+            ),
+            F.max(F.when(F.col("q") == 99, F.col("true_v"))).alias(
+                "true_p99"
+            ),
+        )
+    )
+
+    def bchk(val, bkt):
+        return (
+            F.expr(f"CAST(FLOOR(ln({val}) * 1e9) AS BIGINT) DIV 25000000")
+            == F.col(bkt)
+        )
+
+    return wide.select(
+        "epoch",
+        "n_values",
+        "n_buckets",
+        "bucket_chk",
+        "p50_bucket",
+        "true_p50",
+        bchk("true_p50", "p50_bucket").alias("p50_ok"),
+        "p95_bucket",
+        "true_p95",
+        bchk("true_p95", "p95_bucket").alias("p95_ok"),
+        "p99_bucket",
+        "true_p99",
+        bchk("true_p99", "p99_bucket").alias("p99_ok"),
+    ).orderBy("epoch")

@@ -5116,3 +5116,120 @@ def ext_wordpiece_vocab_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("vocab_size")
+
+
+# --- r10: DoReMi-style mixture reweighting ----------------------------
+
+
+@register(
+    "ext_mixture_reweight",
+    survey_id="EXT-MIXTURE-REWEIGHT",
+    category="training-prep",
+    oracle="""
+WITH per_doc AS MATERIALIZED (
+  SELECT lang, source,
+         CAST(1000000 * len(list_distinct(string_split(text, ' ')))
+              // len(string_split(text, ' ')) AS BIGINT) AS div_micro
+  FROM documents
+),
+dom AS MATERIALIZED (
+  SELECT lang, source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(div_micro) // COUNT(*) AS BIGINT) AS loss_micro
+  FROM per_doc GROUP BY lang, source
+),
+ref AS (SELECT CAST(SUM(div_micro) // COUNT(*) AS BIGINT) AS ref_micro
+        FROM per_doc),
+ex AS MATERIALIZED (
+  SELECT d.lang, d.source, d.n_docs, d.loss_micro, r.ref_micro,
+         GREATEST(0, d.loss_micro - r.ref_micro) AS excess_micro,
+         CAST(d.n_docs AS HUGEINT)
+           * (1000000 + 10 * GREATEST(0, d.loss_micro - r.ref_micro))
+           AS num
+  FROM dom d CROSS JOIN ref r
+),
+tot AS (SELECT SUM(num) AS den, CAST(SUM(n_docs) AS HUGEINT) AS nd
+        FROM ex)
+SELECT e.lang, e.source, e.n_docs, e.loss_micro, e.ref_micro,
+       e.excess_micro,
+       CAST(1000000 * e.n_docs // t.nd AS BIGINT) AS old_weight_micro,
+       CAST(1000000 * e.num // t.den AS BIGINT) AS new_weight_micro,
+       CAST(1000000 * e.num // t.den AS BIGINT)
+         >= CAST(1000000 * e.n_docs // t.nd AS BIGINT)
+         OR e.excess_micro = 0 AS consistent
+FROM ex e CROSS JOIN tot t
+ORDER BY e.lang, e.source
+""",
+)
+def ext_mixture_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOMAIN-MIXTURE REWEIGHTING, the DoReMi recipe reduced to one
+    exact round (Xie et al. 2023, arXiv:2305.10429): per domain
+    (lang, source) compute a loss proxy (mean lexical-diversity micro
+    — the stand-in for the proxy-model excess loss), measure EXCESS
+    over the corpus-wide reference, multiply the domain's base weight
+    (its doc share) by (1 + 10 * excess) and renormalize — domains
+    whose proxy loss exceeds the reference are upweighted for the
+    next training mix, everything integer/DECIMAL so both engines
+    agree bit-for-bit.  Output pins the direction claim per domain
+    (excess > 0 => new weight >= old weight, modulo the floor).
+
+    Scale shape: one combinable per-domain aggregate over the corpus,
+    then all mixture math on the tiny domain table with a broadcast
+    1-row total; at 100 TB this is the standard between-epoch mixture
+    refresh job."""
+    d = load_table(spark, sf_dir, "documents")
+    div_micro = F.expr(
+        "CAST(1000000 * size(array_distinct(split(text, ' ')))"
+        " DIV size(split(text, ' ')) AS BIGINT)"
+    )
+    per_doc = d.select("lang", "source", div_micro.alias("div_micro"))
+    dom = per_doc.groupBy("lang", "source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.expr("CAST(sum(div_micro) DIV count(*) AS BIGINT)").alias(
+            "loss_micro"
+        ),
+    )
+    ref = per_doc.agg(
+        F.expr("CAST(sum(div_micro) DIV count(*) AS BIGINT)").alias(
+            "ref_micro"
+        )
+    )
+    ex = dom.crossJoin(F.broadcast(ref)).select(
+        "lang",
+        "source",
+        "n_docs",
+        "loss_micro",
+        "ref_micro",
+        F.greatest(
+            F.lit(0), F.col("loss_micro") - F.col("ref_micro")
+        ).alias("excess_micro"),
+    ).withColumn(
+        "num",
+        F.col("n_docs").cast("decimal(38,0)")
+        * (F.lit(1_000_000) + F.lit(10) * F.col("excess_micro")).cast(
+            "decimal(38,0)"
+        ),
+    )
+    tot = ex.agg(
+        F.sum("num").alias("den"),
+        F.sum(F.col("n_docs").cast("decimal(38,0)")).alias("nd"),
+    )
+    oldw = F.expr("CAST(1000000 * n_docs DIV nd AS BIGINT)")
+    neww = F.expr("CAST(1000000 * num DIV den AS BIGINT)")
+    return (
+        ex.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            "loss_micro",
+            "ref_micro",
+            "excess_micro",
+            oldw.alias("old_weight_micro"),
+            neww.alias("new_weight_micro"),
+            ((neww >= oldw) | (F.col("excess_micro") == 0)).alias(
+                "consistent"
+            ),
+        )
+        .orderBy("lang", "source")
+    )

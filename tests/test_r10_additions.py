@@ -246,3 +246,235 @@ def test_unicode_fold_dedup_brute_force(spark, sf_dir):
     # and the fold round-trips: fold(plant(x)) == x for ASCII corpus
     for did, t in list(docs.items())[:50]:
         assert fold(plant(t)) == t
+
+
+def _md5i(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+
+def test_self_consistency_vote_brute_force(spark, sf_dir):
+    """Replay the 9-sample plurality vote in pure Python."""
+    from collections import Counter
+
+    from nibbler_spark.queries import load_all
+    from nibbler_spark.sources import load_table
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang")
+        .collect()
+    )
+    agg = {}
+    for r in docs:
+        truth = r["doc_id"] % 5
+        answers = []
+        for s in range(9):
+            hs = _md5i(f"{r['doc_id']}:{s}")
+            answers.append(truth if hs % 10 < 6 else 5 + hs % 4)
+        cnt = Counter(answers)
+        best = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+        vc = 1 if best == truth else 0
+        gc = 1 if answers[0] == truth else 0
+        a = agg.setdefault(r["lang"], [0, 0, 0, 0, 0])
+        a[0] += 1
+        a[1] += gc
+        a[2] += vc
+        a[3] += 1 if vc and not gc else 0
+        a[4] += 1 if gc and not vc else 0
+    want = {
+        lang: (
+            n,
+            1_000_000 * g // n,
+            1_000_000 * v // n,
+            resc,
+            deg,
+            v >= g,
+        )
+        for lang, (n, g, v, resc, deg) in agg.items()
+    }
+    got = {
+        r["lang"]: (
+            r["n_tasks"],
+            r["greedy_acc_micro"],
+            r["vote_acc_micro"],
+            r["n_rescued"],
+            r["n_degraded"],
+            r["vote_not_worse"],
+        )
+        for r in load_all()["ext_self_consistency_vote"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    assert got == want
+    assert all(v[5] for v in got.values())  # the self-consistency claim
+
+
+def test_scaling_law_fit_brute_force(spark, sf_dir):
+    """Replay the gridded-ln OLS in exact integer arithmetic and check
+    the planted slope is recovered within the jitter bound."""
+    import math
+
+    from nibbler_spark.queries import load_all
+    from nibbler_spark.sources import load_table
+
+    langs = {
+        r["lang"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("lang")
+        .distinct()
+        .collect()
+    }
+    want = {}
+    for lang in langs:
+        b_milli = 300 + (_md5i(f"b:{lang}") % 5) * 100
+        xs, ys = [], []
+        for i in range(10):
+            xg = math.floor(math.log(1_000_000 * (1 << i)) * 1e9)
+            jit = _md5i(f"{lang}:{i}") % 2001 - 1000
+            # floor-division semantics must match SQL DIV for positives
+            yg = 20_000_000_000 - (b_milli * xg) // 1000 + jit
+            xs.append(xg)
+            ys.append(yg)
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        sxx = sum(x * x for x in xs)
+        num, den = n * sxy - sx * sy, n * sxx - sx * sx
+        # SQL DIV truncates toward zero; Python // floors — align
+        slope = (1_000_000 * num) // den
+        if (1_000_000 * num) % den and (num < 0) != (den < 0):
+            slope += 1
+        t = slope * sx
+        t_div = t // 1_000_000
+        if t % 1_000_000 and t < 0:
+            t_div += 1  # SQL DIV truncates toward zero
+        # (sy - t_div) and n are positive here, so // matches SQL DIV
+        icg = (sy - t_div) // n
+        want[lang] = (b_milli, slope, icg, abs(slope + b_milli * 1000) <= 2)
+    got = {
+        r["lang"]: (
+            r["planted_b_milli"],
+            r["slope_micro"],
+            r["intercept_g"],
+            r["recovered_ok"],
+        )
+        for r in load_all()["ext_scaling_law_fit"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    assert got == want
+    assert all(v[3] for v in got.values())
+
+
+def test_mixture_reweight_brute_force(spark, sf_dir):
+    """Replay the one-round DoReMi reweighting in pure Python."""
+    from nibbler_spark.queries import load_all
+    from nibbler_spark.sources import load_table
+
+    rows = (
+        load_table(spark, sf_dir, "documents")
+        .select("lang", "source", "text")
+        .collect()
+    )
+    per = {}
+    tot_div = 0
+    for r in rows:
+        toks = r["text"].split(" ")
+        dm = 1_000_000 * len(set(toks)) // len(toks)
+        tot_div += dm
+        d = per.setdefault((r["lang"], r["source"]), [0, 0])
+        d[0] += 1
+        d[1] += dm
+    N = len(rows)
+    ref = tot_div // N
+    num = {}
+    for k, (n, s) in per.items():
+        loss = s // n
+        excess = max(0, loss - ref)
+        num[k] = (n, loss, excess, n * (1_000_000 + 10 * excess))
+    den = sum(v[3] for v in num.values())
+    want = {
+        k: (
+            n,
+            loss,
+            ref,
+            excess,
+            1_000_000 * n // N,
+            1_000_000 * nm // den,
+        )
+        for k, (n, loss, excess, nm) in num.items()
+    }
+    got = {
+        (r["lang"], r["source"]): (
+            r["n_docs"],
+            r["loss_micro"],
+            r["ref_micro"],
+            r["excess_micro"],
+            r["old_weight_micro"],
+            r["new_weight_micro"],
+        )
+        for r in load_all()["ext_mixture_reweight"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    assert got == want
+
+
+def test_stream_ddsketch_matches_offline_prefix_sketch(spark, sf_dir):
+    """The online keyed-count trajectory must equal the pure-Python
+    offline prefix sketch at every epoch, and the bucket identity
+    gridln(true_q) // 25e6 == answer bucket must hold."""
+    import math
+    from collections import Counter
+
+    from nibbler_spark.queries import load_all
+    from nibbler_spark.sources import load_table
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    )
+    hi = max(r["doc_id"] for r in docs)
+    by_epoch = [[] for _ in range(4)]
+    for r in docs:
+        ep = min(3, r["doc_id"] * 4 // (hi + 1))
+        for tok in r["text"].split(" "):
+            v = 1 + (_md5i(tok) // 64) % 1_000_000
+            by_epoch[ep].append(v)
+    got = {
+        r["epoch"]: r.asDict()
+        for r in load_all()["i55_stream_ddsketch_union"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    prefix = []
+    for ep in range(4):
+        prefix += by_epoch[ep]
+        buckets = Counter(
+            math.floor(math.log(v) * 1e9) // 25_000_000 for v in prefix
+        )
+        n = len(prefix)
+        g = got[ep]
+        assert g["n_values"] == n
+        assert g["n_buckets"] == len(buckets)
+        assert g["bucket_chk"] == sum(i * c for i, c in buckets.items())
+        svals = sorted(prefix)
+        for q, bcol, tcol, okcol in (
+            (50, "p50_bucket", "true_p50", "p50_ok"),
+            (95, "p95_bucket", "true_p95", "p95_ok"),
+            (99, "p99_bucket", "true_p99", "p99_ok"),
+        ):
+            r_ = (q * n + 99) // 100
+            true_v = svals[r_ - 1]
+            cum = 0
+            bucket = None
+            for i in sorted(buckets):
+                cum += buckets[i]
+                if cum >= r_:
+                    bucket = i
+                    break
+            assert g[bcol] == bucket
+            assert g[tcol] == true_v
+            assert g[okcol] is True
+            assert math.floor(math.log(true_v) * 1e9) // 25_000_000 == bucket
