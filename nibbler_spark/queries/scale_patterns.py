@@ -2313,6 +2313,14 @@ def _dbscan_capped(
     K = math.isqrt(eps2) // ws + 1
     while (K * ws) * (K * ws) <= eps2:
         K += 1
+    # micro-cell side for the certificate refinement level: ~eps/16.
+    # The ambiguous band is the annulus of cell pairs whose bbox spread
+    # straddles eps; its point-pair mass scales LINEARLY with the cell
+    # side (width ~ 2*sqrt(2)*side), while the cell-pair test volume
+    # grows ~ 1/side^3 — eps/16 balances the two (measured at the
+    # adaptive sf1 rung: 62M point tests at ws/2 -> 11.5M at eps/16,
+    # with 0.5M cell-pair tests).
+    ws2 = max(1, math.isqrt(eps2) // 16)
 
     sub = pts.select(
         F.col("event_id").alias("node"),
@@ -2320,6 +2328,10 @@ def _dbscan_capped(
         "yi",
         F.expr(f"xi div {ws}").alias("scx"),
         F.expr(f"yi div {ws}").alias("scy"),
+        (
+            F.expr(f"xi div {ws2}") * F.lit(1_000_000)
+            + F.expr(f"yi div {ws2}")
+        ).alias("mid"),
     )
     subagg = (
         sub.groupBy("scx", "scy")
@@ -2343,7 +2355,7 @@ def _dbscan_capped(
     )
     dmem = (
         sub.join(dense_cells.select("scx", "scy", "cid"), ["scx", "scy"])
-        .select("node", "xi", "yi", "cid")
+        .select("node", "xi", "yi", "cid", "mid")
         .localCheckpoint()
     )
     sparse = sub.join(
@@ -2447,29 +2459,87 @@ def _dbscan_capped(
     )
     cert = cand.where(F.col("maxd2") <= F.lit(eps2)).select("cid_a", "cid_b")
     amb = cand.where(F.col("maxd2") > F.lit(eps2)).select("cid_a", "cid_b")
-    ma = dmem.select(
+    # MICRO-CELL REFINEMENT of the ambiguous band (one level, side
+    # ws/2): when eps is smaller than a dense cluster's extent (the
+    # adaptive-eps variant at large n), whole cluster cell-pairs land
+    # in the ambiguous band and the point-level valve degenerates to
+    # |A|x|B|. Re-running the same bbox certificates on the 4x4 micro
+    # split converts the interior back to per-micro-cell MIN
+    # contributions; only the residual ambiguous RING of micro pairs
+    # pays point-level work (measured: adaptive sf1 wall 209s -> the
+    # ladder row, e_dd from ~60M rows to the ring).
+    m2 = (
+        dmem.groupBy("cid", "mid")
+        .agg(
+            F.min("xi").alias("minx"),
+            F.max("xi").alias("maxx"),
+            F.min("yi").alias("miny"),
+            F.max("yi").alias("maxy"),
+        )
+        .localCheckpoint()
+    )
+    m2a = m2.select(
         F.col("cid").alias("cid_a"),
+        F.col("mid").alias("mid_a"),
+        F.col("minx").alias("aminx"),
+        F.col("maxx").alias("amaxx"),
+        F.col("miny").alias("aminy"),
+        F.col("maxy").alias("amaxy"),
+    )
+    m2b = m2.select(
+        F.col("cid").alias("cid_b"),
+        F.col("mid").alias("mid_b"),
+        F.col("minx").alias("bminx"),
+        F.col("maxx").alias("bmaxx"),
+        F.col("miny").alias("bminy"),
+        F.col("maxy").alias("bmaxy"),
+    )
+    cand2 = (
+        amb.join(m2a, "cid_a")
+        .join(m2b, "cid_b")
+        .select(
+            "mid_a",
+            "mid_b",
+            (gx * gx + gy * gy).alias("mind2"),
+            (mx * mx + my * my).alias("maxd2"),
+        )
+        .where(F.col("mind2") <= F.lit(eps2))
+        .localCheckpoint()
+    )
+    cert2 = cand2.where(F.col("maxd2") <= F.lit(eps2)).select(
+        "mid_a", "mid_b"
+    )
+    amb2 = cand2.where(F.col("maxd2") > F.lit(eps2)).select(
+        "mid_a", "mid_b"
+    )
+    ma = dmem.select(
+        F.col("mid").alias("mid_a"),
         F.col("node").alias("na"),
         F.col("xi").alias("ax"),
         F.col("yi").alias("ay"),
     )
     mb = dmem.select(
-        F.col("cid").alias("cid_b"),
+        F.col("mid").alias("mid_b"),
         F.col("node").alias("nb"),
         F.col("xi").alias("bx"),
         F.col("yi").alias("by"),
     )
     e_dd = (
-        amb.join(ma, "cid_a")
-        .join(mb, "cid_b")
+        amb2.join(ma, "mid_a")
+        .join(mb, "mid_b")
         .where(d2 <= F.lit(eps2))
         .select(F.col("na").alias("src"), F.col("nb").alias("dst"))
+        .localCheckpoint()
     )
     pr_core = pr.join(
         score.select(F.col("node").alias("a_id")), "a_id", "left_semi"
     ).join(
         core_nodes.select(F.col("node").alias("b_id")), "b_id", "left_semi"
     ).where(F.col("a_id") != F.col("b_id"))
+    # e_dd is disjoint from the sparse-core edges (dense-dense vs
+    # sparse endpoints) and duplicate-free by construction, so it stays
+    # OUT of the distinct and feeds its own per-round min — the 62M-row
+    # global distinct + pinned cache was the sf1 OOM.
     e_pt = (
         pr_core.select(
             F.col("a_id").alias("src"), F.col("b_id").alias("dst")
@@ -2479,7 +2549,6 @@ def _dbscan_capped(
                 F.col("b_id").alias("src"), F.col("a_id").alias("dst")
             )
         )
-        .unionByName(e_dd)
         .distinct()
         .localCheckpoint()
     )
@@ -2505,6 +2574,26 @@ def _dbscan_capped(
             .join(certmin, "cid")
             .select("node", F.col("bmin").alias("m"))
         )
+        # micro-level certified contributions (the refinement band)
+        micromin = (
+            dmem.select("node", "mid")
+            .join(labels, "node")
+            .groupBy("mid")
+            .agg(F.min("label").alias("mmin"))
+        )
+        cert2min = (
+            cert2.join(
+                micromin.select(F.col("mid").alias("mid_b"), "mmin"),
+                "mid_b",
+            )
+            .groupBy(F.col("mid_a").alias("mid"))
+            .agg(F.min("mmin").alias("m2min"))
+        )
+        c2b = (
+            dmem.select("node", "mid")
+            .join(cert2min, "mid")
+            .select("node", F.col("m2min").alias("m"))
+        )
         c3 = (
             e_pt.join(
                 labels.select(F.col("node").alias("src"), "label"), "src"
@@ -2512,9 +2601,18 @@ def _dbscan_capped(
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("label").alias("m"))
         )
+        c3b = (
+            e_dd.join(
+                labels.select(F.col("node").alias("src"), "label"), "src"
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("label").alias("m"))
+        )
         pm = (
             c1.unionByName(c2)
+            .unionByName(c2b)
             .unionByName(c3)
+            .unionByName(c3b)
             .groupBy("node")
             .agg(F.min("m").alias("plabel"))
         )

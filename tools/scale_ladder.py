@@ -474,6 +474,14 @@ def main() -> None:
         )
         t_small.append(time.monotonic() - t0)
         ts = statistics.median(t_small)
+        # r10: warm the BIG rung too (it was timed cold while the small
+        # rung got an untimed warm-up — an asymmetry that inflated
+        # ratios with page-cache/codegen noise, and turned into a 31x
+        # phantom for operators with a persisted index build, where the
+        # cold big rung paid the one-time build the warm small rung
+        # didn't). Both rungs now measure the steady state, matching
+        # bench.py's convention.
+        spec.spark(spark, big).collect()
         t0 = time.monotonic()
         rows_big, m_big = measure_stages(
             spark, lambda: spec.spark(spark, big).collect()
