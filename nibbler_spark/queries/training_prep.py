@@ -5233,3 +5233,227 @@ def ext_mixture_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+# --- r10: GRPO group-relative advantages ------------------------------
+
+
+@register(
+    "ext_grpo_advantage",
+    survey_id="EXT-GRPO-ADV",
+    category="training-prep",
+    oracle="""
+WITH samples AS MATERIALIZED (
+  SELECT d.doc_id AS prompt_id, d.lang, g.s,
+         CAST(('0x' || substr(md5(d.doc_id || '/' || g.s), 1, 12))
+              AS BIGINT) % 1000000 AS reward_micro
+  FROM documents d, (SELECT UNNEST(generate_series(0, 7)) AS s) g
+  WHERE d.doc_id % 3 = 0
+),
+grp AS MATERIALIZED (
+  SELECT prompt_id,
+         CAST(SUM(reward_micro) AS BIGINT) AS sr,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM samples GROUP BY prompt_id
+),
+adv AS MATERIALIZED (
+  SELECT s.prompt_id, s.lang, s.s, s.reward_micro,
+         s.reward_micro - g.sr // g.n AS adv_micro
+  FROM samples s JOIN grp g ON g.prompt_id = s.prompt_id
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_samples,
+       CAST(COUNT(DISTINCT prompt_id) AS BIGINT) AS n_prompts,
+       CAST(SUM(CASE WHEN adv_micro > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_positive,
+       CAST(SUM(adv_micro) AS BIGINT) AS sum_adv_micro,
+       CAST(MAX(adv_micro) AS BIGINT) AS max_adv_micro,
+       CAST(MIN(adv_micro) AS BIGINT) AS min_adv_micro,
+       ABS(CAST(SUM(adv_micro) AS BIGINT))
+         <= 8 * CAST(COUNT(DISTINCT prompt_id) AS BIGINT)
+         AS centered_ok
+FROM adv GROUP BY lang ORDER BY lang
+""",
+)
+def ext_grpo_advantage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-RELATIVE ADVANTAGE computation (the GRPO recipe, Shao et
+    al. 2024, arXiv:2402.03300): per prompt, k=8 sampled completions
+    with md5-derived rewards; each sample's advantage is its reward
+    minus the GROUP MEAN (integer floor), no learned value model —
+    the data-side normalization every GRPO/RLOO trainer runs before
+    the policy update.  Output per lang: sample counts, positive-
+    advantage counts, advantage sum/extrema, and the centering
+    invariant |sum(adv)| <= k * n_prompts pinned as a column (exact
+    zero up to the per-group floor remainder, which is < k per
+    group... bounded by n_prompts * (k-1) < 8 * n_prompts).
+
+    Scale shape: one keyed group aggregate (prompt) + a broadcast-size
+    re-join of the per-group mean, then one combinable lang rollup;
+    at 100 TB this is a two-shuffle pipeline with no skew (prompt ids
+    are unique keys)."""
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 3 == 0
+    )
+    samples = d.select(
+        F.col("doc_id").alias("prompt_id"),
+        "lang",
+        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("s"),
+    ).select(
+        "prompt_id",
+        "lang",
+        "s",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("prompt_id").cast("string"),
+                            F.lit("/"),
+                            F.col("s").cast("string"),
+                        )
+                    ),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 1_000_000
+        ).alias("reward_micro"),
+    )
+    grp = samples.groupBy("prompt_id").agg(
+        F.sum("reward_micro").cast("bigint").alias("sr"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    adv = samples.join(grp, "prompt_id").select(
+        "prompt_id",
+        "lang",
+        "s",
+        "reward_micro",
+        (F.col("reward_micro") - F.expr("sr DIV n")).alias("adv_micro"),
+    )
+    return (
+        adv.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_samples"),
+            F.countDistinct("prompt_id").cast("bigint").alias("n_prompts"),
+            F.sum(F.when(F.col("adv_micro") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_positive"),
+            F.sum("adv_micro").cast("bigint").alias("sum_adv_micro"),
+            F.max("adv_micro").cast("bigint").alias("max_adv_micro"),
+            F.min("adv_micro").cast("bigint").alias("min_adv_micro"),
+            (
+                F.abs(F.sum("adv_micro").cast("bigint"))
+                <= F.lit(8) * F.countDistinct("prompt_id").cast("bigint")
+            ).alias("centered_ok"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --- r10: rejection-sampling fine-tune curation -----------------------
+
+
+@register(
+    "ext_rejection_sampling_ft",
+    survey_id="EXT-REJECTION-FT",
+    category="training-prep",
+    oracle="""
+WITH samples AS MATERIALIZED (
+  SELECT d.doc_id AS prompt_id, d.lang, g.s,
+         CAST(('0x' || substr(md5(d.doc_id || '#' || g.s), 1, 12))
+              AS BIGINT) % 1000000 AS reward_micro,
+         CAST(('0x' || substr(md5(d.doc_id || '#' || g.s), 13, 8))
+              AS BIGINT) % 50 AS answer_key
+  FROM documents d, (SELECT UNNEST(generate_series(0, 15)) AS s) g
+  WHERE d.doc_id % 4 = 1
+),
+passing AS MATERIALIZED (
+  SELECT * FROM samples WHERE reward_micro >= 700000
+),
+dedup AS MATERIALIZED (
+  -- one kept sample per (prompt, distinct answer): highest reward,
+  -- then smallest sample id (composite packed into one BIGINT key —
+  -- s < 16 << 100, so -reward*100 + s orders lexicographically)
+  SELECT prompt_id, lang, answer_key,
+         ARG_MIN(s, -reward_micro * 100 + s) AS kept_s,
+         MAX(reward_micro) AS kept_reward
+  FROM passing GROUP BY prompt_id, lang, answer_key
+)
+SELECT lang,
+       CAST(COUNT(DISTINCT prompt_id) AS BIGINT) AS n_prompts_kept,
+       CAST(COUNT(*) AS BIGINT) AS n_examples,
+       CAST(SUM(kept_reward) AS BIGINT) AS sum_reward_micro,
+       CAST(1000000 * COUNT(*)
+            // (16 * COUNT(DISTINCT prompt_id)) AS BIGINT)
+         AS keep_rate_micro,
+       CAST(SUM(kept_s) AS BIGINT) AS kept_checksum
+FROM dedup GROUP BY lang ORDER BY lang
+""",
+)
+def ext_rejection_sampling_ft(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REJECTION-SAMPLING FINE-TUNE curation (the RFT/STaR/Llama-2
+    recipe, Yuan et al. 2023, arXiv:2308.01825): per prompt, k=16
+    md5-derived (reward, answer-equivalence-key) samples; keep samples
+    whose reward clears the 0.7 threshold, then DEDUPE to one example
+    per distinct answer per prompt (best reward, smallest sample id on
+    ties) — the dedupe step is what keeps the fine-tune set from mode-
+    collapsing onto one easy completion.  Output per lang: kept
+    prompt/example counts, reward mass, the keep rate, and an exact
+    kept-sample-id checksum.
+
+    Scale shape: threshold filter in the scan, one (prompt, answer)
+    group, one lang rollup — two combinable shuffles, no skew."""
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 4 == 1
+    )
+    h = F.md5(
+        F.concat(
+            F.col("prompt_id").cast("string"),
+            F.lit("#"),
+            F.col("s").cast("string"),
+        )
+    )
+    samples = (
+        d.select(
+            F.col("doc_id").alias("prompt_id"),
+            "lang",
+            F.explode(F.sequence(F.lit(0), F.lit(15))).alias("s"),
+        )
+        .select(
+            "prompt_id",
+            "lang",
+            "s",
+            (
+                F.conv(F.substring(h, 1, 12), 16, 10).cast("bigint")
+                % 1_000_000
+            ).alias("reward_micro"),
+            (
+                F.conv(F.substring(h, 13, 8), 16, 10).cast("bigint") % 50
+            ).alias("answer_key"),
+        )
+    )
+    passing = samples.where(F.col("reward_micro") >= 700_000)
+    dedup = passing.groupBy("prompt_id", "lang", "answer_key").agg(
+        F.min_by(
+            "s", -F.col("reward_micro") * 100 + F.col("s")
+        ).alias("kept_s"),
+        F.max("reward_micro").alias("kept_reward"),
+    )
+    return (
+        dedup.groupBy("lang")
+        .agg(
+            F.countDistinct("prompt_id")
+            .cast("bigint")
+            .alias("n_prompts_kept"),
+            F.count("*").cast("bigint").alias("n_examples"),
+            F.sum("kept_reward").cast("bigint").alias("sum_reward_micro"),
+            F.expr(
+                "CAST(1000000 * count(*)"
+                " DIV (16 * count(DISTINCT prompt_id)) AS BIGINT)"
+            ).alias("keep_rate_micro"),
+            F.sum("kept_s").cast("bigint").alias("kept_checksum"),
+        )
+        .orderBy("lang")
+    )

@@ -478,3 +478,103 @@ def test_stream_ddsketch_matches_offline_prefix_sketch(spark, sf_dir):
             assert g[tcol] == true_v
             assert g[okcol] is True
             assert math.floor(math.log(true_v) * 1e9) // 25_000_000 == bucket
+
+
+def test_grpo_advantage_brute_force(spark, sf_dir):
+    """Replay the group-relative advantage computation in pure Python;
+    the centering invariant must hold per lang."""
+    from nibbler_spark.queries import load_all
+    from nibbler_spark.sources import load_table
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where("doc_id % 3 = 0")
+        .select("doc_id", "lang")
+        .collect()
+    )
+    agg = {}
+    for r in docs:
+        rewards = [
+            _md5i(f"{r['doc_id']}/{s}") % 1_000_000 for s in range(8)
+        ]
+        mean = sum(rewards) // 8
+        advs = [x - mean for x in rewards]
+        a = agg.setdefault(
+            r["lang"], {"n": 0, "p": 0, "pos": 0, "s": 0,
+                        "mx": None, "mn": None}
+        )
+        a["n"] += 8
+        a["p"] += 1
+        a["pos"] += sum(1 for x in advs if x > 0)
+        a["s"] += sum(advs)
+        hi, lo = max(advs), min(advs)
+        a["mx"] = hi if a["mx"] is None else max(a["mx"], hi)
+        a["mn"] = lo if a["mn"] is None else min(a["mn"], lo)
+    want = {
+        k: (v["n"], v["p"], v["pos"], v["s"], v["mx"], v["mn"],
+            abs(v["s"]) <= 8 * v["p"])
+        for k, v in agg.items()
+    }
+    got = {
+        r["lang"]: (
+            r["n_samples"], r["n_prompts"], r["n_positive"],
+            r["sum_adv_micro"], r["max_adv_micro"], r["min_adv_micro"],
+            r["centered_ok"],
+        )
+        for r in load_all()["ext_grpo_advantage"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    assert got == want
+    assert all(v[6] for v in got.values())
+
+
+def test_rejection_sampling_ft_brute_force(spark, sf_dir):
+    """Replay the threshold + per-answer dedupe curation in Python."""
+    from nibbler_spark.queries import load_all
+    from nibbler_spark.sources import load_table
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where("doc_id % 4 = 1")
+        .select("doc_id", "lang")
+        .collect()
+    )
+    kept = {}
+    for r in docs:
+        for s in range(16):
+            h = hashlib.md5(f"{r['doc_id']}#{s}".encode()).hexdigest()
+            reward = int(h[:12], 16) % 1_000_000
+            akey = int(h[12:20], 16) % 50
+            if reward < 700_000:
+                continue
+            k = (r["doc_id"], r["lang"], akey)
+            cur = kept.get(k)
+            if cur is None or (-reward * 100 + s) < (
+                -cur[0] * 100 + cur[1]
+            ):
+                kept[k] = (reward, s)
+    agg = {}
+    for (pid, lang, _), (reward, s) in kept.items():
+        a = agg.setdefault(lang, {"pr": set(), "n": 0, "sr": 0, "cs": 0})
+        a["pr"].add(pid)
+        a["n"] += 1
+        a["sr"] += reward
+        a["cs"] += s
+    want = {
+        k: (
+            len(v["pr"]), v["n"], v["sr"],
+            1_000_000 * v["n"] // (16 * len(v["pr"])), v["cs"],
+        )
+        for k, v in agg.items()
+    }
+    got = {
+        r["lang"]: (
+            r["n_prompts_kept"], r["n_examples"], r["sum_reward_micro"],
+            r["keep_rate_micro"], r["kept_checksum"],
+        )
+        for r in load_all()["ext_rejection_sampling_ft"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    assert got == want
