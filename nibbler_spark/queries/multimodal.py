@@ -3260,3 +3260,99 @@ def ext_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "ext_zip_archive_ingest",
+    survey_id="EXT-ZIP",
+    category="multimodal",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_names,
+       CAST(SUM(len(text)) AS BIGINT) AS total_chars,
+       CAST(SUM(CAST(('0x' || substr(md5(text), 1, 12)) AS BIGINT))
+            AS BIGINT) AS content_checksum,
+       TRUE AS all_crc_ok,
+       TRUE AS both_methods_seen
+FROM documents
+""",
+)
+def ext_zip_archive_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIP ARCHIVE ingestion (PKWARE APPNOTE spec — the container eval
+    bundles and crawl dumps actually ship in): documents are packed
+    into real ZIP archives (one per 40-doc bucket, MIXED stored +
+    raw-DEFLATE members, central directory + EOCD) in one grouped-
+    Arrow stage, then a second mapInPandas stage resolves members
+    through the central directory, inflates, VERIFIES sizes and
+    CRC-32s, and the recovered corpus must aggregate exactly to the
+    source documents — member counts, name set, character volume, and
+    an md5-prefix content checksum computed from the EXTRACTED bytes
+    (so a single corrupted byte anywhere in the container path breaks
+    the hash).  Codec: operators/zip_container.py; both compression
+    methods are asserted present.  Scale: both stages are partition-
+    local Arrow; one archive per task, members never cross the
+    driver."""
+    import hashlib as _hl
+
+    import pandas as _pd
+
+    from nibbler_spark.operators.zip_container import (
+        encode_zip,
+        parse_zip,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", (F.col("doc_id") % 40).alias("bucket")
+    )
+
+    def build(key, pdf):
+        pdf = pdf.sort_values("doc_id")
+        blob = encode_zip(
+            [
+                (f"docs/{did}.txt", txt.encode("utf-8"))
+                for did, txt in zip(pdf["doc_id"], pdf["text"])
+            ],
+            method="mixed",
+        )
+        return _pd.DataFrame({"bucket": [key[0]], "zip": [blob]})
+
+    blobs = d.groupBy("bucket").applyInPandas(
+        build, "bucket long, zip binary"
+    )
+
+    def extract(batches):
+        for pdf in batches:
+            rows = []
+            for blob in pdf["zip"]:
+                for m in parse_zip(bytes(blob)):
+                    did = int(m["name"].rsplit("/", 1)[1][:-4])
+                    txt = m["data"].decode("utf-8")
+                    rows.append(
+                        (
+                            did,
+                            len(txt),
+                            int(
+                                _hl.md5(txt.encode()).hexdigest()[:12], 16
+                            ),
+                            m["method"],
+                        )
+                    )
+            yield _pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_chars", "h", "method"],
+            )
+
+    rec = blobs.mapInPandas(
+        extract, "doc_id long, n_chars long, h long, method int"
+    )
+    return rec.agg(
+        F.count("*").cast("bigint").alias("n_members"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_names"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum("h").cast("bigint").alias("content_checksum"),
+        F.lit(True).alias("all_crc_ok"),  # parse_zip raises on mismatch
+        (
+            (F.sum(F.when(F.col("method") == 0, 1).otherwise(0)) > 0)
+            & (F.sum(F.when(F.col("method") == 8, 1).otherwise(0)) > 0)
+        ).alias("both_methods_seen"),
+    )

@@ -1439,6 +1439,47 @@ def _cf_image(rng: random.Random) -> None:
     assert meta["pixel_sum"] == expected_sum, f"{fam} pixel_sum diverges"
 
 
+def _cf_zip(rng: random.Random) -> None:
+    """ZIP container vs stdlib zipfile (fully independent both ways):
+    our writer's archives must open and verify under zipfile; zipfile's
+    archives (stored AND deflated) must parse byte-identically under
+    our central-directory reader."""
+    import io
+    import zipfile
+
+    from nibbler_spark.operators.zip_container import (
+        encode_zip,
+        parse_zip,
+    )
+
+    n = rng.randint(0, 12)
+    members = []
+    seen = set()
+    for i in range(n):
+        name = f"d{i}/{rng.randint(0, 999)}.bin"
+        if name in seen:
+            continue
+        seen.add(name)
+        members.append((name, _rand_bytes(rng, rng.randint(0, 5000))))
+    method = rng.choice(["stored", "deflate", "mixed"])
+    payload = encode_zip(members, method=method)
+    with zipfile.ZipFile(io.BytesIO(payload)) as zf:
+        assert zf.testzip() is None, "zipfile CRC check failed"
+        assert zf.namelist() == [m[0] for m in members]
+        for name, data in members:
+            assert zf.read(name) == data, f"zipfile read diverges: {name}"
+    # reverse: stdlib writes, we read
+    buf = io.BytesIO()
+    comp = rng.choice([zipfile.ZIP_STORED, zipfile.ZIP_DEFLATED])
+    with zipfile.ZipFile(buf, "w", compression=comp) as zf:
+        for name, data in members:
+            zf.writestr(name, data)
+    got = parse_zip(buf.getvalue())
+    assert [(m["name"], m["data"]) for m in got] == members, (
+        "parse_zip diverges on zipfile output"
+    )
+
+
 CODEC_FAMILIES = [
     _cf_wav_pcm,
     _cf_wav_mulaw,
@@ -1451,6 +1492,7 @@ CODEC_FAMILIES = [
     _cf_avro,
     _cf_msgpack,
     _cf_tfrecord,
+    _cf_zip,
     _cf_image,
     _cf_image,  # images twice: 7 sub-formats share one slot
 ]
