@@ -4510,3 +4510,149 @@ def ext_scaling_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("intercept_g"),
         (F.abs(slope + F.col("b_milli") * 1000) <= 2).alias("recovered_ok"),
     ).orderBy("lang")
+
+
+# --- r10: bootstrap confidence interval ------------------------------
+
+
+@register(
+    "ext_bootstrap_ci",
+    survey_id="EXT-BOOTSTRAP-CI",
+    category="ml-exact",
+    oracle="""
+WITH items AS MATERIALIZED (
+  SELECT lang,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) - 1
+           AS pos,
+         doc_id,
+         CASE WHEN 1000000 * len(list_distinct(string_split(text, ' ')))
+                   // len(string_split(text, ' '))
+                   + len(string_split(text, ' ')) >= 700000
+              THEN 1 ELSE 0 END AS hit
+  FROM documents
+),
+sizes AS MATERIALIZED (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM items GROUP BY lang
+),
+draws AS MATERIALIZED (
+  SELECT s.lang, b.b, d.d,
+         CAST(('0x' || substr(md5(s.lang || ':' || b.b || ':' || d.d),
+                              1, 12)) AS BIGINT) % s.n AS pos
+  FROM sizes s,
+       (SELECT UNNEST(generate_series(0, 199)) AS b) b,
+       (SELECT UNNEST(generate_series(0, 99)) AS d) d
+),
+reps AS MATERIALIZED (
+  SELECT dr.lang, dr.b,
+         CAST(10000 * SUM(i.hit) // COUNT(*) AS BIGINT) AS acc_bp
+  FROM draws dr JOIN items i ON i.lang = dr.lang AND i.pos = dr.pos
+  GROUP BY dr.lang, dr.b
+),
+ranked AS MATERIALIZED (
+  SELECT lang, acc_bp,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY acc_bp, b) AS rk
+  FROM reps
+),
+point AS MATERIALIZED (
+  SELECT lang, CAST(10000 * SUM(hit) // COUNT(*) AS BIGINT) AS acc_bp
+  FROM items GROUP BY lang
+)
+SELECT p.lang, p.acc_bp AS point_bp,
+       MAX(CASE WHEN r.rk = 5 THEN r.acc_bp END) AS lo_bp,
+       MAX(CASE WHEN r.rk = 195 THEN r.acc_bp END) AS hi_bp,
+       MAX(CASE WHEN r.rk = 5 THEN r.acc_bp END) <= p.acc_bp
+         AND p.acc_bp <= MAX(CASE WHEN r.rk = 195 THEN r.acc_bp END)
+         AS point_in_ci
+FROM point p JOIN ranked r ON r.lang = p.lang
+GROUP BY p.lang, p.acc_bp
+ORDER BY p.lang
+""",
+)
+def ext_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOOTSTRAP CONFIDENCE INTERVAL for an eval metric (Efron's
+    percentile bootstrap — the error bars every eval harness prints):
+    per lang, B=200 bootstrap replicates each resample m=100 items
+    with replacement via md5-derived draws (deterministic, so both
+    engines replay identical resamples), each replicate's accuracy is
+    an integer basis-point value, and the 95% CI is the [rank 5,
+    rank 195] pair of the sorted replicate accuracies (replicate-id
+    tie-break). The fixture metric is the pass@1 predicate on the
+    deterministic quality score. Output pins point_in_ci per lang.
+
+    Scale shape: the fact side reduces to one (lang, pos)->hit table;
+    the B x m draw fan-out is a broadcast-size literal grid joined
+    back by (lang, pos) — a bounded 20k-row-per-lang join against an
+    indexed corpus, never a corpus x B blow-up; ranking happens on
+    B rows per lang."""
+    d = load_table(spark, sf_dir, "documents")
+    q = F.expr(
+        "1000000 * size(array_distinct(split(text, ' ')))"
+        " DIV size(split(text, ' ')) + size(split(text, ' '))"
+    )
+    w_pos = Window.partitionBy("lang").orderBy("doc_id")
+    items = d.select(
+        "lang",
+        "doc_id",
+        F.when(q >= 700_000, 1).otherwise(0).alias("hit"),
+    ).withColumn("pos", F.row_number().over(w_pos) - 1)
+    sizes = items.groupBy("lang").agg(F.count("*").alias("n"))
+    bs = spark.range(200).select(F.col("id").alias("b"))
+    ds = spark.range(100).select(F.col("id").alias("d"))
+    draws = (
+        sizes.crossJoin(F.broadcast(bs))
+        .crossJoin(F.broadcast(ds))
+        .select(
+            "lang",
+            "b",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                ":",
+                                F.col("lang"),
+                                F.col("b").cast("string"),
+                                F.col("d").cast("string"),
+                            )
+                        ),
+                        1,
+                        12,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % F.col("n")
+            ).alias("pos"),
+        )
+    )
+    reps = (
+        draws.join(items.select("lang", "pos", "hit"), ["lang", "pos"])
+        .groupBy("lang", "b")
+        .agg(
+            F.expr("CAST(10000 * sum(hit) DIV count(*) AS BIGINT)").alias(
+                "acc_bp"
+            )
+        )
+    )
+    w_rk = Window.partitionBy("lang").orderBy("acc_bp", "b")
+    ranked = reps.withColumn("rk", F.row_number().over(w_rk))
+    point = items.groupBy("lang").agg(
+        F.expr("CAST(10000 * sum(hit) DIV count(*) AS BIGINT)").alias(
+            "point_bp"
+        )
+    )
+    lo = F.max(F.when(F.col("rk") == 5, F.col("acc_bp")))
+    hi = F.max(F.when(F.col("rk") == 195, F.col("acc_bp")))
+    return (
+        ranked.join(point, "lang")
+        .groupBy("lang", "point_bp")
+        .agg(
+            lo.alias("lo_bp"),
+            hi.alias("hi_bp"),
+            (
+                (lo <= F.col("point_bp")) & (F.col("point_bp") <= hi)
+            ).alias("point_in_ci"),
+        )
+        .orderBy("lang")
+    )

@@ -578,3 +578,42 @@ def test_rejection_sampling_ft_brute_force(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_bootstrap_ci_brute_force(spark, sf_dir):
+    """Replay the deterministic percentile bootstrap in pure Python."""
+    from nibbler_spark.queries import load_all
+    from nibbler_spark.sources import load_table
+
+    rows = (
+        load_table(spark, sf_dir, "documents")
+        .select("lang", "doc_id", "text")
+        .collect()
+    )
+    by_lang = {}
+    for r in sorted(rows, key=lambda r: (r["lang"], r["doc_id"])):
+        toks = r["text"].split(" ")
+        qv = 1_000_000 * len(set(toks)) // len(toks) + len(toks)
+        by_lang.setdefault(r["lang"], []).append(1 if qv >= 700_000 else 0)
+    want = {}
+    for lang, hits in by_lang.items():
+        n = len(hits)
+        reps = []
+        for b in range(200):
+            s = sum(
+                hits[_md5i(f"{lang}:{b}:{d}") % n] for d in range(100)
+            )
+            reps.append((10_000 * s // 100, b))
+        reps.sort()
+        lo, hi = reps[4][0], reps[194][0]
+        point = 10_000 * sum(hits) // n
+        want[lang] = (point, lo, hi, lo <= point <= hi)
+    got = {
+        r["lang"]: (
+            r["point_bp"], r["lo_bp"], r["hi_bp"], r["point_in_ci"]
+        )
+        for r in load_all()["ext_bootstrap_ci"].spark(spark, sf_dir)
+        .collect()
+    }
+    assert got == want
+    assert all(v[3] for v in got.values())
