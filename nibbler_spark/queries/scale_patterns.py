@@ -2478,6 +2478,14 @@ def _dbscan_capped(
         )
         .localCheckpoint()
     )
+    # The micro-cell grid (side ws2) does NOT align with the dense-cell
+    # grid (side ws), so one micro cell can straddle two dense cells;
+    # m2's bboxes are per (cid, mid) PARTIAL boxes. Every consumer must
+    # therefore key on the composite (cid, mid) — keying on the global
+    # mid alone would let a certificate proven from one cell's partial
+    # bbox apply to same-mid members of OTHER cells (points up to
+    # ~2*sqrt(2)*ws2 beyond eps), silently merging clusters the exact
+    # oracle keeps separate (r10 ADVICE, high).
     m2a = m2.select(
         F.col("cid").alias("cid_a"),
         F.col("mid").alias("mid_a"),
@@ -2498,7 +2506,9 @@ def _dbscan_capped(
         amb.join(m2a, "cid_a")
         .join(m2b, "cid_b")
         .select(
+            "cid_a",
             "mid_a",
+            "cid_b",
             "mid_b",
             (gx * gx + gy * gy).alias("mind2"),
             (mx * mx + my * my).alias("maxd2"),
@@ -2507,26 +2517,28 @@ def _dbscan_capped(
         .localCheckpoint()
     )
     cert2 = cand2.where(F.col("maxd2") <= F.lit(eps2)).select(
-        "mid_a", "mid_b"
+        "cid_a", "mid_a", "cid_b", "mid_b"
     )
     amb2 = cand2.where(F.col("maxd2") > F.lit(eps2)).select(
-        "mid_a", "mid_b"
+        "cid_a", "mid_a", "cid_b", "mid_b"
     )
     ma = dmem.select(
+        F.col("cid").alias("cid_a"),
         F.col("mid").alias("mid_a"),
         F.col("node").alias("na"),
         F.col("xi").alias("ax"),
         F.col("yi").alias("ay"),
     )
     mb = dmem.select(
+        F.col("cid").alias("cid_b"),
         F.col("mid").alias("mid_b"),
         F.col("node").alias("nb"),
         F.col("xi").alias("bx"),
         F.col("yi").alias("by"),
     )
     e_dd = (
-        amb2.join(ma, "mid_a")
-        .join(mb, "mid_b")
+        amb2.join(ma, ["cid_a", "mid_a"])
+        .join(mb, ["cid_b", "mid_b"])
         .where(d2 <= F.lit(eps2))
         .select(F.col("na").alias("src"), F.col("nb").alias("dst"))
         .localCheckpoint()
@@ -2574,24 +2586,32 @@ def _dbscan_capped(
             .join(certmin, "cid")
             .select("node", F.col("bmin").alias("m"))
         )
-        # micro-level certified contributions (the refinement band)
+        # micro-level certified contributions (the refinement band);
+        # keyed by (cid, mid) so a certificate only applies to the
+        # membership whose partial bbox it was proven from.
         micromin = (
-            dmem.select("node", "mid")
+            dmem.select("node", "cid", "mid")
             .join(labels, "node")
-            .groupBy("mid")
+            .groupBy("cid", "mid")
             .agg(F.min("label").alias("mmin"))
         )
         cert2min = (
             cert2.join(
-                micromin.select(F.col("mid").alias("mid_b"), "mmin"),
-                "mid_b",
+                micromin.select(
+                    F.col("cid").alias("cid_b"),
+                    F.col("mid").alias("mid_b"),
+                    "mmin",
+                ),
+                ["cid_b", "mid_b"],
             )
-            .groupBy(F.col("mid_a").alias("mid"))
+            .groupBy(
+                F.col("cid_a").alias("cid"), F.col("mid_a").alias("mid")
+            )
             .agg(F.min("mmin").alias("m2min"))
         )
         c2b = (
-            dmem.select("node", "mid")
-            .join(cert2min, "mid")
+            dmem.select("node", "cid", "mid")
+            .join(cert2min, ["cid", "mid"])
             .select("node", F.col("m2min").alias("m"))
         )
         c3 = (

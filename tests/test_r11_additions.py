@@ -1,0 +1,56 @@
+"""Round-11 changes: regression tests for the r10 ADVICE items —
+the micro-cell certificate composite-keying fix in _dbscan_capped,
+the ZIP container hardening, and round-11 operator additions.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from tests.test_r10_additions import _brute_dbscan
+
+
+def test_dbscan_micro_cert_straddling_cells_sound(spark):
+    """r10 ADVICE (high): micro cells are keyed by the COMPOSITE
+    (cid, mid) — a micro cell straddling two dense cells must not let
+    a certificate proven from one cell's partial bbox apply to the
+    other cell's members.
+
+    Fixture (eps2=1922 => eps~43.8, ws=31, ws2=2): four dense blobs
+    S-C-A-B chained along x, a micro cell x in {92,93} straddling
+    dense cells scx=2 (A: x=91..92) and scx=3 (B: t=(93,100)), and a
+    cert2 pair proven from A's partial bbox [92,92] against C's micro
+    cell {(49,100)}. Under mid-only keying that certificate would
+    short-circuit t's label to C's (and thence the global min's, one
+    hop early), merging t into cluster 0 after the 3-round horizon:
+    old keying yields core counts (13, 3); the exact all-pairs 3-round
+    replay yields (12, 4)."""
+    from nibbler_spark.queries.scale_patterns import _dbscan_capped
+
+    pts = {
+        # S blob (global-min ids), cell scx=0
+        0: (3, 100), 1: (4, 100), 2: (4, 101), 3: (5, 100),
+        # C blob, cell scx=1; c=(49,100) alone in micro cell mx=24
+        4: (46, 100), 5: (47, 100), 6: (47, 101), 7: (49, 100),
+        # A blob, cell scx=2; (92,*) in the straddling micro cell mx=46
+        8: (91, 100), 9: (91, 101), 10: (92, 100), 11: (92, 101),
+        # B blob, cell scx=3; t=(93,100) shares micro cell mx=46 with A
+        12: (93, 100), 13: (120, 100), 14: (120, 101), 15: (121, 100),
+    }
+    df = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in sorted(pts.items())],
+        "event_id long, xi long, yi long",
+    )
+    got = {
+        r["cluster_label"]: (r["n_core"], r["n_border"], r["n_noise"])
+        for r in _dbscan_capped(spark, df, eps2=1922, wcell=44).collect()
+    }
+    stats, n_noise, _ = _brute_dbscan(pts, 1922)
+    want = {lab: (c, b, n_noise) for lab, (c, b) in stats.items()}
+    assert got == want
+    # the fixture really exercises the divergence channel: two clusters,
+    # t correctly in the C/A/B-side one (12 vs 4 core) — mid-only
+    # keying reads (13, 3)
+    assert got == {0: (12, 0, 0), 4: (4, 0, 0)}
