@@ -54,3 +54,36 @@ def test_dbscan_micro_cert_straddling_cells_sound(spark):
     # t correctly in the C/A/B-side one (12 vs 4 core) — mid-only
     # keying reads (13, 3)
     assert got == {0: (12, 0, 0), 4: (4, 0, 0)}
+
+
+def test_bench_final_json_line_fits_driver_window():
+    """r10 verdict #1: the driver captures only the last ~2000 chars of
+    bench.py stdout and parses the FINAL line. Rebuild that line with
+    the current headline set at worst-case numeric widths and assert it
+    stays comfortably inside the window — adding rotating rows must not
+    silently push the driver artifact back to `parsed: null`."""
+    import json
+
+    import bench
+
+    names = bench.HEADLINE + ["tq_power_22", "s1_rebatcher_items_per_sec"]
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": 99999.9999,
+            "frozen_total": 99999.9999,
+            "rotating_total": 99999.9999,
+            "canary_sec": 0.5555,
+            "canary_band": [0.45, 0.55],
+            "canary_mid": 0.5,
+            "unit": "sec",
+            "queries": {n: 99999.9999 for n in names},
+            "worst_ratio_canary_normalized": 9.9999,
+            "worst_row": max(names, key=len),
+            "sf": 0.1,
+        }
+    )
+    assert len(line) <= 1800, (
+        f"bench final JSON line would be {len(line)} chars at worst-case "
+        "widths; trim the headline set or move fields to the detail line"
+    )
