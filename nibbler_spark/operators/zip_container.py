@@ -54,15 +54,19 @@ def encode_zip(
             comp = data
         crc = zlib.crc32(data) & 0xFFFFFFFF
         offset = len(out)
+        # General-purpose flag bit 11 (0x0800) declares the name is
+        # UTF-8; without it spec-compliant readers decode non-ASCII
+        # names as CP437 (APPNOTE.TXT appendix D).
+        flags = 0x0800 if not name.isascii() else 0
         hdr = struct.pack(
             "<IHHHHHIIIHH",
-            _LOCAL_SIG, 20, 0, m, 0, 0x21,  # fixed DOS time/date
+            _LOCAL_SIG, 20, flags, m, 0, 0x21,  # fixed DOS time/date
             crc, len(comp), len(data), len(nm), 0,
         )
         out += hdr + nm + comp
         central += struct.pack(
             "<IHHHHHHIIIHHHHHII",
-            _CENTRAL_SIG, 20, 20, 0, m, 0, 0x21,
+            _CENTRAL_SIG, 20, 20, flags, m, 0, 0x21,
             crc, len(comp), len(data), len(nm), 0, 0, 0, 0, 0, offset,
         ) + nm
     cd_off = len(out)
@@ -77,34 +81,52 @@ def encode_zip(
 
 def parse_zip(payload: bytes) -> list[dict]:
     """Parse a ZIP archive into ``[{name, data, method, crc}]`` in
-    central-directory order, verifying sizes and CRC-32 per member."""
-    # EOCD: scan backwards through the last 64 KiB + 22 bytes
+    central-directory order, verifying sizes and CRC-32 per member.
+    All structural defects raise :class:`ZipFormatError` — truncated
+    records never escape as raw ``struct.error``."""
+    # EOCD: scan backwards through the last 64 KiB + 22 bytes. A bare
+    # signature match is not enough — the 4 EOCD magic bytes can occur
+    # inside an archive comment (or member data), so each candidate is
+    # validated: the declared comment length must run exactly to the
+    # end of the file, and the central directory must fit before the
+    # record. The scan keeps walking backwards past impostors.
     tail_start = max(0, len(payload) - 65536 - 22)
-    eocd_pos = -1
+    eocd = None
     for pos in range(len(payload) - 22, tail_start - 1, -1):
-        if struct.unpack_from("<I", payload, pos)[0] == _EOCD_SIG:
-            eocd_pos = pos
-            break
-    if eocd_pos < 0:
+        if struct.unpack_from("<I", payload, pos)[0] != _EOCD_SIG:
+            continue
+        cand = struct.unpack_from("<IHHHHIIH", payload, pos)
+        comment_len = cand[7]
+        if pos + 22 + comment_len != len(payload):
+            continue
+        if cand[6] + cand[5] > pos:  # cd_off + cd_size past the EOCD
+            continue
+        eocd = cand
+        break
+    if eocd is None:
         raise ZipFormatError("no end-of-central-directory record")
-    (_, _, _, n_here, n_total, cd_size, cd_off, _) = struct.unpack_from(
-        "<IHHHHIIH", payload, eocd_pos
-    )
+    (_, _, _, n_here, n_total, cd_size, cd_off, _) = eocd
     if n_here != n_total:
         raise ZipFormatError("multi-disk archives unsupported")
     members = []
     pos = cd_off
     for _ in range(n_total):
+        if pos + 46 > len(payload):
+            raise ZipFormatError("truncated central directory")
         if struct.unpack_from("<I", payload, pos)[0] != _CENTRAL_SIG:
             raise ZipFormatError("bad central-directory signature")
         (
             _, _, _, _, m, _, _, crc, comp_size, uncomp_size,
             nlen, xlen, clen, _, _, _, local_off,
         ) = struct.unpack_from("<IHHHHHHIIIHHHHHII", payload, pos)
+        if pos + 46 + nlen > len(payload):
+            raise ZipFormatError("truncated central-directory name")
         name = payload[pos + 46 : pos + 46 + nlen].decode("utf-8")
         pos += 46 + nlen + xlen + clen
         # local header gives the data offset (its name/extra lengths
         # may legally differ from the central entry's)
+        if local_off + 30 > len(payload):
+            raise ZipFormatError(f"truncated local header for {name!r}")
         if struct.unpack_from("<I", payload, local_off)[0] != _LOCAL_SIG:
             raise ZipFormatError(f"bad local header for {name!r}")
         lnlen, lxlen = struct.unpack_from("<HH", payload, local_off + 26)
@@ -115,7 +137,12 @@ def parse_zip(payload: bytes) -> list[dict]:
         if m == 0:
             data = bytes(comp)
         elif m == 8:
-            data = zlib.decompress(comp, wbits=-15)
+            try:
+                data = zlib.decompress(comp, wbits=-15)
+            except zlib.error as e:
+                raise ZipFormatError(
+                    f"bad DEFLATE stream in {name!r}: {e}"
+                ) from e
         else:
             raise ZipFormatError(f"unsupported compression method {m}")
         if len(data) != uncomp_size:

@@ -3267,14 +3267,27 @@ def ext_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_id="EXT-ZIP",
     category="multimodal",
     oracle="""
+WITH ranked AS (
+  SELECT doc_id, text,
+         ROW_NUMBER() OVER (PARTITION BY doc_id % 40 ORDER BY doc_id) - 1
+           AS rnk
+  FROM documents
+)
 SELECT CAST(COUNT(*) AS BIGINT) AS n_members,
        CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_names,
        CAST(SUM(len(text)) AS BIGINT) AS total_chars,
        CAST(SUM(CAST(('0x' || substr(md5(text), 1, 12)) AS BIGINT))
             AS BIGINT) AS content_checksum,
        TRUE AS all_crc_ok,
-       TRUE AS both_methods_seen
-FROM documents
+       -- the 'mixed' encoder assigns STORED to even in-bucket ranks
+       -- (by doc_id order) and DEFLATE to odd ones; derive the flag
+       -- from the same arithmetic instead of hardcoding TRUE so tiny
+       -- corpora (every bucket a singleton => no DEFLATE members)
+       -- agree between engines
+       CAST(SUM(CASE WHEN rnk % 2 = 0 THEN 1 ELSE 0 END) > 0
+            AND SUM(CASE WHEN rnk % 2 = 1 THEN 1 ELSE 0 END) > 0
+            AS BOOLEAN) AS both_methods_seen
+FROM ranked
 """,
 )
 def ext_zip_archive_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:

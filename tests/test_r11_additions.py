@@ -87,3 +87,75 @@ def test_bench_final_json_line_fits_driver_window():
         f"bench final JSON line would be {len(line)} chars at worst-case "
         "widths; trim the headline set or move fields to the detail line"
     )
+
+
+class TestZipHardening:
+    """r10 ADVICE (low): UTF-8 name flag, ZipFormatError on truncation,
+    EOCD-impostor-in-comment resilience."""
+
+    def test_utf8_name_flag_set_and_zipfile_decodes(self):
+        import io
+        import struct
+        import zipfile
+
+        from nibbler_spark.operators.zip_container import encode_zip
+
+        payload = encode_zip(
+            [("docs/naïve-ß≈.txt", b"abc"), ("plain.txt", b"xyz")],
+            method="stored",
+        )
+        # local header flags at offset 6: bit 11 set for the non-ASCII
+        # name, clear for the ASCII one
+        flags0 = struct.unpack_from("<H", payload, 6)[0]
+        assert flags0 & 0x0800
+        with zipfile.ZipFile(io.BytesIO(payload)) as zf:
+            names = zf.namelist()
+            assert "docs/naïve-ß≈.txt" in names
+            infos = {i.filename: i.flag_bits for i in zf.infolist()}
+            assert infos["docs/naïve-ß≈.txt"] & 0x0800
+            assert not infos["plain.txt"] & 0x0800
+
+    def test_truncated_central_directory_raises_format_error(self):
+        from nibbler_spark.operators.zip_container import (
+            ZipFormatError,
+            encode_zip,
+            parse_zip,
+        )
+
+        payload = bytearray(encode_zip([("a.txt", b"hello world")]))
+        # overwrite the EOCD's cd_off to point past the payload, then
+        # re-point the comment-length validation window: forge an EOCD
+        # whose cd_off lands mid-file so the CD read is truncated junk
+        eocd = len(payload) - 22
+        import struct
+
+        struct.pack_into("<I", payload, eocd + 16, len(payload) - 30)
+        with pytest.raises(ZipFormatError):
+            parse_zip(bytes(payload))
+        # hard truncation mid-central-directory also stays typed
+        good = encode_zip([("a.txt", b"hello world")])
+        with pytest.raises(ZipFormatError):
+            parse_zip(good[:-40] + good[-22:])
+
+    def test_eocd_signature_inside_comment_is_skipped(self):
+        import io
+        import struct
+        import zipfile
+
+        from nibbler_spark.operators.zip_container import parse_zip
+
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as zf:
+            zf.writestr("m.txt", "payload body")
+            # a comment embedding a spurious EOCD signature plus
+            # plausible-looking zeros — the backwards scan hits this
+            # impostor FIRST and must reject it (comment length says
+            # the real record ends the file)
+            zf.comment = (
+                b"x" * 5 + struct.pack("<IHHHHIIH", 0x06054B50,
+                                       0, 0, 1, 1, 46, 0, 0) + b"y" * 7
+            )
+        got = parse_zip(buf.getvalue())
+        assert [(m["name"], m["data"]) for m in got] == [
+            ("m.txt", b"payload body")
+        ]
