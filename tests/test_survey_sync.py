@@ -61,3 +61,28 @@ def test_hand_table_names_exist_in_registry():
     assert candidate, "hand K+ table parsed to zero candidate names"
     stale = sorted(n for n in candidate if n not in specs)
     assert not stale, f"hand K+ table references unknown queries: {stale}"
+
+
+def test_coverage_tracker_line_is_fresh():
+    """r10 verdict #5: the driver-format coverage tracker in COVERAGE.md
+    must equal a fresh recomputation of the union over the committed
+    CORRECTNESS_*.json records — a new round's samples landing without
+    ``python tools/gen_coverage.py`` being re-run fails here instead of
+    shipping a stale "N / M distinct queries" line."""
+    import glob
+    import json
+
+    text = (REPO / "COVERAGE.md").read_text()
+    m = re.search(r"\*\*(\d+) / (\d+) distinct queries\*\*", text)
+    assert m, "COVERAGE.md lacks the driver-format tracker line"
+    seen: set[str] = set()
+    for f in sorted(glob.glob(str(REPO / "CORRECTNESS_*.json"))):
+        try:
+            seen |= set(json.load(open(f)).keys())
+        except (json.JSONDecodeError, OSError):
+            continue
+    specs = _specs()
+    assert (int(m.group(1)), int(m.group(2))) == (len(seen), len(specs)), (
+        "COVERAGE.md tracker line is stale — run "
+        "python tools/gen_coverage.py"
+    )
