@@ -71,9 +71,15 @@ MIN_BYTES_BIG = 1 << 20
 # to per-cell mins (identical output, oracles unchanged), and the
 # measured byte exponents dropped 1.97 -> 0.89 (grid) / 0.85
 # (adaptive) at these rungs.
+# r10 verdict #4: the waiver is MACHINE-READABLE — each entry maps to
+# the recorded classification string so the per-row record and the
+# flag list can never disagree (the r10 file carried a stale
+# `flagged: [hnsw, nsw]` against per-row `flag: false`).
 EXPECTED_SUPERLINEAR = {
-    "k04_jaccard_pairs",
-    "ext_simhash_banded_pairs",
+    "k04_jaccard_pairs": "expected-candidate-bound (exact-Jaccard "
+    "banded baseline; classified in BENCH_SF1.json)",
+    "ext_simhash_banded_pairs": "expected-candidate-bound (pigeonhole "
+    "band verify volume; classified in BENCH_SF1.json)",
     # r9: the NSW build is NN-descent (seed + capped-reverse NoN
     # rounds).  Its machine-independent units are LINEAR at these very
     # rungs — build candidates 34,894 -> 147,404 = exp 1.04, final
@@ -81,10 +87,14 @@ EXPECTED_SUPERLINEAR = {
     # nsw_descent_edges, measured r9) — but the BYTE exponent reads
     # 1.58/1.67 because the 2k rung's ~1.1-1.3 MB shuffle sits at the
     # compression/per-stage-overhead floor (the same artifact the r8
-    # audit classified for the old build at 2.26).  Expected, not a
+    # audit classified for the old build at 2.26).  The sf0.1->sf1
+    # ladder (BENCH_SF1.json) shows shuffle ratios 1.0x/1.46x at 10x
+    # data, refuting the superlinear reading.  Expected, not a
     # finding; the ladder gates the candidate exponent at 1.35.
-    "ext_nsw_greedy_search",
-    "ext_hnsw_layered_search",
+    "ext_nsw_greedy_search": "linear-at-sf-rung (candidate exp 1.04, "
+    "edges exp 0.97; byte exp is the small-rung compression floor)",
+    "ext_hnsw_layered_search": "linear-at-sf-rung (shared NN-descent "
+    "layer 0; sf1 shuffle ratio 1.0-1.46x at 10x data)",
 }
 
 
@@ -97,7 +107,10 @@ def main() -> None:
     small = os.path.join(base, f"n{N_SMALL}")
     big = os.path.join(base, f"n{N_BIG}")
     for n, d in ((N_SMALL, small), (N_BIG, big)):
-        if not os.path.exists(os.path.join(d, "documents.parquet")):
+        # lineitem.parquet is the newest table the rungs carry (r10
+        # verdict #2 added the TPC-H set) — its absence means a stale
+        # pre-r11 rung directory that must be regenerated in full.
+        if not os.path.exists(os.path.join(d, "lineitem.parquet")):
             write_sf(n / 50_000, d)
 
     from nibbler_spark.queries import load_all
@@ -131,12 +144,15 @@ def main() -> None:
                 )
                 vols.append(m["shuffle_write_bytes"])
             if vols[0] <= 0 or vols[1] <= 0:
-                # broadcast/scan-only at this scale — no shuffle to grow
+                # broadcast/scan-only at this scale — recorded as an
+                # explicit classification, not a null (r10 verdict #4)
                 out[name] = {
                     "bytes_small": vols[0],
                     "bytes_big": vols[1],
                     "exponent": None,
                     "flag": False,
+                    "classified": "no-shuffle (broadcast/scan-only "
+                    "plan at these rungs)",
                 }
                 print(f"{name}: no shuffle ({vols[0]} -> {vols[1]} B)")
                 continue
@@ -152,8 +168,10 @@ def main() -> None:
                 "exponent": round(e, 3),
                 "flag": flag,
             }
+            if name in EXPECTED_SUPERLINEAR and e > FLAG_EXP:
+                out[name]["classified"] = EXPECTED_SUPERLINEAR[name]
             tag = "  << FLAG" if flag else (
-                "  (expected candidate-bound)"
+                "  (classified waiver)"
                 if name in EXPECTED_SUPERLINEAR and e > FLAG_EXP
                 else ""
             )
@@ -175,8 +193,13 @@ def main() -> None:
         with open(path) as f:
             result = json.load(f)
         result["queries"].update(out)
+        # recompute the flag list FROM the rows (r10 verdict #4: the
+        # old union kept names whose per-row flag had since cleared)
         result["flagged"] = sorted(
-            set(result.get("flagged", [])) | set(flagged)
+            n for n, r in result["queries"].items() if r.get("flag")
+        )
+        result["skipped_count"] = sum(
+            1 for r in result["queries"].values() if "skipped" in r
         )
     else:
         result = {

@@ -182,6 +182,203 @@ def generate_embeddings(n_vecs: int, seed: int = 44) -> pa.Table:
     )
 
 
+# --- TPC-H-shaped tables (r10 verdict #2): the shuffle audit skipped
+# 63 queries (all tq*, the skew/bloom/bucketed join family) because the
+# rungs only carried documents/events/embeddings. These generators
+# match the driver testdata's measured distributions (sf0.01 profile:
+# all columns INDEPENDENT uniforms — l_extendedprice is NOT tied to
+# p_retailprice, l_shipdate not to o_orderdate, o_totalprice not to
+# the lineitem sum; lines-per-order is Binomial(n_li, 1/n_orders) via
+# uniform l_orderkey draws, ~Poisson(4)) at any scale. Row ratios per
+# unit sf: customer 150k, supplier 10k, part 200k, orders 1.5M,
+# lineitem 6M; region/nation fixed at 5/25.
+REGION_NAMES = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
+MKT_SEGMENTS = [
+    "AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY",
+]
+P_NAME_1 = ["blue", "cold", "hot", "large", "new", "old", "red", "small"]
+P_NAME_2 = [
+    "anvil", "bolt", "gear", "gizmo", "plate", "ring", "rod", "widget",
+]
+P_TYPES = ["ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD"]
+O_STATUS = ["F", "O", "P"]
+O_PRIORITIES = [
+    "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
+]
+RETURN_FLAGS = ["A", "N", "R"]
+LINE_STATUS = ["F", "O"]
+_DATE0 = np.datetime64("1995-01-01T00:00:00.000000")
+
+
+def generate_tpch(sf: float, seed: int = 45) -> dict[str, pa.Table]:
+    """All 7 TPC-H-shaped tables at scale ``sf``, distribution-matched
+    to the driver testdata (see the profile note above)."""
+    rng = np.random.default_rng(seed)
+    n_cust = max(1, int(round(150_000 * sf)))
+    n_supp = max(1, int(round(10_000 * sf)))
+    n_part = max(1, int(round(200_000 * sf)))
+    n_ord = max(1, int(round(1_500_000 * sf)))
+    n_li = max(1, int(round(6_000_000 * sf)))
+
+    region = pa.table(
+        {
+            "r_regionkey": pa.array(np.arange(5, dtype=np.int32)),
+            "r_name": pa.array(REGION_NAMES, type=pa.string()),
+        }
+    )
+    nk = np.arange(25, dtype=np.int32)
+    nation = pa.table(
+        {
+            "n_nationkey": pa.array(nk),
+            "n_name": pa.array([f"NATION_{i}" for i in nk]),
+            "n_regionkey": pa.array((nk % 5).astype(np.int32)),
+        }
+    )
+    ck = np.arange(n_cust, dtype=np.int64)
+    customer = pa.table(
+        {
+            "c_custkey": pa.array(ck),
+            "c_name": pa.array([f"Customer#{i:09d}" for i in ck]),
+            "c_nationkey": pa.array(
+                rng.integers(0, 25, size=n_cust).astype(np.int32)
+            ),
+            "c_acctbal": pa.array(
+                np.round(rng.uniform(-1000, 10000, size=n_cust), 2)
+            ),
+            "c_mktsegment": pa.array(
+                np.asarray(MKT_SEGMENTS)[
+                    rng.integers(0, 5, size=n_cust)
+                ].tolist()
+            ),
+        }
+    )
+    sk = np.arange(n_supp, dtype=np.int64)
+    supplier = pa.table(
+        {
+            "s_suppkey": pa.array(sk),
+            "s_name": pa.array([f"Supplier#{i:09d}" for i in sk]),
+            "s_nationkey": pa.array(
+                rng.integers(0, 25, size=n_supp).astype(np.int32)
+            ),
+            "s_acctbal": pa.array(
+                np.round(rng.uniform(-1000, 10000, size=n_supp), 2)
+            ),
+        }
+    )
+    pk = np.arange(n_part, dtype=np.int64)
+    part = pa.table(
+        {
+            "p_partkey": pa.array(pk),
+            "p_name": pa.array(
+                [
+                    f"{P_NAME_1[a]} {P_NAME_2[b]}"
+                    for a, b in zip(
+                        rng.integers(0, 8, size=n_part),
+                        rng.integers(0, 8, size=n_part),
+                    )
+                ]
+            ),
+            "p_brand": pa.array(
+                [f"Brand#{i}" for i in rng.integers(1, 26, size=n_part)]
+            ),
+            "p_type": pa.array(
+                np.asarray(P_TYPES)[
+                    rng.integers(0, 6, size=n_part)
+                ].tolist()
+            ),
+            "p_size": pa.array(
+                rng.integers(1, 51, size=n_part).astype(np.int32)
+            ),
+            "p_retailprice": pa.array(
+                np.round(900.0 + (pk % 1000) * 0.1, 1)
+            ),
+        }
+    )
+    ok = np.arange(n_ord, dtype=np.int64)
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array(ok),
+            "o_custkey": pa.array(
+                rng.integers(0, n_cust, size=n_ord).astype(np.int64)
+            ),
+            "o_orderstatus": pa.array(
+                np.asarray(O_STATUS)[
+                    rng.integers(0, 3, size=n_ord)
+                ].tolist()
+            ),
+            "o_totalprice": pa.array(
+                np.round(rng.uniform(1000, 500000, size=n_ord), 2)
+            ),
+            "o_orderdate": pa.array(
+                _DATE0
+                + (
+                    rng.integers(0, 2405, size=n_ord) * 86_400_000_000
+                ).astype("timedelta64[us]"),
+                type=pa.timestamp("us"),
+            ),
+            "o_orderpriority": pa.array(
+                np.asarray(O_PRIORITIES)[
+                    rng.integers(0, 5, size=n_ord)
+                ].tolist()
+            ),
+        }
+    )
+    lineitem = pa.table(
+        {
+            "l_orderkey": pa.array(
+                rng.integers(0, n_ord, size=n_li).astype(np.int64)
+            ),
+            "l_partkey": pa.array(
+                rng.integers(0, n_part, size=n_li).astype(np.int64)
+            ),
+            "l_suppkey": pa.array(
+                rng.integers(0, n_supp, size=n_li).astype(np.int64)
+            ),
+            "l_linenumber": pa.array(
+                rng.integers(1, 8, size=n_li).astype(np.int32)
+            ),
+            "l_quantity": pa.array(
+                rng.integers(1, 51, size=n_li).astype(np.float64)
+            ),
+            "l_extendedprice": pa.array(
+                np.round(rng.uniform(900, 105000, size=n_li), 2)
+            ),
+            "l_discount": pa.array(
+                np.round(rng.integers(0, 11, size=n_li) * 0.01, 2)
+            ),
+            "l_tax": pa.array(
+                np.round(rng.integers(0, 9, size=n_li) * 0.01, 2)
+            ),
+            "l_returnflag": pa.array(
+                np.asarray(RETURN_FLAGS)[
+                    rng.integers(0, 3, size=n_li)
+                ].tolist()
+            ),
+            "l_linestatus": pa.array(
+                np.asarray(LINE_STATUS)[
+                    rng.integers(0, 2, size=n_li)
+                ].tolist()
+            ),
+            "l_shipdate": pa.array(
+                _DATE0
+                + (
+                    rng.integers(1, 2501, size=n_li) * 86_400_000_000
+                ).astype("timedelta64[us]"),
+                type=pa.timestamp("us"),
+            ),
+        }
+    )
+    return {
+        "region": region,
+        "nation": nation,
+        "customer": customer,
+        "supplier": supplier,
+        "part": part,
+        "orders": orders,
+        "lineitem": lineitem,
+    }
+
+
 def write_sf(sf: float, out_dir: str, seed: int = 42) -> str:
     n = int(round(sf * DOCS_PER_SF))
     os.makedirs(out_dir, exist_ok=True)
@@ -195,6 +392,7 @@ def write_sf(sf: float, out_dir: str, seed: int = 42) -> str:
             generate_events(int(round(sf * EVENTS_PER_SF)), sf, seed + 1),
         ),
         ("embeddings", generate_embeddings(int(round(sf * VECS_PER_SF)), seed + 2)),
+        *generate_tpch(sf, seed + 3).items(),
     ):
         p = os.path.join(out_dir, f"{name}.parquet")
         pq.write_table(tbl, p + ".tmp")
