@@ -3647,52 +3647,53 @@ LIMIT 30
 """,
 )
 def ext_suffix_array_lcp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus suffix array by DISTRIBUTED PREFIX DOUBLING, then the
-    longest cross-document repeated token spans off its LCP structure
-    — the real suffix-array half of Lee et al.'s ExactSubstr dedup
+    """Corpus suffix array over CAP-48 suffixes, then the longest
+    cross-document repeated token spans off its LCP structure — the
+    real suffix-array half of Lee et al.'s ExactSubstr dedup
     ("Deduplicating Training Data Makes Language Models Better",
     2022), where ext_substring_span_dedup is the fixed-gram-width
     relaxation. Suffixes are capped at 48 tokens (the cap bounds
     comparison depth; dedup spans of interest are far shorter).
 
-    Algorithm (Manber-Myers generalized to prefix-MULTIPLYING,
-    shuffle-native, r7 layout): the rank table lives as ONE ARRAY ROW
-    PER DOC (ranks[pos], pos-sorted), so the stride-c partner lookup
-    rank(d, p + j*c) is element_at(ranks, p + j*c) — row-local, no
-    window, no self-join. Each round packs m = 62 DIV bits(max_rank)
-    stride-c ranks into one bigint (tuple lexicographic order ==
-    numeric order of the packed value; 0-sentinel for past-end sorts
-    first — m is data-derived, so the fixture's tiny vocab gives m=12
-    on round 1 and the cap-48 order is total in 3 rounds where classic
-    doubling needs 6; wider ranks degrade m toward the classic pair,
-    which holds up to 2^31 ranks — beyond that the corpus shards
-    first, the ExactSubstr practice), then densifies: explode to
-    (doc, pos, rc), dense-rank the <= n_suffixes DISTINCT packed
-    values with two_phase_rank (bucketed count -> broadcast offsets ->
-    per-bucket row_number; bucket = rc DIV (64 * W^(m-1)) stays
-    coarse-monotone), join back, re-collect per-doc arrays. The r6
-    window-per-round doubling re-executed each round's lead window up
-    to 3x through the rank/join branches; the array layout removes the
-    window entirely and halves the round count on top.
+    Algorithm (r11 — single-round fixed-width packing; replaces the
+    r7 prefix-multiplying densify loop): because the comparison depth
+    is CAPPED, the whole 48-token suffix packs into a FIXED vector of
+    ceil(48 / tpl) bigints in MIXED RADIX base B = n_vocab + 1 (tpl =
+    the largest t with B^t <= 2^62 tokens per long), using the dense
+    vocab ranks (assigned row-locally from one broadcast dictionary
+    row; 0-sentinel pads past-end so a prefix sorts before its
+    extensions). Vector lexicographic order == token-sequence order,
+    so ONE exchange — partition by the first-token rank (bucket = k0
+    DIV B^(tpl-1), coarse-monotone), sort by (k0..k_{L-1}, doc_id,
+    pos) — yields suffix-order ADJACENCY via lead() in the same
+    window; the <= n_vocab bucket-boundary pairs stitch from a
+    map-side-combined min_by/max_by frame. No doubling rounds, no
+    per-round distinct/densify/re-collect, no s_idx self-join: the
+    r10 ladder measured the loop's shuffle at 28x for 10x docs
+    because rank width grows with n, degrading the pack factor m = 62
+    DIV bits(max_rank) toward 2 (more rounds, wider rows — a real log
+    factor plus a regime step). The fixed-width layout's one shuffle
+    is n_suffixes rows of L+2 integers, LINEAR in corpus tokens with
+    a data-independent constant: width depends only on VOCAB size
+    (log-cube-root growth: 4 longs at 5k docs, 5 at 50k), never on
+    the suffix count.
 
-    Rank-adjacent suffixes (global s_idx, again two_phase_rank, over
-    the NARROW (doc,pos,r) table) from DIFFERENT docs then yield LCP
-    by direct token-array comparison — token arrays attach at the very
-    end via two keyed joins of the <= 30-row... (pre-top-k: adjacency-
-    table-sized) frame against the per-doc token table, and the top-30
+    Adjacent suffixes from DIFFERENT docs then yield LCP by direct
+    token-array comparison — token arrays attach at the very end via
+    two keyed joins against the per-doc token table, and the top-30
     cross-doc repeats are the audit output. The DuckDB oracle knows
-    nothing of doubling: it sorts full suffix STRINGS (space-joined;
-    every corpus codepoint is > 32, so string order == token-sequence
-    order) — an independent re-derivation, so a hash match validates
-    the entire rank construction.
+    nothing of the packing: it sorts full suffix STRINGS (space-
+    joined; every corpus codepoint is > 32, so string order == token-
+    sequence order) — an independent re-derivation, so a hash match
+    validates the entire construction.
 
-    Scale: the per-doc array rows are corpus-doc-count rows of <= 48
-    bigints; each densify round is one explode + one distinct + one
-    bucketed rank + one keyed join + one combinable re-collect — no
-    stage quadratic in anything, no single-partition sort. At 100 TB
-    the distinct-composite table is the big intermediate
-    (<= n_suffixes rows); bucketed dense-rank keeps its sort
-    partitioned."""
+    Scale: one explode (48 structs per doc, map-local), one bucketed
+    window exchange (the only wide shuffle), one tiny boundary agg —
+    no stage quadratic in anything, no single-partition sort over
+    data-sized rows, no driver-side loop. Beyond 2^31 vocab ranks per
+    shard the pack would overflow int64 — at that size the corpus
+    shards first (the ExactSubstr practice), keeping every table
+    shard-local."""
     from nibbler_spark.queries._helpers import two_phase_rank
 
     d = load_table(spark, sf_dir, "documents")
@@ -3718,7 +3719,7 @@ def ext_suffix_array_lcp(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vocab rank table is a token DICTIONARY — broadcast it as one map
     # row and assign initial rank arrays ROW-LOCALLY (zero shuffle; a
     # 100 TB corpus with a broadcast-hostile vocab would fall back to
-    # the keyed explode/join/re-collect the densify rounds use).
+    # a keyed explode/join/re-collect).
     vocab = ex0.select(F.col("tok").alias("v")).distinct()
     vr = two_phase_rank(
         vocab, F.ascii(F.substring("v", 1, 1)), [F.col("v")], "r"
@@ -3740,129 +3741,114 @@ def ext_suffix_array_lcp(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "t", lambda tok: F.try_element_at(F.col("vmap"), tok)
             ).alias("ranks"),
         )
+        # materialize once: the pack explode feeds BOTH the window
+        # exchange and the boundary min_by/max_by aggregate
         .localCheckpoint()
     )
 
-    # prefix-MULTIPLYING loop: with current ranks covering prefix c
-    # and bounded by max_rank, pack m = 62 DIV bits(max_rank) stride-c
-    # ranks into one bigint (lexicographic tuple order == numeric
-    # order of the packed value; 0-sentinel for past-end sorts first),
-    # densify the distinct packed values, re-collect. Each round
-    # multiplies the covered prefix by m instead of doubling it: the
-    # 31-word fixture vocab gives m=12 on round 1 and the whole cap-48
-    # order is total in 3 rounds (6 in the classic doubling). The pack
-    # factor is DATA-DERIVED (1-row driver reads of bounded counts, the
-    # BPE-argmax pattern): at 100 TB ranks are wider, m degrades
-    # gracefully toward the classic m=2 pair, never below it.
-    max_rank = vocab.count()  # dense vocab ranks are 1..n_vocab
-    # post-densify ranks are bounded by the suffix count; the static
-    # 48 * n_docs bound costs one count on the tk checkpoint instead
-    # of a distinct-count job per round (same m at every realistic
-    # density: bits(n_suffixes) vs bits(n_distinct) differ by < 1)
-    suffix_bound = 48 * tk.count()
-    covered = 1
-    fin = None
-    while covered < 48:
-        w_bits = max(int(max_rank).bit_length(), 1)
-        # even the classic m=2 pair needs 2*w_bits <= 62: beyond 2^31
-        # suffixes per shard the pack overflows int64 — at that size
-        # you shard the corpus first (the ExactSubstr practice; ~45M
-        # docs per shard at cap 48), which also keeps every densify
-        # table shard-local
-        assert w_bits <= 31, "shard the corpus: > 2^31 ranks per shard"
-        m = max(62 // w_bits, 2)
-        W = 2**w_bits
-        c = covered
+    # fixed-width pack: tpl vocab ranks per long, L longs cover the
+    # whole cap-48 suffix. Data-derived via one bounded driver read
+    # (the BPE-argmax pattern).
+    n_vocab = vocab.count()  # dense vocab ranks are 1..n_vocab
+    assert n_vocab < 2**31, "shard the corpus: > 2^31 vocab ranks"
+    # MIXED-RADIX pack, base B = n_vocab + 1 (digits 0..n_vocab, 0 =
+    # past-end sentinel): positional base-B order == tuple order, and
+    # the capacity check is exact — B^tpl <= 2^62 — instead of the
+    # power-of-2 w_bits rounding (a 65-word vocab packs 10 tokens per
+    # long, not 8: log2(66) bits per token, not 7).
+    B = int(n_vocab) + 1
+    tpl = 2
+    while B ** (tpl + 1) <= 2**62:
+        tpl += 1
+    L = (48 + tpl - 1) // tpl
 
-        def packed_ranks():
-            return F.transform(
-                seq1(F.size("ranks")),
-                lambda i: sum(
-                    (
-                        # try_element_at: past-end partner -> NULL -> 0
-                        # sentinel (ANSI element_at throws OOB)
-                        F.coalesce(
-                            F.try_element_at(
-                                F.col("ranks"), i + F.lit(j * c)
-                            ),
-                            F.lit(0).cast("bigint"),
-                        )
-                        * F.lit(W ** (m - 1 - j)).cast("bigint")
-                        for j in range(1, m)
+    def pack_long(i, j):
+        # long j of the suffix starting at 1-based token i: tokens
+        # i + j*tpl .. i + j*tpl + tpl - 1, high-to-low; past-end ->
+        # NULL -> 0 sentinel (ANSI element_at throws OOB)
+        return sum(
+            (
+                F.coalesce(
+                    F.try_element_at(
+                        F.col("ranks"), i + F.lit(j * tpl + u)
                     ),
-                    start=F.element_at(F.col("ranks"), i)
-                    * F.lit(W ** (m - 1)).cast("bigint"),
-                ),
-            ).alias("ranks")
-
-        ex = arr.select("doc_id", packed_ranks()).select(
-            "doc_id", F.posexplode("ranks").alias("pos", "rc")
-        )
-        dv = ex.select("rc").distinct()
-        # bucket by the first packed rank's high bits.  Composed as
-        # two DIVs: 64 * W**(m-1) itself reaches 2**63 when the vocab
-        # is tiny (w_bits<=3 gives m=20, W=8), overflowing the int64
-        # literal, while W**(m-1) <= 2**(62-w_bits) always fits and
-        # (rc DIV a) DIV b == rc DIV (a*b) for positive ints
-        rk = two_phase_rank(
-            dv,
-            F.expr(f"rc DIV {W ** (m - 1)} DIV 64"),
-            [F.col("rc")],
-            "nr",
-        )
-        joined = ex.join(rk, "rc")
-        if covered * m >= 48:
-            # last round: the next consumer explodes anyway — keep the
-            # narrow (doc, pos, r) layout, skip the re-collect
-            fin = joined.select(
-                "doc_id",
-                (F.col("pos") + 1).alias("pos"),
-                F.col("nr").cast("bigint").alias("r"),
-            ).localCheckpoint()
-            covered = 48
-            break
-        arr = (
-            joined.groupBy("doc_id")
-            .agg(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.struct(
-                                F.col("pos").alias("p"),
-                                F.col("nr").cast("bigint").alias("r"),
-                            )
-                        )
-                    ),
-                    lambda s: s["r"],
-                ).alias("ranks")
+                    F.lit(0).cast("bigint"),
+                )
+                * F.lit(B ** (tpl - 1 - u)).cast("bigint")
+                for u in range(1, tpl)
+            ),
+            start=F.coalesce(
+                F.try_element_at(F.col("ranks"), i + F.lit(j * tpl)),
+                F.lit(0).cast("bigint"),
             )
-            .localCheckpoint()
+            * F.lit(B ** (tpl - 1)).cast("bigint"),
+        ).alias(f"k{j}")
+
+    suf = (
+        arr.select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    seq1(F.size("ranks")),
+                    lambda i: F.struct(
+                        *[pack_long(i, j) for j in range(L)]
+                    ),
+                )
+            ).alias("pos0", "k"),
         )
-        max_rank = suffix_bound  # dense output ranks <= n_suffixes
-        covered = min(covered * m, 48)
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).alias("pos"),
+            *[F.col(f"k.k{j}").alias(f"k{j}") for j in range(L)],
+        )
+    )
 
-    if fin is None:  # single-token docs only: ranks already total
-        fin = arr.select(
-            "doc_id", F.posexplode("ranks").alias("pos0", "r")
-        ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "r")
+    # Suffix-order ADJACENCY without a global index: partition by the
+    # first token's rank (bucket = k0 DIV B^(tpl-1), coarse-monotone,
+    # <= n_vocab partitions), sort by the full key inside the bucket,
+    # and take lead() IN THE SAME WINDOW — the one wide exchange does
+    # both the ordering and the pairing, eliminating the r10 layout's
+    # s_idx self-join (two more n-row exchanges). Bucket-boundary
+    # pairs (last suffix of bucket b, first of the next) come from a
+    # map-side-combined min_by/max_by aggregate — a dictionary-sized
+    # frame stitched with a lead over <= n_vocab rows.
+    from pyspark.sql import Window
 
-    # Global suffix-order index over the narrow (doc, pos, r) rows,
-    # then rank-adjacent LCP across docs; token arrays attach last.
-    ordered = two_phase_rank(
-        fin,
-        F.expr("r DIV 64"),
-        [F.col("r"), F.col("doc_id"), F.col("pos")],
-        "s_idx",
-    ).localCheckpoint()
-    nxt = ordered.select(
-        (F.col("s_idx") - 1).alias("p_idx"),
-        F.col("doc_id").alias("other_doc"),
-        F.col("pos").alias("other_pos"),
+    bucket = F.expr(f"k0 DIV {B ** (tpl - 1)}")
+    key_cols = [
+        *[F.col(f"k{j}") for j in range(L)],
+        F.col("doc_id"),
+        F.col("pos"),
+    ]
+    w_suf = Window.partitionBy(bucket).orderBy(*key_cols)
+    inner = (
+        suf.select(
+            "doc_id",
+            "pos",
+            F.lead("doc_id").over(w_suf).alias("other_doc"),
+            F.lead("pos").over(w_suf).alias("other_pos"),
+        )
+        .where(F.col("other_doc").isNotNull())
+    )
+    key_struct = F.struct(*key_cols)
+    ends = suf.groupBy(bucket.alias("b")).agg(
+        F.min_by(F.struct("doc_id", "pos"), key_struct).alias("first"),
+        F.max_by(F.struct("doc_id", "pos"), key_struct).alias("last"),
+    )
+    w_b = Window.orderBy("b")  # <= n_vocab rows: single-task is fine
+    stitch = (
+        ends.withColumn("nf", F.lead("first").over(w_b))
+        .where(F.col("nf").isNotNull())
+        .select(
+            F.col("last.doc_id").alias("doc_id"),
+            F.col("last.pos").alias("pos"),
+            F.col("nf.doc_id").alias("other_doc"),
+            F.col("nf.pos").alias("other_pos"),
+        )
     )
     adj = (
-        ordered.join(nxt, F.col("s_idx") == F.col("p_idx"))
+        inner.unionByName(stitch)
         .where(F.col("other_doc") != F.col("doc_id"))
-        .select("doc_id", "pos", "other_doc", "other_pos")
     )
     adj = (
         adj.join(tk, "doc_id")

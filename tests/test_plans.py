@@ -822,14 +822,18 @@ def test_rouge_l_dp_is_pure_codegen(spark, sf_dir):
 
 
 def test_suffix_array_no_cartesian_all_keyed(spark, sf_dir):
-    """Every doubling round joins keyed (rank-pair hash join back) with
-    broadcast offset tables from two_phase_rank; nothing cartesian, no
-    Python eval. The plan is post-checkpoint (the last round's join +
-    LCP adjacency), so also assert the adjacency join stays keyed."""
+    """r11 layout: one fixed-width pack (row-local, off a 1-row
+    broadcast vocab dictionary — the only nested-loop join allowed),
+    one bucketed window exchange for order+adjacency, keyed joins for
+    the LCP token attach. No cartesian products over data-sized
+    frames, no Python eval, and no rank self-join anywhere."""
     plan = _plan(spark, sf_dir, "ext_suffix_array_lcp")
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
+    # the 1-row vmap dictionary broadcast sits behind the rank-array
+    # checkpoint; the post-checkpoint plan must be BNLJ-free
     assert "BroadcastNestedLoopJoin" not in plan
+    assert "ExistingRDD" in plan
 
 
 def test_kl_divergence_single_corpus_scan(spark, sf_dir):
