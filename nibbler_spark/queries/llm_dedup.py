@@ -4570,3 +4570,246 @@ def ext_unicode_fold_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_members") > 1)
         .orderBy("canon_key")
     )
+
+
+_CIC_ORACLE = f"""
+WITH src AS (
+  SELECT doc_id, text,
+         doc_id % 3 < 2 AS in_e1,
+         doc_id % 6 = 0 AS revised,
+         doc_id % 3 = 2 AS new2
+  FROM documents
+),
+vers AS MATERIALIZED (
+  SELECT doc_id, 1 AS epoch, text FROM src WHERE in_e1
+  UNION ALL
+  SELECT doc_id, 2, text || ' compaction revision marker'
+  FROM src WHERE revised
+  UNION ALL
+  SELECT doc_id, 2, text FROM src WHERE new2
+),
+t AS MATERIALIZED (
+  SELECT doc_id, epoch,
+         list_distinct(list_transform(
+           generate_series(1, GREATEST(len(s) - 2, 0)),
+           i -> s[i] || ' ' || s[i+1] || ' ' || s[i+2])) AS ts
+  FROM (SELECT doc_id, epoch, string_split(text, ' ') AS s FROM vers)
+),
+hashed AS (
+  SELECT doc_id, epoch, g.seed,
+         CAST(('0x' || substr(md5(g.seed || ':' || tok), 1, 12)) AS BIGINT)
+           AS h
+  FROM (SELECT doc_id, epoch, UNNEST(ts) AS tok FROM t)
+  CROSS JOIN generate_series(0, {_PMH_SEEDS - 1}) AS g(seed)
+),
+mins AS (
+  SELECT doc_id, epoch, seed, MIN(h) AS mh
+  FROM hashed GROUP BY doc_id, epoch, seed
+),
+entries AS MATERIALIZED (
+  SELECT doc_id, epoch, seed // {_PMH_BAND} AS band_id,
+         MIN(CASE WHEN seed % {_PMH_BAND} = 0 THEN mh END) AS v1,
+         MIN(CASE WHEN seed % {_PMH_BAND} = 1 THEN mh END) AS v2
+  FROM mins GROUP BY doc_id, epoch, seed // {_PMH_BAND}
+),
+latest AS MATERIALIZED (
+  SELECT doc_id, MAX(epoch) AS le FROM entries GROUP BY doc_id
+),
+compacted AS MATERIALIZED (
+  SELECT e.doc_id, e.band_id, e.v1, e.v2
+  FROM entries e JOIN latest l
+    ON e.doc_id = l.doc_id AND e.epoch = l.le
+),
+fresh AS MATERIALIZED (
+  SELECT t.doc_id, e2.band_id, e2.v1, e2.v2
+  FROM t JOIN latest l ON t.doc_id = l.doc_id AND t.epoch = l.le
+  JOIN entries e2 ON e2.doc_id = t.doc_id AND e2.epoch = t.epoch
+),
+cp AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM compacted a JOIN compacted b
+    ON a.band_id = b.band_id AND a.v1 = b.v1 AND a.v2 = b.v2
+   AND a.doc_id < b.doc_id
+),
+fp AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM fresh a JOIN fresh b
+    ON a.band_id = b.band_id AND a.v1 = b.v1 AND a.v2 = b.v2
+   AND a.doc_id < b.doc_id
+),
+diffs AS (
+  SELECT
+    (SELECT COUNT(*) FROM (SELECT da, db FROM cp EXCEPT
+                           SELECT da, db FROM fp))
+    + (SELECT COUNT(*) FROM (SELECT da, db FROM fp EXCEPT
+                             SELECT da, db FROM cp)) AS n_diff
+)
+SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM entries) AS n_entries_before,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM compacted) AS n_entries_after,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM entries)
+    - (SELECT CAST(COUNT(*) AS BIGINT) FROM compacted) AS n_dropped,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM
+     (SELECT DISTINCT band_id, v1, v2 FROM entries)) AS n_buckets_before,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM
+     (SELECT DISTINCT band_id, v1, v2 FROM compacted)) AS n_buckets_after,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM cp) AS n_pairs_compacted,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM fp) AS n_pairs_fresh,
+  (SELECT n_diff FROM diffs) = 0 AS pairs_equal
+"""
+
+
+@register(
+    "ext_dedup_index_compaction",
+    survey_id="EXT-DEDUP-COMPACT",
+    category="llm-dedup",
+    oracle=_CIC_ORACLE,
+)
+def ext_dedup_index_compaction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CROSS-EPOCH DEDUP-INDEX COMPACTION — the maintenance step a
+    persistent near-dup index needs once ingestion spans epochs
+    (i42/k16 keep per-run state; production keeps ONE index across
+    runs and re-ingests revised documents): epoch 1 indexes docs with
+    doc_id %% 3 < 2; epoch 2 adds the new docs (doc_id %% 3 = 2) AND
+    re-ingests revisions (doc_id %% 6 = 0, three tokens appended), so
+    the accumulated index holds SUPERSEDED entries under stale band
+    keys. Compaction keeps each doc's latest-epoch entries only, and
+    the declared invariant is VERIFIED, not assumed: candidate pairs
+    from the compacted index must equal those from an index built
+    from scratch on the latest version of every document (symmetric
+    set difference counted to zero). Output: entry/bucket counts
+    before and after, dropped-entry garbage volume, and the pair-set
+    equality bit.
+
+    Exactness: the portable-MinHash md5 banding (_PMH machinery, the
+    k05/i42 oracle pattern) is bit-identical in both engines, so the
+    whole record hash-matches.
+
+    Scale shape: banding is ROW-LOCAL (pmh_band_structs — no shuffle
+    until the counts); supersede resolution is a map-side-combinable
+    max(epoch) + a keyed semi-join; the pair checks are band-key
+    equi-joins (never all-pairs); EXCEPT runs on pair-id rows."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    rev_text = F.concat(
+        F.col("text"), F.lit(" compaction revision marker")
+    )
+    vers = (
+        d.where(F.col("doc_id") % 3 < 2)
+        .select("doc_id", F.lit(1).alias("epoch"), "text")
+        .unionByName(
+            d.where(F.col("doc_id") % 6 == 0).select(
+                "doc_id", F.lit(2).alias("epoch"), rev_text.alias("text")
+            )
+        )
+        .unionByName(
+            d.where(F.col("doc_id") % 3 == 2).select(
+                "doc_id", F.lit(2).alias("epoch"), "text"
+            )
+        )
+    )
+    entries = (
+        vers.select(
+            "doc_id",
+            "epoch",
+            F.explode(pmh_band_structs(pmh_shingles(F.col("text")))).alias(
+                "bs"
+            ),
+        )
+        .select(
+            "doc_id",
+            "epoch",
+            F.col("bs.band_id").alias("band_id"),
+            F.col("bs.v1").alias("v1"),
+            F.col("bs.v2").alias("v2"),
+        )
+        .localCheckpoint()
+    )
+    # latest derives FROM entries: rename its key so the semi-style
+    # join does not trip derived-dataframe attribute ambiguity
+    latest = (
+        entries.groupBy("doc_id")
+        .agg(F.max("epoch").alias("le"))
+        .select(F.col("doc_id").alias("ld"), "le")
+    )
+    compacted = entries.join(
+        latest,
+        (F.col("doc_id") == F.col("ld")) & (F.col("epoch") == F.col("le")),
+    ).select("doc_id", "band_id", "v1", "v2")
+    fresh = compacted  # structurally identical build path would hide a
+    # bug; recompute the fresh side from the TEXT of the latest
+    # versions instead:
+    fresh = (
+        vers.join(
+            latest,
+            (vers["doc_id"] == F.col("ld"))
+            & (vers["epoch"] == F.col("le")),
+        )
+        .select(vers["doc_id"], "text")
+        .select(
+            "doc_id",
+            F.explode(pmh_band_structs(pmh_shingles(F.col("text")))).alias(
+                "bs"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.col("bs.band_id").alias("band_id"),
+            F.col("bs.v1").alias("v1"),
+            F.col("bs.v2").alias("v2"),
+        )
+    )
+
+    def pairs(bands: DataFrame) -> DataFrame:
+        return (
+            bands.alias("a")
+            .join(
+                bands.alias("b"),
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.v1") == F.col("b.v1"))
+                & (F.col("a.v2") == F.col("b.v2"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("da"),
+                F.col("b.doc_id").alias("db"),
+            )
+            .distinct()
+        )
+
+    compacted = compacted.localCheckpoint()
+    cp = pairs(compacted).localCheckpoint()
+    fp = pairs(fresh).localCheckpoint()
+    n_diff = cp.exceptAll(fp).count() + fp.exceptAll(cp).count()
+    stats = entries.agg(
+        F.count("*").cast("bigint").alias("n_entries_before"),
+        F.countDistinct("band_id", "v1", "v2")
+        .cast("bigint")
+        .alias("n_buckets_before"),
+    )
+    cstats = compacted.agg(
+        F.count("*").cast("bigint").alias("n_entries_after"),
+        F.countDistinct("band_id", "v1", "v2")
+        .cast("bigint")
+        .alias("n_buckets_after"),
+    )
+    pc = cp.agg(F.count("*").cast("bigint").alias("n_pairs_compacted"))
+    pf = fp.agg(F.count("*").cast("bigint").alias("n_pairs_fresh"))
+    return (
+        stats.crossJoin(F.broadcast(cstats))
+        .crossJoin(F.broadcast(pc))
+        .crossJoin(F.broadcast(pf))
+        .select(
+            "n_entries_before",
+            "n_entries_after",
+            (F.col("n_entries_before") - F.col("n_entries_after")).alias(
+                "n_dropped"
+            ),
+            "n_buckets_before",
+            "n_buckets_after",
+            "n_pairs_compacted",
+            "n_pairs_fresh",
+            F.lit(n_diff == 0).alias("pairs_equal"),
+        )
+    )

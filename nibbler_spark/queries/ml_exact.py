@@ -4656,3 +4656,249 @@ def ext_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_QD_TEACHER_SQL = """
+  CASE WHEN len(toks) BETWEEN 30 AND 90
+        AND 15 * len(list_filter(toks,
+              w -> w IN ('the', 'a', 'of', 'and', 'to'))) >= len(toks)
+  THEN 1 ELSE 0 END
+"""
+
+_QD_ORACLE = f"""
+WITH lab AS MATERIALIZED (
+  SELECT doc_id, toks, {_QD_TEACHER_SQL} AS y
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+),
+tk AS (SELECT doc_id, y, UNNEST(toks) AS w FROM lab),
+wc AS MATERIALIZED (
+  SELECT w,
+         CAST(SUM(y) AS BIGINT) AS pc,
+         CAST(SUM(1 - y) AS BIGINT) AS nc,
+         {_SQL_GRIDLN.format(x='SUM(y) + 1')}
+           - {_SQL_GRIDLN.format(x='SUM(1 - y) + 1')} AS weight_g
+  FROM tk GROUP BY w
+),
+tot AS (
+  SELECT CAST(SUM(pc) AS BIGINT) AS p_tot,
+         CAST(SUM(nc) AS BIGINT) AS n_tot,
+         CAST(COUNT(*) AS BIGINT) AS v
+  FROM wc
+),
+docs AS (
+  SELECT d.doc_id, d.y,
+         CAST(SUM(m.mw * wc.weight_g) AS BIGINT) AS term_sum,
+         CAST(SUM(m.mw) AS BIGINT) AS t_doc
+  FROM (SELECT doc_id, w, COUNT(*) AS mw FROM tk GROUP BY doc_id, w) m
+  JOIN wc ON m.w = wc.w
+  JOIN (SELECT DISTINCT doc_id, y FROM tk) d ON d.doc_id = m.doc_id
+  GROUP BY d.doc_id, d.y
+),
+prior AS (
+  SELECT {_SQL_GRIDLN.format(x='SUM(y) + 1')}
+           - {_SQL_GRIDLN.format(x='SUM(1 - y) + 1')} AS bias_g
+  FROM lab
+),
+pred AS (
+  SELECT doc_id, y,
+         CASE WHEN prior.bias_g + term_sum
+                   + t_doc * ({_SQL_GRIDLN.format(x='tot.n_tot + tot.v')}
+                              - {_SQL_GRIDLN.format(x='tot.p_tot + tot.v')})
+                   > 0
+              THEN 1 ELSE 0 END AS yhat
+  FROM docs CROSS JOIN prior CROSS JOIN tot
+),
+conf AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(y) AS BIGINT) AS n_pos_teacher,
+         CAST(SUM(y * yhat) AS BIGINT) AS tp,
+         CAST(SUM((1 - y) * yhat) AS BIGINT) AS fp,
+         CAST(SUM(y * (1 - yhat)) AS BIGINT) AS fn,
+         CAST(SUM((1 - y) * (1 - yhat)) AS BIGINT) AS tn
+  FROM pred
+),
+toppos AS (
+  SELECT string_agg(w, ' ' ORDER BY weight_g DESC, w ASC) AS top_pos_tokens
+  FROM (SELECT w, weight_g FROM wc ORDER BY weight_g DESC, w ASC LIMIT 5)
+),
+topneg AS (
+  SELECT string_agg(w, ' ' ORDER BY weight_g ASC, w ASC) AS top_neg_tokens
+  FROM (SELECT w, weight_g FROM wc ORDER BY weight_g ASC, w ASC LIMIT 5)
+)
+SELECT n_docs, n_pos_teacher, tp, fp, fn, tn,
+       CAST((tp + tn) * 1000000 // n_docs AS BIGINT) AS agreement_micro,
+       top_pos_tokens, top_neg_tokens
+FROM conf CROSS JOIN toppos CROSS JOIN topneg
+"""
+
+
+@register(
+    "ext_quality_distillation",
+    survey_id="EXT-QUALITY-DISTILL",
+    category="ml-exact",
+    oracle=_QD_ORACLE,
+)
+def ext_quality_distillation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALITY-CLASSIFIER DISTILLATION — the fastText-shaped step every
+    large corpus pipeline runs (CCNet/LLaMA practice: distill an
+    expensive quality judgment into a cheap linear token model, then
+    filter 100 TB with the student): teacher = an exact integer rule
+    (30 <= n_tokens <= 90 AND stopword share >= 1/15 over the
+    {{'the','a','of','and','to'}} set); student = per-token Laplace
+    log-odds weights trained in ONE distributed pass (the multinomial
+    NB likelihood ratio: weight(w) = ln(pos_c+1) - ln(neg_c+1), class
+    constants folded per doc), scored back over the corpus. Output:
+    the teacher/student confusion matrix, micro agreement, and the 5
+    most positive / most negative tokens — the interpretable model
+    card a filtering decision needs.
+
+    Determinism: the ext_naive_bayes discipline — every ln() argument
+    is an integer, floored to the 1e-9 grid (bigint), so scores are
+    exact BIGINT sums; prediction threshold is integer > 0; token
+    lists tie-break (weight, token).
+
+    Scale shape: one token explode feeding two map-side-combinable
+    counts (per-(doc,w) and per-w with conditional sums); the scoring
+    join shuffles on the token key only; priors/totals broadcast; the
+    model itself is vocab-sized."""
+    toks_arr = F.split("text", " ")
+    stop = F.size(
+        F.filter(
+            toks_arr,
+            lambda w: w.isin("the", "a", "of", "and", "to"),
+        )
+    )
+    teacher = (
+        (F.size(toks_arr) >= 30)
+        & (F.size(toks_arr) <= 90)
+        & (15 * stop >= F.size(toks_arr))
+    ).cast("int")
+    lab = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", toks_arr.alias("toks"), teacher.alias("y"))
+        .localCheckpoint()
+    )
+    tk = lab.select("doc_id", "y", F.explode("toks").alias("w"))
+    wc = (
+        tk.groupBy("w")
+        .agg(
+            F.sum("y").cast("bigint").alias("pc"),
+            F.sum(1 - F.col("y")).cast("bigint").alias("nc"),
+        )
+        .withColumn(
+            "weight_g",
+            _gridln(F.col("pc") + 1) - _gridln(F.col("nc") + 1),
+        )
+        .localCheckpoint()
+    )
+    tot = F.broadcast(
+        wc.agg(
+            F.sum("pc").cast("bigint").alias("p_tot"),
+            F.sum("nc").cast("bigint").alias("n_tot"),
+            F.count("*").cast("bigint").alias("v"),
+        )
+    )
+    m = tk.groupBy("doc_id", "y", "w").agg(F.count("*").alias("mw"))
+    docs = (
+        m.join(wc.select("w", "weight_g"), "w")
+        .groupBy("doc_id", "y")
+        .agg(
+            F.sum(F.col("mw") * F.col("weight_g"))
+            .cast("bigint")
+            .alias("term_sum"),
+            F.sum("mw").cast("bigint").alias("t_doc"),
+        )
+    )
+    prior = F.broadcast(
+        lab.agg(
+            (
+                _gridln(F.sum("y") + 1)
+                - _gridln(F.sum(1 - F.col("y")) + 1)
+            ).alias("bias_g")
+        )
+    )
+    score = (
+        F.col("bias_g")
+        + F.col("term_sum")
+        + F.col("t_doc")
+        * (
+            _gridln(F.col("n_tot") + F.col("v"))
+            - _gridln(F.col("p_tot") + F.col("v"))
+        )
+    )
+    pred = docs.crossJoin(prior).crossJoin(tot).select(
+        "doc_id", "y", (score > 0).cast("int").alias("yhat")
+    )
+    conf = pred.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("y").cast("bigint").alias("n_pos_teacher"),
+        F.sum(F.col("y") * F.col("yhat")).cast("bigint").alias("tp"),
+        F.sum((1 - F.col("y")) * F.col("yhat"))
+        .cast("bigint")
+        .alias("fp"),
+        F.sum(F.col("y") * (1 - F.col("yhat")))
+        .cast("bigint")
+        .alias("fn"),
+        F.sum((1 - F.col("y")) * (1 - F.col("yhat")))
+        .cast("bigint")
+        .alias("tn"),
+    )
+    # explicit array_sort after the top-k: collect_list order is not
+    # contractual, even off a TakeOrdered child
+    toppos = F.broadcast(
+        wc.orderBy(F.col("weight_g").desc(), F.col("w").asc())
+        .limit(5)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                (-F.col("weight_g")).alias("k"),
+                                F.col("w").alias("w"),
+                            )
+                        )
+                    ),
+                    lambda st: st["w"],
+                ),
+                " ",
+            ).alias("top_pos_tokens")
+        )
+    )
+    topneg = F.broadcast(
+        wc.orderBy(F.col("weight_g").asc(), F.col("w").asc())
+        .limit(5)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("weight_g").alias("k"),
+                                F.col("w").alias("w"),
+                            )
+                        )
+                    ),
+                    lambda st: st["w"],
+                ),
+                " ",
+            ).alias("top_neg_tokens")
+        )
+    )
+    return (
+        conf.crossJoin(toppos)
+        .crossJoin(topneg)
+        .select(
+            "n_docs",
+            "n_pos_teacher",
+            "tp",
+            "fp",
+            "fn",
+            "tn",
+            F.expr("CAST((tp + tn) * 1000000 DIV n_docs AS BIGINT)").alias(
+                "agreement_micro"
+            ),
+            "top_pos_tokens",
+            "top_neg_tokens",
+        )
+    )

@@ -3398,3 +3398,223 @@ def ext_rendezvous_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("shard")
     )
     return per
+
+
+def _rebalance_oracle(n_shards: int = 8, max_steps: int = 20) -> str:
+    """Generated unrolled-greedy oracle for ext_shard_rebalance_plan
+    (the BPE-unroll house pattern): step CTE s{k} consumes ord rk=k via
+    LEFT JOIN (a no-op pass-through when the corpus has fewer sources
+    than max_steps), carrying the 8 shard loads plus that step's
+    decision columns; assignments are the union of the step rows."""
+    ls = ", ".join(f"CAST(0 AS BIGINT) AS l{j}" for j in range(n_shards))
+    least = (
+        "LEAST(" + ", ".join(f"s.l{j}" for j in range(n_shards)) + ")"
+    )
+    argmin = (
+        "CASE "
+        + " ".join(
+            f"WHEN s.l{j} = {least} THEN {j}" for j in range(n_shards)
+        )
+        + " END"
+    )
+    homeload = (
+        "CASE o.home "
+        + " ".join(f"WHEN {j} THEN s.l{j}" for j in range(n_shards))
+        + " END"
+    )
+    selcols = ", ".join(f"s.l{j} AS l{j}" for j in range(n_shards))
+    steps = []
+    for k in range(1, max_steps + 1):
+        steps.append(f"""
+s{k} AS (
+  SELECT {", ".join(
+      f"l{j} + CASE WHEN ch = {j} THEN b ELSE 0 END AS l{j}"
+      for j in range(n_shards))},
+         src, b, home, hl, ch
+  FROM (
+    SELECT {selcols}, COALESCE(o.bytes, 0) AS b, o.home AS home,
+           o.source AS src, {homeload} AS hl,
+           CASE WHEN o.source IS NULL THEN -1
+                WHEN {homeload} + o.bytes <= cap.cap THEN o.home
+                ELSE {argmin} END AS ch
+    FROM s{k - 1} s
+    CROSS JOIN cap
+    LEFT JOIN (SELECT * FROM ord WHERE rk = {k}) o ON TRUE
+  )
+)""")
+    unions = "\nUNION ALL\n".join(
+        f"SELECT src, b, home, hl, ch FROM s{k} WHERE src IS NOT NULL"
+        for k in range(1, max_steps + 1)
+    )
+    return f"""
+WITH assign AS MATERIALIZED (
+  SELECT doc_id, source, n_chars, {_hrw_sql(n_shards)} AS s8
+  FROM documents
+),
+srcsum AS MATERIALIZED (
+  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS bytes
+  FROM assign GROUP BY source
+),
+homes AS MATERIALIZED (
+  SELECT source, s8 AS home FROM (
+    SELECT source, s8,
+           row_number() OVER (
+             PARTITION BY source ORDER BY COUNT(*) DESC, s8 ASC) AS rk
+    FROM assign GROUP BY source, s8
+  ) WHERE rk = 1
+),
+ord AS MATERIALIZED (
+  SELECT s.source, s.bytes, h.home,
+         row_number() OVER (ORDER BY s.bytes DESC, s.source ASC) AS rk
+  FROM srcsum s JOIN homes h USING (source)
+),
+cap AS MATERIALIZED (
+  SELECT CAST(SUM(bytes) * 5 // {4 * n_shards} AS BIGINT) AS cap
+  FROM srcsum
+),
+s0 AS (SELECT {ls}, CAST(NULL AS VARCHAR) AS src,
+       CAST(0 AS BIGINT) AS b, 0 AS home, CAST(0 AS BIGINT) AS hl,
+       -1 AS ch),
+{", ".join(s.strip() for s in steps)},
+plan AS ({unions}),
+gl AS (
+  SELECT CAST(COALESCE(SUM(CASE WHEN ch <> home THEN b END), 0)
+              AS BIGINT) AS total_moved_bytes,
+         COALESCE(BOOL_AND(CASE WHEN ch <> home
+                           THEN hl + b > cap.cap END), TRUE)
+           AS all_moves_forced,
+         cap.cap AS cap_bytes
+  FROM plan CROSS JOIN cap GROUP BY cap.cap
+),
+shards AS (SELECT UNNEST(generate_series(0, {n_shards - 1})) AS shard)
+SELECT CAST(sh.shard AS BIGINT) AS shard,
+       CAST(COUNT(p.src) AS BIGINT) AS n_sources,
+       CAST(COALESCE(SUM(p.b), 0) AS BIGINT) AS planned_bytes,
+       CAST(COALESCE(SUM(CASE WHEN p.ch <> p.home THEN 1 END), 0)
+            AS BIGINT) AS moved_in_sources,
+       CAST(COALESCE(SUM(CASE WHEN p.ch <> p.home THEN p.b END), 0)
+            AS BIGINT) AS moved_in_bytes,
+       g.total_moved_bytes, g.cap_bytes, g.all_moves_forced
+FROM shards sh
+CROSS JOIN gl g
+LEFT JOIN plan p ON p.ch = sh.shard
+GROUP BY sh.shard, g.total_moved_bytes, g.cap_bytes, g.all_moves_forced
+ORDER BY shard
+"""
+
+
+@register(
+    "ext_shard_rebalance_plan",
+    survey_id="EXT-SHARD-REBALANCE",
+    category="scale-patterns",
+    oracle=_rebalance_oracle(),
+)
+def ext_shard_rebalance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCALITY-AWARE SHARD REBALANCING — the planning step after
+    rendezvous assignment (ext_rendezvous_sharding): move data at
+    SOURCE granularity (a source's documents co-locate, preserving
+    crawl/provenance locality) onto 8 shards under a 1.25x-average
+    byte cap, PREFERRING each source's current home (the majority HRW
+    shard of its documents, ties to the smaller shard id) so a source
+    moves only when keeping it home would overflow the cap. Greedy
+    LPT order (bytes desc, source asc); overflow falls to the least
+    loaded shard (ties to the smaller id). The MOVE-MINIMALITY
+    invariant is recorded from the replayed state, not assumed:
+    all_moves_forced = every moved source's home load at decision
+    time plus its bytes exceeded the cap.
+
+    Exactness: pure integer arithmetic over byte sums; the oracle
+    replays the same greedy as 20 unrolled LEFT-JOIN step CTEs (the
+    BPE pattern), so the whole plan hash-matches.
+
+    Scale shape: the data-sized work is one row-local HRW fold plus a
+    map-side-combinable (source, shard) count and byte sum; the
+    greedy itself runs on the DIMENSION-sized source summary (~20
+    rows, a bounded driver read — the plan is metadata, the corpus
+    never moves through the driver). Output is an 8-row shard
+    spine."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    assign = d.select(
+        "source", "n_chars", _hrw_pick_spark(8).alias("s8")
+    )
+    srcsum = assign.groupBy("source").agg(
+        F.sum("n_chars").cast("bigint").alias("bytes")
+    )
+    homes = (
+        assign.groupBy("source", "s8")
+        .agg(F.count("*").alias("c"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy(
+                    F.col("c").desc(), F.col("s8").asc()
+                )
+            ),
+        )
+        .where(F.col("rk") == 1)
+        .select("source", F.col("s8").alias("home"))
+    )
+    summary = [
+        (r["source"], int(r["bytes"]), int(r["home"]))
+        for r in srcsum.join(homes, "source").collect()
+    ]  # dimension-sized (#sources ~ 20): bounded driver read
+    total = sum(b for _, b, _ in summary)
+    cap = total * 5 // 32
+    loads = [0] * 8
+    plan_rows = []
+    for source, b, home in sorted(summary, key=lambda r: (-r[1], r[0])):
+        hl = loads[home]
+        if hl + b <= cap:
+            ch = home
+        else:
+            ch = min(range(8), key=lambda j: (loads[j], j))
+        plan_rows.append((source, b, home, hl, ch, hl + b > cap))
+        loads[ch] += b
+    plan = spark.createDataFrame(
+        plan_rows,
+        "src string, b long, home int, hl long, ch int, overflow boolean",
+    )
+    moved = F.col("ch") != F.col("home")
+    glob = F.broadcast(
+        plan.agg(
+            F.coalesce(F.sum(F.when(moved, F.col("b"))), F.lit(0))
+            .cast("bigint")
+            .alias("total_moved_bytes"),
+            F.coalesce(
+                F.every(F.when(moved, F.col("overflow"))), F.lit(True)
+            ).alias("all_moves_forced"),
+        ).withColumn("cap_bytes", F.lit(cap).cast("bigint"))
+    )
+    shards = spark.range(8).select(F.col("id").cast("bigint").alias("shard"))
+    return (
+        shards.crossJoin(glob)
+        .join(plan, F.col("ch") == F.col("shard"), "left")
+        .groupBy(
+            "shard", "total_moved_bytes", "cap_bytes", "all_moves_forced"
+        )
+        .agg(
+            F.count("src").cast("bigint").alias("n_sources"),
+            F.coalesce(F.sum("b"), F.lit(0))
+            .cast("bigint")
+            .alias("planned_bytes"),
+            F.coalesce(F.sum(F.when(moved, 1)), F.lit(0))
+            .cast("bigint")
+            .alias("moved_in_sources"),
+            F.coalesce(F.sum(F.when(moved, F.col("b"))), F.lit(0))
+            .cast("bigint")
+            .alias("moved_in_bytes"),
+        )
+        .select(
+            "shard",
+            "n_sources",
+            "planned_bytes",
+            "moved_in_sources",
+            "moved_in_bytes",
+            "total_moved_bytes",
+            "cap_bytes",
+            "all_moves_forced",
+        )
+        .orderBy("shard")
+    )

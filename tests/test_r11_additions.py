@@ -159,3 +159,263 @@ class TestZipHardening:
         assert [(m["name"], m["data"]) for m in got] == [
             ("m.txt", b"payload body")
         ]
+
+
+def _docs_fixture(spark, sf_dir):
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet")
+    return tbl.to_pylist()
+
+
+def test_shard_rebalance_plan_matches_python_greedy(spark, sf_dir):
+    """Brute-force replay: HRW homes + byte sums + the greedy itself in
+    plain Python with no Spark/DuckDB machinery; the operator's 8-row
+    plan must match exactly (loads, movement, invariant)."""
+    import hashlib
+
+    from nibbler_spark.queries import load_all
+
+    docs = _docs_fixture(spark, sf_dir)
+
+    def hrw(doc_id, n):
+        return max(
+            range(n),
+            key=lambda s: hashlib.md5(f"{s}:{doc_id}".encode()).hexdigest(),
+        )
+
+    by_src = {}
+    for d in docs:
+        s = d["source"]
+        e = by_src.setdefault(s, {"bytes": 0, "homes": {}})
+        e["bytes"] += d["n_chars"]
+        h = hrw(d["doc_id"], 8)
+        e["homes"][h] = e["homes"].get(h, 0) + 1
+    summary = [
+        (
+            s,
+            e["bytes"],
+            min(e["homes"], key=lambda k: (-e["homes"][k], k)),
+        )
+        for s, e in by_src.items()
+    ]
+    total = sum(b for _, b, _ in summary)
+    cap = total * 5 // 32
+    loads = [0] * 8
+    per_shard = {
+        j: {"n": 0, "bytes": 0, "mn": 0, "mb": 0} for j in range(8)
+    }
+    moved_total = 0
+    forced = True
+    for s, b, home in sorted(summary, key=lambda r: (-r[1], r[0])):
+        hl = loads[home]
+        ch = (
+            home
+            if hl + b <= cap
+            else min(range(8), key=lambda j: (loads[j], j))
+        )
+        loads[ch] += b
+        per_shard[ch]["n"] += 1
+        per_shard[ch]["bytes"] += b
+        if ch != home:
+            per_shard[ch]["mn"] += 1
+            per_shard[ch]["mb"] += b
+            moved_total += b
+            forced = forced and (hl + b > cap)
+    got = load_all()["ext_shard_rebalance_plan"].spark(spark, sf_dir)
+    rows = {r["shard"]: r for r in got.collect()}
+    assert set(rows) == set(range(8))
+    for j in range(8):
+        r = rows[j]
+        assert (
+            r["n_sources"],
+            r["planned_bytes"],
+            r["moved_in_sources"],
+            r["moved_in_bytes"],
+            r["total_moved_bytes"],
+            r["cap_bytes"],
+            r["all_moves_forced"],
+        ) == (
+            per_shard[j]["n"],
+            per_shard[j]["bytes"],
+            per_shard[j]["mn"],
+            per_shard[j]["mb"],
+            moved_total,
+            cap,
+            forced,
+        )
+
+
+def test_quality_distillation_matches_python_nb(spark, sf_dir):
+    """Brute-force NB-distillation replay (pure Python, math.log with
+    the same 1e-9 floor grid) — confusion matrix and token lists."""
+    import math
+
+    from nibbler_spark.queries import load_all
+
+    docs = _docs_fixture(spark, sf_dir)
+    g = lambda x: math.floor(math.log(x) * 1e9)
+    stop = {"the", "a", "of", "and", "to"}
+    labs = {}
+    for d in docs:
+        t = d["text"].split(" ")
+        ns = sum(1 for w in t if w in stop)
+        labs[d["doc_id"]] = (
+            t,
+            1 if (30 <= len(t) <= 90 and 15 * ns >= len(t)) else 0,
+        )
+    pc, nc = {}, {}
+    for t, y in labs.values():
+        for w in t:
+            (pc if y else nc)[w] = (pc if y else nc).get(w, 0) + 1
+    vocab = set(pc) | set(nc)
+    wgt = {w: g(pc.get(w, 0) + 1) - g(nc.get(w, 0) + 1) for w in vocab}
+    p_tot, n_tot, v = sum(pc.values()), sum(nc.values()), len(vocab)
+    n_pos = sum(y for _, y in labs.values())
+    bias = g(n_pos + 1) - g(len(labs) - n_pos + 1)
+    const = g(n_tot + v) - g(p_tot + v)
+    tp = fp = fn = tn = 0
+    for t, y in labs.values():
+        sc = bias + sum(wgt[w] for w in t) + len(t) * const
+        yhat = 1 if sc > 0 else 0
+        tp += y and yhat
+        fp += (not y) and yhat
+        fn += y and (not yhat)
+        tn += (not y) and (not yhat)
+    top_pos = " ".join(
+        w for w in sorted(vocab, key=lambda w: (-wgt[w], w))[:5]
+    )
+    top_neg = " ".join(
+        w for w in sorted(vocab, key=lambda w: (wgt[w], w))[:5]
+    )
+    r = (
+        load_all()["ext_quality_distillation"]
+        .spark(spark, sf_dir)
+        .collect()[0]
+    )
+    assert (
+        r["n_docs"],
+        r["n_pos_teacher"],
+        r["tp"],
+        r["fp"],
+        r["fn"],
+        r["tn"],
+        r["agreement_micro"],
+        r["top_pos_tokens"],
+        r["top_neg_tokens"],
+    ) == (
+        len(labs),
+        n_pos,
+        tp,
+        fp,
+        fn,
+        tn,
+        (tp + tn) * 1000000 // len(labs),
+        top_pos,
+        top_neg,
+    )
+
+
+def test_dedup_index_compaction_matches_python(spark, sf_dir):
+    """Brute-force epoch/band replay (pure Python md5 minhash) for the
+    compaction record — including the pair-set equality invariant."""
+    import hashlib
+
+    from nibbler_spark.queries import load_all
+    from nibbler_spark.queries.llm_dedup import _PMH_BAND, _PMH_SEEDS
+
+    docs = _docs_fixture(spark, sf_dir)
+
+    def shingles(text):
+        t = text.split(" ")
+        return list(
+            dict.fromkeys(
+                " ".join(t[i : i + 3]) for i in range(len(t) - 2)
+            )
+        ) if len(t) >= 3 else []
+
+    def bands(text):
+        ts = shingles(text)
+        if not ts:
+            return []
+        mh = [
+            min(
+                int(
+                    hashlib.md5(f"{seed}:{tok}".encode()).hexdigest()[:12],
+                    16,
+                )
+                for tok in ts
+            )
+            for seed in range(_PMH_SEEDS)
+        ]
+        return [
+            (b, mh[b * _PMH_BAND], mh[b * _PMH_BAND + 1])
+            for b in range(_PMH_SEEDS // _PMH_BAND)
+        ]
+
+    entries = []  # (doc, epoch, band, v1, v2)
+    latest_text = {}
+    for d in docs:
+        did, text = d["doc_id"], d["text"]
+        if did % 3 < 2:
+            entries += [(did, 1, *b) for b in bands(text)]
+            latest_text[did] = text
+        if did % 6 == 0:
+            rt = text + " compaction revision marker"
+            entries += [(did, 2, *b) for b in bands(rt)]
+            latest_text[did] = rt
+        if did % 3 == 2:
+            entries += [(did, 2, *b) for b in bands(text)]
+            latest_text[did] = text
+    le = {}
+    for did, ep, *_ in entries:
+        le[did] = max(le.get(did, 0), ep)
+    compacted = [e for e in entries if e[1] == le[e[0]]]
+
+    def pairset(rows):
+        buckets = {}
+        for did, *_, b, v1, v2 in [
+            (r[0], None, r[2], r[3], r[4]) for r in rows
+        ]:
+            buckets.setdefault((b, v1, v2), set()).add(did)
+        out = set()
+        for mem in buckets.values():
+            ms = sorted(mem)
+            for i, a in enumerate(ms):
+                for b2 in ms[i + 1 :]:
+                    out.add((a, b2))
+        return out
+
+    cp = pairset(compacted)
+    fresh = [
+        (did, le[did], *b)
+        for did, text in latest_text.items()
+        for b in bands(text)
+    ]
+    fpairs = pairset(fresh)
+    r = (
+        load_all()["ext_dedup_index_compaction"]
+        .spark(spark, sf_dir)
+        .collect()[0]
+    )
+    assert (
+        r["n_entries_before"],
+        r["n_entries_after"],
+        r["n_dropped"],
+        r["n_buckets_before"],
+        r["n_buckets_after"],
+        r["n_pairs_compacted"],
+        r["n_pairs_fresh"],
+        r["pairs_equal"],
+    ) == (
+        len(entries),
+        len(compacted),
+        len(entries) - len(compacted),
+        len({(b, v1, v2) for _, _, b, v1, v2 in entries}),
+        len({(b, v1, v2) for _, _, b, v1, v2 in compacted}),
+        len(cp),
+        len(fpairs),
+        cp == fpairs,
+    )
+    assert r["n_dropped"] > 0  # the fixture really has superseded entries
+    assert r["pairs_equal"]
