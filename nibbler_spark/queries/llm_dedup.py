@@ -4813,3 +4813,214 @@ def ext_dedup_index_compaction(
             F.lit(n_diff == 0).alias("pairs_equal"),
         )
     )
+
+
+_CANON_ORACLE = f"""
+WITH t AS MATERIALIZED (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, GREATEST(len(s) - 2, 0)),
+           i -> s[i] || ' ' || s[i+1] || ' ' || s[i+2])) AS ts
+  FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents)
+),
+hashed AS (
+  SELECT doc_id, g.seed,
+         CAST(('0x' || substr(md5(g.seed || ':' || tok), 1, 12)) AS BIGINT)
+           AS h
+  FROM (SELECT doc_id, UNNEST(ts) AS tok FROM t)
+  CROSS JOIN generate_series(0, {_PMH_SEEDS - 1}) AS g(seed)
+),
+mins AS (
+  SELECT doc_id, seed, MIN(h) AS mh FROM hashed GROUP BY doc_id, seed
+),
+bands AS (
+  SELECT doc_id, seed // {_PMH_BAND} AS band_id,
+         MIN(CASE WHEN seed % {_PMH_BAND} = 0 THEN mh END) AS v1,
+         MIN(CASE WHEN seed % {_PMH_BAND} = 1 THEN mh END) AS v2
+  FROM mins GROUP BY doc_id, seed // {_PMH_BAND}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.v1 = b.v1 AND a.v2 = b.v2
+   AND a.doc_id < b.doc_id
+),
+e0 AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM (
+    SELECT doc_a, doc_b,
+           len(list_intersect(ta.ts, tb.ts)) AS c,
+           len(ta.ts) + len(tb.ts) - len(list_intersect(ta.ts, tb.ts))
+             AS u
+    FROM cand JOIN t ta ON cand.doc_a = ta.doc_id
+              JOIN t tb ON cand.doc_b = tb.doc_id
+  ) WHERE 5 * c >= 3 * u
+),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM e0
+          UNION ALL SELECT doc_b, doc_a FROM e0),
+l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+l1 AS (
+  SELECT l0.node,
+         LEAST(l0.label, COALESCE(MIN(l.label), l0.label)) AS label
+  FROM l0 LEFT JOIN edges e ON e.src = l0.node
+          LEFT JOIN l0 l ON l.node = e.dst
+  GROUP BY l0.node, l0.label
+),
+l2 AS (
+  SELECT l1.node,
+         LEAST(l1.label, COALESCE(MIN(l.label), l1.label)) AS label
+  FROM l1 LEFT JOIN edges e ON e.src = l1.node
+          LEFT JOIN l1 l ON l.node = e.dst
+  GROUP BY l1.node, l1.label
+),
+l3 AS (
+  SELECT l2.node,
+         LEAST(l2.label, COALESCE(MIN(l.label), l2.label)) AS label
+  FROM l2 LEFT JOIN edges e ON e.src = l2.node
+          LEFT JOIN l2 l ON l.node = e.dst
+  GROUP BY l2.node, l2.label
+),
+mem AS (
+  SELECT l3.node, l3.label, d.n_chars
+  FROM l3 JOIN documents d ON d.doc_id = l3.node
+),
+clus AS (
+  SELECT label AS cluster_label,
+         CAST(COUNT(*) AS BIGINT) AS n_members,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         CAST(MAX(ROW(n_chars, -node)) AS ROW(a BIGINT, b BIGINT)) AS k
+  FROM mem GROUP BY label
+)
+SELECT cluster_label,
+       n_members,
+       CAST(-k.b AS BIGINT) AS canonical_doc,
+       CAST(k.a AS BIGINT) AS canonical_chars,
+       CAST(n_members - 1 AS BIGINT) AS dropped_docs,
+       CAST(total_chars - k.a AS BIGINT) AS dropped_chars
+FROM clus
+ORDER BY n_members DESC, cluster_label
+LIMIT 20
+"""
+
+
+@register(
+    "ext_dedup_cluster_canonical",
+    survey_id="EXT-DEDUP-CANONICAL",
+    category="llm-dedup",
+    oracle=_CANON_ORACLE,
+)
+def ext_dedup_cluster_canonical(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CANONICAL SELECTION over near-dup clusters — the decision step
+    AFTER detection (k05/ext_minhash_lsh_portable tell you which docs
+    collide; a pipeline must then pick WHICH COPY TO KEEP): verified
+    MinHash pairs (portable md5 banding, exact integer Jaccard
+    5*common >= 3*union i.e. J >= 0.6) form the dup graph; 3
+    synchronous min-label rounds (the house bounded-propagation
+    semantics) group them into clusters; each cluster keeps its
+    longest member (ties to the smaller doc_id) and the rest are the
+    dedup dividend. Output: the 20 largest clusters with canonical
+    doc, kept and dropped character volumes.
+
+    Exactness: md5 banding and integer Jaccard make the graph
+    hash-identical in both engines; min-label rounds are LEAST folds;
+    the canonical argmax is max(struct(n_chars, -doc_id)).
+
+    Scale shape: banding row-local, candidate join band-keyed, verify
+    only on candidates, each propagation round one edge-keyed join +
+    combinable MIN — never all-pairs, no corpus-sized window."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", pmh_shingles(F.col("text")).alias("ts")
+    ).localCheckpoint()
+    bands = d.select(
+        "doc_id",
+        F.explode(pmh_band_structs(F.col("ts"))).alias("bs"),
+    ).select(
+        "doc_id",
+        F.col("bs.band_id").alias("band_id"),
+        F.col("bs.v1").alias("v1"),
+        F.col("bs.v2").alias("v2"),
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.v1") == F.col("b.v1"))
+            & (F.col("a.v2") == F.col("b.v2"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    common = F.size(F.array_intersect(F.col("ta.ts"), F.col("tb.ts")))
+    union = F.size(F.col("ta.ts")) + F.size(F.col("tb.ts")) - common
+    e0 = (
+        cand.join(d.alias("ta"), F.col("doc_a") == F.col("ta.doc_id"))
+        .join(d.alias("tb"), F.col("doc_b") == F.col("tb.doc_id"))
+        .where(5 * common >= 3 * union)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    edges = e0.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        e0.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    ).localCheckpoint()
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(3):
+        nbr_min = (
+            edges.join(
+                labels.select(
+                    F.col("node").alias("dst"), F.col("label").alias("nl")
+                ),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("nl").alias("nm"))
+        )
+        labels = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"),
+                    F.coalesce(F.col("nm"), F.col("label")),
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+    mem = labels.join(
+        d.select("doc_id", "n_chars"),
+        labels["node"] == F.col("doc_id"),
+    ).select("node", "label", "n_chars")
+    return (
+        mem.groupBy(F.col("label").alias("cluster_label"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_members"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.max(
+                F.struct(
+                    F.col("n_chars").alias("a"),
+                    (-F.col("node")).alias("b"),
+                )
+            ).alias("k"),
+        )
+        .select(
+            "cluster_label",
+            "n_members",
+            (-F.col("k.b")).cast("bigint").alias("canonical_doc"),
+            F.col("k.a").cast("bigint").alias("canonical_chars"),
+            (F.col("n_members") - 1).cast("bigint").alias("dropped_docs"),
+            (F.col("total_chars") - F.col("k.a"))
+            .cast("bigint")
+            .alias("dropped_chars"),
+        )
+        .orderBy(F.col("n_members").desc(), "cluster_label")
+        .limit(20)
+    )

@@ -5457,3 +5457,127 @@ def ext_rejection_sampling_ft(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_CURR_GRIDLN = "CAST(FLOOR(LN({x}) * 1e9) AS BIGINT)"
+
+_CURR_ORACLE = f"""
+WITH tk AS (
+  SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS w
+  FROM documents
+),
+df AS MATERIALIZED (
+  SELECT w, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS dfw
+  FROM tk GROUP BY w
+),
+nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+m AS (
+  SELECT doc_id, lang, w, COUNT(*) AS mw FROM tk GROUP BY doc_id, lang, w
+),
+rar AS MATERIALIZED (
+  SELECT m.doc_id, m.lang,
+         CAST(SUM(m.mw) AS BIGINT) AS t_doc,
+         CAST(SUM(m.mw * ({_CURR_GRIDLN.format(x='nd.n')}
+                          - {_CURR_GRIDLN.format(x='df.dfw')}))
+              // SUM(m.mw) AS BIGINT) AS rarity_g
+  FROM m JOIN df ON m.w = df.w CROSS JOIN nd
+  GROUP BY m.doc_id, m.lang
+),
+staged AS (
+  SELECT doc_id, lang, t_doc, rarity_g,
+         CAST((row_number() OVER (ORDER BY rarity_g, doc_id) - 1) * 4
+              // (SELECT COUNT(*) FROM rar) AS BIGINT) AS stage
+  FROM rar
+)
+SELECT stage,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(rarity_g) AS BIGINT) AS min_rarity_g,
+       CAST(MAX(rarity_g) AS BIGINT) AS max_rarity_g,
+       CAST(SUM(t_doc) AS BIGINT) AS total_tokens,
+       CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_en,
+       CAST(SUM(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_zh
+FROM staged GROUP BY stage ORDER BY stage
+"""
+
+
+@register(
+    "ext_curriculum_schedule",
+    survey_id="EXT-CURRICULUM",
+    category="llm-training-prep",
+    oracle=_CURR_ORACLE,
+)
+def ext_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CURRICULUM SCHEDULING — order the corpus easy-to-hard before
+    packing (the curriculum-learning recipe, Bengio et al. 2009,
+    applied to pretraining data): difficulty = mean token RARITY,
+    rarity(w) = ln(N) - ln(df(w)) on the integer 1e-9 grid (the IDF
+    everything else in retrieval uses), averaged per doc by integer
+    division. Docs split into 4 equal-population stages by exact
+    global rank (ties by doc_id), and the output is the per-stage
+    schedule card: population, rarity band, token volume, and the
+    en/zh language mix a mixture-rebalancer would read.
+
+    Exactness: integer grid throughout; the stage split is an exact
+    ntile via (rank-1)*4 DIV n, no percentile approximation anywhere.
+
+    Scale shape: df and per-(doc,w) counts are map-side-combinable
+    aggregates; the rarity join shuffles on the token key; the global
+    rank runs on the doc-count-sized (rarity, doc_id) table via a
+    bucketed two-phase rank (no unpartitioned window over corpus-
+    volume rows)."""
+    from nibbler_spark.queries._helpers import two_phase_rank
+
+    tk = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
+    )
+    dfw = tk.groupBy("w").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("dfw")
+    )
+    nd = F.broadcast(
+        load_table(spark, sf_dir, "documents").agg(
+            F.count("*").cast("bigint").alias("n")
+        )
+    )
+    m = tk.groupBy("doc_id", "lang", "w").agg(F.count("*").alias("mw"))
+    gridln = lambda c: F.floor(F.log(c) * F.lit(1e9)).cast("bigint")
+    rar = (
+        m.join(dfw, "w")
+        .crossJoin(nd)
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("mw").cast("bigint").alias("t_doc"),
+            F.expr(
+                "CAST(SUM(mw * (CAST(FLOOR(LN(n) * 1e9) AS BIGINT)"
+                " - CAST(FLOOR(LN(dfw) * 1e9) AS BIGINT)))"
+                " DIV SUM(mw) AS BIGINT)"
+            ).alias("rarity_g"),
+        )
+        .localCheckpoint()
+    )
+    n_docs = rar.count()
+    staged = two_phase_rank(
+        rar,
+        F.expr("rarity_g DIV 1000000"),
+        [F.col("rarity_g"), F.col("doc_id")],
+        "rk",
+    ).withColumn(
+        "stage", F.expr(f"CAST((rk - 1) * 4 DIV {n_docs} AS BIGINT)")
+    )
+    return (
+        staged.groupBy("stage")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min("rarity_g").cast("bigint").alias("min_rarity_g"),
+            F.max("rarity_g").cast("bigint").alias("max_rarity_g"),
+            F.sum("t_doc").cast("bigint").alias("total_tokens"),
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_en"),
+            F.sum(F.when(F.col("lang") == "zh", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_zh"),
+        )
+        .orderBy("stage")
+    )

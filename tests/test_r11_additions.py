@@ -419,3 +419,144 @@ def test_dedup_index_compaction_matches_python(spark, sf_dir):
     )
     assert r["n_dropped"] > 0  # the fixture really has superseded entries
     assert r["pairs_equal"]
+
+
+def test_curriculum_schedule_matches_python(spark, sf_dir):
+    """Brute-force rarity/ntile replay in pure Python."""
+    import math
+
+    from nibbler_spark.queries import load_all
+
+    docs = _docs_fixture(spark, sf_dir)
+    g = lambda x: math.floor(math.log(x) * 1e9)
+    df = {}
+    for d in docs:
+        for w in set(d["text"].split(" ")):
+            df[w] = df.get(w, 0) + 1
+    n = len(docs)
+    rows = []
+    for d in docs:
+        toks = d["text"].split(" ")
+        tot = sum(g(n) - g(df[w]) for w in toks)
+        rows.append(
+            (d["doc_id"], d["lang"], len(toks), tot // len(toks))
+        )
+    rows.sort(key=lambda r: (r[3], r[0]))
+    want = {}
+    for rk, (did, lang, t_doc, rar) in enumerate(rows):
+        st = rk * 4 // n
+        e = want.setdefault(
+            st,
+            {"n": 0, "mn": None, "mx": None, "tok": 0, "en": 0, "zh": 0},
+        )
+        e["n"] += 1
+        e["mn"] = rar if e["mn"] is None else min(e["mn"], rar)
+        e["mx"] = rar if e["mx"] is None else max(e["mx"], rar)
+        e["tok"] += t_doc
+        e["en"] += lang == "en"
+        e["zh"] += lang == "zh"
+    got = {
+        r["stage"]: (
+            r["n_docs"],
+            r["min_rarity_g"],
+            r["max_rarity_g"],
+            r["total_tokens"],
+            r["n_en"],
+            r["n_zh"],
+        )
+        for r in load_all()["ext_curriculum_schedule"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    assert got == {
+        st: (e["n"], e["mn"], e["mx"], e["tok"], e["en"], e["zh"])
+        for st, e in want.items()
+    }
+    assert set(got) == {0, 1, 2, 3}
+
+
+def test_dedup_cluster_canonical_matches_python(spark, sf_dir):
+    """Brute-force MinHash pair graph + 3-round min-label + canonical
+    argmax in pure Python."""
+    import hashlib
+
+    from nibbler_spark.queries import load_all
+    from nibbler_spark.queries.llm_dedup import _PMH_BAND, _PMH_SEEDS
+
+    docs = _docs_fixture(spark, sf_dir)
+    sh = {}
+    nch = {}
+    for d in docs:
+        t = d["text"].split(" ")
+        sh[d["doc_id"]] = (
+            list(
+                dict.fromkeys(
+                    " ".join(t[i : i + 3]) for i in range(len(t) - 2)
+                )
+            )
+            if len(t) >= 3
+            else []
+        )
+        nch[d["doc_id"]] = d["n_chars"]
+    buckets = {}
+    for did, ts in sh.items():
+        if not ts:
+            continue
+        mh = [
+            min(
+                int(
+                    hashlib.md5(f"{s}:{tok}".encode()).hexdigest()[:12], 16
+                )
+                for tok in ts
+            )
+            for s in range(_PMH_SEEDS)
+        ]
+        for b in range(_PMH_SEEDS // _PMH_BAND):
+            buckets.setdefault(
+                (b, mh[b * _PMH_BAND], mh[b * _PMH_BAND + 1]), []
+            ).append(did)
+    pairs = set()
+    for mem in buckets.values():
+        ms = sorted(set(mem))
+        for i, a in enumerate(ms):
+            for b in ms[i + 1 :]:
+                c = len(set(sh[a]) & set(sh[b]))
+                u = len(sh[a]) + len(sh[b]) - c
+                if 5 * c >= 3 * u:
+                    pairs.add((a, b))
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    labels = {v: v for v in adj}
+    for _ in range(3):
+        labels = {
+            v: min([labels[v]] + [labels[u] for u in adj[v]])
+            for v in adj
+        }
+    clus = {}
+    for v, lab in labels.items():
+        clus.setdefault(lab, []).append(v)
+    want = []
+    for lab, mem in clus.items():
+        canon = max(mem, key=lambda v: (nch[v], -v))
+        tot = sum(nch[v] for v in mem)
+        want.append(
+            (
+                lab,
+                len(mem),
+                canon,
+                nch[canon],
+                len(mem) - 1,
+                tot - nch[canon],
+            )
+        )
+    want.sort(key=lambda r: (-r[1], r[0]))
+    got = [
+        tuple(r)
+        for r in load_all()["ext_dedup_cluster_canonical"]
+        .spark(spark, sf_dir)
+        .collect()
+    ]
+    assert got == want[:20]
+    assert got and got[0][1] >= 2  # real multi-member clusters exist
