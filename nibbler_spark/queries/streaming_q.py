@@ -7661,3 +7661,160 @@ def i55_stream_ddsketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         "true_p99",
         bchk("true_p99", "p99_bucket").alias("p99_ok"),
     ).orderBy("epoch")
+
+
+_QGATE_QUOTA = 4000
+
+
+def _docs_gate_slices_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Cache the documents table as four doc_id-quartile slices of
+    (epoch, doc_id, source, n_chars) rows — the ingest feed for the
+    per-source budget gate."""
+
+    def build(tmp: str) -> None:
+        d = load_table(spark, sf_dir, "documents")
+        hi = d.agg(F.max("doc_id")).first()[0]
+        rows = d.select(
+            F.least(
+                F.lit(3), (F.col("doc_id") * 4 / (hi + 1)).cast("int")
+            ).alias("epoch"),
+            "doc_id",
+            "source",
+            "n_chars",
+        )
+        for q in range(4):
+            rows.where(F.col("epoch") == q).coalesce(1).write.parquet(
+                os.path.join(tmp, f"slice{q}")
+            )
+
+    return cached_dir(sf_dir, "documents", "gate-slices-x4", build)
+
+
+@register(
+    "i56_stream_quality_gate",
+    survey_id="EXT-STREAM-QGATE",
+    category="streaming",
+    mode="parity",
+    oracle=f"""
+WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
+d AS (
+  SELECT source, doc_id, n_chars,
+         LEAST(3, CAST(doc_id * 4 // (mx.m + 1) AS INT)) AS tep
+  FROM documents CROSS JOIN mx
+),
+cum AS (
+  SELECT source, doc_id, n_chars, tep,
+         SUM(n_chars) OVER (
+           PARTITION BY source ORDER BY tep, doc_id
+           ROWS UNBOUNDED PRECEDING) <= {_QGATE_QUOTA} AS kept
+  FROM d
+),
+pres AS (SELECT DISTINCT source, tep FROM d)
+SELECT p.source, CAST(p.tep AS BIGINT) AS epoch,
+       CAST(SUM(CASE WHEN c.kept THEN 1 ELSE 0 END) AS BIGINT)
+         AS kept_n,
+       CAST(SUM(CASE WHEN c.kept THEN c.n_chars ELSE 0 END) AS BIGINT)
+         AS kept_bytes,
+       CAST(SUM(CASE WHEN c.kept THEN 0 ELSE 1 END) AS BIGINT)
+         AS dropped_n
+FROM pres p JOIN cum c ON c.source = p.source AND c.tep <= p.tep
+GROUP BY p.source, p.tep
+ORDER BY p.source, p.tep
+""",
+)
+def i56_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE PER-SOURCE INGEST BUDGET GATE — the crawl-politeness /
+    source-quota step of a streaming curation pipeline: documents
+    arrive in 4 doc_id-quartile epochs; each SOURCE carries a keyed
+    byte budget ({_QGATE_QUOTA} B), and a document is admitted iff the
+    source's cumulative ARRIVED bytes (admission order = doc_id within
+    the stream) has not yet crossed the budget — once a source talks
+    past its quota, everything further from it drops. State per source
+    is three integers (seen bytes, kept count/bytes, dropped count);
+    each epoch's drain emits that source's CUMULATIVE gate card.
+
+    Parity: the arrived-bytes gate is a prefix predicate, so the
+    online trajectory equals the offline window cumsum (<= quota) over
+    (epoch, doc_id) order — the oracle replays every epoch prefix and
+    the whole grid hash-matches (exact integers, no tolerance).
+
+    Scale: state is O(#sources), corpus-independent; per-epoch work is
+    one keyed stateful shuffle on source; at 100 TB the gate runs in
+    the ingest stream exactly like this, sharded by source key."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    cache = _docs_gate_slices_dir(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="nibbler-qgate-")
+    ingest = os.path.join(base, "ingest")
+    outdir = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(ingest)
+
+    def gate(key, pdfs, state: GroupState):
+        (source,) = key
+        rows = pd.concat(list(pdfs)).sort_values("doc_id")
+        ep = int(rows["epoch"].max())
+        if state.exists:
+            seen, kn, kb, dn = state.get
+        else:
+            seen, kn, kb, dn = 0, 0, 0, 0
+        for n in rows["n_chars"]:
+            seen += int(n)
+            if seen <= _QGATE_QUOTA:
+                kn += 1
+                kb += int(n)
+            else:
+                dn += 1
+        state.update((seen, kn, kb, dn))
+        yield pd.DataFrame(
+            {
+                "source": [source],
+                "epoch": [ep],
+                "kept_n": [kn],
+                "kept_bytes": [kb],
+                "dropped_n": [dn],
+            }
+        )
+
+    prior_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        for q in range(4):
+            _stage_slice(os.path.join(cache, f"slice{q}"), ingest, q)
+            keyed = (
+                spark.readStream.schema(
+                    "epoch int, doc_id long, source string, n_chars long"
+                )
+                .parquet(ingest)
+                .groupBy("source")
+                .applyInPandasWithState(
+                    gate,
+                    "source string, epoch long, kept_n long, "
+                    "kept_bytes long, dropped_n long",
+                    "seen long, kn long, kb long, dn long",
+                    "update",
+                    GroupStateTimeout.NoTimeout,
+                )
+            )
+            sq = (
+                keyed.writeStream.foreachBatch(
+                    lambda df, _eid: df.write.mode("append").parquet(outdir)
+                )
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            sq.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior_shuffle)
+
+    return (
+        spark.read.schema(
+            "source string, epoch long, kept_n long, kept_bytes long, "
+            "dropped_n long"
+        )
+        .parquet(outdir)
+        .orderBy("source", "epoch")
+    )

@@ -560,3 +560,55 @@ def test_dedup_cluster_canonical_matches_python(spark, sf_dir):
     ]
     assert got == want[:20]
     assert got and got[0][1] >= 2  # real multi-member clusters exist
+
+
+def test_stream_quality_gate_matches_python(spark, sf_dir):
+    """Pure-Python replay of the per-source arrived-bytes budget gate
+    over (epoch, doc_id) order — the streaming trajectory must equal
+    the offline prefix replay exactly, and the fixture must exercise
+    both admit and drop branches."""
+    from nibbler_spark.queries import load_all
+    from nibbler_spark.queries.streaming_q import _QGATE_QUOTA
+
+    docs = _docs_fixture(spark, sf_dir)
+    hi = max(d["doc_id"] for d in docs)
+    rows = sorted(
+        (
+            (
+                d["source"],
+                min(3, int(d["doc_id"] * 4 / (hi + 1))),
+                d["doc_id"],
+                d["n_chars"],
+            )
+            for d in docs
+        ),
+        key=lambda r: (r[0], r[1], r[2]),
+    )
+    state = {}
+    cards = {}
+    for src, ep, _, n in rows:
+        s = state.setdefault(src, [0, 0, 0, 0])
+        s[0] += n
+        if s[0] <= _QGATE_QUOTA:
+            s[1] += 1
+            s[2] += n
+        else:
+            s[3] += 1
+        cards[(src, ep)] = (s[1], s[2], s[3])
+    got = {
+        (r["source"], r["epoch"]): (
+            r["kept_n"],
+            r["kept_bytes"],
+            r["dropped_n"],
+        )
+        for r in load_all()["i56_stream_quality_gate"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    assert got == cards
+    finals = [
+        cards[max((k for k in cards if k[0] == src), key=lambda k: k[1])]
+        for src in {k[0] for k in cards}
+    ]
+    assert any(f[0] > 0 for f in finals)  # something admitted
+    assert any(f[2] > 0 for f in finals)  # something dropped

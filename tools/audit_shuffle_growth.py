@@ -53,6 +53,28 @@ CATEGORIES = [
     "multimodal",
     # r9: the graph-ANN pair lives under plain "retrieval"
     "retrieval",
+    # r11 (verdict #2): the rungs now carry the TPC-H tables, so the
+    # warehouse families are measurable too; also pick up the
+    # singular/plural near-miss category names that silently fell
+    # outside earlier sweeps (llm-vectors, scale-patterns,
+    # training-prep)
+    "tpch",
+    "relational",
+    "sql-surface",
+    "aggregation",
+    "join",
+    "projection",
+    "window",
+    "filter",
+    "setop",
+    "sort",
+    "scalar",
+    "udf",
+    "flagship",
+    "llm-vectors",
+    "scale-patterns",
+    "training-prep",
+    "lakehouse",
 ]
 N_SMALL, N_BIG = 2_000, 8_000
 FLAG_EXP = 1.5
@@ -122,8 +144,12 @@ def main() -> None:
     # that query and MERGES into the existing SHUFFLE_AUDIT.json (the
     # scale_ladder subset convention) instead of clobbering the sweep.
     names = {a for a in args if a in specs}
-    cats = [a for a in args if a not in specs] or CATEGORIES
-    subset = bool(names)
+    arg_cats = {a for a in args if a not in specs}
+    # ANY explicit arg (names or categories) merges into the existing
+    # record; only a bare run rebuilds the whole file (r11: category
+    # back-fills must not clobber the sweep)
+    subset = bool(args)
+    cats = sorted(arg_cats) if subset else CATEGORIES
     spark = get_spark(app_name="nibbler-shuffle-audit")
 
     out: dict[str, dict] = {}
@@ -131,10 +157,7 @@ def main() -> None:
     skipped: list[str] = []
     for name in sorted(specs):
         spec = specs[name]
-        if subset:
-            if name not in names:
-                continue
-        elif spec.category not in cats:
+        if name not in names and spec.category not in cats:
             continue
         try:
             vols = []
