@@ -67,16 +67,16 @@ FROZEN_ANCHORS = [
 # r7 reworks were their re-measure round; regression coverage continues
 # via the oracle sweep + the BENCH_SF1 ladder rows).
 ROTATING = [
-    # r9 rows in their second measured round (retire next): the shared
-    # persisted NN-descent graph pair and the tokenizer round-trip.
-    # (K33-K35 retired r10 after their second round — BASELINE.md.)
-    "ext_nsw_greedy_search",  # BENCH-K36 (NN-descent graph-ANN build+walk)
-    "ext_hnsw_layered_search",  # BENCH-K37 (HNSW layered greedy descent)
-    "ext_tokenizer_roundtrip",  # BENCH-K38 (3-tokenizer decode∘encode id.)
-    # r10 new rows.
+    # r10 rows in their second measured round (retire next).
+    # (K36-K38 nsw/hnsw/tokenizer retired r11 after their second
+    # round — BASELINE.md retired table.)
     "ext_unicode_fold_dedup",  # BENCH-K39 (NFKC-subset fold + arg_min dedup)
     "i55_stream_ddsketch_union",  # BENCH-K40 (streaming mergeable quantiles)
     "ext_self_consistency_vote",  # BENCH-K41 (9-sample plurality eval)
+    # r11 new rows.
+    "ext_dedup_cluster_canonical",  # BENCH-K42 (dup graph -> canonical pick)
+    "ext_curriculum_schedule",  # BENCH-K43 (rarity ntile curriculum card)
+    "ext_quality_distillation",  # BENCH-K44 (teacher->token-weight student)
 ]
 
 HEADLINE = FROZEN_ANCHORS + ROTATING

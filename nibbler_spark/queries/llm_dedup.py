@@ -5024,3 +5024,249 @@ def ext_dedup_cluster_canonical(
         .orderBy(F.col("n_members").desc(), "cluster_label")
         .limit(20)
     )
+
+
+_SURV_ORACLE = f"""
+WITH t AS MATERIALIZED (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, GREATEST(len(s) - 2, 0)),
+           i -> s[i] || ' ' || s[i+1] || ' ' || s[i+2])) AS ts
+  FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents)
+),
+hashed AS (
+  SELECT doc_id, g.seed,
+         CAST(('0x' || substr(md5(g.seed || ':' || tok), 1, 12)) AS BIGINT)
+           AS h
+  FROM (SELECT doc_id, UNNEST(ts) AS tok FROM t)
+  CROSS JOIN generate_series(0, {_PMH_SEEDS - 1}) AS g(seed)
+),
+mins AS (
+  SELECT doc_id, seed, MIN(h) AS mh FROM hashed GROUP BY doc_id, seed
+),
+bands AS (
+  SELECT doc_id, seed // {_PMH_BAND} AS band_id,
+         MIN(CASE WHEN seed % {_PMH_BAND} = 0 THEN mh END) AS v1,
+         MIN(CASE WHEN seed % {_PMH_BAND} = 1 THEN mh END) AS v2
+  FROM mins GROUP BY doc_id, seed // {_PMH_BAND}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.v1 = b.v1 AND a.v2 = b.v2
+   AND a.doc_id < b.doc_id
+),
+e0 AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM (
+    SELECT doc_a, doc_b,
+           len(list_intersect(ta.ts, tb.ts)) AS c,
+           len(ta.ts) + len(tb.ts) - len(list_intersect(ta.ts, tb.ts))
+             AS u
+    FROM cand JOIN t ta ON cand.doc_a = ta.doc_id
+              JOIN t tb ON cand.doc_b = tb.doc_id
+  ) WHERE 5 * c >= 3 * u
+),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM e0
+          UNION ALL SELECT doc_b, doc_a FROM e0),
+l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+l1 AS (
+  SELECT l0.node,
+         LEAST(l0.label, COALESCE(MIN(l.label), l0.label)) AS label
+  FROM l0 LEFT JOIN edges e ON e.src = l0.node
+          LEFT JOIN l0 l ON l.node = e.dst
+  GROUP BY l0.node, l0.label
+),
+l2 AS (
+  SELECT l1.node,
+         LEAST(l1.label, COALESCE(MIN(l.label), l1.label)) AS label
+  FROM l1 LEFT JOIN edges e ON e.src = l1.node
+          LEFT JOIN l1 l ON l.node = e.dst
+  GROUP BY l1.node, l1.label
+),
+l3 AS (
+  SELECT l2.node,
+         LEAST(l2.label, COALESCE(MIN(l.label), l2.label)) AS label
+  FROM l2 LEFT JOIN edges e ON e.src = l2.node
+          LEFT JOIN l2 l ON l.node = e.dst
+  GROUP BY l2.node, l2.label
+),
+canon AS (
+  SELECT label,
+         CAST(MAX(ROW(d.n_chars, -l3.node))
+              AS ROW(a BIGINT, b BIGINT)) AS k
+  FROM l3 JOIN documents d ON d.doc_id = l3.node
+  GROUP BY label
+),
+cls AS (
+  SELECT d.doc_id, d.lang, d.n_chars,
+         CASE WHEN l3.node IS NULL THEN 'untouched'
+              WHEN d.doc_id = -c.k.b THEN 'kept'
+              ELSE 'dropped' END AS fate
+  FROM documents d
+  LEFT JOIN l3 ON l3.node = d.doc_id
+  LEFT JOIN canon c ON c.label = l3.label
+)
+SELECT lang,
+       CAST(SUM(CASE WHEN fate = 'untouched' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_untouched,
+       CAST(SUM(CASE WHEN fate = 'kept' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(SUM(CASE WHEN fate = 'dropped' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dropped,
+       CAST(SUM(CASE WHEN fate = 'dropped' THEN n_chars ELSE 0 END)
+            AS BIGINT) AS dropped_chars,
+       CAST(SUM(CASE WHEN fate <> 'dropped' THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS survival_micro
+FROM cls GROUP BY lang ORDER BY lang
+"""
+
+
+@register(
+    "ext_dedup_survivorship_audit",
+    survey_id="EXT-DEDUP-SURVIVORSHIP",
+    category="llm-dedup",
+    oracle=_SURV_ORACLE,
+)
+def ext_dedup_survivorship_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DEDUP SURVIVORSHIP AUDIT — the bias check a curation pipeline
+    owes its users after canonical dedup (did near-dup removal
+    disproportionately delete one language/domain?): the
+    ext_dedup_cluster_canonical decision (MinHash pair graph, 3
+    min-label rounds, keep the longest member) is replayed, every
+    document classified kept / dropped / untouched, and the per-
+    language survival card reported (counts, dropped character
+    volume, exact survival rate in millionths). A skewed
+    survival_micro across languages is the classic silent-curation
+    failure this row exists to surface.
+
+    Exactness: identical md5 graph machinery as the canonical
+    operator; classification is a pair of keyed left joins; rates are
+    integer DIV millionths.
+
+    Scale shape: adds to the canonical pipeline only one
+    documents-sized left join against the labeled-node table and a
+    lang-sized combinable aggregate."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars", pmh_shingles(F.col("text")).alias("ts")
+    ).localCheckpoint()
+    bands = d.select(
+        "doc_id",
+        F.explode(pmh_band_structs(F.col("ts"))).alias("bs"),
+    ).select(
+        "doc_id",
+        F.col("bs.band_id").alias("band_id"),
+        F.col("bs.v1").alias("v1"),
+        F.col("bs.v2").alias("v2"),
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.v1") == F.col("b.v1"))
+            & (F.col("a.v2") == F.col("b.v2"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    common = F.size(F.array_intersect(F.col("ta.ts"), F.col("tb.ts")))
+    union = F.size(F.col("ta.ts")) + F.size(F.col("tb.ts")) - common
+    e0 = (
+        cand.join(d.alias("ta"), F.col("doc_a") == F.col("ta.doc_id"))
+        .join(d.alias("tb"), F.col("doc_b") == F.col("tb.doc_id"))
+        .where(5 * common >= 3 * union)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    edges = e0.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        e0.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    ).localCheckpoint()
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(3):
+        nbr_min = (
+            edges.join(
+                labels.select(
+                    F.col("node").alias("dst"), F.col("label").alias("nl")
+                ),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("nl").alias("nm"))
+        )
+        labels = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"),
+                    F.coalesce(F.col("nm"), F.col("label")),
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+    canon = (
+        labels.join(
+            d.select(F.col("doc_id").alias("node"), "n_chars"), "node"
+        )
+        .groupBy("label")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("n_chars").alias("a"), (-F.col("node")).alias("b")
+                )
+            ).alias("k")
+        )
+        .select("label", (-F.col("k.b")).alias("keep_doc"))
+    )
+    cls = (
+        d.select("doc_id", "lang", "n_chars")
+        .join(
+            labels.select(F.col("node").alias("doc_id"), "label"),
+            "doc_id",
+            "left",
+        )
+        .join(canon, "label", "left")
+        .select(
+            "lang",
+            "n_chars",
+            F.when(F.col("label").isNull(), F.lit("untouched"))
+            .when(F.col("doc_id") == F.col("keep_doc"), F.lit("kept"))
+            .otherwise(F.lit("dropped"))
+            .alias("fate"),
+        )
+    )
+    return (
+        cls.groupBy("lang")
+        .agg(
+            F.sum(F.when(F.col("fate") == "untouched", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_untouched"),
+            F.sum(F.when(F.col("fate") == "kept", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.sum(F.when(F.col("fate") == "dropped", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dropped"),
+            F.sum(
+                F.when(F.col("fate") == "dropped", F.col("n_chars"))
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("dropped_chars"),
+            F.expr(
+                "CAST(SUM(CASE WHEN fate <> 'dropped' THEN 1 ELSE 0 END)"
+                " * 1000000 DIV COUNT(*) AS BIGINT)"
+            ).alias("survival_micro"),
+        )
+        .orderBy("lang")
+    )

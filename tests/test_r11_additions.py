@@ -612,3 +612,99 @@ def test_stream_quality_gate_matches_python(spark, sf_dir):
     ]
     assert any(f[0] > 0 for f in finals)  # something admitted
     assert any(f[2] > 0 for f in finals)  # something dropped
+
+
+def test_dedup_survivorship_audit_matches_python(spark, sf_dir):
+    """Pure-Python replay: same graph/canonical machinery as the
+    canonical test, then the per-lang fate classification."""
+    import hashlib
+
+    from nibbler_spark.queries import load_all
+    from nibbler_spark.queries.llm_dedup import _PMH_BAND, _PMH_SEEDS
+
+    docs = _docs_fixture(spark, sf_dir)
+    sh, nch, lang = {}, {}, {}
+    for d in docs:
+        t = d["text"].split(" ")
+        sh[d["doc_id"]] = (
+            list(
+                dict.fromkeys(
+                    " ".join(t[i : i + 3]) for i in range(len(t) - 2)
+                )
+            )
+            if len(t) >= 3
+            else []
+        )
+        nch[d["doc_id"]] = d["n_chars"]
+        lang[d["doc_id"]] = d["lang"]
+    buckets = {}
+    for did, ts in sh.items():
+        if not ts:
+            continue
+        mh = [
+            min(
+                int(
+                    hashlib.md5(f"{s}:{tok}".encode()).hexdigest()[:12], 16
+                )
+                for tok in ts
+            )
+            for s in range(_PMH_SEEDS)
+        ]
+        for b in range(_PMH_SEEDS // _PMH_BAND):
+            buckets.setdefault(
+                (b, mh[b * _PMH_BAND], mh[b * _PMH_BAND + 1]), []
+            ).append(did)
+    pairs = set()
+    for mem in buckets.values():
+        ms = sorted(set(mem))
+        for i, a in enumerate(ms):
+            for b in ms[i + 1 :]:
+                c = len(set(sh[a]) & set(sh[b]))
+                u = len(sh[a]) + len(sh[b]) - c
+                if 5 * c >= 3 * u:
+                    pairs.add((a, b))
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    labels = {v: v for v in adj}
+    for _ in range(3):
+        labels = {
+            v: min([labels[v]] + [labels[u] for u in adj[v]]) for v in adj
+        }
+    clus = {}
+    for v, lab in labels.items():
+        clus.setdefault(lab, []).append(v)
+    keep = {
+        lab: max(mem, key=lambda v: (nch[v], -v))
+        for lab, mem in clus.items()
+    }
+    want = {}
+    for did in nch:
+        lg = lang[did]
+        e = want.setdefault(lg, [0, 0, 0, 0, 0])  # unt, kept, drop, dc, n
+        e[4] += 1
+        if did not in labels:
+            e[0] += 1
+        elif did == keep[labels[did]]:
+            e[1] += 1
+        else:
+            e[2] += 1
+            e[3] += nch[did]
+    got = {
+        r["lang"]: (
+            r["n_untouched"],
+            r["n_kept"],
+            r["n_dropped"],
+            r["dropped_chars"],
+            r["survival_micro"],
+        )
+        for r in load_all()["ext_dedup_survivorship_audit"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    assert got == {
+        lg: (e[0], e[1], e[2], e[3], (e[0] + e[1]) * 1000000 // e[4])
+        for lg, e in want.items()
+    }
+    assert any(e[2] > 0 for e in want.values())  # dedup really dropped
