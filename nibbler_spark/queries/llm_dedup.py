@@ -5270,3 +5270,230 @@ def ext_dedup_survivorship_audit(
         )
         .orderBy("lang")
     )
+
+
+def _mpp_est_micro(r: int, seeds: int = _PMH_SEEDS, j: float = 0.6) -> int:
+    """Analytic LSH S-curve hit probability at jaccard ``j`` for bands
+    of ``r`` rows: 1 - (1 - j^r)^(seeds//r), floored to millionths.
+    Computed HERE and injected into both engines as the same integer
+    literal — pow() is transcendental enough to differ by ulps between
+    libm and the JVM, so neither engine evaluates it."""
+    return int((1.0 - (1.0 - j**r) ** (seeds // r)) * 1_000_000)
+
+
+_MPP_ORACLE = f"""
+WITH t AS MATERIALIZED (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, GREATEST(len(s) - 2, 0)),
+           i -> s[i] || ' ' || s[i+1] || ' ' || s[i+2])) AS ts
+  FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents)
+),
+hashed AS (
+  SELECT doc_id, g.seed,
+         CAST(('0x' || substr(md5(g.seed || ':' || tok), 1, 12)) AS BIGINT)
+           AS h
+  FROM (SELECT doc_id, UNNEST(ts) AS tok FROM t)
+  CROSS JOIN generate_series(0, {_PMH_SEEDS - 1}) AS g(seed)
+),
+mins AS MATERIALIZED (
+  SELECT doc_id, seed, MIN(h) AS mh FROM hashed GROUP BY doc_id, seed
+),
+keys AS MATERIALIZED (
+  SELECT r.r, doc_id, seed // r.r AS band_id,
+         string_agg(CAST(mh AS VARCHAR), ':' ORDER BY seed) AS bkey
+  FROM mins CROSS JOIN (SELECT UNNEST([1, 2, 3, 4]) AS r) r
+  WHERE seed < (({_PMH_SEEDS} // r.r) * r.r)
+  GROUP BY r.r, doc_id, seed // r.r
+),
+cand AS MATERIALIZED (
+  SELECT DISTINCT a.r, a.doc_id AS da, b.doc_id AS db
+  FROM keys a JOIN keys b
+    ON a.r = b.r AND a.band_id = b.band_id AND a.bkey = b.bkey
+   AND a.doc_id < b.doc_id
+),
+ver1 AS MATERIALIZED (
+  SELECT da, db FROM (
+    SELECT da, db,
+           len(list_intersect(ta.ts, tb.ts)) AS c,
+           len(ta.ts) + len(tb.ts) - len(list_intersect(ta.ts, tb.ts))
+             AS u
+    FROM (SELECT da, db FROM cand WHERE r = 1) c1
+    JOIN t ta ON c1.da = ta.doc_id
+    JOIN t tb ON c1.db = tb.doc_id
+  ) WHERE 5 * c >= 3 * u
+),
+n1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS nv FROM ver1)
+SELECT c.r AS r_rows,
+       CAST({_PMH_SEEDS} // c.r AS BIGINT) AS n_bands,
+       CAST(CASE c.r WHEN 1 THEN {_mpp_est_micro(1)}
+                     WHEN 2 THEN {_mpp_est_micro(2)}
+                     WHEN 3 THEN {_mpp_est_micro(3)}
+                     ELSE {_mpp_est_micro(4)} END AS BIGINT)
+         AS est_recall_micro,
+       CAST(COUNT(*) AS BIGINT) AS n_candidates,
+       CAST(SUM(CASE WHEN v.da IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_verified,
+       CAST(SUM(CASE WHEN v.da IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+            // MAX(n1.nv) AS BIGINT) AS recall_micro
+FROM cand c
+LEFT JOIN ver1 v ON v.da = c.da AND v.db = c.db
+CROSS JOIN n1
+GROUP BY c.r
+ORDER BY c.r
+"""
+
+
+@register(
+    "ext_minhash_param_planner",
+    survey_id="EXT-MINHASH-PLANNER",
+    category="llm-dedup",
+    oracle=_MPP_ORACLE,
+)
+def ext_minhash_param_planner(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MINHASH-LSH PARAMETER PLANNER — the tuning card a pipeline
+    consults before committing 100 TB to one (bands, rows) choice:
+    from ONE 12-seed signature table, band the corpus at rows-per-band
+    r = 1, 2, 3, 4 (12/6/4/3 bands), measure each banding's candidate
+    volume and its RECALL against the verified J >= 0.6 pair set of
+    the finest banding (r = 1 candidates are a superset of every
+    coarser banding's — a pair sharing an r-row band shares each of
+    its 1-row bands — so the reference covers all measured rows), and
+    set the analytic S-curve estimate 1-(1-0.6^r)^(12/r) beside the
+    measurement. The est-vs-measured gap is the fixture's Jaccard
+    spectrum talking — exactly what the planner exists to reveal.
+
+    Exactness: md5 signatures; band keys are ':'-joined min strings in
+    seed order; recall is integer millionths against an exact integer
+    Jaccard verify; S-curve constants are Python-computed literals
+    injected into BOTH engines (pow differs by ulps between libm and
+    the JVM, so neither engine evaluates it).
+
+    Scale shape: signatures once (one fan-out shuffle), each banding a
+    band-key equi-join over 3-12 skinny rows per doc, verification
+    only on the r=1 candidate set, coarser rows check membership via a
+    pair-keyed left join — never all-pairs."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", pmh_shingles(F.col("text")).alias("ts")
+    ).localCheckpoint()
+    mins = (
+        d.select("doc_id", F.explode("ts").alias("tok"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.array(*[F.lit(i) for i in range(_PMH_SEEDS)])
+            ).alias("seed"),
+            "tok",
+        )
+        .select(
+            "doc_id",
+            "seed",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("seed").cast("string"),
+                            F.lit(":"),
+                            F.col("tok"),
+                        )
+                    ),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            )
+            .cast("bigint")
+            .alias("h"),
+        )
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("mh"))
+        .localCheckpoint()
+    )
+    cands = []
+    for r in (1, 2, 3, 4):
+        nb = _PMH_SEEDS // r
+        keys = (
+            mins.where(F.col("seed") < nb * r)
+            .groupBy(
+                "doc_id", (F.col("seed") / r).cast("int").alias("band_id")
+            )
+            .agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("seed", "mh"))
+                        ),
+                        lambda s: s["mh"].cast("string"),
+                    ),
+                    ":",
+                ).alias("bkey")
+            )
+        )
+        cands.append(
+            keys.alias("a")
+            .join(
+                keys.alias("b"),
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.bkey") == F.col("b.bkey"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.lit(r).alias("r"),
+                F.col("a.doc_id").alias("da"),
+                F.col("b.doc_id").alias("db"),
+            )
+            .distinct()
+        )
+    cand = cands[0]
+    for c in cands[1:]:
+        cand = cand.unionByName(c)
+    cand = cand.localCheckpoint()
+    common = F.size(F.array_intersect(F.col("ta.ts"), F.col("tb.ts")))
+    union = F.size(F.col("ta.ts")) + F.size(F.col("tb.ts")) - common
+    ver1 = (
+        cand.where(F.col("r") == 1)
+        .join(d.alias("ta"), F.col("da") == F.col("ta.doc_id"))
+        .join(d.alias("tb"), F.col("db") == F.col("tb.doc_id"))
+        .where(5 * common >= 3 * union)
+        .select("da", "db")
+        .localCheckpoint()
+    )
+    n1 = F.broadcast(ver1.agg(F.count("*").cast("bigint").alias("nv")))
+    est = F.when(F.col("r_rows") == 1, F.lit(_mpp_est_micro(1)))
+    for r in (2, 3, 4):
+        est = est.when(F.col("r_rows") == r, F.lit(_mpp_est_micro(r)))
+    return (
+        cand.join(
+            ver1.select(
+                F.col("da").alias("vda"), F.col("db").alias("vdb")
+            ),
+            (F.col("da") == F.col("vda")) & (F.col("db") == F.col("vdb")),
+            "left",
+        )
+        .crossJoin(n1)
+        .groupBy(F.col("r").alias("r_rows"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_candidates"),
+            F.sum(F.when(F.col("vda").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_verified"),
+            F.expr(
+                "CAST(SUM(CASE WHEN vda IS NOT NULL THEN 1 ELSE 0 END)"
+                " * 1000000 DIV MAX(nv) AS BIGINT)"
+            ).alias("recall_micro"),
+        )
+        .select(
+            "r_rows",
+            F.expr(f"CAST({_PMH_SEEDS} DIV r_rows AS BIGINT)").alias(
+                "n_bands"
+            ),
+            est.cast("bigint").alias("est_recall_micro"),
+            "n_candidates",
+            "n_verified",
+            "recall_micro",
+        )
+        .orderBy("r_rows")
+    )

@@ -708,3 +708,90 @@ def test_dedup_survivorship_audit_matches_python(spark, sf_dir):
         for lg, e in want.items()
     }
     assert any(e[2] > 0 for e in want.values())  # dedup really dropped
+
+
+def test_minhash_param_planner_matches_python(spark, sf_dir):
+    """Pure-Python replay of the 4-banding planner card."""
+    import hashlib
+
+    from nibbler_spark.queries import load_all
+    from nibbler_spark.queries.llm_dedup import (
+        _PMH_SEEDS,
+        _mpp_est_micro,
+    )
+
+    docs = _docs_fixture(spark, sf_dir)
+    sh = {}
+    for d in docs:
+        t = d["text"].split(" ")
+        sh[d["doc_id"]] = (
+            list(
+                dict.fromkeys(
+                    " ".join(t[i : i + 3]) for i in range(len(t) - 2)
+                )
+            )
+            if len(t) >= 3
+            else []
+        )
+    sig = {}
+    for did, ts in sh.items():
+        if ts:
+            sig[did] = [
+                min(
+                    int(
+                        hashlib.md5(f"{s}:{tok}".encode()).hexdigest()[
+                            :12
+                        ],
+                        16,
+                    )
+                    for tok in ts
+                )
+                for s in range(_PMH_SEEDS)
+            ]
+    cands = {}
+    for r in (1, 2, 3, 4):
+        nb = _PMH_SEEDS // r
+        buckets = {}
+        for did, mh in sig.items():
+            for b in range(nb):
+                buckets.setdefault(
+                    (b, tuple(mh[b * r : (b + 1) * r])), []
+                ).append(did)
+        ps = set()
+        for mem in buckets.values():
+            ms = sorted(set(mem))
+            for i, a in enumerate(ms):
+                for b2 in ms[i + 1 :]:
+                    ps.add((a, b2))
+        cands[r] = ps
+    ver1 = {
+        (a, b)
+        for a, b in cands[1]
+        if 5 * len(set(sh[a]) & set(sh[b]))
+        >= 3 * (len(sh[a]) + len(sh[b]) - len(set(sh[a]) & set(sh[b])))
+    }
+    got = {
+        r["r_rows"]: (
+            r["n_bands"],
+            r["est_recall_micro"],
+            r["n_candidates"],
+            r["n_verified"],
+            r["recall_micro"],
+        )
+        for r in load_all()["ext_minhash_param_planner"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    want = {
+        r: (
+            _PMH_SEEDS // r,
+            _mpp_est_micro(r),
+            len(cands[r]),
+            len(cands[r] & ver1),
+            len(cands[r] & ver1) * 1000000 // len(ver1),
+        )
+        for r in (1, 2, 3, 4)
+    }
+    assert got == want
+    # coarser bandings are candidate-subsets of the r=1 reference
+    assert cands[4] <= cands[2] <= cands[1] and cands[3] <= cands[1]
