@@ -117,6 +117,15 @@ EXPECTED_SUPERLINEAR = {
     "edges exp 0.97; byte exp is the small-rung compression floor)",
     "ext_hnsw_layered_search": "linear-at-sf-rung (shared NN-descent "
     "layer 0; sf1 shuffle ratio 1.0-1.46x at 10x data)",
+    # r11: surfaced by the audit's category expansion. The C9 surveyed
+    # behavior is the full mixed equi+theta join RESULT (the oracle
+    # compares every pair), whose cardinality is Theta(per-nation
+    # |supplier| x |customer|) by declaration — the shuffle carries
+    # exactly the output rows. Bounding it (top-k per supplier,
+    # aggregation) would change the declared operator; a 100 TB user
+    # caps theta-join OUTPUT at the query level, not the engine level.
+    "c09_theta_join": "output-bound (declared full theta-join result "
+    "is quadratic in per-key group sizes; shuffle == output rows)",
 }
 
 
