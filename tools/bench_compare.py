@@ -97,8 +97,18 @@ def watchlist(paths: list[str]) -> list[str]:
     rounds = []
     for p in paths:
         data = json.loads(open(p).read())
-        rounds.append(data.get("parsed", data).get("queries")
-                      or data["queries"])
+        parsed = data.get("parsed") or data
+        qs = parsed.get("queries") or data.get("queries")
+        if not qs:
+            # r10: the driver's tail capture truncated the JSON line
+            # (parsed: null) — skip the file rather than crash; the
+            # caller substitutes the builder's BENCH_SELF record
+            print(f"watchlist: {p} has no parseable queries — skipped")
+            continue
+        rounds.append(qs)
+    if len(rounds) < 3:
+        print(f"watchlist: only {len(rounds)} parseable rounds — no check")
+        return []
     out = []
     for name, base in sorted(BASELINE_SEC.items()):
         vals = [r.get(name) for r in rounds]
