@@ -3560,6 +3560,9 @@ def ext_shard_rebalance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         (r["source"], int(r["bytes"]), int(r["home"]))
         for r in srcsum.join(homes, "source").collect()
     ]  # dimension-sized (#sources ~ 20): bounded driver read
+    # the oracle unrolls exactly 20 greedy steps (LEFT-JOIN no-ops for
+    # missing ranks) — fail loudly if a corpus ever exceeds it
+    assert len(summary) <= 20, "rebalance oracle unroll bound exceeded"
     total = sum(b for _, b, _ in summary)
     cap = total * 5 // 32
     loads = [0] * 8
