@@ -4708,14 +4708,22 @@ def ext_dedup_index_compaction(
                 "doc_id", F.lit(2).alias("epoch"), "text"
             )
         )
+        # materialize the SHINGLE ARRAYS once: pmh_band_structs uses
+        # its input expression 12 times (one array_min per seed), so
+        # an inline pmh_shingles(text) would rebuild the shingle array
+        # 12x per row on every consumer (measured: the ladder's sf1
+        # rung crawled at ~2 cores for 45 min before this fix)
+        .select(
+            "doc_id", "epoch", pmh_shingles(F.col("text")).alias("ts")
+        )
+        .repartition(32)
+        .localCheckpoint()
     )
     entries = (
         vers.select(
             "doc_id",
             "epoch",
-            F.explode(pmh_band_structs(pmh_shingles(F.col("text")))).alias(
-                "bs"
-            ),
+            F.explode(pmh_band_structs(F.col("ts"))).alias("bs"),
         )
         .select(
             "doc_id",
@@ -4746,12 +4754,10 @@ def ext_dedup_index_compaction(
             (vers["doc_id"] == F.col("ld"))
             & (vers["epoch"] == F.col("le")),
         )
-        .select(vers["doc_id"], "text")
+        .select(vers["doc_id"], "ts")
         .select(
             "doc_id",
-            F.explode(pmh_band_structs(pmh_shingles(F.col("text")))).alias(
-                "bs"
-            ),
+            F.explode(pmh_band_structs(F.col("ts"))).alias("bs"),
         )
         .select(
             "doc_id",
