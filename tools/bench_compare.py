@@ -73,6 +73,11 @@ BASELINE_SEC = {
     "ext_unicode_fold_dedup": 0.88,
     "i55_stream_ddsketch_union": 7.15,
     "ext_self_consistency_vote": 0.68,
+    # r11 new rotating rows (anchored at the r11 round-close
+    # median-of-5, canary 0.555 s):
+    "ext_dedup_cluster_canonical": 12.72,
+    "ext_curriculum_schedule": 1.11,
+    "ext_quality_distillation": 1.04,
 }
 REBATCHER_MIN = 1.4e6  # items/s floor of the recorded band
 
