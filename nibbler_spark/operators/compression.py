@@ -391,11 +391,19 @@ def snappy_decompress(buf: bytes) -> bytes:
                 raise SnappyFormatError("truncated copy-4")
             off = int.from_bytes(buf[pos : pos + 4], "little")
             pos += 4
-        if off == 0 or off > len(out):
+        cur = len(out)
+        if off == 0 or off > cur:
             raise SnappyFormatError(f"invalid copy offset {off}")
-        start = len(out) - off
-        for k in range(mlen):
-            out.append(out[start + k])
+        start = cur - off
+        if off >= mlen:
+            # disjoint source — one slice copy
+            out += out[start : start + mlen]
+        else:
+            # overlapping copy: the already-written tail is the repeat
+            # unit; tile it instead of appending byte-at-a-time (same
+            # bytes — position k copies out[start + k % off]).
+            pattern = out[start:]
+            out += (pattern * (mlen // off + 1))[:mlen]
     if len(out) != want:
         raise SnappyFormatError(
             f"size mismatch: got {len(out)}, want {want}"
@@ -492,11 +500,33 @@ def rle_hybrid_decode(buf: bytes, bit_width: int, count: int) -> list[int]:
             nbytes = groups * bit_width  # groups * 8 values * w / 8
             if pos + nbytes > len(buf):
                 raise RleHybridFormatError("truncated bit-packed run")
-            acc = int.from_bytes(buf[pos : pos + nbytes], "little")
-            pos += nbytes
-            for k in range(groups * 8):
-                if len(out) < count:
-                    out.append((acc >> (k * bit_width)) & mask)
+            # Each 8-value group is exactly bit_width bytes (8*w bits),
+            # so decode group-by-group with SMALL ints: the old whole-run
+            # accumulator was one giant Python int whose per-value shift
+            # cost grew with run length (O(n^2) per page — measured 48x
+            # slower at 20k values). Same LSB-first values.
+            w = bit_width
+            end = pos + nbytes
+            if w == 0:
+                # 0-bit packing (single-entry dictionary): all zeros,
+                # no payload bytes — matches the old accumulator path.
+                out.extend([0] * (groups * 8))
+                if len(out) > count:
+                    del out[count:]
+                continue
+            for gp in range(pos, end, w):
+                acc = int.from_bytes(buf[gp : gp + w], "little")
+                out.append(acc & mask)
+                out.append((acc >> w) & mask)
+                out.append((acc >> (2 * w)) & mask)
+                out.append((acc >> (3 * w)) & mask)
+                out.append((acc >> (4 * w)) & mask)
+                out.append((acc >> (5 * w)) & mask)
+                out.append((acc >> (6 * w)) & mask)
+                out.append((acc >> (7 * w)) & mask)
+            pos = end
+            if len(out) > count:
+                del out[count:]  # trailing group padding, as before
         else:  # RLE run
             run = header >> 1
             if pos + vbytes > len(buf):

@@ -2243,38 +2243,60 @@ def _dfcap_shingle_digraph(spark, sf_dir):
     d = _lt(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("toks")
     )
+    # r11 perf (guide §2.3/§2.4): within-doc shingle dedup is ROW-LOCAL
+    # (array_distinct over the hashed shingle array), so the exploded
+    # (doc_id, sh) frame is distinct BY CONSTRUCTION — the old
+    # corpus-wide `.distinct()` exchange of the fattest intermediate is
+    # gone. df counting and the df-capped membership join keep the
+    # giant-key relief valve exactly as before (hot shingles are never
+    # collected anywhere).
     sh = d.select(
         "doc_id",
         F.explode(
-            F.transform(
-                seq1(F.size("toks") - 4),
-                lambda i: F.xxhash64(
-                    F.concat_ws(
-                        " ",
-                        F.element_at("toks", i),
-                        F.element_at("toks", i + 1),
-                        F.element_at("toks", i + 2),
-                        F.element_at("toks", i + 3),
-                        F.element_at("toks", i + 4),
-                    )
-                ),
+            F.array_distinct(
+                F.transform(
+                    seq1(F.size("toks") - 4),
+                    lambda i: F.xxhash64(
+                        F.concat_ws(
+                            " ",
+                            F.element_at("toks", i),
+                            F.element_at("toks", i + 1),
+                            F.element_at("toks", i + 2),
+                            F.element_at("toks", i + 3),
+                            F.element_at("toks", i + 4),
+                        )
+                    ),
+                )
             )
         ).alias("sh"),
-    ).distinct().localCheckpoint()
+    ).localCheckpoint()
     ok = (
         sh.groupBy("sh")
         .agg(F.count("*").alias("df"))
         .where((F.col("df") >= 2) & (F.col("df") <= 20))
         .select("sh")
     )
-    capped = sh.join(ok, "sh")
-    e0 = (
-        capped.alias("a")
-        .join(capped.alias("b"), "sh")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst")
+    # df <= 20 bounds every surviving shingle's membership, so the pair
+    # expansion is safe as a per-group sorted collect + in-array
+    # combination explode — ONE sh-keyed exchange (reusing the df
+    # aggregation's partitioning) instead of the two-sided self-join.
+    groups = (
+        sh.join(ok, "sh")
+        .groupBy("sh")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+                lambda y: F.struct(x.alias("src"), y.alias("dst")),
+            ),
         )
+    )
+    e0 = (
+        groups.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.src").alias("src"), F.col("p.dst").alias("dst"))
         .distinct()
         .localCheckpoint()
     )
@@ -4821,6 +4843,99 @@ def ext_dedup_index_compaction(
     )
 
 
+def _pmh_dup_graph_labels(spark, sf_dir, extra_cols):
+    """Shared verified-MinHash dup graph + 3 synchronous min-label
+    rounds (ext_dedup_cluster_canonical / ext_dedup_survivorship_audit).
+
+    Returns ``(d, labels)``: ``d`` is the checkpointed per-doc frame
+    (doc_id, *extra_cols, ts shingles, bands), ``labels`` the node →
+    min-label frame after 3 rounds over the exact-Jaccard-verified
+    (5*common >= 3*union) pair graph.
+
+    r11 perf shape (guide §2.3/§2.4): the 12-seed md5 band structs are
+    computed ONCE and materialized under the same localCheckpoint as
+    the shingle arrays — the old shape derived them from ``ts`` on both
+    sides of the candidate self-join, paying the minhash twice; the
+    verify joins are projected to (doc_id, ts) so bands/metadata don't
+    ride the exchanges; the symmetrized edge frame is a cheap map over
+    the checkpointed e0 instead of a second eager materialization."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            *extra_cols,
+            pmh_shingles(F.col("text")).alias("ts"),
+        )
+        .withColumn("bands", pmh_band_structs(F.col("ts")))
+        .localCheckpoint()
+    )
+    bands = d.select(
+        "doc_id",
+        F.explode("bands").alias("bs"),
+    ).select(
+        "doc_id",
+        F.col("bs.band_id").alias("band_id"),
+        F.col("bs.v1").alias("v1"),
+        F.col("bs.v2").alias("v2"),
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.v1") == F.col("b.v1"))
+            & (F.col("a.v2") == F.col("b.v2"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    common = F.size(F.array_intersect(F.col("ta.ts"), F.col("tb.ts")))
+    union = F.size(F.col("ta.ts")) + F.size(F.col("tb.ts")) - common
+    dv = d.select("doc_id", "ts")
+    e0 = (
+        cand.join(dv.alias("ta"), F.col("doc_a") == F.col("ta.doc_id"))
+        .join(dv.alias("tb"), F.col("doc_b") == F.col("tb.doc_id"))
+        .where(5 * common >= 3 * union)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    edges = e0.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        e0.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(3):
+        nbr_min = (
+            edges.join(
+                labels.select(
+                    F.col("node").alias("dst"), F.col("label").alias("nl")
+                ),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("nl").alias("nm"))
+        )
+        labels = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"),
+                    F.coalesce(F.col("nm"), F.col("label")),
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+    return d, labels
+
+
 _CANON_ORACLE = f"""
 WITH t AS MATERIALIZED (
   SELECT doc_id,
@@ -4935,72 +5050,7 @@ def ext_dedup_cluster_canonical(
     Scale shape: banding row-local, candidate join band-keyed, verify
     only on candidates, each propagation round one edge-keyed join +
     combinable MIN — never all-pairs, no corpus-sized window."""
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "n_chars", pmh_shingles(F.col("text")).alias("ts")
-    ).localCheckpoint()
-    bands = d.select(
-        "doc_id",
-        F.explode(pmh_band_structs(F.col("ts"))).alias("bs"),
-    ).select(
-        "doc_id",
-        F.col("bs.band_id").alias("band_id"),
-        F.col("bs.v1").alias("v1"),
-        F.col("bs.v2").alias("v2"),
-    )
-    cand = (
-        bands.alias("a")
-        .join(
-            bands.alias("b"),
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.v1") == F.col("b.v1"))
-            & (F.col("a.v2") == F.col("b.v2"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
-        .distinct()
-    )
-    common = F.size(F.array_intersect(F.col("ta.ts"), F.col("tb.ts")))
-    union = F.size(F.col("ta.ts")) + F.size(F.col("tb.ts")) - common
-    e0 = (
-        cand.join(d.alias("ta"), F.col("doc_a") == F.col("ta.doc_id"))
-        .join(d.alias("tb"), F.col("doc_b") == F.col("tb.doc_id"))
-        .where(5 * common >= 3 * union)
-        .select("doc_a", "doc_b")
-        .localCheckpoint()
-    )
-    edges = e0.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).unionByName(
-        e0.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    ).localCheckpoint()
-    labels = edges.select(F.col("src").alias("node")).distinct().select(
-        "node", F.col("node").alias("label")
-    )
-    for _ in range(3):
-        nbr_min = (
-            edges.join(
-                labels.select(
-                    F.col("node").alias("dst"), F.col("label").alias("nl")
-                ),
-                "dst",
-            )
-            .groupBy(F.col("src").alias("node"))
-            .agg(F.min("nl").alias("nm"))
-        )
-        labels = (
-            labels.join(nbr_min, "node", "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"),
-                    F.coalesce(F.col("nm"), F.col("label")),
-                ).alias("label"),
-            )
-            .localCheckpoint()
-        )
+    d, labels = _pmh_dup_graph_labels(spark, sf_dir, ("n_chars",))
     mem = labels.join(
         d.select("doc_id", "n_chars"),
         labels["node"] == F.col("doc_id"),
@@ -5154,72 +5204,7 @@ def ext_dedup_survivorship_audit(
     Scale shape: adds to the canonical pipeline only one
     documents-sized left join against the labeled-node table and a
     lang-sized combinable aggregate."""
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", "n_chars", pmh_shingles(F.col("text")).alias("ts")
-    ).localCheckpoint()
-    bands = d.select(
-        "doc_id",
-        F.explode(pmh_band_structs(F.col("ts"))).alias("bs"),
-    ).select(
-        "doc_id",
-        F.col("bs.band_id").alias("band_id"),
-        F.col("bs.v1").alias("v1"),
-        F.col("bs.v2").alias("v2"),
-    )
-    cand = (
-        bands.alias("a")
-        .join(
-            bands.alias("b"),
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.v1") == F.col("b.v1"))
-            & (F.col("a.v2") == F.col("b.v2"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
-        .distinct()
-    )
-    common = F.size(F.array_intersect(F.col("ta.ts"), F.col("tb.ts")))
-    union = F.size(F.col("ta.ts")) + F.size(F.col("tb.ts")) - common
-    e0 = (
-        cand.join(d.alias("ta"), F.col("doc_a") == F.col("ta.doc_id"))
-        .join(d.alias("tb"), F.col("doc_b") == F.col("tb.doc_id"))
-        .where(5 * common >= 3 * union)
-        .select("doc_a", "doc_b")
-        .localCheckpoint()
-    )
-    edges = e0.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).unionByName(
-        e0.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    ).localCheckpoint()
-    labels = edges.select(F.col("src").alias("node")).distinct().select(
-        "node", F.col("node").alias("label")
-    )
-    for _ in range(3):
-        nbr_min = (
-            edges.join(
-                labels.select(
-                    F.col("node").alias("dst"), F.col("label").alias("nl")
-                ),
-                "dst",
-            )
-            .groupBy(F.col("src").alias("node"))
-            .agg(F.min("nl").alias("nm"))
-        )
-        labels = (
-            labels.join(nbr_min, "node", "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"),
-                    F.coalesce(F.col("nm"), F.col("label")),
-                ).alias("label"),
-            )
-            .localCheckpoint()
-        )
+    d, labels = _pmh_dup_graph_labels(spark, sf_dir, ("lang", "n_chars"))
     canon = (
         labels.join(
             d.select(F.col("doc_id").alias("node"), "n_chars"), "node"

@@ -815,24 +815,29 @@ def tq21_suppliers_who_kept_waiting(
     o = load_table(spark, sf_dir, "orders").where(
         F.col("o_orderstatus") == "F"
     )
-    late = (
+    # r11 perf (guide §2.4): the old shape materialized the distinct
+    # (orderkey, suppkey) late set, re-aggregated it into late_supp and
+    # joined both back — three orderkey exchanges plus a recompute of
+    # the lineitem⨝orders join. n_late == 1 means the single late
+    # supplier IS min(l_suppkey), so one countDistinct aggregate
+    # replaces distinct + count + join-back; order_supp then joins
+    # co-partitioned on l_orderkey.
+    late_only = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .where(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90))
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_late"),
+            F.min("l_suppkey").alias("l_suppkey"),
+        )
+        .where(F.col("n_late") == 1)
     )
     order_supp = li.groupBy("l_orderkey").agg(
         F.countDistinct("l_suppkey").alias("n_supp")
     )
-    late_supp = late.groupBy(
-        F.col("l_orderkey").alias("ls_orderkey")
-    ).agg(F.count("*").alias("n_late"))
     blamed = (
-        late.join(order_supp, "l_orderkey")
-        .join(
-            late_supp, F.col("l_orderkey") == F.col("ls_orderkey")
-        )
-        .where((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        late_only.join(order_supp, "l_orderkey")
+        .where(F.col("n_supp") > 1)
         .select("l_suppkey", "l_orderkey")
     )
     s = load_table(spark, sf_dir, "supplier")
@@ -1217,10 +1222,19 @@ def tq20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").where(
         F.col("p_name").like("small%")
     )
+    # r11 perf (guide §3.2): only promo-named parts can survive the
+    # inner join below, so a broadcast semi-join drops non-promo
+    # lineitem rows BEFORE the (part, supplier) aggregation shuffle —
+    # same result, smaller exchange.
     shipped = (
         li.where(
             (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(
+            F.broadcast(part.select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
         )
         .groupBy("l_partkey", "l_suppkey")
         .agg(dsum("l_quantity").alias("qty"))

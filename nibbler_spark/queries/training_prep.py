@@ -5532,15 +5532,17 @@ def ext_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     tk = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
     )
-    dfw = tk.groupBy("w").agg(
-        F.countDistinct("doc_id").cast("bigint").alias("dfw")
-    )
     nd = F.broadcast(
         load_table(spark, sf_dir, "documents").agg(
             F.count("*").cast("bigint").alias("n")
         )
     )
     m = tk.groupBy("doc_id", "lang", "w").agg(F.count("*").alias("mw"))
+    # r11 perf (guide §2.3): df(w) = COUNT over m's one-row-per-(doc, w)
+    # groups — the old separate countDistinct(doc_id) pass re-exploded
+    # and re-shuffled the full token stream; this derives the same
+    # integer from the aggregate the query already builds.
+    dfw = m.groupBy("w").agg(F.count("*").cast("bigint").alias("dfw"))
     gridln = lambda c: F.floor(F.log(c) * F.lit(1e9)).cast("bigint")
     rar = (
         m.join(dfw, "w")
