@@ -1943,12 +1943,11 @@ def ext_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min(F.struct((-F.col("c")).alias("nc"), "label")).alias("m"))
             .select("n", F.col("m.label").alias("new_label"))
         )
-        labels = (
-            labels.join(mode, labels["node"] == mode["n"], "left")
-            .select(
-                "node", F.coalesce("new_label", "label").alias("label")
-            )
-            .localCheckpoint()
+        # r11 perf: no per-round eager lineage cut — 3 bounded rounds
+        # over the checkpointed edge list evaluate as one lazy DAG (the
+        # pmh label loop measured the same change at -28% wall).
+        labels = labels.join(mode, labels["node"] == mode["n"], "left").select(
+            "node", F.coalesce("new_label", "label").alias("label")
         )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("community")
@@ -2390,6 +2389,10 @@ def ext_bfs_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg((F.min("dist") + 1).alias("nd"))
             .select(F.col("src").alias("node"), "nd")
         )
+        # (r11 note: lazy rounds were measured HERE at 3.3 s vs 1.9 s
+        # with the per-round cut — unlike the label loops, each BFS
+        # round's frontier filter re-reads cur twice and the recompute
+        # outweighs the saved jobs; the eager cut stays.)
         cur = (
             cur.join(relaxed, "node", "left")
             .select(
@@ -4809,6 +4812,10 @@ def ext_dedup_index_compaction(
     compacted = compacted.localCheckpoint()
     cp = pairs(compacted).localCheckpoint()
     fp = pairs(fresh).localCheckpoint()
+    # (r11 note: a single full-outer-join symmetric-difference pass was
+    # measured ~0.4 s SLOWER than the two exceptAll counts here — the
+    # checkpointed inputs are tiny, so two small jobs beat one wider
+    # shuffle; kept as-is.)
     n_diff = cp.exceptAll(fp).count() + fp.exceptAll(cp).count()
     stats = entries.agg(
         F.count("*").cast("bigint").alias("n_entries_before"),
@@ -4922,17 +4929,18 @@ def _pmh_dup_graph_labels(spark, sf_dir, extra_cols):
             .groupBy(F.col("src").alias("node"))
             .agg(F.min("nl").alias("nm"))
         )
-        labels = (
-            labels.join(nbr_min, "node", "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"),
-                    F.coalesce(F.col("nm"), F.col("label")),
-                ).alias("label"),
-            )
-            .localCheckpoint()
+        labels = labels.join(nbr_min, "node", "left").select(
+            "node",
+            F.least(
+                F.col("label"),
+                F.coalesce(F.col("nm"), F.col("label")),
+            ).alias("label"),
         )
+        # r11 perf (guide §5): no per-round localCheckpoint — the loop
+        # is bounded at 3 rounds, each label frame feeds exactly one
+        # consumer (the next round), and edges is already checkpointed,
+        # so one lazy DAG evaluates every round once where the eager
+        # cut paid a materialization job per round.
     return d, labels
 
 
