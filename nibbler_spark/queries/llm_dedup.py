@@ -2249,7 +2249,10 @@ def _dfcap_shingle_digraph(spark, sf_dir):
     # gone. df counting and the df-capped membership join keep the
     # giant-key relief valve exactly as before (hot shingles are never
     # collected anywhere).
-    sh = d.select(
+    # repartition to the core count before the shingle-hash explode:
+    # the single local parquet split would otherwise run the xxhash64
+    # transform (interpreted per element inside the lambda) on one task.
+    sh = d.repartition(spark.sparkContext.defaultParallelism).select(
         "doc_id",
         F.explode(
             F.array_distinct(
@@ -4866,8 +4869,16 @@ def _pmh_dup_graph_labels(spark, sf_dir, extra_cols):
     verify joins are projected to (doc_id, ts) so bands/metadata don't
     ride the exchanges; the symmetrized edge frame is a cheap map over
     the checkpointed e0 instead of a second eager materialization."""
+    # repartition to the session's core count BEFORE the banding
+    # projection: documents ships as one parquet split locally, and the
+    # 12-seed md5 minhash is the dominant row-local CPU (measured 11.3 s
+    # single-task vs ~1 s spread at sf0.1). defaultParallelism keeps it
+    # scale- and core-count-adaptive (the driver benches at two core
+    # counts); at real scale the scan already has many splits and one
+    # narrow pre-expansion round-robin pass is noise.
     d = (
         load_table(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
         .select(
             "doc_id",
             *extra_cols,
