@@ -5385,62 +5385,68 @@ def ext_minhash_param_planner(
     band-key equi-join over 3-12 skinny rows per doc, verification
     only on the r=1 candidate set, coarser rows check membership via a
     pair-keyed left join — never all-pairs."""
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", pmh_shingles(F.col("text")).alias("ts")
-    ).localCheckpoint()
-    mins = (
-        d.select("doc_id", F.explode("ts").alias("tok"))
-        .select(
-            "doc_id",
-            F.explode(
-                F.array(*[F.lit(i) for i in range(_PMH_SEEDS)])
-            ).alias("seed"),
-            "tok",
-        )
-        .select(
-            "doc_id",
-            "seed",
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(
-                            F.col("seed").cast("string"),
-                            F.lit(":"),
-                            F.col("tok"),
-                        )
+    # repartition first: the single local parquet split would run the
+    # shingle transform AND the exploded per-(doc, seed, tok) md5 stage
+    # below on one task (see the pmh helper's measured 11.3 s).
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", pmh_shingles(F.col("text")).alias("ts"))
+        .localCheckpoint()
+    )
+    # r11 perf (guide §2.3/§2.4): the per-seed minimums are ROW-LOCAL
+    # (array_min over the shingle array per seed — the pmh_band_structs
+    # recipe), so the old exploded (doc, seed, tok) md5 stage and its
+    # 12M-row shuffle + two nested groupBys are gone; per-config band
+    # keys are sliced out of the signature array in the same projection.
+    # Identical arithmetic: min over tok of md5("{seed}:{tok}")[:12] as
+    # bigint, band key = ':'-joined mins in seed order.
+    def mh(seed: int):
+        return F.array_min(
+            F.transform(
+                F.col("ts"),
+                lambda tok: F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"{seed}:"), tok)), 1, 12
                     ),
-                    1,
-                    12,
-                ),
-                16,
-                10,
+                    16,
+                    10,
+                ).cast("bigint"),
             )
-            .cast("bigint")
-            .alias("h"),
         )
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("mh"))
+
+    # Docs with an empty shingle set had no exploded rows (no minimum)
+    # in the old shape — exclude them identically.
+    sig = (
+        d.where(F.size("ts") > 0)
+        .select(
+            "doc_id",
+            F.array(*[mh(s) for s in range(_PMH_SEEDS)]).alias("mhs"),
+        )
         .localCheckpoint()
     )
     cands = []
     for r in (1, 2, 3, 4):
         nb = _PMH_SEEDS // r
-        keys = (
-            mins.where(F.col("seed") < nb * r)
-            .groupBy(
-                "doc_id", (F.col("seed") / r).cast("int").alias("band_id")
-            )
-            .agg(
+        band_structs = F.transform(
+            F.sequence(F.lit(0), F.lit(nb - 1)),
+            lambda b: F.struct(
+                b.alias("band_id"),
                 F.array_join(
                     F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct("seed", "mh"))
-                        ),
-                        lambda s: s["mh"].cast("string"),
+                        F.slice(F.col("mhs"), b * r + 1, r),
+                        lambda x: x.cast("string"),
                     ),
                     ":",
-                ).alias("bkey")
-            )
+                ).alias("bkey"),
+            ),
+        )
+        keys = sig.select(
+            "doc_id", F.explode(band_structs).alias("bs")
+        ).select(
+            "doc_id",
+            F.col("bs.band_id").alias("band_id"),
+            F.col("bs.bkey").alias("bkey"),
         )
         cands.append(
             keys.alias("a")
