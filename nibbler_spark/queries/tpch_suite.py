@@ -815,29 +815,36 @@ def tq21_suppliers_who_kept_waiting(
     o = load_table(spark, sf_dir, "orders").where(
         F.col("o_orderstatus") == "F"
     )
-    # r11 perf (guide §2.4): the old shape materialized the distinct
-    # (orderkey, suppkey) late set, re-aggregated it into late_supp and
-    # joined both back — three orderkey exchanges plus a recompute of
-    # the lineitem⨝orders join. n_late == 1 means the single late
-    # supplier IS min(l_suppkey), so one countDistinct aggregate
-    # replaces distinct + count + join-back; order_supp then joins
-    # co-partitioned on l_orderkey.
-    late_only = (
+    # r11 perf (guide §2.3/§2.4): ONE lineitem pass instead of two.
+    # Restricted to F orders, the per-order supplier census (n_supp)
+    # counts the same rows whether taken from bare lineitem or from
+    # lineitem⨝orders — the inner join on l_orderkey keeps every
+    # lineitem of each F order, and non-F orders can never be blamed —
+    # so both aggregates derive from the single joined frame: a
+    # pair-level max(late) collapses (orderkey, suppkey) duplicates,
+    # then one order-level aggregate yields n_supp / n_late / the
+    # blamed supplier (n_late == 1 ⇒ min over late suppliers IS the
+    # one). Replaces the second full-lineitem scan + countDistinct
+    # exchange and the late⨝order_supp join-back; the two stacked
+    # aggregates also avoid the Expand a two-countDistinct form plans.
+    late_flag = F.when(
+        F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90), 1
+    ).otherwise(0)
+    pair = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .where(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90))
-        .groupBy("l_orderkey")
-        .agg(
-            F.countDistinct("l_suppkey").alias("n_late"),
-            F.min("l_suppkey").alias("l_suppkey"),
-        )
-        .where(F.col("n_late") == 1)
-    )
-    order_supp = li.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late_flag).alias("was_late"))
     )
     blamed = (
-        late_only.join(order_supp, "l_orderkey")
-        .where(F.col("n_supp") > 1)
+        pair.groupBy("l_orderkey")
+        .agg(
+            F.count("*").alias("n_supp"),
+            F.sum("was_late").alias("n_late"),
+            F.min(
+                F.when(F.col("was_late") == 1, F.col("l_suppkey"))
+            ).alias("l_suppkey"),
+        )
+        .where((F.col("n_late") == 1) & (F.col("n_supp") > 1))
         .select("l_suppkey", "l_orderkey")
     )
     s = load_table(spark, sf_dir, "supplier")
