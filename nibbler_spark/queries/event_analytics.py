@@ -3202,7 +3202,12 @@ def ext_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     w = {0: 6, 1: 2, 2: 2, 3: 6}
-    rows = []
+    # r11 perf (guide §2.4): all four φ are expressions over the SAME
+    # 1-row lattice aggregate, but the old 4-branch union recomputed
+    # the events scan + both aggregations once per branch (4 full
+    # passes). One select builds every φ, then a row-local
+    # explode(array(struct...)) unpivots — identical values, one scan.
+    chans = []
     for ch_bit, ch_name in enumerate(["click", "view", "signup", "error"]):
         phi = None
         for mask in range(16):
@@ -3213,15 +3218,15 @@ def ext_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col(f"v{mask | (1 << ch_bit)}") - F.col(f"v{mask}")
             )
             phi = term if phi is None else phi + term
-        rows.append(
-            v.select(
+        chans.append(
+            F.struct(
                 F.lit(ch_name).alias("channel"),
                 phi.cast("bigint").alias("phi_scaled_24"),
             )
         )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
+    out = v.select(
+        F.explode(F.array(*chans)).alias("ch")
+    ).select("ch.channel", "ch.phi_scaled_24")
     return out.select(
         "channel",
         "phi_scaled_24",

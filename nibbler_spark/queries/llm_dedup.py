@@ -947,8 +947,18 @@ def ext_cc_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.log(c.cast("double")) / F.log(F.lit(1.25))
         ).cast("int")
 
-    t = d.select(
-        "doc_id", "lang", "source", toks.alias("ts"), F.size(toks).alias("sz")
+    # r11 perf (guide §2.3/§5): materialize the tokenized frame ONCE —
+    # both sides of the band self-join used to re-split and re-sort the
+    # text (the probe side additionally under an explode); repartition
+    # first so the row-local split/sort spreads over every core instead
+    # of the table's single local parquet split (no-op at real scale).
+    t = (
+        d.select(
+            "doc_id", "lang", "source", toks.alias("ts"),
+            F.size(toks).alias("sz"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint()
     )
     build = t.withColumn("band", band_of(F.col("sz")))
     lo_b = F.floor((4 * F.col("sz") + 4) / 5).cast("int")

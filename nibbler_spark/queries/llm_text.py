@@ -3038,6 +3038,13 @@ def ext_rouge_l_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     row until the final groupBy."""
     d = load_table(spark, sf_dir, "documents")
     w = Window.partitionBy("lang").orderBy("doc_id")
+    # r11 perf (guide §2.5/§2.6-adjacent): the lead() window hashes on
+    # lang (~5 partitions), and the O(n*m^2) row-local LCS fold below
+    # used to run in the SAME stage — the whole DP serialized onto ~5
+    # tasks while the rest of the machine idled. Materialize the cheap
+    # window pairing, then spread the heavy row-local projection across
+    # defaultParallelism (core-count-adaptive; sums are order-independent
+    # integers, so the round-robin repartition cannot change the result).
     pp = (
         d.select(
             "lang",
@@ -3045,6 +3052,7 @@ def ext_rouge_l_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice(F.split(F.lead("text").over(w), " "), 1, 24).alias("r"),
         )
         .where(F.col("r").isNotNull())
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     nr = F.size("r")
     lcs_row = F.aggregate(

@@ -3956,15 +3956,27 @@ def ext_silhouette_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         )
 
+    # r11 perf (guide §2.3/§2.5): the two SELF-dots depend on only one
+    # side each, so hoist them out of the probe x corpus product — the
+    # old shape re-ran three interpreted fold expressions per PAIR where
+    # one (the cross term) suffices; per-element floors and bigint sums
+    # are unchanged, so every sum_d2 is bit-identical. The corpus side
+    # also spreads across cores first: the broadcast join keeps the
+    # scan's partitioning, which locally is ONE split — the whole O(k*n)
+    # lattice work serialized onto a single task (no-op at real scale).
+    e_sq = e.repartition(
+        spark.sparkContext.defaultParallelism
+    ).withColumn("ee", idot(F.col("embedding"), F.col("embedding")))
+    probes_sq = probes.withColumn("pp", idot(F.col("pe"), F.col("pe")))
     d2 = (
-        F.broadcast(probes)
-        .join(e, F.col("pid") != F.col("vec_id"))
+        F.broadcast(probes_sq)
+        .join(e_sq, F.col("pid") != F.col("vec_id"))
         .groupBy("pid", "plabel", "label")
         .agg(
             F.sum(
-                idot(F.col("pe"), F.col("pe"))
+                F.col("pp")
                 - 2 * idot(F.col("pe"), F.col("embedding"))
-                + idot(F.col("embedding"), F.col("embedding"))
+                + F.col("ee")
             )
             .cast("bigint")
             .alias("sum_d2"),

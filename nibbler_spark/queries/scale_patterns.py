@@ -1122,10 +1122,19 @@ def ext_grid_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = e.select(
         "event_id", coord("x").alias("xi"), coord("y").alias("yi")
     )
-    cells = pts.select(
-        "event_id", "xi", "yi",
-        F.expr("xi div 500").alias("cx"),
-        F.expr("yi div 500").alias("cy"),
+    # r11 perf (guide §2.4/§5): materialize the hashed grid once —
+    # probe and build both derive from it, and the count+top10 double
+    # pass below used to recompute the md5 coordinates four times.
+    # Repartition first so the md5 projection spreads (locally the
+    # events scan is one split; no-op at real scale).
+    cells = (
+        pts.select(
+            "event_id", "xi", "yi",
+            F.expr("xi div 500").alias("cx"),
+            F.expr("yi div 500").alias("cy"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint()
     )
     offs = F.array(
         *[
@@ -1154,10 +1163,16 @@ def ext_grid_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     d2 = (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx")) + (
         F.col("ay") - F.col("by")
     ) * (F.col("ay") - F.col("by"))
+    # The global count AND the top-10 both consume the full pair set;
+    # without the checkpoint the stencil join ran twice (once under the
+    # broadcast count, once under the sort). One linear write of 24-byte
+    # pair rows replaces a second 9x-fanout shuffle join — the exact
+    # count forces a full pass over the pairs either way (guide §2.4).
     pairs = (
         probe.join(build, ["jx", "jy"])
         .where((F.col("a_id") < F.col("b_id")) & (d2 <= 250000))
         .select("a_id", "b_id", d2.alias("d2"))
+        .localCheckpoint()
     )
     tot = pairs.agg(F.count("*").cast("bigint").alias("n_pairs_total"))
     return (

@@ -849,10 +849,16 @@ def ext_rate_limiter_admission(
     state): capacity 3 tokens, refill 1 per 10 minutes (integer
     MILLItokens on integer microseconds — exact), an event is
     admitted iff a full token is available. The per-key sequential
-    scan runs where Spark puts per-key sequential logic:
-    applyInPandas — each user's events arrive as one ordered group
-    and the bucket replays in-group (embarrassingly parallel ACROSS
-    users, exactly how a keyed rate limiter shards in production).
+    scan shards by user (embarrassingly parallel ACROSS users,
+    exactly how a keyed rate limiter shards in production): one
+    user-keyed exchange, each partition sorted by (user, ts, id), and
+    ONE mapInPandas pass replays every bucket in the partition with
+    state carried across Arrow batch boundaries — r11 perf (guide
+    §4.2/§4.5): the previous per-group applyInPandas paid a pandas
+    sort, two DataFrame constructions and a Python call PER USER;
+    the single streaming walk is the identical integer recurrence
+    (hash-partitioning puts all of a user's rows in one partition, so
+    per-user replay order is unchanged).
     The oracle replays the identical recurrence as a RECURSIVE CTE
     stepping rn -> rn+1 per user — sequential semantics, declaratively
     stated — and per-user admission counts, admitted-id checksums and
@@ -860,46 +866,62 @@ def ext_rate_limiter_admission(
     exchange; group iteration is O(events per user)."""
     import pandas as _pd
 
-    e = load_table(spark, sf_dir, "events").select(
-        "user_id",
-        "event_id",
-        F.unix_micros("ts").alias("t"),
+    e = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("t"),
+        )
+        .repartition("user_id")
+        .sortWithinPartitions("user_id", "t", "event_id")
     )
 
-    def bucket(pdf: _pd.DataFrame) -> _pd.DataFrame:
-        pdf = pdf.sort_values(["t", "event_id"])
-        tokens = 2000
-        prev_t = None
-        n = n_adm = chk = 0
-        min_tok = None
-        for _, row in pdf.iterrows():
-            t = int(row["t"])
-            if prev_t is not None:
-                tokens = min(2000, tokens + (t - prev_t) // 3600000)
-            admitted = tokens >= 1000
-            if admitted:
-                tokens -= 1000
-                n_adm += 1
-                chk += int(row["event_id"])
-            n += 1
-            prev_t = t
-            min_tok = tokens if min_tok is None else min(min_tok, tokens)
-        return _pd.DataFrame(
-            {
-                "user_id": [int(pdf["user_id"].iloc[0])],
-                "n_events": [n],
-                "n_admitted": [n_adm],
-                "admitted_checksum": [chk],
-                "min_tokens_milli": [min_tok],
-            }
-        )
+    def bucket_partition(batches):
+        cur = None  # live user: [uid, tokens, prev_t, n, n_adm, chk, min_tok]
+        out = {
+            "user_id": [],
+            "n_events": [],
+            "n_admitted": [],
+            "admitted_checksum": [],
+            "min_tokens_milli": [],
+        }
 
-    return (
-        e.groupBy("user_id")
-        .applyInPandas(
-            bucket,
-            "user_id long, n_events long, n_admitted long, "
-            "admitted_checksum long, min_tokens_milli long",
-        )
-        .orderBy("user_id")
-    )
+        def flush():
+            out["user_id"].append(cur[0])
+            out["n_events"].append(cur[3])
+            out["n_admitted"].append(cur[4])
+            out["admitted_checksum"].append(cur[5])
+            out["min_tokens_milli"].append(cur[6])
+
+        for pdf in batches:
+            for uid, eid, t in zip(
+                pdf["user_id"].to_numpy().tolist(),
+                pdf["event_id"].to_numpy().tolist(),
+                pdf["t"].to_numpy().tolist(),
+            ):
+                if cur is None or uid != cur[0]:
+                    if cur is not None:
+                        flush()
+                    cur = [uid, 2000, None, 0, 0, 0, None]
+                tokens, prev_t = cur[1], cur[2]
+                if prev_t is not None:
+                    tokens = min(2000, tokens + (t - prev_t) // 3600000)
+                if tokens >= 1000:
+                    tokens -= 1000
+                    cur[4] += 1
+                    cur[5] += int(eid)
+                cur[3] += 1
+                cur[1], cur[2] = tokens, t
+                cur[6] = (
+                    tokens if cur[6] is None else min(cur[6], tokens)
+                )
+        if cur is not None:
+            flush()
+        yield _pd.DataFrame(out)
+
+    return e.mapInPandas(
+        bucket_partition,
+        "user_id long, n_events long, n_admitted long, "
+        "admitted_checksum long, min_tokens_milli long",
+    ).orderBy("user_id")
