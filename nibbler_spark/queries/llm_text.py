@@ -4307,7 +4307,7 @@ def ext_bigram_greedy_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the bigram count + per-head argmax (top-1 window
     per w1, WindowGroupLimit) build ONCE and checkpoint — the
-    transition table. The 12 decode steps are 1-row broadcast joins
+    transition table. The 12 decode steps are bounded 1-row reads
     against that keyed table; nothing re-touches the corpus."""
     sep = chr(31)
     d = load_table(spark, sf_dir, "documents")
@@ -4343,36 +4343,32 @@ def ext_bigram_greedy_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("w1", "w2", "c12")
         .localCheckpoint()
     )
-    s = (
+    seed = (
         bg.groupBy("w1")
         .agg(F.sum("c12").cast("bigint").alias("cnt"))
         .orderBy(F.col("cnt").desc(), "w1")
         .limit(1)
-        .select(
-            F.lit(0).cast("bigint").alias("step"),
-            F.col("w1").alias("tok"),
-            "cnt",
-        )
-        .localCheckpoint()
+        .head()
     )
-    outs = [s]
-    for r in range(1, 13):
-        s = (
-            nxt.join(
-                F.broadcast(s.select(F.col("tok").alias("w1"))), "w1"
-            )
-            .select(
-                F.lit(r).cast("bigint").alias("step"),
-                F.col("w2").alias("tok"),
-                F.col("c12").alias("cnt"),
-            )
-            .localCheckpoint()
-        )
-        outs.append(s)
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out.orderBy("step")
+    # r11 perf (guide §2.4/§5): each decode step needs exactly ONE row
+    # of the checkpointed transition table (w1 is unique after the
+    # top-1 window), so the walk is 12 bounded 1-row driver reads — the
+    # BPE argmax pattern — instead of 12 broadcast-join + checkpoint
+    # jobs whose only output was that same single row. A chain that
+    # leaves the LM support still simply ends (head() -> None).
+    rows: list[tuple[int, str, int]] = []
+    if seed is not None:
+        rows.append((0, seed["w1"], int(seed["cnt"])))
+        cur = seed["w1"]
+        for r in range(1, 13):
+            nrow = nxt.where(F.col("w1") == F.lit(cur)).head()
+            if nrow is None:
+                break
+            rows.append((r, nrow["w2"], int(nrow["c12"])))
+            cur = nrow["w2"]
+    return spark.createDataFrame(
+        rows, "step bigint, tok string, cnt bigint"
+    ).orderBy("step")
 
 
 @register(

@@ -2096,7 +2096,15 @@ def ext_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select((F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"), "e")
     )
-    aug = base.unionAll(planted).localCheckpoint()
+    # r11 perf (guide §2.5): spread before checkpointing — the K=64
+    # broadcast assignment runs 64 fold expressions per vector on aug's
+    # partitioning, which locally is the scan's 1-2 splits (no-op at
+    # real scale).
+    aug = (
+        base.unionAll(planted)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint()
+    )
 
     cent = base.where(F.col("vec_id") < _SD_K).select(
         F.col("vec_id").alias("cid"),
@@ -2354,8 +2362,13 @@ def ext_ivf_incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e = load_table(spark, sf_dir, "embeddings")
-    base = e.where(F.col("vec_id") % 5 != 0)
-    new = e.where(F.col("vec_id") % 5 == 0)
+    # r11 perf (guide §5): one materialization per batch — the per-cell
+    # commit loop below filters the batch once PER LABEL, which used to
+    # re-scan the embeddings parquet for every commit (2 batches x
+    # |labels| scans); the commit sequence itself (the declared
+    # append-only maintenance story) is unchanged.
+    base = e.where(F.col("vec_id") % 5 != 0).localCheckpoint()
+    new = e.where(F.col("vec_id") % 5 == 0).localCheckpoint()
     table = tempfile.mkdtemp(prefix="nibbler-ivfi-")
     shutil.rmtree(table)
     files: list[str] = []
@@ -4474,7 +4487,15 @@ def ext_srp_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding"),
         lambda x: F.floor(x.cast("double") * F.lit(1e10)).cast("bigint"),
     )
-    t = e.select("vec_id", "embedding", fv.alias("f")).localCheckpoint()
+    # r11 perf (guide §2.5): spread before checkpointing — the 16x64
+    # fingerprint folds and the exact-cosine probe product both consume
+    # t row-locally, and the local embeddings scan is ONE split (no-op
+    # at real scale where the scan is already wide).
+    t = (
+        e.select("vec_id", "embedding", fv.alias("f"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint()
+    )
 
     def bit(i: int):
         plane = F.array(*[F.lit(s) for s in _SRP_PLANES[i]])

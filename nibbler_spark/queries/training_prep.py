@@ -3824,7 +3824,11 @@ def ext_iterative_quality_pruning(
                 F.col("t").alias("tokens_in"),
             )
         )
-        out_rows.append(row)
+        # r11 perf (guide §5): materialize the 1-row summary NOW — it
+        # references the un-materialized `tot` aggregate, so the final
+        # 3-row union used to re-run one corpus-scale token aggregation
+        # per round when the trajectory was finally evaluated.
+        out_rows.append(row.localCheckpoint())
         remaining = kept.select("doc_id").localCheckpoint()
     out = out_rows[0]
     for r in out_rows[1:]:
