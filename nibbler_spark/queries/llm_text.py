@@ -2845,6 +2845,10 @@ def ext_bleu_self_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     no gram exchange at all (grams never leave their row)."""
     d = load_table(spark, sf_dir, "documents")
     w = Window.partitionBy("lang").orderBy("doc_id")
+    # r11 perf (guide §2.5): the O(grams^2) clip folds below are
+    # row-local but used to run in the lead() window's ~5 lang
+    # partitions; spread the pairs across every core first (per-lang
+    # sums are order-independent integers — same result).
     pp = (
         d.select(
             "lang",
@@ -2852,6 +2856,7 @@ def ext_bleu_self_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.split(F.lead("text").over(w), " ").alias("r"),
         )
         .where(F.col("r").isNotNull())
+        .repartition(spark.sparkContext.defaultParallelism)
     )
 
     def grams(col, n):
@@ -3413,6 +3418,9 @@ def ext_chrf_self_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     strip = lambda col: F.substring(  # noqa: E731
         F.replace(col, F.lit(" "), F.lit("")), 1, 120
     )
+    # r11 perf (guide §2.5): same spread-after-window fix as BLEU/ROUGE
+    # — the 6-gram clip fold is row-local and was serialized onto the
+    # ~5 lang window partitions.
     pp = (
         d.select(
             "lang",
@@ -3420,6 +3428,7 @@ def ext_chrf_self_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             strip(F.lead("text").over(w)).alias("r"),
         )
         .where(F.col("r").isNotNull())
+        .repartition(spark.sparkContext.defaultParallelism)
     )
 
     # 6-gram arrays via expr: F.substring takes plain-int positions, so
