@@ -22,6 +22,22 @@ DEC = "decimal(18,4)"
 DEC_SQL = "DECIMAL(18,4)"
 
 
+def spread(df):
+    """Round-robin repartition to defaultParallelism ONLY when the
+    frame's planned partitioning is narrower (r11 guide §2.5): the
+    single-row-group test parquet caps every local scan at ONE task, so
+    heavy row-local projections (shingle/minhash builds, HOF folds,
+    per-pair dots) serialize unless an exchange widens them first. At
+    real scale the scan is already wide, the branch is not taken, and
+    NO exchange is added — unlike an unconditional repartition, which
+    would re-shuffle the frame once per call. getNumPartitions only
+    plans the scan's splits on the driver; it runs no job."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df
+
+
 def seq1(n: Column) -> Column:
     """Empty-safe 1..n index sequence (matches SQL generate_series).
 

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from nibbler_spark.queries._helpers import seq1
+from nibbler_spark.queries._helpers import seq1, spread
 
 from nibbler_spark.queries import register
 from nibbler_spark.sources import load_table
@@ -172,7 +172,7 @@ def k04_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the token table once instead of recomputing it on BOTH sides of
     # the self-join (at real scale: many splits, and a shuffle-free
     # reuse of the same materialized table).
-    d = load_table(spark, sf_dir, "documents").repartition(32)
+    d = spread(load_table(spark, sf_dir, "documents"))
     toks = F.array_sort(F.array_distinct(F.split("text", " ")))
 
     def band_of(c):
@@ -321,7 +321,7 @@ def k05_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingling would serialize onto one task (no-op at real scale).
     # localCheckpoints: the shingle table and TF vectors materialize
     # once instead of recomputing per action.
-    d = load_table(spark, sf_dir, "documents").repartition(32)
+    d = spread(load_table(spark, sf_dir, "documents"))
     toks = F.split("text", " ")
     shingles = F.array_distinct(
         F.when(
@@ -524,7 +524,7 @@ def ext_minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows per doc, the candidate join is an equi-join on
     (band_id, v1, v2), and only candidate pairs ever touch the shingle
     arrays again (two id-keyed joins)."""
-    d = load_table(spark, sf_dir, "documents").repartition(32)
+    d = spread(load_table(spark, sf_dir, "documents"))
     toks = F.split("text", " ")
     shingles = F.array_distinct(
         F.when(
@@ -957,7 +957,7 @@ def ext_cc_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "lang", "source", toks.alias("ts"),
             F.size(toks).alias("sz"),
         )
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(spread)
         .localCheckpoint()
     )
     build = t.withColumn("band", band_of(F.col("sz")))
@@ -1891,7 +1891,7 @@ def ext_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distinct + count + cap-join + self-join (r8 constant-factor pass:
     # graph build 1.3 s -> 0.87 s of the 2.4 s clean-machine wall at
     # sf0.1; edge set identical).
-    sh = d.repartition(16).select(
+    sh = spread(d).select(
         "doc_id",
         F.explode(
             F.array_distinct(
@@ -2262,7 +2262,7 @@ def _dfcap_shingle_digraph(spark, sf_dir):
     # repartition to the core count before the shingle-hash explode:
     # the single local parquet split would otherwise run the xxhash64
     # transform (interpreted per element inside the lambda) on one task.
-    sh = d.repartition(spark.sparkContext.defaultParallelism).select(
+    sh = d.transform(spread).select(
         "doc_id",
         F.explode(
             F.array_distinct(
@@ -3146,7 +3146,7 @@ def ext_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles; candidates are pairs that actually share content, never
     all-pairs; both directions of every pair emit independently
     (containment is not symmetric — that is the point)."""
-    d = load_table(spark, sf_dir, "documents").repartition(32).select(
+    d = spread(load_table(spark, sf_dir, "documents")).select(
         "doc_id", F.split("text", " ").alias("toks")
     )
     exc = d.where(
@@ -3740,7 +3740,7 @@ def ext_suffix_array_lcp(spark: SparkSession, sf_dir: str) -> DataFrame:
         # 48x suffix expansion and the per-doc rank maps so every
         # downstream map stage uses the cluster (the k05/i42 lesson)
         d.select("doc_id", "text")
-        .repartition(16)
+        .transform(spread)
         .select(
             "doc_id", F.slice(F.split("text", " "), 1, 48).alias("t")
         )
@@ -4221,7 +4221,7 @@ def ext_lsh_parameter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     as counts, never materialized beyond the count. The truth set is
     computed once through exact_jaccard_pairs (df-capped inverted
     index) and shared by all four configs."""
-    d = load_table(spark, sf_dir, "documents").repartition(32)
+    d = spread(load_table(spark, sf_dir, "documents"))
     t = d.select("doc_id", pmh_shingles(F.col("text")).alias("ts"))
     t = t.localCheckpoint()
 
@@ -4754,7 +4754,7 @@ def ext_dedup_index_compaction(
         .select(
             "doc_id", "epoch", pmh_shingles(F.col("text")).alias("ts")
         )
-        .repartition(32)
+        .transform(spread)
         .localCheckpoint()
     )
     entries = (
@@ -4888,7 +4888,7 @@ def _pmh_dup_graph_labels(spark, sf_dir, extra_cols):
     # narrow pre-expansion round-robin pass is noise.
     d = (
         load_table(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(spread)
         .select(
             "doc_id",
             *extra_cols,
@@ -5400,7 +5400,7 @@ def ext_minhash_param_planner(
     # below on one task (see the pmh helper's measured 11.3 s).
     d = (
         load_table(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(spread)
         .select("doc_id", pmh_shingles(F.col("text")).alias("ts"))
         .localCheckpoint()
     )

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nibbler_spark.queries import register
-from nibbler_spark.queries._helpers import davg, seq1
+from nibbler_spark.queries._helpers import davg, seq1, spread
 from nibbler_spark.sources import load_table
 
 
@@ -556,7 +556,10 @@ def ext_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     index-transform over the token array (order-preserving, no
     explode-regroup round trip); both aggregations key on the leading
     token. Integer counts divide to bit-identical doubles."""
-    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
+    # r11 perf (guide §2.5): spread the sampled scan before the explode.
+    d = spread(
+        load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
+    )
     toks = F.split("text", " ")
     bigrams = d.select(
         F.explode(
@@ -672,7 +675,9 @@ def ext_lm_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     before the per-doc sum (entropy-query discipline) so the score is
     order-independent, with a final DECIMAL(18,6) rounding for the
     engines' log2 ulp differences."""
-    d = load_table(spark, sf_dir, "documents")
+    # r11 perf (guide §2.5): corpus-scale n-gram explode off a 1-split
+    # local scan — spread() widens it (conditional; no-op on wide scans).
+    d = spread(load_table(spark, sf_dir, "documents"))
     toks = F.split("text", " ")
     bg = d.select(
         "doc_id",
@@ -2166,7 +2171,9 @@ def ext_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lang, bucket) adds the within-bucket position. The widest window
     in the plan is over a few hundred offset rows; everything
     corpus-sized stays hash-partitioned. Output is langs x 3 rows."""
-    d = load_table(spark, sf_dir, "documents")
+    # r11 perf (guide §2.5): corpus-scale n-gram explode off a 1-split
+    # local scan — spread() widens it (conditional; no-op on wide scans).
+    d = spread(load_table(spark, sf_dir, "documents"))
     toks = F.split("text", " ")
     bg = d.select(
         "doc_id",
@@ -2430,7 +2437,9 @@ def ext_ngram_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     decile is derived from its MIN(doc_id) inside the same aggregate —
     no join back against the corpus — and the final decile join is 10
     rows."""
-    d = load_table(spark, sf_dir, "documents")
+    # r11 perf (guide §2.5): corpus-scale n-gram explode off a 1-split
+    # local scan — spread() widens it (conditional; no-op on wide scans).
+    d = spread(load_table(spark, sf_dir, "documents"))
     mx = d.agg(F.max("doc_id").alias("m"))
     toks = F.split("text", " ")
     dg = (
@@ -2657,7 +2666,9 @@ def ext_ppmi_associations(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs; the only vocab-wide state is the c2 table, keyed and
     combinable."""
     sep = chr(31)
-    d = load_table(spark, sf_dir, "documents")
+    # r11 perf (guide §2.5): corpus-scale n-gram explode off a 1-split
+    # local scan — spread() widens it (conditional; no-op on wide scans).
+    d = spread(load_table(spark, sf_dir, "documents"))
     tk = F.split("text", " ")
 
     def mk(k):
@@ -2856,7 +2867,7 @@ def ext_bleu_self_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.split(F.lead("text").over(w), " ").alias("r"),
         )
         .where(F.col("r").isNotNull())
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(spread)
     )
 
     def grams(col, n):
@@ -3057,7 +3068,7 @@ def ext_rouge_l_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice(F.split(F.lead("text").over(w), " "), 1, 24).alias("r"),
         )
         .where(F.col("r").isNotNull())
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(spread)
     )
     nr = F.size("r")
     lcs_row = F.aggregate(
@@ -3170,6 +3181,9 @@ def ext_lang_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-lang total, and one keyed join on token between the two
     vocab-sized tables; the lang-total and corpus-total ride
     broadcasts. Nothing corpus-scale after the first count."""
+    # r11 A/B: spread() before the explode measured SLOWER here (0.61 s
+    # -> 0.85 s) — the unigram explode feeds one map-side-combinable
+    # count, so the extra exchange costs more than the map stage saves.
     d = load_table(spark, sf_dir, "documents")
     # Materialize the (lang, token) count once: Catalyst has no
     # DAG-level subtree sharing, so without this each of the four
@@ -3287,7 +3301,9 @@ def ext_bigram_conditional_entropy(spark: SparkSession, sf_dir: str) -> DataFram
     combinable); c1 folds out of the bigram table itself (no second
     scan); the per-lang reduce is 5 rows."""
     sep = chr(31)
-    d = load_table(spark, sf_dir, "documents")
+    # r11 perf (guide §2.5): corpus-scale n-gram explode off a 1-split
+    # local scan — spread() widens it (conditional; no-op on wide scans).
+    d = spread(load_table(spark, sf_dir, "documents"))
     tk = F.split("text", " ")
     bg = (
         d.select(
@@ -3428,7 +3444,7 @@ def ext_chrf_self_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             strip(F.lead("text").over(w)).alias("r"),
         )
         .where(F.col("r").isNotNull())
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(spread)
     )
 
     # 6-gram arrays via expr: F.substring takes plain-int positions, so
@@ -3592,7 +3608,9 @@ def ext_kn_heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables; lang totals broadcast. Two corpus scans total (train
     explode, held explode), everything after is vocabulary-scale."""
     sep = chr(31)
-    d = load_table(spark, sf_dir, "documents")
+    # r11 perf (guide §2.5): corpus-scale n-gram explode off a 1-split
+    # local scan — spread() widens it (conditional; no-op on wide scans).
+    d = spread(load_table(spark, sf_dir, "documents"))
     mx = d.agg(F.max("doc_id").alias("m"))
     tk = F.split("text", " ")
     bigrams = F.explode(
@@ -4553,7 +4571,7 @@ def ext_glove_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = (
         d.select("text")
-        .repartition(16)
+        .transform(spread)
         .select(
             F.explode(
                 F.concat(mk(1), mk(2), mk(3), mk(4))
@@ -4641,7 +4659,7 @@ def ext_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     vc = (
         d.select("text")
-        .repartition(16)
+        .transform(spread)
         .select(F.explode(F.split("text", " ")).alias("token"))
         .groupBy("token")
         .agg(F.count("*").cast("bigint").alias("c"))
@@ -4738,7 +4756,7 @@ def ext_token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     nd = d.agg(F.count("*").cast("bigint").alias("n"))
     per_doc = (
         d.select("doc_id", "text")
-        .repartition(16)
+        .transform(spread)
         .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
         .groupBy("doc_id", "token")
         .agg(F.count("*").cast("bigint").alias("x"))
@@ -4875,7 +4893,7 @@ def ext_interpolation_lambda_sweep(
             F.split("text", " ").alias("t"),
             F.expr("doc_id * 4 DIV (m + 1)").cast("int").alias("q"),
         )
-        .repartition(16)
+        .transform(spread)
     )
 
     def bigrams(df):

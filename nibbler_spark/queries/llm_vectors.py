@@ -18,6 +18,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nibbler_spark.queries import register
+from nibbler_spark.queries._helpers import spread
 from nibbler_spark.sources import load_table
 
 _DIM = 64  # embeddings are fixed 64-d (FIXTURES.md)
@@ -2102,7 +2103,7 @@ def ext_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # real scale).
     aug = (
         base.unionAll(planted)
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(spread)
         .localCheckpoint()
     )
 
@@ -4493,7 +4494,7 @@ def ext_srp_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # at real scale where the scan is already wide).
     t = (
         e.select("vec_id", "embedding", fv.alias("f"))
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(spread)
         .localCheckpoint()
     )
 

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nibbler_spark.queries import register
-from nibbler_spark.queries._helpers import dec, dsum, sql_dsum
+from nibbler_spark.queries._helpers import dec, dsum, spread, sql_dsum
 from nibbler_spark.sources import load_table
 
 
@@ -1133,7 +1133,7 @@ def ext_grid_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("xi div 500").alias("cx"),
             F.expr("yi div 500").alias("cy"),
         )
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(spread)
         .localCheckpoint()
     )
     offs = F.array(
@@ -1720,7 +1720,7 @@ def ext_roaring_distributed_union(
                 }
             )
 
-    locals_ = o.repartition(8).mapInPandas(
+    locals_ = spread(o).mapInPandas(
         local_bitmaps, "ckey int, payload binary"
     )
 
@@ -3064,7 +3064,7 @@ def zipf_skew_join_frames(
     li = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_linenumber")
-        .repartition(16)
+        .transform(spread)
     )
     u = (
         F.conv(

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nibbler_spark.queries import register
+from nibbler_spark.queries._helpers import spread
 from nibbler_spark.sources import load_table
 
 
@@ -382,7 +383,7 @@ def _a18_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = (
         load_table(spark, sf_dir, "events")
         .select("event_id", "user_id", "event_type", "value")
-        .repartition(8)
+        .transform(spread)
     )
     encoded = e.mapInPandas(encode, "avro binary")
     return encoded.mapInPandas(
@@ -561,7 +562,7 @@ def a21_avro_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = (
         load_table(spark, sf_dir, "events")
         .select("event_id", "user_id", "value", "event_type")
-        .repartition(8)
+        .transform(spread)
     )
     encoded = e.mapInPandas(encode, "avro binary")
     return encoded.mapInPandas(

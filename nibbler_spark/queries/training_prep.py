@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from nibbler_spark.queries._helpers import seq1
+from nibbler_spark.queries._helpers import seq1, spread
 
 from nibbler_spark.queries import register
 from nibbler_spark.sources import load_table
@@ -119,7 +119,7 @@ def ext_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the executors up front. At real scale the scan already has
     # thousands of splits and this round-robin fan-out is a no-op
     # cost-wise (it moves raw rows once, before any expansion).
-    d = load_table(spark, sf_dir, "documents").repartition(32)
+    d = load_table(spark, sf_dir, "documents").transform(spread)
     toks = F.split("text", " ")
     grams = d.select(
         "doc_id",
@@ -621,7 +621,7 @@ def ext_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     (rather than eval-derived) reference set. Integer counts divide to
     bit-identical doubles.
     """
-    d = load_table(spark, sf_dir, "documents").repartition(32)
+    d = load_table(spark, sf_dir, "documents").transform(spread)
     toks = F.split("text", " ")
     grams = (
         d.select(
@@ -741,7 +741,7 @@ def ext_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation (content hash, gram, none); the eval gram set
     broadcasts exactly as in EXT-DECONTAM. All counts integer ⇒ exact.
     """
-    d = load_table(spark, sf_dir, "documents").repartition(32)
+    d = load_table(spark, sf_dir, "documents").transform(spread)
     toks = F.split("text", " ")
     base = d.select(
         "doc_id",
@@ -2784,7 +2784,7 @@ def ext_submodular_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         # 200x shingle explode so the build uses the cluster, not one
         # task (the k05/i42 lesson; at 100 TB the scan is already wide)
         d.select("doc_id", "text")
-        .repartition(16)
+        .transform(spread)
         .select(
             "doc_id",
             F.explode(
@@ -2955,7 +2955,7 @@ def ext_span_corruption_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split("text", " ")
     base = (
         d.select("doc_id", "lang", "text")
-        .repartition(16)
+        .transform(spread)
         .select("doc_id", "lang", toks.alias("t"))
         .where(F.size("t") >= 1)
     )
@@ -3550,7 +3550,7 @@ def ext_skipgram_negative_sampling(
 
     pairs = (
         d.select("doc_id", "lang", "text")
-        .repartition(16)
+        .transform(spread)
         .select(
             "doc_id",
             "lang",
@@ -3768,7 +3768,7 @@ def ext_iterative_quality_pruning(
     d = load_table(spark, sf_dir, "documents")
     tok = (
         d.select("doc_id", "text")
-        .repartition(16)
+        .transform(spread)
         .select(
             "doc_id", F.explode(F.split("text", " ")).alias("w")
         )
