@@ -3975,12 +3975,12 @@ def ext_silhouette_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     # old shape re-ran three interpreted fold expressions per PAIR where
     # one (the cross term) suffices; per-element floors and bigint sums
     # are unchanged, so every sum_d2 is bit-identical. The corpus side
-    # also spreads across cores first: the broadcast join keeps the
-    # scan's partitioning, which locally is ONE split — the whole O(k*n)
-    # lattice work serialized onto a single task (no-op at real scale).
-    e_sq = e.repartition(
-        spark.sparkContext.defaultParallelism
-    ).withColumn("ee", idot(F.col("embedding"), F.col("embedding")))
+    # deliberately keeps the scan's own partitioning: repartitioning it
+    # would shuffle O(corpus) bytes before a broadcast join, violating
+    # the designed flat-shuffle shape this family pins in
+    # tests/test_scale_ladder.py (the probe set is O(1); the only
+    # shuffle should be the ~64-row probe broadcast + tiny aggregates).
+    e_sq = e.withColumn("ee", idot(F.col("embedding"), F.col("embedding")))
     probes_sq = probes.withColumn("pp", idot(F.col("pe"), F.col("pe")))
     d2 = (
         F.broadcast(probes_sq)

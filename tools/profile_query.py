@@ -43,11 +43,11 @@ from nibbler_spark.sources import load_table
 
 load_table(spark, args.sf, "lineitem").count()  # warm footers/JVM
 
-for name in args.names:
+def profile_one(name):
     spec = specs.get(name)
     if spec is None:
         print(json.dumps({"name": name, "err": "unknown query"}))
-        continue
+        return
     spark.sparkContext.setJobDescription(f"profile:{name}")
     df = spec.spark(spark, args.sf)
     if args.plan_dir:
@@ -84,3 +84,10 @@ for name in args.names:
         )
     )
     spark.sparkContext.setJobDescription(None)
+
+
+for name in args.names:
+    try:
+        profile_one(name)
+    except Exception as exc:  # one bad query must not kill a long scan
+        print(json.dumps({"name": name, "err": f"{type(exc).__name__}: {exc}"[:400]}))
