@@ -518,8 +518,13 @@ def decode_batches(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """
 
     def decode_one(p: bytes, m: str) -> dict:
-        if bytes(p)[:2] in (b"BM", b"P6"):
-            return decode_image(bytes(p))
+        # Synthetic-carriage path ONLY: every caller attaches md5-digest
+        # payloads and every oracle derives dims from the digest bytes,
+        # so dispatching on container magic here is a latent crash — a
+        # 16-byte digest starts with "P6"/"BM" with p = 2/65536 per doc,
+        # a certainty at sf0.1 row counts (observed: parse_ppm raised on
+        # a digest payload). Real containers go through
+        # decode_image_batches, which always parses.
         return _decode_stub(p, m)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

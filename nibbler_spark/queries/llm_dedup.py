@@ -757,8 +757,13 @@ ORDER BY doc_a, doc_b
 )
 def ext_char_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character 4-gram Jaccard near-dup (robust to token boundaries),
-    blocked by (lang, source), sampled to every 5th doc."""
-    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
+    blocked by (lang, source), sampled to every 5th doc. The gram table
+    is built once across spread() partitions and localCheckpointed: the
+    4-gram transform is the per-row heavy stage, and without the cut the
+    self-join re-derives it on both sides of the 1-split scan."""
+    d = spread(
+        load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
+    )
     grams = F.array_sort(
         F.array_distinct(
             F.transform(
@@ -767,7 +772,9 @@ def ext_char_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    t = d.select("doc_id", "lang", "source", grams.alias("gs"))
+    t = d.select(
+        "doc_id", "lang", "source", grams.alias("gs")
+    ).localCheckpoint()
     a = t.alias("a")
     b = t.alias("b")
     n_common = F.size(F.array_intersect(F.col("a.gs"), F.col("b.gs")))
@@ -1550,7 +1557,9 @@ def ext_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     Prefix blocking deliberately trades recall (a pair differing inside
     the blocked prefix is missed) for a hard candidate bound — the
     documented, tunable tradeoff of every linkage pipeline. Integer
-    distances, no floats anywhere."""
+    distances, no floats anywhere. The probe side is spread() first:
+    TPC-H names make blk near-constant, so the broadcast join's whole
+    levenshtein sweep otherwise runs inside the single scan task."""
     c = (
         load_table(spark, sf_dir, "customer")
         .select(
@@ -1560,7 +1569,7 @@ def ext_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring("c_name", 10, 5).alias("blk"),
         )
     )
-    a = c.alias("a")
+    a = spread(c).alias("a")
     b = c.alias("b")
     dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
     return (

@@ -3052,8 +3052,14 @@ def ext_colbert_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.where(F.col("vec_id") % 97 == 0).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )
-    d = e.where(F.col("vec_id") % 97 != 0).select(
-        F.col("vec_id").alias("doc_id"), F.col("embedding").alias("de")
+    # spread(): the embeddings parquet is one split locally, so the
+    # interpreted per-pair MaxSim fold (64 slice-dots of higher-order
+    # lambdas) would otherwise run inside a single scan task; at real
+    # scale the scan is already wide and no exchange is added.
+    d = spread(
+        e.where(F.col("vec_id") % 97 != 0).select(
+            F.col("vec_id").alias("doc_id"), F.col("embedding").alias("de")
+        )
     )
 
     scored = d.crossJoin(F.broadcast(q)).select(
@@ -3837,23 +3843,37 @@ def ext_medoid_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.struct(
                     F.col("vec_id").alias("pid"),
                     F.col("embedding").alias("pe"),
+                    # probe self-dot ONCE per probe at collect time —
+                    # the old fold recomputed it per (member, probe).
+                    idot(F.col("embedding"), F.col("embedding")).alias(
+                        "pbb"
+                    ),
                 )
             ).alias("ps")
         )
     )
     others = F.filter(F.col("ps"), lambda p: p["pid"] != F.col("vec_id"))
+    # sum_d2 = Σ_p (aa - 2ab + bb) = n_others*aa + Σ_p (bb - 2ab): the
+    # member self-dot aa is probe-invariant, so it is hoisted out of the
+    # fold (identical int64 total — integer addition commutes, no
+    # overflow at these magnitudes). spread(): the fold is heavy
+    # row-local work off the 1-split local scan (no-op at real scale).
+    aa = idot(F.col("embedding"), F.col("embedding"))
     scored = (
-        e.join(F.broadcast(probes), "label")
+        spread(e)
+        .join(F.broadcast(probes), "label")
         .select(
             "label",
             "vec_id",
-            F.aggregate(
-                others,
-                F.lit(0).cast("bigint"),
-                lambda acc, p: acc
-                + idot(F.col("embedding"), F.col("embedding"))
-                - 2 * idot(F.col("embedding"), p["pe"])
-                + idot(p["pe"], p["pe"]),
+            (
+                F.size(others).cast("bigint") * aa
+                + F.aggregate(
+                    others,
+                    F.lit(0).cast("bigint"),
+                    lambda acc, p: acc
+                    - 2 * idot(F.col("embedding"), p["pe"])
+                    + p["pbb"],
+                )
             ).alias("sum_d2"),
             F.size(others).cast("bigint").alias("n_others"),
         )

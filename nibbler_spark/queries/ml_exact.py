@@ -25,7 +25,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nibbler_spark.queries import register
-from nibbler_spark.queries._helpers import dsum, sql_dsum
+from nibbler_spark.queries._helpers import dsum, spread, sql_dsum
 from nibbler_spark.sources import load_table
 
 
@@ -597,9 +597,17 @@ def ext_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection expands 32 weights per row; everything downstream is a
     32-cell keyed aggregate — no resampled copies of the data ever
     materialize."""
-    o = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    # spread(): the 32-way replicate expansion computes an md5 per
+    # (row, rep) — off the 1-split local scan that all runs in one
+    # task; the per-rep aggregate is map-side combinable so the added
+    # exchange moves raw orders rows once (no-op at real scale).
+    o = spread(
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            F.floor(F.col("o_totalprice") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
     )
     w = o.select(
         "o_orderkey",

@@ -26,6 +26,7 @@ from nibbler_spark.operators.multimodal import (
     resize_batches,
 )
 from nibbler_spark.queries import register
+from nibbler_spark.queries._helpers import spread
 from nibbler_spark.sources import load_table
 
 
@@ -344,9 +345,14 @@ def ext_image_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from nibbler_spark.operators.jpeg_codec import encode_jpeg_gray
 
-    d = load_table(spark, sf_dir, "documents").where(
-        F.col("doc_id") % 31 == 0
-    ).select("doc_id")
+    # spread(): the from-scratch codec is Python-per-doc inside
+    # mapInPandas; the local 1-split scan would run every doc in
+    # one task (no-op at real scale where the scan is already wide).
+    d = spread(
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 31 == 0)
+        .select("doc_id")
+    )
 
     def encode(batches):
         for pdf in batches:
@@ -547,9 +553,14 @@ def ext_video_decode_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_avi,
     )
 
-    d = load_table(spark, sf_dir, "documents").where(
-        F.col("doc_id") % 41 == 0
-    ).select("doc_id")
+    # spread(): the from-scratch codec is Python-per-doc inside
+    # mapInPandas; the local 1-split scan would run every doc in
+    # one task (no-op at real scale where the scan is already wide).
+    d = spread(
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 41 == 0)
+        .select("doc_id")
+    )
 
     def encode(batches):
         for pdf in batches:
@@ -885,9 +896,14 @@ def ext_image_decode_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_jpeg_color,
     )
 
-    d = load_table(spark, sf_dir, "documents").where(
-        F.col("doc_id") % 41 == 0
-    ).select("doc_id")
+    # spread(): the from-scratch codec is Python-per-doc inside
+    # mapInPandas; the local 1-split scan would run every doc in
+    # one task (no-op at real scale where the scan is already wide).
+    d = spread(
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 41 == 0)
+        .select("doc_id")
+    )
 
     def encode(batches):
         for pdf in batches:
@@ -1038,9 +1054,14 @@ def ext_audio_decode_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from nibbler_spark.operators.multimodal import adpcm_decode  # noqa: F401
 
-    d = load_table(spark, sf_dir, "documents").where(
-        F.col("doc_id") % 43 == 0
-    ).select("doc_id")
+    # spread(): the from-scratch codec is Python-per-doc inside
+    # mapInPandas; the local 1-split scan would run every doc in
+    # one task (no-op at real scale where the scan is already wide).
+    d = spread(
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 43 == 0)
+        .select("doc_id")
+    )
 
     def signal(did: int) -> list[int]:
         n = 1000 + did % 997
@@ -2638,9 +2659,14 @@ def ext_image_decode_jpeg_progressive(
         encode_jpeg_gray_progressive,
     )
 
-    d = load_table(spark, sf_dir, "documents").where(
-        F.col("doc_id") % 43 == 0
-    ).select("doc_id")
+    # spread(): the from-scratch codec is Python-per-doc inside
+    # mapInPandas; the local 1-split scan would run every doc in
+    # one task (no-op at real scale where the scan is already wide).
+    d = spread(
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 43 == 0)
+        .select("doc_id")
+    )
 
     def encode(batches):
         for pdf in batches:
@@ -2709,9 +2735,14 @@ def ext_image_decode_jpeg_sa(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_jpeg_gray_progressive_sa,
     )
 
-    d = load_table(spark, sf_dir, "documents").where(
-        F.col("doc_id") % 47 == 0
-    ).select("doc_id")
+    # spread(): the from-scratch codec is Python-per-doc inside
+    # mapInPandas; the local 1-split scan would run every doc in
+    # one task (no-op at real scale where the scan is already wide).
+    d = spread(
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 47 == 0)
+        .select("doc_id")
+    )
 
     def encode(batches):
         for pdf in batches:

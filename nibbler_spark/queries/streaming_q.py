@@ -14,6 +14,7 @@ sink is test-only (production sinks: parquet/Kafka/foreachBatch)."""
 
 from __future__ import annotations
 
+import contextlib
 import datetime
 import os
 import shutil
@@ -70,6 +71,46 @@ def _read_stream(spark: SparkSession, d: str) -> DataFrame:
     return spark.readStream.schema(_EVENT_SCHEMA).parquet(d)
 
 
+def _local_rows_df(spark: SparkSession, rows, ddl: str) -> DataFrame:
+    """``createDataFrame`` over literal rows through the pandas/Arrow
+    path.  The plain-list path parallelizes the rows into
+    defaultParallelism pickled slices, and the golden writers'
+    ``coalesce(1)`` task then pays one sequential Python-worker
+    round-trip per (mostly EMPTY) parent slice — measured 5-6 s per
+    tiny golden write at local[32] vs ~0.2 s via Arrow (r11 bisect;
+    the scripted streaming goldens write 2-4 such files each).  Arrow
+    converts driver-side, so the executed plan never touches a Python
+    worker.  Rows must be None-free tuples, which every literal-row
+    writer here satisfies."""
+    import pandas as pd
+
+    cols = [f.strip().split()[0] for f in ddl.split(",")]
+    return spark.createDataFrame(
+        pd.DataFrame(list(rows), columns=cols), schema=ddl
+    )
+
+
+@contextlib.contextmanager
+def _drain_scale_store(spark: SparkSession, n: int | None = None):
+    """Pin ``spark.sql.shuffle.partitions`` (= the state-store partition
+    count, fixed at a checkpoint's FIRST micro-batch) to drain scale for
+    the scripted goldens whose inputs are literal row handfuls — the same
+    rationale as ``_drain_to_memory``'s ``shuffle_partitions``: at the
+    session default every micro-batch pays one state-store task constant
+    per partition regardless of data volume, and the maxFilesPerTrigger=1
+    scripts run many micro-batches. The conf is restored right after
+    ``start()`` (Spark captures it at query start); re-started passes on
+    the same checkpoint re-read the pinned count from the offset log."""
+    if n is None:
+        n = int(os.environ.get("NIBBLER_STREAM_STATE_PARTITIONS", "4"))
+    prior = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior)
+
+
 def _drain_to_memory(
     df_writer_source: DataFrame,
     mode: str,
@@ -83,11 +124,21 @@ def _drain_to_memory(
     never change for that checkpoint), so a drain-scale test query
     should ask for a drain-scale store rather than inherit the
     cluster-scale session default — at 32 partitions every epoch pays
-    32 state-store task constants regardless of data volume.  The
-    session conf is restored after ``start()`` (the value is captured
-    at query start)."""
+    32 state-store task constants regardless of data volume, and under
+    the external driver's plain session the default is 200 (r11 A/B:
+    the i04 golden runs 2.2x slower at 200 than at 4).  The default is
+    therefore DRAIN-SCALE (``$NIBBLER_STREAM_STATE_PARTITIONS``, 8): the
+    drained fixtures hold ~1.5 k keyed groups, and state partitioning is
+    a per-checkpoint deployment choice sized to state volume, not to
+    cluster width — production overrides via the env knob.  The session
+    conf is restored after ``start()`` (the value is captured at query
+    start)."""
     name = "mem_" + uuid.uuid4().hex[:12]
     spark = df_writer_source.sparkSession
+    if shuffle_partitions is None:
+        shuffle_partitions = int(
+            os.environ.get("NIBBLER_STREAM_STATE_PARTITIONS", "8")
+        )
     prior = None
     if shuffle_partitions is not None:
         prior = spark.conf.get("spark.sql.shuffle.partitions")
@@ -494,7 +545,8 @@ _GOLDEN_ROWS_B = [
 
 
 def _write_golden_file(spark: SparkSession, d: str, rows, name: str) -> None:
-    df = spark.createDataFrame(
+    df = _local_rows_df(
+        spark,
         [(i, ts, u) for i, ts, u in rows],
         "event_id long, ts_s string, user_id long",
     ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"), "user_id")
@@ -529,21 +581,22 @@ def i04_watermark_late_drop_golden(spark: SparkSession, sf_dir: str) -> DataFram
     schema = "event_id long, ts timestamp, user_id long"
 
     def run_pass():
-        q = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(src_dir + "/*/")
-            .withWatermark("ts", "10 minutes")
-            .groupBy(F.window("ts", "10 minutes").alias("w"))
-            .agg(F.count("*").alias("n"))
-            .select(F.col("w.start").alias("window_start"), "n")
-            .writeStream.format("parquet")
-            .option("path", out_dir)
-            .option("checkpointLocation", ckpt)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
+        with _drain_scale_store(spark):
+            q = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src_dir + "/*/")
+                .withWatermark("ts", "10 minutes")
+                .groupBy(F.window("ts", "10 minutes").alias("w"))
+                .agg(F.count("*").alias("n"))
+                .select(F.col("w.start").alias("window_start"), "n")
+                .writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
         q.awaitTermination()
 
     _write_golden_file(spark, src_dir, _GOLDEN_ROWS_A, "step-a")
@@ -578,21 +631,24 @@ def i07_dedup_within_watermark_golden(spark: SparkSession, sf_dir: str) -> DataF
     schema = "event_id long, ts timestamp, user_id long"
 
     def run_pass():
-        q = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(src_dir + "/*/")
-            .withWatermark("ts", "10 minutes")
-            .select(F.col("event_id").alias("dedup_key"), "ts", "user_id")
-            .dropDuplicatesWithinWatermark(["dedup_key"])
-            .select("dedup_key", "ts")
-            .writeStream.format("parquet")
-            .option("path", out_dir)
-            .option("checkpointLocation", ckpt)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
+        with _drain_scale_store(spark):
+            q = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src_dir + "/*/")
+                .withWatermark("ts", "10 minutes")
+                .select(
+                    F.col("event_id").alias("dedup_key"), "ts", "user_id"
+                )
+                .dropDuplicatesWithinWatermark(["dedup_key"])
+                .select("dedup_key", "ts")
+                .writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
         q.awaitTermination()
 
     rows_a = [
@@ -1248,8 +1304,8 @@ def i14_stream_stream_left_outer_golden(
     os.makedirs(r_dir, exist_ok=True)
 
     def write_side(d: str, rows, name: str, col: str) -> None:
-        df = spark.createDataFrame(
-            rows, f"user_id long, ts_s string"
+        df = _local_rows_df(
+            spark, rows, "user_id long, ts_s string"
         ).select(
             "user_id", F.col("ts_s").cast("timestamp").alias(col)
         )
@@ -1277,14 +1333,15 @@ def i14_stream_stream_left_outer_golden(
             ),
             "leftOuter",
         ).select("c.user_id", "c.click_ts", "p.purchase_ts")
-        q = (
-            joined.writeStream.format("parquet")
-            .option("path", out_dir)
-            .option("checkpointLocation", ckpt)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
+        with _drain_scale_store(spark):
+            q = (
+                joined.writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
         q.awaitTermination()
 
     write_side(
@@ -1350,14 +1407,22 @@ def a16_foreachbatch_multi_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         batch_df.unpersist()
 
-    q = (
-        _read_stream(spark, d)
-        .writeStream.foreachBatch(fan_out)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="nibbler-ck-"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # Pin through termination: the per-epoch counts aggregation runs as
+    # a BATCH job inside foreachBatch, reading the conf at execution
+    # time (not at stream start), and shuffles a handful of event_type
+    # groups per epoch.
+    with _drain_scale_store(spark, 8):
+        q = (
+            _read_stream(spark, d)
+            .writeStream.foreachBatch(fan_out)
+            .option(
+                "checkpointLocation",
+                tempfile.mkdtemp(prefix="nibbler-ck-"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     archived = spark.read.parquet(archive + "/epoch=*").count()
     expected = spark.read.parquet(d).count()
     assert archived == expected, f"archive {archived} != source {expected}"
@@ -1557,30 +1622,31 @@ def i16_stateful_session_timeout_golden(
             )
 
     def run_pass() -> None:
-        q = (
-            spark.readStream.schema("user_id long, ts timestamp")
-            .option("maxFilesPerTrigger", 1)
-            .parquet(src + "/*/")
-            .withWatermark("ts", "10 minutes")
-            .groupBy("user_id")
-            .applyInPandasWithState(
-                sessionize,
-                "user_id long, session_start timestamp, n_events long",
-                "start long, last long, cnt long",
-                "append",
-                GroupStateTimeout.EventTimeTimeout,
+        with _drain_scale_store(spark):
+            q = (
+                spark.readStream.schema("user_id long, ts timestamp")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src + "/*/")
+                .withWatermark("ts", "10 minutes")
+                .groupBy("user_id")
+                .applyInPandasWithState(
+                    sessionize,
+                    "user_id long, session_start timestamp, n_events long",
+                    "start long, last long, cnt long",
+                    "append",
+                    GroupStateTimeout.EventTimeTimeout,
+                )
+                .writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
             )
-            .writeStream.format("parquet")
-            .option("path", out_dir)
-            .option("checkpointLocation", ckpt)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
         q.awaitTermination()
 
     def drop(rows, name):
-        spark.createDataFrame(rows, "user_id long, ts_s string").select(
+        _local_rows_df(spark, rows, "user_id long, ts_s string").select(
             "user_id", F.col("ts_s").cast("timestamp").alias("ts")
         ).coalesce(1).write.mode("overwrite").parquet(
             os.path.join(src, name)
@@ -1635,7 +1701,7 @@ def i17_stream_stream_full_outer_golden(
     os.makedirs(r_dir, exist_ok=True)
 
     def write_side(d, rows, name, col):
-        spark.createDataFrame(rows, "user_id long, ts_s string").select(
+        _local_rows_df(spark, rows, "user_id long, ts_s string").select(
             "user_id", F.col("ts_s").cast("timestamp").alias(col)
         ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, name))
 
@@ -1667,14 +1733,15 @@ def i17_stream_stream_full_outer_golden(
             "c.click_ts",
             "p.purchase_ts",
         )
-        q = (
-            joined.writeStream.format("parquet")
-            .option("path", out_dir)
-            .option("checkpointLocation", ckpt)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
+        with _drain_scale_store(spark):
+            q = (
+                joined.writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
         q.awaitTermination()
 
     write_side(
@@ -2635,21 +2702,22 @@ def ext_stream_dropped_rows_metric(spark: SparkSession, sf_dir: str) -> DataFram
     schema = "event_id long, ts timestamp, user_id long"
 
     def run_pass():
-        q = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(src_dir + "/*/")
-            .withWatermark("ts", "10 minutes")
-            .groupBy(F.window("ts", "10 minutes").alias("w"))
-            .agg(F.count("*").alias("n"))
-            .select(F.col("w.start").alias("window_start"), "n")
-            .writeStream.format("parquet")
-            .option("path", out_dir)
-            .option("checkpointLocation", ckpt)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
+        with _drain_scale_store(spark):
+            q = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src_dir + "/*/")
+                .withWatermark("ts", "10 minutes")
+                .groupBy(F.window("ts", "10 minutes").alias("w"))
+                .agg(F.count("*").alias("n"))
+                .select(F.col("w.start").alias("window_start"), "n")
+                .writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
         q.awaitTermination()
         return sum(
             op["numRowsDroppedByWatermark"]
@@ -4078,18 +4146,22 @@ def i33_stream_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rollup.where(F.col("grp") == g),
             )
 
-    q = (
-        spark.readStream.schema(_EVENT_SCHEMA)
-        .option("maxFilesPerTrigger", 2)
-        .parquet(d)
-        .writeStream.foreachBatch(backfill)
-        .option(
-            "checkpointLocation", tempfile.mkdtemp(prefix="nibbler-srw-ck-")
+    # Pin through termination: backfill's rollup aggregate runs as a
+    # BATCH job per epoch inside foreachBatch (conf read at execution).
+    with _drain_scale_store(spark, 8):
+        q = (
+            spark.readStream.schema(_EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(d)
+            .writeStream.foreachBatch(backfill)
+            .option(
+                "checkpointLocation",
+                tempfile.mkdtemp(prefix="nibbler-srw-ck-"),
+            )
+            .trigger(availableNow=True)
+            .start()
         )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
     # idempotence re-proof: replaying one group's recompute changes nothing
     e_all = load_table(spark, sf_dir, "events")
     g0 = (
@@ -4393,28 +4465,29 @@ def i36_tumbling_append_watermark(
     cut = gmin + datetime.timedelta(days=1)
 
     def run_pass() -> None:
-        q = (
-            spark.readStream.schema(_EVENT_SCHEMA)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(src_dir + "/*/")
-            .withWatermark("ts", "10 minutes")
-            .groupBy(F.window("ts", "10 minutes").alias("w"))
-            .agg(
-                F.count("*").alias("n_events"),
-                dsum("value").alias("total_value"),
+        with _drain_scale_store(spark, 8):
+            q = (
+                spark.readStream.schema(_EVENT_SCHEMA)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src_dir + "/*/")
+                .withWatermark("ts", "10 minutes")
+                .groupBy(F.window("ts", "10 minutes").alias("w"))
+                .agg(
+                    F.count("*").alias("n_events"),
+                    dsum("value").alias("total_value"),
+                )
+                .select(
+                    F.col("w.start").alias("bucket_start"),
+                    "n_events",
+                    "total_value",
+                )
+                .writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
             )
-            .select(
-                F.col("w.start").alias("bucket_start"),
-                "n_events",
-                "total_value",
-            )
-            .writeStream.format("parquet")
-            .option("path", out_dir)
-            .option("checkpointLocation", ckpt)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
         q.awaitTermination()
 
     e.where(F.col("ts") >= F.lit(cut)).coalesce(1).write.parquet(
@@ -4425,7 +4498,8 @@ def i36_tumbling_append_watermark(
         os.path.join(src_dir, "step-b")
     )
     run_pass()
-    spark.createDataFrame(
+    _local_rows_df(
+        spark,
         [
             (
                 -1,
@@ -7223,15 +7297,18 @@ def stream_join_then_fold(
             (F.col("a.user_id") % W).cast("long").alias("k"),
             vexpr.alias("v"),
         )
-        qj = (
-            joined.writeStream.foreachBatch(
-                lambda df, _eid: df.write.mode("append").parquet(pairdir)
+        with _drain_scale_store(spark, 8):
+            qj = (
+                joined.writeStream.foreachBatch(
+                    lambda df, _eid: df.write.mode("append").parquet(
+                        pairdir
+                    )
+                )
+                .outputMode("append")
+                .option("checkpointLocation", ckpt_j)
+                .trigger(availableNow=True)
+                .start()
             )
-            .outputMode("append")
-            .option("checkpointLocation", ckpt_j)
-            .trigger(availableNow=True)
-            .start()
-        )
         qj.awaitTermination()
         keyed = (
             spark.readStream.schema("pep long, k long, v long")
@@ -7245,15 +7322,18 @@ def stream_join_then_fold(
                 GroupStateTimeout.NoTimeout,
             )
         )
-        qf = (
-            keyed.writeStream.foreachBatch(
-                lambda df, _eid: df.write.mode("append").parquet(outdir)
+        with _drain_scale_store(spark, 8):
+            qf = (
+                keyed.writeStream.foreachBatch(
+                    lambda df, _eid: df.write.mode("append").parquet(
+                        outdir
+                    )
+                )
+                .outputMode("update")
+                .option("checkpointLocation", ckpt_f)
+                .trigger(availableNow=True)
+                .start()
             )
-            .outputMode("update")
-            .option("checkpointLocation", ckpt_f)
-            .trigger(availableNow=True)
-            .start()
-        )
         qf.awaitTermination()
 
     em = spark.read.schema("k long, epoch long, running long").parquet(

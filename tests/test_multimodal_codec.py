@@ -166,6 +166,26 @@ def test_decode_image_batches_arrow_path(spark):
         assert out[i]["pixel_sum"] == expect
 
 
+def test_decode_batches_stub_ignores_magic_collision(spark):
+    """Synthetic digest payloads that happen to start with a container
+    magic ("P6"/"BM") must STILL take the stub path: the oracles derive
+    dims from the digest bytes for every doc, and the real parsers raise
+    on digest garbage (observed at sf0.1, where a 2/65536-per-doc
+    collision is near-certain)."""
+    from nibbler_spark.operators.multimodal import decode_batches
+
+    rows = [
+        (0, "image/fake", b"P6" + bytes(range(14))),   # fake-PPM magic
+        (1, "image/fake", b"BM" + bytes(range(14))),   # fake-BMP magic
+        (2, "image/fake", bytes(range(16))),           # plain digest
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, mime string, payload binary")
+    out = {r["doc_id"]: r for r in decode_batches(df).collect()}
+    assert (out[0]["width"], out[0]["height"]) == (0x50, 0x36)
+    assert (out[1]["width"], out[1]["height"]) == (0x42, 0x4D)
+    assert (out[2]["width"], out[2]["height"]) == (0, 1)
+
+
 class TestWavCodec:
     def test_roundtrip_stats(self):
         import random
