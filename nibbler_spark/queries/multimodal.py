@@ -99,13 +99,14 @@ def ext_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch shape, and partition-wise execution."""
     d = load_table(spark, sf_dir, "documents")
     decoded = decode_batches(attach_synthetic_payload(d))
+    # localCheckpoint: avoid the sort-sampling double Python pass.
     return decoded.select(
         "doc_id",
         "mime",
         "n_bytes",
         F.col("width").cast("int").alias("width"),
         F.col("height").cast("int").alias("height"),
-    ).orderBy("doc_id")
+    ).localCheckpoint().orderBy("doc_id")
 
 
 @register(
@@ -172,7 +173,9 @@ def ext_image_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     encoded = d.mapInPandas(encode, "doc_id long, payload binary")
-    return decode_image_batches(encoded).orderBy("doc_id")
+    # localCheckpoint: the final sort's range-sampling job would run
+    # the encode+decode Python chain twice (j04 A/B precedent, r11).
+    return decode_image_batches(encoded).localCheckpoint().orderBy("doc_id")
 
 
 @register(
@@ -240,7 +243,9 @@ def ext_image_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     encoded = d.mapInPandas(encode, "doc_id long, payload binary")
-    return decode_image_batches(encoded).orderBy("doc_id")
+    # localCheckpoint: the final sort's range-sampling job would run
+    # the encode+decode Python chain twice (j04 A/B precedent, r11).
+    return decode_image_batches(encoded).localCheckpoint().orderBy("doc_id")
 
 
 @register(
@@ -301,7 +306,9 @@ def ext_image_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     encoded = d.mapInPandas(encode, "doc_id long, payload binary")
-    return decode_image_batches(encoded).orderBy("doc_id")
+    # localCheckpoint: the final sort's range-sampling job would run
+    # the encode+decode Python chain twice (j04 A/B precedent, r11).
+    return decode_image_batches(encoded).localCheckpoint().orderBy("doc_id")
 
 
 @register(
@@ -375,7 +382,9 @@ def ext_image_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     encoded = d.mapInPandas(encode, "doc_id long, payload binary")
-    return decode_image_batches(encoded).orderBy("doc_id")
+    # localCheckpoint: the final sort's range-sampling job would run
+    # the encode+decode Python chain twice (j04 A/B precedent, r11).
+    return decode_image_batches(encoded).localCheckpoint().orderBy("doc_id")
 
 
 @register(
@@ -427,7 +436,9 @@ def ext_image_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     encoded = d.mapInPandas(encode, "doc_id long, payload binary")
-    return decode_image_batches(encoded).orderBy("doc_id")
+    # localCheckpoint: the final sort's range-sampling job would run
+    # the encode+decode Python chain twice (j04 A/B precedent, r11).
+    return decode_image_batches(encoded).localCheckpoint().orderBy("doc_id")
 
 
 @register(
@@ -458,7 +469,8 @@ def ext_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     the digest."""
     d = load_table(spark, sf_dir, "documents")
     decoded = decode_batches(attach_synthetic_payload(d))
-    return resize_batches(decoded).orderBy("doc_id")
+    # localCheckpoint: avoid the sort-sampling double Python pass.
+    return resize_batches(decoded).localCheckpoint().orderBy("doc_id")
 
 
 @register(
@@ -684,7 +696,8 @@ def ext_audio_decode_mulaw(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     encoded = d.mapInPandas(encode, "doc_id long, payload binary")
-    return decode_audio_batches(encoded).orderBy("doc_id")
+    # localCheckpoint: avoid the sort-sampling double Python pass.
+    return decode_audio_batches(encoded).localCheckpoint().orderBy("doc_id")
 
 
 @register(
@@ -752,7 +765,8 @@ def ext_audio_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     encoded = d.mapInPandas(encode, "doc_id long, payload binary")
-    return decode_audio_batches(encoded).orderBy("doc_id")
+    # localCheckpoint: avoid the sort-sampling double Python pass.
+    return decode_audio_batches(encoded).localCheckpoint().orderBy("doc_id")
 
 
 @register(
@@ -821,7 +835,8 @@ def ext_video_decode_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     encoded = d.mapInPandas(encode, "doc_id long, payload binary")
-    return decode_video_batches(encoded).orderBy("doc_id")
+    # localCheckpoint: avoid the sort-sampling double Python pass.
+    return decode_video_batches(encoded).localCheckpoint().orderBy("doc_id")
 
 
 @register(
@@ -948,11 +963,12 @@ def ext_image_decode_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     encoded = d.mapInPandas(encode, "doc_id long, payload binary")
+    # localCheckpoint: avoid the sort-sampling double Python pass.
     return encoded.mapInPandas(
         decode,
         "doc_id long, fmt string, width int, height int, n_pixels long, "
         "r_sum long, g_sum long, b_sum long, pixel_sum long",
-    ).orderBy("doc_id")
+    ).localCheckpoint().orderBy("doc_id")
 
 
 @register(
@@ -1018,7 +1034,9 @@ def ext_image_decode_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     encoded = d.mapInPandas(encode, "doc_id long, payload binary")
-    return decode_image_batches(encoded).orderBy("doc_id")
+    # localCheckpoint: the final sort's range-sampling job would run
+    # the encode+decode Python chain twice (j04 A/B precedent, r11).
+    return decode_image_batches(encoded).localCheckpoint().orderBy("doc_id")
 
 
 @register(
@@ -1118,9 +1136,10 @@ def ext_audio_decode_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     encoded = d.mapInPandas(encode, "doc_id long, payload binary")
+    # localCheckpoint: avoid the sort-sampling double Python pass.
     return encoded.mapInPandas(
         decode, "doc_id long, n_samples long, within_bound boolean"
-    ).orderBy("doc_id")
+    ).localCheckpoint().orderBy("doc_id")
 
 
 @register(
@@ -1292,7 +1311,9 @@ def ext_image_decode_qoi(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     encoded = d.mapInPandas(encode, "doc_id long, payload binary")
-    return decode_image_batches(encoded).orderBy("doc_id")
+    # localCheckpoint: the final sort's range-sampling job would run
+    # the encode+decode Python chain twice (j04 A/B precedent, r11).
+    return decode_image_batches(encoded).localCheckpoint().orderBy("doc_id")
 
 
 @register(
@@ -1781,7 +1802,9 @@ def ext_image_decode_tga(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     encoded = d.mapInPandas(encode, "doc_id long, payload binary")
-    return decode_image_batches(encoded).orderBy("doc_id")
+    # localCheckpoint: the final sort's range-sampling job would run
+    # the encode+decode Python chain twice (j04 A/B precedent, r11).
+    return decode_image_batches(encoded).localCheckpoint().orderBy("doc_id")
 
 
 @register(
@@ -1851,7 +1874,8 @@ def ext_audio_decode_aiff(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     encoded = d.mapInPandas(encode, "doc_id long, payload binary")
-    return decode_audio_batches(encoded).orderBy("doc_id")
+    # localCheckpoint: avoid the sort-sampling double Python pass.
+    return decode_audio_batches(encoded).localCheckpoint().orderBy("doc_id")
 
 
 @register(
@@ -2604,11 +2628,12 @@ def ext_audio_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["zero_crossings"].append(sum(zcs))
             yield _pd.DataFrame(out)
 
+    # localCheckpoint: avoid the sort-sampling double Python pass.
     return d.mapInPandas(
         run,
         "doc_id long, n_frames int, total_energy long, "
         "max_frame_energy long, zero_crossings long",
-    ).orderBy("doc_id")
+    ).localCheckpoint().orderBy("doc_id")
 
 
 @register(
@@ -2689,7 +2714,9 @@ def ext_image_decode_jpeg_progressive(
             )
 
     encoded = d.mapInPandas(encode, "doc_id long, payload binary")
-    return decode_image_batches(encoded).orderBy("doc_id")
+    # localCheckpoint: the final sort's range-sampling job would run
+    # the encode+decode Python chain twice (j04 A/B precedent, r11).
+    return decode_image_batches(encoded).localCheckpoint().orderBy("doc_id")
 
 
 @register(
@@ -2765,7 +2792,9 @@ def ext_image_decode_jpeg_sa(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     encoded = d.mapInPandas(encode, "doc_id long, payload binary")
-    return decode_image_batches(encoded).orderBy("doc_id")
+    # localCheckpoint: the final sort's range-sampling job would run
+    # the encode+decode Python chain twice (j04 A/B precedent, r11).
+    return decode_image_batches(encoded).localCheckpoint().orderBy("doc_id")
 
 
 @register(
@@ -2840,11 +2869,12 @@ def ext_video_decode_mp4(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["frame_sum"].append(meta["frame_sum"])
             yield _pd.DataFrame(out)
 
+    # localCheckpoint: avoid the sort-sampling double Python pass.
     return d.mapInPandas(
         run,
         "doc_id long, fmt string, n_frames int, frame_bytes long, "
         "frame_sum long",
-    ).orderBy("doc_id")
+    ).localCheckpoint().orderBy("doc_id")
 
 
 @register(
@@ -2926,7 +2956,8 @@ def ext_audio_decode_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     encoded = d.mapInPandas(encode, "doc_id long, payload binary")
-    return decode_audio_batches(encoded).orderBy("doc_id")
+    # localCheckpoint: avoid the sort-sampling double Python pass.
+    return decode_audio_batches(encoded).localCheckpoint().orderBy("doc_id")
 
 
 @register(

@@ -950,8 +950,12 @@ def a31_msgpack_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from nibbler_spark.operators.msgpack_codec import pack, unpack
 
-    o = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderpriority", "o_totalprice"
+    # spread(): both msgpack stages are per-row Python work that would
+    # otherwise serialize on the 1-split local scan.
+    o = spread(
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority", "o_totalprice"
+        )
     )
 
     def enc(batches):
@@ -993,11 +997,13 @@ def a31_msgpack_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
+    # localCheckpoint: the final sort's range-sampling job would run
+    # BOTH chained msgpack Python stages twice (j04 A/B precedent).
     return packed.mapInPandas(
         dec,
         "o_orderkey long, o_orderpriority string, o_totalprice double, "
         "even_key boolean, opt_val bigint, pri_code string, meta_m long",
-    ).orderBy("o_orderkey")
+    ).localCheckpoint().orderBy("o_orderkey")
 
 
 @register(
@@ -1148,7 +1154,9 @@ def a34_msgpack_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load()
     )
     assert back.rdd.getNumPartitions() == 4  # one partition per file
-    return back.orderBy("o_orderkey")
+    # localCheckpoint: the final sort's range-sampling job would run
+    # the Python-datasource decode twice (j04 A/B precedent).
+    return back.localCheckpoint().orderBy("o_orderkey")
 
 
 @register(
@@ -1252,8 +1260,12 @@ def a36_protobuf_wire_roundtrip(
         encode_message,
     )
 
-    o = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderstatus", "o_totalprice"
+    # spread(): both protobuf stages are per-row Python work that would
+    # otherwise serialize on the 1-split local scan.
+    o = spread(
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
     )
 
     def enc(batches):
@@ -1294,11 +1306,13 @@ def a36_protobuf_wire_roundtrip(
                 }
             )
 
+    # localCheckpoint: the final sort's range-sampling job would run
+    # both protobuf Python stages twice (j04 A/B precedent).
     return packed.mapInPandas(
         dec,
         "o_orderkey long, o_orderstatus string, o_totalprice double, "
         "signed_val long, flag boolean",
-    ).orderBy("o_orderkey")
+    ).localCheckpoint().orderBy("o_orderkey")
 
 
 @register(

@@ -35,9 +35,13 @@ def j01_scalar_python_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic — engine-identical)."""
     li = load_table(spark, sf_dir, "lineitem")
     f = F.udf(lambda x: x * 2 + 1, DoubleType())
+    # localCheckpoint before the final sort: the range partitioner's
+    # sampling job re-executes the stage above the last exchange, so
+    # without the cut the Python UDF stage runs TWICE (guide §4/§5;
+    # r11 A/B on the sibling j04: 10.4 s -> 5.0 s).
     return li.select(
         "l_orderkey", "l_linenumber", f("l_quantity").alias("qty_udf")
-    ).orderBy("l_orderkey", "l_linenumber")
+    ).localCheckpoint().orderBy("l_orderkey", "l_linenumber")
 
 
 @register(
@@ -115,9 +119,12 @@ def j04_apply_in_pandas_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         pdf = pdf.assign(zscore=((v - v.mean()) / v.std(ddof=1)).round(4) + 0.0)
         return pdf[["event_id", "user_id", "zscore"]]
 
+    # localCheckpoint: the final sort's range-sampling job would run
+    # the grouped-map Python stage twice (A/B: 10.4 s -> 5.0 s).
     return (
         e.groupBy("user_id")
         .applyInPandas(zscore, "event_id long, user_id long, zscore double")
+        .localCheckpoint()
         .orderBy("event_id")
     )
 
@@ -307,6 +314,8 @@ def j09_cogrouped_apply_in_pandas(
             }
         )
 
+    # localCheckpoint: the final sort's range-sampling job would run
+    # the cogrouped Python stage twice (j04 A/B precedent).
     return (
         o.groupBy("user_id")
         .cogroup(e.groupBy("user_id"))
@@ -314,6 +323,7 @@ def j09_cogrouped_apply_in_pandas(
             reconcile,
             "user_id long, n_orders long, spend double, n_events long",
         )
+        .localCheckpoint()
         .orderBy("user_id")
     )
 
@@ -510,7 +520,11 @@ def j12_udtf_table_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.udtf.register("flag_summary", FlagSummary)
     register_temp_views(spark, sf_dir)
-    return spark.sql(
+    # localCheckpoint between the UDTF and the final ORDER BY: the
+    # range partitioner's sampling job re-executes the stage above the
+    # last exchange, so the one-statement form streamed all 600 k rows
+    # through the Python UDTF TWICE for a 3-row result (guide §5).
+    summary = spark.sql(
         """
         SELECT * FROM flag_summary(
           TABLE(
@@ -521,9 +535,9 @@ def j12_udtf_table_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
           PARTITION BY l_returnflag
           ORDER BY (l_orderkey, l_linenumber)
         )
-        ORDER BY l_returnflag
         """
-    )
+    ).localCheckpoint()
+    return summary.orderBy("l_returnflag")
 
 
 @register(
