@@ -3856,11 +3856,16 @@ def ext_medoid_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sum_d2 = Σ_p (aa - 2ab + bb) = n_others*aa + Σ_p (bb - 2ab): the
     # member self-dot aa is probe-invariant, so it is hoisted out of the
     # fold (identical int64 total — integer addition commutes, no
-    # overflow at these magnitudes). spread(): the fold is heavy
-    # row-local work off the 1-split local scan (no-op at real scale).
+    # overflow at these magnitudes). The member side deliberately keeps
+    # the scan's own partitioning (NO spread): repartitioning it would
+    # shuffle O(corpus) bytes before a broadcast join, violating the
+    # designed flat-shuffle shape this family pins in
+    # tests/test_scale_ladder.py (the probe set is O(1); the only
+    # shuffle should be the probe broadcast + the tiny final argmin) —
+    # same decision as ext_silhouette_sampled, commit c9cfb99.
     aa = idot(F.col("embedding"), F.col("embedding"))
     scored = (
-        spread(e)
+        e
         .join(F.broadcast(probes), "label")
         .select(
             "label",

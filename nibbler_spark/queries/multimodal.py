@@ -145,6 +145,18 @@ def ext_image_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes in closed form. No codec library involved — the parser is
     `operators/multimodal.py:parse_bmp`. At 100 TB both stages are
     partition-local mapInPandas with zero shuffles."""
+    # localCheckpoint: the final sort's range-sampling job would run
+    # the encode+decode Python chain twice (j04 A/B precedent, r11).
+    # The chained-map/no-shuffle plan property lives on the
+    # pre-checkpoint frame (tests/test_plans.py asserts it there).
+    return bmp_pipeline(spark, sf_dir).localCheckpoint().orderBy("doc_id")
+
+
+def bmp_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The encode→decode chain of ext_image_decode_bmp WITHOUT the final
+    checkpoint+sort — the frame whose physical plan must be two chained
+    MapInPandas stages over a doc_id-pruned scan with no exchange
+    (tests/test_plans.py::test_bmp_pipeline_chained_map_no_shuffle)."""
     import pandas as _pd
 
     d = load_table(spark, sf_dir, "documents").where(
@@ -173,9 +185,7 @@ def ext_image_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     encoded = d.mapInPandas(encode, "doc_id long, payload binary")
-    # localCheckpoint: the final sort's range-sampling job would run
-    # the encode+decode Python chain twice (j04 A/B precedent, r11).
-    return decode_image_batches(encoded).localCheckpoint().orderBy("doc_id")
+    return decode_image_batches(encoded)
 
 
 @register(

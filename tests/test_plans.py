@@ -82,14 +82,28 @@ def test_bmp_pipeline_chained_map_no_shuffle(spark, sf_dir):
     stages with no exchange between them (partition-local Arrow flow;
     the only exchange is the final output sort) and a scan pruned to
     doc_id alone."""
-    plan = _plan(spark, sf_dir, "ext_image_decode_bmp")
+    # The registered query checkpoints the Python chain before its
+    # final sort (r11 wave 5: the range partitioner's sampling job
+    # would re-run the chain), so the chained-map property is asserted
+    # on the pre-checkpoint frame the query is built from.
+    from nibbler_spark.queries.multimodal import bmp_pipeline
+
+    df = bmp_pipeline(spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
     assert plan.count("MapInPandas") >= 2
-    tree = plan.split("(1) Scan")[0]
-    map_block = tree[tree.index("MapInPandas") :]
-    assert "Exchange" not in map_block  # nothing below the first map
-    assert tree.count("Exchange") == 1  # the output sort only (tree view)
+    assert "Exchange" not in plan  # fully partition-local Arrow flow
     read = next(ln for ln in plan.splitlines() if "ReadSchema" in ln)
     assert "doc_id" in read and "text" not in read
+    # And the registered query's visible plan is just sort-over-
+    # checkpointed-result: one exchange (the output sort), Python done.
+    final = _plan(spark, sf_dir, "ext_image_decode_bmp")
+    tree = final.split("(1) Scan")[0]  # tree view only, not the details
+    assert tree.count("Exchange") == 1
+    assert "Scan ExistingRDD" in final
 
 
 def test_simhash_banded_pairs_hash_join(spark, sf_dir):
