@@ -2835,7 +2835,13 @@ def ext_classification_report(
     2*tp // (pred_n + actual_n) — no harmonic-mean division chain.
     Scale: the confusion matrix is |classes|^2 rows; the report is
     arithmetic on that kilobyte table — the expensive part (scoring)
-    is EXT-NBAYES's one inner-join aggregate, unchanged."""
+    is EXT-NBAYES's one inner-join aggregate, unchanged.
+
+    r11 A/B (kept as-is): localCheckpointing the confusion matrix
+    measured SLOWER (2.45 s → 2.82 s noop at sf0.1): the duplicated NB
+    subtrees are independent stages the scheduler runs CONCURRENTLY
+    inside one job, while an eager checkpoint serializes
+    build-then-consume. Measured and reverted."""
     conf = ext_naive_bayes(spark, sf_dir)
     classes = (
         conf.select(F.col("actual_lang").alias("c"))

@@ -281,8 +281,21 @@ FROM lineitem ORDER BY l_orderkey, l_linenumber
 def h09_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Math functions. pmod expands to ((a%b)+b)%b in the oracle (H9 ⚠);
     floor/ceil cast to BIGINT on both sides; transcendentals rounded to
-    4 dp (libm vs java.lang.Math may differ in the last ulp)."""
-    li = load_table(spark, sf_dir, "lineitem")
+    4 dp (libm vs java.lang.Math may differ in the last ulp).
+
+    r11 perf (guide §2.3): the 16-expression projection sits ABOVE the
+    output sort — below it, the computed columns ride the range
+    exchange AND the range partitioner's sampling job evaluates the
+    whole projection a second time; above it, only the 5 raw columns
+    shuffle and the transcendentals run once, in the wide post-exchange
+    stage (3.7 s → 1.0 s noop, identical rows/order)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+    ).orderBy("l_orderkey", "l_linenumber")
     return li.select(
         "l_orderkey",
         "l_linenumber",
@@ -308,7 +321,7 @@ def h09_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.pmod(F.col("l_quantity").cast("bigint") - 25, F.lit(7)).alias(
             "pmod7"
         ),
-    ).orderBy("l_orderkey", "l_linenumber")
+    )
 
 
 @register(
@@ -418,14 +431,22 @@ def h12_array_lambdas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Higher-order array functions: transform/filter/exists/forall/
     aggregate/zip_with. DuckDB 1.0 lacks exists/forall/reduce/zip_with —
     oracle rewrites via list_filter length checks, list_sum, and an
-    index-transform (SURVEY H12 ⚠). Integer elements keep sums exact."""
+    index-transform (SURVEY H12 ⚠). Integer elements keep sums exact.
+
+    r11 perf (guide §2.3, h09 pattern): the six interpreted HOFs are
+    projected ABOVE the output sort, so only the 3-element nums array
+    rides the range exchange and the non-codegen lambdas run once in
+    the wide post-exchange stage instead of twice (sampling pass +
+    real pass) in the scan task. Identical rows and order."""
     li = load_table(spark, sf_dir, "lineitem")
     nums = F.array(
         F.col("l_quantity").cast("bigint"),
         F.col("l_linenumber").cast("bigint"),
         F.col("l_orderkey") % 10,
     )
-    t = li.select("l_orderkey", "l_linenumber", nums.alias("nums"))
+    t = li.select("l_orderkey", "l_linenumber", nums.alias("nums")).orderBy(
+        "l_orderkey", "l_linenumber"
+    )
     idx = seq1(F.size("nums"))
     return t.select(
         "l_orderkey",
@@ -442,7 +463,7 @@ def h12_array_lambdas(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nums"),
             lambda i, x: x + 10 * i,
         ).alias("zipped"),
-    ).orderBy("l_orderkey", "l_linenumber")
+    )
 
 
 @register(

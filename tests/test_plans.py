@@ -1187,3 +1187,40 @@ def test_speculative_acceptance_lang_partitioned_windows(spark, sf_dir):
     plan = _plan(spark, sf_dir, "ext_speculative_acceptance")
     assert "hashpartitioning(lang" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_h09_h12_projection_above_output_sort(spark, sf_dir):
+    """h09/h12 (r11): the heavy scalar/HOF projection must sit ABOVE
+    the output sort's range exchange — below it, the computed columns
+    ride the exchange and the range partitioner's sampling job
+    evaluates the whole projection a second time. Pin: the Sort's
+    child Exchange carries only the raw input columns."""
+    for name, computed in (
+        ("h09_math", "price_sqrt"),
+        ("h12_array_lambdas", "agg_sum"),
+    ):
+        plan = _plan(spark, sf_dir, name)
+        tree = plan.split("(1) Scan")[0]
+        # exactly one exchange (the output sort), projection above it
+        assert tree.count("Exchange") == 1, f"{name}:\n{tree}"
+        exch = next(
+            s for s in plan.split("\n\n") if s.startswith("(") and
+            "Exchange" in s.splitlines()[0] and "rangepartitioning" in s
+        )
+        assert computed not in exch, (
+            f"{name}: computed column rides the sort exchange:\n{exch}"
+        )
+
+
+def test_sql07_recursion_body_reads_materialized_seq(spark, sf_dir):
+    """sql07 (r11): Spark inlines non-recursive CTEs into every
+    UnionLoop step, so an un-materialized seq re-scanned orders and
+    re-ran the row_number window ~40x. Pin: the loop body joins the
+    localCheckpointed seq (LogicalRDD) — no parquet relation, no
+    Window inside the loop."""
+    plan = _plan(spark, sf_dir, "sql07_recursive_cte")
+    loop = plan[plan.index("UnionLoop") :]
+    head = loop[: loop.index("(1) UnionLoop")]  # tree view of the loop
+    assert "LogicalRelation" not in head, head
+    assert "Window" not in head, head
+    assert "LogicalRDD" in head, head
