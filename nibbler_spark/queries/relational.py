@@ -161,8 +161,19 @@ FROM lineitem ORDER BY l_orderkey, l_linenumber
 """,
 )
 def b05_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Casts across int/string/date/decimal."""
-    li = load_table(spark, sf_dir, "lineitem")
+    """Casts across int/string/date/decimal.
+
+    r11 perf (guide §2.3, h09 pattern): casts projected ABOVE the
+    output sort so only the raw columns ride the range exchange and
+    the cast projection runs once (the range sampler re-evaluates
+    everything below the sort). Identical rows and order."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_shipdate",
+        "l_extendedprice",
+    ).orderBy("l_orderkey", "l_linenumber")
     return li.select(
         "l_orderkey",
         "l_linenumber",
@@ -172,7 +183,7 @@ def b05_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         # decimal cast exercised as the intermediate; final emit is DOUBLE
         # (DecimalType output hashes differently under the driver — r1 fail)
         F.col("l_extendedprice").cast("decimal(18,4)").cast("double").alias("price_dec"),
-    ).orderBy("l_orderkey", "l_linenumber")
+    )
 
 
 @register(

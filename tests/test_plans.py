@@ -1198,6 +1198,7 @@ def test_h09_h12_projection_above_output_sort(spark, sf_dir):
     for name, computed in (
         ("h09_math", "price_sqrt"),
         ("h12_array_lambdas", "agg_sum"),
+        ("b05_cast", "price_dec"),
     ):
         plan = _plan(spark, sf_dir, name)
         tree = plan.split("(1) Scan")[0]
